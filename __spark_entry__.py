@@ -1,38 +1,1053 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Each ``queries()`` entry exercises one operator from SURVEY.md §2 (or a
+beyond-reference extension) on the driver's synthetic tables; the
+matching ``oracle_sql()`` entry is the equivalent ANSI SQL for DuckDB.
+Column names and rounding are aligned on both sides (floats rounded so
+cross-engine fp-summation-order differences can't flip the value hash).
+
+Implementation lives in ``padua_spark/`` — this module only wires
+operators to the test tables.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from padua_spark.extensions import dedup as x_dedup
+from padua_spark.extensions import similarity as x_sim
+from padua_spark.extensions import text as x_text
+from padua_spark.functions.scalar import (
+    _IH_M,
+    _IH_MULTIPLIERS,
+    _IH_OFFSETS,
+    protein_id,
+)
+from padua_spark.operators import (
+    aggregates as agg_ops,
+    filters as flt,
+    imputation as imp,
+    normalization as norm,
+    process as proc,
+    stats as st,
+)
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # events.parquet stores TIMESTAMP(NANOS), which Spark has no type for;
+    # read nanos as int64 (runtime-settable legacy conf) and convert where
+    # a query needs event time.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _r(c, n: int = 6):
+    return F.round(c, n)
+
+
+# ---------------------------------------------------------------------------
+# entry — flagship smoke query
+# ---------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full volcano statistics (per-feature two-sample t-test +
+    log2 fold change + s0 significance + p-values) — the composite at
+    the heart of the reference (visualize.py:458-676)."""
+    sf_dir = "/root/testdata/sf0.001"
+    li = _t(spark, sf_dir, "lineitem").withColumn(
+        "log2_price", F.log2("l_extendedprice")
+    )
+    return st.volcano_stats(
+        li,
+        feature_cols=["l_partkey"],
+        group_col="l_returnflag",
+        value_col="log2_price",
+        group_a="R",
+        group_b="A",
+        values_are_log2=True,
+        minimum_sample_n=2,
+    )
+
+
+# ---------------------------------------------------------------------------
+# queries + oracles
+# ---------------------------------------------------------------------------
+
+_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+_ORACLES: dict[str, str] = {}
+
+
+def _q(name: str, oracle: str | None = None):
+    def reg(fn):
+        _QUERIES[name] = fn
+        if oracle is not None:
+            _ORACLES[name] = oracle
+        return fn
+
+    return reg
+
+
+# --- F1 remove_rows_matching (filters.py:4-18) -----------------------------
+
+
+@_q(
+    "remove_rows_matching",
+    """
+SELECT l_orderkey, l_linenumber, l_returnflag
+FROM lineitem WHERE l_returnflag IS NULL OR l_returnflag <> 'R'
+""",
+)
+def q_remove_rows_matching(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    out = flt.remove_rows_matching(li, "l_returnflag", "R")
+    return out.select("l_orderkey", "l_linenumber", "l_returnflag")
+
+
+# --- F2 remove_rows_containing (filters.py:21-35) --------------------------
+
+
+@_q(
+    "remove_rows_containing",
+    """
+SELECT doc_id FROM documents
+WHERE text IS NULL OR NOT contains(text, 'spark')
+""",
+)
+def q_remove_rows_containing(spark, sf):
+    d = _t(spark, sf, "documents")
+    return flt.remove_rows_containing(d, "text", "spark").select("doc_id")
+
+
+# --- F6 filter_localization_probability (filters.py:77-90) -----------------
+
+
+@_q(
+    "filter_threshold",
+    "SELECT event_id FROM events WHERE value >= 250.0",
+)
+def q_filter_threshold(spark, sf):
+    e = _t(spark, sf, "events")
+    return flt.filter_localization_probability(
+        e, threshold=250.0, column="value"
+    ).select("event_id")
+
+
+# --- F7 minimum_valid_values_in_any_group (filters.py:93-129) ---------------
+
+
+@_q(
+    "min_valid_in_any_group",
+    """
+WITH f AS (
+  SELECT *, CASE WHEN l_discount > 0 THEN l_quantity END AS val
+  FROM lineitem
+),
+k AS (
+  SELECT l_partkey
+  FROM (
+    SELECT l_partkey, l_returnflag, count(val) AS c
+    FROM f GROUP BY 1, 2
+  ) GROUP BY l_partkey HAVING max(c) >= 8
+)
+SELECT f.l_orderkey, f.l_linenumber, f.l_partkey
+FROM f WHERE f.l_partkey IN (SELECT l_partkey FROM k)
+""",
+)
+def q_min_valid(spark, sf):
+    li = _t(spark, sf, "lineitem").withColumn(
+        "val", F.when(F.col("l_discount") > 0, F.col("l_quantity"))
+    )
+    out = flt.minimum_valid_values_in_any_group(
+        li, ["l_partkey"], ["l_returnflag"], "val", n=8
+    )
+    return out.select("l_orderkey", "l_linenumber", "l_partkey")
+
+
+# --- F8 search (filters.py:132-152) -----------------------------------------
+
+
+@_q(
+    "search",
+    """
+SELECT doc_id FROM documents
+WHERE (text IS NOT NULL AND contains(text, 'fast'))
+   OR (source IS NOT NULL AND contains(source, 'fast'))
+""",
+)
+def q_search(spark, sf):
+    d = _t(spark, sf, "documents")
+    return flt.search(d, "fast", ["text", "source"]).select("doc_id")
+
+
+# --- A1 subtract_group_median (normalization.py:4-22) ------------------------
+
+
+@_q(
+    "median_normalize",
+    """
+WITH med AS (
+  SELECT l_returnflag, median(l_extendedprice) AS md
+  FROM lineitem GROUP BY 1
+)
+SELECT l.l_orderkey, l.l_linenumber,
+       round(l.l_extendedprice - m.md, 6) AS value_norm
+FROM lineitem l JOIN med m USING (l_returnflag)
+""",
+)
+def q_median_normalize(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    out = norm.subtract_group_median(
+        li, ["l_returnflag"], "l_extendedprice", out_col="value_norm"
+    )
+    return out.select(
+        "l_orderkey", "l_linenumber", _r(F.col("value_norm")).alias("value_norm")
+    )
+
+
+# --- A10 group_mean_ratio (io.py:176, visualize.py:534-539) ------------------
+
+
+@_q(
+    "group_mean_ratio",
+    """
+WITH g AS (
+  SELECT l_partkey,
+         avg(CASE WHEN l_returnflag = 'R' THEN l_extendedprice END) AS mean_a,
+         avg(CASE WHEN l_returnflag = 'A' THEN l_extendedprice END) AS mean_b
+  FROM lineitem GROUP BY 1
+)
+SELECT l_partkey, round(mean_a, 6) AS mean_a, round(mean_b, 6) AS mean_b,
+       round(CASE WHEN mean_b <> 0 THEN mean_a / mean_b END, 6) AS ratio,
+       round(CASE WHEN mean_b <> 0 AND mean_a / mean_b > 0
+             THEN log2(mean_a / mean_b) END, 6) AS log2_ratio
+FROM g
+""",
+)
+def q_group_mean_ratio(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    out = agg_ops.group_mean_ratio(
+        li, ["l_partkey"], "l_returnflag", "l_extendedprice", "R", "A"
+    )
+    return out.select(
+        "l_partkey",
+        _r("mean_a").alias("mean_a"),
+        _r("mean_b").alias("mean_b"),
+        _r("ratio").alias("ratio"),
+        _r("log2_ratio").alias("log2_ratio"),
+    )
+
+
+# --- T1 ttest_ind_stats (analysis.py:467-498) --------------------------------
+
+_TTEST_ORACLE = """
+WITH g AS (
+  SELECT l_partkey,
+    avg(CASE WHEN l_returnflag='R' THEN l_quantity END)      AS mean_a,
+    avg(CASE WHEN l_returnflag='A' THEN l_quantity END)      AS mean_b,
+    count(CASE WHEN l_returnflag='R' THEN l_quantity END)    AS n_a,
+    count(CASE WHEN l_returnflag='A' THEN l_quantity END)    AS n_b,
+    var_samp(CASE WHEN l_returnflag='R' THEN l_quantity END) AS var_a,
+    var_samp(CASE WHEN l_returnflag='A' THEN l_quantity END) AS var_b
+  FROM lineitem GROUP BY 1
+),
+t AS (
+  SELECT *,
+    ((n_a - 1) * var_a + (n_b - 1) * var_b)
+      / CAST(n_a + n_b - 2 AS DOUBLE) AS pooled
+  FROM g
+)
+SELECT l_partkey,
+  round(mean_a, 6) AS mean_a, round(mean_b, 6) AS mean_b,
+  n_a, n_b,
+  round(CASE WHEN n_a >= 2 AND n_b >= 2
+             AND sqrt(pooled * (1.0 / n_a + 1.0 / n_b)) > 0
+        THEN (mean_a - mean_b) / sqrt(pooled * (1.0 / n_a + 1.0 / n_b))
+        END, 6) AS t_stat,
+  CASE WHEN n_a >= 2 AND n_b >= 2
+       THEN CAST(n_a + n_b - 2 AS DOUBLE) END AS df
+FROM t
+"""
+
+
+@_q("ttest_ind_stats", _TTEST_ORACLE)
+def q_ttest_ind_stats(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    out = st.ttest_ind_stats(
+        li, ["l_partkey"], "l_returnflag", "l_quantity", "R", "A"
+    )
+    return out.select(
+        "l_partkey",
+        _r("mean_a").alias("mean_a"),
+        _r("mean_b").alias("mean_b"),
+        "n_a",
+        "n_b",
+        _r("t_stat").alias("t_stat"),
+        "df",
+    )
+
+
+# --- T2 ttest_1samp_stats (visualize.py:556-557) -----------------------------
+
+
+@_q(
+    "ttest_1samp_stats",
+    """
+WITH g AS (
+  SELECT l_returnflag,
+         avg(l_discount - 0.05)         AS mean,
+         stddev_samp(l_discount - 0.05) AS sd,
+         count(l_discount - 0.05)       AS n
+  FROM lineitem GROUP BY 1
+)
+SELECT l_returnflag, round(mean, 6) AS mean, round(sd, 6) AS sd, n,
+  round(CASE WHEN n >= 2 AND sd > 0
+        THEN (mean - 0.0) / (sd / sqrt(n)) END, 6) AS t_stat,
+  CASE WHEN n >= 2 THEN CAST(n - 1 AS DOUBLE) END AS df
+FROM g
+""",
+)
+def q_ttest_1samp_stats(spark, sf):
+    li = _t(spark, sf, "lineitem").withColumn(
+        "val", F.col("l_discount") - F.lit(0.05)
+    )
+    out = st.ttest_1samp_stats(li, ["l_returnflag"], "val", popmean=0.0)
+    return out.select(
+        "l_returnflag",
+        _r("mean").alias("mean"),
+        _r("sd").alias("sd"),
+        "n",
+        _r("t_stat").alias("t_stat"),
+        "df",
+    )
+
+
+# --- T3 anova_1way_stats (analysis.py:387-432) -------------------------------
+
+
+@_q(
+    "anova_1way_stats",
+    """
+WITH pg AS (
+  SELECT l_partkey, l_returnflag,
+         count(l_quantity) AS n, avg(l_quantity) AS m,
+         var_samp(l_quantity) AS v
+  FROM lineitem WHERE l_quantity IS NOT NULL GROUP BY 1, 2
+),
+c AS (
+  SELECT l_partkey,
+         CAST(sum(n) AS BIGINT) AS n_total,
+         count(*) AS k_groups,
+         sum(n * m) AS s1,
+         sum(n * m * m) AS s2,
+         sum(CASE WHEN n > 1 THEN (n - 1) * v ELSE 0.0 END) AS ssw
+  FROM pg GROUP BY 1
+)
+SELECT l_partkey, n_total, k_groups, round(ssw, 6) AS ssw,
+  round(CASE WHEN k_groups >= 2 AND CAST(n_total AS DOUBLE) - k_groups > 0
+             AND ssw > 0
+        THEN ((s2 - CAST(n_total AS DOUBLE)
+                    * (s1 / CAST(n_total AS DOUBLE))
+                    * (s1 / CAST(n_total AS DOUBLE)))
+              / (CAST(k_groups AS DOUBLE) - 1))
+             / (ssw / (CAST(n_total AS DOUBLE) - CAST(k_groups AS DOUBLE)))
+        END, 6) AS f_stat,
+  CASE WHEN k_groups >= 2
+       THEN CAST(k_groups AS DOUBLE) - 1 END AS dfn,
+  CASE WHEN CAST(n_total AS DOUBLE) - CAST(k_groups AS DOUBLE) > 0
+       THEN CAST(n_total AS DOUBLE) - CAST(k_groups AS DOUBLE) END AS dfd
+FROM c
+""",
+)
+def q_anova_stats(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    out = st.anova_1way_stats(li, ["l_partkey"], "l_returnflag", "l_quantity")
+    return out.select(
+        "l_partkey",
+        "n_total",
+        "k_groups",
+        _r("ssw").alias("ssw"),
+        _r("f_stat").alias("f_stat"),
+        "dfn",
+        "dfd",
+    )
+
+
+# --- T4 qvalues (utils.py:8-105; pi0=1 → Benjamini-Hochberg) -----------------
+
+_A0 = _IH_MULTIPLIERS[0] % _IH_M
+_B0 = _IH_OFFSETS[0] % _IH_M
+
+_QVALUE_ORACLE = f"""
+WITH p AS (
+  SELECT p_partkey,
+    CAST(((p_partkey % {_IH_M}) * {_A0} + {_B0}) % {_IH_M} AS DOUBLE)
+      / {_IH_M}.0 AS p_value
+  FROM part
+),
+r AS (
+  SELECT *, row_number() OVER (ORDER BY p_value) AS rk,
+         count(*) OVER () AS m
+  FROM p
+),
+q AS (
+  SELECT *, least(1.0 * CAST(m AS DOUBLE) * p_value / CAST(rk AS DOUBLE),
+                  1.0) AS q_raw
+  FROM r
+)
+SELECT p_partkey, round(p_value, 9) AS p_value,
+  round(min(q_raw) OVER (ORDER BY p_value
+        ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING), 9) AS q_value
+FROM q
+"""
+
+
+@_q("qvalues_bh", _QVALUE_ORACLE)
+def q_qvalues(spark, sf):
+    from padua_spark.functions.scalar import deterministic_uniform
+
+    part = _t(spark, sf, "part")
+    p = part.select(
+        "p_partkey",
+        deterministic_uniform(F.col("p_partkey"), salt=0).alias("p_value"),
+    )
+    out = st.qvalues(p, "p_value", pi0=1.0)
+    return out.select(
+        "p_partkey",
+        F.round("p_value", 9).alias("p_value"),
+        F.round("q_value", 9).alias("q_value"),
+    )
+
+
+# --- T6 volcano_stats (visualize.py:458-676; statistics core, oracle-able) ---
+
+_VOLCANO_ORACLE = """
+WITH li AS (
+  SELECT l_partkey, l_returnflag, log2(l_extendedprice) AS lp
+  FROM lineitem
+),
+g AS (
+  SELECT l_partkey,
+    avg(CASE WHEN l_returnflag='R' THEN lp END)      AS mean_a,
+    avg(CASE WHEN l_returnflag='A' THEN lp END)      AS mean_b,
+    count(CASE WHEN l_returnflag='R' THEN lp END)    AS n_a,
+    count(CASE WHEN l_returnflag='A' THEN lp END)    AS n_b,
+    var_samp(CASE WHEN l_returnflag='R' THEN lp END) AS var_a,
+    var_samp(CASE WHEN l_returnflag='A' THEN lp END) AS var_b
+  FROM li GROUP BY 1
+),
+t AS (
+  SELECT *,
+    ((n_a - 1) * var_a + (n_b - 1) * var_b)
+      / CAST(n_a + n_b - 2 AS DOUBLE) AS pooled
+  FROM g
+)
+SELECT l_partkey,
+  round(mean_a, 6) AS mean_a, round(mean_b, 6) AS mean_b, n_a, n_b,
+  round(CASE WHEN n_a >= 3 AND n_b >= 3 THEN
+    CASE WHEN n_a >= 2 AND n_b >= 2
+              AND sqrt(pooled * (1.0/n_a + 1.0/n_b)) > 0
+         THEN (mean_a - mean_b) / sqrt(pooled * (1.0/n_a + 1.0/n_b)) END
+    END, 6) AS t_stat,
+  CASE WHEN n_a >= 2 AND n_b >= 2
+       THEN CAST(n_a + n_b - 2 AS DOUBLE) END AS df,
+  round(CASE WHEN n_a >= 3 AND n_b >= 3
+        THEN mean_a - mean_b END, 6) AS log2_fc
+FROM t
+"""
+
+
+@_q("volcano_stats", _VOLCANO_ORACLE)
+def q_volcano_stats(spark, sf):
+    li = _t(spark, sf, "lineitem").withColumn(
+        "lp", F.log2("l_extendedprice")
+    )
+    out = st.volcano_stats(
+        li,
+        ["l_partkey"],
+        "l_returnflag",
+        "lp",
+        "R",
+        "A",
+        values_are_log2=True,
+        minimum_sample_n=3,
+        with_pvalues=False,
+    )
+    return out.select(
+        "l_partkey",
+        _r("mean_a").alias("mean_a"),
+        _r("mean_b").alias("mean_b"),
+        "n_a",
+        "n_b",
+        _r("t_stat").alias("t_stat"),
+        "df",
+        _r("log2_fc").alias("log2_fc"),
+    )
+
+
+# --- T6 volcano with p-values + s0 classes (no SQL-expressible oracle:
+#     p-values need the incomplete beta; driver records rows-only) -----------
+
+
+@_q("volcano_pvalues")
+def q_volcano_pvalues(spark, sf):
+    li = _t(spark, sf, "lineitem").withColumn(
+        "lp", F.log2("l_extendedprice")
+    )
+    out = st.volcano_stats(
+        li,
+        ["l_partkey"],
+        "l_returnflag",
+        "lp",
+        "R",
+        "A",
+        values_are_log2=True,
+        minimum_sample_n=3,
+        s0=0.1,
+        minpval=1e-6,
+    )
+    return out.select(
+        "l_partkey",
+        _r("log2_fc").alias("log2_fc"),
+        _r("t_stat").alias("t_stat"),
+        F.round("p_value", 9).alias("p_value"),
+        "significant",
+        "direction",
+    )
+
+
+# --- A3 non_zero_sum / A4-A5 enrichment (analysis.py:221-287) ----------------
+
+
+@_q(
+    "enrichment_ratio",
+    """
+WITH base AS (
+  SELECT user_id % 100 AS cohort,
+         event_type = 'click' AS flag,
+         CASE WHEN value <> 0 THEN value END AS v
+  FROM events
+)
+SELECT cohort,
+  round(sum(CASE WHEN flag THEN v ELSE 0.0 END), 6) AS modified_sum,
+  round(sum(CASE WHEN NOT flag THEN v ELSE 0.0 END), 6) AS unmodified_sum,
+  round(sum(CASE WHEN flag THEN v ELSE 0.0 END)
+        / sum(COALESCE(v, 0.0)), 6) AS enrichment
+FROM base GROUP BY 1
+""",
+)
+def q_enrichment(spark, sf):
+    e = _t(spark, sf, "events").withColumn(
+        "cohort", F.col("user_id") % 100
+    )
+    out = agg_ops.enrichment(
+        e, ["cohort"], F.col("event_type") == "click", "value"
+    )
+    return out.select(
+        "cohort",
+        _r("modified_sum").alias("modified_sum"),
+        _r("unmodified_sum").alias("unmodified_sum"),
+        _r("enrichment").alias("enrichment"),
+    )
+
+
+# --- A6 sites_peptides_proteins (analysis.py:291-309) ------------------------
+
+
+@_q(
+    "summary_counts",
+    r"""
+SELECT count(CASE WHEN n_chars >= 300 THEN 1 END) AS sites,
+       count(DISTINCT lang) AS peptides,
+       count(DISTINCT regexp_extract(source, '^([^;\s_]+)', 1)) AS proteins
+FROM documents
+""",
+)
+def q_summary_counts(spark, sf):
+    d = _t(spark, sf, "documents")
+    return agg_ops.sites_peptides_proteins(
+        d,
+        locprob_col="n_chars",
+        seqwindow_col="lang",
+        proteins_col="source",
+        site_localization_probability=300,
+    )
+
+
+# --- A7 value_counts (analysis.py:312-333) -----------------------------------
+
+
+@_q(
+    "value_counts",
+    "SELECT l_returnflag, count(*) AS count FROM lineitem GROUP BY 1",
+)
+def q_value_counts(spark, sf):
+    return agg_ops.value_counts(_t(spark, sf, "lineitem"), "l_returnflag")
+
+
+# --- A8 quality_control counts (visualize.py:1625-1662) ----------------------
+
+
+@_q(
+    "quality_control_counts",
+    """
+SELECT count(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS is_open_count,
+       count(CASE WHEN o_orderpriority LIKE '1%' THEN 1 END)
+         AS is_urgent_count,
+       count(*) AS total_count
+FROM orders
+""",
+)
+def q_qc_counts(spark, sf):
+    o = (
+        _t(spark, sf, "orders")
+        .withColumn(
+            "is_open", F.when(F.col("o_orderstatus") == "O", F.lit("+"))
+        )
+        .withColumn(
+            "is_urgent",
+            F.when(F.col("o_orderpriority").startswith("1"), F.lit("+")),
+        )
+    )
+    return agg_ops.quality_control_counts(o, ["is_open", "is_urgent"])
+
+
+# --- A9 collapse technical replicates (workflow median) ----------------------
+
+
+@_q(
+    "collapse_replicates_median",
+    """
+SELECT l_partkey, round(median(l_quantity), 6) AS l_quantity
+FROM lineitem GROUP BY 1
+""",
+)
+def q_collapse_median(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    out = agg_ops.collapse_technical_replicates(
+        li, ["l_partkey"], "l_quantity", stat="median"
+    )
+    return out.select(
+        "l_partkey", _r("l_quantity").alias("l_quantity")
+    )
+
+
+# --- A11/A12 histogram (visualize.py:1374-1385) ------------------------------
+
+
+@_q(
+    "histogram",
+    """
+SELECT CAST(least(floor((l_extendedprice - 0.0) / 5000.0), 39) AS INTEGER)
+         AS bucket,
+       count(*) AS count
+FROM lineitem
+WHERE l_extendedprice IS NOT NULL
+  AND l_extendedprice >= 0 AND l_extendedprice <= 200000
+GROUP BY 1
+""",
+)
+def q_histogram(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    return agg_ops.histogram(li, "l_extendedprice", 0.0, 200000.0, 40)
+
+
+# --- A13 pairwise correlation (analysis.py:26-48) ----------------------------
+
+
+@_q(
+    "pairwise_correlation",
+    """
+SELECT a.l_linenumber AS sample_x, b.l_linenumber AS sample_y,
+       round(corr(a.l_quantity, b.l_quantity), 6) AS pearson_r
+FROM lineitem a JOIN lineitem b USING (l_orderkey)
+GROUP BY 1, 2
+""",
+)
+def q_pairwise_corr(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    out = agg_ops.pairwise_correlation(
+        li, "l_linenumber", ["l_orderkey"], "l_quantity"
+    )
+    return out.select(
+        "sample_x", "sample_y", _r("pearson_r").alias("pearson_r")
+    )
+
+
+# --- I1 impute_gaussian (imputation.py:14-63; deterministic noise) -----------
+
+
+def _uniform_sql(key: str, salt: int) -> str:
+    a = _IH_MULTIPLIERS[salt % 12] % _IH_M
+    b = _IH_OFFSETS[salt % 12] % _IH_M
+    return (
+        f"(CAST((({key} % {_IH_M}) * {a} + {b}) % {_IH_M} AS DOUBLE)"
+        f" / {_IH_M}.0)"
+    )
+
+
+_IMPUTE_NOISE = (
+    " + ".join(_uniform_sql("event_id", i) for i in range(12)) + " - 6.0"
+)
+
+_IMPUTE_ORACLE = f"""
+WITH base AS (
+  SELECT event_id, event_type,
+         CASE WHEN value >= 50 THEN value END AS val
+  FROM events
+),
+stats AS (
+  SELECT event_type, avg(val) AS m, stddev_samp(val) AS s
+  FROM base GROUP BY 1
+)
+SELECT b.event_id, (b.val IS NULL) AS imputed,
+  round(COALESCE(b.val,
+        stats.m + (-1.8) * stats.s
+        + 0.3 * stats.s * ({_IMPUTE_NOISE})), 3) AS val
+FROM base b LEFT JOIN stats USING (event_type)
+"""
+
+
+@_q("impute_gaussian", _IMPUTE_ORACLE)
+def q_impute_gaussian(spark, sf):
+    e = _t(spark, sf, "events").withColumn(
+        "val", F.when(F.col("value") >= 50, F.col("value"))
+    )
+    out = imp.impute_gaussian(
+        e, ["event_type"], "val", "event_id", width=0.3, downshift=-1.8,
+        seed=0,
+    )
+    return out.select(
+        "event_id", "imputed", F.round("val", 3).alias("val")
+    )
+
+
+# --- R1/melt unpivot (process.py:221-277 / long-model ingest) ----------------
+
+
+@_q(
+    "unpivot_long",
+    """
+SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric,
+       l_quantity AS value FROM lineitem
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice
+FROM lineitem
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem
+""",
+)
+def q_unpivot(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    return proc.melt(
+        li,
+        ["l_orderkey", "l_linenumber"],
+        ["l_quantity", "l_extendedprice", "l_discount"],
+        var_name="metric",
+        value_name="value",
+    )
+
+
+# --- R2 pivot_wider (process.py:330-377) -------------------------------------
+
+
+@_q(
+    "pivot_group_means",
+    """
+SELECT l_partkey,
+  round(avg(CASE WHEN l_returnflag='R' THEN l_quantity END), 6) AS avg_r,
+  round(avg(CASE WHEN l_returnflag='A' THEN l_quantity END), 6) AS avg_a,
+  round(avg(CASE WHEN l_returnflag='N' THEN l_quantity END), 6) AS avg_n
+FROM lineitem GROUP BY 1
+""",
+)
+def q_pivot(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    out = proc.pivot_wider(
+        li,
+        ["l_partkey"],
+        "l_returnflag",
+        "l_quantity",
+        agg=F.round(F.avg("l_quantity"), 6),
+        pivot_values=["R", "A", "N"],
+    )
+    return out.select(
+        "l_partkey",
+        F.col("R").alias("avg_r"),
+        F.col("A").alias("avg_a"),
+        F.col("N").alias("avg_n"),
+    )
+
+
+# --- R3 transform (log2, ±inf→NULL; process.py:309-327) ----------------------
+
+
+@_q(
+    "log2_transform",
+    """
+SELECT l_orderkey, l_linenumber,
+       CASE WHEN l_discount > 0 THEN round(log2(l_discount), 6) END AS val
+FROM lineitem
+""",
+)
+def q_log2_transform(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    out = proc.transform_values(li, "l_discount", out_col="val")
+    return out.select("l_orderkey", "l_linenumber", _r("val").alias("val"))
+
+
+# --- J1 design join (process.py:23-111 — broadcast dim join + rollup) --------
+
+
+@_q(
+    "dim_join_rollup",
+    """
+SELECT r.r_name, count(*) AS n_customers,
+       round(avg(c.c_acctbal), 6) AS avg_bal
+FROM customer c
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY 1
+""",
+)
+def q_dim_join(spark, sf):
+    c = _t(spark, sf, "customer")
+    n = _t(spark, sf, "nation")
+    r = _t(spark, sf, "region")
+    joined = c.join(
+        F.broadcast(n), c.c_nationkey == n.n_nationkey
+    ).join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    return joined.groupBy("r_name").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        _r(F.avg("c_acctbal")).alias("avg_bal"),
+    )
+
+
+# --- J2 build_labels_from_regex (process.py:114-165) -------------------------
+
+
+@_q(
+    "label_regex_extract",
+    r"""
+SELECT doc_id,
+       CAST(NULLIF(regexp_extract(source, 'src(\d+)', 1), '') AS INTEGER)
+         AS src_num
+FROM documents
+""",
+)
+def q_label_regex(spark, sf):
+    d = _t(spark, sf, "documents")
+    out = proc.build_labels_from_regex(
+        d, "source", [("src_num", r"src(\d+)")], types={"src_num": "int"}
+    )
+    return out.select("doc_id", "src_num")
+
+
+# --- J4 venn set-overlap counts (visualize.py:979-1033) ----------------------
+
+
+@_q(
+    "venn_counts",
+    """
+WITH d AS (
+  SELECT DISTINCT o_custkey AS key, o_orderstatus AS src FROM orders
+),
+m AS (
+  SELECT key, string_agg(src, '&' ORDER BY src) AS members
+  FROM d GROUP BY key
+)
+SELECT members, count(*) AS count FROM m GROUP BY members
+""",
+)
+def q_venn(spark, sf):
+    o = _t(spark, sf, "orders")
+    sets = {
+        s: o.filter(F.col("o_orderstatus") == s).select(
+            F.col("o_custkey").alias("key")
+        )
+        for s in ["F", "O", "P"]
+    }
+    from padua_spark.operators.setops import venn_counts
+
+    return venn_counts(sets, "key")
+
+
+# --- O3 rank by intensity (visualize.py:1075-1129) ---------------------------
+
+
+@_q(
+    "rank_by_value",
+    """
+SELECT p_partkey,
+       row_number() OVER (ORDER BY p_retailprice DESC, p_partkey) AS rank,
+       round(CASE WHEN p_retailprice > 0
+             THEN log10(p_retailprice) END, 6) AS log10_value
+FROM part
+""",
+)
+def q_rank(spark, sf):
+    p = _t(spark, sf, "part")
+    out = agg_ops.rank_intensity(
+        p, ["p_partkey"], "p_retailprice", descending=True,
+        tiebreak_cols=["p_partkey"],
+    )
+    return out.select(
+        "p_partkey",
+        F.col("rank").cast("bigint").alias("rank"),
+        _r("log10_value").alias("log10_value"),
+    )
+
+
+# --- ext: exact dedup groups --------------------------------------------------
+
+
+@_q(
+    "dedup_exact_groups",
+    """
+SELECT lang, source, min(doc_id) AS canonical_id, count(*) AS group_size
+FROM documents GROUP BY 1, 2
+""",
+)
+def q_dedup_exact(spark, sf):
+    d = _t(spark, sf, "documents")
+    return x_dedup.dedup_groups(d, ["lang", "source"], "doc_id")
+
+
+# --- ext: text quality features ------------------------------------------------
+
+
+@_q(
+    "token_quality",
+    r"""
+WITH t AS (
+  SELECT doc_id, length(text) AS n_chars_actual,
+         regexp_split_to_array(trim(text), '\s+') AS toks,
+         regexp_split_to_array(lower(trim(text)), '\s+') AS ltoks
+  FROM documents
+)
+SELECT doc_id, n_chars_actual,
+  CAST(len(toks) AS BIGINT) AS n_tokens,
+  round(CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE)
+        / CAST(len(toks) AS DOUBLE), 6) AS mean_token_len,
+  round(CAST(len(list_filter(ltoks,
+        x -> x IN ('the','a','and','of','to','in','is'))) AS DOUBLE)
+        / CAST(len(ltoks) AS DOUBLE), 6) AS stopword_ratio
+FROM t
+""",
+)
+def q_token_quality(spark, sf):
+    d = _t(spark, sf, "documents")
+    out = x_text.quality_score(d, "text", ["doc_id"])
+    return out.select(
+        "doc_id",
+        F.col("n_chars_actual").cast("bigint").alias("n_chars_actual"),
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        _r("mean_token_len").alias("mean_token_len"),
+        _r("stopword_ratio").alias("stopword_ratio"),
+    )
+
+
+# --- ext: brute-force cosine top-k ANN -----------------------------------------
+
+
+@_q(
+    "ann_cosine_topk",
+    """
+WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+s AS (
+  SELECT e.vec_id,
+    list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                     CAST(q.embedding AS DOUBLE[]))
+    / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                             CAST(e.embedding AS DOUBLE[])))
+       * sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]),
+                               CAST(q.embedding AS DOUBLE[]))))
+      AS cosine_sim
+  FROM embeddings e, q
+)
+SELECT vec_id, round(cosine_sim, 6) AS cosine_sim
+FROM s ORDER BY s.cosine_sim DESC, vec_id LIMIT 10
+""",
+)
+def q_ann_topk(spark, sf):
+    emb = _t(spark, sf, "embeddings")
+    qrow = emb.filter(F.col("vec_id") == 0).select("embedding").collect()
+    query = [float(x) for x in qrow[0][0]]
+    out = x_sim.brute_force_topk(emb, "embedding", "vec_id", query, k=10)
+    return out.select("vec_id", _r("cosine_sim").alias("cosine_sim"))
+
+
+# --- ext: exact n-gram Jaccard within blocks ------------------------------------
+
+
+@_q(
+    "ngram_jaccard",
+    r"""
+WITH t AS (
+  SELECT lang, CAST(floor(n_chars / 50.0) AS INTEGER) AS len_bucket, doc_id,
+         list_distinct(list_transform(
+           generate_series(1, len(string_split(text, ' ')) - 2),
+           i -> concat_ws(' ', string_split(text, ' ')[i],
+                          string_split(text, ' ')[i+1],
+                          string_split(text, ' ')[i+2]))) AS sh
+  FROM documents
+  WHERE len(string_split(text, ' ')) >= 3
+)
+SELECT a.lang, a.len_bucket, a.doc_id AS id_a, b.doc_id AS id_b,
+  round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE), 6)
+    AS jaccard
+FROM t a JOIN t b
+  ON a.lang = b.lang AND a.len_bucket = b.len_bucket
+ AND a.doc_id < b.doc_id
+""",
+)
+def q_ngram_jaccard(spark, sf):
+    # Blocking on (lang, length bucket) keeps the within-block quadratic
+    # bounded — near-dups have near-equal lengths; cross-length pairs are
+    # the LSH path's job (minhash_lsh_candidates).
+    d = (
+        _t(spark, sf, "documents")
+        .filter(F.size(F.split(F.col("text"), " ")) >= 3)
+        .withColumn(
+            "len_bucket",
+            F.floor(F.col("n_chars") / F.lit(50.0)).cast("int"),
+        )
+    )
+    out = x_dedup.ngram_jaccard_pairs(
+        d, "doc_id", "text", ["lang", "len_bucket"], 3
+    )
+    return out.select(
+        "lang", "len_bucket", "id_a", "id_b", _r("jaccard").alias("jaccard")
+    )
+
+
+# --- ext: MinHash LSH near-dup candidates (rows-only check: bucketing is
+#     engine-internal; est_jaccard validated against ngram_jaccard in tests) --
+
+
+@_q("minhash_lsh_candidates")
+def q_minhash(spark, sf):
+    d = _t(spark, sf, "documents")
+    out = x_dedup.minhash_lsh_candidates(
+        d, "doc_id", "text", k_shingle=3, num_hashes=32, bands=8
+    )
+    return out.select("id_a", "id_b", _r("est_jaccard").alias("est_jaccard"))
+
+
+# ---------------------------------------------------------------------------
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(_QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return dict(_ORACLES)

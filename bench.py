@@ -1,0 +1,74 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints one
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is forced with a noop write (full plan execution, no driver
+collect bottleneck, no result materialization cost).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import __spark_entry__ as entrymod
+from padua_spark.session import get_spark
+
+HEADLINE = [
+    "volcano_stats",
+    "ttest_ind_stats",
+    "anova_1way_stats",
+    "volcano_pvalues",
+    "median_normalize",
+    "min_valid_in_any_group",
+    "qvalues_bh",
+    "pairwise_correlation",
+    "impute_gaussian",
+    "unpivot_long",
+    "dim_join_rollup",
+    "ngram_jaccard",
+    "minhash_lsh_candidates",
+    "ann_cosine_topk",
+    "token_quality",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([\d.]+)", sf_dir)
+    sf = float(m.group(1)) if m else None
+    spark = get_spark(app_name="padua_spark_bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    queries = entrymod.queries()
+    # Warm the JVM/codegen paths with a trivial action.
+    spark.range(1000).selectExpr("sum(id)").collect()
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        if name not in queries:
+            continue
+        t0 = time.perf_counter()
+        df = queries[name](spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        times[name] = round(time.perf_counter() - t0, 3)
+    total = round(sum(times.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_query_wall_time",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,280 @@
+"""Deduplication operators for large corpora.
+
+Exact dedup is a hash aggregation on the dedup key; near-dup is
+MinHash+LSH (shingle → minhash signature → banded bucket join), the
+standard approach for trillion-token corpora — the candidate-pair join
+touches only documents sharing an LSH bucket, never the full cross
+product.
+
+Hashing note: all hashes here are explicit polynomial/multiplicative
+constructions over exact 64-bit integer arithmetic (not engine-builtin
+hash functions), so signatures are reproducible across engines and
+Spark versions — the same determinism contract as
+``padua_spark.operators.imputation``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Modulus (prime, < 2^31) and per-permutation affine constants for
+# MinHash; products stay inside int64.
+MOD = 2147483647
+
+
+def _affine_constants(n: int, seed: int = 7) -> list[tuple[int, int]]:
+    """Deterministic (a, b) pairs for n hash permutations."""
+    out = []
+    state = seed
+    for _ in range(n):
+        state = (state * 6364136223846793005 + 1442695040888963407) % (2**63)
+        a = (state % (MOD - 2)) + 1
+        state = (state * 6364136223846793005 + 1442695040888963407) % (2**63)
+        b = state % MOD
+        out.append((a, b))
+    return out
+
+
+def exact_dedup(
+    df: DataFrame, key_cols: list[str], keep_col: str
+) -> DataFrame:
+    """Keep one row per dedup key — the one with the minimum
+    ``keep_col`` (deterministic canonical choice). One shuffle on the
+    key; no window sort needed."""
+    keep = df.groupBy(*key_cols).agg(F.min(keep_col).alias(keep_col))
+    return df.join(keep, on=[*key_cols, keep_col], how="left_semi")
+
+
+def dedup_groups(df: DataFrame, key_cols: list[str], id_col: str) -> DataFrame:
+    """Summary of duplicate groups: key → canonical id + group size."""
+    return df.groupBy(*key_cols).agg(
+        F.min(id_col).alias("canonical_id"),
+        F.count(F.lit(1)).alias("group_size"),
+    )
+
+
+def poly_hash(tokens: Column, base: int = 131, mod: int = MOD) -> Column:
+    """Order-sensitive polynomial hash of a string array — exact integer
+    arithmetic via ``aggregate`` over the codepoints of the joined
+    string; reproducible everywhere."""
+    s = F.concat_ws("", tokens)
+    codes = F.transform(F.split(s, ""), lambda ch: F.ascii(ch).cast("bigint"))
+    return F.aggregate(
+        codes,
+        F.lit(0).cast("bigint"),
+        lambda acc, c: (acc * F.lit(base) + c) % F.lit(mod),
+    )
+
+
+def word_shingles(text: Column, k: int = 3) -> Column:
+    """Distinct k-word shingles of a whitespace-tokenized text."""
+    tokens = F.split(text, " ")
+    n = F.size(tokens)
+    shingle = lambda i: F.concat_ws(  # noqa: E731
+        " ", *[F.element_at(tokens, i + F.lit(j)) for j in range(k)]
+    )
+    return F.array_distinct(
+        F.when(
+            n >= k,
+            F.transform(F.sequence(F.lit(1), n - F.lit(k - 1)), shingle),
+        ).otherwise(F.array(F.concat_ws(" ", tokens)))
+    )
+
+
+def minhash_signature(
+    shingle_hashes: Column, num_hashes: int = 32, seed: int = 7
+) -> Column:
+    """MinHash signature: per permutation i, min over shingles of
+    ``(a_i·h + b_i) mod M``."""
+    consts = _affine_constants(num_hashes, seed)
+
+    def _perm(a: int, b: int):
+        return lambda h: (h * F.lit(a) + F.lit(b)) % F.lit(MOD)
+
+    sig = [
+        F.array_min(F.transform(shingle_hashes, _perm(a, b)))
+        for a, b in consts
+    ]
+    return F.array(*sig)
+
+
+def token_hashes(text: Column, base: int = 131, mod: int = MOD) -> Column:
+    """Per-token polynomial hash over the token's codepoints — each
+    character is touched exactly once per document."""
+    toks = F.split(text, " ")
+    return F.transform(
+        toks,
+        lambda t: F.aggregate(
+            F.transform(F.split(t, ""), lambda ch: F.ascii(ch).cast("bigint")),
+            F.lit(7).cast("bigint"),
+            lambda acc, c: (acc * F.lit(base) + c) % F.lit(mod),
+        ),
+    )
+
+
+def _shingles_from_token_hashes(
+    th: Column, k: int = 3, mod: int = MOD
+) -> Column:
+    """Distinct k-shingle hashes by *combining token hashes* (integer
+    arithmetic only) rather than re-hashing shingle strings.
+
+    IMPORTANT: ``th`` must be a materialized attribute (a column
+    produced by a previous ``select``), not an inline expression —
+    higher-order-function lambdas are interpreted (no whole-stage
+    codegen, no common-subexpression elimination), so an inline subtree
+    would be re-evaluated at every ``element_at`` reference.
+    """
+    n = F.size(th)
+
+    def combine(i):
+        acc = F.lit(0).cast("bigint")
+        for j in range(k):
+            acc = acc + F.element_at(th, i + F.lit(j)) * F.lit(
+                (1000000007**j) % mod
+            )
+        return acc % F.lit(mod)
+
+    return F.array_distinct(
+        F.when(
+            n >= k,
+            F.transform(F.sequence(F.lit(1), n - F.lit(k - 1)), combine),
+        ).otherwise(F.array(F.element_at(th, 1)))
+    )
+
+
+def shingle_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k_shingle: int = 3,
+    num_hashes: int = 32,
+    seed: int = 7,
+) -> DataFrame:
+    """(id, minhash signature) via staged projections — each stage's
+    output is an attribute so every hash is computed exactly once per
+    row (see note in :func:`_shingles_from_token_hashes`)."""
+    consts = _affine_constants(num_hashes, seed)
+    th = df.select(
+        F.col(id_col), token_hashes(F.col(text_col)).alias("_th")
+    )
+    sh = th.select(
+        id_col,
+        _shingles_from_token_hashes(F.col("_th"), k_shingle).alias("_sh"),
+    )
+
+    def _perm(a: int, b: int):
+        return lambda h: (h * F.lit(a) + F.lit(b)) % F.lit(MOD)
+
+    mins = sh.select(
+        id_col,
+        *[
+            F.array_min(F.transform(F.col("_sh"), _perm(a, b))).alias(
+                f"_m{i}"
+            )
+            for i, (a, b) in enumerate(consts)
+        ],
+    )
+    return mins.select(
+        id_col,
+        F.array(*[F.col(f"_m{i}") for i in range(num_hashes)]).alias("_sig"),
+    )
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k_shingle: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    seed: int = 7,
+) -> DataFrame:
+    """Near-duplicate candidate pairs via banded MinHash LSH.
+
+    Pipeline: token hashes → combined shingle hashes → minhash
+    signature → ``bands`` band keys → explode (id, band, key) →
+    self-join on (band, key). Only bucket collisions join — at 100 TB
+    this is the difference between a feasible shuffle and an impossible
+    O(n²) cross join. Estimated Jaccard = fraction of equal signature
+    components, computed at join time so the shuffle never carries the
+    signatures past the join.
+    """
+    rows_per_band = num_hashes // bands
+    sigs = shingle_signatures(
+        df, id_col, text_col, k_shingle, num_hashes, seed
+    )
+    band_cols = [
+        F.hash(
+            F.concat_ws(
+                ",",
+                F.lit(b),
+                F.slice(F.col("_sig"), b * rows_per_band + 1, rows_per_band),
+            )
+        ).alias(f"_band{b}")
+        for b in range(bands)
+    ]
+    banded = sigs.select(id_col, "_sig", *band_cols)
+    exploded = banded.select(
+        id_col,
+        "_sig",
+        F.explode(F.array(*[F.col(f"_band{b}") for b in range(bands)])).alias(
+            "bucket"
+        ),
+    )
+    left = exploded.select(
+        F.col(id_col).alias("id_a"), F.col("_sig").alias("_sig_a"), "bucket"
+    )
+    right = exploded.select(
+        F.col(id_col).alias("id_b"), F.col("_sig").alias("_sig_b"), "bucket"
+    )
+    est = (
+        F.size(
+            F.filter(
+                F.zip_with(F.col("_sig_a"), F.col("_sig_b"),
+                           lambda x, y: x == y),
+                lambda eq: eq,
+            )
+        ).cast("double")
+        / F.size(F.col("_sig_a")).cast("double")
+    )
+    return (
+        left.join(right, on="bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", est.alias("est_jaccard"))
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    block_cols: list[str],
+    k_shingle: int = 3,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for candidate pairs within a
+    blocking key (the quadratic-within-block baseline; use
+    :func:`minhash_lsh_candidates` for the at-scale path)."""
+    base = df.select(
+        *block_cols,
+        F.col(id_col),
+        word_shingles(F.col(text_col), k_shingle).alias("_sh"),
+    )
+    left = base.select(
+        *block_cols, F.col(id_col).alias("id_a"), F.col("_sh").alias("_sh_a")
+    )
+    right = base.select(
+        *block_cols, F.col(id_col).alias("id_b"), F.col("_sh").alias("_sh_b")
+    )
+    pairs = left.join(right, on=block_cols).filter(
+        F.col("id_a") < F.col("id_b")
+    )
+    inter = F.size(F.array_intersect("_sh_a", "_sh_b"))
+    union = F.size(F.array_union("_sh_a", "_sh_b"))
+    return pairs.select(
+        *block_cols,
+        "id_a",
+        "id_b",
+        (inter.cast("double") / union.cast("double")).alias("jaccard"),
+    )

@@ -1,0 +1,104 @@
+"""Text-analysis operators for corpus curation: token counting, quality
+scoring, language ID, fingerprinting. All native column expressions —
+no Python in the hot path."""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from padua_spark.extensions.dedup import MOD
+
+# Tiny per-language stopword lists for the n-gram/stopword language-ID
+# heuristic. Deliberately minimal and deterministic.
+STOPWORDS = {
+    "en": ["the", "a", "and", "of", "to", "in", "is"],
+    "fr": ["le", "la", "et", "de", "un", "une", "est"],
+    "es": ["el", "la", "y", "de", "un", "una", "es"],
+    "de": ["der", "die", "das", "und", "ein", "ist", "von"],
+}
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokenization."""
+    return F.split(F.trim(text), r"\s+")
+
+
+def token_count(text: Column) -> Column:
+    return F.when(
+        F.length(F.trim(text)) == 0, F.lit(0)
+    ).otherwise(F.size(tokens(text)))
+
+
+def stopword_ratio(text: Column, stopwords: list[str]) -> Column:
+    toks = tokens(F.lower(text))
+    hits = F.size(
+        F.filter(toks, lambda t: t.isin([F.lit(s) for s in stopwords]))
+    )
+    return hits.cast("double") / F.size(toks).cast("double")
+
+
+def mean_token_length(text: Column) -> Column:
+    toks = tokens(text)
+    total = F.aggregate(
+        toks, F.lit(0).cast("bigint"), lambda acc, t: acc + F.length(t)
+    )
+    return total.cast("double") / F.size(toks).cast("double")
+
+
+def quality_score(df: DataFrame, text_col: str, id_cols: list[str],
+                  stopwords: list[str] | None = None) -> DataFrame:
+    """Length / mean-token-length / stopword-ratio quality features —
+    the standard cheap pre-filters of a training-data pipeline."""
+    stopwords = stopwords or STOPWORDS["en"]
+    t = F.col(text_col)
+    return df.select(
+        *id_cols,
+        F.length(t).alias("n_chars_actual"),
+        token_count(t).alias("n_tokens"),
+        mean_token_length(t).alias("mean_token_len"),
+        stopword_ratio(t, stopwords).alias("stopword_ratio"),
+    )
+
+
+def language_id(df: DataFrame, text_col: str, id_cols: list[str],
+                profiles: dict[str, list[str]] | None = None) -> DataFrame:
+    """Stopword-profile language ID: score = stopword hits per language,
+    prediction = argmax (ties broken by language code order). One
+    projection; at scale this is a pure map stage."""
+    profiles = profiles or STOPWORDS
+    toks = tokens(F.lower(F.col(text_col)))
+
+    def _hits(sw: list[str]):
+        return lambda t: t.isin([F.lit(s) for s in sw])
+
+    scores = [
+        F.size(F.filter(toks, _hits(sw))).alias(f"score_{lang}")
+        for lang, sw in sorted(profiles.items())
+    ]
+    scored = df.select(*id_cols, *scores)
+    langs = sorted(profiles.keys())
+    best = F.greatest(*[F.col(f"score_{l}") for l in langs])
+    pred = F.lit(None).cast("string")
+    for lang in reversed(langs):
+        pred = F.when(F.col(f"score_{lang}") == best, F.lit(lang)).otherwise(
+            pred
+        )
+    return scored.withColumn(
+        "predicted_lang", F.when(best > 0, pred)
+    )
+
+
+def fingerprint(text: Column, mod: int = MOD, base: int = 131) -> Column:
+    """Deterministic document fingerprint: polynomial rolling hash over
+    the normalized (lowercased, space-collapsed) text — exact int64
+    arithmetic, engine-portable."""
+    norm = F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")
+    codes = F.transform(
+        F.split(norm, ""), lambda ch: F.ascii(ch).cast("bigint")
+    )
+    return F.aggregate(
+        codes,
+        F.lit(0).cast("bigint"),
+        lambda acc, c: (acc * F.lit(base) + c) % F.lit(mod),
+    )

@@ -1,0 +1,170 @@
+"""Exact p-value CDFs in pure numpy (no scipy in this environment).
+
+Student-t and F survival functions via the regularized incomplete beta
+function I_x(a,b), computed with the Lentz continued-fraction algorithm
+(standard numerical formulation, as in e.g. Numerical Recipes §6.4 and
+Apache Commons Math's Beta.regularizedBeta — public algorithms).
+
+These run as **vectorized pandas UDFs over already-aggregated rows**
+(one row per feature, not per measurement), so the Python boundary cost
+is negligible: the heavy lifting (groupBy aggregations over the fact
+table) stays JVM-side; only the tiny (t, df) table crosses to Arrow.
+
+Accuracy: matches scipy.stats to ~1e-13 relative (validated in
+tests/test_distributions.py against precomputed scipy values).
+"""
+
+from __future__ import annotations
+
+import sys
+
+import numpy as np
+import pandas as pd
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import DoubleType
+
+_LANCZOS_G = 7
+_LANCZOS_COEF = np.array(
+    [
+        0.99999999999980993,
+        676.5203681218851,
+        -1259.1392167224028,
+        771.32342877765313,
+        -176.61502916214059,
+        12.507343278686905,
+        -0.13857109526572012,
+        9.9843695780195716e-6,
+        1.5056327351493116e-7,
+    ]
+)
+
+
+def gammaln(x: np.ndarray) -> np.ndarray:
+    """log Γ(x) for x > 0 (Lanczos approximation, g=7, n=9)."""
+    x = np.asarray(x, dtype=np.float64)
+    out = np.full(x.shape, np.nan)
+    pos = x > 0
+    xv = x[pos] - 1.0
+    acc = np.full(xv.shape, _LANCZOS_COEF[0])
+    for i in range(1, _LANCZOS_G + 2):
+        acc = acc + _LANCZOS_COEF[i] / (xv + i)
+    t = xv + _LANCZOS_G + 0.5
+    out[pos] = 0.5 * np.log(2 * np.pi) + (xv + 0.5) * np.log(t) - t + np.log(acc)
+    return out
+
+
+def _betacf(a: np.ndarray, b: np.ndarray, x: np.ndarray) -> np.ndarray:
+    """Continued fraction for the incomplete beta (modified Lentz)."""
+    tiny = 1e-300
+    qab = a + b
+    qap = a + 1.0
+    qam = a - 1.0
+    c = np.ones_like(x)
+    d = 1.0 - qab * x / qap
+    d = np.where(np.abs(d) < tiny, tiny, d)
+    d = 1.0 / d
+    h = d.copy()
+    for m in range(1, 200):
+        m2 = 2 * m
+        aa = m * (b - m) * x / ((qam + m2) * (a + m2))
+        d = 1.0 + aa * d
+        d = np.where(np.abs(d) < tiny, tiny, d)
+        c = 1.0 + aa / c
+        c = np.where(np.abs(c) < tiny, tiny, c)
+        d = 1.0 / d
+        h = h * d * c
+        aa = -(a + m) * (qab + m) * x / ((a + m2) * (qap + m2))
+        d = 1.0 + aa * d
+        d = np.where(np.abs(d) < tiny, tiny, d)
+        c = 1.0 + aa / c
+        c = np.where(np.abs(c) < tiny, tiny, c)
+        d = 1.0 / d
+        delta = d * c
+        h = h * delta
+        if np.all(np.abs(delta - 1.0) < 1e-15):
+            break
+    return h
+
+
+def betainc(a, b, x) -> np.ndarray:
+    """Regularized incomplete beta I_x(a, b), vectorized."""
+    a = np.asarray(a, dtype=np.float64)
+    b = np.asarray(b, dtype=np.float64)
+    x = np.asarray(x, dtype=np.float64)
+    a, b, x = np.broadcast_arrays(a, b, x)
+    out = np.full(x.shape, np.nan)
+    ok = (a > 0) & (b > 0) & (x >= 0) & (x <= 1)
+    out[ok & (x <= 0)] = 0.0
+    out[ok & (x >= 1)] = 1.0
+    mid = ok & (x > 0) & (x < 1)
+    if np.any(mid):
+        am, bm, xm = a[mid], b[mid], x[mid]
+        front = np.exp(
+            gammaln(am + bm)
+            - gammaln(am)
+            - gammaln(bm)
+            + am * np.log(xm)
+            + bm * np.log1p(-xm)
+        )
+        # Use the CF directly where it converges fast, else the symmetry.
+        direct = xm < (am + 1.0) / (am + bm + 2.0)
+        res = np.empty_like(xm)
+        if np.any(direct):
+            res[direct] = (
+                front[direct]
+                * _betacf(am[direct], bm[direct], xm[direct])
+                / am[direct]
+            )
+        if np.any(~direct):
+            res[~direct] = 1.0 - front[~direct] * _betacf(
+                bm[~direct], am[~direct], 1.0 - xm[~direct]
+            ) / bm[~direct]
+        out[mid] = res
+    return out
+
+
+def student_t_sf(t, df) -> np.ndarray:
+    """Two-sided survival p-value P(|T_df| >= |t|) — the p-value of
+    scipy.stats.ttest_* (reference consumes ``sp.stats.mstats.ttest_ind``,
+    padua/analysis.py:497)."""
+    t = np.asarray(t, dtype=np.float64)
+    df = np.asarray(df, dtype=np.float64)
+    x = df / (df + t * t)
+    p = betainc(df / 2.0, 0.5, x)
+    p = np.where(df > 0, p, np.nan)
+    return np.where(np.isnan(t), np.nan, p)
+
+
+def f_sf(f, dfn, dfd) -> np.ndarray:
+    """Survival P(F >= f) for the F(dfn, dfd) distribution — the p-value
+    of one-way ANOVA (reference ``sp.stats.mstats.f_oneway``,
+    padua/analysis.py:426)."""
+    f = np.asarray(f, dtype=np.float64)
+    dfn = np.asarray(dfn, dtype=np.float64)
+    dfd = np.asarray(dfd, dtype=np.float64)
+    x = dfd / (dfd + dfn * f)
+    p = betainc(dfd / 2.0, dfn / 2.0, x)
+    p = np.where((dfn > 0) & (dfd > 0) & (f >= 0), p, np.nan)
+    return np.where(np.isnan(f), np.nan, p)
+
+
+# Serialize this module's functions BY VALUE into the UDF closures:
+# executor Python workers do not have the repo on sys.path (the driver
+# process that imports us may be launched from anywhere), so a
+# by-reference pickle would raise ModuleNotFoundError worker-side.
+try:
+    from pyspark import cloudpickle
+
+    cloudpickle.register_pickle_by_value(sys.modules[__name__])
+except Exception:  # pragma: no cover - best effort on older pyspark
+    pass
+
+
+@pandas_udf(DoubleType())
+def t_sf_udf(t: pd.Series, df: pd.Series) -> pd.Series:
+    return pd.Series(student_t_sf(t.to_numpy(), df.to_numpy()))
+
+
+@pandas_udf(DoubleType())
+def f_sf_udf(f: pd.Series, dfn: pd.Series, dfd: pd.Series) -> pd.Series:
+    return pd.Series(f_sf(f.to_numpy(), dfn.to_numpy(), dfd.to_numpy()))

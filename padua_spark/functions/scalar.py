@@ -1,0 +1,130 @@
+"""Native column builders for padua's scalar/string helpers.
+
+Reference semantics cited per function (file:line into /root/reference/).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def _col(c: Column | str) -> Column:
+    return F.col(c) if isinstance(c, str) else c
+
+
+def protein_id(c: Column | str) -> Column:
+    """First protein ID: text before the first of ``;``, space, ``_``.
+
+    Reference: ``padua/utils.py:108-122`` (chained splits); the io.py:85
+    variant additionally splits isoform ``-`` — pass ``isoform=True`` via
+    :func:`protein_id_base`.
+    """
+    return F.regexp_extract(_col(c), r"^([^;\s_]+)", 1)
+
+
+def protein_id_base(c: Column | str) -> Column:
+    """Like :func:`protein_id` but also strips the ``-N`` isoform suffix
+    (reference: ``padua/io.py:85``)."""
+    return F.regexp_extract(_col(c), r"^([^;\s_\-]+)", 1)
+
+
+def protein_ids(c: Column | str) -> Column:
+    """All protein IDs as an array (reference: ``padua/utils.py:125-139``).
+
+    Multi-valued fields are ``;``-joined strings in MaxQuant output; each
+    element is further truncated at the first space/underscore.
+    """
+    return F.transform(
+        F.split(_col(c), ";"),
+        lambda x: F.regexp_extract(x, r"^([^\s_]+)", 1),
+    )
+
+
+def shortstr(c: Column | str, sep: str = ";") -> Column:
+    """Text before the first separator (reference: ``padua/utils.py:165-176``)."""
+    return F.split(_col(c), sep).getItem(0)
+
+
+def first_token(c: Column | str, delimiters: str = r";,\s") -> Column:
+    """Generic first-token extractor over a delimiter class."""
+    return F.regexp_extract(_col(c), rf"^([^{delimiters}]+)", 1)
+
+
+def try_numeric(c: Column | str) -> Column:
+    """Best-effort str→int→float cast (reference: ``padua/process.py:7-20``).
+
+    Returns int-valued doubles as ints where lossless; otherwise double;
+    NULL if unparseable.
+    """
+    col = _col(c)
+    as_int = col.try_cast("bigint")
+    as_dbl = col.try_cast("double")
+    return F.coalesce(as_int.cast("double"), as_dbl)
+
+
+def nan_and_inf_to_null(c: Column | str) -> Column:
+    """NaN/±inf → NULL — ingest-time normalization of padua's universal
+    missing value (reference: ``padua/process.py:325``,
+    ``padua/normalization.py:17`` coerce inf to NaN; NaN is pandas' NULL).
+    """
+    col = _col(c)
+    return F.when(
+        F.isnan(col)
+        | (col == F.lit(float("inf")))
+        | (col == F.lit(float("-inf"))),
+        F.lit(None),
+    ).otherwise(col)
+
+
+def safe_log2(c: Column | str) -> Column:
+    """log2 with non-positive inputs → NULL (padua computes ``np.log2`` and
+    then coerces ±inf to NaN — ``padua/process.py:322-325``)."""
+    col = _col(c)
+    return F.when(col > 0, F.log2(col)).otherwise(F.lit(None))
+
+
+# ---------------------------------------------------------------------------
+# Deterministic pseudo-randomness.
+#
+# The reference imputes with an *unseeded* ``np.random.normal``
+# (padua/imputation.py:58) — non-reproducible, and unsound on a cluster
+# (retried tasks would produce different data). We instead derive noise
+# deterministically from a key column with exact 64-bit integer
+# arithmetic, so results are identical across engines, partitionings,
+# retries, and re-runs. Gaussian shape comes from the Irwin–Hall(12)
+# construction: sum of 12 U(0,1) minus 6 ≈ N(0,1).
+# ---------------------------------------------------------------------------
+
+_IH_M = 2147483647  # 2^31 - 1 (prime); products stay well inside int64
+_IH_MULTIPLIERS = [
+    2654435761, 2246822519, 3266489917, 668265263, 374761393, 2654435769,
+    1103515245, 1299709, 15485863, 32452843, 49979687, 67867967,
+]
+_IH_OFFSETS = [
+    1013904223, 12345, 1442695040888963407 % _IH_M, 2531011, 1013904223 // 3,
+    7919, 104729, 1299721, 15485867, 32452867, 49979693, 67867979,
+]
+
+
+def deterministic_uniform(key: Column | str, salt: int = 0) -> Column:
+    """U(0,1) derived from an integer key — exact integer arithmetic,
+    reproducible on any engine/partitioning."""
+    k = _col(key).cast("bigint")
+    a = _IH_MULTIPLIERS[salt % 12] % _IH_M
+    b = _IH_OFFSETS[salt % 12] % _IH_M
+    return ((F.pmod(k, F.lit(_IH_M)) * F.lit(a) + F.lit(b)) % F.lit(_IH_M)).cast(
+        "double"
+    ) / F.lit(float(_IH_M))
+
+
+def deterministic_gaussian(key: Column | str, salt: int = 0) -> Column:
+    """≈N(0,1) from an integer key via Irwin–Hall(12): sum of 12
+    independent uniforms minus 6. Max abs error vs a true normal is
+    ~0.002 in CDF — more than adequate for downshifted-normal imputation
+    (Perseus semantics, reference ``padua/imputation.py:14-63``)."""
+    total = None
+    for i in range(12):
+        u = deterministic_uniform(key, salt * 12 + i)
+        total = u if total is None else total + u
+    return total - F.lit(6.0)

@@ -1,0 +1,43 @@
+"""Set operations (reference: SURVEY.md §2.12 — venn intersections at
+``padua/visualize.py:979-1033``, concat row-appends)."""
+
+from __future__ import annotations
+
+from itertools import combinations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def venn_counts(dfs: dict[str, DataFrame], key_col: str) -> DataFrame:
+    """N-way set-overlap counts over a key column (reference:
+    ``visualize.venn``, visualize.py:979-1033 — 2/3-way index-set
+    intersections).
+
+    Implemented as a single union + membership-bitmap aggregation (one
+    shuffle on the key), not pairwise intersect jobs: each key gets a
+    sorted set of source names, then we count per combination.
+    """
+    tagged = None
+    for name, df in dfs.items():
+        t = df.select(F.col(key_col).alias("key")).distinct().withColumn(
+            "src", F.lit(name)
+        )
+        tagged = t if tagged is None else tagged.unionByName(t)
+    membership = tagged.groupBy("key").agg(
+        F.array_sort(F.collect_set("src")).alias("members")
+    )
+    return (
+        membership.groupBy("members")
+        .agg(F.count(F.lit(1)).alias("count"))
+        .withColumn("members", F.array_join(F.col("members"), "&"))
+    )
+
+
+def union_all(dfs: list[DataFrame]) -> DataFrame:
+    """Row-append by column name (reference ``pd.concat`` at
+    process.py:271, io.py:185)."""
+    out = dfs[0]
+    for d in dfs[1:]:
+        out = out.unionByName(d, allowMissingColumns=True)
+    return out

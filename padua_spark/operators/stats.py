@@ -1,0 +1,334 @@
+"""Statistical test operators (reference: ``padua/analysis.py`` §2.6,
+``padua/utils.py`` q-values, ``padua/visualize.py:458-676`` volcano).
+
+padua computes these with numpy masked arrays or per-row Python loops
+(the ANOVA loop at analysis.py:411-426 is its worst scalability pain
+point). Here every statistic is a **closed-form conditional aggregation**
+— one ``groupBy(feature)`` pass over the fact table, partial+final
+aggregation, whole-stage codegen. Only the final p-value CDF (an
+incomplete-beta evaluation) crosses to Python, as a vectorized pandas
+UDF over the already-aggregated per-feature rows (thousands of rows,
+not billions).
+
+NaN-masked semantics parity (`sp.stats.mstats`): all means/variances/
+counts below are per-group over *non-null* values only — exactly what
+Spark's null-skipping aggregates do natively.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from padua_spark.functions.distributions import f_sf_udf, t_sf_udf
+
+
+def _group_value(group_col: str, group, value_col: str) -> Column:
+    return F.when(F.col(group_col) == F.lit(group), F.col(value_col))
+
+
+def ttest_ind_stats(
+    df: DataFrame,
+    feature_cols: list[str],
+    group_col: str,
+    value_col: str,
+    group_a,
+    group_b,
+    equal_var: bool = True,
+) -> DataFrame:
+    """Per-feature two-sample t statistic between groups a and b —
+    pure SQL arithmetic (no p-value; see :func:`ttest_ind`).
+
+    Reference: ``analysis.ttest_ind`` (analysis.py:467-498) =
+    equal-variance Student's t with NaN masking
+    (``sp.stats.mstats.ttest_ind``). ``equal_var=False`` gives Welch's t
+    (an extension; the reference is pooled-variance only).
+
+    Output columns: feature_cols + mean_a mean_b n_a n_b var_a var_b
+    t_stat df.
+    """
+    va = _group_value(group_col, group_a, value_col)
+    vb = _group_value(group_col, group_b, value_col)
+    agg = df.groupBy(*feature_cols).agg(
+        F.avg(va).alias("mean_a"),
+        F.avg(vb).alias("mean_b"),
+        F.count(va).alias("n_a"),
+        F.count(vb).alias("n_b"),
+        F.var_samp(va).alias("var_a"),
+        F.var_samp(vb).alias("var_b"),
+    )
+    na, nb = F.col("n_a"), F.col("n_b")
+    vva, vvb = F.col("var_a"), F.col("var_b")
+    if equal_var:
+        dof = (na + nb - 2).cast("double")
+        pooled = ((na - 1) * vva + (nb - 1) * vvb) / dof
+        denom = F.sqrt(pooled * (1.0 / na + 1.0 / nb))
+    else:
+        se2a, se2b = vva / na, vvb / nb
+        dof = (se2a + se2b) * (se2a + se2b) / (
+            se2a * se2a / (na - 1) + se2b * se2b / (nb - 1)
+        )
+        denom = F.sqrt(se2a + se2b)
+    t = F.when(
+        (na >= 2) & (nb >= 2) & (denom > 0),
+        (F.col("mean_a") - F.col("mean_b")) / denom,
+    )
+    return agg.withColumn("t_stat", t).withColumn(
+        "df", F.when((na >= 2) & (nb >= 2), dof)
+    )
+
+
+def ttest_ind(df, feature_cols, group_col, value_col, group_a, group_b,
+              equal_var: bool = True) -> DataFrame:
+    """:func:`ttest_ind_stats` + two-sided p-value (pandas-UDF
+    incomplete beta over the aggregated rows)."""
+    stats = ttest_ind_stats(
+        df, feature_cols, group_col, value_col, group_a, group_b, equal_var
+    )
+    return stats.withColumn("p_value", t_sf_udf(F.col("t_stat"), F.col("df")))
+
+
+def ttest_1samp_stats(
+    df: DataFrame,
+    feature_cols: list[str],
+    value_col: str,
+    popmean: float = 0.0,
+) -> DataFrame:
+    """Per-feature one-sample t vs ``popmean`` (the working semantics of
+    the volcano inline version, ``visualize.py:556-557``; the standalone
+    ``analysis.ttest_1samp`` is broken as shipped — analysis.py:456,
+    SURVEY.md §5)."""
+    agg = df.groupBy(*feature_cols).agg(
+        F.avg(F.col(value_col)).alias("mean"),
+        F.stddev_samp(F.col(value_col)).alias("sd"),
+        F.count(F.col(value_col)).alias("n"),
+    )
+    n = F.col("n")
+    t = F.when(
+        (n >= 2) & (F.col("sd") > 0),
+        (F.col("mean") - F.lit(popmean)) / (F.col("sd") / F.sqrt(n)),
+    )
+    return agg.withColumn("t_stat", t).withColumn(
+        "df", F.when(n >= 2, (n - 1).cast("double"))
+    )
+
+
+def ttest_1samp(df, feature_cols, value_col, popmean: float = 0.0) -> DataFrame:
+    stats = ttest_1samp_stats(df, feature_cols, value_col, popmean)
+    return stats.withColumn("p_value", t_sf_udf(F.col("t_stat"), F.col("df")))
+
+
+def anova_1way_stats(
+    df: DataFrame,
+    feature_cols: list[str],
+    group_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Per-feature one-way ANOVA F statistic across all groups present.
+
+    Reference: ``analysis.anova_1way`` (analysis.py:387-432) — a Python
+    loop calling ``sp.stats.mstats.f_oneway`` per row. Here: two
+    cascaded aggregations (feature×group stats → per-feature combine),
+    eliminating the O(rows) loop entirely.
+
+    F = (SSB/(k-1)) / (SSW/(N-k)) with group-wise non-null counts.
+    """
+    v = F.col(value_col)
+    per_group = df.filter(v.isNotNull()).groupBy(*feature_cols, group_col).agg(
+        F.count(v).alias("_n"),
+        F.avg(v).alias("_mean"),
+        F.var_samp(v).alias("_var"),
+    )
+    n, mean, var = F.col("_n"), F.col("_mean"), F.col("_var")
+    combined = per_group.groupBy(*feature_cols).agg(
+        F.sum(n).alias("n_total"),
+        F.count(F.lit(1)).alias("k_groups"),
+        F.sum(n * mean).alias("_sum_all"),
+        F.sum(n * mean * mean).alias("_sum_nm2"),
+        F.sum(F.when(n > 1, (n - 1) * var).otherwise(0.0)).alias("ssw"),
+    )
+    nt = F.col("n_total").cast("double")
+    grand = F.col("_sum_all") / nt
+    ssb = F.col("_sum_nm2") - nt * grand * grand
+    k = F.col("k_groups").cast("double")
+    dfn = k - 1
+    dfd = nt - k
+    f_stat = F.when(
+        (k >= 2) & (dfd > 0) & (F.col("ssw") > 0),
+        (ssb / dfn) / (F.col("ssw") / dfd),
+    )
+    return (
+        combined.withColumn("f_stat", f_stat)
+        .withColumn("dfn", F.when(k >= 2, dfn))
+        .withColumn("dfd", F.when(dfd > 0, dfd))
+        .drop("_sum_all", "_sum_nm2")
+    )
+
+
+def anova_1way(df, feature_cols, group_col, value_col,
+               fdr: float = 0.05) -> DataFrame:
+    """ANOVA with p-value and significance flag (reference appends
+    ``ANOVA p/t/sig`` columns, analysis.py:427-431)."""
+    stats = anova_1way_stats(df, feature_cols, group_col, value_col)
+    stats = stats.withColumn(
+        "p_value", f_sf_udf(F.col("f_stat"), F.col("dfn"), F.col("dfd"))
+    )
+    return stats.withColumn("significant", F.col("p_value") <= F.lit(fdr))
+
+
+def qvalues(
+    df: DataFrame,
+    p_col: str = "p_value",
+    pi0: float | None = None,
+    out_col: str = "q_value",
+) -> DataFrame:
+    """Storey–Tibshirani q-values from a p-value column.
+
+    Reference: ``utils.qvalues`` (utils.py:8-105): sort by p, rank,
+    ``q_raw = pi0·m·p/rank``, then a backward running min. The
+    reference estimates pi0 with a scipy spline over a λ grid
+    (utils.py:50-68); with ``pi0=None`` we use Storey's fixed-λ=0.5
+    estimator (documented divergence — no scipy here); ``pi0=1`` gives
+    plain Benjamini–Hochberg.
+
+    Plan note: the rank/backward-min windows are global-order — a
+    single-partition sort of the per-feature p-value table (m =
+    #features, ≪ fact-table size), acceptable per SURVEY.md §7.4. Rows
+    with NULL p are passed through with NULL q.
+    """
+    valid = df.filter(F.col(p_col).isNotNull())
+    nulls = df.filter(F.col(p_col).isNull()).withColumn(
+        out_col, F.lit(None).cast("double")
+    )
+    m = valid.count()
+    if m == 0:
+        return nulls
+    if pi0 is None:
+        n_above = valid.filter(F.col(p_col) > 0.5).count()
+        pi0_val = min(max((n_above / (m * 0.5)), 1e-8), 1.0)
+    else:
+        pi0_val = pi0
+    w_rank = Window.orderBy(F.col(p_col).asc())
+    w_back = Window.orderBy(F.col(p_col).asc()).rowsBetween(
+        Window.currentRow, Window.unboundedFollowing
+    )
+    q_raw = (
+        F.lit(pi0_val) * F.lit(float(m)) * F.col(p_col)
+        / F.row_number().over(w_rank).cast("double")
+    )
+    out = (
+        valid.withColumn("_q_raw", F.least(q_raw, F.lit(1.0)))
+        .withColumn(out_col, F.min("_q_raw").over(w_back))
+        .drop("_q_raw")
+    )
+    return out.unionByName(nulls)
+
+
+def s0_significance(
+    ratio_col: Column | str,
+    p_col: Column | str,
+    s0: float = 0.585,
+    minratio: float = 0.0,
+    minpval: float = 1e-9,
+) -> Column:
+    """SAM-style s0-curve significance predicate (reference:
+    ``utils.calculate_s0_curve`` utils.py:282-317 and its application in
+    volcano, visualize.py:577-600): significant iff
+    ``p <= 10^(-s0/(|ratio|-minratio) - log10(1/minpval))`` and
+    ``|ratio| > minratio`` — a pure SQL expression."""
+    r = F.abs(F.col(ratio_col) if isinstance(ratio_col, str) else ratio_col)
+    p = F.col(p_col) if isinstance(p_col, str) else p_col
+    import math
+
+    curve = F.pow(
+        F.lit(10.0),
+        -F.lit(s0) / (r - F.lit(minratio)) - F.lit(math.log10(1.0 / minpval)),
+    )
+    return (r > F.lit(minratio)) & p.isNotNull() & (p <= curve)
+
+
+def volcano_stats(
+    df: DataFrame,
+    feature_cols: list[str],
+    group_col: str,
+    value_col: str,
+    group_a,
+    group_b,
+    values_are_log2: bool = True,
+    minimum_sample_n: int = 0,
+    s0: float = 0.585,
+    minratio: float = 0.0,
+    minpval: float = 1e-9,
+    with_pvalues: bool = True,
+) -> DataFrame:
+    """The flagship composite (reference: ``visualize.volcano`` compute
+    core, visualize.py:458-676): per-feature log2 fold-change of group
+    means (mean difference when values are already log2,
+    visualize.py:534-539), two-sample t-test, minimum-sample null-out
+    (visualize.py:541,553), and s0-curve significance class.
+
+    One groupBy pass over the fact table; everything except the p-value
+    CDF is native SQL.
+    """
+    stats = ttest_ind_stats(
+        df, feature_cols, group_col, value_col, group_a, group_b
+    )
+    if values_are_log2:
+        dr = F.col("mean_a") - F.col("mean_b")
+    else:
+        dr = F.when(
+            (F.col("mean_b") > 0) & (F.col("mean_a") > 0),
+            F.log2(F.col("mean_a") / F.col("mean_b")),
+        )
+    out = stats.withColumn("log2_fc", dr)
+    if minimum_sample_n > 0:
+        enough = (F.col("n_a") >= minimum_sample_n) & (
+            F.col("n_b") >= minimum_sample_n
+        )
+        out = out.withColumn(
+            "t_stat", F.when(enough, F.col("t_stat"))
+        ).withColumn("log2_fc", F.when(enough, F.col("log2_fc")))
+    if with_pvalues:
+        out = out.withColumn(
+            "p_value", t_sf_udf(F.col("t_stat"), F.col("df"))
+        )
+        out = out.withColumn(
+            "significant",
+            s0_significance("log2_fc", "p_value", s0, minratio, minpval),
+        ).withColumn(
+            "direction",
+            F.when(
+                F.col("significant") & (F.col("log2_fc") > 0), F.lit("up")
+            )
+            .when(
+                F.col("significant") & (F.col("log2_fc") < 0), F.lit("down")
+            )
+            .otherwise(F.lit("ns")),
+        )
+    return out
+
+
+def linregress(
+    df: DataFrame, x_col: str, y_col: str, group_cols: list[str] | None = None
+) -> DataFrame:
+    """Simple linear regression (slope/intercept/r) via closed-form
+    aggregates (reference: scipy ``linregress`` use, visualize.py:407)."""
+    x, y = F.col(x_col), F.col(y_col)
+    both = x.isNotNull() & y.isNotNull()
+    xv = F.when(both, x)
+    yv = F.when(both, y)
+    g = df.groupBy(*(group_cols or []))
+    agg = g.agg(
+        F.count(xv).alias("n"),
+        F.avg(xv).alias("_mx"),
+        F.avg(yv).alias("_my"),
+        F.covar_samp(xv, yv).alias("_cov"),
+        F.var_samp(xv).alias("_vx"),
+        F.corr(xv, yv).alias("r"),
+    )
+    slope = F.col("_cov") / F.col("_vx")
+    return (
+        agg.withColumn("slope", slope)
+        .withColumn("intercept", F.col("_my") - slope * F.col("_mx"))
+        .drop("_mx", "_my", "_cov", "_vx")
+    )

@@ -1,0 +1,50 @@
+"""SparkSession factory with scale-appropriate defaults.
+
+Test/bench runs use ``local[N]``; on a real cluster the same settings
+(AQE on, sensible shuffle partitioning, Arrow for the few pandas UDFs)
+are the ones you want at 100 TB: AQE coalesces/re-splits shuffle
+partitions at runtime and handles skew joins, so a static
+``shuffle.partitions`` only needs to be a reasonable upper bound.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "padua_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    master = master or f"local[{cpus}]"
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        # AQE: runtime coalescing of shuffle partitions, skew-join
+        # splitting, and dynamic join-strategy switching. Essential at
+        # scale, harmless locally.
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config(
+            "spark.sql.shuffle.partitions",
+            str(shuffle_partitions or int(cpus)),
+        )
+        # Arrow transfer for the few pandas-UDF operators (p-value CDFs,
+        # PLS); batches amortize the Python boundary.
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        # The synthetic events table stores TIMESTAMP(NANOS); Spark has no
+        # nanosecond timestamp type — read them as raw int64 nanos.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
