@@ -25,10 +25,8 @@ from padua_spark.extensions import dedup as x_dedup
 from padua_spark.extensions import similarity as x_sim
 from padua_spark.extensions import text as x_text
 from padua_spark.functions.scalar import (
-    _IH_M,
-    _IH_MULTIPLIERS,
-    _IH_OFFSETS,
-    protein_id,
+    deterministic_gaussian_sql,
+    deterministic_uniform_sql,
 )
 from padua_spark.operators import (
     aggregates as agg_ops,
@@ -382,14 +380,10 @@ def q_anova_stats(spark, sf):
 
 # --- T4 qvalues (utils.py:8-105; pi0=1 → Benjamini-Hochberg) -----------------
 
-_A0 = _IH_MULTIPLIERS[0] % _IH_M
-_B0 = _IH_OFFSETS[0] % _IH_M
-
 _QVALUE_ORACLE = f"""
 WITH p AS (
   SELECT p_partkey,
-    CAST(((p_partkey % {_IH_M}) * {_A0} + {_B0}) % {_IH_M} AS DOUBLE)
-      / {_IH_M}.0 AS p_value
+    {deterministic_uniform_sql('p_partkey', 0)} AS p_value
   FROM part
 ),
 r AS (
@@ -511,7 +505,7 @@ def q_volcano_pvalues(spark, sf):
         values_are_log2=True,
         minimum_sample_n=3,
         s0=0.1,
-        minpval=1e-6,
+        fdr=0.05,
     )
     return out.select(
         "l_partkey",
@@ -684,18 +678,7 @@ def q_pairwise_corr(spark, sf):
 # --- I1 impute_gaussian (imputation.py:14-63; deterministic noise) -----------
 
 
-def _uniform_sql(key: str, salt: int) -> str:
-    a = _IH_MULTIPLIERS[salt % 12] % _IH_M
-    b = _IH_OFFSETS[salt % 12] % _IH_M
-    return (
-        f"(CAST((({key} % {_IH_M}) * {a} + {b}) % {_IH_M} AS DOUBLE)"
-        f" / {_IH_M}.0)"
-    )
-
-
-_IMPUTE_NOISE = (
-    " + ".join(_uniform_sql("event_id", i) for i in range(12)) + " - 6.0"
-)
+_IMPUTE_NOISE = deterministic_gaussian_sql("event_id", 0)
 
 _IMPUTE_ORACLE = f"""
 WITH base AS (

@@ -49,15 +49,37 @@ def mean_token_length(text: Column) -> Column:
 def quality_score(df: DataFrame, text_col: str, id_cols: list[str],
                   stopwords: list[str] | None = None) -> DataFrame:
     """Length / mean-token-length / stopword-ratio quality features —
-    the standard cheap pre-filters of a training-data pipeline."""
+    the standard cheap pre-filters of a training-data pipeline.
+
+    Tokenization is staged as its own projection so the split happens
+    once per row — interpreted higher-order-function expressions do no
+    common-subexpression elimination (see extensions/dedup.py note).
+    """
     stopwords = stopwords or STOPWORDS["en"]
     t = F.col(text_col)
-    return df.select(
+    staged = df.select(
         *id_cols,
         F.length(t).alias("n_chars_actual"),
-        token_count(t).alias("n_tokens"),
-        mean_token_length(t).alias("mean_token_len"),
-        stopword_ratio(t, stopwords).alias("stopword_ratio"),
+        tokens(t).alias("_toks"),
+        tokens(F.lower(t)).alias("_ltoks"),
+    )
+    toks, ltoks = F.col("_toks"), F.col("_ltoks")
+    total_len = F.aggregate(
+        toks, F.lit(0).cast("bigint"), lambda acc, x: acc + F.length(x)
+    )
+    hits = F.size(
+        F.filter(ltoks, lambda x: x.isin([F.lit(s) for s in stopwords]))
+    )
+    return staged.select(
+        *id_cols,
+        "n_chars_actual",
+        F.size(toks).alias("n_tokens"),
+        (total_len.cast("double") / F.size(toks).cast("double")).alias(
+            "mean_token_len"
+        ),
+        (hits.cast("double") / F.size(ltoks).cast("double")).alias(
+            "stopword_ratio"
+        ),
     )
 
 

@@ -91,40 +91,73 @@ def safe_log2(c: Column | str) -> Column:
 # (padua/imputation.py:58) — non-reproducible, and unsound on a cluster
 # (retried tasks would produce different data). We instead derive noise
 # deterministically from a key column with exact 64-bit integer
-# arithmetic, so results are identical across engines, partitionings,
-# retries, and re-runs. Gaussian shape comes from the Irwin–Hall(12)
-# construction: sum of 12 U(0,1) minus 6 ≈ N(0,1).
+# arithmetic (a chained Lehmer/MINSTD LCG seeded from the key), so
+# results are identical across engines, partitionings, retries, and
+# re-runs. Gaussian shape: Irwin–Hall(12) — the sum of 12 consecutive
+# LCG uniforms minus 6 ≈ N(0,1) (empirically μ≈0, σ≈0.9995, CDF error
+# ~2e-3 — ample for downshifted-normal imputation noise).
+#
+# Each function has a ``*_sql`` twin producing the identical arithmetic
+# as an ANSI-SQL string, so DuckDB oracles reproduce values bit-exactly.
 # ---------------------------------------------------------------------------
 
-_IH_M = 2147483647  # 2^31 - 1 (prime); products stay well inside int64
-_IH_MULTIPLIERS = [
-    2654435761, 2246822519, 3266489917, 668265263, 374761393, 2654435769,
-    1103515245, 1299709, 15485863, 32452843, 49979687, 67867967,
-]
-_IH_OFFSETS = [
-    1013904223, 12345, 1442695040888963407 % _IH_M, 2531011, 1013904223 // 3,
-    7919, 104729, 1299721, 15485867, 32452867, 49979693, 67867979,
-]
+_IH_M = 2147483647  # 2^31 − 1 (prime); products stay well inside int64
+_LCG_A = 48271  # MINSTD multiplier
+_LCG_B = 1013904223 % _IH_M
+_SALT_MIX = 2654435761  # Knuth multiplicative-hash constant
+_WARMUP = 3
+
+
+def _lcg_state(key: Column | str, salt: int) -> Column:
+    x = (
+        F.pmod(_col(key).cast("bigint"), F.lit(_IH_M))
+        + F.lit((salt * _SALT_MIX) % _IH_M)
+    ) % F.lit(_IH_M)
+    for _ in range(_WARMUP):
+        x = (x * F.lit(_LCG_A) + F.lit(_LCG_B)) % F.lit(_IH_M)
+    return x
 
 
 def deterministic_uniform(key: Column | str, salt: int = 0) -> Column:
     """U(0,1) derived from an integer key — exact integer arithmetic,
     reproducible on any engine/partitioning."""
-    k = _col(key).cast("bigint")
-    a = _IH_MULTIPLIERS[salt % 12] % _IH_M
-    b = _IH_OFFSETS[salt % 12] % _IH_M
-    return ((F.pmod(k, F.lit(_IH_M)) * F.lit(a) + F.lit(b)) % F.lit(_IH_M)).cast(
-        "double"
-    ) / F.lit(float(_IH_M))
+    x = _lcg_state(key, salt)
+    x = (x * F.lit(_LCG_A) + F.lit(_LCG_B)) % F.lit(_IH_M)
+    return x.cast("double") / F.lit(float(_IH_M))
 
 
 def deterministic_gaussian(key: Column | str, salt: int = 0) -> Column:
-    """≈N(0,1) from an integer key via Irwin–Hall(12): sum of 12
-    independent uniforms minus 6. Max abs error vs a true normal is
-    ~0.002 in CDF — more than adequate for downshifted-normal imputation
-    (Perseus semantics, reference ``padua/imputation.py:14-63``)."""
+    """≈N(0,1) from an integer key (Perseus-style imputation noise,
+    reference ``padua/imputation.py:14-63`` — but reproducible)."""
+    x = _lcg_state(key, salt)
     total = None
-    for i in range(12):
-        u = deterministic_uniform(key, salt * 12 + i)
+    for _ in range(12):
+        x = (x * F.lit(_LCG_A) + F.lit(_LCG_B)) % F.lit(_IH_M)
+        u = x.cast("double") / F.lit(float(_IH_M))
         total = u if total is None else total + u
     return total - F.lit(6.0)
+
+
+def _lcg_state_sql(key_expr: str, salt: int) -> str:
+    x = f"((({key_expr}) % {_IH_M}) + {(salt * _SALT_MIX) % _IH_M}) % {_IH_M}"
+    for _ in range(_WARMUP):
+        x = f"(({x}) * {_LCG_A} + {_LCG_B}) % {_IH_M}"
+    return x
+
+
+def deterministic_uniform_sql(key_expr: str, salt: int = 0) -> str:
+    """ANSI-SQL twin of :func:`deterministic_uniform` (same arithmetic,
+    same evaluation order → bit-identical doubles)."""
+    x = _lcg_state_sql(key_expr, salt)
+    x = f"(({x}) * {_LCG_A} + {_LCG_B}) % {_IH_M}"
+    return f"(CAST({x} AS DOUBLE) / {float(_IH_M)!r})"
+
+
+def deterministic_gaussian_sql(key_expr: str, salt: int = 0) -> str:
+    """ANSI-SQL twin of :func:`deterministic_gaussian`."""
+    x = _lcg_state_sql(key_expr, salt)
+    terms = []
+    for _ in range(12):
+        x = f"(({x}) * {_LCG_A} + {_LCG_B}) % {_IH_M}"
+        terms.append(f"(CAST({x} AS DOUBLE) / {float(_IH_M)!r})")
+    return "(" + " + ".join(terms) + " - 6.0)"

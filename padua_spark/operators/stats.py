@@ -229,20 +229,26 @@ def s0_significance(
     p_col: Column | str,
     s0: float = 0.585,
     minratio: float = 0.0,
-    minpval: float = 1e-9,
+    fdr: float = 0.05,
 ) -> Column:
-    """SAM-style s0-curve significance predicate (reference:
-    ``utils.calculate_s0_curve`` utils.py:282-317 and its application in
-    volcano, visualize.py:577-600): significant iff
-    ``p <= 10^(-s0/(|ratio|-minratio) - log10(1/minpval))`` and
-    ``|ratio| > minratio`` — a pure SQL expression."""
+    """SAM-style s0-curve significance predicate.
+
+    Reference: ``utils.calculate_s0_curve`` (utils.py:315:
+    ``fn = 10 ** (-s0/(x-minratio) - mminpval)`` with ``mminpval =
+    -log10(minpval)`` and volcano passes the *fdr* as minpval,
+    visualize.py:577) and its application at visualize.py:583-600.
+    Significant iff ``|ratio| > minratio`` and
+    ``p <= 10^(-s0/(|ratio|-minratio) + log10(fdr))`` — the curve
+    asymptotes to the fdr cutoff at large fold changes. Pure SQL
+    expression.
+    """
     r = F.abs(F.col(ratio_col) if isinstance(ratio_col, str) else ratio_col)
     p = F.col(p_col) if isinstance(p_col, str) else p_col
     import math
 
     curve = F.pow(
         F.lit(10.0),
-        -F.lit(s0) / (r - F.lit(minratio)) - F.lit(math.log10(1.0 / minpval)),
+        -F.lit(s0) / (r - F.lit(minratio)) + F.lit(math.log10(fdr)),
     )
     return (r > F.lit(minratio)) & p.isNotNull() & (p <= curve)
 
@@ -258,7 +264,7 @@ def volcano_stats(
     minimum_sample_n: int = 0,
     s0: float = 0.585,
     minratio: float = 0.0,
-    minpval: float = 1e-9,
+    fdr: float = 0.05,
     with_pvalues: bool = True,
 ) -> DataFrame:
     """The flagship composite (reference: ``visualize.volcano`` compute
@@ -294,7 +300,7 @@ def volcano_stats(
         )
         out = out.withColumn(
             "significant",
-            s0_significance("log2_fc", "p_value", s0, minratio, minpval),
+            s0_significance("log2_fc", "p_value", s0, minratio, fdr),
         ).withColumn(
             "direction",
             F.when(

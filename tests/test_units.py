@@ -1,0 +1,171 @@
+"""Unit tests: distribution CDFs vs precomputed scipy values, MaxQuant
+column grammar, scalar functions, deterministic imputation, q-value
+properties."""
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from padua_spark.functions.distributions import betainc, f_sf, student_t_sf
+from padua_spark.functions.scalar import (
+    deterministic_gaussian,
+    protein_id,
+    protein_ids,
+    safe_log2,
+)
+from padua_spark.operators import imputation as imp
+from padua_spark.operators import stats as st
+from padua_spark.sources.maxquant import parse_expression_columns
+
+# Exact closed forms: df=1 is Cauchy (2·sf = 1 − 2·atan(t)/π); df=2 has
+# 2·sf = 1 − t/sqrt(t²+2); F(f; 2, d) has sf = (1 + 2f/d)^(−d/2);
+# F(1;1,1) = P(|T₁|>1) = 1/2. Large-df t → normal.
+EXACT_T = [
+    (1.0, 1, 0.5),
+    (2.0, 1, 1.0 - 2.0 * math.atan(2.0) / math.pi),
+    (2.0, 2, 1.0 - 2.0 / math.sqrt(6.0)),
+    (0.5, 2, 1.0 - 0.5 / math.sqrt(0.25 + 2.0)),
+    (0.0, 5, 1.0),
+]
+
+
+def test_student_t_sf_exact_closed_forms():
+    for t, df, expected in EXACT_T:
+        got = float(student_t_sf(t, df))
+        assert got == pytest.approx(expected, rel=1e-10), (t, df)
+    # symmetry in t
+    assert float(student_t_sf(-3.2, 25)) == pytest.approx(
+        float(student_t_sf(3.2, 25)), rel=1e-12
+    )
+    # normal limit: 2·Φ(−1.959964) ≈ 0.05
+    assert float(student_t_sf(1.959964, 1e6)) == pytest.approx(
+        0.05, abs=1e-4
+    )
+
+
+def test_f_sf_exact_closed_forms():
+    assert float(f_sf(1.0, 1.0, 1.0)) == pytest.approx(0.5, rel=1e-9)
+    for f, d in [(3.0, 10), (0.7, 4), (12.0, 6)]:
+        expected = (1.0 + 2.0 * f / d) ** (-d / 2.0)
+        assert float(f_sf(f, 2.0, d)) == pytest.approx(expected, rel=1e-10)
+
+
+def test_betainc_symmetry():
+    # I_x(a,b) = 1 - I_{1-x}(b,a)
+    for a, b, x in [(2.0, 3.0, 0.4), (0.5, 0.5, 0.1), (5, 1, 0.99)]:
+        assert float(betainc(a, b, x)) == pytest.approx(
+            1.0 - float(betainc(b, a, 1.0 - x)), abs=1e-12
+        )
+
+
+def test_parse_expression_columns():
+    cols = [
+        "id",
+        "Protein IDs",
+        "Intensity",
+        "Intensity OR8_5min_A1",
+        "Intensity OR8_5min_A1___2",
+        "LFQ intensity S1",
+        "Ratio H/L normalized E1",
+        "Ratio M/L E2",
+        "Reverse",
+    ]
+    parsed = {p["column"]: p for p in parse_expression_columns(cols)}
+    assert set(parsed) == {
+        "Intensity",
+        "Intensity OR8_5min_A1",
+        "Intensity OR8_5min_A1___2",
+        "LFQ intensity S1",
+        "Ratio H/L normalized E1",
+        "Ratio M/L E2",
+    }
+    assert parsed["Intensity"]["sample_label"] is None
+    assert parsed["Intensity OR8_5min_A1___2"]["multiplicity"] == 2
+    assert parsed["Intensity OR8_5min_A1___2"]["sample_label"] == "OR8_5min_A1"
+    assert parsed["LFQ intensity S1"]["kind"] == "LFQ intensity"
+    assert parsed["Ratio H/L normalized E1"]["kind"] == "Ratio H/L normalized"
+    assert parsed["Ratio M/L E2"]["kind"] == "Ratio M/L"
+
+
+def test_scalar_functions(spark):
+    df = spark.createDataFrame(
+        [("P07830;P63267_HUMAN Q54A44", 4.0), ("Q9Y6K9", 0.0)],
+        ["proteins", "v"],
+    )
+    row = df.select(
+        protein_id("proteins").alias("pid"),
+        protein_ids("proteins").alias("pids"),
+        safe_log2("v").alias("lg"),
+    ).collect()
+    assert row[0]["pid"] == "P07830"
+    assert row[0]["pids"] == ["P07830", "P63267"]
+    assert row[0]["lg"] == 2.0
+    assert row[1]["lg"] is None  # log2(0) → NULL, not -inf
+
+
+def test_deterministic_gaussian_properties(spark):
+    df = spark.range(20000).select(
+        deterministic_gaussian(F.col("id")).alias("g")
+    )
+    stats = df.agg(
+        F.avg("g").alias("m"), F.stddev_samp("g").alias("s")
+    ).collect()[0]
+    assert abs(stats["m"]) < 0.02
+    assert abs(stats["s"] - 1.0) < 0.02
+
+
+def test_imputation_partitioning_invariant(spark):
+    """Imputed values must not depend on physical partitioning — the
+    determinism contract the reference lacks (imputation.py:58)."""
+    data = [(i, "g1" if i % 2 else "g2",
+             float(i) if i % 5 else None) for i in range(1000)]
+    df = spark.createDataFrame(data, ["k", "grp", "v"])
+    out1 = imp.impute_gaussian(df.repartition(1), ["grp"], "v", "k")
+    out2 = imp.impute_gaussian(df.repartition(17), ["grp"], "v", "k")
+    r1 = {r["k"]: r["v"] for r in out1.collect()}
+    r2 = {r["k"]: r["v"] for r in out2.collect()}
+    # The noise stream is bit-exact; group mean/sd carry the usual
+    # distributed-fp summation-order jitter (~1e-15 relative).
+    assert set(r1) == set(r2)
+    for k in r1:
+        assert r1[k] == pytest.approx(r2[k], rel=1e-12)
+    n_imputed = sum(
+        1 for r in out1.collect() if r["imputed"]
+    )
+    assert n_imputed == 200
+
+
+def test_qvalues_monotone_and_bounded(spark):
+    import random
+
+    random.seed(7)
+    data = [(i, random.random() ** 2) for i in range(500)]
+    df = spark.createDataFrame(data, ["k", "p_value"])
+    out = st.qvalues(df, "p_value", pi0=1.0).collect()
+    rows = sorted(out, key=lambda r: r["p_value"])
+    qs = [r["q_value"] for r in rows]
+    assert all(0 <= q <= 1 for q in qs)
+    assert all(a <= b + 1e-12 for a, b in zip(qs, qs[1:])), (
+        "q-values must be monotone in p"
+    )
+    # BH guarantee: q >= p for pi0=1
+    assert all(r["q_value"] >= r["p_value"] - 1e-12 for r in rows)
+
+
+def test_ttest_symmetry(spark):
+    """t(a,b) == -t(b,a) (property test from SURVEY.md §5)."""
+    data = [
+        (i % 10, "a" if i % 2 else "b", float((i * 7) % 13)) for i in range(200)
+    ]
+    df = spark.createDataFrame(data, ["f", "grp", "v"])
+    ab = {r["f"]: r["t_stat"] for r in st.ttest_ind_stats(
+        df, ["f"], "grp", "v", "a", "b").collect()}
+    ba = {r["f"]: r["t_stat"] for r in st.ttest_ind_stats(
+        df, ["f"], "grp", "v", "b", "a").collect()}
+    for k in ab:
+        if ab[k] is None:
+            assert ba[k] is None
+        else:
+            assert ab[k] == pytest.approx(-ba[k], rel=1e-12)
