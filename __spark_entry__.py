@@ -1025,6 +1025,219 @@ def q_minhash(spark, sf):
     return out.select("id_a", "id_b", _r("est_jaccard").alias("est_jaccard"))
 
 
+# --- streaming twin: tumbling event-time window agg (batch/stream same plan) -
+
+
+@_q(
+    "event_window_agg",
+    """
+WITH e AS (
+  SELECT event_type, epoch_us(ts) AS tsu, value FROM events
+)
+SELECT (tsu // 3600000000) * 3600 AS window_start_epoch,
+       event_type,
+       count(*) AS n_events,
+       round(avg(value), 6) AS avg_value
+FROM e GROUP BY 1, 2
+""",
+)
+def q_event_window(spark, sf):
+    from padua_spark.streaming import tumbling_window_agg
+    from padua_spark.streaming.windows import nanos_to_timestamp
+
+    e = _t(spark, sf, "events")
+    out = tumbling_window_agg(
+        e,
+        nanos_to_timestamp(F.col("ts")),
+        ["event_type"],
+        [
+            F.count(F.lit(1)).alias("n_events"),
+            _r(F.avg("value")).alias("avg_value"),
+        ],
+        window_duration="1 hour",
+    )
+    return out.select(
+        F.col("window_start").cast("long").alias("window_start_epoch"),
+        "event_type",
+        "n_events",
+        "avg_value",
+    )
+
+
+# --- streaming twin: sessionization (lag + running sum; the batch oracle
+#     of session_window_agg) ---------------------------------------------------
+
+
+@_q(
+    "sessionize",
+    """
+WITH e AS (
+  SELECT user_id, event_id, epoch_us(ts) AS tsu FROM events
+),
+s AS (
+  SELECT user_id, event_id, tsu,
+    CASE WHEN lag(tsu) OVER w IS NULL
+              OR tsu - lag(tsu) OVER w > 1800000000
+         THEN 1 ELSE 0 END AS news
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tsu, event_id)
+),
+t AS (
+  SELECT user_id, tsu,
+    CAST(sum(news) OVER (PARTITION BY user_id ORDER BY tsu, event_id
+         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
+  FROM s
+)
+SELECT user_id, session_idx, count(*) AS n_events,
+       min(tsu) AS session_start,
+       max(tsu) AS session_end,
+       max(tsu) - min(tsu) AS duration
+FROM t GROUP BY 1, 2
+""",
+)
+def q_sessionize(spark, sf):
+    from padua_spark.streaming import sessionize_batch
+
+    e = _t(spark, sf, "events").select(
+        "user_id",
+        "event_id",
+        F.expr("ts DIV 1000").alias("tsu"),
+    )
+    return sessionize_batch(
+        e, ["user_id"], "tsu", gap=1_800_000_000,
+        tiebreak_cols=["event_id"],
+    )
+
+
+# --- ext: language ID (stopword-profile argmax) -------------------------------
+
+_LANGID_ORACLE = r"""
+WITH t AS (
+  SELECT doc_id, lang,
+         regexp_split_to_array(lower(trim(text)), '\s+') AS lt
+  FROM documents
+),
+s AS (
+  SELECT doc_id, lang,
+    len(list_filter(lt, x -> x IN ('der','die','das','und','ein','ist','von')))
+      AS score_de,
+    len(list_filter(lt, x -> x IN ('the','a','and','of','to','in','is')))
+      AS score_en,
+    len(list_filter(lt, x -> x IN ('el','la','y','de','un','una','es')))
+      AS score_es,
+    len(list_filter(lt, x -> x IN ('le','la','et','de','un','une','est')))
+      AS score_fr
+  FROM t
+)
+SELECT doc_id, lang, score_de, score_en, score_es, score_fr,
+  CASE WHEN greatest(score_de, score_en, score_es, score_fr) > 0 THEN
+    CASE
+      WHEN score_de = greatest(score_de, score_en, score_es, score_fr)
+        THEN 'de'
+      WHEN score_en = greatest(score_de, score_en, score_es, score_fr)
+        THEN 'en'
+      WHEN score_es = greatest(score_de, score_en, score_es, score_fr)
+        THEN 'es'
+      WHEN score_fr = greatest(score_de, score_en, score_es, score_fr)
+        THEN 'fr'
+    END
+  END AS predicted_lang
+FROM s
+"""
+
+
+@_q("language_id", _LANGID_ORACLE)
+def q_language_id(spark, sf):
+    d = _t(spark, sf, "documents")
+    out = x_text.language_id(d, "text", ["doc_id", "lang"])
+    return out.select(
+        "doc_id",
+        "lang",
+        F.col("score_de").cast("bigint").alias("score_de"),
+        F.col("score_en").cast("bigint").alias("score_en"),
+        F.col("score_es").cast("bigint").alias("score_es"),
+        F.col("score_fr").cast("bigint").alias("score_fr"),
+        "predicted_lang",
+    )
+
+
+# --- ext: document fingerprint (portable polynomial rolling hash) -------------
+
+
+@_q(
+    "fingerprint",
+    r"""
+SELECT doc_id,
+  list_reduce(
+    list_prepend(CAST(0 AS BIGINT),
+      list_transform(
+        string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ''),
+        c -> CAST(ord(c) AS BIGINT))),
+    (acc, c) -> (acc * 131 + c) % 2147483647) AS fp
+FROM documents
+""",
+)
+def q_fingerprint(spark, sf):
+    d = _t(spark, sf, "documents")
+    return d.select(
+        "doc_id", x_text.fingerprint(F.col("text")).alias("fp")
+    )
+
+
+# --- ext: exact dedup, kept-rows form -----------------------------------------
+
+
+@_q(
+    "dedup_exact_rows",
+    """
+SELECT d.doc_id
+FROM documents d
+JOIN (
+  SELECT lang, source, min(doc_id) AS doc_id
+  FROM documents GROUP BY 1, 2
+) k ON d.lang = k.lang AND d.source = k.source AND d.doc_id = k.doc_id
+""",
+)
+def q_dedup_exact_rows(spark, sf):
+    d = _t(spark, sf, "documents")
+    return x_dedup.exact_dedup(d, ["lang", "source"], "doc_id").select(
+        "doc_id"
+    )
+
+
+# --- M1 PCA scores (eigendecomposition — not SQL-expressible; rows-only) -----
+
+
+@_q("pca_scores")
+def q_pca_scores(spark, sf):
+    from padua_spark.operators import ml
+
+    li = _t(spark, sf, "lineitem")
+    long = li.groupBy("l_partkey", "l_returnflag").agg(
+        F.avg("l_quantity").alias("v")
+    )
+    scores, _w, _evr = ml.pca(
+        long, ["l_partkey"], "l_returnflag", "v", n_components=2
+    )
+    return scores.select(
+        F.col("l_returnflag"), "pc", _r("score").alias("score")
+    )
+
+
+# --- ext: LSH-bucketed approximate top-k (rows-only; exactness vs
+#     brute force asserted in tests) -------------------------------------------
+
+
+@_q("ann_lsh_topk")
+def q_ann_lsh_topk(spark, sf):
+    emb = _t(spark, sf, "embeddings")
+    qrow = emb.filter(F.col("vec_id") == 0).select("embedding").collect()
+    query = [float(x) for x in qrow[0][0]]
+    out = x_sim.lsh_topk(
+        emb, "embedding", "vec_id", query, k=10, n_planes=4
+    )
+    return out.select("vec_id", _r("cosine_sim").alias("cosine_sim"))
+
+
 # ---------------------------------------------------------------------------
 
 

@@ -1,0 +1,373 @@
+"""Multivariate operators (reference: SURVEY.md §2.9 — PCA, PLS-DA/R,
+hierarchical clustering).
+
+Scale design: the reference fits samples-as-observations
+(``analysis.pca`` fits on ``df.values.T``, analysis.py:84), i.e. the
+observation count is the *sample* count (dozens) while the variable
+count is the *feature* count (up to billions at 100 TB). The only
+objects that fit on a driver are therefore sample×sample matrices.
+
+- PCA: the samples×samples **Gram matrix is computed distributed**
+  (feature-key co-partitioned self-join + one aggregation — never
+  collecting the feature dimension), eigendecomposed on the driver
+  (tiny), and per-feature weights are recovered distributed by joining
+  the broadcast eigenvectors back. No sklearn, no collect of features.
+- PLS: NIPALS in pure numpy on a driver-side matrix with an explicit
+  size guard — the reference's use case is thousands of features ×
+  dozens of samples (a few MB). For larger matrices, filter/aggregate
+  first (documented contract).
+- Hierarchical clustering: sample-level distance matrix computed
+  distributed, Ward linkage via the Lance–Williams recurrence in
+  numpy on the driver (n_samples² memory, fine for dozens-to-thousands
+  of samples).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _sample_cross_products(
+    df: DataFrame,
+    feature_cols: list[str],
+    sample_col: str,
+    value_col: str,
+) -> DataFrame:
+    """sum over features of v_x·v_y for every sample pair — the
+    distributed Gram-matrix kernel (one co-partitioned self-join on the
+    feature key, one hash aggregation; output n_samples² rows)."""
+    left = df.select(
+        *feature_cols,
+        F.col(sample_col).alias("sample_x"),
+        F.col(value_col).alias("_vx"),
+    )
+    right = df.select(
+        *feature_cols,
+        F.col(sample_col).alias("sample_y"),
+        F.col(value_col).alias("_vy"),
+    )
+    return (
+        left.join(right, on=feature_cols)
+        .groupBy("sample_x", "sample_y")
+        .agg(F.sum(F.col("_vx") * F.col("_vy")).alias("xy"))
+    )
+
+
+def pca(
+    df: DataFrame,
+    feature_cols: list[str],
+    sample_col: str,
+    value_col: str,
+    n_components: int = 2,
+    mean_center: bool = True,
+) -> tuple[DataFrame, DataFrame, np.ndarray]:
+    """PCA with samples as observations (reference: ``analysis.pca``,
+    analysis.py:51-93; NaN→0 fill per analysis.py:76; sklearn
+    mean-centers per variable).
+
+    Returns ``(scores_df, weights_df, explained_variance_ratio)``:
+
+    - ``scores_df(sample, pc, score)`` — the per-sample projections
+      (the reference's ``scores`` output, analysis.py:85-87);
+    - ``weights_df(feature…, pc, weight)`` — per-feature loadings,
+      computed *distributed* (at 100 TB this is the big output;
+      reference materializes it as a wide frame);
+    - ``explained_variance_ratio`` — numpy array, driver-side.
+
+    Algorithm: NaN→0, per-feature mean-centering (a groupBy + broadcast
+    join), distributed Gram G = XᵀX over samples, driver eigh of G
+    (n_samples² — tiny), scores = U·S, weights V = X·U·S⁻¹ via a
+    broadcast join. Exactly the SVD the reference's sklearn fit
+    computes, with the feature dimension never leaving the cluster.
+    """
+    v = F.coalesce(F.col(value_col), F.lit(0.0))
+    filled = df.withColumn("_v", v)
+    if mean_center:
+        means = filled.groupBy(*feature_cols).agg(
+            F.avg("_v").alias("_fmean")
+        )
+        filled = filled.join(means, on=feature_cols, how="left").withColumn(
+            "_v", F.col("_v") - F.col("_fmean")
+        )
+    gram = _sample_cross_products(
+        filled, feature_cols, sample_col, "_v"
+    ).collect()
+    samples = sorted({r["sample_x"] for r in gram})
+    idx = {s: i for i, s in enumerate(samples)}
+    n = len(samples)
+    G = np.zeros((n, n))
+    for r in gram:
+        G[idx[r["sample_x"]], idx[r["sample_y"]]] = r["xy"]
+    evals, evecs = np.linalg.eigh(G)
+    order = np.argsort(evals)[::-1]
+    evals, evecs = evals[order], evecs[:, order]
+    evals = np.clip(evals, 0.0, None)
+    k = min(n_components, n)
+    sing = np.sqrt(evals[:k])
+    total_var = evals.sum()
+    evr = evals[:k] / total_var if total_var > 0 else np.zeros(k)
+    # scores: samples × k = U·S
+    scores_rows = []
+    for s in samples:
+        for c in range(k):
+            scores_rows.append(
+                (s, c + 1, float(evecs[idx[s], c] * sing[c]))
+            )
+    spark = df.sparkSession
+    scores_df = spark.createDataFrame(
+        scores_rows, [sample_col, "pc", "score"]
+    )
+    # weights: V[f, c] = Σ_s X[f, s]·U[s, c]/S_c — distributed join with
+    # the broadcast U/S table.
+    u_rows = []
+    for s in samples:
+        for c in range(k):
+            if sing[c] > 0:
+                u_rows.append((s, c + 1, float(evecs[idx[s], c] / sing[c])))
+    u_df = spark.createDataFrame(u_rows, [sample_col, "pc", "_u"])
+    weights_df = (
+        filled.join(F.broadcast(u_df), on=sample_col)
+        .groupBy(*feature_cols, "pc")
+        .agg(F.sum(F.col("_v") * F.col("_u")).alias("weight"))
+    )
+    return scores_df, weights_df, evr
+
+
+# ---------------------------------------------------------------------------
+# PLS (NIPALS) — driver-side numpy; the reference uses sklearn
+# PLSRegression (analysis.py:96-216). No sklearn here: this is the
+# standard NIPALS algorithm for PLS1/PLS2.
+# ---------------------------------------------------------------------------
+
+MAX_DRIVER_CELLS = 50_000_000  # ~400 MB of float64 — explicit guard
+
+
+def _collect_matrix(
+    df: DataFrame,
+    feature_cols: list[str],
+    sample_col: str,
+    value_col: str,
+):
+    """Collect a (samples × features) dense matrix (NaN→0) with guard."""
+    feats = (
+        df.select(*feature_cols).distinct().orderBy(*feature_cols).collect()
+    )
+    samples = sorted(
+        r[0] for r in df.select(sample_col).distinct().collect()
+    )
+    if len(feats) * len(samples) > MAX_DRIVER_CELLS:
+        raise ValueError(
+            "matrix too large for driver-side PLS; aggregate or filter "
+            "features first (documented contract, SURVEY.md §2.9)"
+        )
+    fidx = {tuple(r) : i for i, r in enumerate(feats)}
+    sidx = {s: i for i, s in enumerate(samples)}
+    X = np.zeros((len(samples), len(feats)))
+    rows = df.select(
+        *feature_cols, sample_col, value_col
+    ).collect()
+    nf = len(feature_cols)
+    for r in rows:
+        key = tuple(r[i] for i in range(nf))
+        v = r[nf + 1]
+        if v is not None:
+            X[sidx[r[nf]], fidx[key]] = v
+    return X, samples, [tuple(r) for r in feats]
+
+
+def nipals_pls(X: np.ndarray, Y: np.ndarray, n_components: int = 2,
+               max_iter: int = 500, tol: float = 1e-10):
+    """NIPALS PLS regression (public-domain algorithm; equivalent in
+    exact arithmetic to sklearn PLSRegression's NIPALS mode). Returns
+    (x_scores T, x_weights W, x_loadings P, y_loadings Q)."""
+    X = X - X.mean(axis=0)
+    Y = Y - Y.mean(axis=0)
+    if Y.ndim == 1:
+        Y = Y[:, None]
+    T = np.zeros((X.shape[0], n_components))
+    W = np.zeros((X.shape[1], n_components))
+    P = np.zeros((X.shape[1], n_components))
+    Q = np.zeros((Y.shape[1], n_components))
+    Xk, Yk = X.copy(), Y.copy()
+    for a in range(n_components):
+        u = Yk[:, 0].copy()
+        for _ in range(max_iter):
+            w = Xk.T @ u / (u @ u)
+            w /= np.linalg.norm(w) or 1.0
+            t = Xk @ w
+            q = Yk.T @ t / (t @ t)
+            u_new = Yk @ q / (q @ q)
+            if np.linalg.norm(u_new - u) < tol * np.linalg.norm(u_new):
+                u = u_new
+                break
+            u = u_new
+        p = Xk.T @ t / (t @ t)
+        T[:, a], W[:, a], P[:, a], Q[:, a] = t, w, p, q.ravel()
+        Xk = Xk - np.outer(t, p)
+        Yk = Yk - np.outer(t, q.ravel())
+    return T, W, P, Q
+
+
+def plsda(
+    df: DataFrame,
+    feature_cols: list[str],
+    sample_col: str,
+    value_col: str,
+    group_col: str,
+    group_a,
+    group_b,
+    n_components: int = 2,
+):
+    """Binary PLS-DA (reference: ``analysis.plsda``, analysis.py:96-161:
+    y = 0/1 by group membership). Driver-side NIPALS on the collected
+    (guarded) matrix; returns (scores, weights, samples, features)."""
+    sub = df.filter(F.col(group_col).isin([group_a, group_b]))
+    X, samples, feats = _collect_matrix(
+        sub, feature_cols, sample_col, value_col
+    )
+    smap = {
+        r[0]: r[1]
+        for r in sub.select(sample_col, group_col).distinct().collect()
+    }
+    y = np.array([1.0 if smap[s] == group_b else 0.0 for s in samples])
+    T, W, P, Q = nipals_pls(X, y, n_components)
+    return T, W, samples, feats
+
+
+def plsr(
+    df: DataFrame,
+    feature_cols: list[str],
+    sample_col: str,
+    value_col: str,
+    target: dict,
+    n_components: int = 2,
+):
+    """PLS regression vs a continuous per-sample variable (reference:
+    ``analysis.plsr``, analysis.py:164-216)."""
+    X, samples, feats = _collect_matrix(
+        df, feature_cols, sample_col, value_col
+    )
+    y = np.array([float(target[s]) for s in samples])
+    T, W, P, Q = nipals_pls(X, y, n_components)
+    y_pred = T @ Q.T[:, 0] + y.mean()
+    return T, W, y_pred, samples, feats
+
+
+# ---------------------------------------------------------------------------
+# Hierarchical clustering — Ward linkage via Lance–Williams, pure numpy
+# (reference: visualize._cluster, visualize.py:1691-1730, uses scipy
+# pdist + ward linkage).
+# ---------------------------------------------------------------------------
+
+
+def zscore(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    center: str = "median",
+    out_col: str = "z",
+) -> DataFrame:
+    """(v − center)/sd per group — the reference z-scores rows with a
+    MEDIAN center (visualize.py:1696-1699), an intentional quirk we
+    preserve as the default."""
+    v = F.col(value_col)
+    cen = F.median(v) if center == "median" else F.avg(v)
+    stats = df.groupBy(*group_cols).agg(
+        cen.alias("_c"), F.stddev_samp(v).alias("_s")
+    )
+    return (
+        df.join(F.broadcast(stats), on=group_cols, how="left")
+        .withColumn(
+            out_col,
+            F.when(F.col("_s") > 0, (v - F.col("_c")) / F.col("_s")),
+        )
+        .drop("_c", "_s")
+    )
+
+
+def sample_distance_matrix(
+    df: DataFrame,
+    feature_cols: list[str],
+    sample_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Pairwise Euclidean distances between samples, computed
+    distributed over the feature axis (pairwise-complete: only features
+    non-null in both samples contribute)."""
+    left = df.select(
+        *feature_cols,
+        F.col(sample_col).alias("sample_x"),
+        F.col(value_col).alias("_vx"),
+    )
+    right = df.select(
+        *feature_cols,
+        F.col(sample_col).alias("sample_y"),
+        F.col(value_col).alias("_vy"),
+    )
+    d = F.col("_vx") - F.col("_vy")
+    return (
+        left.join(right, on=feature_cols)
+        .filter(F.col("_vx").isNotNull() & F.col("_vy").isNotNull())
+        .groupBy("sample_x", "sample_y")
+        .agg(F.sqrt(F.sum(d * d)).alias("distance"))
+    )
+
+
+def ward_linkage(dist: np.ndarray) -> np.ndarray:
+    """Ward hierarchical clustering via the Lance–Williams update —
+    returns a scipy-style (n−1)×4 linkage matrix."""
+    n = dist.shape[0]
+    d = dist.astype(float).copy()
+    np.fill_diagonal(d, np.inf)
+    sizes = {i: 1 for i in range(n)}
+    active = set(range(n))
+    ids = {i: i for i in range(n)}
+    out = []
+    big = d.copy()
+    next_id = n
+    for _step in range(n - 1):
+        pairs = [(big[i, j], i, j) for i in active for j in active if i < j]
+        dm, i, j = min(pairs)
+        si, sj = sizes[i], sizes[j]
+        out.append([ids[i], ids[j], dm, si + sj])
+        for k in active - {i, j}:
+            sk = sizes[k]
+            tot = si + sj + sk
+            new = np.sqrt(
+                ((si + sk) * big[i, k] ** 2 + (sj + sk) * big[j, k] ** 2
+                 - sk * dm**2) / tot
+            )
+            big[i, k] = big[k, i] = new
+        sizes[i] = si + sj
+        ids[i] = next_id
+        next_id += 1
+        active.remove(j)
+    return np.array(out)
+
+
+def fcluster_by_distance(linkage: np.ndarray, threshold: float,
+                         n: int) -> np.ndarray:
+    """Flat clusters by cutting the dendrogram at ``threshold``
+    (reference: visualize._optimize_clusters cuts to a target count,
+    visualize.py:1665-1688)."""
+    parent = list(range(n + len(linkage)))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for step, (a, b, dist, _size) in enumerate(linkage):
+        if dist <= threshold:
+            node = n + step
+            parent[find(int(a))] = node
+            parent[find(int(b))] = node
+    roots = {}
+    labels = np.zeros(n, dtype=int)
+    for i in range(n):
+        r = find(i)
+        labels[i] = roots.setdefault(r, len(roots))
+    return labels

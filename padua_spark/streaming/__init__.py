@@ -1,0 +1,19 @@
+"""Structured Streaming surface.
+
+The reference has no streaming (SURVEY.md §2.14) — this module is the
+beyond-reference extension that makes the long model streaming-capable:
+the measurements/events fact tables are append-only streams, and every
+aggregation operator that is a single groupBy composes with event-time
+windows + watermarks.
+
+All builders below accept batch OR streaming DataFrames — the same
+lazy plan runs under both engines, which is the Structured Streaming
+design point (test batch, deploy streaming).
+"""
+
+from padua_spark.streaming.windows import (  # noqa: F401
+    read_event_stream,
+    sessionize_batch,
+    session_window_agg,
+    tumbling_window_agg,
+)

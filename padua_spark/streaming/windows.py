@@ -1,0 +1,120 @@
+"""Event-time windowing operators (batch/streaming polymorphic)."""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+NANOS_PER_SEC = 1_000_000_000
+
+
+def nanos_to_timestamp(ts_nanos: Column) -> Column:
+    """int64 nanoseconds → TIMESTAMP (micros precision; Spark has no
+    nanos type — see the nanosAsLong read conf)."""
+    return F.timestamp_micros((ts_nanos / F.lit(1000)).cast("bigint"))
+
+
+def read_event_stream(
+    spark: SparkSession,
+    path: str,
+    schema=None,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """``readStream`` over a parquet directory of events. Schema is
+    required by streaming parquet sources; pass the batch-inferred one.
+    """
+    reader = spark.readStream
+    if schema is not None:
+        reader = reader.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(path)
+
+
+def tumbling_window_agg(
+    df: DataFrame,
+    ts_col: Column,
+    key_cols: list[str],
+    aggs: list[Column],
+    window_duration: str = "1 hour",
+    watermark: str | None = None,
+) -> DataFrame:
+    """Tumbling event-time window aggregation. On a stream, pass a
+    ``watermark`` (e.g. ``'2 hours'``) to bound state for late data; on
+    batch the same plan just runs as a groupBy."""
+    withts = df.withColumn("_event_time", ts_col)
+    if watermark and withts.isStreaming:
+        withts = withts.withWatermark("_event_time", watermark)
+    out = withts.groupBy(
+        F.window("_event_time", window_duration).alias("window"), *key_cols
+    ).agg(*aggs)
+    agg_cols = [c for c in out.columns if c != "window" and c not in key_cols]
+    return out.select(
+        F.col("window.start").alias("window_start"),
+        F.col("window.end").alias("window_end"),
+        *key_cols,
+        *agg_cols,
+    )
+
+
+def session_window_agg(
+    df: DataFrame,
+    ts_col: Column,
+    key_cols: list[str],
+    aggs: list[Column],
+    gap: str = "30 minutes",
+    watermark: str | None = None,
+) -> DataFrame:
+    """Gap-based session windows (``F.session_window``) — the streaming
+    path for sessionization; state is bounded by the watermark."""
+    withts = df.withColumn("_event_time", ts_col)
+    if watermark and withts.isStreaming:
+        withts = withts.withWatermark("_event_time", watermark)
+    out = withts.groupBy(
+        F.session_window("_event_time", gap).alias("session"), *key_cols
+    ).agg(*aggs)
+    agg_cols = [
+        c for c in out.columns if c != "session" and c not in key_cols
+    ]
+    return out.select(
+        F.col("session.start").alias("session_start"),
+        F.col("session.end").alias("session_end"),
+        *key_cols,
+        *agg_cols,
+    )
+
+
+def sessionize_batch(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    gap: int,
+    tiebreak_cols: list[str] | None = None,
+) -> DataFrame:
+    """Batch sessionization via lag + running sum (the SQL-expressible
+    twin of :func:`session_window_agg`, used for oracle checks):
+    a new session starts where the gap to the previous event exceeds
+    ``gap`` (in the units of ``ts_col``). The window is partitioned by
+    key — one shuffle on the session key; scales with per-key event
+    counts. ``tiebreak_cols`` make ordering total under equal
+    timestamps."""
+    order = [F.col(ts_col)] + [F.col(c) for c in (tiebreak_cols or [])]
+    w = Window.partitionBy(*key_cols).orderBy(*order)
+    prev = F.lag(F.col(ts_col)).over(w)
+    new_session = F.when(
+        prev.isNull() | (F.col(ts_col) - prev > gap), 1
+    ).otherwise(0)
+    with_idx = df.withColumn("_new", new_session).withColumn(
+        "session_idx", F.sum("_new").over(w)
+    )
+    return (
+        with_idx.groupBy(*key_cols, "session_idx")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min(ts_col).alias("session_start"),
+            F.max(ts_col).alias("session_end"),
+        )
+        .withColumn(
+            "duration", F.col("session_end") - F.col("session_start")
+        )
+    )

@@ -1,0 +1,167 @@
+"""Tests: distributed-Gram PCA vs direct numpy SVD, NIPALS PLS sanity,
+Ward clustering, Perseus round-trip, Phosphopath export shape."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from padua_spark.operators import ml
+from padua_spark.sources.perseus import read_perseus, write_perseus
+from padua_spark.sources.phosphopath import (
+    phosphopath_ratio_rows,
+    phosphopath_rows,
+)
+
+
+def _long_df(spark, X, samples):
+    rows = [
+        (f, s, float(X[j, f]))
+        for f in range(X.shape[1])
+        for j, s in enumerate(samples)
+    ]
+    return spark.createDataFrame(rows, ["feature_id", "sample", "value"])
+
+
+def test_pca_matches_numpy_svd(spark):
+    rng = np.random.default_rng(3)
+    X = rng.normal(size=(6, 40))  # 6 samples × 40 features
+    samples = [f"s{i}" for i in range(6)]
+    df = _long_df(spark, X, samples)
+    scores_df, weights_df, evr = ml.pca(
+        df, ["feature_id"], "sample", "value", n_components=3
+    )
+    # Direct reference: SVD of feature-centered X.
+    Xc = X - X.mean(axis=0, keepdims=True)
+    U, S, Vt = np.linalg.svd(Xc, full_matrices=False)
+    expected_scores = U[:, :3] * S[:3]
+    expected_evr = (S**2 / (S**2).sum())[:3]
+    assert np.allclose(evr, expected_evr, rtol=1e-8)
+    got = np.zeros((6, 3))
+    for r in scores_df.collect():
+        got[samples.index(r["sample"]), r["pc"] - 1] = r["score"]
+    for c in range(3):
+        dot = np.dot(got[:, c], expected_scores[:, c])
+        sign = 1.0 if dot >= 0 else -1.0
+        assert np.allclose(got[:, c], sign * expected_scores[:, c],
+                           atol=1e-6), f"PC{c+1}"
+    # weights reproduce V (up to the same signs)
+    W = np.zeros((40, 3))
+    for r in weights_df.collect():
+        W[r["feature_id"], r["pc"] - 1] = r["weight"]
+    for c in range(3):
+        dot = np.dot(W[:, c], Vt[c])
+        sign = 1.0 if dot >= 0 else -1.0
+        assert np.allclose(W[:, c], sign * Vt[c], atol=1e-6)
+
+
+def test_nipals_pls_sanity(spark):
+    rng = np.random.default_rng(5)
+    X = rng.normal(size=(12, 30))
+    beta = np.zeros(30)
+    beta[:3] = [2.0, -1.0, 0.5]
+    y = X @ beta + rng.normal(scale=0.01, size=12)
+    T, W, P, Q = ml.nipals_pls(X, y, n_components=5)
+    # scores orthogonal
+    TT = T.T @ T
+    off = TT - np.diag(np.diag(TT))
+    assert np.abs(off).max() < 1e-8
+    # regression recovers y well
+    y_pred = T @ Q.T[:, 0] + y.mean()
+    resid = y - y_pred
+    assert np.std(resid) < 0.1 * np.std(y)
+    assert np.corrcoef(y_pred, y)[0, 1] > 0.99
+
+
+def test_plsda_separates_groups(spark):
+    rng = np.random.default_rng(11)
+    X = rng.normal(size=(10, 25))
+    X[:5, :5] += 3.0  # group a shifted in first 5 features
+    samples = [f"s{i}" for i in range(10)]
+    df = _long_df(spark, X, samples).withColumn(
+        "grp",
+        F.when(
+            F.col("sample").isin([f"s{i}" for i in range(5)]), "a"
+        ).otherwise("b"),
+    )
+    T, W, got_samples, feats = ml.plsda(
+        df, ["feature_id"], "sample", "value", "grp", "a", "b"
+    )
+    t1 = {s: T[i, 0] for i, s in enumerate(got_samples)}
+    a_scores = [t1[f"s{i}"] for i in range(5)]
+    b_scores = [t1[f"s{i}"] for i in range(5, 10)]
+    assert max(a_scores) < min(b_scores) or min(a_scores) > max(b_scores)
+
+
+def test_ward_clustering_obvious_groups(spark):
+    pts = np.array(
+        [[0.0, 0.0], [0.1, 0.0], [0.0, 0.1], [5.0, 5.0], [5.1, 5.0],
+         [5.0, 5.1]]
+    )
+    d = np.sqrt(((pts[:, None, :] - pts[None, :, :]) ** 2).sum(-1))
+    link = ml.ward_linkage(d)
+    labels = ml.fcluster_by_distance(link, 1.0, 6)
+    assert labels[0] == labels[1] == labels[2]
+    assert labels[3] == labels[4] == labels[5]
+    assert labels[0] != labels[3]
+
+
+def test_distributed_distance_matrix(spark):
+    X = np.array([[0.0, 3.0], [4.0, 0.0]]).T  # 2 samples, 2 features
+    df = _long_df(spark, X.T, ["a", "b"])
+    rows = ml.sample_distance_matrix(
+        df, ["feature_id"], "sample", "value"
+    ).collect()
+    d = {(r["sample_x"], r["sample_y"]): r["distance"] for r in rows}
+    assert d[("a", "b")] == pytest.approx(5.0)
+    assert d[("a", "a")] == pytest.approx(0.0)
+
+
+def test_perseus_roundtrip(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(0, "P1;P2", "+", 100.5), (1, "P3", None, 7.25)],
+        ["id", "Proteins", "Reverse", "Intensity S1"],
+    )
+    path = str(tmp_path / "perseus.txt")
+    write_perseus(df, path)
+    lines = open(path).read().splitlines()
+    assert lines[1].startswith("#!{Type}")
+    assert lines[1].split("\t") == ["#!{Type}N", "T", "C", "E"]
+    back = read_perseus(spark, path)
+    # 'id' is tagged N → cast to double by the type row
+    rows = {r["id"]: r for r in back.collect()}
+    assert rows[0.0]["Intensity S1"] == 100.5
+    assert rows[1.0]["Proteins"] == "P3"
+
+
+def test_phosphopath_rows(spark):
+    feats = spark.createDataFrame(
+        [
+            ("P07830-2;Q5", "S", 15, 2),
+            ("Q9Y6K9", "Y", 7, 1),
+        ],
+        ["Proteins", "Amino acid", "Position", "Multiplicity"],
+    )
+    rows = {r["protein"]: r for r in phosphopath_rows(feats).collect()}
+    assert rows["P07830"]["protein_rsite"] == "P07830-S15"
+    assert rows["P07830"]["multiplicity"] == "x2"
+    assert rows["Q9Y6K9"]["rsite"] == "Y7"
+
+
+def test_phosphopath_ratio_rows(spark):
+    meas = spark.createDataFrame(
+        [
+            (1, "Control", 0, 2.0),
+            (1, "Control", 0, 4.0),
+            (1, "PGE2", 0, 6.0),
+            (1, "Control", 5, 1.0),
+            (1, "PGE2", 5, 3.0),
+        ],
+        ["feature_id", "Group", "Timepoint", "value"],
+    )
+    out = phosphopath_ratio_rows(
+        meas, "feature_id", "Group", "Timepoint", "value", "Control",
+        ["PGE2"],
+    ).collect()
+    d = {r["ID"]: r["Ratio"] for r in out}
+    assert d["1_1"] == pytest.approx(2.0)   # 6 / mean(2,4)
+    assert d["1_2"] == pytest.approx(3.0)   # 3 / 1
