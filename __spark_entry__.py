@@ -1238,6 +1238,313 @@ def q_ann_lsh_topk(spark, sf):
     return out.select("vec_id", _r("cosine_sim").alias("cosine_sim"))
 
 
+# --- ext: multimodal plumbing — binary column → Arrow-batched mapInPandas
+#     feature extraction (decode stubbed; byte plumbing real) ------------------
+
+
+@_q(
+    "multimodal_features",
+    """
+SELECT CAST(doc_id AS BIGINT) AS media_id,
+  CAST(strlen(text) AS BIGINT) AS n_bytes,
+  list_reduce(
+    list_prepend(CAST(0 AS BIGINT),
+      list_transform(string_split(text, ''), c -> CAST(ord(c) AS BIGINT))),
+    (acc, c) -> (acc * 131 + c) % 2147483647) AS byte_hash
+FROM documents
+""",
+)
+def q_multimodal_features(spark, sf):
+    from padua_spark.extensions.multimodal import (
+        extract_features,
+        text_as_media,
+    )
+
+    d = _t(spark, sf, "documents")
+    media = text_as_media(d, "doc_id", "text")
+    out = extract_features(media)
+    return out.select("media_id", "n_bytes", "byte_hash")
+
+
+# --- A2 combine_expression_columns (process.py:198-218) ----------------------
+
+
+@_q(
+    "combine_columns_mean",
+    """
+WITH m AS (
+  SELECT l_orderkey,
+         CASE WHEN l_linenumber IN (1, 2) THEN 'first_two'
+              ELSE CAST(l_linenumber AS STRING) END AS merged,
+         l_quantity
+  FROM lineitem
+)
+SELECT l_orderkey, merged AS sample_label,
+       round(avg(l_quantity), 6) AS l_quantity
+FROM m GROUP BY 1, 2
+""",
+)
+def q_combine_columns(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    merged = F.when(
+        F.col("l_linenumber").isin(1, 2), F.lit("first_two")
+    ).otherwise(F.col("l_linenumber").cast("string"))
+    out = proc.combine_expression_columns(
+        li, ["l_orderkey"], "l_quantity", merged
+    )
+    return out.select(
+        "l_orderkey", "sample_label", _r("l_quantity").alias("l_quantity")
+    )
+
+
+# --- J3 apply_experimental_design (process.py:280-306) ------------------------
+
+
+@_q(
+    "apply_design_template",
+    """
+SELECT event_id,
+  CASE event_type WHEN 'click' THEN 'tap'
+                  WHEN 'view' THEN 'impression'
+                  ELSE event_type END AS event_type
+FROM events
+""",
+)
+def q_apply_template(spark, sf):
+    e = _t(spark, sf, "events")
+    template = spark.createDataFrame(
+        [("click", "tap"), ("view", "impression")],
+        ["Experiment", "Name"],
+    )
+    out = proc.apply_experimental_design(
+        e, template, label_col="event_type"
+    )
+    return out.select("event_id", "event_type")
+
+
+# --- P7 strip_index_labels (process.py:178-195) -------------------------------
+
+
+@_q(
+    "strip_labels",
+    """
+SELECT doc_id, regexp_replace(source, 'src', '') AS source
+FROM documents
+""",
+)
+def q_strip_labels(spark, sf):
+    d = _t(spark, sf, "documents")
+    return proc.strip_index_labels(d, "source", "src").select(
+        "doc_id", "source"
+    )
+
+
+# --- U1-U4 protein-ID string functions (utils.py:108-176) ---------------------
+
+
+@_q(
+    "protein_id_functions",
+    r"""
+WITH t AS (
+  SELECT doc_id, concat(source, ';', lang, '_x ', 'tail') AS ids
+  FROM documents
+)
+SELECT doc_id,
+  regexp_extract(ids, '^([^;\s_]+)', 1) AS first_id,
+  string_split(ids, ';')[1] AS short_str,
+  CAST(len(string_split(ids, ';')) AS BIGINT) AS n_ids
+FROM t
+""",
+)
+def q_protein_ids(spark, sf):
+    from padua_spark.functions.scalar import protein_id, shortstr
+
+    d = _t(spark, sf, "documents").withColumn(
+        "ids",
+        F.concat(
+            F.col("source"), F.lit(";"), F.col("lang"), F.lit("_x tail")
+        ),
+    )
+    return d.select(
+        "doc_id",
+        protein_id("ids").alias("first_id"),
+        shortstr("ids").alias("short_str"),
+        F.size(F.split(F.col("ids"), ";")).cast("bigint").alias("n_ids"),
+    )
+
+
+# --- §2.12 union-as-concat (pd.concat → unionByName) --------------------------
+
+
+@_q(
+    "union_all_counts",
+    """
+WITH u AS (
+  SELECT event_id, 'clicks' AS src FROM events WHERE event_type = 'click'
+  UNION ALL
+  SELECT event_id, 'errors' AS src FROM events WHERE event_type = 'error'
+)
+SELECT src, count(*) AS count FROM u GROUP BY 1
+""",
+)
+def q_union_all(spark, sf):
+    from padua_spark.operators.setops import union_all
+
+    e = _t(spark, sf, "events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "event_id", F.lit("clicks").alias("src")
+    )
+    errors = e.filter(F.col("event_type") == "error").select(
+        "event_id", F.lit("errors").alias("src")
+    )
+    return (
+        union_all([clicks, errors])
+        .groupBy("src")
+        .agg(F.count(F.lit(1)).alias("count"))
+    )
+
+
+# --- O2/O3 top-k with rank ----------------------------------------------------
+
+
+@_q(
+    "topk_orders",
+    """
+SELECT o_orderkey, o_totalprice
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey LIMIT 15
+""",
+)
+def q_topk(spark, sf):
+    o = _t(spark, sf, "orders")
+    return (
+        o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(15)
+        .select("o_orderkey", "o_totalprice")
+    )
+
+
+# --- T8 linregress closed form (visualize.py:407) -----------------------------
+
+
+@_q(
+    "linregress",
+    """
+WITH g AS (
+  SELECT l_returnflag,
+         count(*) AS n,
+         avg(l_quantity) AS mx, avg(l_extendedprice) AS my,
+         covar_samp(l_quantity, l_extendedprice) AS cov,
+         var_samp(l_quantity) AS vx,
+         corr(l_quantity, l_extendedprice) AS r
+  FROM lineitem GROUP BY 1
+)
+SELECT l_returnflag, n, round(r, 6) AS r,
+       round(cov / vx, 6) AS slope,
+       round(my - (cov / vx) * mx, 6) AS intercept
+FROM g
+""",
+)
+def q_linregress(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    out = st.linregress(
+        li, "l_quantity", "l_extendedprice", ["l_returnflag"]
+    )
+    return out.select(
+        "l_returnflag",
+        "n",
+        _r("r").alias("r"),
+        _r("slope").alias("slope"),
+        _r("intercept").alias("intercept"),
+    )
+
+
+# --- T7 covariance ellipse stats (visualize.py:60-113) ------------------------
+
+
+@_q(
+    "covariance_ellipse",
+    """
+SELECT l_returnflag,
+  round(avg(l_quantity), 6) AS mean_x,
+  round(avg(l_discount), 6) AS mean_y,
+  round(var_samp(l_quantity), 6) AS var_x,
+  round(var_samp(l_discount), 6) AS var_y,
+  round(covar_samp(l_quantity, l_discount), 6) AS cov_xy
+FROM lineitem GROUP BY 1
+""",
+)
+def q_cov_ellipse(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        _r(F.avg("l_quantity")).alias("mean_x"),
+        _r(F.avg("l_discount")).alias("mean_y"),
+        _r(F.var_samp("l_quantity")).alias("var_x"),
+        _r(F.var_samp("l_discount")).alias("var_y"),
+        _r(F.covar_samp("l_quantity", "l_discount")).alias("cov_xy"),
+    )
+
+
+# --- A3 non_zero_sum (analysis.py:221-229) ------------------------------------
+
+
+@_q(
+    "nonzero_sum",
+    """
+SELECT l_returnflag,
+       round(sum(CASE WHEN l_discount > 0 THEN l_discount END), 6)
+         AS nonzero_sum
+FROM lineitem GROUP BY 1
+""",
+)
+def q_nonzero_sum(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    out = agg_ops.non_zero_sum(li, ["l_returnflag"], "l_discount")
+    return out.select(
+        "l_returnflag", _r("nonzero_sum").alias("nonzero_sum")
+    )
+
+
+# --- A11 localization class binning (visualize.py:756-777) --------------------
+
+
+@_q(
+    "localization_classes",
+    """
+SELECT CASE WHEN value / 500.0 > 0.75 THEN 'Class I'
+            WHEN value / 500.0 > 0.5  THEN 'Class II'
+            WHEN value / 500.0 > 0.25 THEN 'Class III'
+            ELSE 'Unclassified' END AS loc_class,
+       count(*) AS count
+FROM events GROUP BY 1
+""",
+)
+def q_loc_classes(spark, sf):
+    e = _t(spark, sf, "events").withColumn(
+        "prob", F.col("value") / F.lit(500.0)
+    )
+    return agg_ops.localization_class_counts(e, "prob")
+
+
+# --- U10 find_nearest (utils.py:320-330) --------------------------------------
+
+
+@_q(
+    "find_nearest",
+    """
+SELECT min_by(o_orderkey, abs(o_totalprice - 150000.0)) AS nearest_key,
+       round(min(abs(o_totalprice - 150000.0)), 6) AS abs_diff
+FROM orders
+""",
+)
+def q_find_nearest(spark, sf):
+    o = _t(spark, sf, "orders")
+    out = agg_ops.find_nearest(o, "o_totalprice", 150000.0, "o_orderkey")
+    return out.select(
+        "nearest_key", _r("abs_diff").alias("abs_diff")
+    )
+
+
 # ---------------------------------------------------------------------------
 
 

@@ -36,6 +36,10 @@ HEADLINE = [
     "minhash_lsh_candidates",
     "ann_cosine_topk",
     "token_quality",
+    "event_window_agg",
+    "sessionize",
+    "multimodal_features",
+    "language_id",
 ]
 
 

@@ -161,3 +161,12 @@ def deterministic_gaussian_sql(key_expr: str, salt: int = 0) -> str:
         x = f"(({x}) * {_LCG_A} + {_LCG_B}) % {_IH_M}"
         terms.append(f"(CAST({x} AS DOUBLE) / {float(_IH_M)!r})")
     return "(" + " + ".join(terms) + " - 6.0)"
+
+
+def chunks_ntile(order_col: Column | str, n: int) -> Column:
+    """Split ordered rows into n near-equal parts (reference:
+    ``utils.chunks``, utils.py:259-279) — ``ntile`` over a global-order
+    window; apply on small/aggregated tables."""
+    from pyspark.sql import Window
+
+    return F.ntile(n).over(Window.orderBy(_col(order_col)))

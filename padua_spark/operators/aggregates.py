@@ -230,3 +230,16 @@ def rank_intensity(
     return df.withColumn("rank", F.row_number().over(w)).withColumn(
         "log10_value", F.when(v > 0, F.log10(v))
     )
+
+
+def find_nearest(
+    df: DataFrame, value_col: str, target: float, key_col: str
+) -> DataFrame:
+    """Row whose value is nearest to ``target`` (reference:
+    ``utils.find_nearest_idx``, utils.py:320-330) — ``min_by`` single
+    aggregation, no sort."""
+    diff = F.abs(F.col(value_col) - F.lit(target))
+    return df.agg(
+        F.min_by(F.col(key_col), diff).alias("nearest_key"),
+        F.min(diff).alias("abs_diff"),
+    )

@@ -24,9 +24,21 @@ objects that fit on a driver are therefore sample×sample matrices.
 
 from __future__ import annotations
 
+import sys
+
 import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+# nipals_pls is called from executor-side closures (impute_pls) —
+# serialize this module by value for foreign-cwd drivers (see
+# functions/distributions.py).
+try:
+    from pyspark import cloudpickle
+
+    cloudpickle.register_pickle_by_value(sys.modules[__name__])
+except Exception:  # pragma: no cover
+    pass
 
 
 def _sample_cross_products(
@@ -345,6 +357,54 @@ def ward_linkage(dist: np.ndarray) -> np.ndarray:
         next_id += 1
         active.remove(j)
     return np.array(out)
+
+
+def optimize_cluster_threshold(
+    linkage: np.ndarray, n: int, target_n: int = 6, max_iter: int = 60
+) -> tuple[float, np.ndarray]:
+    """Search the dendrogram cut threshold that yields ~``target_n``
+    flat clusters (reference: ``visualize._optimize_clusters``,
+    visualize.py:1665-1688) — a bisection over the merge distances,
+    driver-side on the tiny linkage matrix."""
+    lo, hi = 0.0, float(linkage[:, 2].max()) * 1.001
+    best = None
+    for _ in range(max_iter):
+        mid = (lo + hi) / 2
+        labels = fcluster_by_distance(linkage, mid, n)
+        k = labels.max() + 1
+        if best is None or abs(k - target_n) < abs(best[2] - target_n):
+            best = (mid, labels, k)
+        if k > target_n:
+            lo = mid
+        elif k < target_n:
+            hi = mid
+        else:
+            return mid, labels
+    return best[0], best[1]
+
+
+def cluster_timecourse_means(
+    df: DataFrame,
+    feature_cols: list[str],
+    cluster_map: dict,
+    group_cols: list[str],
+    value_col: str,
+) -> DataFrame:
+    """Per-cluster mean trajectories (reference:
+    ``visualize.hierarchical_timecourse``, visualize.py:1872-1965, mean
+    at :1923): broadcast the feature→cluster map, aggregate per
+    (cluster, group levels) distributed."""
+    spark = df.sparkSession
+    items = [(k, int(v)) for k, v in cluster_map.items()]
+    cdf = spark.createDataFrame(items, [*feature_cols, "cluster"])
+    return (
+        df.join(F.broadcast(cdf), on=feature_cols)
+        .groupBy("cluster", *group_cols)
+        .agg(
+            F.avg(F.col(value_col)).alias("mean_value"),
+            F.count(F.col(value_col)).alias("n"),
+        )
+    )
 
 
 def fcluster_by_distance(linkage: np.ndarray, threshold: float,

@@ -200,26 +200,37 @@ def qvalues(
     nulls = df.filter(F.col(p_col).isNull()).withColumn(
         out_col, F.lit(None).cast("double")
     )
-    m = valid.count()
-    if m == 0:
-        return nulls
-    if pi0 is None:
-        n_above = valid.filter(F.col(p_col) > 0.5).count()
-        pi0_val = min(max((n_above / (m * 0.5)), 1e-8), 1.0)
-    else:
-        pi0_val = pi0
+    w_all = Window.partitionBy()
     w_rank = Window.orderBy(F.col(p_col).asc())
-    w_back = Window.orderBy(F.col(p_col).asc()).rowsBetween(
-        Window.currentRow, Window.unboundedFollowing
+    # The backward running min ("q = min of q_raw over all larger p",
+    # utils.py:89-100) is expressed over the REVERSED order with a
+    # growing frame: (currentRow, unboundedFollowing) frames shrink and
+    # make WindowExec recompute the aggregate per row — O(m²); the
+    # reversed growing frame is the O(m) running aggregate.
+    m_col = F.count(F.lit(1)).over(w_all).cast("double")
+    if pi0 is None:
+        # Storey fixed-λ=0.5 estimator, computed in the same global
+        # window pass (no extra driver actions).
+        n_above = F.count(F.when(F.col(p_col) > 0.5, 1)).over(w_all)
+        pi0_col = F.least(
+            F.greatest(
+                n_above.cast("double") / (m_col * 0.5), F.lit(1e-8)
+            ),
+            F.lit(1.0),
+        )
+    else:
+        pi0_col = F.lit(float(pi0))
+    ranked = valid.withColumn(
+        "_rank", F.row_number().over(w_rank)
     )
-    q_raw = (
-        F.lit(pi0_val) * F.lit(float(m)) * F.col(p_col)
-        / F.row_number().over(w_rank).cast("double")
-    )
+    q_raw = pi0_col * m_col * F.col(p_col) / F.col("_rank").cast("double")
+    w_runmin = Window.orderBy(
+        F.col(p_col).desc(), F.col("_rank").desc()
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
     out = (
-        valid.withColumn("_q_raw", F.least(q_raw, F.lit(1.0)))
-        .withColumn(out_col, F.min("_q_raw").over(w_back))
-        .drop("_q_raw")
+        ranked.withColumn("_q_raw", F.least(q_raw, F.lit(1.0)))
+        .withColumn(out_col, F.min("_q_raw").over(w_runmin))
+        .drop("_q_raw", "_rank")
     )
     return out.unionByName(nulls)
 

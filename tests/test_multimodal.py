@@ -1,0 +1,60 @@
+"""Multimodal plumbing tests: mapInPandas batch shapes, stubbed decode,
+frame sampling plan."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from padua_spark.extensions.multimodal import (
+    decode_image,
+    extract_features,
+    fake_decode,
+    frame_sample_plan,
+    text_as_media,
+)
+
+
+def test_decode_raises_without_decoder():
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\x89PNG...")
+
+
+def test_extract_features_matches_local(spark):
+    rows = [(1, "hello world"), (2, "abc"), (3, "")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    media = text_as_media(df, "doc_id", "text")
+    out = {r["media_id"]: r for r in extract_features(media).collect()}
+    for i, txt in rows:
+        b = txt.encode()
+        assert out[i]["n_bytes"] == len(b)
+        expected_hash = 0
+        for x in b:
+            expected_hash = (expected_hash * 131 + x) % 2147483647
+        assert out[i]["byte_hash"] == expected_hash
+        assert out[i]["feature"] == pytest.approx(fake_decode(b))
+
+
+def test_feature_vector_shape_and_determinism(spark):
+    df = spark.createDataFrame(
+        [(i, f"text number {i} " * 5) for i in range(50)],
+        ["doc_id", "text"],
+    )
+    media = text_as_media(df, "doc_id", "text")
+    a = extract_features(media.repartition(1), n_features=4).collect()
+    b = extract_features(media.repartition(7), n_features=4).collect()
+    da = {r["media_id"]: r["feature"] for r in a}
+    db = {r["media_id"]: r["feature"] for r in b}
+    assert da == db
+    assert all(len(v) == 4 for v in da.values())
+
+
+def test_frame_sample_plan(spark):
+    media = spark.createDataFrame(
+        [(1, 3500), (2, 900), (3, 0)], ["media_id", "duration_ms"]
+    )
+    out = frame_sample_plan(media, every_ms=1000).collect()
+    per = {}
+    for r in out:
+        per.setdefault(r["media_id"], []).append(r["frame_ts_ms"])
+    assert sorted(per[1]) == [0, 1000, 2000]
+    assert per[2] == [0]
+    assert per[3] == [0]

@@ -1,0 +1,106 @@
+"""Physical-plan assertions — the 100 TB posture checks.
+
+Each test pins a property that matters at scale: dimension joins must
+broadcast (no shuffle of the fact table), filters and projections must
+reach the parquet scan, aggregations must have a map-side partial
+phase, and the median-normalize plan must not window-sort the fact
+table.
+"""
+
+from pyspark.sql import functions as F
+
+from padua_spark.operators import (
+    filters as flt,
+    normalization as norm,
+    process as proc,
+    stats as st,
+)
+from padua_spark.plans import (
+    explain_str,
+    has_broadcast_join,
+    has_partial_aggregate,
+    pushed_filters,
+    scan_read_schema,
+)
+from tests.conftest import SF_ORACLE
+
+
+def _li(spark):
+    return spark.read.parquet(f"{SF_ORACLE}/lineitem.parquet")
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    df = flt.remove_rows_matching(_li(spark), "l_returnflag", "R").select(
+        "l_orderkey"
+    )
+    pf = pushed_filters(df)
+    assert any("l_returnflag" in f for f in pf), pf
+
+
+def test_threshold_filter_pushdown(spark):
+    df = flt.filter_localization_probability(
+        _li(spark), 30.0, "l_quantity"
+    ).select("l_orderkey")
+    pf = pushed_filters(df)
+    assert any(
+        "l_quantity" in f and "GreaterThanOrEqual" in f for f in pf
+    ), pf
+
+
+def test_column_pruning_reaches_scan(spark):
+    df = _li(spark).select("l_orderkey", "l_quantity")
+    cols = scan_read_schema(df)
+    assert set(cols) == {"l_orderkey", "l_quantity"}, cols
+
+
+def test_design_join_broadcasts(spark):
+    li = _li(spark)
+    design = spark.createDataFrame(
+        [("R", "grpR"), ("A", "grpA")], ["Label", "Group"]
+    )
+    joined = proc.join_design(li, design, label_col="l_returnflag")
+    assert has_broadcast_join(joined), explain_str(joined)[:2000]
+
+
+def test_median_normalize_no_fact_table_sort(spark):
+    out = norm.subtract_group_median(
+        _li(spark), ["l_returnflag"], "l_extendedprice"
+    )
+    plan = explain_str(out)
+    # agg+broadcast-join shape: no window sort of the fact table
+    assert "Window" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_ttest_single_pass_partial_agg(spark):
+    out = st.ttest_ind_stats(
+        _li(spark), ["l_partkey"], "l_returnflag", "l_quantity", "R", "A"
+    )
+    assert has_partial_aggregate(out)
+    # one shuffle only: a single Exchange on the feature key
+    simple = explain_str(out, mode="simple")
+    assert simple.count("Exchange") == 1, simple[:2000]
+
+
+def test_min_valid_semi_join(spark):
+    li = _li(spark).withColumn(
+        "val", F.when(F.col("l_discount") > 0, F.col("l_quantity"))
+    )
+    out = flt.minimum_valid_values_in_any_group(
+        li, ["l_partkey"], ["l_returnflag"], "val", n=8
+    )
+    plan = explain_str(out)
+    assert "LeftSemi" in plan, plan[:2000]
+
+
+def test_imputation_no_shuffle_of_fact(spark):
+    from padua_spark.operators import imputation as imp
+
+    e = spark.read.parquet(f"{SF_ORACLE}/lineitem.parquet").withColumn(
+        "val", F.when(F.col("l_discount") > 0, F.col("l_quantity"))
+    )
+    out = imp.impute_gaussian(e, ["l_returnflag"], "val", "l_orderkey")
+    plan = explain_str(out)
+    assert "BroadcastHashJoin" in plan
+    # group stats aggregate shuffles only the tiny stats table
+    assert "Window" not in plan

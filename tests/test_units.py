@@ -169,3 +169,36 @@ def test_ttest_symmetry(spark):
             assert ba[k] is None
         else:
             assert ab[k] == pytest.approx(-ba[k], rel=1e-12)
+
+
+def test_expand_side_table(spark):
+    """R1: ___1/2/3 multiplicity columns unpivot to 3x rows
+    (reference process.py:221-277)."""
+    from padua_spark.operators.process import expand_side_table
+
+    df = spark.createDataFrame(
+        [(0, "P1", 10.0, 20.0, 30.0), (1, "P2", 1.0, 2.0, 3.0)],
+        ["id", "Proteins", "Intensity A___1", "Intensity A___2",
+         "Intensity A___3"],
+    )
+    out = expand_side_table(
+        df,
+        ["id", "Proteins"],
+        {"Intensity A": ["Intensity A___1", "Intensity A___2",
+                         "Intensity A___3"]},
+    )
+    rows = out.collect()
+    assert len(rows) == 6  # 3x base rows
+    d = {(r["id"], r["multiplicity"]): r["Intensity A"] for r in rows}
+    assert d[(0, 1)] == 10.0 and d[(0, 3)] == 30.0 and d[(1, 2)] == 2.0
+
+
+def test_chunks_ntile(spark):
+    from padua_spark.functions.scalar import chunks_ntile
+
+    df = spark.range(10).select(F.col("id"))
+    out = df.select("id", chunks_ntile("id", 3).alias("chunk")).collect()
+    sizes = {}
+    for r in out:
+        sizes[r["chunk"]] = sizes.get(r["chunk"], 0) + 1
+    assert sorted(sizes.values()) == [3, 3, 4]
