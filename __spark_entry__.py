@@ -970,24 +970,33 @@ def q_ann_topk(spark, sf):
 # --- ext: exact n-gram Jaccard within blocks ------------------------------------
 
 
+_JACCARD_C1 = 1000000007 % 2147483647
+_JACCARD_C2 = (1000000007**2) % 2147483647
+
 @_q(
     "ngram_jaccard",
-    r"""
+    rf"""
 WITH t AS (
   SELECT lang, CAST(floor(n_chars / 50.0) AS INTEGER) AS len_bucket, doc_id,
-         list_distinct(list_transform(
-           generate_series(1, len(string_split(text, ' ')) - 2),
-           i -> concat_ws(' ', string_split(text, ' ')[i],
-                          string_split(text, ' ')[i+1],
-                          string_split(text, ' ')[i+2]))) AS sh
+    list_transform(string_split(text, ' '), w -> list_reduce(
+        list_prepend(CAST(7 AS BIGINT),
+          list_transform(string_split(w, ''), c -> CAST(ord(c) AS BIGINT))),
+        (a, c) -> (a * 131 + c) % 2147483647)) AS th
   FROM documents
   WHERE len(string_split(text, ' ')) >= 3
+),
+s AS (
+  SELECT lang, len_bucket, doc_id,
+    list_distinct(list_transform(generate_series(1, len(th) - 2),
+      i -> (th[i] * 1 + th[i+1] * {_JACCARD_C1}
+            + th[i+2] * {_JACCARD_C2}) % 2147483647)) AS sh
+  FROM t
 )
 SELECT a.lang, a.len_bucket, a.doc_id AS id_a, b.doc_id AS id_b,
   round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
         / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE), 6)
     AS jaccard
-FROM t a JOIN t b
+FROM s a JOIN s b
   ON a.lang = b.lang AND a.len_bucket = b.len_bucket
  AND a.doc_id < b.doc_id
 """,
@@ -1542,6 +1551,76 @@ def q_find_nearest(spark, sf):
     out = agg_ops.find_nearest(o, "o_totalprice", 150000.0, "o_orderkey")
     return out.select(
         "nearest_key", _r("abs_diff").alias("abs_diff")
+    )
+
+
+# --- ext: SimHash signatures + Hamming near-dup candidates --------------------
+
+_SIMHASH_TH_SQL = r"""
+    list_transform(string_split(text, ' '), w -> list_reduce(
+        list_prepend(CAST(7 AS BIGINT),
+          list_transform(string_split(w, ''), c -> CAST(ord(c) AS BIGINT))),
+        (a, c) -> (a * 131 + c) % 2147483647))
+"""
+
+_SIMHASH_BITS_SQL = " + ".join(
+    f"(CASE WHEN 2 * len(list_filter(th, h -> (h & {1 << b}) <> 0))"
+    f" >= len(th) THEN CAST({1 << b} AS BIGINT) ELSE 0 END)"
+    for b in range(32)
+)
+
+_SIMHASH_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, lang, {_SIMHASH_TH_SQL} AS th FROM documents
+),
+s AS (
+  SELECT doc_id, lang, {_SIMHASH_BITS_SQL} AS simhash FROM t
+)
+SELECT a.lang, a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+FROM s a JOIN s b ON a.lang = b.lang AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
+"""
+
+
+@_q("simhash_candidates", _SIMHASH_ORACLE)
+def q_simhash(spark, sf):
+    d = _t(spark, sf, "documents")
+    out = x_dedup.simhash_candidates(
+        d, "doc_id", "text", ["lang"], max_hamming=6, n_bits=32
+    )
+    return out.select(
+        "lang", "id_a", "id_b",
+        F.col("hamming").cast("bigint").alias("hamming"),
+    )
+
+
+# --- ext: embedding-cosine near-dup pairs -------------------------------------
+
+
+@_q(
+    "embedding_near_dup",
+    """
+WITH s AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
+         sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                               CAST(embedding AS DOUBLE[]))) AS nrm
+  FROM embeddings
+)
+SELECT a.label, a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6)
+         AS cosine_sim
+FROM s a JOIN s b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.35
+""",
+)
+def q_embedding_near_dup(spark, sf):
+    emb = _t(spark, sf, "embeddings")
+    out = x_sim.cosine_near_dup_pairs(
+        emb, "vec_id", "embedding", ["label"], threshold=0.35
+    )
+    return out.select(
+        "label", "id_a", "id_b", _r("cosine_sim").alias("cosine_sim")
     )
 
 

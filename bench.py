@@ -40,6 +40,8 @@ HEADLINE = [
     "sessionize",
     "multimodal_features",
     "language_id",
+    "simhash_candidates",
+    "embedding_near_dup",
 ]
 
 

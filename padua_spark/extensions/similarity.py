@@ -107,3 +107,41 @@ def lsh_topk(
     )
     candidates = bucketed.filter(F.col("_bucket") == qdf_bucket)
     return brute_force_topk(candidates, vec_col, id_col, query, k)
+
+
+def cosine_near_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    block_cols: list[str],
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs within blocks.
+
+    Norms are precomputed per row in a staged projection, so the
+    per-pair work is a single dot product. For unblocked 100 TB corpora
+    use :func:`hyperplane_lsh_bucket` as the blocking key — same shape,
+    the bucket column replaces the natural blocks.
+    """
+    staged = df.select(
+        *block_cols,
+        F.col(id_col),
+        _as_double(F.col(vec_col)).alias("_v"),
+    ).withColumn("_nrm", l2_norm(F.col("_v")))
+    left = staged.select(
+        *block_cols, F.col(id_col).alias("id_a"),
+        F.col("_v").alias("_va"), F.col("_nrm").alias("_na")
+    )
+    right = staged.select(
+        *block_cols, F.col(id_col).alias("id_b"),
+        F.col("_v").alias("_vb"), F.col("_nrm").alias("_nb")
+    )
+    cos = dot(F.col("_va"), F.col("_vb")) / (
+        F.col("_na") * F.col("_nb")
+    )
+    return (
+        left.join(right, on=block_cols)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(*block_cols, "id_a", "id_b", cos.alias("cosine_sim"))
+        .filter(F.col("cosine_sim") >= F.lit(threshold))
+    )
