@@ -139,7 +139,13 @@ def deterministic_gaussian(key: Column | str, salt: int = 0) -> Column:
 
 
 def _lcg_state_sql(key_expr: str, salt: int) -> str:
-    x = f"((({key_expr}) % {_IH_M}) + {(salt * _SALT_MIX) % _IH_M}) % {_IH_M}"
+    # CAST the seed to BIGINT so engines don't type the whole chain as
+    # INT32 when key_expr is a small literal (DuckDB folds constants in
+    # the literal's type and overflows otherwise).
+    x = (
+        f"((CAST({key_expr} AS BIGINT) % {_IH_M})"
+        f" + {(salt * _SALT_MIX) % _IH_M}) % {_IH_M}"
+    )
     for _ in range(_WARMUP):
         x = f"(({x}) * {_LCG_A} + {_LCG_B}) % {_IH_M}"
     return x

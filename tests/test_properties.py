@@ -1,0 +1,176 @@
+"""Property-based tests (hypothesis) — SURVEY.md §5 test plan: filter
+idempotence, q-value monotonicity, melt/pivot round-trip, t-test vs
+direct numpy, and engine-vs-SQL-twin equality for deterministic noise."""
+
+import math
+
+import duckdb
+import numpy as np
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as hst
+from pyspark.sql import functions as F
+
+from padua_spark.functions.distributions import student_t_sf
+from padua_spark.functions.scalar import (
+    deterministic_gaussian_sql,
+    deterministic_uniform_sql,
+)
+from padua_spark.operators import filters as flt
+from padua_spark.operators import process as proc
+from padua_spark.operators import stats as st
+
+SPARK_SETTINGS = settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+@SPARK_SETTINGS
+@given(
+    rows=hst.lists(
+        hst.tuples(
+            hst.integers(0, 50),
+            hst.sampled_from(["a", "b", None]),
+        ),
+        min_size=1,
+        max_size=60,
+    ),
+    match=hst.sampled_from(["a", "b", "c"]),
+)
+def test_remove_rows_matching_properties(spark, rows, match):
+    df = spark.createDataFrame(rows, "k int, flag string")
+    kept = flt.remove_rows_matching(df, "flag", match)
+    once = kept.count()
+    # idempotent
+    assert flt.remove_rows_matching(kept, "flag", match).count() == once
+    # complement partition: kept + (flag == match) == total (NULLs kept)
+    dropped = df.filter(F.col("flag") == match).count()
+    assert once + dropped == len(rows)
+
+
+@SPARK_SETTINGS
+@given(
+    ps=hst.lists(
+        hst.floats(
+            min_value=0.0, max_value=1.0,
+            allow_nan=False, allow_infinity=False,
+        ),
+        min_size=1,
+        max_size=80,
+    )
+)
+def test_qvalues_properties(spark, ps):
+    df = spark.createDataFrame(
+        [(i, p) for i, p in enumerate(ps)], ["k", "p_value"]
+    )
+    out = sorted(
+        st.qvalues(df, "p_value", pi0=1.0).collect(),
+        key=lambda r: (r["p_value"], r["k"]),
+    )
+    qs = [r["q_value"] for r in out]
+    assert all(0 <= q <= 1 for q in qs)
+    assert all(a <= b + 1e-12 for a, b in zip(qs, qs[1:]))
+    assert all(r["q_value"] >= r["p_value"] - 1e-12 for r in out)
+    # the smallest q equals min(m·p/rank) overall
+    m = len(ps)
+    expected_min = min(
+        min(1.0, m * p / (i + 1)) for i, p in enumerate(sorted(ps))
+    )
+    assert min(qs) == pytest.approx(expected_min, rel=1e-12)
+
+
+@SPARK_SETTINGS
+@given(
+    vals=hst.lists(
+        hst.tuples(
+            hst.integers(0, 8),
+            hst.sampled_from(["x", "y", "z"]),
+            hst.floats(
+                min_value=-1e6, max_value=1e6,
+                allow_nan=False, allow_infinity=False,
+            ),
+        ),
+        min_size=1,
+        max_size=60,
+        unique_by=lambda t: (t[0], t[1]),
+    )
+)
+def test_melt_pivot_roundtrip(spark, vals):
+    df = spark.createDataFrame(vals, ["k", "s", "v"])
+    wide = proc.pivot_wider(
+        df, ["k"], "s", "v", pivot_values=["x", "y", "z"]
+    )
+    back = proc.melt(wide, ["k"], ["x", "y", "z"], "s", "v").filter(
+        F.col("v").isNotNull()
+    )
+    got = {(r["k"], r["s"]): r["v"] for r in back.collect()}
+    assert got == {(k, s): v for k, s, v in vals}
+
+
+@SPARK_SETTINGS
+@given(
+    data=hst.lists(
+        hst.tuples(
+            hst.sampled_from(["a", "b"]),
+            hst.floats(
+                min_value=-100, max_value=100,
+                allow_nan=False, allow_infinity=False,
+            ),
+        ),
+        min_size=4,
+        max_size=50,
+    )
+)
+def test_ttest_matches_numpy(spark, data):
+    a = np.array([v for g, v in data if g == "a"])
+    b = np.array([v for g, v in data if g == "b"])
+    df = spark.createDataFrame(
+        [(1, g, float(v)) for g, v in data], ["f", "grp", "v"]
+    )
+    row = st.ttest_ind(df, ["f"], "grp", "v", "a", "b").collect()[0]
+    if len(a) < 2 or len(b) < 2:
+        assert row["t_stat"] is None
+        return
+    va, vb = a.var(ddof=1), b.var(ddof=1)
+    dof = len(a) + len(b) - 2
+    pooled = ((len(a) - 1) * va + (len(b) - 1) * vb) / dof
+    denom = math.sqrt(pooled * (1 / len(a) + 1 / len(b)))
+    if denom == 0:
+        assert row["t_stat"] is None
+        return
+    t = (a.mean() - b.mean()) / denom
+    assert row["t_stat"] == pytest.approx(t, rel=1e-9, abs=1e-9)
+    assert row["p_value"] == pytest.approx(
+        float(student_t_sf(t, dof)), rel=1e-9, abs=1e-12
+    )
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    key=hst.integers(0, 2**40),
+    salt=hst.integers(0, 1000),
+)
+def test_noise_sql_twin_bit_exact(key, salt):
+    """The DuckDB rendering of the LCG noise must equal the same
+    arithmetic evaluated in Python (what Spark computes)."""
+    con = duckdb.connect()
+    u_sql = con.execute(
+        f"SELECT {deterministic_uniform_sql(str(key), salt)}"
+    ).fetchone()[0]
+    g_sql = con.execute(
+        f"SELECT {deterministic_gaussian_sql(str(key), salt)}"
+    ).fetchone()[0]
+    M, A, B = 2147483647, 48271, 1013904223 % 2147483647
+    x = ((key % M) + (salt * 2654435761) % M) % M
+    for _ in range(3):
+        x = (x * A + B) % M
+    xs = []
+    xx = x
+    for _ in range(12):
+        xx = (xx * A + B) % M
+        xs.append(xx / M)
+    assert u_sql == xs[0]
+    # left-associated sequential sum — the order both engines evaluate
+    assert g_sql == sum(xs) - 6.0
