@@ -43,6 +43,14 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # read nanos as int64 (runtime-settable legacy conf) and convert where
     # a query needs event time.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # See padua_spark.session: InferFiltersFromGenerate re-evaluates
+    # heavy generator-input expressions per element via pushdown
+    # inlining — exclude it (the driver's session doesn't use our
+    # factory, so set it here too).
+    spark.conf.set(
+        "spark.sql.optimizer.excludedRules",
+        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
+    )
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
@@ -999,6 +1007,7 @@ SELECT a.lang, a.len_bucket, a.doc_id AS id_a, b.doc_id AS id_b,
 FROM s a JOIN s b
   ON a.lang = b.lang AND a.len_bucket = b.len_bucket
  AND a.doc_id < b.doc_id
+WHERE len(list_intersect(a.sh, b.sh)) > 0
 """,
 )
 def q_ngram_jaccard(spark, sf):

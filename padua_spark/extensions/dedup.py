@@ -143,6 +143,34 @@ def _shingles_from_token_hashes(
     )
 
 
+def exploded_shingles(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k_shingle: int = 3,
+    extra_cols: list[str] | None = None,
+) -> DataFrame:
+    """One row per (id, distinct shingle hash). The only interpreted
+    higher-order-function work is the per-token hashing (one pass over
+    the characters); everything downstream of the explode is
+    whole-stage-codegen relational operators."""
+    th = df.select(
+        *(extra_cols or []),
+        F.col(id_col),
+        token_hashes(F.col(text_col)).alias("_th"),
+    )
+    sh = th.select(
+        *(extra_cols or []),
+        id_col,
+        _shingles_from_token_hashes(F.col("_th"), k_shingle).alias("_sh"),
+    )
+    return sh.select(
+        *(extra_cols or []),
+        id_col,
+        F.explode(F.col("_sh")).alias("shingle"),
+    )
+
+
 def shingle_signatures(
     df: DataFrame,
     id_col: str,
@@ -151,29 +179,21 @@ def shingle_signatures(
     num_hashes: int = 32,
     seed: int = 7,
 ) -> DataFrame:
-    """(id, minhash signature) via staged projections — each stage's
-    output is an attribute so every hash is computed exactly once per
-    row (see note in :func:`_shingles_from_token_hashes`)."""
+    """(id, minhash signature) via explode + hash-aggregate.
+
+    The per-permutation min runs as ``min((a_i·h + b_i) mod M)`` over
+    exploded (id, shingle) rows — native codegen aggregates with
+    map-side partial combine, instead of 32 interpreted array
+    traversals per document. At 100 TB the partial aggregation collapses
+    each document's shingles before any shuffle."""
     consts = _affine_constants(num_hashes, seed)
-    th = df.select(
-        F.col(id_col), token_hashes(F.col(text_col)).alias("_th")
-    )
-    sh = th.select(
-        id_col,
-        _shingles_from_token_hashes(F.col("_th"), k_shingle).alias("_sh"),
-    )
-
-    def _perm(a: int, b: int):
-        return lambda h: (h * F.lit(a) + F.lit(b)) % F.lit(MOD)
-
-    mins = sh.select(
-        id_col,
+    exploded = exploded_shingles(df, id_col, text_col, k_shingle)
+    h = F.col("shingle")
+    mins = exploded.groupBy(id_col).agg(
         *[
-            F.array_min(F.transform(F.col("_sh"), _perm(a, b))).alias(
-                f"_m{i}"
-            )
+            F.min((h * F.lit(a) + F.lit(b)) % F.lit(MOD)).alias(f"_m{i}")
             for i, (a, b) in enumerate(consts)
-        ],
+        ]
     )
     return mins.select(
         id_col,
@@ -265,24 +285,51 @@ def ngram_jaccard_pairs(
     checks. ``hashed=False`` keeps raw string shingles.
     """
     if hashed:
-        th = df.select(
-            *block_cols,
-            F.col(id_col),
-            token_hashes(F.col(text_col)).alias("_th"),
+        # Inverted-index (sparse) form: explode distinct shingle hashes,
+        # self-join on (block, shingle) so only OVERLAPPING pairs meet,
+        # count matches per pair → |intersection|; |union| from per-doc
+        # distinct counts. Everything after tokenization is codegen
+        # joins/aggregates; pairs with zero overlap never materialize.
+        ex = exploded_shingles(
+            df, id_col, text_col, k_shingle, extra_cols=block_cols
         )
-        base = th.select(
-            *block_cols,
-            id_col,
-            _shingles_from_token_hashes(F.col("_th"), k_shingle).alias(
-                "_sh"
-            ),
+        sizes = ex.groupBy(*block_cols, id_col).agg(
+            F.count(F.lit(1)).alias("_n")
         )
-    else:
-        base = df.select(
-            *block_cols,
-            F.col(id_col),
-            word_shingles(F.col(text_col), k_shingle).alias("_sh"),
+        left = ex.select(
+            *block_cols, F.col(id_col).alias("id_a"), "shingle"
         )
+        right = ex.select(
+            *block_cols, F.col(id_col).alias("id_b"), "shingle"
+        )
+        inter = (
+            left.join(right, on=[*block_cols, "shingle"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .groupBy(*block_cols, "id_a", "id_b")
+            .agg(F.count(F.lit(1)).alias("_inter"))
+        )
+        sa = sizes.select(
+            *block_cols, F.col(id_col).alias("id_a"),
+            F.col("_n").alias("_na")
+        )
+        sb = sizes.select(
+            *block_cols, F.col(id_col).alias("id_b"),
+            F.col("_n").alias("_nb")
+        )
+        out = inter.join(sa, on=[*block_cols, "id_a"]).join(
+            sb, on=[*block_cols, "id_b"]
+        )
+        jac = F.col("_inter").cast("double") / (
+            F.col("_na") + F.col("_nb") - F.col("_inter")
+        ).cast("double")
+        return out.select(
+            *block_cols, "id_a", "id_b", jac.alias("jaccard")
+        )
+    base = df.select(
+        *block_cols,
+        F.col(id_col),
+        word_shingles(F.col(text_col), k_shingle).alias("_sh"),
+    )
     left = base.select(
         *block_cols, F.col(id_col).alias("id_a"), F.col("_sh").alias("_sh_a")
     )

@@ -42,6 +42,16 @@ def get_spark(
         # The synthetic events table stores TIMESTAMP(NANOS); Spark has no
         # nanosecond timestamp type — read them as raw int64 nanos.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # InferFiltersFromGenerate + predicate pushdown inline the
+        # generator-input expression into a synthesized size()>0 filter.
+        # For explode over computed arrays (shingle hashing) that
+        # re-evaluates an O(len) expression per element — a ~25×
+        # regression. The rule only prunes empty-array rows; exclude it.
+        .config(
+            "spark.sql.optimizer.excludedRules",
+            "org.apache.spark.sql.catalyst.optimizer."
+            "InferFiltersFromGenerate",
+        )
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
     )
