@@ -1030,15 +1030,75 @@ def q_ngram_jaccard(spark, sf):
     )
 
 
-# --- ext: MinHash LSH near-dup candidates (rows-only check: bucketing is
-#     engine-internal; est_jaccard validated against ngram_jaccard in tests) --
+# --- ext: MinHash LSH near-dup candidates — the full pipeline (token
+#     hash → shingle hash → 32 minhash permutations → banded buckets →
+#     candidate pairs → estimated Jaccard) mirrored in DuckDB ------------------
 
 
-@_q("minhash_lsh_candidates")
+def _minhash_oracle() -> str:
+    from padua_spark.extensions.dedup import MOD, _affine_constants
+
+    consts = _affine_constants(32, seed=7)
+    mins = ",\n    ".join(
+        f"list_min(list_transform(sh, h -> (h * {a} + {b}) % {MOD}))"
+        f" AS m{i}"
+        for i, (a, b) in enumerate(consts)
+    )
+    band_rows = "\n  UNION ALL\n".join(
+        f"  SELECT doc_id, concat_ws(',', '{b}', "
+        + ", ".join(f"m{b * 4 + j}" for j in range(4))
+        + ") AS key FROM sig"
+        for b in range(8)
+    )
+    eq_terms = " + ".join(
+        f"(CASE WHEN sa.m{i} = sb.m{i} THEN 1 ELSE 0 END)"
+        for i in range(32)
+    )
+    return rf"""
+WITH t AS (
+  SELECT doc_id,
+    list_transform(string_split(text, ' '), w -> list_reduce(
+        list_prepend(CAST(7 AS BIGINT),
+          list_transform(string_split(w, ''), c -> CAST(ord(c) AS BIGINT))),
+        (a, c) -> (a * 131 + c) % {MOD})) AS th
+  FROM documents
+),
+s AS (
+  SELECT doc_id,
+    CASE WHEN len(th) >= 3 THEN
+      list_distinct(list_transform(generate_series(1, len(th) - 2),
+        i -> (th[i] * 1 + th[i+1] * {_JACCARD_C1}
+              + th[i+2] * {_JACCARD_C2}) % {MOD}))
+    ELSE [th[1]] END AS sh
+  FROM t
+),
+sig AS (
+  SELECT doc_id,
+    {mins}
+  FROM s
+),
+bands AS (
+{band_rows}
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.key = b.key AND a.doc_id < b.doc_id
+)
+SELECT p.id_a, p.id_b,
+  round(({eq_terms}) / 32.0, 6) AS est_jaccard
+FROM pairs p
+JOIN sig sa ON sa.doc_id = p.id_a
+JOIN sig sb ON sb.doc_id = p.id_b
+"""
+
+
+@_q("minhash_lsh_candidates", _minhash_oracle())
 def q_minhash(spark, sf):
     d = _t(spark, sf, "documents")
     out = x_dedup.minhash_lsh_candidates(
-        d, "doc_id", "text", k_shingle=3, num_hashes=32, bands=8
+        d, "doc_id", "text", k_shingle=3, num_hashes=32, bands=8,
+        portable_keys=True,
     )
     return out.select("id_a", "id_b", _r("est_jaccard").alias("est_jaccard"))
 
@@ -1220,6 +1280,44 @@ def q_dedup_exact_rows(spark, sf):
     return x_dedup.exact_dedup(d, ["lang", "source"], "doc_id").select(
         "doc_id"
     )
+
+
+# --- M1 PCA distributed Gram matrix (the SQL-expressible core of pca();
+#     eigendecomposition itself is rows-only via pca_scores) ------------------
+
+
+@_q(
+    "pca_gram",
+    """
+WITH long AS (
+  SELECT l_partkey AS f, l_returnflag AS s, avg(l_quantity) AS v
+  FROM lineitem GROUP BY 1, 2
+),
+m AS (SELECT f, avg(v) AS mv FROM long GROUP BY 1),
+c AS (
+  SELECT long.f, long.s, long.v - m.mv AS cv
+  FROM long JOIN m USING (f)
+)
+SELECT a.s AS sample_x, b.s AS sample_y,
+       round(sum(a.cv * b.cv), 6) AS xy
+FROM c a JOIN c b USING (f) GROUP BY 1, 2
+""",
+)
+def q_pca_gram(spark, sf):
+    from padua_spark.operators.ml import _sample_cross_products
+
+    li = _t(spark, sf, "lineitem")
+    long = li.groupBy("l_partkey", "l_returnflag").agg(
+        F.avg("l_quantity").alias("v")
+    )
+    means = long.groupBy("l_partkey").agg(F.avg("v").alias("_m"))
+    centered = long.join(means, on="l_partkey").withColumn(
+        "cv", F.col("v") - F.col("_m")
+    )
+    gram = _sample_cross_products(
+        centered, ["l_partkey"], "l_returnflag", "cv"
+    )
+    return gram.select("sample_x", "sample_y", _r("xy").alias("xy"))
 
 
 # --- M1 PCA scores (eigendecomposition — not SQL-expressible; rows-only) -----

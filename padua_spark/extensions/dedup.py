@@ -209,6 +209,7 @@ def minhash_lsh_candidates(
     num_hashes: int = 32,
     bands: int = 8,
     seed: int = 7,
+    portable_keys: bool = False,
 ) -> DataFrame:
     """Near-duplicate candidate pairs via banded MinHash LSH.
 
@@ -221,19 +222,22 @@ def minhash_lsh_candidates(
     signatures past the join.
     """
     rows_per_band = num_hashes // bands
+
+    def _band_key(b: int):
+        key = F.concat_ws(
+            ",",
+            F.lit(b),
+            F.slice(F.col("_sig"), b * rows_per_band + 1, rows_per_band),
+        )
+        # engine-specific hash keeps shuffle keys small at scale;
+        # portable_keys keeps the raw string so any SQL engine
+        # reproduces the exact candidate set (oracle mode).
+        return key if portable_keys else F.hash(key)
+
     sigs = shingle_signatures(
         df, id_col, text_col, k_shingle, num_hashes, seed
     )
-    band_cols = [
-        F.hash(
-            F.concat_ws(
-                ",",
-                F.lit(b),
-                F.slice(F.col("_sig"), b * rows_per_band + 1, rows_per_band),
-            )
-        ).alias(f"_band{b}")
-        for b in range(bands)
-    ]
+    band_cols = [_band_key(b).alias(f"_band{b}") for b in range(bands)]
     banded = sigs.select(id_col, "_sig", *band_cols)
     exploded = banded.select(
         id_col,

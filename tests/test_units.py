@@ -202,3 +202,27 @@ def test_chunks_ntile(spark):
     for r in out:
         sizes[r["chunk"]] = sizes.get(r["chunk"], 0) + 1
     assert sorted(sizes.values()) == [3, 3, 4]
+
+
+def test_wide_ingest_many_columns(spark, tmp_path):
+    """maxquant_long must hold up with hundreds of expression columns
+    (the stack expression scales linearly, no per-column Python loop at
+    execution time)."""
+    import pandas as pd
+
+    n_samples, n_rows = 300, 40
+    df = pd.DataFrame({"id": range(n_rows), "Proteins": "P1"})
+    for s in range(n_samples):
+        df[f"Intensity S{s:03d}"] = float(s)
+    path = str(tmp_path / "wide.txt")
+    df.to_csv(path, sep="\t", index=False)
+    from padua_spark.sources import maxquant_long, read_maxquant
+
+    wide = read_maxquant(spark, path)
+    meas, feats = maxquant_long(wide)
+    assert meas.count() == n_rows * n_samples
+    one = meas.filter(
+        (F.col("feature_id") == 0)
+        & (F.col("sample_label") == "S007")
+    ).collect()
+    assert len(one) == 1 and one[0]["value"] == 7.0
