@@ -100,8 +100,6 @@ def lsh_topk(
     bucketed = df.withColumn(
         "_bucket", hyperplane_lsh_bucket(F.col(vec_col), dim, n_planes)
     )
-    import pyspark.sql.types as T
-
     qdf_bucket = hyperplane_lsh_bucket(
         F.array(*[F.lit(float(x)) for x in query]), dim, n_planes
     )
