@@ -1339,17 +1339,69 @@ def q_pca_scores(spark, sf):
     )
 
 
-# --- ext: LSH-bucketed approximate top-k (rows-only; exactness vs
-#     brute force asserted in tests) -------------------------------------------
+# --- ext: LSH-bucketed approximate top-k. The oracle mirrors the exact
+#     plane constants, the sequential summation order of the Spark-side
+#     dot products, and the bucket bit chain — so even the sign of a
+#     near-zero plane projection agrees bit-for-bit. ---------------------------
+
+_ANN_DIM, _ANN_PLANES = 64, 4
 
 
-@_q("ann_lsh_topk")
+def _ann_lsh_oracle() -> str:
+    from padua_spark.functions.scalar import _IH_M
+
+    def dot_chain(left: str, right: str) -> str:
+        return "0.0 + " + " + ".join(
+            f"{left}[{i}] * {right}[{i}]" for i in range(1, _ANN_DIM + 1)
+        )
+
+    def plane_chain(vec: str, p: int) -> str:
+        terms = []
+        for d in range(_ANN_DIM):
+            h = ((p * _ANN_DIM + d + 1) * 2654435761 + 1013904223) % _IH_M
+            terms.append(f"{vec}[{d + 1}] * {h / _IH_M - 0.5!r}")
+        return "0.0 + " + " + ".join(terms)
+
+    def bucket_expr(vec: str) -> str:
+        bits = [
+            f"(CASE WHEN ({plane_chain(vec, p)}) >= 0 THEN 1 ELSE 0 END)"
+            for p in range(_ANN_PLANES)
+        ]
+        expr = "0"
+        for b in bits:
+            expr = f"(({expr}) * 2 + {b})"
+        return expr
+
+    return f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+q AS (SELECT v FROM e WHERE vec_id = 0),
+b AS (
+  SELECT e.vec_id, e.v, q.v AS qv,
+         {bucket_expr('e.v')} AS bucket,
+         {bucket_expr('q.v')} AS qbucket
+  FROM e, q
+),
+c AS (
+  SELECT vec_id,
+    ({dot_chain('v', 'qv')})
+      / (sqrt({dot_chain('v', 'v')}) * sqrt({dot_chain('qv', 'qv')}))
+      AS cosine_sim
+  FROM b WHERE bucket = qbucket
+)
+SELECT vec_id, round(cosine_sim, 6) AS cosine_sim
+FROM c ORDER BY c.cosine_sim DESC, vec_id LIMIT 10
+"""
+
+
+@_q("ann_lsh_topk", _ann_lsh_oracle())
 def q_ann_lsh_topk(spark, sf):
     emb = _t(spark, sf, "embeddings")
     qrow = emb.filter(F.col("vec_id") == 0).select("embedding").collect()
     query = [float(x) for x in qrow[0][0]]
     out = x_sim.lsh_topk(
-        emb, "embedding", "vec_id", query, k=10, n_planes=4
+        emb, "embedding", "vec_id", query, k=10, n_planes=_ANN_PLANES
     )
     return out.select("vec_id", _r("cosine_sim").alias("cosine_sim"))
 

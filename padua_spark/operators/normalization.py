@@ -13,6 +13,8 @@ def subtract_group_median(
     group_cols: list[str],
     value_col: str,
     out_col: str | None = None,
+    exact: bool = True,
+    approx_accuracy: int = 10000,
 ) -> DataFrame:
     """Median normalization: subtract each group's (= sample column's)
     median from its values (reference: ``padua/normalization.py:4-22``;
@@ -24,12 +26,21 @@ def subtract_group_median(
     of the fact table at all. A window over ``partitionBy(sample)``
     would instead shuffle + sort the full fact table; at 100 TB the
     agg+broadcast form wins by a wide margin.
+
+    ``exact=False`` switches to ``percentile_approx`` (a mergeable
+    KLL-style sketch): at extreme per-group cardinalities the exact
+    median's sort-based aggregation can be traded for a bounded-error
+    sketch with pure map-side combine. Default stays exact — it matches
+    the reference and is fine up to billions of rows per group.
     """
     out_col = out_col or value_col
     v = nan_and_inf_to_null(value_col)
-    medians = df.groupBy(*group_cols).agg(
-        F.median(v).alias("_group_median")
+    med = (
+        F.median(v)
+        if exact
+        else F.percentile_approx(v, 0.5, approx_accuracy)
     )
+    medians = df.groupBy(*group_cols).agg(med.alias("_group_median"))
     joined = df.join(F.broadcast(medians), on=group_cols, how="left")
     return joined.withColumn(out_col, v - F.col("_group_median")).drop(
         "_group_median"

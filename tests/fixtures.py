@@ -62,6 +62,14 @@ def make_protein_groups(
     for j, lab in enumerate(labels):
         df[f"Intensity {lab}"] = intensities[:, j]
         df[f"LFQ intensity {lab}"] = intensities[:, j] * 0.9
+    # SILAC-style normalized ratios (entry point B, SURVEY §3.2): three
+    # experiments; first fc_features carry a real 2^log2_fc ratio shift.
+    for e in range(1, 4):
+        ratio = np.exp2(rng.normal(0.0, 0.4, size=n_features))
+        ratio[:fc_features] *= 2.0**log2_fc
+        miss_r = rng.random(n_features) < 0.15
+        ratio[miss_r] = np.nan
+        df[f"Ratio H/L normalized E{e}"] = ratio
     design = pd.DataFrame(
         {
             "Label": labels,

@@ -59,3 +59,61 @@ def test_msp_enrichment_pipeline(spark, tmp_path):
         pdf = df[df["Modifications"].str.contains("Phospho")]
         expected = pdf[f"Intensity {r['sample_label']}"].sum()
         assert r["modified_sum"] == pytest.approx(expected, rel=1e-9)
+
+
+def test_protein_groups_ratio_pipeline(spark, tmp_path):
+    """Entry point B (SURVEY §3.2): ratio pipeline one-sample t vs 0
+    matches an independent pandas computation and flags the planted
+    ratio shift."""
+    import os
+
+    from tests.fixtures import write_fixture
+
+    d = str(tmp_path / "silac")
+    os.makedirs(d, exist_ok=True)
+    pg, _ = write_fixture(d)
+    # ratio design: Label = 'E1'... (labels after 'Ratio H/L normalized ')
+    ratio_design = pd.DataFrame(
+        {"Label": ["E1", "E2", "E3"], "Group": ["t1", "t1", "t1"],
+         "Replicate": [1, 2, 3]}
+    )
+    design_path = f"{d}/ratio_design.csv"
+    ratio_design.to_csv(design_path, index=False)
+    out = pipelines.protein_groups_ratio(
+        spark, pg, design_path, min_valid_per_group=2
+    )
+    got = {r["feature_id"]: r for r in out["onesample_ttest"].collect()}
+    # pandas reference
+    raw = pd.read_csv(pg, sep="\t")
+    raw = raw[~raw["Reverse"].astype(str).str.contains(r"\+", na=False)]
+    raw = raw[~raw["Potential contaminant"].astype(str)
+              .str.contains(r"\+", na=False)]
+    raw = raw[~raw["Only identified by site"].astype(str)
+              .str.contains(r"\+", na=False)]
+    cols = [f"Ratio H/L normalized E{e}" for e in (1, 2, 3)]
+    mat = np.log2(raw[cols].to_numpy())
+    n = np.sum(~np.isnan(mat), axis=1)
+    keep = n >= 2
+    import warnings
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", RuntimeWarning)
+        mean = np.nanmean(mat, axis=1)
+        sd = np.nanstd(mat, axis=1, ddof=1)
+    ids = raw["id"].to_numpy()
+    checked = 0
+    for i, fid in enumerate(ids):
+        if not keep[i]:
+            assert fid not in got
+            continue
+        r = got[fid]
+        assert r["mean"] == pytest.approx(mean[i], rel=1e-9)
+        if sd[i] > 0 and n[i] >= 2:
+            t = mean[i] / (sd[i] / np.sqrt(n[i]))
+            assert r["t_stat"] == pytest.approx(t, rel=1e-9)
+            checked += 1
+    assert checked > 100
+    # planted ratio features have strongly positive mean log2 ratio
+    planted = [got[f]["mean"] for f in range(20) if f in got]
+    rest = [got[f]["mean"] for f in range(30, 150) if f in got]
+    assert np.mean(planted) > np.mean(rest) + 1.0
