@@ -51,6 +51,9 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         "spark.sql.optimizer.excludedRules",
         "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
     )
+    # Non-ANSI: degenerate corr/var and x/0 → NULL (reference NaN
+    # semantics + DuckDB agreement) instead of Spark-4 ANSI exceptions.
+    spark.conf.set("spark.sql.ansi.enabled", "false")
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 

@@ -42,6 +42,11 @@ def get_spark(
         # The synthetic events table stores TIMESTAMP(NANOS); Spark has no
         # nanosecond timestamp type — read them as raw int64 nanos.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Non-ANSI evaluation: degenerate aggregates (zero-variance
+        # corr, n=1 var_samp) and x/0 yield NULL — matching both the
+        # reference's NaN-is-missing semantics and DuckDB — instead of
+        # throwing (Spark 4 ANSI default).
+        .config("spark.sql.ansi.enabled", "false")
         # InferFiltersFromGenerate + predicate pushdown inline the
         # generator-input expression into a synthesized size()>0 filter.
         # For explode over computed arrays (shingle hashing) that

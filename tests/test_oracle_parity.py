@@ -17,6 +17,28 @@ from tests.conftest import SF_ORACLE
 QUERIES = entrymod.queries()
 ORACLES = entrymod.oracle_sql()
 
+# Loose dtype families for cross-engine schema comparison (the driver
+# records schema matches too — catch int-vs-double drifts locally).
+_SPARK_FAMILY = {
+    "bigint": "int", "int": "int", "smallint": "int", "tinyint": "int",
+    "double": "float", "float": "float",
+    "string": "str", "boolean": "bool", "timestamp": "ts",
+}
+_DUCK_FAMILY = {
+    "BIGINT": "int", "INTEGER": "int", "SMALLINT": "int", "TINYINT": "int",
+    "HUGEINT": "int", "UBIGINT": "int",
+    "DOUBLE": "float", "FLOAT": "float", "DECIMAL": "float",
+    "VARCHAR": "str", "BOOLEAN": "bool", "TIMESTAMP": "ts",
+}
+
+
+def _spark_family(dtype: str) -> str:
+    return _SPARK_FAMILY.get(dtype.split("(")[0], dtype)
+
+
+def _duck_family(dtype: str) -> str:
+    return _DUCK_FAMILY.get(dtype.split("(")[0], dtype)
+
 
 def _normalize(rows, cols):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
@@ -49,6 +71,17 @@ def test_oracle_match(name, spark, duck):
     assert len(spark_rows) == len(duck_rows), (
         f"{name}: row count {len(spark_rows)} vs oracle {len(duck_rows)}"
     )
+    # dtype families must agree column-by-column (driver checks schema)
+    duck_types = {
+        r[0]: _duck_family(str(r[1]))
+        for r in duck.execute(f"DESCRIBE {ORACLES[name]}").fetchall()
+    }
+    for col, dtype in sdf.dtypes:
+        fam = duck_types.get(col)
+        if fam in ("int", "float", "str", "bool"):
+            assert _spark_family(dtype) == fam, (
+                f"{name}.{col}: spark {dtype} vs duck {fam}"
+            )
     a = _normalize(spark_rows, spark_cols)
     b = _normalize(duck_rows, duck_cols)
     assert a[0] == b[0], f"{name}: columns {a[0]} vs {b[0]}"
