@@ -1786,6 +1786,82 @@ def q_embedding_near_dup(spark, sf):
     )
 
 
+# --- ext: as-of join (latest prior purchase per user; DuckDB ASOF oracle) ----
+
+
+@_q(
+    "asof_join",
+    """
+WITH e AS (
+  SELECT event_id, user_id, epoch_us(ts) AS tsu, event_type, value
+  FROM events
+),
+p AS (
+  SELECT user_id, tsu, max(value) AS purchase_value
+  FROM e WHERE event_type = 'purchase' GROUP BY 1, 2
+)
+SELECT e.event_id, e.tsu, p.tsu AS asof_ts,
+       round(p.purchase_value, 6) AS purchase_value
+FROM e ASOF LEFT JOIN p
+  ON e.user_id = p.user_id AND e.tsu >= p.tsu
+""",
+)
+def q_asof_join(spark, sf):
+    from padua_spark.operators.temporal import asof_join
+
+    e = _t(spark, sf, "events").select(
+        "event_id", "user_id", F.expr("ts DIV 1000").alias("tsu"),
+        "event_type", "value",
+    )
+    purchases = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "tsu")
+        .agg(F.max("value").alias("purchase_value"))
+    )
+    out = asof_join(
+        e, purchases, on="tsu", by=["user_id"],
+        right_value_cols=["purchase_value"],
+    )
+    return out.select(
+        "event_id", "tsu", "asof_ts",
+        _r("purchase_value").alias("purchase_value"),
+    )
+
+
+# --- ext: range join (points into intervals) ----------------------------------
+
+
+@_q(
+    "range_join",
+    """
+WITH e AS (
+  SELECT event_id, epoch_us(ts) % 86400000000 AS day_us FROM events
+),
+iv AS (
+  SELECT i AS hour_id, i * 3600000000 AS start_us,
+         (i + 1) * 3600000000 AS end_us
+  FROM generate_series(0, 23) t(i)
+)
+SELECT e.event_id, iv.hour_id
+FROM e JOIN iv ON e.day_us >= iv.start_us AND e.day_us < iv.end_us
+""",
+)
+def q_range_join(spark, sf):
+    from padua_spark.operators.temporal import range_join
+
+    e = _t(spark, sf, "events").select(
+        "event_id",
+        (F.expr("ts DIV 1000") % F.lit(86400000000)).alias("day_us"),
+    )
+    iv = spark.range(24).select(
+        F.col("id").cast("bigint").alias("hour_id"),
+        (F.col("id") * 3600000000).cast("bigint").alias("start_us"),
+        ((F.col("id") + 1) * 3600000000).cast("bigint").alias("end_us"),
+    )
+    out = range_join(e, iv, "day_us", "start_us", "end_us")
+    return out.select("event_id", "hour_id")
+
+
 # ---------------------------------------------------------------------------
 
 

@@ -1,0 +1,103 @@
+"""Temporal join operators Spark lacks as built-ins: as-of join and
+range join (driver north-star examples of operators to express as
+compositions of DataFrame ops).
+
+As-of join — "for each left row, the latest right row at or before its
+timestamp, per key" — is implemented with the union + conditional
+last_value window trick: tag both sides, union on (key, ts), and carry
+the most recent right-side payload forward. One shuffle on (key), a
+per-key sort — the same cost profile as a sort-merge join, with no
+per-row Python.
+
+Range join — left rows joined to right INTERVALS containing them — is
+a plain conditional join; for large interval tables, bucketize the
+ranges so the join key is (key, bucket) instead of a cross product.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    by: list[str],
+    right_value_cols: list[str] | None = None,
+    tolerance: int | None = None,
+) -> DataFrame:
+    """For each left row, attach the most recent right row with
+    ``right[on] <= left[on]`` within the same ``by`` key.
+
+    ``tolerance`` (same units as ``on``) drops matches older than
+    ``left[on] - tolerance``.
+    """
+    right_value_cols = right_value_cols or [
+        c for c in right.columns if c not in {on, *by}
+    ]
+    lt = left.withColumn("_side", F.lit(1))
+    rt = right.select(
+        *by, on, *right_value_cols
+    ).withColumn("_side", F.lit(0))
+    unioned = lt.unionByName(rt, allowMissingColumns=True)
+    w = (
+        Window.partitionBy(*by)
+        .orderBy(F.col(on).asc(), F.col("_side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = unioned
+    for c in right_value_cols:
+        out = out.withColumn(
+            c,
+            F.last(
+                F.when(F.col("_side") == 0, F.col(c)), ignorenulls=True
+            ).over(w),
+        )
+    out = out.withColumn(
+        "_asof_ts",
+        F.last(
+            F.when(F.col("_side") == 0, F.col(on)), ignorenulls=True
+        ).over(w),
+    )
+    out = out.filter(F.col("_side") == 1)
+    if tolerance is not None:
+        stale = F.col("_asof_ts") < (F.col(on) - F.lit(tolerance))
+        for c in right_value_cols:
+            out = out.withColumn(
+                c, F.when(~stale, F.col(c))
+            )
+        out = out.withColumn(
+            "_asof_ts", F.when(~stale, F.col("_asof_ts"))
+        )
+    return out.drop("_side").withColumnRenamed("_asof_ts", "asof_ts")
+
+
+def range_join(
+    left: DataFrame,
+    intervals: DataFrame,
+    point_col: str,
+    start_col: str,
+    end_col: str,
+    by: list[str] | None = None,
+    how: str = "inner",
+) -> DataFrame:
+    """Join points to the intervals containing them
+    (``start <= point < end``), optionally per key. For a large
+    interval table, pre-bucketize both sides on
+    ``floor(point / bucket)`` so the equi-part of the join prunes."""
+    overlap = {c for c in intervals.columns if c in left.columns}
+    renamed = intervals
+    for c in overlap:
+        renamed = renamed.withColumnRenamed(c, f"{c}_r")
+
+    def rcol(name: str):
+        return renamed[f"{name}_r" if name in overlap else name]
+
+    cond = (left[point_col] >= rcol(start_col)) & (
+        left[point_col] < rcol(end_col)
+    )
+    for k in by or []:
+        cond = cond & (left[k] == rcol(k))
+    return left.join(renamed, cond, how)

@@ -226,3 +226,39 @@ def test_wide_ingest_many_columns(spark, tmp_path):
         & (F.col("sample_label") == "S007")
     ).collect()
     assert len(one) == 1 and one[0]["value"] == 7.0
+
+
+def test_asof_join_tolerance(spark):
+    from padua_spark.operators.temporal import asof_join
+
+    left = spark.createDataFrame(
+        [(1, "u", 100), (2, "u", 200), (3, "u", 1000)],
+        "id int, k string, t long",
+    )
+    right = spark.createDataFrame(
+        [("u", 90, 9.0), ("u", 150, 15.0)], "k string, t long, v double"
+    )
+    out = {r["id"]: r for r in asof_join(
+        left, right, on="t", by=["k"], right_value_cols=["v"],
+        tolerance=100,
+    ).collect()}
+    assert out[1]["v"] == 9.0 and out[1]["asof_ts"] == 90
+    assert out[2]["v"] == 15.0
+    assert out[3]["v"] is None  # last right row is 850 units stale
+
+
+def test_range_join_with_key(spark):
+    from padua_spark.operators.temporal import range_join
+
+    pts = spark.createDataFrame(
+        [(1, "a", 5), (2, "a", 15), (3, "b", 5)],
+        "id int, k string, p long",
+    )
+    iv = spark.createDataFrame(
+        [("a", 0, 10, "low"), ("a", 10, 20, "high"), ("b", 0, 10, "blow")],
+        "k string, s long, e long, label string",
+    )
+    out = {r["id"]: r["label"] for r in range_join(
+        pts, iv, "p", "s", "e", by=["k"]
+    ).collect()}
+    assert out == {1: "low", 2: "high", 3: "blow"}
