@@ -1862,6 +1862,85 @@ def q_range_join(spark, sf):
     return out.select("event_id", "hour_id")
 
 
+# --- ext: hierarchical time rollup (hour → day reuses the hour level —
+#     the hypertable/continuous-aggregate pattern) ----------------------------
+
+
+@_q(
+    "time_rollup",
+    """
+WITH e AS (
+  SELECT event_type, epoch_us(ts) AS tsu, value FROM events
+),
+hourly AS (
+  SELECT event_type, (tsu // 3600000000) AS hour_id,
+         count(*) AS n, sum(value) AS total
+  FROM e GROUP BY 1, 2
+),
+daily AS (
+  SELECT event_type, (hour_id // 24) AS day_id,
+         CAST(sum(n) AS BIGINT) AS n, sum(total) AS total
+  FROM hourly GROUP BY 1, 2
+)
+SELECT 'hour' AS grain, event_type, hour_id AS bucket_id, n,
+       round(total, 4) AS total FROM hourly
+UNION ALL
+SELECT 'day', event_type, day_id, n, round(total, 4) FROM daily
+""",
+)
+def q_time_rollup(spark, sf):
+    e = _t(spark, sf, "events").select(
+        "event_type",
+        F.expr("ts DIV 1000").alias("tsu"),
+        "value",
+    )
+    hourly = (
+        e.withColumn("hour_id", F.expr("tsu DIV 3600000000"))
+        .groupBy("event_type", "hour_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("total"))
+    )
+    # The day grain aggregates the HOUR rollup, not the raw events —
+    # each coarser grain costs only the finer grain's cardinality
+    # (continuous-aggregate pattern; at 100 TB the raw table is read
+    # once for the finest grain only).
+    daily = (
+        hourly.withColumn("day_id", F.expr("hour_id DIV 24"))
+        .groupBy("event_type", "day_id")
+        .agg(F.sum("n").alias("n"), F.sum("total").alias("total"))
+    )
+    h = hourly.select(
+        F.lit("hour").alias("grain"), "event_type",
+        F.col("hour_id").alias("bucket_id"), "n",
+        F.round("total", 4).alias("total"),
+    )
+    d = daily.select(
+        F.lit("day").alias("grain"), "event_type",
+        F.col("day_id").alias("bucket_id"), "n",
+        F.round("total", 4).alias("total"),
+    )
+    return h.unionByName(d)
+
+
+# --- grouping sets / cube (Catalyst built-in; SURVEY §2.5 note) ---------------
+
+
+@_q(
+    "cube_aggregate",
+    """
+SELECT l_returnflag, l_linestatus,
+       count(*) AS n, round(sum(l_quantity), 4) AS qty
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+""",
+)
+def q_cube(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("l_quantity"), 4).alias("qty"),
+    )
+
+
 # ---------------------------------------------------------------------------
 
 
