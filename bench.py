@@ -42,6 +42,10 @@ HEADLINE = [
     "language_id",
     "simhash_candidates",
     "embedding_near_dup",
+    "asof_join",
+    "range_join",
+    "time_rollup",
+    "cube_aggregate",
 ]
 
 
