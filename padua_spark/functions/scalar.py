@@ -176,3 +176,27 @@ def chunks_ntile(order_col: Column | str, n: int) -> Column:
     from pyspark.sql import Window
 
     return F.ntile(n).over(Window.orderBy(_col(order_col)))
+
+
+def format_label(
+    cols: list[Column | str], sep: str = " ", fmt: str | None = None
+) -> Column:
+    """Join key columns into a display label (reference:
+    ``utils.format_label`` / ``build_combined_label``,
+    utils.py:191-225). ``fmt`` may be a ``format_string`` pattern."""
+    cs = [_col(c).cast("string") for c in cols]
+    if fmt is not None:
+        return F.format_string(fmt, *cs)
+    return F.concat_ws(sep, *cs)
+
+
+def hierarchical_match(d: dict, key: tuple, default=None):
+    """Dict lookup trying progressively shorter key prefixes
+    (reference: ``utils.hierarchical_match``, utils.py:228-256) —
+    driver-side plot-styling helper, pure Python."""
+    k = tuple(key)
+    while k:
+        if k in d:
+            return d[k]
+        k = k[:-1]
+    return d.get((), default)

@@ -154,3 +154,29 @@ def filter_kind_label(
     if label_contains is not None:
         out = out.filter(F.col(label_col).contains(label_contains))
     return out
+
+
+def filter_intensity_columns(
+    df: DataFrame,
+    label: str = "",
+    with_multiplicity: bool = False,
+    prefix: str = "Intensity",
+) -> DataFrame:
+    """Wide-model twin of :func:`filter_kind_label` (reference:
+    ``filters.filter_intensity`` / ``_lfq`` / ``_ratio``,
+    filters.py:177-211): keep non-expression columns plus the
+    ``{prefix} <label>[___k]`` expression columns. Prefer the long
+    model at scale; this exists for wide-matrix interop."""
+    import re
+
+    from padua_spark.sources.maxquant import parse_expression_columns
+
+    parsed = parse_expression_columns(df.columns)
+    expr_cols = {p["column"] for p in parsed}
+    meta = [c for c in df.columns if c not in expr_cols]
+    suffix = r"___\d" if with_multiplicity else ""
+    rx = re.compile(
+        rf"^{re.escape(prefix)} .*{re.escape(label)}.*{suffix}$"
+    )
+    keep = [c for c in df.columns if c in expr_cols and rx.match(c)]
+    return df.select(*(meta + keep))

@@ -262,3 +262,35 @@ def test_range_join_with_key(spark):
         pts, iv, "p", "s", "e", by=["k"]
     ).collect()}
     assert out == {1: "low", 2: "high", 3: "blow"}
+
+
+def test_format_label_and_hierarchical_match(spark):
+    from padua_spark.functions.scalar import format_label, hierarchical_match
+
+    df = spark.createDataFrame([("PGE2", 5, 1)], ["g", "t", "r"])
+    row = df.select(
+        format_label(["g", "t", "r"]).alias("lbl"),
+        format_label(["g", "t"], fmt="%s @ t%s").alias("fmtd"),
+    ).collect()[0]
+    assert row["lbl"] == "PGE2 5 1"
+    assert row["fmtd"] == "PGE2 @ t5"
+    styles = {("PGE2", 5): "red", ("PGE2",): "pink", (): "grey"}
+    assert hierarchical_match(styles, ("PGE2", 5, 1)) == "red"
+    assert hierarchical_match(styles, ("PGE2", 0)) == "pink"
+    assert hierarchical_match(styles, ("Control", 5)) == "grey"
+
+
+def test_filter_intensity_columns(spark):
+    from padua_spark.operators.filters import filter_intensity_columns
+
+    df = spark.createDataFrame(
+        [(0, "P", 1.0, 2.0, 3.0, 4.0)],
+        ["id", "Proteins", "Intensity A", "Intensity B___1",
+         "LFQ intensity A", "Ratio H/L normalized E1"],
+    )
+    out = filter_intensity_columns(df, label="A")
+    assert out.columns == ["id", "Proteins", "Intensity A"]
+    out2 = filter_intensity_columns(df, label="B", with_multiplicity=True)
+    assert out2.columns == ["id", "Proteins", "Intensity B___1"]
+    out3 = filter_intensity_columns(df, prefix="LFQ intensity")
+    assert out3.columns == ["id", "Proteins", "LFQ intensity A"]
