@@ -37,13 +37,30 @@ def _affine_constants(n: int, seed: int = 7) -> list[tuple[int, int]]:
 
 
 def exact_dedup(
-    df: DataFrame, key_cols: list[str], keep_col: str
+    df: DataFrame,
+    key_cols: list[str],
+    keep_col: str,
+    id_col: str | None = None,
 ) -> DataFrame:
     """Keep one row per dedup key — the one with the minimum
     ``keep_col`` (deterministic canonical choice). One shuffle on the
-    key; no window sort needed."""
-    keep = df.groupBy(*key_cols).agg(F.min(keep_col).alias(keep_col))
-    return df.join(keep, on=[*key_cols, keep_col], how="left_semi")
+    key; no window sort needed.
+
+    ``keep_col`` must be row-unique within each key group for a strict
+    one-row-per-key guarantee; otherwise every row tied on the minimum
+    survives the semi-join. When ties are possible, pass a row-unique
+    ``id_col`` tiebreaker: the kept row is then the lexicographic
+    minimum of ``(keep_col, id_col)`` and the semi-join runs on the
+    unique id, so exactly one row per key survives."""
+    if id_col is None:
+        keep = df.groupBy(*key_cols).agg(F.min(keep_col).alias(keep_col))
+        return df.join(keep, on=[*key_cols, keep_col], how="left_semi")
+    keep = (
+        df.groupBy(*key_cols)
+        .agg(F.min(F.struct(keep_col, id_col)).alias("_k"))
+        .select(*key_cols, F.col(f"_k.{id_col}").alias(id_col))
+    )
+    return df.join(keep, on=[*key_cols, id_col], how="left_semi")
 
 
 def dedup_groups(df: DataFrame, key_cols: list[str], id_col: str) -> DataFrame:
@@ -128,12 +145,18 @@ def _shingles_from_token_hashes(
     n = F.size(th)
 
     def combine(i):
+        # mod-reduce per term: each partial stays < mod + mod² ≈ 2^62,
+        # so any k is int64-overflow-safe (an unreduced sum of k terms
+        # up to mod² would wrap past 2^63 at k >= 4) and the result is
+        # bit-identical to exact arithmetic in any engine.
         acc = F.lit(0).cast("bigint")
         for j in range(k):
-            acc = acc + F.element_at(th, i + F.lit(j)) * F.lit(
-                (1000000007**j) % mod
-            )
-        return acc % F.lit(mod)
+            acc = (
+                acc
+                + F.element_at(th, i + F.lit(j))
+                * F.lit((1000000007**j) % mod)
+            ) % F.lit(mod)
+        return acc
 
     return F.array_distinct(
         F.when(

@@ -49,8 +49,13 @@ def impute_gaussian(
     pure projection — the fact table is never shuffled. The boolean
     ``mask_col`` replicates the reference's returned imputation mask.
 
-    ``key_col`` must be a numeric row key (e.g. feature id); it drives
-    the deterministic noise.
+    ``key_col`` must be a **row-unique** numeric key (e.g. an event or
+    measurement id); it drives the deterministic noise, so two rows
+    sharing a key value would receive the *same* draw — e.g. a bare
+    feature id repeated across samples would correlate every imputed
+    cell of that feature, unlike the reference's independent per-cell
+    draws. For composite identity, build a unique key first, e.g.
+    ``F.xxhash64(feature_id, sample_label)``.
     """
     out_col = out_col or value_col
     v = F.col(value_col)

@@ -68,7 +68,17 @@ def salted_join(
     """Skewed equi-join without broadcast: salt the big side's key,
     replicate the small side once per salt value, join on (key, salt).
     The hot key's rows spread over ``n_salts`` reducers instead of one.
+
+    Only ``inner`` and ``left`` are correct under small-side
+    replication: with ``right``/``full``, every unmatched small-side
+    row would survive once per salt copy, inflating the result
+    ``n_salts``-fold.
     """
+    if how not in ("inner", "left", "left_outer", "leftouter"):
+        raise ValueError(
+            "salted_join supports how='inner' or 'left' only: the "
+            f"replicated small side breaks outer semantics (got {how!r})"
+        )
     big_salted = big.withColumn(
         "_salt",
         F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]),

@@ -33,10 +33,24 @@ def asof_join(
 
     ``tolerance`` (same units as ``on``) drops matches older than
     ``left[on] - tolerance``.
+
+    Right value columns whose name collides with a left column are
+    emitted with an ``_r`` suffix (mirroring :func:`range_join`) — the
+    union+window construction would otherwise merge the two columns and
+    the carry-forward would clobber the left side's values.
     """
     right_value_cols = right_value_cols or [
         c for c in right.columns if c not in {on, *by}
     ]
+    renames = {
+        c: f"{c}_r" for c in right_value_cols if c in left.columns
+    }
+    if renames:
+        rt_base = right.select(*by, on, *right_value_cols)
+        for old, new in renames.items():
+            rt_base = rt_base.withColumnRenamed(old, new)
+        right = rt_base
+        right_value_cols = [renames.get(c, c) for c in right_value_cols]
     lt = left.withColumn("_side", F.lit(1))
     rt = right.select(
         *by, on, *right_value_cols

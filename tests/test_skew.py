@@ -57,3 +57,16 @@ def test_salted_join_matches_plain(spark):
     p = {r["k"]: (r["n"], round(r["s"], 6)) for r in plain}
     s = {r["k"]: (r["n"], round(r["s"], 6)) for r in salted}
     assert p == s
+
+
+def test_salted_join_rejects_outer(spark):
+    """right/full outer would replicate unmatched small-side rows once
+    per salt (ADVICE r1) — the operator must refuse."""
+    big = _skewed(spark)
+    small = spark.createDataFrame([("HOT", 1.5)], ["k", "w"])
+    with pytest.raises(ValueError, match="inner.*left"):
+        salted_join(big, small, "k", n_salts=4, how="right")
+    with pytest.raises(ValueError, match="inner.*left"):
+        salted_join(big, small, "k", n_salts=4, how="full")
+    # left stays allowed
+    assert salted_join(big, small, "k", n_salts=4, how="left").count() == big.count()

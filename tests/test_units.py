@@ -294,3 +294,68 @@ def test_filter_intensity_columns(spark):
     assert out2.columns == ["id", "Proteins", "Intensity B___1"]
     out3 = filter_intensity_columns(df, prefix="LFQ intensity")
     assert out3.columns == ["id", "Proteins", "LFQ intensity A"]
+
+
+def test_asof_join_right_column_collision(spark):
+    """Right value columns sharing a name with a left column must not
+    clobber the left values (ADVICE r1): they come back with an ``_r``
+    suffix."""
+    from padua_spark.operators.temporal import asof_join
+
+    left = spark.createDataFrame(
+        [(1, "u", 100, 111.0), (2, "u", 200, 222.0)],
+        "id int, k string, t long, value double",
+    )
+    right = spark.createDataFrame(
+        [("u", 90, 9.0), ("u", 150, 15.0)], "k string, t long, value double"
+    )
+    out = {r["id"]: r for r in asof_join(
+        left, right, on="t", by=["k"]
+    ).collect()}
+    assert out[1]["value"] == 111.0 and out[1]["value_r"] == 9.0
+    assert out[2]["value"] == 222.0 and out[2]["value_r"] == 15.0
+
+
+def test_exact_dedup_tiebreaker(spark):
+    """With a tied keep_col, exact_dedup keeps all tied rows unless a
+    row-unique id_col tiebreaker is given (ADVICE r1)."""
+    from padua_spark.extensions.dedup import exact_dedup
+
+    df = spark.createDataFrame(
+        [("k1", 5, 101), ("k1", 5, 102), ("k1", 7, 103), ("k2", 1, 104)],
+        "key string, keep int, rid int",
+    )
+    tied = exact_dedup(df, ["key"], "keep")
+    assert tied.count() == 3  # both keep=5 rows survive
+    strict = exact_dedup(df, ["key"], "keep", id_col="rid")
+    rows = {r["key"]: r["rid"] for r in strict.collect()}
+    assert rows == {"k1": 101, "k2": 104}
+
+
+def test_shingle_hash_no_overflow_large_k(spark):
+    """k_shingle >= 4 must not wrap int64 (ADVICE r1): the mod-reduced
+    combine matches exact big-int arithmetic computed in Python."""
+    from padua_spark.extensions.dedup import MOD, exploded_shingles
+
+    text = "alpha beta gamma delta epsilon zeta"
+    df = spark.createDataFrame([(1, text)], "doc_id int, text string")
+    k = 5
+    got = sorted(
+        r["shingle"]
+        for r in exploded_shingles(df, "doc_id", "text", k).collect()
+    )
+
+    def tok_hash(t):
+        acc = 7
+        for ch in t:
+            acc = (acc * 131 + ord(ch)) % MOD
+        return acc
+
+    toks = [tok_hash(t) for t in text.split(" ")]
+    expect = sorted({
+        sum(
+            toks[i + j] * ((1000000007**j) % MOD) for j in range(k)
+        ) % MOD
+        for i in range(len(toks) - k + 1)
+    })
+    assert got == expect
