@@ -387,6 +387,11 @@ def simhash_signatures(
     their polynomial hash. Single map stage; engine-portable integer
     arithmetic (the same majority rule is SQL-expressible for oracles).
     """
+    # n_bits array traversals per row (interpreted HOFs) measured FASTER
+    # end-to-end than the explode + 33-conditional-sum hash aggregate:
+    # the arrays stay cache-resident and the wide aggregate's codegen
+    # compile alone cost ~6s cold. Signature compute is ~0.9s at sf0.1;
+    # the candidate-pair join dominates this operator, not this stage.
     th = df.select(F.col(id_col), token_hashes(F.col(text_col)).alias("_th"))
     n = F.size(F.col("_th"))
 

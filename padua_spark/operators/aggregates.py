@@ -100,10 +100,16 @@ def collapse_technical_replicates(
 ) -> DataFrame:
     """Collapse the Technical level by per-key median (reference
     workflow step ``df.median(axis=1, level=[0,1,2])``, SURVEY.md §2.5
-    A9). ``stat`` ∈ {median, mean}."""
+    A9). ``stat`` ∈ {median, mean}. The median path uses the relational
+    sort-based exact median (see
+    :func:`padua_spark.operators.normalization.group_medians`) instead
+    of Spark's object-buffering Median aggregate."""
     v = F.col(value_col)
-    agg = F.median(v) if stat == "median" else F.avg(v)
-    return df.groupBy(*key_cols).agg(agg.alias(value_col))
+    if stat == "median":
+        from padua_spark.operators.normalization import group_medians
+
+        return group_medians(df, key_cols, v, value_col)
+    return df.groupBy(*key_cols).agg(F.avg(v).alias(value_col))
 
 
 def group_mean_ratio(

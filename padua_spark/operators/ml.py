@@ -285,10 +285,18 @@ def zscore(
     MEDIAN center (visualize.py:1696-1699), an intentional quirk we
     preserve as the default."""
     v = F.col(value_col)
-    cen = F.median(v) if center == "median" else F.avg(v)
-    stats = df.groupBy(*group_cols).agg(
-        cen.alias("_c"), F.stddev_samp(v).alias("_s")
-    )
+    if center == "median":
+        from padua_spark.operators.normalization import group_medians
+
+        stats = group_medians(df, group_cols, v, "_c").join(
+            df.groupBy(*group_cols).agg(F.stddev_samp(v).alias("_s")),
+            on=group_cols,
+            how="full",
+        )
+    else:
+        stats = df.groupBy(*group_cols).agg(
+            F.avg(v).alias("_c"), F.stddev_samp(v).alias("_s")
+        )
     return (
         df.join(F.broadcast(stats), on=group_cols, how="left")
         .withColumn(

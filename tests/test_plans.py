@@ -67,9 +67,18 @@ def test_median_normalize_no_fact_table_sort(spark):
         _li(spark), ["l_returnflag"], "l_extendedprice"
     )
     plan = explain_str(out)
-    # agg+broadcast-join shape: no window sort of the fact table
-    assert "Window" not in plan
+    # agg+broadcast-join shape: the fact-table output path is never
+    # window-sorted. The exact-median side DOES sort — but only a
+    # pruned (group, value) two-column projection (see
+    # normalization.group_medians), which column pruning must prove:
     assert "BroadcastHashJoin" in plan
+    assert "Window" in plan
+    assert (
+        "ReadSchema: struct<l_extendedprice:double,l_returnflag:string>"
+        in plan
+        or "ReadSchema: struct<l_returnflag:string,l_extendedprice:double>"
+        in plan
+    ), plan[:3000]
 
 
 def test_ttest_single_pass_partial_agg(spark):
