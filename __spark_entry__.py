@@ -1941,6 +1941,159 @@ def q_cube(spark, sf):
     )
 
 
+# --- ext: IVF approximate nearest neighbor (scale path next to LSH) ----------
+
+
+@_q(
+    "ivf_topk",
+    """
+WITH seeds AS (
+  SELECT row_number() OVER (ORDER BY vec_id) AS cell,
+         CAST(embedding AS DOUBLE[]) AS c
+  FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 16)
+),
+q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings
+      WHERE vec_id = 0),
+probes AS (
+  SELECT s.cell FROM seeds s CROSS JOIN q
+  ORDER BY list_dot_product(s.c, q.qv)
+           / (sqrt(list_dot_product(s.c, s.c))
+              * sqrt(list_dot_product(q.qv, q.qv))) DESC, s.cell
+  LIMIT 4
+),
+assigned AS (
+  SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS v, s.cell,
+         list_dot_product(CAST(e.embedding AS DOUBLE[]), s.c)
+           / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                    CAST(e.embedding AS DOUBLE[])))
+              * sqrt(list_dot_product(s.c, s.c))) AS cos
+  FROM embeddings e CROSS JOIN seeds s
+  QUALIFY row_number() OVER (PARTITION BY e.vec_id
+                             ORDER BY cos DESC, s.cell ASC) = 1
+)
+SELECT a.vec_id,
+  round(list_dot_product(a.v, q.qv)
+        / (sqrt(list_dot_product(a.v, a.v))
+           * sqrt(list_dot_product(q.qv, q.qv))), 6) AS cosine_sim
+FROM assigned a JOIN probes p ON a.cell = p.cell CROSS JOIN q
+ORDER BY list_dot_product(a.v, q.qv)
+         / (sqrt(list_dot_product(a.v, a.v))
+            * sqrt(list_dot_product(q.qv, q.qv))) DESC, a.vec_id
+LIMIT 10
+""",
+)
+def q_ivf_topk(spark, sf):
+    emb = _t(spark, sf, "embeddings")
+    qrow = emb.filter(F.col("vec_id") == 0).select("embedding").collect()
+    query = [float(x) for x in qrow[0][0]]
+    out = x_sim.ivf_topk(
+        emb, "embedding", "vec_id", query, k=10, n_cells=16, nprobe=4
+    )
+    return out.select("vec_id", _r("cosine_sim").alias("cosine_sim"))
+
+
+# --- ext: BPE-ish pretokenizer token counting ---------------------------------
+
+
+def _bpe_oracle() -> str:
+    pat = __import__(
+        "padua_spark.extensions.text", fromlist=["BPE_PATTERN"]
+    ).BPE_PATTERN.replace("'", "''")
+    return f"""
+SELECT doc_id,
+       len(string_split(trim(text), ' ')) AS n_ws,
+       len(regexp_extract_all(text, '{pat}')) AS n_bpe
+FROM documents
+"""
+
+
+@_q("bpe_token_count", _bpe_oracle())
+def q_bpe_token_count(spark, sf):
+    d = _t(spark, sf, "documents")
+    return d.select(
+        "doc_id",
+        F.size(F.split(F.trim(F.col("text")), " ")).alias("n_ws"),
+        x_text.bpe_token_count(F.col("text")).alias("n_bpe"),
+    )
+
+
+# --- M4 z-score compute core (visualize.py:1696-1699, median-centered) --------
+
+
+@_q(
+    "zscore_median",
+    """
+WITH s AS (
+  SELECT l_returnflag, median(l_quantity) AS c,
+         stddev_samp(l_quantity) AS sd
+  FROM lineitem GROUP BY 1
+)
+SELECT l.l_orderkey, l.l_linenumber,
+       round(CASE WHEN sd > 0 THEN (l.l_quantity - c) / sd END, 6) AS z
+FROM lineitem l JOIN s USING (l_returnflag)
+""",
+)
+def q_zscore_median(spark, sf):
+    from padua_spark.operators.ml import zscore
+
+    li = _t(spark, sf, "lineitem")
+    out = zscore(li, ["l_returnflag"], "l_quantity", center="median")
+    return out.select("l_orderkey", "l_linenumber", _r("z").alias("z"))
+
+
+# --- R1 expand_side_table (process.py:221-277) --------------------------------
+
+
+@_q(
+    "expand_side_table",
+    """
+SELECT l_orderkey, l_linenumber, 1 AS multiplicity,
+       l_quantity * 1 AS m FROM lineitem
+UNION ALL
+SELECT l_orderkey, l_linenumber, 2, l_quantity * 2 FROM lineitem
+UNION ALL
+SELECT l_orderkey, l_linenumber, 3, l_quantity * 3 FROM lineitem
+""",
+)
+def q_expand_side_table(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    wide = li.select(
+        "l_orderkey",
+        "l_linenumber",
+        (F.col("l_quantity") * 1).alias("m___1"),
+        (F.col("l_quantity") * 2).alias("m___2"),
+        (F.col("l_quantity") * 3).alias("m___3"),
+    )
+    return proc.expand_side_table(
+        wide,
+        ["l_orderkey", "l_linenumber"],
+        {"m": ["m___1", "m___2", "m___3"]},
+    )
+
+
+# --- U9 chunks → ntile (utils.py:259-279) -------------------------------------
+
+
+@_q(
+    "chunks_ntile",
+    """
+WITH c AS (
+  SELECT o_custkey, count(*) AS n FROM orders GROUP BY 1
+)
+SELECT o_custkey, n, ntile(7) OVER (ORDER BY o_custkey) AS chunk
+FROM c
+""",
+)
+def q_chunks_ntile(spark, sf):
+    from padua_spark.functions.scalar import chunks_ntile
+
+    o = _t(spark, sf, "orders")
+    c = o.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("n"))
+    return c.select(
+        "o_custkey", "n", chunks_ntile("o_custkey", 7).alias("chunk")
+    )
+
+
 # ---------------------------------------------------------------------------
 
 

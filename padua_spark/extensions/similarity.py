@@ -143,3 +143,138 @@ def cosine_near_dup_pairs(
         .select(*block_cols, "id_a", "id_b", cos.alias("cosine_sim"))
         .filter(F.col("cosine_sim") >= F.lit(threshold))
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) approximate nearest neighbor — the scale path the
+# driver north-star asks for alongside LSH. The corpus is partitioned
+# into Voronoi cells around centroids; a query probes only the nprobe
+# nearest cells, so the scan touches ~nprobe/n_cells of the data. At
+# 100 TB: write the corpus bucketed/partitioned BY cell once, and every
+# query prunes to a handful of partitions (partition pruning on the
+# cell key) instead of a full scan.
+# ---------------------------------------------------------------------------
+
+
+def ivf_centroids(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_cells: int,
+    n_iter: int = 0,
+) -> DataFrame:
+    """(cell, centroid) table. Seeding is deterministic — the vectors of
+    the ``n_cells`` smallest ids (engine-portable, no RNG), then
+    ``n_iter`` Lloyd refinement steps (assign → per-dimension mean via
+    posexplode + hash agg — no driver-side loop over the corpus).
+
+    ``n_iter=0`` (seeds as centroids) is bit-reproducible across
+    engines and is what the oracle checks; Lloyd means involve
+    engine-ordered float summation, so refined centroids are only
+    reproducible within one engine.
+    """
+    from pyspark.sql import Window
+
+    w = Window.orderBy(id_col)
+    cents = (
+        df.select(id_col, _as_double(F.col(vec_col)).alias("_c"))
+        .orderBy(id_col)
+        .limit(n_cells)
+        .select(F.row_number().over(w).alias("cell"), "_c")
+    )
+    for _ in range(n_iter):
+        assigned = ivf_assign(df, id_col, vec_col, cents)
+        exploded = assigned.select(
+            "cell", F.posexplode("_v").alias("_d", "_x")
+        )
+        means = exploded.groupBy("cell", "_d").agg(F.avg("_x").alias("_m"))
+        cents = (
+            means.groupBy("cell")
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct("_d", "_m"))
+                ).alias("_dm")
+            )
+            .select(
+                "cell",
+                F.transform(F.col("_dm"), lambda s: s["_m"]).alias("_c"),
+            )
+        )
+    return cents
+
+
+def ivf_assign(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    centroids: DataFrame,
+) -> DataFrame:
+    """Assign every vector to its best cell (max cosine, ties → lowest
+    cell id — an explicit total order so any engine agrees). Broadcast
+    the tiny centroid table; the corpus is never shuffled."""
+    from pyspark.sql import Window
+
+    staged = df.select(
+        F.col(id_col), _as_double(F.col(vec_col)).alias("_v")
+    ).withColumn("_nrm", l2_norm(F.col("_v")))
+    scored = staged.crossJoin(F.broadcast(centroids)).select(
+        id_col,
+        "_v",
+        "cell",
+        (
+            dot(F.col("_v"), F.col("_c"))
+            / (F.col("_nrm") * l2_norm(F.col("_c")))
+        ).alias("_cos"),
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("_cos").desc(), F.col("cell").asc()
+    )
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(id_col, "_v", "cell")
+    )
+
+
+def ivf_topk(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    query: list[float],
+    k: int = 10,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    n_iter: int = 0,
+) -> DataFrame:
+    """Approximate top-k by cosine: probe the ``nprobe`` cells whose
+    centroids are nearest the query, brute-force only within them.
+
+    Everything is one lazy plan: centroid build (tiny), probe-cell
+    selection (tiny, broadcast), cell-filtered exact scoring, then
+    TakeOrderedAndProject for the global top-k. Ties break by id.
+    """
+    cents = ivf_centroids(df, id_col, vec_col, n_cells, n_iter)
+    q = F.array(*[F.lit(float(x)) for x in query])
+    probes = (
+        cents.select(
+            "cell",
+            (dot(F.col("_c"), q) / (l2_norm(F.col("_c")) * l2_norm(q))).alias(
+                "_qcos"
+            ),
+        )
+        .orderBy(F.col("_qcos").desc(), F.col("cell").asc())
+        .limit(nprobe)
+        .select("cell")
+    )
+    assigned = ivf_assign(df, id_col, vec_col, cents)
+    candidates = assigned.join(F.broadcast(probes), on="cell")
+    scored = candidates.select(
+        F.col(id_col),
+        F.col("cell"),
+        (dot(F.col("_v"), q) / (l2_norm(F.col("_v")) * l2_norm(q))).alias(
+            "cosine_sim"
+        ),
+    )
+    return scored.orderBy(
+        F.col("cosine_sim").desc(), F.col(id_col).asc()
+    ).limit(k)

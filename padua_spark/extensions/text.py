@@ -124,3 +124,27 @@ def fingerprint(text: Column, mod: int = MOD, base: int = 131) -> Column:
         F.lit(0).cast("bigint"),
         lambda acc, c: (acc * F.lit(base) + c) % F.lit(mod),
     )
+
+
+# GPT-2-style pretokenizer pattern, simplified to the subset that
+# behaves identically under Java regex (Spark) and RE2 (DuckDB): no
+# lookarounds, ASCII classes (\p{L} differs subtly across engines).
+# Pieces: contraction suffixes | space?+letters | space?+digits |
+# space?+other-run | whitespace-run.
+BPE_PATTERN = (
+    "'(?:s|t|re|ve|m|ll|d)"
+    "| ?[A-Za-z]+"
+    "| ?[0-9]+"
+    "| ?[^A-Za-z0-9\\s]+"
+    "|\\s+"
+)
+
+
+def bpe_token_count(text: Column, pattern: str = BPE_PATTERN) -> Column:
+    """BPE-ish token count: number of pretokenizer matches (the
+    upper-bound proxy for BPE token count used in corpus budgeting —
+    every BPE merge operates within one pretoken). Native
+    ``regexp_count`` — one regex pass, no Python."""
+    return F.coalesce(
+        F.regexp_count(text, F.lit(pattern)), F.lit(0)
+    ).cast("bigint")

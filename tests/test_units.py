@@ -359,3 +359,66 @@ def test_shingle_hash_no_overflow_large_k(spark):
         for i in range(len(toks) - k + 1)
     })
     assert got == expect
+
+
+def test_ivf_lloyd_and_recall(spark):
+    """IVF: Lloyd refinement moves centroids toward cluster means, and
+    probing all cells recovers the exact brute-force top-k."""
+    import numpy as np
+
+    from padua_spark.extensions.similarity import (
+        brute_force_topk,
+        ivf_centroids,
+        ivf_topk,
+    )
+
+    rng = np.random.RandomState(3)
+    centers = np.array([[5.0, 0.0, 0.0], [0.0, 5.0, 0.0], [0.0, 0.0, 5.0]])
+    rows = []
+    for i in range(90):
+        c = centers[i % 3]
+        rows.append((i, (c + rng.normal(0, 0.3, 3)).tolist()))
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+
+    cents = ivf_centroids(df, "vec_id", "embedding", n_cells=3, n_iter=2)
+    got = np.array(
+        sorted(
+            [r["_c"] for r in cents.collect()],
+            key=lambda v: int(np.argmax(v)),
+        )
+    )
+    # after 2 Lloyd steps each centroid is near one of the true centers
+    for k in range(3):
+        assert np.linalg.norm(got[k] - centers[k]) < 1.0, got
+
+    query = [5.0, 0.1, 0.0]
+    exact = [r["vec_id"] for r in brute_force_topk(
+        df, "embedding", "vec_id", query, k=5
+    ).collect()]
+    approx_all = [r["vec_id"] for r in ivf_topk(
+        df, "embedding", "vec_id", query, k=5, n_cells=3, nprobe=3, n_iter=2
+    ).collect()]
+    assert approx_all == exact
+    # nprobe=1 restricts to the query's own cluster — still finds them
+    approx_1 = [r["vec_id"] for r in ivf_topk(
+        df, "embedding", "vec_id", query, k=5, n_cells=3, nprobe=1, n_iter=2
+    ).collect()]
+    assert approx_1 == exact
+
+
+def test_bpe_token_count_edges(spark):
+    from padua_spark.extensions.text import bpe_token_count
+
+    df = spark.createDataFrame(
+        [
+            (1, "Hello world"),       # [Hello][ world] = 2
+            (2, "it's 42 tokens!"),   # [it]['s][ 42][ tokens][!] = 5
+            (3, ""),                  # 0
+            (4, "a"),                 # 1
+        ],
+        "id int, text string",
+    )
+    got = {r["id"]: r["n"] for r in df.select(
+        "id", bpe_token_count(F.col("text")).alias("n")
+    ).collect()}
+    assert got == {1: 2, 2: 5, 3: 0, 4: 1}
