@@ -46,6 +46,8 @@ HEADLINE = [
     "range_join",
     "time_rollup",
     "cube_aggregate",
+    "ivf_topk",
+    "bpe_token_count",
 ]
 
 

@@ -156,3 +156,49 @@ def text_as_media(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         F.lit("text").alias("media_type"),
         F.encode(F.col(text_col), "UTF-8").alias("content"),
     )
+
+
+def resize_media(
+    media: DataFrame,
+    target_w: int,
+    target_h: int,
+    id_col: str = "media_id",
+    content_col: str = "content",
+    resizer: Callable | None = None,
+) -> DataFrame:
+    """Resize stage as ``mapInPandas``: binary in → binary out, so it
+    composes with :func:`extract_features` in one pipeline with no
+    shuffle between stages.
+
+    No image library ships in this container: with ``resizer=None`` a
+    deterministic fake "resize" truncates/zero-pads the payload to
+    ``target_w*target_h`` bytes — the Spark-side plumbing (schema,
+    Arrow batching, binary columns, partition-local execution) is real
+    and tested; a real deployment injects
+    ``resizer(content, w, h) -> bytes`` (e.g. PIL thumbnail + re-encode)
+    and nothing else changes.
+    """
+    n_out = target_w * target_h
+
+    def _resize_bytes(b):
+        if b is None:
+            return None
+        if resizer is not None:
+            return resizer(b, target_w, target_h)
+        return bytes(b[:n_out]).ljust(n_out, b"\x00")
+
+    def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf[id_col],
+                    "content": pdf[content_col].map(_resize_bytes),
+                    "width": target_w,
+                    "height": target_h,
+                }
+            )
+
+    schema = (
+        "media_id bigint, content binary, width int, height int"
+    )
+    return media.mapInPandas(_run, schema)

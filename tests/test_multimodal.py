@@ -58,3 +58,24 @@ def test_frame_sample_plan(spark):
     assert sorted(per[1]) == [0, 1000, 2000]
     assert per[2] == [0]
     assert per[3] == [0]
+
+
+def test_resize_media_plumbing(spark):
+    from padua_spark.extensions.multimodal import (
+        extract_features,
+        resize_media,
+        text_as_media,
+    )
+
+    d = spark.createDataFrame(
+        [(1, "abcdefgh"), (2, "xy"), (3, None)], "doc_id long, text string"
+    )
+    media = text_as_media(d, "doc_id", "text")
+    out = {r["media_id"]: r for r in resize_media(media, 2, 3).collect()}
+    assert out[1]["content"] == b"abcdef"            # truncated to 6
+    assert out[2]["content"] == b"xy\x00\x00\x00\x00"  # zero-padded
+    assert out[3]["content"] is None
+    assert out[1]["width"] == 2 and out[1]["height"] == 3
+    # composes with feature extraction, still two mapInPandas stages
+    feats = extract_features(resize_media(media, 2, 3))
+    assert feats.count() == 3
