@@ -2094,6 +2094,119 @@ def q_chunks_ntile(spark, sf):
     )
 
 
+# --- S5 phosphopath-ratio compute core (io.py:129-185) ------------------------
+
+
+@_q(
+    "phosphopath_ratio",
+    """
+WITH pf AS (
+  SELECT l_partkey, l_linenumber,
+         avg(CASE WHEN l_returnflag = 'N' THEN l_quantity END) AS ctrl,
+         avg(CASE WHEN l_returnflag = 'R' THEN l_quantity END) AS m_r,
+         avg(CASE WHEN l_returnflag = 'A' THEN l_quantity END) AS m_a
+  FROM lineitem GROUP BY 1, 2
+),
+tp AS (
+  SELECT l_linenumber,
+         dense_rank() OVER (ORDER BY l_linenumber) AS ord
+  FROM (SELECT DISTINCT l_linenumber FROM lineitem)
+)
+SELECT concat(CAST(pf.l_partkey AS VARCHAR), '_',
+              CAST(tp.ord AS VARCHAR)) AS ID,
+       round(CASE WHEN ctrl <> 0 THEN m_r / ctrl END, 6) AS Ratio,
+       'R' AS comparison
+FROM pf JOIN tp USING (l_linenumber)
+UNION ALL
+SELECT concat(CAST(pf.l_partkey AS VARCHAR), '_',
+              CAST(tp.ord AS VARCHAR)),
+       round(CASE WHEN ctrl <> 0 THEN m_a / ctrl END, 6), 'A'
+FROM pf JOIN tp USING (l_linenumber)
+""",
+)
+def q_phosphopath_ratio(spark, sf):
+    from padua_spark.sources.phosphopath import phosphopath_ratio_rows
+
+    li = _t(spark, sf, "lineitem")
+    out = phosphopath_ratio_rows(
+        li,
+        feature_id_col="l_partkey",
+        group_col="l_returnflag",
+        timepoint_col="l_linenumber",
+        value_col="l_quantity",
+        control_group="N",
+        comparison_groups=["R", "A"],
+    )
+    return out.select("ID", _r("Ratio").alias("Ratio"), "comparison")
+
+
+# --- T5 s0-curve significance classification (utils.py:282-317) --------------
+
+
+@_q(
+    "s0_classify",
+    """
+WITH g AS (
+  SELECT l_partkey,
+         avg(CASE WHEN l_returnflag = 'R'
+                  THEN log2(l_extendedprice) END) AS mean_a,
+         avg(CASE WHEN l_returnflag = 'A'
+                  THEN log2(l_extendedprice) END) AS mean_b,
+         avg(CASE WHEN l_returnflag = 'R'
+                  THEN l_quantity END) AS q_a,
+         avg(CASE WHEN l_returnflag = 'A'
+                  THEN l_quantity END) AS q_b
+  FROM lineitem GROUP BY 1
+),
+s AS (
+  SELECT l_partkey, mean_a - mean_b AS log2_fc,
+         power(10.0, -abs(q_a - q_b)) AS p_surrogate
+  FROM g
+)
+SELECT l_partkey, round(log2_fc, 6) AS log2_fc,
+  round(p_surrogate, 9) AS p_surrogate,
+  (abs(log2_fc) > 0.1 AND p_surrogate <=
+     power(10.0, -0.585 / (abs(log2_fc) - 0.1) + log10(0.05)))
+    AS significant
+FROM s
+""",
+)
+def q_s0_classify(spark, sf):
+    """T5 standalone: the s0 SAM-curve predicate over a SQL-expressible
+    surrogate p (the real volcano uses incomplete-beta p-values, which
+    are oracle-checked rows-only via volcano_pvalues)."""
+    li = _t(spark, sf, "lineitem")
+    g = li.groupBy("l_partkey").agg(
+        F.avg(
+            F.when(F.col("l_returnflag") == "R", F.log2("l_extendedprice"))
+        ).alias("mean_a"),
+        F.avg(
+            F.when(F.col("l_returnflag") == "A", F.log2("l_extendedprice"))
+        ).alias("mean_b"),
+        F.avg(
+            F.when(F.col("l_returnflag") == "R", F.col("l_quantity"))
+        ).alias("q_a"),
+        F.avg(
+            F.when(F.col("l_returnflag") == "A", F.col("l_quantity"))
+        ).alias("q_b"),
+    )
+    s = g.select(
+        "l_partkey",
+        (F.col("mean_a") - F.col("mean_b")).alias("log2_fc"),
+        F.pow(F.lit(10.0), -F.abs(F.col("q_a") - F.col("q_b"))).alias(
+            "p_surrogate"
+        ),
+    )
+    return s.select(
+        "l_partkey",
+        _r("log2_fc").alias("log2_fc"),
+        F.round("p_surrogate", 9).alias("p_surrogate"),
+        st.s0_significance(
+            "log2_fc", "p_surrogate", s0=0.585, minratio=0.1, fdr=0.05
+        ).alias("significant"),
+    )
+
+
 # ---------------------------------------------------------------------------
 
 

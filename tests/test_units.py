@@ -422,3 +422,56 @@ def test_bpe_token_count_edges(spark):
         "id", bpe_token_count(F.col("text")).alias("n")
     ).collect()}
     assert got == {1: 2, 2: 5, 3: 0, 4: 1}
+
+
+def test_ivf_probe_pruning_at_scale(spark):
+    """Scale probe: at 8x the embeddings corpus, nprobe/n_cells bounds
+    the fraction of the corpus the query scans — the candidate set
+    stays a strict subset instead of degrading to a full scan."""
+    from pyspark.sql import functions as F
+
+    from padua_spark.extensions.similarity import (
+        ivf_assign,
+        ivf_centroids,
+        ivf_topk,
+    )
+
+    base = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    big = base
+    for i in range(1, 8):
+        big = big.unionByName(
+            base.select(
+                (F.col("vec_id") + F.lit(i * 100000)).alias("vec_id"),
+                "embedding",
+                *[c for c in base.columns if c not in ("vec_id", "embedding")],
+            ).select(base.columns)
+        )
+    big = big.cache()
+    n = big.count()
+    qrow = base.filter(F.col("vec_id") == 0).select("embedding").collect()
+    query = [float(x) for x in qrow[0][0]]
+
+    cents = ivf_centroids(big, "vec_id", "embedding", n_cells=16)
+    sizes = {
+        r["cell"]: r["c"]
+        for r in ivf_assign(big, "vec_id", "embedding", cents)
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    }
+    assert sum(sizes.values()) == n
+    # any 4 cells cover well under the full corpus (cells are non-empty
+    # and data spreads over all 16)
+    assert len(sizes) == 16
+    top4 = sum(sorted(sizes.values(), reverse=True)[:4])
+    assert top4 < n
+
+    out = ivf_topk(
+        big, "embedding", "vec_id", query, k=5, n_cells=16, nprobe=4
+    ).collect()
+    ids = [r["vec_id"] for r in out]
+    # the 8 planted exact copies of vec 0 are each other's nearest
+    # neighbors; all probes land in one cell, so all 8 are found
+    expect = {0} | {i * 100000 for i in range(1, 8)}
+    assert set(ids[:5]) <= expect
+    assert abs(out[0]["cosine_sim"] - 1.0) < 1e-9
