@@ -118,3 +118,37 @@ def sessionize_batch(
             "duration", F.col("session_end") - F.col("session_start")
         )
     )
+
+
+def dedup_stream(
+    df: DataFrame,
+    key_cols: list[str],
+    event_time: Column | None = None,
+    watermark: str = "2 hours",
+    time_col_name: str = "_event_time",
+) -> DataFrame:
+    """Streaming exact deduplication on ``key_cols`` — the streaming
+    twin of ``extensions.dedup.exact_dedup`` for append-only corpora
+    (the first arrival of each key survives).
+
+    With ``event_time`` given, uses ``dropDuplicatesWithinWatermark``:
+    the dedup state for a key is dropped once the watermark passes it,
+    so state size is bounded by the watermark horizon instead of
+    growing forever — the only sane contract at 100 TB/day ingest
+    (exactly-once within the late-data window, at-least-once beyond
+    it). Without ``event_time``, plain ``dropDuplicates`` keeps state
+    forever (bounded-key domains only, e.g. dimension upserts).
+
+    Works on batch DataFrames too (same plan, batch semantics), so the
+    stream==batch equivalence is testable.
+    """
+    if event_time is None:
+        return df.dropDuplicates(key_cols)
+    staged = df.withColumn(time_col_name, event_time)
+    if staged.isStreaming:
+        return staged.withWatermark(
+            time_col_name, watermark
+        ).dropDuplicatesWithinWatermark(key_cols)
+    # batch: watermark is meaningless; first-arrival == any-arrival
+    # after exact dedup on the key
+    return staged.dropDuplicates(key_cols)

@@ -98,3 +98,44 @@ def test_session_window_stream_runs(spark, events_dir):
     )
     assert stream_rows["total"] == batch.count()
     assert stream_rows["c"] == batch_sessions.count()
+
+
+def test_dedup_stream_equals_batch(spark, events_dir):
+    """Streaming exact dedup (dropDuplicatesWithinWatermark) keeps one
+    row per key and matches the batch dedup key set."""
+    from padua_spark.streaming import dedup_stream, read_event_stream
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    batch = spark.read.parquet(events_dir)
+    stream = read_event_stream(spark, events_dir, schema=batch.schema)
+
+    deduped = dedup_stream(
+        stream,
+        ["user_id", "event_type"],
+        event_time=nanos_to_timestamp(F.col("ts")),
+        watermark="4 hours",
+    ).select("user_id", "event_type")
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("t_dedup")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(180)
+    got = {
+        (r["user_id"], r["event_type"])
+        for r in spark.sql("SELECT * FROM t_dedup").collect()
+    }
+    exp = {
+        (r["user_id"], r["event_type"])
+        for r in dedup_stream(
+            batch,
+            ["user_id", "event_type"],
+            event_time=nanos_to_timestamp(F.col("ts")),
+        ).select("user_id", "event_type").collect()
+    }
+    assert got == exp and len(got) > 0
+    # streaming emitted exactly one row per key
+    n = spark.sql("SELECT count(*) c FROM t_dedup").collect()[0]["c"]
+    assert n == len(got)
