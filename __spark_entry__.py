@@ -54,7 +54,19 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # Non-ANSI: degenerate corr/var and x/0 → NULL (reference NaN
     # semantics + DuckDB agreement) instead of Spark-4 ANSI exceptions.
     spark.conf.set("spark.sql.ansi.enabled", "false")
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    # Memoize the analyzed reader per (session, dir, table): DataFrames
+    # are immutable lazy plans, so reuse is safe, and it saves a parquet
+    # footer/schema round per query when many queries run in one session
+    # (the driver's correctness sweep and bench.py both do).
+    key = (id(spark), sf_dir, name)
+    df = _T_CACHE.get(key)
+    if df is None:
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        _T_CACHE[key] = df
+    return df
+
+
+_T_CACHE: dict[tuple, DataFrame] = {}
 
 
 def _r(c, n: int = 6):
