@@ -174,3 +174,73 @@ def test_noise_sql_twin_bit_exact(key, salt):
     assert u_sql == xs[0]
     # left-associated sequential sum — the order both engines evaluate
     assert g_sql == sum(xs) - 6.0
+
+
+@SPARK_SETTINGS
+@given(
+    vals=hst.lists(
+        hst.tuples(
+            hst.sampled_from(["g1", "g2", "g3"]),
+            hst.one_of(
+                hst.none(),
+                hst.floats(
+                    min_value=-1e6,
+                    max_value=1e6,
+                    allow_nan=False,
+                    allow_infinity=False,
+                ),
+            ),
+        ),
+        min_size=1,
+        max_size=80,
+    )
+)
+def test_group_medians_match_numpy(spark, vals):
+    """Relational exact median == numpy median per group, nulls
+    excluded, groups with no non-null values absent."""
+    from padua_spark.operators.normalization import group_medians
+
+    df = spark.createDataFrame(vals, "g string, v double")
+    got = {
+        r["g"]: r["m"]
+        for r in group_medians(df, ["g"], "v", "m").collect()
+    }
+    expect = {}
+    for g in {g for g, _ in vals}:
+        xs = [v for gg, v in vals if gg == g and v is not None]
+        if xs:
+            expect[g] = float(np.median(xs))
+    assert set(got) == set(expect)
+    for g in expect:
+        assert got[g] == pytest.approx(expect[g], rel=1e-12, abs=1e-12)
+
+
+@SPARK_SETTINGS
+@given(
+    rows=hst.lists(
+        hst.tuples(
+            hst.sampled_from(["k1", "k2"]),
+            hst.integers(0, 3),  # keep value with deliberate ties
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_exact_dedup_id_tiebreak_unique(spark, rows):
+    """With a row-unique id_col, exact_dedup emits exactly one row per
+    key — the lexicographic (keep, id) minimum — under any tie
+    pattern."""
+    from padua_spark.extensions.dedup import exact_dedup
+
+    data = [(k, keep, i) for i, (k, keep) in enumerate(rows)]
+    df = spark.createDataFrame(data, "k string, keep int, rid int")
+    out = exact_dedup(df, ["k"], "keep", id_col="rid").collect()
+    keys = [r["k"] for r in out]
+    assert len(keys) == len(set(keys))  # one row per key
+    expect = {}
+    for k, keep, rid in data:
+        cur = expect.get(k)
+        if cur is None or (keep, rid) < cur:
+            expect[k] = (keep, rid)
+    got = {r["k"]: (r["keep"], r["rid"]) for r in out}
+    assert got == expect
