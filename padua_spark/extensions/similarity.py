@@ -210,29 +210,38 @@ def ivf_assign(
     centroids: DataFrame,
 ) -> DataFrame:
     """Assign every vector to its best cell (max cosine, ties → lowest
-    cell id — an explicit total order so any engine agrees). Broadcast
-    the tiny centroid table; the corpus is never shuffled."""
-    from pyspark.sql import Window
+    cell id — an explicit total order so any engine agrees).
 
+    Plan shape matters at 100 TB: the centroid table is collapsed to a
+    ONE-ROW array of (cell, centroid, norm) structs and broadcast, so
+    the assignment is a single map stage — per row, an ``array_max``
+    over (cos, -cell) pairs. The corpus is never shuffled, never
+    row-multiplied ×n_cells, and never window-sorted (an earlier
+    row_number-over-(id)-window formulation shuffled n×n_cells rows).
+    """
+    cents_row = centroids.select(
+        F.struct(
+            F.col("cell"),
+            F.col("_c"),
+            l2_norm(F.col("_c")).alias("_cn"),
+        ).alias("_cent")
+    ).agg(F.sort_array(F.collect_list("_cent")).alias("_cents"))
     staged = df.select(
         F.col(id_col), _as_double(F.col(vec_col)).alias("_v")
     ).withColumn("_nrm", l2_norm(F.col("_v")))
-    scored = staged.crossJoin(F.broadcast(centroids)).select(
-        id_col,
-        "_v",
-        "cell",
-        (
-            dot(F.col("_v"), F.col("_c"))
-            / (F.col("_nrm") * l2_norm(F.col("_c")))
-        ).alias("_cos"),
+    v, nrm = F.col("_v"), F.col("_nrm")
+    scored = staged.crossJoin(F.broadcast(cents_row))
+    best = F.array_max(
+        F.transform(
+            F.col("_cents"),
+            lambda c: F.struct(
+                (dot(v, c["_c"]) / (nrm * c["_cn"])).alias("_cos"),
+                (-c["cell"]).alias("_negcell"),
+            ),
+        )
     )
-    w = Window.partitionBy(id_col).orderBy(
-        F.col("_cos").desc(), F.col("cell").asc()
-    )
-    return (
-        scored.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .select(id_col, "_v", "cell")
+    return scored.select(
+        id_col, "_v", (-best["_negcell"]).alias("cell")
     )
 
 
