@@ -113,3 +113,34 @@ def test_imputation_no_shuffle_of_fact(spark):
     assert "BroadcastHashJoin" in plan
     # group stats aggregate shuffles only the tiny stats table
     assert "Window" not in plan
+
+
+def test_extension_scan_pruning(spark):
+    """Extension pipelines must prune the documents scan to the columns
+    they use (a scan reading 'source' for a text-dedup query would drag
+    dead bytes through a 100 TB read)."""
+    from padua_spark.extensions import dedup as x_dedup
+
+    docs = spark.read.parquet(f"{SF_ORACLE}/documents.parquet")
+    out = x_dedup.minhash_lsh_candidates(docs, "doc_id", "text")
+    cols = scan_read_schema(out)
+    assert set(cols) == {"doc_id", "text"}, cols
+
+    out2 = x_dedup.simhash_candidates(
+        docs, "doc_id", "text", ["lang"], max_hamming=6
+    )
+    cols2 = scan_read_schema(out2)
+    assert "source" not in cols2 and "n_chars" not in cols2, cols2
+
+
+def test_ivf_assign_never_shuffles_corpus(spark):
+    """IVF assignment is a pure map stage over the corpus: the only
+    exchanges are the tiny centroid-side aggregation/broadcast — no
+    hash-partition shuffle of the embeddings."""
+    from padua_spark.extensions.similarity import ivf_assign, ivf_centroids
+
+    emb = spark.read.parquet(f"{SF_ORACLE}/embeddings.parquet")
+    cents = ivf_centroids(emb, "vec_id", "embedding", n_cells=4)
+    plan = explain_str(ivf_assign(emb, "vec_id", "embedding", cents))
+    assert "BroadcastExchange" in plan
+    assert "Exchange hashpartitioning" not in plan, plan[:3000]
