@@ -2219,6 +2219,41 @@ def q_s0_classify(spark, sf):
     )
 
 
+# --- X3 KEGG pathway colorizer compute core (visualize.py:1495-1605) ---------
+
+
+@_q(
+    "kegg_color_bins",
+    """
+WITH g AS (
+  SELECT l_partkey,
+    avg(CASE WHEN l_returnflag = 'R' THEN l_extendedprice END) AS ma,
+    avg(CASE WHEN l_returnflag = 'A' THEN l_extendedprice END) AS mb
+  FROM lineitem GROUP BY 1
+),
+r AS (
+  SELECT l_partkey,
+         CASE WHEN ma > 0 AND mb > 0 THEN log2(ma / mb) END AS ratio
+  FROM g
+)
+SELECT l_partkey, round(ratio, 6) AS log2_ratio,
+  CAST(least(floor((greatest(least(ratio, 2.0), -2.0) + 2.0)
+                   / (4.0 / 7)), 6) AS INTEGER) AS color_bin
+FROM r
+""",
+)
+def q_kegg_color_bins(spark, sf):
+    from padua_spark.operators.external import kegg_color_table
+
+    li = _t(spark, sf, "lineitem")
+    out = kegg_color_table(
+        li, ["l_partkey"], "l_returnflag", "l_extendedprice", "R", "A"
+    )
+    return out.select(
+        "l_partkey", _r("log2_ratio").alias("log2_ratio"), "color_bin"
+    )
+
+
 # ---------------------------------------------------------------------------
 
 
