@@ -2011,10 +2011,12 @@ def _bpe_oracle() -> str:
     pat = __import__(
         "padua_spark.extensions.text", fromlist=["BPE_PATTERN"]
     ).BPE_PATTERN.replace("'", "''")
+    # coalesce mirrors the Spark side's NULL-text -> 0 (len over a NULL
+    # list is NULL in DuckDB)
     return f"""
 SELECT doc_id,
        len(string_split(trim(text), ' ')) AS n_ws,
-       len(regexp_extract_all(text, '{pat}')) AS n_bpe
+       coalesce(len(regexp_extract_all(text, '{pat}')), 0) AS n_bpe
 FROM documents
 """
 
@@ -2177,7 +2179,7 @@ s AS (
 )
 SELECT l_partkey, round(log2_fc, 6) AS log2_fc,
   round(p_surrogate, 9) AS p_surrogate,
-  (abs(log2_fc) > 0.1 AND p_surrogate <=
+  (abs(log2_fc) > 0.1 AND p_surrogate IS NOT NULL AND p_surrogate <=
      power(10.0, -0.585 / (abs(log2_fc) - 0.1) + log10(0.05)))
     AS significant
 FROM s
@@ -2237,8 +2239,9 @@ r AS (
   FROM g
 )
 SELECT l_partkey, round(ratio, 6) AS log2_ratio,
-  CAST(least(floor((greatest(least(ratio, 2.0), -2.0) + 2.0)
-                   / (4.0 / 7)), 6) AS INTEGER) AS color_bin
+  CASE WHEN ratio IS NOT NULL THEN
+    CAST(least(floor((greatest(least(ratio, 2.0), -2.0) + 2.0)
+                     / (4.0 / 7)), 6) AS INTEGER) END AS color_bin
 FROM r
 """,
 )

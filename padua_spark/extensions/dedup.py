@@ -51,12 +51,18 @@ def exact_dedup(
     survives the semi-join. When ties are possible, pass a row-unique
     ``id_col`` tiebreaker: the kept row is then the lexicographic
     minimum of ``(keep_col, id_col)`` and the semi-join runs on the
-    unique id, so exactly one row per key survives."""
+    unique id, so exactly one row per key survives.
+
+    NULL ``keep_col`` rows are never chosen on either path (``F.min``
+    skips NULLs; the tiebreaker path filters them before aggregating —
+    struct ordering would otherwise sort NULLs first), so a key group
+    whose keeps are all NULL is dropped entirely on both paths."""
     if id_col is None:
         keep = df.groupBy(*key_cols).agg(F.min(keep_col).alias(keep_col))
         return df.join(keep, on=[*key_cols, keep_col], how="left_semi")
     keep = (
-        df.groupBy(*key_cols)
+        df.where(F.col(keep_col).isNotNull())
+        .groupBy(*key_cols)
         .agg(F.min(F.struct(keep_col, id_col)).alias("_k"))
         .select(*key_cols, F.col(f"_k.{id_col}").alias(id_col))
     )

@@ -38,6 +38,21 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (l2_norm(a) * l2_norm(b))
 
 
+def _query_norm(query: list[float]) -> float:
+    """Driver-side L2 norm of a constant query vector, with the SAME
+    left-associated sequential summation as :func:`dot` (and as the
+    DuckDB ``list_dot_product`` loop the oracles use) — bit-identical
+    to the in-plan expression it replaces, computed once instead of
+    per corpus row (higher-order functions are never constant-folded).
+    """
+    import math
+
+    acc = 0.0
+    for x in query:
+        acc = acc + float(x) * float(x)
+    return math.sqrt(acc)
+
+
 def brute_force_topk(
     df: DataFrame,
     vec_col: str,
@@ -53,10 +68,11 @@ def brute_force_topk(
     broken by id for determinism.
     """
     q = F.array(*[F.lit(float(x)) for x in query])
+    qn = _query_norm(query)
     v = _as_double(F.col(vec_col))
     scored = df.select(
         F.col(id_col),
-        cosine(v, q).alias("cosine_sim"),
+        (dot(v, q) / (l2_norm(v) * F.lit(qn))).alias("cosine_sim"),
     )
     return scored.orderBy(
         F.col("cosine_sim").desc(), F.col(id_col).asc()
@@ -264,12 +280,13 @@ def ivf_topk(
     """
     cents = ivf_centroids(df, id_col, vec_col, n_cells, n_iter)
     q = F.array(*[F.lit(float(x)) for x in query])
+    qn = _query_norm(query)
     probes = (
         cents.select(
             "cell",
-            (dot(F.col("_c"), q) / (l2_norm(F.col("_c")) * l2_norm(q))).alias(
-                "_qcos"
-            ),
+            (
+                dot(F.col("_c"), q) / (l2_norm(F.col("_c")) * F.lit(qn))
+            ).alias("_qcos"),
         )
         .orderBy(F.col("_qcos").desc(), F.col("cell").asc())
         .limit(nprobe)
@@ -280,7 +297,7 @@ def ivf_topk(
     scored = candidates.select(
         F.col(id_col),
         F.col("cell"),
-        (dot(F.col("_v"), q) / (l2_norm(F.col("_v")) * l2_norm(q))).alias(
+        (dot(F.col("_v"), q) / (l2_norm(F.col("_v")) * F.lit(qn))).alias(
             "cosine_sim"
         ),
     )

@@ -128,15 +128,18 @@ def fingerprint(text: Column, mod: int = MOD, base: int = 131) -> Column:
 
 # GPT-2-style pretokenizer pattern, simplified to the subset that
 # behaves identically under Java regex (Spark) and RE2 (DuckDB): no
-# lookarounds, ASCII classes (\p{L} differs subtly across engines).
+# lookarounds, ASCII classes (\p{L} differs subtly across engines),
+# and an EXPLICIT whitespace class — Java's \s includes \x0B (vertical
+# tab) while RE2's does not, so \s itself is not portable.
 # Pieces: contraction suffixes | space?+letters | space?+digits |
 # space?+other-run | whitespace-run.
+_WS = " \\t\\n\\x0B\\f\\r"
 BPE_PATTERN = (
     "'(?:s|t|re|ve|m|ll|d)"
     "| ?[A-Za-z]+"
     "| ?[0-9]+"
-    "| ?[^A-Za-z0-9\\s]+"
-    "|\\s+"
+    f"| ?[^A-Za-z0-9{_WS}]+"
+    f"|[{_WS}]+"
 )
 
 

@@ -108,7 +108,18 @@ def collapse_technical_replicates(
     if stat == "median":
         from padua_spark.operators.normalization import group_medians
 
-        return group_medians(df, key_cols, v, value_col)
+        # group_medians drops all-NULL groups (it filters NULL values
+        # before grouping); rejoin against the full key set so those
+        # groups come back as (key, NULL) — same key set as F.median
+        # and as the stat='mean' path.
+        keys = df.groupBy(*key_cols).agg(
+            F.lit(1).alias("_present")
+        ).drop("_present")
+        return keys.join(
+            group_medians(df, key_cols, v, value_col),
+            on=key_cols,
+            how="left",
+        )
     return df.groupBy(*key_cols).agg(F.avg(v).alias(value_col))
 
 

@@ -150,5 +150,8 @@ def kegg_color_table(
     return agg.select(
         *feature_cols,
         ratio.alias("log2_ratio"),
-        bin_idx.alias("color_bin"),
+        # undefined ratio (missing group / non-positive mean) must stay
+        # uncolored — least/greatest skip NULLs, so an unguarded bin
+        # would paint those features as maximum up-regulation
+        F.when(ratio.isNotNull(), bin_idx).alias("color_bin"),
     )

@@ -45,6 +45,13 @@ def asof_join(
     renames = {
         c: f"{c}_r" for c in right_value_cols if c in left.columns
     }
+    for old, new in renames.items():
+        if new in left.columns or new in right_value_cols:
+            raise ValueError(
+                f"asof_join: cannot rename colliding right column "
+                f"{old!r} to {new!r} — that name is already taken; "
+                f"rename the input columns explicitly"
+            )
     if renames:
         rt_base = right.select(*by, on, *right_value_cols)
         for old, new in renames.items():

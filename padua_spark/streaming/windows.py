@@ -146,9 +146,14 @@ def dedup_stream(
         return df.dropDuplicates(key_cols)
     staged = df.withColumn(time_col_name, event_time)
     if staged.isStreaming:
-        return staged.withWatermark(
-            time_col_name, watermark
-        ).dropDuplicatesWithinWatermark(key_cols)
+        # the watermark column must exist when the dedup runs; dropping
+        # it afterwards is a plain projection and restores the input
+        # schema
+        return (
+            staged.withWatermark(time_col_name, watermark)
+            .dropDuplicatesWithinWatermark(key_cols)
+            .drop(time_col_name)
+        )
     # batch: watermark is meaningless; first-arrival == any-arrival
     # after exact dedup on the key
-    return staged.dropDuplicates(key_cols)
+    return staged.dropDuplicates(key_cols).drop(time_col_name)

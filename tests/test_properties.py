@@ -244,3 +244,38 @@ def test_exact_dedup_id_tiebreak_unique(spark, rows):
             expect[k] = (keep, rid)
     got = {r["k"]: (r["keep"], r["rid"]) for r in out}
     assert got == expect
+
+
+@settings(max_examples=40, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    texts=hst.lists(
+        hst.text(
+            alphabet=" \t\n\x0b\f\rabzAZ09.,!'—中é" ,
+            max_size=40,
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_bpe_pattern_java_re2_parity(spark, texts):
+    """BPE_PATTERN must count identically under Java regex (Spark) and
+    RE2 (DuckDB) for arbitrary text including the \\x0B whitespace
+    corner Java's \\s and RE2's \\s disagree on."""
+    from padua_spark.extensions.text import BPE_PATTERN, bpe_token_count
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "id int, text string"
+    )
+    got = {r["id"]: r["n"] for r in df.select(
+        "id", bpe_token_count(F.col("text")).alias("n")
+    ).collect()}
+    con = duckdb.connect()
+    pat = BPE_PATTERN.replace("'", "''")
+    exp = {}
+    for i, t in enumerate(texts):
+        exp[i] = con.execute(
+            f"SELECT coalesce(len(regexp_extract_all(?, '{pat}')), 0)",
+            [t],
+        ).fetchone()[0]
+    assert got == exp

@@ -475,3 +475,90 @@ def test_ivf_probe_pruning_at_scale(spark):
     expect = {0} | {i * 100000 for i in range(1, 8)}
     assert set(ids[:5]) <= expect
     assert abs(out[0]["cosine_sim"] - 1.0) < 1e-9
+
+
+def test_collapse_median_keeps_all_null_groups(spark):
+    """A key group whose values are all NULL must survive as
+    (key, NULL) — same key set as stat='mean' (code-review r2)."""
+    from padua_spark.operators.aggregates import (
+        collapse_technical_replicates,
+    )
+
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 3.0), ("b", None), ("b", None)],
+        "k string, v double",
+    )
+    med = {r["k"]: r["v"] for r in collapse_technical_replicates(
+        df, ["k"], "v", stat="median"
+    ).collect()}
+    mean = {r["k"]: r["v"] for r in collapse_technical_replicates(
+        df, ["k"], "v", stat="mean"
+    ).collect()}
+    assert set(med) == set(mean) == {"a", "b"}
+    assert med["a"] == 2.0 and med["b"] is None
+
+
+def test_kegg_null_ratio_uncolored(spark):
+    """Undefined log2 ratio (missing group / non-positive mean) must
+    yield a NULL color bin, not the max-up-regulation bin."""
+    from padua_spark.operators.external import kegg_color_table
+
+    df = spark.createDataFrame(
+        [(1, "A", 4.0), (1, "B", 1.0), (2, "A", 4.0), (3, "A", -1.0),
+         (3, "B", 2.0)],
+        "f int, g string, v double",
+    )
+    out = {r["f"]: r for r in kegg_color_table(
+        df, ["f"], "g", "v", "A", "B"
+    ).collect()}
+    assert out[1]["log2_ratio"] == 2.0 and out[1]["color_bin"] == 6
+    assert out[2]["log2_ratio"] is None and out[2]["color_bin"] is None
+    assert out[3]["log2_ratio"] is None and out[3]["color_bin"] is None
+
+
+def test_asof_join_rename_residual_collision_raises(spark):
+    from padua_spark.operators.temporal import asof_join
+
+    left = spark.createDataFrame(
+        [(1, "u", 100, 1.0, 2.0)],
+        "id int, k string, t long, value double, value_r double",
+    )
+    right = spark.createDataFrame(
+        [("u", 90, 9.0)], "k string, t long, value double"
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="already taken"):
+        asof_join(left, right, on="t", by=["k"])
+
+
+def test_exact_dedup_null_keep_never_chosen(spark):
+    from padua_spark.extensions.dedup import exact_dedup
+
+    df = spark.createDataFrame(
+        [("k", None, 1), ("k", 5, 2), ("all_null", None, 3)],
+        "key string, keep int, rid int",
+    )
+    got = {(r["key"], r["rid"]) for r in exact_dedup(
+        df, ["key"], "keep", id_col="rid"
+    ).collect()}
+    assert got == {("k", 2)}  # null keep skipped; all-null group dropped
+    got2 = {(r["key"], r["rid"]) for r in exact_dedup(
+        df, ["key"], "keep"
+    ).collect()}
+    assert got2 == {("k", 2)}
+
+
+def test_dedup_stream_batch_schema_clean(spark):
+    from pyspark.sql import functions as F
+
+    from padua_spark.streaming import dedup_stream
+
+    df = spark.createDataFrame(
+        [(1, "a", 100), (1, "a", 200)], "uid int, et string, t long"
+    )
+    out = dedup_stream(
+        df, ["uid", "et"], event_time=F.timestamp_micros(F.col("t"))
+    )
+    assert out.columns == ["uid", "et", "t"]
+    assert out.count() == 1
