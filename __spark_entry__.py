@@ -1050,7 +1050,7 @@ def q_ngram_jaccard(spark, sf):
 #     candidate pairs → estimated Jaccard) mirrored in DuckDB ------------------
 
 
-def _minhash_oracle() -> str:
+def _minhash_oracle(source: str = "documents") -> str:
     from padua_spark.extensions.dedup import MOD, _affine_constants
 
     consts = _affine_constants(32, seed=7)
@@ -1076,7 +1076,7 @@ WITH t AS (
         list_prepend(CAST(7 AS BIGINT),
           list_transform(string_split(w, ''), c -> CAST(ord(c) AS BIGINT))),
         (a, c) -> (a * 131 + c) % {MOD})) AS th
-  FROM documents
+  FROM {source}
 ),
 s AS (
   SELECT doc_id,
@@ -2255,6 +2255,61 @@ def q_kegg_color_bins(spark, sf):
     return out.select(
         "l_partkey", _r("log2_ratio").alias("log2_ratio"), "color_bin"
     )
+
+
+# --- ext: end-to-end corpus curation (quality gate → exact dedup →
+#     MinHash near-dup removal), composed from oracle-checked stages --------
+
+
+def _curate_oracle() -> str:
+    minhash_sql = _minhash_oracle("kept")
+    return rf"""
+WITH kept0 AS (
+  SELECT * FROM documents
+  WHERE CASE WHEN len(trim(text)) = 0 THEN 0
+        ELSE len(string_split_regex(trim(text),
+                                    '[ \t\n\x0B\f\r]+')) END >= 5
+),
+fp AS (
+  SELECT doc_id, text, n_chars,
+    list_reduce(
+      list_prepend(CAST(0 AS BIGINT),
+        list_transform(
+          string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'),
+                       ''),
+          c -> CAST(ord(c) AS BIGINT))),
+      (acc, c) -> (acc * 131 + c) % 2147483647) AS f
+  FROM kept0
+),
+keepids AS (SELECT f, min(doc_id) AS doc_id FROM fp GROUP BY 1),
+kept AS (
+  SELECT p.doc_id, p.text, p.n_chars
+  FROM fp p JOIN keepids k ON p.f = k.f AND p.doc_id = k.doc_id
+),
+cand AS (SELECT * FROM ({minhash_sql}) mh),
+losers AS (
+  SELECT DISTINCT id_b FROM cand WHERE est_jaccard >= 0.5
+)
+SELECT k.doc_id, k.n_chars
+FROM kept k
+WHERE k.doc_id NOT IN (SELECT id_b FROM losers)
+"""
+
+
+@_q("curate_corpus", _curate_oracle())
+def q_curate_corpus(spark, sf):
+    from padua_spark.extensions.curation import curate_corpus
+
+    d = _t(spark, sf, "documents")
+    out = curate_corpus(
+        d,
+        "doc_id",
+        "text",
+        min_tokens=5,
+        jaccard_threshold=0.5,
+        portable_keys=True,
+    )
+    return out.select("doc_id", "n_chars")
 
 
 # ---------------------------------------------------------------------------

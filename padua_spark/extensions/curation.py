@@ -1,0 +1,67 @@
+"""End-to-end corpus curation: the composition a training-data
+pipeline actually runs, built entirely from this package's
+oracle-checked primitives.
+
+Stages (each one shuffle-bounded and individually tested):
+
+1. quality gate — token-count threshold, a pure pushdown-able filter;
+2. exact dedup — normalized-text rolling-hash fingerprint, one hash
+   aggregation + semi join (``extensions.dedup.exact_dedup``);
+3. near-dup removal — banded MinHash LSH candidates at/above a Jaccard
+   threshold; of each candidate pair the lower id survives
+   (``extensions.dedup.minhash_lsh_candidates``).
+
+At 100 TB each stage keeps its scale posture: the quality filter
+reaches the scan, the fingerprint dedup is one shuffle on the hash,
+and the near-dup join only ever touches LSH-bucket collisions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from padua_spark.extensions.dedup import (
+    exact_dedup,
+    minhash_lsh_candidates,
+)
+from padua_spark.extensions.text import fingerprint, token_count
+
+
+def curate_corpus(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_tokens: int = 3,
+    jaccard_threshold: float = 0.5,
+    k_shingle: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    portable_keys: bool = False,
+) -> DataFrame:
+    """Surviving rows of ``df`` after the three curation stages.
+
+    Near-dup removal semantics: every candidate pair (id_a < id_b) with
+    ``est_jaccard >= jaccard_threshold`` drops id_b — a deterministic
+    keep-the-lowest-id rule (transitive chains keep their minimum and
+    possibly later members that never pair with it directly; exact
+    clustering would need a connected-components pass).
+    """
+    kept = df.where(token_count(F.col(text_col)) >= F.lit(min_tokens))
+    keyed = kept.withColumn("_fp", fingerprint(F.col(text_col)))
+    deduped = exact_dedup(keyed, ["_fp"], id_col).drop("_fp")
+    cands = minhash_lsh_candidates(
+        deduped,
+        id_col,
+        text_col,
+        k_shingle=k_shingle,
+        num_hashes=num_hashes,
+        bands=bands,
+        portable_keys=portable_keys,
+    )
+    losers = (
+        cands.where(F.col("est_jaccard") >= F.lit(jaccard_threshold))
+        .select(F.col("id_b").alias(id_col))
+        .distinct()
+    )
+    return deduped.join(losers, on=id_col, how="left_anti")

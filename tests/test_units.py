@@ -562,3 +562,26 @@ def test_dedup_stream_batch_schema_clean(spark):
     )
     assert out.columns == ["uid", "et", "t"]
     assert out.count() == 1
+
+
+def test_curate_corpus_pipeline(spark):
+    """Planted short docs, exact dups, and near-dups each fall to their
+    stage; clean documents survive."""
+    from padua_spark.extensions.curation import curate_corpus
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    docs = [
+        (1, base),
+        (2, base),                                  # exact dup of 1
+        (3, base + " tail"),                        # near dup of 1
+        (4, "too short"),                           # quality-gated
+        (5, "a completely different document about spark query engines"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    kept = sorted(
+        r["doc_id"]
+        for r in curate_corpus(
+            df, "doc_id", "text", min_tokens=5, jaccard_threshold=0.4
+        ).collect()
+    )
+    assert kept == [1, 5]
