@@ -1003,7 +1003,7 @@ WITH t AS (
   SELECT lang, CAST(floor(n_chars / 50.0) AS INTEGER) AS len_bucket, doc_id,
     list_transform(string_split(text, ' '), w -> list_reduce(
         list_prepend(CAST(7 AS BIGINT),
-          list_transform(string_split(w, ''), c -> CAST(ord(c) AS BIGINT))),
+          list_transform(list_filter(string_split(w, ''), c -> c <> ''), c -> CAST(ord(c) AS BIGINT))),
         (a, c) -> (a * 131 + c) % 2147483647)) AS th
   FROM documents
   WHERE len(string_split(text, ' ')) >= 3
@@ -1074,7 +1074,7 @@ WITH t AS (
   SELECT doc_id,
     list_transform(string_split(text, ' '), w -> list_reduce(
         list_prepend(CAST(7 AS BIGINT),
-          list_transform(string_split(w, ''), c -> CAST(ord(c) AS BIGINT))),
+          list_transform(list_filter(string_split(w, ''), c -> c <> ''), c -> CAST(ord(c) AS BIGINT))),
         (a, c) -> (a * 131 + c) % {MOD})) AS th
   FROM {source}
 ),
@@ -1263,7 +1263,7 @@ SELECT doc_id,
   list_reduce(
     list_prepend(CAST(0 AS BIGINT),
       list_transform(
-        string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ''),
+        list_filter(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ''), c -> c <> ''),
         c -> CAST(ord(c) AS BIGINT))),
     (acc, c) -> (acc * 131 + c) % 2147483647) AS fp
 FROM documents
@@ -1432,7 +1432,7 @@ SELECT CAST(doc_id AS BIGINT) AS media_id,
   CAST(strlen(text) AS BIGINT) AS n_bytes,
   list_reduce(
     list_prepend(CAST(0 AS BIGINT),
-      list_transform(string_split(text, ''), c -> CAST(ord(c) AS BIGINT))),
+      list_transform(list_filter(string_split(text, ''), c -> c <> ''), c -> CAST(ord(c) AS BIGINT))),
     (acc, c) -> (acc * 131 + c) % 2147483647) AS byte_hash
 FROM documents
 """,
@@ -1733,7 +1733,7 @@ def q_find_nearest(spark, sf):
 _SIMHASH_TH_SQL = r"""
     list_transform(string_split(text, ' '), w -> list_reduce(
         list_prepend(CAST(7 AS BIGINT),
-          list_transform(string_split(w, ''), c -> CAST(ord(c) AS BIGINT))),
+          list_transform(list_filter(string_split(w, ''), c -> c <> ''), c -> CAST(ord(c) AS BIGINT))),
         (a, c) -> (a * 131 + c) % 2147483647))
 """
 
@@ -2275,8 +2275,9 @@ fp AS (
     list_reduce(
       list_prepend(CAST(0 AS BIGINT),
         list_transform(
-          string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'),
-                       ''),
+          list_filter(
+            string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'),
+                         ''), c -> c <> ''),
           c -> CAST(ord(c) AS BIGINT))),
       (acc, c) -> (acc * 131 + c) % 2147483647) AS f
   FROM kept0

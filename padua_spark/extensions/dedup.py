@@ -82,7 +82,12 @@ def poly_hash(tokens: Column, base: int = 131, mod: int = MOD) -> Column:
     arithmetic via ``aggregate`` over the codepoints of the joined
     string; reproducible everywhere."""
     s = F.concat_ws("", tokens)
-    codes = F.transform(F.split(s, ""), lambda ch: F.ascii(ch).cast("bigint"))
+    # drop empty-string chars (split of '' yields ['']): Spark ascii('')
+    # is 0 but DuckDB ord('') is -1, so unfiltered empties diverge
+    codes = F.transform(
+        F.filter(F.split(s, ""), lambda ch: ch != ""),
+        lambda ch: F.ascii(ch).cast("bigint"),
+    )
     return F.aggregate(
         codes,
         F.lit(0).cast("bigint"),
@@ -129,7 +134,10 @@ def token_hashes(text: Column, base: int = 131, mod: int = MOD) -> Column:
     return F.transform(
         toks,
         lambda t: F.aggregate(
-            F.transform(F.split(t, ""), lambda ch: F.ascii(ch).cast("bigint")),
+            F.transform(
+                F.filter(F.split(t, ""), lambda ch: ch != ""),
+                lambda ch: F.ascii(ch).cast("bigint"),
+            ),
             F.lit(7).cast("bigint"),
             lambda acc, c: (acc * F.lit(base) + c) % F.lit(mod),
         ),

@@ -116,8 +116,10 @@ def fingerprint(text: Column, mod: int = MOD, base: int = 131) -> Column:
     the normalized (lowercased, space-collapsed) text — exact int64
     arithmetic, engine-portable."""
     norm = F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")
+    # empty-string chars filtered: Spark ascii('')=0 vs DuckDB ord('')=-1
     codes = F.transform(
-        F.split(norm, ""), lambda ch: F.ascii(ch).cast("bigint")
+        F.filter(F.split(norm, ""), lambda ch: ch != ""),
+        lambda ch: F.ascii(ch).cast("bigint"),
     )
     return F.aggregate(
         codes,

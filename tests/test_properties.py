@@ -279,3 +279,43 @@ def test_bpe_pattern_java_re2_parity(spark, texts):
             [t],
         ).fetchone()[0]
     assert got == exp
+
+
+@settings(max_examples=30, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    texts=hst.lists(
+        hst.text(
+            alphabet=" \t\nabzAZ09.,!'中é\U0001F600",
+            max_size=40,
+        ),
+        min_size=1,
+        max_size=6,
+    )
+)
+def test_fingerprint_duckdb_parity(spark, texts):
+    """Rolling-hash fingerprint must be bit-identical across engines
+    for arbitrary text, including astral-plane codepoints (Spark
+    split('') and DuckDB string_split('') both yield codepoints)."""
+    from padua_spark.extensions.text import fingerprint
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "id int, text string"
+    )
+    got = {r["id"]: r["fp"] for r in df.select(
+        "id", fingerprint(F.col("text")).alias("fp")
+    ).collect()}
+    con = duckdb.connect()
+    sql = r"""
+SELECT list_reduce(
+  list_prepend(CAST(0 AS BIGINT),
+    list_transform(
+      list_filter(
+        string_split(regexp_replace(lower(trim(?)), '\s+', ' ', 'g'), ''),
+        c -> c <> ''),
+      c -> CAST(ord(c) AS BIGINT))),
+  (acc, c) -> (acc * 131 + c) % 2147483647)
+"""
+    exp = {i: con.execute(sql, [t]).fetchone()[0]
+           for i, t in enumerate(texts)}
+    assert got == exp
