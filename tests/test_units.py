@@ -585,3 +585,41 @@ def test_curate_corpus_pipeline(spark):
         ).collect()
     )
     assert kept == [1, 5]
+
+
+def test_partitioning_invariance(spark):
+    """Operator results must not depend on the physical partitioning of
+    the input — the core distributed-correctness property (task retries
+    and AQE re-splits change layout at will)."""
+    from padua_spark.extensions.dedup import minhash_lsh_candidates
+    from padua_spark.operators.imputation import impute_gaussian
+    from padua_spark.operators.normalization import group_medians
+
+    li = spark.read.parquet(
+        "/root/testdata/sf0.001/lineitem.parquet"
+    ).withColumn(
+        "val", F.when(F.col("l_discount") > 0.05, F.col("l_quantity"))
+    )
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+
+    def rows(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    base_med = base_imp = base_mh = None
+    for n in (1, 7, 32):
+        med = rows(
+            group_medians(li.repartition(n), ["l_returnflag"], "val", "m")
+        )
+        imp_out = impute_gaussian(
+            li.repartition(n), ["l_returnflag"], "val", "l_orderkey"
+        ).select("l_orderkey", "l_linenumber", F.round("val", 9))
+        imp = rows(imp_out)
+        mh = rows(
+            minhash_lsh_candidates(docs.repartition(n), "doc_id", "text")
+        )
+        if base_med is None:
+            base_med, base_imp, base_mh = med, imp, mh
+        else:
+            assert med == base_med
+            assert imp == base_imp
+            assert mh == base_mh
