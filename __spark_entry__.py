@@ -1218,20 +1218,25 @@ s AS (
     len(list_filter(lt, x -> x IN ('el','la','y','de','un','una','es')))
       AS score_es,
     len(list_filter(lt, x -> x IN ('le','la','et','de','un','une','est')))
-      AS score_fr
+      AS score_fr,
+    len(list_filter(lt, x -> ord(x) BETWEEN 19968 AND 40959))
+      AS score_zh
   FROM t
 )
-SELECT doc_id, lang, score_de, score_en, score_es, score_fr,
-  CASE WHEN greatest(score_de, score_en, score_es, score_fr) > 0 THEN
+SELECT doc_id, lang, score_de, score_en, score_es, score_fr, score_zh,
+  CASE WHEN greatest(score_de, score_en, score_es, score_fr, score_zh) > 0
+  THEN
     CASE
-      WHEN score_de = greatest(score_de, score_en, score_es, score_fr)
-        THEN 'de'
-      WHEN score_en = greatest(score_de, score_en, score_es, score_fr)
-        THEN 'en'
-      WHEN score_es = greatest(score_de, score_en, score_es, score_fr)
-        THEN 'es'
-      WHEN score_fr = greatest(score_de, score_en, score_es, score_fr)
-        THEN 'fr'
+      WHEN score_de = greatest(score_de, score_en, score_es, score_fr,
+                               score_zh) THEN 'de'
+      WHEN score_en = greatest(score_de, score_en, score_es, score_fr,
+                               score_zh) THEN 'en'
+      WHEN score_es = greatest(score_de, score_en, score_es, score_fr,
+                               score_zh) THEN 'es'
+      WHEN score_fr = greatest(score_de, score_en, score_es, score_fr,
+                               score_zh) THEN 'fr'
+      WHEN score_zh = greatest(score_de, score_en, score_es, score_fr,
+                               score_zh) THEN 'zh'
     END
   END AS predicted_lang
 FROM s
@@ -1249,6 +1254,7 @@ def q_language_id(spark, sf):
         F.col("score_en").cast("bigint").alias("score_en"),
         F.col("score_es").cast("bigint").alias("score_es"),
         F.col("score_fr").cast("bigint").alias("score_fr"),
+        F.col("score_zh").cast("bigint").alias("score_zh"),
         "predicted_lang",
     )
 

@@ -84,10 +84,13 @@ def quality_score(df: DataFrame, text_col: str, id_cols: list[str],
 
 
 def language_id(df: DataFrame, text_col: str, id_cols: list[str],
-                profiles: dict[str, list[str]] | None = None) -> DataFrame:
-    """Stopword-profile language ID: score = stopword hits per language,
-    prediction = argmax (ties broken by language code order). One
-    projection; at scale this is a pure map stage."""
+                profiles: dict[str, list[str]] | None = None,
+                cjk_lang: str | None = "zh") -> DataFrame:
+    """Language ID heuristic: score = stopword hits per language, plus
+    (for ``cjk_lang``) the count of tokens starting with a CJK-unified
+    codepoint — scripts without whitespace-delimited stopwords need a
+    codepoint-class score. Prediction = argmax, ties broken by language
+    code order. One projection; at scale this is a pure map stage."""
     profiles = profiles or STOPWORDS
     toks = tokens(F.lower(F.col(text_col)))
 
@@ -98,8 +101,20 @@ def language_id(df: DataFrame, text_col: str, id_cols: list[str],
         F.size(F.filter(toks, _hits(sw))).alias(f"score_{lang}")
         for lang, sw in sorted(profiles.items())
     ]
+    if cjk_lang:
+        scores.append(
+            F.size(
+                F.filter(
+                    toks,
+                    lambda t: (F.ascii(t) >= 0x4E00)
+                    & (F.ascii(t) <= 0x9FFF),
+                )
+            ).alias(f"score_{cjk_lang}")
+        )
     scored = df.select(*id_cols, *scores)
-    langs = sorted(profiles.keys())
+    langs = sorted(
+        [*profiles.keys(), *([cjk_lang] if cjk_lang else [])]
+    )
     best = F.greatest(*[F.col(f"score_{l}") for l in langs])
     pred = F.lit(None).cast("string")
     for lang in reversed(langs):

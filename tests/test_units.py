@@ -623,3 +623,24 @@ def test_partitioning_invariance(spark):
             assert med == base_med
             assert imp == base_imp
             assert mh == base_mh
+
+
+def test_language_id_classifies_real_text(spark):
+    """Constructed multilingual snippets classify correctly, including
+    CJK via the codepoint-class score (the synthetic corpus uses
+    English-ish text under every lang label, so this is the real
+    classifier check)."""
+    from padua_spark.extensions.text import language_id
+
+    docs = [
+        (1, "the cat is in the house and of course happy"),
+        (2, "der hund ist von der stadt und ein freund"),
+        (3, "le chat est de la maison et un ami"),
+        (4, "el perro es de la casa y un amigo"),
+        (5, "这 是 一个 中文 文档 的 示例 文本"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id int, text string")
+    got = {r["doc_id"]: r["predicted_lang"] for r in language_id(
+        df, "text", ["doc_id"]
+    ).collect()}
+    assert got == {1: "en", 2: "de", 3: "fr", 4: "es", 5: "zh"}
