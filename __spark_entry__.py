@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import os
 import sys
+import weakref
 from collections.abc import Callable
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
@@ -57,16 +58,23 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # Memoize the analyzed reader per (session, dir, table): DataFrames
     # are immutable lazy plans, so reuse is safe, and it saves a parquet
     # footer/schema round per query when many queries run in one session
-    # (the driver's correctness sweep and bench.py both do).
-    key = (id(spark), sf_dir, name)
-    df = _T_CACHE.get(key)
+    # (the driver's correctness sweep and bench.py both do). Keyed by
+    # the live session object via weakref — id() can be recycled after
+    # a stopped session is collected, and the weak key lets a dead
+    # session's entries be reclaimed instead of growing forever.
+    per_session = _T_CACHE.get(spark)
+    if per_session is None:
+        per_session = _T_CACHE.setdefault(spark, {})
+    df = per_session.get((sf_dir, name))
     if df is None:
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        _T_CACHE[key] = df
+        per_session[(sf_dir, name)] = df
     return df
 
 
-_T_CACHE: dict[tuple, DataFrame] = {}
+_T_CACHE: "weakref.WeakKeyDictionary[SparkSession, dict]" = (
+    weakref.WeakKeyDictionary()
+)
 
 
 def _r(c, n: int = 6):

@@ -48,8 +48,13 @@ def curate_corpus(
     clustering would need a connected-components pass).
     """
     kept = df.where(token_count(F.col(text_col)) >= F.lit(min_tokens))
-    keyed = kept.withColumn("_fp", fingerprint(F.col(text_col)))
-    deduped = exact_dedup(keyed, ["_fp"], id_col).drop("_fp")
+    # internal column name must not collide with user data: an input
+    # that already has _fp would be silently overwritten and dropped
+    fp_col = "_fp"
+    while fp_col in df.columns:
+        fp_col += "_"
+    keyed = kept.withColumn(fp_col, fingerprint(F.col(text_col)))
+    deduped = exact_dedup(keyed, [fp_col], id_col).drop(fp_col)
     cands = minhash_lsh_candidates(
         deduped,
         id_col,

@@ -60,11 +60,15 @@ def exact_dedup(
     if id_col is None:
         keep = df.groupBy(*key_cols).agg(F.min(keep_col).alias(keep_col))
         return df.join(keep, on=[*key_cols, keep_col], how="left_semi")
+    # internal agg alias must not collide with a key column name
+    k = "_k"
+    while k in key_cols:
+        k += "_"
     keep = (
         df.where(F.col(keep_col).isNotNull())
         .groupBy(*key_cols)
-        .agg(F.min(F.struct(keep_col, id_col)).alias("_k"))
-        .select(*key_cols, F.col(f"_k.{id_col}").alias(id_col))
+        .agg(F.min(F.struct(keep_col, id_col)).alias(k))
+        .select(*key_cols, F.col(f"{k}.{id_col}").alias(id_col))
     )
     return df.join(keep, on=[*key_cols, id_col], how="left_semi")
 

@@ -204,7 +204,7 @@ def ivf_centroids(
             "cell", F.posexplode("_v").alias("_d", "_x")
         )
         means = exploded.groupBy("cell", "_d").agg(F.avg("_x").alias("_m"))
-        cents = (
+        refined = (
             means.groupBy("cell")
             .agg(
                 F.array_sort(
@@ -215,6 +215,14 @@ def ivf_centroids(
                 "cell",
                 F.transform(F.col("_dm"), lambda s: s["_m"]).alias("_c"),
             )
+        )
+        # standard empty-cluster handling: a cell that lost every member
+        # has no mean row — keep its previous centroid so the table
+        # always has exactly n_cells cells with stable ids
+        cents = (
+            cents.select("cell", F.col("_c").alias("_prev"))
+            .join(refined, on="cell", how="left")
+            .select("cell", F.coalesce("_c", "_prev").alias("_c"))
         )
     return cents
 

@@ -97,24 +97,28 @@ def language_id(df: DataFrame, text_col: str, id_cols: list[str],
     def _hits(sw: list[str]):
         return lambda t: t.isin([F.lit(s) for s in sw])
 
-    scores = [
-        F.size(F.filter(toks, _hits(sw))).alias(f"score_{lang}")
+    # one score expression per language; if a caller's profiles already
+    # contain cjk_lang, its codepoint score ADDS to the stopword score
+    # (two same-named alias columns would make score_<lang> ambiguous)
+    score_exprs = {
+        lang: F.size(F.filter(toks, _hits(sw)))
         for lang, sw in sorted(profiles.items())
-    ]
+    }
     if cjk_lang:
-        scores.append(
-            F.size(
-                F.filter(
-                    toks,
-                    lambda t: (F.ascii(t) >= 0x4E00)
-                    & (F.ascii(t) <= 0x9FFF),
-                )
-            ).alias(f"score_{cjk_lang}")
+        cjk = F.size(
+            F.filter(
+                toks,
+                lambda t: (F.ascii(t) >= 0x4E00) & (F.ascii(t) <= 0x9FFF),
+            )
         )
-    scored = df.select(*id_cols, *scores)
-    langs = sorted(
-        [*profiles.keys(), *([cjk_lang] if cjk_lang else [])]
+        score_exprs[cjk_lang] = (
+            score_exprs[cjk_lang] + cjk if cjk_lang in score_exprs else cjk
+        )
+    scored = df.select(
+        *id_cols,
+        *[e.alias(f"score_{lang}") for lang, e in sorted(score_exprs.items())],
     )
+    langs = sorted(score_exprs)
     best = F.greatest(*[F.col(f"score_{l}") for l in langs])
     pred = F.lit(None).cast("string")
     for lang in reversed(langs):

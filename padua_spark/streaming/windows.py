@@ -126,6 +126,7 @@ def dedup_stream(
     event_time: Column | None = None,
     watermark: str = "2 hours",
     time_col_name: str = "_event_time",
+    tiebreak_col: str | None = None,
 ) -> DataFrame:
     """Streaming exact deduplication on ``key_cols`` — the streaming
     twin of ``extensions.dedup.exact_dedup`` for append-only corpora
@@ -139,8 +140,14 @@ def dedup_stream(
     it). Without ``event_time``, plain ``dropDuplicates`` keeps state
     forever (bounded-key domains only, e.g. dimension upserts).
 
-    Works on batch DataFrames too (same plan, batch semantics), so the
-    stream==batch equivalence is testable.
+    Works on batch DataFrames too (same plan shape, batch semantics):
+    the batch twin keeps the row with the MINIMUM event time per key
+    (ties broken by ``tiebreak_col`` when given, else all minimum-time
+    rows survive), so non-key payload columns also match the streaming
+    first-arrival row whenever arrival order follows event time — the
+    append-only-log case this operator targets. Rows with a NULL event
+    time are dropped by the batch twin (a NULL watermark column is
+    likewise discarded by the streaming path).
     """
     if event_time is None:
         return df.dropDuplicates(key_cols)
@@ -154,6 +161,10 @@ def dedup_stream(
             .dropDuplicatesWithinWatermark(key_cols)
             .drop(time_col_name)
         )
-    # batch: watermark is meaningless; first-arrival == any-arrival
-    # after exact dedup on the key
-    return staged.dropDuplicates(key_cols).drop(time_col_name)
+    # batch twin: first arrival == minimum event time per key — an
+    # agg + semi-join (exact_dedup), never a window sort of the corpus
+    from padua_spark.extensions.dedup import exact_dedup
+
+    return exact_dedup(
+        staged, key_cols, time_col_name, id_col=tiebreak_col
+    ).drop(time_col_name)

@@ -644,3 +644,94 @@ def test_language_id_classifies_real_text(spark):
         df, "text", ["doc_id"]
     ).collect()}
     assert got == {1: "en", 2: "de", 3: "fr", 4: "es", 5: "zh"}
+
+
+def test_language_id_custom_profile_with_cjk_key(spark):
+    """A custom profile that already contains the cjk_lang key composes
+    (stopword + codepoint scores add) instead of raising an
+    ambiguous-column AnalysisException (ADVICE r2)."""
+    from padua_spark.extensions.text import language_id
+
+    df = spark.createDataFrame(
+        [(1, "的 的 the the the")], "doc_id long, text string"
+    )
+    out = language_id(
+        df, "text", ["doc_id"],
+        profiles={"en": ["the"], "zh": ["的"]}, cjk_lang="zh",
+    )
+    assert out.columns.count("score_zh") == 1
+    row = out.collect()[0]
+    assert row["score_zh"] == 4  # 2 stopword hits + 2 codepoint hits
+    assert row["score_en"] == 3
+    assert row["predicted_lang"] == "zh"
+
+
+def test_dedup_stream_batch_keeps_first_arrival_payload(spark):
+    """Batch twin keeps the min-event-time row, so non-key payload
+    columns match streaming first-arrival semantics (ADVICE r2)."""
+    from pyspark.sql import functions as F
+
+    from padua_spark.streaming import dedup_stream
+
+    df = spark.createDataFrame(
+        [(1, 200, "late"), (1, 100, "first"), (2, 50, "only")],
+        "uid int, t long, payload string",
+    )
+    out = {
+        r["uid"]: r["payload"]
+        for r in dedup_stream(
+            df, ["uid"], event_time=F.timestamp_micros(F.col("t")),
+            tiebreak_col="payload",
+        ).collect()
+    }
+    assert out == {1: "first", 2: "only"}
+
+
+def test_ivf_centroids_empty_cell_keeps_previous(spark):
+    """A Lloyd step that empties a cell keeps the cell with its previous
+    centroid — the table always has exactly n_cells cells with stable
+    ids (ADVICE r2)."""
+    from padua_spark.extensions.similarity import ivf_centroids
+
+    # ids 1 and 2 share a vector; every point ties on cosine and the
+    # lowest-cell tie rule sends all rows to cell 1, emptying cell 2
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [1.0, 0.0]), (3, [1.0, 0.1])],
+        "vec_id long, embedding array<double>",
+    )
+    cents = ivf_centroids(df, "vec_id", "embedding", n_cells=2, n_iter=1)
+    rows = {r["cell"]: list(r["_c"]) for r in cents.collect()}
+    assert sorted(rows) == [1, 2]
+    assert rows[2] == [1.0, 0.0]  # kept its seed centroid
+
+
+def test_curate_corpus_preserves_user_fp_column(spark):
+    """An input that already has a _fp column passes through untouched —
+    internal names are made collision-proof (ADVICE r2)."""
+    from padua_spark.extensions.curation import curate_corpus
+
+    df = spark.createDataFrame(
+        [
+            (1, "one fine document with several words", "user"),
+            (2, "a totally different second document text", "data"),
+        ],
+        "doc_id long, text string, _fp string",
+    )
+    out = curate_corpus(
+        df, "doc_id", "text", min_tokens=3, jaccard_threshold=0.9
+    )
+    assert "_fp" in out.columns
+    assert {r["_fp"] for r in out.collect()} == {"user", "data"}
+
+
+def test_table_cache_weak_keyed(spark):
+    """Reader memoization is keyed by the live session object (weakref),
+    not id(spark) — no stale-session identity reuse (ADVICE r2)."""
+    import weakref
+
+    import __spark_entry__ as e
+
+    assert isinstance(e._T_CACHE, weakref.WeakKeyDictionary)
+    d1 = e._t(spark, "/root/testdata/sf0.001", "region")
+    d2 = e._t(spark, "/root/testdata/sf0.001", "region")
+    assert d1 is d2
