@@ -2311,6 +2311,47 @@ WHERE k.doc_id NOT IN (SELECT id_b FROM losers)
 """
 
 
+# --- ext: duplicate-cluster assignment — connected components over the
+#     MinHash candidate graph (pairs → true clusters; DuckDB twin is a
+#     recursive min-reachable-id CTE) ----------------------------------------
+
+
+def _dedup_clusters_oracle() -> str:
+    minhash_sql = _minhash_oracle("documents")
+    return rf"""
+WITH RECURSIVE cand AS (
+  SELECT id_a, id_b FROM ({minhash_sql}) mh WHERE est_jaccard >= 0.5
+),
+edges AS (
+  SELECT id_a AS s, id_b AS d FROM cand
+  UNION
+  SELECT id_b AS s, id_a AS d FROM cand
+),
+reach(node, r) AS (
+  SELECT s, s FROM edges
+  UNION
+  SELECT reach.node, e.d FROM reach JOIN edges e ON reach.r = e.s
+),
+comp AS (SELECT node, min(r) AS component FROM reach GROUP BY node)
+SELECT d.doc_id, coalesce(c.component, d.doc_id) AS cluster_id
+FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
+"""
+
+
+@_q("dedup_clusters", _dedup_clusters_oracle())
+def q_dedup_clusters(spark, sf):
+    from padua_spark.extensions.dedup import minhash_lsh_candidates
+    from padua_spark.extensions.graph import cluster_assignments
+
+    d = _t(spark, sf, "documents")
+    pairs = minhash_lsh_candidates(
+        d, "doc_id", "text", k_shingle=3, num_hashes=32, bands=8,
+        portable_keys=True,
+    ).where(F.col("est_jaccard") >= 0.5).select("id_a", "id_b")
+    out = cluster_assignments(d, "doc_id", pairs)
+    return out.select("doc_id", "cluster_id")
+
+
 @_q("curate_corpus", _curate_oracle())
 def q_curate_corpus(spark, sf):
     from padua_spark.extensions.curation import curate_corpus

@@ -735,3 +735,36 @@ def test_table_cache_weak_keyed(spark):
     d1 = e._t(spark, "/root/testdata/sf0.001", "region")
     d2 = e._t(spark, "/root/testdata/sf0.001", "region")
     assert d1 is d2
+
+
+def test_connected_components_chain_and_clusters(spark):
+    """Pairs-to-clusters: a transitive chain collapses to one component
+    labeled by its minimum id; disjoint clusters stay apart; nodes not
+    in any pair become singletons via cluster_assignments."""
+    from padua_spark.extensions.graph import (
+        cluster_assignments,
+        connected_components,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (12, 11)],
+        "src long, dst long",
+    )
+    comp = {
+        r["node"]: r["component"]
+        for r in connected_components(edges).collect()
+    }
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10}
+
+    docs = spark.createDataFrame(
+        [(i, f"d{i}") for i in [1, 2, 3, 4, 10, 11, 12, 99]],
+        "doc_id long, text string",
+    )
+    pairs = edges.select(
+        F.col("src").alias("id_a"), F.col("dst").alias("id_b")
+    )
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in cluster_assignments(docs, "doc_id", pairs).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 99: 99}
