@@ -2311,6 +2311,72 @@ WHERE k.doc_id NOT IN (SELECT id_b FROM losers)
 """
 
 
+# --- ext: deterministic sampling / splitting — key-derived LCG uniforms
+#     (reproducible on any engine/partitioning/retry; sampleBy is not) -------
+
+
+def _sampling_oracles() -> tuple[str, str, str]:
+    from padua_spark.extensions.sampling import (
+        split_assign_sql,
+        stratified_sample_sql,
+    )
+    from padua_spark.functions.scalar import deterministic_uniform_sql
+
+    frac_pred = stratified_sample_sql(
+        "doc_id", "lang",
+        {"en": 0.25, "de": 0.5, "zh": 0.75}, default=0.1, salt=11,
+    )
+    strat = f"SELECT doc_id, lang FROM documents WHERE {frac_pred}"
+    split_expr = split_assign_sql(
+        "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}, salt=5
+    )
+    split = f"SELECT doc_id, {split_expr} AS split FROM documents"
+    u = deterministic_uniform_sql("doc_id", salt=3)
+    topk = f"""
+SELECT doc_id, lang FROM (
+  SELECT doc_id, lang,
+         row_number() OVER (PARTITION BY lang ORDER BY {u}, doc_id) AS rn
+  FROM documents
+) WHERE rn <= 10
+"""
+    return strat, split, topk
+
+
+_STRAT_SQL, _SPLIT_SQL, _TOPK_SQL = _sampling_oracles()
+
+
+@_q("stratified_sample", _STRAT_SQL)
+def q_stratified_sample(spark, sf):
+    from padua_spark.extensions.sampling import stratified_sample
+
+    d = _t(spark, sf, "documents")
+    out = stratified_sample(
+        d, "doc_id", "lang",
+        {"en": 0.25, "de": 0.5, "zh": 0.75}, default=0.1, salt=11,
+    )
+    return out.select("doc_id", "lang")
+
+
+@_q("train_test_split", _SPLIT_SQL)
+def q_train_test_split(spark, sf):
+    from padua_spark.extensions.sampling import split_assign
+
+    d = _t(spark, sf, "documents")
+    out = split_assign(
+        d, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}, salt=5
+    )
+    return out.select("doc_id", "split")
+
+
+@_q("sample_k_per_stratum", _TOPK_SQL)
+def q_sample_k_per_stratum(spark, sf):
+    from padua_spark.extensions.sampling import sample_k_per_stratum
+
+    d = _t(spark, sf, "documents")
+    out = sample_k_per_stratum(d, "doc_id", "lang", k=10, salt=3)
+    return out.select("doc_id", "lang")
+
+
 # --- ext: duplicate-cluster assignment — connected components over the
 #     MinHash candidate graph (pairs → true clusters; DuckDB twin is a
 #     recursive min-reachable-id CTE) ----------------------------------------

@@ -1,0 +1,130 @@
+"""Deterministic sampling & splitting for training-data pipelines.
+
+Spark's ``df.sample``/``sampleBy`` draw from per-partition RNG streams:
+the selected set changes with partitioning, task retries, and AQE
+re-splits — unacceptable for reproducible corpus construction. These
+operators derive the randomness from the ROW KEY via the exact-integer
+LCG in ``functions.scalar`` (``deterministic_uniform``), so the sample
+is a pure function of the data: identical on any engine, any
+partitioning, any retry, and stable under incremental re-runs (a row's
+fate never changes when other rows are added). Every operator is a
+single scan-level predicate/projection — no shuffle, fully pushdown-
+friendly — except the exact-k variant, which needs one per-stratum
+top-k (WindowGroupLimit keeps that map-side bounded).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from padua_spark.functions.scalar import (
+    deterministic_uniform,
+    deterministic_uniform_sql,
+)
+
+
+def _fraction_expr(
+    strata_col: str, fractions: dict[str, float], default: float
+) -> Column:
+    expr: Column = F.lit(float(default))
+    for s, frac in sorted(fractions.items(), reverse=True):
+        expr = F.when(
+            F.col(strata_col) == F.lit(s), F.lit(float(frac))
+        ).otherwise(expr)
+    return expr
+
+
+def stratified_sample(
+    df: DataFrame,
+    key_col: str,
+    strata_col: str,
+    fractions: dict[str, float],
+    default: float = 0.0,
+    salt: int = 0,
+) -> DataFrame:
+    """Per-stratum Bernoulli sample: a row survives iff its key-derived
+    uniform draw is below its stratum's fraction. Strata missing from
+    ``fractions`` use ``default``. Pure filter — reaches the scan."""
+    u = deterministic_uniform(F.col(key_col), salt)
+    return df.where(u < _fraction_expr(strata_col, fractions, default))
+
+
+def stratified_sample_sql(
+    key_expr: str,
+    strata_expr: str,
+    fractions: dict[str, float],
+    default: float = 0.0,
+    salt: int = 0,
+) -> str:
+    """ANSI-SQL WHERE predicate twin of :func:`stratified_sample`."""
+    u = deterministic_uniform_sql(key_expr, salt)
+    whens = " ".join(
+        f"WHEN '{s}' THEN {float(f)!r}"
+        for s, f in sorted(fractions.items())
+    )
+    return f"{u} < (CASE {strata_expr} {whens} ELSE {float(default)!r} END)"
+
+
+def split_assign(
+    df: DataFrame,
+    key_col: str,
+    splits: dict[str, float],
+    out_col: str = "split",
+    salt: int = 0,
+) -> DataFrame:
+    """Train/val/test assignment: one ``out_col`` label per row, chosen
+    by where the key's uniform draw falls among the cumulative split
+    weights (splits ordered by name for determinism; weights need not
+    sum to 1 — they are normalized). Pure projection, no shuffle; a
+    row's split never changes as the corpus grows."""
+    total = float(sum(splits.values()))
+    u = deterministic_uniform(F.col(key_col), salt)
+    cum = 0.0
+    expr: Column | None = None
+    names = sorted(splits)
+    for name in names[:-1]:
+        cum += float(splits[name]) / total
+        e = F.when(u < F.lit(cum), F.lit(name))
+        expr = e if expr is None else expr.when(u < F.lit(cum), F.lit(name))
+    last = F.lit(names[-1])
+    out = last if expr is None else expr.otherwise(last)
+    return df.withColumn(out_col, out)
+
+
+def split_assign_sql(
+    key_expr: str, splits: dict[str, float], salt: int = 0
+) -> str:
+    """ANSI-SQL expression twin of :func:`split_assign`."""
+    total = float(sum(splits.values()))
+    u = deterministic_uniform_sql(key_expr, salt)
+    names = sorted(splits)
+    cum = 0.0
+    whens = []
+    for name in names[:-1]:
+        cum += float(splits[name]) / total
+        whens.append(f"WHEN {u} < {cum!r} THEN '{name}'")
+    return f"(CASE {' '.join(whens)} ELSE '{names[-1]}' END)"
+
+
+def sample_k_per_stratum(
+    df: DataFrame,
+    key_col: str,
+    strata_col: str,
+    k: int,
+    salt: int = 0,
+) -> DataFrame:
+    """Exactly ``min(k, stratum size)`` rows per stratum: the k rows
+    with the smallest key-derived uniform draws (deterministic
+    reservoir-sample equivalent). The rank filter compiles to
+    WindowGroupLimit in Spark 3.5+: each map task pre-prunes to its
+    local top-k before the shuffle, so the exchange carries at most
+    k·tasks rows per stratum — the scale path for k ≪ stratum size."""
+    u = deterministic_uniform(F.col(key_col), salt).alias("_u")
+    w = Window.partitionBy(strata_col).orderBy(F.col("_u"), F.col(key_col))
+    staged = df.withColumn("_u", u)
+    return (
+        staged.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= F.lit(k))
+        .drop("_u", "_rn")
+    )

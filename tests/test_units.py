@@ -768,3 +768,56 @@ def test_connected_components_chain_and_clusters(spark):
         for r in cluster_assignments(docs, "doc_id", pairs).collect()
     }
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 99: 99}
+
+
+def test_sampling_deterministic_and_partitioning_invariant(spark):
+    """Sample membership is a pure function of the key: identical
+    across partitionings, and a row's fate is stable when the corpus
+    grows (incremental re-run safety)."""
+    from padua_spark.extensions.sampling import (
+        sample_k_per_stratum,
+        split_assign,
+        stratified_sample,
+    )
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    frac = {"en": 0.3, "de": 0.6}
+
+    def ids(df):
+        return sorted(
+            r["doc_id"]
+            for r in stratified_sample(
+                df, "doc_id", "lang", frac, default=0.2, salt=1
+            ).collect()
+        )
+
+    assert ids(d.repartition(13)) == ids(d.coalesce(1)) == ids(d)
+
+    # growing the corpus never flips an existing row's split
+    half = d.where(F.col("doc_id") < 100)
+    s_half = {
+        r["doc_id"]: r["split"]
+        for r in split_assign(
+            half, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}
+        ).collect()
+    }
+    s_full = {
+        r["doc_id"]: r["split"]
+        for r in split_assign(
+            d, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}
+        ).collect()
+    }
+    assert all(s_full[k] == v for k, v in s_half.items())
+    assert set(s_full.values()) == {"train", "val", "test"}
+
+    # exact-k: every stratum yields min(k, stratum size) rows
+    got = (
+        sample_k_per_stratum(d, "doc_id", "lang", k=7)
+        .groupBy("lang")
+        .count()
+        .collect()
+    )
+    sizes = {r["lang"]: r["count"] for r in d.groupBy("lang").count().collect()}
+    assert {r["lang"]: r["count"] for r in got} == {
+        lang: min(7, n) for lang, n in sizes.items()
+    }
