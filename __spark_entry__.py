@@ -2377,6 +2377,63 @@ def q_sample_k_per_stratum(spark, sf):
     return out.select("doc_id", "lang")
 
 
+# --- ext: benchmark decontamination — per-doc fraction of k-shingles
+#     appearing in an eval/benchmark set (broadcast benchmark side) ----------
+
+
+def _contamination_oracle() -> str:
+    return rf"""
+WITH th AS (
+  SELECT doc_id, source,
+    list_transform(string_split(text, ' '), w -> list_reduce(
+        list_prepend(CAST(7 AS BIGINT),
+          list_transform(list_filter(string_split(w, ''), c -> c <> ''),
+                         c -> CAST(ord(c) AS BIGINT))),
+        (a, c) -> (a * 131 + c) % 2147483647)) AS th
+  FROM documents
+),
+sh AS (
+  SELECT doc_id, source,
+    CASE WHEN len(th) >= 3 THEN
+      list_distinct(list_transform(generate_series(1, len(th) - 2),
+        i -> (th[i] * 1 + th[i+1] * {_JACCARD_C1}
+              + th[i+2] * {_JACCARD_C2}) % 2147483647))
+    ELSE [th[1]] END AS sh
+  FROM th
+),
+bench AS (
+  SELECT DISTINCT unnest(sh) AS shingle FROM sh WHERE source = 'src0'
+),
+corp AS (
+  SELECT doc_id, unnest(sh) AS shingle FROM sh WHERE source <> 'src0'
+)
+SELECT c.doc_id,
+  count(*) AS n_shingles,
+  count(b.shingle) AS n_hit,
+  round(count(b.shingle) / CAST(count(*) AS DOUBLE), 6) AS contamination
+FROM corp c LEFT JOIN bench b ON c.shingle = b.shingle
+GROUP BY c.doc_id
+"""
+
+
+@_q("contamination_check", _contamination_oracle())
+def q_contamination_check(spark, sf):
+    from padua_spark.extensions.dedup import contamination_check
+
+    d = _t(spark, sf, "documents")
+    out = contamination_check(
+        d.where(F.col("source") != "src0"),
+        d.where(F.col("source") == "src0"),
+        "doc_id",
+        "text",
+        k_shingle=3,
+    )
+    return out.select(
+        "doc_id", "n_shingles", "n_hit",
+        _r("contamination").alias("contamination"),
+    )
+
+
 # --- ext: duplicate-cluster assignment — connected components over the
 #     MinHash candidate graph (pairs → true clusters; DuckDB twin is a
 #     recursive min-reachable-id CTE) ----------------------------------------

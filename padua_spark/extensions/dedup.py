@@ -463,3 +463,42 @@ def simhash_candidates(
         )
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def contamination_check(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    text_col: str,
+    k_shingle: int = 3,
+    broadcast_benchmark: bool = True,
+) -> DataFrame:
+    """Benchmark-decontamination scan: for every corpus document, the
+    fraction of its distinct k-shingles that appear anywhere in the
+    ``benchmark`` set → ``(id, n_shingles, n_hit, contamination)``.
+    Training pipelines drop (or flag) documents whose ratio exceeds a
+    threshold before training, so eval sets stay unseen.
+
+    Plan shape at 100 TB: eval benchmarks are small, so their distinct
+    shingle set is BROADCAST and the corpus is never shuffled by
+    shingle — one map-side hash join on the exploded corpus shingles,
+    then a single partial-aggregating groupBy(id). Set
+    ``broadcast_benchmark=False`` only when the benchmark side is
+    genuinely large (falls back to a shuffle join on the shingle)."""
+    c = exploded_shingles(corpus, id_col, text_col, k_shingle)
+    b = (
+        exploded_shingles(benchmark, id_col, text_col, k_shingle)
+        .select("shingle")
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    if broadcast_benchmark:
+        b = F.broadcast(b)
+    joined = c.join(b, on="shingle", how="left")
+    return joined.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_shingles"),
+        F.count("_hit").alias("n_hit"),
+        (F.count("_hit").cast("double") / F.count(F.lit(1))).alias(
+            "contamination"
+        ),
+    )

@@ -144,3 +144,30 @@ def test_ivf_assign_never_shuffles_corpus(spark):
     plan = explain_str(ivf_assign(emb, "vec_id", "embedding", cents))
     assert "BroadcastExchange" in plan
     assert "Exchange hashpartitioning" not in plan, plan[:3000]
+
+
+def test_contamination_broadcasts_benchmark(spark):
+    """Decontamination joins the exploded corpus shingles against a
+    BROADCAST benchmark shingle set — the corpus is never shuffled by
+    shingle; its only exchange is the final groupBy(doc_id), which has
+    a map-side partial phase."""
+    from padua_spark.extensions.dedup import contamination_check
+
+    d = spark.read.parquet(f"{SF_ORACLE}/documents.parquet")
+    out = contamination_check(
+        d.where(F.col("source") != "src0"),
+        d.where(F.col("source") == "src0"),
+        "doc_id",
+        "text",
+    )
+    assert has_broadcast_join(out)
+    assert has_partial_aggregate(out)
+    # the corpus (probe) branch of the broadcast join — the ':'-prefixed
+    # subtree in the formatted plan — must contain no Exchange; only the
+    # small benchmark side (under BroadcastExchange) may shuffle
+    plan = explain_str(out)
+    tree = plan.split("== Physical Plan ==")[1].split("\n\n")[0]
+    probe_lines = [ln for ln in tree.splitlines() if ln.lstrip("+- ").startswith(":")
+                   or ln.strip().startswith(":")]
+    assert probe_lines, tree
+    assert not any("Exchange" in ln for ln in probe_lines), tree
