@@ -2311,6 +2311,73 @@ WHERE k.doc_id NOT IN (SELECT id_b FROM losers)
 """
 
 
+# --- ext: PII scrub — engine-portable regex redaction (URL/email/IP/
+#     phone); PII is injected deterministically from doc_id so the
+#     synthetic corpus actually exercises every pattern --------------------
+
+
+def _pii_oracle() -> str:
+    from padua_spark.extensions.text import scrub_pii_sql
+
+    injected = (
+        "text || ' contact user' || CAST(doc_id AS VARCHAR)"
+        " || '@example.com via https://ex.org/p/' || CAST(doc_id AS VARCHAR)"
+        " || ' or call 555-123-4567 node 10.0.0.'"
+        " || CAST(doc_id % 256 AS VARCHAR)"
+    )
+    return (
+        f"SELECT doc_id, {scrub_pii_sql(injected)} AS scrubbed"
+        " FROM documents"
+    )
+
+
+@_q("pii_scrub", _pii_oracle())
+def q_pii_scrub(spark, sf):
+    from padua_spark.extensions.text import scrub_pii
+
+    d = _t(spark, sf, "documents")
+    sid = F.col("doc_id").cast("string")
+    injected = F.concat(
+        F.col("text"),
+        F.lit(" contact user"), sid,
+        F.lit("@example.com via https://ex.org/p/"), sid,
+        F.lit(" or call 555-123-4567 node 10.0.0."),
+        (F.col("doc_id") % 256).cast("string"),
+    )
+    return d.select("doc_id", scrub_pii(injected).alias("scrubbed"))
+
+
+# --- ext: per-group corpus report (doc/token totals, length percentiles) ----
+
+
+@_q(
+    "corpus_stats",
+    r"""
+SELECT lang,
+  count(*) AS n_docs,
+  CAST(sum(CASE WHEN len(trim(text)) = 0 THEN 0
+       ELSE len(string_split_regex(trim(text), '[ \t\n\x0B\f\r]+')) END)
+       AS BIGINT) AS total_tokens,
+  round(avg(CAST(n_chars AS DOUBLE)), 6) AS avg_chars,
+  round(quantile_cont(CAST(n_chars AS DOUBLE), 0.5), 6) AS p50_chars,
+  round(quantile_cont(CAST(n_chars AS DOUBLE), 0.9), 6) AS p90_chars
+FROM documents
+GROUP BY lang
+""",
+)
+def q_corpus_stats(spark, sf):
+    from padua_spark.extensions.text import corpus_stats
+
+    d = _t(spark, sf, "documents")
+    out = corpus_stats(d, "text", ["lang"], chars_col="n_chars")
+    return out.select(
+        "lang", "n_docs", "total_tokens",
+        _r("avg_chars").alias("avg_chars"),
+        _r("p50_chars").alias("p50_chars"),
+        _r("p90_chars").alias("p90_chars"),
+    )
+
+
 # --- ext: deterministic sampling / splitting — key-derived LCG uniforms
 #     (reproducible on any engine/partitioning/retry; sampleBy is not) -------
 

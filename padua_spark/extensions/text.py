@@ -172,3 +172,80 @@ def bpe_token_count(text: Column, pattern: str = BPE_PATTERN) -> Column:
     return F.coalesce(
         F.regexp_count(text, F.lit(pattern)), F.lit(0)
     ).cast("bigint")
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing — the redaction pass every training-data pipeline runs
+# before tokenization. Patterns are restricted to the syntax subset
+# Java regex (Spark) and RE2 (DuckDB/hyperscan-class engines) agree on:
+# no backreferences, no lookaround — so the same rule set runs on any
+# engine and the SQL twin is oracle-checkable. Pure regexp_replace
+# chain: a scan-level projection, no shuffle, whole-stage codegen.
+# ---------------------------------------------------------------------------
+
+# order matters: URLs first (may contain @ and digits), then emails,
+# then IPs, then generic phone-like digit runs (separators between
+# every digit so it never crosses a redacted token)
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("url", r"https?://\S+", "<URL>"),
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ip", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("phone", r"\+?\d(?:[ ().-]{0,2}\d){7,14}", "<PHONE>"),
+]
+
+
+def scrub_pii(
+    text: Column, patterns: list[tuple[str, str, str]] | None = None
+) -> Column:
+    """Redact PII-shaped substrings (URL, email, IPv4, phone-like digit
+    runs) with typed placeholder tokens."""
+    out = text
+    for _, rx, repl in patterns or PII_PATTERNS:
+        out = F.regexp_replace(out, rx, repl)
+    return out
+
+
+def scrub_pii_sql(
+    expr: str, patterns: list[tuple[str, str, str]] | None = None
+) -> str:
+    """ANSI/DuckDB SQL twin of :func:`scrub_pii` (global-flag
+    regexp_replace chain, same patterns, same order). Standard SQL
+    string literals pass backslashes through verbatim — only quotes
+    need escaping."""
+    out = expr
+    for _, rx, repl in patterns or PII_PATTERNS:
+        sq = rx.replace("'", "''")
+        out = f"regexp_replace({out}, '{sq}', '{repl}', 'g')"
+    return out
+
+
+def corpus_stats(
+    df: DataFrame,
+    text_col: str,
+    group_cols: list[str],
+    chars_col: str | None = None,
+    approx: bool = False,
+) -> DataFrame:
+    """Per-group corpus report: doc count, total whitespace tokens,
+    char-length mean and p50/p90 — the summary table a curation run
+    publishes per (lang, source, snapshot).
+
+    ``approx=True`` is the 100 TB path: ``percentile_approx`` is a
+    mergeable sketch (map-side partial aggregation, no per-group value
+    buffering); the default exact ``percentile`` buffers each group's
+    values and is fine at report-sized group counts."""
+    nchars = (
+        F.col(chars_col) if chars_col else F.length(F.col(text_col))
+    ).cast("double")
+    pct = (
+        (lambda c, p: F.percentile_approx(c, p, 10000))
+        if approx
+        else F.percentile
+    )
+    return df.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(token_count(F.col(text_col))).alias("total_tokens"),
+        F.avg(nchars).alias("avg_chars"),
+        pct(nchars, 0.5).alias("p50_chars"),
+        pct(nchars, 0.9).alias("p90_chars"),
+    )

@@ -821,3 +821,30 @@ def test_sampling_deterministic_and_partitioning_invariant(spark):
     assert {r["lang"]: r["count"] for r in got} == {
         lang: min(7, n) for lang, n in sizes.items()
     }
+
+
+def test_scrub_pii_patterns(spark):
+    """Each PII class redacts to its typed placeholder; pattern order
+    keeps URLs (which contain @, digits, dots) intact as one <URL>."""
+    from padua_spark.extensions.text import scrub_pii
+
+    cases = [
+        ("mail bob.smith+x@corp.example.org now", "mail <EMAIL> now"),
+        ("see https://a.b/c?d=1&u=x@y.z ok", "see <URL> ok"),
+        ("host 192.168.0.1 up", "host <IP> up"),
+        ("call +1 (555) 123-4567 now", "call <PHONE> now"),
+        ("id 12345678", "id <PHONE>"),  # long digit runs are phone-like
+        ("v1.2 stays", "v1.2 stays"),
+        ("short 1234 stays", "short 1234 stays"),
+    ]
+    df = spark.createDataFrame(
+        [(i, s) for i, (s, _) in enumerate(cases)], "i int, s string"
+    )
+    got = {
+        r["i"]: r["out"]
+        for r in df.select(
+            "i", scrub_pii(F.col("s")).alias("out")
+        ).collect()
+    }
+    for i, (_, want) in enumerate(cases):
+        assert got[i] == want, (i, got[i], want)
