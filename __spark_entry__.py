@@ -998,6 +998,48 @@ def q_ann_topk(spark, sf):
     return out.select("vec_id", _r("cosine_sim").alias("cosine_sim"))
 
 
+# --- ext: k-NN join — per-query top-k over a broadcast query batch
+#     (WindowGroupLimit prunes map-side; corpus never shuffled by vector) ----
+
+
+@_q(
+    "knn_join",
+    """
+WITH q AS (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+  FROM embeddings WHERE vec_id < 5
+),
+c AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv
+  FROM embeddings WHERE vec_id >= 5
+),
+s AS (
+  SELECT q.query_id, c.vec_id,
+    list_dot_product(c.cv, q.qv)
+    / (sqrt(list_dot_product(c.cv, c.cv))
+       * sqrt(list_dot_product(q.qv, q.qv))) AS cosine_sim
+  FROM c, q
+)
+SELECT query_id, vec_id, round(cosine_sim, 6) AS cosine_sim
+FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY cosine_sim DESC, vec_id
+  ) AS rn FROM s
+) WHERE rn <= 5
+""",
+)
+def q_knn_join(spark, sf):
+    emb = _t(spark, sf, "embeddings")
+    out = x_sim.knn_join(
+        emb.filter(F.col("vec_id") >= 5), "vec_id", "embedding",
+        emb.filter(F.col("vec_id") < 5), "vec_id", "embedding",
+        k=5,
+    )
+    return out.select(
+        "query_id", "vec_id", _r("cosine_sim").alias("cosine_sim")
+    )
+
+
 # --- ext: exact n-gram Jaccard within blocks ------------------------------------
 
 

@@ -312,3 +312,73 @@ def ivf_topk(
     return scored.orderBy(
         F.col("cosine_sim").desc(), F.col(id_col).asc()
     ).limit(k)
+
+
+def knn_join(
+    corpus: DataFrame,
+    corpus_id: str,
+    corpus_vec: str,
+    queries: DataFrame,
+    query_id: str,
+    query_vec: str,
+    k: int = 10,
+) -> DataFrame:
+    """Exact k-nearest-neighbor JOIN: for every row of ``queries``, the
+    ``k`` corpus rows with highest cosine similarity →
+    ``(query_id, corpus_id, cosine_sim)``. The multi-query
+    generalization of :func:`brute_force_topk` (which handles one
+    constant vector).
+
+    Plan shape at 100 TB: the query side (an eval set, a probe batch)
+    is collapsed to a ONE-ROW array of (id, vector, norm) structs and
+    broadcast, so scoring is a single map stage over the corpus — the
+    corpus is never shuffled by anything vector-ish and never
+    row-multiplied before its own partition. The per-query top-k is a
+    rank-limit window that Spark 3.5+ compiles to WindowGroupLimit:
+    each map task pre-prunes to its local k rows per query BEFORE the
+    exchange, so the shuffle carries at most k·tasks rows per query —
+    never the full Q×N score matrix. Ties break by corpus id (total
+    order, any engine agrees).
+    """
+    from pyspark.sql import Window
+
+    qn = l2_norm(_as_double(F.col(query_vec)))
+    qrow = queries.select(
+        F.struct(
+            F.col(query_id).alias("qid"),
+            _as_double(F.col(query_vec)).alias("qv"),
+            qn.alias("qn"),
+        ).alias("_q")
+    ).agg(F.sort_array(F.collect_list("_q")).alias("_qs"))
+    staged = corpus.select(
+        F.col(corpus_id), _as_double(F.col(corpus_vec)).alias("_v")
+    ).withColumn("_nrm", l2_norm(F.col("_v")))
+    v, nrm = F.col("_v"), F.col("_nrm")
+    scored = (
+        staged.crossJoin(F.broadcast(qrow))
+        .select(
+            corpus_id,
+            F.explode(
+                F.transform(
+                    F.col("_qs"),
+                    lambda q: F.struct(
+                        q["qid"].alias("qid"),
+                        (dot(v, q["qv"]) / (nrm * q["qn"])).alias("sim"),
+                    ),
+                )
+            ).alias("_s"),
+        )
+        .select(
+            F.col("_s.qid").alias("query_id"),
+            F.col(corpus_id),
+            F.col("_s.sim").alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col(corpus_id).asc()
+    )
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= F.lit(k))
+        .drop("_rn")
+    )

@@ -171,3 +171,25 @@ def test_contamination_broadcasts_benchmark(spark):
                    or ln.strip().startswith(":")]
     assert probe_lines, tree
     assert not any("Exchange" in ln for ln in probe_lines), tree
+
+
+def test_knn_join_window_group_limit(spark):
+    """knn_join's per-query top-k must compile to WindowGroupLimit with
+    a PARTIAL (pre-shuffle) phase — each map task prunes to its local k
+    rows per query before the exchange — and the query batch must be
+    broadcast (corpus never shuffled by vector)."""
+    from padua_spark.extensions.similarity import knn_join
+
+    e = spark.read.parquet(f"{SF_ORACLE}/embeddings.parquet")
+    out = knn_join(
+        e.where(F.col("vec_id") >= 5), "vec_id", "embedding",
+        e.where(F.col("vec_id") < 5), "vec_id", "embedding", k=5,
+    )
+    simple = explain_str(out, "simple")
+    assert "WindowGroupLimit" in simple, simple
+    # children print BELOW their parent: the map-side (pre-shuffle)
+    # partial limit appears after the Exchange line in the text
+    below_exchange = simple.split("Exchange hashpartitioning", 1)[1]
+    assert "WindowGroupLimit" in below_exchange, simple
+    assert "Partial" in below_exchange, simple
+    assert "Broadcast" in simple

@@ -848,3 +848,27 @@ def test_scrub_pii_patterns(spark):
     }
     for i, (_, want) in enumerate(cases):
         assert got[i] == want, (i, got[i], want)
+
+
+def test_knn_join_matches_numpy(spark):
+    """knn_join's neighbor sets and ordering match a numpy brute force."""
+    import numpy as np
+
+    from padua_spark.extensions.similarity import knn_join
+
+    rng = np.random.RandomState(3)
+    vecs = rng.randn(40, 8).astype("float64")
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = knn_join(
+        df.where(F.col("vec_id") >= 4), "vec_id", "embedding",
+        df.where(F.col("vec_id") < 4), "vec_id", "embedding", k=3,
+    ).collect()
+    got = {}
+    for r in out:
+        got.setdefault(r["query_id"], []).append(r["vec_id"])
+    norms = np.linalg.norm(vecs, axis=1)
+    for q in range(4):
+        sims = vecs[4:] @ vecs[q] / (norms[4:] * norms[q])
+        order = sorted(range(36), key=lambda i: (-sims[i], i + 4))[:3]
+        assert got[q] == [i + 4 for i in order], q
