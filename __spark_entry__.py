@@ -2353,6 +2353,61 @@ WHERE k.doc_id NOT IN (SELECT id_b FROM losers)
 """
 
 
+# --- ext: token-frequency table (vocab building) and context-window
+#     document chunking --------------------------------------------------------
+
+
+@_q(
+    "token_frequencies",
+    r"""
+SELECT token, CAST(count(*) AS BIGINT) AS n
+FROM (
+  SELECT unnest(string_split_regex(trim(lower(text)),
+                                   '[ \t\n\x0B\f\r]+')) AS token
+  FROM documents WHERE len(trim(text)) > 0
+) WHERE token <> ''
+GROUP BY token
+ORDER BY n DESC, token ASC
+LIMIT 50
+""",
+)
+def q_token_frequencies(spark, sf):
+    from padua_spark.extensions.text import token_frequencies
+
+    d = _t(spark, sf, "documents")
+    return token_frequencies(d, "text", top_n=50)
+
+
+@_q(
+    "chunk_documents",
+    r"""
+WITH t AS (
+  SELECT doc_id,
+         string_split_regex(trim(text), '[ \t\n\x0B\f\r]+') AS toks
+  FROM documents
+),
+c AS (
+  SELECT doc_id, toks,
+         unnest(generate_series(0,
+           CAST(floor((greatest(0, len(toks) - 40) + 34) / 35.0)
+                AS BIGINT))) AS chunk_idx
+  FROM t
+)
+SELECT doc_id, chunk_idx,
+  array_to_string(list_slice(toks, chunk_idx * 35 + 1,
+                             chunk_idx * 35 + 40), ' ') AS chunk,
+  CAST(len(list_slice(toks, chunk_idx * 35 + 1, chunk_idx * 35 + 40))
+       AS INT) AS n_chunk_tokens
+FROM c
+""",
+)
+def q_chunk_documents(spark, sf):
+    from padua_spark.extensions.text import chunk_documents
+
+    d = _t(spark, sf, "documents")
+    return chunk_documents(d, "doc_id", "text", max_tokens=40, overlap=5)
+
+
 # --- ext: PII scrub — engine-portable regex redaction (URL/email/IP/
 #     phone); PII is injected deterministically from doc_id so the
 #     synthetic corpus actually exercises every pattern --------------------

@@ -249,3 +249,81 @@ def corpus_stats(
         pct(nchars, 0.5).alias("p50_chars"),
         pct(nchars, 0.9).alias("p90_chars"),
     )
+
+
+def token_frequencies(
+    df: DataFrame,
+    text_col: str,
+    top_n: int | None = None,
+    min_count: int = 1,
+    lowercase: bool = True,
+) -> DataFrame:
+    """Corpus token-frequency table ``(token, n)`` — the input to
+    tokenizer-vocab construction and frequency-based pruning.
+
+    Scale shape: explode → hash aggregate with map-side partial combine
+    (each task pre-counts its local tokens before the shuffle), then
+    ``top_n`` as a global TakeOrderedAndProject (per-partition heap +
+    driver merge, no full sort). Ties break by token text."""
+    t = F.col(text_col)
+    toks = tokens(F.lower(t) if lowercase else t)
+    out = (
+        df.select(F.explode(toks).alias("token"))
+        .where(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    if min_count > 1:
+        out = out.where(F.col("n") >= F.lit(min_count))
+    if top_n is not None:
+        out = out.orderBy(F.col("n").desc(), F.col("token").asc()).limit(
+            top_n
+        )
+    return out
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_tokens: int,
+    overlap: int = 0,
+) -> DataFrame:
+    """Split documents into ≤``max_tokens``-token chunks with
+    ``overlap`` shared tokens between consecutive chunks — the
+    context-window packing step before tokenization. Output one row per
+    ``(id, chunk_idx, chunk, n_chunk_tokens)``; every token of the
+    input appears in some chunk and the final chunk is never empty.
+
+    Chunk count is exact integer arithmetic (no float ceil — engines
+    disagree on negative division, so the formula stays non-negative):
+    ``1 + (max(0, n - max_tokens) + stride - 1) div stride``. One
+    projection + explode; rows multiply by the per-doc chunk count but
+    the plan stays a pure map stage — no shuffle."""
+    if overlap >= max_tokens:
+        raise ValueError("overlap must be < max_tokens")
+    stride = max_tokens - overlap
+    staged = df.select(F.col(id_col), tokens(F.col(text_col)).alias("_toks"))
+    n = F.size(F.col("_toks"))
+    extra = F.greatest(F.lit(0), n - F.lit(max_tokens))
+    n_chunks = F.lit(1) + F.floor(
+        (extra + F.lit(stride - 1)) / F.lit(stride)
+    ).cast("bigint")
+    exploded = staged.select(
+        id_col,
+        "_toks",
+        F.explode(
+            F.sequence(F.lit(0).cast("bigint"), n_chunks - F.lit(1))
+        ).alias("chunk_idx"),
+    )
+    piece = F.slice(
+        F.col("_toks"),
+        (F.col("chunk_idx") * F.lit(stride) + F.lit(1)).cast("int"),
+        max_tokens,
+    )
+    return exploded.select(
+        id_col,
+        "chunk_idx",
+        F.array_join(piece, " ").alias("chunk"),
+        F.size(piece).alias("n_chunk_tokens"),
+    )

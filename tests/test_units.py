@@ -872,3 +872,35 @@ def test_knn_join_matches_numpy(spark):
         sims = vecs[4:] @ vecs[q] / (norms[4:] * norms[q])
         order = sorted(range(36), key=lambda i: (-sims[i], i + 4))[:3]
         assert got[q] == [i + 4 for i in order], q
+
+
+def test_chunk_documents_coverage_and_overlap(spark):
+    """Chunking invariants: chunks tile the token stream with the exact
+    stride, every token appears, the last chunk is never empty, and a
+    short doc yields exactly one chunk."""
+    from padua_spark.extensions.text import chunk_documents
+
+    text = " ".join(f"t{i}" for i in range(23))
+    df = spark.createDataFrame(
+        [(1, text), (2, "a b c")], "doc_id long, text string"
+    )
+    rows = sorted(
+        (r["doc_id"], r["chunk_idx"], r["chunk"], r["n_chunk_tokens"])
+        for r in chunk_documents(
+            df, "doc_id", "text", max_tokens=10, overlap=2
+        ).collect()
+    )
+    doc1 = [r for r in rows if r[0] == 1]
+    # stride 8: chunks start at tokens 0, 8, 16
+    assert [r[1] for r in doc1] == [0, 1, 2]
+    assert doc1[0][2].split(" ") == [f"t{i}" for i in range(10)]
+    assert doc1[1][2].split(" ") == [f"t{i}" for i in range(8, 18)]
+    assert doc1[2][2].split(" ") == [f"t{i}" for i in range(16, 23)]
+    assert doc1[2][3] == 7  # last chunk short but non-empty
+    doc2 = [r for r in rows if r[0] == 2]
+    assert doc2 == [(2, 0, "a b c", 3)]
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        chunk_documents(df, "doc_id", "text", max_tokens=5, overlap=5)
