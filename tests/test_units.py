@@ -904,3 +904,20 @@ def test_chunk_documents_coverage_and_overlap(spark):
 
     with _pytest.raises(ValueError):
         chunk_documents(df, "doc_id", "text", max_tokens=5, overlap=5)
+
+
+def test_write_corpus_partition_pruning(spark, tmp_path):
+    """A lang predicate over a lang-partitioned corpus must prune at the
+    partition level (PartitionFilters on the scan), not row-filter."""
+    from padua_spark.extensions.curation import read_corpus, write_corpus
+    from padua_spark.plans import explain_str
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    path = str(tmp_path / "corpus")
+    write_corpus(d, path, partition_cols=("lang",))
+    back = read_corpus(spark, path).where(F.col("lang") == "en")
+    plan = explain_str(back)
+    seg = plan.split("PartitionFilters: [", 1)
+    assert len(seg) == 2 and "lang" in seg[1].split("]")[0], plan[:3000]
+    # no row-level filter on lang (pruning happened at listing time)
+    assert back.count() == d.where(F.col("lang") == "en").count()
