@@ -48,6 +48,12 @@ HEADLINE = [
     "cube_aggregate",
     "ivf_topk",
     "bpe_token_count",
+    "contamination_check",
+    "dedup_clusters",
+    "knn_join",
+    "token_frequencies",
+    "chunk_documents",
+    "pii_scrub",
 ]
 
 
