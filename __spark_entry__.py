@@ -2408,6 +2408,30 @@ def q_chunk_documents(spark, sf):
     return chunk_documents(d, "doc_id", "text", max_tokens=40, overlap=5)
 
 
+# --- ext: embedding mean-pooling (chunk→doc / label centroid) --------------
+
+
+@_q(
+    "mean_pool",
+    """
+SELECT label, i - 1 AS dim,
+       round(avg(CAST(embedding[i] AS DOUBLE)), 6) AS mean_val
+FROM embeddings, generate_series(1, 64) AS g(i)
+GROUP BY label, i
+""",
+)
+def q_mean_pool(spark, sf):
+    emb = _t(spark, sf, "embeddings")
+    pooled = x_sim.mean_pool_embeddings(emb, ["label"], "embedding")
+    return pooled.select(
+        "label", F.posexplode("pooled").alias("dim", "mean_val")
+    ).select(
+        "label",
+        F.col("dim").cast("bigint").alias("dim"),
+        _r("mean_val").alias("mean_val"),
+    )
+
+
 # --- ext: PII scrub — engine-portable regex redaction (URL/email/IP/
 #     phone); PII is injected deterministically from doc_id so the
 #     synthetic corpus actually exercises every pattern --------------------

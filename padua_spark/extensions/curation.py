@@ -92,3 +92,39 @@ def read_corpus(spark, path: str) -> DataFrame:
     """Read a partitioned corpus; partition-column predicates prune
     directories instead of filtering rows."""
     return spark.read.parquet(path)
+
+
+def curate_stream(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    event_time,
+    min_tokens: int = 3,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming twin of the first two :func:`curate_corpus` stages for
+    continuous ingest: quality gate (stateless filter) + exact
+    fingerprint dedup with watermark-bounded state
+    (``dropDuplicatesWithinWatermark`` — the only state contract that
+    survives unbounded streams). Works on batch frames too (min-by-
+    event-time semantics), so stream==batch is testable.
+
+    The near-dup (MinHash) stage is deliberately batch-only: LSH
+    candidate pairing is a self-join across arrival order, which has no
+    bounded-state streaming form — run it as a periodic batch
+    compaction over the streamed output (the standard arrangement for
+    continuous corpus construction)."""
+    from padua_spark.streaming.windows import dedup_stream
+
+    kept = df.where(token_count(F.col(text_col)) >= F.lit(min_tokens))
+    fp_col = "_fp"
+    while fp_col in df.columns:
+        fp_col += "_"
+    keyed = kept.withColumn(fp_col, fingerprint(F.col(text_col)))
+    return dedup_stream(
+        keyed,
+        [fp_col],
+        event_time=event_time,
+        watermark=watermark,
+        tiebreak_col=id_col,
+    ).drop(fp_col)

@@ -382,3 +382,38 @@ def knn_join(
         .where(F.col("_rn") <= F.lit(k))
         .drop("_rn")
     )
+
+
+def mean_pool_embeddings(
+    df: DataFrame,
+    group_cols: list[str],
+    vec_col: str,
+    out_col: str = "pooled",
+) -> DataFrame:
+    """Element-wise mean of vectors per group — the chunk→document (or
+    doc→cluster/label centroid) pooling step of an embedding pipeline.
+
+    Relational shape: posexplode to (group, dim, x) → hash aggregate
+    with map-side partial combine → reassemble the array from the
+    sorted (dim, mean) pairs. Rows multiply ×dim at the explode, but
+    each task pre-aggregates its local (group, dim) sums before the
+    shuffle, so the exchange carries at most groups×dim partial rows
+    per task — never the exploded corpus. (Same pattern as the IVF
+    Lloyd step; no per-row Python, no collect.)"""
+    exploded = df.select(
+        *group_cols,
+        F.posexplode(_as_double(F.col(vec_col))).alias("_d", "_x"),
+    )
+    means = exploded.groupBy(*group_cols, "_d").agg(
+        F.avg("_x").alias("_m")
+    )
+    return (
+        means.groupBy(*group_cols)
+        .agg(
+            F.array_sort(F.collect_list(F.struct("_d", "_m"))).alias("_dm")
+        )
+        .select(
+            *group_cols,
+            F.transform(F.col("_dm"), lambda s: s["_m"]).alias(out_col),
+        )
+    )

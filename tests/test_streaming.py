@@ -139,3 +139,76 @@ def test_dedup_stream_equals_batch(spark, events_dir):
     # streaming emitted exactly one row per key
     n = spark.sql("SELECT count(*) c FROM t_dedup").collect()[0]["c"]
     assert n == len(got)
+
+
+@pytest.fixture(scope="module")
+def docs_dir(tmp_path_factory, spark):
+    # sf0.001 documents have no exact duplicates and no sub-threshold
+    # docs, so plant both: copies of doc 0/1 under new ids + a short doc
+    d = str(tmp_path_factory.mktemp("docs_stream"))
+    base = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    planted = (
+        base.limit(2)
+        .select(
+            (F.col("doc_id") + 1_000_000).alias("doc_id"),
+            "text", "lang", "source", "n_chars",
+        )
+        .union(
+            spark.createDataFrame(
+                [(2_000_000, "too short", "en", "srcX", 9)],
+                "doc_id long, text string, lang string, "
+                "source string, n_chars long",
+            )
+        )
+    )
+    base.unionByName(planted).coalesce(1).write.mode("overwrite").parquet(d)
+    return d
+
+
+def test_curate_stream_equals_batch(spark, docs_dir):
+    """Streaming curation (quality gate + watermarked fingerprint
+    dedup) run as a real stream matches its batch twin's surviving doc
+    set, and duplicates collapse to one row."""
+    from padua_spark.extensions.curation import curate_stream
+
+    batch = spark.read.parquet(docs_dir)
+    # +1 day: an event time of exactly epoch 0 equals the operator's
+    # INITIAL watermark and is discarded as late by the stateful dedup
+    et = F.timestamp_micros(
+        (F.col("doc_id") * 1000 + 86_400_000_000).cast("bigint")
+    )
+    stream = (
+        spark.readStream.schema(batch.schema).parquet(docs_dir)
+    )
+    out = curate_stream(
+        stream, "doc_id", "text", event_time=et, min_tokens=5
+    ).select("doc_id")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("t_curate")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(180)
+    from padua_spark.extensions.text import fingerprint
+
+    def fp_set(df):
+        return {
+            r["fp"]
+            for r in df.join(batch, on="doc_id").select(
+                fingerprint(F.col("text")).alias("fp")
+            ).collect()
+        }
+
+    got_df = spark.sql("SELECT * FROM t_curate")
+    exp_df = curate_stream(
+        batch, "doc_id", "text", event_time=et, min_tokens=5
+    ).select("doc_id")
+    # the dedup KEY SET (fingerprints) must match exactly; which member
+    # of a duplicate group survives is first-arrival in the stream vs
+    # min-event-time in batch, so doc_ids may differ within a group
+    got, exp = fp_set(got_df), fp_set(exp_df)
+    assert got == exp and len(got) > 0
+    assert got_df.count() == len(got)  # one survivor per fingerprint
+    assert len(got) < batch.count()  # gate + dedup actually dropped rows
