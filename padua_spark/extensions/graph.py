@@ -6,16 +6,23 @@ cluster, not per pair) needs connected components over the candidate
 graph. The reference has no graph surface at all — this is a
 beyond-reference training-pipeline operator (driver north-star).
 
-Scale posture: min-label propagation, one hash-shuffle join + one hash
-aggregation per iteration, converging in O(graph diameter) rounds.
-Near-dup candidate graphs are unions of small, dense clusters (diameter
-a handful of hops), so propagation beats the O(log^2 n)
-large-star/small-star scheme (Kiveris et al., "Connected Components in
-MapReduce and Beyond") in practice; switch to star-contraction only for
-adversarially long path graphs. Each round persists its (node,
-component) frame and materializes a single scalar aggregate, so lineage
-never recomputes earlier rounds and convergence costs one count-sized
-job per round; at extreme round counts, localCheckpoint periodically.
+Scale posture: min-label propagation PLUS a pointer-jump (path-halving)
+step each round — propagation alone needs O(graph diameter) rounds,
+which silently under-converges on long chains; the jump step rewrites
+each node's label to its label's label (monotone non-increasing), so
+the distance covered per round doubles and total rounds are
+O(log diameter) — the same bound as large-star/small-star (Kiveris et
+al., "Connected Components in MapReduce and Beyond") with simpler
+per-round plans (two hash joins + one hash aggregation). Each round
+``localCheckpoint``s its (node, component) frame: the jump step
+references the round's frame TWICE (once as data, once as the label
+lookup table), so the logical plan would double per round — persist()
+caches blocks but Catalyst still re-analyzes the full lineage, and the
+doubled plan OOMs the driver within ~20 rounds. localCheckpoint
+truncates lineage to the materialized blocks, keeping every round's
+plan O(1). Convergence detection costs one count-sized job per round.
+Non-convergence within ``max_iter`` raises instead of returning wrong
+labels.
 """
 
 from __future__ import annotations
@@ -52,28 +59,56 @@ def connected_components(
         sym.select(F.col("_s").alias("node"))
         .distinct()
         .select("node", F.col("node").alias("component"))
-        .persist()
+        .localCheckpoint(eager=True)
     )
     prev_sum = labels.agg(F.sum("component")).collect()[0][0]
+    converged = prev_sum is None  # no edges → nothing to do
     for _ in range(max_iter):
         msgs = sym.join(
             labels, sym["_s"] == labels["node"]
         ).select(F.col("_d").alias("node"), F.col("component"))
-        new_labels = (
+        prop = (
             labels.union(msgs)
             .groupBy("node")
             .agg(F.min("component").alias("component"))
-            .persist()
+        )
+        # pointer jump (path halving): component ← label(component).
+        # Every label value is itself a node (it's a min over node
+        # ids), and a node's label only decreases, so the lookup is
+        # total and monotone; chains collapse in O(log n) rounds.
+        lut = prop.select(
+            F.col("node").alias("_ln"), F.col("component").alias("_lc")
+        )
+        # localCheckpoint (not persist): truncates the logical plan so
+        # the double self-reference above can't compound across rounds;
+        # eager=True materializes now, so the convergence agg below
+        # reads cached blocks. Old rounds' blocks are dropped by the
+        # ContextCleaner once unreferenced.
+        new_labels = (
+            prop.join(lut, prop["component"] == lut["_ln"], "left")
+            .select(
+                prop["node"],
+                F.coalesce(lut["_lc"], prop["component"]).alias(
+                    "component"
+                ),
+            )
+            .localCheckpoint(eager=True)
         )
         cur_sum = new_labels.agg(F.sum("component")).collect()[0][0]
-        labels.unpersist()
         labels = new_labels
         if cur_sum == prev_sum:
+            converged = True
             break
         prev_sum = cur_sum
     # the returned frame is persisted+materialized; the edge cache is
     # no longer needed (lineage stays valid for recompute-on-eviction)
     sym.unpersist()
+    if not converged:
+        labels.unpersist()
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} "
+            "iterations; raise max_iter"
+        )
     return labels
 
 

@@ -921,3 +921,19 @@ def test_write_corpus_partition_pruning(spark, tmp_path):
     assert len(seg) == 2 and "lang" in seg[1].split("]")[0], plan[:3000]
     # no row-level filter on lang (pruning happened at listing time)
     assert back.count() == d.where(F.col("lang") == "en").count()
+
+
+def test_connected_components_long_chain(spark):
+    """A 300-node path graph converges within the default round budget
+    — the pointer-jump step makes rounds O(log diameter), where plain
+    propagation would need ~300 rounds and silently under-converge."""
+    from padua_spark.extensions.graph import connected_components
+
+    n = 300
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, n)], "src long, dst long"
+    )
+    comp = connected_components(edges)
+    got = {r["component"] for r in comp.collect()}
+    assert got == {1}
+    assert comp.count() == n
