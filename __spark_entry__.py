@@ -2679,6 +2679,169 @@ def q_curate_corpus(spark, sf):
     return out.select("doc_id", "n_chars")
 
 
+# --- ext: span-level exact dedup (Lee et al. ACL 2022, relational) ---------
+
+
+def _dup_spans_oracle() -> str:
+    wh = "(((((((((th[i] * 1) % 2147483647 + th[i+1] * 1000000007) % 2147483647) + th[i+2] * 94140831) % 2147483647) + th[i+3] * 1887548037) % 2147483647) + th[i+4] * 701409674) % 2147483647)"
+    return rf"""
+WITH th AS (
+  SELECT doc_id,
+    list_transform(string_split(text, ' '), w -> list_reduce(
+        list_prepend(CAST(7 AS BIGINT),
+          list_transform(list_filter(string_split(w, ''), c -> c <> ''),
+                         c -> CAST(ord(c) AS BIGINT))),
+        (a, c) -> (a * 131 + c) % 2147483647)) AS th
+  FROM documents
+),
+w AS (
+  SELECT doc_id, {wh} AS wh
+  FROM th, unnest(generate_series(1, len(th) - 4)) AS g(i)
+),
+c AS (SELECT doc_id, COUNT(*) OVER (PARTITION BY wh) AS cnt FROM w)
+SELECT doc_id,
+  count(*) AS n_windows,
+  CAST(sum(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_windows,
+  round(CAST(sum(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+        / count(*), 6) AS dup_fraction
+FROM c GROUP BY doc_id
+"""
+
+
+@_q("duplicate_spans", _dup_spans_oracle())
+def q_duplicate_spans(spark, sf):
+    from padua_spark.extensions.dedup import duplicate_spans
+
+    d = _t(spark, sf, "documents")
+    out = duplicate_spans(d, "doc_id", "text", k=5)
+    return out.select(
+        "doc_id", "n_windows", "n_dup_windows",
+        _r("dup_fraction").alias("dup_fraction"),
+    )
+
+
+# --- ext: Gopher-style repetition quality signals ---------------------------
+
+
+def _repetition_oracle() -> str:
+    return r"""
+WITH lines AS (
+  SELECT doc_id, l AS line
+  FROM documents,
+    unnest(list_filter(string_split(text, chr(10)), x -> x <> '')) AS t(l)
+),
+pl AS (SELECT doc_id, line, count(*) AS c FROM lines GROUP BY doc_id, line),
+ls AS (
+  SELECT doc_id,
+    CAST(sum(c) AS BIGINT) AS n_lines,
+    1.0 - CAST(count(*) AS DOUBLE) / CAST(sum(c) AS DOUBLE) AS dlf,
+    CAST(sum(CASE WHEN c > 1 THEN length(line) * c ELSE 0 END) AS DOUBLE)
+      / CAST(sum(length(line) * c) AS DOUBLE) AS dlcf
+  FROM pl GROUP BY doc_id
+),
+tk AS (
+  SELECT doc_id, string_split_regex(trim(text), '[ 	
+]+') AS t
+  FROM documents
+),
+bg AS (
+  SELECT doc_id, t[i] || ' ' || t[i+1] AS bg
+  FROM tk, unnest(generate_series(1, len(t) - 1)) AS g(i)
+),
+pb AS (SELECT doc_id, bg, count(*) AS c FROM bg GROUP BY doc_id, bg),
+bs AS (SELECT doc_id, CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE) AS tbf
+       FROM pb GROUP BY doc_id)
+SELECT ls.doc_id, n_lines,
+  round(dlf, 6) AS dup_line_fraction,
+  round(dlcf, 6) AS dup_line_char_fraction,
+  round(tbf, 6) AS top_bigram_fraction
+FROM ls LEFT JOIN bs ON ls.doc_id = bs.doc_id
+"""
+
+
+@_q("repetition_signals", _repetition_oracle())
+def q_repetition_signals(spark, sf):
+    from padua_spark.extensions.text import repetition_signals
+
+    d = _t(spark, sf, "documents")
+    out = repetition_signals(d, "doc_id", "text")
+    return out.select(
+        "doc_id", "n_lines",
+        _r("dup_line_fraction").alias("dup_line_fraction"),
+        _r("dup_line_char_fraction").alias("dup_line_char_fraction"),
+        _r("top_bigram_fraction").alias("top_bigram_fraction"),
+    )
+
+
+# --- ext: concat-and-chunk sequence packing (distributed prefix sum) --------
+
+
+def _pack_oracle(budget: int) -> str:
+    return rf"""
+WITH t AS (
+  SELECT doc_id,
+    CAST((CASE WHEN length(trim(text)) = 0 THEN 0
+          ELSE len(string_split_regex(trim(text), '[ 	
+]+'))
+          END) AS BIGINT) AS n_tokens
+  FROM documents
+),
+p AS (
+  SELECT doc_id, n_tokens,
+    COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+  FROM t WHERE n_tokens > 0
+)
+SELECT doc_id, n_tokens,
+  CAST(off AS BIGINT) AS token_offset,
+  CAST(floor(CAST(off AS DOUBLE) / {budget}) AS BIGINT) AS seq_first,
+  CAST(floor(CAST(off + n_tokens - 1 AS DOUBLE) / {budget}) AS BIGINT)
+    AS seq_last
+FROM p
+"""
+
+
+@_q("pack_sequences", _pack_oracle(256))
+def q_pack_sequences(spark, sf):
+    from padua_spark.extensions.text import pack_sequences
+
+    d = _t(spark, sf, "documents")
+    out = pack_sequences(d, "doc_id", "text", budget=256)
+    return out.select(
+        "doc_id", "n_tokens", "token_offset", "seq_first", "seq_last"
+    )
+
+
+# --- ext: epoch-weighted domain mixing --------------------------------------
+
+
+def _mix_oracle() -> str:
+    from padua_spark.extensions.sampling import mix_copies_sql
+
+    n_expr = mix_copies_sql(
+        "doc_id", "lang", {"en": 2.5, "fr": 0.5}, default=1.0, salt=5
+    )
+    return f"""
+WITH n AS (SELECT doc_id, lang, {n_expr} AS n FROM documents)
+SELECT doc_id, lang,
+  CAST(unnest(generate_series(1, n)) AS BIGINT) AS epoch
+FROM n
+"""
+
+
+@_q("mix_corpus", _mix_oracle())
+def q_mix_corpus(spark, sf):
+    from padua_spark.extensions.sampling import mix_corpus
+
+    d = _t(spark, sf, "documents")
+    out = mix_corpus(
+        d, "doc_id", "lang", {"en": 2.5, "fr": 0.5}, default=1.0, salt=5
+    )
+    return out.select(
+        "doc_id", "lang", F.col("epoch").cast("bigint").alias("epoch")
+    )
+
+
 # ---------------------------------------------------------------------------
 
 

@@ -148,6 +148,25 @@ def token_hashes(text: Column, base: int = 131, mod: int = MOD) -> Column:
     )
 
 
+def _window_hash(th: Column, i, k: int, mod: int = MOD) -> Column:
+    """Hash of the k-token window starting at 1-based position ``i`` of
+    the token-hash array ``th``: sum of th[i+j] * C^j mod ``mod``.
+
+    Mod-reduce per term: each partial stays < mod + mod² ≈ 2^62, so any
+    k is int64-overflow-safe (an unreduced sum of k terms up to mod²
+    would wrap past 2^63 at k >= 4) and the result is bit-identical to
+    exact arithmetic in any engine.
+    """
+    acc = F.lit(0).cast("bigint")
+    for j in range(k):
+        acc = (
+            acc
+            + F.element_at(th, i + F.lit(j))
+            * F.lit((1000000007**j) % mod)
+        ) % F.lit(mod)
+    return acc
+
+
 def _shingles_from_token_hashes(
     th: Column, k: int = 3, mod: int = MOD
 ) -> Column:
@@ -161,25 +180,13 @@ def _shingles_from_token_hashes(
     would be re-evaluated at every ``element_at`` reference.
     """
     n = F.size(th)
-
-    def combine(i):
-        # mod-reduce per term: each partial stays < mod + mod² ≈ 2^62,
-        # so any k is int64-overflow-safe (an unreduced sum of k terms
-        # up to mod² would wrap past 2^63 at k >= 4) and the result is
-        # bit-identical to exact arithmetic in any engine.
-        acc = F.lit(0).cast("bigint")
-        for j in range(k):
-            acc = (
-                acc
-                + F.element_at(th, i + F.lit(j))
-                * F.lit((1000000007**j) % mod)
-            ) % F.lit(mod)
-        return acc
-
     return F.array_distinct(
         F.when(
             n >= k,
-            F.transform(F.sequence(F.lit(1), n - F.lit(k - 1)), combine),
+            F.transform(
+                F.sequence(F.lit(1), n - F.lit(k - 1)),
+                lambda i: _window_hash(th, i, k, mod),
+            ),
         ).otherwise(F.array(F.element_at(th, 1)))
     )
 
@@ -501,4 +508,88 @@ def contamination_check(
         (F.count("_hit").cast("double") / F.count(F.lit(1))).alias(
             "contamination"
         ),
+    )
+
+
+def positioned_window_hashes(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 5,
+) -> DataFrame:
+    """One row per (id, pos, whash): EVERY k-token window of the text
+    at its 1-based token position — NOT deduplicated, because span
+    accounting needs positions. Documents with fewer than k tokens
+    have no windows and are absent from the output.
+
+    The token-hash array is staged as a materialized attribute before
+    the window transform (interpreted-HOF no-CSE trap — see
+    ``_shingles_from_token_hashes``)."""
+    th = df.select(
+        F.col(id_col), token_hashes(F.col(text_col)).alias("_th")
+    )
+    n = F.size(F.col("_th"))
+    win = th.select(
+        id_col,
+        F.when(
+            n >= k,
+            F.transform(
+                F.sequence(F.lit(1), n - F.lit(k - 1)),
+                lambda i: F.struct(
+                    i.cast("int").alias("pos"),
+                    _window_hash(F.col("_th"), i, k).alias("whash"),
+                ),
+            ),
+        )
+        .otherwise(F.array().cast("array<struct<pos:int,whash:bigint>>"))
+        .alias("_w"),
+    )
+    return win.select(id_col, F.explode("_w").alias("_e")).select(
+        id_col,
+        F.col("_e.pos").alias("pos"),
+        F.col("_e.whash").alias("whash"),
+    )
+
+
+def duplicate_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 5,
+) -> DataFrame:
+    """Per-document exact duplicated-substring statistics: a k-token
+    window is *duplicated* iff its hash occurs more than once in the
+    corpus (another document, or another position of the same one) —
+    the span-level exact dedup of Lee et al., "Deduplicating Training
+    Data Makes Language Models Better" (ACL 2022), re-expressed
+    relationally instead of via a suffix array. The reference has no
+    dedup surface at all (no tests/ or dedup code anywhere in
+    /root/reference) — beyond-reference training-pipeline operator.
+
+    Output: ``(id, n_windows, n_dup_windows, dup_fraction)``; documents
+    shorter than k tokens are omitted (no windows to account).
+
+    Plan shape at 100 TB: explode to (id, pos, whash), ONE shuffle
+    hash-partitioned by whash for a count-over-window (partitionBy
+    only — groups are identical-window runs, tiny by construction),
+    then one partial-aggregating groupBy(id). The suffix-array
+    formulation would need a global sort of every token; this needs
+    two key-partitioned exchanges and no global order."""
+    from pyspark.sql import Window
+
+    w = positioned_window_hashes(df, id_col, text_col, k)
+    cnt = F.count(F.lit(1)).over(Window.partitionBy("whash"))
+    flagged = w.select(F.col(id_col), (cnt > F.lit(1)).alias("_dup"))
+    return (
+        flagged.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_windows"),
+            F.sum(F.when(F.col("_dup"), 1).otherwise(0)).alias(
+                "n_dup_windows"
+            ),
+        )
+        .withColumn(
+            "dup_fraction",
+            F.col("n_dup_windows").cast("double") / F.col("n_windows"),
+        )
     )

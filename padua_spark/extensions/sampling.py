@@ -128,3 +128,57 @@ def sample_k_per_stratum(
         .where(F.col("_rn") <= F.lit(k))
         .drop("_u", "_rn")
     )
+
+
+def mix_corpus(
+    df: DataFrame,
+    key_col: str,
+    domain_col: str,
+    weights: dict[str, float],
+    default: float = 1.0,
+    salt: int = 0,
+    out_col: str = "epoch",
+) -> DataFrame:
+    """Epoch-weighted domain mixing: each row is emitted
+    ``floor(w)`` times plus one more with probability ``frac(w)``,
+    where ``w`` is its domain's mixing weight — the standard LLM
+    data-recipe step (domains seen for >1 epoch get integer repeats;
+    fractional parts are a deterministic key-derived Bernoulli draw,
+    so the realized mix is reproducible under any partitioning/retry
+    and stable as the corpus grows). Weights < 1 downsample, = 0 drop
+    the domain. Output = input columns + ``out_col`` (1-based repeat
+    index).
+
+    Pure projection + explode — no shuffle; rows multiply by the
+    per-domain weight but the plan stays a single map stage."""
+    w = _fraction_expr(domain_col, weights, default)
+    u = deterministic_uniform(F.col(key_col), salt)
+    n = (
+        F.floor(w)
+        + F.when(u < (w - F.floor(w)), F.lit(1)).otherwise(F.lit(0))
+    ).cast("int")
+    copies = F.when(n >= 1, F.sequence(F.lit(1), n)).otherwise(
+        F.array().cast("array<int>")
+    )
+    return df.select("*", F.explode(copies).alias(out_col))
+
+
+def mix_copies_sql(
+    key_expr: str,
+    domain_expr: str,
+    weights: dict[str, float],
+    default: float = 1.0,
+    salt: int = 0,
+) -> str:
+    """ANSI-SQL expression twin of :func:`mix_corpus`'s per-row copy
+    count (same double arithmetic, same draw)."""
+    whens = " ".join(
+        f"WHEN '{s}' THEN {float(f)!r}"
+        for s, f in sorted(weights.items())
+    )
+    w = f"(CASE {domain_expr} {whens} ELSE {float(default)!r} END)"
+    u = deterministic_uniform_sql(key_expr, salt)
+    return (
+        f"(CAST(floor({w}) AS BIGINT) + "
+        f"CASE WHEN {u} < ({w} - floor({w})) THEN 1 ELSE 0 END)"
+    )

@@ -4,7 +4,7 @@ no Python in the hot path."""
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from padua_spark.extensions.dedup import MOD
@@ -326,4 +326,181 @@ def chunk_documents(
         "chunk_idx",
         F.array_join(piece, " ").alias("chunk"),
         F.size(piece).alias("n_chunk_tokens"),
+    )
+
+
+def repetition_signals(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    line_sep: str = "\n",
+) -> DataFrame:
+    """Gopher-style repetition quality signals per document (Rae et al.
+    2021, "Scaling Language Models", Table A1 repetition filters):
+
+    - ``dup_line_fraction``: fraction of lines that are repeats of an
+      earlier-seen line (1 − distinct/total),
+    - ``dup_line_char_fraction``: fraction of line characters sitting
+      in lines that occur more than once,
+    - ``top_bigram_fraction``: fraction of token-bigram occurrences
+      taken by the single most frequent bigram (NULL when the document
+      has fewer than two tokens).
+
+    The reference has no text-quality surface (no such code anywhere
+    in /root/reference) — beyond-reference training-pipeline operator.
+
+    Plan shape at 100 TB: relational, not per-row O(L²) array lambdas —
+    explode lines / bigrams, then two partial-aggregating groupBy
+    passes ((id, unit) then (id)). Partial aggregation collapses each
+    document's repeats map-side, so the shuffles carry near-distinct
+    rows; everything is whole-stage-codegen built-ins."""
+    lines = df.select(
+        F.col(id_col),
+        F.explode(
+            F.filter(
+                F.split(F.col(text_col), line_sep), lambda l: l != ""
+            )
+        ).alias("_line"),
+    )
+    per_line = lines.groupBy(id_col, "_line").agg(
+        F.count(F.lit(1)).alias("_c")
+    )
+    chars = F.length(F.col("_line")) * F.col("_c")
+    line_stats = per_line.groupBy(id_col).agg(
+        F.sum("_c").alias("n_lines"),
+        (
+            F.lit(1.0)
+            - F.count(F.lit(1)).cast("double") / F.sum("_c")
+        ).alias("dup_line_fraction"),
+        (
+            F.sum(F.when(F.col("_c") > 1, chars).otherwise(0)).cast(
+                "double"
+            )
+            / F.sum(chars)
+        ).alias("dup_line_char_fraction"),
+    )
+    staged = df.select(
+        F.col(id_col), tokens(F.col(text_col)).alias("_toks")
+    )
+    n = F.size(F.col("_toks"))
+    bigrams = staged.select(
+        id_col,
+        F.explode(
+            F.when(
+                n >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), n - F.lit(1)),
+                    lambda i: F.concat_ws(
+                        " ",
+                        F.element_at(F.col("_toks"), i),
+                        F.element_at(F.col("_toks"), i + F.lit(1)),
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("_bg"),
+    )
+    bg_stats = (
+        bigrams.groupBy(id_col, "_bg")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .groupBy(id_col)
+        .agg(
+            (F.max("_c").cast("double") / F.sum("_c")).alias(
+                "top_bigram_fraction"
+            )
+        )
+    )
+    return line_stats.join(bg_stats, on=id_col, how="left")
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    budget: int,
+    tokens_col: str | None = None,
+    num_buckets: int = 32,
+    boundaries: list | None = None,
+) -> DataFrame:
+    """Concat-and-chunk training-sequence packing: documents are laid
+    end-to-end in ``id_col`` order and cut into fixed ``budget``-token
+    context windows (the standard GPT-style packing). Output per
+    document: ``(id, n_tokens, token_offset, seq_first, seq_last)``
+    where ``token_offset`` is the document's global starting token
+    offset and ``seq_first/seq_last`` the window ids its tokens land
+    in. Zero-token documents are dropped (they occupy no window).
+
+    The reference has no packing/ordering surface — beyond-reference
+    training-pipeline operator.
+
+    Scale posture — a distributed prefix sum with ONE full-data
+    shuffle, not a single-partition global window: the id axis is cut
+    into order-aligned buckets at approximate id quantiles (one cheap
+    column-pruned pre-job collecting ≤ ``num_buckets`` numbers; pass
+    ``boundaries`` to skip it), local prefix sums run as a window
+    partitioned by bucket (parallel across buckets, one hash
+    exchange), each bucket's total falls out of that same window
+    output (max of local cumsum + count — no second exchange: the
+    groupBy(bucket) reuses the window's clustering), and the tiny
+    (≤ ``num_buckets``-row) totals frame rolls into base offsets that
+    broadcast-join back. The result is partitioning-INVARIANT: offsets
+    depend only on the id order, not on bucket boundaries — boundaries
+    only steer parallelism."""
+    tok = (
+        F.col(tokens_col)
+        if tokens_col
+        else token_count(F.col(text_col))
+    )
+    t = df.select(
+        F.col(id_col), tok.cast("bigint").alias("n_tokens")
+    ).where(F.col("n_tokens") > 0)
+    if boundaries is None:
+        qs = [i / num_buckets for i in range(1, num_buckets)]
+        boundaries = (
+            t.agg(
+                F.percentile_approx(id_col, qs, 10000).alias("_q")
+            ).first()[0]
+            or []
+        )
+    boundaries = sorted(set(boundaries))
+    # bucket = index of the first boundary above the id — a monotone
+    # (order-aligned) function of id, as a codegen'd CASE chain
+    b_expr: Column | None = None
+    for i, b in enumerate(boundaries):
+        cond = F.col(id_col) < F.lit(b)
+        b_expr = (
+            F.when(cond, i) if b_expr is None else b_expr.when(cond, i)
+        )
+    bucket = (
+        F.lit(0) if b_expr is None else b_expr.otherwise(len(boundaries))
+    )
+    staged = t.select(id_col, "n_tokens", bucket.alias("_b"))
+    wl = (
+        Window.partitionBy("_b")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    loc = staged.select(
+        id_col,
+        "n_tokens",
+        "_b",
+        F.coalesce(F.sum("n_tokens").over(wl), F.lit(0)).alias("_loc"),
+    )
+    totals = loc.groupBy("_b").agg(
+        F.max(F.col("_loc") + F.col("n_tokens")).alias("_tot")
+    )
+    wp = Window.orderBy("_b").rowsBetween(Window.unboundedPreceding, -1)
+    offs = totals.select(
+        "_b",
+        F.coalesce(F.sum("_tot").over(wp), F.lit(0)).alias("_base"),
+    )
+    packed = loc.join(F.broadcast(offs), on="_b")
+    offset = F.col("_loc") + F.col("_base")
+    return packed.select(
+        id_col,
+        "n_tokens",
+        offset.alias("token_offset"),
+        F.floor(offset / F.lit(budget)).alias("seq_first"),
+        F.floor(
+            (offset + F.col("n_tokens") - F.lit(1)) / F.lit(budget)
+        ).alias("seq_last"),
     )

@@ -937,3 +937,100 @@ def test_connected_components_long_chain(spark):
     got = {r["component"] for r in comp.collect()}
     assert got == {1}
     assert comp.count() == n
+
+
+def test_duplicate_spans_known_case(spark):
+    """Hand-checkable corpus: doc 1 and 2 share an exact 5-token run;
+    doc 3 shares nothing. Every window of the shared run (and only
+    those) is flagged in both docs; dup_fraction is exact."""
+    from padua_spark.extensions.dedup import duplicate_spans
+
+    shared = "alpha beta gamma delta epsilon"
+    d = spark.createDataFrame(
+        [
+            (1, shared + " one two three four five"),
+            (2, "zero " + shared + " six seven eight nine"),
+            (3, "p q r s t u v w x y"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in duplicate_spans(d, "doc_id", "text", k=5).collect()
+    }
+    # 10 tokens -> 6 windows each; exactly one shared window per doc
+    # (the run itself; its shifted windows differ across docs)
+    assert out[1]["n_windows"] == 6 and out[2]["n_windows"] == 6
+    assert out[1]["n_dup_windows"] == 1 and out[2]["n_dup_windows"] == 1
+    assert out[3]["n_dup_windows"] == 0
+    # a doc shorter than k has no windows and is omitted
+    short = spark.createDataFrame(
+        [(9, "a b c")], "doc_id long, text string"
+    )
+    assert duplicate_spans(short, "doc_id", "text", k=5).count() == 0
+
+
+def test_repetition_signals_lines(spark):
+    """Line-level stats (the synthetic corpus has no newlines, so the
+    oracle query exercises only the degenerate one-line case — this
+    covers real multi-line documents)."""
+    from padua_spark.extensions.text import repetition_signals
+
+    text = "aa\nbb\naa\ncc\naa"  # 5 lines, 'aa' x3
+    d = spark.createDataFrame(
+        [(1, text)], "doc_id long, text string"
+    )
+    r = repetition_signals(d, "doc_id", "text").collect()[0]
+    assert r["n_lines"] == 5
+    assert abs(r["dup_line_fraction"] - (1 - 3 / 5)) < 1e-12
+    # chars in duplicated lines: 3*2 of total 5*2
+    assert abs(r["dup_line_char_fraction"] - 6 / 10) < 1e-12
+    # bigrams of the token sequence [aa,bb,aa,cc,aa] (lines are not
+    # token boundaries for the bigram signal — split is on \s+): all 4
+    # bigrams distinct -> top fraction 1/4
+    assert abs(r["top_bigram_fraction"] - 0.25) < 1e-12
+
+
+def test_pack_sequences_partitioning_invariant(spark):
+    """Offsets are a pure function of the id order: identical under
+    different range-partition counts, and windows tile the corpus."""
+    from padua_spark.extensions.text import pack_sequences
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    a = pack_sequences(d, "doc_id", "text", budget=128, num_buckets=3)
+    b = pack_sequences(d, "doc_id", "text", budget=128, num_buckets=17)
+    ra = sorted(map(tuple, a.collect()))
+    rb = sorted(map(tuple, b.collect()))
+    assert ra == rb and len(ra) > 0
+    # offsets are contiguous: each doc starts where the previous ended
+    prev_end = 0
+    for _, n, off, first, last in ra:
+        assert off == prev_end
+        assert first == off // 128 and last == (off + n - 1) // 128
+        prev_end = off + n
+
+
+def test_mix_corpus_weights(spark):
+    """floor(w) guaranteed repeats per row; fractional part realized as
+    a key-derived Bernoulli (0 or 1 extra); weight 0 drops the domain;
+    epoch indices are 1..n."""
+    from padua_spark.extensions.sampling import mix_corpus
+
+    d = spark.createDataFrame(
+        [(i, "en" if i % 2 else "fr") for i in range(200)],
+        "doc_id long, lang string",
+    )
+    out = mix_corpus(
+        d, "doc_id", "lang", {"en": 2.5, "fr": 0.0}, salt=1
+    )
+    rows = out.groupBy("doc_id").count().collect()
+    per = {r["doc_id"]: r["count"] for r in rows}
+    assert all(k % 2 == 1 for k in per)  # fr (weight 0) fully dropped
+    assert all(c in (2, 3) for c in per.values())
+    n3 = sum(1 for c in per.values() if c == 3)
+    assert 10 <= n3 <= 90  # ~half of 100 en docs draw the extra epoch
+    epochs = {
+        (r["doc_id"], r["epoch"]) for r in out.collect()
+    }
+    for k, c in per.items():
+        assert {(k, e) for e in range(1, c + 1)} <= epochs
