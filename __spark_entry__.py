@@ -68,6 +68,14 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = per_session.get((sf_dir, name))
     if df is None:
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        if name in ("documents", "embeddings"):
+            # These tables feed compute-bound per-row stages (text
+            # hashing, vector math); a single-row-group file would run
+            # that whole stage as one task. No-op when the scan is
+            # already parallel (the 100 TB case) — see io_utils.
+            from padua_spark.io_utils import spread_narrow_scan
+
+            df = spread_narrow_scan(df)
         per_session[(sf_dir, name)] = df
     return df
 

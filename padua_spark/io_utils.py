@@ -12,6 +12,32 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 
 
+def spread_narrow_scan(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Round-robin repartition a scan that arrived with fewer partitions
+    than the session's parallelism — but ONLY then.
+
+    Parquet splits at row-group boundaries, so a small table written as
+    one row group scans as ONE task no matter how many cores exist;
+    when that scan feeds a compute-bound per-row stage (text hashing,
+    vector math), the whole first stage runs single-threaded. At real
+    scale the input arrives pre-split across many files/row groups and
+    this guard is a no-op — an *unconditional* repartition there would
+    be a full shuffle of the table, which is exactly wrong. Filters and
+    column pruning still reach the scan: Catalyst pushes both through
+    a round-robin Repartition, so the exchange only carries the pruned,
+    pre-filtered rows (asserted in tests/test_plans.py).
+
+    Measured on the sf0.1 bench (single-row-group tables, local[32]):
+    4-5x on the text/embedding operators, e.g. language_id 2.0s->0.4s,
+    embedding_near_dup 3.7s->0.8s.
+    """
+    target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
+    # .rdd analyzes the plan (no job); cheap, and callers memoize.
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def write_bucketed(
     df: DataFrame,
     table: str,

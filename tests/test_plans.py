@@ -193,3 +193,30 @@ def test_knn_join_window_group_limit(spark):
     assert "WindowGroupLimit" in below_exchange, simple
     assert "Partial" in below_exchange, simple
     assert "Broadcast" in simple
+
+
+def test_spread_narrow_scan_guard_and_pushdown(spark):
+    """spread_narrow_scan repartitions a single-row-group scan to
+    session parallelism, no-ops on an already-wide frame, and does NOT
+    block predicate pushdown or column pruning — Catalyst pushes both
+    through the round-robin Repartition, so the exchange carries only
+    pruned, pre-filtered rows."""
+    from padua_spark.io_utils import spread_narrow_scan
+
+    li = _li(spark)
+    par = spark.sparkContext.defaultParallelism
+    spread = spread_narrow_scan(li)
+    assert spread.rdd.getNumPartitions() >= min(
+        par, 1 + li.rdd.getNumPartitions()
+    )
+    # no-op when already at/above target
+    wide = li.repartition(par)
+    assert spread_narrow_scan(wide) is wide
+    # pushdown survives the repartition
+    q = spread.where(F.col("l_returnflag") == "R").select("l_orderkey")
+    pf = pushed_filters(q)
+    assert any("l_returnflag" in f for f in pf), pf
+    cols = scan_read_schema(q)
+    assert set(cols) <= {"l_orderkey", "l_returnflag"}, cols
+    # row set unchanged
+    assert spread.count() == li.count()
