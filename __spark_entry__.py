@@ -2850,6 +2850,147 @@ def q_mix_corpus(spark, sf):
     )
 
 
+# --- ext: TF-IDF top terms per document -------------------------------------
+
+
+_TFIDF_ORACLE = r"""
+WITH tok AS (
+  SELECT doc_id, t AS token
+  FROM documents,
+    unnest(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                       x -> x <> '')) AS u(t)
+),
+tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2),
+dfreq AS (SELECT token, count(*) AS doc_freq FROM tf GROUP BY 1),
+nd AS (SELECT count(DISTINCT doc_id) AS n FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.token, tf.tf, dfreq.doc_freq,
+    CAST(tf.tf AS DOUBLE)
+      * ln(CAST(nd.n AS DOUBLE) / CAST(dfreq.doc_freq AS DOUBLE)) AS tfidf
+  FROM tf JOIN dfreq USING (token), nd
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+      PARTITION BY doc_id ORDER BY round(tfidf, 9) DESC, token
+    ) AS term_rank
+  FROM scored
+)
+SELECT doc_id, token, tf, doc_freq, round(tfidf, 6) AS tfidf,
+       CAST(term_rank AS BIGINT) AS term_rank
+FROM ranked WHERE term_rank <= 3
+"""
+
+
+@_q("tfidf_top_terms", _TFIDF_ORACLE)
+def q_tfidf_top_terms(spark, sf):
+    from padua_spark.extensions.text import tfidf_top_terms
+
+    d = _t(spark, sf, "documents")
+    out = tfidf_top_terms(d, "doc_id", "text", k=3)
+    return out.select(
+        "doc_id", "token", "tf", "doc_freq",
+        _r("tfidf").alias("tfidf"),
+        F.col("term_rank").cast("bigint").alias("term_rank"),
+    )
+
+
+# --- ext: self-trained bigram-LM quality score (perplexity proxy) -----------
+
+
+_BIGRAM_LM_ORACLE = r"""
+WITH tk AS (
+  SELECT doc_id,
+    list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                x -> x <> '') AS t
+  FROM documents
+),
+bi AS (
+  SELECT doc_id, t[i] AS w1, t[i+1] AS w2
+  FROM tk, unnest(generate_series(1, len(t) - 1)) AS g(i)
+  WHERE len(t) >= 2
+),
+bg AS (SELECT w1, w2, count(*) AS c12 FROM bi GROUP BY 1, 2),
+ctx AS (SELECT w1, sum(c12) AS c1 FROM bg GROUP BY 1),
+v AS (SELECT count(DISTINCT t2.tok) AS vs
+      FROM (SELECT unnest(t) AS tok FROM tk) t2 WHERE t2.tok <> '')
+SELECT bi.doc_id,
+  count(*) AS n_bigrams,
+  round(avg(ln((CAST(bg.c12 AS DOUBLE) + 1.0)
+               / (CAST(ctx.c1 AS DOUBLE) + CAST(v.vs AS DOUBLE)))), 6)
+    AS mean_logp
+FROM bi
+JOIN bg USING (w1, w2)
+JOIN ctx USING (w1), v
+GROUP BY bi.doc_id
+"""
+
+
+@_q("bigram_lm_score", _BIGRAM_LM_ORACLE)
+def q_bigram_lm_score(spark, sf):
+    from padua_spark.extensions.text import bigram_lm_score
+
+    d = _t(spark, sf, "documents")
+    out = bigram_lm_score(d, "doc_id", "text")
+    return out.select(
+        "doc_id", "n_bigrams", _r("mean_logp").alias("mean_logp")
+    )
+
+
+# --- ext: weighted sampling without replacement (Efraimidis–Spirakis) -------
+
+
+def _weighted_sample_oracle() -> str:
+    from padua_spark.extensions.sampling import es_key_sql
+
+    es = es_key_sql("doc_id", "n_chars", salt=11)
+    return f"""
+SELECT doc_id, lang, n_chars, {es} AS es_key
+FROM documents
+WHERE CAST(n_chars AS DOUBLE) > 0
+ORDER BY es_key DESC, doc_id LIMIT 100
+"""
+
+
+@_q("weighted_sample", _weighted_sample_oracle())
+def q_weighted_sample(spark, sf):
+    from padua_spark.extensions.sampling import weighted_sample_k
+
+    d = _t(spark, sf, "documents")
+    out = weighted_sample_k(d, "doc_id", "n_chars", k=100, salt=11)
+    return out.select("doc_id", "lang", "n_chars", "es_key")
+
+
+# --- winsorize: per-group percentile clipping (robust outlier limiting) -----
+
+
+_WINSORIZE_ORACLE = """
+WITH b AS (
+  SELECT l_returnflag,
+    quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.05) AS lo,
+    quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.95) AS hi
+  FROM lineitem GROUP BY 1
+)
+SELECT l.l_orderkey, l.l_linenumber,
+  round(CASE WHEN l.l_extendedprice < b.lo THEN b.lo
+             WHEN l.l_extendedprice > b.hi THEN b.hi
+             ELSE l.l_extendedprice END, 6) AS value_winsor
+FROM lineitem l JOIN b USING (l_returnflag)
+"""
+
+
+@_q("winsorize", _WINSORIZE_ORACLE)
+def q_winsorize(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    out = norm.winsorize(
+        li, ["l_returnflag"], "l_extendedprice", lo=0.05, hi=0.95,
+        out_col="value_winsor",
+    )
+    return out.select(
+        "l_orderkey", "l_linenumber",
+        _r("value_winsor").alias("value_winsor"),
+    )
+
+
 # ---------------------------------------------------------------------------
 
 

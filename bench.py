@@ -54,6 +54,10 @@ HEADLINE = [
     "token_frequencies",
     "chunk_documents",
     "pii_scrub",
+    "tfidf_top_terms",
+    "bigram_lm_score",
+    "weighted_sample",
+    "winsorize",
 ]
 
 

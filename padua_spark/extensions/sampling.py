@@ -182,3 +182,45 @@ def mix_copies_sql(
         f"(CAST(floor({w}) AS BIGINT) + "
         f"CASE WHEN {u} < ({w} - floor({w})) THEN 1 ELSE 0 END)"
     )
+
+
+def weighted_sample_k(
+    df: DataFrame,
+    key_col: str,
+    weight_col: str,
+    k: int,
+    salt: int = 0,
+    es_key_col: str = "es_key",
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement: the
+    ``k`` rows with the largest Efraimidis–Spirakis keys
+    ``ln(u) / w`` (rank-equivalent to ``u^(1/w)``), where ``u`` is the
+    row's key-derived uniform draw and ``w`` its weight — the standard
+    one-pass reservoir scheme for quality-weighted corpus subsampling.
+    Rows with ``w <= 0`` or NULL are excluded.
+
+    Same determinism contract as the other samplers: the draw is a
+    pure function of the row key, so the selected set is identical on
+    any engine/partitioning/retry. The key is rounded to 9dp before
+    ranking: engines round ``ln`` within 1 ulp of each other, and the
+    rounding turns any such sub-1e-9 discrepancy into an exact tie
+    that the ``key_col`` tiebreak resolves identically everywhere.
+
+    Scale shape: scan-level projection + global top-k via
+    ``TakeOrderedAndProject`` (per-partition heap, driver merges k per
+    partition) — no sort, no shuffle of the full table."""
+    u = deterministic_uniform(F.col(key_col), salt)
+    w = F.col(weight_col).cast("double")
+    es = F.round(F.log(u) / w, 9)
+    return (
+        df.where(w > 0)
+        .withColumn(es_key_col, es)
+        .orderBy(F.col(es_key_col).desc(), F.col(key_col).asc())
+        .limit(k)
+    )
+
+
+def es_key_sql(key_expr: str, weight_expr: str, salt: int = 0) -> str:
+    """ANSI-SQL twin of :func:`weighted_sample_k`'s ES key."""
+    u = deterministic_uniform_sql(key_expr, salt)
+    return f"round(ln({u}) / CAST({weight_expr} AS DOUBLE), 9)"

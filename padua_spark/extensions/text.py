@@ -504,3 +504,138 @@ def pack_sequences(
             (offset + F.col("n_tokens") - F.lit(1)) / F.lit(budget)
         ).alias("seq_last"),
     )
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 5,
+    lowercase: bool = True,
+) -> DataFrame:
+    """Top-``k`` terms per document by TF-IDF — the keyword-extraction /
+    topic-proxy step of corpus analysis. Output:
+    ``(id, token, tf, doc_freq, tfidf, term_rank)``.
+
+    Formula: ``tfidf = tf * ln(n_docs / doc_freq)`` with raw in-doc
+    count as tf (no length normalization — rank-equivalent within a
+    doc and exactly portable). Ties break by token text.
+
+    Scale shape: explode -> hash-aggregate (map-side partial combine)
+    for per-(doc, token) counts; document frequencies aggregate FROM
+    that table (tokens already deduped per doc, no second pass over
+    text); corpus size joins in as a broadcast one-row frame so the
+    whole plan stays lazy (no driver count action); the per-doc top-k
+    rank compiles to WindowGroupLimit — each map task prunes to its
+    local k before the shuffle."""
+    t = F.col(text_col)
+    toks = tokens(F.lower(t) if lowercase else t)
+    tf = (
+        df.select(F.col(id_col), F.explode(toks).alias("token"))
+        .where(F.col("token") != "")
+        .groupBy(id_col, "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("token").agg(
+        F.count(F.lit(1)).alias("doc_freq")
+    )
+    ndocs = df.agg(
+        F.count_distinct(F.col(id_col)).alias("_n_docs")
+    )
+    scored = (
+        tf.join(dfreq, on="token")
+        .join(F.broadcast(ndocs))
+        .withColumn(
+            "tfidf",
+            F.col("tf").cast("double")
+            * F.log(
+                F.col("_n_docs").cast("double")
+                / F.col("doc_freq").cast("double")
+            ),
+        )
+    )
+    # rank on the score rounded to 9dp: engines round ln() within 1 ulp
+    # of each other, so two *different* (tf, doc_freq) pairs that are
+    # mathematically equal (tf2·ln(N/a) = tf1·ln(N/b) has integer
+    # solutions) could order differently on raw doubles; rounding makes
+    # them exact ties and the token tiebreak resolves them identically
+    # everywhere
+    w = Window.partitionBy(id_col).orderBy(
+        F.round(F.col("tfidf"), 9).desc(), F.col("token").asc()
+    )
+    return (
+        scored.withColumn("term_rank", F.row_number().over(w))
+        .where(F.col("term_rank") <= F.lit(k))
+        .select(id_col, "token", "tf", "doc_freq", "tfidf", "term_rank")
+    )
+
+
+def bigram_lm_score(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    lowercase: bool = True,
+) -> DataFrame:
+    """Self-trained bigram language-model score per document — the
+    perplexity-proxy quality signal: documents whose word transitions
+    are improbable under the corpus's own bigram statistics (boilerplate
+    permutations, gibberish, wrong-language shards) score low.
+
+    Two passes over the bigram table, both from one tokenization:
+    pass 1 aggregates corpus bigram counts ``c(w1,w2)`` and context
+    totals ``c(w1.)``; pass 2 joins them back to each document's
+    bigrams and averages the add-one-smoothed conditional log
+    probability ``ln((c(w1,w2)+1) / (c(w1.)+V))`` where ``V`` is the
+    corpus vocabulary size. Documents with < 2 tokens get NULL.
+
+    Scale shape: explode -> two hash aggregations (map-side combine) ->
+    two token-keyed shuffle joins (vocabulary tables are shuffle-joined,
+    not broadcast — at 100 TB the bigram table is itself large) -> one
+    per-doc aggregation. V joins as a broadcast one-row frame; the plan
+    is fully lazy."""
+    t = F.col(text_col)
+    staged = df.select(
+        F.col(id_col),
+        tokens(F.lower(t) if lowercase else t).alias("_toks"),
+    )
+    n = F.size(F.col("_toks"))
+    bi = staged.select(
+        id_col,
+        F.explode(
+            F.when(
+                n >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), n - F.lit(1)),
+                    lambda i: F.struct(
+                        F.element_at(F.col("_toks"), i).alias("w1"),
+                        F.element_at(F.col("_toks"), i + F.lit(1)).alias(
+                            "w2"
+                        ),
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+        ).alias("_bg"),
+    ).select(id_col, F.col("_bg.w1").alias("w1"), F.col("_bg.w2").alias("w2"))
+    bg_counts = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("_c12"))
+    ctx_counts = bg_counts.groupBy("w1").agg(
+        F.sum("_c12").alias("_c1")
+    )
+    vocab = staged.select(
+        F.explode(F.col("_toks")).alias("token")
+    ).where(F.col("token") != "").agg(
+        F.count_distinct("token").alias("_v")
+    )
+    logp = F.log(
+        (F.col("_c12").cast("double") + F.lit(1.0))
+        / (F.col("_c1").cast("double") + F.col("_v").cast("double"))
+    )
+    return (
+        bi.join(bg_counts, on=["w1", "w2"])
+        .join(ctx_counts, on="w1")
+        .join(F.broadcast(vocab))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.avg(logp).alias("mean_logp"),
+        )
+    )

@@ -93,3 +93,38 @@ def subtract_group_median(
     return joined.withColumn(out_col, v - F.col("_group_median")).drop(
         "_group_median"
     )
+
+
+def winsorize(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    lo: float = 0.01,
+    hi: float = 0.99,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Clip ``value_col`` to its per-group [``lo``, ``hi``] percentile
+    range (winsorization) — robust outlier limiting before
+    normalization/imputation, per sample group. NULL values stay NULL;
+    group percentiles are the exact interpolated quantiles (same
+    definition as DuckDB ``quantile_cont``).
+
+    Scale shape: one per-group exact-percentile aggregation (group
+    count = samples/domains, small) joined back to the fact table —
+    AQE broadcasts the tiny percentile side, so the fact table never
+    shuffles. At extreme group cardinality swap in
+    ``percentile_approx`` (mergeable sketch) — same plan shape."""
+    v = F.col(value_col).cast("double")
+    bounds = df.groupBy(*group_cols).agg(
+        F.percentile(v, lo).alias("_lo"),
+        F.percentile(v, hi).alias("_hi"),
+    )
+    out = out_col or f"{value_col}_winsor"
+    clipped = F.when(v < F.col("_lo"), F.col("_lo")).when(
+        v > F.col("_hi"), F.col("_hi")
+    ).otherwise(v)
+    return (
+        df.join(bounds, on=group_cols)
+        .withColumn(out, clipped)
+        .drop("_lo", "_hi")
+    )

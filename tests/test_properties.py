@@ -319,3 +319,82 @@ SELECT list_reduce(
     exp = {i: con.execute(sql, [t]).fetchone()[0]
            for i, t in enumerate(texts)}
     assert got == exp
+
+
+def test_weighted_sample_partition_invariant_and_weighted(spark):
+    """weighted_sample_k: identical selection under any partitioning;
+    heavier rows are (statistically) more likely to be selected; rows
+    with non-positive weight never selected."""
+    from padua_spark.extensions.sampling import weighted_sample_k
+
+    rows = [(i, float(1 + (i % 10) * 10)) for i in range(500)]
+    rows += [(1000, 0.0), (1001, -3.0)]
+    df = spark.createDataFrame(rows, ["k", "w"])
+    sel1 = {
+        r.k for r in weighted_sample_k(df, "k", "w", 50, salt=3).collect()
+    }
+    sel2 = {
+        r.k
+        for r in weighted_sample_k(
+            df.repartition(13), "k", "w", 50, salt=3
+        ).collect()
+    }
+    assert sel1 == sel2
+    assert len(sel1) == 50
+    assert not sel1 & {1000, 1001}
+    # weight 91 rows (i%10==9) should be overrepresented vs weight 1
+    heavy = sum(1 for k in sel1 if k % 10 == 9)
+    light = sum(1 for k in sel1 if k % 10 == 0)
+    assert heavy > light
+
+
+def test_winsorize_bounds_and_nulls(spark):
+    """winsorize: output within the group percentile bounds, interior
+    values untouched, NULLs preserved."""
+    from padua_spark.operators.normalization import winsorize
+
+    rows = [("g", float(v)) for v in range(1, 101)] + [("g", None)]
+    df = spark.createDataFrame(rows, ["grp", "v"])
+    out = winsorize(df, ["grp"], "v", lo=0.1, hi=0.9).collect()
+    vals = [r.v_winsor for r in out if r.v is not None]
+    lo = np.percentile(np.arange(1.0, 101.0), 10)
+    hi = np.percentile(np.arange(1.0, 101.0), 90)
+    assert min(vals) == pytest.approx(lo)
+    assert max(vals) == pytest.approx(hi)
+    untouched = [r for r in out if r.v is not None and lo < r.v < hi]
+    assert all(r.v_winsor == r.v for r in untouched)
+    assert any(r.v is None and r.v_winsor is None for r in out)
+
+
+def test_tfidf_rare_term_outranks_common(spark):
+    """tfidf_top_terms: a term unique to one doc outranks a term that
+    appears in every doc, at equal in-doc frequency."""
+    from padua_spark.extensions.text import tfidf_top_terms
+
+    docs = [(0, "common rare common rare")] + [
+        (i, "common filler common filler") for i in range(1, 5)
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    top = tfidf_top_terms(df, "doc_id", "text", k=1).collect()
+    d0 = [r for r in top if r.doc_id == 0][0]
+    assert d0.token == "rare"
+    assert d0.doc_freq == 1
+
+
+def test_bigram_lm_score_short_docs_and_repeats(spark):
+    """bigram_lm_score: docs with <2 tokens produce no row; a document
+    made of the corpus's dominant repeated bigram scores higher than a
+    one-off transition."""
+    from padua_spark.extensions.text import bigram_lm_score
+
+    docs = [
+        (0, "a b a b a b a b"),
+        (1, "a b a b a b"),
+        (2, "x y"),
+        (3, "single"),
+        (4, ""),
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    out = {r.doc_id: r for r in bigram_lm_score(df, "doc_id", "text").collect()}
+    assert 3 not in out and 4 not in out
+    assert out[0].mean_logp > out[2].mean_logp
