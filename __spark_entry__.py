@@ -2991,6 +2991,99 @@ def q_winsorize(spark, sf):
     )
 
 
+# --- ext: KMV distinct-token sketch (mergeable, exactly oracle-checkable) ---
+
+# DuckDB twin of dedup.token_hashes: seed 7, h = (h*131 + ord(c)) % MOD
+# per codepoint, tokens split on single space, empty-string chars
+# filtered (Spark ascii('')=0 vs DuckDB ord('')=-1).
+_TOKEN_HASH_LIST_SQL = r"""list_transform(string_split(text, ' '),
+  w -> list_reduce(
+    list_prepend(CAST(7 AS BIGINT),
+      list_transform(list_filter(string_split(w, ''), c -> c <> ''),
+                     c -> CAST(ord(c) AS BIGINT))),
+    (a, c) -> (a * 131 + c) % 2147483647))"""
+
+
+def _kmv_oracle(k: int) -> str:
+    return f"""
+WITH th AS (
+  SELECT lang, unnest({_TOKEN_HASH_LIST_SQL}) AS h FROM documents
+),
+d AS (SELECT DISTINCT lang, h FROM th),
+r AS (
+  SELECT lang, h,
+    row_number() OVER (PARTITION BY lang ORDER BY h) AS rn,
+    count(*) OVER (PARTITION BY lang) AS nd
+  FROM d
+),
+a AS (
+  SELECT lang,
+    CAST(sum(CASE WHEN rn <= {k} THEN 1 ELSE 0 END) AS INT) AS n_sketch,
+    max(CASE WHEN rn = {k} THEN h END) AS kth,
+    max(nd) AS nd
+  FROM r GROUP BY lang
+)
+SELECT lang, n_sketch,
+  CASE WHEN nd >= {k} THEN kth END AS kth_hash,
+  round(CASE WHEN nd < {k} THEN CAST(nd AS DOUBLE)
+        ELSE {float(k - 1)!r} * 2147483647.0 / CAST(kth AS DOUBLE)
+        END, 6) AS est_distinct
+FROM a
+"""
+
+
+@_q("kmv_distinct_tokens", _kmv_oracle(64))
+def q_kmv_distinct_tokens(spark, sf):
+    from padua_spark.extensions.sketches import kmv_distinct_tokens
+
+    d = _t(spark, sf, "documents")
+    out = kmv_distinct_tokens(d, ["lang"], "text", k=64)
+    return out.select(
+        "lang", "n_sketch", "kth_hash",
+        _r("est_distinct").alias("est_distinct"),
+    )
+
+
+# --- ext: incremental-ingestion dedup (novel docs vs the seen corpus) -------
+
+_FP_SQL = r"""list_reduce(
+    list_prepend(CAST(0 AS BIGINT),
+      list_transform(
+        list_filter(string_split(
+          regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ''),
+          c -> c <> ''),
+        c -> CAST(ord(c) AS BIGINT))),
+    (acc, c) -> (acc * 131 + c) % 2147483647)"""
+
+_NOVEL_ORACLE = f"""
+WITH batch AS (
+  SELECT *, {_FP_SQL} AS fp FROM documents WHERE source <> 'src0'
+),
+canon AS (SELECT fp, min(doc_id) AS keep_id FROM batch GROUP BY fp),
+seen AS (
+  SELECT DISTINCT {_FP_SQL} AS fp FROM documents WHERE source = 'src0'
+)
+SELECT b.doc_id, b.lang, b.source, b.n_chars
+FROM batch b
+JOIN canon c ON b.fp = c.fp AND b.doc_id = c.keep_id
+WHERE NOT EXISTS (SELECT 1 FROM seen s WHERE s.fp = b.fp)
+"""
+
+
+@_q("novel_documents", _NOVEL_ORACLE)
+def q_novel_documents(spark, sf):
+    from padua_spark.extensions.dedup import novel_documents
+
+    d = _t(spark, sf, "documents")
+    out = novel_documents(
+        d.where(F.col("source") != "src0"),
+        d.where(F.col("source") == "src0"),
+        "doc_id",
+        "text",
+    )
+    return out.select("doc_id", "lang", "source", "n_chars")
+
+
 # ---------------------------------------------------------------------------
 
 

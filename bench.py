@@ -58,6 +58,8 @@ HEADLINE = [
     "bigram_lm_score",
     "weighted_sample",
     "winsorize",
+    "kmv_distinct_tokens",
+    "novel_documents",
 ]
 
 

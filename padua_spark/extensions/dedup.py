@@ -593,3 +593,42 @@ def duplicate_spans(
             F.col("n_dup_windows").cast("double") / F.col("n_windows"),
         )
     )
+
+
+def _uniq_col(df: DataFrame, base: str) -> str:
+    """Internal column name guaranteed not to collide with ``df``'s
+    schema (prefix-until-unique — same contract as curation's guard)."""
+    name = base
+    while name in df.columns:
+        name = "_" + name
+    return name
+
+
+def novel_documents(
+    new_df: DataFrame,
+    seen_df: DataFrame,
+    id_col: str,
+    text_col: str,
+) -> DataFrame:
+    """Incremental-ingestion dedup: the rows of ``new_df`` whose
+    normalized-text fingerprint does NOT already occur in ``seen_df``,
+    deduplicated within the new batch itself (minimum ``id_col`` per
+    fingerprint wins). The merge step of a growing corpus: each
+    snapshot lands, is deduped against itself, then anti-joined against
+    everything already ingested.
+
+    Scale shape: both sides fingerprint at scan level (one projection);
+    the batch self-dedup is one hash aggregation + semi join; the
+    "already seen" check is a LEFT ANTI join on the fingerprint — at
+    100 TB the seen side is just (fingerprint) — one bigint column,
+    shuffled once, prunable further with a bloom filter pushed to the
+    scan. Output columns = ``new_df``'s, unchanged."""
+    from padua_spark.extensions.text import fingerprint
+
+    fp = _uniq_col(new_df, "_fp")
+    batch = new_df.withColumn(fp, fingerprint(F.col(text_col)))
+    canon = exact_dedup(batch, [fp], keep_col=id_col)
+    seen = seen_df.select(
+        fingerprint(F.col(text_col)).alias(fp)
+    ).distinct()
+    return canon.join(seen, on=fp, how="left_anti").drop(fp)

@@ -1,0 +1,137 @@
+"""Mergeable sketches for corpus profiling at scale.
+
+The profiling questions a 100 TB curation run asks per group (distinct
+tokens per language, distinct fingerprints per source, ...) cannot
+afford an exact global ``count_distinct`` — that is a full shuffle of
+every distinct value. The K-minimum-values (KMV) sketch (Bar-Yossef et
+al., "Counting distinct elements in a data stream") answers them with a
+bounded summary: keep the k smallest distinct hash values; the
+estimator ``(k-1) / u_k`` (``u_k`` = k-th smallest hash normalized to
+[0, 1)) is unbiased, and two k-min sets MERGE by union + re-truncation
+— exactly the partial/final aggregation shape Spark wants.
+
+Unlike HyperLogLog (whose per-engine implementations differ), KMV over
+this package's *portable polynomial hashes* is bit-reproducible on any
+engine: the k smallest distinct hashes of the same data are the same
+set everywhere, so the estimate is EXACTLY oracle-checkable in DuckDB
+— a sketch with a hash-match correctness gate.
+
+Plan shape: JVM-side token hashing (scan-level projection) → one
+Arrow-batched ``mapInPandas`` partial pass that holds at most
+``k`` values per (group, partition) — memory is O(groups·k),
+independent of data size → a tiny native merge aggregation
+(``collect_list`` of k-arrays → flatten/distinct/sort/slice). The big
+table is never shuffled; only k·partitions values per group move.
+"""
+
+from __future__ import annotations
+
+import sys
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from padua_spark.extensions.dedup import MOD
+
+# mapInPandas closures reference this module; executor workers launched
+# from a foreign-cwd driver can't import it by name — serialize by value
+try:  # pragma: no cover
+    import cloudpickle
+
+    cloudpickle.register_pickle_by_value(sys.modules[__name__])
+except Exception:  # pragma: no cover
+    pass
+
+
+def kmv_partials(
+    hashed: DataFrame, group_cols: list[str], hash_col: str, k: int
+) -> DataFrame:
+    """Per-partition KMV partials: one row per (partition, group) with
+    that partition's k smallest distinct hash values as an array.
+
+    State is pruned to k values per group after every Arrow batch, so
+    the Python side holds O(groups·k) int64s no matter how large the
+    partition is."""
+    import numpy as np
+    import pandas as pd
+
+    gcols = list(group_cols)
+
+    def _partial(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        state: dict[tuple, "np.ndarray"] = {}
+        for pdf in batches:
+            for key, sub in pdf.groupby(gcols, sort=False):
+                kt = key if isinstance(key, tuple) else (key,)
+                vals = sub[hash_col].to_numpy(dtype="int64")
+                prev = state.get(kt)
+                if prev is not None:
+                    vals = np.concatenate([prev, vals])
+                vals = np.unique(vals)  # sorted distinct
+                state[kt] = vals[:k]
+        if state:
+            yield pd.DataFrame(
+                [list(kt) + [st.tolist()] for kt, st in state.items()],
+                columns=gcols + ["kmin"],
+            )
+
+    schema = ", ".join(
+        [f"`{c}` {hashed.schema[c].dataType.simpleString()}" for c in gcols]
+        + ["kmin array<bigint>"]
+    )
+    return hashed.select(*gcols, hash_col).mapInPandas(_partial, schema)
+
+
+def kmv_distinct(
+    hashed: DataFrame,
+    group_cols: list[str],
+    hash_col: str,
+    k: int = 64,
+    mod: int = MOD,
+) -> DataFrame:
+    """Approximate distinct count per group from a KMV sketch over
+    ``hash_col`` (integer hashes uniform on [0, ``mod``)).
+
+    Output: ``group_cols + (n_sketch, kth_hash, est_distinct)``.
+    When a group has fewer than k distinct hashes the sketch IS the
+    distinct set and the estimate is exact; otherwise
+    ``est = (k-1)·mod / h_k``."""
+    partials = kmv_partials(hashed, group_cols, hash_col, k)
+    merged = partials.groupBy(*group_cols).agg(
+        F.slice(
+            F.array_sort(F.array_distinct(F.flatten(F.collect_list("kmin")))),
+            1,
+            k,
+        ).alias("_kmin")
+    )
+    n = F.size(F.col("_kmin"))
+    kth = F.element_at(F.col("_kmin"), k)
+    est = F.when(n < k, n.cast("double")).otherwise(
+        F.lit(float(k - 1)) * F.lit(float(mod)) / kth.cast("double")
+    )
+    return merged.select(
+        *group_cols,
+        n.alias("n_sketch"),
+        F.when(n >= k, kth).alias("kth_hash"),
+        est.alias("est_distinct"),
+    )
+
+
+def kmv_distinct_tokens(
+    df: DataFrame,
+    group_cols: list[str],
+    text_col: str,
+    k: int = 64,
+) -> DataFrame:
+    """Distinct-token estimate per group: JVM-side per-token polynomial
+    hashing (same hash as the dedup pipeline — scan-level projection,
+    whole-stage codegen), then the KMV sketch."""
+    from padua_spark.extensions.dedup import token_hashes
+
+    staged = df.select(
+        *group_cols, token_hashes(F.col(text_col)).alias("_th")
+    )
+    hashed = staged.select(
+        *group_cols, F.explode("_th").alias("_h")
+    ).where(F.col("_h").isNotNull())
+    return kmv_distinct(hashed, group_cols, "_h", k)

@@ -398,3 +398,54 @@ def test_bigram_lm_score_short_docs_and_repeats(spark):
     out = {r.doc_id: r for r in bigram_lm_score(df, "doc_id", "text").collect()}
     assert 3 not in out and 4 not in out
     assert out[0].mean_logp > out[2].mean_logp
+
+
+def test_kmv_sketch_partition_invariant_and_accurate(spark):
+    """KMV: estimate is partitioning-invariant (k-min of a union is the
+    union of k-mins), exact below k, and within the ~1/sqrt(k) relative
+    error envelope above k."""
+    from padua_spark.extensions.sketches import kmv_distinct
+
+    rows = [("big", (i * 2654435761) % 2147483647) for i in range(5000)]
+    rows += [("small", h) for h in (7, 42, 99)]
+    df = spark.createDataFrame(rows, ["g", "h"])
+    k = 128
+    out1 = {
+        r.g: r for r in kmv_distinct(df, ["g"], "h", k=k).collect()
+    }
+    out2 = {
+        r.g: r
+        for r in kmv_distinct(df.repartition(17), ["g"], "h", k=k).collect()
+    }
+    for g in out1:
+        assert out1[g].est_distinct == out2[g].est_distinct
+        assert out1[g].kth_hash == out2[g].kth_hash
+    assert out1["small"].est_distinct == 3.0
+    assert out1["small"].kth_hash is None
+    true_n = len({h for g, h in rows if g == "big"})
+    est = out1["big"].est_distinct
+    assert abs(est - true_n) / true_n < 4.0 / (k ** 0.5)
+
+
+def test_novel_documents_semantics(spark):
+    """novel_documents: batch-internal dup keeps min id; docs whose
+    normalized text already exists in the seen corpus are dropped;
+    whitespace-normalization-equal texts collide."""
+    from padua_spark.extensions.dedup import novel_documents
+
+    seen = spark.createDataFrame(
+        [(100, "already known text")], ["doc_id", "text"]
+    )
+    new = spark.createDataFrame(
+        [
+            (1, "fresh document"),
+            (2, "fresh document"),          # batch dup of 1
+            (3, "Already   KNOWN text"),    # normalizes to seen
+            (4, "another new one"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = sorted(
+        r.doc_id for r in novel_documents(new, seen, "doc_id", "text").collect()
+    )
+    assert out == [1, 4]
