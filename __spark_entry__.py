@@ -3044,6 +3044,66 @@ def q_kmv_distinct_tokens(spark, sf):
     )
 
 
+# --- ext: KMV cross-corpus overlap (set-intersection sketch) ----------------
+
+
+def _kmv_overlap_oracle(k: int) -> str:
+    return f"""
+WITH th AS (
+  SELECT lang, unnest({_TOKEN_HASH_LIST_SQL}) AS h FROM documents
+),
+d AS (SELECT DISTINCT lang, h FROM th),
+r AS (
+  SELECT lang, h, row_number() OVER (PARTITION BY lang ORDER BY h) AS rn
+  FROM d
+),
+sk AS (
+  SELECT lang, list_sort(list(h)) AS kmin FROM r WHERE rn <= {k}
+  GROUP BY lang
+),
+p AS (
+  SELECT a.lang AS g_a, b.lang AS g_b, a.kmin AS ka, b.kmin AS kb
+  FROM sk a JOIN sk b ON a.lang < b.lang
+),
+u AS (
+  SELECT g_a, g_b, ka, kb,
+    list_sort(list_distinct(list_concat(ka, kb)))[1:{k}] AS ku
+  FROM p
+),
+est AS (
+  SELECT g_a, g_b,
+    CASE WHEN len(ku) < {k} THEN CAST(len(ku) AS DOUBLE)
+         ELSE {float(k - 1)!r} * 2147483647.0 / CAST(ku[{k}] AS DOUBLE)
+    END AS est_union,
+    CAST(len(list_intersect(list_intersect(ku, ka), kb)) AS DOUBLE)
+      / CAST(len(ku) AS DOUBLE) AS est_jaccard
+  FROM u
+)
+SELECT g_a, g_b, round(est_union, 6) AS est_union,
+  round(est_jaccard, 6) AS est_jaccard,
+  round(est_jaccard * est_union, 6) AS est_overlap
+FROM est
+"""
+
+
+@_q("kmv_overlap", _kmv_overlap_oracle(64))
+def q_kmv_overlap(spark, sf):
+    from padua_spark.extensions.dedup import token_hashes
+    from padua_spark.extensions.sketches import kmv_overlap
+
+    d = _t(spark, sf, "documents")
+    hashed = d.select(
+        "lang", token_hashes(F.col("text")).alias("_th")
+    ).select("lang", F.explode("_th").alias("_h"))
+    out = kmv_overlap(hashed, "lang", "_h", k=64)
+    return out.select(
+        "g_a", "g_b",
+        _r("est_union").alias("est_union"),
+        _r("est_jaccard").alias("est_jaccard"),
+        _r("est_overlap").alias("est_overlap"),
+    )
+
+
 # --- ext: incremental-ingestion dedup (novel docs vs the seen corpus) -------
 
 _FP_SQL = r"""list_reduce(

@@ -60,6 +60,7 @@ HEADLINE = [
     "winsorize",
     "kmv_distinct_tokens",
     "novel_documents",
+    "kmv_overlap",
 ]
 
 

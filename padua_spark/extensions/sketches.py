@@ -135,3 +135,64 @@ def kmv_distinct_tokens(
         *group_cols, F.explode("_th").alias("_h")
     ).where(F.col("_h").isNotNull())
     return kmv_distinct(hashed, group_cols, "_h", k)
+
+
+def kmv_overlap(
+    hashed: DataFrame,
+    group_col: str,
+    hash_col: str,
+    k: int = 64,
+    mod: int = MOD,
+) -> DataFrame:
+    """Pairwise distinct-overlap estimates between groups from their
+    KMV sketches — "how much vocabulary do these two corpora share?"
+    without ever shuffling the full value sets.
+
+    For groups A and B: merge the two k-min sets, re-truncate to the k
+    smallest (= the KMV sketch of A∪B), estimate ``|A∪B|`` from its
+    k-th value, count how many survivors lie in both sketches to get a
+    Jaccard estimate, and scale: ``|A∩B| ≈ J·|A∪B|``. All arithmetic
+    is over the portable hashes, so the estimates are engine-exact
+    (oracle-checkable) like :func:`kmv_distinct`.
+
+    Output: one row per unordered group pair ``(g_a < g_b)`` with
+    ``est_union, est_jaccard, est_overlap``. The pair join runs over
+    SKETCHES (one k-array row per group), so its cost is
+    O(groups²·k) — independent of data size."""
+    partials = kmv_partials(hashed, [group_col], hash_col, k)
+    sk = partials.groupBy(group_col).agg(
+        F.slice(
+            F.array_sort(F.array_distinct(F.flatten(F.collect_list("kmin")))),
+            1,
+            k,
+        ).alias("_kmin")
+    )
+    a = sk.select(
+        F.col(group_col).alias("g_a"), F.col("_kmin").alias("_ka")
+    )
+    b = sk.select(
+        F.col(group_col).alias("g_b"), F.col("_kmin").alias("_kb")
+    )
+    pairs = a.join(b, a["g_a"] < b["g_b"])
+    u = F.slice(
+        F.array_sort(F.array_union(F.col("_ka"), F.col("_kb"))), 1, k
+    )
+    staged = pairs.select("g_a", "g_b", "_ka", "_kb", u.alias("_ku"))
+    n_u = F.size(F.col("_ku"))
+    kth = F.element_at(F.col("_ku"), k)
+    est_union = F.when(n_u < k, n_u.cast("double")).otherwise(
+        F.lit(float(k - 1)) * F.lit(float(mod)) / kth.cast("double")
+    )
+    n_both = F.size(
+        F.array_intersect(
+            F.array_intersect(F.col("_ku"), F.col("_ka")), F.col("_kb")
+        )
+    )
+    jac = n_both.cast("double") / n_u.cast("double")
+    return staged.select(
+        "g_a",
+        "g_b",
+        est_union.alias("est_union"),
+        jac.alias("est_jaccard"),
+        (jac * est_union).alias("est_overlap"),
+    )

@@ -449,3 +449,32 @@ def test_novel_documents_semantics(spark):
         r.doc_id for r in novel_documents(new, seen, "doc_id", "text").collect()
     )
     assert out == [1, 4]
+
+
+def test_kmv_overlap_identical_and_disjoint(spark):
+    """kmv_overlap: two groups with identical value sets estimate
+    Jaccard 1.0; disjoint groups estimate 0.0; estimates are
+    partitioning-invariant."""
+    from padua_spark.extensions.sketches import kmv_overlap
+
+    shared = [((i * 48271) % 2147483647) for i in range(300)]
+    other = [((i * 48271 + 7) % 2147483647) for i in range(300)]
+    rows = (
+        [("a", h) for h in shared]
+        + [("b", h) for h in shared]
+        + [("c", h) for h in other]
+    )
+    df = spark.createDataFrame(rows, ["g", "h"])
+    out = {
+        (r.g_a, r.g_b): r
+        for r in kmv_overlap(df, "g", "h", k=64).collect()
+    }
+    out2 = {
+        (r.g_a, r.g_b): r
+        for r in kmv_overlap(df.repartition(11), "g", "h", k=64).collect()
+    }
+    assert out[("a", "b")].est_jaccard == 1.0
+    ac = out[("a", "c")]
+    assert ac.est_jaccard < 0.2
+    for key in out:
+        assert out[key].est_overlap == out2[key].est_overlap
