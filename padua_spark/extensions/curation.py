@@ -128,3 +128,46 @@ def curate_stream(
         watermark=watermark,
         tiebreak_col=id_col,
     ).drop(fp_col)
+
+
+def ingest_stream(
+    stream_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    corpus_dir: str,
+    checkpoint_dir: str,
+):
+    """Continuous corpus construction: a ``foreachBatch`` sink that
+    dedupes every micro-batch within itself AND against everything
+    already ingested (:func:`padua_spark.extensions.dedup.
+    novel_documents`), appending only novel rows to ``corpus_dir``.
+    Returns the started-query builder (caller picks the trigger).
+
+    foreachBatch is the right tool here — the dedup is a batch
+    anti-join against an external, growing table, which has no bounded
+    streaming-state form (unlike the watermark-horizon dedup of
+    :func:`curate_stream`); each micro-batch runs it as a normal batch
+    plan with exactly-once sink semantics from the checkpoint.
+
+    Scale note: the seen side reduces to the fingerprint column before
+    the anti-join, so each batch reads one bigint column of the corpus
+    (columnar scan, dictionary/bloom-prunable). At very large corpus
+    sizes keep a dedicated fingerprint-only table updated in the same
+    batch (write both inside ``_sink``) instead of re-deriving
+    fingerprints from text."""
+    from padua_spark.extensions.dedup import novel_documents
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        try:
+            seen = spark.read.parquet(corpus_dir)
+        except Exception:
+            # first batch: nothing ingested yet — still self-dedup
+            seen = batch_df.limit(0)
+        novel = novel_documents(batch_df, seen, id_col, text_col)
+        novel.write.mode("append").parquet(corpus_dir)
+
+    return (
+        stream_df.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint_dir)
+    )

@@ -212,3 +212,45 @@ def test_curate_stream_equals_batch(spark, docs_dir):
     assert got == exp and len(got) > 0
     assert got_df.count() == len(got)  # one survivor per fingerprint
     assert len(got) < batch.count()  # gate + dedup actually dropped rows
+
+
+def test_ingest_stream_incremental_novelty(spark, tmp_path):
+    """foreachBatch incremental ingestion: micro-batches arriving later
+    must not re-ingest texts already in the corpus (cross-batch
+    fingerprint dedup), and each batch self-dedupes. Forced into
+    multiple micro-batches via maxFilesPerTrigger=1."""
+    import pandas as pd
+
+    from padua_spark.extensions.curation import ingest_stream
+
+    src = tmp_path / "src"
+    src.mkdir()
+    corpus = str(tmp_path / "corpus")
+    ckpt = str(tmp_path / "ckpt")
+    # file names order batch arrival; batch b must see a's output
+    pd.DataFrame(
+        {"doc_id": [1, 2, 3], "text": ["alpha beta", "alpha beta", "gamma"]}
+    ).to_parquet(src / "a.parquet")
+    pd.DataFrame(
+        {"doc_id": [4, 5], "text": ["Alpha   Beta", "delta"]}
+    ).to_parquet(src / "b.parquet")
+
+    schema = spark.read.parquet(str(src)).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = (
+        ingest_stream(stream, "doc_id", "text", corpus, ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(180)
+    got = sorted(r.doc_id for r in spark.read.parquet(corpus).collect())
+    # 1 kept (2 is an in-batch dup), 3 kept, 4 dropped (normalizes to
+    # doc 1's text if batches ordered a→b; if b ran first, 1 drops
+    # instead), 5 kept
+    assert len(got) == 3
+    assert 3 in got and 5 in got
+    assert (1 in got) != (4 in got)
