@@ -2980,7 +2980,13 @@ FROM lineitem l JOIN b USING (l_returnflag)
 
 @_q("winsorize", _WINSORIZE_ORACLE)
 def q_winsorize(spark, sf):
-    li = _t(spark, sf, "lineitem")
+    from padua_spark.io_utils import spread_narrow_scan
+
+    # exact percentile buffers its group's values in the partial agg —
+    # unlike the cheap per-row conditional aggs of the stat queries,
+    # that stage is compute/memory-bound, so a narrow scan is worth
+    # spreading here (measured ~35% at sf0.1; no-op on split inputs)
+    li = spread_narrow_scan(_t(spark, sf, "lineitem"))
     out = norm.winsorize(
         li, ["l_returnflag"], "l_extendedprice", lo=0.05, hi=0.95,
         out_col="value_winsor",
