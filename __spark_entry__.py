@@ -3150,6 +3150,101 @@ def q_novel_documents(spark, sf):
     return out.select("doc_id", "lang", "source", "n_chars")
 
 
+# --- quantile normalization (Perseus-style matrix normalization) ------------
+
+
+_QNORM_ORACLE = """
+WITH lim AS (
+  SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice
+  FROM (
+    SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice,
+      row_number() OVER (PARTITION BY l_returnflag
+        ORDER BY l_orderkey, l_linenumber) AS sel
+    FROM lineitem
+  ) WHERE sel <= 2000
+),
+r AS (
+  SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice,
+    row_number() OVER (PARTITION BY l_returnflag
+      ORDER BY CAST(l_extendedprice AS DOUBLE), l_orderkey, l_linenumber
+    ) AS rk
+  FROM lim
+),
+ref AS (
+  SELECT rk, avg(CAST(l_extendedprice AS DOUBLE)) AS target
+  FROM r GROUP BY rk
+)
+SELECT r.l_orderkey, r.l_linenumber, r.l_returnflag,
+  round(ref.target, 6) AS value_qnorm
+FROM r JOIN ref USING (rk)
+"""
+
+
+@_q("quantile_normalize", _QNORM_ORACLE)
+def q_quantile_normalize(spark, sf):
+    from pyspark.sql import Window
+
+    li = _t(spark, sf, "lineitem")
+    # equal-depth samples (the matrix contract): first 2000 rows per
+    # returnflag in (orderkey, linenumber) order — WindowGroupLimit
+    w = Window.partitionBy("l_returnflag").orderBy(
+        "l_orderkey", "l_linenumber"
+    )
+    lim = (
+        li.select(
+            "l_returnflag", "l_orderkey", "l_linenumber", "l_extendedprice"
+        )
+        .withColumn("_sel", F.row_number().over(w))
+        .where(F.col("_sel") <= 2000)
+        .drop("_sel")
+    )
+    out = norm.quantile_normalize(
+        lim,
+        ["l_returnflag"],
+        "l_extendedprice",
+        ["l_orderkey", "l_linenumber"],
+        out_col="value_qnorm",
+    )
+    return out.select(
+        "l_orderkey", "l_linenumber", "l_returnflag",
+        _r("value_qnorm").alias("value_qnorm"),
+    )
+
+
+# --- ext: per-group top-k token frequencies ---------------------------------
+
+
+_TOKFREQ_GROUP_ORACLE = r"""
+WITH tok AS (
+  SELECT lang, t AS token
+  FROM documents,
+    unnest(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                       x -> x <> '')) AS u(t)
+),
+c AS (SELECT lang, token, count(*) AS n FROM tok GROUP BY 1, 2),
+r AS (
+  SELECT lang, token, n, row_number() OVER (
+      PARTITION BY lang ORDER BY n DESC, token
+    ) AS token_rank
+  FROM c
+)
+SELECT lang, token, n, CAST(token_rank AS BIGINT) AS token_rank
+FROM r WHERE token_rank <= 20
+"""
+
+
+@_q("token_frequencies_by_group", _TOKFREQ_GROUP_ORACLE)
+def q_token_frequencies_by_group(spark, sf):
+    from padua_spark.extensions.text import token_frequencies_by_group
+
+    d = _t(spark, sf, "documents")
+    out = token_frequencies_by_group(d, ["lang"], "text", k=20)
+    return out.select(
+        "lang", "token", "n",
+        F.col("token_rank").cast("bigint").alias("token_rank"),
+    )
+
+
 # ---------------------------------------------------------------------------
 
 

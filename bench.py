@@ -61,6 +61,8 @@ HEADLINE = [
     "kmv_distinct_tokens",
     "novel_documents",
     "kmv_overlap",
+    "quantile_normalize",
+    "token_frequencies_by_group",
 ]
 
 

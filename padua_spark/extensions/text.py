@@ -639,3 +639,34 @@ def bigram_lm_score(
             F.avg(logp).alias("mean_logp"),
         )
     )
+
+
+def token_frequencies_by_group(
+    df: DataFrame,
+    group_cols: list[str],
+    text_col: str,
+    k: int,
+    lowercase: bool = True,
+) -> DataFrame:
+    """Top-``k`` most frequent tokens per group (per-language/source
+    vocabularies, domain-signature terms). Same explode + partial hash
+    aggregation as :func:`token_frequencies`, but the per-group top-k
+    rank compiles to WindowGroupLimit: each map task prunes to its
+    local k rows per group before the shuffle, so the exchange carries
+    O(groups·k·tasks) rows — never the full vocabulary. Ties by count
+    break on token text."""
+    t = F.col(text_col)
+    toks = tokens(F.lower(t) if lowercase else t)
+    counts = (
+        df.select(*group_cols, F.explode(toks).alias("token"))
+        .where(F.col("token") != "")
+        .groupBy(*group_cols, "token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy(*group_cols).orderBy(
+        F.col("n").desc(), F.col("token").asc()
+    )
+    return (
+        counts.withColumn("token_rank", F.row_number().over(w))
+        .where(F.col("token_rank") <= F.lit(k))
+    )

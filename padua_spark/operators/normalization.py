@@ -128,3 +128,49 @@ def winsorize(
         .withColumn(out, clipped)
         .drop("_lo", "_hi")
     )
+
+
+def quantile_normalize(
+    df: DataFrame,
+    sample_cols: list[str],
+    value_col: str,
+    tiebreak_cols: list[str],
+    out_col: str | None = None,
+) -> DataFrame:
+    """Quantile normalization across samples: rank values within each
+    sample, average the values at each rank across samples, and replace
+    every value by its rank's cross-sample mean — forcing all samples
+    onto one common distribution (the step past median centering when
+    sample distributions differ in shape, not just location; Perseus
+    offers it as a matrix normalization).
+
+    Samples are the groups keyed by ``sample_cols`` and are expected to
+    have equal non-null counts (the matrix contract — one value per
+    (feature, sample)); with unequal counts the deepest ranks average
+    fewer samples, which this implementation permits (documented
+    divergence rather than an error, matching how the reference's
+    matrix ops treat ragged data). Ties order by ``tiebreak_cols`` so
+    ranking is total and deterministic on any engine.
+
+    Scale shape: one rank window per sample partition (the shuffle is
+    by sample — the sort that quantile normalization fundamentally is),
+    one tiny rank-keyed aggregation (rows = matrix depth), joined back
+    broadcast. NULL values pass through unranked and unchanged."""
+    v = F.col(value_col).cast("double")
+    out = out_col or f"{value_col}_qnorm"
+    w = Window.partitionBy(*sample_cols).orderBy(
+        v.asc(), *[F.col(c) for c in tiebreak_cols]
+    )
+    ranked = df.withColumn(
+        "_qn_rank", F.when(v.isNotNull(), F.row_number().over(w))
+    )
+    ref = (
+        ranked.where(F.col("_qn_rank").isNotNull())
+        .groupBy("_qn_rank")
+        .agg(F.avg(v).alias("_qn_target"))
+    )
+    return (
+        ranked.join(F.broadcast(ref), on="_qn_rank", how="left")
+        .withColumn(out, F.col("_qn_target"))
+        .drop("_qn_rank", "_qn_target")
+    )

@@ -478,3 +478,30 @@ def test_kmv_overlap_identical_and_disjoint(spark):
     assert ac.est_jaccard < 0.2
     for key in out:
         assert out[key].est_overlap == out2[key].est_overlap
+
+
+def test_quantile_normalize_equalizes_distributions(spark):
+    """After quantile normalization, every equal-depth sample holds
+    exactly the same multiset of values (the defining property), and
+    the common distribution is the rank-wise mean of the inputs."""
+    from padua_spark.operators.normalization import quantile_normalize
+
+    rows = (
+        [("s1", i, float(v)) for i, v in enumerate([5, 2, 3, 4])]
+        + [("s2", i, float(v)) for i, v in enumerate([400, 100, 300, 200])]
+    )
+    df = spark.createDataFrame(rows, ["sample", "fid", "v"])
+    out = quantile_normalize(df, ["sample"], "v", ["fid"]).collect()
+    by_sample = {}
+    for r in out:
+        by_sample.setdefault(r.sample, []).append(r.v_qnorm)
+    assert sorted(by_sample["s1"]) == sorted(by_sample["s2"])
+    # rank-wise means: sorted s1 = 2,3,4,5; s2 = 100,200,300,400
+    assert sorted(by_sample["s1"]) == [51.0, 101.5, 152.0, 202.5]
+    # null passes through unchanged
+    df2 = spark.createDataFrame(
+        rows + [("s1", 99, None)], ["sample", "fid", "v"]
+    )
+    out2 = quantile_normalize(df2, ["sample"], "v", ["fid"]).collect()
+    nulls = [r for r in out2 if r.fid == 99]
+    assert len(nulls) == 1 and nulls[0].v_qnorm is None
