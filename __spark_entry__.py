@@ -3245,6 +3245,57 @@ def q_token_frequencies_by_group(spark, sf):
     )
 
 
+# --- ext: int8 embedding quantization ---------------------------------------
+
+
+_QUANT_ORACLE = """
+WITH s AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+  FROM embeddings
+),
+m AS (
+  SELECT vec_id, e,
+    list_max(list_transform(e, x -> abs(x))) AS maxabs
+  FROM s
+),
+q AS (
+  SELECT vec_id, e, maxabs, maxabs / 127.0 AS scale,
+    CASE WHEN maxabs = 0
+      THEN list_transform(e, x -> CAST(0 AS BIGINT))
+      ELSE list_transform(e,
+             x -> CAST(round(x / (maxabs / 127.0)) AS BIGINT))
+    END AS qv
+  FROM m
+)
+SELECT vec_id,
+  CAST(len(e) AS INT) AS n_dims,
+  round(scale, 9) AS scale,
+  CAST(list_sum(list_transform(qv, v -> abs(v))) AS BIGINT) AS q_l1,
+  CAST(list_max(list_transform(qv, v -> abs(v))) AS BIGINT) AS q_max,
+  round(list_sum(list_transform(generate_series(1, len(e)),
+          i -> (e[i] - CAST(qv[i] AS DOUBLE) * scale)
+               * (e[i] - CAST(qv[i] AS DOUBLE) * scale)))
+        / CAST(len(e) AS DOUBLE), 6) AS mse
+FROM q
+"""
+
+
+@_q("quantize_embeddings", _QUANT_ORACLE)
+def q_quantize_embeddings(spark, sf):
+    from padua_spark.extensions.similarity import quantize_int8
+
+    e = _t(spark, sf, "embeddings")
+    out = quantize_int8(e, "vec_id", "embedding")
+    return out.select(
+        "vec_id",
+        "n_dims",
+        F.round("scale", 9).alias("scale"),
+        "q_l1",
+        "q_max",
+        _r("mse").alias("mse"),
+    )
+
+
 # ---------------------------------------------------------------------------
 
 

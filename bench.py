@@ -63,6 +63,7 @@ HEADLINE = [
     "kmv_overlap",
     "quantile_normalize",
     "token_frequencies_by_group",
+    "quantize_embeddings",
 ]
 
 

@@ -417,3 +417,67 @@ def mean_pool_embeddings(
             F.transform(F.col("_dm"), lambda s: s["_m"]).alias(out_col),
         )
     )
+
+
+def quantize_int8(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Symmetric per-vector int8 scalar quantization — the 4× memory
+    compression step before ANN indexing (each float32 component maps
+    to round(x/scale) with scale = max|x|/127, clamped into int8 range
+    by construction). Output keeps the quantized vector plus audit
+    aggregates: ``n_dims``, ``scale``, ``q_l1``/``q_max`` (exact
+    integer cross-checks) and ``mse`` (reconstruction error).
+
+    One projection per stage (HOF expressions get no CSE — each
+    intermediate is staged as a materialized attribute); zero
+    shuffles — a pure map over the vector table."""
+    e = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    staged = df.select(
+        F.col(id_col),
+        e.alias("_e"),
+        F.array_max(
+            F.transform(e, lambda x: F.abs(x))
+        ).alias("_maxabs"),
+    )
+    scale = F.col("_maxabs") / F.lit(127.0)
+    qv = F.when(
+        F.col("_maxabs") == 0,
+        F.transform(F.col("_e"), lambda x: F.lit(0).cast("bigint")),
+    ).otherwise(
+        F.transform(
+            F.col("_e"),
+            lambda x: F.round(x / (F.col("_maxabs") / F.lit(127.0)))
+            .cast("bigint"),
+        )
+    )
+    q = staged.select(
+        id_col, "_e", scale.alias("scale"), qv.alias("q")
+    )
+    sq_err = F.aggregate(
+        F.zip_with(
+            F.col("_e"),
+            F.col("q"),
+            lambda x, v: (x - v.cast("double") * F.col("scale"))
+            * (x - v.cast("double") * F.col("scale")),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    return q.select(
+        id_col,
+        F.size("_e").alias("n_dims"),
+        "scale",
+        "q",
+        F.aggregate(
+            F.transform(F.col("q"), lambda v: F.abs(v)),
+            F.lit(0).cast("bigint"),
+            lambda acc, v: acc + v,
+        ).alias("q_l1"),
+        F.array_max(
+            F.transform(F.col("q"), lambda v: F.abs(v))
+        ).alias("q_max"),
+        (sq_err / F.size("_e").cast("double")).alias("mse"),
+    )

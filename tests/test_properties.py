@@ -505,3 +505,26 @@ def test_quantile_normalize_equalizes_distributions(spark):
     out2 = quantile_normalize(df2, ["sample"], "v", ["fid"]).collect()
     nulls = [r for r in out2 if r.fid == 99]
     assert len(nulls) == 1 and nulls[0].v_qnorm is None
+
+
+def test_quantize_int8_bounds_and_error(spark):
+    """quantize_int8: q_max <= 127 always; per-element reconstruction
+    error is bounded by scale/2, so mse <= scale^2/4; zero vectors
+    quantize to zeros with scale 0."""
+    from padua_spark.extensions.similarity import quantize_int8
+
+    rows = [
+        (0, [1.0, -2.0, 0.5, 127.0]),
+        (1, [0.001, -0.003, 0.002, 0.0]),
+        (2, [0.0, 0.0, 0.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = {r.vec_id: r for r in quantize_int8(df, "vec_id", "embedding").collect()}
+    for r in out.values():
+        assert r.q_max is None or r.q_max <= 127
+        assert all(abs(v) <= 127 for v in r.q)
+    assert out[0].q[3] == 127 and out[0].scale == 1.0
+    for vid in (0, 1):
+        assert out[vid].mse <= out[vid].scale ** 2 / 4 + 1e-12
+    assert out[2].scale == 0.0 and out[2].q == [0, 0, 0, 0]
+    assert out[2].mse == 0.0
