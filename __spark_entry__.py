@@ -3296,6 +3296,60 @@ def q_quantize_embeddings(spark, sf):
     )
 
 
+# --- ext: ANN top-k over the quantized vectors ------------------------------
+
+
+_QUANT_TOPK_ORACLE = """
+WITH s AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+),
+m AS (
+  SELECT vec_id, e, list_max(list_transform(e, x -> abs(x))) AS maxabs
+  FROM s
+),
+q AS (
+  SELECT vec_id,
+    CASE WHEN maxabs = 0
+      THEN list_transform(e, x -> CAST(0 AS BIGINT))
+      ELSE list_transform(e,
+             x -> CAST(round(x / (maxabs / 127.0)) AS BIGINT))
+    END AS qv
+  FROM m
+),
+qq AS (SELECT qv AS query_qv FROM q WHERE vec_id = 0),
+d AS (
+  SELECT q.vec_id,
+    CAST(list_sum(list_transform(generate_series(1, len(q.qv)),
+        i -> q.qv[i] * qq.query_qv[i])) AS BIGINT) AS int_dot,
+    list_sum(list_transform(q.qv, v -> v * v)) AS na,
+    list_sum(list_transform(qq.query_qv, v -> v * v)) AS nb
+  FROM q, qq
+)
+SELECT vec_id, int_dot,
+  round(CAST(int_dot AS DOUBLE)
+        / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))), 6)
+    AS approx_cos
+FROM d
+ORDER BY CAST(int_dot AS DOUBLE)
+      / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))) DESC
+      NULLS LAST,
+  vec_id
+LIMIT 10
+"""
+
+
+@_q("quantized_topk", _QUANT_TOPK_ORACLE)
+def q_quantized_topk(spark, sf):
+    from padua_spark.extensions.similarity import quantize_int8, quantized_topk
+
+    e = _t(spark, sf, "embeddings")
+    qz = quantize_int8(e, "vec_id", "embedding")
+    out = quantized_topk(qz, "vec_id", query_id=0, k=10)
+    return out.select(
+        "vec_id", "int_dot", _r("approx_cos").alias("approx_cos")
+    )
+
+
 # ---------------------------------------------------------------------------
 
 

@@ -64,6 +64,7 @@ HEADLINE = [
     "quantile_normalize",
     "token_frequencies_by_group",
     "quantize_embeddings",
+    "quantized_topk",
 ]
 
 

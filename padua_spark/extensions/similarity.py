@@ -481,3 +481,54 @@ def quantize_int8(
         ).alias("q_max"),
         (sq_err / F.size("_e").cast("double")).alias("mse"),
     )
+
+
+def quantized_topk(
+    quantized: DataFrame,
+    id_col: str,
+    query_id,
+    k: int = 10,
+) -> DataFrame:
+    """Brute-force top-k cosine over int8-quantized vectors (the output
+    of :func:`quantize_int8`) — the compressed-index search path: the
+    per-pair inner loop is an EXACT int64 dot product (q ≤ 127, so
+    127²·dims stays far inside int64), and cosine needs no scales at
+    all — they cancel: cos(s_a·qa, s_b·qb) = qa·qb/(|qa||qb|). The only
+    float ops are one sqrt and one division per candidate, both IEEE
+    correctly-rounded — so the ranking is bit-reproducible on any
+    engine, unlike float-accumulated dot products.
+
+    Scale shape: 1-row query broadcast, map-side integer dots, global
+    top-k via TakeOrderedAndProject (per-partition heap). Zero-norm
+    vectors rank last (NULL cosine)."""
+    q = quantized.where(F.col(id_col) == F.lit(query_id)).select(
+        F.col("q").alias("_qq")
+    )
+    dot_i = F.aggregate(
+        F.zip_with(F.col("q"), F.col("_qq"), lambda a, b: a * b),
+        F.lit(0).cast("bigint"),
+        lambda acc, v: acc + v,
+    )
+    sq = lambda c: F.aggregate(  # noqa: E731
+        F.transform(F.col(c), lambda v: v * v),
+        F.lit(0).cast("bigint"),
+        lambda acc, v: acc + v,
+    )
+    staged = (
+        quantized.join(F.broadcast(q))
+        .select(
+            id_col,
+            dot_i.alias("int_dot"),
+            sq("q").alias("_na"),
+            sq("_qq").alias("_nb"),
+        )
+    )
+    cos = F.col("int_dot").cast("double") / (
+        F.sqrt(F.col("_na").cast("double"))
+        * F.sqrt(F.col("_nb").cast("double"))
+    )
+    return (
+        staged.select(id_col, "int_dot", cos.alias("approx_cos"))
+        .orderBy(F.col("approx_cos").desc_nulls_last(), F.col(id_col))
+        .limit(k)
+    )

@@ -528,3 +528,21 @@ def test_quantize_int8_bounds_and_error(spark):
         assert out[vid].mse <= out[vid].scale ** 2 / 4 + 1e-12
     assert out[2].scale == 0.0 and out[2].q == [0, 0, 0, 0]
     assert out[2].mse == 0.0
+
+
+def test_kmv_partials_memory_bound(spark):
+    """Scale probe: the KMV partial frame is bounded by
+    partitions x groups rows with <= k values each, regardless of input
+    size — the property that makes the sketch feasible at 100 TB."""
+    from padua_spark.extensions.sketches import kmv_partials
+
+    n = 50_000
+    df = (
+        spark.range(n)
+        .selectExpr("id % 2 AS g", "(id * 2654435761) % 2147483647 AS h")
+        .repartition(8)
+    )
+    part = kmv_partials(df, ["g"], "h", k=32).collect()
+    assert len(part) <= 8 * 2
+    assert all(len(r.kmin) <= 32 for r in part)
+    assert all(r.kmin == sorted(r.kmin) for r in part)

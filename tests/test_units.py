@@ -1034,3 +1034,38 @@ def test_mix_corpus_weights(spark):
     }
     for k, c in per.items():
         assert {(k, e) for e in range(1, c + 1)} <= epochs
+
+
+def test_quantized_topk_recall_vs_exact(spark):
+    """int8-quantized cosine top-k recovers the exact float top-k on
+    well-separated clusters (quantization error << cluster separation),
+    and the integer dots are exact."""
+    import numpy as np
+
+    from padua_spark.extensions.similarity import (
+        brute_force_topk,
+        quantize_int8,
+        quantized_topk,
+    )
+
+    rng = np.random.RandomState(7)
+    centers = np.array([[5.0, 0.0, 0.0], [0.0, 5.0, 0.0]])
+    rows = [(0, [5.0, 0.2, 0.0])]
+    for i in range(1, 60):
+        c = centers[i % 2]
+        rows.append((i, (c + rng.normal(0, 0.3, 3)).tolist()))
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    exact = [
+        r.vec_id
+        for r in brute_force_topk(
+            df, "embedding", "vec_id", [5.0, 0.2, 0.0], k=10
+        ).collect()
+    ]
+    qz = quantize_int8(df, "vec_id", "embedding")
+    approx = quantized_topk(qz, "vec_id", query_id=0, k=10).collect()
+    got = [r.vec_id for r in approx]
+    assert len(set(got) & set(exact)) >= 9
+    # integer dot of query with itself = sum of squares of its q
+    qrow = {r.vec_id: r for r in qz.collect()}[0]
+    self_dot = [r.int_dot for r in approx if r.vec_id == 0][0]
+    assert self_dot == sum(v * v for v in qrow.q)
