@@ -61,7 +61,10 @@ def kmv_partials(
     def _partial(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         state: dict[tuple, "np.ndarray"] = {}
         for pdf in batches:
-            for key, sub in pdf.groupby(gcols, sort=False):
+            # dropna=False: a NULL group key is a real group (pandas
+            # silently drops NaN keys by default, which would lose
+            # whole groups from the sketch)
+            for key, sub in pdf.groupby(gcols, sort=False, dropna=False):
                 kt = key if isinstance(key, tuple) else (key,)
                 vals = sub[hash_col].to_numpy(dtype="int64")
                 prev = state.get(kt)

@@ -592,7 +592,13 @@ def bigram_lm_score(
     two token-keyed shuffle joins (vocabulary tables are shuffle-joined,
     not broadcast — at 100 TB the bigram table is itself large) -> one
     per-doc aggregation. V joins as a broadcast one-row frame; the plan
-    is fully lazy."""
+    is fully lazy. The counts are deliberately JOINED back rather than
+    computed as count-over-(w1,w2) windows: windows shuffle every
+    bigram INSTANCE to its key's task — a hot partition for skewed
+    common bigrams — while the aggregate side combines map-side first
+    and AQE splits any skewed join partition; the cost is re-deriving
+    the bigram table per branch (no CSE across join branches), which
+    is CPU, not shuffle."""
     t = F.col(text_col)
     staged = df.select(
         F.col(id_col),
