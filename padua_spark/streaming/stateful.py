@@ -86,3 +86,69 @@ def running_stats_batch(df: DataFrame, key_col: str, value_col: str):
         F.sum(F.col(value_col)).alias("total"),
         F.avg(F.col(value_col)).alias("mean"),
     )
+
+
+def kmv_distinct_stream(
+    df: DataFrame,
+    key_col: str,
+    hash_col: str,
+    k: int = 64,
+    mod: int = 2147483647,
+) -> DataFrame:
+    """Streaming cardinality tracking: a per-key KMV sketch maintained
+    across micro-batches (see ``extensions/sketches.py``) — "how many
+    distinct fingerprints/tokens has this source produced so far?"
+    without unbounded distinct state. State per key is EXACTLY the k
+    smallest distinct hashes seen — bounded at k int64s forever, and
+    because k-min merge is associative/commutative/idempotent the
+    emitted estimate after any micro-batch split equals the batch
+    sketch over the same rows: stream==batch holds exactly, not
+    approximately (tested).
+
+    Emits (key, n_sketch, est_distinct) per key per batch."""
+    import numpy as np
+
+    out_schema = T.StructType(
+        [
+            T.StructField("key", T.StringType()),
+            T.StructField("n_sketch", T.IntegerType()),
+            T.StructField("est_distinct", T.DoubleType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [T.StructField("kmin", T.ArrayType(T.LongType()))]
+    )
+
+    def update(key, pdfs, state: GroupState):
+        prev = (
+            np.array(state.get[0], dtype="int64")
+            if state.exists
+            else np.empty(0, dtype="int64")
+        )
+        for pdf in pdfs:
+            vals = pdf[hash_col].dropna().to_numpy(dtype="int64")
+            prev = np.unique(np.concatenate([prev, vals]))[:k]
+        state.update((prev.tolist(),))
+        n = int(len(prev))
+        est = (
+            float(n)
+            if n < k
+            else float(k - 1) * float(mod) / float(prev[k - 1])
+        )
+        yield pd.DataFrame(
+            {"key": [key[0]], "n_sketch": [n], "est_distinct": [est]}
+        )
+
+    return (
+        df.select(
+            F.col(key_col).cast("string").alias("key"), F.col(hash_col)
+        )
+        .groupBy("key")
+        .applyInPandasWithState(
+            update,
+            out_schema,
+            state_schema,
+            "update",
+            GroupStateTimeout.NoTimeout,
+        )
+    )

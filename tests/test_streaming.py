@@ -254,3 +254,51 @@ def test_ingest_stream_incremental_novelty(spark, tmp_path):
     assert len(got) == 3
     assert 3 in got and 5 in got
     assert (1 in got) != (4 in got)
+
+
+def test_kmv_stream_equals_batch_exactly(spark, tmp_path):
+    """Streaming KMV cardinality: because k-min merge is associative,
+    commutative, and idempotent, the final streamed sketch equals the
+    batch sketch over the same rows EXACTLY — regardless of
+    micro-batch boundaries (forced via maxFilesPerTrigger=1)."""
+    import pandas as pd
+
+    from padua_spark.extensions.sketches import kmv_distinct
+    from padua_spark.streaming.stateful import kmv_distinct_stream
+
+    src = tmp_path / "ksrc"
+    src.mkdir()
+    rows_a = [("g1", (i * 2654435761) % 2147483647) for i in range(400)]
+    rows_b = [("g1", (i * 48271) % 2147483647) for i in range(400)]
+    rows_b += [("g2", (i * 16807 + 3) % 2147483647) for i in range(50)]
+    pd.DataFrame(rows_a, columns=["g", "h"]).to_parquet(src / "a.parquet")
+    pd.DataFrame(rows_b, columns=["g", "h"]).to_parquet(src / "b.parquet")
+
+    schema = spark.read.parquet(str(src)).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = (
+        kmv_distinct_stream(stream, "g", "h", k=64)
+        .writeStream.format("memory")
+        .queryName("t_kmv")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(180)
+    # last emitted row per key = final state
+    got = {}
+    for r in spark.sql(
+        "SELECT * FROM t_kmv"
+    ).collect():
+        got[r.key] = (r.n_sketch, r.est_distinct)  # later rows overwrite
+    batch = {
+        r.g: (r.n_sketch, r.est_distinct)
+        for r in kmv_distinct(
+            spark.read.parquet(str(src)), ["g"], "h", k=64
+        ).withColumnRenamed("g", "g").collect()
+    }
+    assert got == batch
