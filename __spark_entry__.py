@@ -3159,7 +3159,7 @@ WITH lim AS (
   FROM (
     SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice,
       row_number() OVER (PARTITION BY l_returnflag
-        ORDER BY l_orderkey, l_linenumber) AS sel
+        ORDER BY l_orderkey, l_linenumber, l_extendedprice) AS sel
     FROM lineitem
   ) WHERE sel <= 2000
 ),
@@ -3186,9 +3186,11 @@ def q_quantile_normalize(spark, sf):
 
     li = _t(spark, sf, "lineitem")
     # equal-depth samples (the matrix contract): first 2000 rows per
-    # returnflag in (orderkey, linenumber) order — WindowGroupLimit
+    # returnflag — WindowGroupLimit. (l_orderkey, l_linenumber) is NOT
+    # unique in the synthetic lineitem; l_extendedprice completes a
+    # total order, without which the selection is nondeterministic
     w = Window.partitionBy("l_returnflag").orderBy(
-        "l_orderkey", "l_linenumber"
+        "l_orderkey", "l_linenumber", "l_extendedprice"
     )
     lim = (
         li.select(

@@ -209,6 +209,11 @@ def weighted_sample_k(
     Scale shape: scan-level projection + global top-k via
     ``TakeOrderedAndProject`` (per-partition heap, driver merges k per
     partition) — no sort, no shuffle of the full table."""
+    if es_key_col in df.columns:
+        raise ValueError(
+            f"es_key_col {es_key_col!r} already exists in the input — "
+            "pass a different name (withColumn would overwrite it)"
+        )
     u = deterministic_uniform(F.col(key_col), salt)
     w = F.col(weight_col).cast("double")
     es = F.round(F.log(u) / w, 9)

@@ -434,6 +434,12 @@ def quantize_int8(
     One projection per stage (HOF expressions get no CSE — each
     intermediate is staged as a materialized attribute); zero
     shuffles — a pure map over the vector table."""
+    reserved = {"n_dims", "scale", "q", "q_l1", "q_max", "mse", "_e",
+                "_maxabs"}
+    if id_col in reserved:
+        raise ValueError(
+            f"id_col {id_col!r} collides with a quantize output column"
+        )
     e = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     staged = df.select(
         F.col(id_col),

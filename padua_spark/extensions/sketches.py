@@ -57,6 +57,13 @@ def kmv_partials(
     import pandas as pd
 
     gcols = list(group_cols)
+    bad = {"kmin", "n_sketch", "kth_hash", "est_distinct"}.intersection(
+        gcols
+    )
+    if bad:
+        raise ValueError(
+            f"group_cols {sorted(bad)} collide with sketch output columns"
+        )
 
     def _partial(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         state: dict[tuple, "np.ndarray"] = {}

@@ -528,6 +528,11 @@ def tfidf_top_terms(
     whole plan stays lazy (no driver count action); the per-doc top-k
     rank compiles to WindowGroupLimit — each map task prunes to its
     local k before the shuffle."""
+    reserved = {"token", "tf", "doc_freq", "tfidf", "term_rank", "_n_docs"}
+    if id_col in reserved:
+        raise ValueError(
+            f"id_col {id_col!r} collides with a tfidf output column"
+        )
     t = F.col(text_col)
     toks = tokens(F.lower(t) if lowercase else t)
     tf = (
@@ -661,6 +666,12 @@ def token_frequencies_by_group(
     local k rows per group before the shuffle, so the exchange carries
     O(groups·k·tasks) rows — never the full vocabulary. Ties by count
     break on token text."""
+    reserved = {"token", "n", "token_rank"}
+    bad = reserved.intersection(group_cols)
+    if bad:
+        raise ValueError(
+            f"group_cols {sorted(bad)} collide with output columns"
+        )
     t = F.col(text_col)
     toks = tokens(F.lower(t) if lowercase else t)
     counts = (

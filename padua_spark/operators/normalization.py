@@ -114,6 +114,11 @@ def winsorize(
     AQE broadcasts the tiny percentile side, so the fact table never
     shuffles. At extreme group cardinality swap in
     ``percentile_approx`` (mergeable sketch) — same plan shape."""
+    if {"_lo", "_hi"}.intersection(df.columns):
+        raise ValueError(
+            "input already has a _lo/_hi column — rename it before "
+            "winsorize (the bounds join would collide)"
+        )
     v = F.col(value_col).cast("double")
     bounds = df.groupBy(*group_cols).agg(
         F.percentile(v, lo).alias("_lo"),
@@ -156,6 +161,11 @@ def quantile_normalize(
     by sample — the sort that quantile normalization fundamentally is),
     one tiny rank-keyed aggregation (rows = matrix depth), joined back
     broadcast. NULL values pass through unranked and unchanged."""
+    if {"_qn_rank", "_qn_target"}.intersection(df.columns):
+        raise ValueError(
+            "input already has a _qn_rank/_qn_target column — rename it "
+            "before quantile_normalize"
+        )
     v = F.col(value_col).cast("double")
     out = out_col or f"{value_col}_qnorm"
     w = Window.partitionBy(*sample_cols).orderBy(
