@@ -3352,6 +3352,301 @@ def q_quantized_topk(spark, sf):
     )
 
 
+# --- ext: event-log analytics — strict-order funnel (single-shuffle
+#     chained-window formulation; see operators/events.py) -------------------
+
+
+_FUNNEL_STAGES = ["signup", "view", "click", "purchase"]
+
+
+def _funnel_oracle() -> str:
+    case = " ".join(
+        f"WHEN '{s}' THEN {i + 1}" for i, s in enumerate(_FUNNEL_STAGES)
+    )
+    ctes = ["c1 AS (SELECT u, tsu, stage, CASE WHEN stage = 1 THEN tsu END AS c1 FROM e)"]
+    for i in range(2, len(_FUNNEL_STAGES) + 1):
+        ctes.append(
+            f"""c{i} AS (
+  SELECT *, CASE WHEN stage = {i}
+    AND min(c{i - 1}) OVER (PARTITION BY u ORDER BY tsu
+      RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NOT NULL
+    THEN tsu END AS c{i}
+  FROM c{i - 1})"""
+        )
+    mins = ", ".join(
+        f"min(c{i}) AS t{i}" for i in range(1, len(_FUNNEL_STAGES) + 1)
+    )
+    counts = ", ".join(
+        f"count(t{i}) AS n{i}" for i in range(1, len(_FUNNEL_STAGES) + 1)
+    )
+    rows = "\n  UNION ALL\n".join(
+        f"SELECT {i + 1} AS stage_idx, '{s}' AS stage, n{i + 1} AS n_users,"
+        f" round(CAST(n{i + 1} AS DOUBLE) / n1, 6) AS conversion FROM n"
+        for i, s in enumerate(_FUNNEL_STAGES)
+    )
+    stages_in = ", ".join(f"'{s}'" for s in _FUNNEL_STAGES)
+    return f"""
+WITH e AS (
+  SELECT user_id AS u, epoch_us(ts) AS tsu,
+    CASE event_type {case} END AS stage
+  FROM events WHERE event_type IN ({stages_in})
+),
+{",".join(ctes)},
+pu AS (SELECT u, {mins} FROM c{len(_FUNNEL_STAGES)} GROUP BY u),
+n AS (SELECT {counts} FROM pu)
+{rows}
+"""
+
+
+@_q("funnel", _funnel_oracle())
+def q_funnel(spark, sf):
+    from padua_spark.operators.events import funnel_conversion
+
+    e = _t(spark, sf, "events").select(
+        "user_id", F.expr("ts DIV 1000").alias("tsu"), "event_type"
+    )
+    return funnel_conversion(
+        e, "user_id", "tsu", "event_type", _FUNNEL_STAGES
+    )
+
+
+# --- ext: event-log analytics — retention cohort triangle --------------------
+
+
+@_q(
+    "retention_cohorts",
+    """
+WITH e AS (SELECT user_id, epoch_us(ts) AS tsu FROM events),
+f AS (
+  SELECT user_id, tsu,
+    min(tsu) OVER (PARTITION BY user_id) AS ft
+  FROM e
+),
+c AS (
+  SELECT DISTINCT user_id, ft // 86400000000 AS cohort,
+    (tsu // 86400000000) - (ft // 86400000000) AS period_offset
+  FROM f
+)
+SELECT cohort, period_offset, count(*) AS n_users
+FROM c GROUP BY 1, 2
+""",
+)
+def q_retention(spark, sf):
+    from padua_spark.operators.events import retention_cohorts
+
+    e = _t(spark, sf, "events").select(
+        "user_id", F.expr("ts DIV 1000").alias("tsu")
+    )
+    out = retention_cohorts(e, "user_id", "tsu", period=86_400_000_000)
+    return out.select(
+        "cohort", F.col("offset").alias("period_offset"), "n_users"
+    )
+
+
+# --- ext: event-log analytics — exponentially time-decayed scoring ----------
+
+
+@_q(
+    "decayed_score",
+    """
+WITH e AS (SELECT user_id, epoch_us(ts) AS tsu, value FROM events),
+m AS (SELECT max(tsu) AS tref FROM e)
+SELECT user_id,
+  round(sum(value * power(2.0,
+    -((m.tref - e.tsu) / 604800000000.0))), 6) AS decayed_sum,
+  count(*) AS n_events
+FROM e, m GROUP BY user_id
+""",
+)
+def q_decayed_score(spark, sf):
+    from padua_spark.operators.events import decayed_score
+
+    e = _t(spark, sf, "events").select(
+        "user_id", F.expr("ts DIV 1000").alias("tsu"), "value"
+    )
+    out = decayed_score(
+        e, ["user_id"], "tsu", "value", half_life=604_800_000_000.0
+    )
+    return out.select(
+        "user_id", _r("decayed_sum").alias("decayed_sum"), "n_events"
+    )
+
+
+# --- ext: Gopher/MassiveText rule battery (extensions/quality.py) -----------
+
+
+@_q(
+    "gopher_quality",
+    r"""
+WITH t AS (
+  SELECT doc_id, text,
+    regexp_split_to_array(trim(lower(text)), '\s+') AS toks,
+    string_split_regex(text, '\n') AS lines
+  FROM documents
+),
+s AS (
+  SELECT doc_id,
+    len(toks) AS n_words,
+    CASE WHEN len(toks) > 0 THEN
+      CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE)
+        / len(toks) END AS mean_word_len,
+    CASE WHEN len(toks) > 0 THEN
+      CAST(len(string_split_regex(text, '#')) - 1
+         + len(string_split_regex(text, '\.\.\.')) - 1
+         + len(string_split_regex(text, '…')) - 1 AS DOUBLE)
+        / len(toks) END AS symbol_ratio,
+    CAST(len(list_filter(lines,
+        ln -> regexp_matches(trim(ln), '^[-*•]'))) AS DOUBLE)
+      / len(lines) AS bullet_frac,
+    CAST(len(list_filter(lines,
+        ln -> regexp_matches(trim(ln), '(\.\.\.|…)$'))) AS DOUBLE)
+      / len(lines) AS ellipsis_frac,
+    CASE WHEN len(toks) > 0 THEN
+      CAST(len(list_filter(toks,
+          x -> regexp_matches(x, '[a-z]'))) AS DOUBLE)
+        / len(toks) END AS alpha_frac,
+    len(list_filter(toks,
+        x -> x IN ('the','a','and','of','to','in','is'))) AS stopword_hits
+  FROM t
+),
+r AS (
+  SELECT *,
+    CAST(n_words >= 50 AND n_words <= 100000 AS INT) AS rule_word_count,
+    CAST(mean_word_len >= 3.0 AND mean_word_len <= 10.0 AS INT)
+      AS rule_mean_word_len,
+    CAST(symbol_ratio <= 0.1 AS INT) AS rule_symbol_ratio,
+    CAST(bullet_frac <= 0.9 AS INT) AS rule_bullet,
+    CAST(ellipsis_frac <= 0.3 AS INT) AS rule_ellipsis,
+    CAST(alpha_frac >= 0.8 AS INT) AS rule_alpha,
+    CAST(stopword_hits >= 2 AS INT) AS rule_stopwords
+  FROM s
+)
+SELECT doc_id, n_words, round(mean_word_len, 6) AS mean_word_len,
+  round(symbol_ratio, 6) AS symbol_ratio,
+  round(bullet_frac, 6) AS bullet_frac,
+  round(ellipsis_frac, 6) AS ellipsis_frac,
+  round(alpha_frac, 6) AS alpha_frac, stopword_hits,
+  rule_word_count, rule_mean_word_len, rule_symbol_ratio, rule_bullet,
+  rule_ellipsis, rule_alpha, rule_stopwords,
+  CAST(coalesce(rule_word_count, 0) * coalesce(rule_mean_word_len, 0)
+    * coalesce(rule_symbol_ratio, 0) * coalesce(rule_bullet, 0)
+    * coalesce(rule_ellipsis, 0) * coalesce(rule_alpha, 0)
+    * coalesce(rule_stopwords, 0) AS INT) AS quality_pass
+FROM r
+""",
+)
+def q_gopher_quality(spark, sf):
+    from padua_spark.extensions.quality import gopher_rules
+
+    d = _t(spark, sf, "documents")
+    out = gopher_rules(d, "text")
+    sel = [F.col("doc_id"), F.col("n_words")]
+    for c in ("mean_word_len", "symbol_ratio", "bullet_frac",
+              "ellipsis_frac", "alpha_frac"):
+        sel.append(_r(c).alias(c))
+    sel.append(F.col("stopword_hits"))
+    for c in ("rule_word_count", "rule_mean_word_len", "rule_symbol_ratio",
+              "rule_bullet", "rule_ellipsis", "rule_alpha",
+              "rule_stopwords", "quality_pass"):
+        sel.append(F.col(c).cast("int").alias(c))
+    return out.select(*sel)
+
+
+# --- ext: fastText-style hashed linear classifier score ---------------------
+
+
+@_q(
+    "quality_classifier",
+    """
+WITH th AS (
+  SELECT doc_id,
+    list_transform(string_split(lower(text), ' '), w -> list_reduce(
+        list_prepend(CAST(7 AS BIGINT),
+          list_transform(list_filter(string_split(w, ''), c -> c <> ''),
+            c -> CAST(ord(c) AS BIGINT))),
+        (a, c) -> (a * 131 + c) % 2147483647)) AS th
+  FROM documents
+),
+s AS (
+  SELECT doc_id, len(th) AS n_tokens,
+    CAST(list_sum(list_transform(th,
+        h -> ((h % 1024) * 2654435761) % 2147483648)) AS BIGINT)
+      AS weight_sum
+  FROM th
+),
+g AS (
+  SELECT doc_id, n_tokens, weight_sum,
+    2.0 * (CAST(weight_sum AS DOUBLE) / n_tokens) / 2147483648.0 - 1.0
+      AS margin
+  FROM s
+)
+SELECT doc_id, n_tokens, weight_sum, round(margin, 6) AS margin,
+  round(1.0 / (1.0 + exp(-margin)), 6) AS prob
+FROM g
+""",
+)
+def q_quality_classifier(spark, sf):
+    from padua_spark.extensions.quality import hashed_classifier_score
+
+    d = _t(spark, sf, "documents")
+    out = hashed_classifier_score(d, "text", n_buckets=1024)
+    return out.select(
+        "doc_id", "n_tokens", "weight_sum",
+        _r("margin").alias("margin"), _r("prob").alias("prob"),
+    )
+
+
+# --- ext: dedup KEEP step — canonical doc per duplicate cluster -------------
+
+
+def _dedup_canonical_oracle() -> str:
+    minhash_sql = _minhash_oracle("documents")
+    return rf"""
+WITH RECURSIVE cand AS (
+  SELECT id_a, id_b FROM ({minhash_sql}) mh WHERE est_jaccard >= 0.5
+),
+edges AS (
+  SELECT id_a AS s, id_b AS d FROM cand
+  UNION
+  SELECT id_b AS s, id_a AS d FROM cand
+),
+reach(node, r) AS (
+  SELECT s, s FROM edges
+  UNION
+  SELECT reach.node, e.d FROM reach JOIN edges e ON reach.r = e.s
+),
+comp AS (SELECT node, min(r) AS component FROM reach GROUP BY node),
+lab AS (
+  SELECT d.doc_id, d.n_chars,
+    coalesce(c.component, d.doc_id) AS cluster_id
+  FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
+),
+rk AS (
+  SELECT cluster_id, doc_id, n_chars,
+    row_number() OVER (PARTITION BY cluster_id
+      ORDER BY n_chars DESC, doc_id ASC) AS rn,
+    count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+  FROM lab
+)
+SELECT cluster_id, doc_id AS canonical_id, n_chars AS best_quality,
+  cluster_size
+FROM rk WHERE rn = 1
+"""
+
+
+@_q("dedup_canonical", _dedup_canonical_oracle())
+def q_dedup_canonical(spark, sf):
+    from padua_spark.extensions.dedup import minhash_lsh_candidates
+    from padua_spark.extensions.graph import keep_best_per_cluster
+
+    d = _t(spark, sf, "documents")
+    pairs = minhash_lsh_candidates(
+        d, "doc_id", "text", k_shingle=3, num_hashes=32, bands=8,
+        portable_keys=True,
+    ).where(F.col("est_jaccard") >= 0.5).select("id_a", "id_b")
+    return keep_best_per_cluster(d, "doc_id", pairs, "n_chars")
+
+
 # ---------------------------------------------------------------------------
 
 

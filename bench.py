@@ -65,6 +65,11 @@ HEADLINE = [
     "token_frequencies_by_group",
     "quantize_embeddings",
     "quantized_topk",
+    "funnel",
+    "retention_cohorts",
+    "decayed_score",
+    "gopher_quality",
+    "quality_classifier",
 ]
 
 

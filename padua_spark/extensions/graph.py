@@ -133,3 +133,51 @@ def cluster_assignments(
             F.coalesce(comp["component"], df[id_col]).alias("cluster_id"),
         )
     )
+
+
+def keep_best_per_cluster(
+    df: DataFrame,
+    id_col: str,
+    pairs: DataFrame,
+    quality_col: str,
+    pair_a: str = "id_a",
+    pair_b: str = "id_b",
+) -> DataFrame:
+    """The dedup KEEP step: per duplicate cluster, elect the canonical
+    document — highest ``quality_col``, ties broken by ascending id —
+    and report the cluster around it. Output: one row per cluster,
+    ``(cluster_id, canonical_id, best_quality, cluster_size)``.
+
+    Composes :func:`cluster_assignments` (pairs → components) with a
+    single ``max_by``-shaped aggregation: the per-cluster argmax is a
+    plain groupBy on ``cluster_id`` (partial aggregation applies — each
+    map task reduces to one candidate row per cluster before the
+    shuffle, so the exchange carries O(clusters · tasks) rows, never
+    the corpus). No window sort needed: argmax-by-(quality, -id) is an
+    associative/commutative MAX over an ordered pair, done here as a
+    ``max(struct)`` whose struct field order IS the comparison order.
+
+    The id tiebreak is encoded as ``-id`` inside the struct (struct
+    comparison is lexicographic and all-ascending), so "max quality,
+    then min id" is one max.
+    """
+    labeled = cluster_assignments(df, id_col, pairs)
+    best = F.max(
+        F.struct(
+            F.col(quality_col).alias("q"),
+            (-F.col(id_col)).alias("negid"),
+        )
+    )
+    return (
+        labeled.groupBy("cluster_id")
+        .agg(
+            best.alias("_best"),
+            F.count(F.lit(1)).alias("cluster_size"),
+        )
+        .select(
+            "cluster_id",
+            (-F.col("_best.negid")).alias("canonical_id"),
+            F.col("_best.q").alias("best_quality"),
+            "cluster_size",
+        )
+    )

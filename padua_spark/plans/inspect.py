@@ -47,3 +47,10 @@ def scan_read_schema(df: DataFrame) -> list[str]:
             if name:
                 cols.append(name)
     return cols
+
+
+def count_exchanges(df: DataFrame, simple: bool = True) -> int:
+    """Number of shuffle Exchange operators in the physical plan
+    (BroadcastExchange excluded — broadcasts are the cheap kind)."""
+    plan = explain_str(df, "simple" if simple else "formatted")
+    return len(re.findall(r"(?<!Broadcast)Exchange", plan))
