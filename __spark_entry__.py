@@ -3647,6 +3647,67 @@ def q_dedup_canonical(spark, sf):
     return keep_best_per_cluster(d, "doc_id", pairs, "n_chars")
 
 
+# --- ext: Johnson–Lindenstrauss random projection (hash-derived ±1
+#     matrix, recomputed in-expression — similarity.py) ---------------------
+
+
+def _jl_oracle() -> str:
+    # the xorshift-multiply sign hash, expanded textually (lambda
+    # bodies get no CSE in either engine, so the repeats are just long,
+    # not wrong) — mirrors similarity.random_projection bit-for-bit
+    h = "(i * 1048576 + j + 40503)"
+    for _ in range(2):
+        h = f"((xor({h} >> 16, {h}) * 73244475) % 2147483648)"
+    h = f"xor({h} >> 16, {h})"
+    return f"""
+WITH s AS (
+  SELECT vec_id, list_transform(embedding,
+    x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings
+),
+p AS (
+  SELECT vec_id, len(e) AS in_dims,
+    list_transform(range(1, 17), i ->
+      list_reduce(
+        list_prepend(CAST(0.0 AS DOUBLE),
+          list_transform(e, (x, j) ->
+            CASE WHEN {h} % 2 = 0 THEN x ELSE -x END)),
+        (a, b) -> a + b) / sqrt(16.0)) AS proj
+  FROM s
+)
+SELECT vec_id, in_dims,
+  round(proj[1], 6) AS proj_1,
+  round(proj[2], 6) AS proj_2,
+  round(proj[3], 6) AS proj_3,
+  round(proj[4], 6) AS proj_4,
+  round(sqrt(list_reduce(
+    list_prepend(CAST(0.0 AS DOUBLE),
+      list_transform(proj, x -> x * x)),
+    (a, b) -> a + b)), 6) AS l2_out
+FROM p
+"""
+
+
+@_q("random_projection", _jl_oracle())
+def q_random_projection(spark, sf):
+    from padua_spark.extensions.similarity import (
+        l2_norm,
+        random_projection,
+    )
+
+    e = _t(spark, sf, "embeddings")
+    out = random_projection(e, "vec_id", "embedding", out_dim=16)
+    return out.select(
+        "vec_id",
+        "in_dims",
+        _r(F.element_at("proj", 1)).alias("proj_1"),
+        _r(F.element_at("proj", 2)).alias("proj_2"),
+        _r(F.element_at("proj", 3)).alias("proj_3"),
+        _r(F.element_at("proj", 4)).alias("proj_4"),
+        _r(l2_norm(F.col("proj"))).alias("l2_out"),
+    )
+
+
 # ---------------------------------------------------------------------------
 
 

@@ -70,6 +70,7 @@ HEADLINE = [
     "decayed_score",
     "gopher_quality",
     "quality_classifier",
+    "random_projection",
 ]
 
 

@@ -538,3 +538,76 @@ def quantized_topk(
         .orderBy(F.col("approx_cos").desc_nulls_last(), F.col(id_col))
         .limit(k)
     )
+
+
+def random_projection(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    out_dim: int,
+    seed: int = 40503,
+) -> DataFrame:
+    """Johnson–Lindenstrauss dimensionality reduction with a
+    DETERMINISTIC sign matrix: ``y_i = (1/√k) · Σ_j x_j · s(i,j)``
+    where ``s(i,j) ∈ {−1,+1}`` comes from a portable integer hash of
+    the (output, input) coordinate pair — no RNG, no materialized
+    projection matrix, no driver state. Achlioptas (2003) shows ±1
+    entries satisfy the JL lemma with the same guarantees as Gaussian
+    projections, so pairwise distances/cosines are preserved within
+    ~(1±ε) at k = O(ln n / ε²).
+
+    At 100 TB this matters twice over: (a) the projection is a pure
+    map stage — zero shuffles, the matrix is *recomputed from the hash*
+    inside the expression rather than broadcast, so nothing scales with
+    corpus size; (b) identical output on any engine/partitioning/retry,
+    because the hash is plain int64 arithmetic and the accumulation is
+    the module's sequential left fold.
+
+    Output: ``(id_col, proj array<double>, in_dims)``.
+    """
+    reserved = {"proj", "in_dims", "_e", "_j"}
+    if id_col in reserved:
+        raise ValueError(
+            f"id_col {id_col!r} collides with a projection output column"
+        )
+    staged = df.select(
+        F.col(id_col),
+        _as_double(F.col(vec_col)).alias("_e"),
+    ).select(
+        id_col,
+        "_e",
+        F.sequence(F.lit(1), F.size("_e")).alias("_j"),
+    )
+
+    def out_component(i: Column) -> Column:
+        def signed(x: Column, j: Column) -> Column:
+            # xorshift-multiply finalizer (Wang-style 31-bit avalanche).
+            # The naive parity-of-linear-hash sign is XOR-SEPARABLE
+            # (low bit of x·odd == low bit of x), which collapses the
+            # matrix to rank 1 and destroys the JL guarantee — the
+            # shift-xor rounds are what make s(i,j) jointly mixed.
+            h = (
+                i.cast("bigint") * F.lit(1048576)
+                + j.cast("bigint")
+                + F.lit(int(seed))
+            ) % F.lit(2147483648)
+            for _ in range(2):
+                h = (
+                    F.shiftright(h, 16).bitwiseXOR(h) * F.lit(73244475)
+                ) % F.lit(2147483648)
+            h = F.shiftright(h, 16).bitwiseXOR(h)
+            return F.when(h % 2 == 0, x).otherwise(-x)
+
+        return F.aggregate(
+            F.zip_with(F.col("_e"), F.col("_j"), signed),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ) / F.sqrt(F.lit(float(out_dim)))
+
+    return staged.select(
+        id_col,
+        F.transform(
+            F.sequence(F.lit(1), F.lit(int(out_dim))), out_component
+        ).alias("proj"),
+        F.size("_e").alias("in_dims"),
+    )
