@@ -44,6 +44,10 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # read nanos as int64 (runtime-settable legacy conf) and convert where
     # a query needs event time.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # Deterministic NTZ→epoch conversion: DuckDB's epoch_us() treats a
+    # naive TIMESTAMP as UTC wall-clock; pin Spark's session zone so the
+    # NTZ→LTZ cast agrees with it on every machine.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     # See padua_spark.session: InferFiltersFromGenerate re-evaluates
     # heavy generator-input expressions per element via pushdown
     # inlining — exclude it (the driver's session doesn't use our
@@ -83,6 +87,27 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 _T_CACHE: "weakref.WeakKeyDictionary[SparkSession, dict]" = (
     weakref.WeakKeyDictionary()
 )
+
+
+def _events_ts_us(spark: SparkSession, sf_dir: str):
+    """``events.ts`` → epoch microseconds (bigint), whatever physical
+    type the parquet stores: TIMESTAMP(MICROS) (read as TIMESTAMP_NTZ),
+    or TIMESTAMP(NANOS) (read as int64 nanos via the nanosAsLong conf).
+    Session timezone is pinned to UTC in :func:`_t`, so the NTZ cast is
+    byte-identical to DuckDB's ``epoch_us(ts)``."""
+    dt = _t(spark, sf_dir, "events").schema["ts"].dataType.simpleString()
+    if dt in ("bigint", "long"):
+        return F.expr("ts DIV 1000")
+    return F.unix_micros(F.col("ts").cast("timestamp"))
+
+
+def _events_event_time(spark: SparkSession, sf_dir: str):
+    """``events.ts`` as a proper TIMESTAMP column (for F.window et al.),
+    under the same physical-type polymorphism as :func:`_events_ts_us`."""
+    dt = _t(spark, sf_dir, "events").schema["ts"].dataType.simpleString()
+    if dt in ("bigint", "long"):
+        return F.timestamp_micros(F.expr("ts DIV 1000"))
+    return F.col("ts").cast("timestamp")
 
 
 def _r(c, n: int = 6):
@@ -1194,12 +1219,11 @@ FROM e GROUP BY 1, 2
 )
 def q_event_window(spark, sf):
     from padua_spark.streaming import tumbling_window_agg
-    from padua_spark.streaming.windows import nanos_to_timestamp
 
     e = _t(spark, sf, "events")
     out = tumbling_window_agg(
         e,
-        nanos_to_timestamp(F.col("ts")),
+        _events_event_time(spark, sf),
         ["event_type"],
         [
             F.count(F.lit(1)).alias("n_events"),
@@ -1251,7 +1275,7 @@ def q_sessionize(spark, sf):
     e = _t(spark, sf, "events").select(
         "user_id",
         "event_id",
-        F.expr("ts DIV 1000").alias("tsu"),
+        _events_ts_us(spark, sf).alias("tsu"),
     )
     return sessionize_batch(
         e, ["user_id"], "tsu", gap=1_800_000_000,
@@ -1886,7 +1910,7 @@ def q_asof_join(spark, sf):
     from padua_spark.operators.temporal import asof_join
 
     e = _t(spark, sf, "events").select(
-        "event_id", "user_id", F.expr("ts DIV 1000").alias("tsu"),
+        "event_id", "user_id", _events_ts_us(spark, sf).alias("tsu"),
         "event_type", "value",
     )
     purchases = (
@@ -1927,7 +1951,7 @@ def q_range_join(spark, sf):
 
     e = _t(spark, sf, "events").select(
         "event_id",
-        (F.expr("ts DIV 1000") % F.lit(86400000000)).alias("day_us"),
+        (_events_ts_us(spark, sf) % F.lit(86400000000)).alias("day_us"),
     )
     iv = spark.range(24).select(
         F.col("id").cast("bigint").alias("hour_id"),
@@ -1967,7 +1991,7 @@ SELECT 'day', event_type, day_id, n, round(total, 4) FROM daily
 def q_time_rollup(spark, sf):
     e = _t(spark, sf, "events").select(
         "event_type",
-        F.expr("ts DIV 1000").alias("tsu"),
+        _events_ts_us(spark, sf).alias("tsu"),
         "value",
     )
     hourly = (
@@ -2749,7 +2773,8 @@ ls AS (
 ),
 tk AS (
   SELECT doc_id, string_split_regex(trim(text), '[ 	
-]+') AS t
+
+]+') AS t
   FROM documents
 ),
 bg AS (
@@ -2790,7 +2815,8 @@ WITH t AS (
   SELECT doc_id,
     CAST((CASE WHEN length(trim(text)) = 0 THEN 0
           ELSE len(string_split_regex(trim(text), '[ 	
-]+'))
+
+]+'))
           END) AS BIGINT) AS n_tokens
   FROM documents
 ),
@@ -3403,7 +3429,7 @@ def q_funnel(spark, sf):
     from padua_spark.operators.events import funnel_conversion
 
     e = _t(spark, sf, "events").select(
-        "user_id", F.expr("ts DIV 1000").alias("tsu"), "event_type"
+        "user_id", _events_ts_us(spark, sf).alias("tsu"), "event_type"
     )
     return funnel_conversion(
         e, "user_id", "tsu", "event_type", _FUNNEL_STAGES
@@ -3435,7 +3461,7 @@ def q_retention(spark, sf):
     from padua_spark.operators.events import retention_cohorts
 
     e = _t(spark, sf, "events").select(
-        "user_id", F.expr("ts DIV 1000").alias("tsu")
+        "user_id", _events_ts_us(spark, sf).alias("tsu")
     )
     out = retention_cohorts(e, "user_id", "tsu", period=86_400_000_000)
     return out.select(
@@ -3462,7 +3488,7 @@ def q_decayed_score(spark, sf):
     from padua_spark.operators.events import decayed_score
 
     e = _t(spark, sf, "events").select(
-        "user_id", F.expr("ts DIV 1000").alias("tsu"), "value"
+        "user_id", _events_ts_us(spark, sf).alias("tsu"), "value"
     )
     out = decayed_score(
         e, ["user_id"], "tsu", "value", half_life=604_800_000_000.0

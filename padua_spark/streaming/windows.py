@@ -14,6 +14,29 @@ def nanos_to_timestamp(ts_nanos: Column) -> Column:
     return F.timestamp_micros((ts_nanos / F.lit(1000)).cast("bigint"))
 
 
+def event_time_col(df: DataFrame, col: str = "ts") -> Column:
+    """``col`` as a TIMESTAMP event-time column, whatever physical type
+    the source stores: int64 nanos (legacy ``nanosAsLong`` parquet
+    reads), TIMESTAMP_NTZ (parquet TIMESTAMP without timezone), or
+    TIMESTAMP. Pin ``spark.sql.session.timeZone`` (e.g. UTC) before
+    relying on the NTZ branch for cross-engine determinism."""
+    dt = df.schema[col].dataType.simpleString()
+    if dt in ("bigint", "long"):
+        return nanos_to_timestamp(F.col(col))
+    if dt == "timestamp_ntz":
+        return F.col(col).cast("timestamp")
+    return F.col(col)
+
+
+def epoch_us_col(df: DataFrame, col: str = "ts") -> Column:
+    """``col`` as epoch microseconds (bigint), same polymorphism as
+    :func:`event_time_col`."""
+    dt = df.schema[col].dataType.simpleString()
+    if dt in ("bigint", "long"):
+        return F.expr(f"{col} DIV 1000")
+    return F.unix_micros(F.col(col).cast("timestamp"))
+
+
 def read_event_stream(
     spark: SparkSession,
     path: str,

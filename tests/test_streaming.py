@@ -13,7 +13,7 @@ from padua_spark.streaming import (
     sessionize_batch,
     tumbling_window_agg,
 )
-from padua_spark.streaming.windows import nanos_to_timestamp
+from padua_spark.streaming.windows import epoch_us_col, event_time_col
 from tests.conftest import SF_SMALL
 
 
@@ -37,7 +37,7 @@ def test_stream_equals_batch_tumbling(spark, events_dir):
     def build(df):
         return tumbling_window_agg(
             df,
-            nanos_to_timestamp(F.col("ts")),
+            event_time_col(df),
             ["event_type"],
             [F.count(F.lit(1)).alias("n"),
              F.round(F.avg("value"), 6).alias("avg_value")],
@@ -71,7 +71,7 @@ def test_session_window_stream_runs(spark, events_dir):
     stream = read_event_stream(spark, events_dir, schema=batch.schema)
     agg = session_window_agg(
         stream,
-        nanos_to_timestamp(F.col("ts")),
+        event_time_col(stream),
         ["user_id"],
         [F.count(F.lit(1)).alias("n")],
         gap="30 minutes",
@@ -92,7 +92,7 @@ def test_session_window_stream_runs(spark, events_dir):
     # every event lands in exactly one session
     batch_sessions = sessionize_batch(
         batch.select("user_id", "event_id",
-                     F.expr("ts DIV 1000").alias("tsu")),
+                     epoch_us_col(batch).alias("tsu")),
         ["user_id"], "tsu", gap=1_800_000_000,
         tiebreak_cols=["event_id"],
     )
@@ -112,7 +112,7 @@ def test_dedup_stream_equals_batch(spark, events_dir):
     deduped = dedup_stream(
         stream,
         ["user_id", "event_type"],
-        event_time=nanos_to_timestamp(F.col("ts")),
+        event_time=event_time_col(stream),
         watermark="4 hours",
     ).select("user_id", "event_type")
     q = (
@@ -132,7 +132,7 @@ def test_dedup_stream_equals_batch(spark, events_dir):
         for r in dedup_stream(
             batch,
             ["user_id", "event_type"],
-            event_time=nanos_to_timestamp(F.col("ts")),
+            event_time=event_time_col(batch),
         ).select("user_id", "event_type").collect()
     }
     assert got == exp and len(got) > 0
