@@ -258,6 +258,7 @@ def minhash_lsh_candidates(
     bands: int = 8,
     seed: int = 7,
     portable_keys: bool = False,
+    persist_signatures: bool = True,
 ) -> DataFrame:
     """Near-duplicate candidate pairs via banded MinHash LSH.
 
@@ -268,6 +269,16 @@ def minhash_lsh_candidates(
     O(n²) cross join. Estimated Jaccard = fraction of equal signature
     components, computed at join time so the shuffle never carries the
     signatures past the join.
+
+    ``persist_signatures`` (default on) caches the per-document
+    signature frame: Catalyst does not unify the two sides of the
+    self-join (their projections differ above the aggregate, so
+    ReuseExchange never fires), and without the cache the whole
+    tokenize→shingle→minhash pipeline runs TWICE. The signature frame
+    is num_hashes ints per document — orders of magnitude smaller than
+    the corpus — so MEMORY_AND_DISK is safe at any scale. The entry
+    stays lazy (persist marks, the first action materializes); pass
+    ``False`` to keep the plan fully unmaterialized.
     """
     rows_per_band = num_hashes // bands
 
@@ -285,6 +296,10 @@ def minhash_lsh_candidates(
     sigs = shingle_signatures(
         df, id_col, text_col, k_shingle, num_hashes, seed
     )
+    if persist_signatures:
+        from pyspark import StorageLevel
+
+        sigs = sigs.persist(StorageLevel.MEMORY_AND_DISK)
     band_cols = [_band_key(b).alias(f"_band{b}") for b in range(bands)]
     banded = sigs.select(id_col, "_sig", *band_cols)
     exploded = banded.select(
@@ -325,6 +340,7 @@ def ngram_jaccard_pairs(
     block_cols: list[str],
     k_shingle: int = 3,
     hashed: bool = True,
+    persist_shingles: bool = True,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for candidate pairs within a
     blocking key (the quadratic-within-block baseline; use
@@ -345,6 +361,13 @@ def ngram_jaccard_pairs(
         ex = exploded_shingles(
             df, id_col, text_col, k_shingle, extra_cols=block_cols
         )
+        if persist_shingles:
+            # the exploded frame feeds THREE consumers (both join sides
+            # + per-doc sizes); caching trades shingle-frame storage
+            # (spills to disk when large) for 3× tokenization compute
+            from pyspark import StorageLevel
+
+            ex = ex.persist(StorageLevel.MEMORY_AND_DISK)
         sizes = ex.groupBy(*block_cols, id_col).agg(
             F.count(F.lit(1)).alias("_n")
         )
@@ -446,13 +469,23 @@ def simhash_candidates(
     block_cols: list[str],
     max_hamming: int = 10,
     n_bits: int = 32,
+    persist_signatures: bool = True,
 ) -> DataFrame:
     """Near-dup candidates by SimHash Hamming distance within blocks —
     per pair only one XOR + popcount, so the within-block quadratic is
-    cheap; at full scale, block on simhash bands instead."""
+    cheap; at full scale, block on simhash bands instead.
+
+    ``persist_signatures`` caches the (block, id, simhash) frame so the
+    token-hash bit-majority stage runs once instead of once per
+    self-join side (Catalyst can't unify the differently-projected
+    sides); one int64 per document, safe to cache at any scale."""
     sigs = df.select(*block_cols, F.col(id_col)).join(
         simhash_signatures(df, id_col, text_col, n_bits), on=id_col
     )
+    if persist_signatures:
+        from pyspark import StorageLevel
+
+        sigs = sigs.persist(StorageLevel.MEMORY_AND_DISK)
     left = sigs.select(
         *block_cols, F.col(id_col).alias("id_a"),
         F.col("simhash").alias("_sa")

@@ -11,6 +11,7 @@ are bit-reproducible across engines (summation order fixed).
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -540,12 +541,67 @@ def quantized_topk(
     )
 
 
+# Serialize this module BY VALUE into UDF closures: executor Python
+# workers don't have the repo on sys.path when the driver is launched
+# from a foreign cwd (see functions/distributions.py).
+try:
+    import sys as _sys
+
+    from pyspark import cloudpickle as _cloudpickle
+
+    _cloudpickle.register_pickle_by_value(_sys.modules[__name__])
+except Exception:  # pragma: no cover - best effort on older pyspark
+    pass
+
+
+def _jl_project_batch(
+    vecs, out_dim: int, seed: int
+):
+    """numpy twin of the JL expression path — bit-identical results.
+
+    The sign matrix is recomputed from the xorshift hash (vectorized
+    int64, all values non-negative so ``%``/``>>`` agree with the SQL
+    semantics), and the accumulation is an explicit per-j left fold
+    (``acc += term[:, j]`` in order) — NOT ``np.dot``, whose blocked
+    summation changes float addition order and would break the
+    hash-level oracle match."""
+    import numpy as np
+
+    by_len: dict[int, list[int]] = {}
+    for idx, v in enumerate(vecs):
+        if v is None:
+            continue  # NULL vector -> NULL projection, like the expr path
+        by_len.setdefault(len(v), []).append(idx)
+    out = [None] * len(vecs)
+    for d, idxs in by_len.items():
+        X = np.empty((len(idxs), d), dtype=np.float64)
+        for r, idx in enumerate(idxs):
+            X[r, :] = np.asarray(vecs[idx], dtype=np.float64)
+        i = np.arange(1, out_dim + 1, dtype=np.int64)[:, None]
+        j = np.arange(1, d + 1, dtype=np.int64)[None, :]
+        h = (i * 1048576 + j + int(seed)) % 2147483648
+        for _ in range(2):
+            h = (((h >> 16) ^ h) * 73244475) % 2147483648
+        h = (h >> 16) ^ h
+        S = np.where(h % 2 == 0, 1.0, -1.0)  # (out_dim, d)
+        proj = np.zeros((len(idxs), out_dim), dtype=np.float64)
+        for jj in range(d):  # sequential fold, same order as F.aggregate
+            proj += X[:, jj : jj + 1] * S[:, jj][None, :]
+        # divide (not multiply-by-reciprocal): x/sqrt(k) and
+        # x*(1/sqrt(k)) differ in the last ulp, and the oracle divides
+        proj /= float(out_dim) ** 0.5
+        for r, idx in enumerate(idxs):
+            out[idx] = proj[r]
+    return out
+
+
 def random_projection(
     df: DataFrame,
     id_col: str,
     vec_col: str,
     out_dim: int,
     seed: int = 40503,
+    use_arrow: bool = True,
 ) -> DataFrame:
     """Johnson–Lindenstrauss dimensionality reduction with a
     DETERMINISTIC sign matrix: ``y_i = (1/√k) · Σ_j x_j · s(i,j)``
@@ -563,12 +619,37 @@ def random_projection(
     because the hash is plain int64 arithmetic and the accumulation is
     the module's sequential left fold.
 
+    ``use_arrow`` (default) evaluates the projection in a vectorized
+    pandas UDF (:func:`_jl_project_batch`, bit-identical arithmetic):
+    Catalyst higher-order functions are INTERPRETED, so the expression
+    path pays ~out_dim·dims interpreted evals per row (~3 ms/row at
+    64→16) while the Arrow path runs the same math as numpy batch ops
+    (~20× faster, still a pure map stage — zero shuffles either way).
+    Pass ``False`` for a no-Python, pure-SQL-expressible plan.
+
     Output: ``(id_col, proj array<double>, in_dims)``.
     """
     reserved = {"proj", "in_dims", "_e", "_j"}
     if id_col in reserved:
         raise ValueError(
             f"id_col {id_col!r} collides with a projection output column"
+        )
+    if use_arrow:
+        from pyspark.sql.functions import pandas_udf
+
+        od, sd = int(out_dim), int(seed)
+
+        @pandas_udf("array<double>")
+        def _jl_udf(vecs: pd.Series) -> pd.Series:
+            return pd.Series(
+                _jl_project_batch(vecs.tolist(), od, sd),
+                index=vecs.index,
+            )
+
+        return df.select(
+            F.col(id_col),
+            _jl_udf(_as_double(F.col(vec_col))).alias("proj"),
+            F.size(F.col(vec_col)).alias("in_dims"),
         )
     staged = df.select(
         F.col(id_col),
