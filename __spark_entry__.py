@@ -3734,6 +3734,429 @@ def q_random_projection(spark, sf):
     )
 
 
+# --- relational suite: multi-join analytics the long-format engine feeds
+#     (broadcast dims, window decorrelation, anti join, rollup — §2.4/§2.5
+#     Spark mappings exercised as full plans). Money sums are exact
+#     integer CENTS (`round(x*100)::bigint`): per-row conversion is
+#     bit-identical on any engine, and integer sums are order-free, so
+#     the value hash can never be flipped by float summation order. ----------
+
+
+def _cents(col):
+    return F.round(col * F.lit(100)).cast("bigint")
+
+
+@_q(
+    "shipping_priority",
+    """
+WITH c AS (
+  SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+),
+o AS (
+  SELECT o_orderkey, o_orderdate, o_orderpriority
+  FROM orders JOIN c ON o_custkey = c_custkey
+),
+r AS (
+  SELECT o.o_orderkey,
+         epoch_us(o.o_orderdate) AS orderdate_epoch,
+         o.o_orderpriority,
+         sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                  AS BIGINT)) AS revenue_cents
+  FROM lineitem JOIN o ON l_orderkey = o.o_orderkey
+  GROUP BY 1, 2, 3
+)
+SELECT * FROM r
+ORDER BY revenue_cents DESC, o_orderkey
+LIMIT 10
+""",
+)
+def q_shipping_priority(spark, sf):
+    """TPC-H Q3 shape: selective dim filter broadcast into the orders
+    scan, revenue rollup per order, global top-10 (TakeOrderedAndProject
+    — a per-partition heap, never a full sort, at any scale)."""
+    c = (
+        _t(spark, sf, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    o = (
+        _t(spark, sf, "orders")
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "o_orderkey",
+            F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias(
+                "orderdate_epoch"
+            ),
+            "o_orderpriority",
+        )
+    )
+    li = _t(spark, sf, "lineitem")
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderkey", "orderdate_epoch", "o_orderpriority")
+        .agg(
+            F.sum(
+                _cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            ).alias("revenue_cents")
+        )
+        .orderBy(F.col("revenue_cents").desc(), "o_orderkey")
+        .limit(10)
+    )
+
+
+@_q(
+    "local_supplier_volume",
+    """
+SELECT r_name, n_name,
+       count(*) AS n_items,
+       sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                AS BIGINT)) AS revenue_cents
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+             AND c_nationkey = s_nationkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+GROUP BY 1, 2
+""",
+)
+def q_local_supplier_volume(spark, sf):
+    """TPC-H Q5 shape: the fact table joins four dims; supplier /
+    nation / region broadcast (map-side), customer join carries the
+    local-supplier predicate. One shuffle for the final rollup."""
+    li = _t(spark, sf, "lineitem")
+    su = _t(spark, sf, "supplier")
+    od = _t(spark, sf, "orders")
+    cu = _t(spark, sf, "customer")
+    na = _t(spark, sf, "nation")
+    re = _t(spark, sf, "region")
+    j = (
+        li.join(F.broadcast(su), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(od, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            cu,
+            (F.col("o_custkey") == F.col("c_custkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(na), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(re), F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    return j.groupBy("r_name", "n_name").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum(
+            _cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+        ).alias("revenue_cents"),
+    )
+
+
+@_q(
+    "rollup_revenue",
+    """
+SELECT r_name, n_name,
+       count(*) AS n_items,
+       sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                AS BIGINT)) AS revenue_cents
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+GROUP BY ROLLUP (r_name, n_name)
+""",
+)
+def q_rollup_revenue(spark, sf):
+    """Hierarchical subtotals (region → nation → grand total) in ONE
+    aggregation pass — ROLLUP expands grouping sets inside the same
+    hash aggregate, so the fact table is read and shuffled once, not
+    once per level."""
+    li = _t(spark, sf, "lineitem")
+    su = _t(spark, sf, "supplier")
+    na = _t(spark, sf, "nation")
+    re = _t(spark, sf, "region")
+    j = (
+        li.join(F.broadcast(su), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(na), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(re), F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    return j.rollup("r_name", "n_name").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum(
+            _cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+        ).alias("revenue_cents"),
+    )
+
+
+@_q(
+    "running_balance",
+    """
+SELECT o_custkey, o_orderkey,
+  sum(CAST(round(o_totalprice * 100) AS BIGINT))
+    OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+          ROWS UNBOUNDED PRECEDING) AS balance_cents
+FROM orders
+""",
+)
+def q_running_balance(spark, sf):
+    """Per-customer running spend: one shuffle on the window key, then
+    a per-partition sort — cumulative INTEGER sum so the result is
+    order-exact on any engine. The padua analogue is the cumulative
+    intensity used in rank/abundance plots (SURVEY §2.11 O3)."""
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return _t(spark, sf, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(_cents(F.col("o_totalprice"))).over(w).alias("balance_cents"),
+    )
+
+
+@_q(
+    "event_lag_gaps",
+    """
+WITH g AS (
+  SELECT event_type,
+    epoch_us(ts) - lag(epoch_us(ts)) OVER (
+      PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS gap_us
+  FROM events
+)
+SELECT event_type, count(gap_us) AS n_gaps,
+       round((CAST(sum(gap_us) AS DOUBLE) / count(gap_us)) / 1e6, 6)
+         AS avg_gap_s
+FROM g WHERE gap_us IS NOT NULL GROUP BY event_type
+""",
+)
+def q_event_lag_gaps(spark, sf):
+    """Inter-event arrival gaps via lag(): exact integer µs sums so the
+    single final division is the only float op (bit-identical across
+    engines)."""
+    from pyspark.sql import Window
+
+    e = _t(spark, sf, "events").select(
+        "user_id", "event_id", "event_type",
+        _events_ts_us(spark, sf).alias("tsu"),
+    )
+    w = Window.partitionBy("user_id").orderBy("tsu", "event_id")
+    g = e.select(
+        "event_type", (F.col("tsu") - F.lag("tsu").over(w)).alias("gap_us")
+    ).where(F.col("gap_us").isNotNull())
+    return g.groupBy("event_type").agg(
+        F.count("gap_us").alias("n_gaps"),
+        F.round(
+            (F.sum("gap_us").cast("double") / F.count("gap_us"))
+            / F.lit(1e6),
+            6,
+        ).alias("avg_gap_s"),
+    )
+
+
+@_q(
+    "order_percentiles",
+    """
+SELECT o_orderpriority,
+  round(quantile_cont(o_totalprice, 0.25), 4) AS p25,
+  round(quantile_cont(o_totalprice, 0.50), 4) AS p50,
+  round(quantile_cont(o_totalprice, 0.75), 4) AS p75,
+  count(*) AS n
+FROM orders GROUP BY o_orderpriority
+""",
+)
+def q_order_percentiles(spark, sf):
+    """Exact linearly-interpolated quantiles per group (padua's median
+    normalization generalized — SURVEY §2.5 A1). At 100 TB swap
+    ``percentile`` for ``percentile_approx`` (t-digest sketch,
+    partial-aggregable) — same plan shape, bounded memory."""
+    o = _t(spark, sf, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        _r(F.percentile("o_totalprice", F.lit(0.25)), 4).alias("p25"),
+        _r(F.percentile("o_totalprice", F.lit(0.50)), 4).alias("p50"),
+        _r(F.percentile("o_totalprice", F.lit(0.75)), 4).alias("p75"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@_q(
+    "above_avg_orders",
+    """
+WITH t AS (
+  SELECT o_orderstatus, o_totalprice,
+         avg(o_totalprice) OVER (PARTITION BY o_custkey) AS cust_avg
+  FROM orders
+)
+SELECT o_orderstatus,
+       count(*) AS n_above,
+       sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS spend_cents
+FROM t WHERE o_totalprice > cust_avg
+GROUP BY o_orderstatus
+""",
+)
+def q_above_avg_orders(spark, sf):
+    """Correlated-subquery shape ("orders above the customer's own
+    average"), decorrelated into a window average — one shuffle on the
+    correlation key instead of a per-row subquery."""
+    from pyspark.sql import Window
+
+    o = _t(spark, sf, "orders")
+    w = Window.partitionBy("o_custkey")
+    t = o.select(
+        "o_orderstatus",
+        "o_totalprice",
+        F.avg("o_totalprice").over(w).alias("cust_avg"),
+    ).where(F.col("o_totalprice") > F.col("cust_avg"))
+    return t.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_above"),
+        F.sum(_cents(F.col("o_totalprice"))).alias("spend_cents"),
+    )
+
+
+@_q(
+    "dormant_customers",
+    """
+SELECT c_mktsegment, count(*) AS n_dormant, min(c_custkey) AS first_custkey
+FROM customer c
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders o
+  WHERE o.o_custkey = c.c_custkey
+    AND o.o_orderdate >= TIMESTAMP '2000-01-01'
+)
+GROUP BY c_mktsegment
+""",
+)
+def q_dormant_customers(spark, sf):
+    """Anti join (NOT EXISTS): customers with no order since 2000.
+    The date predicate pushes into the orders scan before the join;
+    left_anti never materializes matched rows."""
+    c = _t(spark, sf, "customer")
+    recent = (
+        _t(spark, sf, "orders")
+        .where(F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp"))
+        .select("o_custkey")
+    )
+    return (
+        c.join(recent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_dormant"),
+            F.min("c_custkey").alias("first_custkey"),
+        )
+    )
+
+
+@_q(
+    "sliding_window_agg",
+    """
+WITH e AS (SELECT epoch_us(ts) AS tu, event_type, value FROM events),
+k AS (SELECT * FROM (VALUES (0), (1)) t(k)),
+w AS (
+  SELECT ((tu // 1800000000) - k.k) * 1800000000 AS ws, event_type, value
+  FROM e CROSS JOIN k
+)
+SELECT ws AS window_start_epoch, event_type,
+       count(*) AS n_events, round(sum(value), 4) AS sum_value
+FROM w GROUP BY 1, 2
+""",
+)
+def q_sliding_window(spark, sf):
+    """Overlapping 1h windows sliding every 30min (each event in
+    exactly 2 windows). The oracle derives the same epoch-aligned
+    window grid arithmetically."""
+    from padua_spark.streaming import sliding_window_agg
+
+    e = _t(spark, sf, "events")
+    out = sliding_window_agg(
+        e,
+        _events_event_time(spark, sf),
+        ["event_type"],
+        [
+            F.count(F.lit(1)).alias("n_events"),
+            _r(F.sum("value"), 4).alias("sum_value"),
+        ],
+        window_duration="1 hour",
+        slide_duration="30 minutes",
+    )
+    return out.select(
+        F.unix_micros(F.col("window_start")).alias("window_start_epoch"),
+        "event_type",
+        "n_events",
+        "sum_value",
+    )
+
+
+# --- M2 plsda (analysis.py:96-161) + M4/M5 hierarchical clustering
+#     (visualize.py:1665-1730): driver-side ML on Spark-aggregated
+#     matrices — non-SQL-expressible, so rows-only checks (no oracle),
+#     like pca_scores. ------------------------------------------------------
+
+
+@_q("plsda_scores")
+def q_plsda_scores(spark, sf):
+    """Binary PLS-DA scores (reference analysis.plsda): samples are
+    (returnflag, linestatus) cells, y = returnflag class; the
+    (samples × features) matrix is aggregated in Spark and only the
+    tiny matrix crosses to the driver NIPALS."""
+    from padua_spark.operators import ml
+
+    li = _t(spark, sf, "lineitem")
+    long = (
+        li.where(F.col("l_returnflag").isin(["A", "R"]))
+        .groupBy(
+            "l_partkey",
+            F.concat_ws(
+                "_", F.col("l_returnflag"), F.col("l_linestatus")
+            ).alias("sample"),
+            F.col("l_returnflag").alias("grp"),
+        )
+        .agg(F.avg("l_quantity").alias("v"))
+    )
+    T, _W, samples, _feats = ml.plsda(
+        long, ["l_partkey"], "sample", "v", "grp", "A", "R",
+        n_components=2,
+    )
+    rows = [
+        (s, pc + 1, round(float(T[i, pc]), 6))
+        for i, s in enumerate(samples)
+        for pc in range(T.shape[1])
+    ]
+    return spark.createDataFrame(rows, ["sample", "pc", "score"])
+
+
+@_q("hier_cluster_assign")
+def q_hier_cluster_assign(spark, sf):
+    """Ward hierarchical clustering of samples (reference
+    visualize._cluster/_optimize_clusters): the O(features) distance
+    matrix is computed distributed (one groupBy over the feature
+    self-join), only the (samples × samples) matrix reaches the
+    driver linkage."""
+    import numpy as np
+
+    from padua_spark.operators import ml
+
+    li = _t(spark, sf, "lineitem")
+    long = li.groupBy(
+        "l_partkey",
+        F.concat_ws(
+            "_", F.col("l_returnflag"), F.col("l_linestatus")
+        ).alias("sample"),
+    ).agg(F.avg("l_quantity").alias("v"))
+    dist_df = ml.sample_distance_matrix(long, ["l_partkey"], "sample", "v")
+    rows = dist_df.collect()
+    samples = sorted({r["sample_x"] for r in rows})
+    sidx = {s: i for i, s in enumerate(samples)}
+    D = np.zeros((len(samples), len(samples)))
+    for r in rows:
+        D[sidx[r["sample_x"]], sidx[r["sample_y"]]] = r["distance"]
+    linkage = ml.ward_linkage(D)
+    _thr, labels = ml.optimize_cluster_threshold(
+        linkage, len(samples), target_n=3
+    )
+    out = [(s, int(labels[i])) for i, s in enumerate(samples)]
+    return spark.createDataFrame(out, ["sample", "cluster"])
+
+
 # ---------------------------------------------------------------------------
 
 

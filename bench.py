@@ -71,6 +71,13 @@ HEADLINE = [
     "gopher_quality",
     "quality_classifier",
     "random_projection",
+    "shipping_priority",
+    "local_supplier_volume",
+    "rollup_revenue",
+    "running_balance",
+    "event_lag_gaps",
+    "above_avg_orders",
+    "sliding_window_agg",
 ]
 
 

@@ -16,5 +16,6 @@ from padua_spark.streaming.windows import (  # noqa: F401
     read_event_stream,
     sessionize_batch,
     session_window_agg,
+    sliding_window_agg,
     tumbling_window_agg,
 )

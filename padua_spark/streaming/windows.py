@@ -80,6 +80,38 @@ def tumbling_window_agg(
     )
 
 
+def sliding_window_agg(
+    df: DataFrame,
+    ts_col: Column,
+    key_cols: list[str],
+    aggs: list[Column],
+    window_duration: str = "1 hour",
+    slide_duration: str = "30 minutes",
+    watermark: str | None = None,
+) -> DataFrame:
+    """Sliding (overlapping) event-time windows — each event lands in
+    ``window/slide`` windows; ``F.window`` expands them generator-side
+    so the shuffle carries (window, key) rows, never a per-event
+    cross join against a window table. Same batch/streaming polymorphism
+    as :func:`tumbling_window_agg`."""
+    withts = df.withColumn("_event_time", ts_col)
+    if watermark and withts.isStreaming:
+        withts = withts.withWatermark("_event_time", watermark)
+    out = withts.groupBy(
+        F.window("_event_time", window_duration, slide_duration).alias(
+            "window"
+        ),
+        *key_cols,
+    ).agg(*aggs)
+    agg_cols = [c for c in out.columns if c != "window" and c not in key_cols]
+    return out.select(
+        F.col("window.start").alias("window_start"),
+        F.col("window.end").alias("window_end"),
+        *key_cols,
+        *agg_cols,
+    )
+
+
 def session_window_agg(
     df: DataFrame,
     ts_col: Column,

@@ -65,6 +65,48 @@ def test_stream_equals_batch_tumbling(spark, events_dir):
     assert got == exp and len(got) > 0
 
 
+def test_stream_equals_batch_sliding(spark, events_dir):
+    from padua_spark.streaming import sliding_window_agg
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    batch = spark.read.parquet(events_dir)
+    stream = read_event_stream(spark, events_dir, schema=batch.schema)
+
+    def build(df):
+        return sliding_window_agg(
+            df,
+            event_time_col(df),
+            ["event_type"],
+            [F.count(F.lit(1)).alias("n"),
+             F.round(F.sum("value"), 6).alias("sum_value")],
+            window_duration="1 hour",
+            slide_duration="30 minutes",
+            watermark="2 hours",
+        )
+
+    q = (
+        build(stream)
+        .writeStream.format("memory")
+        .queryName("t_slideagg")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(180)
+    got = {
+        (r["window_start"], r["event_type"]): (r["n"], r["sum_value"])
+        for r in spark.sql("SELECT * FROM t_slideagg").collect()
+    }
+    exp = {
+        (r["window_start"], r["event_type"]): (r["n"], r["sum_value"])
+        for r in build(batch).collect()
+    }
+    assert got == exp and len(got) > 0
+    # every event lands in exactly window/slide = 2 windows
+    n_events = batch.count()
+    assert sum(v[0] for v in exp.values()) == 2 * n_events
+
+
 def test_session_window_stream_runs(spark, events_dir):
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     batch = spark.read.parquet(events_dir)
