@@ -4086,6 +4086,57 @@ def q_sliding_window(spark, sf):
     )
 
 
+# --- ext: SemDeDup semantic pruning (Abbas et al. 2023) --------------------
+
+
+_SEMDEDUP_ORACLE = """
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+seeds AS (
+  SELECT row_number() OVER (ORDER BY vec_id) AS cell, v AS c
+  FROM (SELECT * FROM e ORDER BY vec_id LIMIT 16)
+),
+a AS (
+  SELECT e.vec_id, e.v, s.cell,
+    list_dot_product(e.v, s.c)
+      / (sqrt(list_dot_product(e.v, e.v))
+         * sqrt(list_dot_product(s.c, s.c))) AS cosc
+  FROM e CROSS JOIN seeds s
+  QUALIFY row_number() OVER (PARTITION BY e.vec_id
+                             ORDER BY cosc DESC, s.cell ASC) = 1
+),
+ex AS (
+  SELECT cell, vec_id AS ex_id, v AS ex_v
+  FROM a
+  QUALIFY row_number() OVER (PARTITION BY cell
+                             ORDER BY cosc DESC, vec_id ASC) = 1
+)
+SELECT a.vec_id, a.cell,
+  round(a.cosc, 6) AS cos_centroid,
+  round(list_dot_product(a.v, ex.ex_v)
+        / (sqrt(list_dot_product(a.v, a.v))
+           * sqrt(list_dot_product(ex.ex_v, ex.ex_v))), 6)
+    AS cos_exemplar,
+  (a.vec_id = ex.ex_id
+   OR round(list_dot_product(a.v, ex.ex_v)
+            / (sqrt(list_dot_product(a.v, a.v))
+               * sqrt(list_dot_product(ex.ex_v, ex.ex_v))), 6) < 0.35)
+    AS keep
+FROM a JOIN ex ON a.cell = ex.cell
+"""
+
+
+@_q("semdedup", _SEMDEDUP_ORACLE)
+def q_semdedup(spark, sf):
+    from padua_spark.extensions.dedup import semdedup_prune
+
+    emb = _t(spark, sf, "embeddings")
+    return semdedup_prune(
+        emb, "vec_id", "embedding", n_cells=16, threshold=0.35
+    )
+
+
 # --- M2 plsda (analysis.py:96-161) + M4/M5 hierarchical clustering
 #     (visualize.py:1665-1730): driver-side ML on Spark-aggregated
 #     matrices — non-SQL-expressible, so rows-only checks (no oracle),

@@ -78,6 +78,7 @@ HEADLINE = [
     "event_lag_gaps",
     "above_avg_orders",
     "sliding_window_agg",
+    "semdedup",
 ]
 
 

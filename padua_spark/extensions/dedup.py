@@ -505,6 +505,88 @@ def simhash_candidates(
     )
 
 
+def semdedup_prune(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_cells: int = 16,
+    threshold: float = 0.9,
+) -> DataFrame:
+    """SemDeDup-style semantic pruning (Abbas et al. 2023, arXiv
+    2303.09540): cluster embeddings, elect one exemplar per cluster
+    (highest cosine to its centroid), drop members too similar to the
+    exemplar. Output: ``(id, cell, cos_centroid, cos_exemplar, keep)``.
+
+    Relational shape instead of the paper's per-cluster pairwise
+    matrix: comparing members to the cluster EXEMPLAR only is O(n)
+    with a broadcast join of the (n_cells)-row exemplar table — no
+    quadratic within-cluster blow-up, no corpus shuffle beyond the
+    one aggregation that elects exemplars. Centroids are the
+    deterministic IVF seeds (:func:`~padua_spark.extensions.similarity.
+    ivf_centroids` with ``n_iter=0``), so the full pipeline is
+    engine-reproducible and oracle-checkable.
+
+    ``keep`` compares the 6dp-ROUNDED exemplar cosine against the
+    threshold so a 1-ulp cross-engine dot-product difference can never
+    flip the decision.
+    """
+    from padua_spark.extensions.similarity import (
+        _as_double,
+        dot,
+        ivf_assign,
+        ivf_centroids,
+        l2_norm,
+    )
+
+    cents = ivf_centroids(df, id_col, vec_col, n_cells, n_iter=0)
+    assigned = ivf_assign(df, id_col, vec_col, cents)
+    withcos = assigned.join(F.broadcast(cents), on="cell").select(
+        id_col,
+        "cell",
+        "_v",
+        (
+            dot(F.col("_v"), F.col("_c"))
+            / (l2_norm(F.col("_v")) * l2_norm(F.col("_c")))
+        ).alias("cos_centroid"),
+    )
+    # exemplar per cell: argmax (cos, -id) — one partial-aggregating
+    # groupBy over n_cells groups, never a window sort of the corpus
+    ex = (
+        withcos.groupBy("cell")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("cos_centroid").alias("_cc"),
+                    (-F.col(id_col)).alias("_negid"),
+                )
+            ).alias("_b")
+        )
+        .select("cell", (-F.col("_b._negid")).alias("_ex_id"))
+    )
+    ex_vec = ex.join(
+        withcos.select(
+            F.col(id_col).alias("_ex_id"), "cell",
+            F.col("_v").alias("_ex_v"),
+        ),
+        on=["cell", "_ex_id"],
+    )
+    cos_ex = F.round(
+        dot(F.col("_v"), F.col("_ex_v"))
+        / (l2_norm(F.col("_v")) * l2_norm(F.col("_ex_v"))),
+        6,
+    )
+    return withcos.join(F.broadcast(ex_vec), on="cell").select(
+        F.col(id_col),
+        "cell",
+        F.round("cos_centroid", 6).alias("cos_centroid"),
+        cos_ex.alias("cos_exemplar"),
+        (
+            (F.col(id_col) == F.col("_ex_id"))
+            | (cos_ex < F.lit(float(threshold)))
+        ).alias("keep"),
+    )
+
+
 def contamination_check(
     corpus: DataFrame,
     benchmark: DataFrame,
