@@ -4137,6 +4137,46 @@ def q_semdedup(spark, sf):
     )
 
 
+# --- ext: semi-structured JSON property extraction -------------------------
+
+
+@_q(
+    "json_props_agg",
+    """
+WITH e AS (
+  SELECT event_type,
+         CAST(json_extract(props, '$.k') AS BIGINT) AS k
+  FROM events
+)
+SELECT event_type,
+       count(*) AS n,
+       count(*) - count(k) AS n_null,
+       min(k) AS min_k, max(k) AS max_k,
+       round(CAST(sum(k) AS DOUBLE) / count(k), 6) AS avg_k
+FROM e GROUP BY event_type
+""",
+)
+def q_json_props_agg(spark, sf):
+    """Semi-structured extraction: ``from_json`` with an explicit
+    schema (typed, null-safe on malformed rows) instead of per-row
+    string surgery; the projection prunes to (event_type, props) at
+    the scan. Exact integer sums make the single division the only
+    float op."""
+    e = _t(spark, sf, "events").select(
+        "event_type",
+        F.from_json(F.col("props"), "k BIGINT").getField("k").alias("k"),
+    )
+    return e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.count(F.lit(1)) - F.count("k")).alias("n_null"),
+        F.min("k").alias("min_k"),
+        F.max("k").alias("max_k"),
+        F.round(F.sum("k").cast("double") / F.count("k"), 6).alias(
+            "avg_k"
+        ),
+    )
+
+
 # --- M2 plsda (analysis.py:96-161) + M4/M5 hierarchical clustering
 #     (visualize.py:1665-1730): driver-side ML on Spark-aggregated
 #     matrices — non-SQL-expressible, so rows-only checks (no oracle),

@@ -79,6 +79,7 @@ HEADLINE = [
     "above_avg_orders",
     "sliding_window_agg",
     "semdedup",
+    "json_props_agg",
 ]
 
 
