@@ -8,6 +8,7 @@ the formatted plan string for those assertions.
 """
 
 from padua_spark.plans.inspect import (  # noqa: F401
+    count_exchanges,
     explain_str,
     has_broadcast_join,
     has_partial_aggregate,

@@ -220,3 +220,71 @@ def test_spread_narrow_scan_guard_and_pushdown(spark):
     assert set(cols) <= {"l_orderkey", "l_returnflag"}, cols
     # row set unchanged
     assert spread.count() == li.count()
+
+
+# --- round-4 relational suite: the plans that must hold at 100 TB ----------
+
+
+def test_shipping_priority_pushdown_and_broadcast(spark):
+    """The mktsegment predicate must reach the customer scan, and the
+    filtered customer side must broadcast (never shuffle orders by
+    custkey for a selective dim)."""
+    import __spark_entry__ as em
+
+    df = em.queries()["shipping_priority"](spark, SF_ORACLE)
+    pf = pushed_filters(df)
+    assert any(
+        "c_mktsegment" in f and "EqualTo" in f for f in pf
+    ), pf
+    assert has_broadcast_join(df)
+
+
+def test_dormant_customers_anti_join_pushdown(spark):
+    """NOT EXISTS compiles to a left_anti join with the date predicate
+    pushed into the orders scan — matched rows never materialize."""
+    import __spark_entry__ as em
+
+    df = em.queries()["dormant_customers"](spark, SF_ORACLE)
+    plan = explain_str(df)
+    assert "LeftAnti" in plan, plan[:2000]
+    pf = pushed_filters(df)
+    assert any(
+        "o_orderdate" in f and "GreaterThanOrEqual" in f for f in pf
+    ), pf
+
+
+def test_rollup_single_aggregation_pass(spark):
+    """ROLLUP expands grouping sets inside one aggregate: the fact
+    table is scanned once and shuffled once (plus the final AQE read),
+    not once per grouping level."""
+    import __spark_entry__ as em
+    from padua_spark.plans import count_exchanges
+
+    df = em.queries()["rollup_revenue"](spark, SF_ORACLE)
+    plan = explain_str(df)
+    assert plan.count("Location: InMemoryFileIndex") <= 4  # 4 tables, 1 scan each
+    assert "Expand" in plan  # grouping-set expansion, not a union of aggs
+    assert count_exchanges(df) <= 2, explain_str(df, "simple")
+
+
+def test_running_balance_single_shuffle(spark):
+    """The cumulative-sum window shuffles the orders table exactly once
+    (by o_custkey) and sorts within partitions."""
+    import __spark_entry__ as em
+    from padua_spark.plans import count_exchanges
+
+    df = em.queries()["running_balance"](spark, SF_ORACLE)
+    assert count_exchanges(df) == 1, explain_str(df, "simple")
+
+
+def test_semdedup_corpus_never_reshuffled_by_vector(spark):
+    """SemDeDup's corpus branch: assignment is a broadcast map stage;
+    the only corpus shuffles are the exemplar-election aggregate and
+    the cell join back — never a pairwise/vector-keyed explosion."""
+    import __spark_entry__ as em
+
+    df = em.queries()["semdedup"](spark, SF_ORACLE)
+    plan = explain_str(df)
+    assert "CartesianProduct" not in plan
+    # exemplar table is broadcast back to members
+    assert has_broadcast_join(df)
