@@ -148,6 +148,89 @@ def frame_sample_plan(
     ).withColumn("frame_ts_ms", F.col("frame_idx") * F.lit(every_ms))
 
 
+def audio_chunk_plan(
+    media: DataFrame,
+    chunk_ms: int = 30_000,
+    hop_ms: int = 15_000,
+    id_col: str = "media_id",
+    duration_col: str = "duration_ms",
+) -> DataFrame:
+    """Audio chunking plumbing: explode each track into overlapping
+    (start, end) windows — the standard front-end before ASR /
+    embedding models (30 s chunks, 50 % hop). JVM-side ``sequence`` +
+    ``explode``; only (id, chunk bounds) rows reach the decode stage,
+    the waveform bytes stay in their partition until the mapInPandas
+    decoder (stubbed here) slices them.
+
+    A final short chunk is emitted iff at least 1 ms of audio remains
+    past the last full hop (no zero-length chunks); tracks shorter
+    than one chunk produce exactly one chunk."""
+    dur = F.col(duration_col).cast("bigint")
+    n_hops = F.greatest(
+        F.ceil((dur - F.lit(chunk_ms)) / F.lit(hop_ms)).cast("bigint"),
+        F.lit(0),
+    )
+    return (
+        media.select(
+            F.col(id_col),
+            dur.alias("_dur"),
+            F.explode(
+                F.sequence(F.lit(0).cast("bigint"), n_hops)
+            ).alias("chunk_idx"),
+        )
+        .select(
+            id_col,
+            "chunk_idx",
+            (F.col("chunk_idx") * F.lit(hop_ms)).alias("start_ms"),
+            F.least(
+                F.col("chunk_idx") * F.lit(hop_ms) + F.lit(chunk_ms),
+                F.col("_dur"),
+            ).alias("end_ms"),
+        )
+        .where(F.col("end_ms") > F.col("start_ms"))
+    )
+
+
+def extract_audio_features(
+    media: DataFrame,
+    n_features: int = 8,
+    id_col: str = "media_id",
+    content_col: str = "content",
+    extractor: Callable | None = None,
+) -> DataFrame:
+    """Audio feature extraction as ``mapInPandas`` (MFCC-shaped stub):
+    with ``extractor=None`` the deterministic fake splits the payload
+    into ``n_features`` byte stripes and polynomial-hashes each into
+    [0, 1) — the Spark-side plumbing (Arrow batches, array<double>
+    schema, partition-local execution) is real; a deployment injects
+    ``extractor(bytes) -> list[float]`` (e.g. librosa MFCC means) and
+    nothing else changes."""
+
+    def _features(b):
+        if b is None:
+            return None
+        if extractor is not None:
+            return [float(x) for x in extractor(bytes(b))]
+        bb = bytes(b)
+        stripe = max(1, len(bb) // n_features)
+        out = []
+        for i in range(n_features):
+            seg = bb[i * stripe : (i + 1) * stripe]
+            out.append(_poly_bytes(seg) / _MOD)
+        return out
+
+    def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf[id_col],
+                    "features": pdf[content_col].map(_features),
+                }
+            )
+
+    return media.mapInPandas(_run, "media_id bigint, features array<double>")
+
+
 def text_as_media(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Adapter for tests: treat UTF-8 text bytes as opaque media
     content (the container has no real image/audio fixtures)."""

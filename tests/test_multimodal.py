@@ -79,3 +79,54 @@ def test_resize_media_plumbing(spark):
     # composes with feature extraction, still two mapInPandas stages
     feats = extract_features(resize_media(media, 2, 3))
     assert feats.count() == 3
+
+
+def test_audio_chunk_plan_overlap_and_tail(spark):
+    from padua_spark.extensions.multimodal import audio_chunk_plan
+
+    media = spark.createDataFrame(
+        [(1, 75_000), (2, 20_000), (3, 60_000), (4, 0)],
+        ["media_id", "duration_ms"],
+    )
+    out = audio_chunk_plan(media, chunk_ms=30_000, hop_ms=15_000).collect()
+    per = {}
+    for r in out:
+        per.setdefault(r["media_id"], []).append(
+            (r["chunk_idx"], r["start_ms"], r["end_ms"])
+        )
+    # 75s: full chunks at 0,15,30,45 then the 60-75 tail
+    assert sorted(per[1]) == [
+        (0, 0, 30_000), (1, 15_000, 45_000), (2, 30_000, 60_000),
+        (3, 45_000, 75_000),
+    ]
+    # shorter than one chunk: exactly one truncated chunk
+    assert sorted(per[2]) == [(0, 0, 20_000)]
+    # exact multiple: no empty tail chunk
+    assert sorted(per[3]) == [
+        (0, 0, 30_000), (1, 15_000, 45_000), (2, 30_000, 60_000),
+    ]
+    # zero duration: no chunks
+    assert 4 not in per
+    # coverage invariant: consecutive chunks overlap by chunk-hop
+    for chunks in per.values():
+        for (_, s1, e1), (_, s2, _) in zip(chunks, chunks[1:]):
+            assert s2 == s1 + 15_000 and s2 < e1
+
+
+def test_extract_audio_features_deterministic(spark):
+    from padua_spark.extensions.multimodal import (
+        extract_audio_features,
+        text_as_media,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "some audio-ish payload text"), (2, "x")],
+        ["doc_id", "text"],
+    )
+    media = text_as_media(docs, "doc_id", "text")
+    a = extract_audio_features(media, n_features=4).orderBy("media_id")
+    b = extract_audio_features(media, n_features=4).orderBy("media_id")
+    ra, rb = a.collect(), b.collect()
+    assert ra == rb
+    assert all(len(r["features"]) == 4 for r in ra)
+    assert all(0.0 <= x < 1.0 for r in ra for x in r["features"])
