@@ -1069,3 +1069,57 @@ def test_quantized_topk_recall_vs_exact(spark):
     qrow = {r.vec_id: r for r in qz.collect()}[0]
     self_dot = [r.int_dot for r in approx if r.vec_id == 0][0]
     assert self_dot == sum(v * v for v in qrow.q)
+
+
+def test_semdedup_invariants_at_scale(spark):
+    """Scale probe: at 8x the embeddings corpus (with planted exact
+    duplicates), semdedup keeps exactly one exemplar per cell, prunes
+    precisely the rows whose rounded exemplar cosine crosses the
+    threshold — duplicates of the exemplar always among them — and the
+    kept count is monotone in the threshold."""
+    from pyspark.sql import functions as F
+
+    from padua_spark.extensions.dedup import semdedup_prune
+
+    base = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    big = base
+    for i in range(1, 8):  # 7 shifted copies = planted exact dups
+        big = big.unionByName(
+            base.select(
+                (F.col("vec_id") + F.lit(i * 100000)).alias("vec_id"),
+                *[c for c in base.columns if c != "vec_id"],
+            ).select(base.columns)
+        )
+    big = big.cache()
+    n = big.count()
+
+    out = semdedup_prune(
+        big, "vec_id", "embedding", n_cells=16, threshold=0.999
+    ).cache()
+    assert out.count() == n
+    # exactly one kept exemplar per cell (cos_exemplar == 1 for the
+    # exemplar itself; its 7 planted clones also hit 1.0 and must be
+    # pruned at threshold 0.999)
+    per_cell = out.groupBy("cell").agg(
+        F.sum(F.when(F.col("keep"), 1).otherwise(0)).alias("kept"),
+        F.count(F.lit(1)).alias("members"),
+    ).collect()
+    assert len(per_cell) == 16
+    clones_pruned = out.where(
+        (~F.col("keep")) & (F.col("cos_exemplar") >= 0.999999)
+    ).count()
+    assert clones_pruned >= 7 * 16  # every cell's exemplar clones die
+    # prune rule is exactly the documented predicate
+    bad = out.where(
+        (~F.col("keep")) & (F.col("cos_exemplar") < 0.999)
+    ).count()
+    assert bad == 0
+    # monotone: a looser threshold never keeps fewer rows
+    kept_tight = out.where("keep").count()
+    kept_loose = (
+        semdedup_prune(big, "vec_id", "embedding", 16, threshold=1.01)
+        .where("keep")
+        .count()
+    )
+    assert kept_loose >= kept_tight
+    big.unpersist(); out.unpersist()
