@@ -4137,6 +4137,64 @@ def q_semdedup(spark, sf):
     )
 
 
+@_q(
+    "priority_customers",
+    """
+SELECT c_mktsegment, count(*) AS n_customers,
+       sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS balance_cents
+FROM customer c
+WHERE EXISTS (
+  SELECT 1 FROM orders o
+  WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT'
+)
+GROUP BY c_mktsegment
+""",
+)
+def q_priority_customers(spark, sf):
+    """EXISTS as a left_semi join: the orders side is filtered (pushed
+    predicate) and deduplicated implicitly by the semi join — matched
+    customers emit once regardless of how many urgent orders they
+    have, and order payload columns never materialize."""
+    c = _t(spark, sf, "customer")
+    urgent = (
+        _t(spark, sf, "orders")
+        .where(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+    )
+    return (
+        c.join(urgent, F.col("c_custkey") == F.col("o_custkey"), "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum(_cents(F.col("c_acctbal"))).alias("balance_cents"),
+        )
+    )
+
+
+@_q(
+    "grouping_sets_mix",
+    """
+SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+       sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS spend_cents
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+""",
+)
+def q_grouping_sets_mix(spark, sf):
+    """Arbitrary GROUPING SETS (not a cube/rollup prefix): per-status,
+    per-priority, and grand-total rows from ONE pass over orders — the
+    Expand node replicates rows per set inside the same aggregate."""
+    o = _t(spark, sf, "orders")
+    return o.groupingSets(
+        [["o_orderstatus"], ["o_orderpriority"], []],
+        "o_orderstatus",
+        "o_orderpriority",
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(_cents(F.col("o_totalprice"))).alias("spend_cents"),
+    )
+
+
 # --- ext: semi-structured JSON property extraction -------------------------
 
 
