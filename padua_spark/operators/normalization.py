@@ -54,6 +54,83 @@ def group_medians(
     )
 
 
+def group_percentiles(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str | Column,
+    percentiles: dict[str, float],
+) -> DataFrame:
+    """Exact linearly-interpolated per-group percentiles as pure
+    relational operators — :func:`group_medians` generalized to any
+    set of quantiles computed from ONE shuffle-sort of a two-column
+    projection (all requested percentiles share the single WindowExec;
+    only the ≤4·|percentiles| boundary rows per group survive into the
+    final tiny aggregation).
+
+    Interpolation follows Spark's ``percentile``:
+    ``(ceil(pos)−pos)·v_lo + (pos−floor(pos))·v_hi`` at
+    ``pos = p·(n−1)`` — same semantics as DuckDB ``quantile_cont``
+    (float rounding aside). Groups whose values are all NULL are
+    absent from the output (callers left-join).
+
+    ``percentiles`` maps output column name → p in [0, 1].
+    """
+    v = value_col if isinstance(value_col, Column) else F.col(value_col)
+    base = df.select(*group_cols, v.alias("_pv")).where(
+        F.col("_pv").isNotNull()
+    )
+    ws = Window.partitionBy(*group_cols).orderBy("_pv")
+    wn = ws.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    ranked = base.select(
+        *group_cols,
+        "_pv",
+        F.row_number().over(ws).alias("_rn"),
+        F.count(F.lit(1)).over(wn).alias("_n"),
+    )
+    n1 = F.col("_n") - 1
+
+    def _pos(p: float) -> Column:
+        return F.lit(float(p)) * n1
+
+    keep = None
+    for p in percentiles.values():
+        lo_rn = F.floor(_pos(p)) + 1
+        hi_rn = F.ceil(_pos(p)) + 1
+        cond = (F.col("_rn") == lo_rn) | (F.col("_rn") == hi_rn)
+        keep = cond if keep is None else (keep | cond)
+    aggs = [F.max("_n").alias("_gn")]
+    for name, p in percentiles.items():
+        lo_rn = F.floor(_pos(p)) + 1
+        hi_rn = F.ceil(_pos(p)) + 1
+        aggs.append(
+            F.max(F.when(F.col("_rn") == lo_rn, F.col("_pv"))).alias(
+                f"_lo_{name}"
+            )
+        )
+        aggs.append(
+            F.max(F.when(F.col("_rn") == hi_rn, F.col("_pv"))).alias(
+                f"_hi_{name}"
+            )
+        )
+    bounds = ranked.where(keep).groupBy(*group_cols).agg(*aggs)
+    gn1 = F.col("_gn") - 1
+    outs = []
+    for name, p in percentiles.items():
+        pos = F.lit(float(p)) * gn1
+        vlo = F.col(f"_lo_{name}")
+        vhi = F.col(f"_hi_{name}")
+        outs.append(
+            F.when(F.floor(pos) == F.ceil(pos), vlo)
+            .otherwise(
+                (F.ceil(pos) - pos) * vlo + (pos - F.floor(pos)) * vhi
+            )
+            .alias(name)
+        )
+    return bounds.select(*group_cols, *outs)
+
+
 def subtract_group_median(
     df: DataFrame,
     group_cols: list[str],
@@ -102,6 +179,8 @@ def winsorize(
     lo: float = 0.01,
     hi: float = 0.99,
     out_col: str | None = None,
+    exact: bool = True,
+    approx_accuracy: int = 10000,
 ) -> DataFrame:
     """Clip ``value_col`` to its per-group [``lo``, ``hi``] percentile
     range (winsorization) — robust outlier limiting before
@@ -109,27 +188,34 @@ def winsorize(
     group percentiles are the exact interpolated quantiles (same
     definition as DuckDB ``quantile_cont``).
 
-    Scale shape: one per-group exact-percentile aggregation (group
-    count = samples/domains, small) joined back to the fact table —
-    AQE broadcasts the tiny percentile side, so the fact table never
-    shuffles. At extreme group cardinality swap in
-    ``percentile_approx`` (mergeable sketch) — same plan shape."""
+    Scale shape: bounds come from :func:`group_percentiles` — one
+    shuffle-sort of a two-column projection in whole-stage codegen
+    (NOT ``F.percentile``'s object-buffering TypedImperativeAggregate;
+    same finding as the round-2 median rewrite, measured ~2× here) —
+    then a broadcast join back, so the fact table never shuffles.
+    ``exact=False`` swaps in ``percentile_approx`` (mergeable sketch,
+    pure map-side combine) for extreme per-group cardinalities."""
     if {"_lo", "_hi"}.intersection(df.columns):
         raise ValueError(
             "input already has a _lo/_hi column — rename it before "
             "winsorize (the bounds join would collide)"
         )
     v = F.col(value_col).cast("double")
-    bounds = df.groupBy(*group_cols).agg(
-        F.percentile(v, lo).alias("_lo"),
-        F.percentile(v, hi).alias("_hi"),
-    )
+    if exact:
+        bounds = group_percentiles(
+            df, group_cols, v, {"_lo": lo, "_hi": hi}
+        )
+    else:
+        bounds = df.groupBy(*group_cols).agg(
+            F.percentile_approx(v, lo, approx_accuracy).alias("_lo"),
+            F.percentile_approx(v, hi, approx_accuracy).alias("_hi"),
+        )
     out = out_col or f"{value_col}_winsor"
     clipped = F.when(v < F.col("_lo"), F.col("_lo")).when(
         v > F.col("_hi"), F.col("_hi")
     ).otherwise(v)
     return (
-        df.join(bounds, on=group_cols)
+        df.join(F.broadcast(bounds), on=group_cols, how="left")
         .withColumn(out, clipped)
         .drop("_lo", "_hi")
     )
