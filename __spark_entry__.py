@@ -3966,16 +3966,27 @@ FROM orders GROUP BY o_orderpriority
 """,
 )
 def q_order_percentiles(spark, sf):
-    """Exact linearly-interpolated quantiles per group (padua's median
-    normalization generalized — SURVEY §2.5 A1). At 100 TB swap
-    ``percentile`` for ``percentile_approx`` (t-digest sketch,
-    partial-aggregable) — same plan shape, bounded memory."""
+    """Exact linearly-interpolated quantiles per group via the
+    relational sort path (normalization.group_percentiles — whole-stage
+    codegen, not F.percentile's object-buffering aggregate; SURVEY
+    §2.5 A1 generalized). At 100 TB swap exact for
+    ``percentile_approx`` (mergeable sketch) — same plan shape."""
     o = _t(spark, sf, "orders")
-    return o.groupBy("o_orderpriority").agg(
-        _r(F.percentile("o_totalprice", F.lit(0.25)), 4).alias("p25"),
-        _r(F.percentile("o_totalprice", F.lit(0.50)), 4).alias("p50"),
-        _r(F.percentile("o_totalprice", F.lit(0.75)), 4).alias("p75"),
-        F.count(F.lit(1)).alias("n"),
+    pct = norm.group_percentiles(
+        o,
+        ["o_orderpriority"],
+        "o_totalprice",
+        {"_p25": 0.25, "_p50": 0.50, "_p75": 0.75},
+    )
+    counts = o.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return pct.join(counts, on="o_orderpriority").select(
+        "o_orderpriority",
+        _r(F.col("_p25"), 4).alias("p25"),
+        _r(F.col("_p50"), 4).alias("p50"),
+        _r(F.col("_p75"), 4).alias("p75"),
+        "n",
     )
 
 

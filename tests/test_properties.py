@@ -546,3 +546,44 @@ def test_kmv_partials_memory_bound(spark):
     assert len(part) <= 8 * 2
     assert all(len(r.kmin) <= 32 for r in part)
     assert all(r.kmin == sorted(r.kmin) for r in part)
+
+
+@SPARK_SETTINGS
+@given(
+    vals=hst.lists(
+        hst.tuples(
+            hst.sampled_from(["g1", "g2"]),
+            hst.one_of(
+                hst.none(),
+                hst.floats(
+                    min_value=-1e6,
+                    max_value=1e6,
+                    allow_nan=False,
+                    allow_infinity=False,
+                ),
+            ),
+        ),
+        min_size=1,
+        max_size=60,
+    ),
+    p=hst.sampled_from([0.0, 0.01, 0.25, 0.5, 0.75, 0.99, 1.0]),
+)
+def test_group_percentiles_match_numpy(spark, vals, p):
+    """Relational exact interpolated percentile == numpy
+    (linear-interpolation definition) per group, at the boundaries
+    too; all-NULL groups absent."""
+    from padua_spark.operators.normalization import group_percentiles
+
+    df = spark.createDataFrame(vals, "g string, v double")
+    got = {
+        r["g"]: r["q"]
+        for r in group_percentiles(df, ["g"], "v", {"q": p}).collect()
+    }
+    expect = {}
+    for g in {g for g, _ in vals}:
+        xs = [v for gg, v in vals if gg == g and v is not None]
+        if xs:
+            expect[g] = float(np.percentile(xs, p * 100))
+    assert set(got) == set(expect)
+    for g in expect:
+        assert got[g] == pytest.approx(expect[g], rel=1e-9, abs=1e-9)
