@@ -288,3 +288,25 @@ def test_semdedup_corpus_never_reshuffled_by_vector(spark):
     assert "CartesianProduct" not in plan
     # exemplar table is broadcast back to members
     assert has_broadcast_join(df)
+
+
+def test_no_cartesian_products_anywhere(spark):
+    """Plan lint over EVERY queries() entry: no CartesianProduct may
+    appear in any physical plan, and BroadcastNestedLoopJoin only where
+    a deliberate 1-row/tiny broadcast side exists (query vectors,
+    corpus-size scalars, reference times, centroid arrays)."""
+    import __spark_entry__ as em
+
+    BNLJ_OK = {
+        "knn_join", "range_join", "ivf_topk", "tfidf_top_terms",
+        "bigram_lm_score", "kmv_overlap", "quantized_topk",
+        "decayed_score", "semdedup", "ann_cosine_topk", "ann_lsh_topk",
+    }
+    bad = {}
+    for name, fn in em.queries().items():
+        plan = explain_str(fn(spark, SF_ORACLE), "simple")
+        if "CartesianProduct" in plan:
+            bad[name] = "CartesianProduct"
+        elif "BroadcastNestedLoopJoin" in plan and name not in BNLJ_OK:
+            bad[name] = "unexpected BroadcastNestedLoopJoin"
+    assert not bad, bad
