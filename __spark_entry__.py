@@ -4206,6 +4206,55 @@ def q_grouping_sets_mix(spark, sf):
     )
 
 
+@_q(
+    "upsert_segments",
+    """
+WITH upd AS (
+  SELECT c_custkey, c_name, c_nationkey, c_acctbal,
+         'ACTIVE' AS c_mktsegment
+  FROM customer c
+  WHERE EXISTS (
+    SELECT 1 FROM orders o
+    WHERE o.o_custkey = c.c_custkey
+      AND o.o_orderdate >= TIMESTAMP '2000-01-01'
+  )
+),
+merged AS (
+  SELECT * FROM upd
+  UNION ALL
+  SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+  FROM customer c
+  WHERE NOT EXISTS (SELECT 1 FROM upd WHERE upd.c_custkey = c.c_custkey)
+)
+SELECT c_mktsegment, count(*) AS n,
+       sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS balance_cents
+FROM merged GROUP BY c_mktsegment
+""",
+)
+def q_upsert_segments(spark, sf):
+    """SCD-1 MERGE semantics (setops.upsert): customers active since
+    2000 get their segment overwritten; everyone else survives
+    unchanged. One left_anti on the key + union — matched target rows
+    never materialize."""
+    from padua_spark.operators.setops import upsert
+
+    c = _t(spark, sf, "customer")
+    active = (
+        _t(spark, sf, "orders")
+        .where(F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp"))
+        .select("o_custkey")
+    )
+    upd = (
+        c.join(active, F.col("c_custkey") == F.col("o_custkey"), "left_semi")
+        .withColumn("c_mktsegment", F.lit("ACTIVE"))
+    )
+    merged = upsert(c, upd, ["c_custkey"])
+    return merged.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(_cents(F.col("c_acctbal"))).alias("balance_cents"),
+    )
+
+
 # --- ext: semi-structured JSON property extraction -------------------------
 
 

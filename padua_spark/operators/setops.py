@@ -41,3 +41,37 @@ def union_all(dfs: list[DataFrame]) -> DataFrame:
     for d in dfs[1:]:
         out = out.unionByName(d, allowMissingColumns=True)
     return out
+
+
+def upsert(
+    target: DataFrame,
+    updates: DataFrame,
+    key_cols: list[str],
+) -> DataFrame:
+    """SCD-type-1 MERGE without a table format: rows from ``updates``
+    win on the key; ``target`` rows with no matching update survive
+    unchanged. Schemas must align on column names (output columns
+    follow ``target``'s order).
+
+    Plan shape: one left_anti join on the key (matched target rows are
+    never materialized) + a union — the relational core of
+    ``MERGE INTO … WHEN MATCHED UPDATE WHEN NOT MATCHED INSERT`` for
+    full-snapshot dims. On a real lake deployment the same updates
+    frame feeds Delta/Iceberg ``MERGE`` for file-level pruning; the
+    semantics here are identical and engine-checkable.
+
+    Updates carrying duplicate keys are NOT collapsed (both rows land
+    in the output, exactly as a MERGE with duplicate source keys would
+    error or multiply) — dedupe upstream if the source can repeat.
+
+    No broadcast hint: incremental update batches are usually small
+    (AQE broadcasts them at runtime), but a full-refresh updates side
+    can be as large as the target — a forced broadcast would be wrong
+    there.
+    """
+    survivors = target.join(
+        updates.select(*key_cols).distinct(),
+        on=key_cols,
+        how="left_anti",
+    )
+    return updates.select(*target.columns).unionByName(survivors)

@@ -1123,3 +1123,28 @@ def test_semdedup_invariants_at_scale(spark):
     )
     assert kept_loose >= kept_tight
     big.unpersist(); out.unpersist()
+
+
+def test_upsert_merge_semantics(spark):
+    from padua_spark.operators.setops import upsert
+
+    target = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)],
+        "k int, name string, v double",
+    )
+    updates = spark.createDataFrame(
+        [(2, "B2", 99.0), (4, "d", 40.0)],  # one matched, one new
+        "k int, name string, v double",
+    )
+    got = {r["k"]: (r["name"], r["v"])
+           for r in upsert(target, updates, ["k"]).collect()}
+    assert got == {
+        1: ("a", 10.0),    # untouched survivor
+        2: ("B2", 99.0),   # update wins
+        3: ("c", 30.0),    # untouched survivor
+        4: ("d", 40.0),    # insert (not-matched source row)
+    }
+    # empty updates: identity
+    empty = updates.limit(0)
+    assert sorted(r["k"] for r in upsert(target, empty, ["k"]).collect()) \
+        == [1, 2, 3]
