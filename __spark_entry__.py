@@ -4207,6 +4207,86 @@ def q_grouping_sets_mix(spark, sf):
 
 
 @_q(
+    "pricing_summary",
+    """
+SELECT l_returnflag, l_linestatus,
+  sum(CAST(round(l_quantity * 100) AS BIGINT)) AS sum_qty_c,
+  sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sum_base_c,
+  sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
+    AS sum_disc_c,
+  sum(CAST(round(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 100)
+           AS BIGINT)) AS sum_charge_c,
+  round(CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS DOUBLE)
+        / count(*) / 100, 6) AS avg_qty,
+  round(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE)
+        / count(*) / 100, 6) AS avg_price,
+  count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2001-06-01'
+GROUP BY l_returnflag, l_linestatus
+""",
+)
+def q_pricing_summary(spark, sf):
+    """TPC-H Q1 shape: the pricing summary — one scan with the shipdate
+    predicate pushed, one partial+final aggregation; averages derived
+    from exact integer cent sums so the value hash is order-proof."""
+    li = _t(spark, sf, "lineitem").where(
+        F.col("l_shipdate") <= F.lit("2001-06-01").cast("timestamp")
+    )
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc * (1 + F.col("l_tax"))
+    n = F.count(F.lit(1))
+    sum_qty = F.sum(_cents(F.col("l_quantity")))
+    sum_base = F.sum(_cents(F.col("l_extendedprice")))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        sum_qty.alias("sum_qty_c"),
+        sum_base.alias("sum_base_c"),
+        F.sum(_cents(disc)).alias("sum_disc_c"),
+        F.sum(_cents(charge)).alias("sum_charge_c"),
+        F.round(sum_qty.cast("double") / n / F.lit(100), 6).alias(
+            "avg_qty"
+        ),
+        F.round(sum_base.cast("double") / n / F.lit(100), 6).alias(
+            "avg_price"
+        ),
+        n.alias("count_order"),
+    )
+
+
+@_q(
+    "revenue_delta",
+    """
+SELECT sum(CAST(round(l_extendedprice * l_discount * 100) AS BIGINT))
+         AS revenue_c,
+       count(*) AS n
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+""",
+)
+def q_revenue_delta(spark, sf):
+    """TPC-H Q6 shape: highly selective conjunctive range predicates —
+    every one must reach the parquet scan (min/max row-group pruning at
+    scale) — and a single global aggregate."""
+    li = _t(spark, sf, "lineitem")
+    sel = li.where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return sel.agg(
+        F.sum(
+            _cents(F.col("l_extendedprice") * F.col("l_discount"))
+        ).alias("revenue_c"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@_q(
     "upsert_segments",
     """
 WITH upd AS (

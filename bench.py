@@ -80,6 +80,10 @@ HEADLINE = [
     "sliding_window_agg",
     "semdedup",
     "json_props_agg",
+    "pricing_summary",
+    "revenue_delta",
+    "grouping_sets_mix",
+    "upsert_segments",
 ]
 
 
