@@ -4207,6 +4207,44 @@ def q_grouping_sets_mix(spark, sf):
 
 
 @_q(
+    "salted_event_stats",
+    """
+WITH e AS (
+  SELECT event_type,
+         CAST(round(value * 1000000) AS BIGINT) AS v_micro
+  FROM events
+)
+SELECT event_type, count(v_micro) AS n, sum(v_micro) AS total,
+       round(CAST(sum(v_micro) AS DOUBLE) / count(v_micro), 6) AS mean
+FROM e GROUP BY event_type
+""",
+)
+def q_salted_event_stats(spark, sf):
+    """Skew-proof two-phase aggregation (operators/skew.py): phase 1
+    groups on (key, salt) so a hot event_type splits across n_salts
+    reducers, phase 2 merges tiny partials. The value is projected to
+    exact integer micro-units first, so the split-then-merge sum is
+    bit-identical to the oracle's single-phase sum under ANY salt
+    assignment. Results are salt-invariant — the oracle is the plain
+    GROUP BY."""
+    from padua_spark.operators.skew import salted_sum_count
+
+    e = _t(spark, sf, "events").select(
+        "event_type",
+        F.round(F.col("value") * F.lit(1000000))
+        .cast("bigint")
+        .alias("v_micro"),
+    )
+    out = salted_sum_count(e, ["event_type"], "v_micro", n_salts=16)
+    return out.select(
+        "event_type",
+        "n",
+        "total",
+        _r(F.col("total").cast("double") / F.col("n")).alias("mean"),
+    )
+
+
+@_q(
     "pricing_summary",
     """
 SELECT l_returnflag, l_linestatus,
