@@ -4207,6 +4207,98 @@ def q_grouping_sets_mix(spark, sf):
 
 
 @_q(
+    "time_to_conversion",
+    """
+WITH f AS (
+  SELECT user_id,
+    min(epoch_us(ts)) FILTER (event_type = 'signup') AS s,
+    min(epoch_us(ts)) FILTER (event_type = 'purchase') AS p
+  FROM events GROUP BY user_id
+),
+g AS (
+  SELECT p - s AS gap_us FROM f
+  WHERE s IS NOT NULL AND p IS NOT NULL AND p >= s
+)
+SELECT count(*) AS n_converted,
+  round(CAST(sum(gap_us) AS DOUBLE) / count(*) / 1e6, 6) AS avg_gap_s,
+  round(quantile_cont(CAST(gap_us AS DOUBLE), 0.5) / 1e6, 6)
+    AS p50_gap_s
+FROM g
+""",
+)
+def q_time_to_conversion(spark, sf):
+    """Signup→purchase conversion lag: first-touch timestamps via
+    conditional min (ONE groupBy over users, no self-join), exact
+    integer µs gaps, relational median. The padua-shaped analogue is
+    timepoint deltas over the design axis."""
+    e = _t(spark, sf, "events").select(
+        "user_id", "event_type", _events_ts_us(spark, sf).alias("tsu")
+    )
+    f = e.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", F.col("tsu"))).alias(
+            "s"
+        ),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("tsu"))
+        ).alias("p"),
+    )
+    g = f.where(
+        F.col("s").isNotNull()
+        & F.col("p").isNotNull()
+        & (F.col("p") >= F.col("s"))
+    ).select((F.col("p") - F.col("s")).alias("gap_us"))
+    med = norm.group_percentiles(
+        g, [], F.col("gap_us").cast("double"), {"_p50": 0.5}
+    )
+    agg = g.agg(
+        F.count(F.lit(1)).alias("n_converted"),
+        F.round(
+            F.sum("gap_us").cast("double") / F.count(F.lit(1)) / F.lit(1e6),
+            6,
+        ).alias("avg_gap_s"),
+    )
+    return agg.join(F.broadcast(med)).select(
+        "n_converted",
+        "avg_gap_s",
+        _r(F.col("_p50") / F.lit(1e6)).alias("p50_gap_s"),
+    )
+
+
+@_q(
+    "event_transitions",
+    """
+WITH s AS (
+  SELECT user_id, event_type,
+    lag(event_type) OVER (PARTITION BY user_id
+                          ORDER BY epoch_us(ts), event_id) AS prev_type
+  FROM events
+)
+SELECT prev_type, event_type AS next_type, count(*) AS n
+FROM s WHERE prev_type IS NOT NULL
+GROUP BY prev_type, event_type
+""",
+)
+def q_event_transitions(spark, sf):
+    """First-order event-transition matrix (Markov bigram over the
+    per-user event stream): one shuffle on user_id, lag(), then a
+    partial-aggregating count per (prev, next) pair."""
+    from pyspark.sql import Window
+
+    e = _t(spark, sf, "events").select(
+        "user_id", "event_id", "event_type",
+        _events_ts_us(spark, sf).alias("tsu"),
+    )
+    w = Window.partitionBy("user_id").orderBy("tsu", "event_id")
+    s = e.select(
+        F.col("event_type").alias("next_type"),
+        F.lag("event_type").over(w).alias("prev_type"),
+    ).where(F.col("prev_type").isNotNull())
+    return s.groupBy("prev_type", "next_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+@_q(
     "salted_event_stats",
     """
 WITH e AS (
