@@ -165,3 +165,33 @@ def test_phosphopath_ratio_rows(spark):
     d = {r["ID"]: r["Ratio"] for r in out}
     assert d["1_1"] == pytest.approx(2.0)   # 6 / mean(2,4)
     assert d["1_2"] == pytest.approx(3.0)   # 3 / 1
+
+
+def test_write_r_roundtrip(spark, tmp_path):
+    """S6 write_r: @-joined row keys, CSV round-trips (documented
+    intent of the reference's broken io.write_r, io.py:188-203)."""
+    from padua_spark.sources.phosphopath import write_r
+
+    df = spark.createDataFrame(
+        [("P1", "S", 12, 1.5), ("P2", "T", 7, -0.25)],
+        "protein string, aa string, pos int, v double",
+    )
+    out = str(tmp_path / "rcsv")
+    write_r(df, out, key_cols=["protein", "aa", "pos"])
+    back = spark.read.option("header", True).csv(out)
+    rows = {r["row_key"]: r["v"] for r in back.collect()}
+    assert rows == {"P1@S@12": "1.5", "P2@T@7": "-0.25"}
+
+
+def test_distinct_level_values(spark):
+    """R5: distinct values of an index level (reference intent of the
+    broken process.get_unique_indices, process.py:168-175)."""
+    from padua_spark.operators.process import distinct_level_values
+
+    df = spark.createDataFrame(
+        [("a", 1), ("a", 2), ("b", 3)], "lvl string, v int"
+    )
+    got = sorted(
+        r["lvl"] for r in distinct_level_values(df, "lvl").collect()
+    )
+    assert got == ["a", "b"]
