@@ -4207,6 +4207,43 @@ def q_grouping_sets_mix(spark, sf):
 
 
 @_q(
+    "rolling_user_mean",
+    """
+SELECT user_id, event_id,
+  round(avg(value) OVER (PARTITION BY user_id
+                         ORDER BY epoch_us(ts), event_id
+                         ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 6)
+    AS rolling_mean,
+  count(*) OVER (PARTITION BY user_id
+                 ORDER BY epoch_us(ts), event_id
+                 ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS n_window
+FROM events
+""",
+)
+def q_rolling_user_mean(spark, sf):
+    """Frame-bounded rolling aggregate (last-4-events moving average
+    per user): one shuffle on the window key, both window functions
+    share the ordered spec so a single WindowExec computes them."""
+    from pyspark.sql import Window
+
+    e = _t(spark, sf, "events").select(
+        "user_id", "event_id", "value",
+        _events_ts_us(spark, sf).alias("tsu"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("tsu", "event_id")
+        .rowsBetween(-3, Window.currentRow)
+    )
+    return e.select(
+        "user_id",
+        "event_id",
+        _r(F.avg("value").over(w)).alias("rolling_mean"),
+        F.count(F.lit(1)).over(w).alias("n_window"),
+    )
+
+
+@_q(
     "time_to_conversion",
     """
 WITH f AS (
