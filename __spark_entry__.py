@@ -4207,6 +4207,36 @@ def q_grouping_sets_mix(spark, sf):
 
 
 @_q(
+    "order_value_rank_pct",
+    """
+SELECT o_orderkey, o_orderpriority,
+  round(percent_rank() OVER w, 6) AS pct_rank,
+  round(cume_dist() OVER w, 6) AS cume,
+  ntile(10) OVER w AS decile
+FROM orders
+WINDOW w AS (PARTITION BY o_orderpriority
+             ORDER BY o_totalprice, o_orderkey)
+""",
+)
+def q_order_value_rank_pct(spark, sf):
+    """Distribution-position windows (percent_rank / cume_dist /
+    ntile) in one shared ordered spec — integer-derived ratios, so the
+    values are bit-stable across engines."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        "o_totalprice", "o_orderkey"
+    )
+    return _t(spark, sf, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        _r(F.percent_rank().over(w)).alias("pct_rank"),
+        _r(F.cume_dist().over(w)).alias("cume"),
+        F.ntile(10).over(w).alias("decile"),
+    )
+
+
+@_q(
     "rolling_user_mean",
     """
 SELECT user_id, event_id,
