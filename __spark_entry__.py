@@ -4207,6 +4207,54 @@ def q_grouping_sets_mix(spark, sf):
 
 
 @_q(
+    "view_purchase_pairs",
+    """
+WITH v AS (
+  SELECT user_id, event_id AS view_id, epoch_us(ts) AS vt
+  FROM events WHERE event_type = 'view'
+),
+p AS (
+  SELECT user_id, event_id AS purchase_id, epoch_us(ts) AS pt
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT v.user_id, view_id, purchase_id, pt - vt AS gap_us
+FROM v JOIN p ON v.user_id = p.user_id
+             AND pt >= vt AND pt <= vt + 3600000000
+""",
+)
+def q_view_purchase_pairs(spark, sf):
+    """Interval join (streaming.interval_join, batch execution):
+    view→purchase pairs within 1 hour per user. The equi key drives
+    the shuffle, the time range is a post-join filter; the SAME plan
+    runs as a watermark-bounded stream-stream join (state purgeable
+    past the upper bound) — stream==batch asserted in
+    tests/test_streaming.py."""
+    from padua_spark.streaming import interval_join
+
+    e = _t(spark, sf, "events").select(
+        "user_id", "event_id", "event_type",
+        _events_event_time(spark, sf).alias("et"),
+    )
+    views = e.where(F.col("event_type") == "view").select(
+        "user_id", F.col("event_id").alias("view_id"),
+        F.col("et").alias("vt"),
+    )
+    purchases = e.where(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("purchase_id"),
+        F.col("et").alias("pt"),
+    )
+    out = interval_join(
+        views, purchases, ["user_id"],
+        F.col("vt"), F.col("pt"),
+        lower="0 seconds", upper="1 hour",
+    )
+    return out.select(
+        "user_id", "view_id", "purchase_id",
+        (F.unix_micros("_rt") - F.unix_micros("_lt")).alias("gap_us"),
+    )
+
+
+@_q(
     "order_value_rank_pct",
     """
 SELECT o_orderkey, o_orderpriority,

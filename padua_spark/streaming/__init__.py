@@ -13,6 +13,7 @@ design point (test batch, deploy streaming).
 
 from padua_spark.streaming.windows import (  # noqa: F401
     dedup_stream,
+    interval_join,
     read_event_stream,
     sessionize_batch,
     session_window_agg,

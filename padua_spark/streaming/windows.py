@@ -175,6 +175,64 @@ def sessionize_batch(
     )
 
 
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_cols: list[str],
+    left_time: Column,
+    right_time: Column,
+    lower: str = "0 seconds",
+    upper: str = "1 hour",
+    watermark: str | None = None,
+    how: str = "inner",
+) -> DataFrame:
+    """Stream-stream (or batch) interval join: rows pair when their
+    keys match AND ``right_time ∈ [left_time + lower, left_time +
+    upper]``.
+
+    This is THE canonical Structured Streaming join shape: with
+    watermarks on both sides and a bounded time range, each side's
+    join state is purgeable once the watermark passes ``upper`` — the
+    requirement for unbounded streams (an unconstrained stream-stream
+    join would keep every row forever). On batch frames the identical
+    plan runs as an ordinary range-predicated equi join (the equi keys
+    drive the shuffle; the time range is a post-join filter — never a
+    cross join).
+
+    ``left_time``/``right_time`` become ``_lt``/``_rt`` TIMESTAMP
+    columns in the output (callers may drop them); input column names
+    must not collide across sides apart from ``key_cols``.
+    """
+    l_staged = left.withColumn("_lt", left_time)
+    r_staged = right.withColumn("_rt", right_time)
+    if watermark:
+        if l_staged.isStreaming:
+            l_staged = l_staged.withWatermark("_lt", watermark)
+        if r_staged.isStreaming:
+            r_staged = r_staged.withWatermark("_rt", watermark)
+    cond = (
+        (F.col("_rt") >= F.col("_lt") + F.expr(f"INTERVAL {lower}"))
+        & (F.col("_rt") <= F.col("_lt") + F.expr(f"INTERVAL {upper}"))
+    )
+    for k in key_cols:
+        cond = (l_staged[k] == r_staged[k]) & cond
+    out = l_staged.join(r_staged, on=cond, how=how)
+    # de-duplicate the key columns (present on both sides)
+    keep = [l_staged[k].alias(k) for k in key_cols]
+    keep += [
+        l_staged[c]
+        for c in left.columns
+        if c not in key_cols
+    ]
+    keep += [
+        r_staged[c]
+        for c in right.columns
+        if c not in key_cols
+    ]
+    keep += [F.col("_lt"), F.col("_rt")]
+    return out.select(*keep)
+
+
 def dedup_stream(
     df: DataFrame,
     key_cols: list[str],

@@ -344,3 +344,54 @@ def test_kmv_stream_equals_batch_exactly(spark, tmp_path):
         ).withColumnRenamed("g", "g").collect()
     }
     assert got == batch
+
+
+def test_stream_equals_batch_interval_join(spark, events_dir):
+    """Stream-stream interval join (watermarked both sides, bounded
+    range, append mode) equals its batch execution."""
+    from padua_spark.streaming import interval_join
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    batch = spark.read.parquet(events_dir)
+    stream = read_event_stream(spark, events_dir, schema=batch.schema)
+
+    def sides(df):
+        e = df.select(
+            "user_id", "event_id", "event_type",
+            event_time_col(df).alias("et"),
+        )
+        views = e.where(F.col("event_type") == "view").select(
+            "user_id", F.col("event_id").alias("view_id"),
+            F.col("et").alias("vt"),
+        )
+        purchases = e.where(F.col("event_type") == "purchase").select(
+            "user_id", F.col("event_id").alias("purchase_id"),
+            F.col("et").alias("pt"),
+        )
+        return views, purchases
+
+    def build(df, watermark):
+        v, p = sides(df)
+        return interval_join(
+            v, p, ["user_id"], F.col("vt"), F.col("pt"),
+            lower="0 seconds", upper="30 minutes", watermark=watermark,
+        ).select("user_id", "view_id", "purchase_id")
+
+    q = (
+        build(stream, "2 hours")
+        .writeStream.format("memory")
+        .queryName("t_ivjoin")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(180)
+    got = {
+        (r["user_id"], r["view_id"], r["purchase_id"])
+        for r in spark.sql("SELECT * FROM t_ivjoin").collect()
+    }
+    exp = {
+        (r["user_id"], r["view_id"], r["purchase_id"])
+        for r in build(batch, None).collect()
+    }
+    assert got == exp and len(exp) > 0
