@@ -58,3 +58,46 @@ def write_bucketed(
     if sort_cols:
         writer = writer.sortBy(*sort_cols)
     writer.saveAsTable(table)
+
+
+def compact_parquet(
+    spark,
+    src_dir: str,
+    dst_dir: str,
+    target_mb: int = 512,
+) -> int:
+    """Small-files compaction: rewrite a parquet directory into files
+    of ~``target_mb`` each (the lake-maintenance OPTIMIZE step).
+
+    Ingest jobs — especially streaming foreachBatch sinks — accrete
+    many small files; at 100 TB that means scan tasks dominated by
+    open/footer overhead and NameNode/listing pressure. Sizing from the
+    actual on-disk byte count (not row counts) keeps the result stable
+    across schema/encoding changes. Uses round-robin ``repartition(n)``
+    — not ``coalesce`` — so output files are even-sized (coalesce
+    merges adjacent partitions and inherits their skew).
+
+    Returns the number of output files requested. Write-then-swap is
+    the caller's concern (write to a new directory, then atomically
+    repoint the table location / catalog entry) — this function never
+    overwrites ``src_dir`` in place.
+    """
+    if dst_dir == src_dir:
+        raise ValueError(
+            "compact_parquet writes to a NEW directory (write-then-"
+            "swap); in-place overwrite would destroy the source on "
+            "task failure"
+        )
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    path = jvm.org.apache.hadoop.fs.Path(src_dir)
+    fs = path.getFileSystem(conf)
+    total_bytes = fs.getContentSummary(path).getLength()
+    n = max(1, int(total_bytes // (target_mb * 1024 * 1024)) + 1)
+    (
+        spark.read.parquet(src_dir)
+        .repartition(n)
+        .write.mode("overwrite")
+        .parquet(dst_dir)
+    )
+    return n

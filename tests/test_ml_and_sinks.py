@@ -195,3 +195,27 @@ def test_distinct_level_values(spark):
         r["lvl"] for r in distinct_level_values(df, "lvl").collect()
     )
     assert got == ["a", "b"]
+
+
+def test_compact_parquet(spark, tmp_path):
+    """Compaction rewrites a many-small-files directory into few
+    even-sized files with identical data, and refuses in-place."""
+    import glob
+
+    import pytest as _pytest
+
+    from padua_spark.io_utils import compact_parquet
+
+    src = str(tmp_path / "frag")
+    dst = str(tmp_path / "compact")
+    spark.range(10_000).selectExpr(
+        "id", "id * 2 AS v"
+    ).repartition(64).write.parquet(src)
+    assert len(glob.glob(src + "/part-*.parquet")) == 64
+    n = compact_parquet(spark, src, dst, target_mb=512)
+    files = glob.glob(dst + "/part-*.parquet")
+    assert len(files) == n == 1  # tiny data -> one file
+    a = sorted(r["id"] for r in spark.read.parquet(dst).collect())
+    assert a == list(range(10_000))
+    with _pytest.raises(ValueError):
+        compact_parquet(spark, src, src)
