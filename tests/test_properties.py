@@ -587,3 +587,75 @@ def test_group_percentiles_match_numpy(spark, vals, p):
     assert set(got) == set(expect)
     for g in expect:
         assert got[g] == pytest.approx(expect[g], rel=1e-9, abs=1e-9)
+
+
+@SPARK_SETTINGS
+@given(
+    tgt=hst.lists(
+        hst.tuples(hst.integers(0, 6), hst.integers(0, 100)),
+        min_size=0, max_size=12, unique_by=lambda t: t[0],
+    ),
+    upd=hst.lists(
+        hst.tuples(hst.integers(0, 6), hst.integers(0, 100)),
+        min_size=0, max_size=12, unique_by=lambda t: t[0],
+    ),
+)
+def test_upsert_properties(spark, tgt, upd):
+    """MERGE invariants: output keys = union of keys; every update key
+    carries the update's value; every unmatched target key survives
+    unchanged; output has one row per key."""
+    from padua_spark.operators.setops import upsert
+
+    target = spark.createDataFrame(tgt, "k int, v int") if tgt else \
+        spark.createDataFrame([], "k int, v int")
+    updates = spark.createDataFrame(upd, "k int, v int") if upd else \
+        spark.createDataFrame([], "k int, v int")
+    got = {r["k"]: r["v"] for r in upsert(target, updates, ["k"]).collect()}
+    t, u = dict(tgt), dict(upd)
+    expect = {**t, **u}
+    assert got == expect
+
+
+@SPARK_SETTINGS
+@given(
+    left=hst.lists(
+        hst.tuples(hst.integers(0, 2), hst.integers(0, 50)),
+        min_size=0, max_size=10,
+    ),
+    right=hst.lists(
+        hst.tuples(hst.integers(0, 2), hst.integers(0, 50)),
+        min_size=0, max_size=10,
+    ),
+)
+def test_interval_join_matches_bruteforce(spark, left, right):
+    """Interval join == brute-force pair filter on (key match, rt in
+    [lt, lt+10s])."""
+    from pyspark.sql import functions as F
+
+    from padua_spark.streaming import interval_join
+
+    lf = spark.createDataFrame(
+        [(k, i, t) for i, (k, t) in enumerate(left)],
+        "k int, lid int, lsec int",
+    )
+    rf = spark.createDataFrame(
+        [(k, i, t) for i, (k, t) in enumerate(right)],
+        "k int, rid int, rsec int",
+    )
+    out = interval_join(
+        lf.select("k", "lid", F.timestamp_seconds("lsec").alias("lts")),
+        rf.select("k", "rid", F.timestamp_seconds("rsec").alias("rts")),
+        ["k"],
+        F.col("lts"),
+        F.col("rts"),
+        lower="0 seconds",
+        upper="10 seconds",
+    )
+    got = {(r["k"], r["lid"], r["rid"]) for r in out.collect()}
+    expect = {
+        (lk, li, ri)
+        for li, (lk, lt) in enumerate(left)
+        for ri, (rk, rt) in enumerate(right)
+        if lk == rk and lt <= rt <= lt + 10
+    }
+    assert got == expect
