@@ -84,6 +84,15 @@ HEADLINE = [
     "revenue_delta",
     "grouping_sets_mix",
     "upsert_segments",
+    "order_percentiles",
+    "priority_customers",
+    "dormant_customers",
+    "salted_event_stats",
+    "time_to_conversion",
+    "event_transitions",
+    "rolling_user_mean",
+    "order_value_rank_pct",
+    "view_purchase_pairs",
 ]
 
 
