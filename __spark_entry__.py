@@ -4207,6 +4207,103 @@ def q_grouping_sets_mix(spark, sf):
 
 
 @_q(
+    "referential_audit",
+    """
+SELECT 'lineitem->orders' AS relationship,
+       count(*) FILTER (o_orderkey IS NULL) AS n_orphans,
+       count(*) AS n_rows
+FROM lineitem LEFT JOIN orders ON l_orderkey = o_orderkey
+UNION ALL
+SELECT 'orders->customer',
+       count(*) FILTER (c_custkey IS NULL), count(*)
+FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+UNION ALL
+SELECT 'lineitem->part',
+       count(*) FILTER (p_partkey IS NULL), count(*)
+FROM lineitem LEFT JOIN part ON l_partkey = p_partkey
+UNION ALL
+SELECT 'supplier->nation',
+       count(*) FILTER (n_nationkey IS NULL), count(*)
+FROM supplier LEFT JOIN nation ON s_nationkey = n_nationkey
+""",
+)
+def q_referential_audit(spark, sf):
+    """Foreign-key integrity audit: orphan counts per relationship.
+    Each check is a left join + conditional count (dims broadcast);
+    at scale run per-relationship and union the tiny results — exactly
+    this plan."""
+    def check(fact, dim, fk, pk, name):
+        j = fact.join(
+            F.broadcast(dim.select(pk)),
+            F.col(fk) == F.col(pk),
+            "left",
+        )
+        return j.agg(
+            F.lit(name).alias("relationship"),
+            F.count(F.when(F.col(pk).isNull(), 1)).alias("n_orphans"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+
+    li = _t(spark, sf, "lineitem")
+    od = _t(spark, sf, "orders")
+    cu = _t(spark, sf, "customer")
+    pa = _t(spark, sf, "part")
+    su = _t(spark, sf, "supplier")
+    na = _t(spark, sf, "nation")
+    checks = [
+        check(li, od, "l_orderkey", "o_orderkey", "lineitem->orders"),
+        check(od, cu, "o_custkey", "c_custkey", "orders->customer"),
+        check(li, pa, "l_partkey", "p_partkey", "lineitem->part"),
+        check(su, na, "s_nationkey", "n_nationkey", "supplier->nation"),
+    ]
+    out = checks[0]
+    for c in checks[1:]:
+        out = out.unionByName(c)
+    return out
+
+
+@_q(
+    "null_profile",
+    """
+SELECT 'event_id' AS column_name, count(*) - count(event_id) AS n_null,
+       count(*) AS n_rows FROM events
+UNION ALL
+SELECT 'user_id', count(*) - count(user_id), count(*) FROM events
+UNION ALL
+SELECT 'event_type', count(*) - count(event_type), count(*) FROM events
+UNION ALL
+SELECT 'value', count(*) - count(value), count(*) FROM events
+UNION ALL
+SELECT 'props', count(*) - count(props), count(*) FROM events
+""",
+)
+def q_null_profile(spark, sf):
+    """Per-column missingness profile in ONE scan: every column's null
+    count comes from the same aggregate (not one scan per column — the
+    UNION in the oracle is DuckDB-side convenience only), then unpivots
+    the single row to (column, n_null)."""
+    e = _t(spark, sf, "events")
+    cols = ["event_id", "user_id", "event_type", "value", "props"]
+    one = e.agg(
+        F.count(F.lit(1)).alias("_rows"),
+        *[
+            (F.count(F.lit(1)) - F.count(c)).alias(f"_null_{c}")
+            for c in cols
+        ],
+    )
+    stacked = one.select(
+        F.expr(
+            "stack({}, {}) AS (column_name, n_null)".format(
+                len(cols),
+                ", ".join(f"'{c}', _null_{c}" for c in cols),
+            )
+        ),
+        F.col("_rows").alias("n_rows"),
+    )
+    return stacked
+
+
+@_q(
     "view_purchase_pairs",
     """
 WITH v AS (
