@@ -395,3 +395,70 @@ def test_stream_equals_batch_interval_join(spark, events_dir):
         for r in build(batch, None).collect()
     }
     assert got == exp and len(exp) > 0
+
+
+def test_incremental_agg_maintenance(spark, events_dir, tmp_path):
+    """Lakehouse pattern: a foreachBatch sink maintains a per-key
+    aggregate state table by merging each micro-batch's partial
+    aggregate with setops.upsert. After the stream drains, the state
+    table equals the one-shot batch aggregate EXACTLY (integer
+    micro-units, so partial-merge order can't drift)."""
+    from padua_spark.operators.setops import upsert
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    batch = spark.read.parquet(events_dir)
+    state_dir = str(tmp_path / "agg_state")
+
+    def agg(df):
+        return df.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.round(F.col("value") * 1_000_000).cast("bigint")
+            ).alias("total_micro"),
+        )
+
+    def merge_batch(bdf, batch_id):
+        part = agg(bdf)
+        s = bdf.sparkSession
+        try:
+            prev = s.read.parquet(state_dir)
+        except Exception:
+            prev = None
+        if prev is None:
+            merged = part
+        else:
+            # combine: sum overlapping keys, then upsert into state
+            merged = (
+                prev.unionByName(part)
+                .groupBy("event_type")
+                .agg(
+                    F.sum("n").alias("n"),
+                    F.sum("total_micro").alias("total_micro"),
+                )
+            )
+            merged = upsert(prev, merged, ["event_type"])
+        merged.write.mode("overwrite").parquet(state_dir + "_next")
+        # swap (test-local; a lake deployment repoints the catalog)
+        import shutil
+
+        shutil.rmtree(state_dir, ignore_errors=True)
+        shutil.move(state_dir + "_next", state_dir)
+
+    stream = read_event_stream(
+        spark, events_dir, schema=batch.schema, max_files_per_trigger=1
+    )
+    q = (
+        stream.writeStream.foreachBatch(merge_batch)
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(180)
+    got = {
+        r["event_type"]: (r["n"], r["total_micro"])
+        for r in spark.read.parquet(state_dir).collect()
+    }
+    exp = {
+        r["event_type"]: (r["n"], r["total_micro"])
+        for r in agg(batch).collect()
+    }
+    assert got == exp and len(got) > 0
