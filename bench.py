@@ -93,6 +93,8 @@ HEADLINE = [
     "rolling_user_mean",
     "order_value_rank_pct",
     "view_purchase_pairs",
+    "referential_audit",
+    "null_profile",
 ]
 
 
