@@ -130,3 +130,41 @@ def test_extract_audio_features_deterministic(spark):
     assert ra == rb
     assert all(len(r["features"]) == 4 for r in ra)
     assert all(0.0 <= x < 1.0 for r in ra for x in r["features"])
+
+
+def test_multimodal_pipeline_end_to_end(spark):
+    """Compose the full media pipeline lazily: text-as-media adapter →
+    resize (mapInPandas) → feature extraction (mapInPandas) with no
+    shuffle between stages, plus chunk/frame plans driving the same
+    ids. One pass, deterministic output."""
+    from padua_spark.extensions.multimodal import (
+        audio_chunk_plan,
+        extract_audio_features,
+        resize_media,
+        text_as_media,
+    )
+    from padua_spark.plans import count_exchanges
+
+    docs = spark.createDataFrame(
+        [(i, "payload " * (i + 1)) for i in range(6)],
+        "doc_id long, text string",
+    )
+    media = text_as_media(docs, "doc_id", "text")
+    resized = resize_media(media, target_w=4, target_h=4)
+    feats = extract_audio_features(resized, n_features=4)
+    # the composed pipeline is shuffle-free: adapter + two mapInPandas
+    assert count_exchanges(feats) == 0
+    rows = feats.orderBy("media_id").collect()
+    assert len(rows) == 6
+    assert all(len(r["features"]) == 4 for r in rows)
+    # resize truncated/padded every payload to 16 bytes, so feature
+    # vectors of equal-prefix payloads agree on the first stripes
+    again = feats.orderBy("media_id").collect()
+    assert rows == again
+    # chunk plan joins back to features by id without losing rows
+    chunks = audio_chunk_plan(
+        media.withColumn("duration_ms", F.length("content") * 100),
+        chunk_ms=400, hop_ms=200,
+    )
+    joined = chunks.join(feats, on="media_id")
+    assert joined.count() == chunks.count()
