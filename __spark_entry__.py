@@ -4207,6 +4207,46 @@ def q_grouping_sets_mix(spark, sf):
 
 
 @_q(
+    "source_token_divergence",
+    r"""
+WITH tok AS (
+  SELECT source AS grp,
+         unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
+  FROM documents
+),
+per AS (
+  SELECT grp, token, count(*) AS n_st FROM tok
+  WHERE token <> '' GROUP BY 1, 2
+),
+corpus AS (SELECT token, sum(n_st) AS n_t FROM per GROUP BY 1),
+top AS (SELECT token, n_t FROM corpus ORDER BY n_t DESC, token LIMIT 100),
+totals AS (SELECT grp, sum(n_st) AS n_s FROM per GROUP BY 1),
+grand AS (SELECT sum(n_st) AS n_total FROM per)
+SELECT grp AS source,
+  round(sum((CAST(n_st AS DOUBLE) / CAST(n_s AS DOUBLE))
+            * ln((CAST(n_st AS DOUBLE) / CAST(n_s AS DOUBLE))
+                 / (CAST(n_t AS DOUBLE) / CAST(n_total AS DOUBLE)))), 6)
+    AS kl_divergence,
+  max(n_s) AS n_tokens
+FROM per JOIN top USING (token) JOIN totals USING (grp)
+CROSS JOIN grand
+GROUP BY grp
+""",
+)
+def q_source_token_divergence(spark, sf):
+    """Domain-drift QA: KL(source ‖ corpus) over the corpus top-100
+    token distribution (extensions.text.source_token_divergence) —
+    flags the slice whose language deviates before training on it."""
+    from padua_spark.extensions.text import source_token_divergence
+
+    d = _t(spark, sf, "documents")
+    out = source_token_divergence(d, "source", "text", top_n=100)
+    return out.select(
+        "source", _r("kl_divergence").alias("kl_divergence"), "n_tokens"
+    )
+
+
+@_q(
     "referential_audit",
     """
 SELECT 'lineitem->orders' AS relationship,

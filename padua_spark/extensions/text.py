@@ -687,3 +687,61 @@ def token_frequencies_by_group(
         counts.withColumn("token_rank", F.row_number().over(w))
         .where(F.col("token_rank") <= F.lit(k))
     )
+
+
+def source_token_divergence(
+    df: DataFrame,
+    group_col: str,
+    text_col: str,
+    top_n: int = 100,
+    lowercase: bool = True,
+) -> DataFrame:
+    """Per-source KL divergence of token distributions against the
+    whole corpus — the domain-drift / source-QA metric that tells a
+    data pipeline which slice's language deviates (scanned PDFs,
+    boilerplate farms, wrong-language feeds) before training on it.
+
+    ``KL(source ‖ corpus) = Σ_t p_st · ln(p_st / q_t)`` restricted to
+    the corpus-wide ``top_n`` tokens (deterministic top-k, ties by
+    token text) — the restriction bounds the support identically in
+    any engine and keeps q_t well away from zero. Absent tokens
+    contribute 0 (the p·ln p limit).
+
+    Scale shape: ONE tokenize/explode pass feeds both the per-(source,
+    token) counts and (via re-aggregation of those partials, not a
+    second scan) the corpus token counts; the top-n vocabulary is a
+    tiny broadcast side. Output: ``(group, kl_divergence, n_tokens)``
+    with n_tokens = source token total over the full vocabulary.
+    """
+    t = F.col(text_col)
+    toks = tokens(F.lower(t) if lowercase else t)
+    per = (
+        df.select(F.col(group_col).alias("grp"), F.explode(toks).alias(
+            "token"
+        ))
+        .where(F.col("token") != "")
+        .groupBy("grp", "token")
+        .agg(F.count(F.lit(1)).alias("n_st"))
+        .persist()
+    )
+    corpus = per.groupBy("token").agg(F.sum("n_st").alias("n_t"))
+    top = corpus.orderBy(
+        F.col("n_t").desc(), F.col("token").asc()
+    ).limit(top_n)
+    totals = per.groupBy("grp").agg(F.sum("n_st").alias("n_s"))
+    grand = per.agg(F.sum("n_st").alias("n_total"))
+    joined = (
+        per.join(F.broadcast(top), on="token")
+        .join(F.broadcast(totals), on="grp")
+        .join(F.broadcast(grand))
+    )
+    p = F.col("n_st").cast("double") / F.col("n_s").cast("double")
+    q = F.col("n_t").cast("double") / F.col("n_total").cast("double")
+    contrib = p * F.log(p / q)
+    out = joined.groupBy("grp").agg(
+        F.sum(contrib).alias("kl_divergence"),
+        F.max("n_s").alias("n_tokens"),
+    )
+    return out.select(
+        F.col("grp").alias(group_col), "kl_divergence", "n_tokens"
+    )
