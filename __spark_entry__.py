@@ -4207,6 +4207,44 @@ def q_grouping_sets_mix(spark, sf):
 
 
 @_q(
+    "ks_test_stats",
+    """
+WITH per AS (
+  SELECT value AS v,
+    count(*) FILTER (event_type = 'click') AS ca,
+    count(*) FILTER (event_type = 'purchase') AS cb
+  FROM events
+  WHERE event_type IN ('click', 'purchase') AND value IS NOT NULL
+  GROUP BY value
+),
+stepped AS (
+  SELECT
+    sum(ca) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS fa,
+    sum(cb) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS fb,
+    sum(ca) OVER () AS na, sum(cb) OVER () AS nb
+  FROM per
+)
+SELECT round(max(abs(CAST(fa AS DOUBLE) / CAST(na AS DOUBLE)
+                     - CAST(fb AS DOUBLE) / CAST(nb AS DOUBLE))), 6)
+         AS d_stat,
+       max(na) AS n_a, max(nb) AS n_b
+FROM stepped
+""",
+)
+def q_ks_test(spark, sf):
+    """Two-sample Kolmogorov–Smirnov D between event-value
+    distributions (stats.ks_2samp_stat): exact integer ECDF steps, one
+    division per evaluation point, sup as a plain max."""
+    from padua_spark.operators.stats import ks_2samp_stat
+
+    e = _t(spark, sf, "events")
+    out = ks_2samp_stat(e, "event_type", "value", "click", "purchase")
+    return out.select(
+        _r("d_stat").alias("d_stat"), "n_a", "n_b"
+    )
+
+
+@_q(
     "source_token_divergence",
     r"""
 WITH tok AS (

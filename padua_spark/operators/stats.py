@@ -349,3 +349,58 @@ def linregress(
         .withColumn("intercept", F.col("_my") - slope * F.col("_mx"))
         .drop("_mx", "_my", "_cov", "_vx")
     )
+
+
+def ks_2samp_stat(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    group_a,
+    group_b,
+) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov D statistic, fully relational:
+    ``D = sup_x |F_a(x) − F_b(x)|`` evaluated at every distinct value
+    (the only points where the ECDFs jump). Counts stay integer until
+    one division per ECDF evaluation, so D is bit-reproducible in any
+    engine; ties across groups are handled exactly (both ECDFs step
+    BEFORE the comparison at each distinct value, scipy's convention).
+
+    Plan: per-(value) conditional counts → one global-order window
+    cumsum (the value domain after aggregation, usually far smaller
+    than the input) → max. Output 1 row: (d_stat, n_a, n_b).
+
+    No p-value: the asymptotic Kolmogorov CDF is an infinite series —
+    compute it driver-side from (d_stat, n_a, n_b) when needed.
+    """
+    from pyspark.sql import Window
+
+    v = F.col(value_col)
+    per = (
+        df.where(F.col(group_col).isin([group_a, group_b]) & v.isNotNull())
+        .groupBy(v.alias("_v"))
+        .agg(
+            F.count(F.when(F.col(group_col) == group_a, 1)).alias("_ca"),
+            F.count(F.when(F.col(group_col) == group_b, 1)).alias("_cb"),
+        )
+    )
+    w = Window.orderBy("_v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wtot = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    stepped = per.select(
+        F.sum("_ca").over(w).alias("_fa"),
+        F.sum("_cb").over(w).alias("_fb"),
+        F.sum("_ca").over(wtot).alias("_na"),
+        F.sum("_cb").over(wtot).alias("_nb"),
+    )
+    d = F.abs(
+        F.col("_fa").cast("double") / F.col("_na").cast("double")
+        - F.col("_fb").cast("double") / F.col("_nb").cast("double")
+    )
+    return stepped.agg(
+        F.max(d).alias("d_stat"),
+        F.max("_na").alias("n_a"),
+        F.max("_nb").alias("n_b"),
+    )
