@@ -4207,6 +4207,47 @@ def q_grouping_sets_mix(spark, sf):
 
 
 @_q(
+    "mannwhitney_u",
+    """
+WITH per AS (
+  SELECT value AS v,
+    count(*) FILTER (event_type = 'click') AS ca,
+    count(*) FILTER (event_type = 'purchase') AS cb
+  FROM events
+  WHERE event_type IN ('click', 'purchase') AND value IS NOT NULL
+  GROUP BY value
+),
+stepped AS (
+  SELECT ca, cb, ca + cb AS cnt,
+    sum(ca + cb) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+      - (ca + cb) AS before
+  FROM per
+),
+agg AS (
+  SELECT sum(ca * (2 * before + cnt + 1)) AS r2a,
+         sum(cb * (2 * before + cnt + 1)) AS r2b,
+         sum(ca) AS n_a, sum(cb) AS n_b
+  FROM stepped
+)
+SELECT r2a - n_a * (n_a + 1) AS u2_a,
+       r2b - n_b * (n_b + 1) AS u2_b,
+       n_a, n_b
+FROM agg
+""",
+)
+def q_mannwhitney_u(spark, sf):
+    """Mann–Whitney rank-sum U (stats.mannwhitney_u_stat): doubled
+    midranks keep every quantity integer — hash-exact nonparametric
+    test, no float ranks."""
+    from padua_spark.operators.stats import mannwhitney_u_stat
+
+    e = _t(spark, sf, "events")
+    return mannwhitney_u_stat(
+        e, "event_type", "value", "click", "purchase"
+    )
+
+
+@_q(
     "ks_test_stats",
     """
 WITH per AS (

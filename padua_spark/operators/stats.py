@@ -404,3 +404,59 @@ def ks_2samp_stat(
         F.max("_na").alias("n_a"),
         F.max("_nb").alias("n_b"),
     )
+
+
+def mannwhitney_u_stat(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    group_a,
+    group_b,
+) -> DataFrame:
+    """Mann–Whitney U (rank-sum) statistic with midrank tie handling,
+    in EXACT integer arithmetic: for each distinct value the doubled
+    midrank ``2·r̄ = 2·cum_before + cnt + 1`` is an integer, so the
+    doubled rank sum ``2R_a`` and doubled statistic
+    ``2U_a = 2R_a − n_a(n_a+1)`` are integers — hash-stable on any
+    engine, no float ranks anywhere.
+
+    Same plan shape as :func:`ks_2samp_stat`: conditional counts per
+    distinct value, one global-order window cumsum over the value
+    domain, then a scalar aggregate. Output 1 row:
+    ``(u2_a, u2_b, n_a, n_b)`` with ``u2_x = 2·U_x``
+    (``U_a + U_b = n_a·n_b`` ⟺ ``u2_a + u2_b = 2·n_a·n_b``).
+    """
+    from pyspark.sql import Window
+
+    v = F.col(value_col)
+    per = (
+        df.where(F.col(group_col).isin([group_a, group_b]) & v.isNotNull())
+        .groupBy(v.alias("_v"))
+        .agg(
+            F.count(F.when(F.col(group_col) == group_a, 1)).alias("_ca"),
+            F.count(F.when(F.col(group_col) == group_b, 1)).alias("_cb"),
+        )
+    )
+    w = Window.orderBy("_v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cnt = F.col("_ca") + F.col("_cb")
+    stepped = per.select(
+        "_ca",
+        "_cb",
+        cnt.alias("_cnt"),
+        (F.sum(cnt).over(w) - cnt).alias("_before"),
+    )
+    two_rbar = 2 * F.col("_before") + F.col("_cnt") + 1
+    agg = stepped.agg(
+        F.sum(F.col("_ca") * two_rbar).alias("_2ra"),
+        F.sum(F.col("_cb") * two_rbar).alias("_2rb"),
+        F.sum("_ca").alias("n_a"),
+        F.sum("_cb").alias("n_b"),
+    )
+    return agg.select(
+        (F.col("_2ra") - F.col("n_a") * (F.col("n_a") + 1)).alias("u2_a"),
+        (F.col("_2rb") - F.col("n_b") * (F.col("n_b") + 1)).alias("u2_b"),
+        "n_a",
+        "n_b",
+    )
