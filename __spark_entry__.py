@@ -4207,6 +4207,69 @@ def q_grouping_sets_mix(spark, sf):
 
 
 @_q(
+    "chi2_independence",
+    """
+WITH o AS (
+  SELECT event_type, user_id % 4 AS cohort, count(*) AS obs
+  FROM events GROUP BY 1, 2
+),
+m AS (
+  SELECT event_type, cohort, obs,
+    sum(obs) OVER (PARTITION BY event_type) AS row_tot,
+    sum(obs) OVER (PARTITION BY cohort) AS col_tot,
+    sum(obs) OVER () AS n
+  FROM o
+),
+t AS (
+  SELECT obs,
+    CAST(row_tot * col_tot AS DOUBLE) / CAST(n AS DOUBLE) AS e,
+    row_tot, col_tot
+  FROM m
+)
+SELECT
+  round(sum((CAST(obs AS DOUBLE) - e) * (CAST(obs AS DOUBLE) - e) / e),
+        6) AS chi2,
+  (count(DISTINCT row_tot) - 1) * (count(DISTINCT col_tot) - 1)
+    AS dof_upper
+FROM t
+""",
+)
+def q_chi2_independence(spark, sf):
+    """Chi-square independence statistic over the (event_type, cohort)
+    contingency table: observed counts stay integer; expected counts
+    and the statistic use one fixed-order float expression per cell.
+    dof reported as (rows-1)(cols-1) via distinct marginals (an upper
+    bound when marginal totals collide — exact here)."""
+    from pyspark.sql import Window
+
+    e = _t(spark, sf, "events")
+    o = e.groupBy(
+        "event_type", (F.col("user_id") % 4).alias("cohort")
+    ).agg(F.count(F.lit(1)).alias("obs"))
+    wr = Window.partitionBy("event_type")
+    wc = Window.partitionBy("cohort")
+    wn = Window.partitionBy()
+    m = o.select(
+        "obs",
+        F.sum("obs").over(wr).alias("row_tot"),
+        F.sum("obs").over(wc).alias("col_tot"),
+        F.sum("obs").over(wn).alias("n"),
+    )
+    exp_ = (F.col("row_tot") * F.col("col_tot")).cast("double") / F.col(
+        "n"
+    ).cast("double")
+    obs_d = F.col("obs").cast("double")
+    term = (obs_d - exp_) * (obs_d - exp_) / exp_
+    return m.agg(
+        F.round(F.sum(term), 6).alias("chi2"),
+        (
+            (F.count_distinct(F.col("row_tot")) - 1)
+            * (F.count_distinct(F.col("col_tot")) - 1)
+        ).alias("dof_upper"),
+    )
+
+
+@_q(
     "mannwhitney_u",
     """
 WITH per AS (

@@ -95,6 +95,10 @@ HEADLINE = [
     "view_purchase_pairs",
     "referential_audit",
     "null_profile",
+    "source_token_divergence",
+    "ks_test_stats",
+    "mannwhitney_u",
+    "chi2_independence",
 ]
 
 
