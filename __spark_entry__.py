@@ -4207,6 +4207,82 @@ def q_grouping_sets_mix(spark, sf):
 
 
 @_q(
+    "event_calendar_profile",
+    """
+SELECT CAST(dayofweek(ts) + 1 AS INTEGER) AS dow,
+       CAST(hour(ts) AS INTEGER) AS hod,
+       count(*) AS n,
+       round(CAST(sum(CAST(round(value * 1000000) AS BIGINT)) AS DOUBLE)
+             / count(*) / 1e6, 6) AS avg_value
+FROM events
+GROUP BY 1, 2
+""",
+)
+def q_event_calendar_profile(spark, sf):
+    """Calendar seasonality profile: (day-of-week, hour-of-day) counts
+    and exact-integer mean values. Spark's dayofweek is 1=Sunday;
+    DuckDB's is 0=Sunday (the oracle adds 1); the UTC session pin
+    makes hour() agree on the NTZ timestamps."""
+    e = _t(spark, sf, "events").select(
+        _events_event_time(spark, sf).alias("et"), "value"
+    )
+    return e.groupBy(
+        F.dayofweek("et").alias("dow"),
+        F.hour("et").alias("hod"),
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(
+            F.sum(F.round(F.col("value") * 1000000).cast("bigint")).cast(
+                "double"
+            )
+            / F.count(F.lit(1))
+            / F.lit(1e6),
+            6,
+        ).alias("avg_value"),
+    )
+
+
+@_q(
+    "monthly_revenue_growth",
+    """
+WITH m AS (
+  SELECT date_trunc('month', o_orderdate) AS month,
+         sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS rev_c
+  FROM orders GROUP BY 1
+)
+SELECT epoch_us(month) AS month_epoch, rev_c,
+       rev_c - lag(rev_c) OVER (ORDER BY month) AS delta_c,
+       round(CAST(rev_c AS DOUBLE)
+             / CAST(lag(rev_c) OVER (ORDER BY month) AS DOUBLE) - 1, 6)
+         AS growth
+FROM m
+""",
+)
+def q_monthly_revenue_growth(spark, sf):
+    """Month-over-month growth: aggregate to month grain first (tiny),
+    then lag over the aggregate — the window never touches the fact
+    table. Integer cent deltas; growth is one division."""
+    from pyspark.sql import Window
+
+    o = _t(spark, sf, "orders")
+    m = o.groupBy(
+        F.date_trunc("month", F.col("o_orderdate")).alias("month")
+    ).agg(F.sum(_cents(F.col("o_totalprice"))).alias("rev_c"))
+    w = Window.orderBy("month")
+    prev = F.lag("rev_c").over(w)
+    return m.select(
+        F.unix_micros(F.col("month").cast("timestamp")).alias(
+            "month_epoch"
+        ),
+        "rev_c",
+        (F.col("rev_c") - prev).alias("delta_c"),
+        F.round(
+            F.col("rev_c").cast("double") / prev.cast("double") - 1, 6
+        ).alias("growth"),
+    )
+
+
+@_q(
     "chi2_independence",
     """
 WITH o AS (
