@@ -659,3 +659,46 @@ def test_interval_join_matches_bruteforce(spark, left, right):
         if lk == rk and lt <= rt <= lt + 10
     }
     assert got == expect
+
+
+@SPARK_SETTINGS
+@given(
+    a=hst.lists(hst.integers(0, 8), min_size=1, max_size=20),
+    b=hst.lists(hst.integers(0, 8), min_size=1, max_size=20),
+)
+def test_ks_and_mannwhitney_match_bruteforce(spark, a, b):
+    """KS D == brute-force sup over jump points; 2U == brute-force
+    doubled midrank sum — including heavy ties (small integer values
+    force collisions)."""
+    from padua_spark.operators.stats import ks_2samp_stat, mannwhitney_u_stat
+
+    rows = [("a", float(x)) for x in a] + [("b", float(x)) for x in b]
+    df = spark.createDataFrame(rows, "g string, v double")
+    ks = ks_2samp_stat(df, "g", "v", "a", "b").collect()[0]
+    mw = mannwhitney_u_stat(df, "g", "v", "a", "b").collect()[0]
+
+    sa, sb = sorted(a), sorted(b)
+    xs = sorted(set(a) | set(b))
+    import bisect
+
+    d_exp = max(
+        abs(
+            bisect.bisect_right(sa, x) / len(a)
+            - bisect.bisect_right(sb, x) / len(b)
+        )
+        for x in xs
+    )
+    assert ks["d_stat"] == pytest.approx(d_exp, abs=1e-12)
+    assert (ks["n_a"], ks["n_b"]) == (len(a), len(b))
+
+    allv = sorted(a + b)
+    # doubled midrank of value v among allv (1-based ranks)
+    def two_rbar(v):
+        lo = bisect.bisect_left(allv, v)
+        hi = bisect.bisect_right(allv, v)
+        return (lo + 1) + hi  # 2 * (lo+1+hi)/2
+
+    r2a = sum(two_rbar(v) for v in a)
+    u2a_exp = r2a - len(a) * (len(a) + 1)
+    assert mw["u2_a"] == u2a_exp
+    assert mw["u2_a"] + mw["u2_b"] == 2 * len(a) * len(b)
