@@ -99,6 +99,8 @@ HEADLINE = [
     "ks_test_stats",
     "mannwhitney_u",
     "chi2_independence",
+    "event_calendar_profile",
+    "monthly_revenue_growth",
 ]
 
 

@@ -301,7 +301,7 @@ def test_no_cartesian_products_anywhere(spark):
         "knn_join", "range_join", "ivf_topk", "tfidf_top_terms",
         "bigram_lm_score", "kmv_overlap", "quantized_topk",
         "decayed_score", "semdedup", "ann_cosine_topk", "ann_lsh_topk",
-        "time_to_conversion",
+        "time_to_conversion", "source_token_divergence",
     }
     bad = {}
     for name, fn in em.queries().items():
