@@ -1148,3 +1148,36 @@ def test_upsert_merge_semantics(spark):
     empty = updates.limit(0)
     assert sorted(r["k"] for r in upsert(target, empty, ["k"]).collect()) \
         == [1, 2, 3]
+
+
+def test_group_percentiles_match_builtin_at_scale(spark):
+    """Scale probe: at 8x lineitem (~480k rows at sf0.01) the
+    relational sort-path percentiles equal Spark's builtin
+    F.percentile (object-buffering reference implementation) to
+    1e-9 on every group and quantile."""
+    from pyspark.sql import functions as F
+
+    from padua_spark.operators.normalization import group_percentiles
+
+    base = spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet")
+    big = base
+    for _ in range(7):
+        big = big.unionByName(base)
+    mine = {
+        r["l_returnflag"]: (r["q25"], r["q75"])
+        for r in group_percentiles(
+            big, ["l_returnflag"], "l_quantity",
+            {"q25": 0.25, "q75": 0.75},
+        ).collect()
+    }
+    ref = {
+        r["l_returnflag"]: (r["q25"], r["q75"])
+        for r in big.groupBy("l_returnflag").agg(
+            F.percentile("l_quantity", F.lit(0.25)).alias("q25"),
+            F.percentile("l_quantity", F.lit(0.75)).alias("q75"),
+        ).collect()
+    }
+    assert set(mine) == set(ref)
+    for g in ref:
+        assert abs(mine[g][0] - ref[g][0]) < 1e-9
+        assert abs(mine[g][1] - ref[g][1]) < 1e-9
