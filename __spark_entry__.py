@@ -550,11 +550,152 @@ def q_volcano_stats(spark, sf):
     )
 
 
-# --- T6 volcano with p-values + s0 classes (no SQL-expressible oracle:
-#     p-values need the incomplete beta; driver records rows-only) -----------
+# --- T6 volcano with p-values + s0 classes. The p-value oracle computes
+#     the regularized incomplete beta IN SQL: Lanczos log-gamma as an
+#     inline expression and the modified-Lentz continued fraction as a
+#     199-step recursive CTE — the same algorithm as
+#     functions/distributions.py, reproduced to ~1e-14 relative (6dp
+#     rounding absorbs the numpy-vs-DuckDB libm ulps), turning the
+#     engine's flagship from a rows-only check into a full hash gate. ------
 
 
-@_q("volcano_pvalues")
+_LANCZOS_SQL_COEF = [
+    0.99999999999980993, 676.5203681218851, -1259.1392167224028,
+    771.32342877765313, -176.61502916214059, 12.507343278686905,
+    -0.13857109526572012, 9.9843695780195716e-6, 1.5056327351493116e-7,
+]
+
+
+def _gammaln_sql(z: str) -> str:
+    xv = f"(({z}) - 1.0)"
+    acc = repr(_LANCZOS_SQL_COEF[0])
+    for i, coef in enumerate(_LANCZOS_SQL_COEF[1:], 1):
+        acc = f"({acc} + {coef!r} / ({xv} + {i}.0))"
+    t = f"({xv} + 7.5)"
+    return (
+        f"(0.5 * ln(2 * pi()) + ({xv} + 0.5) * ln({t}) - {t} "
+        f"+ ln({acc}))"
+    )
+
+
+def _volcano_pvalues_oracle() -> str:
+    tiny = "1e-300"
+    return f"""
+WITH RECURSIVE li AS (
+  SELECT l_partkey, l_returnflag, log2(l_extendedprice) AS lp
+  FROM lineitem
+),
+g AS (
+  SELECT l_partkey,
+    avg(CASE WHEN l_returnflag='R' THEN lp END)      AS mean_a,
+    avg(CASE WHEN l_returnflag='A' THEN lp END)      AS mean_b,
+    count(CASE WHEN l_returnflag='R' THEN lp END)    AS n_a,
+    count(CASE WHEN l_returnflag='A' THEN lp END)    AS n_b,
+    var_samp(CASE WHEN l_returnflag='R' THEN lp END) AS var_a,
+    var_samp(CASE WHEN l_returnflag='A' THEN lp END) AS var_b
+  FROM li GROUP BY 1
+),
+s AS (
+  SELECT l_partkey, n_a, n_b,
+    CASE WHEN n_a >= 3 AND n_b >= 3 THEN
+      CASE WHEN sqrt((((n_a - 1) * var_a + (n_b - 1) * var_b)
+                      / CAST(n_a + n_b - 2 AS DOUBLE))
+                     * (1.0/n_a + 1.0/n_b)) > 0
+           THEN (mean_a - mean_b)
+                / sqrt((((n_a - 1) * var_a + (n_b - 1) * var_b)
+                        / CAST(n_a + n_b - 2 AS DOUBLE))
+                       * (1.0/n_a + 1.0/n_b)) END
+    END AS t_stat,
+    CASE WHEN n_a >= 2 AND n_b >= 2
+         THEN CAST(n_a + n_b - 2 AS DOUBLE) END AS df,
+    CASE WHEN n_a >= 3 AND n_b >= 3 THEN mean_a - mean_b END AS fc
+  FROM g
+),
+inp AS (
+  SELECT l_partkey AS key,
+    CAST(df / (df + t_stat * t_stat) AS DOUBLE) AS x,
+    CAST(df / 2.0 AS DOUBLE) AS a, CAST(0.5 AS DOUBLE) AS b
+  FROM s WHERE t_stat IS NOT NULL AND df > 0
+),
+staged AS (
+  SELECT *, x < (a + 1.0) / (a + b + 2.0) AS direct,
+    CASE WHEN x < (a + 1.0) / (a + b + 2.0) THEN a ELSE b END AS a2,
+    CASE WHEN x < (a + 1.0) / (a + b + 2.0) THEN b ELSE a END AS b2,
+    CASE WHEN x < (a + 1.0) / (a + b + 2.0) THEN x ELSE 1.0 - x END AS x2,
+    exp({_gammaln_sql('a + b')} - {_gammaln_sql('a')}
+        - {_gammaln_sql('b')}
+        + a * ln(x) + b * ln(1.0 - x)) AS front
+  FROM inp WHERE x < 1.0
+),
+cf AS (
+  SELECT key, a2, b2, x2, 0 AS m, CAST(1.0 AS DOUBLE) AS c,
+    CAST(1.0 / (CASE WHEN abs(1.0 - (a2 + b2) * x2 / (a2 + 1.0)) < {tiny}
+           THEN {tiny} ELSE 1.0 - (a2 + b2) * x2 / (a2 + 1.0) END)
+      AS DOUBLE) AS d,
+    CAST(1.0 / (CASE WHEN abs(1.0 - (a2 + b2) * x2 / (a2 + 1.0)) < {tiny}
+           THEN {tiny} ELSE 1.0 - (a2 + b2) * x2 / (a2 + 1.0) END)
+      AS DOUBLE) AS h
+  FROM staged
+  UNION ALL
+  SELECT key, a2, b2, x2, m1, c2, d2, h1 * d2 * c2 AS h
+  FROM (
+    SELECT key, a2, b2, x2, m1, h1, c1, d1,
+      CASE WHEN abs(1.0 + aa2 * d1) < {tiny} THEN 1.0 / {tiny}
+           ELSE 1.0 / (1.0 + aa2 * d1) END AS d2,
+      CASE WHEN abs(1.0 + aa2 / c1) < {tiny} THEN {tiny}
+           ELSE 1.0 + aa2 / c1 END AS c2
+    FROM (
+      SELECT key, a2, b2, x2, m1, h * d1 * c1 AS h1, c1, d1,
+        -(a2 + m1) * (a2 + b2 + m1) * x2
+          / ((a2 + 2.0 * m1) * (a2 + 1.0 + 2.0 * m1)) AS aa2
+      FROM (
+        SELECT key, a2, b2, x2, m1, h,
+          CASE WHEN abs(1.0 + aa1 * d) < {tiny} THEN 1.0 / {tiny}
+               ELSE 1.0 / (1.0 + aa1 * d) END AS d1,
+          CASE WHEN abs(1.0 + aa1 / c) < {tiny} THEN {tiny}
+               ELSE 1.0 + aa1 / c END AS c1
+        FROM (
+          SELECT key, a2, b2, x2, m + 1 AS m1, c, d, h,
+            CAST(m + 1 AS DOUBLE) * (b2 - (m + 1)) * x2
+              / ((a2 - 1.0 + 2.0 * (m + 1)) * (a2 + 2.0 * (m + 1)))
+              AS aa1
+          FROM cf WHERE m < 199
+        )
+      )
+    )
+  )
+),
+res AS (SELECT key, h FROM cf WHERE m = 199),
+pv AS (
+  SELECT i.key AS l_partkey,
+    CASE WHEN i.x >= 1.0 THEN 1.0
+         WHEN st.direct THEN st.front * r.h / st.a
+         ELSE 1.0 - st.front * r.h / st.b END AS p
+  FROM inp i
+  LEFT JOIN staged st USING (key)
+  LEFT JOIN res r USING (key)
+),
+final AS (
+  SELECT s.l_partkey, s.fc, s.t_stat, pv.p,
+    CASE WHEN s.fc IS NOT NULL AND pv.p IS NOT NULL
+              AND abs(s.fc) > 0.0
+              AND pv.p <= pow(10.0, -0.1 / abs(s.fc) + log10(0.05))
+         THEN TRUE ELSE FALSE END AS significant
+  FROM s LEFT JOIN pv USING (l_partkey)
+)
+SELECT l_partkey,
+  round(fc, 6) AS log2_fc,
+  round(t_stat, 6) AS t_stat,
+  round(p, 6) AS p_value,
+  significant,
+  CASE WHEN significant AND fc > 0 THEN 'up'
+       WHEN significant AND fc < 0 THEN 'down'
+       ELSE 'ns' END AS direction
+FROM final
+"""
+
+
+@_q("volcano_pvalues", _volcano_pvalues_oracle())
 def q_volcano_pvalues(spark, sf):
     li = _t(spark, sf, "lineitem").withColumn(
         "lp", F.log2("l_extendedprice")
@@ -575,7 +716,10 @@ def q_volcano_pvalues(spark, sf):
         "l_partkey",
         _r("log2_fc").alias("log2_fc"),
         _r("t_stat").alias("t_stat"),
-        F.round("p_value", 9).alias("p_value"),
+        # 6dp (not 9): the oracle's recursive-CTE incomplete beta
+        # reproduces the numpy CDF to ~1e-14 relative; 6dp rounding
+        # absorbs libm/iteration-count ulps on both sides.
+        F.round("p_value", 6).alias("p_value"),
         "significant",
         "direction",
     )
