@@ -695,6 +695,145 @@ FROM final
 """
 
 
+def _betainc_chain_sql(tiny: str = "1e-300", n_iter: int = 199) -> str:
+    """CTE chain computing ``I_x(a, b)`` for an ``inp(key, x, a, b)``
+    CTE already in scope: ``staged`` (branch select + log-gamma
+    prefactor), ``cf`` (recursive Lentz), ``res``, and ``pv(key, p)``.
+    All state explicitly CAST to DOUBLE — a bare ``1.0`` literal in the
+    recursive base types the column DECIMAL(2,1) and silently truncates
+    every iteration's state."""
+    return f"""
+staged AS (
+  SELECT *, x < (a + 1.0) / (a + b + 2.0) AS direct,
+    CASE WHEN x < (a + 1.0) / (a + b + 2.0) THEN a ELSE b END AS a2,
+    CASE WHEN x < (a + 1.0) / (a + b + 2.0) THEN b ELSE a END AS b2,
+    CASE WHEN x < (a + 1.0) / (a + b + 2.0) THEN x ELSE 1.0 - x END AS x2,
+    exp({_gammaln_sql('a + b')} - {_gammaln_sql('a')}
+        - {_gammaln_sql('b')}
+        + a * ln(x) + b * ln(1.0 - x)) AS front
+  FROM inp WHERE x < 1.0 AND x > 0.0
+),
+cf AS (
+  SELECT key, a2, b2, x2, 0 AS m, CAST(1.0 AS DOUBLE) AS c,
+    CAST(1.0 / (CASE WHEN abs(1.0 - (a2 + b2) * x2 / (a2 + 1.0)) < {tiny}
+           THEN {tiny} ELSE 1.0 - (a2 + b2) * x2 / (a2 + 1.0) END)
+      AS DOUBLE) AS d,
+    CAST(1.0 / (CASE WHEN abs(1.0 - (a2 + b2) * x2 / (a2 + 1.0)) < {tiny}
+           THEN {tiny} ELSE 1.0 - (a2 + b2) * x2 / (a2 + 1.0) END)
+      AS DOUBLE) AS h
+  FROM staged
+  UNION ALL
+  SELECT key, a2, b2, x2, m1, c2, d2, h1 * d2 * c2 AS h
+  FROM (
+    SELECT key, a2, b2, x2, m1, h1, c1, d1,
+      CASE WHEN abs(1.0 + aa2 * d1) < {tiny} THEN 1.0 / {tiny}
+           ELSE 1.0 / (1.0 + aa2 * d1) END AS d2,
+      CASE WHEN abs(1.0 + aa2 / c1) < {tiny} THEN {tiny}
+           ELSE 1.0 + aa2 / c1 END AS c2
+    FROM (
+      SELECT key, a2, b2, x2, m1, h * d1 * c1 AS h1, c1, d1,
+        -(a2 + m1) * (a2 + b2 + m1) * x2
+          / ((a2 + 2.0 * m1) * (a2 + 1.0 + 2.0 * m1)) AS aa2
+      FROM (
+        SELECT key, a2, b2, x2, m1, h,
+          CASE WHEN abs(1.0 + aa1 * d) < {tiny} THEN 1.0 / {tiny}
+               ELSE 1.0 / (1.0 + aa1 * d) END AS d1,
+          CASE WHEN abs(1.0 + aa1 / c) < {tiny} THEN {tiny}
+               ELSE 1.0 + aa1 / c END AS c1
+        FROM (
+          SELECT key, a2, b2, x2, m + 1 AS m1, c, d, h,
+            CAST(m + 1 AS DOUBLE) * (b2 - (m + 1)) * x2
+              / ((a2 - 1.0 + 2.0 * (m + 1)) * (a2 + 2.0 * (m + 1)))
+              AS aa1
+          FROM cf WHERE m < {n_iter}
+        )
+      )
+    )
+  )
+),
+res AS (SELECT key, h FROM cf WHERE m = {n_iter}),
+pv AS (
+  SELECT i.key,
+    CASE WHEN i.x >= 1.0 THEN 1.0
+         WHEN i.x <= 0.0 THEN 0.0
+         WHEN st.direct THEN st.front * r.h / st.a
+         ELSE 1.0 - st.front * r.h / st.b END AS p
+  FROM inp i
+  LEFT JOIN staged st USING (key)
+  LEFT JOIN res r USING (key)
+)"""
+
+
+_ANOVA_PV_ORACLE = f"""
+WITH RECURSIVE pg AS (
+  SELECT l_partkey, l_returnflag,
+         count(l_quantity) AS n, avg(l_quantity) AS m,
+         var_samp(l_quantity) AS v
+  FROM lineitem WHERE l_quantity IS NOT NULL GROUP BY 1, 2
+),
+c AS (
+  SELECT l_partkey,
+         CAST(sum(n) AS BIGINT) AS n_total,
+         count(*) AS k_groups,
+         sum(n * m) AS s1,
+         sum(n * m * m) AS s2,
+         sum(CASE WHEN n > 1 THEN (n - 1) * v ELSE 0.0 END) AS ssw
+  FROM pg GROUP BY 1
+),
+s AS (
+  SELECT l_partkey,
+    CASE WHEN k_groups >= 2 AND CAST(n_total AS DOUBLE) - k_groups > 0
+              AND ssw > 0
+    THEN ((s2 - CAST(n_total AS DOUBLE)
+                * (s1 / CAST(n_total AS DOUBLE))
+                * (s1 / CAST(n_total AS DOUBLE)))
+          / (CAST(k_groups AS DOUBLE) - 1))
+         / (ssw / (CAST(n_total AS DOUBLE) - CAST(k_groups AS DOUBLE)))
+    END AS f_stat,
+    CAST(k_groups AS DOUBLE) - 1 AS dfn,
+    CAST(n_total AS DOUBLE) - CAST(k_groups AS DOUBLE) AS dfd
+  FROM c
+),
+inp AS (
+  SELECT l_partkey AS key,
+    CAST(dfd / (dfd + dfn * f_stat) AS DOUBLE) AS x,
+    CAST(dfd / 2.0 AS DOUBLE) AS a, CAST(dfn / 2.0 AS DOUBLE) AS b
+  FROM s
+  WHERE f_stat IS NOT NULL AND dfn > 0 AND dfd > 0 AND f_stat >= 0
+),
+{_betainc_chain_sql()}
+SELECT s.l_partkey,
+  round(s.f_stat, 6) AS f_stat,
+  CASE WHEN s.dfn > 0 THEN s.dfn END AS dfn,
+  CASE WHEN s.dfd > 0 THEN s.dfd END AS dfd,
+  round(pv.p, 6) AS p_value
+FROM s LEFT JOIN pv ON s.l_partkey = pv.key
+"""
+
+
+@_q("anova_pvalues", _ANOVA_PV_ORACLE)
+def q_anova_pvalues(spark, sf):
+    """One-way ANOVA F with exact p-values (T3 completed): the numpy
+    F-survival UDF on the aggregated per-feature rows; the oracle runs
+    the same incomplete beta as a recursive SQL CTE — a second full
+    hash gate on a CDF."""
+    from padua_spark.functions.distributions import f_sf_udf
+
+    li = _t(spark, sf, "lineitem")
+    out = st.anova_1way_stats(
+        li, ["l_partkey"], "l_returnflag", "l_quantity"
+    )
+    return out.select(
+        "l_partkey",
+        _r("f_stat").alias("f_stat"),
+        "dfn",
+        "dfd",
+        F.round(
+            f_sf_udf(F.col("f_stat"), F.col("dfn"), F.col("dfd")), 6
+        ).alias("p_value"),
+    )
+
+
 @_q("volcano_pvalues", _volcano_pvalues_oracle())
 def q_volcano_pvalues(spark, sf):
     li = _t(spark, sf, "lineitem").withColumn(

@@ -101,6 +101,7 @@ HEADLINE = [
     "chi2_independence",
     "event_calendar_profile",
     "monthly_revenue_growth",
+    "anova_pvalues",
 ]
 
 
