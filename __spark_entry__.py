@@ -114,6 +114,95 @@ def _r(c, n: int = 6):
     return F.round(c, n)
 
 
+_LANCZOS_SQL_COEF = [
+    0.99999999999980993, 676.5203681218851, -1259.1392167224028,
+    771.32342877765313, -176.61502916214059, 12.507343278686905,
+    -0.13857109526572012, 9.9843695780195716e-6, 1.5056327351493116e-7,
+]
+
+
+def _gammaln_sql(z: str) -> str:
+    xv = f"(({z}) - 1.0)"
+    acc = repr(_LANCZOS_SQL_COEF[0])
+    for i, coef in enumerate(_LANCZOS_SQL_COEF[1:], 1):
+        acc = f"({acc} + {coef!r} / ({xv} + {i}.0))"
+    t = f"({xv} + 7.5)"
+    return (
+        f"(0.5 * ln(2 * pi()) + ({xv} + 0.5) * ln({t}) - {t} "
+        f"+ ln({acc}))"
+    )
+
+
+def _betainc_chain_sql(tiny: str = "1e-300", n_iter: int = 199) -> str:
+    """CTE chain computing ``I_x(a, b)`` for an ``inp(key, x, a, b)``
+    CTE already in scope: ``staged`` (branch select + log-gamma
+    prefactor), ``cf`` (recursive Lentz), ``res``, and ``pv(key, p)``.
+    All state explicitly CAST to DOUBLE — a bare ``1.0`` literal in the
+    recursive base types the column DECIMAL(2,1) and silently truncates
+    every iteration's state."""
+    return f"""
+staged AS (
+  SELECT *, x < (a + 1.0) / (a + b + 2.0) AS direct,
+    CASE WHEN x < (a + 1.0) / (a + b + 2.0) THEN a ELSE b END AS a2,
+    CASE WHEN x < (a + 1.0) / (a + b + 2.0) THEN b ELSE a END AS b2,
+    CASE WHEN x < (a + 1.0) / (a + b + 2.0) THEN x ELSE 1.0 - x END AS x2,
+    exp({_gammaln_sql('a + b')} - {_gammaln_sql('a')}
+        - {_gammaln_sql('b')}
+        + a * ln(x) + b * ln(1.0 - x)) AS front
+  FROM inp WHERE x < 1.0 AND x > 0.0
+),
+cf AS (
+  SELECT key, a2, b2, x2, 0 AS m, CAST(1.0 AS DOUBLE) AS c,
+    CAST(1.0 / (CASE WHEN abs(1.0 - (a2 + b2) * x2 / (a2 + 1.0)) < {tiny}
+           THEN {tiny} ELSE 1.0 - (a2 + b2) * x2 / (a2 + 1.0) END)
+      AS DOUBLE) AS d,
+    CAST(1.0 / (CASE WHEN abs(1.0 - (a2 + b2) * x2 / (a2 + 1.0)) < {tiny}
+           THEN {tiny} ELSE 1.0 - (a2 + b2) * x2 / (a2 + 1.0) END)
+      AS DOUBLE) AS h
+  FROM staged
+  UNION ALL
+  SELECT key, a2, b2, x2, m1, c2, d2, h1 * d2 * c2 AS h
+  FROM (
+    SELECT key, a2, b2, x2, m1, h1, c1, d1,
+      CASE WHEN abs(1.0 + aa2 * d1) < {tiny} THEN 1.0 / {tiny}
+           ELSE 1.0 / (1.0 + aa2 * d1) END AS d2,
+      CASE WHEN abs(1.0 + aa2 / c1) < {tiny} THEN {tiny}
+           ELSE 1.0 + aa2 / c1 END AS c2
+    FROM (
+      SELECT key, a2, b2, x2, m1, h * d1 * c1 AS h1, c1, d1,
+        -(a2 + m1) * (a2 + b2 + m1) * x2
+          / ((a2 + 2.0 * m1) * (a2 + 1.0 + 2.0 * m1)) AS aa2
+      FROM (
+        SELECT key, a2, b2, x2, m1, h,
+          CASE WHEN abs(1.0 + aa1 * d) < {tiny} THEN 1.0 / {tiny}
+               ELSE 1.0 / (1.0 + aa1 * d) END AS d1,
+          CASE WHEN abs(1.0 + aa1 / c) < {tiny} THEN {tiny}
+               ELSE 1.0 + aa1 / c END AS c1
+        FROM (
+          SELECT key, a2, b2, x2, m + 1 AS m1, c, d, h,
+            CAST(m + 1 AS DOUBLE) * (b2 - (m + 1)) * x2
+              / ((a2 - 1.0 + 2.0 * (m + 1)) * (a2 + 2.0 * (m + 1)))
+              AS aa1
+          FROM cf WHERE m < {n_iter}
+        )
+      )
+    )
+  )
+),
+res AS (SELECT key, h FROM cf WHERE m = {n_iter}),
+pv AS (
+  SELECT i.key,
+    CASE WHEN i.x >= 1.0 THEN 1.0
+         WHEN i.x <= 0.0 THEN 0.0
+         WHEN st.direct THEN st.front * r.h / st.a
+         ELSE 1.0 - st.front * r.h / st.b END AS p
+  FROM inp i
+  LEFT JOIN staged st USING (key)
+  LEFT JOIN res r USING (key)
+)"""
+
+
+
 # ---------------------------------------------------------------------------
 # entry — flagship smoke query
 # ---------------------------------------------------------------------------
@@ -391,6 +480,59 @@ def q_ttest_1samp_stats(spark, sf):
     )
 
 
+def _ttest_1samp_pv_oracle() -> str:
+    return f"""
+WITH RECURSIVE g AS (
+  SELECT l_returnflag,
+         avg(l_discount - 0.05)         AS mean,
+         stddev_samp(l_discount - 0.05) AS sd,
+         count(l_discount - 0.05)       AS n
+  FROM lineitem GROUP BY 1
+),
+s AS (
+  SELECT l_returnflag,
+    CASE WHEN n >= 2 AND sd > 0
+         THEN (mean - 0.0) / (sd / sqrt(n)) END AS t_stat,
+    CASE WHEN n >= 2 THEN CAST(n - 1 AS DOUBLE) END AS df
+  FROM g
+),
+inp AS (
+  SELECT l_returnflag AS key,
+    CAST(df / (df + t_stat * t_stat) AS DOUBLE) AS x,
+    CAST(df / 2.0 AS DOUBLE) AS a, CAST(0.5 AS DOUBLE) AS b
+  FROM s WHERE t_stat IS NOT NULL AND df > 0
+),
+{_betainc_chain_sql()}
+SELECT s.l_returnflag,
+  round(s.t_stat, 6) AS t_stat, s.df,
+  round(pv.p, 6) AS p_value
+FROM s LEFT JOIN pv ON s.l_returnflag = pv.key
+"""
+
+
+@_q("ttest_1samp_pvalues", _ttest_1samp_pv_oracle())
+def q_ttest_1samp_pvalues(spark, sf):
+    """One-sample t-test with p-values (T2 completed — the reference's
+    shipped ttest_1samp is broken; this is the working semantics
+    inlined in volcano, visualize.py:556-557). Third CDF-level hash
+    gate; at df ~ 20000 both engines run the identical 199-step
+    recursion, so even a non-fully-converged fraction matches."""
+    from padua_spark.functions.distributions import t_sf_udf
+
+    li = _t(spark, sf, "lineitem").withColumn(
+        "val", F.col("l_discount") - F.lit(0.05)
+    )
+    out = st.ttest_1samp_stats(li, ["l_returnflag"], "val", popmean=0.0)
+    return out.select(
+        "l_returnflag",
+        _r("t_stat").alias("t_stat"),
+        "df",
+        F.round(
+            t_sf_udf(F.col("t_stat"), F.col("df")), 6
+        ).alias("p_value"),
+    )
+
+
 # --- T3 anova_1way_stats (analysis.py:387-432) -------------------------------
 
 
@@ -559,25 +701,6 @@ def q_volcano_stats(spark, sf):
 #     engine's flagship from a rows-only check into a full hash gate. ------
 
 
-_LANCZOS_SQL_COEF = [
-    0.99999999999980993, 676.5203681218851, -1259.1392167224028,
-    771.32342877765313, -176.61502916214059, 12.507343278686905,
-    -0.13857109526572012, 9.9843695780195716e-6, 1.5056327351493116e-7,
-]
-
-
-def _gammaln_sql(z: str) -> str:
-    xv = f"(({z}) - 1.0)"
-    acc = repr(_LANCZOS_SQL_COEF[0])
-    for i, coef in enumerate(_LANCZOS_SQL_COEF[1:], 1):
-        acc = f"({acc} + {coef!r} / ({xv} + {i}.0))"
-    t = f"({xv} + 7.5)"
-    return (
-        f"(0.5 * ln(2 * pi()) + ({xv} + 0.5) * ln({t}) - {t} "
-        f"+ ln({acc}))"
-    )
-
-
 def _volcano_pvalues_oracle() -> str:
     tiny = "1e-300"
     return f"""
@@ -693,75 +816,6 @@ SELECT l_partkey,
        ELSE 'ns' END AS direction
 FROM final
 """
-
-
-def _betainc_chain_sql(tiny: str = "1e-300", n_iter: int = 199) -> str:
-    """CTE chain computing ``I_x(a, b)`` for an ``inp(key, x, a, b)``
-    CTE already in scope: ``staged`` (branch select + log-gamma
-    prefactor), ``cf`` (recursive Lentz), ``res``, and ``pv(key, p)``.
-    All state explicitly CAST to DOUBLE — a bare ``1.0`` literal in the
-    recursive base types the column DECIMAL(2,1) and silently truncates
-    every iteration's state."""
-    return f"""
-staged AS (
-  SELECT *, x < (a + 1.0) / (a + b + 2.0) AS direct,
-    CASE WHEN x < (a + 1.0) / (a + b + 2.0) THEN a ELSE b END AS a2,
-    CASE WHEN x < (a + 1.0) / (a + b + 2.0) THEN b ELSE a END AS b2,
-    CASE WHEN x < (a + 1.0) / (a + b + 2.0) THEN x ELSE 1.0 - x END AS x2,
-    exp({_gammaln_sql('a + b')} - {_gammaln_sql('a')}
-        - {_gammaln_sql('b')}
-        + a * ln(x) + b * ln(1.0 - x)) AS front
-  FROM inp WHERE x < 1.0 AND x > 0.0
-),
-cf AS (
-  SELECT key, a2, b2, x2, 0 AS m, CAST(1.0 AS DOUBLE) AS c,
-    CAST(1.0 / (CASE WHEN abs(1.0 - (a2 + b2) * x2 / (a2 + 1.0)) < {tiny}
-           THEN {tiny} ELSE 1.0 - (a2 + b2) * x2 / (a2 + 1.0) END)
-      AS DOUBLE) AS d,
-    CAST(1.0 / (CASE WHEN abs(1.0 - (a2 + b2) * x2 / (a2 + 1.0)) < {tiny}
-           THEN {tiny} ELSE 1.0 - (a2 + b2) * x2 / (a2 + 1.0) END)
-      AS DOUBLE) AS h
-  FROM staged
-  UNION ALL
-  SELECT key, a2, b2, x2, m1, c2, d2, h1 * d2 * c2 AS h
-  FROM (
-    SELECT key, a2, b2, x2, m1, h1, c1, d1,
-      CASE WHEN abs(1.0 + aa2 * d1) < {tiny} THEN 1.0 / {tiny}
-           ELSE 1.0 / (1.0 + aa2 * d1) END AS d2,
-      CASE WHEN abs(1.0 + aa2 / c1) < {tiny} THEN {tiny}
-           ELSE 1.0 + aa2 / c1 END AS c2
-    FROM (
-      SELECT key, a2, b2, x2, m1, h * d1 * c1 AS h1, c1, d1,
-        -(a2 + m1) * (a2 + b2 + m1) * x2
-          / ((a2 + 2.0 * m1) * (a2 + 1.0 + 2.0 * m1)) AS aa2
-      FROM (
-        SELECT key, a2, b2, x2, m1, h,
-          CASE WHEN abs(1.0 + aa1 * d) < {tiny} THEN 1.0 / {tiny}
-               ELSE 1.0 / (1.0 + aa1 * d) END AS d1,
-          CASE WHEN abs(1.0 + aa1 / c) < {tiny} THEN {tiny}
-               ELSE 1.0 + aa1 / c END AS c1
-        FROM (
-          SELECT key, a2, b2, x2, m + 1 AS m1, c, d, h,
-            CAST(m + 1 AS DOUBLE) * (b2 - (m + 1)) * x2
-              / ((a2 - 1.0 + 2.0 * (m + 1)) * (a2 + 2.0 * (m + 1)))
-              AS aa1
-          FROM cf WHERE m < {n_iter}
-        )
-      )
-    )
-  )
-),
-res AS (SELECT key, h FROM cf WHERE m = {n_iter}),
-pv AS (
-  SELECT i.key,
-    CASE WHEN i.x >= 1.0 THEN 1.0
-         WHEN i.x <= 0.0 THEN 0.0
-         WHEN st.direct THEN st.front * r.h / st.a
-         ELSE 1.0 - st.front * r.h / st.b END AS p
-  FROM inp i
-  LEFT JOIN staged st USING (key)
-  LEFT JOIN res r USING (key)
-)"""
 
 
 _ANOVA_PV_ORACLE = f"""

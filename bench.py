@@ -102,6 +102,7 @@ HEADLINE = [
     "event_calendar_profile",
     "monthly_revenue_growth",
     "anova_pvalues",
+    "ttest_1samp_pvalues",
 ]
 
 
