@@ -4762,6 +4762,82 @@ def q_ks_test(spark, sf):
 
 
 @_q(
+    "ks_test_pvalues",
+    """
+WITH per AS (
+  SELECT value AS v,
+    count(*) FILTER (event_type = 'click') AS ca,
+    count(*) FILTER (event_type = 'purchase') AS cb
+  FROM events
+  WHERE event_type IN ('click', 'purchase') AND value IS NOT NULL
+  GROUP BY value
+),
+stepped AS (
+  SELECT
+    sum(ca) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS fa,
+    sum(cb) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS fb,
+    sum(ca) OVER () AS na, sum(cb) OVER () AS nb
+  FROM per
+),
+d AS (
+  SELECT max(abs(CAST(fa AS DOUBLE) / CAST(na AS DOUBLE)
+                 - CAST(fb AS DOUBLE) / CAST(nb AS DOUBLE))) AS d_stat,
+         max(na) AS n_a, max(nb) AS n_b
+  FROM stepped
+),
+lam AS (
+  SELECT d_stat, n_a, n_b,
+    (sqrt(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)
+          / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE))) + 0.12
+     + 0.11 / sqrt(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)
+                   / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE))))
+    * d_stat AS l
+  FROM d
+)
+SELECT round(d_stat, 6) AS d_stat, n_a, n_b,
+  round(least(1.0, greatest(0.0,
+    2.0 * list_reduce(
+      list_prepend(CAST(0.0 AS DOUBLE),
+        list_transform(generate_series(1, 100), k ->
+          CASE WHEN k % 2 = 1 THEN 1.0 ELSE -1.0 END
+          * exp(-2.0 * k * k * l * l))),
+      (acc, t) -> acc + t))), 6) AS p_value
+FROM lam
+""",
+)
+def q_ks_test_pvalues(spark, sf):
+    """KS with the asymptotic p-value as a NATIVE expression (no UDF):
+    the Kolmogorov series 2·Σ (−1)^{k−1} e^{−2k²λ²} at the Numerical
+    Recipes effective-n correction λ = (√n_e + 0.12 + 0.11/√n_e)·D,
+    folded in the same sequential order on both engines (terms
+    underflow to exactly 0 past ~k·λ > 6 in both)."""
+    from padua_spark.operators.stats import ks_2samp_stat
+
+    e = _t(spark, sf, "events")
+    out = ks_2samp_stat(e, "event_type", "value", "click", "purchase")
+    na = F.col("n_a").cast("double")
+    nb = F.col("n_b").cast("double")
+    en = F.sqrt(na * nb / (na + nb))
+    lam = (en + F.lit(0.12) + F.lit(0.11) / en) * F.col("d_stat")
+    series = F.aggregate(
+        F.sequence(F.lit(1), F.lit(100)),
+        F.lit(0.0),
+        lambda acc, k: acc
+        + F.when(k % 2 == 1, F.lit(1.0)).otherwise(F.lit(-1.0))
+        * F.exp(F.lit(-2.0) * k * k * lam * lam),
+    )
+    p = F.least(F.lit(1.0), F.greatest(F.lit(0.0), 2.0 * series))
+    # stage p BEFORE aliasing the rounded d_stat: putting both in one
+    # select makes Catalyst resolve p's d_stat reference against the
+    # same-named ROUNDED output column (measured: p flips at 1e-5)
+    staged = out.withColumn("_p_raw", p)
+    return staged.select(
+        _r("d_stat").alias("d_stat"), "n_a", "n_b",
+        _r(F.col("_p_raw")).alias("p_value"),
+    )
+
+
+@_q(
     "source_token_divergence",
     r"""
 WITH tok AS (

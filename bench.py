@@ -103,6 +103,7 @@ HEADLINE = [
     "monthly_revenue_growth",
     "anova_pvalues",
     "ttest_1samp_pvalues",
+    "ks_test_pvalues",
 ]
 
 
