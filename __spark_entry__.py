@@ -4762,6 +4762,30 @@ def q_ks_test(spark, sf):
 
 
 @_q(
+    "user_event_type_sets",
+    """
+SELECT user_id % 50 AS cohort,
+       count(DISTINCT event_type) AS n_types,
+       string_agg(DISTINCT event_type, ',' ORDER BY event_type)
+         AS type_set
+FROM events GROUP BY 1
+""",
+)
+def q_user_event_type_sets(spark, sf):
+    """Set aggregation with a deterministic serialization:
+    collect_set → array_sort → concat_ws gives an order-stable string
+    under any partitioning (a raw collect_list would be
+    partition-order nondeterministic — unusable in a hash gate)."""
+    e = _t(spark, sf, "events")
+    return e.groupBy((F.col("user_id") % 50).alias("cohort")).agg(
+        F.count_distinct("event_type").alias("n_types"),
+        F.concat_ws(
+            ",", F.array_sort(F.collect_set("event_type"))
+        ).alias("type_set"),
+    )
+
+
+@_q(
     "ks_test_pvalues",
     """
 WITH per AS (
