@@ -4724,6 +4724,72 @@ def q_mannwhitney_u(spark, sf):
 
 
 @_q(
+    "mannwhitney_z",
+    """
+WITH per AS (
+  SELECT value AS v,
+    count(*) FILTER (event_type = 'click') AS ca,
+    count(*) FILTER (event_type = 'purchase') AS cb
+  FROM events
+  WHERE event_type IN ('click', 'purchase') AND value IS NOT NULL
+  GROUP BY value
+),
+stepped AS (
+  SELECT ca, cb, ca + cb AS cnt,
+    sum(ca + cb) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+      - (ca + cb) AS before
+  FROM per
+),
+agg AS (
+  SELECT sum(ca * (2 * before + cnt + 1)) AS r2a,
+         sum(ca) AS n_a, sum(cb) AS n_b,
+         sum(cnt * cnt * cnt - cnt) AS tie_term
+  FROM stepped
+),
+u AS (
+  SELECT r2a - n_a * (n_a + 1) AS u2_a, n_a, n_b, tie_term,
+    (CAST(r2a - n_a * (n_a + 1) AS DOUBLE) / 2.0
+     - CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 2.0)
+    / sqrt(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 12.0
+           * ((CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) + 1.0)
+              - CAST(tie_term AS DOUBLE)
+                / ((CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE))
+                   * (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)
+                      - 1.0)))) AS z
+  FROM agg
+),
+e AS (
+  SELECT *, abs(z) / sqrt(2.0) AS x,
+         1.0 / (1.0 + 0.3275911 * (abs(z) / sqrt(2.0))) AS t
+  FROM u
+)
+SELECT u2_a, n_a, n_b, tie_term, round(z, 6) AS z,
+  round((0.254829592 * t + -0.284496736 * t * t
+         + 1.421413741 * t * t * t + -1.453152027 * t * t * t * t
+         + 1.061405429 * t * t * t * t * t) * exp(-x * x), 6)
+    AS p_normal
+FROM e
+""",
+)
+def q_mannwhitney_z(spark, sf):
+    """Mann–Whitney with the tie-corrected normal approximation
+    (stats.mannwhitney_z_stats): exact integer U and tie sums, one
+    closed-form z, p via the A&S erfc polynomial — identical
+    expressions on both engines, so the approximation choice can't
+    split the hash."""
+    from padua_spark.operators.stats import mannwhitney_z_stats
+
+    e = _t(spark, sf, "events")
+    out = mannwhitney_z_stats(
+        e, "event_type", "value", "click", "purchase"
+    )
+    return out.select(
+        "u2_a", "n_a", "n_b", "tie_term",
+        _r("z").alias("z"), _r("p_normal").alias("p_normal"),
+    )
+
+
+@_q(
     "ks_test_stats",
     """
 WITH per AS (

@@ -104,6 +104,7 @@ HEADLINE = [
     "anova_pvalues",
     "ttest_1samp_pvalues",
     "ks_test_pvalues",
+    "mannwhitney_z",
 ]
 
 

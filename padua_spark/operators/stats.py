@@ -460,3 +460,91 @@ def mannwhitney_u_stat(
         "n_a",
         "n_b",
     )
+
+
+# Abramowitz & Stegun 7.1.26 erf polynomial: used for the Mann-Whitney
+# normal approximation. The approximation error (~1.5e-7) is irrelevant
+# to oracle gates — both engines evaluate the IDENTICAL expression, so
+# they agree to ulps; the choice is documented API semantics.
+_AS_ERF = (0.254829592, -0.284496736, 1.421413741,
+           -1.453152027, 1.061405429, 0.3275911)
+
+
+def _normal_sf_2sided(z: Column) -> Column:
+    """Two-sided normal p ≈ erfc(|z|/√2) via A&S 7.1.26."""
+    a1, a2, a3, a4, a5, pcoef = _AS_ERF
+    x = F.abs(z) / F.lit(2.0 ** 0.5)
+    t = 1.0 / (1.0 + F.lit(pcoef) * x)
+    poly = (
+        F.lit(a1) * t
+        + F.lit(a2) * t * t
+        + F.lit(a3) * t * t * t
+        + F.lit(a4) * t * t * t * t
+        + F.lit(a5) * t * t * t * t * t
+    )
+    return poly * F.exp(-x * x)
+
+
+def mannwhitney_z_stats(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    group_a,
+    group_b,
+) -> DataFrame:
+    """Mann–Whitney U with the tie-corrected normal approximation:
+    ``z = (U_a − n_a·n_b/2) / σ`` where ``σ² = n_a·n_b/12 ·
+    ((N+1) − Σ(t³−t)/(N(N−1)))`` over tie-group sizes ``t`` — the tie
+    sum is an exact integer aggregate from the same per-value frame
+    that produces the midranks (no second scan). No continuity
+    correction (documented; both engines share the exact formula).
+    Two-sided p via the A&S erfc polynomial. Output 1 row:
+    ``(u2_a, n_a, n_b, tie_term, z, p_normal)``.
+    """
+    from pyspark.sql import Window
+
+    v = F.col(value_col)
+    per = (
+        df.where(F.col(group_col).isin([group_a, group_b]) & v.isNotNull())
+        .groupBy(v.alias("_v"))
+        .agg(
+            F.count(F.when(F.col(group_col) == group_a, 1)).alias("_ca"),
+            F.count(F.when(F.col(group_col) == group_b, 1)).alias("_cb"),
+        )
+    )
+    w = Window.orderBy("_v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cnt = F.col("_ca") + F.col("_cb")
+    stepped = per.select(
+        "_ca", "_cb", cnt.alias("_cnt"),
+        (F.sum(cnt).over(w) - cnt).alias("_before"),
+    )
+    two_rbar = 2 * F.col("_before") + F.col("_cnt") + 1
+    agg = stepped.agg(
+        F.sum(F.col("_ca") * two_rbar).alias("_2ra"),
+        F.sum("_ca").alias("n_a"),
+        F.sum("_cb").alias("n_b"),
+        F.sum(
+            F.col("_cnt") * F.col("_cnt") * F.col("_cnt") - F.col("_cnt")
+        ).alias("tie_term"),
+    )
+    u2a = F.col("_2ra") - F.col("n_a") * (F.col("n_a") + 1)
+    na = F.col("n_a").cast("double")
+    nb = F.col("n_b").cast("double")
+    nt = na + nb
+    var = (
+        na * nb / F.lit(12.0)
+        * ((nt + 1.0) - F.col("tie_term").cast("double")
+           / (nt * (nt - 1.0)))
+    )
+    z = (u2a.cast("double") / F.lit(2.0) - na * nb / F.lit(2.0)) / F.sqrt(
+        var
+    )
+    staged = agg.select(
+        u2a.alias("u2_a"), "n_a", "n_b", "tie_term", z.alias("z")
+    )
+    return staged.select(
+        "u2_a", "n_a", "n_b", "tie_term", "z",
+        _normal_sf_2sided(F.col("z")).alias("p_normal"),
+    )
