@@ -4724,6 +4724,43 @@ def q_mannwhitney_u(spark, sf):
 
 
 @_q(
+    "value_anomaly_counts",
+    """
+WITH m AS (
+  SELECT event_type, value,
+    avg(value) OVER (PARTITION BY event_type) AS mu,
+    stddev_samp(value) OVER (PARTITION BY event_type) AS sigma
+  FROM events WHERE value IS NOT NULL
+)
+SELECT event_type, count(*) AS n,
+  count(*) FILTER (abs((value - mu) / sigma) > 3.0) AS n_outliers,
+  round(max(abs((value - mu) / sigma)), 6) AS max_abs_z
+FROM m GROUP BY event_type
+""",
+)
+def q_value_anomaly_counts(spark, sf):
+    """Z-score anomaly screen per group: one window pass for the
+    moments, one aggregation for the flags — the statistical
+    outlier-detection twin of winsorize's percentile clipping."""
+    from pyspark.sql import Window
+
+    e = _t(spark, sf, "events").where(F.col("value").isNotNull())
+    w = Window.partitionBy("event_type")
+    m = e.select(
+        "event_type",
+        "value",
+        F.avg("value").over(w).alias("mu"),
+        F.stddev_samp("value").over(w).alias("sigma"),
+    )
+    z = F.abs((F.col("value") - F.col("mu")) / F.col("sigma"))
+    return m.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count(F.when(z > 3.0, 1)).alias("n_outliers"),
+        _r(F.max(z)).alias("max_abs_z"),
+    )
+
+
+@_q(
     "mannwhitney_z",
     """
 WITH per AS (
