@@ -4724,6 +4724,64 @@ def q_mannwhitney_u(spark, sf):
 
 
 @_q(
+    "top_decile_share",
+    """
+WITH spend AS (
+  SELECT o_custkey,
+         sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+  FROM orders GROUP BY o_custkey
+),
+ranked AS (
+  SELECT cents,
+    row_number() OVER (ORDER BY cents DESC, o_custkey) AS rk,
+    count(*) OVER () AS n
+  FROM spend
+)
+SELECT max(n) AS n_customers,
+  CAST(ceil(max(n) / 10.0) AS BIGINT) AS n_top,
+  sum(CASE WHEN rk <= ceil(n / 10.0) THEN cents ELSE 0 END) AS top_cents,
+  sum(cents) AS total_cents,
+  round(CAST(sum(CASE WHEN rk <= ceil(n / 10.0) THEN cents ELSE 0 END)
+             AS DOUBLE) / CAST(sum(cents) AS DOUBLE), 6) AS top_share
+FROM ranked
+""",
+)
+def q_top_decile_share(spark, sf):
+    """Revenue concentration: the spend share of the top-decile
+    customers. Integer cents throughout; the only float op is the
+    final share division. Deterministic decile membership (ties by
+    custkey)."""
+    from pyspark.sql import Window
+
+    spend = (
+        _t(spark, sf, "orders")
+        .groupBy("o_custkey")
+        .agg(F.sum(_cents(F.col("o_totalprice"))).alias("cents"))
+    )
+    w = Window.orderBy(F.col("cents").desc(), F.col("o_custkey"))
+    wn = Window.partitionBy()
+    ranked = spend.select(
+        "cents",
+        F.row_number().over(w).alias("rk"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    top = F.sum(
+        F.when(
+            F.col("rk") <= F.ceil(F.col("n") / F.lit(10.0)), F.col("cents")
+        ).otherwise(F.lit(0))
+    )
+    return ranked.agg(
+        F.max("n").alias("n_customers"),
+        F.ceil(F.max("n") / F.lit(10.0)).cast("bigint").alias("n_top"),
+        top.alias("top_cents"),
+        F.sum("cents").alias("total_cents"),
+        F.round(
+            top.cast("double") / F.sum("cents").cast("double"), 6
+        ).alias("top_share"),
+    )
+
+
+@_q(
     "value_anomaly_counts",
     """
 WITH m AS (
