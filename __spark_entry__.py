@@ -523,13 +523,16 @@ def q_ttest_1samp_pvalues(spark, sf):
         "val", F.col("l_discount") - F.lit(0.05)
     )
     out = st.ttest_1samp_stats(li, ["l_returnflag"], "val", popmean=0.0)
-    return out.select(
+    # stage the p-value BEFORE the select that rounds/re-aliases t_stat:
+    # in one select Catalyst can resolve the UDF's t_stat reference
+    # against the same-named ROUNDED output column (see
+    # q_ks_test_pvalues, where that measurably flipped p at 1e-5)
+    staged = out.withColumn("_p_raw", t_sf_udf(F.col("t_stat"), F.col("df")))
+    return staged.select(
         "l_returnflag",
         _r("t_stat").alias("t_stat"),
         "df",
-        F.round(
-            t_sf_udf(F.col("t_stat"), F.col("df")), 6
-        ).alias("p_value"),
+        _r(F.col("_p_raw")).alias("p_value"),
     )
 
 
@@ -877,14 +880,17 @@ def q_anova_pvalues(spark, sf):
     out = st.anova_1way_stats(
         li, ["l_partkey"], "l_returnflag", "l_quantity"
     )
-    return out.select(
+    # stage the p-value BEFORE the select that rounds/re-aliases f_stat
+    # (same rounded-column resolution hazard as q_ks_test_pvalues)
+    staged = out.withColumn(
+        "_p_raw", f_sf_udf(F.col("f_stat"), F.col("dfn"), F.col("dfd"))
+    )
+    return staged.select(
         "l_partkey",
         _r("f_stat").alias("f_stat"),
         "dfn",
         "dfd",
-        F.round(
-            f_sf_udf(F.col("f_stat"), F.col("dfn"), F.col("dfd")), 6
-        ).alias("p_value"),
+        _r(F.col("_p_raw")).alias("p_value"),
     )
 
 

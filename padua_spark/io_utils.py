@@ -82,16 +82,41 @@ def compact_parquet(
     repoint the table location / catalog entry) — this function never
     overwrites ``src_dir`` in place.
     """
-    if dst_dir == src_dir:
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    path = jvm.org.apache.hadoop.fs.Path(src_dir)
+    fs = path.getFileSystem(conf)
+    # Canonicalize before comparing: string equality alone misses
+    # trailing slashes, relative-vs-absolute forms, and symlink
+    # aliases — and mode("overwrite") on the source directory would
+    # truncate the data being lazily read. makeQualified normalizes
+    # scheme/authority/relative paths; os.path.realpath catches
+    # symlinked local directories that qualification cannot see.
+    dst_path = jvm.org.apache.hadoop.fs.Path(dst_dir)
+    src_q = fs.makeQualified(path).toString()
+    dst_q = dst_path.getFileSystem(conf).makeQualified(dst_path).toString()
+    same = src_q == dst_q
+    if not same:
+        import os
+
+        def _local(p):
+            # Hadoop renders local URIs as file:/x or file:///x
+            if p.startswith("file:"):
+                p = p[len("file:"):]
+                while p.startswith("//"):
+                    p = p[1:]
+            return p
+
+        if src_q.startswith(("file:", "/")) and dst_q.startswith(("file:", "/")):
+            same = os.path.realpath(_local(src_q)) == os.path.realpath(
+                _local(dst_q)
+            )
+    if same:
         raise ValueError(
             "compact_parquet writes to a NEW directory (write-then-"
             "swap); in-place overwrite would destroy the source on "
             "task failure"
         )
-    jvm = spark._jvm
-    conf = spark._jsc.hadoopConfiguration()
-    path = jvm.org.apache.hadoop.fs.Path(src_dir)
-    fs = path.getFileSystem(conf)
     total_bytes = fs.getContentSummary(path).getLength()
     n = max(1, int(total_bytes // (target_mb * 1024 * 1024)) + 1)
     (

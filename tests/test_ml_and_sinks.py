@@ -219,3 +219,18 @@ def test_compact_parquet(spark, tmp_path):
     assert a == list(range(10_000))
     with _pytest.raises(ValueError):
         compact_parquet(spark, src, src)
+    # aliases of the source must be rejected too: trailing slash,
+    # relative path, file: scheme, and a symlink to the directory
+    import os
+
+    with _pytest.raises(ValueError):
+        compact_parquet(spark, src, src + "/")
+    with _pytest.raises(ValueError):
+        compact_parquet(spark, src, "file:" + src)
+    rel = os.path.relpath(src, os.getcwd())
+    with _pytest.raises(ValueError):
+        compact_parquet(spark, src, rel)
+    link = str(tmp_path / "frag_link")
+    os.symlink(src, link)
+    with _pytest.raises(ValueError):
+        compact_parquet(spark, src, link)
