@@ -351,6 +351,100 @@ def linregress(
     )
 
 
+def _ecdf_stepped_counts(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    group_a,
+    group_b,
+) -> DataFrame:
+    """Shared ECDF scaffolding for the rank/ECDF statistics (KS,
+    Mann–Whitney): per-distinct-value conditional counts with their
+    **distributed** running sums.
+
+    The naive formulation is one partitionless ``Window.orderBy(value)``
+    cumsum — a single-task sort over the whole distinct-value domain,
+    which on *continuous* data (|distinct| ≈ n, padua's float
+    intensities) serializes the entire dataset through one core. This
+    is the two-pass distributed cumsum instead:
+
+    1. ``repartitionByRange`` the per-value counts by ``_v`` — range
+       partition *i* holds values strictly below partition *i+1*'s, so
+       ``spark_partition_id()`` is monotone in ``_v``.
+    2. Local cumsum per range partition (window partitioned by the
+       captured partition id — N parallel tasks, ~|domain|/N rows
+       each).
+    3. Per-partition totals → an N-row frame (N = shuffle
+       parallelism, *constant in data size*) where the exclusive
+       prefix offsets and grand totals are computed with a tiny
+       single-partition window — the only remaining global order, over
+       N rows, at any scale.
+    4. Broadcast-join the offsets back on partition id; global
+       cumsum = local cumsum + offset.
+
+    Cumsum values are independent of where the sampled range boundaries
+    fall (``_v`` is distinct per row, so no value straddles two
+    partitions), making the result reproducible even though the range
+    partitioner samples. Counts stay integer throughout.
+
+    Output: one row per distinct value with ``_v, _ca, _cb`` (per-value
+    counts in groups a/b), ``_fa, _fb`` (running counts ≤ value — the
+    un-normalized ECDFs), and ``_na, _nb`` (grand totals).
+    """
+    v = F.col(value_col)
+    per = (
+        df.where(F.col(group_col).isin([group_a, group_b]) & v.isNotNull())
+        .groupBy(v.alias("_v"))
+        .agg(
+            F.count(F.when(F.col(group_col) == group_a, 1)).alias("_ca"),
+            F.count(F.when(F.col(group_col) == group_b, 1)).alias("_cb"),
+        )
+    )
+    spark = per.sparkSession
+    n_parts = max(1, int(spark.conf.get("spark.sql.shuffle.partitions")))
+    ranged = per.repartitionByRange(n_parts, "_v").withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    w_loc = Window.partitionBy("_pid").orderBy("_v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    local = ranged.select(
+        "_pid",
+        "_v",
+        "_ca",
+        "_cb",
+        F.sum("_ca").over(w_loc).alias("_la"),
+        F.sum("_cb").over(w_loc).alias("_lb"),
+    )
+    totals = ranged.groupBy("_pid").agg(
+        F.sum("_ca").alias("_ta"), F.sum("_cb").alias("_tb")
+    )
+    # N rows (N = parallelism): the single-partition windows below are
+    # over a constant-size frame, not the data.
+    w_off = Window.orderBy("_pid").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    w_all = Window.orderBy("_pid").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    offsets = totals.select(
+        "_pid",
+        F.coalesce(F.sum("_ta").over(w_off), F.lit(0)).alias("_oa"),
+        F.coalesce(F.sum("_tb").over(w_off), F.lit(0)).alias("_ob"),
+        F.sum("_ta").over(w_all).alias("_na"),
+        F.sum("_tb").over(w_all).alias("_nb"),
+    )
+    return local.join(F.broadcast(offsets), "_pid").select(
+        "_v",
+        "_ca",
+        "_cb",
+        (F.col("_la") + F.col("_oa")).alias("_fa"),
+        (F.col("_lb") + F.col("_ob")).alias("_fb"),
+        "_na",
+        "_nb",
+    )
+
+
 def ks_2samp_stat(
     df: DataFrame,
     group_col: str,
@@ -365,36 +459,15 @@ def ks_2samp_stat(
     engine; ties across groups are handled exactly (both ECDFs step
     BEFORE the comparison at each distinct value, scipy's convention).
 
-    Plan: per-(value) conditional counts → one global-order window
-    cumsum (the value domain after aggregation, usually far smaller
-    than the input) → max. Output 1 row: (d_stat, n_a, n_b).
+    Plan: per-(value) conditional counts → distributed two-pass cumsum
+    (:func:`_ecdf_stepped_counts` — scale-safe on continuous value
+    domains where |distinct| ≈ n) → max. Output 1 row:
+    (d_stat, n_a, n_b).
 
     No p-value: the asymptotic Kolmogorov CDF is an infinite series —
     compute it driver-side from (d_stat, n_a, n_b) when needed.
     """
-    from pyspark.sql import Window
-
-    v = F.col(value_col)
-    per = (
-        df.where(F.col(group_col).isin([group_a, group_b]) & v.isNotNull())
-        .groupBy(v.alias("_v"))
-        .agg(
-            F.count(F.when(F.col(group_col) == group_a, 1)).alias("_ca"),
-            F.count(F.when(F.col(group_col) == group_b, 1)).alias("_cb"),
-        )
-    )
-    w = Window.orderBy("_v").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    wtot = Window.rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing
-    )
-    stepped = per.select(
-        F.sum("_ca").over(w).alias("_fa"),
-        F.sum("_cb").over(w).alias("_fb"),
-        F.sum("_ca").over(wtot).alias("_na"),
-        F.sum("_cb").over(wtot).alias("_nb"),
-    )
+    stepped = _ecdf_stepped_counts(df, group_col, value_col, group_a, group_b)
     d = F.abs(
         F.col("_fa").cast("double") / F.col("_na").cast("double")
         - F.col("_fb").cast("double") / F.col("_nb").cast("double")
@@ -421,31 +494,19 @@ def mannwhitney_u_stat(
     engine, no float ranks anywhere.
 
     Same plan shape as :func:`ks_2samp_stat`: conditional counts per
-    distinct value, one global-order window cumsum over the value
-    domain, then a scalar aggregate. Output 1 row:
-    ``(u2_a, u2_b, n_a, n_b)`` with ``u2_x = 2·U_x``
+    distinct value, distributed two-pass cumsum over the value domain
+    (:func:`_ecdf_stepped_counts`), then a scalar aggregate. Output 1
+    row: ``(u2_a, u2_b, n_a, n_b)`` with ``u2_x = 2·U_x``
     (``U_a + U_b = n_a·n_b`` ⟺ ``u2_a + u2_b = 2·n_a·n_b``).
     """
-    from pyspark.sql import Window
-
-    v = F.col(value_col)
-    per = (
-        df.where(F.col(group_col).isin([group_a, group_b]) & v.isNotNull())
-        .groupBy(v.alias("_v"))
-        .agg(
-            F.count(F.when(F.col(group_col) == group_a, 1)).alias("_ca"),
-            F.count(F.when(F.col(group_col) == group_b, 1)).alias("_cb"),
-        )
-    )
-    w = Window.orderBy("_v").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
     cnt = F.col("_ca") + F.col("_cb")
-    stepped = per.select(
+    stepped = _ecdf_stepped_counts(
+        df, group_col, value_col, group_a, group_b
+    ).select(
         "_ca",
         "_cb",
         cnt.alias("_cnt"),
-        (F.sum(cnt).over(w) - cnt).alias("_before"),
+        (F.col("_fa") + F.col("_fb") - cnt).alias("_before"),
     )
     two_rbar = 2 * F.col("_before") + F.col("_cnt") + 1
     agg = stepped.agg(
@@ -498,27 +559,16 @@ def mannwhitney_z_stats(
     sum is an exact integer aggregate from the same per-value frame
     that produces the midranks (no second scan). No continuity
     correction (documented; both engines share the exact formula).
-    Two-sided p via the A&S erfc polynomial. Output 1 row:
+    Two-sided p via the A&S erfc polynomial. Cumsum is the distributed
+    two-pass plan (:func:`_ecdf_stepped_counts`). Output 1 row:
     ``(u2_a, n_a, n_b, tie_term, z, p_normal)``.
     """
-    from pyspark.sql import Window
-
-    v = F.col(value_col)
-    per = (
-        df.where(F.col(group_col).isin([group_a, group_b]) & v.isNotNull())
-        .groupBy(v.alias("_v"))
-        .agg(
-            F.count(F.when(F.col(group_col) == group_a, 1)).alias("_ca"),
-            F.count(F.when(F.col(group_col) == group_b, 1)).alias("_cb"),
-        )
-    )
-    w = Window.orderBy("_v").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
     cnt = F.col("_ca") + F.col("_cb")
-    stepped = per.select(
+    stepped = _ecdf_stepped_counts(
+        df, group_col, value_col, group_a, group_b
+    ).select(
         "_ca", "_cb", cnt.alias("_cnt"),
-        (F.sum(cnt).over(w) - cnt).alias("_before"),
+        (F.col("_fa") + F.col("_fb") - cnt).alias("_before"),
     )
     two_rbar = 2 * F.col("_before") + F.col("_cnt") + 1
     agg = stepped.agg(

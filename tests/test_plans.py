@@ -290,6 +290,37 @@ def test_semdedup_corpus_never_reshuffled_by_vector(spark):
     assert has_broadcast_join(df)
 
 
+def test_ecdf_cumsum_is_distributed(spark):
+    """KS / Mann-Whitney ECDF scaffolding: the per-distinct-value
+    cumsum window must be PARTITIONED by the captured range-partition
+    id (N parallel tasks), never a partitionless global-order window
+    over the value domain — on continuous data |distinct| ~= n and a
+    single-partition sort would serialize the dataset through one
+    core. The only SinglePartition exchange allowed is the one feeding
+    the N-row per-partition-totals frame (constant in data size)."""
+    import re
+
+    for build in (
+        lambda df: st.ks_2samp_stat(
+            df, "l_returnflag", "l_extendedprice", "R", "A"
+        ),
+        lambda df: st.mannwhitney_z_stats(
+            df, "l_returnflag", "l_extendedprice", "R", "A"
+        ),
+    ):
+        plan = explain_str(build(_li(spark)), "simple")
+        specs = re.findall(r"windowspecdefinition\(([^)]*)", plan)
+        assert specs, plan[:2000]
+        # no window ordered directly on the raw value domain
+        assert not any(s.lstrip().startswith("_v#") for s in specs), specs
+        # the domain-sized cumsum runs under a _pid partition spec
+        assert any(
+            s.lstrip().startswith("_pid#") and " _v#" in s for s in specs
+        ), specs
+        # values reach their partitions via a range exchange
+        assert "rangepartitioning(_v#" in plan, plan[:2000]
+
+
 def test_no_cartesian_products_anywhere(spark):
     """Plan lint over EVERY queries() entry: no CartesianProduct may
     appear in any physical plan, and BroadcastNestedLoopJoin only where

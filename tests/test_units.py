@@ -1150,6 +1150,58 @@ def test_upsert_merge_semantics(spark):
         == [1, 2, 3]
 
 
+def test_ks_mannwhitney_continuous_domain_at_scale(spark):
+    """Scale probe: KS and Mann-Whitney on a CONTINUOUS value column —
+    every value distinct, |domain| == n, the regime where the old
+    partitionless global-order window would single-task the whole
+    dataset — match a numpy brute-force reference exactly at 1x and
+    8x (480k all-distinct doubles)."""
+    import numpy as np
+
+    from padua_spark.operators.stats import (
+        ks_2samp_stat,
+        mannwhitney_u_stat,
+    )
+
+    for n in (60_000, 480_000):
+        # deterministic pseudo-random doubles, pure function of id
+        # (unlike F.rand, partitioning/retry cannot change them);
+        # fractional parts of id*phi are all distinct for id < 2^26
+        v = F.col("id") * F.lit(0.6180339887498949)
+        frac = v - F.floor(v)
+        df = spark.range(n).select(
+            F.when(F.col("id") % 3 == 0, F.lit("a"))
+            .otherwise(F.lit("b"))
+            .alias("g"),
+            frac.alias("v"),
+        )
+        rows = df.collect()
+        a = np.sort([r["v"] for r in rows if r["g"] == "a"])
+        b = np.sort([r["v"] for r in rows if r["g"] == "b"])
+        assert len(np.unique(np.concatenate([a, b]))) == n  # truly continuous
+        xs = np.concatenate([a, b])
+        d_exp = np.max(
+            np.abs(
+                np.searchsorted(a, xs, side="right") / len(a)
+                - np.searchsorted(b, xs, side="right") / len(b)
+            )
+        )
+        ks = ks_2samp_stat(df, "g", "v", "a", "b").collect()[0]
+        assert ks["d_stat"] == pytest.approx(d_exp, abs=1e-12)
+        assert (ks["n_a"], ks["n_b"]) == (len(a), len(b))
+
+        allv = np.sort(xs)
+        two_rbar = (
+            np.searchsorted(allv, a, side="left")
+            + 1
+            + np.searchsorted(allv, a, side="right")
+        )
+        u2a_exp = int(two_rbar.sum()) - len(a) * (len(a) + 1)
+        mw = mannwhitney_u_stat(df, "g", "v", "a", "b").collect()[0]
+        assert mw["u2_a"] == u2a_exp
+        assert mw["u2_a"] + mw["u2_b"] == 2 * len(a) * len(b)
+
+
 def test_group_percentiles_match_builtin_at_scale(spark):
     """Scale probe: at 8x lineitem (~480k rows at sf0.01) the
     relational sort-path percentiles equal Spark's builtin
