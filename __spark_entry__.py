@@ -1766,23 +1766,61 @@ def q_pca_gram(spark, sf):
     return gram.select("sample_x", "sample_y", _r("xy").alias("xy"))
 
 
-# --- M1 PCA scores (eigendecomposition — not SQL-expressible; rows-only) -----
+# --- M1 PCA scores — hash-gated via the Gram reconstruction invariant -------
 
 
-@_q("pca_scores")
+@_q(
+    "pca_scores",
+    """
+WITH long AS (
+  SELECT l_partkey AS f, l_returnflag AS s, avg(l_quantity) AS v
+  FROM lineitem GROUP BY 1, 2
+),
+m AS (SELECT f, avg(v) AS mv FROM long GROUP BY 1),
+c AS (
+  SELECT long.f, long.s, long.v - m.mv AS cv
+  FROM long JOIN m USING (f)
+)
+SELECT a.s AS sample_x, b.s AS sample_y,
+       round(sum(a.cv * b.cv), 6) AS xy
+FROM c a JOIN c b USING (f) GROUP BY 1, 2
+""",
+)
 def q_pca_scores(spark, sf):
+    """Hash gate for the PCA eigendecomposition (analysis.py:51-93):
+    at k = n_samples the scores matrix U·S satisfies
+    (U·S)(U·S)ᵀ = G exactly, so Σ_pc score_x·score_y must reproduce
+    every entry of the centered Gram — the oracle is the same SQL the
+    (independently green) ``pca_gram`` gate runs. Any eigenvalue or
+    eigenvector error in ``ml.pca`` propagates into the sum, making
+    the eigendecomposition itself value-hash-checkable; the scores are
+    additionally sign-canonicalized in ml.pca (largest-|entry|
+    coordinate positive per PC) so their raw values are deterministic
+    across LAPACK builds."""
     from padua_spark.operators import ml
 
     li = _t(spark, sf, "lineitem")
     long = li.groupBy("l_partkey", "l_returnflag").agg(
         F.avg("l_quantity").alias("v")
     )
+    # k = 16 clamps to n_samples inside pca() — full-rank scores
     scores, _w, _evr = ml.pca(
-        long, ["l_partkey"], "l_returnflag", "v", n_components=2
+        long, ["l_partkey"], "l_returnflag", "v", n_components=16
     )
-    return scores.select(
-        F.col("l_returnflag"), "pc", _r("score").alias("score")
+    a = scores.select(
+        F.col("l_returnflag").alias("sample_x"), "pc",
+        F.col("score").alias("_sx"),
     )
+    b = scores.select(
+        F.col("l_returnflag").alias("sample_y"), "pc",
+        F.col("score").alias("_sy"),
+    )
+    rec = (
+        a.join(b, on="pc")
+        .groupBy("sample_x", "sample_y")
+        .agg(F.sum(F.col("_sx") * F.col("_sy")).alias("xy"))
+    )
+    return rec.select("sample_x", "sample_y", _r("xy").alias("xy"))
 
 
 # --- ext: LSH-bucketed approximate top-k. The oracle mirrors the exact

@@ -116,6 +116,15 @@ def pca(
     order = np.argsort(evals)[::-1]
     evals, evecs = evals[order], evecs[:, order]
     evals = np.clip(evals, 0.0, None)
+    # Eigenvectors are unique only up to ±1: canonicalize the sign so
+    # scores/weights are reproducible across LAPACK builds and runs —
+    # force the largest-|entry| coordinate positive per component
+    # (np.argmax takes the FIRST max, and `samples` is sorted, so the
+    # tie-break is deterministic too).
+    for c in range(evecs.shape[1]):
+        j = int(np.argmax(np.abs(evecs[:, c])))
+        if evecs[j, c] < 0:
+            evecs[:, c] = -evecs[:, c]
     k = min(n_components, n)
     sing = np.sqrt(evals[:k])
     total_var = evals.sum()

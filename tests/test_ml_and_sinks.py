@@ -54,6 +54,40 @@ def test_pca_matches_numpy_svd(spark):
         assert np.allclose(W[:, c], sign * Vt[c], atol=1e-6)
 
 
+def test_pca_sign_canonical_and_gram_reconstruction(spark):
+    """Scores are deterministic (not merely up-to-sign): the
+    largest-|score| coordinate of every PC is positive, the result is
+    invariant to input row order/partitioning, and at k = n the
+    reconstruction Σ_pc score_x·score_y reproduces the centered Gram
+    — the invariant the pca_scores oracle gate relies on."""
+    rng = np.random.default_rng(11)
+    X = rng.normal(size=(5, 30))
+    samples = [f"s{i}" for i in range(5)]
+    df = _long_df(spark, X, samples)
+    scores_df, _, _ = ml.pca(
+        df, ["feature_id"], "sample", "value", n_components=5
+    )
+    got = np.zeros((5, 5))
+    for r in scores_df.collect():
+        got[samples.index(r["sample"]), r["pc"] - 1] = r["score"]
+    for c in range(5):
+        j = int(np.argmax(np.abs(got[:, c])))
+        assert got[j, c] >= 0, f"PC{c + 1} not sign-canonical"
+    # row-order / partitioning invariance
+    shuffled = df.orderBy(F.rand(7)).repartition(13)
+    scores2, _, _ = ml.pca(
+        shuffled, ["feature_id"], "sample", "value", n_components=5
+    )
+    got2 = np.zeros((5, 5))
+    for r in scores2.collect():
+        got2[samples.index(r["sample"]), r["pc"] - 1] = r["score"]
+    assert np.allclose(got, got2, atol=1e-9)
+    # Gram reconstruction at full rank
+    Xc = X - X.mean(axis=0, keepdims=True)
+    G = Xc @ Xc.T
+    assert np.allclose(got @ got.T, G, atol=1e-8)
+
+
 def test_nipals_pls_sanity(spark):
     rng = np.random.default_rng(5)
     X = rng.normal(size=(12, 30))
