@@ -629,6 +629,77 @@ def q_qvalues(spark, sf):
     )
 
 
+# --- T4 with the reference's λ-grid pi0 estimator (utils.py:50-68) -----------
+
+_QVALUE_STOREY_ORACLE = f"""
+WITH p AS (
+  SELECT p_partkey,
+    {deterministic_uniform_sql('p_partkey', 0)} AS p_value
+  FROM part
+),
+s AS (
+  SELECT CASE WHEN count(*) < 100 THEN 1.0
+         ELSE least(1.0,
+              CAST(sum(CASE WHEN p_value > 0.89 THEN 1 ELSE 0 END)
+                   AS DOUBLE)
+              / (CAST(count(*) AS DOUBLE) * (1.0 - 0.89))) END AS pi0
+  FROM p
+),
+r AS (
+  SELECT *, row_number() OVER (ORDER BY p_value) AS rk,
+         count(*) OVER () AS m
+  FROM p
+),
+q AS (
+  SELECT r.*, s.pi0,
+         least(s.pi0 * CAST(m AS DOUBLE) * p_value / CAST(rk AS DOUBLE),
+               1.0) AS q_raw
+  FROM r, s
+)
+SELECT p_partkey, round(p_value, 9) AS p_value, round(pi0, 9) AS pi0,
+  round(min(q_raw) OVER (ORDER BY p_value
+        ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING), 9) AS q_value
+FROM q
+"""
+
+
+@_q("qvalues_storey", _QVALUE_STOREY_ORACLE)
+def q_qvalues_storey(spark, sf):
+    """q-values with the reference's λ-grid pi0 (utils.py:50-68): the
+    splrep fit there has no weights so its default smoothing is s=0 —
+    an interpolating spline — and splev AT the last grid point λ=0.89
+    returns the grid value itself: pi0 = count(p>0.89)/(m·(1−0.89)),
+    clipped at 1, m<100 → 1. The same closed form runs in the oracle,
+    so the estimator (exposed as a pi0 column) and the q-values it
+    scales are both value-hash gated."""
+    from padua_spark.functions.scalar import deterministic_uniform
+
+    part = _t(spark, sf, "part")
+    p = part.select(
+        "p_partkey",
+        deterministic_uniform(F.col("p_partkey"), salt=0).alias("p_value"),
+    )
+    from pyspark.sql import Window
+
+    out = st.qvalues(p, "p_value", pi0="storey")
+    m = F.count(F.lit(1)).over(Window.partitionBy())
+    n_above = F.count(F.when(F.col("p_value") > 0.89, 1)).over(
+        Window.partitionBy()
+    )
+    est = n_above.cast("double") / (
+        m.cast("double") * F.lit(1.0 - 0.89)
+    )
+    pi0_col = F.when(m < 100, F.lit(1.0)).otherwise(
+        F.least(est, F.lit(1.0))
+    )
+    return out.select(
+        "p_partkey",
+        F.round("p_value", 9).alias("p_value"),
+        F.round(pi0_col, 9).alias("pi0"),
+        F.round("q_value", 9).alias("q_value"),
+    )
+
+
 # --- T6 volcano_stats (visualize.py:458-676; statistics core, oracle-able) ---
 
 _VOLCANO_ORACLE = """

@@ -179,17 +179,28 @@ def anova_1way(df, feature_cols, group_col, value_col,
 def qvalues(
     df: DataFrame,
     p_col: str = "p_value",
-    pi0: float | None = None,
+    pi0: float | str | None = None,
     out_col: str = "q_value",
 ) -> DataFrame:
     """Storey–Tibshirani q-values from a p-value column.
 
     Reference: ``utils.qvalues`` (utils.py:8-105): sort by p, rank,
-    ``q_raw = pi0·m·p/rank``, then a backward running min. The
-    reference estimates pi0 with a scipy spline over a λ grid
-    (utils.py:50-68); with ``pi0=None`` we use Storey's fixed-λ=0.5
-    estimator (documented divergence — no scipy here); ``pi0=1`` gives
-    plain Benjamini–Hochberg.
+    ``q_raw = pi0·m·p/rank``, then a backward running min. ``pi0``
+    modes:
+
+    - ``"storey"`` — the reference's λ-grid estimator (utils.py:50-68),
+      faithfully: the reference fits ``splrep(lam, pi0_grid)`` with no
+      weights, whose default smoothing is ``s=0`` — an INTERPOLATING
+      spline — then evaluates it AT the last grid point λ=0.89, which
+      is exactly the grid value there. So the estimator reduces to
+      ``pi0 = count(p>0.89)/(m·(1−0.89))``, clipped at 1, with the
+      reference's small-m rule (m<100 → pi0=1, utils.py:45-46). The
+      reduction makes the "spline" both faithful and SQL-expressible
+      (one extra conditional count in the same window pass).
+    - ``None`` — Storey's fixed-λ=0.5 estimator (more stable than the
+      λ=0.89 tail count on small m; documented house default).
+    - a float — user-supplied; ``pi0=1`` gives plain
+      Benjamini–Hochberg.
 
     Plan note: the rank/backward-min windows are global-order — a
     single-partition sort of the per-feature p-value table (m =
@@ -217,6 +228,12 @@ def qvalues(
                 n_above.cast("double") / (m_col * 0.5), F.lit(1e-8)
             ),
             F.lit(1.0),
+        )
+    elif pi0 == "storey":
+        n_above = F.count(F.when(F.col(p_col) > 0.89, 1)).over(w_all)
+        est = n_above.cast("double") / (m_col * F.lit(1.0 - 0.89))
+        pi0_col = F.when(m_col < 100, F.lit(1.0)).otherwise(
+            F.least(est, F.lit(1.0))
         )
     else:
         pi0_col = F.lit(float(pi0))

@@ -154,6 +154,35 @@ def test_qvalues_monotone_and_bounded(spark):
     assert all(r["q_value"] >= r["p_value"] - 1e-12 for r in rows)
 
 
+def test_qvalues_storey_pi0(spark):
+    """pi0='storey' reproduces the reference estimator's closed form
+    (utils.py:50-68 with splrep's s=0 interpolating default):
+    pi0 = count(p>0.89)/(m*0.11) clipped at 1, and the reference's
+    m<100 rule forces pi0=1 (== plain BH) on small inputs."""
+    # small m: storey == BH exactly
+    small = spark.createDataFrame(
+        [(i, (i + 1) / 60.0) for i in range(50)], ["k", "p_value"]
+    )
+    sq = {r["k"]: r["q_value"]
+          for r in st.qvalues(small, "p_value", pi0="storey").collect()}
+    bq = {r["k"]: r["q_value"]
+          for r in st.qvalues(small, "p_value", pi0=1.0).collect()}
+    assert sq == bq
+    # large m, uniform-ish p: pi0 = (#p>0.89)/(m*0.11); q == pi0-scaled
+    # BH with the backward running min
+    m = 400
+    ps = [((i * 37) % m + 0.5) / m for i in range(m)]
+    df = spark.createDataFrame(list(enumerate(ps)), ["k", "p_value"])
+    n_above = sum(1 for p in ps if p > 0.89)
+    pi0 = min(1.0, n_above / (m * (1.0 - 0.89)))
+    got = {r["k"]: r["q_value"]
+           for r in st.qvalues(df, "p_value", pi0="storey").collect()}
+    ref = {r["k"]: r["q_value"]
+           for r in st.qvalues(df, "p_value", pi0=pi0).collect()}
+    for k in got:
+        assert abs(got[k] - ref[k]) < 1e-12
+
+
 def test_ttest_symmetry(spark):
     """t(a,b) == -t(b,a) (property test from SURVEY.md §5)."""
     data = [
