@@ -1030,6 +1030,91 @@ def q_enrichment(spark, sf):
     )
 
 
+# --- X1 offline hypergeometric enrichment (the exact Fisher test
+#     PantherDB runs server-side for analysis.py:336-384) --------------------
+
+
+def _log_choose_sql(n: str, k: str) -> str:
+    return (
+        f"({_gammaln_sql(f'({n}) + 1.0')}"
+        f" - {_gammaln_sql(f'({k}) + 1.0')}"
+        f" - {_gammaln_sql(f'({n}) - ({k}) + 1.0')})"
+    )
+
+
+def _hypergeom_oracle() -> str:
+    term_i = _log_choose_sql("k_background", "i")
+    term_rest = _log_choose_sql(
+        "n_background - k_background", "n_selected - i"
+    )
+    denom = _log_choose_sql("n_background", "n_selected")
+    return f"""
+WITH ann AS (
+  SELECT DISTINCT p_partkey AS id, p_brand AS term FROM part
+  WHERE p_partkey IS NOT NULL AND p_brand IS NOT NULL
+),
+sel AS (
+  SELECT DISTINCT l_partkey AS id FROM lineitem
+  WHERE l_returnflag = 'R' AND l_quantity >= 48
+),
+per AS (
+  SELECT term, count(*) AS k_background, count(s.id) AS k_selected
+  FROM ann a LEFT JOIN sel s USING (id) GROUP BY 1
+),
+sc AS (
+  SELECT count(*) AS n_background, count(s.id) AS n_selected
+  FROM (SELECT DISTINCT id FROM ann) i LEFT JOIN sel s USING (id)
+),
+rows_i AS (
+  SELECT per.*, sc.n_background, sc.n_selected,
+    unnest(generate_series(k_selected,
+                           least(k_background, n_selected))) AS i
+  FROM per, sc
+),
+tail AS (
+  SELECT term, k_selected, n_selected, k_background, n_background,
+    sum(exp({term_i} + {term_rest} - {denom}) ORDER BY i) AS p
+  FROM rows_i GROUP BY 1, 2, 3, 4, 5
+)
+SELECT term, k_selected, n_selected, k_background, n_background,
+  round(CASE WHEN n_selected > 0 AND k_background > 0
+        THEN (CAST(k_selected AS DOUBLE) / CAST(n_selected AS DOUBLE))
+             / (CAST(k_background AS DOUBLE)
+                / CAST(n_background AS DOUBLE)) END, 6)
+    AS fold_enrichment,
+  round(least(1.0, greatest(0.0, p)), 6) AS p_value
+FROM tail
+"""
+
+
+@_q("enrichment_hypergeom", _hypergeom_oracle())
+def q_enrichment_hypergeom(spark, sf):
+    """Exact one-sided hypergeometric enrichment of a hit list over an
+    annotation table, entirely JVM-side (log-gamma tail fold); the
+    oracle replays the identical Lanczos arithmetic and ascending
+    summation order in SQL, so the P values are value-hash gated."""
+    from padua_spark.operators.external import hypergeom_enrichment
+
+    part = _t(spark, sf, "part")
+    li = _t(spark, sf, "lineitem")
+    ann = part.select(
+        F.col("p_partkey").alias("id"), F.col("p_brand").alias("term")
+    )
+    hits = li.where(
+        (F.col("l_returnflag") == "R") & (F.col("l_quantity") >= 48)
+    ).select(F.col("l_partkey").alias("id"))
+    out = hypergeom_enrichment(hits, ann, "id", "term")
+    return out.select(
+        "term",
+        "k_selected",
+        "n_selected",
+        "k_background",
+        "n_background",
+        _r("fold_enrichment").alias("fold_enrichment"),
+        _r("p_value").alias("p_value"),
+    )
+
+
 # --- A6 sites_peptides_proteins (analysis.py:291-309) ------------------------
 
 

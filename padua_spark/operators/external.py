@@ -115,6 +115,142 @@ def uniprot_mapping_join(
     return df.join(F.broadcast(mdf), on=id_col, how="left")
 
 
+# Lanczos g=7 n=9 coefficients — the same approximation
+# functions/distributions.py uses in numpy, here as native Column
+# arithmetic so the enrichment p-value never leaves the JVM.
+_LANCZOS_COEF = (
+    0.99999999999980993, 676.5203681218851, -1259.1392167224028,
+    771.32342877765313, -176.61502916214059, 12.507343278686905,
+    -0.13857109526572012, 9.9843695780195716e-6, 1.5056327351493116e-7,
+)
+
+
+def gammaln_col(z):
+    """log Γ(z) for z > 0 as a native Column expression (Lanczos g=7)
+    — identical arithmetic to ``functions.distributions.gammaln`` and
+    the oracle-side ``_gammaln_sql``, so all three agree to ulps."""
+    import math
+
+    x = z - F.lit(1.0)
+    acc = F.lit(_LANCZOS_COEF[0])
+    for i, c in enumerate(_LANCZOS_COEF[1:], 1):
+        acc = acc + F.lit(c) / (x + F.lit(float(i)))
+    t = x + F.lit(7.5)
+    return (
+        F.lit(0.5 * math.log(2 * math.pi))
+        + (x + F.lit(0.5)) * F.log(t)
+        - t
+        + F.log(acc)
+    )
+
+
+def _log_choose(n, k):
+    """log C(n, k) via gammaln — n, k are integer Columns."""
+    nd = n.cast("double")
+    kd = k.cast("double")
+    return (
+        gammaln_col(nd + F.lit(1.0))
+        - gammaln_col(kd + F.lit(1.0))
+        - gammaln_col(nd - kd + F.lit(1.0))
+    )
+
+
+def hypergeom_enrichment(
+    selected: DataFrame,
+    annotations: DataFrame,
+    id_col: str = "id",
+    term_col: str = "term",
+) -> DataFrame:
+    """Offline annotation-term enrichment: the exact one-sided
+    hypergeometric (Fisher) test PantherDB runs server-side for the
+    reference's ``go_enrichment`` (analysis.py:336-384 posts the ID
+    list and consumes P values it cannot recompute offline). Given a
+    hit list and a user-supplied ``(id, term)`` annotation table, for
+    each term: ``k`` selected ids with the term out of ``n`` selected,
+    vs ``K`` background ids with the term out of ``N`` background
+    (background = all distinct annotated ids; unannotated selected ids
+    drop out, matching the service's unmapped-ID behavior).
+
+    ``p_value = P(X ≥ k) = Σ_{i=k..min(K,n)}
+    C(K,i)·C(N−K,n−i)/C(N,n)`` — evaluated as a sequential fold of
+    log-gamma pmf terms, entirely JVM-side (no UDF).
+
+    Plan: both inputs dedupe with one shuffle each; counts are one
+    per-term aggregation with map-side partials; the (n, N) scalars
+    ride a single-row broadcast join (the constant key folds away,
+    leaving a one-row nested-loop broadcast — free at any scale); the
+    tail sum is a per-term higher-order function
+    whose length is bounded by the hit-list size — the standard cost
+    of an exact Fisher tail, independent of fact-table scale.
+
+    Output: ``(term, k_selected, n_selected, k_background,
+    n_background, fold_enrichment, p_value)``.
+    """
+    ann = (
+        annotations.select(
+            F.col(id_col).alias("_id"), F.col(term_col).alias(term_col)
+        )
+        .where(F.col("_id").isNotNull() & F.col(term_col).isNotNull())
+        .distinct()
+    )
+    sel = (
+        selected.select(F.col(id_col).alias("_id"))
+        .where(F.col("_id").isNotNull())
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    flagged = ann.join(sel, on="_id", how="left")
+    per = flagged.groupBy(term_col).agg(
+        F.count("_id").alias("k_background"),
+        F.count("_hit").alias("k_selected"),
+    )
+    ids = ann.select("_id").distinct().join(sel, on="_id", how="left")
+    scalars = ids.agg(
+        F.count("_id").alias("n_background"),
+        F.count("_hit").alias("n_selected"),
+    ).withColumn("_one", F.lit(1))
+    joined = per.withColumn("_one", F.lit(1)).join(
+        F.broadcast(scalars), on="_one"
+    )
+    # Row-constant log C(N, n): stage it as a column BEFORE the fold —
+    # HOF lambdas are interpreted with no CSE (see verify SKILL.md).
+    kk = F.col("k_selected")
+    bigk = F.col("k_background")
+    n = F.col("n_selected")
+    bign = F.col("n_background")
+    staged = joined.withColumn(
+        "_log_denom", _log_choose(bign, n)
+    ).withColumn("_imax", F.least(bigk, n))
+
+    def _pmf_term(i):
+        return F.exp(
+            _log_choose(F.col("k_background"), i)
+            + _log_choose(
+                F.col("n_background") - F.col("k_background"),
+                F.col("n_selected") - i,
+            )
+            - F.col("_log_denom")
+        )
+
+    p = F.aggregate(
+        F.sequence(kk, F.col("_imax")),
+        F.lit(0.0),
+        lambda acc, i: acc + _pmf_term(i),
+    )
+    fold = (kk.cast("double") / n.cast("double")) / (
+        bigk.cast("double") / bign.cast("double")
+    )
+    return staged.select(
+        term_col,
+        "k_selected",
+        "n_selected",
+        "k_background",
+        "n_background",
+        F.when((n > 0) & (bigk > 0), fold).alias("fold_enrichment"),
+        F.least(F.lit(1.0), F.greatest(F.lit(0.0), p)).alias("p_value"),
+    )
+
+
 def kegg_color_table(
     df: DataFrame,
     feature_cols: list[str],

@@ -51,6 +51,53 @@ def test_uniprot_mapping_join(spark):
     assert got["P1"] == "K_P1" and got["P9"] is None
 
 
+def test_hypergeom_enrichment_exact(spark):
+    """p-value matches the exact rational tail computed with
+    math.comb; counts and fold enrichment match hand-derived values;
+    unannotated selected ids drop out of n (PantherDB's unmapped-ID
+    behavior)."""
+    import math
+
+    from padua_spark.operators.external import hypergeom_enrichment
+
+    # 20 ids, two terms: T1 on ids 0..9, T2 on ids 10..19;
+    # hits = {0..5, 12} plus an unannotated id 99 (must be ignored)
+    ann = spark.createDataFrame(
+        [(i, "T1" if i < 10 else "T2") for i in range(20)],
+        ["id", "term"],
+    )
+    sel = spark.createDataFrame(
+        [(i,) for i in [0, 1, 2, 3, 4, 5, 12, 99]], ["id"]
+    )
+    out = {r["term"]: r for r in
+           hypergeom_enrichment(sel, ann, "id", "term").collect()}
+    assert set(out) == {"T1", "T2"}
+    r1 = out["T1"]
+    assert (r1["k_selected"], r1["n_selected"]) == (6, 7)
+    assert (r1["k_background"], r1["n_background"]) == (10, 20)
+    assert r1["fold_enrichment"] == pytest.approx((6 / 7) / (10 / 20))
+
+    def exact_tail(k, K, n, N):
+        return sum(
+            math.comb(K, i) * math.comb(N - K, n - i)
+            for i in range(k, min(K, n) + 1)
+        ) / math.comb(N, n)
+
+    assert r1["p_value"] == pytest.approx(
+        exact_tail(6, 10, 7, 20), abs=1e-10
+    )
+    r2 = out["T2"]
+    assert r2["p_value"] == pytest.approx(
+        exact_tail(1, 10, 7, 20), abs=1e-10
+    )
+    # empty hit list: k=0 everywhere, p = full pmf sum = 1
+    empty = spark.createDataFrame([], "id int")
+    out0 = hypergeom_enrichment(empty, ann, "id", "term").collect()
+    for r in out0:
+        assert r["k_selected"] == 0 and r["n_selected"] == 0
+        assert r["p_value"] == pytest.approx(1.0, abs=1e-9)
+
+
 def test_kegg_color_table(spark):
     rows = []
     for s in range(4):

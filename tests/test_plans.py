@@ -333,6 +333,10 @@ def test_no_cartesian_products_anywhere(spark):
         "bigram_lm_score", "kmv_overlap", "quantized_topk",
         "decayed_score", "semdedup", "ann_cosine_topk", "ann_lsh_topk",
         "time_to_conversion", "source_token_divergence",
+        # 1-row (n, N) scalars broadcast onto the per-term counts; the
+        # constant-key equi-join folds away, leaving a BNLJ with a
+        # single broadcast row
+        "enrichment_hypergeom",
     }
     bad = {}
     for name, fn in em.queries().items():
