@@ -105,6 +105,9 @@ HEADLINE = [
     "ttest_1samp_pvalues",
     "ks_test_pvalues",
     "mannwhitney_z",
+    "qvalues_storey",
+    "enrichment_hypergeom",
+    "pca_scores",
 ]
 
 
@@ -164,6 +167,18 @@ def main() -> None:
         except Exception as exc:  # noqa: BLE001
             errors[name] = f"{type(exc).__name__}: {exc}"[:300]
             print(f"BENCH ERROR {name}: {errors[name]}", file=sys.stderr)
+        finally:
+            # Isolate queries: operators that persist() shared stages
+            # (LSH signatures, exploded shingles) leave MEMORY_AND_DISK
+            # blocks behind; letting them accumulate adds GC/eviction
+            # pressure to every LATER query's timing (measured: the
+            # multimodal_features 0.8s->1.8s drift across rounds 2-4
+            # tracked the growing number of persisting queries).
+            # Outside the timed region.
+            try:
+                spark.catalog.clearCache()
+            except Exception:
+                pass
     total = round(sum(times.values()), 3)
     out = {
         "metric": "headline_query_wall_time",
@@ -174,7 +189,64 @@ def main() -> None:
     }
     if errors:
         out["errors"] = errors
-    print(json.dumps(out))
+    # Driver contract: exactly one JSON line on stdout (compact
+    # separators — the driver archives only a bounded stdout tail).
+    print(json.dumps(out, separators=(",", ":")))
+    _update_local_artifact(sf, times, total, errors)
+
+
+def _update_local_artifact(
+    sf: float | None,
+    times: dict[str, float],
+    total: float,
+    errors: dict[str, str],
+) -> None:
+    """Accumulate per-pass times into BENCH_LOCAL.json next to this
+    file and keep per-query MEDIANS over the recorded passes — the
+    driver's own artifact stores only a truncated stdout tail, so this
+    file is the machine-readable per-query record (committed each
+    round). Passes reset when the scale factor changes."""
+    path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json"
+    )
+    doc: dict = {}
+    try:
+        with open(path) as fh:
+            doc = json.load(fh)
+    except Exception:
+        doc = {}
+    if doc.get("sf") != sf:
+        doc = {"sf": sf, "passes": []}
+    doc.setdefault("passes", []).append({"total": total, "queries": times})
+    doc["passes"] = doc["passes"][-10:]
+    names = sorted({n for p in doc["passes"] for n in p["queries"]})
+
+    def _median(vals: list[float]) -> float:
+        s = sorted(vals)
+        k = len(s)
+        mid = (
+            s[k // 2] if k % 2 else (s[k // 2 - 1] + s[k // 2]) / 2.0
+        )
+        return round(mid, 3)
+
+    doc["median_queries"] = {
+        n: _median([p["queries"][n] for p in doc["passes"]
+                    if n in p["queries"]])
+        for n in names
+    }
+    doc["median_total"] = _median([p["total"] for p in doc["passes"]])
+    doc["n_passes"] = len(doc["passes"])
+    doc["n_queries"] = len(names)
+    if errors:
+        doc["last_errors"] = errors
+    else:
+        doc.pop("last_errors", None)
+    try:
+        with open(path, "w") as fh:
+            json.dump(doc, fh, indent=1, sort_keys=True)
+            fh.write("\n")
+    except OSError as exc:  # read-only checkout: never fail the bench
+        print(f"BENCH WARN could not write {path}: {exc}", file=sys.stderr)
 
 
 if __name__ == "__main__":

@@ -278,7 +278,10 @@ def minhash_lsh_candidates(
     is num_hashes ints per document — orders of magnitude smaller than
     the corpus — so MEMORY_AND_DISK is safe at any scale. The entry
     stays lazy (persist marks, the first action materializes); pass
-    ``False`` to keep the plan fully unmaterialized.
+    ``False`` to keep the plan fully unmaterialized. The cached frame
+    is recorded on the result — after consuming it, call
+    ``io_utils.unpersist_intermediates(result)`` to free the blocks
+    (long-lived sessions accumulate them otherwise).
     """
     rows_per_band = num_hashes // bands
 
@@ -325,12 +328,17 @@ def minhash_lsh_candidates(
         ).cast("double")
         / F.size(F.col("_sig_a")).cast("double")
     )
-    return (
+    out = (
         left.join(right, on="bucket")
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", est.alias("est_jaccard"))
         .distinct()
     )
+    if persist_signatures:
+        from padua_spark.io_utils import track_cached
+
+        out = track_cached(out, sigs)
+    return out
 
 
 def ngram_jaccard_pairs(
@@ -397,9 +405,14 @@ def ngram_jaccard_pairs(
         jac = F.col("_inter").cast("double") / (
             F.col("_na") + F.col("_nb") - F.col("_inter")
         ).cast("double")
-        return out.select(
+        res = out.select(
             *block_cols, "id_a", "id_b", jac.alias("jaccard")
         )
+        if persist_shingles:
+            from padua_spark.io_utils import track_cached
+
+            res = track_cached(res, ex)
+        return res
     base = df.select(
         *block_cols,
         F.col(id_col),
@@ -495,7 +508,7 @@ def simhash_candidates(
         F.col("simhash").alias("_sb")
     )
     hamming = F.bit_count(F.col("_sa").bitwiseXOR(F.col("_sb")))
-    return (
+    out = (
         left.join(right, on=block_cols)
         .filter(F.col("id_a") < F.col("id_b"))
         .select(
@@ -503,6 +516,11 @@ def simhash_candidates(
         )
         .filter(F.col("hamming") <= max_hamming)
     )
+    if persist_signatures:
+        from padua_spark.io_utils import track_cached
+
+        out = track_cached(out, sigs)
+    return out
 
 
 def semdedup_prune(

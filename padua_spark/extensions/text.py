@@ -742,6 +742,11 @@ def source_token_divergence(
         F.sum(contrib).alias("kl_divergence"),
         F.max("n_s").alias("n_tokens"),
     )
-    return out.select(
-        F.col("grp").alias(group_col), "kl_divergence", "n_tokens"
+    from padua_spark.io_utils import track_cached
+
+    return track_cached(
+        out.select(
+            F.col("grp").alias(group_col), "kl_divergence", "n_tokens"
+        ),
+        per,
     )

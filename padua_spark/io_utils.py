@@ -38,6 +38,36 @@ def spread_narrow_scan(df: DataFrame, min_partitions: int | None = None) -> Data
     return df
 
 
+def track_cached(result: DataFrame, *cached: DataFrame) -> DataFrame:
+    """Record lazily-``persist()``-ed intermediates on a result frame.
+
+    Operators that cache a shared stage (LSH signatures, exploded
+    shingles) return a LAZY result — they cannot unpersist what the
+    caller's action has not yet materialized. The caller owns the
+    lifecycle: consume the result, then call
+    :func:`unpersist_intermediates` to free the recorded blocks
+    (long-lived sessions accumulate MEMORY_AND_DISK blocks otherwise;
+    ``spark.catalog.clearCache()`` is the blunt whole-session sweep).
+    """
+    existing = list(getattr(result, "_padua_cached", ()))
+    result._padua_cached = existing + list(cached)
+    return result
+
+
+def unpersist_intermediates(df: DataFrame, blocking: bool = False) -> int:
+    """Unpersist every intermediate recorded by :func:`track_cached`
+    on ``df``; returns how many were released. Safe to call twice."""
+    n = 0
+    for cached in getattr(df, "_padua_cached", ()):
+        try:
+            cached.unpersist(blocking)
+            n += 1
+        except Exception:  # already freed / session gone — best effort
+            pass
+    df._padua_cached = []
+    return n
+
+
 def write_bucketed(
     df: DataFrame,
     table: str,

@@ -194,7 +194,10 @@ def winsorize(
     same finding as the round-2 median rewrite, measured ~2× here) —
     then a broadcast join back, so the fact table never shuffles.
     ``exact=False`` swaps in ``percentile_approx`` (mergeable sketch,
-    pure map-side combine) for extreme per-group cardinalities."""
+    pure map-side combine) for extreme per-group cardinalities; on
+    that path the bounds join is left to AQE (forcing a broadcast of
+    an extreme-cardinality bounds table could exceed the threshold or
+    OOM — the very regime exact=False targets)."""
     if {"_lo", "_hi"}.intersection(df.columns):
         raise ValueError(
             "input already has a _lo/_hi column — rename it before "
@@ -205,6 +208,7 @@ def winsorize(
         bounds = group_percentiles(
             df, group_cols, v, {"_lo": lo, "_hi": hi}
         )
+        bounds = F.broadcast(bounds)
     else:
         bounds = df.groupBy(*group_cols).agg(
             F.percentile_approx(v, lo, approx_accuracy).alias("_lo"),
@@ -215,7 +219,7 @@ def winsorize(
         v > F.col("_hi"), F.col("_hi")
     ).otherwise(v)
     return (
-        df.join(F.broadcast(bounds), on=group_cols, how="left")
+        df.join(bounds, on=group_cols, how="left")
         .withColumn(out, clipped)
         .drop("_lo", "_hi")
     )

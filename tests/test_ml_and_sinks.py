@@ -231,6 +231,29 @@ def test_distinct_level_values(spark):
     assert got == ["a", "b"]
 
 
+def test_persisted_intermediates_tracked_and_freed(spark):
+    """Operators that persist() a shared stage record it on the lazy
+    result; unpersist_intermediates frees the blocks after the caller's
+    action (the long-lived-session leak fix)."""
+    from padua_spark.extensions.dedup import minhash_lsh_candidates
+    from padua_spark.io_utils import unpersist_intermediates
+
+    docs = spark.createDataFrame(
+        [(i, f"the quick brown fox {i % 3} jumps over the lazy dog")
+         for i in range(30)],
+        ["doc_id", "text"],
+    )
+    out = minhash_lsh_candidates(docs, "doc_id", "text")
+    out.count()  # materializes the persisted signature stage
+    cached = getattr(out, "_padua_cached", [])
+    assert len(cached) == 1
+    assert cached[0].storageLevel.useMemory  # actually persisted
+    n = unpersist_intermediates(out, blocking=True)
+    assert n == 1
+    assert not cached[0].storageLevel.useMemory  # freed
+    assert unpersist_intermediates(out) == 0  # idempotent
+
+
 def test_compact_parquet(spark, tmp_path):
     """Compaction rewrites a many-small-files directory into few
     even-sized files with identical data, and refuses in-place."""
