@@ -180,8 +180,9 @@ def _collect_matrix(
     )
     if len(feats) * len(samples) > MAX_DRIVER_CELLS:
         raise ValueError(
-            "matrix too large for driver-side PLS; aggregate or filter "
-            "features first (documented contract, SURVEY.md §2.9)"
+            "matrix too large for driver-side PLS; use pls_gram (the "
+            "distributed Gram-trick path — only n_samples² is "
+            "collected) or aggregate/filter features first"
         )
     fidx = {tuple(r) : i for i, r in enumerate(feats)}
     sidx = {s: i for i, s in enumerate(samples)}
@@ -274,6 +275,125 @@ def plsr(
     T, W, P, Q = nipals_pls(X, y, n_components)
     y_pred = T @ Q.T[:, 0] + y.mean()
     return T, W, y_pred, samples, feats
+
+
+def _kernel_nipals(
+    G: np.ndarray,
+    Y: np.ndarray,
+    n_components: int,
+    max_iter: int = 500,
+    tol: float = 1e-10,
+):
+    """NIPALS PLS in SAMPLE space only: every step of
+    :func:`nipals_pls` re-expressed through the Gram matrix
+    ``G = X Xᵀ`` (n×n), replicating its control flow (the stored t/q
+    come from the pre-update u, exactly like the feature-space loop):
+
+    - ``t = G_k u / √(uᵀ G_k u)`` (the normalized-w projection),
+    - deflation ``G_{k+1} = (I − ttᵀ/tᵀt) G_k (I − ttᵀ/tᵀt)``,
+    - original-space weights ``ŵ_a = X₀ᵀ r_a`` with
+      ``r_a = M_kᵀ u / √(uᵀ G_k u)`` and
+      ``M_{k+1} = (I − ttᵀ/tᵀt) M_k`` — so the feature dimension
+      never appears.
+
+    Returns ``(T, R, Q)``: x-scores, the r-vectors that reconstruct
+    the x-weights from the centered data, and y-loadings.
+    """
+    n = G.shape[0]
+    if Y.ndim == 1:
+        Y = Y[:, None]
+    Gk = G.copy()
+    Yk = Y - Y.mean(axis=0)
+    M = np.eye(n)
+    T = np.zeros((n, n_components))
+    R = np.zeros((n, n_components))
+    Q = np.zeros((Y.shape[1], n_components))
+    for a in range(n_components):
+        u = Yk[:, 0].copy()
+        t = r = q = None
+        for _ in range(max_iter):
+            gu = Gk @ u
+            denom = float(u @ gu)
+            norm = np.sqrt(denom) if denom > 0 else float(u @ u)
+            t = gu / (norm or 1.0)
+            r = M.T @ u / (norm or 1.0)
+            q = Yk.T @ t / (t @ t)
+            u_new = Yk @ q / (q @ q)
+            if np.linalg.norm(u_new - u) < tol * np.linalg.norm(u_new):
+                u = u_new
+                break
+            u = u_new
+        T[:, a], R[:, a], Q[:, a] = t, r, q.ravel()
+        proj = np.eye(n) - np.outer(t, t) / (t @ t)
+        Gk = proj @ Gk @ proj
+        M = proj @ M
+        Yk = Yk - np.outer(t, q.ravel())
+    return T, R, Q
+
+
+def pls_gram(
+    df: DataFrame,
+    feature_cols: list[str],
+    sample_col: str,
+    value_col: str,
+    y_map: dict,
+    n_components: int = 2,
+    mean_center: bool = True,
+) -> tuple[DataFrame, DataFrame]:
+    """Distributed Gram-trick PLS — the at-scale path for
+    ``plsda``/``plsr`` (reference: analysis.py:96-216) that removes the
+    ``MAX_DRIVER_CELLS`` guard: only the n_samples² Gram matrix is
+    collected (the :func:`pca` pattern), the feature dimension never
+    leaves the cluster.
+
+    ``y_map``: sample → response value (0/1 membership for PLS-DA, a
+    continuous covariate for PLS-R; y is mean-centered as in NIPALS).
+
+    Returns ``(scores_df(sample, pc, score),
+    weights_df(feature…, pc, weight))`` with scores numerically equal
+    to the driver-side :func:`nipals_pls` on the full matrix (asserted
+    in tests/test_ml_and_sinks.py) and weights recovered distributed
+    as ``X₀ᵀ r_a`` via a broadcast join — the same shape as pca's
+    loading computation.
+    """
+    v = F.coalesce(F.col(value_col), F.lit(0.0))
+    filled = df.withColumn("_v", v)
+    if mean_center:
+        means = filled.groupBy(*feature_cols).agg(
+            F.avg("_v").alias("_fmean")
+        )
+        filled = filled.join(means, on=feature_cols, how="left").withColumn(
+            "_v", F.col("_v") - F.col("_fmean")
+        )
+    gram = _sample_cross_products(
+        filled, feature_cols, sample_col, "_v"
+    ).collect()
+    samples = sorted({r["sample_x"] for r in gram})
+    idx = {s: i for i, s in enumerate(samples)}
+    n = len(samples)
+    G = np.zeros((n, n))
+    for r in gram:
+        G[idx[r["sample_x"]], idx[r["sample_y"]]] = r["xy"]
+    y = np.array([float(y_map[s]) for s in samples])
+    k = min(n_components, n)
+    T, R, _Q = _kernel_nipals(G, y, k)
+    spark = df.sparkSession
+    scores_rows = [
+        (s, c + 1, float(T[idx[s], c])) for s in samples for c in range(k)
+    ]
+    scores_df = spark.createDataFrame(
+        scores_rows, [sample_col, "pc", "score"]
+    )
+    r_rows = [
+        (s, c + 1, float(R[idx[s], c])) for s in samples for c in range(k)
+    ]
+    r_df = spark.createDataFrame(r_rows, [sample_col, "pc", "_r"])
+    weights_df = (
+        filled.join(F.broadcast(r_df), on=sample_col)
+        .groupBy(*feature_cols, "pc")
+        .agg(F.sum(F.col("_v") * F.col("_r")).alias("weight"))
+    )
+    return scores_df, weights_df
 
 
 # ---------------------------------------------------------------------------

@@ -88,6 +88,36 @@ def test_pca_sign_canonical_and_gram_reconstruction(spark):
     assert np.allclose(got @ got.T, G, atol=1e-8)
 
 
+def test_pls_gram_matches_driver_nipals(spark):
+    """The distributed Gram-trick PLS (sample-space kernel NIPALS +
+    X₀ᵀr weight recovery) reproduces the driver-side full-matrix
+    NIPALS scores and weights on wide data — the at-scale path that
+    removes the MAX_DRIVER_CELLS guard."""
+    rng = np.random.default_rng(17)
+    n_s, n_f, k = 6, 300, 3
+    X = rng.normal(size=(n_s, n_f))
+    samples = [f"s{i}" for i in range(n_s)]
+    y = np.array([1.0 if i % 2 else 0.0 for i in range(n_s)])
+    df = _long_df(spark, X, samples)
+    scores_df, weights_df = ml.pls_gram(
+        df, ["feature_id"], "sample", "value",
+        {s: y[i] for i, s in enumerate(samples)}, n_components=k,
+    )
+    T_ref, W_ref, _P, _Q = ml.nipals_pls(X, y, n_components=k)
+    T = np.zeros((n_s, k))
+    for r in scores_df.collect():
+        T[samples.index(r["sample"]), r["pc"] - 1] = r["score"]
+    assert np.allclose(T, T_ref, atol=1e-8), np.abs(T - T_ref).max()
+    W = np.zeros((n_f, k))
+    for r in weights_df.collect():
+        W[r["feature_id"], r["pc"] - 1] = r["weight"]
+    assert np.allclose(W, W_ref, atol=1e-8), np.abs(W - W_ref).max()
+    # scores orthogonal (PLS invariant)
+    TT = T.T @ T
+    off = TT - np.diag(np.diag(TT))
+    assert np.abs(off).max() < 1e-8
+
+
 def test_nipals_pls_sanity(spark):
     rng = np.random.default_rng(5)
     X = rng.normal(size=(12, 30))
