@@ -5779,6 +5779,75 @@ def q_json_props_agg(spark, sf):
 #     like pca_scores. ------------------------------------------------------
 
 
+@_q(
+    "pls_scores_pc1",
+    """
+WITH long AS (
+  SELECT l_partkey AS f,
+         l_returnflag || '_' || l_linestatus AS s,
+         avg(l_quantity) AS v
+  FROM lineitem WHERE l_returnflag IN ('A', 'R') GROUP BY 1, 2
+),
+m AS (SELECT f, avg(v) AS mv FROM long GROUP BY 1),
+c AS (
+  SELECT long.f, long.s, long.v - m.mv AS cv
+  FROM long JOIN m USING (f)
+),
+g AS (
+  SELECT a.s AS sx, b.s AS sy, sum(a.cv * b.cv) AS xy
+  FROM c a JOIN c b USING (f) GROUP BY 1, 2
+),
+yv AS (
+  SELECT DISTINCT s,
+         CASE WHEN substr(s, 1, 1) = 'R' THEN 1.0 ELSE 0.0 END AS y
+  FROM long
+),
+ym AS (SELECT avg(y) AS my FROM yv),
+yc AS (SELECT s, y - my AS v FROM yv, ym),
+gu AS (
+  SELECT g.sx AS s, sum(g.xy * yc.v) AS gu
+  FROM g JOIN yc ON g.sy = yc.s GROUP BY 1
+),
+den AS (SELECT sum(yc.v * gu.gu) AS d FROM yc JOIN gu USING (s))
+SELECT gu.s AS sample, 1 AS pc,
+       round(gu.gu / sqrt(den.d), 6) AS score
+FROM gu, den
+""",
+)
+def q_pls_scores_pc1(spark, sf):
+    """Hash gate for the distributed Gram-trick PLS (ml.pls_gram): the
+    FIRST NIPALS component has the closed form
+    ``t₁ = G·y_c / √(y_cᵀ·G·y_c)`` (with a single response the inner
+    loop converges at its second iteration to exactly this), and both
+    G and the matrix-vector algebra are SQL — so the kernel-PLS code
+    path itself is value-hash gated, complementing the rows-only
+    full-component ``plsda_scores``."""
+    from padua_spark.operators import ml
+
+    li = _t(spark, sf, "lineitem")
+    long = (
+        li.where(F.col("l_returnflag").isin(["A", "R"]))
+        .groupBy(
+            "l_partkey",
+            F.concat_ws(
+                "_", F.col("l_returnflag"), F.col("l_linestatus")
+            ).alias("sample"),
+            F.col("l_returnflag").alias("grp"),
+        )
+        .agg(F.avg("l_quantity").alias("v"))
+    )
+    y_map = {
+        r["sample"]: (1.0 if r["grp"] == "R" else 0.0)
+        for r in long.select("sample", "grp").distinct().collect()
+    }
+    scores, _w = ml.pls_gram(
+        long, ["l_partkey"], "sample", "v", y_map, n_components=1
+    )
+    return scores.where(F.col("pc") == 1).select(
+        "sample", "pc", _r("score").alias("score")
+    )
+
+
 @_q("plsda_scores")
 def q_plsda_scores(spark, sf):
     """Binary PLS-DA scores (reference analysis.plsda): samples are
