@@ -1963,20 +1963,21 @@ def q_pca_scores(spark, sf):
     scores, _w, _evr = ml.pca(
         long, ["l_partkey"], "l_returnflag", "v", n_components=16
     )
-    a = scores.select(
-        F.col("l_returnflag").alias("sample_x"), "pc",
-        F.col("score").alias("_sx"),
+    # The distributed work is the Gram inside pca(); the n²·k
+    # reconstruction over the collected scores (9 rows here) is driver
+    # arithmetic — running it through a Spark self-join would only add
+    # scheduler round-trips.
+    rows = scores.collect()
+    acc: dict = {}
+    for ra in rows:
+        for rb in rows:
+            if ra["pc"] == rb["pc"]:
+                key = (ra["l_returnflag"], rb["l_returnflag"])
+                acc[key] = acc.get(key, 0.0) + ra["score"] * rb["score"]
+    return spark.createDataFrame(
+        [(x, y, round(v, 6)) for (x, y), v in sorted(acc.items())],
+        ["sample_x", "sample_y", "xy"],
     )
-    b = scores.select(
-        F.col("l_returnflag").alias("sample_y"), "pc",
-        F.col("score").alias("_sy"),
-    )
-    rec = (
-        a.join(b, on="pc")
-        .groupBy("sample_x", "sample_y")
-        .agg(F.sum(F.col("_sx") * F.col("_sy")).alias("xy"))
-    )
-    return rec.select("sample_x", "sample_y", _r("xy").alias("xy"))
 
 
 # --- ext: LSH-bucketed approximate top-k. The oracle mirrors the exact
