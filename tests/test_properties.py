@@ -702,3 +702,80 @@ def test_ks_and_mannwhitney_match_bruteforce(spark, a, b):
     u2a_exp = r2a - len(a) * (len(a) + 1)
     assert mw["u2_a"] == u2a_exp
     assert mw["u2_a"] + mw["u2_b"] == 2 * len(a) * len(b)
+
+
+@SPARK_SETTINGS
+@given(
+    ann=hst.lists(
+        hst.tuples(hst.integers(0, 25), hst.sampled_from(["T1", "T2", "T3"])),
+        min_size=1,
+        max_size=60,
+    ),
+    sel=hst.lists(hst.integers(0, 30), min_size=0, max_size=15),
+)
+def test_hypergeom_enrichment_properties(spark, ann, sel):
+    """Against exact math.comb rationals under arbitrary annotation /
+    hit-list shapes (duplicates, unannotated hits, empty selection):
+    p in [0,1], counts consistent, and the tail sum exact to 1e-9."""
+    from padua_spark.operators.external import hypergeom_enrichment
+
+    ann_df = spark.createDataFrame(ann, "id int, term string")
+    sel_df = spark.createDataFrame([(s,) for s in sel], "id int")
+    out = hypergeom_enrichment(sel_df, ann_df, "id", "term").collect()
+    ann_set = set(ann)
+    bg = {i for i, _ in ann_set}
+    hits = set(sel) & bg
+    n_sel, n_bg = len(hits), len(bg)
+    terms = {t for _, t in ann_set}
+    assert {r["term"] for r in out} == terms
+    for r in out:
+        ids_t = {i for i, t in ann_set if t == r["term"]}
+        k, bigk = len(ids_t & hits), len(ids_t)
+        assert (r["k_selected"], r["k_background"]) == (k, bigk)
+        assert (r["n_selected"], r["n_background"]) == (n_sel, n_bg)
+        p_exact = sum(
+            math.comb(bigk, i) * math.comb(n_bg - bigk, n_sel - i)
+            for i in range(k, min(bigk, n_sel) + 1)
+        ) / math.comb(n_bg, n_sel)
+        assert abs(r["p_value"] - min(1.0, p_exact)) < 1e-9
+        assert 0.0 <= r["p_value"] <= 1.0
+
+
+@SPARK_SETTINGS
+@given(
+    n_s=hst.integers(3, 7),
+    n_f=hst.integers(4, 24),
+    k=hst.integers(1, 3),
+    seed=hst.integers(0, 10_000),
+)
+def test_pls_gram_matches_nipals_properties(spark, n_s, n_f, k, seed):
+    """Distributed kernel-PLS == driver full-matrix NIPALS across
+    random shapes/components (scores AND weights, atol 1e-7)."""
+    from padua_spark.operators import ml
+
+    rng = np.random.default_rng(seed)
+    X = rng.normal(size=(n_s, n_f))
+    y = rng.integers(0, 2, size=n_s).astype(float)
+    if y.min() == y.max():  # degenerate response: flip one
+        y[0] = 1.0 - y[0]
+    samples = [f"s{i}" for i in range(n_s)]
+    rows = [
+        (f, s, float(X[j, f]))
+        for f in range(n_f)
+        for j, s in enumerate(samples)
+    ]
+    df = spark.createDataFrame(rows, ["feature_id", "sample", "value"])
+    k = min(k, n_s - 1)
+    scores_df, weights_df = ml.pls_gram(
+        df, ["feature_id"], "sample", "value",
+        {s: y[i] for i, s in enumerate(samples)}, n_components=k,
+    )
+    T_ref, W_ref, _P, _Q = ml.nipals_pls(X, y, n_components=k)
+    T = np.zeros((n_s, k))
+    for r in scores_df.collect():
+        T[samples.index(r["sample"]), r["pc"] - 1] = r["score"]
+    assert np.allclose(T, T_ref, atol=1e-7), np.abs(T - T_ref).max()
+    W = np.zeros((n_f, k))
+    for r in weights_df.collect():
+        W[r["feature_id"], r["pc"] - 1] = r["weight"]
+    assert np.allclose(W, W_ref, atol=1e-7), np.abs(W - W_ref).max()
