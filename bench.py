@@ -108,6 +108,7 @@ HEADLINE = [
     "qvalues_storey",
     "enrichment_hypergeom",
     "pca_scores",
+    "pls_scores_pc1",
 ]
 
 
