@@ -3614,6 +3614,85 @@ def q_kmv_distinct_tokens(spark, sf):
     )
 
 
+# --- ext: count-min sketch heavy hitters (mergeable frequency summary) ------
+
+
+def _cms_oracle(depth: int = 4, width: int = 512, topk: int = 20) -> str:
+    from padua_spark.extensions.dedup import _affine_constants
+
+    lines = ", ".join(
+        f"({j}, CAST({a} AS BIGINT), CAST({b} AS BIGINT))"
+        for j, (a, b) in enumerate(_affine_constants(depth))
+    )
+    return f"""
+WITH toks AS (
+  SELECT unnest(list_filter(string_split(lower(text), ' '),
+                            t -> t <> '')) AS token
+  FROM documents
+),
+th AS (
+  SELECT token, list_reduce(
+    list_prepend(CAST(7 AS BIGINT),
+      list_transform(list_filter(string_split(token, ''), c -> c <> ''),
+                     c -> CAST(ord(c) AS BIGINT))),
+    (acc, c) -> (acc * 131 + c) % 2147483647) AS h
+  FROM toks
+),
+lines(j, a, b) AS (VALUES {lines}),
+grid AS (
+  SELECT l.j, (th.h * l.a + l.b) % 2147483647 % {width} AS bucket,
+         count(*) AS cnt
+  FROM th, lines l GROUP BY 1, 2
+),
+exact AS (SELECT token, count(*) AS n_exact FROM toks GROUP BY 1),
+top AS (SELECT * FROM exact ORDER BY n_exact DESC, token LIMIT {topk}),
+probe AS (
+  SELECT t.token, t.n_exact, l.j,
+         (h.h * l.a + l.b) % 2147483647 % {width} AS bucket
+  FROM top t
+  JOIN (SELECT DISTINCT token, h FROM th) h USING (token), lines l
+)
+SELECT p.token, p.n_exact,
+       CAST(min(coalesce(g.cnt, 0)) AS BIGINT) AS cms_est
+FROM probe p LEFT JOIN grid g ON p.j = g.j AND p.bucket = g.bucket
+GROUP BY 1, 2
+"""
+
+
+@_q("cms_heavy_hitters", _cms_oracle())
+def q_cms_heavy_hitters(spark, sf):
+    """Count-min-sketch frequency estimates for the corpus's top-20
+    tokens, next to their exact counts. The sketch's partial
+    aggregation caps every map task's shuffle output at depth·width
+    rows (corpus-size-independent — the scale story vs an exact
+    vocabulary groupBy), and the deterministic affine hash family
+    makes the ESTIMATE itself integer-exact across engines: the oracle
+    rebuilds the same grid and must match est and exact bit-for-bit
+    (with est ≥ exact, the CMS guarantee)."""
+    from padua_spark.extensions.sketches import (
+        cms_estimate,
+        cms_token_sketch,
+    )
+
+    d = _t(spark, sf, "documents")
+    sketch = cms_token_sketch(d, "text", depth=4, width=512)
+    toks = d.select(
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.col("text")), " "), lambda x: x != ""
+            )
+        ).alias("token")
+    )
+    exact = toks.groupBy("token").agg(F.count(F.lit(1)).alias("n_exact"))
+    top = exact.orderBy(
+        F.col("n_exact").desc(), F.col("token").asc()
+    ).limit(20)
+    est = cms_estimate(
+        sketch, top.select("token"), depth=4, width=512
+    )
+    return top.join(est, on="token").select("token", "n_exact", "cms_est")
+
+
 # --- ext: KMV cross-corpus overlap (set-intersection sketch) ----------------
 
 

@@ -109,6 +109,7 @@ HEADLINE = [
     "enrichment_hypergeom",
     "pca_scores",
     "pls_scores_pc1",
+    "cms_heavy_hitters",
 ]
 
 

@@ -206,3 +206,117 @@ def kmv_overlap(
         jac.alias("est_jaccard"),
         (jac * est_union).alias("est_overlap"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch — mergeable frequency summary (Cormode & Muthukrishnan,
+# "An improved data stream summary: the count-min sketch"). Like KMV
+# above, built on the portable polynomial/affine hashes so the ESTIMATE
+# itself is bit-reproducible and oracle-checkable in any SQL engine.
+# ---------------------------------------------------------------------------
+
+
+def _char_poly(tok):
+    """Per-token polynomial char hash — identical arithmetic to
+    ``dedup.token_hashes`` (base 131 over codepoints, mod 2^31−1)."""
+    return F.aggregate(
+        F.transform(
+            F.filter(F.split(tok, ""), lambda ch: ch != ""),
+            lambda ch: F.ascii(ch).cast("bigint"),
+        ),
+        F.lit(7).cast("bigint"),
+        lambda acc, c: (acc * F.lit(131) + c) % F.lit(MOD),
+    )
+
+
+def cms_token_sketch(
+    df: DataFrame,
+    text_col: str,
+    depth: int = 4,
+    width: int = 1024,
+    lowercase: bool = True,
+) -> DataFrame:
+    """Count-min sketch of corpus token frequencies: ``depth`` hash
+    rows × ``width`` buckets of exact integer counts, as rows
+    ``(j, bucket, cnt)``.
+
+    Scale shape: one tokenize/explode scan; each token contributes one
+    row per hash line, and the ``groupBy(j, bucket)`` partial
+    aggregation caps every map task's shuffle output at depth·width
+    rows — the sketch is MERGEABLE, so shuffle volume is independent
+    of corpus size (the whole point vs an exact token groupBy whose
+    key cardinality is the vocabulary). Estimates are upper bounds:
+    ``est(t) = min_j cnt[j][h_j(t)] ≥ true(t)``, within
+    ``ε·total_tokens`` with probability 1−δ for width=e/ε, depth=ln(1/δ).
+
+    Buckets come from the package's deterministic affine permutations
+    of the char-polynomial token hash, so two engines build the SAME
+    grid — the estimate is hash-checkable, unlike library CMS
+    implementations whose hash families differ.
+    """
+    from padua_spark.extensions.dedup import _affine_constants
+
+    t = F.lower(F.col(text_col)) if lowercase else F.col(text_col)
+    toks = df.select(
+        F.explode(
+            F.filter(F.split(t, " "), lambda x: x != "")
+        ).alias("_tok")
+    )
+    # stage the heavy char hash ONCE before fanning out to the d
+    # affine lines (interpreted HOFs do no CSE)
+    hashed = toks.select(_char_poly(F.col("_tok")).alias("_th"))
+    lines = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("j"),
+                (
+                    (F.col("_th") * F.lit(a) + F.lit(b)) % F.lit(MOD)
+                    % F.lit(width)
+                ).alias("bucket"),
+            )
+            for j, (a, b) in enumerate(_affine_constants(depth))
+        ]
+    )
+    return (
+        hashed.select(F.explode(lines).alias("_l"))
+        .select(F.col("_l.j").alias("j"), F.col("_l.bucket").alias("bucket"))
+        .groupBy("j", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cms_estimate(
+    sketch: DataFrame,
+    probes: DataFrame,
+    token_col: str = "token",
+    depth: int = 4,
+    width: int = 1024,
+) -> DataFrame:
+    """Point-query the sketch for each probe token:
+    ``est = min_j cnt[j][h_j(token)]`` (0 for never-touched buckets).
+    The probe set is small by construction (heavy-hitter candidates),
+    so it broadcasts onto the depth·width-row sketch."""
+    from padua_spark.extensions.dedup import _affine_constants
+
+    hashed = probes.select(
+        F.col(token_col), _char_poly(F.col(token_col)).alias("_th")
+    )
+    lines = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("j"),
+                (
+                    (F.col("_th") * F.lit(a) + F.lit(b)) % F.lit(MOD)
+                    % F.lit(width)
+                ).alias("bucket"),
+            )
+            for j, (a, b) in enumerate(_affine_constants(depth))
+        ]
+    )
+    fanned = hashed.select(token_col, F.explode(lines).alias("_l")).select(
+        token_col, F.col("_l.j").alias("j"), F.col("_l.bucket").alias("bucket")
+    )
+    joined = fanned.join(sketch, on=["j", "bucket"], how="left")
+    return joined.groupBy(token_col).agg(
+        F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("cms_est")
+    )

@@ -779,3 +779,56 @@ def test_pls_gram_matches_nipals_properties(spark, n_s, n_f, k, seed):
     for r in weights_df.collect():
         W[r["feature_id"], r["pc"] - 1] = r["weight"]
     assert np.allclose(W, W_ref, atol=1e-7), np.abs(W - W_ref).max()
+
+
+def test_cms_sketch_bounds_and_width_exactness(spark):
+    """Count-min invariants: estimates NEVER undercount (est >= exact
+    for every token, even at width=8 where collisions are forced); at
+    a width far above the vocabulary size the estimates are exact; the
+    sketch is partition-invariant (mergeable partial aggregation)."""
+    from padua_spark.extensions.sketches import (
+        cms_estimate,
+        cms_token_sketch,
+    )
+
+    rows = [
+        (i, " ".join(f"tok{(i * 7 + j) % 13}" for j in range(20)))
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    toks = df.select(
+        F.explode(F.split(F.lower(F.col("text")), " ")).alias("token")
+    )
+    exact = {
+        r["token"]: r["n"]
+        for r in toks.groupBy("token").agg(
+            F.count(F.lit(1)).alias("n")
+        ).collect()
+    }
+    probes = spark.createDataFrame(
+        [(t,) for t in exact], ["token"]
+    )
+    for width, must_be_exact in [(8, False), (4096, True)]:
+        sketch = cms_token_sketch(df, "text", depth=4, width=width)
+        est = {
+            r["token"]: r["cms_est"]
+            for r in cms_estimate(
+                sketch, probes, depth=4, width=width
+            ).collect()
+        }
+        for t, n in exact.items():
+            assert est[t] >= n, (width, t, est[t], n)
+            if must_be_exact:
+                assert est[t] == n, (width, t, est[t], n)
+    # partition invariance: same grid from a reshuffled input
+    a = sorted(
+        tuple(r)
+        for r in cms_token_sketch(df, "text", depth=4, width=64).collect()
+    )
+    b = sorted(
+        tuple(r)
+        for r in cms_token_sketch(
+            df.repartition(17), "text", depth=4, width=64
+        ).collect()
+    )
+    assert a == b
