@@ -3614,6 +3614,89 @@ def q_kmv_distinct_tokens(spark, sf):
     )
 
 
+# --- ext: fixed-iteration PageRank over the trade graph ---------------------
+
+
+def _pagerank_oracle(k: int = 5) -> str:
+    # NOTE two DuckDB recursive-CTE traps: (1) inside WITH RECURSIVE a
+    # CTE written `a UNION b` becomes a recursive union and does NOT
+    # dedup — dedup via SELECT DISTINCT over UNION ALL instead;
+    # (2) bare numeric literals type DECIMAL and truncate — CAST all
+    # recursion state to DOUBLE. The recursion joins pr→edges directly
+    # (O(E) per iteration, not nodes×pr): the symmetrized graph gives
+    # every node an in-edge, so inner joins cover all nodes and the
+    # recursion terminates when the it<k filter empties the working
+    # table.
+    return f"""
+WITH RECURSIVE pairs AS (
+  SELECT DISTINCT 's' || CAST(l_suppkey AS VARCHAR) AS sn,
+                  'c' || CAST(o_custkey AS VARCHAR) AS cn
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+),
+edges AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT sn AS src, cn AS dst FROM pairs
+    UNION ALL
+    SELECT cn AS src, sn AS dst FROM pairs
+  )
+),
+outdeg AS (SELECT src, count(*) AS o FROM edges GROUP BY 1),
+nodes AS (
+  SELECT DISTINCT node FROM (
+    SELECT src AS node FROM edges
+    UNION ALL
+    SELECT dst AS node FROM edges
+  )
+),
+nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+pr(it, node, rank) AS (
+  SELECT 0, node, CAST(1.0 AS DOUBLE) / nn.n FROM nodes, nn
+  UNION ALL
+  SELECT p.it + 1, e.dst AS node,
+    (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / nn.n
+    + CAST(0.85 AS DOUBLE) * sum(p.rank / o.o)
+  FROM (SELECT * FROM pr WHERE it < {k}) p
+  JOIN edges e ON e.src = p.node
+  JOIN outdeg o ON o.src = p.node
+  CROSS JOIN nn
+  GROUP BY p.it, e.dst, nn.n
+)
+SELECT node, round(rank, 9) AS rank FROM pr WHERE it = {k}
+"""
+
+
+@_q("pagerank_trade", _pagerank_oracle())
+def q_pagerank_trade(spark, sf):
+    """Fixed-iteration PageRank over the symmetrized supplier↔customer
+    trade graph — importance propagation for link-graph curation. The
+    oracle replays the exact documented recurrence (k=5, d=0.85,
+    dangling mass dropped) as a recursive CTE, so the iterative
+    operator is value-hash gated end to end."""
+    from padua_spark.extensions.graph import pagerank
+
+    li = _t(spark, sf, "lineitem")
+    o = _t(spark, sf, "orders")
+    pairs = li.join(o, li["l_orderkey"] == o["o_orderkey"]).select(
+        F.concat(F.lit("s"), F.col("l_suppkey")).alias("sn"),
+        F.concat(F.lit("c"), F.col("o_custkey")).alias("cn"),
+    )
+    # both orientations from ONE scan (a union would run the join twice)
+    edges = pairs.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("sn").alias("src"), F.col("cn").alias("dst")
+                ),
+                F.struct(
+                    F.col("cn").alias("src"), F.col("sn").alias("dst")
+                ),
+            )
+        ).alias("_e")
+    ).select("_e.src", "_e.dst")
+    out = pagerank(edges, "src", "dst", k_iters=5, damping=0.85)
+    return out.select("node", F.round("rank", 9).alias("rank"))
+
+
 # --- ext: count-min sketch heavy hitters (mergeable frequency summary) ------
 
 

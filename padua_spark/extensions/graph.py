@@ -203,3 +203,79 @@ def keep_best_per_cluster(
             "cluster_size",
         )
     )
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    k_iters: int = 5,
+    damping: float = 0.85,
+) -> DataFrame:
+    """Fixed-iteration PageRank over a directed edge list — importance
+    propagation for link-graph curation (seed-quality spreading along
+    citation/hyperlink edges; a beyond-reference training-pipeline
+    operator like :func:`connected_components`).
+
+    Semantics (documented precisely so any engine reproduces it):
+    ``rank₀ = 1/N``;
+    ``rank_{t+1}(v) = (1−d)/N + d·Σ_{u→v} rank_t(u)/outdeg(u)`` over
+    DISTINCT edges, for exactly ``k_iters`` iterations. Dangling-node
+    mass is dropped, not redistributed (the common practical
+    simplification, e.g. GraphX staticPageRank) — ranks need not sum
+    to 1.
+
+    Scale shape: the (src, dst, outdeg) contribution table is built
+    once, persisted (recorded on the result for
+    ``io_utils.unpersist_intermediates``), and hash-joined against the
+    rank frame each iteration — one shuffle per iteration on the dst
+    key, the canonical PageRank-on-DataFrames plan. Each iteration
+    ``localCheckpoint``s (eager=False) so the logical plan stays O(1)
+    across iterations instead of nesting k joins deep. N is one
+    scalar count (driver-side, legitimate).
+
+    Output: ``(node, rank)`` for every node appearing in the edges.
+    """
+    e = edges.select(
+        F.col(src).alias("_s"), F.col(dst).alias("_d")
+    ).distinct()
+    outdeg = e.groupBy("_s").agg(F.count(F.lit(1)).alias("_o"))
+    contrib = e.join(outdeg, on="_s").persist()
+    nodes = (
+        e.select(F.col("_s").alias("node"))
+        .union(e.select(F.col("_d").alias("node")))
+        .distinct()
+        .persist()
+    )
+    n_nodes = nodes.count()
+    if n_nodes == 0:
+        from padua_spark.io_utils import track_cached
+
+        empty = nodes.withColumn("rank", F.lit(0.0))
+        return track_cached(empty, contrib, nodes)
+    base = (1.0 - damping) / n_nodes
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n_nodes))
+    for _ in range(k_iters):
+        incoming = (
+            contrib.join(ranks, contrib["_s"] == ranks["node"])
+            .select(
+                F.col("_d").alias("node"),
+                (F.col("rank") / F.col("_o").cast("double")).alias("_m"),
+            )
+            .groupBy("node")
+            .agg(F.sum("_m").alias("_in"))
+        )
+        ranks = (
+            nodes.join(incoming, on="node", how="left")
+            .select(
+                "node",
+                (
+                    F.lit(base)
+                    + F.lit(damping) * F.coalesce(F.col("_in"), F.lit(0.0))
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    from padua_spark.io_utils import track_cached
+
+    return track_cached(ranks, contrib, nodes)

@@ -1262,3 +1262,36 @@ def test_group_percentiles_match_builtin_at_scale(spark):
     for g in ref:
         assert abs(mine[g][0] - ref[g][0]) < 1e-9
         assert abs(mine[g][1] - ref[g][1]) < 1e-9
+
+
+def test_pagerank_matches_numpy(spark):
+    """pagerank == the documented recurrence run densely in numpy on a
+    toy graph (cycle + dangling spur: a dangles mass out via d, and d
+    has out-edges back), including the dropped-dangling semantics; the
+    persisted contribution table is recorded for release."""
+    import numpy as np
+
+    from padua_spark.extensions.graph import pagerank
+    from padua_spark.io_utils import unpersist_intermediates
+
+    E = [("a", "b"), ("b", "c"), ("c", "a"), ("a", "d"), ("e", "a")]
+    # e is dangling-IN only as a source; c->a cycle; e never receives
+    edges = spark.createDataFrame(E, ["src", "dst"])
+    out = pagerank(edges, "src", "dst", k_iters=4, damping=0.85)
+    got = {r["node"]: r["rank"] for r in out.collect()}
+    nodes = sorted({x for e in E for x in e})
+    idx = {n: i for i, n in enumerate(nodes)}
+    outdeg = {n: sum(1 for s, _ in E if s == n) for n in nodes}
+    N, d = len(nodes), 0.85
+    r = np.full(N, 1.0 / N)
+    for _ in range(4):
+        nr = np.full(N, (1 - d) / N)
+        for s, t in E:
+            nr[idx[t]] += d * r[idx[s]] / outdeg[s]
+        r = nr
+    for n in nodes:
+        assert abs(got[n] - r[idx[n]]) < 1e-12, (n, got[n], r[idx[n]])
+    # d received mass but has no out-edges in one direction: dropped
+    # mass means ranks need not sum to 1
+    assert abs(sum(got.values()) - 1.0) > 1e-6
+    assert unpersist_intermediates(out) == 2
