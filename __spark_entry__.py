@@ -3614,6 +3614,59 @@ def q_kmv_distinct_tokens(spark, sf):
     )
 
 
+# --- ext: C4-style duplicate-span removal -----------------------------------
+
+
+def _dedup_spans_oracle(k: int = 10, maxp: int = 100_000) -> str:
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split(text, ' '), t -> t <> '') AS tk
+  FROM documents
+),
+spans AS (
+  SELECT doc_id, b.b AS pos,
+         array_to_string(tk[b.b * {k} + 1 : b.b * {k} + {k}], ' ')
+           AS span
+  FROM toks, unnest(range(CAST(ceil(len(tk) / {k}.0) AS BIGINT)))
+       AS b(b)
+),
+keyed AS (
+  SELECT doc_id, pos, span,
+         doc_id * {maxp} + pos AS key FROM spans
+),
+win AS (SELECT span, min(key) AS first_key FROM keyed GROUP BY 1),
+kept AS (
+  SELECT s.* FROM keyed s JOIN win USING (span)
+  WHERE s.key = win.first_key
+),
+rec AS (
+  SELECT doc_id, count(*) AS n_kept,
+         string_agg(span, ' ' ORDER BY pos) AS text_dedup
+  FROM kept GROUP BY 1
+),
+tot AS (SELECT doc_id, count(*) AS n_spans FROM keyed GROUP BY 1)
+SELECT d.doc_id,
+       coalesce(rec.text_dedup, '') AS text_dedup,
+       CAST(coalesce(rec.n_kept, 0) AS BIGINT) AS n_kept,
+       CAST(coalesce(tot.n_spans, 0) AS BIGINT) AS n_spans
+FROM documents d
+LEFT JOIN rec ON rec.doc_id = d.doc_id
+LEFT JOIN tot ON tot.doc_id = d.doc_id
+"""
+
+
+@_q("dedup_spans", _dedup_spans_oracle())
+def q_dedup_spans(spark, sf):
+    """Corpus-wide duplicate-span removal (the C4 preprocessing rule at
+    fixed 10-token-block granularity): later occurrences of any
+    repeated span are dropped, documents reconstructed from surviving
+    spans — reconstructed text included in the hash gate."""
+    d = _t(spark, sf, "documents")
+    out = x_dedup.dedup_spans(d, "doc_id", "text", span_tokens=10)
+    return out.select("doc_id", "text_dedup", "n_kept", "n_spans")
+
+
 # --- ext: fixed-iteration PageRank over the trade graph ---------------------
 
 

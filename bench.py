@@ -110,6 +110,7 @@ HEADLINE = [
     "pca_scores",
     "pls_scores_pc1",
     "cms_heavy_hitters",
+    "dedup_spans",
 ]
 
 

@@ -781,3 +781,80 @@ def novel_documents(
         fingerprint(F.col(text_col)).alias(fp)
     ).distinct()
     return canon.join(seen, on=fp, how="left_anti").drop(fp)
+
+
+def dedup_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    span_tokens: int = 10,
+    max_spans_per_doc: int = 100_000,
+) -> DataFrame:
+    """C4-style duplicate-span removal (Raffel et al. discard repeated
+    three-sentence spans corpus-wide; this is the corpus-agnostic
+    fixed-``span_tokens``-token-block variant): every occurrence of a
+    span that appears anywhere else in the corpus is dropped EXCEPT
+    the first (ordered by (doc id, position)), and documents are
+    reconstructed from their surviving spans.
+
+    Token model: whitespace split, empty tokens dropped, spans rejoined
+    with single spaces (documented normalization). The first-occurrence
+    winner is the minimum of the exact integer key
+    ``id·max_spans_per_doc + position`` — deterministic on any engine;
+    ``max_spans_per_doc`` bounds position (raise it for megadocs).
+
+    Scale shape: one tokenize scan → span explode (JVM-side) → one
+    groupBy(span) min-key aggregation (map-side partial) → a key join
+    back → per-doc reconstruction groupBy. Shuffle keys are span
+    strings; at extreme scale swap the span text for its polynomial
+    hash (collision risk ~1e-5, like :func:`ngram_jaccard_pairs`).
+
+    Output: ``(id, text_dedup, n_kept, n_spans)`` for EVERY input doc
+    (a fully-duplicate doc survives with empty text and n_kept = 0).
+    """
+    k = span_tokens
+    toks = F.filter(
+        F.split(F.col(text_col), " "), lambda x: x != ""
+    )
+    staged = df.select(F.col(id_col), toks.alias("_toks"))
+    n_spans = F.ceil(F.size("_toks") / F.lit(k)).cast("int")
+    span_arr = F.when(
+        n_spans > 0,
+        F.transform(
+            F.sequence(F.lit(0), n_spans - 1),
+            lambda b: F.concat_ws(
+                " ", F.slice(F.col("_toks"), b * k + 1, k)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    spans = staged.select(
+        F.col(id_col), F.posexplode(span_arr).alias("pos", "span")
+    )
+    key = F.col(id_col) * F.lit(max_spans_per_doc) + F.col("pos")
+    keyed = spans.select(F.col(id_col), "pos", "span", key.alias("_key"))
+    win = keyed.groupBy("span").agg(F.min("_key").alias("_first"))
+    kept = keyed.join(win, on="span").where(F.col("_key") == F.col("_first"))
+    rec = kept.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("pos", "span"))
+                ),
+                lambda s: s["span"],
+            ),
+        ).alias("text_dedup"),
+    )
+    tot = keyed.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_spans"))
+    return (
+        df.select(id_col)
+        .join(rec, on=id_col, how="left")
+        .join(tot, on=id_col, how="left")
+        .select(
+            id_col,
+            F.coalesce("text_dedup", F.lit("")).alias("text_dedup"),
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+            F.coalesce("n_spans", F.lit(0)).alias("n_spans"),
+        )
+    )

@@ -1295,3 +1295,28 @@ def test_pagerank_matches_numpy(spark):
     # mass means ranks need not sum to 1
     assert abs(sum(got.values()) - 1.0) > 1e-6
     assert unpersist_intermediates(out) == 2
+
+
+def test_dedup_spans_c4_semantics(spark):
+    """Duplicate spans survive only at their first (doc, pos)
+    occurrence; unique spans untouched; fully-duplicate docs come back
+    empty; short docs (< span) dedup as one whole-doc span."""
+    from padua_spark.extensions.dedup import dedup_spans
+
+    A = "a b c"          # span1 (whole doc, <k)
+    B = "d e f g h i"    # spans: "d e f" (pos0), "g h i" (pos1) at k=3
+    rows = [
+        (1, B),                      # first occurrence of both spans
+        (2, A + " " + B),            # "a b c" unique; B's spans dup
+        (3, B),                      # fully duplicate -> empty
+        (4, ""),                     # empty doc
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in
+           dedup_spans(df, "doc_id", "text", span_tokens=3).collect()}
+    assert out[1]["text_dedup"] == B and out[1]["n_kept"] == 2
+    assert out[2]["text_dedup"] == "a b c"
+    assert (out[2]["n_kept"], out[2]["n_spans"]) == (1, 3)
+    assert out[3]["text_dedup"] == "" and out[3]["n_kept"] == 0
+    assert out[3]["n_spans"] == 2
+    assert out[4]["text_dedup"] == "" and out[4]["n_spans"] == 0
