@@ -3614,6 +3614,55 @@ def q_kmv_distinct_tokens(spark, sf):
     )
 
 
+# --- ext: PSI distribution-drift monitor ------------------------------------
+
+
+@_q(
+    "psi_value_drift",
+    """
+WITH per AS (
+  SELECT greatest(0, least(9,
+           CAST(floor((value - 0.0) / 50.0) AS INT))) AS bin,
+         count(CASE WHEN event_type = 'click' THEN 1 END) AS n_a,
+         count(CASE WHEN event_type = 'purchase' THEN 1 END) AS n_b
+  FROM events
+  WHERE event_type IN ('click', 'purchase') AND value IS NOT NULL
+  GROUP BY 1
+),
+t AS (
+  SELECT *, CAST(sum(n_a) OVER () AS DOUBLE) AS ta,
+            CAST(sum(n_b) OVER () AS DOUBLE) AS tb
+  FROM per
+)
+SELECT bin, n_a, n_b,
+  round((n_a + 0.5) / (ta + 5.0), 9) AS p_a,
+  round((n_b + 0.5) / (tb + 5.0), 9) AS p_b,
+  round(((n_a + 0.5) / (ta + 5.0) - (n_b + 0.5) / (tb + 5.0))
+        * ln(((n_a + 0.5) / (ta + 5.0))
+             / ((n_b + 0.5) / (tb + 5.0))), 9) AS contrib
+FROM t
+""",
+)
+def q_psi_value_drift(spark, sf):
+    """Population-stability-index drift between the click and purchase
+    value distributions (10 equal-width bins over [0, 500], Laplace
+    smoothing) — one conditional-count scan, B-row window; Σ contrib
+    is the PSI."""
+    from padua_spark.extensions.quality import psi_drift
+
+    e = _t(spark, sf, "events")
+    out = psi_drift(
+        e, "event_type", "click", "purchase", "value",
+        lo=0.0, hi=500.0, n_bins=10,
+    )
+    return out.select(
+        "bin", "n_a", "n_b",
+        F.round("p_a", 9).alias("p_a"),
+        F.round("p_b", 9).alias("p_b"),
+        F.round("contrib", 9).alias("contrib"),
+    )
+
+
 # --- ext: C4-style duplicate-span removal -----------------------------------
 
 

@@ -111,6 +111,7 @@ HEADLINE = [
     "pls_scores_pc1",
     "cms_heavy_hitters",
     "dedup_spans",
+    "psi_value_drift",
 ]
 
 

@@ -1320,3 +1320,38 @@ def test_dedup_spans_c4_semantics(spark):
     assert out[3]["text_dedup"] == "" and out[3]["n_kept"] == 0
     assert out[3]["n_spans"] == 2
     assert out[4]["text_dedup"] == "" and out[4]["n_spans"] == 0
+
+
+def test_psi_drift_matches_reference(spark):
+    """PSI per-bin contributions match the smoothed formula computed
+    densely in numpy, detect a planted shift, and clamp out-of-range
+    values into the edge bins."""
+    import numpy as np
+
+    from padua_spark.extensions.quality import psi_drift
+
+    rows = []
+    for i in range(2000):
+        rows.append(("a", float(i % 100)))            # uniform 0..99
+        rows.append(("b", float((i % 100) * 0.5)))    # shifted low
+    rows += [("a", -50.0), ("b", 1e9)]                # clamp cases
+    df = spark.createDataFrame(rows, ["g", "v"])
+    out = psi_drift(df, "g", "a", "b", "v", lo=0.0, hi=100.0, n_bins=5)
+    got = {r["bin"]: r for r in out.collect()}
+    B, lo, width = 5, 0.0, 20.0
+    na = np.zeros(B, dtype=int)
+    nb = np.zeros(B, dtype=int)
+    for g, v in rows:
+        b = int(min(B - 1, max(0, math.floor((v - lo) / width))))
+        (na if g == "a" else nb)[b] += 1
+    pa = (na + 0.5) / (na.sum() + 0.5 * B)
+    pb = (nb + 0.5) / (nb.sum() + 0.5 * B)
+    psi_ref = float(((pa - pb) * np.log(pa / pb)).sum())
+    for b in range(B):
+        assert (got[b]["n_a"], got[b]["n_b"]) == (na[b], nb[b])
+        assert got[b]["contrib"] == pytest.approx(
+            float((pa[b] - pb[b]) * np.log(pa[b] / pb[b])), abs=1e-12
+        )
+    psi = sum(r["contrib"] for r in got.values())
+    assert psi == pytest.approx(psi_ref, abs=1e-12)
+    assert psi > 0.25  # the planted shift is a major drift
