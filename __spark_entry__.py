@@ -3614,6 +3614,45 @@ def q_kmv_distinct_tokens(spark, sf):
     )
 
 
+# --- ext: per-document character entropy ------------------------------------
+
+
+@_q(
+    "char_entropy",
+    """
+WITH ch AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split(coalesce(text, ''), ''),
+                            c -> c <> '')) AS ch
+  FROM documents
+),
+per AS (SELECT doc_id, ch, count(*) AS c FROM ch GROUP BY 1, 2),
+agg AS (
+  SELECT doc_id, sum(c) AS n_chars,
+         sum(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))) AS s
+  FROM per GROUP BY 1
+)
+SELECT d.doc_id,
+  CAST(coalesce(a.n_chars, 0) AS BIGINT) AS n_chars,
+  round(CASE WHEN a.n_chars > 0
+        THEN ln(CAST(a.n_chars AS DOUBLE))
+             - a.s / CAST(a.n_chars AS DOUBLE) END, 9) AS char_entropy
+FROM documents d LEFT JOIN agg a USING (doc_id)
+""",
+)
+def q_char_entropy(spark, sf):
+    """Shannon character entropy per document (nats) — the cheap
+    low-entropy detector for boilerplate/degenerate text."""
+    from padua_spark.extensions.text import char_entropy
+
+    d = _t(spark, sf, "documents")
+    out = char_entropy(d, ["doc_id"], "text")
+    return out.select(
+        "doc_id", "n_chars",
+        F.round("char_entropy", 9).alias("char_entropy"),
+    )
+
+
 # --- ext: PSI distribution-drift monitor ------------------------------------
 
 

@@ -112,6 +112,7 @@ HEADLINE = [
     "cms_heavy_hitters",
     "dedup_spans",
     "psi_value_drift",
+    "char_entropy",
 ]
 
 

@@ -750,3 +750,58 @@ def source_token_divergence(
         ),
         per,
     )
+
+
+def char_entropy(
+    df: DataFrame, id_cols: list[str], text_col: str
+) -> DataFrame:
+    """Per-document Shannon entropy of the character distribution (in
+    nats) — the cheap low-entropy detector for boilerplate, repeated
+    padding, and degenerate generator output (entropy of English prose
+    sits near 2.9–3.1 nats/char; keyboard mash and repeated characters
+    fall far below).
+
+    Codepoint-exact, case-sensitive, whitespace included. Plan: one
+    character explode (JVM-side generator) → (doc, char) counts with
+    map-side partials → per-doc entropy aggregation (second shuffle on
+    the doc key), whole-stage codegen throughout. ``explode_outer``
+    emits a NULL-char row for empty docs, so every input doc survives
+    without a re-join against the input.
+
+    Entropy is computed as ``ln(n) − (Σ c·ln c)/n`` — counts are
+    integers, so the only per-char float work is one ``ln`` per
+    DISTINCT character.
+
+    Output: ``(*id_cols, n_chars, char_entropy)``; empty/NULL texts
+    yield n_chars = 0 and NULL entropy.
+    """
+    chars = F.filter(
+        F.split(F.coalesce(F.col(text_col), F.lit("")), ""),
+        lambda c: c != "",
+    )
+    per = (
+        df.select(*id_cols, F.explode_outer(chars).alias("_ch"))
+        .groupBy(*id_cols, "_ch")
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    # the NULL row from explode_outer of an empty array carries no term
+    term = F.when(
+        F.col("_ch").isNotNull(),
+        F.col("_c").cast("double") * F.log(F.col("_c").cast("double")),
+    )
+    agg = per.groupBy(*id_cols).agg(
+        F.coalesce(
+            F.sum(F.when(F.col("_ch").isNotNull(), F.col("_c"))),
+            F.lit(0),
+        ).alias("n_chars"),
+        F.sum(term).alias("_s"),
+    )
+    nd = F.col("n_chars").cast("double")
+    ent = F.when(
+        F.col("n_chars") > 0, F.log(nd) - F.col("_s") / nd
+    )
+    return agg.select(
+        *id_cols,
+        "n_chars",
+        ent.alias("char_entropy"),
+    )

@@ -1355,3 +1355,27 @@ def test_psi_drift_matches_reference(spark):
     psi = sum(r["contrib"] for r in got.values())
     assert psi == pytest.approx(psi_ref, abs=1e-12)
     assert psi > 0.25  # the planted shift is a major drift
+
+
+def test_char_entropy_closed_forms(spark):
+    """Entropy closed forms: single repeated char -> 0; uniform
+    alphabet of k chars -> ln k; empty/NULL -> (0, NULL)."""
+    from padua_spark.extensions.text import char_entropy
+
+    rows = [
+        (1, "aaaaaaaa"),
+        (2, "abcd" * 25),
+        (3, ""),
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: r for r in
+           char_entropy(df, ["doc_id"], "text").collect()}
+    assert got[1]["char_entropy"] == pytest.approx(0.0, abs=1e-12)
+    assert got[2]["char_entropy"] == pytest.approx(
+        math.log(4), abs=1e-12
+    )
+    assert got[2]["n_chars"] == 100
+    for k in (3, 4):
+        assert got[k]["n_chars"] == 0
+        assert got[k]["char_entropy"] is None
