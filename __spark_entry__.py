@@ -3614,6 +3614,77 @@ def q_kmv_distinct_tokens(spark, sf):
     )
 
 
+# --- ext: robust statistics (median/MAD z, trimmed mean) --------------------
+
+
+@_q(
+    "robust_zscore",
+    """
+WITH med AS (
+  SELECT l_returnflag, quantile_cont(l_quantity, 0.5) AS m
+  FROM lineitem WHERE l_quantity IS NOT NULL GROUP BY 1
+),
+mad AS (
+  SELECT l.l_returnflag,
+         quantile_cont(abs(l.l_quantity - med.m), 0.5) AS s
+  FROM lineitem l JOIN med USING (l_returnflag)
+  WHERE l.l_quantity IS NOT NULL GROUP BY 1
+)
+SELECT l.l_orderkey, l.l_linenumber, l.l_returnflag,
+  round(CASE WHEN mad.s > 0
+        THEN (l.l_quantity - med.m)
+             / (mad.s * 1.4826022185056018) END, 9) AS robust_z
+FROM lineitem l
+JOIN med USING (l_returnflag) JOIN mad USING (l_returnflag)
+""",
+)
+def q_robust_zscore(spark, sf):
+    """Median/MAD robust z per group — the outlier screen whose center
+    and scale are not dragged by the outliers themselves."""
+    from padua_spark.operators.normalization import robust_zscore
+
+    li = _t(spark, sf, "lineitem")
+    out = robust_zscore(li, ["l_returnflag"], "l_quantity")
+    return out.select(
+        "l_orderkey", "l_linenumber", "l_returnflag",
+        F.round("robust_z", 9).alias("robust_z"),
+    )
+
+
+@_q(
+    "trimmed_mean",
+    """
+WITH b AS (
+  SELECT l_returnflag,
+         quantile_cont(l_quantity, 0.1) AS tlo,
+         quantile_cont(l_quantity, 0.9) AS thi
+  FROM lineitem WHERE l_quantity IS NOT NULL GROUP BY 1
+)
+SELECT l.l_returnflag,
+  round(avg(CASE WHEN l.l_quantity >= b.tlo AND l.l_quantity <= b.thi
+            THEN l.l_quantity END), 9) AS trimmed_mean,
+  count(CASE WHEN l.l_quantity >= b.tlo AND l.l_quantity <= b.thi
+        THEN 1 END) AS n_kept,
+  count(l.l_quantity) AS n_total
+FROM lineitem l JOIN b USING (l_returnflag)
+GROUP BY 1
+""",
+)
+def q_trimmed_mean(spark, sf):
+    """10%-trimmed mean per group (values equal to a bound kept — the
+    deterministic tie rule) with kept/total counts."""
+    from padua_spark.operators.normalization import trimmed_mean
+
+    li = _t(spark, sf, "lineitem")
+    out = trimmed_mean(li, ["l_returnflag"], "l_quantity", trim=0.1)
+    return out.select(
+        "l_returnflag",
+        F.round("trimmed_mean", 9).alias("trimmed_mean"),
+        "n_kept",
+        "n_total",
+    )
+
+
 # --- ext: per-document character entropy ------------------------------------
 
 

@@ -113,6 +113,8 @@ HEADLINE = [
     "dedup_spans",
     "psi_value_drift",
     "char_entropy",
+    "robust_zscore",
+    "trimmed_mean",
 ]
 
 

@@ -274,3 +274,75 @@ def quantile_normalize(
         .withColumn(out, F.col("_qn_target"))
         .drop("_qn_rank", "_qn_target")
     )
+
+
+def robust_zscore(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    out_col: str = "robust_z",
+    scaled: bool = True,
+) -> DataFrame:
+    """Median/MAD robust z-score per group:
+    ``z = (v − median) / (MAD · 1.4826)`` with
+    ``MAD = median(|v − median|)`` — the outlier-resistant screen
+    (mean/sd z-scores are themselves dragged by the outliers they are
+    supposed to flag; median/MAD have a 50% breakdown point). The
+    1.4826 factor (1/Φ⁻¹(3/4)) makes MAD consistent with σ under
+    normality; ``scaled=False`` divides by raw MAD.
+
+    Plan: two :func:`group_medians` passes (value, then absolute
+    deviation) — each one shuffle-sort of a two-column projection —
+    and two broadcast joins back; the fact table itself never sorts.
+    Zero-MAD groups (over half the values identical) yield NULL z, as
+    do NULL values.
+    """
+    med = group_medians(df, group_cols, F.col(value_col), "_med")
+    with_med = df.join(F.broadcast(med), on=group_cols, how="left")
+    dev = with_med.withColumn(
+        "_adev", F.abs(F.col(value_col) - F.col("_med"))
+    )
+    mad = group_medians(dev, group_cols, F.col("_adev"), "_mad")
+    factor = 1.4826022185056018 if scaled else 1.0
+    z = (F.col(value_col) - F.col("_med")) / (
+        F.col("_mad") * F.lit(factor)
+    )
+    return (
+        dev.join(F.broadcast(mad), on=group_cols, how="left")
+        .withColumn(out_col, F.when(F.col("_mad") > 0, z))
+        .drop("_med", "_adev", "_mad")
+    )
+
+
+def trimmed_mean(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    trim: float = 0.1,
+) -> DataFrame:
+    """Per-group trimmed mean: the mean of values strictly inside the
+    [trim, 1−trim] percentile bounds (exact interpolated percentiles),
+    plus the kept/total counts — the robust location estimate between
+    the mean (trim=0) and the median (trim→0.5).
+
+    Boundary semantics (documented precisely for engine parity):
+    values EQUAL to a bound are kept — with ties at the bound this
+    keeps more than ``(1−2·trim)·n`` values, which is deterministic
+    and engine-agnostic, unlike rank-based trimming whose tie-breaking
+    varies.
+
+    Plan: one :func:`group_percentiles` shuffle-sort for the bounds,
+    broadcast join back, one conditional aggregation. Output:
+    ``(*group_cols, trimmed_mean, n_kept, n_total)``.
+    """
+    v = F.col(value_col).cast("double")
+    bounds = group_percentiles(
+        df, group_cols, v, {"_tlo": trim, "_thi": 1.0 - trim}
+    )
+    joined = df.join(F.broadcast(bounds), on=group_cols, how="left")
+    inside = v.isNotNull() & (v >= F.col("_tlo")) & (v <= F.col("_thi"))
+    return joined.groupBy(*group_cols).agg(
+        F.avg(F.when(inside, v)).alias("trimmed_mean"),
+        F.count(F.when(inside, 1)).alias("n_kept"),
+        F.count(v).alias("n_total"),
+    )

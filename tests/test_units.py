@@ -1379,3 +1379,38 @@ def test_char_entropy_closed_forms(spark):
     for k in (3, 4):
         assert got[k]["n_chars"] == 0
         assert got[k]["char_entropy"] is None
+
+
+def test_robust_zscore_and_trimmed_mean(spark):
+    """Robust z matches the hand-computed median/MAD on a group with a
+    gross outlier (which a mean/sd z would drag); zero-MAD groups give
+    NULL; trimmed mean drops the outlier the plain mean absorbs."""
+    from padua_spark.operators.normalization import (
+        robust_zscore,
+        trimmed_mean,
+    )
+
+    vals = [10.0, 11.0, 12.0, 13.0, 14.0, 1000.0]
+    rows = [("g", v) for v in vals] + [("const", 5.0)] * 4
+    df = spark.createDataFrame(rows, ["grp", "v"])
+    out = robust_zscore(df, ["grp"], "v")
+    got = {(r["grp"], r["v"]): r["robust_z"] for r in out.collect()}
+    med = 12.5                      # median of vals
+    mad = 1.5                       # median of |v - 12.5|
+    factor = 1.4826022185056018
+    assert got[("g", 1000.0)] == pytest.approx(
+        (1000.0 - med) / (mad * factor), rel=1e-12
+    )
+    assert got[("g", 12.0)] == pytest.approx(
+        (12.0 - med) / (mad * factor), rel=1e-12
+    )
+    for v in [5.0]:
+        assert got[("const", v)] is None  # MAD = 0
+    tm = {r["grp"]: r for r in
+          trimmed_mean(df, ["grp"], "v", trim=0.2).collect()}
+    # bounds at p20/p80 of 6 values: pos=1.0 -> 11.0, pos=4.0 -> 14.0;
+    # kept = 11..14
+    assert tm["g"]["trimmed_mean"] == pytest.approx(12.5)
+    assert tm["g"]["n_kept"] == 4 and tm["g"]["n_total"] == 6
+    assert tm["const"]["trimmed_mean"] == pytest.approx(5.0)
+    assert tm["const"]["n_kept"] == 4  # all tied at both bounds: kept
