@@ -6255,6 +6255,67 @@ def q_plsda_scores(spark, sf):
     return spark.createDataFrame(rows, ["sample", "pc", "score"])
 
 
+@_q(
+    "ward_first_merge",
+    """
+WITH long AS (
+  SELECT l_partkey AS f,
+         l_returnflag || '_' || l_linestatus AS s,
+         avg(l_quantity) AS v
+  FROM lineitem GROUP BY 1, 2
+),
+p AS (
+  SELECT a.s AS sample_x, b.s AS sample_y,
+         sqrt(sum((a.v - b.v) * (a.v - b.v))) AS d
+  FROM long a JOIN long b USING (f)
+  WHERE a.s < b.s GROUP BY 1, 2
+),
+r AS (
+  SELECT *, row_number() OVER (
+    ORDER BY round(d, 6), sample_x, sample_y) AS rn
+  FROM p
+)
+SELECT sample_x, sample_y, round(d, 6) AS distance,
+       rn = 1 AS is_first_merge
+FROM r
+""",
+)
+def q_ward_first_merge(spark, sf):
+    """Hash gate for the hierarchical-clustering front half: the
+    distributed pairwise distance matrix (the O(features) part) plus
+    Ward's FIRST merge decision — for singletons the Lance–Williams
+    argmin is simply the closest pair, which is SQL-expressible. The
+    iterative dendrogram beyond merge one stays rows-only
+    (hier_cluster_assign); this pins the data it consumes and its
+    seeding choice. Ordering ties break on the 6dp-rounded distance
+    then sample names, so a 1-ulp cross-engine sum difference cannot
+    flip the flag."""
+    from pyspark.sql import Window
+
+    from padua_spark.operators import ml
+
+    li = _t(spark, sf, "lineitem")
+    long = li.groupBy(
+        "l_partkey",
+        F.concat_ws(
+            "_", F.col("l_returnflag"), F.col("l_linestatus")
+        ).alias("sample"),
+    ).agg(F.avg("l_quantity").alias("v"))
+    dist = ml.sample_distance_matrix(long, ["l_partkey"], "sample", "v")
+    pairs = dist.where(F.col("sample_x") < F.col("sample_y")).select(
+        "sample_x", "sample_y", _r("distance").alias("distance")
+    )
+    # n²-row frame (samples are the handful of flag/status cells):
+    # the partitionless window is constant-size
+    w = Window.orderBy("distance", "sample_x", "sample_y")
+    return pairs.select(
+        "sample_x",
+        "sample_y",
+        "distance",
+        (F.row_number().over(w) == 1).alias("is_first_merge"),
+    )
+
+
 @_q("hier_cluster_assign")
 def q_hier_cluster_assign(spark, sf):
     """Ward hierarchical clustering of samples (reference
