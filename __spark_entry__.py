@@ -3614,6 +3614,67 @@ def q_kmv_distinct_tokens(spark, sf):
     )
 
 
+# --- ext: streaming drift monitor (windowed histogram → PSI) ----------------
+
+
+@_q(
+    "windowed_psi",
+    """
+WITH e AS (
+  SELECT epoch_us(ts) AS tsu, value FROM events WHERE value IS NOT NULL
+),
+b AS (
+  SELECT (tsu // 3600000000) * 3600 AS ws,
+         greatest(0, least(9,
+           CAST(floor((value - 0.0) / 50.0) AS INT))) AS bin
+  FROM e
+),
+cnt AS (SELECT ws, bin, count(*) AS n FROM b GROUP BY 1, 2),
+ref AS (SELECT bin, count(*) AS rn FROM b GROUP BY 1),
+rt AS (SELECT CAST(sum(rn) AS DOUBLE) AS tot FROM ref),
+wt AS (SELECT ws, sum(n) AS n_events FROM cnt GROUP BY 1),
+fw AS (
+  SELECT wt.ws, wt.n_events, ref.bin, ref.rn,
+         coalesce(cnt.n, 0) AS n
+  FROM wt CROSS JOIN ref
+  LEFT JOIN cnt ON cnt.ws = wt.ws AND cnt.bin = ref.bin
+)
+SELECT f.ws AS window_start_epoch, f.n_events,
+  round(sum(
+    ((f.n + 0.5) / (CAST(f.n_events AS DOUBLE) + 5.0)
+     - (f.rn + 0.5) / (rt.tot + 5.0))
+    * ln(((f.n + 0.5) / (CAST(f.n_events AS DOUBLE) + 5.0))
+         / ((f.rn + 0.5) / (rt.tot + 5.0)))), 9) AS psi
+FROM fw f CROSS JOIN rt
+GROUP BY 1, 2
+""",
+)
+def q_windowed_psi(spark, sf):
+    """Per-hour PSI of the event value distribution against the
+    whole-corpus reference — the drift monitor whose front half
+    (windowed bin counts) is ONE stateful aggregation and runs
+    unchanged on a stream; the PSI finalizer runs per micro-batch.
+    Every reference bin contributes to every window (a popular bin
+    missing from a window IS drift)."""
+    from padua_spark.extensions.quality import psi_vs_reference
+    from padua_spark.streaming import windowed_value_histogram
+
+    e = _t(spark, sf, "events")
+    counts = windowed_value_histogram(
+        e, _events_event_time(spark, sf), "value",
+        lo=0.0, hi=500.0, n_bins=10, window_duration="1 hour",
+    ).select(
+        F.col("window_start").cast("long").alias("ws"), "bin", "n"
+    )
+    ref = counts.groupBy("bin").agg(F.sum("n").alias("ref_n"))
+    out = psi_vs_reference(counts, ref, n_bins=10, window_cols=["ws"])
+    return out.select(
+        F.col("ws").alias("window_start_epoch"),
+        "n_events",
+        F.round("psi", 9).alias("psi"),
+    )
+
+
 # --- ext: robust statistics (median/MAD z, trimmed mean) --------------------
 
 

@@ -115,6 +115,7 @@ HEADLINE = [
     "char_entropy",
     "robust_zscore",
     "trimmed_mean",
+    "windowed_psi",
 ]
 
 

@@ -285,3 +285,48 @@ def psi_drift(
     return staged.select(
         "bin", "n_a", "n_b", "p_a", "p_b", contrib.alias("contrib")
     )
+
+
+def psi_vs_reference(
+    counts: DataFrame,
+    ref: DataFrame,
+    n_bins: int,
+    window_cols: list[str] | None = None,
+) -> DataFrame:
+    """Finalize PSI per window from windowed bin ``counts(…, bin, n)``
+    against a reference bin-count table ``ref(bin, ref_n)`` — the
+    batch tail of the streaming drift monitor
+    (:func:`padua_spark.streaming.windowed_value_histogram` emits the
+    counts; this runs per micro-batch or offline).
+
+    Every reference bin contributes to every window (a popular bin
+    MISSING from a window is drift, not a no-op): the per-window frame
+    cross-joins the broadcast reference (both tiny — windows × bins
+    rows) and takes the window's count as 0 where absent. Laplace
+    smoothing as in :func:`psi_drift`.
+
+    Output: ``(*window_cols, n_events, psi)``.
+    """
+    window_cols = window_cols or ["window_start"]
+    wt = counts.groupBy(*window_cols).agg(
+        F.sum("n").alias("n_events")
+    )
+    rt = ref.agg(F.sum("ref_n").alias("_rt")).collect()[0]["_rt"]
+    full = wt.crossJoin(F.broadcast(ref)).join(
+        counts.select(*window_cols, "bin", "n"),
+        on=[*window_cols, "bin"],
+        how="left",
+    )
+    n = F.coalesce(F.col("n"), F.lit(0))
+    p_w = (n + F.lit(0.5)) / (
+        F.col("n_events").cast("double") + F.lit(0.5 * n_bins)
+    )
+    p_r = (F.col("ref_n") + F.lit(0.5)) / (
+        F.lit(float(rt)) + F.lit(0.5 * n_bins)
+    )
+    contrib = (p_w - p_r) * F.log(p_w / p_r)
+    return (
+        full.withColumn("_c", contrib)
+        .groupBy(*window_cols, "n_events")
+        .agg(F.sum("_c").alias("psi"))
+    )

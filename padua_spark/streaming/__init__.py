@@ -19,4 +19,5 @@ from padua_spark.streaming.windows import (  # noqa: F401
     session_window_agg,
     sliding_window_agg,
     tumbling_window_agg,
+    windowed_value_histogram,
 )

@@ -281,3 +281,48 @@ def dedup_stream(
     return exact_dedup(
         staged, key_cols, time_col_name, id_col=tiebreak_col
     ).drop(time_col_name)
+
+
+def windowed_value_histogram(
+    df: DataFrame,
+    ts_col: Column,
+    value_col: str,
+    lo: float,
+    hi: float,
+    n_bins: int = 10,
+    window_duration: str = "1 hour",
+    watermark: str | None = None,
+) -> DataFrame:
+    """Per-tumbling-window histogram of a value column over explicit
+    equal-width ``[lo, hi]`` bins (out-of-range clamps to edge bins,
+    NULLs excluded) — ONE stateful aggregation, so it runs unchanged
+    on a stream (watermark bounds state) or a batch frame. This is the
+    streaming front half of the PSI drift monitor: emit windowed bin
+    counts continuously, finalize PSI against a broadcast reference
+    with :func:`padua_spark.extensions.quality.psi_vs_reference`
+    (e.g. inside foreachBatch).
+
+    Output: ``(window_start, window_end, bin, n)``.
+    """
+    v = F.col(value_col).cast("double")
+    width = (hi - lo) / n_bins
+    bin_idx = F.greatest(
+        F.lit(0),
+        F.least(
+            F.lit(n_bins - 1),
+            F.floor((v - F.lit(lo)) / F.lit(width)).cast("int"),
+        ),
+    )
+    withts = df.where(v.isNotNull()).withColumn("_event_time", ts_col)
+    if watermark and withts.isStreaming:
+        withts = withts.withWatermark("_event_time", watermark)
+    out = withts.groupBy(
+        F.window("_event_time", window_duration).alias("window"),
+        bin_idx.alias("bin"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    return out.select(
+        F.col("window.start").alias("window_start"),
+        F.col("window.end").alias("window_end"),
+        "bin",
+        "n",
+    )

@@ -337,6 +337,9 @@ def test_no_cartesian_products_anywhere(spark):
         # constant-key equi-join folds away, leaving a BNLJ with a
         # single broadcast row
         "enrichment_hypergeom",
+        # windows × reference-bins cross join — both tiny by
+        # construction (every reference bin must score in every window)
+        "windowed_psi",
     }
     bad = {}
     for name, fn in em.queries().items():

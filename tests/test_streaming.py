@@ -462,3 +462,54 @@ def test_incremental_agg_maintenance(spark, events_dir, tmp_path):
         for r in agg(batch).collect()
     }
     assert got == exp and len(got) > 0
+
+
+def test_stream_equals_batch_windowed_histogram(spark, events_dir):
+    """The drift monitor's front half (windowed bin counts) is one
+    stateful aggregation: identical output on stream and batch, and
+    the PSI finalizer over those counts matches the batch-only path."""
+    from padua_spark.extensions.quality import psi_vs_reference
+    from padua_spark.streaming import windowed_value_histogram
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    batch = spark.read.parquet(events_dir)
+    stream = read_event_stream(spark, events_dir, schema=batch.schema)
+
+    def build(df):
+        return windowed_value_histogram(
+            df, event_time_col(df), "value",
+            lo=0.0, hi=500.0, n_bins=10,
+            window_duration="1 hour", watermark="2 hours",
+        )
+
+    q = (
+        build(stream)
+        .writeStream.format("memory")
+        .queryName("t_winhist")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(180)
+    got = {
+        (r["window_start"], r["bin"]): r["n"]
+        for r in spark.sql("SELECT * FROM t_winhist").collect()
+    }
+    exp = {
+        (r["window_start"], r["bin"]): r["n"]
+        for r in build(batch).collect()
+    }
+    assert got == exp and len(got) > 0
+    # finalize PSI from the streamed counts == from the batch counts
+    sc = spark.sql(
+        "SELECT CAST(window_start AS LONG) AS ws, bin, n FROM t_winhist"
+    )
+    bc = build(batch).select(
+        F.col("window_start").cast("long").alias("ws"), "bin", "n"
+    )
+    ref = bc.groupBy("bin").agg(F.sum("n").alias("ref_n"))
+    a = {r["ws"]: round(r["psi"], 9) for r in
+         psi_vs_reference(sc, ref, 10, ["ws"]).collect()}
+    b = {r["ws"]: round(r["psi"], 9) for r in
+         psi_vs_reference(bc, ref, 10, ["ws"]).collect()}
+    assert a == b and len(a) > 0
