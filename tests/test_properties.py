@@ -832,3 +832,43 @@ def test_cms_sketch_bounds_and_width_exactness(spark):
         ).collect()
     )
     assert a == b
+
+
+@SPARK_SETTINGS
+@given(
+    docs=hst.lists(
+        hst.lists(
+            hst.sampled_from(["x", "y", "z", "w"]),
+            min_size=0,
+            max_size=12,
+        ),
+        min_size=1,
+        max_size=8,
+    ),
+    k=hst.integers(1, 4),
+)
+def test_dedup_spans_properties(spark, docs, k):
+    """Against a direct per-span simulation under arbitrary tiny
+    corpora: surviving occurrences are EXACTLY the (id, pos)-first
+    occurrence of each distinct span, and reconstruction preserves
+    surviving-span order."""
+    from padua_spark.extensions.dedup import dedup_spans
+
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in
+           dedup_spans(df, "doc_id", "text", span_tokens=k).collect()}
+    seen: set = set()
+    for i, toks in enumerate(docs):
+        spans = [
+            " ".join(toks[b * k:(b + 1) * k])
+            for b in range((len(toks) + k - 1) // k)
+        ]
+        kept = []
+        for s in spans:
+            if s not in seen:
+                seen.add(s)
+                kept.append(s)
+        assert out[i]["n_spans"] == len(spans)
+        assert out[i]["n_kept"] == len(kept)
+        assert out[i]["text_dedup"] == " ".join(kept)
