@@ -418,7 +418,10 @@ def _ecdf_stepped_counts(
         )
     )
     spark = per.sparkSession
-    n_parts = max(1, int(spark.conf.get("spark.sql.shuffle.partitions")))
+    try:
+        n_parts = max(1, int(spark.conf.get("spark.sql.shuffle.partitions")))
+    except (TypeError, ValueError):  # e.g. "auto" on some deployments
+        n_parts = max(1, spark.sparkContext.defaultParallelism)
     ranged = per.repartitionByRange(n_parts, "_v").withColumn(
         "_pid", F.spark_partition_id()
     )
