@@ -97,6 +97,48 @@ def venn(dfs: dict[str, DataFrame], key_col: str) -> DataFrame:
     return venn_counts(dfs, key_col)
 
 
+# --- SVG figure backend (no matplotlib required) ---------------------------
+# The reference renders with matplotlib; padua_spark.svg is a
+# dependency-free SVG writer over the same computed tables, so real
+# figures exist even in matplotlib-less environments. Each wrapper
+# collects the (small) plot table and returns the SVG string.
+
+
+def volcano_svg(table: DataFrame, **kw) -> str:
+    """Render a ``volcano(...)`` result table to SVG."""
+    from padua_spark import svg as _svg
+
+    return _svg.volcano_svg(table.collect(), **kw)
+
+
+def correlation_svg(table: DataFrame, **kw) -> str:
+    """Render a ``correlation(...)`` (sample_x, sample_y, r) table."""
+    from padua_spark import svg as _svg
+
+    return _svg.heatmap_svg(table.collect(), **kw)
+
+
+def counts_bar_svg(table: DataFrame, label_col: str, value_col: str,
+                   **kw) -> str:
+    """Render any counts table (QC, amino-acid frequencies) as bars."""
+    from padua_spark import svg as _svg
+
+    return _svg.bar_svg(table.collect(), label_col, value_col, **kw)
+
+
+def rankintensity_svg(table: DataFrame, **kw) -> str:
+    from padua_spark import svg as _svg
+
+    return _svg.rank_intensity_svg(table.collect(), **kw)
+
+
+def hierarchical_svg(linkage, samples: list[str], **kw) -> str:
+    """Render the ``hierarchical(...)`` linkage as a dendrogram."""
+    from padua_spark import svg as _svg
+
+    return _svg.dendrogram_svg(linkage, samples, **kw)
+
+
 def hierarchical(df, feature_cols, sample_col, value_col,
                  n_clusters: int = 6):
     """Clustered-heatmap prep (reference: visualize.py:1733-1869):
