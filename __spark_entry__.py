@@ -6284,6 +6284,75 @@ def q_pls_scores_pc1(spark, sf):
     )
 
 
+@_q(
+    "pls_weights_pc1",
+    """
+WITH long AS (
+  SELECT l_partkey AS f,
+         l_returnflag || '_' || l_linestatus AS s,
+         avg(l_quantity) AS v
+  FROM lineitem WHERE l_returnflag IN ('A', 'R') GROUP BY 1, 2
+),
+m AS (SELECT f, avg(v) AS mv FROM long GROUP BY 1),
+c AS (
+  SELECT long.f, long.s, long.v - m.mv AS cv
+  FROM long JOIN m USING (f)
+),
+g AS (
+  SELECT a.s AS sx, b.s AS sy, sum(a.cv * b.cv) AS xy
+  FROM c a JOIN c b USING (f) GROUP BY 1, 2
+),
+yv AS (
+  SELECT DISTINCT s,
+         CASE WHEN substr(s, 1, 1) = 'R' THEN 1.0 ELSE 0.0 END AS y
+  FROM long
+),
+ym AS (SELECT avg(y) AS my FROM yv),
+yc AS (SELECT s, y - my AS v FROM yv, ym),
+gu AS (
+  SELECT g.sx AS s, sum(g.xy * yc.v) AS gu
+  FROM g JOIN yc ON g.sy = yc.s GROUP BY 1
+),
+den AS (SELECT sum(yc.v * gu.gu) AS d FROM yc JOIN gu USING (s))
+SELECT c.f AS l_partkey, 1 AS pc,
+       round(sum(c.cv * yc.v) / sqrt(den.d), 9) AS weight
+FROM c JOIN yc ON c.s = yc.s CROSS JOIN den
+GROUP BY c.f, den.d
+""",
+)
+def q_pls_weights_pc1(spark, sf):
+    """The OTHER half of the kernel-PLS gate: pls_gram recovers the
+    per-feature weights distributed as X₀ᵀ·r (a broadcast join +
+    per-feature aggregation — the big output at scale); for the first
+    component r₁ = y_c/√(y_cᵀGy_c), so every weight has the SQL
+    closed form Σ_s X₀[f,s]·y_c[s]/√den. Complements pls_scores_pc1
+    (which gates the sample-space side)."""
+    from padua_spark.operators import ml
+
+    li = _t(spark, sf, "lineitem")
+    long = (
+        li.where(F.col("l_returnflag").isin(["A", "R"]))
+        .groupBy(
+            "l_partkey",
+            F.concat_ws(
+                "_", F.col("l_returnflag"), F.col("l_linestatus")
+            ).alias("sample"),
+            F.col("l_returnflag").alias("grp"),
+        )
+        .agg(F.avg("l_quantity").alias("v"))
+    )
+    y_map = {
+        r["sample"]: (1.0 if r["grp"] == "R" else 0.0)
+        for r in long.select("sample", "grp").distinct().collect()
+    }
+    _scores, weights = ml.pls_gram(
+        long, ["l_partkey"], "sample", "v", y_map, n_components=1
+    )
+    return weights.where(F.col("pc") == 1).select(
+        "l_partkey", "pc", F.round("weight", 9).alias("weight")
+    )
+
+
 @_q("plsda_scores")
 def q_plsda_scores(spark, sf):
     """Binary PLS-DA scores (reference analysis.plsda): samples are

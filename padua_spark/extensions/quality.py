@@ -311,7 +311,7 @@ def psi_vs_reference(
     wt = counts.groupBy(*window_cols).agg(
         F.sum("n").alias("n_events")
     )
-    rt = ref.agg(F.sum("ref_n").alias("_rt")).collect()[0]["_rt"]
+    rt = ref.agg(F.sum("ref_n").alias("_rt")).collect()[0]["_rt"] or 0
     full = wt.crossJoin(F.broadcast(ref)).join(
         counts.select(*window_cols, "bin", "n"),
         on=[*window_cols, "bin"],
