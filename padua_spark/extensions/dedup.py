@@ -802,6 +802,9 @@ def dedup_spans(
     winner is the minimum of the exact integer key
     ``id·max_spans_per_doc + position`` — deterministic on any engine;
     ``max_spans_per_doc`` bounds position (raise it for megadocs).
+    ``id_col`` must be numeric with ``|id|·max_spans_per_doc`` inside
+    int64; for string ids, key by ``min(struct(id, pos))`` instead
+    (loses the arithmetic-oracle form).
 
     Scale shape: one tokenize scan → span explode (JVM-side) → one
     groupBy(span) min-key aggregation (map-side partial) → a key join
