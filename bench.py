@@ -214,8 +214,15 @@ def _update_local_artifact(
     driver's own artifact stores only a truncated stdout tail, so this
     file is the machine-readable per-query record (committed each
     round). Passes reset when the scale factor changes."""
+    # The committed artifact tracks the driver's sf0.1 runs; smoke runs
+    # at other scale factors get their own file instead of resetting it.
+    fname = (
+        "BENCH_LOCAL.json"
+        if sf == 0.1
+        else f"BENCH_LOCAL_sf{sf}.json"
+    )
     path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json"
+        os.path.dirname(os.path.abspath(__file__)), fname
     )
     doc: dict = {}
     try:
