@@ -587,6 +587,118 @@ def q_anova_stats(spark, sf):
     )
 
 
+# --- ext: paired t-test (matched designs) ------------------------------------
+
+
+@_q(
+    "ttest_paired_stats",
+    """
+WITH pp AS (
+  SELECT l_returnflag AS f, l_orderkey AS pair,
+         avg(CASE WHEN l_linenumber % 2 = 1 THEN l_quantity END) AS va,
+         avg(CASE WHEN l_linenumber % 2 = 0 THEN l_quantity END) AS vb
+  FROM lineitem WHERE l_quantity IS NOT NULL GROUP BY 1, 2
+),
+d AS (
+  SELECT f, va - vb AS d FROM pp
+  WHERE va IS NOT NULL AND vb IS NOT NULL
+),
+g AS (
+  SELECT f, avg(d) AS mean, stddev_samp(d) AS sd,
+         CAST(count(d) AS BIGINT) AS n
+  FROM d GROUP BY 1
+)
+SELECT f AS l_returnflag, round(mean, 6) AS mean, round(sd, 6) AS sd,
+  n,
+  round(CASE WHEN n >= 2 AND sd > 0
+        THEN mean / (sd / sqrt(n)) END, 6) AS t_stat,
+  CASE WHEN n >= 2 THEN CAST(n - 1 AS DOUBLE) END AS df
+FROM g
+""",
+)
+def q_ttest_paired(spark, sf):
+    """Paired t-test (odd vs even line numbers matched within each
+    order, replicates mean-collapsed per side) — the matched-design
+    test between ttest_ind and ttest_1samp."""
+    li = _t(spark, sf, "lineitem").withColumn(
+        "cond", F.col("l_linenumber") % 2
+    )
+    out = st.ttest_paired_stats(
+        li, ["l_returnflag"], ["l_orderkey"], "cond", "l_quantity",
+        1, 0,
+    )
+    return out.select(
+        "l_returnflag",
+        _r("mean").alias("mean"),
+        _r("sd").alias("sd"),
+        "n",
+        _r("t_stat").alias("t_stat"),
+        "df",
+    )
+
+
+# --- ext: correlation significance (t-distributed r under H0) ----------------
+
+
+def _corr_pvalues_oracle() -> str:
+    return f"""
+WITH RECURSIVE pairs AS (
+  SELECT a.l_returnflag AS sample_x, b.l_returnflag AS sample_y,
+         corr(a.v, b.v) AS pearson_r, count(*) AS n_pairs
+  FROM (
+    SELECT l_partkey, l_returnflag, avg(l_quantity) AS v
+    FROM lineitem GROUP BY 1, 2
+  ) a
+  JOIN (
+    SELECT l_partkey, l_returnflag, avg(l_quantity) AS v
+    FROM lineitem GROUP BY 1, 2
+  ) b USING (l_partkey)
+  GROUP BY 1, 2
+),
+s AS (
+  SELECT *, CASE WHEN n_pairs > 2 AND pearson_r IS NOT NULL
+                  AND 1.0 - pearson_r * pearson_r > 1e-12
+            THEN pearson_r * sqrt(CAST(n_pairs AS DOUBLE) - 2)
+                 / sqrt(1.0 - pearson_r * pearson_r) END AS t_stat
+  FROM pairs
+),
+inp AS (
+  SELECT sample_x || '|' || sample_y AS key,
+    CAST((n_pairs - 2.0) / ((n_pairs - 2.0) + t_stat * t_stat)
+         AS DOUBLE) AS x,
+    CAST((n_pairs - 2.0) / 2.0 AS DOUBLE) AS a,
+    CAST(0.5 AS DOUBLE) AS b
+  FROM s WHERE t_stat IS NOT NULL
+),
+{_betainc_chain_sql()}
+SELECT s.sample_x, s.sample_y, round(s.pearson_r, 6) AS pearson_r,
+  CAST(s.n_pairs AS BIGINT) AS n_pairs,
+  round(s.t_stat, 6) AS t_stat, round(pv.p, 6) AS p_value
+FROM s LEFT JOIN pv ON s.sample_x || '|' || s.sample_y = pv.key
+"""
+
+
+@_q("correlation_pvalues", _corr_pvalues_oracle())
+def q_correlation_pvalues(spark, sf):
+    """Sample-correlation matrix WITH significance: t = r·√(n−2)/√(1−r²)
+    under H₀, p from the t CDF — a fifth CDF-level hash gate (the
+    oracle runs the same 199-step incomplete-beta recursion)."""
+    from padua_spark.operators.aggregates import correlation_significance
+
+    li = _t(spark, sf, "lineitem")
+    long = li.groupBy("l_partkey", "l_returnflag").agg(
+        F.avg("l_quantity").alias("v")
+    )
+    out = correlation_significance(long, "l_returnflag", ["l_partkey"], "v")
+    return out.select(
+        "sample_x", "sample_y",
+        _r("pearson_r").alias("pearson_r"),
+        "n_pairs",
+        _r("t_stat").alias("t_stat"),
+        _r("p_value").alias("p_value"),
+    )
+
+
 # --- ext: two-way ANOVA (beyond the reference's 1-way loop) ------------------
 
 

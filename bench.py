@@ -118,6 +118,8 @@ HEADLINE = [
     "windowed_psi",
     "anova_2way_stats",
     "levene_stats",
+    "ttest_paired_stats",
+    "correlation_pvalues",
 ]
 
 

@@ -227,6 +227,58 @@ def pairwise_correlation(
     )
 
 
+def correlation_significance(
+    df: DataFrame,
+    sample_col: str,
+    feature_cols: list[str],
+    value_col: str,
+) -> DataFrame:
+    """:func:`pairwise_correlation` plus the significance test the
+    reference leaves to the reader: under H₀ (ρ=0),
+    ``t = r·√(n−2)/√(1−r²) ~ t(n−2)`` with n the pairwise-complete
+    count. Same single self-join + aggregation; the p-value crosses to
+    Python only for the n_samples² aggregated rows (t CDF pandas UDF).
+
+    Output: ``(sample_x, sample_y, pearson_r, n_pairs, t_stat,
+    p_value)``; degenerate pairs (n<3 or |r|=1) yield NULL t/p.
+    """
+    from padua_spark.functions.distributions import t_sf_udf
+
+    left = df.select(
+        *[F.col(c) for c in feature_cols],
+        F.col(sample_col).alias("sample_x"),
+        F.col(value_col).alias("_vx"),
+    )
+    right = df.select(
+        *[F.col(c) for c in feature_cols],
+        F.col(sample_col).alias("sample_y"),
+        F.col(value_col).alias("_vy"),
+    )
+    pairs = left.join(right, on=feature_cols)
+    both = F.col("_vx").isNotNull() & F.col("_vy").isNotNull()
+    agg = pairs.groupBy("sample_x", "sample_y").agg(
+        F.corr("_vx", "_vy").alias("pearson_r"),
+        F.count(F.when(both, 1)).alias("n_pairs"),
+    )
+    n = F.col("n_pairs").cast("double")
+    r = F.col("pearson_r")
+    # |r| ≈ 1 guard with a tolerance band, not equality: engines land
+    # on different sides of exact 1.0 for degenerate (self/duplicate)
+    # pairs (measured: DuckDB corr(x,x) = 1 − 2e-16, Spark exactly 1),
+    # and t would explode to ±3e9 on one side only.
+    t = F.when(
+        (n > 2) & r.isNotNull() & (F.lit(1.0) - r * r > F.lit(1e-12)),
+        r * F.sqrt(n - 2) / F.sqrt(1.0 - r * r),
+    )
+    staged = agg.withColumn("t_stat", t).withColumn(
+        "_p_raw", t_sf_udf(F.col("t_stat"), n - 2)
+    )
+    return staged.select(
+        "sample_x", "sample_y", "pearson_r", "n_pairs", "t_stat",
+        F.col("_p_raw").alias("p_value"),
+    )
+
+
 def rank_intensity(
     df: DataFrame,
     key_cols: list[str],

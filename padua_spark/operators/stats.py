@@ -165,6 +165,42 @@ def anova_1way_stats(
     )
 
 
+def ttest_paired_stats(
+    df: DataFrame,
+    feature_cols: list[str],
+    pair_cols: list[str],
+    cond_col: str,
+    value_col: str,
+    cond_a,
+    cond_b,
+) -> DataFrame:
+    """Paired t-test per feature — the matched-design test between the
+    reference's ``ttest_ind`` (independent) and ``ttest_1samp``: pairs
+    are matched on ``pair_cols`` (subject/run), each side's value is
+    the MEAN over that pair's replicates of the condition (documented
+    collapse rule), pairs missing either condition drop, and the
+    statistic is the one-sample t of the differences against 0.
+
+    Plan: one conditional-mean aggregation over (feature, pair) —
+    map-side partials — then the :func:`ttest_1samp_stats` per-feature
+    aggregation over the differences. Output = ttest_1samp_stats
+    schema (mean/sd/n/t_stat/df of the differences).
+    """
+    v = F.col(value_col)
+    per_pair = (
+        df.where(F.col(cond_col).isin([cond_a, cond_b]) & v.isNotNull())
+        .groupBy(*feature_cols, *pair_cols)
+        .agg(
+            F.avg(F.when(F.col(cond_col) == cond_a, v)).alias("_va"),
+            F.avg(F.when(F.col(cond_col) == cond_b, v)).alias("_vb"),
+        )
+    )
+    diffs = per_pair.where(
+        F.col("_va").isNotNull() & F.col("_vb").isNotNull()
+    ).withColumn("_d", F.col("_va") - F.col("_vb"))
+    return ttest_1samp_stats(diffs, feature_cols, "_d", popmean=0.0)
+
+
 def anova_2way_stats(
     df: DataFrame,
     feature_cols: list[str],
