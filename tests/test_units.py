@@ -1527,3 +1527,52 @@ def test_anova_2way_and_levene_reference(spark):
     ldf = spark.createDataFrame(lrows, ["f", "g", "v"])
     lev = st.levene_stats(ldf, ["f"], "g", "v").collect()[0]
     assert lev["f_stat"] is not None and lev["f_stat"] > 10
+
+
+def test_paired_ttest_and_correlation_significance(spark):
+    """Paired t on constructed pairs matches the closed form of the
+    one-sample t over differences; correlation significance matches
+    t = r*sqrt(n-2)/sqrt(1-r^2) and guards degenerate |r|=1 pairs."""
+    import numpy as np
+
+    rows = []
+    rng = np.random.default_rng(9)
+    diffs = []
+    for pair in range(30):
+        base = float(rng.integers(10, 20))
+        d = float(rng.integers(0, 5))
+        rows.append((0, pair, "a", base + d))
+        rows.append((0, pair, "b", base))
+        diffs.append(d)
+    df = spark.createDataFrame(rows, ["f", "pair", "cond", "v"])
+    out = st.ttest_paired_stats(
+        df, ["f"], ["pair"], "cond", "v", "a", "b"
+    ).collect()[0]
+    d = np.array(diffs)
+    t_exp = d.mean() / (d.std(ddof=1) / np.sqrt(len(d)))
+    assert out["n"] == 30
+    assert out["t_stat"] == pytest.approx(t_exp, rel=1e-10)
+    assert out["df"] == 29
+
+    from padua_spark.operators.aggregates import correlation_significance
+
+    crows = [
+        (f, s, float(f * (1 if s == "s1" else 2) + (f % 3)))
+        for f in range(40) for s in ["s1", "s2"]
+    ]
+    cdf = spark.createDataFrame(crows, ["fid", "sample", "v"])
+    got = {(r["sample_x"], r["sample_y"]): r
+           for r in correlation_significance(
+               cdf, "sample", ["fid"], "v").collect()}
+    r12 = got[("s1", "s2")]
+    x = np.array([v for f, s, v in crows if s == "s1"])
+    y = np.array([v for f, s, v in crows if s == "s2"])
+    r_exp = np.corrcoef(x, y)[0, 1]
+    n = 40
+    t_exp = r_exp * np.sqrt(n - 2) / np.sqrt(1 - r_exp**2)
+    assert r12["pearson_r"] == pytest.approx(r_exp, rel=1e-10)
+    assert r12["t_stat"] == pytest.approx(t_exp, rel=1e-8)
+    assert 0.0 <= r12["p_value"] <= 1.0
+    # self-pair: r == 1 -> guarded NULL t/p
+    assert got[("s1", "s1")]["t_stat"] is None
+    assert got[("s1", "s1")]["p_value"] is None
