@@ -321,3 +321,38 @@ def test_compact_parquet(spark, tmp_path):
     os.symlink(src, link)
     with _pytest.raises(ValueError):
         compact_parquet(spark, src, link)
+
+
+def test_jsonl_source_quarantine_and_roundtrip(spark, tmp_path):
+    """JSONL ingest: clean lane parses typed rows, corrupt lines land
+    raw in the quarantine lane (never dropped, never fatal), and the
+    write side round-trips."""
+    from padua_spark.io_utils import unpersist_intermediates
+    from padua_spark.sources.jsonl import (
+        read_jsonl_docs,
+        split_corrupt,
+        write_jsonl,
+    )
+
+    src = tmp_path / "docs.jsonl"
+    src.write_text(
+        '{"doc_id": 1, "text": "hello world", "lang": "en", "source": "a"}\n'
+        '{"doc_id": 2, "text": "bonjour", "lang": "fr", "source": "b"}\n'
+        '{"doc_id": 3, "text": "truncated...\n'  # malformed
+        'not json at all\n'                      # malformed
+        '{"doc_id": 4, "text": "ok", "lang": "en", "source": "a"}\n'
+    )
+    df = read_jsonl_docs(spark, str(src))
+    clean, bad = split_corrupt(df)
+    rows = {r["doc_id"]: r for r in clean.collect()}
+    assert set(rows) == {1, 2, 4}
+    assert rows[2]["lang"] == "fr"
+    bad_rows = [r["raw_record"] for r in bad.collect()]
+    assert len(bad_rows) == 2
+    assert "not json at all" in bad_rows
+    assert unpersist_intermediates(clean) == 1
+    out = str(tmp_path / "out")
+    write_jsonl(clean, out, compression="gzip")
+    back = read_jsonl_docs(spark, out)
+    clean2, bad2 = split_corrupt(back)
+    assert clean2.count() == 3 and bad2.count() == 0
