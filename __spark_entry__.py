@@ -3999,6 +3999,57 @@ def q_trimmed_mean(spark, sf):
     )
 
 
+# --- ext: curation filter funnel (per-stage ablation report) -----------------
+
+
+@_q(
+    "filter_funnel",
+    r"""
+WITH f AS (
+  SELECT n_chars >= 200 AS r1,
+         lang = 'en' AS r2,
+         len(list_filter(string_split(text, ' '), t -> t <> '')) >= 30
+           AS r3
+  FROM documents
+),
+a AS (
+  SELECT count(*) AS n_input,
+    count(CASE WHEN coalesce(r1, FALSE) THEN 1 END) AS n1,
+    count(CASE WHEN coalesce(r1, FALSE) AND coalesce(r2, FALSE)
+          THEN 1 END) AS n2,
+    count(CASE WHEN coalesce(r1, FALSE) AND coalesce(r2, FALSE)
+               AND coalesce(r3, FALSE) THEN 1 END) AS n3
+  FROM f
+)
+SELECT 1 AS stage, 'min_chars' AS rule, n_input AS n_in, n1 AS n_out,
+       n_input - n1 AS n_dropped FROM a
+UNION ALL
+SELECT 2, 'english', n1, n2, n1 - n2 FROM a
+UNION ALL
+SELECT 3, 'min_tokens', n2, n3, n2 - n3 FROM a
+""",
+)
+def q_filter_funnel(spark, sf):
+    """Per-stage curation ablation report: how many documents each
+    rule dropped, in order — one conditional-count pass, lazily
+    reshaped, no per-stage rescans."""
+    from padua_spark.extensions.curation import filter_funnel
+
+    d = _t(spark, sf, "documents")
+    toks = F.filter(
+        F.split(F.col("text"), " "), lambda x: x != ""
+    )
+    _kept, report = filter_funnel(
+        d,
+        {
+            "min_chars": F.col("n_chars") >= 200,
+            "english": F.col("lang") == "en",
+            "min_tokens": F.size(toks) >= 30,
+        },
+    )
+    return report.select("stage", "rule", "n_in", "n_out", "n_dropped")
+
+
 # --- ext: per-document character entropy ------------------------------------
 
 

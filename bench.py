@@ -120,6 +120,7 @@ HEADLINE = [
     "levene_stats",
     "ttest_paired_stats",
     "correlation_pvalues",
+    "filter_funnel",
 ]
 
 

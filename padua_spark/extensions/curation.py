@@ -171,3 +171,51 @@ def ingest_stream(
         stream_df.writeStream.foreachBatch(_sink)
         .option("checkpointLocation", checkpoint_dir)
     )
+
+
+def filter_funnel(
+    df: DataFrame, rules: dict[str, Column]
+) -> tuple[DataFrame, DataFrame]:
+    """Sequential filter funnel with a per-stage audit report — the
+    curation-ablation view every corpus pipeline publishes (how many
+    documents each rule removed, in order). Returns
+    ``(kept_df, report_df)``:
+
+    - ``kept_df`` — rows passing ALL rules (NULL rule values count as
+      fail, matching ``gopher_rules``' conjunction semantics);
+    - ``report_df(stage, rule, n_in, n_out, n_dropped)`` — one row per
+      rule, where ``n_in`` of stage k is ``n_out`` of stage k−1.
+
+    The whole report is ONE conditional-count aggregation over the
+    input (map-side partials; rule k's count is the conjunction of
+    rules 1..k) reshaped by an explode of literal structs — fully
+    lazy, no driver collect, no second scan per stage.
+    """
+    aggs = [F.count(F.lit(1)).alias("_n_input")]
+    acc: Column = F.lit(True)
+    names = list(rules)
+    for name in names:
+        acc = acc & F.coalesce(rules[name], F.lit(False))
+        aggs.append(F.count(F.when(acc, 1)).alias(f"_n_{name}"))
+    one = df.agg(*aggs)
+    stages = []
+    prev = "_n_input"
+    for i, name in enumerate(names, 1):
+        cur = f"_n_{name}"
+        stages.append(
+            F.struct(
+                F.lit(i).alias("stage"),
+                F.lit(name).alias("rule"),
+                F.col(prev).alias("n_in"),
+                F.col(cur).alias("n_out"),
+                (F.col(prev) - F.col(cur)).alias("n_dropped"),
+            )
+        )
+        prev = cur
+    report = one.select(
+        F.explode(F.array(*stages)).alias("_s")
+    ).select("_s.*")
+    kept_cond: Column = F.lit(True)
+    for name in names:
+        kept_cond = kept_cond & F.coalesce(rules[name], F.lit(False))
+    return df.where(kept_cond), report

@@ -1576,3 +1576,25 @@ def test_paired_ttest_and_correlation_significance(spark):
     # self-pair: r == 1 -> guarded NULL t/p
     assert got[("s1", "s1")]["t_stat"] is None
     assert got[("s1", "s1")]["p_value"] is None
+
+
+def test_filter_funnel_sequential_audit(spark):
+    """Funnel report chains: n_in of stage k == n_out of stage k-1;
+    kept == rows passing every rule; NULL rule values fail (gopher
+    conjunction semantics)."""
+    from padua_spark.extensions.curation import filter_funnel
+
+    rows = [
+        (1, 10, "en"), (2, 300, "en"), (3, 300, "fr"),
+        (4, 300, None), (5, 500, "en"),
+    ]
+    df = spark.createDataFrame(rows, ["id", "n", "lang"])
+    kept, report = filter_funnel(
+        df,
+        {"big": F.col("n") >= 200, "english": F.col("lang") == "en"},
+    )
+    rep = {r["rule"]: r for r in report.collect()}
+    assert (rep["big"]["n_in"], rep["big"]["n_out"]) == (5, 4)
+    assert (rep["english"]["n_in"], rep["english"]["n_out"]) == (4, 2)
+    assert rep["english"]["n_dropped"] == 2  # fr + NULL both fail
+    assert sorted(r["id"] for r in kept.collect()) == [2, 5]
