@@ -3919,8 +3919,15 @@ def q_windowed_psi(spark, sf):
     ).select(
         F.col("window_start").cast("long").alias("ws"), "bin", "n"
     )
+    # THREE consumers (reference build, per-window totals, the bin
+    # join) would each rescan events (measured: 3 FileScans, no
+    # exchange reuse) — persist the tiny windows×bins frame instead
+    counts = counts.persist()
     ref = counts.groupBy("bin").agg(F.sum("n").alias("ref_n"))
     out = psi_vs_reference(counts, ref, n_bins=10, window_cols=["ws"])
+    from padua_spark.io_utils import track_cached
+
+    out = track_cached(out, counts)
     return out.select(
         F.col("ws").alias("window_start_epoch"),
         "n_events",

@@ -305,6 +305,11 @@ def psi_vs_reference(
     rows) and takes the window's count as 0 where absent. Laplace
     smoothing as in :func:`psi_drift`.
 
+    ``counts`` is consumed TWICE here (window totals + the bin join);
+    if it is the lazy output of an expensive upstream (and especially
+    if ``ref`` derives from the same frame), ``persist()`` it first —
+    Spark does not reuse the exchanges across the branches.
+
     Output: ``(*window_cols, n_events, psi)``.
     """
     window_cols = window_cols or ["window_start"]
