@@ -789,6 +789,7 @@ def dedup_spans(
     text_col: str,
     span_tokens: int = 10,
     max_spans_per_doc: int = 100_000,
+    persist_spans: bool = True,
 ) -> DataFrame:
     """C4-style duplicate-span removal (Raffel et al. discard repeated
     three-sentence spans corpus-wide; this is the corpus-agnostic
@@ -811,6 +812,11 @@ def dedup_spans(
     back → per-doc reconstruction groupBy. Shuffle keys are span
     strings; at extreme scale swap the span text for its polynomial
     hash (collision risk ~1e-5, like :func:`ngram_jaccard_pairs`).
+    ``persist_spans`` (default on) caches the exploded span frame —
+    its THREE consumers (winner election, the key join, per-doc
+    totals) would otherwise each re-tokenize the corpus (the
+    ``exploded_shingles`` finding); recorded on the result for
+    ``io_utils.unpersist_intermediates``.
 
     Output: ``(id, text_dedup, n_kept, n_spans)`` for EVERY input doc
     (a fully-duplicate doc survives with empty text and n_kept = 0).
@@ -835,6 +841,10 @@ def dedup_spans(
     )
     key = F.col(id_col) * F.lit(max_spans_per_doc) + F.col("pos")
     keyed = spans.select(F.col(id_col), "pos", "span", key.alias("_key"))
+    if persist_spans:
+        from pyspark import StorageLevel
+
+        keyed = keyed.persist(StorageLevel.MEMORY_AND_DISK)
     win = keyed.groupBy("span").agg(F.min("_key").alias("_first"))
     kept = keyed.join(win, on="span").where(F.col("_key") == F.col("_first"))
     rec = kept.groupBy(id_col).agg(
@@ -850,7 +860,7 @@ def dedup_spans(
         ).alias("text_dedup"),
     )
     tot = keyed.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_spans"))
-    return (
+    out = (
         df.select(id_col)
         .join(rec, on=id_col, how="left")
         .join(tot, on=id_col, how="left")
@@ -861,3 +871,8 @@ def dedup_spans(
             F.coalesce("n_spans", F.lit(0)).alias("n_spans"),
         )
     )
+    if persist_spans:
+        from padua_spark.io_utils import track_cached
+
+        out = track_cached(out, keyed)
+    return out

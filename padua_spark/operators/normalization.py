@@ -293,9 +293,11 @@ def robust_zscore(
 
     Plan: two :func:`group_medians` passes (value, then absolute
     deviation) — each one shuffle-sort of a two-column projection —
-    and two broadcast joins back; the fact table itself never sorts.
-    Zero-MAD groups (over half the values identical) yield NULL z, as
-    do NULL values.
+    and two broadcast joins back; the fact table itself never sorts,
+    but is scanned ~three times (each scan column-pruned to the
+    group/value projection; at extreme scale persist the deviation
+    frame between the passes). Zero-MAD groups (over half the values
+    identical) yield NULL z, as do NULL values.
     """
     med = group_medians(df, group_cols, F.col(value_col), "_med")
     with_med = df.join(F.broadcast(med), on=group_cols, how="left")
