@@ -349,3 +349,25 @@ def test_no_cartesian_products_anywhere(spark):
         elif "BroadcastNestedLoopJoin" in plan and name not in BNLJ_OK:
             bad[name] = "unexpected BroadcastNestedLoopJoin"
     assert not bad, bad
+
+
+def test_cms_sketch_partial_aggregation(spark):
+    """The count-min grid must partial-aggregate map-side — that cap
+    (depth*width rows per task) is the whole scale story."""
+    from padua_spark.extensions.sketches import cms_token_sketch
+
+    docs = spark.read.parquet(f"{SF_ORACLE}/documents.parquet")
+    sk = cms_token_sketch(docs, "text", depth=4, width=256)
+    assert has_partial_aggregate(sk), explain_str(sk)[:2000]
+
+
+def test_multi_consumer_frames_are_cached(spark):
+    """Operators whose intermediate feeds several branches must cache
+    it — Spark does not reuse exchanges across differently-projected
+    branches, so an uncached frame re-runs its whole upstream per
+    consumer (the windowed_psi 3-scan finding)."""
+    import __spark_entry__ as em
+
+    for name in ("windowed_psi", "dedup_spans"):
+        plan = explain_str(em.queries()[name](spark, SF_ORACLE), "simple")
+        assert "InMemoryTableScan" in plan, f"{name}: no cache in plan"
