@@ -587,6 +587,82 @@ def q_anova_stats(spark, sf):
     )
 
 
+# --- ext: Wilcoxon signed-rank (paired nonparametric) ------------------------
+
+
+@_q(
+    "wilcoxon_signed_rank",
+    """
+WITH pp AS (
+  SELECT l_orderkey AS pair,
+         avg(CASE WHEN l_linenumber % 2 = 1 THEN l_quantity END) AS va,
+         avg(CASE WHEN l_linenumber % 2 = 0 THEN l_quantity END) AS vb
+  FROM lineitem WHERE l_quantity IS NOT NULL GROUP BY 1
+),
+d AS (
+  SELECT va - vb AS d FROM pp
+  WHERE va IS NOT NULL AND vb IS NOT NULL AND va - vb <> 0
+),
+per AS (
+  SELECT abs(d) AS v,
+    count(*) FILTER (d > 0) AS ca,
+    count(*) FILTER (d < 0) AS cb
+  FROM d GROUP BY abs(d)
+),
+stepped AS (
+  SELECT ca, cb, ca + cb AS cnt,
+    sum(ca + cb) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+      - (ca + cb) AS before
+  FROM per
+),
+agg AS (
+  SELECT sum(ca * (2 * before + cnt + 1)) AS w2_plus,
+         sum(cb * (2 * before + cnt + 1)) AS w2_minus,
+         sum(ca) + sum(cb) AS n_nonzero,
+         sum(cnt * cnt * cnt - cnt) AS tie_term
+  FROM stepped
+),
+u AS (
+  SELECT *, (CAST(w2_plus AS DOUBLE) / 2.0
+             - CAST(n_nonzero AS DOUBLE)
+               * (CAST(n_nonzero AS DOUBLE) + 1.0) / 4.0)
+    / sqrt((CAST(n_nonzero AS DOUBLE)
+            * (CAST(n_nonzero AS DOUBLE) + 1.0)
+            * (2.0 * CAST(n_nonzero AS DOUBLE) + 1.0)
+            - CAST(tie_term AS DOUBLE) / 2.0) / 24.0) AS z
+  FROM agg
+),
+e AS (
+  SELECT *, abs(z) / sqrt(2.0) AS x,
+         1.0 / (1.0 + 0.3275911 * (abs(z) / sqrt(2.0))) AS t
+  FROM u
+)
+SELECT w2_plus, w2_minus, n_nonzero, tie_term, round(z, 6) AS z,
+  round((0.254829592 * t + -0.284496736 * t * t
+         + 1.421413741 * t * t * t + -1.453152027 * t * t * t * t
+         + 1.061405429 * t * t * t * t * t) * exp(-x * x), 6)
+    AS p_normal
+FROM e
+""",
+)
+def q_wilcoxon_signed_rank(spark, sf):
+    """Wilcoxon signed-rank over order-matched odd/even line
+    quantities — the paired nonparametric test completing the 2×2
+    battery; exact integer doubled rank sums via the distributed ECDF
+    scaffolding, tie-corrected normal z, A&S erfc p."""
+    li = _t(spark, sf, "lineitem").withColumn(
+        "cond", F.col("l_linenumber") % 2
+    )
+    out = st.wilcoxon_signed_rank_stats(
+        li, ["l_orderkey"], "cond", "l_quantity", 1, 0
+    )
+    return out.select(
+        "w2_plus", "w2_minus", "n_nonzero", "tie_term",
+        _r("z").alias("z"),
+        _r("p_normal").alias("p_normal"),
+    )
+
+
 # --- ext: paired t-test (matched designs) ------------------------------------
 
 

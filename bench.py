@@ -121,6 +121,7 @@ HEADLINE = [
     "ttest_paired_stats",
     "correlation_pvalues",
     "filter_funnel",
+    "wilcoxon_signed_rank",
 ]
 
 

@@ -728,6 +728,93 @@ def mannwhitney_u_stat(
     )
 
 
+def wilcoxon_signed_rank_stats(
+    df: DataFrame,
+    pair_cols: list[str],
+    cond_col: str,
+    value_col: str,
+    cond_a,
+    cond_b,
+) -> DataFrame:
+    """Wilcoxon signed-rank test — the PAIRED nonparametric test
+    completing the battery's 2×2 (t paired/unpaired ↔ Wilcoxon /
+    Mann–Whitney): pairs matched on ``pair_cols`` with each side
+    mean-collapsed (the :func:`ttest_paired_stats` rule), zero
+    differences dropped (Wilcoxon convention), |d| midranked, and
+    ``W⁺ = Σ ranks of positive d``.
+
+    Exact integer arithmetic throughout: signs are the two "groups" of
+    the shared :func:`_ecdf_stepped_counts` distributed cumsum over
+    the |d| domain, so the doubled rank sums ``2W⁺``/``2W⁻`` are
+    integers, hash-stable on any engine — and the plan is the same
+    scale-safe two-pass cumsum as KS/Mann–Whitney. Normal
+    approximation with tie correction:
+    ``z = (W⁺ − n(n+1)/4) / σ``,
+    ``σ² = (n(n+1)(2n+1) − Σ(t³−t)/2) / 24`` (no continuity
+    correction; documented). Output 1 row:
+    ``(w2_plus, w2_minus, n_nonzero, tie_term, z, p_normal)`` with
+    ``w2_x = 2·W_x``.
+    """
+    v = F.col(value_col)
+    per_pair = (
+        df.where(F.col(cond_col).isin([cond_a, cond_b]) & v.isNotNull())
+        .groupBy(*pair_cols)
+        .agg(
+            F.avg(F.when(F.col(cond_col) == cond_a, v)).alias("_va"),
+            F.avg(F.when(F.col(cond_col) == cond_b, v)).alias("_vb"),
+        )
+    )
+    d = F.col("_va") - F.col("_vb")
+    diffs = (
+        per_pair.where(
+            F.col("_va").isNotNull() & F.col("_vb").isNotNull()
+        )
+        .withColumn("_d", d)
+        .where(F.col("_d") != 0)
+        .select(
+            F.when(F.col("_d") > 0, F.lit("+"))
+            .otherwise(F.lit("-"))
+            .alias("_sgn"),
+            F.abs(F.col("_d")).alias("_absd"),
+        )
+    )
+    cnt = F.col("_ca") + F.col("_cb")
+    stepped = _ecdf_stepped_counts(
+        diffs, "_sgn", "_absd", "+", "-"
+    ).select(
+        "_ca",
+        "_cb",
+        cnt.alias("_cnt"),
+        (F.col("_fa") + F.col("_fb") - cnt).alias("_before"),
+    )
+    two_rbar = 2 * F.col("_before") + F.col("_cnt") + 1
+    agg = stepped.agg(
+        F.sum(F.col("_ca") * two_rbar).alias("w2_plus"),
+        F.sum(F.col("_cb") * two_rbar).alias("w2_minus"),
+        (F.sum("_ca") + F.sum("_cb")).alias("n_nonzero"),
+        F.sum(
+            F.col("_cnt") * F.col("_cnt") * F.col("_cnt") - F.col("_cnt")
+        ).alias("tie_term"),
+    )
+    n = F.col("n_nonzero").cast("double")
+    var = (
+        n * (n + 1.0) * (2.0 * n + 1.0)
+        - F.col("tie_term").cast("double") / F.lit(2.0)
+    ) / F.lit(24.0)
+    z = (
+        F.col("w2_plus").cast("double") / F.lit(2.0)
+        - n * (n + 1.0) / F.lit(4.0)
+    ) / F.sqrt(var)
+    staged = agg.select(
+        "w2_plus", "w2_minus", "n_nonzero", "tie_term",
+        F.when(var > 0, z).alias("z"),
+    )
+    return staged.select(
+        "w2_plus", "w2_minus", "n_nonzero", "tie_term", "z",
+        _normal_sf_2sided(F.col("z")).alias("p_normal"),
+    )
+
+
 # Abramowitz & Stegun 7.1.26 erf polynomial: used for the Mann-Whitney
 # normal approximation. The approximation error (~1.5e-7) is irrelevant
 # to oracle gates — both engines evaluate the IDENTICAL expression, so

@@ -872,3 +872,45 @@ def test_dedup_spans_properties(spark, docs, k):
         assert out[i]["n_spans"] == len(spans)
         assert out[i]["n_kept"] == len(kept)
         assert out[i]["text_dedup"] == " ".join(kept)
+
+
+@SPARK_SETTINGS
+@given(
+    pairs=hst.lists(
+        hst.tuples(hst.integers(0, 6), hst.integers(0, 6)),
+        min_size=3,
+        max_size=25,
+    )
+)
+def test_wilcoxon_signed_rank_matches_bruteforce(spark, pairs):
+    """W+ equals the brute-force midrank sum of positive differences
+    under heavy ties (small integers), zeros dropped, and
+    W+ + W- == n(n+1)/2 (doubled: 2W+ + 2W- == n(n+1))."""
+    import bisect
+
+    from padua_spark.operators.stats import wilcoxon_signed_rank_stats
+
+    rows = []
+    for i, (a, b) in enumerate(pairs):
+        rows.append((i, "x", float(a)))
+        rows.append((i, "y", float(b)))
+    df = spark.createDataFrame(rows, ["pair", "cond", "v"])
+    out = wilcoxon_signed_rank_stats(
+        df, ["pair"], "cond", "v", "x", "y"
+    ).collect()[0]
+    d = [a - b for a, b in pairs if a != b]
+    if not d:
+        assert out["n_nonzero"] is None or out["n_nonzero"] == 0
+        return
+    absd = sorted(abs(x) for x in d)
+
+    def two_rbar(v):
+        lo = bisect.bisect_left(absd, v)
+        hi = bisect.bisect_right(absd, v)
+        return (lo + 1) + hi
+
+    w2p = sum(two_rbar(abs(x)) for x in d if x > 0)
+    assert out["w2_plus"] == w2p
+    assert out["n_nonzero"] == len(d)
+    n = len(d)
+    assert out["w2_plus"] + out["w2_minus"] == n * (n + 1)
