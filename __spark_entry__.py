@@ -590,8 +590,59 @@ def q_anova_stats(spark, sf):
 # --- ext: Wilcoxon signed-rank (paired nonparametric) ------------------------
 
 
+_WILCOXON_STATS_ORACLE = """
+WITH pp AS (
+  SELECT l_orderkey AS pair,
+         avg(CASE WHEN l_linenumber % 2 = 1 THEN l_quantity END) AS va,
+         avg(CASE WHEN l_linenumber % 2 = 0 THEN l_quantity END) AS vb
+  FROM lineitem WHERE l_quantity IS NOT NULL GROUP BY 1
+),
+d AS (
+  SELECT va - vb AS d FROM pp
+  WHERE va IS NOT NULL AND vb IS NOT NULL AND va - vb <> 0
+),
+per AS (
+  SELECT abs(d) AS v,
+    count(*) FILTER (d > 0) AS ca,
+    count(*) FILTER (d < 0) AS cb
+  FROM d GROUP BY abs(d)
+),
+stepped AS (
+  SELECT ca, cb, ca + cb AS cnt,
+    sum(ca + cb) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+      - (ca + cb) AS before
+  FROM per
+)
+SELECT CAST(sum(ca * (2 * before + cnt + 1)) AS BIGINT) AS w2_plus,
+       CAST(sum(cb * (2 * before + cnt + 1)) AS BIGINT) AS w2_minus,
+       CAST(sum(ca) + sum(cb) AS BIGINT) AS n_nonzero,
+       CAST(sum(cnt * cnt * cnt - cnt) AS BIGINT) AS tie_term
+FROM stepped
+"""
+
+
+@_q("wilcoxon_signed_rank_stats", _WILCOXON_STATS_ORACLE)
+def q_wilcoxon_signed_rank_stats(spark, sf):
+    """Wilcoxon signed-rank EXACT surface: doubled rank sums
+    2W+/2W-, pair count, and the tie-correction sum — all integers by
+    construction (midranks doubled before summation), so the row is
+    hash-stable on ANY engine/version: no float ever enters the
+    column set. The paired companion to reference analysis.py:467-498;
+    rounded z/p live in the separate ``wilcoxon_signed_rank_pvalues``
+    entry (the same stats/pvalues split as the passing
+    ttest_*/anova_* pattern), so an environment-level float or
+    decimal-type quirk can never redden the exact-statistic gate."""
+    li = _t(spark, sf, "lineitem").withColumn(
+        "cond", F.col("l_linenumber") % 2
+    )
+    out = st.wilcoxon_signed_rank_stats(
+        li, ["l_orderkey"], "cond", "l_quantity", 1, 0
+    )
+    return out.select("w2_plus", "w2_minus", "n_nonzero", "tie_term")
+
+
 @_q(
-    "wilcoxon_signed_rank",
+    "wilcoxon_signed_rank_pvalues",
     """
 WITH pp AS (
   SELECT l_orderkey AS pair,
@@ -616,10 +667,9 @@ stepped AS (
   FROM per
 ),
 agg AS (
-  SELECT sum(ca * (2 * before + cnt + 1)) AS w2_plus,
-         sum(cb * (2 * before + cnt + 1)) AS w2_minus,
-         sum(ca) + sum(cb) AS n_nonzero,
-         sum(cnt * cnt * cnt - cnt) AS tie_term
+  SELECT CAST(sum(ca * (2 * before + cnt + 1)) AS BIGINT) AS w2_plus,
+         CAST(sum(ca) + sum(cb) AS BIGINT) AS n_nonzero,
+         CAST(sum(cnt * cnt * cnt - cnt) AS BIGINT) AS tie_term
   FROM stepped
 ),
 u AS (
@@ -637,7 +687,7 @@ e AS (
          1.0 / (1.0 + 0.3275911 * (abs(z) / sqrt(2.0))) AS t
   FROM u
 )
-SELECT w2_plus, w2_minus, n_nonzero, tie_term, round(z, 6) AS z,
+SELECT n_nonzero, round(z, 6) AS z,
   round((0.254829592 * t + -0.284496736 * t * t
          + 1.421413741 * t * t * t + -1.453152027 * t * t * t * t
          + 1.061405429 * t * t * t * t * t) * exp(-x * x), 6)
@@ -645,11 +695,12 @@ SELECT w2_plus, w2_minus, n_nonzero, tie_term, round(z, 6) AS z,
 FROM e
 """,
 )
-def q_wilcoxon_signed_rank(spark, sf):
-    """Wilcoxon signed-rank over order-matched odd/even line
-    quantities — the paired nonparametric test completing the 2×2
-    battery; exact integer doubled rank sums via the distributed ECDF
-    scaffolding, tie-corrected normal z, A&S erfc p."""
+def q_wilcoxon_signed_rank_pvalues(spark, sf):
+    """Wilcoxon signed-rank FLOAT surface: tie-corrected normal z and
+    the A&S-erfc two-sided p, rounded to 6 decimals, anchored by the
+    integer pair count. Identical closed-form expressions on both
+    engines; the exact rank sums are gated separately in
+    ``wilcoxon_signed_rank_stats``."""
     li = _t(spark, sf, "lineitem").withColumn(
         "cond", F.col("l_linenumber") % 2
     )
@@ -657,8 +708,7 @@ def q_wilcoxon_signed_rank(spark, sf):
         li, ["l_orderkey"], "cond", "l_quantity", 1, 0
     )
     return out.select(
-        "w2_plus", "w2_minus", "n_nonzero", "tie_term",
-        _r("z").alias("z"),
+        "n_nonzero", _r("z").alias("z"),
         _r("p_normal").alias("p_normal"),
     )
 
@@ -2981,7 +3031,8 @@ def q_bpe_token_count(spark, sf):
     d = _t(spark, sf, "documents")
     return d.select(
         "doc_id",
-        F.size(F.split(F.trim(F.col("text")), " ")).alias("n_ws"),
+        F.size(F.split(F.trim(F.col("text")), " "))
+        .cast("long").alias("n_ws"),
         x_text.bpe_token_count(F.col("text")).alias("n_bpe"),
     )
 
@@ -3059,7 +3110,8 @@ def q_chunks_ntile(spark, sf):
     o = _t(spark, sf, "orders")
     c = o.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("n"))
     return c.select(
-        "o_custkey", "n", chunks_ntile("o_custkey", 7).alias("chunk")
+        "o_custkey", "n",
+        chunks_ntile("o_custkey", 7).cast("long").alias("chunk")
     )
 
 
@@ -3961,7 +4013,7 @@ b AS (
 cnt AS (SELECT ws, bin, count(*) AS n FROM b GROUP BY 1, 2),
 ref AS (SELECT bin, count(*) AS rn FROM b GROUP BY 1),
 rt AS (SELECT CAST(sum(rn) AS DOUBLE) AS tot FROM ref),
-wt AS (SELECT ws, sum(n) AS n_events FROM cnt GROUP BY 1),
+wt AS (SELECT ws, CAST(sum(n) AS BIGINT) AS n_events FROM cnt GROUP BY 1),
 fw AS (
   SELECT wt.ws, wt.n_events, ref.bin, ref.rn,
          coalesce(cnt.n, 0) AS n
@@ -4214,7 +4266,7 @@ def q_psi_value_drift(spark, sf):
         lo=0.0, hi=500.0, n_bins=10,
     )
     return out.select(
-        "bin", "n_a", "n_b",
+        F.col("bin").cast("long").alias("bin"), "n_a", "n_b",
         F.round("p_a", 9).alias("p_a"),
         F.round("p_b", 9).alias("p_b"),
         F.round("contrib", 9).alias("contrib"),
@@ -4926,11 +4978,11 @@ def q_gopher_quality(spark, sf):
 
     d = _t(spark, sf, "documents")
     out = gopher_rules(d, "text")
-    sel = [F.col("doc_id"), F.col("n_words")]
+    sel = [F.col("doc_id"), F.col("n_words").cast("long").alias("n_words")]
     for c in ("mean_word_len", "symbol_ratio", "bullet_frac",
               "ellipsis_frac", "alpha_frac"):
         sel.append(_r(c).alias(c))
-    sel.append(F.col("stopword_hits"))
+    sel.append(F.col("stopword_hits").cast("long").alias("stopword_hits"))
     for c in ("rule_word_count", "rule_mean_word_len", "rule_symbol_ratio",
               "rule_bullet", "rule_ellipsis", "rule_alpha",
               "rule_stopwords", "quality_pass"):
@@ -4977,7 +5029,8 @@ def q_quality_classifier(spark, sf):
     d = _t(spark, sf, "documents")
     out = hashed_classifier_score(d, "text", n_buckets=1024)
     return out.select(
-        "doc_id", "n_tokens", "weight_sum",
+        "doc_id", F.col("n_tokens").cast("long").alias("n_tokens"),
+        "weight_sum",
         _r("margin").alias("margin"), _r("prob").alias("prob"),
     )
 
@@ -5085,7 +5138,7 @@ def q_random_projection(spark, sf):
     out = random_projection(e, "vec_id", "embedding", out_dim=16)
     return out.select(
         "vec_id",
-        "in_dims",
+        F.col("in_dims").cast("long").alias("in_dims"),
         _r(F.element_at("proj", 1)).alias("proj_1"),
         _r(F.element_at("proj", 2)).alias("proj_2"),
         _r(F.element_at("proj", 3)).alias("proj_3"),
@@ -5120,8 +5173,8 @@ r AS (
   SELECT o.o_orderkey,
          epoch_us(o.o_orderdate) AS orderdate_epoch,
          o.o_orderpriority,
-         sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
-                  AS BIGINT)) AS revenue_cents
+         CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                  AS BIGINT)) AS BIGINT) AS revenue_cents
   FROM lineitem JOIN o ON l_orderkey = o.o_orderkey
   GROUP BY 1, 2, 3
 )
@@ -5169,8 +5222,8 @@ def q_shipping_priority(spark, sf):
     """
 SELECT r_name, n_name,
        count(*) AS n_items,
-       sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
-                AS BIGINT)) AS revenue_cents
+       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                AS BIGINT)) AS BIGINT) AS revenue_cents
 FROM lineitem
 JOIN supplier ON l_suppkey = s_suppkey
 JOIN orders   ON l_orderkey = o_orderkey
@@ -5215,8 +5268,8 @@ def q_local_supplier_volume(spark, sf):
     """
 SELECT r_name, n_name,
        count(*) AS n_items,
-       sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
-                AS BIGINT)) AS revenue_cents
+       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                AS BIGINT)) AS BIGINT) AS revenue_cents
 FROM lineitem
 JOIN supplier ON l_suppkey = s_suppkey
 JOIN nation   ON s_nationkey = n_nationkey
@@ -5250,9 +5303,9 @@ def q_rollup_revenue(spark, sf):
     "running_balance",
     """
 SELECT o_custkey, o_orderkey,
-  sum(CAST(round(o_totalprice * 100) AS BIGINT))
+  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
     OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-          ROWS UNBOUNDED PRECEDING) AS balance_cents
+          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS balance_cents
 FROM orders
 """,
 )
@@ -5360,7 +5413,7 @@ WITH t AS (
 )
 SELECT o_orderstatus,
        count(*) AS n_above,
-       sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS spend_cents
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS spend_cents
 FROM t WHERE o_totalprice > cust_avg
 GROUP BY o_orderstatus
 """,
@@ -5503,16 +5556,17 @@ def q_semdedup(spark, sf):
     from padua_spark.extensions.dedup import semdedup_prune
 
     emb = _t(spark, sf, "embeddings")
-    return semdedup_prune(
+    out = semdedup_prune(
         emb, "vec_id", "embedding", n_cells=16, threshold=0.35
     )
+    return out.withColumn("cell", F.col("cell").cast("long"))
 
 
 @_q(
     "priority_customers",
     """
 SELECT c_mktsegment, count(*) AS n_customers,
-       sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS balance_cents
+       CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS balance_cents
 FROM customer c
 WHERE EXISTS (
   SELECT 1 FROM orders o
@@ -5546,7 +5600,7 @@ def q_priority_customers(spark, sf):
     "grouping_sets_mix",
     """
 SELECT o_orderstatus, o_orderpriority, count(*) AS n,
-       sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS spend_cents
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS spend_cents
 FROM orders
 GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
 """,
@@ -5607,7 +5661,7 @@ def q_event_calendar_profile(spark, sf):
     """
 WITH m AS (
   SELECT date_trunc('month', o_orderdate) AS month,
-         sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS rev_c
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev_c
   FROM orders GROUP BY 1
 )
 SELECT epoch_us(month) AS month_epoch, rev_c,
@@ -5723,9 +5777,9 @@ stepped AS (
   FROM per
 ),
 agg AS (
-  SELECT sum(ca * (2 * before + cnt + 1)) AS r2a,
-         sum(cb * (2 * before + cnt + 1)) AS r2b,
-         sum(ca) AS n_a, sum(cb) AS n_b
+  SELECT CAST(sum(ca * (2 * before + cnt + 1)) AS BIGINT) AS r2a,
+         CAST(sum(cb * (2 * before + cnt + 1)) AS BIGINT) AS r2b,
+         CAST(sum(ca) AS BIGINT) AS n_a, CAST(sum(cb) AS BIGINT) AS n_b
   FROM stepped
 )
 SELECT r2a - n_a * (n_a + 1) AS u2_a,
@@ -5762,8 +5816,9 @@ ranked AS (
 )
 SELECT max(n) AS n_customers,
   CAST(ceil(max(n) / 10.0) AS BIGINT) AS n_top,
-  sum(CASE WHEN rk <= ceil(n / 10.0) THEN cents ELSE 0 END) AS top_cents,
-  sum(cents) AS total_cents,
+  CAST(sum(CASE WHEN rk <= ceil(n / 10.0) THEN cents ELSE 0 END)
+       AS BIGINT) AS top_cents,
+  CAST(sum(cents) AS BIGINT) AS total_cents,
   round(CAST(sum(CASE WHEN rk <= ceil(n / 10.0) THEN cents ELSE 0 END)
              AS DOUBLE) / CAST(sum(cents) AS DOUBLE), 6) AS top_share
 FROM ranked
@@ -5859,9 +5914,9 @@ stepped AS (
   FROM per
 ),
 agg AS (
-  SELECT sum(ca * (2 * before + cnt + 1)) AS r2a,
-         sum(ca) AS n_a, sum(cb) AS n_b,
-         sum(cnt * cnt * cnt - cnt) AS tie_term
+  SELECT CAST(sum(ca * (2 * before + cnt + 1)) AS BIGINT) AS r2a,
+         CAST(sum(ca) AS BIGINT) AS n_a, CAST(sum(cb) AS BIGINT) AS n_b,
+         CAST(sum(cnt * cnt * cnt - cnt) AS BIGINT) AS tie_term
   FROM stepped
 ),
 u AS (
@@ -5922,7 +5977,8 @@ stepped AS (
   SELECT
     sum(ca) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS fa,
     sum(cb) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS fb,
-    sum(ca) OVER () AS na, sum(cb) OVER () AS nb
+    CAST(sum(ca) OVER () AS BIGINT) AS na,
+    CAST(sum(cb) OVER () AS BIGINT) AS nb
   FROM per
 )
 SELECT round(max(abs(CAST(fa AS DOUBLE) / CAST(na AS DOUBLE)
@@ -5984,7 +6040,8 @@ stepped AS (
   SELECT
     sum(ca) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS fa,
     sum(cb) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS fb,
-    sum(ca) OVER () AS na, sum(cb) OVER () AS nb
+    CAST(sum(ca) OVER () AS BIGINT) AS na,
+    CAST(sum(cb) OVER () AS BIGINT) AS nb
   FROM per
 ),
 d AS (
@@ -6059,7 +6116,8 @@ per AS (
 ),
 corpus AS (SELECT token, sum(n_st) AS n_t FROM per GROUP BY 1),
 top AS (SELECT token, n_t FROM corpus ORDER BY n_t DESC, token LIMIT 100),
-totals AS (SELECT grp, sum(n_st) AS n_s FROM per GROUP BY 1),
+totals AS (SELECT grp, CAST(sum(n_st) AS BIGINT) AS n_s
+           FROM per GROUP BY 1),
 grand AS (SELECT sum(n_st) AS n_total FROM per)
 SELECT grp AS source,
   round(sum((CAST(n_st AS DOUBLE) / CAST(n_s AS DOUBLE))
@@ -6256,7 +6314,7 @@ def q_order_value_rank_pct(spark, sf):
         "o_orderpriority",
         _r(F.percent_rank().over(w)).alias("pct_rank"),
         _r(F.cume_dist().over(w)).alias("cume"),
-        F.ntile(10).over(w).alias("decile"),
+        F.ntile(10).over(w).cast("long").alias("decile"),
     )
 
 
@@ -6397,7 +6455,8 @@ WITH e AS (
          CAST(round(value * 1000000) AS BIGINT) AS v_micro
   FROM events
 )
-SELECT event_type, count(v_micro) AS n, sum(v_micro) AS total,
+SELECT event_type, count(v_micro) AS n,
+       CAST(sum(v_micro) AS BIGINT) AS total,
        round(CAST(sum(v_micro) AS DOUBLE) / count(v_micro), 6) AS mean
 FROM e GROUP BY event_type
 """,
@@ -6431,12 +6490,14 @@ def q_salted_event_stats(spark, sf):
     "pricing_summary",
     """
 SELECT l_returnflag, l_linestatus,
-  sum(CAST(round(l_quantity * 100) AS BIGINT)) AS sum_qty_c,
-  sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sum_base_c,
-  sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
-    AS sum_disc_c,
-  sum(CAST(round(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 100)
-           AS BIGINT)) AS sum_charge_c,
+  CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT)
+    AS sum_qty_c,
+  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+    AS sum_base_c,
+  CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                AS BIGINT)) AS BIGINT) AS sum_disc_c,
+  CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * (1 + l_tax)
+                      * 100) AS BIGINT)) AS BIGINT) AS sum_charge_c,
   round(CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS DOUBLE)
         / count(*) / 100, 6) AS avg_qty,
   round(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE)
@@ -6477,8 +6538,8 @@ def q_pricing_summary(spark, sf):
 @_q(
     "revenue_delta",
     """
-SELECT sum(CAST(round(l_extendedprice * l_discount * 100) AS BIGINT))
-         AS revenue_c,
+SELECT CAST(sum(CAST(round(l_extendedprice * l_discount * 100)
+                  AS BIGINT)) AS BIGINT) AS revenue_c,
        count(*) AS n
 FROM lineitem
 WHERE l_shipdate >= TIMESTAMP '1996-01-01'
@@ -6528,7 +6589,7 @@ merged AS (
   WHERE NOT EXISTS (SELECT 1 FROM upd WHERE upd.c_custkey = c.c_custkey)
 )
 SELECT c_mktsegment, count(*) AS n,
-       sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS balance_cents
+       CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS balance_cents
 FROM merged GROUP BY c_mktsegment
 """,
 )
@@ -6632,7 +6693,7 @@ gu AS (
   FROM g JOIN yc ON g.sy = yc.s GROUP BY 1
 ),
 den AS (SELECT sum(yc.v * gu.gu) AS d FROM yc JOIN gu USING (s))
-SELECT gu.s AS sample, 1 AS pc,
+SELECT gu.s AS sample, CAST(1 AS BIGINT) AS pc,
        round(gu.gu / sqrt(den.d), 6) AS score
 FROM gu, den
 """,
@@ -6701,7 +6762,7 @@ gu AS (
   FROM g JOIN yc ON g.sy = yc.s GROUP BY 1
 ),
 den AS (SELECT sum(yc.v * gu.gu) AS d FROM yc JOIN gu USING (s))
-SELECT c.f AS l_partkey, 1 AS pc,
+SELECT c.f AS l_partkey, CAST(1 AS BIGINT) AS pc,
        round(sum(c.cv * yc.v) / sqrt(den.d), 9) AS weight
 FROM c JOIN yc ON c.s = yc.s CROSS JOIN den
 GROUP BY c.f, den.d

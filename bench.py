@@ -121,7 +121,8 @@ HEADLINE = [
     "ttest_paired_stats",
     "correlation_pvalues",
     "filter_funnel",
-    "wilcoxon_signed_rank",
+    "wilcoxon_signed_rank_stats",
+    "wilcoxon_signed_rank_pvalues",
 ]
 
 
