@@ -27,8 +27,11 @@ from __future__ import annotations
 import sys
 
 import numpy as np
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from padua_spark.io_utils import track_cached
 
 # nipals_pls is called from executor-side closures (impute_pls) —
 # serialize this module by value for foreign-cwd drivers (see
@@ -103,6 +106,13 @@ def pca(
         filled = filled.join(means, on=feature_cols, how="left").withColumn(
             "_v", F.col("_v") - F.col("_fmean")
         )
+    # ONE materialized scan feeds the Gram self-join's two sides and
+    # the later weights join — without the persist each consumer
+    # re-runs the scan + centering upstream (Spark reuses no
+    # exchanges across differently-projected branches).
+    filled = filled.select(*feature_cols, sample_col, "_v").persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     gram = _sample_cross_products(
         filled, feature_cols, sample_col, "_v"
     ).collect()
@@ -116,6 +126,13 @@ def pca(
     order = np.argsort(evals)[::-1]
     evals, evecs = evals[order], evecs[:, order]
     evals = np.clip(evals, 0.0, None)
+    # Null-space components: a mean-centered n-sample Gram has rank
+    # ≤ n−1, so the trailing eigenvalue(s) are numerically zero —
+    # their sqrt amplifies summation-order noise (~1e-16) into ~1e-8
+    # score jitter that varies with input partitioning. Clamp them to
+    # EXACTLY zero so degenerate scores are deterministically 0.
+    if evals.size:
+        evals[evals <= evals.max() * 1e-12] = 0.0
     # Eigenvectors are unique only up to ±1: canonicalize the sign so
     # scores/weights are reproducible across LAPACK builds and runs —
     # force the largest-|entry| coordinate positive per component
@@ -153,6 +170,11 @@ def pca(
         .groupBy(*feature_cols, "pc")
         .agg(F.sum(F.col("_v") * F.col("_u")).alias("weight"))
     )
+    # either output can free the persisted scan (unpersist is
+    # idempotent); callers that consume only scores still hold a
+    # handle (see io_utils.unpersist_intermediates)
+    track_cached(scores_df, filled)
+    track_cached(weights_df, filled)
     return scores_df, weights_df, evr
 
 
@@ -365,6 +387,9 @@ def pls_gram(
         filled = filled.join(means, on=feature_cols, how="left").withColumn(
             "_v", F.col("_v") - F.col("_fmean")
         )
+    filled = filled.select(*feature_cols, sample_col, "_v").persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     gram = _sample_cross_products(
         filled, feature_cols, sample_col, "_v"
     ).collect()
@@ -393,6 +418,8 @@ def pls_gram(
         .groupBy(*feature_cols, "pc")
         .agg(F.sum(F.col("_v") * F.col("_r")).alias("weight"))
     )
+    track_cached(scores_df, filled)
+    track_cached(weights_df, filled)
     return scores_df, weights_df
 
 

@@ -553,16 +553,27 @@ def linregress(
     )
 
 
+SMALL_ECDF_DOMAIN = 32_768
+"""Distinct-value domains at/below this take the direct
+single-partition cumsum (the two-pass distributed machinery — range
+repartition, three window specs, broadcast offset join — is pure
+overhead when the whole per-value frame fits one task); above it, the
+distributed two-pass plan. 32k rows of (value, 2 counts) is ~1 MB in
+one window task — far below any skew/executor-memory concern — while
+continuous 100 TB domains (|distinct| ~ n) stay on the scale path."""
+
+
 def _ecdf_stepped_counts(
     df: DataFrame,
     group_col: str,
     value_col: str,
     group_a,
     group_b,
+    small_domain_threshold: int | None = None,
 ) -> DataFrame:
     """Shared ECDF scaffolding for the rank/ECDF statistics (KS,
-    Mann–Whitney): per-distinct-value conditional counts with their
-    **distributed** running sums.
+    Mann–Whitney, Wilcoxon): per-distinct-value conditional counts
+    with their **distributed** running sums.
 
     The naive formulation is one partitionless ``Window.orderBy(value)``
     cumsum — a single-task sort over the whole distinct-value domain,
@@ -584,15 +595,36 @@ def _ecdf_stepped_counts(
     4. Broadcast-join the offsets back on partition id; global
        cumsum = local cumsum + offset.
 
-    Cumsum values are independent of where the sampled range boundaries
-    fall (``_v`` is distinct per row, so no value straddles two
-    partitions), making the result reproducible even though the range
-    partitioner samples. Counts stay integer throughout.
+    **Adaptive small-domain shortcut**: the per-value frame is
+    persisted and counted first; at/below ``small_domain_threshold``
+    (default :data:`SMALL_ECDF_DOMAIN`) the cumsum is computed
+    directly with a single-partition window over the tiny persisted
+    frame — same output, none of the two-pass machinery. Pass ``0``
+    to force the distributed plan (the plan tests do).
+
+    **Determinism**: on the distributed path the range-partitioned
+    frame is persisted and materialized BEFORE its two consumers
+    (local cumsums and per-partition totals) run, so both read the
+    SAME sampled range boundaries. Without the persist that held only
+    through Catalyst exchange reuse — two independent range-sample
+    jobs may pick different boundaries and silently mis-assign
+    ``_pid`` between the branches. Cumsum values are independent of
+    where the boundaries fall (``_v`` is distinct per row, so no
+    value straddles two partitions); the persist pins that the two
+    branches agree on them. Counts stay integer throughout.
+
+    Both persisted intermediates are recorded via
+    :func:`padua_spark.io_utils.track_cached` on the returned frame —
+    call ``unpersist_intermediates`` after consuming.
 
     Output: one row per distinct value with ``_v, _ca, _cb`` (per-value
     counts in groups a/b), ``_fa, _fb`` (running counts ≤ value — the
     un-normalized ECDFs), and ``_na, _nb`` (grand totals).
     """
+    from pyspark import StorageLevel
+
+    from padua_spark.io_utils import track_cached
+
     v = F.col(value_col)
     per = (
         df.where(F.col(group_col).isin([group_a, group_b]) & v.isNotNull())
@@ -601,15 +633,44 @@ def _ecdf_stepped_counts(
             F.count(F.when(F.col(group_col) == group_a, 1)).alias("_ca"),
             F.count(F.when(F.col(group_col) == group_b, 1)).alias("_cb"),
         )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    n_domain = per.count()
+    thresh = (
+        SMALL_ECDF_DOMAIN
+        if small_domain_threshold is None
+        else small_domain_threshold
     )
+    if n_domain <= thresh:
+        # |domain|-row frame, bounded by the threshold: the
+        # partitionless windows run over ONE small cached task.
+        w_loc = Window.orderBy("_v").rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        w_all = Window.partitionBy().rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing
+        )
+        out = per.select(
+            "_v",
+            "_ca",
+            "_cb",
+            F.sum("_ca").over(w_loc).alias("_fa"),
+            F.sum("_cb").over(w_loc).alias("_fb"),
+            F.sum("_ca").over(w_all).alias("_na"),
+            F.sum("_cb").over(w_all).alias("_nb"),
+        )
+        return track_cached(out, per)
     spark = per.sparkSession
     try:
         n_parts = max(1, int(spark.conf.get("spark.sql.shuffle.partitions")))
     except (TypeError, ValueError):  # e.g. "auto" on some deployments
         n_parts = max(1, spark.sparkContext.defaultParallelism)
-    ranged = per.repartitionByRange(n_parts, "_v").withColumn(
-        "_pid", F.spark_partition_id()
+    ranged = (
+        per.repartitionByRange(n_parts, "_v")
+        .withColumn("_pid", F.spark_partition_id())
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    ranged.count()  # pin ONE set of sampled range boundaries
+    per.unpersist()
     w_loc = Window.partitionBy("_pid").orderBy("_v").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
@@ -639,7 +700,7 @@ def _ecdf_stepped_counts(
         F.sum("_ta").over(w_all).alias("_na"),
         F.sum("_tb").over(w_all).alias("_nb"),
     )
-    return local.join(F.broadcast(offsets), "_pid").select(
+    out = local.join(F.broadcast(offsets), "_pid").select(
         "_v",
         "_ca",
         "_cb",
@@ -648,6 +709,7 @@ def _ecdf_stepped_counts(
         "_na",
         "_nb",
     )
+    return track_cached(out, ranged)
 
 
 def ks_2samp_stat(
@@ -656,6 +718,7 @@ def ks_2samp_stat(
     value_col: str,
     group_a,
     group_b,
+    small_domain_threshold: int | None = None,
 ) -> DataFrame:
     """Two-sample Kolmogorov–Smirnov D statistic, fully relational:
     ``D = sup_x |F_a(x) − F_b(x)|`` evaluated at every distinct value
@@ -672,7 +735,10 @@ def ks_2samp_stat(
     No p-value: the asymptotic Kolmogorov CDF is an infinite series —
     compute it driver-side from (d_stat, n_a, n_b) when needed.
     """
-    stepped = _ecdf_stepped_counts(df, group_col, value_col, group_a, group_b)
+    stepped = _ecdf_stepped_counts(
+        df, group_col, value_col, group_a, group_b,
+        small_domain_threshold=small_domain_threshold,
+    )
     d = F.abs(
         F.col("_fa").cast("double") / F.col("_na").cast("double")
         - F.col("_fb").cast("double") / F.col("_nb").cast("double")
@@ -690,6 +756,7 @@ def mannwhitney_u_stat(
     value_col: str,
     group_a,
     group_b,
+    small_domain_threshold: int | None = None,
 ) -> DataFrame:
     """Mann–Whitney U (rank-sum) statistic with midrank tie handling,
     in EXACT integer arithmetic: for each distinct value the doubled
@@ -706,7 +773,8 @@ def mannwhitney_u_stat(
     """
     cnt = F.col("_ca") + F.col("_cb")
     stepped = _ecdf_stepped_counts(
-        df, group_col, value_col, group_a, group_b
+        df, group_col, value_col, group_a, group_b,
+        small_domain_threshold=small_domain_threshold,
     ).select(
         "_ca",
         "_cb",
@@ -735,6 +803,7 @@ def wilcoxon_signed_rank_stats(
     value_col: str,
     cond_a,
     cond_b,
+    small_domain_threshold: int | None = None,
 ) -> DataFrame:
     """Wilcoxon signed-rank test — the PAIRED nonparametric test
     completing the battery's 2×2 (t paired/unpaired ↔ Wilcoxon /
@@ -780,7 +849,8 @@ def wilcoxon_signed_rank_stats(
     )
     cnt = F.col("_ca") + F.col("_cb")
     stepped = _ecdf_stepped_counts(
-        diffs, "_sgn", "_absd", "+", "-"
+        diffs, "_sgn", "_absd", "+", "-",
+        small_domain_threshold=small_domain_threshold,
     ).select(
         "_ca",
         "_cb",
@@ -844,6 +914,7 @@ def mannwhitney_z_stats(
     value_col: str,
     group_a,
     group_b,
+    small_domain_threshold: int | None = None,
 ) -> DataFrame:
     """Mann–Whitney U with the tie-corrected normal approximation:
     ``z = (U_a − n_a·n_b/2) / σ`` where ``σ² = n_a·n_b/12 ·
@@ -857,7 +928,8 @@ def mannwhitney_z_stats(
     """
     cnt = F.col("_ca") + F.col("_cb")
     stepped = _ecdf_stepped_counts(
-        df, group_col, value_col, group_a, group_b
+        df, group_col, value_col, group_a, group_b,
+        small_domain_threshold=small_domain_threshold,
     ).select(
         "_ca", "_cb", cnt.alias("_cnt"),
         (F.col("_fa") + F.col("_fb") - cnt).alias("_before"),

@@ -302,10 +302,12 @@ def test_ecdf_cumsum_is_distributed(spark):
 
     for build in (
         lambda df: st.ks_2samp_stat(
-            df, "l_returnflag", "l_extendedprice", "R", "A"
+            df, "l_returnflag", "l_extendedprice", "R", "A",
+            small_domain_threshold=0,
         ),
         lambda df: st.mannwhitney_z_stats(
-            df, "l_returnflag", "l_extendedprice", "R", "A"
+            df, "l_returnflag", "l_extendedprice", "R", "A",
+            small_domain_threshold=0,
         ),
     ):
         plan = explain_str(build(_li(spark)), "simple")
@@ -319,6 +321,31 @@ def test_ecdf_cumsum_is_distributed(spark):
         ), specs
         # values reach their partitions via a range exchange
         assert "rangepartitioning(_v#" in plan, plan[:2000]
+        # determinism under multi-consumer branches: the range frame is
+        # persisted (both cumsum and totals read ONE set of boundaries)
+        assert "InMemoryTableScan" in plan, plan[:2000]
+
+
+def test_ecdf_small_domain_shortcut(spark):
+    """At/below SMALL_ECDF_DOMAIN the per-value frame is tiny and the
+    cumsum runs directly on the persisted single partition — no range
+    exchange, none of the two-pass machinery — and the two paths
+    produce identical statistics."""
+    df = _li(spark)
+    small = st.mannwhitney_z_stats(
+        df, "l_returnflag", "l_quantity", "R", "A"
+    )
+    plan = explain_str(small, "simple")
+    # l_quantity has a ~50-value domain: the shortcut must engage
+    assert "rangepartitioning(_v#" not in plan, plan[:2000]
+    assert "InMemoryTableScan" in plan, plan[:2000]
+    forced = st.mannwhitney_z_stats(
+        df, "l_returnflag", "l_quantity", "R", "A",
+        small_domain_threshold=0,
+    )
+    a = [tuple(r) for r in small.collect()]
+    b = [tuple(r) for r in forced.collect()]
+    assert a == b
 
 
 def test_no_cartesian_products_anywhere(spark):
