@@ -4055,12 +4055,15 @@ def q_windowed_psi(spark, sf):
     out = psi_vs_reference(counts, ref, n_bins=10, window_cols=["ws"])
     from padua_spark.io_utils import track_cached
 
-    out = track_cached(out, counts)
-    return out.select(
+    # track on the FINAL returned frame: .select() returns a new
+    # DataFrame without the tracking attribute, so tracking `out` and
+    # then transforming it would strand the persisted block
+    final = out.select(
         F.col("ws").alias("window_start_epoch"),
         "n_events",
         F.round("psi", 9).alias("psi"),
     )
+    return track_cached(final, counts)
 
 
 # --- ext: robust statistics (median/MAD z, trimmed mean) --------------------

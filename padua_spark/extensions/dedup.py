@@ -839,7 +839,22 @@ def dedup_spans(
     spans = staged.select(
         F.col(id_col), F.posexplode(span_arr).alias("pos", "span")
     )
-    key = F.col(id_col) * F.lit(max_spans_per_doc) + F.col("pos")
+    # Runtime guard: a doc with >= max_spans_per_doc spans would bleed
+    # into the next id's key space and elect wrong winners SILENTLY —
+    # fail the job instead. The check lives inside the key expression
+    # (always consumed), so it cannot be pruned away and costs no
+    # extra aggregation pass.
+    key = F.when(
+        F.col("pos") < F.lit(max_spans_per_doc),
+        F.col(id_col) * F.lit(max_spans_per_doc) + F.col("pos"),
+    ).otherwise(
+        F.raise_error(
+            F.lit(
+                "dedup_spans: a document has >= max_spans_per_doc "
+                f"({max_spans_per_doc}) spans; raise max_spans_per_doc"
+            )
+        )
+    )
     keyed = spans.select(F.col(id_col), "pos", "span", key.alias("_key"))
     if persist_spans:
         from pyspark import StorageLevel

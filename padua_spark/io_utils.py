@@ -48,6 +48,11 @@ def track_cached(result: DataFrame, *cached: DataFrame) -> DataFrame:
     :func:`unpersist_intermediates` to free the recorded blocks
     (long-lived sessions accumulate MEMORY_AND_DISK blocks otherwise;
     ``spark.catalog.clearCache()`` is the blunt whole-session sweep).
+
+    The record lives as a Python attribute on THIS DataFrame object:
+    any transformation (``select``, ``where``, …) returns a NEW
+    DataFrame without it. Always call ``track_cached`` on the final
+    frame handed to the caller, after the last transformation.
     """
     existing = list(getattr(result, "_padua_cached", ()))
     result._padua_cached = existing + list(cached)

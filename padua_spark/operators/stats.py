@@ -328,10 +328,15 @@ def levene_stats(
     statistic oracle-checkable; ``center='mean'`` is classic Levene.
 
     Plan: per-(feature, group) centers via one shuffle-sort of a
-    two-column projection (median) or one aggregation (mean), a
-    broadcast join back, then the :func:`anova_1way_stats`
-    aggregation on |v − center|. Output = anova_1way_stats schema with
-    ``f_stat`` being Levene's W.
+    two-column projection (median) or one aggregation (mean), a join
+    back on the (feature, group) key, then the
+    :func:`anova_1way_stats` aggregation on |v − center|. The centers
+    join is left to AQE: its cardinality is |features|·|groups| —
+    tiny for a handful of features, but per-feature testing at scale
+    makes it millions of rows, where a forced broadcast would OOM the
+    driver (the winsorize extreme-cardinality lesson). AQE broadcasts
+    it automatically whenever it is actually small. Output =
+    anova_1way_stats schema with ``f_stat`` being Levene's W.
     """
     from padua_spark.operators.normalization import group_medians
 
@@ -344,7 +349,7 @@ def levene_stats(
             F.avg(v).alias("_c")
         )
     dev = (
-        df.join(F.broadcast(centers), on=keys, how="left")
+        df.join(centers, on=keys, how="left")
         .withColumn("_z", F.abs(v - F.col("_c")))
     )
     return anova_1way_stats(dev, feature_cols, group_col, "_z")
@@ -820,7 +825,9 @@ def wilcoxon_signed_rank_stats(
     approximation with tie correction:
     ``z = (W⁺ − n(n+1)/4) / σ``,
     ``σ² = (n(n+1)(2n+1) − Σ(t³−t)/2) / 24`` (no continuity
-    correction; documented). Output 1 row:
+    correction; documented). For small untied samples the exact
+    distribution is available driver-side via
+    :func:`wilcoxon_exact_p` on (w2_plus/2, n_nonzero). Output 1 row:
     ``(w2_plus, w2_minus, n_nonzero, tie_term, z, p_normal)`` with
     ``w2_x = 2·W_x``.
     """
@@ -883,6 +890,32 @@ def wilcoxon_signed_rank_stats(
         "w2_plus", "w2_minus", "n_nonzero", "tie_term", "z",
         _normal_sf_2sided(F.col("z")).alias("p_normal"),
     )
+
+
+def wilcoxon_exact_p(w_plus: float, n: int) -> float:
+    """Exact two-sided Wilcoxon signed-rank p-value for small samples
+    (driver-side, pure Python — n ≤ ~25 keeps the table tiny; above
+    that the normal approximation in
+    :func:`wilcoxon_signed_rank_stats` is standard, matching scipy's
+    default mode switch).
+
+    Valid for UNTIED |d| ranks only (``tie_term == 0`` in the stats
+    row): enumerates the null distribution of ``W⁺`` by the standard
+    generating-function recurrence — ``c[w] +=`` shifted by each rank
+    k — then doubles the lower-tail mass at ``min(W⁺, W⁻)``, capped
+    at 1. ``w_plus = w2_plus / 2`` from the distributed stats row.
+    """
+    if n <= 0:
+        return 1.0
+    total = n * (n + 1) // 2
+    counts = [0] * (total + 1)
+    counts[0] = 1
+    for k in range(1, n + 1):
+        for w in range(total, k - 1, -1):
+            counts[w] += counts[w - k]
+    wm = int(min(w_plus, total - w_plus))
+    cdf = sum(counts[: wm + 1])
+    return min(1.0, 2.0 * cdf / float(2 ** n))
 
 
 # Abramowitz & Stegun 7.1.26 erf polynomial: used for the Mann-Whitney

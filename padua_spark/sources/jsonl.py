@@ -56,6 +56,12 @@ def split_corrupt(
     a raw JSON scan (the pruned scan couldn't know what was corrupt),
     so the frame is cached before the lanes split; callers that have
     already materialized (e.g. wrote clean to parquet) can unpersist.
+
+    **Scale note**: the cache is a whole-corpus MEMORY_AND_DISK
+    persist — fine up to the spill budget, wrong at 100 TB. For large
+    inputs use :func:`split_corrupt_via_sink`, which writes the clean
+    parquet lane first and derives the quarantine lane by anti-join —
+    two streaming passes, nothing persisted.
     """
     cached = df.cache()
     is_bad = F.col(corrupt_col).isNotNull()
@@ -66,6 +72,55 @@ def split_corrupt(
     from padua_spark.io_utils import track_cached
 
     return track_cached(clean, cached), track_cached(bad, cached)
+
+
+def split_corrupt_via_sink(
+    spark: SparkSession,
+    src_path: str,
+    clean_dir: str,
+    schema: str = DOCS_SCHEMA,
+    corrupt_col: str = CORRUPT_COL,
+) -> tuple[DataFrame, DataFrame]:
+    """The AT-SCALE quarantine split: write the clean lane to parquet
+    FIRST, then derive the quarantine lane by re-parsing raw lines —
+    no full-corpus persist anywhere.
+
+    :func:`split_corrupt` caches the raw PERMISSIVE scan so both lanes
+    read it once; correct, but at 100 TB that is a whole-corpus
+    MEMORY_AND_DISK spill. This variant is two streaming passes over
+    the source instead:
+
+    1. pass 1 — PERMISSIVE read, keep rows with ``corrupt_col`` NULL,
+       write ``clean_dir`` (columnar, compressed: the lane every
+       downstream job consumes);
+    2. pass 2 — read the source as raw ``text`` lines and apply the
+       SAME permissive parse per line via ``from_json`` with the same
+       schema + corrupt-record column; lines whose corrupt field is
+       set are exactly the ones pass 1 excluded. No join, no id
+       extraction — the two passes share one parse definition, so the
+       lanes partition the input by construction.
+
+    Returns ``(clean, bad)``: ``clean`` re-read from ``clean_dir``
+    (parquet-backed — cheap to consume many times), ``bad`` the lazy
+    raw-line quarantine lane ``(raw_record string)``.
+    """
+    raw = read_jsonl_docs(spark, src_path, schema=schema,
+                          corrupt_col=corrupt_col)
+    clean_cols = [c for c in raw.columns if c != corrupt_col]
+    raw.where(F.col(corrupt_col).isNull()).select(*clean_cols).write.mode(
+        "overwrite"
+    ).parquet(clean_dir)
+    clean = spark.read.parquet(clean_dir)
+    lines = spark.read.text(src_path)
+    parsed = F.from_json(
+        F.col("value"),
+        f"{schema}, {corrupt_col} string",
+        {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": corrupt_col},
+    )
+    bad = lines.where(
+        parsed.getField(corrupt_col).isNotNull()
+    ).select(F.col("value").alias("raw_record"))
+    return clean, bad
 
 
 def write_jsonl(

@@ -260,6 +260,8 @@ def heatmap_svg(
     height = top + cell * len(ys) + 20
 
     def shade(v: float) -> str:
+        if vmax <= vmin:  # degenerate limits (constant matrix): midpoint
+            return "rgb(255,255,255)"
         t = max(-1.0, min(1.0, (2 * (v - vmin) / (vmax - vmin)) - 1.0))
         if t >= 0:  # white → red
             g = int(round(255 * (1 - t)))

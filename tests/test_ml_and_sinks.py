@@ -356,3 +356,42 @@ def test_jsonl_source_quarantine_and_roundtrip(spark, tmp_path):
     back = read_jsonl_docs(spark, out)
     clean2, bad2 = split_corrupt(back)
     assert clean2.count() == 3 and bad2.count() == 0
+
+
+def test_jsonl_split_corrupt_via_sink(spark, tmp_path):
+    """The at-scale quarantine variant: clean lane lands in parquet
+    with no persist of the raw scan, and the from_json re-parse lane
+    partitions the input identically to split_corrupt — including a
+    schema-violating (valid-JSON) line."""
+    from padua_spark.sources.jsonl import (
+        read_jsonl_docs,
+        split_corrupt,
+        split_corrupt_via_sink,
+    )
+
+    src = tmp_path / "docs.jsonl"
+    src.write_text(
+        '{"doc_id": 1, "text": "hello", "lang": "en", "source": "a"}\n'
+        '{"doc_id": "oops", "text": "bad id", "lang": "en", "source": "a"}\n'
+        '{"doc_id": 3, "text": "truncated...\n'
+        'not json at all\n'
+        '{"doc_id": 4, "text": "ok", "lang": "en", "source": "a"}\n'
+    )
+    clean, bad = split_corrupt_via_sink(
+        spark, str(src), str(tmp_path / "clean_pq")
+    )
+    got_clean = sorted(r["doc_id"] for r in clean.collect())
+    got_bad = sorted(r["raw_record"] for r in bad.collect())
+    # reference semantics: whatever the cached variant produces
+    ref_clean, ref_bad = split_corrupt(read_jsonl_docs(spark, str(src)))
+    assert got_clean == sorted(r["doc_id"] for r in ref_clean.collect())
+    assert got_bad == sorted(r["raw_record"] for r in ref_bad.collect())
+    # the two lanes partition the 5 input lines
+    assert len(got_clean) + len(got_bad) == 5
+    assert "not json at all" in got_bad
+    # clean lane is parquet-backed (re-readable without the source)
+    import os
+
+    assert any(
+        f.endswith(".parquet") for f in os.listdir(tmp_path / "clean_pq")
+    )

@@ -1598,3 +1598,41 @@ def test_filter_funnel_sequential_audit(spark):
     assert (rep["english"]["n_in"], rep["english"]["n_out"]) == (4, 2)
     assert rep["english"]["n_dropped"] == 2  # fr + NULL both fail
     assert sorted(r["id"] for r in kept.collect()) == [2, 5]
+
+
+def test_wilcoxon_exact_p_bruteforce():
+    """wilcoxon_exact_p (small-n exact mode, untied ranks) agrees with
+    direct enumeration of all 2^n sign assignments."""
+    import itertools
+
+    from padua_spark.operators.stats import wilcoxon_exact_p
+
+    for n in (1, 4, 7, 10):
+        total = n * (n + 1) // 2
+        for wp in range(total + 1):
+            lo = min(wp, total - wp)
+            cnt = sum(
+                1
+                for signs in itertools.product([0, 1], repeat=n)
+                if sum(k for k, b in zip(range(1, n + 1), signs) if b)
+                <= lo
+            )
+            expect = min(1.0, 2.0 * cnt / 2 ** n)
+            assert abs(wilcoxon_exact_p(wp, n) - expect) < 1e-12
+
+
+def test_dedup_spans_overflow_guard(spark):
+    """A document with >= max_spans_per_doc spans fails LOUDLY instead
+    of silently electing wrong winners in the next doc's key space."""
+    import pytest as _pytest
+
+    from padua_spark.extensions.dedup import dedup_spans
+
+    df = spark.createDataFrame(
+        [(1, "a b c d e f g h"), (2, "a b c d")], ["doc_id", "text"]
+    )
+    assert dedup_spans(df, "doc_id", "text", span_tokens=2).count() == 2
+    with _pytest.raises(Exception, match="max_spans_per_doc"):
+        dedup_spans(
+            df, "doc_id", "text", span_tokens=2, max_spans_per_doc=2
+        ).collect()
