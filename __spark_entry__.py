@@ -7076,6 +7076,120 @@ def q_hier_cluster_assign(spark, sf):
     return spark.createDataFrame(out, ["sample", "cluster"])
 
 
+# --- ext: BM25 ranked retrieval (lexical complement to the ANN stack) -------
+
+_BM25_QUERY = "hash join filter scan"
+_BM25_TOKS = "['filter', 'hash', 'join', 'scan']"
+
+
+@_q(
+    "bm25_topk",
+    f"""
+WITH toks AS (
+  SELECT doc_id,
+    list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                x -> x <> '') AS tk
+  FROM documents
+),
+perdoc AS (SELECT doc_id, len(tk) AS dl, tk FROM toks),
+q AS (SELECT unnest({_BM25_TOKS}) AS token),
+hits AS (
+  SELECT p.doc_id, p.dl, q.token,
+         len(list_filter(p.tk, x -> x = q.token)) AS tf
+  FROM perdoc p CROSS JOIN q
+),
+m AS (SELECT * FROM hits WHERE tf > 0),
+corpus AS (
+  SELECT count(*) AS nd, avg(CAST(dl AS DOUBLE)) AS avgdl FROM perdoc
+),
+dfreq AS (SELECT token, count(*) AS dfr FROM m GROUP BY 1),
+sc AS (
+  SELECT m.doc_id,
+    sum(ln(1.0 + (CAST(nd AS DOUBLE) - dfr + 0.5) / (dfr + 0.5))
+        * (CAST(tf AS DOUBLE) * 2.2)
+          / (tf + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) / avgdl)))
+      AS score,
+    count(*) AS n_hits
+  FROM m JOIN dfreq USING (token) CROSS JOIN corpus
+  GROUP BY 1
+)
+SELECT doc_id, round(score, 6) AS score, n_hits
+FROM sc ORDER BY round(score, 6) DESC, doc_id LIMIT 10
+""",
+)
+def q_bm25_topk(spark, sf):
+    """BM25 top-10 over the documents table for a fixed query
+    (extensions.text.bm25_topk): scan-side literal-array term
+    frequencies, match-bounded shuffle, broadcast idf table, rounded
+    deterministic top-k. k1 = 1.2, b = 0.75 (the textbook defaults,
+    mirrored as literals in the oracle)."""
+    from padua_spark.extensions.text import bm25_topk
+
+    d = _t(spark, sf, "documents")
+    out = bm25_topk(d, "doc_id", "text", _BM25_QUERY, k=10)
+    return out.select("doc_id", _r("score").alias("score"), "n_hits")
+
+
+# --- ext: within-doc repeated n-gram quality signals (zero-shuffle) ---------
+
+
+@_q(
+    "repeated_ngrams",
+    r"""
+WITH toks AS (
+  SELECT doc_id,
+    list_filter(regexp_split_to_array(lower(text), '\s+'),
+                x -> x <> '') AS tk
+  FROM documents
+),
+g AS (
+  SELECT doc_id, len(tk) AS ntok,
+    CASE WHEN len(tk) >= 3 THEN
+      list_transform(generate_series(1, len(tk) - 2),
+                     i -> tk[i] || ' ' || tk[i + 1] || ' ' || tk[i + 2])
+    ELSE [] END AS grams
+  FROM toks
+),
+ex AS (SELECT doc_id, unnest(grams) AS gram FROM g),
+cnt AS (SELECT doc_id, gram, count(*) AS c FROM ex GROUP BY 1, 2),
+agg AS (
+  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_grams,
+         count(*) AS n_distinct, CAST(max(c) AS BIGINT) AS topc
+  FROM cnt GROUP BY 1
+)
+SELECT g.doc_id,
+  COALESCE(a.n_grams, 0) AS n_grams,
+  COALESCE(a.n_distinct, 0) AS n_distinct,
+  round(CASE WHEN COALESCE(a.n_grams, 0) > 0
+        THEN (a.n_grams - a.n_distinct) / CAST(a.n_grams AS DOUBLE)
+        ELSE 0.0 END, 9) AS dup_fraction,
+  COALESCE(a.topc, 0) AS top_gram_count,
+  round(CASE WHEN g.ntok > 0
+        THEN COALESCE(a.topc, 0) * 3.0 / g.ntok
+        ELSE 0.0 END, 9) AS top_gram_frac
+FROM g LEFT JOIN agg a USING (doc_id)
+""",
+)
+def q_repeated_ngrams(spark, sf):
+    """Gopher/RefinedWeb repetition signals per document
+    (extensions.quality.repeated_ngram_stats, n = 3): dup-trigram
+    fraction and most-frequent-trigram coverage, computed entirely
+    per-row (zero shuffle — the oracle explodes and groups instead,
+    proving the array-algebra path against relational semantics)."""
+    from padua_spark.extensions.quality import repeated_ngram_stats
+
+    d = _t(spark, sf, "documents")
+    out = repeated_ngram_stats(d, "doc_id", "text", n=3)
+    return out.select(
+        "doc_id",
+        F.col("n_grams").cast("long").alias("n_grams"),
+        F.col("n_distinct").cast("long").alias("n_distinct"),
+        F.round("dup_fraction", 9).alias("dup_fraction"),
+        F.col("top_gram_count").cast("long").alias("top_gram_count"),
+        F.round("top_gram_frac", 9).alias("top_gram_frac"),
+    )
+
+
 # ---------------------------------------------------------------------------
 
 

@@ -123,6 +123,8 @@ HEADLINE = [
     "filter_funnel",
     "wilcoxon_signed_rank_stats",
     "wilcoxon_signed_rank_pvalues",
+    "bm25_topk",
+    "repeated_ngrams",
 ]
 
 
@@ -195,19 +197,25 @@ def main() -> None:
             except Exception:
                 pass
     total = round(sum(times.values()), 3)
+    doc = _update_local_artifact(sf, times, total, errors)
     out = {
         "metric": "headline_query_wall_time",
         "value": total,
         "unit": "sec",
         "queries": times,
         "sf": sf,
+        # parsed medians over the accumulated local passes, so the
+        # driver-shape artifact carries them directly (no regexing
+        # BENCH_LOCAL out of a truncated tail)
+        "median_queries": doc.get("median_queries", {}),
+        "median_total": doc.get("median_total"),
+        "n_passes": doc.get("n_passes"),
     }
     if errors:
         out["errors"] = errors
     # Driver contract: exactly one JSON line on stdout (compact
     # separators — the driver archives only a bounded stdout tail).
     print(json.dumps(out, separators=(",", ":")))
-    _update_local_artifact(sf, times, total, errors)
 
 
 def _update_local_artifact(
@@ -215,7 +223,7 @@ def _update_local_artifact(
     times: dict[str, float],
     total: float,
     errors: dict[str, str],
-) -> None:
+) -> dict:
     """Accumulate per-pass times into BENCH_LOCAL.json next to this
     file and keep per-query MEDIANS over the recorded passes — the
     driver's own artifact stores only a truncated stdout tail, so this
@@ -269,6 +277,7 @@ def _update_local_artifact(
             fh.write("\n")
     except OSError as exc:  # read-only checkout: never fail the bench
         print(f"BENCH WARN could not write {path}: {exc}", file=sys.stderr)
+    return doc
 
 
 if __name__ == "__main__":

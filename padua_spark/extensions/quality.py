@@ -335,3 +335,99 @@ def psi_vs_reference(
         .groupBy(*window_cols, "n_events")
         .agg(F.sum("_c").alias("psi"))
     )
+
+
+def repeated_ngram_stats(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+) -> DataFrame:
+    """Within-document repeated n-gram signals — the Gopher /
+    RefinedWeb repetition filters (beyond the reference; pretraining
+    curation drops docs whose text is dominated by repeated phrases:
+    boilerplate, SEO spam, scraper loops). Complements
+    :func:`padua_spark.extensions.text.repetition_signals` (dup-line +
+    top-bigram via explode + groupBy): this one is configurable-n and
+    takes the zero-shuffle plan — repetition is doc-local, so per-row
+    array algebra beats shuffling exploded grams when the signal set
+    allows it.
+
+    Output per doc: ``n_grams`` (token n-grams in the doc),
+    ``n_distinct``, ``dup_fraction`` = (n_grams − n_distinct)/n_grams
+    (0 for docs shorter than n tokens), ``top_gram_count`` (occurrences
+    of the most frequent n-gram) and ``top_gram_frac`` =
+    top_gram_count·n / n_tokens — the token-coverage proxy for the
+    "fraction of characters in the most common n-gram" rule.
+
+    Scale shape: EVERYTHING is per-row array algebra inside
+    whole-stage codegen — tokenize, n-gram build
+    (``transform(sequence(...))``), distinct count, and the
+    most-frequent-gram count via a sort + longest-equal-run
+    ``aggregate`` — so the operator is a pure scan with ZERO shuffle;
+    at 100 TB it runs at parquet-read speed. The gram array is staged
+    as a real column first: PySpark higher-order lambdas are
+    interpreted with no CSE, so referencing a heavy expression twice
+    would recompute it per element (the exploded_shingles lesson).
+    """
+    toks = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"),
+                    lambda x: x != "")
+    staged = df.select(F.col(id_col), toks.alias("_toks"))
+    n_tok = F.size("_toks")
+    grams = F.when(
+        n_tok >= n,
+        F.transform(
+            F.sequence(F.lit(1), n_tok - F.lit(n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(F.col("_toks"), i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    staged = staged.select(
+        id_col, "_toks", grams.alias("_grams")
+    ).select(
+        id_col,
+        F.size("_toks").alias("_ntok"),
+        F.size("_grams").alias("n_grams"),
+        F.size(F.array_distinct("_grams")).alias("n_distinct"),
+        F.array_sort("_grams").alias("_sorted"),
+    )
+    # longest equal run over the SORTED grams = max occurrence count
+    run0 = F.struct(
+        F.lit("").alias("prev"),
+        F.lit(0).alias("run"),
+        F.lit(0).alias("best"),
+    )
+
+    def _step(acc, x):
+        new_run = F.when(x == acc["prev"], acc["run"] + 1).otherwise(
+            F.lit(1)
+        )
+        return F.struct(
+            x.alias("prev"),
+            new_run.alias("run"),
+            F.greatest(acc["best"], new_run).alias("best"),
+        )
+
+    top = F.aggregate(F.col("_sorted"), run0, _step, lambda a: a["best"])
+    # stage the O(g) run-length aggregate once; referencing the raw
+    # expression from two output columns would evaluate it twice per
+    # row (HOF expressions are non-cheap, so CollapseProject keeps
+    # the staged projection)
+    staged = staged.select(
+        id_col, "_ntok", "n_grams", "n_distinct", top.alias("_top")
+    )
+    g = F.col("n_grams").cast("double")
+    return staged.select(
+        id_col,
+        "n_grams",
+        "n_distinct",
+        F.when(
+            F.col("n_grams") > 0,
+            (g - F.col("n_distinct").cast("double")) / g,
+        ).otherwise(F.lit(0.0)).alias("dup_fraction"),
+        F.col("_top").alias("top_gram_count"),
+        F.when(
+            F.col("_ntok") > 0,
+            F.col("_top").cast("double") * F.lit(float(n))
+            / F.col("_ntok").cast("double"),
+        ).otherwise(F.lit(0.0)).alias("top_gram_frac"),
+    )

@@ -805,3 +805,113 @@ def char_entropy(
         "n_chars",
         ent.alias("char_entropy"),
     )
+
+
+def bm25_topk(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    query: str,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    lowercase: bool = True,
+) -> DataFrame:
+    """BM25 ranked retrieval over a document corpus (Robertson/Spärck
+    Jones; beyond the reference — the lexical-search complement to the
+    embedding ANN stack, used in curation for contamination lookup and
+    retrieval-based dedup triage).
+
+    ``score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·|d|/avgdl))``
+    over the query's distinct tokens, with the standard smoothed
+    ``idf = ln(1 + (N − df + 0.5)/(df + 0.5))`` (always positive).
+    Output: the top-``k`` rows ``(id, score, n_hits)`` ordered by
+    (score desc, id) — ``n_hits`` = how many query tokens matched.
+
+    Scale shape: the query's token set is a per-row LITERAL array, so
+    per-doc term frequencies are pure scan-side array algebra (no
+    corpus explode, no inverted-index shuffle): one projection emits
+    (id, |d|, tiny hits array), one explode of ≤|q| hits per matching
+    doc, one hash aggregation for document frequencies, a broadcast
+    join of the |q|-row idf table + the 1-row corpus stats, a per-doc
+    sum, and a TakeOrdered top-k. Non-matching docs are filtered
+    before the explode, so the shuffled volume is bounded by
+    matches·|q|, not corpus size.
+    """
+    q_toks = sorted(
+        {t for t in (query.lower() if lowercase else query).split() if t}
+    )
+    if not q_toks:
+        raise ValueError("bm25_topk: empty query")
+    t = F.col(text_col)
+    toks = F.filter(
+        tokens(F.lower(t) if lowercase else t), lambda x: x != ""
+    )
+    staged = df.select(F.col(id_col), toks.alias("_toks"))
+    q_arr = F.array(*[F.lit(x) for x in q_toks])
+    # hits: (token, tf) for query tokens present in the doc — built
+    # per row over the |q|-sized literal array (the heavy _toks array
+    # is a staged column; HOF lambdas get no CSE otherwise)
+    hits = F.filter(
+        F.transform(
+            q_arr,
+            lambda qt: F.struct(
+                qt.alias("token"),
+                F.size(F.filter(F.col("_toks"), lambda x: x == qt)).alias(
+                    "tf"
+                ),
+            ),
+        ),
+        lambda h: h["tf"] > 0,
+    )
+    per_doc = staged.select(
+        F.col(id_col),
+        F.size("_toks").alias("_dl"),
+        hits.alias("_hits"),
+    )
+    matches = per_doc.where(F.size("_hits") > 0)
+    exploded = matches.select(
+        id_col, "_dl", F.explode("_hits").alias("_h")
+    ).select(
+        id_col, "_dl",
+        F.col("_h.token").alias("token"),
+        F.col("_h.tf").alias("tf"),
+    )
+    corpus = per_doc.agg(
+        F.count(F.lit(1)).alias("_n_docs"),
+        F.avg(F.col("_dl").cast("double")).alias("_avgdl"),
+    )
+    dfreq = exploded.groupBy("token").agg(
+        F.count(F.lit(1)).alias("_df")
+    )
+    nd = F.col("_n_docs").cast("double")
+    idf = F.log(
+        F.lit(1.0)
+        + (nd - F.col("_df") + F.lit(0.5)) / (F.col("_df") + F.lit(0.5))
+    )
+    idf_tbl = dfreq.crossJoin(F.broadcast(corpus)).select(
+        "token", idf.alias("_idf"), "_avgdl"
+    )
+    scored = exploded.join(F.broadcast(idf_tbl), on="token")
+    tf_d = F.col("tf").cast("double")
+    norm = tf_d * (k1 + 1.0) / (
+        tf_d
+        + F.lit(k1)
+        * (
+            F.lit(1.0 - b)
+            + F.lit(b) * F.col("_dl").cast("double") / F.col("_avgdl")
+        )
+    )
+    # rank on the 6dp-ROUNDED score with the id tie-break: the raw
+    # double differs across engines/summation orders by ulps, and a
+    # top-k boundary must not depend on that (same convention as
+    # ward_first_merge)
+    return (
+        scored.groupBy(id_col)
+        .agg(
+            F.sum(F.col("_idf") * norm).alias("score"),
+            F.count(F.lit(1)).alias("n_hits"),
+        )
+        .orderBy(F.round("score", 6).desc(), F.col(id_col))
+        .limit(k)
+    )

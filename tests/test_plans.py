@@ -367,6 +367,9 @@ def test_no_cartesian_products_anywhere(spark):
         # windows × reference-bins cross join — both tiny by
         # construction (every reference bin must score in every window)
         "windowed_psi",
+        # 1-row corpus stats (N, avgdl) broadcast onto the |q|-row
+        # document-frequency table
+        "bm25_topk",
     }
     bad = {}
     for name, fn in em.queries().items():

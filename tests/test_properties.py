@@ -914,3 +914,107 @@ def test_wilcoxon_signed_rank_matches_bruteforce(spark, pairs):
     assert out["n_nonzero"] == len(d)
     n = len(d)
     assert out["w2_plus"] + out["w2_minus"] == n * (n + 1)
+
+
+@SPARK_SETTINGS
+@given(
+    docs=hst.lists(
+        hst.lists(
+            hst.sampled_from(["spark", "join", "scan", "row", "fast"]),
+            min_size=0,
+            max_size=12,
+        ),
+        min_size=1,
+        max_size=12,
+    ),
+    query=hst.lists(
+        hst.sampled_from(["spark", "join", "missing"]),
+        min_size=1,
+        max_size=3,
+    ),
+)
+def test_bm25_matches_pure_python(spark, docs, query):
+    """bm25_topk equals a direct pure-Python BM25 on random tiny
+    corpora (scores to 1e-9, identical ranked id set)."""
+    from padua_spark.extensions.text import bm25_topk
+
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    qs = " ".join(query)
+    q_toks = sorted(set(query))
+    # pure-python reference
+    tokenized = {i: toks for i, toks in enumerate(docs)}
+    n_docs = len(docs)
+    avgdl = sum(len(t) for t in tokenized.values()) / n_docs
+    dfreq = {
+        t: sum(1 for toks in tokenized.values() if t in toks)
+        for t in q_toks
+    }
+    expected = {}
+    for i, toks in tokenized.items():
+        s, hits = 0.0, 0
+        for t in q_toks:
+            tf = toks.count(t)
+            if tf == 0:
+                continue
+            hits += 1
+            idf = math.log(
+                1 + (n_docs - dfreq[t] + 0.5) / (dfreq[t] + 0.5)
+            )
+            denom = tf + 1.2 * (0.25 + 0.75 * len(toks) / avgdl)
+            s += idf * tf * 2.2 / denom
+        if hits:
+            expected[i] = (s, hits)
+    got = {
+        r["doc_id"]: (r["score"], r["n_hits"])
+        for r in bm25_topk(
+            df, "doc_id", "text", qs, k=len(docs)
+        ).collect()
+    }
+    assert set(got) == set(expected)
+    for i, (s, h) in expected.items():
+        assert got[i][1] == h
+        assert abs(got[i][0] - s) < 1e-9
+
+
+@SPARK_SETTINGS
+@given(
+    docs=hst.lists(
+        hst.lists(
+            hst.sampled_from(["a", "b", "c"]), min_size=0, max_size=14
+        ),
+        min_size=1,
+        max_size=10,
+    ),
+    n=hst.integers(2, 4),
+)
+def test_repeated_ngram_stats_matches_counter(spark, docs, n):
+    """repeated_ngram_stats equals a direct Counter-based computation
+    for arbitrary n and tiny random docs (including empty)."""
+    from collections import Counter
+
+    from padua_spark.extensions.quality import repeated_ngram_stats
+
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        r["doc_id"]: r
+        for r in repeated_ngram_stats(df, "doc_id", "text", n=n).collect()
+    }
+    for i, toks in enumerate(docs):
+        grams = [
+            " ".join(toks[j:j + n]) for j in range(len(toks) - n + 1)
+        ]
+        c = Counter(grams)
+        r = got[i]
+        assert r["n_grams"] == len(grams)
+        assert r["n_distinct"] == len(c)
+        assert r["top_gram_count"] == (max(c.values()) if c else 0)
+        dup = (len(grams) - len(c)) / len(grams) if grams else 0.0
+        assert abs(r["dup_fraction"] - dup) < 1e-12
+        tf = (
+            (max(c.values()) if c else 0) * n / len(toks)
+            if toks
+            else 0.0
+        )
+        assert abs(r["top_gram_frac"] - tf) < 1e-12

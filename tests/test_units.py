@@ -1636,3 +1636,85 @@ def test_dedup_spans_overflow_guard(spark):
         dedup_spans(
             df, "doc_id", "text", span_tokens=2, max_spans_per_doc=2
         ).collect()
+
+
+def test_bm25_topk_hand_computed(spark):
+    """BM25 against a hand-computable 3-doc corpus: scoring favors the
+    doc with more query-term mass, normalized by length."""
+    import math
+
+    from padua_spark.extensions.text import bm25_topk
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spark spark join"),          # tf(spark)=2, dl=3
+            (2, "join filter scan other"),    # no 'spark'
+            (3, "spark is nice and long doc here"),  # tf=1, dl=7
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in bm25_topk(
+        docs, "doc_id", "text", "spark", k=3
+    ).collect()}
+    assert set(out) == {1, 3}  # doc 2 never matches
+    # closed form: N=3, df=2, idf=ln(1+(3-2+0.5)/2.5); avgdl=14/3
+    idf = math.log(1 + 1.5 / 2.5)
+    avgdl = 14 / 3
+
+    def score(tf, dl):
+        return idf * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+
+    assert abs(out[1]["score"] - score(2, 3)) < 1e-9
+    assert abs(out[3]["score"] - score(1, 7)) < 1e-9
+    assert out[1]["score"] > out[3]["score"]
+    assert out[1]["n_hits"] == 1
+
+
+def test_bm25_topk_empty_query(spark):
+    import pytest as _pytest
+
+    from padua_spark.extensions.text import bm25_topk
+
+    docs = spark.createDataFrame([(1, "a")], ["doc_id", "text"])
+    with _pytest.raises(ValueError):
+        bm25_topk(docs, "doc_id", "text", "   ")
+
+
+def test_repeated_ngram_stats_bruteforce(spark):
+    """repeated_ngram_stats agrees with a direct Python computation,
+    including short docs (no grams) and heavy repetition."""
+    from collections import Counter
+
+    from padua_spark.extensions.quality import repeated_ngram_stats
+
+    texts = {
+        1: "a b a b a b a b",        # heavy bigram loop
+        2: "one two",                # shorter than n
+        3: "x y z x y z x y z",      # repeated trigram
+        4: "all distinct tokens here now",
+    }
+    df = spark.createDataFrame(
+        list(texts.items()), ["doc_id", "text"]
+    )
+    got = {r["doc_id"]: r for r in repeated_ngram_stats(
+        df, "doc_id", "text", n=3
+    ).collect()}
+    for did, text in texts.items():
+        toks = text.split()
+        grams = [" ".join(toks[i:i + 3]) for i in range(len(toks) - 2)]
+        c = Counter(grams)
+        r = got[did]
+        assert r["n_grams"] == len(grams)
+        assert r["n_distinct"] == len(c)
+        top = max(c.values()) if c else 0
+        assert r["top_gram_count"] == top
+        if grams:
+            assert abs(
+                r["dup_fraction"] - (len(grams) - len(c)) / len(grams)
+            ) < 1e-12
+        else:
+            assert r["dup_fraction"] == 0.0
+        assert abs(
+            r["top_gram_frac"]
+            - (top * 3 / len(toks) if toks else 0.0)
+        ) < 1e-12
