@@ -318,6 +318,7 @@ def levene_stats(
     group_col: str,
     value_col: str,
     center: str = "median",
+    broadcast_centers: bool = True,
 ) -> DataFrame:
     """Brown–Forsythe / Levene homogeneity-of-variance test — the
     assumption check behind every pooled-variance t/ANOVA the
@@ -330,13 +331,16 @@ def levene_stats(
     Plan: per-(feature, group) centers via one shuffle-sort of a
     two-column projection (median) or one aggregation (mean), a join
     back on the (feature, group) key, then the
-    :func:`anova_1way_stats` aggregation on |v − center|. The centers
-    join is left to AQE: its cardinality is |features|·|groups| —
-    tiny for a handful of features, but per-feature testing at scale
-    makes it millions of rows, where a forced broadcast would OOM the
-    driver (the winsorize extreme-cardinality lesson). AQE broadcasts
-    it automatically whenever it is actually small. Output =
-    anova_1way_stats schema with ``f_stat`` being Levene's W.
+    :func:`anova_1way_stats` aggregation on |v − center|.
+    ``broadcast_centers`` (default True) hints the centers join: its
+    cardinality is |features|·|groups| — a few thousand rows in
+    padua's regime (thousands of features, a handful of groups),
+    where the broadcast skips shuffling the fact side. At extreme
+    per-feature scale (millions of features) pass False and AQE
+    picks the strategy from the measured size — a forced broadcast
+    there would OOM the driver (the winsorize extreme-cardinality
+    lesson). Output = anova_1way_stats schema with ``f_stat`` being
+    Levene's W.
     """
     from padua_spark.operators.normalization import group_medians
 
@@ -348,8 +352,9 @@ def levene_stats(
         centers = df.filter(v.isNotNull()).groupBy(*keys).agg(
             F.avg(v).alias("_c")
         )
+    c_side = F.broadcast(centers) if broadcast_centers else centers
     dev = (
-        df.join(centers, on=keys, how="left")
+        df.join(c_side, on=keys, how="left")
         .withColumn("_z", F.abs(v - F.col("_c")))
     )
     return anova_1way_stats(dev, feature_cols, group_col, "_z")
