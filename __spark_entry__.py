@@ -7190,6 +7190,142 @@ def q_repeated_ngrams(spark, sf):
     )
 
 
+# --- ext: windowed heavy hitters (streaming CMS over event time) ------------
+
+
+def _windowed_hh_oracle(depth: int = 4, width: int = 256,
+                        topk: int = 3) -> str:
+    from padua_spark.extensions.dedup import _affine_constants
+
+    lines = ", ".join(
+        f"({j}, CAST({a} AS BIGINT), CAST({b} AS BIGINT))"
+        for j, (a, b) in enumerate(_affine_constants(depth))
+    )
+    return f"""
+WITH e AS (
+  SELECT (epoch_us(ts) // 86400000000) * 86400 AS ws,
+         json_extract_string(props, '$.k') AS k_key
+  FROM events WHERE json_extract_string(props, '$.k') IS NOT NULL
+),
+kh AS (
+  SELECT ws, k_key, list_reduce(
+    list_prepend(CAST(7 AS BIGINT),
+      list_transform(list_filter(string_split(k_key, ''), c -> c <> ''),
+                     c -> CAST(ord(c) AS BIGINT))),
+    (acc, c) -> (acc * 131 + c) % 2147483647) AS h
+  FROM e
+),
+lines(j, a, b) AS (VALUES {lines}),
+grid AS (
+  SELECT kh.ws, l.j, (kh.h * l.a + l.b) % 2147483647 % {width} AS bucket,
+         count(*) AS cnt
+  FROM kh, lines l GROUP BY 1, 2, 3
+),
+exact AS (SELECT ws, k_key, count(*) AS n_exact FROM e GROUP BY 1, 2),
+top AS (
+  SELECT * FROM (
+    SELECT ws, k_key, n_exact,
+      row_number() OVER (PARTITION BY ws
+                         ORDER BY n_exact DESC, k_key) AS rn
+    FROM exact
+  ) WHERE rn <= {topk}
+),
+probe AS (
+  SELECT t.ws, t.k_key, t.n_exact, l.j,
+         (h.h * l.a + l.b) % 2147483647 % {width} AS bucket
+  FROM top t
+  JOIN (SELECT DISTINCT k_key, h FROM kh) h USING (k_key), lines l
+)
+SELECT p.ws AS window_start_epoch, p.k_key, p.n_exact,
+       CAST(min(coalesce(g.cnt, 0)) AS BIGINT) AS cms_est
+FROM probe p
+LEFT JOIN grid g ON p.ws = g.ws AND p.j = g.j AND p.bucket = g.bucket
+GROUP BY 1, 2, 3
+"""
+
+
+@_q("windowed_heavy_hitters", _windowed_hh_oracle())
+def q_windowed_heavy_hitters(spark, sf):
+    """Per-day top-3 heavy hitters of the event props key with their
+    count-min estimates (streaming.windowed_cms_sketch): the sketch is
+    ONE stateful aggregation whose per-window state is capped at
+    depth·width rows regardless of key cardinality — the viable shape
+    for continuous frequency monitoring over unbounded key domains
+    (stream==batch asserted in tests/test_streaming.py). The exact
+    top-3 ranks via a per-window WindowGroupLimit; estimates join the
+    candidate keys onto the grid and take min over the depth lines.
+    The deterministic hash family makes the ESTIMATE itself
+    integer-exact cross-engine (est >= exact, the CMS guarantee)."""
+    from pyspark.sql import Window
+
+    from padua_spark.extensions.dedup import MOD, _affine_constants
+    from padua_spark.extensions.sketches import _char_poly
+    from padua_spark.streaming import windowed_cms_sketch
+
+    depth, width = 4, 256
+    e = _t(spark, sf, "events")
+    key = F.get_json_object(F.col("props"), "$.k")
+    sketch = windowed_cms_sketch(
+        e, _events_event_time(spark, sf), key,
+        depth=depth, width=width, window_duration="1 day",
+    ).select(
+        F.unix_micros(F.col("window_start")).alias("_wsu"),
+        "j", "bucket", "cnt",
+    )
+    keyed = e.where(key.isNotNull()).select(
+        _events_event_time(spark, sf).alias("_et"),
+        key.alias("k_key"),
+    )
+    exact = keyed.groupBy(
+        F.window("_et", "1 day").alias("_w"), "k_key"
+    ).agg(F.count(F.lit(1)).alias("n_exact"))
+    w = Window.partitionBy("_w").orderBy(
+        F.col("n_exact").desc(), F.col("k_key")
+    )
+    top = (
+        exact.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= 3)
+        .select(
+            F.unix_micros(F.col("_w.start")).alias("_wsu"),
+            "k_key",
+            "n_exact",
+        )
+    )
+    hashed = top.withColumn("_kh", _char_poly(F.col("k_key")))
+    probes = hashed.select(
+        "_wsu", "k_key", "n_exact",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("j"),
+                        (
+                            (F.col("_kh") * F.lit(a) + F.lit(b))
+                            % F.lit(MOD) % F.lit(width)
+                        ).alias("bucket"),
+                    )
+                    for j, (a, b) in enumerate(_affine_constants(depth))
+                ]
+            )
+        ).alias("_l"),
+    ).select(
+        "_wsu", "k_key", "n_exact",
+        F.col("_l.j").alias("j"), F.col("_l.bucket").alias("bucket"),
+    )
+    est = (
+        probes.join(sketch, on=["_wsu", "j", "bucket"], how="left")
+        .groupBy("_wsu", "k_key", "n_exact")
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("cms_est"))
+    )
+    return est.select(
+        (F.col("_wsu") / F.lit(1_000_000)).cast("long")
+        .alias("window_start_epoch"),
+        "k_key",
+        "n_exact",
+        "cms_est",
+    )
+
+
 # ---------------------------------------------------------------------------
 
 

@@ -125,6 +125,7 @@ HEADLINE = [
     "wilcoxon_signed_rank_pvalues",
     "bm25_topk",
     "repeated_ngrams",
+    "windowed_heavy_hitters",
 ]
 
 

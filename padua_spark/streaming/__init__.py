@@ -19,5 +19,6 @@ from padua_spark.streaming.windows import (  # noqa: F401
     session_window_agg,
     sliding_window_agg,
     tumbling_window_agg,
+    windowed_cms_sketch,
     windowed_value_histogram,
 )

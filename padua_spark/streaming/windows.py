@@ -326,3 +326,74 @@ def windowed_value_histogram(
         "bin",
         "n",
     )
+
+
+def windowed_cms_sketch(
+    df: DataFrame,
+    ts_col: Column,
+    key_col: Column,
+    depth: int = 4,
+    width: int = 512,
+    window_duration: str = "1 day",
+    watermark: str | None = None,
+) -> DataFrame:
+    """Per-tumbling-window count-min sketch of a key column — the
+    streaming face of :func:`padua_spark.extensions.sketches.
+    cms_token_sketch`: ONE stateful aggregation
+    (``groupBy(window, j, bucket)``), so it runs unchanged on a
+    stream (watermark bounds state) or a batch frame, and the state
+    per window is CAPPED at depth·width rows regardless of key
+    cardinality — the property that makes continuous top-k/frequency
+    monitoring viable when the key domain is unbounded (user ids,
+    tokens, URLs).
+
+    Keys are hashed with the package's deterministic char-polynomial
+    + affine family (same grid on any engine → estimates are
+    hash-checkable). NULL keys are excluded.
+
+    Output: ``(window_start, window_end, j, bucket, cnt)``. Point
+    estimates per window: join candidate keys on (j, bucket) and take
+    ``min(cnt)`` over the depth lines, as
+    :func:`padua_spark.extensions.sketches.cms_estimate` does.
+    """
+    from padua_spark.extensions.dedup import MOD, _affine_constants
+    from padua_spark.extensions.sketches import _char_poly
+
+    withts = df.where(key_col.isNotNull()).withColumn(
+        "_event_time", ts_col
+    )
+    if watermark:
+        withts = withts.withWatermark("_event_time", watermark)
+    # stage the char hash once; fan out to the depth affine lines
+    hashed = withts.select(
+        "_event_time", _char_poly(key_col).alias("_kh")
+    )
+    lines = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("j"),
+                (
+                    (F.col("_kh") * F.lit(a) + F.lit(b)) % F.lit(MOD)
+                    % F.lit(width)
+                ).alias("bucket"),
+            )
+            for j, (a, b) in enumerate(_affine_constants(depth))
+        ]
+    )
+    fanned = hashed.select(
+        "_event_time", F.explode(lines).alias("_l")
+    ).select(
+        "_event_time",
+        F.col("_l.j").alias("j"),
+        F.col("_l.bucket").alias("bucket"),
+    )
+    agg = fanned.groupBy(
+        F.window("_event_time", window_duration).alias("_w"), "j", "bucket"
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    return agg.select(
+        F.col("_w.start").alias("window_start"),
+        F.col("_w.end").alias("window_end"),
+        "j",
+        "bucket",
+        "cnt",
+    )

@@ -513,3 +513,50 @@ def test_stream_equals_batch_windowed_histogram(spark, events_dir):
     b = {r["ws"]: round(r["psi"], 9) for r in
          psi_vs_reference(bc, ref, 10, ["ws"]).collect()}
     assert a == b and len(a) > 0
+
+
+def test_stream_equals_batch_windowed_cms(spark, events_dir):
+    """The windowed count-min sketch is one stateful aggregation:
+    identical (window, j, bucket, cnt) grid on stream and batch, and
+    the per-window state is capped at depth*width rows."""
+    from padua_spark.streaming import windowed_cms_sketch
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    batch = spark.read.parquet(events_dir)
+    stream = read_event_stream(spark, events_dir, schema=batch.schema)
+    depth, width = 4, 64
+
+    def build(df):
+        return windowed_cms_sketch(
+            df,
+            event_time_col(df),
+            F.get_json_object(F.col("props"), "$.k"),
+            depth=depth,
+            width=width,
+            window_duration="1 day",
+            watermark="2 days",
+        )
+
+    q = (
+        build(stream)
+        .writeStream.format("memory")
+        .queryName("t_wincms")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(180)
+    got = {
+        (r["window_start"], r["j"], r["bucket"]): r["cnt"]
+        for r in spark.sql("SELECT * FROM t_wincms").collect()
+    }
+    exp = {
+        (r["window_start"], r["j"], r["bucket"]): r["cnt"]
+        for r in build(batch).collect()
+    }
+    assert got == exp and len(got) > 0
+    # state cap: per (window, j) at most `width` buckets
+    from collections import Counter
+
+    per_line = Counter((w, j) for (w, j, _b) in got)
+    assert max(per_line.values()) <= width
