@@ -7326,6 +7326,57 @@ def q_windowed_heavy_hitters(spark, sf):
     )
 
 
+# --- ext: train/test split leakage audit ------------------------------------
+
+
+def _leakage_oracle() -> str:
+    from padua_spark.extensions.sampling import split_assign_sql
+
+    pairs_sql = _minhash_oracle().strip()
+    split_expr = split_assign_sql(
+        "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}
+    )
+    return f"""
+WITH pairs AS ({pairs_sql}),
+asg AS (SELECT doc_id, {split_expr} AS split FROM documents)
+SELECT least(a.split, b.split) AS split_x,
+       greatest(a.split, b.split) AS split_y,
+       count(*) AS n_pairs,
+       least(a.split, b.split) <> greatest(a.split, b.split) AS leaked
+FROM pairs p
+JOIN asg a ON a.doc_id = p.id_a
+JOIN asg b ON b.doc_id = p.id_b
+GROUP BY 1, 2
+"""
+
+
+@_q("split_leakage_audit", _leakage_oracle())
+def q_split_leakage_audit(spark, sf):
+    """Near-duplicate leakage across a row-hashed train/val/test
+    split (extensions.curation.split_leakage_audit over the MinHash
+    candidate pairs + the deterministic split_assign): counts pairs
+    per unordered split combination; cross-split rows are exactly the
+    eval-contamination the audit exists to surface. The oracle reuses
+    the independently-green MinHash pair SQL and the split expression
+    twin."""
+    from padua_spark.extensions import dedup as x_dedup
+    from padua_spark.extensions.curation import split_leakage_audit
+    from padua_spark.extensions.sampling import split_assign
+
+    d = _t(spark, sf, "documents")
+    pairs = x_dedup.minhash_lsh_candidates(
+        d, "doc_id", "text", k_shingle=3, num_hashes=32, bands=8,
+        portable_keys=True,
+    )
+    assign = split_assign(
+        d, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}
+    )
+    out = split_leakage_audit(
+        assign, "doc_id", "split", pairs.select("id_a", "id_b")
+    )
+    return out.select("split_x", "split_y", "n_pairs", "leaked")
+
+
 # ---------------------------------------------------------------------------
 
 

@@ -126,6 +126,7 @@ HEADLINE = [
     "bm25_topk",
     "repeated_ngrams",
     "windowed_heavy_hitters",
+    "split_leakage_audit",
 ]
 
 

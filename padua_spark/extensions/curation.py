@@ -219,3 +219,43 @@ def filter_funnel(
     for name in names:
         kept_cond = kept_cond & F.coalesce(rules[name], F.lit(False))
     return df.where(kept_cond), report
+
+
+def split_leakage_audit(
+    assign_df: DataFrame,
+    id_col: str,
+    split_col: str,
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Train/val/test LEAKAGE audit: given a split assignment and a
+    near-duplicate candidate pair frame (MinHash/SimHash/n-gram
+    output), count duplicate pairs per unordered split combination and
+    flag the cross-split ones — the pairs that leak evaluation data
+    into training. Row-level hashing splits (``split_assign`` keyed on
+    the doc id) WILL leak near-duplicates across splits; keying the
+    split on a group column (domain, source, cluster canonical id)
+    drives the leaked count to zero — this audit is the measurement
+    that justifies the group key.
+
+    Scale shape: two broadcast-or-shuffle hash joins of the (tiny
+    relative to corpus) candidate-pair frame against the two-column
+    (id, split) projection, then one aggregation over |splits|² rows.
+    Output: ``(split_x, split_y, n_pairs, leaked)`` with
+    ``split_x <= split_y``.
+    """
+    a = assign_df.select(
+        F.col(id_col).alias(id_a), F.col(split_col).alias("_sa")
+    )
+    b = assign_df.select(
+        F.col(id_col).alias(id_b), F.col(split_col).alias("_sb")
+    )
+    joined = pairs.join(a, on=id_a).join(b, on=id_b)
+    sx = F.least(F.col("_sa"), F.col("_sb"))
+    sy = F.greatest(F.col("_sa"), F.col("_sb"))
+    return (
+        joined.groupBy(sx.alias("split_x"), sy.alias("split_y"))
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .withColumn("leaked", F.col("split_x") != F.col("split_y"))
+    )

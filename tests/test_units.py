@@ -1718,3 +1718,33 @@ def test_repeated_ngram_stats_bruteforce(spark):
             r["top_gram_frac"]
             - (top * 3 / len(toks) if toks else 0.0)
         ) < 1e-12
+
+
+def test_split_leakage_audit_group_key_eliminates_leakage(spark):
+    """Row-hashed splits leak near-duplicate pairs across splits; a
+    split keyed on the duplicate-cluster/group column cannot (both
+    pair ends share the group, hence the split) — the audit measures
+    exactly that."""
+    from padua_spark.extensions.curation import split_leakage_audit
+    from padua_spark.extensions.sampling import split_assign
+
+    # 40 docs in 20 near-dup groups of 2 (pair = the two group members)
+    docs = spark.createDataFrame(
+        [(i, i // 2) for i in range(40)], ["doc_id", "grp"]
+    )
+    pairs = spark.createDataFrame(
+        [(2 * g, 2 * g + 1) for g in range(20)], ["id_a", "id_b"]
+    )
+    frac = {"train": 0.5, "val": 0.25, "test": 0.25}
+    by_row = split_assign(docs, "doc_id", frac)
+    audit_row = split_leakage_audit(
+        by_row, "doc_id", "split", pairs
+    ).collect()
+    assert sum(r["n_pairs"] for r in audit_row) == 20
+    assert any(r["leaked"] for r in audit_row)  # row hashing leaks
+    by_grp = split_assign(docs, "grp", frac)
+    audit_grp = split_leakage_audit(
+        by_grp, "doc_id", "split", pairs
+    ).collect()
+    assert sum(r["n_pairs"] for r in audit_grp) == 20
+    assert not any(r["leaked"] for r in audit_grp)  # group key: zero
