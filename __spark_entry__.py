@@ -7377,6 +7377,104 @@ def q_split_leakage_audit(spark, sf):
     return out.select("split_x", "split_y", "n_pairs", "leaked")
 
 
+# --- ext: oracle-checkable quantized k-means (iterative ML, bit-exact) ------
+
+
+def _kmeans_oracle(k: int = 8, dims: int = 64, iters: int = 2,
+                   scale: float = 1_000_000.0) -> str:
+    term = ("(CAST(qv[d.i] AS DOUBLE)"
+            " - CAST(s[d.i] AS DOUBLE) / CAST(n AS DOUBLE))")
+    dist = (
+        "list_reduce(list_prepend(0.0, list_transform("
+        f"generate_series(1, {dims}), i -> "
+        "(CAST(qv[i] AS DOUBLE) - CAST(s[i] AS DOUBLE) / CAST(n AS DOUBLE))"
+        " * (CAST(qv[i] AS DOUBLE) - CAST(s[i] AS DOUBLE)"
+        " / CAST(n AS DOUBLE)))), (a, b) -> a + b)"
+    )
+    stages = []
+    for t in range(1, iters + 1):
+        stages.append(f"""
+asg{t} AS (
+  SELECT vec_id, qv, cl, dist FROM (
+    SELECT x.vec_id, x.qv, x.cl, x.dist,
+      row_number() OVER (PARTITION BY x.vec_id
+                         ORDER BY x.dist, x.cl) AS rn
+    FROM (
+      SELECT q.vec_id, q.qv, c.cl, {dist} AS dist
+      FROM q CROSS JOIN cent{t - 1} c
+    ) x
+  ) WHERE rn = 1
+),
+sums{t} AS (
+  SELECT a.cl, d.i, CAST(sum(a.qv[d.i]) AS BIGINT) AS sv,
+         CAST(max(cnt.n) AS BIGINT) AS nv
+  FROM asg{t} a
+  JOIN (SELECT cl, count(*) AS n FROM asg{t} GROUP BY 1) cnt USING (cl)
+  CROSS JOIN dims d
+  GROUP BY 1, 2
+),
+agg{t} AS (
+  SELECT cl, list(sv ORDER BY i) AS s_arr, max(nv) AS n_arr
+  FROM sums{t} GROUP BY 1
+),
+cent{t} AS (
+  SELECT c.cl, COALESCE(a.s_arr, c.s) AS s,
+         COALESCE(a.n_arr, c.n) AS n
+  FROM cent{t - 1} c LEFT JOIN agg{t} a USING (cl)
+)""")
+    final_dist = dist
+    return (
+        f"""
+WITH q AS (
+  SELECT vec_id,
+    list_transform(CAST(embedding AS DOUBLE[]),
+                   x -> CAST(round(x * {scale!r}) AS BIGINT)) AS qv
+  FROM embeddings
+),
+dims AS (SELECT unnest(generate_series(1, {dims})) AS i),
+cent0 AS (
+  SELECT row_number() OVER (ORDER BY vec_id) AS cl, qv AS s,
+         CAST(1 AS BIGINT) AS n
+  FROM (SELECT * FROM q ORDER BY vec_id LIMIT {k})
+),"""
+        + ",".join(stages)
+        + f"""
+SELECT x.vec_id, CAST(x.cl AS BIGINT) AS cluster,
+       round(sqrt(x.dist), 6) AS dist
+FROM (
+  SELECT q.vec_id, c.cl, {final_dist} AS dist,
+    row_number() OVER (PARTITION BY q.vec_id
+                       ORDER BY {final_dist}, c.cl) AS rn
+  FROM q CROSS JOIN cent{iters} c
+) x WHERE x.rn = 1
+"""
+    )
+
+
+@_q("kmeans_assign", _kmeans_oracle())
+def q_kmeans_assign(spark, sf):
+    """Quantized Lloyd's k-means over the embeddings corpus — the
+    iterative-ML flagship whose REFINED iterations are hash-gated
+    (similarity.kmeans_quantized): int64 micro-unit vectors make
+    centroid sums order-free integer aggregations, and distances fold
+    sequentially, so assignments and centroids are bit-identical
+    across engines at every iteration (ivf_centroids documents raw
+    float Lloyd means as engine-local; this is the engine-exact
+    construction). k=8 deterministic smallest-id seeds, 2 refinement
+    iterations; output = final (vec_id, cluster, dist)."""
+    from padua_spark.extensions.similarity import kmeans_quantized
+
+    e = _t(spark, sf, "embeddings")
+    out = kmeans_quantized(
+        e, "vec_id", "embedding", k=8, n_iter=2
+    )
+    return out.select(
+        "vec_id",
+        F.col("cluster").cast("long").alias("cluster"),
+        _r("dist").alias("dist"),
+    )
+
+
 # ---------------------------------------------------------------------------
 
 

@@ -127,6 +127,7 @@ HEADLINE = [
     "repeated_ngrams",
     "windowed_heavy_hitters",
     "split_leakage_audit",
+    "kmeans_assign",
 ]
 
 

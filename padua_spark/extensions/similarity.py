@@ -692,3 +692,124 @@ def random_projection(
         ).alias("proj"),
         F.size("_e").alias("in_dims"),
     )
+
+
+def kmeans_quantized(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 8,
+    n_iter: int = 2,
+    scale: float = 1_000_000.0,
+) -> DataFrame:
+    """Distributed Lloyd's k-means whose EVERY iteration is
+    bit-reproducible across engines — the oracle-checkable refinement
+    that :func:`ivf_centroids` documents as impossible for raw float
+    means.
+
+    The trick is the package's exact-arithmetic discipline: vectors
+    are quantized once to int64 micro-units (``round(x·scale)`` —
+    exact for float32 inputs), so per-(cluster, dim) centroid sums
+    are ORDER-FREE integer aggregations, and each centroid dimension
+    is the exact rational ``sum/n`` evaluated in one IEEE division.
+    Squared distances fold sequentially over the dimension array
+    (``F.aggregate`` left fold == DuckDB ``list_reduce`` left fold),
+    so distances, argmin assignments (ties → lowest cluster id), and
+    therefore the NEXT integer sums are bit-identical on any engine,
+    by induction over iterations.
+
+    Seeding: the vectors of the ``k`` smallest ids (deterministic, no
+    RNG), cluster ids 1..k in id order. Empty clusters keep their
+    previous centroid. Per iteration the cluster stats collected to
+    the driver are k·dims integers (tiny — the convergence-scalar
+    pattern); the corpus itself is never collected and never
+    shuffled except the one stats aggregation per iteration.
+
+    Output: ``(id, cluster, dist)`` — final assignment with its
+    quantized-unit distance (micro-units; divide by ``scale`` for
+    input units).
+    """
+    q = df.select(
+        F.col(id_col),
+        F.transform(
+            _as_double(F.col(vec_col)),
+            lambda x: F.round(x * F.lit(scale)).cast("long"),
+        ).alias("_q"),
+    )
+    from pyspark import StorageLevel
+
+    from padua_spark.io_utils import track_cached
+
+    q = q.persist(StorageLevel.MEMORY_AND_DISK)
+    seeds = q.orderBy(id_col).limit(k).collect()
+    # state: [(cluster, [int sums per dim], n_members)]
+    cents = [
+        (c + 1, [int(v) for v in row["_q"]], 1)
+        for c, row in enumerate(seeds)
+    ]
+
+    def _assign(state):
+        arr = F.array(
+            *[
+                F.struct(
+                    F.lit(cl).alias("cl"),
+                    F.array(
+                        *[F.lit(float(s) / float(n)) for s in sums]
+                    ).alias("m"),
+                )
+                for cl, sums, n in state
+            ]
+        )
+        scored = q.withColumn("_cents", arr)
+        best = F.array_min(
+            F.transform(
+                F.col("_cents"),
+                lambda c: F.struct(
+                    F.aggregate(
+                        F.zip_with(
+                            F.col("_q"),
+                            c["m"],
+                            lambda xi, mi: (xi.cast("double") - mi)
+                            * (xi.cast("double") - mi),
+                        ),
+                        F.lit(0.0),
+                        lambda acc, e: acc + e,
+                    ).alias("dist"),
+                    c["cl"].alias("cl"),
+                ),
+            )
+        )
+        return scored.select(
+            id_col, "_q",
+            best["cl"].alias("cluster"),
+            F.sqrt(best["dist"]).alias("dist"),
+        )
+
+    for _ in range(n_iter):
+        assigned = _assign(cents)
+        stats = (
+            assigned.select(
+                "cluster", F.posexplode("_q").alias("_d", "_x")
+            )
+            .groupBy("cluster", "_d")
+            .agg(F.sum("_x").alias("_s"), F.count(F.lit(1)).alias("_n"))
+            .collect()
+        )
+        by_cl: dict[int, dict] = {}
+        for r in stats:
+            e = by_cl.setdefault(
+                r["cluster"], {"n": r["_n"], "s": {}}
+            )
+            e["s"][r["_d"]] = int(r["_s"])
+        cents = [
+            (
+                cl,
+                [by_cl[cl]["s"][d] for d in sorted(by_cl[cl]["s"])]
+                if cl in by_cl
+                else sums,
+                by_cl[cl]["n"] if cl in by_cl else n,
+            )
+            for cl, sums, n in cents
+        ]
+    out = _assign(cents).select(id_col, "cluster", "dist")
+    return track_cached(out, q)

@@ -1748,3 +1748,38 @@ def test_split_leakage_audit_group_key_eliminates_leakage(spark):
     ).collect()
     assert sum(r["n_pairs"] for r in audit_grp) == 20
     assert not any(r["leaked"] for r in audit_grp)  # group key: zero
+
+
+def test_kmeans_quantized_planted_clusters(spark):
+    """kmeans_quantized recovers planted clusters, and its output is
+    invariant under input repartitioning (the bit-reproducibility
+    claim: integer centroid sums are order-free, distances fold
+    sequentially)."""
+    from padua_spark.extensions.similarity import kmeans_quantized
+
+    # two tight planted groups far apart; seeds = ids 0 and 1, one in
+    # each group so Lloyd converges immediately
+    rows = []
+    for i in range(20):
+        base = 0.0 if i % 2 == 0 else 10.0
+        rows.append((i, [base + 0.01 * (i % 5), base, base + 0.02]))
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = {
+        r["vec_id"]: r["cluster"]
+        for r in kmeans_quantized(
+            df, "vec_id", "embedding", k=2, n_iter=2
+        ).collect()
+    }
+    evens = {out[i] for i in range(0, 20, 2)}
+    odds = {out[i] for i in range(1, 20, 2)}
+    assert len(evens) == 1 and len(odds) == 1 and evens != odds
+    # partitioning invariance: identical rows, different layout
+    shuffled = df.repartition(7, "vec_id")
+    out2 = {
+        r["vec_id"]: (r["cluster"], r["dist"])
+        for r in kmeans_quantized(
+            shuffled, "vec_id", "embedding", k=2, n_iter=2
+        ).collect()
+    }
+    for i in range(20):
+        assert out2[i][0] == out[i]
