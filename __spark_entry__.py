@@ -7475,6 +7475,67 @@ def q_kmeans_assign(spark, sf):
     )
 
 
+# --- ext: embedding-space eval — label-agreement precision@k ----------------
+
+
+@_q(
+    "retrieval_precision",
+    """
+WITH q AS (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv, label
+  FROM embeddings WHERE vec_id < 20
+),
+c AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv, label
+  FROM embeddings WHERE vec_id >= 20
+),
+s AS (
+  SELECT q.query_id, q.label AS qlabel, c.vec_id, c.label AS nlabel,
+    list_dot_product(c.cv, q.qv)
+    / (sqrt(list_dot_product(c.cv, c.cv))
+       * sqrt(list_dot_product(q.qv, q.qv))) AS cosine_sim
+  FROM c, q
+),
+top AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY query_id ORDER BY cosine_sim DESC, vec_id
+    ) AS rn FROM s
+  ) WHERE rn <= 5
+)
+SELECT query_id, CAST(qlabel AS INT) AS label,
+       CAST(sum(CASE WHEN nlabel = qlabel THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_same_label,
+       round(CAST(sum(CASE WHEN nlabel = qlabel THEN 1 ELSE 0 END)
+                  AS DOUBLE) / 5.0, 6) AS precision
+FROM top GROUP BY 1, 2
+""",
+)
+def q_retrieval_precision(spark, sf):
+    """Embedding-space intrinsic eval (similarity.
+    retrieval_precision_at_k): for 20 held-out query vectors, the
+    fraction of their 5 exact nearest corpus neighbors sharing the
+    query's label — the quality gate before trusting ANN-driven
+    curation decisions. The kNN core is the broadcast-block +
+    WindowGroupLimit plan of knn_join; the labels add two small joins
+    and a k-row-per-query aggregation."""
+    from padua_spark.extensions.similarity import (
+        retrieval_precision_at_k,
+    )
+
+    emb = _t(spark, sf, "embeddings")
+    out = retrieval_precision_at_k(
+        emb.filter(F.col("vec_id") >= 20), "vec_id", "embedding",
+        "label",
+        emb.filter(F.col("vec_id") < 20),
+        k=5,
+    )
+    return out.select(
+        "query_id", "label", "n_same_label",
+        _r("precision").alias("precision"),
+    )
+
+
 # ---------------------------------------------------------------------------
 
 

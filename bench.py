@@ -128,6 +128,7 @@ HEADLINE = [
     "windowed_heavy_hitters",
     "split_leakage_audit",
     "kmeans_assign",
+    "retrieval_precision",
 ]
 
 

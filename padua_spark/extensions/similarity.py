@@ -813,3 +813,50 @@ def kmeans_quantized(
         ]
     out = _assign(cents).select(id_col, "cluster", "dist")
     return track_cached(out, q)
+
+
+def retrieval_precision_at_k(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    label_col: str,
+    queries: DataFrame,
+    k: int = 10,
+) -> DataFrame:
+    """Label-agreement precision@k — the standard intrinsic eval for
+    an embedding space over a labeled corpus (and the quality gate to
+    run before trusting ANN-based dedup/curation decisions): for each
+    query row, the fraction of its ``k`` exact nearest neighbors (by
+    cosine, self excluded via the caller's corpus/query split)
+    sharing the query's label.
+
+    Plan shape: :func:`knn_join` does the heavy lifting (broadcast
+    query block, map-side WindowGroupLimit top-k — the corpus is
+    never shuffled by anything vector-ish); this adds two label
+    lookups (one broadcast-size join per side) and a per-query
+    aggregation over k rows. Output:
+    ``(query_id, label, n_same_label, precision)``.
+    """
+    nn = knn_join(
+        corpus, id_col, vec_col, queries, id_col, vec_col, k=k
+    )
+    q_lab = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(label_col).alias("label"),
+    )
+    c_lab = corpus.select(
+        F.col(id_col).alias(id_col),
+        F.col(label_col).alias("_nlabel"),
+    )
+    joined = nn.join(F.broadcast(q_lab), on="query_id").join(
+        c_lab, on=id_col
+    )
+    same = F.when(F.col("_nlabel") == F.col("label"), 1).otherwise(0)
+    return (
+        joined.groupBy("query_id", "label")
+        .agg(F.sum(same).cast("long").alias("n_same_label"))
+        .withColumn(
+            "precision",
+            F.col("n_same_label").cast("double") / F.lit(float(k)),
+        )
+    )

@@ -370,6 +370,8 @@ def test_no_cartesian_products_anywhere(spark):
         # 1-row corpus stats (N, avgdl) broadcast onto the |q|-row
         # document-frequency table
         "bm25_topk",
+        # knn_join's one-row broadcast query block (same as knn_join)
+        "retrieval_precision",
     }
     bad = {}
     for name, fn in em.queries().items():
