@@ -860,3 +860,73 @@ def retrieval_precision_at_k(
             F.col("n_same_label").cast("double") / F.lit(float(k)),
         )
     )
+
+
+def write_ivf_partitioned(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    path: str,
+    n_cells: int = 16,
+    n_iter: int = 0,
+    mode: str = "overwrite",
+) -> DataFrame:
+    """Materialize the corpus AT REST partitioned by its IVF cell —
+    the storage layout the in-memory :func:`ivf_topk` docstring
+    promises for 100 TB: one parquet subdirectory per Voronoi cell,
+    so a probe query's ``cell IN (...)`` predicate becomes PARTITION
+    PRUNING and only nprobe/n_cells of the corpus bytes are ever
+    opened (asserted via the scan's PartitionFilters + input-file
+    subset in tests/test_units.py).
+
+    Returns the (cell, centroid) table used for the assignment —
+    persist it next to the data; probes need it to choose cells.
+    """
+    cents = ivf_centroids(df, id_col, vec_col, n_cells, n_iter)
+    assigned = ivf_assign(df, id_col, vec_col, cents)
+    out = assigned.join(
+        df.select(F.col(id_col), F.col(vec_col)), on=id_col
+    ).select(id_col, vec_col, "cell")
+    out.write.mode(mode).partitionBy("cell").parquet(path)
+    return cents
+
+
+def ivf_topk_at_rest(
+    spark,
+    path: str,
+    centroids: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query: list[float],
+    k: int = 10,
+    nprobe: int = 4,
+) -> DataFrame:
+    """Probe a :func:`write_ivf_partitioned` layout: choose the
+    ``nprobe`` best cells DRIVER-side from the tiny centroid table
+    (so the cell predicate is a literal IN-list the reader can prune
+    partitions with — a lazy join would defeat static pruning), then
+    brute-force cosine only inside those subdirectories."""
+    q = F.array(*[F.lit(float(x)) for x in query])
+    qn = _query_norm(query)
+    probe_rows = (
+        centroids.select(
+            "cell",
+            (
+                dot(F.col("_c"), q) / (l2_norm(F.col("_c")) * F.lit(qn))
+            ).alias("_qcos"),
+        )
+        .orderBy(F.col("_qcos").desc(), F.col("cell").asc())
+        .limit(nprobe)
+        .collect()
+    )
+    cells = [int(r["cell"]) for r in probe_rows]
+    corpus = spark.read.parquet(path).where(F.col("cell").isin(cells))
+    v = _as_double(F.col(vec_col))
+    scored = corpus.select(
+        F.col(id_col),
+        F.col("cell"),
+        (dot(v, q) / (l2_norm(v) * F.lit(qn))).alias("cosine_sim"),
+    )
+    return scored.orderBy(
+        F.col("cosine_sim").desc(), F.col(id_col).asc()
+    ).limit(k)

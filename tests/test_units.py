@@ -1783,3 +1783,65 @@ def test_kmeans_quantized_planted_clusters(spark):
     }
     for i in range(20):
         assert out2[i][0] == out[i]
+
+
+def test_ivf_at_rest_partition_pruning(spark, tmp_path):
+    """write_ivf_partitioned + ivf_topk_at_rest: the probe's literal
+    cell predicate becomes PARTITION pruning — the scan's partition
+    filters appear in the plan, only nprobe cell subdirectories are
+    read, and the result equals the in-memory ivf_topk on the same
+    corpus/centroids."""
+    import os
+
+    from padua_spark.extensions.similarity import (
+        ivf_topk,
+        ivf_topk_at_rest,
+        write_ivf_partitioned,
+    )
+
+    from tests.conftest import SF_ORACLE
+
+    emb = spark.read.parquet(f"{SF_ORACLE}/embeddings.parquet")
+    path = str(tmp_path / "ivf_corpus")
+    cents = write_ivf_partitioned(
+        emb, "vec_id", "embedding", path, n_cells=8
+    )
+    # one subdirectory per non-empty cell
+    cell_dirs = [d for d in os.listdir(path) if d.startswith("cell=")]
+    assert 1 < len(cell_dirs) <= 8
+    query = [float((i * 7) % 13) / 13.0 for i in range(64)]
+    at_rest = ivf_topk_at_rest(
+        spark, path, cents, "vec_id", "embedding", query,
+        k=5, nprobe=2,
+    )
+    got = [(r["vec_id"], round(r["cosine_sim"], 9))
+           for r in at_rest.collect()]
+    plan = at_rest._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan
+
+    def _scan_metrics(df):
+        scan = (
+            df._jdf.queryExecution().executedPlan()
+            .collectLeaves().apply(0)
+        )
+        it = scan.metrics().iterator()
+        vals = {}
+        while it.hasNext():
+            kv = it.next()
+            vals[str(kv._1())] = kv._2().value()
+        return vals
+
+    # the reader opened files from at most nprobe of the cell dirs
+    # (inputFiles() lists the unpruned relation — use scan metrics)
+    pruned = _scan_metrics(at_rest)
+    full = spark.read.parquet(path)
+    full.collect()
+    assert pruned["numPartitions"] <= 2 < _scan_metrics(full)[
+        "numPartitions"
+    ]
+    exp_df = ivf_topk(
+        emb, "embedding", "vec_id", query, k=5, n_cells=8, nprobe=2
+    )
+    exp = [(r["vec_id"], round(r["cosine_sim"], 9))
+           for r in exp_df.collect()]
+    assert got == exp
