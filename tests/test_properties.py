@@ -1018,3 +1018,70 @@ def test_repeated_ngram_stats_matches_counter(spark, docs, n):
             else 0.0
         )
         assert abs(r["top_gram_frac"] - tf) < 1e-12
+
+
+@SPARK_SETTINGS
+@given(
+    vecs=hst.lists(
+        hst.lists(
+            hst.integers(-5, 5), min_size=3, max_size=3
+        ),
+        min_size=3,
+        max_size=14,
+    ),
+    k=hst.integers(2, 3),
+)
+def test_kmeans_quantized_matches_pure_python(spark, vecs, k):
+    """kmeans_quantized equals a direct pure-Python replica of its
+    contract (quantize -> smallest-id seeds -> 2 Lloyd iterations with
+    exact integer sums, sequential-fold distances, lowest-cluster tie
+    break, empty clusters keep centroids) on random tiny corpora."""
+    k = min(k, len(vecs))
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    from padua_spark.extensions.similarity import kmeans_quantized
+
+    got = {
+        r["vec_id"]: (r["cluster"], r["dist"])
+        for r in kmeans_quantized(
+            df, "vec_id", "embedding", k=k, n_iter=2
+        ).collect()
+    }
+    # pure-python replica
+    q = {i: [round(x * 1_000_000) for x in v] for i, (_, v) in
+         enumerate(rows)}
+    cents = {c + 1: (list(q[c]), 1) for c in range(k)}
+
+    def assign(state):
+        out = {}
+        for i, qv in q.items():
+            best = None
+            for cl in sorted(state):
+                s, n = state[cl]
+                d = 0.0
+                for xi, si in zip(qv, s):
+                    e = float(xi) - si / n
+                    d += e * e
+                cand = (d, cl)
+                if best is None or cand < best:
+                    best = cand
+            out[i] = best
+        return out
+
+    for _ in range(2):
+        a = assign(cents)
+        sums: dict = {}
+        for i, (_d, cl) in a.items():
+            e = sums.setdefault(cl, ([0] * 3, 0))
+            s, n = e
+            sums[cl] = ([x + y for x, y in zip(s, q[i])], n + 1)
+        cents = {
+            cl: sums.get(cl, cents[cl]) for cl in cents
+        }
+    final = assign(cents)
+    import math
+
+    for i in q:
+        d, cl = final[i]
+        assert got[i][0] == cl, (i, got[i], final[i])
+        assert abs(got[i][1] - math.sqrt(d)) < 1e-9
