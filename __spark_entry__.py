@@ -7536,6 +7536,103 @@ def q_retrieval_precision(spark, sf):
     )
 
 
+# --- ext: exact small-sample Wilcoxon p (combinatorial DP, oracle-gated) ----
+
+
+@_q(
+    "wilcoxon_exact_small",
+    """
+WITH RECURSIVE pp AS (
+  SELECT l_orderkey AS pair,
+         avg(CASE WHEN l_linenumber % 2 = 1 THEN l_extendedprice END) AS va,
+         avg(CASE WHEN l_linenumber % 2 = 0 THEN l_extendedprice END) AS vb
+  FROM lineitem WHERE l_orderkey % 599 = 0 GROUP BY 1
+),
+d AS (
+  SELECT va - vb AS d FROM pp
+  WHERE va IS NOT NULL AND vb IS NOT NULL AND va - vb <> 0
+),
+per AS (
+  SELECT abs(d) AS v,
+    count(*) FILTER (d > 0) AS ca,
+    count(*) FILTER (d < 0) AS cb
+  FROM d GROUP BY abs(d)
+),
+stepped AS (
+  SELECT ca, cb, ca + cb AS cnt,
+    sum(ca + cb) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+      - (ca + cb) AS before
+  FROM per
+),
+agg AS (
+  SELECT CAST(sum(ca * (2 * before + cnt + 1)) AS BIGINT) AS w2_plus,
+         CAST(sum(ca) + sum(cb) AS BIGINT) AS n_nonzero,
+         CAST(sum(cnt * cnt * cnt - cnt) AS BIGINT) AS tie_term
+  FROM stepped
+),
+dp AS (
+  SELECT 0 AS k,
+    [CAST(1 AS BIGINT)] || list_transform(
+      generate_series(1, CAST((SELECT n_nonzero * (n_nonzero + 1) // 2
+                               FROM agg) AS INT)),
+      x -> CAST(0 AS BIGINT)) AS c
+  UNION ALL
+  SELECT k + 1,
+    list_transform(generate_series(0, len(c) - 1),
+      w -> c[w + 1] + CASE WHEN w - (k + 1) >= 0
+                           THEN c[w - k] ELSE CAST(0 AS BIGINT) END)
+  FROM dp WHERE k < (SELECT n_nonzero FROM agg)
+),
+fdp AS (SELECT c FROM dp ORDER BY k DESC LIMIT 1)
+SELECT a.w2_plus, a.n_nonzero, a.tie_term,
+  round(CASE WHEN a.tie_term = 0 THEN
+    least(1.0,
+      2.0 * CAST(list_sum(list_slice(f.c, 1,
+        CAST(least(a.w2_plus // 2,
+                   a.n_nonzero * (a.n_nonzero + 1) // 2
+                   - a.w2_plus // 2) AS INT) + 1)) AS DOUBLE)
+      / pow(2.0, a.n_nonzero))
+  END, 9) AS p_exact
+FROM agg a, fdp f
+""",
+)
+def q_wilcoxon_exact_small(spark, sf):
+    """EXACT Wilcoxon signed-rank p on a small tie-free paired subset
+    (every ~599th order, n = 19 pairs at sf0.01): the doubled rank
+    sums come from the distributed stats operator, then the exact null
+    distribution of W+ is the generating-function DP
+    (stats.wilcoxon_exact_p — driver-side over a single collected
+    row, the convergence-scalar pattern). The oracle computes the SAME
+    combinatorial distribution as a recursive-CTE DP over the rank
+    counts — an exact finite distribution gated in SQL, not a rounded
+    approximation (scipy's small-n exact mode, reference-adjacent to
+    analysis.py:467-498's test battery)."""
+    from padua_spark.operators.stats import (
+        wilcoxon_exact_p,
+        wilcoxon_signed_rank_stats,
+    )
+
+    li = _t(spark, sf, "lineitem").where(
+        F.col("l_orderkey") % 599 == 0
+    ).withColumn("cond", F.col("l_linenumber") % 2)
+    row = wilcoxon_signed_rank_stats(
+        li, ["l_orderkey"], "cond", "l_extendedprice", 1, 0
+    ).collect()[0]
+    w2, n, tie = row["w2_plus"], row["n_nonzero"], row["tie_term"]
+    p = (
+        wilcoxon_exact_p(w2 / 2.0, int(n)) if tie == 0 else None
+    )
+    out = spark.createDataFrame(
+        [(int(w2), int(n), int(tie), p)],
+        "w2_plus bigint, n_nonzero bigint, tie_term bigint, "
+        "p_exact double",
+    )
+    return out.select(
+        "w2_plus", "n_nonzero", "tie_term",
+        _r(F.col("p_exact"), 9).alias("p_exact"),
+    )
+
+
 # ---------------------------------------------------------------------------
 
 

@@ -129,6 +129,7 @@ HEADLINE = [
     "split_leakage_audit",
     "kmeans_assign",
     "retrieval_precision",
+    "wilcoxon_exact_small",
 ]
 
 
