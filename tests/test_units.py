@@ -1845,3 +1845,37 @@ def test_ivf_at_rest_partition_pruning(spark, tmp_path):
     exp = [(r["vec_id"], round(r["cosine_sim"], 9))
            for r in exp_df.collect()]
     assert got == exp
+
+
+def test_bm25_and_repetition_scale_probe(spark):
+    """Scale probe at 8x the documents corpus (synthesized): a planted
+    query-term-stuffed doc ranks first under BM25, and a planted
+    looping doc is flagged by the repetition signal while clean docs
+    are not — behavior holds when the corpus grows."""
+    from padua_spark.extensions.quality import repeated_ngram_stats
+    from padua_spark.extensions.text import bm25_topk
+
+    n = 4000  # ~8x the sf0.01 documents table
+    base = spark.range(n).selectExpr(
+        "id AS doc_id",
+        "concat('filler words number ', id, ' more padding text "
+        "about row batch scan sort') AS text",
+    )
+    planted = spark.createDataFrame(
+        [
+            (n, "hash join hash join hash join filter scan hash"),
+            (n + 1, " ".join(["loop the loop"] * 30)),
+        ],
+        ["doc_id", "text"],
+    )
+    docs = base.unionByName(planted)
+    top = bm25_topk(docs, "doc_id", "text", "hash join", k=3).collect()
+    assert top[0]["doc_id"] == n  # stuffed doc wins
+    rep = {
+        r["doc_id"]: r["dup_fraction"]
+        for r in repeated_ngram_stats(docs, "doc_id", "text", n=3)
+        .where(F.col("doc_id").isin([0, 1, n + 1]))
+        .collect()
+    }
+    assert rep[n + 1] > 0.9  # the loop is nearly all repeats
+    assert rep[0] == 0.0 and rep[1] == 0.0
