@@ -4996,9 +4996,7 @@ def q_gopher_quality(spark, sf):
 # --- ext: fastText-style hashed linear classifier score ---------------------
 
 
-@_q(
-    "quality_classifier",
-    """
+_QUALITY_CLASSIFIER_ORACLE = """
 WITH th AS (
   SELECT doc_id,
     list_transform(string_split(lower(text), ' '), w -> list_reduce(
@@ -5024,8 +5022,10 @@ g AS (
 SELECT doc_id, n_tokens, weight_sum, round(margin, 6) AS margin,
   round(1.0 / (1.0 + exp(-margin)), 6) AS prob
 FROM g
-""",
-)
+"""
+
+
+@_q("quality_classifier", _QUALITY_CLASSIFIER_ORACLE)
 def q_quality_classifier(spark, sf):
     from padua_spark.extensions.quality import hashed_classifier_score
 
@@ -7630,6 +7630,148 @@ def q_wilcoxon_exact_small(spark, sf):
     return out.select(
         "w2_plus", "n_nonzero", "tie_term",
         _r(F.col("p_exact"), 9).alias("p_exact"),
+    )
+
+
+# --- ext: classifier calibration + filter agreement (curation QA) -----------
+
+
+def _calibration_oracle() -> str:
+    return f"""
+WITH qc AS ({_QUALITY_CLASSIFIER_ORACLE.strip()}),
+lab AS (
+  SELECT doc_id,
+    CASE WHEN len(list_filter(
+      regexp_split_to_array(trim(lower(text)), '\\s+'),
+      x -> x <> '')) >= 40 THEN 1 ELSE 0 END AS y
+  FROM documents
+),
+j AS (
+  SELECT least(9, CAST(floor(qc.prob * 10) AS INT)) AS bin,
+         CAST(round(qc.prob * 1000000) AS BIGINT) AS pm,
+         lab.y
+  FROM qc JOIN lab USING (doc_id)
+)
+SELECT bin, count(*) AS n,
+  round(CAST(sum(pm) AS DOUBLE)
+        / (count(*) * 1000000.0), 9) AS mean_predicted,
+  round(CAST(sum(y) AS DOUBLE) / count(*), 9) AS observed_rate
+FROM j GROUP BY bin
+"""
+
+
+@_q("classifier_calibration", _calibration_oracle())
+def q_classifier_calibration(spark, sf):
+    """Reliability bins for the hashed quality classifier against the
+    length-rule label (extensions.quality.calibration_bins): the
+    calibration check before using classifier scores as curation
+    weights. One conditional aggregation; mean predicted probability
+    via exact integer micro-units so no float-summation order can
+    touch the hash. The classifier prob CTE is the SAME SQL as the
+    independently-green quality_classifier gate."""
+    from padua_spark.extensions.quality import (
+        calibration_bins,
+        hashed_classifier_score,
+    )
+    from padua_spark.extensions.text import tokens
+
+    d = _t(spark, sf, "documents")
+    scored = hashed_classifier_score(d, "text", n_buckets=1024).select(
+        "doc_id", "prob"
+    )
+    lab = d.select(
+        "doc_id",
+        (
+            F.size(
+                F.filter(
+                    tokens(F.lower(F.col("text"))), lambda x: x != ""
+                )
+            )
+            >= 40
+        ).cast("int").alias("y"),
+    )
+    out = calibration_bins(
+        scored.join(lab, on="doc_id"), "prob", "y", n_bins=10
+    )
+    return out.select(
+        F.col("bin").cast("long").alias("bin"),
+        "n",
+        _r(F.col("mean_predicted"), 9).alias("mean_predicted"),
+        _r(F.col("observed_rate"), 9).alias("observed_rate"),
+    )
+
+
+def _kappa_oracle() -> str:
+    return f"""
+WITH qc AS ({_QUALITY_CLASSIFIER_ORACLE.strip()}),
+r AS (
+  SELECT CASE WHEN qc.prob >= 0.5 THEN 1 ELSE 0 END AS a,
+    CASE WHEN len(list_filter(
+      regexp_split_to_array(trim(lower(d.text)), '\\s+'),
+      x -> x <> '')) >= 40 THEN 1 ELSE 0 END AS b
+  FROM qc JOIN documents d USING (doc_id)
+),
+c AS (
+  SELECT count(*) AS n,
+    count(*) FILTER (a = 0 AND b = 0) AS n00,
+    count(*) FILTER (a = 0 AND b = 1) AS n01,
+    count(*) FILTER (a = 1 AND b = 0) AS n10,
+    count(*) FILTER (a = 1 AND b = 1) AS n11
+  FROM r
+)
+SELECT n, n00, n01, n10, n11,
+  round(CAST(n00 + n11 AS DOUBLE) / n, 9) AS p_observed,
+  round(CASE WHEN
+      (CAST(n00 + n01 AS DOUBLE) * CAST(n00 + n10 AS DOUBLE)
+       + CAST(n10 + n11 AS DOUBLE) * CAST(n01 + n11 AS DOUBLE))
+      / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) < 1.0
+    THEN (CAST(n00 + n11 AS DOUBLE) / n
+          - (CAST(n00 + n01 AS DOUBLE) * CAST(n00 + n10 AS DOUBLE)
+             + CAST(n10 + n11 AS DOUBLE) * CAST(n01 + n11 AS DOUBLE))
+            / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+         / (1.0 - (CAST(n00 + n01 AS DOUBLE) * CAST(n00 + n10 AS DOUBLE)
+                   + CAST(n10 + n11 AS DOUBLE)
+                     * CAST(n01 + n11 AS DOUBLE))
+                  / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+  END, 9) AS kappa
+FROM c
+"""
+
+
+@_q("filter_agreement_kappa", _kappa_oracle())
+def q_filter_agreement_kappa(spark, sf):
+    """Cohen's kappa between the hashed classifier's 0.5-threshold
+    decision and the cheap length rule
+    (extensions.quality.cohens_kappa) — the chance-corrected
+    agreement statistic for 'can the cheap filter replace the
+    expensive one'. Exact integer confusion cells; kappa is one
+    closed-form rational both engines evaluate identically."""
+    from padua_spark.extensions.quality import (
+        cohens_kappa,
+        hashed_classifier_score,
+    )
+    from padua_spark.extensions.text import tokens
+
+    d = _t(spark, sf, "documents")
+    scored = hashed_classifier_score(d, "text", n_buckets=1024).select(
+        "doc_id", (F.col("prob") >= 0.5).cast("int").alias("a")
+    )
+    lab = d.select(
+        "doc_id",
+        (
+            F.size(
+                F.filter(
+                    tokens(F.lower(F.col("text"))), lambda x: x != ""
+                )
+            )
+            >= 40
+        ).cast("int").alias("b"),
+    )
+    out = cohens_kappa(scored.join(lab, on="doc_id"), "a", "b")
+    return out.select(
+        "n", "n00", "n01", "n10", "n11",
+        _r(F.col("p_observed"), 9).alias("p_observed"),
+        _r(F.col("kappa"), 9).alias("kappa"),
     )
 
 

@@ -130,6 +130,8 @@ HEADLINE = [
     "kmeans_assign",
     "retrieval_precision",
     "wilcoxon_exact_small",
+    "classifier_calibration",
+    "filter_agreement_kappa",
 ]
 
 

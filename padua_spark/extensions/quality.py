@@ -431,3 +431,88 @@ def repeated_ngram_stats(
             / F.col("_ntok").cast("double"),
         ).otherwise(F.lit(0.0)).alias("top_gram_frac"),
     )
+
+
+def calibration_bins(
+    df: DataFrame,
+    prob_col: str,
+    label_col: str,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Reliability diagram data for a probabilistic quality classifier:
+    bucket predictions into ``n_bins`` equal-width probability bins
+    and report per-bin count, mean predicted probability, and observed
+    positive rate — the calibration check to run before using a
+    classifier's scores as sampling weights or thresholds in a
+    curation pipeline (a mis-calibrated filter silently reshapes the
+    corpus).
+
+    ONE conditional aggregation over a scan (bin index is a closed-form
+    expression, prob 1.0 clamps into the top bin); integer counts and
+    sums-of-rounded-micro-probs keep the surface exactly
+    cross-engine-checkable. Output:
+    ``(bin, n, mean_predicted, observed_rate)``.
+    """
+    p = F.col(prob_col).cast("double")
+    y = F.col(label_col).cast("int")
+    bin_idx = F.least(
+        F.lit(n_bins - 1), F.floor(p * F.lit(n_bins)).cast("int")
+    )
+    # exact integer micro-units: the mean is a single division of an
+    # order-free integer sum (float sums would be order-dependent)
+    p_micro = F.round(p * F.lit(1_000_000)).cast("long")
+    return (
+        df.where(p.isNotNull() & y.isNotNull())
+        .groupBy(bin_idx.alias("bin"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (
+                F.sum(p_micro).cast("double")
+                / (F.count(F.lit(1)) * F.lit(1_000_000)).cast("double")
+            ).alias("mean_predicted"),
+            (
+                F.sum(y).cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("observed_rate"),
+        )
+    )
+
+
+def cohens_kappa(
+    df: DataFrame,
+    rater_a: str,
+    rater_b: str,
+) -> DataFrame:
+    """Cohen's kappa agreement between two binary judgments (two
+    filter rules, a heuristic vs a classifier, two annotators) —
+    chance-corrected agreement ``κ = (p_o − p_e)/(1 − p_e)``. The
+    standard QA statistic when deciding whether a cheap filter can
+    replace an expensive one in a curation pipeline.
+
+    ONE conditional-count aggregation: the four confusion cells stay
+    exact integers, κ is closed-form from them (both engines evaluate
+    the identical rational expression). Output 1 row:
+    ``(n, n00, n01, n10, n11, p_observed, kappa)``.
+    """
+    a = F.col(rater_a).cast("int")
+    b = F.col(rater_b).cast("int")
+    cells = df.where(a.isNotNull() & b.isNotNull()).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count(F.when((a == 0) & (b == 0), 1)).alias("n00"),
+        F.count(F.when((a == 0) & (b == 1), 1)).alias("n01"),
+        F.count(F.when((a == 1) & (b == 0), 1)).alias("n10"),
+        F.count(F.when((a == 1) & (b == 1), 1)).alias("n11"),
+    )
+    nd = F.col("n").cast("double")
+    po = (F.col("n00") + F.col("n11")).cast("double") / nd
+    pe = (
+        (F.col("n00") + F.col("n01")).cast("double")
+        * (F.col("n00") + F.col("n10")).cast("double")
+        + (F.col("n10") + F.col("n11")).cast("double")
+        * (F.col("n01") + F.col("n11")).cast("double")
+    ) / (nd * nd)
+    return cells.select(
+        "n", "n00", "n01", "n10", "n11",
+        po.alias("p_observed"),
+        F.when(pe < 1.0, (po - pe) / (F.lit(1.0) - pe)).alias("kappa"),
+    )

@@ -1879,3 +1879,43 @@ def test_bm25_and_repetition_scale_probe(spark):
     }
     assert rep[n + 1] > 0.9  # the loop is nearly all repeats
     assert rep[0] == 0.0 and rep[1] == 0.0
+
+
+def test_calibration_and_kappa_closed_form(spark):
+    """calibration_bins and cohens_kappa against hand-computed values
+    on a tiny frame (perfect and degenerate agreement included)."""
+    from padua_spark.extensions.quality import (
+        calibration_bins,
+        cohens_kappa,
+    )
+
+    rows = [
+        (0.05, 0), (0.15, 0), (0.18, 1), (0.95, 1), (0.85, 1),
+        (1.0, 1),  # prob 1.0 clamps into the top bin
+    ]
+    df = spark.createDataFrame(rows, ["prob", "y"])
+    bins = {r["bin"]: r for r in calibration_bins(
+        df, "prob", "y", n_bins=10
+    ).collect()}
+    assert bins[0]["n"] == 1 and bins[0]["observed_rate"] == 0.0
+    assert bins[1]["n"] == 2 and abs(
+        bins[1]["observed_rate"] - 0.5
+    ) < 1e-12
+    assert bins[9]["n"] == 2  # 0.95 and the clamped 1.0
+    assert bins[8]["n"] == 1
+    assert abs(bins[1]["mean_predicted"] - 0.165) < 1e-9
+    # kappa: perfect agreement = 1; checker-board = computed value
+    agree = spark.createDataFrame(
+        [(1, 1)] * 3 + [(0, 0)] * 3, ["a", "b"]
+    )
+    r = cohens_kappa(agree, "a", "b").collect()[0]
+    assert r["kappa"] == 1.0 and r["p_observed"] == 1.0
+    mixed = spark.createDataFrame(
+        [(1, 1), (1, 0), (0, 1), (0, 0)], ["a", "b"]
+    )
+    r2 = cohens_kappa(mixed, "a", "b").collect()[0]
+    assert abs(r2["kappa"] - 0.0) < 1e-12  # independence -> 0
+    # degenerate: both raters constant -> pe = 1, kappa NULL
+    const = spark.createDataFrame([(1, 1)] * 4, ["a", "b"])
+    r3 = cohens_kappa(const, "a", "b").collect()[0]
+    assert r3["kappa"] is None
