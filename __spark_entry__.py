@@ -7775,6 +7775,85 @@ def q_filter_agreement_kappa(spark, sf):
     )
 
 
+# --- ext: embedding-space drift (PSI over a deterministic projection) -------
+
+
+def _embedding_drift_oracle() -> str:
+    h = "(1 * 1048576 + j + 40503)"
+    for _ in range(2):
+        h = f"((xor({h} >> 16, {h}) * 73244475) % 2147483648)"
+    h = f"xor({h} >> 16, {h})"
+    return f"""
+WITH s AS (
+  SELECT vec_id, label,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings
+),
+pr AS (
+  SELECT label % 2 AS grp,
+    list_reduce(
+      list_prepend(CAST(0.0 AS DOUBLE),
+        list_transform(e, (x, j) ->
+          CASE WHEN {h} % 2 = 0 THEN x ELSE -x END)),
+      (a, b) -> a + b) / sqrt(16.0) AS p1
+  FROM s
+),
+per AS (
+  SELECT greatest(0, least(9,
+           CAST(floor((p1 - (-2.0)) / 0.4) AS INT))) AS bin,
+         count(CASE WHEN grp = 0 THEN 1 END) AS n_a,
+         count(CASE WHEN grp = 1 THEN 1 END) AS n_b
+  FROM pr GROUP BY 1
+),
+t AS (
+  SELECT *, CAST(sum(n_a) OVER () AS DOUBLE) AS ta,
+            CAST(sum(n_b) OVER () AS DOUBLE) AS tb
+  FROM per
+)
+SELECT CAST(bin AS BIGINT) AS bin, n_a, n_b,
+  round((n_a + 0.5) / (ta + 5.0), 9) AS p_a,
+  round((n_b + 0.5) / (tb + 5.0), 9) AS p_b,
+  round(((n_a + 0.5) / (ta + 5.0) - (n_b + 0.5) / (tb + 5.0))
+        * ln(((n_a + 0.5) / (ta + 5.0))
+             / ((n_b + 0.5) / (tb + 5.0))), 9) AS contrib
+FROM t
+"""
+
+
+@_q("embedding_drift_psi", _embedding_drift_oracle())
+def q_embedding_drift_psi(spark, sf):
+    """Vector-space drift monitor: PSI between two embedding
+    sub-corpora (even vs odd labels as pseudo-snapshots) over the
+    FIRST Johnson–Lindenstrauss coordinate — the deterministic
+    sign-hash projection (similarity.random_projection) collapses
+    each vector to one engine-exact scalar in a pure map stage, then
+    the existing PSI machinery (quality.psi_drift) bins and scores
+    the two distributions. The drift playbook extended to embedding
+    columns: no centroids, no training, one scan + one tiny
+    aggregation."""
+    from padua_spark.extensions.quality import psi_drift
+    from padua_spark.extensions.similarity import random_projection
+
+    emb = _t(spark, sf, "embeddings")
+    proj = random_projection(
+        emb, "vec_id", "embedding", out_dim=16
+    ).select("vec_id", F.element_at("proj", 1).alias("p1"))
+    labeled = proj.join(
+        emb.select("vec_id", (F.col("label") % 2).alias("grp")),
+        on="vec_id",
+    )
+    out = psi_drift(
+        labeled, "grp", 0, 1, "p1", lo=-2.0, hi=2.0, n_bins=10
+    )
+    return out.select(
+        F.col("bin").cast("long").alias("bin"),
+        "n_a", "n_b",
+        F.round("p_a", 9).alias("p_a"),
+        F.round("p_b", 9).alias("p_b"),
+        F.round("contrib", 9).alias("contrib"),
+    )
+
+
 # ---------------------------------------------------------------------------
 
 

@@ -132,6 +132,7 @@ HEADLINE = [
     "wilcoxon_exact_small",
     "classifier_calibration",
     "filter_agreement_kappa",
+    "embedding_drift_psi",
 ]
 
 
