@@ -1882,9 +1882,7 @@ def q_token_quality(spark, sf):
 # --- ext: brute-force cosine top-k ANN -----------------------------------------
 
 
-@_q(
-    "ann_cosine_topk",
-    """
+_ANN_EXACT_ORACLE = """
 WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
 s AS (
   SELECT e.vec_id,
@@ -1899,8 +1897,10 @@ s AS (
 )
 SELECT vec_id, round(cosine_sim, 6) AS cosine_sim
 FROM s ORDER BY s.cosine_sim DESC, vec_id LIMIT 10
-""",
-)
+"""
+
+
+@_q("ann_cosine_topk", _ANN_EXACT_ORACLE)
 def q_ann_topk(spark, sf):
     emb = _t(spark, sf, "embeddings")
     qrow = emb.filter(F.col("vec_id") == 0).select("embedding").collect()
@@ -2961,9 +2961,7 @@ def q_cube(spark, sf):
 # --- ext: IVF approximate nearest neighbor (scale path next to LSH) ----------
 
 
-@_q(
-    "ivf_topk",
-    """
+_IVF_TOPK_ORACLE = """
 WITH seeds AS (
   SELECT row_number() OVER (ORDER BY vec_id) AS cell,
          CAST(embedding AS DOUBLE[]) AS c
@@ -2997,8 +2995,10 @@ ORDER BY list_dot_product(a.v, q.qv)
          / (sqrt(list_dot_product(a.v, a.v))
             * sqrt(list_dot_product(q.qv, q.qv))) DESC, a.vec_id
 LIMIT 10
-""",
-)
+"""
+
+
+@_q("ivf_topk", _IVF_TOPK_ORACLE)
 def q_ivf_topk(spark, sf):
     emb = _t(spark, sf, "embeddings")
     qrow = emb.filter(F.col("vec_id") == 0).select("embedding").collect()
@@ -7852,6 +7852,40 @@ def q_embedding_drift_psi(spark, sf):
         F.round("p_b", 9).alias("p_b"),
         F.round("contrib", 9).alias("contrib"),
     )
+
+
+# --- ext: ANN quality — recall@k of the IVF index vs exact search -----------
+
+
+@_q(
+    "ann_recall",
+    f"""
+WITH exact AS (SELECT vec_id FROM ({_ANN_EXACT_ORACLE.strip()})),
+approx AS (SELECT vec_id FROM ({_IVF_TOPK_ORACLE.strip()}))
+SELECT CAST(10 AS BIGINT) AS k, count(*) AS n_overlap,
+       round(CAST(count(*) AS DOUBLE) / 10.0, 6) AS recall
+FROM exact JOIN approx USING (vec_id)
+""",
+)
+def q_ann_recall(spark, sf):
+    """Recall@10 of the IVF index against exact brute-force search
+    for the same query (similarity.ann_recall_at_k) — THE number that
+    justifies an approximate index's nprobe/n_cells settings before
+    it gates dedup or retrieval decisions. Composes the two
+    independently-green top-k machineries; the overlap count is an
+    exact integer."""
+    from padua_spark.extensions import similarity as x_sim
+
+    emb = _t(spark, sf, "embeddings")
+    qrow = emb.filter(F.col("vec_id") == 0).select("embedding").collect()
+    query = [float(x) for x in qrow[0][0]]
+    exact = x_sim.brute_force_topk(
+        emb, "embedding", "vec_id", query, k=10
+    )
+    approx = x_sim.ivf_topk(
+        emb, "embedding", "vec_id", query, k=10, n_cells=16, nprobe=4
+    )
+    return x_sim.ann_recall_at_k(approx, exact, "vec_id", k=10)
 
 
 # ---------------------------------------------------------------------------

@@ -133,6 +133,7 @@ HEADLINE = [
     "classifier_calibration",
     "filter_agreement_kappa",
     "embedding_drift_psi",
+    "ann_recall",
 ]
 
 

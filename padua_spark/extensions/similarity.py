@@ -930,3 +930,28 @@ def ivf_topk_at_rest(
     return scored.orderBy(
         F.col("cosine_sim").desc(), F.col(id_col).asc()
     ).limit(k)
+
+
+def ann_recall_at_k(
+    approx: DataFrame,
+    exact: DataFrame,
+    id_col: str,
+    k: int,
+) -> DataFrame:
+    """Recall@k of an approximate top-k result against the exact one:
+    ``|ids(approx) ∩ ids(exact)| / k`` — the acceptance metric for any
+    ANN configuration (nprobe/n_cells, LSH planes) before its output
+    gates curation or retrieval decisions. One inner join of two
+    k-row frames + a scalar aggregate. Output 1 row:
+    ``(k, n_overlap, recall)``.
+    """
+    inter = approx.select(F.col(id_col)).join(
+        exact.select(F.col(id_col)), on=id_col, how="inner"
+    )
+    return inter.agg(
+        F.lit(k).cast("long").alias("k"),
+        F.count(F.lit(1)).alias("n_overlap"),
+        F.round(
+            F.count(F.lit(1)).cast("double") / F.lit(float(k)), 6
+        ).alias("recall"),
+    )
