@@ -836,7 +836,11 @@ def bm25_topk(
     join of the |q|-row idf table + the 1-row corpus stats, a per-doc
     sum, and a TakeOrdered top-k. Non-matching docs are filtered
     before the explode, so the shuffled volume is bounded by
-    matches·|q|, not corpus size.
+    matches·|q|, not corpus size. The corpus-wide (N, avgdl) scalars
+    are a SECOND scan-level aggregate over the projected frame — two
+    cheap shuffle-free scans beat persisting the corpus projection;
+    for repeated queries against one corpus, persist ``per_doc``
+    upstream or precompute the scalars once.
     """
     q_toks = sorted(
         {t for t in (query.lower() if lowercase else query).split() if t}
