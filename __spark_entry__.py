@@ -7888,6 +7888,76 @@ def q_ann_recall(spark, sf):
     return x_sim.ann_recall_at_k(approx, exact, "vec_id", k=10)
 
 
+# --- ext: MinHash calibration — estimate vs exact Jaccard per candidate ------
+
+
+def _minhash_error_oracle() -> str:
+    c1 = 1000000007 % 2147483647
+    c2 = (1000000007 ** 2) % 2147483647
+    return f"""
+WITH cand AS (
+  SELECT id_a, id_b, est_jaccard FROM ({_minhash_oracle().strip()})
+),
+t AS (
+  SELECT doc_id,
+    list_transform(string_split(text, ' '), w -> list_reduce(
+        list_prepend(CAST(7 AS BIGINT),
+          list_transform(list_filter(string_split(w, ''), c -> c <> ''),
+                         c -> CAST(ord(c) AS BIGINT))),
+        (a, c) -> (a * 131 + c) % 2147483647)) AS th
+  FROM documents
+),
+s AS (
+  SELECT doc_id,
+    CASE WHEN len(th) >= 3 THEN
+      list_distinct(list_transform(generate_series(1, len(th) - 2),
+        i -> (th[i] * 1 + th[i + 1] * {c1}
+              + th[i + 2] * {c2}) % 2147483647))
+    ELSE [th[1]] END AS sh
+  FROM t
+),
+j AS (
+  SELECT c.id_a, c.id_b, c.est_jaccard,
+         len(list_intersect(a.sh, b.sh)) AS inter,
+         len(a.sh) + len(b.sh)
+           - len(list_intersect(a.sh, b.sh)) AS uni
+  FROM cand c
+  JOIN s a ON a.doc_id = c.id_a
+  JOIN s b ON b.doc_id = c.id_b
+)
+SELECT id_a, id_b, est_jaccard,
+  round(CASE WHEN uni > 0
+        THEN CAST(inter AS DOUBLE) / uni ELSE 0.0 END, 6)
+    AS exact_jaccard,
+  round(abs(est_jaccard - CASE WHEN uni > 0
+        THEN CAST(inter AS DOUBLE) / uni ELSE 0.0 END), 6) AS abs_err
+FROM j
+"""
+
+
+@_q("minhash_estimate_error", _minhash_error_oracle())
+def q_minhash_estimate_error(spark, sf):
+    """MinHash calibration (dedup.minhash_estimate_error): every LSH
+    candidate pair's signature estimate next to its EXACT shingle-set
+    Jaccard and the absolute error — the acceptance check for
+    (num_hashes, bands) before the estimate drives merge thresholds.
+    est values are k/32 (exactly representable, so the 6dp round is
+    an identity) and the exact Jaccard is one IEEE division of
+    integer set sizes — the whole row is engine-portable."""
+    from padua_spark.extensions.dedup import minhash_estimate_error
+
+    d = _t(spark, sf, "documents")
+    out = minhash_estimate_error(
+        d, "doc_id", "text", k_shingle=3, num_hashes=32, bands=8
+    )
+    return out.select(
+        "id_a", "id_b",
+        _r("est_jaccard").alias("est_jaccard"),
+        _r("exact_jaccard").alias("exact_jaccard"),
+        _r("abs_err").alias("abs_err"),
+    )
+
+
 # ---------------------------------------------------------------------------
 
 

@@ -134,6 +134,7 @@ HEADLINE = [
     "filter_agreement_kappa",
     "embedding_drift_psi",
     "ann_recall",
+    "minhash_estimate_error",
 ]
 
 

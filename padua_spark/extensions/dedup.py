@@ -891,3 +891,58 @@ def dedup_spans(
 
         out = track_cached(out, keyed)
     return out
+
+
+def minhash_estimate_error(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k_shingle: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    seed: int = 7,
+) -> DataFrame:
+    """MinHash calibration: for every LSH candidate pair, the signature
+    estimate next to the EXACT shingle-set Jaccard and their absolute
+    error — the acceptance check for (num_hashes, bands) before the
+    estimate drives dedup thresholds (an uncalibrated sketch silently
+    over- or under-merges).
+
+    Scale shape: the candidate pairs come from the banded pipeline
+    (never all-pairs); the exact Jaccard joins each pair end to its
+    per-doc DISTINCT shingle-hash array (one projection of the same
+    token-hash pass the signatures use) and computes
+    ``|A∩B| / (|A|+|B|−|A∩B|)`` as per-row array algebra — exact
+    integer set sizes, one IEEE division, engine-portable. Output:
+    ``(id_a, id_b, est_jaccard, exact_jaccard, abs_err)``.
+    """
+    pairs = minhash_lsh_candidates(
+        df, id_col, text_col, k_shingle, num_hashes, bands,
+        seed=seed, portable_keys=True,
+    )
+    th = df.select(
+        F.col(id_col), token_hashes(F.col(text_col)).alias("_th")
+    )
+    sh = th.select(
+        id_col,
+        _shingles_from_token_hashes(F.col("_th"), k_shingle).alias("_sh"),
+    )
+    a = sh.select(
+        F.col(id_col).alias("id_a"), F.col("_sh").alias("_sha")
+    )
+    b = sh.select(
+        F.col(id_col).alias("id_b"), F.col("_sh").alias("_shb")
+    )
+    joined = pairs.join(a, on="id_a").join(b, on="id_b")
+    inter = F.size(F.array_intersect(F.col("_sha"), F.col("_shb")))
+    union = F.size("_sha") + F.size("_shb") - inter
+    exact = F.when(
+        union > 0, inter.cast("double") / union.cast("double")
+    ).otherwise(F.lit(0.0))
+    return joined.select(
+        "id_a",
+        "id_b",
+        "est_jaccard",
+        exact.alias("exact_jaccard"),
+        F.abs(F.col("est_jaccard") - exact).alias("abs_err"),
+    )
