@@ -223,9 +223,29 @@ def main() -> None:
     }
     if errors:
         out["errors"] = errors
-    # Driver contract: exactly one JSON line on stdout (compact
-    # separators — the driver archives only a bounded stdout tail).
+    # Full per-query record first (compact separators), then a SMALL
+    # summary as the FINAL stdout line: the driver archives only a
+    # bounded stdout tail, which front-truncates the full line every
+    # round ("parsed": null in BENCH_r*.json). The last line is sized
+    # to always fit the tail window so the artifact is self-parsing;
+    # the complete per-query medians live in BENCH_LOCAL.json.
     print(json.dumps(out, separators=(",", ":")))
+    slowest5 = dict(
+        sorted(times.items(), key=lambda kv: -kv[1])[:5]
+    )
+    summary = {
+        "metric": "headline_query_wall_time",
+        "value": total,
+        "unit": "sec",
+        "sf": sf,
+        "queries": slowest5,
+        "n_queries": len(times),
+        "n_errors": len(errors),
+        "median_total": doc.get("median_total"),
+        "n_passes": doc.get("n_passes"),
+        "full_record": "BENCH_LOCAL.json",
+    }
+    print(json.dumps(summary, separators=(",", ":")))
 
 
 def _update_local_artifact(

@@ -839,18 +839,19 @@ def dedup_spans(
     spans = staged.select(
         F.col(id_col), F.posexplode(span_arr).alias("pos", "span")
     )
-    # Runtime guard: a doc with >= max_spans_per_doc spans would bleed
-    # into the next id's key space and elect wrong winners SILENTLY —
-    # fail the job instead. The check lives inside the key expression
-    # (always consumed), so it cannot be pruned away and costs no
-    # extra aggregation pass.
+    # Runtime guard: a doc with MORE than max_spans_per_doc spans
+    # (positions run 0..max-1, so exactly max spans is still
+    # collision-free) would bleed into the next id's key space and
+    # elect wrong winners SILENTLY — fail the job instead. The check
+    # lives inside the key expression (always consumed), so it cannot
+    # be pruned away and costs no extra aggregation pass.
     key = F.when(
         F.col("pos") < F.lit(max_spans_per_doc),
         F.col(id_col) * F.lit(max_spans_per_doc) + F.col("pos"),
     ).otherwise(
         F.raise_error(
             F.lit(
-                "dedup_spans: a document has >= max_spans_per_doc "
+                "dedup_spans: a document has more than max_spans_per_doc "
                 f"({max_spans_per_doc}) spans; raise max_spans_per_doc"
             )
         )
@@ -939,10 +940,16 @@ def minhash_estimate_error(
     exact = F.when(
         union > 0, inter.cast("double") / union.cast("double")
     ).otherwise(F.lit(0.0))
-    return joined.select(
+    out = joined.select(
         "id_a",
         "id_b",
         "est_jaccard",
         exact.alias("exact_jaccard"),
         F.abs(F.col("est_jaccard") - exact).alias("abs_err"),
     )
+    # minhash_lsh_candidates persists its signature frame and records
+    # it on `pairs`; .join/.select drop the record, so re-attach it
+    # here — otherwise callers can never free the persisted signatures.
+    from padua_spark.io_utils import track_cached
+
+    return track_cached(out, *getattr(pairs, "_padua_cached", ()))

@@ -881,8 +881,21 @@ def write_ivf_partitioned(
 
     Returns the (cell, centroid) table used for the assignment —
     persist it next to the data; probes need it to choose cells.
+
+    The centroid table is MATERIALIZED once (collected — n_cells rows
+    of dims doubles — and rebuilt as a literal frame) before the
+    assignment join, so the write and the returned table see the SAME
+    centroid values. Returning the lazy clustering plan instead would
+    re-run it on every later action, and with ``n_iter > 0`` the
+    float-mean Lloyd refinement is engine-order-dependent — the
+    returned centroids could then disagree with the cell assignment
+    actually written to disk.
     """
-    cents = ivf_centroids(df, id_col, vec_col, n_cells, n_iter)
+    cents_lazy = ivf_centroids(df, id_col, vec_col, n_cells, n_iter)
+    spark = df.sparkSession
+    cents = spark.createDataFrame(
+        cents_lazy.collect(), schema=cents_lazy.schema
+    )
     assigned = ivf_assign(df, id_col, vec_col, cents)
     out = assigned.join(
         df.select(F.col(id_col), F.col(vec_col)), on=id_col

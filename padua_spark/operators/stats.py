@@ -745,6 +745,8 @@ def ks_2samp_stat(
     No p-value: the asymptotic Kolmogorov CDF is an infinite series —
     compute it driver-side from (d_stat, n_a, n_b) when needed.
     """
+    from padua_spark.io_utils import track_cached
+
     stepped = _ecdf_stepped_counts(
         df, group_col, value_col, group_a, group_b,
         small_domain_threshold=small_domain_threshold,
@@ -753,11 +755,15 @@ def ks_2samp_stat(
         F.col("_fa").cast("double") / F.col("_na").cast("double")
         - F.col("_fb").cast("double") / F.col("_nb").cast("double")
     )
-    return stepped.agg(
+    out = stepped.agg(
         F.max(d).alias("d_stat"),
         F.max("_na").alias("n_a"),
         F.max("_nb").alias("n_b"),
     )
+    # The _padua_cached record lives on the frame _ecdf_stepped_counts
+    # returned; .agg() drops it. Re-attach so callers' calls to
+    # unpersist_intermediates actually free the ECDF persists.
+    return track_cached(out, *getattr(stepped, "_padua_cached", ()))
 
 
 def mannwhitney_u_stat(
@@ -781,11 +787,14 @@ def mannwhitney_u_stat(
     row: ``(u2_a, u2_b, n_a, n_b)`` with ``u2_x = 2·U_x``
     (``U_a + U_b = n_a·n_b`` ⟺ ``u2_a + u2_b = 2·n_a·n_b``).
     """
+    from padua_spark.io_utils import track_cached
+
     cnt = F.col("_ca") + F.col("_cb")
-    stepped = _ecdf_stepped_counts(
+    ecdf = _ecdf_stepped_counts(
         df, group_col, value_col, group_a, group_b,
         small_domain_threshold=small_domain_threshold,
-    ).select(
+    )
+    stepped = ecdf.select(
         "_ca",
         "_cb",
         cnt.alias("_cnt"),
@@ -798,12 +807,15 @@ def mannwhitney_u_stat(
         F.sum("_ca").alias("n_a"),
         F.sum("_cb").alias("n_b"),
     )
-    return agg.select(
+    out = agg.select(
         (F.col("_2ra") - F.col("n_a") * (F.col("n_a") + 1)).alias("u2_a"),
         (F.col("_2rb") - F.col("n_b") * (F.col("n_b") + 1)).alias("u2_b"),
         "n_a",
         "n_b",
     )
+    # Re-attach the ECDF persists (dropped by .select/.agg) so callers
+    # can free them via unpersist_intermediates.
+    return track_cached(out, *getattr(ecdf, "_padua_cached", ()))
 
 
 def wilcoxon_signed_rank_stats(
@@ -859,11 +871,14 @@ def wilcoxon_signed_rank_stats(
             F.abs(F.col("_d")).alias("_absd"),
         )
     )
+    from padua_spark.io_utils import track_cached
+
     cnt = F.col("_ca") + F.col("_cb")
-    stepped = _ecdf_stepped_counts(
+    ecdf = _ecdf_stepped_counts(
         diffs, "_sgn", "_absd", "+", "-",
         small_domain_threshold=small_domain_threshold,
-    ).select(
+    )
+    stepped = ecdf.select(
         "_ca",
         "_cb",
         cnt.alias("_cnt"),
@@ -891,10 +906,13 @@ def wilcoxon_signed_rank_stats(
         "w2_plus", "w2_minus", "n_nonzero", "tie_term",
         F.when(var > 0, z).alias("z"),
     )
-    return staged.select(
+    out = staged.select(
         "w2_plus", "w2_minus", "n_nonzero", "tie_term", "z",
         _normal_sf_2sided(F.col("z")).alias("p_normal"),
     )
+    # Re-attach the ECDF persists (dropped by .select/.agg) so callers
+    # can free them via unpersist_intermediates.
+    return track_cached(out, *getattr(ecdf, "_padua_cached", ()))
 
 
 def wilcoxon_exact_p(w_plus: float, n: int) -> float:
@@ -964,11 +982,14 @@ def mannwhitney_z_stats(
     two-pass plan (:func:`_ecdf_stepped_counts`). Output 1 row:
     ``(u2_a, n_a, n_b, tie_term, z, p_normal)``.
     """
+    from padua_spark.io_utils import track_cached
+
     cnt = F.col("_ca") + F.col("_cb")
-    stepped = _ecdf_stepped_counts(
+    ecdf = _ecdf_stepped_counts(
         df, group_col, value_col, group_a, group_b,
         small_domain_threshold=small_domain_threshold,
-    ).select(
+    )
+    stepped = ecdf.select(
         "_ca", "_cb", cnt.alias("_cnt"),
         (F.col("_fa") + F.col("_fb") - cnt).alias("_before"),
     )
@@ -996,7 +1017,10 @@ def mannwhitney_z_stats(
     staged = agg.select(
         u2a.alias("u2_a"), "n_a", "n_b", "tie_term", z.alias("z")
     )
-    return staged.select(
+    out = staged.select(
         "u2_a", "n_a", "n_b", "tie_term", "z",
         _normal_sf_2sided(F.col("z")).alias("p_normal"),
     )
+    # Re-attach the ECDF persists (dropped by .select/.agg) so callers
+    # can free them via unpersist_intermediates.
+    return track_cached(out, *getattr(ecdf, "_padua_cached", ()))

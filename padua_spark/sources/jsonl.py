@@ -117,8 +117,15 @@ def split_corrupt_via_sink(
         f"{schema}, {corrupt_col} string",
         {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": corrupt_col},
     )
+    # spark.read.json silently SKIPS blank/whitespace-only lines (they
+    # produce no row in either lane of pass 1), but spark.read.text
+    # yields them and from_json would flag them corrupt — phantom
+    # quarantine records the PERMISSIVE reader never saw. Mirror the
+    # JSON reader's blank-line skipping so the lanes partition the
+    # input by construction.
     bad = lines.where(
-        parsed.getField(corrupt_col).isNotNull()
+        (F.length(F.trim(F.col("value"))) > 0)
+        & parsed.getField(corrupt_col).isNotNull()
     ).select(F.col("value").alias("raw_record"))
     return clean, bad
 
