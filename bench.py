@@ -142,6 +142,13 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([\d.]+)", sf_dir)
     sf = float(m.group(1)) if m else None
+    # Diagnostic subset mode (comma-separated query names): used to
+    # time a family in ISOLATION when bisecting suite-interference
+    # from real plan regressions. Subset passes go to a separate
+    # artifact so they never pollute the full-suite medians.
+    only_env = os.environ.get("SPARK_GRAFT_BENCH_ONLY", "")
+    only = [q.strip() for q in only_env.split(",") if q.strip()]
+    headline = [q for q in HEADLINE if q in only] if only else HEADLINE
     spark = get_spark(app_name="padua_spark_bench")
     spark.sparkContext.setLogLevel("ERROR")
     queries = entrymod.queries()
@@ -179,9 +186,28 @@ def main() -> None:
         ).write.format("noop").mode("overwrite").save()
     except Exception:
         pass
+    # Machine-speed calibration: a fixed, data-independent Spark job
+    # (codegen sum + a small shuffle) timed at pass start. Absolute
+    # query times drift 1.3x+ between rounds purely from machine
+    # conditions (round-7 bisect: r5 vs r6 code interleaved on one
+    # machine were within noise of each other while BOTH sat ~1.3x
+    # above r5's committed medians) — cross-round comparisons must
+    # normalize by this scalar, not compare raw seconds.
+    t0 = time.perf_counter()
+    spark.range(200_000_000).selectExpr("sum(id * 2 + 1)").collect()
+    (
+        spark.range(2_000_000)
+        .withColumn("k", F.col("id") % 1000)
+        .groupBy("k")
+        .agg(F.count(F.lit(1)))
+        .write.format("noop")
+        .mode("overwrite")
+        .save()
+    )
+    calibration = round(time.perf_counter() - t0, 3)
     times: dict[str, float] = {}
     errors: dict[str, str] = {}
-    for name in HEADLINE:
+    for name in headline:
         if name not in queries:
             continue
         # One failing query must never abort the whole run — record the
@@ -207,7 +233,10 @@ def main() -> None:
             except Exception:
                 pass
     total = round(sum(times.values()), 3)
-    doc = _update_local_artifact(sf, times, total, errors)
+    doc = _update_local_artifact(
+        sf, times, total, errors, subset=bool(only),
+        calibration=calibration,
+    )
     out = {
         "metric": "headline_query_wall_time",
         "value": total,
@@ -243,6 +272,7 @@ def main() -> None:
         "n_errors": len(errors),
         "median_total": doc.get("median_total"),
         "n_passes": doc.get("n_passes"),
+        "calibration": calibration,
         "full_record": "BENCH_LOCAL.json",
     }
     print(json.dumps(summary, separators=(",", ":")))
@@ -253,6 +283,8 @@ def _update_local_artifact(
     times: dict[str, float],
     total: float,
     errors: dict[str, str],
+    subset: bool = False,
+    calibration: float | None = None,
 ) -> dict:
     """Accumulate per-pass times into BENCH_LOCAL.json next to this
     file and keep per-query MEDIANS over the recorded passes — the
@@ -261,11 +293,12 @@ def _update_local_artifact(
     round). Passes reset when the scale factor changes."""
     # The committed artifact tracks the driver's sf0.1 runs; smoke runs
     # at other scale factors get their own file instead of resetting it.
-    fname = (
-        "BENCH_LOCAL.json"
-        if sf == 0.1
-        else f"BENCH_LOCAL_sf{sf}.json"
-    )
+    if subset:
+        fname = "BENCH_SUBSET.json"
+    elif sf == 0.1:
+        fname = "BENCH_LOCAL.json"
+    else:
+        fname = f"BENCH_LOCAL_sf{sf}.json"
     path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), fname
     )
@@ -277,7 +310,9 @@ def _update_local_artifact(
         doc = {}
     if doc.get("sf") != sf:
         doc = {"sf": sf, "passes": []}
-    doc.setdefault("passes", []).append({"total": total, "queries": times})
+    doc.setdefault("passes", []).append(
+        {"total": total, "queries": times, "calibration": calibration}
+    )
     doc["passes"] = doc["passes"][-10:]
     names = sorted({n for p in doc["passes"] for n in p["queries"]})
 
@@ -295,6 +330,9 @@ def _update_local_artifact(
         for n in names
     }
     doc["median_total"] = _median([p["total"] for p in doc["passes"]])
+    cals = [p.get("calibration") for p in doc["passes"]]
+    cals = [c for c in cals if c is not None]
+    doc["median_calibration"] = _median(cals) if cals else None
     doc["n_passes"] = len(doc["passes"])
     doc["n_queries"] = len(names)
     if errors:
