@@ -701,6 +701,7 @@ def kmeans_quantized(
     k: int = 8,
     n_iter: int = 2,
     scale: float = 1_000_000.0,
+    broadcast_threshold: int = 4096,
 ) -> DataFrame:
     """Distributed Lloyd's k-means whose EVERY iteration is
     bit-reproducible across engines — the oracle-checkable refinement
@@ -725,6 +726,19 @@ def kmeans_quantized(
     pattern); the corpus itself is never collected and never
     shuffled except the one stats aggregation per iteration.
 
+    **Scoring path by k·dims** (``broadcast_threshold``): small
+    centroid sets are embedded as a per-row literal array (zero
+    shuffle, zero join). Above the threshold a k·dims literal
+    expression tree becomes a plan-size/codegen hazard (thousands of
+    Literal nodes per iteration at IVF-scale k), so scoring switches
+    to a broadcast join against a k-row centroid frame +
+    lexicographic ``min(struct(dist, cluster))`` per id. Both paths
+    compute the SAME means (one driver-side IEEE division per
+    dimension), the same left-fold distances, and the same tie rule
+    (min dist, then min cluster id), so assignments are bit-identical
+    between paths — asserted by ``tests`` at k=8 and by an oracle
+    gate; the plan shape at k≥256 is pinned by a plan test.
+
     Output: ``(id, cluster, dist)`` — final assignment with its
     quantized-unit distance (micro-units; divide by ``scale`` for
     input units).
@@ -748,7 +762,21 @@ def kmeans_quantized(
         for c, row in enumerate(seeds)
     ]
 
-    def _assign(state):
+    dims = len(cents[0][1]) if cents else 0
+
+    def _sqdist(qcol, mcol):
+        return F.aggregate(
+            F.zip_with(
+                qcol,
+                mcol,
+                lambda xi, mi: (xi.cast("double") - mi)
+                * (xi.cast("double") - mi),
+            ),
+            F.lit(0.0),
+            lambda acc, e: acc + e,
+        )
+
+    def _assign_literal(state):
         arr = F.array(
             *[
                 F.struct(
@@ -765,16 +793,7 @@ def kmeans_quantized(
             F.transform(
                 F.col("_cents"),
                 lambda c: F.struct(
-                    F.aggregate(
-                        F.zip_with(
-                            F.col("_q"),
-                            c["m"],
-                            lambda xi, mi: (xi.cast("double") - mi)
-                            * (xi.cast("double") - mi),
-                        ),
-                        F.lit(0.0),
-                        lambda acc, e: acc + e,
-                    ).alias("dist"),
+                    _sqdist(F.col("_q"), c["m"]).alias("dist"),
                     c["cl"].alias("cl"),
                 ),
             )
@@ -784,6 +803,49 @@ def kmeans_quantized(
             best["cl"].alias("cluster"),
             F.sqrt(best["dist"]).alias("dist"),
         )
+
+    def _assign_broadcast(state):
+        # k-row centroid frame with the SAME driver-side means as the
+        # literal path; broadcast NL join fans out k rows per doc,
+        # then the lexicographic struct-min reproduces array_min's
+        # (min dist, then min cluster id) tie rule. The per-id
+        # aggregation partially combines map-side (all k rows of an
+        # id share its partition), so the shuffle carries one row per
+        # doc — same volume as the literal path's stats shuffle.
+        spark = df.sparkSession
+        rows = [
+            (cl, [float(s) / float(n) for s in sums])
+            for cl, sums, n in state
+        ]
+        cents_df = spark.createDataFrame(
+            rows, "cl int, m array<double>"
+        )
+        scored = q.crossJoin(F.broadcast(cents_df)).select(
+            id_col,
+            "_q",
+            F.struct(
+                _sqdist(F.col("_q"), F.col("m")).alias("dist"),
+                F.col("cl").alias("cl"),
+            ).alias("_cand"),
+        )
+        best = (
+            scored.groupBy(id_col)
+            .agg(
+                F.min("_cand").alias("_b"),
+                F.first("_q").alias("_q"),  # identical across the k rows
+            )
+        )
+        return best.select(
+            id_col, "_q",
+            F.col("_b")["cl"].alias("cluster"),
+            F.sqrt(F.col("_b")["dist"]).alias("dist"),
+        )
+
+    _assign = (
+        _assign_literal
+        if k * max(dims, 1) <= broadcast_threshold
+        else _assign_broadcast
+    )
 
     for _ in range(n_iter):
         assigned = _assign(cents)

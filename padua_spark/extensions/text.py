@@ -836,12 +836,21 @@ def bm25_topk(
     join of the |q|-row idf table + the 1-row corpus stats, a per-doc
     sum, and a TakeOrdered top-k. Non-matching docs are filtered
     before the explode, so the shuffled volume is bounded by
-    matches·|q|, not corpus size. The corpus-wide (N, avgdl) scalars
-    are a SECOND scan-level aggregate over the projected frame — two
-    cheap shuffle-free scans beat persisting the corpus projection;
-    for repeated queries against one corpus, persist ``per_doc``
-    upstream or precompute the scalars once.
+    matches·|q|, not corpus size.
+
+    The tokenized projection ``per_doc`` has three consumers (the
+    corpus-stats scalar, the document frequencies, and the scored
+    explode) and Spark reuses no exchanges across differently-
+    projected branches — so it is PERSISTED, and the corpus parquet
+    is scanned (and tokenized) exactly ONCE per call (plan-tested).
+    The persisted frame is (id, doc_len, ≤|q| tiny hit structs) per
+    doc — a small fixed multiple of N rows, spill-safe, far below the
+    corpus text itself. The persist is recorded on the returned frame
+    (``unpersist_intermediates`` frees it).
     """
+    from pyspark import StorageLevel
+
+    from padua_spark.io_utils import track_cached
     q_toks = sorted(
         {t for t in (query.lower() if lowercase else query).split() if t}
     )
@@ -872,7 +881,7 @@ def bm25_topk(
         F.col(id_col),
         F.size("_toks").alias("_dl"),
         hits.alias("_hits"),
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     matches = per_doc.where(F.size("_hits") > 0)
     exploded = matches.select(
         id_col, "_dl", F.explode("_hits").alias("_h")
@@ -910,7 +919,7 @@ def bm25_topk(
     # double differs across engines/summation orders by ulps, and a
     # top-k boundary must not depend on that (same convention as
     # ward_first_merge)
-    return (
+    out = (
         scored.groupBy(id_col)
         .agg(
             F.sum(F.col("_idf") * norm).alias("score"),
@@ -919,3 +928,4 @@ def bm25_topk(
         .orderBy(F.round("score", 6).desc(), F.col(id_col))
         .limit(k)
     )
+    return track_cached(out, per_doc)

@@ -318,7 +318,7 @@ def levene_stats(
     group_col: str,
     value_col: str,
     center: str = "median",
-    broadcast_centers: bool = True,
+    broadcast_centers: bool = False,
 ) -> DataFrame:
     """Brown–Forsythe / Levene homogeneity-of-variance test — the
     assumption check behind every pooled-variance t/ANOVA the
@@ -332,15 +332,16 @@ def levene_stats(
     two-column projection (median) or one aggregation (mean), a join
     back on the (feature, group) key, then the
     :func:`anova_1way_stats` aggregation on |v − center|.
-    ``broadcast_centers`` (default True) hints the centers join: its
-    cardinality is |features|·|groups| — a few thousand rows in
-    padua's regime (thousands of features, a handful of groups),
-    where the broadcast skips shuffling the fact side. At extreme
-    per-feature scale (millions of features) pass False and AQE
-    picks the strategy from the measured size — a forced broadcast
-    there would OOM the driver (the winsorize extreme-cardinality
-    lesson). Output = anova_1way_stats schema with ``f_stat`` being
-    Levene's W.
+    ``broadcast_centers`` (default False) lets AQE pick the join
+    strategy from the MEASURED size of the centers side — the safe
+    default at any cardinality, since the centers frame is
+    |features|·|groups| rows and at extreme per-feature scale
+    (millions of features) a forced broadcast would OOM the driver
+    (the winsorize extreme-cardinality precedent). In padua's regime
+    (thousands of features, a handful of groups) AQE converts the
+    join to a broadcast at runtime anyway; pass True to hint it
+    statically when the cardinality is known small. Output =
+    anova_1way_stats schema with ``f_stat`` being Levene's W.
     """
     from padua_spark.operators.normalization import group_medians
 

@@ -277,6 +277,25 @@ def test_running_balance_single_shuffle(spark):
     assert count_exchanges(df) == 1, explain_str(df, "simple")
 
 
+def test_levene_centers_join_aqe_default(spark):
+    """levene_stats default lets AQE choose the centers-join strategy
+    from the measured size (no static broadcast hint in the analyzed
+    plan); broadcast_centers=True injects the hint. At test scale the
+    executed adaptive plan still broadcasts — AQE converts the join at
+    runtime from the real centers size, which is the whole point of
+    the default."""
+    li = _li(spark)
+    default = st.levene_stats(li, ["l_partkey"], "l_returnflag",
+                              "l_quantity")
+    hinted = st.levene_stats(li, ["l_partkey"], "l_returnflag",
+                             "l_quantity", broadcast_centers=True)
+    assert "ResolvedHint" not in default._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" in hinted._jdf.queryExecution().analyzed().toString()
+    default.write.format("noop").mode("overwrite").save()
+    final = default._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in final, final[:2000]
+
+
 def test_semdedup_corpus_never_reshuffled_by_vector(spark):
     """SemDeDup's corpus branch: assignment is a broadcast map stage;
     the only corpus shuffles are the exemplar-election aggregate and
@@ -403,6 +422,28 @@ def test_multi_consumer_frames_are_cached(spark):
     consumer (the windowed_psi 3-scan finding)."""
     import __spark_entry__ as em
 
-    for name in ("windowed_psi", "dedup_spans"):
+    for name in ("windowed_psi", "dedup_spans", "bm25_topk"):
         plan = explain_str(em.queries()[name](spark, SF_ORACLE), "simple")
         assert "InMemoryTableScan" in plan, f"{name}: no cache in plan"
+
+
+def test_bm25_single_corpus_scan(spark):
+    """bm25_topk scans (and tokenizes) the documents parquet exactly
+    once: the tokenized per_doc projection is persisted, so its three
+    consumers (corpus stats, document frequencies, scored explode)
+    read the InMemoryRelation instead of re-running the scan."""
+    from padua_spark.extensions.text import bm25_topk
+    from padua_spark.io_utils import unpersist_intermediates
+
+    docs = spark.read.parquet(f"{SF_ORACLE}/documents.parquet")
+    out = bm25_topk(docs, "doc_id", "text", "hash join scan", k=5)
+    plan = explain_str(out, "simple")
+    # The plan STRING prints the cached relation's subtree (incl. its
+    # FileScan) once per consumer; the scan executes once. The real
+    # assertion is that every documents scan sits under an
+    # InMemoryRelation — an uncached consumer would print a FileScan
+    # with no InMemoryRelation wrapper and break the equality.
+    n_scans = plan.count("documents.parquet")
+    assert n_scans == plan.count("InMemoryRelation") == 3, plan
+    assert plan.count("InMemoryTableScan") == 3, plan
+    assert unpersist_intermediates(out) == 1

@@ -1785,6 +1785,55 @@ def test_kmeans_quantized_planted_clusters(spark):
         assert out2[i][0] == out[i]
 
 
+def test_kmeans_quantized_broadcast_path_matches_literal(spark):
+    """Above ``broadcast_threshold`` (k·dims) scoring switches from a
+    per-row literal centroid array to a broadcast join against a k-row
+    centroid frame. Assignments AND distances must be bit-identical
+    between paths (same driver-side means, same left-fold distance,
+    same struct-lexicographic tie rule), and at IVF-scale k the plan
+    must show the broadcast join with no k·dims literal tree."""
+    from padua_spark.extensions.similarity import kmeans_quantized
+
+    rows = []
+    for i in range(40):
+        base = float(i % 4) * 7.0
+        rows.append(
+            (i, [base + 0.01 * (i % 3), base, base + 0.02, base - 0.01])
+        )
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    lit_out = {
+        r["vec_id"]: (r["cluster"], r["dist"])
+        for r in kmeans_quantized(
+            df, "vec_id", "embedding", k=4, n_iter=2
+        ).collect()
+    }
+    bc_out = {
+        r["vec_id"]: (r["cluster"], r["dist"])
+        for r in kmeans_quantized(
+            df, "vec_id", "embedding", k=4, n_iter=2,
+            broadcast_threshold=1,
+        ).collect()
+    }
+    assert bc_out == lit_out  # bit-identical, distances included
+
+    # Plan shape at k=256, dims=32 (k·dims = 8192 > default 4096):
+    # broadcast join present, literal centroid array absent.
+    big = spark.createDataFrame(
+        [
+            (i, [float((i * 7 + d) % 13) for d in range(32)])
+            for i in range(300)
+        ],
+        ["vec_id", "embedding"],
+    )
+    out = kmeans_quantized(big, "vec_id", "embedding", k=256, n_iter=0)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan
+    # The literal path embeds k·dims Literal nodes (~8192 numbers);
+    # the broadcast plan stays compact. 20 kB is far above any honest
+    # broadcast plan and far below a 8192-literal tree.
+    assert len(plan) < 20_000
+
+
 def test_ivf_at_rest_partition_pruning(spark, tmp_path):
     """write_ivf_partitioned + ivf_topk_at_rest: the probe's literal
     cell predicate becomes PARTITION pruning — the scan's partition
@@ -1845,6 +1894,52 @@ def test_ivf_at_rest_partition_pruning(spark, tmp_path):
     exp = [(r["vec_id"], round(r["cosine_sim"], 9))
            for r in exp_df.collect()]
     assert got == exp
+
+
+def test_ivf_at_rest_recall_gate(spark, tmp_path):
+    """Recall@k acceptance gate for the AT-REST IVF layout: the
+    partition-pruned probe's top-k is scored by ann_recall_at_k
+    against exact brute-force search over the SAME written layout.
+    The pruning claim is only usable if the pruned result still finds
+    the true neighbors — this pins (on the near-uniform synthetic
+    embeddings, where Voronoi cells separate weakly and recall is
+    governed by nprobe): recall monotone nondecreasing in nprobe,
+    ≥ 0.8 at nprobe=6 of 8 with Lloyd-refined centroids, and exactly
+    1.0 at nprobe=n_cells — probing every cell IS the exact search,
+    so anything below 1.0 there means the layout or probe is broken,
+    not the approximation."""
+    from padua_spark.extensions.similarity import (
+        ann_recall_at_k,
+        brute_force_topk,
+        ivf_topk_at_rest,
+        write_ivf_partitioned,
+    )
+
+    from tests.conftest import SF_ORACLE
+
+    emb = spark.read.parquet(f"{SF_ORACLE}/embeddings.parquet")
+    path = str(tmp_path / "ivf_recall_corpus")
+    cents = write_ivf_partitioned(
+        emb, "vec_id", "embedding", path, n_cells=8, n_iter=2
+    )
+    query = [float((i * 7) % 13) / 13.0 for i in range(64)]
+    corpus = spark.read.parquet(path)
+    exact = brute_force_topk(corpus, "embedding", "vec_id", query, k=10)
+
+    def _recall(nprobe):
+        approx = ivf_topk_at_rest(
+            spark, path, cents, "vec_id", "embedding", query,
+            k=10, nprobe=nprobe,
+        )
+        return ann_recall_at_k(
+            approx, exact, "vec_id", k=10
+        ).collect()[0]["recall"]
+
+    recalls = [_recall(np_) for np_ in (2, 4, 6, 8)]
+    assert recalls == sorted(recalls), recalls  # monotone in nprobe
+    assert recalls[2] >= 0.8, recalls
+    # probing all cells == exact search on the written layout
+    assert recalls[3] == 1.0, recalls
 
 
 def test_bm25_and_repetition_scale_probe(spark):
