@@ -36,6 +36,7 @@ def connected_components(
     src: str = "src",
     dst: str = "dst",
     max_iter: int = 50,
+    small_graph_threshold: int = 100_000,
 ) -> DataFrame:
     """(node, component) for every node appearing in ``edges``, where
     ``component`` is the minimum node id reachable from the node — a
@@ -44,6 +45,27 @@ def connected_components(
     Convergence detection is free of frame-diffing: per-node labels
     only ever decrease, so the global ``sum(component)`` strictly
     decreases until fixpoint; an unchanged sum IS convergence.
+
+    **Adaptive small-graph shortcut** (same discipline as the ECDF
+    small-domain shortcut in ``stats``): the symmetrized edge list is
+    persisted and counted first; at/below ``small_graph_threshold``
+    edges the components are computed with driver-side union-find
+    over the collected (bounded!) edge list — zero iteration jobs
+    instead of one fused job per round, which on real dedup workloads
+    is the common case: LSH candidate pairs are a vanishing fraction
+    of the corpus (bench sf0.1: 256 pairs from 20k docs), while the
+    per-round fixed cost (scheduling + localCheckpoint materialize)
+    dominates regardless of data size. Pass ``0`` to force the
+    distributed path (tests do). Labels are identical between paths:
+    min-reachable-id is path-independent.
+
+    Why not large-star/small-star (Kiveris et al.): its round bound
+    equals the pointer-jump bound already used here (O(log n)), but
+    each of its rounds re-shuffles the full EDGE list with skewed
+    star-center keys, vs two hash joins on the (smaller) label frame
+    here — and on the dedup workloads measured, convergence takes ONE
+    round, so round count is not the binding cost; fixed per-round
+    overhead is, which the shortcut removes outright.
     """
     # persist the symmetrized edge list: every iteration joins against
     # it, and without the persist each round would recompute the entire
@@ -71,6 +93,51 @@ def connected_components(
         .distinct()
         .persist()
     )
+    n_edges = sym.count()  # materializes the persist; one scalar job
+    if n_edges <= small_graph_threshold:
+        # Driver-side union-find over the BOUNDED edge list (at most
+        # small_graph_threshold rows by construction — the same
+        # explicit-bound contract as the ml.py Gram-matrix guard).
+        rows = sym.collect()
+        parent: dict = {}
+
+        def find(x):
+            root = x
+            while parent[root] != root:
+                root = parent[root]
+            while parent[x] != root:  # path compression
+                parent[x], x = root, parent[x]
+            return root
+
+        for s, d in rows:
+            if s not in parent:
+                parent[s] = s
+            if d not in parent:
+                parent[d] = d
+            rs, rd = find(s), find(d)
+            if rs != rd:
+                parent[rs] = rd
+        comp_min: dict = {}
+        for node in parent:
+            r = find(node)
+            m = comp_min.get(r)
+            if m is None or node < m:
+                comp_min[r] = node
+        out_rows = sorted(
+            (node, comp_min[find(node)]) for node in parent
+        )
+        from pyspark.sql.types import StructField, StructType
+
+        node_type = sym.schema["_s"].dataType
+        schema = StructType(
+            [
+                StructField("node", node_type),
+                StructField("component", node_type),
+            ]
+        )
+        result = edges.sparkSession.createDataFrame(out_rows, schema)
+        sym.unpersist()
+        return result
     # seed each node with min(node, neighbors) — algebraically the
     # result of the first propagation round, for free inside the same
     # aggregation that enumerates the node set (saves one full round).

@@ -954,7 +954,8 @@ def test_write_corpus_partition_pruning(spark, tmp_path):
 
 def test_connected_components_long_chain(spark):
     """A 300-node path graph converges within the default round budget
-    — the pointer-jump step makes rounds O(log diameter), where plain
+    on the DISTRIBUTED path (small_graph_threshold=0 forces it) — the
+    pointer-jump step makes rounds O(log diameter), where plain
     propagation would need ~300 rounds and silently under-converge."""
     from padua_spark.extensions.graph import connected_components
 
@@ -962,10 +963,47 @@ def test_connected_components_long_chain(spark):
     edges = spark.createDataFrame(
         [(i, i + 1) for i in range(1, n)], "src long, dst long"
     )
-    comp = connected_components(edges)
+    comp = connected_components(edges, small_graph_threshold=0)
     got = {r["component"] for r in comp.collect()}
     assert got == {1}
     assert comp.count() == n
+
+
+def test_connected_components_shortcut_matches_distributed(spark):
+    """The small-graph union-find shortcut and the distributed
+    pointer-jump path produce IDENTICAL (node, component) labels —
+    min-reachable-id is path-independent. Random-ish multi-component
+    graph with chains, a cycle, and singleton-free isolated pairs."""
+    from padua_spark.extensions.graph import connected_components
+
+    pairs = (
+        [(i, i + 1) for i in range(1, 40)]          # chain 1..40
+        + [(100 + i, 100 + (i + 1) % 10) for i in range(10)]  # cycle
+        + [(200, 201), (300, 301), (301, 302)]
+        + [(41, 7)]                                  # ties chain back
+    )
+    edges = spark.createDataFrame(pairs, "src long, dst long")
+    fast = sorted(
+        (r["node"], r["component"])
+        for r in connected_components(edges).collect()
+    )
+    dist = sorted(
+        (r["node"], r["component"])
+        for r in connected_components(
+            edges, small_graph_threshold=0
+        ).collect()
+    )
+    assert fast == dist
+    # string node ids work on the shortcut path too (schema derived
+    # from the edge column type)
+    sedges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("x", "y")], "src string, dst string"
+    )
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components(sedges).collect()
+    }
+    assert got == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x"}
 
 
 def test_duplicate_spans_known_case(spark):
