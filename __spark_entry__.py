@@ -7958,6 +7958,206 @@ def q_minhash_estimate_error(spark, sf):
     )
 
 
+# --- ext: Kruskal-Wallis H (g-group rank ANOVA, nonparametric battery) ------
+
+
+_KRUSKAL_ORACLE = """
+WITH vals AS (
+  SELECT l_returnflag AS g, l_quantity AS v
+  FROM lineitem
+  WHERE l_returnflag IN ('A', 'N', 'R') AND l_quantity IS NOT NULL
+),
+per AS (
+  SELECT v,
+    count(*) FILTER (WHERE g = 'A') AS c0,
+    count(*) FILTER (WHERE g = 'N') AS c1,
+    count(*) FILTER (WHERE g = 'R') AS c2,
+    count(*) AS ct
+  FROM vals GROUP BY v
+),
+run AS (
+  SELECT *, sum(ct) OVER (ORDER BY v
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ct_run
+  FROM per
+),
+agg AS (
+  SELECT
+    sum(c0 * (2 * (ct_run - ct) + ct + 1)) AS r20,
+    sum(c1 * (2 * (ct_run - ct) + ct + 1)) AS r21,
+    sum(c2 * (2 * (ct_run - ct) + ct + 1)) AS r22,
+    sum(c0) AS n0, sum(c1) AS n1, sum(c2) AS n2,
+    sum(ct * ct * ct - ct) AS tie
+  FROM run
+),
+h AS (
+  SELECT
+    CAST(n0 + n1 + n2 AS DOUBLE) AS nd,
+    (CAST(r20 AS DOUBLE) / 2) * (CAST(r20 AS DOUBLE) / 2)
+      / CAST(n0 AS DOUBLE)
+    + (CAST(r21 AS DOUBLE) / 2) * (CAST(r21 AS DOUBLE) / 2)
+      / CAST(n1 AS DOUBLE)
+    + (CAST(r22 AS DOUBLE) / 2) * (CAST(r22 AS DOUBLE) / 2)
+      / CAST(n2 AS DOUBLE) AS rsq,
+    CAST(n0 + n1 + n2 AS BIGINT) AS n_total,
+    CAST(tie AS BIGINT) AS tie_term
+  FROM agg
+),
+hh AS (
+  SELECT *,
+    12.0 / (nd * (nd + 1.0)) * rsq - 3.0 * (nd + 1.0) AS h_raw,
+    (12.0 / (nd * (nd + 1.0)) * rsq - 3.0 * (nd + 1.0))
+      / (1.0 - CAST(tie_term AS DOUBLE) / (nd * nd * nd - nd)) AS h_c
+  FROM h
+)
+SELECT round(h_raw, 6) AS h_stat, round(h_c, 6) AS h_stat_corrected,
+  n_total, CAST(3 AS BIGINT) AS k_groups, tie_term,
+  round(exp(-h_c / 2.0), 9) AS p_chi2
+FROM hh
+"""
+
+
+@_q("kruskal_wallis", _KRUSKAL_ORACLE)
+def q_kruskal_wallis(spark, sf):
+    """Kruskal-Wallis H across the three returnflag groups
+    (stats.kruskal_wallis_stats): the g-group rank ANOVA completing
+    the nonparametric battery (KS / Mann-Whitney / Wilcoxon / KW) on
+    the same distributed-cumsum scaffolding. Doubled rank sums and
+    the tie term are exact integers; H is assembled in doubles with
+    the identical expression in both engines. p via the EVEN-df
+    chi-square closed form (df = 2 -> exp(-H/2)) shared verbatim by
+    the oracle — fully value-hash gated including the p-value."""
+    from padua_spark.operators.stats import kruskal_wallis_stats
+
+    li = _t(spark, sf, "lineitem")
+    out = kruskal_wallis_stats(
+        li, "l_returnflag", "l_quantity", ["A", "N", "R"]
+    )
+    return out.select(
+        _r("h_stat").alias("h_stat"),
+        _r("h_stat_corrected").alias("h_stat_corrected"),
+        "n_total", "k_groups", "tie_term",
+        _r(F.exp(-F.col("h_stat_corrected") / F.lit(2.0)), 9).alias(
+            "p_chi2"
+        ),
+    )
+
+
+# --- ext: Spearman rank correlation (exact midranks) ------------------------
+
+
+_SPEARMAN_ORACLE = """
+WITH pairs AS (
+  SELECT l_quantity AS x, l_extendedprice AS y
+  FROM lineitem
+  WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+),
+px AS (SELECT x AS v, count(*) AS c FROM pairs GROUP BY x),
+rx AS (
+  SELECT v, 2 * (sum(c) OVER (ORDER BY v
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - c)
+    + c + 1 AS r2
+  FROM px
+),
+py AS (SELECT y AS v, count(*) AS c FROM pairs GROUP BY y),
+ry AS (
+  SELECT v, 2 * (sum(c) OVER (ORDER BY v
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - c)
+    + c + 1 AS r2
+  FROM py
+),
+rk AS (
+  SELECT rx.r2 AS r2x, ry.r2 AS r2y
+  FROM pairs
+  JOIN rx ON pairs.x = rx.v
+  JOIN ry ON pairs.y = ry.v
+),
+agg AS (
+  SELECT count(*) AS n,
+    sum(r2x) AS sx, sum(r2y) AS sy, sum(r2x * r2y) AS sxy,
+    sum(r2x * r2x) AS sxx, sum(r2y * r2y) AS syy
+  FROM rk
+)
+SELECT round(
+    (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+       - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+    / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+           * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+              - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) AS rho,
+  CAST(n AS BIGINT) AS n
+FROM agg
+"""
+
+
+@_q("spearman_rho", _SPEARMAN_ORACLE)
+def q_spearman_rho(spark, sf):
+    """Spearman rank correlation of quantity vs extended price
+    (stats.spearman_rho): Pearson on exact integer doubled midranks —
+    two distributed cumsums (one per axis, the ECDF scaffolding),
+    value joins back to the pairwise-complete rows, decimal-exact
+    integer moment sums, one shared double expression for rho."""
+    from padua_spark.operators.stats import spearman_rho
+
+    li = _t(spark, sf, "lineitem")
+    out = spearman_rho(li, "l_quantity", "l_extendedprice")
+    return out.select(_r("rho").alias("rho"), "n")
+
+
+# --- ext: Benjamini-Yekutieli q-values (dependence-robust FDR) --------------
+
+
+_QVALUE_BY_ORACLE = f"""
+WITH p AS (
+  SELECT p_partkey,
+    {deterministic_uniform_sql('p_partkey', 0)} AS p_value
+  FROM part
+),
+r AS (
+  SELECT *, row_number() OVER (ORDER BY p_value) AS rk,
+         count(*) OVER () AS m
+  FROM p
+),
+hsum AS (
+  SELECT *, sum(1.0 / CAST(rk AS DOUBLE)) OVER (
+      ORDER BY rk
+      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS cm
+  FROM r
+),
+q AS (
+  SELECT *, least(cm * CAST(m AS DOUBLE) * p_value
+                    / CAST(rk AS DOUBLE), 1.0) AS q_raw
+  FROM hsum
+)
+SELECT p_partkey, round(p_value, 9) AS p_value,
+  round(min(q_raw) OVER (ORDER BY p_value
+        ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING), 9) AS q_value
+FROM q
+"""
+
+
+@_q("qvalues_by", _QVALUE_BY_ORACLE)
+def q_qvalues_by(spark, sf):
+    """Benjamini-Yekutieli q-values (stats.qvalues_by): FDR control
+    valid under arbitrary dependence — BH inflated by the harmonic
+    factor c(m) = sum(1/k), computed as sum(1/rank) inside the same
+    global window pass in both engines. Completes the FDR family
+    next to qvalues_bh / qvalues_storey."""
+    from padua_spark.functions.scalar import deterministic_uniform
+    from padua_spark.operators.stats import qvalues_by
+
+    part = _t(spark, sf, "part")
+    p = part.select(
+        "p_partkey",
+        deterministic_uniform(F.col("p_partkey"), salt=0).alias("p_value"),
+    )
+    out = qvalues_by(p, "p_value")
+    return out.select(
+        "p_partkey",
+        F.round("p_value", 9).alias("p_value"),
+        F.round("q_value", 9).alias("q_value"),
+    )
+
+
 # ---------------------------------------------------------------------------
 
 

@@ -135,6 +135,9 @@ HEADLINE = [
     "embedding_drift_psi",
     "ann_recall",
     "minhash_estimate_error",
+    "kruskal_wallis",
+    "spearman_rho",
+    "qvalues_by",
 ]
 
 

@@ -632,10 +632,6 @@ def _ecdf_stepped_counts(
     counts in groups a/b), ``_fa, _fb`` (running counts ≤ value — the
     un-normalized ECDFs), and ``_na, _nb`` (grand totals).
     """
-    from pyspark import StorageLevel
-
-    from padua_spark.io_utils import track_cached
-
     v = F.col(value_col)
     per = (
         df.where(F.col(group_col).isin([group_a, group_b]) & v.isNotNull())
@@ -644,7 +640,49 @@ def _ecdf_stepped_counts(
             F.count(F.when(F.col(group_col) == group_a, 1)).alias("_ca"),
             F.count(F.when(F.col(group_col) == group_b, 1)).alias("_cb"),
         )
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    stepped = _stepped_running_counts(
+        per, "_v", ["_ca", "_cb"], small_domain_threshold
+    )
+    from padua_spark.io_utils import track_cached
+
+    out = stepped.select(
+        "_v",
+        "_ca",
+        "_cb",
+        F.col("_ca_run").alias("_fa"),
+        F.col("_cb_run").alias("_fb"),
+        F.col("_ca_tot").alias("_na"),
+        F.col("_cb_tot").alias("_nb"),
+    )
+    return track_cached(out, *getattr(stepped, "_padua_cached", ()))
+
+
+def _stepped_running_counts(
+    per: DataFrame,
+    value_col: str,
+    count_cols: list[str],
+    small_domain_threshold: int | None = None,
+) -> DataFrame:
+    """Generalized distributed running sums over a per-distinct-value
+    counts frame: for each column ``c`` in ``count_cols`` emit
+    ``{c}_run`` (running sum over ascending ``value_col``, inclusive)
+    and ``{c}_tot`` (grand total), preserving all input columns. The
+    two-pass plan and small-domain shortcut are exactly
+    :func:`_ecdf_stepped_counts`'s (which now delegates here); this
+    form also serves the g-group rank statistics (Kruskal–Wallis) and
+    Spearman midranks, which need running sums of one-or-many count
+    columns rather than the fixed a/b pair.
+
+    Persisted intermediates are recorded via ``track_cached`` on the
+    returned frame — callers must re-attach them to their final frame.
+    """
+    from pyspark import StorageLevel
+
+    from padua_spark.io_utils import track_cached
+
+    other_cols = [c for c in per.columns if c != value_col]
+    per = per.persist(StorageLevel.MEMORY_AND_DISK)
     n_domain = per.count()
     thresh = (
         SMALL_ECDF_DOMAIN
@@ -654,20 +692,17 @@ def _ecdf_stepped_counts(
     if n_domain <= thresh:
         # |domain|-row frame, bounded by the threshold: the
         # partitionless windows run over ONE small cached task.
-        w_loc = Window.orderBy("_v").rowsBetween(
+        w_loc = Window.orderBy(value_col).rowsBetween(
             Window.unboundedPreceding, Window.currentRow
         )
         w_all = Window.partitionBy().rowsBetween(
             Window.unboundedPreceding, Window.unboundedFollowing
         )
         out = per.select(
-            "_v",
-            "_ca",
-            "_cb",
-            F.sum("_ca").over(w_loc).alias("_fa"),
-            F.sum("_cb").over(w_loc).alias("_fb"),
-            F.sum("_ca").over(w_all).alias("_na"),
-            F.sum("_cb").over(w_all).alias("_nb"),
+            value_col,
+            *other_cols,
+            *[F.sum(c).over(w_loc).alias(f"{c}_run") for c in count_cols],
+            *[F.sum(c).over(w_all).alias(f"{c}_tot") for c in count_cols],
         )
         return track_cached(out, per)
     spark = per.sparkSession
@@ -676,25 +711,23 @@ def _ecdf_stepped_counts(
     except (TypeError, ValueError):  # e.g. "auto" on some deployments
         n_parts = max(1, spark.sparkContext.defaultParallelism)
     ranged = (
-        per.repartitionByRange(n_parts, "_v")
+        per.repartitionByRange(n_parts, value_col)
         .withColumn("_pid", F.spark_partition_id())
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     ranged.count()  # pin ONE set of sampled range boundaries
     per.unpersist()
-    w_loc = Window.partitionBy("_pid").orderBy("_v").rowsBetween(
+    w_loc = Window.partitionBy("_pid").orderBy(value_col).rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
     local = ranged.select(
         "_pid",
-        "_v",
-        "_ca",
-        "_cb",
-        F.sum("_ca").over(w_loc).alias("_la"),
-        F.sum("_cb").over(w_loc).alias("_lb"),
+        value_col,
+        *other_cols,
+        *[F.sum(c).over(w_loc).alias(f"{c}_loc") for c in count_cols],
     )
     totals = ranged.groupBy("_pid").agg(
-        F.sum("_ca").alias("_ta"), F.sum("_cb").alias("_tb")
+        *[F.sum(c).alias(f"{c}_pt") for c in count_cols]
     )
     # N rows (N = parallelism): the single-partition windows below are
     # over a constant-size frame, not the data.
@@ -706,19 +739,25 @@ def _ecdf_stepped_counts(
     )
     offsets = totals.select(
         "_pid",
-        F.coalesce(F.sum("_ta").over(w_off), F.lit(0)).alias("_oa"),
-        F.coalesce(F.sum("_tb").over(w_off), F.lit(0)).alias("_ob"),
-        F.sum("_ta").over(w_all).alias("_na"),
-        F.sum("_tb").over(w_all).alias("_nb"),
+        *[
+            F.coalesce(F.sum(f"{c}_pt").over(w_off), F.lit(0)).alias(
+                f"{c}_off"
+            )
+            for c in count_cols
+        ],
+        *[
+            F.sum(f"{c}_pt").over(w_all).alias(f"{c}_tot")
+            for c in count_cols
+        ],
     )
     out = local.join(F.broadcast(offsets), "_pid").select(
-        "_v",
-        "_ca",
-        "_cb",
-        (F.col("_la") + F.col("_oa")).alias("_fa"),
-        (F.col("_lb") + F.col("_ob")).alias("_fb"),
-        "_na",
-        "_nb",
+        value_col,
+        *other_cols,
+        *[
+            (F.col(f"{c}_loc") + F.col(f"{c}_off")).alias(f"{c}_run")
+            for c in count_cols
+        ],
+        *[F.col(f"{c}_tot") for c in count_cols],
     )
     return track_cached(out, ranged)
 
@@ -1025,3 +1064,239 @@ def mannwhitney_z_stats(
     # Re-attach the ECDF persists (dropped by .select/.agg) so callers
     # can free them via unpersist_intermediates.
     return track_cached(out, *getattr(ecdf, "_padua_cached", ()))
+
+
+def kruskal_wallis_stats(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    groups: list,
+    small_domain_threshold: int | None = None,
+) -> DataFrame:
+    """Kruskal–Wallis H test — the g-group generalization of
+    Mann–Whitney (rank-based one-way ANOVA), completing the
+    nonparametric battery beyond the reference's parametric
+    ``anova_1way`` (analysis.py:387-432): same scientific question
+    (do ≥2 groups share a location?) without the normality
+    assumption.
+
+    Exact integer arithmetic on the same scale-safe scaffolding as
+    KS/Mann–Whitney: per-distinct-value counts per group, the
+    distributed two-pass running sum over the POOLED counts
+    (:func:`_stepped_running_counts`) yields integer doubled midranks
+    ``2·r̄ = 2·cum_before + cnt + 1``, so per-group doubled rank sums
+    ``2R_g`` and the tie term ``Σ(t³−t)`` are integers — hash-stable
+    anywhere. Then, in doubles (identical expressions on any engine):
+
+    ``H = 12/(N(N+1)) · Σ_g (2R_g/2)²/n_g − 3(N+1)``, tie-corrected
+    ``H_c = H / (1 − Σ(t³−t)/(N³−N))``.
+
+    No p-value column here (the chi-square survival for general df is
+    an incomplete-gamma); for EVEN df = g−1 the caller can use the
+    finite closed form ``exp(−H/2)·Σ_{k<df/2}(H/2)^k/k!`` (df=2 →
+    ``exp(−H/2)``), which both engines share — see the
+    ``kruskal_wallis`` entry. Output 1 row:
+    ``(h_stat, h_stat_corrected, n_total, k_groups, tie_term)``.
+    """
+    from padua_spark.io_utils import track_cached
+
+    v = F.col(value_col)
+    cols = [f"_c{i}" for i in range(len(groups))]
+    per = (
+        df.where(F.col(group_col).isin(list(groups)) & v.isNotNull())
+        .groupBy(v.alias("_v"))
+        .agg(
+            *[
+                F.count(
+                    F.when(F.col(group_col) == g, 1)
+                ).alias(c)
+                for g, c in zip(groups, cols)
+            ]
+        )
+    )
+    pooled = per.select(
+        "_v", *cols,
+        sum([F.col(c) for c in cols[1:]], F.col(cols[0])).alias("_ct"),
+    )
+    stepped = _stepped_running_counts(
+        pooled, "_v", ["_ct"], small_domain_threshold
+    )
+    two_rbar = (
+        2 * (F.col("_ct_run") - F.col("_ct")) + F.col("_ct") + 1
+    )
+    agg = stepped.agg(
+        *[
+            F.sum(F.col(c) * two_rbar).alias(f"_2r{i}")
+            for i, c in enumerate(cols)
+        ],
+        *[F.sum(c).alias(f"_n{i}") for i, c in enumerate(cols)],
+        F.sum(
+            F.col("_ct") * F.col("_ct") * F.col("_ct") - F.col("_ct")
+        ).alias("tie_term"),
+    )
+    n_total = sum(
+        [F.col(f"_n{i}") for i in range(1, len(cols))], F.col("_n0")
+    )
+    nd = n_total.cast("double")
+    # Σ_g R_g²/n_g with R_g = 2R_g/2 — one division per group, doubles
+    rsq = None
+    for i in range(len(cols)):
+        term = (
+            (F.col(f"_2r{i}").cast("double") / F.lit(2.0))
+            * (F.col(f"_2r{i}").cast("double") / F.lit(2.0))
+            / F.col(f"_n{i}").cast("double")
+        )
+        term = F.when(F.col(f"_n{i}") > 0, term).otherwise(F.lit(0.0))
+        rsq = term if rsq is None else rsq + term
+    h = F.lit(12.0) / (nd * (nd + 1.0)) * rsq - F.lit(3.0) * (nd + 1.0)
+    corr = F.lit(1.0) - F.col("tie_term").cast("double") / (
+        nd * nd * nd - nd
+    )
+    staged = agg.select(
+        h.alias("h_stat"),
+        n_total.alias("n_total"),
+        F.lit(len(groups)).cast("long").alias("k_groups"),
+        "tie_term",
+        corr.alias("_corr"),
+    )
+    out = staged.select(
+        "h_stat",
+        F.when(
+            F.col("_corr") > 0, F.col("h_stat") / F.col("_corr")
+        ).alias("h_stat_corrected"),
+        "n_total",
+        "k_groups",
+        "tie_term",
+    )
+    return track_cached(out, *getattr(stepped, "_padua_cached", ()))
+
+
+def spearman_rho(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    small_domain_threshold: int | None = None,
+) -> DataFrame:
+    """Spearman rank correlation between two numeric columns —
+    Pearson on midranks, the robust complement to the reference's
+    Pearson correlation matrix (analysis.py:26-48) for monotone but
+    non-linear association (dose-response curves, quality-score
+    sanity checks against human labels).
+
+    Exactness discipline: midranks come from the distributed running
+    sum over each column's distinct values
+    (:func:`_stepped_running_counts` — two scale-safe cumsums, one
+    per axis), joined back to the pairwise-complete rows by value.
+    Doubled midranks are integers, so every Pearson ingredient
+    (Σ2rx, Σ2ry, Σ2rx·2ry, Σ(2rx)², Σ(2ry)², n) is an exact integer
+    aggregate — summed as decimal(38,0) so no 64-bit overflow at any
+    realistic n — and rho is assembled from them in doubles with one
+    expression both engines share:
+
+    ``rho = (n·Sxy − Sx·Sy) / sqrt((n·Sxx − Sx²)(n·Syy − Sy²))``
+    (the doubling cancels). Output 1 row: ``(rho, n)``.
+    """
+    from padua_spark.io_utils import track_cached
+
+    pairs = df.where(
+        F.col(x_col).isNotNull() & F.col(y_col).isNotNull()
+    ).select(F.col(x_col).alias("_x"), F.col(y_col).alias("_y"))
+
+    def _midranks(col: str):
+        per = pairs.groupBy(F.col(col).alias("_v")).agg(
+            F.count(F.lit(1)).alias("_c")
+        )
+        stepped = _stepped_running_counts(
+            per, "_v", ["_c"], small_domain_threshold
+        )
+        two_rbar = 2 * (F.col("_c_run") - F.col("_c")) + F.col("_c") + 1
+        return (
+            stepped.select("_v", two_rbar.alias(f"_2r{col}")),
+            getattr(stepped, "_padua_cached", ()),
+        )
+
+    rx, cached_x = _midranks("_x")
+    ry, cached_y = _midranks("_y")
+    ranked = (
+        pairs.join(rx, pairs["_x"] == rx["_v"])
+        .drop("_v")
+        .join(ry, pairs["_y"] == ry["_v"])
+        .drop("_v")
+    )
+    dec = "decimal(38,0)"
+    agg = ranked.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("_2r_x").cast(dec)).alias("_sx"),
+        F.sum(F.col("_2r_y").cast(dec)).alias("_sy"),
+        F.sum(
+            (F.col("_2r_x") * F.col("_2r_y")).cast(dec)
+        ).alias("_sxy"),
+        F.sum(
+            (F.col("_2r_x") * F.col("_2r_x")).cast(dec)
+        ).alias("_sxx"),
+        F.sum(
+            (F.col("_2r_y") * F.col("_2r_y")).cast(dec)
+        ).alias("_syy"),
+    )
+    nd = F.col("n").cast("double")
+    sx = F.col("_sx").cast("double")
+    sy = F.col("_sy").cast("double")
+    num = nd * F.col("_sxy").cast("double") - sx * sy
+    den = F.sqrt(
+        (nd * F.col("_sxx").cast("double") - sx * sx)
+        * (nd * F.col("_syy").cast("double") - sy * sy)
+    )
+    out = agg.select(
+        F.when(den > 0, num / den).alias("rho"),
+        "n",
+    )
+    return track_cached(out, *cached_x, *cached_y)
+
+
+def qvalues_by(
+    df: DataFrame,
+    p_col: str = "p_value",
+    out_col: str = "q_value",
+) -> DataFrame:
+    """Benjamini–Yekutieli q-values — FDR control valid under
+    ARBITRARY dependence between tests (BH assumes independence or
+    positive dependence; correlated proteomics features violate it).
+    Identical to :func:`qvalues` with ``pi0=1`` except ``q_raw`` is
+    inflated by the harmonic factor ``c(m) = Σ_{k=1..m} 1/k``,
+    computed inside the same global window pass as ``Σ 1/rank`` over
+    the ranked frame (no driver round-trip; both engines share the
+    summation order over the ascending-rank window, so the double is
+    hash-stable).
+
+    Same global-order window note as :func:`qvalues` (m = #features).
+    NULL p rows pass through with NULL q.
+    """
+    valid = df.filter(F.col(p_col).isNotNull())
+    nulls = df.filter(F.col(p_col).isNull()).withColumn(
+        out_col, F.lit(None).cast("double")
+    )
+    w_all = Window.partitionBy()
+    w_rank = Window.orderBy(F.col(p_col).asc())
+    ranked = valid.withColumn("_rank", F.row_number().over(w_rank))
+    m_col = F.count(F.lit(1)).over(w_all).cast("double")
+    # c(m) = Σ 1/k for k=1..m == Σ over rows of 1/rank (ranks are a
+    # permutation of 1..m) — ordered ascending by rank in BOTH engines
+    # so the float summation order is pinned.
+    w_harm = Window.orderBy(F.col("_rank").asc()).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    c_m = F.sum(
+        F.lit(1.0) / F.col("_rank").cast("double")
+    ).over(w_harm)
+    q_raw = (
+        c_m * m_col * F.col(p_col) / F.col("_rank").cast("double")
+    )
+    w_runmin = Window.orderBy(
+        F.col(p_col).desc(), F.col("_rank").desc()
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    out = (
+        ranked.withColumn("_q_raw", F.least(q_raw, F.lit(1.0)))
+        .withColumn(out_col, F.min("_q_raw").over(w_runmin))
+        .drop("_q_raw", "_rank")
+    )
+    return out.unionByName(nulls)

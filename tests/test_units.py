@@ -2052,3 +2052,131 @@ def test_calibration_and_kappa_closed_form(spark):
     const = spark.createDataFrame([(1, 1)] * 4, ["a", "b"])
     r3 = cohens_kappa(const, "a", "b").collect()[0]
     assert r3["kappa"] is None
+
+
+def test_kruskal_wallis_matches_reference(spark):
+    """kruskal_wallis_stats equals a numpy midrank replica (tied data,
+    3 groups), is invariant under repartitioning, and the forced
+    distributed cumsum path (small_domain_threshold=0) agrees with
+    the small-domain shortcut."""
+    import numpy as np
+
+    from padua_spark.operators.stats import kruskal_wallis_stats
+
+    rows = []
+    for i in range(90):
+        g = ["a", "b", "c"][i % 3]
+        v = float((i * 7) % 10)  # heavy ties
+        rows.append((g, v))
+    df = spark.createDataFrame(rows, ["g", "v"])
+
+    vals = np.array([v for _, v in rows])
+    svals = np.sort(vals)
+    n = len(vals)
+
+    def midrank2(x):
+        return (
+            np.searchsorted(svals, x, side="left")
+            + 1
+            + np.searchsorted(svals, x, side="right")
+        )
+
+    r2 = {g: midrank2(np.array([v for gg, v in rows if gg == g]))
+          for g in ("a", "b", "c")}
+    rsq = sum(
+        (r2[g].sum() / 2.0) ** 2 / len(r2[g]) for g in ("a", "b", "c")
+    )
+    h_exp = 12.0 / (n * (n + 1.0)) * rsq - 3.0 * (n + 1.0)
+    _, counts = np.unique(vals, return_counts=True)
+    tie = int((counts.astype(np.int64) ** 3 - counts).sum())
+    hc_exp = h_exp / (1.0 - tie / float(n**3 - n))
+
+    for frame in (df, df.repartition(7)):
+        for thr in (None, 0):
+            kw = {}
+            if thr is not None:
+                kw["small_domain_threshold"] = thr
+            row = kruskal_wallis_stats(
+                frame, "g", "v", ["a", "b", "c"], **kw
+            ).collect()[0]
+            assert row["n_total"] == n
+            assert row["k_groups"] == 3
+            assert row["tie_term"] == tie
+            assert row["h_stat"] == pytest.approx(h_exp, abs=1e-10)
+            assert row["h_stat_corrected"] == pytest.approx(
+                hc_exp, abs=1e-10
+            )
+
+
+def test_spearman_rho_matches_reference(spark):
+    """spearman_rho equals the numpy midrank Pearson on tied data,
+    is exactly +1 on a monotone pair and -1 on an antitone pair, and
+    both cumsum paths agree."""
+    import numpy as np
+
+    from padua_spark.operators.stats import spearman_rho
+
+    xs = [float((i * 3) % 7) for i in range(60)]        # ties in x
+    ys = [float((i * 5) % 9) + 0.5 * (i % 2) for i in range(60)]
+    df = spark.createDataFrame(list(zip(xs, ys)), ["x", "y"])
+
+    def midranks(a):
+        s = np.sort(a)
+        return (
+            np.searchsorted(s, a, side="left")
+            + 1
+            + np.searchsorted(s, a, side="right")
+        ) / 2.0
+
+    rx, ry = midranks(np.array(xs)), midranks(np.array(ys))
+    rho_exp = np.corrcoef(rx, ry)[0, 1]
+    for thr in (None, 0):
+        kw = {"small_domain_threshold": thr} if thr is not None else {}
+        row = spearman_rho(df, "x", "y", **kw).collect()[0]
+        assert row["n"] == 60
+        assert row["rho"] == pytest.approx(rho_exp, abs=1e-10)
+
+    mono = spark.createDataFrame(
+        [(float(i), float(i * i)) for i in range(30)], ["x", "y"]
+    )
+    assert spearman_rho(mono, "x", "y").collect()[0]["rho"] == 1.0
+    anti = spark.createDataFrame(
+        [(float(i), float(-i)) for i in range(30)], ["x", "y"]
+    )
+    assert spearman_rho(anti, "x", "y").collect()[0]["rho"] == -1.0
+
+
+def test_qvalues_by_matches_reference(spark):
+    """qvalues_by equals the pure-Python Benjamini-Yekutieli replica
+    (harmonic-inflated BH with backward running min), dominates BH
+    q-values pointwise, and passes NULL p rows through."""
+    from padua_spark.operators.stats import qvalues, qvalues_by
+
+    ps = [0.001, 0.008, 0.039, 0.041, 0.042, 0.06, 0.074, 0.205,
+          0.212, 0.216, 0.222, 0.251, 0.269, 0.275, 0.34, 0.341,
+          0.384, 0.569, 0.594, 0.696, 0.762, 0.94, 0.942, 0.975]
+    m = len(ps)
+    c_m = sum(1.0 / k for k in range(1, m + 1))
+    q_raw = [min(c_m * m * p / (i + 1), 1.0)
+             for i, p in enumerate(sorted(ps))]
+    exp = q_raw[:]
+    for i in range(m - 2, -1, -1):
+        exp[i] = min(exp[i], exp[i + 1])
+    expect = dict(zip(sorted(ps), exp))
+
+    df = spark.createDataFrame(
+        [(p,) for p in ps] + [(None,)], "p_value double"
+    )
+    got = {
+        r["p_value"]: r["q_value"]
+        for r in qvalues_by(df, "p_value").collect()
+    }
+    assert got[None] is None
+    for p in ps:
+        assert got[p] == pytest.approx(expect[p], abs=1e-12)
+    bh = {
+        r["p_value"]: r["q_value"]
+        for r in qvalues(df, "p_value", pi0=1.0).collect()
+    }
+    for p in ps:
+        assert got[p] >= bh[p] - 1e-12  # BY is more conservative
