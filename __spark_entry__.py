@@ -8158,6 +8158,106 @@ def q_qvalues_by(spark, sf):
     )
 
 
+# --- ext: corpus-level lexical statistics (Zipf fit, hapax richness) --------
+
+
+_ZIPF_ORACLE = r"""
+WITH freq AS (
+  SELECT token, count(*) AS n
+  FROM (
+    SELECT unnest(string_split_regex(trim(lower(text)),
+                                     '[ \t\n\x0B\f\r]+')) AS token
+    FROM documents WHERE len(trim(text)) > 0
+  ) WHERE token <> ''
+  GROUP BY token
+),
+top AS (SELECT token, n FROM freq ORDER BY n DESC, token ASC LIMIT 500),
+ranked AS (
+  SELECT ln(CAST(row_number() OVER (ORDER BY n DESC, token ASC)
+                 AS DOUBLE)) AS x,
+         ln(CAST(n AS DOUBLE)) AS y
+  FROM top
+),
+agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_terms,
+         sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,
+         sum(x * x) AS sxx, sum(y * y) AS syy
+  FROM ranked
+),
+fit AS (
+  SELECT n_terms, sx, sy, syy,
+         CAST(n_terms AS DOUBLE) * sxy - sx * sy AS cov,
+         CAST(n_terms AS DOUBLE) * sxx - sx * sx AS varx,
+         CAST(n_terms AS DOUBLE) * syy - sy * sy AS vary
+  FROM agg
+)
+SELECT round(cov / varx, 6) AS slope,
+  round((sy - (cov / varx) * sx) / CAST(n_terms AS DOUBLE), 6)
+    AS intercept,
+  round(cov * cov / (varx * vary), 6) AS r2,
+  n_terms
+FROM fit
+"""
+
+
+@_q("zipf_slope", _ZIPF_ORACLE)
+def q_zipf_slope(spark, sf):
+    """Zipf-law OLS fit over the top-500 token frequencies
+    (extensions.text.zipf_slope): data-sized work is the existing
+    token-frequency aggregation; the regression runs over the bounded
+    500-row frame. Corpus-level quality gate (natural text ~ slope
+    -1)."""
+    from padua_spark.extensions.text import zipf_slope
+
+    d = _t(spark, sf, "documents")
+    out = zipf_slope(d, "text", top_n=500)
+    return out.select(
+        _r("slope").alias("slope"),
+        _r("intercept").alias("intercept"),
+        _r("r2").alias("r2"),
+        "n_terms",
+    )
+
+
+_HAPAX_ORACLE = r"""
+WITH pt AS (
+  SELECT lang, token, count(*) AS c
+  FROM (
+    SELECT lang, unnest(string_split_regex(trim(lower(text)),
+                                           '[ \t\n\x0B\f\r]+')) AS token
+    FROM documents WHERE len(trim(text)) > 0
+  ) WHERE token <> ''
+  GROUP BY lang, token
+)
+SELECT lang,
+  CAST(sum(c) AS BIGINT) AS n_tokens,
+  CAST(count(*) AS BIGINT) AS vocab_size,
+  CAST(count(*) FILTER (WHERE c = 1) AS BIGINT) AS hapax_count,
+  round(CAST(count(*) AS DOUBLE) / CAST(sum(c) AS DOUBLE), 6)
+    AS type_token_ratio,
+  round(CAST(count(*) FILTER (WHERE c = 1) AS DOUBLE)
+        / CAST(count(*) AS DOUBLE), 6) AS hapax_ratio
+FROM pt GROUP BY lang
+"""
+
+
+@_q("hapax_stats", _HAPAX_ORACLE)
+def q_hapax_stats(spark, sf):
+    """Per-language vocabulary richness (extensions.text.hapax_stats):
+    total tokens, vocab size, hapax legomena, type-token and hapax
+    ratios — lexical-diversity screen per corpus shard. Integer counts
+    end to end; ratios are one IEEE division each."""
+    from padua_spark.extensions.text import hapax_stats
+
+    d = _t(spark, sf, "documents")
+    out = hapax_stats(d, ["lang"], "text")
+    return out.select(
+        "lang", "n_tokens", "vocab_size", "hapax_count",
+        _r("type_token_ratio").alias("type_token_ratio"),
+        _r("hapax_ratio").alias("hapax_ratio"),
+    )
+
+
 # ---------------------------------------------------------------------------
 
 

@@ -138,6 +138,8 @@ HEADLINE = [
     "kruskal_wallis",
     "spearman_rho",
     "qvalues_by",
+    "zipf_slope",
+    "hapax_stats",
 ]
 
 

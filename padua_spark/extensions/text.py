@@ -929,3 +929,108 @@ def bm25_topk(
         .limit(k)
     )
     return track_cached(out, per_doc)
+
+
+def zipf_slope(
+    df: DataFrame,
+    text_col: str,
+    top_n: int = 1000,
+    lowercase: bool = True,
+) -> DataFrame:
+    """Zipf-law fit over the corpus frequency spectrum: OLS slope of
+    ``ln(freq)`` on ``ln(rank)`` for the ``top_n`` most frequent
+    tokens. Natural-language corpora sit near slope −1; a flat slope
+    flags templated/boilerplate-heavy shards and a cliff flags
+    synthetic/looping text — a cheap corpus-level quality gate next
+    to the per-doc Gopher signals.
+
+    Scale shape: :func:`token_frequencies` (explode → partial+final
+    hash agg → TakeOrdered top_n) does all the data-sized work; the
+    rank window and the 5 regression sums run over the BOUNDED
+    ``top_n``-row frame (single-partition window over ≤ top_n rows at
+    any corpus size — the constant-size exception the cumsum rule
+    allows). Ranks tie-break by token text, deterministic on any
+    engine. Output 1 row:
+    ``(slope, intercept, r2, n_terms)``.
+    """
+    freqs = token_frequencies(
+        df, text_col, top_n=top_n, lowercase=lowercase
+    )
+    w = Window.orderBy(F.col("n").desc(), F.col("token").asc())
+    ranked = freqs.select(
+        F.log(F.row_number().over(w).cast("double")).alias("_x"),
+        F.log(F.col("n").cast("double")).alias("_y"),
+    )
+    agg = ranked.agg(
+        F.count(F.lit(1)).alias("n_terms"),
+        F.sum("_x").alias("_sx"),
+        F.sum("_y").alias("_sy"),
+        F.sum(F.col("_x") * F.col("_y")).alias("_sxy"),
+        F.sum(F.col("_x") * F.col("_x")).alias("_sxx"),
+        F.sum(F.col("_y") * F.col("_y")).alias("_syy"),
+    )
+    nd = F.col("n_terms").cast("double")
+    cov = nd * F.col("_sxy") - F.col("_sx") * F.col("_sy")
+    varx = nd * F.col("_sxx") - F.col("_sx") * F.col("_sx")
+    vary = nd * F.col("_syy") - F.col("_sy") * F.col("_sy")
+    slope = F.when(varx > 0, cov / varx)
+    return agg.select(
+        slope.alias("slope"),
+        F.when(
+            varx > 0,
+            (F.col("_sy") - (cov / varx) * F.col("_sx")) / nd,
+        ).alias("intercept"),
+        F.when(
+            (varx > 0) & (vary > 0), cov * cov / (varx * vary)
+        ).alias("r2"),
+        "n_terms",
+    )
+
+
+def hapax_stats(
+    df: DataFrame,
+    group_cols: list[str],
+    text_col: str,
+    lowercase: bool = True,
+) -> DataFrame:
+    """Per-group vocabulary richness: total token count, vocabulary
+    size, hapax legomena count (tokens occurring exactly once),
+    type-token ratio and hapax ratio — the lexical-diversity screen
+    for corpus shards (machine-generated or heavily deduplicated
+    shards show depressed hapax ratios; OCR-noise shards show
+    inflated ones).
+
+    Scale shape: one explode → (group, token) hash aggregation with
+    map-side partial combine, then a per-group rollup — counts stay
+    integers end to end, the two ratios are one IEEE division each.
+    Output per group:
+    ``(group_cols..., n_tokens, vocab_size, hapax_count,
+    type_token_ratio, hapax_ratio)``.
+    """
+    t = F.col(text_col)
+    toks = tokens(F.lower(t) if lowercase else t)
+    per_token = (
+        df.select(*group_cols, F.explode(toks).alias("token"))
+        .where(F.col("token") != "")
+        .groupBy(*group_cols, "token")
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    agg = per_token.groupBy(*group_cols).agg(
+        F.sum("_c").alias("n_tokens"),
+        F.count(F.lit(1)).alias("vocab_size"),
+        F.count(F.when(F.col("_c") == 1, 1)).alias("hapax_count"),
+    )
+    return agg.select(
+        *group_cols,
+        "n_tokens",
+        "vocab_size",
+        "hapax_count",
+        (
+            F.col("vocab_size").cast("double")
+            / F.col("n_tokens").cast("double")
+        ).alias("type_token_ratio"),
+        (
+            F.col("hapax_count").cast("double")
+            / F.col("vocab_size").cast("double")
+        ).alias("hapax_ratio"),
+    )

@@ -2180,3 +2180,69 @@ def test_qvalues_by_matches_reference(spark):
     }
     for p in ps:
         assert got[p] >= bh[p] - 1e-12  # BY is more conservative
+
+
+def test_zipf_slope_matches_reference(spark):
+    """zipf_slope equals a numpy OLS on a corpus with planted token
+    frequencies, and a perfect power law fits with r2 == 1."""
+    import math
+
+    import numpy as np
+
+    from padua_spark.extensions.text import zipf_slope
+
+    # planted frequencies: token t_i appears 2^(10-i) times
+    docs = []
+    for i in range(8):
+        docs.extend([(f"t{i}",)] * (2 ** (10 - i)))
+    df = spark.createDataFrame(docs, ["text"])
+    row = zipf_slope(df, "text", top_n=8).collect()[0]
+    x = np.log(np.arange(1, 9, dtype=float))
+    y = np.log(np.array([2.0 ** (10 - i) for i in range(8)]))
+    n = 8.0
+    cov = n * (x * y).sum() - x.sum() * y.sum()
+    varx = n * (x * x).sum() - x.sum() ** 2
+    vary = n * (y * y).sum() - y.sum() ** 2
+    assert row["n_terms"] == 8
+    assert row["slope"] == pytest.approx(cov / varx, abs=1e-9)
+    assert row["r2"] == pytest.approx(cov * cov / (varx * vary), abs=1e-9)
+
+    # exact power law freq = 1000 * rank^-1 -> slope -1, r2 1
+    power = []
+    for r in range(1, 6):
+        power.extend([(f"w{r}",)] * round(1000 / r))
+    pdf = spark.createDataFrame(power, ["text"])
+    prow = zipf_slope(pdf, "text", top_n=5).collect()[0]
+    assert prow["slope"] == pytest.approx(-1.0, abs=0.01)
+    assert prow["r2"] == pytest.approx(1.0, abs=0.001)
+
+
+def test_hapax_stats_known_corpus(spark):
+    """hapax_stats on a hand-checkable two-group corpus: exact counts
+    and ratios."""
+    from padua_spark.extensions.text import hapax_stats
+
+    df = spark.createDataFrame(
+        [
+            ("en", "the cat sat on the mat"),
+            ("en", "the dog"),
+            ("fr", "le chat le chien"),
+        ],
+        ["lang", "text"],
+    )
+    rows = {
+        r["lang"]: r for r in hapax_stats(df, ["lang"], "text").collect()
+    }
+    en = rows["en"]
+    # en tokens: the x3, cat, sat, on, mat, dog -> 8 tokens, 6 types,
+    # 5 hapax
+    assert en["n_tokens"] == 8
+    assert en["vocab_size"] == 6
+    assert en["hapax_count"] == 5
+    assert en["type_token_ratio"] == pytest.approx(6 / 8)
+    assert en["hapax_ratio"] == pytest.approx(5 / 6)
+    fr = rows["fr"]
+    # fr: le x2, chat, chien -> 4 tokens, 3 types, 2 hapax
+    assert fr["n_tokens"] == 4
+    assert fr["vocab_size"] == 3
+    assert fr["hapax_count"] == 2
