@@ -8258,6 +8258,111 @@ def q_hapax_stats(spark, sf):
     )
 
 
+# --- ext: product quantization (PQ encode + ADC top-k) ----------------------
+
+
+_PQ_CB_SQL = """
+e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+seeds AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code, v
+  FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 16)
+),
+cb AS (
+  SELECT ss.s AS subspace, seeds.code,
+         list_slice(seeds.v, ss.s * 16 + 1, (ss.s + 1) * 16) AS w
+  FROM (SELECT unnest(generate_series(0, 3)) AS s) ss, seeds
+),
+enc AS (
+  SELECT e.vec_id, cb.subspace,
+    min(struct_pack(
+      d := list_reduce(list_prepend(0.0,
+             list_transform(generate_series(1, 16),
+               i -> (e.v[cb.subspace * 16 + i] - cb.w[i])
+                    * (e.v[cb.subspace * 16 + i] - cb.w[i]))),
+           (a, b) -> a + b),
+      c := cb.code)) AS best
+  FROM e, cb
+  GROUP BY e.vec_id, cb.subspace
+),
+codes AS (
+  SELECT vec_id,
+    CAST(max(CASE WHEN subspace = 0 THEN best.c END) AS INT) AS code_0,
+    CAST(max(CASE WHEN subspace = 1 THEN best.c END) AS INT) AS code_1,
+    CAST(max(CASE WHEN subspace = 2 THEN best.c END) AS INT) AS code_2,
+    CAST(max(CASE WHEN subspace = 3 THEN best.c END) AS INT) AS code_3
+  FROM enc GROUP BY vec_id
+)
+"""
+
+_PQ_QUERY = [float((i * 7) % 13) / 13.0 for i in range(64)]
+_PQ_QUERY_SQL = "[" + ", ".join(repr(x) for x in _PQ_QUERY) + "]"
+
+
+@_q("pq_encode", f"WITH {_PQ_CB_SQL} SELECT * FROM codes")
+def q_pq_encode(spark, sf):
+    """PQ encoding of the embeddings corpus (similarity.pq_encode):
+    4 subspaces x 16 deterministic seed codewords (the no-RNG
+    smallest-ids rule), per-subspace argmin as zero-shuffle per-row
+    array algebra with the (dist, code) struct-min tie rule. 64-dim
+    float vectors compress to 4 small ints per row — the at-rest
+    representation for billion-vector ANN."""
+    from padua_spark.extensions.similarity import (
+        pq_codebooks,
+        pq_encode,
+    )
+
+    emb = _t(spark, sf, "embeddings")
+    cbs = pq_codebooks(emb, "vec_id", "embedding", m_subspaces=4,
+                       k_codes=16)
+    return pq_encode(emb, "vec_id", "embedding", cbs)
+
+
+@_q(
+    "pq_topk",
+    f"""
+WITH {_PQ_CB_SQL},
+q AS (SELECT CAST({_PQ_QUERY_SQL} AS DOUBLE[]) AS qv),
+dt AS (
+  SELECT cb.subspace, cb.code,
+    list_reduce(list_prepend(0.0,
+      list_transform(generate_series(1, 16),
+        i -> (q.qv[cb.subspace * 16 + i] - cb.w[i])
+             * (q.qv[cb.subspace * 16 + i] - cb.w[i]))),
+      (a, b) -> a + b) AS d
+  FROM cb, q
+),
+scored AS (
+  SELECT c.vec_id, d0.d + d1.d + d2.d + d3.d AS adc
+  FROM codes c
+  JOIN dt d0 ON d0.subspace = 0 AND d0.code = c.code_0
+  JOIN dt d1 ON d1.subspace = 1 AND d1.code = c.code_1
+  JOIN dt d2 ON d2.subspace = 2 AND d2.code = c.code_2
+  JOIN dt d3 ON d3.subspace = 3 AND d3.code = c.code_3
+)
+SELECT vec_id, round(adc, 6) AS adc_dist
+FROM scored ORDER BY adc, vec_id LIMIT 10
+""",
+)
+def q_pq_topk(spark, sf):
+    """ADC top-10 over the PQ codes (similarity.pq_topk): the query
+    stays unquantized, a 4x16 distance table is precomputed with the
+    same left-fold as the encode step, and each row's approximate
+    distance is 4 lookups + a left-fold sum — zero shuffle, then
+    TakeOrdered. The classic PQ scoring loop, relationally."""
+    from padua_spark.extensions.similarity import (
+        pq_codebooks,
+        pq_encode,
+        pq_topk,
+    )
+
+    emb = _t(spark, sf, "embeddings")
+    cbs = pq_codebooks(emb, "vec_id", "embedding", m_subspaces=4,
+                       k_codes=16)
+    enc = pq_encode(emb, "vec_id", "embedding", cbs)
+    out = pq_topk(enc, "vec_id", cbs, _PQ_QUERY, k=10)
+    return out.select("vec_id", _r("adc_dist").alias("adc_dist"))
+
+
 # ---------------------------------------------------------------------------
 
 

@@ -140,6 +140,8 @@ HEADLINE = [
     "qvalues_by",
     "zipf_slope",
     "hapax_stats",
+    "pq_encode",
+    "pq_topk",
 ]
 
 

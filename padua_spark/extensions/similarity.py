@@ -1030,3 +1030,149 @@ def ann_recall_at_k(
             F.count(F.lit(1)).cast("double") / F.lit(float(k)), 6
         ).alias("recall"),
     )
+
+
+def pq_codebooks(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    m_subspaces: int = 4,
+    k_codes: int = 16,
+) -> list[list[list[float]]]:
+    """Product-quantization codebooks: the vector is split into
+    ``m_subspaces`` contiguous sub-vectors and each subspace gets a
+    ``k_codes``-entry codebook. Codewords are the sub-vectors of the
+    ``k_codes`` smallest ids — the package's deterministic no-RNG
+    seeding rule (:func:`ivf_centroids`), so the codebooks are
+    bit-reproducible on any engine and the whole PQ pipeline is
+    oracle-checkable.
+
+    Returns a driver-side nested list ``codebooks[s][c] = codeword``
+    (m·k·(dims/m) floats — a bounded collect of ``k_codes`` rows, the
+    convergence-scalar pattern; at 100 TB the codebooks are KB-sized
+    regardless of corpus size). Dims must divide evenly by
+    ``m_subspaces``.
+    """
+    rows = (
+        df.select(F.col(id_col), _as_double(F.col(vec_col)).alias("_v"))
+        .orderBy(id_col)
+        .limit(k_codes)
+        .collect()
+    )
+    if not rows:
+        raise ValueError("pq_codebooks: empty input")
+    dims = len(rows[0]["_v"])
+    if dims % m_subspaces != 0:
+        raise ValueError(
+            f"pq_codebooks: dims ({dims}) not divisible by "
+            f"m_subspaces ({m_subspaces})"
+        )
+    sub = dims // m_subspaces
+    return [
+        [
+            [float(x) for x in r["_v"][s * sub:(s + 1) * sub]]
+            for r in rows
+        ]
+        for s in range(m_subspaces)
+    ]
+
+
+def pq_encode(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    codebooks: list[list[list[float]]],
+) -> DataFrame:
+    """PQ encoding: each vector becomes ``m`` small integer codes —
+    the memory-compressed at-rest representation for billion-vector
+    ANN (dims·4 bytes → m bytes per vector at k ≤ 256).
+
+    Scale shape: ZERO shuffle — the codebooks are embedded as literal
+    arrays (m·k·(dims/m) = k·dims literals, the same documented bound
+    as :func:`kmeans_quantized`'s literal path; use that function's
+    broadcast pattern above it) and each subspace's argmin is
+    per-row array algebra: left-fold squared L2 against each
+    codeword, ``array_min`` over (dist, code) structs — ties break to
+    the lowest code, the engine-portable rule. Output:
+    ``(id, code_0 .. code_{m-1})`` int codes as plain columns
+    (hash-friendly, no array compare needed).
+    """
+    m = len(codebooks)
+    sub = len(codebooks[0][0])
+    v = _as_double(F.col(vec_col))
+    staged = df.select(F.col(id_col), v.alias("_v"))
+    out_cols = [F.col(id_col)]
+    for s in range(m):
+        cb = F.array(
+            *[
+                F.struct(
+                    F.array(*[F.lit(x) for x in w]).alias("w"),
+                    F.lit(c).alias("c"),
+                )
+                for c, w in enumerate(codebooks[s])
+            ]
+        )
+        sl = F.slice(F.col("_v"), s * sub + 1, sub)
+        best = F.array_min(
+            F.transform(
+                cb,
+                lambda cw: F.struct(
+                    F.aggregate(
+                        F.zip_with(
+                            sl,
+                            cw["w"],
+                            lambda a, b: (a - b) * (a - b),
+                        ),
+                        F.lit(0.0),
+                        lambda acc, e: acc + e,
+                    ).alias("d"),
+                    cw["c"].alias("c"),
+                ),
+            )
+        )
+        out_cols.append(best["c"].alias(f"code_{s}"))
+    return staged.select(*out_cols)
+
+
+def pq_topk(
+    encoded: DataFrame,
+    id_col: str,
+    codebooks: list[list[list[float]]],
+    query: list[float],
+    k: int = 10,
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over PQ codes: the query is
+    NOT quantized — per subspace a k-entry distance table
+    ``d[s][c] = ||q_s − codeword_{s,c}||²`` is precomputed (m·k
+    doubles, driver-side left-fold identical to the encode fold), and
+    each document's approximate squared distance is ``Σ_s
+    d[s][code_s]`` — m array lookups + an m-term sum per row, zero
+    shuffle, then a TakeOrdered top-k. This is the classic
+    memory-bandwidth-bound ANN scoring loop expressed relationally.
+
+    Output: top-``k`` rows ``(id, adc_dist)`` ascending, ties by id.
+    """
+    m = len(codebooks)
+    sub = len(codebooks[0][0])
+    if len(query) != m * sub:
+        raise ValueError("pq_topk: query dims != m * subspace dims")
+    dtables = []
+    for s in range(m):
+        qs = query[s * sub:(s + 1) * sub]
+        row = []
+        for w in codebooks[s]:
+            acc = 0.0
+            for a, b in zip(qs, w):
+                acc = acc + (float(a) - float(b)) * (float(a) - float(b))
+            row.append(acc)
+        dtables.append(row)
+    score = None
+    for s in range(m):
+        tbl = F.array(*[F.lit(x) for x in dtables[s]])
+        term = F.element_at(tbl, F.col(f"code_{s}") + 1)
+        score = term if score is None else score + term
+    return (
+        encoded.select(F.col(id_col), score.alias("adc_dist"))
+        .orderBy(F.col("adc_dist").asc(), F.col(id_col).asc())
+        .limit(k)
+    )

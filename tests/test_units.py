@@ -2246,3 +2246,71 @@ def test_hapax_stats_known_corpus(spark):
     assert fr["n_tokens"] == 4
     assert fr["vocab_size"] == 3
     assert fr["hapax_count"] == 2
+
+
+def test_pq_encode_and_adc_topk(spark):
+    """Product quantization: vectors built exactly from codeword
+    combinations encode to those codes, ADC distance is then EXACT
+    (equals true squared L2), and pq_topk ranks a planted
+    near-query vector first."""
+    from padua_spark.extensions.similarity import (
+        pq_codebooks,
+        pq_encode,
+        pq_topk,
+    )
+
+    # ids 0..3 define a 2-subspace x 4-code codebook over 4 dims
+    base = [
+        (0, [0.0, 0.0, 10.0, 10.0]),
+        (1, [1.0, 1.0, 20.0, 20.0]),
+        (2, [2.0, 2.0, 30.0, 30.0]),
+        (3, [3.0, 3.0, 40.0, 40.0]),
+    ]
+    # extra vectors mixing subspaces of different seeds
+    extra = [
+        (10, [0.0, 0.0, 40.0, 40.0]),   # code (0, 3)
+        (11, [3.0, 3.0, 10.0, 10.0]),   # code (3, 0)
+        (12, [1.0, 1.0, 30.0, 30.0]),   # code (1, 2)
+    ]
+    df = spark.createDataFrame(base + extra, ["vec_id", "embedding"])
+    cbs = pq_codebooks(df, "vec_id", "embedding", m_subspaces=2,
+                       k_codes=4)
+    assert len(cbs) == 2 and len(cbs[0]) == 4 and len(cbs[0][0]) == 2
+    enc = pq_encode(df, "vec_id", "embedding", cbs)
+    got = {r["vec_id"]: (r["code_0"], r["code_1"])
+           for r in enc.collect()}
+    assert got[10] == (0, 3)
+    assert got[11] == (3, 0)
+    assert got[12] == (1, 2)
+    for i in range(4):
+        assert got[i] == (i, i)
+
+    # ADC with a non-codeword query: distances are exact because every
+    # stored vector IS a codeword combination
+    query = [0.5, 0.5, 12.0, 12.0]
+    top = pq_topk(enc, "vec_id", cbs, query, k=3).collect()
+    def true_d(v):
+        return sum((a - b) ** 2 for a, b in zip(query, v))
+    exact = sorted(
+        (true_d(v), i) for i, v in base + extra
+    )
+    assert [r["vec_id"] for r in top] == [i for _, i in exact[:3]]
+    assert top[0]["adc_dist"] == pytest.approx(exact[0][0], abs=1e-12)
+
+
+def test_pq_errors(spark):
+    from padua_spark.extensions.similarity import (
+        pq_codebooks,
+        pq_topk,
+    )
+    import pytest as _pytest
+
+    df = spark.createDataFrame(
+        [(0, [1.0, 2.0, 3.0])], ["vec_id", "embedding"]
+    )
+    with _pytest.raises(ValueError, match="not divisible"):
+        pq_codebooks(df, "vec_id", "embedding", m_subspaces=2, k_codes=1)
+    cbs = pq_codebooks(df, "vec_id", "embedding", m_subspaces=3,
+                       k_codes=1)
+    with _pytest.raises(ValueError, match="query dims"):
+        pq_topk(df.select("vec_id"), "vec_id", cbs, [1.0], k=1)
