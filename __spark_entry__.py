@@ -8363,6 +8363,210 @@ def q_pq_topk(spark, sf):
     return out.select("vec_id", _r("adc_dist").alias("adc_dist"))
 
 
+# --- ext: distribution audits (Gini, Benford, chi-square GOF) ---------------
+
+
+_GINI_ORACLE = """
+WITH spend AS (
+  SELECT o_custkey,
+    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      AS cents
+  FROM orders GROUP BY o_custkey
+),
+per AS (
+  SELECT cents AS v, count(*) AS c FROM spend
+  WHERE cents IS NOT NULL AND cents >= 0 GROUP BY v
+),
+run AS (
+  SELECT *, sum(c) OVER (ORDER BY v
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS f
+  FROM per
+),
+agg AS (
+  SELECT sum(c) AS n, sum(v * c) AS s,
+         sum(v * c * (2 * (f - c) + c + 1)) AS t2
+  FROM run
+)
+SELECT round(CAST(t2 AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(s AS DOUBLE))
+             - (CAST(n AS DOUBLE) + 1.0) / CAST(n AS DOUBLE), 6) AS gini,
+  CAST(n AS BIGINT) AS n, CAST(s AS BIGINT) AS total
+FROM agg
+"""
+
+
+@_q("gini_spend", _GINI_ORACLE)
+def q_gini_spend(spark, sf):
+    """Gini coefficient of customer spend concentration
+    (quality.gini_concentration): per-customer revenue in exact
+    integer cents, per-distinct-value counts through the DISTRIBUTED
+    two-pass cumsum (never a data-sized global sort), midrank-exact
+    under ties, three decimal-exact integer sums -> one shared double
+    expression."""
+    from padua_spark.extensions.quality import gini_concentration
+
+    orders = _t(spark, sf, "orders")
+    spend = orders.groupBy("o_custkey").agg(
+        F.sum(
+            F.round(F.col("o_totalprice") * 100).cast("long")
+        ).alias("cents")
+    )
+    out = gini_concentration(spend, "cents")
+    return out.select(_r("gini").alias("gini"), "n", "total")
+
+
+_BENFORD_ORACLE = """
+WITH cents AS (
+  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS v FROM orders
+),
+obs AS (
+  SELECT CAST(left(CAST(v AS VARCHAR), 1) AS INT) AS digit,
+         count(*) AS n_obs
+  FROM cents WHERE v IS NOT NULL AND v > 0 GROUP BY 1
+),
+d AS (
+  SELECT unnest(generate_series(1, 9)) AS digit
+),
+j AS (
+  SELECT d.digit, COALESCE(obs.n_obs, 0) AS n_obs,
+         log10(1.0 + 1.0 / d.digit) AS p_benford
+  FROM d LEFT JOIN obs ON d.digit = obs.digit
+),
+t AS (SELECT CAST(sum(n_obs) AS DOUBLE) AS total FROM j)
+SELECT j.digit, CAST(j.n_obs AS BIGINT) AS n_obs,
+  round(CAST(j.n_obs AS DOUBLE) / t.total, 6) AS p_observed,
+  round(j.p_benford, 9) AS p_benford,
+  round((CAST(j.n_obs AS DOUBLE) - t.total * j.p_benford)
+        * (CAST(j.n_obs AS DOUBLE) - t.total * j.p_benford)
+        / (t.total * j.p_benford), 6) AS chi2_term
+FROM j, t
+"""
+
+
+@_q("benford_audit", _BENFORD_ORACLE)
+def q_benford_audit(spark, sf):
+    """Benford first-digit audit of order amounts
+    (quality.benford_first_digit): digit from the INTEGER cents
+    string (no log10 float edges at powers of ten), all 9 digits
+    present with zero-fill, per-digit chi-square contribution —
+    the forensic screen for fabricated amount columns."""
+    from padua_spark.extensions.quality import benford_first_digit
+
+    orders = _t(spark, sf, "orders")
+    cents = orders.select(
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents")
+    )
+    out = benford_first_digit(cents, "cents")
+    return out.select(
+        "digit", "n_obs",
+        _r("p_observed").alias("p_observed"),
+        _r("p_benford", 9).alias("p_benford"),
+        _r("chi2_term").alias("chi2_term"),
+    )
+
+
+_CHI2_GOF_ORACLE = """
+WITH c AS (
+  SELECT o_orderpriority AS cat, count(*) AS n
+  FROM orders WHERE o_orderpriority IS NOT NULL GROUP BY cat
+),
+t AS (SELECT CAST(sum(n) AS DOUBLE) AS total,
+             CAST(count(*) AS BIGINT) AS k FROM c),
+per AS (
+  SELECT (CAST(n AS DOUBLE) - t.total / CAST(t.k AS DOUBLE))
+         * (CAST(n AS DOUBLE) - t.total / CAST(t.k AS DOUBLE))
+         / (t.total / CAST(t.k AS DOUBLE)) AS term,
+         n, t.k
+  FROM c, t
+),
+a AS (
+  SELECT sum(term) AS chi2, CAST(sum(n) AS BIGINT) AS n_total,
+         max(k) AS k_categories, max(k) - 1 AS dfree
+  FROM per
+)
+SELECT round(chi2, 6) AS chi2, n_total, k_categories,
+  CAST(dfree AS BIGINT) AS dfree,
+  round(exp(-chi2 / 2.0) * (1.0 + chi2 / 2.0), 9) AS p_chi2
+FROM a
+"""
+
+
+@_q("chi2_gof", _CHI2_GOF_ORACLE)
+def q_chi2_gof(spark, sf):
+    """Chi-square goodness-of-fit of the order-priority mix against
+    uniform (quality.chi2_gof): does the shard's categorical mix
+    match design? 5 categories -> df = 4 (even), so the chi-square
+    survival has the finite closed form exp(-x/2)(1 + x/2) shared
+    verbatim with the oracle — the p-value is value-hash gated."""
+    from padua_spark.extensions.quality import chi2_gof
+
+    orders = _t(spark, sf, "orders")
+    out = chi2_gof(orders, "o_orderpriority")
+    chi2 = F.col("chi2")
+    return out.select(
+        _r("chi2").alias("chi2"),
+        "n_total", "k_categories", "dfree",
+        _r(F.exp(-chi2 / 2.0) * (1.0 + chi2 / 2.0), 9).alias("p_chi2"),
+    )
+
+
+# --- ext: exact n-gram decontamination (eval-leak membership test) ----------
+
+
+def _decontaminate_oracle() -> str:
+    m = 2147483647
+    coefs = [(1000000007 ** j) % m for j in range(5)]
+    acc = "CAST(0 AS BIGINT)"
+    for j, c in enumerate(coefs):
+        acc = f"(({acc} + th[i + {j}] * {c}) % {m})"
+    return f"""
+WITH t AS (
+  SELECT doc_id,
+    list_transform(string_split(text, ' '), w -> list_reduce(
+        list_prepend(CAST(7 AS BIGINT),
+          list_transform(list_filter(string_split(w, ''), c -> c <> ''),
+                         c -> CAST(ord(c) AS BIGINT))),
+        (a, c) -> (a * 131 + c) % {m})) AS th
+  FROM documents
+),
+g AS (
+  SELECT doc_id,
+    list_distinct(list_transform(generate_series(1, len(th) - 4),
+                                 i -> {acc})) AS sh
+  FROM t WHERE len(th) >= 5
+),
+ev AS (
+  SELECT DISTINCT shingle FROM (
+    SELECT unnest(sh) AS shingle FROM g WHERE doc_id % 7 = 0
+  )
+),
+tr AS (
+  SELECT doc_id, unnest(sh) AS shingle FROM g WHERE doc_id % 7 <> 0
+)
+SELECT tr.doc_id,
+  CAST(count(DISTINCT tr.shingle) AS BIGINT) AS n_shared_ngrams
+FROM tr JOIN ev ON tr.shingle = ev.shingle
+GROUP BY tr.doc_id
+"""
+
+
+@_q("decontaminate_ngrams", _decontaminate_oracle())
+def q_decontaminate_ngrams(spark, sf):
+    """Exact 5-token-window decontamination of a 6/7 train split
+    against its 1/7 eval split (dedup.decontaminate_ngrams): the
+    strict membership test benchmark decontamination requires,
+    complementing the fuzzy MinHash contamination_check. Short docs
+    emit no windows (no shingle fallback); the distinct eval n-gram
+    set is broadcast, so the train side never shuffles."""
+    from padua_spark.extensions.dedup import decontaminate_ngrams
+
+    d = _t(spark, sf, "documents")
+    ev = d.where(F.col("doc_id") % 7 == 0)
+    tr = d.where(F.col("doc_id") % 7 != 0)
+    return decontaminate_ngrams(
+        tr, ev, "doc_id", "text", n_tokens=5
+    )
+
+
 # ---------------------------------------------------------------------------
 
 

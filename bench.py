@@ -142,6 +142,10 @@ HEADLINE = [
     "hapax_stats",
     "pq_encode",
     "pq_topk",
+    "gini_spend",
+    "benford_audit",
+    "chi2_gof",
+    "decontaminate_ngrams",
 ]
 
 

@@ -953,3 +953,53 @@ def minhash_estimate_error(
     from padua_spark.io_utils import track_cached
 
     return track_cached(out, *getattr(pairs, "_padua_cached", ()))
+
+
+def decontaminate_ngrams(
+    train_df: DataFrame,
+    eval_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_tokens: int = 13,
+    broadcast_eval: bool = True,
+) -> DataFrame:
+    """Exact n-gram decontamination (the GPT-3/PaLM eval-leak rule):
+    flag every TRAIN document sharing at least one exact ``n_tokens``-
+    token window with the EVAL set. Complements the fuzzy
+    ``contamination_check`` (MinHash) with the strict membership test
+    benchmark-decontamination requires.
+
+    Scale shape: both sides use the integer token-hash windows of the
+    dedup stack (:func:`token_hashes` + mod-reduced polynomial window
+    hashes — one interpreted pass per character, everything after the
+    explode is codegen relational). Documents shorter than
+    ``n_tokens`` emit NO windows (strict semantics — the generic
+    shingle fallback to a 1-token hash would fabricate matches
+    between short docs). The eval n-gram set is distinct-reduced and
+    (default) broadcast: eval benches are MBs against a 100 TB train
+    corpus, so the train side never shuffles — one scan, one
+    broadcast semi-ish join, one per-doc aggregation. Output: one row
+    per contaminated train doc ``(id, n_shared_ngrams)``.
+    """
+
+    def _grams(df: DataFrame) -> DataFrame:
+        th = df.select(
+            F.col(id_col), token_hashes(F.col(text_col)).alias("_th")
+        ).where(F.size("_th") >= n_tokens)
+        sh = th.select(
+            id_col,
+            _shingles_from_token_hashes(
+                F.col("_th"), n_tokens
+            ).alias("_sh"),
+        )
+        return sh.select(id_col, F.explode("_sh").alias("shingle"))
+
+    ev = _grams(eval_df).select("shingle").distinct()
+    if broadcast_eval:
+        ev = F.broadcast(ev)
+    tr = _grams(train_df)
+    return (
+        tr.join(ev, on="shingle")
+        .groupBy(id_col)
+        .agg(F.countDistinct("shingle").alias("n_shared_ngrams"))
+    )

@@ -31,7 +31,7 @@ Every regex used is portable across Java regex (Spark) and RE2
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from padua_spark.extensions.dedup import MOD
@@ -515,4 +515,175 @@ def cohens_kappa(
         "n", "n00", "n01", "n10", "n11",
         po.alias("p_observed"),
         F.when(pe < 1.0, (po - pe) / (F.lit(1.0) - pe)).alias("kappa"),
+    )
+
+
+def gini_concentration(
+    df: DataFrame,
+    value_col: str,
+    small_domain_threshold: int | None = None,
+) -> DataFrame:
+    """Gini coefficient of a non-negative numeric column — the
+    concentration audit for corpus/revenue distributions (how skewed
+    is token mass across sources, spend across customers, bytes
+    across domains). 0 = perfectly even, →1 = winner-take-all.
+
+    Exactness + scale shape: values should be exact integers (cents /
+    token counts); per-distinct-value counts feed the DISTRIBUTED
+    two-pass running sum (``stats._stepped_running_counts`` — never a
+    data-sized global sort), midranks handle ties exactly, and the
+    classic sorted-rank identity is assembled from three exact
+    integer sums (decimal-typed, no 64-bit overflow):
+
+    ``G = Σ v·c·2r̄ / (n·Σ v·c) − (n+1)/n``
+
+    (``Σ_i i·x_(i) = Σ_v v·c_v·r̄_v`` under ties — each tied block
+    contributes its value times its rank-sum, and the midrank times
+    the block size IS the rank-sum). Output 1 row:
+    ``(gini, n, total)``.
+    """
+    from padua_spark.io_utils import track_cached
+    from padua_spark.operators.stats import _stepped_running_counts
+
+    v = F.col(value_col)
+    per = (
+        df.where(v.isNotNull() & (v >= 0))
+        .groupBy(v.alias("_v"))
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    stepped = _stepped_running_counts(
+        per, "_v", ["_c"], small_domain_threshold
+    )
+    two_rbar = 2 * (F.col("_c_run") - F.col("_c")) + F.col("_c") + 1
+    dec = "decimal(38,0)"
+    agg = stepped.agg(
+        F.sum(F.col("_c").cast(dec)).alias("_n"),
+        F.sum((F.col("_v") * F.col("_c")).cast(dec)).alias("_s"),
+        F.sum(
+            (F.col("_v") * F.col("_c") * two_rbar).cast(dec)
+        ).alias("_t2"),
+    )
+    nd = F.col("_n").cast("double")
+    sd = F.col("_s").cast("double")
+    gini = F.when(
+        (F.col("_n") > 0) & (F.col("_s") > 0),
+        F.col("_t2").cast("double") / (nd * sd) - (nd + 1.0) / nd,
+    )
+    out = agg.select(
+        gini.alias("gini"),
+        F.col("_n").cast("long").alias("n"),
+        F.col("_s").cast("long").alias("total"),
+    )
+    return track_cached(out, *getattr(stepped, "_padua_cached", ()))
+
+
+def benford_first_digit(
+    df: DataFrame,
+    value_col: str,
+) -> DataFrame:
+    """Benford's-law first-digit audit over a positive integer column
+    (cents/micro-units — keep amounts exact BEFORE calling): observed
+    first-significant-digit distribution next to the Benford
+    expectation ``log10(1 + 1/d)``. Fabricated or synthetic amount
+    columns diverge hard from Benford — a standard forensic data-
+    quality screen.
+
+    Engine-portable digit extraction: the first digit of an INTEGER's
+    decimal string (``substring(cast(v as string), 1, 1)``) — no
+    ``log10`` float edge cases at powers of ten. One groupBy(digit)
+    over ≤ 9 groups; the chi-square contribution per digit is exact
+    given the counts. Output 9 rows (digits with zero observations
+    included): ``(digit, n_obs, p_observed, p_benford, chi2_term)``.
+    """
+    import math
+
+    v = F.col(value_col)
+    digits = (
+        df.where(v.isNotNull() & (v > 0))
+        .select(
+            F.substring(v.cast("string"), 1, 1).cast("int").alias(
+                "digit"
+            )
+        )
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n_obs"))
+    )
+    spark = df.sparkSession
+    all_digits = spark.createDataFrame(
+        [(d, math.log10(1.0 + 1.0 / d)) for d in range(1, 10)],
+        "digit int, p_benford double",
+    )
+    joined = all_digits.join(digits, on="digit", how="left").select(
+        "digit",
+        F.coalesce(F.col("n_obs"), F.lit(0)).alias("n_obs"),
+        "p_benford",
+    )
+    w = Window.partitionBy()
+    total = F.sum("n_obs").over(w).cast("double")
+    po = F.col("n_obs").cast("double") / total
+    exp_n = total * F.col("p_benford")
+    chi2_term = (F.col("n_obs").cast("double") - exp_n) ** 2 / exp_n
+    return joined.select(
+        "digit",
+        "n_obs",
+        po.alias("p_observed"),
+        "p_benford",
+        chi2_term.alias("chi2_term"),
+    ).orderBy("digit")
+
+
+def chi2_gof(
+    df: DataFrame,
+    category_col: str,
+    expected: dict | None = None,
+) -> DataFrame:
+    """Chi-square goodness-of-fit of a categorical column against an
+    expected distribution (default: uniform over the observed
+    categories) — the categorical complement to
+    ``chi2_independence``: does a shard's label/priority/source mix
+    match the design?
+
+    One hash aggregation over the categories (≤ cardinality rows),
+    then exact arithmetic per category. With ``expected`` given, its
+    values are probabilities keyed by category (must cover every
+    observed category; missing keys error loudly at execution via a
+    null-propagating join would hide bias, so they raise). Output 1
+    row: ``(chi2, n_total, k_categories, dfree)``.
+    """
+    counts = (
+        df.where(F.col(category_col).isNotNull())
+        .groupBy(F.col(category_col).alias("_cat"))
+        .agg(F.count(F.lit(1)).alias("_n"))
+    )
+    w = Window.partitionBy()
+    total = F.sum("_n").over(w).cast("double")
+    k = F.count(F.lit(1)).over(w)
+    if expected is None:
+        exp_n = total / k.cast("double")
+    else:
+        spark = df.sparkSession
+        exp_df = spark.createDataFrame(
+            [(str(c), float(p)) for c, p in sorted(expected.items())],
+            "_cat string, _p double",
+        )
+        counts = counts.join(F.broadcast(exp_df), on="_cat", how="left")
+        exp_n = total * F.coalesce(
+            F.col("_p"),
+            F.raise_error(
+                F.concat(
+                    F.lit("chi2_gof: observed category missing from "
+                          "expected: "),
+                    F.col("_cat"),
+                )
+            ).cast("double"),
+        )
+    per = counts.select(
+        ((F.col("_n").cast("double") - exp_n) ** 2 / exp_n).alias("_t"),
+        F.col("_n"),
+    )
+    return per.agg(
+        F.sum("_t").alias("chi2"),
+        F.sum("_n").alias("n_total"),
+        F.count(F.lit(1)).alias("k_categories"),
+        (F.count(F.lit(1)) - 1).cast("long").alias("dfree"),
     )

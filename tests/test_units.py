@@ -2314,3 +2314,113 @@ def test_pq_errors(spark):
                        k_codes=1)
     with _pytest.raises(ValueError, match="query dims"):
         pq_topk(df.select("vec_id"), "vec_id", cbs, [1.0], k=1)
+
+
+def test_gini_concentration_known_cases(spark):
+    """Gini: 0 for a uniform distribution, (n-1)/n for total
+    concentration, numpy reference on a tied mixed case, and the
+    forced distributed-cumsum path agrees."""
+    import numpy as np
+
+    from padua_spark.extensions.quality import gini_concentration
+
+    even = spark.createDataFrame([(5,)] * 10, "v long")
+    assert gini_concentration(even, "v").collect()[0]["gini"] == (
+        pytest.approx(0.0, abs=1e-12)
+    )
+    conc = spark.createDataFrame([(0,)] * 9 + [(100,)], "v long")
+    row = gini_concentration(conc, "v").collect()[0]
+    assert row["gini"] == pytest.approx(0.9, abs=1e-12)
+    assert (row["n"], row["total"]) == (10, 100)
+
+    vals = [3, 7, 7, 1, 0, 12, 7, 3, 9, 9, 2, 5]
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    x = np.sort(np.array(vals, dtype=float))
+    n = len(x)
+    g_exp = (2 * ((np.arange(1, n + 1)) * x).sum()) / (n * x.sum()) - (
+        n + 1
+    ) / n
+    for thr in (None, 0):
+        kw = {"small_domain_threshold": thr} if thr is not None else {}
+        got = gini_concentration(df, "v", **kw).collect()[0]["gini"]
+        assert got == pytest.approx(g_exp, abs=1e-12)
+
+
+def test_benford_first_digit(spark):
+    """Benford audit: digit extraction from integer strings, zero
+    rows for unobserved digits, probabilities sum to 1 on both
+    sides."""
+    import math
+
+    from padua_spark.extensions.quality import benford_first_digit
+
+    df = spark.createDataFrame(
+        [(100,), (123,), (19,), (2000,), (2,), (999,), (0,), (None,)],
+        "cents long",
+    )
+    rows = {r["digit"]: r for r in benford_first_digit(df, "cents").collect()}
+    assert set(rows) == set(range(1, 10))
+    assert rows[1]["n_obs"] == 3   # 100, 123, 19
+    assert rows[2]["n_obs"] == 2   # 2000, 2
+    assert rows[9]["n_obs"] == 1   # 999
+    assert rows[5]["n_obs"] == 0
+    assert sum(r["p_observed"] for r in rows.values()) == pytest.approx(1.0)
+    assert sum(r["p_benford"] for r in rows.values()) == pytest.approx(1.0)
+    assert rows[1]["p_benford"] == pytest.approx(math.log10(2.0))
+
+
+def test_chi2_gof(spark):
+    """Goodness-of-fit: exact chi2 against uniform and against a
+    given distribution; missing expected category fails loudly."""
+    from padua_spark.extensions.quality import chi2_gof
+
+    df = spark.createDataFrame(
+        [("a",)] * 30 + [("b",)] * 50 + [("c",)] * 20, "cat string"
+    )
+    row = chi2_gof(df, "cat").collect()[0]
+    # uniform expected = 100/3 per cat
+    e = 100 / 3
+    exp = sum((o - e) ** 2 / e for o in (30, 50, 20))
+    assert row["chi2"] == pytest.approx(exp, abs=1e-9)
+    assert (row["n_total"], row["k_categories"], row["dfree"]) == (100, 3, 2)
+
+    row2 = chi2_gof(
+        df, "cat", expected={"a": 0.3, "b": 0.5, "c": 0.2}
+    ).collect()[0]
+    assert row2["chi2"] == pytest.approx(0.0, abs=1e-9)
+
+    import pytest as _pytest
+    with _pytest.raises(Exception, match="missing from expected"):
+        chi2_gof(df, "cat", expected={"a": 0.5, "b": 0.5}).collect()
+
+
+def test_decontaminate_ngrams(spark):
+    """Exact n-gram decontamination: a train doc sharing an exact
+    5-token window with the eval set is flagged with the right shared
+    count; short docs (< n tokens) never fabricate matches via the
+    shingle fallback."""
+    from padua_spark.extensions.dedup import decontaminate_ngrams
+
+    leak = "alpha beta gamma delta epsilon"
+    train = spark.createDataFrame(
+        [
+            (1, f"intro words {leak} trailing text here"),
+            (2, "totally clean document with other content words"),
+            (3, "alpha beta"),      # shorter than n -> no windows
+        ],
+        ["doc_id", "text"],
+    )
+    evals = spark.createDataFrame(
+        [(100, f"{leak} and some eval continuation"),
+         (101, "alpha beta")],      # short eval doc -> no windows
+        ["doc_id", "text"],
+    )
+    out = {
+        r["doc_id"]: r["n_shared_ngrams"]
+        for r in decontaminate_ngrams(
+            train, evals, "doc_id", "text", n_tokens=5
+        ).collect()
+    }
+    assert 1 in out and out[1] >= 1
+    assert 2 not in out
+    assert 3 not in out  # the 1-token fallback must NOT fire
