@@ -8567,6 +8567,89 @@ def q_decontaminate_ngrams(spark, sf):
     )
 
 
+# --- ext: k-sample Anderson-Darling (tail-sensitive k-group ECDF test) ------
+
+
+_AD_KSAMP_ORACLE = """
+WITH vals AS (
+  SELECT l_returnflag AS g, l_quantity AS v
+  FROM lineitem
+  WHERE l_returnflag IN ('A', 'N', 'R') AND l_quantity IS NOT NULL
+),
+per AS (
+  SELECT v,
+    count(*) FILTER (WHERE g = 'A') AS c0,
+    count(*) FILTER (WHERE g = 'N') AS c1,
+    count(*) FILTER (WHERE g = 'R') AS c2,
+    count(*) AS ct
+  FROM vals GROUP BY v
+),
+run AS (
+  SELECT *,
+    sum(c0) OVER w AS f0, sum(c1) OVER w AS f1, sum(c2) OVER w AS f2,
+    sum(ct) OVER w AS ft,
+    sum(c0) OVER () AS n0, sum(c1) OVER () AS n1, sum(c2) OVER () AS n2,
+    sum(ct) OVER () AS nt,
+    count(*) OVER () AS nl
+  FROM per
+  WINDOW w AS (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+t AS (
+  SELECT nt, nl, n0, n1, n2, ct,
+    (2 * ft - ct) * (2 * nt - (2 * ft - ct)) - nt * ct AS den,
+    nt * (2 * f0 - c0) - n0 * (2 * ft - ct) AS x0,
+    nt * (2 * f1 - c1) - n1 * (2 * ft - ct) AS x1,
+    nt * (2 * f2 - c2) - n2 * (2 * ft - ct) AS x2
+  FROM run
+),
+s AS (
+  SELECT max(nt) AS nt, max(nl) AS nl,
+    max(n0) AS n0, max(n1) AS n1, max(n2) AS n2,
+    sum(CASE WHEN den > 0 THEN
+      CAST(CAST(ct AS HUGEINT) * CAST(x0 AS HUGEINT)
+           * CAST(x0 AS HUGEINT) AS DOUBLE) / CAST(den AS DOUBLE)
+      ELSE 0.0 END) AS s0,
+    sum(CASE WHEN den > 0 THEN
+      CAST(CAST(ct AS HUGEINT) * CAST(x1 AS HUGEINT)
+           * CAST(x1 AS HUGEINT) AS DOUBLE) / CAST(den AS DOUBLE)
+      ELSE 0.0 END) AS s1,
+    sum(CASE WHEN den > 0 THEN
+      CAST(CAST(ct AS HUGEINT) * CAST(x2 AS HUGEINT)
+           * CAST(x2 AS HUGEINT) AS DOUBLE) / CAST(den AS DOUBLE)
+      ELSE 0.0 END) AS s2
+  FROM t
+)
+SELECT round((CAST(nt AS DOUBLE) - 1.0) / CAST(nt AS DOUBLE)
+             * (s0 / CAST(n0 AS DOUBLE) + s1 / CAST(n1 AS DOUBLE)
+                + s2 / CAST(n2 AS DOUBLE)), 6) AS a2_akn,
+  CAST(nt AS BIGINT) AS n_total, CAST(3 AS BIGINT) AS k_groups,
+  CAST(nl AS BIGINT) AS n_distinct
+FROM s
+"""
+
+
+@_q("anderson_darling_ksamp", _AD_KSAMP_ORACLE)
+def q_anderson_darling_ksamp(spark, sf):
+    """k-sample Anderson-Darling across the three returnflag groups
+    (stats.anderson_darling_ksamp): the Scholz-Stephens midrank
+    statistic from ONE pass of the shared distributed cumsum —
+    doubled half-steps keep every numerator/denominator an exact
+    integer (h*X^2 summed as decimal/HUGEINT; X reaches 2N^2, so its
+    square overflows int64), one division per (group, value). The
+    tail-sensitive complement to KS and Kruskal-Wallis."""
+    from padua_spark.operators.stats import anderson_darling_ksamp
+
+    li = _t(spark, sf, "lineitem")
+    out = anderson_darling_ksamp(
+        li, "l_returnflag", "l_quantity", ["A", "N", "R"]
+    )
+    return out.select(
+        _r("a2_akn").alias("a2_akn"),
+        "n_total", "k_groups", "n_distinct",
+    )
+
+
 # ---------------------------------------------------------------------------
 
 

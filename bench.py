@@ -146,6 +146,7 @@ HEADLINE = [
     "benford_audit",
     "chi2_gof",
     "decontaminate_ngrams",
+    "anderson_darling_ksamp",
 ]
 
 

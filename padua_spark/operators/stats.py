@@ -1300,3 +1300,95 @@ def qvalues_by(
         .drop("_q_raw", "_rank")
     )
     return out.unionByName(nulls)
+
+
+def anderson_darling_ksamp(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    groups: list,
+    small_domain_threshold: int | None = None,
+) -> DataFrame:
+    """k-sample Anderson–Darling test (Scholz–Stephens 1987, the
+    tie-aware MIDRANK version — scipy's ``anderson_ksamp`` default):
+    the heavy-tail-sensitive complement to KS/Kruskal–Wallis, weighting
+    ECDF discrepancies by the inverse pooled variance so divergence in
+    the tails counts.
+
+    Everything comes from one pass of the shared distributed cumsum
+    (:func:`_stepped_running_counts`) with per-group AND pooled running
+    counts. With the half-steps doubled the statistic is exact integer
+    arithmetic until one division per (group, value):
+
+    ``A²akN = (N−1)/N · Σ_i (1/n_i) Σ_j h_j·X_ij² / (D_j(2N−D_j) − N·h_j)``
+
+    where ``X_ij = N·(2F_ij − f_ij) − n_i·(2F_j − h_j)`` and
+    ``D_j = 2F_j − h_j`` are integers (F = inclusive running count,
+    f/h = per-value counts). ``X²·h`` is summed as decimal(38,0) —
+    X can reach 2N², so its square overflows int64 and loses bits in
+    doubles. Returns the RAW midrank statistic (scipy's normalized
+    variant subtracts (k−1) and divides by a variance estimate —
+    derivable driver-side; the raw statistic is the engine-exact
+    quantity). Output 1 row:
+    ``(a2_akn, n_total, k_groups, n_distinct)``; a2 is NULL when the
+    pooled domain has a single distinct value (degenerate).
+    """
+    from padua_spark.io_utils import track_cached
+
+    v = F.col(value_col)
+    g = len(groups)
+    cols = [f"_c{i}" for i in range(g)]
+    per = (
+        df.where(F.col(group_col).isin(list(groups)) & v.isNotNull())
+        .groupBy(v.alias("_v"))
+        .agg(
+            *[
+                F.count(F.when(F.col(group_col) == grp, 1)).alias(c)
+                for grp, c in zip(groups, cols)
+            ]
+        )
+    )
+    pooled = per.select(
+        "_v", *cols,
+        sum([F.col(c) for c in cols[1:]], F.col(cols[0])).alias("_ct"),
+    )
+    stepped = _stepped_running_counts(
+        pooled, "_v", [*cols, "_ct"], small_domain_threshold
+    )
+    dec = "decimal(38,0)"
+    h = F.col("_ct")
+    d_j = 2 * F.col("_ct_run") - h  # doubled mid cumulative, pooled
+    n_tot = F.col("_ct_tot")
+    denom = d_j * (2 * n_tot - d_j) - n_tot * h
+    sums = []
+    for i, c in enumerate(cols):
+        x = n_tot * (2 * F.col(f"{c}_run") - F.col(c)) - F.col(
+            f"{c}_tot"
+        ) * d_j
+        # h·X² exact in decimal; ratio in doubles (one division per
+        # (group, value) — the only float op before the final scale)
+        term = F.when(
+            denom > 0,
+            (h.cast(dec) * x.cast(dec) * x.cast(dec)).cast("double")
+            / denom.cast("double"),
+        ).otherwise(F.lit(0.0))
+        sums.append(F.sum(term).alias(f"_s{i}"))
+    agg = stepped.agg(
+        *sums,
+        F.max(n_tot).alias("n_total"),
+        *[F.max(f"{c}_tot").alias(f"_n{i}") for i, c in enumerate(cols)],
+        F.count(F.lit(1)).alias("n_distinct"),
+    )
+    nd = F.col("n_total").cast("double")
+    inner = None
+    for i in range(g):
+        t = F.col(f"_s{i}") / F.col(f"_n{i}").cast("double")
+        inner = t if inner is None else inner + t
+    a2 = (nd - 1.0) / nd * inner
+    out = agg.select(
+        F.when(F.col("n_distinct") > 1, a2).alias("a2_akn"),
+        "n_total",
+        F.lit(g).cast("long").alias("k_groups"),
+        "n_distinct",
+    )
+    return track_cached(out, *getattr(stepped, "_padua_cached", ()))

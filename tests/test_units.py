@@ -2424,3 +2424,84 @@ def test_decontaminate_ngrams(spark):
     assert 1 in out and out[1] >= 1
     assert 2 not in out
     assert 3 not in out  # the 1-token fallback must NOT fire
+
+
+def test_anderson_darling_ksamp_matches_reference(spark):
+    """anderson_darling_ksamp equals a pure-Python midrank replica of
+    the Scholz-Stephens A2akN on tied 3-group data, agrees between the
+    small-domain and forced distributed paths, and behaves sanely:
+    near-identical groups score far lower than shifted groups."""
+    from padua_spark.operators.stats import anderson_darling_ksamp
+
+    rows = []
+    for i in range(120):
+        grp = ["a", "b", "c"][i % 3]
+        v = float((i * 7) % 11)
+        if grp == "c":
+            v += 3.0  # shift one group
+        rows.append((grp, v))
+    df = spark.createDataFrame(rows, ["g", "v"])
+
+    def replica(samples):
+        import itertools
+
+        pooled = sorted(itertools.chain.from_iterable(samples))
+        zstar = sorted(set(pooled))
+        n = len(pooled)
+        a2 = 0.0
+        for sample in samples:
+            ni = len(sample)
+            fi, cum_i, cum = {}, 0, 0
+            s_i = 0.0
+            from collections import Counter
+
+            ci = Counter(sample)
+            cp = Counter(pooled)
+            for z in zstar:
+                f = ci.get(z, 0)
+                h = cp[z]
+                cum_i += f
+                cum += h
+                d = 2 * cum - h
+                x = n * (2 * cum_i - f) - ni * d
+                den = d * (2 * n - d) - n * h
+                if den > 0:
+                    s_i += h * (x * x) / den
+            a2 += s_i / ni
+            # reset pooled cumulative for next sample
+            cum = 0
+        return (n - 1) / n * a2
+
+    samples = [
+        [v for g_, v in rows if g_ == grp] for grp in ("a", "b", "c")
+    ]
+    exp = replica(samples)
+    for thr in (None, 0):
+        kw = {"small_domain_threshold": thr} if thr is not None else {}
+        row = anderson_darling_ksamp(
+            df, "g", "v", ["a", "b", "c"], **kw
+        ).collect()[0]
+        assert row["n_total"] == 120
+        assert row["k_groups"] == 3
+        assert row["a2_akn"] == pytest.approx(exp, rel=1e-12)
+
+    # identical groups -> much smaller statistic than the shifted case
+    same = spark.createDataFrame(
+        [(["a", "b", "c"][i % 3], float(i % 10)) for i in range(120)],
+        ["g", "v"],
+    )
+    low = anderson_darling_ksamp(
+        same, "g", "v", ["a", "b", "c"]
+    ).collect()[0]["a2_akn"]
+    row = anderson_darling_ksamp(df, "g", "v", ["a", "b", "c"]).collect()[0]
+    assert low < row["a2_akn"]
+
+    # degenerate single-value domain -> NULL
+    degen = spark.createDataFrame(
+        [("a", 1.0), ("b", 1.0), ("c", 1.0)], ["g", "v"]
+    )
+    assert (
+        anderson_darling_ksamp(degen, "g", "v", ["a", "b", "c"])
+        .collect()[0]["a2_akn"]
+        is None
+    )
