@@ -112,6 +112,80 @@ COVERAGE = {
     "X1": "padua_spark.operators.external:go_enrichment",
     "X2": "padua_spark.operators.external:uniprot_mapping_join",
     "X3": "padua_spark.operators.external:kegg_color_table",
+    # §8 extension inventory (beyond reference)
+    "E1": "padua_spark.extensions.dedup:exact_dedup",
+    "E2": "padua_spark.extensions.dedup:minhash_lsh_candidates",
+    "E3": "padua_spark.extensions.dedup:minhash_estimate_error",
+    "E4": "padua_spark.extensions.dedup:ngram_jaccard_pairs",
+    "E5": "padua_spark.extensions.dedup:simhash_candidates",
+    "E6": "padua_spark.extensions.dedup:semdedup_prune",
+    "E7": "padua_spark.extensions.dedup:contamination_check",
+    "E8": "padua_spark.extensions.dedup:dedup_spans",
+    "E9": "padua_spark.extensions.dedup:novel_documents",
+    "E10": "padua_spark.extensions.dedup:decontaminate_ngrams",
+    "E11": "padua_spark.extensions.graph:connected_components",
+    "E12": "padua_spark.extensions.graph:pagerank",
+    "E13": "padua_spark.extensions.curation:split_leakage_audit",
+    "E14": "padua_spark.extensions.similarity:brute_force_topk",
+    "E15": "padua_spark.extensions.similarity:lsh_topk",
+    "E16": "padua_spark.extensions.similarity:cosine_near_dup_pairs",
+    "E17": "padua_spark.extensions.similarity:ivf_topk",
+    "E18": "padua_spark.extensions.similarity:ivf_topk_at_rest",
+    "E19": "padua_spark.extensions.similarity:knn_join",
+    "E20": "padua_spark.extensions.similarity:quantized_topk",
+    "E21": "padua_spark.extensions.similarity:random_projection",
+    "E22": "padua_spark.extensions.similarity:kmeans_quantized",
+    "E23": "padua_spark.extensions.similarity:pq_encode",
+    "E24": "padua_spark.extensions.similarity:ann_recall_at_k",
+    "E25": "padua_spark.extensions.similarity:retrieval_precision_at_k",
+    "E26": "padua_spark.extensions.similarity:mean_pool_embeddings",
+    "E27": "padua_spark.extensions.text:quality_score",
+    "E28": "padua_spark.extensions.text:language_id",
+    "E29": "padua_spark.extensions.text:fingerprint",
+    "E30": "padua_spark.extensions.text:scrub_pii",
+    "E31": "padua_spark.extensions.text:token_frequencies",
+    "E32": "padua_spark.extensions.text:chunk_documents",
+    "E33": "padua_spark.extensions.text:tfidf_top_terms",
+    "E34": "padua_spark.extensions.text:bigram_lm_score",
+    "E35": "padua_spark.extensions.text:source_token_divergence",
+    "E36": "padua_spark.extensions.text:char_entropy",
+    "E37": "padua_spark.extensions.text:bm25_topk",
+    "E38": "padua_spark.extensions.text:zipf_slope",
+    "E39": "padua_spark.extensions.text:hapax_stats",
+    "E40": "padua_spark.extensions.quality:repeated_ngram_stats",
+    "E41": "padua_spark.extensions.quality:gopher_rules",
+    "E42": "padua_spark.extensions.quality:hashed_classifier_score",
+    "E43": "padua_spark.extensions.quality:psi_drift",
+    "E44": "padua_spark.extensions.quality:calibration_bins",
+    "E45": "padua_spark.extensions.quality:cohens_kappa",
+    "E46": "padua_spark.extensions.quality:gini_concentration",
+    "E47": "padua_spark.extensions.quality:benford_first_digit",
+    "E48": "padua_spark.extensions.quality:chi2_gof",
+    "E49": "padua_spark.extensions.sketches:kmv_overlap",
+    "E50": "padua_spark.extensions.sketches:cms_token_sketch",
+    "E51": "padua_spark.extensions.sampling:stratified_sample",
+    "E52": "padua_spark.extensions.sampling:mix_corpus",
+    "E53": "padua_spark.extensions.curation:curate_corpus",
+    "E54": "padua_spark.sources.jsonl:split_corrupt_via_sink",
+    "E55": "padua_spark.extensions.multimodal:extract_features",
+    "E56": "padua_spark.extensions.multimodal:frame_sample_plan",
+    "E57": "padua_spark.streaming.windows:tumbling_window_agg",
+    "E58": "padua_spark.streaming.windows:sessionize_batch",
+    "E59": "padua_spark.streaming.windows:interval_join",
+    "E60": "padua_spark.streaming.windows:dedup_stream",
+    "E61": "padua_spark.streaming.windows:windowed_cms_sketch",
+    "E62": "padua_spark.streaming.stateful:kmv_distinct_stream",
+    "E63": "padua_spark.streaming.stateful:running_stats_stream",
+    "E64": "padua_spark.operators.stats:ks_2samp_stat",
+    "E65": "padua_spark.operators.stats:mannwhitney_z_stats",
+    "E66": "padua_spark.operators.stats:wilcoxon_signed_rank_stats",
+    "E67": "padua_spark.operators.stats:kruskal_wallis_stats",
+    "E68": "padua_spark.operators.stats:anderson_darling_ksamp",
+    "E69": "padua_spark.operators.stats:spearman_rho",
+    "E70": "padua_spark.operators.stats:qvalues_by",
+    "E71": "padua_spark.operators.stats:levene_stats",
+    "E72": "padua_spark.operators.stats:ttest_paired_stats",
+    "E73": "entry:chi2_independence",
 }
 
 
