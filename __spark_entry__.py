@@ -8650,6 +8650,83 @@ def q_anderson_darling_ksamp(spark, sf):
     )
 
 
+# --- ext: join-planning diagnostics (key skew, exact join cardinality) ------
+
+
+_SKEW_PROFILE_ORACLE = """
+WITH c AS (
+  SELECT user_id, count(*) AS n_rows FROM events GROUP BY user_id
+),
+t AS (
+  SELECT CAST(sum(n_rows) AS DOUBLE) AS total,
+         CAST(count(*) AS DOUBLE) AS n_keys
+  FROM c
+)
+SELECT c.user_id, CAST(c.n_rows AS BIGINT) AS n_rows,
+  round(CAST(c.n_rows AS DOUBLE) / t.total, 6) AS share,
+  round(CAST(c.n_rows AS DOUBLE) / (t.total / t.n_keys), 6)
+    AS skew_ratio
+FROM c, t
+ORDER BY c.n_rows DESC, c.user_id ASC
+LIMIT 20
+"""
+
+
+@_q("skew_profile", _SKEW_PROFILE_ORACLE)
+def q_skew_profile(spark, sf):
+    """Top-20 heaviest event users with share and skew ratio
+    (skew.skew_profile): the pre-shuffle diagnostic for any 100 TB
+    join/agg key — one partial+final hash aggregation, a 1-row
+    broadcast summary (never a partitionless window over the key
+    frame), TakeOrdered."""
+    from padua_spark.operators.skew import skew_profile
+
+    ev = _t(spark, sf, "events")
+    out = skew_profile(ev, ["user_id"], top_k=20)
+    return out.select(
+        "user_id", "n_rows",
+        _r("share").alias("share"),
+        _r("skew_ratio").alias("skew_ratio"),
+    )
+
+
+_JOIN_CARD_ORACLE = """
+WITH ca AS (
+  SELECT o_orderkey AS k, count(*) AS ca FROM orders GROUP BY 1
+),
+cb AS (
+  SELECT l_orderkey AS k, count(*) AS cb FROM lineitem GROUP BY 1
+),
+p AS (
+  SELECT CAST(ca AS HUGEINT) * CAST(cb AS HUGEINT) AS pr
+  FROM ca JOIN cb USING (k)
+)
+SELECT CAST(count(*) AS BIGINT) AS matched_keys,
+  CAST(sum(pr) AS BIGINT) AS join_rows,
+  CAST(max(pr) AS BIGINT) AS max_key_pairs,
+  round(CAST(max(pr) AS DOUBLE) / CAST(sum(pr) AS DOUBLE), 6)
+    AS top_key_share
+FROM p
+"""
+
+
+@_q("join_cardinality", _JOIN_CARD_ORACLE)
+def q_join_cardinality(spark, sf):
+    """Exact pre-flight size of orders x lineitem on orderkey
+    (skew.join_cardinality): sum of per-key count products over the
+    two key-count tables — decimal/HUGEINT exact, payload columns
+    never read. The go/no-go check before a 100 TB shuffle join."""
+    from padua_spark.operators.skew import join_cardinality
+
+    orders = _t(spark, sf, "orders")
+    li = _t(spark, sf, "lineitem")
+    out = join_cardinality(orders, "o_orderkey", li, "l_orderkey")
+    return out.select(
+        "matched_keys", "join_rows", "max_key_pairs",
+        _r("top_key_share").alias("top_key_share"),
+    )
+
+
 # ---------------------------------------------------------------------------
 
 

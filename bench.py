@@ -147,6 +147,8 @@ HEADLINE = [
     "chi2_gof",
     "decontaminate_ngrams",
     "anderson_darling_ksamp",
+    "skew_profile",
+    "join_cardinality",
 ]
 
 

@@ -601,7 +601,7 @@ def benford_first_digit(
     digits = (
         df.where(v.isNotNull() & (v > 0))
         .select(
-            F.substring(v.cast("string"), 1, 1).cast("int").alias(
+            F.substring(v.cast("string"), 1, 1).cast("long").alias(
                 "digit"
             )
         )
@@ -611,7 +611,7 @@ def benford_first_digit(
     spark = df.sparkSession
     all_digits = spark.createDataFrame(
         [(d, math.log10(1.0 + 1.0 / d)) for d in range(1, 10)],
-        "digit int, p_benford double",
+        "digit long, p_benford double",
     )
     joined = all_digits.join(digits, on="digit", how="left").select(
         "digit",

@@ -94,3 +94,94 @@ def salted_join(
         small_replicated, on=[key_col, "_salt"], how=how
     )
     return out.drop("_salt")
+
+
+def skew_profile(
+    df: DataFrame,
+    key_cols: list[str],
+    top_k: int = 20,
+) -> DataFrame:
+    """Key-skew diagnostic for join/aggregation planning: the
+    ``top_k`` heaviest keys with their row counts, share of the
+    table, and skew ratio against the mean key size. The first thing
+    to run before shuffling 100 TB on a key — a skew_ratio in the
+    hundreds means AQE skew-split, salting, or a broadcast rethink.
+
+    Plan: one hash aggregation to per-key counts (map-side partial),
+    a 1-row global summary broadcast-crossed back (never a
+    partitionless window over the data-sized key frame), and a
+    TakeOrdered top-k. Output: ``key_cols + (n_rows, share,
+    skew_ratio)`` ordered by n_rows desc.
+    """
+    counts = df.groupBy(*key_cols).agg(
+        F.count(F.lit(1)).alias("n_rows")
+    )
+    summary = counts.agg(
+        F.sum("n_rows").alias("_total"),
+        F.count(F.lit(1)).alias("_n_keys"),
+    )
+    joined = counts.crossJoin(F.broadcast(summary))
+    mean_n = F.col("_total").cast("double") / F.col("_n_keys").cast(
+        "double"
+    )
+    return (
+        joined.select(
+            *key_cols,
+            "n_rows",
+            (
+                F.col("n_rows").cast("double")
+                / F.col("_total").cast("double")
+            ).alias("share"),
+            (F.col("n_rows").cast("double") / mean_n).alias(
+                "skew_ratio"
+            ),
+        )
+        .orderBy(
+            F.col("n_rows").desc(), *[F.col(c).asc() for c in key_cols]
+        )
+        .limit(top_k)
+    )
+
+
+def join_cardinality(
+    left: DataFrame,
+    left_key: str,
+    right: DataFrame,
+    right_key: str,
+) -> DataFrame:
+    """EXACT pre-flight join-size estimate from the two key-count
+    tables: ``|A ⋈ B| = Σ_k cA(k)·cB(k)`` — the check to run before
+    committing a 100 TB shuffle join, since a single hot key pair can
+    make the output quadratic. Costs two key aggregations and a join
+    of the (much smaller) count tables — never touches the payload
+    columns (column pruning reaches both scans).
+
+    Products and their sum are decimal-exact (cA·cB alone can exceed
+    int64 at hot keys). Output 1 row: ``(matched_keys, join_rows,
+    max_key_pairs, top_key_share)`` — top_key_share is the largest
+    single key's fraction of the join output, the skew headline.
+    """
+    ca = left.groupBy(F.col(left_key).alias("_k")).agg(
+        F.count(F.lit(1)).alias("_ca")
+    )
+    cb = right.groupBy(F.col(right_key).alias("_k")).agg(
+        F.count(F.lit(1)).alias("_cb")
+    )
+    dec = "decimal(38,0)"
+    pairs = ca.join(cb, on="_k").select(
+        (F.col("_ca").cast(dec) * F.col("_cb").cast(dec)).alias("_p")
+    )
+    agg = pairs.agg(
+        F.count(F.lit(1)).alias("matched_keys"),
+        F.sum("_p").alias("_rows"),
+        F.max("_p").alias("_maxp"),
+    )
+    return agg.select(
+        "matched_keys",
+        F.col("_rows").cast("long").alias("join_rows"),
+        F.col("_maxp").cast("long").alias("max_key_pairs"),
+        F.when(
+            F.col("_rows") > 0,
+            F.col("_maxp").cast("double") / F.col("_rows").cast("double"),
+        ).alias("top_key_share"),
+    )

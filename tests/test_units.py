@@ -2505,3 +2505,32 @@ def test_anderson_darling_ksamp_matches_reference(spark):
         .collect()[0]["a2_akn"]
         is None
     )
+
+
+def test_skew_profile_and_join_cardinality(spark):
+    """skew_profile ranks hot keys with exact share/ratio;
+    join_cardinality predicts the exact join output size (verified
+    against the actual join count), with the hot key's share."""
+    from padua_spark.operators.skew import join_cardinality, skew_profile
+
+    rows = [("hot",)] * 60 + [("warm",)] * 30 + [("cold",)] * 10
+    df = spark.createDataFrame(rows, ["k"])
+    prof = skew_profile(df, ["k"], top_k=2).collect()
+    assert [r["k"] for r in prof] == ["hot", "warm"]
+    assert prof[0]["n_rows"] == 60
+    assert prof[0]["share"] == pytest.approx(0.6)
+    # mean key size = 100/3; ratio = 60/(100/3) = 1.8
+    assert prof[0]["skew_ratio"] == pytest.approx(1.8)
+
+    left = spark.createDataFrame(
+        [(1,)] * 3 + [(2,)] * 2 + [(9,)], ["k"]
+    )
+    right = spark.createDataFrame(
+        [(1,)] * 4 + [(2,)] * 5 + [(7,)], ["k"]
+    )
+    card = join_cardinality(left, "k", right, "k").collect()[0]
+    actual = left.join(right, on="k").count()
+    assert card["join_rows"] == actual == 3 * 4 + 2 * 5
+    assert card["matched_keys"] == 2
+    assert card["max_key_pairs"] == 12
+    assert card["top_key_share"] == pytest.approx(12 / 22)
