@@ -8727,6 +8727,175 @@ def q_join_cardinality(spark, sf):
     )
 
 
+# --- ext: two-proportion z, Welch ANOVA, mutual information -----------------
+
+
+_TWO_PROP_ORACLE = """
+WITH a AS (
+  SELECT
+    count(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS n_a,
+    count(CASE WHEN o_orderstatus = 'O'
+               AND o_orderpriority = '1-URGENT' THEN 1 END) AS x_a,
+    count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS n_b,
+    count(CASE WHEN o_orderstatus = 'F'
+               AND o_orderpriority = '1-URGENT' THEN 1 END) AS x_b
+  FROM orders
+),
+z AS (
+  SELECT *,
+    CAST(x_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS p_a,
+    CAST(x_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS p_b,
+    (CAST(x_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+     - CAST(x_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+    / sqrt(
+        (CAST(x_a + x_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))
+        * (1.0 - CAST(x_a + x_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))
+        * (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE))
+      ) AS zv
+  FROM a
+),
+e AS (
+  SELECT *, abs(zv) / sqrt(2.0) AS x,
+         1.0 / (1.0 + 0.3275911 * (abs(zv) / sqrt(2.0))) AS t
+  FROM z
+)
+SELECT CAST(n_a AS BIGINT) AS n_a, CAST(x_a AS BIGINT) AS x_a,
+  CAST(n_b AS BIGINT) AS n_b, CAST(x_b AS BIGINT) AS x_b,
+  round(p_a, 6) AS p_a, round(p_b, 6) AS p_b, round(zv, 6) AS z,
+  round((0.254829592 * t + -0.284496736 * t * t
+         + 1.421413741 * t * t * t + -1.453152027 * t * t * t * t
+         + 1.061405429 * t * t * t * t * t) * exp(-x * x), 9)
+    AS p_value
+FROM e
+"""
+
+
+@_q("two_proportion_z", _TWO_PROP_ORACLE)
+def q_two_proportion_z(spark, sf):
+    """A/B-test primitive (stats.two_proportion_ztest): urgent-order
+    rate between open and fulfilled orders — four integer counts from
+    one conditional aggregation, pooled z closed form, A&S-erfc p
+    shared verbatim with the oracle."""
+    from padua_spark.operators.stats import two_proportion_ztest
+
+    orders = _t(spark, sf, "orders")
+    out = two_proportion_ztest(
+        orders, "o_orderstatus",
+        F.col("o_orderpriority") == "1-URGENT", "O", "F",
+    )
+    return out.select(
+        "n_a", "x_a", "n_b", "x_b",
+        _r("p_a").alias("p_a"), _r("p_b").alias("p_b"),
+        _r("z").alias("z"), _r("p_value", 9).alias("p_value"),
+    )
+
+
+_WELCH_ORACLE = """
+WITH pg AS (
+  SELECT l_partkey, l_returnflag,
+         count(l_quantity) AS n, avg(l_quantity) AS m,
+         var_samp(l_quantity) AS v
+  FROM lineitem WHERE l_quantity IS NOT NULL GROUP BY 1, 2
+),
+f AS (SELECT * FROM pg WHERE n >= 2 AND v > 0),
+c AS (
+  SELECT l_partkey,
+    CAST(count(*) AS BIGINT) AS k_groups,
+    CAST(sum(n) AS BIGINT) AS n_total,
+    sum(CAST(n AS DOUBLE) / v) AS sw,
+    sum(CAST(n AS DOUBLE) / v * m) AS swm,
+    sum(CAST(n AS DOUBLE) / v * m * m) AS swm2,
+    sum(1.0 / (CAST(n AS DOUBLE) - 1.0)) AS s1,
+    sum(CAST(n AS DOUBLE) / v / (CAST(n AS DOUBLE) - 1.0)) AS sw1,
+    sum((CAST(n AS DOUBLE) / v) * (CAST(n AS DOUBLE) / v)
+        / (CAST(n AS DOUBLE) - 1.0)) AS sw2
+  FROM f GROUP BY 1
+),
+w AS (
+  SELECT l_partkey, k_groups, n_total,
+    CAST(k_groups AS DOUBLE) AS kd,
+    s1 - 2.0 / sw * sw1 + sw2 / (sw * sw) AS s,
+    (swm2 - swm * swm / sw) AS ssb
+  FROM c
+)
+SELECT l_partkey,
+  round(CASE WHEN k_groups >= 2
+             AND (1.0 + 2.0 * (kd - 2.0) / (kd * kd - 1.0) * s) > 0
+        THEN (ssb / (kd - 1.0))
+             / (1.0 + 2.0 * (kd - 2.0) / (kd * kd - 1.0) * s)
+        END, 6) AS f_stat,
+  CASE WHEN k_groups >= 2 THEN kd - 1.0 END AS dfn,
+  round(CASE WHEN k_groups >= 2 AND s > 0
+        THEN (kd * kd - 1.0) / (3.0 * s) END, 6) AS dfd,
+  k_groups, n_total
+FROM w
+"""
+
+
+@_q("welch_anova_stats", _WELCH_ORACLE)
+def q_welch_anova_stats(spark, sf):
+    """Welch's unequal-variance one-way ANOVA per part across
+    returnflag groups (stats.welch_anova_stats): the robustness
+    companion to anova_1way_stats — every Welch ingredient is a
+    linear sum of per-group (n, mean, var), so the plan is the same
+    two cascaded aggregations."""
+    from padua_spark.operators.stats import welch_anova_stats
+
+    li = _t(spark, sf, "lineitem")
+    out = welch_anova_stats(
+        li, ["l_partkey"], "l_returnflag", "l_quantity"
+    )
+    return out.select(
+        "l_partkey",
+        _r("f_stat").alias("f_stat"),
+        "dfn",
+        _r("dfd").alias("dfd"),
+        "k_groups", "n_total",
+    )
+
+
+_MI_ORACLE = """
+WITH j AS (
+  SELECT o_orderstatus AS a, o_orderpriority AS b, count(*) AS nab
+  FROM orders
+  WHERE o_orderstatus IS NOT NULL AND o_orderpriority IS NOT NULL
+  GROUP BY 1, 2
+),
+ma AS (SELECT a, sum(nab) AS na FROM j GROUP BY 1),
+mb AS (SELECT b, sum(nab) AS nb FROM j GROUP BY 1),
+t AS (
+  SELECT CAST(sum(nab) AS DOUBLE) AS n,
+         CAST(count(DISTINCT a) AS BIGINT) AS k_a,
+         CAST(count(DISTINCT b) AS BIGINT) AS k_b,
+         CAST(sum(nab) AS BIGINT) AS n_total
+  FROM j
+)
+SELECT
+  round(sum(CAST(j.nab AS DOUBLE) / t.n
+            * ln(t.n * CAST(j.nab AS DOUBLE)
+                 / (CAST(ma.na AS DOUBLE) * CAST(mb.nb AS DOUBLE)))),
+        6) AS mi_nats,
+  max(t.n_total) AS n_total, max(t.k_a) AS k_a, max(t.k_b) AS k_b
+FROM j JOIN ma USING (a) JOIN mb USING (b), t
+"""
+
+
+@_q("mutual_information", _MI_ORACLE)
+def q_mutual_information(spark, sf):
+    """Mutual information (nats) between order status and priority
+    (stats.mutual_information): the effect-size companion to
+    chi2_independence — joint counts once (persisted; four
+    consumers), margins derived from the joint table, exact integer
+    counts inside the log."""
+    from padua_spark.operators.stats import mutual_information
+
+    orders = _t(spark, sf, "orders")
+    out = mutual_information(orders, "o_orderstatus", "o_orderpriority")
+    return out.select(
+        _r("mi_nats").alias("mi_nats"), "n_total", "k_a", "k_b"
+    )
+
+
 # ---------------------------------------------------------------------------
 
 

@@ -149,6 +149,9 @@ HEADLINE = [
     "anderson_darling_ksamp",
     "skew_profile",
     "join_cardinality",
+    "two_proportion_z",
+    "welch_anova_stats",
+    "mutual_information",
 ]
 
 

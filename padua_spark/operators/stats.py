@@ -1392,3 +1392,186 @@ def anderson_darling_ksamp(
         "n_distinct",
     )
     return track_cached(out, *getattr(stepped, "_padua_cached", ()))
+
+
+def two_proportion_ztest(
+    df: DataFrame,
+    group_col: str,
+    success: Column,
+    group_a,
+    group_b,
+) -> DataFrame:
+    """Two-proportion z-test (pooled) — the A/B-test primitive:
+    does the success rate differ between two groups? One conditional
+    aggregation over the fact table (four integer counts), then the
+    closed-form pooled z and the shared A&S-erfc two-sided p — the
+    entire test is engine-exact given the counts.
+
+    ``success`` is any boolean Column over the row. Output 1 row:
+    ``(n_a, x_a, n_b, x_b, p_a, p_b, z, p_value)``; z is NULL when a
+    group is empty or the pooled rate is degenerate (0 or 1).
+    """
+    in_a = F.col(group_col) == F.lit(group_a)
+    in_b = F.col(group_col) == F.lit(group_b)
+    agg = df.agg(
+        F.count(F.when(in_a, 1)).alias("n_a"),
+        F.count(F.when(in_a & success, 1)).alias("x_a"),
+        F.count(F.when(in_b, 1)).alias("n_b"),
+        F.count(F.when(in_b & success, 1)).alias("x_b"),
+    )
+    na = F.col("n_a").cast("double")
+    nb = F.col("n_b").cast("double")
+    pa = F.col("x_a").cast("double") / na
+    pb = F.col("x_b").cast("double") / nb
+    pooled = (F.col("x_a") + F.col("x_b")).cast("double") / (na + nb)
+    se = F.sqrt(pooled * (1.0 - pooled) * (1.0 / na + 1.0 / nb))
+    z = F.when(
+        (F.col("n_a") > 0) & (F.col("n_b") > 0) & (se > 0),
+        (pa - pb) / se,
+    )
+    staged = agg.select(
+        "n_a", "x_a", "n_b", "x_b",
+        F.when(F.col("n_a") > 0, pa).alias("p_a"),
+        F.when(F.col("n_b") > 0, pb).alias("p_b"),
+        z.alias("z"),
+    )
+    return staged.select(
+        "n_a", "x_a", "n_b", "x_b", "p_a", "p_b", "z",
+        _normal_sf_2sided(F.col("z")).alias("p_value"),
+    )
+
+
+def welch_anova_stats(
+    df: DataFrame,
+    feature_cols: list[str],
+    group_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Per-feature Welch's one-way ANOVA — the unequal-variance
+    generalization of :func:`anova_1way_stats` (the same fix Welch's
+    t applies to Student's t): groups are weighted by ``n_i/s_i²``,
+    so one high-variance group can't dominate the pooled error term.
+
+    Two cascaded aggregations, identical plan shape to anova_1way:
+    per-(feature, group) (n, mean, var), then a per-feature combine.
+    Every Welch ingredient is a LINEAR sum of per-group statistics —
+    ``Σw, Σw·x̄, Σw·x̄², Σ1/(n−1), Σw/(n−1), Σw²/(n−1)`` — so
+    ``(1−w/W)²`` expands and no second pass over groups is needed:
+
+    ``F* = [ (Σwx̄² − (Σwx̄)²/W) / (k−1) ] / [ 1 + 2(k−2)/(k²−1)·S ]``
+    with ``S = Σ(1−w/W)²/(n−1)`` and
+    ``df2 = (k²−1) / (3S)``. Output: feature_cols +
+    ``(f_stat, dfn, dfd, k_groups, n_total)``; NULL stats when any
+    retained group has n < 2 or zero variance (w undefined).
+    Groups with n < 2 or var = 0 are EXCLUDED from the combine (the
+    standard Welch practice; documented divergence from anova_1way
+    which keeps n=1 groups in SSB).
+    """
+    v = F.col(value_col)
+    per_group = (
+        df.filter(v.isNotNull())
+        .groupBy(*feature_cols, group_col)
+        .agg(
+            F.count(v).alias("_n"),
+            F.avg(v).alias("_mean"),
+            F.var_samp(v).alias("_var"),
+        )
+        .where((F.col("_n") >= 2) & (F.col("_var") > 0))
+    )
+    n = F.col("_n").cast("double")
+    w = n / F.col("_var")
+    combined = per_group.groupBy(*feature_cols).agg(
+        F.count(F.lit(1)).alias("k_groups"),
+        F.sum("_n").alias("n_total"),
+        F.sum(w).alias("_sw"),
+        F.sum(w * F.col("_mean")).alias("_swm"),
+        F.sum(w * F.col("_mean") * F.col("_mean")).alias("_swm2"),
+        F.sum(1.0 / (n - 1.0)).alias("_s1"),
+        F.sum(w / (n - 1.0)).alias("_sw1"),
+        F.sum(w * w / (n - 1.0)).alias("_sw2"),
+    )
+    k = F.col("k_groups").cast("double")
+    bigw = F.col("_sw")
+    # S = Σ(1−w/W)²/(n−1) = Σ1/(n−1) − 2/W·Σw/(n−1) + 1/W²·Σw²/(n−1)
+    s = (
+        F.col("_s1")
+        - 2.0 / bigw * F.col("_sw1")
+        + F.col("_sw2") / (bigw * bigw)
+    )
+    num = (F.col("_swm2") - F.col("_swm") * F.col("_swm") / bigw) / (
+        k - 1.0
+    )
+    den = 1.0 + 2.0 * (k - 2.0) / (k * k - 1.0) * s
+    f_stat = F.when((F.col("k_groups") >= 2) & (den > 0), num / den)
+    dfd = F.when(
+        (F.col("k_groups") >= 2) & (s > 0),
+        (k * k - 1.0) / (3.0 * s),
+    )
+    return combined.select(
+        *feature_cols,
+        f_stat.alias("f_stat"),
+        F.when(F.col("k_groups") >= 2, k - 1.0).alias("dfn"),
+        dfd.alias("dfd"),
+        "k_groups",
+        "n_total",
+    )
+
+
+def mutual_information(
+    df: DataFrame,
+    col_a: str,
+    col_b: str,
+) -> DataFrame:
+    """Mutual information (nats) between two categorical columns —
+    the effect-size companion to the chi-square independence test
+    (chi2 tells you THAT columns co-vary; MI tells you how much, in
+    information units — the feature-selection and leakage-screening
+    workhorse).
+
+    Plan: one joint (a, b) hash aggregation, two marginal
+    aggregations DERIVED from the joint table (cardinality-sized, not
+    data-sized), broadcast-joined back, then
+    ``Σ p_ab·ln(N·n_ab/(n_a·n_b))`` with exact integer counts inside
+    the log. Output 1 row: ``(mi_nats, n_total, k_a, k_b)``.
+    """
+    from pyspark import StorageLevel
+
+    from padua_spark.io_utils import track_cached
+
+    # the joint table feeds four consumers (both margins, the totals,
+    # and the MI sum) — persist it or the fact-table aggregation
+    # re-runs per consumer (exchange reuse doesn't cross projections)
+    joint = (
+        df.where(F.col(col_a).isNotNull() & F.col(col_b).isNotNull())
+        .groupBy(F.col(col_a).alias("_a"), F.col(col_b).alias("_b"))
+        .agg(F.count(F.lit(1)).alias("_nab"))
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    ma = joint.groupBy("_a").agg(F.sum("_nab").alias("_na"))
+    mb = joint.groupBy("_b").agg(F.sum("_nab").alias("_nb"))
+    tot = joint.agg(
+        F.sum("_nab").alias("_n"),
+        F.countDistinct("_a").alias("k_a"),
+        F.countDistinct("_b").alias("k_b"),
+    )
+    j = (
+        joint.join(F.broadcast(ma), on="_a")
+        .join(F.broadcast(mb), on="_b")
+        .crossJoin(F.broadcast(tot))
+    )
+    nd = F.col("_n").cast("double")
+    term = (
+        F.col("_nab").cast("double")
+        / nd
+        * F.log(
+            nd
+            * F.col("_nab").cast("double")
+            / (F.col("_na").cast("double") * F.col("_nb").cast("double"))
+        )
+    )
+    out = j.agg(
+        F.sum(term).alias("mi_nats"),
+        F.max("_n").alias("n_total"),
+        F.max("k_a").alias("k_a"),
+        F.max("k_b").alias("k_b"),
+    )
+    return track_cached(out, joint)

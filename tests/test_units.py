@@ -2534,3 +2534,111 @@ def test_skew_profile_and_join_cardinality(spark):
     assert card["matched_keys"] == 2
     assert card["max_key_pairs"] == 12
     assert card["top_key_share"] == pytest.approx(12 / 22)
+
+
+def test_two_proportion_ztest(spark):
+    """Hand-checkable A/B counts; z/p match the closed form; empty
+    group yields NULL z."""
+    import math
+
+    from padua_spark.operators.stats import two_proportion_ztest
+
+    rows = (
+        [("a", 1)] * 30 + [("a", 0)] * 70
+        + [("b", 1)] * 45 + [("b", 0)] * 55
+    )
+    df = spark.createDataFrame(rows, ["g", "ok"])
+    r = two_proportion_ztest(
+        df, "g", F.col("ok") == 1, "a", "b"
+    ).collect()[0]
+    assert (r["n_a"], r["x_a"], r["n_b"], r["x_b"]) == (100, 30, 100, 45)
+    pooled = 75 / 200
+    se = math.sqrt(pooled * (1 - pooled) * (2 / 100))
+    assert r["z"] == pytest.approx((0.30 - 0.45) / se, abs=1e-12)
+    assert 0 < r["p_value"] < 0.05  # 15pt difference is significant
+    r2 = two_proportion_ztest(
+        df, "g", F.col("ok") == 1, "a", "missing"
+    ).collect()[0]
+    assert r2["z"] is None
+
+
+def test_welch_anova_matches_replica(spark):
+    """welch_anova_stats equals a pure-Python Welch replica on
+    3 groups with unequal variances; n<2 and zero-variance groups are
+    excluded."""
+    from padua_spark.operators.stats import welch_anova_stats
+
+    data = {
+        "a": [1.0, 2.0, 3.0, 4.0, 5.0],
+        "b": [2.0, 2.5, 3.0, 3.5],
+        "c": [10.0, 20.0, 30.0],
+        "solo": [7.0],            # n=1 -> excluded
+        "flat": [5.0, 5.0, 5.0],  # var=0 -> excluded
+    }
+    rows = [("f", g, v) for g, vs in data.items() for v in vs]
+    df = spark.createDataFrame(rows, ["f", "g", "v"])
+
+    groups = [vs for g, vs in data.items() if g in ("a", "b", "c")]
+    means = [sum(v) / len(v) for v in groups]
+    vars_ = [
+        sum((x - m) ** 2 for x in v) / (len(v) - 1)
+        for v, m in zip(groups, means)
+    ]
+    w = [len(v) / s for v, s in zip(groups, vars_)]
+    bigw = sum(w)
+    mhat = sum(wi * mi for wi, mi in zip(w, means)) / bigw
+    k = 3
+    num = sum(wi * (mi - mhat) ** 2 for wi, mi in zip(w, means)) / (k - 1)
+    s = sum(
+        (1 - wi / bigw) ** 2 / (len(v) - 1) for wi, v in zip(w, groups)
+    )
+    den = 1 + 2 * (k - 2) / (k * k - 1) * s
+    f_exp = num / den
+    dfd_exp = (k * k - 1) / (3 * s)
+
+    row = welch_anova_stats(df, ["f"], "g", "v").collect()[0]
+    assert row["k_groups"] == 3
+    assert row["n_total"] == 12
+    assert row["f_stat"] == pytest.approx(f_exp, rel=1e-12)
+    assert row["dfn"] == 2.0
+    assert row["dfd"] == pytest.approx(dfd_exp, rel=1e-12)
+
+
+def test_mutual_information(spark):
+    """MI is 0 for factorized (independent) counts, equals the
+    marginal entropy for identical columns, and matches a direct
+    computation on a dependent table."""
+    import math
+
+    from padua_spark.operators.stats import mutual_information
+
+    indep = spark.createDataFrame(
+        [(a, b) for a in "xy" for b in "uv" for _ in range(10)],
+        ["a", "b"],
+    )
+    r = mutual_information(indep, "a", "b").collect()[0]
+    assert r["mi_nats"] == pytest.approx(0.0, abs=1e-12)
+    assert (r["n_total"], r["k_a"], r["k_b"]) == (40, 2, 2)
+
+    ident = spark.createDataFrame(
+        [("x", "x")] * 30 + [("y", "y")] * 10, ["a", "b"]
+    )
+    r2 = mutual_information(ident, "a", "b").collect()[0]
+    h = -(0.75 * math.log(0.75) + 0.25 * math.log(0.25))
+    assert r2["mi_nats"] == pytest.approx(h, abs=1e-12)
+
+    dep_rows = (
+        [("x", "u")] * 30 + [("x", "v")] * 10
+        + [("y", "u")] * 5 + [("y", "v")] * 25
+    )
+    dep = spark.createDataFrame(dep_rows, ["a", "b"])
+    n = 70
+    counts = {("x", "u"): 30, ("x", "v"): 10, ("y", "u"): 5, ("y", "v"): 25}
+    na = {"x": 40, "y": 30}
+    nb = {"u": 35, "v": 35}
+    mi = sum(
+        c / n * math.log(n * c / (na[a] * nb[b]))
+        for (a, b), c in counts.items()
+    )
+    r3 = mutual_information(dep, "a", "b").collect()[0]
+    assert r3["mi_nats"] == pytest.approx(mi, abs=1e-12)
