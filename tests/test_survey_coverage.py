@@ -186,6 +186,12 @@ COVERAGE = {
     "E71": "padua_spark.operators.stats:levene_stats",
     "E72": "padua_spark.operators.stats:ttest_paired_stats",
     "E73": "entry:chi2_independence",
+    "E74": "padua_spark.operators.skew:skew_profile",
+    "E75": "padua_spark.operators.skew:join_cardinality",
+    "E76": "padua_spark.operators.stats:two_proportion_ztest",
+    "E77": "padua_spark.operators.stats:welch_anova_stats",
+    "E78": "padua_spark.operators.stats:mutual_information",
+    "E79": "padua_spark.operators.skew:salted_sum_count",
 }
 
 
