@@ -1176,3 +1176,119 @@ def pq_topk(
         .orderBy(F.col("adc_dist").asc(), F.col(id_col).asc())
         .limit(k)
     )
+
+
+def ivfpq_build(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_cells: int = 8,
+    m_subspaces: int = 4,
+    k_codes: int = 16,
+):
+    """IVF-PQ composition — the classic billion-vector ANN layout
+    (coarse Voronoi cells + product-quantized RESIDUALS): the IVF
+    part prunes which corpus fraction is scanned, the PQ part
+    compresses what remains to ``m`` bytes-ish per vector, and
+    queries pay nprobe cells × ADC lookups.
+
+    Deterministic end to end (no RNG): cells come from
+    :func:`ivf_centroids` seeds, PQ codebooks from the residuals of
+    the ``k_codes`` smallest ids — both the package's smallest-ids
+    rule. Returns ``(encoded, cents, codebooks)``:
+
+    - ``encoded``: ``(id, cell, code_0..code_{m-1})`` — zero-shuffle
+      after the one broadcast join attaching each row's cell centroid
+      for the residual;
+    - ``cents``: the materialized (cell, centroid) frame;
+    - ``codebooks``: driver-side nested list (KB-sized at any scale).
+    """
+    spark = df.sparkSession
+    cents_lazy = ivf_centroids(df, id_col, vec_col, n_cells)
+    cents = spark.createDataFrame(
+        cents_lazy.collect(), schema=cents_lazy.schema
+    )
+    assigned = ivf_assign(df, id_col, vec_col, cents)
+    v = _as_double(F.col(vec_col))
+    with_res = (
+        assigned.join(
+            df.select(F.col(id_col), F.col(vec_col)), on=id_col
+        )
+        .join(F.broadcast(cents), on="cell")
+        .select(
+            F.col(id_col),
+            F.col("cell"),
+            F.zip_with(v, F.col("_c"), lambda a, b: a - b).alias(
+                "_res"
+            ),
+        )
+    )
+    res_cb_src = with_res.select(
+        F.col(id_col), F.col("_res").alias("embedding")
+    )
+    codebooks = pq_codebooks(
+        res_cb_src, id_col, "embedding", m_subspaces, k_codes
+    )
+    encoded = pq_encode(res_cb_src, id_col, "embedding", codebooks)
+    encoded = encoded.join(
+        with_res.select(F.col(id_col), F.col("cell")), on=id_col
+    )
+    return encoded, cents, codebooks
+
+
+def ivfpq_topk(
+    encoded: DataFrame,
+    id_col: str,
+    cents: DataFrame,
+    codebooks: list[list[list[float]]],
+    query: list[float],
+    k: int = 10,
+    nprobe: int = 2,
+) -> DataFrame:
+    """Query the :func:`ivfpq_build` layout: pick the ``nprobe``
+    closest cells driver-side from the tiny centroid table (squared
+    L2, the IVF-PQ convention), then for EACH probed cell run ADC
+    against the residual query ``q − centroid_cell`` — a per-cell
+    distance table, so the scan is a literal ``cell IN (...)``
+    filter (partition-prunable at rest) plus m lookups per row.
+    Output: top-``k`` ``(id, cell, adc_dist)`` ascending."""
+    crows = cents.collect()
+
+    def _sq(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc = acc + (float(x) - float(y)) * (float(x) - float(y))
+        return acc
+
+    ranked = sorted(
+        ((_sq(query, r["_c"]), int(r["cell"]), list(r["_c"]))
+         for r in crows)
+    )
+    probes = ranked[:nprobe]
+    m = len(codebooks)
+    sub = len(codebooks[0][0])
+    parts = []
+    for _, cell, cvec in probes:
+        rq = [float(q) - float(c) for q, c in zip(query, cvec)]
+        dtables = []
+        for s in range(m):
+            qs = rq[s * sub:(s + 1) * sub]
+            dtables.append(
+                [_sq(qs, w) for w in codebooks[s]]
+            )
+        score = None
+        for s in range(m):
+            tbl = F.array(*[F.lit(x) for x in dtables[s]])
+            term = F.element_at(tbl, F.col(f"code_{s}") + 1)
+            score = term if score is None else score + term
+        parts.append(
+            encoded.where(F.col("cell") == cell).select(
+                F.col(id_col), F.col("cell"), score.alias("adc_dist")
+            )
+        )
+    from functools import reduce
+
+    un = reduce(lambda a, b: a.unionByName(b), parts)
+    return un.orderBy(
+        F.col("adc_dist").asc(), F.col(id_col).asc()
+    ).limit(k)

@@ -192,6 +192,7 @@ COVERAGE = {
     "E77": "padua_spark.operators.stats:welch_anova_stats",
     "E78": "padua_spark.operators.stats:mutual_information",
     "E79": "padua_spark.operators.skew:salted_sum_count",
+    "E80": "padua_spark.extensions.similarity:ivfpq_build",
 }
 
 
