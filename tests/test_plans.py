@@ -394,6 +394,12 @@ def test_no_cartesian_products_anywhere(spark):
         # composes ivf_topk + brute_force_topk — inherits their 1-row
         # broadcast query/probe sides
         "ann_recall",
+        # 1-row global summary (total, n_keys) broadcast-crossed onto
+        # the per-key counts — deliberately NOT a partitionless window
+        "skew_profile",
+        # 1-row (N, k_a, k_b) totals broadcast onto the joint-count
+        # table (cardinality-sized, not data-sized)
+        "mutual_information",
     }
     bad = {}
     for name, fn in em.queries().items():
