@@ -1210,6 +1210,13 @@ def ivfpq_build(
     )
     assigned = ivf_assign(df, id_col, vec_col, cents)
     v = _as_double(F.col(vec_col))
+    from pyspark import StorageLevel
+
+    from padua_spark.io_utils import track_cached
+
+    # three consumers (codebook seed collect, the encode pass, and the
+    # cell re-attach join) — persist the residual frame or the
+    # assign+join pipeline re-runs per consumer
     with_res = (
         assigned.join(
             df.select(F.col(id_col), F.col(vec_col)), on=id_col
@@ -1222,7 +1229,7 @@ def ivfpq_build(
                 "_res"
             ),
         )
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     res_cb_src = with_res.select(
         F.col(id_col), F.col("_res").alias("embedding")
     )
@@ -1233,7 +1240,7 @@ def ivfpq_build(
     encoded = encoded.join(
         with_res.select(F.col(id_col), F.col("cell")), on=id_col
     )
-    return encoded, cents, codebooks
+    return track_cached(encoded, with_res), cents, codebooks
 
 
 def ivfpq_topk(

@@ -428,7 +428,8 @@ def test_multi_consumer_frames_are_cached(spark):
     consumer (the windowed_psi 3-scan finding)."""
     import __spark_entry__ as em
 
-    for name in ("windowed_psi", "dedup_spans", "bm25_topk"):
+    for name in ("windowed_psi", "dedup_spans", "bm25_topk",
+                 "mutual_information"):
         plan = explain_str(em.queries()[name](spark, SF_ORACLE), "simple")
         assert "InMemoryTableScan" in plan, f"{name}: no cache in plan"
 

@@ -2716,3 +2716,41 @@ def test_ivfpq_composition(spark):
     ).collect()
     assert len(top) == 3
     assert top[0]["adc_dist"] <= top[1]["adc_dist"] <= top[2]["adc_dist"]
+
+
+def test_rank_statistics_monotone_invariance(spark):
+    """The rank battery (Kruskal-Wallis, Spearman, Anderson-Darling)
+    is EXACTLY invariant under strictly increasing transforms of the
+    values — the defining property of rank statistics, and a strong
+    end-to-end check that midranks (not values) drive every formula.
+    exp() is strictly increasing and changes every float, so any
+    value leakage into the statistics would flip them."""
+    from padua_spark.operators.stats import (
+        anderson_darling_ksamp,
+        kruskal_wallis_stats,
+        spearman_rho,
+    )
+
+    rows = [
+        (["a", "b", "c"][i % 3], float((i * 7) % 11) / 3.0,
+         float((i * 5) % 13))
+        for i in range(90)
+    ]
+    df = spark.createDataFrame(rows, ["g", "v", "y"])
+    tdf = df.select(
+        "g", F.exp("v").alias("v"), F.exp("y").alias("y")
+    )
+
+    kw1 = kruskal_wallis_stats(df, "g", "v", ["a", "b", "c"]).collect()[0]
+    kw2 = kruskal_wallis_stats(tdf, "g", "v", ["a", "b", "c"]).collect()[0]
+    assert kw1["h_stat"] == kw2["h_stat"]
+    assert kw1["tie_term"] == kw2["tie_term"]
+
+    ad1 = anderson_darling_ksamp(df, "g", "v", ["a", "b", "c"]).collect()[0]
+    ad2 = anderson_darling_ksamp(tdf, "g", "v", ["a", "b", "c"]).collect()[0]
+    assert ad1["a2_akn"] == ad2["a2_akn"]
+
+    sp1 = spearman_rho(df, "v", "y").collect()[0]
+    sp2 = spearman_rho(tdf, "v", "y").collect()[0]
+    assert sp1["rho"] == sp2["rho"]
+    assert sp1["n"] == sp2["n"]
