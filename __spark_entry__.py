@@ -8896,6 +8896,56 @@ def q_mutual_information(spark, sf):
     )
 
 
+# --- ext: Theil-Sen robust trend per bounded group --------------------------
+
+
+_THEIL_SEN_ORACLE = """
+WITH pts AS (
+  SELECT l_orderkey AS g, CAST(l_linenumber AS DOUBLE) AS x,
+         l_quantity AS y
+  FROM lineitem
+  WHERE l_linenumber IS NOT NULL AND l_quantity IS NOT NULL
+),
+pairs AS (
+  SELECT a.g, (b.y - a.y) / (b.x - a.x) AS s
+  FROM pts a JOIN pts b ON a.g = b.g AND a.x < b.x
+),
+np AS (SELECT g, CAST(count(*) AS BIGINT) AS n_pairs FROM pairs GROUP BY g),
+sl AS (SELECT g, median(s) AS slope FROM pairs GROUP BY g),
+resid AS (
+  SELECT p.g, p.y - sl.slope * p.x AS r
+  FROM pts p JOIN sl ON p.g = sl.g
+),
+ic AS (SELECT g, median(r) AS intercept FROM resid GROUP BY g)
+SELECT sl.g AS l_orderkey, round(sl.slope, 6) AS slope,
+  round(ic.intercept, 6) AS intercept, np.n_pairs
+FROM sl JOIN ic ON sl.g = ic.g JOIN np ON sl.g = np.g
+"""
+
+
+@_q("theil_sen_trend", _THEIL_SEN_ORACLE)
+def q_theil_sen_trend(spark, sf):
+    """Theil-Sen robust quantity trend over line numbers per order
+    (stats.theil_sen_by_group): bounded groups by construction
+    (<= 7 lineitems per order -> <= 21 pairs), exact ANSI medians via
+    the relational group_medians path — the outlier-robust
+    counterpart to linregress for short per-key series."""
+    from padua_spark.operators.stats import theil_sen_by_group
+
+    li = _t(spark, sf, "lineitem").select(
+        "l_orderkey",
+        F.col("l_linenumber").cast("double").alias("x"),
+        F.col("l_quantity").alias("y"),
+    )
+    out = theil_sen_by_group(li, ["l_orderkey"], "x", "y")
+    return out.select(
+        "l_orderkey",
+        _r("slope").alias("slope"),
+        _r("intercept").alias("intercept"),
+        "n_pairs",
+    )
+
+
 # ---------------------------------------------------------------------------
 
 

@@ -152,6 +152,7 @@ HEADLINE = [
     "two_proportion_z",
     "welch_anova_stats",
     "mutual_information",
+    "theil_sen_trend",
 ]
 
 

@@ -1575,3 +1575,77 @@ def mutual_information(
         F.max("k_b").alias("k_b"),
     )
     return track_cached(out, joint)
+
+
+def theil_sen_by_group(
+    df: DataFrame,
+    group_cols: list[str],
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Theil–Sen robust trend per group: the MEDIAN of all pairwise
+    slopes ``(y_j−y_i)/(x_j−x_i)`` over ``x_i < x_j``, with the
+    standard median intercept ``median(y − slope·x)`` — the
+    outlier-robust alternative to :func:`linregress` for short
+    per-feature series (padua's timecourse regime: one spiked
+    timepoint drags OLS but not Theil–Sen; breakdown point ~29%).
+
+    **Scale contract**: pairs are generated by a WITHIN-GROUP
+    self-join, so the work per group is O(n_g²) — intended for keys
+    with BOUNDED group size (timepoints per feature, lineitems per
+    order: n_g ≤ tens). With group sizes in the thousands use
+    :func:`linregress`; an unbounded hot group makes the pair join
+    quadratic and no engine saves that. Pairs with tied x are
+    excluded (undefined slope — the standard convention). Groups
+    with no valid pair emit no row.
+
+    Medians reuse :func:`normalization.group_medians` (exact, ANSI
+    two-middle interpolation — DuckDB-identical). Output:
+    ``group_cols + (slope, intercept, n_pairs)``.
+    """
+    from padua_spark.operators.normalization import group_medians
+
+    x, y = F.col(x_col), F.col(y_col)
+    pts = df.where(x.isNotNull() & y.isNotNull()).select(
+        *group_cols, x.alias("_x"), y.alias("_y")
+    )
+    a = pts.select(
+        *group_cols,
+        F.col("_x").alias("_xa"),
+        F.col("_y").alias("_ya"),
+    )
+    b = pts.select(
+        *group_cols,
+        F.col("_x").alias("_xb"),
+        F.col("_y").alias("_yb"),
+    )
+    pairs = (
+        a.join(b, on=list(group_cols))
+        .where(F.col("_xa") < F.col("_xb"))
+        .select(
+            *group_cols,
+            (
+                (F.col("_yb") - F.col("_ya"))
+                / (F.col("_xb") - F.col("_xa"))
+            ).alias("_s"),
+        )
+    )
+    n_pairs = pairs.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n_pairs")
+    )
+    slopes = group_medians(pairs, list(group_cols), F.col("_s"), "slope")
+    resid = (
+        pts.join(slopes, on=list(group_cols))
+        .select(
+            *group_cols,
+            (F.col("_y") - F.col("slope") * F.col("_x")).alias("_r"),
+        )
+    )
+    intercepts = group_medians(
+        resid, list(group_cols), F.col("_r"), "intercept"
+    )
+    return (
+        slopes.join(intercepts, on=list(group_cols))
+        .join(n_pairs, on=list(group_cols))
+        .select(*group_cols, "slope", "intercept", "n_pairs")
+    )

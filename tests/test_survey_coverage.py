@@ -193,6 +193,7 @@ COVERAGE = {
     "E78": "padua_spark.operators.stats:mutual_information",
     "E79": "padua_spark.operators.skew:salted_sum_count",
     "E80": "padua_spark.extensions.similarity:ivfpq_build",
+    "E81": "padua_spark.operators.stats:theil_sen_by_group",
 }
 
 

@@ -2754,3 +2754,54 @@ def test_rank_statistics_monotone_invariance(spark):
     sp2 = spearman_rho(tdf, "v", "y").collect()[0]
     assert sp1["rho"] == sp2["rho"]
     assert sp1["n"] == sp2["n"]
+
+
+def test_theil_sen_by_group(spark):
+    """Theil-Sen: exact slope on clean linear data, robustness to a
+    single spiked point (median slope unmoved while OLS shifts), tied
+    x excluded, numpy pairwise-median replica agreement."""
+    import numpy as np
+
+    from padua_spark.operators.stats import linregress, theil_sen_by_group
+
+    clean = [("g1", float(i), 2.0 * i + 1.0) for i in range(6)]
+    spiked = [("g2", float(i), 2.0 * i + 1.0) for i in range(6)]
+    spiked[3] = ("g2", 3.0, 500.0)  # one outlier
+    tied = [("g3", 1.0, 5.0), ("g3", 1.0, 9.0), ("g3", 2.0, 7.0)]
+    df = spark.createDataFrame(
+        clean + spiked + tied, ["g", "x", "y"]
+    )
+    rows = {r["g"]: r for r in theil_sen_by_group(
+        df, ["g"], "x", "y"
+    ).collect()}
+    assert rows["g1"]["slope"] == pytest.approx(2.0, abs=1e-12)
+    assert rows["g1"]["intercept"] == pytest.approx(1.0, abs=1e-12)
+    assert rows["g1"]["n_pairs"] == 15
+    # robustness: slope stays near 2 despite the spike...
+    assert rows["g2"]["slope"] == pytest.approx(2.0, abs=1.0)
+    # ...while OLS is dragged an order of magnitude away
+    ols = {r["g"]: r["slope"] for r in linregress(
+        df, "x", "y", ["g"]
+    ).collect()}
+    assert abs(ols["g2"] - 2.0) > 5
+    # tied-x pair excluded: only the two (x=1 -> x=2) pairs remain
+    assert rows["g3"]["n_pairs"] == 2
+
+    # replica check on irregular data
+    pts = [(float(x), float(y)) for x, y in
+           [(0, 3), (1, 5), (2, 4), (4, 11), (5, 10), (7, 16)]]
+    df2 = spark.createDataFrame(
+        [("z", x, y) for x, y in pts], ["g", "x", "y"]
+    )
+    slopes = sorted(
+        (y2 - y1) / (x2 - x1)
+        for i, (x1, y1) in enumerate(pts)
+        for (x2, y2) in pts[i + 1:]
+        if x2 != x1
+    )
+    med = float(np.median(slopes))
+    resid = sorted(y - med * x for x, y in pts)
+    icpt = float(np.median(resid))
+    got = theil_sen_by_group(df2, ["g"], "x", "y").collect()[0]
+    assert got["slope"] == pytest.approx(med, abs=1e-12)
+    assert got["intercept"] == pytest.approx(icpt, abs=1e-12)
