@@ -8946,6 +8946,65 @@ def q_theil_sen_trend(spark, sf):
     )
 
 
+# --- ext: bounded EWMA over event time --------------------------------------
+
+
+_EWMA_ORACLE = """
+WITH e AS (
+  SELECT event_id, user_id, epoch_us(ts) AS tu, value
+  FROM events WHERE value IS NOT NULL
+),
+w AS (
+  SELECT event_id, user_id,
+    array_agg(value) OVER (PARTITION BY user_id ORDER BY tu, event_id
+       ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS win
+  FROM e
+)
+SELECT event_id, user_id,
+  round(
+    list_reduce(list_prepend(0.0,
+      list_transform(generate_series(1, len(win)),
+        i -> win[i] * pow(0.7, CAST(len(win) - i AS DOUBLE)))),
+      (a, b) -> a + b)
+    /
+    list_reduce(list_prepend(0.0,
+      list_transform(generate_series(1, len(win)),
+        i -> pow(0.7, CAST(len(win) - i AS DOUBLE)))),
+      (a, b) -> a + b), 6) AS ewma
+FROM w
+"""
+
+
+@_q("ewma_user_value", _EWMA_ORACLE)
+def q_ewma_user_value(spark, sf):
+    """Per-user bounded EWMA of event values (temporal.ewma_bounded,
+    alpha=0.3, last 8 events): one shuffle by user, one BOUNDED sorted
+    window frame (state per row is <= 8 values, never an unbounded
+    running frame), per-row left-fold with positional weights shared
+    verbatim with the oracle. Event-time order compares in
+    MICROSECONDS (ts div 1000) with event_id tiebreak — DuckDB reads
+    the nanos parquet truncated to us, so ordering on raw nanos would
+    silently diverge on sub-us ties."""
+    from padua_spark.operators.temporal import ewma_bounded
+    from padua_spark.streaming.windows import epoch_us_col
+
+    base = _t(spark, sf, "events")
+    ev = (
+        base.where(F.col("value").isNotNull())
+        .select(
+            "event_id", "user_id",
+            epoch_us_col(base, "ts").alias("_tu"), "value",
+        )
+    )
+    out = ewma_bounded(
+        ev, ["user_id"], ["_tu", "event_id"], "value",
+        alpha=0.3, window=8,
+    )
+    return out.select(
+        "event_id", "user_id", _r("ewma").alias("ewma")
+    )
+
+
 # ---------------------------------------------------------------------------
 
 

@@ -153,6 +153,7 @@ HEADLINE = [
     "welch_anova_stats",
     "mutual_information",
     "theil_sen_trend",
+    "ewma_user_value",
 ]
 
 

@@ -122,3 +122,59 @@ def range_join(
     for k in by or []:
         cond = cond & (left[k] == rcol(k))
     return left.join(renamed, cond, how)
+
+
+def ewma_bounded(
+    df: DataFrame,
+    key_cols: list[str],
+    order_cols: list[str],
+    value_col: str,
+    alpha: float = 0.3,
+    window: int = 8,
+) -> DataFrame:
+    """Per-key exponentially weighted moving average over the last
+    ``window`` events in event order — the smoothed-signal primitive
+    for per-user engagement scores and sensor streams. Semantics are
+    pandas ``ewm(adjust=True)`` restricted to a bounded window:
+
+    ``y_i = Σ_{j<W} (1−α)^j x_{i−j}  /  Σ_{j<W'} (1−α)^j``
+
+    (partial normalization while the window fills — no warm-up NULLs,
+    no drift from an unbounded tail).
+
+    Scale shape: one shuffle by key, one sorted window per key with a
+    BOUNDED ``rowsBetween(-(W-1), 0)`` frame (state per row is W
+    values — never an unbounded running frame), then per-row array
+    algebra: a left fold over the ≤W collected values with positional
+    weights, identical on any engine. Ties in ``order_cols`` must be
+    broken by the caller's last ordering column for determinism.
+    Output: input columns + ``ewma``.
+    """
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy(*[F.col(c).asc() for c in order_cols])
+        .rowsBetween(-(window - 1), Window.currentRow)
+    )
+    staged = df.withColumn(
+        "_w", F.collect_list(F.col(value_col).cast("double")).over(w)
+    )
+    n = F.size("_w")
+    decay = 1.0 - alpha
+    # weight for position i (0-based, oldest first) = (1-α)^(n-1-i);
+    # both num and den fold left-to-right over the same sequence
+    idx = F.sequence(F.lit(0), n - 1)
+    num = F.aggregate(
+        idx,
+        F.lit(0.0),
+        lambda acc, i: acc
+        + F.element_at(F.col("_w"), i + 1)
+        * F.pow(F.lit(decay), (n - 1 - i).cast("double")),
+    )
+    den = F.aggregate(
+        idx,
+        F.lit(0.0),
+        lambda acc, i: acc + F.pow(F.lit(decay), (n - 1 - i).cast("double")),
+    )
+    return staged.withColumn(
+        "ewma", F.when(n > 0, num / den)
+    ).drop("_w")

@@ -194,6 +194,7 @@ COVERAGE = {
     "E79": "padua_spark.operators.skew:salted_sum_count",
     "E80": "padua_spark.extensions.similarity:ivfpq_build",
     "E81": "padua_spark.operators.stats:theil_sen_by_group",
+    "E82": "padua_spark.operators.temporal:ewma_bounded",
 }
 
 

@@ -2805,3 +2805,38 @@ def test_theil_sen_by_group(spark):
     got = theil_sen_by_group(df2, ["g"], "x", "y").collect()[0]
     assert got["slope"] == pytest.approx(med, abs=1e-12)
     assert got["intercept"] == pytest.approx(icpt, abs=1e-12)
+
+
+def test_ewma_bounded_matches_pandas_semantics(spark):
+    """ewma_bounded equals a pure-Python replica of bounded
+    adjust=True EWM per key (partial normalization while the window
+    fills, bounded tail after), and a constant series smooths to
+    itself."""
+    from padua_spark.operators.temporal import ewma_bounded
+
+    vals = [3.0, 7.0, 1.0, 9.0, 4.0, 6.0, 2.0]
+    df = spark.createDataFrame(
+        [("u", i, v) for i, v in enumerate(vals)]
+        + [("c", i, 5.0) for i in range(5)],
+        ["k", "i", "v"],
+    )
+    alpha, W = 0.3, 3
+    out = {
+        (r["k"], r["i"]): r["ewma"]
+        for r in ewma_bounded(
+            df, ["k"], ["i"], "v", alpha=alpha, window=W
+        ).collect()
+    }
+
+    decay = 1.0 - alpha
+    for i in range(len(vals)):
+        lo = max(0, i - W + 1)
+        win = vals[lo:i + 1]
+        n = len(win)
+        num = sum(
+            win[j] * decay ** (n - 1 - j) for j in range(n)
+        )
+        den = sum(decay ** (n - 1 - j) for j in range(n))
+        assert out[("u", i)] == pytest.approx(num / den, abs=1e-12)
+    for i in range(5):
+        assert out[("c", i)] == pytest.approx(5.0, abs=1e-12)
