@@ -9005,6 +9005,82 @@ def q_ewma_user_value(spark, sf):
     )
 
 
+# --- ext: PPJoin prefix-filtered exact similarity join ----------------------
+
+
+def _ppjoin_oracle(threshold: float = 0.5) -> str:
+    return rf"""
+WITH t AS (
+  SELECT doc_id,
+    list_transform(string_split(text, ' '), w -> list_reduce(
+        list_prepend(CAST(7 AS BIGINT),
+          list_transform(list_filter(string_split(w, ''), c -> c <> ''), c -> CAST(ord(c) AS BIGINT))),
+        (a, c) -> (a * 131 + c) % 2147483647)) AS th
+  FROM documents
+),
+s AS (
+  SELECT doc_id,
+    CASE WHEN len(th) >= 3 THEN
+      list_distinct(list_transform(generate_series(1, len(th) - 2),
+        i -> (th[i] * 1 + th[i+1] * {_JACCARD_C1}
+              + th[i+2] * {_JACCARD_C2}) % 2147483647))
+    ELSE [th[1]] END AS sh
+  FROM t
+),
+ex AS (SELECT doc_id, unnest(sh) AS shingle FROM s),
+dfq AS (SELECT shingle, count(*) AS dfc FROM ex GROUP BY shingle),
+sz AS (SELECT doc_id, count(*) AS n FROM ex GROUP BY doc_id),
+ranked AS (
+  SELECT e.doc_id, e.shingle, z.n,
+    row_number() OVER (PARTITION BY e.doc_id ORDER BY d.dfc, e.shingle)
+      AS pos
+  FROM ex e JOIN dfq d USING (shingle) JOIN sz z USING (doc_id)
+),
+pref AS (
+  SELECT * FROM ranked
+  WHERE pos <= n - ceil({threshold} * n) + 1
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+    a.n AS na, b.n AS nb
+  FROM pref a JOIN pref b
+    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  WHERE CAST(least(a.n, b.n) AS DOUBLE)
+        >= {threshold} * greatest(a.n, b.n)
+),
+ver AS (
+  SELECT c.id_a, c.id_b,
+    CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) AS icnt,
+    c.na, c.nb
+  FROM cand c
+  JOIN s sa ON sa.doc_id = c.id_a
+  JOIN s sb ON sb.doc_id = c.id_b
+)
+SELECT id_a, id_b,
+  round(icnt / (na + nb - icnt), 6) AS jaccard
+FROM ver
+WHERE icnt / (na + nb - icnt) >= {threshold}
+"""
+
+
+@_q("ppjoin_pairs", _ppjoin_oracle())
+def q_ppjoin_pairs(spark, sf):
+    """Exact Jaccard>=0.5 document pairs via PPJoin prefix filtering
+    (dedup.ppjoin_pairs): postings are emitted only for each doc's
+    rarest-first prefix (~(1-t)n+1 of n shingles), so the inverted
+    index join never sees the hot high-df shingles — the at-scale
+    EXACT counterpart to the approximate minhash_lsh_candidates
+    entry. Threshold 0.5 is binary-exact, so ceil(t*n) prefix lengths
+    are bit-identical across engines."""
+    from padua_spark.extensions import dedup as x_dedup
+
+    d = _t(spark, sf, "documents")
+    out = x_dedup.ppjoin_pairs(
+        d, "doc_id", "text", threshold=0.5, k_shingle=3
+    )
+    return out.select("id_a", "id_b", _r("jaccard").alias("jaccard"))
+
+
 # ---------------------------------------------------------------------------
 
 

@@ -1003,3 +1003,111 @@ def decontaminate_ngrams(
         .groupBy(id_col)
         .agg(F.countDistinct("shingle").alias("n_shared_ngrams"))
     )
+
+
+def ppjoin_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.5,
+    k_shingle: int = 3,
+    persist_tokens: bool = True,
+) -> DataFrame:
+    """Exact Jaccard similarity join via PPJoin-style prefix filtering
+    (Xiao et al., WWW'08): emit inverted-index postings ONLY for each
+    document's rarest-first prefix, join prefixes, then verify the
+    survivors exactly.
+
+    This is the at-scale EXACT near-dup join (vs
+    :func:`ngram_jaccard_pairs`, which indexes every shingle within a
+    block, and :func:`minhash_lsh_candidates`, which is approximate):
+
+    - **Prefix principle.** Under any global total order of tokens, two
+      sets with ``jaccard >= t`` must share a token within their
+      ``n - ceil(t*n) + 1`` prefixes — so only prefix postings (about
+      ``(1-t)*n + 1`` per doc) are ever emitted to the join.
+    - **Skew is structurally avoided.** Tokens are ordered by ascending
+      document frequency (ties by token hash), so the high-df shingles
+      that would form hot join keys sit at the END of the order and
+      fall OUTSIDE most prefixes; the posting lists that do meet in the
+      join are the rare-token ones, i.e. short.
+    - **Length filter.** ``jaccard <= min(na,nb)/max(na,nb)``, so pairs
+      with ``min/max < t`` are pruned before verification.
+    - Verification joins candidates back to per-doc sorted shingle
+      arrays (bounded by doc length) and computes
+      ``|A∩B| / (na + nb - |A∩B|)`` exactly — output pairs are exact,
+      never probabilistic.
+
+    Determinism: the global order (document frequency, shingle hash) is
+    a total order over a doc's distinct shingles, so prefixes — and
+    therefore the candidate set and the exact-verified output — are
+    engine-reproducible.
+
+    Use a threshold exactly representable in binary (0.5, 0.75, ...)
+    when cross-engine bit-parity of the prefix length matters:
+    ``ceil(t*n)`` at non-representable ``t`` (e.g. 0.7) can differ by
+    one from exact rational arithmetic, shortening a prefix and (only
+    in that pathological case) dropping a borderline candidate.
+
+    One shuffle for document frequencies, one per-doc window for prefix
+    ranking, one (rare-key) join, one bounded-array verification join.
+    Returns ``(id_a, id_b, jaccard)`` with ``jaccard >= threshold``.
+    """
+    from pyspark.sql import Window
+
+    ex = exploded_shingles(df, id_col, text_col, k_shingle)
+    if persist_tokens:
+        # feeds document frequencies, prefix ranking, and the two
+        # verification sides — persist once, spill-friendly
+        from pyspark import StorageLevel
+
+        ex = ex.persist(StorageLevel.MEMORY_AND_DISK)
+    dfreq = ex.groupBy("shingle").agg(F.count(F.lit(1)).alias("_dfc"))
+    sizes = ex.groupBy(id_col).agg(F.count(F.lit(1)).alias("_n"))
+    ranked = ex.join(dfreq, on="shingle").join(sizes, on=id_col)
+    w = Window.partitionBy(id_col).orderBy("_dfc", "shingle")
+    prefix = ranked.withColumn("_pos", F.row_number().over(w)).filter(
+        F.col("_pos")
+        <= F.col("_n") - F.ceil(F.lit(threshold) * F.col("_n")) + 1
+    )
+    pa = prefix.select(
+        F.col(id_col).alias("id_a"), "shingle", F.col("_n").alias("_na")
+    )
+    pb = prefix.select(
+        F.col(id_col).alias("id_b"), "shingle", F.col("_n").alias("_nb")
+    )
+    cand = (
+        pa.join(pb, on="shingle")
+        .filter(
+            (F.col("id_a") < F.col("id_b"))
+            & (
+                F.least("_na", "_nb").cast("double")
+                >= F.lit(threshold) * F.greatest("_na", "_nb")
+            )
+        )
+        .select("id_a", "id_b", "_na", "_nb")
+        .distinct()
+    )
+    docsets = ex.groupBy(id_col).agg(
+        F.sort_array(F.collect_list("shingle")).alias("_sh")
+    )
+    da = docsets.select(
+        F.col(id_col).alias("id_a"), F.col("_sh").alias("_sh_a")
+    )
+    db = docsets.select(
+        F.col(id_col).alias("id_b"), F.col("_sh").alias("_sh_b")
+    )
+    inter = F.size(F.array_intersect("_sh_a", "_sh_b")).cast("double")
+    jac = inter / (F.col("_na") + F.col("_nb") - inter)
+    out = (
+        cand.join(da, on="id_a")
+        .join(db, on="id_b")
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= F.lit(threshold))
+        .select("id_a", "id_b", "jaccard")
+    )
+    if persist_tokens:
+        from padua_spark.io_utils import track_cached
+
+        out = track_cached(out, ex)
+    return out

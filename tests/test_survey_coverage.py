@@ -195,6 +195,7 @@ COVERAGE = {
     "E80": "padua_spark.extensions.similarity:ivfpq_build",
     "E81": "padua_spark.operators.stats:theil_sen_by_group",
     "E82": "padua_spark.operators.temporal:ewma_bounded",
+    "E83": "padua_spark.extensions.dedup:ppjoin_pairs",
 }
 
 

@@ -2840,3 +2840,49 @@ def test_ewma_bounded_matches_pandas_semantics(spark):
         assert out[("u", i)] == pytest.approx(num / den, abs=1e-12)
     for i in range(5):
         assert out[("c", i)] == pytest.approx(5.0, abs=1e-12)
+
+
+def test_ppjoin_matches_bruteforce(spark):
+    """ppjoin_pairs (prefix-filtered exact similarity join) must return
+    EXACTLY the pairs a brute-force all-pairs Jaccard >= t scan finds —
+    completeness of the prefix filter + exactness of verification —
+    across duplicate, near-dup, disjoint, and short-doc shapes."""
+    import itertools
+
+    from padua_spark.extensions.dedup import exploded_shingles, ppjoin_pairs
+
+    base = "the quick brown fox jumps over the lazy dog near the river bank"
+    docs = [
+        (1, base),
+        (2, base),  # exact duplicate
+        (3, base + " today"),  # near-dup, one extra token
+        (4, "the quick brown fox jumps over the lazy dog near a canal"),
+        (5, "completely different text about spark shuffle partitions"),
+        (6, "completely different text about spark shuffle stages"),
+        (7, "one two"),  # shorter than the shingle width
+        (8, "one two"),
+        (9, "alpha beta gamma delta " * 3),
+        (10, "alpha beta gamma delta epsilon " * 3),
+    ]
+    df = spark.createDataFrame(docs, "doc_id int, text string")
+    for t in (0.5, 0.75):
+        got = {
+            (r["id_a"], r["id_b"]): r["jaccard"]
+            for r in ppjoin_pairs(
+                df, "doc_id", "text", threshold=t
+            ).collect()
+        }
+        sets = {}
+        for r in exploded_shingles(df, "doc_id", "text", 3).collect():
+            sets.setdefault(r["doc_id"], set()).add(r["shingle"])
+        expect = {}
+        for a, b in itertools.combinations(sorted(sets), 2):
+            inter = len(sets[a] & sets[b])
+            if inter == 0:
+                continue
+            jac = inter / (len(sets[a]) + len(sets[b]) - inter)
+            if jac >= t:
+                expect[(a, b)] = jac
+        assert set(got) == set(expect), (t, got, expect)
+        for k in got:
+            assert abs(got[k] - expect[k]) < 1e-12
