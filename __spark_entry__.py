@@ -9081,6 +9081,85 @@ def q_ppjoin_pairs(spark, sf):
     return out.select("id_a", "id_b", _r("jaccard").alias("jaccard"))
 
 
+# --- ext: asymmetric containment join ---------------------------------------
+
+
+def _containment_oracle_pairs(threshold: float = 0.75) -> str:
+    return rf"""
+WITH t AS (
+  SELECT doc_id,
+    list_transform(string_split(text, ' '), w -> list_reduce(
+        list_prepend(CAST(7 AS BIGINT),
+          list_transform(list_filter(string_split(w, ''), c -> c <> ''), c -> CAST(ord(c) AS BIGINT))),
+        (a, c) -> (a * 131 + c) % 2147483647)) AS th
+  FROM documents
+),
+s AS (
+  SELECT doc_id,
+    CASE WHEN len(th) >= 3 THEN
+      list_distinct(list_transform(generate_series(1, len(th) - 2),
+        i -> (th[i] * 1 + th[i+1] * {_JACCARD_C1}
+              + th[i+2] * {_JACCARD_C2}) % 2147483647))
+    ELSE [th[1]] END AS sh
+  FROM t
+),
+ex AS (SELECT doc_id, unnest(sh) AS shingle FROM s),
+dfq AS (SELECT shingle, count(*) AS dfc FROM ex GROUP BY shingle),
+sz AS (SELECT doc_id, count(*) AS n FROM ex GROUP BY doc_id),
+probe AS (
+  SELECT doc_id AS id_a, shingle, n AS na FROM (
+    SELECT e.doc_id, e.shingle, z.n,
+      row_number() OVER (PARTITION BY e.doc_id ORDER BY d.dfc, e.shingle)
+        AS pos
+    FROM ex e JOIN dfq d USING (shingle) JOIN sz z USING (doc_id)
+  ) WHERE pos <= n - ceil({threshold} * n) + 1
+),
+idx AS (
+  SELECT e.doc_id AS id_b, e.shingle, z.n AS nb
+  FROM ex e JOIN sz z USING (doc_id)
+),
+cand AS (
+  SELECT DISTINCT p.id_a, i.id_b, p.na, i.nb
+  FROM probe p JOIN idx i ON p.shingle = i.shingle
+  WHERE p.id_a <> i.id_b
+    AND CAST(i.nb AS DOUBLE) >= ceil({threshold} * p.na)
+),
+ver AS (
+  SELECT c.id_a, c.id_b,
+    CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) AS icnt,
+    c.na, c.nb
+  FROM cand c
+  JOIN s sa ON sa.doc_id = c.id_a
+  JOIN s sb ON sb.doc_id = c.id_b
+)
+SELECT id_a, id_b,
+  round(icnt / na, 6) AS containment,
+  round(icnt / (na + nb - icnt), 6) AS jaccard
+FROM ver
+WHERE icnt / na >= {threshold}
+"""
+
+
+@_q("containment_pairs", _containment_oracle_pairs())
+def q_containment_pairs(spark, sf):
+    """Ordered doc pairs with containment |A∩B|/|A| >= 0.75
+    (dedup.containment_pairs): the asymmetric quote / doc-inside-doc
+    detector Jaccard joins miss. One-sided PPJoin prefix probe against
+    a full index — hot shingles never enter the probe side, and the
+    nb >= ceil(t*na) size filter prunes before exact verification."""
+    from padua_spark.extensions import dedup as x_dedup
+
+    d = _t(spark, sf, "documents")
+    out = x_dedup.containment_pairs(
+        d, "doc_id", "text", threshold=0.75, k_shingle=3
+    )
+    return out.select(
+        "id_a", "id_b",
+        _r("containment").alias("containment"),
+        _r("jaccard").alias("jaccard"),
+    )
+
+
 # ---------------------------------------------------------------------------
 
 

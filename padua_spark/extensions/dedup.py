@@ -1111,3 +1111,96 @@ def ppjoin_pairs(
 
         out = track_cached(out, ex)
     return out
+
+
+def containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.75,
+    k_shingle: int = 3,
+    persist_tokens: bool = True,
+) -> DataFrame:
+    """Asymmetric containment join: ordered pairs (a, b), ``a != b``,
+    with ``C(A,B) = |A∩B| / |A| >= threshold`` over distinct shingle
+    sets — the quote / doc-inside-doc detector that a symmetric Jaccard
+    join (:func:`ppjoin_pairs`) structurally misses: a 50-shingle doc
+    fully embedded in a 5000-shingle doc has Jaccard ~0.01 but
+    containment 1.0.
+
+    Candidate generation is the one-sided prefix-filter adaptation of
+    PPJoin: ``C(A,B) >= t`` forces ``|A∩B| >= ceil(t*na)``, so A's
+    rarest-first prefix of ``na - ceil(t*na) + 1`` shingles must hit at
+    least one of B's (fully indexed) shingles — probing with prefixes
+    only keeps hot high-df shingles out of the probe side, so each
+    join group is (tiny probe x posting list of a RARE token). The
+    container side cannot be length-bounded (containment has no upper
+    size constraint), so its index is full; the size filter
+    ``nb >= ceil(t*na)`` still prunes before verification.
+    Verification is exact over per-doc sorted shingle arrays.
+
+    Returns ``(id_a, id_b, containment, jaccard)`` where ``id_a`` is
+    the contained document. Same binary-exact-threshold caveat as
+    :func:`ppjoin_pairs`.
+    """
+    from pyspark.sql import Window
+
+    ex = exploded_shingles(df, id_col, text_col, k_shingle)
+    if persist_tokens:
+        from pyspark import StorageLevel
+
+        ex = ex.persist(StorageLevel.MEMORY_AND_DISK)
+    dfreq = ex.groupBy("shingle").agg(F.count(F.lit(1)).alias("_dfc"))
+    sizes = ex.groupBy(id_col).agg(F.count(F.lit(1)).alias("_n"))
+    ranked = ex.join(dfreq, on="shingle").join(sizes, on=id_col)
+    w = Window.partitionBy(id_col).orderBy("_dfc", "shingle")
+    probe = (
+        ranked.withColumn("_pos", F.row_number().over(w))
+        .filter(
+            F.col("_pos")
+            <= F.col("_n") - F.ceil(F.lit(threshold) * F.col("_n")) + 1
+        )
+        .select(
+            F.col(id_col).alias("id_a"), "shingle", F.col("_n").alias("_na")
+        )
+    )
+    index = ex.join(sizes, on=id_col).select(
+        F.col(id_col).alias("id_b"), "shingle", F.col("_n").alias("_nb")
+    )
+    cand = (
+        probe.join(index, on="shingle")
+        .filter(
+            (F.col("id_a") != F.col("id_b"))
+            & (
+                F.col("_nb").cast("double")
+                >= F.ceil(F.lit(threshold) * F.col("_na"))
+            )
+        )
+        .select("id_a", "id_b", "_na", "_nb")
+        .distinct()
+    )
+    docsets = ex.groupBy(id_col).agg(
+        F.sort_array(F.collect_list("shingle")).alias("_sh")
+    )
+    da = docsets.select(
+        F.col(id_col).alias("id_a"), F.col("_sh").alias("_sh_a")
+    )
+    db = docsets.select(
+        F.col(id_col).alias("id_b"), F.col("_sh").alias("_sh_b")
+    )
+    inter = F.size(F.array_intersect("_sh_a", "_sh_b")).cast("double")
+    out = (
+        cand.join(da, on="id_a")
+        .join(db, on="id_b")
+        .withColumn("containment", inter / F.col("_na"))
+        .withColumn(
+            "jaccard", inter / (F.col("_na") + F.col("_nb") - inter)
+        )
+        .filter(F.col("containment") >= F.lit(threshold))
+        .select("id_a", "id_b", "containment", "jaccard")
+    )
+    if persist_tokens:
+        from padua_spark.io_utils import track_cached
+
+        out = track_cached(out, ex)
+    return out

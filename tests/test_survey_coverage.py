@@ -196,6 +196,7 @@ COVERAGE = {
     "E81": "padua_spark.operators.stats:theil_sen_by_group",
     "E82": "padua_spark.operators.temporal:ewma_bounded",
     "E83": "padua_spark.extensions.dedup:ppjoin_pairs",
+    "E84": "padua_spark.extensions.dedup:containment_pairs",
 }
 
 

@@ -2886,3 +2886,57 @@ def test_ppjoin_matches_bruteforce(spark):
         assert set(got) == set(expect), (t, got, expect)
         for k in got:
             assert abs(got[k] - expect[k]) < 1e-12
+
+
+def test_containment_matches_bruteforce(spark):
+    """containment_pairs must equal the brute-force ordered-pair scan:
+    the one-sided prefix probe is complete and verification exact,
+    including the short-doc-inside-long-doc case Jaccard misses."""
+    import itertools
+
+    from padua_spark.extensions.dedup import (
+        containment_pairs,
+        exploded_shingles,
+    )
+
+    long_doc = " ".join(f"w{i}" for i in range(60))
+    docs = [
+        (1, long_doc),
+        (2, " ".join(f"w{i}" for i in range(10, 22))),  # embedded slice
+        (3, " ".join(f"w{i}" for i in range(100, 112))),  # disjoint
+        (4, long_doc + " extra trailing words here"),
+        (5, "w10 w11 w12 w13 zzz"),  # partial overlap
+        (6, "a b"),  # sub-shingle-width doc
+        (7, "a b"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id int, text string")
+    for t in (0.75, 0.5):
+        got = {
+            (r["id_a"], r["id_b"]): (r["containment"], r["jaccard"])
+            for r in containment_pairs(
+                df, "doc_id", "text", threshold=t
+            ).collect()
+        }
+        sets = {}
+        for r in exploded_shingles(df, "doc_id", "text", 3).collect():
+            sets.setdefault(r["doc_id"], set()).add(r["shingle"])
+        expect = {}
+        for a, b in itertools.permutations(sorted(sets), 2):
+            inter = len(sets[a] & sets[b])
+            if inter and inter / len(sets[a]) >= t:
+                expect[(a, b)] = (
+                    inter / len(sets[a]),
+                    inter / (len(sets[a]) + len(sets[b]) - inter),
+                )
+        assert set(got) == set(expect), (t, sorted(got), sorted(expect))
+        for k in got:
+            assert abs(got[k][0] - expect[k][0]) < 1e-12
+            assert abs(got[k][1] - expect[k][1]) < 1e-12
+    # the embedded slice is found with high containment, low jaccard
+    got_75 = {
+        (r["id_a"], r["id_b"])
+        for r in containment_pairs(
+            df, "doc_id", "text", threshold=0.75
+        ).collect()
+    }
+    assert (2, 1) in got_75 and (1, 2) not in got_75
