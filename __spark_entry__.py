@@ -9160,6 +9160,62 @@ def q_containment_pairs(spark, sf):
     )
 
 
+# --- ext: token-pair PMI collocations ---------------------------------------
+
+
+_TOKEN_PMI_ORACLE = """
+WITH tok AS (
+  SELECT doc_id,
+    unnest(list_distinct(list_filter(string_split(trim(text), ' '),
+      t -> t <> ''))) AS t
+  FROM documents
+),
+nd AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n FROM documents),
+dfq AS (SELECT t, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY t),
+kept AS (
+  SELECT tok.doc_id, tok.t, d.c
+  FROM tok JOIN dfq d USING (t), nd
+  WHERE d.c >= 2 AND CAST(d.c AS DOUBLE) <= 1.0 * nd.n
+),
+pairs AS (
+  SELECT a.t AS token_a, b.t AS token_b, a.c AS count_a, b.c AS count_b,
+    CAST(count(*) AS BIGINT) AS pair_count
+  FROM kept a JOIN kept b ON a.doc_id = b.doc_id AND a.t < b.t
+  GROUP BY 1, 2, 3, 4
+  HAVING count(*) >= 2
+)
+SELECT token_a, token_b, pair_count, count_a, count_b,
+  round(ln((pair_count / CAST(n AS DOUBLE))
+    / ((count_a / CAST(n AS DOUBLE)) * (count_b / CAST(n AS DOUBLE)))),
+    6) AS pmi,
+  round(CASE WHEN pair_count < n THEN
+    ln((pair_count / CAST(n AS DOUBLE))
+      / ((count_a / CAST(n AS DOUBLE)) * (count_b / CAST(n AS DOUBLE))))
+    / -ln(pair_count / CAST(n AS DOUBLE)) END, 6) AS npmi
+FROM pairs, nd
+"""
+
+
+@_q("token_pmi", _TOKEN_PMI_ORACLE)
+def q_token_pmi(spark, sf):
+    """Document-presence PMI + NPMI for co-occurring token pairs
+    (text.token_pmi): df pruning BEFORE the per-doc quadratic
+    pairing (min_count + stopword-band max_df_frac), presence counts
+    only, so every statistic is an exact integer ratio. The 1-row
+    doc-count frame is a broadcast join."""
+    from padua_spark.extensions.text import token_pmi
+
+    d = _t(spark, sf, "documents")
+    out = token_pmi(
+        d, "doc_id", "text",
+        min_count=2, min_pair_count=2, max_df_frac=1.0,
+    )
+    return out.select(
+        "token_a", "token_b", "pair_count", "count_a", "count_b",
+        _r("pmi").alias("pmi"), _r("npmi").alias("npmi"),
+    )
+
+
 # ---------------------------------------------------------------------------
 
 

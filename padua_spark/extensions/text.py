@@ -1034,3 +1034,114 @@ def hapax_stats(
             / F.col("vocab_size").cast("double")
         ).alias("hapax_ratio"),
     )
+
+
+def token_pmi(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_count: int = 5,
+    min_pair_count: int = 5,
+    max_df_frac: float = 1.0,
+    persist_tokens: bool = True,
+) -> DataFrame:
+    """Pointwise mutual information of token pairs co-occurring in the
+    same document — the collocation / topic-coherence primitive
+    (`pmi = ln(P(a,b) / (P(a)·P(b)))` over document presence, plus the
+    [-1, 1]-normalized `npmi = pmi / -ln(P(a,b))`).
+
+    The naive formulation is quadratic per document, so pruning comes
+    FIRST, where it collapses the pair space rather than after:
+
+    - ``min_count`` drops rare tokens before pairing;
+    - ``max_df_frac`` drops stopword-grade tokens that appear in more
+      than this fraction of documents — they dominate the per-doc
+      quadratic blowup while carrying PMI ≈ 0 by construction (their
+      presence is near-independent of everything);
+    - ``min_pair_count`` bounds the output after aggregation.
+
+    Cost shape: one token-df aggregation, one (doc, token)⋈(doc, token)
+    self-join on the DOCUMENT key (per-doc quadratic in SURVIVING
+    tokens only), one pair aggregation with map-side combine. All
+    counts are presence counts (distinct per doc), so every statistic
+    is an exact integer ratio — engine-reproducible.
+
+    Returns ``(token_a, token_b, pair_count, count_a, count_b, pmi,
+    npmi)`` with ``token_a < token_b``.
+    """
+    tok = (
+        df.select(
+            F.col(id_col).alias("_doc"),
+            F.explode(
+                F.array_distinct(tokens(F.col(text_col)))
+            ).alias("_t"),
+        )
+        .where(F.col("_t") != "")
+    )
+    if persist_tokens:
+        from pyspark import StorageLevel
+
+        tok = tok.persist(StorageLevel.MEMORY_AND_DISK)
+    n_docs = df.select(
+        F.countDistinct(F.col(id_col)).alias("_nd")
+    )
+    dfreq = (
+        tok.groupBy("_t")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .join(F.broadcast(n_docs))
+        .where(
+            (F.col("_c") >= F.lit(min_count))
+            & (
+                F.col("_c").cast("double")
+                <= F.lit(max_df_frac) * F.col("_nd")
+            )
+        )
+    )
+    kept = tok.join(
+        dfreq.select("_t", "_c", "_nd"), on="_t"
+    )
+    a = kept.select(
+        "_doc",
+        F.col("_t").alias("token_a"),
+        F.col("_c").alias("count_a"),
+        "_nd",
+    )
+    b = kept.select(
+        "_doc",
+        F.col("_t").alias("token_b"),
+        F.col("_c").alias("count_b"),
+    )
+    pairs = (
+        a.join(b, on="_doc")
+        .where(F.col("token_a") < F.col("token_b"))
+        .groupBy("token_a", "token_b", "count_a", "count_b", "_nd")
+        .agg(F.count(F.lit(1)).alias("pair_count"))
+        .where(F.col("pair_count") >= F.lit(min_pair_count))
+    )
+    n = F.col("_nd").cast("double")
+    p_ab = F.col("pair_count").cast("double") / n
+    pmi = F.log(
+        p_ab
+        / (
+            (F.col("count_a").cast("double") / n)
+            * (F.col("count_b").cast("double") / n)
+        )
+    )
+    out = pairs.select(
+        "token_a",
+        "token_b",
+        "pair_count",
+        "count_a",
+        "count_b",
+        pmi.alias("pmi"),
+        # npmi is undefined when the pair occurs in EVERY document
+        # (-ln(1) = 0); NULL beats an engine-dependent inf/NaN
+        F.when(
+            F.col("pair_count") < F.col("_nd"), pmi / -F.log(p_ab)
+        ).alias("npmi"),
+    )
+    if persist_tokens:
+        from padua_spark.io_utils import track_cached
+
+        out = track_cached(out, tok)
+    return out

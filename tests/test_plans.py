@@ -400,6 +400,8 @@ def test_no_cartesian_products_anywhere(spark):
         # 1-row (N, k_a, k_b) totals broadcast onto the joint-count
         # table (cardinality-sized, not data-sized)
         "mutual_information",
+        # 1-row document-count frame broadcast onto the token-df table
+        "token_pmi",
     }
     bad = {}
     for name, fn in em.queries().items():

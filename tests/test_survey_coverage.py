@@ -197,6 +197,7 @@ COVERAGE = {
     "E82": "padua_spark.operators.temporal:ewma_bounded",
     "E83": "padua_spark.extensions.dedup:ppjoin_pairs",
     "E84": "padua_spark.extensions.dedup:containment_pairs",
+    "E85": "padua_spark.extensions.text:token_pmi",
 }
 
 

@@ -2940,3 +2940,58 @@ def test_containment_matches_bruteforce(spark):
         ).collect()
     }
     assert (2, 1) in got_75 and (1, 2) not in got_75
+
+
+def test_token_pmi_hand_computed(spark):
+    """token_pmi against hand-computed document-presence PMI, including
+    df-band pruning and the npmi NULL guard for pairs present in every
+    document."""
+    import math
+
+    from padua_spark.extensions.text import token_pmi
+
+    docs = [
+        (1, "a b common"),
+        (2, "a b common"),
+        (3, "a c common"),
+        (4, "d c common"),
+        (5, "rare d common e e"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id int, text string")
+    out = {
+        (r["token_a"], r["token_b"]): r
+        for r in token_pmi(
+            df, "doc_id", "text", min_count=2, min_pair_count=2,
+            max_df_frac=1.0,
+        ).collect()
+    }
+    # 'rare' (df=1) pruned by min_count; 'e' dedups to df=1, pruned
+    assert not any("rare" in k or "e" in k for k in out)
+    n = 5.0
+    r = out[("a", "b")]
+    assert (r["pair_count"], r["count_a"], r["count_b"]) == (2, 3, 2)
+    assert abs(r["pmi"] - math.log((2 / n) / ((3 / n) * (2 / n)))) < 1e-12
+    assert abs(
+        r["npmi"] - r["pmi"] / -math.log(2 / n)
+    ) < 1e-12
+    # 'common' is in every doc: pmi('a','common') = ln(1/P(common)) -
+    # wait, P(a,common)=P(a) so pmi=-ln(P(common))=0 since P=1
+    rc = out[("a", "common")]
+    assert abs(rc["pmi"] - 0.0) < 1e-12
+    # max_df_frac prunes the all-docs stopword before pairing
+    pruned = {
+        (r["token_a"], r["token_b"])
+        for r in token_pmi(
+            df, "doc_id", "text", min_count=2, min_pair_count=2,
+            max_df_frac=0.9,
+        ).collect()
+    }
+    assert pruned and not any("common" in k for k in pruned)
+    # npmi NULL guard: make (x, y) co-occur in every doc
+    df2 = spark.createDataFrame(
+        [(i, "x y") for i in range(1, 4)], "doc_id int, text string"
+    )
+    r2 = token_pmi(
+        df2, "doc_id", "text", min_count=2, min_pair_count=2
+    ).collect()
+    assert len(r2) == 1 and r2[0]["npmi"] is None
