@@ -9216,6 +9216,51 @@ def q_token_pmi(spark, sf):
     )
 
 
+# --- ext: edit-distance verification of banded candidates -------------------
+
+
+def _edit_verify_oracle() -> str:
+    return f"""
+WITH mh AS ({_minhash_oracle()}),
+txt AS (SELECT doc_id, substr(text, 1, 2000) AS tx FROM documents)
+SELECT mh.id_a, mh.id_b, mh.est_jaccard,
+  CAST(levenshtein(ta.tx, tb.tx) AS BIGINT) AS edit_distance,
+  round(CASE WHEN greatest(length(ta.tx), length(tb.tx)) > 0
+    THEN 1.0 - levenshtein(ta.tx, tb.tx)
+      / CAST(greatest(length(ta.tx), length(tb.tx)) AS DOUBLE)
+    ELSE 1.0 END, 6) AS edit_similarity
+FROM mh
+JOIN txt ta ON ta.doc_id = mh.id_a
+JOIN txt tb ON tb.doc_id = mh.id_b
+"""
+
+
+@_q("edit_distance_verify", _edit_verify_oracle())
+def q_edit_distance_verify(spark, sf):
+    """Order-sensitive acceptance check over the MinHash candidate set
+    (dedup.edit_distance_verify): JVM-builtin Levenshtein on
+    2000-char-capped texts, joined onto the BANDED pairs only — the
+    O(n*m) distance never sees the cross product. Surfaces
+    same-vocabulary / different-order pairs the set measures score
+    identically."""
+    from padua_spark.extensions import dedup as x_dedup
+
+    d = _t(spark, sf, "documents")
+    cand = x_dedup.minhash_lsh_candidates(
+        d, "doc_id", "text", k_shingle=3, num_hashes=32, bands=8,
+        portable_keys=True,
+    )
+    out = x_dedup.edit_distance_verify(
+        d, "doc_id", "text",
+        cand.select("id_a", "id_b", _r("est_jaccard").alias("est_jaccard")),
+        max_chars=2000,
+    )
+    return out.select(
+        "id_a", "id_b", "est_jaccard", "edit_distance",
+        _r("edit_similarity").alias("edit_similarity"),
+    )
+
+
 # ---------------------------------------------------------------------------
 
 

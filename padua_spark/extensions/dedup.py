@@ -1204,3 +1204,58 @@ def containment_pairs(
 
         out = track_cached(out, ex)
     return out
+
+
+def edit_distance_verify(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    candidates: DataFrame,
+    max_chars: int = 2000,
+) -> DataFrame:
+    """Character-level verification of candidate pairs: Levenshtein
+    distance + normalized similarity for each ``(id_a, id_b)`` row of
+    ``candidates`` (typically the output of
+    :func:`minhash_lsh_candidates` or :func:`simhash_candidates`).
+
+    Shingle-set measures (Jaccard/containment) are order-insensitive;
+    edit distance is the ORDER-SENSITIVE acceptance check — a document
+    with the same vocabulary but reshuffled sentences scores high on
+    Jaccard and low here.
+
+    Scale shape: Levenshtein is O(n·m) per pair, so it must never run
+    on all pairs — this operator only joins texts onto an
+    already-banded candidate set (two hash joins) and truncates to the
+    first ``max_chars`` characters (both engines' budget cap; the
+    similarity denominator uses the TRUNCATED lengths so the metric
+    stays a true [0,1] normalization of what was actually compared).
+    The distance itself is the JVM builtin — no Python in the loop.
+
+    Returns ``candidates`` + ``(edit_distance, edit_similarity)``.
+    """
+    texts = df.select(
+        F.col(id_col),
+        F.substring(F.col(text_col), 1, max_chars).alias("_txt"),
+    )
+    ta = texts.select(
+        F.col(id_col).alias("id_a"), F.col("_txt").alias("_txt_a")
+    )
+    tb = texts.select(
+        F.col(id_col).alias("id_b"), F.col("_txt").alias("_txt_b")
+    )
+    dist = F.levenshtein("_txt_a", "_txt_b").cast("bigint")
+    denom = F.greatest(F.length("_txt_a"), F.length("_txt_b"))
+    out = (
+        candidates.join(ta, on="id_a")
+        .join(tb, on="id_b")
+        .withColumn("edit_distance", dist)
+        .withColumn(
+            "edit_similarity",
+            F.when(
+                denom > 0,
+                1.0 - F.col("edit_distance").cast("double") / denom,
+            ).otherwise(F.lit(1.0)),
+        )
+        .drop("_txt_a", "_txt_b")
+    )
+    return out

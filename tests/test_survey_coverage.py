@@ -198,6 +198,7 @@ COVERAGE = {
     "E83": "padua_spark.extensions.dedup:ppjoin_pairs",
     "E84": "padua_spark.extensions.dedup:containment_pairs",
     "E85": "padua_spark.extensions.text:token_pmi",
+    "E86": "padua_spark.extensions.dedup:edit_distance_verify",
 }
 
 

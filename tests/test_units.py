@@ -2995,3 +2995,66 @@ def test_token_pmi_hand_computed(spark):
         df2, "doc_id", "text", min_count=2, min_pair_count=2
     ).collect()
     assert len(r2) == 1 and r2[0]["npmi"] is None
+
+
+def test_edit_distance_verify(spark):
+    """edit_distance_verify: exact Levenshtein on candidate pairs,
+    truncation cap honored, and the order-sensitivity property —
+    same-vocabulary reshuffled docs score high Jaccard but low edit
+    similarity."""
+    from padua_spark.extensions.dedup import (
+        edit_distance_verify,
+        ppjoin_pairs,
+    )
+
+    docs = [
+        (1, "alpha beta gamma delta epsilon zeta eta theta"),
+        (2, "alpha beta gamma delta epsilon zeta eta iota"),
+        (3, "theta eta zeta epsilon delta gamma beta alpha"),  # reversed
+        (4, ""),
+    ]
+    df = spark.createDataFrame(docs, "doc_id int, text string")
+    cand = spark.createDataFrame(
+        [(1, 2), (1, 3), (4, 4)], "id_a int, id_b int"
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r
+        for r in edit_distance_verify(
+            df, "doc_id", "text", cand
+        ).collect()
+    }
+    import difflib  # noqa: F401  (stdlib check only)
+
+    def lev(a, b):
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(
+                    prev[j] + 1, cur[j - 1] + 1,
+                    prev[j - 1] + (ca != cb),
+                ))
+            prev = cur
+        return prev[-1]
+
+    texts = dict(docs)
+    for (a, b), r in got.items():
+        expect = lev(texts[a], texts[b])
+        assert r["edit_distance"] == expect, (a, b)
+        denom = max(len(texts[a]), len(texts[b]))
+        sim = 1.0 - expect / denom if denom else 1.0
+        assert abs(r["edit_similarity"] - sim) < 1e-12
+    # order sensitivity: (1,3) has near-total shingle disjointness in
+    # edit space despite identical vocabulary
+    assert got[(1, 2)]["edit_similarity"] > got[(1, 3)]["edit_similarity"]
+    # truncation cap: distances computed on the capped prefix only
+    df2 = spark.createDataFrame(
+        [(1, "x" * 100 + "a" * 100), (2, "x" * 100 + "b" * 100)],
+        "doc_id int, text string",
+    )
+    capped = edit_distance_verify(
+        df2, "doc_id", "text",
+        spark.createDataFrame([(1, 2)], "id_a int, id_b int"),
+        max_chars=100,
+    ).collect()[0]
+    assert capped["edit_distance"] == 0 and capped["edit_similarity"] == 1.0
