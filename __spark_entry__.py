@@ -9261,6 +9261,116 @@ def q_edit_distance_verify(spark, sf):
     )
 
 
+# --- ext: leakage-safe feature encoding -------------------------------------
+
+
+_TE_LOO_ORACLE = """
+WITH base AS (
+  SELECT o_orderkey, o_orderpriority AS cat,
+    CAST(round(o_totalprice * 100) AS BIGINT) AS yc
+  FROM orders
+  WHERE o_orderpriority IS NOT NULL AND o_totalprice IS NOT NULL
+),
+cs AS (
+  SELECT cat, CAST(sum(yc) AS BIGINT) AS sy,
+    CAST(count(*) AS BIGINT) AS n
+  FROM base GROUP BY cat
+),
+g AS (SELECT sum(yc) / CAST(count(*) AS DOUBLE) AS gm FROM base)
+SELECT b.o_orderkey, b.cat AS o_orderpriority,
+  round(((sy - yc + 20.0 * gm) / (n - 1 + 20.0)) / 100.0, 6) AS te_loo
+FROM base b JOIN cs USING (cat), g
+"""
+
+
+@_q("target_encode_loo", _TE_LOO_ORACLE)
+def q_target_encode_loo(spark, sf):
+    """Leave-one-out smoothed target encoding of order priority against
+    order value (features.target_encode_loo): the leakage-safe
+    categorical encoder — each row's own label is excluded from its
+    encoding, rare categories shrink onto the global-mean prior. Money
+    flows through exact integer cents so the cross-engine sums are
+    order-independent."""
+    from padua_spark.extensions.features import target_encode_loo
+
+    o = _t(spark, sf, "orders").where(
+        F.col("o_orderpriority").isNotNull()
+        & F.col("o_totalprice").isNotNull()
+    )
+    base = o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100)
+        .cast("bigint")
+        .alias("_yc"),
+    )
+    out = target_encode_loo(
+        base, "o_orderpriority", "_yc", smoothing=20.0
+    )
+    return out.select(
+        "o_orderkey",
+        "o_orderpriority",
+        _r(F.col("te_loo") / 100.0).alias("te_loo"),
+    )
+
+
+_WOE_IV_ORACLE = """
+WITH base AS (
+  SELECT o_orderpriority AS cat,
+    CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS lab
+  FROM orders
+  WHERE o_orderpriority IS NOT NULL AND o_orderstatus IS NOT NULL
+),
+cs AS (
+  SELECT cat, CAST(sum(lab) AS BIGINT) AS n_pos,
+    CAST(sum(1 - lab) AS BIGINT) AS n_neg
+  FROM base GROUP BY cat
+),
+tot AS (
+  SELECT CAST(sum(n_pos) AS BIGINT) AS tp,
+    CAST(sum(n_neg) AS BIGINT) AS tn,
+    CAST(count(*) AS BIGINT) AS k
+  FROM cs
+),
+sc AS (
+  SELECT cat, n_pos, n_neg,
+    ln(((n_pos + 0.5) / (tp + 0.5 * k))
+       / ((n_neg + 0.5) / (tn + 0.5 * k))) AS woe,
+    ((n_pos + 0.5) / (tp + 0.5 * k))
+      - ((n_neg + 0.5) / (tn + 0.5 * k)) AS dp
+  FROM cs, tot
+)
+SELECT cat AS o_orderpriority, n_pos, n_neg,
+  round(woe, 6) AS woe,
+  round(sum(dp * woe) OVER (), 6) AS iv
+FROM sc
+"""
+
+
+@_q("woe_iv", _WOE_IV_ORACLE)
+def q_woe_iv(spark, sf):
+    """Weight of evidence per order priority against the
+    fulfilled-order label, plus the feature-level information value
+    (features.woe_iv): one map-side-combining aggregation reduces the
+    data to k category rows; the whole-table window for totals and IV
+    runs over those k rows, never the data."""
+    from padua_spark.extensions.features import woe_iv
+
+    o = _t(spark, sf, "orders").where(
+        F.col("o_orderpriority").isNotNull()
+        & F.col("o_orderstatus").isNotNull()
+    )
+    base = o.select(
+        "o_orderpriority",
+        (F.col("o_orderstatus") == "F").cast("int").alias("_lab"),
+    )
+    out = woe_iv(base, "o_orderpriority", "_lab", smoothing=0.5)
+    return out.select(
+        "o_orderpriority", "n_pos", "n_neg",
+        _r("woe").alias("woe"), _r("iv").alias("iv"),
+    )
+
+
 # ---------------------------------------------------------------------------
 
 

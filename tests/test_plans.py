@@ -402,6 +402,8 @@ def test_no_cartesian_products_anywhere(spark):
         "mutual_information",
         # 1-row document-count frame broadcast onto the token-df table
         "token_pmi",
+        # 1-row global-mean frame broadcast onto the k-category table
+        "target_encode_loo",
     }
     bad = {}
     for name, fn in em.queries().items():

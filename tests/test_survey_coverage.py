@@ -199,6 +199,8 @@ COVERAGE = {
     "E84": "padua_spark.extensions.dedup:containment_pairs",
     "E85": "padua_spark.extensions.text:token_pmi",
     "E86": "padua_spark.extensions.dedup:edit_distance_verify",
+    "E87": "padua_spark.extensions.features:target_encode_loo",
+    "E88": "padua_spark.extensions.features:woe_iv",
 }
 
 

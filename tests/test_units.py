@@ -3058,3 +3058,54 @@ def test_edit_distance_verify(spark):
         max_chars=100,
     ).collect()[0]
     assert capped["edit_distance"] == 0 and capped["edit_similarity"] == 1.0
+
+
+def test_target_encode_loo_and_woe_iv(spark):
+    """features: LOO target encoding excludes the own row's label,
+    singleton categories encode to the global mean, and WOE/IV match a
+    hand computation with smoothing."""
+    import math
+
+    from padua_spark.extensions.features import target_encode_loo, woe_iv
+
+    df = spark.createDataFrame(
+        [
+            (1, "a", 10.0, 1),
+            (2, "a", 20.0, 1),
+            (3, "a", 30.0, 0),
+            (4, "b", 100.0, 0),
+            (5, "b", 200.0, 1),
+            (6, "c", 50.0, 0),  # singleton
+            (7, None, 5.0, 1),
+            (8, "a", None, None),
+        ],
+        "id int, cat string, y double, lab int",
+    )
+    m = 2.0
+    gm = (10 + 20 + 30 + 100 + 200 + 50) / 6.0
+    got = {
+        r["id"]: r["te_loo"]
+        for r in target_encode_loo(df, "cat", "y", smoothing=m).collect()
+    }
+    assert abs(got[1] - (50 + m * gm) / (2 + m)) < 1e-12
+    assert abs(got[4] - (200 + m * gm) / (1 + m)) < 1e-12
+    assert abs(got[6] - gm) < 1e-12  # singleton -> global mean
+    assert got[7] is None and got[8] is None
+    rows = {
+        r["cat"]: r
+        for r in woe_iv(df, "cat", "lab", smoothing=0.5).collect()
+    }
+    # valid rows: a:(2 pos,1 neg) b:(1,1) c:(0,1); row 7 has NULL cat,
+    # row 8 NULL label
+    tp, tn, k = 3, 3, 3
+    exp = {}
+    iv = 0.0
+    for cat, (np_, nn) in {"a": (2, 1), "b": (1, 1), "c": (0, 1)}.items():
+        pp = (np_ + 0.5) / (tp + 0.5 * k)
+        pn = (nn + 0.5) / (tn + 0.5 * k)
+        exp[cat] = math.log(pp / pn)
+        iv += (pp - pn) * exp[cat]
+    for cat in exp:
+        assert abs(rows[cat]["woe"] - exp[cat]) < 1e-12
+        assert abs(rows[cat]["iv"] - iv) < 1e-12
+    assert (rows["a"]["n_pos"], rows["a"]["n_neg"]) == (2, 1)
