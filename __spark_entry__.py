@@ -9371,6 +9371,84 @@ def q_woe_iv(spark, sf):
     )
 
 
+# --- ext: CUSUM change-point scan per key ------------------------------------
+
+
+_CUSUM_ORACLE = """
+WITH e AS (
+  SELECT user_id, epoch_us(ts) AS tu, event_id,
+    CAST(round(value * 1000000) AS BIGINT) AS vc
+  FROM events WHERE value IS NOT NULL
+),
+m AS (
+  SELECT user_id, sum(vc) / CAST(count(*) AS DOUBLE) AS mu
+  FROM e GROUP BY user_id
+),
+w AS (
+  SELECT e.user_id,
+    sum(vc - mu) OVER (PARTITION BY e.user_id ORDER BY tu, event_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c,
+    row_number() OVER (PARTITION BY e.user_id ORDER BY tu, event_id)
+      AS pos
+  FROM e JOIN m USING (user_id)
+),
+s AS (
+  SELECT user_id, pos,
+    c - least(0.0, min(c) OVER (PARTITION BY user_id ORDER BY pos
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS sp,
+    greatest(0.0, max(c) OVER (PARTITION BY user_id ORDER BY pos
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) - c AS sn
+  FROM w
+),
+x AS (
+  SELECT user_id, pos, sp, sn,
+    max(sp) OVER (PARTITION BY user_id) AS msp,
+    max(sn) OVER (PARTITION BY user_id) AS msn
+  FROM s
+)
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_obs,
+  round(max(sp) / 1000000.0, 6) AS cusum_pos_max,
+  round(max(sn) / 1000000.0, 6) AS cusum_neg_max,
+  CAST(min(CASE WHEN sp = msp THEN pos END) AS BIGINT) AS cp_pos,
+  CAST(min(CASE WHEN sn = msn THEN pos END) AS BIGINT) AS cp_neg
+FROM x GROUP BY user_id
+"""
+
+
+@_q("cusum_changepoint", _CUSUM_ORACLE)
+def q_cusum_changepoint(spark, sf):
+    """Per-user CUSUM change-point scan over event values
+    (temporal.cusum_changepoint): the sequential max(0, S+z) recursion
+    rewritten as cumsum minus running-min (reflection identity) — one
+    key shuffle, chained windows, no recursion. Values flow as exact
+    integer micro-units so the per-key mean and every prefix sum are
+    bit-identical across engines; event order compares in MICROSECONDS
+    with event_id tiebreak (DuckDB truncates the nanos parquet)."""
+    from padua_spark.operators.temporal import cusum_changepoint
+    from padua_spark.streaming.windows import epoch_us_col
+
+    base = _t(spark, sf, "events")
+    ev = base.where(F.col("value").isNotNull()).select(
+        "user_id",
+        epoch_us_col(base, "ts").alias("_tu"),
+        "event_id",
+        F.round(F.col("value") * 1000000)
+        .cast("bigint")
+        .alias("_vc"),
+    )
+    out = cusum_changepoint(
+        ev, ["user_id"], ["_tu", "event_id"], "_vc"
+    )
+    return out.select(
+        "user_id",
+        "n_obs",
+        _r(F.col("cusum_pos_max") / 1000000.0).alias("cusum_pos_max"),
+        _r(F.col("cusum_neg_max") / 1000000.0).alias("cusum_neg_max"),
+        F.col("cp_pos").cast("bigint").alias("cp_pos"),
+        F.col("cp_neg").cast("bigint").alias("cp_neg"),
+    )
+
+
 # ---------------------------------------------------------------------------
 
 

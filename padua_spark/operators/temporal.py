@@ -178,3 +178,88 @@ def ewma_bounded(
     return staged.withColumn(
         "ewma", F.when(n > 0, num / den)
     ).drop("_w")
+
+
+def cusum_changepoint(
+    df: DataFrame,
+    key_cols: list[str],
+    order_cols: list[str],
+    value_col: str,
+    drift: float = 0.0,
+) -> DataFrame:
+    """Per-key CUSUM change-point scan over an ordered series: how far
+    the running sum of deviations from the key's mean ever drifts up or
+    down, and where.
+
+    The textbook recursion ``S+_i = max(0, S+_{i-1} + z_i - drift)``
+    looks inherently sequential, but the reflection identity turns it
+    into pure window algebra: with ``c_i = cumsum(z - drift)``,
+
+    ``S+_i = c_i - min(0, running_min(c)_i)``
+    ``S-_i = max(0, running_max(c)_i) - c_i``
+
+    so the whole scan is one shuffle on the key and two chained window
+    passes over the SAME ordered spec (cumsum, then running min/max of
+    it) — no recursion, no Python, engine-reproducible. The deviations
+    use the per-key mean (two-pass: one aggregation joined back), so a
+    level shift mid-series yields a large ``|S|`` peak at the shift
+    point.
+
+    Per-key state is the ordered series itself (same caveat as
+    ``ewma_bounded``: keys are assumed person/entity-sized, not
+    data-sized). Ties in ``order_cols`` must be resolved by the last
+    ordering column.
+
+    Returns one row per key: ``(keys..., n_obs, cusum_pos_max,
+    cusum_neg_max, cp_pos, cp_neg)`` where ``cp_pos``/``cp_neg`` are
+    the 1-based positions (in series order) of the FIRST maximum of
+    ``S+``/``S-`` — the detected up/down change points.
+    """
+    from pyspark.sql import Window
+
+    v = F.col(value_col).cast("double")
+    base = df.where(v.isNotNull()).select(
+        *key_cols, *[c for c in order_cols if c not in key_cols], v.alias("_v")
+    )
+    means = base.groupBy(*key_cols).agg(F.avg("_v").alias("_mu"))
+    staged = base.join(means, on=key_cols)
+    wo = Window.partitionBy(*key_cols).orderBy(
+        *[F.col(c).asc() for c in order_cols]
+    )
+    run = wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    staged = staged.withColumn(
+        "_c", F.sum(F.col("_v") - F.col("_mu") - F.lit(drift)).over(run)
+    ).withColumn("_pos", F.row_number().over(wo))
+    staged = staged.withColumn(
+        "_sp", F.col("_c") - F.least(F.lit(0.0), F.min("_c").over(run))
+    ).withColumn(
+        "_sn", F.greatest(F.lit(0.0), F.max("_c").over(run)) - F.col("_c")
+    )
+    # argmax with earliest-position tiebreak via lexicographic struct
+    # max: (S, -pos) — one aggregation, no extra window pass
+    return (
+        staged.groupBy(*key_cols)
+        .agg(
+            F.count(F.lit(1)).alias("n_obs"),
+            F.max(
+                F.struct(
+                    F.col("_sp").alias("s"),
+                    (-F.col("_pos")).alias("negpos"),
+                )
+            ).alias("_ap"),
+            F.max(
+                F.struct(
+                    F.col("_sn").alias("s"),
+                    (-F.col("_pos")).alias("negpos"),
+                )
+            ).alias("_an"),
+        )
+        .select(
+            *key_cols,
+            "n_obs",
+            F.col("_ap.s").alias("cusum_pos_max"),
+            F.col("_an.s").alias("cusum_neg_max"),
+            (-F.col("_ap.negpos")).alias("cp_pos"),
+            (-F.col("_an.negpos")).alias("cp_neg"),
+        )
+    )

@@ -201,6 +201,7 @@ COVERAGE = {
     "E86": "padua_spark.extensions.dedup:edit_distance_verify",
     "E87": "padua_spark.extensions.features:target_encode_loo",
     "E88": "padua_spark.extensions.features:woe_iv",
+    "E89": "padua_spark.operators.temporal:cusum_changepoint",
 }
 
 

@@ -3109,3 +3109,41 @@ def test_target_encode_loo_and_woe_iv(spark):
         assert abs(rows[cat]["woe"] - exp[cat]) < 1e-12
         assert abs(rows[cat]["iv"] - iv) < 1e-12
     assert (rows["a"]["n_pos"], rows["a"]["n_neg"]) == (2, 1)
+
+
+def test_cusum_changepoint_reflection_identity(spark):
+    """cusum_changepoint equals the textbook sequential recursion
+    max(0, S + z) on hand-built series with a level shift, and the
+    detected position lands at the shift."""
+    from padua_spark.operators.temporal import cusum_changepoint
+
+    # key 'a': flat 10s then a +5 level shift; key 'b': pure noise-free
+    # constant (S stays 0 everywhere -> cp at first position)
+    series = {"a": [10, 10, 10, 10, 15, 15, 15, 15], "b": [3, 3, 3]}
+    rows = [
+        (k, i + 1, float(v))
+        for k, vs in series.items()
+        for i, v in enumerate(vs)
+    ]
+    df = spark.createDataFrame(rows, "key string, t int, v double")
+    got = {
+        r["key"]: r
+        for r in cusum_changepoint(df, ["key"], ["t"], "v").collect()
+    }
+    for k, vs in series.items():
+        mu = sum(vs) / len(vs)
+        sp = sn = 0.0
+        sps, sns = [], []
+        for v in vs:
+            sp = max(0.0, sp + (v - mu))
+            sn = max(0.0, sn - (v - mu))
+            sps.append(sp)
+            sns.append(sn)
+        r = got[k]
+        assert abs(r["cusum_pos_max"] - max(sps)) < 1e-9, k
+        assert abs(r["cusum_neg_max"] - max(sns)) < 1e-9, k
+        assert r["cp_pos"] == sps.index(max(sps)) + 1, k
+        assert r["cp_neg"] == sns.index(max(sns)) + 1, k
+        assert r["n_obs"] == len(vs)
+    # the downward drift before the shift peaks exactly at the shift
+    assert got["a"]["cp_neg"] == 4
