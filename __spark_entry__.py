@@ -9449,6 +9449,265 @@ def q_cusum_changepoint(spark, sf):
     )
 
 
+# --- ext: per-slice ROC AUC --------------------------------------------------
+
+
+_GROUP_AUC_ORACLE = """
+WITH base AS (
+  SELECT o_orderpriority AS g, o_totalprice AS s,
+    CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS lab
+  FROM orders
+  WHERE o_totalprice IS NOT NULL AND o_orderstatus IS NOT NULL
+    AND o_orderpriority IS NOT NULL
+),
+r AS (
+  SELECT g, s, lab,
+    row_number() OVER (PARTITION BY g ORDER BY s) AS rn
+  FROM base
+),
+mid AS (
+  SELECT g, lab,
+    avg(CAST(rn AS DOUBLE)) OVER (PARTITION BY g, s) AS m
+  FROM r
+),
+agg AS (
+  SELECT g, CAST(sum(lab) AS BIGINT) AS n_pos,
+    CAST(sum(1 - lab) AS BIGINT) AS n_neg,
+    sum(CASE WHEN lab = 1 THEN m END) AS rp
+  FROM mid GROUP BY g
+)
+SELECT g AS o_orderpriority, n_pos, n_neg,
+  round(CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+    (rp - CAST(n_pos AS DOUBLE) * (n_pos + 1) / 2.0)
+    / CAST(n_pos * n_neg AS DOUBLE) END, 6) AS auc
+FROM agg
+"""
+
+
+@_q("group_auc", _GROUP_AUC_ORACLE)
+def q_group_auc(spark, sf):
+    """Per-priority ROC AUC of order value predicting the fulfilled
+    label (quality.group_auc): rank-sum identity with tie midranks, so
+    the per-slice classifier acceptance metric is exact and invariant
+    to within-tie ordering. One key shuffle, one shared per-group
+    sort."""
+    from padua_spark.extensions.quality import group_auc
+
+    o = _t(spark, sf, "orders").where(
+        F.col("o_totalprice").isNotNull()
+        & F.col("o_orderstatus").isNotNull()
+        & F.col("o_orderpriority").isNotNull()
+    )
+    base = o.select(
+        "o_orderpriority",
+        "o_totalprice",
+        (F.col("o_orderstatus") == "F").cast("int").alias("_lab"),
+    )
+    out = group_auc(
+        base, ["o_orderpriority"], "o_totalprice", "_lab"
+    )
+    return out.select(
+        "o_orderpriority", "n_pos", "n_neg", _r("auc").alias("auc")
+    )
+
+
+# --- ext: hybrid retrieval via reciprocal-rank fusion ------------------------
+
+
+_RRF_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id,
+    list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                x -> x <> '') AS tk
+  FROM documents
+),
+perdoc AS (SELECT doc_id, len(tk) AS dl, tk FROM toks),
+qq AS (SELECT unnest({_BM25_TOKS}) AS token),
+hits AS (
+  SELECT p.doc_id, p.dl, qq.token,
+         len(list_filter(p.tk, x -> x = qq.token)) AS tf
+  FROM perdoc p CROSS JOIN qq
+),
+m AS (SELECT * FROM hits WHERE tf > 0),
+corpus AS (
+  SELECT count(*) AS nd, avg(CAST(dl AS DOUBLE)) AS avgdl FROM perdoc
+),
+dfreq AS (SELECT token, count(*) AS dfr FROM m GROUP BY 1),
+sc AS (
+  SELECT m.doc_id,
+    sum(ln(1.0 + (CAST(nd AS DOUBLE) - dfr + 0.5) / (dfr + 0.5))
+        * (CAST(tf AS DOUBLE) * 2.2)
+          / (tf + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) / avgdl)))
+      AS score
+  FROM m JOIN dfreq USING (token) CROSS JOIN corpus
+  GROUP BY 1
+),
+bmt AS (
+  SELECT doc_id, round(score, 6) AS rs
+  FROM sc ORDER BY rs DESC, doc_id LIMIT 10
+),
+bmr AS (
+  SELECT doc_id,
+    row_number() OVER (ORDER BY rs DESC, doc_id) AS r
+  FROM bmt
+),
+q AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+anns AS (
+  SELECT e.vec_id,
+    list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                     CAST(q.embedding AS DOUBLE[]))
+    / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                             CAST(e.embedding AS DOUBLE[])))
+       * sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]),
+                               CAST(q.embedding AS DOUBLE[])))) AS cs
+  FROM embeddings e, q
+),
+annt AS (
+  SELECT vec_id, round(cs, 6) AS rcs
+  FROM anns ORDER BY rcs DESC, vec_id LIMIT 10
+),
+annr AS (
+  SELECT vec_id AS doc_id,
+    row_number() OVER (ORDER BY rcs DESC, vec_id) AS r
+  FROM annt
+),
+u AS (
+  SELECT doc_id, 1.0 / (60.0 + r) AS contrib FROM bmr
+  UNION ALL
+  SELECT doc_id, 1.0 / (60.0 + r) FROM annr
+),
+f AS (
+  SELECT doc_id, sum(contrib) AS rrf_score,
+    CAST(count(*) AS BIGINT) AS n_lists
+  FROM u GROUP BY doc_id
+)
+SELECT doc_id, round(rrf_score, 6) AS rrf_score, n_lists,
+  CAST(row_number() OVER (ORDER BY round(rrf_score, 9) DESC, doc_id)
+    AS BIGINT) AS fused_rank
+FROM f
+"""
+
+
+@_q("rrf_fusion", _RRF_ORACLE)
+def q_rrf_fusion(spark, sf):
+    """Hybrid retrieval: BM25 lexical top-10 and exact embedding
+    cosine top-10 fused with reciprocal-rank fusion
+    (similarity.rrf_fuse, k=60) — rank-space fusion sidesteps the
+    incomparable score scales. Everything after the two retrievers is
+    bounded by the union of the lists (<= 20 rows), so the re-ranking
+    window never touches corpus-scale data."""
+    from pyspark.sql import Window
+
+    from padua_spark.extensions.similarity import brute_force_topk, rrf_fuse
+    from padua_spark.extensions.text import bm25_topk
+
+    d = _t(spark, sf, "documents")
+    bm = bm25_topk(d, "doc_id", "text", _BM25_QUERY, k=10)
+    bm_ranked = bm.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.round("score", 6).desc(), F.col("doc_id")))
+        .alias("_rank"),
+    )
+    emb = _t(spark, sf, "embeddings")
+    qrow = emb.filter(F.col("vec_id") == 0).select("embedding").collect()
+    query = [float(x) for x in qrow[0][0]]
+    ann = brute_force_topk(emb, "embedding", "vec_id", query, k=10)
+    ann_ranked = ann.select(
+        F.col("vec_id").alias("doc_id"),
+        F.row_number()
+        .over(
+            Window.orderBy(
+                F.round("cosine_sim", 6).desc(), F.col("vec_id")
+            )
+        )
+        .alias("_rank"),
+    )
+    out = rrf_fuse([bm_ranked, ann_ranked], "doc_id", "_rank", k=60.0)
+    return out.select(
+        F.col("item").alias("doc_id"),
+        _r("rrf_score").alias("rrf_score"),
+        "n_lists",
+        "fused_rank",
+    )
+
+
+# --- ext: Dunning LLR keyness between sub-corpora ---------------------------
+
+
+_KEYNESS_ORACLE = r"""
+WITH ta AS (
+  SELECT unnest(list_filter(
+    regexp_split_to_array(trim(text), '\s+'), x -> x <> '')) AS token
+  FROM documents WHERE source = 'src0'
+),
+tb AS (
+  SELECT unnest(list_filter(
+    regexp_split_to_array(trim(text), '\s+'), x -> x <> '')) AS token
+  FROM documents WHERE source <> 'src0'
+),
+ca AS (SELECT token, CAST(count(*) AS BIGINT) AS count_a FROM ta GROUP BY 1),
+cb AS (SELECT token, CAST(count(*) AS BIGINT) AS count_b FROM tb GROUP BY 1),
+c AS (
+  SELECT coalesce(ca.token, cb.token) AS token,
+    CAST(coalesce(count_a, 0) AS BIGINT) AS count_a,
+    CAST(coalesce(count_b, 0) AS BIGINT) AS count_b
+  FROM ca FULL OUTER JOIN cb ON ca.token = cb.token
+  WHERE coalesce(count_a, 0) + coalesce(count_b, 0) >= 5
+),
+tot AS (
+  SELECT CAST(sum(count_a) AS BIGINT) AS na,
+    CAST(sum(count_b) AS BIGINT) AS nb
+  FROM c
+),
+g AS (
+  SELECT token, count_a, count_b,
+    CAST(count_a AS DOUBLE) AS a, CAST(count_b AS DOUBLE) AS b,
+    CAST(na AS DOUBLE) AS dna, CAST(nb AS DOUBLE) AS dnb
+  FROM c, tot
+),
+s AS (
+  SELECT token, count_a, count_b, a, b, dna, dnb,
+    dna - a AS cc, dnb - b AS dd, dna + dnb AS n
+  FROM g
+),
+ll AS (
+  SELECT token, count_a, count_b, a, b, dna, dnb,
+    2.0 * (
+      (CASE WHEN a > 0 THEN a * ln(a / (dna * (a + b) / n)) ELSE 0 END)
+      + (CASE WHEN b > 0 THEN b * ln(b / (dnb * (a + b) / n)) ELSE 0 END)
+      + (CASE WHEN cc > 0 THEN cc * ln(cc / (dna * (cc + dd) / n)) ELSE 0 END)
+      + (CASE WHEN dd > 0 THEN dd * ln(dd / (dnb * (cc + dd) / n)) ELSE 0 END)
+    ) AS g2
+  FROM s
+)
+SELECT token, count_a, count_b,
+  round(CASE WHEN a / dna >= b / dnb THEN g2 ELSE -g2 END, 6) AS llr
+FROM ll
+"""
+
+
+@_q("keyness_llr", _KEYNESS_ORACLE)
+def q_keyness_llr(spark, sf):
+    """Dunning G² keyness of src0 vs the rest of the corpus
+    (text.keyness_llr): full 2x2 likelihood-ratio test per token over
+    exact multiplicity counts, signed by over/under-representation.
+    Two explode+aggregate passes meet in a vocab-sized outer join; the
+    corpus totals are a 1-row broadcast."""
+    from padua_spark.extensions.text import keyness_llr
+
+    d = _t(spark, sf, "documents")
+    out = keyness_llr(
+        d.where(F.col("source") == "src0"),
+        d.where(F.col("source") != "src0"),
+        "text",
+        min_total=5,
+    )
+    return out.select(
+        "token", "count_a", "count_b", _r("llr").alias("llr")
+    )
+
+
 # ---------------------------------------------------------------------------
 
 

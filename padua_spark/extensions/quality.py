@@ -687,3 +687,59 @@ def chi2_gof(
         F.count(F.lit(1)).alias("k_categories"),
         (F.count(F.lit(1)) - 1).cast("long").alias("dfree"),
     )
+
+
+def group_auc(
+    df: DataFrame,
+    group_cols: list[str],
+    score_col: str,
+    label_col: str,
+) -> DataFrame:
+    """Per-group ROC AUC of a score against a binary label via the
+    rank-sum (Mann-Whitney) identity — the classifier-quality
+    acceptance metric for per-slice evaluation ("does the quality
+    classifier actually rank positives above negatives in EVERY
+    source/language slice, not just on average?"):
+
+    ``auc = (sum of positive midranks - n_pos(n_pos+1)/2)
+            / (n_pos * n_neg)``
+
+    Midranks make ties exact (equal scores share the average of their
+    row numbers), and make the statistic independent of the engine's
+    arbitrary ordering WITHIN a tie — the numerator is invariant, so
+    the result is reproducible anywhere. No probability calibration is
+    assumed: only the ordering of scores matters.
+
+    Cost: one shuffle on the group key, one per-group sort shared by
+    both window passes (row_number, then the per-(group, score) midrank
+    average), one aggregation. NULL-score/label rows are dropped.
+
+    Returns ``(groups..., n_pos, n_neg, auc)``; ``auc`` is NULL for
+    single-class groups (undefined).
+    """
+    s = F.col(score_col).cast("double")
+    lab = F.col(label_col).cast("int")
+    base = df.where(s.isNotNull() & lab.isNotNull()).select(
+        *group_cols, s.alias("_s"), lab.alias("_lab")
+    )
+    wo = Window.partitionBy(*group_cols).orderBy("_s")
+    ranked = base.withColumn("_rn", F.row_number().over(wo))
+    wt = Window.partitionBy(*group_cols, "_s")
+    ranked = ranked.withColumn(
+        "_mid", F.avg(F.col("_rn").cast("double")).over(wt)
+    )
+    agg = ranked.groupBy(*group_cols).agg(
+        F.sum("_lab").cast("bigint").alias("n_pos"),
+        F.sum(1 - F.col("_lab")).cast("bigint").alias("n_neg"),
+        F.sum(F.when(F.col("_lab") == 1, F.col("_mid"))).alias("_rp"),
+    )
+    np_, nn = F.col("n_pos"), F.col("n_neg")
+    auc = (
+        F.col("_rp") - np_.cast("double") * (np_ + 1) / 2.0
+    ) / (np_ * nn).cast("double")
+    return agg.select(
+        *group_cols,
+        "n_pos",
+        "n_neg",
+        F.when((np_ > 0) & (nn > 0), auc).alias("auc"),
+    )

@@ -1299,3 +1299,58 @@ def ivfpq_topk(
     return un.orderBy(
         F.col("adc_dist").asc(), F.col(id_col).asc()
     ).limit(k)
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    item_col: str,
+    rank_col: str,
+    k: float = 60.0,
+    weights: list[float] | None = None,
+    key_cols: list[str] | None = None,
+) -> DataFrame:
+    """Reciprocal-rank fusion of N retriever rankings (Cormack et al.,
+    SIGIR'09) — the standard score-free way to combine lexical
+    (:func:`padua_spark.extensions.text.bm25_topk`) and embedding
+    (:func:`brute_force_topk` / :func:`ivf_topk`) retrieval into one
+    hybrid list: ``rrf(d) = Σ_r w_r / (k + rank_r(d))`` summed over the
+    rankings that contain ``d``. Using ranks, not raw scores, sidesteps
+    the incomparable-score-scale problem entirely.
+
+    Each input frame carries ``(key_cols..., item_col, rank_col)`` with
+    rank 1-based. Inputs are tagged, unioned, and aggregated — the
+    frame is bounded by Σ list sizes (per key), so everything after the
+    retrievers is cardinality-sized: the per-key re-ranking window
+    never sees corpus-scale data. ``fused_rank`` orders by
+    (rrf_score desc, item) for determinism.
+
+    Returns ``(key_cols..., item, rrf_score, n_lists, fused_rank)``.
+    """
+    from pyspark.sql import Window
+
+    keys = key_cols or []
+    if weights is None:
+        weights = [1.0] * len(rankings)
+    if len(weights) != len(rankings):
+        raise ValueError("rrf_fuse: one weight per ranking required")
+    tagged = None
+    for df, w in zip(rankings, weights):
+        part = df.select(
+            *keys,
+            F.col(item_col).alias("item"),
+            (
+                F.lit(float(w))
+                / (F.lit(float(k)) + F.col(rank_col).cast("double"))
+            ).alias("_contrib"),
+        )
+        tagged = part if tagged is None else tagged.unionByName(part)
+    fused = tagged.groupBy(*keys, "item").agg(
+        F.sum("_contrib").alias("rrf_score"),
+        F.count(F.lit(1)).cast("bigint").alias("n_lists"),
+    )
+    wo = Window.partitionBy(*keys).orderBy(
+        F.round("rrf_score", 9).desc(), F.col("item").asc()
+    )
+    return fused.withColumn(
+        "fused_rank", F.row_number().over(wo).cast("bigint")
+    )

@@ -1145,3 +1145,93 @@ def token_pmi(
 
         out = track_cached(out, tok)
     return out
+
+
+def keyness_llr(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    text_col: str,
+    min_total: int = 5,
+    persist_counts: bool = True,
+) -> DataFrame:
+    """Dunning log-likelihood keyness (G², 1993): which tokens are
+    statistically over/under-represented in corpus A vs corpus B — the
+    standard "what is distinctive about this source/split" diagnostic,
+    sharper than raw frequency ratios for rare words because it is a
+    proper likelihood-ratio test on the full 2×2 contingency table
+    (token vs not-token, corpus A vs B):
+
+    ``G2 = 2 Σ_cell O·ln(O/E)`` (0-count cells contribute 0),
+    signed positive when the token's rate is higher in A.
+
+    Token counts use multiplicity (occurrence counts, not document
+    presence). Each side is one explode + aggregate with map-side
+    combine; the vocabularies meet in a full outer join on token
+    (vocab-sized); the two corpus totals are a 1-row broadcast. Every
+    input to the arithmetic is an exact integer, so G² is
+    engine-reproducible.
+
+    Returns ``(token, count_a, count_b, llr)`` for tokens with
+    ``count_a + count_b >= min_total``, ``llr`` signed.
+    """
+
+    def _counts(d: DataFrame, out: str) -> DataFrame:
+        return (
+            d.select(
+                F.explode(tokens(F.col(text_col))).alias("token")
+            )
+            .where(F.col("token") != "")
+            .groupBy("token")
+            .agg(F.count(F.lit(1)).alias(out))
+        )
+
+    ca = _counts(df_a, "count_a")
+    cb = _counts(df_b, "count_b")
+    counts = (
+        ca.join(cb, on="token", how="full_outer")
+        .select(
+            "token",
+            F.coalesce("count_a", F.lit(0)).alias("count_a"),
+            F.coalesce("count_b", F.lit(0)).alias("count_b"),
+        )
+        .where(
+            (F.col("count_a") + F.col("count_b")) >= F.lit(min_total)
+        )
+    )
+    if persist_counts:
+        from pyspark import StorageLevel
+
+        counts = counts.persist(StorageLevel.MEMORY_AND_DISK)
+    totals = counts.agg(
+        F.sum("count_a").cast("bigint").alias("_na"),
+        F.sum("count_b").cast("bigint").alias("_nb"),
+    )
+    j = counts.join(F.broadcast(totals))
+    a = F.col("count_a").cast("double")
+    b = F.col("count_b").cast("double")
+    na, nb = F.col("_na").cast("double"), F.col("_nb").cast("double")
+    c, d_ = na - a, nb - b
+    n = na + nb
+
+    def _term(obs, exp):
+        return F.when(obs > 0, obs * F.log(obs / exp)).otherwise(
+            F.lit(0.0)
+        )
+
+    g2 = 2.0 * (
+        _term(a, na * (a + b) / n)
+        + _term(b, nb * (a + b) / n)
+        + _term(c, na * (c + d_) / n)
+        + _term(d_, nb * (c + d_) / n)
+    )
+    out = j.select(
+        "token",
+        "count_a",
+        "count_b",
+        F.when(a / na >= b / nb, g2).otherwise(-g2).alias("llr"),
+    )
+    if persist_counts:
+        from padua_spark.io_utils import track_cached
+
+        out = track_cached(out, counts)
+    return out

@@ -404,6 +404,9 @@ def test_no_cartesian_products_anywhere(spark):
         "token_pmi",
         # 1-row global-mean frame broadcast onto the k-category table
         "target_encode_loo",
+        # 1-row corpus-totals frame broadcast onto the vocab-sized
+        # keyness count table
+        "keyness_llr",
     }
     bad = {}
     for name, fn in em.queries().items():

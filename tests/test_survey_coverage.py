@@ -202,6 +202,9 @@ COVERAGE = {
     "E87": "padua_spark.extensions.features:target_encode_loo",
     "E88": "padua_spark.extensions.features:woe_iv",
     "E89": "padua_spark.operators.temporal:cusum_changepoint",
+    "E90": "padua_spark.extensions.quality:group_auc",
+    "E91": "padua_spark.extensions.similarity:rrf_fuse",
+    "E92": "padua_spark.extensions.text:keyness_llr",
 }
 
 

@@ -3147,3 +3147,120 @@ def test_cusum_changepoint_reflection_identity(spark):
         assert r["n_obs"] == len(vs)
     # the downward drift before the shift peaks exactly at the shift
     assert got["a"]["cp_neg"] == 4
+
+
+def test_group_auc_rank_sum(spark):
+    """group_auc against sklearn-free hand AUC: perfect separation,
+    random-ish mix with ties (midranks), and the single-class NULL
+    guard."""
+    from padua_spark.extensions.quality import group_auc
+
+    rows = (
+        # g1: perfect separation -> auc 1.0
+        [("g1", float(s), 0) for s in (1, 2, 3)]
+        + [("g1", float(s), 1) for s in (4, 5)]
+        # g2: mixed with a tie spanning classes
+        + [("g2", 1.0, 0), ("g2", 2.0, 1), ("g2", 2.0, 0),
+           ("g2", 3.0, 1), ("g2", 0.5, 0)]
+        # g3: single class -> NULL
+        + [("g3", 1.0, 1), ("g3", 2.0, 1)]
+    )
+    df = spark.createDataFrame(rows, "g string, s double, lab int")
+    got = {r["g"]: r for r in group_auc(df, ["g"], "s", "lab").collect()}
+    assert got["g1"]["auc"] == 1.0
+    # hand AUC for g2 via pairwise comparison with 0.5 for score ties
+    pos = [2.0, 3.0]
+    neg = [1.0, 2.0, 0.5]
+    wins = sum(
+        1.0 if p > n else (0.5 if p == n else 0.0)
+        for p in pos for n in neg
+    )
+    assert abs(got["g2"]["auc"] - wins / (len(pos) * len(neg))) < 1e-12
+    assert (got["g2"]["n_pos"], got["g2"]["n_neg"]) == (2, 3)
+    assert got["g3"]["auc"] is None
+
+
+def test_rrf_fuse(spark):
+    """rrf_fuse: hand-computed reciprocal-rank scores, weights, items
+    present in only one list, and deterministic fused ordering."""
+    from padua_spark.extensions.similarity import rrf_fuse
+
+    a = spark.createDataFrame(
+        [(10, 1), (20, 2), (30, 3)], "item int, r int"
+    )
+    b = spark.createDataFrame(
+        [(20, 1), (10, 2), (40, 3)], "item int, r int"
+    )
+    out = {
+        r["item"]: r
+        for r in rrf_fuse([a, b], "item", "r", k=60.0).collect()
+    }
+    assert abs(out[10]["rrf_score"] - (1 / 61 + 1 / 62)) < 1e-12
+    assert abs(out[20]["rrf_score"] - (1 / 62 + 1 / 61)) < 1e-12
+    assert abs(out[30]["rrf_score"] - 1 / 63) < 1e-12
+    assert out[40]["n_lists"] == 1 and out[10]["n_lists"] == 2
+    # 10 and 20 tie exactly -> item tiebreak; singles ranked after
+    assert out[10]["fused_rank"] == 1 and out[20]["fused_rank"] == 2
+    assert {out[30]["fused_rank"], out[40]["fused_rank"]} == {3, 4}
+    # weights scale contributions
+    w = {
+        r["item"]: r["rrf_score"]
+        for r in rrf_fuse(
+            [a, b], "item", "r", k=60.0, weights=[2.0, 0.0]
+        ).collect()
+    }
+    assert abs(w[10] - 2 / 61) < 1e-12 and abs(w[40] - 0.0) < 1e-12
+    import pytest as _p
+
+    with _p.raises(ValueError):
+        rrf_fuse([a, b], "item", "r", weights=[1.0])
+
+
+def test_keyness_llr_hand_computed(spark):
+    """keyness_llr equals the hand-computed 2x2 G2 with sign, honors
+    min_total, and zero-count cells contribute zero."""
+    import math
+
+    from padua_spark.extensions.text import keyness_llr
+
+    a = spark.createDataFrame(
+        [(1, "x x x y z"), (2, "x y y z")], "id int, text string"
+    )
+    b = spark.createDataFrame(
+        [(3, "y y z z z"), (4, "z z w w w")], "id int, text string"
+    )
+    got = {
+        r["token"]: r
+        for r in keyness_llr(a, b, "text", min_total=2).collect()
+    }
+    # counts: A: x4 y3 z2 ; B: y2 z5 w3
+    ca = {"x": 4, "y": 3, "z": 2, "w": 0}
+    cb = {"x": 0, "y": 2, "z": 5, "w": 3}
+    na, nb = 9, 10
+
+    def g2(t):
+        av, bv = ca[t], cb[t]
+        cv, dv = na - av, nb - bv
+        n = na + nb
+        tot = 0.0
+        for o, e in [
+            (av, na * (av + bv) / n),
+            (bv, nb * (av + bv) / n),
+            (cv, na * (cv + dv) / n),
+            (dv, nb * (cv + dv) / n),
+        ]:
+            if o > 0:
+                tot += o * math.log(o / e)
+        val = 2.0 * tot
+        return val if av / na >= bv / nb else -val
+
+    for t in ("x", "y", "z", "w"):
+        assert abs(got[t]["llr"] - g2(t)) < 1e-10, t
+    assert got["x"]["llr"] > 0 and got["z"]["llr"] < 0
+    assert (got["x"]["count_a"], got["x"]["count_b"]) == (4, 0)
+    # min_total prunes
+    few = {
+        r["token"]
+        for r in keyness_llr(a, b, "text", min_total=6).collect()
+    }
+    assert few == {"z"}  # x=4, y=5, w=3 all fall below 6; z=7 stays
