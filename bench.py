@@ -154,6 +154,16 @@ HEADLINE = [
     "mutual_information",
     "theil_sen_trend",
     "ewma_user_value",
+    "ppjoin_pairs",
+    "containment_pairs",
+    "token_pmi",
+    "edit_distance_verify",
+    "target_encode_loo",
+    "woe_iv",
+    "cusum_changepoint",
+    "group_auc",
+    "rrf_fusion",
+    "keyness_llr",
 ]
 
 

@@ -1071,12 +1071,23 @@ def ppjoin_pairs(
         <= F.col("_n") - F.ceil(F.lit(threshold) * F.col("_n")) + 1
     )
     pa = prefix.select(
-        F.col(id_col).alias("id_a"), "shingle", F.col("_n").alias("_na")
+        F.col(id_col).alias("id_a"), "shingle",
+        F.col("_n").alias("_na"), F.col("_pos").alias("_pa"),
     )
     pb = prefix.select(
-        F.col(id_col).alias("id_b"), "shingle", F.col("_n").alias("_nb")
+        F.col(id_col).alias("id_b"), "shingle",
+        F.col("_n").alias("_nb"), F.col("_pos").alias("_pb"),
     )
-    cand = (
+    # positional filter (the PPJoin refinement over All-Pairs): both
+    # docs sort tokens by the SAME global order, so the min-(pos_a,
+    # pos_b) prefix match IS the pair's first common token, and every
+    # common token lies at or after it in BOTH suffixes:
+    #   |A∩B| <= 1 + min(na - pos_a, nb - pos_b)
+    # while jaccard >= t forces |A∩B| >= ceil(t/(1+t)·(na+nb)).
+    # Pairs whose first match sits too deep are pruned BEFORE the
+    # array-verification join — on near-dup-free corpora this kills
+    # the bulk of the candidate set for the cost of one aggregate.
+    first = (
         pa.join(pb, on="shingle")
         .filter(
             (F.col("id_a") < F.col("id_b"))
@@ -1085,9 +1096,21 @@ def ppjoin_pairs(
                 >= F.lit(threshold) * F.greatest("_na", "_nb")
             )
         )
-        .select("id_a", "id_b", "_na", "_nb")
-        .distinct()
+        .groupBy("id_a", "id_b", "_na", "_nb")
+        .agg(F.min(F.struct("_pa", "_pb")).alias("_fm"))
     )
+    alpha = F.ceil(
+        F.lit(threshold / (1.0 + threshold))
+        * (F.col("_na") + F.col("_nb"))
+    )
+    cand = first.filter(
+        1
+        + F.least(
+            F.col("_na") - F.col("_fm._pa"),
+            F.col("_nb") - F.col("_fm._pb"),
+        )
+        >= alpha
+    ).select("id_a", "id_b", "_na", "_nb")
     docsets = ex.groupBy(id_col).agg(
         F.sort_array(F.collect_list("shingle")).alias("_sh")
     )
@@ -1161,13 +1184,20 @@ def containment_pairs(
             <= F.col("_n") - F.ceil(F.lit(threshold) * F.col("_n")) + 1
         )
         .select(
-            F.col(id_col).alias("id_a"), "shingle", F.col("_n").alias("_na")
+            F.col(id_col).alias("id_a"), "shingle",
+            F.col("_n").alias("_na"), F.col("_pos").alias("_pa"),
         )
     )
-    index = ex.join(sizes, on=id_col).select(
-        F.col(id_col).alias("id_b"), "shingle", F.col("_n").alias("_nb")
+    wb = Window.partitionBy(id_col).orderBy("_dfc", "shingle")
+    index = ranked.withColumn("_pos", F.row_number().over(wb)).select(
+        F.col(id_col).alias("id_b"), "shingle",
+        F.col("_n").alias("_nb"), F.col("_pos").alias("_pb"),
     )
-    cand = (
+    # positional filter (see ppjoin_pairs): the min-position probe
+    # match is the pair's first common token, so
+    # |A∩B| <= 1 + min(na - pos_a, nb - pos_b), while containment >= t
+    # forces |A∩B| >= ceil(t*na)
+    first = (
         probe.join(index, on="shingle")
         .filter(
             (F.col("id_a") != F.col("id_b"))
@@ -1176,9 +1206,17 @@ def containment_pairs(
                 >= F.ceil(F.lit(threshold) * F.col("_na"))
             )
         )
-        .select("id_a", "id_b", "_na", "_nb")
-        .distinct()
+        .groupBy("id_a", "id_b", "_na", "_nb")
+        .agg(F.min(F.struct("_pa", "_pb")).alias("_fm"))
     )
+    cand = first.filter(
+        1
+        + F.least(
+            F.col("_na") - F.col("_fm._pa"),
+            F.col("_nb") - F.col("_fm._pb"),
+        )
+        >= F.ceil(F.lit(threshold) * F.col("_na"))
+    ).select("id_a", "id_b", "_na", "_nb")
     docsets = ex.groupBy(id_col).agg(
         F.sort_array(F.collect_list("shingle")).alias("_sh")
     )
