@@ -9708,6 +9708,213 @@ def q_keyness_llr(spark, sf):
     )
 
 
+# --- ext: NDCG@k retrieval evaluation ----------------------------------------
+
+
+def _ndcg_oracle(k: int = 10) -> str:
+    import math
+
+    ln2 = math.log(2.0)
+    cums, acc = [], 0.0
+    for i in range(1, k + 1):
+        acc += ln2 / math.log(i + 1.0)
+        cums.append(repr(acc))
+    idcg_list = "[" + ", ".join(cums) + "]"
+    return f"""
+WITH q AS (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv,
+    label AS qlab
+  FROM embeddings WHERE vec_id < 5
+),
+c AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv, label AS clab
+  FROM embeddings WHERE vec_id >= 5
+),
+s AS (
+  SELECT q.query_id, q.qlab, c.vec_id, c.clab,
+    list_dot_product(c.cv, q.qv)
+    / (sqrt(list_dot_product(c.cv, c.cv))
+       * sqrt(list_dot_product(q.qv, q.qv))) AS cs
+  FROM c, q
+),
+topk AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY query_id ORDER BY cs DESC, vec_id
+    ) AS rn FROM s
+  ) WHERE rn <= {k}
+),
+rk AS (
+  SELECT query_id, qlab AS label,
+    CASE WHEN clab = qlab THEN 1 ELSE 0 END AS rel,
+    row_number() OVER (
+      PARTITION BY query_id ORDER BY round(cs, 6) DESC, vec_id
+    ) AS r
+  FROM topk
+),
+agg AS (
+  SELECT query_id, label,
+    CAST(sum(rel) AS BIGINT) AS n_rel,
+    sum(CASE WHEN rel = 1
+        THEN {repr(ln2)} / ln(CAST(r AS DOUBLE) + 1.0)
+        ELSE 0.0 END) AS dcg
+  FROM rk GROUP BY 1, 2
+)
+SELECT query_id, label, n_rel,
+  round(CASE WHEN n_rel > 0
+    THEN dcg / ({idcg_list}[CAST(n_rel AS INTEGER)]) END, 6) AS ndcg
+FROM agg
+"""
+
+
+@_q("retrieval_ndcg", _ndcg_oracle())
+def q_retrieval_ndcg(spark, sf):
+    """NDCG@10 of the exact kNN ranking against label relevance
+    (similarity.retrieval_ndcg_at_k): position-discounted retrieval
+    quality with a precomputed ideal-DCG literal lookup — the
+    leaderboard metric beside the existing recall@k / precision@k
+    gates. knn_join keeps the corpus unshuffled; everything after is
+    k-row-per-query arithmetic."""
+    from padua_spark.extensions.similarity import retrieval_ndcg_at_k
+
+    emb = _t(spark, sf, "embeddings")
+    out = retrieval_ndcg_at_k(
+        emb.filter(F.col("vec_id") >= 5),
+        "vec_id",
+        "embedding",
+        "label",
+        emb.filter(F.col("vec_id") < 5),
+        k=10,
+    )
+    return out.select(
+        "query_id", "label", "n_rel", _r("ndcg").alias("ndcg")
+    )
+
+
+# --- ext: per-slice proper scoring rules ------------------------------------
+
+
+def _classifier_loss_oracle() -> str:
+    return f"""
+WITH qc AS ({_QUALITY_CLASSIFIER_ORACLE.strip()}),
+lab AS (
+  SELECT doc_id, lang,
+    CASE WHEN len(list_filter(
+      regexp_split_to_array(trim(lower(text)), '\\s+'), x -> x <> ''))
+      >= 40 THEN 1.0 ELSE 0.0 END AS y
+  FROM documents
+),
+j AS (
+  SELECT lab.lang, qc.prob AS p, lab.y
+  FROM qc JOIN lab USING (doc_id)
+  WHERE qc.prob IS NOT NULL
+),
+c AS (
+  SELECT lang, p, y,
+    least(greatest(p, 1e-15), 1.0 - 1e-15) AS pc
+  FROM j
+)
+SELECT lang, CAST(count(*) AS BIGINT) AS n,
+  round(avg((p - y) * (p - y)), 6) AS brier,
+  round(avg(-(y * ln(pc) + (1.0 - y) * ln(1.0 - pc))), 6) AS logloss
+FROM c GROUP BY lang
+"""
+
+
+@_q("classifier_loss", _classifier_loss_oracle())
+def q_classifier_loss(spark, sf):
+    """Brier score and log loss of the hashed quality classifier per
+    language slice (quality.classifier_loss): the single-number
+    proper-scoring companions to the calibration bins, over the SAME
+    rounded probabilities the independently-green quality_classifier
+    gate pins — one conditional aggregation per slice."""
+    from padua_spark.extensions.quality import (
+        classifier_loss,
+        hashed_classifier_score,
+    )
+    from padua_spark.extensions.text import tokens
+
+    d = _t(spark, sf, "documents")
+    scored = hashed_classifier_score(d, "text", n_buckets=1024).select(
+        "doc_id", _r("prob").alias("_p")
+    )
+    lab = d.select(
+        "doc_id",
+        "lang",
+        (
+            F.size(
+                F.filter(
+                    tokens(F.lower(F.col("text"))), lambda x: x != ""
+                )
+            )
+            >= 40
+        ).cast("double").alias("_y"),
+    )
+    out = classifier_loss(
+        scored.join(lab, on="doc_id"), "_p", "_y", ["lang"]
+    )
+    return out.select(
+        "lang", "n",
+        _r("brier").alias("brier"),
+        _r("logloss").alias("logloss"),
+    )
+
+
+# --- ext: Z-order clustering key ---------------------------------------------
+
+
+def _zorder_oracle() -> str:
+    from padua_spark.io_utils import zorder_key_sql
+
+    z = zorder_key_sql("xb", "yb", bits=16)
+    return f"""
+WITH b AS (
+  SELECT o_orderkey,
+    CAST(datediff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE))
+      AS BIGINT) AS xb,
+    CAST(floor(o_totalprice / 100.0) AS BIGINT) AS yb
+  FROM orders
+  WHERE o_orderdate IS NOT NULL AND o_totalprice IS NOT NULL
+)
+SELECT o_orderkey, xb, yb, {z} AS zval
+FROM b
+"""
+
+
+@_q("zorder_key", _zorder_oracle())
+def q_zorder_key(spark, sf):
+    """Morton Z-order clustering key over (order-date days, price
+    bucket) (io_utils.zorder_key): the multi-dimension layout key —
+    write_zordered range-partitions + sorts on it so per-file parquet
+    footer stats stay tight on BOTH dimensions (the Delta/Iceberg
+    OPTIMIZE ZORDER trick; tests/test_units.py proves the file-level
+    bounding boxes prune either dimension on the written layout).
+    Pure unrolled shift/mask integer arithmetic, codegen-friendly,
+    mirrored 1:1 in the oracle."""
+    from padua_spark.io_utils import zorder_key
+
+    o = _t(spark, sf, "orders").where(
+        F.col("o_orderdate").isNotNull()
+        & F.col("o_totalprice").isNotNull()
+    )
+    b = o.select(
+        "o_orderkey",
+        F.datediff(
+            F.col("o_orderdate").cast("date"),
+            F.lit("1992-01-01").cast("date"),
+        )
+        .cast("bigint")
+        .alias("xb"),
+        F.floor(F.col("o_totalprice") / 100.0)
+        .cast("bigint")
+        .alias("yb"),
+    )
+    return b.select(
+        "o_orderkey", "xb", "yb",
+        zorder_key("xb", "yb", bits=16).alias("zval"),
+    )
+
+
 # ---------------------------------------------------------------------------
 
 

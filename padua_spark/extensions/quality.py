@@ -743,3 +743,34 @@ def group_auc(
         "n_neg",
         F.when((np_ > 0) & (nn > 0), auc).alias("auc"),
     )
+
+
+def classifier_loss(
+    df: DataFrame,
+    prob_col: str,
+    label_col: str,
+    group_cols: list[str] | None = None,
+    eps: float = 1e-15,
+) -> DataFrame:
+    """Per-slice proper scoring rules for a probabilistic classifier:
+    Brier score (mean squared probability error) and log loss (mean
+    negative log likelihood, probabilities clipped to ``[eps, 1-eps]``)
+    — the summary companions to :func:`calibration_bins` (bins show
+    WHERE calibration fails; these give the single number per slice to
+    alarm on) and to :func:`group_auc` (AUC ranks, these score the
+    probabilities themselves).
+
+    One conditional aggregation with map-side combine; NULL prob/label
+    rows are dropped. Returns ``(groups..., n, brier, logloss)``.
+    """
+    p = F.col(prob_col).cast("double")
+    y = F.col(label_col).cast("double")
+    base = df.where(p.isNotNull() & y.isNotNull())
+    pc = F.least(F.greatest(p, F.lit(eps)), F.lit(1.0 - eps))
+    brier_term = (p - y) * (p - y)
+    ll_term = -(y * F.log(pc) + (1.0 - y) * F.log(1.0 - pc))
+    return base.groupBy(*(group_cols or [])).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg(brier_term).alias("brier"),
+        F.avg(ll_term).alias("logloss"),
+    )

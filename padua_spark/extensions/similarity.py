@@ -1354,3 +1354,79 @@ def rrf_fuse(
     return fused.withColumn(
         "fused_rank", F.row_number().over(wo).cast("bigint")
     )
+
+
+def retrieval_ndcg_at_k(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    label_col: str,
+    queries: DataFrame,
+    k: int = 10,
+) -> DataFrame:
+    """Binary-relevance NDCG@k per query over a labeled corpus — the
+    position-weighted companion to :func:`retrieval_precision_at_k`
+    (precision ignores WHERE in the top-k the relevant hits land;
+    NDCG discounts by log2 rank, which is what leaderboards report):
+
+    ``dcg = Σ_i rel_i / log2(i + 1)``,  ``ndcg = dcg / idcg(n_rel)``
+
+    with rel_i = 1 when the i-th neighbor shares the query's label.
+    The ideal DCG for m relevant hits is a PRECOMPUTED k-element
+    literal lookup (``idcg[m] = Σ_{i<=m} 1/log2(i+1)``) — no second
+    ranking pass. Ranks order by (rounded cosine desc, id) so the
+    discount assignment is engine-deterministic under near-tie
+    float jitter.
+
+    Plan shape: :func:`knn_join` (broadcast query block, map-side
+    WindowGroupLimit) + two label joins + one per-query window over k
+    rows + one aggregation. Output: ``(query_id, label, n_rel,
+    ndcg)``; ``ndcg`` NULL when nothing relevant is in range.
+    """
+    import math
+
+    from pyspark.sql import Window
+
+    ln2 = math.log(2.0)
+    idcg = []
+    acc = 0.0
+    for i in range(1, k + 1):
+        acc += ln2 / math.log(i + 1.0)
+        idcg.append(acc)
+    nn = knn_join(
+        corpus, id_col, vec_col, queries, id_col, vec_col, k=k
+    )
+    q_lab = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(label_col).alias("label"),
+    )
+    c_lab = corpus.select(
+        F.col(id_col), F.col(label_col).alias("_nlabel")
+    )
+    joined = nn.join(F.broadcast(q_lab), on="query_id").join(
+        c_lab, on=id_col
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.round("cosine_sim", 6).desc(), F.col(id_col).asc()
+    )
+    ranked = joined.withColumn("_rk", F.row_number().over(wq))
+    rel = F.when(F.col("_nlabel") == F.col("label"), 1).otherwise(0)
+    term = F.when(
+        rel == 1,
+        F.lit(ln2) / F.log(F.col("_rk").cast("double") + 1.0),
+    ).otherwise(F.lit(0.0))
+    agg = ranked.groupBy("query_id", "label").agg(
+        F.sum(rel).cast("bigint").alias("n_rel"),
+        F.sum(term).alias("_dcg"),
+    )
+    idcg_arr = F.array(*[F.lit(v) for v in idcg])
+    return agg.select(
+        "query_id",
+        "label",
+        "n_rel",
+        F.when(
+            F.col("n_rel") > 0,
+            F.col("_dcg")
+            / F.element_at(idcg_arr, F.col("n_rel").cast("int")),
+        ).alias("ndcg"),
+    )

@@ -407,6 +407,8 @@ def test_no_cartesian_products_anywhere(spark):
         # 1-row corpus-totals frame broadcast onto the vocab-sized
         # keyness count table
         "keyness_llr",
+        # composes knn_join — inherits its one-row broadcast query block
+        "retrieval_ndcg",
     }
     bad = {}
     for name, fn in em.queries().items():

@@ -205,6 +205,9 @@ COVERAGE = {
     "E90": "padua_spark.extensions.quality:group_auc",
     "E91": "padua_spark.extensions.similarity:rrf_fuse",
     "E92": "padua_spark.extensions.text:keyness_llr",
+    "E93": "padua_spark.extensions.similarity:retrieval_ndcg_at_k",
+    "E94": "padua_spark.extensions.quality:classifier_loss",
+    "E95": "padua_spark.io_utils:write_zordered",
 }
 
 

@@ -3264,3 +3264,186 @@ def test_keyness_llr_hand_computed(spark):
         for r in keyness_llr(a, b, "text", min_total=6).collect()
     }
     assert few == {"z"}  # x=4, y=5, w=3 all fall below 6; z=7 stays
+
+
+def test_retrieval_ndcg_hand_computed(spark):
+    """retrieval_ndcg_at_k against a hand-built 2-D geometry where the
+    exact neighbor ranking is known: perfect-ranking queries hit
+    ndcg=1, mixed rankings match the hand DCG, zero-relevant is NULL."""
+    import math
+
+    from padua_spark.extensions.similarity import retrieval_ndcg_at_k
+
+    # corpus on the unit circle; query 0 points at label-1 cluster,
+    # query 1 at a mixed region, query 2 has no same-label neighbor
+    def vec(deg):
+        r = math.radians(deg)
+        return [math.cos(r), math.sin(r)]
+
+    corpus = [
+        (10, vec(0.0), 1),
+        (11, vec(5.0), 1),
+        (12, vec(10.0), 2),
+        (13, vec(15.0), 1),
+        (14, vec(180.0), 3),
+    ]
+    queries = [
+        (0, vec(1.0), 1),   # nearest: 10(1),11(1),12(2),13(1),14(3)
+        (2, vec(90.0), 9),  # label 9 matches nothing
+    ]
+    cdf = spark.createDataFrame(
+        corpus, "vec_id int, embedding array<double>, label int"
+    )
+    qdf = spark.createDataFrame(
+        queries, "vec_id int, embedding array<double>, label int"
+    )
+    got = {
+        r["query_id"]: r
+        for r in retrieval_ndcg_at_k(
+            cdf, "vec_id", "embedding", "label", qdf, k=4
+        ).collect()
+    }
+    ln2 = math.log(2.0)
+    # ranks for query 0: 10,11,12,13 -> rel 1,1,0,1
+    dcg = ln2 / math.log(2.0) + ln2 / math.log(3.0) + ln2 / math.log(5.0)
+    idcg = ln2 / math.log(2.0) + ln2 / math.log(3.0) + ln2 / math.log(4.0)
+    assert got[0]["n_rel"] == 3
+    assert abs(got[0]["ndcg"] - dcg / idcg) < 1e-12
+    assert got[2]["n_rel"] == 0 and got[2]["ndcg"] is None
+
+
+def test_classifier_loss_hand_computed(spark):
+    """classifier_loss: Brier and clipped log loss equal the hand
+    computation per slice; NULLs dropped; degenerate probs clipped."""
+    import math
+
+    from padua_spark.extensions.quality import classifier_loss
+
+    rows = [
+        ("a", 0.9, 1.0), ("a", 0.2, 0.0), ("a", 0.6, 1.0),
+        ("b", 1.0, 0.0),  # needs clipping
+        ("b", 0.5, 1.0),
+        ("a", None, 1.0), ("a", 0.5, None),
+    ]
+    df = spark.createDataFrame(rows, "g string, p double, y double")
+    got = {
+        r["g"]: r
+        for r in classifier_loss(df, "p", "y", ["g"]).collect()
+    }
+    eps = 1e-15
+
+    def hand(pairs):
+        b = sum((p - y) ** 2 for p, y in pairs) / len(pairs)
+        ll = sum(
+            -(
+                y * math.log(min(max(p, eps), 1 - eps))
+                + (1 - y) * math.log(1 - min(max(p, eps), 1 - eps))
+            )
+            for p, y in pairs
+        ) / len(pairs)
+        return b, ll
+
+    ba, la = hand([(0.9, 1), (0.2, 0), (0.6, 1)])
+    bb, lb = hand([(1.0, 0), (0.5, 1)])
+    assert got["a"]["n"] == 3 and got["b"]["n"] == 2
+    assert abs(got["a"]["brier"] - ba) < 1e-12
+    assert abs(got["a"]["logloss"] - la) < 1e-12
+    assert abs(got["b"]["brier"] - bb) < 1e-12
+    assert abs(got["b"]["logloss"] - lb) < 1e-9  # clip term dominates
+
+
+def test_zorder_key_and_layout_pruning(spark, tmp_path):
+    """zorder_key interleaves bits correctly, and write_zordered
+    produces files whose per-file (min, max) bounding boxes — read
+    straight from the written parquet footers — prune selective
+    filters on BOTH dimensions, unlike a single-column sort which
+    prunes only its own column."""
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from padua_spark.io_utils import write_zordered, zorder_key
+
+    # bit-interleave ground truth
+    df = spark.createDataFrame(
+        [(3, 5), (0, 0), (65535, 65535), (1, 0), (0, 1)], "x int, y int"
+    )
+    got = [
+        r["z"]
+        for r in df.select(zorder_key("x", "y").alias("z")).collect()
+    ]
+
+    def morton(x, y):
+        z = 0
+        for b in range(16):
+            z |= ((x >> b) & 1) << (2 * b)
+            z |= ((y >> b) & 1) << (2 * b + 1)
+        return z
+
+    assert got == [morton(3, 5), 0, morton(65535, 65535), 1, 2]
+
+    # layout: a 64x64 grid of (x, y) cells, 4k rows
+    import itertools
+
+    grid = spark.createDataFrame(
+        [(x, y) for x, y in itertools.product(range(64), range(64))],
+        "x int, y int",
+    )
+
+    def file_boxes(path):
+        import glob
+        import os
+
+        boxes = []
+        for f in glob.glob(os.path.join(path, "*.parquet")):
+            md = pq.read_metadata(f)
+            mins = {c: None for c in ("x", "y")}
+            maxs = {c: None for c in ("x", "y")}
+            for rg in range(md.num_row_groups):
+                g = md.row_group(rg)
+                for ci in range(g.num_columns):
+                    col = g.column(ci)
+                    name = col.path_in_schema
+                    if name in mins:
+                        st = col.statistics
+                        mins[name] = (
+                            st.min if mins[name] is None
+                            else min(mins[name], st.min)
+                        )
+                        maxs[name] = (
+                            st.max if maxs[name] is None
+                            else max(maxs[name], st.max)
+                        )
+            boxes.append((mins, maxs))
+        return boxes
+
+    zpath = str(tmp_path / "zordered")
+    write_zordered(grid, zpath, "x", "y", bits=6, n_files=16)
+    zboxes = file_boxes(zpath)
+    assert len(zboxes) >= 8
+
+    lpath = str(tmp_path / "linear")
+    (
+        grid.repartitionByRange(16, F.col("x"))
+        .sortWithinPartitions("x")
+        .write.mode("overwrite")
+        .parquet(lpath)
+    )
+    lboxes = file_boxes(lpath)
+
+    def hit_fraction(boxes, col, lo, hi):
+        n = sum(
+            1
+            for mins, maxs in boxes
+            if not (maxs[col] < lo or mins[col] > hi)
+        )
+        return n / len(boxes)
+
+    # selective band on each dimension (1/8 of the domain)
+    for col in ("x", "y"):
+        assert hit_fraction(zboxes, col, 8, 15) <= 0.5, (
+            col,
+            [(m[col], M[col]) for m, M in zboxes],
+        )
+    # the x-sorted layout prunes x but NOT y
+    assert hit_fraction(lboxes, "x", 8, 15) <= 0.25
+    assert hit_fraction(lboxes, "y", 8, 15) == 1.0
