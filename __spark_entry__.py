@@ -9915,6 +9915,98 @@ def q_zorder_key(spark, sf):
     )
 
 
+# --- ext: last-touch attribution (asof_join composition) ---------------------
+
+
+_ATTRIBUTION_ORACLE = """
+WITH e AS (
+  SELECT user_id, epoch_us(ts) AS tu, event_id, event_type,
+    CAST(round(value * 100) AS BIGINT) AS vc
+  FROM events
+),
+p AS (
+  SELECT user_id, tu, vc FROM e WHERE event_type = 'purchase'
+),
+t0 AS (
+  SELECT user_id, tu, arg_max(event_type, event_id) AS ttype
+  FROM e WHERE event_type IN ('view', 'click') GROUP BY 1, 2
+),
+u AS (
+  SELECT user_id, tu, 1 AS side, vc,
+    CAST(NULL AS VARCHAR) AS ttype, CAST(NULL AS BIGINT) AS rtu
+  FROM p
+  UNION ALL
+  SELECT user_id, tu, 0, NULL, ttype, tu FROM t0
+),
+w AS (
+  SELECT user_id, tu, side, vc,
+    last_value(ttype IGNORE NULLS) OVER
+      (PARTITION BY user_id ORDER BY tu, side
+       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ltype,
+    last_value(rtu IGNORE NULLS) OVER
+      (PARTITION BY user_id ORDER BY tu, side
+       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ltu
+  FROM u
+),
+a AS (
+  SELECT CASE WHEN ltu IS NOT NULL AND ltu >= tu - 86400000000
+           THEN ltype END AS touch_type, vc
+  FROM w WHERE side = 1
+)
+SELECT coalesce(touch_type, 'none') AS touch_type,
+  CAST(count(*) AS BIGINT) AS n_purchases,
+  round(CAST(sum(vc) AS DOUBLE) / 100.0, 6) AS total_value
+FROM a GROUP BY 1
+"""
+
+
+@_q("attribution_last_touch", _ATTRIBUTION_ORACLE)
+def q_attribution_last_touch(spark, sf):
+    """Last-touch marketing attribution: each purchase credits the
+    most recent view/click by the same user within 24h — a direct
+    COMPOSITION of temporal.asof_join (union + conditional
+    carry-forward, one key shuffle, no per-row Python). Touches are
+    pre-deduped per (user, microsecond) with arg-max-by-event_id so
+    the as-of pick is tie-deterministic; money flows as integer
+    cents."""
+    from padua_spark.operators.temporal import asof_join
+    from padua_spark.streaming.windows import epoch_us_col
+
+    base = _t(spark, sf, "events")
+    ev = base.select(
+        "user_id",
+        epoch_us_col(base, "ts").alias("_tu"),
+        "event_id",
+        "event_type",
+        F.round(F.col("value") * 100).cast("bigint").alias("_vc"),
+    )
+    purch = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "_tu", "_vc"
+    )
+    touch = (
+        ev.where(F.col("event_type").isin("view", "click"))
+        .groupBy("user_id", "_tu")
+        .agg(F.max_by("event_type", "event_id").alias("ttype"))
+    )
+    att = asof_join(
+        purch,
+        touch,
+        on="_tu",
+        by=["user_id"],
+        right_value_cols=["ttype"],
+        tolerance=86400000000,
+    )
+    return (
+        att.groupBy(
+            F.coalesce(F.col("ttype"), F.lit("none")).alias("touch_type")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            _r(F.sum("_vc").cast("double") / 100.0).alias("total_value"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 
 

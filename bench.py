@@ -164,6 +164,10 @@ HEADLINE = [
     "group_auc",
     "rrf_fusion",
     "keyness_llr",
+    "retrieval_ndcg",
+    "classifier_loss",
+    "zorder_key",
+    "attribution_last_touch",
 ]
 
 

@@ -186,6 +186,7 @@ def cusum_changepoint(
     order_cols: list[str],
     value_col: str,
     drift: float = 0.0,
+    target: float | None = None,
 ) -> DataFrame:
     """Per-key CUSUM change-point scan over an ordered series: how far
     the running sum of deviations from the key's mean ever drifts up or
@@ -221,8 +222,14 @@ def cusum_changepoint(
     base = df.where(v.isNotNull()).select(
         *key_cols, *[c for c in order_cols if c not in key_cols], v.alias("_v")
     )
-    means = base.groupBy(*key_cols).agg(F.avg("_v").alias("_mu"))
-    staged = base.join(means, on=key_cols)
+    if target is None:
+        means = base.groupBy(*key_cols).agg(F.avg("_v").alias("_mu"))
+        staged = base.join(means, on=key_cols)
+    else:
+        # fixed reference target (control-chart mode; what a STREAMING
+        # CUSUM must use, since the series mean isn't knowable online —
+        # see streaming.stateful.cusum_stream, whose batch twin this is)
+        staged = base.withColumn("_mu", F.lit(float(target)))
     wo = Window.partitionBy(*key_cols).orderBy(
         *[F.col(c).asc() for c in order_cols]
     )

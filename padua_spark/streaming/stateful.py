@@ -152,3 +152,137 @@ def kmv_distinct_stream(
             GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def _cusum_fold_chunk(st: tuple, z):
+    """Fold one ordered chunk of deviations into CUSUM state
+    ``(sp, sn, spm, snm, cpp, cpn, n)`` via the reflection identity
+    with the carried S as initial condition — chunk-split-invariant
+    (unit-tested against the sequential recursion), which is what
+    makes :func:`cusum_stream` exactly equal its batch twin."""
+    import numpy as np
+
+    sp, sn, spm, snm, cpp, cpn, n = st
+
+    def _fold(s0: float, zz):
+        c = s0 + np.cumsum(zz)
+        runmin = np.minimum.accumulate(np.minimum(c, 0.0))
+        return c - runmin
+
+    s_pos = _fold(sp, z)
+    s_neg = _fold(sn, -z)
+    bm = float(s_pos.max())
+    if bm > spm:
+        spm, cpp = bm, n + int(np.argmax(s_pos)) + 1
+    bm = float(s_neg.max())
+    if bm > snm:
+        snm, cpn = bm, n + int(np.argmax(s_neg)) + 1
+    return (
+        float(s_pos[-1]),
+        float(s_neg[-1]),
+        spm,
+        snm,
+        cpp,
+        cpn,
+        n + len(z),
+    )
+
+
+def cusum_stream(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    order_col: str,
+    target: float,
+    drift: float = 0.0,
+) -> DataFrame:
+    """Streaming CUSUM drift monitor: per-key one-sided CUSUM statistics
+    against a FIXED reference ``target`` (the control-chart form — an
+    online monitor cannot know the series mean in advance), maintained
+    exactly across micro-batches.
+
+    State per key is FIVE scalars + two counters (current S+, S-, their
+    historical maxima, first-max positions, n) — O(1) forever, no row
+    retention. Within each micro-batch rows are sorted by ``order_col``
+    and folded with the same reflection identity the batch operator
+    uses (vectorized numpy cumsum/accumulate, no per-row Python), with
+    the carried S as the initial condition:
+
+    ``s_i = (s0 + c_i) - min(0, running_min(s0 + c))``
+
+    so after any micro-batch split the emitted statistics equal
+    ``operators.temporal.cusum_changepoint(..., target=target)`` over
+    the same rows — stream == batch holds exactly (tested). Assumes
+    in-order arrival across batches (the file-source replay and any
+    watermarked upstream satisfy this).
+
+    Emits ``(key, n_obs, cusum_pos_max, cusum_neg_max, cp_pos,
+    cp_neg)`` per key per batch.
+    """
+    import numpy as np
+
+    out_schema = T.StructType(
+        [
+            T.StructField("key", T.LongType()),
+            T.StructField("n_obs", T.LongType()),
+            T.StructField("cusum_pos_max", T.DoubleType()),
+            T.StructField("cusum_neg_max", T.DoubleType()),
+            T.StructField("cp_pos", T.LongType()),
+            T.StructField("cp_neg", T.LongType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("sp", T.DoubleType()),
+            T.StructField("sn", T.DoubleType()),
+            T.StructField("spm", T.DoubleType()),
+            T.StructField("snm", T.DoubleType()),
+            T.StructField("cpp", T.LongType()),
+            T.StructField("cpn", T.LongType()),
+            T.StructField("n", T.LongType()),
+        ]
+    )
+
+    def update(key, pdfs, state: GroupState):
+        st = (
+            state.get if state.exists
+            else (0.0, 0.0, 0.0, 0.0, 0, 0, 0)
+        )
+        for pdf in pdfs:
+            pdf = pdf.dropna(subset=[value_col]).sort_values(order_col)
+            if not len(pdf):
+                continue
+            z = (
+                pdf[value_col].to_numpy(dtype="float64")
+                - float(target)
+                - float(drift)
+            )
+            st = _cusum_fold_chunk(st, z)
+        state.update(st)
+        sp, sn, spm, snm, cpp, cpn, n = st
+        yield pd.DataFrame(
+            {
+                "key": [key[0]],
+                "n_obs": [n],
+                "cusum_pos_max": [spm],
+                "cusum_neg_max": [snm],
+                "cp_pos": [cpp],
+                "cp_neg": [cpn],
+            }
+        )
+
+    return (
+        df.select(
+            F.col(key_col).alias("key"),
+            F.col(value_col),
+            F.col(order_col),
+        )
+        .groupBy("key")
+        .applyInPandasWithState(
+            update,
+            out_schema,
+            state_schema,
+            "update",
+            GroupStateTimeout.NoTimeout,
+        )
+    )

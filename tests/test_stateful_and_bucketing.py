@@ -72,3 +72,90 @@ def test_bucketed_join_no_shuffle(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
         spark.sql("DROP TABLE IF EXISTS t_li_bucketed")
         spark.sql("DROP TABLE IF EXISTS t_orders_bucketed")
+
+
+def test_stateful_cusum_stream_equals_batch(spark, events_dir):
+    """cusum_stream's final emitted state equals the batch
+    cusum_changepoint(..., target=t) over the same events — the
+    reflection-identity fold with carried state is exact across
+    micro-batch splits."""
+    from padua_spark.operators.temporal import cusum_changepoint
+    from padua_spark.streaming.stateful import cusum_stream
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    batch = spark.read.parquet(events_dir)
+    target = 50.0
+    stream = spark.readStream.schema(batch.schema).parquet(events_dir)
+    out = cusum_stream(stream, "user_id", "value", "ts", target)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("t_cusum")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(180)
+    got = {
+        r["key"]: (
+            r["n_obs"],
+            round(r["cusum_pos_max"], 6),
+            round(r["cusum_neg_max"], 6),
+            r["cp_pos"],
+            r["cp_neg"],
+        )
+        for r in spark.sql("SELECT * FROM t_cusum").collect()
+    }
+    exp_df = cusum_changepoint(
+        batch.where(F.col("value").isNotNull()),
+        ["user_id"],
+        ["ts", "event_id"],
+        "value",
+        target=target,
+    )
+    exp = {
+        r["user_id"]: (
+            r["n_obs"],
+            round(r["cusum_pos_max"], 6),
+            round(r["cusum_neg_max"], 6),
+            r["cp_pos"],
+            r["cp_neg"],
+        )
+        for r in exp_df.collect()
+    }
+    assert got == exp
+
+
+def test_cusum_fold_chunk_split_invariant():
+    """_cusum_fold_chunk equals the sequential textbook recursion for
+    EVERY way of splitting the series into chunks — the property that
+    makes the streaming operator exact across micro-batch boundaries."""
+    import numpy as np
+
+    from padua_spark.streaming.stateful import _cusum_fold_chunk
+
+    rng = np.random.default_rng(7)
+    z = rng.normal(0.0, 3.0, 40)
+    z[20:] += 4.0  # drift onset
+
+    # ground truth: sequential recursion with first-max positions
+    sp = sn = spm = snm = 0.0
+    cpp = cpn = 0
+    for i, zi in enumerate(z, 1):
+        sp = max(0.0, sp + zi)
+        sn = max(0.0, sn - zi)
+        if sp > spm:
+            spm, cpp = sp, i
+        if sn > snm:
+            snm, cpn = sn, i
+    truth = (spm, snm, cpp, cpn)
+
+    for cuts in [[40], [1, 39], [13, 13, 14], [5] * 8, [39, 1]]:
+        st = (0.0, 0.0, 0.0, 0.0, 0, 0, 0)
+        pos = 0
+        for c in cuts:
+            st = _cusum_fold_chunk(st, z[pos:pos + c])
+            pos += c
+        got = (st[2], st[3], st[4], st[5])
+        assert np.allclose(got[:2], truth[:2], atol=1e-9), cuts
+        assert got[2:] == truth[2:], cuts
+        assert st[6] == 40

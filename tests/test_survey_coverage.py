@@ -208,6 +208,8 @@ COVERAGE = {
     "E93": "padua_spark.extensions.similarity:retrieval_ndcg_at_k",
     "E94": "padua_spark.extensions.quality:classifier_loss",
     "E95": "padua_spark.io_utils:write_zordered",
+    "E96": "entry:attribution_last_touch",
+    "E97": "padua_spark.streaming.stateful:cusum_stream",
 }
 
 
