@@ -409,6 +409,8 @@ def test_no_cartesian_products_anywhere(spark):
         "keyness_llr",
         # composes knn_join — inherits its one-row broadcast query block
         "retrieval_ndcg",
+        # composes bm25_topk — inherits its 1-row corpus-stats broadcast
+        "rrf_fusion",
     }
     bad = {}
     for name, fn in em.queries().items():
