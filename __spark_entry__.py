@@ -10007,6 +10007,268 @@ def q_attribution_last_touch(spark, sf):
     )
 
 
+# --- ext: triangle count / transitivity of the candidate graph ---------------
+
+
+def _triangle_oracle() -> str:
+    return f"""
+WITH mh AS ({_minhash_oracle()}),
+e AS (
+  SELECT DISTINCT least(id_a, id_b) AS u, greatest(id_a, id_b) AS v
+  FROM mh WHERE id_a <> id_b
+),
+deg AS (
+  SELECT x, CAST(count(*) AS BIGINT) AS d
+  FROM (SELECT u AS x FROM e UNION ALL SELECT v AS x FROM e)
+  GROUP BY x
+),
+o AS (
+  SELECT
+    CASE WHEN (du.d < dv.d) OR (du.d = dv.d AND e.u < e.v)
+      THEN e.u ELSE e.v END AS s,
+    CASE WHEN (du.d < dv.d) OR (du.d = dv.d AND e.u < e.v)
+      THEN e.v ELSE e.u END AS t
+  FROM e JOIN deg du ON du.x = e.u JOIN deg dv ON dv.x = e.v
+),
+w AS (
+  SELECT o1.s AS a, o1.t AS b, o2.t AS c
+  FROM o o1 JOIN o o2 ON o1.t = o2.s
+),
+tri AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_triangles
+  FROM w WHERE EXISTS (SELECT 1 FROM o WHERE o.s = w.a AND o.t = w.c)
+),
+st AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+    CAST(sum(d * (d - 1)) / 2 AS BIGINT) AS n_wedges
+  FROM deg
+),
+ne AS (SELECT CAST(count(*) AS BIGINT) AS n_edges FROM e)
+SELECT n_nodes, n_edges, n_wedges, n_triangles,
+  round(CASE WHEN n_wedges > 0
+    THEN 3.0 * n_triangles / CAST(n_wedges AS DOUBLE) END, 6)
+    AS transitivity
+FROM st, ne, tri
+"""
+
+
+@_q("triangle_count", _triangle_oracle())
+def q_triangle_count(spark, sf):
+    """Triangles and transitivity of the MinHash candidate graph
+    (graph.triangle_count): degree-oriented wedge join — out-degrees
+    are O(sqrt(m)) after orientation, so no hub vertex can explode the
+    self-join, and the total (deg, id) order makes the closing edge a
+    plain equi semi-join. Transitivity ~1 = LSH is finding tight
+    duplicate cliques; low = chainy threshold-straddlers."""
+    from padua_spark.extensions import dedup as x_dedup
+    from padua_spark.extensions.graph import triangle_count
+
+    d = _t(spark, sf, "documents")
+    cand = x_dedup.minhash_lsh_candidates(
+        d, "doc_id", "text", k_shingle=3, num_hashes=32, bands=8,
+        portable_keys=True,
+    )
+    out = triangle_count(cand, "id_a", "id_b")
+    return out.select(
+        "n_nodes", "n_edges", "n_wedges", "n_triangles",
+        _r("transitivity").alias("transitivity"),
+    )
+
+
+# --- ext: Kaplan-Meier survival ----------------------------------------------
+
+
+_KM_ORACLE = """
+WITH e AS (
+  SELECT user_id, epoch_us(ts) AS tu, event_type FROM events
+),
+u AS (
+  SELECT user_id,
+    min(tu) AS t0,
+    max(tu) AS t_last,
+    min(CASE WHEN event_type = 'error' THEN tu END) AS t_err
+  FROM e GROUP BY user_id
+),
+subj AS (
+  SELECT user_id % 2 AS cohort,
+    CASE WHEN t_err IS NOT NULL
+      THEN CAST(floor((t_err - t0) / 3600000000.0) AS BIGINT)
+      ELSE CAST(floor((t_last - t0) / 3600000000.0) AS BIGINT)
+    END AS dur,
+    CASE WHEN t_err IS NOT NULL THEN 1 ELSE 0 END AS ev
+  FROM u
+),
+counts AS (
+  SELECT cohort, CAST(dur AS DOUBLE) AS t,
+    CAST(sum(ev) AS BIGINT) AS n_events,
+    CAST(sum(1 - ev) AS BIGINT) AS n_censored
+  FROM subj GROUP BY 1, 2
+),
+risk AS (
+  SELECT *,
+    sum(n_events + n_censored) OVER (PARTITION BY cohort)
+      - (sum(n_events + n_censored) OVER (PARTITION BY cohort ORDER BY t
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         - n_events - n_censored) AS n_risk
+  FROM counts
+),
+f AS (
+  SELECT *,
+    CASE WHEN n_events > 0
+          AND CAST(n_risk - n_events AS DOUBLE) / n_risk > 0
+      THEN ln(CAST(n_risk - n_events AS DOUBLE) / n_risk)
+      ELSE 0.0 END AS lnf,
+    CASE WHEN n_events > 0
+          AND CAST(n_risk - n_events AS DOUBLE) / n_risk <= 0
+      THEN 1 ELSE 0 END AS zf
+  FROM risk
+),
+s AS (
+  SELECT cohort, t, n_risk, n_events, n_censored,
+    CASE WHEN max(zf) OVER (PARTITION BY cohort ORDER BY t
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) = 1
+      THEN 0.0
+      ELSE exp(sum(lnf) OVER (PARTITION BY cohort ORDER BY t
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) END
+      AS survival
+  FROM f
+)
+SELECT CAST(cohort AS BIGINT) AS cohort, t, n_risk, n_events,
+  n_censored, round(survival, 6) AS survival
+FROM s WHERE n_events > 0
+"""
+
+
+@_q("kaplan_meier", _KM_ORACLE)
+def q_kaplan_meier(spark, sf):
+    """Kaplan-Meier time-to-first-error survival per user cohort
+    (stats.kaplan_meier): right-censored at the user's last event.
+    One aggregation collapses events to per-user durations (integer
+    hours -> exact ties), one more to distinct-time counts; the
+    cumulative windows run over the DISTINCT-TIME frame only, and the
+    running product is exp(Σ ln) with an explicit empty-risk-set
+    flag."""
+    from padua_spark.operators.stats import kaplan_meier
+    from padua_spark.streaming.windows import epoch_us_col
+
+    base = _t(spark, sf, "events")
+    ev = base.select(
+        "user_id",
+        epoch_us_col(base, "ts").alias("_tu"),
+        "event_type",
+    )
+    u = ev.groupBy("user_id").agg(
+        F.min("_tu").alias("_t0"),
+        F.max("_tu").alias("_tl"),
+        F.min(
+            F.when(F.col("event_type") == "error", F.col("_tu"))
+        ).alias("_te"),
+    )
+    subj = u.select(
+        (F.col("user_id") % 2).alias("cohort"),
+        F.floor(
+            (
+                F.coalesce(F.col("_te"), F.col("_tl")) - F.col("_t0")
+            )
+            / 3600000000.0
+        )
+        .cast("bigint")
+        .alias("_dur"),
+        F.col("_te").isNotNull().cast("int").alias("_ev"),
+    )
+    out = kaplan_meier(subj, ["cohort"], "_dur", "_ev")
+    return out.select(
+        F.col("cohort").cast("bigint").alias("cohort"),
+        "t",
+        "n_risk",
+        "n_events",
+        "n_censored",
+        _r("survival").alias("survival"),
+    )
+
+
+# --- ext: Wald SPRT sequential A/B test --------------------------------------
+
+
+def _sprt_oracle() -> str:
+    import math
+
+    # bare decimal literals parse as DECIMAL in DuckDB (sum would stay
+    # DECIMAL and hash-mismatch the double); force DOUBLE explicitly
+    la = f"CAST({math.log(0.55 / 0.45)!r} AS DOUBLE)"
+    lb = f"CAST({math.log(0.45 / 0.55)!r} AS DOUBLE)"
+    upper = f"CAST({math.log(0.95 / 0.05)!r} AS DOUBLE)"
+    lower = f"CAST({math.log(0.05 / 0.95)!r} AS DOUBLE)"
+    return f"""
+WITH e AS (
+  SELECT event_type, epoch_us(ts) AS tu, event_id,
+    CASE WHEN value > 50.0 THEN 1 ELSE 0 END AS x
+  FROM events WHERE value IS NOT NULL
+),
+w AS (
+  SELECT event_type,
+    sum(CASE WHEN x = 1 THEN {la} ELSE {lb} END)
+      OVER (PARTITION BY event_type ORDER BY tu, event_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS llr,
+    row_number() OVER (PARTITION BY event_type ORDER BY tu, event_id)
+      AS rn,
+    x
+  FROM e
+),
+agg AS (
+  SELECT event_type,
+    CAST(count(*) AS BIGINT) AS n_total,
+    sum(CASE WHEN x = 1 THEN {la} ELSE {lb} END) AS llr_final,
+    CAST(min(CASE WHEN llr >= {upper} THEN rn END) AS BIGINT)
+      AS n_decide_h1,
+    CAST(min(CASE WHEN llr <= {lower} THEN rn END) AS BIGINT)
+      AS n_decide_h0
+  FROM w GROUP BY event_type
+)
+SELECT event_type, n_total, round(llr_final, 6) AS llr_final,
+  n_decide_h1, n_decide_h0,
+  CASE
+    WHEN n_decide_h1 IS NOT NULL
+         AND (n_decide_h0 IS NULL OR n_decide_h1 < n_decide_h0)
+      THEN 'accept_h1'
+    WHEN n_decide_h0 IS NOT NULL THEN 'accept_h0'
+    ELSE 'continue' END AS decision
+FROM agg
+"""
+
+
+@_q("sprt_bernoulli", _sprt_oracle())
+def q_sprt_bernoulli(spark, sf):
+    """Wald SPRT per event type: is P(value > 50) at 0.55 (H1) or 0.45
+    (H0), monitored after every event (stats.sprt_bernoulli,
+    alpha = beta = 0.05)? The always-valid sequential counterpart to
+    the fixed-horizon two_proportion_z entry — LLR cumsum of two
+    constants, crossings as conditional-min aggregates, microsecond +
+    event_id ordering shared with the oracle."""
+    from padua_spark.operators.stats import sprt_bernoulli
+    from padua_spark.streaming.windows import epoch_us_col
+
+    base = _t(spark, sf, "events")
+    ev = base.where(F.col("value").isNotNull()).select(
+        "event_type",
+        epoch_us_col(base, "ts").alias("_tu"),
+        "event_id",
+        (F.col("value") > 50.0).cast("int").alias("_x"),
+    )
+    out = sprt_bernoulli(
+        ev, ["event_type"], ["_tu", "event_id"], "_x",
+        p0=0.45, p1=0.55, alpha=0.05, beta=0.05,
+    )
+    return out.select(
+        "event_type",
+        "n_total",
+        _r("llr_final").alias("llr_final"),
+        F.col("n_decide_h1").cast("bigint").alias("n_decide_h1"),
+        F.col("n_decide_h0").cast("bigint").alias("n_decide_h0"),
+        "decision",
+    )
+
+
 # ---------------------------------------------------------------------------
 
 

@@ -168,6 +168,9 @@ HEADLINE = [
     "classifier_loss",
     "zorder_key",
     "attribution_last_touch",
+    "triangle_count",
+    "kaplan_meier",
+    "sprt_bernoulli",
 ]
 
 

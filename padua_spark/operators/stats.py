@@ -1649,3 +1649,169 @@ def theil_sen_by_group(
         .join(n_pairs, on=list(group_cols))
         .select(*group_cols, "slope", "intercept", "n_pairs")
     )
+
+
+def kaplan_meier(
+    df: DataFrame,
+    group_cols: list[str],
+    duration_col: str,
+    event_col: str,
+) -> DataFrame:
+    """Kaplan-Meier survival estimator per group — time-to-event
+    analysis with right censoring (churn, time-to-failure,
+    time-to-conversion where some subjects never convert):
+
+    ``S(t) = Π_{t' <= t, d_{t'} > 0} (1 - d_{t'} / n_{t'})``
+
+    where ``d_t`` = events at time t and ``n_t`` = subjects still at
+    risk (duration >= t). Censored subjects (``event = 0``) leave the
+    risk set at their censoring time without contributing an event —
+    dropping them entirely (the naive mean-duration estimate) biases
+    survival downward; KM is the standard unbiased estimator.
+
+    Fully relational: one aggregation to per-(group, time) event /
+    censor counts (map-side combine collapses the data to distinct
+    times), one per-group cumulative window over those DISTINCT TIMES
+    (cardinality-sized, never the raw rows), and the product computed
+    as ``exp(Σ ln)`` with an explicit zero flag once the risk set
+    empties (no -inf arithmetic). The window order (time asc) is
+    deterministic, so the running product is engine-reproducible.
+
+    Returns KM curve points — one row per (group, event time with
+    d > 0): ``(groups..., t, n_risk, n_events, n_censored,
+    survival)``.
+    """
+    from pyspark.sql import Window
+
+    dur = F.col(duration_col).cast("double")
+    ev = F.col(event_col).cast("int")
+    base = df.where(dur.isNotNull() & ev.isNotNull())
+    counts = base.groupBy(*group_cols, dur.alias("t")).agg(
+        F.sum(ev).cast("bigint").alias("n_events"),
+        F.sum(1 - ev).cast("bigint").alias("n_censored"),
+    )
+    wcum = (
+        Window.partitionBy(*group_cols)
+        .orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wtot = Window.partitionBy(*group_cols)
+    left_before = (
+        F.sum(F.col("n_events") + F.col("n_censored")).over(wcum)
+        - F.col("n_events")
+        - F.col("n_censored")
+    )
+    staged = counts.withColumn(
+        "n_risk",
+        F.sum(F.col("n_events") + F.col("n_censored")).over(wtot)
+        - left_before,
+    )
+    factor = (
+        F.col("n_risk") - F.col("n_events")
+    ).cast("double") / F.col("n_risk").cast("double")
+    staged = staged.withColumn(
+        "_lnf",
+        F.when(
+            (F.col("n_events") > 0) & (factor > 0), F.log(factor)
+        ).otherwise(F.lit(0.0)),
+    ).withColumn(
+        "_zero",
+        F.when(
+            (F.col("n_events") > 0) & (factor <= 0), 1
+        ).otherwise(0),
+    )
+    surv = F.when(
+        F.max("_zero").over(wcum) == 1, F.lit(0.0)
+    ).otherwise(F.exp(F.sum("_lnf").over(wcum)))
+    return (
+        staged.withColumn("survival", surv)
+        .where(F.col("n_events") > 0)
+        .select(
+            *group_cols,
+            "t",
+            "n_risk",
+            "n_events",
+            "n_censored",
+            "survival",
+        )
+    )
+
+
+def sprt_bernoulli(
+    df: DataFrame,
+    key_cols: list[str],
+    order_cols: list[str],
+    outcome_col: str,
+    p0: float,
+    p1: float,
+    alpha: float = 0.05,
+    beta: float = 0.05,
+) -> DataFrame:
+    """Wald's sequential probability ratio test per key over an ordered
+    Bernoulli stream — the always-valid companion to the fixed-horizon
+    ``two_proportion_ztest``: an A/B monitor may look after EVERY
+    observation and still hold its error rates, stopping as soon as
+
+    ``LLR_n = ones·ln(p1/p0) + zeros·ln((1-p1)/(1-p0))``
+
+    exits ``[ln(β/(1-α)), ln((1-β)/α)]``. Peeking at a z-test this way
+    inflates false positives several-fold; SPRT is the test DESIGNED
+    for it.
+
+    Fully relational: the LLR is a per-key ordered cumsum of two
+    constants (one window pass), crossings are conditional-min
+    aggregates over the row numbers, and because the increments are
+    constants times integer counts the whole trajectory is
+    engine-reproducible. Per-key state is the ordered stream (same
+    entity-sized-key caveat as ``ewma_bounded``).
+
+    Returns one row per key: ``(keys..., n_total, llr_final,
+    n_decide_h1, n_decide_h0, decision)`` where decision ∈
+    {'accept_h1', 'accept_h0', 'continue'} — the FIRST boundary
+    crossed, at its earliest crossing index.
+    """
+    import math
+
+    from pyspark.sql import Window
+
+    if not (0.0 < p0 < 1.0 and 0.0 < p1 < 1.0 and p0 != p1):
+        raise ValueError("sprt_bernoulli: need 0 < p0 != p1 < 1")
+    la = math.log(p1 / p0)
+    lb = math.log((1.0 - p1) / (1.0 - p0))
+    upper = math.log((1.0 - beta) / alpha)
+    lower = math.log(beta / (1.0 - alpha))
+    x = F.col(outcome_col).cast("int")
+    base = df.where(x.isNotNull()).select(
+        *key_cols,
+        *[c for c in order_cols if c not in key_cols],
+        x.alias("_x"),
+    )
+    wo = Window.partitionBy(*key_cols).orderBy(
+        *[F.col(c).asc() for c in order_cols]
+    )
+    run = wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    inc = F.when(F.col("_x") == 1, F.lit(la)).otherwise(F.lit(lb))
+    staged = base.withColumn("_llr", F.sum(inc).over(run)).withColumn(
+        "_rn", F.row_number().over(wo)
+    )
+    agg = staged.groupBy(*key_cols).agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum(inc).alias("llr_final"),
+        F.min(
+            F.when(F.col("_llr") >= F.lit(upper), F.col("_rn"))
+        ).alias("n_decide_h1"),
+        F.min(
+            F.when(F.col("_llr") <= F.lit(lower), F.col("_rn"))
+        ).alias("n_decide_h0"),
+    )
+    h1 = F.col("n_decide_h1")
+    h0 = F.col("n_decide_h0")
+    decision = (
+        F.when(
+            h1.isNotNull() & (h0.isNull() | (h1 < h0)),
+            F.lit("accept_h1"),
+        )
+        .when(h0.isNotNull(), F.lit("accept_h0"))
+        .otherwise(F.lit("continue"))
+    )
+    return agg.withColumn("decision", decision)

@@ -411,6 +411,8 @@ def test_no_cartesian_products_anywhere(spark):
         "retrieval_ndcg",
         # composes bm25_topk — inherits its 1-row corpus-stats broadcast
         "rrf_fusion",
+        # two 1-row global-count frames broadcast onto the 1-row stats
+        "triangle_count",
     }
     bad = {}
     for name, fn in em.queries().items():

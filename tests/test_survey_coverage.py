@@ -210,6 +210,9 @@ COVERAGE = {
     "E95": "padua_spark.io_utils:write_zordered",
     "E96": "entry:attribution_last_touch",
     "E97": "padua_spark.streaming.stateful:cusum_stream",
+    "E98": "padua_spark.extensions.graph:triangle_count",
+    "E99": "padua_spark.operators.stats:kaplan_meier",
+    "E100": "padua_spark.operators.stats:sprt_bernoulli",
 }
 
 

@@ -3447,3 +3447,127 @@ def test_zorder_key_and_layout_pruning(spark, tmp_path):
     # the x-sorted layout prunes x but NOT y
     assert hit_fraction(lboxes, "x", 8, 15) <= 0.25
     assert hit_fraction(lboxes, "y", 8, 15) == 1.0
+
+
+def test_triangle_count_known_graphs(spark):
+    """triangle_count on graphs with known answers: a triangle, a
+    4-clique (4 triangles), a star (0 triangles, many wedges), a path,
+    plus dirty input (self-loops, duplicate + reversed edges)."""
+    from padua_spark.extensions.graph import triangle_count
+
+    def run(edges):
+        df = spark.createDataFrame(edges, "id_a int, id_b int")
+        return triangle_count(df, "id_a", "id_b").collect()[0]
+
+    r = run([(1, 2), (2, 3), (3, 1)])
+    assert (r["n_nodes"], r["n_edges"], r["n_triangles"]) == (3, 3, 1)
+    assert r["n_wedges"] == 3 and abs(r["transitivity"] - 1.0) < 1e-12
+
+    # 4-clique: C(4,3)=4 triangles, wedges = 4*C(3,2)=12, trans=1
+    import itertools
+
+    r = run(list(itertools.combinations(range(4), 2)))
+    assert (r["n_edges"], r["n_triangles"], r["n_wedges"]) == (6, 4, 12)
+    assert abs(r["transitivity"] - 1.0) < 1e-12
+
+    # star K1,4: no triangles, wedges=C(4,2)=6, transitivity 0
+    r = run([(0, i) for i in range(1, 5)])
+    assert (r["n_triangles"], r["n_wedges"]) == (0, 6)
+    assert r["transitivity"] == 0.0
+
+    # path 1-2-3-4: 0 triangles, 2 wedges
+    r = run([(1, 2), (2, 3), (3, 4)])
+    assert (r["n_triangles"], r["n_wedges"]) == (0, 2)
+
+    # dirty input: self-loop + dup + reversed edges collapse to a
+    # single triangle
+    r = run([(1, 1), (1, 2), (2, 1), (2, 3), (3, 1), (1, 3), (1, 3)])
+    assert (r["n_edges"], r["n_triangles"]) == (3, 1)
+
+
+def test_kaplan_meier_textbook(spark):
+    """kaplan_meier against the worked textbook example (times 6,7,10,
+    13 with censoring) and the risk-set-empties edge case S -> 0."""
+    from padua_spark.operators.stats import kaplan_meier
+
+    # classic small cohort: durations (time, event): 6+ censored at 6
+    rows = [
+        ("g", 6.0, 1), ("g", 6.0, 1), ("g", 6.0, 1), ("g", 6.0, 0),
+        ("g", 7.0, 1), ("g", 9.0, 0), ("g", 10.0, 1), ("g", 10.0, 0),
+        ("g", 11.0, 0), ("g", 13.0, 1),
+    ]
+    df = spark.createDataFrame(rows, "g string, dur double, ev int")
+    got = {
+        r["t"]: r
+        for r in kaplan_meier(df, ["g"], "dur", "ev").collect()
+    }
+    # hand KM: t=6 n=10 d=3 -> 0.7 ; t=7 n=6 d=1 -> 0.7*5/6
+    # t=10 n=4 d=1 -> *3/4 ; t=13 n=1 d=1 -> *0 = 0
+    assert set(got) == {6.0, 7.0, 10.0, 13.0}
+    assert got[6.0]["n_risk"] == 10 and got[6.0]["n_events"] == 3
+    assert abs(got[6.0]["survival"] - 0.7) < 1e-12
+    assert got[7.0]["n_risk"] == 6
+    assert abs(got[7.0]["survival"] - 0.7 * 5 / 6) < 1e-12
+    assert got[10.0]["n_risk"] == 4
+    assert abs(got[10.0]["survival"] - 0.7 * (5 / 6) * (3 / 4)) < 1e-12
+    assert got[13.0]["n_risk"] == 1 and got[13.0]["survival"] == 0.0
+    # censored-only group emits no curve points
+    df2 = spark.createDataFrame(
+        [("h", 5.0, 0), ("h", 6.0, 0)], "g string, dur double, ev int"
+    )
+    assert kaplan_meier(df2, ["g"], "dur", "ev").count() == 0
+
+
+def test_sprt_bernoulli_decisions(spark):
+    """sprt_bernoulli against the sequential hand computation: an
+    all-ones stream accepts H1 at the first crossing, all-zeros
+    accepts H0, a short balanced stream continues, and the crossing
+    index matches the textbook recursion."""
+    import math
+
+    from padua_spark.operators.stats import sprt_bernoulli
+
+    p0, p1, a, b = 0.3, 0.7, 0.05, 0.05
+    la, lb = math.log(p1 / p0), math.log((1 - p1) / (1 - p0))
+    up, lo = math.log((1 - b) / a), math.log(b / (1 - a))
+
+    streams = {
+        "ones": [1] * 10,
+        "zeros": [0] * 10,
+        "short": [1, 0, 1, 0],
+        "late": [0, 1, 1, 1, 1, 1, 1, 1],
+    }
+    rows = [
+        (k, i, x)
+        for k, xs in streams.items()
+        for i, x in enumerate(xs)
+    ]
+    df = spark.createDataFrame(rows, "k string, i int, x int")
+    got = {
+        r["k"]: r
+        for r in sprt_bernoulli(
+            df, ["k"], ["i"], "x", p0, p1, alpha=a, beta=b
+        ).collect()
+    }
+
+    for k, xs in streams.items():
+        llr, nh1, nh0 = 0.0, None, None
+        for i, x in enumerate(xs, 1):
+            llr += la if x else lb
+            if nh1 is None and llr >= up:
+                nh1 = i
+            if nh0 is None and llr <= lo:
+                nh0 = i
+        r = got[k]
+        assert abs(r["llr_final"] - llr) < 1e-12, k
+        assert r["n_decide_h1"] == nh1 and r["n_decide_h0"] == nh0, k
+        if nh1 is not None and (nh0 is None or nh1 < nh0):
+            exp = "accept_h1"
+        elif nh0 is not None:
+            exp = "accept_h0"
+        else:
+            exp = "continue"
+        assert r["decision"] == exp, k
+    assert got["ones"]["decision"] == "accept_h1"
+    assert got["zeros"]["decision"] == "accept_h0"
+    assert got["short"]["decision"] == "continue"
