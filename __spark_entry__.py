@@ -10269,6 +10269,93 @@ def q_sprt_bernoulli(spark, sf):
     )
 
 
+# --- ext: HyperLogLog distinct sketch ----------------------------------------
+
+
+def _hll_oracle(p: int = 10) -> str:
+    m = 1 << p
+    wbits = 31 - p
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    msb = " + ".join(
+        f"(CASE WHEN w >= {1 << k} THEN 1 ELSE 0 END)"
+        for k in range(wbits)
+    )
+    return f"""
+WITH t AS (
+  SELECT lang,
+    unnest(list_transform(string_split(text, ' '), tok -> list_reduce(
+        list_prepend(CAST(7 AS BIGINT),
+          list_transform(list_filter(string_split(tok, ''), c -> c <> ''),
+            c -> CAST(ord(c) AS BIGINT))),
+        (a, c) -> (a * 131 + c) % 2147483647))) AS h
+  FROM documents
+),
+regs AS (SELECT lang, (h & {m - 1}) AS reg, (h >> {p}) AS w FROM t),
+rho AS (
+  SELECT lang, reg,
+    CASE WHEN w > 0 THEN {wbits} + 1 - ({msb})
+      ELSE {wbits} + 1 END AS r
+  FROM regs
+),
+rmax AS (SELECT lang, reg, max(r) AS mr FROM rho GROUP BY 1, 2),
+agg AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS n_registers_hit,
+    sum(pow(2.0, -mr)) AS hs
+  FROM rmax GROUP BY lang
+),
+ex AS (
+  SELECT lang, CAST(count(DISTINCT h) AS BIGINT) AS exact_distinct
+  FROM t GROUP BY lang
+),
+est AS (
+  SELECT a.lang, a.n_registers_hit, ex.exact_distinct,
+    CAST({alpha * m * m!r} AS DOUBLE)
+      / (hs + ({m} - n_registers_hit)) AS raw,
+    CAST({m} - n_registers_hit AS DOUBLE) AS v
+  FROM agg a JOIN ex ON a.lang = ex.lang
+)
+SELECT lang, n_registers_hit, exact_distinct,
+  round(CASE WHEN raw <= {2.5 * m!r} AND v > 0
+    THEN {float(m)!r} * ln({float(m)!r} / v) ELSE raw END, 6)
+    AS hll_estimate
+FROM est
+"""
+
+
+@_q("hll_distinct", _hll_oracle())
+def q_hll_distinct(spark, sf):
+    """HyperLogLog token-cardinality per language beside the exact
+    answer (sketches.hll_distinct, p=10 -> 1024 registers): the
+    mergeable industry-standard sketch — (group, register) max-rank
+    aggregation collapses any data size to m rows per group; the rank
+    uses an unrolled threshold sum, never float log2. Exact distinct
+    joined on for the accuracy story."""
+    from padua_spark.extensions.sketches import hll_distinct
+
+    d = _t(spark, sf, "documents")
+    from padua_spark.extensions.dedup import token_hashes
+
+    t = d.select(
+        "lang", F.explode(token_hashes(F.col("text"))).alias("_h")
+    )
+    from pyspark import StorageLevel
+
+    t = t.persist(StorageLevel.MEMORY_AND_DISK)
+    sk = hll_distinct(t, ["lang"], "_h", p=10)
+    ex = t.groupBy("lang").agg(
+        F.countDistinct("_h").alias("exact_distinct")
+    )
+    from padua_spark.io_utils import track_cached
+
+    out = sk.join(F.broadcast(ex), on="lang").select(
+        "lang",
+        "n_registers_hit",
+        "exact_distinct",
+        _r("hll_estimate").alias("hll_estimate"),
+    )
+    return track_cached(out, t)
+
+
 # ---------------------------------------------------------------------------
 
 

@@ -171,6 +171,7 @@ HEADLINE = [
     "triangle_count",
     "kaplan_meier",
     "sprt_bernoulli",
+    "hll_distinct",
 ]
 
 

@@ -320,3 +320,71 @@ def cms_estimate(
     return joined.groupBy(token_col).agg(
         F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("cms_est")
     )
+
+
+def hll_distinct(
+    df: DataFrame,
+    group_cols: list[str],
+    hash_col: str,
+    p: int = 10,
+) -> DataFrame:
+    """Portable HyperLogLog distinct-count estimate per group
+    (Flajolet et al. 2007) — the industry-standard mergeable
+    cardinality sketch beside the exact-k :func:`kmv_distinct`:
+    ``m = 2^p`` registers, register ``j = h & (m-1)`` keeps the max
+    leading-zero rank of ``h >> p``.
+
+    Engine-portable by construction: the input is this package's
+    31-bit polynomial hash, the rank is computed with an UNROLLED
+    threshold-comparison sum (``msb = Σ_k [w >= 2^k]``) — never
+    ``floor(log2(w))``, whose float error at exact powers of two
+    flips the register — and the bias-corrected estimate
+    ``α_m·m²/Σ2^{-M_j}`` with the small-range linear-counting
+    fallback (``m·ln(m/V)``) is plain arithmetic any engine
+    reproduces bit-for-bit.
+
+    Cost shape: one explode-side aggregation to (group, register) max
+    ranks — m rows per group regardless of data size, the whole point
+    of the sketch — then an m-row fold per group. 31-bit hashing
+    bounds usable cardinality well under 2^{31-p}; raise ``mod``-width
+    hashing before trusting estimates beyond ~10^7.
+
+    Returns ``(groups..., n_registers_hit, hll_estimate)``.
+    """
+    import math
+
+    m = 1 << p
+    wbits = 31 - p
+    h = F.col(hash_col).cast("bigint")
+    regs = df.select(
+        *group_cols,
+        h.bitwiseAND(F.lit(m - 1)).alias("_reg"),
+        F.shiftright(h, p).alias("_w"),
+    )
+    msb = sum(
+        F.when(F.col("_w") >= F.lit(1 << k), 1).otherwise(0)
+        for k in range(wbits)
+    )
+    rho = F.when(F.col("_w") > 0, F.lit(wbits) + 1 - msb).otherwise(
+        F.lit(wbits) + 1
+    )
+    rmax = regs.select(*group_cols, "_reg", rho.alias("_rho")).groupBy(
+        *group_cols, "_reg"
+    ).agg(F.max("_rho").alias("_m"))
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    agg = rmax.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_registers_hit"),
+        F.sum(F.pow(F.lit(2.0), -F.col("_m"))).alias("_hsum"),
+    )
+    # absent registers (rank 0) contribute 2^0 = 1 each to the
+    # harmonic sum; V = m - hit is also the linear-counting zero count
+    hsum = F.col("_hsum") + (F.lit(m) - F.col("n_registers_hit"))
+    raw = F.lit(alpha * m * m) / hsum
+    v = (F.lit(m) - F.col("n_registers_hit")).cast("double")
+    lc = F.lit(float(m)) * F.log(F.lit(float(m)) / v)
+    est = F.when((raw <= F.lit(2.5 * m)) & (v > 0), lc).otherwise(raw)
+    return agg.select(
+        *group_cols,
+        "n_registers_hit",
+        est.alias("hll_estimate"),
+    )

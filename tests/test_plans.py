@@ -413,6 +413,8 @@ def test_no_cartesian_products_anywhere(spark):
         "rrf_fusion",
         # two 1-row global-count frames broadcast onto the 1-row stats
         "triangle_count",
+        # 4-row exact-distinct frame broadcast onto the sketch output
+        "hll_distinct",
     }
     bad = {}
     for name, fn in em.queries().items():

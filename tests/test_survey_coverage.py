@@ -213,6 +213,7 @@ COVERAGE = {
     "E98": "padua_spark.extensions.graph:triangle_count",
     "E99": "padua_spark.operators.stats:kaplan_meier",
     "E100": "padua_spark.operators.stats:sprt_bernoulli",
+    "E101": "padua_spark.extensions.sketches:hll_distinct",
 }
 
 

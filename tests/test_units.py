@@ -3571,3 +3571,36 @@ def test_sprt_bernoulli_decisions(spark):
     assert got["ones"]["decision"] == "accept_h1"
     assert got["zeros"]["decision"] == "accept_h0"
     assert got["short"]["decision"] == "continue"
+
+
+def test_hll_distinct_accuracy_and_determinism(spark):
+    """hll_distinct: estimate within the expected ~3% band (p=10) on a
+    known cardinality, exact at tiny cardinality via linear counting,
+    and insensitive to duplication (a sketch property)."""
+    from padua_spark.extensions.sketches import hll_distinct
+
+    import random
+
+    rng = random.Random(7)
+    n = 20000
+    # genuinely mixed hashes: an arithmetic progression mod p is NOT a
+    # valid HLL input (its leading-zero ranks are structured — +75%
+    # bias measured); real inputs come from the polynomial token hash
+    df = spark.createDataFrame(
+        [("g", rng.getrandbits(31)) for _ in range(n)],
+        "g string, h long",
+    )
+    r = hll_distinct(df, ["g"], "h", p=10).collect()[0]
+    assert abs(r["hll_estimate"] - n) / n < 0.1
+    # duplication must not move the estimate at all
+    dup = df.unionAll(df).unionAll(df)
+    r2 = hll_distinct(dup, ["g"], "h", p=10).collect()[0]
+    assert r2["hll_estimate"] == r["hll_estimate"]
+    assert r2["n_registers_hit"] == r["n_registers_hit"]
+    # tiny cardinality: linear counting is near-exact
+    small = spark.createDataFrame(
+        [("s", rng.getrandbits(31)) for _ in range(50)],
+        "g string, h long",
+    )
+    rs = hll_distinct(small, ["g"], "h", p=10).collect()[0]
+    assert abs(rs["hll_estimate"] - 50) < 2.0
