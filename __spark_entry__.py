@@ -10356,6 +10356,176 @@ def q_hll_distinct(spark, sf):
     return track_cached(out, t)
 
 
+# --- ext: Dunn post-hoc pairwise comparisons ---------------------------------
+
+
+_DUNN_ORACLE = """
+WITH base AS (
+  SELECT l_returnflag AS g, l_quantity AS v FROM lineitem
+  WHERE l_returnflag IN ('A', 'N', 'R') AND l_quantity IS NOT NULL
+),
+r AS (SELECT g, v, row_number() OVER (ORDER BY v) AS rn FROM base),
+mid AS (
+  SELECT g,
+    min(rn) OVER (PARTITION BY v) + max(rn) OVER (PARTITION BY v)
+      AS two_m
+  FROM r
+),
+ag AS (
+  SELECT g, CAST(count(*) AS BIGINT) AS n,
+    CAST(sum(two_m) AS BIGINT) AS r2
+  FROM mid GROUP BY g
+),
+ties AS (
+  SELECT CAST(sum(c * c * c - c) AS BIGINT) AS tie
+  FROM (SELECT CAST(count(*) AS BIGINT) AS c FROM base GROUP BY v)
+),
+nt AS (SELECT CAST(sum(n) AS BIGINT) AS n_total FROM ag),
+p AS (
+  SELECT a.g AS group_a, b.g AS group_b, a.n AS n_a, b.n AS n_b,
+    CAST(a.r2 AS DOUBLE) / (2.0 * a.n) AS mean_rank_a,
+    CAST(b.r2 AS DOUBLE) / (2.0 * b.n) AS mean_rank_b,
+    tie, n_total
+  FROM ag a JOIN ag b ON a.g < b.g, ties, nt
+),
+zf AS (
+  SELECT *,
+    (mean_rank_a - mean_rank_b)
+    / sqrt((CAST(n_total AS DOUBLE) * (n_total + 1.0) / 12.0
+            - CAST(tie AS DOUBLE) / (12.0 * (n_total - 1.0)))
+           * (1.0 / n_a + 1.0 / n_b)) AS z
+  FROM p
+),
+pv AS (
+  SELECT group_a, group_b, n_a, n_b, mean_rank_a, mean_rank_b, z,
+    (0.254829592 * t + -0.284496736 * t * t
+     + 1.421413741 * t * t * t + -1.453152027 * t * t * t * t
+     + 1.061405429 * t * t * t * t * t) * exp(-x * x) AS p_normal
+  FROM (
+    SELECT *, abs(z) / sqrt(2.0) AS x,
+      1.0 / (1.0 + 0.3275911 * (abs(z) / sqrt(2.0))) AS t
+    FROM zf
+  )
+),
+bh AS (
+  SELECT *,
+    row_number() OVER (ORDER BY p_normal, group_a, group_b) AS rk,
+    CAST(count(*) OVER () AS DOUBLE) AS m
+  FROM pv
+)
+SELECT group_a, group_b, n_a, n_b,
+  round(mean_rank_a, 6) AS mean_rank_a,
+  round(mean_rank_b, 6) AS mean_rank_b,
+  round(z, 6) AS z, round(p_normal, 6) AS p_normal,
+  round(least(1.0, min(p_normal * m / rk) OVER (
+    ORDER BY p_normal DESC, group_a DESC, group_b DESC
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), 6)
+    AS p_adjusted
+FROM bh
+"""
+
+
+@_q("dunn_posthoc", _DUNN_ORACLE)
+def q_dunn_posthoc(spark, sf):
+    """Dunn's post-hoc pairwise z tests after Kruskal-Wallis on
+    lineitem quantity by return flag (stats.dunn_posthoc): WHICH
+    groups differ — pooled exact doubled midranks from the same
+    distributed scaffolding as the H statistic, pair statistics and
+    the BH adjustment on the C(k,2)-row frame only. A&S-erfc p shared
+    verbatim with the oracle."""
+    from padua_spark.operators.stats import dunn_posthoc
+
+    li = _t(spark, sf, "lineitem")
+    out = dunn_posthoc(
+        li, "l_returnflag", "l_quantity", ["A", "N", "R"]
+    )
+    return out.select(
+        "group_a", "group_b", "n_a", "n_b",
+        _r("mean_rank_a").alias("mean_rank_a"),
+        _r("mean_rank_b").alias("mean_rank_b"),
+        _r("z").alias("z"),
+        _r("p_normal").alias("p_normal"),
+        _r("p_adjusted").alias("p_adjusted"),
+    )
+
+
+# --- ext: Mann-Kendall trend test --------------------------------------------
+
+
+_MANN_KENDALL_ORACLE = """
+WITH pts AS (
+  SELECT l_orderkey AS g, l_linenumber AS x, l_quantity AS y
+  FROM lineitem
+  WHERE l_linenumber IS NOT NULL AND l_quantity IS NOT NULL
+),
+s AS (
+  SELECT a.g,
+    CAST(sum(CASE WHEN b.y > a.y THEN 1
+                  WHEN b.y < a.y THEN -1 ELSE 0 END) AS BIGINT)
+      AS s_stat
+  FROM pts a JOIN pts b ON a.g = b.g AND a.x < b.x
+  GROUP BY a.g
+),
+cnt AS (SELECT g, CAST(count(*) AS BIGINT) AS n_obs FROM pts GROUP BY g),
+ties AS (
+  SELECT g, CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie
+  FROM (SELECT g, y, CAST(count(*) AS BIGINT) AS t FROM pts GROUP BY 1, 2)
+  GROUP BY g
+),
+j AS (
+  SELECT cnt.g, cnt.n_obs, coalesce(s.s_stat, 0) AS s_stat,
+    (CAST(cnt.n_obs AS DOUBLE) * (cnt.n_obs - 1.0)
+       * (2.0 * cnt.n_obs + 5.0)
+     - CAST(ties.tie AS DOUBLE)) / 18.0 AS var_s
+  FROM cnt LEFT JOIN s ON cnt.g = s.g JOIN ties ON cnt.g = ties.g
+),
+zf AS (
+  SELECT g, n_obs, s_stat, var_s,
+    CASE WHEN var_s > 0 THEN
+      CASE WHEN s_stat > 0 THEN (s_stat - 1.0) / sqrt(var_s)
+           WHEN s_stat < 0 THEN (s_stat + 1.0) / sqrt(var_s)
+           ELSE 0.0 END
+    END AS z
+  FROM j
+)
+SELECT g AS l_orderkey, n_obs, s_stat, round(var_s, 6) AS var_s,
+  round(z, 6) AS z,
+  round(CASE WHEN z IS NOT NULL THEN
+    (0.254829592 * t + -0.284496736 * t * t
+     + 1.421413741 * t * t * t + -1.453152027 * t * t * t * t
+     + 1.061405429 * t * t * t * t * t) * exp(-x2 * x2) END, 6)
+    AS p_normal
+FROM (
+  SELECT *, abs(coalesce(z, 0.0)) / sqrt(2.0) AS x2,
+    1.0 / (1.0 + 0.3275911 * (abs(coalesce(z, 0.0)) / sqrt(2.0))) AS t
+  FROM zf
+)
+"""
+
+
+@_q("mann_kendall", _MANN_KENDALL_ORACLE)
+def q_mann_kendall(spark, sf):
+    """Mann-Kendall monotone-trend test of quantity over line number
+    per order (stats.mann_kendall): the significance companion to the
+    theil_sen_trend entry — exact integer S and tie sums over the
+    same bounded per-order pairs, continuity-corrected z, A&S-erfc
+    p."""
+    from padua_spark.operators.stats import mann_kendall
+
+    li = _t(spark, sf, "lineitem")
+    out = mann_kendall(
+        li, ["l_orderkey"], "l_linenumber", "l_quantity"
+    )
+    return out.select(
+        "l_orderkey",
+        "n_obs",
+        "s_stat",
+        _r("var_s").alias("var_s"),
+        _r("z").alias("z"),
+        _r("p_normal").alias("p_normal"),
+    )
+
+
 # ---------------------------------------------------------------------------
 
 

@@ -172,6 +172,8 @@ HEADLINE = [
     "kaplan_meier",
     "sprt_bernoulli",
     "hll_distinct",
+    "dunn_posthoc",
+    "mann_kendall",
 ]
 
 

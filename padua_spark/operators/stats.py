@@ -1815,3 +1815,214 @@ def sprt_bernoulli(
         .otherwise(F.lit("continue"))
     )
     return agg.withColumn("decision", decision)
+
+
+def dunn_posthoc(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    groups: list,
+    small_domain_threshold: int | None = None,
+) -> DataFrame:
+    """Dunn's post-hoc pairwise comparisons after Kruskal–Wallis —
+    WHICH groups differ, not just whether any do: for each group pair,
+
+    ``z = (r̄_i - r̄_j) / sqrt((N(N+1)/12 - Σ(t³-t)/(12(N-1)))
+                               · (1/n_i + 1/n_j))``
+
+    on the POOLED midranks, with Benjamini-Hochberg adjustment across
+    the k(k-1)/2 pairs.
+
+    Scale shape: identical scaffolding to
+    :func:`kruskal_wallis_stats` — per-distinct-value per-group
+    counts, the distributed two-pass running sum for integer doubled
+    midranks — reduced to ONE row of per-group sums; every pair
+    statistic, the A&S-erfc p, and the BH pass run on the C(k,2)-row
+    frame (the partitionless BH window is over that constant-size
+    frame, never data). Output one row per pair (groups ordered
+    lexicographically): ``(group_a, group_b, n_a, n_b, mean_rank_a,
+    mean_rank_b, z, p_normal, p_adjusted)``.
+    """
+    from pyspark.sql import Window
+
+    from padua_spark.io_utils import track_cached
+
+    gs = sorted(str(g) for g in groups)
+    v = F.col(value_col)
+    cols = [f"_c{i}" for i in range(len(gs))]
+    per = (
+        df.where(F.col(group_col).isin(list(groups)) & v.isNotNull())
+        .groupBy(v.alias("_v"))
+        .agg(
+            *[
+                F.count(F.when(F.col(group_col) == g, 1)).alias(c)
+                for g, c in zip(gs, cols)
+            ]
+        )
+    )
+    pooled = per.select(
+        "_v", *cols,
+        sum([F.col(c) for c in cols[1:]], F.col(cols[0])).alias("_ct"),
+    )
+    stepped = _stepped_running_counts(
+        pooled, "_v", ["_ct"], small_domain_threshold
+    )
+    two_rbar = (
+        2 * (F.col("_ct_run") - F.col("_ct")) + F.col("_ct") + 1
+    )
+    agg = stepped.agg(
+        *[
+            F.sum(F.col(c) * two_rbar).alias(f"_2r{i}")
+            for i, c in enumerate(cols)
+        ],
+        *[F.sum(c).cast("bigint").alias(f"_n{i}") for i, c in enumerate(cols)],
+        F.sum(
+            F.col("_ct") * F.col("_ct") * F.col("_ct") - F.col("_ct")
+        ).alias("_tie"),
+    )
+    n_total = sum(
+        [F.col(f"_n{i}") for i in range(1, len(cols))], F.col("_n0")
+    )
+    agg = agg.withColumn("_nt", n_total)
+    # one explode of a literal struct array — a union of per-pair
+    # selects would recompute the whole upstream aggregation per branch
+    structs = []
+    for i in range(len(gs)):
+        for j in range(i + 1, len(gs)):
+            structs.append(
+                F.struct(
+                    F.lit(gs[i]).alias("group_a"),
+                    F.lit(gs[j]).alias("group_b"),
+                    F.col(f"_n{i}").alias("n_a"),
+                    F.col(f"_n{j}").alias("n_b"),
+                    (
+                        F.col(f"_2r{i}").cast("double")
+                        / (2.0 * F.col(f"_n{i}"))
+                    ).alias("mean_rank_a"),
+                    (
+                        F.col(f"_2r{j}").cast("double")
+                        / (2.0 * F.col(f"_n{j}"))
+                    ).alias("mean_rank_b"),
+                )
+            )
+    pairs = agg.select(
+        "_tie", "_nt", F.explode(F.array(*structs)).alias("_p")
+    ).select("_p.*", "_tie", "_nt")
+    m_pairs = len(structs)
+    nd = F.col("_nt").cast("double")
+    var = (
+        nd * (nd + 1.0) / 12.0
+        - F.col("_tie").cast("double") / (12.0 * (nd - 1.0))
+    ) * (
+        1.0 / F.col("n_a").cast("double")
+        + 1.0 / F.col("n_b").cast("double")
+    )
+    z = (F.col("mean_rank_a") - F.col("mean_rank_b")) / F.sqrt(var)
+    scored = pairs.select(
+        "group_a", "group_b", "n_a", "n_b",
+        "mean_rank_a", "mean_rank_b",
+        z.alias("z"),
+    ).withColumn("p_normal", _normal_sf_2sided(F.col("z")))
+    m = m_pairs
+    w_asc = Window.orderBy("p_normal", "group_a", "group_b")
+    w_desc = Window.orderBy(
+        F.col("p_normal").desc(),
+        F.col("group_a").desc(),
+        F.col("group_b").desc(),
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ranked = scored.withColumn("_rk", F.row_number().over(w_asc))
+    out = ranked.withColumn(
+        "p_adjusted",
+        F.least(
+            F.lit(1.0),
+            F.min(
+                F.col("p_normal") * F.lit(float(m)) / F.col("_rk")
+            ).over(w_desc),
+        ),
+    ).drop("_rk")
+    return track_cached(out, *getattr(stepped, "_padua_cached", ()))
+
+
+def mann_kendall(
+    df: DataFrame,
+    group_cols: list[str],
+    order_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Mann-Kendall trend test per bounded group — the significance
+    companion to :func:`theil_sen_by_group` (Theil-Sen answers "what
+    slope", MK answers "is there a monotone trend at all", with no
+    distributional assumption):
+
+    ``S = Σ_{i<j} sign(y_j - y_i)`` over pairs ordered by
+    ``order_col``; tie-corrected
+    ``Var(S) = [n(n-1)(2n+5) - Σ_t t(t-1)(2t+5)] / 18``;
+    continuity-corrected ``z = (S ∓ 1)/sqrt(Var)``; two-sided A&S
+    p.
+
+    Same scale contract as Theil-Sen: groups must be BOUNDED (the
+    pair join is quadratic per group); S and both tie sums are exact
+    integers, so everything up to the final division is
+    hash-portable. Returns ``(groups..., n_obs, s_stat, var_s, z,
+    p_normal)``; z/p NULL when the variance degenerates (all values
+    tied or n < 2).
+    """
+    x = F.col(order_col)
+    y = F.col(value_col)
+    base = df.where(x.isNotNull() & y.isNotNull()).select(
+        *group_cols, x.alias("_x"), y.alias("_y")
+    )
+    a = base.select(
+        *group_cols, F.col("_x").alias("_xa"), F.col("_y").alias("_ya")
+    )
+    b = base.select(
+        *group_cols, F.col("_x").alias("_xb"), F.col("_y").alias("_yb")
+    )
+    pairs = a.join(b, on=group_cols).where(F.col("_xa") < F.col("_xb"))
+    s = pairs.groupBy(*group_cols).agg(
+        F.sum(F.signum(F.col("_yb") - F.col("_ya")))
+        .cast("bigint")
+        .alias("s_stat")
+    )
+    counts = base.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_obs")
+    )
+    ties = (
+        base.groupBy(*group_cols, "_y")
+        .agg(F.count(F.lit(1)).alias("_t"))
+        .groupBy(*group_cols)
+        .agg(
+            F.sum(
+                F.col("_t")
+                * (F.col("_t") - 1)
+                * (2 * F.col("_t") + 5)
+            )
+            .cast("bigint")
+            .alias("_tie")
+        )
+    )
+    j = counts.join(s, on=group_cols, how="left").join(
+        ties, on=group_cols
+    )
+    n = F.col("n_obs").cast("double")
+    var_s = (
+        n * (n - 1.0) * (2.0 * n + 5.0)
+        - F.col("_tie").cast("double")
+    ) / 18.0
+    sS = F.coalesce(F.col("s_stat"), F.lit(0)).cast("double")
+    z = F.when(sS > 0, (sS - 1.0) / F.sqrt(var_s)).when(
+        sS < 0, (sS + 1.0) / F.sqrt(var_s)
+    ).otherwise(F.lit(0.0))
+    out = j.select(
+        *group_cols,
+        "n_obs",
+        F.coalesce(F.col("s_stat"), F.lit(0)).alias("s_stat"),
+        var_s.alias("var_s"),
+        F.when(var_s > 0, z).alias("z"),
+    )
+    return out.withColumn(
+        "p_normal",
+        F.when(
+            F.col("z").isNotNull(), _normal_sf_2sided(F.col("z"))
+        ),
+    )

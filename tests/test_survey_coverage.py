@@ -214,6 +214,8 @@ COVERAGE = {
     "E99": "padua_spark.operators.stats:kaplan_meier",
     "E100": "padua_spark.operators.stats:sprt_bernoulli",
     "E101": "padua_spark.extensions.sketches:hll_distinct",
+    "E102": "padua_spark.operators.stats:dunn_posthoc",
+    "E103": "padua_spark.operators.stats:mann_kendall",
 }
 
 

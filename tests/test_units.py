@@ -3604,3 +3604,97 @@ def test_hll_distinct_accuracy_and_determinism(spark):
     )
     rs = hll_distinct(small, ["g"], "h", p=10).collect()[0]
     assert abs(rs["hll_estimate"] - 50) < 2.0
+
+
+def test_dunn_posthoc_hand_computed(spark):
+    """dunn_posthoc against a hand computation with ties: pooled
+    midranks, tie-corrected variance, BH monotone adjustment."""
+    import math
+
+    rows = (
+        [("a", v) for v in (1.0, 2.0, 3.0, 4.0)]
+        + [("b", v) for v in (3.0, 5.0, 6.0, 7.0)]
+        + [("c", v) for v in (8.0, 9.0, 10.0, 10.0)]
+    )
+    from padua_spark.operators.stats import dunn_posthoc
+
+    df = spark.createDataFrame(rows, "g string, v double")
+    got = {
+        (r["group_a"], r["group_b"]): r
+        for r in dunn_posthoc(df, ["g", "v"][0], "v", ["a", "b", "c"]).collect()
+    }
+    # pooled midranks: 1,2,(3,4 tie->3.5),5,6,7,8,9,10,(11,12 tie->11.5)
+    ranks = {
+        "a": [1, 2, 3.5, 5],
+        "b": [3.5, 6, 7, 8],
+        "c": [9, 10, 11.5, 11.5],
+    }
+    n, tie = 12, (2 ** 3 - 2) * 2
+    base_var = n * (n + 1) / 12.0 - tie / (12.0 * (n - 1))
+    ps = {}
+    for ga, gb in [("a", "b"), ("a", "c"), ("b", "c")]:
+        ra = sum(ranks[ga]) / 4
+        rb = sum(ranks[gb]) / 4
+        z = (ra - rb) / math.sqrt(base_var * (1 / 4 + 1 / 4))
+        r = got[(ga, gb)]
+        assert abs(r["mean_rank_a"] - ra) < 1e-12
+        assert abs(r["mean_rank_b"] - rb) < 1e-12
+        assert abs(r["z"] - z) < 1e-9
+        ps[(ga, gb)] = r["p_normal"]
+    # BH: padj_i = min over j>=i of p_(j)*m/j, clamped at 1
+    ordered = sorted(ps.items(), key=lambda kv: kv[1])
+    m = 3
+    adj, best = {}, float("inf")
+    for i in range(m - 1, -1, -1):
+        best = min(best, ordered[i][1] * m / (i + 1))
+        adj[ordered[i][0]] = min(1.0, best)
+    for k, r in got.items():
+        assert abs(r["p_adjusted"] - adj[k]) < 1e-9, k
+
+
+def test_mann_kendall_hand_computed(spark):
+    """mann_kendall vs the textbook computation: rising series, flat
+    (all-tied -> NULL z), mixed with ties, and singleton groups."""
+    import math
+
+    from padua_spark.operators.stats import mann_kendall
+
+    series = {
+        "up": [1.0, 2.0, 3.0, 4.0, 5.0],
+        "flat": [2.0, 2.0, 2.0, 2.0],
+        "mix": [3.0, 1.0, 3.0, 2.0, 5.0],
+        "one": [7.0],
+    }
+    rows = [
+        (k, i + 1, v)
+        for k, vs in series.items()
+        for i, v in enumerate(vs)
+    ]
+    df = spark.createDataFrame(rows, "g string, x int, y double")
+    got = {
+        r["g"]: r for r in mann_kendall(df, ["g"], "x", "y").collect()
+    }
+    for k, vs in series.items():
+        n = len(vs)
+        s = sum(
+            (vs[j] > vs[i]) - (vs[j] < vs[i])
+            for i in range(n)
+            for j in range(i + 1, n)
+        )
+        from collections import Counter
+
+        tie = sum(
+            t * (t - 1) * (2 * t + 5) for t in Counter(vs).values()
+        )
+        var = (n * (n - 1) * (2 * n + 5) - tie) / 18.0
+        r = got[k]
+        assert r["s_stat"] == s and r["n_obs"] == n, k
+        assert abs(r["var_s"] - var) < 1e-12, k
+        if var > 0:
+            z = (s - 1) / math.sqrt(var) if s > 0 else (
+                (s + 1) / math.sqrt(var) if s < 0 else 0.0
+            )
+            assert abs(r["z"] - z) < 1e-12, k
+        else:
+            assert r["z"] is None and r["p_normal"] is None, k
+    assert got["up"]["z"] > 1.0 and got["mix"]["p_normal"] > 0.3
