@@ -10106,10 +10106,10 @@ counts AS (
 ),
 risk AS (
   SELECT *,
-    sum(n_events + n_censored) OVER (PARTITION BY cohort)
+    CAST(sum(n_events + n_censored) OVER (PARTITION BY cohort)
       - (sum(n_events + n_censored) OVER (PARTITION BY cohort ORDER BY t
           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-         - n_events - n_censored) AS n_risk
+         - n_events - n_censored) AS BIGINT) AS n_risk
   FROM counts
 ),
 f AS (
