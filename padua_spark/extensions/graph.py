@@ -381,6 +381,14 @@ def triangle_count(
         .where(F.col("_u") != F.col("_v"))
         .distinct()
     )
+    if persist_oriented:
+        # the cleaned edge frame feeds FOUR consumers (degree union x2,
+        # the orientation join, the edge count); without a persist the
+        # whole upstream candidate-generation pipeline re-runs per
+        # consumer (measured 8s -> ~4s on the minhash graph at sf0.1)
+        from pyspark import StorageLevel
+
+        e = e.persist(StorageLevel.MEMORY_AND_DISK)
     deg = (
         e.select(F.col("_u").alias("_x"))
         .unionAll(e.select(F.col("_v").alias("_x")))
@@ -452,5 +460,5 @@ def triangle_count(
     if persist_oriented:
         from padua_spark.io_utils import track_cached
 
-        out = track_cached(out, oriented)
+        out = track_cached(out, oriented, e)
     return out
