@@ -444,7 +444,11 @@ def test_multi_consumer_frames_are_cached(spark):
     import __spark_entry__ as em
 
     for name in ("windowed_psi", "dedup_spans", "bm25_topk",
-                 "mutual_information"):
+                 "mutual_information",
+                 # round-7 multi-consumer frames: shingle/token/edge
+                 # intermediates feeding 3-4 branches each
+                 "ppjoin_pairs", "containment_pairs", "token_pmi",
+                 "keyness_llr", "triangle_count", "hll_distinct"):
         plan = explain_str(em.queries()[name](spark, SF_ORACLE), "simple")
         assert "InMemoryTableScan" in plan, f"{name}: no cache in plan"
 
