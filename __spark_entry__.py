@@ -8622,7 +8622,8 @@ s AS (
 )
 SELECT round((CAST(nt AS DOUBLE) - 1.0) / CAST(nt AS DOUBLE)
              * (s0 / CAST(n0 AS DOUBLE) + s1 / CAST(n1 AS DOUBLE)
-                + s2 / CAST(n2 AS DOUBLE)), 6) AS a2_akn,
+                + s2 / CAST(n2 AS DOUBLE)) / CAST(nt AS DOUBLE),
+             6) AS a2_akn,
   CAST(nt AS BIGINT) AS n_total, CAST(3 AS BIGINT) AS k_groups,
   CAST(nl AS BIGINT) AS n_distinct
 FROM s
@@ -9648,17 +9649,21 @@ tb AS (
 ),
 ca AS (SELECT token, CAST(count(*) AS BIGINT) AS count_a FROM ta GROUP BY 1),
 cb AS (SELECT token, CAST(count(*) AS BIGINT) AS count_b FROM tb GROUP BY 1),
-c AS (
+m AS (
   SELECT coalesce(ca.token, cb.token) AS token,
     CAST(coalesce(count_a, 0) AS BIGINT) AS count_a,
     CAST(coalesce(count_b, 0) AS BIGINT) AS count_b
   FROM ca FULL OUTER JOIN cb ON ca.token = cb.token
-  WHERE coalesce(count_a, 0) + coalesce(count_b, 0) >= 5
 ),
+-- true corpus totals: BEFORE the min_total vocabulary filter
 tot AS (
   SELECT CAST(sum(count_a) AS BIGINT) AS na,
     CAST(sum(count_b) AS BIGINT) AS nb
-  FROM c
+  FROM m
+),
+c AS (
+  SELECT token, count_a, count_b FROM m
+  WHERE count_a + count_b >= 5
 ),
 g AS (
   SELECT token, count_a, count_b,

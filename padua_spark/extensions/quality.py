@@ -646,9 +646,12 @@ def chi2_gof(
     One hash aggregation over the categories (≤ cardinality rows),
     then exact arithmetic per category. With ``expected`` given, its
     values are probabilities keyed by category (must cover every
-    observed category; missing keys error loudly at execution via a
-    null-propagating join would hide bias, so they raise). Output 1
-    row: ``(chi2, n_total, k_categories, dfree)``.
+    observed category; a missing key errors loudly at execution — a
+    null-propagating join would hide bias). The join is FULL OUTER:
+    an expected category with zero observations still contributes its
+    ``(0−E)²/E = n·p`` term and counts toward ``dfree`` — silently
+    dropping it would underestimate chi². Output 1 row:
+    ``(chi2, n_total, k_categories, dfree)``.
     """
     counts = (
         df.where(F.col(category_col).isNotNull())
@@ -656,9 +659,9 @@ def chi2_gof(
         .agg(F.count(F.lit(1)).alias("_n"))
     )
     w = Window.partitionBy()
-    total = F.sum("_n").over(w).cast("double")
-    k = F.count(F.lit(1)).over(w)
     if expected is None:
+        total = F.sum("_n").over(w).cast("double")
+        k = F.count(F.lit(1)).over(w)
         exp_n = total / k.cast("double")
     else:
         spark = df.sparkSession
@@ -666,7 +669,17 @@ def chi2_gof(
             [(str(c), float(p)) for c, p in sorted(expected.items())],
             "_cat string, _p double",
         )
-        counts = counts.join(F.broadcast(exp_df), on="_cat", how="left")
+        # full outer: unobserved-but-expected categories keep their
+        # n·p term (observed count coalesced to 0) instead of vanishing
+        counts = (
+            counts.join(exp_df, on="_cat", how="full_outer")
+            .select(
+                "_cat",
+                F.coalesce("_n", F.lit(0)).alias("_n"),
+                "_p",
+            )
+        )
+        total = F.sum("_n").over(w).cast("double")
         exp_n = total * F.coalesce(
             F.col("_p"),
             F.raise_error(

@@ -1167,7 +1167,11 @@ def keyness_llr(
     Token counts use multiplicity (occurrence counts, not document
     presence). Each side is one explode + aggregate with map-side
     combine; the vocabularies meet in a full outer join on token
-    (vocab-sized); the two corpus totals are a 1-row broadcast. Every
+    (vocab-sized); the two corpus totals are a 1-row broadcast.
+    Totals ``n_a``/``n_b`` are TRUE corpus totals — aggregated from the
+    merged count frame BEFORE the ``min_total`` vocabulary filter, so
+    rare-token mass still contributes to the expected counts (Dunning's
+    statistic over the full corpus, not the retained vocabulary). Every
     input to the arithmetic is an exact integer, so G² is
     engine-reproducible.
 
@@ -1187,24 +1191,23 @@ def keyness_llr(
 
     ca = _counts(df_a, "count_a")
     cb = _counts(df_b, "count_b")
-    counts = (
-        ca.join(cb, on="token", how="full_outer")
-        .select(
-            "token",
-            F.coalesce("count_a", F.lit(0)).alias("count_a"),
-            F.coalesce("count_b", F.lit(0)).alias("count_b"),
-        )
-        .where(
-            (F.col("count_a") + F.col("count_b")) >= F.lit(min_total)
-        )
+    merged = ca.join(cb, on="token", how="full_outer").select(
+        "token",
+        F.coalesce("count_a", F.lit(0)).alias("count_a"),
+        F.coalesce("count_b", F.lit(0)).alias("count_b"),
     )
     if persist_counts:
         from pyspark import StorageLevel
 
-        counts = counts.persist(StorageLevel.MEMORY_AND_DISK)
-    totals = counts.agg(
+        # persisted PRE-filter: both the totals aggregation and the
+        # retained-vocabulary branch consume it
+        merged = merged.persist(StorageLevel.MEMORY_AND_DISK)
+    totals = merged.agg(
         F.sum("count_a").cast("bigint").alias("_na"),
         F.sum("count_b").cast("bigint").alias("_nb"),
+    )
+    counts = merged.where(
+        (F.col("count_a") + F.col("count_b")) >= F.lit(min_total)
     )
     j = counts.join(F.broadcast(totals))
     a = F.col("count_a").cast("double")
@@ -1233,5 +1236,5 @@ def keyness_llr(
     if persist_counts:
         from padua_spark.io_utils import track_cached
 
-        out = track_cached(out, counts)
+        out = track_cached(out, merged)
     return out

@@ -1320,7 +1320,12 @@ def anderson_darling_ksamp(
     counts. With the half-steps doubled the statistic is exact integer
     arithmetic until one division per (group, value):
 
-    ``A²akN = (N−1)/N · Σ_i (1/n_i) Σ_j h_j·X_ij² / (D_j(2N−D_j) − N·h_j)``
+    ``A²akN = (N−1)/N² · Σ_i (1/n_i) Σ_j h_j·X_ij² / (D_j(2N−D_j) − N·h_j)``
+
+    (equivalently the paper's ``(h_j/N)·(N·M_ij − n_i·B_j)² /
+    (B_j(N−B_j) − N·h_j/4)`` with the half-steps doubled — numerator
+    gains 4, denominator gains 4, and the ``h_j/N`` factor is folded
+    into the final scale).
 
     where ``X_ij = N·(2F_ij − f_ij) − n_i·(2F_j − h_j)`` and
     ``D_j = 2F_j − h_j`` are integers (F = inclusive running count,
@@ -1384,7 +1389,8 @@ def anderson_darling_ksamp(
     for i in range(g):
         t = F.col(f"_s{i}") / F.col(f"_n{i}").cast("double")
         inner = t if inner is None else inner + t
-    a2 = (nd - 1.0) / nd * inner
+    # the paper's per-term h_j/N factor, applied once at the end
+    a2 = (nd - 1.0) / nd * inner / nd
     out = agg.select(
         F.when(F.col("n_distinct") > 1, a2).alias("a2_akn"),
         "n_total",
@@ -1577,11 +1583,51 @@ def mutual_information(
     return track_cached(out, joint)
 
 
+def _enforce_bounded_groups(
+    base: DataFrame,
+    group_cols: list[str],
+    max_group_size: int | None,
+    op_name: str,
+) -> None:
+    """Preflight for the deliberately O(n_g²) pair operators
+    (:func:`theil_sen_by_group`, :func:`mann_kendall`): ONE map-side-
+    combined count aggregation + a 1-row collect BEFORE the quadratic
+    pair join is ever launched. A single hot key at 100× data silently
+    turns the self-join quadratic; this raises with the offending key
+    instead — the same explicit-bound discipline as the Gram cell
+    guard (ml.py) and the connected-components shortcut bound
+    (graph.py). ``max_group_size=None`` opts out for callers who know
+    their key distribution."""
+    if max_group_size is None:
+        return
+    hot = (
+        base.groupBy(*group_cols)
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .where(F.col("_n") > int(max_group_size))
+        .orderBy(F.col("_n").desc())
+        .limit(1)
+        .collect()
+    )
+    if hot:
+        r = hot[0]
+        key = tuple(r[c] for c in group_cols)
+        raise ValueError(
+            f"{op_name}: group {key} has {r['_n']} rows, above "
+            f"max_group_size={max_group_size}. The within-group pair "
+            f"join is O(n_g²) per group — a hot key this size "
+            f"would launch {r['_n'] * (r['_n'] - 1) // 2} pairs for "
+            f"one group. Pre-aggregate the series, use a linear "
+            f"alternative (e.g. linregress), or pass "
+            f"max_group_size=None to override deliberately."
+        )
+
+
 def theil_sen_by_group(
     df: DataFrame,
     group_cols: list[str],
     x_col: str,
     y_col: str,
+    max_group_size: int | None = 10_000,
 ) -> DataFrame:
     """Theil–Sen robust trend per group: the MEDIAN of all pairwise
     slopes ``(y_j−y_i)/(x_j−x_i)`` over ``x_i < x_j``, with the
@@ -1595,9 +1641,12 @@ def theil_sen_by_group(
     with BOUNDED group size (timepoints per feature, lineitems per
     order: n_g ≤ tens). With group sizes in the thousands use
     :func:`linregress`; an unbounded hot group makes the pair join
-    quadratic and no engine saves that. Pairs with tied x are
-    excluded (undefined slope — the standard convention). Groups
-    with no valid pair emit no row.
+    quadratic and no engine saves that. The contract is ENFORCED:
+    a preflight count aggregation raises (naming the offending key)
+    if any group exceeds ``max_group_size`` before the pair join is
+    launched; pass ``max_group_size=None`` to opt out deliberately.
+    Pairs with tied x are excluded (undefined slope — the standard
+    convention). Groups with no valid pair emit no row.
 
     Medians reuse :func:`normalization.group_medians` (exact, ANSI
     two-middle interpolation — DuckDB-identical). Output:
@@ -1608,6 +1657,9 @@ def theil_sen_by_group(
     x, y = F.col(x_col), F.col(y_col)
     pts = df.where(x.isNotNull() & y.isNotNull()).select(
         *group_cols, x.alias("_x"), y.alias("_y")
+    )
+    _enforce_bounded_groups(
+        pts, list(group_cols), max_group_size, "theil_sen_by_group"
     )
     a = pts.select(
         *group_cols,
@@ -1839,7 +1891,12 @@ def dunn_posthoc(
     midranks — reduced to ONE row of per-group sums; every pair
     statistic, the A&S-erfc p, and the BH pass run on the C(k,2)-row
     frame (the partitionless BH window is over that constant-size
-    frame, never data). Output one row per pair (groups ordered
+    frame, never data). Unlike :func:`theil_sen_by_group` /
+    :func:`mann_kendall` this is NOT subject to the bounded-group-size
+    contract: no row-level pair join exists — cost scales with the
+    number of DISTINCT values (stepped cumsum) and C(k,2) group pairs,
+    both bounded, so no ``max_group_size`` preflight is needed.
+    Output one row per pair (groups ordered
     lexicographically): ``(group_a, group_b, n_a, n_b, mean_rank_a,
     mean_rank_b, z, p_normal, p_adjusted)``.
     """
@@ -1847,7 +1904,12 @@ def dunn_posthoc(
 
     from padua_spark.io_utils import track_cached
 
-    gs = sorted(str(g) for g in groups)
+    # (label, raw) pairs: the string label only orders the output
+    # deterministically — comparisons use the RAW group value (as
+    # kruskal_wallis_stats does), so numeric labels neither rely on an
+    # implicit string cast nor get lexicographic 1 < 10 < 2 ordering
+    # applied to the filter semantics
+    gs = sorted(((str(g), g) for g in groups), key=lambda t: t[0])
     v = F.col(value_col)
     cols = [f"_c{i}" for i in range(len(gs))]
     per = (
@@ -1855,8 +1917,8 @@ def dunn_posthoc(
         .groupBy(v.alias("_v"))
         .agg(
             *[
-                F.count(F.when(F.col(group_col) == g, 1)).alias(c)
-                for g, c in zip(gs, cols)
+                F.count(F.when(F.col(group_col) == F.lit(raw), 1)).alias(c)
+                for (_, raw), c in zip(gs, cols)
             ]
         )
     )
@@ -1891,8 +1953,8 @@ def dunn_posthoc(
         for j in range(i + 1, len(gs)):
             structs.append(
                 F.struct(
-                    F.lit(gs[i]).alias("group_a"),
-                    F.lit(gs[j]).alias("group_b"),
+                    F.lit(gs[i][0]).alias("group_a"),
+                    F.lit(gs[j][0]).alias("group_b"),
                     F.col(f"_n{i}").alias("n_a"),
                     F.col(f"_n{j}").alias("n_b"),
                     (
@@ -1948,6 +2010,7 @@ def mann_kendall(
     group_cols: list[str],
     order_col: str,
     value_col: str,
+    max_group_size: int | None = 10_000,
 ) -> DataFrame:
     """Mann-Kendall trend test per bounded group — the significance
     companion to :func:`theil_sen_by_group` (Theil-Sen answers "what
@@ -1960,8 +2023,10 @@ def mann_kendall(
     continuity-corrected ``z = (S ∓ 1)/sqrt(Var)``; two-sided A&S
     p.
 
-    Same scale contract as Theil-Sen: groups must be BOUNDED (the
-    pair join is quadratic per group); S and both tie sums are exact
+    Same scale contract as Theil-Sen — and same ENFORCEMENT: a
+    preflight raises on any group above ``max_group_size`` before the
+    quadratic pair join launches (``None`` opts out); S and both tie
+    sums are exact
     integers, so everything up to the final division is
     hash-portable. Returns ``(groups..., n_obs, s_stat, var_s, z,
     p_normal)``; z/p NULL when the variance degenerates (all values
@@ -1971,6 +2036,9 @@ def mann_kendall(
     y = F.col(value_col)
     base = df.where(x.isNotNull() & y.isNotNull()).select(
         *group_cols, x.alias("_x"), y.alias("_y")
+    )
+    _enforce_bounded_groups(
+        base, list(group_cols), max_group_size, "mann_kendall"
     )
     a = base.select(
         *group_cols, F.col("_x").alias("_xa"), F.col("_y").alias("_ya")

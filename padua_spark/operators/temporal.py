@@ -194,14 +194,18 @@ def cusum_changepoint(
 
     The textbook recursion ``S+_i = max(0, S+_{i-1} + z_i - drift)``
     looks inherently sequential, but the reflection identity turns it
-    into pure window algebra: with ``c_i = cumsum(z - drift)``,
+    into pure window algebra: with ``c+_i = cumsum(z - drift)`` and
+    ``c-_i = cumsum(z + drift)`` (the allowance ``k = drift`` damps
+    BOTH sides, so the negative recursion ``S-_i = max(0, S-_{i-1}
+    - z_i - drift)`` needs its own cumsum with the sign flipped),
 
-    ``S+_i = c_i - min(0, running_min(c)_i)``
-    ``S-_i = max(0, running_max(c)_i) - c_i``
+    ``S+_i = c+_i - min(0, running_min(c+)_i)``
+    ``S-_i = max(0, running_max(c-)_i) - c-_i``
 
     so the whole scan is one shuffle on the key and two chained window
-    passes over the SAME ordered spec (cumsum, then running min/max of
-    it) — no recursion, no Python, engine-reproducible. The deviations
+    passes over the SAME ordered spec (both cumsums and both running
+    extrema land in one Window exec each) — no recursion, no Python,
+    engine-reproducible. The deviations
     use the per-key mean (two-pass: one aggregation joined back), so a
     level shift mid-series yields a large ``|S|`` peak at the shift
     point.
@@ -234,13 +238,19 @@ def cusum_changepoint(
         *[F.col(c).asc() for c in order_cols]
     )
     run = wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    staged = (
+        staged.withColumn(
+            "_cp", F.sum(F.col("_v") - F.col("_mu") - F.lit(drift)).over(run)
+        )
+        .withColumn(
+            "_cn", F.sum(F.col("_v") - F.col("_mu") + F.lit(drift)).over(run)
+        )
+        .withColumn("_pos", F.row_number().over(wo))
+    )
     staged = staged.withColumn(
-        "_c", F.sum(F.col("_v") - F.col("_mu") - F.lit(drift)).over(run)
-    ).withColumn("_pos", F.row_number().over(wo))
-    staged = staged.withColumn(
-        "_sp", F.col("_c") - F.least(F.lit(0.0), F.min("_c").over(run))
+        "_sp", F.col("_cp") - F.least(F.lit(0.0), F.min("_cp").over(run))
     ).withColumn(
-        "_sn", F.greatest(F.lit(0.0), F.max("_c").over(run)) - F.col("_c")
+        "_sn", F.greatest(F.lit(0.0), F.max("_cn").over(run)) - F.col("_cn")
     )
     # argmax with earliest-position tiebreak via lexicographic struct
     # max: (S, -pos) — one aggregation, no extra window pass

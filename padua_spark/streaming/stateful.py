@@ -154,12 +154,16 @@ def kmv_distinct_stream(
     )
 
 
-def _cusum_fold_chunk(st: tuple, z):
-    """Fold one ordered chunk of deviations into CUSUM state
-    ``(sp, sn, spm, snm, cpp, cpn, n)`` via the reflection identity
-    with the carried S as initial condition — chunk-split-invariant
-    (unit-tested against the sequential recursion), which is what
-    makes :func:`cusum_stream` exactly equal its batch twin."""
+def _cusum_fold_chunk(st: tuple, dev, drift: float = 0.0):
+    """Fold one ordered chunk of deviations ``dev = v - target`` into
+    CUSUM state ``(sp, sn, spm, snm, cpp, cpn, n)`` via the reflection
+    identity with the carried S as initial condition —
+    chunk-split-invariant (unit-tested against the sequential
+    recursion), which is what makes :func:`cusum_stream` exactly equal
+    its batch twin. The allowance ``drift`` damps BOTH sides: the
+    positive fold accumulates ``dev - drift``, the negative fold
+    ``-dev - drift`` (i.e. ``-(dev + drift)``) — mirroring the two
+    cumsums of ``operators.temporal.cusum_changepoint``."""
     import numpy as np
 
     sp, sn, spm, snm, cpp, cpn, n = st
@@ -169,8 +173,8 @@ def _cusum_fold_chunk(st: tuple, z):
         runmin = np.minimum.accumulate(np.minimum(c, 0.0))
         return c - runmin
 
-    s_pos = _fold(sp, z)
-    s_neg = _fold(sn, -z)
+    s_pos = _fold(sp, dev - drift)
+    s_neg = _fold(sn, -dev - drift)
     bm = float(s_pos.max())
     if bm > spm:
         spm, cpp = bm, n + int(np.argmax(s_pos)) + 1
@@ -184,7 +188,7 @@ def _cusum_fold_chunk(st: tuple, z):
         snm,
         cpp,
         cpn,
-        n + len(z),
+        n + len(dev),
     )
 
 
@@ -252,12 +256,8 @@ def cusum_stream(
             pdf = pdf.dropna(subset=[value_col]).sort_values(order_col)
             if not len(pdf):
                 continue
-            z = (
-                pdf[value_col].to_numpy(dtype="float64")
-                - float(target)
-                - float(drift)
-            )
-            st = _cusum_fold_chunk(st, z)
+            dev = pdf[value_col].to_numpy(dtype="float64") - float(target)
+            st = _cusum_fold_chunk(st, dev, float(drift))
         state.update(st)
         sp, sn, spm, snm, cpp, cpn, n = st
         yield pd.DataFrame(

@@ -137,25 +137,28 @@ def test_cusum_fold_chunk_split_invariant():
     z = rng.normal(0.0, 3.0, 40)
     z[20:] += 4.0  # drift onset
 
-    # ground truth: sequential recursion with first-max positions
-    sp = sn = spm = snm = 0.0
-    cpp = cpn = 0
-    for i, zi in enumerate(z, 1):
-        sp = max(0.0, sp + zi)
-        sn = max(0.0, sn - zi)
-        if sp > spm:
-            spm, cpp = sp, i
-        if sn > snm:
-            snm, cpn = sn, i
-    truth = (spm, snm, cpp, cpn)
+    # ground truth: sequential recursion with first-max positions,
+    # at drift=0 AND with a damping allowance k>0 (S+ = max(0, S+z-k),
+    # S- = max(0, S-z-k) — k damps BOTH sides)
+    for k_allow in (0.0, 0.6):
+        sp = sn = spm = snm = 0.0
+        cpp = cpn = 0
+        for i, zi in enumerate(z, 1):
+            sp = max(0.0, sp + zi - k_allow)
+            sn = max(0.0, sn - zi - k_allow)
+            if sp > spm:
+                spm, cpp = sp, i
+            if sn > snm:
+                snm, cpn = sn, i
+        truth = (spm, snm, cpp, cpn)
 
-    for cuts in [[40], [1, 39], [13, 13, 14], [5] * 8, [39, 1]]:
-        st = (0.0, 0.0, 0.0, 0.0, 0, 0, 0)
-        pos = 0
-        for c in cuts:
-            st = _cusum_fold_chunk(st, z[pos:pos + c])
-            pos += c
-        got = (st[2], st[3], st[4], st[5])
-        assert np.allclose(got[:2], truth[:2], atol=1e-9), cuts
-        assert got[2:] == truth[2:], cuts
-        assert st[6] == 40
+        for cuts in [[40], [1, 39], [13, 13, 14], [5] * 8, [39, 1]]:
+            st = (0.0, 0.0, 0.0, 0.0, 0, 0, 0)
+            pos = 0
+            for c in cuts:
+                st = _cusum_fold_chunk(st, z[pos:pos + c], k_allow)
+                pos += c
+            got = (st[2], st[3], st[4], st[5])
+            assert np.allclose(got[:2], truth[:2], atol=1e-9), (k_allow, cuts)
+            assert got[2:] == truth[2:], (k_allow, cuts)
+            assert st[6] == 40

@@ -2393,6 +2393,20 @@ def test_chi2_gof(spark):
     with _pytest.raises(Exception, match="missing from expected"):
         chi2_gof(df, "cat", expected={"a": 0.5, "b": 0.5}).collect()
 
+    # expected category with ZERO observations still contributes its
+    # (0-E)^2/E = n*p term and counts toward k/dfree
+    row3 = chi2_gof(
+        df, "cat", expected={"a": 0.3, "b": 0.5, "c": 0.1, "d": 0.1}
+    ).collect()[0]
+    exp3 = sum(
+        (o - 100 * p) ** 2 / (100 * p)
+        for o, p in [(30, 0.3), (50, 0.5), (20, 0.1), (0, 0.1)]
+    )
+    assert row3["chi2"] == pytest.approx(exp3, abs=1e-9)
+    assert (row3["n_total"], row3["k_categories"], row3["dfree"]) == (
+        100, 4, 3,
+    )
+
 
 def test_decontaminate_ngrams(spark):
     """Exact n-gram decontamination: a train doc sharing an exact
@@ -2470,7 +2484,7 @@ def test_anderson_darling_ksamp_matches_reference(spark):
             a2 += s_i / ni
             # reset pooled cumulative for next sample
             cum = 0
-        return (n - 1) / n * a2
+        return (n - 1) / n * a2 / n
 
     samples = [
         [v for g_, v in rows if g_ == grp] for grp in ("a", "b", "c")
@@ -2505,6 +2519,30 @@ def test_anderson_darling_ksamp_matches_reference(spark):
         .collect()[0]["a2_akn"]
         is None
     )
+
+
+def test_anderson_darling_ksamp_scholz_stephens_table(spark):
+    """Non-circular golden check: the four paper-smoothness samples from
+    Scholz & Stephens (1987, Table 7 — the same example scipy's
+    anderson_ksamp test suite uses) give midrank A2akN = 8.3926, i.e.
+    normalized T = (A2 - (k-1)) / sigma_N = 4.480 with sigma_N = 1.2038
+    (scipy's midrank=True Tk; the continuous variant is 8.3559 / 4.449)."""
+    from padua_spark.operators.stats import anderson_darling_ksamp
+
+    samples = {
+        "t1": [38.7, 41.5, 43.8, 44.5, 45.5, 46.0, 47.7, 58.0],
+        "t2": [39.2, 39.3, 39.7, 41.4, 41.8, 42.9, 43.3, 45.8],
+        "t3": [34.0, 35.0, 39.0, 40.0, 43.0, 43.0, 44.0, 45.0],
+        "t4": [34.0, 34.8, 34.8, 35.4, 37.2, 37.8, 41.2, 42.8],
+    }
+    rows = [(g, v) for g, vs in samples.items() for v in vs]
+    df = spark.createDataFrame(rows, ["g", "v"])
+    row = anderson_darling_ksamp(
+        df, "g", "v", ["t1", "t2", "t3", "t4"]
+    ).collect()[0]
+    assert row["n_total"] == 32
+    assert row["k_groups"] == 4
+    assert row["a2_akn"] == pytest.approx(8.3926, abs=5e-4)
 
 
 def test_skew_profile_and_join_cardinality(spark):
@@ -2805,6 +2843,29 @@ def test_theil_sen_by_group(spark):
     got = theil_sen_by_group(df2, ["g"], "x", "y").collect()[0]
     assert got["slope"] == pytest.approx(med, abs=1e-12)
     assert got["intercept"] == pytest.approx(icpt, abs=1e-12)
+
+
+def test_quadratic_pair_operators_enforce_group_bound(spark):
+    """theil_sen_by_group and mann_kendall raise BEFORE launching the
+    O(n_g^2) pair join when a group exceeds max_group_size, naming the
+    offending key; max_group_size=None opts out; bounded groups pass
+    untouched — the enforced version of the documented scale contract."""
+    from padua_spark.operators.stats import mann_kendall, theil_sen_by_group
+
+    rows = [("hot", float(i), float(i)) for i in range(8)] + [
+        ("cold", float(i), float(2 * i)) for i in range(3)
+    ]
+    df = spark.createDataFrame(rows, ["g", "x", "y"])
+
+    for op in (theil_sen_by_group, mann_kendall):
+        with pytest.raises(ValueError, match=r"hot.*8 rows"):
+            op(df, ["g"], "x", "y", max_group_size=5)
+        # opt-out still computes
+        out = op(df, ["g"], "x", "y", max_group_size=None).collect()
+        assert {r["g"] for r in out} == {"hot", "cold"}
+        # bound above the hottest group -> untouched
+        out2 = op(df, ["g"], "x", "y", max_group_size=8).collect()
+        assert {r["g"] for r in out2} == {"hot", "cold"}
 
 
 def test_ewma_bounded_matches_pandas_semantics(spark):
@@ -3147,6 +3208,33 @@ def test_cusum_changepoint_reflection_identity(spark):
         assert r["n_obs"] == len(vs)
     # the downward drift before the shift peaks exactly at the shift
     assert got["a"]["cp_neg"] == 4
+
+    # drift > 0: the allowance k must DAMP both sides —
+    # S+ = max(0, S + z - k), S- = max(0, S - z - k)
+    k_allow = 0.75
+    got_d = {
+        r["key"]: r
+        for r in cusum_changepoint(
+            df, ["key"], ["t"], "v", drift=k_allow
+        ).collect()
+    }
+    for k, vs in series.items():
+        mu = sum(vs) / len(vs)
+        sp = sn = 0.0
+        sps, sns = [], []
+        for v in vs:
+            sp = max(0.0, sp + (v - mu) - k_allow)
+            sn = max(0.0, sn - (v - mu) - k_allow)
+            sps.append(sp)
+            sns.append(sn)
+        r = got_d[k]
+        assert abs(r["cusum_pos_max"] - max(sps)) < 1e-9, k
+        assert abs(r["cusum_neg_max"] - max(sns)) < 1e-9, k
+        assert r["cp_pos"] == sps.index(max(sps)) + 1, k
+        assert r["cp_neg"] == sns.index(max(sns)) + 1, k
+        # damping, not amplifying: both maxima shrink vs drift=0
+        assert max(sps) <= got[k]["cusum_pos_max"] + 1e-9, k
+        assert max(sns) <= got[k]["cusum_neg_max"] + 1e-9, k
 
 
 def test_group_auc_rank_sum(spark):
@@ -3650,6 +3738,29 @@ def test_dunn_posthoc_hand_computed(spark):
         adj[ordered[i][0]] = min(1.0, best)
     for k, r in got.items():
         assert abs(r["p_adjusted"] - adj[k]) < 1e-9, k
+
+    # numeric group labels: comparisons must use the RAW values (no
+    # implicit string cast); labels only order the output. Same data
+    # with groups 1, 2, 10 must reproduce the a/b/c statistics under
+    # the mapping a->1, b->2, c->10 (string order "1" < "10" < "2").
+    num_rows = [
+        ({"a": 1, "b": 2, "c": 10}[g], v) for g, v in rows
+    ]
+    ndf = spark.createDataFrame(num_rows, "g int, v double")
+    ngot = {
+        (r["group_a"], r["group_b"]): r
+        for r in dunn_posthoc(ndf, "g", "v", [1, 2, 10]).collect()
+    }
+    assert set(ngot) == {("1", "10"), ("1", "2"), ("10", "2")}
+    relabel = {("1", "2"): ("a", "b"), ("1", "10"): ("a", "c"),
+               ("10", "2"): ("c", "b")}
+    for kk, r in ngot.items():
+        ga, gb = relabel[kk]
+        ra = sum(ranks[ga]) / 4
+        rb = sum(ranks[gb]) / 4
+        assert abs(r["mean_rank_a"] - ra) < 1e-12, kk
+        assert abs(r["mean_rank_b"] - rb) < 1e-12, kk
+        assert (r["n_a"], r["n_b"]) == (4, 4), kk
 
 
 def test_mann_kendall_hand_computed(spark):
