@@ -10192,6 +10192,144 @@ def q_kaplan_meier(spark, sf):
     )
 
 
+# --- ext: two-group log-rank survival test -----------------------------------
+
+
+_LOGRANK_ORACLE = """
+WITH e AS (
+  SELECT user_id, epoch_us(ts) AS tu, event_type FROM events
+),
+u AS (
+  SELECT user_id,
+    min(tu) AS t0,
+    max(tu) AS t_last,
+    min(CASE WHEN event_type = 'error' THEN tu END) AS t_err
+  FROM e GROUP BY user_id
+),
+subj AS (
+  SELECT user_id % 2 AS cohort,
+    CASE WHEN t_err IS NOT NULL
+      THEN CAST(floor((t_err - t0) / 3600000000.0) AS BIGINT)
+      ELSE CAST(floor((t_last - t0) / 3600000000.0) AS BIGINT)
+    END AS dur,
+    CASE WHEN t_err IS NOT NULL THEN 1 ELSE 0 END AS ev
+  FROM u
+),
+per AS (
+  SELECT CAST(dur AS DOUBLE) AS t,
+    CAST(sum(CASE WHEN cohort = 0 THEN ev ELSE 0 END) AS BIGINT) AS ev_a,
+    CAST(count(*) FILTER (WHERE cohort = 0) AS BIGINT) AS lv_a,
+    CAST(sum(CASE WHEN cohort = 1 THEN ev ELSE 0 END) AS BIGINT) AS ev_b,
+    CAST(count(*) FILTER (WHERE cohort = 1) AS BIGINT) AS lv_b
+  FROM subj GROUP BY 1
+),
+run AS (
+  SELECT *,
+    sum(lv_a) OVER w AS lv_a_run, sum(lv_b) OVER w AS lv_b_run,
+    sum(lv_a) OVER () AS lv_a_tot, sum(lv_b) OVER () AS lv_b_tot
+  FROM per
+  WINDOW w AS (ORDER BY t
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+terms AS (
+  SELECT ev_a, ev_b, lv_a_tot, lv_b_tot,
+    lv_a_tot - (lv_a_run - lv_a) AS n_a,
+    lv_b_tot - (lv_b_run - lv_b) AS n_b
+  FROM run
+),
+t2 AS (
+  SELECT ev_a, ev_b, lv_a_tot, lv_b_tot,
+    ev_a + ev_b AS d, n_a + n_b AS n,
+    CAST(n_a AS DOUBLE) / (n_a + n_b) AS ra
+  FROM terms
+),
+agg AS (
+  SELECT
+    CAST(max(lv_a_tot) AS BIGINT) AS n_a,
+    CAST(max(lv_b_tot) AS BIGINT) AS n_b,
+    CAST(sum(ev_a) AS BIGINT) AS observed_a,
+    CAST(sum(ev_b) AS BIGINT) AS observed_b,
+    sum(CASE WHEN d > 0 THEN CAST(d AS DOUBLE) * ra
+        ELSE 0.0 END) AS expected_a,
+    sum(CAST(d AS DOUBLE) - CASE WHEN d > 0 THEN CAST(d AS DOUBLE) * ra
+        ELSE 0.0 END) AS expected_b,
+    sum(CASE WHEN d > 0 AND n > 1 THEN
+      CAST(d AS DOUBLE) * ra * (1.0 - ra)
+      * CAST(n - d AS DOUBLE) / CAST(n - 1 AS DOUBLE)
+      ELSE 0.0 END) AS v
+  FROM t2
+),
+chi AS (
+  SELECT *,
+    CASE WHEN v > 0 THEN
+      (CAST(observed_a AS DOUBLE) - expected_a)
+      * (CAST(observed_a AS DOUBLE) - expected_a) / v
+    END AS chi2
+  FROM agg
+)
+SELECT n_a, n_b, observed_a, round(expected_a, 6) AS expected_a,
+  observed_b, round(expected_b, 6) AS expected_b,
+  round(chi2, 6) AS chi2,
+  round(CASE WHEN chi2 IS NOT NULL THEN
+    (0.254829592 * tt + -0.284496736 * tt * tt
+     + 1.421413741 * tt * tt * tt + -1.453152027 * tt * tt * tt * tt
+     + 1.061405429 * tt * tt * tt * tt * tt) * exp(-x2 * x2) END, 6)
+    AS p_value
+FROM (
+  SELECT *, sqrt(coalesce(chi2, 0.0)) / sqrt(2.0) AS x2,
+    1.0 / (1.0 + 0.3275911 * (sqrt(coalesce(chi2, 0.0)) / sqrt(2.0))) AS tt
+  FROM chi
+)
+"""
+
+
+@_q("logrank_test", _LOGRANK_ORACLE)
+def q_logrank_test(spark, sf):
+    """Two-group log-rank test on time-to-first-error between even/odd
+    user cohorts (stats.logrank_test): the significance companion to
+    kaplan_meier on the SAME risk-table semantics — O-E and the
+    hypergeometric variance accumulated over pooled distinct event
+    times via the shared distributed stepped cumsum, chi2 with 1 df,
+    A&S-erfc p shared verbatim with the oracle."""
+    from padua_spark.operators.stats import logrank_test
+    from padua_spark.streaming.windows import epoch_us_col
+
+    base = _t(spark, sf, "events")
+    ev = base.select(
+        "user_id",
+        epoch_us_col(base, "ts").alias("_tu"),
+        "event_type",
+    )
+    u = ev.groupBy("user_id").agg(
+        F.min("_tu").alias("_t0"),
+        F.max("_tu").alias("_tl"),
+        F.min(
+            F.when(F.col("event_type") == "error", F.col("_tu"))
+        ).alias("_te"),
+    )
+    subj = u.select(
+        (F.col("user_id") % 2).alias("cohort"),
+        F.floor(
+            (
+                F.coalesce(F.col("_te"), F.col("_tl")) - F.col("_t0")
+            )
+            / 3600000000.0
+        )
+        .cast("bigint")
+        .alias("_dur"),
+        F.col("_te").isNotNull().cast("int").alias("_ev"),
+    )
+    out = logrank_test(subj, "cohort", "_dur", "_ev", 0, 1)
+    return out.select(
+        "n_a", "n_b", "observed_a",
+        _r("expected_a").alias("expected_a"),
+        "observed_b",
+        _r("expected_b").alias("expected_b"),
+        _r("chi2").alias("chi2"),
+        _r("p_value").alias("p_value"),
+    )
+
+
 # --- ext: Wald SPRT sequential A/B test --------------------------------------
 
 

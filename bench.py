@@ -174,6 +174,7 @@ HEADLINE = [
     "hll_distinct",
     "dunn_posthoc",
     "mann_kendall",
+    "logrank_test",
 ]
 
 

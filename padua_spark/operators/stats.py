@@ -1789,6 +1789,102 @@ def kaplan_meier(
     )
 
 
+def logrank_test(
+    df: DataFrame,
+    group_col: str,
+    duration_col: str,
+    event_col: str,
+    group_a,
+    group_b,
+    small_domain_threshold: int | None = None,
+) -> DataFrame:
+    """Two-group log-rank test — the standard significance companion to
+    :func:`kaplan_meier` (KM answers "what do the survival curves look
+    like", log-rank answers "do the two groups' hazards differ"): at
+    every pooled event time t with ``d_t > 0`` total events,
+
+    ``O_a − E_a = Σ_t (d_at − d_t·n_at/n_t)``
+    ``V = Σ_t d_t·(n_at/n_t)·(1 − n_at/n_t)·(n_t − d_t)/(n_t − 1)``
+
+    (hypergeometric mean/variance of group-a deaths conditional on the
+    risk sets), ``chi2 = (O_a − E_a)²/V`` with 1 df, and the p-value
+    via the chi²₁ ≡ Z² identity ``p = P(|Z| > sqrt(chi2))`` — the
+    shared A&S-erfc path, no new special function.
+
+    Scale shape: ONE aggregation collapses the fact table to
+    per-distinct-duration counts (events and total leaving, per
+    group), then the shared distributed stepped cumsum
+    (:func:`_stepped_running_counts` — the same machinery as ECDF/
+    Kruskal–Wallis/Anderson–Darling) produces at-risk counts
+    ``n_gt = total_g − left_before_t`` without any data-sized
+    partitionless window, and a final 1-row aggregation forms O/E/V.
+    Censored subjects leave the risk set at their censoring time
+    without contributing an event — exactly KM's risk-table semantics.
+
+    Output 1 row: ``(n_a, n_b, observed_a, expected_a, observed_b,
+    expected_b, chi2, p_value)``; chi2/p NULL when the variance
+    degenerates (no events, or all events in risk sets of size 1).
+
+    Beyond the reference (padua has no survival analysis); standard
+    construction per Mantel/Cox and Klein & Moeschberger.
+    """
+    from padua_spark.io_utils import track_cached
+
+    dur = F.col(duration_col).cast("double")
+    ev = F.col(event_col).cast("int")
+    g = F.col(group_col)
+    base = df.where(
+        dur.isNotNull() & ev.isNotNull() & g.isin([group_a, group_b])
+    )
+    in_a = g == F.lit(group_a)
+    per = base.groupBy(dur.alias("_t")).agg(
+        F.sum(F.when(in_a, ev).otherwise(0)).cast("bigint").alias("ev_a"),
+        F.count(F.when(in_a, 1)).cast("bigint").alias("lv_a"),
+        F.sum(F.when(~in_a, ev).otherwise(0)).cast("bigint").alias("ev_b"),
+        F.count(F.when(~in_a, 1)).cast("bigint").alias("lv_b"),
+    )
+    stepped = _stepped_running_counts(
+        per, "_t", ["ev_a", "lv_a", "ev_b", "lv_b"], small_domain_threshold
+    )
+    # at risk at t = total subjects − subjects who left strictly before
+    n_a = F.col("lv_a_tot") - (F.col("lv_a_run") - F.col("lv_a"))
+    n_b = F.col("lv_b_tot") - (F.col("lv_b_run") - F.col("lv_b"))
+    d_t = F.col("ev_a") + F.col("ev_b")
+    n_t = n_a + n_b
+    ra = n_a.cast("double") / n_t.cast("double")
+    e_a = F.when(d_t > 0, d_t.cast("double") * ra).otherwise(F.lit(0.0))
+    v = F.when(
+        (d_t > 0) & (n_t > 1),
+        d_t.cast("double")
+        * ra
+        * (1.0 - ra)
+        * (n_t - d_t).cast("double")
+        / (n_t - 1).cast("double"),
+    ).otherwise(F.lit(0.0))
+    agg = stepped.agg(
+        F.max("lv_a_tot").alias("n_a"),
+        F.max("lv_b_tot").alias("n_b"),
+        F.sum("ev_a").cast("bigint").alias("observed_a"),
+        F.sum("ev_b").cast("bigint").alias("observed_b"),
+        F.sum(e_a).alias("expected_a"),
+        F.sum(d_t.cast("double") - e_a).alias("expected_b"),
+        F.sum(v).alias("_v"),
+    )
+    oe = F.col("observed_a").cast("double") - F.col("expected_a")
+    chi2 = F.when(F.col("_v") > 0, oe * oe / F.col("_v"))
+    out = agg.select(
+        "n_a",
+        "n_b",
+        "observed_a",
+        "expected_a",
+        "observed_b",
+        "expected_b",
+        chi2.alias("chi2"),
+        _normal_sf_2sided(F.sqrt(chi2)).alias("p_value"),
+    )
+    return track_cached(out, *getattr(stepped, "_padua_cached", ()))
+
+
 def sprt_bernoulli(
     df: DataFrame,
     key_cols: list[str],

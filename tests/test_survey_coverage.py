@@ -216,6 +216,7 @@ COVERAGE = {
     "E101": "padua_spark.extensions.sketches:hll_distinct",
     "E102": "padua_spark.operators.stats:dunn_posthoc",
     "E103": "padua_spark.operators.stats:mann_kendall",
+    "E104": "padua_spark.operators.stats:logrank_test",
 }
 
 

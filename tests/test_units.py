@@ -2845,6 +2845,51 @@ def test_theil_sen_by_group(spark):
     assert got["intercept"] == pytest.approx(icpt, abs=1e-12)
 
 
+def test_logrank_test_freireich_trial(spark):
+    """logrank_test reproduces the published chi2 of the classic
+    Freireich 6-MP leukemia trial (chi2 = 16.79, p ~ 4.2e-5 — the
+    canonical textbook log-rank example), is symmetric under group
+    swap, returns chi2 = 0 for identical groups, and agrees between
+    the small-domain and forced-distributed stepped-cumsum paths."""
+    from padua_spark.operators.stats import logrank_test
+
+    mp_ev = [6, 6, 6, 7, 10, 13, 16, 22, 23]
+    mp_cen = [6, 9, 10, 11, 17, 19, 20, 25, 32, 32, 34, 35]
+    plac = [1, 1, 2, 2, 3, 4, 4, 5, 5, 8, 8, 8, 8, 11, 11, 12, 12,
+            15, 17, 22, 23]
+    rows = (
+        [("mp", float(t), 1) for t in mp_ev]
+        + [("mp", float(t), 0) for t in mp_cen]
+        + [("plac", float(t), 1) for t in plac]
+    )
+    df = spark.createDataFrame(rows, "g string, dur double, ev int")
+
+    for thr in (None, 0):  # default small-domain path + forced distributed
+        kw = {"small_domain_threshold": thr} if thr is not None else {}
+        r = logrank_test(df, "g", "dur", "ev", "mp", "plac", **kw).collect()[0]
+        assert (r["n_a"], r["n_b"]) == (21, 21)
+        assert (r["observed_a"], r["observed_b"]) == (9, 21)
+        assert r["expected_a"] == pytest.approx(19.2505, abs=5e-4)
+        assert r["chi2"] == pytest.approx(16.7929, abs=5e-4)
+        assert r["p_value"] == pytest.approx(4.17e-5, rel=5e-2)
+
+    # group swap: same chi2, O/E columns mirrored
+    rs = logrank_test(df, "g", "dur", "ev", "plac", "mp").collect()[0]
+    r0 = logrank_test(df, "g", "dur", "ev", "mp", "plac").collect()[0]
+    assert rs["chi2"] == pytest.approx(r0["chi2"], abs=1e-9)
+    assert rs["observed_a"] == r0["observed_b"]
+    assert rs["expected_a"] == pytest.approx(r0["expected_b"], abs=1e-9)
+
+    # identical groups -> O = E exactly -> chi2 = 0
+    same = spark.createDataFrame(
+        [(g, float(t), e) for g in ("x", "y")
+         for t, e in [(1, 1), (2, 1), (3, 0), (4, 1)]],
+        "g string, dur double, ev int",
+    )
+    ri = logrank_test(same, "g", "dur", "ev", "x", "y").collect()[0]
+    assert ri["chi2"] == pytest.approx(0.0, abs=1e-12)
+
+
 def test_quadratic_pair_operators_enforce_group_bound(spark):
     """theil_sen_by_group and mann_kendall raise BEFORE launching the
     O(n_g^2) pair join when a group exceeds max_group_size, naming the
