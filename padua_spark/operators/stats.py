@@ -1183,10 +1183,16 @@ def spearman_rho(
     non-linear association (dose-response curves, quality-score
     sanity checks against human labels).
 
-    Exactness discipline: midranks come from the distributed running
-    sum over each column's distinct values
-    (:func:`_stepped_running_counts` — two scale-safe cumsums, one
-    per axis), joined back to the pairwise-complete rows by value.
+    Exactness discipline: midranks come from ONE distributed running
+    sum over the POOLED distinct values of both columns
+    (:func:`_stepped_running_counts` with two count columns — the
+    x-count and y-count cumulate independently over the shared value
+    domain, so each axis's midranks are exactly its own-ranking:
+    values present only in the other axis carry a zero count and
+    don't advance the cumsum). One tagged union + one stepped pass
+    replaces the former two per-axis pipelines — half the
+    repartitionByRange/persist machinery. Midranks are joined back to
+    the pairwise-complete rows by value.
     Doubled midranks are integers, so every Pearson ingredient
     (Σ2rx, Σ2ry, Σ2rx·2ry, Σ(2rx)², Σ(2ry)², n) is an exact integer
     aggregate — summed as decimal(38,0) so no 64-bit overflow at any
@@ -1200,23 +1206,30 @@ def spearman_rho(
 
     pairs = df.where(
         F.col(x_col).isNotNull() & F.col(y_col).isNotNull()
-    ).select(F.col(x_col).alias("_x"), F.col(y_col).alias("_y"))
-
-    def _midranks(col: str):
-        per = pairs.groupBy(F.col(col).alias("_v")).agg(
-            F.count(F.lit(1)).alias("_c")
-        )
-        stepped = _stepped_running_counts(
-            per, "_v", ["_c"], small_domain_threshold
-        )
-        two_rbar = 2 * (F.col("_c_run") - F.col("_c")) + F.col("_c") + 1
-        return (
-            stepped.select("_v", two_rbar.alias(f"_2r{col}")),
-            getattr(stepped, "_padua_cached", ()),
-        )
-
-    rx, cached_x = _midranks("_x")
-    ry, cached_y = _midranks("_y")
+    ).select(
+        F.col(x_col).cast("double").alias("_x"),
+        F.col(y_col).cast("double").alias("_y"),
+    )
+    # pooled value domain, axis-tagged: one aggregation over the
+    # union, one stepped-cumsum pass with independent x/y counts
+    vals = pairs.select(
+        F.col("_x").alias("_v"), F.lit(1).alias("_ax")
+    ).unionAll(pairs.select(F.col("_y").alias("_v"), F.lit(0)))
+    per = vals.groupBy("_v").agg(
+        F.sum("_ax").cast("bigint").alias("_cx"),
+        F.sum(1 - F.col("_ax")).cast("bigint").alias("_cy"),
+    )
+    stepped = _stepped_running_counts(
+        per, "_v", ["_cx", "_cy"], small_domain_threshold
+    )
+    two_rx = 2 * (F.col("_cx_run") - F.col("_cx")) + F.col("_cx") + 1
+    two_ry = 2 * (F.col("_cy_run") - F.col("_cy")) + F.col("_cy") + 1
+    rx = stepped.where(F.col("_cx") > 0).select(
+        "_v", two_rx.alias("_2r_x")
+    )
+    ry = stepped.where(F.col("_cy") > 0).select(
+        "_v", two_ry.alias("_2r_y")
+    )
     ranked = (
         pairs.join(rx, pairs["_x"] == rx["_v"])
         .drop("_v")
@@ -1250,7 +1263,7 @@ def spearman_rho(
         F.when(den > 0, num / den).alias("rho"),
         "n",
     )
-    return track_cached(out, *cached_x, *cached_y)
+    return track_cached(out, *getattr(stepped, "_padua_cached", ()))
 
 
 def qvalues_by(
