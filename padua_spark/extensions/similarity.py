@@ -1301,6 +1301,66 @@ def ivfpq_topk(
     ).limit(k)
 
 
+def write_ivfpq_partitioned(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    path: str,
+    n_cells: int = 8,
+    m_subspaces: int = 4,
+    k_codes: int = 16,
+    mode: str = "overwrite",
+):
+    """Materialize the IVF-PQ index AT REST: :func:`ivfpq_build`'s
+    ``(id, code_0..code_{m-1})`` rows written ``partitionBy("cell")``
+    — the composition of :func:`write_ivf_partitioned`'s prunable
+    layout with PQ residual compression, i.e. the billion-vector
+    on-disk story (Jégou et al.'s IVFADC as parquet partitions). A
+    probe opens only ``nprobe/n_cells`` of the subdirectories via
+    partition pruning, and what it opens is the m-byte codes, not the
+    raw vectors: at 100 TB of float32 embeddings with m=16 and
+    nprobe/n_cells=1/16, the probe touches ~0.4 % of the raw bytes.
+
+    Returns ``(cents, codebooks)`` — the materialized (cell,
+    centroid) frame and the driver-side nested codebook list; persist
+    both next to the data, probes need them. Deterministic end to end
+    (smallest-ids seeding, no RNG), so a rebuild over the same corpus
+    reproduces the written assignment exactly.
+    """
+    from padua_spark.io_utils import unpersist_intermediates
+
+    encoded, cents, codebooks = ivfpq_build(
+        df, id_col, vec_col, n_cells, m_subspaces, k_codes
+    )
+    encoded.write.mode(mode).partitionBy("cell").parquet(path)
+    unpersist_intermediates(encoded)
+    return cents, codebooks
+
+
+def ivfpq_topk_at_rest(
+    spark,
+    path: str,
+    cents: DataFrame,
+    codebooks: list[list[list[float]]],
+    id_col: str,
+    query: list[float],
+    k: int = 10,
+    nprobe: int = 2,
+) -> DataFrame:
+    """Probe a :func:`write_ivfpq_partitioned` layout. Delegates to
+    :func:`ivfpq_topk`, whose per-probe literal ``cell == c`` filter
+    becomes static PARTITION PRUNING against the ``partitionBy
+    ("cell")`` parquet tree — the scan metrics show only the probed
+    subdirectories' files opened (asserted in
+    tests/test_units.py::test_ivfpq_at_rest_pruning_and_recall), and
+    the columns read are the byte codes alone (the layout stores no
+    raw vectors)."""
+    encoded = spark.read.parquet(path)
+    return ivfpq_topk(
+        encoded, id_col, cents, codebooks, query, k=k, nprobe=nprobe
+    )
+
+
 def rrf_fuse(
     rankings: list[DataFrame],
     item_col: str,

@@ -217,6 +217,7 @@ COVERAGE = {
     "E102": "padua_spark.operators.stats:dunn_posthoc",
     "E103": "padua_spark.operators.stats:mann_kendall",
     "E104": "padua_spark.operators.stats:logrank_test",
+    "E105": "padua_spark.extensions.similarity:ivfpq_topk_at_rest",
 }
 
 

@@ -3854,3 +3854,102 @@ def test_mann_kendall_hand_computed(spark):
         else:
             assert r["z"] is None and r["p_normal"] is None, k
     assert got["up"]["z"] > 1.0 and got["mix"]["p_normal"] > 0.3
+
+
+def test_ivfpq_at_rest_pruning_and_recall(spark, tmp_path):
+    """write_ivfpq_partitioned + ivfpq_topk_at_rest: the at-rest
+    IVF-PQ story end to end. (1) PARTITION PRUNING — each probed
+    cell's literal predicate reaches the parquet reader as a
+    partition filter, and the union's scans together open no more
+    than nprobe of the cell subdirectories (scan metrics, not
+    inputFiles — that lists the unpruned relation). (2) The read-back
+    probe equals the in-memory ivfpq_topk on a rebuild (the build is
+    deterministic, so rebuild == written index). (3) Recall-vs-nprobe
+    gate on the WRITTEN layout against exact L2 over the original
+    vectors: monotone nondecreasing in nprobe, and full-probe recall
+    matches the in-memory measurement (>= 0.2 at 64 codes/subspace on
+    the near-uniform synthetic corpus — PQ's worst case; see
+    test_ivfpq_composition for why that bar, not higher)."""
+    import os
+
+    from padua_spark.extensions.similarity import (
+        ann_recall_at_k,
+        ivfpq_build,
+        ivfpq_topk,
+        ivfpq_topk_at_rest,
+        write_ivfpq_partitioned,
+    )
+
+    from tests.conftest import SF_ORACLE
+
+    emb = spark.read.parquet(f"{SF_ORACLE}/embeddings.parquet")
+    path = str(tmp_path / "ivfpq_corpus")
+    cents, cbs = write_ivfpq_partitioned(
+        emb, "vec_id", "embedding", path, n_cells=8,
+        m_subspaces=4, k_codes=64,
+    )
+    cell_dirs = [d for d in os.listdir(path) if d.startswith("cell=")]
+    assert 1 < len(cell_dirs) <= 8
+    query = [float((i * 7) % 13) / 13.0 for i in range(64)]
+    at_rest = ivfpq_topk_at_rest(
+        spark, path, cents, cbs, "vec_id", query, k=10, nprobe=2
+    )
+    got = [(r["vec_id"], round(r["adc_dist"], 9))
+           for r in at_rest.collect()]
+    plan = at_rest._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan
+    # the layout stores only codes: no vector column ever read
+    assert "embedding" not in plan
+
+    def _scan_partitions(df):
+        leaves = df._jdf.queryExecution().executedPlan().collectLeaves()
+        total = 0
+        for i in range(leaves.size()):
+            it = leaves.apply(i).metrics().iterator()
+            while it.hasNext():
+                kv = it.next()
+                if str(kv._1()) == "numPartitions":
+                    total += kv._2().value()
+        return total
+
+    full = spark.read.parquet(path)
+    full.collect()
+    assert _scan_partitions(at_rest) <= 2 < _scan_partitions(full)
+
+    # deterministic rebuild == written index, so in-memory probe on
+    # the rebuild must equal the at-rest probe bit for bit
+    enc, cents2, cbs2 = ivfpq_build(
+        emb, "vec_id", "embedding", n_cells=8, m_subspaces=4,
+        k_codes=64,
+    )
+    exp = [(r["vec_id"], round(r["adc_dist"], 9))
+           for r in ivfpq_topk(
+               enc, "vec_id", cents2, cbs2, query, k=10, nprobe=2
+           ).collect()]
+    assert got == exp
+
+    # recall gate on the written layout, exact L2 over raw vectors
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    q = F.array(*[F.lit(float(x)) for x in query])
+    d2 = F.aggregate(
+        F.zip_with(v, q, lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0), lambda acc, e: acc + e,
+    )
+    exact = (
+        emb.select("vec_id", d2.alias("d2"))
+        .orderBy(F.col("d2").asc(), F.col("vec_id").asc())
+        .limit(10)
+    )
+
+    def _recall(nprobe):
+        approx = ivfpq_topk_at_rest(
+            spark, path, cents, cbs, "vec_id", query,
+            k=10, nprobe=nprobe,
+        )
+        return ann_recall_at_k(
+            approx, exact, "vec_id", k=10
+        ).collect()[0]["recall"]
+
+    recalls = [_recall(np_) for np_ in (2, 4, 8)]
+    assert recalls == sorted(recalls), recalls
+    assert recalls[-1] >= 0.2, recalls
