@@ -10669,6 +10669,244 @@ def q_mann_kendall(spark, sf):
     )
 
 
+# --- E106/E107 end-to-end pipeline macro entries (SURVEY §3.1/§3.2) ----------
+#     The single-operator rows can't see cross-operator plan health
+#     (stage fusion, shared scans, broadcast placement) that a real
+#     padua migration hits first — these run pipelines.phospho_lfq and
+#     pipelines.protein_groups_ratio END TO END over a deterministic
+#     MaxQuant-shaped TSV fixture sized by the scale factor
+#     (padua_spark/benchdata.py; generated once per sf, reused across
+#     passes). The oracle reads the SAME fixture via DuckDB read_csv
+#     and replays the whole chain in SQL: flag filters → column-grammar
+#     melt → 0→NULL → log2 → per-sample median subtract → design join →
+#     min-valid-in-any-group → t statistics → s0-curve significance
+#     with the recursive-CTE incomplete-beta p-value — a full hash gate
+#     on the flagship S-1/S-2 workflows, not a rows-only check.
+
+
+def _pipeline_fixture_paths() -> tuple[str, str, str]:
+    from padua_spark.benchdata import ensure_maxquant_fixture
+
+    # oracles run at the driver's fixed sf0.01; the queries() callables
+    # re-derive the fixture from their own sf_dir at call time
+    return ensure_maxquant_fixture("/root/testdata/sf0.01")
+
+
+def _pipeline_phospho_oracle() -> str:
+    from padua_spark.benchdata import _LABELS
+
+    pg, ds, _ = _pipeline_fixture_paths()
+    melt = "\n  UNION ALL\n  ".join(
+        f"SELECT id AS feature_id, '{lab}' AS sample_label, "
+        f'CASE WHEN "Intensity {lab}" <> 0 '
+        f'THEN CAST("Intensity {lab}" AS DOUBLE) END AS raw FROM wide'
+        for lab in _LABELS
+    )
+    import math
+
+    log10_fdr = repr(math.log10(0.05))
+    return f"""
+WITH RECURSIVE wide AS (
+  SELECT * FROM read_csv('{pg}', delim='\t', header=true)
+  WHERE (Reverse IS NULL OR Reverse NOT LIKE '%+%')
+    AND ("Potential contaminant" IS NULL
+         OR "Potential contaminant" NOT LIKE '%+%')
+    AND "Localization prob" >= 0.75
+),
+lng AS (
+  {melt}
+),
+logd AS (
+  SELECT feature_id, sample_label,
+         CASE WHEN raw > 0 THEN log2(raw) END AS lv
+  FROM lng
+),
+med AS (
+  SELECT sample_label, median(lv) AS md FROM logd GROUP BY 1
+),
+normd AS (
+  SELECT l.feature_id, l.sample_label, l.lv - m.md AS value
+  FROM logd l JOIN med m USING (sample_label)
+),
+designed AS (
+  SELECT n.feature_id, n.value, d."Group" AS grp
+  FROM normd n
+  JOIN read_csv('{ds}', header=true) d ON trim(n.sample_label) = d.Label
+),
+keep AS (
+  SELECT feature_id FROM (
+    SELECT feature_id, grp, count(value) AS c
+    FROM designed GROUP BY 1, 2
+  ) GROUP BY feature_id HAVING max(c) >= 3
+),
+g AS (
+  SELECT d.feature_id,
+    avg(CASE WHEN grp='Control' THEN value END)      AS mean_a,
+    avg(CASE WHEN grp='PGE2' THEN value END)         AS mean_b,
+    count(CASE WHEN grp='Control' THEN value END)    AS n_a,
+    count(CASE WHEN grp='PGE2' THEN value END)       AS n_b,
+    var_samp(CASE WHEN grp='Control' THEN value END) AS var_a,
+    var_samp(CASE WHEN grp='PGE2' THEN value END)    AS var_b
+  FROM designed d JOIN keep USING (feature_id) GROUP BY 1
+),
+s AS (
+  SELECT feature_id, n_a, n_b, mean_a, mean_b,
+    CASE WHEN n_a >= 3 AND n_b >= 3 THEN
+      CASE WHEN sqrt((((n_a - 1) * var_a + (n_b - 1) * var_b)
+                      / CAST(n_a + n_b - 2 AS DOUBLE))
+                     * (1.0/n_a + 1.0/n_b)) > 0
+           THEN (mean_a - mean_b)
+                / sqrt((((n_a - 1) * var_a + (n_b - 1) * var_b)
+                        / CAST(n_a + n_b - 2 AS DOUBLE))
+                       * (1.0/n_a + 1.0/n_b)) END
+    END AS t_stat,
+    CASE WHEN n_a >= 2 AND n_b >= 2
+         THEN CAST(n_a + n_b - 2 AS DOUBLE) END AS df,
+    CASE WHEN n_a >= 3 AND n_b >= 3 THEN mean_a - mean_b END AS fc
+  FROM g
+),
+inp AS (
+  SELECT feature_id AS key,
+    CAST(df / (df + t_stat * t_stat) AS DOUBLE) AS x,
+    CAST(df / 2.0 AS DOUBLE) AS a, CAST(0.5 AS DOUBLE) AS b
+  FROM s WHERE t_stat IS NOT NULL AND df > 0
+),
+{_betainc_chain_sql()},
+final AS (
+  SELECT s.feature_id, s.n_a, s.n_b, s.mean_a, s.mean_b,
+    s.t_stat, s.df, s.fc, pv.p,
+    CASE WHEN s.fc IS NOT NULL AND pv.p IS NOT NULL
+              AND abs(s.fc) > 0.0
+              AND pv.p <= pow(10.0, -0.585 / abs(s.fc) + ({log10_fdr}))
+         THEN TRUE ELSE FALSE END AS significant
+  FROM s LEFT JOIN pv ON s.feature_id = pv.key
+)
+SELECT CAST(feature_id AS BIGINT) AS feature_id,
+  CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+  round(mean_a, 6) AS mean_a, round(mean_b, 6) AS mean_b,
+  round(t_stat, 6) AS t_stat, df,
+  round(fc, 6) AS log2_fc,
+  round(p, 6) AS p_value,
+  significant,
+  CASE WHEN significant AND fc > 0 THEN 'up'
+       WHEN significant AND fc < 0 THEN 'down'
+       ELSE 'ns' END AS direction
+FROM final
+"""
+
+
+@_q("pipeline_phospho_lfq", _pipeline_phospho_oracle())
+def q_pipeline_phospho_lfq(spark, sf):
+    """SURVEY §3.1 entry point A end to end (reference: the File S-1
+    supplement notebook; padua io.py:6-18 → filters.py:37-90 →
+    process/normalization → visualize.volcano's compute core): one
+    lazy plan from TSV scan to the volcano frame, timed as a single
+    macro-bench row."""
+    from padua_spark import pipelines
+    from padua_spark.benchdata import ensure_maxquant_fixture
+
+    pg, ds, _ = ensure_maxquant_fixture(sf)
+    out = pipelines.phospho_lfq(spark, pg, ds, "Control", "PGE2")
+    v = out["volcano"]
+    return v.select(
+        F.col("feature_id").cast("long").alias("feature_id"),
+        "n_a",
+        "n_b",
+        _r("mean_a").alias("mean_a"),
+        _r("mean_b").alias("mean_b"),
+        _r("t_stat").alias("t_stat"),
+        "df",
+        _r("log2_fc").alias("log2_fc"),
+        F.round("p_value", 6).alias("p_value"),
+        "significant",
+        "direction",
+    )
+
+
+def _pipeline_silac_oracle() -> str:
+    pg, _, rds = _pipeline_fixture_paths()
+    melt = "\n  UNION ALL\n  ".join(
+        f"SELECT id AS feature_id, 'E{e}' AS sample_label, "
+        f'CAST("Ratio H/L normalized E{e}" AS DOUBLE) AS raw FROM wide'
+        for e in (1, 2, 3)
+    )
+    return f"""
+WITH RECURSIVE wide AS (
+  SELECT * FROM read_csv('{pg}', delim='\t', header=true)
+  WHERE (Reverse IS NULL OR Reverse NOT LIKE '%+%')
+    AND ("Potential contaminant" IS NULL
+         OR "Potential contaminant" NOT LIKE '%+%')
+    AND ("Only identified by site" IS NULL
+         OR "Only identified by site" NOT LIKE '%+%')
+),
+lng AS (
+  {melt}
+),
+logd AS (
+  SELECT l.feature_id,
+         CASE WHEN raw > 0 THEN log2(raw) END AS value
+  FROM lng l
+  JOIN read_csv('{rds}', header=true) d
+    ON trim(l.sample_label) = d.Label
+),
+keep AS (
+  SELECT feature_id FROM logd
+  GROUP BY feature_id HAVING count(value) >= 2
+),
+g AS (
+  SELECT l.feature_id,
+    avg(value) AS mean, stddev_samp(value) AS sd,
+    count(value) AS n
+  FROM logd l JOIN keep USING (feature_id) GROUP BY 1
+),
+s AS (
+  SELECT feature_id, mean, sd, n,
+    CASE WHEN n >= 2 AND sd > 0
+         THEN mean / (sd / sqrt(n)) END AS t_stat,
+    CASE WHEN n >= 2 THEN CAST(n - 1 AS DOUBLE) END AS df
+  FROM g
+),
+inp AS (
+  SELECT feature_id AS key,
+    CAST(df / (df + t_stat * t_stat) AS DOUBLE) AS x,
+    CAST(df / 2.0 AS DOUBLE) AS a, CAST(0.5 AS DOUBLE) AS b
+  FROM s WHERE t_stat IS NOT NULL AND df > 0
+),
+{_betainc_chain_sql()}
+SELECT CAST(s.feature_id AS BIGINT) AS feature_id,
+  round(s.mean, 6) AS mean, round(s.sd, 6) AS sd,
+  CAST(s.n AS BIGINT) AS n,
+  round(s.t_stat, 6) AS t_stat, s.df,
+  round(pv.p, 6) AS p_value
+FROM s LEFT JOIN pv ON s.feature_id = pv.key
+"""
+
+
+@_q("pipeline_silac_ratio", _pipeline_silac_oracle())
+def q_pipeline_silac_ratio(spark, sf):
+    """SURVEY §3.2 entry point B end to end (File S-2: proteinGroups
+    SILAC normalized-ratio one-sample volcano): filters → ratio melt →
+    log2 → design join → min-valid → one-sample t vs 0 with exact
+    p-values, one lazy plan."""
+    from padua_spark import pipelines
+    from padua_spark.benchdata import ensure_maxquant_fixture
+
+    pg, _, rds = ensure_maxquant_fixture(sf)
+    out = pipelines.protein_groups_ratio(
+        spark, pg, rds, min_valid_per_group=2
+    )
+    t = out["onesample_ttest"]
+    return t.select(
+        F.col("feature_id").cast("long").alias("feature_id"),
+        _r("mean").alias("mean"),
+        _r("sd").alias("sd"),
+        "n",
+        _r("t_stat").alias("t_stat"),
+        "df",
+        F.round("p_value", 6).alias("p_value"),
+    )
+
+
 # ---------------------------------------------------------------------------
 
 

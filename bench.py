@@ -175,6 +175,8 @@ HEADLINE = [
     "dunn_posthoc",
     "mann_kendall",
     "logrank_test",
+    "pipeline_phospho_lfq",
+    "pipeline_silac_ratio",
 ]
 
 
@@ -224,6 +226,15 @@ def main() -> None:
         spark.range(1000).select(
             _warm_udf(F.col("id").cast("double"))
         ).write.format("noop").mode("overwrite").save()
+    except Exception:
+        pass
+    # Pre-generate the pipeline macro-bench fixture so its one-time
+    # pandas/CSV generation cost never lands inside a timed query
+    # (cached on disk after the first pass anyway).
+    try:
+        from padua_spark.benchdata import ensure_maxquant_fixture
+
+        ensure_maxquant_fixture(sf_dir)
     except Exception:
         pass
     # Machine-speed calibration: a fixed, data-independent Spark job

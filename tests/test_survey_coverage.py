@@ -218,6 +218,8 @@ COVERAGE = {
     "E103": "padua_spark.operators.stats:mann_kendall",
     "E104": "padua_spark.operators.stats:logrank_test",
     "E105": "padua_spark.extensions.similarity:ivfpq_topk_at_rest",
+    "E106": "entry:pipeline_phospho_lfq",
+    "E107": "entry:pipeline_silac_ratio",
 }
 
 
