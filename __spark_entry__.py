@@ -10669,6 +10669,67 @@ def q_mann_kendall(spark, sf):
     )
 
 
+# --- E108 longest duplicated substring (binary-search exact dedup) -----------
+
+_LDS_ORACLE = """
+WITH docs AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+),
+pos AS (
+  SELECT doc_id, toks, i AS s, len(toks) AS n
+  FROM docs, LATERAL unnest(generate_series(1, len(toks))) AS t(i)
+),
+suf AS (
+  SELECT list_slice(toks, s, n) AS suffix FROM pos
+),
+ordered AS (
+  SELECT suffix, lag(suffix) OVER (ORDER BY suffix) AS prev FROM suf
+),
+lcp AS (
+  SELECT suffix,
+    CASE WHEN prev IS NULL THEN 0 ELSE
+      coalesce(
+        list_min(list_transform(
+          generate_series(1, least(len(suffix), len(prev))),
+          i -> CASE WHEN suffix[i] IS DISTINCT FROM prev[i]
+               THEN i END)) - 1,
+        least(len(suffix), len(prev)))
+    END AS l
+  FROM ordered
+),
+m AS (SELECT max(l) AS max_len FROM lcp),
+cand AS (
+  SELECT DISTINCT
+    array_to_string(list_slice(suffix, 1, m.max_len), ' ') AS sub
+  FROM lcp, m WHERE l = m.max_len AND m.max_len > 0
+),
+win AS (
+  SELECT array_to_string(list_slice(toks, s, s + m.max_len - 1), ' ')
+         AS sub
+  FROM pos, m WHERE m.max_len > 0 AND s + m.max_len - 1 <= n
+),
+chosen AS (SELECT min(sub) AS substring FROM cand)
+SELECT CAST(m.max_len AS BIGINT) AS max_len,
+  CAST((SELECT count(*) FROM cand) AS BIGINT) AS n_dup_substrings,
+  CAST((SELECT count(*) FROM win, chosen
+        WHERE win.sub = chosen.substring) AS BIGINT) AS n_occurrences,
+  chosen.substring AS substring
+FROM m, chosen
+"""
+
+
+@_q("longest_dup_substring", _LDS_ORACLE)
+def q_longest_dup_substring(spark, sf):
+    """Exact longest duplicated token-substring over the corpus —
+    distributed binary search on window length with O(1)-per-position
+    rolling hashes and string-verified candidates (dedup.py
+    longest_duplicated_substring); the oracle is the classic
+    sorted-suffix adjacent-LCP formulation, a completely independent
+    algorithm arriving at the same (length, count, substring)."""
+    d = _t(spark, sf, "documents")
+    return x_dedup.longest_duplicated_substring(d, "doc_id", "text")
+
+
 # --- E106/E107 end-to-end pipeline macro entries (SURVEY §3.1/§3.2) ----------
 #     The single-operator rows can't see cross-operator plan health
 #     (stage fusion, shared scans, broadcast placement) that a real

@@ -177,6 +177,7 @@ HEADLINE = [
     "logrank_test",
     "pipeline_phospho_lfq",
     "pipeline_silac_ratio",
+    "longest_dup_substring",
 ]
 
 

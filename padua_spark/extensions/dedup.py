@@ -1297,3 +1297,166 @@ def edit_distance_verify(
         .drop("_txt_a", "_txt_b")
     )
     return out
+
+
+def longest_duplicated_substring(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    base: int = 1000000007,
+    mod: int = MOD,
+) -> DataFrame:
+    """Corpus-wide LONGEST exact duplicated token-substring — the
+    suffix-array capability of Lee et al.'s deduplicate-text-datasets
+    (ACL 2022) re-expressed as a distributed binary search, so exact
+    long-repeat detection no longer depends on a single window length
+    (:func:`duplicate_spans`' fixed ``k``). Beyond-reference operator
+    (the reference has no dedup surface at all).
+
+    Semantics: tokens are ``split(text, ' ')`` (single-space model,
+    empties preserved — normalize upstream); a substring is duplicated
+    iff the same token run occurs at two distinct (doc, position)
+    slots, within one document or across documents. Output is ONE row
+    ``(max_len, n_dup_substrings, n_occurrences, substring)``:
+    the maximum duplicated length, how many distinct substrings
+    achieve it, the occurrence count of the lexicographically smallest
+    of them, and that substring itself (``max_len = 0`` and NULL
+    substring when the corpus has no repeat at all).
+
+    Scale design — why not a suffix array: a distributed suffix sort
+    globally orders every token position (a terabyte-scale total sort
+    plus LCP pass). Instead: the predicate "∃ duplicated substring of
+    length L" is MONOTONE in L, so binary search needs only
+    ``log2(max_doc_tokens)`` probes, and each probe is O(1) per token
+    position via prefix polynomial hashes:
+
+    - ONE persisted frame of exploded positions ``(id, pos, prefix
+      sums, inverse power)`` — prefix ``P`` and the broadcast
+      ``base^±pos mod m`` tables make every window hash
+      ``H(s, L) = (P[s+L-1] − P_excl[s]) · base^{−s}`` a constant-time
+      expression; no per-window O(L) work at any L.
+    - per probe: one bounded per-doc window pass (docs are bounded;
+      the partition key is the doc id, never a global order), a
+      map-side-combining groupBy(hash) to find candidate collisions,
+      and a STRING verification join on the (tiny) candidate set —
+      hash collisions cost time, never correctness, so one 31-bit
+      modulus suffices at any corpus size.
+
+    Driver involvement is the O(log n) probe loop itself (same
+    discipline as the Lloyd iterations in ``ml.kmeans_quantized``);
+    every per-probe data pass is distributed. Intermediates are
+    unpersisted before return; the result is a materialized 1-row
+    frame.
+
+    Int64 safety: per-term products stay < mod² ≈ 2^62; the un-reduced
+    prefix sums grow ≤ n·mod, so documents up to ~2^32 tokens are
+    overflow-safe.
+    """
+    from pyspark import StorageLevel
+    from pyspark.sql import Window
+
+    spark = df.sparkSession
+    staged = df.select(
+        F.col(id_col).alias("_id"),
+        F.split(F.col(text_col), " ").alias("_toks"),
+        token_hashes(F.col(text_col), base=131, mod=mod).alias("_th"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    nmax_row = staged.agg(F.max(F.size("_toks"))).collect()[0]
+    nmax = int(nmax_row[0] or 0)
+    schema = (
+        "max_len bigint, n_dup_substrings bigint, "
+        "n_occurrences bigint, substring string"
+    )
+    if nmax == 0:
+        staged.unpersist()
+        return spark.createDataFrame([(0, 0, 0, None)], schema)
+
+    b = base % mod
+    inv_b = pow(b, mod - 2, mod)  # mod is prime
+    pw = spark.createDataFrame(
+        [(i, pow(b, i, mod), pow(inv_b, i, mod)) for i in range(nmax)],
+        "pos int, _cpow long, _ipw long",
+    )
+    ex = staged.select(
+        "_id", F.posexplode("_th").alias("pos", "_thv")
+    ).join(F.broadcast(pw), on="pos")
+    term = (F.col("_thv") * F.col("_cpow")) % F.lit(mod)
+    w = Window.partitionBy("_id").orderBy("pos")
+    pincl = F.sum(term).over(w)
+    # Persist the prefix frame ALREADY hash-partitioned by doc and
+    # sorted by (doc, pos): InMemoryRelation keeps outputPartitioning/
+    # ordering, so each probe's per-doc lead() window reuses it and
+    # elides its Exchange + Sort — one shuffle for ALL log(n) probes
+    # instead of one per probe (measured ~2x on the sf0.1 bench row).
+    ex = (
+        ex.select(
+            "_id",
+            "pos",
+            pincl.alias("_pincl"),
+            (pincl - term).alias("_pexcl"),
+            "_ipw",
+        )
+        .repartition("_id")
+        .sortWithinPartitions("_id", "pos")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    toks = staged.select("_id", "_toks")
+
+    def _dup_substrings(length: int) -> DataFrame:
+        """Distinct VERIFIED duplicated substrings of exactly
+        ``length`` tokens, with occurrence counts."""
+        lead = F.lead("_pincl", length - 1).over(w)
+        d = (lead - F.col("_pexcl")) % F.lit(mod)
+        h = (d * F.col("_ipw")) % F.lit(mod)
+        wins = ex.select(
+            "_id", "pos", h.alias("_h")
+        ).where(F.col("_h").isNotNull())
+        dup_h = (
+            wins.groupBy("_h")
+            .agg(F.count(F.lit(1)).alias("_c"))
+            .where(F.col("_c") > 1)
+            .select("_h")
+        )
+        cands = wins.join(dup_h, on="_h").select("_id", "pos")
+        subs = cands.join(toks, on="_id").select(
+            F.concat_ws(
+                " ", F.slice("_toks", F.col("pos") + 1, length)
+            ).alias("_sub")
+        )
+        return (
+            subs.groupBy("_sub")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .where(F.col("_n") > 1)
+        )
+
+    def _probe(length: int) -> bool:
+        return len(_dup_substrings(length).take(1)) > 0
+
+    if not _probe(1):
+        staged.unpersist()
+        ex.unpersist()
+        return spark.createDataFrame([(0, 0, 0, None)], schema)
+    lo, hi = 1, nmax
+    while lo < hi:
+        mid = (lo + hi + 1) // 2
+        if _probe(mid):
+            lo = mid
+        else:
+            hi = mid - 1
+    n_distinct, chosen, n_occ = _lds_summarize(_dup_substrings(lo))
+    staged.unpersist()
+    ex.unpersist()
+    return spark.createDataFrame(
+        [(lo, n_distinct, n_occ, chosen)], schema
+    )
+
+
+def _lds_summarize(final: DataFrame):
+    """(count distinct, lexicographic-min substring, its count) from
+    the verified dup-substring frame — two tiny aggregations over a
+    frame that is small by construction (dup groups only)."""
+    row = final.agg(
+        F.count(F.lit(1)).alias("_k"),
+        F.min(F.struct("_sub", "_n")).alias("_m"),
+    ).collect()[0]
+    return int(row["_k"]), row["_m"]["_sub"], int(row["_m"]["_n"])

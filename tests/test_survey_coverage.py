@@ -220,6 +220,7 @@ COVERAGE = {
     "E105": "padua_spark.extensions.similarity:ivfpq_topk_at_rest",
     "E106": "entry:pipeline_phospho_lfq",
     "E107": "entry:pipeline_silac_ratio",
+    "E108": "entry:longest_dup_substring",
 }
 
 

@@ -3953,3 +3953,57 @@ def test_ivfpq_at_rest_pruning_and_recall(spark, tmp_path):
     recalls = [_recall(np_) for np_ in (2, 4, 8)]
     assert recalls == sorted(recalls), recalls
     assert recalls[-1] >= 0.2, recalls
+
+
+def test_longest_duplicated_substring_vs_brute_force(spark):
+    """longest_duplicated_substring equals an exhaustive small-corpus
+    replica (every (pos, L) window counted in Python) across seeded
+    random small-vocab corpora — length, distinct-substring count,
+    occurrence count, and the lexicographic-min substring itself —
+    plus the no-repeat and empty edges. The DuckDB oracle covers the
+    same statistic via the independent sorted-suffix LCP algorithm;
+    this covers the tie-break plumbing on corpora tiny enough to
+    enumerate."""
+    import random
+    from collections import Counter
+
+    from padua_spark.extensions.dedup import longest_duplicated_substring
+
+    def brute(docs):
+        occ = Counter()
+        for _id, text in docs:
+            toks = text.split(" ")
+            for s in range(len(toks)):
+                for length in range(1, len(toks) - s + 1):
+                    occ[(length, " ".join(toks[s:s + length]))] += 1
+        dups = {}
+        for (length, sub), c in occ.items():
+            if c > 1:
+                dups.setdefault(length, {})[sub] = c
+        if not dups:
+            return (0, 0, 0, None)
+        mx = max(dups)
+        chosen = min(dups[mx])
+        return (mx, len(dups[mx]), dups[mx][chosen], chosen)
+
+    rng = random.Random(7)
+    vocab = ["a", "b", "c", "dog", "e"]
+    for _ in range(5):
+        docs = [
+            (i, " ".join(rng.choice(vocab)
+                         for _ in range(rng.randint(1, 18))))
+            for i in range(rng.randint(1, 6))
+        ]
+        df = spark.createDataFrame(docs, ["doc_id", "text"])
+        got = tuple(
+            longest_duplicated_substring(df, "doc_id", "text")
+            .collect()[0]
+        )
+        assert got == brute(docs), (docs, got)
+
+    nodup = spark.createDataFrame(
+        [(0, "x y z"), (1, "p q r")], ["doc_id", "text"]
+    )
+    assert tuple(
+        longest_duplicated_substring(nodup, "doc_id", "text").collect()[0]
+    ) == (0, 0, 0, None)
