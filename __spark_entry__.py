@@ -10669,6 +10669,539 @@ def q_mann_kendall(spark, sf):
     )
 
 
+# --- E109-E115 round-8 battery: survival companions, classical tests, -------
+#     two-segment changepoint ------------------------------------------------
+
+_NA_ORACLE = """
+WITH e AS (
+  SELECT user_id, epoch_us(ts) AS tu, event_type FROM events
+),
+u AS (
+  SELECT user_id,
+    min(tu) AS t0,
+    max(tu) AS t_last,
+    min(CASE WHEN event_type = 'error' THEN tu END) AS t_err
+  FROM e GROUP BY user_id
+),
+subj AS (
+  SELECT user_id % 2 AS cohort,
+    CASE WHEN t_err IS NOT NULL
+      THEN CAST(floor((t_err - t0) / 3600000000.0) AS BIGINT)
+      ELSE CAST(floor((t_last - t0) / 3600000000.0) AS BIGINT)
+    END AS dur,
+    CASE WHEN t_err IS NOT NULL THEN 1 ELSE 0 END AS ev
+  FROM u
+),
+counts AS (
+  SELECT cohort, CAST(dur AS DOUBLE) AS t,
+    CAST(sum(ev) AS BIGINT) AS n_events,
+    CAST(sum(1 - ev) AS BIGINT) AS n_censored
+  FROM subj GROUP BY 1, 2
+),
+risk AS (
+  SELECT *,
+    CAST(sum(n_events + n_censored) OVER (PARTITION BY cohort)
+      - (sum(n_events + n_censored) OVER (PARTITION BY cohort ORDER BY t
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         - n_events - n_censored) AS BIGINT) AS n_risk
+  FROM counts
+),
+h AS (
+  SELECT cohort, t, n_risk, n_events, n_censored,
+    sum(CASE WHEN n_events > 0
+        THEN CAST(n_events AS DOUBLE) / n_risk ELSE 0.0 END)
+      OVER (PARTITION BY cohort ORDER BY t
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      AS cum_hazard,
+    sum(CASE WHEN n_events > 0
+        THEN CAST(n_events AS DOUBLE)
+             / (CAST(n_risk AS DOUBLE) * n_risk) ELSE 0.0 END)
+      OVER (PARTITION BY cohort ORDER BY t
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      AS var_hazard
+  FROM risk
+)
+SELECT CAST(cohort AS BIGINT) AS cohort, t, n_risk, n_events,
+  n_censored, round(cum_hazard, 6) AS cum_hazard,
+  round(var_hazard, 6) AS var_hazard
+FROM h WHERE n_events > 0
+"""
+
+
+@_q("nelson_aalen", _NA_ORACLE)
+def q_nelson_aalen(spark, sf):
+    """Nelson-Aalen cumulative hazard per user cohort on the SAME
+    time-to-first-error risk table as the kaplan_meier entry —
+    additive hazard increments instead of the survival product
+    (stats.nelson_aalen)."""
+    from padua_spark.operators.stats import nelson_aalen
+    from padua_spark.streaming.windows import epoch_us_col
+
+    base = _t(spark, sf, "events")
+    ev = base.select(
+        "user_id",
+        epoch_us_col(base, "ts").alias("_tu"),
+        "event_type",
+    )
+    u = ev.groupBy("user_id").agg(
+        F.min("_tu").alias("_t0"),
+        F.max("_tu").alias("_tl"),
+        F.min(
+            F.when(F.col("event_type") == "error", F.col("_tu"))
+        ).alias("_te"),
+    )
+    subj = u.select(
+        (F.col("user_id") % 2).alias("cohort"),
+        F.floor(
+            (F.coalesce(F.col("_te"), F.col("_tl")) - F.col("_t0"))
+            / 3600000000.0
+        )
+        .cast("bigint")
+        .alias("dur"),
+        F.when(F.col("_te").isNotNull(), 1).otherwise(0).alias("ev"),
+    )
+    out = nelson_aalen(subj, ["cohort"], "dur", "ev")
+    return out.select(
+        F.col("cohort").cast("bigint").alias("cohort"),
+        "t",
+        "n_risk",
+        "n_events",
+        "n_censored",
+        _r("cum_hazard").alias("cum_hazard"),
+        _r("var_hazard").alias("var_hazard"),
+    )
+
+
+_HARRELLS_C_ORACLE = """
+WITH e AS (
+  SELECT user_id, epoch_us(ts) AS tu, event_type,
+    CAST(round(coalesce(value, 0) * 100) AS BIGINT) AS vc
+  FROM events
+),
+u AS (
+  SELECT user_id,
+    min(tu) AS t0, max(tu) AS t_last,
+    min(CASE WHEN event_type = 'error' THEN tu END) AS t_err,
+    CAST(sum(vc) AS BIGINT) AS risk
+  FROM e GROUP BY user_id
+),
+subj AS (
+  SELECT user_id % 4 AS cohort, risk,
+    CASE WHEN t_err IS NOT NULL
+      THEN CAST(floor((t_err - t0) / 3600000000.0) AS BIGINT)
+      ELSE CAST(floor((t_last - t0) / 3600000000.0) AS BIGINT)
+    END AS dur,
+    CASE WHEN t_err IS NOT NULL THEN 1 ELSE 0 END AS ev
+  FROM u
+),
+pairs AS (
+  SELECT a.cohort,
+    CASE WHEN a.risk > b.risk THEN 1 ELSE 0 END AS conc,
+    CASE WHEN a.risk = b.risk THEN 1 ELSE 0 END AS tie
+  FROM subj a JOIN subj b
+    ON a.cohort = b.cohort AND a.dur < b.dur AND a.ev = 1
+)
+SELECT CAST(cohort AS BIGINT) AS cohort,
+  CAST(count(*) AS BIGINT) AS n_comparable,
+  CAST(sum(conc) AS BIGINT) AS n_concordant,
+  CAST(sum(tie) AS BIGINT) AS n_tied_risk,
+  round((sum(conc) + 0.5 * sum(tie)) / CAST(count(*) AS DOUBLE), 6)
+    AS c_index
+FROM pairs GROUP BY cohort
+"""
+
+
+@_q("harrells_c", _HARRELLS_C_ORACLE)
+def q_harrells_c(spark, sf):
+    """Harrell's concordance index per cohort: does cumulative spend
+    (exact integer cents — deterministic ties on any engine) predict
+    time-to-first-error? Bounded within-cohort pair join with the
+    enforced max_group_size contract (stats.harrells_c)."""
+    from padua_spark.operators.stats import harrells_c
+    from padua_spark.streaming.windows import epoch_us_col
+
+    base = _t(spark, sf, "events")
+    ev = base.select(
+        "user_id",
+        epoch_us_col(base, "ts").alias("_tu"),
+        "event_type",
+        F.round(F.coalesce(F.col("value"), F.lit(0)) * 100)
+        .cast("bigint")
+        .alias("_vc"),
+    )
+    u = ev.groupBy("user_id").agg(
+        F.min("_tu").alias("_t0"),
+        F.max("_tu").alias("_tl"),
+        F.min(
+            F.when(F.col("event_type") == "error", F.col("_tu"))
+        ).alias("_te"),
+        F.sum("_vc").cast("bigint").alias("risk"),
+    )
+    subj = u.select(
+        (F.col("user_id") % 4).alias("cohort"),
+        "risk",
+        F.floor(
+            (F.coalesce(F.col("_te"), F.col("_tl")) - F.col("_t0"))
+            / 3600000000.0
+        )
+        .cast("bigint")
+        .alias("dur"),
+        F.when(F.col("_te").isNotNull(), 1).otherwise(0).alias("ev"),
+    )
+    out = harrells_c(subj, ["cohort"], "risk", "dur", "ev")
+    return out.select(
+        F.col("cohort").cast("bigint").alias("cohort"),
+        "n_comparable",
+        "n_concordant",
+        "n_tied_risk",
+        _r("c_index").alias("c_index"),
+    )
+
+
+_BARTLETT_ORACLE = """
+WITH pg AS (
+  SELECT l_partkey, l_returnflag,
+         count(*) AS n, var_samp(l_quantity) AS v
+  FROM lineitem WHERE l_quantity IS NOT NULL
+  GROUP BY 1, 2 HAVING count(*) >= 2
+),
+c AS (
+  SELECT l_partkey,
+    CAST(count(*) AS BIGINT) AS k_groups,
+    CAST(sum(n) AS BIGINT) AS n_total,
+    sum((n - 1) * v) AS ssw,
+    sum(CASE WHEN v > 0 THEN (n - 1) * ln(v) END) AS sln,
+    sum(1.0 / (n - 1)) AS sinv,
+    sum(CASE WHEN v <= 0 THEN 1 ELSE 0 END) AS bad
+  FROM pg GROUP BY 1
+)
+SELECT l_partkey, k_groups, n_total,
+  round(CASE WHEN k_groups >= 2 AND bad = 0
+              AND ssw / (n_total - k_groups) > 0
+    THEN ((CAST(n_total - k_groups AS DOUBLE)
+           * ln(ssw / CAST(n_total - k_groups AS DOUBLE))) - sln)
+         / (1.0 + (sinv - 1.0 / (n_total - k_groups))
+                  / (3.0 * (k_groups - 1.0)))
+    END, 6) AS bartlett_stat,
+  CASE WHEN k_groups >= 2
+       THEN CAST(k_groups - 1 AS DOUBLE) END AS dfree
+FROM c
+"""
+
+
+@_q("bartlett_stats", _BARTLETT_ORACLE)
+def q_bartlett_stats(spark, sf):
+    """Bartlett homogeneity-of-variance per part across return flags —
+    the classical counterpart to the levene_stats entry, closed-form
+    from per-group variances (stats.bartlett_stats; p-value column
+    pruned: the chi2 survival function is the numpy UDF side only)."""
+    from padua_spark.operators.stats import bartlett_stats
+
+    li = _t(spark, sf, "lineitem")
+    out = bartlett_stats(li, ["l_partkey"], "l_returnflag", "l_quantity")
+    return out.select(
+        "l_partkey",
+        "k_groups",
+        "n_total",
+        _r("bartlett_stat").alias("bartlett_stat"),
+        "dfree",
+    )
+
+
+_MCNEMAR_ORACLE = """
+WITH f AS (
+  SELECT CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS a,
+         CASE WHEN l_linestatus = 'F' THEN 1 ELSE 0 END AS b
+  FROM lineitem
+),
+c AS (
+  SELECT
+    CAST(sum(CASE WHEN a = 0 AND b = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n00,
+    CAST(sum(CASE WHEN a = 0 AND b = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n01,
+    CAST(sum(CASE WHEN a = 1 AND b = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n10,
+    CAST(sum(CASE WHEN a = 1 AND b = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n11
+  FROM f
+),
+s AS (
+  SELECT *,
+    CASE WHEN n01 + n10 > 0 THEN
+      greatest(abs(CAST(n01 - n10 AS DOUBLE)) - 1.0, 0.0)
+      * greatest(abs(CAST(n01 - n10 AS DOUBLE)) - 1.0, 0.0)
+      / (n01 + n10) END AS stat
+  FROM c
+)
+SELECT n00, n01, n10, n11,
+  round(stat, 6) AS mcnemar_stat,
+  round(CASE WHEN stat IS NOT NULL THEN
+    (0.254829592 * t + -0.284496736 * t * t
+     + 1.421413741 * t * t * t + -1.453152027 * t * t * t * t
+     + 1.061405429 * t * t * t * t * t) * exp(-x2 * x2) END, 6)
+    AS p_value
+FROM (
+  SELECT *, sqrt(coalesce(stat, 0.0)) / sqrt(2.0) AS x2,
+    1.0 / (1.0 + 0.3275911 * (sqrt(coalesce(stat, 0.0)) / sqrt(2.0)))
+      AS t
+  FROM s
+)
+"""
+
+
+@_q("mcnemar_flags", _MCNEMAR_ORACLE)
+def q_mcnemar_flags(spark, sf):
+    """McNemar paired-binary test: is the returned flag's marginal
+    rate consistent with the line-status flag's on the same rows?
+    One conditional aggregation, continuity-corrected chi2, the
+    A&S-erfc chi2_1=Z^2 p shared verbatim with the oracle
+    (stats.mcnemar_test)."""
+    from padua_spark.operators.stats import mcnemar_test
+
+    li = _t(spark, sf, "lineitem")
+    flags = li.select(
+        (F.col("l_returnflag") == "R").cast("int").alias("a"),
+        (F.col("l_linestatus") == "F").cast("int").alias("b"),
+    )
+    out = mcnemar_test(flags, "a", "b")
+    return out.select(
+        "n00",
+        "n01",
+        "n10",
+        "n11",
+        _r("mcnemar_stat").alias("mcnemar_stat"),
+        _r("p_value").alias("p_value"),
+    )
+
+
+_COCHRAN_ARMITAGE_ORACLE = """
+WITH lvl AS (
+  SELECT CAST(l_linenumber AS DOUBLE) AS s,
+    count(*) AS n,
+    CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+      AS BIGINT) AS r
+  FROM lineitem GROUP BY 1
+),
+c AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_levels,
+    CAST(sum(n) AS BIGINT) AS n_total,
+    CAST(sum(r) AS BIGINT) AS n_success,
+    sum(s * r) AS sr, sum(s * n) AS sn, sum(s * s * n) AS ssn
+  FROM lvl
+),
+z AS (
+  SELECT *,
+    sr - (CAST(n_success AS DOUBLE) / n_total) * sn AS tstat,
+    (CAST(n_success AS DOUBLE) / n_total)
+      * (1.0 - CAST(n_success AS DOUBLE) / n_total)
+      * (ssn - sn * sn / n_total) AS var
+  FROM c
+),
+zz AS (
+  SELECT n_levels, n_total, n_success, tstat,
+    CASE WHEN var > 0 THEN tstat / sqrt(var) END AS zval
+  FROM z
+)
+SELECT n_levels, n_total, n_success,
+  round(tstat, 6) AS t_stat, round(zval, 6) AS z,
+  round(CASE WHEN zval IS NOT NULL THEN
+    (0.254829592 * t + -0.284496736 * t * t
+     + 1.421413741 * t * t * t + -1.453152027 * t * t * t * t
+     + 1.061405429 * t * t * t * t * t) * exp(-x2 * x2) END, 6)
+    AS p_value
+FROM (
+  SELECT *, abs(coalesce(zval, 0.0)) / sqrt(2.0) AS x2,
+    1.0 / (1.0 + 0.3275911 * (abs(coalesce(zval, 0.0)) / sqrt(2.0)))
+      AS t
+  FROM zz
+)
+"""
+
+
+@_q("cochran_armitage", _COCHRAN_ARMITAGE_ORACLE)
+def q_cochran_armitage(spark, sf):
+    """Cochran-Armitage trend: does the return rate trend with line
+    number? Per-level counts (tiny), closed-form T/Var/Z, A&S-erfc p
+    (stats.cochran_armitage_trend)."""
+    from padua_spark.operators.stats import cochran_armitage_trend
+
+    li = _t(spark, sf, "lineitem")
+    out = cochran_armitage_trend(
+        li.select(
+            F.col("l_linenumber").alias("s"),
+            (F.col("l_returnflag") == "R").cast("int").alias("y"),
+        ),
+        "s",
+        "y",
+    )
+    return out.select(
+        "n_levels",
+        "n_total",
+        "n_success",
+        _r("t_stat").alias("t_stat"),
+        _r("z").alias("z"),
+        _r("p_value").alias("p_value"),
+    )
+
+
+def _friedman_oracle() -> str:
+    return """
+WITH base AS (
+  SELECT user_id AS b, event_type AS t,
+    CAST(count(*) AS DOUBLE) AS v
+  FROM events GROUP BY 1, 2
+),
+k AS (SELECT count(DISTINCT t) AS kt FROM base),
+complete AS (
+  SELECT b FROM base, k GROUP BY b, kt
+  HAVING count(DISTINCT t) = kt AND count(*) = kt
+),
+kept AS (
+  SELECT base.* FROM base JOIN complete USING (b)
+),
+ranked AS (
+  SELECT b, t,
+    rank() OVER (PARTITION BY b ORDER BY v)
+      + (count(*) OVER (PARTITION BY b, v) - 1) / 2.0 AS rk,
+    count(*) OVER (PARTITION BY b, v) AS tn
+  FROM kept
+),
+rsums AS (
+  SELECT t, sum(rk) AS rj FROM ranked GROUP BY t
+),
+s AS (
+  SELECT sum(rj * rj) AS ssbn,
+    CAST(count(*) AS BIGINT) AS k_treatments
+  FROM rsums
+),
+ties AS (
+  SELECT sum(tn * tn - 1.0) AS tie_sum,
+    CAST(count(*) / (SELECT kt FROM k) AS BIGINT) AS n_blocks
+  FROM ranked
+)
+SELECT n_blocks, k_treatments,
+  round(CASE WHEN n_blocks > 0 AND k_treatments >= 2
+              AND 1.0 - tie_sum / (n_blocks * k_treatments
+                  * (CAST(k_treatments AS DOUBLE) * k_treatments - 1.0))
+                  > 0
+    THEN ((12.0 / (CAST(n_blocks AS DOUBLE) * k_treatments
+                   * (k_treatments + 1.0))) * ssbn
+          - 3.0 * n_blocks * (k_treatments + 1.0))
+         / (1.0 - tie_sum / (CAST(n_blocks AS DOUBLE) * k_treatments
+                  * (CAST(k_treatments AS DOUBLE) * k_treatments - 1.0)))
+    END, 6) AS friedman_stat,
+  CASE WHEN k_treatments >= 2
+       THEN CAST(k_treatments - 1 AS DOUBLE) END AS dfree
+FROM s, ties
+"""
+
+
+@_q("friedman_counts", _friedman_oracle())
+def q_friedman_counts(spark, sf):
+    """Friedman repeated-measures rank test: do event types differ in
+    per-user activity, treating each user as a block? Midranks within
+    complete blocks only, tie-corrected chi2 (stats.friedman_test;
+    p-value pruned — chi2 sf is the numpy UDF side)."""
+    from padua_spark.operators.stats import friedman_test
+
+    e = _t(spark, sf, "events")
+    counts = e.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).cast("double").alias("v")
+    )
+    out = friedman_test(counts, "user_id", "event_type", "v")
+    return out.select(
+        "n_blocks",
+        "k_treatments",
+        _r("friedman_stat").alias("friedman_stat"),
+        "dfree",
+    )
+
+
+_TWO_SEGMENT_ORACLE = """
+WITH e AS (
+  SELECT user_id, epoch_us(ts) AS tu, event_id,
+    CAST(round(value * 100) AS DOUBLE) AS vc
+  FROM events WHERE value IS NOT NULL
+),
+w AS (
+  SELECT user_id,
+    sum(vc) OVER (PARTITION BY user_id ORDER BY tu, event_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s1,
+    sum(vc * vc) OVER (PARTITION BY user_id ORDER BY tu, event_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s2,
+    row_number() OVER (PARTITION BY user_id ORDER BY tu, event_id)
+      AS i,
+    sum(vc) OVER (PARTITION BY user_id) AS t1,
+    sum(vc * vc) OVER (PARTITION BY user_id) AS t2,
+    count(*) OVER (PARTITION BY user_id) AS n
+  FROM e
+),
+cand AS (
+  SELECT user_id, n, i,
+    (s2 - s1 * s1 / i)
+      + ((t2 - s2) - (t1 - s1) * (t1 - s1) / (n - i)) AS sse,
+    s1 / i AS ml, (t1 - s1) / (n - i) AS mr,
+    t2 - t1 * t1 / n AS sse0
+  FROM w WHERE i < n
+),
+best AS (
+  SELECT user_id, CAST(max(n) AS BIGINT) AS n_obs,
+    max(sse0) AS sse_total,
+    min({'sse': sse, 'i': i, 'ml': ml, 'mr': mr}) AS b
+  FROM cand GROUP BY user_id
+),
+singles AS (
+  SELECT user_id, CAST(1 AS BIGINT) AS n_obs, 0.0 AS sse_total
+  FROM w WHERE n = 1
+)
+SELECT user_id, n_obs,
+  round(sse_total / 10000.0, 6) AS sse_total,
+  round(struct_extract(b, 'sse') / 10000.0, 6) AS sse_split,
+  round((sse_total - struct_extract(b, 'sse')) / 10000.0, 6) AS delta_sse,
+  CAST(struct_extract(b, 'i') AS INT) AS split_pos,
+  round(struct_extract(b, 'ml') / 100.0, 6) AS mean_left,
+  round(struct_extract(b, 'mr') / 100.0, 6) AS mean_right
+FROM best
+UNION ALL
+SELECT user_id, n_obs, round(sse_total, 6) AS sse_total,
+  CAST(NULL AS DOUBLE) AS sse_split,
+  CAST(NULL AS DOUBLE) AS delta_sse,
+  CAST(NULL AS INT) AS split_pos,
+  CAST(NULL AS DOUBLE) AS mean_left,
+  CAST(NULL AS DOUBLE) AS mean_right
+FROM singles
+"""
+
+
+@_q("two_segment_changepoint", _TWO_SEGMENT_ORACLE)
+def q_two_segment_changepoint(spark, sf):
+    """Per-user least-squares two-segment split over event values
+    (temporal.two_segment_changepoint): prefix sums in exact integer
+    cents (so both engines' running sums and the SSE argmin are
+    bit-deterministic), reported in value units
+    (cents^2/1e4, cents/100)."""
+    from padua_spark.operators.temporal import two_segment_changepoint
+    from padua_spark.streaming.windows import epoch_us_col
+
+    base = _t(spark, sf, "events")
+    e = base.where(F.col("value").isNotNull()).select(
+        "user_id",
+        epoch_us_col(base, "ts").alias("_tu"),
+        "event_id",
+        F.round(F.col("value") * 100).cast("double").alias("_vc"),
+    )
+    out = two_segment_changepoint(
+        e, ["user_id"], ["_tu", "event_id"], "_vc"
+    )
+    return out.select(
+        "user_id",
+        "n_obs",
+        _r(F.col("sse_total") / 10000.0).alias("sse_total"),
+        _r(F.col("sse_split") / 10000.0).alias("sse_split"),
+        _r(F.col("delta_sse") / 10000.0).alias("delta_sse"),
+        F.col("split_pos").cast("int").alias("split_pos"),
+        _r(F.col("mean_left") / 100.0).alias("mean_left"),
+        _r(F.col("mean_right") / 100.0).alias("mean_right"),
+    )
+
+
 # --- E108 longest duplicated substring (binary-search exact dedup) -----------
 
 _LDS_ORACLE = """

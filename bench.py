@@ -178,6 +178,13 @@ HEADLINE = [
     "pipeline_phospho_lfq",
     "pipeline_silac_ratio",
     "longest_dup_substring",
+    "nelson_aalen",
+    "harrells_c",
+    "bartlett_stats",
+    "mcnemar_flags",
+    "cochran_armitage",
+    "friedman_counts",
+    "two_segment_changepoint",
 ]
 
 

@@ -148,6 +148,71 @@ def f_sf(f, dfn, dfd) -> np.ndarray:
     return np.where(np.isnan(f), np.nan, p)
 
 
+def _gamma_q(a: np.ndarray, x: np.ndarray) -> np.ndarray:
+    """Regularized UPPER incomplete gamma Q(a, x), vectorized — the
+    standard gammp/gammq split (Numerical Recipes §6.2; public
+    algorithm): series for P when x < a+1 (Q = 1 − P, no cancellation
+    there since P is the small branch), Lentz continued fraction for Q
+    DIRECTLY when x ≥ a+1 — so the deep survival tail keeps full
+    precision instead of underflowing through 1 − P."""
+    a = np.asarray(a, dtype=np.float64)
+    x = np.asarray(x, dtype=np.float64)
+    a, x = np.broadcast_arrays(a, x)
+    out = np.full(x.shape, np.nan)
+    ok = (a > 0) & (x >= 0)
+    out[ok & (x == 0)] = 1.0
+    ser = ok & (x > 0) & (x < a + 1.0)
+    if np.any(ser):
+        av, xv = a[ser], x[ser]
+        ap = av.copy()
+        summ = 1.0 / av
+        delta = summ.copy()
+        for _ in range(500):
+            ap = ap + 1.0
+            delta = delta * xv / ap
+            summ = summ + delta
+            if np.all(np.abs(delta) < np.abs(summ) * 1e-16):
+                break
+        out[ser] = 1.0 - summ * np.exp(
+            -xv + av * np.log(xv) - gammaln(av)
+        )
+    cf = ok & (x > 0) & ~(x < a + 1.0)
+    if np.any(cf):
+        av, xv = a[cf], x[cf]
+        tiny = 1e-300
+        b = xv + 1.0 - av
+        c = np.full(xv.shape, 1.0 / tiny)
+        d = 1.0 / b
+        h = d.copy()
+        for i in range(1, 500):
+            an = -i * (i - av)
+            b = b + 2.0
+            d = an * d + b
+            d = np.where(np.abs(d) < tiny, tiny, d)
+            c = b + an / c
+            c = np.where(np.abs(c) < tiny, tiny, c)
+            d = 1.0 / d
+            delta = d * c
+            h = h * delta
+            if np.all(np.abs(delta - 1.0) < 1e-16):
+                break
+        out[cf] = np.exp(-xv + av * np.log(xv) - gammaln(av)) * h
+    return out
+
+
+def chi2_sf(stat, df) -> np.ndarray:
+    """Survival P(X >= stat) for the chi-square distribution with
+    ``df`` degrees of freedom — ``Q(df/2, stat/2)`` via the
+    regularized upper incomplete gamma. The p-value of Bartlett,
+    Friedman, McNemar, Kruskal-Wallis (large-sample), and every
+    contingency chi² in the battery."""
+    stat = np.asarray(stat, dtype=np.float64)
+    df = np.asarray(df, dtype=np.float64)
+    p = _gamma_q(df / 2.0, stat / 2.0)
+    p = np.where((df > 0) & (stat >= 0), p, np.nan)
+    return np.where(np.isnan(stat), np.nan, p)
+
+
 # Serialize this module's functions BY VALUE into the UDF closures:
 # executor Python workers do not have the repo on sys.path (the driver
 # process that imports us may be launched from anywhere), so a
@@ -168,3 +233,8 @@ def t_sf_udf(t: pd.Series, df: pd.Series) -> pd.Series:
 @pandas_udf(DoubleType())
 def f_sf_udf(f: pd.Series, dfn: pd.Series, dfd: pd.Series) -> pd.Series:
     return pd.Series(f_sf(f.to_numpy(), dfn.to_numpy(), dfd.to_numpy()))
+
+
+@pandas_udf(DoubleType())
+def chi2_sf_udf(stat: pd.Series, df: pd.Series) -> pd.Series:
+    return pd.Series(chi2_sf(stat.to_numpy(), df.to_numpy()))

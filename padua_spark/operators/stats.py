@@ -20,7 +20,11 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from padua_spark.functions.distributions import f_sf_udf, t_sf_udf
+from padua_spark.functions.distributions import (
+    chi2_sf_udf,
+    f_sf_udf,
+    t_sf_udf,
+)
 
 
 def _group_value(group_col: str, group, value_col: str) -> Column:
@@ -1716,6 +1720,95 @@ def theil_sen_by_group(
     )
 
 
+def harrells_c(
+    df: DataFrame,
+    group_cols: list[str],
+    risk_col: str,
+    duration_col: str,
+    event_col: str,
+    max_group_size: int | None = 10_000,
+) -> DataFrame:
+    """Harrell's concordance index per group — the standard
+    discrimination metric for survival-risk models (the censoring-
+    aware generalization of AUC: with no censoring and binary
+    outcomes it reduces to ``group_auc``):
+
+    comparable pairs are ``(i, j)`` with ``t_i < t_j`` and
+    ``event_i = 1`` (subject i demonstrably failed first); the pair is
+    CONCORDANT when the model gave i the higher risk
+    (``r_i > r_j``), counts ½ on tied predictions, and
+
+    ``c_index = (n_concordant + 0.5·n_tied_risk) / n_comparable``.
+
+    **Scale contract** (same discipline as :func:`theil_sen_by_group`
+    / :func:`mann_kendall`): pairs come from a WITHIN-GROUP self-join
+    — O(n_g²) per group, intended for bounded cohorts; the preflight
+    count raises with the offending key above ``max_group_size``
+    (``None`` opts out). Groups with zero comparable pairs emit
+    ``c_index`` NULL. Output: ``group_cols + (n_comparable,
+    n_concordant, n_tied_risk, c_index)``.
+
+    Beyond the reference; standard per Harrell et al. 1982 (ties in
+    event time are not comparable — the base definition, matching
+    lifelines' default numerator/denominator up to its extra
+    event-tie handling).
+    """
+    r, dur, ev = F.col(risk_col), F.col(duration_col), F.col(event_col)
+    pts = df.where(
+        r.isNotNull() & dur.isNotNull() & ev.isNotNull()
+    ).select(
+        *group_cols,
+        r.cast("double").alias("_r"),
+        dur.cast("double").alias("_t"),
+        ev.cast("int").alias("_e"),
+    )
+    _enforce_bounded_groups(
+        pts, list(group_cols), max_group_size, "harrells_c"
+    )
+    a = pts.select(
+        *group_cols,
+        F.col("_r").alias("_ra"),
+        F.col("_t").alias("_ta"),
+        F.col("_e").alias("_ea"),
+    )
+    b = pts.select(
+        *group_cols,
+        F.col("_r").alias("_rb"),
+        F.col("_t").alias("_tb"),
+    )
+    pairs = (
+        a.join(b, on=list(group_cols))
+        .where((F.col("_ta") < F.col("_tb")) & (F.col("_ea") == 1))
+        .select(
+            *group_cols,
+            F.when(F.col("_ra") > F.col("_rb"), 1)
+            .otherwise(0)
+            .alias("_conc"),
+            F.when(F.col("_ra") == F.col("_rb"), 1)
+            .otherwise(0)
+            .alias("_tie"),
+        )
+    )
+    agg = pairs.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n_comparable"),
+        F.sum("_conc").cast("bigint").alias("n_concordant"),
+        F.sum("_tie").cast("bigint").alias("n_tied_risk"),
+    )
+    return agg.select(
+        *group_cols,
+        "n_comparable",
+        "n_concordant",
+        "n_tied_risk",
+        (
+            (
+                F.col("n_concordant").cast("double")
+                + 0.5 * F.col("n_tied_risk").cast("double")
+            )
+            / F.col("n_comparable").cast("double")
+        ).alias("c_index"),
+    )
+
+
 def kaplan_meier(
     df: DataFrame,
     group_cols: list[str],
@@ -1798,6 +1891,76 @@ def kaplan_meier(
             "n_events",
             "n_censored",
             "survival",
+        )
+    )
+
+
+def nelson_aalen(
+    df: DataFrame,
+    group_cols: list[str],
+    duration_col: str,
+    event_col: str,
+) -> DataFrame:
+    """Nelson-Aalen cumulative-hazard estimator per group — the
+    additive companion to :func:`kaplan_meier` on the SAME risk-table
+    aggregation (KM multiplies survival factors, NA sums hazard
+    increments; ``S(t) ≈ exp(−H(t))`` links them):
+
+    ``H(t) = Σ_{t' <= t, d > 0} d_{t'} / n_{t'}`` with the standard
+    (Poisson/Klein) variance estimate ``Σ d_{t'} / n_{t'}²``.
+
+    Plan shape is identical to :func:`kaplan_meier`: one map-side-
+    combining aggregation to distinct-time counts, cumulative windows
+    over the distinct-time frame only (never the raw rows). Returns
+    one row per (group, event time with d > 0): ``(groups..., t,
+    n_risk, n_events, n_censored, cum_hazard, var_hazard)``.
+
+    Beyond the reference (padua has no survival analysis); standard
+    construction per Klein & Moeschberger §4.2.
+    """
+    from pyspark.sql import Window
+
+    dur = F.col(duration_col).cast("double")
+    ev = F.col(event_col).cast("int")
+    base = df.where(dur.isNotNull() & ev.isNotNull())
+    counts = base.groupBy(*group_cols, dur.alias("t")).agg(
+        F.sum(ev).cast("bigint").alias("n_events"),
+        F.sum(1 - ev).cast("bigint").alias("n_censored"),
+    )
+    wcum = (
+        Window.partitionBy(*group_cols)
+        .orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wtot = Window.partitionBy(*group_cols)
+    left_before = (
+        F.sum(F.col("n_events") + F.col("n_censored")).over(wcum)
+        - F.col("n_events")
+        - F.col("n_censored")
+    )
+    staged = counts.withColumn(
+        "n_risk",
+        F.sum(F.col("n_events") + F.col("n_censored")).over(wtot)
+        - left_before,
+    )
+    nr = F.col("n_risk").cast("double")
+    d = F.col("n_events").cast("double")
+    inc = F.when(F.col("n_events") > 0, d / nr).otherwise(F.lit(0.0))
+    vinc = F.when(
+        F.col("n_events") > 0, d / (nr * nr)
+    ).otherwise(F.lit(0.0))
+    return (
+        staged.withColumn("cum_hazard", F.sum(inc).over(wcum))
+        .withColumn("var_hazard", F.sum(vinc).over(wcum))
+        .where(F.col("n_events") > 0)
+        .select(
+            *group_cols,
+            "t",
+            "n_risk",
+            "n_events",
+            "n_censored",
+            "cum_hazard",
+            "var_hazard",
         )
     )
 
@@ -2202,4 +2365,275 @@ def mann_kendall(
         F.when(
             F.col("z").isNotNull(), _normal_sf_2sided(F.col("z"))
         ),
+    )
+
+
+def bartlett_stats(
+    df: DataFrame,
+    feature_cols: list[str],
+    group_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Bartlett's homogeneity-of-variance test per feature — the
+    classical (normality-assuming, variance-sensitive) counterpart to
+    :func:`levene_stats`:
+
+    ``T = [(N−k)·ln(Sp²) − Σ(n_i−1)·ln(s_i²)] / C`` with
+    ``C = 1 + (Σ 1/(n_i−1) − 1/(N−k)) / (3(k−1))``,
+    chi²-distributed with ``k−1`` df under H0.
+
+    Two cascaded aggregations (feature×group variances → per-feature
+    combine), the same shuffle shape as :func:`anova_1way_stats`;
+    everything is closed-form SQL. Groups need n_i ≥ 2 (sample
+    variance defined) and s_i² > 0 (log defined) — features violating
+    either emit NULL ``bartlett_stat``. Output: feature_cols +
+    ``(k_groups, n_total, bartlett_stat, dfree)``. Standard per
+    Snedecor & Cochran §10.21 (scipy.stats.bartlett's formula).
+    """
+    v = F.col(value_col)
+    pg = (
+        df.where(v.isNotNull())
+        .groupBy(*feature_cols, group_col)
+        .agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.var_samp(v).alias("_v"),
+        )
+        .where(F.col("_n") >= 2)
+    )
+    n1 = (F.col("_n") - 1).cast("double")
+    agg = pg.groupBy(*feature_cols).agg(
+        F.count(F.lit(1)).alias("k_groups"),
+        F.sum("_n").cast("bigint").alias("n_total"),
+        F.sum(n1 * F.col("_v")).alias("_ssw"),
+        F.sum(
+            F.when(F.col("_v") > 0, n1 * F.log(F.col("_v")))
+        ).alias("_sln"),
+        F.sum(1.0 / n1).alias("_sinv"),
+        F.sum(F.when(F.col("_v") <= 0, 1).otherwise(0)).alias("_bad"),
+    )
+    k = F.col("k_groups").cast("double")
+    nk = F.col("n_total").cast("double") - k
+    sp2 = F.col("_ssw") / nk
+    t = nk * F.log(sp2) - F.col("_sln")
+    c = 1.0 + (F.col("_sinv") - 1.0 / nk) / (3.0 * (k - 1.0))
+    stat = F.when(
+        (F.col("k_groups") >= 2)
+        & (F.col("_bad") == 0)
+        & (sp2 > 0),
+        t / c,
+    )
+    out = agg.select(
+        *feature_cols,
+        "k_groups",
+        "n_total",
+        stat.alias("bartlett_stat"),
+        F.when(
+            F.col("k_groups") >= 2, (k - 1.0)
+        ).alias("dfree"),
+    )
+    return out.withColumn(
+        "p_value",
+        chi2_sf_udf(F.col("bartlett_stat"), F.col("dfree")),
+    )
+
+
+def mcnemar_test(
+    df: DataFrame,
+    a_col: str,
+    b_col: str,
+    correction: bool = True,
+) -> DataFrame:
+    """McNemar's test for paired binary outcomes (did treatment B flip
+    the cases treatment A got right? — the paired companion to
+    :func:`two_proportion_ztest`, e.g. comparing two classifiers or
+    two filter versions on the SAME examples): only the discordant
+    cells matter,
+
+    ``chi² = (|n01 − n10| − 1)² / (n01 + n10)`` (Edwards continuity
+    correction; ``correction=False`` drops the −1), 1 df.
+
+    ONE aggregation over the fact table (four conditional counts, all
+    map-side combinable) → a 1-row closed-form result:
+    ``(n00, n01, n10, n11, mcnemar_stat, p_value)`` — NULL stat when
+    there are no discordant pairs. p via the shared chi²₁ ≡ Z²
+    identity (A&S erfc path, no new special function).
+    """
+    a = F.col(a_col).cast("int")
+    b = F.col(b_col).cast("int")
+    base = df.where(a.isNotNull() & b.isNotNull())
+    agg = base.agg(
+        F.sum(F.when((a == 0) & (b == 0), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n00"),
+        F.sum(F.when((a == 0) & (b == 1), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n01"),
+        F.sum(F.when((a == 1) & (b == 0), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n10"),
+        F.sum(F.when((a == 1) & (b == 1), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n11"),
+    )
+    disc = (F.col("n01") + F.col("n10")).cast("double")
+    diff = F.abs(F.col("n01") - F.col("n10")).cast("double")
+    num = (diff - 1.0) if correction else diff
+    num = F.greatest(num, F.lit(0.0))
+    stat = F.when(disc > 0, num * num / disc)
+    return agg.select(
+        "n00",
+        "n01",
+        "n10",
+        "n11",
+        stat.alias("mcnemar_stat"),
+        F.when(
+            stat.isNotNull(), _normal_sf_2sided(F.sqrt(stat))
+        ).alias("p_value"),
+    )
+
+
+def cochran_armitage_trend(
+    df: DataFrame,
+    score_col: str,
+    outcome_col: str,
+) -> DataFrame:
+    """Cochran-Armitage test for TREND in binomial proportions across
+    ordered exposure levels (dose-response / severity-graded A-B-C
+    cohorts — sharper than the omnibus chi² when the alternative is
+    monotone):
+
+    ``T = Σ s_i (r_i − n_i·R/N)``,
+    ``Var(T) = (R/N)(1 − R/N)(Σ n_i s_i² − (Σ n_i s_i)²/N)``,
+    ``Z = T/√Var`` — standard normal under H0 (two-sided p).
+
+    One aggregation collapses the fact table to per-level counts
+    (levels = distinct scores, tiny), one more combines — closed-form
+    SQL end to end. Output 1 row: ``(n_levels, n_total, n_success,
+    t_stat, z, p_value)``. Standard per Armitage 1955 / Agresti
+    §5.3.5.
+    """
+    s = F.col(score_col).cast("double")
+    y = F.col(outcome_col).cast("int")
+    lvl = (
+        df.where(s.isNotNull() & y.isNotNull())
+        .groupBy(s.alias("_s"))
+        .agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.sum(y).cast("bigint").alias("_r"),
+        )
+    )
+    agg = lvl.agg(
+        F.count(F.lit(1)).alias("n_levels"),
+        F.sum("_n").cast("bigint").alias("n_total"),
+        F.sum("_r").cast("bigint").alias("n_success"),
+        F.sum(F.col("_s") * F.col("_r")).alias("_sr"),
+        F.sum(F.col("_s") * F.col("_n")).alias("_sn"),
+        F.sum(F.col("_s") * F.col("_s") * F.col("_n")).alias("_ssn"),
+    )
+    nn = F.col("n_total").cast("double")
+    p = F.col("n_success").cast("double") / nn
+    t = F.col("_sr") - p * F.col("_sn")
+    var = p * (1.0 - p) * (F.col("_ssn") - F.col("_sn") * F.col("_sn") / nn)
+    z = F.when(var > 0, t / F.sqrt(var))
+    return agg.select(
+        "n_levels",
+        "n_total",
+        "n_success",
+        t.alias("t_stat"),
+        z.alias("z"),
+        F.when(z.isNotNull(), _normal_sf_2sided(z)).alias("p_value"),
+    )
+
+
+def friedman_test(
+    df: DataFrame,
+    block_col: str,
+    treatment_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Friedman rank test for k repeated measures over n blocks — the
+    non-parametric repeated-measures ANOVA (the within-subjects
+    counterpart to :func:`kruskal_wallis_stats`; its post-hoc is the
+    same :func:`dunn_posthoc` family):
+
+    rank the k treatment values WITHIN each block (midranks on ties),
+    ``chi²_F = [12/(n·k·(k+1))]·Σ_j R_j² − 3n(k+1)`` divided by the
+    tie correction ``1 − Σ(t³−t)/(n·k·(k²−1))``, ``k−1`` df
+    (scipy.stats.friedmanchisquare's formula).
+
+    Incomplete blocks (missing any of the k treatments) are DROPPED —
+    the standard complete-block requirement, enforced rather than
+    silently miscounted. Plan: one bounded within-block rank window
+    (k rows per block — entity-sized, never data-sized), one
+    aggregation to per-treatment rank sums + per-block tie terms, one
+    combine. Output 1 row: ``(n_blocks, k_treatments, friedman_stat,
+    dfree)``.
+    """
+    from pyspark.sql import Window
+
+    v = F.col(value_col).cast("double")
+    base = df.where(
+        v.isNotNull()
+        & F.col(block_col).isNotNull()
+        & F.col(treatment_col).isNotNull()
+    ).select(
+        F.col(block_col).alias("_b"),
+        F.col(treatment_col).alias("_t"),
+        v.alias("_v"),
+    )
+    k_total = base.select("_t").distinct().count()
+    complete = (
+        base.groupBy("_b")
+        .agg(F.count_distinct("_t").alias("_kt"), F.count(F.lit(1)).alias("_ct"))
+        .where((F.col("_kt") == k_total) & (F.col("_ct") == k_total))
+        .select("_b")
+    )
+    kept = base.join(complete, on="_b", how="left_semi")
+    wb = Window.partitionBy("_b").orderBy("_v")
+    # midrank = min-rank + (ties_in_group − 1)/2, via rank() and the
+    # per-(block, value) tie count in one pass
+    wt = Window.partitionBy("_b", "_v")
+    tie_n = F.count(F.lit(1)).over(wt)
+    ranked = kept.select(
+        "_b",
+        "_t",
+        (
+            F.rank().over(wb).cast("double")
+            + (tie_n.cast("double") - 1.0) / 2.0
+        ).alias("_rk"),
+        tie_n.alias("_tn"),
+    )
+    rsums = ranked.groupBy("_t").agg(F.sum("_rk").alias("_rj"))
+    ssbn = rsums.agg(
+        F.sum(F.col("_rj") * F.col("_rj")).alias("_ssbn"),
+        F.count(F.lit(1)).alias("k_treatments"),
+    )
+    # tie term: each tie GROUP of size t contributes t³−t; summing the
+    # per-row (t²−1) over rows of the group gives the same total
+    ties = ranked.agg(
+        F.sum(
+            F.col("_tn").cast("double") * F.col("_tn").cast("double")
+            - 1.0
+        ).alias("_tie_sum"),
+        (F.count(F.lit(1)) / F.lit(k_total)).cast("bigint").alias(
+            "n_blocks"
+        ),
+    )
+    out = ssbn.crossJoin(ties)
+    n = F.col("n_blocks").cast("double")
+    k = F.col("k_treatments").cast("double")
+    chisq = (12.0 / (n * k * (k + 1.0))) * F.col("_ssbn") - 3.0 * n * (
+        k + 1.0
+    )
+    c = 1.0 - F.col("_tie_sum") / (n * k * (k * k - 1.0))
+    stat = F.when((n > 0) & (k >= 2) & (c > 0), chisq / c)
+    res = out.select(
+        "n_blocks",
+        "k_treatments",
+        stat.alias("friedman_stat"),
+        F.when(k >= 2, k - 1.0).alias("dfree"),
+    )
+    return res.withColumn(
+        "p_value",
+        chi2_sf_udf(F.col("friedman_stat"), F.col("dfree")),
     )

@@ -280,3 +280,114 @@ def cusum_changepoint(
             (-F.col("_an.negpos")).alias("cp_neg"),
         )
     )
+
+
+def two_segment_changepoint(
+    df: DataFrame,
+    key_cols: list[str],
+    order_cols: list[str],
+    value_col: str,
+) -> DataFrame:
+    """Per-key least-squares TWO-SEGMENT change point: the split that
+    minimizes total within-segment sum of squared errors — the
+    mean-shift estimator behind binary segmentation (the first step of
+    the classic changepoint recursion), complementing
+    :func:`cusum_changepoint`'s drift detector with an explicit
+    before/after level fit:
+
+    with prefix sums ``S1_i = Σ v``, ``S2_i = Σ v²``,
+    ``SSE(i) = [S2_i − S1_i²/i] + [(S2_n−S2_i) − (S1_n−S1_i)²/(n−i)]``
+    for split after position ``i ∈ [1, n−1]``; the reported split is
+    the SSE-argmin with earliest-position tiebreak.
+
+    One shuffle on the key, one ordered window pass for both prefix
+    sums, one argmin aggregation — all closed-form SQL, no recursion.
+    The prefix sums accumulate in series order on every engine, so the
+    float sequence (and hence the argmin) is engine-reproducible.
+    Per-key state is the ordered series itself (same bounded-key
+    caveat as :func:`cusum_changepoint`). Keys with n < 2 emit NULL
+    split columns.
+
+    Output per key: ``(keys..., n_obs, split_pos (1-based, last point
+    of the left segment), sse_total, sse_split, delta_sse, mean_left,
+    mean_right)``.
+    """
+    from pyspark.sql import Window
+
+    v = F.col(value_col).cast("double")
+    base = df.where(v.isNotNull()).select(
+        *key_cols,
+        *[c for c in order_cols if c not in key_cols],
+        v.alias("_v"),
+    )
+    wo = Window.partitionBy(*key_cols).orderBy(
+        *[F.col(c).asc() for c in order_cols]
+    )
+    run = wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tot = wo.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    staged = base.select(
+        *key_cols,
+        F.sum("_v").over(run).alias("_s1"),
+        F.sum(F.col("_v") * F.col("_v")).over(run).alias("_s2"),
+        F.row_number().over(wo).alias("_i"),
+        F.sum("_v").over(tot).alias("_t1"),
+        F.sum(F.col("_v") * F.col("_v")).over(tot).alias("_t2"),
+        F.count(F.lit(1)).over(tot).alias("_n"),
+    )
+    i = F.col("_i").cast("double")
+    n = F.col("_n").cast("double")
+    left = F.col("_s2") - F.col("_s1") * F.col("_s1") / i
+    r1 = F.col("_t1") - F.col("_s1")
+    right = (F.col("_t2") - F.col("_s2")) - r1 * r1 / (n - i)
+    sse = left + right
+    cand = staged.where(F.col("_i") < F.col("_n")).select(
+        *key_cols,
+        "_n",
+        "_i",
+        sse.alias("_sse"),
+        (F.col("_s1") / i).alias("_ml"),
+        (r1 / (n - i)).alias("_mr"),
+        (F.col("_t2") - F.col("_t1") * F.col("_t1") / n).alias("_sse0"),
+    )
+    # argmin with earliest-position tiebreak: lexicographic struct min
+    best = cand.groupBy(*key_cols).agg(
+        F.max("_n").alias("n_obs"),
+        F.min(
+            F.struct(
+                F.col("_sse").alias("sse"),
+                F.col("_i").alias("pos"),
+                F.col("_ml").alias("ml"),
+                F.col("_mr").alias("mr"),
+            )
+        ).alias("_b"),
+        F.max("_sse0").alias("sse_total"),
+    )
+    singles = (
+        staged.where(F.col("_n") == 1)
+        .select(*key_cols, F.col("_n").alias("n_obs"))
+        .groupBy(*key_cols, "n_obs")
+        .agg(F.lit(0.0).alias("sse_total"))
+    )
+    out = best.select(
+        *key_cols,
+        "n_obs",
+        "sse_total",
+        F.col("_b.sse").alias("sse_split"),
+        (F.col("sse_total") - F.col("_b.sse")).alias("delta_sse"),
+        F.col("_b.pos").alias("split_pos"),
+        F.col("_b.ml").alias("mean_left"),
+        F.col("_b.mr").alias("mean_right"),
+    )
+    pad = singles.select(
+        *key_cols,
+        "n_obs",
+        "sse_total",
+        F.lit(None).cast("double").alias("sse_split"),
+        F.lit(None).cast("double").alias("delta_sse"),
+        F.lit(None).cast("int").alias("split_pos"),
+        F.lit(None).cast("double").alias("mean_left"),
+        F.lit(None).cast("double").alias("mean_right"),
+    )
+    return out.unionByName(pad)

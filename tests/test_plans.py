@@ -415,6 +415,9 @@ def test_no_cartesian_products_anywhere(spark):
         "triangle_count",
         # 4-row exact-distinct frame broadcast onto the sketch output
         "hll_distinct",
+        # two 1-row aggregates (rank-sum squares x tie totals) crossed
+        # into the single Friedman result row
+        "friedman_counts",
     }
     bad = {}
     for name, fn in em.queries().items():

@@ -221,6 +221,13 @@ COVERAGE = {
     "E106": "entry:pipeline_phospho_lfq",
     "E107": "entry:pipeline_silac_ratio",
     "E108": "entry:longest_dup_substring",
+    "E109": "entry:nelson_aalen",
+    "E110": "entry:harrells_c",
+    "E111": "entry:bartlett_stats",
+    "E112": "entry:mcnemar_flags",
+    "E113": "entry:cochran_armitage",
+    "E114": "entry:friedman_counts",
+    "E115": "entry:two_segment_changepoint",
 }
 
 

@@ -4007,3 +4007,223 @@ def test_longest_duplicated_substring_vs_brute_force(spark):
     assert tuple(
         longest_duplicated_substring(nodup, "doc_id", "text").collect()[0]
     ) == (0, 0, 0, None)
+
+
+def test_chi2_sf_closed_forms():
+    """chi2_sf matches the exact closed forms for df=1..4 (erfc /
+    exponential identities) to machine precision, including the deep
+    survival tail (no 1-P cancellation — the gammq branch computes Q
+    directly)."""
+    import math
+
+    from padua_spark.functions.distributions import chi2_sf
+
+    cases = [
+        (16.79, 1, math.erfc(math.sqrt(16.79 / 2))),
+        (3.8414588206941245, 1,
+         math.erfc(math.sqrt(3.8414588206941245 / 2))),
+        (5.991464547107979, 2, math.exp(-5.991464547107979 / 2)),
+        (0.5, 3,
+         math.erfc(0.5) + math.sqrt(1 / math.pi) * math.exp(-0.25)),
+        (100.0, 4, 51 * math.exp(-50.0)),
+        (300.0, 2, math.exp(-150.0)),
+        (7.2, 4, 4.6 * math.exp(-3.6)),
+    ]
+    for stat, df, exact in cases:
+        got = float(chi2_sf(stat, df))
+        assert got == pytest.approx(exact, rel=1e-12), (stat, df)
+
+
+def test_round8_stat_battery_replicas(spark):
+    """Bartlett / McNemar / Cochran-Armitage / Friedman against
+    independent numpy replicas of the textbook formulas (scipy is not
+    in this environment; the replicas implement the same published
+    equations scipy does), plus structural edges."""
+    import math
+
+    from padua_spark.operators.stats import (
+        bartlett_stats,
+        cochran_armitage_trend,
+        friedman_test,
+        mcnemar_test,
+    )
+
+    # Bartlett on 3 groups of 10 (variance-heterogeneous b)
+    a = [8.88, 9.12, 9.04, 8.98, 9.00, 9.08, 9.01, 8.85, 9.06, 8.99]
+    b = [8.88, 8.95, 9.29, 9.44, 9.15, 9.58, 8.36, 9.18, 8.67, 9.05]
+    c = [8.95, 9.12, 8.95, 8.85, 9.03, 8.84, 9.07, 8.98, 8.86, 8.98]
+    groups = [np.array(a), np.array(b), np.array(c)]
+    ni = np.array([len(g) for g in groups], dtype=float)
+    vi = np.array([np.var(g, ddof=1) for g in groups])
+    N, k = ni.sum(), len(groups)
+    sp2 = ((ni - 1) * vi).sum() / (N - k)
+    t_num = (N - k) * np.log(sp2) - ((ni - 1) * np.log(vi)).sum()
+    c_den = 1 + (np.sum(1 / (ni - 1)) - 1 / (N - k)) / (3 * (k - 1))
+    expected = t_num / c_den
+    rows = [(1, g, float(x)) for g, vals in zip("ABC", groups)
+            for x in vals]
+    df = spark.createDataFrame(rows, ["f", "g", "v"])
+    r = bartlett_stats(df, ["f"], "g", "v").collect()[0]
+    assert r["bartlett_stat"] == pytest.approx(expected, rel=1e-12)
+    assert r["dfree"] == 2.0
+    # p_value consistent with the chi2 survival of the statistic
+    from padua_spark.functions.distributions import chi2_sf
+
+    assert r["p_value"] == pytest.approx(
+        float(chi2_sf(expected, 2)), rel=1e-12
+    )
+
+    # McNemar: n01=1, n10=9 -> CC stat (|1-9|-1)^2/10 = 4.9,
+    # p = chi2_1.sf(4.9) = erfc(sqrt(4.9/2)) via the A&S path
+    md = spark.createDataFrame(
+        [(0, 1)] * 1 + [(1, 0)] * 9 + [(1, 1)] * 5 + [(0, 0)] * 3,
+        ["a", "b"],
+    )
+    r = mcnemar_test(md, "a", "b").collect()[0]
+    assert (r["n00"], r["n01"], r["n10"], r["n11"]) == (3, 1, 9, 5)
+    assert r["mcnemar_stat"] == pytest.approx(4.9, abs=1e-12)
+    # A&S 7.1.26 has ~1.5e-7 max ABSOLUTE error — compare absolutely
+    assert r["p_value"] == pytest.approx(
+        math.erfc(math.sqrt(4.9 / 2)), abs=2e-7
+    )
+    # no discordant pairs -> NULL stat
+    r0 = mcnemar_test(
+        spark.createDataFrame([(1, 1), (0, 0)], ["a", "b"]), "a", "b"
+    ).collect()[0]
+    assert r0["mcnemar_stat"] is None and r0["p_value"] is None
+
+    # Cochran-Armitage on a clean monotone dose-response
+    sc, nn, rr = [0, 1, 2], [10, 10, 10], [2, 5, 8]
+    rows = []
+    for s, n_, r_ in zip(sc, nn, rr):
+        rows += [(s, 1)] * r_ + [(s, 0)] * (n_ - r_)
+    row = cochran_armitage_trend(
+        spark.createDataFrame(rows, ["s", "y"]), "s", "y"
+    ).collect()[0]
+    N, R = 30.0, 15.0
+    t_exp = sum(s * r_ for s, r_ in zip(sc, rr)) - R / N * sum(
+        s * n_ for s, n_ in zip(sc, nn)
+    )
+    var = (R / N) * (1 - R / N) * (
+        sum(s * s * n_ for s, n_ in zip(sc, nn))
+        - sum(s * n_ for s, n_ in zip(sc, nn)) ** 2 / N
+    )
+    assert row["t_stat"] == pytest.approx(t_exp, abs=1e-12)
+    assert row["z"] == pytest.approx(t_exp / math.sqrt(var), rel=1e-12)
+
+    # Friedman on a 5x4 block design with ties (replica of the scipy
+    # formula: midranks within blocks, ssbn, tie correction)
+    data = np.array(
+        [[7.0, 9.9, 8.5, 5.1], [9.9, 9.0, 5.1, 4.4],
+         [7.3, 8.5, 9.9, 8.1], [9.9, 7.2, 8.1, 6.3],
+         [4.4, 5.1, 9.9, 7.3]]
+    )
+
+    def rankdata(x):
+        x = np.asarray(x)
+        sorter = np.argsort(x)
+        inv = np.empty_like(sorter)
+        inv[sorter] = np.arange(len(x))
+        sx = x[sorter]
+        obs = np.r_[True, sx[1:] != sx[:-1]]
+        dense = obs.cumsum()[inv]
+        cnt = np.r_[np.nonzero(obs)[0], len(obs)]
+        return 0.5 * (cnt[dense] + cnt[dense - 1] + 1)
+
+    ranks = np.array([rankdata(row_) for row_ in data])
+    n_, k_ = ranks.shape
+    ssbn = (ranks.sum(axis=0) ** 2).sum()
+    chisq = 12.0 / (k_ * n_ * (k_ + 1)) * ssbn - 3 * n_ * (k_ + 1)
+    ties = sum(
+        float((cnts ** 3 - cnts).sum())
+        for cnts in (np.unique(row_, return_counts=True)[1]
+                     for row_ in data)
+    )
+    corr = 1 - ties / (k_ * (k_ * k_ - 1) * n_)
+    fd = spark.createDataFrame(
+        [(bi, ti, float(data[bi, ti]))
+         for bi in range(5) for ti in range(4)],
+        ["blk", "trt", "v"],
+    )
+    r = friedman_test(fd, "blk", "trt", "v").collect()[0]
+    assert r["n_blocks"] == 5 and r["k_treatments"] == 4
+    assert r["friedman_stat"] == pytest.approx(chisq / corr, rel=1e-12)
+    # an incomplete block is dropped, not miscounted
+    fd2 = fd.where(~((F.col("blk") == 0) & (F.col("trt") == 3)))
+    r2 = friedman_test(fd2, "blk", "trt", "v").collect()[0]
+    assert r2["n_blocks"] == 4
+
+
+def test_survival_companions_and_two_segment(spark):
+    """nelson_aalen hand-checked risk table; harrells_c perfect /
+    anti / tied models plus the bounded-group guard; two-segment
+    changepoint recovers a planted level shift and matches a numpy
+    argmin-SSE replica on noisy data."""
+    from padua_spark.operators.stats import harrells_c, nelson_aalen
+    from padua_spark.operators.temporal import two_segment_changepoint
+
+    rows = [(0, 1.0, 0), (1, 2.0, 1), (2, 2.0, 1), (3, 3.0, 0),
+            (4, 4.0, 1)]
+    df = spark.createDataFrame([(0,) + r[1:] for r in rows],
+                               ["g", "t", "e"])
+    out = {r["t"]: r for r in nelson_aalen(df, ["g"], "t", "e").collect()}
+    assert set(out) == {2.0, 4.0}
+    assert out[2.0]["n_risk"] == 4 and out[2.0]["n_events"] == 2
+    assert out[2.0]["cum_hazard"] == pytest.approx(0.5)
+    assert out[2.0]["var_hazard"] == pytest.approx(0.125)
+    assert out[4.0]["cum_hazard"] == pytest.approx(1.5)
+    assert out[4.0]["var_hazard"] == pytest.approx(1.125)
+
+    perfect = spark.createDataFrame(
+        [(0, 3.0, 1.0, 1), (0, 2.0, 2.0, 1), (0, 1.0, 3.0, 0)],
+        ["g", "r", "t", "e"],
+    )
+    r = harrells_c(perfect, ["g"], "r", "t", "e").collect()[0]
+    assert (r["n_comparable"], r["c_index"]) == (3, 1.0)
+    anti = spark.createDataFrame(
+        [(0, 1.0, 1.0, 1), (0, 2.0, 2.0, 1), (0, 3.0, 3.0, 0)],
+        ["g", "r", "t", "e"],
+    )
+    assert harrells_c(anti, ["g"], "r", "t", "e").collect()[0][
+        "c_index"] == 0.0
+    tied = spark.createDataFrame(
+        [(0, 1.0, 1.0, 1), (0, 1.0, 2.0, 1)], ["g", "r", "t", "e"]
+    )
+    rt = harrells_c(tied, ["g"], "r", "t", "e").collect()[0]
+    assert (rt["n_tied_risk"], rt["c_index"]) == (1, 0.5)
+    with pytest.raises(Exception, match="harrells_c"):
+        harrells_c(perfect, ["g"], "r", "t", "e",
+                   max_group_size=2).collect()
+
+    vals = [1.0, 1.1, 0.9, 1.0, 5.0, 5.1, 4.9, 5.0]
+    td = spark.createDataFrame(
+        [(0, i, v) for i, v in enumerate(vals)], ["k", "t", "v"]
+    )
+    r = two_segment_changepoint(td, ["k"], ["t"], "v").collect()[0]
+    assert r["split_pos"] == 4
+    assert r["mean_left"] == pytest.approx(1.0)
+    assert r["mean_right"] == pytest.approx(5.0)
+    assert r["delta_sse"] == pytest.approx(
+        r["sse_total"] - r["sse_split"]
+    )
+    # numpy argmin-SSE replica on a noisy series
+    rng = np.random.default_rng(5)
+    noisy = np.r_[rng.normal(0, 1, 20), rng.normal(2.5, 1, 15)]
+
+    def sse(seg):
+        return float(((seg - seg.mean()) ** 2).sum()) if len(seg) else 0.0
+
+    costs = [sse(noisy[:i]) + sse(noisy[i:])
+             for i in range(1, len(noisy))]
+    best = int(np.argmin(costs)) + 1
+    nd = spark.createDataFrame(
+        [(0, i, float(v)) for i, v in enumerate(noisy)],
+        ["k", "t", "v"],
+    )
+    rn = two_segment_changepoint(nd, ["k"], ["t"], "v").collect()[0]
+    assert rn["split_pos"] == best
+    assert rn["sse_split"] == pytest.approx(min(costs), rel=1e-9)
+    # single-point series pads with NULL split
+    one = spark.createDataFrame([(0, 0, 1.0)], ["k", "t", "v"])
+    r1 = two_segment_changepoint(one, ["k"], ["t"], "v").collect()[0]
+    assert r1["n_obs"] == 1 and r1["split_pos"] is None
