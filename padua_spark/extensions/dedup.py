@@ -1331,20 +1331,31 @@ def longest_duplicated_substring(
     position via prefix polynomial hashes:
 
     - ONE persisted frame of exploded positions ``(id, pos, prefix
-      sums, inverse power)`` — prefix ``P`` and the broadcast
+      sums, inverse powers)`` — prefix ``P`` and the broadcast
       ``base^±pos mod m`` tables make every window hash
       ``H(s, L) = (P[s+L-1] − P_excl[s]) · base^{−s}`` a constant-time
       expression; no per-window O(L) work at any L.
-    - per probe: one bounded per-doc window pass (docs are bounded;
-      the partition key is the doc id, never a global order), a
-      map-side-combining groupBy(hash) to find candidate collisions,
-      and a STRING verification join on the (tiny) candidate set —
-      hash collisions cost time, never correctness, so one 31-bit
-      modulus suffices at any corpus size.
+    - per round: one bounded per-doc window pass (docs are bounded;
+      the partition key is the doc id, never a global order) and a
+      map-side-combining groupBy over a DOUBLE independent 31-bit
+      hash pair — search probes carry no verification join at all
+      (a spurious pair-collision needs ~2^62 window pairs), and the
+      converged length is STRING-verified once at the end; if that
+      astronomically-unlikely verification ever failed, a fully
+      verified binary search over the remaining prefix re-derives the
+      answer — collisions cost time, never correctness.
 
-    Driver involvement is the O(log n) probe loop itself (same
+    The search is K-ARY, not binary: each round evaluates up to
+    ``probes_per_round`` candidate lengths in ONE shared window pass
+    (one ``lead()`` pair per length over the same persisted,
+    pre-partitioned prefix frame, stacked into a tagged
+    ``(length, h1, h2)`` frame), so the predicate narrows the
+    interval by a factor of ``probes_per_round+1`` per round —
+    ``log_{k+1}(max_doc_tokens)`` cluster-wide synchronization
+    barriers instead of ``log_2`` (3 rounds vs 11 at nmax≈2000).
+    Driver involvement is the O(log n) round loop itself (same
     discipline as the Lloyd iterations in ``ml.kmeans_quantized``);
-    every per-probe data pass is distributed. Intermediates are
+    every per-round data pass is distributed. Intermediates are
     unpersisted before return; the result is a materialized 1-row
     frame.
 
@@ -1356,60 +1367,89 @@ def longest_duplicated_substring(
     from pyspark.sql import Window
 
     spark = df.sparkSession
-    staged = df.select(
-        F.col(id_col).alias("_id"),
-        F.split(F.col(text_col), " ").alias("_toks"),
-        token_hashes(F.col(text_col), base=131, mod=mod).alias("_th"),
-    ).persist(StorageLevel.MEMORY_AND_DISK)
-    nmax_row = staged.agg(F.max(F.size("_toks"))).collect()[0]
+    base_df = df.select(
+        F.col(id_col).alias("_id"), F.col(text_col).alias("_text")
+    )
+    nmax_row = base_df.agg(
+        F.max(F.size(F.split("_text", " ")))
+    ).collect()[0]
     nmax = int(nmax_row[0] or 0)
     schema = (
         "max_len bigint, n_dup_substrings bigint, "
         "n_occurrences bigint, substring string"
     )
     if nmax == 0:
-        staged.unpersist()
         return spark.createDataFrame([(0, 0, 0, None)], schema)
 
-    b = base % mod
-    inv_b = pow(b, mod - 2, mod)  # mod is prime
+    b1 = base % mod
+    b2 = (base + 2) % mod  # independent second channel (mod prime)
+    i1, i2 = pow(b1, mod - 2, mod), pow(b2, mod - 2, mod)
     pw = spark.createDataFrame(
-        [(i, pow(b, i, mod), pow(inv_b, i, mod)) for i in range(nmax)],
-        "pos int, _cpow long, _ipw long",
+        [
+            (
+                i,
+                pow(b1, i, mod),
+                pow(i1, i, mod),
+                pow(b2, i, mod),
+                pow(i2, i, mod),
+            )
+            for i in range(nmax)
+        ],
+        "pos int, _cp1 long, _ip1 long, _cp2 long, _ip2 long",
     )
-    ex = staged.select(
-        "_id", F.posexplode("_th").alias("pos", "_thv")
+    arr = base_df.select(
+        "_id",
+        token_hashes(F.col("_text"), base=131, mod=mod).alias("_a1"),
+        token_hashes(F.col("_text"), base=137, mod=mod).alias("_a2"),
+    )
+    ex = arr.select(
+        "_id", F.posexplode(F.arrays_zip("_a1", "_a2")).alias("pos", "_z")
     ).join(F.broadcast(pw), on="pos")
-    term = (F.col("_thv") * F.col("_cpow")) % F.lit(mod)
+    t1 = (F.col("_z._a1") * F.col("_cp1")) % F.lit(mod)
+    t2 = (F.col("_z._a2") * F.col("_cp2")) % F.lit(mod)
     w = Window.partitionBy("_id").orderBy("pos")
-    pincl = F.sum(term).over(w)
+    p1, p2 = F.sum(t1).over(w), F.sum(t2).over(w)
     # Persist the prefix frame ALREADY hash-partitioned by doc and
     # sorted by (doc, pos): InMemoryRelation keeps outputPartitioning/
     # ordering, so each probe's per-doc lead() window reuses it and
-    # elides its Exchange + Sort — one shuffle for ALL log(n) probes
-    # instead of one per probe (measured ~2x on the sf0.1 bench row).
+    # elides its Exchange + Sort — one shuffle for ALL search rounds
+    # instead of one per round (measured ~2x on the sf0.1 bench row).
+    # This is the ONLY persisted frame; the token arrays for the final
+    # verification come from a fresh (cheap, column-pruned) scan.
     ex = (
         ex.select(
             "_id",
             "pos",
-            pincl.alias("_pincl"),
-            (pincl - term).alias("_pexcl"),
-            "_ipw",
+            p1.alias("_pincl"),
+            (p1 - t1).alias("_pexcl"),
+            "_ip1",
+            p2.alias("_pincl2"),
+            (p2 - t2).alias("_pexcl2"),
+            "_ip2",
         )
         .repartition("_id")
         .sortWithinPartitions("_id", "pos")
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    toks = staged.select("_id", "_toks")
+    toks = base_df.select(
+        "_id", F.split(F.col("_text"), " ").alias("_toks")
+    )
+
+    def _window_hash(length: int, which: int = 1):
+        pin, pex, ipw = (
+            ("_pincl", "_pexcl", "_ip1")
+            if which == 1
+            else ("_pincl2", "_pexcl2", "_ip2")
+        )
+        lead = F.lead(pin, length - 1).over(w)
+        d = (lead - F.col(pex)) % F.lit(mod)
+        return (d * F.col(ipw)) % F.lit(mod)
 
     def _dup_substrings(length: int) -> DataFrame:
         """Distinct VERIFIED duplicated substrings of exactly
         ``length`` tokens, with occurrence counts."""
-        lead = F.lead("_pincl", length - 1).over(w)
-        d = (lead - F.col("_pexcl")) % F.lit(mod)
-        h = (d * F.col("_ipw")) % F.lit(mod)
         wins = ex.select(
-            "_id", "pos", h.alias("_h")
+            "_id", "pos", _window_hash(length).alias("_h")
         ).where(F.col("_h").isNotNull())
         dup_h = (
             wins.groupBy("_h")
@@ -1429,22 +1469,116 @@ def longest_duplicated_substring(
             .where(F.col("_n") > 1)
         )
 
-    def _probe(length: int) -> bool:
-        return len(_dup_substrings(length).take(1)) > 0
+    def _probe_multi(lengths: list[int]) -> set[int]:
+        """The subset of ``lengths`` with a double-hash duplicate —
+        ALL lengths share one window pass over the persisted prefix
+        frame (one lead() pair per length) and one stacked
+        (length, h1, h2) collision groupBy; no verification join on
+        the search path. The hash columns are STAGED as plain columns
+        before the array-of-structs explode (per the
+        heavy-computed-array rule: a synthesized size()>0 filter must
+        re-evaluate only cheap column refs, never the window
+        expressions)."""
+        hcols = ex.select(
+            *[
+                c
+                for ln in lengths
+                for c in (
+                    _window_hash(ln, 1).alias(f"_h{ln}"),
+                    _window_hash(ln, 2).alias(f"_g{ln}"),
+                )
+            ],
+        )
+        stacked = F.array(
+            *[
+                F.struct(
+                    F.lit(ln).alias("_l"),
+                    F.col(f"_h{ln}").alias("_h"),
+                    F.col(f"_g{ln}").alias("_g"),
+                )
+                for ln in lengths
+            ]
+        )
+        wins = (
+            hcols.select(F.explode(stacked).alias("_lh"))
+            .select(
+                F.col("_lh._l").alias("_l"),
+                F.col("_lh._h").alias("_h"),
+                F.col("_lh._g").alias("_g"),
+            )
+            .where(F.col("_h").isNotNull())
+        )
+        hits = (
+            wins.groupBy("_l", "_h", "_g")
+            .agg(F.count(F.lit(1)).alias("_c"))
+            .where(F.col("_c") > 1)
+            .select("_l")
+            .distinct()
+            .collect()
+        )
+        return {int(r["_l"]) for r in hits}
 
-    if not _probe(1):
-        staged.unpersist()
+    def _kary_search(probe) -> int:
+        """Monotone k-ary max search over [1, nmax] given a
+        set-probe callable; returns 0 when probe(1) fails."""
+        k = 7
+        first = sorted(
+            {1}
+            | {
+                min(nmax, 1 + ((nmax - 1) * i) // k)
+                for i in range(1, k + 1)
+            }
+        )
+        found = probe(first)
+        if 1 not in found:
+            return 0
+        lo = max(found)
+        above = [p for p in first if p > lo]
+        hi = min(above) - 1 if above else nmax
+        while lo < hi:
+            span = hi - lo
+            kk = min(k, span)
+            probes = sorted(
+                {
+                    lo + max(1, (span * i) // (kk + 1))
+                    for i in range(1, kk + 1)
+                }
+                | {hi}
+            )
+            found = probe(probes)
+            good = [p for p in probes if p in found]
+            lo = max(good) if good else lo
+            bad = [p for p in probes if p not in found and p > lo]
+            hi = min(bad) - 1 if bad else hi
+        return lo
+
+    lo = _kary_search(_probe_multi)
+    if lo == 0:
         ex.unpersist()
         return spark.createDataFrame([(0, 0, 0, None)], schema)
-    lo, hi = 1, nmax
-    while lo < hi:
-        mid = (lo + hi + 1) // 2
-        if _probe(mid):
-            lo = mid
-        else:
-            hi = mid - 1
-    n_distinct, chosen, n_occ = _lds_summarize(_dup_substrings(lo))
-    staged.unpersist()
+    final = _dup_substrings(lo)
+    if len(final.take(1)) == 0:
+        # A double-hash collision (≈ n²/2^62) inflated the converged
+        # length: fall back to the fully STRING-VERIFIED search over
+        # what remains below. Correctness never rests on the hashes.
+        nmax = lo - 1
+        if nmax == 0:
+            ex.unpersist()
+            return spark.createDataFrame([(0, 0, 0, None)], schema)
+
+        def _probe_verified(lengths: list[int]) -> set[int]:
+            return {
+                ln
+                for ln in lengths
+                if len(_dup_substrings(ln).take(1)) > 0
+            }
+
+        lo = _kary_search(_probe_verified)
+        if lo == 0:
+            ex.unpersist()
+            return spark.createDataFrame([(0, 0, 0, None)], schema)
+        final = _dup_substrings(lo)
+    n_distinct, chosen, n_occ = _lds_summarize(final)
     ex.unpersist()
     return spark.createDataFrame(
         [(lo, n_distinct, n_occ, chosen)], schema
