@@ -11501,6 +11501,211 @@ def q_pipeline_silac_ratio(spark, sf):
     )
 
 
+# --- ext round 8: data selection & corpus statistics ------------------------
+
+
+_MIXING_WEIGHTS_ORACLE = """
+WITH per AS (
+  SELECT source AS domain, CAST(count(*) AS BIGINT) AS n
+  FROM documents WHERE source IS NOT NULL GROUP BY 1
+),
+s AS (
+  SELECT domain, n,
+    CAST(n AS DOUBLE) / CAST(sum(n) OVER () AS DOUBLE) AS p
+  FROM per
+),
+t AS (SELECT domain, n, p, pow(p, 0.7) AS pt FROM s),
+w AS (
+  SELECT domain, n, p,
+    pt / sum(pt) OVER (ORDER BY domain
+      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS wt
+  FROM t
+)
+SELECT domain, n, round(p, 9) AS p_raw, round(wt, 9) AS weight,
+  round(wt * 1000000.0 / CAST(n AS DOUBLE), 9) AS epochs
+FROM w
+"""
+
+
+@_q("mixing_weights", _MIXING_WEIGHTS_ORACLE)
+def q_mixing_weights(spark, sf):
+    """Temperature-scaled domain mixing weights (tau=0.7) with
+    per-domain epoch factors for a 1M-token budget
+    (sampling.mixing_temperature_weights)."""
+    from padua_spark.extensions.sampling import mixing_temperature_weights
+
+    d = _t(spark, sf, "documents")
+    return mixing_temperature_weights(
+        d, "source", tau=0.7, token_budget=1_000_000
+    )
+
+
+def _cluster_split_oracle() -> str:
+    from padua_spark.extensions.sampling import split_assign_sql
+
+    base = _dedup_clusters_oracle()
+    expr = split_assign_sql(
+        "cluster_id", {"train": 0.8, "val": 0.1, "test": 0.1}, salt=5
+    )
+    return f"""
+WITH cl AS ({base})
+SELECT doc_id, cluster_id, {expr} AS split FROM cl
+"""
+
+
+@_q("cluster_aware_split", _cluster_split_oracle())
+def q_cluster_aware_split(spark, sf):
+    """Near-dup-leakage-free train/val/test assignment: MinHash-LSH
+    candidate pairs -> connected components -> split keyed on the
+    CLUSTER id (sampling.cluster_aware_split), so near-duplicates can
+    never straddle a split boundary."""
+    from padua_spark.extensions.dedup import minhash_lsh_candidates
+    from padua_spark.extensions.sampling import cluster_aware_split
+
+    d = _t(spark, sf, "documents")
+    pairs = minhash_lsh_candidates(
+        d, "doc_id", "text", k_shingle=3, num_hashes=32, bands=8,
+        portable_keys=True,
+    ).where(F.col("est_jaccard") >= 0.5).select("id_a", "id_b")
+    out = cluster_aware_split(
+        d, "doc_id", pairs,
+        {"train": 0.8, "val": 0.1, "test": 0.1}, salt=5,
+    )
+    return out.select("doc_id", "cluster_id", "split")
+
+
+_TOKEN_BUCKET_SQL = """list_transform(string_split(text, ' '),
+    w -> list_reduce(
+        list_prepend(CAST(7 AS BIGINT),
+          list_transform(list_filter(string_split(w, ''), c -> c <> ''),
+                         c -> CAST(ord(c) AS BIGINT))),
+        (a, c) -> (a * 131 + c) % 2147483647) % 4096)"""
+
+
+_DSIR_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, (lang = 'en') AS tgt, {_TOKEN_BUCKET_SQL} AS bs
+  FROM documents
+),
+e AS (SELECT doc_id, tgt, u.b AS b FROM tok, unnest(bs) AS u(b)),
+db AS (
+  SELECT doc_id, b, CAST(count(*) AS BIGINT) AS c, bool_or(tgt) AS tgt
+  FROM e GROUP BY 1, 2
+),
+bs AS (
+  SELECT b, CAST(sum(c) AS BIGINT) AS cr,
+    CAST(sum(CASE WHEN tgt THEN c ELSE 0 END) AS BIGINT) AS ct
+  FROM db GROUP BY 1
+),
+lm AS (
+  SELECT b,
+    ln(CAST(ct AS DOUBLE) + 0.5)
+      - ln(CAST(sum(ct) OVER () AS DOUBLE) + 0.5 * 4096)
+      - ln(CAST(cr AS DOUBLE) + 0.5)
+      + ln(CAST(sum(cr) OVER () AS DOUBLE) + 0.5 * 4096) AS lam
+  FROM bs
+)
+SELECT d.doc_id, CAST(sum(d.c) AS BIGINT) AS n_tokens,
+  round(sum(CAST(d.c AS DOUBLE) * lm.lam), 6) AS log_weight
+FROM db d JOIN lm USING (b) GROUP BY 1
+"""
+
+
+@_q("dsir_weights", _DSIR_ORACLE)
+def q_dsir_weights(spark, sf):
+    """DSIR importance log-weights (Xie et al. 2023): hashed-unigram
+    target-vs-raw LM ratio per document, target = lang='en'
+    (sampling.dsir_logweights)."""
+    from padua_spark.extensions.sampling import dsir_logweights
+
+    d = _t(spark, sf, "documents").withColumn(
+        "_is_en", F.col("lang") == "en"
+    )
+    return dsir_logweights(
+        d, "doc_id", "text", "_is_en", n_buckets=4096
+    )
+
+
+_HEAPS_ORACLE = """
+WITH tok AS (
+  SELECT doc_id, string_split(text, ' ') AS a FROM documents
+),
+e AS (SELECT doc_id, u.t AS t FROM tok, unnest(a) AS u(t)),
+firsts AS (SELECT t, min(doc_id) AS doc_id FROM e GROUP BY 1),
+newc AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS cnew FROM firsts GROUP BY 1
+),
+tokc AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS ctok FROM e GROUP BY 1
+),
+per AS (
+  SELECT tokc.doc_id, ctok, coalesce(cnew, 0) AS cnew
+  FROM tokc LEFT JOIN newc USING (doc_id)
+),
+cum AS (
+  SELECT doc_id,
+    CAST(sum(ctok) OVER (ORDER BY doc_id) AS BIGINT) AS trun,
+    CAST(sum(cnew) OVER (ORDER BY doc_id) AS BIGINT) AS vrun
+  FROM per
+),
+pts AS (
+  SELECT ln(CAST(trun AS DOUBLE)) AS x, ln(CAST(vrun AS DOUBLE)) AS y,
+    trun, vrun
+  FROM cum WHERE trun > 0
+),
+agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_points,
+    CAST(max(trun) AS BIGINT) AS n_tokens,
+    CAST(max(vrun) AS BIGINT) AS n_vocab,
+    sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy, sum(x * x) AS sxx
+  FROM pts
+)
+SELECT n_points, n_tokens, n_vocab,
+  round((n_points * sxy - sx * sy) / (n_points * sxx - sx * sx), 6)
+    AS beta,
+  round((sy - ((n_points * sxy - sx * sy) / (n_points * sxx - sx * sx))
+    * sx) / n_points, 6) AS log_k
+FROM agg
+"""
+
+
+@_q("heaps_law", _HEAPS_ORACLE)
+def q_heaps_law(spark, sf):
+    """Heaps'-law vocabulary-growth exponent over the doc-id-ordered
+    prefix curve (text.heaps_law) — corpus-health companion to
+    zipf_slope."""
+    from padua_spark.extensions.text import heaps_law
+
+    d = _t(spark, sf, "documents")
+    return heaps_law(d, "doc_id", "text")
+
+
+_QUALITY_TOPQ_ORACLE = """
+WITH thr AS (
+  SELECT source, quantile_cont(CAST(n_chars AS DOUBLE), 0.8) AS t
+  FROM documents WHERE n_chars IS NOT NULL GROUP BY 1
+)
+SELECT d.doc_id, d.source, d.n_chars
+FROM documents d JOIN thr USING (source)
+WHERE CAST(d.n_chars AS DOUBLE) >= thr.t
+"""
+
+
+@_q("quality_topq", _QUALITY_TOPQ_ORACLE)
+def q_quality_topq(spark, sf):
+    """FineWeb-style per-source top-quantile selection: keep the top
+    20% of each source by score (quality.top_quantile_by_group;
+    integer scores make the threshold comparison ulp-robust across
+    engines)."""
+    from padua_spark.extensions.quality import top_quantile_by_group
+
+    d = _t(spark, sf, "documents")
+    out = top_quantile_by_group(
+        d, ["source"], "n_chars", keep_fraction=0.2
+    )
+    return out.select("doc_id", "source", "n_chars")
+
+
 # ---------------------------------------------------------------------------
 
 

@@ -185,6 +185,11 @@ HEADLINE = [
     "cochran_armitage",
     "friedman_counts",
     "two_segment_changepoint",
+    "mixing_weights",
+    "cluster_aware_split",
+    "dsir_weights",
+    "heaps_law",
+    "quality_topq",
 ]
 
 

@@ -787,3 +787,54 @@ def classifier_loss(
         F.avg(brier_term).alias("brier"),
         F.avg(ll_term).alias("logloss"),
     )
+
+
+def top_quantile_by_group(
+    df: DataFrame,
+    group_cols: list[str],
+    score_col: str,
+    keep_fraction: float,
+    exact: bool = True,
+    approx_accuracy: int = 10000,
+) -> DataFrame:
+    """Per-group top-quantile selection — the FineWeb/quality-filter
+    recipe: within each group (source, language, …), keep the rows
+    whose ``score_col`` is at or above the group's
+    ``(1 − keep_fraction)`` quantile. Ties AT the threshold are all
+    kept (threshold semantics, not exact-k), so the kept set is a pure
+    function of the data — reproducible under any partitioning.
+    Output: input columns + ``_thr`` dropped; rows with NULL score are
+    dropped.
+
+    Scale shape: NO per-group global window sort (a window
+    partitioned by source puts an entire source in one task — the
+    skew trap at corpus scale). The threshold comes from
+    :func:`operators.normalization.group_percentiles` (one
+    shuffle-sort of a two-column projection, whole-stage codegen) and
+    broadcast-joins back, so the corpus itself never shuffles;
+    ``exact=False`` swaps in the mergeable ``percentile_approx``
+    sketch for extreme group cardinalities (same contract as
+    ``winsorize``).
+    """
+    from padua_spark.operators.normalization import group_percentiles
+
+    if "_thr" in df.columns:
+        raise ValueError(
+            "input already has a _thr column — rename it before "
+            "top_quantile_by_group (the threshold join would collide)"
+        )
+    p = 1.0 - float(keep_fraction)
+    v = F.col(score_col).cast("double")
+    base = df.where(v.isNotNull())
+    if exact:
+        thr = group_percentiles(base, group_cols, v, {"_thr": p})
+        thr = F.broadcast(thr)
+    else:
+        thr = base.groupBy(*group_cols).agg(
+            F.percentile_approx(v, p, approx_accuracy).alias("_thr")
+        )
+    return (
+        base.join(thr, on=group_cols, how="inner")
+        .where(v >= F.col("_thr"))
+        .drop("_thr")
+    )

@@ -229,3 +229,196 @@ def es_key_sql(key_expr: str, weight_expr: str, salt: int = 0) -> str:
     """ANSI-SQL twin of :func:`weighted_sample_k`'s ES key."""
     u = deterministic_uniform_sql(key_expr, salt)
     return f"round(ln({u}) / CAST({weight_expr} AS DOUBLE), 9)"
+
+
+def mixing_temperature_weights(
+    df: DataFrame,
+    domain_col: str,
+    tau: float,
+    size_col: str | None = None,
+    token_budget: int | None = None,
+) -> DataFrame:
+    """Temperature-scaled domain mixing weights — the standard
+    multi-source sampling recipe (multilingual mC4/XLM-R style
+    ``p_i^τ`` re-balancing; ``τ=1`` keeps natural proportions, ``τ→0``
+    approaches uniform): per domain,
+
+    ``p_i = n_i / N``, ``weight_i = p_i^τ / Σ_j p_j^τ``,
+
+    where ``n_i`` counts rows (or sums ``size_col`` — e.g. tokens —
+    when given). With ``token_budget``, also emits
+    ``epochs = weight_i · budget / n_i``, the per-domain repeat factor
+    a sampler like :func:`mix_corpus` consumes directly.
+
+    Output: ``(domain, n, p_raw, weight[, epochs])``, one row per
+    domain, ``n`` exact bigint.
+
+    Scale + determinism: one map-side-combining groupBy to the
+    k-domain frame; every cross-domain reduction after that runs as a
+    window ORDERED BY domain over that constant-size frame, so the
+    float summation order is pinned — bit-identical on any engine or
+    partitioning (the same discipline as ``qvalues_by``'s harmonic
+    sum). Floats are rounded to 9dp.
+    """
+    n = (
+        F.sum(F.col(size_col).cast("bigint"))
+        if size_col
+        else F.count(F.lit(1))
+    )
+    per = df.where(F.col(domain_col).isNotNull()).groupBy(
+        F.col(domain_col).alias("domain")
+    ).agg(n.cast("bigint").alias("n"))
+    w_all = Window.orderBy("domain").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    staged = per.select(
+        "domain",
+        "n",
+        (
+            F.col("n").cast("double")
+            / F.sum("n").over(w_all).cast("double")
+        ).alias("_p"),
+    )
+    staged = staged.select(
+        "domain",
+        "n",
+        "_p",
+        F.pow(F.col("_p"), F.lit(float(tau))).alias("_pt"),
+    )
+    weight = F.col("_pt") / F.sum("_pt").over(w_all)
+    out_cols = [
+        F.col("domain"),
+        F.col("n"),
+        F.round("_p", 9).alias("p_raw"),
+        F.round(weight, 9).alias("weight"),
+    ]
+    if token_budget is not None:
+        out_cols.append(
+            F.round(
+                weight * F.lit(float(token_budget))
+                / F.col("n").cast("double"),
+                9,
+            ).alias("epochs")
+        )
+    return staged.select(*out_cols)
+
+
+def cluster_aware_split(
+    df: DataFrame,
+    id_col: str,
+    pairs: DataFrame,
+    splits: dict[str, float],
+    out_col: str = "split",
+    salt: int = 0,
+    pair_a: str = "id_a",
+    pair_b: str = "id_b",
+) -> DataFrame:
+    """Near-dup-leakage-free train/val/test assignment: documents are
+    split by their DUPLICATE CLUSTER, not individually, so two near-
+    duplicates can never land in different splits (the train/test
+    contamination mode :func:`curation.split_leakage_audit` detects
+    after the fact — this prevents it by construction). ``pairs`` is
+    any candidate-duplicate edge list (e.g.
+    :func:`dedup.minhash_lsh_candidates` filtered at a threshold).
+
+    Composes :func:`graph.cluster_assignments` (connected components →
+    ``cluster_id``) with :func:`split_assign` keyed on the CLUSTER id:
+    the split is a pure function of the cluster's canonical id, so it
+    is reproducible under any partitioning and stable as unrelated
+    docs are added. Output: ``df.columns + [cluster_id, out_col]``.
+    """
+    from padua_spark.extensions.graph import cluster_assignments
+
+    labeled = cluster_assignments(df, id_col, pairs, pair_a, pair_b)
+    return split_assign(labeled, "cluster_id", splits, out_col, salt)
+
+
+def dsir_logweights(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    target_col: str,
+    n_buckets: int = 8192,
+    smoothing: float = 0.5,
+) -> DataFrame:
+    """Data Selection via Importance Resampling (DSIR, Xie et al.
+    2023): per-document importance log-weight under hashed-unigram
+    bag-of-words language models of a TARGET domain vs the RAW corpus,
+
+    ``log w(d) = Σ_{tokens t∈d} [ log p_target(bucket(t)) −
+    log p_raw(bucket(t)) ]``
+
+    with add-``smoothing`` estimates
+    ``p(b) = (c_b + a) / (N + a·B)`` over ``B = n_buckets`` hashed
+    token buckets. ``target_col`` is a boolean column marking the
+    target-domain rows (they stay in the raw estimate too — raw = the
+    whole corpus, per the paper). Resample with
+    :func:`weighted_sample_k` on ``exp(log_weight)`` or threshold
+    downstream. Output: ``(id, n_tokens, log_weight)`` per document
+    with at least one token; ``log_weight`` rounded to 6dp.
+
+    Tokens are the single-space model shared with the dedup family;
+    the bucket is the portable codepoint polynomial hash
+    (``dedup.token_hashes``) mod ``B`` — engine-reproducible, no
+    engine-specific hash.
+
+    Scale shape: ONE corpus scan (explode) → groupBy ``(doc, bucket)``
+    (the only data-sized shuffle; map-side combine collapses repeated
+    tokens) → the bucket LM table is a SECOND groupBy of that frame's
+    output (``B``-row result), its corpus totals pinned by a window
+    ordered over the bounded ``B``-row frame, then a BROADCAST join
+    back and a per-doc sum. The per-token work never touches Python.
+    """
+    from padua_spark.extensions.dedup import token_hashes
+
+    a = float(smoothing)
+    # Stage the hash array as a plain column BEFORE the explode (the
+    # heavy-computed-array rule: an optimizer-synthesized size()>0
+    # filter must re-evaluate only a column ref, never the per-token
+    # polynomial hashes).
+    staged = df.select(
+        F.col(id_col),
+        F.col(target_col).cast("boolean").alias("_tgt"),
+        token_hashes(F.col(text_col)).alias("_arr"),
+    )
+    toked = staged.select(
+        id_col, "_tgt", F.explode("_arr").alias("_tb")
+    ).select(
+        id_col, "_tgt", (F.col("_tb") % F.lit(n_buckets)).alias("_b")
+    )
+    per_db = toked.groupBy(id_col, "_b").agg(
+        F.count(F.lit(1)).alias("_c"),
+        F.first("_tgt").alias("_tgt"),
+    )
+    bstats = per_db.groupBy("_b").agg(
+        F.sum("_c").cast("bigint").alias("_cr"),
+        F.sum(F.when(F.col("_tgt"), F.col("_c")).otherwise(0))
+        .cast("bigint")
+        .alias("_ct"),
+    )
+    w_all = Window.orderBy("_b").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    lam = (
+        F.log(F.col("_ct").cast("double") + F.lit(a))
+        - F.log(
+            F.sum("_ct").over(w_all).cast("double")
+            + F.lit(a * n_buckets)
+        )
+        - F.log(F.col("_cr").cast("double") + F.lit(a))
+        + F.log(
+            F.sum("_cr").over(w_all).cast("double")
+            + F.lit(a * n_buckets)
+        )
+    )
+    lm = bstats.select("_b", lam.alias("_lam"))
+    return (
+        per_db.join(F.broadcast(lm), on="_b")
+        .groupBy(id_col)
+        .agg(
+            F.sum("_c").cast("bigint").alias("n_tokens"),
+            F.round(
+                F.sum(F.col("_c").cast("double") * F.col("_lam")), 6
+            ).alias("log_weight"),
+        )
+    )

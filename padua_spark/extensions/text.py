@@ -1238,3 +1238,94 @@ def keyness_llr(
 
         out = track_cached(out, merged)
     return out
+
+
+def heaps_law(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    small_domain_threshold: int | None = None,
+) -> DataFrame:
+    """Heaps'-law vocabulary-growth fit — the corpus-health companion
+    to :func:`zipf_slope`: distinct-vocabulary size grows as
+    ``V(T) ≈ k·T^β`` in total tokens ``T`` (β ≈ 0.4–0.6 for natural
+    text; β near 1 flags ID/noise-heavy corpora whose "vocabulary"
+    never saturates, β near 0 flags template/boilerplate corpora).
+    Fits ``log V = log k + β·log T`` by least squares over the
+    per-document prefix curve in ``id_col`` order (one observation
+    point per document). Output 1 row:
+    ``(n_points, n_tokens, n_vocab, beta, log_k)`` with the totals as
+    exact bigints and the fit coefficients rounded to 6dp.
+
+    Tokens are the single-space model shared with the dedup family
+    (``split(text, ' ')``).
+
+    Scale shape — the prefix curve without a global sort: a token's
+    first occurrence is ``min(doc)`` per distinct token (one
+    aggregation), new-vocab counts per doc come from a second (tiny
+    output) aggregation, per-doc token counts from a scan-side
+    aggregation of the same exploded frame, and BOTH cumulative curves
+    run in ONE distributed stepped-cumsum pass over the doc axis
+    (:func:`operators.stats._stepped_running_counts` — repartitionByRange
+    + local window + broadcast prefix offsets, never a partitionless
+    data-sized window). The closed-form LS fit is a single 5-sum
+    aggregation over the per-doc points.
+    """
+    from padua_spark.operators.stats import _stepped_running_counts
+
+    # Stage the token array before the explode (heavy-computed-array
+    # rule — the synthesized size()>0 filter must not re-split).
+    staged = df.select(
+        F.col(id_col).alias("_id"),
+        F.split(F.col(text_col), " ").alias("_arr"),
+    )
+    toked = staged.select("_id", F.explode("_arr").alias("_t"))
+    first = toked.groupBy("_t").agg(F.min("_id").alias("_id"))
+    new_per_doc = first.groupBy("_id").agg(
+        F.count(F.lit(1)).alias("_cnew")
+    )
+    tok_per_doc = toked.groupBy("_id").agg(
+        F.count(F.lit(1)).alias("_ctok")
+    )
+    per = tok_per_doc.join(new_per_doc, on="_id", how="left").select(
+        "_id",
+        F.col("_ctok"),
+        F.coalesce("_cnew", F.lit(0)).cast("bigint").alias("_cnew"),
+    )
+    stepped = _stepped_running_counts(
+        per, "_id", ["_ctok", "_cnew"], small_domain_threshold
+    )
+    pts = stepped.where(F.col("_ctok_run") > 0).select(
+        F.log(F.col("_ctok_run").cast("double")).alias("_x"),
+        F.log(F.col("_cnew_run").cast("double")).alias("_y"),
+        F.col("_ctok_run").alias("_trun"),
+        F.col("_cnew_run").alias("_vrun"),
+    )
+    agg = pts.agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.max("_trun").cast("bigint").alias("n_tokens"),
+        F.max("_vrun").cast("bigint").alias("n_vocab"),
+        F.sum("_x").alias("_sx"),
+        F.sum("_y").alias("_sy"),
+        F.sum(F.col("_x") * F.col("_y")).alias("_sxy"),
+        F.sum(F.col("_x") * F.col("_x")).alias("_sxx"),
+    )
+    nd = F.col("n_points").cast("double")
+    beta = (nd * F.col("_sxy") - F.col("_sx") * F.col("_sy")) / (
+        nd * F.col("_sxx") - F.col("_sx") * F.col("_sx")
+    )
+    staged_fit = agg.select(
+        "n_points", "n_tokens", "n_vocab",
+        beta.alias("_beta"),
+        ((F.col("_sy") - beta * F.col("_sx")) / nd).alias("_logk"),
+    )
+    out = staged_fit.select(
+        "n_points",
+        "n_tokens",
+        "n_vocab",
+        F.round("_beta", 6).alias("beta"),
+        F.round("_logk", 6).alias("log_k"),
+    )
+    from padua_spark.io_utils import track_cached
+
+    return track_cached(out, *getattr(stepped, "_padua_cached", ()))

@@ -228,6 +228,11 @@ COVERAGE = {
     "E113": "entry:cochran_armitage",
     "E114": "entry:friedman_counts",
     "E115": "entry:two_segment_changepoint",
+    "E116": "entry:mixing_weights",
+    "E117": "entry:cluster_aware_split",
+    "E118": "entry:dsir_weights",
+    "E119": "entry:heaps_law",
+    "E120": "entry:quality_topq",
 }
 
 

@@ -4227,3 +4227,164 @@ def test_survival_companions_and_two_segment(spark):
     one = spark.createDataFrame([(0, 0, 1.0)], ["k", "t", "v"])
     r1 = two_segment_changepoint(one, ["k"], ["t"], "v").collect()[0]
     assert r1["n_obs"] == 1 and r1["split_pos"] is None
+
+
+def test_mixing_temperature_weights(spark):
+    from padua_spark.extensions.sampling import mixing_temperature_weights
+
+    df = spark.createDataFrame(
+        [("a",)] * 8 + [("b",)] * 2 + [(None,)], ["src"]
+    )
+    out = {
+        r["domain"]: r
+        for r in mixing_temperature_weights(
+            df, "src", tau=1.0, token_budget=100
+        ).collect()
+    }
+    # tau=1 keeps natural proportions; NULL domain dropped
+    assert set(out) == {"a", "b"}
+    assert out["a"]["n"] == 8 and out["b"]["n"] == 2
+    assert out["a"]["p_raw"] == pytest.approx(0.8)
+    assert out["a"]["weight"] == pytest.approx(0.8)
+    assert out["a"]["epochs"] == pytest.approx(10.0)
+    # tau=0 approaches uniform
+    u = {
+        r["domain"]: r["weight"]
+        for r in mixing_temperature_weights(df, "src", tau=0.0).collect()
+    }
+    assert u["a"] == pytest.approx(0.5) and u["b"] == pytest.approx(0.5)
+    # weights always sum to 1
+    flat = mixing_temperature_weights(df, "src", tau=0.37).collect()
+    assert sum(r["weight"] for r in flat) == pytest.approx(1.0, abs=1e-6)
+
+
+def test_cluster_aware_split_no_leakage(spark):
+    from padua_spark.extensions.sampling import cluster_aware_split
+
+    docs = spark.createDataFrame(
+        [(i, f"d{i}") for i in range(40)], ["doc_id", "text"]
+    )
+    # chain 0-1-2, pair (10, 11); everything else singleton
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (10, 11)], ["id_a", "id_b"]
+    )
+    out = cluster_aware_split(
+        docs, "doc_id", pairs,
+        {"train": 0.5, "val": 0.25, "test": 0.25}, salt=3,
+    ).collect()
+    by_id = {r["doc_id"]: r for r in out}
+    assert len(by_id) == 40
+    # leakage-free by construction: one split per cluster
+    for grp in ((0, 1, 2), (10, 11)):
+        splits = {by_id[i]["split"] for i in grp}
+        clusters = {by_id[i]["cluster_id"] for i in grp}
+        assert len(splits) == 1 and len(clusters) == 1
+    assert {r["split"] for r in out} <= {"train", "val", "test"}
+
+
+def test_dsir_logweights_directionality(spark):
+    from padua_spark.extensions.sampling import dsir_logweights
+
+    # target docs use 'alpha beta', raw-only docs use 'gamma delta':
+    # a target-looking doc must out-weigh a raw-looking doc.
+    rows = [(i, "alpha beta alpha", True) for i in range(5)]
+    rows += [(100 + i, "gamma delta gamma", False) for i in range(5)]
+    df = spark.createDataFrame(rows, ["id", "text", "tgt"])
+    out = {
+        r["id"]: r for r in dsir_logweights(
+            df, "id", "text", "tgt", n_buckets=64
+        ).collect()
+    }
+    assert len(out) == 10 and out[0]["n_tokens"] == 3
+    assert out[0]["log_weight"] > 0 > out[100]["log_weight"]
+    # brute-force replica of the smoothed hashed-unigram estimate
+    import math
+
+    MOD = 2147483647
+
+    def bucket(tok):
+        h = 7
+        for ch in tok:
+            h = (h * 131 + ord(ch)) % MOD
+        return h % 64
+
+    from collections import Counter
+    ct, cr = Counter(), Counter()
+    for _, text, tgt in rows:
+        for tok in text.split(" "):
+            b = bucket(tok)
+            cr[b] += 1
+            if tgt:
+                ct[b] += 1
+    nt, nr, a, B = sum(ct.values()), sum(cr.values()), 0.5, 64
+    for _id, text, _ in rows:
+        lw = sum(
+            math.log(ct[bucket(t)] + a) - math.log(nt + a * B)
+            - math.log(cr[bucket(t)] + a) + math.log(nr + a * B)
+            for t in text.split(" ")
+        )
+        assert out[_id]["log_weight"] == pytest.approx(lw, abs=2e-6)
+
+
+def test_heaps_law_brute_force(spark):
+    from padua_spark.extensions.text import heaps_law
+
+    docs = [
+        (1, "a b c"),
+        (2, "a b d d"),
+        (3, "e"),
+        (4, "a e f g"),
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    row = heaps_law(df, "doc_id", "text").collect()[0]
+    # brute-force prefix curve
+    import math
+
+    seen, t, pts = set(), 0, []
+    for _, text in docs:
+        toks = text.split(" ")
+        t += len(toks)
+        seen.update(toks)
+        pts.append((math.log(t), math.log(len(seen))))
+    n = len(pts)
+    sx = sum(x for x, _ in pts)
+    sy = sum(y for _, y in pts)
+    sxy = sum(x * y for x, y in pts)
+    sxx = sum(x * x for x, _ in pts)
+    beta = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    logk = (sy - beta * sx) / n
+    assert row["n_points"] == 4
+    assert row["n_tokens"] == 12 and row["n_vocab"] == 7
+    assert row["beta"] == pytest.approx(beta, abs=1e-6)
+    assert row["log_k"] == pytest.approx(logk, abs=1e-6)
+    # stepped (distributed) path agrees with the small-domain shortcut
+    row2 = heaps_law(
+        df, "doc_id", "text", small_domain_threshold=2
+    ).collect()[0]
+    assert (row2["beta"], row2["log_k"]) == (row["beta"], row["log_k"])
+
+
+def test_top_quantile_by_group(spark):
+    import numpy as np
+
+    from padua_spark.extensions.quality import top_quantile_by_group
+
+    rows = [("s1", i, float(i)) for i in range(1, 11)]
+    rows += [("s2", 100 + i, float(10 * i)) for i in range(1, 5)]
+    df = spark.createDataFrame(rows, ["src", "id", "score"])
+    out = top_quantile_by_group(df, ["src"], "score", 0.3).collect()
+    kept = {r["id"] for r in out}
+    thr1 = float(np.quantile([float(i) for i in range(1, 11)], 0.7))
+    thr2 = float(np.quantile([10.0, 20.0, 30.0, 40.0], 0.7))
+    expect = {i for i in range(1, 11) if i >= thr1}
+    expect |= {100 + i for i in range(1, 5) if 10 * i >= thr2}
+    assert kept == expect
+    # ties at the threshold are ALL kept
+    tied = spark.createDataFrame(
+        [("s", i, 5.0) for i in range(6)], ["src", "id", "score"]
+    )
+    assert top_quantile_by_group(tied, ["src"], "score", 0.5).count() == 6
+    with pytest.raises(ValueError, match="_thr"):
+        top_quantile_by_group(
+            df.withColumn("_thr", F.lit(1)), ["src"], "score", 0.5
+        )
