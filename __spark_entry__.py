@@ -11706,6 +11706,296 @@ def q_quality_topq(spark, sf):
     return out.select("doc_id", "source", "n_chars")
 
 
+# --- ext round 8: RMST / ACF / conformal / Poisson bootstrap ----------------
+
+
+_KM_CURVE_PREFIX_SQL = """
+WITH e AS (
+  SELECT user_id, epoch_us(ts) AS tu, event_type FROM events
+),
+u AS (
+  SELECT user_id,
+    min(tu) AS t0,
+    max(tu) AS t_last,
+    min(CASE WHEN event_type = 'error' THEN tu END) AS t_err
+  FROM e GROUP BY user_id
+),
+subj AS (
+  SELECT user_id % 2 AS cohort,
+    CASE WHEN t_err IS NOT NULL
+      THEN CAST(floor((t_err - t0) / 3600000000.0) AS BIGINT)
+      ELSE CAST(floor((t_last - t0) / 3600000000.0) AS BIGINT)
+    END AS dur,
+    CASE WHEN t_err IS NOT NULL THEN 1 ELSE 0 END AS ev
+  FROM u
+),
+counts AS (
+  SELECT cohort, CAST(dur AS DOUBLE) AS t,
+    CAST(sum(ev) AS BIGINT) AS n_events,
+    CAST(sum(1 - ev) AS BIGINT) AS n_censored
+  FROM subj GROUP BY 1, 2
+),
+risk AS (
+  SELECT *,
+    CAST(sum(n_events + n_censored) OVER (PARTITION BY cohort)
+      - (sum(n_events + n_censored) OVER (PARTITION BY cohort ORDER BY t
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         - n_events - n_censored) AS BIGINT) AS n_risk
+  FROM counts
+),
+f AS (
+  SELECT *,
+    CASE WHEN n_events > 0
+          AND CAST(n_risk - n_events AS DOUBLE) / n_risk > 0
+      THEN ln(CAST(n_risk - n_events AS DOUBLE) / n_risk)
+      ELSE 0.0 END AS lnf,
+    CASE WHEN n_events > 0
+          AND CAST(n_risk - n_events AS DOUBLE) / n_risk <= 0
+      THEN 1 ELSE 0 END AS zf
+  FROM risk
+),
+s AS (
+  SELECT cohort, t, n_risk, n_events, n_censored,
+    CASE WHEN max(zf) OVER (PARTITION BY cohort ORDER BY t
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) = 1
+      THEN 0.0
+      ELSE exp(sum(lnf) OVER (PARTITION BY cohort ORDER BY t
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) END
+      AS survival
+  FROM f
+)
+"""
+
+
+_RMST_ORACLE = (
+    _KM_CURVE_PREFIX_SQL
+    + """,
+pts AS (
+  SELECT cohort, t, survival,
+    lead(t) OVER (PARTITION BY cohort ORDER BY t) AS tn
+  FROM s WHERE n_events > 0
+),
+agg AS (
+  SELECT cohort,
+    CAST(count(*) AS BIGINT) AS n_curve_points,
+    least(min(t), CAST(48 AS DOUBLE)) AS head,
+    sum(CASE WHEN t < CAST(48 AS DOUBLE)
+      THEN survival * (least(coalesce(tn, CAST(48 AS DOUBLE)),
+                             CAST(48 AS DOUBLE)) - t)
+      ELSE CAST(0 AS DOUBLE) END) AS area
+  FROM pts GROUP BY 1
+)
+SELECT CAST(cohort AS BIGINT) AS cohort, CAST(48 AS DOUBLE) AS tau,
+  n_curve_points, round(head + area, 6) AS rmst
+FROM agg
+"""
+)
+
+
+@_q("rmst", _RMST_ORACLE)
+def q_rmst(spark, sf):
+    """Restricted mean survival time at tau=48h over the same
+    time-to-first-error cohorts as kaplan_meier (stats.rmst): area
+    under the KM step curve via one lead() window over the
+    distinct-event-time frame."""
+    from padua_spark.operators.stats import rmst
+    from padua_spark.streaming.windows import epoch_us_col
+
+    base = _t(spark, sf, "events")
+    ev = base.select(
+        "user_id",
+        epoch_us_col(base, "ts").alias("_tu"),
+        "event_type",
+    )
+    u = ev.groupBy("user_id").agg(
+        F.min("_tu").alias("_t0"),
+        F.max("_tu").alias("_tl"),
+        F.min(
+            F.when(F.col("event_type") == "error", F.col("_tu"))
+        ).alias("_te"),
+    )
+    subj = u.select(
+        (F.col("user_id") % 2).alias("cohort"),
+        F.floor(
+            (
+                F.coalesce(F.col("_te"), F.col("_tl")) - F.col("_t0")
+            ).cast("double")
+            / F.lit(3600000000.0)
+        ).cast("bigint").alias("dur"),
+        F.when(F.col("_te").isNotNull(), 1).otherwise(0).alias("ev"),
+    )
+    return rmst(subj, ["cohort"], "dur", "ev", tau=48.0)
+
+
+_ACF_ORACLE = """
+WITH e AS (
+  SELECT user_id, epoch_us(ts) AS tu, event_id,
+    CAST(value AS DOUBLE) AS x
+  FROM events WHERE value IS NOT NULL
+),
+m AS (
+  SELECT user_id, x,
+    avg(x) OVER (PARTITION BY user_id) AS mu,
+    lead(x, 1) OVER w AS l1,
+    lead(x, 2) OVER w AS l2,
+    lead(x, 3) OVER w AS l3
+  FROM e
+  WINDOW w AS (PARTITION BY user_id ORDER BY tu, event_id)
+),
+agg AS (
+  SELECT user_id,
+    sum((x - mu) * (x - mu)) AS sxx,
+    sum((x - mu) * (l1 - mu)) AS s1,
+    sum((x - mu) * (l2 - mu)) AS s2,
+    sum((x - mu) * (l3 - mu)) AS s3,
+    CAST(count(l1) AS BIGINT) AS n1,
+    CAST(count(l2) AS BIGINT) AS n2,
+    CAST(count(l3) AS BIGINT) AS n3
+  FROM m GROUP BY 1
+)
+SELECT user_id, 1 AS lag, n1 AS n_pairs,
+  CASE WHEN sxx > 0 THEN round(s1 / sxx, 6) END AS acf FROM agg
+UNION ALL
+SELECT user_id, 2, n2,
+  CASE WHEN sxx > 0 THEN round(s2 / sxx, 6) END FROM agg
+UNION ALL
+SELECT user_id, 3, n3,
+  CASE WHEN sxx > 0 THEN round(s3 / sxx, 6) END FROM agg
+"""
+
+
+@_q("acf_user_value", _ACF_ORACLE)
+def q_acf_user_value(spark, sf):
+    """Per-user autocorrelation of event values at lags 1-3
+    (temporal.acf_by_key): one key shuffle, one shared window pass
+    for all lags, stack-to-long over plain aggregated columns."""
+    from padua_spark.operators.temporal import acf_by_key
+    from padua_spark.streaming.windows import epoch_us_col
+
+    base = _t(spark, sf, "events")
+    e = base.select(
+        "user_id",
+        epoch_us_col(base, "ts").alias("_tu"),
+        "event_id",
+        "value",
+    )
+    return acf_by_key(
+        e, ["user_id"], ["_tu", "event_id"], "value", max_lag=3
+    )
+
+
+_CONFORMAL_ORACLE = """
+WITH scored AS (
+  SELECT event_id, user_id, CAST(value AS DOUBLE) AS x,
+    avg(CAST(value AS DOUBLE)) OVER (PARTITION BY user_id) AS pred
+  FROM events WHERE value IS NOT NULL
+),
+cal AS (SELECT abs(x - pred) AS v FROM scored WHERE user_id % 2 = 0),
+per AS (SELECT v, CAST(count(*) AS BIGINT) AS c FROM cal GROUP BY 1),
+run AS (
+  SELECT v,
+    CAST(sum(c) OVER (ORDER BY v
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      AS crun,
+    CAST(sum(c) OVER () AS BIGINT) AS ctot
+  FROM per
+),
+q AS (
+  SELECT min(v) AS conformal_q FROM run
+  WHERE crun >= least(
+    CAST(ceil(CAST(ctot + 1 AS DOUBLE) * 0.9) AS BIGINT), ctot)
+)
+SELECT s.event_id, round(s.pred, 6) AS pred,
+  round(q.conformal_q, 6) AS conformal_q,
+  round(s.pred - q.conformal_q, 6) AS lo,
+  round(s.pred + q.conformal_q, 6) AS hi
+FROM scored s, q WHERE s.user_id % 2 = 1
+"""
+
+
+@_q("conformal_intervals", _CONFORMAL_ORACLE)
+def q_conformal_intervals(spark, sf):
+    """Split-conformal prediction intervals (alpha=0.1) for a
+    per-user-mean predictor of event values: even users calibrate,
+    odd users get intervals (quality.split_conformal_intervals).
+    The conformal order statistic is an exact data value from the
+    distributed stepped running count."""
+    from padua_spark.extensions.quality import split_conformal_intervals
+    from pyspark.sql import Window
+
+    base = _t(spark, sf, "events").where(F.col("value").isNotNull())
+    scored = base.select(
+        "event_id",
+        "user_id",
+        F.col("value").cast("double").alias("_x"),
+        F.avg(F.col("value").cast("double"))
+        .over(Window.partitionBy("user_id"))
+        .alias("_pred"),
+    )
+    cal = scored.where(F.col("user_id") % 2 == 0)
+    test = scored.where(F.col("user_id") % 2 == 1)
+    out = split_conformal_intervals(
+        cal, test, "_pred", "_x", alpha=0.1
+    )
+    return out.select(
+        "event_id",
+        _r("_pred").alias("pred"),
+        _r("conformal_q").alias("conformal_q"),
+        _r("lo").alias("lo"),
+        _r("hi").alias("hi"),
+    )
+
+
+def _poisson_bootstrap_oracle() -> str:
+    from padua_spark.extensions.sampling import poisson1_draw_sql
+    from padua_spark.functions.scalar import deterministic_uniform_sql
+
+    u = deterministic_uniform_sql("(k * 100 + r)", 7)
+    draw = poisson1_draw_sql("u")
+    return f"""
+WITH base AS (
+  SELECT event_id AS k, CAST(value AS DOUBLE) AS x
+  FROM events WHERE value IS NOT NULL
+),
+reps AS (
+  SELECT k, x, g.r AS r
+  FROM base, unnest(generate_series(1, 100)) AS g(r)
+),
+uu AS (SELECT r, x, {u} AS u FROM reps),
+wtd AS (SELECT r, x, {draw} AS w FROM uu),
+per AS (
+  SELECT r, sum(CAST(w AS DOUBLE) * x) / sum(CAST(w AS DOUBLE)) AS m
+  FROM wtd GROUP BY 1
+),
+ranked AS (SELECT m, row_number() OVER (ORDER BY m, r) AS rk FROM per),
+stats AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_rows, avg(x) AS mean FROM base
+),
+ci AS (
+  SELECT min(CASE WHEN rk = 3 THEN m END) AS lo,
+         min(CASE WHEN rk = 98 THEN m END) AS hi
+  FROM ranked
+)
+SELECT 100 AS n_reps, n_rows, round(mean, 6) AS mean,
+  round(lo, 6) AS ci_lo, round(hi, 6) AS ci_hi
+FROM stats, ci
+"""
+
+
+@_q("poisson_bootstrap", _poisson_bootstrap_oracle())
+def q_poisson_bootstrap(spark, sf):
+    """Poisson-bootstrap 95% CI for the mean event value, 100
+    replicates in ONE data pass (sampling.poisson_bootstrap_ci):
+    key-derived Poisson(1) weights, map-side-combined per-replicate
+    sums, exact order-statistic bounds."""
+    from padua_spark.extensions.sampling import poisson_bootstrap_ci
+
+    e = _t(spark, sf, "events")
+    return poisson_bootstrap_ci(
+        e, "event_id", "value", n_reps=100, alpha=0.05, salt=7
+    )
+
+
 # ---------------------------------------------------------------------------
 
 

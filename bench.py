@@ -190,6 +190,10 @@ HEADLINE = [
     "dsir_weights",
     "heaps_law",
     "quality_topq",
+    "rmst",
+    "acf_user_value",
+    "conformal_intervals",
+    "poisson_bootstrap",
 ]
 
 

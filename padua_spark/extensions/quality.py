@@ -838,3 +838,64 @@ def top_quantile_by_group(
         .where(v >= F.col("_thr"))
         .drop("_thr")
     )
+
+
+def split_conformal_intervals(
+    cal_df: DataFrame,
+    test_df: DataFrame,
+    pred_col: str,
+    actual_col: str,
+    alpha: float = 0.1,
+    small_domain_threshold: int | None = None,
+) -> DataFrame:
+    """Split conformal prediction intervals — distribution-free
+    finite-sample coverage for ANY point predictor (Vovk et al.;
+    Lei et al. 2018): from a held-out calibration set's absolute
+    residuals, take the ``⌈(n+1)(1−α)⌉``-th smallest (the exact
+    conformal order statistic — an actual data value, no
+    interpolation, so it is bit-identical on any engine) and emit
+    ``[pred − q̂, pred + q̂]`` for every test row. Coverage ≥ 1−α holds
+    under exchangeability alone. Output: test columns +
+    ``(conformal_q, lo, hi)``.
+
+    Scale shape: the order statistic comes from per-distinct-residual
+    counts and the distributed stepped running count
+    (:func:`operators.stats._stepped_running_counts` — never a
+    data-sized partitionless window); the resulting ONE-row quantile
+    frame broadcast-joins onto the test set (a deliberate 1-row BNLJ,
+    the same pattern as the global-scalar joins in the stats
+    battery).
+    """
+    from padua_spark.operators.stats import _stepped_running_counts
+
+    resid = F.abs(
+        F.col(actual_col).cast("double")
+        - F.col(pred_col).cast("double")
+    )
+    per = (
+        cal_df.where(resid.isNotNull())
+        .groupBy(resid.alias("_v"))
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    stepped = _stepped_running_counts(
+        per, "_v", ["_c"], small_domain_threshold
+    )
+    k = F.least(
+        F.ceil(
+            (F.col("_c_tot") + 1).cast("double") * F.lit(1.0 - alpha)
+        ).cast("bigint"),
+        F.col("_c_tot"),
+    )
+    q = (
+        stepped.where(F.col("_c_run") >= k)
+        .agg(F.min("_v").alias("conformal_q"))
+    )
+    pred = F.col(pred_col).cast("double")
+    out = (
+        test_df.crossJoin(F.broadcast(q))
+        .withColumn("lo", pred - F.col("conformal_q"))
+        .withColumn("hi", pred + F.col("conformal_q"))
+    )
+    from padua_spark.io_utils import track_cached
+
+    return track_cached(out, *getattr(stepped, "_padua_cached", ()))

@@ -422,3 +422,120 @@ def dsir_logweights(
             ).alias("log_weight"),
         )
     )
+
+
+# Poisson(1) CDF, exact doubles shared verbatim with the SQL twin:
+# both engines parse the same 17-significant-digit literals to the
+# same IEEE754 values, so the per-draw CASE chain is bit-identical.
+_POISSON1_CDF = [
+    0.36787944117144233,
+    0.7357588823428847,
+    0.9196986029286058,
+    0.9810118431238463,
+    0.9963401531726563,
+    0.9994058151824183,
+    0.999916758850712,
+    0.9999897508033253,
+    0.999998874797402,
+]
+
+
+def _poisson1_draw(u: Column) -> Column:
+    expr = F.lit(len(_POISSON1_CDF))
+    for kk in range(len(_POISSON1_CDF) - 1, -1, -1):
+        expr = F.when(u < F.lit(_POISSON1_CDF[kk]), F.lit(kk)).otherwise(
+            expr
+        )
+    return expr.cast("bigint")
+
+
+def poisson1_draw_sql(u_expr: str) -> str:
+    """ANSI-SQL twin of the deterministic Poisson(1) draw."""
+    whens = " ".join(
+        f"WHEN {u_expr} < CAST({c!r} AS DOUBLE) THEN {k}"
+        for k, c in enumerate(_POISSON1_CDF)
+    )
+    return f"(CASE {whens} ELSE {len(_POISSON1_CDF)} END)"
+
+
+def poisson_bootstrap_ci(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    n_reps: int = 200,
+    alpha: float = 0.05,
+    salt: int = 0,
+) -> DataFrame:
+    """Distributed bootstrap confidence interval for the mean via
+    POISSON resampling — the standard streaming/map-reduce bootstrap
+    (each replicate weights every row ``w ~ Poisson(1)``, an
+    asymptotically exact surrogate for multinomial resampling that
+    needs NO global coordination): all ``n_reps`` replicates run in
+    ONE data pass. The draw is the repo's key-derived LCG on the
+    composed key ``key·n_reps + rep`` (truncated at w=10,
+    P < 1e-8), so every replicate is a pure function of the data —
+    reproducible on any engine/partitioning/retry.
+
+    CI bounds are exact order statistics of the replicate means:
+    ``lo = m_(⌊α/2·R⌋+1)``, ``hi = m_(R−⌊α/2·R⌋)`` — integer ranks,
+    no interpolation. Output 1 row:
+    ``(n_reps, n_rows, mean, ci_lo, ci_hi)``, floats rounded to 6dp.
+
+    Scale shape: the explode to ``n_reps`` copies is map-side only —
+    hash aggregation partially combines to ``n_reps`` rows per task
+    BEFORE the (tiny) shuffle, so the exchange carries
+    O(R·tasks) rows, never R·data. The replicate-mean frame is
+    ``n_reps`` rows — the partitionless rank window over it is over a
+    constant-size frame (the allowed pattern). Choose ``n_reps`` for
+    the CPU budget: the scan does R LCG draws per row.
+    """
+    from pyspark.sql import Window
+
+    x = F.col(value_col).cast("double")
+    base = df.where(x.isNotNull()).select(
+        F.col(key_col).alias("_k"), x.alias("_x")
+    )
+    reps = base.select(
+        "_x",
+        F.explode(
+            F.sequence(F.lit(1), F.lit(int(n_reps)))
+        ).alias("_r"),
+        "_k",
+    )
+    u = deterministic_uniform(
+        F.col("_k") * F.lit(int(n_reps)) + F.col("_r"), salt
+    )
+    weighted = reps.select(
+        "_r", _poisson1_draw(u).alias("_w"), "_x"
+    )
+    per_rep = weighted.groupBy("_r").agg(
+        (
+            F.sum(F.col("_w").cast("double") * F.col("_x"))
+            / F.sum("_w").cast("double")
+        ).alias("_m")
+    )
+    w_rank = Window.orderBy(F.col("_m").asc(), F.col("_r").asc())
+    w_all = Window.partitionBy()
+    k_lo = int(alpha / 2.0 * n_reps) + 1
+    k_hi = n_reps - int(alpha / 2.0 * n_reps)
+    ranked = per_rep.select(
+        "_m", F.row_number().over(w_rank).alias("_rk")
+    )
+    stats = base.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.avg("_x").alias("_mean"),
+    )
+    ci = ranked.agg(
+        F.min(F.when(F.col("_rk") == k_lo, F.col("_m"))).alias("_lo"),
+        F.min(F.when(F.col("_rk") == k_hi, F.col("_m"))).alias("_hi"),
+    )
+    return (
+        stats.crossJoin(F.broadcast(ci))
+        .select(
+            F.lit(int(n_reps)).alias("n_reps"),
+            "n_rows",
+            F.round("_mean", 6).alias("mean"),
+            F.round("_lo", 6).alias("ci_lo"),
+            F.round("_hi", 6).alias("ci_hi"),
+        )
+    )

@@ -2637,3 +2637,59 @@ def friedman_test(
         "p_value",
         chi2_sf_udf(F.col("friedman_stat"), F.col("dfree")),
     )
+
+
+def rmst(
+    df: DataFrame,
+    group_cols: list[str],
+    duration_col: str,
+    event_col: str,
+    tau: float,
+) -> DataFrame:
+    """Restricted mean survival time per group — the area under the
+    Kaplan-Meier curve up to the horizon ``tau``: the model-free
+    "average event-free time within the first τ" summary that stays
+    valid when proportional hazards doesn't (the standard reporting
+    companion to :func:`kaplan_meier` / :func:`logrank_test`).
+
+    ``RMST(τ) = ∫₀^τ S(t) dt`` over the KM step function:
+    ``min(t₁, τ)`` for the S=1 head segment plus
+    ``Σ_{tᵢ<τ} S(tᵢ)·(min(tᵢ₊₁, τ) − tᵢ)`` over the curve points
+    (``tᵢ₊₁ → τ`` past the last event).
+
+    Built directly on :func:`kaplan_meier`'s curve: one ``lead()``
+    window over the per-group DISTINCT-EVENT-TIME frame (cardinality-
+    sized, never the raw rows) and one aggregation. Groups with zero
+    events produce no KM points and are absent here (their RMST is
+    trivially ``τ``; callers coalesce). Output per group:
+    ``(groups..., tau, n_curve_points, rmst)``, ``rmst`` rounded to
+    6dp.
+    """
+    from pyspark.sql import Window
+
+    km = kaplan_meier(df, group_cols, duration_col, event_col)
+    w = Window.partitionBy(*group_cols).orderBy("t")
+    t = F.col("t").cast("double")
+    seg_end = F.least(
+        F.coalesce(F.lead("t").over(w).cast("double"), F.lit(float(tau))),
+        F.lit(float(tau)),
+    )
+    contrib = F.when(
+        t < F.lit(float(tau)),
+        F.col("survival") * (seg_end - t),
+    ).otherwise(F.lit(0.0))
+    staged = km.select(*group_cols, t.alias("_t"), contrib.alias("_c"))
+    return (
+        staged.groupBy(*group_cols)
+        .agg(
+            F.count(F.lit(1)).alias("n_curve_points"),
+            F.least(F.min("_t"), F.lit(float(tau))).alias("_head"),
+            F.sum("_c").alias("_area"),
+        )
+        .select(
+            *group_cols,
+            F.lit(float(tau)).alias("tau"),
+            "n_curve_points",
+            F.round(F.col("_head") + F.col("_area"), 6).alias("rmst"),
+        )
+    )

@@ -391,3 +391,89 @@ def two_segment_changepoint(
         F.lit(None).cast("double").alias("mean_right"),
     )
     return out.unionByName(pad)
+
+
+def acf_by_key(
+    df: DataFrame,
+    key_cols: list[str],
+    order_cols: list[str],
+    value_col: str,
+    max_lag: int,
+) -> DataFrame:
+    """Per-key sample autocorrelation function at lags ``1..max_lag``
+    — the time-series memory diagnostic (seasonality shows as spikes
+    at the period; white noise decays inside ±2/√n):
+
+    ``r_k = Σ_t (x_t − x̄)(x_{t+k} − x̄) / Σ_t (x_t − x̄)²``
+
+    with the FULL-series mean and denominator (the standard biased
+    estimator — same definition as statsmodels ``acf``; both engines
+    share it exactly). Output per key and lag:
+    ``(keys..., lag, n_pairs, acf)``, ``acf`` rounded to 6dp, NULL
+    when the denominator is zero (constant series).
+
+    Scale shape: ONE shuffle on the key, ONE ordered window pass that
+    produces ALL ``max_lag`` lead columns plus the per-key mean
+    (every window shares the same partition/order spec, so Spark
+    plans a single WindowExec), one per-key aggregation of the
+    ``max_lag`` cross-product sums, and a stack-to-long explode over
+    plain aggregated columns. Per-key state is the ordered series
+    (the same bounded-key caveat as :func:`cusum_changepoint`).
+    """
+    from pyspark.sql import Window
+
+    x = F.col(value_col).cast("double")
+    base = df.where(x.isNotNull()).select(
+        *key_cols,
+        *[c for c in order_cols if c not in key_cols],
+        x.alias("_x"),
+    )
+    w = Window.partitionBy(*key_cols).orderBy(
+        *[F.col(c).asc() for c in order_cols]
+    )
+    w_all = Window.partitionBy(*key_cols)
+    staged = base.select(
+        *key_cols,
+        "_x",
+        F.avg("_x").over(w_all).alias("_mu"),
+        *[
+            F.lead("_x", k).over(w).alias(f"_l{k}")
+            for k in range(1, max_lag + 1)
+        ],
+    )
+    d = F.col("_x") - F.col("_mu")
+    agg = staged.groupBy(*key_cols).agg(
+        F.sum(d * d).alias("_sxx"),
+        *[
+            F.sum(
+                d * (F.col(f"_l{k}") - F.col("_mu"))
+            ).alias(f"_s{k}")
+            for k in range(1, max_lag + 1)
+        ],
+        *[
+            F.count(F.col(f"_l{k}")).alias(f"_n{k}")
+            for k in range(1, max_lag + 1)
+        ],
+    )
+    stacked = F.array(
+        *[
+            F.struct(
+                F.lit(k).alias("lag"),
+                F.col(f"_n{k}").alias("n_pairs"),
+                F.when(
+                    F.col("_sxx") > 0,
+                    F.round(F.col(f"_s{k}") / F.col("_sxx"), 6),
+                ).alias("acf"),
+            )
+            for k in range(1, max_lag + 1)
+        ]
+    )
+    return (
+        agg.select(*key_cols, F.explode(stacked).alias("_a"))
+        .select(
+            *key_cols,
+            F.col("_a.lag").alias("lag"),
+            F.col("_a.n_pairs").alias("n_pairs"),
+            F.col("_a.acf").alias("acf"),
+        )
+    )

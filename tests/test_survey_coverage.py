@@ -233,6 +233,10 @@ COVERAGE = {
     "E118": "entry:dsir_weights",
     "E119": "entry:heaps_law",
     "E120": "entry:quality_topq",
+    "E121": "entry:rmst",
+    "E122": "entry:acf_user_value",
+    "E123": "entry:conformal_intervals",
+    "E124": "entry:poisson_bootstrap",
 }
 
 

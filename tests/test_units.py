@@ -4388,3 +4388,104 @@ def test_top_quantile_by_group(spark):
         top_quantile_by_group(
             df.withColumn("_thr", F.lit(1)), ["src"], "score", 0.5
         )
+
+
+def test_rmst_closed_form(spark):
+    from padua_spark.operators.stats import rmst
+
+    # group 0: events at t=2 (S=0.5) and t=4 (S=0); tau=5
+    # RMST = 1*2 + 0.5*(4-2) + 0*(5-4) = 3.0
+    df = spark.createDataFrame(
+        [(0, 2.0, 1), (0, 2.0, 0), (0, 4.0, 1), (0, 4.0, 1)],
+        ["g", "dur", "ev"],
+    )
+    # risk: t=2 n=4 d=1 -> S=0.75; t=4 n=2 d=2 -> S=0
+    # RMST(5) = 1*2 + 0.75*(4-2) + 0*(5-4) = 3.5
+    row = rmst(df, ["g"], "dur", "ev", tau=5.0).collect()[0]
+    assert row["n_curve_points"] == 2
+    assert row["rmst"] == pytest.approx(3.5)
+    # tau below the first event: the whole integral is the S=1 head
+    row2 = rmst(df, ["g"], "dur", "ev", tau=1.5).collect()[0]
+    assert row2["rmst"] == pytest.approx(1.5)
+    # tau between events: 1*2 + 0.75*(3-2) = 2.75
+    row3 = rmst(df, ["g"], "dur", "ev", tau=3.0).collect()[0]
+    assert row3["rmst"] == pytest.approx(2.75)
+
+
+def test_acf_by_key_vs_brute_force(spark):
+    import numpy as np
+
+    from padua_spark.operators.temporal import acf_by_key
+
+    vals = [3.0, 1.0, 4.0, 1.0, 5.0, 9.0, 2.0, 6.0]
+    df = spark.createDataFrame(
+        [("k", i, v) for i, v in enumerate(vals)], ["key", "t", "x"]
+    )
+    out = {
+        r["lag"]: r
+        for r in acf_by_key(df, ["key"], ["t"], "x", max_lag=3).collect()
+    }
+    x = np.array(vals)
+    d = x - x.mean()
+    for k in (1, 2, 3):
+        expect = float((d[:-k] * d[k:]).sum() / (d * d).sum())
+        assert out[k]["acf"] == pytest.approx(expect, abs=1e-6)
+        assert out[k]["n_pairs"] == len(vals) - k
+    const = spark.createDataFrame(
+        [("k", i, 2.0) for i in range(4)], ["key", "t", "x"]
+    )
+    rows = acf_by_key(const, ["key"], ["t"], "x", max_lag=1).collect()
+    assert rows[0]["acf"] is None  # zero denominator -> NULL
+
+
+def test_split_conformal_intervals(spark):
+    from padua_spark.extensions.quality import split_conformal_intervals
+
+    # calibration residuals |actual-pred|: 1..9 -> with alpha=0.2,
+    # k = ceil(10*0.8) = 8 -> q = 8th smallest = 8.0
+    cal = spark.createDataFrame(
+        [(float(i), 0.0) for i in range(1, 10)], ["actual", "pred"]
+    )
+    test = spark.createDataFrame([(100.0,)], ["pred"])
+    row = split_conformal_intervals(
+        cal, test, "pred", "actual", alpha=0.2
+    ).collect()[0]
+    assert row["conformal_q"] == pytest.approx(8.0)
+    assert row["lo"] == pytest.approx(92.0)
+    assert row["hi"] == pytest.approx(108.0)
+    # n+1 rank clipped to n: alpha tiny -> q = max residual
+    row2 = split_conformal_intervals(
+        cal, test, "pred", "actual", alpha=0.001
+    ).collect()[0]
+    assert row2["conformal_q"] == pytest.approx(9.0)
+
+
+def test_poisson_bootstrap_ci(spark):
+    from padua_spark.extensions.sampling import (
+        _POISSON1_CDF,
+        poisson_bootstrap_ci,
+    )
+    import math
+
+    # CDF constants are the true Poisson(1) CDF
+    acc = 0.0
+    for k, c in enumerate(_POISSON1_CDF):
+        acc += math.exp(-1.0) / math.factorial(k)
+        assert c == pytest.approx(acc, abs=1e-15)
+
+    df = spark.createDataFrame(
+        [(i, float(i % 10)) for i in range(400)], ["id", "x"]
+    )
+    row = poisson_bootstrap_ci(
+        df, "id", "x", n_reps=50, alpha=0.1, salt=3
+    ).collect()[0]
+    assert row["n_rows"] == 400 and row["n_reps"] == 50
+    assert row["mean"] == pytest.approx(4.5)
+    # CI brackets the point estimate and is plausibly tight
+    assert row["ci_lo"] < 4.5 < row["ci_hi"]
+    assert 0.01 < row["ci_hi"] - row["ci_lo"] < 2.0
+    # determinism: identical on re-run
+    row2 = poisson_bootstrap_ci(
+        df, "id", "x", n_reps=50, alpha=0.1, salt=3
+    ).collect()[0]
+    assert (row2["ci_lo"], row2["ci_hi"]) == (row["ci_lo"], row["ci_hi"])
