@@ -11996,6 +11996,161 @@ def q_poisson_bootstrap(spark, sf):
     )
 
 
+# --- ext round 8: Cox proportional hazards (full fixed-step SQL twin) ------
+
+
+def _cox_gh_block(k: int, bsrc: str) -> str:
+    """One Newton iteration's gradient/Hessian CTE chain at the betas
+    in ``bsrc`` — risk-set suffix moments via the total-minus-prefix
+    window identity (same algebra as the Spark operator's stepped
+    suffix), Breslow ties."""
+    return f"""
+r{k} AS (
+  SELECT s.t, s.e, s.x1, s.x2, exp(b.b1 * s.x1 + b.b2 * s.x2) AS r
+  FROM subj s, {bsrc} b
+),
+pt{k} AS (
+  SELECT t, CAST(sum(e) AS BIGINT) AS d,
+    sum(CASE WHEN e = 1 THEN x1 ELSE CAST(0 AS DOUBLE) END) AS ex1,
+    sum(CASE WHEN e = 1 THEN x2 ELSE CAST(0 AS DOUBLE) END) AS ex2,
+    sum(r) AS sr, sum(r * x1) AS sr1, sum(r * x2) AS sr2,
+    sum(r * x1 * x1) AS s11, sum(r * x1 * x2) AS s12,
+    sum(r * x2 * x2) AS s22
+  FROM r{k} GROUP BY 1
+),
+sf{k} AS (
+  SELECT t, d, ex1, ex2,
+    sum(sr)  OVER () - sum(sr)  OVER w + sr  AS S0,
+    sum(sr1) OVER () - sum(sr1) OVER w + sr1 AS S1a,
+    sum(sr2) OVER () - sum(sr2) OVER w + sr2 AS S1b,
+    sum(s11) OVER () - sum(s11) OVER w + s11 AS S2aa,
+    sum(s12) OVER () - sum(s12) OVER w + s12 AS S2ab,
+    sum(s22) OVER () - sum(s22) OVER w + s22 AS S2bb
+  FROM pt{k}
+  WINDOW w AS (ORDER BY t
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+gh{k} AS (
+  SELECT
+    sum(ex1 - CAST(d AS DOUBLE) * S1a / S0) AS g1,
+    sum(ex2 - CAST(d AS DOUBLE) * S1b / S0) AS g2,
+    sum(CAST(d AS DOUBLE)
+        * (S2aa / S0 - (S1a / S0) * (S1a / S0))) AS h11,
+    sum(CAST(d AS DOUBLE)
+        * (S2ab / S0 - (S1a / S0) * (S1b / S0))) AS h12,
+    sum(CAST(d AS DOUBLE)
+        * (S2bb / S0 - (S1b / S0) * (S1b / S0))) AS h22
+  FROM sf{k} WHERE d > 0
+)"""
+
+
+def _cox_oracle(n_iters: int = 4) -> str:
+    parts = ["""
+e0 AS (
+  SELECT user_id, epoch_us(ts) AS tu, event_type,
+    CAST(value AS DOUBLE) AS v
+  FROM events
+),
+u AS (
+  SELECT user_id, min(tu) AS t0, max(tu) AS t_last,
+    min(CASE WHEN event_type = 'error' THEN tu END) AS t_err,
+    CAST(count(*) AS BIGINT) AS nev, avg(v) AS av
+  FROM e0 GROUP BY user_id
+),
+subj AS (
+  SELECT
+    CAST(CASE WHEN t_err IS NOT NULL
+      THEN floor((t_err - t0) / 3600000000.0)
+      ELSE floor((t_last - t0) / 3600000000.0) END AS DOUBLE) AS t,
+    CASE WHEN t_err IS NOT NULL THEN 1 ELSE 0 END AS e,
+    ln(1.0 + CAST(nev AS DOUBLE)) AS x1,
+    av / 100.0 AS x2
+  FROM u WHERE av IS NOT NULL
+),
+b0 AS (SELECT CAST(0 AS DOUBLE) AS b1, CAST(0 AS DOUBLE) AS b2)"""]
+    for k in range(1, n_iters + 1):
+        parts.append(_cox_gh_block(k, f"b{k - 1}"))
+        parts.append(f"""
+b{k} AS (
+  SELECT
+    b.b1 + (g.h22 * g.g1 - g.h12 * g.g2)
+      / (g.h11 * g.h22 - g.h12 * g.h12) AS b1,
+    b.b2 + (g.h11 * g.g2 - g.h12 * g.g1)
+      / (g.h11 * g.h22 - g.h12 * g.h12) AS b2
+  FROM b{k - 1} b, gh{k} g
+)""")
+    last = n_iters + 1
+    parts.append(_cox_gh_block(last, f"b{n_iters}"))
+    parts.append(f"""
+fin AS (
+  SELECT b.b1, b.b2, g.h11, g.h12, g.h22,
+    g.h11 * g.h22 - g.h12 * g.h12 AS det
+  FROM b{n_iters} b, gh{last} g
+),
+res AS (
+  SELECT 'x1' AS feature, b1 AS coef, sqrt(h22 / det) AS se FROM fin
+  UNION ALL
+  SELECT 'x2', b2, sqrt(h11 / det) FROM fin
+),
+zed AS (
+  SELECT feature, coef, se, coef / se AS z,
+    abs(coef / se) / sqrt(2.0) AS xx,
+    1.0 / (1.0 + 0.3275911 * (abs(coef / se) / sqrt(2.0))) AS tt
+  FROM res
+)
+SELECT feature, round(coef, 6) AS coef,
+  round(exp(coef), 6) AS hazard_ratio,
+  round(se, 6) AS se, round(z, 6) AS z,
+  round((0.254829592 * tt + -0.284496736 * tt * tt
+         + 1.421413741 * tt * tt * tt
+         + -1.453152027 * tt * tt * tt * tt
+         + 1.061405429 * tt * tt * tt * tt * tt) * exp(-xx * xx), 6)
+    AS p_value
+FROM zed""")
+    return "WITH " + ",".join(parts).replace("WITH \n", "WITH ", 1)
+
+
+@_q("cox_ph", _cox_oracle(4))
+def q_cox_ph(spark, sf):
+    """Cox proportional hazards on time-to-first-error (stats.cox_ph,
+    Breslow ties, 4 fixed Newton steps): features are each user's
+    log event count and mean event value. The oracle is the SAME
+    fixed-step Newton recursion unrolled as chained SQL CTEs with the
+    closed-form 2x2 solve — the full model fit is value-checked, not
+    just the sufficient statistics."""
+    from padua_spark.operators.stats import cox_ph
+    from padua_spark.streaming.windows import epoch_us_col
+
+    base = _t(spark, sf, "events")
+    ev = base.select(
+        "user_id",
+        epoch_us_col(base, "ts").alias("_tu"),
+        "event_type",
+        F.col("value").cast("double").alias("_v"),
+    )
+    u = ev.groupBy("user_id").agg(
+        F.min("_tu").alias("_t0"),
+        F.max("_tu").alias("_tl"),
+        F.min(
+            F.when(F.col("event_type") == "error", F.col("_tu"))
+        ).alias("_te"),
+        F.count(F.lit(1)).cast("bigint").alias("_nev"),
+        F.avg("_v").alias("_av"),
+    )
+    subj = u.where(F.col("_av").isNotNull()).select(
+        F.floor(
+            (
+                F.coalesce(F.col("_te"), F.col("_tl")) - F.col("_t0")
+            ).cast("double")
+            / F.lit(3600000000.0)
+        ).cast("double").alias("dur"),
+        F.when(F.col("_te").isNotNull(), 1).otherwise(0).alias("ev"),
+        F.log(F.lit(1.0) + F.col("_nev").cast("double")).alias("x1"),
+        (F.col("_av") / F.lit(100.0)).alias("x2"),
+    )
+    return cox_ph(subj, ["x1", "x2"], "dur", "ev", n_iters=4)
+
+
 # ---------------------------------------------------------------------------
 
 

@@ -194,6 +194,7 @@ HEADLINE = [
     "acf_user_value",
     "conformal_intervals",
     "poisson_bootstrap",
+    "cox_ph",
 ]
 
 

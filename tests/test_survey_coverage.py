@@ -237,6 +237,7 @@ COVERAGE = {
     "E122": "entry:acf_user_value",
     "E123": "entry:conformal_intervals",
     "E124": "entry:poisson_bootstrap",
+    "E125": "entry:cox_ph",
 }
 
 

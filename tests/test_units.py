@@ -4489,3 +4489,63 @@ def test_poisson_bootstrap_ci(spark):
         df, "id", "x", n_reps=50, alpha=0.1, salt=3
     ).collect()[0]
     assert (row2["ci_lo"], row2["ci_hi"]) == (row["ci_lo"], row["ci_hi"])
+
+
+def test_cox_ph_vs_brute_force(spark):
+    import numpy as np
+
+    from padua_spark.operators.stats import cox_ph
+
+    rng = np.random.RandomState(42)
+    n = 60
+    X = rng.normal(size=(n, 2))
+    # true betas (0.8, -0.5); exponential baseline
+    lam = np.exp(X @ np.array([0.8, -0.5]))
+    t = np.ceil(rng.exponential(1.0 / lam) * 4)  # ties via rounding
+    e = (rng.uniform(size=n) < 0.8).astype(int)
+
+    def gh(beta):
+        r = np.exp(X @ beta)
+        g = np.zeros(2)
+        H = np.zeros((2, 2))
+        for tt in sorted(set(t[e == 1])):
+            risk = t >= tt
+            s0 = r[risk].sum()
+            s1 = (r[risk, None] * X[risk]).sum(0)
+            s2 = (r[risk, None, None] * X[risk][:, :, None]
+                  * X[risk][:, None, :]).sum(0)
+            at = (t == tt) & (e == 1)
+            d = at.sum()
+            g += X[at].sum(0) - d * s1 / s0
+            H += d * (s2 / s0 - np.outer(s1 / s0, s1 / s0))
+        return g, H
+
+    beta = np.zeros(2)
+    for _ in range(6):
+        g, H = gh(beta)
+        beta = beta + np.linalg.solve(H, g)
+    _, H = gh(beta)
+    se = np.sqrt(np.diag(np.linalg.inv(H)))
+
+    df = spark.createDataFrame(
+        [
+            (float(t[i]), int(e[i]), float(X[i, 0]), float(X[i, 1]))
+            for i in range(n)
+        ],
+        ["dur", "ev", "f1", "f2"],
+    )
+    out = {
+        r["feature"]: r
+        for r in cox_ph(
+            df, ["f1", "f2"], "dur", "ev", n_iters=6
+        ).collect()
+    }
+    assert out["f1"]["coef"] == pytest.approx(beta[0], abs=1e-5)
+    assert out["f2"]["coef"] == pytest.approx(beta[1], abs=1e-5)
+    assert out["f1"]["se"] == pytest.approx(se[0], abs=1e-5)
+    assert out["f2"]["se"] == pytest.approx(se[1], abs=1e-5)
+    assert out["f1"]["hazard_ratio"] == pytest.approx(
+        float(np.exp(beta[0])), abs=1e-4
+    )
+    # recovered signs match the generating model
+    assert out["f1"]["coef"] > 0 > out["f2"]["coef"]
