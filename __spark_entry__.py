@@ -12151,6 +12151,130 @@ def q_cox_ph(spark, sf):
     return cox_ph(subj, ["x1", "x2"], "dur", "ev", n_iters=4)
 
 
+# --- ext round 8: competing risks (Aalen-Johansen) --------------------------
+
+
+_CIF_ORACLE = """
+WITH e AS (
+  SELECT user_id, epoch_us(ts) AS tu, event_type FROM events
+),
+u AS (
+  SELECT user_id, min(tu) AS t0, max(tu) AS tl,
+    min(CASE WHEN event_type = 'error' THEN tu END) AS te,
+    min(CASE WHEN event_type = 'purchase' THEN tu END) AS tp
+  FROM e GROUP BY 1
+),
+subj AS (
+  SELECT user_id % 2 AS cohort,
+    CAST(floor(((CASE
+      WHEN te IS NOT NULL AND (tp IS NULL OR te <= tp) THEN te
+      WHEN tp IS NOT NULL THEN tp
+      ELSE tl END) - t0) / 3600000000.0) AS DOUBLE) AS t,
+    CASE WHEN te IS NOT NULL AND (tp IS NULL OR te <= tp) THEN 1
+         WHEN tp IS NOT NULL THEN 2 ELSE 0 END AS c
+  FROM u
+),
+allc AS (
+  SELECT cohort, t,
+    CAST(sum(CASE WHEN c > 0 THEN 1 ELSE 0 END) AS BIGINT) AS d,
+    CAST(count(*) AS BIGINT) AS at
+  FROM subj GROUP BY 1, 2
+),
+risk AS (
+  SELECT cohort, t, d,
+    CAST(sum(at) OVER (PARTITION BY cohort)
+      - (sum(at) OVER wc - at) AS BIGINT) AS n
+  FROM allc
+  WINDOW wc AS (PARTITION BY cohort ORDER BY t
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+f AS (
+  SELECT *,
+    CASE WHEN d > 0 AND CAST(n - d AS DOUBLE) / n > 0
+      THEN ln(CAST(n - d AS DOUBLE) / n) ELSE 0.0 END AS lnf,
+    CASE WHEN d > 0 AND CAST(n - d AS DOUBLE) / n <= 0
+      THEN 1 ELSE 0 END AS zf
+  FROM risk
+),
+s AS (
+  SELECT cohort, t, n,
+    CASE WHEN max(zf) OVER wc = 1 THEN 0.0
+      ELSE exp(sum(lnf) OVER wc) END AS sv
+  FROM f
+  WINDOW wc AS (PARTITION BY cohort ORDER BY t
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+sp AS (
+  SELECT cohort, t, n,
+    coalesce(lag(sv) OVER (PARTITION BY cohort ORDER BY t),
+             CAST(1 AS DOUBLE)) AS sprev
+  FROM s
+),
+cc AS (
+  SELECT cohort, t, c AS cause, CAST(count(*) AS BIGINT) AS n_events
+  FROM subj WHERE c > 0 GROUP BY 1, 2, 3
+),
+j AS (
+  SELECT cc.cohort, cc.cause, cc.t, sp.n AS n_risk, cc.n_events,
+    sp.sprev * CAST(cc.n_events AS DOUBLE) / CAST(sp.n AS DOUBLE)
+      AS term
+  FROM cc JOIN sp ON cc.cohort = sp.cohort AND cc.t = sp.t
+)
+SELECT CAST(cohort AS BIGINT) AS cohort, cause, t, n_risk, n_events,
+  round(sum(term) OVER (PARTITION BY cohort, cause ORDER BY t
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS cif
+FROM j
+"""
+
+
+@_q("cumulative_incidence", _CIF_ORACLE)
+def q_cumulative_incidence(spark, sf):
+    """Aalen-Johansen cumulative incidence under competing risks
+    (stats.cumulative_incidence): per user, first 'error' (cause 1)
+    competes with first 'purchase' (cause 2), censored at the last
+    event otherwise; cohorts = user_id parity. 1-KM per cause would
+    overestimate both curves — this is the correct decomposition
+    (sum_k CIF_k = 1 - S_allcause)."""
+    from padua_spark.operators.stats import cumulative_incidence
+    from padua_spark.streaming.windows import epoch_us_col
+
+    base = _t(spark, sf, "events")
+    ev = base.select(
+        "user_id",
+        epoch_us_col(base, "ts").alias("_tu"),
+        "event_type",
+    )
+    u = ev.groupBy("user_id").agg(
+        F.min("_tu").alias("_t0"),
+        F.max("_tu").alias("_tl"),
+        F.min(
+            F.when(F.col("event_type") == "error", F.col("_tu"))
+        ).alias("_te"),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("_tu"))
+        ).alias("_tp"),
+    )
+    err_first = F.col("_te").isNotNull() & (
+        F.col("_tp").isNull() | (F.col("_te") <= F.col("_tp"))
+    )
+    endt = (
+        F.when(err_first, F.col("_te"))
+        .when(F.col("_tp").isNotNull(), F.col("_tp"))
+        .otherwise(F.col("_tl"))
+    )
+    subj = u.select(
+        (F.col("user_id") % 2).alias("cohort"),
+        F.floor(
+            (endt - F.col("_t0")).cast("double") / F.lit(3600000000.0)
+        ).cast("double").alias("dur"),
+        F.when(err_first, 1)
+        .when(F.col("_tp").isNotNull(), 2)
+        .otherwise(0)
+        .alias("cause"),
+    )
+    return cumulative_incidence(subj, ["cohort"], "dur", "cause")
+
+
 # ---------------------------------------------------------------------------
 
 

@@ -195,6 +195,7 @@ HEADLINE = [
     "conformal_intervals",
     "poisson_bootstrap",
     "cox_ph",
+    "cumulative_incidence",
 ]
 
 

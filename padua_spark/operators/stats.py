@@ -2853,3 +2853,109 @@ def cox_ph(
         F.round(z, 6).alias("z"),
         F.round(_normal_sf_2sided(z), 6).alias("p_value"),
     )
+
+
+def cumulative_incidence(
+    df: DataFrame,
+    group_cols: list[str],
+    duration_col: str,
+    cause_col: str,
+) -> DataFrame:
+    """Aalen-Johansen cumulative incidence functions under COMPETING
+    RISKS — the correct per-cause probability when subjects can fail
+    from several mutually exclusive causes (1 − KM per cause
+    overestimates, since it treats competing events as censoring):
+
+    ``CIF_k(t) = Σ_{tᵢ ≤ t} S(tᵢ⁻) · d_{k,i} / n_i``
+
+    where ``S(t⁻)`` is the ALL-CAUSE Kaplan-Meier survival just
+    before ``tᵢ`` and ``d_{k,i}`` the cause-``k`` events at ``tᵢ``.
+    ``cause_col`` is an integer code: 0 = censored, ≥1 = event cause.
+    At any time, ``Σ_k CIF_k(t) = 1 − S(t)`` (the identity the unit
+    test pins).
+
+    Relational plan (the :func:`kaplan_meier` scaffolding): one
+    aggregation to per-(group, time) all-cause counts, one more to
+    per-(group, time, cause) event counts; risk sets, the lagged
+    ``exp(Σ ln)`` survival, and the per-cause running CIF sum all run
+    as windows over the DISTINCT-TIME frames (cardinality-sized,
+    never the raw rows; ascending-time order pins every float
+    accumulation). Output: one row per (group, event time, cause with
+    ``d_k > 0``): ``(groups..., cause, t, n_risk, n_events, cif)``,
+    ``cif`` rounded to 6dp.
+    """
+    from pyspark.sql import Window
+
+    dur = F.col(duration_col).cast("double")
+    cz = F.col(cause_col).cast("int")
+    base = df.where(dur.isNotNull() & cz.isNotNull()).select(
+        *group_cols, dur.alias("_t"), cz.alias("_c")
+    )
+    allc = base.groupBy(*group_cols, "_t").agg(
+        F.sum(F.when(F.col("_c") > 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("_d"),
+        F.count(F.lit(1)).cast("bigint").alias("_at"),
+    )
+    wcum = (
+        Window.partitionBy(*group_cols)
+        .orderBy("_t")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wall = Window.partitionBy(*group_cols)
+    n_risk = (
+        F.sum("_at").over(wall)
+        - (F.sum("_at").over(wcum) - F.col("_at"))
+    ).cast("bigint")
+    risk = allc.select(
+        *group_cols, "_t", "_d", n_risk.alias("_n")
+    )
+    frac = (F.col("_n") - F.col("_d")).cast("double") / F.col(
+        "_n"
+    ).cast("double")
+    lnf = F.when(
+        (F.col("_d") > 0) & (frac > 0), F.log(frac)
+    ).otherwise(F.lit(0.0))
+    zf = F.when(
+        (F.col("_d") > 0) & (frac <= 0), 1
+    ).otherwise(0)
+    staged = risk.select(
+        *group_cols, "_t", "_d", "_n",
+        lnf.alias("_lnf"), zf.alias("_zf"),
+    )
+    s_now = F.when(
+        F.max("_zf").over(wcum) == 1, F.lit(0.0)
+    ).otherwise(F.exp(F.sum("_lnf").over(wcum)))
+    wlag = Window.partitionBy(*group_cols).orderBy("_t")
+    surv = staged.select(
+        *group_cols, "_t", "_n", s_now.alias("_s")
+    ).select(
+        *group_cols, "_t", "_n",
+        F.coalesce(
+            F.lag("_s").over(wlag), F.lit(1.0)
+        ).alias("_sprev"),
+    )
+    causes = (
+        base.where(F.col("_c") > 0)
+        .groupBy(*group_cols, "_t", F.col("_c").alias("cause"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_events"))
+    )
+    joined = causes.join(surv, on=[*group_cols, "_t"])
+    term = (
+        F.col("_sprev")
+        * F.col("n_events").cast("double")
+        / F.col("_n").cast("double")
+    )
+    wcif = (
+        Window.partitionBy(*group_cols, "cause")
+        .orderBy("_t")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return joined.select(
+        *group_cols,
+        "cause",
+        F.col("_t").alias("t"),
+        F.col("_n").alias("n_risk"),
+        "n_events",
+        F.round(F.sum(term).over(wcif), 6).alias("cif"),
+    )

@@ -238,6 +238,7 @@ COVERAGE = {
     "E123": "entry:conformal_intervals",
     "E124": "entry:poisson_bootstrap",
     "E125": "entry:cox_ph",
+    "E126": "entry:cumulative_incidence",
 }
 
 

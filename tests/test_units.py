@@ -4549,3 +4549,45 @@ def test_cox_ph_vs_brute_force(spark):
     )
     # recovered signs match the generating model
     assert out["f1"]["coef"] > 0 > out["f2"]["coef"]
+
+
+def test_cumulative_incidence_identity(spark):
+    from padua_spark.operators.stats import cumulative_incidence
+
+    # 6 subjects, two causes + censoring, with a tie at t=2
+    rows = [
+        (0, 1.0, 1), (0, 2.0, 2), (0, 2.0, 1),
+        (0, 3.0, 0), (0, 4.0, 2), (0, 5.0, 0),
+    ]
+    df = spark.createDataFrame(rows, ["g", "dur", "cause"])
+    out = cumulative_incidence(df, ["g"], "dur", "cause").collect()
+    by = {(r["t"], r["cause"]): r for r in out}
+    # t=1: n=6, d1=1 -> CIF1 = 1 * 1/6
+    assert by[(1.0, 1)]["cif"] == pytest.approx(1 / 6, abs=1e-6)
+    assert by[(1.0, 1)]["n_risk"] == 6
+    # t=2: S(1)=5/6; n=5; d1=1, d2=1
+    assert by[(2.0, 1)]["cif"] == pytest.approx(
+        1 / 6 + (5 / 6) * (1 / 5), abs=1e-6
+    )
+    assert by[(2.0, 2)]["cif"] == pytest.approx(
+        (5 / 6) * (1 / 5), abs=1e-6
+    )
+    # t=4: S(2-)=5/6, S(2)=5/6*3/5=0.5; censored at 3 -> n=2 at t=4
+    assert by[(4.0, 2)]["n_risk"] == 2
+    assert by[(4.0, 2)]["cif"] == pytest.approx(
+        (5 / 6) * (1 / 5) + 0.5 * (1 / 2), abs=1e-6
+    )
+    # identity: sum_k CIF_k(last event time) == 1 - S(last)
+    # S(4) = 5/6 * 3/5 * 1/2 = 0.25
+    total = by[(2.0, 1)]["cif"] + by[(4.0, 2)]["cif"]
+    assert total == pytest.approx(1 - 0.25, abs=1e-6)
+    # 1-cause degenerate case equals 1 - KM
+    one = spark.createDataFrame(
+        [(0, 1.0, 1), (0, 2.0, 1), (0, 3.0, 0), (0, 4.0, 1)],
+        ["g", "dur", "cause"],
+    )
+    o = {r["t"]: r["cif"] for r in cumulative_incidence(
+        one, ["g"], "dur", "cause").collect()}
+    assert o[1.0] == pytest.approx(0.25)
+    assert o[2.0] == pytest.approx(0.5)
+    assert o[4.0] == pytest.approx(1.0)
