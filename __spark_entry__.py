@@ -12275,6 +12275,123 @@ def q_cumulative_incidence(spark, sf):
     return cumulative_incidence(subj, ["cohort"], "dur", "cause")
 
 
+# --- ext round 8: proportion CIs & 2x2 effect sizes -------------------------
+
+
+_WILSON_ORACLE = """
+WITH u AS (
+  SELECT user_id,
+    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+  FROM events GROUP BY 1
+),
+g AS (
+  SELECT user_id % 4 AS cohort, CAST(count(*) AS BIGINT) AS n,
+    CAST(sum(conv) AS BIGINT) AS successes
+  FROM u GROUP BY 1
+)
+SELECT CAST(cohort AS BIGINT) AS cohort, n, successes,
+  round(CAST(successes AS DOUBLE) / n, 6) AS p_hat,
+  round((CAST(successes AS DOUBLE) / n
+      + CAST(1.959963984540054 AS DOUBLE) * CAST(1.959963984540054 AS DOUBLE) / (2.0 * n)
+      - CAST(1.959963984540054 AS DOUBLE) * sqrt(
+          (CAST(successes AS DOUBLE) / n) * (1.0 - CAST(successes AS DOUBLE) / n) / n
+          + CAST(1.959963984540054 AS DOUBLE) * CAST(1.959963984540054 AS DOUBLE) / (4.0 * n * n)))
+    / (1.0 + CAST(1.959963984540054 AS DOUBLE) * CAST(1.959963984540054 AS DOUBLE) / n), 6)
+    AS ci_lo,
+  round((CAST(successes AS DOUBLE) / n
+      + CAST(1.959963984540054 AS DOUBLE) * CAST(1.959963984540054 AS DOUBLE) / (2.0 * n)
+      + CAST(1.959963984540054 AS DOUBLE) * sqrt(
+          (CAST(successes AS DOUBLE) / n) * (1.0 - CAST(successes AS DOUBLE) / n) / n
+          + CAST(1.959963984540054 AS DOUBLE) * CAST(1.959963984540054 AS DOUBLE) / (4.0 * n * n)))
+    / (1.0 + CAST(1.959963984540054 AS DOUBLE) * CAST(1.959963984540054 AS DOUBLE) / n), 6)
+    AS ci_hi
+FROM g
+"""
+
+
+@_q("wilson_ci", _WILSON_ORACLE)
+def q_wilson_ci(spark, sf):
+    """Wilson score CI for per-cohort conversion rates
+    (stats.proportion_wilson_ci): user converted iff they ever
+    purchased; cohorts = user_id % 4."""
+    from padua_spark.operators.stats import proportion_wilson_ci
+
+    e = _t(spark, sf, "events")
+    u = e.groupBy("user_id").agg(
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("conv")
+    )
+    cohorts = u.select(
+        (F.col("user_id") % 4).alias("cohort"), "conv"
+    )
+    return proportion_wilson_ci(cohorts, ["cohort"], "conv")
+
+
+_ODDS_RATIO_ORACLE = """
+WITH u AS (
+  SELECT user_id,
+    max(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS expo,
+    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS outc
+  FROM events GROUP BY 1
+),
+t AS (
+  SELECT
+    CAST(sum(CASE WHEN expo = 1 AND outc = 1 THEN 1 ELSE 0 END) AS BIGINT) AS a,
+    CAST(sum(CASE WHEN expo = 1 AND outc = 0 THEN 1 ELSE 0 END) AS BIGINT) AS b,
+    CAST(sum(CASE WHEN expo = 0 AND outc = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c,
+    CAST(sum(CASE WHEN expo = 0 AND outc = 0 THEN 1 ELSE 0 END) AS BIGINT) AS d
+  FROM u
+),
+adj AS (
+  SELECT a, b, c, d,
+    CAST(a AS DOUBLE) + h AS aa, CAST(b AS DOUBLE) + h AS bb,
+    CAST(c AS DOUBLE) + h AS cc, CAST(d AS DOUBLE) + h AS dd
+  FROM (
+    SELECT *, CASE WHEN a = 0 OR b = 0 OR c = 0 OR d = 0
+      THEN CAST(0.5 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END AS h
+    FROM t
+  )
+),
+m AS (
+  SELECT a, b, c, d,
+    ln((aa / bb) / (cc / dd)) AS lor,
+    sqrt(1.0 / aa + 1.0 / bb + 1.0 / cc + 1.0 / dd) AS se_or,
+    ln((aa / (aa + bb)) / (cc / (cc + dd))) AS lrr,
+    sqrt(1.0 / aa - 1.0 / (aa + bb) + 1.0 / cc - 1.0 / (cc + dd))
+      AS se_rr
+  FROM adj
+)
+SELECT a, b, c, d,
+  round(exp(lor), 6) AS odds_ratio,
+  round(exp(lor - CAST(1.959963984540054 AS DOUBLE) * se_or), 6) AS or_lo,
+  round(exp(lor + CAST(1.959963984540054 AS DOUBLE) * se_or), 6) AS or_hi,
+  round(exp(lrr), 6) AS relative_risk,
+  round(exp(lrr - CAST(1.959963984540054 AS DOUBLE) * se_rr), 6) AS rr_lo,
+  round(exp(lrr + CAST(1.959963984540054 AS DOUBLE) * se_rr), 6) AS rr_hi
+FROM m
+"""
+
+
+@_q("odds_ratio", _ODDS_RATIO_ORACLE)
+def q_odds_ratio(spark, sf):
+    """Odds ratio + relative risk with Wald CIs for the 2x2
+    exposure/outcome table 'did the user ever hit an error' x 'did
+    they ever purchase' (stats.odds_ratio_ci, Haldane-corrected)."""
+    from padua_spark.operators.stats import odds_ratio_ci
+
+    e = _t(spark, sf, "events")
+    u = e.groupBy("user_id").agg(
+        F.max(
+            F.when(F.col("event_type") == "error", 1).otherwise(0)
+        ).alias("expo"),
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("outc"),
+    )
+    return odds_ratio_ci(u, "expo", "outc")
+
+
 # ---------------------------------------------------------------------------
 
 

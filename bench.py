@@ -196,6 +196,8 @@ HEADLINE = [
     "poisson_bootstrap",
     "cox_ph",
     "cumulative_incidence",
+    "wilson_ci",
+    "odds_ratio",
 ]
 
 

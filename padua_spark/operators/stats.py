@@ -2959,3 +2959,113 @@ def cumulative_incidence(
         "n_events",
         F.round(F.sum(term).over(wcif), 6).alias("cif"),
     )
+
+
+def proportion_wilson_ci(
+    df: DataFrame,
+    group_cols: list[str],
+    flag_col: str,
+    z: float = 1.959963984540054,
+) -> DataFrame:
+    """Wilson score interval for a per-group proportion — the
+    recommended small-sample CI for conversion/error rates (never
+    leaves [0,1], stays sensible at p̂ near 0 or 1 where the Wald
+    interval collapses):
+
+    ``(p̂ + z²/2n ± z·√(p̂(1−p̂)/n + z²/4n²)) / (1 + z²/n)``
+
+    ``flag_col`` is 0/1 (or boolean). Default ``z`` is the two-sided
+    95% normal quantile, written as an exact double literal both
+    engines share. One map-side-combining aggregation to the k-group
+    frame; every float after that is per-row closed-form arithmetic.
+    Output: ``(groups..., n, successes, p_hat, ci_lo, ci_hi)``,
+    floats rounded to 6dp.
+    """
+    f = F.col(flag_col).cast("int")
+    agg = df.where(f.isNotNull()).groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(f).cast("bigint").alias("successes"),
+    )
+    n = F.col("n").cast("double")
+    p = F.col("successes").cast("double") / n
+    z2 = F.lit(float(z) * float(z))
+    center = p + z2 / (2.0 * n)
+    half = F.lit(float(z)) * F.sqrt(
+        p * (1.0 - p) / n + z2 / (4.0 * n * n)
+    )
+    denom = 1.0 + z2 / n
+    return agg.select(
+        *group_cols,
+        "n",
+        "successes",
+        F.round(p, 6).alias("p_hat"),
+        F.round((center - half) / denom, 6).alias("ci_lo"),
+        F.round((center + half) / denom, 6).alias("ci_hi"),
+    )
+
+
+def odds_ratio_ci(
+    df: DataFrame,
+    exposure_col: str,
+    outcome_col: str,
+    z: float = 1.959963984540054,
+    haldane: bool = True,
+) -> DataFrame:
+    """Odds ratio AND relative risk for a 2×2 exposure/outcome table
+    with Wald log-scale confidence intervals — the effect-size
+    companion to :func:`two_proportion_z` (which only tests; A/B and
+    epidemiological reporting needs the magnitude):
+
+    ``OR = (a/b)/(c/d)``, ``SE(ln OR) = √(1/a+1/b+1/c+1/d)``;
+    ``RR = (a/(a+b))/(c/(c+d))``,
+    ``SE(ln RR) = √(1/a − 1/(a+b) + 1/c − 1/(c+d))``
+
+    over exposed/unexposed rows ``a,b`` (outcome yes/no) and ``c,d``.
+    ``haldane=True`` applies the Haldane-Anscombe +0.5 correction to
+    every cell whenever ANY cell is zero (both engines share the
+    rule). Output 1 row: ``(a, b, c, d, odds_ratio, or_lo, or_hi,
+    relative_risk, rr_lo, rr_hi)``, floats rounded to 6dp.
+
+    One aggregation to four exact integers; everything after is
+    closed-form scalar arithmetic on the 1-row frame.
+    """
+    ex = F.col(exposure_col).cast("int")
+    out = F.col(outcome_col).cast("int")
+    agg = df.where(ex.isNotNull() & out.isNotNull()).agg(
+        F.sum(((ex == 1) & (out == 1)).cast("int"))
+        .cast("bigint").alias("a"),
+        F.sum(((ex == 1) & (out == 0)).cast("int"))
+        .cast("bigint").alias("b"),
+        F.sum(((ex == 0) & (out == 1)).cast("int"))
+        .cast("bigint").alias("c"),
+        F.sum(((ex == 0) & (out == 0)).cast("int"))
+        .cast("bigint").alias("d"),
+    )
+    any_zero = (
+        (F.col("a") == 0) | (F.col("b") == 0)
+        | (F.col("c") == 0) | (F.col("d") == 0)
+    )
+    adj = (
+        F.when(any_zero & F.lit(bool(haldane)), F.lit(0.5))
+        .otherwise(F.lit(0.0))
+    )
+    a = F.col("a").cast("double") + adj
+    b = F.col("b").cast("double") + adj
+    c = F.col("c").cast("double") + adj
+    d = F.col("d").cast("double") + adj
+    zz = F.lit(float(z))
+    lor = F.log((a / b) / (c / d))
+    se_or = F.sqrt(1.0 / a + 1.0 / b + 1.0 / c + 1.0 / d)
+    lrr = F.log((a / (a + b)) / (c / (c + d)))
+    se_rr = F.sqrt(
+        1.0 / a - 1.0 / (a + b) + 1.0 / c - 1.0 / (c + d)
+    )
+    return agg.select(
+        "a", "b", "c", "d",
+        F.round(F.exp(lor), 6).alias("odds_ratio"),
+        F.round(F.exp(lor - zz * se_or), 6).alias("or_lo"),
+        F.round(F.exp(lor + zz * se_or), 6).alias("or_hi"),
+        F.round(F.exp(lrr), 6).alias("relative_risk"),
+        F.round(F.exp(lrr - zz * se_rr), 6).alias("rr_lo"),
+        F.round(F.exp(lrr + zz * se_rr), 6).alias("rr_hi"),
+    )

@@ -239,6 +239,8 @@ COVERAGE = {
     "E124": "entry:poisson_bootstrap",
     "E125": "entry:cox_ph",
     "E126": "entry:cumulative_incidence",
+    "E127": "entry:wilson_ci",
+    "E128": "entry:odds_ratio",
 }
 
 

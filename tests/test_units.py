@@ -4591,3 +4591,53 @@ def test_cumulative_incidence_identity(spark):
     assert o[1.0] == pytest.approx(0.25)
     assert o[2.0] == pytest.approx(0.5)
     assert o[4.0] == pytest.approx(1.0)
+
+
+def test_proportion_wilson_and_odds_ratio(spark):
+    import math
+
+    from padua_spark.operators.stats import (
+        odds_ratio_ci,
+        proportion_wilson_ci,
+    )
+
+    df = spark.createDataFrame(
+        [("g", 1)] * 8 + [("g", 0)] * 2, ["grp", "f"]
+    )
+    row = proportion_wilson_ci(df, ["grp"], "f").collect()[0]
+    # closed-form Wilson at p=0.8, n=10, z=1.959963984540054
+    z = 1.959963984540054
+    n, p = 10.0, 0.8
+    center = p + z * z / (2 * n)
+    half = z * math.sqrt(p * (1 - p) / n + z * z / (4 * n * n))
+    den = 1 + z * z / n
+    assert row["p_hat"] == pytest.approx(0.8)
+    assert row["ci_lo"] == pytest.approx((center - half) / den, abs=1e-6)
+    assert row["ci_hi"] == pytest.approx((center + half) / den, abs=1e-6)
+    assert 0.0 < row["ci_lo"] < 0.8 < row["ci_hi"] < 1.0
+
+    # 2x2: a=20 b=80 c=10 d=90 -> OR = (20/80)/(10/90) = 2.25
+    rows = (
+        [(1, 1)] * 20 + [(1, 0)] * 80 + [(0, 1)] * 10 + [(0, 0)] * 90
+    )
+    t = spark.createDataFrame(rows, ["expo", "outc"])
+    r = odds_ratio_ci(t, "expo", "outc").collect()[0]
+    assert (r["a"], r["b"], r["c"], r["d"]) == (20, 80, 10, 90)
+    assert r["odds_ratio"] == pytest.approx(2.25, abs=1e-6)
+    assert r["relative_risk"] == pytest.approx(2.0, abs=1e-6)
+    se = math.sqrt(1 / 20 + 1 / 80 + 1 / 10 + 1 / 90)
+    assert r["or_lo"] == pytest.approx(
+        2.25 * math.exp(-z * se), abs=1e-5
+    )
+    assert r["or_hi"] == pytest.approx(
+        2.25 * math.exp(z * se), abs=1e-5
+    )
+    # Haldane correction engages on a zero cell
+    zc = spark.createDataFrame(
+        [(1, 1)] * 5 + [(1, 0)] * 5 + [(0, 0)] * 10, ["expo", "outc"]
+    )
+    rz = odds_ratio_ci(zc, "expo", "outc").collect()[0]
+    assert rz["c"] == 0 and rz["odds_ratio"] is not None
+    assert rz["odds_ratio"] == pytest.approx(
+        (5.5 / 5.5) / (0.5 / 10.5), abs=1e-5
+    )
