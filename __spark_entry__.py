@@ -12392,6 +12392,110 @@ def q_odds_ratio(spark, sf):
     return odds_ratio_ci(u, "expo", "outc")
 
 
+# --- ext round 8: uplift evaluation (Qini) ----------------------------------
+
+
+_QINI_ORACLE = """
+WITH u AS (
+  SELECT user_id,
+    CAST(CASE WHEN sum(CASE WHEN event_type = 'purchase'
+        THEN 1 ELSE 0 END) >= 13 THEN 1 ELSE 0 END AS DOUBLE) AS y,
+    CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+      AS BIGINT) AS clicks
+  FROM events GROUP BY 1
+),
+b AS (
+  SELECT CAST(user_id % 2 AS INTEGER) AS t, y,
+    -CAST(clicks AS DOUBLE) AS ns
+  FROM u
+),
+per AS (
+  SELECT ns,
+    CAST(sum(t) AS BIGINT) AS nt,
+    CAST(sum(1 - t) AS BIGINT) AS nc,
+    sum(CASE WHEN t = 1 THEN y ELSE CAST(0 AS DOUBLE) END) AS yt,
+    sum(CASE WHEN t = 0 THEN y ELSE CAST(0 AS DOUBLE) END) AS yc
+  FROM b GROUP BY 1
+),
+st AS (
+  SELECT ns, nt, nc, yt, yc,
+    CAST(sum(nt) OVER w AS BIGINT) AS ntr,
+    CAST(sum(nc) OVER w AS BIGINT) AS ncr,
+    sum(yt) OVER w AS ytr,
+    sum(yc) OVER w AS ycr,
+    CAST(sum(nt) OVER () AS BIGINT) AS ntt,
+    CAST(sum(nc) OVER () AS BIGINT) AS nct,
+    sum(yt) OVER () AS ytt,
+    sum(yc) OVER () AS yct
+  FROM per
+  WINDOW w AS (ORDER BY ns
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+terms AS (
+  SELECT ntt, nct, ytt, yct,
+    (CASE WHEN ncr > 0
+       THEN ytr - ycr * CAST(ntr AS DOUBLE) / CAST(ncr AS DOUBLE)
+       ELSE ytr END
+     + CASE WHEN ncr - nc > 0
+       THEN (ytr - yt) - (ycr - yc)
+         * CAST(ntr - nt AS DOUBLE) / CAST(ncr - nc AS DOUBLE)
+       ELSE ytr - yt END) / 2.0
+    * (CAST(nt + nc AS DOUBLE) / CAST(ntt + nct AS DOUBLE)) AS term
+  FROM st
+),
+agg AS (
+  SELECT max(ntt) AS ntt, max(nct) AS nct, max(ytt) AS ytt,
+    max(yct) AS yct, sum(term) AS area
+  FROM terms
+),
+fin AS (
+  SELECT CAST(ntt + nct AS BIGINT) AS n,
+    CAST(ntt AS BIGINT) AS n_treated,
+    CAST(nct AS BIGINT) AS n_control,
+    CASE WHEN nct > 0
+      THEN ytt - yct * CAST(ntt AS DOUBLE) / CAST(nct AS DOUBLE)
+      ELSE ytt END AS qf,
+    area
+  FROM agg
+)
+SELECT n, n_treated, n_control,
+  round(qf, 6) AS qini_final,
+  round(area, 6) AS qini_area,
+  round(qf / 2.0, 6) AS qini_random,
+  round(area - qf / 2.0, 6) AS qini_coef
+FROM fin
+"""
+
+
+@_q("qini_uplift", _QINI_ORACLE)
+def q_qini_uplift(spark, sf):
+    """Qini uplift-targeting area (quality.qini_auuc): treatment =
+    user-id parity (a clean A/B split), outcome = a heavy
+    purchaser (>= 13 purchase events), targeting score = click
+    count. Outcome/score are integers, so
+    every accumulation is exact until the final divisions."""
+    from padua_spark.extensions.quality import qini_auuc
+
+    e = _t(spark, sf, "events")
+    u = e.groupBy("user_id").agg(
+        (
+            F.sum(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            )
+            >= 13
+        ).cast("double").alias("y"),
+        F.sum(
+            F.when(F.col("event_type") == "click", 1).otherwise(0)
+        ).cast("bigint").alias("clicks"),
+    )
+    b = u.select(
+        (F.col("user_id") % 2).cast("int").alias("t"),
+        "y",
+        F.col("clicks").cast("double").alias("score"),
+    )
+    return qini_auuc(b, "t", "y", "score")
+
+
 # ---------------------------------------------------------------------------
 
 

@@ -198,6 +198,7 @@ HEADLINE = [
     "cumulative_incidence",
     "wilson_ci",
     "odds_ratio",
+    "qini_uplift",
 ]
 
 

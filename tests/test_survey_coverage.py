@@ -241,6 +241,7 @@ COVERAGE = {
     "E126": "entry:cumulative_incidence",
     "E127": "entry:wilson_ci",
     "E128": "entry:odds_ratio",
+    "E129": "entry:qini_uplift",
 }
 
 

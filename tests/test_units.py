@@ -4641,3 +4641,48 @@ def test_proportion_wilson_and_odds_ratio(spark):
     assert rz["odds_ratio"] == pytest.approx(
         (5.5 / 5.5) / (0.5 / 10.5), abs=1e-5
     )
+
+
+def test_qini_auuc_brute_force(spark):
+    import numpy as np
+
+    from padua_spark.extensions.quality import qini_auuc
+
+    rng = np.random.RandomState(7)
+    n = 200
+    score = np.round(rng.uniform(size=n), 2)  # ties across rows
+    treat = (rng.uniform(size=n) < 0.5).astype(int)
+    # uplift correlates with score: treated convert more when score high
+    p = 0.2 + 0.5 * score * treat
+    y = (rng.uniform(size=n) < p).astype(float)
+    df = spark.createDataFrame(
+        [(int(treat[i]), float(y[i]), float(score[i])) for i in range(n)],
+        ["t", "y", "s"],
+    )
+    row = qini_auuc(df, "t", "y", "s").collect()[0]
+
+    # brute-force curve over distinct scores descending
+    order = np.argsort(-score, kind="stable")
+    svals = sorted(set(score), reverse=True)
+    pts = [(0.0, 0.0)]
+    for sv in svals:
+        mask = score >= sv
+        nt, nc = treat[mask].sum(), (1 - treat[mask]).sum()
+        yt = y[mask][treat[mask] == 1].sum()
+        yc = y[mask][treat[mask] == 0].sum()
+        q = yt - yc * nt / nc if nc > 0 else yt
+        pts.append(((nt + nc) / n, q))
+    area = sum(
+        (y0 + y1) / 2 * (x1 - x0)
+        for (x0, y0), (x1, y1) in zip(pts, pts[1:])
+    )
+    qf = pts[-1][1]
+    assert row["n"] == n
+    assert row["qini_final"] == pytest.approx(qf, abs=1e-6)
+    assert row["qini_area"] == pytest.approx(area, abs=1e-6)
+    assert row["qini_coef"] == pytest.approx(area - qf / 2, abs=1e-6)
+    # a genuinely uplift-ranked score should beat random targeting
+    assert row["qini_coef"] > 0
+    # stepped (distributed) path agrees with the small-domain shortcut
+    row2 = qini_auuc(df, "t", "y", "s", small_domain_threshold=5).collect()[0]
+    assert row2["qini_area"] == pytest.approx(row["qini_area"], abs=1e-6)
