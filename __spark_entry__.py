@@ -12496,6 +12496,123 @@ def q_qini_uplift(spark, sf):
     return qini_auuc(b, "t", "y", "score")
 
 
+# --- ext round 8: Markov removal-effect attribution -------------------------
+
+
+def _markov_attr_oracle(n_squarings: int = 6) -> str:
+    channels = ["click", "error", "signup", "view"]
+    parts = ["""
+e AS (
+  SELECT user_id, epoch_us(ts) AS tu, event_id, event_type FROM events
+),
+mark AS (
+  SELECT user_id, tu, event_id, event_type,
+    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS ic,
+    sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+      OVER (PARTITION BY user_id ORDER BY tu, event_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      - CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS prior
+  FROM e
+),
+kept AS (SELECT * FROM mark WHERE prior = 0),
+seq AS (
+  SELECT user_id, event_type, ic,
+    lag(event_type) OVER (PARTITION BY user_id ORDER BY tu, event_id)
+      AS prev,
+    row_number() OVER (PARTITION BY user_id ORDER BY tu DESC,
+      event_id DESC) AS rnd,
+    max(ic) OVER (PARTITION BY user_id) AS has
+  FROM kept
+),
+trans AS (
+  SELECT coalesce(prev, 'START') AS src,
+    CASE WHEN ic = 1 THEN 'CONV' ELSE event_type END AS dst
+  FROM seq
+  UNION ALL
+  SELECT event_type, 'NULL' FROM seq WHERE has = 0 AND rnd = 1
+),
+counts AS (
+  SELECT src, dst, CAST(count(*) AS BIGINT) AS n FROM trans GROUP BY 1, 2
+),
+probs AS (
+  SELECT src, dst,
+    CAST(n AS DOUBLE)
+      / CAST(sum(n) OVER (PARTITION BY src) AS DOUBLE) AS p
+  FROM counts
+)"""]
+    systems = [("full", None)] + [(c, c) for c in channels]
+    for lbl, excl in systems:
+        cond = "dst <> 'NULL'"
+        if excl is not None:
+            cond += f" AND src <> '{excl}' AND dst <> '{excl}'"
+        parts.append(f"""
+m_{lbl}_0 AS MATERIALIZED (
+  SELECT src AS si,
+    CASE WHEN dst = 'CONV' THEN '__A__' ELSE dst END AS sj,
+    sum(p) AS v
+  FROM probs WHERE {cond}
+  GROUP BY 1, 2
+  UNION ALL SELECT '__A__', '__A__', CAST(1 AS DOUBLE)
+)""")
+        for k in range(n_squarings):
+            parts.append(f"""
+m_{lbl}_{k + 1} AS MATERIALIZED (
+  SELECT a.si, b.sj, sum(a.v * b.v) AS v
+  FROM m_{lbl}_{k} a JOIN m_{lbl}_{k} b ON a.sj = b.si
+  GROUP BY 1, 2
+)""")
+        parts.append(f"""
+p_{lbl} AS (
+  SELECT coalesce(max(CASE WHEN si = 'START' AND sj = '__A__'
+    THEN v END), CAST(0 AS DOUBLE)) AS p
+  FROM m_{lbl}_{n_squarings}
+)""")
+    rems = "\n  UNION ALL\n".join(
+        f"  SELECT '{c}' AS channel, 1 - p_{c}.p / p_full.p AS r"
+        f" FROM p_{c}, p_full"
+        for c in channels
+    )
+    parts.append(f"""
+rem AS (
+{rems}
+),
+tot AS (SELECT sum(r) AS tr FROM rem)""")
+    body = ",".join(parts)
+    return f"""WITH {body}
+SELECT channel, round(r, 6) AS removal_effect,
+  round(r / tot.tr, 6) AS attribution_share,
+  round(p_full.p, 6) AS p_conv
+FROM rem, p_full, tot"""
+
+
+@_q("markov_attribution", _markov_attr_oracle())
+def q_markov_attribution(spark, sf):
+    """Removal-effect (first-order Markov) multi-touch attribution
+    over per-user paths to first purchase (temporal.touch_transitions
+    -> temporal.markov_attribution): channels click/view/signup/error,
+    absorption by 6 fixed matrix squarings — the SQL twin performs
+    the IDENTICAL squarings sparsely, so the data-driven attribution
+    itself is value-checked, not just the transition counts."""
+    from padua_spark.operators.temporal import (
+        markov_attribution,
+        touch_transitions,
+    )
+    from padua_spark.streaming.windows import epoch_us_col
+
+    base = _t(spark, sf, "events")
+    ev = base.select(
+        "user_id",
+        epoch_us_col(base, "ts").alias("_tu"),
+        "event_id",
+        "event_type",
+    )
+    trans = touch_transitions(
+        ev, "user_id", ["_tu", "event_id"], "event_type",
+        conversion="purchase",
+    )
+    return markov_attribution(trans)
+
+
 # ---------------------------------------------------------------------------
 
 

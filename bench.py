@@ -199,6 +199,7 @@ HEADLINE = [
     "wilson_ci",
     "odds_ratio",
     "qini_uplift",
+    "markov_attribution",
 ]
 
 

@@ -477,3 +477,179 @@ def acf_by_key(
             F.col("_a.acf").alias("acf"),
         )
     )
+
+
+def touch_transitions(
+    df: DataFrame,
+    user_col: str,
+    order_cols: list[str],
+    channel_col: str,
+    conversion,
+    start_state: str = "START",
+    conv_state: str = "CONV",
+    null_state: str = "NULL",
+) -> DataFrame:
+    """First-order transition counts over per-user touch paths up to
+    (and including) the FIRST conversion — the input to
+    :func:`markov_attribution`. Each user's events are ordered by
+    ``order_cols``; everything after the first ``conversion`` touch is
+    dropped (the cumulative-prior-conversions filter, expressible
+    identically in any engine), the path is prefixed with
+    ``start_state``, the conversion maps to ``conv_state``, and a
+    non-converting user's last touch emits a terminal
+    ``null_state`` transition. Output: ``(src, dst, n)``.
+
+    One key shuffle, two window passes over it (ordered lag +
+    reverse row_number), one map-side-combining count — the output is
+    ``O(channels²)`` rows regardless of data size.
+    """
+    from pyspark.sql import Window
+
+    ch = F.col(channel_col)
+    isconv = F.when(ch == F.lit(conversion), 1).otherwise(0)
+    w = Window.partitionBy(user_col).orderBy(
+        *[F.col(c).asc() for c in order_cols]
+    )
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wdesc = Window.partitionBy(user_col).orderBy(
+        *[F.col(c).desc() for c in order_cols]
+    )
+    marked = df.select(
+        user_col, *order_cols, ch.alias("_ch"),
+        isconv.alias("_ic"),
+    ).withColumn(
+        "_prior", F.sum("_ic").over(wrun) - F.col("_ic")
+    )
+    kept = marked.where(F.col("_prior") == 0)
+    seq = kept.select(
+        user_col, "_ch", "_ic",
+        F.lag("_ch").over(w).alias("_prev"),
+        F.row_number().over(wdesc).alias("_rnd"),
+        F.max("_ic").over(Window.partitionBy(user_col)).alias("_has"),
+    )
+    hops = seq.select(
+        F.coalesce(F.col("_prev"), F.lit(start_state)).alias("src"),
+        F.when(
+            F.col("_ic") == 1, F.lit(conv_state)
+        ).otherwise(F.col("_ch")).alias("dst"),
+    )
+    terminals = seq.where(
+        (F.col("_has") == 0) & (F.col("_rnd") == 1)
+    ).select(
+        F.col("_ch").alias("src"), F.lit(null_state).alias("dst")
+    )
+    return (
+        hops.unionByName(terminals)
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+
+
+def markov_attribution(
+    transitions: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    count_col: str = "n",
+    start_state: str = "START",
+    conv_state: str = "CONV",
+    null_state: str = "NULL",
+    n_squarings: int = 6,
+    max_states: int = 256,
+) -> DataFrame:
+    """Removal-effect (first-order Markov) multi-touch attribution —
+    the data-driven alternative to last-touch: each channel's credit
+    is how much the corpus-wide conversion probability DROPS when
+    paths through that channel are severed (transitions touching the
+    channel removed, probabilities NOT renormalized — the standard
+    removal-effect definition),
+
+    ``removal(c) = 1 − P_c(conv) / P(conv)``,
+    ``share(c) = removal(c) / Σ removal``.
+
+    Absorption probabilities come from ``n_squarings`` squarings of
+    the augmented transition matrix ``[[Q, r], [0, 1]]`` (equivalent
+    to summing ``2^n_squarings`` path-length terms of ``Σ Qⁿ r`` —
+    residual mass decays geometrically, so 6 squarings ≈ 64 steps is
+    convergence to ~1e-12 on any chain that absorbs at all). The
+    FIXED squaring schedule (not an exact solve) is deliberate: both
+    engines — and the SQL twin — reproduce the identical computation.
+
+    Scale contract: the transition frame is ``O(channels²)`` rows by
+    construction (:func:`touch_transitions` collapses the corpus
+    before this step); it is collected driver-side with an explicit
+    ``max_states`` guard, and the squarings run on the driver in
+    numpy — the same bounded-collect discipline as the k·dims
+    centroid collects in ``similarity``. Output: one row per channel:
+    ``(channel, removal_effect, attribution_share, p_conv)``, floats
+    rounded to 6dp.
+    """
+    import numpy as np
+
+    rows = transitions.select(
+        F.col(src_col).alias("s"),
+        F.col(dst_col).alias("d"),
+        F.col(count_col).cast("double").alias("n"),
+    ).collect()
+    states = sorted(
+        {r["s"] for r in rows}
+        | {r["d"] for r in rows if r["d"] not in (conv_state, null_state)}
+    )
+    if len(states) > max_states:
+        raise ValueError(
+            f"markov_attribution: {len(states)} transient states exceed "
+            f"max_states={max_states} — the transition frame should be "
+            "channel-level, not event-level"
+        )
+    idx = {s: i for i, s in enumerate(states)}
+    t = len(states)
+    outsum = {}
+    for r in rows:
+        outsum[r["s"]] = outsum.get(r["s"], 0.0) + r["n"]
+    # probability rows: transient -> transient (Q) and -> CONV (r)
+    probs = []
+    for r in rows:
+        p = r["n"] / outsum[r["s"]]
+        probs.append((r["s"], r["d"], p))
+
+    def _absorb(excluded: set) -> float:
+        m = np.zeros((t + 1, t + 1))
+        m[t, t] = 1.0
+        for s, d, p in probs:
+            if s in excluded or d in excluded:
+                continue
+            if d == conv_state:
+                m[idx[s], t] += p
+            elif d != null_state:
+                m[idx[s], idx[d]] += p
+        for _ in range(int(n_squarings)):
+            m = m @ m
+        return float(m[idx[start_state], t])
+
+    p_full = _absorb(set())
+    channels = [s for s in states if s != start_state]
+    removals = {}
+    for c in channels:
+        p_c = _absorb({c})
+        removals[c] = (
+            1.0 - p_c / p_full if p_full > 0 else float("nan")
+        )
+    tot = sum(removals.values())
+    spark = transitions.sparkSession
+    out = spark.createDataFrame(
+        [
+            (
+                c,
+                float(removals[c]),
+                float(removals[c] / tot) if tot > 0 else None,
+                float(p_full),
+            )
+            for c in channels
+        ],
+        "channel string, _rm double, _sh double, _pc double",
+    )
+    return out.select(
+        "channel",
+        F.round("_rm", 6).alias("removal_effect"),
+        F.round("_sh", 6).alias("attribution_share"),
+        F.round("_pc", 6).alias("p_conv"),
+    )

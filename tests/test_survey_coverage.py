@@ -242,6 +242,7 @@ COVERAGE = {
     "E127": "entry:wilson_ci",
     "E128": "entry:odds_ratio",
     "E129": "entry:qini_uplift",
+    "E130": "entry:markov_attribution",
 }
 
 

@@ -4686,3 +4686,59 @@ def test_qini_auuc_brute_force(spark):
     # stepped (distributed) path agrees with the small-domain shortcut
     row2 = qini_auuc(df, "t", "y", "s", small_domain_threshold=5).collect()[0]
     assert row2["qini_area"] == pytest.approx(row["qini_area"], abs=1e-6)
+
+
+def test_markov_attribution_known_chain(spark):
+    from padua_spark.operators.temporal import (
+        markov_attribution,
+        touch_transitions,
+    )
+
+    # Hand-checkable chain: START->A (always). A->CONV 0.5, A->B 0.5.
+    # B->CONV 1.0. P(conv)=1. Removing B: P=0.5 -> removal(B)=0.5.
+    # Removing A: P=0 -> removal(A)=1. Shares: A=2/3, B=1/3.
+    trans = spark.createDataFrame(
+        [
+            ("START", "A", 4),
+            ("A", "CONV", 2),
+            ("A", "B", 2),
+            ("B", "CONV", 2),
+        ],
+        ["src", "dst", "n"],
+    )
+    out = {r["channel"]: r for r in markov_attribution(trans).collect()}
+    assert out["A"]["removal_effect"] == pytest.approx(1.0, abs=1e-6)
+    assert out["B"]["removal_effect"] == pytest.approx(0.5, abs=1e-6)
+    assert out["A"]["attribution_share"] == pytest.approx(2 / 3, abs=1e-6)
+    assert out["B"]["attribution_share"] == pytest.approx(1 / 3, abs=1e-6)
+    assert out["A"]["p_conv"] == pytest.approx(1.0, abs=1e-6)
+
+    # path extraction: user 1 converts (a->b->CONV, later touches cut),
+    # user 2 never converts (a->a->NULL terminal)
+    ev = spark.createDataFrame(
+        [
+            (1, 1, "a"), (1, 2, "b"), (1, 3, "buy"), (1, 4, "a"),
+            (2, 1, "a"), (2, 2, "a"),
+        ],
+        ["u", "t", "ch"],
+    )
+    tr = {
+        (r["src"], r["dst"]): r["n"]
+        for r in touch_transitions(
+            ev, "u", ["t"], "ch", conversion="buy"
+        ).collect()
+    }
+    assert tr[("START", "a")] == 2
+    assert tr[("a", "b")] == 1
+    assert tr[("b", "CONV")] == 1
+    assert tr[("a", "a")] == 1
+    assert tr[("a", "NULL")] == 1
+    assert ("CONV", "a") not in tr and ("buy", "a") not in tr
+
+    # guard fires on an event-level (unbounded-state) frame
+    import pytest as _pt
+    big = spark.createDataFrame(
+        [("START", f"s{i}", 1) for i in range(300)], ["src", "dst", "n"]
+    )
+    with _pt.raises(ValueError, match="max_states"):
+        markov_attribution(big).collect()
