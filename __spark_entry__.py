@@ -12613,6 +12613,170 @@ def q_markov_attribution(spark, sf):
     return markov_attribution(trans)
 
 
+# --- ext round 8: Cox baseline hazard & k-core peel -------------------------
+
+
+_COX_BASELINE_ORACLE = """
+WITH e0 AS (
+  SELECT user_id, epoch_us(ts) AS tu, event_type,
+    CAST(value AS DOUBLE) AS v
+  FROM events
+),
+u AS (
+  SELECT user_id, min(tu) AS t0, max(tu) AS t_last,
+    min(CASE WHEN event_type = 'error' THEN tu END) AS t_err,
+    CAST(count(*) AS BIGINT) AS nev, avg(v) AS av
+  FROM e0 GROUP BY 1
+),
+subj AS (
+  SELECT
+    CAST(CASE WHEN t_err IS NOT NULL
+      THEN floor((t_err - t0) / 3600000000.0)
+      ELSE floor((t_last - t0) / 3600000000.0) END AS DOUBLE) AS t,
+    CASE WHEN t_err IS NOT NULL THEN 1 ELSE 0 END AS e,
+    ln(1.0 + CAST(nev AS DOUBLE)) AS x1,
+    av / 100.0 AS x2
+  FROM u WHERE av IS NOT NULL
+),
+r AS (
+  SELECT t, e,
+    exp(CAST(0.1 AS DOUBLE) * x1 + CAST(-0.05 AS DOUBLE) * x2) AS rr
+  FROM subj
+),
+pt AS (
+  SELECT t, CAST(sum(e) AS BIGINT) AS d, sum(rr) AS sr
+  FROM r GROUP BY 1
+),
+sf AS (
+  SELECT t, d,
+    sum(sr) OVER () - sum(sr) OVER w + sr AS s0
+  FROM pt
+  WINDOW w AS (ORDER BY t
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+ev AS (
+  SELECT t, d, s0, CAST(d AS DOUBLE) / s0 AS term
+  FROM sf WHERE d > 0
+),
+cum AS (
+  SELECT t, d, s0,
+    sum(term) OVER (ORDER BY t
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS h
+  FROM ev
+)
+SELECT t, d AS n_events, round(s0, 6) AS s0_risk,
+  round(h, 6) AS h0_cum, round(exp(-h), 6) AS s0_baseline
+FROM cum
+"""
+
+
+@_q("cox_baseline", _COX_BASELINE_ORACLE)
+def q_cox_baseline(spark, sf):
+    """Breslow baseline cumulative hazard at GIVEN Cox coefficients
+    (0.1, -0.05) over the same time-to-first-error subjects as cox_ph
+    (stats.cox_baseline_hazard) — the step that turns coefficients
+    into survival predictions S(t|x)=exp(-H0(t)exp(bx))."""
+    from padua_spark.operators.stats import cox_baseline_hazard
+    from padua_spark.streaming.windows import epoch_us_col
+
+    base = _t(spark, sf, "events")
+    ev = base.select(
+        "user_id",
+        epoch_us_col(base, "ts").alias("_tu"),
+        "event_type",
+        F.col("value").cast("double").alias("_v"),
+    )
+    u = ev.groupBy("user_id").agg(
+        F.min("_tu").alias("_t0"),
+        F.max("_tu").alias("_tl"),
+        F.min(
+            F.when(F.col("event_type") == "error", F.col("_tu"))
+        ).alias("_te"),
+        F.count(F.lit(1)).cast("bigint").alias("_nev"),
+        F.avg("_v").alias("_av"),
+    )
+    subj = u.where(F.col("_av").isNotNull()).select(
+        F.floor(
+            (
+                F.coalesce(F.col("_te"), F.col("_tl")) - F.col("_t0")
+            ).cast("double")
+            / F.lit(3600000000.0)
+        ).cast("double").alias("dur"),
+        F.when(F.col("_te").isNotNull(), 1).otherwise(0).alias("ev"),
+        F.log(F.lit(1.0) + F.col("_nev").cast("double")).alias("x1"),
+        (F.col("_av") / F.lit(100.0)).alias("x2"),
+    )
+    return cox_baseline_hazard(
+        subj, ["x1", "x2"], "dur", "ev", [0.1, -0.05]
+    )
+
+
+def _kcore_oracle(k: int = 2, n_rounds: int = 6) -> str:
+    parts = ["""
+pe AS (
+  SELECT s, d FROM (
+    SELECT l1.l_partkey AS s, l2.l_partkey AS d,
+      CAST(count(*) AS BIGINT) AS c
+    FROM lineitem l1 JOIN lineitem l2
+      ON l1.l_orderkey = l2.l_orderkey
+     AND l1.l_partkey < l2.l_partkey
+    GROUP BY 1, 2
+  ) WHERE c >= 2
+),
+e0 AS MATERIALIZED (
+  SELECT DISTINCT s, d FROM (
+    SELECT s, d FROM pe UNION ALL SELECT d AS s, s AS d FROM pe
+  ) WHERE s <> d
+)"""]
+    for i in range(1, n_rounds + 1):
+        parts.append(f"""
+k{i} AS MATERIALIZED (
+  SELECT s FROM (
+    SELECT s, count(*) AS c FROM e{i - 1} GROUP BY 1
+  ) WHERE c >= {k}
+),
+e{i} AS MATERIALIZED (
+  SELECT e.s, e.d
+  FROM e{i - 1} e JOIN k{i} a ON e.s = a.s JOIN k{i} b ON e.d = b.s
+)""")
+    body = ",".join(parts)
+    return f"""WITH {body}
+SELECT s AS node, CAST(count(*) AS BIGINT) AS degree
+FROM e{n_rounds} GROUP BY 1"""
+
+
+@_q("kcore_parts", _kcore_oracle())
+def q_kcore_parts(spark, sf):
+    """2-core of the REPEAT part co-order graph (graph.kcore_peel,
+    6 fixed peeling rounds, each round's doubly-consumed edge frame
+    persisted): parts that co-occur in >= 2 orders are linked — the
+    weight filter keeps the graph at affinity-signal density (the raw
+    co-order graph is near-complete and peel-proof), and the core
+    keeps the densely co-purchased assortment while peeling
+    tendrils."""
+    from padua_spark.extensions.graph import kcore_peel
+
+    li = _t(spark, sf, "lineitem")
+    pairs = (
+        li.alias("a")
+        .join(
+            li.alias("b"),
+            on=[
+                F.col("a.l_orderkey") == F.col("b.l_orderkey"),
+                F.col("a.l_partkey") < F.col("b.l_partkey"),
+            ],
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("src"),
+            F.col("b.l_partkey").alias("dst"),
+        )
+        .agg(F.count(F.lit(1)).alias("_w"))
+        .where(F.col("_w") >= 2)
+        .select("src", "dst")
+    )
+    return kcore_peel(pairs, k=2, n_rounds=6)
+
+
 # ---------------------------------------------------------------------------
 
 

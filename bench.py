@@ -200,6 +200,8 @@ HEADLINE = [
     "odds_ratio",
     "qini_uplift",
     "markov_attribution",
+    "cox_baseline",
+    "kcore_parts",
 ]
 
 

@@ -3069,3 +3069,77 @@ def odds_ratio_ci(
         F.round(F.exp(lrr - zz * se_rr), 6).alias("rr_lo"),
         F.round(F.exp(lrr + zz * se_rr), 6).alias("rr_hi"),
     )
+
+
+def cox_baseline_hazard(
+    df: DataFrame,
+    feature_cols: list[str],
+    duration_col: str,
+    event_col: str,
+    betas: list[float],
+    small_domain_threshold: int | None = None,
+) -> DataFrame:
+    """Breslow baseline cumulative hazard for a FITTED Cox model —
+    the piece that turns :func:`cox_ph` coefficients into per-subject
+    survival predictions (``S(t|x) = exp(−H₀(t)·exp(βᵀx))``):
+
+    ``H₀(t) = Σ_{tᵢ ≤ t} dᵢ / S0(tᵢ)``,
+    ``S0(t) = Σ_{j: t_j ≥ t} exp(βᵀx_j)``.
+
+    ``betas`` are given coefficients (from :func:`cox_ph` or any
+    external fit) — baseline estimation is conditional on them, so
+    the whole computation is one fixed relational plan. Output: one
+    row per distinct event time:
+    ``(t, n_events, s0_risk, h0_cum, s0_baseline)`` with
+    ``s0_baseline = exp(−H₀)``, floats rounded to 6dp.
+
+    Scale shape: one per-distinct-time aggregation (map-side
+    combine), the ``t' ≥ t`` risk-set denominator from the
+    distributed stepped running count (``suffix = tot − run + at``),
+    and the ascending H₀ accumulation from a SECOND stepped pass over
+    the event-time frame — never a partitionless data-sized window.
+    """
+    from padua_spark.io_utils import track_cached
+
+    p = len(feature_cols)
+    assert len(betas) == p, "betas must match feature_cols"
+    dur = F.col(duration_col).cast("double")
+    ev = F.col(event_col).cast("int")
+    cond = dur.isNotNull() & ev.isNotNull()
+    for c in feature_cols:
+        cond = cond & F.col(c).isNotNull()
+    lin = F.lit(0.0)
+    for b, c in zip(betas, feature_cols):
+        lin = lin + F.lit(float(b)) * F.col(c).cast("double")
+    base = df.where(cond).select(
+        dur.alias("_t"), ev.alias("_e"), F.exp(lin).alias("_r")
+    )
+    per = base.groupBy("_t").agg(
+        F.sum("_e").cast("bigint").alias("_d"),
+        F.sum("_r").alias("_sr"),
+    )
+    stepped = _stepped_running_counts(
+        per, "_t", ["_sr"], small_domain_threshold
+    )
+    s0 = F.col("_sr_tot") - F.col("_sr_run") + F.col("_sr")
+    ev_times = stepped.where(F.col("_d") > 0).select(
+        "_t",
+        F.col("_d"),
+        s0.alias("_s0"),
+        (F.col("_d").cast("double") / s0).alias("_term"),
+    )
+    cum = _stepped_running_counts(
+        ev_times, "_t", ["_term"], small_domain_threshold
+    )
+    out = cum.select(
+        F.col("_t").alias("t"),
+        F.col("_d").alias("n_events"),
+        F.round("_s0", 6).alias("s0_risk"),
+        F.round("_term_run", 6).alias("h0_cum"),
+        F.round(F.exp(-F.col("_term_run")), 6).alias("s0_baseline"),
+    )
+    return track_cached(
+        out,
+        *getattr(stepped, "_padua_cached", ()),
+        *getattr(cum, "_padua_cached", ()),
+    )

@@ -243,6 +243,8 @@ COVERAGE = {
     "E128": "entry:odds_ratio",
     "E129": "entry:qini_uplift",
     "E130": "entry:markov_attribution",
+    "E131": "entry:cox_baseline",
+    "E132": "entry:kcore_parts",
 }
 
 

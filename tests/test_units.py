@@ -4742,3 +4742,72 @@ def test_markov_attribution_known_chain(spark):
     )
     with _pt.raises(ValueError, match="max_states"):
         markov_attribution(big).collect()
+
+
+def test_kcore_peel(spark):
+    from padua_spark.extensions.graph import kcore_peel
+
+    # triangle {1,2,3} (2-core) + tail 3-4-5 (peels away at k=2)
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5)], ["src", "dst"]
+    )
+    out = {
+        r["node"]: r["degree"]
+        for r in kcore_peel(edges, k=2, n_rounds=4).collect()
+    }
+    assert out == {1: 2, 2: 2, 3: 2}
+    # k=3: the triangle dies too
+    assert kcore_peel(edges, k=3, n_rounds=4).count() == 0
+    # one round only peels the outermost layer: node 5 (deg 1) goes,
+    # then 4 keeps an edge to 3 but degree drops below k NEXT round
+    one = {
+        r["node"]: r["degree"]
+        for r in kcore_peel(edges, k=2, n_rounds=1).collect()
+    }
+    assert 5 not in one and one[3] == 3
+    # self-loops and duplicate/reversed edges don't inflate degrees
+    noisy = spark.createDataFrame(
+        [(1, 2), (2, 1), (1, 1), (2, 3), (1, 3)], ["src", "dst"]
+    )
+    nd = {
+        r["node"]: r["degree"]
+        for r in kcore_peel(noisy, k=2, n_rounds=3).collect()
+    }
+    assert nd == {1: 2, 2: 2, 3: 2}
+
+
+def test_cox_baseline_hazard(spark):
+    import numpy as np
+
+    from padua_spark.operators.stats import cox_baseline_hazard
+
+    rng = np.random.RandomState(3)
+    n = 40
+    x = rng.normal(size=n)
+    t = np.ceil(rng.exponential(1.0, size=n) * 3)
+    e = (rng.uniform(size=n) < 0.7).astype(int)
+    beta = 0.6
+    df = spark.createDataFrame(
+        [(float(t[i]), int(e[i]), float(x[i])) for i in range(n)],
+        ["dur", "ev", "f"],
+    )
+    out = {
+        r["t"]: r
+        for r in cox_baseline_hazard(
+            df, ["f"], "dur", "ev", [beta]
+        ).collect()
+    }
+    # brute-force Breslow
+    r = np.exp(beta * x)
+    h = 0.0
+    for tt in sorted(set(t[e == 1])):
+        s0 = r[t >= tt].sum()
+        d = ((t == tt) & (e == 1)).sum()
+        h += d / s0
+        assert out[float(tt)]["h0_cum"] == pytest.approx(h, abs=1e-5)
+        assert out[float(tt)]["n_events"] == d
+        assert out[float(tt)]["s0_risk"] == pytest.approx(s0, abs=1e-4)
+        assert out[float(tt)]["s0_baseline"] == pytest.approx(
+            float(np.exp(-h)), abs=1e-5
+        )
+    assert set(out) == {float(v) for v in set(t[e == 1])}
