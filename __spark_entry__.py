@@ -12777,6 +12777,194 @@ def q_kcore_parts(spark, sf):
     return kcore_peel(pairs, k=2, n_rounds=6)
 
 
+# --- ext round 8: stratified 2x2 pooling & k-treatment marginal tests -------
+
+
+_MH_ORACLE = """
+WITH u AS (
+  SELECT user_id,
+    CASE WHEN sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+      >= 14 THEN 1 ELSE 0 END AS expo,
+    CASE WHEN sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+      >= 14 THEN 1 ELSE 0 END AS outc
+  FROM events GROUP BY 1
+),
+per AS (
+  SELECT user_id % 4 AS st,
+    CAST(sum(CASE WHEN expo = 1 AND outc = 1 THEN 1 ELSE 0 END)
+      AS DOUBLE) AS a,
+    CAST(sum(CASE WHEN expo = 1 AND outc = 0 THEN 1 ELSE 0 END)
+      AS DOUBLE) AS b,
+    CAST(sum(CASE WHEN expo = 0 AND outc = 1 THEN 1 ELSE 0 END)
+      AS DOUBLE) AS c,
+    CAST(sum(CASE WHEN expo = 0 AND outc = 0 THEN 1 ELSE 0 END)
+      AS DOUBLE) AS d
+  FROM u GROUP BY 1
+),
+terms AS (
+  SELECT a, b, c, d, a + b + c + d AS n,
+    a * d / (a + b + c + d) AS r,
+    b * c / (a + b + c + d) AS s,
+    (a + d) / (a + b + c + d) AS p,
+    (b + c) / (a + b + c + d) AS q,
+    CASE WHEN a + b + c + d > 1
+      THEN a - (a + b) * (a + c) / (a + b + c + d) ELSE 0.0 END AS ae,
+    CASE WHEN a + b + c + d > 1
+      THEN (a + b) * (c + d) * (a + c) * (b + d)
+        / ((a + b + c + d) * (a + b + c + d) * (a + b + c + d - 1))
+      ELSE 0.0 END AS v
+  FROM per WHERE a + b + c + d > 0
+),
+agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS k_strata,
+    sum(r) AS sr, sum(s) AS ss, sum(p * r) AS spr,
+    sum(p * s + q * r) AS spsqr, sum(q * s) AS sqs,
+    sum(ae) AS sae, sum(v) AS sv
+  FROM terms
+),
+m AS (
+  SELECT k_strata, ln(sr / ss) AS lor,
+    sqrt(spr / (2.0 * sr * sr) + spsqr / (2.0 * sr * ss)
+         + sqs / (2.0 * ss * ss)) AS se,
+    sae * sae / sv AS chi2
+  FROM agg
+)
+SELECT k_strata,
+  round(exp(lor), 6) AS or_mh,
+  round(exp(lor - CAST(1.959963984540054 AS DOUBLE) * se), 6) AS ci_lo,
+  round(exp(lor + CAST(1.959963984540054 AS DOUBLE) * se), 6) AS ci_hi,
+  round(chi2, 6) AS cmh_chi2,
+  round((0.254829592 * tt + -0.284496736 * tt * tt
+         + 1.421413741 * tt * tt * tt
+         + -1.453152027 * tt * tt * tt * tt
+         + 1.061405429 * tt * tt * tt * tt * tt) * exp(-xx * xx), 6)
+    AS p_value
+FROM (
+  SELECT *, sqrt(chi2) / sqrt(2.0) AS xx,
+    1.0 / (1.0 + 0.3275911 * (sqrt(chi2) / sqrt(2.0))) AS tt
+  FROM m
+)
+"""
+
+
+@_q("mh_odds_ratio", _MH_ORACLE)
+def q_mh_odds_ratio(spark, sf):
+    """Mantel-Haenszel pooled odds ratio of 'heavy-error user'
+    (>= 14 error events) x 'heavy purchaser' (>= 14 purchases),
+    stratified over user_id % 4 cohorts (stats.mantel_haenszel_or):
+    RBG variance CI + CMH chi-square, p via the shared A&S erfc
+    surface (chi2(1) SF = 2*normal_sf)."""
+    from padua_spark.operators.stats import mantel_haenszel_or
+
+    e = _t(spark, sf, "events")
+    u = e.groupBy("user_id").agg(
+        (
+            F.sum(
+                F.when(F.col("event_type") == "error", 1).otherwise(0)
+            )
+            >= 14
+        ).cast("int").alias("expo"),
+        (
+            F.sum(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            )
+            >= 14
+        ).cast("int").alias("outc"),
+    ).select(
+        (F.col("user_id") % 4).alias("st"), "expo", "outc"
+    )
+    return mantel_haenszel_or(u, ["st"], "expo", "outc")
+
+
+_COCHRANS_Q_ORACLE = """
+WITH w AS (
+  SELECT user_id,
+    CASE WHEN sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+      >= 14 THEN 1 ELSE 0 END AS f_click,
+    CASE WHEN sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+      >= 14 THEN 1 ELSE 0 END AS f_error,
+    CASE WHEN sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+      >= 14 THEN 1 ELSE 0 END AS f_purchase,
+    CASE WHEN sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+      >= 14 THEN 1 ELSE 0 END AS f_signup,
+    CASE WHEN sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+      >= 14 THEN 1 ELSE 0 END AS f_view
+  FROM events GROUP BY 1
+),
+longf AS (
+  SELECT user_id, 'click' AS t, f_click AS f FROM w
+  UNION ALL SELECT user_id, 'error', f_error FROM w
+  UNION ALL SELECT user_id, 'purchase', f_purchase FROM w
+  UNION ALL SELECT user_id, 'signup', f_signup FROM w
+  UNION ALL SELECT user_id, 'view', f_view FROM w
+),
+rows_ AS (
+  SELECT user_id, CAST(sum(f) AS BIGINT) AS r FROM longf GROUP BY 1
+),
+cols_ AS (
+  SELECT t, CAST(sum(f) AS BIGINT) AS c FROM longf GROUP BY 1
+),
+rs AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_subjects,
+    CAST(sum(r) AS BIGINT) AS n,
+    CAST(sum(r * r) AS BIGINT) AS r2
+  FROM rows_
+),
+cs AS (SELECT CAST(sum(c * c) AS BIGINT) AS c2 FROM cols_),
+m AS (
+  SELECT n_subjects,
+    CASE WHEN 5.0 * CAST(n AS DOUBLE) - CAST(r2 AS DOUBLE) > 0 THEN
+      5.0 * 4.0 * (CAST(c2 AS DOUBLE)
+        - CAST(n AS DOUBLE) * CAST(n AS DOUBLE) / 5.0)
+      / (5.0 * CAST(n AS DOUBLE) - CAST(r2 AS DOUBLE)) END AS q
+  FROM rs, cs
+)
+SELECT CAST(5 AS BIGINT) AS k_treatments, n_subjects,
+  CAST(0 AS BIGINT) AS n_dropped,
+  round(q, 6) AS q_stat, CAST(4 AS BIGINT) AS dfree,
+  round(exp(-q / 2.0) * (1.0 + q / 2.0), 6) AS p_value
+FROM m
+"""
+
+
+@_q("cochrans_q", _COCHRANS_Q_ORACLE)
+def q_cochrans_q(spark, sf):
+    """Cochran's Q marginal-homogeneity test across the five event
+    types as paired binary 'treatments' per user (flag = >= 14 events
+    of the type; stats.cochrans_q). Oracle p via the exact even-df
+    chi-square closed form exp(-q/2)(1+q/2) (df=4), which the
+    engine's incomplete-gamma UDF reproduces to machine precision."""
+    from padua_spark.operators.stats import cochrans_q
+
+    e = _t(spark, sf, "events")
+    types = ["click", "error", "purchase", "signup", "view"]
+    w = e.groupBy("user_id").agg(
+        *[
+            (
+                F.sum(
+                    F.when(F.col("event_type") == t, 1).otherwise(0)
+                )
+                >= 14
+            ).cast("int").alias(f"f_{t}")
+            for t in types
+        ]
+    )
+    stacked = F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("t"), F.col(f"f_{t}").alias("f")
+            )
+            for t in types
+        ]
+    )
+    longf = w.select(
+        "user_id", F.explode(stacked).alias("_s")
+    ).select(
+        "user_id", F.col("_s.t").alias("t"), F.col("_s.f").alias("f")
+    )
+    return cochrans_q(longf, "user_id", "t", "f")
+
+
 # ---------------------------------------------------------------------------
 
 

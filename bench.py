@@ -202,6 +202,8 @@ HEADLINE = [
     "markov_attribution",
     "cox_baseline",
     "kcore_parts",
+    "mh_odds_ratio",
+    "cochrans_q",
 ]
 
 

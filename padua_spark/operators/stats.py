@@ -3143,3 +3143,202 @@ def cox_baseline_hazard(
         *getattr(stepped, "_padua_cached", ()),
         *getattr(cum, "_padua_cached", ()),
     )
+
+
+def mantel_haenszel_or(
+    df: DataFrame,
+    strata_cols: list[str],
+    exposure_col: str,
+    outcome_col: str,
+    z: float = 1.959963984540054,
+) -> DataFrame:
+    """Mantel-Haenszel pooled odds ratio across strata — the standard
+    confounder-adjusted 2×2 analysis (pool the per-stratum
+    exposure/outcome tables WITHOUT assuming equal baseline rates —
+    the stratified companion to :func:`odds_ratio_ci`, guarding
+    against Simpson's-paradox reversals):
+
+    ``OR_MH = Σ_s(a_s d_s/n_s) / Σ_s(b_s c_s/n_s)``,
+
+    Robins-Breslow-Greenland variance for ``ln OR_MH``
+    (``P=(a+d)/n, Q=(b+c)/n, R=ad/n, S=bc/n``):
+    ``ΣPR/2(ΣR)² + Σ(PS+QR)/2ΣRΣS + ΣQS/2(ΣS)²``,
+
+    plus the Cochran-Mantel-Haenszel chi-square (1 df, no continuity
+    correction): ``(Σ(a_s − E_s))² / Σ V_s`` with
+    ``E = (a+b)(a+c)/n`` and ``V = (a+b)(c+d)(a+c)(b+d)/(n²(n−1))``;
+    strata with ``n < 2`` contribute nothing to the CMH sums.
+    The p-value uses the shared A&S erfc surface
+    (``χ²(1) SF ≡ 2·Φ̄(√x)`` — the same documented approximation as
+    :func:`mcnemar_test`, so both engines evaluate the identical
+    expression). Output 1 row: ``(k_strata, or_mh, ci_lo, ci_hi,
+    cmh_chi2, p_value)``, floats rounded to 6dp.
+
+    One aggregation to the per-stratum 2×2 integer tables, a second
+    over the k-strata frame; round-6 output absorbs summation-order
+    ulps in the cross-strata float sums.
+    """
+    ex = F.col(exposure_col).cast("int")
+    out = F.col(outcome_col).cast("int")
+    per = (
+        df.where(ex.isNotNull() & out.isNotNull())
+        .groupBy(*strata_cols)
+        .agg(
+            F.sum(((ex == 1) & (out == 1)).cast("int"))
+            .cast("double").alias("_a"),
+            F.sum(((ex == 1) & (out == 0)).cast("int"))
+            .cast("double").alias("_b"),
+            F.sum(((ex == 0) & (out == 1)).cast("int"))
+            .cast("double").alias("_c"),
+            F.sum(((ex == 0) & (out == 0)).cast("int"))
+            .cast("double").alias("_d"),
+        )
+    )
+    a, b, c, d = F.col("_a"), F.col("_b"), F.col("_c"), F.col("_d")
+    n = a + b + c + d
+    r_ = a * d / n
+    s_ = b * c / n
+    p_ = (a + d) / n
+    q_ = (b + c) / n
+    e_ = (a + b) * (a + c) / n
+    v_ = F.when(
+        n > 1,
+        (a + b) * (c + d) * (a + c) * (b + d) / (n * n * (n - 1)),
+    ).otherwise(F.lit(0.0))
+    ae = F.when(n > 1, a - e_).otherwise(F.lit(0.0))
+    agg = per.where(n > 0).agg(
+        F.count(F.lit(1)).cast("bigint").alias("k_strata"),
+        F.sum(r_).alias("_sr"),
+        F.sum(s_).alias("_ss"),
+        F.sum(p_ * r_).alias("_spr"),
+        F.sum(p_ * s_ + q_ * r_).alias("_spsqr"),
+        F.sum(q_ * s_).alias("_sqs"),
+        F.sum(ae).alias("_sae"),
+        F.sum(v_).alias("_sv"),
+    )
+    lor = F.log(F.col("_sr") / F.col("_ss"))
+    var = (
+        F.col("_spr") / (2.0 * F.col("_sr") * F.col("_sr"))
+        + F.col("_spsqr") / (2.0 * F.col("_sr") * F.col("_ss"))
+        + F.col("_sqs") / (2.0 * F.col("_ss") * F.col("_ss"))
+    )
+    chi2 = F.col("_sae") * F.col("_sae") / F.col("_sv")
+    staged = agg.select(
+        "k_strata",
+        lor.alias("_lor"),
+        F.sqrt(var).alias("_se"),
+        chi2.alias("_chi2"),
+    )
+    return staged.select(
+        "k_strata",
+        F.round(F.exp("_lor"), 6).alias("or_mh"),
+        F.round(
+            F.exp(F.col("_lor") - F.lit(float(z)) * F.col("_se")), 6
+        ).alias("ci_lo"),
+        F.round(
+            F.exp(F.col("_lor") + F.lit(float(z)) * F.col("_se")), 6
+        ).alias("ci_hi"),
+        F.round("_chi2", 6).alias("cmh_chi2"),
+        F.round(
+            _normal_sf_2sided(F.sqrt(F.col("_chi2"))), 6
+        ).alias("p_value"),
+    )
+
+
+def cochrans_q(
+    df: DataFrame,
+    subject_col: str,
+    treatment_col: str,
+    flag_col: str,
+) -> DataFrame:
+    """Cochran's Q test — marginal homogeneity of k PAIRED binary
+    treatments (the k-treatment generalization of McNemar: "do the
+    same subjects succeed at different rates under different
+    conditions?"). From long input ``(subject, treatment, 0/1)``:
+
+    ``Q = k(k−1)·Σ_j(C_j − N/k)² / (k·Σ_i R_i − Σ_i R_i²)``
+
+    with column totals ``C_j``, row totals ``R_i``, grand total
+    ``N``; ``Q ~ χ²(k−1)`` under the null. Subjects missing any
+    treatment are DROPPED (the paired-design contract; the count
+    dropped is reported). Output 1 row: ``(k_treatments, n_subjects,
+    n_dropped, q_stat, dfree, p_value)``, floats rounded to 6dp.
+
+    ONE fully lazy plan — no driver actions at all: the distinct
+    treatment count joins in as a broadcast 1-row frame, completeness
+    and the dropped-subject count are in-plan conditional aggregates,
+    and every statistic is an exact integer until the final division.
+    The long input frame has three consumers, so it is persisted and
+    recorded via ``track_cached`` on the result.
+    """
+    from pyspark import StorageLevel
+
+    from padua_spark.io_utils import track_cached
+
+    fl = F.col(flag_col).cast("int")
+    base = df.where(
+        F.col(subject_col).isNotNull()
+        & F.col(treatment_col).isNotNull()
+        & fl.isNotNull()
+    ).select(
+        F.col(subject_col).alias("_s"),
+        F.col(treatment_col).alias("_t"),
+        fl.alias("_f"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    kd = base.agg(F.countDistinct("_t").cast("bigint").alias("_k"))
+    rows = base.groupBy("_s").agg(
+        F.count(F.lit(1)).alias("_kt"),
+        F.sum("_f").cast("bigint").alias("_r"),
+    ).crossJoin(F.broadcast(kd))
+    complete = rows.where(F.col("_kt") == F.col("_k"))
+    row_stats = rows.agg(
+        F.max("_k").alias("_k"),
+        F.sum(F.when(F.col("_kt") == F.col("_k"), 1).otherwise(0))
+        .cast("bigint").alias("n_subjects"),
+        F.sum(F.when(F.col("_kt") != F.col("_k"), 1).otherwise(0))
+        .cast("bigint").alias("n_dropped"),
+        F.sum(
+            F.when(F.col("_kt") == F.col("_k"), F.col("_r"))
+        ).cast("bigint").alias("_n"),
+        F.sum(
+            F.when(
+                F.col("_kt") == F.col("_k"), F.col("_r") * F.col("_r")
+            )
+        ).cast("bigint").alias("_r2"),
+    )
+    kept = base.join(
+        complete.select("_s"), on="_s", how="left_semi"
+    )
+    cols = kept.groupBy("_t").agg(
+        F.sum("_f").cast("bigint").alias("_c")
+    )
+    col_stats = cols.agg(
+        F.sum(F.col("_c") * F.col("_c")).cast("bigint").alias("_c2")
+    )
+    joined = row_stats.crossJoin(F.broadcast(col_stats))
+    kk = F.col("_k").cast("double")
+    nn = F.col("_n").cast("double")
+    # k(k-1)·(ΣC² − N²/k) / (kN − ΣR²)  [Σ(C−N/k)² = ΣC² − N²/k]
+    num = kk * (kk - 1.0) * (
+        F.col("_c2").cast("double") - nn * nn / kk
+    )
+    den = kk * nn - F.col("_r2").cast("double")
+    q = F.when(den > 0, num / den)
+    staged = joined.select(
+        F.col("_k").alias("k_treatments"),
+        "n_subjects",
+        "n_dropped",
+        q.alias("_q"),
+        (kk - 1.0).alias("_df"),
+    )
+    out = staged.select(
+        "k_treatments",
+        "n_subjects",
+        "n_dropped",
+        F.round("_q", 6).alias("q_stat"),
+        F.col("_df").cast("bigint").alias("dfree"),
+        F.round(
+            chi2_sf_udf(F.col("_q"), F.col("_df")), 6
+        ).alias("p_value"),
+    )
+    return track_cached(out, base)

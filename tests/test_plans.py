@@ -422,6 +422,9 @@ def test_no_cartesian_products_anywhere(spark):
         "conformal_intervals",
         # 1-row CI order-statistic frame crossed into the 1-row stats
         "poisson_bootstrap",
+        # 1-row distinct-treatment-count + 1-row column-stats frames
+        # crossed into the subject aggregates
+        "cochrans_q",
     }
     bad = {}
     for name, fn in em.queries().items():

@@ -245,6 +245,8 @@ COVERAGE = {
     "E130": "entry:markov_attribution",
     "E131": "entry:cox_baseline",
     "E132": "entry:kcore_parts",
+    "E133": "entry:mh_odds_ratio",
+    "E134": "entry:cochrans_q",
 }
 
 

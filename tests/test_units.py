@@ -4811,3 +4811,58 @@ def test_cox_baseline_hazard(spark):
             float(np.exp(-h)), abs=1e-5
         )
     assert set(out) == {float(v) for v in set(t[e == 1])}
+
+
+def test_mantel_haenszel_and_cochrans_q(spark):
+    import numpy as np
+
+    from padua_spark.operators.stats import cochrans_q, mantel_haenszel_or
+
+    # two strata with identical true OR=2.25 but different baselines
+    rows = []
+    for s, (aa, bb, cc, dd) in enumerate(
+        [(20, 80, 10, 90), (45, 55, 30, 70)]
+    ):
+        rows += [(s, 1, 1)] * aa + [(s, 1, 0)] * bb
+        rows += [(s, 0, 1)] * cc + [(s, 0, 0)] * dd
+    df = spark.createDataFrame(rows, ["st", "e", "o"])
+    r = mantel_haenszel_or(df, ["st"], "e", "o").collect()[0]
+    # brute force
+    sr = 20 * 90 / 200 + 45 * 70 / 200
+    ss = 80 * 10 / 200 + 55 * 30 / 200
+    assert r["k_strata"] == 2
+    assert r["or_mh"] == pytest.approx(sr / ss, abs=1e-5)
+    assert r["ci_lo"] < sr / ss < r["ci_hi"]
+    # CMH chi2 brute force
+    sae = sv = 0.0
+    for aa, bb, cc, dd in [(20, 80, 10, 90), (45, 55, 30, 70)]:
+        n = aa + bb + cc + dd
+        sae += aa - (aa + bb) * (aa + cc) / n
+        sv += (
+            (aa + bb) * (cc + dd) * (aa + cc) * (bb + dd)
+            / (n * n * (n - 1))
+        )
+    assert r["cmh_chi2"] == pytest.approx(sae * sae / sv, abs=1e-4)
+    assert 0 < r["p_value"] < 1
+
+    # Cochran's Q: 4 subjects x 3 treatments, one incomplete subject
+    data = [
+        (1, "a", 1), (1, "b", 1), (1, "c", 0),
+        (2, "a", 1), (2, "b", 0), (2, "c", 0),
+        (3, "a", 1), (3, "b", 1), (3, "c", 1),
+        (4, "a", 1), (4, "b", 0), (4, "c", 0),
+        (5, "a", 1), (5, "b", 1),  # incomplete -> dropped
+    ]
+    qdf = spark.createDataFrame(data, ["s", "t", "f"])
+    qr = cochrans_q(qdf, "s", "t", "f").collect()[0]
+    assert (qr["k_treatments"], qr["n_subjects"], qr["n_dropped"]) == (
+        3, 4, 1,
+    )
+    C = np.array([4, 2, 1])
+    R = np.array([2, 1, 3, 1])
+    N = C.sum()
+    q_expect = (
+        3 * 2 * ((C - N / 3) ** 2).sum() / (3 * N - (R ** 2).sum())
+    )
+    assert qr["q_stat"] == pytest.approx(q_expect, abs=1e-5)
+    assert qr["dfree"] == 2 and 0 < qr["p_value"] < 1
