@@ -12965,6 +12965,132 @@ def q_cochrans_q(spark, sf):
     return cochrans_q(longf, "user_id", "t", "f")
 
 
+# --- ext round 8: logistic regression (full fixed-step SQL twin) -----------
+
+
+def _logreg_oracle(n_iters: int = 6) -> str:
+    """The SAME fixed-step Newton/IRLS recursion as ml.logistic_regression,
+    unrolled as chained MATERIALIZED CTEs (plain CTEs inline and the
+    b{k-1}-referenced-twice chain would blow up 2^n) with the
+    closed-form symmetric 3x3 adjugate solve."""
+    inv = {
+        "00": "(h11*h22 - h12*h12)",
+        "01": "(h02*h12 - h01*h22)",
+        "02": "(h01*h12 - h02*h11)",
+        "11": "(h00*h22 - h02*h02)",
+        "12": "(h01*h02 - h00*h12)",
+        "22": "(h00*h11 - h01*h01)",
+    }
+    det = (
+        "(h00*(h11*h22 - h12*h12) - h01*(h01*h22 - h02*h12)"
+        " + h02*(h01*h12 - h02*h11))"
+    )
+    parts = ["""
+base AS MATERIALIZED (
+  SELECT CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y,
+    CAST(1.0 AS DOUBLE) AS x0,
+    ln(1.0 + CAST(n_chars AS DOUBLE)) AS x1,
+    CAST(length(text) - length(replace(text, ' ', '')) AS DOUBLE)
+      / CAST(length(text) AS DOUBLE) AS x2
+  FROM documents
+  WHERE lang IS NOT NULL AND text IS NOT NULL
+    AND n_chars IS NOT NULL AND length(text) > 0
+),
+b0 AS (SELECT CAST(0 AS DOUBLE) AS b0, CAST(0 AS DOUBLE) AS b1,
+  CAST(0 AS DOUBLE) AS b2)"""]
+
+    def gh_block(k: int, bsrc: str) -> str:
+        return f"""
+m{k} AS (
+  SELECT y, x0, x1, x2,
+    1.0 / (1.0 + exp(-(b.b0 * x0 + b.b1 * x1 + b.b2 * x2))) AS mu
+  FROM base, {bsrc} b
+),
+gh{k} AS MATERIALIZED (
+  SELECT
+    sum(x0 * (y - mu)) AS g0, sum(x1 * (y - mu)) AS g1,
+    sum(x2 * (y - mu)) AS g2,
+    sum(x0 * x0 * mu * (1 - mu)) AS h00,
+    sum(x0 * x1 * mu * (1 - mu)) AS h01,
+    sum(x0 * x2 * mu * (1 - mu)) AS h02,
+    sum(x1 * x1 * mu * (1 - mu)) AS h11,
+    sum(x1 * x2 * mu * (1 - mu)) AS h12,
+    sum(x2 * x2 * mu * (1 - mu)) AS h22
+  FROM m{k}
+)"""
+
+    for k in range(1, n_iters + 1):
+        parts.append(gh_block(k, f"b{k - 1}"))
+        parts.append(f"""
+b{k} AS MATERIALIZED (
+  SELECT
+    b.b0 + ({inv['00']}*g0 + {inv['01']}*g1 + {inv['02']}*g2)/{det} AS b0,
+    b.b1 + ({inv['01']}*g0 + {inv['11']}*g1 + {inv['12']}*g2)/{det} AS b1,
+    b.b2 + ({inv['02']}*g0 + {inv['12']}*g1 + {inv['22']}*g2)/{det} AS b2
+  FROM b{k - 1} b, gh{k}
+)""")
+    last = n_iters + 1
+    parts.append(gh_block(last, f"b{n_iters}"))
+    parts.append(f"""
+fin AS (
+  SELECT b.b0, b.b1, b.b2,
+    sqrt({inv['00']}/{det}) AS se0,
+    sqrt({inv['11']}/{det}) AS se1,
+    sqrt({inv['22']}/{det}) AS se2
+  FROM b{n_iters} b, gh{last}
+),
+res AS (
+  SELECT '(intercept)' AS feature, b0 AS coef, se0 AS se FROM fin
+  UNION ALL SELECT 'x1', b1, se1 FROM fin
+  UNION ALL SELECT 'x2', b2, se2 FROM fin
+),
+zed AS (
+  SELECT feature, coef, se, coef / se AS z,
+    abs(coef / se) / sqrt(2.0) AS xx,
+    1.0 / (1.0 + 0.3275911 * (abs(coef / se) / sqrt(2.0))) AS tt
+  FROM res
+)
+SELECT feature, round(coef, 6) AS coef,
+  round(exp(coef), 6) AS odds_ratio,
+  round(se, 6) AS se, round(z, 6) AS z,
+  round((0.254829592 * tt + -0.284496736 * tt * tt
+         + 1.421413741 * tt * tt * tt
+         + -1.453152027 * tt * tt * tt * tt
+         + 1.061405429 * tt * tt * tt * tt * tt) * exp(-xx * xx), 6)
+    AS p_value
+FROM zed""")
+    return "WITH " + ",".join(parts).replace("WITH \n", "WITH ", 1)
+
+
+@_q("logistic_regression", _logreg_oracle(6))
+def q_logistic_regression(spark, sf):
+    """Binary logistic regression (ml.logistic_regression, 6 fixed
+    Newton/IRLS steps): predict lang='en' from log document length
+    and space-character ratio. The oracle unrolls the IDENTICAL
+    fixed-step recursion as chained SQL CTEs with the closed-form
+    3x3 adjugate solve — the full GLM fit is value-checked."""
+    from padua_spark.operators.ml import logistic_regression
+
+    d = _t(spark, sf, "documents")
+    feat = d.where(
+        F.col("lang").isNotNull()
+        & F.col("text").isNotNull()
+        & F.col("n_chars").isNotNull()
+        & (F.length("text") > 0)
+    ).select(
+        (F.col("lang") == "en").cast("double").alias("y"),
+        F.log(F.lit(1.0) + F.col("n_chars").cast("double")).alias("x1"),
+        (
+            (
+                F.length("text")
+                - F.length(F.regexp_replace("text", " ", ""))
+            ).cast("double")
+            / F.length("text").cast("double")
+        ).alias("x2"),
+    )
+    return logistic_regression(feat, ["x1", "x2"], "y", n_iters=6)
+
+
 # ---------------------------------------------------------------------------
 
 

@@ -204,6 +204,7 @@ HEADLINE = [
     "kcore_parts",
     "mh_odds_ratio",
     "cochrans_q",
+    "logistic_regression",
 ]
 
 

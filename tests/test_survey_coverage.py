@@ -247,6 +247,7 @@ COVERAGE = {
     "E132": "entry:kcore_parts",
     "E133": "entry:mh_odds_ratio",
     "E134": "entry:cochrans_q",
+    "E135": "entry:logistic_regression",
 }
 
 

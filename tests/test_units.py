@@ -4866,3 +4866,64 @@ def test_mantel_haenszel_and_cochrans_q(spark):
     )
     assert qr["q_stat"] == pytest.approx(q_expect, abs=1e-5)
     assert qr["dfree"] == 2 and 0 < qr["p_value"] < 1
+
+
+def test_logistic_regression_vs_brute_force(spark):
+    import numpy as np
+
+    from padua_spark.operators.ml import logistic_regression
+
+    rng = np.random.RandomState(7)
+    n = 200
+    X = rng.normal(size=(n, 2))
+    lin = -0.3 + 1.2 * X[:, 0] - 0.7 * X[:, 1]
+    y = (rng.uniform(size=n) < 1.0 / (1.0 + np.exp(-lin))).astype(float)
+    Xd = np.column_stack([np.ones(n), X])
+
+    beta = np.zeros(3)
+    for _ in range(6):
+        mu = 1.0 / (1.0 + np.exp(-(Xd @ beta)))
+        g = Xd.T @ (y - mu)
+        H = (Xd * (mu * (1 - mu))[:, None]).T @ Xd
+        beta = beta + np.linalg.solve(H, g)
+    mu = 1.0 / (1.0 + np.exp(-(Xd @ beta)))
+    H = (Xd * (mu * (1 - mu))[:, None]).T @ Xd
+    se = np.sqrt(np.diag(np.linalg.inv(H)))
+
+    df = spark.createDataFrame(
+        [(float(y[i]), float(X[i, 0]), float(X[i, 1])) for i in range(n)],
+        ["y", "f1", "f2"],
+    )
+    out = {
+        r["feature"]: r
+        for r in logistic_regression(
+            df, ["f1", "f2"], "y", n_iters=6
+        ).collect()
+    }
+    assert out["(intercept)"]["coef"] == pytest.approx(beta[0], abs=1e-5)
+    assert out["f1"]["coef"] == pytest.approx(beta[1], abs=1e-5)
+    assert out["f2"]["coef"] == pytest.approx(beta[2], abs=1e-5)
+    assert out["f1"]["se"] == pytest.approx(se[1], abs=1e-5)
+    assert out["f1"]["odds_ratio"] == pytest.approx(
+        float(np.exp(beta[1])), abs=1e-4
+    )
+    # recovered signs match the generating model
+    assert out["f1"]["coef"] > 0 > out["f2"]["coef"]
+
+
+def test_logistic_regression_intercept_only_matches_base_rate(spark):
+    from padua_spark.operators.ml import logistic_regression
+
+    # constant zero feature: slope must be ~0 via the pure-intercept
+    # fit, and the intercept must equal logit(mean(y))
+    rows = [(1.0, 0.0)] * 30 + [(0.0, 0.0)] * 10
+    df = spark.createDataFrame(rows, ["y", "f"])
+    out = {
+        r["feature"]: r
+        for r in logistic_regression(df, [], "y", n_iters=6).collect()
+    }
+    import math
+
+    assert out["(intercept)"]["coef"] == pytest.approx(
+        math.log(0.75 / 0.25), abs=1e-6
+    )
