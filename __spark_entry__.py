@@ -13091,6 +13091,107 @@ def q_logistic_regression(spark, sf):
     return logistic_regression(feat, ["x1", "x2"], "y", n_iters=6)
 
 
+# --- ext round 8: multiple linear regression (one-pass normal equations) ---
+
+
+def _ols_oracle() -> str:
+    inv = {
+        "00": "(s11*s22 - s12*s12)",
+        "01": "(s02*s12 - s01*s22)",
+        "02": "(s01*s12 - s02*s11)",
+        "11": "(s00*s22 - s02*s02)",
+        "12": "(s01*s02 - s00*s12)",
+        "22": "(s00*s11 - s01*s01)",
+    }
+    det = (
+        "(s00*(s11*s22 - s12*s12) - s01*(s01*s22 - s02*s12)"
+        " + s02*(s01*s12 - s02*s11))"
+    )
+    return f"""
+WITH RECURSIVE d0 AS (
+  SELECT CAST(1.0 AS DOUBLE) AS x0,
+    CAST(l_quantity AS DOUBLE) AS x1,
+    CAST(l_discount AS DOUBLE) AS x2,
+    log2(l_extendedprice) AS y
+  FROM lineitem
+  WHERE l_quantity IS NOT NULL AND l_discount IS NOT NULL
+    AND l_extendedprice IS NOT NULL AND l_extendedprice > 0
+),
+g AS (
+  SELECT sum(x0*x0) AS s00, sum(x0*x1) AS s01, sum(x0*x2) AS s02,
+    sum(x1*x1) AS s11, sum(x1*x2) AS s12, sum(x2*x2) AS s22,
+    sum(x0*y) AS sy0, sum(x1*y) AS sy1, sum(x2*y) AS sy2,
+    sum(y*y) AS syy, CAST(count(*) AS BIGINT) AS n
+  FROM d0
+),
+sol AS (
+  SELECT *,
+    ({inv['00']}*sy0 + {inv['01']}*sy1 + {inv['02']}*sy2)/{det} AS b0,
+    ({inv['01']}*sy0 + {inv['11']}*sy1 + {inv['12']}*sy2)/{det} AS b1,
+    ({inv['02']}*sy0 + {inv['12']}*sy1 + {inv['22']}*sy2)/{det} AS b2
+  FROM g
+),
+fit AS (
+  SELECT *,
+    syy - 2.0*(b0*sy0 + b1*sy1 + b2*sy2)
+      + (b0*b0*s00 + b1*b1*s11 + b2*b2*s22
+         + 2.0*(b0*b1*s01 + b0*b2*s02 + b1*b2*s12)) AS rss,
+    n - 3 AS dfree,
+    syy - sy0*sy0/n AS tss
+  FROM sol
+),
+res0 AS (
+  SELECT '(intercept)' AS feature, b0 AS coef,
+    sqrt(rss/dfree * {inv['00']}/{det}) AS se,
+    dfree, 1.0 - rss/tss AS r2, n FROM fit
+  UNION ALL
+  SELECT 'x1', b1, sqrt(rss/dfree * {inv['11']}/{det}),
+    dfree, 1.0 - rss/tss, n FROM fit
+  UNION ALL
+  SELECT 'x2', b2, sqrt(rss/dfree * {inv['22']}/{det}),
+    dfree, 1.0 - rss/tss, n FROM fit
+),
+zed AS (
+  SELECT feature, coef, se, coef/se AS t_stat, dfree, r2, n
+  FROM res0
+),
+inp AS (
+  SELECT feature AS key,
+    CAST(dfree / (dfree + t_stat * t_stat) AS DOUBLE) AS x,
+    CAST(dfree / 2.0 AS DOUBLE) AS a, CAST(0.5 AS DOUBLE) AS b
+  FROM zed WHERE t_stat IS NOT NULL AND dfree > 0
+),
+{_betainc_chain_sql()}
+SELECT z.feature, round(z.coef, 6) AS coef, round(z.se, 6) AS se,
+  round(z.t_stat, 6) AS t_stat, CAST(z.dfree AS BIGINT) AS dfree,
+  round(pv.p, 6) AS p_value, round(z.r2, 6) AS r2, z.n AS n
+FROM zed z LEFT JOIN pv ON z.feature = pv.key
+"""
+
+
+@_q("ols_regression", _ols_oracle())
+def q_ols_regression(spark, sf):
+    """Multiple linear regression via ONE-PASS normal equations
+    (ml.ols_regression): log2 price on quantity + discount. The data
+    is aggregated once to the 3x3 Gram + moment vector; the oracle
+    runs the identical closed-form adjugate solve and the shared
+    199-step incomplete-beta recursion for Student-t p-values."""
+    from padua_spark.operators.ml import ols_regression
+
+    li = _t(spark, sf, "lineitem")
+    feat = li.where(
+        F.col("l_quantity").isNotNull()
+        & F.col("l_discount").isNotNull()
+        & F.col("l_extendedprice").isNotNull()
+        & (F.col("l_extendedprice") > 0)
+    ).select(
+        F.col("l_quantity").cast("double").alias("x1"),
+        F.col("l_discount").cast("double").alias("x2"),
+        F.log2("l_extendedprice").alias("y"),
+    )
+    return ols_regression(feat, ["x1", "x2"], "y")
+
+
 # ---------------------------------------------------------------------------
 
 

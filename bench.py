@@ -205,6 +205,7 @@ HEADLINE = [
     "mh_odds_ratio",
     "cochrans_q",
     "logistic_regression",
+    "ols_regression",
 ]
 
 

@@ -696,3 +696,103 @@ def logistic_regression(
         F.round(z, 6).alias("z"),
         F.round(_normal_sf_2sided(z), 6).alias("p_value"),
     )
+
+
+def ols_regression(
+    df: DataFrame,
+    feature_cols: list[str],
+    y_col: str,
+    ridge: float = 0.0,
+    intercept: bool = True,
+) -> DataFrame:
+    """Multiple linear regression by ONE-PASS normal equations —
+    generalizes :func:`padua_spark.operators.stats.linregress`
+    (reference: scipy ``linregress``, visualize.py:407) from one
+    regressor to ``p``, with full Wald inference per coefficient and
+    an optional ridge penalty (``(XᵀX + λI)β = Xᵀy``; the intercept
+    is never penalized; SE/t/p are reported only for the unpenalized
+    fit, the standard caveat).
+
+    Scale shape: the data is touched EXACTLY ONCE — a single
+    map-side-combined aggregation produces the ``p(p+1)/2 + p + 1``
+    sufficient statistics (upper-triangle Gram ``Σxᵢxⱼ``, moment
+    vector ``Σxᵢy``, ``Σy²``), and the driver solves the tiny system
+    in closed form. RSS comes from the same statistics
+    (``RSS = Σy² − 2βᵀXᵀy + βᵀXᵀXβ``) so no second pass, no
+    per-row residuals, no shuffle at all. Output: one row per
+    coefficient — ``(feature, coef, se, t_stat, dfree, p_value, r2,
+    n)`` with the two-sided Student-t p via the shared Arrow-batched
+    incomplete-beta UDF; ``r2`` (centered when ``intercept``,
+    uncentered otherwise) and ``n`` replicated per row. Floats 6dp.
+    """
+    from padua_spark.functions.distributions import t_sf_udf
+
+    names = (["(intercept)"] if intercept else []) + list(feature_cols)
+    p = len(names)
+    yv = F.col(y_col).cast("double")
+    cond = yv.isNotNull()
+    for c in feature_cols:
+        cond = cond & F.col(c).isNotNull()
+    off = 1 if intercept else 0
+    xcols = ([F.lit(1.0).alias("_x0")] if intercept else []) + [
+        F.col(c).cast("double").alias(f"_x{i + off}")
+        for i, c in enumerate(feature_cols)
+    ]
+    base = df.where(cond).select(yv.alias("_y"), *xcols)
+    pairs = [(i, j) for i in range(p) for j in range(i, p)]
+    row = base.agg(
+        *[
+            F.sum(F.col(f"_x{i}") * F.col(f"_x{j}")).alias(f"_s{i}{j}")
+            for i, j in pairs
+        ],
+        *[
+            F.sum(F.col(f"_x{i}") * F.col("_y")).alias(f"_sy{i}")
+            for i in range(p)
+        ],
+        F.sum(F.col("_y") * F.col("_y")).alias("_syy"),
+        F.count(F.lit(1)).cast("bigint").alias("_n"),
+    ).collect()[0]
+    gram = np.zeros((p, p))
+    for i, j in pairs:
+        gram[i, j] = gram[j, i] = row[f"_s{i}{j}"]
+    b = np.array([row[f"_sy{i}"] for i in range(p)])
+    n = int(row["_n"])
+    A = gram.copy()
+    if ridge:
+        for i in range(off, p):
+            A[i, i] += float(ridge)
+    beta = np.linalg.solve(A, b)
+    rss = float(row["_syy"] - 2.0 * beta @ b + beta @ gram @ beta)
+    dfree = n - p
+    if intercept:
+        tss = float(row["_syy"] - (b[0] * b[0]) / n)  # b[0] = Σy (x0≡1)
+    else:
+        tss = float(row["_syy"])
+    r2 = 1.0 - rss / tss if tss > 0 else None
+    sigma2 = rss / dfree if dfree > 0 else None
+    if ridge == 0.0 and sigma2 is not None:
+        cov = sigma2 * np.linalg.inv(gram)
+        ses = [float(np.sqrt(cov[i, i])) for i in range(p)]
+    else:
+        ses = [None] * p
+    spark = df.sparkSession
+    out = spark.createDataFrame(
+        [(names[i], float(beta[i]), ses[i]) for i in range(p)],
+        "feature string, _coef double, _se double",
+    )
+    t = F.col("_coef") / F.col("_se")
+    staged = (
+        out.withColumn("_t", t)
+        .withColumn("_dfree", F.lit(float(dfree)))
+        .withColumn("_p_raw", t_sf_udf(F.col("_t"), F.col("_dfree")))
+    )
+    return staged.select(
+        "feature",
+        F.round("_coef", 6).alias("coef"),
+        F.round("_se", 6).alias("se"),
+        F.round("_t", 6).alias("t_stat"),
+        F.lit(dfree).cast("bigint").alias("dfree"),
+        F.round("_p_raw", 6).alias("p_value"),
+        F.round(F.lit(r2).cast("double"), 6).alias("r2"),
+        F.lit(n).cast("bigint").alias("n"),
+    )

@@ -248,6 +248,7 @@ COVERAGE = {
     "E133": "entry:mh_odds_ratio",
     "E134": "entry:cochrans_q",
     "E135": "entry:logistic_regression",
+    "E136": "entry:ols_regression",
 }
 
 

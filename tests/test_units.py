@@ -4927,3 +4927,61 @@ def test_logistic_regression_intercept_only_matches_base_rate(spark):
     assert out["(intercept)"]["coef"] == pytest.approx(
         math.log(0.75 / 0.25), abs=1e-6
     )
+
+
+def test_ols_regression_vs_brute_force(spark):
+    import numpy as np
+
+    from padua_spark.operators.ml import ols_regression
+
+    rng = np.random.RandomState(11)
+    n = 150
+    X = rng.normal(size=(n, 2))
+    y = 2.0 + 0.5 * X[:, 0] - 1.5 * X[:, 1] + rng.normal(scale=0.3, size=n)
+    Xd = np.column_stack([np.ones(n), X])
+    beta, *_ = np.linalg.lstsq(Xd, y, rcond=None)
+    resid = y - Xd @ beta
+    rss = float(resid @ resid)
+    sigma2 = rss / (n - 3)
+    cov = sigma2 * np.linalg.inv(Xd.T @ Xd)
+    se = np.sqrt(np.diag(cov))
+    r2 = 1.0 - rss / float(((y - y.mean()) ** 2).sum())
+
+    df = spark.createDataFrame(
+        [(float(y[i]), float(X[i, 0]), float(X[i, 1])) for i in range(n)],
+        ["y", "f1", "f2"],
+    )
+    out = {
+        r["feature"]: r
+        for r in ols_regression(df, ["f1", "f2"], "y").collect()
+    }
+    assert out["(intercept)"]["coef"] == pytest.approx(beta[0], abs=1e-5)
+    assert out["f1"]["coef"] == pytest.approx(beta[1], abs=1e-5)
+    assert out["f2"]["coef"] == pytest.approx(beta[2], abs=1e-5)
+    assert out["f1"]["se"] == pytest.approx(se[1], abs=1e-5)
+    assert out["f1"]["r2"] == pytest.approx(r2, abs=1e-5)
+    assert out["f1"]["dfree"] == n - 3 and out["f1"]["n"] == n
+
+
+def test_ols_regression_ridge_shrinks(spark):
+    import numpy as np
+
+    from padua_spark.operators.ml import ols_regression
+
+    rng = np.random.RandomState(3)
+    n = 80
+    x = rng.normal(size=n)
+    y = 1.0 + 2.0 * x + rng.normal(scale=0.1, size=n)
+    df = spark.createDataFrame(
+        [(float(y[i]), float(x[i])) for i in range(n)], ["y", "f"]
+    )
+    plain = {
+        r["feature"]: r for r in ols_regression(df, ["f"], "y").collect()
+    }
+    shrunk = {
+        r["feature"]: r
+        for r in ols_regression(df, ["f"], "y", ridge=1000.0).collect()
+    }
+    assert abs(shrunk["f"]["coef"]) < abs(plain["f"]["coef"])
+    assert shrunk["f"]["se"] is None  # inference suppressed under penalty
+    assert plain["f"]["p_value"] is not None and plain["f"]["p_value"] < 0.01
