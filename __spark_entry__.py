@@ -13192,6 +13192,72 @@ def q_ols_regression(spark, sf):
     return ols_regression(feat, ["x1", "x2"], "y")
 
 
+# --- ext round 8: isotonic (PAVA) calibration -------------------------------
+
+
+_ISOTONIC_ORACLE = """
+WITH base AS (
+  SELECT least(0.999, greatest(0.0, CAST(value AS DOUBLE) / 200.0)) AS s,
+    CASE WHEN (event_id % 10) < 3 OR value > 70 THEN 1 ELSE 0 END AS y
+  FROM events WHERE value IS NOT NULL
+),
+pts AS (
+  SELECT least(49, CAST(floor(s * 50) AS INT)) AS bin,
+    CAST(count(*) AS BIGINT) AS c, CAST(sum(y) AS BIGINT) AS sy
+  FROM base GROUP BY 1
+),
+cum AS (
+  SELECT bin, c, sy,
+    CAST(sum(c) OVER (ORDER BY bin) AS BIGINT) AS cc,
+    CAST(sum(sy) OVER (ORDER BY bin) AS BIGINT) AS csy
+  FROM pts
+),
+seg AS (
+  SELECT a.bin AS i, b.bin AS j,
+    CAST(b.csy - a.csy + a.sy AS DOUBLE)
+      / CAST(b.cc - a.cc + a.c AS DOUBLE) AS avg
+  FROM cum a JOIN cum b ON a.bin <= b.bin
+),
+mn AS (
+  SELECT i, j, min(avg) OVER (PARTITION BY i ORDER BY j DESC
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS m
+  FROM seg
+),
+iso AS (
+  SELECT j AS bin, iso FROM (
+    SELECT i, j, max(m) OVER (PARTITION BY j) AS iso FROM mn
+  ) WHERE i = j
+)
+SELECT p.bin, p.c AS n,
+  round(CAST(p.sy AS DOUBLE) / CAST(p.c AS DOUBLE), 6) AS rate_raw,
+  round(iso.iso, 6) AS rate_iso
+FROM pts p JOIN iso USING (bin)
+"""
+
+
+@_q("isotonic_calibration", _ISOTONIC_ORACLE)
+def q_isotonic_calibration(spark, sf):
+    """Isotonic (PAVA) calibration curve of a synthetic event score
+    against a noisy, loosely-increasing label
+    (quality.isotonic_calibration): the sequential-looking fit runs
+    as the closed-form max-min identity — one aggregation to the
+    50-bin frame, then two window passes over the bounded segment
+    grid. The oracle mirrors the identical relational algebra."""
+    from padua_spark.extensions.quality import isotonic_calibration
+
+    e = _t(spark, sf, "events")
+    feat = e.where(F.col("value").isNotNull()).select(
+        F.least(
+            F.lit(0.999),
+            F.greatest(F.lit(0.0), F.col("value").cast("double") / 200.0),
+        ).alias("s"),
+        (
+            ((F.col("event_id") % 10) < 3) | (F.col("value") > 70)
+        ).cast("int").alias("y"),
+    )
+    return isotonic_calibration(feat, "s", "y", n_bins=50)
+
+
 # ---------------------------------------------------------------------------
 
 

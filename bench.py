@@ -206,6 +206,7 @@ HEADLINE = [
     "cochrans_q",
     "logistic_regression",
     "ols_regression",
+    "isotonic_calibration",
 ]
 
 

@@ -999,3 +999,144 @@ def qini_auuc(
         ).alias("qini_coef"),
     )
     return track_cached(out, *getattr(stepped, "_padua_cached", ()))
+
+
+def isotonic_calibration(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    group_cols: list[str] | None = None,
+    n_bins: int = 50,
+) -> DataFrame:
+    """Isotonic (PAVA) calibration of a classifier score against a
+    binary label — the non-parametric upgrade of
+    :func:`calibration_bins`: instead of reporting raw per-bin
+    positive rates, fit the best *monotone non-decreasing* rate curve
+    (the pool-adjacent-violators solution), which is what you
+    actually threshold or invert when using model scores as sampling
+    weights in a curation pipeline.
+
+    Distributed shape: PAVA looks sequential, but the fit has a
+    closed relational form — the max-min identity
+
+    ``iso(k) = max_{i ≤ k} min_{j ≥ k} mean(y[i..j])``
+
+    — so after ONE aggregation collapses the data to the per-(group,
+    bin) frame (``n_bins`` rows per group, constant in data size),
+    the whole fit is two window passes over the O(n_bins²) segment
+    grid: a running min over segment ends (per start), then a running
+    max over segment starts (per bin). No Python, no iteration, no
+    driver collect; segment means are single divisions of exact
+    integer sums (order-free across engines). The raw data is touched
+    exactly once at any scale; everything after is cardinality-sized.
+
+    Output: one row per (group, bin) with data:
+    ``(groups..., bin, n, rate_raw, rate_iso)``, rates 6dp;
+    ``rate_iso`` is monotone non-decreasing in ``bin`` within each
+    group. Beyond the reference (padua has no model calibration).
+    """
+    gcols = list(group_cols or [])
+    s = F.col(score_col).cast("double")
+    y = F.col(label_col).cast("int")
+    bin_idx = F.least(
+        F.lit(n_bins - 1), F.floor(s * F.lit(n_bins)).cast("int")
+    )
+    pts = (
+        df.where(s.isNotNull() & y.isNotNull())
+        .groupBy(*gcols, bin_idx.alias("bin"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("_c"),
+            F.sum(y).cast("bigint").alias("_sy"),
+        )
+    )
+    # cumulative integer sums over the bounded bin domain (≤ n_bins
+    # rows per group — a partitionless-within-group window is fine)
+    wc = (
+        Window.partitionBy(*gcols)
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        if gcols
+        else Window.orderBy("bin").rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+    )
+    pts = pts.select(
+        *gcols,
+        "bin",
+        "_c",
+        "_sy",
+        F.sum("_c").over(wc).alias("_cc"),
+        F.sum("_sy").over(wc).alias("_csy"),
+        F.lit(0).alias("_g"),
+    )
+    a = pts.select(
+        *[F.col(c).alias(f"_ga_{i}") for i, c in enumerate(gcols)],
+        F.col("bin").alias("_i"),
+        F.col("_sy").alias("_sy_i"),
+        F.col("_c").alias("_c_i"),
+        F.col("_csy").alias("_csy_i"),
+        F.col("_cc").alias("_cc_i"),
+        "_g",
+    )
+    b = pts.select(
+        *[F.col(c).alias(f"_gb_{i}") for i, c in enumerate(gcols)],
+        F.col("bin").alias("_j"),
+        F.col("_csy").alias("_csy_j"),
+        F.col("_cc").alias("_cc_j"),
+        "_g",
+    )
+    on = [a[f"_ga_{i}"] == b[f"_gb_{i}"] for i in range(len(gcols))] or [
+        a["_g"] == b["_g"]
+    ]
+    cond = on[0]
+    for c in on[1:]:
+        cond = cond & c
+    seg = (
+        a.join(b, cond)
+        .where(F.col("_i") <= F.col("_j"))
+        .select(
+            *[F.col(f"_ga_{i}").alias(c) for i, c in enumerate(gcols)],
+            "_i",
+            "_j",
+            (
+                (F.col("_csy_j") - F.col("_csy_i") + F.col("_sy_i"))
+                .cast("double")
+                / (F.col("_cc_j") - F.col("_cc_i") + F.col("_c_i"))
+                .cast("double")
+            ).alias("_avg"),
+        )
+    )
+    # min over segment ends j' >= j, per start i (reverse running min)
+    w_min = Window.partitionBy(*gcols, "_i").orderBy(F.col("_j").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    m = seg.select(
+        *gcols, "_i", "_j", F.min("_avg").over(w_min).alias("_m")
+    )
+    # max over starts i <= k at k = j, per bin (whole-partition max)
+    w_max = Window.partitionBy(*gcols, "_j")
+    iso = (
+        m.select(
+            *gcols, "_j", F.max("_m").over(w_max).alias("_iso"), "_i"
+        )
+        .where(F.col("_i") == F.col("_j"))
+        .select(*gcols, F.col("_j").alias("bin"), "_iso")
+    )
+    raw = pts.select(
+        *gcols,
+        "bin",
+        F.col("_c").alias("n"),
+        (F.col("_sy").cast("double") / F.col("_c").cast("double")).alias(
+            "_raw"
+        ),
+    )
+    return (
+        raw.join(iso, [*gcols, "bin"])
+        .select(
+            *gcols,
+            "bin",
+            "n",
+            F.round("_raw", 6).alias("rate_raw"),
+            F.round("_iso", 6).alias("rate_iso"),
+        )
+    )

@@ -425,6 +425,9 @@ def test_no_cartesian_products_anywhere(spark):
         # 1-row distinct-treatment-count + 1-row column-stats frames
         # crossed into the subject aggregates
         "cochrans_q",
+        # ungrouped PAVA: the constant-key equi-join of the two
+        # 50-row bin frames folds into a BNLJ of bounded frames
+        "isotonic_calibration",
     }
     bad = {}
     for name, fn in em.queries().items():

@@ -249,6 +249,7 @@ COVERAGE = {
     "E134": "entry:cochrans_q",
     "E135": "entry:logistic_regression",
     "E136": "entry:ols_regression",
+    "E137": "entry:isotonic_calibration",
 }
 
 

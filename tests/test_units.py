@@ -4985,3 +4985,82 @@ def test_ols_regression_ridge_shrinks(spark):
     assert abs(shrunk["f"]["coef"]) < abs(plain["f"]["coef"])
     assert shrunk["f"]["se"] is None  # inference suppressed under penalty
     assert plain["f"]["p_value"] is not None and plain["f"]["p_value"] < 0.01
+
+
+def _brute_pava(sy, c):
+    blocks = [[sy[i], c[i]] for i in range(len(sy)) if c[i] > 0]
+    keys = [i for i in range(len(sy)) if c[i] > 0]
+    changed = True
+    while changed:
+        changed = False
+        for k in range(len(blocks) - 1):
+            if (
+                blocks[k][0] / blocks[k][1]
+                > blocks[k + 1][0] / blocks[k + 1][1] + 1e-15
+            ):
+                blocks[k][0] += blocks[k + 1][0]
+                blocks[k][1] += blocks[k + 1][1]
+                del blocks[k + 1]
+                changed = True
+                break
+    fitted = {}
+    idx = 0
+    for b_sy, b_c in blocks:
+        acc = 0
+        while acc < b_c - 1e-9:
+            fitted[keys[idx]] = b_sy / b_c
+            acc += c[keys[idx]]
+            idx += 1
+    return fitted
+
+
+def test_isotonic_calibration_matches_pava(spark):
+    import numpy as np
+
+    from padua_spark.extensions.quality import isotonic_calibration
+
+    rng = np.random.RandomState(5)
+    n = 2000
+    s = rng.uniform(size=n)
+    p = 1 / (1 + np.exp(-(4 * s - 2)))
+    y = (rng.uniform(size=n) < p).astype(int)
+    df = spark.createDataFrame(
+        [(float(s[i]), int(y[i])) for i in range(n)], ["s", "y"]
+    )
+    out = isotonic_calibration(df, "s", "y", n_bins=20).orderBy("bin").collect()
+
+    bins = np.minimum(19, (s * 20).astype(int))
+    sy = np.zeros(20)
+    c = np.zeros(20)
+    for b, yy in zip(bins, y):
+        sy[b] += yy
+        c[b] += 1
+    fitted = _brute_pava(sy, c)
+    for r in out:
+        assert r["rate_iso"] == pytest.approx(fitted[r["bin"]], abs=1e-6)
+    vals = [r["rate_iso"] for r in out]
+    assert all(vals[i] <= vals[i + 1] + 1e-12 for i in range(len(vals) - 1))
+
+
+def test_isotonic_calibration_grouped(spark):
+    from padua_spark.extensions.quality import isotonic_calibration
+
+    # group "a": decreasing raw rates -> full pool to the global mean;
+    # group "b": already monotone -> untouched
+    rows = (
+        [("a", 0.05, 1)] * 3 + [("a", 0.05, 0)] * 1
+        + [("a", 0.55, 1)] * 1 + [("a", 0.55, 0)] * 3
+        + [("b", 0.05, 0)] * 4 + [("b", 0.55, 1)] * 4
+    )
+    df = spark.createDataFrame(rows, ["g", "s", "y"])
+    out = {
+        (r["g"], r["bin"]): r
+        for r in isotonic_calibration(
+            df, "s", "y", group_cols=["g"], n_bins=2
+        ).collect()
+    }
+    assert out[("a", 0)]["rate_iso"] == pytest.approx(0.5, abs=1e-9)
+    assert out[("a", 1)]["rate_iso"] == pytest.approx(0.5, abs=1e-9)
+    assert out[("a", 0)]["rate_raw"] == pytest.approx(0.75, abs=1e-9)
+    assert out[("b", 0)]["rate_iso"] == pytest.approx(0.0, abs=1e-9)
+    assert out[("b", 1)]["rate_iso"] == pytest.approx(1.0, abs=1e-9)
