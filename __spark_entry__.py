@@ -13258,6 +13258,77 @@ def q_isotonic_calibration(spark, sf):
     return isotonic_calibration(feat, "s", "y", n_bins=50)
 
 
+# --- ext round 8: label propagation communities -----------------------------
+
+
+def _labelprop_oracle(n_rounds: int = 4) -> str:
+    parts = ["""
+pe AS (
+  SELECT s, d FROM (
+    SELECT l1.l_partkey AS s, l2.l_partkey AS d,
+      CAST(count(*) AS BIGINT) AS c
+    FROM lineitem l1 JOIN lineitem l2
+      ON l1.l_orderkey = l2.l_orderkey
+     AND l1.l_partkey < l2.l_partkey
+    GROUP BY 1, 2
+  ) WHERE c >= 2
+),
+e0 AS MATERIALIZED (
+  SELECT DISTINCT s, d FROM (
+    SELECT s, d FROM pe UNION ALL SELECT d AS s, s AS d FROM pe
+  ) WHERE s <> d
+),
+l0 AS MATERIALIZED (SELECT DISTINCT s AS n, s AS lbl FROM e0)"""]
+    for i in range(1, n_rounds + 1):
+        parts.append(f"""
+c{i} AS MATERIALIZED (
+  SELECT e.d AS n, l.lbl, CAST(count(*) AS BIGINT) AS c
+  FROM e0 e JOIN l{i - 1} l ON e.s = l.n
+  GROUP BY 1, 2
+),
+l{i} AS MATERIALIZED (
+  SELECT n, lbl FROM (
+    SELECT n, lbl,
+      row_number() OVER (PARTITION BY n ORDER BY c DESC, lbl ASC) AS rk
+    FROM c{i}
+  ) WHERE rk = 1
+)""")
+    body = ",".join(parts)
+    return f"""WITH {body}
+SELECT n AS node, lbl AS label FROM l{n_rounds}"""
+
+
+@_q("label_propagation", _labelprop_oracle(4))
+def q_label_propagation(spark, sf):
+    """Communities of the repeat part co-order graph by 4 fixed
+    synchronous label-propagation rounds (graph.label_propagation,
+    smallest-label tie-break): per round one edge-label join + one
+    (node, label) count + one argmax, each round localCheckpoint-ed.
+    The oracle runs the identical fixed schedule as a MATERIALIZED
+    CTE ladder."""
+    from padua_spark.extensions.graph import label_propagation
+
+    li = _t(spark, sf, "lineitem")
+    pairs = (
+        li.alias("a")
+        .join(
+            li.alias("b"),
+            on=[
+                F.col("a.l_orderkey") == F.col("b.l_orderkey"),
+                F.col("a.l_partkey") < F.col("b.l_partkey"),
+            ],
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("src"),
+            F.col("b.l_partkey").alias("dst"),
+        )
+        .agg(F.count(F.lit(1)).alias("_w"))
+        .where(F.col("_w") >= 2)
+        .select("src", "dst")
+    )
+    return label_propagation(pairs, n_rounds=4)
+
+
 # ---------------------------------------------------------------------------
 
 

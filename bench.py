@@ -207,6 +207,7 @@ HEADLINE = [
     "logistic_regression",
     "ols_regression",
     "isotonic_calibration",
+    "label_propagation",
 ]
 
 

@@ -519,3 +519,71 @@ def kcore_peel(
         cur.groupBy(F.col("_s").alias("node"))
         .agg(F.count(F.lit(1)).cast("bigint").alias("degree"))
     )
+
+
+def label_propagation(
+    edges: DataFrame,
+    n_rounds: int = 4,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Community detection by synchronous label propagation (Raghavan
+    et al. 2007) with a DETERMINISTIC schedule: every node starts
+    with its own id as label; each round every node adopts the most
+    frequent label among its neighbors, ties broken toward the
+    SMALLEST label; after the fixed ``n_rounds`` the (node, label)
+    assignment is returned. The fixed synchronous schedule (no
+    random order, no data-dependent stopping) makes the result an
+    engine-reproducible relational program — the same discipline as
+    :func:`kcore_peel` / :func:`~padua_spark.operators.stats.cox_ph`
+    — at the cost of the classic caveat that a bipartite-ish graph
+    may oscillate rather than converge (callers pick ``n_rounds``;
+    communities on near-dup / co-occurrence graphs stabilize in a
+    few rounds).
+
+    Scale shape: per round ONE edge-label equi-join (labels frame is
+    node-sized, edges dominate) + one map-side-combining
+    (node, label) count + one argmax aggregation — all shuffles on
+    the node key; no windows over data-sized frames, no driver
+    collect. Each round's label frame is ``localCheckpoint``-ed
+    (lineage truncation, the :func:`connected_components` lesson).
+    Self-loops are dropped and the edge list symmetrized, so
+    "neighbors" means distinct adjacent nodes. Output:
+    ``(node, label)``.
+    """
+    e = edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d")).where(
+        F.col("_s") != F.col("_d")
+    )
+    sym = (
+        e.unionByName(
+            e.select(F.col("_d").alias("_s"), F.col("_s").alias("_d"))
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    labels = sym.select(F.col("_s").alias("_n")).distinct().select(
+        "_n", F.col("_n").alias("_lbl")
+    )
+    for _ in range(int(n_rounds)):
+        nb = sym.join(
+            labels.select(F.col("_n").alias("_s"), "_lbl"), on="_s"
+        ).select(F.col("_d").alias("_n"), "_lbl")
+        cnt = nb.groupBy("_n", "_lbl").agg(
+            F.count(F.lit(1)).cast("bigint").alias("_c")
+        )
+        labels = (
+            cnt.groupBy("_n")
+            .agg(
+                F.max(
+                    F.struct(
+                        F.col("_c"),
+                        (-F.col("_lbl")).alias("_neg"),
+                    )
+                ).alias("_top")
+            )
+            .select("_n", (-F.col("_top._neg")).alias("_lbl"))
+            .localCheckpoint(eager=False)
+        )
+    return labels.select(
+        F.col("_n").alias("node"), F.col("_lbl").alias("label")
+    )

@@ -250,6 +250,7 @@ COVERAGE = {
     "E135": "entry:logistic_regression",
     "E136": "entry:ols_regression",
     "E137": "entry:isotonic_calibration",
+    "E138": "entry:label_propagation",
 }
 
 

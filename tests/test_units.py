@@ -5064,3 +5064,49 @@ def test_isotonic_calibration_grouped(spark):
     assert out[("a", 0)]["rate_raw"] == pytest.approx(0.75, abs=1e-9)
     assert out[("b", 0)]["rate_iso"] == pytest.approx(0.0, abs=1e-9)
     assert out[("b", 1)]["rate_iso"] == pytest.approx(1.0, abs=1e-9)
+
+
+def test_label_propagation_two_cliques(spark):
+    from padua_spark.extensions.graph import label_propagation
+
+    # two disconnected triangles: each converges to its min label
+    edges = [
+        (1, 2), (2, 3), (1, 3),
+        (10, 11), (11, 12), (10, 12),
+    ]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    out = {r["node"]: r["label"] for r in label_propagation(df, n_rounds=4).collect()}
+    # triangle {1,2,3} converges to min label 1; {10,11,12} to 10
+    assert out[1] == out[2] == out[3] == 1
+    assert out[10] == out[11] == out[12] == 10
+
+
+def test_label_propagation_matches_brute(spark):
+    import numpy as np
+
+    from padua_spark.extensions.graph import label_propagation
+
+    rng = np.random.RandomState(9)
+    nodes = list(range(30))
+    edges = set()
+    for _ in range(60):
+        a, b = rng.randint(0, 30), rng.randint(0, 30)
+        if a != b:
+            edges.add((min(a, b), max(a, b)))
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    labels = {n: n for n in adj}
+    for _ in range(4):
+        new = {}
+        for n in adj:
+            cnt = {}
+            for m in adj[n]:
+                cnt[labels[m]] = cnt.get(labels[m], 0) + 1
+            best = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[0][0]
+            new[n] = best
+        labels = new
+    df = spark.createDataFrame(list(edges), ["src", "dst"])
+    out = {r["node"]: r["label"] for r in label_propagation(df, n_rounds=4).collect()}
+    assert out == labels
