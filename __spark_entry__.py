@@ -13329,6 +13329,83 @@ def q_label_propagation(spark, sf):
     return label_propagation(pairs, n_rounds=4)
 
 
+# --- ext round 8: link prediction (CN / Jaccard / Adamic-Adar) --------------
+
+
+_LINKPRED_ORACLE = """
+WITH pe AS (
+  SELECT s, d FROM (
+    SELECT l1.l_partkey AS s, l2.l_partkey AS d,
+      CAST(count(*) AS BIGINT) AS c
+    FROM lineitem l1 JOIN lineitem l2
+      ON l1.l_orderkey = l2.l_orderkey
+     AND l1.l_partkey < l2.l_partkey
+    GROUP BY 1, 2
+  ) WHERE c >= 2
+),
+e0 AS MATERIALIZED (
+  SELECT DISTINCT s, d FROM (
+    SELECT s, d FROM pe UNION ALL SELECT d AS s, s AS d FROM pe
+  ) WHERE s <> d
+),
+deg AS MATERIALIZED (
+  SELECT s AS n, CAST(count(*) AS BIGINT) AS deg FROM e0 GROUP BY 1
+),
+adj AS (
+  SELECT e.s AS w, e.d AS nb,
+    CASE WHEN dg.deg > 1
+      THEN 1.0 / ln(CAST(dg.deg AS DOUBLE)) END AS invlog
+  FROM e0 e JOIN deg dg ON e.s = dg.n AND dg.deg <= 1000
+),
+pr AS MATERIALIZED (
+  SELECT a.nb AS u, b.nb AS v, CAST(count(*) AS BIGINT) AS common,
+    sum(a.invlog) AS aa
+  FROM adj a JOIN adj b ON a.w = b.w AND a.nb < b.nb
+  GROUP BY 1, 2
+),
+flt AS (
+  SELECT * FROM pr WHERE common >= 2
+    AND NOT EXISTS (SELECT 1 FROM e0 WHERE e0.s = pr.u AND e0.d = pr.v)
+)
+SELECT f.u, f.v, f.common,
+  round(CAST(f.common AS DOUBLE)
+        / CAST(du.deg + dv.deg - f.common AS DOUBLE), 6) AS jaccard,
+  round(f.aa, 6) AS adamic_adar
+FROM flt f JOIN deg du ON f.u = du.n JOIN deg dv ON f.v = dv.n
+"""
+
+
+@_q("link_prediction", _LINKPRED_ORACLE)
+def q_link_prediction(spark, sf):
+    """Link-prediction scores (graph.link_prediction) on the repeat
+    part co-order graph: distance-2 non-adjacent pairs scored by
+    common neighbors, Jaccard, and Adamic-Adar via ONE bounded wedge
+    self-join (hub centers excluded by the enforced
+    max_center_degree contract) + an anti-join against existing
+    edges."""
+    from padua_spark.extensions.graph import link_prediction
+
+    li = _t(spark, sf, "lineitem")
+    pairs = (
+        li.alias("a")
+        .join(
+            li.alias("b"),
+            on=[
+                F.col("a.l_orderkey") == F.col("b.l_orderkey"),
+                F.col("a.l_partkey") < F.col("b.l_partkey"),
+            ],
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("src"),
+            F.col("b.l_partkey").alias("dst"),
+        )
+        .agg(F.count(F.lit(1)).alias("_w"))
+        .where(F.col("_w") >= 2)
+        .select("src", "dst")
+    )
+    return link_prediction(pairs, min_common=2)
+
+
 # ---------------------------------------------------------------------------
 
 

@@ -208,6 +208,7 @@ HEADLINE = [
     "ols_regression",
     "isotonic_calibration",
     "label_propagation",
+    "link_prediction",
 ]
 
 

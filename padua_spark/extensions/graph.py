@@ -587,3 +587,96 @@ def label_propagation(
     return labels.select(
         F.col("_n").alias("node"), F.col("_lbl").alias("label")
     )
+
+
+def link_prediction(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_center_degree: int = 1000,
+    min_common: int = 1,
+) -> DataFrame:
+    """Neighborhood link-prediction scores for non-adjacent node
+    pairs at distance 2 — common-neighbor count, Jaccard coefficient,
+    and Adamic-Adar (``Σ_{w ∈ N(u)∩N(v)} 1/ln(deg w)``) — the
+    classic missing-edge rankers (Liben-Nowell & Kleinberg 2003) a
+    co-occurrence / interaction graph pipeline scores candidates
+    with.
+
+    Scale shape: candidate pairs come from ONE wedge self-join on
+    the center node (the :func:`triangle_count` shape) — never an
+    all-pairs product. The wedge join is quadratic in the CENTER's
+    degree, so hubs are excluded by the explicit
+    ``max_center_degree`` bound (the enforced-contract discipline:
+    a celebrity hub contributes ~0 signal — its ``1/ln(deg)`` term
+    is negligible and its Jaccard contribution tiny — but would
+    dominate the shuffle; the default caps per-center fan-out at
+    ~10⁶ pairs). Existing edges are removed with an anti-join;
+    per-pair aggregation is map-side combining on the (u, v) key.
+    Output: ``(u, v, common, jaccard, adamic_adar)`` with u < v,
+    floats 6dp, restricted to ``common ≥ min_common``.
+    """
+    e = edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d")).where(
+        F.col("_s") != F.col("_d")
+    )
+    sym = (
+        e.unionByName(
+            e.select(F.col("_d").alias("_s"), F.col("_s").alias("_d"))
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    deg = sym.groupBy(F.col("_s").alias("_n")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("_deg")
+    )
+    adj = (
+        sym.join(
+            deg.where(F.col("_deg") <= F.lit(int(max_center_degree)))
+            .select(
+                F.col("_n").alias("_s"),
+                F.when(
+                    F.col("_deg") > 1,
+                    F.lit(1.0) / F.log(F.col("_deg").cast("double")),
+                ).alias("_invlog"),
+            ),
+            on="_s",
+        )
+        .select(F.col("_s").alias("_w"), F.col("_d").alias("_nb"), "_invlog")
+    )
+    a = adj.select(
+        F.col("_w"), F.col("_nb").alias("_u"), F.col("_invlog")
+    )
+    b = adj.select(F.col("_w"), F.col("_nb").alias("_v"))
+    pairs = (
+        a.join(b, on="_w")
+        .where(F.col("_u") < F.col("_v"))
+        .groupBy("_u", "_v")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("common"),
+            F.sum("_invlog").alias("_aa"),
+        )
+        .where(F.col("common") >= F.lit(int(min_common)))
+    )
+    nonadj = pairs.join(
+        sym.select(F.col("_s").alias("_u"), F.col("_d").alias("_v")),
+        on=["_u", "_v"],
+        how="left_anti",
+    )
+    return (
+        nonadj.join(deg.select(F.col("_n").alias("_u"),
+                               F.col("_deg").alias("_du")), on="_u")
+        .join(deg.select(F.col("_n").alias("_v"),
+                         F.col("_deg").alias("_dv")), on="_v")
+        .select(
+            F.col("_u").alias("u"),
+            F.col("_v").alias("v"),
+            "common",
+            F.round(
+                F.col("common").cast("double")
+                / (F.col("_du") + F.col("_dv") - F.col("common"))
+                .cast("double"),
+                6,
+            ).alias("jaccard"),
+            F.round("_aa", 6).alias("adamic_adar"),
+        )
+    )

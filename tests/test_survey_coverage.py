@@ -251,6 +251,7 @@ COVERAGE = {
     "E136": "entry:ols_regression",
     "E137": "entry:isotonic_calibration",
     "E138": "entry:label_propagation",
+    "E139": "entry:link_prediction",
 }
 
 

@@ -5110,3 +5110,25 @@ def test_label_propagation_matches_brute(spark):
     df = spark.createDataFrame(list(edges), ["src", "dst"])
     out = {r["node"]: r["label"] for r in label_propagation(df, n_rounds=4).collect()}
     assert out == labels
+
+
+def test_link_prediction_small_graph(spark):
+    import math
+
+    from padua_spark.extensions.graph import link_prediction
+
+    # path 1-2-3 plus 1-4-3: u=1,v=3 share neighbors {2,4}; 1-3 absent
+    edges = [(1, 2), (2, 3), (1, 4), (4, 3), (2, 4)]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    out = {(r["u"], r["v"]): r for r in link_prediction(df).collect()}
+    r = out[(1, 3)]
+    assert r["common"] == 2
+    # deg(1)=2, deg(3)=2 -> jaccard = 2/(2+2-2) = 1.0
+    assert r["jaccard"] == pytest.approx(1.0, abs=1e-9)
+    # centers 2 and 4 each have degree 3
+    assert r["adamic_adar"] == pytest.approx(2.0 / math.log(3), abs=1e-5)
+    # adjacent pairs never appear
+    assert (1, 2) not in out and (2, 4) not in out
+    # hub exclusion: with max_center_degree=2 both centers (deg 3) drop
+    out2 = link_prediction(df, max_center_degree=2).collect()
+    assert all((r["u"], r["v"]) != (1, 3) for r in out2)
