@@ -13406,6 +13406,63 @@ def q_link_prediction(spark, sf):
     return link_prediction(pairs, min_common=2)
 
 
+# --- ext round 8: pairwise association rules --------------------------------
+
+
+_ASSOC_ORACLE = """
+WITH base AS (
+  SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem
+  WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL
+),
+nb AS (SELECT CAST(count(DISTINCT b) AS BIGINT) AS n FROM base),
+isup AS (
+  SELECT i, CAST(count(*) AS BIGINT) AS ci FROM base GROUP BY 1
+),
+freq AS (SELECT i, ci FROM isup WHERE ci >= 2),
+kept AS (
+  SELECT b.b, b.i FROM base b JOIN freq f ON b.i = f.i
+),
+okb AS (
+  SELECT b FROM (SELECT b, count(*) AS sz FROM kept GROUP BY 1)
+  WHERE sz <= 1000
+),
+kb AS (SELECT k.b, k.i FROM kept k JOIN okb o ON k.b = o.b),
+pairs AS (
+  SELECT a.i AS ia, c.i AS ib, CAST(count(*) AS BIGINT) AS cp
+  FROM kb a JOIN kb c ON a.b = c.b AND a.i < c.i
+  GROUP BY 1, 2 HAVING count(*) >= 2
+),
+directed AS (
+  SELECT ia AS ant, ib AS con, cp FROM pairs
+  UNION ALL SELECT ib, ia, cp FROM pairs
+)
+SELECT d.ant AS antecedent, d.con AS consequent, d.cp AS pair_count,
+  round(CAST(d.cp AS DOUBLE) / CAST(nb.n AS DOUBLE), 6) AS support,
+  round(CAST(d.cp AS DOUBLE) * CAST(nb.n AS DOUBLE)
+        / (CAST(fa.ci AS DOUBLE) * CAST(fc.ci AS DOUBLE)), 6) AS lift,
+  round(CAST(d.cp AS DOUBLE) / CAST(fa.ci AS DOUBLE), 6) AS confidence
+FROM directed d
+JOIN freq fa ON d.ant = fa.i
+JOIN freq fc ON d.con = fc.i
+CROSS JOIN nb
+"""
+
+
+@_q("association_rules", _ASSOC_ORACLE)
+def q_association_rules(spark, sf):
+    """Pairwise association rules on order baskets
+    (mining.association_rules): Apriori-pruned — infrequent items
+    dropped BEFORE the basket-keyed quadratic self-join, mega-baskets
+    excluded by the enforced max_basket_items bound; support /
+    confidence / lift are single divisions of exact integer counts."""
+    from padua_spark.extensions.mining import association_rules
+
+    li = _t(spark, sf, "lineitem")
+    return association_rules(
+        li, "l_orderkey", "l_partkey", min_support_count=2
+    )
+
+
 # ---------------------------------------------------------------------------
 
 

@@ -209,6 +209,7 @@ HEADLINE = [
     "isotonic_calibration",
     "label_propagation",
     "link_prediction",
+    "association_rules",
 ]
 
 

@@ -1,0 +1,128 @@
+"""Frequent-pattern mining over basket-shaped data.
+
+A curation / analytics pipeline repeatedly needs "what co-occurs":
+co-purchased parts, co-firing event types, co-occurring tags. This
+module mines pairwise association rules with the Apriori pruning
+order — support filters collapse the candidate space BEFORE the
+quadratic basket self-join, the same prune-first discipline as
+:func:`padua_spark.extensions.text.token_pmi`.
+
+Beyond the reference (padua has no itemset mining; its co-occurrence
+surface is the correlation matrix, analysis.py:640).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def association_rules(
+    df: DataFrame,
+    basket_col: str,
+    item_col: str,
+    min_support_count: int = 2,
+    min_confidence: float = 0.0,
+    max_basket_items: int = 1000,
+) -> DataFrame:
+    """Pairwise association rules ``antecedent → consequent`` with
+    support / confidence / lift (Agrawal & Srikant 1994, restricted
+    to 2-itemsets — the overwhelmingly-queried case):
+
+    ``support = P(a,b)``, ``confidence = P(b|a)``,
+    ``lift = P(a,b) / (P(a)·P(b))``.
+
+    Scale shape (Apriori property enforced relationally): items below
+    ``min_support_count`` baskets are dropped FIRST (a pair can only
+    be frequent if both members are), baskets larger than
+    ``max_basket_items`` surviving items are excluded by an explicit
+    bound (the per-basket pair join is quadratic in basket size — a
+    degenerate mega-basket would dominate the shuffle while carrying
+    no per-pair signal), and only then does the single basket-keyed
+    self-join run. One distinct, two aggregations, one equi-join —
+    no cartesian products, no windows over data-sized frames. All
+    three statistics are single divisions of exact integer counts,
+    engine-reproducible at any scale. Output: one row per directed
+    rule over unordered frequent pairs —
+    ``(antecedent, consequent, pair_count, support, confidence,
+    lift)``, floats 6dp, restricted to
+    ``confidence ≥ min_confidence``.
+    """
+    base = (
+        df.select(
+            F.col(basket_col).alias("_b"), F.col(item_col).alias("_i")
+        )
+        .where(F.col("_b").isNotNull() & F.col("_i").isNotNull())
+        .distinct()
+    )
+    n_baskets = base.select(
+        F.countDistinct("_b").cast("bigint").alias("_n")
+    )
+    isup = base.groupBy("_i").agg(
+        F.count(F.lit(1)).cast("bigint").alias("_ci")
+    )
+    freq = isup.where(F.col("_ci") >= F.lit(int(min_support_count)))
+    kept = base.join(freq.select("_i"), on="_i", how="left_semi")
+    ok_baskets = (
+        kept.groupBy("_b")
+        .agg(F.count(F.lit(1)).alias("_sz"))
+        .where(F.col("_sz") <= F.lit(int(max_basket_items)))
+        .select("_b")
+    )
+    kept = kept.join(ok_baskets, on="_b", how="left_semi")
+    a = kept.select("_b", F.col("_i").alias("_ia"))
+    b = kept.select("_b", F.col("_i").alias("_ib"))
+    pairs = (
+        a.join(b, on="_b")
+        .where(F.col("_ia") < F.col("_ib"))
+        .groupBy("_ia", "_ib")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("_cp"))
+        .where(F.col("_cp") >= F.lit(int(min_support_count)))
+    )
+    directed = pairs.select(
+        F.col("_ia").alias("_ant"),
+        F.col("_ib").alias("_con"),
+        "_cp",
+    ).unionByName(
+        pairs.select(
+            F.col("_ib").alias("_ant"),
+            F.col("_ia").alias("_con"),
+            "_cp",
+        )
+    )
+    out = (
+        directed.join(
+            freq.select(F.col("_i").alias("_ant"),
+                        F.col("_ci").alias("_ca")),
+            on="_ant",
+        )
+        .join(
+            freq.select(F.col("_i").alias("_con"),
+                        F.col("_ci").alias("_cc")),
+            on="_con",
+        )
+        .join(F.broadcast(n_baskets))
+        .select(
+            F.col("_ant").alias("antecedent"),
+            F.col("_con").alias("consequent"),
+            F.col("_cp").alias("pair_count"),
+            F.round(
+                F.col("_cp").cast("double") / F.col("_n").cast("double"), 6
+            ).alias("support"),
+            (
+                F.col("_cp").cast("double") / F.col("_ca").cast("double")
+            ).alias("_conf"),
+            F.round(
+                F.col("_cp").cast("double") * F.col("_n").cast("double")
+                / (
+                    F.col("_ca").cast("double")
+                    * F.col("_cc").cast("double")
+                ),
+                6,
+            ).alias("lift"),
+        )
+        .where(F.col("_conf") >= F.lit(float(min_confidence)))
+        .withColumn("confidence", F.round("_conf", 6))
+        .drop("_conf")
+    )
+    return out

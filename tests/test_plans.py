@@ -428,6 +428,8 @@ def test_no_cartesian_products_anywhere(spark):
         # ungrouped PAVA: the constant-key equi-join of the two
         # 50-row bin frames folds into a BNLJ of bounded frames
         "isotonic_calibration",
+        # 1-row basket-count frame broadcast onto the rule table
+        "association_rules",
     }
     bad = {}
     for name, fn in em.queries().items():

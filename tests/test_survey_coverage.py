@@ -252,6 +252,7 @@ COVERAGE = {
     "E137": "entry:isotonic_calibration",
     "E138": "entry:label_propagation",
     "E139": "entry:link_prediction",
+    "E140": "entry:association_rules",
 }
 
 

@@ -5132,3 +5132,36 @@ def test_link_prediction_small_graph(spark):
     # hub exclusion: with max_center_degree=2 both centers (deg 3) drop
     out2 = link_prediction(df, max_center_degree=2).collect()
     assert all((r["u"], r["v"]) != (1, 3) for r in out2)
+
+
+def test_association_rules_small(spark):
+    from padua_spark.extensions.mining import association_rules
+
+    # 4 baskets: {a,b,c}, {a,b}, {a,c}, {d}
+    rows = [
+        (1, "a"), (1, "b"), (1, "c"),
+        (2, "a"), (2, "b"),
+        (3, "a"), (3, "c"),
+        (4, "d"),
+    ]
+    df = spark.createDataFrame(rows, ["b", "i"])
+    out = {
+        (r["antecedent"], r["consequent"]): r
+        for r in association_rules(df, "b", "i", min_support_count=2).collect()
+    }
+    # a,b co-occur in 2 of 4 baskets; supp(a)=3, supp(b)=2
+    r = out[("a", "b")]
+    assert r["pair_count"] == 2
+    assert r["support"] == pytest.approx(0.5)
+    assert r["confidence"] == pytest.approx(2 / 3, abs=1e-6)
+    assert r["lift"] == pytest.approx((2 * 4) / (3 * 2), abs=1e-6)
+    # reverse direction has its own confidence
+    assert out[("b", "a")]["confidence"] == pytest.approx(1.0)
+    # d is infrequent: appears in no rule
+    assert all("d" not in k for k in out)
+    # basket-size bound drops the 3-item basket entirely: every pair
+    # then co-occurs only once and falls below min support
+    out2 = association_rules(
+        df, "b", "i", min_support_count=2, max_basket_items=2
+    ).collect()
+    assert out2 == []
