@@ -13463,6 +13463,76 @@ def q_association_rules(spark, sf):
     )
 
 
+# --- ext round 8: two-group effect sizes ------------------------------------
+
+
+_EFFECT_SIZES_ORACLE = """
+WITH mom AS (
+  SELECT
+    avg(value) FILTER (event_type = 'click') AS ma,
+    avg(value) FILTER (event_type = 'purchase') AS mb,
+    CAST(count(value) FILTER (event_type = 'click') AS BIGINT) AS na,
+    CAST(count(value) FILTER (event_type = 'purchase') AS BIGINT) AS nb,
+    var_samp(value) FILTER (event_type = 'click') AS va,
+    var_samp(value) FILTER (event_type = 'purchase') AS vb
+  FROM events WHERE value IS NOT NULL
+),
+per AS (
+  SELECT value AS v,
+    count(*) FILTER (event_type = 'click') AS ca,
+    count(*) FILTER (event_type = 'purchase') AS cb
+  FROM events
+  WHERE event_type IN ('click', 'purchase') AND value IS NOT NULL
+  GROUP BY value
+),
+stepped AS (
+  SELECT ca, cb, ca + cb AS cnt,
+    sum(ca + cb) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+      - (ca + cb) AS before
+  FROM per
+),
+uagg AS (
+  SELECT CAST(sum(ca * (2 * before + cnt + 1)) AS BIGINT) AS r2a,
+         CAST(sum(cb * (2 * before + cnt + 1)) AS BIGINT) AS r2b,
+         CAST(sum(ca) AS BIGINT) AS un_a, CAST(sum(cb) AS BIGINT) AS un_b
+  FROM stepped
+),
+u AS (
+  SELECT r2a - un_a * (un_a + 1) AS u2_a,
+         r2b - un_b * (un_b + 1) AS u2_b
+  FROM uagg
+),
+eff AS (
+  SELECT m.*, u.u2_a, u.u2_b,
+    sqrt(((m.na - 1) * m.va + (m.nb - 1) * m.vb)
+         / CAST(m.na + m.nb - 2 AS DOUBLE)) AS sp,
+    1.0 - 3.0 / (4.0 * CAST(m.na + m.nb AS DOUBLE) - 9.0) AS j
+  FROM mom m CROSS JOIN u
+)
+SELECT na AS n_a, nb AS n_b,
+  round(ma, 6) AS mean_a, round(mb, 6) AS mean_b,
+  round((ma - mb) / sp, 6) AS cohens_d,
+  round((ma - mb) / sp * j, 6) AS hedges_g,
+  round((ma - mb) / sqrt(vb), 6) AS glass_delta,
+  round(CAST(u2_a - u2_b AS DOUBLE) / (2.0 * CAST(na * nb AS DOUBLE)), 6)
+    AS cliffs_delta
+FROM eff
+"""
+
+
+@_q("effect_sizes", _EFFECT_SIZES_ORACLE)
+def q_effect_sizes(spark, sf):
+    """Two-group effect sizes (stats.effect_sizes) for click vs
+    purchase event values: Cohen's d / Hedges' g / Glass's Δ from
+    one moment aggregation, Cliff's δ via the exact integer
+    doubled-U rank identity (distributed ECDF cumsum, no pair
+    join)."""
+    from padua_spark.operators.stats import effect_sizes
+
+    e = _t(spark, sf, "events")
+    return effect_sizes(e, "event_type", "value", "click", "purchase")
+
+
 # ---------------------------------------------------------------------------
 
 

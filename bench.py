@@ -210,6 +210,7 @@ HEADLINE = [
     "label_propagation",
     "link_prediction",
     "association_rules",
+    "effect_sizes",
 ]
 
 

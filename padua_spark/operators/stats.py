@@ -3342,3 +3342,83 @@ def cochrans_q(
         ).alias("p_value"),
     )
     return track_cached(out, base)
+
+
+def effect_sizes(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    group_a,
+    group_b,
+    small_domain_threshold: int | None = None,
+) -> DataFrame:
+    """Two-group effect-size battery — the magnitude companion every
+    significance test in this module needs at scale (at 100 TB
+    *everything* is significant; what matters is size): Cohen's d
+    (pooled-SD standardized mean difference), Hedges' g (the
+    small-sample bias correction ``J ≈ 1 − 3/(4N − 9)``), Glass's Δ
+    (standardized by the CONTROL group b's SD — the right choice
+    when treatment changes variance), and Cliff's δ (the ordinal,
+    outlier-robust dominance probability ``P(a>b) − P(a<b)``).
+
+    Scale shape: the moment statistics are ONE aggregation; Cliff's
+    δ is NOT the naive O(n_a·n_b) pair comparison but the exact
+    rank identity ``δ = (2U_a − n_a·n_b·... )`` — concretely
+    ``δ = (u2_a − u2_b) / (2·n_a·n_b)`` over
+    :func:`mannwhitney_u_stat`'s integer doubled-U (midrank ties
+    count ½ to each side), i.e. the distributed two-pass ECDF cumsum
+    — no pair join anywhere, any group size. The two 1-row frames
+    are combined with a broadcast cross join. Output 1 row:
+    ``(n_a, n_b, mean_a, mean_b, cohens_d, hedges_g, glass_delta,
+    cliffs_delta)``, floats 6dp.
+    """
+    from padua_spark.io_utils import track_cached
+
+    va = _group_value(group_col, group_a, value_col)
+    vb = _group_value(group_col, group_b, value_col)
+    mom = df.agg(
+        F.avg(va).alias("_ma"),
+        F.avg(vb).alias("_mb"),
+        F.count(va).cast("bigint").alias("_na"),
+        F.count(vb).cast("bigint").alias("_nb"),
+        F.var_samp(va).alias("_va"),
+        F.var_samp(vb).alias("_vb"),
+    )
+    u = mannwhitney_u_stat(
+        df, group_col, value_col, group_a, group_b,
+        small_domain_threshold=small_domain_threshold,
+    )
+    na, nb = F.col("_na"), F.col("_nb")
+    dof = (na + nb - 2).cast("double")
+    sp = F.sqrt(
+        ((na - 1) * F.col("_va") + (nb - 1) * F.col("_vb")) / dof
+    )
+    d = F.when(
+        (na >= 2) & (nb >= 2) & (sp > 0),
+        (F.col("_ma") - F.col("_mb")) / sp,
+    )
+    j = F.lit(1.0) - F.lit(3.0) / (
+        F.lit(4.0) * (na + nb).cast("double") - F.lit(9.0)
+    )
+    glass = F.when(
+        (nb >= 2) & (F.col("_vb") > 0),
+        (F.col("_ma") - F.col("_mb")) / F.sqrt(F.col("_vb")),
+    )
+    cliffs = (
+        (F.col("u2_a") - F.col("u2_b")).cast("double")
+        / (F.lit(2.0) * (na * nb).cast("double"))
+    )
+    out = (
+        mom.join(F.broadcast(u.select("u2_a", "u2_b")))
+        .select(
+            na.alias("n_a"),
+            nb.alias("n_b"),
+            F.round("_ma", 6).alias("mean_a"),
+            F.round("_mb", 6).alias("mean_b"),
+            F.round(d, 6).alias("cohens_d"),
+            F.round(d * j, 6).alias("hedges_g"),
+            F.round(glass, 6).alias("glass_delta"),
+            F.round(cliffs, 6).alias("cliffs_delta"),
+        )
+    )
+    return track_cached(out, *getattr(u, "_padua_cached", ()))

@@ -430,6 +430,8 @@ def test_no_cartesian_products_anywhere(spark):
         "isotonic_calibration",
         # 1-row basket-count frame broadcast onto the rule table
         "association_rules",
+        # two 1-row frames (moments × doubled-U) crossed into one row
+        "effect_sizes",
     }
     bad = {}
     for name, fn in em.queries().items():

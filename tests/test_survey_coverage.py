@@ -253,6 +253,7 @@ COVERAGE = {
     "E138": "entry:label_propagation",
     "E139": "entry:link_prediction",
     "E140": "entry:association_rules",
+    "E141": "entry:effect_sizes",
 }
 
 

@@ -5165,3 +5165,33 @@ def test_association_rules_small(spark):
         df, "b", "i", min_support_count=2, max_basket_items=2
     ).collect()
     assert out2 == []
+
+
+def test_effect_sizes_vs_brute_force(spark):
+    import numpy as np
+
+    from padua_spark.operators.stats import effect_sizes
+
+    rng = np.random.RandomState(21)
+    a = rng.normal(1.0, 1.0, size=40).round(1)  # rounding makes ties
+    b = rng.normal(0.4, 1.5, size=55).round(1)
+    rows = [("a", float(v)) for v in a] + [("b", float(v)) for v in b]
+    df = spark.createDataFrame(rows, ["g", "v"])
+    r = effect_sizes(df, "g", "v", "a", "b").collect()[0]
+
+    na, nb = len(a), len(b)
+    sp = np.sqrt(((na - 1) * a.var(ddof=1) + (nb - 1) * b.var(ddof=1))
+                 / (na + nb - 2))
+    d = (a.mean() - b.mean()) / sp
+    g = d * (1 - 3 / (4 * (na + nb) - 9))
+    glass = (a.mean() - b.mean()) / b.std(ddof=1)
+    # brute-force Cliff's delta with tie halving
+    gt = sum(1 for x in a for y in b if x > y)
+    lt = sum(1 for x in a for y in b if x < y)
+    cliffs = (gt - lt) / (na * nb)
+
+    assert r["n_a"] == na and r["n_b"] == nb
+    assert r["cohens_d"] == pytest.approx(d, abs=1e-5)
+    assert r["hedges_g"] == pytest.approx(g, abs=1e-5)
+    assert r["glass_delta"] == pytest.approx(glass, abs=1e-5)
+    assert r["cliffs_delta"] == pytest.approx(cliffs, abs=1e-6)
