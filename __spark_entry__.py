@@ -13533,6 +13533,54 @@ def q_effect_sizes(spark, sf):
     return effect_sizes(e, "event_type", "value", "click", "purchase")
 
 
+# --- ext round 8: Kendall tau-b on the contingency grid ---------------------
+
+
+_KENDALL_ORACLE = """
+WITH grid AS MATERIALIZED (
+  SELECT l_quantity AS x, l_discount AS y, CAST(count(*) AS BIGINT) AS c
+  FROM lineitem
+  WHERE l_quantity IS NOT NULL AND l_discount IS NOT NULL
+  GROUP BY 1, 2
+),
+cd AS (
+  SELECT
+    sum(CASE WHEN a.y > b.y THEN CAST(a.c AS HUGEINT) * b.c END) AS nc,
+    sum(CASE WHEN a.y < b.y THEN CAST(a.c AS HUGEINT) * b.c END) AS nd
+  FROM grid a JOIN grid b ON a.x > b.x
+),
+tx AS (
+  SELECT sum(CAST(r AS HUGEINT) * (r - 1) / 2) AS n1,
+    CAST(sum(r) AS HUGEINT) AS n
+  FROM (SELECT CAST(sum(c) AS BIGINT) AS r FROM grid GROUP BY x)
+),
+ty AS (
+  SELECT sum(CAST(r AS HUGEINT) * (r - 1) / 2) AS n2
+  FROM (SELECT CAST(sum(c) AS BIGINT) AS r FROM grid GROUP BY y)
+)
+SELECT CAST(n AS BIGINT) AS n,
+  CAST(coalesce(nc, 0) AS DOUBLE) AS nc,
+  CAST(coalesce(nd, 0) AS DOUBLE) AS nd,
+  round(CAST(nc - nd AS DOUBLE)
+        / sqrt(CAST(n * (n - 1) / 2 - n1 AS DOUBLE)
+               * CAST(n * (n - 1) / 2 - n2 AS DOUBLE)), 6) AS tau_b
+FROM cd, tx, ty
+"""
+
+
+@_q("kendall_tau_b", _KENDALL_ORACLE)
+def q_kendall_tau_b(spark, sf):
+    """Kendall's tau-b of quantity vs discount (stats.kendall_tau_b):
+    any data size collapses to the bounded contingency grid (550
+    cells here — the enforced max_cells contract), concordant/
+    discordant counts come from the strict-inequality cell join in
+    exact integer arithmetic."""
+    from padua_spark.operators.stats import kendall_tau_b
+
+    li = _t(spark, sf, "lineitem")
+    return kendall_tau_b(li, "l_quantity", "l_discount")
+
+
 # ---------------------------------------------------------------------------
 
 

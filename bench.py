@@ -211,6 +211,7 @@ HEADLINE = [
     "link_prediction",
     "association_rules",
     "effect_sizes",
+    "kendall_tau_b",
 ]
 
 

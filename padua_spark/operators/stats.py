@@ -3422,3 +3422,109 @@ def effect_sizes(
         )
     )
     return track_cached(out, *getattr(u, "_padua_cached", ()))
+
+
+def kendall_tau_b(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    max_cells: int = 4096,
+) -> DataFrame:
+    """Kendall's τ-b rank correlation with full tie correction,
+    computed EXACTLY from the (x, y) contingency grid — the
+    scale-safe formulation for discrete/ordinal/binned domains:
+    concordant/discordant pair counts depend on the data only
+    through the cell counts,
+
+    ``nc = Σ n_ij·n_kl [k<i, l<j]``, ``nd = Σ n_ij·n_kl [k<i, l>j]``,
+    ``τ_b = (nc − nd) / √((n0 − n1)(n0 − n2))``
+
+    with ``n0 = n(n−1)/2`` and ``n1/n2`` the x/y tie terms. One
+    aggregation collapses any data size to the grid; the strict
+    inequality cell join is grid², so the grid is persisted, counted,
+    and REJECTED above ``max_cells`` (the enforced-bound discipline
+    of the Gram guard / ``kcore`` shortcuts — continuous domains must
+    be binned first, which is also the statistically right move for
+    τ-b). All pair arithmetic is exact integers in decimal(38,0);
+    the single float division happens at the end. Output 1 row:
+    ``(n, nc, nd, tau_b)`` (τ 6dp; nc/nd exact integers as doubles).
+    """
+    from pyspark import StorageLevel
+
+    x = F.col(x_col)
+    y = F.col(y_col)
+    grid = (
+        df.where(x.isNotNull() & y.isNotNull())
+        .groupBy(x.alias("_x"), y.alias("_y"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("_c"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    m = grid.count()
+    if m > max_cells:
+        grid.unpersist()
+        raise ValueError(
+            f"kendall_tau_b: contingency grid has {m} cells > "
+            f"max_cells={max_cells}; bin the inputs first (the cell "
+            "join is quadratic in grid size)"
+        )
+    a = grid.select(
+        F.col("_x").alias("_xa"), F.col("_y").alias("_ya"),
+        F.col("_c").cast("decimal(38,0)").alias("_ca"),
+    )
+    b = grid.select(
+        F.col("_x").alias("_xb"), F.col("_y").alias("_yb"),
+        F.col("_c").cast("decimal(38,0)").alias("_cb"),
+    )
+    pairs = a.join(b, F.col("_xa") > F.col("_xb"))
+    cd = pairs.agg(
+        F.sum(
+            F.when(F.col("_ya") > F.col("_yb"), F.col("_ca") * F.col("_cb"))
+        ).alias("_nc"),
+        F.sum(
+            F.when(F.col("_ya") < F.col("_yb"), F.col("_ca") * F.col("_cb"))
+        ).alias("_nd"),
+    )
+    rx = grid.groupBy("_x").agg(F.sum("_c").alias("_r"))
+    ry = grid.groupBy("_y").agg(F.sum("_c").alias("_r"))
+    two = F.lit(2).cast("decimal(38,0)")
+    tie = lambda fr: fr.agg(  # noqa: E731
+        F.sum(
+            (F.col("_r").cast("decimal(38,0)")
+             * (F.col("_r") - 1).cast("decimal(38,0)")) / two
+        ).cast("decimal(38,0)").alias("_t"),
+        F.sum("_r").cast("decimal(38,0)").alias("_n"),
+    )
+    tx = tie(rx).select(F.col("_t").alias("_n1"), F.col("_n").alias("_n"))
+    ty = tie(ry).select(F.col("_t").alias("_n2"))
+    joined = (
+        cd.join(F.broadcast(tx))
+        .join(F.broadcast(ty))
+        .select(
+            F.col("_n").cast("bigint").alias("n"),
+            F.coalesce(F.col("_nc"), F.lit(0).cast("decimal(38,0)"))
+            .alias("_nc"),
+            F.coalesce(F.col("_nd"), F.lit(0).cast("decimal(38,0)"))
+            .alias("_nd"),
+            (
+                (F.col("_n") * (F.col("_n") - 1)) / two
+            ).cast("decimal(38,0)").alias("_n0"),
+            "_n1",
+            "_n2",
+        )
+    )
+    num = (F.col("_nc") - F.col("_nd")).cast("double")
+    den = F.sqrt(
+        (F.col("_n0") - F.col("_n1")).cast("double")
+        * (F.col("_n0") - F.col("_n2")).cast("double")
+    )
+    out = joined.select(
+        "n",
+        F.col("_nc").cast("double").alias("nc"),
+        F.col("_nd").cast("double").alias("nd"),
+        F.round(F.when(den > 0, num / den), 6).alias("tau_b"),
+    )
+    # grid feeds 4 consumers (both join sides + the two tie frames):
+    # keep it cached for the computation, freeable by the caller
+    from padua_spark.io_utils import track_cached
+
+    return track_cached(out, grid)

@@ -432,6 +432,9 @@ def test_no_cartesian_products_anywhere(spark):
         "association_rules",
         # two 1-row frames (moments × doubled-U) crossed into one row
         "effect_sizes",
+        # strict-inequality join of the two bounded (≤max_cells,
+        # enforced) contingency-grid sides + 1-row tie frames
+        "kendall_tau_b",
     }
     bad = {}
     for name, fn in em.queries().items():

@@ -254,6 +254,7 @@ COVERAGE = {
     "E139": "entry:link_prediction",
     "E140": "entry:association_rules",
     "E141": "entry:effect_sizes",
+    "E142": "entry:kendall_tau_b",
 }
 
 

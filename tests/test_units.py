@@ -5195,3 +5195,49 @@ def test_effect_sizes_vs_brute_force(spark):
     assert r["hedges_g"] == pytest.approx(g, abs=1e-5)
     assert r["glass_delta"] == pytest.approx(glass, abs=1e-5)
     assert r["cliffs_delta"] == pytest.approx(cliffs, abs=1e-6)
+
+
+def test_kendall_tau_b_vs_brute_force(spark):
+    import numpy as np
+
+    from padua_spark.operators.stats import kendall_tau_b
+
+    rng = np.random.RandomState(13)
+    n = 300
+    x = rng.randint(0, 8, size=n)
+    y = np.clip(x + rng.randint(-2, 3, size=n), 0, 9)
+
+    nc = nd = 0
+    for i in range(n):
+        for j in range(i + 1, n):
+            s = (x[i] - x[j]) * (y[i] - y[j])
+            if s > 0:
+                nc += 1
+            elif s < 0:
+                nd += 1
+    n0 = n * (n - 1) / 2
+    n1 = sum(c * (c - 1) / 2 for c in np.bincount(x))
+    n2 = sum(c * (c - 1) / 2 for c in np.bincount(y))
+    tau = (nc - nd) / np.sqrt((n0 - n1) * (n0 - n2))
+
+    df = spark.createDataFrame(
+        [(int(x[i]), int(y[i])) for i in range(n)], ["x", "y"]
+    )
+    r = kendall_tau_b(df, "x", "y").collect()[0]
+    assert r["n"] == n
+    assert r["nc"] == nc and r["nd"] == nd
+    assert r["tau_b"] == pytest.approx(tau, abs=1e-6)
+
+
+def test_kendall_tau_b_grid_bound_enforced(spark):
+    import numpy as np
+
+    from padua_spark.operators.stats import kendall_tau_b
+
+    rng = np.random.RandomState(1)
+    df = spark.createDataFrame(
+        [(float(a), float(b)) for a, b in rng.uniform(size=(200, 2))],
+        ["x", "y"],
+    )
+    with pytest.raises(ValueError, match="max_cells"):
+        kendall_tau_b(df, "x", "y", max_cells=50)
