@@ -13581,6 +13581,79 @@ def q_kendall_tau_b(spark, sf):
     return kendall_tau_b(li, "l_quantity", "l_discount")
 
 
+# --- ext round 8: Holt linear-trend forecast --------------------------------
+
+
+_HOLT_ORACLE = """
+WITH RECURSIVE s AS MATERIALIZED (
+  SELECT user_id,
+    row_number() OVER (
+      PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS t,
+    CAST(value AS DOUBLE) AS x
+  FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
+),
+cnt AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS n FROM s GROUP BY 1
+),
+init AS (
+  SELECT s2.user_id, 2 AS t, s2.x AS l, s2.x - s1.x AS b
+  FROM s s1 JOIN s s2 ON s1.user_id = s2.user_id
+   AND s1.t = 1 AND s2.t = 2
+),
+rec AS (
+  SELECT * FROM init
+  UNION ALL
+  SELECT r.user_id, r.t + 1,
+    CAST(0.5 AS DOUBLE) * s.x + CAST(0.5 AS DOUBLE) * (r.l + r.b) AS l,
+    CAST(0.25 AS DOUBLE)
+      * (CAST(0.5 AS DOUBLE) * s.x
+         + CAST(0.5 AS DOUBLE) * (r.l + r.b) - r.l)
+      + CAST(0.75 AS DOUBLE) * r.b AS b
+  FROM rec r JOIN s ON s.user_id = r.user_id AND s.t = r.t + 1
+),
+fin AS (
+  SELECT r.user_id, r.l, r.b
+  FROM rec r JOIN cnt ON cnt.user_id = r.user_id AND r.t = cnt.n
+),
+single AS (
+  SELECT s.user_id, s.x AS l, CAST(0 AS DOUBLE) AS b
+  FROM s JOIN cnt ON cnt.user_id = s.user_id AND cnt.n = 1
+  WHERE s.t = 1
+),
+allf AS (
+  SELECT * FROM fin UNION ALL SELECT * FROM single
+)
+SELECT c.user_id, c.n, round(a.l, 6) AS level, round(a.b, 6) AS trend,
+  round(a.l + CAST(2.0 AS DOUBLE) * a.b, 6) AS forecast
+FROM cnt c JOIN allf a ON c.user_id = a.user_id
+"""
+
+
+@_q("holt_forecast", _HOLT_ORACLE)
+def q_holt_forecast(spark, sf):
+    """Holt linear-trend smoothing of each user's event-value series
+    (temporal.holt_forecast, α=0.5 β=0.25 — exact binary fractions,
+    so the sequential float recursion is bit-identical across
+    engines): one shuffle by key, one JVM-side array fold; the
+    oracle steps the SAME recursion as a recursive CTE."""
+    from padua_spark.operators.temporal import holt_forecast
+    from padua_spark.streaming.windows import epoch_us_col
+
+    e = _t(spark, sf, "events")
+    base = e.where(
+        F.col("value").isNotNull() & F.col("ts").isNotNull()
+    ).select(
+        "user_id",
+        epoch_us_col(e, "ts").alias("_tu"),
+        "event_id",
+        F.col("value").cast("double").alias("v"),
+    )
+    return holt_forecast(
+        base, ["user_id"], ["_tu", "event_id"], "v",
+        alpha=0.5, beta=0.25, horizon=2,
+    )
+
+
 # ---------------------------------------------------------------------------
 
 

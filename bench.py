@@ -212,6 +212,7 @@ HEADLINE = [
     "association_rules",
     "effect_sizes",
     "kendall_tau_b",
+    "holt_forecast",
 ]
 
 

@@ -653,3 +653,109 @@ def markov_attribution(
         F.round("_sh", 6).alias("attribution_share"),
         F.round("_pc", 6).alias("p_conv"),
     )
+
+
+def holt_forecast(
+    df: DataFrame,
+    key_cols: list[str],
+    order_cols: list[str],
+    value_col: str,
+    alpha: float = 0.3,
+    beta: float = 0.1,
+    horizon: int = 1,
+    max_series_length: int | None = 100_000,
+) -> DataFrame:
+    """Holt's linear-trend exponential smoothing per key — the
+    workhorse short-horizon forecaster for per-entity metric series
+    (traffic, spend, sensor drift):
+
+    ``l_t = α·x_t + (1−α)(l_{t−1} + b_{t−1})``,
+    ``b_t = β(l_t − l_{t−1}) + (1−β)·b_{t−1}``,
+    init ``l_2 = x_2, b_2 = x_2 − x_1`` (each point consumed once,
+    recursion from t=3); forecast ``l_n + h·b_n``.
+
+    Scale shape: the recursion is inherently sequential per key, so
+    each key's series is collected into ONE in-row array (sorted
+    struct array — deterministic order) and folded JVM-side with
+    ``F.aggregate`` — no Python, no window-per-step, one shuffle by
+    key. Per-row memory is O(series length), so the bounded-series
+    contract is ENFORCED up front: a preflight count raises on any
+    key above ``max_series_length`` (the
+    :func:`~padua_spark.operators.stats._enforce_bounded_groups`
+    discipline; pass ``None`` to opt out). The identical fold order
+    makes the float recursion engine-reproducible — a SQL twin
+    stepping the same recursion matches bit-for-bit before the 6dp
+    rounding. Output: one row per key:
+    ``(keys..., n, level, trend, forecast)``.
+    """
+    v = F.col(value_col).cast("double")
+    cond = v.isNotNull()
+    for c in order_cols:
+        cond = cond & F.col(c).isNotNull()
+    base = df.where(cond)
+    if max_series_length is not None:
+        hot = (
+            base.groupBy(*key_cols)
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .where(F.col("_n") > int(max_series_length))
+            .orderBy(F.col("_n").desc())
+            .limit(1)
+            .collect()
+        )
+        if hot:
+            r = hot[0]
+            key = tuple(r[c] for c in key_cols)
+            raise ValueError(
+                f"holt_forecast: key {key} has {r['_n']} rows, above "
+                f"max_series_length={max_series_length}. The per-key "
+                "fold materializes the whole series in one row — "
+                "pre-aggregate (e.g. to daily points) or pass "
+                "max_series_length=None to override deliberately."
+            )
+    arr = (
+        base.groupBy(*key_cols)
+        .agg(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(
+                        *[F.col(c) for c in order_cols], v.alias("_v")
+                    )
+                )
+            ).alias("_s")
+        )
+        .select(
+            *key_cols,
+            F.transform(F.col("_s"), lambda s: s["_v"]).alias("_xs"),
+        )
+    )
+    n = F.size("_xs")
+    x1 = F.element_at("_xs", 1)
+    x2 = F.element_at("_xs", 2)
+    a_, b_ = F.lit(float(alpha)), F.lit(float(beta))
+    init = F.struct(x2.alias("l"), (x2 - x1).alias("b"))
+
+    def step(acc, x):
+        lnew = a_ * x + (F.lit(1.0) - a_) * (acc["l"] + acc["b"])
+        bnew = b_ * (lnew - acc["l"]) + (F.lit(1.0) - b_) * acc["b"]
+        return F.struct(lnew.alias("l"), bnew.alias("b"))
+
+    folded = F.aggregate(
+        F.slice(F.col("_xs"), 3, F.greatest(n - 2, F.lit(0))),
+        init,
+        step,
+    )
+    staged = arr.withColumn(
+        "_fit",
+        F.when(n >= 2, folded).otherwise(
+            F.struct(x1.alias("l"), F.lit(0.0).alias("b"))
+        ),
+    )
+    return staged.select(
+        *key_cols,
+        n.cast("bigint").alias("n"),
+        F.round(F.col("_fit.l"), 6).alias("level"),
+        F.round(F.col("_fit.b"), 6).alias("trend"),
+        F.round(
+            F.col("_fit.l") + F.lit(float(horizon)) * F.col("_fit.b"), 6
+        ).alias("forecast"),
+    )

@@ -255,6 +255,7 @@ COVERAGE = {
     "E140": "entry:association_rules",
     "E141": "entry:effect_sizes",
     "E142": "entry:kendall_tau_b",
+    "E143": "entry:holt_forecast",
 }
 
 

@@ -5241,3 +5241,39 @@ def test_kendall_tau_b_grid_bound_enforced(spark):
     )
     with pytest.raises(ValueError, match="max_cells"):
         kendall_tau_b(df, "x", "y", max_cells=50)
+
+
+def test_holt_forecast_vs_brute_force(spark):
+    from padua_spark.operators.temporal import holt_forecast
+
+    xs = [10.0, 12.0, 13.0, 15.0, 14.0, 18.0, 21.0]
+    rows = [("k", i, v) for i, v in enumerate(xs)] + [("solo", 0, 5.0)]
+    df = spark.createDataFrame(rows, ["k", "t", "v"])
+    out = {
+        r["k"]: r
+        for r in holt_forecast(
+            df, ["k"], ["t"], "v", alpha=0.5, beta=0.3, horizon=2
+        ).collect()
+    }
+    l, b = xs[1], xs[1] - xs[0]
+    for x in xs[2:]:
+        ln = 0.5 * x + 0.5 * (l + b)
+        b = 0.3 * (ln - l) + 0.7 * b
+        l = ln
+    assert out["k"]["n"] == 7
+    assert out["k"]["level"] == pytest.approx(l, abs=1e-6)
+    assert out["k"]["trend"] == pytest.approx(b, abs=1e-6)
+    assert out["k"]["forecast"] == pytest.approx(l + 2 * b, abs=1e-6)
+    # single-point series: level = the point, flat trend
+    assert out["solo"]["level"] == 5.0 and out["solo"]["trend"] == 0.0
+
+
+def test_holt_forecast_series_bound_enforced(spark):
+    from padua_spark.operators.temporal import holt_forecast
+
+    rows = [("k", i, float(i)) for i in range(50)]
+    df = spark.createDataFrame(rows, ["k", "t", "v"])
+    with pytest.raises(ValueError, match="max_series_length"):
+        holt_forecast(
+            df, ["k"], ["t"], "v", max_series_length=10
+        ).collect()
