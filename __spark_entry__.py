@@ -13654,6 +13654,70 @@ def q_holt_forecast(spark, sf):
     )
 
 
+# --- ext round 8: Mood's median test ----------------------------------------
+
+
+_MOOD_ORACLE = """
+WITH base AS (
+  SELECT l_returnflag AS g, CAST(l_quantity AS DOUBLE) AS v
+  FROM lineitem
+  WHERE l_returnflag IS NOT NULL AND l_quantity IS NOT NULL
+),
+per AS (
+  SELECT v, CAST(count(*) AS BIGINT) AS c FROM base GROUP BY 1
+),
+tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM per),
+med AS (
+  SELECT min(v) AS med FROM (
+    SELECT v, sum(c) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum
+    FROM per
+  ), tot WHERE cum >= ceil(n / 2.0)
+),
+counts AS (
+  SELECT g, CAST(count(*) AS BIGINT) AS ng,
+    CAST(sum(CASE WHEN v > med THEN 1 ELSE 0 END) AS BIGINT) AS ag
+  FROM base, med GROUP BY 1
+),
+totals AS (
+  SELECT CAST(sum(ng) AS BIGINT) AS n, CAST(sum(ag) AS BIGINT) AS a,
+    CAST(count(*) AS BIGINT) AS k
+  FROM counts
+),
+stat AS (
+  SELECT max(t.n) AS n, max(t.k) AS k,
+    sum(
+      (ag - CAST(ng AS DOUBLE) * t.a / t.n)
+        * (ag - CAST(ng AS DOUBLE) * t.a / t.n)
+        / (CAST(ng AS DOUBLE) * t.a / t.n)
+      + (ng - ag - CAST(ng AS DOUBLE) * (t.n - t.a) / t.n)
+        * (ng - ag - CAST(ng AS DOUBLE) * (t.n - t.a) / t.n)
+        / (CAST(ng AS DOUBLE) * (t.n - t.a) / t.n)
+    ) AS chi2
+  FROM counts, totals t
+)
+SELECT s.n, s.k, m.med AS grand_median, round(s.chi2, 6) AS chi2,
+  CAST(s.k - 1 AS BIGINT) AS dfree,
+  round(exp(-s.chi2 / 2.0), 6) AS p_value
+FROM stat s, med m
+"""
+
+
+@_q("mood_median_test", _MOOD_ORACLE)
+def q_mood_median_test(spark, sf):
+    """Mood's median test of quantity across the three return flags
+    (stats.mood_median_test): exact lower grand median over the
+    bounded distinct-value frame (enforced max_domain), 2×3 chi² on
+    integer counts. df=2, so the oracle's chi² tail is the closed
+    form exp(−x/2) against the engine's incomplete-gamma UDF."""
+    from padua_spark.operators.stats import mood_median_test
+
+    li = _t(spark, sf, "lineitem")
+    base = li.select(
+        "l_returnflag", F.col("l_quantity").cast("double").alias("qty")
+    )
+    return mood_median_test(base, "l_returnflag", "qty")
+
+
 # ---------------------------------------------------------------------------
 
 

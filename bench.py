@@ -213,6 +213,7 @@ HEADLINE = [
     "effect_sizes",
     "kendall_tau_b",
     "holt_forecast",
+    "mood_median_test",
 ]
 
 

@@ -3528,3 +3528,106 @@ def kendall_tau_b(
     from padua_spark.io_utils import track_cached
 
     return track_cached(out, grid)
+
+
+def mood_median_test(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    max_domain: int = 100_000,
+) -> DataFrame:
+    """Mood's median test — k-group nonparametric location test:
+    counts above vs at-or-below the GRAND lower median per group,
+    Pearson chi² on the resulting 2×k table, ``df = k − 1``. The
+    robust quick answer to "do these groups differ in level?" when
+    distributions are ugly (the rank-free sibling of
+    :func:`kruskal_wallis_stats`).
+
+    The grand median is the exact LOWER median (smallest value whose
+    cumulative count reaches ``⌈n/2⌉``) — a deterministic relational
+    definition both engines reproduce exactly, unlike interpolated
+    medians. Scale shape: one per-distinct-value count aggregation
+    (cardinality-sized), a cumsum window over that bounded domain
+    (ENFORCED ``max_domain`` preflight — continuous data must be
+    binned/rounded first, which Mood's test needs anyway to be
+    meaningful), the 1-row median broadcast onto one per-group
+    conditional aggregation, and a k-row chi² sum. All counts are
+    exact integers. Output 1 row:
+    ``(n, k, grand_median, chi2, dfree, p_value)``, floats 6dp.
+    """
+    from pyspark import StorageLevel
+
+    from padua_spark.io_utils import track_cached
+
+    v = F.col(value_col)
+    g = F.col(group_col)
+    base = df.where(v.isNotNull() & g.isNotNull())
+    per = (
+        base.groupBy(v.alias("_v"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("_c"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    m = per.count()
+    if m > max_domain:
+        per.unpersist()
+        raise ValueError(
+            f"mood_median_test: value domain has {m} distinct values "
+            f"> max_domain={max_domain}; round/bin the values first "
+            "(the median cumsum runs over the distinct-value frame)"
+        )
+    wc = Window.orderBy("_v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    tot = per.agg(F.sum("_c").alias("_n"))
+    med = (
+        per.select("_v", F.sum("_c").over(wc).alias("_cum"))
+        .join(F.broadcast(tot))
+        .where(F.col("_cum") >= F.ceil(F.col("_n") / 2))
+        .agg(F.min("_v").alias("_med"))
+    )
+    counts = (
+        base.join(F.broadcast(med))
+        .groupBy(g.alias("_g"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("_ng"),
+            F.sum((v > F.col("_med")).cast("int"))
+            .cast("bigint")
+            .alias("_ag"),
+            F.max("_med").alias("_med"),
+        )
+    )
+    totals = counts.agg(
+        F.sum("_ng").alias("_n"),
+        F.sum("_ag").alias("_a"),
+        F.count(F.lit(1)).cast("bigint").alias("_k"),
+    )
+    ea = F.col("_ng").cast("double") * F.col("_a") / F.col("_n")
+    eb = F.col("_ng").cast("double") * (F.col("_n") - F.col("_a")) / F.col("_n")
+    term = (
+        (F.col("_ag") - ea) * (F.col("_ag") - ea) / ea
+        + (F.col("_ng") - F.col("_ag") - eb)
+        * (F.col("_ng") - F.col("_ag") - eb)
+        / eb
+    )
+    stat = (
+        counts.join(F.broadcast(totals))
+        .agg(
+            F.max("_n").alias("_n"),
+            F.max("_k").alias("_k"),
+            F.max("_med").alias("_med"),
+            F.sum(term).alias("_chi2"),
+        )
+        .withColumn("_dfree", (F.col("_k") - 1).cast("double"))
+        .withColumn(
+            "_p", chi2_sf_udf(F.col("_chi2"), F.col("_dfree"))
+        )
+    )
+    out = stat.select(
+        F.col("_n").cast("bigint").alias("n"),
+        F.col("_k").alias("k"),
+        F.col("_med").cast("double").alias("grand_median"),
+        F.round("_chi2", 6).alias("chi2"),
+        F.col("_dfree").cast("bigint").alias("dfree"),
+        F.round("_p", 6).alias("p_value"),
+    )
+    return track_cached(out, per)

@@ -435,6 +435,9 @@ def test_no_cartesian_products_anywhere(spark):
         # strict-inequality join of the two bounded (≤max_cells,
         # enforced) contingency-grid sides + 1-row tie frames
         "kendall_tau_b",
+        # 1-row grand-median + 1-row totals frames broadcast onto the
+        # data scan / k-row group counts
+        "mood_median_test",
     }
     bad = {}
     for name, fn in em.queries().items():

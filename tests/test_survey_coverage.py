@@ -256,6 +256,7 @@ COVERAGE = {
     "E141": "entry:effect_sizes",
     "E142": "entry:kendall_tau_b",
     "E143": "entry:holt_forecast",
+    "E144": "entry:mood_median_test",
 }
 
 

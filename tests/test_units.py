@@ -5277,3 +5277,47 @@ def test_holt_forecast_series_bound_enforced(spark):
         holt_forecast(
             df, ["k"], ["t"], "v", max_series_length=10
         ).collect()
+
+
+def test_mood_median_test_vs_brute_force(spark):
+    import numpy as np
+
+    from padua_spark.operators.stats import mood_median_test
+
+    rng = np.random.RandomState(17)
+    rows = (
+        [("a", int(v)) for v in rng.randint(0, 20, 80)]
+        + [("b", int(v)) for v in rng.randint(3, 23, 70)]
+        + [("c", int(v)) for v in rng.randint(0, 21, 90)]
+    )
+    df = spark.createDataFrame(rows, ["g", "v"])
+    r = mood_median_test(df, "g", "v").collect()[0]
+
+    vals = np.array([v for _, v in rows])
+    med = np.sort(vals)[int(np.ceil(len(vals) / 2)) - 1]  # lower median
+    assert r["grand_median"] == float(med)
+    chi2 = 0.0
+    A = (vals > med).sum()
+    N = len(vals)
+    for gname in ("a", "b", "c"):
+        gv = np.array([v for g, v in rows if g == gname])
+        ng, ag = len(gv), (gv > med).sum()
+        ea = ng * A / N
+        eb = ng * (N - A) / N
+        chi2 += (ag - ea) ** 2 / ea + (ng - ag - eb) ** 2 / eb
+    assert r["chi2"] == pytest.approx(chi2, abs=1e-5)
+    assert r["dfree"] == 2
+    assert r["p_value"] == pytest.approx(float(np.exp(-chi2 / 2)), abs=1e-5)
+
+
+def test_mood_median_domain_bound_enforced(spark):
+    import numpy as np
+
+    from padua_spark.operators.stats import mood_median_test
+
+    rng = np.random.RandomState(2)
+    df = spark.createDataFrame(
+        [("g", float(v)) for v in rng.uniform(size=300)], ["g", "v"]
+    )
+    with pytest.raises(ValueError, match="max_domain"):
+        mood_median_test(df, "g", "v", max_domain=100)
