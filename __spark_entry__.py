@@ -13718,6 +13718,57 @@ def q_mood_median_test(spark, sf):
     return mood_median_test(base, "l_returnflag", "qty")
 
 
+# --- ext round 8: two-sample Cramér-von Mises -------------------------------
+
+
+_CVM_ORACLE = """
+WITH per AS (
+  SELECT value AS v,
+    CAST(count(*) FILTER (event_type = 'click') AS BIGINT) AS ca,
+    CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT) AS cb
+  FROM events
+  WHERE event_type IN ('click', 'purchase') AND value IS NOT NULL
+  GROUP BY value
+),
+stepped AS (
+  SELECT ca, cb,
+    sum(ca) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS fa,
+    sum(cb) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS fb
+  FROM per
+),
+tot AS (
+  SELECT CAST(sum(ca) AS BIGINT) AS na, CAST(sum(cb) AS BIGINT) AS nb
+  FROM per
+),
+agg AS (
+  SELECT sum(
+      CAST(ca + cb AS HUGEINT)
+      * (CAST(fa AS HUGEINT) * t.nb - CAST(fb AS HUGEINT) * t.na)
+      * (CAST(fa AS HUGEINT) * t.nb - CAST(fb AS HUGEINT) * t.na)
+    ) AS num, max(t.na) AS na, max(t.nb) AS nb
+  FROM stepped, tot t
+)
+SELECT na AS n_a, nb AS n_b,
+  round(CAST(num AS DOUBLE)
+        / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)
+           * CAST(na + nb AS DOUBLE) * CAST(na + nb AS DOUBLE)), 6)
+    AS t_stat
+FROM agg
+"""
+
+
+@_q("cvm_2samp", _CVM_ORACLE)
+def q_cvm_2samp(spark, sf):
+    """Two-sample Cramér-von Mises statistic for click vs purchase
+    event values (stats.cvm_2samp_stat): the whole-distribution ECDF
+    discrepancy in exact integer arithmetic over the same distributed
+    two-pass cumsum as KS — one division at the end."""
+    from padua_spark.operators.stats import cvm_2samp_stat
+
+    e = _t(spark, sf, "events")
+    return cvm_2samp_stat(e, "event_type", "value", "click", "purchase")
+
+
 # ---------------------------------------------------------------------------
 
 

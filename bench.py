@@ -214,6 +214,7 @@ HEADLINE = [
     "kendall_tau_b",
     "holt_forecast",
     "mood_median_test",
+    "cvm_2samp",
 ]
 
 

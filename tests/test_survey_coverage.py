@@ -257,6 +257,7 @@ COVERAGE = {
     "E142": "entry:kendall_tau_b",
     "E143": "entry:holt_forecast",
     "E144": "entry:mood_median_test",
+    "E145": "entry:cvm_2samp",
 }
 
 

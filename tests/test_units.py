@@ -5321,3 +5321,41 @@ def test_mood_median_domain_bound_enforced(spark):
     )
     with pytest.raises(ValueError, match="max_domain"):
         mood_median_test(df, "g", "v", max_domain=100)
+
+
+def test_cvm_2samp_vs_brute_force(spark):
+    import numpy as np
+
+    from padua_spark.operators.stats import cvm_2samp_stat
+
+    rng = np.random.RandomState(23)
+    a = rng.normal(0, 1, 60).round(1)
+    b = rng.normal(0.5, 1.2, 45).round(1)
+    rows = [("a", float(v)) for v in a] + [("b", float(v)) for v in b]
+    df = spark.createDataFrame(rows, ["g", "v"])
+    r = cvm_2samp_stat(df, "g", "v", "a", "b").collect()[0]
+
+    na, nb = len(a), len(b)
+    N = na + nb
+    allv = np.concatenate([a, b])
+    t = 0.0
+    for x in allv:
+        fa = (a <= x).sum() / na
+        fb = (b <= x).sum() / nb
+        t += (fa - fb) ** 2
+    t *= na * nb / N**2
+    assert r["n_a"] == na and r["n_b"] == nb
+    assert r["t_stat"] == pytest.approx(t, abs=1e-6)
+
+
+def test_cvm_2samp_identical_distributions_near_zero(spark):
+    import numpy as np
+
+    from padua_spark.operators.stats import cvm_2samp_stat
+
+    rng = np.random.RandomState(3)
+    v = rng.normal(size=400).round(2)
+    rows = [("a" if i % 2 == 0 else "b", float(x)) for i, x in enumerate(v)]
+    df = spark.createDataFrame(rows, ["g", "v"])
+    r = cvm_2samp_stat(df, "g", "v", "a", "b").collect()[0]
+    assert r["t_stat"] < 0.3  # well below any rejection threshold
