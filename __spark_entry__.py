@@ -13769,6 +13769,56 @@ def q_cvm_2samp(spark, sf):
     return cvm_2samp_stat(e, "event_type", "value", "click", "purchase")
 
 
+# --- ext round 8: Benjamini-Yekutieli q-values ------------------------------
+
+
+def _qvalues_by_oracle() -> str:
+    u = deterministic_uniform_sql("p_partkey", 0)
+    return f"""
+WITH p AS (
+  SELECT p_partkey, {u} AS p_value FROM part
+),
+r0 AS (
+  SELECT *, row_number() OVER (ORDER BY p_value) AS rk,
+         count(*) OVER () AS m
+  FROM p
+),
+r AS (
+  SELECT *, sum(1.0 / CAST(rk AS DOUBLE)) OVER () AS cm FROM r0
+),
+q AS (
+  SELECT *, least(cm * CAST(m AS DOUBLE) * p_value / CAST(rk AS DOUBLE),
+                  1.0) AS q_raw
+  FROM r
+)
+SELECT p_partkey, round(p_value, 9) AS p_value,
+  round(min(q_raw) OVER (ORDER BY p_value
+        ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING), 9) AS q_value
+FROM q
+"""
+
+
+@_q("qvalues_by", _qvalues_by_oracle())
+def q_qvalues_by(spark, sf):
+    """Benjamini-Yekutieli q-values (stats.qvalues_by): BH inflated
+    by the harmonic factor c(m) = Σ 1/i — valid under arbitrary test
+    dependence; c(m) is computed in the same window pass as the
+    ranks."""
+    from padua_spark.functions.scalar import deterministic_uniform
+
+    part = _t(spark, sf, "part")
+    p = part.select(
+        "p_partkey",
+        deterministic_uniform(F.col("p_partkey"), salt=0).alias("p_value"),
+    )
+    out = st.qvalues_by(p, "p_value")
+    return out.select(
+        "p_partkey",
+        F.round("p_value", 9).alias("p_value"),
+        F.round("q_value", 9).alias("q_value"),
+    )
+
+
 # ---------------------------------------------------------------------------
 
 

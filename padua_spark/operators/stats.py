@@ -3694,3 +3694,44 @@ def cvm_2samp_stat(
         ).alias("t_stat"),
     )
     return track_cached(out, *getattr(stepped, "_padua_cached", ()))
+
+
+def qvalues_by(
+    df: DataFrame,
+    p_col: str = "p_value",
+    out_col: str = "q_value",
+) -> DataFrame:
+    """Benjamini–Yekutieli FDR q-values — the :func:`qvalues` step-up
+    procedure made valid under ARBITRARY dependence between tests
+    (BH assumes positive regression dependence; correlated features —
+    co-regulated proteins, overlapping n-gram families — violate it):
+    the BH raw q is inflated by the harmonic factor
+    ``c(m) = Σ_{i=1..m} 1/i`` before the backward running min.
+
+    ``c(m)`` is computed relationally in the SAME window pass — it is
+    exactly ``Σ 1/rank`` over the ranked frame, so no driver math and
+    no extra action. Same plan shape as :func:`qvalues` (global-order
+    windows over the m-row p-value table, m ≪ fact size); NULL p rows
+    pass through with NULL q.
+    """
+    valid = df.filter(F.col(p_col).isNotNull())
+    nulls = df.filter(F.col(p_col).isNull()).withColumn(
+        out_col, F.lit(None).cast("double")
+    )
+    w_all = Window.partitionBy()
+    w_rank = Window.orderBy(F.col(p_col).asc())
+    ranked = valid.withColumn("_rank", F.row_number().over(w_rank))
+    m_col = F.count(F.lit(1)).over(w_all).cast("double")
+    c_m = F.sum(F.lit(1.0) / F.col("_rank").cast("double")).over(w_all)
+    q_raw = (
+        c_m * m_col * F.col(p_col) / F.col("_rank").cast("double")
+    )
+    w_runmin = Window.orderBy(
+        F.col(p_col).desc(), F.col("_rank").desc()
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    out = (
+        ranked.withColumn("_q_raw", F.least(q_raw, F.lit(1.0)))
+        .withColumn(out_col, F.min("_q_raw").over(w_runmin))
+        .drop("_q_raw", "_rank")
+    )
+    return out.unionByName(nulls)

@@ -5359,3 +5359,30 @@ def test_cvm_2samp_identical_distributions_near_zero(spark):
     df = spark.createDataFrame(rows, ["g", "v"])
     r = cvm_2samp_stat(df, "g", "v", "a", "b").collect()[0]
     assert r["t_stat"] < 0.3  # well below any rejection threshold
+
+
+def test_qvalues_by_vs_brute_force(spark):
+    import numpy as np
+
+    from padua_spark.operators.stats import qvalues_by
+
+    rng = np.random.RandomState(31)
+    ps = rng.uniform(size=40)
+    df = spark.createDataFrame(
+        [(i, float(p)) for i, p in enumerate(ps)], ["k", "p_value"]
+    )
+    out = {r["k"]: r["q_value"] for r in qvalues_by(df).collect()}
+
+    m = len(ps)
+    cm = sum(1.0 / i for i in range(1, m + 1))
+    order = np.argsort(ps)
+    qraw = np.minimum(cm * m * ps[order] / np.arange(1, m + 1), 1.0)
+    # backward running min
+    q = np.minimum.accumulate(qraw[::-1])[::-1]
+    for pos, idx in enumerate(order):
+        assert out[int(idx)] == pytest.approx(q[pos], abs=1e-9)
+    # BY is uniformly >= BH (harmonic inflation)
+    from padua_spark.operators.stats import qvalues
+
+    bh = {r["k"]: r["q_value"] for r in qvalues(df, pi0=1.0).collect()}
+    assert all(out[k] >= bh[k] - 1e-12 for k in out)
