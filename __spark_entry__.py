@@ -13769,53 +13769,87 @@ def q_cvm_2samp(spark, sf):
     return cvm_2samp_stat(e, "event_type", "value", "click", "purchase")
 
 
-# --- ext round 8: Benjamini-Yekutieli q-values ------------------------------
+# --- ext round 8: Jonckheere-Terpstra ordered trend test --------------------
 
-
-def _qvalues_by_oracle() -> str:
-    u = deterministic_uniform_sql("p_partkey", 0)
-    return f"""
-WITH p AS (
-  SELECT p_partkey, {u} AS p_value FROM part
+_JT_ORACLE = """
+WITH base AS (
+  SELECT l_returnflag AS g, CAST(l_quantity AS DOUBLE) AS v
+  FROM lineitem
+  WHERE l_returnflag IS NOT NULL AND l_quantity IS NOT NULL
 ),
-r0 AS (
-  SELECT *, row_number() OVER (ORDER BY p_value) AS rk,
-         count(*) OVER () AS m
-  FROM p
+per AS (
+  SELECT v,
+    CAST(count(*) FILTER (g = 'A') AS BIGINT) AS c0,
+    CAST(count(*) FILTER (g = 'N') AS BIGINT) AS c1,
+    CAST(count(*) FILTER (g = 'R') AS BIGINT) AS c2
+  FROM base GROUP BY 1
 ),
-r AS (
-  SELECT *, sum(1.0 / CAST(rk AS DOUBLE)) OVER () AS cm FROM r0
+cum AS (
+  SELECT *, sum(c0) OVER w AS f0, sum(c1) OVER w AS f1,
+    sum(c2) OVER w AS f2
+  FROM per
+  WINDOW w AS (ORDER BY v ROWS UNBOUNDED PRECEDING)
 ),
-q AS (
-  SELECT *, least(cm * CAST(m AS DOUBLE) * p_value / CAST(rk AS DOUBLE),
-                  1.0) AS q_raw
-  FROM r
+agg AS (
+  SELECT
+    sum(CAST(c1 AS HUGEINT) * (2 * (f0 - c0) + c0)
+      + CAST(c2 AS HUGEINT) * (2 * (f0 - c0) + c0)
+      + CAST(c2 AS HUGEINT) * (2 * (f1 - c1) + c1)) AS jt2,
+    CAST(sum(c0) AS BIGINT) AS n0, CAST(sum(c1) AS BIGINT) AS n1,
+    CAST(sum(c2) AS BIGINT) AS n2
+  FROM cum
+),
+fin AS (
+  SELECT jt2, n0 + n1 + n2 AS n,
+    (CAST(jt2 AS DOUBLE)
+      - ((CAST(n0 + n1 + n2 AS DOUBLE) * (n0 + n1 + n2))
+         - (CAST(n0 AS DOUBLE) * n0 + CAST(n1 AS DOUBLE) * n1
+            + CAST(n2 AS DOUBLE) * n2)) / 2.0)
+    / (2.0 * sqrt(
+        (CAST(n0 + n1 + n2 AS DOUBLE) * (n0 + n1 + n2)
+          * (2.0 * (n0 + n1 + n2) + 3.0)
+         - (CAST(n0 AS DOUBLE) * n0 * (2.0 * n0 + 3.0)
+            + CAST(n1 AS DOUBLE) * n1 * (2.0 * n1 + 3.0)
+            + CAST(n2 AS DOUBLE) * n2 * (2.0 * n2 + 3.0))) / 72.0))
+      AS z
+  FROM agg
+),
+zed AS (
+  SELECT *, abs(z) / sqrt(2.0) AS xx,
+    1.0 / (1.0 + 0.3275911 * (abs(z) / sqrt(2.0))) AS tt
+  FROM fin
 )
-SELECT p_partkey, round(p_value, 9) AS p_value,
-  round(min(q_raw) OVER (ORDER BY p_value
-        ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING), 9) AS q_value
-FROM q
+SELECT CAST(n AS BIGINT) AS n, round(CAST(jt2 AS DOUBLE) / 2.0, 6) AS jt,
+  round(z, 6) AS z,
+  round(CASE WHEN z >= 0 THEN
+    (0.254829592 * tt + -0.284496736 * tt * tt
+     + 1.421413741 * tt * tt * tt
+     + -1.453152027 * tt * tt * tt * tt
+     + 1.061405429 * tt * tt * tt * tt * tt) * exp(-xx * xx) / 2.0
+  ELSE 1.0 -
+    (0.254829592 * tt + -0.284496736 * tt * tt
+     + 1.421413741 * tt * tt * tt
+     + -1.453152027 * tt * tt * tt * tt
+     + 1.061405429 * tt * tt * tt * tt * tt) * exp(-xx * xx) / 2.0
+  END, 6) AS p_value
+FROM zed
 """
 
 
-@_q("qvalues_by", _qvalues_by_oracle())
-def q_qvalues_by(spark, sf):
-    """Benjamini-Yekutieli q-values (stats.qvalues_by): BH inflated
-    by the harmonic factor c(m) = Σ 1/i — valid under arbitrary test
-    dependence; c(m) is computed in the same window pass as the
-    ranks."""
-    from padua_spark.functions.scalar import deterministic_uniform
+@_q("jonckheere_terpstra", _JT_ORACLE)
+def q_jonckheere_terpstra(spark, sf):
+    """Jonckheere-Terpstra ordered-alternative test of quantity
+    across return flags A < N < R (stats.jonckheere_terpstra): all
+    k(k-1)/2 pairwise doubled-U statistics from ONE cumsum pass over
+    the bounded distinct-value frame, exact integers throughout."""
+    from padua_spark.operators.stats import jonckheere_terpstra
 
-    part = _t(spark, sf, "part")
-    p = part.select(
-        "p_partkey",
-        deterministic_uniform(F.col("p_partkey"), salt=0).alias("p_value"),
+    li = _t(spark, sf, "lineitem")
+    base = li.select(
+        "l_returnflag", F.col("l_quantity").cast("double").alias("qty")
     )
-    out = st.qvalues_by(p, "p_value")
-    return out.select(
-        "p_partkey",
-        F.round("p_value", 9).alias("p_value"),
-        F.round("q_value", 9).alias("q_value"),
+    return jonckheere_terpstra(
+        base, "l_returnflag", "qty", ["A", "N", "R"]
     )
 
 

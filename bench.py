@@ -215,7 +215,7 @@ HEADLINE = [
     "holt_forecast",
     "mood_median_test",
     "cvm_2samp",
-    "qvalues_by",
+    "jonckheere_terpstra",
 ]
 
 

@@ -1008,6 +1008,13 @@ def _normal_sf_2sided(z: Column) -> Column:
     return poly * F.exp(-x * x)
 
 
+def _normal_sf_1sided(z: Column) -> Column:
+    """One-sided (upper-tail) normal p = erfc(z/√2)/2 via the same
+    A&S polynomial; negative z reflects: ``1 − erfc(|z|/√2)/2``."""
+    half = _normal_sf_2sided(z) / F.lit(2.0)
+    return F.when(z >= 0, half).otherwise(F.lit(1.0) - half)
+
+
 def mannwhitney_z_stats(
     df: DataFrame,
     group_col: str,
@@ -3696,42 +3703,118 @@ def cvm_2samp_stat(
     return track_cached(out, *getattr(stepped, "_padua_cached", ()))
 
 
-def qvalues_by(
-    df: DataFrame,
-    p_col: str = "p_value",
-    out_col: str = "q_value",
-) -> DataFrame:
-    """Benjamini–Yekutieli FDR q-values — the :func:`qvalues` step-up
-    procedure made valid under ARBITRARY dependence between tests
-    (BH assumes positive regression dependence; correlated features —
-    co-regulated proteins, overlapping n-gram families — violate it):
-    the BH raw q is inflated by the harmonic factor
-    ``c(m) = Σ_{i=1..m} 1/i`` before the backward running min.
 
-    ``c(m)`` is computed relationally in the SAME window pass — it is
-    exactly ``Σ 1/rank`` over the ranked frame, so no driver math and
-    no extra action. Same plan shape as :func:`qvalues` (global-order
-    windows over the m-row p-value table, m ≪ fact size); NULL p rows
-    pass through with NULL q.
+def jonckheere_terpstra(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    ordered_groups: list,
+    max_domain: int = 100_000,
+) -> DataFrame:
+    """Jonckheere–Terpstra test for an ORDERED alternative
+    (``θ_1 ≤ θ_2 ≤ … ≤ θ_k`` with at least one strict) — the right
+    k-group test when the groups carry a natural order (dose,
+    severity bin, quality tier) and Kruskal-Wallis would throw that
+    information away. ``JT = Σ_{i<j} U_ij`` over the caller's
+    ``ordered_groups``, with midrank ties (``U_ij`` counts ½ per
+    cross-group tie).
+
+    Everything is exact integers via doubled statistics
+    (``2U_ij = Σ_v c_j(v)·(2·(F_i(v) − c_i(v)) + c_i(v))``, the
+    :func:`mannwhitney_u_stat` trick generalized to all k(k−1)/2
+    ordered pairs in ONE pass): one per-distinct-value k-column
+    conditional count aggregation, one cumsum window over that
+    bounded frame (ENFORCED ``max_domain`` preflight — bin
+    continuous data first, the :func:`mood_median_test` contract),
+    one scalar aggregate. The z statistic uses the standard
+    no-ties null variance
+    ``Var = [n²(2n+3) − Σ nᵢ²(2nᵢ+3)] / 72`` (documented
+    approximation under heavy ties); p is the one-sided normal upper
+    tail — the ordered alternative is directional. Output 1 row:
+    ``(n, jt, z, p_value)`` (``jt`` may end in .5 under ties).
     """
-    valid = df.filter(F.col(p_col).isNotNull())
-    nulls = df.filter(F.col(p_col).isNull()).withColumn(
-        out_col, F.lit(None).cast("double")
+    from pyspark import StorageLevel
+
+    from padua_spark.io_utils import track_cached
+
+    k = len(ordered_groups)
+    v = F.col(value_col)
+    g = F.col(group_col)
+    base = df.where(v.isNotNull() & g.isNotNull())
+    per = (
+        base.groupBy(v.alias("_v"))
+        .agg(
+            *[
+                F.count(F.when(g == F.lit(gr), 1))
+                .cast("bigint")
+                .alias(f"_c{i}")
+                for i, gr in enumerate(ordered_groups)
+            ]
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    w_all = Window.partitionBy()
-    w_rank = Window.orderBy(F.col(p_col).asc())
-    ranked = valid.withColumn("_rank", F.row_number().over(w_rank))
-    m_col = F.count(F.lit(1)).over(w_all).cast("double")
-    c_m = F.sum(F.lit(1.0) / F.col("_rank").cast("double")).over(w_all)
-    q_raw = (
-        c_m * m_col * F.col(p_col) / F.col("_rank").cast("double")
+    m = per.count()
+    if m > max_domain:
+        per.unpersist()
+        raise ValueError(
+            f"jonckheere_terpstra: value domain has {m} distinct "
+            f"values > max_domain={max_domain}; bin the values first "
+            "(the cumsum runs over the distinct-value frame)"
+        )
+    wc = Window.orderBy("_v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
     )
-    w_runmin = Window.orderBy(
-        F.col(p_col).desc(), F.col("_rank").desc()
-    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    out = (
-        ranked.withColumn("_q_raw", F.least(q_raw, F.lit(1.0)))
-        .withColumn(out_col, F.min("_q_raw").over(w_runmin))
-        .drop("_q_raw", "_rank")
+    cum = per.select(
+        "_v",
+        *[F.col(f"_c{i}") for i in range(k)],
+        *[F.sum(f"_c{i}").over(wc).alias(f"_f{i}") for i in range(k)],
     )
-    return out.unionByName(nulls)
+    dec = "decimal(38,0)"
+    terms = []
+    for i in range(k):
+        for j in range(i + 1, k):
+            terms.append(
+                F.col(f"_c{j}").cast(dec)
+                * (
+                    2 * (F.col(f"_f{i}") - F.col(f"_c{i}"))
+                    + F.col(f"_c{i}")
+                ).cast(dec)
+            )
+    tsum = terms[0]
+    for t in terms[1:]:
+        tsum = tsum + t
+    agg = cum.agg(
+        F.sum(tsum).alias("_jt2"),
+        *[F.sum(f"_c{i}").cast("bigint").alias(f"_n{i}") for i in range(k)],
+    )
+    n_tot = F.col(f"_n0")
+    for i in range(1, k):
+        n_tot = n_tot + F.col(f"_n{i}")
+    sum_sq = F.col("_n0").cast("double") * F.col("_n0").cast("double") * (
+        2 * F.col("_n0").cast("double") + 3
+    )
+    for i in range(1, k):
+        ni = F.col(f"_n{i}").cast("double")
+        sum_sq = sum_sq + ni * ni * (2 * ni + 3)
+    staged = agg.select(
+        "_jt2",
+        n_tot.alias("_n"),
+        *[F.col(f"_n{i}") for i in range(k)],
+    )
+    nd = F.col("_n").cast("double")
+    sum_ni2 = F.col("_n0").cast("double") * F.col("_n0").cast("double")
+    for i in range(1, k):
+        ni = F.col(f"_n{i}").cast("double")
+        sum_ni2 = sum_ni2 + ni * ni
+    e2 = (nd * nd - sum_ni2) / 2.0  # doubled null mean
+    var = (
+        nd * nd * (2 * nd + 3) - sum_sq
+    ) / 72.0
+    z = (F.col("_jt2").cast("double") - e2) / (2.0 * F.sqrt(var))
+    out = staged.select(
+        F.col("_n").cast("bigint").alias("n"),
+        F.round(F.col("_jt2").cast("double") / 2.0, 6).alias("jt"),
+        F.round(z, 6).alias("z"),
+        F.round(_normal_sf_1sided(z), 6).alias("p_value"),
+    )
+    return track_cached(out, per)

@@ -258,7 +258,7 @@ COVERAGE = {
     "E143": "entry:holt_forecast",
     "E144": "entry:mood_median_test",
     "E145": "entry:cvm_2samp",
-    "E146": "entry:qvalues_by",
+    "E146": "entry:jonckheere_terpstra",
 }
 
 

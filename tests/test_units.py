@@ -5361,28 +5361,39 @@ def test_cvm_2samp_identical_distributions_near_zero(spark):
     assert r["t_stat"] < 0.3  # well below any rejection threshold
 
 
-def test_qvalues_by_vs_brute_force(spark):
+def test_jonckheere_terpstra_vs_brute_force(spark):
     import numpy as np
 
-    from padua_spark.operators.stats import qvalues_by
+    from padua_spark.operators.stats import jonckheere_terpstra
 
-    rng = np.random.RandomState(31)
-    ps = rng.uniform(size=40)
-    df = spark.createDataFrame(
-        [(i, float(p)) for i, p in enumerate(ps)], ["k", "p_value"]
-    )
-    out = {r["k"]: r["q_value"] for r in qvalues_by(df).collect()}
+    rng = np.random.RandomState(41)
+    groups = {
+        "g1": rng.randint(0, 15, 30),
+        "g2": rng.randint(3, 18, 25),
+        "g3": rng.randint(6, 21, 35),
+    }
+    rows = [(g, int(v)) for g, vs in groups.items() for v in vs]
+    df = spark.createDataFrame(rows, ["g", "v"])
+    r = jonckheere_terpstra(df, "g", "v", ["g1", "g2", "g3"]).collect()[0]
 
-    m = len(ps)
-    cm = sum(1.0 / i for i in range(1, m + 1))
-    order = np.argsort(ps)
-    qraw = np.minimum(cm * m * ps[order] / np.arange(1, m + 1), 1.0)
-    # backward running min
-    q = np.minimum.accumulate(qraw[::-1])[::-1]
-    for pos, idx in enumerate(order):
-        assert out[int(idx)] == pytest.approx(q[pos], abs=1e-9)
-    # BY is uniformly >= BH (harmonic inflation)
-    from padua_spark.operators.stats import qvalues
+    order = ["g1", "g2", "g3"]
+    jt = 0.0
+    for ii in range(3):
+        for jj in range(ii + 1, 3):
+            for x in groups[order[ii]]:
+                for y in groups[order[jj]]:
+                    if x < y:
+                        jt += 1.0
+                    elif x == y:
+                        jt += 0.5
+    ns = [len(groups[g]) for g in order]
+    n = sum(ns)
+    e = (n * n - sum(x * x for x in ns)) / 4.0
+    var = (n * n * (2 * n + 3) - sum(x * x * (2 * x + 3) for x in ns)) / 72.0
+    z = (jt - e) / np.sqrt(var)
 
-    bh = {r["k"]: r["q_value"] for r in qvalues(df, pi0=1.0).collect()}
-    assert all(out[k] >= bh[k] - 1e-12 for k in out)
+    assert r["n"] == n
+    assert r["jt"] == pytest.approx(jt, abs=1e-9)
+    assert r["z"] == pytest.approx(z, abs=1e-6)
+    # increasing medians by construction -> strongly positive z
+    assert r["z"] > 2
