@@ -13853,6 +13853,169 @@ def q_jonckheere_terpstra(spark, sf):
     )
 
 
+_MOMENTS_NORMALITY_ORACLE = """
+WITH agg AS (
+  SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+    sum(v) AS s1, sum(v * v) AS s2, sum(v * v * v) AS s3,
+    sum(v * v * v * v) AS s4
+  FROM (SELECT l_returnflag, CAST(l_quantity AS DOUBLE) AS v
+        FROM lineitem WHERE l_quantity IS NOT NULL)
+  GROUP BY 1
+),
+mom AS (
+  SELECT l_returnflag, n, CAST(n AS DOUBLE) AS d,
+    CASE WHEN s2 / n - (s1 / n) * (s1 / n) > 0 THEN
+      (s3 / n - 3.0 * (s1 / n) * s2 / n
+       + 2.0 * (s1 / n) * (s1 / n) * (s1 / n))
+      / power(s2 / n - (s1 / n) * (s1 / n), 1.5) END AS g1,
+    CASE WHEN s2 / n - (s1 / n) * (s1 / n) > 0 THEN
+      (s4 / n - 4.0 * (s1 / n) * s3 / n
+       + 6.0 * (s1 / n) * (s1 / n) * s2 / n
+       - 3.0 * (s1 / n) * (s1 / n) * (s1 / n) * (s1 / n))
+      / ((s2 / n - (s1 / n) * (s1 / n))
+         * (s2 / n - (s1 / n) * (s1 / n))) END AS b2
+  FROM agg
+),
+sk AS (
+  SELECT *,
+    g1 * sqrt((d + 1.0) * (d + 3.0) / (6.0 * (d - 2.0)))
+      / sqrt(2.0 / (sqrt(2.0 * (3.0 * (d * d + 27.0 * d - 70.0)
+        * (d + 1.0) * (d + 3.0)
+        / ((d - 2.0) * (d + 5.0) * (d + 7.0) * (d + 9.0)) - 1.0))
+        - 1.0 - 1.0)) AS ya,
+    1.0 / sqrt(0.5 * ln(sqrt(2.0 * (3.0 * (d * d + 27.0 * d - 70.0)
+      * (d + 1.0) * (d + 3.0)
+      / ((d - 2.0) * (d + 5.0) * (d + 7.0) * (d + 9.0)) - 1.0))
+      - 1.0)) AS delta,
+    6.0 + 8.0 / (6.0 * (d * d - 5.0 * d + 2.0)
+      / ((d + 7.0) * (d + 9.0))
+      * sqrt(6.0 * (d + 3.0) * (d + 5.0)
+             / (d * (d - 2.0) * (d - 3.0))))
+      * (2.0 / (6.0 * (d * d - 5.0 * d + 2.0) / ((d + 7.0) * (d + 9.0))
+          * sqrt(6.0 * (d + 3.0) * (d + 5.0)
+                 / (d * (d - 2.0) * (d - 3.0))))
+         + sqrt(1.0 + 4.0 / ((6.0 * (d * d - 5.0 * d + 2.0)
+             / ((d + 7.0) * (d + 9.0))
+             * sqrt(6.0 * (d + 3.0) * (d + 5.0)
+                    / (d * (d - 2.0) * (d - 3.0))))
+            * (6.0 * (d * d - 5.0 * d + 2.0) / ((d + 7.0) * (d + 9.0))
+               * sqrt(6.0 * (d + 3.0) * (d + 5.0)
+                      / (d * (d - 2.0) * (d - 3.0))))))) AS a_ag,
+    (b2 - 3.0 * (d - 1.0) / (d + 1.0))
+      / sqrt(24.0 * d * (d - 2.0) * (d - 3.0)
+             / ((d + 1.0) * (d + 1.0) * (d + 3.0) * (d + 5.0))) AS x
+  FROM mom
+),
+zz AS (
+  SELECT l_returnflag, n, d, g1, b2,
+    CASE WHEN n >= 8 AND g1 IS NOT NULL THEN
+      delta * ln(ya + sqrt(ya * ya + 1.0)) END AS zs,
+    CASE WHEN n >= 5 AND b2 IS NOT NULL THEN
+      (1.0 - 2.0 / (9.0 * a_ag)
+       - sign(1.0 + x * sqrt(2.0 / (a_ag - 4.0)))
+         * cbrt(abs((1.0 - 2.0 / a_ag)
+                    / (1.0 + x * sqrt(2.0 / (a_ag - 4.0))))))
+      / sqrt(2.0 / (9.0 * a_ag)) END AS zk
+  FROM sk
+)
+SELECT l_returnflag, n,
+  round(g1, 6) AS skew_g1, round(b2 - 3.0, 6) AS kurt_g2,
+  round(zs, 6) AS z_skew, round(zk, 6) AS z_kurt,
+  round(zs * zs + zk * zk, 6) AS k2_stat,
+  round(exp(-(zs * zs + zk * zk) / 2.0), 6) AS p_k2,
+  round(d / 6.0 * (g1 * g1 + (b2 - 3.0) * (b2 - 3.0) / 4.0), 6)
+    AS jb_stat,
+  round(exp(-(d / 6.0 * (g1 * g1 + (b2 - 3.0) * (b2 - 3.0) / 4.0))
+            / 2.0), 6) AS p_jb
+FROM zz
+"""
+
+
+@_q("moments_normality", _MOMENTS_NORMALITY_ORACLE)
+def q_moments_normality(spark, sf):
+    """Moment-based normality battery per return flag — D'Agostino K²
+    (skew + kurtosis z) and Jarque–Bera with EXACT closed-form chi²(2)
+    p-values (stats.moments_normality): one power-sum aggregation
+    pass, all special-function-free, shared verbatim with the
+    oracle."""
+    from padua_spark.operators.stats import moments_normality
+
+    li = _t(spark, sf, "lineitem")
+    return moments_normality(li, ["l_returnflag"], "l_quantity")
+
+
+_ANSARI_ORACLE = """
+WITH per AS (
+  SELECT v, CAST(count(*) FILTER (g = 'A') AS BIGINT) AS ca,
+    CAST(count(*) FILTER (g = 'R') AS BIGINT) AS cb
+  FROM (SELECT CAST(l_quantity AS DOUBLE) AS v, l_returnflag AS g
+        FROM lineitem
+        WHERE l_quantity IS NOT NULL AND l_returnflag IN ('A', 'R'))
+  GROUP BY 1
+),
+cum AS (
+  SELECT ca, cb, ca + cb AS h,
+    sum(ca + cb) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS f,
+    sum(ca) OVER () AS na, sum(cb) OVER () AS nb
+  FROM per
+),
+sc AS (
+  SELECT ca, cb, h,
+    least(2 * f - h + 1, 2 * (na + nb) + 2 - (2 * f - h + 1)) AS s2
+  FROM cum
+),
+agg AS (
+  SELECT sum(CAST(ca AS HUGEINT) * CAST(s2 AS HUGEINT)) AS ab2,
+    CAST(sum(ca) AS BIGINT) AS n_a, CAST(sum(cb) AS BIGINT) AS n_b,
+    sum(CAST(h AS HUGEINT) * CAST(s2 AS HUGEINT)) AS hs,
+    sum(CAST(h AS HUGEINT) * CAST(s2 AS HUGEINT)
+        * CAST(s2 AS HUGEINT)) AS hss
+  FROM sc
+),
+fin AS (
+  SELECT round(CAST(ab2 AS DOUBLE) / 2.0, 6) AS ab_stat, n_a, n_b,
+    CASE WHEN CAST(n_a AS DOUBLE) * n_b
+          * (CAST(hss AS DOUBLE) - CAST(hs AS DOUBLE)
+             * CAST(hs AS DOUBLE) / (CAST(n_a AS DOUBLE) + n_b))
+          / ((CAST(n_a AS DOUBLE) + n_b)
+             * (CAST(n_a AS DOUBLE) + n_b - 1.0)) > 0
+    THEN (CAST(ab2 AS DOUBLE)
+          - CAST(n_a AS DOUBLE) * CAST(hs AS DOUBLE)
+            / (CAST(n_a AS DOUBLE) + n_b))
+      / sqrt(CAST(n_a AS DOUBLE) * n_b
+             * (CAST(hss AS DOUBLE) - CAST(hs AS DOUBLE)
+                * CAST(hs AS DOUBLE) / (CAST(n_a AS DOUBLE) + n_b))
+             / ((CAST(n_a AS DOUBLE) + n_b)
+                * (CAST(n_a AS DOUBLE) + n_b - 1.0))) END AS z
+  FROM agg
+),
+e AS (
+  SELECT *, abs(z) / sqrt(2.0) AS x,
+    1.0 / (1.0 + 0.3275911 * (abs(z) / sqrt(2.0))) AS t
+  FROM fin
+)
+SELECT ab_stat, n_a, n_b, round(z, 6) AS z,
+  round((0.254829592 * t + -0.284496736 * t * t
+         + 1.421413741 * t * t * t + -1.453152027 * t * t * t * t
+         + 1.061405429 * t * t * t * t * t) * exp(-x * x), 6)
+    AS p_normal
+FROM e
+"""
+
+
+@_q("ansari_bradley", _ANSARI_ORACLE)
+def q_ansari_bradley(spark, sf):
+    """Ansari–Bradley two-sample scale test A vs R on quantity
+    (stats.ansari_bradley): doubled min-from-both-ends midrank scores
+    on the shared distributed ECDF cumsum, exact conditional
+    (tie-respecting) null moments, A&S-erfc two-sided p — integer
+    arithmetic until the final division on both engines."""
+    from padua_spark.operators.stats import ansari_bradley
+
+    li = _t(spark, sf, "lineitem")
+    return ansari_bradley(li, "l_returnflag", "l_quantity", "A", "R")
+
+
 # ---------------------------------------------------------------------------
 
 

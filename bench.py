@@ -216,6 +216,8 @@ HEADLINE = [
     "mood_median_test",
     "cvm_2samp",
     "jonckheere_terpstra",
+    "moments_normality",
+    "ansari_bradley",
 ]
 
 

@@ -1040,7 +1040,7 @@ def isotonic_calibration(
     y = F.col(label_col).cast("int")
     bin_idx = F.least(
         F.lit(n_bins - 1), F.floor(s * F.lit(n_bins)).cast("int")
-    )
+    ).cast("bigint")
     pts = (
         df.where(s.isNotNull() & y.isNotNull())
         .groupBy(*gcols, bin_idx.alias("bin"))

@@ -3818,3 +3818,209 @@ def jonckheere_terpstra(
         F.round(_normal_sf_1sided(z), 6).alias("p_value"),
     )
     return track_cached(out, per)
+
+
+def moments_normality(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+) -> DataFrame:
+    """Moment-based normality battery per group: D'Agostino's K²
+    (skewness z of D'Agostino 1970 + kurtosis z of Anscombe–Glynn
+    1983, scipy.stats.normaltest's composition) and the Jarque–Bera
+    statistic — the screening tests a feature-QC pass runs over every
+    numeric column before parametric modeling (reference ships ttest/
+    ANOVA assuming normality, analysis.py:33-140; this is the check).
+
+    ONE aggregation pass per group over the four power sums
+    ``Σx..Σx⁴`` (exact in doubles for integer-valued features —
+    partition-order-proof); central moments, ``g1 = m3/m2^1.5``,
+    ``b2 = m4/m2²`` and both z transforms are closed-form scalar
+    arithmetic on the aggregated row. Both p-values are EXACT
+    closed-form (chi² df=2 survival ``exp(−x/2)`` — no incomplete
+    gamma needed), shared verbatim with the SQL oracle. ``z_skew``
+    needs n ≥ 8 and ``z_kurt`` n ≥ 5 (scipy's documented minima);
+    below that (or when the group is constant) the z/K²/p columns are
+    NULL while the raw moments stay. Output per group:
+    ``(…group_cols, n, skew_g1, kurt_g2, z_skew, z_kurt, k2_stat,
+    p_k2, jb_stat, p_jb)``.
+    """
+    v = F.col(value_col).cast("double")
+    agg = (
+        df.where(v.isNotNull())
+        .groupBy(*group_cols)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(v).alias("_s1"),
+            F.sum(v * v).alias("_s2"),
+            F.sum(v * v * v).alias("_s3"),
+            F.sum(v * v * v * v).alias("_s4"),
+        )
+    )
+    nd = F.col("n").cast("double")
+    mean = F.col("_s1") / nd
+    m2 = F.col("_s2") / nd - mean * mean
+    m3 = (
+        F.col("_s3") / nd
+        - 3.0 * mean * F.col("_s2") / nd
+        + 2.0 * mean * mean * mean
+    )
+    m4 = (
+        F.col("_s4") / nd
+        - 4.0 * mean * F.col("_s3") / nd
+        + 6.0 * mean * mean * F.col("_s2") / nd
+        - 3.0 * mean * mean * mean * mean
+    )
+    mom = agg.select(
+        *group_cols, "n",
+        F.when(m2 > 0, m3 / F.pow(m2, F.lit(1.5))).alias("_g1"),
+        F.when(m2 > 0, m4 / (m2 * m2)).alias("_b2"),
+    )
+    nd = F.col("n").cast("double")
+    g1 = F.col("_g1")
+    b2 = F.col("_b2")
+    # --- D'Agostino (1970) skewness z (scipy.stats.skewtest) ---
+    y = g1 * F.sqrt((nd + 1.0) * (nd + 3.0) / (6.0 * (nd - 2.0)))
+    beta2 = (
+        3.0 * (nd * nd + 27.0 * nd - 70.0) * (nd + 1.0) * (nd + 3.0)
+        / ((nd - 2.0) * (nd + 5.0) * (nd + 7.0) * (nd + 9.0))
+    )
+    w2 = F.sqrt(2.0 * (beta2 - 1.0)) - 1.0
+    delta = 1.0 / F.sqrt(0.5 * F.log(w2))
+    alpha = F.sqrt(2.0 / (w2 - 1.0))
+    ya = y / alpha
+    z_skew = F.when(
+        (F.col("n") >= 8) & g1.isNotNull(),
+        delta * F.log(ya + F.sqrt(ya * ya + 1.0)),
+    )
+    # --- Anscombe–Glynn (1983) kurtosis z (scipy.stats.kurtosistest) ---
+    e_b2 = 3.0 * (nd - 1.0) / (nd + 1.0)
+    var_b2 = (
+        24.0 * nd * (nd - 2.0) * (nd - 3.0)
+        / ((nd + 1.0) * (nd + 1.0) * (nd + 3.0) * (nd + 5.0))
+    )
+    x = (b2 - e_b2) / F.sqrt(var_b2)
+    sb1 = (
+        6.0 * (nd * nd - 5.0 * nd + 2.0) / ((nd + 7.0) * (nd + 9.0))
+        * F.sqrt(
+            6.0 * (nd + 3.0) * (nd + 5.0)
+            / (nd * (nd - 2.0) * (nd - 3.0))
+        )
+    )
+    a_ag = 6.0 + 8.0 / sb1 * (
+        2.0 / sb1 + F.sqrt(1.0 + 4.0 / (sb1 * sb1))
+    )
+    denom = 1.0 + x * F.sqrt(2.0 / (a_ag - 4.0))
+    term2 = F.signum(denom) * F.cbrt(
+        F.abs((1.0 - 2.0 / a_ag) / denom)
+    )
+    z_kurt = F.when(
+        (F.col("n") >= 5) & b2.isNotNull(),
+        (1.0 - 2.0 / (9.0 * a_ag) - term2)
+        / F.sqrt(2.0 / (9.0 * a_ag)),
+    )
+    staged = mom.select(
+        *group_cols, "n",
+        g1.alias("_g1"), (b2 - 3.0).alias("_g2"),
+        z_skew.alias("_zs"), z_kurt.alias("_zk"),
+    )
+    k2 = F.col("_zs") * F.col("_zs") + F.col("_zk") * F.col("_zk")
+    jb = F.col("n").cast("double") / 6.0 * (
+        F.col("_g1") * F.col("_g1") + F.col("_g2") * F.col("_g2") / 4.0
+    )
+    return staged.select(
+        *group_cols, "n",
+        F.round("_g1", 6).alias("skew_g1"),
+        F.round("_g2", 6).alias("kurt_g2"),
+        F.round("_zs", 6).alias("z_skew"),
+        F.round("_zk", 6).alias("z_kurt"),
+        F.round(k2, 6).alias("k2_stat"),
+        F.round(F.exp(-k2 / 2.0), 6).alias("p_k2"),
+        F.round(jb, 6).alias("jb_stat"),
+        F.round(F.exp(-jb / 2.0), 6).alias("p_jb"),
+    )
+
+
+def ansari_bradley(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    group_a,
+    group_b,
+    small_domain_threshold: int | None = None,
+) -> DataFrame:
+    """Ansari–Bradley two-sample SCALE test (scipy.stats.ansari's
+    statistic with the tie-aware normal approximation): are the two
+    groups equally dispersed about a common center? The rank-based
+    companion to :func:`levene_stats`/:func:`bartlett_stats` that
+    needs no variance estimate — scores rise toward BOTH ends of the
+    pooled ordering, ``s(r) = min(r, N+1−r)`` on midranks.
+
+    All integer-exact via doubled scores on the shared distributed
+    ECDF cumsum (:func:`_ecdf_stepped_counts` — one bounded
+    distinct-value frame, no global sort): doubled midrank
+    ``d = 2F − h + 1``, doubled score ``s₂ = min(d, 2N+2−d)``,
+    ``AB₂ = Σ_v c_a(v)·s₂(v)``. The null moments use the exact
+    conditional (tie-respecting) permutation form
+    ``E[AB₂] = m·Σh·s₂/N``,
+    ``Var[AB₂] = m·n_b·(Σh·s₂² − (Σh·s₂)²/N)/(N(N−1))`` —
+    scipy's large-sample path with ties. Two-sided p via the shared
+    A&S-erfc polynomial. Output 1 row:
+    ``(ab_stat, n_a, n_b, z, p_normal)`` (``ab_stat`` may end in .5
+    under ties; z NULL when the pooled sample is constant).
+    """
+    from padua_spark.io_utils import track_cached
+
+    ecdf = _ecdf_stepped_counts(
+        df, group_col, value_col, group_a, group_b,
+        small_domain_threshold=small_domain_threshold,
+    )
+    h = F.col("_ca") + F.col("_cb")
+    f_pool = F.col("_fa") + F.col("_fb")
+    n2 = F.col("_na") + F.col("_nb")  # totals are constant per row
+    d = 2 * f_pool - h + 1
+    s2 = F.least(d, 2 * n2 + 2 - d)
+    dec = "decimal(38,0)"
+    agg = ecdf.select(
+        "_ca", "_cb", h.alias("_h"), s2.alias("_s2"),
+    ).agg(
+        F.sum(F.col("_ca").cast(dec) * F.col("_s2").cast(dec)).alias(
+            "_ab2"
+        ),
+        F.sum("_ca").alias("n_a"),
+        F.sum("_cb").alias("n_b"),
+        F.sum(F.col("_h").cast(dec) * F.col("_s2").cast(dec)).alias(
+            "_hs"
+        ),
+        F.sum(
+            F.col("_h").cast(dec)
+            * F.col("_s2").cast(dec)
+            * F.col("_s2").cast(dec)
+        ).alias("_hss"),
+    )
+    na = F.col("n_a").cast("double")
+    nb = F.col("n_b").cast("double")
+    nt = na + nb
+    e2 = na * F.col("_hs").cast("double") / nt
+    var2 = (
+        na * nb
+        * (
+            F.col("_hss").cast("double")
+            - F.col("_hs").cast("double")
+            * F.col("_hs").cast("double") / nt
+        )
+        / (nt * (nt - 1.0))
+    )
+    z = F.when(
+        var2 > 0, (F.col("_ab2").cast("double") - e2) / F.sqrt(var2)
+    )
+    staged = agg.select(
+        F.round(F.col("_ab2").cast("double") / 2.0, 6).alias("ab_stat"),
+        "n_a", "n_b", z.alias("z"),
+    )
+    out = staged.select(
+        "ab_stat", "n_a", "n_b",
+        F.round("z", 6).alias("z"),
+        F.round(_normal_sf_2sided(F.col("z")), 6).alias("p_normal"),
+    )
+    return track_cached(out, *getattr(ecdf, "_padua_cached", ()))

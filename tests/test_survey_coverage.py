@@ -259,6 +259,8 @@ COVERAGE = {
     "E144": "entry:mood_median_test",
     "E145": "entry:cvm_2samp",
     "E146": "entry:jonckheere_terpstra",
+    "E147": "entry:moments_normality",
+    "E148": "entry:ansari_bradley",
 }
 
 

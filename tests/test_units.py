@@ -5397,3 +5397,137 @@ def test_jonckheere_terpstra_vs_brute_force(spark):
     assert r["z"] == pytest.approx(z, abs=1e-6)
     # increasing medians by construction -> strongly positive z
     assert r["z"] > 2
+
+
+def test_moments_normality_vs_independent_numpy(spark):
+    import numpy as np
+
+    from padua_spark.operators.stats import moments_normality
+
+    rng = np.random.RandomState(7)
+    data = {
+        "a": rng.poisson(4, 500).astype(float),
+        "b": (rng.poisson(4, 400) * 2 - 4).astype(float),
+    }
+    rows = [(g, float(v)) for g, vs in data.items() for v in vs]
+    df = spark.createDataFrame(rows, ["g", "v"])
+    got = {r["g"]: r.asDict() for r in moments_normality(df, ["g"], "v").collect()}
+
+    # independent transcription of D'Agostino (1970) + Anscombe-Glynn
+    # (1983) from the published formulas (scipy.stats.normaltest's
+    # composition), written against numpy -- not the Spark expressions
+    for g, x in data.items():
+        n = len(x)
+        m = x.mean()
+        m2 = ((x - m) ** 2).mean()
+        m3 = ((x - m) ** 3).mean()
+        m4 = ((x - m) ** 4).mean()
+        g1 = m3 / m2 ** 1.5
+        b2 = m4 / m2 ** 2
+        y = g1 * np.sqrt((n + 1) * (n + 3) / (6.0 * (n - 2)))
+        beta2 = (3.0 * (n * n + 27 * n - 70) * (n + 1) * (n + 3)
+                 / ((n - 2.0) * (n + 5) * (n + 7) * (n + 9)))
+        w2 = np.sqrt(2 * (beta2 - 1)) - 1
+        z1 = 1 / np.sqrt(0.5 * np.log(w2)) * np.arcsinh(
+            y / np.sqrt(2.0 / (w2 - 1)))
+        e = 3.0 * (n - 1) / (n + 1)
+        varb2 = 24.0 * n * (n - 2) * (n - 3) / (
+            (n + 1) ** 2 * (n + 3) * (n + 5))
+        xx = (b2 - e) / np.sqrt(varb2)
+        sb1 = (6.0 * (n * n - 5 * n + 2) / ((n + 7) * (n + 9))
+               * np.sqrt(6.0 * (n + 3) * (n + 5)
+                         / (n * (n - 2.0) * (n - 3))))
+        a = 6.0 + 8.0 / sb1 * (2.0 / sb1 + np.sqrt(1 + 4 / sb1 ** 2))
+        denom = 1 + xx * np.sqrt(2 / (a - 4))
+        z2 = ((1 - 2 / (9 * a)
+               - np.sign(denom) * np.abs((1 - 2.0 / a) / denom) ** (1 / 3))
+              / np.sqrt(2 / (9 * a)))
+        k2 = z1 * z1 + z2 * z2
+        jb = n / 6.0 * (g1 * g1 + (b2 - 3) ** 2 / 4.0)
+        r = got[g]
+        assert r["n"] == n
+        assert r["skew_g1"] == pytest.approx(g1, abs=2e-6)
+        assert r["kurt_g2"] == pytest.approx(b2 - 3, abs=2e-6)
+        assert r["z_skew"] == pytest.approx(z1, abs=2e-6)
+        assert r["z_kurt"] == pytest.approx(z2, abs=2e-6)
+        assert r["k2_stat"] == pytest.approx(k2, abs=5e-6)
+        assert r["p_k2"] == pytest.approx(np.exp(-k2 / 2), abs=2e-6)
+        assert r["jb_stat"] == pytest.approx(jb, abs=5e-6)
+        assert r["p_jb"] == pytest.approx(np.exp(-jb / 2), abs=2e-6)
+    # Poisson(4) is right-skewed: the skew z must be positive
+    assert got["a"]["z_skew"] > 1
+
+
+def test_moments_normality_small_and_constant_groups(spark):
+    from padua_spark.operators.stats import moments_normality
+
+    rows = (
+        [("tiny", float(v)) for v in (1, 2, 3, 4, 5, 6)]  # n=6 < 8
+        + [("const", 5.0)] * 20
+    )
+    df = spark.createDataFrame(rows, ["g", "v"])
+    got = {r["g"]: r.asDict() for r in moments_normality(df, ["g"], "v").collect()}
+    assert got["tiny"]["z_skew"] is None  # below the n>=8 minimum
+    assert got["tiny"]["z_kurt"] is not None  # n>=5 ok
+    assert got["tiny"]["k2_stat"] is None
+    assert got["const"]["skew_g1"] is None  # zero variance -> NULL moments
+    assert got["const"]["jb_stat"] is None
+
+
+def test_ansari_bradley_vs_exact_permutation_moments(spark):
+    """Null mean/variance of the AB statistic (with ties) against the
+    EXACT conditional permutation distribution enumerated over all
+    C(N, m) group assignments."""
+    import itertools
+    from collections import Counter
+
+    import numpy as np
+
+    from padua_spark.operators.stats import ansari_bradley
+
+    xs = np.array([1, 2, 2, 3, 4, 4, 4, 5, 6, 1], dtype=float)
+    rows = [("a", float(v)) for v in xs[:4]] + [
+        ("b", float(v)) for v in xs[4:]
+    ]
+    df = spark.createDataFrame(rows, ["g", "v"])
+    r = ansari_bradley(df, "g", "v", "a", "b").collect()[0]
+
+    c = Counter(xs)
+    ranks, cum = {}, 0
+    for v in sorted(c):
+        ranks[v] = cum + (c[v] + 1) / 2.0
+        cum += c[v]
+    n = len(xs)
+    s = np.minimum(
+        np.array([ranks[v] for v in xs]),
+        n + 1 - np.array([ranks[v] for v in xs]),
+    )
+    ab = s[:4].sum()
+    tot = tot2 = cnt = 0
+    for comb in itertools.combinations(range(n), 4):
+        v = s[list(comb)].sum()
+        tot += v
+        tot2 += v * v
+        cnt += 1
+    e = tot / cnt
+    var = tot2 / cnt - e * e
+    assert r["ab_stat"] == pytest.approx(ab, abs=1e-9)
+    assert r["z"] == pytest.approx((ab - e) / np.sqrt(var), abs=1e-6)
+
+
+def test_ansari_bradley_detects_scale_difference(spark):
+    import numpy as np
+
+    from padua_spark.operators.stats import ansari_bradley
+
+    rng = np.random.RandomState(11)
+    narrow = rng.normal(0, 1, 300)
+    wide = rng.normal(0, 4, 300)
+    rows = [("n", float(v)) for v in narrow] + [
+        ("w", float(v)) for v in wide
+    ]
+    df = spark.createDataFrame(rows, ["g", "v"])
+    r = ansari_bradley(df, "g", "v", "n", "w").collect()[0]
+    # narrow group concentrates near the center -> high AB scores -> z > 0
+    assert r["z"] > 5 and r["p_normal"] < 1e-6
+    assert r["n_a"] == 300 and r["n_b"] == 300
