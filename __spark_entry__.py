@@ -14016,6 +14016,255 @@ def q_ansari_bradley(spark, sf):
     return ansari_bradley(li, "l_returnflag", "l_quantity", "A", "R")
 
 
+
+# --- ext round 9: classical association / agreement battery -----------------
+
+
+def _fisher_oracle() -> str:
+    lp_i = (
+        _log_choose_sql("r1", "i")
+        + " + " + _log_choose_sql("r2", "c1 - i")
+        + " - ld"
+    )
+    lp_a = (
+        _log_choose_sql("r1", "a")
+        + " + " + _log_choose_sql("r2", "c1 - a")
+        + " - ld"
+    )
+    return f"""
+WITH t AS (
+  SELECT CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END AS e,
+         CASE WHEN c_acctbal > 9000.0 THEN 1 ELSE 0 END AS o
+  FROM customer
+),
+cnt AS (
+  SELECT
+    CAST(sum(CASE WHEN e = 1 AND o = 1 THEN 1 ELSE 0 END) AS BIGINT) AS a,
+    CAST(sum(CASE WHEN e = 1 AND o = 0 THEN 1 ELSE 0 END) AS BIGINT) AS b,
+    CAST(sum(CASE WHEN e = 0 AND o = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c,
+    CAST(sum(CASE WHEN e = 0 AND o = 0 THEN 1 ELSE 0 END) AS BIGINT) AS d
+  FROM t
+),
+m AS (
+  SELECT *, a + b AS r1, c + d AS r2, a + c AS c1, a + b + c + d AS n,
+    greatest(CAST(0 AS BIGINT), (a + c) - (c + d)) AS lo,
+    least(a + b, a + c) AS hi
+  FROM cnt
+),
+md AS (
+  SELECT *, {_log_choose_sql("n", "c1")} AS ld FROM m
+),
+rows_i AS (
+  SELECT md.*, unnest(generate_series(lo, hi)) AS i FROM md
+),
+terms AS (
+  SELECT a, b, c, d, i, ({lp_i}) AS lp, ({lp_a}) AS lpa FROM rows_i
+),
+p AS (
+  SELECT a, b, c, d,
+    sum(CASE WHEN i <= a THEN exp(lp) ELSE 0.0 END ORDER BY i) AS pl,
+    sum(CASE WHEN i >= a THEN exp(lp) ELSE 0.0 END ORDER BY i) AS pr,
+    sum(CASE WHEN lp <= lpa + 9.999999505838704e-08
+        THEN exp(lp) ELSE 0.0 END ORDER BY i) AS pt
+  FROM terms GROUP BY 1, 2, 3, 4
+)
+SELECT a, b, c, d,
+  round(CASE WHEN b * c > 0
+        THEN (CAST(a AS DOUBLE) * d) / (CAST(b AS DOUBLE) * c) END, 6)
+    AS odds_ratio_sample,
+  round(least(pl, 1.0), 6) AS p_left,
+  round(least(pr, 1.0), 6) AS p_right,
+  round(least(pt, 1.0), 6) AS p_two
+FROM p
+"""
+
+
+@_q("fisher_exact", _fisher_oracle())
+def q_fisher_exact(spark, sf):
+    """Fisher exact 2x2 on customers: market segment BUILDING vs
+    account balance > 9000 (stats.fisher_exact): one aggregation to
+    four exact cells, hypergeometric support folded JVM-side with the
+    shared Lanczos log-gamma, scipy's point-probability two-sided
+    rule with the same relative-tolerance guard on both engines."""
+    from padua_spark.operators.stats import fisher_exact
+
+    c = _t(spark, sf, "customer")
+    u = c.select(
+        F.when(F.col("c_mktsegment") == "BUILDING", 1)
+        .otherwise(0).alias("expo"),
+        F.when(F.col("c_acctbal") > 9000.0, 1).otherwise(0).alias("outc"),
+    )
+    return fisher_exact(u, "expo", "outc")
+
+
+_CRAMERS_V_ORACLE = """
+WITH cells AS (
+  SELECT o_orderstatus AS a, o_orderpriority AS b, count(*) AS n
+  FROM orders
+  WHERE o_orderstatus IS NOT NULL AND o_orderpriority IS NOT NULL
+  GROUP BY 1, 2
+),
+ra AS (SELECT a, sum(n) AS ra FROM cells GROUP BY 1),
+cb AS (SELECT b, sum(n) AS cb FROM cells GROUP BY 1),
+dims AS (
+  SELECT count(DISTINCT a) AS r, count(DISTINCT b) AS c, sum(n) AS nt
+  FROM cells
+),
+j AS (
+  SELECT cells.n, ra.ra, cb.cb, dims.nt, dims.r, dims.c
+  FROM cells JOIN ra USING (a) JOIN cb USING (b), dims
+),
+chi AS (
+  SELECT
+    sum(power(CAST(n AS DOUBLE)
+              - CAST(ra AS DOUBLE) * CAST(cb AS DOUBLE)
+                / CAST(nt AS DOUBLE), 2)
+        / (CAST(ra AS DOUBLE) * CAST(cb AS DOUBLE)
+           / CAST(nt AS DOUBLE))) AS chi2,
+    max(nt) AS n_total, max(r) AS r_levels, max(c) AS c_levels
+  FROM j
+),
+fin AS (
+  SELECT *,
+    chi2 / n_total AS phi2,
+    greatest(0.0, chi2 / n_total
+      - (CAST(r_levels AS DOUBLE) - 1.0) * (CAST(c_levels AS DOUBLE) - 1.0)
+        / (CAST(n_total AS DOUBLE) - 1.0)) AS phi2p,
+    CAST(r_levels AS DOUBLE)
+      - power(CAST(r_levels AS DOUBLE) - 1.0, 2)
+        / (CAST(n_total AS DOUBLE) - 1.0) AS rp,
+    CAST(c_levels AS DOUBLE)
+      - power(CAST(c_levels AS DOUBLE) - 1.0, 2)
+        / (CAST(n_total AS DOUBLE) - 1.0) AS cp
+  FROM chi
+)
+SELECT round(chi2, 6) AS chi2, n_total, r_levels, c_levels,
+  round(CASE WHEN least(rp - 1.0, cp - 1.0) > 0
+        THEN sqrt(phi2p / least(rp - 1.0, cp - 1.0)) END, 6)
+    AS cramers_v
+FROM fin
+"""
+
+
+@_q("cramers_v", _CRAMERS_V_ORACLE)
+def q_cramers_v(spark, sf):
+    """Bias-corrected Cramer's V between order status and priority
+    (stats.cramers_v): one hash aggregation to the bounded
+    contingency cells, margin windows over that cell frame, exact
+    integer counts into the Bergsma-corrected effect size."""
+    from padua_spark.operators.stats import cramers_v
+
+    o = _t(spark, sf, "orders")
+    return cramers_v(o, "o_orderstatus", "o_orderpriority")
+
+
+_CCC_ORACLE = """
+WITH p AS (
+  SELECT CAST(l_extendedprice AS DOUBLE) AS x,
+         CAST(l_quantity AS DOUBLE) * 1000.0 AS y
+  FROM lineitem
+  WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL
+),
+agg AS (
+  SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+    sum(x * x) AS sxx, sum(y * y) AS syy, sum(x * y) AS sxy
+  FROM p
+),
+mo AS (
+  SELECT n,
+    sx / n AS mx, sy / n AS my,
+    sxx / n - (sx / n) * (sx / n) AS vx,
+    syy / n - (sy / n) * (sy / n) AS vy,
+    sxy / n - (sx / n) * (sy / n) AS cxy
+  FROM agg
+)
+SELECT n,
+  round(CASE WHEN vx > 0 AND vy > 0 THEN 2.0 * cxy
+        / (vx + vy + (mx - my) * (mx - my)) END, 6) AS ccc,
+  round(CASE WHEN vx > 0 AND vy > 0 THEN cxy / sqrt(vx * vy) END, 6)
+    AS pearson_r,
+  round(CASE WHEN vx > 0 AND vy > 0 THEN 2.0
+        / (sqrt(vx / vy) + 1.0 / sqrt(vx / vy)
+           + (mx - my) * (mx - my) / sqrt(vx * vy)) END, 6) AS c_b
+FROM mo
+"""
+
+
+@_q("concordance_ccc", _CCC_ORACLE)
+def q_concordance_ccc(spark, sf):
+    """Lin's concordance correlation of extended price vs
+    quantity*1000 (stats.concordance_ccc): one six-sum aggregation,
+    closed-form Lin decomposition CCC = r * C_b on the 1-row frame."""
+    from padua_spark.operators.stats import concordance_ccc
+
+    li = _t(spark, sf, "lineitem").select(
+        F.col("l_extendedprice").alias("x"),
+        (F.col("l_quantity") * 1000.0).alias("y"),
+    )
+    return concordance_ccc(li, "x", "y")
+
+
+_FLEISS_ORACLE = """
+WITH k4 AS (
+  SELECT l_orderkey FROM lineitem GROUP BY 1 HAVING count(*) = 4
+),
+r AS (
+  SELECT l.l_orderkey AS item, l.l_returnflag AS cat
+  FROM lineitem l JOIN k4 USING (l_orderkey)
+  WHERE l.l_returnflag IS NOT NULL
+),
+cells AS (SELECT item, cat, count(*) AS nij FROM r GROUP BY 1, 2),
+per_item AS (
+  SELECT item, sum(nij) AS n, sum(nij * nij) AS sq FROM cells GROUP BY 1
+),
+si AS (
+  SELECT count(*) AS n_items, min(n) AS n_raters, sum(sq) AS ssq
+  FROM per_item
+),
+pc AS (SELECT cat, sum(nij) AS cj FROM cells GROUP BY 1),
+ca AS (
+  SELECT count(*) AS k_categories,
+    sum(CAST(cj AS DOUBLE) * CAST(cj AS DOUBLE)) AS csq
+  FROM pc
+),
+fin AS (
+  SELECT si.n_items, si.n_raters, ca.k_categories,
+    (CAST(ssq AS DOUBLE) - CAST(n_items AS DOUBLE) * n_raters)
+      / (CAST(n_items AS DOUBLE) * n_raters * (n_raters - 1.0)) AS p_bar,
+    csq / (CAST(n_items AS DOUBLE) * n_raters
+           * CAST(n_items AS DOUBLE) * n_raters) AS p_e
+  FROM si, ca
+)
+SELECT n_items, n_raters, k_categories,
+  round(p_bar, 6) AS p_bar, round(p_e, 6) AS p_e,
+  round(CASE WHEN p_e < 1.0 THEN (p_bar - p_e) / (1.0 - p_e) END, 6)
+    AS kappa
+FROM fin
+"""
+
+
+@_q("fleiss_kappa", _FLEISS_ORACLE)
+def q_fleiss_kappa(spark, sf):
+    """Fleiss' kappa over orders with exactly 4 lineitems as items and
+    the 4 lineitems' return flags as ratings (stats.fleiss_kappa):
+    the constant-rater contract holds by construction; two bounded
+    hash aggregations into the exact-integer kappa."""
+    from padua_spark.operators.stats import fleiss_kappa
+
+    li = _t(spark, sf, "lineitem")
+    k4 = (
+        li.groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .where(F.col("_c") == 4)
+        .select("l_orderkey")
+    )
+    r = li.join(k4, on="l_orderkey").select(
+        F.col("l_orderkey").alias("item"),
+        F.col("l_returnflag").alias("cat"),
+    )
+    return fleiss_kappa(r, "item", "cat")
+
+
 # ---------------------------------------------------------------------------
 
 

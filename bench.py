@@ -218,6 +218,10 @@ HEADLINE = [
     "jonckheere_terpstra",
     "moments_normality",
     "ansari_bradley",
+    "fisher_exact",
+    "cramers_v",
+    "concordance_ccc",
+    "fleiss_kappa",
 ]
 
 

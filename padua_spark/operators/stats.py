@@ -4024,3 +4024,387 @@ def ansari_bradley(
         F.round(_normal_sf_2sided(F.col("z")), 6).alias("p_normal"),
     )
     return track_cached(out, *getattr(ecdf, "_padua_cached", ()))
+
+
+def fisher_exact(
+    df: DataFrame,
+    exposure_col: str,
+    outcome_col: str,
+    max_support: int = 200_000,
+) -> DataFrame:
+    """Fisher's exact test for a 2×2 exposure/outcome table — the
+    small-count companion to :func:`two_proportion_ztest` /
+    :func:`odds_ratio_ci` (the reference reaches the same
+    hypergeometric family through PantherDB's server-side enrichment,
+    analysis.py:336-384; this is the offline two-sided form).
+
+    One aggregation to the four exact cell counts ``a,b,c,d``
+    (exposed/unexposed × outcome yes/no), then the exact conditional
+    null over the hypergeometric support ``i ∈ [max(0, c1−r2),
+    min(r1, c1)]`` (margins ``r1=a+b, r2=c+d, c1=a+c``):
+
+    ``pmf(i) = C(r1,i)·C(r2,c1−i)/C(N,c1)``
+    ``p_left  = Σ_{i≤a} pmf(i)``, ``p_right = Σ_{i≥a} pmf(i)``,
+    ``p_two   = Σ_{pmf(i) ≤ pmf(a)·(1+1e−7)} pmf(i)``
+
+    (the point-probability method with scipy's relative-tolerance
+    guard — both engines evaluate the same Lanczos log-gamma
+    arithmetic in the same order, so the inclusion decisions agree).
+    The support fold is a JVM higher-order function over
+    ``sequence(lo, hi)`` on the ONE aggregated row — no UDF, no
+    per-fact-row work.
+
+    **Scale contract**: the support length is ``min(r1,r2,c1,c2)+1``
+    — bounded by the SMALLEST margin, not the fact-table size, but a
+    balanced billion-row table would still make the fold itself the
+    bottleneck (and the exact test pointless: use the z/chi² tests at
+    those counts). Enforced: raises when the support exceeds
+    ``max_support``; pass ``None`` to opt out deliberately.
+
+    Output 1 row: ``(a, b, c, d, odds_ratio_sample, p_left, p_right,
+    p_two)`` — ``odds_ratio_sample`` is the unconditional ``ad/bc``
+    (NULL when ``bc = 0``), p-values rounded to 6dp.
+    """
+    from padua_spark.operators.external import _log_choose
+
+    ex = F.col(exposure_col).cast("int")
+    out = F.col(outcome_col).cast("int")
+    agg = df.where(ex.isNotNull() & out.isNotNull()).agg(
+        F.sum(((ex == 1) & (out == 1)).cast("int"))
+        .cast("bigint").alias("a"),
+        F.sum(((ex == 1) & (out == 0)).cast("int"))
+        .cast("bigint").alias("b"),
+        F.sum(((ex == 0) & (out == 1)).cast("int"))
+        .cast("bigint").alias("c"),
+        F.sum(((ex == 0) & (out == 0)).cast("int"))
+        .cast("bigint").alias("d"),
+    )
+    r1 = F.col("a") + F.col("b")
+    r2 = F.col("c") + F.col("d")
+    c1 = F.col("a") + F.col("c")
+    n = r1 + r2
+    lo = F.greatest(F.lit(0).cast("bigint"), c1 - r2)
+    hi = F.least(r1, c1)
+    span = hi - lo + 1
+    if max_support is not None:
+        guard = F.when(
+            span > F.lit(int(max_support)),
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        "fisher_exact: hypergeometric support "
+                    ),
+                    span.cast("string"),
+                    F.lit(
+                        f" exceeds max_support={int(max_support)}; "
+                        "use two_proportion_ztest / chi2 at these "
+                        "counts or pass max_support=None"
+                    ),
+                )
+            ).cast("bigint"),
+        ).otherwise(span)
+    else:
+        guard = span
+    # log-denominator and observed-cell log-pmf staged as columns
+    # (HOF lambdas are interpreted with no CSE)
+    staged = agg.select(
+        "a", "b", "c", "d",
+        r1.alias("_r1"), r2.alias("_r2"), c1.alias("_c1"),
+        n.alias("_n"), lo.alias("_lo"), hi.alias("_hi"),
+        guard.alias("_span"),
+    ).withColumn(
+        "_log_denom",
+        _log_choose(F.col("_n"), F.col("_c1")),
+    ).withColumn(
+        "_logp_a",
+        _log_choose(F.col("_r1"), F.col("a"))
+        + _log_choose(F.col("_r2"), F.col("_c1") - F.col("a"))
+        - F.col("_log_denom"),
+    )
+
+    def _logpmf(i):
+        return (
+            _log_choose(F.col("_r1"), i)
+            + _log_choose(F.col("_r2"), F.col("_c1") - i)
+            - F.col("_log_denom")
+        )
+
+    idx = F.sequence(F.col("_lo"), F.col("_hi"))
+    # the _span reference keeps the guard expression alive in the plan
+    folded = staged.select(
+        "a", "b", "c", "d",
+        (F.col("_span") - F.col("_span")).alias("_zero"),
+        F.aggregate(
+            idx,
+            F.lit(0.0),
+            lambda acc, i: acc
+            + F.when(i <= F.col("a"), F.exp(_logpmf(i))).otherwise(0.0),
+        ).alias("_pl"),
+        F.aggregate(
+            idx,
+            F.lit(0.0),
+            lambda acc, i: acc
+            + F.when(i >= F.col("a"), F.exp(_logpmf(i))).otherwise(0.0),
+        ).alias("_pr"),
+        F.aggregate(
+            idx,
+            F.lit(0.0),
+            lambda acc, i: acc
+            + F.when(
+                _logpmf(i)
+                <= F.col("_logp_a") + F.lit(9.999999505838704e-08),
+                F.exp(_logpmf(i)),
+            ).otherwise(0.0),
+        ).alias("_pt"),
+    )
+    ad = F.col("a").cast("double") * F.col("d").cast("double")
+    bc = F.col("b").cast("double") * F.col("c").cast("double")
+    return folded.select(
+        "a", "b", "c", "d",
+        F.round(
+            F.when(bc > 0, ad / bc), 6
+        ).alias("odds_ratio_sample"),
+        F.round(
+            F.least(F.col("_pl") + F.col("_zero"), F.lit(1.0)), 6
+        ).alias("p_left"),
+        F.round(F.least(F.col("_pr"), F.lit(1.0)), 6).alias("p_right"),
+        F.round(F.least(F.col("_pt"), F.lit(1.0)), 6).alias("p_two"),
+    )
+
+
+def cramers_v(
+    df: DataFrame,
+    col_a: str,
+    col_b: str,
+    bias_corrected: bool = True,
+) -> DataFrame:
+    """Cramér's V association strength between two categorical
+    columns — the [0,1]-normalized effect size the chi² independence
+    test doesn't give you (chi² grows with N; V answers "HOW
+    associated", the feature-redundancy question a curation pipeline
+    asks before dropping a column). With ``bias_corrected=True``
+    applies the Bergsma-Wicher 2013 correction (V̂ is badly biased
+    upward for large tables at small N):
+
+    ``φ² = χ²/N``;  ``φ²₊ = max(0, φ² − (r−1)(c−1)/(N−1))``;
+    ``r₊ = r − (r−1)²/(N−1)``, ``c₊`` likewise;
+    ``V = √(φ²₊ / min(r₊−1, c₊−1))``
+
+    Plan: ONE hash aggregation to the contingency cells (bounded by
+    the category-domain product, not the fact table), margins via two
+    windows over that bounded cell frame, χ² as an exact-expected
+    sum. Output 1 row: ``(chi2, n_total, r_levels, c_levels,
+    cramers_v)``, floats rounded to 6dp. V is NULL for degenerate
+    1×k tables (min(r,c) = 1 carries no association to measure).
+    """
+    a = F.col(col_a)
+    b = F.col(col_b)
+    cells = (
+        df.where(a.isNotNull() & b.isNotNull())
+        .groupBy(a.alias("_a"), b.alias("_b"))
+        .agg(F.count(F.lit(1)).alias("_n"))
+    )
+    wa = Window.partitionBy("_a")
+    wb = Window.partitionBy("_b")
+    wall = Window.partitionBy()
+    staged = cells.select(
+        "_n",
+        F.sum("_n").over(wa).alias("_ra"),
+        F.sum("_n").over(wb).alias("_cb"),
+        F.sum("_n").over(wall).alias("_nt"),
+        F.size(F.collect_set("_a").over(wall)).alias("_r"),
+        F.size(F.collect_set("_b").over(wall)).alias("_c"),
+    )
+    exp_n = (
+        F.col("_ra").cast("double")
+        * F.col("_cb").cast("double")
+        / F.col("_nt").cast("double")
+    )
+    term = (F.col("_n").cast("double") - exp_n) ** 2 / exp_n
+    agg = staged.agg(
+        F.sum(term).alias("_chi2"),
+        F.max("_nt").alias("n_total"),
+        F.max("_r").alias("r_levels"),
+        F.max("_c").alias("c_levels"),
+    )
+    nd = F.col("n_total").cast("double")
+    rd = F.col("r_levels").cast("double")
+    cd = F.col("c_levels").cast("double")
+    phi2 = F.col("_chi2") / nd
+    if bias_corrected:
+        phi2p = F.greatest(
+            F.lit(0.0),
+            phi2 - (rd - 1.0) * (cd - 1.0) / (nd - 1.0),
+        )
+        rp = rd - (rd - 1.0) ** 2 / (nd - 1.0)
+        cp = cd - (cd - 1.0) ** 2 / (nd - 1.0)
+        denom = F.least(rp - 1.0, cp - 1.0)
+    else:
+        phi2p = phi2
+        denom = F.least(rd - 1.0, cd - 1.0)
+    v = F.when(denom > 0, F.sqrt(phi2p / denom))
+    return agg.select(
+        F.round("_chi2", 6).alias("chi2"),
+        "n_total", "r_levels", "c_levels",
+        F.round(v, 6).alias("cramers_v"),
+    )
+
+
+def concordance_ccc(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Lin's concordance correlation coefficient — agreement between
+    two continuous measurements against the 45° line (Lin 1989), the
+    method-comparison statistic Pearson's r cannot replace (r is
+    blind to scale and location shifts; CCC penalizes both —
+    "does the cheap quality score REPRODUCE the expensive one",
+    not just "are they correlated"):
+
+    ``CCC = 2·s_xy / (s_x² + s_y² + (x̄ − ȳ)²)``  (biased /n moments,
+    Lin's original estimator), with the decomposition
+    ``CCC = r · C_b`` where ``C_b = 2 / (v + 1/v + u²)``,
+    ``v = s_x/s_y``, ``u = (x̄−ȳ)/√(s_x·s_y)`` — the accuracy
+    (bias-correction) factor reported alongside.
+
+    ONE aggregation over pairwise-complete rows to six exact sums
+    (count + Σx, Σy, Σxx, Σyy, Σxy); everything after is closed-form
+    scalar arithmetic on the 1-row frame — the same shape as the
+    reference's Pearson matrix (analysis.py:26-48) and equally
+    AQE-trivial at any scale. Output 1 row: ``(n, ccc, pearson_r,
+    c_b)``, floats rounded to 6dp; NULL when either variance is 0.
+    """
+    x = F.col(x_col).cast("double")
+    y = F.col(y_col).cast("double")
+    pairs = df.where(x.isNotNull() & y.isNotNull()).select(
+        x.alias("_x"), y.alias("_y")
+    )
+    agg = pairs.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("_x").alias("_sx"),
+        F.sum("_y").alias("_sy"),
+        F.sum(F.col("_x") * F.col("_x")).alias("_sxx"),
+        F.sum(F.col("_y") * F.col("_y")).alias("_syy"),
+        F.sum(F.col("_x") * F.col("_y")).alias("_sxy"),
+    )
+    nd = F.col("n").cast("double")
+    mx = F.col("_sx") / nd
+    my = F.col("_sy") / nd
+    vx = F.col("_sxx") / nd - mx * mx
+    vy = F.col("_syy") / nd - my * my
+    cxy = F.col("_sxy") / nd - mx * my
+    ccc = F.when(
+        (vx > 0) & (vy > 0),
+        2.0 * cxy / (vx + vy + (mx - my) * (mx - my)),
+    )
+    r = F.when((vx > 0) & (vy > 0), cxy / F.sqrt(vx * vy))
+    u2 = (mx - my) * (mx - my) / F.sqrt(vx * vy)
+    vr = F.sqrt(vx / vy)
+    cb = F.when(
+        (vx > 0) & (vy > 0), 2.0 / (vr + 1.0 / vr + u2)
+    )
+    return agg.select(
+        "n",
+        F.round(ccc, 6).alias("ccc"),
+        F.round(r, 6).alias("pearson_r"),
+        F.round(cb, 6).alias("c_b"),
+    )
+
+
+def fleiss_kappa(
+    df: DataFrame,
+    item_col: str,
+    category_col: str,
+    require_constant_n: bool = True,
+) -> DataFrame:
+    """Fleiss' kappa — chance-corrected agreement among a FIXED
+    number of raters per item (Fleiss 1971), the k-rater
+    generalization of :func:`extensions.quality.cohens_kappa` for
+    label-quality audits ("do the 5 annotation passes agree beyond
+    chance?"). Input is one row per (item, rating); categories are
+    whatever the rating column holds.
+
+    With ``n`` ratings per item, ``n_ij`` the count of category j on
+    item i, ``N`` items:
+
+    ``P_i = (Σ_j n_ij² − n) / (n(n−1))``;  ``P̄ = mean_i P_i``;
+    ``p_j = Σ_i n_ij / (N·n)``;  ``P̄_e = Σ_j p_j²``;
+    ``κ = (P̄ − P̄_e) / (1 − P̄_e)``
+
+    Fleiss' formula REQUIRES a constant rater count — enforced with a
+    preflight on the per-item totals that raises naming the offending
+    item (``require_constant_n=False`` skips the check and uses the
+    minimum n, dropping no data — a documented approximation, not
+    textbook Fleiss). Plan: one (item, category) hash aggregation
+    (map-side combined), one per-item aggregation, two scalar
+    aggregations — no windows over the fact table, no collect beyond
+    the 1-row preflight. Every input to κ is an exact integer until
+    the final divisions. Output 1 row: ``(n_items, n_raters,
+    k_categories, p_bar, p_e, kappa)``, floats rounded to 6dp; kappa
+    NULL when P̄_e = 1 (a single category — agreement is undefined).
+    """
+    it = F.col(item_col)
+    cat = F.col(category_col)
+    cells = (
+        df.where(it.isNotNull() & cat.isNotNull())
+        .groupBy(it.alias("_i"), cat.alias("_j"))
+        .agg(F.count(F.lit(1)).alias("_nij"))
+    )
+    from pyspark import StorageLevel
+
+    cells = cells.persist(StorageLevel.MEMORY_AND_DISK)
+    per_item = cells.groupBy("_i").agg(
+        F.sum("_nij").alias("_n"),
+        F.sum(F.col("_nij") * F.col("_nij")).alias("_sq"),
+    )
+    if require_constant_n:
+        row = per_item.agg(
+            F.min("_n").alias("_lo"), F.max("_n").alias("_hi")
+        ).collect()[0]
+        if row["_lo"] != row["_hi"]:
+            bad = (
+                per_item.where(F.col("_n") == row["_lo"])
+                .limit(1)
+                .collect()[0]["_i"]
+            )
+            raise ValueError(
+                "fleiss_kappa: rater count varies across items "
+                f"(min={row['_lo']}, max={row['_hi']}, e.g. item "
+                f"{bad!r}); Fleiss' formula requires a constant n — "
+                "pass require_constant_n=False to use min-n "
+                "deliberately"
+            )
+    stats_i = per_item.agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.min("_n").alias("n_raters"),
+        F.sum(F.col("_sq")).alias("_ssq"),
+        F.sum("_n").alias("_tot"),
+    )
+    per_cat = cells.groupBy("_j").agg(F.sum("_nij").alias("_cj"))
+    cat_agg = per_cat.agg(
+        F.count(F.lit(1)).alias("k_categories"),
+        F.sum(
+            F.col("_cj").cast("double") * F.col("_cj").cast("double")
+        ).alias("_csq"),
+    ).withColumn("_one", F.lit(1))
+    j = stats_i.withColumn("_one", F.lit(1)).join(
+        F.broadcast(cat_agg), on="_one"
+    )
+    from padua_spark.io_utils import track_cached
+
+    nd = F.col("n_items").cast("double")
+    rn = F.col("n_raters").cast("double")
+    p_bar = (
+        (F.col("_ssq").cast("double") - nd * rn)
+        / (nd * rn * (rn - 1.0))
+    )
+    p_e = F.col("_csq") / (nd * rn * nd * rn)
+    kappa = F.when(p_e < 1.0, (p_bar - p_e) / (1.0 - p_e))
+    out = j.select(
+        "n_items", "n_raters", "k_categories",
+        F.round(p_bar, 6).alias("p_bar"),
+        F.round(p_e, 6).alias("p_e"),
+        F.round(kappa, 6).alias("kappa"),
+    )
+    return track_cached(out, cells)

@@ -383,6 +383,9 @@ def test_no_cartesian_products_anywhere(spark):
         # constant-key equi-join folds away, leaving a BNLJ with a
         # single broadcast row
         "enrichment_hypergeom",
+        # 1-row per-category totals frame broadcast onto the 1-row
+        # per-item stats frame (both scalar aggregates)
+        "fleiss_kappa",
         # windows × reference-bins cross join — both tiny by
         # construction (every reference bin must score in every window)
         "windowed_psi",

@@ -261,6 +261,10 @@ COVERAGE = {
     "E146": "entry:jonckheere_terpstra",
     "E147": "entry:moments_normality",
     "E148": "entry:ansari_bradley",
+    "E149": "entry:fisher_exact",
+    "E150": "entry:cramers_v",
+    "E151": "entry:concordance_ccc",
+    "E152": "entry:fleiss_kappa",
 }
 
 

@@ -5531,3 +5531,143 @@ def test_ansari_bradley_detects_scale_difference(spark):
     # narrow group concentrates near the center -> high AB scores -> z > 0
     assert r["z"] > 5 and r["p_normal"] < 1e-6
     assert r["n_a"] == 300 and r["n_b"] == 300
+
+
+def test_fisher_exact_vs_exact_comb(spark):
+    """fisher_exact against an exact math.comb enumeration of the
+    hypergeometric support (tea-test 2x2 plus an asymmetric table),
+    including the point-probability two-sided rule."""
+    from math import comb
+
+    from padua_spark.operators.stats import fisher_exact
+
+    def ref(a, b, c, d):
+        r1, r2, c1 = a + b, c + d, a + c
+        n = r1 + r2
+        lo, hi = max(0, c1 - r2), min(r1, c1)
+        den = comb(n, c1)
+        pmf = {i: comb(r1, i) * comb(r2, c1 - i) / den
+               for i in range(lo, hi + 1)}
+        pa = pmf[a]
+        return (
+            sum(p for i, p in pmf.items() if i <= a),
+            sum(p for i, p in pmf.items() if i >= a),
+            sum(p for p in pmf.values() if p <= pa * (1 + 1e-7)),
+        )
+
+    for a, b, c, d in [(3, 1, 1, 3), (7, 2, 5, 11), (1, 9, 11, 3)]:
+        rows = (
+            [(1, 1)] * a + [(1, 0)] * b + [(0, 1)] * c + [(0, 0)] * d
+        )
+        df = spark.createDataFrame(rows, ["e", "o"])
+        r = fisher_exact(df, "e", "o").collect()[0]
+        pl, pr, pt = ref(a, b, c, d)
+        assert r["p_left"] == pytest.approx(min(pl, 1.0), abs=2e-6)
+        assert r["p_right"] == pytest.approx(min(pr, 1.0), abs=2e-6)
+        assert r["p_two"] == pytest.approx(min(pt, 1.0), abs=2e-6)
+
+
+def test_fisher_exact_support_guard(spark):
+    """The bounded-support contract raises (naming the bound) when the
+    hypergeometric support exceeds max_support, and opts out with
+    None."""
+    from padua_spark.operators.stats import fisher_exact
+
+    rows = (
+        [(1, 1)] * 30 + [(1, 0)] * 30 + [(0, 1)] * 30 + [(0, 0)] * 30
+    )
+    df = spark.createDataFrame(rows, ["e", "o"])
+    with pytest.raises(Exception, match="max_support"):
+        fisher_exact(df, "e", "o", max_support=10).collect()
+    r = fisher_exact(df, "e", "o", max_support=None).collect()[0]
+    assert r["p_two"] == pytest.approx(1.0, abs=1e-6)
+
+
+def test_cramers_v_hand_computed(spark):
+    """Raw V equals sqrt(chi2/(N*min(r-1,c-1))) on a hand 2x2; the
+    Bergsma correction shrinks it; a constant column yields NULL."""
+    import numpy as np
+
+    from padua_spark.operators.stats import cramers_v
+
+    rows = (
+        [("a", "x")] * 10 + [("a", "y")] * 20
+        + [("b", "x")] * 30 + [("b", "y")] * 5
+    )
+    df = spark.createDataFrame(rows, ["u", "w"])
+    obs = np.array([[10, 20], [30, 5]], dtype=float)
+    n = obs.sum()
+    exp = np.outer(obs.sum(1), obs.sum(0)) / n
+    chi2 = ((obs - exp) ** 2 / exp).sum()
+    raw = cramers_v(df, "u", "w", bias_corrected=False).collect()[0]
+    assert raw["chi2"] == pytest.approx(chi2, abs=1e-5)
+    assert raw["cramers_v"] == pytest.approx(
+        float(np.sqrt(chi2 / n)), abs=1e-6
+    )
+    corr = cramers_v(df, "u", "w").collect()[0]
+    assert corr["cramers_v"] < raw["cramers_v"]
+    const = spark.createDataFrame(
+        [("a", "x")] * 5, ["u", "w"]
+    )
+    assert cramers_v(const, "u", "w").collect()[0]["cramers_v"] is None
+
+
+def test_concordance_ccc_vs_numpy(spark):
+    """CCC, r and C_b against the direct numpy moment formulas; a
+    perfect-agreement column gives CCC = 1."""
+    import numpy as np
+
+    from padua_spark.operators.stats import concordance_ccc
+
+    x = np.array([1.0, 2, 3, 4, 5, 7, 9])
+    y = np.array([1.2, 1.9, 3.4, 3.8, 5.3, 6.6, 9.5])
+    df = spark.createDataFrame(
+        [(float(a), float(b)) for a, b in zip(x, y)], ["x", "y"]
+    )
+    r = concordance_ccc(df, "x", "y").collect()[0]
+    vx, vy = x.var(), y.var()
+    cxy = ((x - x.mean()) * (y - y.mean())).mean()
+    ccc = 2 * cxy / (vx + vy + (x.mean() - y.mean()) ** 2)
+    assert r["ccc"] == pytest.approx(ccc, abs=1e-6)
+    assert r["pearson_r"] == pytest.approx(
+        cxy / np.sqrt(vx * vy), abs=1e-6
+    )
+    assert r["ccc"] == pytest.approx(
+        r["pearson_r"] * r["c_b"], abs=1e-5
+    )
+    same = concordance_ccc(
+        df.select("x", F.col("x").alias("y2")), "x", "y2"
+    ).collect()[0]
+    assert same["ccc"] == pytest.approx(1.0, abs=1e-9)
+
+
+def test_fleiss_kappa_hand_and_guard(spark):
+    """Fleiss' kappa against the hand-computed two-item example;
+    perfect agreement gives kappa = 1; varying rater counts raise
+    naming the bound, and require_constant_n=False proceeds."""
+    from padua_spark.operators.stats import fleiss_kappa
+
+    rows = [
+        (1, "a"), (1, "a"), (1, "b"),
+        (2, "b"), (2, "b"), (2, "b"),
+    ]
+    df = spark.createDataFrame(rows, ["item", "cat"])
+    r = fleiss_kappa(df, "item", "cat").collect()[0]
+    # n=3, N=2: P1=1/3, P2=1, Pbar=2/3; p_a=1/3, p_b=2/3, Pe=5/9
+    assert r["kappa"] == pytest.approx((2 / 3 - 5 / 9) / (1 - 5 / 9),
+                                       abs=1e-6)
+    perfect = spark.createDataFrame(
+        [(1, "a")] * 3 + [(2, "b")] * 3, ["item", "cat"]
+    )
+    assert fleiss_kappa(perfect, "item", "cat").collect()[0][
+        "kappa"
+    ] == pytest.approx(1.0, abs=1e-9)
+    uneven = spark.createDataFrame(
+        rows + [(1, "a")], ["item", "cat"]
+    )
+    with pytest.raises(ValueError, match="constant"):
+        fleiss_kappa(uneven, "item", "cat")
+    ok = fleiss_kappa(
+        uneven, "item", "cat", require_constant_n=False
+    ).collect()[0]
+    assert ok["n_raters"] == 3
