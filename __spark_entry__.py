@@ -14265,6 +14265,140 @@ def q_fleiss_kappa(spark, sf):
     return fleiss_kappa(r, "item", "cat")
 
 
+
+_LJUNG_BOX_ORACLE = """
+WITH e AS (
+  SELECT user_id, epoch_us(ts) AS tu, event_id,
+    CAST(value AS DOUBLE) AS x
+  FROM events WHERE value IS NOT NULL
+),
+m AS (
+  SELECT user_id, x,
+    avg(x) OVER (PARTITION BY user_id) AS mu,
+    lead(x, 1) OVER w AS l1,
+    lead(x, 2) OVER w AS l2,
+    lead(x, 3) OVER w AS l3,
+    lead(x, 4) OVER w AS l4
+  FROM e
+  WINDOW w AS (PARTITION BY user_id ORDER BY tu, event_id)
+),
+agg AS (
+  SELECT user_id,
+    CAST(count(*) AS BIGINT) AS n_obs,
+    sum((x - mu) * (x - mu)) AS sxx,
+    sum((x - mu) * (l1 - mu)) AS s1,
+    sum((x - mu) * (l2 - mu)) AS s2,
+    sum((x - mu) * (l3 - mu)) AS s3,
+    sum((x - mu) * (l4 - mu)) AS s4
+  FROM m GROUP BY 1
+),
+q AS (
+  SELECT user_id, n_obs, CAST(4 AS INTEGER) AS max_lag,
+    round(CASE WHEN n_obs > 4 AND sxx > 0 THEN
+      n_obs * (n_obs + 2.0) * (
+        (s1 / sxx) * (s1 / sxx) / (n_obs - 1.0)
+        + (s2 / sxx) * (s2 / sxx) / (n_obs - 2.0)
+        + (s3 / sxx) * (s3 / sxx) / (n_obs - 3.0)
+        + (s4 / sxx) * (s4 / sxx) / (n_obs - 4.0)
+      ) END, 6) AS q_stat
+  FROM agg
+)
+SELECT user_id, n_obs, max_lag, q_stat,
+  round(exp(-q_stat / 2.0) * (1.0 + q_stat / 2.0), 6) AS p_chi2
+FROM q
+"""
+
+
+@_q("ljung_box", _LJUNG_BOX_ORACLE)
+def q_ljung_box(spark, sf):
+    """Per-user Ljung-Box white-noise test at h=4 on event values
+    (temporal.ljung_box): one key shuffle, one shared window pass for
+    all four lags, closed-form even-df chi2(4) survival on the
+    ROUNDED statistic so both engines transform identical inputs."""
+    from padua_spark.operators.temporal import ljung_box
+    from padua_spark.streaming.windows import epoch_us_col
+
+    base = _t(spark, sf, "events")
+    e = base.select(
+        "user_id",
+        epoch_us_col(base, "ts").alias("_tu"),
+        "event_id",
+        "value",
+    )
+    out = ljung_box(e, ["user_id"], ["_tu", "event_id"], "value", 4)
+    q = F.col("q_stat")
+    return out.select(
+        "user_id", "n_obs", "max_lag", "q_stat",
+        F.round(
+            F.exp(-q / 2.0) * (1.0 + q / 2.0), 6
+        ).alias("p_chi2"),
+    )
+
+
+_FORECAST_ACC_ORACLE = """
+WITH e AS (
+  SELECT user_id, epoch_us(ts) AS tu, event_id,
+    CAST(value AS DOUBLE) AS a
+  FROM events WHERE value IS NOT NULL
+),
+m AS (
+  SELECT user_id, a,
+    avg(a) OVER (PARTITION BY user_id ORDER BY tu, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      AS f,
+    lag(a, 1) OVER (PARTITION BY user_id ORDER BY tu, event_id)
+      AS prev
+  FROM e
+),
+agg AS (
+  SELECT user_id,
+    CAST(count(*) AS BIGINT) AS n_obs,
+    CAST(count(f) AS BIGINT) AS n_scored,
+    avg(abs(a - f)) AS mae_r,
+    avg((a - f) * (a - f)) AS mse_r,
+    avg(CASE WHEN abs(a) + abs(f) > 0
+        THEN 2.0 * abs(a - f) / (abs(a) + abs(f)) END) AS smape_r,
+    avg(abs(a - prev)) AS scale_r
+  FROM m GROUP BY 1
+)
+SELECT user_id, n_obs, n_scored,
+  round(mae_r, 6) AS mae,
+  round(sqrt(mse_r), 6) AS rmse,
+  round(smape_r, 6) AS smape,
+  round(CASE WHEN scale_r > 0 THEN mae_r / scale_r END, 6) AS mase
+FROM agg
+"""
+
+
+@_q("forecast_accuracy", _FORECAST_ACC_ORACLE)
+def q_forecast_accuracy(spark, sf):
+    """Per-user forecast accuracy (MAE/RMSE/sMAPE/MASE) of the
+    expanding-mean predictor on event values
+    (temporal.forecast_accuracy): one key shuffle, one ordered window
+    pass staging the forecast and the naive scale lag."""
+    from pyspark.sql import Window
+
+    from padua_spark.operators.temporal import forecast_accuracy
+    from padua_spark.streaming.windows import epoch_us_col
+
+    base = _t(spark, sf, "events")
+    e = base.select(
+        "user_id",
+        epoch_us_col(base, "ts").alias("_tu"),
+        "event_id",
+        F.col("value").cast("double").alias("a"),
+    ).where(F.col("a").isNotNull())
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("_tu", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    scored = e.withColumn("f", F.avg("a").over(w))
+    return forecast_accuracy(
+        scored, ["user_id"], ["_tu", "event_id"], "a", "f", season=1
+    )
+
+
 # ---------------------------------------------------------------------------
 
 

@@ -222,6 +222,8 @@ HEADLINE = [
     "cramers_v",
     "concordance_ccc",
     "fleiss_kappa",
+    "ljung_box",
+    "forecast_accuracy",
 ]
 
 

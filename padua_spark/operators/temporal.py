@@ -759,3 +759,165 @@ def holt_forecast(
             F.col("_fit.l") + F.lit(float(horizon)) * F.col("_fit.b"), 6
         ).alias("forecast"),
     )
+
+
+def ljung_box(
+    df: DataFrame,
+    key_cols: list[str],
+    order_cols: list[str],
+    value_col: str,
+    max_lag: int,
+) -> DataFrame:
+    """Per-key Ljung-Box portmanteau test — "is this series white
+    noise?", the standard residual-autocorrelation diagnostic run
+    after ANY per-key forecast (:func:`holt_forecast`,
+    :func:`ewma_bounded`) before trusting its intervals:
+
+    ``Q = n(n+2) · Σ_{k=1..h} r_k² / (n−k)``  ~  χ²(h) under H0,
+
+    with ``r_k`` the biased sample ACF (same estimator as
+    :func:`acf_by_key`, unrounded here — rounding before squaring
+    would bias Q). Plan shape is exactly acf_by_key's: ONE shuffle on
+    the key, ONE ordered window pass producing all ``h`` lead columns
+    plus the per-key mean (a single WindowExec), one per-key
+    aggregation — per-key state is the ordered series (bounded-key
+    caveat as :func:`cusum_changepoint`). The χ²(h) p-value crosses
+    to Python once, as the shared vectorized ``chi2_sf_udf`` over the
+    already-aggregated per-key rows.
+
+    Output per key: ``(keys..., n_obs, max_lag, q_stat, p_value)``;
+    ``q_stat`` is NULL when ``n ≤ max_lag`` (the statistic needs
+    n−k > 0 pairs at every lag) or the series is constant.
+    """
+    from pyspark.sql import Window
+
+    from padua_spark.functions.distributions import chi2_sf_udf
+
+    x = F.col(value_col).cast("double")
+    base = df.where(x.isNotNull()).select(
+        *key_cols,
+        *[c for c in order_cols if c not in key_cols],
+        x.alias("_x"),
+    )
+    w = Window.partitionBy(*key_cols).orderBy(
+        *[F.col(c).asc() for c in order_cols]
+    )
+    w_all = Window.partitionBy(*key_cols)
+    staged = base.select(
+        *key_cols,
+        "_x",
+        F.avg("_x").over(w_all).alias("_mu"),
+        *[
+            F.lead("_x", k).over(w).alias(f"_l{k}")
+            for k in range(1, max_lag + 1)
+        ],
+    )
+    d = F.col("_x") - F.col("_mu")
+    agg = staged.groupBy(*key_cols).agg(
+        F.count(F.lit(1)).alias("n_obs"),
+        F.sum(d * d).alias("_sxx"),
+        *[
+            F.sum(d * (F.col(f"_l{k}") - F.col("_mu"))).alias(f"_s{k}")
+            for k in range(1, max_lag + 1)
+        ],
+    )
+    nd = F.col("n_obs").cast("double")
+    acc = None
+    for k in range(1, max_lag + 1):
+        rk = F.col(f"_s{k}") / F.col("_sxx")
+        term = rk * rk / (nd - F.lit(float(k)))
+        acc = term if acc is None else acc + term
+    q = F.when(
+        (F.col("n_obs") > max_lag) & (F.col("_sxx") > 0),
+        nd * (nd + 2.0) * acc,
+    )
+    staged2 = agg.select(
+        *key_cols,
+        "n_obs",
+        F.lit(int(max_lag)).alias("max_lag"),
+        q.alias("_q"),
+    )
+    return staged2.select(
+        *key_cols,
+        "n_obs",
+        "max_lag",
+        F.round("_q", 6).alias("q_stat"),
+        F.round(
+            chi2_sf_udf(
+                F.col("_q"), F.lit(float(max_lag)).cast("double")
+            ),
+            6,
+        ).alias("p_value"),
+    )
+
+
+def forecast_accuracy(
+    df: DataFrame,
+    key_cols: list[str],
+    order_cols: list[str],
+    actual_col: str,
+    forecast_col: str,
+    season: int = 1,
+) -> DataFrame:
+    """Per-key forecast accuracy battery — MAE, RMSE, sMAPE, MASE —
+    the evaluation half every forecaster (:func:`holt_forecast`,
+    :func:`ewma_bounded`) needs before its output is trusted. MASE
+    (Hyndman-Koehler 2006) scales MAE by the in-sample seasonal-naïve
+    error so it is unit-free and defined where percentage errors
+    break (zero actuals):
+
+    ``mase = mean|a_t − f_t| / mean_{t>m}|a_t − a_{t−m}|``
+
+    sMAPE uses the symmetric form ``mean(2|e_t|/(|a_t|+|f_t|))`` over
+    rows where the denominator is positive. Rows with a NULL forecast
+    (e.g. the warm-up prefix of a lagged model) are excluded from the
+    error means but still feed the naïve scale — the standard MASE
+    convention (the scale is a property of the SERIES, not the
+    model's coverage).
+
+    ONE shuffle on the key, ONE ordered window pass for the seasonal
+    lag, one per-key aggregation — all closed-form SQL. Output per
+    key: ``(keys..., n_obs, n_scored, mae, rmse, smape, mase)``,
+    floats rounded to 6dp; mase NULL when the naïve scale is 0
+    (constant series).
+    """
+    from pyspark.sql import Window
+
+    a = F.col(actual_col).cast("double")
+    f_ = F.col(forecast_col).cast("double")
+    base = df.where(a.isNotNull()).select(
+        *key_cols,
+        *[c for c in order_cols if c not in key_cols],
+        a.alias("_a"),
+        f_.alias("_f"),
+    )
+    w = Window.partitionBy(*key_cols).orderBy(
+        *[F.col(c).asc() for c in order_cols]
+    )
+    staged = base.withColumn(
+        "_lag", F.lag("_a", int(season)).over(w)
+    )
+    e = F.col("_a") - F.col("_f")
+    denom = F.abs(F.col("_a")) + F.abs(F.col("_f"))
+    agg = staged.groupBy(*key_cols).agg(
+        F.count(F.lit(1)).alias("n_obs"),
+        F.count("_f").alias("n_scored"),
+        F.avg(F.abs(e)).alias("_mae"),
+        F.avg(e * e).alias("_mse"),
+        F.avg(
+            F.when(denom > 0, 2.0 * F.abs(e) / denom)
+        ).alias("_smape"),
+        F.avg(F.abs(F.col("_a") - F.col("_lag"))).alias("_scale"),
+    )
+    return agg.select(
+        *key_cols,
+        "n_obs",
+        "n_scored",
+        F.round("_mae", 6).alias("mae"),
+        F.round(F.sqrt("_mse"), 6).alias("rmse"),
+        F.round("_smape", 6).alias("smape"),
+        F.round(
+            F.when(F.col("_scale") > 0, F.col("_mae") / F.col("_scale")),
+            6,
+        ).alias("mase"),
+    )

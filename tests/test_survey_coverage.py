@@ -265,6 +265,8 @@ COVERAGE = {
     "E150": "entry:cramers_v",
     "E151": "entry:concordance_ccc",
     "E152": "entry:fleiss_kappa",
+    "E153": "entry:ljung_box",
+    "E154": "entry:forecast_accuracy",
 }
 
 

@@ -5671,3 +5671,82 @@ def test_fleiss_kappa_hand_and_guard(spark):
         uneven, "item", "cat", require_constant_n=False
     ).collect()[0]
     assert ok["n_raters"] == 3
+
+
+def test_ljung_box_vs_numpy_reference(spark):
+    """Ljung-Box Q against a direct numpy replica of the statsmodels
+    acorr_ljungbox formula (biased ACF, full-series mean), and the
+    n <= h / constant-series NULL contract."""
+    import numpy as np
+
+    from padua_spark.operators.temporal import ljung_box
+
+    rng = np.random.RandomState(11)
+    x = np.cumsum(rng.normal(0, 1, 40))  # autocorrelated walk
+    rows = [("k", i, float(v)) for i, v in enumerate(x)]
+    df = spark.createDataFrame(rows, ["k", "t", "v"])
+    h = 4
+    r = ljung_box(df, ["k"], ["t"], "v", h).collect()[0]
+    mu = x.mean()
+    d = x - mu
+    sxx = (d * d).sum()
+    n = len(x)
+    q = 0.0
+    for k in range(1, h + 1):
+        rk = (d[:-k] * d[k:]).sum() / sxx
+        q += rk * rk / (n - k)
+    q *= n * (n + 2)
+    assert r["n_obs"] == n
+    assert r["q_stat"] == pytest.approx(q, abs=1e-4)
+    # a strongly autocorrelated walk must reject white noise
+    assert r["p_value"] < 1e-6
+    short = spark.createDataFrame(
+        [("k", i, float(i)) for i in range(4)], ["k", "t", "v"]
+    )
+    assert ljung_box(short, ["k"], ["t"], "v", 4).collect()[0][
+        "q_stat"
+    ] is None
+    const = spark.createDataFrame(
+        [("k", i, 5.0) for i in range(10)], ["k", "t", "v"]
+    )
+    assert ljung_box(const, ["k"], ["t"], "v", 4).collect()[0][
+        "q_stat"
+    ] is None
+
+
+def test_forecast_accuracy_hand_computed(spark):
+    """MAE/RMSE/sMAPE/MASE against hand numpy on a lag-forecast
+    series: the warm-up NULL forecast is excluded from error means
+    but feeds the naive scale; constant series gives NULL mase."""
+    import numpy as np
+
+    from padua_spark.operators.temporal import forecast_accuracy
+
+    a = np.array([10.0, 12, 11, 15, 14, 18])
+    f = np.array([np.nan, 10, 12, 11, 15, 14])  # naive lag-1
+    rows = [
+        ("k", i, float(av), None if np.isnan(fv) else float(fv))
+        for i, (av, fv) in enumerate(zip(a, f))
+    ]
+    df = spark.createDataFrame(rows, ["k", "t", "a", "f"])
+    r = forecast_accuracy(df, ["k"], ["t"], "a", "f", season=1)
+    row = r.collect()[0]
+    e = np.abs(a[1:] - f[1:])
+    mae = e.mean()
+    rmse = np.sqrt(((a[1:] - f[1:]) ** 2).mean())
+    smape = (2 * e / (np.abs(a[1:]) + np.abs(f[1:]))).mean()
+    scale = np.abs(np.diff(a)).mean()
+    assert row["n_obs"] == 6 and row["n_scored"] == 5
+    assert row["mae"] == pytest.approx(mae, abs=1e-6)
+    assert row["rmse"] == pytest.approx(rmse, abs=1e-6)
+    assert row["smape"] == pytest.approx(smape, abs=1e-6)
+    # lag-1 forecast with season=1: mase == 1 by construction
+    assert row["mase"] == pytest.approx(mae / scale, abs=1e-6)
+    assert row["mase"] == pytest.approx(1.0, abs=1e-6)
+    const = spark.createDataFrame(
+        [("k", i, 3.0, 3.0) for i in range(5)], ["k", "t", "a", "f"]
+    )
+    c = forecast_accuracy(
+        const, ["k"], ["t"], "a", "f", season=1
+    ).collect()[0]
+    assert c["mase"] is None and c["mae"] == 0.0
