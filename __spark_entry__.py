@@ -14399,6 +14399,288 @@ def q_forecast_accuracy(spark, sf):
     )
 
 
+
+_NB_LANG_ORACLE = r"""
+WITH tr AS (
+  SELECT lang AS y,
+    unnest(string_split_regex(trim(text), '[ \t\n\x0B\f\r]+')) AS token
+  FROM documents WHERE lang IS NOT NULL AND text IS NOT NULL
+),
+tok AS (SELECT y, token FROM tr WHERE token <> ''),
+vocab AS (
+  SELECT token,
+    CAST(count(*) FILTER (y = 'de') AS BIGINT) AS c0,
+    CAST(count(*) FILTER (y = 'en') AS BIGINT) AS c1,
+    CAST(count(*) FILTER (y = 'es') AS BIGINT) AS c2,
+    CAST(count(*) FILTER (y = 'fr') AS BIGINT) AS c3,
+    CAST(count(*) FILTER (y = 'zh') AS BIGINT) AS c4
+  FROM tok GROUP BY 1
+),
+tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS v,
+    CAST(sum(c0) AS BIGINT) AS t0, CAST(sum(c1) AS BIGINT) AS t1,
+    CAST(sum(c2) AS BIGINT) AS t2, CAST(sum(c3) AS BIGINT) AS t3,
+    CAST(sum(c4) AS BIGINT) AS t4
+  FROM vocab
+),
+pri AS (
+  SELECT CAST(count(*) AS BIGINT) AS nd,
+    CAST(count(*) FILTER (lang = 'de') AS BIGINT) AS d0,
+    CAST(count(*) FILTER (lang = 'en') AS BIGINT) AS d1,
+    CAST(count(*) FILTER (lang = 'es') AS BIGINT) AS d2,
+    CAST(count(*) FILTER (lang = 'fr') AS BIGINT) AS d3,
+    CAST(count(*) FILTER (lang = 'zh') AS BIGINT) AS d4
+  FROM documents WHERE lang IS NOT NULL AND text IS NOT NULL
+),
+sc AS (
+  SELECT doc_id,
+    unnest(string_split_regex(trim(text), '[ \t\n\x0B\f\r]+')) AS token
+  FROM documents WHERE text IS NOT NULL
+),
+sct AS (SELECT doc_id, token FROM sc WHERE token <> ''),
+j AS (
+  SELECT doc_id,
+    ln(CAST(COALESCE(c0, 0) AS DOUBLE) + 1.0)
+      - ln(CAST(t0 AS DOUBLE) + 1.0 * v) AS lp0,
+    ln(CAST(COALESCE(c1, 0) AS DOUBLE) + 1.0)
+      - ln(CAST(t1 AS DOUBLE) + 1.0 * v) AS lp1,
+    ln(CAST(COALESCE(c2, 0) AS DOUBLE) + 1.0)
+      - ln(CAST(t2 AS DOUBLE) + 1.0 * v) AS lp2,
+    ln(CAST(COALESCE(c3, 0) AS DOUBLE) + 1.0)
+      - ln(CAST(t3 AS DOUBLE) + 1.0 * v) AS lp3,
+    ln(CAST(COALESCE(c4, 0) AS DOUBLE) + 1.0)
+      - ln(CAST(t4 AS DOUBLE) + 1.0 * v) AS lp4
+  FROM sct LEFT JOIN vocab USING (token), tot
+),
+g AS (
+  SELECT doc_id,
+    sum(lp0) + (SELECT ln(CAST(d0 AS DOUBLE)) - ln(CAST(nd AS DOUBLE))
+                FROM pri) AS s0,
+    sum(lp1) + (SELECT ln(CAST(d1 AS DOUBLE)) - ln(CAST(nd AS DOUBLE))
+                FROM pri) AS s1,
+    sum(lp2) + (SELECT ln(CAST(d2 AS DOUBLE)) - ln(CAST(nd AS DOUBLE))
+                FROM pri) AS s2,
+    sum(lp3) + (SELECT ln(CAST(d3 AS DOUBLE)) - ln(CAST(nd AS DOUBLE))
+                FROM pri) AS s3,
+    sum(lp4) + (SELECT ln(CAST(d4 AS DOUBLE)) - ln(CAST(nd AS DOUBLE))
+                FROM pri) AS s4
+  FROM j GROUP BY doc_id
+)
+SELECT doc_id,
+  CASE
+    WHEN s0 >= s1 AND s0 >= s2 AND s0 >= s3 AND s0 >= s4 THEN 'de'
+    WHEN s1 >= s2 AND s1 >= s3 AND s1 >= s4 THEN 'en'
+    WHEN s2 >= s3 AND s2 >= s4 THEN 'es'
+    WHEN s3 >= s4 THEN 'fr'
+    ELSE 'zh'
+  END AS predicted,
+  round(greatest(s0, s1, s2, s3, s4), 6) AS best_logp
+FROM g
+"""
+
+
+@_q("naive_bayes_lang", _NB_LANG_ORACLE)
+def q_naive_bayes_lang(spark, sf):
+    """Multinomial naive Bayes language classifier trained and scored
+    on the documents corpus (text.naive_bayes_token_classify): one
+    explode+aggregate builds the model, one vocab join + per-doc
+    aggregation scores it — no iterations, no Python."""
+    from padua_spark.extensions.text import naive_bayes_token_classify
+
+    d = _t(spark, sf, "documents")
+    return naive_bayes_token_classify(
+        d, d, "text", "lang", "doc_id", alpha=1.0
+    )
+
+
+_CONFUSION_ORACLE = """
+WITH t AS (
+  SELECT source,
+    CASE WHEN n_chars > 500 THEN 1 ELSE 0 END AS p,
+    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+  FROM documents
+  WHERE n_chars IS NOT NULL AND lang IS NOT NULL
+),
+agg AS (
+  SELECT source,
+    CAST(sum(CASE WHEN p = 1 AND y = 1 THEN 1 ELSE 0 END) AS BIGINT)
+      AS tp,
+    CAST(sum(CASE WHEN p = 1 AND y = 0 THEN 1 ELSE 0 END) AS BIGINT)
+      AS fp,
+    CAST(sum(CASE WHEN p = 0 AND y = 1 THEN 1 ELSE 0 END) AS BIGINT)
+      AS fn,
+    CAST(sum(CASE WHEN p = 0 AND y = 0 THEN 1 ELSE 0 END) AS BIGINT)
+      AS tn
+  FROM t GROUP BY 1
+)
+SELECT source, tp, fp, fn, tn,
+  round((CAST(tp AS DOUBLE) + tn) / (tp + fp + fn + tn), 6)
+    AS accuracy,
+  round(CASE WHEN tp + fp > 0
+        THEN CAST(tp AS DOUBLE) / (tp + fp) END, 6) AS precision,
+  round(CASE WHEN tp + fn > 0
+        THEN CAST(tp AS DOUBLE) / (tp + fn) END, 6) AS recall,
+  round(CASE WHEN 2.0 * tp + fp + fn > 0
+        THEN 2.0 * CAST(tp AS DOUBLE) / (2.0 * tp + fp + fn) END, 6)
+    AS f1,
+  round(CASE WHEN sqrt(CAST(tp AS DOUBLE) + fp)
+             * sqrt(CAST(tp AS DOUBLE) + fn)
+             * sqrt(CAST(tn AS DOUBLE) + fp)
+             * sqrt(CAST(tn AS DOUBLE) + fn) > 0
+        THEN (CAST(tp AS DOUBLE) * tn - CAST(fp AS DOUBLE) * fn)
+             / (sqrt(CAST(tp AS DOUBLE) + fp)
+                * sqrt(CAST(tp AS DOUBLE) + fn)
+                * sqrt(CAST(tn AS DOUBLE) + fp)
+                * sqrt(CAST(tn AS DOUBLE) + fn)) END, 6) AS mcc
+FROM agg
+"""
+
+
+@_q("confusion_stats", _CONFUSION_ORACLE)
+def q_confusion_stats(spark, sf):
+    """Per-source confusion battery of the 'long doc => English'
+    predictor (quality.confusion_stats): one conditional aggregation
+    to exact cells, closed-form precision/recall/F1/MCC."""
+    from padua_spark.extensions.quality import confusion_stats
+
+    d = _t(spark, sf, "documents").where(
+        F.col("n_chars").isNotNull() & F.col("lang").isNotNull()
+    )
+    t = d.select(
+        "source",
+        F.when(F.col("n_chars") > 500, 1).otherwise(0).alias("p"),
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("y"),
+    )
+    return confusion_stats(t, ["source"], "p", "y")
+
+
+_AVG_PRECISION_ORACLE = """
+WITH t AS (
+  SELECT source, doc_id, CAST(n_chars AS DOUBLE) AS s,
+    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+  FROM documents
+  WHERE n_chars IS NOT NULL AND lang IS NOT NULL
+),
+r AS (
+  SELECT source, y,
+    row_number() OVER w AS k,
+    sum(y) OVER (PARTITION BY source ORDER BY s DESC, doc_id ASC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      AS cum
+  FROM t
+  WINDOW w AS (PARTITION BY source ORDER BY s DESC, doc_id ASC)
+),
+agg AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n,
+    CAST(sum(y) AS BIGINT) AS n_pos,
+    sum(CASE WHEN y = 1
+        THEN CAST(cum AS DOUBLE) / CAST(k AS DOUBLE) END) AS ap_sum
+  FROM r GROUP BY 1
+)
+SELECT source, n, n_pos,
+  round(CASE WHEN n_pos > 0 THEN ap_sum / n_pos END, 6)
+    AS average_precision
+FROM agg
+"""
+
+
+@_q("average_precision", _AVG_PRECISION_ORACLE)
+def q_average_precision(spark, sf):
+    """Per-source average precision of ranking documents by length
+    for 'is English' (quality.group_average_precision): one group
+    shuffle, one window pass for rank + cumulative positives,
+    deterministic id tiebreak under score ties."""
+    from padua_spark.extensions.quality import group_average_precision
+
+    d = _t(spark, sf, "documents").where(
+        F.col("n_chars").isNotNull() & F.col("lang").isNotNull()
+    )
+    t = d.select(
+        "source", "doc_id",
+        F.col("n_chars").cast("double").alias("s"),
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("y"),
+    )
+    return group_average_precision(t, ["source"], "s", "y", "doc_id")
+
+
+_CUPED_ORACLE = """
+WITH u AS (
+  SELECT user_id, user_id % 2 AS variant,
+    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+      AS DOUBLE) AS y,
+    CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+      AS DOUBLE) AS x
+  FROM events GROUP BY 1, 2
+),
+pooled AS (
+  SELECT count(*) AS np, sum(x) AS sx, sum(y) AS sy,
+    sum(x * x) AS sxx, sum(x * y) AS sxy
+  FROM u
+),
+scal AS (
+  SELECT
+    CASE WHEN sxx / np - (sx / np) * (sx / np) > 0
+      THEN (sxy / np - (sx / np) * (sy / np))
+           / (sxx / np - (sx / np) * (sx / np)) END AS theta,
+    sx / np AS xbar
+  FROM pooled
+),
+per AS (
+  SELECT variant, CAST(count(*) AS BIGINT) AS n,
+    sum(y) AS vy, sum(x) AS vx, sum(y * y) AS vyy,
+    sum(x * x) AS vxx, sum(x * y) AS vxy
+  FROM u GROUP BY 1
+),
+j AS (
+  SELECT per.*, scal.theta, scal.xbar,
+    vy / n AS my, vx / n AS mx,
+    CASE WHEN n > 1 THEN (vyy - n * (vy / n) * (vy / n)) / (n - 1.0)
+      END AS vary,
+    CASE WHEN n > 1 THEN (vxx - n * (vx / n) * (vx / n)) / (n - 1.0)
+      END AS varx,
+    CASE WHEN n > 1 THEN (vxy - n * (vx / n) * (vy / n)) / (n - 1.0)
+      END AS cxy
+  FROM per, scal
+),
+fin AS (
+  SELECT variant, n, my, mx, theta, xbar, vary,
+    my - theta * (mx - xbar) AS mean_adj,
+    vary - 2.0 * theta * cxy + theta * theta * varx AS var_adj
+  FROM j
+)
+SELECT variant, n,
+  round(my, 6) AS mean_raw,
+  round(mean_adj, 6) AS mean_adjusted,
+  round(vary, 6) AS var_raw,
+  round(var_adj, 6) AS var_adjusted,
+  round(CASE WHEN vary > 0 THEN 1.0 - var_adj / vary END, 6)
+    AS var_reduction
+FROM fin
+ORDER BY variant
+"""
+
+
+@_q("cuped_adjusted", _CUPED_ORACLE)
+def q_cuped_adjusted(spark, sf):
+    """CUPED variance-reduced per-variant purchase metric with click
+    count as the pre-period covariate (stats.cuped_adjusted): pooled
+    theta as a 1-row broadcast, per-variant exact sums assembled by
+    algebra (no second scan)."""
+    from padua_spark.operators.stats import cuped_adjusted
+
+    e = _t(spark, sf, "events")
+    u = e.groupBy("user_id").agg(
+        (F.col("user_id") % 2).alias("variant"),
+        F.sum(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).cast("double").alias("y"),
+        F.sum(
+            F.when(F.col("event_type") == "click", 1).otherwise(0)
+        ).cast("double").alias("x"),
+    )
+    return cuped_adjusted(u, "variant", "y", "x")
+
+
 # ---------------------------------------------------------------------------
 
 

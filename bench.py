@@ -224,6 +224,10 @@ HEADLINE = [
     "fleiss_kappa",
     "ljung_box",
     "forecast_accuracy",
+    "naive_bayes_lang",
+    "confusion_stats",
+    "average_precision",
+    "cuped_adjusted",
 ]
 
 

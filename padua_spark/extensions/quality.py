@@ -1140,3 +1140,131 @@ def isotonic_calibration(
             F.round("_iso", 6).alias("rate_iso"),
         )
     )
+
+
+def confusion_stats(
+    df: DataFrame,
+    group_cols: list[str],
+    pred_col: str,
+    label_col: str,
+) -> DataFrame:
+    """Per-group binary confusion battery — TP/FP/FN/TN with
+    accuracy, precision, recall, F1 and Matthews correlation — the
+    threshold-fixed companion to :func:`group_auc` (AUC ranks;
+    deployment needs the operating point, per slice, or a filter that
+    is 95% precise on average can be 40% precise on one source).
+
+    ONE conditional aggregation over the fact table to four exact
+    integers per group; every metric after is closed-form scalar
+    arithmetic. MCC uses ``√(tp+fp)·√(tp+fn)·√(tn+fp)·√(tn+fn)`` as
+    the denominator (factored square roots — the four-way product of
+    bigint counts would overflow doubles' integer range at petabyte
+    counts; the factored form never exceeds the counts themselves).
+
+    Output per group: ``(groups..., tp, fp, fn, tn, accuracy,
+    precision, recall, f1, mcc)``, floats rounded to 6dp; ratio
+    metrics NULL where their denominator is 0.
+    """
+    p = F.col(pred_col).cast("int")
+    y = F.col(label_col).cast("int")
+    agg = df.where(p.isNotNull() & y.isNotNull()).groupBy(
+        *group_cols
+    ).agg(
+        F.sum(((p == 1) & (y == 1)).cast("int"))
+        .cast("bigint").alias("tp"),
+        F.sum(((p == 1) & (y == 0)).cast("int"))
+        .cast("bigint").alias("fp"),
+        F.sum(((p == 0) & (y == 1)).cast("int"))
+        .cast("bigint").alias("fn"),
+        F.sum(((p == 0) & (y == 0)).cast("int"))
+        .cast("bigint").alias("tn"),
+    )
+    tp = F.col("tp").cast("double")
+    fp = F.col("fp").cast("double")
+    fn = F.col("fn").cast("double")
+    tn = F.col("tn").cast("double")
+    n = tp + fp + fn + tn
+    prec = F.when(tp + fp > 0, tp / (tp + fp))
+    rec = F.when(tp + fn > 0, tp / (tp + fn))
+    f1 = F.when(
+        2.0 * tp + fp + fn > 0, 2.0 * tp / (2.0 * tp + fp + fn)
+    )
+    mcc_den = (
+        F.sqrt(tp + fp) * F.sqrt(tp + fn)
+        * F.sqrt(tn + fp) * F.sqrt(tn + fn)
+    )
+    mcc = F.when(mcc_den > 0, (tp * tn - fp * fn) / mcc_den)
+    return agg.select(
+        *group_cols, "tp", "fp", "fn", "tn",
+        F.round(F.when(n > 0, (tp + tn) / n), 6).alias("accuracy"),
+        F.round(prec, 6).alias("precision"),
+        F.round(rec, 6).alias("recall"),
+        F.round(f1, 6).alias("f1"),
+        F.round(mcc, 6).alias("mcc"),
+    )
+
+
+def group_average_precision(
+    df: DataFrame,
+    group_cols: list[str],
+    score_col: str,
+    label_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Per-group average precision (AP / area under the PR curve,
+    step form) — the retrieval-quality metric that, unlike
+    :func:`group_auc`, weights early precision: the right acceptance
+    gate for "are the positives concentrated at the TOP of the score
+    ranking", which is what a top-q selection actually consumes.
+
+    ``AP = (1/n_pos) Σ_k rel(k) · (cum_pos(k) / k)``
+
+    over the ranking by ``(score DESC, id ASC)`` — the explicit id
+    tiebreak makes the permutation (and hence AP under tied scores)
+    deterministic on every engine. ONE shuffle on the group, ONE
+    ordered window pass producing both the rank and the cumulative
+    positives (same window spec → a single WindowExec), one per-group
+    aggregation. Per-group state is the ranked slice (the bounded-key
+    caveat of every per-key ranking). Output:
+    ``(groups..., n, n_pos, average_precision)``, AP rounded to 6dp,
+    NULL when the group has no positives.
+    """
+    s = F.col(score_col).cast("double")
+    y = F.col(label_col).cast("int")
+    base = df.where(s.isNotNull() & y.isNotNull()).select(
+        *group_cols,
+        s.alias("_s"),
+        y.alias("_y"),
+        F.col(id_col).alias("_id"),
+    )
+    w = Window.partitionBy(*group_cols).orderBy(
+        F.col("_s").desc(), F.col("_id").asc()
+    )
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    staged = base.select(
+        *group_cols,
+        "_y",
+        F.row_number().over(w).alias("_k"),
+        F.sum("_y").over(run).alias("_cum"),
+    )
+    agg = staged.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("_y").cast("bigint").alias("n_pos"),
+        F.sum(
+            F.when(
+                F.col("_y") == 1,
+                F.col("_cum").cast("double")
+                / F.col("_k").cast("double"),
+            )
+        ).alias("_ap_sum"),
+    )
+    return agg.select(
+        *group_cols, "n", "n_pos",
+        F.round(
+            F.when(
+                F.col("n_pos") > 0,
+                F.col("_ap_sum") / F.col("n_pos").cast("double"),
+            ),
+            6,
+        ).alias("average_precision"),
+    )

@@ -1329,3 +1329,159 @@ def heaps_law(
     from padua_spark.io_utils import track_cached
 
     return track_cached(out, *getattr(stepped, "_padua_cached", ()))
+
+
+def naive_bayes_token_classify(
+    df_train: DataFrame,
+    df_score: DataFrame,
+    text_col: str,
+    label_col: str,
+    id_col: str,
+    alpha: float = 1.0,
+    max_classes: int = 64,
+) -> DataFrame:
+    """Multinomial naive Bayes text classifier — train AND score in
+    one lazy plan: the classic scalable baseline for language/source/
+    quality routing over a corpus (the model *is* a token-count
+    aggregation, so Spark's map-side combine is the whole training
+    cost; no iterations, no gradient state):
+
+    ``log p(c|d) ∝ ln(N_c/N) + Σ_{t∈d} ln((n_{c,t} + α)/(T_c + αV))``
+
+    with Laplace smoothing ``α``, vocabulary ``V`` from the training
+    corpus, and unseen scoring tokens falling back to the class's
+    smoothed-zero mass. Tokens are the shared single-space model
+    (:func:`tokens`).
+
+    Classes are discovered from the training frame with a bounded
+    collect, enforced against ``max_classes`` (per-class conditional
+    aggregation columns — the :func:`anderson_darling_ksamp` pattern
+    — keep the token-count frame ONE row per token regardless of k).
+    Plan: one explode+aggregate over train (vocab-sized result), a
+    1-row broadcast of the class totals onto the scoring tokens, one
+    LEFT join of scoring tokens against the vocab (unseen tokens keep
+    their per-class fallback), one per-doc aggregation, argmax via a
+    single struct-max (ties break to the lexicographically first
+    class — deterministic on every engine).
+
+    Output: ``(id_col, predicted, best_logp)`` — one row per scored
+    document with a non-empty token list; ``best_logp`` rounded to
+    6dp.
+    """
+    from pyspark import StorageLevel
+
+    from padua_spark.io_utils import track_cached
+
+    classes = [
+        r[0]
+        for r in df_train.where(F.col(label_col).isNotNull())
+        .select(label_col)
+        .distinct()
+        .limit(max_classes + 1)
+        .collect()
+    ]
+    if len(classes) > max_classes:
+        raise ValueError(
+            f"naive_bayes_token_classify: more than {max_classes} "
+            "classes in the training frame; raise max_classes "
+            "deliberately if the label domain is genuinely that wide"
+        )
+    classes = sorted(classes, key=str)
+    cols = [f"_c{i}" for i in range(len(classes))]
+    tr = (
+        df_train.where(
+            F.col(label_col).isNotNull() & F.col(text_col).isNotNull()
+        )
+        .select(
+            F.col(label_col).alias("_y"),
+            F.explode(tokens(F.col(text_col))).alias("token"),
+        )
+        .where(F.col("token") != "")
+    )
+    vocab = tr.groupBy("token").agg(
+        *[
+            F.count(F.when(F.col("_y") == c, 1)).alias(col)
+            for c, col in zip(classes, cols)
+        ]
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    totals = vocab.agg(
+        F.count(F.lit(1)).alias("_v"),
+        *[F.sum(col).alias(f"{col}_tot") for col in cols],
+    )
+    # class priors need DOCUMENT counts, not token counts
+    priors = (
+        df_train.where(
+            F.col(label_col).isNotNull() & F.col(text_col).isNotNull()
+        )
+        .agg(
+            F.count(F.lit(1)).alias("_nd"),
+            *[
+                F.count(F.when(F.col(label_col) == c, 1)).alias(
+                    f"{col}_docs"
+                )
+                for c, col in zip(classes, cols)
+            ],
+        )
+    )
+    scalars = totals.join(F.broadcast(priors))
+    sc = (
+        df_score.where(F.col(text_col).isNotNull())
+        .select(
+            F.col(id_col).alias("_id"),
+            F.explode(tokens(F.col(text_col))).alias("token"),
+        )
+        .where(F.col("token") != "")
+    )
+    joined = sc.join(vocab, on="token", how="left").join(
+        F.broadcast(scalars)
+    )
+    al = F.lit(float(alpha))
+    per_tok = [
+        (
+            F.log(
+                F.coalesce(F.col(col), F.lit(0)).cast("double") + al
+            )
+            - F.log(
+                F.col(f"{col}_tot").cast("double")
+                + al * F.col("_v").cast("double")
+            )
+        ).alias(f"{col}_lp")
+        for col in cols
+    ]
+    staged = joined.select("_id", *per_tok, *[
+        (
+            F.log(F.col(f"{col}_docs").cast("double"))
+            - F.log(F.col("_nd").cast("double"))
+        ).alias(f"{col}_prior")
+        for col in cols
+    ])
+    agg = staged.groupBy("_id").agg(
+        *[
+            (
+                F.sum(F.col(f"{col}_lp"))
+                + F.first(F.col(f"{col}_prior"))
+            ).alias(f"{col}_score")
+            for col in cols
+        ]
+    )
+    best = F.array_max(
+        F.array(
+            *[
+                F.struct(
+                    F.col(f"{col}_score").alias("s"),
+                    F.lit(-i).alias("negidx"),
+                )
+                for i, col in enumerate(cols)
+            ]
+        )
+    )
+    lookup = F.array(*[F.lit(str(c)) for c in classes])
+    # stage the struct-max once (HOF/struct expressions get no CSE)
+    out = agg.withColumn("_b", best).select(
+        F.col("_id").alias(id_col),
+        F.element_at(
+            lookup, (-F.col("_b.negidx") + 1).cast("int")
+        ).alias("predicted"),
+        F.round(F.col("_b.s"), 6).alias("best_logp"),
+    )
+    return track_cached(out, vocab)

@@ -4408,3 +4408,95 @@ def fleiss_kappa(
         F.round(kappa, 6).alias("kappa"),
     )
     return track_cached(out, cells)
+
+
+def cuped_adjusted(
+    df: DataFrame,
+    variant_col: str,
+    metric_col: str,
+    covariate_col: str,
+) -> DataFrame:
+    """CUPED variance-reduced A/B estimator (Deng et al. 2013) — the
+    industry-standard pre-experiment covariate adjustment: shrink the
+    metric's variance with a covariate measured BEFORE assignment
+    (last period's spend, historical CTR) so the same experiment
+    detects smaller effects:
+
+    ``θ = cov(y, x) / var(x)`` (pooled over all variants — pooling is
+    what keeps the adjustment unbiased under randomization),
+    ``y' = y − θ·(x − x̄)``; per variant the battery reports the raw
+    and adjusted means, both sample variances, and the realized
+    variance reduction ``1 − var(y')/var(y)``.
+
+    Two passes: ONE pooled aggregation to the five moments (a 1-row
+    broadcast), ONE per-variant conditional aggregation of exact sums
+    assembled into the adjusted moments driver-side-free (the
+    adjusted mean/variance expand into the raw sums plus θ, so no
+    second scan materializes y' — algebra instead of a staged
+    column). Output per variant: ``(variant, n, mean_raw,
+    mean_adjusted, var_raw, var_adjusted, var_reduction)``, floats
+    rounded to 6dp; NULL adjustment when var(x) = 0.
+
+    var_adjusted uses the identity
+    ``var(y − θx) = var(y) − 2θ·cov(y,x) + θ²·var(x)`` per variant
+    (sample /(n−1) moments), shifting by the pooled x̄ only moves the
+    mean.
+    """
+    y = F.col(metric_col).cast("double")
+    x = F.col(covariate_col).cast("double")
+    base = df.where(
+        y.isNotNull() & x.isNotNull() & F.col(variant_col).isNotNull()
+    ).select(F.col(variant_col).alias("variant"), y.alias("_y"),
+             x.alias("_x"))
+    pooled = base.agg(
+        F.count(F.lit(1)).alias("_np"),
+        F.sum("_x").alias("_sx"),
+        F.sum("_y").alias("_sy"),
+        F.sum(F.col("_x") * F.col("_x")).alias("_sxx"),
+        F.sum(F.col("_x") * F.col("_y")).alias("_sxy"),
+    )
+    npd = F.col("_np").cast("double")
+    xbar = F.col("_sx") / npd
+    varx = F.col("_sxx") / npd - xbar * xbar
+    covxy = F.col("_sxy") / npd - xbar * (F.col("_sy") / npd)
+    theta = F.when(varx > 0, covxy / varx)
+    scal = pooled.select(
+        theta.alias("_theta"), xbar.alias("_xbar")
+    )
+    per = base.groupBy("variant").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("_y").alias("_vy"),
+        F.sum("_x").alias("_vx"),
+        F.sum(F.col("_y") * F.col("_y")).alias("_vyy"),
+        F.sum(F.col("_x") * F.col("_x")).alias("_vxx"),
+        F.sum(F.col("_x") * F.col("_y")).alias("_vxy"),
+    )
+    j = per.join(F.broadcast(scal))
+    nd = F.col("n").cast("double")
+    my = F.col("_vy") / nd
+    mx = F.col("_vx") / nd
+    vy = F.when(
+        F.col("n") > 1,
+        (F.col("_vyy") - nd * my * my) / (nd - 1.0),
+    )
+    vx = F.when(
+        F.col("n") > 1,
+        (F.col("_vxx") - nd * mx * mx) / (nd - 1.0),
+    )
+    cxy = F.when(
+        F.col("n") > 1,
+        (F.col("_vxy") - nd * mx * my) / (nd - 1.0),
+    )
+    th = F.col("_theta")
+    mean_adj = my - th * (mx - F.col("_xbar"))
+    var_adj = vy - 2.0 * th * cxy + th * th * vx
+    return j.select(
+        "variant", "n",
+        F.round(my, 6).alias("mean_raw"),
+        F.round(mean_adj, 6).alias("mean_adjusted"),
+        F.round(vy, 6).alias("var_raw"),
+        F.round(var_adj, 6).alias("var_adjusted"),
+        F.round(
+            F.when(vy > 0, 1.0 - var_adj / vy), 6
+        ).alias("var_reduction"),
+    ).orderBy("variant")

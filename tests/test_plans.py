@@ -386,6 +386,12 @@ def test_no_cartesian_products_anywhere(spark):
         # 1-row per-category totals frame broadcast onto the 1-row
         # per-item stats frame (both scalar aggregates)
         "fleiss_kappa",
+        # 1-row class-totals/priors frame broadcast onto the scoring
+        # tokens (the naive Bayes model scalars)
+        "naive_bayes_lang",
+        # 1-row pooled (theta, xbar) frame broadcast onto the
+        # per-variant sums
+        "cuped_adjusted",
         # windows × reference-bins cross join — both tiny by
         # construction (every reference bin must score in every window)
         "windowed_psi",

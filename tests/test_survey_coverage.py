@@ -267,6 +267,10 @@ COVERAGE = {
     "E152": "entry:fleiss_kappa",
     "E153": "entry:ljung_box",
     "E154": "entry:forecast_accuracy",
+    "E155": "entry:naive_bayes_lang",
+    "E156": "entry:confusion_stats",
+    "E157": "entry:average_precision",
+    "E158": "entry:cuped_adjusted",
 }
 
 

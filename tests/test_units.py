@@ -5750,3 +5750,141 @@ def test_forecast_accuracy_hand_computed(spark):
         const, ["k"], ["t"], "a", "f", season=1
     ).collect()[0]
     assert c["mase"] is None and c["mae"] == 0.0
+
+
+def test_naive_bayes_hand_computed(spark):
+    """NB log-posterior against a hand-computed two-class toy model
+    (Laplace smoothing, unseen-token fallback, doc priors), plus the
+    class-bound guard."""
+    import math
+
+    from padua_spark.extensions.text import naive_bayes_token_classify
+
+    train = spark.createDataFrame(
+        [
+            (1, "spam buy now", "s"),
+            (2, "buy cheap now", "s"),
+            (3, "meeting notes today", "h"),
+        ],
+        ["id", "text", "y"],
+    )
+    score = spark.createDataFrame(
+        [(10, "buy now"), (11, "notes today unseen")],
+        ["id", "text"],
+    )
+    out = {
+        r["id"]: r
+        for r in naive_bayes_token_classify(
+            train, score, "text", "y", "id"
+        ).collect()
+    }
+    # vocab: spam buy now cheap meeting notes today -> V=7
+    # class h: T=3 tokens; class s: T=6 tokens
+    v = 7
+    def lp(c, t): return math.log(c + 1) - math.log(t + v)
+    s10_s = math.log(2 / 3) + lp(2, 6) + lp(2, 6)  # buy, now in s
+    s10_h = math.log(1 / 3) + lp(0, 3) + lp(0, 3)
+    assert out[10]["predicted"] == "s"
+    assert out[10]["best_logp"] == pytest.approx(s10_s, abs=1e-5)
+    s11_h = math.log(1 / 3) + lp(1, 3) + lp(1, 3) + lp(0, 3)
+    assert out[11]["predicted"] == "h"
+    assert out[11]["best_logp"] == pytest.approx(s11_h, abs=1e-5)
+    with pytest.raises(ValueError, match="classes"):
+        naive_bayes_token_classify(
+            train, score, "text", "y", "id", max_classes=1
+        )
+
+
+def test_confusion_stats_hand_computed(spark):
+    """Confusion cells and derived metrics against sklearn-style hand
+    values; degenerate all-one-class group yields NULL ratios."""
+    import math
+
+    from padua_spark.extensions.quality import confusion_stats
+
+    rows = (
+        [("g", 1, 1)] * 6 + [("g", 1, 0)] * 2
+        + [("g", 0, 1)] * 3 + [("g", 0, 0)] * 9
+    )
+    df = spark.createDataFrame(rows, ["g", "p", "y"])
+    r = confusion_stats(df, ["g"], "p", "y").collect()[0]
+    tp, fp, fn, tn = 6, 2, 3, 9
+    assert (r["tp"], r["fp"], r["fn"], r["tn"]) == (tp, fp, fn, tn)
+    assert r["precision"] == pytest.approx(tp / (tp + fp), abs=1e-6)
+    assert r["recall"] == pytest.approx(tp / (tp + fn), abs=1e-6)
+    assert r["f1"] == pytest.approx(
+        2 * tp / (2 * tp + fp + fn), abs=1e-6
+    )
+    mcc = (tp * tn - fp * fn) / math.sqrt(
+        (tp + fp) * (tp + fn) * (tn + fp) * (tn + fn)
+    )
+    assert r["mcc"] == pytest.approx(mcc, abs=1e-6)
+    degen = spark.createDataFrame(
+        [("g", 1, 1)] * 4, ["g", "p", "y"]
+    )
+    d = confusion_stats(degen, ["g"], "p", "y").collect()[0]
+    assert d["mcc"] is None and d["accuracy"] == 1.0
+
+
+def test_group_average_precision_hand_computed(spark):
+    """AP against the hand-stepped PR sum, including the deterministic
+    id tiebreak under tied scores and the no-positive NULL."""
+    from padua_spark.extensions.quality import group_average_precision
+
+    # ranking by score desc, id asc: y = [1, 0, 1, 1, 0]
+    rows = [
+        ("g", 5.0, 1, 1),
+        ("g", 4.0, 0, 2),
+        ("g", 3.0, 1, 3),
+        ("g", 3.0, 1, 4),   # tie with id 3: id 3 first
+        ("g", 1.0, 0, 5),
+    ]
+    df = spark.createDataFrame(rows, ["g", "s", "y", "id"])
+    r = group_average_precision(df, ["g"], "s", "y", "id").collect()[0]
+    ap = (1 / 1 + 2 / 3 + 3 / 4) / 3
+    assert r["average_precision"] == pytest.approx(ap, abs=1e-6)
+    assert r["n"] == 5 and r["n_pos"] == 3
+    nopos = spark.createDataFrame(
+        [("g", 1.0, 0, 1)], ["g", "s", "y", "id"]
+    )
+    assert group_average_precision(
+        nopos, ["g"], "s", "y", "id"
+    ).collect()[0]["average_precision"] is None
+
+
+def test_cuped_adjusted_vs_numpy(spark):
+    """CUPED theta, adjusted means and variance reduction against a
+    direct numpy replica; adjustment preserves the overall mean up to
+    randomization balance and reduces variance when y ~ x."""
+    import numpy as np
+
+    from padua_spark.operators.stats import cuped_adjusted
+
+    rng = np.random.RandomState(3)
+    x = rng.normal(10, 3, 400)
+    y = 2.0 * x + rng.normal(0, 1, 400)
+    v = (np.arange(400) % 2).astype(int)
+    y[v == 1] += 0.5
+    rows = [
+        (int(a), float(b), float(c)) for a, b, c in zip(v, y, x)
+    ]
+    df = spark.createDataFrame(rows, ["variant", "y", "x"])
+    out = {
+        r["variant"]: r
+        for r in cuped_adjusted(df, "variant", "y", "x").collect()
+    }
+    theta = np.cov(y, x, bias=True)[0, 1] / x.var()
+    xbar = x.mean()
+    for g in (0, 1):
+        yy, xx = y[v == g], x[v == g]
+        adj = yy - theta * (xx - xbar)
+        assert out[g]["mean_raw"] == pytest.approx(
+            yy.mean(), abs=1e-5
+        )
+        assert out[g]["mean_adjusted"] == pytest.approx(
+            adj.mean(), abs=1e-5
+        )
+        assert out[g]["var_adjusted"] == pytest.approx(
+            adj.var(ddof=1), abs=1e-4
+        )
+        assert out[g]["var_reduction"] > 0.9
