@@ -14681,6 +14681,150 @@ def q_cuped_adjusted(spark, sf):
     return cuped_adjusted(u, "variant", "y", "x")
 
 
+
+_HITS_ORACLE = """
+WITH e AS MATERIALIZED (
+  SELECT DISTINCT CAST(user_id AS VARCHAR) AS s, event_type AS d
+  FROM events WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+),
+h0 AS (SELECT DISTINCT s, CAST(1.0 AS DOUBLE) AS h FROM e),
+a1r AS MATERIALIZED (
+  SELECT d, sum(h) AS a FROM e JOIN h0 USING (s) GROUP BY d
+),
+a1 AS MATERIALIZED (
+  SELECT d, CASE WHEN z > 0 THEN a / z ELSE 0.0 END AS a
+  FROM a1r, (SELECT sqrt(sum(a * a)) AS z FROM a1r)
+),
+h1r AS MATERIALIZED (
+  SELECT s, sum(a) AS h FROM e JOIN a1 USING (d) GROUP BY s
+),
+h1 AS MATERIALIZED (
+  SELECT s, CASE WHEN z > 0 THEN h / z ELSE 0.0 END AS h
+  FROM h1r, (SELECT sqrt(sum(h * h)) AS z FROM h1r)
+),
+a2r AS MATERIALIZED (
+  SELECT d, sum(h) AS a FROM e JOIN h1 USING (s) GROUP BY d
+),
+a2 AS MATERIALIZED (
+  SELECT d, CASE WHEN z > 0 THEN a / z ELSE 0.0 END AS a
+  FROM a2r, (SELECT sqrt(sum(a * a)) AS z FROM a2r)
+),
+h2r AS MATERIALIZED (
+  SELECT s, sum(a) AS h FROM e JOIN a2 USING (d) GROUP BY s
+),
+h2 AS MATERIALIZED (
+  SELECT s, CASE WHEN z > 0 THEN h / z ELSE 0.0 END AS h
+  FROM h2r, (SELECT sqrt(sum(h * h)) AS z FROM h2r)
+)
+SELECT s AS node, 'hub' AS role, round(h, 6) AS score FROM h2
+UNION ALL
+SELECT d, 'authority', round(a, 6) FROM a2
+"""
+
+
+@_q("hits_scores", _HITS_ORACLE)
+def q_hits_scores(spark, sf):
+    """HITS hubs/authorities over the bipartite user -> event-type
+    graph, 2 fixed power iterations (graph.hits): persisted distinct
+    edges, one shuffle per half-step, 1-row broadcast L2 norms,
+    localCheckpoint keeping the plan O(1) deep."""
+    from padua_spark.extensions.graph import hits
+
+    e = _t(spark, sf, "events")
+    return hits(e, "user_id", "event_type", k_iters=2)
+
+
+_ITEM_COSINE_ORACLE = """
+WITH base AS (
+  SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem
+  WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL
+),
+isup AS (
+  SELECT i, CAST(count(*) AS BIGINT) AS ci FROM base GROUP BY 1
+),
+freq AS (SELECT i, ci FROM isup WHERE ci >= 2),
+kept AS (
+  SELECT b.b, b.i FROM base b JOIN freq f ON b.i = f.i
+),
+okb AS (
+  SELECT b FROM (SELECT b, count(*) AS sz FROM kept GROUP BY 1)
+  WHERE sz <= 1000
+),
+kb AS (SELECT k.b, k.i FROM kept k JOIN okb o ON k.b = o.b),
+pairs AS (
+  SELECT a.i AS ia, c.i AS ib, CAST(count(*) AS BIGINT) AS cp
+  FROM kb a JOIN kb c ON a.b = c.b AND a.i < c.i
+  GROUP BY 1, 2 HAVING count(*) >= 2
+)
+SELECT p.ia AS item_a, p.ib AS item_b, p.cp AS pair_count,
+  fa.ci AS count_a, fb.ci AS count_b,
+  round(CAST(p.cp AS DOUBLE)
+        / (sqrt(CAST(fa.ci AS DOUBLE)) * sqrt(CAST(fb.ci AS DOUBLE))),
+        6) AS cosine
+FROM pairs p
+JOIN freq fa ON p.ia = fa.i
+JOIN freq fb ON p.ib = fb.i
+"""
+
+
+@_q("item_cosine", _ITEM_COSINE_ORACLE)
+def q_item_cosine(spark, sf):
+    """Item-item co-occurrence cosine over order baskets
+    (mining.item_similarity): association_rules' Apriori-pruned plan
+    scoring the symmetric binary-incidence cosine."""
+    from padua_spark.extensions.mining import item_similarity
+
+    li = _t(spark, sf, "lineitem")
+    return item_similarity(
+        li, "l_orderkey", "l_partkey", min_support_count=2
+    )
+
+
+_READABILITY_ORACLE = r"""
+WITH t AS (
+  SELECT doc_id,
+    list_filter(
+      string_split_regex(trim(text), '[ \t\n\x0B\f\r]+'),
+      tk -> tk <> ''
+    ) AS toks,
+    text
+  FROM documents WHERE text IS NOT NULL
+),
+c AS (
+  SELECT doc_id,
+    CAST(len(toks) AS BIGINT) AS n_words,
+    CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1)
+      AS BIGINT) AS n_sentences,
+    CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+      + len(list_filter(toks,
+            tk -> NOT regexp_matches(tk, '[aeiouyAEIOUY]')))
+      AS BIGINT) AS n_syllables
+  FROM t
+)
+SELECT doc_id, n_words, n_sentences, n_syllables,
+  round(CASE WHEN n_words > 0 THEN
+    206.835 - 1.015 * (CAST(n_words AS DOUBLE) / n_sentences)
+    - 84.6 * (CAST(n_syllables AS DOUBLE) / n_words) END, 6)
+    AS flesch,
+  round(CASE WHEN n_words > 0 THEN
+    0.39 * (CAST(n_words AS DOUBLE) / n_sentences)
+    + 11.8 * (CAST(n_syllables AS DOUBLE) / n_words) - 15.59 END, 6)
+    AS fk_grade
+FROM c
+"""
+
+
+@_q("readability", _READABILITY_ORACLE)
+def q_readability(spark, sf):
+    """Flesch reading ease + FK grade per document
+    (text.readability_scores): three regexp counts scan-side, the
+    documented vowel-group syllable approximation, zero shuffles."""
+    from padua_spark.extensions.text import readability_scores
+
+    d = _t(spark, sf, "documents")
+    return readability_scores(d, "doc_id", "text")
+
+
 # ---------------------------------------------------------------------------
 
 

@@ -228,6 +228,9 @@ HEADLINE = [
     "confusion_stats",
     "average_precision",
     "cuped_adjusted",
+    "hits_scores",
+    "item_cosine",
+    "readability",
 ]
 
 

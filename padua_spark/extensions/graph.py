@@ -680,3 +680,98 @@ def link_prediction(
             F.round("_aa", 6).alias("adamic_adar"),
         )
     )
+
+
+def hits(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    k_iters: int = 3,
+) -> DataFrame:
+    """Fixed-iteration HITS (Kleinberg 1999) — hub and authority
+    scores over a directed edge list, the query-independent companion
+    to :func:`pagerank` for bipartite curation graphs (which SOURCES
+    reliably point at good documents; which documents are pointed at
+    by good sources):
+
+    ``h₀(u) = 1``;  per iteration
+    ``a_t(v) = Σ_{u→v} h_{t−1}(u)`` then L2-normalized,
+    ``h_t(u) = Σ_{u→v} a_t(v)`` then L2-normalized — exactly
+    ``k_iters`` rounds over DISTINCT edges (power iteration on AᵀA /
+    AAᵀ; fixed rounds keep it engine-reproducible and SQL-twinnable,
+    the same contract as :func:`pagerank` / :func:`kcore_peel`).
+
+    Scale shape: the distinct edge frame is persisted once and
+    hash-joined per half-step (one shuffle per half-step on the join
+    key); each L2 norm is a 1-row aggregate broadcast back; each
+    round ``localCheckpoint``s (eager=False) so the logical plan
+    stays O(1) deep across rounds instead of nesting 2k joins.
+
+    Output: ``(node, role, score)`` — one row per distinct source
+    (``role='hub'``) and per distinct destination
+    (``role='authority'``), node rendered as string (the two sides of
+    a bipartite graph often have different key types), scores rounded
+    to 6dp.
+    """
+    from padua_spark.io_utils import track_cached
+
+    e = (
+        edges.select(
+            F.col(src).cast("string").alias("_s"),
+            F.col(dst).cast("string").alias("_d"),
+        )
+        .where(F.col("_s").isNotNull() & F.col("_d").isNotNull())
+        .distinct()
+        .persist()
+    )
+    hubs = e.select("_s").distinct().withColumn("_h", F.lit(1.0))
+    auths = None
+    for _ in range(k_iters):
+        a_raw = (
+            e.join(hubs, on="_s")
+            .groupBy("_d")
+            .agg(F.sum("_h").alias("_a"))
+        )
+        a_norm = a_raw.agg(
+            F.sqrt(F.sum(F.col("_a") * F.col("_a"))).alias("_z")
+        )
+        auths = (
+            a_raw.join(F.broadcast(a_norm))
+            .select(
+                "_d",
+                F.when(F.col("_z") > 0, F.col("_a") / F.col("_z"))
+                .otherwise(F.lit(0.0))
+                .alias("_a"),
+            )
+            .localCheckpoint(eager=False)
+        )
+        h_raw = (
+            e.join(auths, on="_d")
+            .groupBy("_s")
+            .agg(F.sum("_a").alias("_h"))
+        )
+        h_norm = h_raw.agg(
+            F.sqrt(F.sum(F.col("_h") * F.col("_h"))).alias("_z")
+        )
+        hubs = (
+            h_raw.join(F.broadcast(h_norm))
+            .select(
+                "_s",
+                F.when(F.col("_z") > 0, F.col("_h") / F.col("_z"))
+                .otherwise(F.lit(0.0))
+                .alias("_h"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    out = hubs.select(
+        F.col("_s").alias("node"),
+        F.lit("hub").alias("role"),
+        F.round("_h", 6).alias("score"),
+    ).unionByName(
+        auths.select(
+            F.col("_d").alias("node"),
+            F.lit("authority").alias("role"),
+            F.round("_a", 6).alias("score"),
+        )
+    )
+    return track_cached(out, e)

@@ -126,3 +126,87 @@ def association_rules(
         .drop("_conf")
     )
     return out
+
+
+def item_similarity(
+    df: DataFrame,
+    basket_col: str,
+    item_col: str,
+    min_support_count: int = 2,
+    max_basket_items: int = 1000,
+) -> DataFrame:
+    """Item-item co-occurrence cosine similarity — the classic
+    neighborhood model for "users who took A also took B"
+    (Sarwar et al. 2001), sharing :func:`association_rules`'
+    Apriori-pruned plan but scoring with the symmetric cosine
+    (lift/confidence are directional; similarity search wants a
+    metric):
+
+    ``cos(a, b) = c_ab / √(c_a · c_b)``
+
+    over DISTINCT (basket, item) pairs — binary incidence, so the
+    cosine numerator is the raw co-basket count and the norms are the
+    per-item basket counts: three exact integers per pair. Same scale
+    contract as association_rules: items below ``min_support_count``
+    leave before the basket-keyed self-join (a pair needs both
+    members frequent), baskets above ``max_basket_items`` surviving
+    items are excluded by the explicit quadratic bound. One distinct,
+    two aggregations, one equi-join. Output: one row per unordered
+    frequent pair — ``(item_a, item_b, pair_count, count_a, count_b,
+    cosine)``, cosine rounded to 6dp, ``item_a < item_b``.
+    """
+    base = (
+        df.select(
+            F.col(basket_col).alias("_b"), F.col(item_col).alias("_i")
+        )
+        .where(F.col("_b").isNotNull() & F.col("_i").isNotNull())
+        .distinct()
+    )
+    isup = base.groupBy("_i").agg(
+        F.count(F.lit(1)).cast("bigint").alias("_ci")
+    )
+    freq = isup.where(F.col("_ci") >= F.lit(int(min_support_count)))
+    kept = base.join(freq.select("_i"), on="_i", how="left_semi")
+    ok_baskets = (
+        kept.groupBy("_b")
+        .agg(F.count(F.lit(1)).alias("_sz"))
+        .where(F.col("_sz") <= F.lit(int(max_basket_items)))
+        .select("_b")
+    )
+    kept = kept.join(ok_baskets, on="_b", how="left_semi")
+    a = kept.select("_b", F.col("_i").alias("_ia"))
+    b = kept.select("_b", F.col("_i").alias("_ib"))
+    pairs = (
+        a.join(b, on="_b")
+        .where(F.col("_ia") < F.col("_ib"))
+        .groupBy("_ia", "_ib")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("_cp"))
+        .where(F.col("_cp") >= F.lit(int(min_support_count)))
+    )
+    return (
+        pairs.join(
+            freq.select(F.col("_i").alias("_ia"),
+                        F.col("_ci").alias("count_a")),
+            on="_ia",
+        )
+        .join(
+            freq.select(F.col("_i").alias("_ib"),
+                        F.col("_ci").alias("count_b")),
+            on="_ib",
+        )
+        .select(
+            F.col("_ia").alias("item_a"),
+            F.col("_ib").alias("item_b"),
+            F.col("_cp").alias("pair_count"),
+            "count_a",
+            "count_b",
+            F.round(
+                F.col("_cp").cast("double")
+                / (
+                    F.sqrt(F.col("count_a").cast("double"))
+                    * F.sqrt(F.col("count_b").cast("double"))
+                ),
+                6,
+            ).alias("cosine"),
+        )
+    )

@@ -1485,3 +1485,71 @@ def naive_bayes_token_classify(
         F.round(F.col("_b.s"), 6).alias("best_logp"),
     )
     return track_cached(out, vocab)
+
+
+def readability_scores(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+) -> DataFrame:
+    """Flesch reading ease + Flesch-Kincaid grade level — the
+    standard readability pair for corpus quality slicing ("is this
+    source mostly legalese?"), computed entirely scan-side (three
+    regexp counts per document, zero shuffles, zero UDFs — whole-
+    stage-codegen territory):
+
+    ``flesch = 206.835 − 1.015·(W/S) − 84.6·(Y/W)``
+    ``fk_grade = 0.39·(W/S) + 11.8·(Y/W) − 15.59``
+
+    with W = token count (shared single-space model), S = sentence
+    count (runs of ``[.!?]``, floored at 1 so headline-style docs
+    don't divide by zero), and Y = the syllable APPROXIMATION used by
+    every open implementation: vowel-group runs ``[aeiouy]+`` of the
+    lowercased text, plus 1 for each vowel-less token (digits,
+    acronyms) so every word counts at least one syllable. The
+    heuristic is documented, deterministic, and engine-identical —
+    not a linguistic claim.
+
+    Output: ``(id_col, n_words, n_sentences, n_syllables, flesch,
+    fk_grade)``; scores NULL for token-less documents, rounded 6dp.
+    """
+    t = F.col(text_col)
+    toks = F.filter(tokens(t), lambda x: x != "")
+    n_words = F.size(toks).cast("bigint")
+    n_sent = F.greatest(
+        F.regexp_count(t, F.lit(r"[.!?]+")), F.lit(1)
+    ).cast("bigint")
+    vowel_groups = F.regexp_count(F.lower(t), F.lit("[aeiouy]+"))
+    no_vowel = F.size(
+        F.filter(toks, lambda x: ~x.rlike("[aeiouyAEIOUY]"))
+    )
+    n_syll = (vowel_groups + no_vowel).cast("bigint")
+    staged = df.where(t.isNotNull()).select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        n_sent.alias("n_sentences"),
+        n_syll.alias("n_syllables"),
+    )
+    w = F.col("n_words").cast("double")
+    s = F.col("n_sentences").cast("double")
+    y = F.col("n_syllables").cast("double")
+    return staged.select(
+        id_col,
+        "n_words",
+        "n_sentences",
+        "n_syllables",
+        F.round(
+            F.when(
+                F.col("n_words") > 0,
+                206.835 - 1.015 * (w / s) - 84.6 * (y / w),
+            ),
+            6,
+        ).alias("flesch"),
+        F.round(
+            F.when(
+                F.col("n_words") > 0,
+                0.39 * (w / s) + 11.8 * (y / w) - 15.59,
+            ),
+            6,
+        ).alias("fk_grade"),
+    )

@@ -271,6 +271,9 @@ COVERAGE = {
     "E156": "entry:confusion_stats",
     "E157": "entry:average_precision",
     "E158": "entry:cuped_adjusted",
+    "E159": "entry:hits_scores",
+    "E160": "entry:item_cosine",
+    "E161": "entry:readability",
 }
 
 

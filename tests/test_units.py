@@ -5888,3 +5888,90 @@ def test_cuped_adjusted_vs_numpy(spark):
             adj.var(ddof=1), abs=1e-4
         )
         assert out[g]["var_reduction"] > 0.9
+
+
+def test_hits_vs_numpy_power_iteration(spark):
+    """HITS hub/authority scores equal a numpy power-iteration replica
+    at k=3 on a small bipartite graph (L2-normalized each half-step)."""
+    import numpy as np
+
+    from padua_spark.extensions.graph import hits
+
+    edges = [
+        ("u1", "a"), ("u1", "b"), ("u2", "b"),
+        ("u3", "b"), ("u3", "c"),
+    ]
+    df = spark.createDataFrame(edges, ["s", "d"])
+    out = {
+        (r["role"], r["node"]): r["score"]
+        for r in hits(df, "s", "d", k_iters=3).collect()
+    }
+    srcs = sorted({s for s, _ in edges})
+    dsts = sorted({d for _, d in edges})
+    A = np.zeros((len(srcs), len(dsts)))
+    for s_, d_ in edges:
+        A[srcs.index(s_), dsts.index(d_)] = 1
+    h = np.ones(len(srcs))
+    for _ in range(3):
+        a = A.T @ h
+        a /= np.linalg.norm(a)
+        h = A @ a
+        h /= np.linalg.norm(h)
+    for i, s_ in enumerate(srcs):
+        assert out[("hub", s_)] == pytest.approx(h[i], abs=1e-5)
+    for i, d_ in enumerate(dsts):
+        assert out[("authority", d_)] == pytest.approx(a[i], abs=1e-5)
+    # the most-linked authority ranks first
+    assert out[("authority", "b")] == max(
+        out[k] for k in out if k[0] == "authority"
+    )
+
+
+def test_item_similarity_hand_computed(spark):
+    """Binary-incidence cosine on a hand basket set; sub-support pairs
+    pruned; mega-basket bound excludes a degenerate basket."""
+    from padua_spark.extensions.mining import item_similarity
+
+    rows = [
+        (1, "a"), (1, "b"), (2, "a"), (2, "b"),
+        (3, "a"), (3, "c"), (4, "c"), (4, "b"),
+    ]
+    df = spark.createDataFrame(rows, ["b", "i"])
+    out = item_similarity(df, "b", "i", min_support_count=2).collect()
+    assert len(out) == 1  # only (a,b) co-occurs twice
+    r = out[0]
+    assert (r["item_a"], r["item_b"], r["pair_count"]) == ("a", "b", 2)
+    assert r["cosine"] == pytest.approx(2 / 3, abs=1e-6)
+    # a 3-item basket excluded by max_basket_items=2 contributes no pairs
+    big = rows + [(9, "a"), (9, "b"), (9, "c")]
+    dfb = spark.createDataFrame(big, ["b", "i"])
+    out2 = item_similarity(
+        dfb, "b", "i", min_support_count=2, max_basket_items=2
+    ).collect()
+    assert {(r["item_a"], r["item_b"], r["pair_count"])
+            for r in out2} == {("a", "b", 2)}
+
+
+def test_readability_hand_computed(spark):
+    """Word/sentence/syllable counts and both scores on hand text; the
+    vowel-less token floor; sentence floor at 1."""
+    from padua_spark.extensions.text import readability_scores
+
+    df = spark.createDataFrame(
+        [(1, "The cat sat. It was happy!"), (2, "xyz 123")],
+        ["id", "text"],
+    )
+    out = {r["id"]: r for r in readability_scores(df, "id", "text").collect()}
+    r1 = out[1]
+    assert (r1["n_words"], r1["n_sentences"], r1["n_syllables"]) == (6, 2, 7)
+    w, s_, y = 6.0, 2.0, 7.0
+    assert r1["flesch"] == pytest.approx(
+        206.835 - 1.015 * (w / s_) - 84.6 * (y / w), abs=1e-5
+    )
+    assert r1["fk_grade"] == pytest.approx(
+        0.39 * (w / s_) + 11.8 * (y / w) - 15.59, abs=1e-5
+    )
+    r2 = out[2]
+    # "xyz" has a y-group, "123" is vowel-less (floor 1); no sentence
+    # punctuation -> sentence floor 1
+    assert (r2["n_words"], r2["n_sentences"], r2["n_syllables"]) == (2, 1, 2)
