@@ -14825,6 +14825,265 @@ def q_readability(spark, sf):
     return readability_scores(d, "doc_id", "text")
 
 
+
+_PARTIAL_CORR_ORACLE = """
+WITH base AS (
+  SELECT CAST(l_extendedprice AS DOUBLE) AS x,
+         CAST(l_quantity AS DOUBLE) AS y,
+         CAST(l_discount AS DOUBLE) AS z
+  FROM lineitem
+  WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL
+    AND l_discount IS NOT NULL
+),
+agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+    sum(x) AS sx, sum(y) AS sy, sum(z) AS sz,
+    sum(x * x) AS sxx, sum(y * y) AS syy, sum(z * z) AS szz,
+    sum(x * y) AS sxy, sum(x * z) AS sxz, sum(y * z) AS syz
+  FROM base
+),
+r AS (
+  SELECT n,
+    CASE WHEN sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)) > 0
+      THEN (n * sxy - sx * sy)
+           / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)) END
+      AS rxy,
+    CASE WHEN sqrt((n * sxx - sx * sx) * (n * szz - sz * sz)) > 0
+      THEN (n * sxz - sx * sz)
+           / sqrt((n * sxx - sx * sx) * (n * szz - sz * sz)) END
+      AS rxz,
+    CASE WHEN sqrt((n * syy - sy * sy) * (n * szz - sz * sz)) > 0
+      THEN (n * syz - sy * sz)
+           / sqrt((n * syy - sy * sy) * (n * szz - sz * sz)) END
+      AS ryz
+  FROM agg
+)
+SELECT n, round(rxy, 6) AS r_xy, round(rxz, 6) AS r_xz,
+  round(ryz, 6) AS r_yz,
+  round(CASE WHEN sqrt((1.0 - rxz * rxz) * (1.0 - ryz * ryz)) > 0
+    THEN (rxy - rxz * ryz)
+         / sqrt((1.0 - rxz * rxz) * (1.0 - ryz * ryz)) END, 6)
+    AS partial_r
+FROM r
+"""
+
+
+@_q("partial_correlation", _PARTIAL_CORR_ORACLE)
+def q_partial_correlation(spark, sf):
+    """Partial correlation of extended price and quantity controlling
+    for discount (stats.partial_correlation): one aggregation to nine
+    exact moment sums, closed-form first-order partial r."""
+    from padua_spark.operators.stats import partial_correlation
+
+    li = _t(spark, sf, "lineitem")
+    return partial_correlation(
+        li, "l_extendedprice", "l_quantity", "l_discount"
+    )
+
+
+_THEILS_U_ORACLE = """
+WITH cells AS (
+  SELECT o_orderstatus AS a, o_orderpriority AS b, count(*) AS n
+  FROM orders
+  WHERE o_orderstatus IS NOT NULL AND o_orderpriority IS NOT NULL
+  GROUP BY 1, 2
+),
+m AS (
+  SELECT n,
+    sum(n) OVER (PARTITION BY a) AS ra,
+    sum(n) OVER (PARTITION BY b) AS cb,
+    sum(n) OVER () AS nt
+  FROM cells
+),
+agg AS (
+  SELECT CAST(max(nt) AS BIGINT) AS n_total,
+    sum((CAST(n AS DOUBLE) / nt)
+        * ln((CAST(n AS DOUBLE) / nt)
+             / ((CAST(ra AS DOUBLE) / nt)
+                * (CAST(cb AS DOUBLE) / nt)))) AS mi,
+    sum(-(CAST(n AS DOUBLE) / nt)
+        * ln(CAST(ra AS DOUBLE) / nt)) AS ha,
+    sum(-(CAST(n AS DOUBLE) / nt)
+        * ln(CAST(cb AS DOUBLE) / nt)) AS hb
+  FROM m
+)
+SELECT n_total,
+  round(ha, 6) AS h_a, round(hb, 6) AS h_b, round(mi, 6) AS mi,
+  round(CASE WHEN ha > 0 THEN mi / ha END, 6) AS u_a_given_b,
+  round(CASE WHEN hb > 0 THEN mi / hb END, 6) AS u_b_given_a,
+  round(CASE WHEN ha + hb > 0 THEN 2.0 * mi / (ha + hb) END, 6)
+    AS u_symmetric
+FROM agg
+"""
+
+
+@_q("theils_u", _THEILS_U_ORACLE)
+def q_theils_u(spark, sf):
+    """Theil's uncertainty coefficients between order status and
+    priority (stats.theils_u): bounded contingency cells, margin
+    windows over the cell frame, plug-in entropies both ways plus
+    the symmetric form."""
+    from padua_spark.operators.stats import theils_u
+
+    o = _t(spark, sf, "orders")
+    return theils_u(o, "o_orderstatus", "o_orderpriority")
+
+
+def _kendalls_w_oracle() -> str:
+    return """
+WITH base AS (
+  SELECT user_id AS b, event_type AS t,
+    CAST(count(*) AS DOUBLE) AS v
+  FROM events GROUP BY 1, 2
+),
+k AS (SELECT count(DISTINCT t) AS kt FROM base),
+complete AS (
+  SELECT b FROM base, k GROUP BY b, kt
+  HAVING count(DISTINCT t) = kt AND count(*) = kt
+),
+kept AS (
+  SELECT base.* FROM base JOIN complete USING (b)
+),
+ranked AS (
+  SELECT b, t,
+    rank() OVER (PARTITION BY b ORDER BY v)
+      + (count(*) OVER (PARTITION BY b, v) - 1) / 2.0 AS rk,
+    count(*) OVER (PARTITION BY b, v) AS tn
+  FROM kept
+),
+rsums AS (
+  SELECT t, sum(rk) AS rj FROM ranked GROUP BY t
+),
+s AS (
+  SELECT sum(rj * rj) AS ssbn,
+    CAST(count(*) AS BIGINT) AS k_treatments
+  FROM rsums
+),
+ties AS (
+  SELECT sum(tn * tn - 1.0) AS tie_sum,
+    CAST(count(*) / (SELECT kt FROM k) AS BIGINT) AS n_blocks
+  FROM ranked
+),
+fin AS (
+  SELECT n_blocks, k_treatments,
+    CASE WHEN n_blocks > 0 AND k_treatments >= 2
+              AND 1.0 - tie_sum / (n_blocks * k_treatments
+                  * (CAST(k_treatments AS DOUBLE) * k_treatments - 1.0))
+                  > 0
+      THEN ((12.0 / (CAST(n_blocks AS DOUBLE) * k_treatments
+                     * (k_treatments + 1.0))) * ssbn
+            - 3.0 * n_blocks * (k_treatments + 1.0))
+           / (1.0 - tie_sum / (CAST(n_blocks AS DOUBLE) * k_treatments
+                    * (CAST(k_treatments AS DOUBLE) * k_treatments
+                       - 1.0)))
+      END AS stat
+  FROM s, ties
+)
+SELECT n_blocks, k_treatments,
+  round(CASE WHEN n_blocks > 0 AND k_treatments > 1
+        THEN stat / (CAST(n_blocks AS DOUBLE) * (k_treatments - 1.0))
+        END, 6) AS kendalls_w,
+  round(stat, 6) AS friedman_stat,
+  CASE WHEN k_treatments >= 2
+       THEN CAST(k_treatments - 1 AS DOUBLE) END AS dfree
+FROM fin
+"""
+
+
+@_q("kendalls_w", _kendalls_w_oracle())
+def q_kendalls_w(spark, sf):
+    """Kendall's coefficient of concordance: how strongly do users
+    agree on the activity ordering of event types
+    (stats.kendalls_w = tie-corrected friedman chi2 / (m(k-1));
+    p-value pruned — chi2 sf is the numpy UDF side)."""
+    from padua_spark.operators.stats import kendalls_w
+
+    e = _t(spark, sf, "events")
+    counts = e.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).cast("double").alias("v")
+    )
+    out = kendalls_w(counts, "user_id", "event_type", "v")
+    return out.select(
+        "n_blocks", "k_treatments", "kendalls_w",
+        _r("friedman_stat").alias("friedman_stat"), "dfree",
+    )
+
+
+_PAGE_TREND_ORACLE = """
+WITH base AS (
+  SELECT user_id AS b, event_type AS t,
+    CAST(sum(value) AS DOUBLE) AS v
+  FROM events
+  WHERE event_type IN ('view', 'click', 'purchase')
+    AND value IS NOT NULL
+  GROUP BY 1, 2
+),
+complete AS (
+  SELECT b FROM base GROUP BY b
+  HAVING count(DISTINCT t) = 3 AND count(*) = 3
+),
+kept AS (SELECT base.* FROM base JOIN complete USING (b)),
+ranked AS (
+  SELECT b, t,
+    rank() OVER (PARTITION BY b ORDER BY v)
+      + (count(*) OVER (PARTITION BY b, v) - 1) / 2.0 AS rk
+  FROM kept
+),
+agg AS (
+  SELECT
+    sum(CASE t WHEN 'view' THEN 1.0 WHEN 'click' THEN 2.0
+        WHEN 'purchase' THEN 3.0 END * rk) AS l,
+    CAST(count(*) / 3 AS BIGINT) AS n_blocks
+  FROM ranked
+),
+z AS (
+  SELECT n_blocks, round(l, 6) AS page_l,
+    CASE WHEN n_blocks > 0 THEN
+      (l - n_blocks * 3.0 * 16.0 / 4.0)
+      / sqrt(n_blocks * 24.0 * 24.0 / (144.0 * 2.0)) END AS zv
+  FROM agg
+),
+e AS (
+  SELECT *, abs(zv) / sqrt(2.0) AS xx,
+    1.0 / (1.0 + 0.3275911 * (abs(zv) / sqrt(2.0))) AS tt
+  FROM z
+)
+SELECT n_blocks, CAST(3 AS BIGINT) AS k_treatments, page_l,
+  round(zv, 6) AS z,
+  round(CASE WHEN zv >= 0 THEN
+      (0.254829592 * tt - 0.284496736 * tt * tt
+       + 1.421413741 * tt * tt * tt - 1.453152027 * tt * tt * tt * tt
+       + 1.061405429 * tt * tt * tt * tt * tt) * exp(-xx * xx) / 2.0
+    ELSE 1.0 -
+      (0.254829592 * tt - 0.284496736 * tt * tt
+       + 1.421413741 * tt * tt * tt - 1.453152027 * tt * tt * tt * tt
+       + 1.061405429 * tt * tt * tt * tt * tt) * exp(-xx * xx) / 2.0
+    END, 6) AS p_value
+FROM e
+"""
+
+
+@_q("page_trend_test", _PAGE_TREND_ORACLE)
+def q_page_trend_test(spark, sf):
+    """Page's L ordered-trend test: does per-user spend rise along
+    view -> click -> purchase (stats.page_trend_test): within-block
+    midranks over complete blocks, closed-form no-tie moments, shared
+    A&S-erfc one-sided p."""
+    from padua_spark.operators.stats import page_trend_test
+
+    e = _t(spark, sf, "events")
+    agg = e.where(
+        F.col("event_type").isin("view", "click", "purchase")
+        & F.col("value").isNotNull()
+    ).groupBy("user_id", "event_type").agg(
+        F.sum("value").cast("double").alias("v")
+    )
+    return page_trend_test(
+        agg, "user_id", "event_type", "v",
+        ["view", "click", "purchase"],
+    )
+
+
 # ---------------------------------------------------------------------------
 
 

@@ -231,6 +231,10 @@ HEADLINE = [
     "hits_scores",
     "item_cosine",
     "readability",
+    "partial_correlation",
+    "theils_u",
+    "kendalls_w",
+    "page_trend_test",
 ]
 
 

@@ -4500,3 +4500,271 @@ def cuped_adjusted(
             F.when(vy > 0, 1.0 - var_adj / vy), 6
         ).alias("var_reduction"),
     ).orderBy("variant")
+
+
+def partial_correlation(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    z_col: str,
+) -> DataFrame:
+    """First-order partial correlation of x and y CONTROLLING for z —
+    the confound check Pearson's r cannot answer ("does quality
+    correlate with engagement beyond what document length explains?"):
+
+    ``r_xy·z = (r_xy − r_xz·r_yz) / √((1 − r_xz²)(1 − r_yz²))``
+
+    ONE aggregation over triple-complete rows to the nine moment sums
+    (counts + Σ of every product), the three Pearson r's and the
+    partial r assembled closed-form on the 1-row frame — the same
+    AQE-trivial shape as :func:`concordance_ccc` at any scale.
+    Output 1 row: ``(n, r_xy, r_xz, r_yz, partial_r)``, rounded 6dp;
+    partial_r NULL when either control correlation is ±1 (the
+    denominator vanishes — z fully explains one variable).
+    """
+    x = F.col(x_col).cast("double")
+    y = F.col(y_col).cast("double")
+    z = F.col(z_col).cast("double")
+    base = df.where(
+        x.isNotNull() & y.isNotNull() & z.isNotNull()
+    ).select(x.alias("_x"), y.alias("_y"), z.alias("_z"))
+    agg = base.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("_x").alias("_sx"),
+        F.sum("_y").alias("_sy"),
+        F.sum("_z").alias("_sz"),
+        F.sum(F.col("_x") * F.col("_x")).alias("_sxx"),
+        F.sum(F.col("_y") * F.col("_y")).alias("_syy"),
+        F.sum(F.col("_z") * F.col("_z")).alias("_szz"),
+        F.sum(F.col("_x") * F.col("_y")).alias("_sxy"),
+        F.sum(F.col("_x") * F.col("_z")).alias("_sxz"),
+        F.sum(F.col("_y") * F.col("_z")).alias("_syz"),
+    )
+    nd = F.col("n").cast("double")
+
+    def _r2(sab, sa, sb, saa, sbb):
+        num = nd * F.col(sab) - F.col(sa) * F.col(sb)
+        den = F.sqrt(
+            (nd * F.col(saa) - F.col(sa) * F.col(sa))
+            * (nd * F.col(sbb) - F.col(sb) * F.col(sb))
+        )
+        return F.when(den > 0, num / den)
+
+    staged = agg.select(
+        "n",
+        _r2("_sxy", "_sx", "_sy", "_sxx", "_syy").alias("_rxy"),
+        _r2("_sxz", "_sx", "_sz", "_sxx", "_szz").alias("_rxz"),
+        _r2("_syz", "_sy", "_sz", "_syy", "_szz").alias("_ryz"),
+    )
+    den = F.sqrt(
+        (1.0 - F.col("_rxz") * F.col("_rxz"))
+        * (1.0 - F.col("_ryz") * F.col("_ryz"))
+    )
+    pr = F.when(
+        den > 0,
+        (F.col("_rxy") - F.col("_rxz") * F.col("_ryz")) / den,
+    )
+    return staged.select(
+        "n",
+        F.round("_rxy", 6).alias("r_xy"),
+        F.round("_rxz", 6).alias("r_xz"),
+        F.round("_ryz", 6).alias("r_yz"),
+        F.round(pr, 6).alias("partial_r"),
+    )
+
+
+def theils_u(
+    df: DataFrame,
+    col_a: str,
+    col_b: str,
+) -> DataFrame:
+    """Theil's uncertainty coefficient (both directions + symmetric)
+    — the ASYMMETRIC categorical-association measure
+    :func:`cramers_v` cannot express ("knowing source, how much of
+    the language uncertainty disappears?" is NOT the reverse
+    question):
+
+    ``U(A|B) = I(A;B) / H(A)``, ``U(B|A) = I(A;B) / H(B)``,
+    ``U_sym = 2·I(A;B) / (H(A) + H(B))``
+
+    (natural-log entropies). Plan is :func:`cramers_v`'s: one hash
+    aggregation to the bounded contingency cells, margin windows over
+    the cell frame, entropies as exact-count plug-in sums. Output 1
+    row: ``(n_total, h_a, h_b, mi, u_a_given_b, u_b_given_a,
+    u_symmetric)``, floats 6dp; U NULL when the conditioned entropy
+    is 0 (a constant column carries no uncertainty to explain).
+    """
+    a = F.col(col_a)
+    b = F.col(col_b)
+    cells = (
+        df.where(a.isNotNull() & b.isNotNull())
+        .groupBy(a.alias("_a"), b.alias("_b"))
+        .agg(F.count(F.lit(1)).alias("_n"))
+    )
+    wa = Window.partitionBy("_a")
+    wb = Window.partitionBy("_b")
+    wall = Window.partitionBy()
+    staged = cells.select(
+        "_n",
+        F.sum("_n").over(wa).alias("_ra"),
+        F.sum("_n").over(wb).alias("_cb"),
+        F.sum("_n").over(wall).alias("_nt"),
+    )
+    nd = F.col("_nt").cast("double")
+    p = F.col("_n").cast("double") / nd
+    pa = F.col("_ra").cast("double") / nd
+    pb = F.col("_cb").cast("double") / nd
+    agg = staged.agg(
+        F.max("_nt").alias("n_total"),
+        F.sum(p * F.log(p / (pa * pb))).alias("_mi"),
+        # cell-weighted marginal entropies: Σ_cells p·(−ln p_marg)
+        # equals Σ_marg p_marg·(−ln p_marg) exactly
+        F.sum(-p * F.log(pa)).alias("_ha"),
+        F.sum(-p * F.log(pb)).alias("_hb"),
+    )
+    mi = F.col("_mi")
+    ha = F.col("_ha")
+    hb = F.col("_hb")
+    return agg.select(
+        "n_total",
+        F.round(ha, 6).alias("h_a"),
+        F.round(hb, 6).alias("h_b"),
+        F.round(mi, 6).alias("mi"),
+        F.round(F.when(ha > 0, mi / ha), 6).alias("u_a_given_b"),
+        F.round(F.when(hb > 0, mi / hb), 6).alias("u_b_given_a"),
+        F.round(
+            F.when(ha + hb > 0, 2.0 * mi / (ha + hb)), 6
+        ).alias("u_symmetric"),
+    )
+
+
+def kendalls_w(
+    df: DataFrame,
+    block_col: str,
+    treatment_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Kendall's coefficient of concordance W — HOW MUCH do the m
+    rankers (blocks) agree on the ordering of the k items, the effect
+    size :func:`friedman_test` (which only answers "more than
+    chance?") is missing. Uses the tie-corrected identity
+
+    ``W = χ²_F / (m·(k − 1))``
+
+    (Legendre 2005) on exactly friedman's within-block midrank
+    pipeline — one bounded within-block rank window, one aggregation,
+    complete blocks enforced the same way. Output 1 row:
+    ``(n_blocks, k_treatments, kendalls_w, friedman_stat, dfree,
+    p_value)`` — W in [0, 1], rounded 6dp.
+    """
+    base = friedman_test(df, block_col, treatment_col, value_col)
+    m = F.col("n_blocks").cast("double")
+    k = F.col("k_treatments").cast("double")
+    w = F.when(
+        (F.col("n_blocks") > 0) & (k > 1),
+        F.col("friedman_stat") / (m * (k - 1.0)),
+    )
+    return base.select(
+        "n_blocks",
+        "k_treatments",
+        F.round(w, 6).alias("kendalls_w"),
+        "friedman_stat",
+        "dfree",
+        "p_value",
+    )
+
+
+def page_trend_test(
+    df: DataFrame,
+    block_col: str,
+    treatment_col: str,
+    value_col: str,
+    ordered_treatments: list,
+) -> DataFrame:
+    """Page's L test for an ORDERED alternative in repeated measures
+    (Page 1963) — when the treatments have a hypothesized order
+    (dose, time, model size), strictly more powerful than the
+    unordered :func:`friedman_test`:
+
+    ``L = Σ_j c_j · R_j`` with ``c_j = 1..k`` the hypothesized rank
+    of treatment j and ``R_j`` its within-block midrank sum;
+
+    ``E[L] = m·k(k+1)²/4``, ``Var[L] = m·(k³−k)²/(144(k−1))``,
+    one-sided p (increasing trend) from ``z = (L−E)/√Var`` via the
+    shared A&S-erfc polynomial. The variance is the standard no-tie
+    form (midranks still used under ties — the universal practice;
+    heavy ties make the test conservative). Complete blocks enforced
+    exactly as :func:`friedman_test`. Output 1 row: ``(n_blocks,
+    k_treatments, page_l, z, p_value)``, floats 6dp; raises for
+    k < 3 (the test is defined for ordered k >= 3), z NULL with no
+    complete blocks.
+    """
+    k = len(ordered_treatments)
+    if k < 3:
+        raise ValueError(
+            "page_trend_test: needs at least 3 ordered treatments "
+            f"(got {k}); use a two-sample rank test for k=2"
+        )
+    v = F.col(value_col).cast("double")
+    base = df.where(
+        v.isNotNull()
+        & F.col(block_col).isNotNull()
+        & F.col(treatment_col).isin(list(ordered_treatments))
+    ).select(
+        F.col(block_col).alias("_b"),
+        F.col(treatment_col).alias("_t"),
+        v.alias("_v"),
+    )
+    complete = (
+        base.groupBy("_b")
+        .agg(
+            F.count_distinct("_t").alias("_kt"),
+            F.count(F.lit(1)).alias("_ct"),
+        )
+        .where((F.col("_kt") == k) & (F.col("_ct") == k))
+        .select("_b")
+    )
+    kept = base.join(complete, on="_b", how="left_semi")
+    wb = Window.partitionBy("_b").orderBy("_v")
+    wt = Window.partitionBy("_b", "_v")
+    tie_n = F.count(F.lit(1)).over(wt)
+    ranked = kept.select(
+        "_b",
+        "_t",
+        (
+            F.rank().over(wb).cast("double")
+            + (tie_n.cast("double") - 1.0) / 2.0
+        ).alias("_rk"),
+    )
+    order_expr = None
+    for j, t in enumerate(ordered_treatments, start=1):
+        cond = F.when(F.col("_t") == F.lit(t), F.lit(float(j)))
+        order_expr = cond if order_expr is None else order_expr.when(
+            F.col("_t") == F.lit(t), F.lit(float(j))
+        )
+    agg = ranked.agg(
+        F.sum(order_expr * F.col("_rk")).alias("_l"),
+        (F.count(F.lit(1)) / F.lit(k)).cast("bigint").alias(
+            "n_blocks"
+        ),
+    )
+    m = F.col("n_blocks").cast("double")
+    kd = float(k)
+    e_l = m * kd * (kd + 1.0) ** 2 / 4.0
+    var_l = m * (kd ** 3 - kd) ** 2 / (144.0 * (kd - 1.0))
+    z = F.when(
+        F.col("n_blocks") > 0, (F.col("_l") - e_l) / F.sqrt(var_l)
+    )
+    staged = agg.select(
+        "n_blocks",
+        F.lit(k).cast("long").alias("k_treatments"),
+        F.round("_l", 6).alias("page_l"),
+        z.alias("_z"),
+    )
+    return staged.select(
+        "n_blocks",
+        "k_treatments",
+        "page_l",
+        F.round("_z", 6).alias("z"),
+        F.round(_normal_sf_1sided(F.col("_z")), 6).alias("p_value"),
+    )

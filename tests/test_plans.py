@@ -427,6 +427,8 @@ def test_no_cartesian_products_anywhere(spark):
         # two 1-row aggregates (rank-sum squares x tie totals) crossed
         # into the single Friedman result row
         "friedman_counts",
+        # composes friedman_test — inherits its two-1-row cross
+        "kendalls_w",
         # 1-row conformal-quantile frame broadcast onto the test set
         "conformal_intervals",
         # 1-row CI order-statistic frame crossed into the 1-row stats

@@ -274,6 +274,10 @@ COVERAGE = {
     "E159": "entry:hits_scores",
     "E160": "entry:item_cosine",
     "E161": "entry:readability",
+    "E162": "entry:partial_correlation",
+    "E163": "entry:theils_u",
+    "E164": "entry:kendalls_w",
+    "E165": "entry:page_trend_test",
 }
 
 

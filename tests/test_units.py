@@ -5975,3 +5975,144 @@ def test_readability_hand_computed(spark):
     # "xyz" has a y-group, "123" is vowel-less (floor 1); no sentence
     # punctuation -> sentence floor 1
     assert (r2["n_words"], r2["n_sentences"], r2["n_syllables"]) == (2, 1, 2)
+
+
+def test_partial_correlation_vs_numpy(spark):
+    """Partial r against the numpy three-correlation closed form, and
+    the degenerate perfectly-explained NULL."""
+    import math
+
+    import numpy as np
+
+    from padua_spark.operators.stats import partial_correlation
+
+    rng = np.random.RandomState(5)
+    z = rng.normal(0, 1, 200)
+    x = 2 * z + rng.normal(0, 1, 200)
+    y = -z + 0.3 * x + rng.normal(0, 1, 200)
+    df = spark.createDataFrame(
+        [(float(a), float(b), float(c)) for a, b, c in zip(x, y, z)],
+        ["x", "y", "z"],
+    )
+    r = partial_correlation(df, "x", "y", "z").collect()[0]
+
+    def pear(a, b):
+        return float(np.corrcoef(a, b)[0, 1])
+
+    rxy, rxz, ryz = pear(x, y), pear(x, z), pear(y, z)
+    ref = (rxy - rxz * ryz) / math.sqrt(
+        (1 - rxz ** 2) * (1 - ryz ** 2)
+    )
+    assert r["partial_r"] == pytest.approx(ref, abs=1e-5)
+    assert r["r_xy"] == pytest.approx(rxy, abs=1e-5)
+    # z == x exactly: r_xz = 1, denominator vanishes
+    degen = spark.createDataFrame(
+        [(float(a), float(b), float(a)) for a, b in zip(x, y)],
+        ["x", "y", "z"],
+    )
+    assert partial_correlation(degen, "x", "y", "z").collect()[0][
+        "partial_r"
+    ] is None
+
+
+def test_theils_u_hand_computed(spark):
+    """Both directional U's and the symmetric form against hand
+    entropies on a 2x2; independence gives U = 0."""
+    import math
+
+    from padua_spark.operators.stats import theils_u
+
+    rows = (
+        [("a", "x")] * 10 + [("a", "y")] * 20
+        + [("b", "x")] * 30 + [("b", "y")] * 5
+    )
+    df = spark.createDataFrame(rows, ["u", "w"])
+    r = theils_u(df, "u", "w").collect()[0]
+    pa = {"a": 30 / 65, "b": 35 / 65}
+    pb = {"x": 40 / 65, "y": 25 / 65}
+    pj = {("a", "x"): 10 / 65, ("a", "y"): 20 / 65,
+          ("b", "x"): 30 / 65, ("b", "y"): 5 / 65}
+    mi = sum(
+        p * math.log(p / (pa[k[0]] * pb[k[1]]))
+        for k, p in pj.items()
+    )
+    ha = -sum(p * math.log(p) for p in pa.values())
+    hb = -sum(p * math.log(p) for p in pb.values())
+    assert r["mi"] == pytest.approx(mi, abs=1e-6)
+    assert r["u_a_given_b"] == pytest.approx(mi / ha, abs=1e-6)
+    assert r["u_b_given_a"] == pytest.approx(mi / hb, abs=1e-6)
+    assert r["u_symmetric"] == pytest.approx(
+        2 * mi / (ha + hb), abs=1e-6
+    )
+    indep = spark.createDataFrame(
+        [("a", "x")] * 4 + [("a", "y")] * 4
+        + [("b", "x")] * 4 + [("b", "y")] * 4,
+        ["u", "w"],
+    )
+    assert theils_u(indep, "u", "w").collect()[0][
+        "u_symmetric"
+    ] == pytest.approx(0.0, abs=1e-9)
+
+
+def test_kendalls_w_hand_computed(spark):
+    """W against the direct no-tie formula 12S/(m^2(k^3-k)); perfect
+    agreement gives W = 1."""
+    from padua_spark.operators.stats import kendalls_w
+
+    ranks = {
+        "r1": {"i1": 1, "i2": 2, "i3": 3, "i4": 4},
+        "r2": {"i1": 2, "i2": 1, "i3": 3, "i4": 4},
+        "r3": {"i1": 1, "i2": 3, "i3": 2, "i4": 4},
+    }
+    rows = [
+        (b, i, float(v))
+        for b, d in ranks.items()
+        for i, v in d.items()
+    ]
+    df = spark.createDataFrame(rows, ["b", "t", "v"])
+    r = kendalls_w(df, "b", "t", "v").collect()[0]
+    rj = {}
+    for d in ranks.values():
+        for i, v in d.items():
+            rj[i] = rj.get(i, 0) + v
+    m, k = 3, 4
+    s_ = sum((x - m * (k + 1) / 2) ** 2 for x in rj.values())
+    w = 12 * s_ / (m * m * (k ** 3 - k))
+    assert r["kendalls_w"] == pytest.approx(w, abs=1e-6)
+    perfect = spark.createDataFrame(
+        [(b, i, float(j)) for b in "pq" for j, i in
+         enumerate(["i1", "i2", "i3"])],
+        ["b", "t", "v"],
+    )
+    assert kendalls_w(perfect, "b", "t", "v").collect()[0][
+        "kendalls_w"
+    ] == pytest.approx(1.0, abs=1e-9)
+
+
+def test_page_trend_hand_computed(spark):
+    """Perfect increasing trend hits the maximum L = m*sum(j*j) with
+    the textbook z; k<3 raises."""
+    import math
+
+    from padua_spark.operators.stats import page_trend_test
+
+    rows = [
+        (b, t, float(j))
+        for b in range(6)
+        for j, t in enumerate(["t1", "t2", "t3"])
+    ]
+    df = spark.createDataFrame(rows, ["b", "t", "v"])
+    r = page_trend_test(
+        df, "b", "t", "v", ["t1", "t2", "t3"]
+    ).collect()[0]
+    m, k = 6, 3
+    l_max = m * sum((j + 1) ** 2 for j in range(k))
+    assert r["page_l"] == pytest.approx(l_max, abs=1e-9)
+    e_l = m * k * (k + 1) ** 2 / 4
+    var_l = m * (k ** 3 - k) ** 2 / (144 * (k - 1))
+    assert r["z"] == pytest.approx(
+        (l_max - e_l) / math.sqrt(var_l), abs=1e-5
+    )
+    assert r["p_value"] < 0.001
+    with pytest.raises(ValueError, match="at least 3"):
+        page_trend_test(df, "b", "t", "v", ["t1", "t2"])
