@@ -15084,6 +15084,63 @@ def q_page_trend_test(spark, sf):
     )
 
 
+
+def _ddsketch_oracle() -> str:
+    ln_g = "0.020000666706669435"
+    g = "1.02020202020202"
+    q_cte = []
+    for q in ("0.5", "0.9", "0.99"):
+        q_cte.append(f"""
+SELECT event_type, CAST({q} AS DOUBLE) AS q, n_total,
+  round(arg_min(est, cum), 6) AS estimate
+FROM st
+WHERE cum >= CAST(ceil({q} * (CAST(n_total AS DOUBLE) - 1.0))
+              AS BIGINT) + 1
+GROUP BY 1, 2, 3""")
+    body = "\nUNION ALL\n".join(q_cte)
+    return f"""
+WITH c AS (
+  SELECT event_type,
+    CASE WHEN CAST(value AS DOUBLE) > 0
+      THEN CAST(ceil(ln(CAST(value AS DOUBLE)) / {ln_g}) AS BIGINT)
+    END AS bucket,
+    CAST(count(*) AS BIGINT) AS n
+  FROM events WHERE value IS NOT NULL
+  GROUP BY 1, 2
+),
+st AS (
+  SELECT event_type, bucket,
+    sum(n) OVER (PARTITION BY event_type
+                 ORDER BY bucket ASC NULLS FIRST
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      AS cum,
+    CAST(sum(n) OVER (PARTITION BY event_type) AS BIGINT) AS n_total,
+    CASE WHEN bucket IS NULL THEN 0.0
+      ELSE 2.0 * power({g}, CAST(bucket AS DOUBLE)) / ({g} + 1.0)
+    END AS est
+  FROM c
+)
+{body}
+"""
+
+
+@_q("ddsketch_quantiles", _ddsketch_oracle())
+def q_ddsketch_quantiles(spark, sf):
+    """DDSketch p50/p90/p99 of event value per event type at alpha=1%
+    (sketches.ddsketch_counts + ddsketch_quantiles): one bucket-count
+    aggregation over the fact table, cumulative window over the
+    bounded sketch state, relative-error-guaranteed midpoint
+    estimates — shards merge by adding bucket counts."""
+    from padua_spark.extensions.sketches import (
+        ddsketch_counts,
+        ddsketch_quantiles,
+    )
+
+    e = _t(spark, sf, "events")
+    c = ddsketch_counts(e, ["event_type"], "value", 0.01)
+    return ddsketch_quantiles(c, ["event_type"], [0.5, 0.9, 0.99], 0.01)
+
+
 # ---------------------------------------------------------------------------
 
 

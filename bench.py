@@ -235,6 +235,7 @@ HEADLINE = [
     "theils_u",
     "kendalls_w",
     "page_trend_test",
+    "ddsketch_quantiles",
 ]
 
 

@@ -29,7 +29,7 @@ from __future__ import annotations
 import sys
 from collections.abc import Iterator
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from padua_spark.extensions.dedup import MOD
@@ -388,3 +388,125 @@ def hll_distinct(
         "n_registers_hit",
         est.alias("hll_estimate"),
     )
+
+
+def ddsketch_counts(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    relative_accuracy: float = 0.01,
+) -> DataFrame:
+    """DDSketch bucket counts per group (Masson et al., VLDB 2019) —
+    the mergeable quantile sketch with a RELATIVE-error guarantee,
+    the production answer to "p99 latency per service over 100 TB of
+    events": unlike rank-error sketches (GK/KLL), the estimate is
+    within ``±α`` of the TRUE VALUE at every quantile, and the state
+    is just (bucket → count), so shards merge by adding counts — one
+    ``groupBy`` on any engine, no sequential merge logic.
+
+    Bucket index for ``x > 0``: ``k = ceil(ln(x)/ln(γ))`` with
+    ``γ = (1+α)/(1−α)``; zero and negative values land in the
+    reserved ``k = NULL`` zero-bucket (this sketch variant covers the
+    non-negative metrics it is used for; negatives are counted, and
+    quantiles that fall inside the zero-bucket report 0.0).
+
+    ONE hash aggregation over the fact table to (group, bucket,
+    count) — map-side combined, bucket domain bounded by
+    ``log_γ(max/min)`` (≈ 2900 buckets for α=1% over 12 decades),
+    never by data size. Output: ``(groups..., bucket, n)``; feed to
+    :func:`ddsketch_quantiles` (which accepts the SAME frame from any
+    number of unioned shards — merging IS the groupBy).
+    """
+    alpha = float(relative_accuracy)
+    if not 0 < alpha < 1:
+        raise ValueError("relative_accuracy must be in (0, 1)")
+    gamma = (1.0 + alpha) / (1.0 - alpha)
+    import math
+
+    v = F.col(value_col).cast("double")
+    bucket = F.when(
+        v > 0, F.ceil(F.log(v) / F.lit(math.log(gamma))).cast("bigint")
+    )
+    return (
+        df.where(v.isNotNull())
+        .groupBy(*group_cols, bucket.alias("bucket"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+
+
+def ddsketch_quantiles(
+    counts: DataFrame,
+    group_cols: list[str],
+    qs: list[float],
+    relative_accuracy: float = 0.01,
+) -> DataFrame:
+    """Quantile estimates from :func:`ddsketch_counts` bucket state:
+    for each q, the value of the bucket where the running count first
+    reaches ``ceil(q·(n−1)) + 1`` (DDSketch's rank convention), read
+    back as the bucket midpoint ``2·γ^k/(γ+1)`` — guaranteed within
+    relative ``α`` of the exact quantile of the sketched data.
+
+    The per-group bucket frame is BOUNDED (log_γ of the value range),
+    so the ordered cumulative window runs over sketch-sized state —
+    never the fact table; the same counts frame from many shards
+    (unioned) is first re-merged with one aggregation, making this
+    pair a true distributed-sketch API. Output one row per (group,
+    q): ``(groups..., q, n_total, estimate)``, estimate rounded 6dp;
+    a rank landing in the zero-bucket reports 0.0.
+    """
+    alpha = float(relative_accuracy)
+    gamma = (1.0 + alpha) / (1.0 - alpha)
+    import math
+
+    from pyspark import StorageLevel
+
+    # sketch-sized state, consumed once per requested quantile: persist
+    # so the q-loop never re-aggregates the fact table
+    merged = counts.groupBy(*group_cols, "bucket").agg(
+        F.sum("n").cast("bigint").alias("n")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    w = Window.partitionBy(*group_cols).orderBy(
+        F.col("bucket").asc_nulls_first()
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_all = Window.partitionBy(*group_cols)
+    staged = merged.select(
+        *group_cols,
+        "bucket",
+        F.sum("n").over(w).alias("_cum"),
+        F.sum("n").over(w_all).alias("n_total"),
+    )
+    mid = (
+        2.0
+        * F.pow(F.lit(gamma), F.col("bucket").cast("double"))
+        / F.lit(gamma + 1.0)
+    )
+    est = F.when(F.col("bucket").isNull(), F.lit(0.0)).otherwise(mid)
+    out = None
+    for q in qs:
+        rank = (
+            F.ceil(
+                F.lit(float(q))
+                * (F.col("n_total").cast("double") - 1.0)
+            ).cast("bigint")
+            + 1
+        )
+        hit = (
+            staged.where(F.col("_cum") >= rank)
+            .groupBy(*group_cols)
+            .agg(
+                F.max("n_total").alias("n_total"),
+                F.round(
+                    F.min_by(est, F.col("_cum")), 6
+                ).alias("estimate"),
+            )
+            .select(
+                *group_cols,
+                F.lit(float(q)).alias("q"),
+                "n_total",
+                "estimate",
+            )
+        )
+        out = hit if out is None else out.unionByName(hit)
+    from padua_spark.io_utils import track_cached
+
+    return track_cached(out, merged)

@@ -278,6 +278,7 @@ COVERAGE = {
     "E163": "entry:theils_u",
     "E164": "entry:kendalls_w",
     "E165": "entry:page_trend_test",
+    "E166": "entry:ddsketch_quantiles",
 }
 
 

@@ -6116,3 +6116,55 @@ def test_page_trend_hand_computed(spark):
     assert r["p_value"] < 0.001
     with pytest.raises(ValueError, match="at least 3"):
         page_trend_test(df, "b", "t", "v", ["t1", "t2"])
+
+
+def test_ddsketch_relative_error_bound_and_merge(spark):
+    """DDSketch estimates stay within the alpha relative-error
+    guarantee against the exact quantile at the sketch's rank
+    convention on a lognormal spanning decades; sharded counts
+    unioned re-merge to the identical estimate; zero-bucket ranks
+    report 0.0."""
+    import numpy as np
+
+    from padua_spark.extensions.sketches import (
+        ddsketch_counts,
+        ddsketch_quantiles,
+    )
+
+    rng = np.random.RandomState(9)
+    vals = np.exp(rng.normal(3, 2, 20000))
+    rows = [("g", float(v)) for v in vals] + [("g", 0.0)] * 50
+    df = spark.createDataFrame(rows, ["g", "v"])
+    alpha = 0.01
+    c = ddsketch_counts(df, ["g"], "v", alpha)
+    res = {
+        r["q"]: r["estimate"]
+        for r in ddsketch_quantiles(
+            c, ["g"], [0.5, 0.9, 0.99], alpha
+        ).collect()
+    }
+    sv = np.sort(np.concatenate([vals, np.zeros(50)]))
+    for q in (0.5, 0.9, 0.99):
+        exact = sv[int(np.ceil(q * (len(sv) - 1)))]
+        assert abs(res[q] - exact) / exact <= alpha + 1e-9, (q, res[q], exact)
+    half = len(rows) // 2
+    d1 = spark.createDataFrame(rows[:half], ["g", "v"])
+    d2 = spark.createDataFrame(rows[half:], ["g", "v"])
+    cu = ddsketch_counts(d1, ["g"], "v", alpha).unionByName(
+        ddsketch_counts(d2, ["g"], "v", alpha)
+    )
+    merged = {
+        r["q"]: r["estimate"]
+        for r in ddsketch_quantiles(
+            cu, ["g"], [0.5, 0.9, 0.99], alpha
+        ).collect()
+    }
+    assert merged == res
+    zr = [("z", 0.0)] * 90 + [("z", 5.0)] * 10
+    dz = spark.createDataFrame(zr, ["g", "v"])
+    qz = ddsketch_quantiles(
+        ddsketch_counts(dz, ["g"], "v", alpha), ["g"], [0.5], alpha
+    ).collect()[0]
+    assert qz["estimate"] == 0.0
+    with pytest.raises(ValueError, match="relative_accuracy"):
+        ddsketch_counts(df, ["g"], "v", 1.5)
