@@ -15141,6 +15141,99 @@ def q_ddsketch_quantiles(spark, sf):
     return ddsketch_quantiles(c, ["event_type"], [0.5, 0.9, 0.99], 0.01)
 
 
+
+_HOLT_WINTERS_ORACLE = """
+WITH RECURSIVE s AS MATERIALIZED (
+  SELECT user_id,
+    row_number() OVER (
+      PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS t,
+    CAST(value AS DOUBLE) AS x
+  FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
+),
+cnt AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS n FROM s GROUP BY 1
+  HAVING count(*) >= 8
+),
+piv AS (
+  SELECT s.user_id,
+    max(CASE WHEN t = 1 THEN x END) AS x1,
+    max(CASE WHEN t = 2 THEN x END) AS x2,
+    max(CASE WHEN t = 3 THEN x END) AS x3,
+    max(CASE WHEN t = 4 THEN x END) AS x4,
+    max(CASE WHEN t = 5 THEN x END) AS x5,
+    max(CASE WHEN t = 6 THEN x END) AS x6,
+    max(CASE WHEN t = 7 THEN x END) AS x7,
+    max(CASE WHEN t = 8 THEN x END) AS x8
+  FROM s JOIN cnt USING (user_id) GROUP BY 1
+),
+init AS (
+  SELECT user_id, 8 AS t,
+    CAST((x1 + x2 + x3 + x4) / 4.0 AS DOUBLE) AS l,
+    CAST(((x5 + x6 + x7 + x8) / 4.0 - (x1 + x2 + x3 + x4) / 4.0)
+         / 4.0 AS DOUBLE) AS b,
+    [CAST(x1 - (x1 + x2 + x3 + x4) / 4.0 AS DOUBLE),
+     CAST(x2 - (x1 + x2 + x3 + x4) / 4.0 AS DOUBLE),
+     CAST(x3 - (x1 + x2 + x3 + x4) / 4.0 AS DOUBLE),
+     CAST(x4 - (x1 + x2 + x3 + x4) / 4.0 AS DOUBLE)] AS sl
+  FROM piv
+),
+rec AS (
+  SELECT * FROM init
+  UNION ALL
+  SELECT user_id, t, lnew AS l,
+    CAST(0.25 * (lnew - lprev) + 0.75 * bprev AS DOUBLE) AS b,
+    sl[1:p - 1]
+      || [CAST(0.5 * (x - lnew) + 0.5 * sp AS DOUBLE)]
+      || sl[p + 1:4] AS sl
+  FROM (
+    SELECT r.user_id, r.t + 1 AS t, r.l AS lprev, r.b AS bprev,
+      r.sl AS sl, s.x AS x,
+      ((r.t % 4) + 1) AS p,
+      r.sl[(r.t % 4) + 1] AS sp,
+      CAST(0.5 * (s.x - r.sl[(r.t % 4) + 1])
+           + 0.5 * (r.l + r.b) AS DOUBLE) AS lnew
+    FROM rec r JOIN s ON s.user_id = r.user_id AND s.t = r.t + 1
+  ) q
+),
+fin AS (
+  SELECT r.user_id, c.n, r.l, r.b,
+    r.sl[(c.n % 4) + 1] AS s_next
+  FROM rec r JOIN cnt c ON c.user_id = r.user_id AND r.t = c.n
+)
+SELECT user_id, n, round(l, 6) AS level, round(b, 6) AS trend,
+  round(s_next, 6) AS seasonal_next,
+  round(l + b + s_next, 6) AS forecast
+FROM fin
+"""
+
+
+@_q("holt_winters", _HOLT_WINTERS_ORACLE)
+def q_holt_winters(spark, sf):
+    """Holt-Winters additive seasonal smoothing of each user's
+    event-value series, period 4, alpha=0.5 beta=0.25 gamma=0.5 —
+    exact binary fractions so the sequential float recursion is
+    bit-identical across engines (temporal.holt_winters_forecast):
+    one shuffle by key, one JVM array fold carrying (level, trend,
+    seasonal ring); the oracle steps the SAME recursion as a
+    recursive CTE with a seasonal list."""
+    from padua_spark.operators.temporal import holt_winters_forecast
+    from padua_spark.streaming.windows import epoch_us_col
+
+    e = _t(spark, sf, "events")
+    base = e.where(
+        F.col("value").isNotNull() & F.col("ts").isNotNull()
+    ).select(
+        "user_id",
+        epoch_us_col(e, "ts").alias("_tu"),
+        "event_id",
+        "value",
+    )
+    return holt_winters_forecast(
+        base, ["user_id"], ["_tu", "event_id"], "value",
+        period=4, horizon=1,
+    )
+
+
 # ---------------------------------------------------------------------------
 
 

@@ -236,6 +236,7 @@ HEADLINE = [
     "kendalls_w",
     "page_trend_test",
     "ddsketch_quantiles",
+    "holt_winters",
 ]
 
 

@@ -921,3 +921,157 @@ def forecast_accuracy(
             6,
         ).alias("mase"),
     )
+
+
+def holt_winters_forecast(
+    df: DataFrame,
+    key_cols: list[str],
+    order_cols: list[str],
+    value_col: str,
+    period: int,
+    alpha: float = 0.5,
+    beta: float = 0.25,
+    gamma: float = 0.5,
+    horizon: int = 1,
+    max_series_length: int | None = 100_000,
+) -> DataFrame:
+    """Holt-Winters ADDITIVE seasonal smoothing per key — the
+    seasonality-aware extension of :func:`holt_forecast` (a weekly
+    spend cycle makes Holt's trend chase the weekday wave; HW models
+    it):
+
+    ``l_t = α(x_t − s_{t−m}) + (1−α)(l_{t−1} + b_{t−1})``
+    ``b_t = β(l_t − l_{t−1}) + (1−β)b_{t−1}``
+    ``s_t = γ(x_t − l_t) + (1−γ)s_{t−m}``
+
+    Initialization (documented precisely — both engines share it):
+    with ``m = period``, ``l₀ = mean(x_1..x_m)`` (sequential
+    left-fold sum, then one division), ``b₀ = (mean(x_{m+1}..x_{2m})
+    − l₀)/m``, ``s_i = x_i − l₀`` for the first season; the
+    recursion consumes ``x_{2m+1}..x_n`` exactly once. Keys with
+    ``n < 2m`` are DROPPED (the init needs two full seasons — the
+    standard requirement, enforced rather than guessed around).
+    Forecast ``h`` steps out: ``l_n + h·b_n + s[((n+h−1) mod m)+1]``
+    (the most recent seasonal of the target phase).
+
+    Scale shape is holt_forecast's: one shuffle by key, the ordered
+    series collected into ONE in-row array and folded JVM-side with
+    ``F.aggregate`` — state is (level, trend, m seasonals, t), so
+    per-row memory is O(series + m) and the bounded-series contract
+    is ENFORCED up front (same preflight; ``None`` opts out). With
+    binary-fraction smoothing constants the float recursion is
+    bit-identical on any engine stepping the same order (the SQL twin
+    is a recursive CTE carrying the seasonal list). Output per key:
+    ``(keys..., n, level, trend, seasonal_next, forecast)``, 6dp.
+    """
+    m = int(period)
+    if m < 2:
+        raise ValueError("holt_winters_forecast: period must be >= 2")
+    v = F.col(value_col).cast("double")
+    cond = v.isNotNull()
+    for c in order_cols:
+        cond = cond & F.col(c).isNotNull()
+    base = df.where(cond)
+    if max_series_length is not None:
+        hot = (
+            base.groupBy(*key_cols)
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .where(F.col("_n") > int(max_series_length))
+            .orderBy(F.col("_n").desc())
+            .limit(1)
+            .collect()
+        )
+        if hot:
+            r = hot[0]
+            key = tuple(r[c] for c in key_cols)
+            raise ValueError(
+                f"holt_winters_forecast: key {key} has {r['_n']} "
+                f"rows, above max_series_length={max_series_length}; "
+                "pre-aggregate the series or pass None deliberately"
+            )
+    arr = (
+        base.groupBy(*key_cols)
+        .agg(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(
+                        *[F.col(c) for c in order_cols], v.alias("_v")
+                    )
+                )
+            ).alias("_s")
+        )
+        .select(
+            *key_cols,
+            F.transform(F.col("_s"), lambda s: s["_v"]).alias("_xs"),
+        )
+        .where(F.size("_xs") >= 2 * m)
+    )
+    n = F.size("_xs")
+    a_ = F.lit(float(alpha))
+    b_ = F.lit(float(beta))
+    g_ = F.lit(float(gamma))
+    md = F.lit(float(m))
+
+    def _mean(sl):
+        return (
+            F.aggregate(sl, F.lit(0.0), lambda acc, x: acc + x) / md
+        )
+
+    l0 = _mean(F.slice("_xs", 1, m))
+    mean2 = _mean(F.slice("_xs", m + 1, m))
+    staged = arr.withColumn("_l0", l0).withColumn(
+        "_b0", (mean2 - F.col("_l0")) / md
+    ).withColumn(
+        "_sl0",
+        F.transform(
+            F.slice("_xs", 1, m), lambda x: x - F.col("_l0")
+        ),
+    )
+    init = F.struct(
+        F.col("_l0").alias("l"),
+        F.col("_b0").alias("b"),
+        F.col("_sl0").alias("sl"),
+        F.lit(2 * m).cast("int").alias("t"),
+    )
+
+    def step(acc, x):
+        p = ((acc["t"] % F.lit(m)) + 1).cast("int")
+        s_prev = F.element_at(acc["sl"], p)
+        lnew = a_ * (x - s_prev) + (F.lit(1.0) - a_) * (
+            acc["l"] + acc["b"]
+        )
+        bnew = b_ * (lnew - acc["l"]) + (F.lit(1.0) - b_) * acc["b"]
+        snew = g_ * (x - lnew) + (F.lit(1.0) - g_) * s_prev
+        sl_new = F.concat(
+            F.slice(acc["sl"], 1, p - 1),
+            F.array(snew),
+            F.slice(acc["sl"], p + 1, F.lit(m) - p),
+        )
+        return F.struct(
+            lnew.alias("l"),
+            bnew.alias("b"),
+            sl_new.alias("sl"),
+            (acc["t"] + 1).cast("int").alias("t"),
+        )
+
+    folded = F.aggregate(
+        F.slice(F.col("_xs"), 2 * m + 1, F.greatest(n - 2 * m, F.lit(0))),
+        init,
+        step,
+    )
+    fit = staged.withColumn("_fit", folded)
+    h = float(horizon)
+    p_f = (
+        (F.col("_fit.t") + F.lit(int(horizon)) - 1) % F.lit(m) + 1
+    ).cast("int")
+    s_next = F.element_at(F.col("_fit.sl"), p_f)
+    return fit.select(
+        *key_cols,
+        n.cast("bigint").alias("n"),
+        F.round(F.col("_fit.l"), 6).alias("level"),
+        F.round(F.col("_fit.b"), 6).alias("trend"),
+        F.round(s_next, 6).alias("seasonal_next"),
+        F.round(
+            F.col("_fit.l") + F.lit(h) * F.col("_fit.b") + s_next, 6
+        ).alias("forecast"),
+    )

@@ -279,6 +279,7 @@ COVERAGE = {
     "E164": "entry:kendalls_w",
     "E165": "entry:page_trend_test",
     "E166": "entry:ddsketch_quantiles",
+    "E167": "entry:holt_winters",
 }
 
 

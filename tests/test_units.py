@@ -6168,3 +6168,55 @@ def test_ddsketch_relative_error_bound_and_merge(spark):
     assert qz["estimate"] == 0.0
     with pytest.raises(ValueError, match="relative_accuracy"):
         ddsketch_counts(df, ["g"], "v", 1.5)
+
+
+def test_holt_winters_vs_python_replica(spark):
+    """Holt-Winters additive fit against a step-by-step Python
+    replica of the documented recursion and init, the n < 2m drop
+    contract, and the bounded-series guard."""
+    import numpy as np
+
+    from padua_spark.operators.temporal import holt_winters_forecast
+
+    m, alpha, beta, gamma = 4, 0.5, 0.25, 0.5
+    rng = np.random.RandomState(2)
+    season = [5.0, -2.0, 0.0, -3.0]
+    xs = [
+        10 + 0.5 * t + season[t % m] + rng.normal(0, 0.2)
+        for t in range(20)
+    ]
+    rows = [("k", t, float(v)) for t, v in enumerate(xs)]
+    df = spark.createDataFrame(rows, ["k", "t", "v"])
+    r = holt_winters_forecast(
+        df, ["k"], ["t"], "v", period=m, horizon=1
+    ).collect()[0]
+    l = sum(xs[:m]) / m
+    b = (sum(xs[m:2 * m]) / m - l) / m
+    sl = [x - l for x in xs[:m]]
+    t = 2 * m
+    for x in xs[2 * m:]:
+        p = t % m
+        sp = sl[p]
+        lnew = alpha * (x - sp) + (1 - alpha) * (l + b)
+        bnew = beta * (lnew - l) + (1 - beta) * b
+        sl[p] = gamma * (x - lnew) + (1 - gamma) * sp
+        l, b = lnew, bnew
+        t += 1
+    pf = t % m
+    assert r["level"] == pytest.approx(l, abs=1e-6)
+    assert r["trend"] == pytest.approx(b, abs=1e-6)
+    assert r["seasonal_next"] == pytest.approx(sl[pf], abs=1e-6)
+    assert r["forecast"] == pytest.approx(l + b + sl[pf], abs=1e-6)
+    # the seasonal component is actually learned: phase-1 seasonal
+    # is near +5 (the planted wave), not near zero
+    assert 4.0 < r["seasonal_next"] < 6.0
+    short = spark.createDataFrame(rows[:7], ["k", "t", "v"])
+    assert holt_winters_forecast(
+        short, ["k"], ["t"], "v", period=m
+    ).count() == 0
+    with pytest.raises(ValueError, match="max_series_length"):
+        holt_winters_forecast(
+            df, ["k"], ["t"], "v", period=m, max_series_length=5
+        )
+    with pytest.raises(ValueError, match="period"):
+        holt_winters_forecast(df, ["k"], ["t"], "v", period=1)
