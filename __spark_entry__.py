@@ -15234,6 +15234,205 @@ def q_holt_winters(spark, sf):
     )
 
 
+
+_BRUNNER_MUNZEL_ORACLE = """
+WITH per AS (
+  SELECT v, CAST(count(*) FILTER (g = 'A') AS BIGINT) AS ca,
+    CAST(count(*) FILTER (g = 'R') AS BIGINT) AS cb
+  FROM (SELECT CAST(l_quantity AS DOUBLE) AS v, l_returnflag AS g
+        FROM lineitem
+        WHERE l_quantity IS NOT NULL AND l_returnflag IN ('A', 'R'))
+  GROUP BY 1
+),
+cum AS (
+  SELECT ca, cb,
+    sum(ca) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS fa,
+    sum(cb) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS fb
+  FROM per
+),
+x AS (
+  SELECT ca, cb,
+    (2 * (fa + fb) - (ca + cb) + 1) / 2.0 AS rp,
+    ((2 * (fa + fb) - (ca + cb) + 1)
+     - (2 * fa - ca + 1)) / 2.0 AS xa,
+    ((2 * (fa + fb) - (ca + cb) + 1)
+     - (2 * fb - cb + 1)) / 2.0 AS xb
+  FROM cum
+),
+agg AS (
+  SELECT CAST(sum(ca) AS BIGINT) AS n_a, CAST(sum(cb) AS BIGINT) AS n_b,
+    sum(CAST(ca AS DOUBLE) * rp) AS sra,
+    sum(CAST(cb AS DOUBLE) * rp) AS srb,
+    sum(CAST(ca AS DOUBLE) * xa) AS sxa,
+    sum(CAST(cb AS DOUBLE) * xb) AS sxb,
+    sum(CAST(ca AS DOUBLE) * xa * xa) AS sxa2,
+    sum(CAST(cb AS DOUBLE) * xb * xb) AS sxb2
+  FROM x
+),
+fin AS (
+  SELECT n_a, n_b,
+    sra / n_a AS ra_bar, srb / n_b AS rb_bar,
+    CASE WHEN n_a > 1 THEN (sxa2 - sxa * sxa / n_a) / (n_a - 1.0) END
+      AS sa2,
+    CASE WHEN n_b > 1 THEN (sxb2 - sxb * sxb / n_b) / (n_b - 1.0) END
+      AS sb2
+  FROM agg
+)
+SELECT n_a, n_b,
+  round(CASE WHEN n_a * sa2 + n_b * sb2 > 0
+    THEN CAST(n_a AS DOUBLE) * n_b * (rb_bar - ra_bar)
+         / ((CAST(n_a AS DOUBLE) + n_b)
+            * sqrt(n_a * sa2 + n_b * sb2)) END, 6) AS w_stat,
+  round(CASE WHEN n_a * sa2 + n_b * sb2 > 0
+    THEN (n_a * sa2 + n_b * sb2) * (n_a * sa2 + n_b * sb2)
+         / ((n_a * sa2) * (n_a * sa2) / (n_a - 1.0)
+            + (n_b * sb2) * (n_b * sb2) / (n_b - 1.0)) END, 6)
+    AS df
+FROM fin
+"""
+
+
+@_q("brunner_munzel", _BRUNNER_MUNZEL_ORACLE)
+def q_brunner_munzel(spark, sf):
+    """Brunner-Munzel stochastic-equality test A vs R on quantity
+    (stats.brunner_munzel): pooled and within-group doubled midranks
+    off the shared distributed ECDF cumsum, one-pass variance
+    algebra; t p-value pruned (vectorized UDF side)."""
+    from padua_spark.operators.stats import brunner_munzel
+
+    li = _t(spark, sf, "lineitem")
+    out = brunner_munzel(li, "l_returnflag", "l_quantity", "A", "R")
+    return out.select("n_a", "n_b", "w_stat", "df")
+
+
+_QUADE_ORACLE = """
+WITH base AS (
+  SELECT user_id AS b, event_type AS t,
+    CAST(count(*) AS DOUBLE) AS v
+  FROM events GROUP BY 1, 2
+),
+k AS (SELECT count(DISTINCT t) AS kt FROM base),
+complete AS (
+  SELECT b FROM base, k GROUP BY b, kt
+  HAVING count(DISTINCT t) = kt AND count(*) = kt
+),
+kept AS (SELECT base.* FROM base JOIN complete USING (b)),
+ranked AS (
+  SELECT b, t,
+    rank() OVER (PARTITION BY b ORDER BY v)
+      + (count(*) OVER (PARTITION BY b, v) - 1) / 2.0 AS rk
+  FROM kept
+),
+ranges AS (
+  SELECT b, max(v) - min(v) AS rng FROM kept GROUP BY 1
+),
+weights AS (
+  SELECT b,
+    rank() OVER (ORDER BY rng)
+      + (count(*) OVER (PARTITION BY rng) - 1) / 2.0 AS q
+  FROM ranges
+),
+sij AS (
+  SELECT r.t,
+    w.q * (r.rk - ((SELECT kt FROM k) + 1) / 2.0) AS s
+  FROM ranked r JOIN weights w USING (b)
+),
+per_t AS (
+  SELECT t, sum(s) AS sj, sum(s * s) AS a_part FROM sij GROUP BY 1
+),
+agg AS (
+  SELECT sum(a_part) AS a, sum(sj * sj) AS ssj,
+    CAST(count(*) AS BIGINT) AS k_treatments
+  FROM per_t
+),
+nb AS (SELECT CAST(count(*) AS BIGINT) AS n_blocks FROM complete)
+SELECT n_blocks, k_treatments,
+  round(CASE WHEN a - ssj / n_blocks > 0 AND n_blocks > 1
+    THEN (CAST(n_blocks AS DOUBLE) - 1.0) * (ssj / n_blocks)
+         / (a - ssj / n_blocks) END, 6) AS quade_f,
+  CASE WHEN k_treatments >= 2
+       THEN CAST(k_treatments - 1 AS DOUBLE) END AS df1,
+  CASE WHEN k_treatments >= 2 AND n_blocks > 1
+       THEN (CAST(n_blocks AS DOUBLE) - 1.0) * (k_treatments - 1.0)
+       END AS df2
+FROM agg, nb
+"""
+
+
+@_q("quade_test", _QUADE_ORACLE)
+def q_quade_test(spark, sf):
+    """Quade range-weighted repeated-measures rank test on per-user
+    event-type activity (stats.quade_test): within-block midranks,
+    block weights from DISTRIBUTED midranks of the block ranges, F
+    statistic; p pruned (F sf is the vectorized UDF side)."""
+    from padua_spark.operators.stats import quade_test
+
+    e = _t(spark, sf, "events")
+    counts = e.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).cast("double").alias("v")
+    )
+    out = quade_test(counts, "user_id", "event_type", "v")
+    return out.select(
+        "n_blocks", "k_treatments",
+        _r("quade_f").alias("quade_f"), "df1", "df2",
+    )
+
+
+_KRIPPENDORFF_ORACLE = """
+WITH cells AS (
+  SELECT user_id AS i, event_type AS j,
+    CAST(count(*) AS BIGINT) AS nij
+  FROM events
+  WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+  GROUP BY 1, 2
+),
+sized AS (
+  SELECT c.*, s.ni FROM cells c
+  JOIN (SELECT i, sum(nij) AS ni FROM cells GROUP BY 1
+        HAVING sum(nij) >= 2) s USING (i)
+),
+per_item AS (
+  SELECT i, max(ni) AS n,
+    sum(nij * (ni - nij)) AS dis
+  FROM sized GROUP BY 1
+),
+do_agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_items,
+    CAST(sum(n) AS BIGINT) AS n_ratings,
+    sum(CAST(dis AS DOUBLE) / (CAST(n AS DOUBLE) - 1.0)) AS do_sum
+  FROM per_item
+),
+cat_agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS k_categories,
+    sum(CAST(cj AS DOUBLE) * CAST(cj AS DOUBLE)) AS csq
+  FROM (SELECT j, sum(nij) AS cj FROM sized GROUP BY 1)
+),
+fin AS (
+  SELECT n_items, n_ratings, k_categories,
+    do_sum / CAST(n_ratings AS DOUBLE) AS d_o,
+    (CAST(n_ratings AS DOUBLE) * n_ratings - csq)
+      / (CAST(n_ratings AS DOUBLE) * (n_ratings - 1.0)) AS d_e
+  FROM do_agg, cat_agg
+)
+SELECT n_items, n_ratings, k_categories,
+  round(d_o, 6) AS d_o, round(d_e, 6) AS d_e,
+  round(CASE WHEN d_e > 0 THEN 1.0 - d_o / d_e END, 6) AS alpha
+FROM fin
+"""
+
+
+@_q("krippendorff_alpha", _KRIPPENDORFF_ORACLE)
+def q_krippendorff_alpha(spark, sf):
+    """Krippendorff's nominal alpha over ragged per-user event-type
+    'ratings' (stats.krippendorff_alpha): pair-disagreement within
+    items vs overall, exact integer counts, no constant-rater
+    requirement."""
+    from padua_spark.operators.stats import krippendorff_alpha
+
+    e = _t(spark, sf, "events")
+    return krippendorff_alpha(e, "user_id", "event_type")
+
+
 # ---------------------------------------------------------------------------
 
 

@@ -237,6 +237,9 @@ HEADLINE = [
     "page_trend_test",
     "ddsketch_quantiles",
     "holt_winters",
+    "brunner_munzel",
+    "quade_test",
+    "krippendorff_alpha",
 ]
 
 

@@ -4768,3 +4768,319 @@ def page_trend_test(
         F.round("_z", 6).alias("z"),
         F.round(_normal_sf_1sided(F.col("_z")), 6).alias("p_value"),
     )
+
+
+def brunner_munzel(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    group_a,
+    group_b,
+    small_domain_threshold: int | None = None,
+) -> DataFrame:
+    """Brunner-Munzel two-sample test (2000) — the modern replacement
+    for Mann-Whitney when the two groups may differ in VARIANCE, not
+    just location (the WMW null "identical distributions" is rarely
+    what an A/B analyst means; BM tests the stochastic-equality
+    functional P(X<Y)+½P(X=Y) = ½ without the equal-shape
+    assumption):
+
+    with pooled midranks ``R_i`` and within-group midranks
+    ``R_i^(g)``, per group ``x_i = R_i − R_i^(g)``, sample variance
+    ``S_g²`` of the x's, and
+
+    ``W = m·n·(R̄_b − R̄_a) / ((m+n)·√(m·S_a² + n·S_b²))``
+    ``df = (m·S_a² + n·S_b²)² / ((m·S_a²)²/(m−1) + (n·S_b²)²/(n−1))``
+
+    (scipy.stats.brunnermunzel's statistic and Welch-Satterthwaite
+    df). Everything reduces to ONE pass over the shared distributed
+    ECDF frame (:func:`_ecdf_stepped_counts`): doubled pooled and
+    within-group midranks are exact integers per distinct value, and
+    the variance algebra needs only ``Σc·x`` and ``Σc·x²`` per group
+    (the within-group rank mean is exactly ``(n_g+1)/2``, so no
+    second pass). Two-sided p via the shared vectorized t survival
+    UDF on the 1-row result. Output 1 row: ``(n_a, n_b, w_stat, df,
+    p_value)``, floats 6dp; W NULL when both variances are 0 (the
+    degenerate no-overlap case — scipy returns ±inf there).
+    """
+    from padua_spark.functions.distributions import t_sf_udf
+    from padua_spark.io_utils import track_cached
+
+    ecdf = _ecdf_stepped_counts(
+        df, group_col, value_col, group_a, group_b,
+        small_domain_threshold=small_domain_threshold,
+    )
+    h = F.col("_ca") + F.col("_cb")
+    f_pool = F.col("_fa") + F.col("_fb")
+    # doubled midranks: pooled and within-group — exact integers
+    d_pool = 2 * f_pool - h + 1
+    d_a = 2 * F.col("_fa") - F.col("_ca") + 1
+    d_b = 2 * F.col("_fb") - F.col("_cb") + 1
+    xa = (d_pool - d_a).cast("double") / 2.0
+    xb = (d_pool - d_b).cast("double") / 2.0
+    rp = d_pool.cast("double") / 2.0
+    agg = ecdf.agg(
+        F.sum("_ca").alias("n_a"),
+        F.sum("_cb").alias("n_b"),
+        F.sum(F.col("_ca").cast("double") * rp).alias("_sra"),
+        F.sum(F.col("_cb").cast("double") * rp).alias("_srb"),
+        F.sum(F.col("_ca").cast("double") * xa).alias("_sxa"),
+        F.sum(F.col("_cb").cast("double") * xb).alias("_sxb"),
+        F.sum(F.col("_ca").cast("double") * xa * xa).alias("_sxa2"),
+        F.sum(F.col("_cb").cast("double") * xb * xb).alias("_sxb2"),
+    )
+    m = F.col("n_a").cast("double")
+    n = F.col("n_b").cast("double")
+    ra_bar = F.col("_sra") / m
+    rb_bar = F.col("_srb") / n
+    sa2 = F.when(
+        F.col("n_a") > 1,
+        (F.col("_sxa2") - F.col("_sxa") * F.col("_sxa") / m)
+        / (m - 1.0),
+    )
+    sb2 = F.when(
+        F.col("n_b") > 1,
+        (F.col("_sxb2") - F.col("_sxb") * F.col("_sxb") / n)
+        / (n - 1.0),
+    )
+    pooled = m * sa2 + n * sb2
+    w = F.when(
+        pooled > 0,
+        m * n * (rb_bar - ra_bar) / ((m + n) * F.sqrt(pooled)),
+    )
+    dfree = F.when(
+        pooled > 0,
+        pooled * pooled
+        / (
+            (m * sa2) * (m * sa2) / (m - 1.0)
+            + (n * sb2) * (n * sb2) / (n - 1.0)
+        ),
+    )
+    staged = agg.select(
+        "n_a", "n_b", w.alias("_w"), dfree.alias("_df")
+    )
+    out = staged.select(
+        "n_a", "n_b",
+        F.round("_w", 6).alias("w_stat"),
+        F.round("_df", 6).alias("df"),
+        F.round(
+            t_sf_udf(F.abs(F.col("_w")), F.col("_df")) * 2.0, 6
+        ).alias("p_value"),
+    )
+    return track_cached(out, *getattr(ecdf, "_padua_cached", ()))
+
+
+def quade_test(
+    df: DataFrame,
+    block_col: str,
+    treatment_col: str,
+    value_col: str,
+    small_domain_threshold: int | None = None,
+) -> DataFrame:
+    """Quade test (1979) — the repeated-measures rank test that,
+    unlike :func:`friedman_test`, WEIGHTS blocks by how much signal
+    they carry (the within-block range): blocks where the treatments
+    barely differ contribute little, making Quade markedly more
+    powerful for small k:
+
+    within-block midranks ``r_ij``; block weights ``Q_i`` = midranks
+    of the within-block sample RANGES across blocks;
+    ``S_ij = Q_i·(r_ij − (k+1)/2)``, ``S_j = Σ_i S_ij``,
+    ``A = Σ S_ij²``, ``B = (1/n)·Σ_j S_j²``,
+    ``F = (n−1)·B/(A−B)`` with ``(k−1, (n−1)(k−1))`` df
+    (scipy-free but textbook Conover 1999; A = B degenerate case
+    yields NULL).
+
+    Scale shape: complete blocks enforced as in friedman; within-
+    block ranks are one bounded window; the BLOCK-RANGE ranking is
+    over the n-row per-block aggregate frame and uses the shared
+    DISTRIBUTED midrank machinery (:func:`_stepped_running_counts`)
+    — no partitionless window over a data-sized frame. The F p-value
+    crosses once via the shared vectorized F survival UDF. Output 1
+    row: ``(n_blocks, k_treatments, quade_f, df1, df2, p_value)``.
+    """
+    from padua_spark.functions.distributions import f_sf_udf
+    from padua_spark.io_utils import track_cached
+
+    v = F.col(value_col).cast("double")
+    base = df.where(
+        v.isNotNull()
+        & F.col(block_col).isNotNull()
+        & F.col(treatment_col).isNotNull()
+    ).select(
+        F.col(block_col).alias("_b"),
+        F.col(treatment_col).alias("_t"),
+        v.alias("_v"),
+    )
+    k_total = base.select("_t").distinct().count()
+    complete = (
+        base.groupBy("_b")
+        .agg(
+            F.count_distinct("_t").alias("_kt"),
+            F.count(F.lit(1)).alias("_ct"),
+        )
+        .where((F.col("_kt") == k_total) & (F.col("_ct") == k_total))
+        .select("_b")
+    )
+    from pyspark import StorageLevel
+
+    kept = base.join(complete, on="_b", how="left_semi").persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    # block weights: midranks of the within-block ranges, via the
+    # distributed stepped counts over the per-block aggregate frame
+    ranges = kept.groupBy("_b").agg(
+        (F.max("_v") - F.min("_v")).alias("_rng")
+    )
+    per = ranges.groupBy(F.col("_rng").alias("_v")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("_c")
+    )
+    stepped = _stepped_running_counts(
+        per, "_v", ["_c"], small_domain_threshold
+    )
+    qmap = stepped.select(
+        F.col("_v").alias("_rng"),
+        (
+            (2 * (F.col("_c_run") - F.col("_c")) + F.col("_c") + 1)
+            .cast("double") / 2.0
+        ).alias("_q"),
+    )
+    weighted = ranges.join(qmap, on="_rng").select("_b", "_q")
+    wb = Window.partitionBy("_b").orderBy("_v")
+    wt = Window.partitionBy("_b", "_v")
+    tie_n = F.count(F.lit(1)).over(wt)
+    ranked = kept.select(
+        "_b",
+        "_t",
+        (
+            F.rank().over(wb).cast("double")
+            + (tie_n.cast("double") - 1.0) / 2.0
+        ).alias("_rk"),
+    )
+    kd = float(k_total)
+    sij = ranked.join(weighted, on="_b").select(
+        "_t",
+        (F.col("_q") * (F.col("_rk") - F.lit((kd + 1.0) / 2.0))).alias(
+            "_s"
+        ),
+    )
+    per_t = sij.groupBy("_t").agg(
+        F.sum("_s").alias("_sj"), F.sum(F.col("_s") * F.col("_s")).alias("_a_part")
+    )
+    agg = per_t.agg(
+        F.sum("_a_part").alias("_a"),
+        F.sum(F.col("_sj") * F.col("_sj")).alias("_ssj"),
+        F.count(F.lit(1)).alias("k_treatments"),
+    ).crossJoin(
+        complete.agg(F.count(F.lit(1)).cast("bigint").alias("n_blocks"))
+    )
+    n = F.col("n_blocks").cast("double")
+    k = F.col("k_treatments").cast("double")
+    b_stat = F.col("_ssj") / n
+    fstat = F.when(
+        (F.col("_a") - b_stat > 0) & (F.col("n_blocks") > 1),
+        (n - 1.0) * b_stat / (F.col("_a") - b_stat),
+    )
+    staged = agg.select(
+        "n_blocks",
+        "k_treatments",
+        fstat.alias("_f"),
+        F.when(k >= 2, k - 1.0).alias("df1"),
+        F.when(
+            (k >= 2) & (F.col("n_blocks") > 1), (n - 1.0) * (k - 1.0)
+        ).alias("df2"),
+    )
+    out = staged.select(
+        "n_blocks",
+        "k_treatments",
+        F.round("_f", 6).alias("quade_f"),
+        "df1",
+        "df2",
+        F.round(
+            f_sf_udf(F.col("_f"), F.col("df1"), F.col("df2")), 6
+        ).alias("p_value"),
+    )
+    return track_cached(
+        out, kept, *getattr(stepped, "_padua_cached", ())
+    )
+
+
+def krippendorff_alpha(
+    df: DataFrame,
+    item_col: str,
+    category_col: str,
+) -> DataFrame:
+    """Krippendorff's alpha (nominal) — chance-corrected agreement
+    that, unlike :func:`fleiss_kappa`, accepts MISSING ratings (any
+    item with ≥ 2 ratings contributes; the constant-rater contract
+    disappears), making it the right reliability gate for crowdsourced
+    label audits where coverage is ragged:
+
+    ``α = 1 − D_o/D_e`` with the pair-disagreement rates
+    ``D_o = (1/n··)·Σ_i [Σ_c n_ic(n_i−n_ic)] / (n_i−1)`` (a random
+    pair WITHIN an item) and
+    ``D_e = Σ_c n_c(n··−n_c) / (n··(n··−1))`` (a random pair
+    anywhere, without replacement) — Krippendorff 2004, nominal
+    metric; every input is an exact integer until the two final
+    divisions.
+
+    Plan: one (item, category) hash aggregation, one per-item
+    aggregation (items with a single rating drop out), one per-
+    category aggregation — the :func:`fleiss_kappa` shape without
+    the preflight. Output 1 row: ``(n_items, n_ratings,
+    k_categories, d_o, d_e, alpha)``, floats 6dp; alpha NULL when
+    D_e = 0 (one category — no disagreement possible).
+    """
+    from pyspark import StorageLevel
+
+    from padua_spark.io_utils import track_cached
+
+    it = F.col(item_col)
+    cat = F.col(category_col)
+    cells = (
+        df.where(it.isNotNull() & cat.isNotNull())
+        .groupBy(it.alias("_i"), cat.alias("_j"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("_nij"))
+    )
+    sized = cells.join(
+        cells.groupBy("_i")
+        .agg(F.sum("_nij").alias("_ni"))
+        .where(F.col("_ni") >= 2),
+        on="_i",
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    per_item = sized.groupBy("_i").agg(
+        F.max("_ni").alias("_n"),
+        F.sum(F.col("_nij") * (F.col("_ni") - F.col("_nij"))).alias(
+            "_dis"
+        ),
+    )
+    do_agg = per_item.agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum("_n").cast("bigint").alias("n_ratings"),
+        F.sum(
+            F.col("_dis").cast("double")
+            / (F.col("_n").cast("double") - 1.0)
+        ).alias("_do_sum"),
+    )
+    per_cat = sized.groupBy("_j").agg(F.sum("_nij").alias("_cj"))
+    cat_agg = per_cat.agg(
+        F.count(F.lit(1)).alias("k_categories"),
+        F.sum(
+            F.col("_cj").cast("double") * F.col("_cj").cast("double")
+        ).alias("_csq"),
+    )
+    j = do_agg.join(F.broadcast(cat_agg))
+    nn = F.col("n_ratings").cast("double")
+    d_o = F.col("_do_sum") / nn
+    # Σ n_c(n−n_c) = n² − Σn_c²
+    d_e = (nn * nn - F.col("_csq")) / (nn * (nn - 1.0))
+    alpha = F.when(d_e > 0, 1.0 - d_o / d_e)
+    out = j.select(
+        "n_items",
+        "n_ratings",
+        "k_categories",
+        F.round(d_o, 6).alias("d_o"),
+        F.round(d_e, 6).alias("d_e"),
+        F.round(alpha, 6).alias("alpha"),
+    )
+    return track_cached(out, sized)

@@ -429,6 +429,12 @@ def test_no_cartesian_products_anywhere(spark):
         "friedman_counts",
         # composes friedman_test — inherits its two-1-row cross
         "kendalls_w",
+        # 1-row per-treatment aggregate crossed with the 1-row
+        # block count
+        "quade_test",
+        # 1-row category-totals frame broadcast onto the 1-row
+        # item-disagreement aggregate
+        "krippendorff_alpha",
         # 1-row conformal-quantile frame broadcast onto the test set
         "conformal_intervals",
         # 1-row CI order-statistic frame crossed into the 1-row stats

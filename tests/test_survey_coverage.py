@@ -280,6 +280,9 @@ COVERAGE = {
     "E165": "entry:page_trend_test",
     "E166": "entry:ddsketch_quantiles",
     "E167": "entry:holt_winters",
+    "E168": "entry:brunner_munzel",
+    "E169": "entry:quade_test",
+    "E170": "entry:krippendorff_alpha",
 }
 
 

@@ -6220,3 +6220,126 @@ def test_holt_winters_vs_python_replica(spark):
         )
     with pytest.raises(ValueError, match="period"):
         holt_winters_forecast(df, ["k"], ["t"], "v", period=1)
+
+
+def _rankdata_avg(a):
+    import numpy as np
+
+    a = np.asarray(a, dtype=float)
+    order = np.argsort(a, kind="mergesort")
+    sa = a[order]
+    out = np.empty(len(a))
+    i = 0
+    while i < len(a):
+        j = i
+        while j + 1 < len(a) and sa[j + 1] == sa[i]:
+            j += 1
+        avg = (i + j + 2) / 2.0
+        for k2 in range(i, j + 1):
+            out[order[k2]] = avg
+        i = j + 1
+    return out
+
+
+def test_brunner_munzel_vs_scipy_replica(spark):
+    """W statistic and Welch-Satterthwaite df against a numpy replica
+    of scipy.stats.brunnermunzel (midranks, within-group ranks),
+    including ties."""
+    import numpy as np
+
+    from padua_spark.operators.stats import brunner_munzel
+
+    rng = np.random.RandomState(7)
+    x = rng.normal(0, 1, 30)
+    y = rng.normal(0.4, 2.5, 24)
+    x[0] = y[0] = 0.5
+    rows = [("a", float(v)) for v in x] + [("b", float(v)) for v in y]
+    df = spark.createDataFrame(rows, ["g", "v"])
+    r = brunner_munzel(df, "g", "v", "a", "b").collect()[0]
+    nx, ny = len(x), len(y)
+    rankc = _rankdata_avg(np.concatenate([x, y]))
+    rcx, rcy = rankc[:nx], rankc[nx:]
+    rx, ry = _rankdata_avg(x), _rankdata_avg(y)
+    sx = np.sum(
+        (rcx - rx - rcx.mean() + (nx + 1) / 2) ** 2
+    ) / (nx - 1)
+    sy = np.sum(
+        (rcy - ry - rcy.mean() + (ny + 1) / 2) ** 2
+    ) / (ny - 1)
+    w = nx * ny * (rcy.mean() - rcx.mean()) / (
+        (nx + ny) * np.sqrt(nx * sx + ny * sy)
+    )
+    dfree = (nx * sx + ny * sy) ** 2 / (
+        (nx * sx) ** 2 / (nx - 1) + (ny * sy) ** 2 / (ny - 1)
+    )
+    assert r["w_stat"] == pytest.approx(w, abs=1e-5)
+    assert r["df"] == pytest.approx(dfree, abs=1e-4)
+    assert 0 < r["p_value"] < 1
+
+
+def test_quade_vs_direct_formula(spark):
+    """Quade F against the direct Conover computation (within-block
+    midranks, range-midrank block weights) on a 6x3 layout."""
+    import numpy as np
+
+    from padua_spark.operators.stats import quade_test
+
+    data = [
+        [31, 27, 24], [31, 28, 31], [45, 29, 46],
+        [21, 18, 48], [42, 36, 46], [32, 17, 40],
+    ]
+    rows = [
+        (i, f"t{j}", float(v))
+        for i, row in enumerate(data)
+        for j, v in enumerate(row)
+    ]
+    df = spark.createDataFrame(rows, ["b", "t", "v"])
+    r = quade_test(df, "b", "t", "v").collect()[0]
+    arr = np.asarray(data, dtype=float)
+    n, k = arr.shape
+    rk = np.array([_rankdata_avg(row) for row in arr])
+    q = _rankdata_avg(arr.max(1) - arr.min(1))
+    s_ = q[:, None] * (rk - (k + 1) / 2.0)
+    a_ = (s_ ** 2).sum()
+    b_ = (s_.sum(0) ** 2).sum() / n
+    f_ = (n - 1) * b_ / (a_ - b_)
+    assert r["quade_f"] == pytest.approx(f_, abs=1e-5)
+    assert (r["df1"], r["df2"]) == (k - 1, (n - 1) * (k - 1))
+    assert 0 < r["p_value"] < 1
+
+
+def test_krippendorff_alpha_pair_enumeration(spark):
+    """Alpha against explicit pair-disagreement rates on a ragged
+    rating set; single-rating items drop; perfect agreement gives 1."""
+    from padua_spark.operators.stats import krippendorff_alpha
+
+    rows = [
+        (1, "x"), (1, "x"),
+        (2, "y"), (2, "y"), (2, "y"),
+        (3, "x"), (3, "y"),
+        (4, "x"),  # single rating: excluded
+    ]
+    df = spark.createDataFrame(rows, ["i", "c"])
+    r = krippendorff_alpha(df, "i", "c").collect()[0]
+    items = {1: ["x", "x"], 2: ["y", "y", "y"], 3: ["x", "y"]}
+    ntot = sum(len(v) for v in items.values())
+    d_o = sum(
+        sum(vs.count(c) * (len(vs) - vs.count(c)) for c in set(vs))
+        / (len(vs) - 1)
+        for vs in items.values()
+    ) / ntot
+    vals = [c for vs in items.values() for c in vs]
+    nc = {c: vals.count(c) for c in set(vals)}
+    d_e = sum(v * (ntot - v) for v in nc.values()) / (
+        ntot * (ntot - 1)
+    )
+    assert r["n_items"] == 3 and r["n_ratings"] == 7
+    assert r["d_o"] == pytest.approx(d_o, abs=1e-6)
+    assert r["d_e"] == pytest.approx(d_e, abs=1e-6)
+    assert r["alpha"] == pytest.approx(1 - d_o / d_e, abs=1e-6)
+    perfect = spark.createDataFrame(
+        [(1, "x")] * 3 + [(2, "y")] * 3, ["i", "c"]
+    )
+    assert krippendorff_alpha(perfect, "i", "c").collect()[0][
+        "alpha"
+    ] == pytest.approx(1.0, abs=1e-9)
