@@ -15433,6 +15433,74 @@ def q_krippendorff_alpha(spark, sf):
     return krippendorff_alpha(e, "user_id", "event_type")
 
 
+
+def _windowed_ddsketch_oracle() -> str:
+    ln_g = "0.020000666706669435"
+    g = "1.02020202020202"
+    q_cte = []
+    for q in ("0.5", "0.95"):
+        q_cte.append(f"""
+SELECT ws AS window_start_epoch, CAST({q} AS DOUBLE) AS q, n_total,
+  round(arg_min(est, cum), 6) AS estimate
+FROM st
+WHERE cum >= CAST(ceil({q} * (CAST(n_total AS DOUBLE) - 1.0))
+              AS BIGINT) + 1
+GROUP BY 1, 2, 3""")
+    body = "\nUNION ALL\n".join(q_cte)
+    return f"""
+WITH c AS (
+  SELECT (epoch_us(ts) // 86400000000) * 86400 AS ws,
+    CASE WHEN CAST(value AS DOUBLE) > 0
+      THEN CAST(ceil(ln(CAST(value AS DOUBLE)) / {ln_g}) AS BIGINT)
+    END AS bucket,
+    CAST(count(*) AS BIGINT) AS n
+  FROM events WHERE value IS NOT NULL
+  GROUP BY 1, 2
+),
+st AS (
+  SELECT ws, bucket,
+    sum(n) OVER (PARTITION BY ws
+                 ORDER BY bucket ASC NULLS FIRST
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      AS cum,
+    CAST(sum(n) OVER (PARTITION BY ws) AS BIGINT) AS n_total,
+    CASE WHEN bucket IS NULL THEN 0.0
+      ELSE 2.0 * power({g}, CAST(bucket AS DOUBLE)) / ({g} + 1.0)
+    END AS est
+  FROM c
+)
+{body}
+"""
+
+
+@_q("windowed_ddsketch", _windowed_ddsketch_oracle())
+def q_windowed_ddsketch(spark, sf):
+    """Daily p50/p95 of event value from per-window DDSketch bucket
+    counts (streaming.windowed_ddsketch finalized by
+    sketches.ddsketch_quantiles): one stateful aggregation whose
+    per-window state is bucket-bounded — the same plan runs on the
+    live stream (see the stream==batch test)."""
+    from padua_spark.extensions.sketches import ddsketch_quantiles
+    from padua_spark.streaming import windowed_ddsketch
+
+    e = _t(spark, sf, "events")
+    c = windowed_ddsketch(
+        e,
+        _events_event_time(spark, sf),
+        F.col("value"),
+        relative_accuracy=0.01,
+        window_duration="1 day",
+    )
+    counts = c.select(
+        F.col("window_start").cast("long").alias("window_start_epoch"),
+        "bucket",
+        "n",
+    )
+    return ddsketch_quantiles(
+        counts, ["window_start_epoch"], [0.5, 0.95], 0.01
+    )
+
+
 # ---------------------------------------------------------------------------
 
 

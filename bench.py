@@ -240,6 +240,7 @@ HEADLINE = [
     "brunner_munzel",
     "quade_test",
     "krippendorff_alpha",
+    "windowed_ddsketch",
 ]
 
 

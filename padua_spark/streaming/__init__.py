@@ -20,5 +20,6 @@ from padua_spark.streaming.windows import (  # noqa: F401
     sliding_window_agg,
     tumbling_window_agg,
     windowed_cms_sketch,
+    windowed_ddsketch,
     windowed_value_histogram,
 )

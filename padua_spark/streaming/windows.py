@@ -397,3 +397,57 @@ def windowed_cms_sketch(
         "bucket",
         "cnt",
     )
+
+
+def windowed_ddsketch(
+    df: DataFrame,
+    ts_col: Column,
+    value_col: Column,
+    relative_accuracy: float = 0.01,
+    window_duration: str = "1 day",
+    watermark: str | None = None,
+) -> DataFrame:
+    """Per-tumbling-window DDSketch bucket counts — the streaming face
+    of :func:`padua_spark.extensions.sketches.ddsketch_counts`
+    ("continuous p99 of event value, per day, forever"): ONE stateful
+    aggregation ``groupBy(window, bucket)``, so it runs unchanged on
+    a stream (watermark bounds state) or a batch frame, and per-window
+    state is CAPPED at the bucket-domain size (log_γ of the value
+    range — ~2900 rows for α=1% across 12 decades) regardless of how
+    many events the window absorbs.
+
+    Same bucket law as the batch sketch (``k = ceil(ln x / ln γ)``,
+    zero/negatives in the reserved NULL bucket), so windows finalize
+    with the SAME :func:`~padua_spark.extensions.sketches.
+    ddsketch_quantiles` (group by ``window_start``) and late shards
+    merge by adding counts. Output: ``(window_start, window_end,
+    bucket, n)``.
+    """
+    import math
+
+    alpha = float(relative_accuracy)
+    if not 0 < alpha < 1:
+        raise ValueError("relative_accuracy must be in (0, 1)")
+    gamma = (1.0 + alpha) / (1.0 - alpha)
+    v = value_col.cast("double")
+    withts = df.where(v.isNotNull()).select(
+        ts_col.alias("_event_time"), v.alias("_v")
+    )
+    if watermark:
+        withts = withts.withWatermark("_event_time", watermark)
+    bucket = F.when(
+        F.col("_v") > 0,
+        F.ceil(
+            F.log(F.col("_v")) / F.lit(math.log(gamma))
+        ).cast("bigint"),
+    )
+    agg = withts.groupBy(
+        F.window("_event_time", window_duration).alias("_w"),
+        bucket.alias("bucket"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    return agg.select(
+        F.col("_w.start").alias("window_start"),
+        F.col("_w.end").alias("window_end"),
+        "bucket",
+        "n",
+    )

@@ -560,3 +560,73 @@ def test_stream_equals_batch_windowed_cms(spark, events_dir):
 
     per_line = Counter((w, j) for (w, j, _b) in got)
     assert max(per_line.values()) <= width
+
+
+def test_stream_equals_batch_windowed_ddsketch(spark, events_dir):
+    """The windowed DDSketch is one stateful aggregation: identical
+    (window, bucket, n) grid on stream and batch; finalizing the
+    streamed counts with ddsketch_quantiles matches the batch
+    finalize; per-window state stays bucket-bounded."""
+    from padua_spark.extensions.sketches import ddsketch_quantiles
+    from padua_spark.streaming import windowed_ddsketch
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    batch = spark.read.parquet(events_dir)
+    stream = read_event_stream(spark, events_dir, schema=batch.schema)
+    alpha = 0.01
+
+    def build(df):
+        return windowed_ddsketch(
+            df,
+            event_time_col(df),
+            F.col("value"),
+            relative_accuracy=alpha,
+            window_duration="1 day",
+            watermark="2 days",
+        )
+
+    q = (
+        build(stream)
+        .writeStream.format("memory")
+        .queryName("t_winddsk")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(180)
+    got = {
+        (r["window_start"], r["bucket"]): r["n"]
+        for r in spark.sql("SELECT * FROM t_winddsk").collect()
+    }
+    exp = {
+        (r["window_start"], r["bucket"]): r["n"]
+        for r in build(batch).collect()
+    }
+    assert got == exp and len(got) > 0
+    # finalize: streamed counts -> same quantiles as batch counts
+    sc = spark.sql(
+        "SELECT CAST(window_start AS LONG) AS ws, bucket, n "
+        "FROM t_winddsk"
+    )
+    bc = build(batch).select(
+        F.col("window_start").cast("long").alias("ws"), "bucket", "n"
+    )
+    a = {
+        (r["ws"], r["q"]): r["estimate"]
+        for r in ddsketch_quantiles(
+            sc, ["ws"], [0.5, 0.95], alpha
+        ).collect()
+    }
+    b = {
+        (r["ws"], r["q"]): r["estimate"]
+        for r in ddsketch_quantiles(
+            bc, ["ws"], [0.5, 0.95], alpha
+        ).collect()
+    }
+    assert a == b and len(a) > 0
+    # state cap: bucket rows per window bounded by the value range's
+    # decade span, not the event count
+    from collections import Counter
+
+    per_win = Counter(ws for ws, _ in got)
+    assert max(per_win.values()) < 3000

@@ -283,6 +283,7 @@ COVERAGE = {
     "E168": "entry:brunner_munzel",
     "E169": "entry:quade_test",
     "E170": "entry:krippendorff_alpha",
+    "E171": "entry:windowed_ddsketch",
 }
 
 
