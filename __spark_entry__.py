@@ -15501,6 +15501,122 @@ def q_windowed_ddsketch(spark, sf):
     )
 
 
+
+_SEASONAL_DECOMP_ORACLE = """
+WITH e AS (
+  SELECT user_id, epoch_us(ts) AS tu, event_id,
+    CAST(round(CAST(value AS DOUBLE) * 100) AS BIGINT) AS xc
+  FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
+),
+w AS (
+  SELECT user_id, tu, event_id, xc,
+    CASE WHEN count(*) OVER win5 = 5 THEN
+      2 * sum(xc) OVER win5
+      - lag(xc, 2) OVER wo
+      - lead(xc, 2) OVER wo END AS tn,
+    ((row_number() OVER wo - 1) % 4 + 1) AS phase
+  FROM e
+  WINDOW wo AS (PARTITION BY user_id ORDER BY tu, event_id),
+    win5 AS (PARTITION BY user_id ORDER BY tu, event_id
+             ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING)
+),
+ph AS (
+  SELECT user_id, phase,
+    CAST(sum(xc * 8 - tn) AS BIGINT) AS dsum,
+    CAST(count(*) AS BIGINT) AS dn
+  FROM w WHERE tn IS NOT NULL GROUP BY 1, 2
+),
+si_raw AS (
+  SELECT user_id, phase,
+    CAST(dsum AS DOUBLE) / (CAST(dn AS DOUBLE) * 8.0) AS sr
+  FROM ph
+),
+ctr AS (
+  SELECT user_id,
+    sum(sr ORDER BY phase) / count(*) AS si_mean
+  FROM si_raw GROUP BY 1
+),
+idx AS (
+  SELECT s.user_id, s.phase,
+    CAST(floor((s.sr - c.si_mean) / 100.0 * 1e6 + 0.5) AS DOUBLE)
+      / 1e6 AS si
+  FROM si_raw s JOIN ctr c USING (user_id)
+)
+SELECT w.user_id, w.tu AS _tu, w.event_id,
+  round(CAST(w.xc AS DOUBLE) / 100.0, 6) AS value,
+  round(CAST(w.tn AS DOUBLE) / 800.0, 6) AS trend,
+  i.si AS seasonal,
+  round(CAST(w.xc AS DOUBLE) / 100.0
+        - CAST(w.tn AS DOUBLE) / 800.0 - i.si, 6) AS residual
+FROM w LEFT JOIN idx i
+  ON i.user_id = w.user_id AND i.phase = w.phase
+"""
+
+
+@_q("seasonal_decompose", _SEASONAL_DECOMP_ORACLE)
+def q_seasonal_decompose(spark, sf):
+    """Classical additive decomposition of each user's event-value
+    series at period 4 (temporal.seasonal_decompose): 2xm centered MA
+    trend, centered per-phase seasonal indices, residual — one
+    ordered window pass plus two bounded joins."""
+    from padua_spark.operators.temporal import seasonal_decompose
+    from padua_spark.streaming.windows import epoch_us_col
+
+    e = _t(spark, sf, "events")
+    base = e.where(
+        F.col("value").isNotNull() & F.col("ts").isNotNull()
+    ).select(
+        "user_id",
+        epoch_us_col(e, "ts").alias("_tu"),
+        "event_id",
+        "value",
+    )
+    return seasonal_decompose(
+        base, ["user_id"], ["_tu", "event_id"], "value", period=4,
+        exact_scale=100,
+    )
+
+
+def _tokenizer_stats_oracle() -> str:
+    pat = __import__(
+        "padua_spark.extensions.text", fromlist=["BPE_PATTERN"]
+    ).BPE_PATTERN.replace("'", "''")
+    return rf"""
+WITH t AS (
+  SELECT lang,
+    CAST(len(text) AS BIGINT) AS nc,
+    CAST(len(list_filter(
+      string_split_regex(trim(text), '[ \t\n\x0B\f\r]+'),
+      tk -> tk <> '')) AS BIGINT) AS nws,
+    CAST(coalesce(len(regexp_extract_all(text, '{pat}')), 0)
+      AS BIGINT) AS nbpe
+  FROM documents WHERE text IS NOT NULL
+)
+SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum(nc) AS BIGINT) AS n_chars,
+  CAST(sum(nws) AS BIGINT) AS n_ws_tokens,
+  CAST(sum(nbpe) AS BIGINT) AS n_bpe_tokens,
+  round(CASE WHEN sum(nws) > 0
+    THEN CAST(sum(nbpe) AS DOUBLE) / sum(nws) END, 6) AS fertility,
+  round(CASE WHEN sum(nbpe) > 0
+    THEN CAST(sum(nc) AS DOUBLE) / sum(nbpe) END, 6)
+    AS chars_per_token
+FROM t GROUP BY 1
+"""
+
+
+@_q("tokenizer_stats", _tokenizer_stats_oracle())
+def q_tokenizer_stats(spark, sf):
+    """Per-language tokenizer fertility and compression
+    (text.tokenizer_stats): BPE pretokens per whitespace token and
+    chars per pretoken — one conditional aggregation of exact
+    integer sums, all scan-side regexp counts."""
+    from padua_spark.extensions.text import tokenizer_stats
+
+    d = _t(spark, sf, "documents")
+    return tokenizer_stats(d, ["lang"], "text")
+
+
 # ---------------------------------------------------------------------------
 
 

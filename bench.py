@@ -241,6 +241,8 @@ HEADLINE = [
     "quade_test",
     "krippendorff_alpha",
     "windowed_ddsketch",
+    "seasonal_decompose",
+    "tokenizer_stats",
 ]
 
 

@@ -1553,3 +1553,59 @@ def readability_scores(
             6,
         ).alias("fk_grade"),
     )
+
+
+def tokenizer_stats(
+    df: DataFrame,
+    group_cols: list[str],
+    text_col: str,
+) -> DataFrame:
+    """Per-group tokenizer fertility and compression diagnostics —
+    the corpus-budgeting numbers a multilingual pipeline reads before
+    fixing a token budget (CJK text yields far more BPE pretokens per
+    whitespace word; a quality filter tuned on English token counts
+    silently over-prunes it):
+
+    ``fertility = BPE pretokens / whitespace tokens`` and
+    ``chars_per_token = chars / BPE pretokens``,
+
+    with the shared portable BPE pretokenizer (:data:`BPE_PATTERN`)
+    and whitespace model (:func:`tokens`). ONE conditional
+    aggregation of four exact integer sums per group — all scan-side
+    regexp counts, zero shuffles beyond the group-by. Output:
+    ``(groups..., n_docs, n_chars, n_ws_tokens, n_bpe_tokens,
+    fertility, chars_per_token)``, ratios 6dp, NULL where the
+    denominator is 0.
+    """
+    t = F.col(text_col)
+    ws = F.size(F.filter(tokens(t), lambda x: x != "")).cast("bigint")
+    bpe = bpe_token_count(t)
+    agg = df.where(t.isNotNull()).groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.length(t)).cast("bigint").alias("n_chars"),
+        F.sum(ws).cast("bigint").alias("n_ws_tokens"),
+        F.sum(bpe).cast("bigint").alias("n_bpe_tokens"),
+    )
+    return agg.select(
+        *group_cols,
+        "n_docs",
+        "n_chars",
+        "n_ws_tokens",
+        "n_bpe_tokens",
+        F.round(
+            F.when(
+                F.col("n_ws_tokens") > 0,
+                F.col("n_bpe_tokens").cast("double")
+                / F.col("n_ws_tokens").cast("double"),
+            ),
+            6,
+        ).alias("fertility"),
+        F.round(
+            F.when(
+                F.col("n_bpe_tokens") > 0,
+                F.col("n_chars").cast("double")
+                / F.col("n_bpe_tokens").cast("double"),
+            ),
+            6,
+        ).alias("chars_per_token"),
+    )

@@ -1075,3 +1075,163 @@ def holt_winters_forecast(
             F.col("_fit.l") + F.lit(h) * F.col("_fit.b") + s_next, 6
         ).alias("forecast"),
     )
+
+
+def seasonal_decompose(
+    df: DataFrame,
+    key_cols: list[str],
+    order_cols: list[str],
+    value_col: str,
+    period: int,
+    exact_scale: int | None = None,
+) -> DataFrame:
+    """Classical additive seasonal decomposition per key
+    (trend + seasonal + residual — statsmodels
+    ``seasonal_decompose``'s moving-average method): the diagnostic
+    that tells you WHETHER a series needs
+    :func:`holt_winters_forecast` (strong seasonal indices) or plain
+    :func:`holt_forecast` (indices ≈ 0):
+
+    - trend: centered moving average of length ``m`` — for even m
+      the standard 2×m MA ``(½x_{t−h} + Σ_{|i|<h} x_{t+i} +
+      ½x_{t+h})/m`` (h = m/2), NULL where the window is incomplete;
+    - seasonal: per-phase mean of the detrended series, CENTERED so
+      the indices sum to 0 (the additive identifiability convention);
+    - residual: ``x − trend − seasonal`` (from the ROUNDED index —
+      see below).
+
+    **Engine reproducibility** (``exact_scale``): the seasonal index
+    is a cross-partition mean, and float summation order makes its
+    last ulps engine-dependent — invisible until the data is
+    decimal-valued, where indices land EXACTLY on rounding midpoints
+    (money in cents: every intermediate is a small dyadic rational).
+    With ``exact_scale=10**d`` for d-decimal data, every numerator
+    stays an exact BIGINT (values scaled to integers; the 2×m trend
+    numerator ``2S − x_{t−h} − x_{t+h}``; per-phase detrended SUMS)
+    and each output is ONE division of exact integers plus an
+    order-fixed fold over the m phase means — bit-identical on any
+    engine. ``None`` keeps plain float arithmetic (fine for
+    continuous data, which never ties at a rounding boundary).
+
+    Plan: ONE ordered window pass per key (position, centered sum,
+    edge lags — one WindowExec), one bounded (key, phase) aggregation
+    joined back, one per-key centering aggregation joined back. Per-
+    key state is the ordered series (the usual bounded-key caveat).
+    Output per observation: ``(keys..., order_cols..., value, trend,
+    seasonal, residual)``, floats 6dp.
+    """
+    m = int(period)
+    if m < 2:
+        raise ValueError("seasonal_decompose: period must be >= 2")
+    from pyspark.sql import Window
+
+    v = F.col(value_col).cast("double")
+    cond = v.isNotNull()
+    for c in order_cols:
+        cond = cond & F.col(c).isNotNull()
+    scale = int(exact_scale) if exact_scale else 1
+    if exact_scale:
+        xin = F.round(v * F.lit(float(scale))).cast("bigint")
+    else:
+        xin = v
+    base = df.where(cond).select(
+        *key_cols,
+        *[c for c in order_cols if c not in key_cols],
+        xin.alias("_x"),
+    )
+    w = Window.partitionBy(*key_cols).orderBy(
+        *[F.col(c).asc() for c in order_cols]
+    )
+    h = m // 2
+    # trend numerator over denominator 2m (even) / m (odd) in _x units
+    if m % 2 == 0:
+        win = w.rowsBetween(-h, h)
+        full = F.count(F.lit(1)).over(win) == (m + 1)
+        t_num = F.when(
+            full,
+            2 * F.sum("_x").over(win)
+            - F.lag("_x", h).over(w)
+            - F.lead("_x", h).over(w),
+        )
+        t_den = 2 * m
+    else:
+        win = w.rowsBetween(-h, h)
+        full = F.count(F.lit(1)).over(win) == m
+        t_num = F.when(full, F.sum("_x").over(win))
+        t_den = m
+    staged = base.select(
+        *key_cols,
+        *[c for c in order_cols if c not in key_cols],
+        "_x",
+        t_num.alias("_tn"),
+        ((F.row_number().over(w) - 1) % m + 1).alias("_phase"),
+    )
+    from pyspark import StorageLevel
+
+    staged = staged.persist(StorageLevel.MEMORY_AND_DISK)
+    # detrended numerator in units of 1/t_den: integer when exact
+    det_num = F.col("_x") * t_den - F.col("_tn")
+    ph = staged.where(F.col("_tn").isNotNull()).groupBy(
+        *key_cols, "_phase"
+    ).agg(
+        F.sum(det_num).alias("_dsum"),
+        F.count(F.lit(1)).alias("_dn"),
+    )
+    # ONE division of exact sums -> identical doubles on any engine
+    si_raw = ph.select(
+        *key_cols,
+        "_phase",
+        (
+            F.col("_dsum").cast("double")
+            / (F.col("_dn").cast("double") * F.lit(float(t_den)))
+        ).alias("_si_raw"),
+    )
+    # phase-ordered fold for the centering mean (engine-fixed order)
+    centers = (
+        si_raw.groupBy(*key_cols)
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("_phase", "_si_raw"))
+            ).alias("_arr")
+        )
+        .select(
+            *key_cols,
+            (
+                F.aggregate(
+                    F.col("_arr"),
+                    F.lit(0.0),
+                    lambda acc, e: acc + e["_si_raw"],
+                )
+                / F.size("_arr").cast("double")
+            ).alias("_si_mean"),
+        )
+    )
+    # explicit HALF_UP: with decimal-valued data the index lands
+    # EXACTLY on 6dp midpoints, where engine round() modes disagree
+    # (JVM BigDecimal HALF_UP vs rint half-to-even); floor(x*1e6+0.5)
+    # on the identical double is portable
+    si_val = (F.col("_si_raw") - F.col("_si_mean")) / F.lit(
+        float(scale)
+    )
+    idx = si_raw.join(centers, on=list(key_cols)).select(
+        *key_cols,
+        "_phase",
+        (
+            F.floor(si_val * F.lit(1e6) + F.lit(0.5)).cast("double")
+            / F.lit(1e6)
+        ).alias("_si"),
+    )
+    out = staged.join(idx, on=[*key_cols, "_phase"], how="left")
+    from padua_spark.io_utils import track_cached
+
+    val = F.col("_x").cast("double") / F.lit(float(scale))
+    trend = F.col("_tn").cast("double") / F.lit(float(t_den * scale))
+    res = out.select(
+        *key_cols,
+        *[c for c in order_cols if c not in key_cols],
+        F.round(val, 6).alias("value"),
+        F.round(trend, 6).alias("trend"),
+        F.col("_si").alias("seasonal"),
+        F.round(val - trend - F.col("_si"), 6).alias("residual"),
+    )
+    return track_cached(res, staged)

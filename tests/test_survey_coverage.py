@@ -284,6 +284,8 @@ COVERAGE = {
     "E169": "entry:quade_test",
     "E170": "entry:krippendorff_alpha",
     "E171": "entry:windowed_ddsketch",
+    "E172": "entry:seasonal_decompose",
+    "E173": "entry:tokenizer_stats",
 }
 
 

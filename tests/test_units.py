@@ -6343,3 +6343,66 @@ def test_krippendorff_alpha_pair_enumeration(spark):
     assert krippendorff_alpha(perfect, "i", "c").collect()[0][
         "alpha"
     ] == pytest.approx(1.0, abs=1e-9)
+
+
+def test_seasonal_decompose_recovers_planted_wave(spark):
+    """The 2xm MA decomposition against a numpy replica on a planted
+    linear-trend + period-4 wave: exact index recovery, NULL trend at
+    the edges, residual zero."""
+    import numpy as np
+
+    from padua_spark.operators.temporal import seasonal_decompose
+
+    m = 4
+    season = [5.0, -2.0, 0.0, -3.0]
+    xs = [10 + 0.5 * t + season[t % m] for t in range(16)]
+    rows = [("k", t, float(v)) for t, v in enumerate(xs)]
+    df = spark.createDataFrame(rows, ["k", "t", "v"])
+    out = {
+        r["t"]: r
+        for r in seasonal_decompose(
+            df, ["k"], ["t"], "v", period=m
+        ).collect()
+    }
+    x = np.array(xs)
+    n, h = len(x), m // 2
+    tr = np.full(n, np.nan)
+    for t in range(h, n - h):
+        tr[t] = (
+            0.5 * x[t - h] + x[t - h + 1:t + h].sum() + 0.5 * x[t + h]
+        ) / m
+    det = x - tr
+    si_raw = [np.nanmean(det[p::m]) for p in range(m)]
+    si = np.array(si_raw) - np.mean(si_raw)
+    for t in range(n):
+        r = out[t]
+        if np.isnan(tr[t]):
+            assert r["trend"] is None
+        else:
+            assert r["trend"] == pytest.approx(tr[t], abs=1e-6)
+            assert r["seasonal"] == pytest.approx(si[t % m], abs=1e-6)
+            assert r["residual"] == pytest.approx(0.0, abs=1e-6)
+    with pytest.raises(ValueError, match="period"):
+        seasonal_decompose(df, ["k"], ["t"], "v", period=1)
+
+
+def test_tokenizer_stats_hand_computed(spark):
+    """Fertility and compression on hand text: contractions and
+    punctuation split into extra BPE pretokens; CJK-free ASCII
+    baseline."""
+    from padua_spark.extensions.text import tokenizer_stats
+
+    df = spark.createDataFrame(
+        [("en", "it's here, ok"), ("en", "plain words")],
+        ["lang", "text"],
+    )
+    r = tokenizer_stats(df, ["lang"], "text").collect()[0]
+    # doc1 pretokens: "it" "'s" " here" "," " ok" = 5; ws tokens 3
+    # doc2 pretokens: "plain" " words" = 2; ws tokens 2
+    assert r["n_docs"] == 2
+    assert r["n_ws_tokens"] == 5
+    assert r["n_bpe_tokens"] == 7
+    assert r["fertility"] == pytest.approx(7 / 5, abs=1e-6)
+    assert r["chars_per_token"] == pytest.approx(
+        (len("it's here, ok") + len("plain words")) / 7, abs=1e-6
+    )
