@@ -15617,6 +15617,152 @@ def q_tokenizer_stats(spark, sf):
     return tokenizer_stats(d, ["lang"], "text")
 
 
+
+_CHATTERJEE_ORACLE = """
+WITH p AS (
+  SELECT CAST(l_extendedprice AS DOUBLE) AS x,
+    CAST(l_quantity AS DOUBLE) AS y,
+    l_orderkey * 8 + l_linenumber AS id
+  FROM lineitem
+  WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL
+),
+rk AS (
+  SELECT x, id,
+    CAST(count(*) OVER (ORDER BY y
+      RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      AS BIGINT) AS r,
+    CAST(count(*) OVER (ORDER BY y DESC
+      RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      AS BIGINT) AS l,
+    CAST(count(*) OVER () AS BIGINT) AS n
+  FROM p
+),
+d AS (
+  SELECT r, l, n,
+    lag(r) OVER (ORDER BY x, id) AS rprev
+  FROM rk
+),
+agg AS (
+  SELECT CAST(max(n) AS BIGINT) AS n,
+    CAST(sum(CASE WHEN rprev IS NOT NULL
+        THEN abs(r - rprev) END) AS BIGINT) AS num,
+    CAST(sum(l * (n - l)) AS BIGINT) AS den
+  FROM d
+)
+SELECT n,
+  round(CASE WHEN den > 0 THEN
+    1.0 - CAST(n AS DOUBLE) * num / (2.0 * den) END, 6) AS xi
+FROM agg
+"""
+
+
+@_q("chatterjee_xi", _CHATTERJEE_ORACLE)
+def q_chatterjee_xi(spark, sf):
+    """Chatterjee's xi dependence coefficient of quantity on extended
+    price (stats.chatterjee_xi): y-ranks from the shared distributed
+    ECDF cumsum, x-ordered adjacent rank differences via a range
+    partition with boundary stitching — no global sort of the fact
+    table; every sum is an exact integer."""
+    from padua_spark.operators.stats import chatterjee_xi
+
+    li = _t(spark, sf, "lineitem").select(
+        F.col("l_extendedprice").alias("x"),
+        F.col("l_quantity").alias("y"),
+        (F.col("l_orderkey") * 8 + F.col("l_linenumber")).alias("id"),
+    )
+    return chatterjee_xi(li, "x", "y", "id")
+
+
+_BRESLOW_DAY_ORACLE = """
+WITH u AS (
+  SELECT user_id, user_id % 4 AS s,
+    max(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS e,
+    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS o
+  FROM events GROUP BY 1, 2
+),
+per AS (
+  SELECT s,
+    CAST(sum(CASE WHEN e = 1 AND o = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+      AS a,
+    CAST(sum(CASE WHEN e = 1 AND o = 0 THEN 1 ELSE 0 END) AS DOUBLE)
+      AS b,
+    CAST(sum(CASE WHEN e = 0 AND o = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+      AS c,
+    CAST(sum(CASE WHEN e = 0 AND o = 0 THEN 1 ELSE 0 END) AS DOUBLE)
+      AS d
+  FROM u GROUP BY 1
+),
+psi AS (
+  SELECT sum(a * d / (a + b + c + d)) / sum(b * c / (a + b + c + d))
+    AS ps
+  FROM per WHERE a + b + c + d > 0
+),
+st AS (
+  SELECT per.*, psi.ps,
+    a + b AS n1, c + d AS n0, a + c AS m1,
+    1.0 - ps AS qa,
+    ps * ((a + b) + (a + c)) + ((c + d) - (a + c)) AS qb,
+    -ps * (a + b) * (a + c) AS qc
+  FROM per, psi
+),
+ae AS (
+  SELECT *,
+    CASE WHEN abs(qa) < 1e-12 THEN -qc / qb
+      ELSE (-qb + sqrt(qb * qb - 4.0 * qa * qc)) / (2.0 * qa)
+    END AS a_e,
+    (n1 > 0 AND n0 > 0 AND m1 > 0 AND (b + d) > 0
+     AND ps IS NOT NULL) AS valid
+  FROM st
+),
+terms AS (
+  SELECT valid, ps, a, a_e,
+    CASE WHEN valid THEN
+      1.0 / a_e + 1.0 / (n1 - a_e) + 1.0 / (m1 - a_e)
+      + 1.0 / (n0 - m1 + a_e) END AS vinv
+  FROM ae
+),
+agg AS (
+  SELECT CAST(sum(CASE WHEN valid THEN 1 ELSE 0 END) AS BIGINT)
+      AS k_strata,
+    max(ps) AS psv,
+    sum(CASE WHEN valid THEN (a - a_e) * (a - a_e) * vinv
+        ELSE 0.0 END) AS x2,
+    sum(CASE WHEN valid THEN a - a_e ELSE 0.0 END) AS dev,
+    sum(CASE WHEN valid THEN 1.0 / vinv ELSE 0.0 END) AS vs
+  FROM terms
+)
+SELECT k_strata,
+  round(psv, 6) AS or_mh,
+  round(x2 - CASE WHEN vs > 0 THEN dev * dev / vs ELSE 0.0 END, 6)
+    AS bd_chi2,
+  CASE WHEN k_strata >= 2
+       THEN CAST(k_strata - 1 AS DOUBLE) END AS dfree
+FROM agg
+"""
+
+
+@_q("breslow_day", _BRESLOW_DAY_ORACLE)
+def q_breslow_day(spark, sf):
+    """Breslow-Day(-Tarone) homogeneity of the error->purchase odds
+    ratio across user cohorts (stats.breslow_day): per-stratum
+    expected cells from the closed-form quadratic under the MH common
+    OR; chi2 p pruned (vectorized UDF side)."""
+    from padua_spark.operators.stats import breslow_day
+
+    e = _t(spark, sf, "events")
+    u = e.groupBy("user_id").agg(
+        (F.col("user_id") % 4).alias("s"),
+        F.max(
+            F.when(F.col("event_type") == "error", 1).otherwise(0)
+        ).alias("e"),
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("o"),
+    )
+    out = breslow_day(u, ["s"], "e", "o")
+    return out.select("k_strata", "or_mh", "bd_chi2", "dfree")
+
+
 # ---------------------------------------------------------------------------
 
 

@@ -243,6 +243,8 @@ HEADLINE = [
     "windowed_ddsketch",
     "seasonal_decompose",
     "tokenizer_stats",
+    "chatterjee_xi",
+    "breslow_day",
 ]
 
 

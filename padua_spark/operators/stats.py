@@ -5084,3 +5084,242 @@ def krippendorff_alpha(
         F.round(alpha, 6).alias("alpha"),
     )
     return track_cached(out, sized)
+
+
+def chatterjee_xi(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    id_col: str,
+    small_domain_threshold: int | None = None,
+) -> DataFrame:
+    """Chatterjee's rank correlation ξ (JASA 2021) — the modern
+    DEPENDENCE coefficient: 0 iff independent, 1 iff y is a
+    measurable function of x, and (unlike Pearson/Spearman) sensitive
+    to non-monotone relationships (a parabola scores ≈ 1 where ρ and
+    r_s score ≈ 0). The tie-robust form:
+
+    ``ξ = 1 − n·Σ_{i<n} |r_{i+1} − r_i| / (2·Σ_i l_i·(n − l_i))``
+
+    where rows are ordered by ``(x, id)`` (the explicit id tiebreak
+    makes ξ under tied x deterministic — Chatterjee's definition
+    breaks x-ties uniformly at random; a keyed order is the
+    reproducible choice, documented), ``r_i = #{j: y_j ≤ y_i}`` and
+    ``l_i = #{j: y_j ≥ y_i}``.
+
+    Scale shape — NO global sort of the fact table: y-ranks come from
+    the shared distributed ECDF cumsum
+    (:func:`_stepped_running_counts`, exact integers); the x-ordered
+    ADJACENT difference uses a range partition on ``(x, id)`` with a
+    per-partition ordered window, and each partition head is stitched
+    to the PREVIOUS partition's tail rank via an N-row boundary frame
+    (N = parallelism) broadcast back — the same two-pass discipline
+    as the ECDF machinery itself. Every Σ is an exact integer;
+    ξ is one final division. Output 1 row: ``(n, xi)``, 6dp;
+    NULL when y is constant (the denominator vanishes).
+    """
+    from pyspark import StorageLevel
+
+    from padua_spark.io_utils import track_cached
+
+    x = F.col(x_col)
+    y = F.col(y_col).cast("double")
+    pairs = df.where(
+        x.isNotNull() & y.isNotNull() & F.col(id_col).isNotNull()
+    ).select(x.alias("_x"), y.alias("_y"), F.col(id_col).alias("_id"))
+    per = pairs.groupBy(F.col("_y").alias("_v")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("_c")
+    )
+    stepped = _stepped_running_counts(
+        per, "_v", ["_c"], small_domain_threshold
+    )
+    rmap = stepped.select(
+        F.col("_v"),
+        F.col("_c_run").alias("_r"),  # #{y_j <= v}
+        (F.col("_c_tot") - (F.col("_c_run") - F.col("_c"))).alias(
+            "_l"
+        ),  # #{y_j >= v}
+        F.col("_c_tot").alias("_n"),
+    )
+    ranked = pairs.join(rmap, pairs["_y"] == rmap["_v"]).select(
+        "_x", "_id", "_r", "_l", "_n"
+    )
+    spark = df.sparkSession
+    try:
+        n_parts = max(
+            1, int(spark.conf.get("spark.sql.shuffle.partitions"))
+        )
+    except (TypeError, ValueError):
+        n_parts = max(1, spark.sparkContext.defaultParallelism)
+    ranged = (
+        ranked.repartitionByRange(n_parts, "_x", "_id")
+        .withColumn("_pid", F.spark_partition_id())
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    ranged.count()  # pin ONE set of sampled range boundaries
+    w = Window.partitionBy("_pid").orderBy("_x", "_id")
+    local = ranged.withColumn("_rprev", F.lag("_r").over(w))
+    # partition tails: the rank of each partition's LAST row in
+    # (x, id) order — an N-row frame, broadcast back to stitch heads
+    tails = (
+        ranged.groupBy("_pid")
+        .agg(
+            F.max(
+                F.struct(F.col("_x"), F.col("_id"), F.col("_r"))
+            ).alias("_t")
+        )
+        .select(
+            (F.col("_pid") + 1).alias("_pid"),
+            F.col("_t._r").alias("_rtail"),
+        )
+    )
+    stitched = local.join(F.broadcast(tails), on="_pid", how="left")
+    prev = F.coalesce(F.col("_rprev"), F.col("_rtail"))
+    agg = stitched.agg(
+        F.max("_n").alias("n"),
+        F.sum(
+            F.when(prev.isNotNull(), F.abs(F.col("_r") - prev))
+        ).cast("bigint").alias("_num"),
+        F.sum(F.col("_l") * (F.col("_n") - F.col("_l")))
+        .cast("bigint").alias("_den"),
+    )
+    nd = F.col("n").cast("double")
+    xi = F.when(
+        F.col("_den") > 0,
+        1.0
+        - nd * F.col("_num").cast("double")
+        / (2.0 * F.col("_den").cast("double")),
+    )
+    out = agg.select("n", F.round(xi, 6).alias("xi"))
+    return track_cached(
+        out, ranged, *getattr(stepped, "_padua_cached", ())
+    )
+
+
+def breslow_day(
+    df: DataFrame,
+    strata_cols: list[str],
+    exposure_col: str,
+    outcome_col: str,
+    tarone: bool = True,
+) -> DataFrame:
+    """Breslow-Day homogeneity test (1980, with Tarone's 1985
+    correction) — the validity check :func:`mantel_haenszel_or`
+    assumes: is the odds ratio actually COMMON across strata, or is
+    pooling hiding effect modification?
+
+    With the MH common odds ratio ``ψ``, each stratum's expected
+    ``a``-cell solves the quadratic
+    ``ψ·(n1−a)(m1−a) = a·(n0−m1+a)`` (root inside
+    ``[max(0, m1−n0), min(n1, m1)]`` — closed form, both engines
+    share it), with asymptotic variance
+    ``1/V = 1/a_e + 1/(n1−a_e) + 1/(m1−a_e) + 1/(n0−m1+a_e)``;
+
+    ``X² = Σ_s (a_s − a_e)²/V_s``  (χ², k−1 df), minus Tarone's
+    ``(Σ(a−a_e))²/ΣV`` when ``tarone=True`` (corrects for ψ being
+    estimated, the SAS default). Two aggregations: one to the
+    per-stratum exact 2×2 tables, a 1-row broadcast of ψ back onto
+    the k-strata frame, one combine; χ²(k−1) p via the shared
+    vectorized UDF. Degenerate strata (any margin 0) contribute
+    nothing — the standard convention. Output 1 row: ``(k_strata,
+    or_mh, bd_chi2, dfree, p_value)``, floats 6dp.
+    """
+    from padua_spark.functions.distributions import chi2_sf_udf
+
+    ex = F.col(exposure_col).cast("int")
+    out = F.col(outcome_col).cast("int")
+    per = (
+        df.where(ex.isNotNull() & out.isNotNull())
+        .groupBy(*strata_cols)
+        .agg(
+            F.sum(((ex == 1) & (out == 1)).cast("int"))
+            .cast("double").alias("_a"),
+            F.sum(((ex == 1) & (out == 0)).cast("int"))
+            .cast("double").alias("_b"),
+            F.sum(((ex == 0) & (out == 1)).cast("int"))
+            .cast("double").alias("_c"),
+            F.sum(((ex == 0) & (out == 0)).cast("int"))
+            .cast("double").alias("_d"),
+        )
+    )
+    from pyspark import StorageLevel
+
+    from padua_spark.io_utils import track_cached
+
+    per = per.persist(StorageLevel.MEMORY_AND_DISK)
+    a, b, c, d = F.col("_a"), F.col("_b"), F.col("_c"), F.col("_d")
+    n = a + b + c + d
+    psi_row = per.where(n > 0).agg(
+        F.sum(a * d / n).alias("_sr"),
+        F.sum(b * c / n).alias("_ss"),
+    )
+    psi = psi_row.select(
+        F.when(
+            F.col("_ss") > 0, F.col("_sr") / F.col("_ss")
+        ).alias("_psi")
+    )
+    j = per.join(F.broadcast(psi))
+    n1 = a + b
+    n0 = c + d
+    m1 = a + c
+    ps = F.col("_psi")
+    # quadratic (1−ψ)a² + [ψ(n1+m1) + (n0−m1)]a − ψ·n1·m1 = 0
+    qa = 1.0 - ps
+    qb = ps * (n1 + m1) + (n0 - m1)
+    qc = -ps * n1 * m1
+    disc = F.sqrt(qb * qb - 4.0 * qa * qc)
+    # ψ=1 degenerates to linear; otherwise the root in range is the
+    # '−' branch of the standard formula for ψ>1 and ψ<1 alike when
+    # written with the numerically stable sign
+    a_lin = -qc / qb
+    a_quad = (-qb + disc) / (2.0 * qa)
+    a_e = F.when(F.abs(qa) < 1e-12, a_lin).otherwise(a_quad)
+    valid = (
+        (n1 > 0) & (n0 > 0) & (m1 > 0) & ((b + d) > 0)
+        & ps.isNotNull()
+    )
+    vinv = (
+        1.0 / a_e
+        + 1.0 / (n1 - a_e)
+        + 1.0 / (m1 - a_e)
+        + 1.0 / (n0 - m1 + a_e)
+    )
+    term = F.when(valid, (a - a_e) * (a - a_e) * vinv).otherwise(
+        F.lit(0.0)
+    )
+    dev = F.when(valid, a - a_e).otherwise(F.lit(0.0))
+    vsum = F.when(valid, 1.0 / vinv).otherwise(F.lit(0.0))
+    agg = j.agg(
+        F.sum(F.when(valid, 1).otherwise(0)).cast("bigint").alias(
+            "k_strata"
+        ),
+        F.max(ps).alias("_or"),
+        F.sum(term).alias("_x2"),
+        F.sum(dev).alias("_dev"),
+        F.sum(vsum).alias("_vs"),
+    )
+    x2 = F.col("_x2")
+    if tarone:
+        x2 = x2 - F.when(
+            F.col("_vs") > 0,
+            F.col("_dev") * F.col("_dev") / F.col("_vs"),
+        ).otherwise(F.lit(0.0))
+    staged = agg.select(
+        "k_strata",
+        F.col("_or").alias("_psi"),
+        x2.alias("_bd"),
+        F.when(
+            F.col("k_strata") >= 2,
+            (F.col("k_strata") - 1).cast("double"),
+        ).alias("dfree"),
+    )
+    out_df = staged.select(
+        "k_strata",
+        F.round("_psi", 6).alias("or_mh"),
+        F.round("_bd", 6).alias("bd_chi2"),
+        "dfree",
+        F.round(
+            chi2_sf_udf(F.col("_bd"), F.col("dfree")), 6
+        ).alias("p_value"),
+    )
+    return track_cached(out_df, per)

@@ -435,6 +435,8 @@ def test_no_cartesian_products_anywhere(spark):
         # 1-row category-totals frame broadcast onto the 1-row
         # item-disagreement aggregate
         "krippendorff_alpha",
+        # 1-row MH common-OR frame broadcast onto the k-strata tables
+        "breslow_day",
         # 1-row conformal-quantile frame broadcast onto the test set
         "conformal_intervals",
         # 1-row CI order-statistic frame crossed into the 1-row stats

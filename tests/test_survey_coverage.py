@@ -286,6 +286,8 @@ COVERAGE = {
     "E171": "entry:windowed_ddsketch",
     "E172": "entry:seasonal_decompose",
     "E173": "entry:tokenizer_stats",
+    "E174": "entry:chatterjee_xi",
+    "E175": "entry:breslow_day",
 }
 
 

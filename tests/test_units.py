@@ -6406,3 +6406,116 @@ def test_tokenizer_stats_hand_computed(spark):
     assert r["chars_per_token"] == pytest.approx(
         (len("it's here, ok") + len("plain words")) / 7, abs=1e-6
     )
+
+
+def test_chatterjee_xi_vs_bruteforce(spark):
+    """xi against a brute-force replica of the tie-general formula:
+    near 1 on a parabola (where Spearman sees nothing), near 0 on
+    independence, exact match under heavy x/y ties on the forced
+    distributed path, NULL on constant y."""
+    import numpy as np
+
+    from padua_spark.operators.stats import chatterjee_xi
+
+    def ref(x, y, ids):
+        order = sorted(range(len(x)), key=lambda i: (x[i], ids[i]))
+        ys = [y[i] for i in order]
+        n = len(ys)
+        r = [sum(1 for yy in y if yy <= v) for v in ys]
+        l_ = [sum(1 for yy in y if yy >= v) for v in ys]
+        num = sum(abs(r[i + 1] - r[i]) for i in range(n - 1))
+        den = 2 * sum(li * (n - li) for li in l_)
+        return 1 - n * num / den
+
+    rng = np.random.RandomState(3)
+    x = rng.uniform(-1, 1, 300)
+    y = x ** 2
+    ids = list(range(300))
+    df = spark.createDataFrame(
+        [(float(a), float(b), i) for a, b, i in zip(x, y, ids)],
+        ["x", "y", "id"],
+    )
+    r = chatterjee_xi(df, "x", "y", "id").collect()[0]
+    assert r["xi"] == pytest.approx(
+        ref(list(x), list(y), ids), abs=1e-6
+    )
+    assert r["xi"] > 0.9
+    xt = [float(v) for v in rng.randint(0, 20, 300)]
+    yt = [float(v) for v in rng.randint(0, 10, 300)]
+    df3 = spark.createDataFrame(
+        [(a, b, i) for i, (a, b) in enumerate(zip(xt, yt))],
+        ["x", "y", "id"],
+    )
+    r3 = chatterjee_xi(
+        df3, "x", "y", "id", small_domain_threshold=0
+    ).collect()[0]
+    assert r3["xi"] == pytest.approx(
+        ref(xt, yt, list(range(300))), abs=1e-6
+    )
+    assert abs(r3["xi"]) < 0.2
+    const = spark.createDataFrame(
+        [(float(i), 1.0, i) for i in range(10)], ["x", "y", "id"]
+    )
+    assert chatterjee_xi(const, "x", "y", "id").collect()[0][
+        "xi"
+    ] is None
+
+
+def test_breslow_day_vs_bisection(spark):
+    """BD chi2 (with and without Tarone) against a bisection solve of
+    the per-stratum expected cell under the MH common OR, on psi>1
+    and psi<1 tables."""
+    from padua_spark.operators.stats import breslow_day
+
+    def ref(tables, tarone=True):
+        sr = sum(a * d / (a + b + c + d) for a, b, c, d in tables)
+        ss = sum(b * c / (a + b + c + d) for a, b, c, d in tables)
+        psi = sr / ss
+        x2 = dev = vs = 0.0
+        for a, b, c, d in tables:
+            n1, n0, m1 = a + b, c + d, a + c
+            lo, hi = max(0.0, m1 - n0), min(n1, m1)
+            lo, hi = lo + 1e-12, hi - 1e-12
+
+            def f(t):
+                return (t * (n0 - m1 + t)) / (
+                    (n1 - t) * (m1 - t)
+                ) - psi
+
+            for _ in range(200):
+                m = (lo + hi) / 2
+                if f(m) > 0:
+                    hi = m
+                else:
+                    lo = m
+            ae = (lo + hi) / 2
+            vinv = (
+                1 / ae + 1 / (n1 - ae) + 1 / (m1 - ae)
+                + 1 / (n0 - m1 + ae)
+            )
+            x2 += (a - ae) ** 2 * vinv
+            dev += a - ae
+            vs += 1 / vinv
+        return psi, (x2 - dev ** 2 / vs) if tarone else x2
+
+    for tables in (
+        [(10, 20, 15, 40), (8, 5, 12, 20), (30, 10, 22, 18)],
+        [(20, 10, 40, 15), (5, 8, 20, 12), (10, 30, 18, 22)],
+    ):
+        rows = []
+        for s_, (a, b, c, d) in enumerate(tables):
+            rows += (
+                [(s_, 1, 1)] * a + [(s_, 1, 0)] * b
+                + [(s_, 0, 1)] * c + [(s_, 0, 0)] * d
+            )
+        df = spark.createDataFrame(rows, ["s", "e", "o"])
+        ft = [tuple(map(float, t)) for t in tables]
+        psi, x2 = ref(ft)
+        r = breslow_day(df, ["s"], "e", "o").collect()[0]
+        assert r["or_mh"] == pytest.approx(psi, abs=1e-5)
+        assert r["bd_chi2"] == pytest.approx(x2, abs=1e-4)
+        _, x2nt = ref(ft, tarone=False)
+        rnt = breslow_day(
+            df, ["s"], "e", "o", tarone=False
+        ).collect()[0]
+        assert rnt["bd_chi2"] == pytest.approx(x2nt, abs=1e-4)
