@@ -15763,6 +15763,98 @@ def q_breslow_day(spark, sf):
     return out.select("k_strata", "or_mh", "bd_chi2", "dfree")
 
 
+
+_YUEN_ORACLE = """
+WITH per AS (
+  SELECT v, CAST(count(*) FILTER (g = 'A') AS BIGINT) AS ca,
+    CAST(count(*) FILTER (g = 'R') AS BIGINT) AS cb
+  FROM (SELECT CAST(l_quantity AS DOUBLE) AS v, l_returnflag AS g
+        FROM lineitem
+        WHERE l_quantity IS NOT NULL AND l_returnflag IN ('A', 'R'))
+  GROUP BY 1
+),
+cum AS (
+  SELECT v, ca, cb,
+    sum(ca) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS fa,
+    sum(cb) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS fb,
+    sum(ca) OVER () AS na, sum(cb) OVER () AS nb
+  FROM per
+),
+st AS (
+  SELECT *,
+    CAST(floor(0.2 * na) AS BIGINT) AS ga,
+    CAST(floor(0.2 * nb) AS BIGINT) AS gb
+  FROM cum
+),
+agg AS (
+  SELECT CAST(max(na) AS BIGINT) AS n_a, CAST(max(nb) AS BIGINT) AS n_b,
+    CAST(max(ga) AS BIGINT) AS g_a, CAST(max(gb) AS BIGINT) AS g_b,
+    sum(greatest(CAST(0 AS BIGINT),
+        least(fa, na - ga) - greatest(fa - ca + 1, ga + 1) + 1) * v)
+      AS tsa,
+    sum(greatest(CAST(0 AS BIGINT),
+        least(fa, na - ga) - greatest(fa - ca + 1, ga + 1) + 1)
+        * v * v) AS tqa,
+    min(CASE WHEN fa >= ga + 1 THEN v END) AS loa,
+    min(CASE WHEN fa >= na - ga THEN v END) AS hia,
+    sum(greatest(CAST(0 AS BIGINT),
+        least(fb, nb - gb) - greatest(fb - cb + 1, gb + 1) + 1) * v)
+      AS tsb,
+    sum(greatest(CAST(0 AS BIGINT),
+        least(fb, nb - gb) - greatest(fb - cb + 1, gb + 1) + 1)
+        * v * v) AS tqb,
+    min(CASE WHEN fb >= gb + 1 THEN v END) AS lob,
+    min(CASE WHEN fb >= nb - gb THEN v END) AS hib
+  FROM st
+),
+fit AS (
+  SELECT n_a, n_b,
+    tsa / (n_a - 2.0 * g_a) AS tma,
+    tsb / (n_b - 2.0 * g_b) AS tmb,
+    ((tqa + g_a * (loa * loa + hia * hia))
+     - (tsa + g_a * (loa + hia)) * (tsa + g_a * (loa + hia)) / n_a)
+      / (n_a - 1.0) AS swa,
+    ((tqb + g_b * (lob * lob + hib * hib))
+     - (tsb + g_b * (lob + hib)) * (tsb + g_b * (lob + hib)) / n_b)
+      / (n_b - 1.0) AS swb,
+    n_a - 2.0 * g_a AS ha, n_b - 2.0 * g_b AS hb
+  FROM agg
+),
+dd AS (
+  SELECT n_a, n_b, tma, tmb, ha, hb,
+    (n_a - 1.0) * swa / (ha * (ha - 1.0)) AS da,
+    (n_b - 1.0) * swb / (hb * (hb - 1.0)) AS db
+  FROM fit
+)
+SELECT n_a, n_b,
+  round(tma, 6) AS trimmed_mean_a,
+  round(tmb, 6) AS trimmed_mean_b,
+  round(CASE WHEN da + db > 0
+        THEN (tma - tmb) / sqrt(da + db) END, 6) AS t_stat,
+  round(CASE WHEN da + db > 0
+        THEN (da + db) * (da + db)
+             / (da * da / (ha - 1.0) + db * db / (hb - 1.0)) END, 6)
+    AS df
+FROM dd
+"""
+
+
+@_q("yuen_test", _YUEN_ORACLE)
+def q_yuen_test(spark, sf):
+    """Yuen's 20%-trimmed robust t A vs R on quantity
+    (stats.yuen_test): trimmed multiplicities and boundary order
+    statistics from ONE pass over the shared distributed ECDF frame —
+    no per-group sort; t p pruned (vectorized UDF side)."""
+    from padua_spark.operators.stats import yuen_test
+
+    li = _t(spark, sf, "lineitem")
+    out = yuen_test(li, "l_returnflag", "l_quantity", "A", "R")
+    return out.select(
+        "n_a", "n_b", "trimmed_mean_a", "trimmed_mean_b",
+        "t_stat", "df",
+    )
+
+
 # ---------------------------------------------------------------------------
 
 

@@ -245,6 +245,7 @@ HEADLINE = [
     "tokenizer_stats",
     "chatterjee_xi",
     "breslow_day",
+    "yuen_test",
 ]
 
 

@@ -288,6 +288,7 @@ COVERAGE = {
     "E173": "entry:tokenizer_stats",
     "E174": "entry:chatterjee_xi",
     "E175": "entry:breslow_day",
+    "E176": "entry:yuen_test",
 }
 
 

@@ -6274,7 +6274,11 @@ def test_brunner_munzel_vs_scipy_replica(spark):
     )
     assert r["w_stat"] == pytest.approx(w, abs=1e-5)
     assert r["df"] == pytest.approx(dfree, abs=1e-4)
-    assert 0 < r["p_value"] < 1
+    from padua_spark.functions.distributions import student_t_sf
+
+    assert r["p_value"] == pytest.approx(
+        float(student_t_sf(w, dfree)), abs=1e-5
+    )
 
 
 def test_quade_vs_direct_formula(spark):
@@ -6519,3 +6523,54 @@ def test_breslow_day_vs_bisection(spark):
             df, ["s"], "e", "o", tarone=False
         ).collect()[0]
         assert rnt["bd_chi2"] == pytest.approx(x2nt, abs=1e-4)
+
+
+def test_yuen_test_vs_numpy(spark):
+    """Yuen t, df and trimmed means against a numpy sort-based
+    replica with outliers and ties, on both ECDF paths; trim
+    bounds validated; the outliers must NOT move the trimmed means."""
+    import numpy as np
+
+    from padua_spark.operators.stats import yuen_test
+
+    rng = np.random.RandomState(4)
+    x = np.concatenate([rng.normal(0, 1, 40), [50.0, -60.0]])
+    y = np.concatenate([rng.normal(0.8, 2, 35), [100.0]])
+    x[1] = x[2] = 0.3
+    y[3] = y[4] = y[5] = 1.1
+
+    def fit(a, trim=0.2):
+        a = np.sort(np.asarray(a, dtype=float))
+        n = len(a)
+        g = int(np.floor(trim * n))
+        tm = a[g:n - g].mean()
+        w = np.clip(a, a[g], a[n - g - 1])
+        sw2 = w.var(ddof=1)
+        h = n - 2 * g
+        return tm, (n - 1) * sw2 / (h * (h - 1)), h
+
+    ta, da, ha = fit(x)
+    tb, db, hb = fit(y)
+    t = (ta - tb) / np.sqrt(da + db)
+    dfree = (da + db) ** 2 / (
+        da ** 2 / (ha - 1) + db ** 2 / (hb - 1)
+    )
+    rows = [("a", float(v)) for v in x] + [("b", float(v)) for v in y]
+    df = spark.createDataFrame(rows, ["g", "v"])
+    for thresh in (None, 0):
+        kw = {} if thresh is None else {
+            "small_domain_threshold": 0
+        }
+        r = yuen_test(df, "g", "v", "a", "b", **kw).collect()[0]
+        assert r["trimmed_mean_a"] == pytest.approx(ta, abs=1e-6)
+        assert r["trimmed_mean_b"] == pytest.approx(tb, abs=1e-6)
+        assert r["t_stat"] == pytest.approx(t, abs=1e-5)
+        assert r["df"] == pytest.approx(dfree, abs=1e-4)
+    from padua_spark.functions.distributions import student_t_sf
+
+    assert r["p_value"] == pytest.approx(
+        float(student_t_sf(t, dfree)), abs=1e-5
+    )
+    assert abs(r["trimmed_mean_a"]) < 1.0  # 50/-60 trimmed away
+    with pytest.raises(ValueError, match="trim"):
+        yuen_test(df, "g", "v", "a", "b", trim=0.6)
