@@ -14121,7 +14121,9 @@ chi AS (
                 / CAST(nt AS DOUBLE), 2)
         / (CAST(ra AS DOUBLE) * CAST(cb AS DOUBLE)
            / CAST(nt AS DOUBLE))) AS chi2,
-    max(nt) AS n_total, max(r) AS r_levels, max(c) AS c_levels
+    CAST(max(nt) AS BIGINT) AS n_total,
+    CAST(max(r) AS BIGINT) AS r_levels,
+    CAST(max(c) AS BIGINT) AS c_levels
   FROM j
 ),
 fin AS (
@@ -14218,7 +14220,8 @@ per_item AS (
   SELECT item, sum(nij) AS n, sum(nij * nij) AS sq FROM cells GROUP BY 1
 ),
 si AS (
-  SELECT count(*) AS n_items, min(n) AS n_raters, sum(sq) AS ssq
+  SELECT CAST(count(*) AS BIGINT) AS n_items,
+    CAST(min(n) AS BIGINT) AS n_raters, sum(sq) AS ssq
   FROM per_item
 ),
 pc AS (SELECT cat, sum(nij) AS cj FROM cells GROUP BY 1),

@@ -4223,9 +4223,9 @@ def cramers_v(
     term = (F.col("_n").cast("double") - exp_n) ** 2 / exp_n
     agg = staged.agg(
         F.sum(term).alias("_chi2"),
-        F.max("_nt").alias("n_total"),
-        F.max("_r").alias("r_levels"),
-        F.max("_c").alias("c_levels"),
+        F.max("_nt").cast("bigint").alias("n_total"),
+        F.max("_r").cast("bigint").alias("r_levels"),
+        F.max("_c").cast("bigint").alias("c_levels"),
     )
     nd = F.col("n_total").cast("double")
     rd = F.col("r_levels").cast("double")
