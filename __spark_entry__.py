@@ -15858,6 +15858,251 @@ def q_yuen_test(spark, sf):
     )
 
 
+
+def _binom_exact_oracle() -> str:
+    lp_i = _log_choose_sql("n", "i") + " + i * ln(0.4) + (n - i) * ln(0.6)"
+    lp_k = _log_choose_sql("n", "k") + " + k * ln(0.4) + (n - k) * ln(0.6)"
+    return f"""
+WITH cnt AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+    CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS k
+  FROM documents WHERE lang IS NOT NULL
+),
+rows_i AS (
+  SELECT cnt.*, unnest(generate_series(CAST(0 AS BIGINT), n)) AS i
+  FROM cnt
+),
+terms AS (
+  SELECT n, k, i, ({lp_i}) AS lp, ({lp_k}) AS lpk FROM rows_i
+),
+p AS (
+  SELECT n, k,
+    sum(CASE WHEN i <= k THEN exp(lp) ELSE 0.0 END ORDER BY i) AS pl,
+    sum(CASE WHEN i >= k THEN exp(lp) ELSE 0.0 END ORDER BY i) AS pr,
+    sum(CASE WHEN lp <= lpk + 9.999999505838704e-08
+        THEN exp(lp) ELSE 0.0 END ORDER BY i) AS pt
+  FROM terms GROUP BY 1, 2
+)
+SELECT n, k,
+  round(CASE WHEN n > 0 THEN CAST(k AS DOUBLE) / n END, 6) AS p_hat,
+  round(least(pl, 1.0), 6) AS p_left,
+  round(least(pr, 1.0), 6) AS p_right,
+  round(least(pt, 1.0), 6) AS p_two
+FROM p
+"""
+
+
+@_q("binom_exact", _binom_exact_oracle())
+def q_binom_exact(spark, sf):
+    """Exact binomial test: is 40% of the corpus English?
+    (stats.binom_test_exact, p0=0.4): one aggregation to (n, k), the
+    bounded JVM tail fold with scipy's point-probability two-sided
+    rule."""
+    from padua_spark.operators.stats import binom_test_exact
+
+    d = _t(spark, sf, "documents").where(F.col("lang").isNotNull())
+    return binom_test_exact(d, F.col("lang") == "en", p0=0.4)
+
+
+def _mcnemar_exact_oracle() -> str:
+    lp_i = _log_choose_sql("nd", "i") + " + nd * ln(0.5)"
+    lp_k = _log_choose_sql("nd", "k") + " + nd * ln(0.5)"
+    return f"""
+WITH flags AS (
+  SELECT CASE WHEN n_chars > 500 THEN 1 ELSE 0 END AS a,
+    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS b
+  FROM documents WHERE n_chars IS NOT NULL AND lang IS NOT NULL
+),
+cnt AS (
+  SELECT
+    CAST(sum(CASE WHEN a = 0 AND b = 0 THEN 1 ELSE 0 END) AS BIGINT)
+      AS n00,
+    CAST(sum(CASE WHEN a = 0 AND b = 1 THEN 1 ELSE 0 END) AS BIGINT)
+      AS n01,
+    CAST(sum(CASE WHEN a = 1 AND b = 0 THEN 1 ELSE 0 END) AS BIGINT)
+      AS n10,
+    CAST(sum(CASE WHEN a = 1 AND b = 1 THEN 1 ELSE 0 END) AS BIGINT)
+      AS n11
+  FROM flags
+),
+st AS (SELECT *, n01 + n10 AS nd, n01 AS k FROM cnt),
+rows_i AS (
+  SELECT st.*, unnest(generate_series(CAST(0 AS BIGINT), nd)) AS i
+  FROM st
+),
+terms AS (
+  SELECT n00, n01, n10, n11, nd, k, i,
+    ({lp_i}) AS lp, ({lp_k}) AS lpk
+  FROM rows_i
+),
+p AS (
+  SELECT n00, n01, n10, n11, max(nd) AS nd,
+    sum(CASE WHEN lp <= lpk + 9.999999505838704e-08
+        THEN exp(lp) ELSE 0.0 END ORDER BY i) AS pt
+  FROM terms GROUP BY 1, 2, 3, 4
+)
+SELECT n00, n01, n10, n11,
+  round(CASE WHEN nd > 0 THEN least(pt, 1.0) ELSE 1.0 END, 6)
+    AS p_exact
+FROM p
+"""
+
+
+@_q("mcnemar_exact", _mcnemar_exact_oracle())
+def q_mcnemar_exact(spark, sf):
+    """Exact McNemar on paired 'long doc' vs 'is English' flags
+    (stats.mcnemar_exact): symmetric Bin(n01+n10, 1/2) tail bounded
+    by the discordant count only."""
+    from padua_spark.operators.stats import mcnemar_exact
+
+    d = _t(spark, sf, "documents").where(
+        F.col("n_chars").isNotNull() & F.col("lang").isNotNull()
+    )
+    flags = d.select(
+        (F.col("n_chars") > 500).cast("int").alias("a"),
+        (F.col("lang") == "en").cast("int").alias("b"),
+    )
+    return mcnemar_exact(flags, "a", "b")
+
+
+def _poisson_rate_oracle() -> str:
+    lp_i = (
+        _log_choose_sql("n", "i")
+        + " + i * ln(p0) + (n - i) * ln(1.0 - p0)"
+    )
+    lp_k = (
+        _log_choose_sql("n", "k")
+        + " + k * ln(p0) + (n - k) * ln(1.0 - p0)"
+    )
+    return f"""
+WITH e AS (
+  SELECT user_id % 2 AS g,
+    CASE WHEN event_type = 'purchase'
+      THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END AS c
+  FROM events
+),
+cnt AS (
+  SELECT
+    CAST(sum(CASE WHEN g = 0 THEN c ELSE 0.0 END) AS BIGINT) AS k_a,
+    CAST(sum(CASE WHEN g = 1 THEN c ELSE 0.0 END) AS BIGINT) AS k_b,
+    CAST(sum(CASE WHEN g = 0 THEN 1.0 ELSE 0.0 END) AS DOUBLE)
+      AS t_a,
+    CAST(sum(CASE WHEN g = 1 THEN 1.0 ELSE 0.0 END) AS DOUBLE)
+      AS t_b
+  FROM e
+),
+st AS (
+  SELECT *, k_a + k_b AS n, k_a AS k, t_a / (t_a + t_b) AS p0
+  FROM cnt
+),
+rows_i AS (
+  SELECT st.*, unnest(generate_series(CAST(0 AS BIGINT), n)) AS i
+  FROM st
+),
+terms AS (
+  SELECT k_a, k_b, t_a, t_b, n, k, i,
+    ({lp_i}) AS lp, ({lp_k}) AS lpk
+  FROM rows_i
+),
+p AS (
+  SELECT k_a, k_b, t_a, t_b,
+    sum(CASE WHEN i <= k THEN exp(lp) ELSE 0.0 END ORDER BY i) AS pl,
+    sum(CASE WHEN i >= k THEN exp(lp) ELSE 0.0 END ORDER BY i) AS pr,
+    sum(CASE WHEN lp <= lpk + 9.999999505838704e-08
+        THEN exp(lp) ELSE 0.0 END ORDER BY i) AS pt
+  FROM terms GROUP BY 1, 2, 3, 4
+)
+SELECT k_a, k_b, round(t_a, 6) AS t_a, round(t_b, 6) AS t_b,
+  round(CASE WHEN t_a > 0 AND t_b > 0 AND k_b > 0
+    THEN (CAST(k_a AS DOUBLE) / t_a) / (CAST(k_b AS DOUBLE) / t_b)
+    END, 6) AS rate_ratio,
+  round(least(pl, 1.0), 6) AS p_left,
+  round(least(pr, 1.0), 6) AS p_right,
+  round(least(pt, 1.0), 6) AS p_two
+FROM p
+"""
+
+
+@_q("poisson_rate_test", _poisson_rate_oracle())
+def q_poisson_rate_test(spark, sf):
+    """Exact conditional Poisson rate comparison: do the two user
+    cohorts purchase at the same per-event rate?
+    (stats.poisson_rate_test): conditioning on the total turns the
+    question into one bounded binomial tail — no Poisson special
+    function on either engine."""
+    from padua_spark.operators.stats import poisson_rate_test
+
+    e = _t(spark, sf, "events").select(
+        (F.col("user_id") % 2).alias("g"),
+        F.when(F.col("event_type") == "purchase", 1.0)
+        .otherwise(0.0).alias("c"),
+    )
+    return poisson_rate_test(e, "g", 0, 1, count_col="c")
+
+
+_G_TEST_ORACLE = """
+WITH cells AS (
+  SELECT o_orderstatus AS a, o_orderpriority AS b, count(*) AS n
+  FROM orders
+  WHERE o_orderstatus IS NOT NULL AND o_orderpriority IS NOT NULL
+  GROUP BY 1, 2
+),
+m AS (
+  SELECT n,
+    sum(n) OVER (PARTITION BY a) AS ra,
+    sum(n) OVER (PARTITION BY b) AS cb,
+    sum(n) OVER () AS nt,
+    CASE WHEN row_number() OVER (PARTITION BY a ORDER BY b) = 1
+      THEN 1 ELSE 0 END AS fa,
+    CASE WHEN row_number() OVER (PARTITION BY b ORDER BY a) = 1
+      THEN 1 ELSE 0 END AS fb
+  FROM cells
+),
+agg AS (
+  SELECT CAST(max(nt) AS BIGINT) AS n_total,
+    sum(2.0 * n * ln(CAST(n AS DOUBLE)
+        / (CAST(ra AS DOUBLE) * cb / nt))) AS g,
+    CAST(sum(fa) AS BIGINT) AS r_levels,
+    CAST(sum(fb) AS BIGINT) AS c_levels,
+    sum(CASE WHEN fa = 1 THEN 1.0 / ra END) AS sri,
+    sum(CASE WHEN fb = 1 THEN 1.0 / cb END) AS scj
+  FROM m
+),
+fin AS (
+  SELECT n_total, r_levels, c_levels, g,
+    (CAST(r_levels AS DOUBLE) - 1.0)
+      * (CAST(c_levels AS DOUBLE) - 1.0) AS dfree,
+    1.0 + (CAST(n_total AS DOUBLE) * sri - 1.0)
+      * (CAST(n_total AS DOUBLE) * scj - 1.0)
+      / (6.0 * n_total
+         * (CAST(r_levels AS DOUBLE) - 1.0)
+         * (CAST(c_levels AS DOUBLE) - 1.0)) AS q
+  FROM agg
+)
+SELECT n_total, r_levels, c_levels,
+  round(g, 6) AS g_stat,
+  round(CASE WHEN dfree > 0 THEN g / q END, 6) AS g_adjusted,
+  CASE WHEN dfree > 0 THEN dfree END AS dfree
+FROM fin
+"""
+
+
+@_q("g_test", _G_TEST_ORACLE)
+def q_g_test(spark, sf):
+    """Williams-corrected G-test of independence between order status
+    and priority (stats.g_test_independence): bounded contingency
+    cells, margin windows, exact-integer closed form; chi2 p pruned
+    (vectorized UDF side)."""
+    from padua_spark.operators.stats import g_test_independence
+
+    o = _t(spark, sf, "orders")
+    out = g_test_independence(o, "o_orderstatus", "o_orderpriority")
+    return out.select(
+        "n_total", "r_levels", "c_levels",
+        "g_stat", "g_adjusted", "dfree",
+    )
+
+
 # ---------------------------------------------------------------------------
 
 

@@ -246,6 +246,10 @@ HEADLINE = [
     "chatterjee_xi",
     "breslow_day",
     "yuen_test",
+    "binom_exact",
+    "mcnemar_exact",
+    "poisson_rate_test",
+    "g_test",
 ]
 
 

@@ -5441,3 +5441,326 @@ def yuen_test(
         ).alias("p_value"),
     )
     return track_cached(out, *getattr(ecdf, "_padua_cached", ()))
+
+
+def _binom_exact_pvalues(staged, n_col, k_col, p0_col, max_support):
+    """Shared exact-binomial tail fold on a 1-row staged frame:
+    returns (p_left, p_right, p_two) Columns for ``k ~ Bin(n, p0)``
+    with the point-probability two-sided rule (the same
+    relative-tolerance guard as :func:`fisher_exact`). The fold is a
+    JVM higher-order function over ``sequence(0, n)`` — bounded by
+    ``max_support`` with an explicit raise (exact tails at millions
+    of trials are the normal-approximation regime)."""
+    from padua_spark.operators.external import _log_choose
+
+    n = F.col(n_col)
+    k = F.col(k_col)
+    p0 = F.col(p0_col)
+    if max_support is not None:
+        guard = F.when(
+            n > F.lit(int(max_support)),
+            F.raise_error(
+                F.concat(
+                    F.lit("exact binomial support "),
+                    n.cast("string"),
+                    F.lit(
+                        f" exceeds max_support={int(max_support)}; "
+                        "use the normal approximation at these "
+                        "counts or pass max_support=None"
+                    ),
+                )
+            ).cast("bigint"),
+        ).otherwise(n)
+    else:
+        guard = n
+    staged = staged.withColumn("_lp", F.log(p0)).withColumn(
+        "_l1p", F.log(F.lit(1.0) - p0)
+    ).withColumn("_ng", guard)
+
+    def _logpmf(i):
+        return (
+            _log_choose(F.col("_ng"), i)
+            + i.cast("double") * F.col("_lp")
+            + (F.col("_ng") - i).cast("double") * F.col("_l1p")
+        )
+
+    staged = staged.withColumn("_logpk", _logpmf(k))
+    idx = F.sequence(F.lit(0).cast("bigint"), F.col("_ng"))
+    pl = F.aggregate(
+        idx,
+        F.lit(0.0),
+        lambda acc, i: acc
+        + F.when(i <= k, F.exp(_logpmf(i))).otherwise(0.0),
+    )
+    pr = F.aggregate(
+        idx,
+        F.lit(0.0),
+        lambda acc, i: acc
+        + F.when(i >= k, F.exp(_logpmf(i))).otherwise(0.0),
+    )
+    pt = F.aggregate(
+        idx,
+        F.lit(0.0),
+        lambda acc, i: acc
+        + F.when(
+            _logpmf(i)
+            <= F.col("_logpk") + F.lit(9.999999505838704e-08),
+            F.exp(_logpmf(i)),
+        ).otherwise(0.0),
+    )
+    return staged, pl, pr, pt
+
+
+def binom_test_exact(
+    df: DataFrame,
+    success: Column,
+    p0: float = 0.5,
+    max_support: int = 200_000,
+) -> DataFrame:
+    """One-sample exact binomial test — is the success rate ``p0``?
+    The exact gate behind every "is this filter still passing 35% of
+    documents" acceptance check at counts where the normal
+    approximation is untrustworthy:
+
+    ``p_two = Σ_{pmf(i) ≤ pmf(k)·(1+1e−7)} pmf(i)`` over
+    ``Bin(n, p0)`` (scipy.stats.binomtest's method), with one-sided
+    tails alongside. ONE aggregation to the exact (n, k) integers,
+    then the shared bounded JVM tail fold
+    (:func:`_binom_exact_pvalues` — raises above ``max_support``).
+    Output 1 row: ``(n, k, p_hat, p_left, p_right, p_two)``, 6dp.
+    """
+    if not 0 < p0 < 1:
+        raise ValueError("binom_test_exact: p0 must be in (0, 1)")
+    agg = df.agg(
+        F.count(F.when(success.isNotNull(), 1)).cast("bigint").alias(
+            "n"
+        ),
+        F.count(F.when(success, 1)).cast("bigint").alias("k"),
+    ).withColumn("_p0", F.lit(float(p0)))
+    staged, pl, pr, pt = _binom_exact_pvalues(
+        agg, "n", "k", "_p0", max_support
+    )
+    return staged.select(
+        "n", "k",
+        F.round(
+            F.when(
+                F.col("n") > 0,
+                F.col("k").cast("double") / F.col("n").cast("double"),
+            ),
+            6,
+        ).alias("p_hat"),
+        F.round(F.least(pl, F.lit(1.0)), 6).alias("p_left"),
+        F.round(F.least(pr, F.lit(1.0)), 6).alias("p_right"),
+        F.round(F.least(pt, F.lit(1.0)), 6).alias("p_two"),
+    )
+
+
+def mcnemar_exact(
+    df: DataFrame,
+    a_col: str,
+    b_col: str,
+    max_support: int = 200_000,
+) -> DataFrame:
+    """Exact (binomial) McNemar test — the small-discordant-count
+    companion to :func:`mcnemar_test`'s chi² approximation: under H0
+    the ``n01`` count is ``Bin(n01+n10, ½)``, so the exact p is the
+    symmetric binomial tail (point-probability two-sided — at p₀=½
+    this equals the classic doubled-min-tail, by symmetry). Same
+    one-aggregation plan as mcnemar_test; the tail fold is bounded by
+    the DISCORDANT count only (concordant pairs never enter). Output
+    1 row: ``(n00, n01, n10, n11, p_exact)``, 6dp; p 1.0 when there
+    are no discordant pairs.
+    """
+    a = F.col(a_col).cast("int")
+    b = F.col(b_col).cast("int")
+    base = df.where(a.isNotNull() & b.isNotNull())
+    agg = base.agg(
+        F.sum(F.when((a == 0) & (b == 0), 1).otherwise(0))
+        .cast("bigint").alias("n00"),
+        F.sum(F.when((a == 0) & (b == 1), 1).otherwise(0))
+        .cast("bigint").alias("n01"),
+        F.sum(F.when((a == 1) & (b == 0), 1).otherwise(0))
+        .cast("bigint").alias("n10"),
+        F.sum(F.when((a == 1) & (b == 1), 1).otherwise(0))
+        .cast("bigint").alias("n11"),
+    )
+    staged0 = agg.withColumn(
+        "_nd", F.col("n01") + F.col("n10")
+    ).withColumn("_k", F.col("n01")).withColumn(
+        "_half", F.lit(0.5)
+    )
+    staged, _pl, _pr, pt = _binom_exact_pvalues(
+        staged0, "_nd", "_k", "_half", max_support
+    )
+    return staged.select(
+        "n00", "n01", "n10", "n11",
+        F.round(
+            F.when(F.col("_nd") > 0, F.least(pt, F.lit(1.0)))
+            .otherwise(F.lit(1.0)),
+            6,
+        ).alias("p_exact"),
+    )
+
+
+def poisson_rate_test(
+    df: DataFrame,
+    group_col: str,
+    group_a,
+    group_b,
+    count_col: str | None = None,
+    exposure_col: str | None = None,
+    max_support: int = 200_000,
+) -> DataFrame:
+    """Exact two-sample Poisson rate comparison (the conditional /
+    C-test): do groups a and b generate events at the same rate per
+    unit exposure? Conditioning on the total removes the nuisance
+    rate: ``k_a | (k_a + k_b) ~ Bin(k, T_a/(T_a+T_b))`` — so the
+    exact answer is one binomial tail, computable without any
+    Poisson special function:
+
+    rows contribute ``count_col`` events (default 1 each) and
+    ``exposure_col`` exposure (default 1 each — equal-exposure A/B).
+    ONE aggregation to the four exact totals, the shared bounded
+    tail fold (bounded by the TOTAL EVENT COUNT — enforce or
+    pre-aggregate), rate ratio alongside. Output 1 row: ``(k_a, k_b,
+    t_a, t_b, rate_ratio, p_left, p_right, p_two)``, 6dp;
+    ``rate_ratio`` NULL when a denominator vanishes.
+    """
+    g = F.col(group_col)
+    cnt = (
+        F.col(count_col).cast("double")
+        if count_col
+        else F.lit(1.0)
+    )
+    expo = (
+        F.col(exposure_col).cast("double")
+        if exposure_col
+        else F.lit(1.0)
+    )
+    base = df.where(g.isin([group_a, group_b]))
+    agg = base.agg(
+        F.sum(F.when(g == group_a, cnt).otherwise(0.0))
+        .cast("bigint").alias("k_a"),
+        F.sum(F.when(g == group_b, cnt).otherwise(0.0))
+        .cast("bigint").alias("k_b"),
+        F.sum(F.when(g == group_a, expo).otherwise(0.0)).alias("t_a"),
+        F.sum(F.when(g == group_b, expo).otherwise(0.0)).alias("t_b"),
+    )
+    staged0 = agg.withColumn(
+        "_n", F.col("k_a") + F.col("k_b")
+    ).withColumn(
+        "_p0", F.col("t_a") / (F.col("t_a") + F.col("t_b"))
+    )
+    staged, pl, pr, pt = _binom_exact_pvalues(
+        staged0.withColumn("_k", F.col("k_a")),
+        "_n", "_k", "_p0", max_support,
+    )
+    ra = F.col("k_a").cast("double") / F.col("t_a")
+    rb = F.col("k_b").cast("double") / F.col("t_b")
+    return staged.select(
+        "k_a", "k_b",
+        F.round("t_a", 6).alias("t_a"),
+        F.round("t_b", 6).alias("t_b"),
+        F.round(
+            F.when(
+                (F.col("t_a") > 0) & (F.col("t_b") > 0) & (rb > 0),
+                ra / rb,
+            ),
+            6,
+        ).alias("rate_ratio"),
+        F.round(F.least(pl, F.lit(1.0)), 6).alias("p_left"),
+        F.round(F.least(pr, F.lit(1.0)), 6).alias("p_right"),
+        F.round(F.least(pt, F.lit(1.0)), 6).alias("p_two"),
+    )
+
+
+def g_test_independence(
+    df: DataFrame,
+    col_a: str,
+    col_b: str,
+    williams: bool = True,
+) -> DataFrame:
+    """G-test (log-likelihood ratio) of independence — the
+    information-theoretic twin of the chi² independence test
+    (``G = 2·n·MI_nats`` exactly; additive across partitions of the
+    table, which chi² is not), with the Williams small-sample
+    correction:
+
+    ``G = 2 Σ_cells O·ln(O/E)``;
+    ``q = 1 + (n·Σ1/r_i − 1)(n·Σ1/c_j − 1) / (6n(r−1)(c−1))``,
+    ``G_adj = G/q``  (χ², (r−1)(c−1) df).
+
+    Same bounded-cell plan as :func:`cramers_v` / :func:`theils_u`:
+    one hash aggregation to the contingency cells, margin windows
+    over that frame, exact-integer counts into the closed form; χ² p
+    via the shared vectorized UDF. Output 1 row: ``(n_total,
+    r_levels, c_levels, g_stat, g_adjusted, dfree, p_value)``, 6dp
+    (p from the ADJUSTED statistic when ``williams=True``).
+    """
+    from padua_spark.functions.distributions import chi2_sf_udf
+
+    a = F.col(col_a)
+    b = F.col(col_b)
+    cells = (
+        df.where(a.isNotNull() & b.isNotNull())
+        .groupBy(a.alias("_a"), b.alias("_b"))
+        .agg(F.count(F.lit(1)).alias("_n"))
+    )
+    wa = Window.partitionBy("_a")
+    wb = Window.partitionBy("_b")
+    wall = Window.partitionBy()
+    staged = cells.select(
+        "_n",
+        F.sum("_n").over(wa).alias("_ra"),
+        F.sum("_n").over(wb).alias("_cb"),
+        F.sum("_n").over(wall).alias("_nt"),
+        (F.row_number().over(
+            Window.partitionBy("_a").orderBy("_b")
+        ) == 1).cast("int").alias("_first_a"),
+        (F.row_number().over(
+            Window.partitionBy("_b").orderBy("_a")
+        ) == 1).cast("int").alias("_first_b"),
+    )
+    o = F.col("_n").cast("double")
+    e = (
+        F.col("_ra").cast("double")
+        * F.col("_cb").cast("double")
+        / F.col("_nt").cast("double")
+    )
+    agg = staged.agg(
+        F.max("_nt").cast("bigint").alias("n_total"),
+        F.sum(2.0 * o * F.log(o / e)).alias("_g"),
+        F.sum("_first_a").cast("bigint").alias("r_levels"),
+        F.sum("_first_b").cast("bigint").alias("c_levels"),
+        F.sum(
+            F.when(F.col("_first_a") == 1, 1.0 / F.col("_ra"))
+        ).alias("_sri"),
+        F.sum(
+            F.when(F.col("_first_b") == 1, 1.0 / F.col("_cb"))
+        ).alias("_scj"),
+    )
+    nd = F.col("n_total").cast("double")
+    rd = F.col("r_levels").cast("double")
+    cd = F.col("c_levels").cast("double")
+    dfree = (rd - 1.0) * (cd - 1.0)
+    q = 1.0 + (nd * F.col("_sri") - 1.0) * (
+        nd * F.col("_scj") - 1.0
+    ) / (6.0 * nd * dfree)
+    g_adj = F.when(dfree > 0, F.col("_g") / q)
+    use = g_adj if williams else F.when(dfree > 0, F.col("_g"))
+    staged2 = agg.select(
+        "n_total", "r_levels", "c_levels",
+        F.col("_g").alias("_graw"),
+        g_adj.alias("_gadj"),
+        F.when(dfree > 0, dfree).alias("dfree"),
+        use.alias("_use"),
+    )
+    return staged2.select(
+        "n_total", "r_levels", "c_levels",
+        F.round("_graw", 6).alias("g_stat"),
+        F.round("_gadj", 6).alias("g_adjusted"),
+        "dfree",
+        F.round(
+            chi2_sf_udf(F.col("_use"), F.col("dfree")), 6
+        ).alias("p_value"),
+    )

@@ -289,6 +289,10 @@ COVERAGE = {
     "E174": "entry:chatterjee_xi",
     "E175": "entry:breslow_day",
     "E176": "entry:yuen_test",
+    "E177": "entry:binom_exact",
+    "E178": "entry:mcnemar_exact",
+    "E179": "entry:poisson_rate_test",
+    "E180": "entry:g_test",
 }
 
 

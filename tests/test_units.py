@@ -6574,3 +6574,91 @@ def test_yuen_test_vs_numpy(spark):
     assert abs(r["trimmed_mean_a"]) < 1.0  # 50/-60 trimmed away
     with pytest.raises(ValueError, match="trim"):
         yuen_test(df, "g", "v", "a", "b", trim=0.6)
+
+
+def test_exact_binomial_family_vs_comb(spark):
+    """binom_test_exact / mcnemar_exact / poisson_rate_test against a
+    math.comb enumeration; the support guard raises above bound."""
+    from math import comb
+
+    from padua_spark.operators.stats import (
+        binom_test_exact,
+        mcnemar_exact,
+        poisson_rate_test,
+    )
+
+    def ref(n, k, p0):
+        pmf = [
+            comb(n, i) * p0 ** i * (1 - p0) ** (n - i)
+            for i in range(n + 1)
+        ]
+        pa = pmf[k]
+        return (
+            sum(pmf[: k + 1]),
+            sum(pmf[k:]),
+            sum(p for p in pmf if p <= pa * (1 + 1e-7)),
+        )
+
+    rows = [(True,)] * 13 + [(False,)] * 47
+    df = spark.createDataFrame(rows, ["s"])
+    r = binom_test_exact(df, F.col("s"), p0=0.3).collect()[0]
+    pl, pr, pt = ref(60, 13, 0.3)
+    assert r["p_left"] == pytest.approx(pl, abs=2e-6)
+    assert r["p_right"] == pytest.approx(pr, abs=2e-6)
+    assert r["p_two"] == pytest.approx(pt, abs=2e-6)
+    with pytest.raises(Exception, match="max_support"):
+        binom_test_exact(df, F.col("s"), max_support=10).collect()
+
+    prows = (
+        [(0, 1)] * 3 + [(1, 0)] * 9 + [(1, 1)] * 10 + [(0, 0)] * 5
+    )
+    pdf = spark.createDataFrame(prows, ["a", "b"])
+    rm = mcnemar_exact(pdf, "a", "b").collect()[0]
+    _, _, pt2 = ref(12, 3, 0.5)
+    assert rm["p_exact"] == pytest.approx(min(pt2, 1.0), abs=2e-6)
+    nod = spark.createDataFrame([(1, 1)] * 4, ["a", "b"])
+    assert mcnemar_exact(nod, "a", "b").collect()[0]["p_exact"] == 1.0
+
+    erows = [("a", 1.0, 0.1)] * 20 + [("b", 1.0, 0.125)] * 40
+    edf = spark.createDataFrame(erows, ["g", "c", "e"])
+    rp = poisson_rate_test(
+        edf, "g", "a", "b", count_col="c", exposure_col="e"
+    ).collect()[0]
+    p0 = 2.0 / 7.0
+    _, _, pt3 = ref(60, 20, p0)
+    assert rp["rate_ratio"] == pytest.approx(1.25, abs=1e-6)
+    assert rp["p_two"] == pytest.approx(pt3, abs=2e-6)
+
+
+def test_g_test_vs_numpy(spark):
+    """G and the Williams-adjusted G against direct numpy on a 2x2;
+    G = 2*n*MI_nats identity; independence gives G ~ 0."""
+    import numpy as np
+
+    from padua_spark.operators.stats import g_test_independence
+
+    rows = (
+        [("a", "x")] * 10 + [("a", "y")] * 20
+        + [("b", "x")] * 30 + [("b", "y")] * 5
+    )
+    df = spark.createDataFrame(rows, ["u", "w"])
+    r = g_test_independence(df, "u", "w").collect()[0]
+    obs = np.array([[10, 20], [30, 5]], dtype=float)
+    n = obs.sum()
+    e = np.outer(obs.sum(1), obs.sum(0)) / n
+    g = 2 * (obs * np.log(obs / e)).sum()
+    ri, cj = obs.sum(1), obs.sum(0)
+    q = 1 + (n * (1 / ri).sum() - 1) * (n * (1 / cj).sum() - 1) / (
+        6 * n
+    )
+    assert r["g_stat"] == pytest.approx(g, abs=1e-5)
+    assert r["g_adjusted"] == pytest.approx(g / q, abs=1e-5)
+    assert r["dfree"] == 1.0 and 0 < r["p_value"] < 1
+    indep = spark.createDataFrame(
+        [("a", "x")] * 4 + [("a", "y")] * 4
+        + [("b", "x")] * 4 + [("b", "y")] * 4,
+        ["u", "w"],
+    )
+    assert g_test_independence(indep, "u", "w").collect()[0][
+        "g_stat"
+    ] == pytest.approx(0.0, abs=1e-9)
