@@ -16103,6 +16103,68 @@ def q_g_test(spark, sf):
     )
 
 
+
+_BOILERPLATE_ORACLE = r"""
+WITH d AS (
+  SELECT doc_id,
+    'NOTICE: synthetic banner' || chr(10)
+      || regexp_replace(text, '\. ', '.' || chr(10), 'g')
+      || chr(10) || 'footer: synthetic nav' AS t
+  FROM documents WHERE text IS NOT NULL
+),
+lines AS (
+  SELECT doc_id,
+    unnest(string_split(t, chr(10))) AS line,
+    unnest(generate_series(1, len(string_split(t, chr(10)))))
+      AS pos
+  FROM d
+),
+keyd AS (SELECT doc_id, pos, line, trim(line) AS k FROM lines),
+freq AS (
+  SELECT k FROM (
+    SELECT k, count(DISTINCT doc_id) AS df FROM keyd
+    WHERE len(k) >= 1 GROUP BY 1
+  ) WHERE df > 2
+),
+flagged AS (
+  SELECT keyd.*, k IN (SELECT k FROM freq) AS bp FROM keyd
+)
+SELECT doc_id,
+  coalesce(
+    string_agg(CASE WHEN NOT bp THEN line END, chr(10)
+               ORDER BY pos),
+    '') AS clean_text,
+  CAST(sum(CASE WHEN NOT bp THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_lines_kept,
+  CAST(sum(CASE WHEN bp THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_lines_removed
+FROM flagged GROUP BY 1
+"""
+
+
+@_q("boilerplate_lines", _BOILERPLATE_ORACLE)
+def q_boilerplate_lines(spark, sf):
+    """C4-style boilerplate-line removal over a sentence-per-line
+    rendering of the corpus with a planted banner and footer on every
+    document (dedup.remove_boilerplate_lines): lines shared by more
+    than 2 documents are stripped everywhere; one
+    positional explode, one vocabulary-sized doc-frequency
+    aggregation, per-document ordered reassembly."""
+    from padua_spark.extensions.dedup import remove_boilerplate_lines
+
+    d = _t(spark, sf, "documents").select(
+        "doc_id",
+        F.concat(
+            F.lit("NOTICE: synthetic banner\n"),
+            F.regexp_replace(F.col("text"), r"\. ", ".\n"),
+            F.lit("\nfooter: synthetic nav"),
+        ).alias("text"),
+    )
+    return remove_boilerplate_lines(
+        d, "doc_id", "text", max_doc_freq=2
+    )
+
+
 # ---------------------------------------------------------------------------
 
 

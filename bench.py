@@ -250,6 +250,7 @@ HEADLINE = [
     "mcnemar_exact",
     "poisson_rate_test",
     "g_test",
+    "boilerplate_lines",
 ]
 
 

@@ -1594,3 +1594,87 @@ def _lds_summarize(final: DataFrame):
         F.min(F.struct("_sub", "_n")).alias("_m"),
     ).collect()[0]
     return int(row["_k"]), row["_m"]["_sub"], int(row["_m"]["_n"])
+
+
+def remove_boilerplate_lines(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_doc_freq: int = 2,
+    min_line_chars: int = 1,
+) -> DataFrame:
+    """C4-style boilerplate-line removal — strip the lines that repeat
+    ACROSS documents (cookie banners, nav footers, license headers):
+    a line (newline-delimited, compared after trim) appearing in more
+    than ``max_doc_freq`` DISTINCT documents is dropped from every
+    document; empty/short lines (< ``min_line_chars`` after trim) are
+    never counted as boilerplate evidence but are preserved in place,
+    so paragraph structure survives.
+
+    Plan: one positional explode of the corpus lines, one distinct +
+    count aggregation over (line → doc frequency) — vocabulary-sized,
+    map-side combined — a LEFT join of the exploded lines against the
+    frequent set (the frequent set is tiny by construction: only
+    lines above the threshold), and one per-document reassembly via
+    ``sort_array(collect_list(struct(pos, line)))`` (per-document
+    state = that document's lines — never corpus-sized). Output:
+    ``(id_col, clean_text, n_lines_kept, n_lines_removed)``;
+    documents whose every line is boilerplate come back with an
+    empty string, not a dropped row.
+    """
+    from pyspark import StorageLevel
+
+    from padua_spark.io_utils import track_cached
+
+    t = F.col(text_col)
+    lines = (
+        df.where(t.isNotNull())
+        .select(
+            F.col(id_col).alias("_id"),
+            F.posexplode(F.split(t, "\n")).alias("_pos", "_line"),
+        )
+        .withColumn("_key", F.trim(F.col("_line")))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    freq = (
+        lines.where(F.length("_key") >= int(min_line_chars))
+        .select("_id", "_key")
+        .distinct()
+        .groupBy("_key")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .where(F.col("_df") > int(max_doc_freq))
+        .select("_key", F.lit(1).alias("_bp"))
+    )
+    flagged = lines.join(freq, on="_key", how="left")
+    keep = F.col("_bp").isNull()
+    out = (
+        flagged.groupBy("_id")
+        .agg(
+            F.sum(keep.cast("int")).cast("bigint").alias(
+                "n_lines_kept"
+            ),
+            F.sum((~keep).cast("int")).cast("bigint").alias(
+                "n_lines_removed"
+            ),
+            F.sort_array(
+                F.collect_list(
+                    F.when(
+                        keep,
+                        F.struct(
+                            F.col("_pos").alias("p"),
+                            F.col("_line").alias("l"),
+                        ),
+                    )
+                )
+            ).alias("_kept"),
+        )
+        .select(
+            F.col("_id").alias(id_col),
+            F.array_join(
+                F.transform(F.col("_kept"), lambda s: s["l"]), "\n"
+            ).alias("clean_text"),
+            "n_lines_kept",
+            "n_lines_removed",
+        )
+    )
+    return track_cached(out, lines)

@@ -293,6 +293,7 @@ COVERAGE = {
     "E178": "entry:mcnemar_exact",
     "E179": "entry:poisson_rate_test",
     "E180": "entry:g_test",
+    "E181": "entry:boilerplate_lines",
 }
 
 

@@ -6662,3 +6662,31 @@ def test_g_test_vs_numpy(spark):
     assert g_test_independence(indep, "u", "w").collect()[0][
         "g_stat"
     ] == pytest.approx(0.0, abs=1e-9)
+
+
+def test_remove_boilerplate_lines_hand(spark):
+    """Cross-doc repeated lines stripped everywhere, empty lines
+    preserved in place and never counted as evidence, all-boilerplate
+    docs come back empty (not dropped), order preserved."""
+    from padua_spark.extensions.dedup import remove_boilerplate_lines
+
+    docs = [
+        (1, "BANNER\nreal content one\n\nfooter"),
+        (2, "BANNER\nreal content two\nfooter"),
+        (3, "BANNER\nunique text here\nfooter"),
+        (4, "totally original\n\n"),
+        (5, "BANNER\nfooter"),
+    ]
+    df = spark.createDataFrame(docs, ["id", "text"])
+    out = {
+        r["id"]: r
+        for r in remove_boilerplate_lines(
+            df, "id", "text", max_doc_freq=2
+        ).collect()
+    }
+    assert out[1]["clean_text"] == "real content one\n"
+    assert out[2]["clean_text"] == "real content two"
+    assert out[4]["clean_text"] == "totally original\n\n"
+    assert out[4]["n_lines_removed"] == 0
+    assert out[5]["clean_text"] == "" and out[5]["n_lines_kept"] == 0
+    assert out[1]["n_lines_removed"] == 2  # BANNER + footer
