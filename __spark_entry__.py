@@ -16165,6 +16165,62 @@ def q_boilerplate_lines(spark, sf):
     )
 
 
+
+_KS_1SAMP_ORACLE = """
+WITH per AS (
+  SELECT CAST(value AS DOUBLE) AS v,
+    CAST(count(*) AS BIGINT) AS c
+  FROM events WHERE value IS NOT NULL GROUP BY 1
+),
+cum AS (
+  SELECT v, c,
+    sum(c) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS f,
+    sum(c) OVER () AS n
+  FROM per
+),
+gaps AS (
+  SELECT n,
+    greatest(
+      abs(CAST(f AS DOUBLE) / n
+          - least(1.0, greatest(0.0, (v - 0.0) / 500.0))),
+      abs(CAST(f - c AS DOUBLE) / n
+          - least(1.0, greatest(0.0, (v - 0.0) / 500.0)))) AS gap
+  FROM cum
+),
+agg AS (
+  SELECT CAST(max(n) AS BIGINT) AS n, max(gap) AS d FROM gaps
+),
+lam AS (
+  SELECT n, d,
+    d * (sqrt(CAST(n AS DOUBLE)) + 0.12
+         + 0.11 / sqrt(CAST(n AS DOUBLE))) AS l
+  FROM agg
+),
+ser AS (
+  SELECT n, d,
+    2.0 * sum(CASE WHEN k % 2 = 1 THEN 1.0 ELSE -1.0 END
+              * exp(-2.0 * k * k * l * l) ORDER BY k) AS q
+  FROM lam, (SELECT unnest(generate_series(1, 100)) AS k)
+  GROUP BY n, d
+)
+SELECT n, round(d, 6) AS d_stat,
+  round(least(1.0, greatest(0.0, q)), 6) AS p_value
+FROM ser
+"""
+
+
+@_q("ks_1samp", _KS_1SAMP_ORACLE)
+def q_ks_1samp(spark, sf):
+    """One-sample KS fit of event values against uniform(0, 500)
+    (stats.ks_1samp): both one-sided ECDF gaps from the shared
+    distributed stepped cumsum, Stephens-corrected asymptotic
+    Kolmogorov series shared verbatim by both engines."""
+    from padua_spark.operators.stats import ks_1samp
+
+    e = _t(spark, sf, "events")
+    return ks_1samp(e, "value", "uniform", {"a": 0.0, "b": 500.0})
+
+
 # ---------------------------------------------------------------------------
 
 

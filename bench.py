@@ -251,6 +251,7 @@ HEADLINE = [
     "poisson_rate_test",
     "g_test",
     "boilerplate_lines",
+    "ks_1samp",
 ]
 
 

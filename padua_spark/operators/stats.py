@@ -5764,3 +5764,93 @@ def g_test_independence(
             chi2_sf_udf(F.col("_use"), F.col("dfree")), 6
         ).alias("p_value"),
     )
+
+
+def ks_1samp(
+    df: DataFrame,
+    value_col: str,
+    dist: str,
+    params: dict,
+    small_domain_threshold: int | None = None,
+) -> DataFrame:
+    """One-sample Kolmogorov-Smirnov goodness-of-fit against a NAMED
+    continuous distribution — the distribution-fit acceptance gate
+    ("are these latencies still exponential?", "is the score column
+    uniform after calibration?") complementing the two-sample
+    :func:`ks_2samp_stat`:
+
+    ``D = max_x max(|F_n(x) − F₀(x)|, |F_n(x⁻) − F₀(x)|)``
+
+    (both one-sided gaps at every jump — the sup is attained at a
+    data point on one side or the other). ``dist`` ∈ ``uniform``
+    (params a, b), ``exponential`` (rate), ``normal`` (mean, std —
+    Φ via the shared A&S erfc polynomial, both engines evaluate the
+    identical expression). The ECDF comes from the shared distributed
+    stepped cumsum — no global sort. The p-value is the asymptotic
+    Kolmogorov survival ``Q(λ) = 2 Σ_{k≥1} (−1)^{k−1} e^{−2k²λ²}``
+    with ``λ = D(√n + 0.12 + 0.11/√n)`` (Stephens' correction),
+    truncated at k = 100 — closed form shared by any engine. Output
+    1 row: ``(n, d_stat, p_value)``, 6dp.
+    """
+    from padua_spark.io_utils import track_cached
+
+    v = F.col(value_col).cast("double")
+    per = (
+        df.where(v.isNotNull())
+        .groupBy(v.alias("_v"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("_c"))
+    )
+    stepped = _stepped_running_counts(
+        per, "_v", ["_c"], small_domain_threshold
+    )
+    x = F.col("_v")
+    if dist == "uniform":
+        a = float(params["a"])
+        b = float(params["b"])
+        f0 = F.least(
+            F.lit(1.0),
+            F.greatest(
+                F.lit(0.0), (x - F.lit(a)) / F.lit(b - a)
+            ),
+        )
+    elif dist == "exponential":
+        rate = float(params["rate"])
+        f0 = F.when(
+            x > 0, 1.0 - F.exp(-F.lit(rate) * x)
+        ).otherwise(F.lit(0.0))
+    elif dist == "normal":
+        mu = float(params["mean"])
+        sd = float(params["std"])
+        z = (x - F.lit(mu)) / F.lit(sd)
+        # Phi(z) = 1 - sf_1sided(z) via the shared A&S surface
+        f0 = 1.0 - _normal_sf_1sided(z)
+    else:
+        raise ValueError(
+            f"ks_1samp: unsupported dist {dist!r} "
+            "(uniform | exponential | normal)"
+        )
+    n = F.col("_c_tot").cast("double")
+    fn_hi = F.col("_c_run").cast("double") / n
+    fn_lo = (F.col("_c_run") - F.col("_c")).cast("double") / n
+    gap = F.greatest(F.abs(fn_hi - f0), F.abs(fn_lo - f0))
+    agg = stepped.agg(
+        F.max("_c_tot").alias("n"),
+        F.max(gap).alias("_d"),
+    )
+    nd = F.col("n").cast("double")
+    lam = F.col("_d") * (
+        F.sqrt(nd) + 0.12 + 0.11 / F.sqrt(nd)
+    )
+    # Q(lam) = 2 sum (-1)^{k-1} exp(-2 k^2 lam^2), k = 1..100
+    q = None
+    for k in range(1, 101):
+        term = F.exp(F.lit(-2.0 * k * k) * lam * lam)
+        signed = term if k % 2 == 1 else -term
+        q = signed if q is None else q + signed
+    p = F.least(F.lit(1.0), F.greatest(F.lit(0.0), 2.0 * q))
+    out = agg.select(
+        "n",
+        F.round("_d", 6).alias("d_stat"),
+        F.round(p, 6).alias("p_value"),
+    )
+    return track_cached(out, *getattr(stepped, "_padua_cached", ()))

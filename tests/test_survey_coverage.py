@@ -294,6 +294,7 @@ COVERAGE = {
     "E179": "entry:poisson_rate_test",
     "E180": "entry:g_test",
     "E181": "entry:boilerplate_lines",
+    "E182": "entry:ks_1samp",
 }
 
 

@@ -6690,3 +6690,50 @@ def test_remove_boilerplate_lines_hand(spark):
     assert out[4]["n_lines_removed"] == 0
     assert out[5]["clean_text"] == "" and out[5]["n_lines_kept"] == 0
     assert out[1]["n_lines_removed"] == 2  # BANNER + footer
+
+
+def test_ks_1samp_vs_numpy(spark):
+    """D statistic (both one-sided gaps) against a numpy sorted-ECDF
+    replica for uniform and exponential nulls; a grossly misfit null
+    drives p to ~0; unsupported dist raises."""
+    import numpy as np
+
+    from padua_spark.operators.stats import ks_1samp
+
+    def ref(x, cdf):
+        x = np.sort(x)
+        n = len(x)
+        f0 = cdf(x)
+        return max(
+            np.abs(np.arange(1, n + 1) / n - f0).max(),
+            np.abs(np.arange(0, n) / n - f0).max(),
+        )
+
+    rng = np.random.RandomState(8)
+    u = rng.uniform(2, 5, 1000)
+    df = spark.createDataFrame([(float(v),) for v in u], ["v"])
+    r = ks_1samp(df, "v", "uniform", {"a": 2, "b": 5}).collect()[0]
+    assert r["d_stat"] == pytest.approx(
+        ref(u, lambda t: (t - 2) / 3), abs=1e-6
+    )
+    assert r["p_value"] > 0.05
+    e = rng.exponential(2.0, 1000)
+    dfe = spark.createDataFrame([(float(v),) for v in e], ["v"])
+    re_ = ks_1samp(
+        dfe, "v", "exponential", {"rate": 0.5}
+    ).collect()[0]
+    assert re_["d_stat"] == pytest.approx(
+        ref(e, lambda t: 1 - np.exp(-0.5 * t)), abs=1e-6
+    )
+    misfit = ks_1samp(
+        dfe, "v", "uniform", {"a": 0, "b": 10}
+    ).collect()[0]
+    assert misfit["p_value"] < 1e-6
+    g = rng.normal(3, 2, 1000)
+    dfg = spark.createDataFrame([(float(v),) for v in g], ["v"])
+    rg = ks_1samp(
+        dfg, "v", "normal", {"mean": 3, "std": 2}
+    ).collect()[0]
+    assert rg["p_value"] > 0.01
+    with pytest.raises(ValueError, match="unsupported"):
+        ks_1samp(df, "v", "gamma", {})
