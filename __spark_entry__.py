@@ -13051,7 +13051,8 @@ zed AS (
   FROM res
 )
 SELECT feature, round(coef, 6) AS coef,
-  round(exp(coef), 6) AS odds_ratio,
+  round(CASE WHEN abs(coef) <= 10.0 THEN exp(coef) END, 6)
+    AS odds_ratio,
   round(se, 6) AS se, round(z, 6) AS z,
   round((0.254829592 * tt + -0.284496736 * tt * tt
          + 1.421413741 * tt * tt * tt

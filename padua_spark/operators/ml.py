@@ -625,7 +625,11 @@ def logistic_regression(
     SQL twin running the identical recursion matches to ~1e-12.
     Output: one row per coefficient (``(intercept)`` first when
     ``intercept=True``): ``(feature, coef, odds_ratio, se, z,
-    p_value)``, floats rounded to 6dp. Standardize wild-scale
+    p_value)``, floats rounded to 6dp; ``odds_ratio`` is NULL for
+    |coef| > 10 — the (quasi-)separation regime, where exp(coef)
+    is both statistically meaningless and beyond any engine's
+    cross-platform exp() agreement at fixed decimals (a 1-ulp exp
+    difference on e^15 is ~5e-3 absolute). Standardize wild-scale
     features upstream (``exp`` overflow → degenerate weights), the
     usual GLM contract.
     """
@@ -691,7 +695,10 @@ def logistic_regression(
     return out.select(
         "feature",
         F.round("_coef", 6).alias("coef"),
-        F.round(F.exp("_coef"), 6).alias("odds_ratio"),
+        F.round(
+            F.when(F.abs(F.col("_coef")) <= 10.0, F.exp("_coef")),
+            6,
+        ).alias("odds_ratio"),
         F.round("_se", 6).alias("se"),
         F.round(z, 6).alias("z"),
         F.round(_normal_sf_2sided(z), 6).alias("p_value"),
