@@ -16222,6 +16222,133 @@ def q_ks_1samp(spark, sf):
     return ks_1samp(e, "value", "uniform", {"a": 0.0, "b": 500.0})
 
 
+
+_WEIBULL_FIT_ORACLE = """
+WITH e AS (
+  SELECT user_id, epoch_us(ts) AS tu, event_type FROM events
+),
+u AS (
+  SELECT user_id,
+    min(tu) AS t0,
+    max(tu) AS t_last,
+    min(CASE WHEN event_type = 'error' THEN tu END) AS t_err
+  FROM e GROUP BY user_id
+),
+subj AS (
+  SELECT user_id % 2 AS cohort,
+    CASE WHEN t_err IS NOT NULL
+      THEN CAST(floor((t_err - t0) / 3600000000.0) AS BIGINT)
+      ELSE CAST(floor((t_last - t0) / 3600000000.0) AS BIGINT)
+    END AS dur,
+    CASE WHEN t_err IS NOT NULL THEN 1 ELSE 0 END AS ev
+  FROM u
+),
+counts AS (
+  SELECT cohort, CAST(dur AS DOUBLE) AS t,
+    CAST(sum(ev) AS BIGINT) AS n_events,
+    CAST(sum(1 - ev) AS BIGINT) AS n_censored
+  FROM subj GROUP BY 1, 2
+),
+risk AS (
+  SELECT *,
+    CAST(sum(n_events + n_censored) OVER (PARTITION BY cohort)
+      - (sum(n_events + n_censored) OVER (PARTITION BY cohort ORDER BY t
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         - n_events - n_censored) AS BIGINT) AS n_risk
+  FROM counts
+),
+f AS (
+  SELECT *,
+    CASE WHEN n_events > 0
+          AND CAST(n_risk - n_events AS DOUBLE) / n_risk > 0
+      THEN ln(CAST(n_risk - n_events AS DOUBLE) / n_risk)
+      ELSE 0.0 END AS lnf,
+    CASE WHEN n_events > 0
+          AND CAST(n_risk - n_events AS DOUBLE) / n_risk <= 0
+      THEN 1 ELSE 0 END AS zf
+  FROM risk
+),
+s AS (
+  SELECT cohort, t, n_events,
+    CASE WHEN max(zf) OVER (PARTITION BY cohort ORDER BY t
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) = 1
+      THEN 0.0
+      ELSE exp(sum(lnf) OVER (PARTITION BY cohort ORDER BY t
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) END
+      AS survival
+  FROM f
+),
+pts AS (
+  SELECT cohort, ln(t) AS x, ln(-ln(survival)) AS y
+  FROM s
+  WHERE n_events > 0 AND survival > 0 AND survival < 1 AND t > 0
+),
+agg AS (
+  SELECT cohort, CAST(count(*) AS BIGINT) AS n_points,
+    sum(x) AS sx, sum(y) AS sy, sum(x * x) AS sxx0,
+    sum(y * y) AS syy0, sum(x * y) AS sxy0
+  FROM pts GROUP BY 1
+),
+fit AS (
+  SELECT CAST(cohort AS BIGINT) AS cohort, n_points,
+    n_points * sxx0 - sx * sx AS sxx,
+    n_points * syy0 - sy * sy AS syy,
+    n_points * sxy0 - sx * sy AS sxy,
+    sx, sy
+  FROM agg
+),
+fin AS (
+  SELECT cohort, n_points,
+    CASE WHEN n_points > 1 AND sxx > 0 THEN sxy / sxx END AS slope,
+    sxx, syy, sxy, sx, sy
+  FROM fit
+)
+SELECT cohort, n_points,
+  round(slope, 6) AS shape,
+  round(CASE WHEN slope IS NOT NULL AND abs(slope) > 1e-12
+    THEN exp(-((sy - slope * sx) / n_points) / slope) END, 6)
+    AS scale,
+  round(CASE WHEN sxx > 0 AND syy > 0
+    THEN sxy * sxy / (sxx * syy) END, 6) AS r_squared
+FROM fin
+"""
+
+
+@_q("weibull_fit", _WEIBULL_FIT_ORACLE)
+def q_weibull_fit(spark, sf):
+    """Weibull probability-plot fit of the time-to-first-error KM
+    curve per cohort (stats.weibull_fit_km): the closed-form
+    linearized shape/scale/R^2 on top of the shared KM pipeline —
+    no iterative MLE, so the full parametric fit is value-checked."""
+    from padua_spark.operators.stats import weibull_fit_km
+    from padua_spark.streaming.windows import epoch_us_col
+
+    base = _t(spark, sf, "events")
+    ev = base.select(
+        "user_id",
+        epoch_us_col(base, "ts").alias("_tu"),
+        "event_type",
+    )
+    u = ev.groupBy("user_id").agg(
+        F.min("_tu").alias("_t0"),
+        F.max("_tu").alias("_tl"),
+        F.min(
+            F.when(F.col("event_type") == "error", F.col("_tu"))
+        ).alias("_te"),
+    )
+    subj = u.select(
+        (F.col("user_id") % 2).alias("cohort"),
+        F.floor(
+            (
+                F.coalesce(F.col("_te"), F.col("_tl")) - F.col("_t0")
+            ).cast("double")
+            / F.lit(3600000000.0)
+        ).cast("bigint").alias("dur"),
+        F.when(F.col("_te").isNotNull(), 1).otherwise(0).alias("ev"),
+    )
+    return weibull_fit_km(subj, ["cohort"], "dur", "ev")
+
+
 # ---------------------------------------------------------------------------
 
 

@@ -252,6 +252,7 @@ HEADLINE = [
     "g_test",
     "boilerplate_lines",
     "ks_1samp",
+    "weibull_fit",
 ]
 
 

@@ -5854,3 +5854,67 @@ def ks_1samp(
         F.round(p, 6).alias("p_value"),
     )
     return track_cached(out, *getattr(stepped, "_padua_cached", ()))
+
+
+def weibull_fit_km(
+    df: DataFrame,
+    group_cols: list[str],
+    duration_col: str,
+    event_col: str,
+) -> DataFrame:
+    """Weibull survival fit per group via the probability-plot
+    linearization of the Kaplan-Meier curve — the parametric summary
+    every reliability consumer wants AFTER :func:`kaplan_meier`
+    ("is the hazard rising (k>1) or is it infant mortality (k<1),
+    and what's the characteristic life λ?"):
+
+    Weibull ``S(t) = exp(−(t/λ)^k)`` linearizes as
+    ``ln(−ln S) = k·ln t − k·ln λ``, so an unweighted OLS over the
+    KM points with ``0 < S < 1`` and ``t > 0`` gives
+    ``shape = slope`` and ``scale = exp(−intercept/slope)`` — the
+    classical Weibull plot, fully closed-form (no iterative MLE, so
+    the SQL twin is exact).
+
+    Plan: the KM pipeline's cost (distinct-time windows) plus one
+    per-group five-sum OLS aggregation. Output per group:
+    ``(groups..., n_points, shape, scale, r_squared)``, 6dp;
+    NULL fit when fewer than 2 usable points or a degenerate slope.
+    """
+    km = kaplan_meier(df, group_cols, duration_col, event_col)
+    pts = km.where(
+        (F.col("survival") > 0)
+        & (F.col("survival") < 1)
+        & (F.col("t") > 0)
+    ).select(
+        *group_cols,
+        F.log(F.col("t")).alias("_x"),
+        F.log(-F.log(F.col("survival"))).alias("_y"),
+    )
+    agg = pts.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_points"),
+        F.sum("_x").alias("_sx"),
+        F.sum("_y").alias("_sy"),
+        F.sum(F.col("_x") * F.col("_x")).alias("_sxx"),
+        F.sum(F.col("_y") * F.col("_y")).alias("_syy"),
+        F.sum(F.col("_x") * F.col("_y")).alias("_sxy"),
+    )
+    nd = F.col("n_points").cast("double")
+    sxx = nd * F.col("_sxx") - F.col("_sx") * F.col("_sx")
+    syy = nd * F.col("_syy") - F.col("_sy") * F.col("_sy")
+    sxy = nd * F.col("_sxy") - F.col("_sx") * F.col("_sy")
+    slope = F.when((F.col("n_points") > 1) & (sxx > 0), sxy / sxx)
+    intercept = (F.col("_sy") - slope * F.col("_sx")) / nd
+    r2 = F.when(
+        (sxx > 0) & (syy > 0), sxy * sxy / (sxx * syy)
+    )
+    scale = F.when(
+        slope.isNotNull() & (F.abs(slope) > 1e-12),
+        F.exp(-intercept / slope),
+    )
+    return agg.select(
+        *group_cols,
+        "n_points",
+        F.round(slope, 6).alias("shape"),
+        F.round(scale, 6).alias("scale"),
+        F.round(r2, 6).alias("r_squared"),
+    )

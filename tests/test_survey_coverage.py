@@ -295,6 +295,7 @@ COVERAGE = {
     "E180": "entry:g_test",
     "E181": "entry:boilerplate_lines",
     "E182": "entry:ks_1samp",
+    "E183": "entry:weibull_fit",
 }
 
 

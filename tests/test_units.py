@@ -6737,3 +6737,31 @@ def test_ks_1samp_vs_numpy(spark):
     assert rg["p_value"] > 0.01
     with pytest.raises(ValueError, match="unsupported"):
         ks_1samp(df, "v", "gamma", {})
+
+
+def test_weibull_fit_km_recovers_parameters(spark):
+    """Planted Weibull(k=1.8, lambda=10) with random censoring: the
+    probability-plot fit recovers both parameters within a few
+    percent with near-1 R^2; a single-point group yields NULLs."""
+    import numpy as np
+
+    from padua_spark.operators.stats import weibull_fit_km
+
+    rng = np.random.RandomState(6)
+    t = 10.0 * rng.weibull(1.8, 3000)
+    cens = rng.uniform(0, 40, 3000)
+    dur = np.round(np.minimum(t, cens), 1)
+    ev = (t <= cens).astype(int)
+    rows = [("g", float(d), int(e)) for d, e in zip(dur, ev)]
+    df = spark.createDataFrame(rows, ["g", "dur", "ev"])
+    r = weibull_fit_km(df, ["g"], "dur", "ev").collect()[0]
+    assert r["shape"] == pytest.approx(1.8, rel=0.05)
+    assert r["scale"] == pytest.approx(10.0, rel=0.05)
+    assert r["r_squared"] > 0.99
+    single = spark.createDataFrame(
+        [("g", 5.0, 1), ("g", 5.0, 0)], ["g", "dur", "ev"]
+    )
+    row = weibull_fit_km(single, ["g"], "dur", "ev").collect()
+    assert len(row) <= 1
+    if row:
+        assert row[0]["shape"] is None
