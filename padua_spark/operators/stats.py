@@ -4130,32 +4130,49 @@ def fisher_exact(
         )
 
     idx = F.sequence(F.col("_lo"), F.col("_hi"))
-    # the _span reference keeps the guard expression alive in the plan
-    folded = staged.select(
+    # ONE log-pmf evaluation per support point: interpreted HOFs do no
+    # CSE and projection collapse inlines a staged array into every
+    # consumer, so three separate folds would run the Lanczos chain 3x
+    # per point — instead zip (i, logpmf) once and fold a SINGLE
+    # struct accumulator carrying all three tails; the _span reference
+    # keeps the guard alive in the plan
+    pairs_arr = F.zip_with(
+        idx,
+        F.transform(idx, lambda i: _logpmf(i)),
+        lambda i, lp: F.struct(i.alias("i"), lp.alias("lp")),
+    )
+    thresh = F.col("_logp_a") + F.lit(9.999999505838704e-08)
+    init = F.struct(
+        F.lit(0.0).alias("pl"),
+        F.lit(0.0).alias("pr"),
+        F.lit(0.0).alias("pt"),
+    )
+
+    def _step(acc, e):
+        pmf = F.exp(e["lp"])
+        return F.struct(
+            (
+                acc["pl"]
+                + F.when(e["i"] <= F.col("a"), pmf).otherwise(0.0)
+            ).alias("pl"),
+            (
+                acc["pr"]
+                + F.when(e["i"] >= F.col("a"), pmf).otherwise(0.0)
+            ).alias("pr"),
+            (
+                acc["pt"]
+                + F.when(e["lp"] <= thresh, pmf).otherwise(0.0)
+            ).alias("pt"),
+        )
+
+    folded = staged.withColumn(
+        "_acc", F.aggregate(pairs_arr, init, _step)
+    ).select(
         "a", "b", "c", "d",
         (F.col("_span") - F.col("_span")).alias("_zero"),
-        F.aggregate(
-            idx,
-            F.lit(0.0),
-            lambda acc, i: acc
-            + F.when(i <= F.col("a"), F.exp(_logpmf(i))).otherwise(0.0),
-        ).alias("_pl"),
-        F.aggregate(
-            idx,
-            F.lit(0.0),
-            lambda acc, i: acc
-            + F.when(i >= F.col("a"), F.exp(_logpmf(i))).otherwise(0.0),
-        ).alias("_pr"),
-        F.aggregate(
-            idx,
-            F.lit(0.0),
-            lambda acc, i: acc
-            + F.when(
-                _logpmf(i)
-                <= F.col("_logp_a") + F.lit(9.999999505838704e-08),
-                F.exp(_logpmf(i)),
-            ).otherwise(0.0),
-        ).alias("_pt"),
+        F.col("_acc.pl").alias("_pl"),
+        F.col("_acc.pr").alias("_pr"),
+        F.col("_acc.pt").alias("_pt"),
     )
     ad = F.col("a").cast("double") * F.col("d").cast("double")
     bc = F.col("b").cast("double") * F.col("c").cast("double")
@@ -5486,27 +5503,31 @@ def _binom_exact_pvalues(staged, n_col, k_col, p0_col, max_support):
 
     staged = staged.withColumn("_logpk", _logpmf(k))
     idx = F.sequence(F.lit(0).cast("bigint"), F.col("_ng"))
+    # ONE expensive log-pmf pass (interpreted HOFs do no CSE), then
+    # cheap exp/sum passes over the staged array
+    staged = staged.withColumn(
+        "_lps", F.transform(idx, lambda i: _logpmf(i))
+    )
+    k_off = (k + 1).cast("int")
+    n_len = (F.col("_ng") + 1).cast("int")
     pl = F.aggregate(
-        idx,
+        F.slice(F.col("_lps"), 1, k_off),
         F.lit(0.0),
-        lambda acc, i: acc
-        + F.when(i <= k, F.exp(_logpmf(i))).otherwise(0.0),
+        lambda acc, lp: acc + F.exp(lp),
     )
     pr = F.aggregate(
-        idx,
+        F.slice(F.col("_lps"), k_off, n_len - k_off + 1),
         F.lit(0.0),
-        lambda acc, i: acc
-        + F.when(i >= k, F.exp(_logpmf(i))).otherwise(0.0),
+        lambda acc, lp: acc + F.exp(lp),
     )
     pt = F.aggregate(
-        idx,
-        F.lit(0.0),
-        lambda acc, i: acc
-        + F.when(
-            _logpmf(i)
+        F.filter(
+            F.col("_lps"),
+            lambda lp: lp
             <= F.col("_logpk") + F.lit(9.999999505838704e-08),
-            F.exp(_logpmf(i)),
-        ).otherwise(0.0),
+        ),
+        F.lit(0.0),
+        lambda acc, lp: acc + F.exp(lp),
     )
     return staged, pl, pr, pt
 
