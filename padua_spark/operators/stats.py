@@ -5503,33 +5503,43 @@ def _binom_exact_pvalues(staged, n_col, k_col, p0_col, max_support):
 
     staged = staged.withColumn("_logpk", _logpmf(k))
     idx = F.sequence(F.lit(0).cast("bigint"), F.col("_ng"))
-    # ONE expensive log-pmf pass (interpreted HOFs do no CSE), then
-    # cheap exp/sum passes over the staged array
+    # ONE log-pmf evaluation per support point (interpreted HOFs do
+    # no CSE; projection collapse would inline a staged array into
+    # every consumer): zip (i, logpmf) once, fold a single struct
+    # accumulator carrying all three tails — same trick as
+    # fisher_exact
+    pairs_arr = F.zip_with(
+        idx,
+        F.transform(idx, lambda i: _logpmf(i)),
+        lambda i, lp: F.struct(i.alias("i"), lp.alias("lp")),
+    )
+    thresh = F.col("_logpk") + F.lit(9.999999505838704e-08)
+    init = F.struct(
+        F.lit(0.0).alias("pl"),
+        F.lit(0.0).alias("pr"),
+        F.lit(0.0).alias("pt"),
+    )
+
+    def _step(acc, e):
+        pmf = F.exp(e["lp"])
+        return F.struct(
+            (acc["pl"] + F.when(e["i"] <= k, pmf).otherwise(0.0))
+            .alias("pl"),
+            (acc["pr"] + F.when(e["i"] >= k, pmf).otherwise(0.0))
+            .alias("pr"),
+            (acc["pt"] + F.when(e["lp"] <= thresh, pmf).otherwise(0.0))
+            .alias("pt"),
+        )
+
     staged = staged.withColumn(
-        "_lps", F.transform(idx, lambda i: _logpmf(i))
+        "_bacc", F.aggregate(pairs_arr, init, _step)
     )
-    k_off = (k + 1).cast("int")
-    n_len = (F.col("_ng") + 1).cast("int")
-    pl = F.aggregate(
-        F.slice(F.col("_lps"), 1, k_off),
-        F.lit(0.0),
-        lambda acc, lp: acc + F.exp(lp),
+    return (
+        staged,
+        F.col("_bacc.pl"),
+        F.col("_bacc.pr"),
+        F.col("_bacc.pt"),
     )
-    pr = F.aggregate(
-        F.slice(F.col("_lps"), k_off, n_len - k_off + 1),
-        F.lit(0.0),
-        lambda acc, lp: acc + F.exp(lp),
-    )
-    pt = F.aggregate(
-        F.filter(
-            F.col("_lps"),
-            lambda lp: lp
-            <= F.col("_logpk") + F.lit(9.999999505838704e-08),
-        ),
-        F.lit(0.0),
-        lambda acc, lp: acc + F.exp(lp),
-    )
-    return staged, pl, pr, pt
 
 
 def binom_test_exact(
