@@ -16349,6 +16349,58 @@ def q_weibull_fit(spark, sf):
     return weibull_fit_km(subj, ["cohort"], "dur", "ev")
 
 
+
+_WASSERSTEIN_ORACLE = """
+WITH per AS (
+  SELECT v, CAST(count(*) FILTER (g = 'A') AS BIGINT) AS ca,
+    CAST(count(*) FILTER (g = 'R') AS BIGINT) AS cb
+  FROM (SELECT CAST(l_extendedprice AS DOUBLE) AS v, l_returnflag AS g
+        FROM lineitem
+        WHERE l_extendedprice IS NOT NULL
+          AND l_returnflag IN ('A', 'R'))
+  GROUP BY 1
+),
+cum AS (
+  SELECT v,
+    sum(ca) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS fa,
+    sum(cb) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS fb,
+    sum(ca) OVER () AS na, sum(cb) OVER () AS nb,
+    lead(v) OVER (ORDER BY v) AS vnext
+  FROM per
+),
+agg AS (
+  SELECT CAST(max(na) AS BIGINT) AS n_a, CAST(max(nb) AS BIGINT) AS n_b,
+    sum(CASE WHEN vnext IS NOT NULL THEN
+      abs(CAST(fa AS DOUBLE) / na - CAST(fb AS DOUBLE) / nb)
+      * (vnext - v) END) AS w1,
+    sum(CASE WHEN vnext IS NOT NULL THEN
+      (CAST(fa AS DOUBLE) / na - CAST(fb AS DOUBLE) / nb)
+      * (CAST(fa AS DOUBLE) / na - CAST(fb AS DOUBLE) / nb)
+      * (vnext - v) END) AS e2
+  FROM cum
+)
+SELECT n_a, n_b,
+  round(w1, 6) AS wasserstein_1,
+  round(sqrt(2.0 * e2), 6) AS energy_distance
+FROM agg
+"""
+
+
+@_q("wasserstein_1d", _WASSERSTEIN_ORACLE)
+def q_wasserstein_1d(spark, sf):
+    """Exact 1-D Wasserstein-1 and energy distance between the A and
+    R extended-price distributions (stats.distribution_distances_1d):
+    per-group ECDFs from the shared distributed stepped cumsum,
+    adjacent-value gaps via range partition + boundary stitching —
+    no global sort."""
+    from padua_spark.operators.stats import distribution_distances_1d
+
+    li = _t(spark, sf, "lineitem")
+    return distribution_distances_1d(
+        li, "l_returnflag", "l_extendedprice", "A", "R"
+    )
+
+
 # ---------------------------------------------------------------------------
 
 

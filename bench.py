@@ -253,6 +253,7 @@ HEADLINE = [
     "boilerplate_lines",
     "ks_1samp",
     "weibull_fit",
+    "wasserstein_1d",
 ]
 
 

@@ -5949,3 +5949,91 @@ def weibull_fit_km(
         F.round(scale, 6).alias("scale"),
         F.round(r2, 6).alias("r_squared"),
     )
+
+
+def distribution_distances_1d(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    group_a,
+    group_b,
+    small_domain_threshold: int | None = None,
+) -> DataFrame:
+    """Exact 1-D Wasserstein-1 (earth mover's) and energy distances
+    between two groups — the MAGNITUDE complement to the KS family's
+    p-values for drift monitoring ("HOW FAR did the score
+    distribution move", in the value's own units; EMD is the standard
+    embedding/score drift metric):
+
+    ``W₁ = ∫|F_a − F_b| dx = Σ_j |F_a(v_j) − F_b(v_j)|·(v_{j+1}−v_j)``
+    ``E² = 2·∫(F_a − F_b)² dx``  (Székely's energy distance — in 1-D
+    the Cramér form is exact)
+
+    summed over the sorted pooled distinct values. Scale shape: the
+    per-group ECDFs come from the shared distributed stepped cumsum;
+    the ADJACENT value gap uses a range partition with a
+    per-partition ``lead`` whose partition TAILS are stitched to the
+    next partition's head through an N-row broadcast frame (N =
+    parallelism) — the :func:`chatterjee_xi` discipline, no global
+    sort. ECDF numerators are exact integers; each term does two
+    float divisions. Output 1 row: ``(n_a, n_b, wasserstein_1,
+    energy_distance)``, 6dp.
+    """
+    from pyspark import StorageLevel
+
+    from padua_spark.io_utils import track_cached
+
+    ecdf = _ecdf_stepped_counts(
+        df, group_col, value_col, group_a, group_b,
+        small_domain_threshold=small_domain_threshold,
+    )
+    spark = df.sparkSession
+    try:
+        n_parts = max(
+            1, int(spark.conf.get("spark.sql.shuffle.partitions"))
+        )
+    except (TypeError, ValueError):
+        n_parts = max(1, spark.sparkContext.defaultParallelism)
+    ranged = (
+        ecdf.select("_v", "_fa", "_fb", "_na", "_nb")
+        .repartitionByRange(n_parts, "_v")
+        .withColumn("_pid", F.spark_partition_id())
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    ranged.count()  # pin ONE set of sampled range boundaries
+    w = Window.partitionBy("_pid").orderBy("_v")
+    local = ranged.withColumn("_vnext", F.lead("_v").over(w))
+    # partition heads: each partition's FIRST value, shifted to the
+    # PREVIOUS pid — an N-row broadcast closes the seams
+    heads = (
+        ranged.groupBy("_pid")
+        .agg(F.min("_v").alias("_vhead"))
+        .select((F.col("_pid") - 1).alias("_pid"), "_vhead")
+    )
+    stitched = local.join(F.broadcast(heads), on="_pid", how="left")
+    vnext = F.coalesce(F.col("_vnext"), F.col("_vhead"))
+    gap = vnext - F.col("_v")
+    dfa = F.col("_fa").cast("double") / F.col("_na").cast("double")
+    dfb = F.col("_fb").cast("double") / F.col("_nb").cast("double")
+    diff = dfa - dfb
+    agg = stitched.agg(
+        F.max("_na").alias("n_a"),
+        F.max("_nb").alias("n_b"),
+        F.sum(
+            F.when(vnext.isNotNull(), F.abs(diff) * gap)
+        ).alias("_w1"),
+        F.sum(
+            F.when(vnext.isNotNull(), diff * diff * gap)
+        ).alias("_e2"),
+    )
+    out = agg.select(
+        "n_a",
+        "n_b",
+        F.round("_w1", 6).alias("wasserstein_1"),
+        F.round(F.sqrt(2.0 * F.col("_e2")), 6).alias(
+            "energy_distance"
+        ),
+    )
+    return track_cached(
+        out, ranged, *getattr(ecdf, "_padua_cached", ())
+    )

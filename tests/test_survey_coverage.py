@@ -296,6 +296,7 @@ COVERAGE = {
     "E181": "entry:boilerplate_lines",
     "E182": "entry:ks_1samp",
     "E183": "entry:weibull_fit",
+    "E184": "entry:wasserstein_1d",
 }
 
 

@@ -6765,3 +6765,45 @@ def test_weibull_fit_km_recovers_parameters(spark):
     assert len(row) <= 1
     if row:
         assert row[0]["shape"] is None
+
+
+def test_distribution_distances_1d_vs_numpy(spark):
+    """W1 and energy distance against a numpy pooled-ECDF replica
+    (scipy.stats.wasserstein_distance's integral form) on both ECDF
+    paths; identical samples give exactly 0."""
+    import numpy as np
+
+    from padua_spark.operators.stats import distribution_distances_1d
+
+    def ref(x, y):
+        allv = np.sort(np.unique(np.concatenate([x, y])))
+        fa = np.searchsorted(np.sort(x), allv, side="right") / len(x)
+        fb = np.searchsorted(np.sort(y), allv, side="right") / len(y)
+        gaps = np.diff(allv)
+        return (
+            (np.abs(fa[:-1] - fb[:-1]) * gaps).sum(),
+            np.sqrt(2 * ((fa[:-1] - fb[:-1]) ** 2 * gaps).sum()),
+        )
+
+    rng = np.random.RandomState(5)
+    x = rng.normal(0, 1, 1500)
+    y = rng.normal(0.7, 1.4, 1200)
+    rows = [("a", float(v)) for v in x] + [("b", float(v)) for v in y]
+    df = spark.createDataFrame(rows, ["g", "v"])
+    w1, ed = ref(x, y)
+    for thresh in (None, 0):
+        kw = {} if thresh is None else {"small_domain_threshold": 0}
+        r = distribution_distances_1d(
+            df, "g", "v", "a", "b", **kw
+        ).collect()[0]
+        assert r["wasserstein_1"] == pytest.approx(w1, abs=1e-6)
+        assert r["energy_distance"] == pytest.approx(ed, abs=1e-6)
+    same = spark.createDataFrame(
+        [("a", float(v)) for v in x] + [("b", float(v)) for v in x],
+        ["g", "v"],
+    )
+    z = distribution_distances_1d(
+        same, "g", "v", "a", "b"
+    ).collect()[0]
+    assert z["wasserstein_1"] == 0.0
+    assert z["energy_distance"] == 0.0
