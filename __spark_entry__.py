@@ -16401,6 +16401,63 @@ def q_wasserstein_1d(spark, sf):
     )
 
 
+
+_JS_HELLINGER_ORACLE = r"""
+WITH tok AS (
+  SELECT source AS grp,
+    unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
+  FROM documents
+),
+per AS (
+  SELECT grp, token, count(*) AS n_st FROM tok
+  WHERE token <> '' GROUP BY 1, 2
+),
+corpus AS (SELECT token, sum(n_st) AS n_t FROM per GROUP BY 1),
+top AS (
+  SELECT token, n_t FROM corpus ORDER BY n_t DESC, token LIMIT 100
+),
+totals AS (
+  SELECT grp, CAST(sum(n_st) AS BIGINT) AS n_s FROM per GROUP BY 1
+),
+grand AS (SELECT sum(n_st) AS n_total FROM per),
+grid AS (
+  SELECT t.grp, t.n_s, p.token, p.n_t, g.n_total,
+    coalesce(x.n_st, 0) AS n_st
+  FROM totals t CROSS JOIN top p CROSS JOIN grand g
+  LEFT JOIN per x ON x.grp = t.grp AND x.token = p.token
+),
+terms AS (
+  SELECT grp, n_s,
+    CAST(n_st AS DOUBLE) / n_s AS p,
+    CAST(n_t AS DOUBLE) / n_total AS q
+  FROM grid
+)
+SELECT grp AS source,
+  round(sum(CASE WHEN p > 0
+      THEN 0.5 * p * ln(p / ((p + q) / 2.0)) ELSE 0.0 END
+      + 0.5 * q * ln(q / ((p + q) / 2.0))), 6) AS js_divergence,
+  round(sqrt(greatest(0.0, 1.0 - sum(sqrt(p * q)))), 6) AS hellinger,
+  CAST(max(n_s) AS BIGINT) AS n_tokens
+FROM terms GROUP BY grp
+"""
+
+
+@_q("js_hellinger", _JS_HELLINGER_ORACLE)
+def q_js_hellinger(spark, sf):
+    """Symmetric bounded drift metrics per source: Jensen-Shannon and
+    Hellinger against the corpus top-100 token distribution
+    (text.token_distribution_divergences): the explicit support grid
+    keeps absent tokens' exact q-side mass."""
+    from padua_spark.extensions.text import (
+        token_distribution_divergences,
+    )
+
+    d = _t(spark, sf, "documents")
+    return token_distribution_divergences(
+        d, "source", "text", top_n=100
+    )
+
+
 # ---------------------------------------------------------------------------
 
 

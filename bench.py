@@ -254,6 +254,7 @@ HEADLINE = [
     "ks_1samp",
     "weibull_fit",
     "wasserstein_1d",
+    "js_hellinger",
 ]
 
 

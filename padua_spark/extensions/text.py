@@ -1609,3 +1609,92 @@ def tokenizer_stats(
             6,
         ).alias("chars_per_token"),
     )
+
+
+def token_distribution_divergences(
+    df: DataFrame,
+    group_col: str,
+    text_col: str,
+    top_n: int = 100,
+    lowercase: bool = True,
+) -> DataFrame:
+    """Per-group Jensen-Shannon divergence and Hellinger distance of
+    token distributions against the whole corpus — the SYMMETRIC,
+    BOUNDED companions to :func:`source_token_divergence`'s KL (KL is
+    unbounded and blows up on absent tokens; JS ≤ ln 2 and Hellinger
+    ≤ 1 make slices comparable on one scale, the usual dashboard
+    requirement):
+
+    over the corpus-wide ``top_n`` token support (deterministic
+    top-k, ties by token text), with ``m = (p+q)/2``:
+    ``JS = ½·Σ p·ln(p/m) + ½·Σ q·ln(q/m)`` (nats; absent tokens
+    contribute the exact ``½·q·ln 2`` limit via the explicit support
+    grid) and ``H = √(1 − Σ √(p·q))``.
+
+    Scale shape: ONE tokenize/explode pass feeds the per-(group,
+    token) counts; the support grid is the (groups × top_n) cross of
+    two broadcast-sized frames — absent cells exist with count 0, so
+    the q-side mass is never silently dropped. Output: ``(group,
+    js_divergence, hellinger, n_tokens)``, 6dp.
+    """
+    from pyspark import StorageLevel
+
+    from padua_spark.io_utils import track_cached
+
+    t = F.col(text_col)
+    toks = tokens(F.lower(t) if lowercase else t)
+    per = (
+        df.select(
+            F.col(group_col).alias("grp"),
+            F.explode(toks).alias("token"),
+        )
+        .where(F.col("token") != "")
+        .groupBy("grp", "token")
+        .agg(F.count(F.lit(1)).alias("n_st"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    corpus = per.groupBy("token").agg(F.sum("n_st").alias("n_t"))
+    top = corpus.orderBy(
+        F.col("n_t").desc(), F.col("token").asc()
+    ).limit(top_n)
+    totals = per.groupBy("grp").agg(F.sum("n_st").alias("n_s"))
+    grand = per.agg(F.sum("n_st").alias("n_total"))
+    grid = totals.crossJoin(F.broadcast(top)).join(
+        F.broadcast(grand)
+    )
+    joined = grid.join(per, on=["grp", "token"], how="left").select(
+        "grp",
+        "n_s",
+        F.coalesce("n_st", F.lit(0)).alias("n_st"),
+        "n_t",
+        "n_total",
+    )
+    p = F.col("n_st").cast("double") / F.col("n_s").cast("double")
+    q = F.col("n_t").cast("double") / F.col("n_total").cast("double")
+    m = (p + q) / 2.0
+    js_term = (
+        F.when(F.col("n_st") > 0, 0.5 * p * F.log(p / m)).otherwise(
+            F.lit(0.0)
+        )
+        + 0.5 * q * F.log(q / m)
+    )
+    hel_term = F.sqrt(p * q)
+    out = joined.groupBy("grp").agg(
+        F.round(F.sum(js_term), 6).alias("js_divergence"),
+        F.round(
+            F.sqrt(
+                F.greatest(F.lit(0.0), 1.0 - F.sum(hel_term))
+            ),
+            6,
+        ).alias("hellinger"),
+        F.max("n_s").alias("n_tokens"),
+    )
+    return track_cached(
+        out.select(
+            F.col("grp").alias(group_col),
+            "js_divergence",
+            "hellinger",
+            "n_tokens",
+        ),
+        per,
+    )

@@ -297,6 +297,7 @@ COVERAGE = {
     "E182": "entry:ks_1samp",
     "E183": "entry:weibull_fit",
     "E184": "entry:wasserstein_1d",
+    "E185": "entry:js_hellinger",
 }
 
 

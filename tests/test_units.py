@@ -6807,3 +6807,60 @@ def test_distribution_distances_1d_vs_numpy(spark):
     ).collect()[0]
     assert z["wasserstein_1"] == 0.0
     assert z["energy_distance"] == 0.0
+
+
+def test_token_distribution_divergences_hand(spark):
+    """JS and Hellinger against a hand Counter replica, including the
+    exact q-side mass of tokens absent from a group; identical
+    distributions give 0; JS bounded by ln 2."""
+    import math
+    from collections import Counter
+
+    from padua_spark.extensions.text import (
+        token_distribution_divergences,
+    )
+
+    docs = [
+        ("s1", "a a a b"), ("s1", "a b c"), ("s2", "c c c d d"),
+    ]
+    df = spark.createDataFrame(docs, ["src", "text"])
+    out = {
+        r["src"]: r
+        for r in token_distribution_divergences(
+            df, "src", "text", top_n=10
+        ).collect()
+    }
+    per = {
+        "s1": Counter("a a a b a b c".split()),
+        "s2": Counter("c c c d d".split()),
+    }
+    corpus = Counter()
+    for c in per.values():
+        corpus += c
+    n = sum(corpus.values())
+    for src, cnt in per.items():
+        ns = sum(cnt.values())
+        js = hel = 0.0
+        for tok, nt in corpus.items():
+            p = cnt.get(tok, 0) / ns
+            q = nt / n
+            m = (p + q) / 2
+            if p > 0:
+                js += 0.5 * p * math.log(p / m)
+            js += 0.5 * q * math.log(q / m)
+            hel += math.sqrt(p * q)
+        assert out[src]["js_divergence"] == pytest.approx(
+            js, abs=1e-6
+        )
+        assert out[src]["hellinger"] == pytest.approx(
+            math.sqrt(max(0, 1 - hel)), abs=1e-6
+        )
+        assert out[src]["js_divergence"] <= math.log(2) + 1e-9
+    same = spark.createDataFrame(
+        [("x", "a b c"), ("y", "a b c")], ["src", "text"]
+    )
+    for r in token_distribution_divergences(
+        same, "src", "text", top_n=10
+    ).collect():
+        assert r["js_divergence"] == pytest.approx(0.0, abs=1e-9)
+        assert r["hellinger"] == pytest.approx(0.0, abs=1e-6)
