@@ -16458,6 +16458,103 @@ def q_js_hellinger(spark, sf):
     )
 
 
+
+_RFM_ORACLE = """
+WITH e AS (
+  SELECT user_id AS u, epoch_us(ts) AS ts,
+    CAST(round(CAST(value AS DOUBLE) * 100) AS DOUBLE) AS amt
+  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+),
+users AS (
+  SELECT u,
+    CAST((SELECT max(ts) FROM e) - max(ts) AS DOUBLE) AS r,
+    CAST(count(*) AS DOUBLE) AS f,
+    CAST(sum(coalesce(amt, 0.0)) AS DOUBLE) AS m
+  FROM e GROUP BY 1
+),
+nb AS (SELECT CAST(count(*) AS BIGINT) AS n FROM users),
+qr AS (
+  SELECT
+    min(CASE WHEN cum >= ceil(0.2 * n) THEN v END) AS b0,
+    min(CASE WHEN cum >= ceil(0.4 * n) THEN v END) AS b1,
+    min(CASE WHEN cum >= ceil(0.6 * n) THEN v END) AS b2,
+    min(CASE WHEN cum >= ceil(0.8 * n) THEN v END) AS b3
+  FROM (
+    SELECT v, sum(c) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+      AS cum
+    FROM (SELECT r AS v, count(*) AS c FROM users GROUP BY 1)
+  ), nb
+),
+qf AS (
+  SELECT
+    min(CASE WHEN cum >= ceil(0.2 * n) THEN v END) AS b0,
+    min(CASE WHEN cum >= ceil(0.4 * n) THEN v END) AS b1,
+    min(CASE WHEN cum >= ceil(0.6 * n) THEN v END) AS b2,
+    min(CASE WHEN cum >= ceil(0.8 * n) THEN v END) AS b3
+  FROM (
+    SELECT v, sum(c) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+      AS cum
+    FROM (SELECT f AS v, count(*) AS c FROM users GROUP BY 1)
+  ), nb
+),
+qm AS (
+  SELECT
+    min(CASE WHEN cum >= ceil(0.2 * n) THEN v END) AS b0,
+    min(CASE WHEN cum >= ceil(0.4 * n) THEN v END) AS b1,
+    min(CASE WHEN cum >= ceil(0.6 * n) THEN v END) AS b2,
+    min(CASE WHEN cum >= ceil(0.8 * n) THEN v END) AS b3
+  FROM (
+    SELECT v, sum(c) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+      AS cum
+    FROM (SELECT m AS v, count(*) AS c FROM users GROUP BY 1)
+  ), nb
+),
+scored AS (
+  SELECT u, m,
+    6 - (1 + CASE WHEN r > qr.b0 THEN 1 ELSE 0 END
+           + CASE WHEN r > qr.b1 THEN 1 ELSE 0 END
+           + CASE WHEN r > qr.b2 THEN 1 ELSE 0 END
+           + CASE WHEN r > qr.b3 THEN 1 ELSE 0 END) AS r_score,
+    1 + CASE WHEN f > qf.b0 THEN 1 ELSE 0 END
+      + CASE WHEN f > qf.b1 THEN 1 ELSE 0 END
+      + CASE WHEN f > qf.b2 THEN 1 ELSE 0 END
+      + CASE WHEN f > qf.b3 THEN 1 ELSE 0 END AS f_score,
+    1 + CASE WHEN m > qm.b0 THEN 1 ELSE 0 END
+      + CASE WHEN m > qm.b1 THEN 1 ELSE 0 END
+      + CASE WHEN m > qm.b2 THEN 1 ELSE 0 END
+      + CASE WHEN m > qm.b3 THEN 1 ELSE 0 END AS m_score
+  FROM users, qr, qf, qm
+)
+SELECT r_score, f_score, m_score,
+  CAST(count(*) AS BIGINT) AS n_users,
+  round(sum(m), 6) AS total_monetary,
+  round(avg(m), 6) AS avg_monetary
+FROM scored GROUP BY 1, 2, 3
+"""
+
+
+@_q("rfm_segments", _RFM_ORACLE)
+def q_rfm_segments(spark, sf):
+    """RFM customer-value grid over event history
+    (features.rfm_segments): exact distributed quintile boundaries
+    from the stepped cumsum — no ntile sort of the user frame;
+    monetary pre-scaled to exact integer cents so boundary
+    comparisons are engine-identical."""
+    from padua_spark.extensions.features import rfm_segments
+    from padua_spark.streaming.windows import epoch_us_col
+
+    e = _t(spark, sf, "events")
+    base = e.where(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+    ).select(
+        "user_id",
+        epoch_us_col(e, "ts").alias("_tu"),
+        F.round(F.col("value").cast("double") * 100)
+        .cast("double").alias("_amt"),
+    )
+    return rfm_segments(base, "user_id", "_tu", "_amt")
+
+
 # ---------------------------------------------------------------------------
 
 

@@ -255,6 +255,7 @@ HEADLINE = [
     "weibull_fit",
     "wasserstein_1d",
     "js_hellinger",
+    "rfm_segments",
 ]
 
 

@@ -137,3 +137,123 @@ def woe_iv(
     return scored.withColumn(
         "iv", F.sum("_iv_term").over(w)
     ).select(category_col, "n_pos", "n_neg", "woe", "iv")
+
+
+def rfm_segments(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    monetary_col: str,
+    n_bins: int = 5,
+    small_domain_threshold: int | None = None,
+) -> DataFrame:
+    """RFM (recency / frequency / monetary) segmentation — the
+    classic customer-value grid, computed with EXACT distributed
+    quantile boundaries (no ``ntile`` over the entity frame, which
+    would single-task-sort every user at scale):
+
+    per user: ``recency = max(ts_global) − max(ts_user)``,
+    ``frequency = count``, ``monetary = Σ monetary_col``; each metric
+    is scored 1..``n_bins`` against its ``q = i/n_bins`` boundaries,
+    where boundary ``b_q`` is the exact lower quantile
+    ``min{v : F(v) ≥ ⌈q·n⌉}`` from the shared distributed stepped
+    cumsum (:func:`~padua_spark.operators.stats.
+    _stepped_running_counts` — one bounded pass per metric). Values
+    at or below a boundary take the lower bucket; recency is
+    INVERTED (most recent = ``n_bins``). Ties and boundaries are
+    deterministic, so segment assignment is engine-reproducible.
+
+    Output one row per populated (r_score, f_score, m_score) cell:
+    ``(r_score, f_score, m_score, n_users, total_monetary,
+    avg_monetary)``, money 6dp — the ≤ n_bins³ grid a CRM consumes.
+    """
+    from pyspark import StorageLevel
+
+    from padua_spark.io_utils import track_cached
+    from padua_spark.operators.stats import _stepped_running_counts
+
+    u = (
+        df.where(
+            F.col(user_col).isNotNull() & F.col(ts_col).isNotNull()
+        )
+        .groupBy(F.col(user_col).alias("_u"))
+        .agg(
+            F.max(F.col(ts_col)).alias("_last"),
+            F.count(F.lit(1)).cast("double").alias("_f"),
+            F.sum(
+                F.coalesce(F.col(monetary_col), F.lit(0.0))
+            ).cast("double").alias("_m"),
+        )
+    )
+    gmax = u.agg(F.max("_last").alias("_gmax"))
+    users = (
+        u.join(F.broadcast(gmax))
+        .select(
+            "_u",
+            (F.col("_gmax") - F.col("_last"))
+            .cast("double").alias("_r"),
+            "_f",
+            "_m",
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    qs = [i / n_bins for i in range(1, n_bins)]
+    cached = [users]
+    bounds = {}
+    for metric in ("_r", "_f", "_m"):
+        per = users.groupBy(F.col(metric).alias("_v")).agg(
+            F.count(F.lit(1)).cast("bigint").alias("_c")
+        )
+        stepped = _stepped_running_counts(
+            per, "_v", ["_c"], small_domain_threshold
+        )
+        aggs = []
+        for i, q in enumerate(qs):
+            rank = F.ceil(
+                F.lit(q) * F.col("_c_tot").cast("double")
+            ).cast("bigint")
+            aggs.append(
+                F.min(
+                    F.when(F.col("_c_run") >= rank, F.col("_v"))
+                ).alias(f"b{i}")
+            )
+        bounds[metric] = stepped.agg(*aggs)
+        cached.extend(getattr(stepped, "_padua_cached", ()))
+
+    def _score(col, bframe_alias_prefix):
+        s = F.lit(1)
+        for i in range(len(qs)):
+            s = s + (col > F.col(f"{bframe_alias_prefix}b{i}")).cast(
+                "int"
+            )
+        return s
+
+    b_r = bounds["_r"].select(
+        *[F.col(f"b{i}").alias(f"_rb{i}") for i in range(len(qs))]
+    )
+    b_f = bounds["_f"].select(
+        *[F.col(f"b{i}").alias(f"_fb{i}") for i in range(len(qs))]
+    )
+    b_m = bounds["_m"].select(
+        *[F.col(f"b{i}").alias(f"_mb{i}") for i in range(len(qs))]
+    )
+    scored = (
+        users.join(F.broadcast(b_r))
+        .join(F.broadcast(b_f))
+        .join(F.broadcast(b_m))
+        .select(
+            "_u",
+            "_m",
+            (
+                F.lit(n_bins + 1) - _score(F.col("_r"), "_r")
+            ).alias("r_score"),
+            _score(F.col("_f"), "_f").alias("f_score"),
+            _score(F.col("_m"), "_m").alias("m_score"),
+        )
+    )
+    out = scored.groupBy("r_score", "f_score", "m_score").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.round(F.sum("_m"), 6).alias("total_monetary"),
+        F.round(F.avg("_m"), 6).alias("avg_monetary"),
+    )
+    return track_cached(out, *cached)

@@ -437,6 +437,13 @@ def test_no_cartesian_products_anywhere(spark):
         "krippendorff_alpha",
         # 1-row MH common-OR frame broadcast onto the k-strata tables
         "breslow_day",
+        # bounded (groups x top_n) support grid: per-group totals
+        # crossed with the broadcast top-k vocabulary + 1-row grand
+        # total
+        "js_hellinger",
+        # three 1-row quantile-boundary frames + the 1-row global-max
+        # timestamp broadcast onto the user frame
+        "rfm_segments",
         # 1-row conformal-quantile frame broadcast onto the test set
         "conformal_intervals",
         # 1-row CI order-statistic frame crossed into the 1-row stats

@@ -298,6 +298,7 @@ COVERAGE = {
     "E183": "entry:weibull_fit",
     "E184": "entry:wasserstein_1d",
     "E185": "entry:js_hellinger",
+    "E186": "entry:rfm_segments",
 }
 
 

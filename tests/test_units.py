@@ -6864,3 +6864,63 @@ def test_token_distribution_divergences_hand(spark):
     ).collect():
         assert r["js_divergence"] == pytest.approx(0.0, abs=1e-9)
         assert r["hellinger"] == pytest.approx(0.0, abs=1e-6)
+
+
+def test_rfm_segments_vs_replica(spark):
+    """Segment grid against a pure-Python replica (exact lower
+    quantile boundaries, value-at-boundary takes the lower bucket,
+    recency inverted)."""
+    import collections
+    import math
+
+    import numpy as np
+
+    from padua_spark.extensions.features import rfm_segments
+
+    rng = np.random.RandomState(4)
+    rows = []
+    for uid in range(150):
+        for _ in range(rng.randint(1, 15)):
+            rows.append(
+                (uid, float(rng.randint(0, 1000)),
+                 float(rng.randint(1, 10000)))
+            )
+    df = spark.createDataFrame(rows, ["u", "ts", "amt"])
+    out = {
+        (r["r_score"], r["f_score"], r["m_score"]): r
+        for r in rfm_segments(df, "u", "ts", "amt").collect()
+    }
+    agg = collections.defaultdict(lambda: [0.0, 0, 0.0])
+    for u, ts, amt in rows:
+        a = agg[u]
+        a[0] = max(a[0], ts)
+        a[1] += 1
+        a[2] += amt
+    gmax = max(a[0] for a in agg.values())
+    users = [
+        (gmax - a[0], float(a[1]), a[2]) for a in agg.values()
+    ]
+
+    def bounds(vals):
+        sv = sorted(vals)
+        n = len(sv)
+        return [sv[math.ceil(i / 5 * n) - 1] for i in range(1, 5)]
+
+    br = bounds([u[0] for u in users])
+    bf = bounds([u[1] for u in users])
+    bm = bounds([u[2] for u in users])
+
+    def score(v, b):
+        return 1 + sum(1 for x in b if v > x)
+
+    ref = collections.defaultdict(lambda: [0, 0.0])
+    for r_, f_, m_ in users:
+        key = (6 - score(r_, br), score(f_, bf), score(m_, bm))
+        ref[key][0] += 1
+        ref[key][1] += m_
+    assert len(out) == len(ref)
+    for k, (n, tot) in ref.items():
+        assert out[k]["n_users"] == n
+        assert out[k]["total_monetary"] == pytest.approx(
+            tot, abs=1e-4
+        )
