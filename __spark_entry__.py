@@ -16555,6 +16555,176 @@ def q_rfm_segments(spark, sf):
     return rfm_segments(base, "user_id", "_tu", "_amt")
 
 
+
+def _norm_ppf_sql(p: str) -> str:
+    """Acklam inverse-normal twin of stats.norm_ppf_col — identical
+    coefficients and branch structure, so both engines agree to the
+    approximation's own 1.2e-9."""
+    a = ("-3.969683028665376e+01", "2.209460984245205e+02",
+         "-2.759285104469687e+02", "1.383577518672690e+02",
+         "-3.066479806614716e+01", "2.506628277459239e+00")
+    b = ("-5.447609879822406e+01", "1.615858368580409e+02",
+         "-1.556989798598866e+02", "6.680131188771972e+01",
+         "-1.328068155288572e+01")
+    c = ("-7.784894002430293e-03", "-3.223964580411365e-01",
+         "-2.400758277161838e+00", "-2.549732539343734e+00",
+         "4.374664141464968e+00", "2.938163982698783e+00")
+    d = ("7.784695709041462e-03", "3.224671290700398e-01",
+         "2.445134137142996e+00", "3.754408661907416e+00")
+
+    def tail(q):
+        num = f"((((({c[0]} * {q} + {c[1]}) * {q} + {c[2]}) * {q} + {c[3]}) * {q} + {c[4]}) * {q} + {c[5]})"
+        den = f"(((({d[0]} * {q} + {d[1]}) * {q} + {d[2]}) * {q} + {d[3]}) * {q} + 1.0)"
+        return f"({num} / {den})"
+
+    ql = f"sqrt(-2.0 * ln({p}))"
+    qh = f"sqrt(-2.0 * ln(1.0 - ({p})))"
+    r = f"((({p}) - 0.5) * (({p}) - 0.5))"
+    num_c = f"((((({a[0]} * {r} + {a[1]}) * {r} + {a[2]}) * {r} + {a[3]}) * {r} + {a[4]}) * {r} + {a[5]}) * (({p}) - 0.5)"
+    den_c = f"((((({b[0]} * {r} + {b[1]}) * {r} + {b[2]}) * {r} + {b[3]}) * {r} + {b[4]}) * {r} + 1.0)"
+    return (
+        f"(CASE WHEN ({p}) > 0 AND ({p}) < 0.02425 THEN {tail(ql)} "
+        f"WHEN ({p}) >= 0.02425 AND ({p}) <= 0.97575 "
+        f"THEN ({num_c}) / ({den_c}) "
+        f"WHEN ({p}) > 0.97575 AND ({p}) < 1 THEN -{tail(qh)} END)"
+    )
+
+
+def _vdw_oracle() -> str:
+    score = _norm_ppf_sql("mr / (nt + 1.0)")
+    return f"""
+WITH per AS (
+  SELECT v,
+    CAST(count(*) FILTER (g = 'A') AS BIGINT) AS c0,
+    CAST(count(*) FILTER (g = 'N') AS BIGINT) AS c1,
+    CAST(count(*) FILTER (g = 'R') AS BIGINT) AS c2
+  FROM (SELECT CAST(l_quantity AS DOUBLE) AS v, l_returnflag AS g
+        FROM lineitem
+        WHERE l_quantity IS NOT NULL
+          AND l_returnflag IN ('A', 'N', 'R'))
+  GROUP BY 1
+),
+cum AS (
+  SELECT c0, c1, c2, c0 + c1 + c2 AS ct,
+    sum(c0 + c1 + c2) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+      AS f,
+    CAST(sum(c0 + c1 + c2) OVER () AS DOUBLE) AS nt,
+    CAST(sum(c0) OVER () AS DOUBLE) AS n0,
+    CAST(sum(c1) OVER () AS DOUBLE) AS n1,
+    CAST(sum(c2) OVER () AS DOUBLE) AS n2
+  FROM per
+),
+sc AS (
+  SELECT *, (2.0 * (f - ct) + ct + 1.0) / 2.0 AS mr FROM cum
+),
+scored AS (SELECT *, {score} AS a FROM sc),
+agg AS (
+  SELECT CAST(max(nt) AS BIGINT) AS n_total,
+    sum(ct * a * a) AS saa,
+    sum(c0 * a) AS s0, sum(c1 * a) AS s1, sum(c2 * a) AS s2,
+    max(n0) AS n0, max(n1) AS n1, max(n2) AS n2, max(nt) AS nt
+  FROM scored
+)
+SELECT n_total, CAST(3 AS BIGINT) AS k_groups,
+  round(CASE WHEN nt > 1 AND saa / (nt - 1.0) > 0 THEN
+    (n0 * (s0 / n0) * (s0 / n0)
+     + n1 * (s1 / n1) * (s1 / n1)
+     + n2 * (s2 / n2) * (s2 / n2)) / (saa / (nt - 1.0)) END, 6)
+    AS vdw_stat,
+  CAST(2.0 AS DOUBLE) AS dfree
+FROM agg
+"""
+
+
+@_q("van_der_waerden", _vdw_oracle())
+def q_van_der_waerden(spark, sf):
+    """Van der Waerden normal-scores test across the three return
+    flags on quantity (stats.van_der_waerden): pooled midranks from
+    one stepped cumsum, native Acklam inverse-normal scores — both
+    engines run the identical rational approximation; chi2 p pruned
+    (vectorized UDF side)."""
+    from padua_spark.operators.stats import van_der_waerden
+
+    li = _t(spark, sf, "lineitem")
+    out = van_der_waerden(
+        li, "l_returnflag", "l_quantity", ["A", "N", "R"]
+    )
+    return out.select("n_total", "k_groups", "vdw_stat", "dfree")
+
+
+def _fk_oracle() -> str:
+    score = _norm_ppf_sql("0.5 + mr / (2.0 * (nt + 1.0))")
+    return f"""
+WITH base AS (
+  SELECT l_returnflag AS g, CAST(l_quantity AS DOUBLE) AS x
+  FROM lineitem
+  WHERE l_quantity IS NOT NULL AND l_returnflag IN ('A', 'N', 'R')
+),
+meds AS (SELECT g, median(x) AS med FROM base GROUP BY 1),
+dev AS (
+  SELECT base.g, abs(base.x - meds.med) AS z
+  FROM base JOIN meds USING (g)
+),
+per AS (
+  SELECT z AS v,
+    CAST(count(*) FILTER (g = 'A') AS BIGINT) AS c0,
+    CAST(count(*) FILTER (g = 'N') AS BIGINT) AS c1,
+    CAST(count(*) FILTER (g = 'R') AS BIGINT) AS c2
+  FROM dev GROUP BY 1
+),
+cum AS (
+  SELECT c0, c1, c2, c0 + c1 + c2 AS ct,
+    sum(c0 + c1 + c2) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+      AS f,
+    CAST(sum(c0 + c1 + c2) OVER () AS DOUBLE) AS nt,
+    CAST(sum(c0) OVER () AS DOUBLE) AS n0,
+    CAST(sum(c1) OVER () AS DOUBLE) AS n1,
+    CAST(sum(c2) OVER () AS DOUBLE) AS n2
+  FROM per
+),
+sc AS (
+  SELECT *, (2.0 * (f - ct) + ct + 1.0) / 2.0 AS mr FROM cum
+),
+scored AS (SELECT *, {score} AS a FROM sc),
+agg AS (
+  SELECT CAST(max(nt) AS BIGINT) AS n_total,
+    sum(ct * a) AS sa, sum(ct * a * a) AS saa,
+    sum(c0 * a) AS s0, sum(c1 * a) AS s1, sum(c2 * a) AS s2,
+    max(n0) AS n0, max(n1) AS n1, max(n2) AS n2, max(nt) AS nt
+  FROM scored
+),
+fin AS (
+  SELECT n_total, nt, n0, n1, n2, s0, s1, s2,
+    sa / nt AS abar,
+    (saa - sa * sa / nt) / (nt - 1.0) AS s2v
+  FROM agg
+)
+SELECT n_total, CAST(3 AS BIGINT) AS k_groups,
+  round(CASE WHEN nt > 1 AND s2v > 0 THEN
+    (n0 * (s0 / n0 - abar) * (s0 / n0 - abar)
+     + n1 * (s1 / n1 - abar) * (s1 / n1 - abar)
+     + n2 * (s2 / n2 - abar) * (s2 / n2 - abar)) / s2v END, 6)
+    AS fk_stat,
+  CAST(2.0 AS DOUBLE) AS dfree
+FROM fin
+"""
+
+
+@_q("fligner_killeen", _fk_oracle())
+def q_fligner_killeen(spark, sf):
+    """Fligner-Killeen variance-homogeneity test across the three
+    return flags on quantity (stats.fligner_killeen): exact group
+    medians, pooled |deviation| midranks from one stepped cumsum,
+    half-normal Acklam scores; chi2 p pruned (vectorized UDF side)."""
+    from padua_spark.operators.stats import fligner_killeen
+
+    li = _t(spark, sf, "lineitem")
+    out = fligner_killeen(
+        li, "l_returnflag", "l_quantity", ["A", "N", "R"]
+    )
+    return out.select("n_total", "k_groups", "fk_stat", "dfree")
+
+
 # ---------------------------------------------------------------------------
 
 

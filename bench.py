@@ -256,6 +256,8 @@ HEADLINE = [
     "wasserstein_1d",
     "js_hellinger",
     "rfm_segments",
+    "van_der_waerden",
+    "fligner_killeen",
 ]
 
 

@@ -6037,3 +6037,224 @@ def distribution_distances_1d(
     return track_cached(
         out, ranged, *getattr(ecdf, "_padua_cached", ())
     )
+
+
+# Acklam's inverse-normal-CDF rational approximation (2003; |rel err|
+# < 1.15e-9 over (0,1)) — pure arithmetic with three branches, so the
+# IDENTICAL expression runs on any SQL engine (the oracle twin emits
+# the same coefficients) and the rank-score tests below (Fligner-
+# Killeen, van der Waerden, Filliben PPCC) stay UDF-free.
+_PPF_A = (-3.969683028665376e+01, 2.209460984245205e+02,
+          -2.759285104469687e+02, 1.383577518672690e+02,
+          -3.066479806614716e+01, 2.506628277459239e+00)
+_PPF_B = (-5.447609879822406e+01, 1.615858368580409e+02,
+          -1.556989798598866e+02, 6.680131188771972e+01,
+          -1.328068155288572e+01)
+_PPF_C = (-7.784894002430293e-03, -3.223964580411365e-01,
+          -2.400758277161838e+00, -2.549732539343734e+00,
+          4.374664141464968e+00, 2.938163982698783e+00)
+_PPF_D = (7.784695709041462e-03, 3.224671290700398e-01,
+          2.445134137142996e+00, 3.754408661907416e+00)
+
+
+def norm_ppf_col(p: Column) -> Column:
+    """Φ⁻¹(p) as a native column expression (Acklam's approximation).
+    NULL outside (0, 1)."""
+    a, b, c, d = _PPF_A, _PPF_B, _PPF_C, _PPF_D
+    plow, phigh = 0.02425, 1 - 0.02425
+
+    def _tail(q):
+        # q = sqrt(-2 ln p_tail); numerator/denominator Horner
+        num = (
+            (((((F.lit(c[0]) * q + c[1]) * q + c[2]) * q + c[3]) * q
+              + c[4]) * q + c[5])
+        )
+        den = (
+            ((((F.lit(d[0]) * q + d[1]) * q + d[2]) * q + d[3]) * q
+             + 1.0)
+        )
+        return num / den
+
+    q_low = F.sqrt(-2.0 * F.log(p))
+    q_high = F.sqrt(-2.0 * F.log(1.0 - p))
+    r = (p - 0.5) * (p - 0.5)
+    num_c = (
+        (((((F.lit(a[0]) * r + a[1]) * r + a[2]) * r + a[3]) * r
+          + a[4]) * r + a[5]) * (p - 0.5)
+    )
+    den_c = (
+        (((((F.lit(b[0]) * r + b[1]) * r + b[2]) * r + b[3]) * r
+          + b[4]) * r + 1.0)
+    )
+    return F.when(
+        (p > 0) & (p < F.lit(plow)), _tail(q_low)
+    ).when(
+        (p >= F.lit(plow)) & (p <= F.lit(phigh)), num_c / den_c
+    ).when(
+        (p > F.lit(phigh)) & (p < 1), -_tail(q_high)
+    )
+
+
+def _group_score_test(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    groups: list,
+    score_from_midrank,
+    center_scores: bool,
+    small_domain_threshold: int | None,
+    stat_name: str,
+):
+    """Shared k-group normal-scores machinery (Fligner-Killeen / van
+    der Waerden): pooled midranks from ONE distributed stepped cumsum
+    with per-group conditional counts, score transform via the native
+    Acklam Φ⁻¹, then the score-ANOVA statistic
+
+    ``T = Σ_g n_g·(Ā_g − ā)² / s²`` (ā = 0 and uncentered s² when
+    ``center_scores`` is False — the van der Waerden convention).
+    """
+    from padua_spark.functions.distributions import chi2_sf_udf
+    from padua_spark.io_utils import track_cached
+
+    v = F.col(value_col)
+    g = len(groups)
+    cols = [f"_c{i}" for i in range(g)]
+    per = (
+        df.where(F.col(group_col).isin(list(groups)) & v.isNotNull())
+        .groupBy(v.alias("_v"))
+        .agg(
+            *[
+                F.count(F.when(F.col(group_col) == grp, 1)).alias(c)
+                for grp, c in zip(groups, cols)
+            ]
+        )
+    )
+    pooled = per.select(
+        "_v", *cols,
+        sum([F.col(c) for c in cols[1:]], F.col(cols[0])).alias("_ct"),
+    )
+    stepped = _stepped_running_counts(
+        pooled, "_v", [*cols, "_ct"], small_domain_threshold
+    )
+    h = F.col("_ct")
+    n_tot = F.col("_ct_tot").cast("double")
+    midrank = (
+        (2 * (F.col("_ct_run") - h) + h + 1).cast("double") / 2.0
+    )
+    score = score_from_midrank(midrank, n_tot)
+    staged = stepped.withColumn("_a", score)
+    agg = staged.agg(
+        F.max("_ct_tot").alias("n_total"),
+        F.sum(F.col("_ct").cast("double") * F.col("_a")).alias("_sa"),
+        F.sum(
+            F.col("_ct").cast("double") * F.col("_a") * F.col("_a")
+        ).alias("_saa"),
+        *[
+            F.sum(F.col(c).cast("double") * F.col("_a")).alias(
+                f"_s{i}"
+            )
+            for i, c in enumerate(cols)
+        ],
+        *[F.max(f"{c}_tot").alias(f"_n{i}") for i, c in enumerate(cols)],
+    )
+    nd = F.col("n_total").cast("double")
+    abar = (F.col("_sa") / nd) if center_scores else F.lit(0.0)
+    if center_scores:
+        s2 = (F.col("_saa") - F.col("_sa") * F.col("_sa") / nd) / (
+            nd - 1.0
+        )
+    else:
+        s2 = F.col("_saa") / (nd - 1.0)
+    num = None
+    for i in range(g):
+        ni = F.col(f"_n{i}").cast("double")
+        gbar = F.col(f"_s{i}") / ni
+        term = ni * (gbar - abar) * (gbar - abar)
+        num = term if num is None else num + term
+    stat = F.when((nd > 1) & (s2 > 0), num / s2)
+    staged2 = agg.select(
+        "n_total",
+        F.lit(g).cast("long").alias("k_groups"),
+        F.round(stat, 6).alias(stat_name),
+        F.when(F.lit(g >= 2), F.lit(float(g - 1))).alias("dfree"),
+        stat.alias("_raw"),
+    )
+    out = staged2.select(
+        "n_total", "k_groups", stat_name, "dfree",
+        F.round(
+            chi2_sf_udf(F.col("_raw"), F.col("dfree")), 6
+        ).alias("p_value"),
+    )
+    return track_cached(out, *getattr(stepped, "_padua_cached", ()))
+
+
+def van_der_waerden(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    groups: list,
+    small_domain_threshold: int | None = None,
+) -> DataFrame:
+    """Van der Waerden normal-scores k-group test — Kruskal-Wallis's
+    power upgraded back to ANOVA efficiency under normality (scores
+    ``a_i = Φ⁻¹(r_i/(N+1))`` make the rank test asymptotically as
+    efficient as the F-test when the data really are Gaussian, while
+    keeping rank robustness): ``T = Σ n_g Ā_g² / s²`` with
+    ``s² = Σa²/(N−1)`` (the classical uncentered convention —
+    midrank score sums are only asymptotically 0 under ties),
+    χ²(k−1). One stepped-cumsum pass, scores via the native Acklam
+    Φ⁻¹ — no UDF before the final p. Output 1 row: ``(n_total,
+    k_groups, vdw_stat, dfree, p_value)``, 6dp.
+    """
+    return _group_score_test(
+        df, group_col, value_col, groups,
+        lambda r, n: norm_ppf_col(r / (n + 1.0)),
+        center_scores=False,
+        small_domain_threshold=small_domain_threshold,
+        stat_name="vdw_stat",
+    )
+
+
+def fligner_killeen(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    groups: list,
+    small_domain_threshold: int | None = None,
+) -> DataFrame:
+    """Fligner-Killeen test of homogeneity of variances — the
+    MOST ROBUST of the classical scale tests to non-normality
+    (scipy's recommendation over Bartlett/Levene for heavy tails):
+    rank the pooled ``|x − median_g|``, transform to half-normal
+    scores ``a_i = Φ⁻¹(½ + r_i/(2(N+1)))``, then the centered
+    score-ANOVA statistic χ²(k−1).
+
+    Plan: exact per-group medians
+    (:func:`~padua_spark.operators.normalization.group_medians` —
+    DuckDB-identical interpolation) broadcast back, ONE stepped-
+    cumsum pass over pooled |deviation| values with per-group
+    conditional counts, scores via the native Acklam Φ⁻¹. Output 1
+    row: ``(n_total, k_groups, fk_stat, dfree, p_value)``, 6dp.
+    """
+    from padua_spark.operators.normalization import group_medians
+
+    v = F.col(value_col).cast("double")
+    base = df.where(
+        F.col(group_col).isin(list(groups)) & v.isNotNull()
+    ).select(F.col(group_col).alias("_g"), v.alias("_x"))
+    meds = group_medians(
+        base, ["_g"], F.col("_x"), "_med"
+    )
+    dev = base.join(F.broadcast(meds), on="_g").select(
+        F.col("_g"),
+        F.abs(F.col("_x") - F.col("_med")).alias("_z"),
+    )
+    return _group_score_test(
+        dev, "_g", "_z", list(groups),
+        lambda r, n: norm_ppf_col(
+            F.lit(0.5) + r / (2.0 * (n + 1.0))
+        ),
+        center_scores=True,
+        small_domain_threshold=small_domain_threshold,
+        stat_name="fk_stat",
+    )

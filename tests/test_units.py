@@ -6924,3 +6924,77 @@ def test_rfm_segments_vs_replica(spark):
         assert out[k]["total_monetary"] == pytest.approx(
             tot, abs=1e-4
         )
+
+
+def _bisect_ppf(p):
+    import math
+
+    lo, hi = -10.0, 10.0
+    for _ in range(80):
+        m = (lo + hi) / 2
+        if 0.5 * (1 + math.erf(m / math.sqrt(2))) < p:
+            lo = m
+        else:
+            hi = m
+    return (lo + hi) / 2
+
+
+def test_fligner_killeen_and_vdw_vs_reference(spark):
+    """Both normal-scores tests against numpy replicas using a
+    bisection inverse-normal (high precision): FK detects a planted
+    scale difference, VDW a location shift; midrank ties handled."""
+    import numpy as np
+
+    from padua_spark.operators.stats import (
+        fligner_killeen,
+        van_der_waerden,
+    )
+
+    rng = np.random.RandomState(9)
+    a = rng.normal(0, 1, 40)
+    b = rng.normal(0, 2.5, 35)
+    c = rng.normal(0.5, 1, 30)
+    a[0] = a[1] = 0.7
+    samples = [a, b, c]
+    rows = [
+        (g, float(v)) for g, s_ in zip("abc", samples) for v in s_
+    ]
+    df = spark.createDataFrame(rows, ["g", "v"])
+
+    def fk_ref():
+        z = np.concatenate(
+            [np.abs(np.asarray(s_) - np.median(s_)) for s_ in samples]
+        )
+        sizes = [len(s_) for s_ in samples]
+        r = _rankdata_avg(z)
+        n = len(z)
+        sc = np.array(
+            [_bisect_ppf(0.5 + ri / (2 * (n + 1))) for ri in r]
+        )
+        abar = sc.mean()
+        s2 = ((sc - abar) ** 2).sum() / (n - 1)
+        stat, pos = 0.0, 0
+        for m in sizes:
+            stat += m * (sc[pos:pos + m].mean() - abar) ** 2
+            pos += m
+        return stat / s2
+
+    def vdw_ref():
+        allv = np.concatenate(samples)
+        n = len(allv)
+        r = _rankdata_avg(allv)
+        sc = np.array([_bisect_ppf(ri / (n + 1)) for ri in r])
+        s2 = (sc ** 2).sum() / (n - 1)
+        stat, pos = 0.0, 0
+        for s_ in samples:
+            m = len(s_)
+            stat += m * sc[pos:pos + m].mean() ** 2
+            pos += m
+        return stat / s2
+
+    rf = fligner_killeen(df, "g", "v", ["a", "b", "c"]).collect()[0]
+    assert rf["fk_stat"] == pytest.approx(fk_ref(), abs=1e-4)
+    assert rf["p_value"] < 0.01  # planted scale difference
+    rv = van_der_waerden(df, "g", "v", ["a", "b", "c"]).collect()[0]
+    assert rv["vdw_stat"] == pytest.approx(vdw_ref(), abs=1e-4)
+    assert rv["p_value"] < 0.05  # planted location shift
