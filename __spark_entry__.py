@@ -16725,6 +16725,59 @@ def q_fligner_killeen(spark, sf):
     return out.select("n_total", "k_groups", "fk_stat", "dfree")
 
 
+
+def _ppcc_oracle() -> str:
+    score = _norm_ppf_sql("(mr - 0.3175) / (nt + 0.365)")
+    return f"""
+WITH per AS (
+  SELECT CAST(value AS DOUBLE) AS v,
+    CAST(count(*) AS BIGINT) AS c
+  FROM events WHERE value IS NOT NULL GROUP BY 1
+),
+cum AS (
+  SELECT v, c,
+    sum(c) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS f,
+    CAST(sum(c) OVER () AS DOUBLE) AS nt
+  FROM per
+),
+sc AS (
+  SELECT v, c, nt, (2.0 * (f - c) + c + 1.0) / 2.0 AS mr FROM cum
+),
+scored AS (SELECT v, c, nt, {score} AS m FROM sc),
+agg AS (
+  SELECT CAST(max(nt) AS BIGINT) AS n,
+    sum(c * v) AS sx, sum(c * m) AS sm,
+    sum(c * v * v) AS sxx, sum(c * m * m) AS smm,
+    sum(c * v * m) AS sxm, max(nt) AS nt
+  FROM scored
+)
+SELECT n,
+  round(CASE WHEN sqrt((nt * sxx - sx * sx) * (nt * smm - sm * sm))
+          > 0
+    THEN (nt * sxm - sx * sm)
+         / sqrt((nt * sxx - sx * sx) * (nt * smm - sm * sm)) END, 6)
+    AS ppcc,
+  round(CASE WHEN sqrt((nt * sxx - sx * sx) * (nt * smm - sm * sm))
+          > 0
+    THEN power((nt * sxm - sx * sm)
+         / sqrt((nt * sxx - sx * sx) * (nt * smm - sm * sm)), 2)
+    END, 6) AS shapiro_francia_w
+FROM agg
+"""
+
+
+@_q("normality_ppcc", _ppcc_oracle())
+def q_normality_ppcc(spark, sf):
+    """Filliben probability-plot correlation normality test on event
+    values (stats.normality_ppcc): midrank plotting positions, native
+    Acklam inverse-normal order-statistic medians, count-weighted
+    correlation from one stepped-cumsum pass."""
+    from padua_spark.operators.stats import normality_ppcc
+
+    e = _t(spark, sf, "events")
+    return normality_ppcc(e, "value")
+
+
 # ---------------------------------------------------------------------------
 
 

@@ -258,6 +258,7 @@ HEADLINE = [
     "rfm_segments",
     "van_der_waerden",
     "fligner_killeen",
+    "normality_ppcc",
 ]
 
 

@@ -6258,3 +6258,70 @@ def fligner_killeen(
         small_domain_threshold=small_domain_threshold,
         stat_name="fk_stat",
     )
+
+
+def normality_ppcc(
+    df: DataFrame,
+    value_col: str,
+    small_domain_threshold: int | None = None,
+) -> DataFrame:
+    """Filliben probability-plot correlation test of normality
+    (1975) — the visual QQ-plot judgment made numeric: the Pearson
+    correlation between the data and the normal order-statistic
+    medians; r near 1 means the QQ plot is straight. Complements the
+    moment battery (:func:`moments_normality` reacts to skew/
+    kurtosis; PPCC reacts to ANY curvature):
+
+    plotting positions from the midranks,
+    ``p_i = (r_i − 0.3175)/(n + 0.365)`` (the endpoint-median
+    variants collapse into the midrank form under ties — documented
+    approximation), ``m_i = Φ⁻¹(p_i)`` via the native Acklam
+    expression, and
+
+    ``ppcc = corr(x, m)``  (count-weighted over distinct values —
+    exact numerators from one stepped-cumsum pass).
+
+    Output 1 row: ``(n, ppcc, shapiro_francia_w)`` (W' = ppcc², the
+    Shapiro-Francia statistic), 6dp; NULL on constant data.
+    """
+    from padua_spark.io_utils import track_cached
+
+    v = F.col(value_col).cast("double")
+    per = (
+        df.where(v.isNotNull())
+        .groupBy(v.alias("_v"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("_c"))
+    )
+    stepped = _stepped_running_counts(
+        per, "_v", ["_c"], small_domain_threshold
+    )
+    n = F.col("_c_tot").cast("double")
+    midrank = (
+        (2 * (F.col("_c_run") - F.col("_c")) + F.col("_c") + 1)
+        .cast("double") / 2.0
+    )
+    m = norm_ppf_col((midrank - 0.3175) / (n + 0.365))
+    c = F.col("_c").cast("double")
+    x = F.col("_v")
+    staged = stepped.withColumn("_m", m)
+    agg = staged.agg(
+        F.max("_c_tot").alias("n"),
+        F.sum(c * x).alias("_sx"),
+        F.sum(c * F.col("_m")).alias("_sm"),
+        F.sum(c * x * x).alias("_sxx"),
+        F.sum(c * F.col("_m") * F.col("_m")).alias("_smm"),
+        F.sum(c * x * F.col("_m")).alias("_sxm"),
+    )
+    nd = F.col("n").cast("double")
+    num = nd * F.col("_sxm") - F.col("_sx") * F.col("_sm")
+    den = F.sqrt(
+        (nd * F.col("_sxx") - F.col("_sx") * F.col("_sx"))
+        * (nd * F.col("_smm") - F.col("_sm") * F.col("_sm"))
+    )
+    r = F.when(den > 0, num / den)
+    out = agg.select(
+        "n",
+        F.round(r, 6).alias("ppcc"),
+        F.round(r * r, 6).alias("shapiro_francia_w"),
+    )
+    return track_cached(out, *getattr(stepped, "_padua_cached", ()))

@@ -6998,3 +6998,48 @@ def test_fligner_killeen_and_vdw_vs_reference(spark):
     rv = van_der_waerden(df, "g", "v", ["a", "b", "c"]).collect()[0]
     assert rv["vdw_stat"] == pytest.approx(vdw_ref(), abs=1e-4)
     assert rv["p_value"] < 0.05  # planted location shift
+
+
+def test_normality_ppcc_vs_reference(spark):
+    """PPCC against a bisection-quantile replica: near 1 on Gaussian
+    data, clearly lower on exponential; W' = ppcc^2."""
+    import collections
+    import math
+
+    import numpy as np
+
+    from padua_spark.operators.stats import normality_ppcc
+
+    def ref(x):
+        n = len(x)
+        cnt = collections.Counter(x)
+        run = 0.0
+        sx = sm = sxx = smm = sxm = 0.0
+        for v in sorted(cnt):
+            c = cnt[v]
+            mr = run + (c + 1) / 2.0
+            run += c
+            m = _bisect_ppf((mr - 0.3175) / (n + 0.365))
+            sx += c * v
+            sm += c * m
+            sxx += c * v * v
+            smm += c * m * m
+            sxm += c * v * m
+        num = n * sxm - sx * sm
+        den = math.sqrt((n * sxx - sx * sx) * (n * smm - sm * sm))
+        return num / den
+
+    rng = np.random.RandomState(3)
+    g = [float(v) for v in rng.normal(5, 2, 800)]
+    df = spark.createDataFrame([(v,) for v in g], ["v"])
+    r = normality_ppcc(df, "v").collect()[0]
+    assert r["ppcc"] == pytest.approx(ref(g), abs=1e-5)
+    assert r["ppcc"] > 0.995
+    assert r["shapiro_francia_w"] == pytest.approx(
+        r["ppcc"] ** 2, abs=1e-5
+    )
+    e = [float(v) for v in rng.exponential(1, 800)]
+    dfe = spark.createDataFrame([(v,) for v in e], ["v"])
+    re_ = normality_ppcc(dfe, "v").collect()[0]
+    assert re_["ppcc"] == pytest.approx(ref(e), abs=1e-5)
+    assert re_["ppcc"] < 0.96
