@@ -16431,14 +16431,30 @@ terms AS (
     CAST(n_st AS DOUBLE) / n_s AS p,
     CAST(n_t AS DOUBLE) / n_total AS q
   FROM grid
+),
+sums AS (
+  SELECT grp,
+    sum(CASE WHEN p > 0
+        THEN 0.5 * p * ln(p / ((p + q) / 2.0)) ELSE 0.0 END
+        + 0.5 * q * ln(q / ((p + q) / 2.0))) AS js_sup,
+    sum(sqrt(p * q)) AS bc_sup,
+    greatest(0.0, 1.0 - sum(p)) AS p_o,
+    greatest(0.0, 1.0 - sum(q)) AS q_o,
+    CAST(max(n_s) AS BIGINT) AS n_tokens
+  FROM terms GROUP BY grp
 )
 SELECT grp AS source,
-  round(sum(CASE WHEN p > 0
-      THEN 0.5 * p * ln(p / ((p + q) / 2.0)) ELSE 0.0 END
-      + 0.5 * q * ln(q / ((p + q) / 2.0))), 6) AS js_divergence,
-  round(sqrt(greatest(0.0, 1.0 - sum(sqrt(p * q)))), 6) AS hellinger,
-  CAST(max(n_s) AS BIGINT) AS n_tokens
-FROM terms GROUP BY grp
+  round(js_sup
+    + CASE WHEN p_o > 0
+        THEN 0.5 * p_o * ln(p_o / ((p_o + q_o) / 2.0))
+        ELSE 0.0 END
+    + CASE WHEN q_o > 0
+        THEN 0.5 * q_o * ln(q_o / ((p_o + q_o) / 2.0))
+        ELSE 0.0 END, 6) AS js_divergence,
+  round(sqrt(greatest(0.0,
+    1.0 - (bc_sup + sqrt(p_o * q_o)))), 6) AS hellinger,
+  n_tokens
+FROM sums
 """
 
 

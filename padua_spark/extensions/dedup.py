@@ -1620,7 +1620,9 @@ def remove_boilerplate_lines(
     state = that document's lines — never corpus-sized). Output:
     ``(id_col, clean_text, n_lines_kept, n_lines_removed)``;
     documents whose every line is boilerplate come back with an
-    empty string, not a dropped row.
+    empty string, not a dropped row, and NULL-text documents come
+    back with NULL ``clean_text`` (0/0 counts) — every input id
+    survives.
     """
     from pyspark import StorageLevel
 
@@ -1677,4 +1679,12 @@ def remove_boilerplate_lines(
             "n_lines_removed",
         )
     )
-    return track_cached(out, lines)
+    # NULL-text rows carry no lines but must survive the operator —
+    # callers join back on id; dropping them would lose documents.
+    nulls = df.where(t.isNull()).select(
+        F.col(id_col),
+        F.lit(None).cast("string").alias("clean_text"),
+        F.lit(0).cast("bigint").alias("n_lines_kept"),
+        F.lit(0).cast("bigint").alias("n_lines_removed"),
+    )
+    return track_cached(out.unionByName(nulls), lines)

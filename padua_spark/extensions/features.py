@@ -152,7 +152,9 @@ def rfm_segments(
     quantile boundaries (no ``ntile`` over the entity frame, which
     would single-task-sort every user at scale):
 
-    per user: ``recency = max(ts_global) − max(ts_user)``,
+    per user: ``recency = max(ts_global) − max(ts_user)`` (native
+    timestamp/date columns are converted to epoch microseconds
+    internally, so any numeric or temporal ``ts_col`` works),
     ``frequency = count``, ``monetary = Σ monetary_col``; each metric
     is scored 1..``n_bins`` against its ``q = i/n_bins`` boundaries,
     where boundary ``b_q`` is the exact lower quantile
@@ -172,13 +174,24 @@ def rfm_segments(
     from padua_spark.io_utils import track_cached
     from padua_spark.operators.stats import _stepped_running_counts
 
+    from pyspark.sql import types as T
+
+    # Native temporal ts columns subtract to an INTERVAL, which has
+    # no double cast — convert to epoch microseconds internally so
+    # recency is a plain numeric difference for any input type.
+    ts_expr = F.col(ts_col)
+    dt = df.schema[ts_col].dataType
+    if isinstance(
+        dt, (T.TimestampType, T.TimestampNTZType, T.DateType)
+    ):
+        ts_expr = F.unix_micros(F.col(ts_col).cast("timestamp"))
     u = (
         df.where(
             F.col(user_col).isNotNull() & F.col(ts_col).isNotNull()
         )
         .groupBy(F.col(user_col).alias("_u"))
         .agg(
-            F.max(F.col(ts_col)).alias("_last"),
+            F.max(ts_expr).alias("_last"),
             F.count(F.lit(1)).cast("double").alias("_f"),
             F.sum(
                 F.coalesce(F.col(monetary_col), F.lit(0.0))

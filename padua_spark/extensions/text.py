@@ -1626,10 +1626,13 @@ def token_distribution_divergences(
     requirement):
 
     over the corpus-wide ``top_n`` token support (deterministic
-    top-k, ties by token text), with ``m = (p+q)/2``:
-    ``JS = ½·Σ p·ln(p/m) + ½·Σ q·ln(q/m)`` (nats; absent tokens
-    contribute the exact ``½·q·ln 2`` limit via the explicit support
-    grid) and ``H = √(1 − Σ √(p·q))``.
+    top-k, ties by token text) PLUS an explicit ``other`` bucket
+    holding each side's residual tail mass ``1 − Σ_support``, so p
+    and q are true distributions and both metrics treat tail mass
+    identically. With ``m = (p+q)/2``: ``JS = ½·Σ p·ln(p/m) +
+    ½·Σ q·ln(q/m)`` (nats; absent tokens contribute the exact
+    ``½·q·ln 2`` limit via the explicit support grid) and
+    ``H = √(1 − Σ √(p·q))``.
 
     Scale shape: ONE tokenize/explode pass feeds the per-(group,
     token) counts; the support grid is the (groups × top_n) cross of
@@ -1679,15 +1682,40 @@ def token_distribution_divergences(
         + 0.5 * q * F.log(q / m)
     )
     hel_term = F.sqrt(p * q)
-    out = joined.groupBy("grp").agg(
-        F.round(F.sum(js_term), 6).alias("js_divergence"),
+    sums = joined.groupBy("grp").agg(
+        F.sum(js_term).alias("_js_sup"),
+        F.sum(hel_term).alias("_bc_sup"),
+        F.sum(p).alias("_p_sup"),
+        F.sum(q).alias("_q_sup"),
+        F.max("n_s").alias("n_tokens"),
+    )
+    # Explicit 'other' bucket: each side's residual mass beyond the
+    # top_n support enters BOTH divergences as one extra cell, so p
+    # and q are true distributions and JS/Hellinger treat the tail
+    # consistently (previously JS dropped it while Hellinger counted
+    # it as total disagreement).
+    p_o = F.greatest(F.lit(0.0), 1.0 - F.col("_p_sup"))
+    q_o = F.greatest(F.lit(0.0), 1.0 - F.col("_q_sup"))
+    m_o = (p_o + q_o) / 2.0
+    js_o = (
+        F.when(p_o > 0, 0.5 * p_o * F.log(p_o / m_o)).otherwise(0.0)
+        + F.when(q_o > 0, 0.5 * q_o * F.log(q_o / m_o)).otherwise(
+            0.0
+        )
+    )
+    out = sums.select(
+        "grp",
+        F.round(F.col("_js_sup") + js_o, 6).alias("js_divergence"),
         F.round(
             F.sqrt(
-                F.greatest(F.lit(0.0), 1.0 - F.sum(hel_term))
+                F.greatest(
+                    F.lit(0.0),
+                    1.0 - (F.col("_bc_sup") + F.sqrt(p_o * q_o)),
+                )
             ),
             6,
         ).alias("hellinger"),
-        F.max("n_s").alias("n_tokens"),
+        "n_tokens",
     )
     return track_cached(
         out.select(

@@ -4351,9 +4351,13 @@ def fleiss_kappa(
 
     Fleiss' formula REQUIRES a constant rater count — enforced with a
     preflight on the per-item totals that raises naming the offending
-    item (``require_constant_n=False`` skips the check and uses the
-    minimum n, dropping no data — a documented approximation, not
-    textbook Fleiss). Plan: one (item, category) hash aggregation
+    item. ``require_constant_n=False`` switches to the ragged-n
+    generalization: each item contributes its OWN ``P_i = (Σ_j n_ij²
+    − n_i) / (n_i(n_i−1))`` to P̄, marginals ``p_j`` are normalized by
+    the true total Σ n_i, and items with fewer than 2 ratings are
+    dropped from both sides (P_i is undefined for them). With a
+    constant n this reduces exactly to textbook Fleiss, so the two
+    paths agree on constant-n data. Plan: one (item, category) hash aggregation
     (map-side combined), one per-item aggregation, two scalar
     aggregations — no windows over the fact table, no collect beyond
     the 1-row preflight. Every input to κ is an exact integer until
@@ -4389,13 +4393,26 @@ def fleiss_kappa(
                 "fleiss_kappa: rater count varies across items "
                 f"(min={row['_lo']}, max={row['_hi']}, e.g. item "
                 f"{bad!r}); Fleiss' formula requires a constant n — "
-                "pass require_constant_n=False to use min-n "
-                "deliberately"
+                "pass require_constant_n=False for the ragged-n "
+                "generalization"
             )
+        if row["_lo"] < 2:
+            raise ValueError(
+                "fleiss_kappa: need >= 2 ratings per item "
+                f"(found n={row['_lo']})"
+            )
+    else:
+        # Ragged-n path: items with < 2 ratings carry no agreement
+        # information (P_i undefined) — drop them from BOTH P̄ and
+        # the marginals so both sides of κ see the same population.
+        per_item = per_item.where(F.col("_n") >= 2)
+        cells = cells.join(per_item.select("_i"), on="_i")
+    ni = F.col("_n").cast("double")
+    p_i = (F.col("_sq").cast("double") - ni) / (ni * (ni - 1.0))
     stats_i = per_item.agg(
         F.count(F.lit(1)).alias("n_items"),
         F.min("_n").alias("n_raters"),
-        F.sum(F.col("_sq")).alias("_ssq"),
+        F.avg(p_i).alias("_pbar"),
         F.sum("_n").alias("_tot"),
     )
     per_cat = cells.groupBy("_j").agg(F.sum("_nij").alias("_cj"))
@@ -4410,13 +4427,9 @@ def fleiss_kappa(
     )
     from padua_spark.io_utils import track_cached
 
-    nd = F.col("n_items").cast("double")
-    rn = F.col("n_raters").cast("double")
-    p_bar = (
-        (F.col("_ssq").cast("double") - nd * rn)
-        / (nd * rn * (rn - 1.0))
-    )
-    p_e = F.col("_csq") / (nd * rn * nd * rn)
+    td = F.col("_tot").cast("double")
+    p_bar = F.col("_pbar")
+    p_e = F.col("_csq") / (td * td)
     kappa = F.when(p_e < 1.0, (p_bar - p_e) / (1.0 - p_e))
     out = j.select(
         "n_items", "n_raters", "k_categories",

@@ -5670,7 +5670,30 @@ def test_fleiss_kappa_hand_and_guard(spark):
     ok = fleiss_kappa(
         uneven, "item", "cat", require_constant_n=False
     ).collect()[0]
+    # ragged-n form: item1 n=4 (a,a,b,a) P1=(9+1-4)/12=1/2,
+    # item2 n=3 (b,b,b) P2=1 -> pbar=3/4; c_a=3,c_b=4, tot=7
+    # -> pe=25/49; each item uses its OWN n_i
     assert ok["n_raters"] == 3
+    assert ok["p_bar"] == pytest.approx(3 / 4, abs=1e-6)
+    assert ok["p_e"] == pytest.approx(25 / 49, abs=1e-6)
+    # degenerate ragged case from review: all-same-category items
+    # with n=2 and n=10 must stay inside [0,1]/[-1,1]
+    deg = spark.createDataFrame(
+        [(1, "a")] * 2 + [(2, "a")] * 10, ["item", "cat"]
+    )
+    d = fleiss_kappa(
+        deg, "item", "cat", require_constant_n=False
+    ).collect()[0]
+    assert d["p_bar"] == pytest.approx(1.0) and d["p_e"] <= 1.0
+    # items with a single rating are dropped from both sides
+    one = spark.createDataFrame(
+        rows + [(1, "a"), (3, "b")], ["item", "cat"]
+    )
+    o = fleiss_kappa(
+        one, "item", "cat", require_constant_n=False
+    ).collect()[0]
+    assert o["n_items"] == 2
+    assert o["p_bar"] == pytest.approx(3 / 4, abs=1e-6)
 
 
 def test_ljung_box_vs_numpy_reference(spark):
@@ -6676,6 +6699,7 @@ def test_remove_boilerplate_lines_hand(spark):
         (3, "BANNER\nunique text here\nfooter"),
         (4, "totally original\n\n"),
         (5, "BANNER\nfooter"),
+        (6, None),
     ]
     df = spark.createDataFrame(docs, ["id", "text"])
     out = {
@@ -6690,6 +6714,10 @@ def test_remove_boilerplate_lines_hand(spark):
     assert out[4]["n_lines_removed"] == 0
     assert out[5]["clean_text"] == "" and out[5]["n_lines_kept"] == 0
     assert out[1]["n_lines_removed"] == 2  # BANNER + footer
+    # NULL-text documents survive with NULL clean_text (0/0 counts)
+    assert 6 in out and out[6]["clean_text"] is None
+    assert out[6]["n_lines_kept"] == 0
+    assert out[6]["n_lines_removed"] == 0
 
 
 def test_ks_1samp_vs_numpy(spark):
@@ -6864,6 +6892,47 @@ def test_token_distribution_divergences_hand(spark):
     ).collect():
         assert r["js_divergence"] == pytest.approx(0.0, abs=1e-9)
         assert r["hellinger"] == pytest.approx(0.0, abs=1e-6)
+    # tail mass beyond top_n goes into an explicit 'other' bucket on
+    # BOTH metrics (review fix: JS used to drop it while Hellinger
+    # counted it as total disagreement)
+    out2 = {
+        r["src"]: r
+        for r in token_distribution_divergences(
+            df, "src", "text", top_n=2
+        ).collect()
+    }
+    top = ["a", "c"]  # corpus counts a=4, c=4, b=2, d=2; ties by text
+    for src, cnt in per.items():
+        ns = sum(cnt.values())
+        ps = [cnt.get(t, 0) / ns for t in top]
+        qs = [corpus[t] / n for t in top]
+        ps.append(max(0.0, 1 - sum(ps)))
+        qs.append(max(0.0, 1 - sum(qs)))
+        js = hel = 0.0
+        for p, q in zip(ps, qs):
+            m = (p + q) / 2
+            if p > 0:
+                js += 0.5 * p * math.log(p / m)
+            if q > 0:
+                js += 0.5 * q * math.log(q / m)
+            hel += math.sqrt(p * q)
+        assert out2[src]["js_divergence"] == pytest.approx(
+            js, abs=1e-6
+        )
+        assert out2[src]["hellinger"] == pytest.approx(
+            math.sqrt(max(0, 1 - hel)), abs=1e-6
+        )
+    # a group matching the corpus but concentrated in tail tokens no
+    # longer shows inflated Hellinger: identical dists -> both ~0
+    tail = spark.createDataFrame(
+        [("x", "t1 t2 t3 t4"), ("y", "t1 t2 t3 t4")],
+        ["src", "text"],
+    )
+    for r in token_distribution_divergences(
+        tail, "src", "text", top_n=2
+    ).collect():
+        assert r["js_divergence"] == pytest.approx(0.0, abs=1e-9)
+        assert r["hellinger"] == pytest.approx(0.0, abs=1e-6)
 
 
 def test_rfm_segments_vs_replica(spark):
@@ -6924,6 +6993,20 @@ def test_rfm_segments_vs_replica(spark):
         assert out[k]["total_monetary"] == pytest.approx(
             tot, abs=1e-4
         )
+    # native TIMESTAMP ts_col works (converted to epoch-us
+    # internally) and yields the identical segment grid
+    tsdf = df.select(
+        "u",
+        F.timestamp_micros(
+            (F.col("ts") * 1_000_000).cast("bigint")
+        ).alias("ts"),
+        "amt",
+    )
+    out_ts = {
+        (r["r_score"], r["f_score"], r["m_score"]): r["n_users"]
+        for r in rfm_segments(tsdf, "u", "ts", "amt").collect()
+    }
+    assert out_ts == {k: r["n_users"] for k, r in out.items()}
 
 
 def _bisect_ppf(p):
