@@ -1202,8 +1202,10 @@ def spearman_rho(
     values present only in the other axis carry a zero count and
     don't advance the cumsum). One tagged union + one stepped pass
     replaces the former two per-axis pipelines — half the
-    repartitionByRange/persist machinery. Midranks are joined back to
-    the pairwise-complete rows by value.
+    repartitionByRange/persist machinery. All per-axis moments are
+    weighted sums over the value domain (no join back to the rows);
+    only the cross term joins midranks to the pairs frame, and only
+    ONCE (x side), finishing through a y-domain-sized join.
     Doubled midranks are integers, so every Pearson ingredient
     (Σ2rx, Σ2ry, Σ2rx·2ry, Σ(2rx)², Σ(2ry)², n) is an exact integer
     aggregate — summed as decimal(38,0) so no 64-bit overflow at any
@@ -1235,33 +1237,44 @@ def spearman_rho(
     )
     two_rx = 2 * (F.col("_cx_run") - F.col("_cx")) + F.col("_cx") + 1
     two_ry = 2 * (F.col("_cy_run") - F.col("_cy")) + F.col("_cy") + 1
+    dec = "decimal(38,0)"
+    # Per-axis moments need no join-back at all: each is a weighted
+    # sum over the VALUE DOMAIN (Σ c·2r, Σ c·(2r)², n = Σ c) — one
+    # aggregation over the already-cached stepped frame. Only the
+    # cross term Σ 2rx·2ry needs the per-row pairing, and even that
+    # takes just ONE pairs-sized join (attach x-midranks), a
+    # map-side-combined groupBy to the y domain, and a domain-sized
+    # join to the y-midranks: Σ_rows 2rx·2ry = Σ_y 2r_y·(Σ_{rows
+    # y} 2rx). The former design joined midranks to the pairs frame
+    # twice — two N-row shuffle joins instead of one.
+    cxd = F.col("_cx").cast(dec)
+    cyd = F.col("_cy").cast(dec)
+    rxd = two_rx.cast(dec)
+    ryd = two_ry.cast(dec)
+    moments = stepped.agg(
+        F.sum("_cx").cast("bigint").alias("n"),
+        F.sum(cxd * rxd).alias("_sx"),
+        F.sum(cyd * ryd).alias("_sy"),
+        F.sum(cxd * rxd * rxd).alias("_sxx"),
+        F.sum(cyd * ryd * ryd).alias("_syy"),
+    ).withColumn("_one", F.lit(1))
     rx = stepped.where(F.col("_cx") > 0).select(
         "_v", two_rx.alias("_2r_x")
     )
     ry = stepped.where(F.col("_cy") > 0).select(
-        "_v", two_ry.alias("_2r_y")
+        "_v", ryd.alias("_2r_y")
     )
-    ranked = (
+    by_y = (
         pairs.join(rx, pairs["_x"] == rx["_v"])
-        .drop("_v")
-        .join(ry, pairs["_y"] == ry["_v"])
-        .drop("_v")
+        .groupBy("_y")
+        .agg(F.sum(F.col("_2r_x").cast(dec)).alias("_sxg"))
     )
-    dec = "decimal(38,0)"
-    agg = ranked.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum(F.col("_2r_x").cast(dec)).alias("_sx"),
-        F.sum(F.col("_2r_y").cast(dec)).alias("_sy"),
-        F.sum(
-            (F.col("_2r_x") * F.col("_2r_y")).cast(dec)
-        ).alias("_sxy"),
-        F.sum(
-            (F.col("_2r_x") * F.col("_2r_x")).cast(dec)
-        ).alias("_sxx"),
-        F.sum(
-            (F.col("_2r_y") * F.col("_2r_y")).cast(dec)
-        ).alias("_syy"),
+    cross = (
+        by_y.join(ry, by_y["_y"] == ry["_v"])
+        .agg(F.sum(F.col("_sxg") * F.col("_2r_y")).alias("_sxy"))
+        .withColumn("_one", F.lit(1))
     )
+    agg = moments.join(F.broadcast(cross), on="_one")
     nd = F.col("n").cast("double")
     sx = F.col("_sx").cast("double")
     sy = F.col("_sy").cast("double")
@@ -1612,38 +1625,52 @@ def _enforce_bounded_groups(
     group_cols: list[str],
     max_group_size: int | None,
     op_name: str,
-) -> None:
-    """Preflight for the deliberately O(n_g²) pair operators
-    (:func:`theil_sen_by_group`, :func:`mann_kendall`): ONE map-side-
-    combined count aggregation + a 1-row collect BEFORE the quadratic
-    pair join is ever launched. A single hot key at 100× data silently
-    turns the self-join quadratic; this raises with the offending key
-    instead — the same explicit-bound discipline as the Gram cell
-    guard (ml.py) and the connected-components shortcut bound
-    (graph.py). ``max_group_size=None`` opts out for callers who know
-    their key distribution."""
+) -> DataFrame:
+    """IN-PLAN guard for the deliberately O(n_g²) pair operators
+    (:func:`theil_sen_by_group`, :func:`harrells_c`,
+    :func:`mann_kendall`): attaches a per-group window count and a
+    ``raise_error`` filter to ``base``, so any group above
+    ``max_group_size`` kills the job naming the offending key the
+    moment its first row flows — BEFORE the quadratic pair join can
+    complete. Zero extra jobs: the window needs exactly the
+    hash-partition-by-group + sort-by-group that the downstream
+    sort-merge self-join needs anyway, so the guard rides the
+    shuffle the operator already pays (the former eager preflight
+    ran a separate count aggregation + collect action). Same
+    explicit-bound discipline as the Gram cell guard (ml.py) and the
+    connected-components shortcut bound (graph.py).
+    ``max_group_size=None`` opts out for callers who know their key
+    distribution. The error surfaces at ACTION time (the Spark job),
+    wrapping the message below."""
     if max_group_size is None:
-        return
-    hot = (
-        base.groupBy(*group_cols)
-        .agg(F.count(F.lit(1)).alias("_n"))
-        .where(F.col("_n") > int(max_group_size))
-        .orderBy(F.col("_n").desc())
-        .limit(1)
-        .collect()
+        return base
+    w = Window.partitionBy(*group_cols)
+    key_str = F.concat_ws(
+        ",", *[F.col(c).cast("string") for c in group_cols]
     )
-    if hot:
-        r = hot[0]
-        key = tuple(r[c] for c in group_cols)
-        raise ValueError(
-            f"{op_name}: group {key} has {r['_n']} rows, above "
-            f"max_group_size={max_group_size}. The within-group pair "
-            f"join is O(n_g²) per group — a hot key this size "
-            f"would launch {r['_n'] * (r['_n'] - 1) // 2} pairs for "
-            f"one group. Pre-aggregate the series, use a linear "
-            f"alternative (e.g. linregress), or pass "
-            f"max_group_size=None to override deliberately."
+    msg = F.concat(
+        F.lit(f"{op_name}: group ("),
+        key_str,
+        F.lit(") has "),
+        F.col("_ng").cast("string"),
+        F.lit(
+            f" rows, above max_group_size={int(max_group_size)}. "
+            "The within-group pair join is O(n_g^2) per group — "
+            "pre-aggregate the series, use a linear alternative "
+            "(e.g. linregress), or pass max_group_size=None to "
+            "override deliberately."
+        ),
+    )
+    return (
+        base.withColumn("_ng", F.count(F.lit(1)).over(w))
+        .where(
+            F.when(
+                F.col("_ng") > int(max_group_size),
+                F.raise_error(msg),
+            ).otherwise(F.lit(True))
         )
+        .drop("_ng")
+    )
 
 
 def theil_sen_by_group(
@@ -1682,7 +1709,7 @@ def theil_sen_by_group(
     pts = df.where(x.isNotNull() & y.isNotNull()).select(
         *group_cols, x.alias("_x"), y.alias("_y")
     )
-    _enforce_bounded_groups(
+    pts = _enforce_bounded_groups(
         pts, list(group_cols), max_group_size, "theil_sen_by_group"
     )
     a = pts.select(
@@ -1769,7 +1796,7 @@ def harrells_c(
         dur.cast("double").alias("_t"),
         ev.cast("int").alias("_e"),
     )
-    _enforce_bounded_groups(
+    pts = _enforce_bounded_groups(
         pts, list(group_cols), max_group_size, "harrells_c"
     )
     a = pts.select(
@@ -2316,7 +2343,7 @@ def mann_kendall(
     base = df.where(x.isNotNull() & y.isNotNull()).select(
         *group_cols, x.alias("_x"), y.alias("_y")
     )
-    _enforce_bounded_groups(
+    base = _enforce_bounded_groups(
         base, list(group_cols), max_group_size, "mann_kendall"
     )
     a = base.select(

@@ -2891,8 +2891,9 @@ def test_logrank_test_freireich_trial(spark):
 
 
 def test_quadratic_pair_operators_enforce_group_bound(spark):
-    """theil_sen_by_group and mann_kendall raise BEFORE launching the
-    O(n_g^2) pair join when a group exceeds max_group_size, naming the
+    """theil_sen_by_group and mann_kendall kill the job (in-plan
+    raise_error riding the pair join's own shuffle — no separate
+    preflight action) when a group exceeds max_group_size, naming the
     offending key; max_group_size=None opts out; bounded groups pass
     untouched — the enforced version of the documented scale contract."""
     from padua_spark.operators.stats import mann_kendall, theil_sen_by_group
@@ -2903,8 +2904,8 @@ def test_quadratic_pair_operators_enforce_group_bound(spark):
     df = spark.createDataFrame(rows, ["g", "x", "y"])
 
     for op in (theil_sen_by_group, mann_kendall):
-        with pytest.raises(ValueError, match=r"hot.*8 rows"):
-            op(df, ["g"], "x", "y", max_group_size=5)
+        with pytest.raises(Exception, match=r"hot.*8 rows"):
+            op(df, ["g"], "x", "y", max_group_size=5).collect()
         # opt-out still computes
         out = op(df, ["g"], "x", "y", max_group_size=None).collect()
         assert {r["g"] for r in out} == {"hot", "cold"}
