@@ -4066,6 +4066,161 @@ def q_windowed_psi(spark, sf):
     return track_cached(final, counts)
 
 
+_WINDOWED_TOKDIV_ORACLE = r"""
+WITH e AS (
+  SELECT epoch_us(ts) AS tsu, lower(props) AS txt
+  FROM events WHERE props IS NOT NULL AND ts IS NOT NULL
+),
+tok AS (
+  SELECT (tsu // 3600000000) * 3600 AS ws,
+    unnest(regexp_split_to_array(trim(txt), '\s+')) AS token
+  FROM e
+),
+cnt AS (
+  SELECT ws, token, CAST(count(*) AS BIGINT) AS n FROM tok
+  WHERE token <> '' GROUP BY 1, 2
+),
+ref AS (SELECT token, CAST(sum(n) AS BIGINT) AS ref_n FROM cnt GROUP BY 1),
+rt AS (SELECT CAST(sum(ref_n) AS DOUBLE) AS tot FROM ref),
+top AS (SELECT token, ref_n FROM ref ORDER BY ref_n DESC, token LIMIT 50),
+wt AS (SELECT ws, CAST(sum(n) AS BIGINT) AS n_tokens FROM cnt GROUP BY 1),
+grid AS (
+  SELECT wt.ws, wt.n_tokens, top.token, top.ref_n,
+    coalesce(cnt.n, 0) AS n
+  FROM wt CROSS JOIN top
+  LEFT JOIN cnt ON cnt.ws = wt.ws AND cnt.token = top.token
+),
+terms AS (
+  SELECT g.ws, g.n_tokens, g.n,
+    CAST(g.n AS DOUBLE) / g.n_tokens AS p,
+    CAST(g.ref_n AS DOUBLE) / rt.tot AS q
+  FROM grid g CROSS JOIN rt
+),
+sums AS (
+  SELECT ws, n_tokens,
+    sum(CASE WHEN n > 0
+        THEN 0.5 * p * ln(p / ((p + q) / 2.0)) ELSE 0.0 END
+        + 0.5 * q * ln(q / ((p + q) / 2.0))) AS js_sup,
+    sum(sqrt(p * q)) AS bc_sup,
+    greatest(0.0, 1.0 - sum(p)) AS p_o,
+    greatest(0.0, 1.0 - sum(q)) AS q_o
+  FROM terms GROUP BY 1, 2
+)
+SELECT ws AS window_start_epoch, n_tokens,
+  round(js_sup
+    + CASE WHEN p_o > 0
+        THEN 0.5 * p_o * ln(p_o / ((p_o + q_o) / 2.0))
+        ELSE 0.0 END
+    + CASE WHEN q_o > 0
+        THEN 0.5 * q_o * ln(q_o / ((p_o + q_o) / 2.0))
+        ELSE 0.0 END, 6) AS js_divergence,
+  round(sqrt(greatest(0.0,
+    1.0 - (bc_sup + sqrt(p_o * q_o)))), 6) AS hellinger
+FROM sums
+"""
+
+
+@_q("windowed_token_divergence", _WINDOWED_TOKDIV_ORACLE)
+def q_windowed_token_divergence(spark, sf):
+    """Per-hour JS divergence + Hellinger distance of the event-props
+    token distribution against the whole-corpus reference — the
+    bounded-metric streaming drift monitor whose front half
+    (streaming.windowed_token_counts) is ONE stateful aggregation and
+    runs unchanged on a stream; the finalizer
+    (streaming.js_hellinger_vs_reference) runs per micro-batch with
+    an explicit 'other' tail bucket so both metrics see true
+    distributions."""
+    from padua_spark.io_utils import track_cached
+    from padua_spark.streaming import (
+        js_hellinger_vs_reference,
+        windowed_token_counts,
+    )
+
+    e = _t(spark, sf, "events")
+    counts = windowed_token_counts(
+        e, _events_event_time(spark, sf), "props",
+        window_duration="1 hour",
+    ).select(
+        F.col("window_start").cast("long").alias("ws"), "token", "n"
+    )
+    # THREE consumers (reference build, window totals, token join):
+    # persist the tiny windows x vocabulary frame, as windowed_psi
+    counts = counts.persist()
+    ref = counts.groupBy("token").agg(
+        F.sum("n").cast("bigint").alias("ref_n")
+    )
+    out = js_hellinger_vs_reference(
+        counts, ref, top_n=50, window_cols=["ws"]
+    )
+    final = out.select(
+        F.col("ws").alias("window_start_epoch"),
+        "n_tokens", "js_divergence", "hellinger",
+    )
+    return track_cached(final, counts)
+
+
+_WINDOWED_CONFUSION_ORACLE = """
+WITH e AS (
+  SELECT (epoch_us(ts) // 3600000000) * 3600 AS ws,
+    CASE WHEN value > 100.0 THEN 1 ELSE 0 END AS p,
+    CASE WHEN event_type IN ('click', 'view') THEN 1 ELSE 0 END AS y
+  FROM events
+  WHERE ts IS NOT NULL AND value IS NOT NULL
+    AND event_type IS NOT NULL
+),
+c AS (
+  SELECT ws,
+    CAST(sum(CASE WHEN p = 1 AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+    CAST(sum(CASE WHEN p = 1 AND y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+    CAST(sum(CASE WHEN p = 0 AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+    CAST(sum(CASE WHEN p = 0 AND y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tn
+  FROM e GROUP BY 1
+)
+SELECT ws AS window_start_epoch, tp, fp, fn, tn,
+  round(CASE WHEN tp + fp + fn + tn > 0
+    THEN CAST(tp + tn AS DOUBLE) / (tp + fp + fn + tn) END, 6)
+    AS accuracy,
+  round(CASE WHEN tp + fp > 0
+    THEN CAST(tp AS DOUBLE) / (tp + fp) END, 6) AS precision,
+  round(CASE WHEN tp + fn > 0
+    THEN CAST(tp AS DOUBLE) / (tp + fn) END, 6) AS recall,
+  round(CASE WHEN 2 * tp + fp + fn > 0
+    THEN 2.0 * tp / (2.0 * tp + fp + fn) END, 6) AS f1,
+  round(CASE WHEN (tp + fp) * (tp + fn) * (tn + fp) * (tn + fn) > 0
+    THEN (CAST(tp AS DOUBLE) * tn - CAST(fp AS DOUBLE) * fn)
+      / (sqrt(CAST(tp + fp AS DOUBLE)) * sqrt(CAST(tp + fn AS DOUBLE))
+         * sqrt(CAST(tn + fp AS DOUBLE)) * sqrt(CAST(tn + fn AS DOUBLE)))
+    END, 6) AS mcc
+FROM c
+"""
+
+
+@_q("windowed_confusion", _WINDOWED_CONFUSION_ORACLE)
+def q_windowed_confusion(spark, sf):
+    """Per-hour binary confusion battery (streaming.windowed_confusion)
+    for a value-threshold predictor of engagement event types: ONE
+    stateful aggregation to four exact integers per window plus the
+    closed-form finalizer shared with quality.confusion_stats — runs
+    unchanged on a stream."""
+    from padua_spark.streaming import windowed_confusion
+
+    e = _t(spark, sf, "events").where(
+        F.col("event_type").isNotNull()
+    )
+    out = windowed_confusion(
+        e,
+        _events_event_time(spark, sf),
+        (F.col("value") > 100.0).cast("int"),
+        F.col("event_type").isin("click", "view").cast("int"),
+        window_duration="1 hour",
+    )
+    return out.select(
+        F.col("window_start").cast("long").alias("window_start_epoch"),
+        "tp", "fp", "fn", "tn",
+        "accuracy", "precision", "recall", "f1", "mcc",
+    )
+
+
 # --- ext: robust statistics (median/MAD z, trimmed mean) --------------------
 
 

@@ -116,6 +116,8 @@ HEADLINE = [
     "robust_zscore",
     "trimmed_mean",
     "windowed_psi",
+    "windowed_token_divergence",
+    "windowed_confusion",
     "anova_2way_stats",
     "levene_stats",
     "ttest_paired_stats",

@@ -1169,7 +1169,16 @@ def confusion_stats(
     y = F.col(label_col).cast("int")
     agg = df.where(p.isNotNull() & y.isNotNull()).groupBy(
         *group_cols
-    ).agg(
+    ).agg(*confusion_count_aggs(p, y))
+    return confusion_metrics_from_counts(agg, list(group_cols))
+
+
+def confusion_count_aggs(p, y) -> list:
+    """The four exact conditional-sum aggregate expressions
+    (tp/fp/fn/tn) shared by :func:`confusion_stats` and the streaming
+    :func:`padua_spark.streaming.windowed_confusion` — ONE stateful
+    aggregation's worth of state per key."""
+    return [
         F.sum(((p == 1) & (y == 1)).cast("int"))
         .cast("bigint").alias("tp"),
         F.sum(((p == 1) & (y == 0)).cast("int"))
@@ -1178,7 +1187,16 @@ def confusion_stats(
         .cast("bigint").alias("fn"),
         F.sum(((p == 0) & (y == 0)).cast("int"))
         .cast("bigint").alias("tn"),
-    )
+    ]
+
+
+def confusion_metrics_from_counts(
+    agg: DataFrame, key_cols: list[str]
+) -> DataFrame:
+    """Closed-form confusion metrics from exact per-key TP/FP/FN/TN
+    counts (the finalizer half shared with the streaming variant —
+    runs per micro-batch or offline on any frame with those four
+    bigint columns)."""
     tp = F.col("tp").cast("double")
     fp = F.col("fp").cast("double")
     fn = F.col("fn").cast("double")
@@ -1195,7 +1213,7 @@ def confusion_stats(
     )
     mcc = F.when(mcc_den > 0, (tp * tn - fp * fn) / mcc_den)
     return agg.select(
-        *group_cols, "tp", "fp", "fn", "tn",
+        *key_cols, "tp", "fp", "fn", "tn",
         F.round(F.when(n > 0, (tp + tn) / n), 6).alias("accuracy"),
         F.round(prec, 6).alias("precision"),
         F.round(rec, 6).alias("recall"),

@@ -19,7 +19,10 @@ from padua_spark.streaming.windows import (  # noqa: F401
     session_window_agg,
     sliding_window_agg,
     tumbling_window_agg,
+    js_hellinger_vs_reference,
     windowed_cms_sketch,
+    windowed_confusion,
     windowed_ddsketch,
+    windowed_token_counts,
     windowed_value_histogram,
 )

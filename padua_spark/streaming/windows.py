@@ -451,3 +451,194 @@ def windowed_ddsketch(
         "bucket",
         "n",
     )
+
+
+def windowed_token_counts(
+    df: DataFrame,
+    ts_col: Column,
+    text_col: str,
+    window_duration: str = "1 hour",
+    watermark: str | None = None,
+    lowercase: bool = True,
+) -> DataFrame:
+    """Per-tumbling-window token counts of a text column — the
+    streaming front half of the JS/Hellinger drift monitor (the
+    windowed face of :func:`padua_spark.extensions.text.
+    token_distribution_divergences`'s tokenize pass): ONE stateful
+    aggregation ``groupBy(window, token)``, so it runs unchanged on a
+    stream (watermark bounds state) or a batch frame. Finalize per
+    micro-batch with :func:`js_hellinger_vs_reference` against a
+    broadcast reference distribution.
+
+    Per-window state = that window's VOCABULARY (distinct tokens),
+    not its token volume — bounded by Heaps' law growth, the same
+    state contract as the CMS/DDSketch windows but data-dependent;
+    cap it upstream by pre-hashing tokens into a fixed-width space if
+    the corpus is adversarial. The token array is STAGED as a column
+    before the explode (interpreted higher-order exprs do no CSE).
+
+    Output: ``(window_start, window_end, token, n)``.
+    """
+    from padua_spark.extensions.text import tokens
+
+    t = F.col(text_col)
+    toks = tokens(F.lower(t) if lowercase else t)
+    withts = df.where(t.isNotNull()).select(
+        ts_col.alias("_event_time"), toks.alias("_toks")
+    )
+    if watermark and withts.isStreaming:
+        withts = withts.withWatermark("_event_time", watermark)
+    out = (
+        withts.select(
+            "_event_time", F.explode("_toks").alias("token")
+        )
+        .where(F.col("token") != "")
+        .groupBy(
+            F.window("_event_time", window_duration).alias("_w"),
+            "token",
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    return out.select(
+        F.col("_w.start").alias("window_start"),
+        F.col("_w.end").alias("window_end"),
+        "token",
+        "n",
+    )
+
+
+def js_hellinger_vs_reference(
+    counts: DataFrame,
+    ref: DataFrame,
+    top_n: int = 100,
+    window_cols: list[str] | None = None,
+) -> DataFrame:
+    """Finalize per-window Jensen-Shannon divergence and Hellinger
+    distance from windowed token ``counts(…, token, n)`` against a
+    reference token-count table ``ref(token, ref_n)`` — the batch
+    tail of the streaming drift monitor
+    (:func:`windowed_token_counts` emits the counts; this runs per
+    micro-batch or offline), the bounded-metric companion to
+    :func:`padua_spark.extensions.quality.psi_vs_reference`.
+
+    Same distribution semantics as the batch
+    :func:`~padua_spark.extensions.text.
+    token_distribution_divergences`: the support is the reference's
+    deterministic ``top_n`` tokens (by ``ref_n`` desc, ties by token
+    text) PLUS an explicit ``other`` bucket holding each side's
+    residual tail mass, so p (window) and q (reference) are true
+    distributions and both metrics treat tail mass identically;
+    absent tokens keep their exact q-side mass via the windows ×
+    top_n support grid (two broadcast-sized frames).
+
+    ``counts`` is consumed TWICE here (window totals + the token
+    join); if it is the lazy output of an expensive upstream (and
+    especially if ``ref`` derives from the same frame), ``persist()``
+    it first — Spark does not reuse the exchanges across branches.
+
+    Output: ``(*window_cols, n_tokens, js_divergence, hellinger)``,
+    6dp.
+    """
+    window_cols = window_cols or ["window_start"]
+    top = ref.orderBy(
+        F.col("ref_n").desc(), F.col("token").asc()
+    ).limit(int(top_n))
+    rt = ref.agg(F.sum("ref_n").alias("_rt")).collect()[0]["_rt"]
+    rt = float(rt or 0)
+    wt = counts.groupBy(*window_cols).agg(
+        F.sum("n").cast("bigint").alias("n_tokens")
+    )
+    full = wt.crossJoin(F.broadcast(top)).join(
+        counts.select(*window_cols, "token", "n"),
+        on=[*window_cols, "token"],
+        how="left",
+    )
+    nn = F.coalesce(F.col("n"), F.lit(0))
+    p = nn.cast("double") / F.col("n_tokens").cast("double")
+    q = F.col("ref_n").cast("double") / F.lit(rt)
+    m = (p + q) / 2.0
+    js_term = (
+        F.when(nn > 0, 0.5 * p * F.log(p / m)).otherwise(0.0)
+        + 0.5 * q * F.log(q / m)
+    )
+    sums = full.groupBy(*window_cols, "n_tokens").agg(
+        F.sum(js_term).alias("_js_sup"),
+        F.sum(F.sqrt(p * q)).alias("_bc_sup"),
+        F.sum(p).alias("_p_sup"),
+        F.sum(q).alias("_q_sup"),
+    )
+    p_o = F.greatest(F.lit(0.0), 1.0 - F.col("_p_sup"))
+    q_o = F.greatest(F.lit(0.0), 1.0 - F.col("_q_sup"))
+    m_o = (p_o + q_o) / 2.0
+    js_o = (
+        F.when(p_o > 0, 0.5 * p_o * F.log(p_o / m_o)).otherwise(0.0)
+        + F.when(q_o > 0, 0.5 * q_o * F.log(q_o / m_o)).otherwise(
+            0.0
+        )
+    )
+    return sums.select(
+        *window_cols,
+        "n_tokens",
+        F.round(F.col("_js_sup") + js_o, 6).alias("js_divergence"),
+        F.round(
+            F.sqrt(
+                F.greatest(
+                    F.lit(0.0),
+                    1.0 - (F.col("_bc_sup") + F.sqrt(p_o * q_o)),
+                )
+            ),
+            6,
+        ).alias("hellinger"),
+    )
+
+
+def windowed_confusion(
+    df: DataFrame,
+    ts_col: Column,
+    pred_col: Column,
+    label_col: Column,
+    group_cols: list[str] | None = None,
+    window_duration: str = "1 hour",
+    watermark: str | None = None,
+) -> DataFrame:
+    """Per-tumbling-window binary confusion battery — the streaming
+    face of :func:`padua_spark.extensions.quality.confusion_stats`
+    ("is the filter's precision drifting, per hour, per source?"):
+    ONE stateful aggregation to four exact integers per (window,
+    group) — O(1) state per key — then the shared closed-form
+    finalizer, so it runs unchanged on a stream (watermark bounds
+    state) or a batch frame and late shards merge by adding counts.
+
+    Output: ``(window_start, window_end, *group_cols, tp, fp, fn,
+    tn, accuracy, precision, recall, f1, mcc)``, 6dp, ratio metrics
+    NULL where their denominator is 0.
+    """
+    from padua_spark.extensions.quality import (
+        confusion_count_aggs,
+        confusion_metrics_from_counts,
+    )
+
+    group_cols = group_cols or []
+    p = pred_col.cast("int")
+    y = label_col.cast("int")
+    withts = df.where(p.isNotNull() & y.isNotNull()).select(
+        ts_col.alias("_event_time"),
+        *group_cols,
+        p.alias("_p"),
+        y.alias("_y"),
+    )
+    if watermark and withts.isStreaming:
+        withts = withts.withWatermark("_event_time", watermark)
+    agg = withts.groupBy(
+        F.window("_event_time", window_duration).alias("_w"),
+        *group_cols,
+    ).agg(*confusion_count_aggs(F.col("_p"), F.col("_y")))
+    flat = agg.select(
+        F.col("_w.start").alias("window_start"),
+        F.col("_w.end").alias("window_end"),
+        *group_cols,
+        "tp", "fp", "fn", "tn",
+    )
+    return confusion_metrics_from_counts(
+        flat, ["window_start", "window_end", *group_cols]
+    )

@@ -398,6 +398,8 @@ def test_no_cartesian_products_anywhere(spark):
         # windows × reference-bins cross join — both tiny by
         # construction (every reference bin must score in every window)
         "windowed_psi",
+        # windows × reference-top-tokens cross join — same shape
+        "windowed_token_divergence",
         # 1-row corpus stats (N, avgdl) broadcast onto the |q|-row
         # document-frequency table
         "bm25_topk",
@@ -495,7 +497,8 @@ def test_multi_consumer_frames_are_cached(spark):
     consumer (the windowed_psi 3-scan finding)."""
     import __spark_entry__ as em
 
-    for name in ("windowed_psi", "dedup_spans", "bm25_topk",
+    for name in ("windowed_psi", "windowed_token_divergence",
+                 "dedup_spans", "bm25_topk",
                  "mutual_information",
                  # round-7 multi-consumer frames: shingle/token/edge
                  # intermediates feeding 3-4 branches each

@@ -630,3 +630,122 @@ def test_stream_equals_batch_windowed_ddsketch(spark, events_dir):
 
     per_win = Counter(ws for ws, _ in got)
     assert max(per_win.values()) < 3000
+
+
+def test_stream_equals_batch_windowed_token_counts(spark, events_dir):
+    """The JS/Hellinger drift monitor's front half (windowed token
+    counts) is one stateful aggregation: identical output on stream
+    and batch, and the divergence finalizer over the streamed counts
+    matches the batch-only path."""
+    from padua_spark.streaming import (
+        js_hellinger_vs_reference,
+        windowed_token_counts,
+    )
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    batch = spark.read.parquet(events_dir)
+    stream = read_event_stream(spark, events_dir, schema=batch.schema)
+
+    def build(df):
+        return windowed_token_counts(
+            df, event_time_col(df), "props",
+            window_duration="1 hour", watermark="2 hours",
+        )
+
+    q = (
+        build(stream)
+        .writeStream.format("memory")
+        .queryName("t_wintok")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(180)
+    got = {
+        (r["window_start"], r["token"]): r["n"]
+        for r in spark.sql("SELECT * FROM t_wintok").collect()
+    }
+    exp = {
+        (r["window_start"], r["token"]): r["n"]
+        for r in build(batch).collect()
+    }
+    assert got == exp and len(got) > 0
+    sc = spark.sql(
+        "SELECT CAST(window_start AS LONG) AS ws, token, n "
+        "FROM t_wintok"
+    )
+    bc = build(batch).select(
+        F.col("window_start").cast("long").alias("ws"), "token", "n"
+    )
+    ref = bc.groupBy("token").agg(
+        F.sum("n").cast("bigint").alias("ref_n")
+    )
+    a = {
+        r["ws"]: (r["js_divergence"], r["hellinger"], r["n_tokens"])
+        for r in js_hellinger_vs_reference(sc, ref, 20, ["ws"]).collect()
+    }
+    b = {
+        r["ws"]: (r["js_divergence"], r["hellinger"], r["n_tokens"])
+        for r in js_hellinger_vs_reference(bc, ref, 20, ["ws"]).collect()
+    }
+    assert a == b and len(a) > 0
+    import math
+
+    for js, hel, _ in a.values():
+        assert 0.0 <= js <= math.log(2) + 1e-9
+        assert 0.0 <= hel <= 1.0
+
+
+def test_stream_equals_batch_windowed_confusion(spark, events_dir):
+    """The windowed confusion battery is one stateful aggregation to
+    four exact integers per window: identical counts AND identical
+    closed-form metrics on stream and batch; metrics agree with the
+    batch confusion_stats on the same hourly keys."""
+    from padua_spark.extensions.quality import confusion_stats
+    from padua_spark.streaming import windowed_confusion
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    batch = spark.read.parquet(events_dir)
+    stream = read_event_stream(spark, events_dir, schema=batch.schema)
+
+    def build(df):
+        return windowed_confusion(
+            df, event_time_col(df),
+            (F.col("value") > 100.0).cast("int"),
+            F.col("event_type").isin("click", "view").cast("int"),
+            window_duration="1 hour", watermark="2 hours",
+        )
+
+    q = (
+        build(stream)
+        .writeStream.format("memory")
+        .queryName("t_winconf")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(180)
+    cols = ["tp", "fp", "fn", "tn", "accuracy", "precision",
+            "recall", "f1", "mcc"]
+    got = {
+        r["window_start"]: tuple(r[c] for c in cols)
+        for r in spark.sql("SELECT * FROM t_winconf").collect()
+    }
+    exp = {
+        r["window_start"]: tuple(r[c] for c in cols)
+        for r in build(batch).collect()
+    }
+    assert got == exp and len(got) > 0
+    # the windowed metrics equal batch confusion_stats keyed by hour
+    hourly = batch.withColumn(
+        "_h", F.date_trunc("hour", event_time_col(batch))
+    ).withColumn(
+        "_p", (F.col("value") > 100.0).cast("int")
+    ).withColumn(
+        "_y", F.col("event_type").isin("click", "view").cast("int")
+    )
+    ref = {
+        r["_h"]: tuple(r[c] for c in cols)
+        for r in confusion_stats(hourly, ["_h"], "_p", "_y").collect()
+    }
+    assert got == ref
