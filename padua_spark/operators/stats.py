@@ -714,6 +714,14 @@ def _stepped_running_counts(
         n_parts = max(1, int(spark.conf.get("spark.sql.shuffle.partitions")))
     except (TypeError, ValueError):  # e.g. "auto" on some deployments
         n_parts = max(1, spark.sparkContext.defaultParallelism)
+    # Domain-aware width (round-9 profile, BENCH_SF1-era measurement):
+    # the per-partition window cumsum is cheap, so wide fan-out only
+    # adds scheduling + offset-join overhead. Measured on the
+    # l_extendedprice domain: 583k distinct -> 8-16 partitions beat
+    # 32 by ~25%; 5.8M distinct -> 32 best. Target ~75k domain rows
+    # per range partition, never exceeding the session's shuffle
+    # width (large clusters keep their parallelism).
+    n_parts = min(n_parts, max(1, -(-n_domain // 75_000)))
     ranged = (
         per.repartitionByRange(n_parts, value_col)
         .withColumn("_pid", F.spark_partition_id())
