@@ -16949,6 +16949,297 @@ def q_normality_ppcc(spark, sf):
     return normality_ppcc(e, "value")
 
 
+_MOMENTS_CTE = """
+WITH a AS (
+  SELECT l_returnflag AS grp, CAST(count(*) AS BIGINT) AS n,
+    sum(l_quantity) AS s1,
+    sum(l_quantity * l_quantity) AS s2,
+    sum(l_quantity * l_quantity * l_quantity) AS s3,
+    sum(l_quantity * l_quantity * l_quantity * l_quantity) AS s4
+  FROM lineitem WHERE l_quantity IS NOT NULL GROUP BY 1
+),
+m AS (
+  SELECT grp, n, CAST(n AS DOUBLE) AS nd, s1 / CAST(n AS DOUBLE) AS mu,
+    s2 / CAST(n AS DOUBLE)
+      - (s1 / CAST(n AS DOUBLE)) * (s1 / CAST(n AS DOUBLE)) AS m2,
+    s3 / CAST(n AS DOUBLE)
+      - 3.0 * (s1 / CAST(n AS DOUBLE)) * s2 / CAST(n AS DOUBLE)
+      + 2.0 * (s1 / CAST(n AS DOUBLE)) * (s1 / CAST(n AS DOUBLE))
+            * (s1 / CAST(n AS DOUBLE)) AS m3,
+    s4 / CAST(n AS DOUBLE)
+      - 4.0 * (s1 / CAST(n AS DOUBLE)) * s3 / CAST(n AS DOUBLE)
+      + 6.0 * (s1 / CAST(n AS DOUBLE)) * (s1 / CAST(n AS DOUBLE))
+            * s2 / CAST(n AS DOUBLE)
+      - 3.0 * (s1 / CAST(n AS DOUBLE)) * (s1 / CAST(n AS DOUBLE))
+            * (s1 / CAST(n AS DOUBLE)) * (s1 / CAST(n AS DOUBLE)) AS m4
+  FROM a
+)
+"""
+
+_JARQUE_BERA_ORACLE = _MOMENTS_CTE + """
+, g AS (
+  SELECT grp, n, nd, m3 / pow(m2, 1.5) AS g1,
+    m4 / (m2 * m2) AS g2
+  FROM m WHERE n >= 2 AND m2 > 0
+),
+j AS (
+  SELECT grp, n, g1, g2,
+    nd / 6.0 * (g1 * g1 + (g2 - 3.0) * (g2 - 3.0) / 4.0) AS jb
+  FROM g
+)
+SELECT grp AS l_returnflag, n,
+  round(g1, 6) AS skewness, round(g2, 6) AS kurtosis,
+  round(jb, 6) AS jb_stat, round(exp(-jb / 2.0), 6) AS p_value
+FROM j
+"""
+
+
+@_q("jarque_bera", _JARQUE_BERA_ORACLE)
+def q_jarque_bera(spark, sf):
+    """Jarque-Bera moments-only normality per return flag
+    (stats.jarque_bera): one aggregation to exact integer power sums,
+    chi2(2) survival in closed form."""
+    from padua_spark.operators.stats import jarque_bera
+
+    li = _t(spark, sf, "lineitem")
+    return jarque_bera(li, ["l_returnflag"], "l_quantity")
+
+
+_DAGOSTINO_ORACLE = _MOMENTS_CTE + """
+, g AS (
+  SELECT grp, n, nd, m3 / pow(m2, 1.5) AS b1,
+    m4 / (m2 * m2) AS b2
+  FROM m WHERE m2 > 0
+),
+sk AS (
+  SELECT *,
+    b1 * sqrt((nd + 1.0) * (nd + 3.0) / (6.0 * (nd - 2.0))) AS y0,
+    3.0 * (nd * nd + 27.0 * nd - 70.0) * (nd + 1.0) * (nd + 3.0)
+      / ((nd - 2.0) * (nd + 5.0) * (nd + 7.0) * (nd + 9.0)) AS beta2
+  FROM g
+),
+sk2 AS (
+  SELECT *, -1.0 + sqrt(2.0 * (beta2 - 1.0)) AS w2,
+    CASE WHEN y0 = 0.0 THEN 1.0 ELSE y0 END AS y
+  FROM sk
+),
+sk3 AS (
+  SELECT *, 1.0 / sqrt(0.5 * ln(w2)) AS delta,
+    sqrt(2.0 / (w2 - 1.0)) AS alpha
+  FROM sk2
+),
+z1t AS (
+  SELECT *, CASE WHEN n >= 8 THEN
+    delta * ln(y / alpha + sqrt((y / alpha) * (y / alpha) + 1.0))
+    END AS z1
+  FROM sk3
+),
+kt AS (
+  SELECT *,
+    3.0 * (nd - 1.0) / (nd + 1.0) AS eb2,
+    24.0 * nd * (nd - 2.0) * (nd - 3.0)
+      / ((nd + 1.0) * (nd + 1.0) * (nd + 3.0) * (nd + 5.0)) AS vb2,
+    6.0 * (nd * nd - 5.0 * nd + 2.0) / ((nd + 7.0) * (nd + 9.0))
+      * sqrt(6.0 * (nd + 3.0) * (nd + 5.0)
+             / (nd * (nd - 2.0) * (nd - 3.0))) AS sb1
+  FROM z1t
+),
+kt2 AS (
+  SELECT *, (b2 - eb2) / sqrt(vb2) AS x,
+    6.0 + 8.0 / sb1 * (2.0 / sb1 + sqrt(1.0 + 4.0 / (sb1 * sb1)))
+      AS aa
+  FROM kt
+),
+kt3 AS (
+  SELECT *, 1.0 - 2.0 / (9.0 * aa) AS term1,
+    1.0 + x * sqrt(2.0 / (aa - 4.0)) AS denom
+  FROM kt2
+),
+z2t AS (
+  SELECT *, CASE WHEN n >= 5 THEN
+    (term1 - CASE WHEN denom = 0.0 THEN NULL ELSE
+       sign(denom) * pow((1.0 - 2.0 / aa) / abs(denom),
+                         CAST(1.0 AS DOUBLE) / 3.0) END)
+    / sqrt(2.0 / (9.0 * aa))
+    END AS z2
+  FROM kt3
+)
+SELECT grp AS l_returnflag, n,
+  round(z1, 6) AS z_skew, round(z2, 6) AS z_kurt,
+  round(z1 * z1 + z2 * z2, 6) AS k2_stat,
+  round(exp(-(z1 * z1 + z2 * z2) / 2.0), 6) AS p_value
+FROM z2t
+"""
+
+
+@_q("dagostino_k2", _DAGOSTINO_ORACLE)
+def q_dagostino_k2(spark, sf):
+    """D'Agostino-Pearson K2 omnibus normality per return flag
+    (stats.dagostino_k2): scipy's finite-sample skew/kurtosis Z
+    transforms on the same exact power sums as jarque_bera."""
+    from padua_spark.operators.stats import dagostino_k2
+
+    li = _t(spark, sf, "lineitem")
+    return dagostino_k2(li, ["l_returnflag"], "l_quantity")
+
+
+_DURBIN_WATSON_ORACLE = """
+WITH base AS (
+  SELECT l_returnflag AS grp, l_quantity AS v,
+    v - lag(v) OVER (PARTITION BY l_returnflag
+      ORDER BY l_shipdate, l_orderkey, l_linenumber) AS d
+  FROM lineitem WHERE l_quantity IS NOT NULL
+),
+a AS (
+  SELECT grp, CAST(count(*) AS BIGINT) AS n,
+    sum(v) AS s1, sum(v * v) AS s2, sum(d * d) AS ssd
+  FROM base GROUP BY 1
+)
+SELECT grp AS l_returnflag, n,
+  round(CASE WHEN n >= 2
+    AND s2 - s1 * s1 / CAST(n AS DOUBLE) > 0
+    THEN ssd / (s2 - s1 * s1 / CAST(n AS DOUBLE)) END, 6) AS dw
+FROM a
+"""
+
+
+@_q("durbin_watson", _DURBIN_WATSON_ORACLE)
+def q_durbin_watson(spark, sf):
+    """Durbin-Watson first-order autocorrelation of quantities per
+    return flag, shipdate order (stats.durbin_watson): one lag window
+    + one aggregation; the demeaning is algebraic so integer series
+    are engine-exact."""
+    from padua_spark.operators.stats import durbin_watson
+
+    li = _t(spark, sf, "lineitem")
+    return durbin_watson(
+        li, ["l_returnflag"],
+        ["l_shipdate", "l_orderkey", "l_linenumber"], "l_quantity",
+    )
+
+
+_RUNS_TEST_ORACLE = """
+WITH base AS (
+  SELECT l_returnflag AS grp, l_shipdate, l_orderkey, l_linenumber,
+    CAST(l_quantity AS DOUBLE) AS v
+  FROM lineitem WHERE l_quantity IS NOT NULL
+),
+med AS (SELECT grp, median(v) AS m FROM base GROUP BY 1),
+s AS (
+  SELECT b.grp,
+    CASE WHEN b.v > med.m THEN 1 ELSE 0 END AS sgn,
+    CASE WHEN lag(CASE WHEN b.v > med.m THEN 1 ELSE 0 END) OVER w
+         IS NULL THEN 1
+      WHEN lag(CASE WHEN b.v > med.m THEN 1 ELSE 0 END) OVER w
+         <> CASE WHEN b.v > med.m THEN 1 ELSE 0 END THEN 1
+      ELSE 0 END AS new_run
+  FROM base b JOIN med ON med.grp = b.grp
+  WHERE b.v <> med.m
+  WINDOW w AS (PARTITION BY b.grp
+               ORDER BY b.l_shipdate, b.l_orderkey, b.l_linenumber)
+),
+a AS (
+  SELECT grp, CAST(sum(sgn) AS BIGINT) AS n1_above,
+    CAST(sum(1 - sgn) AS BIGINT) AS n2_below,
+    CAST(sum(new_run) AS BIGINT) AS n_runs
+  FROM s GROUP BY 1
+),
+z0 AS (
+  SELECT grp, n1_above, n2_below, n_runs,
+    CAST(n1_above AS DOUBLE) AS n1, CAST(n2_below AS DOUBLE) AS n2,
+    CAST(n1_above AS DOUBLE) + CAST(n2_below AS DOUBLE) AS nn
+  FROM a
+),
+zz AS (
+  SELECT grp, n1_above, n2_below, n_runs,
+    CASE WHEN n1_above > 0 AND n2_below > 0
+      AND 2.0 * n1 * n2 * (2.0 * n1 * n2 - n1 - n2)
+          / (nn * nn * (nn - 1.0)) > 0
+    THEN (CAST(n_runs AS DOUBLE) - (2.0 * n1 * n2 / nn + 1.0))
+      / sqrt(2.0 * n1 * n2 * (2.0 * n1 * n2 - n1 - n2)
+             / (nn * nn * (nn - 1.0)))
+    END AS z
+  FROM z0
+),
+e AS (
+  SELECT *, abs(z) / sqrt(2.0) AS x,
+    1.0 / (1.0 + 0.3275911 * (abs(z) / sqrt(2.0))) AS t
+  FROM zz
+)
+SELECT grp AS l_returnflag, n1_above, n2_below, n_runs,
+  round(z, 6) AS z,
+  round(CASE WHEN z IS NOT NULL THEN
+    (0.254829592 * t + -0.284496736 * t * t
+     + 1.421413741 * t * t * t + -1.453152027 * t * t * t * t
+     + 1.061405429 * t * t * t * t * t) * exp(-x * x) END, 6)
+    AS p_value
+FROM e
+"""
+
+
+@_q("runs_test", _RUNS_TEST_ORACLE)
+def q_runs_test(spark, sf):
+    """Wald-Wolfowitz runs test of quantity above/below the exact
+    group median, shipdate order (stats.runs_test): order-sensitive
+    randomness check the distributional tests cannot see."""
+    from padua_spark.operators.stats import runs_test
+
+    li = _t(spark, sf, "lineitem")
+    return runs_test(
+        li, ["l_returnflag"],
+        ["l_shipdate", "l_orderkey", "l_linenumber"], "l_quantity",
+    )
+
+
+def _sign_test_oracle() -> str:
+    lp_i = _log_choose_sql("nd", "i") + " + nd * ln(0.5)"
+    lp_k = _log_choose_sql("nd", "k") + " + nd * ln(0.5)"
+    return f"""
+WITH pairs AS (
+  SELECT l_discount AS x, l_tax AS y FROM lineitem
+  WHERE l_discount IS NOT NULL AND l_tax IS NOT NULL
+),
+cnt AS (
+  SELECT
+    CAST(sum(CASE WHEN x > y THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+    CAST(sum(CASE WHEN x < y THEN 1 ELSE 0 END) AS BIGINT) AS n_neg,
+    CAST(sum(CASE WHEN x = y THEN 1 ELSE 0 END) AS BIGINT) AS n_tie
+  FROM pairs
+),
+st AS (SELECT *, n_pos + n_neg AS nd, n_pos AS k FROM cnt),
+rows_i AS (
+  SELECT st.*, unnest(generate_series(CAST(0 AS BIGINT), nd)) AS i
+  FROM st
+),
+terms AS (
+  SELECT n_pos, n_neg, n_tie, nd, k, i,
+    ({lp_i}) AS lp, ({lp_k}) AS lpk
+  FROM rows_i
+),
+p AS (
+  SELECT n_pos, n_neg, n_tie, max(nd) AS nd,
+    sum(CASE WHEN lp <= lpk + 9.999999505838704e-08
+        THEN exp(lp) ELSE 0.0 END ORDER BY i) AS pt
+  FROM terms GROUP BY 1, 2, 3
+)
+SELECT n_pos, n_neg, n_tie,
+  round(CASE WHEN nd > 0 THEN least(pt, 1.0) ELSE 1.0 END, 6)
+    AS p_exact
+FROM p
+"""
+
+
+@_q("sign_test", _sign_test_oracle())
+def q_sign_test(spark, sf):
+    """Paired exact sign test, discount vs tax per lineitem
+    (stats.sign_test): one aggregation to the sign counts, the shared
+    bounded binomial tail fold."""
+    from padua_spark.operators.stats import sign_test
+
+    li = _t(spark, sf, "lineitem")
+    return sign_test(li, "l_discount", "l_tax")
+
+
 # ---------------------------------------------------------------------------
 
 

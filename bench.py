@@ -118,6 +118,11 @@ HEADLINE = [
     "windowed_psi",
     "windowed_token_divergence",
     "windowed_confusion",
+    "jarque_bera",
+    "dagostino_k2",
+    "durbin_watson",
+    "runs_test",
+    "sign_test",
     "anova_2way_stats",
     "levene_stats",
     "ttest_paired_stats",

@@ -6373,3 +6373,349 @@ def normality_ppcc(
         F.round(r * r, 6).alias("shapiro_francia_w"),
     )
     return track_cached(out, *getattr(stepped, "_padua_cached", ()))
+
+
+def _moment_frame(
+    df: DataFrame, group_cols: list[str], value_col: str
+) -> DataFrame:
+    """Shared per-group raw-moment aggregation for the moment-based
+    normality tests (:func:`jarque_bera`, :func:`dagostino_k2`): ONE
+    map-side-combined aggregation to ``(n, Σx, Σx², Σx³, Σx⁴)``, then
+    the central moments ``m2, m3, m4`` by the standard raw→central
+    expansion. For integer-valued columns with ``Σx⁴ < 2⁵³`` (event
+    counts, quantities, cents) every sum is EXACT in doubles, so both
+    engines produce bit-identical statistics regardless of summation
+    order."""
+    v = F.col(value_col).cast("double")
+    agg = df.where(v.isNotNull()).groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(v).alias("_s1"),
+        F.sum(v * v).alias("_s2"),
+        F.sum(v * v * v).alias("_s3"),
+        F.sum(v * v * v * v).alias("_s4"),
+    )
+    nd = F.col("n").cast("double")
+    m = F.col("_s1") / nd
+    m2 = F.col("_s2") / nd - m * m
+    m3 = F.col("_s3") / nd - 3.0 * m * F.col("_s2") / nd + 2.0 * m * m * m
+    m4 = (
+        F.col("_s4") / nd
+        - 4.0 * m * F.col("_s3") / nd
+        + 6.0 * m * m * F.col("_s2") / nd
+        - 3.0 * m * m * m * m
+    )
+    return agg.select(
+        *group_cols, "n",
+        m.alias("_m"), m2.alias("_m2"),
+        m3.alias("_m3"), m4.alias("_m4"),
+    )
+
+
+def jarque_bera(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+) -> DataFrame:
+    """Jarque–Bera normality test per group — the moments-only
+    normality check (does skewness ≈ 0 and kurtosis ≈ 3 hold?), the
+    cheap large-n companion to :func:`normality_ppcc` (which needs a
+    rank pass; JB is ONE aggregation, no sort, no join):
+
+    ``g1 = m3/m2^{3/2}``, ``g2 = m4/m2²``,
+    ``JB = n/6·(g1² + (g2−3)²/4)``, ``p = exp(−JB/2)``
+    (the χ²₂ survival function in closed form — no special function).
+
+    Scale shape: one map-side-combined aggregation over the fact
+    table; everything after is scalar arithmetic on the per-group
+    row. Output: ``(groups…, n, skewness, kurtosis, jb_stat,
+    p_value)``, 6dp; NULL stats when n < 2 or the variance is 0.
+
+    Beyond the reference (padua's stats stop at t/ANOVA,
+    analysis.py); standard per Jarque & Bera 1987, matching
+    scipy.stats.jarque_bera (which uses population moments, as here).
+    """
+    mf = _moment_frame(df, group_cols, value_col)
+    ok = (F.col("n") >= 2) & (F.col("_m2") > 0)
+    g1 = F.col("_m3") / F.pow(F.col("_m2"), 1.5)
+    g2 = F.col("_m4") / (F.col("_m2") * F.col("_m2"))
+    nd = F.col("n").cast("double")
+    jb = nd / 6.0 * (g1 * g1 + (g2 - 3.0) * (g2 - 3.0) / 4.0)
+    return mf.select(
+        *group_cols, "n",
+        F.round(F.when(ok, g1), 6).alias("skewness"),
+        F.round(F.when(ok, g2), 6).alias("kurtosis"),
+        F.round(F.when(ok, jb), 6).alias("jb_stat"),
+        F.round(F.when(ok, F.exp(-jb / 2.0)), 6).alias("p_value"),
+    )
+
+
+def dagostino_k2(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+) -> DataFrame:
+    """D'Agostino–Pearson K² omnibus normality test per group — the
+    finite-sample-corrected upgrade of :func:`jarque_bera`
+    (scipy.stats.normaltest): the skewness and kurtosis are each
+    transformed to approximate standard normal Z's with their exact
+    small-n moment corrections, then ``K² = Z₁² + Z₂²``,
+    ``p = exp(−K²/2)``.
+
+    Z₁ is D'Agostino 1970's skewness transform (the Johnson SU fit:
+    ``Z₁ = δ·asinh(Y/α)``), Z₂ is Anscombe–Glynn 1983's kurtosis
+    transform (cube-root Wilson–Hilferty of the standardized b₂) —
+    the same formulas, in the same order, as scipy's
+    skewtest/kurtosistest, so values match to float precision. Same
+    ONE-aggregation plan as :func:`jarque_bera`. Output: ``(groups…,
+    n, z_skew, z_kurt, k2_stat, p_value)``, 6dp; ``z_skew`` NULL when
+    n < 8, ``z_kurt`` NULL when n < 5 (scipy's hard minimums), K²/p
+    NULL unless both legs are defined.
+    """
+    mf = _moment_frame(df, group_cols, value_col)
+    nd = F.col("n").cast("double")
+    ok = F.col("_m2") > 0
+    b1 = F.col("_m3") / F.pow(F.col("_m2"), 1.5)
+    # --- skewtest (D'Agostino 1970) ---
+    y = b1 * F.sqrt((nd + 1.0) * (nd + 3.0) / (6.0 * (nd - 2.0)))
+    beta2 = (
+        3.0 * (nd * nd + 27.0 * nd - 70.0) * (nd + 1.0) * (nd + 3.0)
+        / ((nd - 2.0) * (nd + 5.0) * (nd + 7.0) * (nd + 9.0))
+    )
+    w2 = -1.0 + F.sqrt(2.0 * (beta2 - 1.0))
+    delta = 1.0 / F.sqrt(0.5 * F.log(w2))
+    alpha = F.sqrt(2.0 / (w2 - 1.0))
+    y = F.when(y == 0.0, F.lit(1.0)).otherwise(y)
+    ya = y / alpha
+    z1 = F.when(
+        (F.col("n") >= 8) & ok,
+        delta * F.log(ya + F.sqrt(ya * ya + 1.0)),
+    )
+    # --- kurtosistest (Anscombe & Glynn 1983) ---
+    b2 = F.col("_m4") / (F.col("_m2") * F.col("_m2"))
+    eb2 = 3.0 * (nd - 1.0) / (nd + 1.0)
+    vb2 = (
+        24.0 * nd * (nd - 2.0) * (nd - 3.0)
+        / ((nd + 1.0) * (nd + 1.0) * (nd + 3.0) * (nd + 5.0))
+    )
+    x = (b2 - eb2) / F.sqrt(vb2)
+    sb1 = (
+        6.0 * (nd * nd - 5.0 * nd + 2.0) / ((nd + 7.0) * (nd + 9.0))
+        * F.sqrt(
+            6.0 * (nd + 3.0) * (nd + 5.0)
+            / (nd * (nd - 2.0) * (nd - 3.0))
+        )
+    )
+    a = 6.0 + 8.0 / sb1 * (
+        2.0 / sb1 + F.sqrt(1.0 + 4.0 / (sb1 * sb1))
+    )
+    term1 = 1.0 - 2.0 / (9.0 * a)
+    denom = 1.0 + x * F.sqrt(2.0 / (a - 4.0))
+    term2 = F.when(denom == 0.0, F.lit(None).cast("double")).otherwise(
+        F.signum(denom)
+        * F.pow((1.0 - 2.0 / a) / F.abs(denom), 1.0 / 3.0)
+    )
+    z2 = F.when(
+        (F.col("n") >= 5) & ok,
+        (term1 - term2) / F.sqrt(2.0 / (9.0 * a)),
+    )
+    staged = mf.withColumn("_z1", z1).withColumn("_z2", z2)
+    k2 = (
+        F.col("_z1") * F.col("_z1") + F.col("_z2") * F.col("_z2")
+    )
+    return staged.select(
+        *group_cols, "n",
+        F.round("_z1", 6).alias("z_skew"),
+        F.round("_z2", 6).alias("z_kurt"),
+        F.round(k2, 6).alias("k2_stat"),
+        F.round(F.exp(-k2 / 2.0), 6).alias("p_value"),
+    )
+
+
+def durbin_watson(
+    df: DataFrame,
+    group_cols: list[str],
+    order_cols: list[str],
+    value_col: str,
+    demean: bool = True,
+) -> DataFrame:
+    """Durbin–Watson first-order autocorrelation statistic per group:
+    ``DW = Σ_{t≥2}(e_t − e_{t−1})² / Σ e_t²`` over the series ordered
+    by ``order_cols`` — the classic residual-independence diagnostic
+    (DW ≈ 2 independent, → 0 positive autocorrelation, → 4
+    negative). With ``demean=True`` residuals are taken against the
+    group mean (DW on raw values from a constant-mean model);
+    pass False when ``value_col`` already holds regression residuals.
+
+    Scale shape: ONE shuffle on the group key (the lag window), one
+    aggregation, no driver work — and NO mean pass at all: the
+    demeaning is algebraic (the constant cancels in the successive
+    differences, and ``Σe² = Σv² − (Σv)²/n``), so for integer-valued
+    series every sum is exact and both engines agree bit-for-bit.
+    Per-group state is the ordered partition (the bounded-key caveat
+    of every per-key ordering). Output: ``(groups…, n, dw)``, 6dp; NULL
+    when n < 2 or the residual sum of squares is 0.
+
+    Beyond the reference; standard per Durbin & Watson 1950, matching
+    statsmodels.stats.stattools.durbin_watson on the demeaned series.
+    """
+    v = F.col(value_col).cast("double")
+    base = df.where(v.isNotNull()).select(
+        *group_cols, *order_cols, v.alias("_v")
+    )
+    w = Window.partitionBy(*group_cols).orderBy(
+        *[F.col(c).asc() for c in order_cols]
+    )
+    d = F.col("_v") - F.lag("_v").over(w)
+    staged = base.select(*group_cols, "_v", d.alias("_d"))
+    agg = staged.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("_v").alias("_s1"),
+        F.sum(F.col("_v") * F.col("_v")).alias("_s2"),
+        F.sum(F.col("_d") * F.col("_d")).alias("_ssd"),
+    )
+    nd = F.col("n").cast("double")
+    sse = F.col("_s2") - (
+        F.col("_s1") * F.col("_s1") / nd if demean else F.lit(0.0)
+    )
+    ok = (F.col("n") >= 2) & (sse > 0)
+    return agg.select(
+        *group_cols, "n",
+        F.round(
+            F.when(ok, F.col("_ssd") / sse), 6
+        ).alias("dw"),
+    )
+
+
+def runs_test(
+    df: DataFrame,
+    group_cols: list[str],
+    order_cols: list[str],
+    value_col: str,
+) -> DataFrame:
+    """Wald–Wolfowitz runs test per group — is the sequence random?
+    The order-sensitive complement to the distributional tests: a
+    series can pass every normality check and still alternate or
+    cluster (a feed flapping between sources, a sensor oscillating).
+
+    Values are dichotomized ABOVE/BELOW the group's exact median
+    (ties AT the median dropped — the standard convention), the
+    ordered sign sequence's run count ``R`` is compared to its
+    randomness null:
+
+    ``μ = 2·n₁·n₂/(n₁+n₂) + 1``,
+    ``σ² = 2n₁n₂(2n₁n₂ − n₁ − n₂) / ((n₁+n₂)²(n₁+n₂−1))``,
+    ``z = (R − μ)/σ``, two-sided normal p.
+
+    Scale shape: exact medians via the shared sort-based
+    :func:`~padua_spark.operators.normalization.group_medians`
+    (one exchange of a two-column projection), one window pass for
+    the run boundaries riding a single group shuffle, one small
+    aggregation. Output: ``(groups…, n1_above, n2_below, n_runs, z,
+    p_value)``, 6dp; z/p NULL when either side is empty or σ = 0.
+
+    Beyond the reference; standard per Wald & Wolfowitz 1940.
+    """
+    from padua_spark.operators.normalization import group_medians
+
+    v = F.col(value_col).cast("double")
+    base = df.where(v.isNotNull()).select(
+        *group_cols, *order_cols, v.alias("_v")
+    )
+    med = group_medians(base, list(group_cols), F.col("_v"), "_med")
+    signed = (
+        base.join(med, on=list(group_cols))
+        .where(F.col("_v") != F.col("_med"))
+        .select(
+            *group_cols,
+            *order_cols,
+            (F.col("_v") > F.col("_med")).cast("int").alias("_s"),
+        )
+    )
+    w = Window.partitionBy(*group_cols).orderBy(
+        *[F.col(c).asc() for c in order_cols]
+    )
+    flagged = signed.select(
+        *group_cols,
+        "_s",
+        F.when(
+            F.lag("_s").over(w).isNull()
+            | (F.lag("_s").over(w) != F.col("_s")),
+            1,
+        ).otherwise(0).alias("_new_run"),
+    )
+    agg = flagged.groupBy(*group_cols).agg(
+        F.sum("_s").cast("bigint").alias("n1_above"),
+        F.sum(1 - F.col("_s")).cast("bigint").alias("n2_below"),
+        F.sum("_new_run").cast("bigint").alias("n_runs"),
+    )
+    n1 = F.col("n1_above").cast("double")
+    n2 = F.col("n2_below").cast("double")
+    nn = n1 + n2
+    mu = 2.0 * n1 * n2 / nn + 1.0
+    var = (
+        2.0 * n1 * n2 * (2.0 * n1 * n2 - n1 - n2)
+        / (nn * nn * (nn - 1.0))
+    )
+    z = F.when(
+        (F.col("n1_above") > 0) & (F.col("n2_below") > 0) & (var > 0),
+        (F.col("n_runs").cast("double") - mu) / F.sqrt(var),
+    )
+    staged = agg.withColumn("_z", z)
+    return staged.select(
+        *group_cols, "n1_above", "n2_below", "n_runs",
+        F.round("_z", 6).alias("z"),
+        F.round(
+            F.when(
+                F.col("_z").isNotNull(),
+                _normal_sf_2sided(F.col("_z")),
+            ),
+            6,
+        ).alias("p_value"),
+    )
+
+
+def sign_test(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    max_support: int = 200_000,
+) -> DataFrame:
+    """Paired sign test — the assumption-free paired comparison (no
+    symmetry requirement, unlike Wilcoxon signed-rank): under H0 the
+    sign of ``x − y`` is a fair coin, so ``n⁺ ~ Bin(n⁺+n⁻, ½)``
+    exactly (ties dropped, the standard convention). ONE aggregation
+    to the exact sign counts, then the shared bounded JVM binomial
+    tail fold (:func:`_binom_exact_pvalues` — the same
+    point-probability two-sided rule as :func:`binom_test_exact`,
+    which at p₀ = ½ equals the classic doubled-min-tail by symmetry).
+
+    Output 1 row: ``(n_pos, n_neg, n_tie, p_exact)``, 6dp; p 1.0 when
+    there are no non-tied pairs.
+
+    Beyond the reference; standard (Arbuthnott 1710, the oldest
+    significance test there is).
+    """
+    x = F.col(x_col).cast("double")
+    y = F.col(y_col).cast("double")
+    base = df.where(x.isNotNull() & y.isNotNull())
+    agg = base.agg(
+        F.sum((x > y).cast("int")).cast("bigint").alias("n_pos"),
+        F.sum((x < y).cast("int")).cast("bigint").alias("n_neg"),
+        F.sum((x == y).cast("int")).cast("bigint").alias("n_tie"),
+    )
+    staged0 = agg.withColumn(
+        "_nd", F.col("n_pos") + F.col("n_neg")
+    ).withColumn("_k", F.col("n_pos")).withColumn(
+        "_half", F.lit(0.5)
+    )
+    staged, _pl, _pr, pt = _binom_exact_pvalues(
+        staged0, "_nd", "_k", "_half", max_support
+    )
+    return staged.select(
+        "n_pos", "n_neg", "n_tie",
+        F.round(
+            F.when(F.col("_nd") > 0, F.least(pt, F.lit(1.0)))
+            .otherwise(F.lit(1.0)),
+            6,
+        ).alias("p_exact"),
+    )

@@ -7127,3 +7127,168 @@ def test_normality_ppcc_vs_reference(spark):
     re_ = normality_ppcc(dfe, "v").collect()[0]
     assert re_["ppcc"] == pytest.approx(ref(e), abs=1e-5)
     assert re_["ppcc"] < 0.96
+
+
+def test_jarque_bera_and_dagostino_vs_replica(spark):
+    """JB and K2 against direct numpy replicas of the scipy formulas
+    (population moments; D'Agostino/Anscombe-Glynn Z transforms),
+    plus the n/variance guards."""
+    import math
+
+    import numpy as np
+
+    from padua_spark.operators.stats import dagostino_k2, jarque_bera
+
+    rng = np.random.RandomState(3)
+    x = rng.gamma(2.0, 1.0, 200)
+    df = spark.createDataFrame(
+        [("g", float(v)) for v in x], ["g", "v"]
+    )
+    n = len(x)
+    m = x.mean()
+    m2 = ((x - m) ** 2).mean()
+    m3 = ((x - m) ** 3).mean()
+    m4 = ((x - m) ** 4).mean()
+    g1 = m3 / m2 ** 1.5
+    g2 = m4 / m2 ** 2
+    jb = n / 6 * (g1 ** 2 + (g2 - 3) ** 2 / 4)
+    r = jarque_bera(df, ["g"], "v").collect()[0]
+    assert r["skewness"] == pytest.approx(g1, abs=1e-6)
+    assert r["kurtosis"] == pytest.approx(g2, abs=1e-6)
+    assert r["jb_stat"] == pytest.approx(jb, abs=1e-4)
+    assert r["p_value"] == pytest.approx(math.exp(-jb / 2), abs=1e-6)
+
+    yv = g1 * math.sqrt(((n + 1) * (n + 3)) / (6.0 * (n - 2)))
+    beta2 = (3.0 * (n ** 2 + 27 * n - 70) * (n + 1) * (n + 3)) / (
+        (n - 2.0) * (n + 5) * (n + 7) * (n + 9)
+    )
+    w2 = -1 + math.sqrt(2 * (beta2 - 1))
+    delta = 1 / math.sqrt(0.5 * math.log(w2))
+    alpha = math.sqrt(2.0 / (w2 - 1))
+    z1 = delta * math.log(
+        yv / alpha + math.sqrt((yv / alpha) ** 2 + 1)
+    )
+    e2 = 3.0 * (n - 1) / (n + 1)
+    v2 = 24.0 * n * (n - 2) * (n - 3) / (
+        (n + 1) ** 2 * (n + 3) * (n + 5)
+    )
+    xx = (g2 - e2) / math.sqrt(v2)
+    sb1 = (
+        6.0 * (n * n - 5 * n + 2) / ((n + 7) * (n + 9))
+        * math.sqrt(6.0 * (n + 3) * (n + 5) / (n * (n - 2) * (n - 3)))
+    )
+    a = 6.0 + 8.0 / sb1 * (
+        2.0 / sb1 + math.sqrt(1 + 4.0 / sb1 ** 2)
+    )
+    den = 1 + xx * math.sqrt(2 / (a - 4.0))
+    t2 = math.copysign(
+        abs((1 - 2.0 / a) / abs(den)) ** (1 / 3.0), den
+    )
+    z2 = (1 - 2 / (9.0 * a) - t2) / math.sqrt(2 / (9.0 * a))
+    k2 = z1 * z1 + z2 * z2
+    rk = dagostino_k2(df, ["g"], "v").collect()[0]
+    assert rk["z_skew"] == pytest.approx(z1, abs=1e-5)
+    assert rk["z_kurt"] == pytest.approx(z2, abs=1e-5)
+    assert rk["k2_stat"] == pytest.approx(k2, abs=1e-4)
+    # guards: tiny n -> NULL legs
+    tiny = spark.createDataFrame(
+        [("g", float(v)) for v in [1, 2, 3, 4, 5, 6]], ["g", "v"]
+    )
+    rt = dagostino_k2(tiny, ["g"], "v").collect()[0]
+    assert rt["z_skew"] is None and rt["k2_stat"] is None
+    assert rt["z_kurt"] is not None  # n=6 >= 5
+    const = spark.createDataFrame(
+        [("g", 5.0)] * 10, ["g", "v"]
+    )
+    assert jarque_bera(const, ["g"], "v").collect()[0][
+        "jb_stat"] is None
+
+
+def test_durbin_watson_vs_replica(spark):
+    """DW against the statsmodels formula on the demeaned series;
+    alternating series -> near 4, trending -> near 0; demean=False
+    uses raw values."""
+    import numpy as np
+
+    from padua_spark.operators.stats import durbin_watson
+
+    rng = np.random.RandomState(5)
+    x = rng.randint(1, 50, 80).astype(float)
+    df = spark.createDataFrame(
+        [("g", i, float(v)) for i, v in enumerate(x)],
+        ["g", "t", "v"],
+    )
+    e = x - x.mean()
+    dw = float(np.sum(np.diff(e) ** 2) / np.sum(e ** 2))
+    r = durbin_watson(df, ["g"], ["t"], "v").collect()[0]
+    assert r["dw"] == pytest.approx(dw, abs=1e-6)
+    raw = float(np.sum(np.diff(x) ** 2) / np.sum(x ** 2))
+    r2 = durbin_watson(
+        df, ["g"], ["t"], "v", demean=False
+    ).collect()[0]
+    assert r2["dw"] == pytest.approx(raw, abs=1e-6)
+    alt = spark.createDataFrame(
+        [("g", i, float((-1) ** i)) for i in range(40)],
+        ["g", "t", "v"],
+    )
+    assert durbin_watson(alt, ["g"], ["t"], "v").collect()[0][
+        "dw"] > 3.8
+    trend = spark.createDataFrame(
+        [("g", i, float(i)) for i in range(40)], ["g", "t", "v"]
+    )
+    assert durbin_watson(trend, ["g"], ["t"], "v").collect()[0][
+        "dw"] < 0.2
+
+
+def test_runs_and_sign_tests_vs_replica(spark):
+    """Runs test against a hand replica (runs/counts/z/p) and the
+    alternating/clustered extremes; sign test against the exact
+    binomial tail."""
+    import math
+    from math import comb
+
+    import numpy as np
+
+    from padua_spark.operators.stats import runs_test, sign_test
+
+    rng = np.random.RandomState(3)
+    x = rng.gamma(2.0, 1.0, 200)
+    df = spark.createDataFrame(
+        [("g", i, float(v)) for i, v in enumerate(x)],
+        ["g", "t", "v"],
+    )
+    med = float(np.median(x))
+    s = [1 if v > med else 0 for v in x if v != med]
+    runs = 1 + sum(1 for i in range(1, len(s)) if s[i] != s[i - 1])
+    n1, n2 = sum(s), len(s) - sum(s)
+    mu = 2 * n1 * n2 / (n1 + n2) + 1
+    var = (
+        2 * n1 * n2 * (2 * n1 * n2 - n1 - n2)
+        / ((n1 + n2) ** 2 * (n1 + n2 - 1))
+    )
+    z = (runs - mu) / math.sqrt(var)
+    p = math.erfc(abs(z) / math.sqrt(2))
+    r = runs_test(df, ["g"], ["t"], "v").collect()[0]
+    assert (r["n_runs"], r["n1_above"], r["n2_below"]) == (
+        runs, n1, n2)
+    assert r["z"] == pytest.approx(z, abs=1e-5)
+    assert r["p_value"] == pytest.approx(p, abs=1e-4)
+    # alternating -> many runs, strongly non-random (z >> 0)
+    alt = spark.createDataFrame(
+        [("g", i, float(i % 2)) for i in range(40)],
+        ["g", "t", "v"],
+    )
+    ra = runs_test(alt, ["g"], ["t"], "v").collect()[0]
+    assert ra["n_runs"] == 40 and ra["p_value"] < 1e-6
+
+    pairs = [(float(i), float(i + 1)) for i in range(7)] + [
+        (5.0, 1.0), (6.0, 2.0), (7.0, 3.0), (9.0, 9.0)
+    ]
+    rs = sign_test(
+        spark.createDataFrame(pairs, ["x", "y"]), "x", "y"
+    ).collect()[0]
+    exact = sum(
+        comb(10, i) for i in list(range(0, 4)) + list(range(7, 11))
+    ) / 2 ** 10
+    assert (rs["n_pos"], rs["n_neg"], rs["n_tie"]) == (3, 7, 1)
+    assert rs["p_exact"] == pytest.approx(exact, abs=1e-6)
