@@ -17240,6 +17240,183 @@ def q_sign_test(spark, sf):
     return sign_test(li, "l_discount", "l_tax")
 
 
+_ORDINAL_ASSOC_ORACLE = """
+WITH cells AS (
+  SELECT l_quantity AS x, l_linenumber AS y,
+    CAST(count(*) AS BIGINT) AS c
+  FROM lineitem
+  WHERE l_quantity IS NOT NULL AND l_linenumber IS NOT NULL
+  GROUP BY 1, 2
+),
+cd AS (
+  SELECT
+    CAST(coalesce(sum(CASE WHEN b.y > a.y THEN a.c * b.c END), 0)
+      AS BIGINT) AS cs,
+    CAST(coalesce(sum(CASE WHEN b.y < a.y THEN a.c * b.c END), 0)
+      AS BIGINT) AS ds
+  FROM cells a JOIN cells b ON b.x > a.x
+),
+t AS (
+  SELECT CAST(sum(c) AS BIGINT) AS n,
+    CAST(sum(CAST(c AS HUGEINT) * c) AS BIGINT) AS scc
+  FROM cells
+),
+tx AS (
+  SELECT CAST(sum(CAST(r AS HUGEINT) * r) AS BIGINT) AS sxx
+  FROM (SELECT sum(c) AS r FROM cells GROUP BY x)
+),
+ty AS (
+  SELECT CAST(sum(CAST(r AS HUGEINT) * r) AS BIGINT) AS syy
+  FROM (SELECT sum(c) AS r FROM cells GROUP BY y)
+),
+z AS (
+  SELECT n, cs, ds,
+    CAST(cs AS DOUBLE) AS csd, CAST(ds AS DOUBLE) AS dsd,
+    CAST(n AS DOUBLE) AS nd,
+    CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0) / 2.0 AS n0,
+    (CAST(sxx AS DOUBLE) - CAST(n AS DOUBLE)) / 2.0 AS t_x,
+    (CAST(syy AS DOUBLE) - CAST(n AS DOUBLE)) / 2.0 AS t_y
+  FROM cd, t, tx, ty
+)
+SELECT n, cs AS concordant, ds AS discordant,
+  round(CASE WHEN csd + dsd > 0
+    THEN (csd - dsd) / (csd + dsd) END, 6) AS gamma,
+  round(CASE WHEN n0 - t_x > 0
+    THEN (csd - dsd) / (n0 - t_x) END, 6) AS somers_d_yx,
+  round(CASE WHEN n0 - t_y > 0
+    THEN (csd - dsd) / (n0 - t_y) END, 6) AS somers_d_xy
+FROM z
+"""
+
+
+@_q("ordinal_association", _ORDINAL_ASSOC_ORACLE)
+def q_ordinal_association(spark, sf):
+    """Goodman-Kruskal gamma + Somers' D of quantity vs linenumber
+    (stats.ordinal_association): pairs never enumerated — cell-pair
+    sums over the bounded contingency frame, exact integers
+    throughout."""
+    from padua_spark.operators.stats import ordinal_association
+
+    li = _t(spark, sf, "lineitem")
+    return ordinal_association(li, "l_quantity", "l_linenumber")
+
+
+def _clustering_coef_oracle() -> str:
+    return f"""
+WITH mh AS ({_minhash_oracle()}),
+e AS (
+  SELECT DISTINCT least(id_a, id_b) AS u, greatest(id_a, id_b) AS v
+  FROM mh WHERE id_a <> id_b
+),
+deg AS (
+  SELECT x, CAST(count(*) AS BIGINT) AS d
+  FROM (SELECT u AS x FROM e UNION ALL SELECT v AS x FROM e)
+  GROUP BY x
+),
+o AS (
+  SELECT
+    CASE WHEN (du.d < dv.d) OR (du.d = dv.d AND e.u < e.v)
+      THEN e.u ELSE e.v END AS s,
+    CASE WHEN (du.d < dv.d) OR (du.d = dv.d AND e.u < e.v)
+      THEN e.v ELSE e.u END AS t
+  FROM e JOIN deg du ON du.x = e.u JOIN deg dv ON dv.x = e.v
+),
+w AS (
+  SELECT o1.s AS a, o1.t AS b, o2.t AS c
+  FROM o o1 JOIN o o2 ON o1.t = o2.s
+),
+tri AS MATERIALIZED (
+  SELECT a, b, c FROM w
+  WHERE EXISTS (SELECT 1 FROM o WHERE o.s = w.a AND o.t = w.c)
+),
+per_node AS (
+  SELECT x, CAST(count(*) AS BIGINT) AS t FROM (
+    SELECT a AS x FROM tri
+    UNION ALL SELECT b AS x FROM tri
+    UNION ALL SELECT c AS x FROM tri
+  ) GROUP BY x
+)
+SELECT deg.x AS node, deg.d AS degree,
+  CAST(coalesce(per_node.t, 0) AS BIGINT) AS n_triangles,
+  round(CASE WHEN deg.d >= 2 THEN
+    2.0 * CAST(coalesce(per_node.t, 0) AS DOUBLE)
+    / (CAST(deg.d AS DOUBLE) * (CAST(deg.d AS DOUBLE) - 1.0)) END, 6)
+    AS clustering_coef
+FROM deg LEFT JOIN per_node ON per_node.x = deg.x
+"""
+
+
+@_q("clustering_coefficient", _clustering_coef_oracle())
+def q_clustering_coefficient(spark, sf):
+    """Per-node local clustering coefficient of the MinHash candidate
+    graph (graph.local_clustering): the node-level duplicate-clique
+    triage — same skew-proof degree-oriented wedge join as
+    triangle_count, each triangle crediting its three corners."""
+    from padua_spark.extensions import dedup as x_dedup
+    from padua_spark.extensions.graph import local_clustering
+
+    d = _t(spark, sf, "documents")
+    cand = x_dedup.minhash_lsh_candidates(
+        d, "doc_id", "text", k_shingle=3, num_hashes=32, bands=8,
+        portable_keys=True,
+    )
+    return local_clustering(cand, "id_a", "id_b")
+
+
+def _assortativity_oracle() -> str:
+    return f"""
+WITH mh AS ({_minhash_oracle()}),
+e AS (
+  SELECT DISTINCT least(id_a, id_b) AS u, greatest(id_a, id_b) AS v
+  FROM mh WHERE id_a <> id_b
+),
+deg AS (
+  SELECT x, CAST(count(*) AS BIGINT) AS d
+  FROM (SELECT u AS x FROM e UNION ALL SELECT v AS x FROM e)
+  GROUP BY x
+),
+agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_edges,
+    CAST(sum(CAST(du.d AS HUGEINT) * dv.d) AS BIGINT) AS sxy,
+    CAST(sum(CAST(du.d AS HUGEINT) + dv.d) AS BIGINT) AS s2,
+    CAST(sum(CAST(du.d AS HUGEINT) * du.d
+             + CAST(dv.d AS HUGEINT) * dv.d) AS BIGINT) AS ssq2
+  FROM e JOIN deg du ON du.x = e.u JOIN deg dv ON dv.x = e.v
+),
+nn AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes FROM deg),
+z AS (
+  SELECT n_nodes, n_edges,
+    CAST(sxy AS DOUBLE) AS sxyd,
+    CAST(s2 AS DOUBLE) / 2.0 / CAST(n_edges AS DOUBLE) AS sbar,
+    CAST(ssq2 AS DOUBLE) / 2.0 / CAST(n_edges AS DOUBLE) AS ssq,
+    CAST(n_edges AS DOUBLE) AS m
+  FROM agg, nn
+)
+SELECT n_nodes, n_edges,
+  round(CASE WHEN ssq - sbar * sbar > 0
+    THEN (sxyd / m - sbar * sbar) / (ssq - sbar * sbar) END, 6)
+    AS assortativity
+FROM z
+"""
+
+
+@_q("assortativity", _assortativity_oracle())
+def q_assortativity(spark, sf):
+    """Degree assortativity of the MinHash candidate graph
+    (graph.degree_assortativity): negative r flags star-shaped
+    false-positive hubs; exact integer half-sums over each undirected
+    edge once."""
+    from padua_spark.extensions import dedup as x_dedup
+    from padua_spark.extensions.graph import degree_assortativity
+
+    d = _t(spark, sf, "documents")
+    cand = x_dedup.minhash_lsh_candidates(
+        d, "doc_id", "text", k_shingle=3, num_hashes=32, bands=8,
+        portable_keys=True,
+    )
+    return degree_assortativity(cand, "id_a", "id_b")
+
+
 # ---------------------------------------------------------------------------
 
 

@@ -123,6 +123,9 @@ HEADLINE = [
     "durbin_watson",
     "runs_test",
     "sign_test",
+    "ordinal_association",
+    "clustering_coefficient",
+    "assortativity",
     "anova_2way_stats",
     "levene_stats",
     "ttest_paired_stats",

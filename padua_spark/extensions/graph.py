@@ -775,3 +775,162 @@ def hits(
         )
     )
     return track_cached(out, e)
+
+
+def local_clustering(
+    edges: DataFrame,
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+) -> DataFrame:
+    """Per-node local clustering coefficient of an undirected graph —
+    ``cc(v) = 2·T(v) / (deg(v)·(deg(v)−1))`` where ``T(v)`` is the
+    number of triangles through v: the node-level face of
+    :func:`triangle_count`'s global transitivity ("which documents
+    sit inside tight duplicate cliques vs chainy threshold
+    straddlers" — the per-node triage the global number can't give).
+
+    Same skew-proof degree-orientation plan as
+    :func:`triangle_count` (every out-degree O(√m) after orienting
+    edges along the total (degree, id) order, so no hub explodes the
+    wedge join; each triangle generated exactly once), then each
+    found triangle credits its THREE corners via one explode +
+    count — still bounded by the triangle count, never the hub
+    degree². Output: one row per node:
+    ``(node, degree, n_triangles, clustering_coef)``, 6dp; NULL
+    coefficient for degree < 2.
+
+    Beyond the reference; standard per Watts & Strogatz 1998.
+    """
+    from pyspark import StorageLevel
+
+    from padua_spark.io_utils import track_cached
+
+    e = (
+        edges.select(
+            F.least(F.col(src_col), F.col(dst_col)).alias("_u"),
+            F.greatest(F.col(src_col), F.col(dst_col)).alias("_v"),
+        )
+        .where(F.col("_u") != F.col("_v"))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    deg = (
+        e.select(F.col("_u").alias("_x"))
+        .unionAll(e.select(F.col("_v").alias("_x")))
+        .groupBy("_x")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("_deg"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    du = deg.select(F.col("_x").alias("_u"), F.col("_deg").alias("_du"))
+    dv = deg.select(F.col("_x").alias("_v"), F.col("_deg").alias("_dv"))
+    ranked = e.join(du, on="_u").join(dv, on="_v")
+    fwd = (F.col("_du") < F.col("_dv")) | (
+        (F.col("_du") == F.col("_dv")) & (F.col("_u") < F.col("_v"))
+    )
+    oriented = ranked.select(
+        F.when(fwd, F.col("_u")).otherwise(F.col("_v")).alias("_s"),
+        F.when(fwd, F.col("_v")).otherwise(F.col("_u")).alias("_d"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    w1 = oriented.select(F.col("_s").alias("_a"), F.col("_d").alias("_b"))
+    w2 = oriented.select(F.col("_s").alias("_b"), F.col("_d").alias("_c"))
+    wedges = w1.join(w2, on="_b").select("_a", "_b", "_c")
+    closing = oriented.select(
+        F.col("_s").alias("_a"), F.col("_d").alias("_c")
+    )
+    tri = wedges.join(closing, on=["_a", "_c"], how="left_semi")
+    per_node = (
+        tri.select(
+            F.explode(
+                F.array(F.col("_a"), F.col("_b"), F.col("_c"))
+            ).alias("_x")
+        )
+        .groupBy("_x")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("_t"))
+    )
+    joined = deg.join(per_node, on="_x", how="left")
+    t = F.coalesce(F.col("_t"), F.lit(0)).cast("bigint")
+    d = F.col("_deg").cast("double")
+    cc = F.when(
+        F.col("_deg") >= 2, 2.0 * t.cast("double") / (d * (d - 1.0))
+    )
+    out = joined.select(
+        F.col("_x").alias("node"),
+        F.col("_deg").alias("degree"),
+        t.alias("n_triangles"),
+        F.round(cc, 6).alias("clustering_coef"),
+    )
+    return track_cached(out, e, deg, oriented)
+
+
+def degree_assortativity(
+    edges: DataFrame,
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+) -> DataFrame:
+    """Degree assortativity of an undirected graph — the Pearson
+    correlation of endpoint degrees over edges (Newman 2002): do
+    high-degree nodes attach to each other (r > 0, social-style
+    cores) or to leaves (r < 0, hub-and-spoke)? On a near-dup
+    candidate graph, strongly negative r flags star-shaped false-
+    positive hubs (one template matching everything).
+
+    Computed over each undirected edge once with the symmetric
+    half-sums (equivalent to summing both directions):
+
+    ``r = [S_xy/M − S̄²] / [S_sq/M − S̄²]`` with ``S_xy = Σ j·k``,
+    ``S̄ = (Σ (j+k)/2)/M``, ``S_sq = (Σ (j²+k²)/2)/M`` — every
+    ingredient an exact integer (half-sums ×2 kept integral) until
+    the final divisions. ONE degree aggregation + one edge join +
+    one scalar aggregation. Output 1 row: ``(n_nodes, n_edges,
+    assortativity)``, 6dp; NULL on degree-regular graphs (zero
+    variance).
+    """
+    from pyspark import StorageLevel
+
+    from padua_spark.io_utils import track_cached
+
+    e = (
+        edges.select(
+            F.least(F.col(src_col), F.col(dst_col)).alias("_u"),
+            F.greatest(F.col(src_col), F.col(dst_col)).alias("_v"),
+        )
+        .where(F.col("_u") != F.col("_v"))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    deg = (
+        e.select(F.col("_u").alias("_x"))
+        .unionAll(e.select(F.col("_v").alias("_x")))
+        .groupBy("_x")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("_deg"))
+    )
+    du = deg.select(F.col("_x").alias("_u"), F.col("_deg").alias("_j"))
+    dv = deg.select(F.col("_x").alias("_v"), F.col("_deg").alias("_k"))
+    dec = "decimal(38,0)"
+    j_ = F.col("_j").cast(dec)
+    k_ = F.col("_k").cast(dec)
+    agg = (
+        e.join(du, on="_u")
+        .join(dv, on="_v")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_edges"),
+            F.sum(j_ * k_).alias("_sxy"),
+            F.sum(j_ + k_).alias("_s2"),       # 2·Σ(j+k)/2
+            F.sum(j_ * j_ + k_ * k_).alias("_ssq2"),  # 2·Σ(j²+k²)/2
+        )
+        .withColumn("_one", F.lit(1))
+    )
+    nn = deg.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_nodes")
+    ).withColumn("_one", F.lit(1))
+    m = F.col("n_edges").cast("double")
+    sxy = F.col("_sxy").cast("double")
+    sbar = F.col("_s2").cast("double") / 2.0 / m
+    ssq = F.col("_ssq2").cast("double") / 2.0 / m
+    num = sxy / m - sbar * sbar
+    den = ssq - sbar * sbar
+    out = agg.join(F.broadcast(nn), on="_one").select(
+        "n_nodes", "n_edges",
+        F.round(F.when(den > 0, num / den), 6).alias("assortativity"),
+    )
+    return track_cached(out, e)

@@ -7292,3 +7292,88 @@ def test_runs_and_sign_tests_vs_replica(spark):
     ) / 2 ** 10
     assert (rs["n_pos"], rs["n_neg"], rs["n_tie"]) == (3, 7, 1)
     assert rs["p_exact"] == pytest.approx(exact, abs=1e-6)
+
+
+def test_ordinal_association_vs_bruteforce(spark):
+    """Gamma and both Somers' D against the O(n^2) pair definition;
+    the bounded-cells guard raises; perfect monotone gives gamma 1."""
+    import numpy as np
+    from collections import Counter
+
+    from padua_spark.operators.stats import ordinal_association
+
+    rng = np.random.RandomState(2)
+    xs = rng.randint(1, 5, 300)
+    ys = np.clip(xs + rng.randint(-1, 2, 300), 1, 5)
+    df = spark.createDataFrame(
+        [(int(a), int(b)) for a, b in zip(xs, ys)], ["x", "y"]
+    )
+    C = D = 0
+    n = len(xs)
+    for i in range(n):
+        for j in range(i + 1, n):
+            s = (xs[j] - xs[i]) * (ys[j] - ys[i])
+            C += s > 0
+            D += s < 0
+    r = ordinal_association(df, "x", "y").collect()[0]
+    n0 = n * (n - 1) / 2
+    tx = sum(v * (v - 1) // 2 for v in Counter(xs).values())
+    ty = sum(v * (v - 1) // 2 for v in Counter(ys).values())
+    assert (r["concordant"], r["discordant"]) == (C, D)
+    assert r["gamma"] == pytest.approx((C - D) / (C + D), abs=1e-6)
+    assert r["somers_d_yx"] == pytest.approx(
+        (C - D) / (n0 - tx), abs=1e-6
+    )
+    assert r["somers_d_xy"] == pytest.approx(
+        (C - D) / (n0 - ty), abs=1e-6
+    )
+    with pytest.raises(ValueError, match="max_levels"):
+        ordinal_association(df, "x", "y", max_levels=3)
+    mono = spark.createDataFrame(
+        [(i, i) for i in range(1, 6)] * 3, ["x", "y"]
+    )
+    assert ordinal_association(mono, "x", "y").collect()[0][
+        "gamma"] == 1.0
+
+
+def test_local_clustering_and_assortativity(spark):
+    """Local CC against the triangle+pendant hand graph (cc 1/1/⅓ and
+    NULL for degree-1); assortativity against the Newman formula on a
+    hand graph and -1 on a perfect star."""
+    from collections import Counter
+
+    from padua_spark.extensions.graph import (
+        degree_assortativity,
+        local_clustering,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4)], ["id_a", "id_b"]
+    )
+    cc = {r["node"]: r for r in local_clustering(edges).collect()}
+    assert cc[1]["clustering_coef"] == 1.0
+    assert cc[2]["clustering_coef"] == 1.0
+    assert cc[3]["n_triangles"] == 1
+    assert cc[3]["clustering_coef"] == pytest.approx(1 / 3, abs=1e-6)
+    assert cc[4]["clustering_coef"] is None and cc[4]["degree"] == 1
+
+    el = [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5), (5, 6)]
+    deg = Counter()
+    for u, v in el:
+        deg[u] += 1
+        deg[v] += 1
+    M = len(el)
+    sxy = sum(deg[u] * deg[v] for u, v in el)
+    sb = sum((deg[u] + deg[v]) / 2 for u, v in el) / M
+    ssq = sum((deg[u] ** 2 + deg[v] ** 2) / 2 for u, v in el) / M
+    rr = (sxy / M - sb * sb) / (ssq - sb * sb)
+    ra = degree_assortativity(
+        spark.createDataFrame(el, ["id_a", "id_b"])
+    ).collect()[0]
+    assert ra["assortativity"] == pytest.approx(rr, abs=1e-6)
+    assert (ra["n_nodes"], ra["n_edges"]) == (6, 6)
+    star = spark.createDataFrame(
+        [(0, i) for i in range(1, 8)], ["id_a", "id_b"]
+    )
+    assert degree_assortativity(star).collect()[0][
+        "assortativity"] == pytest.approx(-1.0, abs=1e-6)
