@@ -17417,6 +17417,177 @@ def q_assortativity(spark, sf):
     return degree_assortativity(cand, "id_a", "id_b")
 
 
+_GAINS_ORACLE = """
+WITH base AS (
+  SELECT CAST(value AS DOUBLE) AS s,
+    CASE WHEN event_type IN ('click', 'view') THEN 1 ELSE 0 END AS y
+  FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL
+),
+nb AS (SELECT CAST(count(*) AS BIGINT) AS n FROM base),
+q AS (
+  SELECT
+    min(CASE WHEN cum >= ceil(0.1 * n) THEN v END) AS b0,
+    min(CASE WHEN cum >= ceil(0.2 * n) THEN v END) AS b1,
+    min(CASE WHEN cum >= ceil(0.3 * n) THEN v END) AS b2,
+    min(CASE WHEN cum >= ceil(0.4 * n) THEN v END) AS b3,
+    min(CASE WHEN cum >= ceil(0.5 * n) THEN v END) AS b4,
+    min(CASE WHEN cum >= ceil(0.6 * n) THEN v END) AS b5,
+    min(CASE WHEN cum >= ceil(0.7 * n) THEN v END) AS b6,
+    min(CASE WHEN cum >= ceil(0.8 * n) THEN v END) AS b7,
+    min(CASE WHEN cum >= ceil(0.9 * n) THEN v END) AS b8
+  FROM (
+    SELECT v, sum(c) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+      AS cum
+    FROM (SELECT s AS v, count(*) AS c FROM base GROUP BY 1)
+  ), nb
+),
+bucketed AS (
+  SELECT 11 - (1
+        + CASE WHEN s > q.b0 THEN 1 ELSE 0 END
+        + CASE WHEN s > q.b1 THEN 1 ELSE 0 END
+        + CASE WHEN s > q.b2 THEN 1 ELSE 0 END
+        + CASE WHEN s > q.b3 THEN 1 ELSE 0 END
+        + CASE WHEN s > q.b4 THEN 1 ELSE 0 END
+        + CASE WHEN s > q.b5 THEN 1 ELSE 0 END
+        + CASE WHEN s > q.b6 THEN 1 ELSE 0 END
+        + CASE WHEN s > q.b7 THEN 1 ELSE 0 END
+        + CASE WHEN s > q.b8 THEN 1 ELSE 0 END) AS bucket, y
+  FROM base, q
+),
+pb AS (
+  SELECT bucket, CAST(count(*) AS BIGINT) AS n,
+    CAST(sum(y) AS BIGINT) AS n_pos
+  FROM bucketed GROUP BY 1
+),
+c AS (
+  SELECT bucket, n, n_pos,
+    CAST(sum(n) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING)
+      AS DOUBLE) AS cum_n,
+    CAST(sum(n_pos) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING)
+      AS DOUBLE) AS cum_pos,
+    CAST(sum(n) OVER () AS DOUBLE) AS tot_n,
+    CAST(sum(n_pos) OVER () AS DOUBLE) AS tot_pos
+  FROM pb
+)
+SELECT bucket, n, n_pos,
+  round(CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE), 6) AS pos_rate,
+  round(CASE WHEN tot_pos / tot_n > 0
+    THEN (CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE))
+      / (tot_pos / tot_n) END, 6) AS lift,
+  round(CASE WHEN tot_pos > 0 THEN cum_pos / tot_pos END, 6)
+    AS cum_capture,
+  round(CASE WHEN tot_pos / tot_n > 0
+    THEN (cum_pos / cum_n) / (tot_pos / tot_n) END, 6) AS cum_lift
+FROM c
+"""
+
+
+@_q("gains_table", _GAINS_ORACLE)
+def q_gains_table(spark, sf):
+    """Lift/gains deciles of event value as a score for engagement
+    events (features.gains_table): exact stepped-cumsum quantile
+    boundaries, bucket 1 = top scores, cumulative capture walking
+    down."""
+    from padua_spark.extensions.features import gains_table
+
+    e = _t(spark, sf, "events").where(
+        F.col("event_type").isNotNull()
+    )
+    e = e.select(
+        F.col("value"),
+        F.col("event_type").isin("click", "view")
+        .cast("int").alias("label"),
+    )
+    return gains_table(e, "value", "label", n_bins=10)
+
+
+_BRIER_ORACLE = """
+WITH base AS (
+  SELECT CAST(floor(value) AS DOUBLE) / 512.0 AS p,
+    CASE WHEN event_type IN ('click', 'view')
+      THEN CAST(1 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END AS y
+  FROM events
+  WHERE value IS NOT NULL AND event_type IS NOT NULL
+    AND value >= 0
+),
+pb AS (
+  SELECT least(9, CAST(floor(p * 10) AS INT)) AS b,
+    CAST(count(*) AS BIGINT) AS nk,
+    sum(p) AS sp, sum(y) AS sy,
+    sum(p * p) AS spp, sum(p * y) AS spy
+  FROM base GROUP BY 1
+),
+tot AS (
+  SELECT CAST(sum(nk) AS BIGINT) AS n, sum(sp) AS tsp,
+    sum(sy) AS tsy, sum(spp) AS tspp, sum(spy) AS tspy
+  FROM pb
+),
+parts AS (
+  SELECT
+    sum(CAST(nk AS DOUBLE)
+        * (sp / CAST(nk AS DOUBLE) - sy / CAST(nk AS DOUBLE))
+        * (sp / CAST(nk AS DOUBLE) - sy / CAST(nk AS DOUBLE)))
+      AS rel_num,
+    sum(CAST(nk AS DOUBLE)
+        * (sy / CAST(nk AS DOUBLE)
+           - tot.tsy / CAST(tot.n AS DOUBLE))
+        * (sy / CAST(nk AS DOUBLE)
+           - tot.tsy / CAST(tot.n AS DOUBLE))) AS res_num
+  FROM pb, tot
+)
+SELECT n,
+  round((tspp - 2.0 * tspy + tsy) / CAST(n AS DOUBLE), 6) AS brier,
+  round(rel_num / CAST(n AS DOUBLE), 6) AS reliability,
+  round(res_num / CAST(n AS DOUBLE), 6) AS resolution,
+  round(tsy / CAST(n AS DOUBLE)
+        * (1.0 - tsy / CAST(n AS DOUBLE)), 6) AS uncertainty
+FROM tot, parts
+"""
+
+
+@_q("brier_decomposition", _BRIER_ORACLE)
+def q_brier_decomposition(spark, sf):
+    """Murphy decomposition of the Brier score for a dyadic-exact
+    pseudo-probability (floor(value)/512 — every sum is exact in
+    doubles on both engines) against engagement labels
+    (features.brier_decomposition)."""
+    from padua_spark.extensions.features import brier_decomposition
+
+    e = _t(spark, sf, "events").where(
+        F.col("event_type").isNotNull() & (F.col("value") >= 0)
+    )
+    e = e.select(
+        (F.floor(F.col("value")).cast("double") / 512.0).alias("p"),
+        F.col("event_type").isin("click", "view")
+        .cast("int").alias("y"),
+    )
+    return brier_decomposition(e, "p", "y", n_bins=10)
+
+
+def _kfold_oracle() -> str:
+    from padua_spark.extensions.sampling import kfold_assign_sql
+
+    fold = kfold_assign_sql("event_id", 5, salt=7)
+    return f"""
+SELECT event_id, {fold} AS fold
+FROM events WHERE event_id IS NOT NULL
+"""
+
+
+@_q("kfold_assign", _kfold_oracle())
+def q_kfold_assign(spark, sf):
+    """Deterministic 5-fold assignment keyed on event_id
+    (sampling.kfold_assign): pure scan-level projection from the
+    exact-integer LCG — identical on any engine, partitioning, or
+    retry."""
+    from padua_spark.extensions.sampling import kfold_assign
+
+    e = _t(spark, sf, "events").where(F.col("event_id").isNotNull())
+    return kfold_assign(e, "event_id", k=5, salt=7).select(
+        "event_id", "fold"
+    )
+
+
 # ---------------------------------------------------------------------------
 
 

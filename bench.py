@@ -126,6 +126,9 @@ HEADLINE = [
     "ordinal_association",
     "clustering_coefficient",
     "assortativity",
+    "gains_table",
+    "brier_decomposition",
+    "kfold_assign",
     "anova_2way_stats",
     "levene_stats",
     "ttest_paired_stats",

@@ -270,3 +270,189 @@ def rfm_segments(
         F.round(F.avg("_m"), 6).alias("avg_monetary"),
     )
     return track_cached(out, *cached)
+
+
+def gains_table(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    n_bins: int = 10,
+    small_domain_threshold: int | None = None,
+) -> DataFrame:
+    """Lift / gains table — the model-evaluation decile report ("if we
+    act on the top 10% by score, what fraction of positives do we
+    capture?"), the operating-point companion to ``group_auc``:
+    bucket 1 holds the HIGHEST scores, and each bucket reports its
+    positive rate, lift over the base rate, and the cumulative
+    capture/lift walking down from the top.
+
+    Bucket boundaries are EXACT score quantiles from the shared
+    distributed stepped cumsum (:func:`~padua_spark.operators.stats.
+    _stepped_running_counts` — same boundary law as
+    :func:`rfm_segments`: ascending buckets split at
+    ``min{v : F(v) ≥ ⌈q·n⌉}``, values at a boundary take the lower
+    bucket, then buckets are inverted so 1 = top scores). No
+    ``ntile`` over the fact table — nothing single-task-sorts the
+    data. The cumulative columns are a window over the ≤ ``n_bins``
+    aggregated rows only. Output per non-empty bucket: ``(bucket, n,
+    n_pos, pos_rate, lift, cum_capture, cum_lift)``, 6dp; lift NULL
+    when the corpus has no positives.
+    """
+    from pyspark import StorageLevel
+    from pyspark.sql import Window
+
+    from padua_spark.io_utils import track_cached
+    from padua_spark.operators.stats import _stepped_running_counts
+
+    s = F.col(score_col).cast("double")
+    y = F.col(label_col).cast("int")
+    base = df.where(s.isNotNull() & y.isNotNull()).select(
+        s.alias("_s"), y.alias("_y")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    per = base.groupBy(F.col("_s").alias("_v")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("_c")
+    )
+    stepped = _stepped_running_counts(
+        per, "_v", ["_c"], small_domain_threshold
+    )
+    qs = [i / n_bins for i in range(1, n_bins)]
+    aggs = []
+    for i, q in enumerate(qs):
+        rank = F.ceil(
+            F.lit(q) * F.col("_c_tot").cast("double")
+        ).cast("bigint")
+        aggs.append(
+            F.min(
+                F.when(F.col("_c_run") >= rank, F.col("_v"))
+            ).alias(f"b{i}")
+        )
+    bounds = stepped.agg(*aggs)
+    asc = F.lit(1)
+    for i in range(len(qs)):
+        asc = asc + (F.col("_s") > F.col(f"b{i}")).cast("int")
+    bucket = F.lit(int(n_bins) + 1) - asc
+    per_bucket = (
+        base.join(F.broadcast(bounds))
+        .groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("_y").cast("bigint").alias("n_pos"),
+        )
+    )
+    # ≤ n_bins rows: the partitionless windows run over one tiny task
+    w = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wall = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum_n = F.sum("n").over(w).cast("double")
+    cum_pos = F.sum("n_pos").over(w).cast("double")
+    tot_n = F.sum("n").over(wall).cast("double")
+    tot_pos = F.sum("n_pos").over(wall).cast("double")
+    rate_all = tot_pos / tot_n
+    nd = F.col("n").cast("double")
+    pos_rate = F.col("n_pos").cast("double") / nd
+    out = per_bucket.select(
+        "bucket", "n", "n_pos",
+        F.round(pos_rate, 6).alias("pos_rate"),
+        F.round(
+            F.when(rate_all > 0, pos_rate / rate_all), 6
+        ).alias("lift"),
+        F.round(
+            F.when(tot_pos > 0, cum_pos / tot_pos), 6
+        ).alias("cum_capture"),
+        F.round(
+            F.when(rate_all > 0, (cum_pos / cum_n) / rate_all), 6
+        ).alias("cum_lift"),
+    )
+    cached = [base]
+    cached.extend(getattr(stepped, "_padua_cached", ()))
+    return track_cached(out, *cached)
+
+
+def brier_decomposition(
+    df: DataFrame,
+    prob_col: str,
+    label_col: str,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Murphy decomposition of the Brier score — calibration
+    (reliability), discrimination (resolution) and base-rate
+    uncertainty in one number each, the standard diagnostic for
+    probabilistic classifiers beyond raw accuracy:
+
+    over equal-width forecast bins ``k = min(⌊p·K⌋, K−1)``:
+    ``REL = Σ n_k(p̄_k − ȳ_k)²/N`` (penalty: predicted vs observed
+    within bin), ``RES = Σ n_k(ȳ_k − ȳ)²/N`` (reward: bins separate
+    outcomes), ``UNC = ȳ(1−ȳ)``, and the raw
+    ``Brier = Σ(p−y)²/N = (Σp² − 2Σpy + Σy)/N`` (binary y, so
+    y² = y — one aggregation, no residual column). The classic
+    identity ``Brier = REL − RES + UNC`` holds exactly when
+    forecasts are constant within bins (binned forecasts), else to
+    within-bin forecast variance — reported raw, not forced.
+
+    ONE map-side-combined aggregation to the ≤ K per-bin sums plus
+    the same pass's global moments. Output 1 row: ``(n, brier,
+    reliability, resolution, uncertainty)``, 6dp.
+
+    Beyond the reference; standard per Murphy 1973.
+    """
+    from padua_spark.io_utils import track_cached
+
+    p = F.col(prob_col).cast("double")
+    y = F.col(label_col).cast("int")
+    k = int(n_bins)
+    base = df.where(
+        p.isNotNull() & y.isNotNull() & (p >= 0) & (p <= 1)
+    ).select(p.alias("_p"), y.cast("double").alias("_y"))
+    bin_idx = F.least(
+        F.lit(k - 1), F.floor(F.col("_p") * k).cast("int")
+    )
+    per_bin = base.groupBy(bin_idx.alias("_b")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("_n"),
+        F.sum("_p").alias("_sp"),
+        F.sum("_y").alias("_sy"),
+        F.sum(F.col("_p") * F.col("_p")).alias("_spp"),
+        F.sum(F.col("_p") * F.col("_y")).alias("_spy"),
+    )
+    from pyspark import StorageLevel
+
+    per_bin = per_bin.persist(StorageLevel.MEMORY_AND_DISK)
+    tot = per_bin.agg(
+        F.sum("_n").cast("bigint").alias("n"),
+        F.sum("_sp").alias("_tsp"),
+        F.sum("_sy").alias("_tsy"),
+        F.sum("_spp").alias("_tspp"),
+        F.sum("_spy").alias("_tspy"),
+    ).withColumn("_one", F.lit(1))
+    nd = F.col("n").cast("double")
+    ybar = F.col("_tsy") / nd
+    nk = F.col("_n").cast("double")
+    pk = F.col("_sp") / nk
+    yk = F.col("_sy") / nk
+    parts = (
+        per_bin.withColumn("_one", F.lit(1))
+        .join(F.broadcast(tot.select("_one", "n", "_tsy")), on="_one")
+        .agg(
+            F.sum(nk * (pk - yk) * (pk - yk)).alias("_rel_num"),
+            F.sum(
+                nk
+                * (yk - F.col("_tsy") / F.col("n").cast("double"))
+                * (yk - F.col("_tsy") / F.col("n").cast("double"))
+            ).alias("_res_num"),
+        )
+        .withColumn("_one", F.lit(1))
+    )
+    out = tot.join(F.broadcast(parts), on="_one").select(
+        "n",
+        F.round(
+            (F.col("_tspp") - 2.0 * F.col("_tspy") + F.col("_tsy"))
+            / nd,
+            6,
+        ).alias("brier"),
+        F.round(F.col("_rel_num") / nd, 6).alias("reliability"),
+        F.round(F.col("_res_num") / nd, 6).alias("resolution"),
+        F.round(ybar * (1.0 - ybar), 6).alias("uncertainty"),
+    )
+    return track_cached(out, per_bin)

@@ -539,3 +539,61 @@ def poisson_bootstrap_ci(
             F.round("_hi", 6).alias("ci_hi"),
         )
     )
+
+
+def kfold_assign(
+    df: DataFrame,
+    key_col: str,
+    k: int = 5,
+    strata_cols: list[str] | None = None,
+    out_col: str = "fold",
+    salt: int = 0,
+) -> DataFrame:
+    """Deterministic k-fold assignment for cross-validation corpus
+    construction — a row's fold is a pure function of its key (and
+    salt), so folds are identical on any engine/partitioning/retry
+    and stable as the corpus grows (the same non-negotiables as
+    :func:`split_assign`).
+
+    Two regimes:
+    - ``strata_cols=None`` (default): ``fold = ⌊u·k⌋`` from the
+      key-derived exact-integer uniform — a pure scan-level
+      projection, no shuffle, folds balanced to within sampling
+      noise.
+    - ``strata_cols`` given: EXACT balance within each stratum
+      (fold sizes differ by ≤ 1) via
+      ``fold = (row_number − 1) mod k`` over the stratum ordered by
+      ``(u, key)`` — one shuffle on the strata; the hash order makes
+      the assignment deterministic yet pseudorandom, and the usual
+      bounded-key caveat applies (per-stratum state is the ordered
+      partition).
+
+    Returns the input plus ``out_col`` (int 0..k−1); NULL key rows
+    get NULL fold.
+    """
+    if k < 2:
+        raise ValueError("kfold_assign: k must be >= 2")
+    u = deterministic_uniform(F.col(key_col), salt)
+    if not strata_cols:
+        fold = F.when(
+            F.col(key_col).isNotNull(),
+            F.least(F.lit(k - 1), F.floor(u * k).cast("int")),
+        )
+        return df.withColumn(out_col, fold)
+    w = Window.partitionBy(*strata_cols).orderBy(
+        u.asc(), F.col(key_col).asc()
+    )
+    fold = F.when(
+        F.col(key_col).isNotNull(),
+        ((F.row_number().over(w) - 1) % k).cast("int"),
+    )
+    return df.withColumn(out_col, fold)
+
+
+def kfold_assign_sql(
+    key_expr: str, k: int, salt: int = 0
+) -> str:
+    """ANSI-SQL expression twin of the unstratified
+    :func:`kfold_assign` fold."""
+    u = deterministic_uniform_sql(key_expr, salt)
+    return f"least({k - 1}, CAST(floor({u} * {k}) AS INT))"

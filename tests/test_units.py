@@ -7377,3 +7377,130 @@ def test_local_clustering_and_assortativity(spark):
     )
     assert degree_assortativity(star).collect()[0][
         "assortativity"] == pytest.approx(-1.0, abs=1e-6)
+
+
+def test_gains_table_vs_replica(spark):
+    """Gains deciles against a pure-Python replica (exact lower
+    quantile boundaries, bucket 1 = top scores, cumulative capture);
+    a perfect scorer captures all positives in the top buckets."""
+    import math
+
+    import numpy as np
+
+    from padua_spark.extensions.features import gains_table
+
+    rng = np.random.RandomState(9)
+    scores = rng.randint(0, 1000, 400).astype(float)
+    labels = (rng.random(400) < (scores / 1500)).astype(int)
+    df = spark.createDataFrame(
+        [(float(s), int(y)) for s, y in zip(scores, labels)],
+        ["s", "y"],
+    )
+    out = {r["bucket"]: r for r in
+           gains_table(df, "s", "y", n_bins=10).collect()}
+    sv = sorted(scores)
+    n = len(sv)
+    bounds = [sv[math.ceil(i / 10 * n) - 1] for i in range(1, 10)]
+
+    def bucket(v):
+        return 11 - (1 + sum(1 for b in bounds if v > b))
+
+    agg = {}
+    for s, y in zip(scores, labels):
+        b = bucket(s)
+        agg.setdefault(b, [0, 0])
+        agg[b][0] += 1
+        agg[b][1] += y
+    tot_pos = sum(v[1] for v in agg.values())
+    rate = tot_pos / n
+    cum_p = cum_n = 0
+    for b in sorted(agg):
+        nn, np_ = agg[b]
+        cum_p += np_
+        cum_n += nn
+        r = out[b]
+        assert (r["n"], r["n_pos"]) == (nn, np_)
+        assert r["pos_rate"] == pytest.approx(np_ / nn, abs=1e-6)
+        assert r["lift"] == pytest.approx(np_ / nn / rate, abs=1e-6)
+        assert r["cum_capture"] == pytest.approx(
+            cum_p / tot_pos, abs=1e-6
+        )
+        assert r["cum_lift"] == pytest.approx(
+            (cum_p / cum_n) / rate, abs=1e-6
+        )
+    # perfect scorer: top bucket = all positives
+    perf = spark.createDataFrame(
+        [(float(i), int(i >= 90)) for i in range(100)], ["s", "y"]
+    )
+    top = {r["bucket"]: r for r in
+           gains_table(perf, "s", "y", n_bins=10).collect()}[1]
+    assert top["cum_capture"] == 1.0 and top["pos_rate"] == 1.0
+
+
+def test_brier_decomposition_vs_replica(spark):
+    """Brier + Murphy terms against a numpy replica; a perfectly
+    calibrated binned forecaster has ~0 reliability; identity
+    brier = REL - RES + UNC holds for binned (constant-within-bin)
+    forecasts."""
+    import numpy as np
+
+    from padua_spark.extensions.features import brier_decomposition
+
+    rng = np.random.RandomState(11)
+    # binned forecasts: p constant within bin -> identity exact
+    p = rng.randint(0, 10, 500) / 10.0 + 0.05
+    y = (rng.random(500) < p).astype(int)
+    df = spark.createDataFrame(
+        [(float(a), int(b)) for a, b in zip(p, y)], ["p", "y"]
+    )
+    r = brier_decomposition(df, "p", "y", n_bins=10).collect()[0]
+    brier = float(np.mean((p - y) ** 2))
+    ybar = y.mean()
+    rel = res = 0.0
+    for k in range(10):
+        m = np.minimum(np.floor(p * 10), 9) == k
+        if not m.any():
+            continue
+        nk = m.sum()
+        rel += nk * (p[m].mean() - y[m].mean()) ** 2
+        res += nk * (y[m].mean() - ybar) ** 2
+    rel /= len(p)
+    res /= len(p)
+    assert r["brier"] == pytest.approx(brier, abs=1e-6)
+    assert r["reliability"] == pytest.approx(rel, abs=1e-6)
+    assert r["resolution"] == pytest.approx(res, abs=1e-6)
+    assert r["uncertainty"] == pytest.approx(
+        ybar * (1 - ybar), abs=1e-6
+    )
+    assert r["brier"] == pytest.approx(
+        r["reliability"] - r["resolution"] + r["uncertainty"],
+        abs=2e-6,
+    )
+
+
+def test_kfold_assign_deterministic_and_stratified(spark):
+    """Unstratified folds are a pure key function (stable under
+    repartitioning, all folds populated); stratified folds are
+    exactly balanced within every stratum (sizes differ by <= 1)."""
+    from padua_spark.extensions.sampling import kfold_assign
+
+    df = spark.createDataFrame(
+        [(i, "s%d" % (i % 3)) for i in range(300)], ["id", "g"]
+    )
+    a = {r["id"]: r["fold"] for r in
+         kfold_assign(df, "id", k=5).collect()}
+    b = {r["id"]: r["fold"] for r in
+         kfold_assign(df.repartition(7), "id", k=5).collect()}
+    assert a == b and set(a.values()) == {0, 1, 2, 3, 4}
+    out = kfold_assign(
+        df, "id", k=5, strata_cols=["g"]
+    ).groupBy("g", "fold").count().collect()
+    sizes = {}
+    for r in out:
+        sizes.setdefault(r["g"], []).append(r["count"])
+    for g, counts in sizes.items():
+        assert len(counts) == 5 and max(counts) - min(counts) <= 1
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="k must be"):
+        kfold_assign(df, "id", k=1)
