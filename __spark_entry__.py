@@ -17087,7 +17087,7 @@ _DURBIN_WATSON_ORACLE = """
 WITH base AS (
   SELECT l_returnflag AS grp, l_quantity AS v,
     v - lag(v) OVER (PARTITION BY l_returnflag
-      ORDER BY l_shipdate, l_orderkey, l_linenumber) AS d
+      ORDER BY l_shipdate, l_orderkey, l_linenumber, v) AS d
   FROM lineitem WHERE l_quantity IS NOT NULL
 ),
 a AS (
@@ -17112,9 +17112,13 @@ def q_durbin_watson(spark, sf):
     from padua_spark.operators.stats import durbin_watson
 
     li = _t(spark, sf, "lineitem")
+    # (l_orderkey, l_linenumber) is NOT unique in the synthetic data:
+    # the series value joins the order key so tie blocks carry equal
+    # values and the lag sequence is deterministic on both engines
     return durbin_watson(
         li, ["l_returnflag"],
-        ["l_shipdate", "l_orderkey", "l_linenumber"], "l_quantity",
+        ["l_shipdate", "l_orderkey", "l_linenumber", "l_quantity"],
+        "l_quantity",
     )
 
 
@@ -17136,7 +17140,8 @@ s AS (
   FROM base b JOIN med ON med.grp = b.grp
   WHERE b.v <> med.m
   WINDOW w AS (PARTITION BY b.grp
-               ORDER BY b.l_shipdate, b.l_orderkey, b.l_linenumber)
+               ORDER BY b.l_shipdate, b.l_orderkey, b.l_linenumber,
+                        b.v)
 ),
 a AS (
   SELECT grp, CAST(sum(sgn) AS BIGINT) AS n1_above,
@@ -17185,9 +17190,11 @@ def q_runs_test(spark, sf):
     from padua_spark.operators.stats import runs_test
 
     li = _t(spark, sf, "lineitem")
+    # same tie-block determinism trick as durbin_watson
     return runs_test(
         li, ["l_returnflag"],
-        ["l_shipdate", "l_orderkey", "l_linenumber"], "l_quantity",
+        ["l_shipdate", "l_orderkey", "l_linenumber", "l_quantity"],
+        "l_quantity",
     )
 
 
@@ -17585,6 +17592,182 @@ def q_kfold_assign(spark, sf):
     e = _t(spark, sf, "events").where(F.col("event_id").isNotNull())
     return kfold_assign(e, "event_id", k=5, salt=7).select(
         "event_id", "fold"
+    )
+
+
+_ACF_PACF_ORACLE = """
+WITH base AS (
+  SELECT l_returnflag AS grp, CAST(l_quantity AS DOUBLE) AS v,
+    lag(CAST(l_quantity AS DOUBLE), 1) OVER w AS l1,
+    lag(CAST(l_quantity AS DOUBLE), 2) OVER w AS l2,
+    lag(CAST(l_quantity AS DOUBLE), 3) OVER w AS l3
+  FROM lineitem WHERE l_quantity IS NOT NULL
+  WINDOW w AS (PARTITION BY l_returnflag
+               ORDER BY l_shipdate, l_orderkey, l_linenumber,
+                        l_quantity)
+),
+a AS (
+  SELECT grp, CAST(count(*) AS BIGINT) AS n,
+    sum(v) AS s1, sum(v * v) AS s2,
+    sum(v * l1) AS m1, sum(CASE WHEN l1 IS NOT NULL THEN v END) AS h1,
+    sum(l1) AS t1, CAST(count(l1) AS BIGINT) AS nk1,
+    sum(v * l2) AS m2, sum(CASE WHEN l2 IS NOT NULL THEN v END) AS h2,
+    sum(l2) AS t2, CAST(count(l2) AS BIGINT) AS nk2,
+    sum(v * l3) AS m3, sum(CASE WHEN l3 IS NOT NULL THEN v END) AS h3,
+    sum(l3) AS t3, CAST(count(l3) AS BIGINT) AS nk3
+  FROM base GROUP BY 1
+),
+mc AS (
+  SELECT grp, n, CAST(n AS DOUBLE) AS nd, s1 / CAST(n AS DOUBLE) AS mu,
+    s2 / CAST(n AS DOUBLE)
+      - (s1 / CAST(n AS DOUBLE)) * (s1 / CAST(n AS DOUBLE)) AS c0,
+    (m1 - s1 / CAST(n AS DOUBLE) * (h1 + t1)
+       + CAST(nk1 AS DOUBLE) * (s1 / CAST(n AS DOUBLE))
+         * (s1 / CAST(n AS DOUBLE))) / CAST(n AS DOUBLE) AS c1,
+    (m2 - s1 / CAST(n AS DOUBLE) * (h2 + t2)
+       + CAST(nk2 AS DOUBLE) * (s1 / CAST(n AS DOUBLE))
+         * (s1 / CAST(n AS DOUBLE))) / CAST(n AS DOUBLE) AS c2,
+    (m3 - s1 / CAST(n AS DOUBLE) * (h3 + t3)
+       + CAST(nk3 AS DOUBLE) * (s1 / CAST(n AS DOUBLE))
+         * (s1 / CAST(n AS DOUBLE))) / CAST(n AS DOUBLE) AS c3
+  FROM a
+),
+lev1 AS (SELECT *, c1 / c0 AS kk1 FROM mc),
+lev1b AS (SELECT *, c0 * (1.0 - kk1 * kk1) AS v1 FROM lev1),
+lev2 AS (SELECT *, (c2 - kk1 * c1) / v1 AS kk2 FROM lev1b),
+lev2b AS (
+  SELECT *, kk1 - kk2 * kk1 AS phi21,
+    v1 * (1.0 - kk2 * kk2) AS v2
+  FROM lev2
+),
+lev3 AS (
+  SELECT *, (c3 - phi21 * c2 - kk2 * c1) / v2 AS kk3 FROM lev2b
+)
+SELECT grp AS l_returnflag, 1 AS lag,
+  round(CASE WHEN c0 > 0 AND n > 1 THEN c1 / c0 END, 6) AS acf,
+  round(CASE WHEN c0 > 0 AND n > 1 THEN kk1 END, 6) AS pacf
+FROM lev3
+UNION ALL
+SELECT grp, 2,
+  round(CASE WHEN c0 > 0 AND n > 2 THEN c2 / c0 END, 6),
+  round(CASE WHEN c0 > 0 AND n > 2 THEN kk2 END, 6)
+FROM lev3
+UNION ALL
+SELECT grp, 3,
+  round(CASE WHEN c0 > 0 AND n > 3 THEN c3 / c0 END, 6),
+  round(CASE WHEN c0 > 0 AND n > 3 THEN kk3 END, 6)
+FROM lev3
+"""
+
+
+@_q("acf_pacf", _ACF_PACF_ORACLE)
+def q_acf_pacf(spark, sf):
+    """ACF + PACF through lag 3 of quantities per return flag in
+    shipdate order (temporal.acf_pacf): algebraic autocovariances
+    (no demeaned column), Levinson-Durbin unrolled as closed-form
+    expressions — the ARIMA order diagnostic."""
+    from padua_spark.operators.temporal import acf_pacf
+
+    li = _t(spark, sf, "lineitem")
+    # same tie-block determinism trick as durbin_watson
+    return acf_pacf(
+        li, ["l_returnflag"],
+        ["l_shipdate", "l_orderkey", "l_linenumber", "l_quantity"],
+        "l_quantity", max_lag=3,
+    )
+
+
+_GRANGER_ORACLE = f"""
+WITH RECURSIVE base AS (
+  SELECT l_returnflag AS grp, CAST(l_quantity AS DOUBLE) AS y0,
+    round(l_discount * 100) AS x0,
+    l_shipdate, l_orderkey, l_linenumber
+  FROM lineitem
+  WHERE l_quantity IS NOT NULL AND l_discount IS NOT NULL
+),
+lagged AS (
+  SELECT grp, y0 AS y,
+    lag(y0) OVER w AS a, lag(x0) OVER w AS b
+  FROM base
+  WINDOW w AS (PARTITION BY grp
+               ORDER BY l_shipdate, l_orderkey, l_linenumber, y0, x0)
+),
+f AS (SELECT * FROM lagged WHERE a IS NOT NULL AND b IS NOT NULL),
+agg AS (
+  SELECT grp, CAST(count(*) AS BIGINT) AS n,
+    sum(y) AS sy, sum(a) AS sa, sum(b) AS sb,
+    sum(y * y) AS syy0, sum(a * a) AS saa0, sum(b * b) AS sbb0,
+    sum(a * b) AS sab0, sum(a * y) AS say0, sum(b * y) AS sby0
+  FROM f GROUP BY 1
+),
+cen AS (
+  SELECT grp, n, CAST(n AS DOUBLE) AS nd,
+    syy0 - sy * sy / CAST(n AS DOUBLE) AS syy,
+    saa0 - sa * sa / CAST(n AS DOUBLE) AS saa,
+    sbb0 - sb * sb / CAST(n AS DOUBLE) AS sbb,
+    sab0 - sa * sb / CAST(n AS DOUBLE) AS sab,
+    say0 - sa * sy / CAST(n AS DOUBLE) AS say,
+    sby0 - sb * sy / CAST(n AS DOUBLE) AS sby
+  FROM agg
+),
+sol AS (
+  SELECT grp, n, nd, syy, saa, sbb, sab, say, sby,
+    saa * sbb - sab * sab AS det
+  FROM cen
+),
+fit AS (
+  SELECT grp, n, nd, saa, det,
+    (say * sbb - sby * sab) / det AS beta_a,
+    (sby * saa - say * sab) / det AS beta_b,
+    syy - say * say / saa AS rss_r,
+    syy - (say * sbb - sby * sab) / det * say
+        - (sby * saa - say * sab) / det * sby AS rss_u
+  FROM sol
+),
+st AS (
+  SELECT grp, n,
+    CASE WHEN n >= 4 AND saa > 0 AND det > 0 AND rss_u > 0
+      THEN beta_b END AS beta_x,
+    CASE WHEN n >= 4 AND saa > 0 AND det > 0 AND rss_u > 0
+      THEN (rss_r - rss_u) / (rss_u / (nd - 3.0)) END AS f_stat
+  FROM fit
+),
+inp AS (
+  SELECT grp AS key,
+    CAST((CAST(n AS DOUBLE) - 3.0)
+      / ((CAST(n AS DOUBLE) - 3.0) + 1.0 * f_stat) AS DOUBLE) AS x,
+    CAST((CAST(n AS DOUBLE) - 3.0) / 2.0 AS DOUBLE) AS a,
+    CAST(0.5 AS DOUBLE) AS b
+  FROM st WHERE f_stat IS NOT NULL AND f_stat >= 0
+),
+{_betainc_chain_sql()}
+SELECT st.grp AS l_returnflag, st.n,
+  round(st.beta_x, 6) AS beta_x,
+  round(st.f_stat, 6) AS f_stat,
+  round(pv.p, 6) AS p_value
+FROM st LEFT JOIN pv ON st.grp = pv.key
+"""
+
+
+@_q("granger_causality", _GRANGER_ORACLE)
+def q_granger_causality(spark, sf):
+    """Lag-1 Granger causality (does yesterday's discount signal
+    predict today's quantity?) per return flag
+    (temporal.granger_causality): both OLS fits closed-form from one
+    window pass + one aggregation; F p-value via the shared
+    incomplete beta."""
+    from padua_spark.operators.temporal import granger_causality
+
+    li = _t(spark, sf, "lineitem").withColumn(
+        "_x100", F.round(F.col("l_discount") * 100)
+    )
+    # both series join the order key (tie blocks then carry equal
+    # (y, x) pairs, making the lag sequence deterministic)
+    return granger_causality(
+        li, ["l_returnflag"],
+        ["l_shipdate", "l_orderkey", "l_linenumber", "l_quantity",
+         "_x100"],
+        "l_quantity", "_x100",
     )
 
 

@@ -129,6 +129,8 @@ HEADLINE = [
     "gains_table",
     "brier_decomposition",
     "kfold_assign",
+    "acf_pacf",
+    "granger_causality",
     "anova_2way_stats",
     "levene_stats",
     "ttest_paired_stats",

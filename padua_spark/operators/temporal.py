@@ -1235,3 +1235,209 @@ def seasonal_decompose(
         F.round(val - trend - F.col("_si"), 6).alias("residual"),
     )
     return track_cached(res, staged)
+
+
+def acf_pacf(
+    df: DataFrame,
+    group_cols: list[str],
+    order_cols: list[str],
+    value_col: str,
+    max_lag: int = 3,
+) -> DataFrame:
+    """Autocorrelation + partial autocorrelation per group through
+    ``max_lag`` — the ARIMA order-selection diagnostic (ACF tails ⇒
+    MA order; PACF cuts off at the AR order), the lag-k extension of
+    :func:`durbin_watson`'s single-lag check:
+
+    ``acf_k = c_k / c_0`` from the sample autocovariances with the
+    full-series mean and denominator n (statsmodels' MLE flavor),
+    ``pacf_k`` from the Levinson–Durbin recursion on ``c_0..c_k``
+    (the Yule–Walker solve, unrolled as closed-form column
+    expressions — no matrix library, no UDF).
+
+    Scale shape: ONE window pass on the group shuffle producing the
+    ``max_lag`` lag columns, ONE aggregation to the exact cross sums
+    — each ``c_k`` is assembled ALGEBRAICALLY from
+    ``Σ x_t·x_{t−k}``, the head/tail partial sums and the full mean
+    (``c_k = (Σx_t·x_{t−k} − x̄(S_head+S_tail) + n_k·x̄²)/n``), so
+    no demeaned column is ever materialized and integer series are
+    engine-exact. The recursion then runs on the per-group row.
+    Output: one row per (group, lag 1..max_lag):
+    ``(groups…, lag, acf, pacf)``, 6dp; NULL when c₀ = 0 or the lag
+    exceeds n−1.
+
+    Beyond the reference; standard per Box & Jenkins; matches
+    statsmodels acf(fft=False)/pacf(method='ywm').
+    """
+    p = int(max_lag)
+    if p < 1:
+        raise ValueError("acf_pacf: max_lag must be >= 1")
+    v = F.col(value_col).cast("double")
+    base = df.where(v.isNotNull()).select(
+        *group_cols, *order_cols, v.alias("_v")
+    )
+    w = Window.partitionBy(*group_cols).orderBy(
+        *[F.col(c).asc() for c in order_cols]
+    )
+    lagged = base.select(
+        *group_cols,
+        "_v",
+        *[F.lag("_v", k).over(w).alias(f"_l{k}") for k in range(1, p + 1)],
+    )
+    aggs = [
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("_v").alias("_s1"),
+        F.sum(F.col("_v") * F.col("_v")).alias("_s2"),
+    ]
+    for k in range(1, p + 1):
+        lk = F.col(f"_l{k}")
+        aggs += [
+            F.sum(F.col("_v") * lk).alias(f"_m{k}"),
+            F.sum(F.when(lk.isNotNull(), F.col("_v"))).alias(f"_h{k}"),
+            F.sum(lk).alias(f"_t{k}"),
+            F.count(lk).cast("bigint").alias(f"_nk{k}"),
+        ]
+    agg = lagged.groupBy(*group_cols).agg(*aggs)
+    nd = F.col("n").cast("double")
+    mean = F.col("_s1") / nd
+    c = {0: F.col("_s2") / nd - mean * mean}
+    for k in range(1, p + 1):
+        c[k] = (
+            F.col(f"_m{k}")
+            - mean * (F.col(f"_h{k}") + F.col(f"_t{k}"))
+            + F.col(f"_nk{k}").cast("double") * mean * mean
+        ) / nd
+    # Levinson–Durbin unroll: pacf_k is the k-th reflection coefficient
+    pacf = {}
+    phi_prev: dict[int, F.Column] = {}
+    vk = c[0]
+    for k in range(1, p + 1):
+        num = c[k]
+        for j in range(1, k):
+            num = num - phi_prev[j] * c[k - j]
+        kk = num / vk
+        phi_new = {
+            j: phi_prev[j] - kk * phi_prev[k - j] for j in range(1, k)
+        }
+        phi_new[k] = kk
+        pacf[k] = kk
+        vk = vk * (1.0 - kk * kk)
+        phi_prev = phi_new
+    ok0 = c[0] > 0
+    stack_args = []
+    for k in range(1, p + 1):
+        okk = ok0 & (F.col("n") > k)
+        stack_args += [
+            F.lit(k),
+            F.round(F.when(okk, c[k] / c[0]), 6),
+            F.round(F.when(okk, pacf[k]), 6),
+        ]
+    return agg.select(
+        *group_cols,
+        F.stack(
+            F.lit(p), *stack_args
+        ).alias("lag", "acf", "pacf"),
+    )
+
+
+def granger_causality(
+    df: DataFrame,
+    group_cols: list[str],
+    order_cols: list[str],
+    y_col: str,
+    x_col: str,
+) -> DataFrame:
+    """Lag-1 Granger causality per group — does yesterday's x help
+    predict today's y beyond yesterday's y? The F-test comparing the
+    restricted AR(1) ``y_t ~ 1 + y_{t−1}`` against the augmented
+    ``y_t ~ 1 + y_{t−1} + x_{t−1}``:
+
+    both OLS fits are CLOSED FORM from centered cross-sums (simple
+    regression for the restricted model; the 2×2 normal-equation
+    solve for the augmented one), so the whole test is ONE window
+    pass (two lag columns on the group shuffle) + ONE aggregation to
+    exact raw sums + scalar algebra:
+
+    ``F = (RSS_r − RSS_u) / (RSS_u / (n−3))``, ``p = F_sf(F, 1,
+    n−3)`` via the shared Arrow-batched incomplete-beta
+    (:func:`~padua_spark.functions.distributions.f_sf_udf` — the
+    same CDF the ANOVA battery uses).
+
+    Output per group: ``(groups…, n, beta_x, f_stat, p_value)``,
+    6dp; NULL when n < 4 or a fit is degenerate (zero lag variance /
+    singular normal equations / zero residual variance).
+
+    Beyond the reference; standard per Granger 1969 (the fixed-lag-1
+    form; higher orders need a matrix solve — see cox_ph for the
+    driver-assembled pattern if you need them).
+    """
+    from padua_spark.functions.distributions import f_sf_udf
+
+    y = F.col(y_col).cast("double")
+    x = F.col(x_col).cast("double")
+    base = df.where(y.isNotNull() & x.isNotNull()).select(
+        *group_cols, *order_cols, y.alias("_y"), x.alias("_x")
+    )
+    w = Window.partitionBy(*group_cols).orderBy(
+        *[F.col(c).asc() for c in order_cols]
+    )
+    lagged = base.select(
+        *group_cols,
+        "_y",
+        F.lag("_y").over(w).alias("_a"),
+        F.lag("_x").over(w).alias("_b"),
+    ).where(F.col("_a").isNotNull() & F.col("_b").isNotNull())
+    yy = F.col("_y")
+    a = F.col("_a")
+    b = F.col("_b")
+    agg = lagged.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(yy).alias("_sy"),
+        F.sum(a).alias("_sa"),
+        F.sum(b).alias("_sb"),
+        F.sum(yy * yy).alias("_syy"),
+        F.sum(a * a).alias("_saa"),
+        F.sum(b * b).alias("_sbb"),
+        F.sum(a * b).alias("_sab"),
+        F.sum(a * yy).alias("_say"),
+        F.sum(b * yy).alias("_sby"),
+    )
+    nd = F.col("n").cast("double")
+    syy = F.col("_syy") - F.col("_sy") * F.col("_sy") / nd
+    saa = F.col("_saa") - F.col("_sa") * F.col("_sa") / nd
+    sbb = F.col("_sbb") - F.col("_sb") * F.col("_sb") / nd
+    sab = F.col("_sab") - F.col("_sa") * F.col("_sb") / nd
+    say = F.col("_say") - F.col("_sa") * F.col("_sy") / nd
+    sby = F.col("_sby") - F.col("_sb") * F.col("_sy") / nd
+    det = saa * sbb - sab * sab
+    beta_a = (say * sbb - sby * sab) / det
+    beta_b = (sby * saa - say * sab) / det
+    rss_r = syy - say * say / saa
+    rss_u = syy - beta_a * say - beta_b * sby
+    ok = (
+        (F.col("n") >= 4)
+        & (saa > 0)
+        & (det > 0)
+        & (rss_u > 0)
+    )
+    f_stat = F.when(
+        ok, (rss_r - rss_u) / (rss_u / (nd - 3.0))
+    )
+    staged = agg.withColumn("_f", f_stat).withColumn(
+        "_beta", F.when(ok, beta_b)
+    )
+    staged = staged.withColumn(
+        "_p",
+        F.when(
+            F.col("_f").isNotNull() & (F.col("_f") >= 0),
+            f_sf_udf(
+                F.col("_f"), F.lit(1.0), F.col("n").cast("double") - 3.0
+            ),
+        ),
+    )
+    return staged.select(
+        *group_cols, "n",
+        F.round("_beta", 6).alias("beta_x"),
+        F.round("_f", 6).alias("f_stat"),
+        F.round("_p", 6).alias("p_value"),
+    )

@@ -7504,3 +7504,87 @@ def test_kfold_assign_deterministic_and_stratified(spark):
 
     with _pt.raises(ValueError, match="k must be"):
         kfold_assign(df, "id", k=1)
+
+
+def test_acf_pacf_vs_levinson_replica(spark):
+    """ACF/PACF against a direct numpy Levinson-Durbin replica on an
+    AR(1) series (PACF cuts off after lag 1); the c0/n guards."""
+    import numpy as np
+
+    from padua_spark.operators.temporal import acf_pacf
+
+    rng = np.random.RandomState(4)
+    n = 400
+    x = np.zeros(n)
+    for t in range(1, n):
+        x[t] = 0.6 * x[t - 1] + rng.normal()
+    df = spark.createDataFrame(
+        [("g", i, float(v)) for i, v in enumerate(x)],
+        ["g", "t", "v"],
+    )
+    out = {r["lag"]: r for r in
+           acf_pacf(df, ["g"], ["t"], "v", max_lag=3).collect()}
+    m = x.mean()
+    c = [float(np.sum((x[k:] - m) * (x[: n - k] - m)) / n)
+         for k in range(4)]
+    phi = {}
+    vk = c[0]
+    pacf = {}
+    for k in range(1, 4):
+        num = c[k] - sum(phi.get(j, 0) * c[k - j] for j in range(1, k))
+        kk = num / vk
+        newphi = {j: phi[j] - kk * phi[k - j] for j in range(1, k)}
+        newphi[k] = kk
+        pacf[k] = kk
+        vk = vk * (1 - kk * kk)
+        phi = newphi
+    for k in range(1, 4):
+        assert out[k]["acf"] == pytest.approx(c[k] / c[0], abs=1e-5)
+        assert out[k]["pacf"] == pytest.approx(pacf[k], abs=1e-5)
+    assert abs(out[1]["pacf"] - 0.6) < 0.1
+    assert abs(out[2]["pacf"]) < 0.15  # AR(1): PACF cuts off
+    const = spark.createDataFrame(
+        [("g", i, 3.0) for i in range(20)], ["g", "t", "v"]
+    )
+    for r in acf_pacf(const, ["g"], ["t"], "v").collect():
+        assert r["acf"] is None and r["pacf"] is None
+
+
+def test_granger_causality_vs_lstsq(spark):
+    """Lag-1 Granger F and beta_x against numpy lstsq restricted vs
+    augmented fits; a true causal series is significant, pure noise is
+    not."""
+    import numpy as np
+
+    from padua_spark.operators.temporal import granger_causality
+
+    rng = np.random.RandomState(4)
+    n = 400
+    y = np.zeros(n)
+    x = rng.normal(size=n)
+    for t in range(1, n):
+        y[t] = 0.3 * y[t - 1] + 0.5 * x[t - 1] + rng.normal()
+    df = spark.createDataFrame(
+        [("g", i, float(y[i]), float(x[i])) for i in range(n)],
+        ["g", "t", "y", "x"],
+    )
+    r = granger_causality(df, ["g"], ["t"], "y", "x").collect()[0]
+    Y = y[1:]
+    A = np.column_stack([np.ones(n - 1), y[:-1]])
+    B = np.column_stack([np.ones(n - 1), y[:-1], x[:-1]])
+    rss_r = float(np.sum(
+        (Y - A @ np.linalg.lstsq(A, Y, rcond=None)[0]) ** 2))
+    bu = np.linalg.lstsq(B, Y, rcond=None)[0]
+    rss_u = float(np.sum((Y - B @ bu) ** 2))
+    fs = (rss_r - rss_u) / (rss_u / (n - 1 - 3))
+    assert r["f_stat"] == pytest.approx(fs, rel=1e-4)
+    assert r["beta_x"] == pytest.approx(bu[2], abs=1e-5)
+    assert r["p_value"] < 1e-6
+    # independent noise -> insignificant
+    z = rng.normal(size=n)
+    df2 = spark.createDataFrame(
+        [("g", i, float(z[i]), float(x[i])) for i in range(n)],
+        ["g", "t", "y", "x"],
+    )
+    r2 = granger_causality(df2, ["g"], ["t"], "y", "x").collect()[0]
+    assert r2["p_value"] > 0.01
