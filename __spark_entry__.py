@@ -17771,6 +17771,73 @@ def q_granger_causality(spark, sf):
     )
 
 
+_TEXTRANK_ORACLE = r"""
+WITH RECURSIVE docs0 AS (
+  SELECT doc_id,
+    regexp_split_to_array(trim(lower(text)), '\s+') AS arr
+  FROM documents WHERE text IS NOT NULL
+),
+tok AS (
+  SELECT doc_id, i AS p, arr[i] AS tk
+  FROM docs0, unnest(generate_series(1, len(arr))) AS g(i)
+  WHERE length(arr[i]) >= 4
+),
+pairs AS (
+  SELECT a.tk AS ta, b.tk AS tb
+  FROM tok a JOIN tok b
+    ON b.doc_id = a.doc_id AND b.p = a.p + 1
+  UNION ALL
+  SELECT a.tk, b.tk
+  FROM tok a JOIN tok b
+    ON b.doc_id = a.doc_id AND b.p = a.p + 2
+),
+edges AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT ta AS src, tb AS dst FROM pairs WHERE ta <> tb
+    UNION ALL
+    SELECT tb AS src, ta AS dst FROM pairs WHERE ta <> tb
+  )
+),
+outdeg AS (SELECT src, count(*) AS o FROM edges GROUP BY 1),
+nodes AS (
+  SELECT DISTINCT node FROM (
+    SELECT src AS node FROM edges
+    UNION ALL
+    SELECT dst AS node FROM edges
+  )
+),
+nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+pr(it, node, rank) AS (
+  SELECT 0, node, CAST(1.0 AS DOUBLE) / nn.n FROM nodes, nn
+  UNION ALL
+  SELECT p.it + 1, e.dst AS node,
+    (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / nn.n
+    + CAST(0.85 AS DOUBLE) * sum(p.rank / o.o)
+  FROM (SELECT * FROM pr WHERE it < 5) p
+  JOIN edges e ON e.src = p.node
+  JOIN outdeg o ON o.src = p.node
+  CROSS JOIN nn
+  GROUP BY p.it, e.dst, nn.n
+)
+SELECT node AS token, round(rank, 9) AS rank FROM pr WHERE it = 5
+"""
+
+
+@_q("textrank_keywords", _TEXTRANK_ORACLE)
+def q_textrank_keywords(spark, sf):
+    """TextRank keyword centrality over the corpus co-occurrence
+    graph (text.textrank_keywords): window-2 co-occurrence as a UNION
+    of plain equi-joins on (doc, pos+offset), then the repo's
+    fixed-iteration pagerank; the oracle replays the identical
+    recurrence as a recursive CTE."""
+    from padua_spark.extensions.text import textrank_keywords
+
+    d = _t(spark, sf, "documents")
+    return textrank_keywords(
+        d, "doc_id", "text", window=2, min_chars=4, k_iters=5
+    )
+
+
 # ---------------------------------------------------------------------------
 
 

@@ -131,6 +131,7 @@ HEADLINE = [
     "kfold_assign",
     "acf_pacf",
     "granger_causality",
+    "textrank_keywords",
     "anova_2way_stats",
     "levene_stats",
     "ttest_paired_stats",

@@ -1726,3 +1726,85 @@ def token_distribution_divergences(
         ),
         per,
     )
+
+
+def textrank_keywords(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    window: int = 2,
+    min_chars: int = 4,
+    k_iters: int = 5,
+    damping: float = 0.85,
+    top_k: int | None = None,
+) -> DataFrame:
+    """TextRank keyword extraction (Mihalcea & Tarau 2004) — PageRank
+    over the token co-occurrence graph: tokens that co-occur within
+    ``window`` positions share an edge; central tokens are keywords.
+    The graph-centrality upgrade of raw TF ranking (a term that
+    bridges many contexts outranks one that merely repeats), built
+    entirely from operators this repo already trusts.
+
+    Semantics (pinned for engine reproducibility): tokens are the
+    whitespace tokenization of the LOWERCASED text with ORIGINAL
+    positions; tokens shorter than ``min_chars`` are dropped (the
+    POS-filter stand-in) but positions are NOT re-compacted, so the
+    window is over the original text distance. Co-occurrence pairs at
+    position distance 1..``window`` become a symmetrized DISTINCT
+    edge list fed to :func:`~padua_spark.extensions.graph.pagerank`
+    (fixed ``k_iters``, dangling mass dropped — same documented
+    recurrence).
+
+    Scale shape: the window join is a UNION of ``window`` plain
+    EQUI-joins on ``(doc, pos + offset)`` — never an inequality/range
+    join — and everything after is vocabulary-sized. Output:
+    ``(token, rank)`` (rank 9dp), optionally ``top_k`` by
+    ``(rank DESC, token)``.
+    """
+    from pyspark import StorageLevel
+
+    from padua_spark.extensions.graph import pagerank
+    from padua_spark.io_utils import track_cached
+
+    t = F.col(text_col)
+    staged = df.where(t.isNotNull()).select(
+        F.col(id_col).alias("_doc"),
+        tokens(F.lower(t)).alias("_arr"),
+    )
+    pos = (
+        staged.select(
+            "_doc", F.posexplode("_arr").alias("_p", "_tok")
+        )
+        .where(F.length("_tok") >= int(min_chars))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    a = pos.select("_doc", F.col("_p").alias("_pa"),
+                   F.col("_tok").alias("_ta"))
+    pairs = None
+    for off in range(1, int(window) + 1):
+        b = pos.select(
+            "_doc",
+            (F.col("_p") - off).alias("_pa"),
+            F.col("_tok").alias("_tb"),
+        )
+        p = a.join(b, on=["_doc", "_pa"]).select("_ta", "_tb")
+        pairs = p if pairs is None else pairs.unionAll(p)
+    edges = (
+        pairs.where(F.col("_ta") != F.col("_tb"))
+        .select(F.col("_ta").alias("src"), F.col("_tb").alias("dst"))
+    )
+    sym = edges.unionAll(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    ranks = pagerank(sym, "src", "dst", k_iters, damping)
+    out = ranks.select(
+        F.col("node").alias("token"),
+        F.round("rank", 9).alias("rank"),
+    )
+    if top_k is not None:
+        out = out.orderBy(
+            F.col("rank").desc(), F.col("token").asc()
+        ).limit(int(top_k))
+    cached = [pos]
+    cached.extend(getattr(ranks, "_padua_cached", ()))
+    return track_cached(out, *cached)

@@ -7588,3 +7588,50 @@ def test_granger_causality_vs_lstsq(spark):
     )
     r2 = granger_causality(df2, ["g"], ["t"], "y", "x").collect()[0]
     assert r2["p_value"] > 0.01
+
+
+def test_textrank_keywords_vs_replica(spark):
+    """TextRank ranks against a pure-Python replica of the pinned
+    recurrence (window-2 co-occurrence on original positions, min 4
+    chars, 5 damped iterations, dangling mass dropped); top_k
+    ordering is (rank DESC, token)."""
+    import collections
+
+    from padua_spark.extensions.text import textrank_keywords
+
+    docs = [
+        (1, "machine learning models learn machine representations"
+            " from data"),
+        (2, "deep learning models need data and compute for training"
+            " models"),
+        (3, "data pipelines feed machine learning training with clean"
+            " data"),
+    ]
+    df = spark.createDataFrame(docs, ["id", "text"])
+    out = textrank_keywords(
+        df, "id", "text", window=2, top_k=5
+    ).collect()
+    edges = set()
+    for _i, txt in docs:
+        ts = txt.lower().split()
+        for p, tk in enumerate(ts):
+            for o in (1, 2):
+                if p + o < len(ts):
+                    u, v = tk, ts[p + o]
+                    if len(u) >= 4 and len(v) >= 4 and u != v:
+                        edges.add((u, v))
+                        edges.add((v, u))
+    nodes = sorted({x for e in edges for x in e})
+    N = len(nodes)
+    out_deg = collections.Counter(u for u, _v in edges)
+    rank = {n: 1 / N for n in nodes}
+    for _ in range(5):
+        rank = {
+            n: 0.15 / N + 0.85 * sum(
+                rank[u] / out_deg[u] for (u, v) in edges if v == n
+            )
+            for n in nodes
+        }
+    top = sorted(rank.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
+    got = [(r["token"], round(r["rank"], 6)) for r in out]
+    assert got == [(t, round(r, 6)) for t, r in top]
