@@ -17838,6 +17838,211 @@ def q_textrank_keywords(spark, sf):
     )
 
 
+_CUZICK_ORACLE = """
+WITH vals AS (
+  SELECT l_returnflag AS g, l_quantity AS v
+  FROM lineitem
+  WHERE l_returnflag IN ('A', 'N', 'R') AND l_quantity IS NOT NULL
+),
+per AS (
+  SELECT v,
+    count(*) FILTER (WHERE g = 'A') AS c0,
+    count(*) FILTER (WHERE g = 'N') AS c1,
+    count(*) FILTER (WHERE g = 'R') AS c2,
+    count(*) AS ct
+  FROM vals GROUP BY v
+),
+run AS (
+  SELECT *, sum(ct) OVER (ORDER BY v
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ct_run
+  FROM per
+),
+agg AS (
+  SELECT
+    sum(c0 * (2 * (ct_run - ct) + ct + 1)) AS r20,
+    sum(c1 * (2 * (ct_run - ct) + ct + 1)) AS r21,
+    sum(c2 * (2 * (ct_run - ct) + ct + 1)) AS r22,
+    sum(c0) AS n0, sum(c1) AS n1, sum(c2) AS n2,
+    sum(ct * ct * ct - ct) AS tie
+  FROM run
+),
+st AS (
+  SELECT CAST(n0 + n1 + n2 AS BIGINT) AS n_total,
+    CAST(n0 + n1 + n2 AS DOUBLE) AS nd,
+    1 * r20 + 2 * r21 + 3 * r22 AS two_l,
+    1 * n0 + 2 * n1 + 3 * n2 AS szn,
+    1 * n0 + 4 * n1 + 9 * n2 AS szzn,
+    tie
+  FROM agg
+),
+zc AS (
+  SELECT n_total,
+    CAST(two_l AS DOUBLE) / 2.0 AS l_stat,
+    (CAST(two_l AS DOUBLE)
+      - (nd + 1.0) * CAST(szn AS DOUBLE))
+    / (2.0 * sqrt((nd + 1.0) / 12.0
+        * (nd * CAST(szzn AS DOUBLE)
+           - CAST(szn AS DOUBLE) * CAST(szn AS DOUBLE))
+        * (1.0 - CAST(tie AS DOUBLE) / (nd * nd * nd - nd)))) AS z
+  FROM st
+),
+e AS (
+  SELECT *, abs(z) / sqrt(2.0) AS x,
+    1.0 / (1.0 + 0.3275911 * (abs(z) / sqrt(2.0))) AS t
+  FROM zc
+)
+SELECT n_total, CAST(3 AS BIGINT) AS k_groups,
+  round(l_stat, 6) AS l_stat, round(z, 6) AS z,
+  round((0.254829592 * t + -0.284496736 * t * t
+         + 1.421413741 * t * t * t + -1.453152027 * t * t * t * t
+         + 1.061405429 * t * t * t * t * t) * exp(-x * x), 6)
+    AS p_value
+FROM e
+"""
+
+
+@_q("cuzick_trend", _CUZICK_ORACLE)
+def q_cuzick_trend(spark, sf):
+    """Cuzick's nonparametric trend test across the ordered return
+    flags A < N < R (stats.cuzick_trend): doubled midranks from the
+    shared stepped cumsum keep 2L and 2E(L) exact integers."""
+    from padua_spark.operators.stats import cuzick_trend
+
+    li = _t(spark, sf, "lineitem")
+    return cuzick_trend(
+        li, "l_returnflag", "l_quantity", ["A", "N", "R"]
+    )
+
+
+_TOST_ORACLE = f"""
+WITH RECURSIVE base AS (
+  SELECT l_returnflag AS g, CAST(l_quantity AS DOUBLE) AS v
+  FROM lineitem
+  WHERE l_quantity IS NOT NULL AND l_returnflag IN ('A', 'R')
+),
+agg AS (
+  SELECT
+    CAST(count(*) FILTER (WHERE g = 'A') AS BIGINT) AS n_a,
+    CAST(count(*) FILTER (WHERE g = 'R') AS BIGINT) AS n_b,
+    sum(v) FILTER (WHERE g = 'A') AS sa,
+    sum(v) FILTER (WHERE g = 'R') AS sb,
+    sum(v * v) FILTER (WHERE g = 'A') AS ssa,
+    sum(v * v) FILTER (WHERE g = 'R') AS ssb
+  FROM base
+),
+m AS (
+  SELECT n_a, n_b,
+    CAST(n_a AS DOUBLE) AS na, CAST(n_b AS DOUBLE) AS nb,
+    sa / CAST(n_a AS DOUBLE) AS ma, sb / CAST(n_b AS DOUBLE) AS mb,
+    (ssa - CAST(n_a AS DOUBLE) * (sa / CAST(n_a AS DOUBLE))
+         * (sa / CAST(n_a AS DOUBLE))) / (CAST(n_a AS DOUBLE) - 1.0)
+      AS va,
+    (ssb - CAST(n_b AS DOUBLE) * (sb / CAST(n_b AS DOUBLE))
+         * (sb / CAST(n_b AS DOUBLE))) / (CAST(n_b AS DOUBLE) - 1.0)
+      AS vb
+  FROM agg
+),
+w AS (
+  SELECT n_a, n_b, ma - mb AS d,
+    sqrt(va / na + vb / nb) AS se,
+    (va / na + vb / nb) * (va / na + vb / nb)
+    / ((va / na) * (va / na) / (na - 1.0)
+       + (vb / nb) * (vb / nb) / (nb - 1.0)) AS dfree
+  FROM m
+),
+tt AS (
+  SELECT n_a, n_b, d, se, dfree,
+    (d - CAST(-0.5 AS DOUBLE)) / se AS tl,
+    (d - CAST(0.5 AS DOUBLE)) / se AS tu
+  FROM w
+),
+inp AS (
+  SELECT 'l' AS key,
+    CAST(dfree / (dfree + tl * tl) AS DOUBLE) AS x,
+    CAST(dfree / 2.0 AS DOUBLE) AS a, CAST(0.5 AS DOUBLE) AS b
+  FROM tt
+  UNION ALL
+  SELECT 'u',
+    CAST(dfree / (dfree + tu * tu) AS DOUBLE),
+    CAST(dfree / 2.0 AS DOUBLE), CAST(0.5 AS DOUBLE)
+  FROM tt
+),
+{_betainc_chain_sql()},
+ps AS (
+  SELECT tt.*,
+    CASE WHEN tt.tl >= 0
+      THEN (SELECT p FROM pv WHERE key = 'l') / 2.0
+      ELSE 1.0 - (SELECT p FROM pv WHERE key = 'l') / 2.0
+    END AS pl,
+    CASE WHEN tt.tu <= 0
+      THEN (SELECT p FROM pv WHERE key = 'u') / 2.0
+      ELSE 1.0 - (SELECT p FROM pv WHERE key = 'u') / 2.0
+    END AS pu
+  FROM tt
+)
+SELECT n_a, n_b, round(d, 6) AS mean_diff, round(se, 6) AS se,
+  round(dfree, 6) AS df,
+  round(tl, 6) AS t_lower, round(tu, 6) AS t_upper,
+  round(pl, 6) AS p_lower, round(pu, 6) AS p_upper,
+  round(greatest(pl, pu), 6) AS p_tost
+FROM ps
+"""
+
+
+@_q("tost_equivalence", _TOST_ORACLE)
+def q_tost_equivalence(spark, sf):
+    """TOST equivalence of mean quantity between return flags A and R
+    within +-0.5 units (stats.tost_equivalence): two one-sided Welch
+    t-tests, p_tost = max; the oracle reflects the shared two-sided
+    incomplete beta into the one-sided tails."""
+    from padua_spark.operators.stats import tost_equivalence
+
+    li = _t(spark, sf, "lineitem")
+    return tost_equivalence(
+        li, "l_returnflag", "l_quantity", "A", "R", -0.5, 0.5
+    )
+
+
+_CAPABILITY_ORACLE = """
+WITH a AS (
+  SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+    sum(CAST(l_quantity AS DOUBLE)) AS s1,
+    sum(CAST(l_quantity AS DOUBLE) * CAST(l_quantity AS DOUBLE))
+      AS s2
+  FROM lineitem WHERE l_quantity IS NOT NULL GROUP BY 1
+),
+m AS (
+  SELECT l_returnflag, n, CAST(n AS DOUBLE) AS nd,
+    s1 / CAST(n AS DOUBLE) AS mu,
+    sqrt((s2 - CAST(n AS DOUBLE) * (s1 / CAST(n AS DOUBLE))
+              * (s1 / CAST(n AS DOUBLE)))
+         / (CAST(n AS DOUBLE) - 1.0)) AS sd
+  FROM a
+)
+SELECT l_returnflag, n, round(mu, 6) AS mean,
+  round(sd, 6) AS sd,
+  round(CAST(49.0 AS DOUBLE) / (6.0 * sd), 6) AS cp,
+  round((mu - CAST(1.0 AS DOUBLE)) / (3.0 * sd), 6) AS cpl,
+  round((CAST(50.0 AS DOUBLE) - mu) / (3.0 * sd), 6) AS cpu,
+  round(least((mu - CAST(1.0 AS DOUBLE)) / (3.0 * sd),
+              (CAST(50.0 AS DOUBLE) - mu) / (3.0 * sd)), 6) AS cpk
+FROM m
+"""
+
+
+@_q("process_capability", _CAPABILITY_ORACLE)
+def q_process_capability(spark, sf):
+    """Cp/Cpk process-capability indices of quantity per return flag
+    against spec limits [1, 50] (stats.process_capability): one
+    aggregation to exact sums."""
+    from padua_spark.operators.stats import process_capability
+
+    li = _t(spark, sf, "lineitem")
+    return process_capability(
+        li, ["l_returnflag"], "l_quantity", 1.0, 50.0
+    )
+
+
 # ---------------------------------------------------------------------------
 
 

@@ -132,6 +132,9 @@ HEADLINE = [
     "acf_pacf",
     "granger_causality",
     "textrank_keywords",
+    "cuzick_trend",
+    "tost_equivalence",
+    "process_capability",
     "anova_2way_stats",
     "levene_stats",
     "ttest_paired_stats",

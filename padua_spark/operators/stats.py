@@ -6834,3 +6834,275 @@ def ordinal_association(
         F.round(d_xy, 6).alias("somers_d_xy"),
     )
     return track_cached(out, cells)
+
+
+def cuzick_trend(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    groups: list,
+    scores: list | None = None,
+    small_domain_threshold: int | None = None,
+) -> DataFrame:
+    """Cuzick's nonparametric test for TREND across ordered groups
+    (Cuzick 1985; Stata's ``nptrend``) — the ordered-alternative
+    companion to :func:`kruskal_wallis_stats` (KW asks "any
+    difference?"; Cuzick asks "does location INCREASE along the dose
+    order?" — the right question for dose-response and staged
+    rollouts):
+
+    with pooled midranks, group scores ``z_g`` (default 1..k in the
+    given group order) and rank sums ``R_g``:
+    ``L = Σ z_g R_g``, ``E(L) = (N+1)/2·Σ z_g n_g``,
+    ``Var(L) = (N+1)/12·[N·Σ z_g² n_g − (Σ z_g n_g)²] · c_tie``
+    with the Kruskal tie factor ``c_tie = 1 − Σ(t³−t)/(N³−N)``;
+    two-sided normal p on ``(L − E)/√Var``.
+
+    Same scale-safe scaffolding as KW: ONE per-value aggregation with
+    per-group counts, ONE stepped-cumsum pass; doubled midranks make
+    ``2L`` and ``2E(L)`` exact integers for integer scores. Output 1
+    row: ``(n_total, k_groups, l_stat, z, p_value)``, 6dp.
+    """
+    from padua_spark.io_utils import track_cached
+
+    if scores is None:
+        scores = list(range(1, len(groups) + 1))
+    if len(scores) != len(groups):
+        raise ValueError("cuzick_trend: scores must match groups")
+    v = F.col(value_col)
+    cols = [f"_c{i}" for i in range(len(groups))]
+    per = (
+        df.where(F.col(group_col).isin(list(groups)) & v.isNotNull())
+        .groupBy(v.alias("_v"))
+        .agg(
+            *[
+                F.count(F.when(F.col(group_col) == g, 1)).alias(c)
+                for g, c in zip(groups, cols)
+            ]
+        )
+    )
+    pooled = per.select(
+        "_v", *cols,
+        sum([F.col(c) for c in cols[1:]], F.col(cols[0])).alias("_ct"),
+    )
+    stepped = _stepped_running_counts(
+        pooled, "_v", ["_ct"], small_domain_threshold
+    )
+    two_rbar = (
+        2 * (F.col("_ct_run") - F.col("_ct")) + F.col("_ct") + 1
+    )
+    agg = stepped.agg(
+        *[
+            F.sum(F.col(c) * two_rbar).alias(f"_2r{i}")
+            for i, c in enumerate(cols)
+        ],
+        *[F.sum(c).alias(f"_n{i}") for i, c in enumerate(cols)],
+        F.sum(
+            F.col("_ct") * F.col("_ct") * F.col("_ct") - F.col("_ct")
+        ).alias("_tie"),
+    )
+    n_total = sum(
+        [F.col(f"_n{i}") for i in range(1, len(cols))], F.col("_n0")
+    )
+    nd = n_total.cast("double")
+    two_l = sum(
+        [
+            F.lit(int(scores[i])) * F.col(f"_2r{i}")
+            for i in range(1, len(cols))
+        ],
+        F.lit(int(scores[0])) * F.col("_2r0"),
+    )
+    szn = sum(
+        [
+            F.lit(int(scores[i])) * F.col(f"_n{i}")
+            for i in range(1, len(cols))
+        ],
+        F.lit(int(scores[0])) * F.col("_n0"),
+    )
+    szzn = sum(
+        [
+            F.lit(int(scores[i]) * int(scores[i])) * F.col(f"_n{i}")
+            for i in range(1, len(cols))
+        ],
+        F.lit(int(scores[0]) * int(scores[0])) * F.col("_n0"),
+    )
+    two_e = (nd + 1.0) * szn.cast("double")
+    c_tie = F.lit(1.0) - F.col("_tie").cast("double") / (
+        nd * nd * nd - nd
+    )
+    var_l = (
+        (nd + 1.0) / 12.0
+        * (
+            nd * szzn.cast("double")
+            - szn.cast("double") * szn.cast("double")
+        )
+        * c_tie
+    )
+    z = F.when(
+        var_l > 0,
+        (two_l.cast("double") - two_e) / (2.0 * F.sqrt(var_l)),
+    )
+    staged = agg.withColumn("_z", z).withColumn(
+        "_l", two_l.cast("double") / 2.0
+    ).withColumn("_nt", n_total)
+    out = staged.select(
+        F.col("_nt").alias("n_total"),
+        F.lit(len(groups)).cast("long").alias("k_groups"),
+        F.round("_l", 6).alias("l_stat"),
+        F.round("_z", 6).alias("z"),
+        F.round(
+            F.when(
+                F.col("_z").isNotNull(),
+                _normal_sf_2sided(F.col("_z")),
+            ),
+            6,
+        ).alias("p_value"),
+    )
+    return track_cached(out, *getattr(stepped, "_padua_cached", ()))
+
+
+def tost_equivalence(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    group_a,
+    group_b,
+    low: float,
+    high: float,
+) -> DataFrame:
+    """TOST equivalence test (two one-sided Welch t-tests) — the
+    correct way to conclude "these two variants are the SAME within
+    ±δ" (a non-significant t-test is NOT evidence of equivalence;
+    Schuirmann 1987): reject non-equivalence when BOTH
+    ``H0⁻: μ_a−μ_b ≤ low`` and ``H0⁺: μ_a−μ_b ≥ high`` reject, so
+    ``p_tost = max(p_lower, p_upper)``.
+
+    ONE conditional aggregation to exact per-group sums, Welch SE and
+    Satterthwaite df in closed form, one-sided p's via the shared
+    Arrow-batched incomplete beta (``student_t_sf`` is two-sided:
+    upper-tail = half/reflected). Output 1 row: ``(n_a, n_b,
+    mean_diff, se, df, t_lower, t_upper, p_lower, p_upper,
+    p_tost)``, 6dp; NULL when a group has n < 2 or zero variance SE.
+    """
+    from padua_spark.functions.distributions import t_sf_udf
+
+    if not low < high:
+        raise ValueError("tost_equivalence: need low < high")
+    v = F.col(value_col).cast("double")
+    g = F.col(group_col)
+    base = df.where(v.isNotNull() & g.isin([group_a, group_b]))
+    agg = base.agg(
+        F.count(F.when(g == group_a, 1)).cast("bigint").alias("n_a"),
+        F.count(F.when(g == group_b, 1)).cast("bigint").alias("n_b"),
+        F.sum(F.when(g == group_a, v)).alias("_sa"),
+        F.sum(F.when(g == group_b, v)).alias("_sb"),
+        F.sum(F.when(g == group_a, v * v)).alias("_ssa"),
+        F.sum(F.when(g == group_b, v * v)).alias("_ssb"),
+    )
+    na = F.col("n_a").cast("double")
+    nb = F.col("n_b").cast("double")
+    ma = F.col("_sa") / na
+    mb = F.col("_sb") / nb
+    va = (F.col("_ssa") - na * ma * ma) / (na - 1.0)
+    vb = (F.col("_ssb") - nb * mb * mb) / (nb - 1.0)
+    se2 = va / na + vb / nb
+    dfree = (se2 * se2) / (
+        (va / na) * (va / na) / (na - 1.0)
+        + (vb / nb) * (vb / nb) / (nb - 1.0)
+    )
+    ok = (F.col("n_a") >= 2) & (F.col("n_b") >= 2) & (se2 > 0)
+    d = ma - mb
+    se = F.sqrt(se2)
+    t_l = F.when(ok, (d - F.lit(float(low))) / se)
+    t_u = F.when(ok, (d - F.lit(float(high))) / se)
+    staged = (
+        agg.withColumn("_d", d)
+        .withColumn("_se", F.when(ok, se))
+        .withColumn("_df", F.when(ok, dfree))
+        .withColumn("_tl", t_l)
+        .withColumn("_tu", t_u)
+    )
+    # student_t_sf is TWO-sided: upper-tail P(T >= t) is half of it
+    # for t >= 0 and the reflected complement for t < 0
+    p2l = t_sf_udf(F.col("_tl"), F.col("_df"))
+    p2u = t_sf_udf(F.col("_tu"), F.col("_df"))
+    staged = staged.withColumn(
+        "_pl",
+        F.when(
+            F.col("_tl").isNotNull(),
+            F.when(F.col("_tl") >= 0, p2l / 2.0).otherwise(
+                1.0 - p2l / 2.0
+            ),
+        ),
+    ).withColumn(
+        "_pu",
+        F.when(
+            F.col("_tu").isNotNull(),
+            F.when(F.col("_tu") <= 0, p2u / 2.0).otherwise(
+                1.0 - p2u / 2.0
+            ),
+        ),
+    )
+    return staged.select(
+        "n_a", "n_b",
+        F.round("_d", 6).alias("mean_diff"),
+        F.round("_se", 6).alias("se"),
+        F.round("_df", 6).alias("df"),
+        F.round("_tl", 6).alias("t_lower"),
+        F.round("_tu", 6).alias("t_upper"),
+        F.round("_pl", 6).alias("p_lower"),
+        F.round("_pu", 6).alias("p_upper"),
+        F.round(F.greatest(F.col("_pl"), F.col("_pu")), 6).alias(
+            "p_tost"
+        ),
+    )
+
+
+def process_capability(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    lsl: float,
+    usl: float,
+) -> DataFrame:
+    """Process capability indices per group — the SPC acceptance
+    numbers for "does this pipeline stage stay inside its spec
+    limits": ``Cp = (USL−LSL)/6s`` (potential),
+    ``Cpu = (USL−x̄)/3s``, ``Cpl = (x̄−LSL)/3s``,
+    ``Cpk = min(Cpu, Cpl)`` (realized, centering-penalized), with the
+    sample (n−1) standard deviation.
+
+    ONE map-side-combined aggregation to exact sums (integer-valued
+    columns are engine-exact). Output: ``(groups…, n, mean, sd, cp,
+    cpl, cpu, cpk)``, 6dp; indices NULL when n < 2 or s = 0.
+
+    Beyond the reference; standard per Montgomery, *Introduction to
+    Statistical Quality Control*.
+    """
+    if not lsl < usl:
+        raise ValueError("process_capability: need lsl < usl")
+    v = F.col(value_col).cast("double")
+    agg = df.where(v.isNotNull()).groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(v).alias("_s1"),
+        F.sum(v * v).alias("_s2"),
+    )
+    nd = F.col("n").cast("double")
+    m = F.col("_s1") / nd
+    var = (F.col("_s2") - nd * m * m) / (nd - 1.0)
+    sd = F.sqrt(var)
+    ok = (F.col("n") >= 2) & (var > 0)
+    cpu = (F.lit(float(usl)) - m) / (3.0 * sd)
+    cpl = (m - F.lit(float(lsl))) / (3.0 * sd)
+    return agg.select(
+        *group_cols, "n",
+        F.round(m, 6).alias("mean"),
+        F.round(F.when(ok, sd), 6).alias("sd"),
+        F.round(
+            F.when(ok, F.lit(float(usl) - float(lsl)) / (6.0 * sd)),
+            6,
+        ).alias("cp"),
+        F.round(F.when(ok, cpl), 6).alias("cpl"),
+        F.round(F.when(ok, cpu), 6).alias("cpu"),
+        F.round(F.when(ok, F.least(cpl, cpu)), 6).alias("cpk"),
+    )

@@ -7635,3 +7635,114 @@ def test_textrank_keywords_vs_replica(spark):
     top = sorted(rank.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
     got = [(r["token"], round(r["rank"], 6)) for r in out]
     assert got == [(t, round(r, 6)) for t, r in top]
+
+
+def test_cuzick_trend_vs_replica(spark):
+    """Cuzick L/z/p against a midrank + tie-corrected-variance
+    replica; a strong monotone trend is significant, permuted groups
+    are not."""
+    import collections
+    import math
+
+    import numpy as np
+
+    from padua_spark.operators.stats import cuzick_trend
+
+    rng = np.random.RandomState(6)
+    data = []
+    for gi, g in enumerate(["g1", "g2", "g3"]):
+        data += [(g, float(v)) for v in rng.randint(1, 20, 60) + gi]
+    df = spark.createDataFrame(data, ["g", "v"])
+    r = cuzick_trend(df, "g", "v", ["g1", "g2", "g3"]).collect()[0]
+    vals = np.array([v for _, v in data])
+    grp = [g for g, _ in data]
+    cnt = collections.Counter(vals)
+    cum = 0
+    mid = {}
+    for val in sorted(cnt):
+        c = cnt[val]
+        mid[val] = cum + (c + 1) / 2
+        cum += c
+    z = {"g1": 1, "g2": 2, "g3": 3}
+    L = sum(z[g] * mid[v] for g, (_, v) in zip(grp, data))
+    N = len(vals)
+    n_g = collections.Counter(grp)
+    szn = sum(z[g] * n for g, n in n_g.items())
+    szzn = sum(z[g] ** 2 * n for g, n in n_g.items())
+    tie = sum(c ** 3 - c for c in cnt.values())
+    var = (
+        (N + 1) / 12 * (N * szzn - szn ** 2)
+        * (1 - tie / (N ** 3 - N))
+    )
+    zz = (L - (N + 1) / 2 * szn) / math.sqrt(var)
+    assert r["l_stat"] == pytest.approx(L, abs=1e-6)
+    assert r["z"] == pytest.approx(zz, abs=1e-5)
+    assert r["p_value"] == pytest.approx(
+        math.erfc(abs(zz) / math.sqrt(2)), abs=1e-5
+    )
+    strong = spark.createDataFrame(
+        [("g%d" % (i // 30 + 1), float(i)) for i in range(90)],
+        ["g", "v"],
+    )
+    assert cuzick_trend(
+        strong, "g", "v", ["g1", "g2", "g3"]
+    ).collect()[0]["p_value"] < 1e-9
+
+
+def test_tost_and_capability_vs_replica(spark):
+    """TOST against a Welch + one-sided-t replica (equivalent series
+    give small p_tost, shifted series large); Cp/Cpk against direct
+    formulas."""
+    import math
+
+    import numpy as np
+
+    from padua_spark.functions.distributions import student_t_sf
+    from padua_spark.operators.stats import (
+        process_capability,
+        tost_equivalence,
+    )
+
+    rng = np.random.RandomState(6)
+    a = rng.normal(10, 2, 80)
+    b = rng.normal(10.05, 2, 90)
+    rows = [("a", float(x)) for x in a] + [("b", float(x)) for x in b]
+    df = spark.createDataFrame(rows, ["g", "v"])
+    r = tost_equivalence(df, "g", "v", "a", "b", -1.0, 1.0).collect()[0]
+    ma, mb = a.mean(), b.mean()
+    va, vb = a.var(ddof=1), b.var(ddof=1)
+    se2 = va / 80 + vb / 90
+    se = math.sqrt(se2)
+    dfree = se2 ** 2 / ((va / 80) ** 2 / 79 + (vb / 90) ** 2 / 89)
+    d = ma - mb
+    tl, tu = (d + 1) / se, (d - 1) / se
+    pl = (float(student_t_sf(tl, dfree)) / 2 if tl >= 0
+          else 1 - float(student_t_sf(tl, dfree)) / 2)
+    pu = (float(student_t_sf(tu, dfree)) / 2 if tu <= 0
+          else 1 - float(student_t_sf(tu, dfree)) / 2)
+    assert r["t_lower"] == pytest.approx(tl, abs=1e-5)
+    assert r["p_tost"] == pytest.approx(max(pl, pu), abs=1e-5)
+    assert r["p_tost"] < 0.05  # genuinely equivalent within +-1
+    shifted = spark.createDataFrame(
+        [("a", float(x)) for x in a]
+        + [("b", float(x + 3)) for x in a],
+        ["g", "v"],
+    )
+    assert tost_equivalence(
+        shifted, "g", "v", "a", "b", -1.0, 1.0
+    ).collect()[0]["p_tost"] > 0.5
+    with pytest.raises(ValueError, match="low < high"):
+        tost_equivalence(df, "g", "v", "a", "b", 1.0, -1.0)
+
+    x = rng.normal(50, 3, 200)
+    rc = process_capability(
+        spark.createDataFrame(
+            [("g", float(v)) for v in x], ["g", "v"]
+        ),
+        ["g"], "v", 40.0, 60.0,
+    ).collect()[0]
+    m, s = x.mean(), x.std(ddof=1)
+    assert rc["cp"] == pytest.approx(20 / (6 * s), abs=1e-5)
+    assert rc["cpk"] == pytest.approx(
+        min((60 - m) / (3 * s), (m - 40) / (3 * s)), abs=1e-5
+    )
