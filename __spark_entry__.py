@@ -18043,6 +18043,161 @@ def q_process_capability(spark, sf):
     )
 
 
+_GRUBBS_ORACLE = f"""
+WITH RECURSIVE v0 AS (
+  SELECT CAST(l_quantity AS DOUBLE) AS v FROM lineitem
+  WHERE l_quantity IS NOT NULL
+),
+a AS (
+  SELECT CAST(count(*) AS BIGINT) AS n, sum(v) AS s1,
+    sum(v * v) AS s2, min(v) AS mn, max(v) AS mx
+  FROM v0
+),
+m AS (
+  SELECT n, CAST(n AS DOUBLE) AS nd, s1 / CAST(n AS DOUBLE) AS mu,
+    sqrt((s2 - CAST(n AS DOUBLE) * (s1 / CAST(n AS DOUBLE))
+              * (s1 / CAST(n AS DOUBLE)))
+         / (CAST(n AS DOUBLE) - 1.0)) AS sd,
+    mn, mx
+  FROM a
+),
+g AS (
+  SELECT *, greatest(mx - mu, mu - mn) / sd AS gg,
+    CASE WHEN mx - mu >= mu - mn THEN mx ELSE mn END AS outv
+  FROM m
+),
+tt AS (
+  SELECT *,
+    CASE WHEN (nd - 1.0) * (nd - 1.0) - nd * gg * gg > 0
+      THEN sqrt(nd * (nd - 2.0) * gg * gg
+                / ((nd - 1.0) * (nd - 1.0) - nd * gg * gg)) END
+      AS tstat
+  FROM g
+),
+inp AS (
+  SELECT 'k' AS key,
+    CAST((nd - 2.0) / ((nd - 2.0) + tstat * tstat) AS DOUBLE) AS x,
+    CAST((nd - 2.0) / 2.0 AS DOUBLE) AS a, CAST(0.5 AS DOUBLE) AS b
+  FROM tt WHERE tstat IS NOT NULL
+),
+{_betainc_chain_sql()}
+SELECT tt.n, round(tt.mu, 6) AS mean, round(tt.sd, 6) AS sd,
+  round(tt.outv, 6) AS outlier_value,
+  round(tt.gg, 6) AS g_stat,
+  round(least(CAST(1.0 AS DOUBLE), tt.nd * (pv.p / 2.0)), 6)
+    AS p_value
+FROM tt LEFT JOIN pv ON pv.key = 'k'
+"""
+
+
+@_q("grubbs_test", _GRUBBS_ORACLE)
+def q_grubbs_test(spark, sf):
+    """Grubbs' maximum-normed-residual outlier test on quantities
+    (stats.grubbs_test): one aggregation (the max deviation is always
+    at an extreme), Bonferroni-exact t bound via the shared
+    incomplete beta."""
+    from padua_spark.operators.stats import grubbs_test
+
+    li = _t(spark, sf, "lineitem")
+    return grubbs_test(li, "l_quantity")
+
+
+_BENFORD_ORACLE = """
+WITH v0 AS (
+  SELECT CAST(round(CAST(value AS DOUBLE) * 100) AS DOUBLE) AS v
+  FROM events WHERE value IS NOT NULL
+),
+base AS (
+  SELECT CAST(left(CAST(CAST(floor(abs(v)) AS BIGINT) AS VARCHAR),
+                   1) AS INT) AS digit
+  FROM v0 WHERE abs(v) >= 1
+),
+per AS (
+  SELECT digit, CAST(count(*) AS BIGINT) AS n FROM base GROUP BY 1
+),
+st AS (
+  SELECT digit, n,
+    CAST(n AS DOUBLE) / (sum(CAST(n AS DOUBLE)) OVER ()) AS obs,
+    CASE digit
+      WHEN 1 THEN CAST(0.3010299956639812 AS DOUBLE)
+      WHEN 2 THEN CAST(0.17609125905568124 AS DOUBLE)
+      WHEN 3 THEN CAST(0.12493873660829993 AS DOUBLE)
+      WHEN 4 THEN CAST(0.09691001300805642 AS DOUBLE)
+      WHEN 5 THEN CAST(0.07918124604762482 AS DOUBLE)
+      WHEN 6 THEN CAST(0.06694678963061322 AS DOUBLE)
+      WHEN 7 THEN CAST(0.05799194697768673 AS DOUBLE)
+      WHEN 8 THEN CAST(0.05115252244738129 AS DOUBLE)
+      WHEN 9 THEN CAST(0.04575749056067514 AS DOUBLE)
+      ELSE CAST(0.0 AS DOUBLE) END AS expp,
+    sum(CAST(n AS DOUBLE)) OVER () AS tot
+  FROM per
+),
+zz AS (
+  SELECT digit, n, obs, expp, tot,
+    sum((CAST(n AS DOUBLE) - tot * expp)
+        * (CAST(n AS DOUBLE) - tot * expp) / (tot * expp)) OVER ()
+      + tot * (1.0 - sum(expp) OVER ()) AS chi2,
+    (sum(abs(obs - expp)) OVER ()
+      + (1.0 - sum(expp) OVER ())) / 9.0 AS mad
+  FROM st
+)
+SELECT digit, n, round(obs, 6) AS observed_p,
+  round(expp, 6) AS expected_p,
+  round(chi2, 6) AS chi2,
+  round(exp(-(chi2 / 2.0)) * (1.0 + chi2 / 2.0
+    + (chi2 / 2.0) * (chi2 / 2.0) / 2.0
+    + (chi2 / 2.0) * (chi2 / 2.0) * (chi2 / 2.0) / 6.0), 6)
+    AS p_value,
+  round(mad, 6) AS mad
+FROM zz
+"""
+
+
+@_q("benford_test", _BENFORD_ORACLE)
+def q_benford_test(spark, sf):
+    """Benford first-digit conformity of event values in cents
+    (quality.benford_test): string-sliced leading digit (no floating
+    log10 floor), chi2(8) survival in closed form, Nigrini MAD."""
+    from padua_spark.extensions.quality import benford_test
+
+    e = _t(spark, sf, "events").select(
+        F.round(F.col("value").cast("double") * 100).alias("cents")
+    )
+    return benford_test(e, "cents")
+
+
+_HHI_ORACLE = """
+WITH members AS (
+  SELECT event_type, user_id, CAST(count(*) AS DOUBLE) AS m
+  FROM events WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+  GROUP BY 1, 2
+),
+agg AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n_members,
+    sum(m) AS t, sum(m * m) AS sq
+  FROM members GROUP BY 1
+)
+SELECT event_type, n_members,
+  round(10000.0 * (sq / (t * t)), 6) AS hhi,
+  round(CASE WHEN sq / (t * t) > 0
+    THEN 1.0 / (sq / (t * t)) END, 6) AS effective_members
+FROM agg
+"""
+
+
+@_q("hhi_concentration", _HHI_ORACLE)
+def q_hhi_concentration(spark, sf):
+    """Herfindahl-Hirschman concentration of user share within each
+    event type (quality.hhi_concentration): two nested map-side
+    aggregations, the data-mix domination monitor."""
+    from padua_spark.extensions.quality import hhi_concentration
+
+    e = _t(spark, sf, "events").where(
+        F.col("event_type").isNotNull()
+    )
+    return hhi_concentration(e, ["event_type"], "user_id")
+
+
 # ---------------------------------------------------------------------------
 
 

@@ -135,6 +135,9 @@ HEADLINE = [
     "cuzick_trend",
     "tost_equivalence",
     "process_capability",
+    "grubbs_test",
+    "benford_test",
+    "hhi_concentration",
     "anova_2way_stats",
     "levene_stats",
     "ttest_paired_stats",

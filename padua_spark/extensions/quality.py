@@ -1286,3 +1286,137 @@ def group_average_precision(
             6,
         ).alias("average_precision"),
     )
+
+
+def benford_test(
+    df: DataFrame,
+    value_col: str,
+) -> DataFrame:
+    """Benford's-law first-digit conformity test — the classic
+    fabricated-data / corrupted-feed screen: naturally occurring
+    multi-scale magnitudes put digit d first with probability
+    ``log10(1 + 1/d)``; flat or spiky digit profiles flag synthetic
+    or truncated values.
+
+    The first significant digit is extracted from the INTEGER part
+    via string slicing (``substring(cast(bigint), 1, 1)``) — no
+    floating ``log10`` anywhere, whose ``floor`` is knife-edged at
+    powers of ten and engine-dependent. Rows with integer part 0 are
+    excluded (no leading digit). ONE aggregation to the 9 digit
+    counts, then ``χ² = Σ (n_d − n·p_d)²/(n·p_d)`` with the
+    closed-form p for 8 even df... (χ²₈ survival =
+    ``exp(−x/2)·Σ_{k<4}(x/2)^k/k!`` — both engines share it) and the
+    mean absolute deviation ``MAD = mean_d |obs_d − p_d|`` with
+    Nigrini's conformity bands. Output: one row per observed digit:
+    ``(digit, n, observed_p, expected_p, chi2, p_value, mad)``,
+    chi2/p/mad repeated per row (window over ≤9 rows), 6dp.
+
+    Scale contract: values must be positive with integer part ≥ 1
+    (pre-scale fractional data — e.g. cents — before calling).
+    """
+    import math
+
+    from pyspark.sql import Window
+
+    v = F.col(value_col).cast("double")
+    # explicit floor: Spark's double->bigint CAST truncates but other
+    # engines round — floor is the unambiguous integer part
+    digit = F.substring(
+        F.floor(F.abs(v)).cast("bigint").cast("string"), 1, 1
+    ).cast("int")
+    base = df.where(v.isNotNull() & (F.abs(v) >= 1)).select(
+        digit.alias("digit")
+    )
+    per = base.groupBy("digit").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    w = Window.partitionBy()
+    tot = F.sum("n").over(w).cast("double")
+    exp_p = F.lit(0.0)
+    for d in range(1, 10):
+        exp_p = F.when(
+            F.col("digit") == d, F.lit(math.log10(1.0 + 1.0 / d))
+        ).otherwise(exp_p)
+    staged = per.select(
+        "digit", "n",
+        (F.col("n").cast("double") / tot).alias("_obs"),
+        exp_p.alias("_exp"),
+        tot.alias("_tot"),
+    )
+    chi_term = (
+        (F.col("n").cast("double") - F.col("_tot") * F.col("_exp"))
+        * (F.col("n").cast("double") - F.col("_tot") * F.col("_exp"))
+        / (F.col("_tot") * F.col("_exp"))
+    )
+    # digits with zero observed rows still contribute n·p_d to chi2:
+    # add the missing-digit mass analytically (sum of expected p over
+    # digits absent from the frame) — Σ_miss n·p_d
+    mad_term = F.abs(F.col("_obs") - F.col("_exp"))
+    w9 = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    seen_exp = F.sum("_exp").over(w9)
+    chi2 = F.sum(chi_term).over(w9) + F.col("_tot") * (
+        1.0 - seen_exp
+    )
+    # MAD over all 9 digits: absent digits contribute |0 − p_d|
+    mad = (
+        F.sum(mad_term).over(w9) + (1.0 - seen_exp)
+    ) / 9.0
+    x2 = chi2 / 2.0
+    p = F.exp(-x2) * (
+        1.0 + x2 + x2 * x2 / 2.0 + x2 * x2 * x2 / 6.0
+    )
+    return staged.select(
+        "digit", "n",
+        F.round("_obs", 6).alias("observed_p"),
+        F.round("_exp", 6).alias("expected_p"),
+        F.round(chi2, 6).alias("chi2"),
+        F.round(p, 6).alias("p_value"),
+        F.round(mad, 6).alias("mad"),
+    )
+
+
+def hhi_concentration(
+    df: DataFrame,
+    group_cols: list[str],
+    member_col: str,
+    value_col: str | None = None,
+) -> DataFrame:
+    """Herfindahl–Hirschman concentration index per group — "is this
+    corpus slice dominated by a few sources?" (the antitrust number,
+    repurposed for data-mix monitoring: HHI > 2500 on the
+    source-share of a training slice means a handful of domains own
+    it):
+
+    member shares within each group (by row count, or by
+    ``value_col`` mass), ``HHI = 10000·Σ share²``; also reports the
+    effective number of members ``1/Σ share²``.
+
+    TWO nested aggregations (rows → member totals → group HHI), both
+    map-side combined; nothing else. Output: ``(groups…, n_members,
+    hhi, effective_members)``, 6dp.
+    """
+    val = (
+        F.lit(1.0)
+        if value_col is None
+        else F.coalesce(F.col(value_col).cast("double"), F.lit(0.0))
+    )
+    members = (
+        df.where(F.col(member_col).isNotNull())
+        .groupBy(*group_cols, member_col)
+        .agg(F.sum(val).alias("_m"))
+    )
+    agg = members.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_members"),
+        F.sum("_m").alias("_t"),
+        F.sum(F.col("_m") * F.col("_m")).alias("_sq"),
+    )
+    ssq = F.col("_sq") / (F.col("_t") * F.col("_t"))
+    return agg.select(
+        *group_cols, "n_members",
+        F.round(10000.0 * ssq, 6).alias("hhi"),
+        F.round(
+            F.when(ssq > 0, 1.0 / ssq), 6
+        ).alias("effective_members"),
+    )

@@ -7106,3 +7106,86 @@ def process_capability(
         F.round(F.when(ok, cpu), 6).alias("cpu"),
         F.round(F.when(ok, F.least(cpl, cpu)), 6).alias("cpk"),
     )
+
+
+def grubbs_test(
+    df: DataFrame,
+    value_col: str,
+) -> DataFrame:
+    """Grubbs' maximum-normed-residual outlier test — "is the most
+    extreme point a statistical outlier?" for a roughly normal batch
+    (the formal version of the 3-sigma eyeball):
+
+    ``G = max(x̄ − min x, max x − x̄) / s``; the p-value converts G
+    to its t form ``t² = n(n−2)G² / ((n−1)² − nG²)`` and applies the
+    Bonferroni-exact bound ``p = min(1, n·P(T_{n−2} ≥ t))`` (the
+    standard Grubbs critical-value relation, inverted). The extreme
+    side is reported so the caller knows WHICH tail.
+
+    ONE aggregation (max/min/exact sums — no second pass: the max
+    deviation from the mean is always attained at an extreme).
+    Output 1 row: ``(n, mean, sd, outlier_value, g_stat, p_value)``,
+    6dp; NULL when n < 3 or s = 0, p NULL when G is past the
+    degenerate bound ((n−1)/√n, where t is undefined).
+
+    Beyond the reference; standard per Grubbs 1969 / NIST e-handbook.
+    """
+    from padua_spark.functions.distributions import t_sf_udf
+
+    v = F.col(value_col).cast("double")
+    agg = df.where(v.isNotNull()).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(v).alias("_s1"),
+        F.sum(v * v).alias("_s2"),
+        F.min(v).alias("_mn"),
+        F.max(v).alias("_mx"),
+    )
+    nd = F.col("n").cast("double")
+    m = F.col("_s1") / nd
+    var = (F.col("_s2") - nd * m * m) / (nd - 1.0)
+    s = F.sqrt(var)
+    hi = F.col("_mx") - m
+    lo = m - F.col("_mn")
+    g = F.greatest(hi, lo) / s
+    ok = (F.col("n") >= 3) & (var > 0)
+    tsq = (
+        nd * (nd - 2.0) * g * g
+        / ((nd - 1.0) * (nd - 1.0) - nd * g * g)
+    )
+    staged = (
+        agg.withColumn("_m", m)
+        .withColumn("_sd", F.when(ok, s))
+        .withColumn(
+            "_out",
+            F.when(
+                ok,
+                F.when(hi >= lo, F.col("_mx")).otherwise(
+                    F.col("_mn")
+                ),
+            ),
+        )
+        .withColumn("_g", F.when(ok, g))
+        .withColumn(
+            "_t",
+            F.when(
+                ok
+                & ((nd - 1.0) * (nd - 1.0) - nd * g * g > 0),
+                F.sqrt(tsq),
+            ),
+        )
+    )
+    p = F.when(
+        F.col("_t").isNotNull(),
+        F.least(
+            F.lit(1.0),
+            nd * (t_sf_udf(F.col("_t"), nd - 2.0) / 2.0),
+        ),
+    )
+    return staged.select(
+        "n",
+        F.round("_m", 6).alias("mean"),
+        F.round("_sd", 6).alias("sd"),
+        F.round("_out", 6).alias("outlier_value"),
+        F.round("_g", 6).alias("g_stat"),
+        F.round(p, 6).alias("p_value"),
+    )

@@ -7746,3 +7746,72 @@ def test_tost_and_capability_vs_replica(spark):
     assert rc["cpk"] == pytest.approx(
         min((60 - m) / (3 * s), (m - 40) / (3 * s)), abs=1e-5
     )
+
+
+def test_grubbs_benford_hhi_vs_replicas(spark):
+    """Grubbs G/t/p against the NIST formulas with a planted outlier;
+    Benford chi2/MAD against a Counter replica on log-uniform data
+    (conforming) and sequential data (violating); HHI against hand
+    shares including the missing-digit mass."""
+    import collections
+    import math
+
+    import numpy as np
+
+    from padua_spark.extensions.quality import (
+        benford_test,
+        hhi_concentration,
+    )
+    from padua_spark.functions.distributions import student_t_sf
+    from padua_spark.operators.stats import grubbs_test
+
+    rng = np.random.RandomState(8)
+    x = np.append(rng.normal(50, 3, 100), 75.0)
+    df = spark.createDataFrame([(float(v),) for v in x], ["v"])
+    r = grubbs_test(df, "v").collect()[0]
+    n, m, s = len(x), x.mean(), x.std(ddof=1)
+    G = max(x.max() - m, m - x.min()) / s
+    t = math.sqrt(n * (n - 2) * G * G / ((n - 1) ** 2 - n * G * G))
+    p = min(1.0, n * (float(student_t_sf(t, n - 2)) / 2))
+    assert r["g_stat"] == pytest.approx(G, abs=1e-5)
+    assert r["p_value"] == pytest.approx(p, abs=1e-5)
+    assert r["outlier_value"] == 75.0
+    assert r["p_value"] < 0.01  # the plant is detected
+
+    vals = np.floor(np.exp(rng.uniform(0, 10, 3000))) + 1
+    bd = spark.createDataFrame([(float(v),) for v in vals], ["v"])
+    rows = benford_test(bd, "v").collect()
+    cnt = collections.Counter(
+        int(str(int(abs(v)))[0]) for v in vals if abs(v) >= 1
+    )
+    tot = sum(cnt.values())
+    chi2 = sum(
+        (cnt.get(d, 0) - tot * math.log10(1 + 1 / d)) ** 2
+        / (tot * math.log10(1 + 1 / d))
+        for d in range(1, 10)
+    )
+    mad = sum(
+        abs(cnt.get(d, 0) / tot - math.log10(1 + 1 / d))
+        for d in range(1, 10)
+    ) / 9
+    assert rows[0]["chi2"] == pytest.approx(chi2, abs=1e-4)
+    assert rows[0]["mad"] == pytest.approx(mad, abs=1e-6)
+    # sequential ids (all leading digits ~uniform) strongly violate
+    seq = spark.createDataFrame(
+        [(float(v),) for v in range(10000, 20000)], ["v"]
+    )
+    assert benford_test(seq, "v").collect()[0]["p_value"] < 1e-9
+
+    data = (
+        [("m1", "a")] * 50 + [("m1", "b")] * 30 + [("m1", "c")] * 20
+        + [("m2", "x")] * 99 + [("m2", "y")] * 1
+    )
+    hd = spark.createDataFrame(data, ["mkt", "src"])
+    out = {r["mkt"]: r
+           for r in hhi_concentration(hd, ["mkt"], "src").collect()}
+    h1 = 10000 * (0.5 ** 2 + 0.3 ** 2 + 0.2 ** 2)
+    assert out["m1"]["hhi"] == pytest.approx(h1, abs=1e-4)
+    assert out["m2"]["hhi"] == pytest.approx(9802.0, abs=1e-4)
+    assert out["m1"]["effective_members"] == pytest.approx(
+        10000 / h1, abs=1e-4
+    )
