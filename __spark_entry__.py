@@ -18198,6 +18198,96 @@ def q_hhi_concentration(spark, sf):
     return hhi_concentration(e, ["event_type"], "user_id")
 
 
+_LILLIEFORS_ORACLE = """
+WITH per AS (
+  SELECT CAST(l_quantity AS DOUBLE) AS v,
+    CAST(count(*) AS BIGINT) AS c
+  FROM lineitem WHERE l_quantity IS NOT NULL GROUP BY 1
+),
+run AS (
+  SELECT *, sum(c) OVER (ORDER BY v
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c_run,
+    sum(c) OVER () AS c_tot
+  FROM per
+),
+mom AS (
+  SELECT CAST(sum(c) AS BIGINT) AS n,
+    sum(v * c) AS s1, sum(v * v * c) AS s2
+  FROM per
+),
+ms AS (
+  SELECT n, CAST(n AS DOUBLE) AS nd, s1 / CAST(n AS DOUBLE) AS mu,
+    sqrt((s2 - CAST(n AS DOUBLE) * (s1 / CAST(n AS DOUBLE))
+              * (s1 / CAST(n AS DOUBLE)))
+         / (CAST(n AS DOUBLE) - 1.0)) AS sd
+  FROM mom
+),
+gaps AS (
+  SELECT ms.n, ms.mu, ms.sd,
+    greatest(
+      abs(CAST(c_run AS DOUBLE) / CAST(c_tot AS DOUBLE)
+        - (1.0 - (CASE WHEN (v - mu) / sd >= 0
+            THEN ((0.254829592 * tt + -0.284496736 * tt * tt
+              + 1.421413741 * tt * tt * tt
+              + -1.453152027 * tt * tt * tt * tt
+              + 1.061405429 * tt * tt * tt * tt * tt)
+              * exp(-xx * xx)) / 2.0
+            ELSE 1.0 - ((0.254829592 * tt + -0.284496736 * tt * tt
+              + 1.421413741 * tt * tt * tt
+              + -1.453152027 * tt * tt * tt * tt
+              + 1.061405429 * tt * tt * tt * tt * tt)
+              * exp(-xx * xx)) / 2.0 END))),
+      abs(CAST(c_run - c AS DOUBLE) / CAST(c_tot AS DOUBLE)
+        - (1.0 - (CASE WHEN (v - mu) / sd >= 0
+            THEN ((0.254829592 * tt + -0.284496736 * tt * tt
+              + 1.421413741 * tt * tt * tt
+              + -1.453152027 * tt * tt * tt * tt
+              + 1.061405429 * tt * tt * tt * tt * tt)
+              * exp(-xx * xx)) / 2.0
+            ELSE 1.0 - ((0.254829592 * tt + -0.284496736 * tt * tt
+              + 1.421413741 * tt * tt * tt
+              + -1.453152027 * tt * tt * tt * tt
+              + 1.061405429 * tt * tt * tt * tt * tt)
+              * exp(-xx * xx)) / 2.0 END)))) AS gap
+  FROM run CROSS JOIN ms,
+    LATERAL (SELECT abs((v - mu) / sd) / sqrt(2.0) AS xx) lx,
+    LATERAL (SELECT 1.0 / (1.0 + 0.3275911 * xx) AS tt) lt
+),
+dd AS (
+  SELECT n, mu, sd, max(gap) AS d FROM gaps GROUP BY 1, 2, 3
+),
+adj AS (
+  SELECT *,
+    CASE WHEN CAST(n AS DOUBLE) > 100.0
+      THEN d * pow(CAST(n AS DOUBLE) / 100.0, 0.49) ELSE d END
+      AS d_adj,
+    CASE WHEN CAST(n AS DOUBLE) > 100.0
+      THEN CAST(100.0 AS DOUBLE) ELSE CAST(n AS DOUBLE) END AS n_adj
+  FROM dd
+)
+SELECT n, round(mu, 6) AS mean, round(sd, 6) AS sd,
+  round(d, 6) AS d_stat,
+  round(least(CAST(1.0 AS DOUBLE), greatest(CAST(0.0 AS DOUBLE),
+    exp(-7.01256 * d_adj * d_adj * (n_adj + 2.78019)
+        + 2.99587 * d_adj * sqrt(n_adj + 2.78019)
+        - 0.122119 + 0.974598 / sqrt(n_adj)
+        + 1.67997 / n_adj))), 6) AS p_value
+FROM adj
+"""
+
+
+@_q("lilliefors_normal", _LILLIEFORS_ORACLE)
+def q_lilliefors_normal(spark, sf):
+    """Lilliefors normality of quantities (stats.lilliefors_normal):
+    KS-D against the normal with ESTIMATED mean/sd (moments from the
+    same per-value counts frame — zero extra scans), Dallal-Wilkinson
+    closed-form p."""
+    from padua_spark.operators.stats import lilliefors_normal
+
+    li = _t(spark, sf, "lineitem")
+    return lilliefors_normal(li, "l_quantity")
+
+
 # ---------------------------------------------------------------------------
 
 

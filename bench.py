@@ -138,6 +138,7 @@ HEADLINE = [
     "grubbs_test",
     "benford_test",
     "hhi_concentration",
+    "lilliefors_normal",
     "anova_2way_stats",
     "levene_stats",
     "ttest_paired_stats",

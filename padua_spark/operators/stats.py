@@ -7189,3 +7189,91 @@ def grubbs_test(
         F.round("_g", 6).alias("g_stat"),
         F.round(p, 6).alias("p_value"),
     )
+
+
+def lilliefors_normal(
+    df: DataFrame,
+    value_col: str,
+    small_domain_threshold: int | None = None,
+) -> DataFrame:
+    """Lilliefors normality test — the Kolmogorov–Smirnov D against a
+    normal whose mean and sd are ESTIMATED from the same sample (the
+    situation where plain :func:`ks_1samp` p-values are wildly
+    anti-conservative; Lilliefors 1967 corrects the null):
+
+    same both-sided ECDF gap as :func:`ks_1samp` over the shared
+    stepped cumsum, with μ̂, ŝ (sample sd) computed from the SAME
+    per-value counts frame — zero extra scans of the data; Φ via the
+    shared A&S erfc polynomial. The p-value is the Dallal–Wilkinson
+    1986 closed form (``D' = D·(n/100)^0.49, n' = 100`` above
+    n = 100), which is accurate in the decision region p ≲ 0.1 and
+    reported clamped to [0, 1] — the same approximation statsmodels
+    uses for small p, chosen here for engine reproducibility over
+    the small-n lookup table. Output 1 row: ``(n, mean, sd, d_stat,
+    p_value)``, 6dp; NULL when n < 4 or sd = 0.
+    """
+    from padua_spark.io_utils import track_cached
+
+    v = F.col(value_col).cast("double")
+    per = (
+        df.where(v.isNotNull())
+        .groupBy(v.alias("_v"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("_c"))
+    )
+    stepped = _stepped_running_counts(
+        per, "_v", ["_c"], small_domain_threshold
+    )
+    mom = (
+        stepped.agg(
+            F.sum("_c").cast("bigint").alias("n"),
+            F.sum(F.col("_v") * F.col("_c")).alias("_s1"),
+            F.sum(
+                F.col("_v") * F.col("_v") * F.col("_c")
+            ).alias("_s2"),
+        )
+        .withColumn("_one", F.lit(1))
+    )
+    nd = F.col("n").cast("double")
+    mu = F.col("_s1") / nd
+    sd = F.sqrt(
+        (F.col("_s2") - nd * mu * mu) / (nd - 1.0)
+    )
+    mom = mom.select(
+        "_one", "n", mu.alias("_mu"), sd.alias("_sd")
+    )
+    joined = stepped.withColumn("_one", F.lit(1)).join(
+        F.broadcast(mom), on="_one"
+    )
+    z = (F.col("_v") - F.col("_mu")) / F.col("_sd")
+    f0 = 1.0 - _normal_sf_1sided(z)
+    n = F.col("_c_tot").cast("double")
+    fn_hi = F.col("_c_run").cast("double") / n
+    fn_lo = (F.col("_c_run") - F.col("_c")).cast("double") / n
+    gap = F.greatest(F.abs(fn_hi - f0), F.abs(fn_lo - f0))
+    agg = joined.groupBy("n", "_mu", "_sd").agg(
+        F.max(gap).alias("_d")
+    )
+    nd2 = F.col("n").cast("double")
+    ok = (F.col("n") >= 4) & (F.col("_sd") > 0)
+    d_adj = F.when(
+        nd2 > 100.0, F.col("_d") * F.pow(nd2 / 100.0, 0.49)
+    ).otherwise(F.col("_d"))
+    n_adj = F.when(nd2 > 100.0, F.lit(100.0)).otherwise(nd2)
+    p = F.exp(
+        -7.01256 * d_adj * d_adj * (n_adj + 2.78019)
+        + 2.99587 * d_adj * F.sqrt(n_adj + 2.78019)
+        - 0.122119
+        + 0.974598 / F.sqrt(n_adj)
+        + 1.67997 / n_adj
+    )
+    out = agg.select(
+        "n",
+        F.round("_mu", 6).alias("mean"),
+        F.round(F.when(ok, F.col("_sd")), 6).alias("sd"),
+        F.round(F.when(ok, F.col("_d")), 6).alias("d_stat"),
+        F.round(
+            F.when(ok, F.least(F.lit(1.0), F.greatest(F.lit(0.0), p))),
+            6,
+        ).alias("p_value"),
+    )
+    return track_cached(out, *getattr(stepped, "_padua_cached", ()))

@@ -389,6 +389,9 @@ def test_no_cartesian_products_anywhere(spark):
         # 1-row value-domain moments frame joined to the 1-row cross
         # term (both scalar aggregates; constant-key join folds away)
         "spearman_rho",
+        # 1-row estimated (mu, sd) frame broadcast onto the stepped
+        # value-domain frame (constant-key join folds away)
+        "lilliefors_normal",
         # 1-row class-totals/priors frame broadcast onto the scoring
         # tokens (the naive Bayes model scalars)
         "naive_bayes_lang",

@@ -7815,3 +7815,39 @@ def test_grubbs_benford_hhi_vs_replicas(spark):
     assert out["m1"]["effective_members"] == pytest.approx(
         10000 / h1, abs=1e-4
     )
+
+
+def test_lilliefors_vs_numpy_replica(spark):
+    """Lilliefors D against a numpy sorted-ECDF + scipy-free Phi
+    replica; a genuinely normal sample is not rejected, an
+    exponential one is annihilated."""
+    import math
+
+    import numpy as np
+
+    from padua_spark.operators.stats import lilliefors_normal
+
+    rng = np.random.RandomState(12)
+    x = rng.normal(10, 2, 500)
+    df = spark.createDataFrame([(float(v),) for v in x], ["v"])
+    r = lilliefors_normal(df, "v").collect()[0]
+    mu, sd = x.mean(), x.std(ddof=1)
+    sx = np.sort(x)
+    n = len(sx)
+    f0 = 0.5 * (1 + np.vectorize(math.erf)(
+        (sx - mu) / (sd * math.sqrt(2))
+    ))
+    d = max(
+        float(np.max(np.arange(1, n + 1) / n - f0)),
+        float(np.max(f0 - np.arange(0, n) / n)),
+    )
+    assert r["d_stat"] == pytest.approx(d, abs=2e-4)
+    assert r["p_value"] > 0.05
+    y = rng.exponential(1.0, 500)
+    r2 = lilliefors_normal(
+        spark.createDataFrame([(float(v),) for v in y], ["v"]), "v"
+    ).collect()[0]
+    assert r2["p_value"] < 1e-6
+    const = spark.createDataFrame([(5.0,)] * 10, ["v"])
+    assert lilliefors_normal(const, "v").collect()[0][
+        "d_stat"] is None
