@@ -18288,6 +18288,232 @@ def q_lilliefors_normal(spark, sf):
     return lilliefors_normal(li, "l_quantity")
 
 
+_BOXCOX_ORACLE = """
+WITH base AS (
+  SELECT CAST(l_quantity AS DOUBLE) AS v FROM lineitem
+  WHERE l_quantity IS NOT NULL
+),
+a AS (
+  SELECT CAST(count(CASE WHEN v > 0 THEN 1 END) AS BIGINT) AS n,
+    CAST(count(CASE WHEN v <= 0 THEN 1 END) AS BIGINT) AS n_nonpos,
+    CAST(count(CASE WHEN v > 0 THEN 1 END) AS DOUBLE) AS nd,
+    sum(CASE WHEN v > 0 THEN ln(v) END) AS slog,
+    sum((pow(v, CAST(-2.0 AS DOUBLE)) - 1.0) / CAST(-2.0 AS DOUBLE)) AS s1_0,
+    sum(((pow(v, CAST(-2.0 AS DOUBLE)) - 1.0) / CAST(-2.0 AS DOUBLE)) * ((pow(v, CAST(-2.0 AS DOUBLE)) - 1.0) / CAST(-2.0 AS DOUBLE))) AS s2_0,
+    sum((pow(v, CAST(-1.75 AS DOUBLE)) - 1.0) / CAST(-1.75 AS DOUBLE)) AS s1_1,
+    sum(((pow(v, CAST(-1.75 AS DOUBLE)) - 1.0) / CAST(-1.75 AS DOUBLE)) * ((pow(v, CAST(-1.75 AS DOUBLE)) - 1.0) / CAST(-1.75 AS DOUBLE))) AS s2_1,
+    sum((pow(v, CAST(-1.5 AS DOUBLE)) - 1.0) / CAST(-1.5 AS DOUBLE)) AS s1_2,
+    sum(((pow(v, CAST(-1.5 AS DOUBLE)) - 1.0) / CAST(-1.5 AS DOUBLE)) * ((pow(v, CAST(-1.5 AS DOUBLE)) - 1.0) / CAST(-1.5 AS DOUBLE))) AS s2_2,
+    sum((pow(v, CAST(-1.25 AS DOUBLE)) - 1.0) / CAST(-1.25 AS DOUBLE)) AS s1_3,
+    sum(((pow(v, CAST(-1.25 AS DOUBLE)) - 1.0) / CAST(-1.25 AS DOUBLE)) * ((pow(v, CAST(-1.25 AS DOUBLE)) - 1.0) / CAST(-1.25 AS DOUBLE))) AS s2_3,
+    sum((pow(v, CAST(-1.0 AS DOUBLE)) - 1.0) / CAST(-1.0 AS DOUBLE)) AS s1_4,
+    sum(((pow(v, CAST(-1.0 AS DOUBLE)) - 1.0) / CAST(-1.0 AS DOUBLE)) * ((pow(v, CAST(-1.0 AS DOUBLE)) - 1.0) / CAST(-1.0 AS DOUBLE))) AS s2_4,
+    sum((pow(v, CAST(-0.75 AS DOUBLE)) - 1.0) / CAST(-0.75 AS DOUBLE)) AS s1_5,
+    sum(((pow(v, CAST(-0.75 AS DOUBLE)) - 1.0) / CAST(-0.75 AS DOUBLE)) * ((pow(v, CAST(-0.75 AS DOUBLE)) - 1.0) / CAST(-0.75 AS DOUBLE))) AS s2_5,
+    sum((pow(v, CAST(-0.5 AS DOUBLE)) - 1.0) / CAST(-0.5 AS DOUBLE)) AS s1_6,
+    sum(((pow(v, CAST(-0.5 AS DOUBLE)) - 1.0) / CAST(-0.5 AS DOUBLE)) * ((pow(v, CAST(-0.5 AS DOUBLE)) - 1.0) / CAST(-0.5 AS DOUBLE))) AS s2_6,
+    sum((pow(v, CAST(-0.25 AS DOUBLE)) - 1.0) / CAST(-0.25 AS DOUBLE)) AS s1_7,
+    sum(((pow(v, CAST(-0.25 AS DOUBLE)) - 1.0) / CAST(-0.25 AS DOUBLE)) * ((pow(v, CAST(-0.25 AS DOUBLE)) - 1.0) / CAST(-0.25 AS DOUBLE))) AS s2_7,
+    sum(ln(v)) AS s1_8,
+    sum((ln(v)) * (ln(v))) AS s2_8,
+    sum((pow(v, CAST(0.25 AS DOUBLE)) - 1.0) / CAST(0.25 AS DOUBLE)) AS s1_9,
+    sum(((pow(v, CAST(0.25 AS DOUBLE)) - 1.0) / CAST(0.25 AS DOUBLE)) * ((pow(v, CAST(0.25 AS DOUBLE)) - 1.0) / CAST(0.25 AS DOUBLE))) AS s2_9,
+    sum((pow(v, CAST(0.5 AS DOUBLE)) - 1.0) / CAST(0.5 AS DOUBLE)) AS s1_10,
+    sum(((pow(v, CAST(0.5 AS DOUBLE)) - 1.0) / CAST(0.5 AS DOUBLE)) * ((pow(v, CAST(0.5 AS DOUBLE)) - 1.0) / CAST(0.5 AS DOUBLE))) AS s2_10,
+    sum((pow(v, CAST(0.75 AS DOUBLE)) - 1.0) / CAST(0.75 AS DOUBLE)) AS s1_11,
+    sum(((pow(v, CAST(0.75 AS DOUBLE)) - 1.0) / CAST(0.75 AS DOUBLE)) * ((pow(v, CAST(0.75 AS DOUBLE)) - 1.0) / CAST(0.75 AS DOUBLE))) AS s2_11,
+    sum((pow(v, CAST(1.0 AS DOUBLE)) - 1.0) / CAST(1.0 AS DOUBLE)) AS s1_12,
+    sum(((pow(v, CAST(1.0 AS DOUBLE)) - 1.0) / CAST(1.0 AS DOUBLE)) * ((pow(v, CAST(1.0 AS DOUBLE)) - 1.0) / CAST(1.0 AS DOUBLE))) AS s2_12,
+    sum((pow(v, CAST(1.25 AS DOUBLE)) - 1.0) / CAST(1.25 AS DOUBLE)) AS s1_13,
+    sum(((pow(v, CAST(1.25 AS DOUBLE)) - 1.0) / CAST(1.25 AS DOUBLE)) * ((pow(v, CAST(1.25 AS DOUBLE)) - 1.0) / CAST(1.25 AS DOUBLE))) AS s2_13,
+    sum((pow(v, CAST(1.5 AS DOUBLE)) - 1.0) / CAST(1.5 AS DOUBLE)) AS s1_14,
+    sum(((pow(v, CAST(1.5 AS DOUBLE)) - 1.0) / CAST(1.5 AS DOUBLE)) * ((pow(v, CAST(1.5 AS DOUBLE)) - 1.0) / CAST(1.5 AS DOUBLE))) AS s2_14,
+    sum((pow(v, CAST(1.75 AS DOUBLE)) - 1.0) / CAST(1.75 AS DOUBLE)) AS s1_15,
+    sum(((pow(v, CAST(1.75 AS DOUBLE)) - 1.0) / CAST(1.75 AS DOUBLE)) * ((pow(v, CAST(1.75 AS DOUBLE)) - 1.0) / CAST(1.75 AS DOUBLE))) AS s2_15,
+    sum((pow(v, CAST(2.0 AS DOUBLE)) - 1.0) / CAST(2.0 AS DOUBLE)) AS s1_16,
+    sum(((pow(v, CAST(2.0 AS DOUBLE)) - 1.0) / CAST(2.0 AS DOUBLE)) * ((pow(v, CAST(2.0 AS DOUBLE)) - 1.0) / CAST(2.0 AS DOUBLE))) AS s2_16
+  FROM (SELECT v FROM base WHERE v > 0)
+),
+st AS (
+  SELECT CAST(-2.0 AS DOUBLE) AS lam, n, n_nonpos,
+    CASE WHEN n >= 2 AND s2_0 / nd - (s1_0 / nd) * (s1_0 / nd) > 0
+      THEN -nd / 2.0 * ln(s2_0 / nd - (s1_0 / nd) * (s1_0 / nd))
+        + (CAST(-2.0 AS DOUBLE) - 1.0) * slog END AS ll
+  FROM a
+  UNION ALL
+  SELECT CAST(-1.75 AS DOUBLE) AS lam, n, n_nonpos,
+    CASE WHEN n >= 2 AND s2_1 / nd - (s1_1 / nd) * (s1_1 / nd) > 0
+      THEN -nd / 2.0 * ln(s2_1 / nd - (s1_1 / nd) * (s1_1 / nd))
+        + (CAST(-1.75 AS DOUBLE) - 1.0) * slog END AS ll
+  FROM a
+  UNION ALL
+  SELECT CAST(-1.5 AS DOUBLE) AS lam, n, n_nonpos,
+    CASE WHEN n >= 2 AND s2_2 / nd - (s1_2 / nd) * (s1_2 / nd) > 0
+      THEN -nd / 2.0 * ln(s2_2 / nd - (s1_2 / nd) * (s1_2 / nd))
+        + (CAST(-1.5 AS DOUBLE) - 1.0) * slog END AS ll
+  FROM a
+  UNION ALL
+  SELECT CAST(-1.25 AS DOUBLE) AS lam, n, n_nonpos,
+    CASE WHEN n >= 2 AND s2_3 / nd - (s1_3 / nd) * (s1_3 / nd) > 0
+      THEN -nd / 2.0 * ln(s2_3 / nd - (s1_3 / nd) * (s1_3 / nd))
+        + (CAST(-1.25 AS DOUBLE) - 1.0) * slog END AS ll
+  FROM a
+  UNION ALL
+  SELECT CAST(-1.0 AS DOUBLE) AS lam, n, n_nonpos,
+    CASE WHEN n >= 2 AND s2_4 / nd - (s1_4 / nd) * (s1_4 / nd) > 0
+      THEN -nd / 2.0 * ln(s2_4 / nd - (s1_4 / nd) * (s1_4 / nd))
+        + (CAST(-1.0 AS DOUBLE) - 1.0) * slog END AS ll
+  FROM a
+  UNION ALL
+  SELECT CAST(-0.75 AS DOUBLE) AS lam, n, n_nonpos,
+    CASE WHEN n >= 2 AND s2_5 / nd - (s1_5 / nd) * (s1_5 / nd) > 0
+      THEN -nd / 2.0 * ln(s2_5 / nd - (s1_5 / nd) * (s1_5 / nd))
+        + (CAST(-0.75 AS DOUBLE) - 1.0) * slog END AS ll
+  FROM a
+  UNION ALL
+  SELECT CAST(-0.5 AS DOUBLE) AS lam, n, n_nonpos,
+    CASE WHEN n >= 2 AND s2_6 / nd - (s1_6 / nd) * (s1_6 / nd) > 0
+      THEN -nd / 2.0 * ln(s2_6 / nd - (s1_6 / nd) * (s1_6 / nd))
+        + (CAST(-0.5 AS DOUBLE) - 1.0) * slog END AS ll
+  FROM a
+  UNION ALL
+  SELECT CAST(-0.25 AS DOUBLE) AS lam, n, n_nonpos,
+    CASE WHEN n >= 2 AND s2_7 / nd - (s1_7 / nd) * (s1_7 / nd) > 0
+      THEN -nd / 2.0 * ln(s2_7 / nd - (s1_7 / nd) * (s1_7 / nd))
+        + (CAST(-0.25 AS DOUBLE) - 1.0) * slog END AS ll
+  FROM a
+  UNION ALL
+  SELECT CAST(0.0 AS DOUBLE) AS lam, n, n_nonpos,
+    CASE WHEN n >= 2 AND s2_8 / nd - (s1_8 / nd) * (s1_8 / nd) > 0
+      THEN -nd / 2.0 * ln(s2_8 / nd - (s1_8 / nd) * (s1_8 / nd))
+        + (CAST(0.0 AS DOUBLE) - 1.0) * slog END AS ll
+  FROM a
+  UNION ALL
+  SELECT CAST(0.25 AS DOUBLE) AS lam, n, n_nonpos,
+    CASE WHEN n >= 2 AND s2_9 / nd - (s1_9 / nd) * (s1_9 / nd) > 0
+      THEN -nd / 2.0 * ln(s2_9 / nd - (s1_9 / nd) * (s1_9 / nd))
+        + (CAST(0.25 AS DOUBLE) - 1.0) * slog END AS ll
+  FROM a
+  UNION ALL
+  SELECT CAST(0.5 AS DOUBLE) AS lam, n, n_nonpos,
+    CASE WHEN n >= 2 AND s2_10 / nd - (s1_10 / nd) * (s1_10 / nd) > 0
+      THEN -nd / 2.0 * ln(s2_10 / nd - (s1_10 / nd) * (s1_10 / nd))
+        + (CAST(0.5 AS DOUBLE) - 1.0) * slog END AS ll
+  FROM a
+  UNION ALL
+  SELECT CAST(0.75 AS DOUBLE) AS lam, n, n_nonpos,
+    CASE WHEN n >= 2 AND s2_11 / nd - (s1_11 / nd) * (s1_11 / nd) > 0
+      THEN -nd / 2.0 * ln(s2_11 / nd - (s1_11 / nd) * (s1_11 / nd))
+        + (CAST(0.75 AS DOUBLE) - 1.0) * slog END AS ll
+  FROM a
+  UNION ALL
+  SELECT CAST(1.0 AS DOUBLE) AS lam, n, n_nonpos,
+    CASE WHEN n >= 2 AND s2_12 / nd - (s1_12 / nd) * (s1_12 / nd) > 0
+      THEN -nd / 2.0 * ln(s2_12 / nd - (s1_12 / nd) * (s1_12 / nd))
+        + (CAST(1.0 AS DOUBLE) - 1.0) * slog END AS ll
+  FROM a
+  UNION ALL
+  SELECT CAST(1.25 AS DOUBLE) AS lam, n, n_nonpos,
+    CASE WHEN n >= 2 AND s2_13 / nd - (s1_13 / nd) * (s1_13 / nd) > 0
+      THEN -nd / 2.0 * ln(s2_13 / nd - (s1_13 / nd) * (s1_13 / nd))
+        + (CAST(1.25 AS DOUBLE) - 1.0) * slog END AS ll
+  FROM a
+  UNION ALL
+  SELECT CAST(1.5 AS DOUBLE) AS lam, n, n_nonpos,
+    CASE WHEN n >= 2 AND s2_14 / nd - (s1_14 / nd) * (s1_14 / nd) > 0
+      THEN -nd / 2.0 * ln(s2_14 / nd - (s1_14 / nd) * (s1_14 / nd))
+        + (CAST(1.5 AS DOUBLE) - 1.0) * slog END AS ll
+  FROM a
+  UNION ALL
+  SELECT CAST(1.75 AS DOUBLE) AS lam, n, n_nonpos,
+    CASE WHEN n >= 2 AND s2_15 / nd - (s1_15 / nd) * (s1_15 / nd) > 0
+      THEN -nd / 2.0 * ln(s2_15 / nd - (s1_15 / nd) * (s1_15 / nd))
+        + (CAST(1.75 AS DOUBLE) - 1.0) * slog END AS ll
+  FROM a
+  UNION ALL
+  SELECT CAST(2.0 AS DOUBLE) AS lam, n, n_nonpos,
+    CASE WHEN n >= 2 AND s2_16 / nd - (s1_16 / nd) * (s1_16 / nd) > 0
+      THEN -nd / 2.0 * ln(s2_16 / nd - (s1_16 / nd) * (s1_16 / nd))
+        + (CAST(2.0 AS DOUBLE) - 1.0) * slog END AS ll
+  FROM a
+)
+SELECT lam, n, n_nonpos, round(ll, 6) AS loglik,
+  (ll IS NOT NULL AND rank() OVER (
+     ORDER BY (ll IS NULL), ll DESC, lam ASC) = 1) AS is_best
+FROM st
+"""
+
+
+@_q("boxcox_lambda", _BOXCOX_ORACLE)
+def q_boxcox_lambda(spark, sf):
+    """Box-Cox profile-likelihood lambda selection on quantities over
+    the fixed -2..2 grid (stats.boxcox_lambda): one aggregation
+    computes every lambda's moments, fixed grid for engine
+    reproducibility."""
+    from padua_spark.operators.stats import boxcox_lambda
+
+    li = _t(spark, sf, "lineitem")
+    return boxcox_lambda(li, "l_quantity")
+
+
+_JACKKNIFE_ORACLE = """
+WITH base AS (
+  SELECT l_returnflag AS g,
+    CAST(round(l_extendedprice * 100) AS DOUBLE) AS x,
+    CAST(l_quantity AS DOUBLE) AS y
+  FROM lineitem
+  WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL
+),
+tot AS (
+  SELECT g, CAST(count(*) AS BIGINT) AS n,
+    sum(x) AS sx, sum(y) AS sy
+  FROM base GROUP BY 1
+),
+th AS (
+  SELECT b.g, t.n, t.sx, t.sy,
+    CASE WHEN t.sy - b.y <> 0
+      THEN (t.sx - b.x) / (t.sy - b.y) END AS ti
+  FROM base b JOIN tot t ON t.g = b.g
+),
+agg AS (
+  SELECT g, max(n) AS n, max(sx) AS tx, max(sy) AS ty,
+    CAST(count(ti) AS BIGINT) AS n_ok,
+    sum(ti) AS st, sum(ti * ti) AS stt
+  FROM th GROUP BY 1
+),
+z AS (
+  SELECT g, n, CAST(n AS DOUBLE) AS nd, tx, ty, n_ok, st, stt,
+    n >= 2 AND n_ok = n AND ty <> 0 AS ok
+  FROM agg
+)
+SELECT g AS l_returnflag, n,
+  round(CASE WHEN ty <> 0 THEN tx / ty END, 6) AS ratio,
+  round(CASE WHEN ok
+    THEN nd * (tx / ty) - (nd - 1.0) * (st / nd) END, 6)
+    AS ratio_jack,
+  round(CASE WHEN ok
+    THEN sqrt((nd - 1.0) / nd
+              * (stt - nd * (st / nd) * (st / nd))) END, 6)
+    AS se_jack
+FROM z
+"""
+
+
+@_q("jackknife_ratio", _JACKKNIFE_ORACLE)
+def q_jackknife_ratio(spark, sf):
+    """Jackknife SE of price-per-unit (cents per quantity) per return
+    flag (stats.jackknife_ratio): deterministic leave-one-out from
+    broadcast totals — no resampling draws, engine-identical."""
+    from padua_spark.operators.stats import jackknife_ratio
+
+    li = _t(spark, sf, "lineitem").withColumn(
+        "_cents", F.round(F.col("l_extendedprice") * 100)
+    )
+    return jackknife_ratio(
+        li, "_cents", "l_quantity", ["l_returnflag"]
+    ).withColumnRenamed("l_returnflag", "l_returnflag")
+
+
 # ---------------------------------------------------------------------------
 
 

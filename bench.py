@@ -139,6 +139,8 @@ HEADLINE = [
     "benford_test",
     "hhi_concentration",
     "lilliefors_normal",
+    "boxcox_lambda",
+    "jackknife_ratio",
     "anova_2way_stats",
     "levene_stats",
     "ttest_paired_stats",

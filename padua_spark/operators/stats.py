@@ -7277,3 +7277,160 @@ def lilliefors_normal(
         ).alias("p_value"),
     )
     return track_cached(out, *getattr(stepped, "_padua_cached", ()))
+
+
+BOXCOX_GRID = [x / 4.0 for x in range(-8, 9)]  # -2.0 .. 2.0 step .25
+
+
+def boxcox_lambda(
+    df: DataFrame,
+    value_col: str,
+    grid: list[float] | None = None,
+) -> DataFrame:
+    """Box–Cox power-transform selection by profile likelihood over a
+    FIXED λ grid — "which power makes this positive skewed metric
+    most normal?" (the variance-stabilizing preprocessing step before
+    any of the parametric batteries):
+
+    for each λ: ``y = (x^λ − 1)/λ`` (λ ≠ 0; ``ln x`` at 0), profile
+    log-likelihood ``ℓ(λ) = −n/2·ln σ̂²_MLE(y) + (λ−1)·Σ ln x``.
+    The FIXED grid (default −2..2 step 0.25) instead of a continuous
+    optimizer is deliberate — the same engine-reproducibility
+    contract as the fixed Newton schedules (cox_ph): every engine
+    evaluates the identical finite set.
+
+    ONE aggregation computing all per-λ moment columns in a single
+    pass (map-side combined; ~3·|grid| sums). Requires x > 0 —
+    non-positive rows are excluded and counted. Output: one row per
+    λ: ``(lam, n, n_nonpos, loglik, is_best)``, 6dp, best by max
+    loglik (ties → smaller λ).
+
+    Beyond the reference; standard per Box & Cox 1964.
+    """
+    grid = [float(g) for g in (grid or BOXCOX_GRID)]
+    v = F.col(value_col).cast("double")
+    base = df.where(v.isNotNull())
+    x = F.when(v > 0, v)
+    aggs = [
+        F.count(x).cast("bigint").alias("n"),
+        F.count(F.when(v <= 0, 1)).cast("bigint").alias("n_nonpos"),
+        F.sum(F.when(v > 0, F.log(v))).alias("_slog"),
+    ]
+    for i, lam in enumerate(grid):
+        if lam == 0.0:
+            y = F.log(v)
+        else:
+            y = (F.pow(v, F.lit(lam)) - 1.0) / F.lit(lam)
+        y = F.when(v > 0, y)
+        aggs += [
+            F.sum(y).alias(f"_s1_{i}"),
+            F.sum(y * y).alias(f"_s2_{i}"),
+        ]
+    agg = base.agg(*aggs)
+    nd = F.col("n").cast("double")
+    rows = []
+    for i, lam in enumerate(grid):
+        m = F.col(f"_s1_{i}") / nd
+        var = F.col(f"_s2_{i}") / nd - m * m
+        ll = F.when(
+            (F.col("n") >= 2) & (var > 0),
+            -nd / 2.0 * F.log(var)
+            + (F.lit(lam) - 1.0) * F.col("_slog"),
+        )
+        rows += [F.lit(lam), ll]
+    stacked = agg.select(
+        "n", "n_nonpos",
+        F.stack(F.lit(len(grid)), *rows).alias("lam", "_ll"),
+    )
+    from pyspark.sql import Window
+
+    # |grid| rows: the partitionless window is over a constant frame
+    w = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    best = F.max(F.struct(F.col("_ll"), -F.col("lam"))).over(w)
+    return stacked.select(
+        F.col("lam"),
+        "n", "n_nonpos",
+        F.round("_ll", 6).alias("loglik"),
+        (
+            F.col("_ll").isNotNull()
+            & (F.struct(F.col("_ll"), -F.col("lam")) == best)
+        ).alias("is_best"),
+    )
+
+
+def jackknife_ratio(
+    df: DataFrame,
+    num_col: str,
+    den_col: str,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Leave-one-out jackknife standard error of the RATIO estimator
+    ``θ̂ = Σx/Σy`` — the survey-sampling workhorse for per-unit rates
+    (revenue per session, tokens per document) where the naive
+    per-row-ratio mean is biased and its variance formula wrong:
+
+    ``θ_(i) = (Σx − x_i)/(Σy − y_i)``,
+    ``se² = (n−1)/n · Σ_i (θ_(i) − θ̄_(·))²``, plus the
+    bias-corrected point estimate ``θ_jack = n·θ̂ − (n−1)·θ̄_(·)``.
+
+    TWO passes: one aggregation to the exact totals (broadcast back),
+    one pass computing every θ_(i) as a scalar expression and
+    aggregating its moments — no per-row collection, no resampling
+    (the jackknife's determinism is the point: same answer on any
+    engine/partitioning, unlike bootstrap draws). Output per group:
+    ``(groups…, n, ratio, ratio_jack, se_jack)``, 6dp; NULL when
+    n < 2 or any leave-one-out denominator is 0.
+
+    Beyond the reference; standard per Quenouille/Tukey, Efron 1982.
+    """
+    from padua_spark.io_utils import track_cached
+
+    group_cols = group_cols or []
+    x = F.col(num_col).cast("double")
+    y = F.col(den_col).cast("double")
+    base = df.where(x.isNotNull() & y.isNotNull()).select(
+        *group_cols, x.alias("_x"), y.alias("_y")
+    )
+    tot = base.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("bigint").alias("_n"),
+        F.sum("_x").alias("_sx"),
+        F.sum("_y").alias("_sy"),
+    )
+    joined = (
+        base.join(F.broadcast(tot), on=group_cols)
+        if group_cols
+        else base.crossJoin(F.broadcast(tot))
+    )
+    den_i = F.col("_sy") - F.col("_y")
+    theta_i = F.when(
+        den_i != 0, (F.col("_sx") - F.col("_x")) / den_i
+    )
+    agg = joined.groupBy(*group_cols).agg(
+        F.max("_n").alias("n"),
+        F.max("_sx").alias("_tx"),
+        F.max("_sy").alias("_ty"),
+        F.count(theta_i).cast("bigint").alias("_n_ok"),
+        F.sum(theta_i).alias("_st"),
+        F.sum(theta_i * theta_i).alias("_stt"),
+    )
+    nd = F.col("n").cast("double")
+    ok = (
+        (F.col("n") >= 2)
+        & (F.col("_n_ok") == F.col("n"))
+        & (F.col("_ty") != 0)
+    )
+    theta = F.col("_tx") / F.col("_ty")
+    tbar = F.col("_st") / nd
+    ssd = F.col("_stt") - nd * tbar * tbar
+    se = F.sqrt((nd - 1.0) / nd * ssd)
+    out = agg.select(
+        *group_cols, "n",
+        F.round(F.when(F.col("_ty") != 0, theta), 6).alias("ratio"),
+        F.round(
+            F.when(ok, nd * theta - (nd - 1.0) * tbar), 6
+        ).alias("ratio_jack"),
+        F.round(F.when(ok, se), 6).alias("se_jack"),
+    )
+    return track_cached(out)

@@ -7851,3 +7851,52 @@ def test_lilliefors_vs_numpy_replica(spark):
     const = spark.createDataFrame([(5.0,)] * 10, ["v"])
     assert lilliefors_normal(const, "v").collect()[0][
         "d_stat"] is None
+
+
+def test_boxcox_and_jackknife_vs_replica(spark):
+    """Box-Cox profile loglik at a fixed lambda against the formula,
+    best-lambda near 0 for lognormal data, exactly one is_best;
+    jackknife ratio/SE against the leave-one-out definition."""
+    import math
+
+    import numpy as np
+
+    from padua_spark.operators.stats import (
+        boxcox_lambda,
+        jackknife_ratio,
+    )
+
+    rng = np.random.RandomState(13)
+    x = rng.lognormal(1.0, 0.6, 500)
+    df = spark.createDataFrame([(float(v),) for v in x], ["v"])
+    rows = boxcox_lambda(df, "v").collect()
+    best = [r for r in rows if r["is_best"]]
+    assert len(best) == 1 and abs(best[0]["lam"]) <= 0.25
+    lam = 0.5
+    yv = (x ** lam - 1) / lam
+    ll = -len(x) / 2 * math.log(yv.var()) + (lam - 1) * np.log(x).sum()
+    r05 = [r for r in rows if abs(r["lam"] - 0.5) < 1e-9][0]
+    assert r05["loglik"] == pytest.approx(ll, rel=1e-6)
+    # non-positive rows excluded and counted
+    neg = spark.createDataFrame(
+        [(float(v),) for v in x] + [(-1.0,), (0.0,)], ["v"]
+    )
+    rn = boxcox_lambda(neg, "v").collect()[0]
+    assert rn["n_nonpos"] == 2 and rn["n"] == 500
+
+    xx = rng.exponential(2.0, 200)
+    yy = rng.exponential(1.0, 200) + 0.5
+    jdf = spark.createDataFrame(
+        [(float(a), float(b)) for a, b in zip(xx, yy)], ["x", "y"]
+    )
+    r = jackknife_ratio(jdf, "x", "y").collect()[0]
+    Sx, Sy, n = xx.sum(), yy.sum(), len(xx)
+    ti = (Sx - xx) / (Sy - yy)
+    tb = ti.mean()
+    assert r["ratio"] == pytest.approx(Sx / Sy, abs=1e-6)
+    assert r["se_jack"] == pytest.approx(
+        math.sqrt((n - 1) / n * np.sum((ti - tb) ** 2)), abs=1e-5
+    )
+    assert r["ratio_jack"] == pytest.approx(
+        n * (Sx / Sy) - (n - 1) * tb, abs=1e-5
+    )
