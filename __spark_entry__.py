@@ -18514,6 +18514,157 @@ def q_jackknife_ratio(spark, sf):
     ).withColumnRenamed("l_returnflag", "l_returnflag")
 
 
+_SMD_ORACLE = """
+WITH base AS (
+  SELECT l_returnflag AS g, CAST(l_quantity AS DOUBLE) AS c1,
+    CAST(round(l_discount * 100) AS DOUBLE) AS c2,
+    CAST(l_linenumber AS DOUBLE) AS c3
+  FROM lineitem WHERE l_returnflag IN ('A', 'R')
+),
+a AS (
+  SELECT
+    CAST(count(CASE WHEN g = 'A' AND c1 IS NOT NULL THEN 1 END)
+      AS BIGINT) AS na1,
+    CAST(count(CASE WHEN g = 'R' AND c1 IS NOT NULL THEN 1 END)
+      AS BIGINT) AS nb1,
+    sum(CASE WHEN g = 'A' THEN c1 END) AS sa1,
+    sum(CASE WHEN g = 'R' THEN c1 END) AS sb1,
+    sum(CASE WHEN g = 'A' THEN c1 * c1 END) AS qa1,
+    sum(CASE WHEN g = 'R' THEN c1 * c1 END) AS qb1,
+    CAST(count(CASE WHEN g = 'A' AND c2 IS NOT NULL THEN 1 END)
+      AS BIGINT) AS na2,
+    CAST(count(CASE WHEN g = 'R' AND c2 IS NOT NULL THEN 1 END)
+      AS BIGINT) AS nb2,
+    sum(CASE WHEN g = 'A' THEN c2 END) AS sa2,
+    sum(CASE WHEN g = 'R' THEN c2 END) AS sb2,
+    sum(CASE WHEN g = 'A' THEN c2 * c2 END) AS qa2,
+    sum(CASE WHEN g = 'R' THEN c2 * c2 END) AS qb2,
+    CAST(count(CASE WHEN g = 'A' AND c3 IS NOT NULL THEN 1 END)
+      AS BIGINT) AS na3,
+    CAST(count(CASE WHEN g = 'R' AND c3 IS NOT NULL THEN 1 END)
+      AS BIGINT) AS nb3,
+    sum(CASE WHEN g = 'A' THEN c3 END) AS sa3,
+    sum(CASE WHEN g = 'R' THEN c3 END) AS sb3,
+    sum(CASE WHEN g = 'A' THEN c3 * c3 END) AS qa3,
+    sum(CASE WHEN g = 'R' THEN c3 * c3 END) AS qb3
+  FROM base
+),
+st AS (
+  SELECT 'l_quantity' AS covariate, na1 AS n_a, nb1 AS n_b,
+    sa1 / CAST(na1 AS DOUBLE) AS ma, sb1 / CAST(nb1 AS DOUBLE) AS mb,
+    (qa1 - CAST(na1 AS DOUBLE) * (sa1 / CAST(na1 AS DOUBLE))
+         * (sa1 / CAST(na1 AS DOUBLE))) / (CAST(na1 AS DOUBLE) - 1.0)
+      AS va,
+    (qb1 - CAST(nb1 AS DOUBLE) * (sb1 / CAST(nb1 AS DOUBLE))
+         * (sb1 / CAST(nb1 AS DOUBLE))) / (CAST(nb1 AS DOUBLE) - 1.0)
+      AS vb
+  FROM a
+  UNION ALL
+  SELECT '_disc100', na2, nb2,
+    sa2 / CAST(na2 AS DOUBLE), sb2 / CAST(nb2 AS DOUBLE),
+    (qa2 - CAST(na2 AS DOUBLE) * (sa2 / CAST(na2 AS DOUBLE))
+         * (sa2 / CAST(na2 AS DOUBLE))) / (CAST(na2 AS DOUBLE) - 1.0),
+    (qb2 - CAST(nb2 AS DOUBLE) * (sb2 / CAST(nb2 AS DOUBLE))
+         * (sb2 / CAST(nb2 AS DOUBLE))) / (CAST(nb2 AS DOUBLE) - 1.0)
+  FROM a
+  UNION ALL
+  SELECT 'l_linenumber', na3, nb3,
+    sa3 / CAST(na3 AS DOUBLE), sb3 / CAST(nb3 AS DOUBLE),
+    (qa3 - CAST(na3 AS DOUBLE) * (sa3 / CAST(na3 AS DOUBLE))
+         * (sa3 / CAST(na3 AS DOUBLE))) / (CAST(na3 AS DOUBLE) - 1.0),
+    (qb3 - CAST(nb3 AS DOUBLE) * (sb3 / CAST(nb3 AS DOUBLE))
+         * (sb3 / CAST(nb3 AS DOUBLE))) / (CAST(nb3 AS DOUBLE) - 1.0)
+  FROM a
+),
+z AS (
+  SELECT covariate, n_a, n_b, ma, mb,
+    CASE WHEN n_a >= 2 AND n_b >= 2 AND sqrt((va + vb) / 2.0) > 0
+      THEN (ma - mb) / sqrt((va + vb) / 2.0) END AS smd
+  FROM st
+)
+SELECT covariate, n_a, n_b, round(ma, 6) AS mean_a,
+  round(mb, 6) AS mean_b, round(smd, 6) AS smd,
+  CASE WHEN smd IS NOT NULL THEN abs(smd) < 0.1 END AS balanced
+FROM z
+"""
+
+
+@_q("smd_balance", _SMD_ORACLE)
+def q_smd_balance(spark, sf):
+    """Standardized-mean-difference covariate balance between return
+    flags A and R over three covariates (stats.smd_balance): one
+    conditional aggregation, one stack — the randomization audit."""
+    from padua_spark.operators.stats import smd_balance
+
+    li = _t(spark, sf, "lineitem").withColumn(
+        "_disc100", F.round(F.col("l_discount") * 100)
+    )
+    return smd_balance(
+        li, "l_returnflag",
+        ["l_quantity", "_disc100", "l_linenumber"], "A", "R",
+    )
+
+
+_DELTA_CI_ORACLE = """
+WITH base AS (
+  SELECT l_returnflag AS g,
+    CAST(round(l_extendedprice * 100) AS DOUBLE) AS x,
+    CAST(l_quantity AS DOUBLE) AS y
+  FROM lineitem
+  WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL
+),
+a AS (
+  SELECT g, CAST(count(*) AS BIGINT) AS n,
+    sum(x) AS sx, sum(y) AS sy, sum(x * x) AS sxx,
+    sum(y * y) AS syy, sum(x * y) AS sxy
+  FROM base GROUP BY 1
+),
+m AS (
+  SELECT g, n, CAST(n AS DOUBLE) AS nd, sx, sy,
+    sx / CAST(n AS DOUBLE) AS mx, sy / CAST(n AS DOUBLE) AS my,
+    (sxx - CAST(n AS DOUBLE) * (sx / CAST(n AS DOUBLE))
+         * (sx / CAST(n AS DOUBLE))) / (CAST(n AS DOUBLE) - 1.0)
+      AS vx,
+    (syy - CAST(n AS DOUBLE) * (sy / CAST(n AS DOUBLE))
+         * (sy / CAST(n AS DOUBLE))) / (CAST(n AS DOUBLE) - 1.0)
+      AS vy,
+    (sxy - CAST(n AS DOUBLE) * (sx / CAST(n AS DOUBLE))
+         * (sy / CAST(n AS DOUBLE))) / (CAST(n AS DOUBLE) - 1.0)
+      AS cxy
+  FROM a
+),
+z AS (
+  SELECT g, n,
+    CASE WHEN n >= 2 AND sy <> 0 THEN sx / sy END AS theta,
+    CASE WHEN n >= 2 AND sy <> 0 THEN
+      sqrt((vx - 2.0 * (sx / sy) * cxy
+            + (sx / sy) * (sx / sy) * vy) / (nd * my * my)) END
+      AS se
+  FROM m
+)
+SELECT g AS l_returnflag, n, round(theta, 6) AS ratio,
+  round(se, 6) AS se_delta,
+  round(theta - CAST(1.959963984540054 AS DOUBLE) * se, 6) AS ci_lo,
+  round(theta + CAST(1.959963984540054 AS DOUBLE) * se, 6) AS ci_hi
+FROM z
+"""
+
+
+@_q("ratio_delta_ci", _DELTA_CI_ORACLE)
+def q_ratio_delta_ci(spark, sf):
+    """Delta-method CI for cents-per-unit by return flag
+    (stats.ratio_delta_ci): first-order Taylor variance of the
+    ratio-of-sums, one aggregation."""
+    from padua_spark.operators.stats import ratio_delta_ci
+
+    li = _t(spark, sf, "lineitem").withColumn(
+        "_cents", F.round(F.col("l_extendedprice") * 100)
+    )
+    return ratio_delta_ci(
+        li, "_cents", "l_quantity", ["l_returnflag"]
+    )
+
+
 # ---------------------------------------------------------------------------
 
 

@@ -141,6 +141,8 @@ HEADLINE = [
     "lilliefors_normal",
     "boxcox_lambda",
     "jackknife_ratio",
+    "smd_balance",
+    "ratio_delta_ci",
     "anova_2way_stats",
     "levene_stats",
     "ttest_paired_stats",

@@ -7434,3 +7434,142 @@ def jackknife_ratio(
         F.round(F.when(ok, se), 6).alias("se_jack"),
     )
     return track_cached(out)
+
+
+def smd_balance(
+    df: DataFrame,
+    variant_col: str,
+    covariate_cols: list[str],
+    group_a,
+    group_b,
+) -> DataFrame:
+    """Standardized mean differences — the covariate-balance audit
+    every A/B readout should run BEFORE trusting its effect estimate
+    (randomization failed ⇒ the "effect" is a selection artifact):
+
+    per covariate ``SMD = (x̄_a − x̄_b) / √((s²_a + s²_b)/2)``
+    (pooled-SD convention of Austin 2009; |SMD| < 0.1 is the usual
+    "balanced" rubric, reported as ``balanced``).
+
+    ONE conditional aggregation computes every covariate's per-arm
+    exact sums in a single pass (2·3·|covariates| sums, map-side
+    combined), then a ``stack`` to one row per covariate. Output:
+    ``(covariate, n_a, n_b, mean_a, mean_b, smd, balanced)``, 6dp;
+    NULL smd when either arm has n < 2 or both variances are 0.
+
+    Beyond the reference; standard per Austin & Stuart 2015.
+    """
+    g = F.col(variant_col)
+    base = df.where(g.isin([group_a, group_b]))
+    aggs = [
+        F.count(F.when(g == group_a, 1)).cast("bigint").alias("n_a"),
+        F.count(F.when(g == group_b, 1)).cast("bigint").alias("n_b"),
+    ]
+    for i, c in enumerate(covariate_cols):
+        v = F.col(c).cast("double")
+        aggs += [
+            F.sum(F.when(g == group_a, v)).alias(f"_sa{i}"),
+            F.sum(F.when(g == group_b, v)).alias(f"_sb{i}"),
+            F.sum(F.when(g == group_a, v * v)).alias(f"_qa{i}"),
+            F.sum(F.when(g == group_b, v * v)).alias(f"_qb{i}"),
+            F.count(F.when(g == group_a, v)).cast("bigint").alias(
+                f"_na{i}"
+            ),
+            F.count(F.when(g == group_b, v)).cast("bigint").alias(
+                f"_nb{i}"
+            ),
+        ]
+    agg = base.agg(*aggs)
+    rows = []
+    for i, c in enumerate(covariate_cols):
+        na = F.col(f"_na{i}").cast("double")
+        nb = F.col(f"_nb{i}").cast("double")
+        ma = F.col(f"_sa{i}") / na
+        mb = F.col(f"_sb{i}") / nb
+        va = (F.col(f"_qa{i}") - na * ma * ma) / (na - 1.0)
+        vb = (F.col(f"_qb{i}") - nb * mb * mb) / (nb - 1.0)
+        pooled = F.sqrt((va + vb) / 2.0)
+        ok = (
+            (F.col(f"_na{i}") >= 2)
+            & (F.col(f"_nb{i}") >= 2)
+            & (pooled > 0)
+        )
+        rows += [
+            F.lit(c),
+            F.col(f"_na{i}"),
+            F.col(f"_nb{i}"),
+            F.round(ma, 6),
+            F.round(mb, 6),
+            F.round(F.when(ok, (ma - mb) / pooled), 6),
+        ]
+    stacked = agg.select(
+        F.stack(F.lit(len(covariate_cols)), *rows).alias(
+            "covariate", "n_a", "n_b", "mean_a", "mean_b", "smd"
+        )
+    )
+    return stacked.withColumn(
+        "balanced",
+        F.when(F.col("smd").isNotNull(), F.abs(F.col("smd")) < 0.1),
+    )
+
+
+def ratio_delta_ci(
+    df: DataFrame,
+    num_col: str,
+    den_col: str,
+    group_cols: list[str] | None = None,
+    z: float = 1.959963984540054,
+) -> DataFrame:
+    """Delta-method confidence interval for the ratio-of-sums metric
+    ``θ̂ = Σx/Σy = x̄/ȳ`` — the closed-form companion to
+    :func:`jackknife_ratio` (same estimator, first-order Taylor
+    variance instead of leave-one-out; the standard per-user-metric
+    CI in experimentation platforms, e.g. revenue per session where
+    sessions vary per user):
+
+    ``se² = (s²_x − 2θ̂·s_xy + θ̂²·s²_y) / (n·ȳ²)`` (sample
+    covariances), ``CI = θ̂ ± z·se``.
+
+    ONE aggregation to exact raw sums; everything after is scalar
+    algebra. Output per group: ``(groups…, n, ratio, se_delta,
+    ci_lo, ci_hi)``, 6dp; NULL when n < 2 or Σy = 0.
+
+    Beyond the reference; standard (Fieller/delta; Deng et al. 2018
+    "Applying the Delta Method in Metric Analytics").
+    """
+    group_cols = group_cols or []
+    x = F.col(num_col).cast("double")
+    y = F.col(den_col).cast("double")
+    base = df.where(x.isNotNull() & y.isNotNull())
+    agg = base.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(x).alias("_sx"),
+        F.sum(y).alias("_sy"),
+        F.sum(x * x).alias("_sxx"),
+        F.sum(y * y).alias("_syy"),
+        F.sum(x * y).alias("_sxy"),
+    )
+    nd = F.col("n").cast("double")
+    mx = F.col("_sx") / nd
+    my = F.col("_sy") / nd
+    vx = (F.col("_sxx") - nd * mx * mx) / (nd - 1.0)
+    vy = (F.col("_syy") - nd * my * my) / (nd - 1.0)
+    cxy = (F.col("_sxy") - nd * mx * my) / (nd - 1.0)
+    theta = F.col("_sx") / F.col("_sy")
+    se = F.sqrt(
+        (vx - 2.0 * theta * cxy + theta * theta * vy)
+        / (nd * my * my)
+    )
+    ok = (F.col("n") >= 2) & (F.col("_sy") != 0)
+    staged = agg.withColumn("_t", F.when(ok, theta)).withColumn(
+        "_se", F.when(ok, se)
+    )
+    return staged.select(
+        *group_cols, "n",
+        F.round("_t", 6).alias("ratio"),
+        F.round("_se", 6).alias("se_delta"),
+        F.round(F.col("_t") - F.lit(float(z)) * F.col("_se"), 6)
+        .alias("ci_lo"),
+        F.round(F.col("_t") + F.lit(float(z)) * F.col("_se"), 6)
+        .alias("ci_hi"),
+    )

@@ -7900,3 +7900,60 @@ def test_boxcox_and_jackknife_vs_replica(spark):
     assert r["ratio_jack"] == pytest.approx(
         n * (Sx / Sy) - (n - 1) * tb, abs=1e-5
     )
+
+
+def test_smd_and_delta_ci_vs_replica(spark):
+    """SMD against Austin's pooled-SD formula per covariate; delta-
+    method ratio CI against the Taylor formula; jackknife and delta
+    SEs agree to first order on well-behaved data."""
+    import math
+
+    import numpy as np
+
+    from padua_spark.operators.stats import (
+        jackknife_ratio,
+        ratio_delta_ci,
+        smd_balance,
+    )
+
+    rng = np.random.RandomState(14)
+    na, nb = 150, 170
+    rows = [
+        ("A", float(a), float(c))
+        for a, c in zip(rng.normal(5, 1, na), rng.normal(9, 2, na))
+    ] + [
+        ("B", float(a), float(c))
+        for a, c in zip(rng.normal(5.3, 1, nb), rng.normal(9, 2, nb))
+    ]
+    df = spark.createDataFrame(rows, ["g", "c1", "c2"])
+    out = {r["covariate"]: r for r in
+           smd_balance(df, "g", ["c1", "c2"], "A", "B").collect()}
+    a1 = np.array([r[1] for r in rows if r[0] == "A"])
+    b1 = np.array([r[1] for r in rows if r[0] == "B"])
+    smd = (a1.mean() - b1.mean()) / math.sqrt(
+        (a1.var(ddof=1) + b1.var(ddof=1)) / 2
+    )
+    assert out["c1"]["smd"] == pytest.approx(smd, abs=1e-5)
+    assert out["c1"]["balanced"] == (abs(smd) < 0.1)
+    assert out["c2"]["balanced"] is True  # same distribution
+
+    xx = rng.exponential(2.0, 300)
+    yy = rng.exponential(1.0, 300) + 0.5
+    jdf = spark.createDataFrame(
+        [(float(a), float(b)) for a, b in zip(xx, yy)], ["x", "y"]
+    )
+    r = ratio_delta_ci(jdf, "x", "y").collect()[0]
+    n = len(xx)
+    th = xx.sum() / yy.sum()
+    vx, vy = xx.var(ddof=1), yy.var(ddof=1)
+    cxy = float(np.cov(xx, yy, ddof=1)[0, 1])
+    se = math.sqrt(
+        (vx - 2 * th * cxy + th * th * vy) / (n * yy.mean() ** 2)
+    )
+    assert r["ratio"] == pytest.approx(th, abs=1e-6)
+    assert r["se_delta"] == pytest.approx(se, abs=1e-5)
+    assert r["ci_lo"] == pytest.approx(
+        th - 1.959963984540054 * se, abs=1e-5
+    )
+    rj = jackknife_ratio(jdf, "x", "y").collect()[0]
+    assert rj["se_jack"] == pytest.approx(r["se_delta"], rel=0.05)
