@@ -7935,7 +7935,13 @@ def test_smd_and_delta_ci_vs_replica(spark):
     )
     assert out["c1"]["smd"] == pytest.approx(smd, abs=1e-5)
     assert out["c1"]["balanced"] == (abs(smd) < 0.1)
-    assert out["c2"]["balanced"] is True  # same distribution
+    a2 = np.array([r[2] for r in rows if r[0] == "A"])
+    b2 = np.array([r[2] for r in rows if r[0] == "B"])
+    smd2 = (a2.mean() - b2.mean()) / math.sqrt(
+        (a2.var(ddof=1) + b2.var(ddof=1)) / 2
+    )
+    assert out["c2"]["smd"] == pytest.approx(smd2, abs=1e-5)
+    assert out["c2"]["balanced"] == (abs(smd2) < 0.1)
 
     xx = rng.exponential(2.0, 300)
     yy = rng.exponential(1.0, 300) + 0.5
