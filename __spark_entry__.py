@@ -18665,6 +18665,194 @@ def q_ratio_delta_ci(spark, sf):
     )
 
 
+_WKAPPA_ORACLE = """
+WITH base AS (
+  SELECT CAST(l_linenumber AS DOUBLE) AS i,
+    CAST(least(7, l_linenumber + CAST(l_quantity AS INT) % 2)
+      AS DOUBLE) AS j
+  FROM lineitem
+  WHERE l_linenumber IS NOT NULL AND l_quantity IS NOT NULL
+),
+cells AS (
+  SELECT i, j, CAST(count(*) AS BIGINT) AS o FROM base GROUP BY 1, 2
+),
+rm AS (SELECT i, CAST(sum(o) AS BIGINT) AS r FROM cells GROUP BY 1),
+cm AS (SELECT j, CAST(sum(o) AS BIGINT) AS c FROM cells GROUP BY 1),
+kc AS (
+  SELECT CAST(count(DISTINCT cat) AS BIGINT) AS k_categories FROM (
+    SELECT i AS cat FROM cells UNION ALL SELECT j FROM cells
+  )
+),
+obs AS (
+  SELECT CAST(sum(o) AS BIGINT) AS n,
+    sum((i - j) * (i - j) * CAST(o AS DOUBLE)) AS wo
+  FROM cells
+),
+ex AS (
+  SELECT sum((rm.i - cm.j) * (rm.i - cm.j)
+             * CAST(rm.r AS DOUBLE) * CAST(cm.c AS DOUBLE)) AS we_n
+  FROM rm CROSS JOIN cm
+)
+SELECT n, k_categories,
+  round(CASE WHEN we_n / CAST(n AS DOUBLE) > 0
+    THEN 1.0 - wo / (we_n / CAST(n AS DOUBLE)) END, 6)
+    AS kappa_weighted
+FROM obs, ex, kc
+"""
+
+
+@_q("weighted_kappa", _WKAPPA_ORACLE)
+def q_weighted_kappa(spark, sf):
+    """Quadratic-weighted Cohen's kappa between linenumber and a
+    deterministically perturbed copy (stats.weighted_kappa): bounded
+    contingency cells, margins broadcast, exact integers until the
+    final division."""
+    from padua_spark.operators.stats import weighted_kappa
+
+    li = _t(spark, sf, "lineitem").select(
+        F.col("l_linenumber").alias("ra"),
+        F.least(
+            F.lit(7),
+            F.col("l_linenumber")
+            + F.col("l_quantity").cast("int") % 2,
+        ).alias("rb"),
+    )
+    return weighted_kappa(li, "ra", "rb", "quadratic")
+
+
+_BLAND_ALTMAN_ORACLE = """
+WITH base AS (
+  SELECT CAST(l_quantity AS DOUBLE)
+    - (CAST(l_quantity AS DOUBLE) + round(l_discount * 100) - 3.0)
+    AS d
+  FROM lineitem
+  WHERE l_quantity IS NOT NULL AND l_discount IS NOT NULL
+),
+a AS (
+  SELECT CAST(count(*) AS BIGINT) AS n, sum(d) AS s1,
+    sum(d * d) AS s2
+  FROM base
+),
+m AS (
+  SELECT n, CAST(n AS DOUBLE) AS nd, s1 / CAST(n AS DOUBLE) AS bias,
+    sqrt((s2 - CAST(n AS DOUBLE) * (s1 / CAST(n AS DOUBLE))
+              * (s1 / CAST(n AS DOUBLE)))
+         / (CAST(n AS DOUBLE) - 1.0)) AS sd
+  FROM a
+),
+lim AS (
+  SELECT n, nd, bias, sd,
+    bias - CAST(1.959963984540054 AS DOUBLE) * sd AS lo,
+    bias + CAST(1.959963984540054 AS DOUBLE) * sd AS hi
+  FROM m
+),
+outc AS (
+  SELECT CAST(sum(CASE WHEN b.d < lim.lo OR b.d > lim.hi
+    THEN 1 ELSE 0 END) AS BIGINT) AS n_out
+  FROM base b CROSS JOIN lim
+)
+SELECT lim.n, round(lim.bias, 6) AS bias, round(lim.sd, 6) AS sd_diff,
+  round(lim.lo, 6) AS loa_lo, round(lim.hi, 6) AS loa_hi,
+  round(CAST(outc.n_out AS DOUBLE) / lim.nd, 6) AS frac_outside
+FROM lim, outc
+"""
+
+
+@_q("bland_altman", _BLAND_ALTMAN_ORACLE)
+def q_bland_altman(spark, sf):
+    """Bland-Altman limits of agreement between quantity and a
+    discount-shifted copy (stats.bland_altman): bias, +-1.96sd
+    limits, realized outside fraction."""
+    from padua_spark.operators.stats import bland_altman
+
+    li = _t(spark, sf, "lineitem").select(
+        F.col("l_quantity").cast("double").alias("a"),
+        (
+            F.col("l_quantity").cast("double")
+            + F.round(F.col("l_discount") * 100)
+            - 3.0
+        ).alias("b"),
+    )
+    return bland_altman(li, "a", "b")
+
+
+_ICC_ORACLE = """
+WITH cells AS (
+  SELECT l_orderkey % 50 AS s, l_linenumber % 4 AS r,
+    sum(CAST(l_quantity AS DOUBLE)) / count(*) AS v
+  FROM lineitem
+  WHERE l_orderkey IS NOT NULL AND l_linenumber IS NOT NULL
+    AND l_quantity IS NOT NULL
+  GROUP BY 1, 2
+),
+tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_obs, sum(v) AS g,
+    sum(v * v) AS ss
+  FROM cells
+),
+srow AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_subjects,
+    sum(ts * ts) AS sts
+  FROM (SELECT s, sum(v) AS ts FROM cells GROUP BY 1)
+),
+scol AS (
+  SELECT CAST(count(*) AS BIGINT) AS k_raters,
+    sum(tr * tr) AS str
+  FROM (SELECT r, sum(v) AS tr FROM cells GROUP BY 1)
+),
+z AS (
+  SELECT n_subjects, k_raters,
+    CAST(n_subjects AS DOUBLE) AS n, CAST(k_raters AS DOUBLE) AS k,
+    (sts / CAST(k_raters AS DOUBLE)
+      - g * g / CAST(n_obs AS DOUBLE))
+      / (CAST(n_subjects AS DOUBLE) - 1.0) AS msr,
+    (str / CAST(n_subjects AS DOUBLE)
+      - g * g / CAST(n_obs AS DOUBLE))
+      / (CAST(k_raters AS DOUBLE) - 1.0) AS msc,
+    ((ss - g * g / CAST(n_obs AS DOUBLE))
+      - (sts / CAST(k_raters AS DOUBLE)
+         - g * g / CAST(n_obs AS DOUBLE))
+      - (str / CAST(n_subjects AS DOUBLE)
+         - g * g / CAST(n_obs AS DOUBLE)))
+      / ((CAST(n_subjects AS DOUBLE) - 1.0)
+         * (CAST(k_raters AS DOUBLE) - 1.0)) AS mse
+  FROM tot, srow, scol
+)
+SELECT n_subjects, k_raters, round(msr, 6) AS msr,
+  round(msc, 6) AS msc, round(mse, 6) AS mse,
+  round(CASE WHEN n >= 2 AND k >= 2
+    AND msr + (k - 1.0) * mse + k / n * (msc - mse) <> 0
+    THEN (msr - mse)
+      / (msr + (k - 1.0) * mse + k / n * (msc - mse)) END, 6)
+    AS icc
+FROM z
+"""
+
+
+@_q("icc_2_1", _ICC_ORACLE)
+def q_icc_2_1(spark, sf):
+    """ICC(2,1) over a complete 50x4 pseudo-design of mean quantities
+    (stats.icc_2_1): two-way random-effects absolute agreement from
+    exact raw sums, completeness enforced."""
+    from padua_spark.operators.stats import icc_2_1
+
+    li = _t(spark, sf, "lineitem")
+    cells = li.where(
+        F.col("l_orderkey").isNotNull()
+        & F.col("l_linenumber").isNotNull()
+        & F.col("l_quantity").isNotNull()
+    ).groupBy(
+        (F.col("l_orderkey") % 50).alias("s"),
+        (F.col("l_linenumber") % 4).alias("r"),
+    ).agg(
+        (
+            F.sum(F.col("l_quantity").cast("double"))
+            / F.count(F.lit(1))
+        ).alias("v")
+    )
+    return icc_2_1(cells, "s", "r", "v")
+
+
 # ---------------------------------------------------------------------------
 
 

@@ -143,6 +143,9 @@ HEADLINE = [
     "jackknife_ratio",
     "smd_balance",
     "ratio_delta_ci",
+    "weighted_kappa",
+    "bland_altman",
+    "icc_2_1",
     "anova_2way_stats",
     "levene_stats",
     "ttest_paired_stats",

@@ -7573,3 +7573,267 @@ def ratio_delta_ci(
         F.round(F.col("_t") + F.lit(float(z)) * F.col("_se"), 6)
         .alias("ci_hi"),
     )
+
+
+def weighted_kappa(
+    df: DataFrame,
+    rater_a: str,
+    rater_b: str,
+    weights: str = "quadratic",
+) -> DataFrame:
+    """Cohen's WEIGHTED kappa for ordinal ratings — partial credit
+    for near-misses (a 4-vs-5 disagreement is not a 1-vs-5), the
+    ordinal upgrade of the binary
+    :func:`~padua_spark.extensions.quality.cohens_kappa`:
+
+    ``κ_w = 1 − Σ w_ij·o_ij / Σ w_ij·e_ij`` with DISAGREEMENT
+    weights ``w_ij = |i−j|`` (linear) or ``(i−j)²`` (quadratic —
+    which makes κ_w the concordance form most used for model-grade
+    agreement), observed cells ``o_ij`` and chance cells
+    ``e_ij = r_i·c_j/n``. Ratings must be NUMERIC ordinal codes; the
+    weight uses their actual numeric distance (so codes 1,2,4 weight
+    2↔4 doubly).
+
+    ONE aggregation to the bounded (i, j) contingency cells, margins
+    from the cells frame, and the two weighted sums over cells ×
+    broadcast margins — everything after the first aggregation is
+    cell-count-sized. Exact integers until the final division
+    (quadratic weights of integer codes are integers). Output 1 row:
+    ``(n, k_categories, kappa_weighted)``, 6dp; NULL when chance
+    disagreement is 0 (both raters constant).
+
+    Beyond the reference; standard per Cohen 1968.
+    """
+    if weights not in ("linear", "quadratic"):
+        raise ValueError(
+            "weighted_kappa: weights must be linear|quadratic"
+        )
+    from pyspark import StorageLevel
+
+    from padua_spark.io_utils import track_cached
+
+    a = F.col(rater_a).cast("double")
+    b = F.col(rater_b).cast("double")
+    cells = (
+        df.where(a.isNotNull() & b.isNotNull())
+        .groupBy(a.alias("_i"), b.alias("_j"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("_o"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    rows_m = cells.groupBy("_i").agg(
+        F.sum("_o").cast("bigint").alias("_r")
+    )
+    cols_m = cells.groupBy("_j").agg(
+        F.sum("_o").cast("bigint").alias("_c")
+    )
+    kc = (
+        cells.select(F.col("_i").alias("_cat"))
+        .unionAll(cells.select(F.col("_j").alias("_cat")))
+        .agg(
+            F.countDistinct("_cat").cast("bigint").alias(
+                "k_categories"
+            )
+        )
+        .withColumn("_one", F.lit(1))
+    )
+    dist = F.col("_i") - F.col("_j")
+    w = F.abs(dist) if weights == "linear" else dist * dist
+    obs = cells.agg(
+        F.sum("_o").cast("bigint").alias("n"),
+        F.sum(w * F.col("_o").cast("double")).alias("_wo"),
+    ).withColumn("_one", F.lit(1))
+    grid = rows_m.crossJoin(cols_m)
+    dist_e = F.col("_i") - F.col("_j")
+    w_e = F.abs(dist_e) if weights == "linear" else dist_e * dist_e
+    exp = grid.agg(
+        F.sum(
+            w_e
+            * F.col("_r").cast("double")
+            * F.col("_c").cast("double")
+        ).alias("_we_n")
+    ).withColumn("_one", F.lit(1))
+    j = (
+        obs.join(F.broadcast(exp), on="_one")
+        .join(F.broadcast(kc), on="_one")
+    )
+    nd = F.col("n").cast("double")
+    we = F.col("_we_n") / nd
+    kappa = F.when(we > 0, 1.0 - F.col("_wo") / we)
+    out = j.select(
+        "n", "k_categories",
+        F.round(kappa, 6).alias("kappa_weighted"),
+    )
+    return track_cached(out, cells)
+
+
+def bland_altman(
+    df: DataFrame,
+    a_col: str,
+    b_col: str,
+    z: float = 1.959963984540054,
+) -> DataFrame:
+    """Bland–Altman agreement limits for two measurement methods —
+    the method-comparison standard (correlation says two assays move
+    together; Bland–Altman says whether you can SUBSTITUTE one for
+    the other): ``bias = mean(a−b)``, limits of agreement
+    ``bias ± z·sd(a−b)``, plus the realized fraction of pairs
+    outside the limits (≈ 5% under normal differences).
+
+    TWO passes: one aggregation to the exact difference moments, one
+    broadcast-joined count of out-of-limit pairs. Output 1 row:
+    ``(n, bias, sd_diff, loa_lo, loa_hi, frac_outside)``, 6dp; NULL
+    limits when n < 2 or sd = 0.
+
+    Beyond the reference; standard per Bland & Altman 1986 —
+    completes the agreement battery around Lin's CCC.
+    """
+    from padua_spark.io_utils import track_cached
+
+    a = F.col(a_col).cast("double")
+    b = F.col(b_col).cast("double")
+    base = df.where(a.isNotNull() & b.isNotNull()).select(
+        (a - b).alias("_d")
+    )
+    from pyspark import StorageLevel
+
+    base = base.persist(StorageLevel.MEMORY_AND_DISK)
+    agg = base.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("_d").alias("_s1"),
+        F.sum(F.col("_d") * F.col("_d")).alias("_s2"),
+    )
+    nd = F.col("n").cast("double")
+    bias = F.col("_s1") / nd
+    sd = F.sqrt((F.col("_s2") - nd * bias * bias) / (nd - 1.0))
+    ok = (F.col("n") >= 2) & (sd > 0)
+    stats = agg.select(
+        "n",
+        bias.alias("_bias"),
+        F.when(ok, sd).alias("_sd"),
+        F.when(ok, bias - F.lit(float(z)) * sd).alias("_lo"),
+        F.when(ok, bias + F.lit(float(z)) * sd).alias("_hi"),
+    ).withColumn("_one", F.lit(1))
+    outside = (
+        base.withColumn("_one", F.lit(1))
+        .join(F.broadcast(stats), on="_one")
+        .agg(
+            F.sum(
+                (
+                    (F.col("_d") < F.col("_lo"))
+                    | (F.col("_d") > F.col("_hi"))
+                ).cast("int")
+            ).cast("bigint").alias("_n_out")
+        )
+        .withColumn("_one", F.lit(1))
+    )
+    out = stats.join(F.broadcast(outside), on="_one").select(
+        "n",
+        F.round("_bias", 6).alias("bias"),
+        F.round("_sd", 6).alias("sd_diff"),
+        F.round("_lo", 6).alias("loa_lo"),
+        F.round("_hi", 6).alias("loa_hi"),
+        F.round(
+            F.when(
+                F.col("_sd").isNotNull(),
+                F.col("_n_out").cast("double")
+                / F.col("n").cast("double"),
+            ),
+            6,
+        ).alias("frac_outside"),
+    )
+    return track_cached(out, base)
+
+
+def icc_2_1(
+    df: DataFrame,
+    subject_col: str,
+    rater_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Intraclass correlation ICC(2,1) — two-way random effects,
+    absolute agreement, single measures (Shrout & Fleiss 1979's
+    ICC(2,1); the "can any one rater's score stand in for the
+    consensus?" reliability number, the continuous-rating companion
+    to :func:`fleiss_kappa`):
+
+    from the two-way ANOVA decomposition over a COMPLETE n×k design
+    (every subject rated by every rater — ENFORCED with a preflight
+    that names the offending subject):
+    ``ICC = (MSR − MSE) / (MSR + (k−1)·MSE + (k/n)·(MSC − MSE))``.
+
+    All sums of squares come from exact raw sums in ONE pass over
+    the data (per-subject and per-rater totals are
+    cardinality-sized), no centering column ever materialized.
+    Output 1 row: ``(n_subjects, k_raters, msr, msc, mse, icc)``,
+    6dp; NULL when the residual df is 0 or the denominator is 0.
+    """
+    s = F.col(subject_col)
+    r = F.col(rater_col)
+    v = F.col(value_col).cast("double")
+    base = df.where(
+        s.isNotNull() & r.isNotNull() & v.isNotNull()
+    ).select(s.alias("_s"), r.alias("_r"), v.alias("_v"))
+    from pyspark import StorageLevel
+
+    base = base.persist(StorageLevel.MEMORY_AND_DISK)
+    per_subj = base.groupBy("_s").agg(
+        F.count(F.lit(1)).cast("bigint").alias("_cnt"),
+        F.sum("_v").alias("_ts"),
+    )
+    chk = per_subj.agg(
+        F.min("_cnt").alias("_lo"), F.max("_cnt").alias("_hi")
+    ).collect()[0]
+    if chk["_lo"] != chk["_hi"]:
+        bad = (
+            per_subj.where(F.col("_cnt") == chk["_lo"])
+            .limit(1)
+            .collect()[0]["_s"]
+        )
+        raise ValueError(
+            f"icc_2_1: incomplete design (subject {bad!r} has "
+            f"{chk['_lo']} ratings, others {chk['_hi']}); ICC(2,1) "
+            "requires every subject rated by every rater — filter "
+            "to the complete block first"
+        )
+    per_rater = base.groupBy("_r").agg(F.sum("_v").alias("_tr"))
+    tot = base.agg(
+        F.count(F.lit(1)).cast("bigint").alias("_n_obs"),
+        F.sum("_v").alias("_g"),
+        F.sum(F.col("_v") * F.col("_v")).alias("_ss"),
+    ).withColumn("_one", F.lit(1))
+    srow = per_subj.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_subjects"),
+        F.sum(F.col("_ts") * F.col("_ts")).alias("_sts"),
+    ).withColumn("_one", F.lit(1))
+    scol = per_rater.agg(
+        F.count(F.lit(1)).cast("bigint").alias("k_raters"),
+        F.sum(F.col("_tr") * F.col("_tr")).alias("_str"),
+    ).withColumn("_one", F.lit(1))
+    j = tot.join(F.broadcast(srow), on="_one").join(
+        F.broadcast(scol), on="_one"
+    )
+    n = F.col("n_subjects").cast("double")
+    k = F.col("k_raters").cast("double")
+    nobs = F.col("_n_obs").cast("double")
+    cm = F.col("_g") * F.col("_g") / nobs
+    ss_tot = F.col("_ss") - cm
+    ss_rows = F.col("_sts") / k - cm
+    ss_cols = F.col("_str") / n - cm
+    ss_err = ss_tot - ss_rows - ss_cols
+    msr = ss_rows / (n - 1.0)
+    msc = ss_cols / (k - 1.0)
+    mse = ss_err / ((n - 1.0) * (k - 1.0))
+    den = msr + (k - 1.0) * mse + k / n * (msc - mse)
+    ok = (n >= 2) & (k >= 2) & (den != 0)
+    from padua_spark.io_utils import track_cached
+
+    out = j.select(
+        "n_subjects", "k_raters",
+        F.round(msr, 6).alias("msr"),
+        F.round(msc, 6).alias("msc"),
+        F.round(mse, 6).alias("mse"),
+        F.round(
+            F.when(ok, (msr - mse) / den), 6
+        ).alias("icc"),
+    )
+    return track_cached(out, base)

@@ -7963,3 +7963,95 @@ def test_smd_and_delta_ci_vs_replica(spark):
     )
     rj = jackknife_ratio(jdf, "x", "y").collect()[0]
     assert rj["se_jack"] == pytest.approx(r["se_delta"], rel=0.05)
+
+
+def test_weighted_kappa_bland_altman_icc_vs_replicas(spark):
+    """Weighted kappa against the Counter replica (quadratic and
+    linear); Bland-Altman bias/limits/outside fraction; ICC(2,1)
+    against the two-way ANOVA decomposition; the incomplete-design
+    guard raises naming the subject."""
+    import collections
+    import math
+
+    import numpy as np
+
+    from padua_spark.operators.stats import (
+        bland_altman,
+        icc_2_1,
+        weighted_kappa,
+    )
+
+    rng = np.random.RandomState(15)
+    a = rng.randint(1, 6, 300)
+    b = np.clip(a + rng.randint(-1, 2, 300), 1, 5)
+    df = spark.createDataFrame(
+        [(int(x), int(y)) for x, y in zip(a, b)], ["ra", "rb"]
+    )
+    n = len(a)
+    o = collections.Counter(zip(a.tolist(), b.tolist()))
+    rt = collections.Counter(a.tolist())
+    ct = collections.Counter(b.tolist())
+    for wname, wfun in (
+        ("quadratic", lambda i, j: (i - j) ** 2),
+        ("linear", lambda i, j: abs(i - j)),
+    ):
+        wo = sum(wfun(i, j) * c for (i, j), c in o.items())
+        we = sum(
+            wfun(i, j) * rt[i] * ct[j] / n for i in rt for j in ct
+        )
+        r = weighted_kappa(df, "ra", "rb", wname).collect()[0]
+        assert r["kappa_weighted"] == pytest.approx(
+            1 - wo / we, abs=1e-6
+        )
+    # perfect agreement -> 1
+    same = spark.createDataFrame(
+        [(int(x), int(x)) for x in a], ["ra", "rb"]
+    )
+    assert weighted_kappa(same, "ra", "rb").collect()[0][
+        "kappa_weighted"] == 1.0
+
+    x = rng.normal(10, 2, 400)
+    y = x + rng.normal(0.3, 0.5, 400)
+    bdf = spark.createDataFrame(
+        [(float(p), float(q)) for p, q in zip(x, y)], ["a", "b"]
+    )
+    rb = bland_altman(bdf, "a", "b").collect()[0]
+    d = x - y
+    bias, sd = d.mean(), d.std(ddof=1)
+    lo = bias - 1.959963984540054 * sd
+    hi = bias + 1.959963984540054 * sd
+    assert rb["bias"] == pytest.approx(bias, abs=1e-6)
+    assert rb["loa_lo"] == pytest.approx(lo, abs=1e-5)
+    assert rb["frac_outside"] == pytest.approx(
+        float(np.mean((d < lo) | (d > hi))), abs=1e-6
+    )
+
+    ns, k = 40, 4
+    subj = rng.normal(0, 2, ns)
+    rater = rng.normal(0, 0.5, k)
+    mat = (
+        10
+        + subj[:, None]
+        + rater[None, :]
+        + rng.normal(0, 1, (ns, k))
+    )
+    rows = [
+        (i, j, float(mat[i, j]))
+        for i in range(ns)
+        for j in range(k)
+    ]
+    idf = spark.createDataFrame(rows, ["s", "r", "v"])
+    ri = icc_2_1(idf, "s", "r", "v").collect()[0]
+    gm = mat.mean()
+    ssr = k * np.sum((mat.mean(axis=1) - gm) ** 2)
+    ssc = ns * np.sum((mat.mean(axis=0) - gm) ** 2)
+    sse = np.sum((mat - gm) ** 2) - ssr - ssc
+    msr = ssr / (ns - 1)
+    msc = ssc / (k - 1)
+    mse = sse / ((ns - 1) * (k - 1))
+    icc = (msr - mse) / (
+        msr + (k - 1) * mse + k / ns * (msc - mse)
+    )
+    assert ri["icc"] == pytest.approx(icc, abs=1e-5)
+    with pytest.raises(ValueError, match="incomplete design"):
+        icc_2_1(idf.limit(159), "s", "r", "v")
