@@ -18853,6 +18853,206 @@ def q_icc_2_1(spark, sf):
     return icc_2_1(cells, "s", "r", "v")
 
 
+_BOWKER_ORACLE = """
+WITH base AS (
+  SELECT l_linenumber AS i,
+    least(7, l_linenumber + CAST(l_quantity AS INT) % 2) AS j
+  FROM lineitem
+  WHERE l_linenumber IS NOT NULL AND l_quantity IS NOT NULL
+),
+cells AS (
+  SELECT i, j, CAST(count(*) AS BIGINT) AS c FROM base GROUP BY 1, 2
+),
+up AS (SELECT i, j, c FROM cells WHERE i < j),
+dn AS (SELECT j AS i, i AS j, c AS c2 FROM cells WHERE i > j),
+pairs AS (
+  SELECT coalesce(up.c, 0) AS u, coalesce(dn.c2, 0) AS d
+  FROM up FULL OUTER JOIN dn ON up.i = dn.i AND up.j = dn.j
+),
+kc AS (
+  SELECT CAST(count(DISTINCT cat) AS BIGINT) AS k_categories FROM (
+    SELECT i AS cat FROM cells UNION ALL SELECT j FROM cells
+  )
+),
+tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM cells),
+agg AS (
+  SELECT
+    coalesce(sum(CASE WHEN u + d > 0 THEN
+      CAST((u - d) * (u - d) AS DOUBLE) / CAST(u + d AS DOUBLE)
+      END), 0.0) AS chi2,
+    CAST(sum(CASE WHEN u + d > 0 THEN 1 ELSE 0 END) AS BIGINT)
+      AS dfree
+  FROM pairs
+)
+SELECT n, k_categories, round(chi2, 6) AS chi2, dfree AS df,
+  round(CASE WHEN dfree = 6 THEN exp(-(chi2 / 2.0))
+      * (1.0 + chi2 / 2.0 + (chi2 / 2.0) * (chi2 / 2.0) / 2.0)
+    WHEN dfree = 0 THEN 1.0 END, 6) AS p_value
+FROM agg, tot, kc
+"""
+
+
+@_q("bowker_symmetry", _BOWKER_ORACLE)
+def q_bowker_symmetry(spark, sf):
+    """Bowker symmetry between linenumber and its perturbed copy
+    (stats.bowker_symmetry): k-class McNemar over the discordant
+    pairs; the entry design populates exactly the 6 adjacent pairs,
+    so the oracle uses the even-df closed-form chi-square survival
+    the engine's incomplete-gamma UDF reproduces."""
+    from padua_spark.operators.stats import bowker_symmetry
+
+    li = _t(spark, sf, "lineitem").select(
+        F.col("l_linenumber").alias("ra"),
+        F.least(
+            F.lit(7),
+            F.col("l_linenumber")
+            + F.col("l_quantity").cast("int") % 2,
+        ).alias("rb"),
+    )
+    return bowker_symmetry(li, "ra", "rb")
+
+
+def _morans_oracle() -> str:
+    return f"""
+WITH mh AS ({_minhash_oracle()}),
+e0 AS (
+  SELECT DISTINCT least(id_a, id_b) AS u, greatest(id_a, id_b) AS v
+  FROM mh WHERE id_a <> id_b
+),
+vals AS (
+  SELECT doc_id AS x, CAST(n_chars AS DOUBLE) AS val
+  FROM documents WHERE doc_id IS NOT NULL AND n_chars IS NOT NULL
+),
+e AS (
+  SELECT e0.u, e0.v FROM e0
+  JOIN vals a ON a.x = e0.u JOIN vals b ON b.x = e0.v
+),
+vs AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_nodes, sum(val) AS s1,
+    sum(val * val) AS s2
+  FROM vals
+),
+cr AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_edges,
+    sum(a.val * b.val) AS svv, sum(a.val + b.val) AS sends
+  FROM e JOIN vals a ON a.x = e.u JOIN vals b ON b.x = e.v
+),
+dg AS (
+  SELECT CAST(sum(CAST(d AS HUGEINT) * d) AS BIGINT) AS sdeg2
+  FROM (
+    SELECT x, count(*) AS d FROM (
+      SELECT u AS x FROM e UNION ALL SELECT v AS x FROM e
+    ) GROUP BY x
+  )
+),
+z0 AS (
+  SELECT n_nodes, n_edges,
+    CAST(n_nodes AS DOUBLE) AS n, CAST(n_edges AS DOUBLE) AS m,
+    s1 / CAST(n_nodes AS DOUBLE) AS mean, s2, svv, sends,
+    CAST(sdeg2 AS DOUBLE) AS sdeg2
+  FROM vs, cr, dg
+),
+z1 AS (
+  SELECT n_nodes, n_edges, n, m,
+    CASE WHEN s2 - n * mean * mean > 0 AND m > 0
+      THEN n / (2.0 * m)
+        * (2.0 * (svv - mean * sends + m * mean * mean))
+        / (s2 - n * mean * mean) END AS i_stat,
+    -1.0 / (n - 1.0) AS e_i,
+    (n * n * (4.0 * m) - n * (4.0 * sdeg2)
+      + 3.0 * (2.0 * m) * (2.0 * m))
+      / ((n * n - 1.0) * (2.0 * m) * (2.0 * m))
+      - (-1.0 / (n - 1.0)) * (-1.0 / (n - 1.0)) AS var
+  FROM z0
+),
+z2 AS (
+  SELECT n_nodes, n_edges, i_stat, e_i,
+    CASE WHEN i_stat IS NOT NULL AND var > 0
+      THEN (i_stat - e_i) / sqrt(var) END AS z
+  FROM z1
+),
+ee AS (
+  SELECT *, abs(z) / sqrt(2.0) AS x,
+    1.0 / (1.0 + 0.3275911 * (abs(z) / sqrt(2.0))) AS t
+  FROM z2
+)
+SELECT n_nodes, n_edges, round(i_stat, 6) AS morans_i,
+  round(e_i, 6) AS expected_i, round(z, 6) AS z,
+  round(CASE WHEN z IS NOT NULL THEN
+    (0.254829592 * t + -0.284496736 * t * t
+     + 1.421413741 * t * t * t + -1.453152027 * t * t * t * t
+     + 1.061405429 * t * t * t * t * t) * exp(-x * x) END, 6)
+    AS p_value
+FROM ee
+"""
+
+
+@_q("morans_i", _morans_oracle())
+def q_morans_i(spark, sf):
+    """Moran's I of document length over the MinHash candidate graph
+    (stats.morans_i): do near-duplicate candidates share size? Graph
+    homophily with the Cliff-Ord normality z."""
+    from padua_spark.extensions import dedup as x_dedup
+    from padua_spark.operators.stats import morans_i
+
+    d = _t(spark, sf, "documents")
+    cand = x_dedup.minhash_lsh_candidates(
+        d, "doc_id", "text", k_shingle=3, num_hashes=32, bands=8,
+        portable_keys=True,
+    )
+    vals = d.select(
+        F.col("doc_id").alias("node"),
+        F.col("n_chars").cast("double").alias("value"),
+    )
+    return morans_i(vals, cand)
+
+
+_INEQUALITY_ORACLE = """
+WITH base AS (
+  SELECT event_type AS g,
+    CAST(round(CAST(value AS DOUBLE) * 100) AS DOUBLE) AS v
+  FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL
+),
+a AS (
+  SELECT g,
+    CAST(count(CASE WHEN v > 0 THEN 1 END) AS BIGINT) AS n,
+    CAST(count(CASE WHEN v <= 0 THEN 1 END) AS BIGINT) AS n_nonpos,
+    sum(CASE WHEN v > 0 THEN v END) AS s1,
+    sum(CASE WHEN v > 0 THEN v * ln(v) END) AS sxlx,
+    sum(CASE WHEN v > 0 THEN pow(v, CAST(0.5 AS DOUBLE)) END)
+      AS spow
+  FROM base GROUP BY 1
+),
+m AS (
+  SELECT g, n, n_nonpos, CAST(n AS DOUBLE) AS nd,
+    s1 / CAST(n AS DOUBLE) AS mu, sxlx, spow
+  FROM a
+)
+SELECT g AS event_type, n, n_nonpos,
+  round(CASE WHEN n > 0 AND mu > 0 THEN mu END, 6) AS mean,
+  round(CASE WHEN n > 0 AND mu > 0
+    THEN sxlx / (nd * mu) - ln(mu) END, 6) AS theil_t,
+  round(CASE WHEN n > 0 AND mu > 0
+    THEN 1.0 - pow(spow / nd, CAST(2.0 AS DOUBLE)) / mu END, 6)
+    AS atkinson
+FROM m
+"""
+
+
+@_q("inequality_indices", _INEQUALITY_ORACLE)
+def q_inequality_indices(spark, sf):
+    """Theil T and Atkinson(0.5) inequality of event value (cents)
+    per event type (stats.inequality_indices): one aggregation, the
+    decomposable concentration monitors."""
+    from padua_spark.operators.stats import inequality_indices
+
+    e = _t(spark, sf, "events").select(
+        F.col("event_type"),
+        F.round(F.col("value").cast("double") * 100).alias("cents"),
+    ).where(F.col("event_type").isNotNull())
+    return inequality_indices(e, ["event_type"], "cents", 0.5)
+
+
 # ---------------------------------------------------------------------------
 
 

@@ -146,6 +146,9 @@ HEADLINE = [
     "weighted_kappa",
     "bland_altman",
     "icc_2_1",
+    "bowker_symmetry",
+    "morans_i",
+    "inequality_indices",
     "anova_2way_stats",
     "levene_stats",
     "ttest_paired_stats",

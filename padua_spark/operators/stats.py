@@ -7837,3 +7837,277 @@ def icc_2_1(
         ).alias("icc"),
     )
     return track_cached(out, base)
+
+
+def bowker_symmetry(
+    df: DataFrame,
+    a_col: str,
+    b_col: str,
+) -> DataFrame:
+    """Bowker's test of symmetry for a paired k×k table — the k-class
+    generalization of McNemar ("did the label distribution MOVE, and
+    in which direction?" between two annotation passes / model
+    versions): ``χ² = Σ_{i<j} (n_ij − n_ji)² / (n_ij + n_ji)`` over
+    the discordant pair counts, df = the number of (i, j) pairs with
+    ``n_ij + n_ji > 0`` (zero-total pairs carry no information — the
+    conditional convention; with all pairs populated this is the
+    textbook k(k−1)/2).
+
+    ONE aggregation to the bounded (i, j) cells, one cells-level
+    self-merge via full outer join on the mirrored key (never a
+    data-sized join), the chi-square survival via the shared
+    series+Lentz UDF. Output 1 row: ``(n, k_categories, chi2, df,
+    p_value)``, 6dp; p 1.0 when there are no discordant pairs.
+
+    Beyond the reference; standard per Bowker 1948.
+    """
+    from pyspark import StorageLevel
+
+    from padua_spark.functions.distributions import chi2_sf_udf
+    from padua_spark.io_utils import track_cached
+
+    a = F.col(a_col)
+    b = F.col(b_col)
+    cells = (
+        df.where(a.isNotNull() & b.isNotNull())
+        .groupBy(a.alias("_i"), b.alias("_j"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("_c"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    up = cells.where(F.col("_i") < F.col("_j"))
+    dn = cells.where(F.col("_i") > F.col("_j")).select(
+        F.col("_j").alias("_i"),
+        F.col("_i").alias("_j"),
+        F.col("_c").alias("_c2"),
+    )
+    pairs = up.join(dn, on=["_i", "_j"], how="full_outer").select(
+        F.coalesce(F.col("_c"), F.lit(0)).alias("_u"),
+        F.coalesce(F.col("_c2"), F.lit(0)).alias("_d"),
+    )
+    term = (
+        (F.col("_u") - F.col("_d"))
+        * (F.col("_u") - F.col("_d"))
+    ).cast("double") / (F.col("_u") + F.col("_d")).cast("double")
+    kc = (
+        cells.select(F.col("_i").alias("_cat"))
+        .unionAll(cells.select(F.col("_j").alias("_cat")))
+        .agg(
+            F.countDistinct("_cat").cast("bigint").alias(
+                "k_categories"
+            )
+        )
+        .withColumn("_one", F.lit(1))
+    )
+    tot = cells.agg(
+        F.sum("_c").cast("bigint").alias("n")
+    ).withColumn("_one", F.lit(1))
+    agg = pairs.agg(
+        F.sum(
+            F.when(F.col("_u") + F.col("_d") > 0, term)
+        ).alias("_chi2"),
+        F.sum(
+            (F.col("_u") + F.col("_d") > 0).cast("int")
+        ).cast("bigint").alias("df"),
+    ).withColumn("_one", F.lit(1))
+    j = agg.join(F.broadcast(tot), on="_one").join(
+        F.broadcast(kc), on="_one"
+    )
+    staged = j.withColumn(
+        "_p",
+        F.when(
+            F.col("df") > 0,
+            chi2_sf_udf(
+                F.coalesce(F.col("_chi2"), F.lit(0.0)),
+                F.col("df").cast("double"),
+            ),
+        ).otherwise(F.lit(1.0)),
+    )
+    out = staged.select(
+        "n", "k_categories",
+        F.round(F.coalesce(F.col("_chi2"), F.lit(0.0)), 6).alias(
+            "chi2"
+        ),
+        "df",
+        F.round("_p", 6).alias("p_value"),
+    )
+    return track_cached(out, cells)
+
+
+def morans_i(
+    values: DataFrame,
+    edges: DataFrame,
+    id_col: str = "node",
+    value_col: str = "value",
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+) -> DataFrame:
+    """Moran's I autocorrelation of a node attribute over a graph —
+    "do connected documents share quality?" (the graph-native
+    homophily check for candidate graphs, citation webs, k-NN
+    neighborhoods; positive I = neighbors alike, ≈ −1/(n−1) =
+    random):
+
+    with symmetric binary weights from the (deduped, symmetrized)
+    undirected edge list, centered values ``z``:
+    ``I = (n/S₀)·Σ_{(u,v)} z_u z_v / Σ z²`` (S₀ = 2m over both
+    directions), ``E[I] = −1/(n−1)``, and the normality-assumption
+    variance (S₁ = 4m, S₂ = 4·Σ deg²) giving a two-sided z/p.
+
+    ONE degree/edge aggregation + one values join — the z products
+    ride the edge list; nothing is pairwise beyond the given edges.
+    Output 1 row: ``(n_nodes, n_edges, morans_i, expected_i, z,
+    p_value)``, 6dp; NULL when variance degenerates. Nodes absent
+    from ``values`` are dropped with their edges.
+
+    Beyond the reference; standard per Moran 1950 / Cliff & Ord.
+    """
+    from pyspark import StorageLevel
+
+    from padua_spark.io_utils import track_cached
+
+    v = F.col(value_col).cast("double")
+    vals = values.where(
+        F.col(id_col).isNotNull() & v.isNotNull()
+    ).select(F.col(id_col).alias("_x"), v.alias("_v"))
+    e = (
+        edges.select(
+            F.least(F.col(src_col), F.col(dst_col)).alias("_u"),
+            F.greatest(F.col(src_col), F.col(dst_col)).alias("_v2"),
+        )
+        .where(F.col("_u") != F.col("_v2"))
+        .distinct()
+    )
+    # keep only edges whose BOTH endpoints carry a value
+    known = vals.select(F.col("_x"))
+    e = (
+        e.join(known.withColumnRenamed("_x", "_u"), on="_u")
+        .join(known.withColumnRenamed("_x", "_v2"), on="_v2")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    vstats = vals.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
+        F.sum("_v").alias("_s1"),
+        F.sum(F.col("_v") * F.col("_v")).alias("_s2"),
+    ).withColumn("_one", F.lit(1))
+    va = vals.select(F.col("_x").alias("_u"), F.col("_v").alias("_va"))
+    vb = vals.select(
+        F.col("_x").alias("_v2"), F.col("_v").alias("_vb")
+    )
+    cross = (
+        e.join(va, on="_u")
+        .join(vb, on="_v2")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_edges"),
+            F.sum(F.col("_va") * F.col("_vb")).alias("_svv"),
+            F.sum(F.col("_va") + F.col("_vb")).alias("_sends"),
+        )
+        .withColumn("_one", F.lit(1))
+    )
+    deg = (
+        e.select(F.col("_u").alias("_x"))
+        .unionAll(e.select(F.col("_v2").alias("_x")))
+        .groupBy("_x")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("_deg"))
+        .agg(
+            F.sum(
+                F.col("_deg") * F.col("_deg")
+            ).cast("bigint").alias("_sdeg2")
+        )
+        .withColumn("_one", F.lit(1))
+    )
+    j = vstats.join(F.broadcast(cross), on="_one").join(
+        F.broadcast(deg), on="_one"
+    )
+    n = F.col("n_nodes").cast("double")
+    m = F.col("n_edges").cast("double")
+    mean = F.col("_s1") / n
+    # Σ z_u z_v over BOTH directions = 2·(Σ_edges v_a v_b − x̄·Σ ends
+    #   + m·x̄²); Σ z² = s2 − n·x̄²
+    num = 2.0 * (
+        F.col("_svv") - mean * F.col("_sends") + m * mean * mean
+    )
+    den = F.col("_s2") - n * mean * mean
+    s0 = 2.0 * m
+    i_stat = F.when((den > 0) & (m > 0), n / s0 * num / den)
+    e_i = -1.0 / (n - 1.0)
+    s1 = 4.0 * m
+    s2 = 4.0 * F.col("_sdeg2").cast("double")
+    var = (
+        (n * n * s1 - n * s2 + 3.0 * s0 * s0)
+        / ((n * n - 1.0) * s0 * s0)
+        - e_i * e_i
+    )
+    staged = j.withColumn("_i", i_stat).withColumn(
+        "_z",
+        F.when(
+            i_stat.isNotNull() & (var > 0),
+            (i_stat - e_i) / F.sqrt(var),
+        ),
+    )
+    out = staged.select(
+        "n_nodes", "n_edges",
+        F.round("_i", 6).alias("morans_i"),
+        F.round(e_i, 6).alias("expected_i"),
+        F.round("_z", 6).alias("z"),
+        F.round(
+            F.when(
+                F.col("_z").isNotNull(),
+                _normal_sf_2sided(F.col("_z")),
+            ),
+            6,
+        ).alias("p_value"),
+    )
+    return track_cached(out, e)
+
+
+def inequality_indices(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    epsilon: float = 0.5,
+) -> DataFrame:
+    """Theil T and Atkinson inequality indices per group — the
+    decomposable companions to the Gini ("how concentrated is token
+    mass / spend / compute across members?" with additive
+    between/within decomposability that Gini lacks):
+
+    ``T = Σ (x/μ)·ln(x/μ) / n`` (0 = perfect equality, ln n =
+    maximal), ``A(ε) = 1 − (mean(x^{1−ε}))^{1/(1−ε)} / μ`` for
+    ``ε ≠ 1``. Requires x > 0; non-positive rows are excluded and
+    counted.
+
+    ONE aggregation to ``(n, Σx, Σx·ln x, Σx^{1−ε})``; both indices
+    are scalar algebra after (``T = Σx·ln x/(n·μ) − ln μ``). Output
+    per group: ``(groups…, n, n_nonpos, mean, theil_t, atkinson)``,
+    6dp; NULL when n = 0 or μ ≤ 0.
+
+    Beyond the reference; standard per Theil 1967 / Atkinson 1970.
+    """
+    if epsilon == 1.0:
+        raise ValueError(
+            "inequality_indices: epsilon=1 needs the geometric-mean "
+            "form; use a nearby value (e.g. 0.999) or extend"
+        )
+    v = F.col(value_col).cast("double")
+    base = df.where(v.isNotNull())
+    x = F.when(v > 0, v)
+    agg = base.groupBy(*group_cols).agg(
+        F.count(x).cast("bigint").alias("n"),
+        F.count(F.when(v <= 0, 1)).cast("bigint").alias("n_nonpos"),
+        F.sum(x).alias("_s1"),
+        F.sum(x * F.log(x)).alias("_sxlx"),
+        F.sum(F.pow(x, F.lit(1.0 - float(epsilon)))).alias("_spow"),
+    )
+    nd = F.col("n").cast("double")
+    mu = F.col("_s1") / nd
+    theil = F.col("_sxlx") / (nd * mu) - F.log(mu)
+    atk = 1.0 - F.pow(
+        F.col("_spow") / nd, F.lit(1.0 / (1.0 - float(epsilon)))
+    ) / mu
+    ok = (F.col("n") > 0) & (mu > 0)
+    return agg.select(
+        *group_cols, "n", "n_nonpos",
+        F.round(F.when(ok, mu), 6).alias("mean"),
+        F.round(F.when(ok, theil), 6).alias("theil_t"),
+        F.round(F.when(ok, atk), 6).alias("atkinson"),
+    )

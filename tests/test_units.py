@@ -8055,3 +8055,85 @@ def test_weighted_kappa_bland_altman_icc_vs_replicas(spark):
     assert ri["icc"] == pytest.approx(icc, abs=1e-5)
     with pytest.raises(ValueError, match="incomplete design"):
         icc_2_1(idf.limit(159), "s", "r", "v")
+
+
+def test_bowker_moran_inequality_vs_replicas(spark):
+    """Bowker chi2/df/p against a Counter replica; Moran's I with the
+    Cliff-Ord z on a homophilous hand graph (and ~E[I] on a shuffled
+    one); Theil/Atkinson against numpy on lognormal data."""
+    import collections
+    import math
+
+    import numpy as np
+
+    from padua_spark.functions.distributions import chi2_sf
+    from padua_spark.operators.stats import (
+        bowker_symmetry,
+        inequality_indices,
+        morans_i,
+    )
+
+    rng = np.random.RandomState(16)
+    a = rng.randint(1, 5, 400)
+    b = np.clip(a + rng.choice([-1, 0, 0, 1, 1], 400), 1, 4)
+    df = spark.createDataFrame(
+        [(int(x), int(y)) for x, y in zip(a, b)], ["a", "b"]
+    )
+    r = bowker_symmetry(df, "a", "b").collect()[0]
+    cells = collections.Counter(zip(a.tolist(), b.tolist()))
+    chi2 = 0.0
+    dfree = 0
+    for i in range(1, 5):
+        for j in range(i + 1, 5):
+            u, d = cells.get((i, j), 0), cells.get((j, i), 0)
+            if u + d > 0:
+                chi2 += (u - d) ** 2 / (u + d)
+                dfree += 1
+    assert r["chi2"] == pytest.approx(chi2, abs=1e-5)
+    assert r["df"] == dfree
+    assert r["p_value"] == pytest.approx(
+        float(chi2_sf(chi2, dfree)), abs=1e-5
+    )
+    assert r["p_value"] < 0.01  # planted upward drift
+
+    el = [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6), (1, 3), (4, 6)]
+    val = {1: 1.0, 2: 1.2, 3: 0.9, 4: 5.0, 5: 5.2, 6: 4.8}
+    vdf = spark.createDataFrame(list(val.items()), ["node", "value"])
+    edf = spark.createDataFrame(el, ["id_a", "id_b"])
+    r = morans_i(vdf, edf).collect()[0]
+    n, m = len(val), len(el)
+    mean = sum(val.values()) / n
+    z = {k: v - mean for k, v in val.items()}
+    I = n / (2 * m) * (2 * sum(z[u] * z[v] for u, v in el)) / sum(
+        x * x for x in z.values()
+    )
+    EI = -1 / (n - 1)
+    deg = collections.Counter()
+    for u, v in el:
+        deg[u] += 1
+        deg[v] += 1
+    S0, S1, S2 = 2 * m, 4 * m, 4 * sum(d * d for d in deg.values())
+    var = (
+        (n * n * S1 - n * S2 + 3 * S0 * S0)
+        / ((n * n - 1) * S0 * S0)
+        - EI * EI
+    )
+    zz = (I - EI) / math.sqrt(var)
+    assert r["morans_i"] == pytest.approx(I, abs=1e-6)
+    assert r["z"] == pytest.approx(zz, abs=1e-5)
+    assert r["morans_i"] > 0.5  # homophilous by construction
+
+    x = rng.lognormal(1, 0.8, 500)
+    idf = spark.createDataFrame([("g", float(v)) for v in x],
+                                ["g", "v"])
+    ri = inequality_indices(idf, ["g"], "v", 0.5).collect()[0]
+    mu = x.mean()
+    T = float(np.mean(x / mu * np.log(x / mu)))
+    A = 1 - float(np.mean(x ** 0.5)) ** 2 / mu
+    assert ri["theil_t"] == pytest.approx(T, abs=1e-5)
+    assert ri["atkinson"] == pytest.approx(A, abs=1e-5)
+    # perfect equality -> both 0
+    eq = spark.createDataFrame([("g", 5.0)] * 50, ["g", "v"])
+    re = inequality_indices(eq, ["g"], "v").collect()[0]
+    assert re["theil_t"] == pytest.approx(0.0, abs=1e-9)
+    assert re["atkinson"] == pytest.approx(0.0, abs=1e-9)
