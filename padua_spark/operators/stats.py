@@ -569,6 +569,12 @@ def linregress(
 
 
 SMALL_ECDF_DOMAIN = 32_768
+
+#: target distinct-value rows per range partition in
+#: _stepped_running_counts (round-9 profile: 8-16 partitions beat 32
+#: on a 583k domain; 32 best at 5.8M). Tests shrink this to pin the
+#: distributed plan shape on small fixtures.
+STEPPED_ROWS_PER_PARTITION = 75_000
 """Distinct-value domains at/below this take the direct
 single-partition cumsum (the two-pass distributed machinery — range
 repartition, three window specs, broadcast offset join — is pure
@@ -718,10 +724,14 @@ def _stepped_running_counts(
     # the per-partition window cumsum is cheap, so wide fan-out only
     # adds scheduling + offset-join overhead. Measured on the
     # l_extendedprice domain: 583k distinct -> 8-16 partitions beat
-    # 32 by ~25%; 5.8M distinct -> 32 best. Target ~75k domain rows
-    # per range partition, never exceeding the session's shuffle
-    # width (large clusters keep their parallelism).
-    n_parts = min(n_parts, max(1, -(-n_domain // 75_000)))
+    # 32 by ~25%; 5.8M distinct -> 32 best. Target
+    # STEPPED_ROWS_PER_PARTITION domain rows per range partition,
+    # never exceeding the session's shuffle width (large clusters
+    # keep their parallelism; tests shrink the constant to pin the
+    # distributed shape on small fixtures).
+    n_parts = min(
+        n_parts, max(1, -(-n_domain // STEPPED_ROWS_PER_PARTITION))
+    )
     ranged = (
         per.repartitionByRange(n_parts, value_col)
         .withColumn("_pid", F.spark_partition_id())

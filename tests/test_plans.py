@@ -309,15 +309,20 @@ def test_semdedup_corpus_never_reshuffled_by_vector(spark):
     assert has_broadcast_join(df)
 
 
-def test_ecdf_cumsum_is_distributed(spark):
+def test_ecdf_cumsum_is_distributed(spark, monkeypatch):
     """KS / Mann-Whitney ECDF scaffolding: the per-distinct-value
     cumsum window must be PARTITIONED by the captured range-partition
     id (N parallel tasks), never a partitionless global-order window
     over the value domain — on continuous data |distinct| ~= n and a
     single-partition sort would serialize the dataset through one
     core. The only SinglePartition exchange allowed is the one feeding
-    the N-row per-partition-totals frame (constant in data size)."""
+    the N-row per-partition-totals frame (constant in data size).
+    The domain-aware width would collapse this small fixture's domain
+    to one partition — shrink the per-partition target so the test
+    exercises the large-domain (distributed) regime."""
     import re
+
+    monkeypatch.setattr(st, "STEPPED_ROWS_PER_PARTITION", 1000)
 
     for build in (
         lambda df: st.ks_2samp_stat(
@@ -392,6 +397,13 @@ def test_no_cartesian_products_anywhere(spark):
         # 1-row estimated (mu, sd) frame broadcast onto the stepped
         # value-domain frame (constant-key join folds away)
         "lilliefors_normal",
+        # bounded level-pair / margin cross joins and 1-row scalar
+        # frames broadcast onto cells or buckets (all tiny by
+        # construction; constant-key joins fold away)
+        "ordinal_association", "weighted_kappa", "bowker_symmetry",
+        # 1-row totals/limits frames broadcast onto bounded frames
+        "gains_table", "brier_decomposition", "bland_altman",
+        "icc_2_1", "assortativity", "morans_i",
         # 1-row class-totals/priors frame broadcast onto the scoring
         # tokens (the naive Bayes model scalars)
         "naive_bayes_lang",
@@ -602,13 +614,16 @@ def test_newton_fits_fixed_job_count(spark):
         assert d1 == d2 and 0 < d1 <= 24, (kw, n4, n8, n12)
 
 
-def test_stepped_helper_single_range_partition(spark):
+def test_stepped_helper_single_range_partition(spark, monkeypatch):
     """_stepped_running_counts (the shared backbone of ~20 rank/ECDF
     operators) introduces exactly ONE repartitionByRange per call on
     the large-domain path — the distributed two-pass cumsum never
     stacks range exchanges."""
     from padua_spark.operators.stats import _stepped_running_counts
 
+    import padua_spark.operators.stats as _st_mod
+
+    monkeypatch.setattr(_st_mod, "STEPPED_ROWS_PER_PARTITION", 1000)
     per = (
         _li(spark)
         .groupBy(F.col("l_extendedprice").alias("_v"))
