@@ -19053,6 +19053,137 @@ def q_inequality_indices(spark, sf):
     return inequality_indices(e, ["event_type"], "cents", 0.5)
 
 
+_CRONBACH_ORACLE = """
+WITH base AS (
+  SELECT CAST(l_quantity AS DOUBLE) AS i1,
+    CAST(l_linenumber AS DOUBLE) AS i2,
+    CAST(round(l_discount * 100) AS DOUBLE) AS i3,
+    CAST(l_quantity AS DOUBLE) + CAST(l_linenumber AS DOUBLE) AS i4
+  FROM lineitem
+  WHERE l_quantity IS NOT NULL AND l_linenumber IS NOT NULL
+    AND l_discount IS NOT NULL
+),
+a AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+    sum(i1) AS s1, sum(i1 * i1) AS q1,
+    sum(i2) AS s2, sum(i2 * i2) AS q2,
+    sum(i3) AS s3, sum(i3 * i3) AS q3,
+    sum(i4) AS s4, sum(i4 * i4) AS q4,
+    sum(i1 + i2 + i3 + i4) AS st,
+    sum((i1 + i2 + i3 + i4) * (i1 + i2 + i3 + i4)) AS qt
+  FROM base
+),
+m AS (
+  SELECT n, CAST(n AS DOUBLE) AS nd,
+    (q1 - CAST(n AS DOUBLE) * (s1 / CAST(n AS DOUBLE))
+        * (s1 / CAST(n AS DOUBLE))) / (CAST(n AS DOUBLE) - 1.0)
+    + (q2 - CAST(n AS DOUBLE) * (s2 / CAST(n AS DOUBLE))
+        * (s2 / CAST(n AS DOUBLE))) / (CAST(n AS DOUBLE) - 1.0)
+    + (q3 - CAST(n AS DOUBLE) * (s3 / CAST(n AS DOUBLE))
+        * (s3 / CAST(n AS DOUBLE))) / (CAST(n AS DOUBLE) - 1.0)
+    + (q4 - CAST(n AS DOUBLE) * (s4 / CAST(n AS DOUBLE))
+        * (s4 / CAST(n AS DOUBLE))) / (CAST(n AS DOUBLE) - 1.0)
+      AS sum_vi,
+    (qt - CAST(n AS DOUBLE) * (st / CAST(n AS DOUBLE))
+        * (st / CAST(n AS DOUBLE))) / (CAST(n AS DOUBLE) - 1.0)
+      AS vt
+  FROM a
+)
+SELECT n, CAST(4 AS BIGINT) AS k_items,
+  round(CASE WHEN n >= 2 AND vt > 0
+    THEN CAST(4.0 / 3.0 AS DOUBLE) * (1.0 - sum_vi / vt) END, 6)
+    AS alpha
+FROM m
+"""
+
+
+@_q("cronbachs_alpha", _CRONBACH_ORACLE)
+def q_cronbachs_alpha(spark, sf):
+    """Cronbach's alpha over four lineitem 'items' (one correlated
+    composite; stats.cronbachs_alpha): one aggregation carrying each
+    item's exact sums plus the row-total moments."""
+    from padua_spark.operators.stats import cronbachs_alpha
+
+    li = _t(spark, sf, "lineitem").select(
+        F.col("l_quantity").cast("double").alias("i1"),
+        F.col("l_linenumber").cast("double").alias("i2"),
+        F.round(F.col("l_discount") * 100).alias("i3"),
+        (
+            F.col("l_quantity").cast("double")
+            + F.col("l_linenumber").cast("double")
+        ).alias("i4"),
+    )
+    return cronbachs_alpha(li, ["i1", "i2", "i3", "i4"])
+
+
+_STUART_MAXWELL_ORACLE = """
+WITH base AS (
+  SELECT l_returnflag AS a,
+    CASE WHEN CAST(l_quantity AS INT) % 5 = 0
+      THEN 'R' ELSE l_returnflag END AS b
+  FROM lineitem
+  WHERE l_returnflag IS NOT NULL AND l_quantity IS NOT NULL
+),
+cells AS (
+  SELECT a, b, CAST(count(*) AS BIGINT) AS c FROM base GROUP BY 1, 2
+),
+piv AS (
+  SELECT
+    CAST(sum(c) AS BIGINT) AS n,
+    sum(CASE WHEN a = 'A' THEN c ELSE 0 END) AS r0,
+    sum(CASE WHEN a = 'N' THEN c ELSE 0 END) AS r1,
+    sum(CASE WHEN b = 'A' THEN c ELSE 0 END) AS c0,
+    sum(CASE WHEN b = 'N' THEN c ELSE 0 END) AS c1,
+    sum(CASE WHEN a = 'A' AND b = 'A' THEN c ELSE 0 END) AS m00,
+    sum(CASE WHEN a = 'N' AND b = 'N' THEN c ELSE 0 END) AS m11,
+    sum(CASE WHEN a = 'A' AND b = 'N' THEN c ELSE 0 END) AS m01,
+    sum(CASE WHEN a = 'N' AND b = 'A' THEN c ELSE 0 END) AS m10
+  FROM cells
+),
+z AS (
+  SELECT n,
+    CAST(r0 - c0 AS DOUBLE) AS d0, CAST(r1 - c1 AS DOUBLE) AS d1,
+    CAST(r0 + c0 - 2 * m00 AS DOUBLE) AS v00,
+    CAST(r1 + c1 - 2 * m11 AS DOUBLE) AS v11,
+    CAST(-(m01 + m10) AS DOUBLE) AS v01
+  FROM piv
+),
+s AS (
+  SELECT n,
+    CASE WHEN v00 * v11 - v01 * v01 <> 0 THEN
+      (d0 * d0 * v11 - 2.0 * d0 * d1 * v01 + d1 * d1 * v00)
+      / (v00 * v11 - v01 * v01) END AS chi2,
+    d0 = 0 AND d1 = 0 AS is_zero
+  FROM z
+)
+SELECT n, 3 AS k_categories,
+  round(CASE WHEN is_zero THEN 0.0 ELSE chi2 END, 6) AS chi2,
+  2 AS df,
+  round(CASE WHEN is_zero THEN 1.0
+    WHEN chi2 IS NOT NULL THEN exp(-(chi2 / 2.0)) END, 6)
+    AS p_value
+FROM s
+"""
+
+
+@_q("stuart_maxwell", _STUART_MAXWELL_ORACLE)
+def q_stuart_maxwell(spark, sf):
+    """Stuart-Maxwell marginal homogeneity between returnflag and a
+    drift-toward-R copy (stats.stuart_maxwell): did the label MIX
+    move? Bounded k x k collect, (k-1)-dim solve; the 3-category
+    entry has the closed-form 2x2 inverse as its oracle, df=2 so the
+    chi-square survival is exp(-x/2)."""
+    from padua_spark.operators.stats import stuart_maxwell
+
+    li = _t(spark, sf, "lineitem").select(
+        F.col("l_returnflag").alias("ra"),
+        F.when(
+            F.col("l_quantity").cast("int") % 5 == 0, F.lit("R")
+        ).otherwise(F.col("l_returnflag")).alias("rb"),
+    )
+    return stuart_maxwell(li, "ra", "rb")
+
+
 # ---------------------------------------------------------------------------
 
 

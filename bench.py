@@ -149,6 +149,8 @@ HEADLINE = [
     "bowker_symmetry",
     "morans_i",
     "inequality_indices",
+    "cronbachs_alpha",
+    "stuart_maxwell",
     "anova_2way_stats",
     "levene_stats",
     "ttest_paired_stats",

@@ -8121,3 +8121,154 @@ def inequality_indices(
         F.round(F.when(ok, theil), 6).alias("theil_t"),
         F.round(F.when(ok, atk), 6).alias("atkinson"),
     )
+
+
+def cronbachs_alpha(
+    df: DataFrame,
+    item_cols: list[str],
+) -> DataFrame:
+    """Cronbach's alpha internal-consistency reliability over k item
+    columns — "do these k quality sub-scores measure one construct?"
+    (the scale-construction standard before averaging rubric items
+    into a single label):
+
+    ``α = k/(k−1) · (1 − Σ σ²_i / σ²_T)`` with sample variances of
+    each item and of the per-row total score; rows with ANY NULL item
+    are dropped (listwise, the classical convention).
+
+    ONE aggregation over the data computing every item's exact sums
+    plus the total-score moments (the total is a row expression — no
+    second pass). Output 1 row: ``(n, k_items, alpha)``, 6dp; NULL
+    when n < 2 or the total variance is 0.
+
+    Beyond the reference; standard per Cronbach 1951.
+    """
+    k = len(item_cols)
+    if k < 2:
+        raise ValueError("cronbachs_alpha: need >= 2 items")
+    items = [F.col(c).cast("double") for c in item_cols]
+    cond = items[0].isNotNull()
+    for it in items[1:]:
+        cond = cond & it.isNotNull()
+    total = items[0]
+    for it in items[1:]:
+        total = total + it
+    base = df.where(cond)
+    aggs = [F.count(F.lit(1)).cast("bigint").alias("n")]
+    for i, it in enumerate(items):
+        aggs += [
+            F.sum(it).alias(f"_s{i}"),
+            F.sum(it * it).alias(f"_q{i}"),
+        ]
+    aggs += [
+        F.sum(total).alias("_st"),
+        F.sum(total * total).alias("_qt"),
+    ]
+    agg = base.agg(*aggs)
+    nd = F.col("n").cast("double")
+    sum_vi = None
+    for i in range(k):
+        m = F.col(f"_s{i}") / nd
+        vi = (F.col(f"_q{i}") - nd * m * m) / (nd - 1.0)
+        sum_vi = vi if sum_vi is None else sum_vi + vi
+    mt = F.col("_st") / nd
+    vt = (F.col("_qt") - nd * mt * mt) / (nd - 1.0)
+    ok = (F.col("n") >= 2) & (vt > 0)
+    alpha = F.lit(float(k) / (k - 1.0)) * (1.0 - sum_vi / vt)
+    return agg.select(
+        "n",
+        F.lit(k).cast("bigint").alias("k_items"),
+        F.round(F.when(ok, alpha), 6).alias("alpha"),
+    )
+
+
+def stuart_maxwell(
+    df: DataFrame,
+    a_col: str,
+    b_col: str,
+    max_categories: int = 64,
+) -> DataFrame:
+    """Stuart–Maxwell test of MARGINAL homogeneity for a paired k×k
+    table — "did the overall label MIX change between the two passes?"
+    (Bowker asks about cell symmetry; this asks about the margins —
+    the k-class McNemar for distribution shift in paired labels):
+
+    ``χ² = d' V⁻¹ d`` over the first k−1 categories, with
+    ``d_i = row_i − col_i`` and ``V_ii = row_i + col_i − 2 n_ii``,
+    ``V_ij = −(n_ij + n_ji)``; df = k−1.
+
+    Scale shape: ONE aggregation to the bounded k×k cells, which are
+    COLLECTED under an explicit ``max_categories`` guard (k² values —
+    the same bounded-collect discipline as markov_attribution's
+    channel matrix) for the (k−1)-dimensional solve in numpy; the
+    result is a 1-row frame. The chi-square p uses the shared
+    series+Lentz survival. Output 1 row: ``(n, k_categories, chi2,
+    df, p_value)``, 6dp; p 1.0 when d = 0, NULL when V is singular.
+
+    Beyond the reference; standard per Stuart 1955 / Maxwell 1970.
+    """
+    import numpy as np
+
+    a = F.col(a_col)
+    b = F.col(b_col)
+    cells = (
+        df.where(a.isNotNull() & b.isNotNull())
+        .groupBy(a.alias("_i"), b.alias("_j"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("_c"))
+    )
+    rows = cells.collect()
+    cats = sorted({r["_i"] for r in rows} | {r["_j"] for r in rows})
+    k = len(cats)
+    if k > max_categories:
+        raise ValueError(
+            f"stuart_maxwell: {k} categories exceed "
+            f"max_categories={max_categories} — the k x k cell "
+            "matrix is collected driver-side; bin the labels first"
+        )
+    spark = df.sparkSession
+    if k < 2:
+        out = spark.createDataFrame(
+            [(int(sum(r["_c"] for r in rows)), k, None, 0, 1.0)],
+            "n bigint, k_categories int, chi2 double, df int, "
+            "p_value double",
+        )
+        return out
+    idx = {c: i for i, c in enumerate(cats)}
+    m = np.zeros((k, k))
+    for r in rows:
+        m[idx[r["_i"]], idx[r["_j"]]] = r["_c"]
+    n = int(m.sum())
+    row_t = m.sum(axis=1)
+    col_t = m.sum(axis=0)
+    d = (row_t - col_t)[: k - 1]
+    v = np.zeros((k - 1, k - 1))
+    for i in range(k - 1):
+        for j in range(k - 1):
+            if i == j:
+                v[i, j] = row_t[i] + col_t[i] - 2.0 * m[i, i]
+            else:
+                v[i, j] = -(m[i, j] + m[j, i])
+    if np.allclose(d, 0.0):
+        chi2, p = 0.0, 1.0
+    else:
+        try:
+            chi2 = float(d @ np.linalg.solve(v, d))
+        except np.linalg.LinAlgError:
+            chi2 = None
+        if chi2 is None:
+            p = None
+        else:
+            from padua_spark.functions.distributions import chi2_sf
+
+            p = float(chi2_sf(chi2, k - 1))
+    out = spark.createDataFrame(
+        [(
+            n, k,
+            None if chi2 is None else round(chi2, 6),
+            k - 1,
+            None if p is None else round(p, 6),
+        )],
+        "n bigint, k_categories int, chi2 double, df int, "
+        "p_value double",
+    )
+    return out

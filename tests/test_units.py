@@ -8137,3 +8137,61 @@ def test_bowker_moran_inequality_vs_replicas(spark):
     re = inequality_indices(eq, ["g"], "v").collect()[0]
     assert re["theil_t"] == pytest.approx(0.0, abs=1e-9)
     assert re["atkinson"] == pytest.approx(0.0, abs=1e-9)
+
+
+def test_cronbach_and_stuart_maxwell_vs_replicas(spark):
+    """Cronbach's alpha against the variance-ratio formula on
+    latent-factor items; Stuart-Maxwell chi2/p against the closed
+    2-dim solve with planted marginal drift; identical margins give
+    p = 1."""
+    import numpy as np
+
+    from padua_spark.functions.distributions import chi2_sf
+    from padua_spark.operators.stats import (
+        cronbachs_alpha,
+        stuart_maxwell,
+    )
+
+    rng = np.random.RandomState(17)
+    latent = rng.normal(0, 1, 300)
+    items = [latent + rng.normal(0, 0.8, 300) for _ in range(4)]
+    rows = list(zip(*[it.tolist() for it in items]))
+    df = spark.createDataFrame(rows, ["i1", "i2", "i3", "i4"])
+    r = cronbachs_alpha(df, ["i1", "i2", "i3", "i4"]).collect()[0]
+    X = np.array(rows)
+    alpha = 4 / 3 * (
+        1 - X.var(axis=0, ddof=1).sum() / X.sum(axis=1).var(ddof=1)
+    )
+    assert r["alpha"] == pytest.approx(alpha, abs=1e-5)
+    assert r["alpha"] > 0.7  # strongly latent-driven items
+    with pytest.raises(ValueError, match=">= 2 items"):
+        cronbachs_alpha(df, ["i1"])
+
+    a = rng.choice(["A", "N", "R"], 500, p=[0.5, 0.3, 0.2])
+    b = np.where(rng.random(500) < 0.2, "R", a)
+    sdf = spark.createDataFrame(
+        list(zip(a.tolist(), b.tolist())), ["a", "b"]
+    )
+    r = stuart_maxwell(sdf, "a", "b").collect()[0]
+    idx = {"A": 0, "N": 1, "R": 2}
+    m = np.zeros((3, 3))
+    for x, y in zip(a, b):
+        m[idx[x], idx[y]] += 1
+    rt, ct = m.sum(1), m.sum(0)
+    d = (rt - ct)[:2]
+    V = np.array([
+        [rt[0] + ct[0] - 2 * m[0, 0], -(m[0, 1] + m[1, 0])],
+        [-(m[0, 1] + m[1, 0]), rt[1] + ct[1] - 2 * m[1, 1]],
+    ])
+    chi2 = float(d @ np.linalg.solve(V, d))
+    assert r["chi2"] == pytest.approx(chi2, abs=1e-4)
+    assert r["p_value"] == pytest.approx(
+        float(chi2_sf(chi2, 2)), abs=1e-5
+    )
+    same = spark.createDataFrame(
+        list(zip(a.tolist(), a.tolist())), ["a", "b"]
+    )
+    assert stuart_maxwell(same, "a", "b").collect()[0][
+        "p_value"] == 1.0
+    with pytest.raises(ValueError, match="max_categories"):
+        stuart_maxwell(sdf, "a", "b", max_categories=2)
