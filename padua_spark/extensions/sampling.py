@@ -596,4 +596,8 @@ def kfold_assign_sql(
     """ANSI-SQL expression twin of the unstratified
     :func:`kfold_assign` fold."""
     u = deterministic_uniform_sql(key_expr, salt)
-    return f"least({k - 1}, CAST(floor({u} * {k}) AS INT))"
+    # outer CAST: DuckDB types bare least(...) INT64 here, and the
+    # typed oracle gate compares against Spark's INT32 fold column
+    return (
+        f"CAST(least({k - 1}, CAST(floor({u} * {k}) AS INT)) AS INT)"
+    )
