@@ -1789,12 +1789,23 @@ def textrank_keywords(
         )
         p = a.join(b, on=["_doc", "_pa"]).select("_ta", "_tb")
         pairs = p if pairs is None else pairs.unionAll(p)
-    edges = (
+    # DISTINCT the undirected pairs BEFORE symmetrizing, and persist:
+    # a union-based symmetrize references its upstream twice (the
+    # round-4 connected-components finding), so without this the
+    # whole co-occurrence join pipeline runs twice inside pagerank's
+    # edge-dedup — and deduping the canonical pair first halves the
+    # rows entering pagerank's own distinct.
+    und = (
         pairs.where(F.col("_ta") != F.col("_tb"))
-        .select(F.col("_ta").alias("src"), F.col("_tb").alias("dst"))
+        .select(
+            F.least(F.col("_ta"), F.col("_tb")).alias("src"),
+            F.greatest(F.col("_ta"), F.col("_tb")).alias("dst"),
+        )
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    sym = edges.unionAll(
-        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    sym = und.unionAll(
+        und.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
     ranks = pagerank(sym, "src", "dst", k_iters, damping)
     out = ranks.select(
@@ -1805,6 +1816,6 @@ def textrank_keywords(
         out = out.orderBy(
             F.col("rank").desc(), F.col("token").asc()
         ).limit(int(top_k))
-    cached = [pos]
+    cached = [pos, und]
     cached.extend(getattr(ranks, "_padua_cached", ()))
     return track_cached(out, *cached)
