@@ -513,6 +513,7 @@ def test_multi_consumer_frames_are_cached(spark):
     import __spark_entry__ as em
 
     for name in ("windowed_psi", "windowed_token_divergence",
+                 "textrank_keywords",
                  "dedup_spans", "bm25_topk",
                  "mutual_information",
                  # round-7 multi-consumer frames: shingle/token/edge
