@@ -19184,6 +19184,183 @@ def q_stuart_maxwell(spark, sf):
     return stuart_maxwell(li, "ra", "rb")
 
 
+_SCRIPT_PROFILE_ORACLE = r"""
+SELECT doc_id, CAST(length(text) AS INT) AS n_chars_sp,
+  round(CASE WHEN length(text) > 0 THEN
+    CAST(length(text) - length(regexp_replace(text, '[\p{Latin}]',
+      '', 'g')) AS DOUBLE) / length(text) END, 6) AS latin_frac,
+  round(CASE WHEN length(text) > 0 THEN
+    CAST(length(text) - length(regexp_replace(text, '[\p{Cyrillic}]',
+      '', 'g')) AS DOUBLE) / length(text) END, 6) AS cyrillic_frac,
+  round(CASE WHEN length(text) > 0 THEN
+    CAST(length(text) - length(regexp_replace(text, '[\p{Han}]',
+      '', 'g')) AS DOUBLE) / length(text) END, 6) AS han_frac,
+  round(CASE WHEN length(text) > 0 THEN
+    CAST(length(text) - length(regexp_replace(text, '[\p{Arabic}]',
+      '', 'g')) AS DOUBLE) / length(text) END, 6) AS arabic_frac,
+  round(CASE WHEN length(text) > 0 THEN
+    CAST(length(text) - length(regexp_replace(text, '[0-9]',
+      '', 'g')) AS DOUBLE) / length(text) END, 6) AS digit_frac,
+  round(CASE WHEN length(text) > 0 THEN
+    CAST(length(text) - length(regexp_replace(text, '[\s]',
+      '', 'g')) AS DOUBLE) / length(text) END, 6) AS space_frac,
+  round(CASE WHEN length(text) > 0 THEN greatest(CAST(0.0 AS DOUBLE),
+    1.0
+    - round(CAST(length(text) - length(regexp_replace(text,
+        '[\p{Latin}]', '', 'g')) AS DOUBLE) / length(text), 6)
+    - round(CAST(length(text) - length(regexp_replace(text,
+        '[\p{Cyrillic}]', '', 'g')) AS DOUBLE) / length(text), 6)
+    - round(CAST(length(text) - length(regexp_replace(text,
+        '[\p{Han}]', '', 'g')) AS DOUBLE) / length(text), 6)
+    - round(CAST(length(text) - length(regexp_replace(text,
+        '[\p{Arabic}]', '', 'g')) AS DOUBLE) / length(text), 6)
+    - round(CAST(length(text) - length(regexp_replace(text,
+        '[0-9]', '', 'g')) AS DOUBLE) / length(text), 6)
+    - round(CAST(length(text) - length(regexp_replace(text,
+        '[\s]', '', 'g')) AS DOUBLE) / length(text), 6)) END, 6)
+    AS other_frac
+FROM documents WHERE text IS NOT NULL
+"""
+
+
+@_q("script_profile", _SCRIPT_PROFILE_ORACLE)
+def q_script_profile(spark, sf):
+    """Unicode-script composition per document (text.script_profile):
+    the mixed-script / wrong-corpus screen, pure scan-level regexp
+    length differences."""
+    from padua_spark.extensions.text import script_profile
+
+    d = _t(spark, sf, "documents").where(F.col("text").isNotNull())
+    return script_profile(d, "text").select(
+        "doc_id", "n_chars_sp", "latin_frac", "cyrillic_frac",
+        "han_frac", "arabic_frac", "digit_frac", "space_frac",
+        "other_frac",
+    )
+
+
+_MOJIBAKE_ORACLE = """
+WITH d AS (
+  SELECT doc_id,
+    text || CASE WHEN doc_id % 7 = 0
+      THEN ' ' || chr(195) || chr(169) || chr(226) || chr(8364)
+           || chr(65533)
+      ELSE '' END AS t
+  FROM documents WHERE text IS NOT NULL
+),
+c AS (
+  SELECT doc_id, length(t) AS n,
+    length(t) - length(regexp_replace(t, chr(65533), '', 'g'))
+      AS n_rep,
+    length(t) - length(regexp_replace(t,
+      '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f' || chr(128) || '-'
+      || chr(159) || ']', '', 'g')) AS n_ctl,
+    (length(t) - length(regexp_replace(t,
+      '(' || chr(195) || '[' || chr(128) || '-' || chr(191) || ']|'
+      || chr(226) || chr(8364) || ')', '', 'g'))) // 2 AS n_art
+  FROM d
+)
+SELECT doc_id, CAST(n_rep AS BIGINT) AS n_replacement,
+  CAST(n_ctl AS BIGINT) AS n_control,
+  CAST(n_art AS BIGINT) AS n_artifact,
+  round(CASE WHEN n > 0 THEN
+    CAST(n_rep + n_ctl + n_art AS DOUBLE) * 1000.0
+    / CAST(n AS DOUBLE) END, 6) AS mojibake_per_kchar
+FROM c
+"""
+
+
+@_q("mojibake_score", _MOJIBAKE_ORACLE)
+def q_mojibake_score(spark, sf):
+    """Encoding-damage screen with planted UTF-8-as-Latin-1 artifact
+    suffixes on every 7th document (text.mojibake_score): replacement
+    chars, stray controls, artifact bigrams per 1000 chars."""
+    from padua_spark.extensions.text import mojibake_score
+
+    d = _t(spark, sf, "documents").where(
+        F.col("text").isNotNull()
+    ).select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.lit(" Ã©â€�"),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return mojibake_score(d, "text").select(
+        "doc_id", "n_replacement", "n_control", "n_artifact",
+        "mojibake_per_kchar",
+    )
+
+
+_RBO_ORACLE = """
+WITH u AS (
+  SELECT user_id,
+    CAST(sum(CAST(round(CAST(value AS DOUBLE) * 100) AS BIGINT))
+      AS BIGINT) AS total_cents,
+    CAST(count(*) AS BIGINT) AS n_events
+  FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL
+  GROUP BY 1
+),
+ranked AS (
+  SELECT user_id,
+    CAST(row_number() OVER (ORDER BY total_cents DESC, user_id)
+      AS INT) AS ra,
+    CAST(row_number() OVER (ORDER BY n_events DESC, user_id)
+      AS INT) AS rb
+  FROM u
+),
+w AS (
+  SELECT ranked.*, greatest(ra, rb) AS m,
+    ra <= 20 AND rb <= 20 AS in_both,
+    [CAST(0.25148330373855504 AS DOUBLE), CAST(0.1514833037385551 AS DOUBLE), CAST(0.1064833037385551 AS DOUBLE), CAST(0.07948330373855511 AS DOUBLE), CAST(0.06125830373855512 AS DOUBLE), CAST(0.04813630373855512 AS DOUBLE), CAST(0.03829480373855512 AS DOUBLE), CAST(0.030702789452840832 AS DOUBLE), CAST(0.024724078202840834 AS DOUBLE), CAST(0.019941109202840836 AS DOUBLE), CAST(0.016066904312840836 AS DOUBLE), CAST(0.012897100311931744 AS DOUBLE), CAST(0.010282012011181743 AS DOUBLE), CAST(0.008109477115174051 AS DOUBLE), CAST(0.006293858666367623 AS DOUBLE), CAST(0.004768739169370222 AS DOUBLE), CAST(0.0034819195937786655 AS DOUBLE), CAST(0.002391907717983465 AS DOUBLE), CAST(0.0014653976235575444 AS DOUBLE), CAST(0.0006754258588364963 AS DOUBLE)] AS wt
+  FROM ranked
+)
+SELECT 'all' AS g,
+  CAST(sum(CASE WHEN in_both THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_both_topk,
+  round(sum(CASE WHEN in_both THEN wt[m] ELSE 0.0 END), 6) AS rbo
+FROM w
+"""
+
+
+@_q("rbo_rankings", _RBO_ORACLE)
+def q_rbo_rankings(spark, sf):
+    """Rank-biased overlap between the spend-ranked and
+    activity-ranked user top-20 lists (similarity.rbo_rankings):
+    the whole metric collapses to one weighted count via the
+    closed per-item contribution table."""
+    from pyspark.sql import Window
+
+    from padua_spark.extensions.similarity import rbo_rankings
+
+    e = _t(spark, sf, "events").where(
+        F.col("user_id").isNotNull() & F.col("value").isNotNull()
+    )
+    u = e.groupBy("user_id").agg(
+        F.sum(
+            F.round(F.col("value").cast("double") * 100)
+            .cast("bigint")
+        ).cast("bigint").alias("total_cents"),
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+    )
+    # user-count-sized frame: the partitionless row_numbers sort the
+    # AGGREGATED users, never the event data
+    wa = Window.orderBy(
+        F.col("total_cents").desc(), F.col("user_id").asc()
+    )
+    wb = Window.orderBy(
+        F.col("n_events").desc(), F.col("user_id").asc()
+    )
+    ranked = u.select(
+        "user_id",
+        F.row_number().over(wa).cast("int").alias("ra"),
+        F.row_number().over(wb).cast("int").alias("rb"),
+    ).withColumn("g", F.lit("all"))
+    return rbo_rankings(ranked, ["g"], "ra", "rb", p=0.9, k=20)
+
+
 # ---------------------------------------------------------------------------
 
 

@@ -151,6 +151,9 @@ HEADLINE = [
     "inequality_indices",
     "cronbachs_alpha",
     "stuart_maxwell",
+    "script_profile",
+    "mojibake_score",
+    "rbo_rankings",
     "anova_2way_stats",
     "levene_stats",
     "ttest_paired_stats",

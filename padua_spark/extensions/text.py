@@ -1819,3 +1819,100 @@ def textrank_keywords(
     cached = [pos, und]
     cached.extend(getattr(ranks, "_padua_cached", ()))
     return track_cached(out, *cached)
+
+
+def script_profile(
+    df: DataFrame,
+    text_col: str,
+) -> DataFrame:
+    """Per-document Unicode-script composition -- the mixed-script /
+    wrong-corpus screen (a "Latin" crawl shard full of Cyrillic
+    look-alikes, CJK boilerplate inside an English slice, the
+    homoglyph-spoofing signal): fractions of characters in Latin,
+    Cyrillic, Han, Arabic, plus digits and whitespace, and the
+    residual ``other_frac``.
+
+    Pure scan-level projections -- one regexp length difference per
+    class, zero shuffles, codegen throughout (the same contract as
+    gopher_rules). Character classes use Unicode script properties,
+    which Java regex (``\\p{IsLatin}``) and RE2 (``\\p{Latin}``)
+    both implement. Output: input + ``n_chars_sp, latin_frac,
+    cyrillic_frac, han_frac, arabic_frac, digit_frac, space_frac,
+    other_frac`` (NULL fractions for empty text).
+    """
+    t = F.col(text_col)
+    n = F.length(t)
+
+    def frac(pattern: str) -> Column:
+        kept = F.length(F.regexp_replace(t, pattern, ""))
+        return F.when(
+            n > 0, (n - kept).cast("double") / n.cast("double")
+        )
+
+    classes = {
+        "latin_frac": r"[\p{IsLatin}]",
+        "cyrillic_frac": r"[\p{IsCyrillic}]",
+        "han_frac": r"[\p{IsHan}]",
+        "arabic_frac": r"[\p{IsArabic}]",
+        "digit_frac": r"[0-9]",
+        "space_frac": r"[\s]",
+    }
+    out = df.withColumn("n_chars_sp", n)
+    acc = None
+    for name, pat in classes.items():
+        out = out.withColumn(name, F.round(frac(pat), 6))
+        acc = F.col(name) if acc is None else acc + F.col(name)
+    return out.withColumn(
+        "other_frac",
+        F.round(
+            F.when(n > 0, F.greatest(F.lit(0.0), 1.0 - acc)), 6
+        ),
+    )
+
+
+def mojibake_score(
+    df: DataFrame,
+    text_col: str,
+) -> DataFrame:
+    """Per-document encoding-damage score -- the mojibake screen for
+    crawled corpora: counts of U+FFFD replacement characters, C0/C1
+    control characters (tab/newline/CR excluded), and the classic
+    UTF-8-read-as-Latin-1 artifact bigrams (U+00C3 followed by a
+    Latin-1 range char; U+00E2 U+20AC), normalized per 1000
+    characters.
+
+    Pure scan-level length differences, zero shuffles. Output: input
+    + ``n_replacement, n_control, n_artifact, mojibake_per_kchar``
+    (NULL rate for empty text).
+    """
+    t = F.col(text_col)
+    n = F.length(t)
+
+    def count(pattern: str) -> Column:
+        return n - F.length(F.regexp_replace(t, pattern, ""))
+
+    n_rep = count("\ufffd")
+    n_ctl = count(
+        "[\u0000-\u0008\u000b\u000c\u000e-\u001f"
+        "\u007f\u0080-\u009f]"
+    )
+    # artifact bigrams: the replace strips 2 chars per hit
+    art_pat = "(\u00c3[\u0080-\u00bf]|\u00e2\u20ac)"
+    n_art = (count(art_pat) / F.lit(2)).cast("bigint")
+    total = n_rep + n_ctl + n_art
+    return (
+        df.withColumn("n_replacement", n_rep.cast("bigint"))
+        .withColumn("n_control", n_ctl.cast("bigint"))
+        .withColumn("n_artifact", n_art)
+        .withColumn(
+            "mojibake_per_kchar",
+            F.round(
+                F.when(
+                    n > 0,
+                    total.cast("double") * 1000.0
+                    / n.cast("double"),
+                ),
+                6,
+            ),
+        )
+    )

@@ -8195,3 +8195,70 @@ def test_cronbach_and_stuart_maxwell_vs_replicas(spark):
         "p_value"] == 1.0
     with pytest.raises(ValueError, match="max_categories"):
         stuart_maxwell(sdf, "a", "b", max_categories=2)
+
+
+def test_script_mojibake_rbo_vs_replicas(spark):
+    """Script fractions on known-script strings; mojibake counts on
+    planted damage; RBO@k against the direct depth-sum definition
+    (identical rankings give the full-overlap closed form)."""
+    import numpy as np
+
+    from padua_spark.extensions.similarity import rbo_rankings
+    from padua_spark.extensions.text import (
+        mojibake_score,
+        script_profile,
+    )
+
+    docs = [
+        (1, "hello world 123"),
+        (2, "\u043f\u0440\u0438\u0432\u0435\u0442 \u043c\u0438\u0440"),
+        (3, "\u4f60\u597d\u4e16\u754c"),
+        (4, None),
+    ]
+    sd = spark.createDataFrame(docs, ["id", "text"])
+    out = {r["id"]: r for r in script_profile(sd, "text").collect()}
+    assert out[1]["latin_frac"] == pytest.approx(10 / 15, abs=1e-6)
+    assert out[1]["digit_frac"] == pytest.approx(3 / 15, abs=1e-6)
+    assert out[2]["cyrillic_frac"] == pytest.approx(0.9, abs=1e-6)
+    assert out[3]["han_frac"] == 1.0
+    assert out[4]["latin_frac"] is None
+
+    mj = [
+        (1, "clean text"),
+        (2, "bad \ufffd\ufffd here"),
+        (3, "caf\u00c3\u00a9 mangl\u00c3\u00a9"),
+        (4, "x" + chr(7) + "y"),
+    ]
+    md = spark.createDataFrame(mj, ["id", "text"])
+    out = {r["id"]: r for r in mojibake_score(md, "text").collect()}
+    assert out[1]["mojibake_per_kchar"] == 0.0
+    assert out[2]["n_replacement"] == 2
+    assert out[3]["n_artifact"] == 2
+    assert out[4]["n_control"] == 1
+
+    rng = np.random.RandomState(18)
+    k, p = 10, 0.9
+    items = list(range(30))
+    ra = {it: i + 1 for i, it in enumerate(rng.permutation(items))}
+    rb = {it: i + 1 for i, it in enumerate(rng.permutation(items))}
+    df = spark.createDataFrame(
+        [("q", it, int(ra[it]), int(rb[it])) for it in items],
+        ["g", "item", "ra", "rb"],
+    )
+    r = rbo_rankings(df, ["g"], "ra", "rb", p=p, k=k).collect()[0]
+    A = sorted(items, key=lambda x: ra[x])[:k]
+    B = sorted(items, key=lambda x: rb[x])[:k]
+    rbo = sum(
+        (1 - p) * p ** (d - 1) * len(set(A[:d]) & set(B[:d])) / d
+        for d in range(1, k + 1)
+    )
+    assert r["rbo"] == pytest.approx(rbo, abs=1e-6)
+    same = spark.createDataFrame(
+        [("q", i, i, i) for i in range(1, 31)],
+        ["g", "item", "ra", "rb"],
+    )
+    rs = rbo_rankings(same, ["g"], "ra", "rb", p=p, k=k).collect()[0]
+    full = sum((1 - p) * p ** (d - 1) for d in range(1, k + 1))
+    assert rs["rbo"] == pytest.approx(full, abs=1e-6)
+    with pytest.raises(ValueError, match="p must be"):
+        rbo_rankings(df, ["g"], "ra", "rb", p=1.5)
