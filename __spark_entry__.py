@@ -19361,6 +19361,160 @@ def q_rbo_rankings(spark, sf):
     return rbo_rankings(ranked, ["g"], "ra", "rb", p=0.9, k=20)
 
 
+_ECE_ORACLE = """
+WITH base AS (
+  SELECT CAST(floor(value) AS DOUBLE) / 512.0 AS p,
+    CASE WHEN event_type IN ('click', 'view')
+      THEN CAST(1 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END AS y
+  FROM events
+  WHERE value IS NOT NULL AND event_type IS NOT NULL AND value >= 0
+),
+per AS (
+  SELECT least(9, CAST(floor(p * 10) AS INT)) AS bin,
+    CAST(count(*) AS BIGINT) AS n, sum(p) AS sp, sum(y) AS sy
+  FROM base GROUP BY 1
+),
+st AS (
+  SELECT bin, n, sp / CAST(n AS DOUBLE) AS conf,
+    sy / CAST(n AS DOUBLE) AS acc,
+    abs(sp / CAST(n AS DOUBLE) - sy / CAST(n AS DOUBLE)) AS gap
+  FROM per
+),
+z AS (
+  SELECT bin, n, conf, acc, gap,
+    sum(CAST(n AS DOUBLE) * gap) OVER ()
+      / CAST(sum(n) OVER () AS DOUBLE) AS ece,
+    max(gap) OVER () AS mce
+  FROM st
+)
+SELECT bin, n, round(conf, 6) AS conf_mean,
+  round(acc, 6) AS acc_mean, round(gap, 6) AS gap,
+  round(ece, 6) AS ece, round(mce, 6) AS mce
+FROM z
+"""
+
+
+@_q("ece_calibration", _ECE_ORACLE)
+def q_ece_calibration(spark, sf):
+    """Expected/maximum calibration error of the dyadic-exact
+    pseudo-probability against engagement labels
+    (features.ece_calibration): the reliability-diagram numbers,
+    same bins as brier_decomposition."""
+    from padua_spark.extensions.features import ece_calibration
+
+    e = _t(spark, sf, "events").where(
+        F.col("event_type").isNotNull() & (F.col("value") >= 0)
+    ).select(
+        (F.floor(F.col("value")).cast("double") / 512.0).alias("p"),
+        F.col("event_type").isin("click", "view")
+        .cast("int").alias("y"),
+    )
+    return ece_calibration(e, "p", "y", n_bins=10)
+
+
+_TEMPERATURE_ORACLE = """
+WITH base AS (
+  SELECT (CAST(floor(value) AS DOUBLE) - 250.0) / 100.0 AS z,
+    CASE WHEN event_type IN ('click', 'view')
+      THEN 1 ELSE 0 END AS y
+  FROM events
+  WHERE value IS NOT NULL AND event_type IS NOT NULL
+),
+sg AS (
+  SELECT z, 1.0 - 2.0 * CAST(y AS DOUBLE) AS sgn FROM base
+),
+a AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+    sum(greatest(sgn * z / CAST(0.25 AS DOUBLE), CAST(0.0 AS DOUBLE))
+        + ln(1.0 + exp(-abs(sgn * z / CAST(0.25 AS DOUBLE)))))
+      AS nll0,
+    sum(greatest(sgn * z / CAST(0.35 AS DOUBLE), CAST(0.0 AS DOUBLE))
+        + ln(1.0 + exp(-abs(sgn * z / CAST(0.35 AS DOUBLE)))))
+      AS nll1,
+    sum(greatest(sgn * z / CAST(0.5 AS DOUBLE), CAST(0.0 AS DOUBLE))
+        + ln(1.0 + exp(-abs(sgn * z / CAST(0.5 AS DOUBLE)))))
+      AS nll2,
+    sum(greatest(sgn * z / CAST(0.7 AS DOUBLE), CAST(0.0 AS DOUBLE))
+        + ln(1.0 + exp(-abs(sgn * z / CAST(0.7 AS DOUBLE)))))
+      AS nll3,
+    sum(greatest(sgn * z / CAST(0.85 AS DOUBLE), CAST(0.0 AS DOUBLE))
+        + ln(1.0 + exp(-abs(sgn * z / CAST(0.85 AS DOUBLE)))))
+      AS nll4,
+    sum(greatest(sgn * z / CAST(1.0 AS DOUBLE), CAST(0.0 AS DOUBLE))
+        + ln(1.0 + exp(-abs(sgn * z / CAST(1.0 AS DOUBLE)))))
+      AS nll5,
+    sum(greatest(sgn * z / CAST(1.2 AS DOUBLE), CAST(0.0 AS DOUBLE))
+        + ln(1.0 + exp(-abs(sgn * z / CAST(1.2 AS DOUBLE)))))
+      AS nll6,
+    sum(greatest(sgn * z / CAST(1.5 AS DOUBLE), CAST(0.0 AS DOUBLE))
+        + ln(1.0 + exp(-abs(sgn * z / CAST(1.5 AS DOUBLE)))))
+      AS nll7,
+    sum(greatest(sgn * z / CAST(2.0 AS DOUBLE), CAST(0.0 AS DOUBLE))
+        + ln(1.0 + exp(-abs(sgn * z / CAST(2.0 AS DOUBLE)))))
+      AS nll8,
+    sum(greatest(sgn * z / CAST(2.5 AS DOUBLE), CAST(0.0 AS DOUBLE))
+        + ln(1.0 + exp(-abs(sgn * z / CAST(2.5 AS DOUBLE)))))
+      AS nll9,
+    sum(greatest(sgn * z / CAST(3.0 AS DOUBLE), CAST(0.0 AS DOUBLE))
+        + ln(1.0 + exp(-abs(sgn * z / CAST(3.0 AS DOUBLE)))))
+      AS nll10,
+    sum(greatest(sgn * z / CAST(4.0 AS DOUBLE), CAST(0.0 AS DOUBLE))
+        + ln(1.0 + exp(-abs(sgn * z / CAST(4.0 AS DOUBLE)))))
+      AS nll11
+  FROM sg
+),
+st AS (
+  SELECT CAST(0.25 AS DOUBLE) AS temperature, n, nll0 AS nll FROM a
+  UNION ALL
+  SELECT CAST(0.35 AS DOUBLE) AS temperature, n, nll1 AS nll FROM a
+  UNION ALL
+  SELECT CAST(0.5 AS DOUBLE) AS temperature, n, nll2 AS nll FROM a
+  UNION ALL
+  SELECT CAST(0.7 AS DOUBLE) AS temperature, n, nll3 AS nll FROM a
+  UNION ALL
+  SELECT CAST(0.85 AS DOUBLE) AS temperature, n, nll4 AS nll FROM a
+  UNION ALL
+  SELECT CAST(1.0 AS DOUBLE) AS temperature, n, nll5 AS nll FROM a
+  UNION ALL
+  SELECT CAST(1.2 AS DOUBLE) AS temperature, n, nll6 AS nll FROM a
+  UNION ALL
+  SELECT CAST(1.5 AS DOUBLE) AS temperature, n, nll7 AS nll FROM a
+  UNION ALL
+  SELECT CAST(2.0 AS DOUBLE) AS temperature, n, nll8 AS nll FROM a
+  UNION ALL
+  SELECT CAST(2.5 AS DOUBLE) AS temperature, n, nll9 AS nll FROM a
+  UNION ALL
+  SELECT CAST(3.0 AS DOUBLE) AS temperature, n, nll10 AS nll FROM a
+  UNION ALL
+  SELECT CAST(4.0 AS DOUBLE) AS temperature, n, nll11 AS nll FROM a
+)
+SELECT temperature, n, round(nll, 6) AS nll,
+  (nll, abs(ln(temperature)))
+    = (SELECT min((nll, abs(ln(temperature)))) FROM st) AS is_best
+FROM st
+"""
+
+
+@_q("temperature_scaling", _TEMPERATURE_ORACLE)
+def q_temperature_scaling(spark, sf):
+    """Temperature-scaling grid NLL for a value-derived logit against
+    engagement labels (features.temperature_scaling): fixed grid for
+    engine reproducibility, stable softplus, one aggregation carrying
+    every T."""
+    from padua_spark.extensions.features import temperature_scaling
+
+    e = _t(spark, sf, "events").where(
+        F.col("event_type").isNotNull() & F.col("value").isNotNull()
+    ).select(
+        (
+            (F.floor(F.col("value")).cast("double") - 250.0) / 100.0
+        ).alias("z"),
+        F.col("event_type").isin("click", "view")
+        .cast("int").alias("y"),
+    )
+    return temperature_scaling(e, "z", "y")
+
+
 # ---------------------------------------------------------------------------
 
 

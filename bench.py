@@ -154,6 +154,8 @@ HEADLINE = [
     "script_profile",
     "mojibake_score",
     "rbo_rankings",
+    "ece_calibration",
+    "temperature_scaling",
     "anova_2way_stats",
     "levene_stats",
     "ttest_paired_stats",

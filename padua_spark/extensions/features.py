@@ -456,3 +456,126 @@ def brier_decomposition(
         F.round(ybar * (1.0 - ybar), 6).alias("uncertainty"),
     )
     return track_cached(out, per_bin)
+
+
+def ece_calibration(
+    df: DataFrame,
+    prob_col: str,
+    label_col: str,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Expected / maximum calibration error — the reliability-diagram
+    numbers (Guo et al. 2017): over equal-width forecast bins,
+    ``ECE = Σ (n_k/N)·|p̄_k − ȳ_k|`` and ``MCE = max_k |p̄_k − ȳ_k|``
+    — the per-bin view the Brier decomposition's single REL number
+    averages away ("which score region is lying?").
+
+    ONE binned aggregation (same bin law as
+    :func:`brier_decomposition`); the summary pair rides a window
+    over the ≤ n_bins rows. Output: one row per populated bin:
+    ``(bin, n, conf_mean, acc_mean, gap, ece, mce)``, 6dp, the
+    ece/mce repeated per row.
+    """
+    from pyspark.sql import Window
+
+    p = F.col(prob_col).cast("double")
+    y = F.col(label_col).cast("int")
+    k = int(n_bins)
+    base = df.where(
+        p.isNotNull() & y.isNotNull() & (p >= 0) & (p <= 1)
+    ).select(p.alias("_p"), y.cast("double").alias("_y"))
+    bin_idx = F.least(
+        F.lit(k - 1), F.floor(F.col("_p") * k).cast("int")
+    )
+    per = base.groupBy(bin_idx.alias("bin")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("_p").alias("_sp"),
+        F.sum("_y").alias("_sy"),
+    )
+    nk = F.col("n").cast("double")
+    conf = F.col("_sp") / nk
+    acc = F.col("_sy") / nk
+    gap = F.abs(conf - acc)
+    w = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    tot = F.sum("n").over(w).cast("double")
+    staged = per.select(
+        "bin", "n",
+        conf.alias("_conf"), acc.alias("_acc"), gap.alias("_gap"),
+    )
+    ece = F.sum(
+        F.col("n").cast("double") * F.col("_gap")
+    ).over(w) / tot
+    mce = F.max("_gap").over(w)
+    return staged.select(
+        "bin", "n",
+        F.round("_conf", 6).alias("conf_mean"),
+        F.round("_acc", 6).alias("acc_mean"),
+        F.round("_gap", 6).alias("gap"),
+        F.round(ece, 6).alias("ece"),
+        F.round(mce, 6).alias("mce"),
+    )
+
+
+TEMPERATURE_GRID = [
+    0.25, 0.35, 0.5, 0.7, 0.85, 1.0, 1.2, 1.5, 2.0, 2.5, 3.0, 4.0,
+]
+
+
+def temperature_scaling(
+    df: DataFrame,
+    logit_col: str,
+    label_col: str,
+    grid: list | None = None,
+) -> DataFrame:
+    """Temperature scaling (Guo et al. 2017) — the one-parameter
+    post-hoc calibration fix: pick T minimizing the binary NLL of
+    ``σ(z/T)`` over a FIXED temperature grid (the same
+    engine-reproducibility contract as :func:`~padua_spark.operators.
+    stats.boxcox_lambda`'s fixed λ grid — no optimizer, every engine
+    evaluates the identical finite set).
+
+    ``NLL(T) = Σ softplus((1 − 2y)·z/T)`` (the numerically-stable
+    form ``softplus(x) = max(x,0) + ln(1+e^{−|x|})`` — never
+    overflows at any z/T). ONE aggregation computes every T's NLL.
+    Output: one row per T: ``(temperature, n, nll, is_best)``, 6dp,
+    best by min NLL (ties → T closer to 1).
+    """
+    grid = [float(t) for t in (grid or TEMPERATURE_GRID)]
+    z = F.col(logit_col).cast("double")
+    y = F.col(label_col).cast("int")
+    base = df.where(z.isNotNull() & y.isNotNull())
+    sgn = (1.0 - 2.0 * y.cast("double"))
+    aggs = [F.count(F.lit(1)).cast("bigint").alias("n")]
+    for i, t in enumerate(grid):
+        x = sgn * z / F.lit(t)
+        softplus = F.greatest(x, F.lit(0.0)) + F.log1p(
+            F.exp(-F.abs(x))
+        )
+        aggs.append(F.sum(softplus).alias(f"_nll{i}"))
+    agg = base.agg(*aggs)
+    rows = []
+    for i, t in enumerate(grid):
+        rows += [F.lit(t), F.col(f"_nll{i}")]
+    stacked = agg.select(
+        "n",
+        F.stack(F.lit(len(grid)), *rows).alias(
+            "temperature", "_nll"
+        ),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    # min by (nll, |ln T|): ties prefer the temperature closest to 1
+    key = F.struct(
+        F.col("_nll"), F.abs(F.log(F.col("temperature")))
+    )
+    best = F.min(key).over(w)
+    return stacked.select(
+        "temperature", "n",
+        F.round("_nll", 6).alias("nll"),
+        (key == best).alias("is_best"),
+    )

@@ -8262,3 +8262,52 @@ def test_script_mojibake_rbo_vs_replicas(spark):
     assert rs["rbo"] == pytest.approx(full, abs=1e-6)
     with pytest.raises(ValueError, match="p must be"):
         rbo_rankings(df, ["g"], "ra", "rb", p=1.5)
+
+
+def test_ece_and_temperature_vs_replicas(spark):
+    """ECE/MCE against a numpy binned replica on an overconfident
+    model; temperature grid recovers T ~ 2 for 2x-overconfident
+    logits; NLL matches the stable-softplus replica; exactly one
+    is_best."""
+    import numpy as np
+
+    from padua_spark.extensions.features import (
+        ece_calibration,
+        temperature_scaling,
+    )
+
+    rng = np.random.RandomState(19)
+    zz = rng.normal(0, 3, 4000)
+    yy = (rng.random(4000) < 1 / (1 + np.exp(-zz / 2))).astype(int)
+    pmod = 1 / (1 + np.exp(-zz))
+    df = spark.createDataFrame(
+        [(float(p), int(y)) for p, y in zip(pmod, yy)], ["p", "y"]
+    )
+    rows = ece_calibration(df, "p", "y").collect()
+    bins = np.minimum(np.floor(pmod * 10), 9).astype(int)
+    N = len(pmod)
+    ece = mce = 0.0
+    for k in range(10):
+        m = bins == k
+        if not m.any():
+            continue
+        gap = abs(pmod[m].mean() - yy[m].mean())
+        ece += m.sum() / N * gap
+        mce = max(mce, gap)
+    assert rows[0]["ece"] == pytest.approx(ece, abs=1e-6)
+    assert rows[0]["mce"] == pytest.approx(mce, abs=1e-6)
+    assert rows[0]["ece"] > 0.05  # overconfident by construction
+
+    ldf = spark.createDataFrame(
+        [(float(z), int(y)) for z, y in zip(zz, yy)], ["z", "y"]
+    )
+    out = temperature_scaling(ldf, "z", "y").collect()
+    best = [r for r in out if r["is_best"]]
+    assert len(best) == 1 and 1.5 <= best[0]["temperature"] <= 2.5
+    T = 2.0
+    x = (1 - 2 * yy) * zz / T
+    nll = float(np.sum(
+        np.maximum(x, 0) + np.log1p(np.exp(-np.abs(x)))
+    ))
+    r2 = [r for r in out if r["temperature"] == 2.0][0]
+    assert r2["nll"] == pytest.approx(nll, rel=1e-6)
