@@ -6658,6 +6658,16 @@ def runs_test(
         F.sum(1 - F.col("_s")).cast("bigint").alias("n2_below"),
         F.sum("_new_run").cast("bigint").alias("n_runs"),
     )
+    # groups whose every value ties the median have no surviving rows
+    # — keep them (zero counts, NULL z/p) so callers joining back on
+    # the group never lose keys
+    all_groups = base.select(*group_cols).distinct()
+    agg = all_groups.join(agg, on=list(group_cols), how="left").select(
+        *group_cols,
+        F.coalesce("n1_above", F.lit(0)).alias("n1_above"),
+        F.coalesce("n2_below", F.lit(0)).alias("n2_below"),
+        F.coalesce("n_runs", F.lit(0)).alias("n_runs"),
+    )
     n1 = F.col("n1_above").cast("double")
     n2 = F.col("n2_below").cast("double")
     nn = n1 + n2

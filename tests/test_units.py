@@ -7280,6 +7280,15 @@ def test_runs_and_sign_tests_vs_replica(spark):
     )
     ra = runs_test(alt, ["g"], ["t"], "v").collect()[0]
     assert ra["n_runs"] == 40 and ra["p_value"] < 1e-6
+    # groups whose every value ties the median survive with NULLs
+    mix = spark.createDataFrame(
+        [("ok", i, float(v)) for i, v in enumerate([1, 9, 1, 9])]
+        + [("tied", i, 5.0) for i in range(4)],
+        ["g", "t", "v"],
+    )
+    om = {r["g"]: r for r in runs_test(mix, ["g"], ["t"], "v").collect()}
+    assert om["tied"]["n_runs"] == 0 and om["tied"]["z"] is None
+    assert om["ok"]["n_runs"] == 4
 
     pairs = [(float(i), float(i + 1)) for i in range(7)] + [
         (5.0, 1.0), (6.0, 2.0), (7.0, 3.0), (9.0, 9.0)
