@@ -296,7 +296,9 @@ def gains_table(
     data. The cumulative columns are a window over the ≤ ``n_bins``
     aggregated rows only. Output per non-empty bucket: ``(bucket, n,
     n_pos, pos_rate, lift, cum_capture, cum_lift)``, 6dp; lift NULL
-    when the corpus has no positives.
+    when the corpus has no positives. Degenerate edge: identical
+    scores everywhere land in ONE bucket (labeled ``n_bins``, the
+    bottom, since nothing exceeds any boundary).
     """
     from pyspark import StorageLevel
     from pyspark.sql import Window

@@ -1390,8 +1390,9 @@ def hhi_concentration(
     it):
 
     member shares within each group (by row count, or by
-    ``value_col`` mass), ``HHI = 10000·Σ share²``; also reports the
-    effective number of members ``1/Σ share²``.
+    ``value_col`` mass — which must be NON-NEGATIVE: negative mass
+    makes shares meaningless), ``HHI = 10000·Σ share²``; also
+    reports the effective number of members ``1/Σ share²``.
 
     TWO nested aggregations (rows → member totals → group HHI), both
     map-side combined; nothing else. Output: ``(groups…, n_members,

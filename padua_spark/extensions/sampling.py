@@ -580,14 +580,20 @@ def kfold_assign(
             F.least(F.lit(k - 1), F.floor(u * k).cast("int")),
         )
         return df.withColumn(out_col, fold)
+    # NULL-key rows must not consume row_number slots (they would
+    # skew the within-stratum balance): fold the non-null subset and
+    # union the NULL-key rows back with NULL fold
+    valid = df.where(F.col(key_col).isNotNull())
+    nulls = df.where(F.col(key_col).isNull()).withColumn(
+        out_col, F.lit(None).cast("int")
+    )
     w = Window.partitionBy(*strata_cols).orderBy(
         u.asc(), F.col(key_col).asc()
     )
-    fold = F.when(
-        F.col(key_col).isNotNull(),
-        ((F.row_number().over(w) - 1) % k).cast("int"),
+    folded = valid.withColumn(
+        out_col, ((F.row_number().over(w) - 1) % k).cast("int")
     )
-    return df.withColumn(out_col, fold)
+    return folded.unionByName(nulls)
 
 
 def kfold_assign_sql(
