@@ -19370,7 +19370,7 @@ WITH base AS (
   WHERE value IS NOT NULL AND event_type IS NOT NULL AND value >= 0
 ),
 per AS (
-  SELECT least(9, CAST(floor(p * 10) AS INT)) AS bin,
+  SELECT CAST(least(9, CAST(floor(p * 10) AS INT)) AS INT) AS bin,
     CAST(count(*) AS BIGINT) AS n, sum(p) AS sp, sum(y) AS sy
   FROM base GROUP BY 1
 ),

@@ -512,8 +512,12 @@ def test_multi_consumer_frames_are_cached(spark):
     consumer (the windowed_psi 3-scan finding)."""
     import __spark_entry__ as em
 
+    # NOTE textrank_keywords also caches multi-consumer frames, but
+    # pagerank's per-iteration localCheckpoint truncates the final
+    # plan to a Scan ExistingRDD, so no InMemoryTableScan can appear
+    # in its explain — its persists are exercised by the bench, not
+    # assertable here.
     for name in ("windowed_psi", "windowed_token_divergence",
-                 "textrank_keywords",
                  "dedup_spans", "bm25_topk",
                  "mutual_information",
                  # round-7 multi-consumer frames: shingle/token/edge
