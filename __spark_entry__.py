@@ -17782,14 +17782,16 @@ tok AS (
   FROM docs0, unnest(generate_series(1, len(arr))) AS g(i)
   WHERE length(arr[i]) >= 4
 ),
+led AS (
+  SELECT tk AS ta,
+    lead(tk, 1) OVER (PARTITION BY doc_id ORDER BY p) AS tb1,
+    lead(tk, 2) OVER (PARTITION BY doc_id ORDER BY p) AS tb2
+  FROM tok
+),
 pairs AS (
-  SELECT a.tk AS ta, b.tk AS tb
-  FROM tok a JOIN tok b
-    ON b.doc_id = a.doc_id AND b.p = a.p + 1
+  SELECT ta, tb1 AS tb FROM led WHERE tb1 IS NOT NULL
   UNION ALL
-  SELECT a.tk, b.tk
-  FROM tok a JOIN tok b
-    ON b.doc_id = a.doc_id AND b.p = a.p + 2
+  SELECT ta, tb2 FROM led WHERE tb2 IS NOT NULL
 ),
 edges AS (
   SELECT DISTINCT src, dst FROM (
@@ -17826,9 +17828,9 @@ SELECT node AS token, round(rank, 9) AS rank FROM pr WHERE it = 5
 @_q("textrank_keywords", _TEXTRANK_ORACLE)
 def q_textrank_keywords(spark, sf):
     """TextRank keyword centrality over the corpus co-occurrence
-    graph (text.textrank_keywords): window-2 co-occurrence as a UNION
-    of plain equi-joins on (doc, pos+offset), then the repo's
-    fixed-iteration pagerank; the oracle replays the identical
+    graph (text.textrank_keywords): window-2 co-occurrence from ONE
+    lead-window pass over the filtered token sequence, then the
+    repo's fixed-iteration pagerank; the oracle replays the identical
     recurrence as a recursive CTE."""
     from padua_spark.extensions.text import textrank_keywords
 

@@ -1746,18 +1746,18 @@ def textrank_keywords(
     entirely from operators this repo already trusts.
 
     Semantics (pinned for engine reproducibility): tokens are the
-    whitespace tokenization of the LOWERCASED text with ORIGINAL
-    positions; tokens shorter than ``min_chars`` are dropped (the
-    POS-filter stand-in) but positions are NOT re-compacted, so the
-    window is over the original text distance. Co-occurrence pairs at
-    position distance 1..``window`` become a symmetrized DISTINCT
-    edge list fed to :func:`~padua_spark.extensions.graph.pagerank`
-    (fixed ``k_iters``, dangling mass dropped — same documented
-    recurrence).
+    whitespace tokenization of the LOWERCASED text; tokens shorter
+    than ``min_chars`` are dropped (the POS-filter stand-in) and the
+    co-occurrence window slides over the FILTERED sequence — the
+    original Mihalcea–Tarau convention. Pairs at sequence distance
+    1..``window`` become a symmetrized DISTINCT edge list fed to
+    :func:`~padua_spark.extensions.graph.pagerank` (fixed
+    ``k_iters``, dangling mass dropped — same documented recurrence).
 
-    Scale shape: the window join is a UNION of ``window`` plain
-    EQUI-joins on ``(doc, pos + offset)`` — never an inequality/range
-    join — and everything after is vocabulary-sized. Output:
+    Scale shape: the co-occurrence pairs come from ``window`` LEAD
+    columns in ONE window pass over the per-document token sequence
+    (one shuffle on the doc key — no self-join of the position frame
+    at all), and everything after is vocabulary-sized. Output:
     ``(token, rank)`` (rank 9dp), optionally ``top_k`` by
     ``(rank DESC, token)``.
     """
@@ -1766,28 +1766,29 @@ def textrank_keywords(
     from padua_spark.extensions.graph import pagerank
     from padua_spark.io_utils import track_cached
 
+    from pyspark.sql import Window
+
     t = F.col(text_col)
     staged = df.where(t.isNotNull()).select(
         F.col(id_col).alias("_doc"),
         tokens(F.lower(t)).alias("_arr"),
     )
-    pos = (
-        staged.select(
-            "_doc", F.posexplode("_arr").alias("_p", "_tok")
-        )
-        .where(F.length("_tok") >= int(min_chars))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
-    a = pos.select("_doc", F.col("_p").alias("_pa"),
-                   F.col("_tok").alias("_ta"))
+    pos = staged.select(
+        "_doc", F.posexplode("_arr").alias("_p", "_tok")
+    ).where(F.length("_tok") >= int(min_chars))
+    w = Window.partitionBy("_doc").orderBy(F.col("_p").asc())
+    led = pos.select(
+        F.col("_tok").alias("_ta"),
+        *[
+            F.lead("_tok", off).over(w).alias(f"_tb{off}")
+            for off in range(1, int(window) + 1)
+        ],
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     pairs = None
     for off in range(1, int(window) + 1):
-        b = pos.select(
-            "_doc",
-            (F.col("_p") - off).alias("_pa"),
-            F.col("_tok").alias("_tb"),
+        p = led.where(F.col(f"_tb{off}").isNotNull()).select(
+            "_ta", F.col(f"_tb{off}").alias("_tb")
         )
-        p = a.join(b, on=["_doc", "_pa"]).select("_ta", "_tb")
         pairs = p if pairs is None else pairs.unionAll(p)
     # DISTINCT the undirected pairs BEFORE symmetrizing, and persist:
     # a union-based symmetrize references its upstream twice (the
@@ -1816,7 +1817,7 @@ def textrank_keywords(
         out = out.orderBy(
             F.col("rank").desc(), F.col("token").asc()
         ).limit(int(top_k))
-    cached = [pos, und]
+    cached = [led, und]
     cached.extend(getattr(ranks, "_padua_cached", ()))
     return track_cached(out, *cached)
 

@@ -7622,12 +7622,14 @@ def test_textrank_keywords_vs_replica(spark):
     ).collect()
     edges = set()
     for _i, txt in docs:
-        ts = txt.lower().split()
+        # the window slides over the FILTERED sequence (the original
+        # TextRank convention), not original positions
+        ts = [w for w in txt.lower().split() if len(w) >= 4]
         for p, tk in enumerate(ts):
             for o in (1, 2):
                 if p + o < len(ts):
                     u, v = tk, ts[p + o]
-                    if len(u) >= 4 and len(v) >= 4 and u != v:
+                    if u != v:
                         edges.add((u, v))
                         edges.add((v, u))
     nodes = sorted({x for e in edges for x in e})
