@@ -17198,9 +17198,11 @@ def q_runs_test(spark, sf):
     )
 
 
-def _sign_test_oracle() -> str:
-    lp_i = _log_choose_sql("nd", "i") + " + nd * ln(0.5)"
-    lp_k = _log_choose_sql("nd", "k") + " + nd * ln(0.5)"
+def _sign_test_oracle(max_support: int = 200_000) -> str:
+    # The fold's support is clamped to 0 in the normal regime so the
+    # oracle mirrors the operator: no generate_series blow-up at big n
+    lp_i = _log_choose_sql("ndc", "i") + " + ndc * ln(0.5)"
+    lp_k = _log_choose_sql("ndc", "kc") + " + ndc * ln(0.5)"
     return f"""
 WITH pairs AS (
   SELECT l_discount AS x, l_tax AS y FROM lineitem
@@ -17213,38 +17215,80 @@ cnt AS (
     CAST(sum(CASE WHEN x = y THEN 1 ELSE 0 END) AS BIGINT) AS n_tie
   FROM pairs
 ),
-st AS (SELECT *, n_pos + n_neg AS nd, n_pos AS k FROM cnt),
+st AS (
+  SELECT *, n_pos + n_neg AS nd,
+    nd <= {int(max_support)} AS is_exact,
+    CASE WHEN nd <= {int(max_support)} THEN nd
+         ELSE CAST(0 AS BIGINT) END AS ndc,
+    CASE WHEN nd <= {int(max_support)} THEN n_pos
+         ELSE CAST(0 AS BIGINT) END AS kc
+  FROM cnt
+),
 rows_i AS (
-  SELECT st.*, unnest(generate_series(CAST(0 AS BIGINT), nd)) AS i
+  SELECT st.*, unnest(generate_series(CAST(0 AS BIGINT), ndc)) AS i
   FROM st
 ),
 terms AS (
-  SELECT n_pos, n_neg, n_tie, nd, k, i,
+  SELECT n_pos, n_neg, n_tie, nd, is_exact, ndc, kc, i,
     ({lp_i}) AS lp, ({lp_k}) AS lpk
   FROM rows_i
 ),
 p AS (
   SELECT n_pos, n_neg, n_tie, max(nd) AS nd,
+    bool_and(is_exact) AS is_exact,
     sum(CASE WHEN lp <= lpk + 9.999999505838704e-08
         THEN exp(lp) ELSE 0.0 END ORDER BY i) AS pt
   FROM terms GROUP BY 1, 2, 3
+),
+zt AS (
+  SELECT *,
+    greatest(0.0,
+      abs(2.0 * CAST(n_pos AS DOUBLE) - CAST(nd AS DOUBLE)) - 1.0)
+      / sqrt(CAST(nd AS DOUBLE)) AS z
+  FROM p
+),
+e AS (
+  SELECT *, z / sqrt(2.0) AS xx,
+    1.0 / (1.0 + 0.3275911 * (z / sqrt(2.0))) AS t
+  FROM zt
 )
 SELECT n_pos, n_neg, n_tie,
-  round(CASE WHEN nd > 0 THEN least(pt, 1.0) ELSE 1.0 END, 6)
-    AS p_exact
-FROM p
+  CASE WHEN is_exact THEN 'exact' ELSE 'normal' END AS method,
+  round(CASE WHEN nd <= 0 THEN 1.0
+             WHEN is_exact THEN least(pt, 1.0)
+             ELSE least(
+    (0.254829592 * t + -0.284496736 * t * t
+     + 1.421413741 * t * t * t + -1.453152027 * t * t * t * t
+     + 1.061405429 * t * t * t * t * t) * exp(-xx * xx), 1.0) END, 6)
+    AS p_value
+FROM e
 """
 
 
 @_q("sign_test", _sign_test_oracle())
 def q_sign_test(spark, sf):
-    """Paired exact sign test, discount vs tax per lineitem
+    """Paired sign test, discount vs tax per lineitem
     (stats.sign_test): one aggregation to the sign counts, the shared
-    bounded binomial tail fold."""
+    bounded binomial tail fold below max_support, the
+    continuity-corrected normal z above it (the sf0.1 bench regime —
+    541,763 non-tied pairs)."""
     from padua_spark.operators.stats import sign_test
 
     li = _t(spark, sf, "lineitem")
     return sign_test(li, "l_discount", "l_tax")
+
+
+@_q("sign_test_normal", _sign_test_oracle(max_support=1_000))
+def q_sign_test_normal(spark, sf):
+    """The sign test's LARGE-N branch, forced at oracle scale with a
+    small max_support (stats.sign_test): gates the
+    continuity-corrected normal z + A&S-erfc p and the method column
+    against the same SQL twin — the branch the sf0.1/sf1 bench
+    exercises for real."""
+    from padua_spark.operators.stats import sign_test
+
+    li = _t(spark, sf, "lineitem")
+    return sign_test(li, "l_discount", "l_tax", max_support=1_000)
 
 
 _ORDINAL_ASSOC_ORACLE = """
@@ -18086,7 +18130,7 @@ inp AS (
 SELECT tt.n, round(tt.mu, 6) AS mean, round(tt.sd, 6) AS sd,
   round(tt.outv, 6) AS outlier_value,
   round(tt.gg, 6) AS g_stat,
-  round(least(CAST(1.0 AS DOUBLE), tt.nd * (pv.p / 2.0)), 6)
+  round(least(CAST(1.0 AS DOUBLE), tt.nd * pv.p), 6)
     AS p_value
 FROM tt LEFT JOIN pv ON pv.key = 'k'
 """
@@ -18096,8 +18140,8 @@ FROM tt LEFT JOIN pv ON pv.key = 'k'
 def q_grubbs_test(spark, sf):
     """Grubbs' maximum-normed-residual outlier test on quantities
     (stats.grubbs_test): one aggregation (the max deviation is always
-    at an extreme), Bonferroni-exact t bound via the shared
-    incomplete beta."""
+    at an extreme), NIST two-sided Bonferroni t bound (2n x the
+    one-sided tail) via the shared incomplete beta."""
     from padua_spark.operators.stats import grubbs_test
 
     li = _t(spark, sf, "lineitem")
@@ -19249,17 +19293,26 @@ WITH d AS (
       ELSE '' END AS t
   FROM documents WHERE text IS NOT NULL
 ),
-c AS (
+s AS (
   SELECT doc_id, length(t) AS n,
     length(t) - length(regexp_replace(t, chr(65533), '', 'g'))
       AS n_rep,
-    length(t) - length(regexp_replace(t,
-      '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f' || chr(128) || '-'
-      || chr(159) || ']', '', 'g')) AS n_ctl,
     (length(t) - length(regexp_replace(t,
       '(' || chr(195) || '[' || chr(128) || '-' || chr(191) || ']|'
-      || chr(226) || chr(8364) || ')', '', 'g'))) // 2 AS n_art
+      || chr(226) || chr(8364) || ')', '', 'g'))) // 2 AS n_art,
+    regexp_replace(t,
+      '(' || chr(195) || '[' || chr(128) || '-' || chr(191) || ']|'
+      || chr(226) || chr(8364) || ')', '', 'g') AS t_stripped
   FROM d
+),
+c AS (
+  -- controls on the artifact-stripped text: no double count of a
+  -- damaged bigram's C1 second byte (mirrors the operator)
+  SELECT doc_id, n, n_rep, n_art,
+    length(t_stripped) - length(regexp_replace(t_stripped,
+      '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f' || chr(128) || '-'
+      || chr(159) || ']', '', 'g')) AS n_ctl
+  FROM s
 )
 SELECT doc_id, CAST(n_rep AS BIGINT) AS n_replacement,
   CAST(n_ctl AS BIGINT) AS n_control,

@@ -522,32 +522,65 @@ def gini_concentration(
     df: DataFrame,
     value_col: str,
     small_domain_threshold: int | None = None,
+    exact: bool = True,
 ) -> DataFrame:
     """Gini coefficient of a non-negative numeric column — the
     concentration audit for corpus/revenue distributions (how skewed
     is token mass across sources, spend across customers, bytes
     across domains). 0 = perfectly even, →1 = winner-take-all.
 
-    Exactness + scale shape: values should be exact integers (cents /
-    token counts); per-distinct-value counts feed the DISTRIBUTED
+    Exactness contract — ENFORCED, not hoped for: the default
+    ``exact=True`` path assembles the sorted-rank identity from three
+    exact integer sums (decimal-typed, no 64-bit overflow), which is
+    only exact when every value IS an integer (cents / token counts).
+    A fractional value would be silently truncated by the decimal
+    cast and return a plausible wrong Gini, so the scan RAISES
+    in-plan on the first ``v ≠ floor(v)`` it meets (same
+    enforce-don't-hope style as ``sign_test`` /
+    ``ordinal_association``). Callers with dollars/scores either
+    pre-scale to integer units or pass ``exact=False``, which
+    computes the same identity in double — correct to float
+    summation order (~1 ulp per term; fine for scores, documented
+    downgrade from bit-exact).
+
+    Scale shape: per-distinct-value counts feed the DISTRIBUTED
     two-pass running sum (``stats._stepped_running_counts`` — never a
-    data-sized global sort), midranks handle ties exactly, and the
-    classic sorted-rank identity is assembled from three exact
-    integer sums (decimal-typed, no 64-bit overflow):
+    data-sized global sort), midranks handle ties exactly:
 
     ``G = Σ v·c·2r̄ / (n·Σ v·c) − (n+1)/n``
 
     (``Σ_i i·x_(i) = Σ_v v·c_v·r̄_v`` under ties — each tied block
     contributes its value times its rank-sum, and the midrank times
     the block size IS the rank-sum). Output 1 row:
-    ``(gini, n, total)``.
+    ``(gini, n, total)``; ``total`` is NULL on the double path when
+    the sum has a fractional part that a long cast would hide.
     """
     from padua_spark.io_utils import track_cached
     from padua_spark.operators.stats import _stepped_running_counts
 
     v = F.col(value_col)
+    if exact:
+        v = F.when(
+            v == F.floor(v), v
+        ).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        "gini_concentration(exact=True) requires "
+                        "integer values (cents / token counts); got "
+                        "fractional "
+                    ),
+                    v.cast("string"),
+                    F.lit(
+                        f" in column {value_col!r} - pre-scale to "
+                        "integer units or pass exact=False for the "
+                        "double-precision path"
+                    ),
+                )
+            ).cast(df.schema[value_col].dataType)
+        )
     per = (
-        df.where(v.isNotNull() & (v >= 0))
+        df.where(F.col(value_col).isNotNull() & (F.col(value_col) >= 0))
         .groupBy(v.alias("_v"))
         .agg(F.count(F.lit(1)).alias("_c"))
     )
@@ -555,9 +588,9 @@ def gini_concentration(
         per, "_v", ["_c"], small_domain_threshold
     )
     two_rbar = 2 * (F.col("_c_run") - F.col("_c")) + F.col("_c") + 1
-    dec = "decimal(38,0)"
+    dec = "decimal(38,0)" if exact else "double"
     agg = stepped.agg(
-        F.sum(F.col("_c").cast(dec)).alias("_n"),
+        F.sum(F.col("_c").cast("decimal(38,0)")).alias("_n"),
         F.sum((F.col("_v") * F.col("_c")).cast(dec)).alias("_s"),
         F.sum(
             (F.col("_v") * F.col("_c") * two_rbar).cast(dec)
@@ -569,10 +602,13 @@ def gini_concentration(
         (F.col("_n") > 0) & (F.col("_s") > 0),
         F.col("_t2").cast("double") / (nd * sd) - (nd + 1.0) / nd,
     )
+    total = F.col("_s").cast("long") if exact else F.when(
+        F.col("_s") == F.floor(F.col("_s")), F.col("_s").cast("long")
+    )
     out = agg.select(
         gini.alias("gini"),
         F.col("_n").cast("long").alias("n"),
-        F.col("_s").cast("long").alias("total"),
+        total.alias("total"),
     )
     return track_cached(out, *getattr(stepped, "_padua_cached", ()))
 
@@ -1311,8 +1347,11 @@ def benford_test(
     ``(digit, n, observed_p, expected_p, chi2, p_value, mad)``,
     chi2/p/mad repeated per row (window over ≤9 rows), 6dp.
 
-    Scale contract: values must be positive with integer part ≥ 1
-    (pre-scale fractional data — e.g. cents — before calling).
+    Scale contract: the digit is read from ``|v|`` — signs are
+    ignored (ledger debits are as Benford-distributed as credits),
+    and rows with ``|v| < 1`` are excluded (no leading integer
+    digit). Pre-scale fractional data — e.g. to cents — before
+    calling, or sub-unit values silently fall out of the sample.
     """
     import math
 

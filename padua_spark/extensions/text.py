@@ -1880,7 +1880,9 @@ def mojibake_score(
     control characters (tab/newline/CR excluded), and the classic
     UTF-8-read-as-Latin-1 artifact bigrams (U+00C3 followed by a
     Latin-1 range char; U+00E2 U+20AC), normalized per 1000
-    characters.
+    characters. Each damaged character bills ONCE: the artifact
+    bigram's second-byte range overlaps C1, so controls are counted
+    on the text with artifact bigrams already stripped.
 
     Pure scan-level length differences, zero shuffles. Output: input
     + ``n_replacement, n_control, n_artifact, mojibake_per_kchar``
@@ -1893,13 +1895,21 @@ def mojibake_score(
         return n - F.length(F.regexp_replace(t, pattern, ""))
 
     n_rep = count("\ufffd")
-    n_ctl = count(
-        "[\u0000-\u0008\u000b\u000c\u000e-\u001f"
-        "\u007f\u0080-\u009f]"
-    )
     # artifact bigrams: the replace strips 2 chars per hit
     art_pat = "(\u00c3[\u0080-\u00bf]|\u00e2\u20ac)"
     n_art = (count(art_pat) / F.lit(2)).cast("bigint")
+    # C0/C1 controls on the ARTIFACT-STRIPPED text: the bigram's
+    # second-byte range overlaps C1, so counting controls on the raw
+    # text would bill one damaged bigram twice (artifact + control)
+    stripped = F.regexp_replace(t, art_pat, "")
+    n_ctl = F.length(stripped) - F.length(
+        F.regexp_replace(
+            stripped,
+            "[\u0000-\u0008\u000b\u000c\u000e-\u001f"
+            "\u007f\u0080-\u009f]",
+            "",
+        )
+    )
     total = n_rep + n_ctl + n_art
     return (
         df.withColumn("n_replacement", n_rep.cast("bigint"))

@@ -4419,7 +4419,7 @@ def fleiss_kappa(
     )
     from pyspark import StorageLevel
 
-    cells = cells.persist(StorageLevel.MEMORY_AND_DISK)
+    cells = cells_base = cells.persist(StorageLevel.MEMORY_AND_DISK)
     per_item = cells.groupBy("_i").agg(
         F.sum("_nij").alias("_n"),
         F.sum(F.col("_nij") * F.col("_nij")).alias("_sq"),
@@ -4482,7 +4482,9 @@ def fleiss_kappa(
         F.round(p_e, 6).alias("p_e"),
         F.round(kappa, 6).alias("kappa"),
     )
-    return track_cached(out, cells)
+    # track the PERSISTED base frame, not the ragged-n join rebind —
+    # unpersist_intermediates must see the frame persist() returned
+    return track_cached(out, cells_base)
 
 
 def cuped_adjusted(
@@ -6704,16 +6706,27 @@ def sign_test(
     symmetry requirement, unlike Wilcoxon signed-rank): under H0 the
     sign of ``x − y`` is a fair coin, so ``n⁺ ~ Bin(n⁺+n⁻, ½)``
     exactly (ties dropped, the standard convention). ONE aggregation
-    to the exact sign counts, then the shared bounded JVM binomial
-    tail fold (:func:`_binom_exact_pvalues` — the same
-    point-probability two-sided rule as :func:`binom_test_exact`,
-    which at p₀ = ½ equals the classic doubled-min-tail by symmetry).
+    to the exact sign counts, then — when the non-tied count is at
+    most ``max_support`` — the shared bounded JVM binomial tail fold
+    (:func:`_binom_exact_pvalues` — the same point-probability
+    two-sided rule as :func:`binom_test_exact`, which at p₀ = ½
+    equals the classic doubled-min-tail by symmetry). ABOVE
+    ``max_support`` the exact fold is the wrong regime (millions of
+    pmf terms for a p the CLT already nails), so the test switches
+    in-plan to the continuity-corrected normal approximation
+    ``z = (|2·n⁺ − n| − 1)/√n`` (clamped at 0), two-sided p via the
+    shared A&S-erfc polynomial — the fold's support array is clamped
+    to one element in that branch, so the big-n path does no binomial
+    work at all. ``method`` reports which branch produced the p.
 
-    Output 1 row: ``(n_pos, n_neg, n_tie, p_exact)``, 6dp; p 1.0 when
-    there are no non-tied pairs.
+    Output 1 row: ``(n_pos, n_neg, n_tie, method, p_value)``, p 6dp;
+    method ``exact``/``normal``; p 1.0 when there are no non-tied
+    pairs. Pass ``max_support=None`` to force the exact fold at any
+    size (bounded-memory but O(n) pmf terms per row — deliberate).
 
     Beyond the reference; standard (Arbuthnott 1710, the oldest
-    significance test there is).
+    significance test there is; normal fallback per the classic
+    large-sample treatment, e.g. Conover 1999 §3.4).
     """
     x = F.col(x_col).cast("double")
     y = F.col(y_col).cast("double")
@@ -6723,21 +6736,37 @@ def sign_test(
         F.sum((x < y).cast("int")).cast("bigint").alias("n_neg"),
         F.sum((x == y).cast("int")).cast("bigint").alias("n_tie"),
     )
-    staged0 = agg.withColumn(
-        "_nd", F.col("n_pos") + F.col("n_neg")
-    ).withColumn("_k", F.col("n_pos")).withColumn(
-        "_half", F.lit(0.5)
-    )
+    nd = F.col("n_pos") + F.col("n_neg")
+    if max_support is None:
+        is_exact = F.lit(True)
+    else:
+        is_exact = nd <= F.lit(int(max_support))
+    # Clamp the fold's support to 1 term in the normal regime so the
+    # big-n branch never materializes a data-sized sequence(0, n).
+    staged0 = agg.withColumn("_ndr", nd).withColumn(
+        "_exact", is_exact
+    ).withColumn(
+        "_nd", F.when(F.col("_exact"), nd).otherwise(F.lit(0))
+    ).withColumn(
+        "_k",
+        F.when(F.col("_exact"), F.col("n_pos")).otherwise(F.lit(0)),
+    ).withColumn("_half", F.lit(0.5))
     staged, _pl, _pr, pt = _binom_exact_pvalues(
-        staged0, "_nd", "_k", "_half", max_support
+        staged0, "_nd", "_k", "_half", None
     )
+    ndd = F.col("_ndr").cast("double")
+    z = F.greatest(
+        F.lit(0.0),
+        F.abs(2.0 * F.col("n_pos").cast("double") - ndd) - F.lit(1.0),
+    ) / F.sqrt(ndd)
+    p = F.when(F.col("_ndr") <= 0, F.lit(1.0)).when(
+        F.col("_exact"), F.least(pt, F.lit(1.0))
+    ).otherwise(F.least(_normal_sf_2sided(z), F.lit(1.0)))
     return staged.select(
         "n_pos", "n_neg", "n_tie",
-        F.round(
-            F.when(F.col("_nd") > 0, F.least(pt, F.lit(1.0)))
-            .otherwise(F.lit(1.0)),
-            6,
-        ).alias("p_exact"),
+        F.when(F.col("_exact"), F.lit("exact"))
+        .otherwise(F.lit("normal")).alias("method"),
+        F.round(p, 6).alias("p_value"),
     )
 
 
@@ -7131,6 +7160,7 @@ def process_capability(
 def grubbs_test(
     df: DataFrame,
     value_col: str,
+    side: str = "two-sided",
 ) -> DataFrame:
     """Grubbs' maximum-normed-residual outlier test — "is the most
     extreme point a statistical outlier?" for a roughly normal batch
@@ -7138,9 +7168,14 @@ def grubbs_test(
 
     ``G = max(x̄ − min x, max x − x̄) / s``; the p-value converts G
     to its t form ``t² = n(n−2)G² / ((n−1)² − nG²)`` and applies the
-    Bonferroni-exact bound ``p = min(1, n·P(T_{n−2} ≥ t))`` (the
-    standard Grubbs critical-value relation, inverted). The extreme
-    side is reported so the caller knows WHICH tail.
+    Bonferroni-exact bound (the standard Grubbs critical-value
+    relation, inverted). The statistic is the max of BOTH tails, so
+    the default ``side="two-sided"`` uses the NIST two-sided
+    convention ``p = min(1, 2n·P(T_{n−2} ≥ t))``; pass
+    ``side="one-sided"`` for the one-sided multiplier
+    ``min(1, n·P(T ≥ t))`` (the R `outliers`-style convention, which
+    is only calibrated when the suspect TAIL was fixed in advance).
+    The extreme side is reported so the caller knows WHICH tail.
 
     ONE aggregation (max/min/exact sums — no second pass: the max
     deviation from the mean is always attained at an extreme).
@@ -7194,11 +7229,18 @@ def grubbs_test(
             ),
         )
     )
+    if side not in ("two-sided", "one-sided"):
+        raise ValueError(
+            "grubbs_test: side must be 'two-sided' or 'one-sided', "
+            f"got {side!r}"
+        )
+    # t_sf_udf is already two-sided: /2 gives the one-sided tail
+    mult = 2.0 if side == "two-sided" else 1.0
     p = F.when(
         F.col("_t").isNotNull(),
         F.least(
             F.lit(1.0),
-            nd * (t_sf_udf(F.col("_t"), nd - 2.0) / 2.0),
+            F.lit(mult) * nd * (t_sf_udf(F.col("_t"), nd - 2.0) / 2.0),
         ),
     )
     return staged.select(
@@ -8219,14 +8261,31 @@ def stuart_maxwell(
     """
     import numpy as np
 
+    from pyspark import StorageLevel
+
     a = F.col(a_col)
     b = F.col(b_col)
     cells = (
         df.where(a.isNotNull() & b.isNotNull())
         .groupBy(a.alias("_i"), b.alias("_j"))
         .agg(F.count(F.lit(1)).cast("bigint").alias("_c"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    # guard BEFORE the collect: a mis-specified high-cardinality
+    # column must raise from a distributed count, never after an
+    # unbounded driver transfer (same discipline as
+    # ordinal_association)
+    n_cells = cells.count()
+    if n_cells > max_categories * max_categories:
+        cells.unpersist()
+        raise ValueError(
+            f"stuart_maxwell: {n_cells} distinct (a, b) cells exceed "
+            f"max_categories^2={max_categories * max_categories} — "
+            "the k x k cell matrix is collected driver-side; bin the "
+            "labels first"
+        )
     rows = cells.collect()
+    cells.unpersist()
     cats = sorted({r["_i"] for r in rows} | {r["_j"] for r in rows})
     k = len(cats)
     if k > max_categories:

@@ -2345,6 +2345,28 @@ def test_gini_concentration_known_cases(spark):
         got = gini_concentration(df, "v", **kw).collect()[0]["gini"]
         assert got == pytest.approx(g_exp, abs=1e-12)
 
+    # fractional values: exact=True RAISES in-plan (the decimal cast
+    # would silently truncate and return a plausible wrong number);
+    # exact=False computes the identity in double and matches numpy;
+    # pre-scaling to integer micro-units matches on the exact path
+    fvals = [0.31, 2.47, 2.47, 0.05, 1.9, 0.66, 3.08, 0.05]
+    fdf = spark.createDataFrame([(v,) for v in fvals], "v double")
+    with pytest.raises(Exception, match="requires integer values"):
+        gini_concentration(fdf, "v").collect()
+    fx = np.sort(np.array(fvals))
+    fn = len(fx)
+    fg = (2 * ((np.arange(1, fn + 1)) * fx).sum()) / (
+        fn * fx.sum()
+    ) - (fn + 1) / fn
+    frow = gini_concentration(fdf, "v", exact=False).collect()[0]
+    assert frow["gini"] == pytest.approx(fg, abs=1e-9)
+    assert frow["total"] is None  # fractional sum: no silent long cast
+    sdf = spark.createDataFrame(
+        [(int(round(v * 100)),) for v in fvals], "v long"
+    )
+    srow = gini_concentration(sdf, "v").collect()[0]
+    assert srow["gini"] == pytest.approx(fg, abs=1e-9)
+
 
 def test_benford_first_digit(spark):
     """Benford audit: digit extraction from integer strings, zero
@@ -7300,7 +7322,25 @@ def test_runs_and_sign_tests_vs_replica(spark):
         comb(10, i) for i in list(range(0, 4)) + list(range(7, 11))
     ) / 2 ** 10
     assert (rs["n_pos"], rs["n_neg"], rs["n_tie"]) == (3, 7, 1)
-    assert rs["p_exact"] == pytest.approx(exact, abs=1e-6)
+    assert rs["method"] == "exact"
+    assert rs["p_value"] == pytest.approx(exact, abs=1e-6)
+    # above max_support the continuity-corrected normal branch kicks
+    # in: z = (|2k - n| - 1)/sqrt(n), two-sided erfc p
+    rn = sign_test(
+        spark.createDataFrame(pairs, ["x", "y"]), "x", "y",
+        max_support=5,
+    ).collect()[0]
+    z = (abs(2 * 3 - 10) - 1) / 10 ** 0.5
+    ref = math.erfc(z / 2 ** 0.5)
+    assert rn["method"] == "normal"
+    assert rn["p_value"] == pytest.approx(ref, abs=2e-6)
+    # max_support=None forces the exact fold at any size
+    rf = sign_test(
+        spark.createDataFrame(pairs, ["x", "y"]), "x", "y",
+        max_support=None,
+    ).collect()[0]
+    assert rf["method"] == "exact"
+    assert rf["p_value"] == pytest.approx(exact, abs=1e-6)
 
 
 def test_ordinal_association_vs_bruteforce(spark):
@@ -7783,11 +7823,17 @@ def test_grubbs_benford_hhi_vs_replicas(spark):
     n, m, s = len(x), x.mean(), x.std(ddof=1)
     G = max(x.max() - m, m - x.min()) / s
     t = math.sqrt(n * (n - 2) * G * G / ((n - 1) ** 2 - n * G * G))
-    p = min(1.0, n * (float(student_t_sf(t, n - 2)) / 2))
+    # default is the NIST two-sided convention: 2n x one-sided tail
+    p2 = min(1.0, 2 * n * (float(student_t_sf(t, n - 2)) / 2))
     assert r["g_stat"] == pytest.approx(G, abs=1e-5)
-    assert r["p_value"] == pytest.approx(p, abs=1e-5)
+    assert r["p_value"] == pytest.approx(p2, abs=1e-5)
     assert r["outlier_value"] == 75.0
     assert r["p_value"] < 0.01  # the plant is detected
+    r1 = grubbs_test(df, "v", side="one-sided").collect()[0]
+    p1 = min(1.0, n * (float(student_t_sf(t, n - 2)) / 2))
+    assert r1["p_value"] == pytest.approx(p1, abs=1e-5)
+    with pytest.raises(ValueError, match="side must be"):
+        grubbs_test(df, "v", side="both")
 
     vals = np.floor(np.exp(rng.uniform(0, 10, 3000))) + 1
     bd = spark.createDataFrame([(float(v),) for v in vals], ["v"])
@@ -8239,6 +8285,9 @@ def test_script_mojibake_rbo_vs_replicas(spark):
         (2, "bad \ufffd\ufffd here"),
         (3, "caf\u00c3\u00a9 mangl\u00c3\u00a9"),
         (4, "x" + chr(7) + "y"),
+        # artifact bigram whose SECOND byte is a C1 control
+        # (U+00C3 U+0080 = '\u00c0' mangled): one artifact, ZERO controls
+        (5, "a\u00c3\u0080b"),
     ]
     md = spark.createDataFrame(mj, ["id", "text"])
     out = {r["id"]: r for r in mojibake_score(md, "text").collect()}
@@ -8246,6 +8295,10 @@ def test_script_mojibake_rbo_vs_replicas(spark):
     assert out[2]["n_replacement"] == 2
     assert out[3]["n_artifact"] == 2
     assert out[4]["n_control"] == 1
+    assert (out[5]["n_artifact"], out[5]["n_control"]) == (1, 0)
+    assert out[5]["mojibake_per_kchar"] == pytest.approx(
+        1000.0 / 4, abs=1e-6
+    )
 
     rng = np.random.RandomState(18)
     k, p = 10, 0.9
