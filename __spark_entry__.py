@@ -4221,6 +4221,136 @@ def q_windowed_confusion(spark, sf):
     )
 
 
+_WINDOWED_ECE_ORACLE = """
+WITH e AS (
+  SELECT (epoch_us(ts) // 3600000000) * 3600 AS ws,
+    least(1.0, greatest(0.0,
+      floor(value * 1024.0 / 200.0) / 1024.0)) AS p,
+    CASE WHEN event_type IN ('click', 'view') THEN 1.0 ELSE 0.0 END
+      AS y
+  FROM events
+  WHERE ts IS NOT NULL AND value IS NOT NULL
+    AND event_type IS NOT NULL
+),
+b AS (
+  SELECT ws,
+    CAST(least(9, CAST(floor(p * 10) AS INT)) AS INT) AS bin,
+    CAST(count(*) AS BIGINT) AS n,
+    sum(p) AS sp, sum(y) AS sy
+  FROM e GROUP BY 1, 2
+),
+g AS (
+  -- division-free ece numerator + portable HALF_UP rounding:
+  -- mirrors the operator exactly (dyadic sums are order-exact)
+  SELECT ws, bin, n, abs(sp - sy) AS adiff,
+    abs(sp - sy) / CAST(n AS DOUBLE) AS gap
+  FROM b
+)
+SELECT ws AS window_start_epoch,
+  CAST(sum(n) AS BIGINT) AS n,
+  floor(sum(adiff) / CAST(sum(n) AS DOUBLE) * 1e6 + 0.5) / 1e6
+    AS ece,
+  floor(max(gap) * 1e6 + 0.5) / 1e6 AS mce
+FROM g GROUP BY 1
+"""
+
+
+@_q("windowed_ece", _WINDOWED_ECE_ORACLE)
+def q_windowed_ece(spark, sf):
+    """Per-hour expected/maximum calibration error of a clamped
+    value-score against engagement labels (streaming.windowed_ece):
+    ONE stateful aggregation — the 10 equal-width bins are
+    compile-time conditional-sum columns, so it runs unchanged on a
+    stream with bounded per-key state. The score is quantized to
+    DYADIC 1/1024 steps so the per-bin probability sums are exact in
+    double regardless of either engine's summation order."""
+    from padua_spark.streaming import windowed_ece
+
+    e = _t(spark, sf, "events").where(
+        F.col("event_type").isNotNull()
+    )
+    out = windowed_ece(
+        e,
+        _events_event_time(spark, sf),
+        F.least(
+            F.lit(1.0),
+            F.greatest(
+                F.lit(0.0),
+                F.floor(F.col("value") * 1024.0 / 200.0) / 1024.0,
+            ),
+        ),
+        F.col("event_type").isin("click", "view").cast("int"),
+        window_duration="1 hour",
+        n_bins=10,
+    )
+    return out.select(
+        F.col("window_start").cast("long").alias("window_start_epoch"),
+        "n", "ece", "mce",
+    )
+
+
+_WINDOWED_BINNED_AUC_ORACLE = """
+WITH e AS (
+  SELECT (epoch_us(ts) // 3600000000) * 3600 AS ws,
+    least(1.0, greatest(0.0, value / 200.0)) AS s,
+    CASE WHEN event_type IN ('click', 'view') THEN 1 ELSE 0 END AS y
+  FROM events
+  WHERE ts IS NOT NULL AND value IS NOT NULL
+    AND event_type IS NOT NULL
+),
+b AS (
+  SELECT ws,
+    CAST(least(63, CAST(floor(s * 64) AS INT)) AS INT) AS bin,
+    CAST(sum(y) AS BIGINT) AS pos,
+    CAST(sum(1 - y) AS BIGINT) AS neg
+  FROM e GROUP BY 1, 2
+),
+c AS (
+  SELECT ws, bin, pos, neg,
+    CAST(coalesce(sum(neg) OVER (PARTITION BY ws ORDER BY bin
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      AS DOUBLE) AS neg_below
+  FROM b
+)
+SELECT ws AS window_start_epoch,
+  CAST(sum(pos) AS BIGINT) AS n_pos,
+  CAST(sum(neg) AS BIGINT) AS n_neg,
+  round(CASE WHEN sum(pos) > 0 AND sum(neg) > 0 THEN
+    sum(CAST(pos AS DOUBLE) * (neg_below + CAST(neg AS DOUBLE) / 2.0))
+    / (CAST(sum(pos) AS DOUBLE) * CAST(sum(neg) AS DOUBLE)) END, 6)
+    AS auc
+FROM c GROUP BY 1
+"""
+
+
+@_q("windowed_binned_auc", _WINDOWED_BINNED_AUC_ORACLE)
+def q_windowed_binned_auc(spark, sf):
+    """Per-hour binned (tie-aware midrank) ROC-AUC of the clamped
+    value-score for engagement labels (streaming.windowed_binned_auc):
+    2 x 64 bounded count partials per window in ONE stateful
+    aggregation, the cumulative-negatives fold as a per-row array
+    expression — the streamable face of exact group_auc."""
+    from padua_spark.streaming import windowed_binned_auc
+
+    e = _t(spark, sf, "events").where(
+        F.col("event_type").isNotNull()
+    )
+    out = windowed_binned_auc(
+        e,
+        _events_event_time(spark, sf),
+        F.least(
+            F.lit(1.0), F.greatest(F.lit(0.0), F.col("value") / 200.0)
+        ),
+        F.col("event_type").isin("click", "view").cast("int"),
+        window_duration="1 hour",
+        n_bins=64,
+    )
+    return out.select(
+        F.col("window_start").cast("long").alias("window_start_epoch"),
+        "n_pos", "n_neg", "auc",
+    )
+
+
 # --- ext: robust statistics (median/MAD z, trimmed mean) --------------------
 
 
@@ -18146,6 +18276,499 @@ def q_grubbs_test(spark, sf):
 
     li = _t(spark, sf, "lineitem")
     return grubbs_test(li, "l_quantity")
+
+
+# Shared regression-diagnostics source: x = quantity (integer-valued),
+# y = extendedprice in TENS OF DOLLARS, rounded to integer — both
+# integer-valued doubles whose raw moment sums (incl. sum(y^2) <=
+# ~6.5e13 at sf0.1) stay under 2^53, so every fitted scalar (a, b,
+# Sxx, s^2, covariance) is bit-identical across engines regardless of
+# summation order, and per-row residual/leverage/d^2 expressions (and
+# their threshold flags) are fully deterministic.
+_DIAG_XY_SQL = """
+  SELECT l_orderkey, l_linenumber,
+    CAST(l_quantity AS DOUBLE) AS x,
+    CAST(round(l_extendedprice / 10.0) AS DOUBLE) AS y
+  FROM lineitem
+  WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+"""
+
+
+def _diag_xy(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    return li.where(
+        F.col("l_quantity").isNotNull()
+        & F.col("l_extendedprice").isNotNull()
+    ).select(
+        "l_orderkey", "l_linenumber", "l_shipdate",
+        F.col("l_quantity").cast("double").alias("x"),
+        F.round(F.col("l_extendedprice") / 10.0).cast("double")
+        .alias("y"),
+    )
+
+
+_BP_ORACLE = f"""
+WITH d AS ({_DIAG_XY_SQL}),
+m1 AS (
+  SELECT CAST(count(*) AS BIGINT) AS n, sum(x) AS sx, sum(y) AS sy,
+    sum(x * x) AS sxx, sum(x * y) AS sxy
+  FROM d
+),
+fit AS (
+  SELECT n,
+    (sxy - sx * sy / n) / (sxx - sx * sx / n) AS b,
+    sy / n - (sxy - sx * sy / n) / (sxx - sx * sx / n) * sx / n AS a
+  FROM m1
+),
+m2 AS (
+  SELECT max(fit.n) AS n, max(fit.b) AS b, max(fit.a) AS a,
+    sum(d.x) AS sx, sum(d.x * d.x) AS sxx,
+    sum((d.y - fit.a - fit.b * d.x) * (d.y - fit.a - fit.b * d.x))
+      AS su,
+    sum((d.y - fit.a - fit.b * d.x) * (d.y - fit.a - fit.b * d.x)
+        * (d.y - fit.a - fit.b * d.x) * (d.y - fit.a - fit.b * d.x))
+      AS suu,
+    sum(d.x * (d.y - fit.a - fit.b * d.x)
+        * (d.y - fit.a - fit.b * d.x)) AS sxu
+  FROM d CROSS JOIN fit
+),
+s AS (
+  SELECT n, b, a,
+    CAST(n AS DOUBLE)
+      * ((sxu - sx * su / n) * (sxu - sx * su / n))
+      / ((sxx - sx * sx / n) * (suu - su * su / n)) AS lm
+  FROM m2
+),
+e AS (
+  SELECT *, sqrt(lm / 2.0) AS z,
+    1.0 / (1.0 + 0.3275911 * sqrt(lm / 2.0)) AS t
+  FROM s
+)
+SELECT n, round(b, 6) AS slope, round(a, 6) AS intercept,
+  round(lm, 6) AS lm_stat,
+  round((0.254829592 * t + -0.284496736 * t * t
+     + 1.421413741 * t * t * t + -1.453152027 * t * t * t * t
+     + 1.061405429 * t * t * t * t * t) * exp(-z * z), 6) AS p_value
+FROM e
+"""
+
+
+@_q("breusch_pagan", _BP_ORACLE)
+def q_breusch_pagan(spark, sf):
+    """Breusch-Pagan (Koenker) heteroskedasticity LM test of price on
+    quantity (stats.breusch_pagan): two aggregations with the fitted
+    line broadcast back as a 1-row frame; chi2_1 p via the closed
+    erfc identity — no UDF."""
+    from padua_spark.operators.stats import breusch_pagan
+
+    return breusch_pagan(_diag_xy(spark, sf), "x", "y")
+
+
+_CHOW_ORACLE = f"""
+WITH RECURSIVE d0 AS (
+  SELECT l_orderkey, l_linenumber, l_shipdate,
+    CAST(l_quantity AS DOUBLE) AS x,
+    CAST(round(l_extendedprice / 10.0) AS DOUBLE) AS y
+  FROM lineitem
+  WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+),
+d AS (
+  SELECT x, y,
+    CASE WHEN l_shipdate >= TIMESTAMP '1998-05-24 00:00:00' THEN 1 ELSE 0 END AS s
+  FROM d0
+),
+m AS (
+  SELECT
+    CAST(sum(CASE WHEN s = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+    sum(CASE WHEN s = 0 THEN x ELSE 0 END) AS sx0,
+    sum(CASE WHEN s = 0 THEN y ELSE 0 END) AS sy0,
+    sum(CASE WHEN s = 0 THEN x * x ELSE 0 END) AS sxx0,
+    sum(CASE WHEN s = 0 THEN x * y ELSE 0 END) AS sxy0,
+    sum(CASE WHEN s = 0 THEN y * y ELSE 0 END) AS syy0,
+    CAST(sum(CASE WHEN s = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+    sum(CASE WHEN s = 1 THEN x ELSE 0 END) AS sx1,
+    sum(CASE WHEN s = 1 THEN y ELSE 0 END) AS sy1,
+    sum(CASE WHEN s = 1 THEN x * x ELSE 0 END) AS sxx1,
+    sum(CASE WHEN s = 1 THEN x * y ELSE 0 END) AS sxy1,
+    sum(CASE WHEN s = 1 THEN y * y ELSE 0 END) AS syy1
+  FROM d
+),
+sse AS (
+  SELECT n0, n1,
+    (syy0 - sy0 * sy0 / n0)
+      - (sxy0 - sx0 * sy0 / n0) * (sxy0 - sx0 * sy0 / n0)
+        / (sxx0 - sx0 * sx0 / n0) AS sse_a,
+    (syy1 - sy1 * sy1 / n1)
+      - (sxy1 - sx1 * sy1 / n1) * (sxy1 - sx1 * sy1 / n1)
+        / (sxx1 - sx1 * sx1 / n1) AS sse_b,
+    ((syy0 + syy1) - (sy0 + sy1) * (sy0 + sy1) / (n0 + n1))
+      - ((sxy0 + sxy1) - (sx0 + sx1) * (sy0 + sy1) / (n0 + n1))
+        * ((sxy0 + sxy1) - (sx0 + sx1) * (sy0 + sy1) / (n0 + n1))
+        / ((sxx0 + sxx1) - (sx0 + sx1) * (sx0 + sx1) / (n0 + n1))
+      AS sse_p
+  FROM m
+),
+fs AS (
+  SELECT n0, n1, sse_a, sse_b, sse_p,
+    CAST(n0 + n1 AS DOUBLE) - 4.0 AS dfd,
+    greatest(0.0, ((sse_p - sse_a - sse_b) / 2.0)
+      / ((sse_a + sse_b) / (CAST(n0 + n1 AS DOUBLE) - 4.0))) AS f
+  FROM sse
+),
+inp AS (
+  SELECT 'k' AS key,
+    CAST(dfd / (dfd + 2.0 * f) AS DOUBLE) AS x,
+    CAST(dfd / 2.0 AS DOUBLE) AS a, CAST(1.0 AS DOUBLE) AS b
+  FROM fs
+),
+{{BETAINC}}
+SELECT fs.n0 AS n_a, fs.n1 AS n_b,
+  round(fs.sse_a, 6) AS sse_a, round(fs.sse_b, 6) AS sse_b,
+  round(fs.sse_p, 6) AS sse_pooled,
+  round(fs.f, 6) AS f_stat,
+  CAST(2.0 AS DOUBLE) AS dfn, round(fs.dfd, 6) AS dfd,
+  round(pv.p, 6) AS p_value
+FROM fs LEFT JOIN pv ON pv.key = 'k'
+"""
+
+
+@_q("chow_test", _CHOW_ORACLE.replace("{BETAINC}", _betainc_chain_sql()))
+def q_chow_test(spark, sf):
+    """Chow structural-break F test of the price~quantity line across
+    the median-shipdate split (stats.chow_test): ONE conditional
+    12-moment aggregation, closed centered SSEs, F p via the shared
+    incomplete beta."""
+    from padua_spark.operators.stats import chow_test
+
+    d = _diag_xy(spark, sf).withColumn(
+        "s",
+        (F.col("l_shipdate") >= F.lit("1998-05-24 00:00:00")).cast("int"),
+    )
+    return chow_test(d, "x", "y", "s")
+
+
+_COOKS_ORACLE = f"""
+WITH d AS ({_DIAG_XY_SQL}),
+m AS (
+  SELECT CAST(count(*) AS BIGINT) AS n, sum(x) AS sx, sum(y) AS sy,
+    sum(x * x) AS sxx, sum(x * y) AS sxy, sum(y * y) AS syy
+  FROM d
+),
+fit AS (
+  SELECT n,
+    (sxy - sx * sy / n) / (sxx - sx * sx / n) AS b,
+    sy / n - (sxy - sx * sy / n) / (sxx - sx * sx / n) * sx / n AS a,
+    sx / n AS xbar,
+    sxx - sx * sx / n AS sxxc,
+    ((syy - sy * sy / n)
+     - (sxy - sx * sy / n) * (sxy - sx * sy / n)
+       / (sxx - sx * sx / n)) / (n - 2.0) AS s2
+  FROM m
+),
+r AS (
+  SELECT d.l_orderkey, d.l_linenumber, d.x, d.y, fit.n,
+    d.y - fit.a - fit.b * d.x AS e,
+    1.0 / fit.n + (d.x - fit.xbar) * (d.x - fit.xbar) / fit.sxxc
+      AS h,
+    fit.s2 AS s2
+  FROM d CROSS JOIN fit
+),
+c AS (
+  SELECT l_orderkey, l_linenumber, x, y, e, h, n,
+    e * e * h / (2.0 * s2 * (1.0 - h) * (1.0 - h)) AS cd
+  FROM r
+)
+SELECT l_orderkey, l_linenumber,
+  round(x, 6) AS x, round(y, 6) AS y,
+  round(e, 6) AS residual, round(h, 6) AS leverage,
+  round(cd, 6) AS cooks_d
+FROM c WHERE cd > 4.0 / CAST(n AS DOUBLE)
+"""
+
+
+@_q("cooks_distance", _COOKS_ORACLE)
+def q_cooks_distance(spark, sf):
+    """Cook's-distance influence screen on the price~quantity line
+    (stats.cooks_distance): 1-row fitted frame broadcast back, pure
+    scan-level residual/leverage expressions, classic 4/n flag —
+    deterministic because the integer-valued moments are order-exact."""
+    from padua_spark.operators.stats import cooks_distance
+
+    return cooks_distance(
+        _diag_xy(spark, sf), "x", "y",
+        ["l_orderkey", "l_linenumber"],
+    )
+
+
+_MAHA_ORACLE = f"""
+WITH d0 AS ({_DIAG_XY_SQL}),
+d AS (
+  -- plant a deterministic off-cloud cohort (1/997 of orderkeys get
+  -- +$500k): the uniform synthetic cloud has max d2 ~ 5.9, so the
+  -- flag path would otherwise be vacuously green on empty sets
+  SELECT l_orderkey, l_linenumber, x,
+    y + CASE WHEN l_orderkey % 997 = 0 THEN 50000.0 ELSE 0.0 END AS y
+  FROM d0
+),
+m AS (
+  SELECT CAST(count(*) AS BIGINT) AS n, sum(x) AS sx, sum(y) AS sy,
+    sum(x * x) AS sxx, sum(y * y) AS syy, sum(x * y) AS sxy
+  FROM d
+),
+fit AS (
+  SELECT n, sx / n AS mx, sy / n AS my,
+    (sxx - sx * sx / n) / (n - 1.0) AS vx,
+    (syy - sy * sy / n) / (n - 1.0) AS vy,
+    (sxy - sx * sy / n) / (n - 1.0) AS cxy
+  FROM m
+),
+f2 AS (SELECT *, vx * vy - cxy * cxy AS det FROM fit),
+r AS (
+  SELECT d.l_orderkey, d.l_linenumber, d.x, d.y,
+    (f2.vy * (d.x - f2.mx) * (d.x - f2.mx)
+     - 2.0 * f2.cxy * (d.x - f2.mx) * (d.y - f2.my)
+     + f2.vx * (d.y - f2.my) * (d.y - f2.my)) / f2.det AS d2
+  FROM d CROSS JOIN f2
+)
+SELECT l_orderkey, l_linenumber,
+  round(x, 6) AS x, round(y, 6) AS y, round(d2, 6) AS d2
+FROM r WHERE d2 > 13.815510557964274
+"""
+
+
+@_q("mahalanobis_outliers", _MAHA_ORACLE)
+def q_mahalanobis_outliers(spark, sf):
+    """Bivariate Mahalanobis outlier screen over (quantity, price)
+    with a planted off-cloud cohort (1/997 of orderkeys at +$500k —
+    the synthetic cloud alone maxes out at d2 ~ 5.9)
+    (stats.mahalanobis_outliers): 1-row covariance frame broadcast
+    back, closed 2x2 inverse, chi2_2 0.999 flag — order-exact
+    integer moments make the flag set deterministic."""
+    from padua_spark.operators.stats import mahalanobis_outliers
+
+    d = _diag_xy(spark, sf).withColumn(
+        "y",
+        F.col("y")
+        + F.when(F.col("l_orderkey") % 997 == 0, 50000.0)
+        .otherwise(0.0),
+    )
+    return mahalanobis_outliers(
+        d, "x", "y", ["l_orderkey", "l_linenumber"],
+    )
+
+
+_HUBER_ORACLE = f"""
+WITH d0 AS ({_DIAG_XY_SQL}),
+d AS (
+  SELECT x,
+    y + CASE WHEN l_orderkey % 997 = 0 THEN 50000.0 ELSE 0.0 END AS y
+  FROM d0
+),
+m AS (
+  SELECT CAST(count(*) AS BIGINT) AS n, sum(x) AS sx, sum(y) AS sy,
+    sum(x * x) AS sxx, sum(x * y) AS sxy, sum(y * y) AS syy
+  FROM d
+),
+f0 AS (
+  SELECT n,
+    (sxy - sx * sy / n) / (sxx - sx * sx / n) AS b,
+    sy / n - (sxy - sx * sy / n) / (sxx - sx * sx / n) * sx / n AS a,
+    sqrt(((syy - sy * sy / n)
+          - (sxy - sx * sy / n) * (sxy - sx * sy / n)
+            / (sxx - sx * sx / n)) / (n - 2.0)) AS s0
+  FROM m
+),
+a1 AS (
+  SELECT max(f0.n) AS n, max(f0.b) AS b0, max(f0.a) AS a0,
+    max(f0.s0) AS s0,
+    sum(w) AS sw, sum(w * x) AS swx, sum(w * y) AS swy,
+    sum(w * x * x) AS swxx, sum(w * x * y) AS swxy,
+    CAST(sum(CASE WHEN w < 1.0 THEN 1 ELSE 0 END) AS BIGINT) AS ndw
+  FROM (
+    SELECT d.x, d.y, f0.n, f0.b, f0.a, f0.s0,
+      CASE WHEN abs(d.y - f0.a - f0.b * d.x) > 1.345 * f0.s0
+           THEN 1.345 * f0.s0 / abs(d.y - f0.a - f0.b * d.x)
+           ELSE 1.0 END AS w
+    FROM d CROSS JOIN f0
+  ) t CROSS JOIN f0
+),
+f1 AS (
+  SELECT n, b0, a0, s0, ndw,
+    (swxy - swx * swy / sw) / (swxx - swx * swx / sw) AS b,
+    swy / sw - (swxy - swx * swy / sw) / (swxx - swx * swx / sw)
+      * swx / sw AS a
+  FROM a1
+),
+a2 AS (
+  SELECT max(f1.n) AS n, max(f1.b0) AS b0, max(f1.a0) AS a0,
+    max(f1.s0) AS s0,
+    sum(w) AS sw, sum(w * x) AS swx, sum(w * y) AS swy,
+    sum(w * x * x) AS swxx, sum(w * x * y) AS swxy,
+    CAST(sum(CASE WHEN w < 1.0 THEN 1 ELSE 0 END) AS BIGINT) AS ndw
+  FROM (
+    SELECT d.x, d.y,
+      CASE WHEN abs(d.y - f1.a - f1.b * d.x) > 1.345 * f1.s0
+           THEN 1.345 * f1.s0 / abs(d.y - f1.a - f1.b * d.x)
+           ELSE 1.0 END AS w
+    FROM d CROSS JOIN f1
+  ) t CROSS JOIN f1
+),
+f2 AS (
+  SELECT n, b0, a0, s0, ndw,
+    (swxy - swx * swy / sw) / (swxx - swx * swx / sw) AS b,
+    swy / sw - (swxy - swx * swy / sw) / (swxx - swx * swx / sw)
+      * swx / sw AS a
+  FROM a2
+),
+a3 AS (
+  SELECT max(f2.n) AS n, max(f2.b0) AS b0, max(f2.a0) AS a0,
+    max(f2.s0) AS s0,
+    sum(w) AS sw, sum(w * x) AS swx, sum(w * y) AS swy,
+    sum(w * x * x) AS swxx, sum(w * x * y) AS swxy,
+    CAST(sum(CASE WHEN w < 1.0 THEN 1 ELSE 0 END) AS BIGINT) AS ndw
+  FROM (
+    SELECT d.x, d.y,
+      CASE WHEN abs(d.y - f2.a - f2.b * d.x) > 1.345 * f2.s0
+           THEN 1.345 * f2.s0 / abs(d.y - f2.a - f2.b * d.x)
+           ELSE 1.0 END AS w
+    FROM d CROSS JOIN f2
+  ) t CROSS JOIN f2
+),
+f3 AS (
+  SELECT n, b0, a0, s0, ndw,
+    (swxy - swx * swy / sw) / (swxx - swx * swx / sw) AS b,
+    swy / sw - (swxy - swx * swy / sw) / (swxx - swx * swx / sw)
+      * swx / sw AS a
+  FROM a3
+)
+SELECT n, round(b0, 6) AS slope_ols, round(a0, 6) AS intercept_ols,
+  round(b, 6) AS slope, round(a, 6) AS intercept,
+  round(s0, 6) AS scale, ndw AS n_downweighted
+FROM f3
+"""
+
+
+@_q("huber_regression", _HUBER_ORACLE)
+def q_huber_regression(spark, sf):
+    """Huber IRLS robust line through the planted-outlier
+    price~quantity cloud (stats.huber_regression): OLS moments freeze
+    the scale, 3 unrolled reweighted rounds, each one aggregation
+    with the previous 1-row fit broadcast back — the oracle replays
+    the identical unroll as chained CTEs (the cox_ph contract)."""
+    from padua_spark.operators.stats import huber_regression
+
+    d = _diag_xy(spark, sf).withColumn(
+        "y",
+        F.col("y")
+        + F.when(F.col("l_orderkey") % 997 == 0, 50000.0)
+        .otherwise(0.0),
+    )
+    return huber_regression(d, "x", "y")
+
+
+_URL_SYNTH_SQL = """
+  SELECT doc_id,
+    'https://'
+    || CASE WHEN doc_id % 4 = 0 THEN 'WWW.' ELSE '' END
+    || source || '.Example.COM'
+    || CASE WHEN doc_id % 2 = 0 THEN ':8080' ELSE '' END
+    || '/' || lang || '/doc/' || CAST(doc_id AS VARCHAR)
+    || CASE WHEN doc_id % 3 = 0
+            THEN '?utm_source=feed&utm_medium=rss&id='
+                 || CAST(doc_id AS VARCHAR)
+            WHEN doc_id % 5 = 0
+            THEN '?id=' || CAST(doc_id AS VARCHAR) || '&gclid=abc'
+            ELSE '' END
+    || CASE WHEN doc_id % 7 = 0 THEN '#frag' ELSE '' END AS url
+  FROM documents
+  WHERE source IS NOT NULL AND lang IS NOT NULL
+"""
+
+_URL_PROFILE_ORACLE = f"""
+WITH d AS ({_URL_SYNTH_SQL}),
+p AS (
+  SELECT doc_id, url,
+    lower(regexp_extract(url,
+      '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+    lower(regexp_replace(regexp_replace(
+      regexp_extract(url,
+        '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1),
+      '^.*@', ''), ':[0-9]+$', '')) AS host,
+    regexp_extract(url,
+      '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS path,
+    regexp_extract(url, '\\?([^#]*)', 1) AS query,
+    regexp_extract(url, '^([^?#]*)', 1) AS clean
+  FROM d
+),
+q AS (
+  SELECT doc_id, scheme, host,
+    string_split(host, '.') AS labels,
+    len(list_filter(string_split(path, '/'), s -> s <> ''))
+      AS path_depth,
+    list_filter(string_split(query, '&'), s -> s <> '') AS params,
+    clean
+  FROM p
+)
+SELECT doc_id,
+  CASE WHEN scheme <> '' THEN scheme END AS scheme,
+  CASE WHEN host <> '' THEN host END AS host,
+  CASE WHEN len(labels) >= 2
+       THEN labels[len(labels) - 1] || '.' || labels[len(labels)]
+       WHEN host <> '' THEN host END AS registered_domain,
+  CAST(path_depth AS INT) AS path_depth,
+  CAST(len(params) AS INT) AS n_query_params,
+  CAST(len(list_filter(params, s ->
+    starts_with(s, 'utm_') OR starts_with(s, 'gclid=')
+    OR starts_with(s, 'fbclid=') OR starts_with(s, 'msclkid=')
+    OR starts_with(s, 'mc_eid='))) AS INT) AS n_tracking_params,
+  CASE WHEN clean <> '' THEN clean END AS clean_url
+FROM q
+"""
+
+
+@_q("url_profile", _URL_PROFILE_ORACLE)
+def q_url_profile(spark, sf):
+    """URL anatomy over deterministically synthesized crawl URLs
+    (text.url_profile): scheme/host/registered-domain/path-depth/
+    query- and tracking-param counts/clean dedup key — pure
+    scan-level regexp, zero shuffles."""
+    from padua_spark.extensions.text import url_profile
+
+    d = _t(spark, sf, "documents").where(
+        F.col("source").isNotNull() & F.col("lang").isNotNull()
+    ).select(
+        "doc_id",
+        F.concat(
+            F.lit("https://"),
+            F.when(F.col("doc_id") % 4 == 0, F.lit("WWW."))
+            .otherwise(F.lit("")),
+            F.col("source"), F.lit(".Example.COM"),
+            F.when(F.col("doc_id") % 2 == 0, F.lit(":8080"))
+            .otherwise(F.lit("")),
+            F.lit("/"), F.col("lang"), F.lit("/doc/"),
+            F.col("doc_id").cast("string"),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.concat(
+                    F.lit("?utm_source=feed&utm_medium=rss&id="),
+                    F.col("doc_id").cast("string"),
+                ),
+            ).when(
+                F.col("doc_id") % 5 == 0,
+                F.concat(
+                    F.lit("?id="), F.col("doc_id").cast("string"),
+                    F.lit("&gclid=abc"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 7 == 0, F.lit("#frag"))
+            .otherwise(F.lit("")),
+        ).alias("url"),
+    )
+    return url_profile(d, "url").select(
+        "doc_id", "scheme", "host", "registered_domain",
+        "path_depth", "n_query_params", "n_tracking_params",
+        "clean_url",
+    )
 
 
 _BENFORD_ORACLE = """

@@ -123,6 +123,7 @@ HEADLINE = [
     "durbin_watson",
     "runs_test",
     "sign_test",
+    "sign_test_normal",
     "ordinal_association",
     "clustering_coefficient",
     "assortativity",
@@ -156,6 +157,14 @@ HEADLINE = [
     "rbo_rankings",
     "ece_calibration",
     "temperature_scaling",
+    "windowed_ece",
+    "windowed_binned_auc",
+    "breusch_pagan",
+    "chow_test",
+    "cooks_distance",
+    "mahalanobis_outliers",
+    "huber_regression",
+    "url_profile",
     "anova_2way_stats",
     "levene_stats",
     "ttest_paired_stats",
@@ -299,6 +308,68 @@ HEADLINE = [
     "van_der_waerden",
     "fligner_killeen",
     "normality_ppcc",
+    # Round-10 completion of the bench tail: EVERY queries() entry is
+    # benched (tests/test_survey_coverage.py asserts the lockstep), so
+    # an entry that errors or regresses at bench scale can never hide
+    # in an unbenched remainder.
+    "ann_lsh_topk",
+    "apply_design_template",
+    "chunks_ntile",
+    "collapse_replicates_median",
+    "combine_columns_mean",
+    "corpus_stats",
+    "covariance_ellipse",
+    "curate_corpus",
+    "dedup_canonical",
+    "dedup_exact_groups",
+    "dedup_exact_rows",
+    "duplicate_spans",
+    "enrichment_ratio",
+    "expand_side_table",
+    "filter_threshold",
+    "find_nearest",
+    "fingerprint",
+    "group_mean_ratio",
+    "hier_cluster_assign",
+    "histogram",
+    "kegg_color_bins",
+    "label_regex_extract",
+    "linregress",
+    "localization_classes",
+    "log2_transform",
+    "mean_pool",
+    "mix_corpus",
+    "nonzero_sum",
+    "pack_sequences",
+    "pagerank_trade",
+    "pca_gram",
+    "phosphopath_ratio",
+    "pivot_group_means",
+    "pls_weights_pc1",
+    "plsda_scores",
+    "protein_id_functions",
+    "quality_control_counts",
+    "rank_by_value",
+    "remove_rows_containing",
+    "remove_rows_matching",
+    "repetition_signals",
+    "s0_classify",
+    "sample_k_per_stratum",
+    "search",
+    "stratified_sample",
+    "strip_labels",
+    "summary_counts",
+    "top_decile_share",
+    "topk_orders",
+    "train_test_split",
+    "ttest_1samp_stats",
+    "union_all_counts",
+    "user_event_type_sets",
+    "value_anomaly_counts",
+    "value_counts",
+    "venn_counts",
+    "ward_first_merge",
+    "zscore_median",
 ]
 
 

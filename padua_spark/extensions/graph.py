@@ -278,6 +278,7 @@ def pagerank(
     dst: str = "dst",
     k_iters: int = 5,
     damping: float = 0.85,
+    edges_distinct: bool = False,
 ) -> DataFrame:
     """Fixed-iteration PageRank over a directed edge list — importance
     propagation for link-graph curation (seed-quality spreading along
@@ -302,10 +303,23 @@ def pagerank(
     scalar count (driver-side, legitimate).
 
     Output: ``(node, rank)`` for every node appearing in the edges.
+    Pass ``edges_distinct=True`` when the caller GUARANTEES the
+    (src, dst) list is already duplicate-free (e.g. textrank's
+    symmetrized canonical pairs) — skips the edge-dedup shuffle.
     """
     e = edges.select(
         F.col(src).alias("_s"), F.col(dst).alias("_d")
-    ).distinct()
+    )
+    cached = []
+    if not edges_distinct:
+        # e feeds FOUR consumers (outdeg, the contrib join's probe
+        # side, and both branches of the nodes union) — without a
+        # persist the caller's whole edge pipeline (often a fact-fact
+        # join) re-runs per consumer. When the caller guarantees
+        # distinct edges it also owns their caching (textrank passes
+        # a union over its own persisted frame).
+        e = e.distinct().persist()
+        cached.append(e)
     outdeg = e.groupBy("_s").agg(F.count(F.lit(1)).alias("_o"))
     contrib = e.join(outdeg, on="_s").persist()
     nodes = (
@@ -319,7 +333,7 @@ def pagerank(
         from padua_spark.io_utils import track_cached
 
         empty = nodes.withColumn("rank", F.lit(0.0))
-        return track_cached(empty, contrib, nodes)
+        return track_cached(empty, contrib, nodes, *cached)
     base = (1.0 - damping) / n_nodes
     ranks = nodes.withColumn("rank", F.lit(1.0 / n_nodes))
     for _ in range(k_iters):
@@ -345,7 +359,7 @@ def pagerank(
         )
     from padua_spark.io_utils import track_cached
 
-    return track_cached(ranks, contrib, nodes)
+    return track_cached(ranks, contrib, nodes, *cached)
 
 
 def triangle_count(

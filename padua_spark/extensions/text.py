@@ -1757,9 +1757,14 @@ def textrank_keywords(
     Scale shape: the co-occurrence pairs come from ``window`` LEAD
     columns in ONE window pass over the per-document token sequence
     (one shuffle on the doc key — no self-join of the position frame
-    at all), and everything after is vocabulary-sized. Output:
-    ``(token, rank)`` (rank 9dp), optionally ``top_k`` by
-    ``(rank DESC, token)``.
+    at all), exploded to pairs IN THE SAME PASS (the lead frame has
+    exactly one consumer, so it is never persisted or recomputed),
+    and everything after is vocabulary-sized: one distinct to the
+    canonical undirected edges, then :func:`pagerank` told the
+    symmetrized list is already distinct (canonical src<dst edges and
+    their reversals cannot collide), so its own edge-dedup shuffle is
+    skipped. Output: ``(token, rank)`` (rank 9dp), optionally
+    ``top_k`` by ``(rank DESC, token)``.
     """
     from pyspark import StorageLevel
 
@@ -1783,19 +1788,27 @@ def textrank_keywords(
             F.lead("_tok", off).over(w).alias(f"_tb{off}")
             for off in range(1, int(window) + 1)
         ],
-    ).persist(StorageLevel.MEMORY_AND_DISK)
-    pairs = None
-    for off in range(1, int(window) + 1):
-        p = led.where(F.col(f"_tb{off}").isNotNull()).select(
-            "_ta", F.col(f"_tb{off}").alias("_tb")
-        )
-        pairs = p if pairs is None else pairs.unionAll(p)
+    )
+    # Explode the window of lead columns to pairs in the SAME pass —
+    # a per-offset union would consume the lead frame `window` times
+    # (forcing a persist + materialization barrier); the tiny
+    # (≤window)-element array stays inside codegen.
+    pairs = led.select(
+        "_ta",
+        F.explode(
+            F.filter(
+                F.array(*[
+                    F.col(f"_tb{off}")
+                    for off in range(1, int(window) + 1)
+                ]),
+                lambda x: x.isNotNull(),
+            )
+        ).alias("_tb"),
+    )
     # DISTINCT the undirected pairs BEFORE symmetrizing, and persist:
     # a union-based symmetrize references its upstream twice (the
     # round-4 connected-components finding), so without this the
-    # whole co-occurrence join pipeline runs twice inside pagerank's
-    # edge-dedup — and deduping the canonical pair first halves the
-    # rows entering pagerank's own distinct.
+    # whole co-occurrence pipeline would run twice.
     und = (
         pairs.where(F.col("_ta") != F.col("_tb"))
         .select(
@@ -1808,7 +1821,9 @@ def textrank_keywords(
     sym = und.unionAll(
         und.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
-    ranks = pagerank(sym, "src", "dst", k_iters, damping)
+    ranks = pagerank(
+        sym, "src", "dst", k_iters, damping, edges_distinct=True
+    )
     out = ranks.select(
         F.col("node").alias("token"),
         F.round("rank", 9).alias("rank"),
@@ -1817,7 +1832,7 @@ def textrank_keywords(
         out = out.orderBy(
             F.col("rank").desc(), F.col("token").asc()
         ).limit(int(top_k))
-    cached = [led, und]
+    cached = [und]
     cached.extend(getattr(ranks, "_padua_cached", ()))
     return track_cached(out, *cached)
 
@@ -1926,4 +1941,82 @@ def mojibake_score(
                 6,
             ),
         )
+    )
+
+
+def url_profile(
+    df: DataFrame,
+    url_col: str,
+) -> DataFrame:
+    """Per-row URL anatomy for crawl curation — the dedup/filter keys
+    every web-scale pipeline groups by before anything else (domain
+    quotas, tracking-param stripping, scheme/depth heuristics):
+
+    ``scheme`` (lowercased), ``host`` (lowercased, port dropped),
+    ``registered_domain`` (last two host labels — the pragmatic
+    grouping key; a full public-suffix list is a lookup TABLE the
+    caller can join on top), ``path_depth`` (non-empty path
+    segments), ``n_query_params``, ``n_tracking_params``
+    (``utm_*``/``gclid``/``fbclid``/``msclkid``/``mc_eid``), and
+    ``clean_url`` with the query dropped entirely (the standard
+    canonical dedup key).
+
+    Pure scan-level regexp/split expressions — zero shuffles, zero
+    UDFs, codegen throughout (the gopher_rules contract). NULL
+    components where the URL lacks them; NULL row out for NULL in.
+    """
+    u = F.col(url_col)
+    scheme = F.lower(F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    authority = F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1)
+    # strip userinfo then port
+    host = F.lower(
+        F.regexp_replace(
+            F.regexp_replace(authority, r"^.*@", ""), r":\d+$", ""
+        )
+    )
+    labels = F.split(host, r"\.")
+    nlab = F.size(labels)
+    reg_dom = F.when(
+        nlab >= 2,
+        F.concat_ws(
+            ".",
+            F.element_at(labels, -2),
+            F.element_at(labels, -1),
+        ),
+    ).otherwise(F.when(host != "", host))
+    path = F.regexp_extract(
+        u, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1
+    )
+    seg = F.filter(F.split(path, "/"), lambda x: x != "")
+    query = F.regexp_extract(u, r"\?([^#]*)", 1)
+    params = F.filter(F.split(query, "&"), lambda x: x != "")
+    is_tracking = lambda x: (
+        x.startswith("utm_")
+        | x.startswith("gclid=")
+        | x.startswith("fbclid=")
+        | x.startswith("msclkid=")
+        | x.startswith("mc_eid=")
+    )
+    clean = F.regexp_extract(u, r"^([^?#]*)", 1)
+    empty_as_null = lambda c: F.when(c != "", c)
+    return (
+        df.withColumn("scheme", empty_as_null(scheme))
+        .withColumn("host", empty_as_null(host))
+        .withColumn("registered_domain", reg_dom)
+        .withColumn(
+            "path_depth",
+            F.when(u.isNotNull(), F.size(seg)).cast("int"),
+        )
+        .withColumn(
+            "n_query_params",
+            F.when(u.isNotNull(), F.size(params)).cast("int"),
+        )
+        .withColumn(
+            "n_tracking_params",
+            F.when(
+                u.isNotNull(),
+                F.size(F.filter(params, is_tracking)),
+            ).cast("int"),
+        )
+        .withColumn("clean_url", empty_as_null(clean))
     )

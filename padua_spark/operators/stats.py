@@ -8341,3 +8341,473 @@ def stuart_maxwell(
         "p_value double",
     )
     return out
+
+
+def breusch_pagan(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Breusch–Pagan heteroskedasticity test (Koenker's studentized
+    form, the statsmodels default) for the simple regression of ``y``
+    on ``x`` — the residual-variance diagnostic beside
+    :func:`durbin_watson`'s autocorrelation one ("does spread grow
+    with the predictor?", the assumption every OLS forecast interval
+    leans on):
+
+    ``LM = n·R²`` of the auxiliary regression of ``e²`` on ``x``,
+    ``p ~ χ²₁`` via the closed identity ``P(χ²₁ ≥ x) = erfc(√(x/2))``
+    (shared A&S polynomial — no UDF anywhere).
+
+    Scale shape: TWO aggregations of the fact table — the first to
+    the five OLS moments (the fitted line), broadcast back as a 1-row
+    frame (a deliberate constant-fold BroadcastNestedLoopJoin), the
+    second to the three auxiliary moments of ``e²``. Computing e²
+    per-row against the SAME fitted (a, b) doubles on both engines
+    beats a single-pass 4th-order moment expansion, whose Σx⁴-scale
+    cancellations are a cross-engine knife edge. Output 1 row:
+    ``(n, slope, intercept, lm_stat, p_value)``, 6dp; NULL stats when
+    n < 3 or x or e² is constant.
+
+    Beyond the reference; standard per Breusch & Pagan 1979 /
+    Koenker 1981.
+    """
+    x = F.col(x_col).cast("double")
+    y = F.col(y_col).cast("double")
+    base = df.where(x.isNotNull() & y.isNotNull()).select(
+        x.alias("_x"), y.alias("_y")
+    )
+    m1 = base.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("_x").alias("_sx"),
+        F.sum("_y").alias("_sy"),
+        F.sum(F.col("_x") * F.col("_x")).alias("_sxx"),
+        F.sum(F.col("_x") * F.col("_y")).alias("_sxy"),
+    )
+    nd = F.col("n").cast("double")
+    sxx_c = F.col("_sxx") - F.col("_sx") * F.col("_sx") / nd
+    sxy_c = F.col("_sxy") - F.col("_sx") * F.col("_sy") / nd
+    fit = m1.select(
+        "n",
+        F.when((F.col("n") >= 3) & (sxx_c > 0), sxy_c / sxx_c)
+        .alias("_b"),
+        (F.col("_sy") / nd).alias("_ybar"),
+        (F.col("_sx") / nd).alias("_xbar"),
+        F.lit(1).alias("_one"),
+    ).withColumn("_a", F.col("_ybar") - F.col("_b") * F.col("_xbar"))
+    joined = base.withColumn("_one", F.lit(1)).join(
+        F.broadcast(fit), on="_one"
+    )
+    e2 = (
+        (F.col("_y") - F.col("_a") - F.col("_b") * F.col("_x"))
+        * (F.col("_y") - F.col("_a") - F.col("_b") * F.col("_x"))
+    )
+    m2 = joined.agg(
+        F.max("n").alias("n"),
+        F.max("_b").alias("_b"),
+        F.max("_a").alias("_a"),
+        F.sum("_x").alias("_sx"),
+        F.sum(F.col("_x") * F.col("_x")).alias("_sxx"),
+        F.sum(e2).alias("_su"),
+        F.sum(e2 * e2).alias("_suu"),
+        F.sum(F.col("_x") * e2).alias("_sxu"),
+    )
+    nd2 = F.col("n").cast("double")
+    sxx2 = F.col("_sxx") - F.col("_sx") * F.col("_sx") / nd2
+    suu2 = F.col("_suu") - F.col("_su") * F.col("_su") / nd2
+    sxu2 = F.col("_sxu") - F.col("_sx") * F.col("_su") / nd2
+    r2 = sxu2 * sxu2 / (sxx2 * suu2)
+    lm = F.when(
+        (F.col("_b").isNotNull()) & (sxx2 > 0) & (suu2 > 0),
+        nd2 * r2,
+    )
+    p = _normal_sf_2sided(F.sqrt(lm))  # P(chi2_1 >= x) = erfc(sqrt(x/2))
+    return m2.select(
+        "n",
+        F.round("_b", 6).alias("slope"),
+        F.round("_a", 6).alias("intercept"),
+        F.round(lm, 6).alias("lm_stat"),
+        F.round(F.when(lm.isNotNull(), p), 6).alias("p_value"),
+    )
+
+
+def chow_test(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    segment_col: str,
+) -> DataFrame:
+    """Chow structural-break test — "did the regression CHANGE between
+    the two regimes?" (pre/post a launch date, two segments of a time
+    axis; the formal version of eyeballing two trend lines):
+
+    fit ``y ~ x`` pooled and per segment;
+    ``F = ((SSE_p − SSE_a − SSE_b)/k) / ((SSE_a + SSE_b)/(n − 2k))``
+    with k = 2 (intercept + slope), df (k, n − 2k); p via the shared
+    regularized-incomplete-beta t/F machinery.
+
+    ONE aggregation: per-segment conditional moment sums (n, Σx, Σy,
+    Σx², Σxy, Σy² for segment 0 and 1 — 12 partials), every SSE the
+    closed centered form ``Syy_c − Sxy_c²/Sxx_c``, pooled from the
+    summed moments. Output 1 row: ``(n_a, n_b, sse_a, sse_b,
+    sse_pooled, f_stat, dfn, dfd, p_value)``, 6dp; NULL when either
+    segment has < 3 rows or zero x-variance.
+
+    Beyond the reference; standard per Chow 1960.
+    """
+    x = F.col(x_col).cast("double")
+    y = F.col(y_col).cast("double")
+    s = F.col(segment_col).cast("int")
+    base = df.where(
+        x.isNotNull() & y.isNotNull() & s.isin(0, 1)
+    ).select(x.alias("_x"), y.alias("_y"), s.alias("_s"))
+    aggs = []
+    for g in (0, 1):
+        hit = F.col("_s") == g
+        aggs += [
+            F.sum(F.when(hit, 1).otherwise(0)).cast("bigint")
+            .alias(f"_n{g}"),
+            F.sum(F.when(hit, F.col("_x")).otherwise(0.0))
+            .alias(f"_sx{g}"),
+            F.sum(F.when(hit, F.col("_y")).otherwise(0.0))
+            .alias(f"_sy{g}"),
+            F.sum(F.when(hit, F.col("_x") * F.col("_x")).otherwise(0.0))
+            .alias(f"_sxx{g}"),
+            F.sum(F.when(hit, F.col("_x") * F.col("_y")).otherwise(0.0))
+            .alias(f"_sxy{g}"),
+            F.sum(F.when(hit, F.col("_y") * F.col("_y")).otherwise(0.0))
+            .alias(f"_syy{g}"),
+        ]
+    agg = base.agg(*aggs)
+
+    def _sse(n, sx, sy, sxx, sxy, syy):
+        nd = n.cast("double")
+        sxx_c = sxx - sx * sx / nd
+        sxy_c = sxy - sx * sy / nd
+        syy_c = syy - sy * sy / nd
+        return F.when(
+            (n >= 3) & (sxx_c > 0), syy_c - sxy_c * sxy_c / sxx_c
+        )
+
+    c = F.col
+    sse_a = _sse(c("_n0"), c("_sx0"), c("_sy0"), c("_sxx0"),
+                 c("_sxy0"), c("_syy0"))
+    sse_b = _sse(c("_n1"), c("_sx1"), c("_sy1"), c("_sxx1"),
+                 c("_sxy1"), c("_syy1"))
+    sse_p = _sse(
+        c("_n0") + c("_n1"), c("_sx0") + c("_sx1"),
+        c("_sy0") + c("_sy1"), c("_sxx0") + c("_sxx1"),
+        c("_sxy0") + c("_sxy1"), c("_syy0") + c("_syy1"),
+    )
+    staged = agg.withColumn("_ssea", sse_a).withColumn(
+        "_sseb", sse_b
+    ).withColumn("_ssep", sse_p)
+    ntot = (c("_n0") + c("_n1")).cast("double")
+    dfd = ntot - 4.0
+    fstat = F.when(
+        c("_ssea").isNotNull() & c("_sseb").isNotNull()
+        & c("_ssep").isNotNull() & (dfd > 0)
+        & (c("_ssea") + c("_sseb") > 0),
+        ((c("_ssep") - c("_ssea") - c("_sseb")) / 2.0)
+        / ((c("_ssea") + c("_sseb")) / dfd),
+    )
+    staged = staged.withColumn("_f", F.greatest(F.lit(0.0), fstat))
+    staged = staged.withColumn(
+        "_p",
+        F.when(
+            F.col("_f").isNotNull(),
+            f_sf_udf(F.col("_f"), F.lit(2.0), dfd),
+        ),
+    )
+    return staged.select(
+        F.col("_n0").alias("n_a"),
+        F.col("_n1").alias("n_b"),
+        F.round("_ssea", 6).alias("sse_a"),
+        F.round("_sseb", 6).alias("sse_b"),
+        F.round("_ssep", 6).alias("sse_pooled"),
+        F.round("_f", 6).alias("f_stat"),
+        F.lit(2.0).alias("dfn"),
+        F.round(dfd, 6).alias("dfd"),
+        F.round("_p", 6).alias("p_value"),
+    )
+
+
+def cooks_distance(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    id_cols: list[str],
+    threshold: float | None = None,
+) -> DataFrame:
+    """Cook's distance influence screen for the simple regression of
+    ``y`` on ``x`` — "which rows are BENDING the fitted line?" (the
+    row-level complement to :func:`grubbs_test`'s single-outlier
+    question; the standard pre-fit hygiene pass for any trend the
+    pipeline reports):
+
+    ``D_i = e_i²·h_i / (p·s²·(1 − h_i)²)`` with
+    ``h_i = 1/n + (x_i − x̄)²/Sxx``, p = 2, ``s² = SSE/(n − 2)``;
+    flagged where ``D_i > threshold`` (default the classic ``4/n``).
+
+    Scale shape: ONE aggregation to the OLS moments, broadcast back
+    as a 1-row frame (constant-fold BNLJ), then a pure scan-level
+    expression per row — no sort, no window, no second shuffle.
+    Output: ``(*id_cols, x, y, residual, leverage, cooks_d)`` for
+    flagged rows, 6dp.
+
+    Beyond the reference; standard per Cook 1977.
+    """
+    x = F.col(x_col).cast("double")
+    y = F.col(y_col).cast("double")
+    base = df.where(x.isNotNull() & y.isNotNull()).select(
+        *id_cols, x.alias("_x"), y.alias("_y")
+    )
+    m = base.agg(
+        F.count(F.lit(1)).cast("bigint").alias("_n"),
+        F.sum("_x").alias("_sx"),
+        F.sum("_y").alias("_sy"),
+        F.sum(F.col("_x") * F.col("_x")).alias("_sxx"),
+        F.sum(F.col("_x") * F.col("_y")).alias("_sxy"),
+        F.sum(F.col("_y") * F.col("_y")).alias("_syy"),
+    )
+    nd = F.col("_n").cast("double")
+    sxx_c = F.col("_sxx") - F.col("_sx") * F.col("_sx") / nd
+    sxy_c = F.col("_sxy") - F.col("_sx") * F.col("_sy") / nd
+    syy_c = F.col("_syy") - F.col("_sy") * F.col("_sy") / nd
+    fit = m.select(
+        "_n",
+        (sxy_c / sxx_c).alias("_b"),
+        (F.col("_sy") / nd - (sxy_c / sxx_c) * F.col("_sx") / nd)
+        .alias("_a"),
+        (F.col("_sx") / nd).alias("_xbar"),
+        sxx_c.alias("_sxxc"),
+        ((syy_c - sxy_c * sxy_c / sxx_c) / (nd - 2.0)).alias("_s2"),
+        F.lit(1).alias("_one"),
+    ).where(
+        (F.col("_n") >= 4) & (F.col("_sxxc") > 0) & (F.col("_s2") > 0)
+    )
+    joined = base.withColumn("_one", F.lit(1)).join(
+        F.broadcast(fit), on="_one"
+    )
+    e = F.col("_y") - F.col("_a") - F.col("_b") * F.col("_x")
+    h = (
+        1.0 / F.col("_n").cast("double")
+        + (F.col("_x") - F.col("_xbar"))
+        * (F.col("_x") - F.col("_xbar"))
+        / F.col("_sxxc")
+    )
+    d = (
+        e * e * h
+        / (
+            2.0 * F.col("_s2")
+            * (F.lit(1.0) - h) * (F.lit(1.0) - h)
+        )
+    )
+    thr = (
+        F.lit(float(threshold))
+        if threshold is not None
+        else 4.0 / F.col("_n").cast("double")
+    )
+    return (
+        joined.withColumn("_d", d)
+        .where(F.col("_d") > thr)
+        .select(
+            *id_cols,
+            F.round("_x", 6).alias("x"),
+            F.round("_y", 6).alias("y"),
+            F.round(e, 6).alias("residual"),
+            F.round(h, 6).alias("leverage"),
+            F.round("_d", 6).alias("cooks_d"),
+        )
+    )
+
+
+def mahalanobis_outliers(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    id_cols: list[str],
+    d2_threshold: float = 13.815510557964274,
+) -> DataFrame:
+    """Bivariate Mahalanobis-distance outlier screen — the
+    correlation-aware generalization of the 2-D z-score box ("far
+    from the cloud ALONG ITS SHAPE", catching points no per-axis
+    filter sees): ``d² = Δ'Σ̂⁻¹Δ`` against the sample mean/covariance,
+    flagged where ``d² > d2_threshold`` (default the χ²₂ 0.999
+    quantile — under normality ~0.1% false-flag rate).
+
+    Scale shape: ONE aggregation to the five covariance moments
+    (sample covariance, n − 1), the 2×2 inverse in closed form on the
+    1-row frame, broadcast back (constant-fold BNLJ), then a pure
+    scan-level quadratic form per row. Output: ``(*id_cols, x, y,
+    d2)`` for flagged rows, 6dp; empty when n < 3 or the covariance
+    is singular.
+
+    Beyond the reference; textbook (Mahalanobis 1936).
+    """
+    x = F.col(x_col).cast("double")
+    y = F.col(y_col).cast("double")
+    base = df.where(x.isNotNull() & y.isNotNull()).select(
+        *id_cols, x.alias("_x"), y.alias("_y")
+    )
+    m = base.agg(
+        F.count(F.lit(1)).cast("bigint").alias("_n"),
+        F.sum("_x").alias("_sx"),
+        F.sum("_y").alias("_sy"),
+        F.sum(F.col("_x") * F.col("_x")).alias("_sxx"),
+        F.sum(F.col("_y") * F.col("_y")).alias("_syy"),
+        F.sum(F.col("_x") * F.col("_y")).alias("_sxy"),
+    )
+    nd = F.col("_n").cast("double")
+    vx = (F.col("_sxx") - F.col("_sx") * F.col("_sx") / nd) / (
+        nd - 1.0
+    )
+    vy = (F.col("_syy") - F.col("_sy") * F.col("_sy") / nd) / (
+        nd - 1.0
+    )
+    cxy = (F.col("_sxy") - F.col("_sx") * F.col("_sy") / nd) / (
+        nd - 1.0
+    )
+    det = vx * vy - cxy * cxy
+    fit = m.select(
+        "_n",
+        (F.col("_sx") / nd).alias("_mx"),
+        (F.col("_sy") / nd).alias("_my"),
+        vx.alias("_vx"),
+        vy.alias("_vy"),
+        cxy.alias("_cxy"),
+        det.alias("_det"),
+        F.lit(1).alias("_one"),
+    ).where((F.col("_n") >= 3) & (F.col("_det") > 0))
+    joined = base.withColumn("_one", F.lit(1)).join(
+        F.broadcast(fit), on="_one"
+    )
+    dx = F.col("_x") - F.col("_mx")
+    dy = F.col("_y") - F.col("_my")
+    d2 = (
+        F.col("_vy") * dx * dx
+        - 2.0 * F.col("_cxy") * dx * dy
+        + F.col("_vx") * dy * dy
+    ) / F.col("_det")
+    return (
+        joined.withColumn("_d2", d2)
+        .where(F.col("_d2") > F.lit(float(d2_threshold)))
+        .select(
+            *id_cols,
+            F.round("_x", 6).alias("x"),
+            F.round("_y", 6).alias("y"),
+            F.round("_d2", 6).alias("d2"),
+        )
+    )
+
+
+def huber_regression(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    k: float = 1.345,
+    n_iters: int = 3,
+) -> DataFrame:
+    """Huber-loss robust simple regression by FIXED-ITERATION IRLS —
+    the trend line that ignores the price-glitch rows Cook's distance
+    flags (OLS chases outliers quadratically; Huber weights them down
+    linearly past ``k`` scale units):
+
+    iteration 0 is plain OLS; its residual scale ``s₀ = √(SSE/(n−2))``
+    is FROZEN (the fixed-scale Huber variant — a per-iteration MAD
+    rescale would need a quantile pass per round and, worse, make the
+    iteration count data-dependent, which breaks the engine-parity
+    contract shared with :func:`cox_ph`'s unrolled Newton steps);
+    each of the ``n_iters`` reweighted rounds solves the closed
+    weighted least squares with ``w = min(1, k·s₀/|e|)``.
+
+    Scale shape: one aggregation per round (OLS moments, then
+    weighted moments), each consuming the previous 1-row fit via a
+    broadcast constant-fold join — n_iters + 1 scans of the fact
+    table, zero sorts, zero UDFs, zero driver collects. Output 1 row:
+    ``(n, slope_ols, intercept_ols, slope, intercept, scale,
+    n_downweighted)``, 6dp; NULL fit when n < 3 or x is constant.
+
+    Beyond the reference; standard per Huber 1964 (IRLS form).
+    """
+    x = F.col(x_col).cast("double")
+    y = F.col(y_col).cast("double")
+    base = df.where(x.isNotNull() & y.isNotNull()).select(
+        x.alias("_x"), y.alias("_y")
+    ).withColumn("_one", F.lit(1))
+    m = base.agg(
+        F.count(F.lit(1)).cast("bigint").alias("_n"),
+        F.sum("_x").alias("_sx"),
+        F.sum("_y").alias("_sy"),
+        F.sum(F.col("_x") * F.col("_x")).alias("_sxx"),
+        F.sum(F.col("_x") * F.col("_y")).alias("_sxy"),
+        F.sum(F.col("_y") * F.col("_y")).alias("_syy"),
+    )
+    nd = F.col("_n").cast("double")
+    sxx_c = F.col("_sxx") - F.col("_sx") * F.col("_sx") / nd
+    sxy_c = F.col("_sxy") - F.col("_sx") * F.col("_sy") / nd
+    syy_c = F.col("_syy") - F.col("_sy") * F.col("_sy") / nd
+    b0 = sxy_c / sxx_c
+    fit = m.select(
+        "_n",
+        F.when((F.col("_n") >= 3) & (sxx_c > 0), b0).alias("_b"),
+        F.when(
+            (F.col("_n") >= 3) & (sxx_c > 0),
+            F.col("_sy") / nd - b0 * F.col("_sx") / nd,
+        ).alias("_a"),
+        F.when(
+            (F.col("_n") >= 3) & (sxx_c > 0),
+            F.sqrt((syy_c - sxy_c * sxy_c / sxx_c) / (nd - 2.0)),
+        ).alias("_s0"),
+        F.lit(1).alias("_one"),
+    )
+    fit = fit.withColumn("_b0", F.col("_b")).withColumn(
+        "_a0", F.col("_a")
+    )
+    for _ in range(int(n_iters)):
+        j = base.join(F.broadcast(fit), on="_one")
+        e = F.abs(
+            F.col("_y") - F.col("_a") - F.col("_b") * F.col("_x")
+        )
+        w = F.when(
+            e > F.lit(float(k)) * F.col("_s0"),
+            F.lit(float(k)) * F.col("_s0") / e,
+        ).otherwise(F.lit(1.0))
+        agg = j.agg(
+            F.max("_n").alias("_n"),
+            F.max("_b0").alias("_b0"),
+            F.max("_a0").alias("_a0"),
+            F.max("_s0").alias("_s0"),
+            F.sum(w).alias("_sw"),
+            F.sum(w * F.col("_x")).alias("_swx"),
+            F.sum(w * F.col("_y")).alias("_swy"),
+            F.sum(w * F.col("_x") * F.col("_x")).alias("_swxx"),
+            F.sum(w * F.col("_x") * F.col("_y")).alias("_swxy"),
+            F.sum((w < 1.0).cast("bigint")).alias("_ndw"),
+        )
+        wsxx = F.col("_swxx") - F.col("_swx") * F.col("_swx") / F.col(
+            "_sw"
+        )
+        wsxy = F.col("_swxy") - F.col("_swx") * F.col("_swy") / F.col(
+            "_sw"
+        )
+        bn = wsxy / wsxx
+        fit = agg.select(
+            "_n", "_b0", "_a0", "_s0", "_ndw",
+            F.when(wsxx > 0, bn).alias("_b"),
+            F.when(
+                wsxx > 0,
+                F.col("_swy") / F.col("_sw")
+                - bn * F.col("_swx") / F.col("_sw"),
+            ).alias("_a"),
+            F.lit(1).alias("_one"),
+        )
+    return fit.select(
+        F.col("_n").alias("n"),
+        F.round("_b0", 6).alias("slope_ols"),
+        F.round("_a0", 6).alias("intercept_ols"),
+        F.round("_b", 6).alias("slope"),
+        F.round("_a", 6).alias("intercept"),
+        F.round("_s0", 6).alias("scale"),
+        F.col("_ndw").alias("n_downweighted"),
+    )

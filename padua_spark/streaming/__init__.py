@@ -20,9 +20,11 @@ from padua_spark.streaming.windows import (  # noqa: F401
     sliding_window_agg,
     tumbling_window_agg,
     js_hellinger_vs_reference,
+    windowed_binned_auc,
     windowed_cms_sketch,
     windowed_confusion,
     windowed_ddsketch,
+    windowed_ece,
     windowed_token_counts,
     windowed_value_histogram,
 )

@@ -642,3 +642,217 @@ def windowed_confusion(
     return confusion_metrics_from_counts(
         flat, ["window_start", "window_end", *group_cols]
     )
+
+
+def windowed_ece(
+    df: DataFrame,
+    ts_col: Column,
+    prob_col: Column,
+    label_col: Column,
+    group_cols: list[str] | None = None,
+    window_duration: str = "1 hour",
+    watermark: str | None = None,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Per-tumbling-window expected / maximum calibration error — the
+    streaming face of :func:`padua_spark.extensions.features.
+    ece_calibration` ("is the classifier drifting out of calibration,
+    per hour, per segment?").
+
+    Scale/streaming shape: the equal-width forecast bins are
+    COMPILE-TIME constants, so each bin's ``(n_k, Σp_k, Σy_k)`` is a
+    conditional-sum column in ONE stateful aggregation — 3·n_bins
+    bounded partials per (window, group) key, no second aggregation
+    and no window function (streams allow exactly one stateful agg in
+    this shape); ECE/MCE assemble from the partial columns as plain
+    expressions, with ECE in its division-free numerator form
+    ``ECE = Σ_k |Σp_k − Σy_k| / N`` (algebraically identical to
+    ``Σ (n_k/N)·|p̄_k − ȳ_k|`` but ONE final division — no per-bin
+    divide-then-multiply round-trip) and ``MCE = max_k |p̄_k − ȳ_k|``.
+    Late shards merge by adding counts; a watermark bounds state.
+    Runs unchanged on a batch frame and matches the batch operator's
+    summary pair (same bin law ``min(n_bins−1, floor(p·n_bins))``,
+    rows with p outside [0, 1] or NULL dropped). Rounding is the
+    portable HALF_UP ``floor(x·1e6 + 0.5)/1e6`` so monitoring
+    pipelines diffing against another engine's replica of this
+    formula never flap on exact 6dp midpoints.
+
+    Output: ``(window_start, window_end, *group_cols, n, ece, mce)``,
+    6dp; ece/mce NULL for empty windows (cannot occur — a window row
+    exists only with data).
+    """
+    group_cols = group_cols or []
+    k = int(n_bins)
+    p = prob_col.cast("double")
+    y = label_col.cast("int").cast("double")
+    withts = df.where(
+        p.isNotNull() & y.isNotNull() & (p >= 0) & (p <= 1)
+    ).select(
+        ts_col.alias("_event_time"),
+        *group_cols,
+        p.alias("_p"),
+        y.alias("_y"),
+    )
+    if watermark and withts.isStreaming:
+        withts = withts.withWatermark("_event_time", watermark)
+    bin_idx = F.least(F.lit(k - 1), F.floor(F.col("_p") * k)).cast(
+        "int"
+    )
+    aggs = []
+    for i in range(k):
+        hit = bin_idx == i
+        aggs += [
+            F.sum(F.when(hit, 1).otherwise(0))
+            .cast("bigint").alias(f"_n{i}"),
+            F.sum(F.when(hit, F.col("_p")).otherwise(0.0))
+            .alias(f"_sp{i}"),
+            F.sum(F.when(hit, F.col("_y")).otherwise(0.0))
+            .alias(f"_sy{i}"),
+        ]
+    agg = withts.groupBy(
+        F.window("_event_time", window_duration).alias("_w"),
+        *group_cols,
+    ).agg(*aggs)
+    n_tot = None
+    for i in range(k):
+        c = F.col(f"_n{i}")
+        n_tot = c if n_tot is None else n_tot + c
+    gaps = [
+        F.when(
+            F.col(f"_n{i}") > 0,
+            F.abs(F.col(f"_sp{i}") - F.col(f"_sy{i}"))
+            / F.col(f"_n{i}").cast("double"),
+        )
+        for i in range(k)
+    ]
+    ece_num = None
+    for i in range(k):
+        term = F.abs(F.col(f"_sp{i}") - F.col(f"_sy{i}"))
+        ece_num = term if ece_num is None else ece_num + term
+    ece = F.when(n_tot > 0, ece_num / n_tot.cast("double"))
+    mce = F.greatest(*gaps) if k > 1 else gaps[0]
+
+    def _r6(c):
+        return (
+            F.floor(c * F.lit(1e6) + F.lit(0.5)).cast("double")
+            / F.lit(1e6)
+        )
+
+    return agg.select(
+        F.col("_w.start").alias("window_start"),
+        F.col("_w.end").alias("window_end"),
+        *group_cols,
+        n_tot.alias("n"),
+        _r6(ece).alias("ece"),
+        _r6(mce).alias("mce"),
+    )
+
+
+def windowed_binned_auc(
+    df: DataFrame,
+    ts_col: Column,
+    score_col: Column,
+    label_col: Column,
+    group_cols: list[str] | None = None,
+    window_duration: str = "1 hour",
+    watermark: str | None = None,
+    n_bins: int = 64,
+) -> DataFrame:
+    """Per-tumbling-window BINNED ROC-AUC — streaming AUC monitoring
+    ("is ranking quality decaying, per hour, per segment?") with the
+    standard fixed-quantization contract: scores in [0, 1] are
+    bucketed into ``n_bins`` equal-width bins and the AUC is the
+    EXACT midrank (tie-aware) AUC of the quantized scores,
+
+    ``AUC = Σ_k pos_k·(neg_below_k + neg_k/2) / (P·N)``
+
+    — within 1/n_bins of the unquantized AUC, and exactly equal when
+    distinct scores don't straddle bin edges. The exact batch
+    counterpart is ``extensions.features.group_auc``; this is the
+    bounded-state face: one stateful aggregation to 2·n_bins count
+    partials per (window, group) key (no rank/sort — unstreamable),
+    the cumulative-negatives fold over the n_bins-element array is a
+    per-ROW expression. Late shards merge by adding counts.
+
+    Output: ``(window_start, window_end, *group_cols, n_pos, n_neg,
+    auc)``, 6dp; auc NULL when either class is absent.
+    """
+    group_cols = group_cols or []
+    k = int(n_bins)
+    s = score_col.cast("double")
+    y = label_col.cast("int")
+    withts = df.where(
+        s.isNotNull() & y.isNotNull() & (s >= 0) & (s <= 1)
+    ).select(
+        ts_col.alias("_event_time"),
+        *group_cols,
+        s.alias("_s"),
+        y.alias("_y"),
+    )
+    if watermark and withts.isStreaming:
+        withts = withts.withWatermark("_event_time", watermark)
+    bin_idx = F.least(F.lit(k - 1), F.floor(F.col("_s") * k)).cast(
+        "int"
+    )
+    aggs = []
+    for i in range(k):
+        hit = bin_idx == i
+        aggs += [
+            F.sum(F.when(hit & (F.col("_y") == 1), 1).otherwise(0))
+            .cast("bigint").alias(f"_p{i}"),
+            F.sum(F.when(hit & (F.col("_y") == 0), 1).otherwise(0))
+            .cast("bigint").alias(f"_g{i}"),
+        ]
+    agg = withts.groupBy(
+        F.window("_event_time", window_duration).alias("_w"),
+        *group_cols,
+    ).agg(*aggs)
+    # fold the per-bin counts low→high carrying (neg_below, num):
+    # num += pos_k·(neg_below + neg_k/2); neg_below += neg_k.
+    # The array is n_bins structs per ROW — interpreted HOF cost is
+    # O(n_bins) per (window, group), not per event.
+    cells = F.array(*[
+        F.struct(
+            F.col(f"_p{i}").alias("p"), F.col(f"_g{i}").alias("g")
+        )
+        for i in range(k)
+    ])
+    acc0 = F.struct(
+        F.lit(0.0).alias("nb"), F.lit(0.0).alias("num")
+    )
+    folded = F.aggregate(
+        cells,
+        acc0,
+        lambda a, c: F.struct(
+            (a["nb"] + c["g"].cast("double")).alias("nb"),
+            (
+                a["num"]
+                + c["p"].cast("double")
+                * (a["nb"] + c["g"].cast("double") / 2.0)
+            ).alias("num"),
+        ),
+    )
+    n_pos = None
+    n_neg = None
+    for i in range(k):
+        pc, gc = F.col(f"_p{i}"), F.col(f"_g{i}")
+        n_pos = pc if n_pos is None else n_pos + pc
+        n_neg = gc if n_neg is None else n_neg + gc
+    staged = agg.withColumn("_acc", folded).withColumn(
+        "_np", n_pos
+    ).withColumn("_ng", n_neg)
+    auc = F.when(
+        (F.col("_np") > 0) & (F.col("_ng") > 0),
+        F.col("_acc.num")
+        / (
+            F.col("_np").cast("double") * F.col("_ng").cast("double")
+        ),
+    )
+    return staged.select(
+        F.col("_w.start").alias("window_start"),
+        F.col("_w.end").alias("window_end"),
+        *group_cols,
+        F.col("_np").alias("n_pos"),
+        F.col("_ng").alias("n_neg"),
+        F.round(auc, 6).alias("auc"),
+    )

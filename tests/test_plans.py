@@ -410,6 +410,12 @@ def test_no_cartesian_products_anywhere(spark):
         # 1-row pooled (theta, xbar) frame broadcast onto the
         # per-variant sums
         "cuped_adjusted",
+        # 1-row fitted-model frames (OLS a/b, covariance moments)
+        # broadcast back onto the fact scan for per-row residual /
+        # leverage / quadratic-form expressions (constant-key joins
+        # fold to BNLJ)
+        "breusch_pagan", "cooks_distance", "mahalanobis_outliers",
+        "huber_regression",
         # windows × reference-bins cross join — both tiny by
         # construction (every reference bin must score in every window)
         "windowed_psi",
@@ -664,3 +670,83 @@ def test_markov_oracle_materialized_and_guard(spark):
 
     with _pt.raises(ValueError, match="max_states"):
         markov_attribution(t, max_states=1)
+
+
+def test_round9_one_row_batteries_plan_shape(spark):
+    """Round-9 agreement/calibration batteries: cronbachs_alpha is ONE
+    partial+final aggregation pair (no window, no sort, no Python);
+    icc_2_1 / weighted_kappa persist their bounded cells frame
+    (InMemoryTableScan present) and stay JVM-side end-to-end."""
+    import __spark_entry__ as em
+
+    q = em.queries()
+    plan = explain_str(q["cronbachs_alpha"](spark, SF_ORACLE), "simple")
+    assert plan.count("HashAggregate") == 2, plan[:1500]
+    assert "Window" not in plan and "Sort" not in plan
+    assert "Python" not in plan and "ArrowEval" not in plan
+    for name in ("icc_2_1", "weighted_kappa"):
+        p = explain_str(q[name](spark, SF_ORACLE), "simple")
+        assert "InMemoryTableScan" in p, f"{name}: cells not cached"
+        assert "Python" not in p and "ArrowEval" not in p, name
+
+
+def test_round9_windows_are_bounded_frames(spark):
+    """ece_calibration / gains_table use window functions ONLY over
+    already-aggregated bounded frames (≤ n_bins / n_buckets rows):
+    every Window node in the plan sits ABOVE a HashAggregate — no
+    partitionless window ever touches a data-sized frame."""
+    import __spark_entry__ as em
+
+    q = em.queries()
+    for name in ("ece_calibration", "gains_table"):
+        plan = explain_str(q[name](spark, SF_ORACLE), "simple")
+        lines = plan.splitlines()
+        win_idx = [i for i, l in enumerate(lines) if "Window [" in l]
+        assert win_idx, f"{name}: expected a window summary"
+        for i in win_idx:
+            below = "\n".join(lines[i:])
+            # the window's INPUT subtree (printed below it) must
+            # aggregate before the raw scan — bounded rows only
+            assert "HashAggregate" in below, (
+                f"{name}: window over an unaggregated frame\n"
+                + plan[:2000]
+            )
+
+
+def test_acf_lag_windows_partition_by_group(spark):
+    """The per-group ordered-window family's lag windows MUST carry
+    the group key in their partition spec — a partitionless lag over
+    the fact table would be a single-task global sort (the scale
+    killer the BENCH_SF1 audit watches for)."""
+    import __spark_entry__ as em
+
+    q = em.queries()
+    for name in ("acf_pacf", "durbin_watson", "runs_test",
+                 "granger_causality"):
+        plan = explain_str(q[name](spark, SF_ORACLE), "simple")
+        for line in plan.splitlines():
+            if "lag(" in line and "windowspecdefinition" in line:
+                spec = line.split("windowspecdefinition", 1)[1]
+                # partition columns print before the first ASC/DESC
+                # order key; an empty partition spec starts with the
+                # order column immediately — require the group key
+                assert "l_returnflag" in spec.split("ASC")[0], (
+                    f"{name}: partitionless lag window: {line[:200]}"
+                )
+
+
+def test_textrank_cache_and_truncation(spark):
+    """textrank_keywords (re-included after the round-9 exemption):
+    pagerank's per-iteration localCheckpoint truncates the FINAL plan
+    to a Scan ExistingRDD — assert exactly that truncated shape
+    (which is WHY InMemoryTableScan cannot appear), and that the
+    operator still tracks its three persisted intermediates
+    (undirected edges, contribution table, nodes) for release."""
+    import __spark_entry__ as em
+    from padua_spark.io_utils import unpersist_intermediates
+
+    out = em.queries()["textrank_keywords"](spark, SF_ORACLE)
+    plan = explain_str(out, "simple")
+    assert "Scan ExistingRDD" in plan, plan[:1000]
+    out.limit(1).collect()
+    assert unpersist_intermediates(out) == 3

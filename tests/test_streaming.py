@@ -749,3 +749,158 @@ def test_stream_equals_batch_windowed_confusion(spark, events_dir):
         for r in confusion_stats(hourly, ["_h"], "_p", "_y").collect()
     }
     assert got == ref
+
+
+def test_stream_equals_batch_windowed_ece(spark, events_dir):
+    """Windowed ECE/MCE is one stateful aggregation over
+    compile-time bin columns: identical summary on stream and batch,
+    and the division-free ECE equals a numpy binned replica."""
+    import numpy as np
+
+    from padua_spark.streaming import windowed_ece
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    batch = spark.read.parquet(events_dir)
+    stream = read_event_stream(spark, events_dir, schema=batch.schema)
+
+    def build(df):
+        return windowed_ece(
+            df, event_time_col(df),
+            F.least(
+                F.lit(1.0),
+                F.greatest(F.lit(0.0), F.col("value") / 200.0),
+            ),
+            F.col("event_type").isin("click", "view").cast("int"),
+            window_duration="1 hour", watermark="2 hours",
+            n_bins=10,
+        )
+
+    q = (
+        build(stream)
+        .writeStream.format("memory")
+        .queryName("t_winece")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(180)
+    got = {
+        r["window_start"]: (r["n"], r["ece"], r["mce"])
+        for r in spark.sql("SELECT * FROM t_winece").collect()
+    }
+    exp = {
+        r["window_start"]: (r["n"], r["ece"], r["mce"])
+        for r in build(batch).collect()
+    }
+    assert got == exp and len(got) > 0
+    # numpy replica on one hour's rows
+    ws = sorted(got)[0]
+    rows = (
+        batch.withColumn("_t", event_time_col(batch))
+        .where(
+            (F.date_trunc("hour", F.col("_t")) == F.lit(ws))
+            & F.col("value").isNotNull()
+            & F.col("event_type").isNotNull()
+        )
+        .select("value", "event_type")
+        .collect()
+    )
+    p = np.clip(np.array([r["value"] for r in rows]) / 200.0, 0, 1)
+    y = np.array(
+        [r["event_type"] in ("click", "view") for r in rows],
+        dtype=float,
+    )
+    bins = np.minimum(9, np.floor(p * 10).astype(int))
+    num = 0.0
+    mce = 0.0
+    for k in range(10):
+        m = bins == k
+        if m.sum() == 0:
+            continue
+        num += abs(p[m].sum() - y[m].sum())
+        mce = max(mce, abs(p[m].sum() - y[m].sum()) / m.sum())
+    assert got[ws][0] == len(rows)
+    assert got[ws][1] == pytest.approx(num / len(rows), abs=1e-6)
+    assert got[ws][2] == pytest.approx(mce, abs=1e-6)
+
+
+def test_stream_equals_batch_windowed_binned_auc(spark, events_dir):
+    """Windowed binned AUC: stream == batch, and the binned midrank
+    formula equals the exact tie-aware AUC of the QUANTIZED scores
+    computed by a numpy rank replica."""
+    import numpy as np
+
+    from padua_spark.streaming import windowed_binned_auc
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    batch = spark.read.parquet(events_dir)
+    stream = read_event_stream(spark, events_dir, schema=batch.schema)
+
+    def build(df):
+        return windowed_binned_auc(
+            df, event_time_col(df),
+            F.least(
+                F.lit(1.0),
+                F.greatest(F.lit(0.0), F.col("value") / 200.0),
+            ),
+            F.col("event_type").isin("click", "view").cast("int"),
+            window_duration="1 hour", watermark="2 hours",
+            n_bins=64,
+        )
+
+    q = (
+        build(stream)
+        .writeStream.format("memory")
+        .queryName("t_winauc")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(180)
+    got = {
+        r["window_start"]: (r["n_pos"], r["n_neg"], r["auc"])
+        for r in spark.sql("SELECT * FROM t_winauc").collect()
+    }
+    exp = {
+        r["window_start"]: (r["n_pos"], r["n_neg"], r["auc"])
+        for r in build(batch).collect()
+    }
+    assert got == exp and len(got) > 0
+    # exact midrank AUC of the quantized scores (scipy-free replica),
+    # on the first window where BOTH classes appear (single-class
+    # windows correctly emit NULL auc)
+    ws = sorted(
+        w for w, (np_, nn_, _) in got.items() if np_ > 0 and nn_ > 0
+    )[0]
+    rows = (
+        batch.withColumn("_t", event_time_col(batch))
+        .where(
+            (F.date_trunc("hour", F.col("_t")) == F.lit(ws))
+            & F.col("value").isNotNull()
+            & F.col("event_type").isNotNull()
+        )
+        .select("value", "event_type")
+        .collect()
+    )
+    s = np.clip(np.array([r["value"] for r in rows]) / 200.0, 0, 1)
+    y = np.array(
+        [r["event_type"] in ("click", "view") for r in rows],
+        dtype=int,
+    )
+    b = np.minimum(63, np.floor(s * 64).astype(int)).astype(float)
+    order = np.argsort(b, kind="stable")
+    sb, sy = b[order], y[order]
+    ranks = np.empty(len(sb))
+    i = 0
+    while i < len(sb):
+        j = i
+        while j < len(sb) and sb[j] == sb[i]:
+            j += 1
+        ranks[i:j] = (i + 1 + j) / 2.0  # midrank of the tie block
+        i = j
+    n_pos, n_neg = int(y.sum()), int((1 - y).sum())
+    auc = (ranks[sy == 1].sum() - n_pos * (n_pos + 1) / 2.0) / (
+        n_pos * n_neg
+    )
+    assert got[ws][0] == n_pos and got[ws][1] == n_neg
+    assert got[ws][2] == pytest.approx(auc, abs=1e-6)

@@ -342,6 +342,14 @@ COVERAGE = {
     "E227": "entry:rbo_rankings",
     "E228": "entry:ece_calibration",
     "E229": "entry:temperature_scaling",
+    "E230": "entry:windowed_ece",
+    "E231": "entry:windowed_binned_auc",
+    "E232": "entry:breusch_pagan",
+    "E233": "entry:chow_test",
+    "E234": "entry:cooks_distance",
+    "E235": "entry:mahalanobis_outliers",
+    "E236": "entry:huber_regression",
+    "E237": "entry:url_profile",
 }
 
 
@@ -375,3 +383,23 @@ def test_mapped_implementation_exists(op_id):
     module, attr = target.split(":")
     mod = importlib.import_module(module)
     assert callable(getattr(mod, attr)), f"{op_id} -> {target}"
+
+
+def test_bench_headline_covers_every_entry():
+    """bench.py's HEADLINE list is in LOCKSTEP with queries(): every
+    registered entry is benched at sf0.1 (round-9's one red bench row
+    was an entry that only errored at bench scale — an unbenched tail
+    is where such rows hide), and HEADLINE has no stale names."""
+    import os
+
+    import __spark_entry__ as em
+
+    src = open(
+        os.path.join(os.path.dirname(__file__), "..", "bench.py")
+    ).read()
+    m = re.search(r"HEADLINE = \[(.*?)\n\]", src, re.S)
+    names = re.findall(r'"([^"]+)"', m.group(1))
+    q = set(em.queries())
+    assert sorted(set(names) - q) == [], "stale HEADLINE names"
+    assert sorted(q - set(names)) == [], "unbenched queries() entries"
+    assert len(names) == len(set(names)), "duplicate HEADLINE names"

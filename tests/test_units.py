@@ -8375,3 +8375,190 @@ def test_ece_and_temperature_vs_replicas(spark):
     ))
     r2 = [r for r in out if r["temperature"] == 2.0][0]
     assert r2["nll"] == pytest.approx(nll, rel=1e-6)
+
+
+def test_regression_diagnostics_battery_vs_numpy(spark):
+    """Breusch-Pagan (Koenker) LM/p, Chow break F/SSEs, Cook's
+    distance flags, and Mahalanobis d2 flags against direct numpy
+    replicas; calibration checks (homoskedastic -> high p, no break
+    -> high p, planted cloud-outlier flagged)."""
+    import math
+
+    import numpy as np
+
+    from padua_spark.operators.stats import (
+        breusch_pagan,
+        chow_test,
+        cooks_distance,
+        mahalanobis_outliers,
+    )
+
+    rng = np.random.RandomState(7)
+    n = 400
+    x = rng.uniform(0, 10, n)
+    y = 2.0 + 0.5 * x + rng.normal(0, 1, n) * (1 + 0.3 * x)
+    df = spark.createDataFrame(
+        [(float(a), float(b), int(i))
+         for i, (a, b) in enumerate(zip(x, y))],
+        ["x", "y", "id"],
+    )
+    r = breusch_pagan(df, "x", "y").collect()[0]
+    b = np.cov(x, y, ddof=1)[0, 1] / np.var(x, ddof=1)
+    a = y.mean() - b * x.mean()
+    e2 = (y - a - b * x) ** 2
+    lm = n * np.corrcoef(x, e2)[0, 1] ** 2
+    assert r["lm_stat"] == pytest.approx(lm, abs=1e-4)
+    assert r["slope"] == pytest.approx(b, abs=1e-6)
+    assert r["p_value"] == pytest.approx(
+        math.erfc(math.sqrt(lm / 2)), abs=1e-6
+    )
+    # homoskedastic noise: LM should NOT reject
+    yh = 2.0 + 0.5 * x + rng.normal(0, 1, n)
+    dfh = spark.createDataFrame(
+        [(float(a_), float(b_)) for a_, b_ in zip(x, yh)], ["x", "y"]
+    )
+    assert breusch_pagan(dfh, "x", "y").collect()[0]["p_value"] > 0.01
+
+    seg = (x > 5).astype(int)
+    y2 = np.where(seg == 1, 5.0 + 1.5 * x, 2.0 + 0.5 * x) + rng.normal(
+        0, 1, n
+    )
+    df2 = spark.createDataFrame(
+        [(float(a_), float(b_), int(s_))
+         for a_, b_, s_ in zip(x, y2, seg)],
+        ["x", "y", "s"],
+    )
+    rc = chow_test(df2, "x", "y", "s").collect()[0]
+
+    def sse(xv, yv):
+        bb = np.cov(xv, yv, ddof=1)[0, 1] / np.var(xv, ddof=1)
+        aa = yv.mean() - bb * xv.mean()
+        return ((yv - aa - bb * xv) ** 2).sum()
+
+    s_a = sse(x[seg == 0], y2[seg == 0])
+    s_b = sse(x[seg == 1], y2[seg == 1])
+    s_p = sse(x, y2)
+    fst = ((s_p - s_a - s_b) / 2) / ((s_a + s_b) / (n - 4))
+    assert rc["f_stat"] == pytest.approx(fst, rel=1e-5)
+    assert rc["sse_pooled"] == pytest.approx(s_p, abs=1e-4)
+    assert rc["p_value"] < 1e-9
+    # same line in both segments: no break
+    df3 = spark.createDataFrame(
+        [(float(a_), float(b_), int(s_))
+         for a_, b_, s_ in zip(x, yh, seg)],
+        ["x", "y", "s"],
+    )
+    assert chow_test(df3, "x", "y", "s").collect()[0]["p_value"] > 0.01
+
+    rd = cooks_distance(df, "x", "y", ["id"]).collect()
+    e = y - a - b * x
+    sxx = ((x - x.mean()) ** 2).sum()
+    h = 1 / n + (x - x.mean()) ** 2 / sxx
+    s2 = (e ** 2).sum() / (n - 2)
+    D = e ** 2 * h / (2 * s2 * (1 - h) ** 2)
+    flag = set(np.where(D > 4 / n)[0].tolist())
+    assert {r_["id"] for r_ in rd} == flag and len(flag) > 0
+    one = rd[0]
+    assert one["cooks_d"] == pytest.approx(D[one["id"]], abs=1e-5)
+    assert one["leverage"] == pytest.approx(h[one["id"]], abs=1e-6)
+
+    # plant one far-off-the-cloud point; correlation-aware flagging
+    xm = np.append(x, 5.0)
+    ym = np.append(2.0 + 0.5 * x + rng.normal(0, 0.5, n), 20.0)
+    dfm = spark.createDataFrame(
+        [(float(a_), float(b_), int(i))
+         for i, (a_, b_) in enumerate(zip(xm, ym))],
+        ["x", "y", "id"],
+    )
+    rm = mahalanobis_outliers(dfm, "x", "y", ["id"]).collect()
+    mu = np.array([xm.mean(), ym.mean()])
+    S = np.cov(np.vstack([xm, ym]), ddof=1)
+    Si = np.linalg.inv(S)
+    pts = np.vstack([xm, ym]).T - mu
+    dd = np.einsum("ij,jk,ik->i", pts, Si, pts)
+    fl = set(np.where(dd > 13.815510557964274)[0].tolist())
+    assert {r_["id"] for r_ in rm} == fl and n in fl  # the plant
+    got = {r_["id"]: r_["d2"] for r_ in rm}
+    assert got[n] == pytest.approx(dd[n], rel=1e-6)
+
+
+def test_huber_regression_vs_numpy(spark):
+    """Fixed-iteration Huber IRLS against a direct numpy replica of
+    the same unroll; the robust slope beats OLS on planted outliers;
+    n_downweighted counts exactly the |e| > k*s0 rows at the final
+    reweight."""
+    import math
+
+    import numpy as np
+
+    from padua_spark.operators.stats import huber_regression
+
+    rng = np.random.RandomState(3)
+    n = 300
+    x = rng.uniform(0, 10, n)
+    y = 1.0 + 2.0 * x + rng.normal(0, 1, n)
+    y[:10] += 40
+    df = spark.createDataFrame(
+        [(float(a), float(b)) for a, b in zip(x, y)], ["x", "y"]
+    )
+    r = huber_regression(df, "x", "y").collect()[0]
+    Sx, Sy = x.sum(), y.sum()
+    Sxx, Sxy, Syy = (x * x).sum(), (x * y).sum(), (y * y).sum()
+    sxxc = Sxx - Sx * Sx / n
+    sxyc = Sxy - Sx * Sy / n
+    syyc = Syy - Sy * Sy / n
+    b = sxyc / sxxc
+    a = Sy / n - b * Sx / n
+    s0 = math.sqrt((syyc - sxyc ** 2 / sxxc) / (n - 2))
+    bb, aa = b, a
+    for _ in range(3):
+        e = np.abs(y - aa - bb * x)
+        w = np.where(e > 1.345 * s0, 1.345 * s0 / e, 1.0)
+        sw, swx, swy = w.sum(), (w * x).sum(), (w * y).sum()
+        swxx, swxy = (w * x * x).sum(), (w * x * y).sum()
+        wsxx = swxx - swx * swx / sw
+        wsxy = swxy - swx * swy / sw
+        bb = wsxy / wsxx
+        aa = swy / sw - bb * swx / sw
+        ndw = int((w < 1).sum())
+    assert r["slope"] == pytest.approx(bb, abs=1e-6)
+    assert r["intercept"] == pytest.approx(aa, abs=1e-6)
+    assert r["slope_ols"] == pytest.approx(b, abs=1e-6)
+    assert r["scale"] == pytest.approx(s0, abs=1e-6)
+    assert r["n_downweighted"] == ndw
+    assert abs(r["slope"] - 2.0) < abs(r["slope_ols"] - 2.0)
+
+
+def test_url_profile_anatomy(spark):
+    """URL parsing on handpicked anatomy: scheme/host lowering, port
+    and userinfo stripping, registered-domain heuristic, path depth,
+    query and tracking param counts, fragment-safe clean key, NULL
+    propagation."""
+    from padua_spark.extensions.text import url_profile
+
+    urls = [
+        (1, "https://www.Example.COM:8080/a/b/c?utm_source=x&id=5#f"),
+        (2, "http://sub.shop.co.uk/p"),
+        (3, "ftp://files.example.org/"),
+        (4, "https://example.io"),
+        (5, None),
+        (6, "https://user:pw@x.y.z/path?gclid=9&fbclid=2&q=1"),
+        (7, "not a url at all"),
+    ]
+    ud = spark.createDataFrame(urls, ["id", "url"])
+    out = {r["id"]: r for r in url_profile(ud, "url").collect()}
+    r1 = out[1]
+    assert (r1["scheme"], r1["host"]) == ("https", "www.example.com")
+    assert r1["registered_domain"] == "example.com"
+    assert (r1["path_depth"], r1["n_query_params"]) == (3, 2)
+    assert r1["n_tracking_params"] == 1
+    assert r1["clean_url"] == "https://www.Example.COM:8080/a/b/c"
+    assert out[2]["registered_domain"] == "co.uk"  # documented 2-label heuristic
+    assert out[3]["scheme"] == "ftp" and out[3]["path_depth"] == 0
+    assert out[4]["host"] == "example.io" and out[4]["n_query_params"] == 0
+    assert out[5]["scheme"] is None and out[5]["path_depth"] is None
+    r6 = out[6]
+    assert r6["host"] == "x.y.z"  # userinfo stripped
+    assert (r6["n_query_params"], r6["n_tracking_params"]) == (3, 2)
+    r7 = out[7]
+    assert r7["scheme"] is None and r7["host"] is None
