@@ -18771,6 +18771,99 @@ def q_url_profile(spark, sf):
     )
 
 
+_NEGBIN_ORACLE = """
+WITH per AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS c
+  FROM events WHERE user_id IS NOT NULL GROUP BY 1
+),
+m AS (
+  SELECT CAST(count(*) AS BIGINT) AS n, sum(CAST(c AS DOUBLE)) AS s1,
+    sum(CAST(c AS DOUBLE) * CAST(c AS DOUBLE)) AS s2,
+    CAST(sum(CASE WHEN c = 0 THEN 1 ELSE 0 END) AS BIGINT) AS z
+  FROM per
+),
+s AS (
+  SELECT n, s1 / n AS mean,
+    CASE WHEN n >= 2
+         THEN (s2 - n * (s1 / n) * (s1 / n)) / (n - 1.0) END AS v,
+    z
+  FROM m
+)
+SELECT n, round(mean, 6) AS mean, round(v, 6) AS variance,
+  round(CASE WHEN mean > 0 THEN v / mean END, 6) AS dispersion,
+  round(CASE WHEN v > mean THEN mean * mean / (v - mean) END, 6)
+    AS nb_r,
+  round(CASE WHEN v > mean THEN mean / v END, 6) AS nb_p,
+  round(CAST(z AS DOUBLE) / n, 6) AS zero_frac,
+  round(exp(-mean), 6) AS poisson_zero_frac
+FROM s
+"""
+
+
+@_q("negbin_fit", _NEGBIN_ORACLE)
+def q_negbin_fit(spark, sf):
+    """Negative-binomial MoM fit of events-per-user counts
+    (stats.negbin_fit): integer contract enforced in-plan, one
+    aggregation, dispersion + NB shape + zero-inflation screen."""
+    from padua_spark.operators.stats import negbin_fit
+
+    e = _t(spark, sf, "events").where(F.col("user_id").isNotNull())
+    per = e.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    return negbin_fit(per, "c")
+
+
+_MDE_ORACLE = """
+WITH e AS (
+  SELECT CAST(user_id % 2 AS INT) AS v,
+    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS s
+  FROM events WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+),
+m AS (
+  SELECT
+    CAST(sum(CASE WHEN v = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+    CAST(sum(CASE WHEN v = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+    CAST(sum(CASE WHEN v = 0 THEN s ELSE 0 END) AS BIGINT) AS ka,
+    CAST(sum(CASE WHEN v = 1 THEN s ELSE 0 END) AS BIGINT) AS kb
+  FROM e
+),
+s AS (
+  SELECT n_a, n_b,
+    CAST(ka AS DOUBLE) / n_a AS ra, CAST(kb AS DOUBLE) / n_b AS rb,
+    CAST(ka + kb AS DOUBLE) / (n_a + n_b) AS pbar
+  FROM m
+)
+SELECT n_a, n_b, round(ra, 6) AS rate_a, round(rb, 6) AS rate_b,
+  round(pbar, 6) AS pooled_rate,
+  round(rb - ra, 6) AS observed_diff,
+  round((1.959963984540054 + 0.8416212335729143)
+        * sqrt(pbar * (1.0 - pbar)
+               * (1.0 / n_a + 1.0 / n_b)), 6) AS mde_absolute,
+  abs(rb - ra) >= (1.959963984540054 + 0.8416212335729143)
+        * sqrt(pbar * (1.0 - pbar)
+               * (1.0 / n_a + 1.0 / n_b)) AS powered
+FROM s
+"""
+
+
+@_q("mde_two_proportion", _MDE_ORACLE)
+def q_mde_two_proportion(spark, sf):
+    """Post-hoc minimum detectable effect of the purchase rate across
+    a user-parity split (stats.mde_two_proportion): one conditional
+    aggregation, fixed z lookup (alpha 0.05, power 0.8), powered
+    verdict on the realized sample sizes."""
+    from padua_spark.operators.stats import mde_two_proportion
+
+    e = _t(spark, sf, "events").where(
+        F.col("user_id").isNotNull() & F.col("event_type").isNotNull()
+    ).select(
+        (F.col("user_id") % 2).cast("int").alias("v"),
+        (F.col("event_type") == "purchase").cast("int").alias("s"),
+    )
+    return mde_two_proportion(e, "v", "s", 0, 1)
+
+
 _BENFORD_ORACLE = """
 WITH v0 AS (
   SELECT CAST(round(CAST(value AS DOUBLE) * 100) AS DOUBLE) AS v

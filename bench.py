@@ -165,6 +165,8 @@ HEADLINE = [
     "mahalanobis_outliers",
     "huber_regression",
     "url_profile",
+    "negbin_fit",
+    "mde_two_proportion",
     "anova_2way_stats",
     "levene_stats",
     "ttest_paired_stats",

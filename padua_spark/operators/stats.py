@@ -8811,3 +8811,148 @@ def huber_regression(
         F.round("_s0", 6).alias("scale"),
         F.col("_ndw").alias("n_downweighted"),
     )
+
+
+def negbin_fit(
+    df: DataFrame,
+    count_col: str,
+) -> DataFrame:
+    """Negative-binomial method-of-moments fit for an overdispersed
+    count column (tokens per document, events per user, defects per
+    batch) — the first question about any count distribution: "is
+    this Poisson, and if not, how bad?":
+
+    ``dispersion = s²/x̄`` (1 under Poisson), MoM shape
+    ``r = x̄²/(s² − x̄)`` and ``p = x̄/s²`` (NULL unless s² > x̄ —
+    under- or equi-dispersed data has no NB fit), plus the
+    zero-inflation screen: observed zero fraction next to the Poisson
+    prediction ``e^{−x̄}``.
+
+    Integer contract ENFORCED in-plan (the gini_concentration rule):
+    a fractional "count" raises at scan time rather than fitting
+    nonsense. ONE aggregation; every moment from exact integer sums
+    where they fit a double. Output 1 row: ``(n, mean, variance,
+    dispersion, nb_r, nb_p, zero_frac, poisson_zero_frac)``, 6dp;
+    NULL variance-derived fields when n < 2.
+
+    Beyond the reference; textbook MoM (e.g. Hilbe, Negative Binomial
+    Regression).
+    """
+    v = F.col(count_col)
+    guarded = F.when(
+        (v == F.floor(v)) & (v >= 0), v
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    "negbin_fit requires non-negative integer "
+                    "counts; got "
+                ),
+                v.cast("string"),
+                F.lit(f" in column {count_col!r}"),
+            )
+        ).cast(df.schema[count_col].dataType)
+    )
+    base = df.where(v.isNotNull()).select(
+        guarded.cast("double").alias("_c")
+    )
+    agg = base.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("_c").alias("_s1"),
+        F.sum(F.col("_c") * F.col("_c")).alias("_s2"),
+        F.sum((F.col("_c") == 0).cast("bigint")).alias("_z"),
+    )
+    nd = F.col("n").cast("double")
+    m = F.col("_s1") / nd
+    var = F.when(
+        F.col("n") >= 2,
+        (F.col("_s2") - nd * m * m) / (nd - 1.0),
+    )
+    disp = F.when(m > 0, var / m)
+    over = var > m
+    r = F.when(over, m * m / (var - m))
+    p = F.when(over, m / var)
+    return agg.select(
+        "n",
+        F.round(m, 6).alias("mean"),
+        F.round(var, 6).alias("variance"),
+        F.round(disp, 6).alias("dispersion"),
+        F.round(r, 6).alias("nb_r"),
+        F.round(p, 6).alias("nb_p"),
+        F.round(F.col("_z").cast("double") / nd, 6).alias("zero_frac"),
+        F.round(F.exp(-m), 6).alias("poisson_zero_frac"),
+    )
+
+
+def mde_two_proportion(
+    df: DataFrame,
+    variant_col: str,
+    success_col: str,
+    variant_a,
+    variant_b,
+    alpha: float = 0.05,
+    power: float = 0.8,
+) -> DataFrame:
+    """Post-hoc minimum detectable effect for a two-proportion A/B —
+    "was this experiment even ABLE to see the lift we care about?"
+    (the question to ask before reading a null result as 'no
+    effect'):
+
+    ``MDE = (z_{1−α/2} + z_{power})·√(p̄(1−p̄)·(1/n_a + 1/n_b))``
+    with the pooled rate p̄ — the standard normal-approximation
+    planning identity, evaluated on the REALIZED sample sizes. The z
+    quantiles come from a fixed lookup of the supported (α, power)
+    grid (0.10/0.05/0.01 × 0.8/0.9/0.95) so no inverse-normal code
+    path exists to disagree across engines.
+
+    ONE conditional aggregation. Output 1 row: ``(n_a, n_b, rate_a,
+    rate_b, pooled_rate, observed_diff, mde_absolute, powered)``,
+    6dp; ``powered`` is |observed_diff| ≥ MDE. NULLs when either arm
+    is empty.
+
+    Beyond the reference; standard power analysis (e.g. Fleiss,
+    Statistical Methods for Rates and Proportions).
+    """
+    _Z_ALPHA = {0.10: 1.6448536269514722, 0.05: 1.959963984540054,
+                0.01: 2.5758293035489004}
+    _Z_POWER = {0.8: 0.8416212335729143, 0.9: 1.2815515655446004,
+                0.95: 1.6448536269514722}
+    if alpha not in _Z_ALPHA or power not in _Z_POWER:
+        raise ValueError(
+            "mde_two_proportion: supported alpha in "
+            f"{sorted(_Z_ALPHA)} and power in {sorted(_Z_POWER)} "
+            "(fixed z lookup keeps both engines identical)"
+        )
+    zsum = _Z_ALPHA[alpha] + _Z_POWER[power]
+    g = F.col(variant_col)
+    s = F.col(success_col).cast("int")
+    base = df.where(
+        g.isin([variant_a, variant_b]) & s.isNotNull()
+    )
+    agg = base.agg(
+        F.sum((g == variant_a).cast("int")).cast("bigint").alias("n_a"),
+        F.sum((g == variant_b).cast("int")).cast("bigint").alias("n_b"),
+        F.sum(F.when(g == variant_a, s).otherwise(0)).cast("bigint")
+        .alias("_ka"),
+        F.sum(F.when(g == variant_b, s).otherwise(0)).cast("bigint")
+        .alias("_kb"),
+    )
+    na = F.col("n_a").cast("double")
+    nb = F.col("n_b").cast("double")
+    ok = (F.col("n_a") > 0) & (F.col("n_b") > 0)
+    ra = F.when(ok, F.col("_ka") / na)
+    rb = F.when(ok, F.col("_kb") / nb)
+    pbar = F.when(ok, (F.col("_ka") + F.col("_kb")) / (na + nb))
+    mde = F.lit(float(zsum)) * F.sqrt(
+        pbar * (1.0 - pbar) * (1.0 / na + 1.0 / nb)
+    )
+    diff = rb - ra
+    return agg.select(
+        "n_a", "n_b",
+        F.round(ra, 6).alias("rate_a"),
+        F.round(rb, 6).alias("rate_b"),
+        F.round(pbar, 6).alias("pooled_rate"),
+        F.round(diff, 6).alias("observed_diff"),
+        F.round(mde, 6).alias("mde_absolute"),
+        F.when(ok, F.abs(diff) >= mde).alias("powered"),
+    )

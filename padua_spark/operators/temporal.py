@@ -1441,3 +1441,4 @@ def granger_causality(
         F.round("_f", 6).alias("f_stat"),
         F.round("_p", 6).alias("p_value"),
     )
+

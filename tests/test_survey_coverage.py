@@ -350,6 +350,8 @@ COVERAGE = {
     "E235": "entry:mahalanobis_outliers",
     "E236": "entry:huber_regression",
     "E237": "entry:url_profile",
+    "E238": "entry:negbin_fit",
+    "E239": "entry:mde_two_proportion",
 }
 
 

@@ -8562,3 +8562,59 @@ def test_url_profile_anatomy(spark):
     assert (r6["n_query_params"], r6["n_tracking_params"]) == (3, 2)
     r7 = out[7]
     assert r7["scheme"] is None and r7["host"] is None
+
+
+def test_negbin_and_mde_vs_replicas(spark):
+    """NB method-of-moments against numpy on NB draws (incl. the
+    integer-contract raise and the equi-dispersed NULL fit); MDE
+    identity against the closed formula with the fixed z pair."""
+    import math
+
+    import numpy as np
+
+    from padua_spark.operators.stats import (
+        mde_two_proportion,
+        negbin_fit,
+    )
+
+    rng = np.random.RandomState(5)
+    c = rng.negative_binomial(3, 0.4, 2000)
+    cd = spark.createDataFrame([(int(v),) for v in c], "c long")
+    r = negbin_fit(cd, "c").collect()[0]
+    m, v = c.mean(), c.var(ddof=1)
+    assert r["mean"] == pytest.approx(m, abs=1e-6)
+    assert r["variance"] == pytest.approx(v, abs=1e-6)
+    assert r["dispersion"] == pytest.approx(v / m, abs=1e-6)
+    assert r["nb_r"] == pytest.approx(m * m / (v - m), abs=1e-5)
+    assert r["nb_p"] == pytest.approx(m / v, abs=1e-6)
+    assert r["zero_frac"] == pytest.approx((c == 0).mean(), abs=1e-9)
+    assert r["poisson_zero_frac"] == pytest.approx(
+        math.exp(-m), abs=1e-6
+    )
+    with pytest.raises(Exception, match="non-negative integer"):
+        negbin_fit(
+            spark.createDataFrame([(1.5,)], "c double"), "c"
+        ).collect()
+    # under/equi-dispersed: no NB fit
+    ud = spark.createDataFrame([(2,)] * 50 + [(3,)] * 50, "c long")
+    ru = negbin_fit(ud, "c").collect()[0]
+    assert ru["nb_r"] is None and ru["dispersion"] < 1.0
+
+    data = [("a", int(x < 0.10)) for x in rng.rand(5000)] + [
+        ("b", int(x < 0.13)) for x in rng.rand(5000)
+    ]
+    md = spark.createDataFrame(data, ["v", "s"])
+    r = mde_two_proportion(md, "v", "s", "a", "b").collect()[0]
+    ka = sum(s for g, s in data if g == "a")
+    kb = sum(s for g, s in data if g == "b")
+    pbar = (ka + kb) / 10000
+    mde = (1.959963984540054 + 0.8416212335729143) * math.sqrt(
+        pbar * (1 - pbar) * (1 / 5000 + 1 / 5000)
+    )
+    assert r["mde_absolute"] == pytest.approx(mde, abs=1e-6)
+    assert r["observed_diff"] == pytest.approx(
+        kb / 5000 - ka / 5000, abs=1e-6
+    )
+    assert r["powered"] == (abs(kb / 5000 - ka / 5000) >= mde)
+    with pytest.raises(ValueError, match="supported alpha"):
+        mde_two_proportion(md, "v", "s", "a", "b", alpha=0.2)
