@@ -18864,6 +18864,189 @@ def q_mde_two_proportion(spark, sf):
     return mde_two_proportion(e, "v", "s", 0, 1)
 
 
+_HOLM_ORACLE = """
+WITH p0 AS (
+  SELECT o_orderkey,
+    CAST((o_orderkey * 2654435761) % 1000003 AS DOUBLE) / 1000003.0
+      AS p_value
+  FROM orders
+),
+r AS (
+  SELECT o_orderkey, p_value,
+    row_number() OVER (ORDER BY p_value ASC) AS rk,
+    CAST(count(*) OVER () AS DOUBLE) AS m
+  FROM p0
+),
+h AS (
+  SELECT o_orderkey, p_value,
+    max((m - rk + 1.0) * p_value)
+      OVER (ORDER BY p_value ASC, rk ASC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS raw
+  FROM r
+)
+SELECT o_orderkey, round(p_value, 9) AS p_value,
+  round(least(raw, 1.0), 6) AS p_holm
+FROM h
+"""
+
+
+@_q("holm_adjust", _HOLM_ORACLE)
+def q_holm_adjust(spark, sf):
+    """Holm step-down FWER adjustment over a deterministic
+    hash-uniform p column keyed by order (stats.holm_adjust): rank +
+    forward running max over the m-row p table — the documented
+    global-order window trade shared with qvalues."""
+    from padua_spark.operators.stats import holm_adjust
+
+    o = _t(spark, sf, "orders").select(
+        "o_orderkey",
+        (
+            (F.col("o_orderkey") * F.lit(2654435761))
+            % F.lit(1000003)
+        ).cast("double").alias("_p0"),
+    ).select(
+        "o_orderkey", (F.col("_p0") / 1000003.0).alias("p_value")
+    )
+    out = holm_adjust(o, "p_value")
+    return out.select(
+        "o_orderkey",
+        F.round("p_value", 9).alias("p_value"),
+        "p_holm",
+    )
+
+
+def _delong_model_ranks_sql(tag: str) -> str:
+    return f"""
+c{tag} AS (
+  SELECT s{tag} AS v, CAST(count(*) AS BIGINT) AS c,
+    CAST(sum(y) AS BIGINT) AS cp,
+    CAST(count(*) - sum(y) AS BIGINT) AS cn
+  FROM s GROUP BY 1
+),
+cr{tag} AS (
+  SELECT v, c, cp, cn,
+    CAST(sum(c) OVER (ORDER BY v) AS DOUBLE) AS crun,
+    CAST(sum(cp) OVER (ORDER BY v) AS DOUBLE) AS cprun,
+    CAST(sum(cn) OVER (ORDER BY v) AS DOUBLE) AS cnrun
+  FROM c{tag}
+),
+r{tag} AS (
+  SELECT v,
+    (crun - c) + (c + 1.0) / 2.0 AS r_all,
+    (cprun - cp) + (cp + 1.0) / 2.0 AS r_pos,
+    (cnrun - cn) + (cn + 1.0) / 2.0 AS r_neg
+  FROM cr{tag}
+)"""
+
+
+_DELONG_ORACLE = f"""
+WITH e AS (
+  SELECT CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y,
+    CAST(value AS DOUBLE) AS value
+  FROM events
+  WHERE value IS NOT NULL AND event_type IS NOT NULL
+),
+s AS (
+  SELECT y,
+    floor((value + y * 50.0) * 10.0) / 10.0 AS sa,
+    floor((value + y * 20.0) * 10.0) / 10.0 AS sb
+  FROM e
+),
+{_delong_model_ranks_sql("a").lstrip()},
+{_delong_model_ranks_sql("b").lstrip()},
+comp AS (
+  SELECT s.y,
+    ra.r_all AS ra_a, ra.r_pos AS rp_a, ra.r_neg AS rn_a,
+    rb.r_all AS ra_b, rb.r_pos AS rp_b, rb.r_neg AS rn_b
+  FROM s JOIN ra ON s.sa = ra.v JOIN rb ON s.sb = rb.v
+),
+tot AS (
+  SELECT CAST(sum(y) AS DOUBLE) AS n1,
+    CAST(count(*) - sum(y) AS DOUBLE) AS n0
+  FROM comp
+),
+v AS (
+  SELECT comp.y,
+    (ra_a - rp_a) / tot.n0 AS v10a, (ra_b - rp_b) / tot.n0 AS v10b,
+    1.0 - (ra_a - rn_a) / tot.n1 AS v01a,
+    1.0 - (ra_b - rn_b) / tot.n1 AS v01b
+  FROM comp CROSS JOIN tot
+),
+agg AS (
+  SELECT CAST(sum(y) AS BIGINT) AS n_pos,
+    CAST(count(*) - sum(y) AS BIGINT) AS n_neg,
+    sum(CASE WHEN y = 1 THEN v10a ELSE 0 END) AS psa,
+    sum(CASE WHEN y = 1 THEN v10b ELSE 0 END) AS psb,
+    sum(CASE WHEN y = 1 THEN v10a * v10a ELSE 0 END) AS pxaa,
+    sum(CASE WHEN y = 1 THEN v10b * v10b ELSE 0 END) AS pxbb,
+    sum(CASE WHEN y = 1 THEN v10a * v10b ELSE 0 END) AS pxab,
+    sum(CASE WHEN y = 0 THEN v01a ELSE 0 END) AS nsa,
+    sum(CASE WHEN y = 0 THEN v01b ELSE 0 END) AS nsb,
+    sum(CASE WHEN y = 0 THEN v01a * v01a ELSE 0 END) AS nxaa,
+    sum(CASE WHEN y = 0 THEN v01b * v01b ELSE 0 END) AS nxbb,
+    sum(CASE WHEN y = 0 THEN v01a * v01b ELSE 0 END) AS nxab
+  FROM v
+),
+fin AS (
+  SELECT n_pos, n_neg,
+    CAST(n_pos AS DOUBLE) AS n1, CAST(n_neg AS DOUBLE) AS n0,
+    psa / n_pos AS auc_a, psb / n_pos AS auc_b,
+    (((pxaa - psa * psa / n_pos) / (n_pos - 1.0)
+      + (pxbb - psb * psb / n_pos) / (n_pos - 1.0)
+      - 2.0 * (pxab - psa * psb / n_pos) / (n_pos - 1.0))
+     / n_pos)
+    + (((nxaa - nsa * nsa / n_neg) / (n_neg - 1.0)
+        + (nxbb - nsb * nsb / n_neg) / (n_neg - 1.0)
+        - 2.0 * (nxab - nsa * nsb / n_neg) / (n_neg - 1.0))
+       / n_neg) AS var
+  FROM agg
+),
+zz AS (
+  SELECT *, CASE WHEN n_pos >= 2 AND n_neg >= 2 AND var > 0
+    THEN (auc_a - auc_b) / sqrt(var) END AS z
+  FROM fin
+),
+ee AS (
+  SELECT *, abs(z) / sqrt(2.0) AS xx,
+    1.0 / (1.0 + 0.3275911 * (abs(z) / sqrt(2.0))) AS t
+  FROM zz
+)
+SELECT n_pos, n_neg, round(auc_a, 6) AS auc_a,
+  round(auc_b, 6) AS auc_b,
+  round(auc_a - auc_b, 6) AS auc_diff,
+  round(z, 6) AS z,
+  round(CASE WHEN z IS NOT NULL THEN
+    (0.254829592 * t + -0.284496736 * t * t
+     + 1.421413741 * t * t * t + -1.453152027 * t * t * t * t
+     + 1.061405429 * t * t * t * t * t) * exp(-xx * xx) END, 6)
+    AS p_value
+FROM ee
+"""
+
+
+@_q("delong_test", _DELONG_ORACLE)
+def q_delong_test(spark, sf):
+    """DeLong correlated-AUC comparison of two planted value-scores
+    for the purchase label (stats.delong_test): midrank structural
+    components from the distributed stepped cumsum, covariance pass
+    in one aggregation — never the n1 x n0 pair enumeration."""
+    from padua_spark.operators.stats import delong_test
+
+    e = _t(spark, sf, "events").where(
+        F.col("value").isNotNull() & F.col("event_type").isNotNull()
+    ).select(
+        (F.col("event_type") == "purchase").cast("int").alias("y"),
+        F.col("value").cast("double").alias("value"),
+    ).select(
+        "y",
+        (F.floor((F.col("value") + F.col("y") * 50.0) * 10.0) / 10.0)
+        .alias("sa"),
+        (F.floor((F.col("value") + F.col("y") * 20.0) * 10.0) / 10.0)
+        .alias("sb"),
+    )
+    return delong_test(e, "y", "sa", "sb")
+
+
 _BENFORD_ORACLE = """
 WITH v0 AS (
   SELECT CAST(round(CAST(value AS DOUBLE) * 100) AS DOUBLE) AS v

@@ -167,6 +167,8 @@ HEADLINE = [
     "url_profile",
     "negbin_fit",
     "mde_two_proportion",
+    "holm_adjust",
+    "delong_test",
     "anova_2way_stats",
     "levene_stats",
     "ttest_paired_stats",

@@ -8956,3 +8956,205 @@ def mde_two_proportion(
         F.round(mde, 6).alias("mde_absolute"),
         F.when(ok, F.abs(diff) >= mde).alias("powered"),
     )
+
+
+def holm_adjust(
+    df: DataFrame,
+    p_col: str = "p_value",
+    out_col: str = "p_holm",
+) -> DataFrame:
+    """Holm step-down adjusted p-values — the FWER companion to the
+    FDR machinery in :func:`qvalues` (use Holm when ONE false positive
+    is unacceptable — release gates, safety filters — and BH/Storey
+    when a controlled false-discovery RATE is fine):
+
+    sort p ascending; ``p̃_(i) = min(1, max_{j ≤ i} (m − j + 1)·p_(j))``
+    — uniformly more powerful than Bonferroni, valid under arbitrary
+    dependence.
+
+    Plan note: the rank/forward-max windows are global-order — a
+    single-partition sort of the per-feature p-value table (m =
+    #features, ≪ fact-table size; the same documented trade as
+    :func:`qvalues`). Rows with NULL p pass through with NULL output.
+    Output: input + ``out_col``, 6dp.
+    """
+    valid = df.filter(F.col(p_col).isNotNull())
+    nulls = df.filter(F.col(p_col).isNull()).withColumn(
+        out_col, F.lit(None).cast("double")
+    )
+    w_all = Window.partitionBy()
+    w_rank = Window.orderBy(F.col(p_col).asc())
+    m_col = F.count(F.lit(1)).over(w_all).cast("double")
+    ranked = valid.withColumn("_rank", F.row_number().over(w_rank))
+    raw = (m_col - F.col("_rank").cast("double") + 1.0) * F.col(p_col)
+    w_runmax = Window.orderBy(
+        F.col(p_col).asc(), F.col("_rank").asc()
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    out = (
+        ranked.withColumn("_h_raw", raw)
+        .withColumn(
+            out_col,
+            F.round(
+                F.least(F.max("_h_raw").over(w_runmax), F.lit(1.0)), 6
+            ),
+        )
+        .drop("_h_raw", "_rank")
+    )
+    return out.unionByName(nulls)
+
+
+def delong_test(
+    df: DataFrame,
+    label_col: str,
+    score_a_col: str,
+    score_b_col: str,
+    small_domain_threshold: int | None = None,
+) -> DataFrame:
+    """DeLong's test for comparing two CORRELATED ROC-AUCs — "is model
+    B actually better than model A on the SAME eval rows?" (the
+    correct test; comparing two independent AUC CIs ignores that both
+    models score the same examples and is badly conservative):
+
+    AUC via midranks; per-example structural components
+    ``V10_i = (R_i − R_i^{pos})/n₀`` over positives and
+    ``V01_j = 1 − (R_j − R_j^{neg})/n₁`` over negatives (R = midrank
+    among all, R^{class} = midrank within the example's own class);
+    ``z = (AUC_A − AUC_B)/√v`` with
+    ``v = (s₁₀^{AA}+s₁₀^{BB}−2s₁₀^{AB})/n₁ +
+    (s₀₁^{AA}+s₀₁^{BB}−2s₀₁^{AB})/n₀`` (sample covariances of the
+    components); two-sided p via the shared A&S-erfc polynomial.
+
+    Scale shape: per model, ONE groupBy to the per-distinct-score
+    class counts, the DISTRIBUTED stepped cumsum
+    (:func:`_stepped_running_counts` — never a global sort of the
+    data), and one value-keyed join back to the rows; the final
+    covariance pass is one aggregation. No pairwise enumeration
+    anywhere (the naive definition is n₁·n₀ pairs PER MODEL). Output
+    1 row: ``(n_pos, n_neg, auc_a, auc_b, auc_diff, z, p_value)``,
+    6dp; z/p NULL when either class is empty or the variance is 0.
+
+    Beyond the reference; standard per DeLong, DeLong & Clarke-
+    Pearson 1988 (the Sun & Xu 2014 midrank formulation).
+    """
+    from padua_spark.io_utils import track_cached
+
+    y = F.col(label_col).cast("int")
+    base = df.where(
+        y.isNotNull()
+        & F.col(score_a_col).isNotNull()
+        & F.col(score_b_col).isNotNull()
+    ).select(
+        y.alias("_y"),
+        F.col(score_a_col).cast("double").alias("_sa"),
+        F.col(score_b_col).cast("double").alias("_sb"),
+    )
+    cached = []
+    comp = base
+    for tag in ("a", "b"):
+        per = (
+            comp.groupBy(F.col(f"_s{tag}").alias("_v"))
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("_c"),
+                F.sum("_y").cast("bigint").alias("_cp"),
+            )
+            .withColumn("_cn", F.col("_c") - F.col("_cp"))
+        )
+        stepped = _stepped_running_counts(
+            per, "_v", ["_c", "_cp", "_cn"], small_domain_threshold
+        )
+        cached.extend(getattr(stepped, "_padua_cached", ()))
+        mr_all = (
+            (F.col("_c_run") - F.col("_c")).cast("double")
+            + (F.col("_c").cast("double") + 1.0) / 2.0
+        )
+        mr_pos = (
+            (F.col("_cp_run") - F.col("_cp")).cast("double")
+            + (F.col("_cp").cast("double") + 1.0) / 2.0
+        )
+        mr_neg = (
+            (F.col("_cn_run") - F.col("_cn")).cast("double")
+            + (F.col("_cn").cast("double") + 1.0) / 2.0
+        )
+        ranks = stepped.select(
+            F.col("_v").alias(f"_s{tag}"),
+            mr_all.alias(f"_ra_{tag}"),
+            mr_pos.alias(f"_rp_{tag}"),
+            mr_neg.alias(f"_rn_{tag}"),
+        )
+        comp = comp.join(ranks, on=f"_s{tag}")
+    n1 = F.sum("_y").cast("double")
+    n0 = F.sum(F.lit(1) - F.col("_y")).cast("double")
+    counted = comp.withColumn("_one", F.lit(1))
+    aggs = [
+        F.sum("_y").cast("bigint").alias("n_pos"),
+        F.sum(F.lit(1) - F.col("_y")).cast("bigint").alias("n_neg"),
+    ]
+    # V components need n0/n1 — fold them in a second pass over a
+    # staged frame via a 1-row broadcast (constant-fold BNLJ)
+    totals = counted.agg(
+        n1.alias("_n1"), n0.alias("_n0"), F.lit(1).alias("_one")
+    )
+    j = counted.join(F.broadcast(totals), on="_one")
+    v10 = {
+        t: (F.col(f"_ra_{t}") - F.col(f"_rp_{t}")) / F.col("_n0")
+        for t in ("a", "b")
+    }
+    v01 = {
+        t: 1.0 - (F.col(f"_ra_{t}") - F.col(f"_rn_{t}")) / F.col("_n1")
+        for t in ("a", "b")
+    }
+    is_pos = F.col("_y") == 1
+
+    def _sums(prefix, vmap, cond):
+        out = []
+        for t in ("a", "b"):
+            out.append(
+                F.sum(F.when(cond, vmap[t]).otherwise(0.0))
+                .alias(f"_{prefix}s{t}")
+            )
+        for ta, tb in (("a", "a"), ("b", "b"), ("a", "b")):
+            out.append(
+                F.sum(
+                    F.when(cond, vmap[ta] * vmap[tb]).otherwise(0.0)
+                ).alias(f"_{prefix}x{ta}{tb}")
+            )
+        return out
+
+    agg = j.agg(
+        F.sum("_y").cast("bigint").alias("n_pos"),
+        (F.count(F.lit(1)) - F.sum("_y")).cast("bigint").alias("n_neg"),
+        *_sums("p", v10, is_pos),
+        *_sums("n", v01, ~is_pos),
+    )
+    n1d = F.col("n_pos").cast("double")
+    n0d = F.col("n_neg").cast("double")
+    auc = {t: F.col(f"_ps{t}") / n1d for t in ("a", "b")}
+
+    def _cov(prefix, nd, ta, tb):
+        return (
+            F.col(f"_{prefix}x{ta}{tb}")
+            - F.col(f"_{prefix}s{ta}") * F.col(f"_{prefix}s{tb}") / nd
+        ) / (nd - 1.0)
+
+    var = (
+        _cov("p", n1d, "a", "a")
+        + _cov("p", n1d, "b", "b")
+        - 2.0 * _cov("p", n1d, "a", "b")
+    ) / n1d + (
+        _cov("n", n0d, "a", "a")
+        + _cov("n", n0d, "b", "b")
+        - 2.0 * _cov("n", n0d, "a", "b")
+    ) / n0d
+    ok = (F.col("n_pos") >= 2) & (F.col("n_neg") >= 2)
+    z = F.when(ok & (var > 0), (auc["a"] - auc["b"]) / F.sqrt(var))
+    out = agg.select(
+        "n_pos", "n_neg",
+        F.round(auc["a"], 6).alias("auc_a"),
+        F.round(auc["b"], 6).alias("auc_b"),
+        F.round(auc["a"] - auc["b"], 6).alias("auc_diff"),
+        F.round(z, 6).alias("z"),
+        F.round(
+            F.when(z.isNotNull(), _normal_sf_2sided(z)), 6
+        ).alias("p_value"),
+    )
+    return track_cached(out, *cached)

@@ -416,6 +416,8 @@ def test_no_cartesian_products_anywhere(spark):
         # fold to BNLJ)
         "breusch_pagan", "cooks_distance", "mahalanobis_outliers",
         "huber_regression",
+        # 1-row (n1, n0) totals broadcast onto the component rows
+        "delong_test",
         # windows × reference-bins cross join — both tiny by
         # construction (every reference bin must score in every window)
         "windowed_psi",

@@ -352,6 +352,8 @@ COVERAGE = {
     "E237": "entry:url_profile",
     "E238": "entry:negbin_fit",
     "E239": "entry:mde_two_proportion",
+    "E240": "entry:holm_adjust",
+    "E241": "entry:delong_test",
 }
 
 

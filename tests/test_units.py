@@ -8618,3 +8618,84 @@ def test_negbin_and_mde_vs_replicas(spark):
     assert r["powered"] == (abs(kb / 5000 - ka / 5000) >= mde)
     with pytest.raises(ValueError, match="supported alpha"):
         mde_two_proportion(md, "v", "s", "a", "b", alpha=0.2)
+
+
+def test_holm_and_delong_vs_replicas(spark):
+    """Holm step-down against the direct definition (NULL p passes
+    through); DeLong z/p against a midrank-component numpy replica
+    with planted score ties; equal scores give z NULL-safe ~ 0."""
+    import math
+
+    import numpy as np
+
+    from padua_spark.operators.stats import delong_test, holm_adjust
+
+    ps = [0.001, 0.008, 0.039, 0.041, 0.042, 0.06, 0.074, 0.205,
+          0.212, 0.216, None]
+    df = spark.createDataFrame(
+        [(i, p) for i, p in enumerate(ps)], ["i", "p_value"]
+    )
+    got = {r["i"]: r["p_holm"] for r in holm_adjust(df, "p_value").collect()}
+    vals = [p for p in ps if p is not None]
+    m = len(vals)
+    order = np.argsort(vals)
+    adj = np.empty(m)
+    run = 0.0
+    for rank, idx in enumerate(order):
+        run = max(run, (m - rank) * vals[idx])
+        adj[idx] = min(1.0, run)
+    assert all(got[i] == pytest.approx(adj[i], abs=1e-6) for i in range(m))
+    assert got[10] is None
+
+    rng = np.random.RandomState(11)
+    n = 600
+    y = (rng.rand(n) < 0.4).astype(int)
+    sa = np.round(y * 0.8 + rng.rand(n), 1)
+    sb = np.round(y * 0.5 + rng.rand(n), 1)
+    df = spark.createDataFrame(
+        [(int(a), float(b), float(c)) for a, b, c in zip(y, sa, sb)],
+        ["y", "sa", "sb"],
+    )
+    r = delong_test(df, "y", "sa", "sb").collect()[0]
+
+    def midranks(x):
+        order = np.argsort(x, kind="stable")
+        sx = x[order]
+        ranks = np.empty(len(x))
+        i = 0
+        while i < len(sx):
+            j = i
+            while j < len(sx) and sx[j] == sx[i]:
+                j += 1
+            ranks[order[i:j]] = (i + 1 + j) / 2.0
+            i = j
+        return ranks
+
+    def components(s):
+        n1 = y.sum()
+        n0 = len(y) - n1
+        r_all = midranks(s)
+        v10 = (r_all[y == 1] - midranks(s[y == 1])) / n0
+        v01 = 1.0 - (r_all[y == 0] - midranks(s[y == 0])) / n1
+        return v10, v01
+
+    va10, va01 = components(sa)
+    vb10, vb01 = components(sb)
+    n1 = int(y.sum())
+    n0 = n - n1
+    S10 = np.cov(np.vstack([va10, vb10]), ddof=1)
+    S01 = np.cov(np.vstack([va01, vb01]), ddof=1)
+    var = (S10[0, 0] + S10[1, 1] - 2 * S10[0, 1]) / n1 + (
+        S01[0, 0] + S01[1, 1] - 2 * S01[0, 1]
+    ) / n0
+    z = (va10.mean() - vb10.mean()) / math.sqrt(var)
+    assert (r["n_pos"], r["n_neg"]) == (n1, n0)
+    assert r["auc_a"] == pytest.approx(va10.mean(), abs=1e-6)
+    assert r["auc_b"] == pytest.approx(vb10.mean(), abs=1e-6)
+    assert r["z"] == pytest.approx(z, abs=1e-5)
+    assert r["p_value"] == pytest.approx(
+        math.erfc(abs(z) / math.sqrt(2)), abs=1e-6
+    )
+    # identical scores: zero variance of the difference -> NULL z
+    same = delong_test(df, "y", "sa", "sa").collect()[0]
+    assert same["auc_diff"] == 0.0 and same["z"] is None
