@@ -19047,6 +19047,276 @@ def q_delong_test(spark, sf):
     return delong_test(e, "y", "sa", "sb")
 
 
+_IPW_ORACLE = """
+WITH d AS (
+  SELECT CAST(user_id % 2 AS INT) AS t,
+    CAST(value AS DOUBLE)
+      + CASE WHEN user_id % 2 = 1 THEN 25.0 ELSE 0.0 END AS y,
+    least(0.9, greatest(0.1,
+      0.3 + CAST(user_id % 10 AS DOUBLE) / 20.0)) AS e
+  FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL
+),
+w AS (
+  SELECT t, y,
+    CASE WHEN t = 1 THEN 1.0 / e ELSE 1.0 / (1.0 - e) END AS w
+  FROM d
+),
+a AS (
+  SELECT
+    CAST(sum(CASE WHEN t = 1 THEN 1 ELSE 0 END) AS BIGINT) AS nt,
+    CAST(sum(CASE WHEN t = 0 THEN 1 ELSE 0 END) AS BIGINT) AS nc,
+    sum(CASE WHEN t = 1 THEN w ELSE 0 END) AS swt,
+    sum(CASE WHEN t = 1 THEN w * w ELSE 0 END) AS swwt,
+    sum(CASE WHEN t = 1 THEN w * y ELSE 0 END) AS swyt,
+    sum(CASE WHEN t = 1 THEN w * w * y * y ELSE 0 END) AS swwyyt,
+    sum(CASE WHEN t = 1 THEN w * w * y ELSE 0 END) AS swwyt,
+    sum(CASE WHEN t = 0 THEN w ELSE 0 END) AS swc,
+    sum(CASE WHEN t = 0 THEN w * w ELSE 0 END) AS swwc,
+    sum(CASE WHEN t = 0 THEN w * y ELSE 0 END) AS swyc,
+    sum(CASE WHEN t = 0 THEN w * w * y * y ELSE 0 END) AS swwyyc,
+    sum(CASE WHEN t = 0 THEN w * w * y ELSE 0 END) AS swwyc
+  FROM w
+),
+s AS (
+  SELECT nt, nc,
+    swyt / swt AS mut, swyc / swc AS muc,
+    (swwyyt - 2.0 * (swyt / swt) * swwyt
+     + (swyt / swt) * (swyt / swt) * swwt) / (swt * swt) AS vt,
+    (swwyyc - 2.0 * (swyc / swc) * swwyc
+     + (swyc / swc) * (swyc / swc) * swwc) / (swc * swc) AS vc,
+    swt * swt / swwt AS esst, swc * swc / swwc AS essc
+  FROM a
+),
+zz AS (
+  SELECT *, mut - muc AS ate,
+    CASE WHEN vt + vc > 0 THEN sqrt(vt + vc) END AS se
+  FROM s
+),
+ee AS (
+  SELECT *, (ate / se) AS z, abs(ate / se) / sqrt(2.0) AS xx,
+    1.0 / (1.0 + 0.3275911 * (abs(ate / se) / sqrt(2.0))) AS tt
+  FROM zz
+)
+SELECT nt AS n_treat, nc AS n_control,
+  round(esst, 6) AS ess_treat, round(essc, 6) AS ess_control,
+  round(ate, 6) AS ate, round(se, 6) AS se, round(z, 6) AS z,
+  round((0.254829592 * tt + -0.284496736 * tt * tt
+     + 1.421413741 * tt * tt * tt + -1.453152027 * tt * tt * tt * tt
+     + 1.061405429 * tt * tt * tt * tt * tt) * exp(-xx * xx), 6)
+    AS p_value
+FROM ee
+"""
+
+
+@_q("ipw_ate", _IPW_ORACLE)
+def q_ipw_ate(spark, sf):
+    """Hajek IPW average treatment effect with a planted +25 effect,
+    deterministic propensities, trimming and per-arm effective sample
+    sizes (stats.ipw_ate): one conditional aggregation."""
+    from padua_spark.operators.stats import ipw_ate
+
+    e = _t(spark, sf, "events").where(
+        F.col("user_id").isNotNull() & F.col("value").isNotNull()
+    ).select(
+        (F.col("user_id") % 2).cast("int").alias("t"),
+        (
+            F.col("value").cast("double")
+            + F.when(F.col("user_id") % 2 == 1, 25.0).otherwise(0.0)
+        ).alias("y"),
+        F.least(
+            F.lit(0.9),
+            F.greatest(
+                F.lit(0.1),
+                F.lit(0.3)
+                + (F.col("user_id") % 10).cast("double") / 20.0,
+            ),
+        ).alias("e"),
+    )
+    return ipw_ate(e, "t", "y", "e")
+
+
+_DID_ORACLE = """
+WITH d AS (
+  SELECT CAST(l_suppkey % 2 AS INT) AS g,
+    CASE WHEN l_shipdate >= TIMESTAMP '1998-05-24 00:00:00'
+         THEN 1 ELSE 0 END AS p,
+    CAST(round(l_extendedprice / 10.0) AS DOUBLE)
+      + CASE WHEN l_suppkey % 2 = 1
+                  AND l_shipdate >= TIMESTAMP '1998-05-24 00:00:00'
+             THEN 500.0 ELSE 0.0 END AS y
+  FROM lineitem
+  WHERE l_suppkey IS NOT NULL AND l_shipdate IS NOT NULL
+    AND l_extendedprice IS NOT NULL
+),
+a AS (
+  SELECT
+    CAST(sum(CASE WHEN g = 0 AND p = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n00,
+    sum(CASE WHEN g = 0 AND p = 0 THEN y ELSE 0 END) AS s00,
+    sum(CASE WHEN g = 0 AND p = 0 THEN y * y ELSE 0 END) AS q00,
+    CAST(sum(CASE WHEN g = 0 AND p = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n01,
+    sum(CASE WHEN g = 0 AND p = 1 THEN y ELSE 0 END) AS s01,
+    sum(CASE WHEN g = 0 AND p = 1 THEN y * y ELSE 0 END) AS q01,
+    CAST(sum(CASE WHEN g = 1 AND p = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n10,
+    sum(CASE WHEN g = 1 AND p = 0 THEN y ELSE 0 END) AS s10,
+    sum(CASE WHEN g = 1 AND p = 0 THEN y * y ELSE 0 END) AS q10,
+    CAST(sum(CASE WHEN g = 1 AND p = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n11,
+    sum(CASE WHEN g = 1 AND p = 1 THEN y ELSE 0 END) AS s11,
+    sum(CASE WHEN g = 1 AND p = 1 THEN y * y ELSE 0 END) AS q11
+  FROM d
+),
+m AS (
+  SELECT n00, n01, n10, n11,
+    s00 / n00 AS m00, s01 / n01 AS m01,
+    s10 / n10 AS m10, s11 / n11 AS m11,
+    (q00 - n00 * (s00 / n00) * (s00 / n00)) / (n00 - 1.0) / n00
+    + (q01 - n01 * (s01 / n01) * (s01 / n01)) / (n01 - 1.0) / n01
+    + (q10 - n10 * (s10 / n10) * (s10 / n10)) / (n10 - 1.0) / n10
+    + (q11 - n11 * (s11 / n11) * (s11 / n11)) / (n11 - 1.0) / n11
+      AS se2
+  FROM a
+),
+zz AS (
+  SELECT *, (m11 - m10) - (m01 - m00) AS att,
+    CASE WHEN se2 > 0 THEN sqrt(se2) END AS se
+  FROM m
+),
+ee AS (
+  SELECT *, att / se AS z, abs(att / se) / sqrt(2.0) AS xx,
+    1.0 / (1.0 + 0.3275911 * (abs(att / se) / sqrt(2.0))) AS tt
+  FROM zz
+)
+SELECT n00 AS n_ctrl_pre, n01 AS n_ctrl_post,
+  n10 AS n_treat_pre, n11 AS n_treat_post,
+  round(m00, 6) AS mean_ctrl_pre, round(m01, 6) AS mean_ctrl_post,
+  round(m10, 6) AS mean_treat_pre, round(m11, 6) AS mean_treat_post,
+  round(att, 6) AS att, round(se, 6) AS se, round(z, 6) AS z,
+  round((0.254829592 * tt + -0.284496736 * tt * tt
+     + 1.421413741 * tt * tt * tt + -1.453152027 * tt * tt * tt * tt
+     + 1.061405429 * tt * tt * tt * tt * tt) * exp(-xx * xx), 6)
+    AS p_value
+FROM ee
+"""
+
+
+@_q("diff_in_diff", _DID_ORACLE)
+def q_diff_in_diff(spark, sf):
+    """2x2 difference-in-differences of tens-of-dollars revenue
+    across a supplier-parity split and the median-shipdate break,
+    with a planted +500 interaction (stats.diff_in_diff): one
+    conditional aggregation to the four cells."""
+    from padua_spark.operators.stats import diff_in_diff
+
+    li = _t(spark, sf, "lineitem").where(
+        F.col("l_suppkey").isNotNull()
+        & F.col("l_shipdate").isNotNull()
+        & F.col("l_extendedprice").isNotNull()
+    )
+    post = (
+        F.col("l_shipdate") >= F.lit("1998-05-24 00:00:00")
+    ).cast("int")
+    d = li.select(
+        (F.col("l_suppkey") % 2).cast("int").alias("g"),
+        post.alias("p"),
+        (
+            F.round(F.col("l_extendedprice") / 10.0).cast("double")
+            + F.when(
+                ((F.col("l_suppkey") % 2) == 1) & (post == 1), 500.0
+            ).otherwise(0.0)
+        ).alias("y"),
+    )
+    return diff_in_diff(d, "g", "p", "y")
+
+
+def _randomization_oracle(n_perms: int = 99) -> str:
+    M = 2_147_483_647
+    A = 48_271
+    cols = []
+    for b in range(n_perms):
+        salt = 1_000_003 * (b + 1)
+        bit = (
+            f"(((((o_custkey % {M}) + {salt}) % {M})"
+            f" * ((((o_custkey % {M}) + {salt}) % {M})) % {M})"
+        )
+        # h2 = (h1*A + h0) % M; h3 = h2*h2 % M; bit = h3 < M//2
+        h0 = f"(((o_custkey % {M}) + {salt}) % {M})"
+        h1 = f"(({h0} * {h0}) % {M})"
+        h2 = f"((({h1} * {A}) + {h0}) % {M})"
+        h3 = f"(({h2} * {h2}) % {M})"
+        cols.append(
+            f"CAST(sum(CASE WHEN {h3} < {M // 2} THEN 1 ELSE 0 END)"
+            f" AS BIGINT) AS pn{b},\n"
+            f"    sum(CASE WHEN {h3} < {M // 2} THEN v ELSE 0.0 END)"
+            f" AS ps{b}"
+        )
+        _ = bit
+    null_terms = []
+    for b in range(n_perms):
+        nd = (
+            f"(CASE WHEN pn{b} > 0 AND n - pn{b} > 0 THEN"
+            f" ps{b} / pn{b} - (s - ps{b}) / (n - pn{b}) END)"
+        )
+        null_terms.append(
+            f"CASE WHEN {nd} IS NOT NULL AND abs({nd}) >= abs(obs)"
+            " THEN 1 ELSE 0 END"
+        )
+    cols_sql = ",\n    ".join(cols)
+    ext_sql = " + ".join(null_terms)
+    return f"""
+WITH d AS (
+  SELECT o_custkey,
+    CASE WHEN o_custkey % 2 = 0 THEN 1 ELSE 0 END AS a,
+    CAST(o_totalprice AS DOUBLE) AS v
+  FROM orders
+  WHERE o_custkey IS NOT NULL AND o_totalprice IS NOT NULL
+),
+agg AS (
+  SELECT
+    CAST(sum(a) AS BIGINT) AS na,
+    CAST(sum(1 - a) AS BIGINT) AS nb,
+    sum(CASE WHEN a = 1 THEN v ELSE 0 END) AS sa,
+    sum(CASE WHEN a = 0 THEN v ELSE 0 END) AS sb,
+    CAST(count(*) AS BIGINT) AS n, sum(v) AS s,
+    {cols_sql}
+  FROM d
+),
+o AS (
+  SELECT *, sa / na - sb / nb AS obs FROM agg
+),
+x AS (
+  SELECT na, nb, obs,
+    ({ext_sql}) AS n_ext
+  FROM o
+)
+SELECT na AS n_a, nb AS n_b,
+  round(obs, 6) AS observed_diff,
+  round((1.0 + n_ext) / (1.0 + {float(n_perms)}), 6) AS p_value,
+  {int(n_perms)} AS n_perms
+FROM x
+"""
+
+
+@_q("randomization_test_mean", _randomization_oracle())
+def q_randomization_test_mean(spark, sf):
+    """Deterministic randomization test of order totals across a
+    customer-parity split (stats.randomization_test_mean): 99
+    Lehmer-quadratic pseudo-reassignments as conditional-sum columns
+    in ONE aggregation — reproducible bit-for-bit on any engine."""
+    from padua_spark.operators.stats import randomization_test_mean
+
+    o = _t(spark, sf, "orders").where(
+        F.col("o_custkey").isNotNull()
+        & F.col("o_totalprice").isNotNull()
+    ).select(
+        F.col("o_custkey").alias("id"),
+        F.when(F.col("o_custkey") % 2 == 0, F.lit("a"))
+        .otherwise(F.lit("b")).alias("g"),
+        F.col("o_totalprice").cast("double").alias("v"),
+    )
+    return randomization_test_mean(
+        o, "id", "g", "v", "a", "b", n_perms=99
+    )
+
+
 _BENFORD_ORACLE = """
 WITH v0 AS (
   SELECT CAST(round(CAST(value AS DOUBLE) * 100) AS DOUBLE) AS v

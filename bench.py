@@ -169,6 +169,9 @@ HEADLINE = [
     "mde_two_proportion",
     "holm_adjust",
     "delong_test",
+    "ipw_ate",
+    "diff_in_diff",
+    "randomization_test_mean",
     "anova_2way_stats",
     "levene_stats",
     "ttest_paired_stats",

@@ -9158,3 +9158,304 @@ def delong_test(
         ).alias("p_value"),
     )
     return track_cached(out, *cached)
+
+
+def ipw_ate(
+    df: DataFrame,
+    treatment_col: str,
+    outcome_col: str,
+    propensity_col: str,
+    trim: float = 0.01,
+) -> DataFrame:
+    """Inverse-propensity-weighted average treatment effect (Hájek /
+    self-normalized form) — the workhorse observational-causal
+    estimator once a propensity column exists (fit one with
+    :func:`~padua_spark.operators.ml.logistic_regression` or bring
+    your own):
+
+    ``ATE = Σ_T y/e / Σ_T 1/e − Σ_C y/(1−e) / Σ_C 1/(1−e)``
+
+    with propensities TRIMMED to ``[trim, 1−trim]`` (the standard
+    positivity guard — untrimmed IPW's variance is unbounded as
+    e → 0/1); the normal-approximation SE uses the weighted
+    within-arm variances of the Hájek residuals, and the effective
+    sample size ``ESS = (Σw)²/Σw²`` per arm reports how much data the
+    weights actually keep.
+
+    ONE conditional aggregation. Output 1 row: ``(n_treat,
+    n_control, ess_treat, ess_control, ate, se, z, p_value)``, 6dp;
+    NULL inference when either arm is empty.
+
+    Beyond the reference; standard per Horvitz-Thompson 1952 / Hájek
+    1971 (see Imbens & Rubin 2015 ch. 12 for the SE form).
+    """
+    t = F.col(treatment_col).cast("int")
+    y = F.col(outcome_col).cast("double")
+    e = F.col(propensity_col).cast("double")
+    e = F.least(F.greatest(e, F.lit(float(trim))), F.lit(1.0 - trim))
+    base = df.where(
+        t.isin(0, 1) & y.isNotNull() & F.col(propensity_col).isNotNull()
+    ).select(t.alias("_t"), y.alias("_y"), e.alias("_e"))
+    wt = F.when(F.col("_t") == 1, 1.0 / F.col("_e")).otherwise(
+        1.0 / (1.0 - F.col("_e"))
+    )
+    staged = base.withColumn("_w", wt)
+    aggs = []
+    for g in (1, 0):
+        hit = F.col("_t") == g
+        tag = "t" if g == 1 else "c"
+        aggs += [
+            F.sum(F.when(hit, 1).otherwise(0)).cast("bigint")
+            .alias(f"_n{tag}"),
+            F.sum(F.when(hit, F.col("_w")).otherwise(0.0))
+            .alias(f"_sw{tag}"),
+            F.sum(F.when(hit, F.col("_w") * F.col("_w")).otherwise(0.0))
+            .alias(f"_sww{tag}"),
+            F.sum(F.when(hit, F.col("_w") * F.col("_y")).otherwise(0.0))
+            .alias(f"_swy{tag}"),
+            F.sum(
+                F.when(
+                    hit, F.col("_w") * F.col("_w") * F.col("_y")
+                    * F.col("_y")
+                ).otherwise(0.0)
+            ).alias(f"_swwyy{tag}"),
+            F.sum(
+                F.when(
+                    hit, F.col("_w") * F.col("_w") * F.col("_y")
+                ).otherwise(0.0)
+            ).alias(f"_swwy{tag}"),
+        ]
+    agg = staged.agg(*aggs)
+
+    def _arm(tag):
+        sw = F.col(f"_sw{tag}")
+        mu = F.col(f"_swy{tag}") / sw
+        # variance of the Hajek ratio estimator via the linearized
+        # residuals: Var ~ sum w^2 (y - mu)^2 / (sum w)^2
+        s2 = (
+            F.col(f"_swwyy{tag}")
+            - 2.0 * mu * F.col(f"_swwy{tag}")
+            + mu * mu * F.col(f"_sww{tag}")
+        ) / (sw * sw)
+        ess = sw * sw / F.col(f"_sww{tag}")
+        return mu, s2, ess
+
+    mu_t, v_t, ess_t = _arm("t")
+    mu_c, v_c, ess_c = _arm("c")
+    ok = (F.col("_nt") > 0) & (F.col("_nc") > 0)
+    ate = F.when(ok, mu_t - mu_c)
+    se = F.when(ok & (v_t + v_c > 0), F.sqrt(v_t + v_c))
+    z = ate / se
+    return agg.select(
+        F.col("_nt").alias("n_treat"),
+        F.col("_nc").alias("n_control"),
+        F.round(F.when(ok, ess_t), 6).alias("ess_treat"),
+        F.round(F.when(ok, ess_c), 6).alias("ess_control"),
+        F.round(ate, 6).alias("ate"),
+        F.round(se, 6).alias("se"),
+        F.round(z, 6).alias("z"),
+        F.round(
+            F.when(z.isNotNull(), _normal_sf_2sided(z)), 6
+        ).alias("p_value"),
+    )
+
+
+def diff_in_diff(
+    df: DataFrame,
+    group_col: str,
+    post_col: str,
+    outcome_col: str,
+) -> DataFrame:
+    """2×2 difference-in-differences — the launch-impact workhorse
+    when assignment wasn't randomized but a control series exists
+    ("treated region vs control region, before vs after"):
+
+    ``ATT = (ȳ_{T,post} − ȳ_{T,pre}) − (ȳ_{C,post} − ȳ_{C,pre})``
+
+    (identical to the OLS interaction coefficient of
+    ``y ~ group·post``); SE from the four independent cell means
+    (``√Σ s²_g,p/n_g,p`` — the heteroskedasticity-robust 2×2 form),
+    normal-approximation z/p. ``group_col`` and ``post_col`` must be
+    0/1.
+
+    ONE conditional aggregation to the four cells. Output 1 row: the
+    four cell means + ``(att, se, z, p_value)``, 6dp; NULL inference
+    when any cell has < 2 rows.
+
+    Beyond the reference; textbook (Card & Krueger 1994 form).
+    """
+    g = F.col(group_col).cast("int")
+    p = F.col(post_col).cast("int")
+    y = F.col(outcome_col).cast("double")
+    base = df.where(
+        g.isin(0, 1) & p.isin(0, 1) & y.isNotNull()
+    ).select(g.alias("_g"), p.alias("_p"), y.alias("_y"))
+    aggs = []
+    for gg in (0, 1):
+        for pp in (0, 1):
+            hit = (F.col("_g") == gg) & (F.col("_p") == pp)
+            tag = f"{gg}{pp}"
+            aggs += [
+                F.sum(F.when(hit, 1).otherwise(0)).cast("bigint")
+                .alias(f"_n{tag}"),
+                F.sum(F.when(hit, F.col("_y")).otherwise(0.0))
+                .alias(f"_s{tag}"),
+                F.sum(
+                    F.when(hit, F.col("_y") * F.col("_y"))
+                    .otherwise(0.0)
+                ).alias(f"_q{tag}"),
+            ]
+    agg = base.agg(*aggs)
+
+    def _cell(tag):
+        n = F.col(f"_n{tag}").cast("double")
+        mu = F.col(f"_s{tag}") / n
+        var = (F.col(f"_q{tag}") - n * mu * mu) / (n - 1.0)
+        return n, mu, var
+
+    cells = {t: _cell(t) for t in ("00", "01", "10", "11")}
+    ok = None
+    for t in cells:
+        c = F.col(f"_n{t}") >= 2
+        ok = c if ok is None else ok & c
+    att = (cells["11"][1] - cells["10"][1]) - (
+        cells["01"][1] - cells["00"][1]
+    )
+    se2 = None
+    for t in cells:
+        n, _, var = cells[t]
+        term = var / n
+        se2 = term if se2 is None else se2 + term
+    se = F.when(ok & (se2 > 0), F.sqrt(se2))
+    z = F.when(ok, att) / se
+    return agg.select(
+        F.col("_n00").alias("n_ctrl_pre"),
+        F.col("_n01").alias("n_ctrl_post"),
+        F.col("_n10").alias("n_treat_pre"),
+        F.col("_n11").alias("n_treat_post"),
+        F.round(F.when(ok, cells["00"][1]), 6).alias("mean_ctrl_pre"),
+        F.round(F.when(ok, cells["01"][1]), 6).alias("mean_ctrl_post"),
+        F.round(F.when(ok, cells["10"][1]), 6).alias("mean_treat_pre"),
+        F.round(F.when(ok, cells["11"][1]), 6).alias("mean_treat_post"),
+        F.round(F.when(ok, att), 6).alias("att"),
+        F.round(se, 6).alias("se"),
+        F.round(z, 6).alias("z"),
+        F.round(
+            F.when(z.isNotNull(), _normal_sf_2sided(z)), 6
+        ).alias("p_value"),
+    )
+
+
+_LEHMER_M = 2_147_483_647  # 2^31 - 1 (Park-Miller modulus)
+_LEHMER_A = 48_271
+
+
+def _lehmer_bit(id_col: Column, salt: int) -> Column:
+    """Deterministic engine-portable pseudo-random bit for a row id:
+    quadratic mixing over GF(M) — ``h1 = h0² mod M``,
+    ``h2 = (h1·A + h0) mod M``, ``h3 = h2² mod M`` with the
+    Park-Miller constants. The SQUARING matters: a pure
+    multiplicative (Lehmer) step maps consecutive ids to a constant-
+    step lattice whose splits are far TOO balanced (measured: null-
+    diff sd collapsed ~10× below the binomial-split theory on
+    periodic inputs); the quadratic chain matches the theoretical
+    split variance on both periodic and uniform inputs. Every product
+    stays < 2^63 (M−1 squared = 4.61e18), so the arithmetic is exact
+    BIGINT on any engine — no 64-bit wraparound semantics involved —
+    and the threshold on h3 gives a balanced bit."""
+    h0 = (
+        (id_col.cast("long") % F.lit(_LEHMER_M)) + F.lit(int(salt))
+    ) % F.lit(_LEHMER_M)
+    h1 = (h0 * h0) % F.lit(_LEHMER_M)
+    h2 = (h1 * F.lit(_LEHMER_A) + h0) % F.lit(_LEHMER_M)
+    h3 = (h2 * h2) % F.lit(_LEHMER_M)
+    return (h3 < F.lit(_LEHMER_M // 2)).cast("int")
+
+
+def randomization_test_mean(
+    df: DataFrame,
+    id_col: str,
+    group_col: str,
+    value_col: str,
+    group_a,
+    group_b,
+    n_perms: int = 199,
+) -> DataFrame:
+    """Randomization (permutation) test for a difference in means —
+    the assumption-free significance check for A/B metrics whose
+    distribution laughs at the t-test (revenue, latency tails):
+    re-randomize the group labels ``n_perms`` times, p = fraction of
+    null |diffs| ≥ |observed| (with the add-one rule
+    ``(1 + #extreme)/(1 + B)`` — the exact-valid Monte Carlo form).
+
+    Engine determinism: re-randomizations are NOT sampled — each perm
+    b reassigns every row by a Park-Miller Lehmer hash of
+    ``(id + salt_b)`` (exact integer arithmetic < 2^48, identical on
+    any engine), so the test is reproducible bit-for-bit. This is
+    random-REASSIGNMENT (binomial splits), the standard large-n
+    approximation of the permutation null; the label-count-preserving
+    exact permutation is not expressible as a scan (documented
+    trade).
+
+    Scale shape: ONE aggregation computes the observed diff and all
+    ``n_perms`` null diffs as conditional-sum columns (4·B partials —
+    bounded state, map-side combined). Output 1 row: ``(n_a, n_b,
+    observed_diff, p_value, n_perms)``, 6dp.
+
+    Beyond the reference; standard per Fisher 1935 / Edgington &
+    Onghena (Monte Carlo randomization form).
+    """
+    g = F.col(group_col)
+    v = F.col(value_col).cast("double")
+    base = df.where(
+        g.isin([group_a, group_b]) & v.isNotNull()
+    ).select(
+        F.col(id_col).alias("_id"),
+        (g == group_a).cast("int").alias("_a"),
+        v.alias("_v"),
+    )
+    aggs = [
+        F.sum("_a").cast("bigint").alias("_na"),
+        F.sum(F.lit(1) - F.col("_a")).cast("bigint").alias("_nb"),
+        F.sum(F.when(F.col("_a") == 1, F.col("_v")).otherwise(0.0))
+        .alias("_sa"),
+        F.sum(F.when(F.col("_a") == 0, F.col("_v")).otherwise(0.0))
+        .alias("_sb"),
+    ]
+    for b in range(int(n_perms)):
+        bit = _lehmer_bit(F.col("_id"), 1_000_003 * (b + 1))
+        aggs += [
+            F.sum(bit).cast("bigint").alias(f"_pn{b}"),
+            F.sum(F.when(bit == 1, F.col("_v")).otherwise(0.0))
+            .alias(f"_ps{b}"),
+        ]
+    agg = base.agg(
+        *aggs,
+        F.count(F.lit(1)).cast("bigint").alias("_n"),
+        F.sum("_v").alias("_s"),
+    )
+    obs = F.col("_sa") / F.col("_na").cast("double") - F.col(
+        "_sb"
+    ) / F.col("_nb").cast("double")
+    n_ext = None
+    for b in range(int(n_perms)):
+        pn = F.col(f"_pn{b}").cast("double")
+        qn = (F.col("_n") - F.col(f"_pn{b}")).cast("double")
+        null_d = F.when(
+            (pn > 0) & (qn > 0),
+            F.col(f"_ps{b}") / pn
+            - (F.col("_s") - F.col(f"_ps{b}")) / qn,
+        )
+        ext = F.when(
+            null_d.isNotNull() & (F.abs(null_d) >= F.abs(obs)), 1
+        ).otherwise(0)
+        n_ext = ext if n_ext is None else n_ext + ext
+    p = (1.0 + n_ext.cast("double")) / (1.0 + float(n_perms))
+    ok = (F.col("_na") > 0) & (F.col("_nb") > 0)
+    return agg.select(
+        F.col("_na").alias("n_a"),
+        F.col("_nb").alias("n_b"),
+        F.round(F.when(ok, obs), 6).alias("observed_diff"),
+        F.round(F.when(ok, p), 6).alias("p_value"),
+        F.lit(int(n_perms)).alias("n_perms"),
+    )

@@ -354,6 +354,9 @@ COVERAGE = {
     "E239": "entry:mde_two_proportion",
     "E240": "entry:holm_adjust",
     "E241": "entry:delong_test",
+    "E242": "entry:ipw_ate",
+    "E243": "entry:diff_in_diff",
+    "E244": "entry:randomization_test_mean",
 }
 
 

@@ -8699,3 +8699,111 @@ def test_holm_and_delong_vs_replicas(spark):
     # identical scores: zero variance of the difference -> NULL z
     same = delong_test(df, "y", "sa", "sa").collect()[0]
     assert same["auc_diff"] == 0.0 and same["z"] is None
+
+
+def test_causal_battery_vs_numpy(spark):
+    """IPW-Hajek ATE/SE/ESS, 2x2 DiD ATT/SE, and the deterministic
+    randomization test against numpy replicas; calibration checks
+    (planted effect detected, null not rejected; the null-diff sd of
+    the hash reassignments matches binomial-split theory — the
+    lattice-collapse regression test)."""
+    import math
+
+    import numpy as np
+
+    from padua_spark.operators.stats import (
+        diff_in_diff,
+        ipw_ate,
+        randomization_test_mean,
+    )
+
+    rng = np.random.RandomState(9)
+    n = 2000
+    x = rng.rand(n)
+    e = np.clip(0.2 + 0.6 * x, 0.01, 0.99)
+    t = (rng.rand(n) < e).astype(int)
+    y = 1.0 + 2.0 * t + 3.0 * x + rng.normal(0, 1, n)
+    df = spark.createDataFrame(
+        [(int(a), float(b), float(c)) for a, b, c in zip(t, y, e)],
+        ["t", "y", "e"],
+    )
+    r = ipw_ate(df, "t", "y", "e").collect()[0]
+    ec = np.clip(e, 0.01, 0.99)
+    w = np.where(t == 1, 1 / ec, 1 / (1 - ec))
+    mu_t = (w[t == 1] * y[t == 1]).sum() / w[t == 1].sum()
+    mu_c = (w[t == 0] * y[t == 0]).sum() / w[t == 0].sum()
+
+    def armvar(m, wi, yi):
+        return ((wi ** 2 * (yi - m) ** 2).sum()) / (wi.sum() ** 2)
+
+    se = math.sqrt(
+        armvar(mu_t, w[t == 1], y[t == 1])
+        + armvar(mu_c, w[t == 0], y[t == 0])
+    )
+    assert r["ate"] == pytest.approx(mu_t - mu_c, abs=1e-5)
+    assert r["se"] == pytest.approx(se, abs=1e-6)
+    assert r["ess_treat"] == pytest.approx(
+        w[t == 1].sum() ** 2 / (w[t == 1] ** 2).sum(), abs=1e-4
+    )
+    assert abs(r["ate"] - 2.0) < 4 * r["se"]  # recovers the truth
+
+    g = (rng.rand(n) < 0.5).astype(int)
+    p_ = (rng.rand(n) < 0.5).astype(int)
+    y2 = 1.0 + 0.5 * g + 0.8 * p_ + 1.7 * g * p_ + rng.normal(0, 1, n)
+    dd = spark.createDataFrame(
+        [(int(a), int(b), float(c)) for a, b, c in zip(g, p_, y2)],
+        ["g", "p", "y"],
+    )
+    r = diff_in_diff(dd, "g", "p", "y").collect()[0]
+    means = {
+        (a, b): y2[(g == a) & (p_ == b)].mean()
+        for a in (0, 1) for b in (0, 1)
+    }
+    att = (means[(1, 1)] - means[(1, 0)]) - (
+        means[(0, 1)] - means[(0, 0)]
+    )
+    se2 = sum(
+        y2[(g == a) & (p_ == b)].var(ddof=1)
+        / ((g == a) & (p_ == b)).sum()
+        for a in (0, 1) for b in (0, 1)
+    )
+    assert r["att"] == pytest.approx(att, abs=1e-6)
+    assert r["se"] == pytest.approx(math.sqrt(se2), abs=1e-6)
+    assert abs(r["att"] - 1.7) < 4 * r["se"]
+
+    rd = spark.createDataFrame(
+        [(int(i), "x" if tt == 1 else "z", float(v))
+         for i, tt, v in zip(range(n), t, y)],
+        ["id", "g", "v"],
+    )
+    r = randomization_test_mean(
+        rd, "id", "g", "v", "x", "z", n_perms=99
+    ).collect()[0]
+    assert r["p_value"] == 0.01  # planted effect: min possible p
+    # null: value independent of the split
+    u = np.random.RandomState(4).rand(n)
+    rd2 = spark.createDataFrame(
+        [(int(i), "x" if tt == 1 else "z", float(v))
+         for i, tt, v in zip(range(n), t, u)],
+        ["id", "g", "v"],
+    )
+    rn = randomization_test_mean(
+        rd2, "id", "g", "v", "x", "z", n_perms=99
+    ).collect()[0]
+    assert rn["p_value"] > 0.05
+    # lattice-collapse regression: the hash reassignment's null-diff
+    # sd must match the binomial-split theory on PERIODIC inputs
+    M, A = 2_147_483_647, 48_271
+    ids = np.arange(n)
+    v7 = (ids % 7).astype(float)
+    diffs = []
+    for b in range(60):
+        salt = 1_000_003 * (b + 1)
+        h0 = (ids % M + salt) % M
+        h1 = (h0 * h0) % M
+        h2 = (h1 * A + h0) % M
+        h3 = (h2 * h2) % M
+        bits = h3 < M // 2
+        diffs.append(v7[bits].mean() - v7[~bits].mean())
+    sd_theory = v7.std() * math.sqrt(4 / n)
+    assert np.std(diffs) > 0.5 * sd_theory
