@@ -19317,6 +19317,234 @@ def q_randomization_test_mean(spark, sf):
     )
 
 
+def _bayes_ab_oracle(max_support: int = 200_000) -> str:
+    def logB(a: str, b: str) -> str:
+        return (
+            f"({_gammaln_sql(a)} + {_gammaln_sql(b)}"
+            f" - {_gammaln_sql(f'({a}) + ({b})')})"
+        )
+
+    term = (
+        f"exp({logB('a1 + i', 'b1 + b2')} - ln(b2 + i)"
+        f" - {logB('1 + i', 'b2')} - {logB('a1', 'b1')})"
+    )
+    return f"""
+WITH e AS (
+  SELECT CAST(user_id % 2 AS INT) AS v,
+    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS s
+  FROM events WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+),
+m AS (
+  SELECT
+    CAST(sum(CASE WHEN v = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+    CAST(sum(CASE WHEN v = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+    CAST(sum(CASE WHEN v = 0 THEN s ELSE 0 END) AS BIGINT) AS k_a,
+    CAST(sum(CASE WHEN v = 1 THEN s ELSE 0 END) AS BIGINT) AS k_b
+  FROM e
+),
+st AS (
+  SELECT *, k_a + 1 AS a1, n_a - k_a + 1 AS b1,
+    k_b + 1 AS a2, n_b - k_b + 1 AS b2,
+    k_b + 1 <= {int(max_support)} AS is_exact,
+    CASE WHEN k_b + 1 <= {int(max_support)} THEN k_b + 1
+         ELSE CAST(1 AS BIGINT) END AS a2c
+  FROM m
+),
+rows_i AS (
+  SELECT st.*,
+    CAST(unnest(generate_series(CAST(0 AS BIGINT), a2c - 1))
+         AS DOUBLE) AS i
+  FROM st
+),
+p AS (
+  SELECT n_a, n_b, k_a, k_b, max(a1) AS a1, max(b1) AS b1,
+    max(a2) AS a2, max(b2) AS b2, bool_and(is_exact) AS is_exact,
+    sum({term} ORDER BY i) AS pex
+  FROM rows_i GROUP BY 1, 2, 3, 4
+),
+mm AS (
+  SELECT *,
+    CAST(a1 AS DOUBLE) / (a1 + b1) AS mua,
+    CAST(a2 AS DOUBLE) / (a2 + b2) AS mub,
+    CAST(a1 AS DOUBLE) * b1
+      / ((CAST(a1 AS DOUBLE) + b1) * (CAST(a1 AS DOUBLE) + b1)
+         * (CAST(a1 AS DOUBLE) + b1 + 1.0)) AS va,
+    CAST(a2 AS DOUBLE) * b2
+      / ((CAST(a2 AS DOUBLE) + b2) * (CAST(a2 AS DOUBLE) + b2)
+         * (CAST(a2 AS DOUBLE) + b2 + 1.0)) AS vb
+  FROM p
+),
+zz AS (
+  SELECT *, (mub - mua) / sqrt(va + vb) AS z FROM mm
+),
+ee AS (
+  SELECT *, abs(z) / sqrt(2.0) AS xx,
+    1.0 / (1.0 + 0.3275911 * (abs(z) / sqrt(2.0))) AS t
+  FROM zz
+),
+pn AS (
+  SELECT *,
+    (0.254829592 * t + -0.284496736 * t * t
+     + 1.421413741 * t * t * t + -1.453152027 * t * t * t * t
+     + 1.061405429 * t * t * t * t * t) * exp(-xx * xx) / 2.0
+      AS sf1
+  FROM ee
+)
+SELECT n_a, k_a, n_b, k_b,
+  round(CAST(k_a AS DOUBLE) / n_a, 6) AS rate_a,
+  round(CAST(k_b AS DOUBLE) / n_b, 6) AS rate_b,
+  round(mub - mua, 6) AS lift,
+  CASE WHEN is_exact THEN 'exact' ELSE 'normal' END AS method,
+  round(least(greatest(CASE WHEN is_exact THEN pex
+    ELSE CASE WHEN z >= 0 THEN 1.0 - sf1 ELSE sf1 END END,
+    0.0), 1.0), 6) AS prob_b_beats_a
+FROM pn
+"""
+
+
+@_q("bayes_ab_beta", _bayes_ab_oracle())
+def q_bayes_ab_beta(spark, sf):
+    """Bayesian beta-binomial chance-to-beat for purchase rates
+    across the user-parity split (stats.bayes_ab_beta): Cook's exact
+    closed sum over the posterior support via the shared Lanczos
+    log-gamma, normal moment fallback above max_support."""
+    from padua_spark.operators.stats import bayes_ab_beta
+
+    e = _t(spark, sf, "events").where(
+        F.col("user_id").isNotNull() & F.col("event_type").isNotNull()
+    ).select(
+        (F.col("user_id") % 2).cast("int").alias("v"),
+        (F.col("event_type") == "purchase").cast("int").alias("s"),
+    )
+    return bayes_ab_beta(e, "v", "s", 0, 1)
+
+
+@_q("bayes_ab_normal", _bayes_ab_oracle(max_support=100))
+def q_bayes_ab_normal(spark, sf):
+    """The beta-binomial A/B's LARGE-N branch forced at oracle scale
+    (stats.bayes_ab_beta): gates the normal moment approximation and
+    the method column against the same SQL twin."""
+    from padua_spark.operators.stats import bayes_ab_beta
+
+    e = _t(spark, sf, "events").where(
+        F.col("user_id").isNotNull() & F.col("event_type").isNotNull()
+    ).select(
+        (F.col("user_id") % 2).cast("int").alias("v"),
+        (F.col("event_type") == "purchase").cast("int").alias("s"),
+    )
+    return bayes_ab_beta(e, "v", "s", 0, 1, max_support=100)
+
+
+_EB_SHRINK_ORACLE = """
+WITH per AS (
+  SELECT l_suppkey,
+    CAST(count(*) AS BIGINT) AS n,
+    CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+         AS BIGINT) AS k
+  FROM lineitem
+  WHERE l_suppkey IS NOT NULL AND l_returnflag IS NOT NULL
+  GROUP BY 1
+),
+g AS (
+  SELECT CAST(sum(k) AS DOUBLE) AS sk, CAST(sum(n) AS DOUBLE) AS sn,
+    CAST(count(*) AS DOUBLE) AS gg,
+    sum(CAST(k AS DOUBLE) / n) AS sp,
+    sum((CAST(k AS DOUBLE) / n) * (CAST(k AS DOUBLE) / n)) AS spp,
+    sum((CAST(k AS DOUBLE) / n) * (1.0 - CAST(k AS DOUBLE) / n) / n)
+      AS snoise
+  FROM per
+),
+pr AS (
+  SELECT sk / sn AS mu,
+    CASE WHEN gg >= 2
+      AND greatest((spp - sp * sp / gg) / (gg - 1.0)
+                   - snoise / gg, 0.0) > 0
+    THEN greatest((sk / sn) * (1.0 - sk / sn)
+      / greatest((spp - sp * sp / gg) / (gg - 1.0)
+                 - snoise / gg, 0.0) - 1.0, 0.0)
+    END AS m
+  FROM g
+)
+SELECT per.l_suppkey, per.n, per.k,
+  round(CAST(per.k AS DOUBLE) / per.n, 6) AS raw_rate,
+  round(CASE WHEN pr.m IS NOT NULL
+    THEN (CAST(per.k AS DOUBLE) + pr.mu * pr.m) / (per.n + pr.m)
+    ELSE pr.mu END, 6) AS shrunk_rate,
+  round(pr.mu, 6) AS prior_mean,
+  round(pr.m, 6) AS prior_strength
+FROM per CROSS JOIN pr
+"""
+
+
+@_q("eb_rate_shrinkage", _EB_SHRINK_ORACLE)
+def q_eb_rate_shrinkage(spark, sf):
+    """Empirical-Bayes shrunk per-supplier return rates
+    (stats.eb_rate_shrinkage): beta-binomial MoM prior from the
+    between-supplier spread, groups frame broadcast-joined to the
+    1-row prior."""
+    from padua_spark.operators.stats import eb_rate_shrinkage
+
+    li = _t(spark, sf, "lineitem").where(
+        F.col("l_suppkey").isNotNull()
+        & F.col("l_returnflag").isNotNull()
+    ).select(
+        "l_suppkey",
+        (F.col("l_returnflag") == "R").cast("int").alias("s"),
+    )
+    return eb_rate_shrinkage(li, ["l_suppkey"], "s")
+
+
+_CHAPMAN_ORACLE = """
+WITH d AS (
+  SELECT doc_id,
+    CASE WHEN (doc_id * 7) % 10 < 4 THEN 1 ELSE 0 END AS a,
+    CASE WHEN (doc_id * 13) % 10 < 3 THEN 1 ELSE 0 END AS b
+  FROM documents
+),
+f AS (SELECT * FROM d WHERE a = 1 OR b = 1),
+m AS (
+  SELECT CAST(sum(a) AS BIGINT) AS n_a,
+    CAST(sum(b) AS BIGINT) AS n_b,
+    CAST(sum(a * b) AS BIGINT) AS n_both,
+    CAST(sum(greatest(a, b)) AS BIGINT) AS n_either
+  FROM f
+),
+s AS (
+  SELECT *,
+    (CAST(n_a AS DOUBLE) + 1.0) * (n_b + 1.0) / (n_both + 1.0) - 1.0
+      AS n_hat,
+    sqrt(greatest(
+      (CAST(n_a AS DOUBLE) + 1.0) * (n_b + 1.0)
+      * (n_a - n_both) * (n_b - n_both)
+      / ((CAST(n_both AS DOUBLE) + 1.0) * (n_both + 1.0)
+         * (n_both + 2.0)), 0.0)) AS se
+  FROM m
+)
+SELECT n_a, n_b, n_both, n_either,
+  round(n_hat, 6) AS n_hat, round(se, 6) AS se,
+  round(greatest(n_hat - 1.959963984540054 * se,
+                 CAST(n_either AS DOUBLE)), 6) AS ci_lo,
+  round(n_hat + 1.959963984540054 * se, 6) AS ci_hi
+FROM s
+"""
+
+
+@_q("chapman_estimate", _CHAPMAN_ORACLE)
+def q_chapman_estimate(spark, sf):
+    """Chapman capture-recapture corpus-size estimate from two
+    deterministic pseudo-crawled membership flags
+    (stats.chapman_estimate): one aggregation, bias-corrected
+    Lincoln-Petersen with the normal CI floored at the observed
+    union."""
+    from padua_spark.operators.stats import chapman_estimate
+
+    d = _t(spark, sf, "documents").select(
+        ((F.col("doc_id") * 7) % 10 < 4).cast("int").alias("a"),
+        ((F.col("doc_id") * 13) % 10 < 3).cast("int").alias("b"),
+    ).where((F.col("a") == 1) | (F.col("b") == 1))
+    return chapman_estimate(d, "a", "b")
+
+
 _BENFORD_ORACLE = """
 WITH v0 AS (
   SELECT CAST(round(CAST(value AS DOUBLE) * 100) AS DOUBLE) AS v

@@ -172,6 +172,10 @@ HEADLINE = [
     "ipw_ate",
     "diff_in_diff",
     "randomization_test_mean",
+    "bayes_ab_beta",
+    "bayes_ab_normal",
+    "eb_rate_shrinkage",
+    "chapman_estimate",
     "anova_2way_stats",
     "levene_stats",
     "ttest_paired_stats",

@@ -9459,3 +9459,263 @@ def randomization_test_mean(
         F.round(F.when(ok, p), 6).alias("p_value"),
         F.lit(int(n_perms)).alias("n_perms"),
     )
+
+
+def bayes_ab_beta(
+    df: DataFrame,
+    variant_col: str,
+    success_col: str,
+    variant_a,
+    variant_b,
+    prior_alpha: int = 1,
+    prior_beta: int = 1,
+    max_support: int = 200_000,
+) -> DataFrame:
+    """Bayesian beta-binomial A/B — ``P(rate_B > rate_A)`` under
+    independent Beta posteriors (the "chance to beat control" number
+    product dashboards actually want, instead of a p-value):
+
+    with integer priors, the EXACT closed sum (Cook's identity)
+    ``P = Σ_{i=0}^{a₂−1} exp(ln B(a₁+i, b₁+b₂) − ln(b₂+i)
+    − ln B(1+i, b₂) − ln B(a₁, b₁))`` over the posterior
+    ``a₂ = α+k_B`` support — a JVM higher-order fold sharing the
+    Lanczos log-gamma with every other exact test. ABOVE
+    ``max_support`` (the big-data regime where the posteriors are
+    needle-thin anyway) the test switches in-plan to the normal
+    moment approximation ``P ≈ Φ((μ_B−μ_A)/√(v_A+v_B))`` with the
+    exact Beta moments — the fold's support clamps to one element, so
+    the big-n branch does no sum at all (the :func:`sign_test`
+    discipline). ``method`` reports the branch.
+
+    ONE conditional aggregation. Output 1 row: ``(n_a, k_a, n_b,
+    k_b, rate_a, rate_b, lift, method, prob_b_beats_a)``, 6dp.
+
+    Beyond the reference; standard (Cook 2005, "Exact calculation of
+    beta inequalities").
+    """
+    from padua_spark.operators.external import gammaln_col
+
+    if int(prior_alpha) != prior_alpha or int(prior_beta) != prior_beta:
+        raise ValueError(
+            "bayes_ab_beta: priors must be integers — the exact sum "
+            "needs an integer posterior alpha"
+        )
+    g = F.col(variant_col)
+    s = F.col(success_col).cast("int")
+    base = df.where(g.isin([variant_a, variant_b]) & s.isNotNull())
+    agg = base.agg(
+        F.sum((g == variant_a).cast("int")).cast("bigint").alias("n_a"),
+        F.sum((g == variant_b).cast("int")).cast("bigint").alias("n_b"),
+        F.sum(F.when(g == variant_a, s).otherwise(0)).cast("bigint")
+        .alias("k_a"),
+        F.sum(F.when(g == variant_b, s).otherwise(0)).cast("bigint")
+        .alias("k_b"),
+    )
+    pa, pb = int(prior_alpha), int(prior_beta)
+    staged = (
+        agg.withColumn("_a1", F.col("k_a") + F.lit(pa))
+        .withColumn("_b1", F.col("n_a") - F.col("k_a") + F.lit(pb))
+        .withColumn("_a2", F.col("k_b") + F.lit(pa))
+        .withColumn("_b2", F.col("n_b") - F.col("k_b") + F.lit(pb))
+    )
+    if max_support is None:
+        is_exact = F.lit(True)
+    else:
+        is_exact = F.col("_a2") <= F.lit(int(max_support))
+    staged = staged.withColumn("_exact", is_exact).withColumn(
+        "_a2c", F.when(is_exact, F.col("_a2")).otherwise(F.lit(1))
+    )
+
+    def _logbeta(a, b):
+        return (
+            gammaln_col(a.cast("double"))
+            + gammaln_col(b.cast("double"))
+            - gammaln_col((a + b).cast("double"))
+        )
+
+    lb_a1b1 = _logbeta(F.col("_a1"), F.col("_b1"))
+    idx = F.sequence(
+        F.lit(0).cast("bigint"), F.col("_a2c") - F.lit(1)
+    )
+    a1 = F.col("_a1")
+    b1 = F.col("_b1")
+    b2 = F.col("_b2")
+    terms = F.transform(
+        idx,
+        lambda i: F.exp(
+            _logbeta(a1 + i, b1 + b2)
+            - F.log((b2 + i).cast("double"))
+            - _logbeta(i + F.lit(1), b2)
+            - lb_a1b1
+        ),
+    )
+    p_exact = F.aggregate(
+        terms, F.lit(0.0), lambda acc, t: acc + t
+    )
+    mu_a = F.col("_a1").cast("double") / (
+        F.col("_a1") + F.col("_b1")
+    ).cast("double")
+    mu_b = F.col("_a2").cast("double") / (
+        F.col("_a2") + F.col("_b2")
+    ).cast("double")
+
+    def _betavar(a, b):
+        ad, bd = a.cast("double"), b.cast("double")
+        return ad * bd / ((ad + bd) * (ad + bd) * (ad + bd + 1.0))
+
+    z = (mu_b - mu_a) / F.sqrt(
+        _betavar(F.col("_a1"), F.col("_b1"))
+        + _betavar(F.col("_a2"), F.col("_b2"))
+    )
+    p_norm = 1.0 - _normal_sf_1sided(z)
+    ok = (F.col("n_a") > 0) & (F.col("n_b") > 0)
+    prob = F.when(ok & F.col("_exact"), p_exact).when(
+        ok & ~F.col("_exact"), p_norm
+    )
+    return staged.select(
+        "n_a", "k_a", "n_b", "k_b",
+        F.round(
+            F.when(ok, F.col("k_a") / F.col("n_a").cast("double")), 6
+        ).alias("rate_a"),
+        F.round(
+            F.when(ok, F.col("k_b") / F.col("n_b").cast("double")), 6
+        ).alias("rate_b"),
+        F.round(F.when(ok, mu_b - mu_a), 6).alias("lift"),
+        F.when(F.col("_exact"), F.lit("exact"))
+        .otherwise(F.lit("normal")).alias("method"),
+        F.round(
+            F.least(F.greatest(prob, F.lit(0.0)), F.lit(1.0)), 6
+        ).alias("prob_b_beats_a"),
+    )
+
+
+def eb_rate_shrinkage(
+    df: DataFrame,
+    group_cols: list[str],
+    success_col: str,
+) -> DataFrame:
+    """Empirical-Bayes beta-binomial rate shrinkage — the per-group
+    rate you should ACTUALLY rank by (per-source quality pass rates,
+    per-domain click rates): raw rates for tiny groups are noise, so
+    shrink each toward the corpus-wide prior with strength learned
+    from the between-group spread:
+
+    method-of-moments prior: ``μ = Σk/Σn``;
+    ``σ²_p = max(var(p̂_g) − mean(p̂_g(1−p̂_g)/n_g), 0)`` (observed
+    between-group variance minus the average binomial noise);
+    prior strength ``M = μ(1−μ)/σ²_p − 1``;
+    ``shrunk_g = (k_g + μM)/(n_g + M)``. When σ²_p ≤ 0 the groups are
+    indistinguishable from a single rate and every group shrinks all
+    the way to μ (M = ∞ limit; ``prior_strength`` NULL).
+
+    Scale shape: one groupBy to the per-group (n, k), one global
+    aggregation over the GROUPS frame (tiny), broadcast back
+    (constant-fold BNLJ). Output: one row per group: ``(*group_cols,
+    n, k, raw_rate, shrunk_rate, prior_mean, prior_strength)``, 6dp.
+
+    Beyond the reference; standard (Efron & Morris 1975 shape, the
+    beta-binomial MoM variant).
+    """
+    s = F.col(success_col).cast("int")
+    per = (
+        df.where(s.isNotNull())
+        .groupBy(*group_cols)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(s).cast("bigint").alias("k"),
+        )
+    )
+    nd = F.col("n").cast("double")
+    p_hat = F.col("k").cast("double") / nd
+    glob = per.agg(
+        F.sum("k").cast("double").alias("_sk"),
+        F.sum("n").cast("double").alias("_sn"),
+        F.count(F.lit(1)).cast("double").alias("_g"),
+        F.sum(p_hat).alias("_sp"),
+        F.sum(p_hat * p_hat).alias("_spp"),
+        F.sum(p_hat * (1.0 - p_hat) / nd).alias("_snoise"),
+    )
+    mu = F.col("_sk") / F.col("_sn")
+    var_obs = (
+        F.col("_spp") - F.col("_sp") * F.col("_sp") / F.col("_g")
+    ) / (F.col("_g") - 1.0)
+    var_p = F.greatest(
+        var_obs - F.col("_snoise") / F.col("_g"), F.lit(0.0)
+    )
+    m_str = F.when(
+        (F.col("_g") >= 2) & (var_p > 0),
+        F.greatest(mu * (1.0 - mu) / var_p - 1.0, F.lit(0.0)),
+    )
+    prior = glob.select(
+        mu.alias("_mu"), m_str.alias("_m"), F.lit(1).alias("_one")
+    )
+    j = per.withColumn("_one", F.lit(1)).join(
+        F.broadcast(prior), on="_one"
+    )
+    shrunk = F.when(
+        F.col("_m").isNotNull(),
+        (F.col("k").cast("double") + F.col("_mu") * F.col("_m"))
+        / (nd + F.col("_m")),
+    ).otherwise(F.col("_mu"))
+    return j.select(
+        *group_cols, "n", "k",
+        F.round(p_hat, 6).alias("raw_rate"),
+        F.round(shrunk, 6).alias("shrunk_rate"),
+        F.round("_mu", 6).alias("prior_mean"),
+        F.round("_m", 6).alias("prior_strength"),
+    )
+
+
+def chapman_estimate(
+    df: DataFrame,
+    in_a_col: str,
+    in_b_col: str,
+) -> DataFrame:
+    """Chapman capture–recapture population estimate — "how big is
+    the TRUE corpus/population given two overlapping samples?" (two
+    crawls of the same web slice, two dedup passes, two labeling
+    vendors): from the two membership flags,
+
+    ``N̂ = (n₁+1)(n₂+1)/(m+1) − 1`` (the bias-corrected
+    Lincoln–Petersen), ``Var̂ = (n₁+1)(n₂+1)(n₁−m)(n₂−m) /
+    ((m+1)²(m+2))``, normal 95% CI. Independence of the two capture
+    processes is the caller's assumption to defend, as ever.
+
+    ONE aggregation over the union frame (rows = items seen by either
+    sample, flags 0/1). Output 1 row: ``(n_a, n_b, n_both, n_either,
+    n_hat, se, ci_lo, ci_hi)``, 6dp; CI floored at ``n_either`` (the
+    estimate can't be below what was observed).
+
+    Beyond the reference; standard (Chapman 1951).
+    """
+    a = F.col(in_a_col).cast("int")
+    b = F.col(in_b_col).cast("int")
+    base = df.where(a.isNotNull() & b.isNotNull())
+    agg = base.agg(
+        F.sum(a).cast("bigint").alias("n_a"),
+        F.sum(b).cast("bigint").alias("n_b"),
+        F.sum(a * b).cast("bigint").alias("n_both"),
+        F.sum(
+            F.greatest(a, b)
+        ).cast("bigint").alias("n_either"),
+    )
+    n1 = F.col("n_a").cast("double")
+    n2 = F.col("n_b").cast("double")
+    m = F.col("n_both").cast("double")
+    n_hat = (n1 + 1.0) * (n2 + 1.0) / (m + 1.0) - 1.0
+    var = (
+        (n1 + 1.0) * (n2 + 1.0) * (n1 - m) * (n2 - m)
+        / ((m + 1.0) * (m + 1.0) * (m + 2.0))
+    )
+    se = F.sqrt(F.greatest(var, F.lit(0.0)))
+    zc = 1.959963984540054
+    lo = F.greatest(
+        n_hat - zc * se, F.col("n_either").cast("double")
+    )
+    return agg.select(
+        "n_a", "n_b", "n_both", "n_either",
+        F.round(n_hat, 6).alias("n_hat"),
+        F.round(se, 6).alias("se"),
+        F.round(lo, 6).alias("ci_lo"),
+        F.round(n_hat + zc * se, 6).alias("ci_hi"),
+    )

@@ -418,6 +418,8 @@ def test_no_cartesian_products_anywhere(spark):
         "huber_regression",
         # 1-row (n1, n0) totals broadcast onto the component rows
         "delong_test",
+        # 1-row MoM prior broadcast onto the groups frame
+        "eb_rate_shrinkage",
         # windows × reference-bins cross join — both tiny by
         # construction (every reference bin must score in every window)
         "windowed_psi",

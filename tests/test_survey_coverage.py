@@ -357,6 +357,9 @@ COVERAGE = {
     "E242": "entry:ipw_ate",
     "E243": "entry:diff_in_diff",
     "E244": "entry:randomization_test_mean",
+    "E245": "entry:bayes_ab_beta",
+    "E246": "entry:eb_rate_shrinkage",
+    "E247": "entry:chapman_estimate",
 }
 
 

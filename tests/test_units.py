@@ -8807,3 +8807,95 @@ def test_causal_battery_vs_numpy(spark):
         diffs.append(v7[bits].mean() - v7[~bits].mean())
     sd_theory = v7.std() * math.sqrt(4 / n)
     assert np.std(diffs) > 0.5 * sd_theory
+
+
+def test_bayes_eb_chapman_vs_replicas(spark):
+    """Cook's exact beta inequality against a python lgamma replica
+    (exact and forced-normal branches); EB shrinkage beats raw rates
+    in MSE against planted truths and degenerates to the pooled mean
+    on homogeneous groups; Chapman point/SE identities."""
+    import math
+    from math import exp, lgamma, log
+
+    import numpy as np
+
+    from padua_spark.operators.stats import (
+        bayes_ab_beta,
+        chapman_estimate,
+        eb_rate_shrinkage,
+    )
+
+    data = (
+        [("a", 1)] * 30 + [("a", 0)] * 70
+        + [("b", 1)] * 45 + [("b", 0)] * 55
+    )
+    df = spark.createDataFrame(data, ["v", "s"])
+    r = bayes_ab_beta(df, "v", "s", "a", "b").collect()[0]
+
+    def logB(a, b):
+        return lgamma(a) + lgamma(b) - lgamma(a + b)
+
+    a1, b1, a2, b2 = 31, 71, 46, 56
+    P = sum(
+        exp(
+            logB(a1 + i, b1 + b2) - log(b2 + i)
+            - logB(1 + i, b2) - logB(a1, b1)
+        )
+        for i in range(a2)
+    )
+    assert r["method"] == "exact"
+    assert r["prob_b_beats_a"] == pytest.approx(P, abs=2e-6)
+    assert (r["n_a"], r["k_a"], r["n_b"], r["k_b"]) == (100, 30, 100, 45)
+    rn = bayes_ab_beta(df, "v", "s", "a", "b", max_support=10).collect()[0]
+    mu_a, mu_b = a1 / (a1 + b1), a2 / (a2 + b2)
+    va = a1 * b1 / ((a1 + b1) ** 2 * (a1 + b1 + 1))
+    vb = a2 * b2 / ((a2 + b2) ** 2 * (a2 + b2 + 1))
+    z = (mu_b - mu_a) / math.sqrt(va + vb)
+    pn = 1 - math.erfc(z / math.sqrt(2)) / 2
+    assert rn["method"] == "normal"
+    assert rn["prob_b_beats_a"] == pytest.approx(pn, abs=2e-6)
+    with pytest.raises(ValueError, match="priors must be integers"):
+        bayes_ab_beta(df, "v", "s", "a", "b", prior_alpha=0.5)
+
+    rng = np.random.RandomState(2)
+    rows = []
+    true_p = {}
+    for gi in range(30):
+        p = float(rng.beta(4, 6))
+        true_p[f"g{gi}"] = p
+        n = int(rng.randint(5, 200))
+        rows += [(f"g{gi}", int(k)) for k in (rng.rand(n) < p).astype(int)]
+    gdf = spark.createDataFrame(rows, ["g", "s"])
+    out = {r_["g"]: r_ for r_ in eb_rate_shrinkage(gdf, ["g"], "s").collect()}
+    raw_err = np.mean(
+        [(out[g]["raw_rate"] - true_p[g]) ** 2 for g in true_p]
+    )
+    shr_err = np.mean(
+        [(out[g]["shrunk_rate"] - true_p[g]) ** 2 for g in true_p]
+    )
+    assert shr_err < raw_err  # shrinkage helps, the whole point
+    # homogeneous groups: prior strength NULL, everything at mu
+    hom = spark.createDataFrame(
+        [(f"h{i}", int(j < 3)) for i in range(10) for j in range(10)],
+        ["g", "s"],
+    )
+    ho = eb_rate_shrinkage(hom, ["g"], "s").collect()
+    assert all(r_["prior_strength"] is None for r_ in ho)
+    assert all(r_["shrunk_rate"] == pytest.approx(0.3, abs=1e-9) for r_ in ho)
+
+    rng = np.random.RandomState(7)
+    n_true = 1000
+    sa = rng.rand(n_true) < 0.4
+    sb = rng.rand(n_true) < 0.3
+    items = [(int(a), int(b)) for a, b in zip(sa, sb) if a or b]
+    cd = spark.createDataFrame(items, ["a", "b"])
+    r = chapman_estimate(cd, "a", "b").collect()[0]
+    n1, n2, m = int(sa.sum()), int(sb.sum()), int((sa & sb).sum())
+    nh = (n1 + 1) * (n2 + 1) / (m + 1) - 1
+    var = (
+        (n1 + 1) * (n2 + 1) * (n1 - m) * (n2 - m)
+        / ((m + 1) ** 2 * (m + 2))
+    )
+    assert r["n_hat"] == pytest.approx(nh, abs=1e-4)
+    assert r["se"] == pytest.approx(math.sqrt(var), abs=1e-4)
+    assert r["ci_lo"] <= n_true <= r["ci_hi"]
