@@ -19545,6 +19545,97 @@ def q_chapman_estimate(spark, sf):
     return chapman_estimate(d, "a", "b")
 
 
+def _profile_col_sql(c: str, dtype: str, numeric: bool) -> str:
+    if numeric:
+        mean = f"round(sum(CAST({c} AS DOUBLE)) / count({c}), 6)"
+        sd = (
+            f"round(CASE WHEN count({c}) >= 2 THEN sqrt(greatest("
+            f"(sum(CAST({c} AS DOUBLE) * CAST({c} AS DOUBLE))"
+            f" - count({c}) * (sum(CAST({c} AS DOUBLE)) / count({c}))"
+            f" * (sum(CAST({c} AS DOUBLE)) / count({c})))"
+            f" / (count({c}) - 1.0), 0.0)) END, 6)"
+        )
+    else:
+        mean = "CAST(NULL AS DOUBLE)"
+        sd = "CAST(NULL AS DOUBLE)"
+    return f"""
+SELECT '{c}' AS column, '{dtype}' AS dtype,
+  CAST(count(*) AS BIGINT) AS n,
+  CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_null,
+  round(CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+        / count(*), 6) AS null_rate,
+  CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct,
+  CAST(min({c}) AS VARCHAR) AS min_value,
+  CAST(max({c}) AS VARCHAR) AS max_value,
+  {mean} AS mean, {sd} AS sd
+FROM lineitem"""
+
+
+# l_quantity and l_linenumber are INTEGER-VALUED: their moment sums
+# are exact in double at any summation order. A decimal-step column
+# (l_discount) would put the mean exactly on 6dp midpoints where the
+# engines' sum orders disagree (the seasonal_decompose finding).
+_DATA_PROFILE_ORACLE = " UNION ALL ".join([
+    _profile_col_sql("l_quantity", "double", True),
+    _profile_col_sql("l_linenumber", "int", True),
+    _profile_col_sql("l_returnflag", "string", False),
+    _profile_col_sql("l_shipdate", "timestamp_ntz", False),
+])
+
+
+@_q("data_profile", _DATA_PROFILE_ORACLE)
+def q_data_profile(spark, sf):
+    """Whole-table column profile over four lineitem columns
+    (quality.data_profile): one aggregation for every column's
+    null/distinct/min/max/moment stats (exact count-distincts via
+    Spark's Expand), compile-time pivot to one row per column."""
+    from padua_spark.extensions.quality import data_profile
+
+    li = _t(spark, sf, "lineitem")
+    return data_profile(
+        li, ["l_quantity", "l_linenumber", "l_returnflag", "l_shipdate"]
+    )
+
+
+_JSON_PROFILE_ORACLE = """
+WITH base AS (
+  SELECT props AS j FROM events WHERE props IS NOT NULL
+),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS t FROM base),
+kv AS (
+  SELECT u.k AS key, json_extract_string(base.j, '$.' || u.k) AS v
+  FROM base, unnest(json_keys(base.j)) AS u(k)
+),
+per AS (
+  SELECT key, CAST(count(*) AS BIGINT) AS n_present,
+    CAST(count(DISTINCT v) AS BIGINT) AS n_distinct,
+    CAST(sum(CASE WHEN TRY_CAST(v AS DOUBLE) IS NOT NULL
+             THEN 1 ELSE 0 END) AS BIGINT) AS num,
+    min(v) AS min_value, max(v) AS max_value
+  FROM kv GROUP BY 1
+)
+SELECT key, n_present,
+  round(CAST(n_present AS DOUBLE) / tot.t, 6) AS presence_rate,
+  n_distinct,
+  round(CAST(num AS DOUBLE) / n_present, 6) AS frac_numeric,
+  min_value, max_value
+FROM per CROSS JOIN tot
+"""
+
+
+@_q("json_profile", _JSON_PROFILE_ORACLE)
+def q_json_profile(spark, sf):
+    """Per-key profile of the events props JSON column
+    (quality.json_profile): from_json to map<string,string>, one
+    explode + groupBy(key), broadcast 1-row total — presence,
+    cardinality, numeric-fraction, value range per key."""
+    from padua_spark.extensions.quality import json_profile
+
+    e = _t(spark, sf, "events")
+    return json_profile(e, "props")
+
+
 _BENFORD_ORACLE = """
 WITH v0 AS (
   SELECT CAST(round(CAST(value AS DOUBLE) * 100) AS DOUBLE) AS v

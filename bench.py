@@ -176,6 +176,8 @@ HEADLINE = [
     "bayes_ab_normal",
     "eb_rate_shrinkage",
     "chapman_estimate",
+    "data_profile",
+    "json_profile",
     "anova_2way_stats",
     "levene_stats",
     "ttest_paired_stats",

@@ -1460,3 +1460,159 @@ def hhi_concentration(
             F.when(ssq > 0, 1.0 / ssq), 6
         ).alias("effective_members"),
     )
+
+
+def data_profile(
+    df: DataFrame,
+    columns: list[str] | None = None,
+) -> DataFrame:
+    """Whole-table column profile — the first query anyone runs on an
+    unfamiliar dataset ("what's in here, how NULL is it, how wide are
+    the domains?"), as one engine-native pass:
+
+    per column: ``(column, dtype, n, n_null, null_rate, n_distinct,
+    min_value, max_value, mean, sd)`` — min/max as STRINGS
+    (lexicographic for non-numerics, documented), mean/sd NULL for
+    non-numeric columns, ``n_distinct`` EXACT (nulls excluded).
+
+    Scale shape: ONE aggregation computes every column's stats; the
+    multiple ``count(distinct)`` aggregates compile to Spark's Expand
+    operator (one scan, k-way row expansion — the documented cost of
+    exactness; swap to approx_count_distinct upstream if a sketch is
+    acceptable). The per-column pivot is a compile-time k-branch
+    union of 1-row projections over the single aggregated row — no
+    second scan. Output: k rows, deterministic column order.
+    """
+    from functools import reduce
+
+    numeric = {"int", "bigint", "smallint", "tinyint", "double",
+               "float", "decimal"}
+    cols = columns or list(df.columns)
+    dtypes = dict(df.dtypes)
+    aggs = [F.count(F.lit(1)).cast("bigint").alias("_n")]
+    for c in cols:
+        dt = dtypes[c].split("(")[0]
+        aggs += [
+            F.sum(F.col(c).isNull().cast("int")).cast("bigint")
+            .alias(f"_null_{c}"),
+            F.count_distinct(F.col(c)).cast("bigint")
+            .alias(f"_nd_{c}"),
+            F.min(F.col(c)).cast("string").alias(f"_min_{c}"),
+            F.max(F.col(c)).cast("string").alias(f"_max_{c}"),
+        ]
+        if dt in numeric:
+            v = F.col(c).cast("double")
+            aggs += [
+                F.sum(v).alias(f"_s_{c}"),
+                F.sum(v * v).alias(f"_q_{c}"),
+            ]
+    agg = df.agg(*aggs)
+    branches = []
+    for c in cols:
+        dt = dtypes[c].split("(")[0]
+        nn = (F.col("_n") - F.col(f"_null_{c}")).cast("double")
+        if dt in numeric:
+            mean = F.when(nn > 0, F.col(f"_s_{c}") / nn)
+            sd = F.when(
+                nn >= 2,
+                F.sqrt(
+                    F.greatest(
+                        (
+                            F.col(f"_q_{c}")
+                            - nn * (F.col(f"_s_{c}") / nn)
+                            * (F.col(f"_s_{c}") / nn)
+                        ) / (nn - 1.0),
+                        F.lit(0.0),
+                    )
+                ),
+            )
+        else:
+            mean = F.lit(None).cast("double")
+            sd = F.lit(None).cast("double")
+        branches.append(
+            agg.select(
+                F.lit(c).alias("column"),
+                F.lit(dtypes[c]).alias("dtype"),
+                F.col("_n").alias("n"),
+                F.col(f"_null_{c}").alias("n_null"),
+                F.round(
+                    F.col(f"_null_{c}").cast("double")
+                    / F.col("_n").cast("double"),
+                    6,
+                ).alias("null_rate"),
+                F.col(f"_nd_{c}").alias("n_distinct"),
+                F.col(f"_min_{c}").alias("min_value"),
+                F.col(f"_max_{c}").alias("max_value"),
+                F.round(mean, 6).alias("mean"),
+                F.round(sd, 6).alias("sd"),
+            )
+        )
+    return reduce(lambda a, b: a.unionAll(b), branches)
+
+
+def json_profile(
+    df: DataFrame,
+    json_col: str,
+) -> DataFrame:
+    """Per-key profile of a flat JSON-string column (crawl metadata,
+    event props, model-card sidecars) — which keys exist, how often,
+    how wide, and whether the values are secretly numeric:
+
+    per key: ``(key, n_present, presence_rate, n_distinct,
+    frac_numeric, min_value, max_value)`` — presence over the NON-NULL
+    json rows, values profiled as strings (min/max lexicographic),
+    ``frac_numeric`` the fraction castable to double.
+
+    Scale shape: ``from_json`` to ``map<string,string>`` (flat
+    objects; nested values arrive as their JSON text — profile them
+    again one level down if needed), one explode, one groupBy(key)
+    with a broadcast 1-row total for the rate. No UDF, no driver
+    parsing. Rows whose json fails to parse count toward the total
+    but no key.
+    """
+    j = F.from_json(
+        F.col(json_col), "map<string,string>"
+    )
+    base = df.where(F.col(json_col).isNotNull()).select(
+        j.alias("_m")
+    )
+    from pyspark import StorageLevel
+
+    from padua_spark.io_utils import track_cached
+
+    base = base.persist(StorageLevel.MEMORY_AND_DISK)
+    total = base.agg(
+        F.count(F.lit(1)).cast("bigint").alias("_tot"),
+        F.lit(1).alias("_one"),
+    )
+    kv = base.where(F.col("_m").isNotNull()).select(
+        F.explode("_m").alias("key", "_v")
+    )
+    per = kv.groupBy("key").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_present"),
+        F.count_distinct(F.col("_v")).cast("bigint")
+        .alias("n_distinct"),
+        F.sum(
+            F.col("_v").cast("double").isNotNull().cast("int")
+        ).cast("bigint").alias("_numeric"),
+        F.min("_v").alias("min_value"),
+        F.max("_v").alias("max_value"),
+    )
+    out = per.withColumn("_one", F.lit(1)).join(
+        F.broadcast(total), on="_one"
+    ).select(
+        "key", "n_present",
+        F.round(
+            F.col("n_present").cast("double")
+            / F.col("_tot").cast("double"),
+            6,
+        ).alias("presence_rate"),
+        "n_distinct",
+        F.round(
+            F.col("_numeric").cast("double")
+            / F.col("n_present").cast("double"),
+            6,
+        ).alias("frac_numeric"),
+        "min_value", "max_value",
+    )
+    return track_cached(out, base)

@@ -420,6 +420,8 @@ def test_no_cartesian_products_anywhere(spark):
         "delong_test",
         # 1-row MoM prior broadcast onto the groups frame
         "eb_rate_shrinkage",
+        # 1-row non-null total broadcast onto the per-key profile
+        "json_profile",
         # windows × reference-bins cross join — both tiny by
         # construction (every reference bin must score in every window)
         "windowed_psi",

@@ -360,6 +360,8 @@ COVERAGE = {
     "E245": "entry:bayes_ab_beta",
     "E246": "entry:eb_rate_shrinkage",
     "E247": "entry:chapman_estimate",
+    "E248": "entry:data_profile",
+    "E249": "entry:json_profile",
 }
 
 

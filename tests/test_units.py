@@ -8899,3 +8899,47 @@ def test_bayes_eb_chapman_vs_replicas(spark):
     assert r["n_hat"] == pytest.approx(nh, abs=1e-4)
     assert r["se"] == pytest.approx(math.sqrt(var), abs=1e-4)
     assert r["ci_lo"] <= n_true <= r["ci_hi"]
+
+
+def test_data_and_json_profile(spark):
+    """Column profile against handcrafted stats (nulls, exact
+    distincts, lexicographic min/max for strings, numeric moments);
+    JSON key profile on mixed flat objects including unparsable rows
+    counting only toward the total."""
+    import numpy as np
+
+    from padua_spark.extensions.quality import data_profile, json_profile
+
+    rows = [
+        (1, 2.0, "b"), (2, None, "a"), (3, 4.0, None),
+        (4, 8.0, "c"), (5, 8.0, "a"),
+    ]
+    df = spark.createDataFrame(rows, ["i", "x", "s"])
+    out = {r["column"]: r for r in data_profile(df).collect()}
+    assert out["i"]["n_distinct"] == 5 and out["i"]["n_null"] == 0
+    assert out["x"]["n_null"] == 1 and out["x"]["n_distinct"] == 3
+    vals = np.array([2.0, 4.0, 8.0, 8.0])
+    assert out["x"]["mean"] == pytest.approx(vals.mean(), abs=1e-9)
+    assert out["x"]["sd"] == pytest.approx(vals.std(ddof=1), abs=1e-6)
+    assert (out["s"]["min_value"], out["s"]["max_value"]) == ("a", "c")
+    assert out["s"]["mean"] is None
+    assert out["s"]["null_rate"] == pytest.approx(0.2, abs=1e-9)
+
+    js = [
+        (1, '{"a": 1, "b": "x"}'),
+        (2, '{"a": 2.5}'),
+        (3, '{"b": "y", "c": "1e3"}'),
+        (4, "not json"),
+        (5, None),
+    ]
+    jd = spark.createDataFrame(js, ["i", "props"])
+    out = {r["key"]: r for r in json_profile(jd, "props").collect()}
+    assert set(out) == {"a", "b", "c"}
+    assert out["a"]["n_present"] == 2
+    # 4 non-null json rows form the denominator (the unparsable row
+    # counts toward the total, contributes no keys)
+    assert out["a"]["presence_rate"] == pytest.approx(0.5, abs=1e-9)
+    assert out["a"]["frac_numeric"] == 1.0
+    assert out["b"]["frac_numeric"] == 0.0
+    assert out["c"]["frac_numeric"] == 1.0  # "1e3" casts
+    assert out["b"]["n_distinct"] == 2
