@@ -4674,27 +4674,40 @@ def q_pagerank_trade(spark, sf):
     operator is value-hash gated end to end."""
     from padua_spark.extensions.graph import pagerank
 
+    from pyspark import StorageLevel
+
+    from padua_spark.io_utils import track_cached
+
     li = _t(spark, sf, "lineitem")
     o = _t(spark, sf, "orders")
-    pairs = li.join(o, li["l_orderkey"] == o["o_orderkey"]).select(
-        F.concat(F.lit("s"), F.col("l_suppkey")).alias("sn"),
-        F.concat(F.lit("c"), F.col("o_custkey")).alias("cn"),
+    # DISTINCT the one-directional pairs BEFORE symmetrizing (the
+    # textrank trick): the dedup shuffle sees half the rows, and the
+    # persisted canonical pairs make the symmetrized union free to
+    # rebuild per consumer — pagerank's own edge dedup is then skipped
+    # (edges_distinct: canonical pairs and their reversals cannot
+    # collide, the bipartite s/c prefixes disjoint the name spaces)
+    und = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .select(
+            F.concat(F.lit("s"), F.col("l_suppkey")).alias("sn"),
+            F.concat(F.lit("c"), F.col("o_custkey")).alias("cn"),
+        )
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    # both orientations from ONE scan (a union would run the join twice)
-    edges = pairs.select(
-        F.explode(
-            F.array(
-                F.struct(
-                    F.col("sn").alias("src"), F.col("cn").alias("dst")
-                ),
-                F.struct(
-                    F.col("cn").alias("src"), F.col("sn").alias("dst")
-                ),
-            )
-        ).alias("_e")
-    ).select("_e.src", "_e.dst")
-    out = pagerank(edges, "src", "dst", k_iters=5, damping=0.85)
-    return out.select("node", F.round("rank", 9).alias("rank"))
+    edges = und.select(
+        F.col("sn").alias("src"), F.col("cn").alias("dst")
+    ).unionAll(
+        und.select(F.col("cn").alias("src"), F.col("sn").alias("dst"))
+    )
+    out = pagerank(
+        edges, "src", "dst", k_iters=5, damping=0.85,
+        edges_distinct=True,
+    )
+    res = out.select("node", F.round("rank", 9).alias("rank"))
+    return track_cached(
+        res, und, *getattr(out, "_padua_cached", ())
+    )
 
 
 # --- ext: count-min sketch heavy hitters (mergeable frequency summary) ------

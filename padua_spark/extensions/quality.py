@@ -1476,12 +1476,15 @@ def data_profile(
     non-numeric columns, ``n_distinct`` EXACT (nulls excluded).
 
     Scale shape: ONE aggregation computes every column's stats; the
-    multiple ``count(distinct)`` aggregates compile to Spark's Expand
-    operator (one scan, k-way row expansion — the documented cost of
-    exactness; swap to approx_count_distinct upstream if a sketch is
-    acceptable). The per-column pivot is a compile-time k-branch
-    union of 1-row projections over the single aggregated row — no
-    second scan. Output: k rows, deterministic column order.
+    multiple ``count(distinct)`` aggregates compile to Spark's
+    multi-distinct expansion (one scan, k-way row expansion — the
+    documented cost of exactness; swap to approx_count_distinct
+    upstream if a sketch is acceptable). The aggregated 1-row frame
+    is PERSISTED before the compile-time k-branch pivot union —
+    Spark reuses no exchanges across union branches, so an uncached
+    frame would re-run the whole scan+aggregation once per column
+    (recorded for ``io_utils.unpersist_intermediates``). Output: k
+    rows, deterministic column order.
     """
     from functools import reduce
 
@@ -1506,7 +1509,11 @@ def data_profile(
                 F.sum(v).alias(f"_s_{c}"),
                 F.sum(v * v).alias(f"_q_{c}"),
             ]
-    agg = df.agg(*aggs)
+    from pyspark import StorageLevel
+
+    from padua_spark.io_utils import track_cached
+
+    agg = df.agg(*aggs).persist(StorageLevel.MEMORY_AND_DISK)
     branches = []
     for c in cols:
         dt = dtypes[c].split("(")[0]
@@ -1547,7 +1554,8 @@ def data_profile(
                 F.round(sd, 6).alias("sd"),
             )
         )
-    return reduce(lambda a, b: a.unionAll(b), branches)
+    out = reduce(lambda a, b: a.unionAll(b), branches)
+    return track_cached(out, agg)
 
 
 def json_profile(

