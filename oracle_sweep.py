@@ -81,6 +81,13 @@ def main() -> None:
         )
     queries = entrymod.queries()
     oracles = entrymod.oracle_sql()
+    only = {
+        n for n in os.environ.get(
+            "SPARK_GRAFT_SWEEP_ONLY", ""
+        ).split(",") if n
+    }
+    if only:
+        queries = {n: q for n, q in queries.items() if n in only}
     results: dict[str, dict] = {}
     for name in sorted(queries):
         rec = {
@@ -123,7 +130,9 @@ def main() -> None:
             traceback.print_exc(limit=2, file=sys.stderr)
     path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)),
-        "CORRECTNESS_LOCAL.json",
+        # a filtered run is a dev spot-check — never clobber the full
+        # sweep artifact with a subset
+        "CORRECTNESS_SUBSET.json" if only else "CORRECTNESS_LOCAL.json",
     )
     with open(path, "w") as fh:
         json.dump(results, fh, indent=1)

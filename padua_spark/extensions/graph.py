@@ -279,6 +279,7 @@ def pagerank(
     k_iters: int = 5,
     damping: float = 0.85,
     edges_distinct: bool = False,
+    broadcast_ranks_threshold: int = 2_000_000,
 ) -> DataFrame:
     """Fixed-iteration PageRank over a directed edge list — importance
     propagation for link-graph curation (seed-quality spreading along
@@ -295,12 +296,19 @@ def pagerank(
 
     Scale shape: the (src, dst, outdeg) contribution table is built
     once, persisted (recorded on the result for
-    ``io_utils.unpersist_intermediates``), and hash-joined against the
-    rank frame each iteration — one shuffle per iteration on the dst
-    key, the canonical PageRank-on-DataFrames plan. Each iteration
+    ``io_utils.unpersist_intermediates``), and joined against the
+    rank frame each iteration. N is one scalar count (driver-side,
+    legitimate) — and it doubles as the join-strategy pivot: when
+    ``n_nodes <= broadcast_ranks_threshold`` the node-sized rank frame
+    is BROADCAST into the edge-sized contribution table every
+    iteration, so the edges are never reshuffled or sorted — the only
+    per-iteration shuffle is the map-side-combined partial sums of the
+    dst aggregation (≤ nodes × partitions rows, not edges). Above the
+    threshold (billion-node graphs, where a rank broadcast would not
+    fit) it falls back to the canonical shuffle-join plan — one
+    shuffle per iteration on the dst key. Each iteration
     ``localCheckpoint``s (eager=False) so the logical plan stays O(1)
-    across iterations instead of nesting k joins deep. N is one
-    scalar count (driver-side, legitimate).
+    across iterations instead of nesting k joins deep.
 
     Output: ``(node, rank)`` for every node appearing in the edges.
     Pass ``edges_distinct=True`` when the caller GUARANTEES the
@@ -335,10 +343,12 @@ def pagerank(
         empty = nodes.withColumn("rank", F.lit(0.0))
         return track_cached(empty, contrib, nodes, *cached)
     base = (1.0 - damping) / n_nodes
+    small = n_nodes <= broadcast_ranks_threshold
     ranks = nodes.withColumn("rank", F.lit(1.0 / n_nodes))
     for _ in range(k_iters):
+        rside = F.broadcast(ranks) if small else ranks
         incoming = (
-            contrib.join(ranks, contrib["_s"] == ranks["node"])
+            contrib.join(rside, contrib["_s"] == rside["node"])
             .select(
                 F.col("_d").alias("node"),
                 (F.col("rank") / F.col("_o").cast("double")).alias("_m"),
@@ -540,6 +550,7 @@ def label_propagation(
     n_rounds: int = 4,
     src: str = "src",
     dst: str = "dst",
+    broadcast_labels_threshold: int = 2_000_000,
 ) -> DataFrame:
     """Community detection by synchronous label propagation (Raghavan
     et al. 2007) with a DETERMINISTIC schedule: every node starts
@@ -559,8 +570,13 @@ def label_propagation(
     node-sized, edges dominate) + one map-side-combining
     (node, label) count + one argmax aggregation — all shuffles on
     the node key; no windows over data-sized frames, no driver
-    collect. Each round's label frame is ``localCheckpoint``-ed
-    (lineage truncation, the :func:`connected_components` lesson).
+    collect. When the node count is at most
+    ``broadcast_labels_threshold`` (one count job up front — the
+    :func:`pagerank` pivot) the label frame is BROADCAST into the
+    per-round join so the symmetrized edge frame is never reshuffled;
+    above it the canonical shuffle join runs. Each round's label
+    frame is ``localCheckpoint``-ed (lineage truncation, the
+    :func:`connected_components` lesson).
     Self-loops are dropped and the edge list symmetrized, so
     "neighbors" means distinct adjacent nodes. Output:
     ``(node, label)``.
@@ -575,12 +591,13 @@ def label_propagation(
         .distinct()
         .localCheckpoint(eager=False)
     )
-    labels = sym.select(F.col("_s").alias("_n")).distinct().select(
-        "_n", F.col("_n").alias("_lbl")
-    )
+    nodes = sym.select(F.col("_s").alias("_n")).distinct()
+    small = nodes.count() <= broadcast_labels_threshold
+    labels = nodes.select("_n", F.col("_n").alias("_lbl"))
     for _ in range(int(n_rounds)):
+        lside = labels.select(F.col("_n").alias("_s"), "_lbl")
         nb = sym.join(
-            labels.select(F.col("_n").alias("_s"), "_lbl"), on="_s"
+            F.broadcast(lside) if small else lside, on="_s"
         ).select(F.col("_d").alias("_n"), "_lbl")
         cnt = nb.groupBy("_n", "_lbl").agg(
             F.count(F.lit(1)).cast("bigint").alias("_c")
@@ -701,6 +718,7 @@ def hits(
     src: str = "src",
     dst: str = "dst",
     k_iters: int = 3,
+    broadcast_scores_threshold: int = 2_000_000,
 ) -> DataFrame:
     """Fixed-iteration HITS (Kleinberg 1999) — hub and authority
     scores over a directed edge list, the query-independent companion
@@ -716,10 +734,16 @@ def hits(
     the same contract as :func:`pagerank` / :func:`kcore_peel`).
 
     Scale shape: the distinct edge frame is persisted once and
-    hash-joined per half-step (one shuffle per half-step on the join
-    key); each L2 norm is a 1-row aggregate broadcast back; each
-    round ``localCheckpoint``s (eager=False) so the logical plan
-    stays O(1) deep across rounds instead of nesting 2k joins.
+    joined per half-step against a NODE-sized score frame. When the
+    larger node side is at most ``broadcast_scores_threshold`` rows
+    (one count job up front — the :func:`pagerank` pivot) the score
+    frames are BROADCAST, so the edge frame is never reshuffled: the
+    only per-half-step shuffle is the map-side-combined partial sums
+    of the aggregation. Above the threshold it falls back to the
+    canonical one-shuffle-per-half-step hash join. Each L2 norm is a
+    1-row aggregate broadcast back; each round ``localCheckpoint``s
+    (eager=False) so the logical plan stays O(1) deep across rounds
+    instead of nesting 2k joins.
 
     Output: ``(node, role, score)`` — one row per distinct source
     (``role='hub'``) and per distinct destination
@@ -739,10 +763,17 @@ def hits(
         .persist()
     )
     hubs = e.select("_s").distinct().withColumn("_h", F.lit(1.0))
+    n_side = max(
+        e.agg(
+            F.count_distinct("_s").alias("_ns"),
+            F.count_distinct("_d").alias("_nd"),
+        ).collect()[0][:2]
+    )
+    small = n_side <= broadcast_scores_threshold
     auths = None
     for _ in range(k_iters):
         a_raw = (
-            e.join(hubs, on="_s")
+            e.join(F.broadcast(hubs) if small else hubs, on="_s")
             .groupBy("_d")
             .agg(F.sum("_h").alias("_a"))
         )
@@ -760,7 +791,7 @@ def hits(
             .localCheckpoint(eager=False)
         )
         h_raw = (
-            e.join(auths, on="_d")
+            e.join(F.broadcast(auths) if small else auths, on="_d")
             .groupBy("_s")
             .agg(F.sum("_a").alias("_h"))
         )
