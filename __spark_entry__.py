@@ -21071,6 +21071,361 @@ def q_temperature_scaling(spark, sf):
     return temperature_scaling(e, "z", "y")
 
 
+# --- ext: Spiegelhalter calibration z-test ----------------------------------
+
+
+_SPIEGELHALTER_ORACLE = """
+WITH base AS (
+  SELECT CAST(floor(value) AS DOUBLE) / 512.0 AS p,
+    CASE WHEN event_type IN ('click', 'view')
+      THEN CAST(1 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END AS y
+  FROM events
+  WHERE value IS NOT NULL AND event_type IS NOT NULL AND value >= 0
+),
+a AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+    sum((y - p) * (1.0 - 2.0 * p)) AS num,
+    sum((1.0 - 2.0 * p) * (1.0 - 2.0 * p) * p * (1.0 - p)) AS var
+  FROM base
+),
+zt AS (
+  SELECT n, CASE WHEN var > 0 THEN num / sqrt(var) END AS z FROM a
+),
+e AS (
+  SELECT n, z, abs(z) / sqrt(2.0) AS x,
+    1.0 / (1.0 + 0.3275911 * (abs(z) / sqrt(2.0))) AS t
+  FROM zt
+)
+SELECT n, round(z, 6) AS z,
+  round(CASE WHEN z IS NOT NULL THEN least(
+    (0.254829592 * t + -0.284496736 * t * t
+     + 1.421413741 * t * t * t + -1.453152027 * t * t * t * t
+     + 1.061405429 * t * t * t * t * t) * exp(-x * x), 1.0) END, 6)
+    AS p_value
+FROM e
+"""
+
+
+@_q("spiegelhalter_z", _SPIEGELHALTER_ORACLE)
+def q_spiegelhalter_z(spark, sf):
+    """Spiegelhalter calibration z over the dyadic-exact
+    pseudo-probability vs engagement labels
+    (features.spiegelhalter_z) — the significance companion to the
+    ece_calibration entry, same (p, y) construction."""
+    from padua_spark.extensions.features import spiegelhalter_z
+
+    e = _t(spark, sf, "events").where(
+        F.col("event_type").isNotNull() & (F.col("value") >= 0)
+    ).select(
+        (F.floor(F.col("value")).cast("double") / 512.0).alias("p"),
+        F.col("event_type").isin("click", "view")
+        .cast("int").alias("y"),
+    )
+    return spiegelhalter_z(e, "p", "y")
+
+
+# --- ext: Hosmer-Lemeshow calibration GOF ------------------------------------
+
+
+def _chi2_sf_closed_sql(x: str, dfc: str, max_df: int) -> str:
+    """SQL CASE mirroring stats._chi2_sf_closed VERBATIM (same
+    arithmetic order, same A&S erfc polynomial at z = sqrt(x), same
+    half-integer gamma constants) for integer df in [1, max_df]."""
+    import math
+
+    branches = []
+    h = f"(({x}) / 2.0)"
+    for d in range(1, int(max_df) + 1):
+        if d % 2 == 0:
+            m = d // 2
+            series = "0.0"
+            for k in range(m):
+                series = (
+                    f"({series} + pow({h}, {float(k)!r})"
+                    f" / {float(math.factorial(k))!r})"
+                )
+            branch = f"(exp(-{h}) * {series})"
+        else:
+            m = (d - 1) // 2
+            xa = f"(abs(sqrt({x})) / sqrt(2.0))"
+            t = f"(1.0 / (1.0 + 0.3275911 * {xa}))"
+            branch = (
+                f"((0.254829592 * {t} + -0.284496736 * {t} * {t}"
+                f" + 1.421413741 * {t} * {t} * {t}"
+                f" + -1.453152027 * {t} * {t} * {t} * {t}"
+                f" + 1.061405429 * {t} * {t} * {t} * {t} * {t})"
+                f" * exp(-{xa} * {xa}))"
+            )
+            for k in range(1, m + 1):
+                gk = (
+                    math.factorial(2 * k)
+                    * math.sqrt(math.pi)
+                    / (4.0 ** k * math.factorial(k))
+                )
+                branch = (
+                    f"({branch} + exp(-{h}) * pow({h}, {k - 0.5!r})"
+                    f" / {gk!r})"
+                )
+        branches.append(
+            f"WHEN ({dfc}) = {d} THEN least({branch}, 1.0)"
+        )
+    return "CASE " + " ".join(branches) + " ELSE NULL END"
+
+
+def _hosmer_oracle(n_bins: int = 10) -> str:
+    qs = [i / n_bins for i in range(1, n_bins)]
+    bound_sel = ",\n    ".join(
+        f"min(CASE WHEN cum >= ceil({q!r} * n) THEN v END) AS b{i}"
+        for i, q in enumerate(qs)
+    )
+    bucket_expr = "1" + "".join(
+        f"\n        + CASE WHEN p > q.b{i} THEN 1 ELSE 0 END"
+        for i in range(len(qs))
+    )
+    p_sql = _chi2_sf_closed_sql("chi2", "dfv", max(n_bins - 2, 1))
+    return f"""
+WITH base AS (
+  SELECT CAST(floor(value) AS DOUBLE) / 512.0 AS p,
+    CASE WHEN event_type IN ('click', 'view')
+      THEN CAST(1 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END AS y
+  FROM events
+  WHERE value IS NOT NULL AND event_type IS NOT NULL AND value >= 0
+),
+nb AS (SELECT CAST(count(*) AS BIGINT) AS n FROM base),
+q AS (
+  SELECT
+    {bound_sel}
+  FROM (
+    SELECT v, sum(c) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+      AS cum
+    FROM (SELECT p AS v, count(*) AS c FROM base GROUP BY 1)
+  ), nb
+),
+bucketed AS (
+  SELECT ({bucket_expr}) AS bin, y, p
+  FROM base, q
+),
+pb AS (
+  SELECT bin, CAST(count(*) AS BIGINT) AS n,
+    CAST(sum(y) AS BIGINT) AS n_pos, sum(p) AS e
+  FROM bucketed GROUP BY 1
+),
+st AS (
+  SELECT bin, n, n_pos, e,
+    CASE WHEN e > 0 AND e < CAST(n AS DOUBLE) THEN 1 ELSE 0 END
+      AS usable,
+    CASE WHEN e > 0 AND e < CAST(n AS DOUBLE) THEN
+      (CAST(n_pos AS DOUBLE) - e) * (CAST(n_pos AS DOUBLE) - e)
+      / (e * (1.0 - e / CAST(n AS DOUBLE))) END AS term
+  FROM pb
+),
+z AS (
+  SELECT bin, n, n_pos, e,
+    CAST(sum(usable) OVER () AS BIGINT) AS g,
+    sum(term) OVER () AS chi2,
+    CAST(sum(usable) OVER () - 2 AS BIGINT) AS dfv
+  FROM st
+)
+SELECT CAST(bin AS INT) AS bin, n, n_pos,
+  round(e, 6) AS expected_pos,
+  g AS g_bins, round(chi2, 6) AS chi2,
+  CAST(dfv AS INT) AS df,
+  round(CASE WHEN dfv >= 1 AND chi2 IS NOT NULL
+    THEN {p_sql} END, 6) AS p_value
+FROM z
+"""
+
+
+@_q("hosmer_lemeshow", _hosmer_oracle())
+def q_hosmer_lemeshow(spark, sf):
+    """Hosmer-Lemeshow decile GOF of the dyadic-exact
+    pseudo-probability vs engagement labels
+    (features.hosmer_lemeshow): exact quantile bins (gains_table
+    boundary law), closed-form chi2 survival shared verbatim with
+    the oracle."""
+    from padua_spark.extensions.features import hosmer_lemeshow
+
+    e = _t(spark, sf, "events").where(
+        F.col("event_type").isNotNull() & (F.col("value") >= 0)
+    ).select(
+        (F.floor(F.col("value")).cast("double") / 512.0).alias("p"),
+        F.col("event_type").isin("click", "view")
+        .cast("int").alias("y"),
+    )
+    return hosmer_lemeshow(e, "p", "y", n_bins=10)
+
+
+# --- ext: two-sample Hotelling T^2 (bivariate) -------------------------------
+
+
+_HOTELLING_ORACLE = f"""
+WITH RECURSIVE base AS (
+  SELECT l_returnflag AS g, CAST(l_quantity AS DOUBLE) AS x,
+    CAST(l_extendedprice AS DOUBLE) AS y
+  FROM lineitem
+  WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+    AND l_returnflag IN ('A', 'R')
+),
+agg AS (
+  SELECT
+    CAST(sum(CASE WHEN g = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+    CAST(sum(CASE WHEN g = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+    sum(CASE WHEN g = 'A' THEN x ELSE 0 END) AS sxa,
+    sum(CASE WHEN g = 'A' THEN y ELSE 0 END) AS sya,
+    sum(CASE WHEN g = 'A' THEN x * x ELSE 0 END) AS sxxa,
+    sum(CASE WHEN g = 'A' THEN y * y ELSE 0 END) AS syya,
+    sum(CASE WHEN g = 'A' THEN x * y ELSE 0 END) AS sxya,
+    sum(CASE WHEN g = 'R' THEN x ELSE 0 END) AS sxb,
+    sum(CASE WHEN g = 'R' THEN y ELSE 0 END) AS syb,
+    sum(CASE WHEN g = 'R' THEN x * x ELSE 0 END) AS sxxb,
+    sum(CASE WHEN g = 'R' THEN y * y ELSE 0 END) AS syyb,
+    sum(CASE WHEN g = 'R' THEN x * y ELSE 0 END) AS sxyb
+  FROM base
+),
+m AS (
+  SELECT n_a, n_b,
+    CAST(n_a AS DOUBLE) AS na, CAST(n_b AS DOUBLE) AS nb,
+    CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) AS n,
+    sxa / CAST(n_a AS DOUBLE) AS mxa, sya / CAST(n_a AS DOUBLE) AS mya,
+    sxb / CAST(n_b AS DOUBLE) AS mxb, syb / CAST(n_b AS DOUBLE) AS myb,
+    sxxa, syya, sxya, sxxb, syyb, sxyb
+  FROM agg
+),
+s AS (
+  SELECT n_a, n_b, na, nb, n, mxa, mya, mxb, myb,
+    (sxxa - na * mxa * mxa + sxxb - nb * mxb * mxb) / (n - 2.0) AS sxx,
+    (syya - na * mya * mya + syyb - nb * myb * myb) / (n - 2.0) AS syy,
+    (sxya - na * mxa * mya + sxyb - nb * mxb * myb) / (n - 2.0) AS sxy
+  FROM m
+),
+t AS (
+  SELECT n_a, n_b, na, nb, n,
+    CASE WHEN n_a >= 2 AND n_b >= 2 AND n >= 4.0
+              AND sxx * syy - sxy * sxy > 0
+      THEN na * nb / n
+        * ((mxa - mxb) * (mxa - mxb) * syy
+           - 2.0 * (mxa - mxb) * (mya - myb) * sxy
+           + (mya - myb) * (mya - myb) * sxx)
+        / (sxx * syy - sxy * sxy) END AS t2
+  FROM s
+),
+ft AS (
+  SELECT n_a, n_b, n, t2,
+    t2 * (n - 3.0) / (2.0 * (n - 2.0)) AS f
+  FROM t
+),
+inp AS (
+  SELECT 1 AS key,
+    CAST((n - 3.0) / ((n - 3.0) + 2.0 * f) AS DOUBLE) AS x,
+    CAST((n - 3.0) / 2.0 AS DOUBLE) AS a,
+    CAST(1.0 AS DOUBLE) AS b
+  FROM ft WHERE f IS NOT NULL AND f >= 0
+),
+{_betainc_chain_sql()}
+SELECT ft.n_a, ft.n_b, round(ft.t2, 6) AS t2,
+  round(ft.f, 6) AS f_stat, round(pv.p, 6) AS p_value
+FROM ft LEFT JOIN pv ON pv.key = 1
+"""
+
+
+@_q("hotelling_t2", _HOTELLING_ORACLE)
+def q_hotelling_t2(spark, sf):
+    """Two-sample bivariate Hotelling T^2 on (quantity, price) between
+    return flags A and R (stats.hotelling_t2): closed 2x2 pooled
+    inverse, F p via the shared incomplete-beta survival."""
+    from padua_spark.operators.stats import hotelling_t2
+
+    li = _t(spark, sf, "lineitem")
+    return hotelling_t2(
+        li, "l_returnflag", "l_quantity", "l_extendedprice", "A", "R"
+    )
+
+
+# --- ext: Newman modularity of a community assignment ------------------------
+
+
+_MODULARITY_ORACLE = """
+WITH pairs AS (
+  SELECT DISTINCT 's' || CAST(l_suppkey AS VARCHAR) AS sn,
+                  'c' || CAST(o_custkey AS VARCHAR) AS cn
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+),
+e AS (
+  SELECT DISTINCT least(sn, cn) AS u, greatest(sn, cn) AS v FROM pairs
+),
+labels AS (
+  SELECT 's' || CAST(s_suppkey AS VARCHAR) AS n,
+    CAST(s_nationkey AS BIGINT) AS l
+  FROM supplier
+  UNION ALL
+  SELECT 'c' || CAST(c_custkey AS VARCHAR) AS n,
+    CAST(c_nationkey AS BIGINT) AS l
+  FROM customer
+),
+tagged AS (
+  SELECT e.u, e.v, lu.l AS lu, lv.l AS lv
+  FROM e LEFT JOIN labels lu ON lu.n = e.u
+         LEFT JOIN labels lv ON lv.n = e.v
+),
+within AS (
+  SELECT lu AS c, CAST(count(*) AS BIGINT) AS ec
+  FROM tagged WHERE lu IS NOT NULL AND lu = lv GROUP BY 1
+),
+deg AS (
+  SELECT c, CAST(count(*) AS BIGINT) AS dc FROM (
+    SELECT lu AS c FROM tagged
+    UNION ALL
+    SELECT lv AS c FROM tagged
+  ) WHERE c IS NOT NULL GROUP BY 1
+),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n_edges FROM e),
+nn AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_nodes FROM (
+    SELECT u AS n FROM e UNION SELECT v AS n FROM e
+  )
+),
+qsum AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_communities,
+    sum(CAST(coalesce(w.ec, 0) AS DOUBLE) / CAST(t.n_edges AS DOUBLE)
+        - (CAST(d.dc AS DOUBLE) / (2.0 * CAST(t.n_edges AS DOUBLE)))
+          * (CAST(d.dc AS DOUBLE) / (2.0 * CAST(t.n_edges AS DOUBLE))))
+      AS q
+  FROM deg d LEFT JOIN within w ON w.c = d.c CROSS JOIN tot t
+)
+SELECT nn.n_nodes, tot.n_edges,
+  coalesce(qsum.n_communities, 0) AS n_communities,
+  round(CASE WHEN tot.n_edges > 0 THEN qsum.q END, 6) AS modularity
+FROM tot CROSS JOIN nn CROSS JOIN qsum
+"""
+
+
+@_q("graph_modularity", _MODULARITY_ORACLE)
+def q_graph_modularity(spark, sf):
+    """Newman modularity of the nation partition over the symmetrized
+    supplier-customer trade graph (graph.modularity): both endpoints
+    labeled by their nation key, Q per Newman-Girvan eq. 5."""
+    from padua_spark.extensions.graph import modularity
+
+    li = _t(spark, sf, "lineitem")
+    o = _t(spark, sf, "orders")
+    su = _t(spark, sf, "supplier")
+    cu = _t(spark, sf, "customer")
+    edges = li.join(o, li["l_orderkey"] == o["o_orderkey"]).select(
+        F.concat(F.lit("s"), F.col("l_suppkey")).alias("src"),
+        F.concat(F.lit("c"), F.col("o_custkey")).alias("dst"),
+    )
+    labels = su.select(
+        F.concat(F.lit("s"), F.col("s_suppkey")).alias("node"),
+        F.col("s_nationkey").cast("bigint").alias("label"),
+    ).unionByName(
+        cu.select(
+            F.concat(F.lit("c"), F.col("c_custkey")).alias("node"),
+            F.col("c_nationkey").cast("bigint").alias("label"),
+        )
+    )
+    return modularity(edges, labels)
+
+
 # ---------------------------------------------------------------------------
 
 

@@ -178,6 +178,10 @@ HEADLINE = [
     "chapman_estimate",
     "data_profile",
     "json_profile",
+    "spiegelhalter_z",
+    "hosmer_lemeshow",
+    "hotelling_t2",
+    "graph_modularity",
     "anova_2way_stats",
     "levene_stats",
     "ttest_paired_stats",

@@ -581,3 +581,172 @@ def temperature_scaling(
         F.round("_nll", 6).alias("nll"),
         (key == best).alias("is_best"),
     )
+
+
+def spiegelhalter_z(
+    df: DataFrame,
+    prob_col: str,
+    label_col: str,
+) -> DataFrame:
+    """Spiegelhalter's z-test of calibration (Spiegelhalter 1986) —
+    the single-number significance companion to
+    :func:`ece_calibration`'s descriptive bins: is the forecast's
+    Brier score larger than chance would allow IF every stated
+    probability were exactly right?
+
+    ``z = Σ(y_i − p_i)(1 − 2p_i) / √(Σ(1 − 2p_i)² p_i(1 − p_i))``,
+    two-sided p via the shared A&S-erfc normal survival. Sensitive to
+    systematic over/under-confidence, blind to slope-only
+    miscalibration — pair with :func:`hosmer_lemeshow` for the binned
+    view.
+
+    ONE aggregation over rows with ``p ∈ [0, 1]`` and a binary label;
+    output 1 row ``(n, z, p_value)``, 6dp; z/p NULL when the variance
+    term is 0 (all p in {0, 1}) or n = 0.
+
+    Beyond the reference; standard per Spiegelhalter 1986 /
+    Rufibach 2010 (R `SpecsVerification`).
+    """
+    p = F.col(prob_col).cast("double")
+    y = F.col(label_col).cast("double")
+    base = df.where(
+        p.isNotNull() & y.isNotNull() & (p >= 0) & (p <= 1)
+    )
+    agg = base.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum((y - p) * (1.0 - 2.0 * p)).alias("_num"),
+        F.sum(
+            (1.0 - 2.0 * p) * (1.0 - 2.0 * p) * p * (1.0 - p)
+        ).alias("_var"),
+    )
+    from padua_spark.operators.stats import _normal_sf_2sided
+
+    z = F.when(F.col("_var") > 0, F.col("_num") / F.sqrt("_var"))
+    return agg.select(
+        "n",
+        F.round(z, 6).alias("z"),
+        F.round(
+            F.when(z.isNotNull(), F.least(
+                _normal_sf_2sided(z), F.lit(1.0)
+            )),
+            6,
+        ).alias("p_value"),
+    )
+
+
+def hosmer_lemeshow(
+    df: DataFrame,
+    prob_col: str,
+    label_col: str,
+    n_bins: int = 10,
+    small_domain_threshold: int | None = None,
+) -> DataFrame:
+    """Hosmer–Lemeshow goodness-of-fit test for binary-probability
+    calibration — the classical binned chi-square behind "is this
+    risk model calibrated?" (Hosmer & Lemeshow 1980), the
+    significance companion to :func:`gains_table`'s descriptive
+    deciles:
+
+    ``C = Σ_g (O_g − E_g)² / (E_g(1 − E_g/n_g))`` over ``g`` bins of
+    ascending predicted probability with ``O_g = Σ y``,
+    ``E_g = Σ p``; df = g − 2, p via the compile-time-unrolled
+    closed-form chi-square survival
+    (:func:`~padua_spark.operators.stats._chi2_sf_closed` — erfc +
+    half-integer gamma series, no UDF, shared verbatim with any SQL
+    twin). Bins whose variance term is degenerate (``E ≤ 0`` or
+    ``E ≥ n_g``) are excluded from BOTH the statistic and g — the
+    standard practical convention.
+
+    Bin boundaries are EXACT probability quantiles from the shared
+    distributed stepped cumsum — the :func:`gains_table` boundary law
+    (``min{v : F(v) ≥ ⌈q·n⌉}``, boundary values take the lower bin),
+    never an ``ntile`` sort of the fact table. ONE aggregation to the
+    ≤ ``n_bins`` bin rows; the statistic rides a window over those
+    rows only. Output per usable bin: ``(bin, n, n_pos, expected_pos,
+    g_bins, chi2, df, p_value)``, chi2/df/p repeated per row, 6dp;
+    p NULL when g ≤ 2.
+
+    Beyond the reference; standard per Hosmer & Lemeshow 1980.
+    """
+    from pyspark import StorageLevel
+    from pyspark.sql import Window
+
+    from padua_spark.io_utils import track_cached
+    from padua_spark.operators.stats import (
+        _chi2_sf_closed,
+        _stepped_running_counts,
+    )
+
+    p = F.col(prob_col).cast("double")
+    y = F.col(label_col).cast("int")
+    base = df.where(
+        p.isNotNull() & y.isNotNull() & (p >= 0) & (p <= 1)
+    ).select(p.alias("_p"), y.cast("double").alias("_y")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    per = base.groupBy(F.col("_p").alias("_v")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("_c")
+    )
+    stepped = _stepped_running_counts(
+        per, "_v", ["_c"], small_domain_threshold
+    )
+    k = int(n_bins)
+    qs = [i / k for i in range(1, k)]
+    aggs = []
+    for i, q in enumerate(qs):
+        rank = F.ceil(
+            F.lit(q) * F.col("_c_tot").cast("double")
+        ).cast("bigint")
+        aggs.append(
+            F.min(
+                F.when(F.col("_c_run") >= rank, F.col("_v"))
+            ).alias(f"b{i}")
+        )
+    bounds = stepped.agg(*aggs)
+    bucket = F.lit(1)
+    for i in range(len(qs)):
+        bucket = bucket + (F.col("_p") > F.col(f"b{i}")).cast("int")
+    per_bin = (
+        base.join(F.broadcast(bounds))
+        .groupBy(bucket.alias("bin"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("_y").cast("bigint").alias("n_pos"),
+            F.sum("_p").alias("_e"),
+        )
+    )
+    nd = F.col("n").cast("double")
+    usable = (F.col("_e") > 0) & (F.col("_e") < nd)
+    term = F.when(
+        usable,
+        (F.col("n_pos").cast("double") - F.col("_e"))
+        * (F.col("n_pos").cast("double") - F.col("_e"))
+        / (F.col("_e") * (1.0 - F.col("_e") / nd)),
+    )
+    w = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    g = F.sum(usable.cast("int")).over(w)
+    chi2 = F.sum(term).over(w)
+    dfree = g - F.lit(2)
+    staged = per_bin.select(
+        "bin", "n", "n_pos", F.col("_e").alias("_exp"),
+        g.alias("_g"), chi2.alias("_chi2"), dfree.alias("_df"),
+    )
+    out = staged.select(
+        "bin", "n", "n_pos",
+        F.round("_exp", 6).alias("expected_pos"),
+        F.col("_g").alias("g_bins"),
+        F.round("_chi2", 6).alias("chi2"),
+        F.col("_df").cast("int").alias("df"),
+        F.round(
+            F.when(
+                (F.col("_df") >= 1) & F.col("_chi2").isNotNull(),
+                _chi2_sf_closed(
+                    F.col("_chi2"), F.col("_df"), max(k - 2, 1)
+                ),
+            ),
+            6,
+        ).alias("p_value"),
+    )
+    return track_cached(out, base)

@@ -1033,6 +1033,49 @@ def _normal_sf_1sided(z: Column) -> Column:
     return F.when(z >= 0, half).otherwise(F.lit(1.0) - half)
 
 
+def _chi2_sf_closed(x: Column, dfree: Column, max_df: int) -> Column:
+    """Closed-form chi-square survival ``P(χ²_df ≥ x)`` for a
+    DATA-DEPENDENT but BOUNDED integer df (1 ≤ df ≤ ``max_df``),
+    unrolled at compile time into a When chain — no UDF, so both
+    engines can share the expression verbatim:
+
+    even df = 2m: ``e^{−x/2} Σ_{k<m} (x/2)^k / k!``;
+    odd df = 2m+1: ``erfc(√(x/2)) + e^{−x/2} Σ_{k=1..m}
+    (x/2)^{k−1/2} / Γ(k+1/2)`` with ``Γ(k+1/2) = (2k)!√π/(4^k k!)``,
+    erfc via the shared A&S 7.1.26 polynomial
+    (:func:`_normal_sf_2sided` at z = √x). NULL outside [1, max_df].
+    """
+    import math
+
+    h = x / F.lit(2.0)
+    out = F.lit(None).cast("double")
+    for d in range(1, int(max_df) + 1):
+        if d % 2 == 0:
+            m = d // 2
+            series = F.lit(0.0)
+            for k in range(m):
+                series = series + F.pow(h, F.lit(float(k))) / F.lit(
+                    float(math.factorial(k))
+                )
+            branch = F.exp(-h) * series
+        else:
+            m = (d - 1) // 2
+            branch = _normal_sf_2sided(F.sqrt(x))
+            for k in range(1, m + 1):
+                gamma_k_half = (
+                    math.factorial(2 * k)
+                    * math.sqrt(math.pi)
+                    / (4.0 ** k * math.factorial(k))
+                )
+                branch = branch + F.exp(-h) * F.pow(
+                    h, F.lit(k - 0.5)
+                ) / F.lit(gamma_k_half)
+        out = F.when(dfree == d, F.least(branch, F.lit(1.0))).otherwise(
+            out
+        )
+    return out
+
+
 def mannwhitney_z_stats(
     df: DataFrame,
     group_col: str,
@@ -9749,4 +9792,99 @@ def chapman_estimate(
         F.round(se, 6).alias("se"),
         F.round(lo, 6).alias("ci_lo"),
         F.round(n_hat + zc * se, 6).alias("ci_hi"),
+    )
+
+
+def hotelling_t2(
+    df: DataFrame,
+    group_col: str,
+    x_col: str,
+    y_col: str,
+    group_a,
+    group_b,
+) -> DataFrame:
+    """Two-sample Hotelling T² for a BIVARIATE mean difference — "did
+    (latency, error-rate) move together?" — the multivariate t-test
+    that respects the correlation between the two metrics (two
+    separate t-tests double-count shared variance and miss
+    correlated shifts):
+
+    ``T² = (n_a n_b / n)·d' S⁻¹ d`` with ``d`` the mean-difference
+    2-vector and ``S`` the pooled covariance (closed 2×2 inverse —
+    no linear algebra library, both engines share the algebra);
+    ``F = (n − 3)/(2(n − 2))·T²`` with df (2, n − 3), p via the
+    shared regularized-incomplete-beta survival.
+
+    ONE conditional aggregation to the 10 exact per-group sums;
+    listwise over rows where both metrics are present. Output 1 row:
+    ``(n_a, n_b, t2, f_stat, p_value)``, 6dp; NULL when either group
+    has < 2 complete rows, n < 4, or S is singular.
+
+    Beyond the reference; standard per Hotelling 1931 / Anderson,
+    *An Introduction to Multivariate Statistical Analysis*.
+    """
+    from padua_spark.functions.distributions import f_sf_udf
+
+    g = F.col(group_col)
+    x = F.col(x_col).cast("double")
+    y = F.col(y_col).cast("double")
+    base = df.where(
+        x.isNotNull() & y.isNotNull() & g.isin([group_a, group_b])
+    )
+    ia = (g == F.lit(group_a)).cast("int")
+    ib = (g == F.lit(group_b)).cast("int")
+
+    def _sums(tag, ind):
+        return [
+            F.sum(ind).cast("bigint").alias(f"n_{tag}"),
+            F.sum(ind * x).alias(f"_sx{tag}"),
+            F.sum(ind * y).alias(f"_sy{tag}"),
+            F.sum(ind * x * x).alias(f"_sxx{tag}"),
+            F.sum(ind * y * y).alias(f"_syy{tag}"),
+            F.sum(ind * x * y).alias(f"_sxy{tag}"),
+        ]
+
+    agg = base.agg(*(_sums("a", ia) + _sums("b", ib)))
+    na = F.col("n_a").cast("double")
+    nb = F.col("n_b").cast("double")
+    n = na + nb
+    mxa, mya = F.col("_sxa") / na, F.col("_sya") / na
+    mxb, myb = F.col("_sxb") / nb, F.col("_syb") / nb
+    # pooled centered SSCP: Σ_g (S_g − n_g m_g m_g')
+    sxx = (
+        F.col("_sxxa") - na * mxa * mxa
+        + F.col("_sxxb") - nb * mxb * mxb
+    ) / (n - 2.0)
+    syy = (
+        F.col("_syya") - na * mya * mya
+        + F.col("_syyb") - nb * myb * myb
+    ) / (n - 2.0)
+    sxy = (
+        F.col("_sxya") - na * mxa * mya
+        + F.col("_sxyb") - nb * mxb * myb
+    ) / (n - 2.0)
+    det = sxx * syy - sxy * sxy
+    dx = mxa - mxb
+    dy = mya - myb
+    quad = (
+        dx * dx * syy - 2.0 * dx * dy * sxy + dy * dy * sxx
+    ) / det
+    ok = (
+        (F.col("n_a") >= 2) & (F.col("n_b") >= 2)
+        & (n >= 4.0) & (det > 0)
+    )
+    t2 = F.when(ok, na * nb / n * quad)
+    fstat = t2 * (n - 3.0) / (2.0 * (n - 2.0))
+    staged = agg.select(
+        "n_a", "n_b",
+        t2.alias("_t2"), fstat.alias("_f"),
+        F.when(ok, n - 3.0).alias("_dfd"),
+    )
+    return staged.select(
+        "n_a", "n_b",
+        F.round("_t2", 6).alias("t2"),
+        F.round("_f", 6).alias("f_stat"),
+        F.round(
+            f_sf_udf(F.col("_f"), F.lit(2.0), F.col("_dfd")), 6
+        ).alias("p_value"),
     )

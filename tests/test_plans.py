@@ -440,6 +440,12 @@ def test_no_cartesian_products_anywhere(spark):
         # 1-row global summary (total, n_keys) broadcast-crossed onto
         # the per-key counts — deliberately NOT a partitionless window
         "skew_profile",
+        # 1-row exact-quantile bounds frame broadcast onto the fact
+        # scan for the bin expression (the gains_table shape)
+        "hosmer_lemeshow",
+        # 1-row edge-total / node-count / Q-sum frames joined on a
+        # constant key (all scalar aggregates; folds to BNLJ)
+        "graph_modularity",
         # 1-row (N, k_a, k_b) totals broadcast onto the joint-count
         # table (cardinality-sized, not data-sized)
         "mutual_information",

@@ -362,6 +362,10 @@ COVERAGE = {
     "E247": "entry:chapman_estimate",
     "E248": "entry:data_profile",
     "E249": "entry:json_profile",
+    "E250": "entry:spiegelhalter_z",
+    "E251": "entry:hosmer_lemeshow",
+    "E252": "entry:hotelling_t2",
+    "E253": "entry:graph_modularity",
 }
 
 

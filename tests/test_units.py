@@ -8946,3 +8946,150 @@ def test_data_and_json_profile(spark):
     assert out["b"]["frac_numeric"] == 0.0
     assert out["c"]["frac_numeric"] == 1.0  # "1e3" casts
     assert out["b"]["n_distinct"] == 2
+
+
+def test_spiegelhalter_and_hosmer_lemeshow_vs_numpy(spark):
+    """Spiegelhalter z against the direct numpy formula;
+    Hosmer-Lemeshow chi2/df against a numpy replica using the same
+    exact-quantile boundary law; the closed-form chi2 survival against
+    the numpy series implementation; degenerate all-0/1 probabilities
+    yield NULL z."""
+    import numpy as np
+
+    from padua_spark.extensions.features import (
+        hosmer_lemeshow,
+        spiegelhalter_z,
+    )
+    from padua_spark.functions.distributions import chi2_sf
+
+    rng = np.random.RandomState(7)
+    n = 3000
+    p = np.round(rng.uniform(0.02, 0.98, n), 3)
+    y = (rng.uniform(size=n) < p * 0.9 + 0.03).astype(int)
+    df = spark.createDataFrame(
+        [(float(a), int(b)) for a, b in zip(p, y)], ["p", "y"]
+    )
+    num = np.sum((y - p) * (1 - 2 * p))
+    var = np.sum((1 - 2 * p) ** 2 * p * (1 - p))
+    r = spiegelhalter_z(df, "p", "y").collect()[0]
+    assert r["n"] == n
+    assert r["z"] == pytest.approx(num / np.sqrt(var), abs=1e-5)
+
+    vals, counts = np.unique(p, return_counts=True)
+    crun = np.cumsum(counts)
+    bounds = [
+        vals[np.searchsorted(crun, int(np.ceil(q * n)))]
+        for q in (i / 10 for i in range(1, 10))
+    ]
+    bucket = np.ones(n, dtype=int)
+    for b in bounds:
+        bucket += (p > b).astype(int)
+    chi2 = 0.0
+    g = 0
+    for bi in range(1, 11):
+        m = bucket == bi
+        if not m.any():
+            continue
+        ng, og, eg = m.sum(), y[m].sum(), p[m].sum()
+        if 0 < eg < ng:
+            g += 1
+            chi2 += (og - eg) ** 2 / (eg * (1 - eg / ng))
+    rows = hosmer_lemeshow(df, "p", "y").collect()
+    assert rows[0]["g_bins"] == g and rows[0]["df"] == g - 2
+    assert rows[0]["chi2"] == pytest.approx(chi2, abs=1e-4)
+    p_ref = float(
+        chi2_sf(np.array([chi2]), np.array([float(g - 2)]))[0]
+    )
+    assert rows[0]["p_value"] == pytest.approx(p_ref, abs=2e-6)
+    # per-bin counts partition the sample
+    assert sum(r["n"] for r in rows) == n
+
+    hard = spark.createDataFrame(
+        [(0.0, 0), (1.0, 1), (0.0, 1)], ["p", "y"]
+    )
+    rz = spiegelhalter_z(hard, "p", "y").collect()[0]
+    assert rz["z"] is None and rz["p_value"] is None
+
+
+def test_hotelling_t2_vs_numpy(spark):
+    """Two-sample bivariate Hotelling T2 against the numpy pooled
+    solve; perfect-shift detection; singular pooled covariance yields
+    NULL."""
+    import numpy as np
+
+    from padua_spark.functions.distributions import f_sf
+    from padua_spark.operators.stats import hotelling_t2
+
+    rng = np.random.RandomState(11)
+    ga = rng.normal(size=(180, 2)) @ np.array(
+        [[1.0, 0.4], [0.0, 0.8]]
+    ) + [0.25, 0.0]
+    gb = rng.normal(size=(150, 2)) @ np.array([[1.0, 0.4], [0.0, 0.8]])
+    rows = [("a", float(v[0]), float(v[1])) for v in ga] + [
+        ("b", float(v[0]), float(v[1])) for v in gb
+    ]
+    df = spark.createDataFrame(rows, ["g", "x", "y"])
+    r = hotelling_t2(df, "g", "x", "y", "a", "b").collect()[0]
+    na, nb = len(ga), len(gb)
+    d = ga.mean(0) - gb.mean(0)
+    S = (
+        (ga - ga.mean(0)).T @ (ga - ga.mean(0))
+        + (gb - gb.mean(0)).T @ (gb - gb.mean(0))
+    ) / (na + nb - 2)
+    t2 = na * nb / (na + nb) * d @ np.linalg.solve(S, d)
+    f = t2 * (na + nb - 3) / (2 * (na + nb - 2))
+    pr = float(
+        f_sf(
+            np.array([f]), np.array([2.0]),
+            np.array([float(na + nb - 3)]),
+        )[0]
+    )
+    assert r["n_a"] == na and r["n_b"] == nb
+    assert r["t2"] == pytest.approx(t2, abs=1e-4)
+    assert r["f_stat"] == pytest.approx(f, abs=1e-4)
+    assert r["p_value"] == pytest.approx(pr, abs=1e-5)
+
+    # y perfectly collinear with x -> singular S -> NULL
+    sing = spark.createDataFrame(
+        [("a", float(i), float(2 * i)) for i in range(10)]
+        + [("b", float(i + 1), float(2 * i + 2)) for i in range(10)],
+        ["g", "x", "y"],
+    )
+    rs = hotelling_t2(sing, "g", "x", "y", "a", "b").collect()[0]
+    assert rs["t2"] is None and rs["p_value"] is None
+
+
+def test_modularity_known_graphs(spark):
+    """Newman modularity: two triangles + bridge with the triangle
+    partition gives the textbook 5/14; the all-one-community partition
+    gives 0; unlabeled endpoints count toward m but no community."""
+    from padua_spark.extensions.graph import modularity
+
+    ed = [(1, 2), (2, 3), (1, 3), (4, 5), (5, 6), (4, 6), (3, 4)]
+    edf = spark.createDataFrame(ed, ["src", "dst"])
+    lab = spark.createDataFrame(
+        [(i, 0 if i <= 3 else 1) for i in range(1, 7)],
+        ["node", "label"],
+    )
+    r = modularity(edf, lab).collect()[0]
+    assert r["n_nodes"] == 6 and r["n_edges"] == 7
+    assert r["n_communities"] == 2
+    assert r["modularity"] == pytest.approx(5.0 / 14.0, abs=1e-6)
+
+    one = spark.createDataFrame(
+        [(i, 1) for i in range(1, 7)], ["node", "label"]
+    )
+    r1 = modularity(edf, one).collect()[0]
+    # single community: e_c/m = 1, (d_c/2m)^2 = 1 -> Q = 0
+    assert r1["modularity"] == pytest.approx(0.0, abs=1e-9)
+
+    partial = spark.createDataFrame(
+        [(i, 0) for i in (1, 2, 3)], ["node", "label"]
+    )
+    rp = modularity(edf, partial).collect()[0]
+    # m still 7; community 0 has e_c=3, d_c=7 (the 3-4 bridge adds
+    # one degree to node 3's community)
+    assert rp["n_edges"] == 7
+    assert rp["modularity"] == pytest.approx(
+        3.0 / 7.0 - (7.0 / 14.0) ** 2, abs=1e-6
+    )
