@@ -21426,6 +21426,294 @@ def q_graph_modularity(spark, sf):
     return modularity(edges, labels)
 
 
+# --- ext: RAKE keyword extraction --------------------------------------------
+
+
+_RAKE_ORACLE = """
+WITH marked AS (
+  SELECT list_transform(
+    list_filter(string_split(lower(text), ' '), t -> t <> ''),
+    t -> CASE WHEN t IN ('the', 'a', 'and', 'of', 'to', 'in', 'is')
+         THEN '|' ELSE t END) AS m
+  FROM documents WHERE text IS NOT NULL
+),
+ph0 AS (
+  SELECT trim(p) AS phrase FROM (
+    SELECT unnest(string_split(array_to_string(m, ' '), '|')) AS p
+    FROM marked
+  ) WHERE trim(p) <> ''
+),
+ph AS (
+  SELECT phrase FROM ph0
+  WHERE len(string_split(phrase, ' ')) BETWEEN 1 AND 6
+),
+wstats AS (
+  SELECT w,
+    CAST(sum(l) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS wscore
+  FROM (
+    SELECT unnest(string_split(phrase, ' ')) AS w,
+      len(string_split(phrase, ' ')) AS l
+    FROM ph
+  ) GROUP BY 1
+),
+phc AS (
+  SELECT phrase, CAST(count(*) AS BIGINT) AS n_occurrences
+  FROM ph GROUP BY 1
+),
+dw AS (
+  SELECT phrase, unnest(string_split(phrase, ' ')) AS w
+  FROM (SELECT phrase FROM phc)
+),
+scored AS (
+  SELECT dw.phrase,
+    CAST(count(*) AS INT) AS n_words,
+    list_reduce(
+      list_prepend(CAST(0.0 AS DOUBLE),
+                   list(ws.wscore ORDER BY dw.w, ws.wscore)),
+      (acc, s) -> acc + s) AS score
+  FROM dw JOIN wstats ws ON ws.w = dw.w
+  GROUP BY 1
+)
+SELECT phc.phrase, scored.n_words, phc.n_occurrences,
+  round(scored.score, 6) AS score
+FROM phc JOIN scored ON scored.phrase = phc.phrase
+"""
+
+
+@_q("rake_keywords", _RAKE_ORACLE)
+def q_rake_keywords(spark, sf):
+    """RAKE phrase keywords over the documents corpus
+    (text.rake_keywords): maximal stopword-free runs, degree/frequency
+    word scores, sorted-fold phrase sums so both engines add floats
+    in the same order."""
+    from padua_spark.extensions.text import rake_keywords
+
+    d = _t(spark, sf, "documents")
+    return rake_keywords(d, "doc_id", "text")
+
+
+# --- ext: code-vs-prose format profile ---------------------------------------
+
+
+_CODE_PROSE_ORACLE = r"""
+WITH base AS (
+  SELECT doc_id, text, CAST(length(text) AS BIGINT) AS n,
+    CAST(length(text)
+      - length(regexp_replace(text, '[^A-Za-z0-9\s]', '', 'g'))
+      AS BIGINT) AS n_sym,
+    CAST(length(text)
+      - length(regexp_replace(text, '[0-9]', '', 'g'))
+      AS BIGINT) AS n_dig,
+    CAST(length(text)
+      - length(regexp_replace(text, '[{}\[\]();=]', '', 'g'))
+      AS BIGINT) AS n_brace,
+    CAST(len(string_split(text, chr(10))) AS BIGINT) AS n_lines,
+    CAST(len(list_filter(string_split(text, chr(10)),
+      l -> regexp_matches(l, '^(\t| {2,})'))) AS BIGINT) AS n_indent,
+    CAST(len(list_filter(string_split(trim(lower(text)), ' '),
+      t -> t <> '')) AS BIGINT) AS n_toks,
+    CAST(len(list_filter(string_split(lower(text), ' '),
+      t -> t IN ('def', 'return', 'import', 'function', 'class',
+                 'const', 'var', 'if', 'else', 'for', 'while')))
+      AS BIGINT) AS n_kw
+  FROM documents WHERE text IS NOT NULL
+),
+r AS (
+  SELECT doc_id, n, n_kw,
+    CASE WHEN n > 0 THEN CAST(n_sym AS DOUBLE) / n END AS sym_ratio,
+    CASE WHEN n > 0 THEN CAST(n_dig AS DOUBLE) / n END AS dig_ratio,
+    CASE WHEN n > 0 THEN CAST(n_brace AS DOUBLE) * 1000.0 / n END
+      AS brace_k,
+    CASE WHEN n_lines > 0
+      THEN CAST(n_indent AS DOUBLE) / n_lines END AS indent_rate,
+    CASE WHEN n_toks > 0
+      THEN CAST(n_kw AS DOUBLE) / n_toks END AS kw_rate
+  FROM base
+)
+SELECT doc_id,
+  round(sym_ratio, 6) AS symbol_ratio,
+  round(dig_ratio, 6) AS digit_ratio,
+  round(brace_k, 6) AS brace_semicolon_per_kchar,
+  round(indent_rate, 6) AS indent_line_rate,
+  n_kw AS keyword_hits,
+  round(CASE WHEN n > 0 THEN least(1.0,
+    2.0 * coalesce(sym_ratio, 0.0) + 10.0 * coalesce(indent_rate, 0.0)
+    + coalesce(kw_rate, 0.0) + coalesce(brace_k, 0.0) / 50.0) END, 6)
+    AS code_score
+FROM r
+"""
+
+
+@_q("code_prose_profile", _CODE_PROSE_ORACLE)
+def q_code_prose_profile(spark, sf):
+    """Code-vs-prose format signals per document
+    (text.code_prose_profile): scan-level symbol/digit/brace
+    densities, indent-line rate, keyword hits and the documented
+    linear code_score."""
+    from padua_spark.extensions.text import code_prose_profile
+
+    d = _t(spark, sf, "documents").where(F.col("text").isNotNull())
+    out = code_prose_profile(d, "text")
+    return out.select(
+        "doc_id", "symbol_ratio", "digit_ratio",
+        "brace_semicolon_per_kchar", "indent_line_rate",
+        "keyword_hits", "code_score",
+    )
+
+
+# --- ext: per-document n-gram novelty vs a reference corpus -------------------
+
+
+def _ngram_novelty_oracle() -> str:
+    m = 2147483647
+    coefs = [(1000000007 ** j) % m for j in range(5)]
+    acc = "CAST(0 AS BIGINT)"
+    for j, c in enumerate(coefs):
+        acc = f"(({acc} + th[i + {j}] * {c}) % {m})"
+    return f"""
+WITH t AS (
+  SELECT doc_id,
+    list_transform(string_split(text, ' '), w -> list_reduce(
+        list_prepend(CAST(7 AS BIGINT),
+          list_transform(list_filter(string_split(w, ''), c -> c <> ''),
+                         c -> CAST(ord(c) AS BIGINT))),
+        (a, c) -> (a * 131 + c) % {m})) AS th
+  FROM documents
+),
+g AS (
+  SELECT doc_id,
+    list_distinct(list_transform(generate_series(1, len(th) - 4),
+                                 i -> {acc})) AS sh
+  FROM t WHERE len(th) >= 5
+),
+rf AS (
+  SELECT DISTINCT shingle FROM (
+    SELECT unnest(sh) AS shingle FROM g WHERE doc_id % 7 = 0
+  )
+),
+tr AS (
+  SELECT doc_id, unnest(sh) AS shingle FROM g WHERE doc_id % 7 <> 0
+)
+SELECT tr.doc_id,
+  CAST(count(*) AS BIGINT) AS n_ngrams,
+  CAST(sum(CASE WHEN rf.shingle IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_novel,
+  round(CAST(sum(CASE WHEN rf.shingle IS NULL THEN 1 ELSE 0 END)
+    AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS novelty_rate
+FROM tr LEFT JOIN rf ON tr.shingle = rf.shingle
+GROUP BY tr.doc_id
+"""
+
+
+@_q("ngram_novelty", _ngram_novelty_oracle())
+def q_ngram_novelty(spark, sf):
+    """Per-document 5-token-window novelty of the 6/7 train split
+    against the 1/7 reference split (dedup.ngram_novelty): the
+    positive face of decontaminate_ngrams — distinct windows the
+    reference has never seen, as a rate."""
+    from padua_spark.extensions.dedup import ngram_novelty
+
+    d = _t(spark, sf, "documents")
+    ref = d.where(F.col("doc_id") % 7 == 0)
+    tr = d.where(F.col("doc_id") % 7 != 0)
+    return ngram_novelty(tr, ref, "doc_id", "text", n_tokens=5)
+
+
+# --- ext: Hodges-Lehmann estimators -------------------------------------------
+
+
+_HL_SHIFT_ORACLE = """
+WITH cells AS (
+  SELECT l_returnflag = 'A' AS isa, CAST(l_quantity AS DOUBLE) AS v,
+    CAST(count(*) AS BIGINT) AS c
+  FROM lineitem
+  WHERE l_quantity IS NOT NULL AND l_returnflag IN ('A', 'R')
+  GROUP BY 1, 2
+),
+tot AS (
+  SELECT CAST(sum(CASE WHEN isa THEN c ELSE 0 END) AS BIGINT) AS na,
+    CAST(sum(CASE WHEN NOT isa THEN c ELSE 0 END) AS BIGINT) AS nb
+  FROM cells
+),
+diffs AS (
+  SELECT a.v - b.v AS dv, CAST(sum(a.c * b.c) AS BIGINT) AS w
+  FROM (SELECT v, c FROM cells WHERE isa) a,
+       (SELECT v, c FROM cells WHERE NOT isa) b
+  GROUP BY 1
+),
+run AS (
+  SELECT dv, sum(w) OVER (ORDER BY dv ROWS UNBOUNDED PRECEDING) AS r
+  FROM diffs
+),
+sel AS (
+  SELECT
+    min(CASE WHEN r >= (t.na * t.nb + 1) // 2 THEN dv END) AS lo,
+    min(CASE WHEN r >= t.na * t.nb // 2 + 1 THEN dv END) AS hi
+  FROM run, tot t
+)
+SELECT t.na AS n_a, t.nb AS n_b,
+  CAST(t.na * t.nb AS BIGINT) AS n_pairs,
+  round((sel.lo + sel.hi) / 2.0, 6) AS hl_shift
+FROM tot t, sel
+"""
+
+
+@_q("hodges_lehmann_shift", _HL_SHIFT_ORACLE)
+def q_hodges_lehmann_shift(spark, sf):
+    """Hodges-Lehmann shift estimate of quantity between return flags
+    A and R (stats.hodges_lehmann_shift): bounded distinct-value cell
+    grid, weighted median off the shared stepped cumsum."""
+    from padua_spark.operators.stats import hodges_lehmann_shift
+
+    li = _t(spark, sf, "lineitem")
+    return hodges_lehmann_shift(li, "l_returnflag", "l_quantity", "A", "R")
+
+
+_HL_PSEUDO_ORACLE = """
+WITH cells AS (
+  SELECT CAST(l_quantity AS DOUBLE) AS v,
+    CAST(count(*) AS BIGINT) AS c
+  FROM lineitem
+  WHERE l_quantity IS NOT NULL AND l_returnflag = 'A'
+  GROUP BY 1
+),
+tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM cells),
+walsh AS (
+  SELECT (a.v + b.v) / 2.0 AS dv,
+    CAST(sum(CASE WHEN a.v = b.v THEN a.c * (a.c + 1) // 2
+             ELSE a.c * b.c END) AS BIGINT) AS w
+  FROM cells a JOIN cells b ON a.v <= b.v
+  GROUP BY 1
+),
+run AS (
+  SELECT dv, sum(w) OVER (ORDER BY dv ROWS UNBOUNDED PRECEDING) AS r
+  FROM walsh
+),
+sel AS (
+  SELECT
+    min(CASE WHEN r >= (t.n * (t.n + 1) // 2 + 1) // 2 THEN dv END)
+      AS lo,
+    min(CASE WHEN r >= t.n * (t.n + 1) // 2 // 2 + 1 THEN dv END)
+      AS hi
+  FROM run, tot t
+)
+SELECT t.n, CAST(t.n * (t.n + 1) // 2 AS BIGINT) AS n_pairs,
+  round((sel.lo + sel.hi) / 2.0, 6) AS pseudomedian
+FROM tot t, sel
+"""
+
+
+@_q("hodges_lehmann_pseudomedian", _HL_PSEUDO_ORACLE)
+def q_hodges_lehmann_pseudomedian(spark, sf):
+    """Hodges-Lehmann pseudo-median of A-flag quantities
+    (stats.hodges_lehmann_pseudomedian): Walsh-average cells over the
+    bounded value domain, weighted median off the stepped cumsum."""
+    from padua_spark.operators.stats import hodges_lehmann_pseudomedian
+
+    li = _t(spark, sf, "lineitem").where(F.col("l_returnflag") == "A")
+    return hodges_lehmann_pseudomedian(li, "l_quantity")
+
+
 # ---------------------------------------------------------------------------
 
 

@@ -182,6 +182,11 @@ HEADLINE = [
     "hosmer_lemeshow",
     "hotelling_t2",
     "graph_modularity",
+    "rake_keywords",
+    "code_prose_profile",
+    "ngram_novelty",
+    "hodges_lehmann_shift",
+    "hodges_lehmann_pseudomedian",
     "anova_2way_stats",
     "levene_stats",
     "ttest_paired_stats",

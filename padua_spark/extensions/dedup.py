@@ -1688,3 +1688,74 @@ def remove_boilerplate_lines(
         F.lit(0).cast("bigint").alias("n_lines_removed"),
     )
     return track_cached(out.unionByName(nulls), lines)
+
+
+def ngram_novelty(
+    df: DataFrame,
+    ref_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_tokens: int = 13,
+    broadcast_ref: bool = True,
+) -> DataFrame:
+    """Per-document n-gram novelty against a reference corpus — the
+    positive-face of :func:`decontaminate_ngrams`: what fraction of
+    each document's distinct ``n_tokens``-token windows has the
+    reference corpus NEVER seen? The curation score behind "is this
+    batch new material or a rehash of what we already have?"
+    (dedup-aware data valuation, freshness audits, crawl-round
+    deltas).
+
+    Scale shape: both sides reuse the dedup stack's integer
+    token-hash windows (:func:`token_hashes` +
+    :func:`_shingles_from_token_hashes` — one interpreted pass per
+    character, codegen-relational after the explode). Documents
+    shorter than ``n_tokens`` emit NO windows and are ABSENT from the
+    output (the strict :func:`decontaminate_ngrams` convention). The
+    reference window set is distinct-reduced and (default) broadcast
+    — reference exemplar sets are small against a 100 TB corpus; pass
+    ``broadcast_ref=False`` for a corpus-sized reference to get the
+    shuffle hash join. One scan per side, one left join, one per-doc
+    aggregation. Output: ``(id, n_ngrams, n_novel, novelty_rate)``
+    per document with ≥ 1 window, rate 6dp.
+
+    Beyond the reference; the exact-window complement of the
+    self-similarity scores in this module.
+    """
+
+    def _grams(d: DataFrame) -> DataFrame:
+        th = d.select(
+            F.col(id_col), token_hashes(F.col(text_col)).alias("_th")
+        ).where(F.size("_th") >= n_tokens)
+        return th.select(
+            id_col,
+            F.explode(
+                F.array_distinct(
+                    _shingles_from_token_hashes(
+                        F.col("_th"), n_tokens
+                    )
+                )
+            ).alias("_sh"),
+        )
+
+    ref = (
+        _grams(ref_df).select(F.col("_sh"))
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    if broadcast_ref:
+        ref = F.broadcast(ref)
+    tr = _grams(df)
+    per = tr.join(ref, on="_sh", how="left").groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_ngrams"),
+        F.sum(F.col("_hit").isNull().cast("int")).cast("bigint")
+        .alias("n_novel"),
+    )
+    return per.select(
+        id_col, "n_ngrams", "n_novel",
+        F.round(
+            F.col("n_novel").cast("double")
+            / F.col("n_ngrams").cast("double"),
+            6,
+        ).alias("novelty_rate"),
+    )

@@ -2020,3 +2020,208 @@ def url_profile(
         )
         .withColumn("clean_url", empty_as_null(clean))
     )
+
+
+def rake_keywords(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    stopwords: list[str] | None = None,
+    min_phrase_tokens: int = 1,
+    max_phrase_tokens: int = 6,
+) -> DataFrame:
+    """RAKE keyword extraction (Rose et al. 2010) — the cheap,
+    corpus-scale alternative to :func:`textrank_keywords`: candidate
+    PHRASES are the maximal stopword-free token runs, each word is
+    scored ``degree/frequency`` over the phrase corpus, and a
+    phrase's score is the sum of its words' scores. Multi-word
+    domain terms ("machine learning pipeline") surface directly —
+    the thing token-level TextRank can't emit.
+
+    Semantics (pinned for engine reproducibility): tokens are the
+    whitespace tokenization of the LOWERCASED text; a phrase is a
+    maximal run of non-stopword tokens (stopwords default to the
+    shared English list, :data:`STOPWORDS`); runs longer than
+    ``max_phrase_tokens`` are DROPPED (boilerplate runs, the standard
+    RAKE guard), shorter than ``min_phrase_tokens`` likewise. For a
+    word occurrence in a phrase of length L: ``freq(w) += 1``,
+    ``degree(w) += L`` (the original convention counts the word
+    itself), ``score(w) = degree(w)/freq(w)``; ``score(phrase) =
+    Σ_{w ∈ phrase} score(w)`` over the phrase's token MULTISET,
+    summed in sorted-word order via an explicit fold so both engines
+    add the same floats in the same order.
+
+    Scale shape: phrase extraction is ONE scan-level expression
+    (token array → stopword-marker map → re-split; no UDF, no window
+    over positions), then everything is phrase/vocabulary-domain
+    sized: one groupBy(word) for the stats, one groupBy(phrase) for
+    the occurrence counts, one sorted-fold join for the scores. No
+    data-sized windows, no driver collect. Output: one row per
+    DISTINCT phrase ``(phrase, n_words, n_occurrences, score)``,
+    score 6dp.
+
+    Beyond the reference; standard per Rose, Engel, Cramer & Cowley
+    2010 ("Automatic keyword extraction from individual documents").
+    """
+    from pyspark import StorageLevel
+
+    from padua_spark.io_utils import track_cached
+
+    stop = stopwords if stopwords is not None else STOPWORDS["en"]
+    t = F.col(text_col)
+    toks = tokens(F.lower(t))
+    marked = F.transform(
+        toks,
+        lambda x: F.when(
+            x.isin([F.lit(s) for s in stop]), F.lit("|")
+        ).otherwise(x),
+    )
+    phrases_arr = F.filter(
+        F.transform(
+            F.split(F.array_join(marked, " "), r"\|"),
+            lambda p: F.trim(p),
+        ),
+        lambda p: p != "",
+    )
+    ph = (
+        df.where(t.isNotNull())
+        .select(F.explode(phrases_arr).alias("phrase"))
+        .where(
+            (F.size(F.split(F.col("phrase"), " "))
+             >= int(min_phrase_tokens))
+            & (F.size(F.split(F.col("phrase"), " "))
+               <= int(max_phrase_tokens))
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    # word stats over ALL phrase instances: freq = occurrences,
+    # degree = Σ phrase length per occurrence
+    wstats = (
+        ph.select(
+            F.explode(F.split("phrase", " ")).alias("_w"),
+            F.size(F.split("phrase", " ")).alias("_len"),
+        )
+        .groupBy("_w")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("_freq"),
+            F.sum("_len").cast("bigint").alias("_deg"),
+        )
+        .select(
+            "_w",
+            (
+                F.col("_deg").cast("double")
+                / F.col("_freq").cast("double")
+            ).alias("_wscore"),
+        )
+    )
+    phc = ph.groupBy("phrase").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_occurrences")
+    )
+    dwords = phc.select(
+        "phrase", F.explode(F.split("phrase", " ")).alias("_w")
+    )
+    # sorted-word fold: collect the word scores per phrase, sort by
+    # (word, score) and fold left — both engines add the same floats
+    # in the same order (the multiset keeps duplicate words)
+    scored = (
+        dwords.join(wstats, on="_w")
+        .groupBy("phrase")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("_w", "_wscore"))
+            ).alias("_ws")
+        )
+        .select(
+            "phrase",
+            F.size("_ws").alias("n_words"),
+            F.aggregate(
+                "_ws",
+                F.lit(0.0),
+                lambda acc, e: acc + e["_wscore"],
+            ).alias("_score"),
+        )
+    )
+    out = phc.join(scored, on="phrase").select(
+        "phrase", "n_words", "n_occurrences",
+        F.round("_score", 6).alias("score"),
+    )
+    return track_cached(out, ph)
+
+
+def code_prose_profile(
+    df: DataFrame,
+    text_col: str,
+) -> DataFrame:
+    """Per-document code-vs-prose signals — the format screen a mixed
+    crawl needs before routing documents to code vs natural-language
+    pipelines (dedup keys, quality rules, and tokenizers all differ):
+
+    ``symbol_ratio`` (non-alphanumeric, non-whitespace chars / chars),
+    ``digit_ratio``, ``brace_semicolon_per_kchar`` ({}[]();= per 1000
+    chars), ``indent_line_rate`` (lines starting with a tab or ≥ 2
+    spaces), ``keyword_hits`` (whole-token hits on a fixed
+    cross-language keyword list: def/return/import/function/class/
+    const/var/if/else/for/while), and a deterministic ``code_score``
+    = the documented linear combination clamped to [0, 1]:
+    ``min(1, 2·symbol_ratio + 10·indent_rate + keyword_hits/tokens +
+    brace_per_kchar/50)`` — a transparent heuristic gate, not a
+    trained model (swap in ``hashed_classifier_score`` for learned
+    weights).
+
+    Pure scan-level length differences and token filters — zero
+    shuffles, zero UDFs (the :func:`mojibake_score` contract). NULL
+    ratios for empty text. Output: input + the six columns.
+    """
+    t = F.col(text_col)
+    n = F.length(t)
+
+    def count(pattern: str) -> Column:
+        return n - F.length(F.regexp_replace(t, pattern, ""))
+
+    n_sym = count(r"[^A-Za-z0-9\s]")
+    n_dig = count(r"[0-9]")
+    n_brace = count(r"[{}\[\]();=]")
+    lines = F.split(t, "\n")
+    n_lines = F.size(lines)
+    n_indent = F.size(
+        F.filter(lines, lambda l: l.rlike(r"^(\t| {2,})"))
+    )
+    toks = tokens(F.lower(t))
+    n_toks = F.size(toks)
+    kw = [
+        "def", "return", "import", "function", "class", "const",
+        "var", "if", "else", "for", "while",
+    ]
+    n_kw = F.size(
+        F.filter(toks, lambda x: x.isin([F.lit(k) for k in kw]))
+    )
+    nd = n.cast("double")
+    sym_ratio = F.when(n > 0, n_sym.cast("double") / nd)
+    dig_ratio = F.when(n > 0, n_dig.cast("double") / nd)
+    brace_k = F.when(n > 0, n_brace.cast("double") * 1000.0 / nd)
+    indent_rate = F.when(
+        n_lines > 0, n_indent.cast("double") / n_lines.cast("double")
+    )
+    kw_rate = F.when(
+        n_toks > 0, n_kw.cast("double") / n_toks.cast("double")
+    )
+    score = F.least(
+        F.lit(1.0),
+        2.0 * F.coalesce(sym_ratio, F.lit(0.0))
+        + 10.0 * F.coalesce(indent_rate, F.lit(0.0))
+        + F.coalesce(kw_rate, F.lit(0.0))
+        + F.coalesce(brace_k, F.lit(0.0)) / 50.0,
+    )
+    return (
+        df.withColumn("symbol_ratio", F.round(sym_ratio, 6))
+        .withColumn("digit_ratio", F.round(dig_ratio, 6))
+        .withColumn(
+            "brace_semicolon_per_kchar", F.round(brace_k, 6)
+        )
+        .withColumn("indent_line_rate", F.round(indent_rate, 6))
+        .withColumn("keyword_hits", n_kw.cast("bigint"))
+        .withColumn(
+            "code_score",
+            F.round(F.when(n > 0, score), 6),
+        )
+    )

@@ -9888,3 +9888,204 @@ def hotelling_t2(
             f_sf_udf(F.col("_f"), F.lit(2.0), F.col("_dfd")), 6
         ).alias("p_value"),
     )
+
+
+def hodges_lehmann_shift(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    group_a,
+    group_b,
+    max_cells: int = 4_000_000,
+) -> DataFrame:
+    """Hodges–Lehmann two-sample shift estimator — the median of all
+    pairwise differences ``x_i − y_j`` (x from ``group_a``, y from
+    ``group_b``): the robust location-shift companion to
+    :func:`mannwhitney_u_stat` (it inverts the same rank test;
+    Hodges & Lehmann 1963), immune to the outliers that drag a
+    difference-of-means.
+
+    Scale shape: pairs are NEVER enumerated row-wise — one
+    aggregation to the per-group DISTINCT-VALUE counts, then the
+    difference DOMAIN is the bounded ``d_a × d_b`` cell grid
+    (explicit ``max_cells`` guard, the
+    :func:`~padua_spark.operators.stats.ordinal_association`
+    enforce-don't-hope contract: the cell product is the cost, so a
+    wide continuous domain must be binned first). Cell differences
+    carry weight ``c_a·c_b``; the weighted median comes off the
+    shared distributed stepped cumsum (never a partitionless
+    data-sized sort): with ``T = n_a·n_b`` total pairs, the estimate
+    is the mean of the ⌈T/2⌉-th and ⌊T/2⌋+1-th order statistics.
+
+    Output 1 row: ``(n_a, n_b, n_pairs, hl_shift)``, 6dp; NULL when
+    either group is empty.
+
+    Beyond the reference; standard per Hodges & Lehmann 1963.
+    """
+    from pyspark import StorageLevel
+
+    from padua_spark.io_utils import track_cached
+
+    g = F.col(group_col)
+    v = F.col(value_col).cast("double")
+    base = df.where(v.isNotNull() & g.isin([group_a, group_b]))
+    cells = (
+        base.groupBy(
+            (g == F.lit(group_a)).alias("_isa"), v.alias("_v")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("_c"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    counts = cells.groupBy("_isa").agg(
+        F.count(F.lit(1)).alias("_d"), F.sum("_c").alias("_n")
+    ).collect()
+    da = db = na = nb = 0
+    for r in counts:
+        if r["_isa"]:
+            da, na = r["_d"], r["_n"]
+        else:
+            db, nb = r["_d"], r["_n"]
+    if max_cells is not None and da * db > max_cells:
+        cells.unpersist()
+        raise ValueError(
+            f"hodges_lehmann_shift: {da} x {db} distinct-value cells "
+            f"exceed max_cells={max_cells} — the pairwise-difference "
+            "domain is the cost; bin or round the values first"
+        )
+    spark = df.sparkSession
+    if na == 0 or nb == 0:
+        out = spark.createDataFrame(
+            [(na, nb, na * nb, None)],
+            "n_a bigint, n_b bigint, n_pairs bigint, hl_shift double",
+        )
+        cells.unpersist()
+        return out
+    va = cells.where(F.col("_isa")).select(
+        F.col("_v").alias("_va"), F.col("_c").alias("_ca")
+    )
+    vb = cells.where(~F.col("_isa")).select(
+        F.col("_v").alias("_vb"), F.col("_c").alias("_cb")
+    )
+    # bounded cell grid: broadcast the side with fewer distinct
+    # values (both bounded by the max_cells guard)
+    if db <= da:
+        grid = va.crossJoin(F.broadcast(vb))
+    else:
+        grid = F.broadcast(va).crossJoin(vb)
+    diffs = grid.groupBy(
+        (F.col("_va") - F.col("_vb")).alias("_dv")
+    ).agg(F.sum(F.col("_ca") * F.col("_cb")).alias("_w"))
+    stepped = _stepped_running_counts(diffs, "_dv", ["_w"])
+    t = na * nb
+    k1 = (t + 1) // 2
+    k2 = t // 2 + 1
+    sel = stepped.agg(
+        F.min(
+            F.when(F.col("_w_run") >= F.lit(k1), F.col("_dv"))
+        ).alias("_lo"),
+        F.min(
+            F.when(F.col("_w_run") >= F.lit(k2), F.col("_dv"))
+        ).alias("_hi"),
+    )
+    out = sel.select(
+        F.lit(na).cast("bigint").alias("n_a"),
+        F.lit(nb).cast("bigint").alias("n_b"),
+        F.lit(t).cast("bigint").alias("n_pairs"),
+        F.round(
+            (F.col("_lo") + F.col("_hi")) / 2.0, 6
+        ).alias("hl_shift"),
+    )
+    return track_cached(
+        out, cells, *getattr(stepped, "_padua_cached", ())
+    )
+
+
+def hodges_lehmann_pseudomedian(
+    df: DataFrame,
+    value_col: str,
+    max_cells: int = 4_000_000,
+) -> DataFrame:
+    """One-sample Hodges–Lehmann pseudo-median — the median of all
+    Walsh averages ``(x_i + x_j)/2`` over pairs ``i ≤ j`` (the
+    location estimator the Wilcoxon signed-rank test inverts; equals
+    the median for symmetric distributions but far more
+    outlier-robust than the mean).
+
+    Same bounded-cell discipline as :func:`hodges_lehmann_shift`:
+    one aggregation to the distinct-value counts (domain d, guarded
+    ``d·(d+1)/2 ≤ max_cells``), Walsh-average cells weighted
+    ``c_i·c_j`` for distinct value pairs and ``c_i·(c_i+1)/2`` on the
+    diagonal, weighted median off the shared stepped cumsum with
+    ``T = n(n+1)/2`` Walsh pairs. Output 1 row:
+    ``(n, n_pairs, pseudomedian)``, 6dp; NULL on empty input.
+
+    Beyond the reference; standard per Hodges & Lehmann 1963 /
+    R ``wilcox.test`` conf.int estimator.
+    """
+    from pyspark import StorageLevel
+
+    from padua_spark.io_utils import track_cached
+
+    v = F.col(value_col).cast("double")
+    cells = (
+        df.where(v.isNotNull())
+        .groupBy(v.alias("_v"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("_c"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    row = cells.agg(
+        F.count(F.lit(1)).alias("_d"), F.sum("_c").alias("_n")
+    ).collect()[0]
+    d, n = row["_d"], row["_n"] or 0
+    if max_cells is not None and d * (d + 1) // 2 > max_cells:
+        cells.unpersist()
+        raise ValueError(
+            f"hodges_lehmann_pseudomedian: {d * (d + 1) // 2} Walsh "
+            f"cells exceed max_cells={max_cells} — bin or round the "
+            "values first"
+        )
+    spark = df.sparkSession
+    if n == 0:
+        cells.unpersist()
+        return spark.createDataFrame(
+            [(0, 0, None)],
+            "n bigint, n_pairs bigint, pseudomedian double",
+        )
+    a = cells.select(
+        F.col("_v").alias("_va"), F.col("_c").alias("_ca")
+    )
+    b = cells.select(
+        F.col("_v").alias("_vb"), F.col("_c").alias("_cb")
+    )
+    grid = a.crossJoin(F.broadcast(b)).where(
+        F.col("_va") <= F.col("_vb")
+    )
+    wgt = F.when(
+        F.col("_va") == F.col("_vb"),
+        F.col("_ca") * (F.col("_ca") + 1) / 2,
+    ).otherwise(F.col("_ca") * F.col("_cb")).cast("bigint")
+    walsh = grid.groupBy(
+        ((F.col("_va") + F.col("_vb")) / 2.0).alias("_dv")
+    ).agg(F.sum(wgt).alias("_w"))
+    stepped = _stepped_running_counts(walsh, "_dv", ["_w"])
+    t = n * (n + 1) // 2
+    k1 = (t + 1) // 2
+    k2 = t // 2 + 1
+    sel = stepped.agg(
+        F.min(
+            F.when(F.col("_w_run") >= F.lit(k1), F.col("_dv"))
+        ).alias("_lo"),
+        F.min(
+            F.when(F.col("_w_run") >= F.lit(k2), F.col("_dv"))
+        ).alias("_hi"),
+    )
+    out = sel.select(
+        F.lit(int(n)).cast("bigint").alias("n"),
+        F.lit(int(t)).cast("bigint").alias("n_pairs"),
+        F.round(
+            (F.col("_lo") + F.col("_hi")) / 2.0, 6
+        ).alias("pseudomedian"),
+    )
+    return track_cached(
+        out, cells, *getattr(stepped, "_padua_cached", ())
+    )

@@ -401,6 +401,9 @@ def test_no_cartesian_products_anywhere(spark):
         # frames broadcast onto cells or buckets (all tiny by
         # construction; constant-key joins fold away)
         "ordinal_association", "weighted_kappa", "bowker_symmetry",
+        # bounded distinct-value cell grids (enforced max_cells guard)
+        # cross-joined with the smaller side broadcast
+        "hodges_lehmann_shift", "hodges_lehmann_pseudomedian",
         # 1-row totals/limits frames broadcast onto bounded frames
         "gains_table", "brier_decomposition", "bland_altman",
         "icc_2_1", "assortativity", "morans_i",

@@ -366,6 +366,11 @@ COVERAGE = {
     "E251": "entry:hosmer_lemeshow",
     "E252": "entry:hotelling_t2",
     "E253": "entry:graph_modularity",
+    "E254": "entry:rake_keywords",
+    "E255": "entry:code_prose_profile",
+    "E256": "entry:ngram_novelty",
+    "E257": "entry:hodges_lehmann_shift",
+    "E258": "entry:hodges_lehmann_pseudomedian",
 }
 
 

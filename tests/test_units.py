@@ -9093,3 +9093,152 @@ def test_modularity_known_graphs(spark):
     assert rp["modularity"] == pytest.approx(
         3.0 / 7.0 - (7.0 / 14.0) ** 2, abs=1e-6
     )
+
+
+def test_hodges_lehmann_vs_numpy(spark):
+    """HL shift and pseudo-median against brute-force numpy pairwise
+    enumeration (even and odd pair counts); the max_cells guard
+    raises naming the domain."""
+    import numpy as np
+
+    from padua_spark.operators.stats import (
+        hodges_lehmann_pseudomedian,
+        hodges_lehmann_shift,
+    )
+
+    rng = np.random.RandomState(3)
+    xa = np.round(rng.normal(10, 3, 150), 1)
+    xb = np.round(rng.normal(8.5, 2, 131), 1)
+    rows = [("a", float(x)) for x in xa] + [
+        ("b", float(x)) for x in xb
+    ]
+    df = spark.createDataFrame(rows, ["g", "v"])
+    r = hodges_lehmann_shift(df, "g", "v", "a", "b").collect()[0]
+    diffs = np.sort((xa[:, None] - xb[None, :]).ravel())
+    t = diffs.size
+    ref = (diffs[(t + 1) // 2 - 1] + diffs[t // 2]) / 2
+    assert r["n_pairs"] == t
+    assert r["hl_shift"] == pytest.approx(ref, abs=1e-9)
+
+    rp = hodges_lehmann_pseudomedian(
+        df.where(F.col("g") == "a"), "v"
+    ).collect()[0]
+    walsh = np.sort(
+        ((xa[:, None] + xa[None, :]) / 2)[np.triu_indices(len(xa))]
+    )
+    t2 = walsh.size
+    ref2 = (walsh[(t2 + 1) // 2 - 1] + walsh[t2 // 2]) / 2
+    assert rp["n_pairs"] == t2
+    assert rp["pseudomedian"] == pytest.approx(ref2, abs=1e-9)
+
+    with pytest.raises(ValueError, match="max_cells"):
+        hodges_lehmann_shift(
+            df, "g", "v", "a", "b", max_cells=10
+        ).collect()
+    # empty group -> NULL estimate, no raise
+    re = hodges_lehmann_shift(
+        df.where(F.col("g") == "a"), "g", "v", "a", "b"
+    ).collect()[0]
+    assert re["hl_shift"] is None and re["n_b"] == 0
+
+
+def test_rake_keywords_replica(spark):
+    """RAKE phrase extraction and scores against a pure-python
+    replica (stopword splitting, degree/frequency, sorted-order
+    sums); phrase-length bounds enforced."""
+    import collections
+
+    from padua_spark.extensions.text import STOPWORDS, rake_keywords
+
+    docs = [
+        (1, "the quick brown fox and a lazy dog of the night"),
+        (2, "quick brown fox is quick and brown fox runs in the night sky"),
+        (3, "lazy dog sleeps and the night sky glows brightly today ok"),
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    got = {
+        r["phrase"]: (r["n_words"], r["n_occurrences"], r["score"])
+        for r in rake_keywords(df, "doc_id", "text").collect()
+    }
+    stop = set(STOPWORDS["en"])
+    phrases = collections.Counter()
+    freq = collections.Counter()
+    deg = collections.Counter()
+    for _, text in docs:
+        cur = []
+        for tok in text.lower().split() + ["|"]:
+            if tok in stop or tok == "|":
+                if cur and 1 <= len(cur) <= 6:
+                    phrases[" ".join(cur)] += 1
+                    for w in cur:
+                        freq[w] += 1
+                        deg[w] += len(cur)
+                cur = []
+            else:
+                cur.append(tok)
+    assert set(got) == set(phrases)
+    for p, cnt in phrases.items():
+        score = 0.0
+        for _, s in sorted(
+            (w, deg[w] / freq[w]) for w in p.split()
+        ):
+            score += s
+        assert got[p][1] == cnt
+        assert got[p][2] == pytest.approx(score, abs=1e-6)
+    # a 7-word stopword-free run is dropped by max_phrase_tokens=6
+    long = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta eta")],
+        ["doc_id", "text"],
+    )
+    assert rake_keywords(long, "doc_id", "text").count() == 0
+
+
+def test_code_prose_profile_and_ngram_novelty(spark):
+    """code_prose_profile separates a code-ish doc from prose and
+    matches hand counts; ngram_novelty matches the set-difference
+    replica and omits short docs."""
+    from padua_spark.extensions.dedup import ngram_novelty
+    from padua_spark.extensions.text import code_prose_profile
+
+    code = "def f(x):\n    return x[1] + {1: 2}[1];\nclass A:\n    pass"
+    prose = "the quiet afternoon settled over the hills and fields"
+    df = spark.createDataFrame(
+        [(1, code), (2, prose)], ["doc_id", "text"]
+    )
+    out = {
+        r["doc_id"]: r
+        for r in code_prose_profile(df, "text").collect()
+    }
+    assert out[1]["code_score"] > out[2]["code_score"]
+    assert out[1]["keyword_hits"] >= 2  # def, return, class
+    assert out[2]["brace_semicolon_per_kchar"] == 0.0
+    assert out[1]["indent_line_rate"] == pytest.approx(0.5, abs=1e-6)
+    n = len(prose)
+    sym = sum(not c.isalnum() and not c.isspace() for c in prose)
+    assert out[2]["symbol_ratio"] == pytest.approx(sym / n, abs=1e-6)
+
+    docs = [
+        (1, "a b c d e f g h"),
+        (2, "c d e f x y z w"),
+        (3, "x"),
+    ]
+    tr = spark.createDataFrame(docs[:1] + docs[2:], ["doc_id", "text"])
+    ref = spark.createDataFrame([docs[1]], ["doc_id", "text"])
+    got = {
+        r["doc_id"]: (r["n_ngrams"], r["n_novel"])
+        for r in ngram_novelty(
+            tr, ref, "doc_id", "text", n_tokens=3
+        ).collect()
+    }
+
+    def grams(t, k=3):
+        w = t.split()
+        return {
+            tuple(w[i : i + k]) for i in range(len(w) - k + 1)
+        }
+
+    refset = grams(docs[1][1])
+    g1 = grams(docs[0][1])
+    novel = len([g for g in g1 if g not in refset])
+    assert got[1] == (len(g1), novel)
+    assert 3 not in got  # 1-token doc emits no windows
