@@ -21714,6 +21714,197 @@ def q_hodges_lehmann_pseudomedian(spark, sf):
     return hodges_lehmann_pseudomedian(li, "l_quantity")
 
 
+# --- ext: personalized (seeded) PageRank --------------------------------------
+
+
+def _ppr_oracle(k: int = 5) -> str:
+    # same recursive-CTE shape as _pagerank_oracle, restart mass on
+    # the supplier-side seed set instead of uniform
+    return f"""
+WITH RECURSIVE pairs AS (
+  SELECT DISTINCT 's' || CAST(l_suppkey AS VARCHAR) AS sn,
+                  'c' || CAST(o_custkey AS VARCHAR) AS cn
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+),
+edges AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT sn AS src, cn AS dst FROM pairs
+    UNION ALL
+    SELECT cn AS src, sn AS dst FROM pairs
+  )
+),
+outdeg AS (SELECT src, count(*) AS o FROM edges GROUP BY 1),
+nodes AS (
+  SELECT DISTINCT node FROM (
+    SELECT src AS node FROM edges
+    UNION ALL
+    SELECT dst AS node FROM edges
+  )
+),
+ns AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes
+  WHERE node LIKE 's%'
+),
+pr(it, node, rank) AS (
+  SELECT 0, node,
+    CASE WHEN node LIKE 's%' THEN CAST(1.0 AS DOUBLE) / ns.n
+         ELSE CAST(0.0 AS DOUBLE) END
+  FROM nodes, ns
+  UNION ALL
+  SELECT p.it + 1, e.dst AS node,
+    (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE))
+      * (CASE WHEN e.dst LIKE 's%' THEN CAST(1.0 AS DOUBLE) / ns.n
+              ELSE CAST(0.0 AS DOUBLE) END)
+    + CAST(0.85 AS DOUBLE) * sum(p.rank / o.o)
+  FROM (SELECT * FROM pr WHERE it < {k}) p
+  JOIN edges e ON e.src = p.node
+  JOIN outdeg o ON o.src = p.node
+  CROSS JOIN ns
+  GROUP BY p.it, e.dst, ns.n
+)
+SELECT node, round(rank, 9) AS rank,
+  node LIKE 's%' AS is_seed
+FROM pr WHERE it = {k}
+"""
+
+
+@_q("personalized_pagerank", _ppr_oracle())
+def q_personalized_pagerank(spark, sf):
+    """Personalized PageRank over the symmetrized trade graph with
+    the supplier nodes as the seed set (graph.personalized_pagerank):
+    restart mass uniform over seeds, k=5, d=0.85, dangling mass
+    dropped — the oracle replays the exact recurrence as a recursive
+    CTE."""
+    from pyspark import StorageLevel
+
+    from padua_spark.extensions.graph import personalized_pagerank
+    from padua_spark.io_utils import track_cached
+
+    li = _t(spark, sf, "lineitem")
+    o = _t(spark, sf, "orders")
+    und = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .select(
+            F.concat(F.lit("s"), F.col("l_suppkey")).alias("sn"),
+            F.concat(F.lit("c"), F.col("o_custkey")).alias("cn"),
+        )
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    edges = und.select(
+        F.col("sn").alias("src"), F.col("cn").alias("dst")
+    ).unionAll(
+        und.select(F.col("cn").alias("src"), F.col("sn").alias("dst"))
+    )
+    seeds = und.select(F.col("sn").alias("node")).distinct()
+    out = personalized_pagerank(
+        edges, seeds, k_iters=5, damping=0.85, edges_distinct=True
+    )
+    res = out.select(
+        "node", F.round("rank", 9).alias("rank"), "is_seed"
+    )
+    return track_cached(
+        res, und, *getattr(out, "_padua_cached", ())
+    )
+
+
+# --- ext: windowed Gopher-rule quality screen (streaming front half) ---------
+
+
+_WINDOWED_QUALITY_ORACLE = r"""
+WITH d AS (
+  SELECT to_timestamp(doc_id * 60) AS ts, text,
+    list_filter(string_split(lower(text), ' '), t -> t <> '') AS toks,
+    string_split(text, chr(10)) AS lines
+  FROM documents WHERE text IS NOT NULL
+),
+sig AS (
+  SELECT (CAST(epoch(ts) AS BIGINT) // 3600) * 3600 AS ws,
+    len(toks) AS nw,
+    CASE WHEN len(toks) > 0 THEN
+      CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+        list_transform(toks, t -> CAST(length(t) AS BIGINT))),
+        (a, b) -> a + b) AS DOUBLE) / len(toks) END AS mwl,
+    CASE WHEN len(toks) > 0 THEN
+      CAST(len(string_split(text, '#')) - 1
+        + len(string_split(text, '...')) - 1
+        + len(string_split(text, chr(8230))) - 1 AS DOUBLE)
+        / len(toks) END AS symr,
+    CAST(len(list_filter(lines,
+      l -> regexp_matches(trim(l), '^[-*' || chr(8226) || ']')))
+      AS DOUBLE) / len(lines) AS bf,
+    CAST(len(list_filter(lines,
+      l -> regexp_matches(trim(l), '(\.\.\.|' || chr(8230) || ')$')))
+      AS DOUBLE) / len(lines) AS ef,
+    CASE WHEN len(toks) > 0 THEN
+      CAST(len(list_filter(toks, t -> regexp_matches(t, '[a-z]')))
+        AS DOUBLE) / len(toks) END AS af,
+    len(list_filter(toks,
+      t -> t IN ('the', 'a', 'and', 'of', 'to', 'in', 'is'))) AS sw
+  FROM d
+),
+flags AS (
+  SELECT ws,
+    coalesce(nw >= 50 AND nw <= 100000, FALSE) AS r1,
+    coalesce(mwl >= 3.0 AND mwl <= 10.0, FALSE) AS r2,
+    coalesce(symr <= 0.1, FALSE) AS r3,
+    coalesce(bf <= 0.9, FALSE) AS r4,
+    coalesce(ef <= 0.3, FALSE) AS r5,
+    coalesce(af >= 0.8, FALSE) AS r6,
+    coalesce(sw >= 2, FALSE) AS r7
+  FROM sig
+)
+SELECT ws AS window_start_epoch,
+  CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum(CASE WHEN r1 AND r2 AND r3 AND r4 AND r5 AND r6 AND r7
+    THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+  round(CAST(sum(CASE WHEN r1 AND r2 AND r3 AND r4 AND r5 AND r6
+    AND r7 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS pass_rate,
+  CAST(sum(CASE WHEN NOT r1 THEN 1 ELSE 0 END) AS BIGINT)
+    AS fail_word_count,
+  CAST(sum(CASE WHEN NOT r2 THEN 1 ELSE 0 END) AS BIGINT)
+    AS fail_mean_word_len,
+  CAST(sum(CASE WHEN NOT r3 THEN 1 ELSE 0 END) AS BIGINT)
+    AS fail_symbol_ratio,
+  CAST(sum(CASE WHEN NOT r4 THEN 1 ELSE 0 END) AS BIGINT)
+    AS fail_bullet,
+  CAST(sum(CASE WHEN NOT r5 THEN 1 ELSE 0 END) AS BIGINT)
+    AS fail_ellipsis,
+  CAST(sum(CASE WHEN NOT r6 THEN 1 ELSE 0 END) AS BIGINT)
+    AS fail_alpha,
+  CAST(sum(CASE WHEN NOT r7 THEN 1 ELSE 0 END) AS BIGINT)
+    AS fail_stopwords
+FROM flags GROUP BY 1
+"""
+
+
+@_q("windowed_quality_screen", _WINDOWED_QUALITY_ORACLE)
+def q_windowed_quality_screen(spark, sf):
+    """Per-hour Gopher-rule pass/fail counts over the documents
+    corpus on a deterministic doc_id-derived event time
+    (streaming.windowed_quality_screen): one stateful aggregation to
+    nine exact integers per window; the stream==batch parity is
+    pytest-gated, this entry gates the batch twin's values."""
+    from padua_spark.streaming import windowed_quality_screen
+
+    d = _t(spark, sf, "documents")
+    withts = d.withColumn(
+        "_ts", F.timestamp_seconds(F.col("doc_id") * 60)
+    )
+    out = windowed_quality_screen(
+        withts, F.col("_ts"), "text", window_duration="1 hour"
+    )
+    return out.select(
+        F.col("window_start").cast("long").alias(
+            "window_start_epoch"
+        ),
+        "n_docs", "n_pass", "pass_rate",
+        "fail_word_count", "fail_mean_word_len",
+        "fail_symbol_ratio", "fail_bullet", "fail_ellipsis",
+        "fail_alpha", "fail_stopwords",
+    )
+
+
 # ---------------------------------------------------------------------------
 
 

@@ -187,6 +187,8 @@ HEADLINE = [
     "ngram_novelty",
     "hodges_lehmann_shift",
     "hodges_lehmann_pseudomedian",
+    "personalized_pagerank",
+    "windowed_quality_screen",
     "anova_2way_stats",
     "levene_stats",
     "ttest_paired_stats",

@@ -856,3 +856,70 @@ def windowed_binned_auc(
         F.col("_ng").alias("n_neg"),
         F.round(auc, 6).alias("auc"),
     )
+
+
+def windowed_quality_screen(
+    df: DataFrame,
+    ts_col: Column,
+    text_col: str,
+    window_duration: str = "1 hour",
+    watermark: str | None = None,
+    **rule_kwargs,
+) -> DataFrame:
+    """Per-tumbling-window Gopher-rule pass/fail counts — the
+    streaming face of :func:`padua_spark.extensions.quality.
+    gopher_rules` ("did this hour's crawl batch suddenly go low
+    quality, and WHICH rule is tripping?"):
+
+    the per-document rule battery is pure scan-level projection (one
+    tokenization per row — the batch operator verbatim), so the only
+    stateful piece is ONE aggregation to nine exact integers per
+    window (n_docs, n_pass, one fail counter per rule) — O(1) state
+    per window, mergeable across late shards by adding counts; runs
+    unchanged on a stream (watermark bounds state) or a batch frame.
+    ``rule_kwargs`` pass through to ``gopher_rules`` (thresholds,
+    stopword list).
+
+    Output per window: ``(window_start, window_end, n_docs, n_pass,
+    pass_rate, fail_word_count, fail_mean_word_len,
+    fail_symbol_ratio, fail_bullet, fail_ellipsis, fail_alpha,
+    fail_stopwords)``, pass_rate 6dp.
+    """
+    from padua_spark.extensions.quality import gopher_rules
+
+    withts = df.where(F.col(text_col).isNotNull()).select(
+        ts_col.alias("_event_time"), text_col
+    )
+    if watermark and withts.isStreaming:
+        withts = withts.withWatermark("_event_time", watermark)
+    flagged = gopher_rules(withts, text_col, **rule_kwargs)
+    rule_names = [
+        "rule_word_count", "rule_mean_word_len", "rule_symbol_ratio",
+        "rule_bullet", "rule_ellipsis", "rule_alpha",
+        "rule_stopwords",
+    ]
+    fail_aggs = [
+        F.sum(
+            (~F.coalesce(F.col(r), F.lit(False))).cast("int")
+        ).cast("bigint").alias(r.replace("rule_", "fail_"))
+        for r in rule_names
+    ]
+    agg = flagged.groupBy(
+        F.window("_event_time", window_duration).alias("_w")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.col("quality_pass").cast("int")).cast("bigint")
+        .alias("n_pass"),
+        *fail_aggs,
+    )
+    return agg.select(
+        F.col("_w.start").alias("window_start"),
+        F.col("_w.end").alias("window_end"),
+        "n_docs", "n_pass",
+        F.round(
+            F.col("n_pass").cast("double")
+            / F.col("n_docs").cast("double"),
+            6,
+        ).alias("pass_rate"),
+        *[r.replace("rule_", "fail_") for r in rule_names],
+    )

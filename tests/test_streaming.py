@@ -904,3 +904,60 @@ def test_stream_equals_batch_windowed_binned_auc(spark, events_dir):
     )
     assert got[ws][0] == n_pos and got[ws][1] == n_neg
     assert got[ws][2] == pytest.approx(auc, abs=1e-6)
+
+
+def test_stream_equals_batch_windowed_quality_screen(spark, docs_dir):
+    """The windowed Gopher screen is one stateful aggregation to nine
+    exact integers per window: identical counts on stream and batch,
+    and the window sums reconcile with the batch gopher_rules flags
+    on the same hourly keys."""
+    from padua_spark.extensions.quality import gopher_rules
+    from padua_spark.streaming import windowed_quality_screen
+
+    batch = spark.read.parquet(docs_dir)
+    stream = spark.readStream.schema(batch.schema).parquet(docs_dir)
+    et = F.timestamp_seconds(F.col("doc_id") * 60)
+
+    def build(df):
+        return windowed_quality_screen(
+            df.withColumn("_ts", et), F.col("_ts"), "text",
+            window_duration="1 hour", watermark="2 hours",
+        )
+
+    q = (
+        build(stream)
+        .writeStream.format("memory")
+        .queryName("t_winqual")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(180)
+    cols = [
+        "n_docs", "n_pass", "pass_rate", "fail_word_count",
+        "fail_mean_word_len", "fail_symbol_ratio", "fail_bullet",
+        "fail_ellipsis", "fail_alpha", "fail_stopwords",
+    ]
+    got = {
+        r["window_start"]: tuple(r[c] for c in cols)
+        for r in spark.sql("SELECT * FROM t_winqual").collect()
+    }
+    exp = {
+        r["window_start"]: tuple(r[c] for c in cols)
+        for r in build(batch).collect()
+    }
+    assert got == exp and len(got) > 1
+    # window totals reconcile with the batch rule battery
+    flags = gopher_rules(
+        batch.where(F.col("text").isNotNull()).withColumn("_ts", et),
+        "text",
+    ).withColumn("_h", F.date_trunc("hour", F.col("_ts")))
+    ref = {
+        r["_h"]: (r["n"], r["p"])
+        for r in flags.groupBy("_h").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("quality_pass").cast("int")).alias("p"),
+        ).collect()
+    }
+    for ws, vals in got.items():
+        assert ref[ws][0] == vals[0] and ref[ws][1] == vals[1]

@@ -371,6 +371,8 @@ COVERAGE = {
     "E256": "entry:ngram_novelty",
     "E257": "entry:hodges_lehmann_shift",
     "E258": "entry:hodges_lehmann_pseudomedian",
+    "E259": "entry:personalized_pagerank",
+    "E260": "entry:windowed_quality_screen",
 }
 
 

@@ -9242,3 +9242,38 @@ def test_code_prose_profile_and_ngram_novelty(spark):
     novel = len([g for g in g1 if g not in refset])
     assert got[1] == (len(g1), novel)
     assert 3 not in got  # 1-token doc emits no windows
+
+
+def test_personalized_pagerank_vs_replica(spark):
+    """Seeded PageRank against an exact python power-iteration
+    replica; nodes unreachable from the seed set score exactly 0;
+    empty seed set returns all-zero ranks."""
+    from padua_spark.extensions.graph import personalized_pagerank
+
+    edges = [(1, 2), (2, 3), (3, 1), (3, 4), (4, 5), (6, 7)]
+    edf = spark.createDataFrame(edges, ["src", "dst"])
+    seeds = spark.createDataFrame([(1,)], ["node"])
+    got = {
+        r["node"]: (r["rank"], r["is_seed"])
+        for r in personalized_pagerank(
+            edf, seeds, k_iters=5
+        ).collect()
+    }
+    outdeg = {}
+    for u, _ in edges:
+        outdeg[u] = outdeg.get(u, 0) + 1
+    nodes = sorted({u for e in edges for u in e})
+    r = {n: (1.0 if n == 1 else 0.0) for n in nodes}
+    for _ in range(5):
+        nr = {n: 0.15 * (1.0 if n == 1 else 0.0) for n in nodes}
+        for u, v in edges:
+            nr[v] += 0.85 * r[u] / outdeg[u]
+        r = nr
+    for n in nodes:
+        assert got[n][0] == pytest.approx(r[n], abs=1e-12)
+    assert got[6][0] == 0.0 and got[7][0] == 0.0
+    assert got[1][1] is True and got[2][1] is False
+
+    none = spark.createDataFrame([], "node int")
+    allzero = personalized_pagerank(edf, none, k_iters=3).collect()
+    assert all(row["rank"] == 0.0 for row in allzero)
