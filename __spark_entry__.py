@@ -21905,6 +21905,303 @@ def q_windowed_quality_screen(spark, sf):
     )
 
 
+# --- ext: Croston intermittent-demand forecast --------------------------------
+
+
+_CROSTON_ORACLE = """
+WITH RECURSIVE s AS MATERIALIZED (
+  SELECT user_id,
+    row_number() OVER (
+      PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS t,
+    CASE WHEN event_type = 'purchase'
+      THEN CAST(floor(value) AS DOUBLE) ELSE CAST(0 AS DOUBLE) END
+      AS x
+  FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
+),
+cnt AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+    CAST(sum(CASE WHEN x > 0 THEN 1 ELSE 0 END) AS BIGINT)
+      AS n_nonzero
+  FROM s GROUP BY 1
+),
+rec AS (
+  SELECT user_id, t,
+    CASE WHEN x > 0 THEN x END AS z,
+    CASE WHEN x > 0 THEN CAST(1.0 AS DOUBLE) END AS p,
+    CASE WHEN x > 0 THEN CAST(0.0 AS DOUBLE)
+         ELSE CAST(1.0 AS DOUBLE) END AS q,
+    x > 0 AS started
+  FROM s WHERE t = 1
+  UNION ALL
+  SELECT r.user_id, r.t + 1,
+    CASE WHEN s.x > 0 AND r.started
+           THEN CAST(0.5 AS DOUBLE) * s.x
+                + CAST(0.5 AS DOUBLE) * r.z
+         WHEN s.x > 0 THEN s.x
+         ELSE r.z END AS z,
+    CASE WHEN s.x > 0 AND r.started
+           THEN CAST(0.5 AS DOUBLE) * (r.q + 1.0)
+                + CAST(0.5 AS DOUBLE) * r.p
+         WHEN s.x > 0 THEN r.q + 1.0
+         ELSE r.p END AS p,
+    CASE WHEN s.x > 0 THEN CAST(0.0 AS DOUBLE)
+         ELSE r.q + 1.0 END AS q,
+    r.started OR s.x > 0 AS started
+  FROM rec r JOIN s ON s.user_id = r.user_id AND s.t = r.t + 1
+),
+fin AS (
+  SELECT r.user_id, r.z, r.p
+  FROM rec r JOIN cnt ON cnt.user_id = r.user_id AND r.t = cnt.n
+)
+SELECT c.user_id, c.n, c.n_nonzero,
+  round(f.z, 6) AS demand_level,
+  round(f.p, 6) AS interval_level,
+  round(CASE WHEN f.p > 0 THEN f.z / f.p END, 6) AS forecast,
+  round(CASE WHEN f.p > 0
+    THEN CAST(0.75 AS DOUBLE) * (f.z / f.p) END, 6) AS forecast_sba
+FROM cnt c JOIN fin f ON f.user_id = c.user_id
+"""
+
+
+@_q("croston_forecast", _CROSTON_ORACLE)
+def q_croston_forecast(spark, sf):
+    """Croston intermittent-demand forecast of each user's purchase
+    series — non-purchase events are the zero periods
+    (temporal.croston_forecast, α=0.5 exact binary fraction): one
+    JVM array fold per key; the oracle steps the SAME per-period
+    recursion as a recursive CTE."""
+    from padua_spark.operators.temporal import croston_forecast
+    from padua_spark.streaming.windows import epoch_us_col
+
+    base = _t(spark, sf, "events").where(
+        F.col("value").isNotNull() & F.col("ts").isNotNull()
+    )
+    e = base.select(
+        "user_id", "event_id",
+        epoch_us_col(base, "ts").alias("_us"),
+        F.when(
+            F.col("event_type") == "purchase",
+            F.floor(F.col("value")).cast("double"),
+        ).otherwise(F.lit(0.0)).alias("demand"),
+    )
+    return croston_forecast(
+        e, ["user_id"], ["_us", "event_id"], "demand", alpha=0.5
+    )
+
+
+# --- ext: Pareto ABC classification -------------------------------------------
+
+
+_ABC_ORACLE = """
+WITH pk AS (
+  SELECT l_partkey,
+    CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+             * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+      AS DOUBLE) AS tot
+  FROM lineitem
+  WHERE l_extendedprice IS NOT NULL AND l_discount IS NOT NULL
+  GROUP BY 1 HAVING sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+             * (100 - CAST(round(l_discount * 100) AS BIGINT))) > 0
+),
+pv AS (
+  SELECT -tot AS negv, sum(tot) AS mass FROM pk GROUP BY 1
+),
+run AS (
+  SELECT negv,
+    sum(mass) OVER (ORDER BY negv ROWS UNBOUNDED PRECEDING) AS r,
+    sum(mass) OVER () AS g
+  FROM pv
+)
+SELECT pk.l_partkey, pk.tot AS total_value,
+  round(pk.tot / run.g, 6) AS value_share,
+  round(run.r / run.g, 6) AS cum_share,
+  CASE WHEN run.r / run.g <= 0.8 THEN 'A'
+       WHEN run.r / run.g <= 0.95 THEN 'B'
+       ELSE 'C' END AS abc_class
+FROM pk JOIN run ON run.negv = -pk.tot
+"""
+
+
+@_q("abc_analysis", _ABC_ORACLE)
+def q_abc_analysis(spark, sf):
+    """Pareto ABC classes of parts by exact-integer revenue
+    micro-units (quality.abc_analysis): descending cumulative share
+    off the stepped cumsum, tie keys classified identically."""
+    from padua_spark.extensions.quality import abc_analysis
+
+    li = _t(spark, sf, "lineitem").where(
+        F.col("l_extendedprice").isNotNull()
+        & F.col("l_discount").isNotNull()
+    ).select(
+        "l_partkey",
+        (
+            F.round(F.col("l_extendedprice") * 100).cast("bigint")
+            * (
+                F.lit(100)
+                - F.round(F.col("l_discount") * 100).cast("bigint")
+            )
+        ).alias("rev_micro"),
+    )
+    return abc_analysis(li, ["l_partkey"], "rev_micro")
+
+
+# --- ext: two-proportion effect sizes (Newcombe CI, Cohen's h) ----------------
+
+
+_TPE_ORACLE = """
+WITH agg AS (
+  SELECT
+    CAST(sum(CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END)
+      AS BIGINT) AS n_a,
+    CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+      AS BIGINT) AS n_b,
+    CAST(sum(CASE WHEN l_returnflag = 'A' AND l_quantity > 25
+      THEN 1 ELSE 0 END) AS BIGINT) AS ka,
+    CAST(sum(CASE WHEN l_returnflag = 'R' AND l_quantity > 25
+      THEN 1 ELSE 0 END) AS BIGINT) AS kb
+  FROM lineitem
+  WHERE l_returnflag IN ('A', 'R') AND l_quantity IS NOT NULL
+),
+w AS (
+  SELECT n_a, n_b,
+    CAST(ka AS DOUBLE) / n_a AS pa, CAST(kb AS DOUBLE) / n_b AS pb,
+    1.959963984540054 AS z,
+    1.959963984540054 * 1.959963984540054 AS z2
+  FROM agg
+),
+ci AS (
+  SELECT n_a, n_b, pa, pb,
+    (pa + z2 / (2.0 * n_a)) / (1.0 + z2 / n_a)
+      - z * sqrt(pa * (1.0 - pa) / n_a + z2 / (4.0 * n_a * n_a))
+        / (1.0 + z2 / n_a) AS la,
+    (pa + z2 / (2.0 * n_a)) / (1.0 + z2 / n_a)
+      + z * sqrt(pa * (1.0 - pa) / n_a + z2 / (4.0 * n_a * n_a))
+        / (1.0 + z2 / n_a) AS ua,
+    (pb + z2 / (2.0 * n_b)) / (1.0 + z2 / n_b)
+      - z * sqrt(pb * (1.0 - pb) / n_b + z2 / (4.0 * n_b * n_b))
+        / (1.0 + z2 / n_b) AS lb,
+    (pb + z2 / (2.0 * n_b)) / (1.0 + z2 / n_b)
+      + z * sqrt(pb * (1.0 - pb) / n_b + z2 / (4.0 * n_b * n_b))
+        / (1.0 + z2 / n_b) AS ub
+  FROM w
+)
+SELECT n_a, n_b, round(pa, 6) AS p_a, round(pb, 6) AS p_b,
+  round(pa - pb, 6) AS risk_diff,
+  round(pa - pb - sqrt((pa - la) * (pa - la)
+    + (ub - pb) * (ub - pb)), 6) AS rd_ci_lo,
+  round(pa - pb + sqrt((ua - pa) * (ua - pa)
+    + (pb - lb) * (pb - lb)), 6) AS rd_ci_hi,
+  round(CASE WHEN pb > 0 THEN pa / pb END, 6) AS relative_risk,
+  round(2.0 * asin(sqrt(pa)) - 2.0 * asin(sqrt(pb)), 6) AS cohens_h
+FROM ci
+"""
+
+
+@_q("two_proportion_effects", _TPE_ORACLE)
+def q_two_proportion_effects(spark, sf):
+    """Two-proportion effect-size battery between return flags A and
+    R on the high-quantity rate (stats.two_proportion_effects):
+    Newcombe hybrid-score CI for the risk difference, relative risk,
+    Cohen's h."""
+    from padua_spark.operators.stats import two_proportion_effects
+
+    li = _t(spark, sf, "lineitem").where(
+        F.col("l_quantity").isNotNull()
+    )
+    return two_proportion_effects(
+        li, "l_returnflag", F.col("l_quantity") > 25, "A", "R"
+    )
+
+
+# --- ext: propensity-score subclassification ATT ------------------------------
+
+
+_PSM_ORACLE = """
+WITH base AS (
+  SELECT CASE WHEN user_id % 3 = 0 THEN 1 ELSE 0 END AS t,
+    CAST(floor(value) AS DOUBLE) AS y,
+    CAST(floor(value) AS DOUBLE) / 512.0 AS s
+  FROM events WHERE value IS NOT NULL AND value >= 0
+),
+tsc AS (
+  SELECT s AS v, CAST(count(*) AS BIGINT) AS c
+  FROM base WHERE t = 1 GROUP BY 1
+),
+st AS (
+  SELECT v, sum(c) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS run,
+    sum(c) OVER () AS tot
+  FROM tsc
+),
+q AS (
+  SELECT
+    min(CASE WHEN run >= ceil(0.2 * tot) THEN v END) AS b0,
+    min(CASE WHEN run >= ceil(0.4 * tot) THEN v END) AS b1,
+    min(CASE WHEN run >= ceil(0.6 * tot) THEN v END) AS b2,
+    min(CASE WHEN run >= ceil(0.8 * tot) THEN v END) AS b3
+  FROM st
+),
+cells AS (
+  SELECT (1 + CASE WHEN s > q.b0 THEN 1 ELSE 0 END
+            + CASE WHEN s > q.b1 THEN 1 ELSE 0 END
+            + CASE WHEN s > q.b2 THEN 1 ELSE 0 END
+            + CASE WHEN s > q.b3 THEN 1 ELSE 0 END) AS k,
+    t, CAST(count(*) AS BIGINT) AS n, sum(y) AS sy,
+    sum(y * y) AS syy
+  FROM base, q GROUP BY 1, 2
+),
+bt AS (
+  SELECT tr.k, tr.n AS nt, tr.sy AS syt, tr.syy AS syyt,
+    ct.n AS nc, ct.sy AS syc, ct.syy AS syyc
+  FROM (SELECT * FROM cells WHERE t = 1) tr
+  LEFT JOIN (SELECT * FROM cells WHERE t = 0) ct ON ct.k = tr.k
+),
+tot AS (
+  SELECT CAST(sum(nt) AS BIGINT) AS n_treated,
+    CAST(sum(coalesce(nc, 0)) AS BIGINT) AS n_control,
+    CAST(sum(CASE WHEN nc > 0 THEN 1 ELSE 0 END) AS INT)
+      AS n_strata_used,
+    CAST(sum(CASE WHEN nc > 0 THEN nt ELSE 0 END) AS DOUBLE)
+      AS n_used
+  FROM bt
+),
+est AS (
+  SELECT
+    sum(CASE WHEN nc > 0 THEN (CAST(nt AS DOUBLE) / t.n_used)
+      * (syt / nt - syc / nc) END) AS att,
+    sum(CASE WHEN nc > 0 THEN
+      (CAST(nt AS DOUBLE) / t.n_used) * (CAST(nt AS DOUBLE) / t.n_used)
+      * (coalesce(CASE WHEN nt >= 2 THEN
+           (syyt - nt * (syt / nt) * (syt / nt)) / (nt - 1.0) END, 0.0)
+           / nt
+         + coalesce(CASE WHEN nc >= 2 THEN
+           (syyc - nc * (syc / nc) * (syc / nc)) / (nc - 1.0) END, 0.0)
+           / nc) END) AS sev
+  FROM bt, tot t
+)
+SELECT t.n_treated, t.n_control, t.n_strata_used,
+  round(e.att, 6) AS att, round(sqrt(e.sev), 6) AS se
+FROM tot t, est e
+"""
+
+
+@_q("propensity_strata_att", _PSM_ORACLE)
+def q_propensity_strata_att(spark, sf):
+    """Propensity-score subclassification ATT over five exact-quantile
+    strata of the dyadic score (stats.propensity_strata_att):
+    treated-distribution boundaries, per-stratum mean differences,
+    linearized SE."""
+    from padua_spark.operators.stats import propensity_strata_att
+
+    e = _t(spark, sf, "events").where(
+        F.col("value").isNotNull() & (F.col("value") >= 0)
+    ).select(
+        (F.col("user_id") % 3 == 0).cast("int").alias("t"),
+        F.floor(F.col("value")).cast("double").alias("y"),
+        (F.floor(F.col("value")).cast("double") / 512.0).alias("s"),
+    )
+    return propensity_strata_att(e, "t", "y", "s", n_strata=5)
+
+
 # ---------------------------------------------------------------------------
 
 

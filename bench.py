@@ -189,6 +189,10 @@ HEADLINE = [
     "hodges_lehmann_pseudomedian",
     "personalized_pagerank",
     "windowed_quality_screen",
+    "croston_forecast",
+    "abc_analysis",
+    "two_proportion_effects",
+    "propensity_strata_att",
     "anova_2way_stats",
     "levene_stats",
     "ttest_paired_stats",

@@ -1624,3 +1624,76 @@ def json_profile(
         "min_value", "max_value",
     )
     return track_cached(out, base)
+
+
+def abc_analysis(
+    df: DataFrame,
+    key_cols: list[str],
+    value_col: str,
+    a_threshold: float = 0.8,
+    b_threshold: float = 0.95,
+    small_domain_threshold: int | None = None,
+) -> DataFrame:
+    """Pareto ABC classification — the inventory/revenue workhorse
+    beside :func:`hhi_concentration`'s single number: rank keys by
+    total value descending and classify by INCLUSIVE cumulative
+    share: ``A`` while cum_share ≤ ``a_threshold``, ``B`` while
+    ≤ ``b_threshold``, else ``C`` ("the A parts are 80% of spend").
+
+    Semantics pinned for engine reproducibility: the cumulative walk
+    is at the distinct-TOTAL level — keys tied on total value are
+    classified identically (their shared inclusive cumulative), so
+    no arbitrary tiebreak leaks into the classes.
+
+    Scale shape: one aggregation to per-key totals, then the
+    descending cumulative comes off the shared distributed stepped
+    cumsum over the DISTINCT-total domain (never a partitionless sort
+    of the key frame), joined back to the totals on the total value.
+    Negative or NULL totals are excluded from the share base and the
+    output (shares would be ill-defined). Output: one row per key:
+    ``(keys..., total_value, value_share, cum_share, abc_class)``,
+    6dp shares.
+
+    Beyond the reference; the classic Pareto/ABC inventory analysis.
+    """
+    from pyspark import StorageLevel
+
+    from padua_spark.io_utils import track_cached
+    from padua_spark.operators.stats import _stepped_running_counts
+
+    v = F.col(value_col).cast("double")
+    per_key = (
+        df.where(v.isNotNull())
+        .groupBy(*key_cols)
+        .agg(F.sum(v).alias("_tot"))
+        .where(F.col("_tot") > 0)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    per_val = per_key.groupBy(
+        (-F.col("_tot")).alias("_negv")
+    ).agg(F.sum("_tot").alias("_mass"))
+    stepped = _stepped_running_counts(
+        per_val, "_negv", ["_mass"], small_domain_threshold
+    )
+    classed = stepped.select(
+        (-F.col("_negv")).alias("_tot"),
+        (F.col("_mass_run") / F.col("_mass_tot")).alias("_cum"),
+        (F.col("_mass_tot")).alias("_grand"),
+    )
+    out = per_key.join(classed, on="_tot").select(
+        *key_cols,
+        F.col("_tot").alias("total_value"),
+        F.round(F.col("_tot") / F.col("_grand"), 6).alias(
+            "value_share"
+        ),
+        F.round("_cum", 6).alias("cum_share"),
+        F.when(
+            F.col("_cum") <= F.lit(float(a_threshold)), F.lit("A")
+        )
+        .when(F.col("_cum") <= F.lit(float(b_threshold)), F.lit("B"))
+        .otherwise(F.lit("C"))
+        .alias("abc_class"),
+    )
+    return track_cached(
+        out, per_key, *getattr(stepped, "_padua_cached", ())
+    )

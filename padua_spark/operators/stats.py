@@ -10089,3 +10089,217 @@ def hodges_lehmann_pseudomedian(
     return track_cached(
         out, cells, *getattr(stepped, "_padua_cached", ())
     )
+
+
+def two_proportion_effects(
+    df: DataFrame,
+    group_col: str,
+    success: Column,
+    group_a,
+    group_b,
+    z_crit: float = 1.959963984540054,
+) -> DataFrame:
+    """Two-proportion EFFECT-SIZE battery — the companion to
+    :func:`two_proportion_ztest`'s significance answer ("is the lift
+    real?" vs "how big is it, with honest uncertainty?"):
+
+    risk difference ``d = p_a − p_b`` with the Newcombe hybrid-score
+    CI (Newcombe 1998 method 10 — built from the two one-sample
+    Wilson intervals ``(l, u)``: ``d − √((p_a−l_a)² + (u_b−p_b)²)``
+    to ``d + √((u_a−p_a)² + (p_b−l_b)²)`` — never collapses to a
+    zero-width interval at p = 0 or 1, unlike the Wald CI), relative
+    risk ``p_a/p_b``, and Cohen's ``h = 2·asin(√p_a) − 2·asin(√p_b)``
+    (the variance-stabilized effect size power analysis uses).
+
+    ONE conditional aggregation to the four exact counts, closed-form
+    algebra after. Output 1 row: ``(n_a, n_b, p_a, p_b, risk_diff,
+    rd_ci_lo, rd_ci_hi, relative_risk, cohens_h)``, 6dp; relative
+    risk NULL when ``p_b = 0``, all NULL when a group is empty.
+
+    Beyond the reference; standard per Newcombe 1998 / Cohen 1988
+    §6.2.
+    """
+    g = F.col(group_col)
+    base = df.where(g.isin([group_a, group_b]) & success.isNotNull())
+    ia = (g == F.lit(group_a)).cast("int")
+    ib = (g == F.lit(group_b)).cast("int")
+    s = success.cast("int")
+    agg = base.agg(
+        F.sum(ia).cast("bigint").alias("n_a"),
+        F.sum(ib).cast("bigint").alias("n_b"),
+        F.sum(ia * s).cast("bigint").alias("_ka"),
+        F.sum(ib * s).cast("bigint").alias("_kb"),
+    )
+    z = F.lit(float(z_crit))
+    z2 = z * z
+
+    def wilson(k, n):
+        nd = n.cast("double")
+        p = k.cast("double") / nd
+        center = (p + z2 / (2.0 * nd)) / (1.0 + z2 / nd)
+        half = (
+            z
+            * F.sqrt(
+                p * (1.0 - p) / nd + z2 / (4.0 * nd * nd)
+            )
+            / (1.0 + z2 / nd)
+        )
+        return p, center - half, center + half
+
+    pa, la, ua = wilson(F.col("_ka"), F.col("n_a"))
+    pb, lb, ub = wilson(F.col("_kb"), F.col("n_b"))
+    ok = (F.col("n_a") > 0) & (F.col("n_b") > 0)
+    d = pa - pb
+    lo = d - F.sqrt((pa - la) * (pa - la) + (ub - pb) * (ub - pb))
+    hi = d + F.sqrt((ua - pa) * (ua - pa) + (pb - lb) * (pb - lb))
+    h = 2.0 * F.asin(F.sqrt(pa)) - 2.0 * F.asin(F.sqrt(pb))
+    return agg.select(
+        "n_a", "n_b",
+        F.round(F.when(ok, pa), 6).alias("p_a"),
+        F.round(F.when(ok, pb), 6).alias("p_b"),
+        F.round(F.when(ok, d), 6).alias("risk_diff"),
+        F.round(F.when(ok, lo), 6).alias("rd_ci_lo"),
+        F.round(F.when(ok, hi), 6).alias("rd_ci_hi"),
+        F.round(F.when(ok & (pb > 0), pa / pb), 6).alias(
+            "relative_risk"
+        ),
+        F.round(F.when(ok, h), 6).alias("cohens_h"),
+    )
+
+
+def propensity_strata_att(
+    df: DataFrame,
+    treatment_col: str,
+    outcome_col: str,
+    score_col: str,
+    n_strata: int = 5,
+    small_domain_threshold: int | None = None,
+) -> DataFrame:
+    """Propensity-score SUBCLASSIFICATION estimate of the average
+    treatment effect on the treated (Rosenbaum & Rubin 1984) — the
+    relational-native alternative to 1-NN matching (whose global
+    nearest-neighbor search is a data-sized ordered scan): stratify
+    on the score, difference means within strata, weight by each
+    stratum's treated count:
+
+    ``ATT = Σ_k (n_{t,k}/n_t)·(ȳ_{t,k} − ȳ_{c,k})`` over ``n_strata``
+    strata cut at the exact score quantiles of the TREATED units (the
+    ATT convention — strata equalize the treated distribution), with
+    the linearized SE ``√(Σ w_k²·(s²_{t,k}/n_{t,k} +
+    s²_{c,k}/n_{c,k}))``. Strata with no controls are DROPPED from
+    the estimate and reported (``n_strata_used`` vs ``n_strata`` —
+    common-support erosion is a finding, not a silent reweight).
+
+    Scale shape: boundaries from the shared distributed stepped
+    cumsum over the treated score domain (the :func:`~padua_spark.
+    extensions.features.gains_table` law), then ONE conditional
+    aggregation per stratum cell and a ≤ ``n_strata``-row roll-up.
+    Output 1 row: ``(n_treated, n_control, n_strata_used, att, se)``,
+    6dp; NULL att when no stratum has both arms.
+
+    Beyond the reference; standard per Rosenbaum & Rubin 1984 /
+    Imbens & Rubin 2015 ch. 17.
+    """
+    from pyspark import StorageLevel
+    from pyspark.sql import Window
+
+    from padua_spark.io_utils import track_cached
+
+    t = F.col(treatment_col).cast("int")
+    y = F.col(outcome_col).cast("double")
+    s = F.col(score_col).cast("double")
+    base = df.where(
+        t.isNotNull() & y.isNotNull() & s.isNotNull()
+    ).select(t.alias("_t"), y.alias("_y"), s.alias("_s")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    per = base.where(F.col("_t") == 1).groupBy(
+        F.col("_s").alias("_v")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("_c"))
+    stepped = _stepped_running_counts(
+        per, "_v", ["_c"], small_domain_threshold
+    )
+    k = int(n_strata)
+    qs = [i / k for i in range(1, k)]
+    aggs = []
+    for i, q in enumerate(qs):
+        rank = F.ceil(
+            F.lit(q) * F.col("_c_tot").cast("double")
+        ).cast("bigint")
+        aggs.append(
+            F.min(
+                F.when(F.col("_c_run") >= rank, F.col("_v"))
+            ).alias(f"b{i}")
+        )
+    bounds = stepped.agg(*aggs)
+    stratum = F.lit(1)
+    for i in range(len(qs)):
+        stratum = stratum + (F.col("_s") > F.col(f"b{i}")).cast("int")
+    cells = (
+        base.join(F.broadcast(bounds))
+        .groupBy(stratum.alias("_k"), "_t")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("_n"),
+            F.sum("_y").alias("_sy"),
+            F.sum(F.col("_y") * F.col("_y")).alias("_syy"),
+        )
+    )
+    tr = cells.where(F.col("_t") == 1).select(
+        "_k", F.col("_n").alias("_nt"), F.col("_sy").alias("_syt"),
+        F.col("_syy").alias("_syyt"),
+    )
+    ct = cells.where(F.col("_t") == 0).select(
+        "_k", F.col("_n").alias("_nc"), F.col("_sy").alias("_syc"),
+        F.col("_syy").alias("_syyc"),
+    )
+    both = tr.join(ct, on="_k", how="left")
+    ntd = F.col("_nt").cast("double")
+    ncd = F.col("_nc").cast("double")
+    myt = F.col("_syt") / ntd
+    myc = F.col("_syc") / ncd
+    vart = F.when(
+        F.col("_nt") >= 2,
+        (F.col("_syyt") - ntd * myt * myt) / (ntd - 1.0),
+    )
+    varc = F.when(
+        F.col("_nc") >= 2,
+        (F.col("_syyc") - ncd * myc * myc) / (ncd - 1.0),
+    )
+    usable = F.col("_nc").isNotNull() & (F.col("_nc") > 0)
+    w = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    n_tr_used = F.sum(F.when(usable, F.col("_nt"))).over(w).cast(
+        "double"
+    )
+    wk = F.when(usable, ntd / n_tr_used)
+    att = F.sum(F.when(usable, wk * (myt - myc))).over(w)
+    sevar = F.sum(
+        F.when(
+            usable,
+            wk * wk * (
+                F.coalesce(vart, F.lit(0.0)) / ntd
+                + F.coalesce(varc, F.lit(0.0)) / ncd
+            ),
+        )
+    ).over(w)
+    staged = both.select(
+        F.sum(F.col("_nt")).over(w).alias("_ntt"),
+        F.sum(F.coalesce(F.col("_nc"), F.lit(0))).over(w).alias(
+            "_nct"
+        ),
+        F.sum(usable.cast("int")).over(w).alias("_used"),
+        att.alias("_att"),
+        sevar.alias("_sev"),
+    ).limit(1)
+    return track_cached(
+        staged.select(
+            F.col("_ntt").cast("bigint").alias("n_treated"),
+            F.col("_nct").cast("bigint").alias("n_control"),
+            F.col("_used").cast("int").alias("n_strata_used"),
+            F.round("_att", 6).alias("att"),
+            F.round(F.sqrt("_sev"), 6).alias("se"),
+        ),
+        base,
+        *getattr(stepped, "_padua_cached", ()),
+    )

@@ -445,7 +445,7 @@ def test_no_cartesian_products_anywhere(spark):
         "skew_profile",
         # 1-row exact-quantile bounds frame broadcast onto the fact
         # scan for the bin expression (the gains_table shape)
-        "hosmer_lemeshow",
+        "hosmer_lemeshow", "propensity_strata_att",
         # 1-row edge-total / node-count / Q-sum frames joined on a
         # constant key (all scalar aggregates; folds to BNLJ)
         "graph_modularity",

@@ -373,6 +373,10 @@ COVERAGE = {
     "E258": "entry:hodges_lehmann_pseudomedian",
     "E259": "entry:personalized_pagerank",
     "E260": "entry:windowed_quality_screen",
+    "E261": "entry:croston_forecast",
+    "E262": "entry:abc_analysis",
+    "E263": "entry:two_proportion_effects",
+    "E264": "entry:propensity_strata_att",
 }
 
 

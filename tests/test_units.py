@@ -9277,3 +9277,168 @@ def test_personalized_pagerank_vs_replica(spark):
     none = spark.createDataFrame([], "node int")
     allzero = personalized_pagerank(edf, none, k_iters=3).collect()
     assert all(row["rank"] == 0.0 for row in allzero)
+
+
+def test_croston_forecast_replica(spark):
+    """Croston per-key recursion against a pure-python replica
+    (started/gap/smoothing states); all-zero series yields NULLs;
+    SBA = 0.75x rate at alpha=0.5; the bounded-series guard raises."""
+    from padua_spark.operators.temporal import croston_forecast
+
+    series = {
+        "k1": [0, 0, 3, 0, 0, 0, 5, 0, 2, 0, 0, 4],
+        "k2": [1, 0, 0, 2, 2, 0, 0, 0, 0, 1],
+        "k3": [0, 0, 0],
+    }
+    rows = [
+        (k, i, float(x))
+        for k, xs in series.items()
+        for i, x in enumerate(xs)
+    ]
+    df = spark.createDataFrame(rows, ["k", "t", "v"])
+    got = {
+        r["k"]: r
+        for r in croston_forecast(df, ["k"], ["t"], "v").collect()
+    }
+    alpha = 0.5
+    for k, xs in series.items():
+        z = p = None
+        q = 0.0
+        started = False
+        for x in xs:
+            qq = q + 1
+            if x > 0:
+                if started:
+                    z = alpha * x + (1 - alpha) * z
+                    p = alpha * qq + (1 - alpha) * p
+                else:
+                    z, p, started = x, qq, True
+                q = 0.0
+            else:
+                q = qq
+        g = got[k]
+        if not started:
+            assert g["forecast"] is None and g["n_nonzero"] == 0
+        else:
+            assert g["demand_level"] == pytest.approx(z, abs=1e-6)
+            assert g["interval_level"] == pytest.approx(p, abs=1e-6)
+            assert g["forecast"] == pytest.approx(z / p, abs=1e-6)
+            assert g["forecast_sba"] == pytest.approx(
+                0.75 * (z / p), abs=1e-6
+            )
+    with pytest.raises(ValueError, match="max_series_length"):
+        croston_forecast(df, ["k"], ["t"], "v", max_series_length=5)
+
+
+def test_abc_analysis_and_two_proportion_effects(spark):
+    """ABC classes match the hand-walked Pareto cumulative; ties
+    classify identically; Newcombe CI and Cohen's h match the
+    closed-form python replica."""
+    import math
+
+    from padua_spark.extensions.quality import abc_analysis
+    from padua_spark.operators.stats import two_proportion_effects
+
+    vals = [
+        ("p1", 500.0), ("p2", 300.0), ("p3", 100.0),
+        ("p4", 50.0), ("p5", 30.0), ("p6", 20.0),
+    ]
+    adf = spark.createDataFrame(vals, ["k", "v"])
+    out = {
+        r["k"]: (r["cum_share"], r["abc_class"])
+        for r in abc_analysis(adf, ["k"], "v").collect()
+    }
+    assert out["p1"] == (0.5, "A") and out["p2"] == (0.8, "A")
+    assert out["p3"][1] == "B" and out["p6"][1] == "C"
+    # ties: two keys with the same total share one class
+    tie = spark.createDataFrame(
+        [("a", 50.0), ("b", 50.0), ("c", 10.0)], ["k", "v"]
+    )
+    tied = {
+        r["k"]: r["abc_class"]
+        for r in abc_analysis(tie, ["k"], "v").collect()
+    }
+    assert tied["a"] == tied["b"]
+
+    na, ka, nb, kb = 400, 130, 350, 80
+    rows = [("a", i < ka) for i in range(na)] + [
+        ("b", i < kb) for i in range(nb)
+    ]
+    tdf = spark.createDataFrame(rows, ["g", "s"])
+    r = two_proportion_effects(
+        tdf, "g", F.col("s"), "a", "b"
+    ).collect()[0]
+    z = 1.959963984540054
+
+    def wilson(k, n):
+        p = k / n
+        c = (p + z * z / (2 * n)) / (1 + z * z / n)
+        h = (
+            z
+            * math.sqrt(p * (1 - p) / n + z * z / (4 * n * n))
+            / (1 + z * z / n)
+        )
+        return p, c - h, c + h
+
+    pa, la, ua = wilson(ka, na)
+    pb, lb, ub = wilson(kb, nb)
+    d = pa - pb
+    assert r["risk_diff"] == pytest.approx(d, abs=1e-6)
+    assert r["rd_ci_lo"] == pytest.approx(
+        d - math.sqrt((pa - la) ** 2 + (ub - pb) ** 2), abs=1e-6
+    )
+    assert r["rd_ci_hi"] == pytest.approx(
+        d + math.sqrt((ua - pa) ** 2 + (pb - lb) ** 2), abs=1e-6
+    )
+    assert r["cohens_h"] == pytest.approx(
+        2 * math.asin(math.sqrt(pa)) - 2 * math.asin(math.sqrt(pb)),
+        abs=1e-6,
+    )
+
+
+def test_propensity_strata_att_replica(spark):
+    """Subclassification ATT against a numpy replica with the same
+    treated-quantile boundary law; recovers a known effect within
+    noise; strata without controls are dropped and counted."""
+    import numpy as np
+
+    from padua_spark.operators.stats import propensity_strata_att
+
+    rng = np.random.RandomState(5)
+    n = 3000
+    score = np.round(rng.uniform(0.05, 0.95, n), 3)
+    treat = (rng.uniform(size=n) < score).astype(int)
+    yv = 2.0 * treat + 3.0 * score + rng.normal(0, 1, n)
+    pdf = spark.createDataFrame(
+        [
+            (int(t), float(o), float(s))
+            for t, o, s in zip(treat, yv, score)
+        ],
+        ["t", "y", "s"],
+    )
+    r = propensity_strata_att(pdf, "t", "y", "s", n_strata=5).collect()[0]
+    tsc = score[treat == 1]
+    vals_u, counts = np.unique(tsc, return_counts=True)
+    crun = np.cumsum(counts)
+    nt = len(tsc)
+    bounds = [
+        vals_u[np.searchsorted(crun, int(np.ceil(q * nt)))]
+        for q in (i / 5 for i in range(1, 5))
+    ]
+    strat = np.ones(n, dtype=int)
+    for b in bounds:
+        strat += (score > b).astype(int)
+    used = [
+        (kk, (strat == kk) & (treat == 1), (strat == kk) & (treat == 0))
+        for kk in range(1, 6)
+    ]
+    used = [(kk, mt, mc) for kk, mt, mc in used
+            if mt.sum() > 0 and mc.sum() > 0]
+    n_used = sum(mt.sum() for _, mt, _ in used)
+    att = sum(
+        mt.sum() / n_used * (yv[mt].mean() - yv[mc].mean())
+        for _, mt, mc in used
+    )
+    assert r["att"] == pytest.approx(att, abs=1e-5)
+    assert r["n_strata_used"] == len(used)
+    assert abs(r["att"] - 2.0) < 0.25  # recovers the planted effect
