@@ -22202,6 +22202,131 @@ def q_propensity_strata_att(spark, sf):
     return propensity_strata_att(e, "t", "y", "s", n_strata=5)
 
 
+# --- ext: rolling correlation per key -----------------------------------------
+
+
+_ROLLING_CORR_ORACLE = """
+WITH e AS (
+  SELECT user_id, epoch_us(ts) AS tu, event_id,
+    CAST(floor(value) AS DOUBLE) AS x,
+    CAST(event_id % 97 AS DOUBLE) AS y
+  FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
+),
+w AS (
+  SELECT user_id, tu, event_id,
+    CAST(count(*) OVER win AS DOUBLE) AS n,
+    sum(x) OVER win AS sx, sum(y) OVER win AS sy,
+    sum(x * x) OVER win AS sxx, sum(y * y) OVER win AS syy,
+    sum(x * y) OVER win AS sxy
+  FROM e
+  WINDOW win AS (PARTITION BY user_id ORDER BY tu, event_id
+                 ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
+)
+SELECT user_id, tu AS _us, event_id,
+  CAST(n AS INT) AS n_w,
+  round(CASE WHEN n >= 2 AND n * sxx - sx * sx > 0
+              AND n * syy - sy * sy > 0
+    THEN (n * sxy - sx * sy)
+      / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)) END, 6)
+    AS rolling_corr
+FROM w
+"""
+
+
+@_q("rolling_correlation", _ROLLING_CORR_ORACLE)
+def q_rolling_correlation(spark, sf):
+    """Trailing-10 rolling Pearson correlation of each user's event
+    value against a deterministic companion series
+    (temporal.rolling_correlation): five shared trailing sums in one
+    ordered window pass per key, exact integer inputs."""
+    from padua_spark.operators.temporal import rolling_correlation
+    from padua_spark.streaming.windows import epoch_us_col
+
+    e = _t(spark, sf, "events")
+    base = e.where(
+        F.col("value").isNotNull() & F.col("ts").isNotNull()
+    ).select(
+        "user_id",
+        epoch_us_col(e, "ts").alias("_us"),
+        "event_id",
+        F.floor(F.col("value")).cast("double").alias("x"),
+        (F.col("event_id") % 97).cast("double").alias("y"),
+    )
+    return rolling_correlation(
+        base, ["user_id"], ["_us", "event_id"], "x", "y", window=10
+    )
+
+
+# --- ext: trend / seasonal strength of a decomposition ------------------------
+
+
+_DECOMP_STRENGTH_ORACLE = f"""
+WITH dec AS (
+  SELECT * FROM ({_SEASONAL_DECOMP_ORACLE})
+),
+mi AS (
+  SELECT user_id,
+    CAST(round(residual * 1000000) AS HUGEINT) AS r,
+    CAST(round(trend * 1000000) AS HUGEINT)
+      + CAST(round(residual * 1000000) AS HUGEINT) AS tr,
+    CAST(round(seasonal * 1000000) AS HUGEINT)
+      + CAST(round(residual * 1000000) AS HUGEINT) AS sr
+  FROM dec
+  WHERE trend IS NOT NULL AND seasonal IS NOT NULL
+    AND residual IS NOT NULL
+),
+agg AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS n_used,
+    sum(r) AS s_r, sum(r * r) AS s_rr,
+    sum(tr) AS s_t, sum(tr * tr) AS s_tt,
+    sum(sr) AS s_s, sum(sr * sr) AS s_ss
+  FROM mi GROUP BY 1
+)
+SELECT user_id, n_used,
+  round(CASE WHEN n_used >= 2
+              AND CAST(n_used * s_tt - s_t * s_t AS DOUBLE) > 0
+    THEN greatest(0.0, 1.0
+      - CAST(n_used * s_rr - s_r * s_r AS DOUBLE)
+        / CAST(n_used * s_tt - s_t * s_t AS DOUBLE)) END, 6)
+    AS trend_strength,
+  round(CASE WHEN n_used >= 2
+              AND CAST(n_used * s_ss - s_s * s_s AS DOUBLE) > 0
+    THEN greatest(0.0, 1.0
+      - CAST(n_used * s_rr - s_r * s_r AS DOUBLE)
+        / CAST(n_used * s_ss - s_s * s_s AS DOUBLE)) END, 6)
+    AS seasonal_strength
+FROM agg
+"""
+
+
+@_q("decomposition_strength", _DECOMP_STRENGTH_ORACLE)
+def q_decomposition_strength(spark, sf):
+    """FPP3 trend/seasonal strength of each user's period-4
+    decomposition (temporal.decomposition_strength over
+    seasonal_decompose): variances from exact integer micro-unit sums
+    in decimal/HUGEINT, one final double ratio."""
+    from padua_spark.operators.temporal import (
+        decomposition_strength,
+        seasonal_decompose,
+    )
+    from padua_spark.streaming.windows import epoch_us_col
+
+    e = _t(spark, sf, "events")
+    base = e.where(
+        F.col("value").isNotNull() & F.col("ts").isNotNull()
+    ).select(
+        "user_id",
+        epoch_us_col(e, "ts").alias("_tu"),
+        "event_id",
+        "value",
+    )
+    dec = seasonal_decompose(
+        base, ["user_id"], ["_tu", "event_id"], "value", period=4,
+        exact_scale=100,
+    )
+    return decomposition_strength(dec, ["user_id"])
+
+
 # ---------------------------------------------------------------------------
 
 

@@ -193,6 +193,8 @@ HEADLINE = [
     "abc_analysis",
     "two_proportion_effects",
     "propensity_strata_att",
+    "rolling_correlation",
+    "decomposition_strength",
     "anova_2way_stats",
     "levene_stats",
     "ttest_paired_stats",

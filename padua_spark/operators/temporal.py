@@ -1567,3 +1567,136 @@ def croston_forecast(
             (F.lit(1.0) - a_ / F.lit(2.0)) * rate, 6
         ).alias("forecast_sba"),
     )
+
+
+def rolling_correlation(
+    df: DataFrame,
+    key_cols: list[str],
+    order_cols: list[str],
+    x_col: str,
+    y_col: str,
+    window: int = 10,
+) -> DataFrame:
+    """Per-key ROLLING Pearson correlation over the trailing
+    ``window`` observations — the co-movement monitor ("are latency
+    and error rate still coupled this hour?") beside
+    :func:`acf_by_key`'s self-correlation:
+
+    ``r = (nΣxy − ΣxΣy) / √((nΣx² − (Σx)²)(nΣy² − (Σy)²))`` over the
+    trailing frame (n = actual rows in frame, < ``window`` at the
+    series head — reported). One ordered window pass per key (five
+    trailing sums share the frame), NULL r where either variance is
+    0 or n < 2.
+
+    Scale shape: all windows partition by the key — never a global
+    sort; the per-group size contract is the ordered-window family's
+    (BENCH_SF1 "per-group ordered windows" note). Output: input keys
+    + order cols + ``(n_w, rolling_corr)``, 6dp.
+
+    Beyond the reference; the standard streaming-finance primitive.
+    """
+    x = F.col(x_col).cast("double")
+    y = F.col(y_col).cast("double")
+    cond = x.isNotNull() & y.isNotNull()
+    for c in order_cols:
+        cond = cond & F.col(c).isNotNull()
+    base = df.where(cond).select(
+        *key_cols, *order_cols, x.alias("_x"), y.alias("_y")
+    )
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy(*[F.col(c).asc() for c in order_cols])
+        .rowsBetween(-(int(window) - 1), 0)
+    )
+    n = F.count(F.lit(1)).over(w).cast("double")
+    sx = F.sum("_x").over(w)
+    sy = F.sum("_y").over(w)
+    sxx = F.sum(F.col("_x") * F.col("_x")).over(w)
+    syy = F.sum(F.col("_y") * F.col("_y")).over(w)
+    sxy = F.sum(F.col("_x") * F.col("_y")).over(w)
+    num = n * sxy - sx * sy
+    vx = n * sxx - sx * sx
+    vy = n * syy - sy * sy
+    r = F.when((n >= 2) & (vx > 0) & (vy > 0), num / F.sqrt(vx * vy))
+    return base.select(
+        *key_cols, *order_cols,
+        n.cast("int").alias("n_w"),
+        F.round(r, 6).alias("rolling_corr"),
+    )
+
+
+def decomposition_strength(
+    df: DataFrame,
+    key_cols: list[str],
+    trend_col: str = "trend",
+    seasonal_col: str = "seasonal",
+    residual_col: str = "residual",
+    exact_scale: int = 1_000_000,
+) -> DataFrame:
+    """Trend and seasonal STRENGTH of a decomposition (Hyndman &
+    Athanasopoulos, *FPP3* §4.3) — the one-number-per-series summary
+    of :func:`seasonal_decompose`'s per-row components ("which series
+    are actually seasonal enough to model seasonally?"):
+
+    ``F_T = max(0, 1 − Var(R)/Var(T + R))`` (variance left after the
+    trend is removed from the deseasonalized series),
+    ``F_S = max(0, 1 − Var(R)/Var(S + R))`` — both in [0, 1].
+
+    Engine-exactness: the component columns are 6dp-rounded by
+    :func:`seasonal_decompose` (exact multiples of 1e−6), so the
+    variances are computed from EXACT integer micro-unit sums in
+    decimal(38,0) (squares overflow int64 — the documented
+    HUGEINT/decimal rule) and only the final ratio divides in double;
+    both engines agree bit-for-bit. ONE aggregation per key over
+    rows with a non-NULL trend. Output per key: ``(keys..., n_used,
+    trend_strength, seasonal_strength)``, 6dp; NULL strengths when
+    the relevant variance is 0 or n < 2.
+
+    Beyond the reference; standard per Hyndman & Athanasopoulos FPP3
+    / Wang, Smith & Hyndman 2006.
+    """
+    sc = int(exact_scale)
+    r = F.round(F.col(residual_col) * sc).cast("decimal(38,0)")
+    t = F.round(F.col(trend_col) * sc).cast("decimal(38,0)")
+    s = F.round(F.col(seasonal_col) * sc).cast("decimal(38,0)")
+    base = df.where(
+        F.col(trend_col).isNotNull()
+        & F.col(seasonal_col).isNotNull()
+        & F.col(residual_col).isNotNull()
+    )
+    tr = t + r
+    sr = s + r
+    agg = base.groupBy(*key_cols).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_used"),
+        F.sum(r).alias("_sr"),
+        F.sum(r * r).alias("_srr"),
+        F.sum(tr).alias("_st"),
+        F.sum(tr * tr).alias("_stt"),
+        F.sum(sr).alias("_ss"),
+        F.sum(sr * sr).alias("_sss"),
+    )
+    nd = F.col("n_used").cast("double")
+
+    def var_num(s1, s2):
+        # n·Σx² − (Σx)² as exact decimal, then double
+        return (
+            F.col("n_used").cast("decimal(38,0)") * F.col(s2)
+            - F.col(s1) * F.col(s1)
+        ).cast("double")
+
+    vr = var_num("_sr", "_srr")
+    vt = var_num("_st", "_stt")
+    vs = var_num("_ss", "_sss")
+    ft = F.when(
+        (F.col("n_used") >= 2) & (vt > 0),
+        F.greatest(F.lit(0.0), F.lit(1.0) - vr / vt),
+    )
+    fs = F.when(
+        (F.col("n_used") >= 2) & (vs > 0),
+        F.greatest(F.lit(0.0), F.lit(1.0) - vr / vs),
+    )
+    return agg.select(
+        *key_cols, "n_used",
+        F.round(ft, 6).alias("trend_strength"),
+        F.round(fs, 6).alias("seasonal_strength"),
+    )

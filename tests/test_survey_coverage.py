@@ -377,6 +377,8 @@ COVERAGE = {
     "E262": "entry:abc_analysis",
     "E263": "entry:two_proportion_effects",
     "E264": "entry:propensity_strata_att",
+    "E265": "entry:rolling_correlation",
+    "E266": "entry:decomposition_strength",
 }
 
 

@@ -9442,3 +9442,80 @@ def test_propensity_strata_att_replica(spark):
     assert r["att"] == pytest.approx(att, abs=1e-5)
     assert r["n_strata_used"] == len(used)
     assert abs(r["att"] - 2.0) < 0.25  # recovers the planted effect
+
+
+def test_rolling_correlation_and_decomposition_strength(spark):
+    """Rolling correlation against numpy per-window corrcoef
+    (including short head windows and NULL-variance guards);
+    decomposition strength matches the FPP3 variance-ratio replica
+    on a planted trend+seasonal series."""
+    import numpy as np
+
+    from padua_spark.operators.temporal import (
+        decomposition_strength,
+        rolling_correlation,
+        seasonal_decompose,
+    )
+
+    rng = np.random.RandomState(2)
+    n = 60
+    x = np.round(rng.normal(10, 3, n), 2)
+    y = np.round(0.6 * x + rng.normal(0, 2, n), 2)
+    df = spark.createDataFrame(
+        [
+            ("k", i, float(a), float(b))
+            for i, (a, b) in enumerate(zip(x, y))
+        ],
+        ["k", "t", "x", "y"],
+    )
+    out = {
+        r["t"]: (r["n_w"], r["rolling_corr"])
+        for r in rolling_correlation(
+            df, ["k"], ["t"], "x", "y", window=10
+        ).collect()
+    }
+    for i in (0, 5, 20, 59):
+        lo = max(0, i - 9)
+        xs, ys = x[lo : i + 1], y[lo : i + 1]
+        assert out[i][0] == len(xs)
+        if len(xs) >= 2 and xs.std() > 0 and ys.std() > 0:
+            assert out[i][1] == pytest.approx(
+                np.corrcoef(xs, ys)[0, 1], abs=1e-5
+            )
+    # constant series -> NULL correlation
+    cdf = spark.createDataFrame(
+        [("k", i, 1.0, float(i)) for i in range(5)],
+        ["k", "t", "x", "y"],
+    )
+    vals = rolling_correlation(
+        cdf, ["k"], ["t"], "x", "y", window=3
+    ).collect()
+    assert all(r["rolling_corr"] is None for r in vals)
+
+    t_idx = np.arange(80)
+    val = np.round(
+        0.5 * t_idx
+        + 5 * np.sin(2 * np.pi * t_idx / 4)
+        + rng.normal(0, 1, 80),
+        2,
+    )
+    sdf = spark.createDataFrame(
+        [("u", int(i), int(i), float(v)) for i, v in enumerate(val)],
+        ["u", "tu", "eid", "value"],
+    )
+    dec = seasonal_decompose(
+        sdf, ["u"], ["tu", "eid"], "value", period=4, exact_scale=100
+    )
+    st = decomposition_strength(dec, ["u"]).collect()[0]
+    rows = dec.where(F.col("trend").isNotNull()).select(
+        "trend", "seasonal", "residual"
+    ).collect()
+    T = np.array([r["trend"] for r in rows])
+    S = np.array([r["seasonal"] for r in rows])
+    R = np.array([r["residual"] for r in rows])
+    ft = max(0.0, 1 - R.var() / (T + R).var())
+    fs = max(0.0, 1 - R.var() / (S + R).var())
+    assert st["n_used"] == len(rows)
+    assert st["trend_strength"] == pytest.approx(ft, abs=1e-6)
+    assert st["seasonal_strength"] == pytest.approx(fs, abs=1e-6)
+    assert st["trend_strength"] > 0.9 and st["seasonal_strength"] > 0.9
