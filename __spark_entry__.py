@@ -22327,6 +22327,134 @@ def q_decomposition_strength(spark, sf):
     return decomposition_strength(dec, ["user_id"])
 
 
+# --- ext: clustering-quality scores (CH index, simplified silhouette) --------
+
+
+_CH_ORACLE = """
+WITH d AS (
+  SELECT label AS c,
+    list_transform(embedding,
+      x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS m
+  FROM embeddings WHERE embedding IS NOT NULL AND label IS NOT NULL
+),
+pos AS (
+  SELECT c, unnest(generate_series(1, len(m))) AS p,
+    unnest(m) AS e
+  FROM d
+),
+percp AS (
+  SELECT c, p, CAST(sum(e) AS HUGEINT) AS s FROM pos GROUP BY 1, 2
+),
+nc AS (SELECT c, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY 1),
+bc AS (
+  SELECT CAST(count(DISTINCT percp.c) AS BIGINT) AS k,
+    sum(CAST(percp.s * percp.s AS DOUBLE) / nc.n) AS bsum
+  FROM percp JOIN nc ON nc.c = percp.c
+),
+gp AS (
+  SELECT p, CAST(sum(e) AS HUGEINT) AS gs FROM pos GROUP BY 1
+),
+g2 AS (SELECT sum(CAST(gs * gs AS DOUBLE)) AS gg FROM gp),
+sq AS (
+  SELECT sum(CAST(CAST(e AS HUGEINT) * CAST(e AS HUGEINT) AS DOUBLE))
+    AS sumsq,
+    CAST(count(DISTINCT 0) AS BIGINT) AS one
+  FROM pos
+),
+ntot AS (SELECT CAST(sum(n) AS BIGINT) AS n FROM nc)
+SELECT ntot.n, bc.k AS k_clusters,
+  round((sq.sumsq - bc.bsum) / 1e12, 6) AS within_ss,
+  round((bc.bsum - g2.gg / ntot.n) / 1e12, 6) AS between_ss,
+  round(CASE WHEN bc.k >= 2 AND ntot.n > bc.k
+              AND sq.sumsq - bc.bsum > 0
+    THEN ((bc.bsum - g2.gg / ntot.n) / (bc.k - 1.0))
+       / ((sq.sumsq - bc.bsum) / (ntot.n - bc.k)) END, 6)
+    AS ch_score
+FROM ntot, bc, g2, sq
+"""
+
+
+@_q("calinski_harabasz", _CH_ORACLE)
+def q_calinski_harabasz(spark, sf):
+    """Calinski-Harabasz variance-ratio score of the embeddings
+    corpus under its ground-truth labels
+    (similarity.calinski_harabasz): every sum of squares an exact
+    integer micro-unit aggregation, one posexplode pass."""
+    from padua_spark.extensions.similarity import calinski_harabasz
+
+    e = _t(spark, sf, "embeddings")
+    return calinski_harabasz(e, "embedding", "label")
+
+
+_SILHOUETTE_ORACLE = """
+WITH d AS (
+  SELECT vec_id, label AS c,
+    list_transform(embedding,
+      x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS m
+  FROM embeddings WHERE embedding IS NOT NULL AND label IS NOT NULL
+),
+pos AS (
+  SELECT c, unnest(generate_series(1, len(m))) AS p,
+    unnest(m) AS e
+  FROM d
+),
+percp AS (
+  SELECT c, p, CAST(sum(e) AS HUGEINT) AS s,
+    CAST(count(*) AS BIGINT) AS n
+  FROM pos GROUP BY 1, 2
+),
+cents AS (
+  SELECT c AS cc, list(CAST(s AS DOUBLE) / n ORDER BY p) AS cent,
+    max(n) AS n
+  FROM percp GROUP BY 1
+),
+dist AS (
+  SELECT d.vec_id, d.c, cents.cc,
+    sqrt(list_reduce(
+      list_prepend(CAST(0.0 AS DOUBLE),
+        list_transform(generate_series(1, len(d.m)),
+          i -> (CAST(d.m[i] AS DOUBLE) - cents.cent[i])
+             * (CAST(d.m[i] AS DOUBLE) - cents.cent[i]))),
+      (a, b) -> a + b)) AS dd
+  FROM d, cents
+),
+ab AS (
+  SELECT vec_id, c,
+    min(CASE WHEN cc = c THEN dd END) AS a,
+    min(CASE WHEN cc <> c THEN dd END) AS b
+  FROM dist GROUP BY 1, 2
+),
+sv AS (
+  SELECT c,
+    round(CASE WHEN b IS NOT NULL AND greatest(a, b) > 0
+      THEN (b - a) / greatest(a, b)
+      WHEN b IS NOT NULL THEN 0.0 END, 9) AS s
+  FROM ab
+),
+pc AS (
+  SELECT c AS cluster, CAST(count(*) AS BIGINT) AS n,
+    avg(s) AS ms
+  FROM sv GROUP BY 1
+)
+SELECT cluster, n, round(ms, 6) AS mean_silhouette,
+  round(sum(ms * n) OVER () / CAST(sum(n) OVER () AS DOUBLE), 6)
+    AS overall
+FROM pc
+"""
+
+
+@_q("silhouette_simplified", _SILHOUETTE_ORACLE)
+def q_silhouette_simplified(spark, sf):
+    """Simplified (centroid-based) silhouette of the embeddings
+    corpus under its ground-truth labels
+    (similarity.silhouette_simplified): exact micro-unit centroids
+    broadcast, one ordered in-row distance fold per (doc, cluster)."""
+    from padua_spark.extensions.similarity import silhouette_simplified
+
+    e = _t(spark, sf, "embeddings")
+    return silhouette_simplified(e, "vec_id", "embedding", "label")
+
+
 # ---------------------------------------------------------------------------
 
 

@@ -195,6 +195,8 @@ HEADLINE = [
     "propensity_strata_att",
     "rolling_correlation",
     "decomposition_strength",
+    "calinski_harabasz",
+    "silhouette_simplified",
     "anova_2way_stats",
     "levene_stats",
     "ttest_paired_stats",

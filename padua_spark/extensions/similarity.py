@@ -1552,3 +1552,252 @@ def rbo_rankings(
         *group_cols, "n_both_topk",
         F.round("_rbo", 6).alias("rbo"),
     )
+
+
+def _cluster_centroid_sums(
+    df: DataFrame,
+    vec_col: str,
+    cluster_col: str,
+    exact_scale: int,
+) -> DataFrame:
+    """Per-cluster exact integer micro-unit position sums:
+    ``(cluster, n, sums: array<bigint>)`` — elements are
+    ``Σ round(x_i·scale)`` in position order. One posexplode + one
+    (cluster, pos) aggregation + one re-assembly; order-free because
+    the sums are integers."""
+    sc = int(exact_scale)
+    pos = df.where(
+        F.col(vec_col).isNotNull() & F.col(cluster_col).isNotNull()
+    ).select(
+        F.col(cluster_col).alias("_c"),
+        F.posexplode(
+            F.transform(
+                F.col(vec_col),
+                lambda x: F.round(x.cast("double") * sc).cast(
+                    "bigint"
+                ),
+            )
+        ).alias("_p", "_e"),
+    )
+    per = pos.groupBy("_c", "_p").agg(
+        F.sum("_e").alias("_s"),
+        F.count(F.lit(1)).cast("bigint").alias("_n"),
+    )
+    return per.groupBy("_c").agg(
+        F.max("_n").alias("n"),
+        F.transform(
+            F.sort_array(
+                F.collect_list(F.struct("_p", "_s"))
+            ),
+            lambda e: e["_s"],
+        ).alias("sums"),
+    )
+
+
+def calinski_harabasz(
+    df: DataFrame,
+    vec_col: str,
+    cluster_col: str,
+    exact_scale: int = 1_000_000,
+) -> DataFrame:
+    """Calinski–Harabasz index (variance-ratio criterion) of a
+    cluster assignment over an embedding column — the cheap global
+    "are these clusters real?" score (higher = tighter, better
+    separated), computable WITHOUT any per-pair or per-doc-to-centroid
+    distance pass:
+
+    ``CH = (B/(k−1)) / (W/(n−k))`` with
+    ``W = Σ‖x‖² − Σ_c ‖s_c‖²/n_c`` and
+    ``B = Σ_c ‖s_c‖²/n_c − ‖s‖²/n`` (the classical sum-of-squares
+    identities — only SUMS are needed).
+
+    Engine-exactness: vectors are converted to integer micro-units
+    (``round(x·scale)``), so every sum of squares is an exact
+    decimal(38,0)/HUGEINT aggregation; the divisions happen once in
+    double. ONE posexplode pass for the cluster sums + one scan-side
+    fold for ``Σ‖x‖²``. Output 1 row: ``(n, k_clusters, within_ss,
+    between_ss, ch_score)`` — SS in squared micro-units scaled back
+    by ``scale²`` (6dp); NULLs when k < 2 or n ≤ k.
+
+    Beyond the reference; standard per Caliński & Harabasz 1974.
+    """
+    sc = int(exact_scale)
+    cen = _cluster_centroid_sums(df, vec_col, cluster_col, sc)
+    per_c = cen.select(
+        "n",
+        F.aggregate(
+            "sums",
+            F.lit(0).cast("decimal(38,0)"),
+            lambda acc, s: acc
+            + (s.cast("decimal(38,0)") * s.cast("decimal(38,0)")),
+        ).alias("_ss2"),
+    )
+    cagg = per_c.agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum("n").cast("bigint").alias("n_tot"),
+        F.sum(
+            F.col("_ss2").cast("double") / F.col("n").cast("double")
+        ).alias("_bc"),
+    ).withColumn("_one", F.lit(1))
+    # global sums: Σ‖x‖² exactly, and the grand per-position sums
+    micro = F.transform(
+        F.col(vec_col),
+        lambda x: F.round(x.cast("double") * sc).cast("bigint"),
+    )
+    doc = df.where(
+        F.col(vec_col).isNotNull() & F.col(cluster_col).isNotNull()
+    ).select(micro.alias("_m"))
+    tot = doc.select(
+        F.aggregate(
+            "_m",
+            F.lit(0).cast("decimal(38,0)"),
+            lambda acc, e: acc
+            + (e.cast("decimal(38,0)") * e.cast("decimal(38,0)")),
+        ).alias("_sq"),
+        F.col("_m").alias("_m2"),
+    )
+    grand = tot.select(
+        "_sq", F.posexplode("_m2").alias("_p", "_e")
+    ).groupBy("_p").agg(
+        F.sum("_e").alias("_gs"),
+        F.sum(
+            F.when(F.col("_p") == 0, F.col("_sq")).otherwise(
+                F.lit(0).cast("decimal(38,0)")
+            )
+        ).alias("_sqpart"),
+    ).agg(
+        F.sum(
+            F.col("_gs").cast("decimal(38,0)")
+            * F.col("_gs").cast("decimal(38,0)")
+        ).cast("double").alias("_g2"),
+        F.sum("_sqpart").cast("double").alias("_sumsq"),
+    ).withColumn("_one", F.lit(1))
+    j = cagg.join(F.broadcast(grand), on="_one")
+    nd = F.col("n_tot").cast("double")
+    kd = F.col("k").cast("double")
+    within = F.col("_sumsq") - F.col("_bc")
+    between = F.col("_bc") - F.col("_g2") / nd
+    ch = F.when(
+        (F.col("k") >= 2) & (nd > kd) & (within > 0),
+        (between / (kd - 1.0)) / (within / (nd - kd)),
+    )
+    s2 = float(sc) * float(sc)
+    out = j.select(
+        F.col("n_tot").alias("n"),
+        F.col("k").alias("k_clusters"),
+        F.round(within / s2, 6).alias("within_ss"),
+        F.round(between / s2, 6).alias("between_ss"),
+        F.round(ch, 6).alias("ch_score"),
+    )
+    return out
+
+
+def silhouette_simplified(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    cluster_col: str,
+    exact_scale: int = 1_000_000,
+    max_clusters: int = 256,
+) -> DataFrame:
+    """Simplified (centroid-based) silhouette of a cluster assignment
+    — per-document ``s = (b − a)/max(a, b)`` with ``a`` the L2
+    distance to the OWN centroid and ``b`` the nearest OTHER centroid
+    (the medoid-free variant sklearn calls "simplified"; exact
+    silhouette needs all pairwise distances — quadratic and off the
+    table at corpus scale):
+
+    centroids come from the exact integer micro-unit sums
+    (:func:`calinski_harabasz`'s construction), are bounded by an
+    enforced ``max_clusters`` guard and BROADCAST; each document
+    computes its k distances in one ordered in-row fold (zip over
+    positions — both engines add the same floats in the same order).
+    Output per cluster: ``(cluster, n, mean_silhouette)`` plus the
+    ``overall`` mean repeated per row (window over ≤k rows), 6dp;
+    NULL silhouette when k < 2.
+
+    Beyond the reference; standard per Rousseeuw 1987 (simplified
+    form).
+    """
+    from pyspark import StorageLevel
+    from pyspark.sql import Window
+
+    from padua_spark.io_utils import track_cached
+
+    sc = int(exact_scale)
+    cen = _cluster_centroid_sums(df, vec_col, cluster_col, sc).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    k = cen.count()
+    if k > max_clusters:
+        cen.unpersist()
+        raise ValueError(
+            f"silhouette_simplified: {k} clusters exceed "
+            f"max_clusters={max_clusters} — every document computes "
+            "k distances; coarsen the assignment first"
+        )
+    cents = cen.select(
+        F.col("_c").alias("_cc"),
+        F.transform(
+            F.zip_with(
+                "sums",
+                F.array_repeat(F.col("n"), F.size("sums")),
+                lambda s, nn: s.cast("double") / nn.cast("double"),
+            ),
+            lambda x: x,
+        ).alias("_cent"),
+    )
+    micro = F.transform(
+        F.col(vec_col),
+        lambda x: F.round(x.cast("double") * sc).cast("bigint"),
+    )
+    doc = df.where(
+        F.col(vec_col).isNotNull() & F.col(cluster_col).isNotNull()
+    ).select(
+        F.col(id_col).alias("_id"),
+        F.col(cluster_col).alias("_c"),
+        micro.alias("_m"),
+    )
+    dist2 = F.aggregate(
+        F.zip_with(
+            "_m", F.col("_cent"),
+            lambda e, c: (e.cast("double") - c)
+            * (e.cast("double") - c),
+        ),
+        F.lit(0.0),
+        lambda acc, d: acc + d,
+    )
+    per = doc.join(F.broadcast(cents)).select(
+        "_id", "_c", "_cc", F.sqrt(dist2).alias("_d")
+    )
+    ab = per.groupBy("_id", "_c").agg(
+        F.min(
+            F.when(F.col("_cc") == F.col("_c"), F.col("_d"))
+        ).alias("_a"),
+        F.min(
+            F.when(F.col("_cc") != F.col("_c"), F.col("_d"))
+        ).alias("_b"),
+    )
+    s = F.when(
+        F.col("_b").isNotNull()
+        & (F.greatest(F.col("_a"), F.col("_b")) > 0),
+        (F.col("_b") - F.col("_a"))
+        / F.greatest(F.col("_a"), F.col("_b")),
+    ).when(F.col("_b").isNotNull(), F.lit(0.0))
+    per_doc = ab.select("_c", F.round(s, 9).alias("_s"))
+    per_cluster = per_doc.groupBy(F.col("_c").alias("cluster")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.avg("_s").alias("_ms"),
+    )
+    w = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    overall = F.sum(
+        F.col("_ms") * F.col("n").cast("double")
+    ).over(w) / F.sum(F.col("n")).over(w).cast("double")
+    out = per_cluster.select(
+        "cluster", "n",
+        F.round("_ms", 6).alias("mean_silhouette"),
+        F.round(overall, 6).alias("overall"),
+    )
+    return track_cached(out, cen)

@@ -404,6 +404,9 @@ def test_no_cartesian_products_anywhere(spark):
         # bounded distinct-value cell grids (enforced max_cells guard)
         # cross-joined with the smaller side broadcast
         "hodges_lehmann_shift", "hodges_lehmann_pseudomedian",
+        # 1-row scalar frames joined on a constant key (CH) and the
+        # bounded broadcast centroid cross (enforced max_clusters)
+        "calinski_harabasz", "silhouette_simplified",
         # 1-row totals/limits frames broadcast onto bounded frames
         "gains_table", "brier_decomposition", "bland_altman",
         "icc_2_1", "assortativity", "morans_i",

@@ -9519,3 +9519,80 @@ def test_rolling_correlation_and_decomposition_strength(spark):
     assert st["trend_strength"] == pytest.approx(ft, abs=1e-6)
     assert st["seasonal_strength"] == pytest.approx(fs, abs=1e-6)
     assert st["trend_strength"] > 0.9 and st["seasonal_strength"] > 0.9
+
+
+def test_clustering_eval_scores_vs_numpy(spark):
+    """CH index against the numpy sum-of-squares identities on planted
+    clusters; simplified silhouette per-cluster and overall means
+    match the per-point replica; max_clusters guard raises; silhouette
+    is high on well-separated clusters."""
+    import numpy as np
+
+    from padua_spark.extensions.similarity import (
+        calinski_harabasz,
+        silhouette_simplified,
+    )
+
+    rng = np.random.RandomState(9)
+    centers = rng.normal(0, 5, (3, 8))
+    X, C = [], []
+    for c in range(3):
+        X.append(centers[c] + rng.normal(0, 1, (40, 8)))
+        C += [c] * 40
+    X = np.round(np.vstack(X), 4)
+    C = np.array(C)
+    df = spark.createDataFrame(
+        [
+            (i, [float(v) for v in X[i]], int(C[i]))
+            for i in range(len(C))
+        ],
+        "id int, vec array<double>, cl int",
+    )
+    r = calinski_harabasz(df, "vec", "cl").collect()[0]
+    M = np.round(X * 1e6)
+    n, k = len(C), 3
+    sumsq = (M ** 2).sum()
+    bc = sum(
+        (M[C == c].sum(0) ** 2).sum() / (C == c).sum()
+        for c in range(3)
+    )
+    g2 = (M.sum(0) ** 2).sum()
+    W, B = sumsq - bc, bc - g2 / n
+    assert r["n"] == n and r["k_clusters"] == k
+    assert r["ch_score"] == pytest.approx(
+        (B / (k - 1)) / (W / (n - k)), rel=1e-6
+    )
+
+    rows = {
+        row["cluster"]: row
+        for row in silhouette_simplified(
+            df, "id", "vec", "cl"
+        ).collect()
+    }
+    cents = {c: M[C == c].sum(0) / (C == c).sum() for c in range(3)}
+    svals = {c: [] for c in range(3)}
+    for i in range(n):
+        d = {
+            c: np.sqrt(((M[i] - cents[c]) ** 2).sum())
+            for c in range(3)
+        }
+        a = d[C[i]]
+        b = min(v for c, v in d.items() if c != C[i])
+        svals[C[i]].append(
+            round((b - a) / max(a, b), 9) if max(a, b) > 0 else 0.0
+        )
+    allv = []
+    for c in range(3):
+        assert rows[c]["mean_silhouette"] == pytest.approx(
+            float(np.mean(svals[c])), abs=1e-6
+        )
+        allv += svals[c]
+    assert rows[0]["overall"] == pytest.approx(
+        float(np.mean(allv)), abs=1e-6
+    )
+    assert rows[0]["overall"] > 0.7  # planted separation
+
+    with pytest.raises(ValueError, match="max_clusters"):
+        silhouette_simplified(
+            df, "id", "vec", "cl", max_clusters=2
+        ).collect()
