@@ -22455,6 +22455,234 @@ def q_silhouette_simplified(spark, sf):
     return silhouette_simplified(e, "vec_id", "embedding", "label")
 
 
+# --- ext: binned numeric divergences (KL/JS/Bhattacharyya) --------------------
+
+
+_BINNED_DIV_ORACLE = """
+WITH base AS (
+  SELECT CASE WHEN user_id % 2 = 0 THEN 'a' ELSE 'b' END AS g,
+    CAST(value AS DOUBLE) AS v
+  FROM events WHERE value IS NOT NULL
+),
+per AS (
+  SELECT CAST(greatest(0, least(9,
+      CAST(floor((v - 0.0) / 50.0) AS INT))) AS INT) AS bin,
+    CAST(sum(CASE WHEN g = 'a' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+    CAST(sum(CASE WHEN g = 'b' THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+  FROM base GROUP BY 1
+),
+t AS (
+  SELECT bin, n_a, n_b,
+    (CAST(n_a AS DOUBLE) + 0.5)
+      / (CAST(sum(n_a) OVER () AS DOUBLE) + 5.0) AS pa,
+    (CAST(n_b AS DOUBLE) + 0.5)
+      / (CAST(sum(n_b) OVER () AS DOUBLE) + 5.0) AS pb
+  FROM per
+),
+s AS (
+  SELECT bin, n_a, n_b, pa, pb,
+    pa * ln(pa / pb) AS klab,
+    pb * ln(pb / pa) AS klba,
+    0.5 * (pa * ln(pa / ((pa + pb) / 2.0))
+           + pb * ln(pb / ((pa + pb) / 2.0))) AS jst,
+    sqrt(pa * pb) AS bct
+  FROM t
+)
+SELECT bin, n_a, n_b, round(pa, 6) AS p_a, round(pb, 6) AS p_b,
+  round(klab, 6) AS kl_ab_term, round(jst, 6) AS js_term,
+  round(bct, 6) AS bc_term,
+  round(sum(klab) OVER (), 6) AS kl_ab,
+  round(sum(klba) OVER (), 6) AS kl_ba,
+  round(sum(jst) OVER (), 6) AS js,
+  round(-ln(sum(bct) OVER ()), 6) AS bhattacharyya
+FROM s
+"""
+
+
+@_q("binned_divergences", _BINNED_DIV_ORACLE)
+def q_binned_divergences(spark, sf):
+    """KL/JS/Bhattacharyya drift between even- and odd-user event
+    values over fixed [0, 500] deciles
+    (quality.binned_divergences): psi_drift's bin law with the
+    bounded information-theoretic metrics."""
+    from padua_spark.extensions.quality import binned_divergences
+
+    e = _t(spark, sf, "events").select(
+        F.when(F.col("user_id") % 2 == 0, F.lit("a"))
+        .otherwise(F.lit("b")).alias("g"),
+        F.col("value"),
+    )
+    return binned_divergences(
+        e, "g", "a", "b", "value", 0.0, 500.0, 10
+    )
+
+
+# --- ext: MMR diversified re-ranking -------------------------------------------
+
+
+def _mmr_oracle(k: int = 10, lam: float = 0.7) -> str:
+    def cos(ca: str, sa: str) -> str:
+        dot = (
+            "CAST(list_reduce(list_prepend(CAST(0 AS HUGEINT), "
+            f"list_transform(generate_series(1, len({ca}.m)), "
+            f"i -> CAST({ca}.m[i] AS HUGEINT) "
+            f"* CAST({sa}.m[i] AS HUGEINT))), (a, b) -> a + b) "
+            "AS DOUBLE)"
+        )
+        return (
+            f"CASE WHEN {ca}.nrm * {sa}.nrm > 0 "
+            f"THEN {dot} / ({ca}.nrm * {sa}.nrm) ELSE 0.0 END"
+        )
+
+    parts = [f"""
+WITH cand AS MATERIALIZED (
+  SELECT vec_id AS id,
+    CAST(vec_id % 97 AS DOUBLE) / 97.0 AS score,
+    list_transform(embedding,
+      x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS m,
+    sqrt(CAST(list_reduce(list_prepend(CAST(0 AS HUGEINT),
+      list_transform(embedding,
+        x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)
+           * CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT))),
+      (a, b) -> a + b) AS DOUBLE)) AS nrm
+  FROM embeddings
+  WHERE embedding IS NOT NULL AND vec_id IS NOT NULL
+),
+sel1 AS MATERIALIZED (
+  SELECT id, score, m, nrm, CAST({lam!r} AS DOUBLE) * score AS mmr
+  FROM cand ORDER BY mmr DESC, id LIMIT 1
+),
+ms1 AS MATERIALIZED (
+  SELECT c.id, {cos('c', 's')} AS ms
+  FROM cand c, sel1 s
+)"""]
+    for j in range(2, k + 1):
+        excl = " UNION ALL ".join(
+            f"SELECT id FROM sel{i}" for i in range(1, j)
+        )
+        parts.append(f""",
+sel{j} AS MATERIALIZED (
+  SELECT c.id, c.score, c.m, c.nrm,
+    CAST({lam!r} AS DOUBLE) * c.score
+      - CAST({1.0 - lam!r} AS DOUBLE) * ms.ms AS mmr
+  FROM cand c JOIN ms{j - 1} ms ON ms.id = c.id
+  WHERE c.id NOT IN ({excl})
+  ORDER BY mmr DESC, c.id LIMIT 1
+)""")
+        if j < k:
+            parts.append(f""",
+ms{j} AS MATERIALIZED (
+  SELECT m.id, greatest(m.ms, {cos('c', 's')}) AS ms
+  FROM ms{j - 1} m JOIN cand c ON c.id = m.id, sel{j} s
+)""")
+    union = "\nUNION ALL\n".join(
+        f"SELECT {i} AS rank, id, round(score, 6) AS score, "
+        f"round(mmr, 6) AS mmr_score FROM sel{i}"
+        for i in range(1, k + 1)
+    )
+    parts.append(f"\n{union}\n")
+    return "".join(parts)
+
+
+@_q("mmr_rerank", _mmr_oracle())
+def q_mmr_rerank(spark, sf):
+    """MMR diversified top-10 over the embeddings pool with a
+    deterministic pseudo-relevance score
+    (similarity.mmr_rerank, λ=0.7): exact int64 micro-unit cosines,
+    bounded-pool greedy; the oracle unrolls the same greedy as k
+    chained CTE levels."""
+    from padua_spark.extensions.similarity import mmr_rerank
+
+    e = _t(spark, sf, "embeddings").where(
+        F.col("embedding").isNotNull() & F.col("vec_id").isNotNull()
+    ).select(
+        "vec_id", "embedding",
+        ((F.col("vec_id") % 97).cast("double") / 97.0).alias(
+            "rel_score"
+        ),
+    )
+    out = mmr_rerank(
+        e, "vec_id", "embedding", "rel_score", k=10, lam=0.7,
+        max_candidates=50_000,
+    )
+    return out.select(
+        "rank", F.col("id").alias("id"),
+        F.round("score", 6).alias("score"), "mmr_score",
+    )
+
+
+# --- ext: windowed n-gram novelty (streaming front half) ----------------------
+
+
+def _windowed_novelty_oracle() -> str:
+    m = 2147483647
+    coefs = [(1000000007 ** j) % m for j in range(5)]
+    acc = "CAST(0 AS BIGINT)"
+    for j, c in enumerate(coefs):
+        acc = f"(({acc} + th[i + {j}] * {c}) % {m})"
+    return f"""
+WITH t AS (
+  SELECT doc_id,
+    list_transform(string_split(text, ' '), w -> list_reduce(
+        list_prepend(CAST(7 AS BIGINT),
+          list_transform(list_filter(string_split(w, ''), c -> c <> ''),
+                         c -> CAST(ord(c) AS BIGINT))),
+        (a, c) -> (a * 131 + c) % {m})) AS th
+  FROM documents WHERE text IS NOT NULL
+),
+g AS (
+  SELECT doc_id,
+    list_distinct(list_transform(generate_series(1, len(th) - 4),
+                                 i -> {acc})) AS sh
+  FROM t WHERE len(th) >= 5
+),
+rf AS (
+  SELECT DISTINCT shingle FROM (
+    SELECT unnest(sh) AS shingle FROM g WHERE doc_id % 7 = 0
+  )
+),
+tr AS (
+  SELECT (doc_id * 60 // 3600) * 3600 AS ws,
+    unnest(sh) AS shingle
+  FROM g WHERE doc_id % 7 <> 0
+)
+SELECT tr.ws AS window_start_epoch,
+  CAST(count(*) AS BIGINT) AS n_ngrams,
+  CAST(sum(CASE WHEN rf.shingle IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_novel,
+  round(CAST(sum(CASE WHEN rf.shingle IS NULL THEN 1 ELSE 0 END)
+    AS DOUBLE) / count(*), 6) AS novelty_rate
+FROM tr LEFT JOIN rf ON tr.shingle = rf.shingle
+GROUP BY 1
+"""
+
+
+@_q("windowed_novelty", _windowed_novelty_oracle())
+def q_windowed_novelty(spark, sf):
+    """Per-hour n-gram novelty of the 6/7 train split against the 1/7
+    static reference on a doc_id-derived event time
+    (streaming.windowed_novelty): stream-static left join + one
+    stateful two-integer aggregation per window; stream==batch parity
+    is pytest-gated, this entry gates the batch twin."""
+    from padua_spark.streaming import windowed_novelty
+
+    d = _t(spark, sf, "documents")
+    ref = d.where(F.col("doc_id") % 7 == 0)
+    tr = d.where(F.col("doc_id") % 7 != 0).withColumn(
+        "_ts", F.timestamp_seconds(F.col("doc_id") * 60)
+    )
+    out = windowed_novelty(
+        tr, F.col("_ts"), "text", ref, n_tokens=5,
+        window_duration="1 hour",
+    )
+    return out.select(
+        F.col("window_start").cast("long").alias(
+            "window_start_epoch"
+        ),
+        "n_ngrams", "n_novel", "novelty_rate",
+    )
+
+
 # ---------------------------------------------------------------------------
 
 

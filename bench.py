@@ -197,6 +197,9 @@ HEADLINE = [
     "decomposition_strength",
     "calinski_harabasz",
     "silhouette_simplified",
+    "binned_divergences",
+    "mmr_rerank",
+    "windowed_novelty",
     "anova_2way_stats",
     "levene_stats",
     "ttest_paired_stats",

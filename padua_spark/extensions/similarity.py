@@ -1801,3 +1801,113 @@ def silhouette_simplified(
         F.round(overall, 6).alias("overall"),
     )
     return track_cached(out, cen)
+
+
+def mmr_rerank(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    score_col: str,
+    k: int = 10,
+    lam: float = 0.7,
+    max_candidates: int = 5000,
+    exact_scale: int = 1_000_000,
+) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein
+    1998) — diversify a retrieval pool: greedily pick the candidate
+    maximizing ``λ·relevance − (1−λ)·max_{s∈selected} cos(d, s)``,
+    so near-duplicates of already-chosen results are pushed down
+    (the standard RAG/context-packing diversifier on top of
+    :func:`brute_force_topk`'s relevance-only order).
+
+    Scale contract: MMR is inherently sequential (each pick depends
+    on all previous picks) and runs on a RERANK POOL, not a corpus —
+    the candidate frame is counted first and an explicit
+    ``max_candidates`` guard raises above the bound (the
+    stuart_maxwell bounded-collect discipline); the greedy then runs
+    driver-side over int64 micro-unit vectors, so every dot product
+    and norm is EXACT integer arithmetic (numpy int64; 64-dim
+    micro-unit dots stay < 2⁶³) and the cosine doubles are
+    bit-identical to any engine computing from the same integers.
+    Ties break toward the smaller id. Output: ``(rank, id, score,
+    mmr_score)`` for the first ``k`` picks, 6dp.
+
+    Beyond the reference; standard per Carbonell & Goldstein 1998.
+    """
+    import numpy as np
+
+    from pyspark import StorageLevel
+
+    sc = int(exact_scale)
+    base = df.where(
+        F.col(id_col).isNotNull()
+        & F.col(vec_col).isNotNull()
+        & F.col(score_col).isNotNull()
+    ).select(
+        F.col(id_col).alias("_id"),
+        F.col(score_col).cast("double").alias("_score"),
+        F.transform(
+            F.col(vec_col),
+            lambda x: F.round(x.cast("double") * sc).cast("bigint"),
+        ).alias("_m"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    n = base.count()
+    if n > max_candidates:
+        base.unpersist()
+        raise ValueError(
+            f"mmr_rerank: {n} candidates exceed "
+            f"max_candidates={max_candidates} — MMR is a RERANK of a "
+            "bounded pool; pre-select with brute_force_topk/ivf_topk "
+            "first"
+        )
+    rows = base.collect()
+    base.unpersist()
+    spark = df.sparkSession
+    schema = (
+        "rank int, id {}, score double, mmr_score double".format(
+            df.schema[id_col].dataType.simpleString()
+        )
+    )
+    if not rows:
+        return spark.createDataFrame([], schema)
+    ids = [r["_id"] for r in rows]
+    scores = np.array([r["_score"] for r in rows], dtype=np.float64)
+    mat = np.array([r["_m"] for r in rows], dtype=np.int64)
+    norms = np.sqrt((mat * mat).sum(axis=1).astype(np.float64))
+    lam_f = float(lam)
+    selected: list[int] = []
+    # the max over selected sims can be NEGATIVE (anti-correlated
+    # vectors REWARD selection) — initialize at -inf, not 0
+    max_sim = np.full(len(ids), -np.inf, dtype=np.float64)
+    taken = np.zeros(len(ids), dtype=bool)
+    out = []
+    for rank in range(1, min(int(k), len(ids)) + 1):
+        if selected:
+            mmr = lam_f * scores - (1.0 - lam_f) * max_sim
+        else:
+            mmr = lam_f * scores
+        best = None
+        for i in range(len(ids)):
+            if taken[i]:
+                continue
+            key = (mmr[i], ids[i])
+            if best is None or key[0] > best[0] or (
+                key[0] == best[0] and key[1] < best[1]
+            ):
+                best = (key[0], key[1], i)
+        _, _, bi = best
+        taken[bi] = True
+        selected.append(bi)
+        out.append(
+            (rank, ids[bi], float(scores[bi]), round(float(
+                mmr[bi]
+            ), 6))
+        )
+        # refresh max-sim against the newly selected vector: exact
+        # int64 dots, then one double division
+        dots = (mat @ mat[bi]).astype(np.float64)
+        denom = norms * norms[bi]
+        with np.errstate(invalid="ignore", divide="ignore"):
+            sims = np.where(denom > 0, dots / denom, 0.0)
+        max_sim = np.maximum(max_sim, sims)
+    return spark.createDataFrame(out, schema)

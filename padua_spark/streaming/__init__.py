@@ -25,6 +25,7 @@ from padua_spark.streaming.windows import (  # noqa: F401
     windowed_confusion,
     windowed_ddsketch,
     windowed_ece,
+    windowed_novelty,
     windowed_quality_screen,
     windowed_token_counts,
     windowed_value_histogram,

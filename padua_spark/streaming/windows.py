@@ -923,3 +923,88 @@ def windowed_quality_screen(
         ).alias("pass_rate"),
         *[r.replace("rule_", "fail_") for r in rule_names],
     )
+
+
+def windowed_novelty(
+    df: DataFrame,
+    ts_col: Column,
+    text_col: str,
+    ref_df: DataFrame,
+    n_tokens: int = 13,
+    window_duration: str = "1 hour",
+    watermark: str | None = None,
+    broadcast_ref: bool = True,
+) -> DataFrame:
+    """Per-tumbling-window n-gram novelty against a STATIC reference
+    corpus — the streaming face of
+    :func:`padua_spark.extensions.dedup.ngram_novelty` ("is this
+    hour's crawl new material, or a rehash of the existing corpus?"):
+
+    each document's distinct token-hash windows are computed
+    scan-side (``array_distinct`` in-row — the per-doc dedup needs no
+    state), exploded, and LEFT-joined against the distinct reference
+    window set — a STREAM-STATIC join, stateless by construction —
+    then ONE stateful aggregation to two exact integers per window
+    (doc-gram pairs seen / novel). O(1) state per window; late shards
+    merge by adding counts. Documents shorter than ``n_tokens`` emit
+    nothing (the strict :func:`~padua_spark.extensions.dedup.
+    decontaminate_ngrams` convention).
+
+    Output per window: ``(window_start, window_end, n_ngrams,
+    n_novel, novelty_rate)``, rate 6dp.
+    """
+    from padua_spark.extensions.dedup import (
+        _shingles_from_token_hashes,
+        token_hashes,
+    )
+
+    withts = df.where(F.col(text_col).isNotNull()).select(
+        ts_col.alias("_event_time"),
+        token_hashes(F.col(text_col)).alias("_th"),
+    ).where(F.size("_th") >= n_tokens).select(
+        "_event_time",
+        F.array_distinct(
+            _shingles_from_token_hashes(F.col("_th"), n_tokens)
+        ).alias("_grams"),
+    )
+    if watermark and withts.isStreaming:
+        withts = withts.withWatermark("_event_time", watermark)
+    exploded = withts.select(
+        "_event_time", F.explode("_grams").alias("_sh")
+    )
+    ref = (
+        ref_df.where(F.col(text_col).isNotNull())
+        .select(token_hashes(F.col(text_col)).alias("_th"))
+        .where(F.size("_th") >= n_tokens)
+        .select(
+            F.explode(
+                F.array_distinct(
+                    _shingles_from_token_hashes(
+                        F.col("_th"), n_tokens
+                    )
+                )
+            ).alias("_sh")
+        )
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    if broadcast_ref:
+        ref = F.broadcast(ref)
+    joined = exploded.join(ref, on="_sh", how="left")
+    agg = joined.groupBy(
+        F.window("_event_time", window_duration).alias("_w")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_ngrams"),
+        F.sum(F.col("_hit").isNull().cast("int")).cast("bigint")
+        .alias("n_novel"),
+    )
+    return agg.select(
+        F.col("_w.start").alias("window_start"),
+        F.col("_w.end").alias("window_end"),
+        "n_ngrams", "n_novel",
+        F.round(
+            F.col("n_novel").cast("double")
+            / F.col("n_ngrams").cast("double"),
+            6,
+        ).alias("novelty_rate"),
+    )

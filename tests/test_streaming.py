@@ -961,3 +961,58 @@ def test_stream_equals_batch_windowed_quality_screen(spark, docs_dir):
     }
     for ws, vals in got.items():
         assert ref[ws][0] == vals[0] and ref[ws][1] == vals[1]
+
+
+def test_stream_equals_batch_windowed_novelty(spark, docs_dir):
+    """Windowed n-gram novelty is a stream-static left join plus one
+    two-integer stateful aggregation: identical windows on stream and
+    batch, and the window sums reconcile with batch ngram_novelty on
+    the same hourly keys."""
+    from padua_spark.extensions.dedup import ngram_novelty
+    from padua_spark.streaming import windowed_novelty
+
+    batch = spark.read.parquet(docs_dir)
+    ref = batch.where(F.col("doc_id") % 7 == 0)
+    stream = spark.readStream.schema(batch.schema).parquet(docs_dir)
+    et = F.timestamp_seconds(F.col("doc_id") * 60)
+
+    def build(df):
+        tr = df.where(F.col("doc_id") % 7 != 0).withColumn("_ts", et)
+        return windowed_novelty(
+            tr, F.col("_ts"), "text", ref, n_tokens=5,
+            window_duration="1 hour", watermark="2 hours",
+        )
+
+    q = (
+        build(stream)
+        .writeStream.format("memory")
+        .queryName("t_winnov")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(180)
+    cols = ["n_ngrams", "n_novel", "novelty_rate"]
+    got = {
+        r["window_start"]: tuple(r[c] for c in cols)
+        for r in spark.sql("SELECT * FROM t_winnov").collect()
+    }
+    exp = {
+        r["window_start"]: tuple(r[c] for c in cols)
+        for r in build(batch).collect()
+    }
+    assert got == exp and len(got) > 1
+    # window sums reconcile with the batch per-doc operator
+    tr = batch.where(F.col("doc_id") % 7 != 0)
+    per_doc = ngram_novelty(
+        tr, ref, "doc_id", "text", n_tokens=5
+    ).withColumn("_h", F.date_trunc("hour", et))
+    ref_sums = {
+        r["_h"]: (r["s1"], r["s2"])
+        for r in per_doc.groupBy("_h").agg(
+            F.sum("n_ngrams").alias("s1"),
+            F.sum("n_novel").alias("s2"),
+        ).collect()
+    }
+    for ws, vals in got.items():
+        assert ref_sums[ws] == (vals[0], vals[1])

@@ -9596,3 +9596,118 @@ def test_clustering_eval_scores_vs_numpy(spark):
         silhouette_simplified(
             df, "id", "vec", "cl", max_clusters=2
         ).collect()
+
+
+def test_mmr_rerank_replica_and_guard(spark):
+    """MMR greedy against a python replica using exact integer-micro
+    cosines — including NEGATIVE max-similarities (anti-correlated
+    vectors reward selection; the zeros-init bug the oracle caught);
+    tie goes to the smaller id; the pool guard raises."""
+    import numpy as np
+
+    from padua_spark.extensions.similarity import mmr_rerank
+
+    rng = np.random.RandomState(4)
+    X = np.round(rng.normal(0, 1, (40, 8)), 4)
+    scores = np.round(rng.uniform(0, 1, 40), 4)
+    df = spark.createDataFrame(
+        [
+            (i, [float(v) for v in X[i]], float(scores[i]))
+            for i in range(40)
+        ],
+        "id int, vec array<double>, score double",
+    )
+    got = [
+        (r["rank"], r["id"], r["mmr_score"])
+        for r in mmr_rerank(
+            df, "id", "vec", "score", k=6, lam=0.7
+        ).collect()
+    ]
+    M = np.round(X * 1e6).astype(np.int64)
+    norms = np.sqrt((M * M).sum(1).astype(float))
+    taken = [False] * 40
+    max_sim = np.full(40, -np.inf)
+    exp = []
+    selected = False
+    for rank in range(1, 7):
+        mmr = (
+            0.7 * scores - 0.3 * max_sim
+            if selected
+            else 0.7 * scores
+        )
+        best = None
+        for i in range(40):
+            if taken[i]:
+                continue
+            if (
+                best is None
+                or mmr[i] > best[0]
+                or (mmr[i] == best[0] and i < best[1])
+            ):
+                best = (mmr[i], i)
+        i = best[1]
+        taken[i] = True
+        selected = True
+        exp.append((rank, i, round(float(best[0]), 6)))
+        dots = (M @ M[i]).astype(float)
+        sims = np.where(
+            norms * norms[i] > 0, dots / (norms * norms[i]), 0.0
+        )
+        max_sim = np.maximum(max_sim, sims)
+    assert got == exp
+    with pytest.raises(ValueError, match="max_candidates"):
+        mmr_rerank(df, "id", "vec", "score", max_candidates=10)
+
+
+def test_binned_divergences_replica(spark):
+    """KL/JS/Bhattacharyya against a python replica with the same
+    Laplace smoothing; JS bounded by ln 2; identical slices give
+    (near) zero divergence."""
+    import math
+
+    import numpy as np
+
+    from padua_spark.extensions.quality import binned_divergences
+
+    rng = np.random.RandomState(4)
+    a = rng.normal(50, 15, 2000)
+    b = rng.normal(58, 18, 1500)
+    df = spark.createDataFrame(
+        [("a", float(x)) for x in a] + [("b", float(x)) for x in b],
+        ["g", "v"],
+    )
+    out = binned_divergences(
+        df, "g", "a", "b", "v", 0.0, 100.0, 10
+    ).collect()
+    na = np.bincount(
+        np.clip(np.floor(a / 10).astype(int), 0, 9), minlength=10
+    )
+    nb = np.bincount(
+        np.clip(np.floor(b / 10).astype(int), 0, 9), minlength=10
+    )
+    obs = sorted(set(np.nonzero(na + nb)[0]))
+    ta, tb = na.sum(), nb.sum()
+    kl = js = bc = 0.0
+    for i in obs:
+        pa = (na[i] + 0.5) / (ta + 5)
+        pb = (nb[i] + 0.5) / (tb + 5)
+        kl += pa * math.log(pa / pb)
+        m = (pa + pb) / 2
+        js += 0.5 * (pa * math.log(pa / m) + pb * math.log(pb / m))
+        bc += math.sqrt(pa * pb)
+    r0 = out[0]
+    assert r0["kl_ab"] == pytest.approx(kl, abs=1e-6)
+    assert r0["js"] == pytest.approx(js, abs=1e-6)
+    assert r0["bhattacharyya"] == pytest.approx(
+        -math.log(bc), abs=1e-6
+    )
+    assert 0 <= r0["js"] <= math.log(2) + 1e-9
+
+    same = spark.createDataFrame(
+        [("a", float(x)) for x in a] + [("b", float(x)) for x in a],
+        ["g", "v"],
+    )
+    s0 = binned_divergences(
+        same, "g", "a", "b", "v", 0.0, 100.0, 10
+    ).collect()[0]
+    assert abs(s0["js"]) < 1e-6 and abs(s0["kl_ab"]) < 1e-6
