@@ -22683,6 +22683,272 @@ def q_windowed_novelty(spark, sf):
     )
 
 
+# --- ext: Fleming-Harrington weighted log-rank --------------------------------
+
+
+_FH_ORACLE = """
+WITH e AS (
+  SELECT user_id, epoch_us(ts) AS tu, event_type FROM events
+),
+u AS (
+  SELECT user_id,
+    min(tu) AS t0,
+    max(tu) AS t_last,
+    min(CASE WHEN event_type = 'error' THEN tu END) AS t_err
+  FROM e GROUP BY user_id
+),
+subj AS (
+  SELECT user_id % 2 AS cohort,
+    CASE WHEN t_err IS NOT NULL
+      THEN CAST(floor((t_err - t0) / 3600000000.0) AS BIGINT)
+      ELSE CAST(floor((t_last - t0) / 3600000000.0) AS BIGINT)
+    END AS dur,
+    CASE WHEN t_err IS NOT NULL THEN 1 ELSE 0 END AS ev
+  FROM u
+),
+per AS (
+  SELECT CAST(dur AS DOUBLE) AS t,
+    CAST(sum(CASE WHEN cohort = 0 THEN ev ELSE 0 END) AS BIGINT) AS ev_a,
+    CAST(count(*) FILTER (WHERE cohort = 0) AS BIGINT) AS lv_a,
+    CAST(sum(CASE WHEN cohort = 1 THEN ev ELSE 0 END) AS BIGINT) AS ev_b,
+    CAST(count(*) FILTER (WHERE cohort = 1) AS BIGINT) AS lv_b
+  FROM subj GROUP BY 1
+),
+run AS (
+  SELECT *,
+    sum(lv_a) OVER w AS lv_a_run, sum(lv_b) OVER w AS lv_b_run,
+    sum(lv_a) OVER () AS lv_a_tot, sum(lv_b) OVER () AS lv_b_tot
+  FROM per
+  WINDOW w AS (ORDER BY t
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+terms AS (
+  SELECT t, ev_a, ev_b, lv_a_tot, lv_b_tot,
+    lv_a_tot - (lv_a_run - lv_a) AS n_a,
+    lv_b_tot - (lv_b_run - lv_b) AS n_b
+  FROM run
+),
+lf AS (
+  SELECT t, ev_a, ev_b, lv_a_tot, lv_b_tot, n_a, n_b,
+    ev_a + ev_b AS d, n_a + n_b AS n,
+    CASE WHEN ev_a + ev_b > 0 AND n_a + n_b > ev_a + ev_b
+      THEN ln(CAST(n_a + n_b - ev_a - ev_b AS DOUBLE)
+              / CAST(n_a + n_b AS DOUBLE))
+      ELSE 0.0 END AS logf
+  FROM terms
+),
+run2 AS (
+  SELECT *,
+    sum(logf) OVER (ORDER BY t
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS lf_run
+  FROM lf
+),
+wt AS (
+  SELECT *,
+    pow(exp(lf_run - logf), CAST(1.0 AS DOUBLE)) AS w,
+    CAST(n_a AS DOUBLE) / n AS ra
+  FROM run2
+),
+agg AS (
+  SELECT
+    CAST(max(lv_a_tot) AS BIGINT) AS n_a,
+    CAST(max(lv_b_tot) AS BIGINT) AS n_b,
+    CAST(sum(ev_a) AS BIGINT) AS observed_a,
+    sum(w * (CAST(ev_a AS DOUBLE)
+      - CASE WHEN d > 0 THEN CAST(d AS DOUBLE) * ra ELSE 0.0 END))
+      AS oe,
+    sum(w * CASE WHEN d > 0 THEN CAST(d AS DOUBLE) * ra
+        ELSE 0.0 END) AS ew,
+    sum(w * w * CASE WHEN d > 0 AND n > 1 THEN
+      CAST(d AS DOUBLE) * ra * (1.0 - ra)
+      * CAST(n - d AS DOUBLE) / CAST(n - 1 AS DOUBLE)
+      ELSE 0.0 END) AS v
+  FROM wt
+),
+chi AS (
+  SELECT *, CASE WHEN v > 0 THEN oe * oe / v END AS chi2 FROM agg
+),
+ez AS (
+  SELECT *, abs(sqrt(chi2)) / sqrt(2.0) AS x,
+    1.0 / (1.0 + 0.3275911 * (abs(sqrt(chi2)) / sqrt(2.0))) AS tt
+  FROM chi
+)
+SELECT n_a, n_b, CAST(1.0 AS DOUBLE) AS rho, observed_a,
+  round(ew, 6) AS expected_a_w,
+  round(chi2, 6) AS chi2,
+  round(CASE WHEN chi2 IS NOT NULL THEN
+    (0.254829592 * tt + -0.284496736 * tt * tt
+     + 1.421413741 * tt * tt * tt + -1.453152027 * tt * tt * tt * tt
+     + 1.061405429 * tt * tt * tt * tt * tt) * exp(-x * x) END, 6)
+    AS p_value
+FROM ez
+"""
+
+
+@_q("fleming_harrington_test", _FH_ORACLE)
+def q_fleming_harrington_test(spark, sf):
+    """Fleming-Harrington G^1 weighted log-rank on time-to-first-error
+    between even/odd user cohorts (stats.fleming_harrington_test):
+    the logrank_test fixture with KM-survival weights from one extra
+    stepped-cumsum pass over the log factors."""
+    from padua_spark.operators.stats import fleming_harrington_test
+    from padua_spark.streaming.windows import epoch_us_col
+
+    base = _t(spark, sf, "events")
+    ev = base.select(
+        "user_id",
+        epoch_us_col(base, "ts").alias("_tu"),
+        "event_type",
+    )
+    u = ev.groupBy("user_id").agg(
+        F.min("_tu").alias("_t0"),
+        F.max("_tu").alias("_tl"),
+        F.min(
+            F.when(F.col("event_type") == "error", F.col("_tu"))
+        ).alias("_te"),
+    )
+    subj = u.select(
+        (F.col("user_id") % 2).alias("cohort"),
+        F.floor(
+            (
+                F.coalesce(F.col("_te"), F.col("_tl"))
+                - F.col("_t0")
+            ) / 3600000000.0
+        ).cast("double").alias("dur"),
+        F.col("_te").isNotNull().cast("int").alias("ev"),
+    )
+    return fleming_harrington_test(
+        subj, "cohort", "dur", "ev", 0, 1, rho=1.0
+    )
+
+
+# --- ext: sample L-moments ------------------------------------------------------
+
+
+_LMOMENTS_ORACLE = """
+WITH per AS (
+  SELECT CAST(l_extendedprice AS DOUBLE) AS v,
+    CAST(count(*) AS BIGINT) AS c
+  FROM lineitem WHERE l_extendedprice IS NOT NULL GROUP BY 1
+),
+run AS (
+  SELECT v, c,
+    sum(c) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS rn,
+    sum(c) OVER () AS n
+  FROM per
+),
+stage AS (
+  SELECT v, CAST(rn AS DOUBLE) AS pc,
+    CAST(rn - c AS DOUBLE) AS p, CAST(n AS BIGINT) AS n
+  FROM run
+),
+agg AS (
+  SELECT max(n) AS n,
+    sum(v * ((1.0 * pc) / 1.0 - (1.0 * p) / 1.0)) AS t0,
+    sum(v * ((1.0 * pc * (pc - 1.0)) / 2.0
+           - (1.0 * p * (p - 1.0)) / 2.0)) AS t1,
+    sum(v * ((1.0 * pc * (pc - 1.0) * (pc - 2.0)) / 6.0
+           - (1.0 * p * (p - 1.0) * (p - 2.0)) / 6.0)) AS t2,
+    sum(v * ((1.0 * pc * (pc - 1.0) * (pc - 2.0) * (pc - 3.0)) / 24.0
+           - (1.0 * p * (p - 1.0) * (p - 2.0) * (p - 3.0)) / 24.0))
+      AS t3
+  FROM stage
+),
+b AS (
+  SELECT CAST(n AS BIGINT) AS n,
+    t0 / n AS b0,
+    CASE WHEN n >= 2 THEN t1 / (n * ((1.0 * (n - 1.0)) / 1.0)) END
+      AS b1,
+    CASE WHEN n >= 3 THEN
+      t2 / (n * ((1.0 * (n - 1.0) * (n - 2.0)) / 2.0)) END AS b2,
+    CASE WHEN n >= 4 THEN
+      t3 / (n * ((1.0 * (n - 1.0) * (n - 2.0) * (n - 3.0)) / 6.0))
+      END AS b3
+  FROM agg
+),
+l AS (
+  SELECT n, b0 AS l1, 2.0 * b1 - b0 AS l2,
+    6.0 * b2 - 6.0 * b1 + b0 AS l3,
+    20.0 * b3 - 30.0 * b2 + 12.0 * b1 - b0 AS l4
+  FROM b
+)
+SELECT n, round(l1, 6) AS l1, round(l2, 6) AS l2,
+  round(l3, 6) AS l3, round(l4, 6) AS l4,
+  round(CASE WHEN l1 <> 0 THEN l2 / l1 END, 6) AS l_cv,
+  round(CASE WHEN l2 <> 0 THEN l3 / l2 END, 6) AS l_skew,
+  round(CASE WHEN l2 <> 0 THEN l4 / l2 END, 6) AS l_kurt
+FROM l
+"""
+
+
+@_q("l_moments", _LMOMENTS_ORACLE)
+def q_l_moments(spark, sf):
+    """Sample L-moments and L-ratios of the extended-price
+    distribution (stats.l_moments): tie-block hockey-stick weights
+    over the stepped cumsum — no per-row ranks materialized."""
+    from padua_spark.operators.stats import l_moments
+
+    li = _t(spark, sf, "lineitem")
+    return l_moments(li, "l_extendedprice")
+
+
+# --- ext: log-log price elasticity ---------------------------------------------
+
+
+_ELASTICITY_ORACLE = """
+WITH base AS (
+  SELECT l_returnflag AS g,
+    ln(CAST(l_extendedprice AS DOUBLE)
+       / CAST(l_quantity AS DOUBLE)) AS x,
+    ln(CAST(l_quantity AS DOUBLE)) AS y
+  FROM lineitem
+  WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL
+    AND l_extendedprice / l_quantity > 0 AND l_quantity > 0
+),
+agg AS (
+  SELECT g, CAST(count(*) AS BIGINT) AS n,
+    sum(x) AS sx, sum(y) AS sy, sum(x * x) AS sxx,
+    sum(y * y) AS syy, sum(x * y) AS sxy
+  FROM base GROUP BY 1
+)
+SELECT g AS l_returnflag, n,
+  round(CASE WHEN n >= 2 AND n * sxx - sx * sx > 0
+    THEN (n * sxy - sx * sy) / (n * sxx - sx * sx) END, 6)
+    AS elasticity,
+  round(CASE WHEN n >= 2 AND n * sxx - sx * sx > 0
+    THEN (sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx)
+         / n END, 6) AS intercept,
+  round(CASE WHEN n >= 2 AND n * sxx - sx * sx > 0
+              AND n * syy - sy * sy > 0
+    THEN (n * sxy - sx * sy) * (n * sxy - sx * sy)
+      / ((n * sxx - sx * sx) * (n * syy - sy * sy)) END, 6) AS r2
+FROM agg
+"""
+
+
+@_q("log_log_elasticity", _ELASTICITY_ORACLE)
+def q_log_log_elasticity(spark, sf):
+    """Log-log price elasticity of quantity on unit price per return
+    flag (temporal.log_log_elasticity): one six-sum aggregation per
+    key, closed-form OLS."""
+    from padua_spark.operators.temporal import log_log_elasticity
+
+    li = _t(spark, sf, "lineitem").where(
+        F.col("l_extendedprice").isNotNull()
+        & F.col("l_quantity").isNotNull()
+    ).select(
+        F.col("l_returnflag"),
+        (
+            F.col("l_extendedprice").cast("double")
+            / F.col("l_quantity").cast("double")
+        ).alias("unit_price"),
+        F.col("l_quantity"),
+    )
+    return log_log_elasticity(
+        li, ["l_returnflag"], "unit_price", "l_quantity"
+    )
+
+
 # ---------------------------------------------------------------------------
 
 

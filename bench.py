@@ -200,6 +200,9 @@ HEADLINE = [
     "binned_divergences",
     "mmr_rerank",
     "windowed_novelty",
+    "fleming_harrington_test",
+    "l_moments",
+    "log_log_elasticity",
     "anova_2way_stats",
     "levene_stats",
     "ttest_paired_stats",

@@ -1700,3 +1700,59 @@ def decomposition_strength(
         F.round(ft, 6).alias("trend_strength"),
         F.round(fs, 6).alias("seasonal_strength"),
     )
+
+
+def log_log_elasticity(
+    df: DataFrame,
+    key_cols: list[str],
+    price_col: str,
+    qty_col: str,
+) -> DataFrame:
+    """Per-key log-log price elasticity — the constant-elasticity
+    regression every pricing analysis starts with:
+    ``ln q = α + β·ln p`` fit by OLS per key, so ``β`` is the percent
+    demand change per percent price change (β < −1 elastic,
+    −1 < β < 0 inelastic):
+
+    ``β = (nΣxy − ΣxΣy)/(nΣx² − (Σx)²)`` over ``x = ln p, y = ln q``
+    with R² alongside; rows with non-positive price or quantity are
+    excluded (logs undefined — the documented contract).
+
+    ONE aggregation per key, six sums, closed-form after — the
+    :func:`~padua_spark.operators.stats.linregress` shape grouped.
+    Output per key: ``(keys..., n, elasticity, intercept, r2)``, 6dp;
+    NULL fit when n < 2 or the price column is constant.
+
+    Beyond the reference; the standard econometric primitive.
+    """
+    p = F.col(price_col).cast("double")
+    q = F.col(qty_col).cast("double")
+    base = df.where(
+        p.isNotNull() & q.isNotNull() & (p > 0) & (q > 0)
+    ).select(
+        *key_cols, F.log(p).alias("_x"), F.log(q).alias("_y")
+    )
+    agg = base.groupBy(*key_cols).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("_x").alias("_sx"),
+        F.sum("_y").alias("_sy"),
+        F.sum(F.col("_x") * F.col("_x")).alias("_sxx"),
+        F.sum(F.col("_y") * F.col("_y")).alias("_syy"),
+        F.sum(F.col("_x") * F.col("_y")).alias("_sxy"),
+    )
+    nd = F.col("n").cast("double")
+    vx = nd * F.col("_sxx") - F.col("_sx") * F.col("_sx")
+    vy = nd * F.col("_syy") - F.col("_sy") * F.col("_sy")
+    cov = nd * F.col("_sxy") - F.col("_sx") * F.col("_sy")
+    ok = (F.col("n") >= 2) & (vx > 0)
+    beta = F.when(ok, cov / vx)
+    alpha = F.when(
+        ok, (F.col("_sy") - beta * F.col("_sx")) / nd
+    )
+    r2 = F.when(ok & (vy > 0), cov * cov / (vx * vy))
+    return agg.select(
+        *key_cols, "n",
+        F.round(beta, 6).alias("elasticity"),
+        F.round(alpha, 6).alias("intercept"),
+        F.round(r2, 6).alias("r2"),
+    )

@@ -9711,3 +9711,96 @@ def test_binned_divergences_replica(spark):
         same, "g", "a", "b", "v", 0.0, 100.0, 10
     ).collect()[0]
     assert abs(s0["js"]) < 1e-6 and abs(s0["kl_ab"]) < 1e-6
+
+
+def test_fleming_harrington_and_l_moments(spark):
+    """FH at rho=0 equals the plain log-rank chi2; rho=1 matches a
+    python KM-weighted replica; L-moments match the direct
+    order-statistic formula including tie blocks; elasticity recovers
+    a planted log-log slope."""
+    import math
+
+    import numpy as np
+
+    from padua_spark.operators.stats import (
+        fleming_harrington_test,
+        l_moments,
+        logrank_test,
+    )
+    from padua_spark.operators.temporal import log_log_elasticity
+
+    rng = np.random.RandomState(6)
+    na, nb = 200, 180
+    ta = np.ceil(rng.exponential(10, na))
+    ea = (rng.uniform(size=na) < 0.8).astype(int)
+    tb = np.ceil(rng.exponential(14, nb))
+    eb = (rng.uniform(size=nb) < 0.75).astype(int)
+    rows = [("a", float(t), int(e)) for t, e in zip(ta, ea)] + [
+        ("b", float(t), int(e)) for t, e in zip(tb, eb)
+    ]
+    df = spark.createDataFrame(rows, ["g", "t", "e"])
+    fh0 = fleming_harrington_test(
+        df, "g", "t", "e", "a", "b", rho=0.0
+    ).collect()[0]
+    lr = logrank_test(df, "g", "t", "e", "a", "b").collect()[0]
+    assert fh0["chi2"] == pytest.approx(lr["chi2"], abs=2e-6)
+
+    def fh_py(rho):
+        times = sorted(set(list(ta) + list(tb)))
+        oe = vv = 0.0
+        S = 1.0
+        for t in times:
+            na_r = (ta >= t).sum()
+            nb_r = (tb >= t).sum()
+            da = ((ta == t) & (ea == 1)).sum()
+            db = ((tb == t) & (eb == 1)).sum()
+            d, n = da + db, na_r + nb_r
+            w = S ** rho
+            if d > 0:
+                ra = na_r / n
+                oe += w * (da - d * ra)
+                if n > 1:
+                    vv += w * w * d * ra * (1 - ra) * (n - d) / (n - 1)
+                S *= (n - d) / n
+        return oe * oe / vv
+
+    fh1 = fleming_harrington_test(
+        df, "g", "t", "e", "a", "b", rho=1.0
+    ).collect()[0]
+    assert fh1["chi2"] == pytest.approx(fh_py(1.0), abs=1e-5)
+
+    x = np.round(rng.gamma(2, 3, 500), 2)  # rounding makes tie blocks
+    ldf = spark.createDataFrame([(float(v),) for v in x], ["v"])
+    r = l_moments(ldf, "v").collect()[0]
+    xs = np.sort(x)
+    n = len(xs)
+
+    def bcoef(rr):
+        w = np.array(
+            [math.comb(i, rr) for i in range(n)], dtype=float
+        )
+        return (w @ xs) / (n * math.comb(n - 1, rr))
+
+    b0, b1, b2, b3 = [bcoef(i) for i in range(4)]
+    assert r["l1"] == pytest.approx(b0, abs=1e-5)
+    assert r["l2"] == pytest.approx(2 * b1 - b0, abs=1e-5)
+    assert r["l3"] == pytest.approx(6 * b2 - 6 * b1 + b0, abs=1e-5)
+    assert r["l4"] == pytest.approx(
+        20 * b3 - 30 * b2 + 12 * b1 - b0, abs=1e-5
+    )
+    assert r["l_skew"] == pytest.approx(
+        (6 * b2 - 6 * b1 + b0) / (2 * b1 - b0), abs=1e-5
+    )
+
+    pv = np.round(rng.uniform(1, 20, 300), 2)
+    qv = np.round(
+        50 * pv ** (-1.3) * np.exp(rng.normal(0, 0.2, 300)), 3
+    )
+    edf = spark.createDataFrame(
+        [("k", float(a), float(b)) for a, b in zip(pv, qv)],
+        ["k", "p", "q"],
+    )
+    re = log_log_elasticity(edf, ["k"], "p", "q").collect()[0]
+    beta = np.polyfit(np.log(pv), np.log(qv), 1)[0]
+    assert re["elasticity"] == pytest.approx(beta, abs=1e-5)
+    assert abs(re["elasticity"] + 1.3) < 0.1
