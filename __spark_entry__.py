@@ -22949,6 +22949,116 @@ def q_log_log_elasticity(spark, sf):
     )
 
 
+# --- ext: hard-negative mining for contrastive training -----------------------
+
+
+_HNM_ORACLE = """
+WITH anch AS (
+  SELECT vec_id AS aid, label AS alab,
+    CAST(embedding AS DOUBLE[]) AS av
+  FROM embeddings
+  WHERE vec_id % 50 = 0 AND embedding IS NOT NULL
+    AND label IS NOT NULL
+),
+corpus AS (
+  SELECT vec_id AS cid, label AS clab,
+    CAST(embedding AS DOUBLE[]) AS cv
+  FROM embeddings
+  WHERE embedding IS NOT NULL AND label IS NOT NULL
+),
+scored AS (
+  SELECT a.aid, c.cid, a.alab, c.clab,
+    list_dot_product(c.cv, a.av)
+      / (sqrt(list_dot_product(c.cv, c.cv))
+         * sqrt(list_dot_product(a.av, a.av))) AS sim
+  FROM corpus c, anch a
+  WHERE a.alab <> c.clab AND a.aid <> c.cid
+),
+ranked AS (
+  SELECT aid, cid, alab, clab, sim,
+    row_number() OVER (PARTITION BY aid ORDER BY sim DESC, cid)
+      AS rn
+  FROM scored
+)
+SELECT aid AS anchor_id, cid AS negative_id,
+  alab AS anchor_label, clab AS negative_label,
+  round(sim, 6) AS cosine_sim, CAST(rn AS INT) AS rank
+FROM ranked WHERE rn <= 5
+"""
+
+
+@_q("hard_negative_mining", _HNM_ORACLE)
+def q_hard_negative_mining(spark, sf):
+    """Top-5 different-label hard negatives for every 50th embedding
+    (similarity.hard_negative_mining): knn_join's broadcast-anchor
+    plan with a label veto before the rank-limit window."""
+    from padua_spark.extensions.similarity import hard_negative_mining
+
+    e = _t(spark, sf, "embeddings")
+    anchors = e.where(F.col("vec_id") % 50 == 0)
+    return hard_negative_mining(
+        e, "vec_id", "embedding", "label", anchors, k=5
+    )
+
+
+# --- ext: Rayleigh circular-uniformity test ------------------------------------
+
+
+_RAYLEIGH_ORACLE = """
+WITH base AS (
+  SELECT 2.0 * pi()
+    * (CAST(epoch_us(ts) % 86400000000 AS DOUBLE) / 86400000000.0)
+    AS theta
+  FROM events WHERE ts IS NOT NULL
+),
+agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+    sum(cos(theta)) AS c, sum(sin(theta)) AS s
+  FROM base
+),
+st AS (
+  SELECT n, c, s,
+    sqrt(c * c + s * s) / n AS rbar
+  FROM agg
+),
+z AS (
+  SELECT n, c, s, rbar, n * rbar * rbar AS zz FROM st
+)
+SELECT n,
+  round(CASE WHEN n > 0 THEN atan2(s, c) END, 6) AS mean_direction,
+  round(rbar, 6) AS r_bar,
+  round(1.0 - rbar, 6) AS circ_variance,
+  round(zz, 6) AS rayleigh_z,
+  round(CASE WHEN n > 0 THEN greatest(0.0, least(
+    exp(-zz) * (1.0 + (2.0 * zz - zz * zz) / (4.0 * n)
+      - (24.0 * zz - 132.0 * zz * zz + 76.0 * zz * zz * zz
+         - 9.0 * zz * zz * zz * zz) / (288.0 * n * n)), 1.0)) END, 6)
+    AS p_value
+FROM z
+"""
+
+
+@_q("rayleigh_uniformity", _RAYLEIGH_ORACLE)
+def q_rayleigh_uniformity(spark, sf):
+    """Rayleigh uniformity of event time-of-day phases
+    (temporal.rayleigh_uniformity): two trig sums, Zar's finite-n
+    p correction — is traffic uniform over the 24h clock?"""
+    from padua_spark.operators.temporal import rayleigh_uniformity
+    from padua_spark.streaming.windows import epoch_us_col
+
+    e = _t(spark, sf, "events")
+    base = e.where(F.col("ts").isNotNull()).select(
+        (
+            2.0 * 3.141592653589793
+            * (
+                (epoch_us_col(e, "ts") % 86400000000).cast("double")
+                / 86400000000.0
+            )
+        ).alias("theta")
+    )
+    return rayleigh_uniformity(base, "theta")
+
+
 # ---------------------------------------------------------------------------
 
 

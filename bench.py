@@ -203,6 +203,8 @@ HEADLINE = [
     "fleming_harrington_test",
     "l_moments",
     "log_log_elasticity",
+    "hard_negative_mining",
+    "rayleigh_uniformity",
     "anova_2way_stats",
     "levene_stats",
     "ttest_paired_stats",

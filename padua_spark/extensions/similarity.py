@@ -1911,3 +1911,115 @@ def mmr_rerank(
             sims = np.where(denom > 0, dots / denom, 0.0)
         max_sim = np.maximum(max_sim, sims)
     return spark.createDataFrame(out, schema)
+
+
+def hard_negative_mining(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    label_col: str,
+    anchors: DataFrame,
+    k: int = 10,
+    max_anchors: int = 10_000,
+) -> DataFrame:
+    """Hard-negative mining for contrastive training — for each
+    ANCHOR, the ``k`` most-similar corpus items with a DIFFERENT
+    label (the negatives that actually teach the model something;
+    random negatives are trivially separable):
+
+    the :func:`knn_join` plan with a label veto: the anchor set (ids
+    from ``anchors``, joined to their corpus rows) is collapsed to a
+    one-row (id, label, vector, norm) struct array and BROADCAST
+    under an enforced ``max_anchors`` guard, so the corpus is scanned
+    ONCE, never shuffled by anything vector-ish; same-label pairs and
+    self-pairs are dropped before the per-anchor rank-limit window
+    (WindowGroupLimit prunes to k per task before the exchange).
+    Ties break by corpus id. Output: ``(anchor_id, negative_id,
+    anchor_label, negative_label, cosine_sim, rank)``, sim 6dp.
+
+    Beyond the reference; the standard contrastive-pipeline miner
+    (e.g. dense-retrieval hard negatives).
+    """
+    from pyspark import StorageLevel
+    from pyspark.sql import Window
+
+    base = df.where(
+        F.col(id_col).isNotNull()
+        & F.col(vec_col).isNotNull()
+        & F.col(label_col).isNotNull()
+    ).select(
+        F.col(id_col).alias("_cid"),
+        F.col(label_col).alias("_clab"),
+        _as_double(F.col(vec_col)).alias("_v"),
+    ).withColumn("_nrm", l2_norm(F.col("_v")))
+    an = anchors.select(
+        F.col(id_col).alias("_aid")
+    ).where(F.col("_aid").isNotNull()).distinct().persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    n_anchors = an.count()
+    if n_anchors > max_anchors:
+        an.unpersist()
+        raise ValueError(
+            f"hard_negative_mining: {n_anchors} anchors exceed "
+            f"max_anchors={max_anchors} — the anchor block is "
+            "broadcast; mine in batches"
+        )
+    arow = (
+        base.join(an, base["_cid"] == an["_aid"])
+        .select(
+            F.struct(
+                F.col("_cid").alias("aid"),
+                F.col("_clab").alias("alab"),
+                F.col("_v").alias("av"),
+                F.col("_nrm").alias("an"),
+            ).alias("_a")
+        )
+        .agg(F.sort_array(F.collect_list("_a")).alias("_as"))
+    )
+    v, nrm = F.col("_v"), F.col("_nrm")
+    scored = (
+        base.crossJoin(F.broadcast(arow))
+        .select(
+            "_cid", "_clab",
+            F.explode(
+                F.transform(
+                    F.col("_as"),
+                    lambda a: F.struct(
+                        a["aid"].alias("aid"),
+                        a["alab"].alias("alab"),
+                        (
+                            dot(v, a["av"]) / (nrm * a["an"])
+                        ).alias("sim"),
+                    ),
+                )
+            ).alias("_s"),
+        )
+        .where(
+            (F.col("_s.alab") != F.col("_clab"))
+            & (F.col("_s.aid") != F.col("_cid"))
+        )
+        .select(
+            F.col("_s.aid").alias("anchor_id"),
+            F.col("_cid").alias("negative_id"),
+            F.col("_s.alab").alias("anchor_label"),
+            F.col("_clab").alias("negative_label"),
+            F.col("_s.sim").alias("_sim"),
+        )
+    )
+    w = Window.partitionBy("anchor_id").orderBy(
+        F.col("_sim").desc(), F.col("negative_id").asc()
+    )
+    out = (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= F.lit(int(k)))
+        .select(
+            "anchor_id", "negative_id", "anchor_label",
+            "negative_label",
+            F.round("_sim", 6).alias("cosine_sim"),
+            F.col("_rn").cast("int").alias("rank"),
+        )
+    )
+    from padua_spark.io_utils import track_cached
+
+    return track_cached(out, an)

@@ -1756,3 +1756,67 @@ def log_log_elasticity(
         F.round(alpha, 6).alias("intercept"),
         F.round(r2, 6).alias("r2"),
     )
+
+
+def rayleigh_uniformity(
+    df: DataFrame,
+    angle_col: str,
+) -> DataFrame:
+    """Rayleigh test of circular uniformity + the circular summary
+    statistics — "is traffic uniform over the day, or is there a peak
+    hour?" for any periodic phase (radians; derive from a timestamp
+    as ``2π·seconds_into_period/period``):
+
+    ``R̄ = √((Σcosθ)² + (Σsinθ)²)/n``, mean direction
+    ``μ = atan2(Σsinθ, Σcosθ)``, circular variance ``1 − R̄``,
+    ``z = n·R̄²`` with Zar's finite-n p-value correction
+    ``p = e^{−z}[1 + (2z − z²)/(4n) − (24z − 132z² + 76z³ −
+    9z⁴)/(288n²)]`` clamped to [0, 1].
+
+    ONE aggregation (two trig sums); output 1 row: ``(n,
+    mean_direction, r_bar, circ_variance, rayleigh_z, p_value)``,
+    6dp; NULLs when n = 0.
+
+    Beyond the reference; standard per Rayleigh 1880 / Zar,
+    *Biostatistical Analysis* §27.
+    """
+    a = F.col(angle_col).cast("double")
+    agg = df.where(a.isNotNull()).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.cos(a)).alias("_c"),
+        F.sum(F.sin(a)).alias("_s"),
+    )
+    nd = F.col("n").cast("double")
+    rbar = F.when(
+        F.col("n") > 0,
+        F.sqrt(F.col("_c") * F.col("_c") + F.col("_s") * F.col("_s"))
+        / nd,
+    )
+    z = nd * rbar * rbar
+    p = F.exp(-z) * (
+        1.0
+        + (2.0 * z - z * z) / (4.0 * nd)
+        - (
+            24.0 * z
+            - 132.0 * z * z
+            + 76.0 * z * z * z
+            - 9.0 * z * z * z * z
+        ) / (288.0 * nd * nd)
+    )
+    return agg.select(
+        "n",
+        F.round(
+            F.when(F.col("n") > 0, F.atan2(F.col("_s"), F.col("_c"))),
+            6,
+        ).alias("mean_direction"),
+        F.round(rbar, 6).alias("r_bar"),
+        F.round(1.0 - rbar, 6).alias("circ_variance"),
+        F.round(z, 6).alias("rayleigh_z"),
+        F.round(
+            F.when(
+                F.col("n") > 0,
+                F.greatest(F.lit(0.0), F.least(p, F.lit(1.0))),
+            ),
+            6,
+        ).alias("p_value"),
+    )

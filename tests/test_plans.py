@@ -440,6 +440,9 @@ def test_no_cartesian_products_anywhere(spark):
         "bm25_topk",
         # knn_join's one-row broadcast query block (same as knn_join)
         "retrieval_precision",
+        # knn_join's shape with a one-row broadcast ANCHOR block
+        # (enforced max_anchors guard)
+        "hard_negative_mining",
         # composes ivf_topk + brute_force_topk — inherits their 1-row
         # broadcast query/probe sides
         "ann_recall",

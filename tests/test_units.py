@@ -9804,3 +9804,78 @@ def test_fleming_harrington_and_l_moments(spark):
     beta = np.polyfit(np.log(pv), np.log(qv), 1)[0]
     assert re["elasticity"] == pytest.approx(beta, abs=1e-5)
     assert abs(re["elasticity"] + 1.3) < 0.1
+
+
+def test_hard_negative_mining_and_rayleigh(spark):
+    """Hard negatives match the brute-force different-label top-k
+    replica (self and same-label excluded); the anchor guard raises;
+    Rayleigh stats match numpy on a planted von-Mises-ish peak and
+    p is near 1 on uniform angles."""
+    import math
+
+    import numpy as np
+
+    from padua_spark.extensions.similarity import hard_negative_mining
+    from padua_spark.operators.temporal import rayleigh_uniformity
+
+    rng = np.random.RandomState(8)
+    X = np.round(rng.normal(0, 1, (60, 6)), 4)
+    labels = rng.randint(0, 3, 60)
+    df = spark.createDataFrame(
+        [
+            (i, [float(v) for v in X[i]], int(labels[i]))
+            for i in range(60)
+        ],
+        "vec_id int, embedding array<double>, label int",
+    )
+    anchors = df.where(F.col("vec_id") % 10 == 0)
+    got = {}
+    for r in hard_negative_mining(
+        df, "vec_id", "embedding", "label", anchors, k=3
+    ).collect():
+        got.setdefault(r["anchor_id"], []).append(
+            (r["rank"], r["negative_id"])
+        )
+    norms = np.sqrt((X * X).sum(1))
+    for a in range(0, 60, 10):
+        sims = []
+        for c in range(60):
+            if c == a or labels[c] == labels[a]:
+                continue
+            sims.append(
+                (-(X[c] @ X[a]) / (norms[c] * norms[a]), c)
+            )
+        exp = [
+            (i + 1, c) for i, (_, c) in enumerate(sorted(sims)[:3])
+        ]
+        assert sorted(got[a]) == exp
+    with pytest.raises(ValueError, match="max_anchors"):
+        hard_negative_mining(
+            df, "vec_id", "embedding", "label", anchors,
+            max_anchors=2,
+        )
+
+    theta = np.concatenate(
+        [rng.normal(1.2, 0.4, 800) % (2 * math.pi)]
+    )
+    tdf = spark.createDataFrame(
+        [(float(t),) for t in theta], ["theta"]
+    )
+    r = rayleigh_uniformity(tdf, "theta").collect()[0]
+    c, s = np.cos(theta).sum(), np.sin(theta).sum()
+    n = len(theta)
+    rbar = math.sqrt(c * c + s * s) / n
+    z = n * rbar * rbar
+    assert r["r_bar"] == pytest.approx(rbar, abs=1e-6)
+    assert r["mean_direction"] == pytest.approx(
+        math.atan2(s, c), abs=1e-6
+    )
+    assert r["rayleigh_z"] == pytest.approx(z, abs=1e-4)
+    assert r["p_value"] == 0.0  # strongly peaked
+
+    unif = spark.createDataFrame(
+        [(float(2 * math.pi * i / 997),) for i in range(997)],
+        ["theta"],
+    )
+    ru = rayleigh_uniformity(unif, "theta").collect()[0]
+    assert ru["p_value"] > 0.99
