@@ -23059,6 +23059,165 @@ def q_rayleigh_uniformity(spark, sf):
     return rayleigh_uniformity(base, "theta")
 
 
+# --- ext: Deming errors-in-both regression ------------------------------------
+
+
+_DEMING_ORACLE = """
+WITH base AS (
+  SELECT CAST(l_quantity AS DOUBLE) AS x,
+    CAST(l_extendedprice AS DOUBLE) / 1000.0 AS y
+  FROM lineitem
+  WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+),
+agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+    sum(x) AS sx, sum(y) AS sy, sum(x * x) AS sxx0,
+    sum(y * y) AS syy0, sum(x * y) AS sxy0
+  FROM base
+),
+c AS (
+  SELECT n,
+    sxx0 - sx * sx / n AS sxx,
+    syy0 - sy * sy / n AS syy,
+    sxy0 - sx * sy / n AS sxy,
+    sx, sy
+  FROM agg
+),
+fit AS (
+  SELECT n, sx, sy, sxx, syy, sxy,
+    CASE WHEN n >= 2 AND sxy <> 0 THEN
+      (syy - 1.0 * sxx
+       + sqrt((syy - 1.0 * sxx) * (syy - 1.0 * sxx)
+              + 4.0 * 1.0 * sxy * sxy)) / (2.0 * sxy) END AS beta
+  FROM c
+)
+SELECT n, CAST(1.0 AS DOUBLE) AS delta,
+  round(beta, 6) AS slope,
+  round(CASE WHEN beta IS NOT NULL
+    THEN (sy - beta * sx) / n END, 6) AS intercept,
+  round(CASE WHEN beta IS NOT NULL AND sxx > 0 AND syy > 0
+    THEN sxy / sqrt(sxx * syy) END, 6) AS r
+FROM fit
+"""
+
+
+@_q("deming_regression", _DEMING_ORACLE)
+def q_deming_regression(spark, sf):
+    """Deming errors-in-both fit of price-in-thousands on quantity
+    (stats.deming_regression, δ=1): one six-sum aggregation, the
+    Deming 1943 closed form."""
+    from padua_spark.operators.stats import deming_regression
+
+    li = _t(spark, sf, "lineitem").select(
+        F.col("l_quantity").alias("x"),
+        (F.col("l_extendedprice").cast("double") / 1000.0).alias("y"),
+    )
+    return deming_regression(li, "x", "y", delta=1.0)
+
+
+# --- ext: KS separation + Youden-optimal cutoff -------------------------------
+
+
+_SCORE_SEP_ORACLE = """
+WITH base AS (
+  SELECT CAST(floor(value) AS DOUBLE) / 512.0 AS s,
+    CASE WHEN event_type IN ('click', 'view') THEN 1 ELSE 0 END AS y
+  FROM events
+  WHERE value IS NOT NULL AND event_type IS NOT NULL AND value >= 0
+),
+per AS (
+  SELECT s AS v, CAST(sum(y) AS BIGINT) AS p,
+    CAST(sum(1 - y) AS BIGINT) AS g
+  FROM base GROUP BY 1
+),
+run AS (
+  SELECT v,
+    sum(p) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS prun,
+    sum(g) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS grun,
+    sum(p) OVER () AS ptot, sum(g) OVER () AS gtot
+  FROM per
+),
+j AS (
+  SELECT v, CAST(ptot AS BIGINT) AS n_pos,
+    CAST(gtot AS BIGINT) AS n_neg,
+    1.0 - CAST(prun AS DOUBLE) / ptot AS tpr,
+    1.0 - CAST(grun AS DOUBLE) / gtot AS fpr
+  FROM run
+),
+best AS (
+  SELECT * FROM j ORDER BY tpr - fpr DESC, v ASC LIMIT 1
+)
+SELECT n_pos, n_neg,
+  round(tpr - fpr, 6) AS ks_stat,
+  round(v, 6) AS optimal_cutoff,
+  round(tpr, 6) AS tpr_at_cutoff,
+  round(fpr, 6) AS fpr_at_cutoff
+FROM best
+"""
+
+
+@_q("score_separation", _SCORE_SEP_ORACLE)
+def q_score_separation(spark, sf):
+    """KS separation and Youden-optimal cutoff of the dyadic
+    pseudo-probability against engagement labels
+    (stats.score_separation): per-distinct-score class counts, two
+    stepped ECDFs, one argmax row."""
+    from padua_spark.operators.stats import score_separation
+
+    e = _t(spark, sf, "events").where(
+        F.col("event_type").isNotNull() & (F.col("value") >= 0)
+    ).select(
+        (F.floor(F.col("value")).cast("double") / 512.0).alias("s"),
+        F.col("event_type").isin("click", "view")
+        .cast("int").alias("y"),
+    )
+    return score_separation(e, "s", "y")
+
+
+# --- ext: COEC position-bias profile ------------------------------------------
+
+
+_COEC_ORACLE = """
+WITH base AS (
+  SELECT (event_id % 5) + 1 AS pos,
+    CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS c,
+    user_id % 3 AS g
+  FROM events WHERE event_type IS NOT NULL
+),
+prior AS (
+  SELECT pos, CAST(count(*) AS BIGINT) AS n,
+    CAST(sum(c) AS BIGINT) AS nc,
+    CAST(sum(c) AS DOUBLE) / count(*) AS pr
+  FROM base GROUP BY 1
+)
+SELECT b.g, CAST(count(*) AS BIGINT) AS n,
+  CAST(sum(b.c) AS BIGINT) AS n_clicks,
+  round(sum(p.pr), 6) AS expected_clicks,
+  round(CASE WHEN sum(p.pr) > 0
+    THEN CAST(sum(b.c) AS DOUBLE) / sum(p.pr) END, 6) AS coec
+FROM base b JOIN prior p ON p.pos = b.pos
+GROUP BY 1
+"""
+
+
+@_q("coec_position_bias", _COEC_ORACLE)
+def q_coec_position_bias(spark, sf):
+    """COEC position-bias correction over a deterministic position
+    fixture and user cohorts (features.coec_position_bias): pooled
+    per-position priors broadcast back, clicks over expected clicks
+    per cohort."""
+    from padua_spark.extensions.features import coec_position_bias
+
+    e = _t(spark, sf, "events").where(
+        F.col("event_type").isNotNull()
+    ).select(
+        ((F.col("event_id") % 5) + 1).alias("pos"),
+        (F.col("event_type") == "click").cast("int").alias("click"),
+        (F.col("user_id") % 3).alias("g"),
+    )
+    return coec_position_bias(e, "pos", "click", ["g"])
+
+
 # ---------------------------------------------------------------------------
 
 

@@ -205,6 +205,9 @@ HEADLINE = [
     "log_log_elasticity",
     "hard_negative_mining",
     "rayleigh_uniformity",
+    "deming_regression",
+    "score_separation",
+    "coec_position_bias",
     "anova_2way_stats",
     "levene_stats",
     "ttest_paired_stats",

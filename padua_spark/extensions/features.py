@@ -750,3 +750,67 @@ def hosmer_lemeshow(
         ).alias("p_value"),
     )
     return track_cached(out, base)
+
+
+def coec_position_bias(
+    df: DataFrame,
+    position_col: str,
+    click_col: str,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """COEC (Clicks Over Expected Clicks) position-bias profile — the
+    standard ranking-log correction before any CTR feature is trusted
+    ("position 1 gets clicked because it's position 1"): per position
+    the raw CTR, the global-position prior, and per optional group
+    the COEC ratio ``clicks / Σ impressions·prior(position)`` (> 1 =
+    better than its positions predict).
+
+    Without ``group_cols``: one row per position ``(position, n,
+    n_clicks, ctr, position_prior)`` where the prior is the pooled
+    per-position CTR. With ``group_cols``: one row per group
+    ``(groups..., n, n_clicks, expected_clicks, coec)`` — expected
+    clicks from joining each impression's position prior back
+    (broadcast: positions are a bounded UI domain).
+
+    TWO aggregations (position priors, then group roll-up) and one
+    broadcast join — scan-shaped, no windows. 6dp.
+
+    Beyond the reference; standard per Zhang & Jones 2007 (COEC) /
+    position-bias practice in ranking pipelines.
+    """
+    p = F.col(position_col)
+    c = F.col(click_col).cast("int")
+    base = df.where(p.isNotNull() & c.isNotNull())
+    prior = base.groupBy(p.alias("_pos")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(c).cast("bigint").alias("n_clicks"),
+    ).withColumn(
+        "_prior",
+        F.col("n_clicks").cast("double") / F.col("n").cast("double"),
+    )
+    if not group_cols:
+        return prior.select(
+            F.col("_pos").alias("position"), "n", "n_clicks",
+            F.round("_prior", 6).alias("ctr"),
+            F.round("_prior", 6).alias("position_prior"),
+        )
+    joined = base.join(
+        F.broadcast(prior.select("_pos", "_prior")),
+        base[position_col] == F.col("_pos"),
+    )
+    agg = joined.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(c).cast("bigint").alias("n_clicks"),
+        F.sum("_prior").alias("_exp"),
+    )
+    return agg.select(
+        *group_cols, "n", "n_clicks",
+        F.round("_exp", 6).alias("expected_clicks"),
+        F.round(
+            F.when(
+                F.col("_exp") > 0,
+                F.col("n_clicks").cast("double") / F.col("_exp"),
+            ),
+            6,
+        ).alias("coec"),
+    )

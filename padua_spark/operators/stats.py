@@ -10505,3 +10505,149 @@ def l_moments(
         F.round(F.when(l2 != 0, l4 / l2), 6).alias("l_kurt"),
     )
     return track_cached(out, *getattr(stepped, "_padua_cached", ()))
+
+
+def deming_regression(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    delta: float = 1.0,
+) -> DataFrame:
+    """Deming errors-in-both-variables regression — the
+    method-comparison fit :func:`bland_altman` plots and
+    :func:`concordance_ccc` scores ("do the two assays agree, and
+    what is the calibration line between them?"); OLS is biased
+    toward 0 when x carries measurement error, Deming is the ML line
+    under a known error-variance ratio ``δ = σ²_y/σ²_x``:
+
+    ``β = (s_yy − δ·s_xx + √((s_yy − δ·s_xx)² + 4δ·s_xy²))/(2·s_xy)``
+    (Deming 1943 closed form from the five centered moments),
+    ``α = ȳ − β·x̄``; Pearson r alongside.
+
+    ONE aggregation to six exact sums, closed-form after. Output
+    1 row: ``(n, delta, slope, intercept, r)``, 6dp; NULL fit when
+    n < 2 or ``s_xy = 0`` (the closed form divides by it — a
+    vertical/degenerate configuration).
+
+    Beyond the reference; standard per Deming 1943 / CLSI EP09.
+    """
+    x = F.col(x_col).cast("double")
+    y = F.col(y_col).cast("double")
+    base = df.where(x.isNotNull() & y.isNotNull())
+    agg = base.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(x).alias("_sx"),
+        F.sum(y).alias("_sy"),
+        F.sum(x * x).alias("_sxx"),
+        F.sum(y * y).alias("_syy"),
+        F.sum(x * y).alias("_sxy"),
+    )
+    nd = F.col("n").cast("double")
+    sxx = F.col("_sxx") - F.col("_sx") * F.col("_sx") / nd
+    syy = F.col("_syy") - F.col("_sy") * F.col("_sy") / nd
+    sxy = F.col("_sxy") - F.col("_sx") * F.col("_sy") / nd
+    d = F.lit(float(delta))
+    ok = (F.col("n") >= 2) & (sxy != 0)
+    beta = F.when(
+        ok,
+        (
+            syy - d * sxx
+            + F.sqrt(
+                (syy - d * sxx) * (syy - d * sxx)
+                + 4.0 * d * sxy * sxy
+            )
+        )
+        / (2.0 * sxy),
+    )
+    alpha = F.when(ok, (F.col("_sy") - beta * F.col("_sx")) / nd)
+    r = F.when(
+        ok & (sxx > 0) & (syy > 0), sxy / F.sqrt(sxx * syy)
+    )
+    return agg.select(
+        "n",
+        F.lit(float(delta)).alias("delta"),
+        F.round(beta, 6).alias("slope"),
+        F.round(alpha, 6).alias("intercept"),
+        F.round(r, 6).alias("r"),
+    )
+
+
+def score_separation(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    small_domain_threshold: int | None = None,
+) -> DataFrame:
+    """KS separation and the Youden-optimal cutoff of a binary
+    score — the credit-scoring/threshold-picking companion to
+    :func:`~padua_spark.extensions.quality.group_auc`'s rank summary:
+    at every distinct score threshold t (classify positive when
+    ``score > t``), ``TPR(t) = P(score > t | y=1)``,
+    ``FPR(t) = P(score > t | y=0)``; the KS statistic is
+    ``max_t (TPR − FPR)`` and the maximizing t is Youden's optimal
+    cutoff (J = TPR − FPR, the distance the score separates the two
+    classes).
+
+    ONE aggregation to per-distinct-score (pos, neg) counts, the
+    shared distributed stepped cumsum for the two ECDFs, and one
+    argmax row (ties broken toward the SMALLEST cutoff — any engine
+    agrees). Output 1 row: ``(n_pos, n_neg, ks_stat,
+    optimal_cutoff, tpr_at_cutoff, fpr_at_cutoff)``, 6dp; NULLs when
+    either class is empty.
+
+    Beyond the reference; standard per Youden 1950 / the
+    credit-risk KS convention.
+    """
+    from pyspark.sql import Window
+
+    from padua_spark.io_utils import track_cached
+
+    s = F.col(score_col).cast("double")
+    y = F.col(label_col).cast("int")
+    base = df.where(s.isNotNull() & y.isNotNull())
+    per = base.groupBy(s.alias("_v")).agg(
+        F.sum(y).cast("bigint").alias("_p"),
+        F.sum(F.lit(1) - y).cast("bigint").alias("_g"),
+    )
+    stepped = _stepped_running_counts(
+        per, "_v", ["_p", "_g"], small_domain_threshold
+    )
+    npos = F.col("_p_tot").cast("double")
+    nneg = F.col("_g_tot").cast("double")
+    # classify positive when score > v: TPR = 1 - F_pos(v)
+    tpr = 1.0 - F.col("_p_run").cast("double") / npos
+    fpr = 1.0 - F.col("_g_run").cast("double") / nneg
+    j = tpr - fpr
+    staged = stepped.select(
+        "_v",
+        F.col("_p_tot").alias("_np"),
+        F.col("_g_tot").alias("_ng"),
+        j.alias("_j"), tpr.alias("_tpr"), fpr.alias("_fpr"),
+    )
+    best = staged.agg(
+        F.max("_np").cast("bigint").alias("n_pos"),
+        F.max("_ng").cast("bigint").alias("n_neg"),
+        F.max(
+            F.struct(
+                F.col("_j").alias("j"),
+                (-F.col("_v")).alias("negv"),
+                F.col("_tpr").alias("tpr"),
+                F.col("_fpr").alias("fpr"),
+            )
+        ).alias("_b"),
+    )
+    ok = (F.col("n_pos") > 0) & (F.col("n_neg") > 0)
+    out = best.select(
+        "n_pos", "n_neg",
+        F.round(F.when(ok, F.col("_b.j")), 6).alias("ks_stat"),
+        F.round(F.when(ok, -F.col("_b.negv")), 6).alias(
+            "optimal_cutoff"
+        ),
+        F.round(F.when(ok, F.col("_b.tpr")), 6).alias(
+            "tpr_at_cutoff"
+        ),
+        F.round(F.when(ok, F.col("_b.fpr")), 6).alias(
+            "fpr_at_cutoff"
+        ),
+    )
+    return track_cached(out, *getattr(stepped, "_padua_cached", ()))

@@ -9879,3 +9879,91 @@ def test_hard_negative_mining_and_rayleigh(spark):
     )
     ru = rayleigh_uniformity(unif, "theta").collect()[0]
     assert ru["p_value"] > 0.99
+
+
+def test_deming_score_separation_coec(spark):
+    """Deming slope/intercept match the closed-form numpy replica and
+    beat OLS's attenuation on a planted errors-in-x line; KS/Youden
+    cutoff matches the brute-force threshold sweep; COEC matches the
+    per-group expected-clicks replica."""
+    import math
+
+    import numpy as np
+
+    from padua_spark.extensions.features import coec_position_bias
+    from padua_spark.operators.stats import (
+        deming_regression,
+        score_separation,
+    )
+
+    rng = np.random.RandomState(11)
+    xt = rng.normal(10, 4, 500)
+    x = np.round(xt + rng.normal(0, 1, 500), 3)
+    y = np.round(2.0 + 1.5 * xt + rng.normal(0, 1.5, 500), 3)
+    df = spark.createDataFrame(
+        [(float(a), float(b)) for a, b in zip(x, y)], ["x", "y"]
+    )
+    r = deming_regression(df, "x", "y", delta=2.25).collect()[0]
+    sxx = ((x - x.mean()) ** 2).sum()
+    syy = ((y - y.mean()) ** 2).sum()
+    sxy = ((x - x.mean()) * (y - y.mean())).sum()
+    d = 2.25
+    beta = (
+        syy - d * sxx
+        + math.sqrt((syy - d * sxx) ** 2 + 4 * d * sxy ** 2)
+    ) / (2 * sxy)
+    assert r["slope"] == pytest.approx(beta, abs=1e-5)
+    assert r["intercept"] == pytest.approx(
+        y.mean() - beta * x.mean(), abs=1e-4
+    )
+    ols = sxy / sxx
+    assert ols < r["slope"] <= 1.6  # Deming undoes OLS attenuation
+
+    score = np.round(rng.uniform(0, 1, 3000), 3)
+    lab = (rng.uniform(size=3000) < score * 0.8 + 0.1).astype(int)
+    sdf = spark.createDataFrame(
+        [(float(s), int(v)) for s, v in zip(score, lab)], ["s", "y"]
+    )
+    rs = score_separation(sdf, "s", "y").collect()[0]
+    npos, nneg = lab.sum(), (1 - lab).sum()
+    best = None
+    for v in np.unique(score):
+        tpr = ((score > v) & (lab == 1)).sum() / npos
+        fpr = ((score > v) & (lab == 0)).sum() / nneg
+        jv = tpr - fpr
+        if best is None or jv > best[0] or (
+            jv == best[0] and v < best[1]
+        ):
+            best = (jv, v, tpr, fpr)
+    assert rs["ks_stat"] == pytest.approx(best[0], abs=1e-6)
+    assert rs["optimal_cutoff"] == pytest.approx(best[1], abs=1e-9)
+    assert rs["tpr_at_cutoff"] == pytest.approx(best[2], abs=1e-6)
+
+    pos = rng.randint(1, 6, 4000)
+    click = (rng.uniform(size=4000) < 0.5 / pos).astype(int)
+    grp = rng.randint(0, 3, 4000)
+    cdf = spark.createDataFrame(
+        [
+            (int(p), int(c), int(g))
+            for p, c, g in zip(pos, click, grp)
+        ],
+        ["pos", "click", "g"],
+    )
+    rows = {
+        rr["g"]: rr
+        for rr in coec_position_bias(
+            cdf, "pos", "click", ["g"]
+        ).collect()
+    }
+    pri = {p: click[pos == p].mean() for p in range(1, 6)}
+    for g in range(3):
+        m = grp == g
+        expc = sum(pri[p] for p in pos[m])
+        assert rows[g]["coec"] == pytest.approx(
+            click[m].sum() / expc, abs=1e-5
+        )
+    # positionless battery: per-position rows with ctr == prior
+    flat = coec_position_bias(cdf, "pos", "click").collect()
+    assert len(flat) == 5
+    for rr in flat:
+        assert rr["ctr"] == rr["position_prior"]
