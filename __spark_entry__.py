@@ -23218,6 +23218,153 @@ def q_coec_position_bias(spark, sf):
     return coec_position_bias(e, "pos", "click", ["g"])
 
 
+# --- ext: Hodges-Lehmann shift with Moses CI -----------------------------------
+
+
+_HL_SHIFT_CI_ORACLE = """
+WITH cells AS (
+  SELECT l_returnflag = 'A' AS isa, CAST(l_quantity AS DOUBLE) AS v,
+    CAST(count(*) AS BIGINT) AS c
+  FROM lineitem
+  WHERE l_quantity IS NOT NULL AND l_returnflag IN ('A', 'R')
+  GROUP BY 1, 2
+),
+tot AS (
+  SELECT CAST(sum(CASE WHEN isa THEN c ELSE 0 END) AS BIGINT) AS na,
+    CAST(sum(CASE WHEN NOT isa THEN c ELSE 0 END) AS BIGINT) AS nb
+  FROM cells
+),
+kk AS (
+  SELECT na, nb, na * nb AS t,
+    greatest(0, CAST(floor(CAST(na AS DOUBLE) * nb / 2.0
+      - 1.959963984540054
+        * sqrt(CAST(na AS DOUBLE) * nb * (na + nb + 1) / 12.0))
+      AS BIGINT)) AS k
+  FROM tot
+),
+diffs AS (
+  SELECT a.v - b.v AS dv, CAST(sum(a.c * b.c) AS BIGINT) AS w
+  FROM (SELECT v, c FROM cells WHERE isa) a,
+       (SELECT v, c FROM cells WHERE NOT isa) b
+  GROUP BY 1
+),
+run AS (
+  SELECT dv, sum(w) OVER (ORDER BY dv ROWS UNBOUNDED PRECEDING) AS r
+  FROM diffs
+),
+sel AS (
+  SELECT
+    min(CASE WHEN r >= (kk.t + 1) // 2 THEN dv END) AS lo,
+    min(CASE WHEN r >= kk.t // 2 + 1 THEN dv END) AS hi,
+    min(CASE WHEN r >= least(kk.k + 1, kk.t) THEN dv END) AS cl,
+    min(CASE WHEN r >= greatest(1, kk.t - kk.k) THEN dv END) AS ch
+  FROM run, kk
+)
+SELECT kk.na AS n_a, kk.nb AS n_b,
+  CAST(kk.t AS BIGINT) AS n_pairs,
+  round((sel.lo + sel.hi) / 2.0, 6) AS hl_shift,
+  round(sel.cl, 6) AS ci_lo,
+  round(sel.ch, 6) AS ci_hi
+FROM kk, sel
+"""
+
+
+@_q("hodges_lehmann_shift_ci", _HL_SHIFT_CI_ORACLE)
+def q_hodges_lehmann_shift_ci(spark, sf):
+    """Hodges-Lehmann shift with the Moses/Lehmann 95%
+    distribution-free CI (stats.hodges_lehmann_shift,
+    conf_level=0.95): two extra rank lookups off the same stepped
+    frame, normal-approximation rank bound."""
+    from padua_spark.operators.stats import hodges_lehmann_shift
+
+    li = _t(spark, sf, "lineitem")
+    return hodges_lehmann_shift(
+        li, "l_returnflag", "l_quantity", "A", "R", conf_level=0.95
+    )
+
+
+# --- ext: direct/indirect rate standardization ----------------------------------
+
+
+_RATE_STD_ORACLE = """
+WITH base AS (
+  SELECT l_linenumber AS s,
+    CASE WHEN l_returnflag = 'R' THEN CAST(1.0 AS DOUBLE)
+      ELSE CAST(0.0 AS DOUBLE) END AS e,
+    CAST(l_quantity AS DOUBLE) AS x
+  FROM lineitem
+  WHERE l_linenumber IS NOT NULL AND l_quantity IS NOT NULL
+    AND l_quantity > 0
+),
+per AS (
+  SELECT s, sum(e) AS e, sum(x) AS x FROM base GROUP BY 1
+),
+ref(stratum, ref_rate, ref_weight) AS (VALUES
+  (1, 0.010, 0.25), (2, 0.012, 0.20), (3, 0.014, 0.15),
+  (4, 0.016, 0.15), (5, 0.018, 0.10), (6, 0.020, 0.10),
+  (7, 0.022, 0.05)
+),
+j AS (
+  SELECT per.s, per.e, per.x,
+    CAST(ref.ref_rate AS DOUBLE) AS rr,
+    CAST(ref.ref_weight AS DOUBLE) AS rw
+  FROM per JOIN ref ON ref.stratum = per.s
+),
+agg AS (
+  SELECT CAST(count(*) AS INT) AS n_strata_used,
+    sum(e) AS obs, sum(x) AS exp_tot,
+    sum(x * rr) AS expected,
+    sum(rw * (e / x)) AS dnum, sum(rw) AS dden
+  FROM j
+)
+SELECT n_strata_used,
+  round(obs, 6) AS observed,
+  round(expected, 6) AS expected,
+  round(CASE WHEN exp_tot > 0 THEN obs / exp_tot END, 6)
+    AS crude_rate,
+  round(CASE WHEN dden > 0 THEN dnum / dden END, 6) AS direct_rate,
+  round(CASE WHEN expected > 0 THEN obs / expected END, 6) AS smr,
+  round(CASE WHEN obs > 0 AND expected > 0 THEN
+    (obs / expected)
+    * pow(1.0 - 1.0 / (9.0 * obs)
+          - 1.959963984540054 / (3.0 * sqrt(obs)), 3.0) END, 6)
+    AS smr_ci_lo,
+  round(CASE WHEN obs > 0 AND expected > 0 THEN
+    (obs / expected)
+    * pow(1.0 - 1.0 / (9.0 * (obs + 1.0))
+          + 1.959963984540054 / (3.0 * sqrt(obs + 1.0)), 3.0)
+    * (obs + 1.0) / obs END, 6) AS smr_ci_hi
+FROM agg
+"""
+
+
+@_q("rate_standardization", _RATE_STD_ORACLE)
+def q_rate_standardization(spark, sf):
+    """Direct + indirect (SMR, Byar CI) standardization of the return
+    rate per quantity unit across line-number strata against a fixed
+    reference schedule (stats.rate_standardization)."""
+    from padua_spark.operators.stats import rate_standardization
+
+    li = _t(spark, sf, "lineitem").where(
+        F.col("l_linenumber").isNotNull()
+        & F.col("l_quantity").isNotNull()
+        & (F.col("l_quantity") > 0)
+    ).select(
+        F.col("l_linenumber").alias("s"),
+        (F.col("l_returnflag") == "R").cast("double").alias("e"),
+        F.col("l_quantity").cast("double").alias("x"),
+    )
+    ref = spark.createDataFrame(
+        [
+            (1, 0.010, 0.25), (2, 0.012, 0.20), (3, 0.014, 0.15),
+            (4, 0.016, 0.15), (5, 0.018, 0.10), (6, 0.020, 0.10),
+            (7, 0.022, 0.05),
+        ],
+        "stratum int, ref_rate double, ref_weight double",
+    )
+    return rate_standardization(li, "s", "e", "x", ref)
+
+
 # ---------------------------------------------------------------------------
 
 

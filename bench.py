@@ -208,6 +208,8 @@ HEADLINE = [
     "deming_regression",
     "score_separation",
     "coec_position_bias",
+    "hodges_lehmann_shift_ci",
+    "rate_standardization",
     "anova_2way_stats",
     "levene_stats",
     "ttest_paired_stats",

@@ -6142,6 +6142,48 @@ def distribution_distances_1d(
     )
 
 
+def _norm_ppf_scalar(p: float) -> float:
+    """Driver-side Φ⁻¹ for CI rank computation: exact well-known
+    constants at the common levels, Acklam's approximation otherwise
+    (matches :func:`norm_ppf_col`'s family)."""
+    import math
+
+    common = {
+        0.975: 1.959963984540054,
+        0.95: 1.6448536269514722,
+        0.995: 2.5758293035489004,
+        0.99: 2.3263478740408408,
+    }
+    for key, val in common.items():
+        if abs(p - key) < 1e-12:
+            return val
+    # Acklam central region (|p-0.5| common case for CI levels)
+    a = [-3.969683028665376e+01, 2.209460984245205e+02,
+         -2.759285104469687e+02, 1.383577518672690e+02,
+         -3.066479806614716e+01, 2.506628277459239e+00]
+    b = [-5.447609879822406e+01, 1.615858368580409e+02,
+         -1.556989798598866e+02, 6.680131188771972e+01,
+         -1.328068155288572e+01]
+    c = [-7.784894002430293e-03, -3.223964580411365e-01,
+         -2.400758277161838e+00, -2.549732539343734e+00,
+         4.374664141464968e+00, 2.938163982698783e+00]
+    d = [7.784695709041462e-03, 3.224671290700398e-01,
+         2.445134137142996e+00, 3.754408661907416e+00]
+    plow, phigh = 0.02425, 1 - 0.02425
+    if p < plow:
+        q = math.sqrt(-2 * math.log(p))
+        return (((((c[0]*q+c[1])*q+c[2])*q+c[3])*q+c[4])*q+c[5]) / \
+            ((((d[0]*q+d[1])*q+d[2])*q+d[3])*q+1)
+    if p > phigh:
+        q = math.sqrt(-2 * math.log(1 - p))
+        return -(((((c[0]*q+c[1])*q+c[2])*q+c[3])*q+c[4])*q+c[5]) / \
+            ((((d[0]*q+d[1])*q+d[2])*q+d[3])*q+1)
+    q = p - 0.5
+    r = q * q
+    return (((((a[0]*r+a[1])*r+a[2])*r+a[3])*r+a[4])*r+a[5])*q / \
+        (((((b[0]*r+b[1])*r+b[2])*r+b[3])*r+b[4])*r+1)
+
+
 # Acklam's inverse-normal-CDF rational approximation (2003; |rel err|
 # < 1.15e-9 over (0,1)) — pure arithmetic with three branches, so the
 # IDENTICAL expression runs on any SQL engine (the oracle twin emits
@@ -9897,6 +9939,7 @@ def hodges_lehmann_shift(
     group_a,
     group_b,
     max_cells: int = 4_000_000,
+    conf_level: float | None = None,
 ) -> DataFrame:
     """Hodges–Lehmann two-sample shift estimator — the median of all
     pairwise differences ``x_i − y_j`` (x from ``group_a``, y from
@@ -9918,7 +9961,14 @@ def hodges_lehmann_shift(
     is the mean of the ⌈T/2⌉-th and ⌊T/2⌋+1-th order statistics.
 
     Output 1 row: ``(n_a, n_b, n_pairs, hl_shift)``, 6dp; NULL when
-    either group is empty.
+    either group is empty. With ``conf_level`` set, two more rank
+    lookups off the SAME stepped frame add the Moses/Lehmann
+    distribution-free CI columns ``(ci_lo, ci_hi)``: with
+    ``k = max(0, ⌊n_a·n_b/2 − z·√(n_a·n_b(n_a+n_b+1)/12)⌋)``, the CI
+    is the (k+1)-th and (n_a·n_b − k)-th smallest pairwise
+    differences (the large-sample normal rank bound; documented
+    convention — R's wilcox.test applies an extra continuity
+    tweak).
 
     Beyond the reference; standard per Hodges & Lehmann 1963.
     """
@@ -9954,10 +10004,14 @@ def hodges_lehmann_shift(
         )
     spark = df.sparkSession
     if na == 0 or nb == 0:
-        out = spark.createDataFrame(
-            [(na, nb, na * nb, None)],
-            "n_a bigint, n_b bigint, n_pairs bigint, hl_shift double",
+        schema = (
+            "n_a bigint, n_b bigint, n_pairs bigint, hl_shift double"
         )
+        row = [na, nb, na * nb, None]
+        if conf_level is not None:
+            schema += ", ci_lo double, ci_hi double"
+            row += [None, None]
+        out = spark.createDataFrame([tuple(row)], schema)
         cells.unpersist()
         return out
     va = cells.where(F.col("_isa")).select(
@@ -9979,22 +10033,56 @@ def hodges_lehmann_shift(
     t = na * nb
     k1 = (t + 1) // 2
     k2 = t // 2 + 1
-    sel = stepped.agg(
+    aggs = [
         F.min(
             F.when(F.col("_w_run") >= F.lit(k1), F.col("_dv"))
         ).alias("_lo"),
         F.min(
             F.when(F.col("_w_run") >= F.lit(k2), F.col("_dv"))
         ).alias("_hi"),
-    )
-    out = sel.select(
+    ]
+    if conf_level is not None:
+        import math
+
+        # z via the high-precision two-sided constants for the
+        # common levels, Acklam scalar otherwise (same approximation
+        # family as norm_ppf_col so any SQL twin can embed the same
+        # literal)
+        z = _norm_ppf_scalar(0.5 + float(conf_level) / 2.0)
+        k = max(
+            0,
+            int(
+                math.floor(
+                    na * nb / 2.0
+                    - z * math.sqrt(na * nb * (na + nb + 1) / 12.0)
+                )
+            ),
+        )
+        k_lo = min(k + 1, t)
+        k_hi = max(1, t - k)
+        aggs += [
+            F.min(
+                F.when(F.col("_w_run") >= F.lit(k_lo), F.col("_dv"))
+            ).alias("_cl"),
+            F.min(
+                F.when(F.col("_w_run") >= F.lit(k_hi), F.col("_dv"))
+            ).alias("_ch"),
+        ]
+    sel = stepped.agg(*aggs)
+    cols = [
         F.lit(na).cast("bigint").alias("n_a"),
         F.lit(nb).cast("bigint").alias("n_b"),
         F.lit(t).cast("bigint").alias("n_pairs"),
         F.round(
             (F.col("_lo") + F.col("_hi")) / 2.0, 6
         ).alias("hl_shift"),
-    )
+    ]
+    if conf_level is not None:
+        cols += [
+            F.round("_cl", 6).alias("ci_lo"),
+            F.round("_ch", 6).alias("ci_hi"),
+        ]
+    out = sel.select(*cols)
     return track_cached(
         out, cells, *getattr(stepped, "_padua_cached", ())
     )
@@ -10651,3 +10739,104 @@ def score_separation(
         ),
     )
     return track_cached(out, *getattr(stepped, "_padua_cached", ()))
+
+
+def rate_standardization(
+    df: DataFrame,
+    strata_col: str,
+    event_col: str,
+    exposure_col: str,
+    ref_df: DataFrame,
+    ref_strata_col: str = "stratum",
+    ref_rate_col: str = "ref_rate",
+    ref_weight_col: str = "ref_weight",
+) -> DataFrame:
+    """Direct + indirect rate standardization — the epidemiology /
+    reliability-engineering adjustment behind "is cohort A's failure
+    rate really higher, or does it just skew old?": strata are the
+    confounder levels (age bands, device generations, workload
+    classes), ``ref_df`` carries the standard population's per-stratum
+    ``ref_rate`` (events per exposure unit) and ``ref_weight``
+    (population share for direct standardization):
+
+    crude rate = Σe/ΣE;
+    DIRECT standardized rate = Σ_s w_s·(e_s/E_s) over strata with
+    exposure (weights renormalized over the strata present —
+    documented);
+    INDIRECT: ``SMR = Σe / Σ_s E_s·ref_rate_s`` with Byar's
+    approximate 95% CI
+    (``SMR·(1 − 1/(9O) ± 1.96/(3√O))³`` — the standard Poisson
+    approximation, O = observed events).
+
+    ONE aggregation per stratum, one BROADCAST join to the (bounded,
+    dimension-sized) reference, one roll-up row. Output 1 row:
+    ``(n_strata_used, observed, expected, crude_rate, direct_rate,
+    smr, smr_ci_lo, smr_ci_hi)``, 6dp; NULLs where denominators
+    vanish.
+
+    Beyond the reference; standard per Breslow & Day 1987 vol. II /
+    Byar's CI.
+    """
+    e = F.col(event_col).cast("double")
+    x = F.col(exposure_col).cast("double")
+    base = df.where(
+        F.col(strata_col).isNotNull()
+        & e.isNotNull() & x.isNotNull() & (x > 0)
+    )
+    per = base.groupBy(F.col(strata_col).alias("_s")).agg(
+        F.sum(e).alias("_e"), F.sum(x).alias("_x")
+    )
+    ref = ref_df.select(
+        F.col(ref_strata_col).alias("_s"),
+        F.col(ref_rate_col).cast("double").alias("_rr"),
+        F.col(ref_weight_col).cast("double").alias("_rw"),
+    )
+    j = per.join(F.broadcast(ref), on="_s")
+    agg = j.agg(
+        F.count(F.lit(1)).cast("int").alias("n_strata_used"),
+        F.sum("_e").alias("_obs"),
+        F.sum("_x").alias("_exp_tot"),
+        F.sum(F.col("_x") * F.col("_rr")).alias("_expected"),
+        F.sum(F.col("_rw") * (F.col("_e") / F.col("_x"))).alias(
+            "_dnum"
+        ),
+        F.sum("_rw").alias("_dden"),
+    )
+    obs = F.col("_obs")
+    smr = F.when(F.col("_expected") > 0, obs / F.col("_expected"))
+    zq = F.lit(1.959963984540054)
+    lo = F.when(
+        (obs > 0) & (F.col("_expected") > 0),
+        smr
+        * F.pow(
+            1.0 - 1.0 / (9.0 * obs) - zq / (3.0 * F.sqrt(obs)),
+            F.lit(3.0),
+        ),
+    )
+    hi = F.when(
+        (obs > 0) & (F.col("_expected") > 0),
+        smr
+        * F.pow(
+            1.0 - 1.0 / (9.0 * (obs + 1.0))
+            + zq / (3.0 * F.sqrt(obs + 1.0)),
+            F.lit(3.0),
+        )
+        * (obs + 1.0)
+        / obs,
+    )
+    return agg.select(
+        "n_strata_used",
+        F.round(obs, 6).alias("observed"),
+        F.round("_expected", 6).alias("expected"),
+        F.round(
+            F.when(F.col("_exp_tot") > 0, obs / F.col("_exp_tot")),
+            6,
+        ).alias("crude_rate"),
+        F.round(
+            F.when(F.col("_dden") > 0, F.col("_dnum") / F.col("_dden")),
+            6,
+        ).alias("direct_rate"),
+        F.round(smr, 6).alias("smr"),
+        F.round(lo, 6).alias("smr_ci_lo"),
+        F.round(hi, 6).alias("smr_ci_hi"),
+    )

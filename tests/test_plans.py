@@ -403,7 +403,8 @@ def test_no_cartesian_products_anywhere(spark):
         "ordinal_association", "weighted_kappa", "bowker_symmetry",
         # bounded distinct-value cell grids (enforced max_cells guard)
         # cross-joined with the smaller side broadcast
-        "hodges_lehmann_shift", "hodges_lehmann_pseudomedian",
+        "hodges_lehmann_shift", "hodges_lehmann_shift_ci",
+        "hodges_lehmann_pseudomedian",
         # 1-row scalar frames joined on a constant key (CH) and the
         # bounded broadcast centroid cross (enforced max_clusters)
         "calinski_harabasz", "silhouette_simplified",

@@ -9967,3 +9967,89 @@ def test_deming_score_separation_coec(spark):
     assert len(flat) == 5
     for rr in flat:
         assert rr["ctr"] == rr["position_prior"]
+
+
+def test_hl_shift_ci_and_rate_standardization(spark):
+    """The Moses CI ranks select the brute-force order statistics;
+    output schema is unchanged without conf_level; direct/SMR
+    standardization and Byar CI match the python replica."""
+    import math
+
+    import numpy as np
+
+    from padua_spark.operators.stats import (
+        hodges_lehmann_shift,
+        rate_standardization,
+    )
+
+    rng = np.random.RandomState(3)
+    xa = np.round(rng.normal(10, 3, 150), 1)
+    xb = np.round(rng.normal(8.5, 2, 131), 1)
+    df = spark.createDataFrame(
+        [("a", float(x)) for x in xa]
+        + [("b", float(x)) for x in xb],
+        ["g", "v"],
+    )
+    base = hodges_lehmann_shift(df, "g", "v", "a", "b").columns
+    assert "ci_lo" not in base
+    r = hodges_lehmann_shift(
+        df, "g", "v", "a", "b", conf_level=0.95
+    ).collect()[0]
+    diffs = np.sort((xa[:, None] - xb[None, :]).ravel())
+    na, nb = len(xa), len(xb)
+    t = na * nb
+    z = 1.959963984540054
+    k = max(
+        0,
+        int(
+            math.floor(
+                t / 2 - z * math.sqrt(na * nb * (na + nb + 1) / 12)
+            )
+        ),
+    )
+    assert r["ci_lo"] == pytest.approx(diffs[k], abs=1e-9)
+    assert r["ci_hi"] == pytest.approx(diffs[t - k - 1], abs=1e-9)
+    assert r["ci_lo"] <= r["hl_shift"] <= r["ci_hi"]
+
+    strata = rng.randint(0, 4, 1000)
+    expo = np.round(rng.uniform(1, 10, 1000), 2)
+    rate_true = np.array([0.02, 0.05, 0.1, 0.2])
+    events = rng.poisson(rate_true[strata] * expo)
+    sdf = spark.createDataFrame(
+        [
+            (int(s), float(e), float(x))
+            for s, e, x in zip(strata, events, expo)
+        ],
+        ["s", "e", "x"],
+    )
+    ref = spark.createDataFrame(
+        [(i, float(rate_true[i] * 1.1), 0.25) for i in range(4)],
+        "stratum int, ref_rate double, ref_weight double",
+    )
+    r2 = rate_standardization(sdf, "s", "e", "x", ref).collect()[0]
+    obs = events.sum()
+    expected = sum(
+        expo[strata == i].sum() * rate_true[i] * 1.1
+        for i in range(4)
+    )
+    direct = sum(
+        0.25
+        * (events[strata == i].sum() / expo[strata == i].sum())
+        for i in range(4)
+    )
+    smr = obs / expected
+    assert r2["crude_rate"] == pytest.approx(
+        obs / expo.sum(), abs=1e-6
+    )
+    assert r2["direct_rate"] == pytest.approx(direct, abs=1e-6)
+    assert r2["smr"] == pytest.approx(smr, abs=1e-6)
+    lo = smr * (1 - 1 / (9 * obs) - z / (3 * math.sqrt(obs))) ** 3
+    hi = (
+        (obs + 1)
+        / expected
+        * (1 - 1 / (9 * (obs + 1)) + z / (3 * math.sqrt(obs + 1)))
+        ** 3
+    )
+    assert r2["smr_ci_lo"] == pytest.approx(lo, abs=1e-5)
+    assert r2["smr_ci_hi"] == pytest.approx(hi, abs=1e-5)
+    assert r2["smr_ci_lo"] < r2["smr"] < r2["smr_ci_hi"]
