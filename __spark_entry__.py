@@ -23365,6 +23365,193 @@ def q_rate_standardization(spark, sf):
     return rate_standardization(li, "s", "e", "x", ref)
 
 
+# --- ext: X-bar/S control-chart limits -----------------------------------------
+
+
+def _cc_oracle() -> str:
+    from padua_spark.operators.stats import _C4_TABLE
+
+    c4_case = " ".join(
+        f"WHEN {n} THEN {v!r}" for n, v in sorted(_C4_TABLE.items())
+    )
+    return f"""
+WITH per AS (
+  SELECT l_orderkey AS g, CAST(count(*) AS BIGINT) AS n,
+    avg(CAST(l_quantity AS DOUBLE)) AS m,
+    stddev_samp(CAST(l_quantity AS DOUBLE)) AS s
+  FROM lineitem WHERE l_quantity IS NOT NULL
+  GROUP BY 1 HAVING count(*) >= 2
+),
+agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_subgroups,
+    CAST(min(n) AS BIGINT) AS n_min,
+    CAST(max(n) AS BIGINT) AS n_max,
+    avg(CAST(n AS DOUBLE)) AS nbar,
+    avg(m) AS xbb, avg(s) AS sbar
+  FROM per
+),
+cc AS (
+  SELECT *,
+    CAST(round(nbar) AS INT) AS nint
+  FROM agg
+),
+k AS (
+  SELECT *, CASE nint {c4_case} END AS c4 FROM cc
+)
+SELECT n_subgroups, n_min, n_max,
+  round(nbar, 6) AS n_bar,
+  round(xbb, 6) AS grand_mean,
+  round(sbar, 6) AS s_bar,
+  round(xbb - 3.0 * (sbar / c4) / sqrt(CAST(nint AS DOUBLE)), 6)
+    AS xbar_lcl,
+  round(xbb + 3.0 * (sbar / c4) / sqrt(CAST(nint AS DOUBLE)), 6)
+    AS xbar_ucl,
+  round(greatest(0.0,
+    sbar - 3.0 * (sbar / c4) * sqrt(1.0 - c4 * c4)), 6) AS s_lcl,
+  round(sbar + 3.0 * (sbar / c4) * sqrt(1.0 - c4 * c4), 6) AS s_ucl
+FROM k
+"""
+
+
+@_q("control_chart_limits", _cc_oracle())
+def q_control_chart_limits(spark, sf):
+    """X-bar/S Shewhart limits over per-order quantity subgroups
+    (stats.control_chart_limits): c4-unbiased sigma from the mean
+    subgroup size, compile-time constant table shared with the
+    oracle."""
+    from padua_spark.operators.stats import control_chart_limits
+
+    li = _t(spark, sf, "lineitem")
+    return control_chart_limits(li, "l_orderkey", "l_quantity")
+
+
+# --- ext: ROC curve table -------------------------------------------------------
+
+
+_ROC_POINTS_ORACLE = """
+WITH base AS (
+  SELECT CAST(floor(value) AS DOUBLE) / 512.0 AS s,
+    CASE WHEN event_type IN ('click', 'view') THEN 1 ELSE 0 END AS y
+  FROM events
+  WHERE value IS NOT NULL AND event_type IS NOT NULL AND value >= 0
+),
+per AS (
+  SELECT s AS v, CAST(sum(y) AS BIGINT) AS p,
+    CAST(sum(1 - y) AS BIGINT) AS g
+  FROM base GROUP BY 1
+),
+run AS (
+  SELECT v, p, g,
+    sum(p) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS prun,
+    sum(g) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS grun,
+    sum(p) OVER () AS ptot, sum(g) OVER () AS gtot
+  FROM per
+),
+st AS (
+  SELECT v, CAST(ptot - prun AS BIGINT) AS p_gt,
+    CAST(gtot - grun AS BIGINT) AS g_gt,
+    p, g, CAST(ptot AS BIGINT) AS np, CAST(gtot AS BIGINT) AS ng
+  FROM run
+),
+tot AS (
+  SELECT sum(CAST(g AS HUGEINT)
+      * (2 * CAST(p_gt AS HUGEINT) + CAST(p AS HUGEINT))) AS ctot,
+    CAST(max(np) AS BIGINT) AS npt, CAST(max(ng) AS BIGINT) AS ngt
+  FROM st
+)
+SELECT st.v AS threshold, st.p_gt AS n_pos_gt, st.g_gt AS n_neg_gt,
+  round(CAST(st.p_gt AS DOUBLE) / st.np, 6) AS tpr,
+  round(CAST(st.g_gt AS DOUBLE) / st.ng, 6) AS fpr,
+  round(CASE WHEN tot.npt > 0 AND tot.ngt > 0
+    THEN CAST(tot.ctot AS DOUBLE)
+      / (2.0 * CAST(tot.npt AS DOUBLE) * CAST(tot.ngt AS DOUBLE))
+    END, 6) AS auc
+FROM st, tot
+"""
+
+
+@_q("roc_points", _ROC_POINTS_ORACLE)
+def q_roc_points(spark, sf):
+    """Full ROC curve table of the dyadic pseudo-probability vs
+    engagement labels (stats.roc_points): one stepped pass, exact
+    integer trapezoid AUC repeated per row."""
+    from padua_spark.operators.stats import roc_points
+
+    e = _t(spark, sf, "events").where(
+        F.col("event_type").isNotNull() & (F.col("value") >= 0)
+    ).select(
+        (F.floor(F.col("value")).cast("double") / 512.0).alias("s"),
+        F.col("event_type").isin("click", "view")
+        .cast("int").alias("y"),
+    )
+    return roc_points(e, "s", "y")
+
+
+# --- ext: windowed circular stats (streaming front half) ------------------------
+
+
+_WINDOWED_CIRC_ORACLE = """
+WITH base AS (
+  SELECT (epoch_us(ts) // 86400000000) * 86400 AS ws,
+    2.0 * pi()
+      * (CAST(epoch_us(ts) % 86400000000 AS DOUBLE) / 86400000000.0)
+      AS th
+  FROM events WHERE ts IS NOT NULL
+),
+agg AS (
+  SELECT ws, CAST(count(*) AS BIGINT) AS n,
+    sum(cos(th)) AS c, sum(sin(th)) AS s
+  FROM base GROUP BY 1
+),
+st AS (
+  SELECT ws, n, c, s, sqrt(c * c + s * s) / n AS rbar FROM agg
+),
+z AS (SELECT *, n * rbar * rbar AS zz FROM st)
+SELECT ws AS window_start_epoch, n,
+  round(CASE WHEN n > 0 THEN atan2(s, c) END, 6) AS mean_direction,
+  round(rbar, 6) AS r_bar,
+  round(1.0 - rbar, 6) AS circ_variance,
+  round(zz, 6) AS rayleigh_z,
+  round(CASE WHEN n > 0 THEN greatest(0.0, least(
+    exp(-zz) * (1.0 + (2.0 * zz - zz * zz) / (4.0 * n)
+      - (24.0 * zz - 132.0 * zz * zz + 76.0 * zz * zz * zz
+         - 9.0 * zz * zz * zz * zz) / (288.0 * n * n)), 1.0)) END, 6)
+    AS p_value
+FROM z
+"""
+
+
+@_q("windowed_circular_stats", _WINDOWED_CIRC_ORACLE)
+def q_windowed_circular_stats(spark, sf):
+    """Per-day circular stats + Rayleigh test of event time-of-day
+    phases (streaming.windowed_circular_stats): one stateful
+    three-sum aggregation per window; stream==batch parity is
+    pytest-gated, this entry gates the batch twin."""
+    from padua_spark.streaming import windowed_circular_stats
+    from padua_spark.streaming.windows import epoch_us_col
+
+    e = _t(spark, sf, "events").where(F.col("ts").isNotNull())
+    us = epoch_us_col(e, "ts")
+    withts = e.select(
+        F.timestamp_micros(us).alias("_et"),
+        (
+            2.0 * 3.141592653589793
+            * ((us % 86400000000).cast("double") / 86400000000.0)
+        ).alias("theta"),
+    )
+    out = windowed_circular_stats(
+        withts, F.col("_et"), F.col("theta"),
+        window_duration="1 day",
+    )
+    return out.select(
+        F.col("window_start").cast("long").alias(
+            "window_start_epoch"
+        ),
+        "n", "mean_direction", "r_bar", "circ_variance",
+        "rayleigh_z", "p_value",
+    )
+
+
 # ---------------------------------------------------------------------------
 
 

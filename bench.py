@@ -210,6 +210,9 @@ HEADLINE = [
     "coec_position_bias",
     "hodges_lehmann_shift_ci",
     "rate_standardization",
+    "control_chart_limits",
+    "roc_points",
+    "windowed_circular_stats",
     "anova_2way_stats",
     "levene_stats",
     "ttest_paired_stats",

@@ -10840,3 +10840,191 @@ def rate_standardization(
         F.round(lo, 6).alias("smr_ci_lo"),
         F.round(hi, 6).alias("smr_ci_hi"),
     )
+
+
+# c4(n) = sqrt(2/(n-1))·Γ(n/2)/Γ((n-1)/2) — the unbiasing constant
+# for the sample SD in subgroups of size n (ASTM STP 15D table); a
+# compile-time table keeps both engines on identical doubles.
+_C4_TABLE = {
+    2: 0.7978845608028654, 3: 0.8862269254527580,
+    4: 0.9213177319235613, 5: 0.9399856029866254,
+    6: 0.9515328619481445, 7: 0.9593687886998328,
+    8: 0.9650304561473722, 9: 0.9693106997139539,
+    10: 0.9726592741215884, 11: 0.9753500771452293,
+    12: 0.9775593518547722, 13: 0.9794056043142177,
+    14: 0.9809714367555161, 15: 0.9823161771626504,
+    16: 0.9834835316158412, 17: 0.9845064054718315,
+    18: 0.9854099332461694, 19: 0.9862140384939500,
+    20: 0.9869342675246552, 21: 0.9875829288261562,
+    22: 0.9881702533158311, 23: 0.9887047080740545,
+    24: 0.9891933964514305, 25: 0.9896403755857028,
+}
+
+
+def control_chart_limits(
+    df: DataFrame,
+    subgroup_col: str,
+    value_col: str,
+    n_sigma: float = 3.0,
+    max_subgroup_size: int = 25,
+) -> DataFrame:
+    """X̄–S control-chart limits (Shewhart) — the SPC companion to
+    :func:`process_capability`: subgroups (batches, shifts, hourly
+    buckets) each contribute a mean and sample SD; the chart centers
+    on the grand mean with limits
+    ``x̿ ± n_sigma·(s̄/c₄)/√n̄`` and the S-chart on ``s̄`` with
+    ``s̄ ± n_sigma·(s̄/c₄)·√(1 − c₄²)`` (clamped at 0), where ``c₄``
+    is the classical small-sample unbiasing constant (compile-time
+    table — identical doubles on any engine).
+
+    The textbook construction assumes a CONSTANT subgroup size; this
+    implementation uses the rounded mean subgroup size n̄ for c₄ and
+    REPORTS min/max subgroup sizes so ragged designs are visible, and
+    raises when n̄ is outside the tabulated 2..``max_subgroup_size``.
+    TWO aggregations (per subgroup, then the 1-row roll-up). Output
+    1 row: ``(n_subgroups, n_min, n_max, n_bar, grand_mean, s_bar,
+    xbar_lcl, xbar_ucl, s_lcl, s_ucl)``, 6dp.
+
+    Beyond the reference; standard per Montgomery, *Introduction to
+    Statistical Quality Control* §6.3.
+    """
+    v = F.col(value_col).cast("double")
+    per = (
+        df.where(v.isNotNull() & F.col(subgroup_col).isNotNull())
+        .groupBy(F.col(subgroup_col).alias("_g"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("_n"),
+            F.avg(v).alias("_m"),
+            F.stddev_samp(v).alias("_s"),
+        )
+        .where(F.col("_n") >= 2)
+    )
+    agg = per.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_subgroups"),
+        F.min("_n").cast("bigint").alias("n_min"),
+        F.max("_n").cast("bigint").alias("n_max"),
+        F.avg(F.col("_n").cast("double")).alias("_nbar"),
+        F.avg("_m").alias("_xbb"),
+        F.avg("_s").alias("_sbar"),
+    )
+    row = agg.collect()[0]
+    if row["n_subgroups"] == 0:
+        return df.sparkSession.createDataFrame(
+            [(0, None, None, None, None, None, None, None, None,
+              None)],
+            "n_subgroups bigint, n_min bigint, n_max bigint, "
+            "n_bar double, grand_mean double, s_bar double, "
+            "xbar_lcl double, xbar_ucl double, s_lcl double, "
+            "s_ucl double",
+        )
+    nbar = int(round(row["_nbar"]))
+    if nbar < 2 or nbar > max_subgroup_size:
+        raise ValueError(
+            f"control_chart_limits: rounded mean subgroup size "
+            f"{nbar} outside the tabulated 2..{max_subgroup_size} — "
+            "re-batch the subgroups"
+        )
+    c4 = _C4_TABLE[nbar]
+    z = float(n_sigma)
+    sigma_hat = F.col("_sbar") / F.lit(c4)
+    import math
+
+    half_x = F.lit(z) * sigma_hat / F.lit(math.sqrt(nbar))
+    half_s = F.lit(z) * sigma_hat * F.lit(math.sqrt(1.0 - c4 * c4))
+    return agg.select(
+        "n_subgroups", "n_min", "n_max",
+        F.round("_nbar", 6).alias("n_bar"),
+        F.round("_xbb", 6).alias("grand_mean"),
+        F.round("_sbar", 6).alias("s_bar"),
+        F.round(F.col("_xbb") - half_x, 6).alias("xbar_lcl"),
+        F.round(F.col("_xbb") + half_x, 6).alias("xbar_ucl"),
+        F.round(
+            F.greatest(F.lit(0.0), F.col("_sbar") - half_s), 6
+        ).alias("s_lcl"),
+        F.round(F.col("_sbar") + half_s, 6).alias("s_ucl"),
+    )
+
+
+def roc_points(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    small_domain_threshold: int | None = None,
+) -> DataFrame:
+    """The full ROC curve as a TABLE — one (threshold, tpr, fpr)
+    point per distinct score (classify positive when ``score > t``),
+    plus the exact trapezoidal AUC repeated per row (equals the
+    rank-sum AUC of :func:`~padua_spark.extensions.quality.group_auc`
+    — a useful cross-check): the plotting/report companion to
+    :func:`score_separation`'s single optimal point.
+
+    One aggregation to per-distinct-score class counts, the shared
+    stepped cumsum for both ECDFs; the AUC trapezoid folds on the
+    SAME stepped frame: between consecutive thresholds the curve is
+    linear, so ``AUC = Σ Δfpr·(tpr_hi + tpr_lo)/2`` — assembled from
+    per-row exact integer counts (``Δfpr·mean(tpr)`` per row needs
+    only that row's counts and running counts, no window over
+    neighbors). Output per distinct score: ``(threshold, n_pos_gt,
+    n_neg_gt, tpr, fpr, auc)``, 6dp; the scan point (1, 1) at
+    threshold −∞ is implicit.
+
+    Beyond the reference; the standard eval table.
+    """
+    from padua_spark.io_utils import track_cached
+
+    s = F.col(score_col).cast("double")
+    y = F.col(label_col).cast("int")
+    base = df.where(s.isNotNull() & y.isNotNull())
+    per = base.groupBy(s.alias("_v")).agg(
+        F.sum(y).cast("bigint").alias("_p"),
+        F.sum(F.lit(1) - y).cast("bigint").alias("_g"),
+    )
+    stepped = _stepped_running_counts(
+        per, "_v", ["_p", "_g"], small_domain_threshold
+    )
+    npos = F.col("_p_tot")
+    nneg = F.col("_g_tot")
+    p_gt = npos - F.col("_p_run")
+    g_gt = nneg - F.col("_g_run")
+    tpr = p_gt.cast("double") / npos.cast("double")
+    fpr = g_gt.cast("double") / nneg.cast("double")
+    # trapezoid between threshold v (exclusive > v) and the previous
+    # point (> v_prev, i.e. this row's counts BEFORE its own mass):
+    # Δfpr = _g/nneg, tpr_hi = (p_gt + _p)/npos, tpr_lo = tpr.
+    # Exact integers: 2·auc·npos·nneg = Σ _g·(2·p_gt + _p)
+    contrib = F.col("_g").cast("decimal(38,0)") * (
+        F.lit(2).cast("decimal(38,0)") * p_gt.cast("decimal(38,0)")
+        + F.col("_p").cast("decimal(38,0)")
+    )
+    staged = stepped.select(
+        F.col("_v").alias("threshold"),
+        p_gt.alias("n_pos_gt"),
+        g_gt.alias("n_neg_gt"),
+        tpr.alias("_tpr"), fpr.alias("_fpr"),
+        contrib.alias("_ctr"),
+        npos.alias("_np"), nneg.alias("_ng"),
+    )
+    # the curve table is VALUE-DOMAIN sized (continuous scores make it
+    # data-sized), so the AUC total comes from a 1-row aggregate
+    # broadcast back — never a partitionless window over the frame
+    tot = staged.agg(
+        F.sum("_ctr").alias("_ctot"),
+        F.max("_np").alias("_npt"),
+        F.max("_ng").alias("_ngt"),
+    )
+    auc = F.when(
+        (F.col("_npt") > 0) & (F.col("_ngt") > 0),
+        F.col("_ctot").cast("double")
+        / (
+            2.0
+            * F.col("_npt").cast("double")
+            * F.col("_ngt").cast("double")
+        ),
+    )
+    out = staged.join(F.broadcast(tot)).select(
+        "threshold", "n_pos_gt", "n_neg_gt",
+        F.round("_tpr", 6).alias("tpr"),
+        F.round("_fpr", 6).alias("fpr"),
+        F.round(auc, 6).alias("auc"),
+    )
+    return track_cached(out, *getattr(stepped, "_padua_cached", ()))

@@ -1008,3 +1008,76 @@ def windowed_novelty(
             6,
         ).alias("novelty_rate"),
     )
+
+
+def windowed_circular_stats(
+    df: DataFrame,
+    ts_col: Column,
+    angle_col: Column,
+    window_duration: str = "1 day",
+    watermark: str | None = None,
+) -> DataFrame:
+    """Per-tumbling-window circular statistics + Rayleigh test — the
+    streaming face of :func:`padua_spark.operators.temporal.
+    rayleigh_uniformity` ("did today's traffic lose its usual peak
+    hour?"): ONE stateful aggregation to three exact quantities per
+    window (n, Σcosθ, Σsinθ) — O(1) state, late shards merge by
+    adding sums — then the shared closed-form finalizer (mean
+    direction, resultant length, circular variance, Rayleigh z, Zar's
+    finite-n p).
+
+    Output per window: ``(window_start, window_end, n,
+    mean_direction, r_bar, circ_variance, rayleigh_z, p_value)``,
+    6dp.
+    """
+    withts = df.select(
+        ts_col.alias("_event_time"),
+        angle_col.cast("double").alias("_th"),
+    ).where(F.col("_th").isNotNull())
+    if watermark and withts.isStreaming:
+        withts = withts.withWatermark("_event_time", watermark)
+    agg = withts.groupBy(
+        F.window("_event_time", window_duration).alias("_w")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.cos(F.col("_th"))).alias("_c"),
+        F.sum(F.sin(F.col("_th"))).alias("_s"),
+    )
+    nd = F.col("n").cast("double")
+    rbar = F.when(
+        F.col("n") > 0,
+        F.sqrt(F.col("_c") * F.col("_c") + F.col("_s") * F.col("_s"))
+        / nd,
+    )
+    z = nd * rbar * rbar
+    p = F.exp(-z) * (
+        1.0
+        + (2.0 * z - z * z) / (4.0 * nd)
+        - (
+            24.0 * z
+            - 132.0 * z * z
+            + 76.0 * z * z * z
+            - 9.0 * z * z * z * z
+        ) / (288.0 * nd * nd)
+    )
+    return agg.select(
+        F.col("_w.start").alias("window_start"),
+        F.col("_w.end").alias("window_end"),
+        "n",
+        F.round(
+            F.when(
+                F.col("n") > 0, F.atan2(F.col("_s"), F.col("_c"))
+            ),
+            6,
+        ).alias("mean_direction"),
+        F.round(rbar, 6).alias("r_bar"),
+        F.round(1.0 - rbar, 6).alias("circ_variance"),
+        F.round(z, 6).alias("rayleigh_z"),
+        F.round(
+            F.when(
+                F.col("n") > 0,
+                F.greatest(F.lit(0.0), F.least(p, F.lit(1.0))),
+            ),
+            6,
+        ).alias("p_value"),
+    )

@@ -453,6 +453,8 @@ def test_no_cartesian_products_anywhere(spark):
         # 1-row exact-quantile bounds frame broadcast onto the fact
         # scan for the bin expression (the gains_table shape)
         "hosmer_lemeshow", "propensity_strata_att",
+        # 1-row AUC-total frame broadcast onto the curve table
+        "roc_points",
         # 1-row edge-total / node-count / Q-sum frames joined on a
         # constant key (all scalar aggregates; folds to BNLJ)
         "graph_modularity",

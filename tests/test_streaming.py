@@ -1016,3 +1016,72 @@ def test_stream_equals_batch_windowed_novelty(spark, docs_dir):
     }
     for ws, vals in got.items():
         assert ref_sums[ws] == (vals[0], vals[1])
+
+
+def test_stream_equals_batch_windowed_circular(spark, events_dir):
+    """Windowed circular stats are one three-sum stateful
+    aggregation: identical windows on stream and batch, and the
+    closed-form finalizer matches the batch rayleigh_uniformity on
+    the same daily keys."""
+    from padua_spark.operators.temporal import rayleigh_uniformity
+    from padua_spark.streaming import windowed_circular_stats
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    batch = spark.read.parquet(events_dir)
+    stream = read_event_stream(spark, events_dir, schema=batch.schema)
+
+    def build(df):
+        us = epoch_us_col(df, "ts")
+        withts = df.where(F.col("ts").isNotNull()).select(
+            F.timestamp_micros(us).alias("_et"),
+            (
+                2.0 * 3.141592653589793
+                * (
+                    (us % 86400000000).cast("double") / 86400000000.0
+                )
+            ).alias("theta"),
+        )
+        return windowed_circular_stats(
+            withts, F.col("_et"), F.col("theta"),
+            window_duration="1 day", watermark="2 days",
+        )
+
+    q = (
+        build(stream)
+        .writeStream.format("memory")
+        .queryName("t_wincirc")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(180)
+    cols = [
+        "n", "mean_direction", "r_bar", "circ_variance",
+        "rayleigh_z", "p_value",
+    ]
+    got = {
+        r["window_start"]: tuple(r[c] for c in cols)
+        for r in spark.sql("SELECT * FROM t_wincirc").collect()
+    }
+    exp = {
+        r["window_start"]: tuple(r[c] for c in cols)
+        for r in build(batch).collect()
+    }
+    assert got == exp and len(got) >= 1
+    # reconcile one window against the batch operator on its slice
+    us = epoch_us_col(batch, "ts")
+    day0 = sorted(got)[0]
+    import calendar
+
+    day0_us = calendar.timegm(day0.timetuple()) * 1_000_000
+    sl = batch.where(F.col("ts").isNotNull()).where(
+        (us >= day0_us) & (us < day0_us + 86400000000)
+    ).select(
+        (
+            2.0 * 3.141592653589793
+            * ((us % 86400000000).cast("double") / 86400000000.0)
+        ).alias("theta")
+    )
+    ref = rayleigh_uniformity(sl, "theta").collect()[0]
+    assert got[day0][0] == ref["n"]
+    assert got[day0][2] == ref["r_bar"]

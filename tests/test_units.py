@@ -10053,3 +10053,66 @@ def test_hl_shift_ci_and_rate_standardization(spark):
     assert r2["smr_ci_lo"] == pytest.approx(lo, abs=1e-5)
     assert r2["smr_ci_hi"] == pytest.approx(hi, abs=1e-5)
     assert r2["smr_ci_lo"] < r2["smr"] < r2["smr_ci_hi"]
+
+
+def test_control_chart_and_roc_points(spark):
+    """X-bar/S limits match the c4-unbiased numpy replica; the ROC
+    trapezoid AUC equals the midrank pairwise AUC (tie-exact); point
+    coordinates match the threshold sweep; the subgroup-size guard
+    raises."""
+    import math
+
+    import numpy as np
+
+    from padua_spark.operators.stats import (
+        control_chart_limits,
+        roc_points,
+    )
+
+    rng = np.random.RandomState(13)
+    vals = rng.normal(100, 4, (40, 5))
+    df = spark.createDataFrame(
+        [(g, float(v)) for g in range(40) for v in vals[g]],
+        ["g", "v"],
+    )
+    r = control_chart_limits(df, "g", "v").collect()[0]
+    xbb = vals.mean(axis=1).mean()
+    sbar = vals.std(axis=1, ddof=1).mean()
+    c4 = 0.9399856029866254
+    sig = sbar / c4
+    assert r["grand_mean"] == pytest.approx(xbb, abs=1e-6)
+    assert r["xbar_lcl"] == pytest.approx(
+        xbb - 3 * sig / math.sqrt(5), abs=1e-5
+    )
+    assert r["s_ucl"] == pytest.approx(
+        sbar + 3 * sig * math.sqrt(1 - c4 * c4), abs=1e-5
+    )
+    assert r["n_min"] == 5 and r["n_max"] == 5
+    big = spark.createDataFrame(
+        [(0, float(v)) for v in rng.normal(0, 1, 60)], ["g", "v"]
+    )
+    with pytest.raises(ValueError, match="subgroup size"):
+        control_chart_limits(big, "g", "v")
+
+    score = np.round(rng.uniform(0, 1, 2000), 2)
+    lab = (rng.uniform(size=2000) < score).astype(int)
+    sdf = spark.createDataFrame(
+        [(float(s), int(v)) for s, v in zip(score, lab)], ["s", "y"]
+    )
+    pts = roc_points(sdf, "s", "y").collect()
+    npos, nneg = lab.sum(), (1 - lab).sum()
+    pos = score[lab == 1][:, None]
+    neg = score[lab == 0][None, :]
+    auc_ref = (
+        (pos > neg).sum() + 0.5 * (pos == neg).sum()
+    ) / (npos * nneg)
+    assert pts[0]["auc"] == pytest.approx(auc_ref, abs=1e-6)
+    mid = pts[len(pts) // 2]
+    thr = mid["threshold"]
+    assert mid["tpr"] == pytest.approx(
+        ((score > thr) & (lab == 1)).sum() / npos, abs=1e-6
+    )
+    assert mid["fpr"] == pytest.approx(
+        ((score > thr) & (lab == 0)).sum() / nneg, abs=1e-6
+    )
+    assert len(pts) == len(np.unique(score))
