@@ -23552,6 +23552,112 @@ def q_windowed_circular_stats(spark, sf):
     )
 
 
+# --- ext: Value-at-Risk + Expected Shortfall -----------------------------------
+
+
+_VAR_ORACLE = """
+WITH per AS (
+  SELECT CAST(l_extendedprice AS DOUBLE) AS v,
+    CAST(count(*) AS BIGINT) AS c
+  FROM lineitem WHERE l_extendedprice IS NOT NULL GROUP BY 1
+),
+run AS (
+  SELECT v, c, v * c AS vc,
+    sum(c) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS crun,
+    sum(v * c) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS vcrun,
+    sum(c) OVER () AS ctot, sum(v * c) OVER () AS vtot
+  FROM per
+),
+hit AS (
+  SELECT * FROM run
+  WHERE crun >= ceil(0.95 * ctot)
+  ORDER BY v LIMIT 1
+)
+SELECT CAST(run0.ctot AS BIGINT) AS n,
+  CAST(0.95 AS DOUBLE) AS alpha,
+  round(hit.v, 6) AS var,
+  CAST(run0.ctot - hit.crun AS BIGINT) AS n_exceed,
+  round(CASE WHEN run0.ctot - hit.crun > 0
+    THEN (run0.vtot - hit.vcrun)
+      / CAST(run0.ctot - hit.crun AS DOUBLE)
+    ELSE hit.v END, 6) AS expected_shortfall
+FROM (SELECT max(ctot) AS ctot, max(vtot) AS vtot FROM run) run0,
+  hit
+"""
+
+
+@_q("value_at_risk", _VAR_ORACLE)
+def q_value_at_risk(spark, sf):
+    """Historical VaR(95) + Expected Shortfall of the extended-price
+    distribution (stats.value_at_risk): one stepped pass carrying
+    counts and value sums, the tail mean off the same frame."""
+    from padua_spark.operators.stats import value_at_risk
+
+    li = _t(spark, sf, "lineitem")
+    return value_at_risk(li, "l_extendedprice", alpha=0.95)
+
+
+# --- ext: burstiness of event streams ------------------------------------------
+
+
+_BURSTINESS_ORACLE = """
+WITH e AS (
+  SELECT user_id, epoch_us(ts) AS tu, event_id
+  FROM events WHERE ts IS NOT NULL
+),
+g AS (
+  SELECT user_id,
+    CAST((tu // 1000) - lag(tu // 1000) OVER w AS HUGEINT) AS gap
+  FROM e
+  WINDOW w AS (PARTITION BY user_id ORDER BY tu, event_id)
+),
+agg0 AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS n_gaps,
+    sum(gap) AS s1, sum(gap * gap) AS s2
+  FROM g WHERE gap IS NOT NULL GROUP BY 1
+),
+agg AS (
+  SELECT user_id, n_gaps,
+    CAST(s1 AS DOUBLE) / n_gaps AS m,
+    CASE WHEN n_gaps >= 2 THEN sqrt(
+      greatest(0.0, CAST(n_gaps * s2 - s1 * s1 AS DOUBLE))
+      / (CAST(n_gaps AS DOUBLE) * (n_gaps - 1.0))) END AS s
+  FROM agg0
+)
+SELECT user_id, n_gaps,
+  round(m, 6) AS mean_gap, round(s, 6) AS sd_gap,
+  round(CASE WHEN n_gaps >= 2 AND m + s > 0
+    THEN (s - m) / (s + m) END, 6) AS burstiness,
+  round(CASE WHEN n_gaps >= 2 AND m > 0 THEN s / m END, 6) AS cv
+FROM agg
+"""
+
+
+@_q("burstiness", _BURSTINESS_ORACLE)
+def q_burstiness(spark, sf):
+    """Goh-Barabasi burstiness of each user's inter-event times in
+    integer milliseconds (temporal.burstiness, exact-integer
+    moments): one lag window per key, one aggregation."""
+    from padua_spark.operators.temporal import burstiness
+    from padua_spark.streaming.windows import epoch_us_col
+
+    e = _t(spark, sf, "events").where(F.col("ts").isNotNull())
+    us = epoch_us_col(e, "ts")
+    # gaps measured in integer MILLISECONDS: exact-integer moments
+    # stay within the magnitude where decimal->double casts agree
+    # across engines to well under the 6dp rounding granularity
+    base = e.select(
+        "user_id",
+        us.alias("_tu"),
+        F.floor(us / F.lit(1000)).cast("bigint").alias("_tms"),
+        "event_id",
+    )
+    return burstiness(
+        base, ["user_id"], ["_tu", "event_id"], "_tms",
+        exact_integer_gaps=True,
+    )
+
+
 # ---------------------------------------------------------------------------
 
 

@@ -213,6 +213,8 @@ HEADLINE = [
     "control_chart_limits",
     "roc_points",
     "windowed_circular_stats",
+    "value_at_risk",
+    "burstiness",
     "anova_2way_stats",
     "levene_stats",
     "ttest_paired_stats",

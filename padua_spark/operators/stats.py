@@ -11028,3 +11028,82 @@ def roc_points(
         F.round(auc, 6).alias("auc"),
     )
     return track_cached(out, *getattr(stepped, "_padua_cached", ()))
+
+
+def value_at_risk(
+    df: DataFrame,
+    value_col: str,
+    alpha: float = 0.95,
+    small_domain_threshold: int | None = None,
+) -> DataFrame:
+    """Historical Value-at-Risk and Expected Shortfall (CVaR) of a
+    loss distribution — the risk-tail pair behind "how bad is the
+    worst 5%?" (losses POSITIVE; pass negated returns for P&L):
+
+    ``VaR_α = min{v : F(v) ≥ α}`` (the lower empirical quantile —
+    the same boundary law as :func:`~padua_spark.extensions.features.
+    gains_table`), ``ES_α = E[X | X > VaR] `` over the strict
+    exceedances, with the exceedance count reported (``ES = VaR``
+    when nothing exceeds — the discrete-tail convention, documented).
+
+    ONE per-distinct-value aggregation carrying both the counts and
+    the value·count sums through the shared stepped cumsum, one
+    roll-up row — the tail mean needs no second scan: at the VaR row,
+    ``n_exceed = n − cum_count`` and
+    ``tail_sum = total_vsum − cum_vsum``. Output 1 row: ``(n, alpha,
+    var, n_exceed, expected_shortfall)``, 6dp.
+
+    Beyond the reference; standard per Jorion / McNeil-Frey-Embrechts.
+    """
+    from padua_spark.io_utils import track_cached
+
+    v = F.col(value_col).cast("double")
+    per = (
+        df.where(v.isNotNull())
+        .groupBy(v.alias("_v"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("_c"),
+        )
+        .withColumn("_vc", F.col("_v") * F.col("_c").cast("double"))
+    )
+    stepped = _stepped_running_counts(
+        per, "_v", ["_c", "_vc"], small_domain_threshold
+    )
+    rank = F.ceil(
+        F.lit(float(alpha)) * F.col("_c_tot").cast("double")
+    ).cast("bigint")
+    # the struct min picks the SMALLEST qualifying value row and
+    # carries its cumulative state along — one aggregation, no collect
+    hit = F.min(
+        F.when(
+            F.col("_c_run") >= rank,
+            F.struct(
+                F.col("_v").alias("v"),
+                F.col("_c_run").alias("crun"),
+                F.col("_vc_run").alias("vcrun"),
+            ),
+        )
+    )
+    agg = stepped.agg(
+        F.max("_c_tot").cast("bigint").alias("n"),
+        F.max("_vc_tot").alias("_vtot"),
+        hit.alias("_h"),
+    )
+    n_exceed = (F.col("n") - F.col("_h.crun")).cast("bigint")
+    es = F.when(
+        n_exceed > 0,
+        (F.col("_vtot") - F.col("_h.vcrun"))
+        / n_exceed.cast("double"),
+    ).otherwise(F.col("_h.v"))
+    out = agg.select(
+        F.coalesce(F.col("n"), F.lit(0)).cast("bigint").alias("n"),
+        F.lit(float(alpha)).alias("alpha"),
+        F.round(F.col("_h.v"), 6).alias("var"),
+        F.coalesce(n_exceed, F.lit(0)).cast("bigint").alias(
+            "n_exceed"
+        ),
+        F.round(
+            F.when(F.col("_h").isNotNull(), es), 6
+        ).alias("expected_shortfall"),
+    )
+    return track_cached(out, *getattr(stepped, "_padua_cached", ()))

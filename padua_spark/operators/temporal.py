@@ -1820,3 +1820,104 @@ def rayleigh_uniformity(
             6,
         ).alias("p_value"),
     )
+
+
+def burstiness(
+    df: DataFrame,
+    key_cols: list[str],
+    order_cols: list[str],
+    ts_col: str,
+    exact_integer_gaps: bool = False,
+) -> DataFrame:
+    """Per-key burstiness of an event stream (Goh & Barabási 2008) —
+    "is this user's activity Poisson-steady, periodic, or bursty?"
+    from the inter-event time distribution:
+
+    ``B = (σ_τ − μ_τ)/(σ_τ + μ_τ)`` over the per-key inter-event
+    gaps τ (B → −1 periodic, 0 Poisson, → 1 maximally bursty), plus
+    the gap CV and count. One lag window per key (ordered by
+    ``order_cols``) and one aggregation — the
+    :func:`event_lag_gaps` shape reduced per key.
+
+    With ``exact_integer_gaps=True`` (timestamps in integer units —
+    epoch micros) the two moments come from EXACT decimal(38,0) sums
+    of the integer gaps, so σ/μ are bit-identical on any engine even
+    at 1e10 magnitudes where engine-internal Welford orderings
+    diverge past 6dp (the gini exact-integer discipline); the flag
+    RAISES on a fractional gap rather than silently truncating.
+
+    Output per key: ``(keys..., n_gaps, mean_gap, sd_gap,
+    burstiness, cv)``, 6dp; NULL B when n_gaps < 2 or both moments
+    are 0.
+
+    Beyond the reference; standard per Goh & Barabási 2008.
+    """
+    t = F.col(ts_col).cast("double")
+    cond = t.isNotNull()
+    for c in order_cols:
+        cond = cond & F.col(c).isNotNull()
+    base = df.where(cond)
+    w = Window.partitionBy(*key_cols).orderBy(
+        *[F.col(c).asc() for c in order_cols]
+    )
+    gaps = base.select(
+        *key_cols, (t - F.lag(t).over(w)).alias("_g")
+    ).where(F.col("_g").isNotNull())
+    if exact_integer_gaps:
+        gi = F.when(
+            F.col("_g") == F.floor(F.col("_g")),
+            F.col("_g").cast("decimal(38,0)"),
+        ).otherwise(
+            F.raise_error(
+                F.lit(
+                    "burstiness: exact_integer_gaps=True but a "
+                    "fractional gap was found — pass integer "
+                    "timestamps or drop the flag"
+                )
+            ).cast("decimal(38,0)")
+        )
+        gaps = gaps.select(*key_cols, gi.alias("_gi"))
+        agg0 = gaps.groupBy(*key_cols).agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_gaps"),
+            F.sum("_gi").alias("_s1"),
+            F.sum(F.col("_gi") * F.col("_gi")).alias("_s2"),
+        )
+        nd = F.col("n_gaps").cast("double")
+        mean = F.col("_s1").cast("double") / nd
+        varnum = (
+            F.col("n_gaps").cast("decimal(38,0)") * F.col("_s2")
+            - F.col("_s1") * F.col("_s1")
+        ).cast("double")
+        sd = F.when(
+            F.col("n_gaps") >= 2,
+            F.sqrt(
+                F.greatest(F.lit(0.0), varnum)
+                / (nd * (nd - 1.0))
+            ),
+        )
+        agg = agg0.select(
+            *key_cols, "n_gaps", mean.alias("_m"), sd.alias("_s")
+        )
+    else:
+        agg = gaps.groupBy(*key_cols).agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_gaps"),
+            F.avg("_g").alias("_m"),
+            F.stddev_samp("_g").alias("_s"),
+        )
+    ok = (F.col("n_gaps") >= 2) & (
+        (F.col("_m") + F.col("_s")) > 0
+    )
+    b = F.when(
+        ok, (F.col("_s") - F.col("_m")) / (F.col("_s") + F.col("_m"))
+    )
+    cv = F.when(
+        (F.col("n_gaps") >= 2) & (F.col("_m") > 0),
+        F.col("_s") / F.col("_m"),
+    )
+    return agg.select(
+        *key_cols, "n_gaps",
+        F.round("_m", 6).alias("mean_gap"),
+        F.round("_s", 6).alias("sd_gap"),
+        F.round(b, 6).alias("burstiness"),
+        F.round(cv, 6).alias("cv"),
+    )

@@ -10116,3 +10116,76 @@ def test_control_chart_and_roc_points(spark):
         ((score > thr) & (lab == 0)).sum() / nneg, abs=1e-6
     )
     assert len(pts) == len(np.unique(score))
+
+
+def test_value_at_risk_and_burstiness(spark):
+    """VaR/ES match the sorted-tail numpy replica at the exact
+    quantile boundary; burstiness separates a Poisson-ish stream
+    (B~0) from a bursty one (B>0.4) and matches the gap-moment
+    replica; the exact-integer flag raises on fractional gaps."""
+    import numpy as np
+
+    from padua_spark.operators.stats import value_at_risk
+    from padua_spark.operators.temporal import burstiness
+
+    rng = np.random.RandomState(17)
+    x = np.round(rng.lognormal(3, 1, 5000), 2)
+    df = spark.createDataFrame([(float(v),) for v in x], ["v"])
+    r = value_at_risk(df, "v", alpha=0.95).collect()[0]
+    xs = np.sort(x)
+    import math
+
+    k = math.ceil(0.95 * len(xs))
+    var_ref = xs[k - 1]
+    tail = xs[xs > var_ref]
+    assert r["var"] == pytest.approx(var_ref, abs=1e-9)
+    assert r["n_exceed"] == len(tail)
+    assert r["expected_shortfall"] == pytest.approx(
+        tail.mean(), abs=1e-5
+    )
+
+    gaps_a = rng.exponential(5, 300)
+    ts_a = np.cumsum(gaps_a)
+    ts_b = np.cumsum(
+        np.where(rng.uniform(size=300) < 0.05, 100.0, 0.5)
+    )
+    rows = [("a", i, float(t)) for i, t in enumerate(ts_a)] + [
+        ("b", i, float(t)) for i, t in enumerate(ts_b)
+    ]
+    bdf = spark.createDataFrame(rows, ["k", "i", "ts"])
+    out = {
+        rr["k"]: rr
+        for rr in burstiness(bdf, ["k"], ["i"], "ts").collect()
+    }
+    for key, ts in (("a", ts_a), ("b", ts_b)):
+        g = np.diff(ts)
+        m, s = g.mean(), g.std(ddof=1)
+        assert out[key]["burstiness"] == pytest.approx(
+            (s - m) / (s + m), abs=1e-6
+        )
+        assert out[key]["cv"] == pytest.approx(s / m, abs=1e-6)
+    assert abs(out["a"]["burstiness"]) < 0.1
+    assert out["b"]["burstiness"] > 0.4
+
+    # exact-integer path equals the float path on integer inputs
+    ints = spark.createDataFrame(
+        [("a", i, float(v)) for i, v in enumerate(
+            np.cumsum(rng.randint(1, 100, 200))
+        )],
+        ["k", "i", "ts"],
+    )
+    f1 = burstiness(ints, ["k"], ["i"], "ts").collect()[0]
+    f2 = burstiness(
+        ints, ["k"], ["i"], "ts", exact_integer_gaps=True
+    ).collect()[0]
+    assert f1["burstiness"] == pytest.approx(
+        f2["burstiness"], abs=1e-6
+    )
+    frac = spark.createDataFrame(
+        [("a", 0, 0.0), ("a", 1, 1.5), ("a", 2, 4.0)],
+        ["k", "i", "ts"],
+    )
+    with pytest.raises(Exception, match="fractional gap"):
+        burstiness(
+            frac, ["k"], ["i"], "ts", exact_integer_gaps=True
+        ).collect()
