@@ -21434,12 +21434,12 @@ WITH marked AS (
   SELECT list_transform(
     list_filter(string_split(lower(text), ' '), t -> t <> ''),
     t -> CASE WHEN t IN ('the', 'a', 'and', 'of', 'to', 'in', 'is')
-         THEN '|' ELSE t END) AS m
+         THEN chr(0) ELSE t END) AS m
   FROM documents WHERE text IS NOT NULL
 ),
 ph0 AS (
   SELECT trim(p) AS phrase FROM (
-    SELECT unnest(string_split(array_to_string(m, ' '), '|')) AS p
+    SELECT unnest(string_split(array_to_string(m, ' '), chr(0))) AS p
     FROM marked
   ) WHERE trim(p) <> ''
 ),
@@ -22160,6 +22160,8 @@ tot AS (
     CAST(sum(coalesce(nc, 0)) AS BIGINT) AS n_control,
     CAST(sum(CASE WHEN nc > 0 THEN 1 ELSE 0 END) AS INT)
       AS n_strata_used,
+    CAST(sum(CASE WHEN nc > 0 AND (nt < 2 OR nc < 2) THEN 1 ELSE 0
+      END) AS INT) AS n_singleton_arm_strata,
     CAST(sum(CASE WHEN nc > 0 THEN nt ELSE 0 END) AS DOUBLE)
       AS n_used
   FROM bt
@@ -22179,6 +22181,7 @@ est AS (
   FROM bt, tot t
 )
 SELECT t.n_treated, t.n_control, t.n_strata_used,
+  t.n_singleton_arm_strata,
   round(e.att, 6) AS att, round(sqrt(e.sev), 6) AS se
 FROM tot t, est e
 """

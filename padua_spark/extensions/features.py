@@ -749,7 +749,9 @@ def hosmer_lemeshow(
             6,
         ).alias("p_value"),
     )
-    return track_cached(out, base)
+    return track_cached(
+        out, base, *getattr(stepped, "_padua_cached", ())
+    )
 
 
 def coec_position_bias(

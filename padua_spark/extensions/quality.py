@@ -1649,8 +1649,11 @@ def abc_analysis(
     descending cumulative comes off the shared distributed stepped
     cumsum over the DISTINCT-total domain (never a partitionless sort
     of the key frame), joined back to the totals on the total value.
-    Negative or NULL totals are excluded from the share base and the
-    output (shares would be ill-defined). Output: one row per key:
+    NON-POSITIVE totals (negative, zero, or NULL) are excluded from
+    the share base and the output — a zero-total key has exactly 0
+    share and would classify as ``C`` if emitted, but negative totals
+    make cumulative shares ill-defined, so all non-positive keys are
+    dropped for a single consistent rule. Output: one row per key:
     ``(keys..., total_value, value_share, cum_share, abc_class)``,
     6dp shares.
 

@@ -2041,7 +2041,10 @@ def rake_keywords(
     Semantics (pinned for engine reproducibility): tokens are the
     whitespace tokenization of the LOWERCASED text; a phrase is a
     maximal run of non-stopword tokens (stopwords default to the
-    shared English list, :data:`STOPWORDS`); runs longer than
+    shared English list, :data:`STOPWORDS`). Phrase boundaries are
+    marked with an unprintable NUL sentinel, so printable characters
+    inside tokens — including a literal ``|`` — never split a
+    phrase; runs longer than
     ``max_phrase_tokens`` are DROPPED (boilerplate runs, the standard
     RAKE guard), shorter than ``min_phrase_tokens`` likewise. For a
     word occurrence in a phrase of length L: ``freq(w) += 1``,
@@ -2070,15 +2073,20 @@ def rake_keywords(
     stop = stopwords if stopwords is not None else STOPWORDS["en"]
     t = F.col(text_col)
     toks = tokens(F.lower(t))
+    # NUL is the phrase-boundary sentinel (unprintable, so a literal
+    # '|' inside a token — markdown tables, 'a|b' — stays one token;
+    # a token containing NUL itself would still split, the only
+    # remaining edge and not realistic text).
+    _sent = "\u0000"
     marked = F.transform(
         toks,
         lambda x: F.when(
-            x.isin([F.lit(s) for s in stop]), F.lit("|")
+            x.isin([F.lit(s) for s in stop]), F.lit(_sent)
         ).otherwise(x),
     )
     phrases_arr = F.filter(
         F.transform(
-            F.split(F.array_join(marked, " "), r"\|"),
+            F.split(F.array_join(marked, " "), _sent),
             lambda p: F.trim(p),
         ),
         lambda p: p != "",

@@ -10282,8 +10282,14 @@ def propensity_strata_att(
     cumsum over the treated score domain (the :func:`~padua_spark.
     extensions.features.gains_table` law), then ONE conditional
     aggregation per stratum cell and a ≤ ``n_strata``-row roll-up.
-    Output 1 row: ``(n_treated, n_control, n_strata_used, att, se)``,
-    6dp; NULL att when no stratum has both arms.
+    Output 1 row: ``(n_treated, n_control, n_strata_used,
+    n_singleton_arm_strata, att, se)``, 6dp; NULL att when no stratum
+    has both arms. SE convention: a stratum arm with exactly 1 unit
+    has no within-arm variance estimate, so it contributes ZERO
+    variance to the linearized SE while the stratum still contributes
+    to the ATT point estimate — the SE therefore UNDERSTATES
+    uncertainty when ``n_singleton_arm_strata > 0`` (reported
+    explicitly so callers can widen strata or drop them).
 
     Beyond the reference; standard per Rosenbaum & Rubin 1984 /
     Imbens & Rubin 2015 ch. 17.
@@ -10377,6 +10383,12 @@ def propensity_strata_att(
             "_nct"
         ),
         F.sum(usable.cast("int")).over(w).alias("_used"),
+        F.sum(
+            F.when(
+                usable & ((F.col("_nt") < 2) | (F.col("_nc") < 2)),
+                1,
+            ).otherwise(0)
+        ).over(w).alias("_singleton"),
         att.alias("_att"),
         sevar.alias("_sev"),
     ).limit(1)
@@ -10385,6 +10397,9 @@ def propensity_strata_att(
             F.col("_ntt").cast("bigint").alias("n_treated"),
             F.col("_nct").cast("bigint").alias("n_control"),
             F.col("_used").cast("int").alias("n_strata_used"),
+            F.col("_singleton").cast("int").alias(
+                "n_singleton_arm_strata"
+            ),
             F.round("_att", 6).alias("att"),
             F.round(F.sqrt("_sev"), 6).alias("se"),
         ),

@@ -9191,6 +9191,18 @@ def test_rake_keywords_replica(spark):
         ["doc_id", "text"],
     )
     assert rake_keywords(long, "doc_id", "text").count() == 0
+    # a literal '|' inside a token is NOT a phrase boundary (NUL
+    # sentinel): 'a|b' stays one token inside one phrase
+    piped = spark.createDataFrame(
+        [(1, "the col1|col2 table of markdown rows")],
+        ["doc_id", "text"],
+    )
+    got_piped = {
+        r["phrase"]
+        for r in rake_keywords(piped, "doc_id", "text").collect()
+    }
+    assert "col1|col2 table" in got_piped
+    assert "markdown rows" in got_piped
 
 
 def test_code_prose_profile_and_ngram_novelty(spark):
@@ -9442,6 +9454,23 @@ def test_propensity_strata_att_replica(spark):
     assert r["att"] == pytest.approx(att, abs=1e-5)
     assert r["n_strata_used"] == len(used)
     assert abs(r["att"] - 2.0) < 0.25  # recovers the planted effect
+    n_singleton = sum(
+        1 for _, mt, mc in used if mt.sum() < 2 or mc.sum() < 2
+    )
+    assert r["n_singleton_arm_strata"] == n_singleton
+    # singleton-arm strata are surfaced: a stratum whose control arm
+    # has exactly 1 unit still contributes to ATT but adds zero
+    # variance — the column reports it
+    tiny = spark.createDataFrame(
+        [(1, 1.0, 0.2), (1, 2.0, 0.2), (0, 0.5, 0.2),
+         (1, 3.0, 0.8), (0, 1.0, 0.8), (0, 2.0, 0.8)],
+        ["t", "y", "s"],
+    )
+    rt = propensity_strata_att(
+        tiny, "t", "y", "s", n_strata=2
+    ).collect()[0]
+    assert rt["n_singleton_arm_strata"] >= 1
+    assert rt["att"] is not None
 
 
 def test_rolling_correlation_and_decomposition_strength(spark):
