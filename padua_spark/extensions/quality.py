@@ -1465,6 +1465,8 @@ def hhi_concentration(
 def data_profile(
     df: DataFrame,
     columns: list[str] | None = None,
+    exact: bool = True,
+    rsd: float = 0.023,
 ) -> DataFrame:
     """Whole-table column profile — the first query anyone runs on an
     unfamiliar dataset ("what's in here, how NULL is it, how wide are
@@ -1473,18 +1475,25 @@ def data_profile(
     per column: ``(column, dtype, n, n_null, null_rate, n_distinct,
     min_value, max_value, mean, sd)`` — min/max as STRINGS
     (lexicographic for non-numerics, documented), mean/sd NULL for
-    non-numeric columns, ``n_distinct`` EXACT (nulls excluded).
+    non-numeric columns, ``n_distinct`` EXACT (nulls excluded) under
+    the default, an HLL++ estimate under ``exact=False``.
 
-    Scale shape: ONE aggregation computes every column's stats; the
-    multiple ``count(distinct)`` aggregates compile to Spark's
-    multi-distinct expansion (one scan, k-way row expansion — the
-    documented cost of exactness; swap to approx_count_distinct
-    upstream if a sketch is acceptable). The aggregated 1-row frame
-    is PERSISTED before the compile-time k-branch pivot union —
-    Spark reuses no exchanges across union branches, so an uncached
-    frame would re-run the whole scan+aggregation once per column
-    (recorded for ``io_utils.unpersist_intermediates``). Output: k
-    rows, deterministic column order.
+    Scale shape — ``exact`` is the 100 TB dial: with ``exact=True``
+    the multiple ``count(distinct)`` aggregates compile to Spark's
+    multi-distinct expansion (one scan, but each input row is
+    replicated once PER distinct aggregate before the exchange —
+    ~k× shuffle volume for a k-column table; the documented cost of
+    exactness). With ``exact=False`` every ``count_distinct`` becomes
+    ``approx_count_distinct`` (HyperLogLog++, relative sd ``rsd``,
+    default 2.3%): mergeable bounded-size sketch state, NO Expand
+    node, one plain partial/final aggregation pass — the mode to use
+    on an unfamiliar 100 TB table, where the exact default would
+    replicate the entire input through the shuffle. The aggregated
+    1-row frame is PERSISTED before the compile-time k-branch pivot
+    union — Spark reuses no exchanges across union branches, so an
+    uncached frame would re-run the whole scan+aggregation once per
+    column (recorded for ``io_utils.unpersist_intermediates``).
+    Output: k rows, deterministic column order.
     """
     from functools import reduce
 
@@ -1495,11 +1504,15 @@ def data_profile(
     aggs = [F.count(F.lit(1)).cast("bigint").alias("_n")]
     for c in cols:
         dt = dtypes[c].split("(")[0]
+        nd = (
+            F.count_distinct(F.col(c))
+            if exact
+            else F.approx_count_distinct(F.col(c), float(rsd))
+        )
         aggs += [
             F.sum(F.col(c).isNull().cast("int")).cast("bigint")
             .alias(f"_null_{c}"),
-            F.count_distinct(F.col(c)).cast("bigint")
-            .alias(f"_nd_{c}"),
+            nd.cast("bigint").alias(f"_nd_{c}"),
             F.min(F.col(c)).cast("string").alias(f"_min_{c}"),
             F.max(F.col(c)).cast("string").alias(f"_max_{c}"),
         ]
@@ -1561,6 +1574,8 @@ def data_profile(
 def json_profile(
     df: DataFrame,
     json_col: str,
+    exact: bool = True,
+    rsd: float = 0.023,
 ) -> DataFrame:
     """Per-key profile of a flat JSON-string column (crawl metadata,
     event props, model-card sidecars) — which keys exist, how often,
@@ -1569,14 +1584,21 @@ def json_profile(
     per key: ``(key, n_present, presence_rate, n_distinct,
     frac_numeric, min_value, max_value)`` — presence over the NON-NULL
     json rows, values profiled as strings (min/max lexicographic),
-    ``frac_numeric`` the fraction castable to double.
+    ``frac_numeric`` the fraction castable to double. ``n_distinct``
+    is exact by default; ``exact=False`` swaps it for
+    ``approx_count_distinct`` (HLL++, relative sd ``rsd``).
 
     Scale shape: ``from_json`` to ``map<string,string>`` (flat
     objects; nested values arrive as their JSON text — profile them
     again one level down if needed), one explode, one groupBy(key)
     with a broadcast 1-row total for the rate. No UDF, no driver
     parsing. Rows whose json fails to parse count toward the total
-    but no key.
+    but no key. Unlike :func:`data_profile`, the exact default here
+    is a SINGLE distinct aggregate per group — Spark plans it as a
+    two-phase partial-dedup aggregation with NO Expand, so the exact
+    path already scales; ``exact=False`` still helps when a key's
+    value domain is itself huge (sketch state instead of a
+    per-(key,value) dedup shuffle).
     """
     j = F.from_json(
         F.col(json_col), "map<string,string>"
@@ -1596,10 +1618,14 @@ def json_profile(
     kv = base.where(F.col("_m").isNotNull()).select(
         F.explode("_m").alias("key", "_v")
     )
+    nd = (
+        F.count_distinct(F.col("_v"))
+        if exact
+        else F.approx_count_distinct(F.col("_v"), float(rsd))
+    )
     per = kv.groupBy("key").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_present"),
-        F.count_distinct(F.col("_v")).cast("bigint")
-        .alias("n_distinct"),
+        nd.cast("bigint").alias("n_distinct"),
         F.sum(
             F.col("_v").cast("double").isNotNull().cast("int")
         ).cast("bigint").alias("_numeric"),

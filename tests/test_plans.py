@@ -776,3 +776,58 @@ def test_textrank_cache_and_truncation(spark):
     assert "Scan ExistingRDD" in plan, plan[:1000]
     out.limit(1).collect()
     assert unpersist_intermediates(out) == 3
+
+
+def test_data_profile_expand_dial(spark):
+    """data_profile's exact/approx dial: the exact default compiles
+    the multi-count_distinct to exactly ONE Expand node (the k-way
+    row replication that makes the default 100 TB-hostile), and
+    exact=False (approx_count_distinct sketches) compiles to a plain
+    partial/final aggregation with NO Expand anywhere. The approx
+    estimates must agree with the exact counts within the documented
+    HLL++ relative sd."""
+    from padua_spark.extensions.quality import data_profile
+
+    li = _li(spark).select(
+        "l_orderkey", "l_partkey", "l_quantity", "l_returnflag"
+    )
+    exact_plan = explain_str(data_profile(li), "simple")
+    assert exact_plan.count("Expand") >= 1, exact_plan[:1500]
+    approx = data_profile(li, exact=False)
+    approx_plan = explain_str(approx, "simple")
+    assert "Expand" not in approx_plan, approx_plan[:1500]
+    assert "PythonUDF" not in approx_plan
+    # no Sort NODE (SortAggregate over zero grouping keys is fine and
+    # sorts nothing; a standalone Sort would mean a global sort)
+    assert not any(
+        l.strip().lstrip("+-: ").startswith("Sort [")
+        for l in approx_plan.splitlines()
+    ), approx_plan[:1500]
+    got_e = {
+        r["column"]: r["n_distinct"]
+        for r in data_profile(li).collect()
+    }
+    got_a = {
+        r["column"]: r["n_distinct"] for r in approx.collect()
+    }
+    for c, nd in got_e.items():
+        assert abs(got_a[c] - nd) <= max(4, 0.12 * nd), (c, nd, got_a[c])
+
+
+def test_json_profile_approx_no_expand(spark):
+    """json_profile exact=False: no Expand (single distinct per group
+    never expands anyway, but the sketch path must also stay
+    Expand-free and sort-free) and estimates near exact."""
+    from padua_spark.extensions.quality import json_profile
+
+    rows = [
+        (i, '{"lang": "en", "score": "%d"}' % (i % 37),)
+        for i in range(500)
+    ]
+    df = spark.createDataFrame(rows, ["id", "meta"])
+    approx = json_profile(df, "meta", exact=False)
+    plan = explain_str(approx, "simple")
+    assert "Expand" not in plan, plan[:1500]
+    got = {r["key"]: r["n_distinct"] for r in approx.collect()}
+    assert got["lang"] == 1
+    assert abs(got["score"] - 37) <= 5
