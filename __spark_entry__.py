@@ -11799,6 +11799,77 @@ def q_pipeline_silac_ratio(spark, sf):
     )
 
 
+def _pipeline_msp_oracle() -> str:
+    from padua_spark.benchdata import _LABELS, ensure_msp_fixture
+
+    msp, ds = ensure_msp_fixture("/root/testdata/sf0.01")
+    melt = "\n  UNION ALL\n  ".join(
+        f"SELECT id AS feature_id, '{lab}' AS sample_label, "
+        f'CASE WHEN "Intensity {lab}" <> 0 '
+        f'THEN CAST("Intensity {lab}" AS DOUBLE) END AS v, '
+        f"Modifications AS mods FROM wide"
+        for lab in _LABELS
+    )
+    return f"""
+WITH wide AS (
+  SELECT * FROM read_csv('{msp}', delim='\t', header=true)
+),
+lng AS (
+  {melt}
+),
+persample AS (
+  SELECT sample_label,
+    sum(CASE WHEN contains(mods, 'Phospho (STY)') THEN v
+        ELSE 0.0 END) AS modified_sum,
+    sum(COALESCE(v, 0.0)) AS total_sum,
+    sum(CASE WHEN contains(mods, 'Phospho (STY)') THEN v
+        ELSE 0.0 END) / sum(COALESCE(v, 0.0)) AS enr
+  FROM lng GROUP BY 1
+),
+designed AS (
+  SELECT p.*, d."Group" AS grp
+  FROM persample p
+  JOIN read_csv('{ds}', header=true) d ON p.sample_label = d.Label
+)
+SELECT grp, CAST(count(*) AS BIGINT) AS n_samples,
+  CAST(sum(modified_sum) AS BIGINT) AS modified_sum,
+  CAST(sum(total_sum) AS BIGINT) AS total_sum,
+  round(sum(modified_sum) / sum(total_sum), 6) AS pooled_enrichment,
+  round(list_reduce(
+      list_prepend(CAST(0.0 AS DOUBLE),
+                   list(enr ORDER BY sample_label)),
+      (acc, s) -> acc + s) / CAST(count(*) AS DOUBLE), 6
+  ) AS mean_enrichment
+FROM designed GROUP BY 1
+"""
+
+
+@_q("pipeline_msp_enrichment", _pipeline_msp_oracle())
+def q_pipeline_msp_enrichment(spark, sf):
+    """SURVEY §3.3 entry point C end to end (File S-1 Statistical
+    Analysis first half; reference analysis.py:263-287
+    enrichment_from_msp + process.py:23 design join): CSV scan →
+    stack melt → broadcast Modifications join → per-sample
+    conditional aggregation → broadcast design join → per-Group
+    roll-up, ONE lazy plan. Fixture intensities are exact integers
+    so the float sums are order-independent (the committed
+    micro-unit rule); the per-sample enrichment mean is an
+    order-fixed sorted fold on both engines."""
+    from padua_spark import pipelines
+    from padua_spark.benchdata import ensure_msp_fixture
+
+    msp, ds = ensure_msp_fixture(sf)
+    out = pipelines.msp_enrichment(spark, msp, design_path=ds)
+    return out.select(
+        "grp",
+        "n_samples",
+        F.col("modified_sum").cast("bigint").alias("modified_sum"),
+        F.col("total_sum").cast("bigint").alias("total_sum"),
+        _r("pooled_enrichment").alias("pooled_enrichment"),
+        _r("mean_enrichment").alias("mean_enrichment"),
+    )
+
+
 # --- ext round 8: data selection & corpus statistics ------------------------
 
 

@@ -276,6 +276,7 @@ HEADLINE = [
     "logrank_test",
     "pipeline_phospho_lfq",
     "pipeline_silac_ratio",
+    "pipeline_msp_enrichment",
     "longest_dup_substring",
     "nelson_aalen",
     "harrells_c",
@@ -475,9 +476,13 @@ def main() -> None:
     # pandas/CSV generation cost never lands inside a timed query
     # (cached on disk after the first pass anyway).
     try:
-        from padua_spark.benchdata import ensure_maxquant_fixture
+        from padua_spark.benchdata import (
+            ensure_maxquant_fixture,
+            ensure_msp_fixture,
+        )
 
         ensure_maxquant_fixture(sf_dir)
+        ensure_msp_fixture(sf_dir)
     except Exception:
         pass
     # Machine-speed calibration: a fixed, data-independent Spark job

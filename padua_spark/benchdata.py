@@ -128,3 +128,51 @@ def ensure_maxquant_fixture(sf_dir: str) -> tuple[str, str, str]:
         with open(marker, "w") as fh:
             fh.write(str(n))
     return pg, ds, rds
+
+
+def make_msp_table(n_peptides: int, seed: int = 7) -> pd.DataFrame:
+    """modificationSpecificPeptides-shaped frame for the §3.3 macro
+    entry (reference analysis.py:263-287 ``enrichment_from_msp``):
+    ``id``, semicolon-joined ``Modifications`` (2/5 of rows carry
+    the phospho flag), and one ``Intensity <label>`` column per
+    design label. Intensities are EXACT INTEGERS (< 2^31 each, group
+    sums ≪ 2^53) so double summation is order-independent and the
+    DuckDB oracle twin hash-matches bit-for-bit — the committed
+    money/micro-unit rule for oracle-checked float sums."""
+    rng = np.random.default_rng(seed)
+    ids = np.arange(n_peptides)
+    mods = np.select(
+        [ids % 5 == 0, ids % 5 == 1, ids % 5 == 2],
+        [
+            "Phospho (STY)",
+            "Oxidation (M)",
+            "Phospho (STY);Oxidation (M)",
+        ],
+        default="Unmodified",
+    )
+    base = rng.normal(24.0, 2.0, size=n_peptides)
+    noise = rng.normal(0.0, 0.5, size=(n_peptides, len(_LABELS)))
+    inten = np.floor(
+        np.power(2.0, np.clip(base[:, None] + noise, 4.0, 30.0))
+    ).astype(np.int64)
+    inten[rng.random(inten.shape) < 0.12] = 0
+    df = pd.DataFrame({"id": ids, "Modifications": mods})
+    for j, lab in enumerate(_LABELS):
+        df[f"Intensity {lab}"] = inten[:, j]
+    return df
+
+
+def ensure_msp_fixture(sf_dir: str) -> tuple[str, str]:
+    """Idempotent (msp.txt, design.csv) paths for the scale factor —
+    shares the directory and design table with
+    :func:`ensure_maxquant_fixture`, own ``_msp_done`` marker."""
+    pg, ds, _ = ensure_maxquant_fixture(sf_dir)
+    d = os.path.dirname(pg)
+    msp = os.path.join(d, "msp.txt")
+    marker = os.path.join(d, "_msp_done")
+    if not os.path.exists(marker):
+        n = features_for_sf(sf_dir)
+        make_msp_table(n).to_csv(msp, sep="\t", index=False)
+        with open(marker, "w") as fh:
+            fh.write(str(n))
+    return msp, ds

@@ -125,10 +125,28 @@ def msp_enrichment(
     spark: SparkSession,
     msp_path: str,
     modification: str = "Phospho (STY)",
+    design_path: str | None = None,
 ) -> DataFrame:
     """Entry point C (SURVEY.md §3.3): modificationSpecificPeptides
     enrichment — % intensity attributable to the modification per
-    sample."""
+    sample (reference ``analysis.enrichment_from_msp``
+    analysis.py:263-287), optionally rolled up per design Group
+    level (reference ``process.build_index_from_design``
+    process.py:23 — the File S-1 Statistical Analysis first half).
+
+    Without ``design_path``: one row per sample
+    ``(sample_label, modified_sum, unmodified_sum, enrichment)``.
+    With ``design_path``: one row per Group ``(grp, n_samples,
+    modified_sum, total_sum, pooled_enrichment, mean_enrichment)``
+    where pooled = Σ modified / Σ total across the group's samples
+    and mean is the average of the per-sample enrichments, summed in
+    sorted-label order (order-fixed fold, engine-reproducible).
+
+    ONE lazy plan: CSV scan → stack melt → broadcast Modifications
+    join → conditional aggregation per sample (the sample domain is
+    the design width, bounded) → broadcast design join → per-Group
+    roll-up over the sample-domain frame.
+    """
     wide = read_maxquant(spark, msp_path)
     meas, _features = maxquant_long(wide, zeros_to_null=True)
     flagged = (
@@ -144,9 +162,44 @@ def msp_enrichment(
             on="feature_id",
         )
     )
-    return agg_ops.enrichment(
+    enr = agg_ops.enrichment(
         flagged,
         ["sample_label"],
         F.col("_mods").contains(modification),
         "value",
+    )
+    if design_path is None:
+        return enr
+    design = read_design(spark, design_path)
+    joined = enr.join(
+        F.broadcast(
+            design.select(
+                F.col("Label").alias("sample_label"),
+                F.col("Group").alias("grp"),
+            )
+        ),
+        on="sample_label",
+    )
+    pairs = F.sort_array(
+        F.collect_list(F.struct("sample_label", "enrichment"))
+    )
+    n_s = F.count(F.lit(1)).cast("bigint")
+    return joined.groupBy("grp").agg(
+        n_s.alias("n_samples"),
+        F.sum("modified_sum").alias("modified_sum"),
+        F.sum(
+            F.col("modified_sum") + F.col("unmodified_sum")
+        ).alias("total_sum"),
+        (
+            F.sum("modified_sum")
+            / F.sum(F.col("modified_sum") + F.col("unmodified_sum"))
+        ).alias("pooled_enrichment"),
+        (
+            F.aggregate(
+                pairs,
+                F.lit(0.0),
+                lambda acc, x: acc + x["enrichment"],
+            )
+            / n_s.cast("double")
+        ).alias("mean_enrichment"),
     )

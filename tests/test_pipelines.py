@@ -59,6 +59,27 @@ def test_msp_enrichment_pipeline(spark, tmp_path):
         pdf = df[df["Modifications"].str.contains("Phospho")]
         expected = pdf[f"Intensity {r['sample_label']}"].sum()
         assert r["modified_sum"] == pytest.approx(expected, rel=1e-9)
+    # design-join roll-up (E287): per-Group pooled + order-fixed mean
+    design = pd.DataFrame(
+        {"Label": labels, "Group": ["A", "A"], "Replicate": [1, 2]}
+    )
+    dpath = str(tmp_path / "design.csv")
+    design.to_csv(dpath, index=False)
+    rolled = pipelines.msp_enrichment(
+        spark, path, design_path=dpath
+    ).collect()
+    assert len(rolled) == 1
+    g = rolled[0]
+    per = {r["sample_label"]: r for r in out}
+    mod = sum(r["modified_sum"] for r in per.values())
+    tot = sum(
+        r["modified_sum"] + r["unmodified_sum"] for r in per.values()
+    )
+    assert g["grp"] == "A" and g["n_samples"] == 2
+    assert g["modified_sum"] == pytest.approx(mod, rel=1e-9)
+    assert g["pooled_enrichment"] == pytest.approx(mod / tot, rel=1e-9)
+    mean = (per["S1"]["enrichment"] + per["S2"]["enrichment"]) / 2
+    assert g["mean_enrichment"] == pytest.approx(mean, rel=1e-12)
 
 
 def test_protein_groups_ratio_pipeline(spark, tmp_path):
