@@ -299,16 +299,24 @@ def pagerank(
     ``io_utils.unpersist_intermediates``), and joined against the
     rank frame each iteration. N is one scalar count (driver-side,
     legitimate) — and it doubles as the join-strategy pivot: when
-    ``n_nodes <= broadcast_ranks_threshold`` the node-sized rank frame
-    is BROADCAST into the edge-sized contribution table every
-    iteration, so the edges are never reshuffled or sorted — the only
-    per-iteration shuffle is the map-side-combined partial sums of the
-    dst aggregation (≤ nodes × partitions rows, not edges). Above the
-    threshold (billion-node graphs, where a rank broadcast would not
-    fit) it falls back to the canonical shuffle-join plan — one
-    shuffle per iteration on the dst key. Each iteration
-    ``localCheckpoint``s (eager=False) so the logical plan stays O(1)
-    across iterations instead of nesting k joins deep.
+    ``n_nodes <= broadcast_ranks_threshold`` the rank recurrence is
+    FUSED into one lazy plan — ``rank_t(u) = base + d·in_t(u)`` is
+    inlined into the contribution join, so each iteration is a
+    broadcast join of the previous node-sized incoming-mass frame
+    into the cached contribution table plus one map-side-combined
+    dst aggregation (shuffle ≤ nodes × partitions rows, never
+    edges); iteration 1 needs no join at all (uniform rank₀ is a
+    literal). No per-iteration node join, no per-iteration
+    checkpoint barrier: the whole k-iteration computation executes
+    as ONE job over nested broadcast exchanges (each level has
+    exactly one consumer, so lineage is linear in k and nothing
+    recomputes — the plan-depth hazard only bites frames consumed
+    twice per round, see connected_components). Above the threshold
+    (billion-node graphs, where a rank broadcast would not fit) it
+    falls back to the canonical shuffle-join plan — one shuffle per
+    iteration on the dst key, with per-iteration
+    ``localCheckpoint`` (eager=False) so the logical plan stays
+    O(1) deep.
 
     Output: ``(node, rank)`` for every node appearing in the edges.
     Pass ``edges_distinct=True`` when the caller GUARANTEES the
@@ -344,11 +352,48 @@ def pagerank(
         return track_cached(empty, contrib, nodes, *cached)
     base = (1.0 - damping) / n_nodes
     small = n_nodes <= broadcast_ranks_threshold
+    from padua_spark.io_utils import track_cached
+
+    if small and k_iters > 0:
+        # fused plan: rank_t(u) = base + d·in_t(u) inlined into the
+        # contribution join — no node join, no checkpoint barrier
+        od = F.col("_o").cast("double")
+        inc = contrib.groupBy(F.col("_d").alias("node")).agg(
+            F.sum(F.lit(1.0 / n_nodes) / od).alias("_in")
+        )
+        for _ in range(k_iters - 1):
+            rank_u = F.lit(base) + F.lit(damping) * F.coalesce(
+                F.col("_in"), F.lit(0.0)
+            )
+            inc = (
+                contrib.join(
+                    F.broadcast(inc),
+                    contrib["_s"] == inc["node"],
+                    "left",
+                )
+                .select(
+                    F.col("_d").alias("node"),
+                    (rank_u / od).alias("_m"),
+                )
+                .groupBy("node")
+                .agg(F.sum("_m").alias("_in"))
+            )
+        ranks = nodes.join(
+            F.broadcast(inc), on="node", how="left"
+        ).select(
+            "node",
+            (
+                F.lit(base)
+                + F.lit(damping)
+                * F.coalesce(F.col("_in"), F.lit(0.0))
+            ).alias("rank"),
+        )
+        return track_cached(ranks, contrib, nodes, *cached)
+
     ranks = nodes.withColumn("rank", F.lit(1.0 / n_nodes))
     for _ in range(k_iters):
-        rside = F.broadcast(ranks) if small else ranks
         incoming = (
-            contrib.join(rside, contrib["_s"] == rside["node"])
+            contrib.join(ranks, contrib["_s"] == ranks["node"])
             .select(
                 F.col("_d").alias("node"),
                 (F.col("rank") / F.col("_o").cast("double")).alias("_m"),
@@ -367,8 +412,6 @@ def pagerank(
             )
             .localCheckpoint(eager=False)
         )
-    from padua_spark.io_utils import track_cached
-
     return track_cached(ranks, contrib, nodes, *cached)
 
 
@@ -1124,11 +1167,15 @@ def personalized_pagerank(
     the node set); ranks need not sum to 1.
 
     Scale shape: identical to :func:`pagerank` — persisted
-    contribution table, one count for N/|S|, the rank frame BROADCAST
-    into the edge-sized join below ``broadcast_ranks_threshold``
-    nodes and the canonical shuffle join above it, per-iteration
-    ``localCheckpoint`` (eager=False). Output: ``(node, rank,
-    is_seed)``.
+    contribution table (with the seed flag FUSED onto its source
+    column via one broadcast join at build time, so the restart-mass
+    term needs no per-iteration seed lookup), one count for N/|S|;
+    below ``broadcast_ranks_threshold`` nodes the rank recurrence is
+    inlined into the contribution join (one broadcast join + one
+    partial-agg shuffle per iteration, no node join, no checkpoint
+    barrier — one fused job); above it the canonical shuffle join
+    with per-iteration ``localCheckpoint`` (eager=False). Output:
+    ``(node, rank, is_seed)``.
 
     Beyond the reference; standard per Haveliwala 2002 / Gyöngyi et
     al. 2004 (TrustRank).
@@ -1145,12 +1192,32 @@ def personalized_pagerank(
         e = e.distinct().persist()
         cached.append(e)
     outdeg = e.groupBy("_s").agg(F.count(F.lit(1)).alias("_o"))
-    contrib = e.join(outdeg, on="_s").persist()
     sd = (
         seeds.select(F.col(seed_col).alias("node"))
         .where(F.col("node").isNotNull())
         .distinct()
         .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    # seed flag fused onto the source column at build time: the
+    # restart-mass term of every iteration reads it off the cached
+    # contribution table instead of re-joining seeds per round
+    contrib = (
+        e.join(outdeg, on="_s")
+        .join(
+            F.broadcast(
+                sd.select(
+                    F.col("node").alias("_s"),
+                    F.lit(True).alias("_sseed"),
+                )
+            ),
+            on="_s",
+            how="left",
+        )
+        .select(
+            "_s", "_d", "_o",
+            F.coalesce(F.col("_sseed"), F.lit(False)).alias("_sseed"),
+        )
+        .persist()
     )
     nodes = (
         e.select(F.col("_s").alias("node"))
@@ -1178,11 +1245,55 @@ def personalized_pagerank(
         F.col("is_seed"), F.lit(1.0 / n_seeds)
     ).otherwise(F.lit(0.0))
     small = n_nodes <= broadcast_ranks_threshold
+
+    if small and k_iters > 0:
+        # fused plan (the pagerank shape): rank_t(u) =
+        # (1−d)·s(u) + d·in_t(u) inlined into the contribution join,
+        # with s(u) read off the fused _sseed flag
+        od = F.col("_o").cast("double")
+        src_mass = F.when(
+            F.col("_sseed"), F.lit(1.0 / n_seeds)
+        ).otherwise(F.lit(0.0))
+        # iteration 1: rank₀ = s, so only seed sources contribute
+        inc = (
+            contrib.where(F.col("_sseed"))
+            .groupBy(F.col("_d").alias("node"))
+            .agg(F.sum(F.lit(1.0 / n_seeds) / od).alias("_in"))
+        )
+        for _ in range(k_iters - 1):
+            rank_u = F.lit(1.0 - damping) * src_mass + F.lit(
+                damping
+            ) * F.coalesce(F.col("_in"), F.lit(0.0))
+            inc = (
+                contrib.join(
+                    F.broadcast(inc),
+                    contrib["_s"] == inc["node"],
+                    "left",
+                )
+                .select(
+                    F.col("_d").alias("node"),
+                    (rank_u / od).alias("_m"),
+                )
+                .groupBy("node")
+                .agg(F.sum("_m").alias("_in"))
+            )
+        out = nodes.join(
+            F.broadcast(inc), on="node", how="left"
+        ).select(
+            "node",
+            (
+                F.lit(1.0 - damping) * seed_mass
+                + F.lit(damping)
+                * F.coalesce(F.col("_in"), F.lit(0.0))
+            ).alias("rank"),
+            "is_seed",
+        )
+        return track_cached(out, contrib, nodes, sd, *cached)
+
     ranks = nodes.withColumn("rank", seed_mass)
     for _ in range(k_iters):
-        rside = F.broadcast(ranks) if small else ranks
         incoming = (
-            contrib.join(rside, contrib["_s"] == rside["node"])
+            contrib.join(ranks, contrib["_s"] == ranks["node"])
             .select(
                 F.col("_d").alias("node"),
                 (F.col("rank") / F.col("_o").cast("double")).alias(

@@ -763,19 +763,53 @@ def test_acf_lag_windows_partition_by_group(spark):
 
 def test_textrank_cache_and_truncation(spark):
     """textrank_keywords (re-included after the round-9 exemption):
-    pagerank's per-iteration localCheckpoint truncates the FINAL plan
-    to a Scan ExistingRDD — assert exactly that truncated shape
-    (which is WHY InMemoryTableScan cannot appear), and that the
-    operator still tracks its three persisted intermediates
+    below broadcast_ranks_threshold pagerank now FUSES the rank
+    recurrence into one lazy plan — the final plan nests one
+    BroadcastExchange per iteration boundary (k broadcast joins of
+    the node-sized incoming frame into the cached contribution
+    table; no localCheckpoint barrier, so NO Scan ExistingRDD), and
+    the operator still tracks its three persisted intermediates
     (undirected edges, contribution table, nodes) for release."""
     import __spark_entry__ as em
     from padua_spark.io_utils import unpersist_intermediates
 
     out = em.queries()["textrank_keywords"](spark, SF_ORACLE)
     plan = explain_str(out, "simple")
-    assert "Scan ExistingRDD" in plan, plan[:1000]
+    assert "Scan ExistingRDD" not in plan, plan[:1000]
+    assert "BroadcastExchange" in plan, plan[:1000]
+    assert "InMemoryTableScan" in plan, plan[:1000]
     out.limit(1).collect()
     assert unpersist_intermediates(out) == 3
+
+
+def test_pagerank_small_path_is_one_fused_plan(spark):
+    """pagerank below broadcast_ranks_threshold: the k-iteration
+    recurrence compiles to ONE lazy plan — (k−1) broadcast joins of
+    the incoming-mass frame plus the final node join (k total
+    BroadcastExchanges, allowing AQE reuse to dedupe), every
+    aggregation has a partial phase, no localCheckpoint RDD scan, no
+    per-iteration node join of the data-sized frame. Above the
+    threshold the canonical shuffle-join loop still checkpoints
+    (Scan ExistingRDD present)."""
+    from padua_spark.extensions.graph import pagerank
+
+    edges = spark.range(30).select(
+        (F.col("id") % 7).alias("src"),
+        ((F.col("id") * 3 + 1) % 7).alias("dst"),
+    )
+    small = pagerank(edges, k_iters=3)
+    plan = explain_str(small, "simple")
+    assert "Scan ExistingRDD" not in plan, plan[:1500]
+    assert plan.count("BroadcastExchange") >= 2, plan[:1500]
+    big = pagerank(edges, k_iters=3, broadcast_ranks_threshold=0)
+    big_plan = explain_str(big, "simple")
+    assert "Scan ExistingRDD" in big_plan, big_plan[:1500]
+    # both paths agree numerically
+    rs = {r["node"]: r["rank"] for r in small.collect()}
+    rb = {r["node"]: r["rank"] for r in big.collect()}
+    assert rs.keys() == rb.keys()
+    for k in rs:
+        assert abs(rs[k] - rb[k]) < 1e-12, (k, rs[k], rb[k])
 
 
 def test_data_profile_expand_dial(spark):
