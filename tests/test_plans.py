@@ -865,3 +865,70 @@ def test_json_profile_approx_no_expand(spark):
     got = {r["key"]: r["n_distinct"] for r in approx.collect()}
     assert got["lang"] == 1
     assert abs(got["score"] - 37) <= 5
+
+
+def test_regression_diagnostics_plan_shape(spark):
+    """Round-10 regression-diagnostic battery: closed-form single/
+    double aggregations with 1-row broadcast-backs — no Window node
+    may touch a data-sized frame (any Window must sit above a
+    HashAggregate), no Python crossing, no standalone global Sort
+    node anywhere."""
+    import __spark_entry__ as em
+
+    q = em.queries()
+    for name in ("breusch_pagan", "chow_test", "cooks_distance",
+                 "mahalanobis_outliers"):
+        plan = explain_str(q[name](spark, SF_ORACLE), "simple")
+        lines = plan.splitlines()
+        for i, l in enumerate(lines):
+            # a Python crossing is allowed ONLY on a bounded
+            # post-aggregate frame (chow's F survival rides the
+            # 1-row statistic) — its input subtree must aggregate
+            if "ArrowEvalPython" in l or "BatchEvalPython" in l:
+                below = "\n".join(lines[i:])
+                assert "HashAggregate" in below, (
+                    f"{name}: Python over an unaggregated frame\n"
+                    + plan[:2000]
+                )
+            if l.strip().lstrip("+-: ").startswith("Sort ["):
+                below = "\n".join(lines[i:])
+                assert "HashAggregate" in below, (
+                    f"{name}: sort over an unaggregated frame\n"
+                    + plan[:2000]
+                )
+            if "Window [" in l:
+                below = "\n".join(lines[i:])
+                assert "HashAggregate" in below, (
+                    f"{name}: window over an unaggregated frame\n"
+                    + plan[:2000]
+                )
+
+
+def test_var_roc_stepped_windows_bounded(spark):
+    """value_at_risk / roc_points ride the shared stepped-cumsum:
+    every Sort or Window in the plan must sit ABOVE a HashAggregate
+    (the per-value count aggregation shrinks the frame to the
+    DISTINCT-value domain first — at the oracle SF the helper's
+    small-domain shortcut windows that bounded frame; at scale the
+    repartitionByRange path takes over, pinned separately by
+    test_stepped_helper_single_range_partition). A Sort or Window
+    whose input subtree reaches the raw scan without aggregating
+    would be the single-task global sort this family must never
+    do."""
+    import __spark_entry__ as em
+
+    q = em.queries()
+    for name in ("value_at_risk", "roc_points"):
+        plan = explain_str(q[name](spark, SF_ORACLE), "simple")
+        lines = plan.splitlines()
+        hits = 0
+        for i, l in enumerate(lines):
+            stripped = l.strip().lstrip("+-: ")
+            if stripped.startswith("Sort [") or "Window [" in l:
+                hits += 1
+                below = "\n".join(lines[i:])
+                assert "HashAggregate" in below, (
+                    f"{name}: sort/window over an unaggregated "
+                    f"frame\n" + plan[:2000]
+                )
+        assert hits >= 1, f"{name}: expected a stepped pass\n{plan[:800]}"
