@@ -4351,6 +4351,73 @@ def q_windowed_binned_auc(spark, sf):
     )
 
 
+_WINDOWED_AP_ORACLE = """
+WITH e AS (
+  SELECT (epoch_us(ts) // 3600000000) * 3600 AS ws,
+    least(1.0, greatest(0.0, value / 200.0)) AS s,
+    CASE WHEN event_type IN ('click', 'view') THEN 1 ELSE 0 END AS y
+  FROM events
+  WHERE ts IS NOT NULL AND value IS NOT NULL
+    AND event_type IS NOT NULL
+),
+b AS (
+  SELECT ws,
+    CAST(least(63, CAST(floor(s * 64) AS INT)) AS INT) AS bin,
+    CAST(sum(y) AS BIGINT) AS pos,
+    CAST(sum(1 - y) AS BIGINT) AS neg
+  FROM e GROUP BY 1, 2
+),
+c AS (
+  SELECT ws, bin, pos, neg,
+    CAST(sum(pos) OVER (PARTITION BY ws ORDER BY bin DESC
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      AS DOUBLE) AS tp_incl,
+    CAST(sum(neg) OVER (PARTITION BY ws ORDER BY bin DESC
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      AS DOUBLE) AS fp_incl
+  FROM b
+)
+SELECT ws AS window_start_epoch,
+  CAST(sum(pos) AS BIGINT) AS n_pos,
+  CAST(sum(neg) AS BIGINT) AS n_neg,
+  round(CASE WHEN sum(pos) > 0 THEN
+    sum(CASE WHEN pos > 0 THEN
+      CAST(pos AS DOUBLE) * tp_incl / (tp_incl + fp_incl)
+      ELSE 0.0 END) / CAST(sum(pos) AS DOUBLE) END, 6)
+    AS average_precision
+FROM c GROUP BY 1
+"""
+
+
+@_q("windowed_average_precision", _WINDOWED_AP_ORACLE)
+def q_windowed_average_precision(spark, sf):
+    """Per-hour binned step-interpolated average precision of the
+    clamped value-score for engagement labels
+    (streaming.windowed_average_precision): 2 x 64 bounded count
+    partials per window in ONE stateful aggregation, the high-to-low
+    cumulative-precision fold as a per-row array expression — the
+    streamable face of the stepped exact average_precision."""
+    from padua_spark.streaming import windowed_average_precision
+
+    e = _t(spark, sf, "events").where(
+        F.col("event_type").isNotNull()
+    )
+    out = windowed_average_precision(
+        e,
+        _events_event_time(spark, sf),
+        F.least(
+            F.lit(1.0), F.greatest(F.lit(0.0), F.col("value") / 200.0)
+        ),
+        F.col("event_type").isin("click", "view").cast("int"),
+        window_duration="1 hour",
+        n_bins=64,
+    )
+    return out.select(
+        F.col("window_start").cast("long").alias("window_start_epoch"),
+        "n_pos", "n_neg", "average_precision",
+    )
+
+
 # --- ext: robust statistics (median/MAD z, trimmed mean) --------------------
 
 

@@ -159,6 +159,7 @@ HEADLINE = [
     "temperature_scaling",
     "windowed_ece",
     "windowed_binned_auc",
+    "windowed_average_precision",
     "breusch_pagan",
     "chow_test",
     "cooks_distance",

@@ -858,6 +858,126 @@ def windowed_binned_auc(
     )
 
 
+def windowed_average_precision(
+    df: DataFrame,
+    ts_col: Column,
+    score_col: Column,
+    label_col: Column,
+    group_cols: list[str] | None = None,
+    window_duration: str = "1 hour",
+    watermark: str | None = None,
+    n_bins: int = 64,
+) -> DataFrame:
+    """Per-tumbling-window BINNED average precision — streaming AP
+    monitoring (the precision-recall twin of
+    :func:`windowed_binned_auc`; AP is the metric that moves when the
+    POSITIVE class is rare, where AUC barely flinches). Scores in
+    [0, 1] are bucketed into ``n_bins`` equal-width bins and AP is
+    the exact step-interpolated average precision of the QUANTIZED
+    scores — the sklearn convention ``Σ (R_k − R_{k−1})·P_k`` over
+    descending score thresholds, with a whole bin admitted per step
+    (ties share their bin's cumulative precision):
+
+    ``AP = Σ_k pos_k · (TP_k / (TP_k + FP_k)) / P`` scanning bins
+    high→low with cumulative TP/FP INCLUDING bin k.
+
+    The exact batch counterpart is
+    ``extensions.features.average_precision`` (stepped, rank-exact);
+    this is the bounded-state face: one stateful aggregation to
+    2·n_bins count partials per (window, group) key — no rank/sort,
+    so it runs unchanged on a stream; late shards merge by adding
+    counts. The high→low fold over the n_bins-element array is a
+    per-ROW expression (O(n_bins) per window·group, not per event).
+
+    Output: ``(window_start, window_end, *group_cols, n_pos, n_neg,
+    average_precision)``, 6dp; NULL when no positives.
+    """
+    group_cols = group_cols or []
+    k = int(n_bins)
+    s = score_col.cast("double")
+    y = label_col.cast("int")
+    withts = df.where(
+        s.isNotNull() & y.isNotNull() & (s >= 0) & (s <= 1)
+    ).select(
+        ts_col.alias("_event_time"),
+        *group_cols,
+        s.alias("_s"),
+        y.alias("_y"),
+    )
+    if watermark and withts.isStreaming:
+        withts = withts.withWatermark("_event_time", watermark)
+    bin_idx = F.least(F.lit(k - 1), F.floor(F.col("_s") * k)).cast(
+        "int"
+    )
+    aggs = []
+    for i in range(k):
+        hit = bin_idx == i
+        aggs += [
+            F.sum(F.when(hit & (F.col("_y") == 1), 1).otherwise(0))
+            .cast("bigint").alias(f"_p{i}"),
+            F.sum(F.when(hit & (F.col("_y") == 0), 1).otherwise(0))
+            .cast("bigint").alias(f"_g{i}"),
+        ]
+    agg = withts.groupBy(
+        F.window("_event_time", window_duration).alias("_w"),
+        *group_cols,
+    ).agg(*aggs)
+    # fold the per-bin counts HIGH→LOW carrying (tp, fp, num):
+    # tp += pos_k; fp += neg_k; num += pos_k·tp/(tp+fp)
+    cells = F.array(*[
+        F.struct(
+            F.col(f"_p{i}").alias("p"), F.col(f"_g{i}").alias("g")
+        )
+        for i in range(k - 1, -1, -1)
+    ])
+    acc0 = F.struct(
+        F.lit(0.0).alias("tp"),
+        F.lit(0.0).alias("fp"),
+        F.lit(0.0).alias("num"),
+    )
+    folded = F.aggregate(
+        cells,
+        acc0,
+        lambda a, c: F.struct(
+            (a["tp"] + c["p"].cast("double")).alias("tp"),
+            (a["fp"] + c["g"].cast("double")).alias("fp"),
+            (
+                a["num"]
+                + F.when(
+                    c["p"] > 0,
+                    c["p"].cast("double")
+                    * (a["tp"] + c["p"].cast("double"))
+                    / (
+                        a["tp"] + c["p"].cast("double")
+                        + a["fp"] + c["g"].cast("double")
+                    ),
+                ).otherwise(F.lit(0.0))
+            ).alias("num"),
+        ),
+    )
+    n_pos = None
+    n_neg = None
+    for i in range(k):
+        pc, gc = F.col(f"_p{i}"), F.col(f"_g{i}")
+        n_pos = pc if n_pos is None else n_pos + pc
+        n_neg = gc if n_neg is None else n_neg + gc
+    staged = agg.withColumn("_acc", folded).withColumn(
+        "_np", n_pos
+    ).withColumn("_ng", n_neg)
+    ap = F.when(
+        F.col("_np") > 0,
+        F.col("_acc.num") / F.col("_np").cast("double"),
+    )
+    return staged.select(
+        F.col("_w.start").alias("window_start"),
+        F.col("_w.end").alias("window_end"),
+        *group_cols,
+        F.col("_np").alias("n_pos"),
+        F.col("_ng").alias("n_neg"),
+        F.round(ap, 6).alias("average_precision"),
+    )
+
+
 def windowed_quality_screen(
     df: DataFrame,
     ts_col: Column,

@@ -1085,3 +1085,84 @@ def test_stream_equals_batch_windowed_circular(spark, events_dir):
     ref = rayleigh_uniformity(sl, "theta").collect()[0]
     assert got[day0][0] == ref["n"]
     assert got[day0][2] == ref["r_bar"]
+
+
+def test_stream_equals_batch_windowed_average_precision(
+    spark, events_dir
+):
+    """Windowed binned AP: stream == batch, and the high-to-low fold
+    equals a numpy replica of step-interpolated AP over the quantized
+    scores (sklearn convention, whole bin admitted per threshold)."""
+    import numpy as np
+
+    from padua_spark.streaming import windowed_average_precision
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    batch = spark.read.parquet(events_dir)
+    stream = read_event_stream(spark, events_dir, schema=batch.schema)
+
+    def build(df):
+        return windowed_average_precision(
+            df, event_time_col(df),
+            F.least(
+                F.lit(1.0),
+                F.greatest(F.lit(0.0), F.col("value") / 200.0),
+            ),
+            F.col("event_type").isin("click", "view").cast("int"),
+            window_duration="1 hour", watermark="2 hours",
+            n_bins=64,
+        )
+
+    q = (
+        build(stream)
+        .writeStream.format("memory")
+        .queryName("t_winap")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(180)
+    got = {
+        r["window_start"]: (
+            r["n_pos"], r["n_neg"], r["average_precision"]
+        )
+        for r in spark.sql("SELECT * FROM t_winap").collect()
+    }
+    exp = {
+        r["window_start"]: (
+            r["n_pos"], r["n_neg"], r["average_precision"]
+        )
+        for r in build(batch).collect()
+    }
+    assert got == exp and len(got) > 0
+    ws = sorted(
+        w for w, (np_, nn_, _) in got.items() if np_ > 0 and nn_ > 0
+    )[0]
+    rows = (
+        batch.withColumn("_t", event_time_col(batch))
+        .where(
+            (F.date_trunc("hour", F.col("_t")) == F.lit(ws))
+            & F.col("value").isNotNull()
+            & F.col("event_type").isNotNull()
+        )
+        .select("value", "event_type")
+        .collect()
+    )
+    p = np.clip(np.array([r["value"] for r in rows]) / 200.0, 0, 1)
+    y = np.array(
+        [r["event_type"] in ("click", "view") for r in rows],
+        dtype=float,
+    )
+    bins = np.minimum(63, np.floor(p * 64).astype(int))
+    tp = fp = 0.0
+    num = 0.0
+    for k in range(63, -1, -1):
+        m = bins == k
+        pk = y[m].sum()
+        gk = m.sum() - pk
+        tp += pk
+        fp += gk
+        if pk > 0:
+            num += pk * tp / (tp + fp)
+    assert got[ws][0] == y.sum()
+    assert got[ws][2] == pytest.approx(num / y.sum(), abs=1e-6)
