@@ -23799,6 +23799,272 @@ def q_burstiness(spark, sf):
     )
 
 
+# --- ext round 11: coverage / diversity / stationarity wave -----------------
+
+
+_YOUDEN_ORACLE = """
+WITH e AS (
+  SELECT CAST(floor(value) AS DOUBLE) / 512.0 AS s,
+    CASE WHEN event_type IN ('click', 'view') THEN 1 ELSE 0 END AS y
+  FROM events
+  WHERE event_type IS NOT NULL AND value IS NOT NULL AND value >= 0
+),
+per AS (
+  SELECT s AS v, CAST(sum(y) AS BIGINT) AS p,
+    CAST(sum(1 - y) AS BIGINT) AS g
+  FROM e GROUP BY 1
+),
+st AS (
+  SELECT v, p, g,
+    sum(p) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS prun,
+    sum(g) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS grun,
+    sum(p) OVER () AS np, sum(g) OVER () AS ng
+  FROM per
+),
+j AS (
+  SELECT v, np, ng, np - prun AS pgt, ng - grun AS ggt,
+    CAST(np - prun AS HUGEINT) * CAST(ng AS HUGEINT)
+      - CAST(ng - grun AS HUGEINT) * CAST(np AS HUGEINT) AS jn
+  FROM st WHERE np > 0 AND ng > 0
+),
+m AS (SELECT max(jn) AS jmax FROM j)
+SELECT CAST(max(np) AS BIGINT) AS n_pos,
+  CAST(max(ng) AS BIGINT) AS n_neg,
+  min(v) AS threshold,
+  CAST(arg_min(pgt, v) AS BIGINT) AS n_pos_gt,
+  CAST(arg_min(ggt, v) AS BIGINT) AS n_neg_gt,
+  round(CAST(arg_min(pgt, v) AS DOUBLE) / CAST(max(np) AS DOUBLE), 6)
+    AS tpr,
+  round(CAST(arg_min(ggt, v) AS DOUBLE) / CAST(max(ng) AS DOUBLE), 6)
+    AS fpr,
+  round(CAST(arg_min(pgt, v) AS DOUBLE) / CAST(max(np) AS DOUBLE)
+    - CAST(arg_min(ggt, v) AS DOUBLE) / CAST(max(ng) AS DOUBLE), 6)
+    AS youden_j
+FROM j, m WHERE j.jn = m.jmax
+"""
+
+
+@_q("youden_threshold", _YOUDEN_ORACLE)
+def q_youden_threshold(spark, sf):
+    """Optimal Youden-J operating point of the dyadic
+    pseudo-probability vs engagement labels (stats.youden_threshold):
+    exact-integer argmax over the stepped ROC frame, lowest-threshold
+    tiebreak."""
+    from padua_spark.operators.stats import youden_threshold
+
+    e = _t(spark, sf, "events").where(
+        F.col("event_type").isNotNull() & (F.col("value") >= 0)
+    ).select(
+        (F.floor(F.col("value")).cast("double") / 512.0).alias("s"),
+        F.col("event_type").isin("click", "view")
+        .cast("int").alias("y"),
+    )
+    return youden_threshold(e, "s", "y")
+
+
+_KPSS_ORACLE = """
+WITH base AS (
+  SELECT l_returnflag AS grp, CAST(l_quantity AS DOUBLE) AS v,
+    sum(CAST(l_quantity AS DOUBLE)) OVER w AS c,
+    CAST(row_number() OVER w AS DOUBLE) AS t
+  FROM lineitem WHERE l_quantity IS NOT NULL
+  WINDOW w AS (PARTITION BY l_returnflag
+               ORDER BY l_shipdate, l_orderkey, l_linenumber,
+                        l_quantity
+               ROWS UNBOUNDED PRECEDING)
+),
+a AS (
+  SELECT grp, CAST(count(*) AS BIGINT) AS n,
+    sum(v) AS sx, sum(v * v) AS sxx,
+    sum(c * c) AS scc, sum(t * c) AS stc, sum(t * t) AS stt
+  FROM base GROUP BY 1
+),
+s AS (
+  SELECT grp, n, CAST(n AS DOUBLE) AS nd, sx / CAST(n AS DOUBLE) AS mu,
+    (sxx - CAST(n AS DOUBLE) * (sx / CAST(n AS DOUBLE))
+      * (sx / CAST(n AS DOUBLE))) / CAST(n AS DOUBLE) AS var0,
+    scc - 2.0 * (sx / CAST(n AS DOUBLE)) * stc
+      + (sx / CAST(n AS DOUBLE)) * (sx / CAST(n AS DOUBLE)) * stt
+      AS ss
+  FROM a
+)
+SELECT grp AS l_returnflag, n,
+  round(CASE WHEN n >= 2 AND var0 > 0
+    THEN ss / (nd * nd * var0) END, 6) AS kpss_stat,
+  CAST(0.347 AS DOUBLE) AS crit_10pct,
+  CAST(0.463 AS DOUBLE) AS crit_5pct,
+  CAST(0.739 AS DOUBLE) AS crit_1pct,
+  CASE WHEN n >= 2 AND var0 > 0
+    THEN ss / (nd * nd * var0) > 0.463 END AS reject_5pct
+FROM s
+"""
+
+
+@_q("kpss_level", _KPSS_ORACLE)
+def q_kpss_level(spark, sf):
+    """KPSS level-stationarity statistic of quantities per return
+    flag in shipdate order (temporal.kpss_level): one ordered window
+    pass (running sum + row index, group-partitioned) and one
+    aggregation via the S_t = C_t - t*mean algebra."""
+    from padua_spark.operators.temporal import kpss_level
+
+    li = _t(spark, sf, "lineitem")
+    return kpss_level(
+        li, ["l_returnflag"],
+        ["l_shipdate", "l_orderkey", "l_linenumber", "l_quantity"],
+        "l_quantity",
+    )
+
+
+_GOOD_TURING_ORACLE = """
+WITH toks AS (
+  SELECT t AS tok, CAST(count(*) AS BIGINT) AS r
+  FROM (
+    SELECT unnest(list_filter(
+      string_split_regex(lower(trim(text)), '\\s+'),
+      x -> x <> '')) AS t
+    FROM documents WHERE text IS NOT NULL
+  ) GROUP BY 1
+),
+fof AS (
+  SELECT r, CAST(count(*) AS BIGINT) AS n_types
+  FROM toks GROUP BY 1
+),
+tot AS (
+  SELECT CAST(sum(r * n_types) AS BIGINT) AS n_tok,
+    CAST(sum(n_types) AS BIGINT) AS n_typ,
+    CAST(sum(CASE WHEN r = 1 THEN n_types END) AS BIGINT) AS n1
+  FROM fof
+)
+SELECT f.r, f.n_types,
+  round((CAST(f.r AS DOUBLE) + 1.0) * CAST(nx.n_types AS DOUBLE)
+    / CAST(f.n_types AS DOUBLE), 6) AS r_star,
+  round((CAST(f.r AS DOUBLE) + 1.0) * CAST(nx.n_types AS DOUBLE)
+    / CAST(f.n_types AS DOUBLE) / CAST(t.n_tok AS DOUBLE), 9)
+    AS p_smoothed,
+  t.n_tok AS total_tokens, t.n_typ AS total_types,
+  round(CAST(coalesce(t.n1, 0) AS DOUBLE)
+    / CAST(t.n_tok AS DOUBLE), 9) AS p_unseen
+FROM fof f
+LEFT JOIN fof nx ON nx.r = f.r + 1
+CROSS JOIN tot t
+WHERE f.r <= 10
+"""
+
+
+@_q("good_turing", _GOOD_TURING_ORACLE)
+def q_good_turing(spark, sf):
+    """Good-Turing frequency-of-frequencies table over the documents
+    corpus (text.good_turing): token counts, count-of-counts, the
+    (r+1)N_{r+1}/N_r discounted counts and the unseen mass N1/N."""
+    from padua_spark.extensions.text import good_turing
+
+    d = _t(spark, sf, "documents")
+    return good_turing(d, "doc_id", "text", max_r=10)
+
+
+_DICT_COVERAGE_ORACLE = """
+WITH tok AS (
+  SELECT source,
+    unnest(list_filter(
+      string_split_regex(lower(trim(text)), '\\s+'),
+      x -> x <> '')) AS t
+  FROM documents WHERE text IS NOT NULL AND source IS NOT NULL
+),
+per AS (
+  SELECT source, t AS tok, CAST(count(*) AS BIGINT) AS c
+  FROM tok GROUP BY 1, 2
+),
+vocab AS (
+  SELECT tok FROM (
+    SELECT tok, CAST(sum(c) AS BIGINT) AS tc FROM per GROUP BY 1
+  ) WHERE tc >= 20
+),
+j AS (
+  SELECT p.source, p.tok, p.c,
+    CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END AS oov
+  FROM per p LEFT JOIN vocab v ON v.tok = p.tok
+)
+SELECT source,
+  CAST(sum(c) AS BIGINT) AS n_tokens,
+  CAST(sum(CASE WHEN oov = 1 THEN c ELSE 0 END) AS BIGINT) AS n_oov,
+  round(CAST(sum(CASE WHEN oov = 1 THEN c ELSE 0 END) AS DOUBLE)
+    / CAST(sum(c) AS DOUBLE), 6) AS oov_rate,
+  CAST(count(*) AS BIGINT) AS n_types,
+  CAST(sum(oov) AS BIGINT) AS n_oov_types,
+  round(CAST(sum(oov) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+    AS oov_type_rate
+FROM j GROUP BY 1
+"""
+
+
+@_q("dictionary_coverage", _DICT_COVERAGE_ORACLE)
+def q_dictionary_coverage(spark, sf):
+    """Per-source OOV profile of the documents corpus against a
+    frequency-threshold vocabulary (count >= 20, deterministic — no
+    top-k tie ambiguity) built from the same corpus
+    (text.dictionary_coverage): token+type OOV rates, no distinct
+    aggregates."""
+    from padua_spark.extensions.text import dictionary_coverage, tokens
+
+    d = _t(spark, sf, "documents").where(
+        F.col("source").isNotNull()
+    )
+    per_tok = (
+        d.where(F.col("text").isNotNull())
+        .select(F.explode(tokens(F.lower(F.col("text")))).alias("token"))
+        .where(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("_tc"))
+        .where(F.col("_tc") >= 20)
+        .select("token")
+    )
+    return dictionary_coverage(
+        d, "text", per_tok, "token", group_cols=["source"]
+    )
+
+
+_CAT_DIVERSITY_ORACLE = """
+WITH cells AS (
+  SELECT source, lang AS cat, CAST(count(*) AS BIGINT) AS c
+  FROM documents WHERE lang IS NOT NULL AND source IS NOT NULL
+  GROUP BY 1, 2
+),
+tot AS (
+  SELECT source, CAST(sum(c) AS BIGINT) AS n,
+    CAST(count(*) AS BIGINT) AS k
+  FROM cells GROUP BY 1
+),
+j AS (
+  SELECT c.source, c.c, t.n, t.k,
+    CAST(c.c AS DOUBLE) / CAST(t.n AS DOUBLE) AS p
+  FROM cells c JOIN tot t USING (source)
+)
+SELECT source, CAST(max(n) AS BIGINT) AS n,
+  CAST(max(k) AS BIGINT) AS k_classes,
+  round(sum(-p * ln(p)), 6) AS shannon_entropy,
+  round(sum(p * p), 6) AS simpson,
+  round(1.0 / sum(p * p), 6) AS inv_simpson,
+  round(CASE WHEN max(k) >= 2
+    THEN sum(-p * ln(p)) / ln(CAST(max(k) AS DOUBLE)) END, 6)
+    AS evenness
+FROM j GROUP BY 1
+"""
+
+
+@_q("category_diversity", _CAT_DIVERSITY_ORACLE)
+def q_category_diversity(spark, sf):
+    """Shannon/Simpson diversity of document languages per source
+    (quality.category_diversity): cell counts, one roll-up, effective
+    class count and Pielou evenness."""
+    from padua_spark.extensions.quality import category_diversity
+
+    d = _t(spark, sf, "documents").where(
+        F.col("source").isNotNull()
+    )
+    return category_diversity(d, "lang", group_cols=["source"])
+
+
 # ---------------------------------------------------------------------------
 
 

@@ -278,6 +278,11 @@ HEADLINE = [
     "pipeline_phospho_lfq",
     "pipeline_silac_ratio",
     "pipeline_msp_enrichment",
+    "youden_threshold",
+    "kpss_level",
+    "good_turing",
+    "dictionary_coverage",
+    "category_diversity",
     "longest_dup_substring",
     "nelson_aalen",
     "harrells_c",

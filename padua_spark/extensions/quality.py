@@ -1821,3 +1821,66 @@ def binned_divergences(
         F.round(js, 6).alias("js"),
         F.round(bd, 6).alias("bhattacharyya"),
     )
+
+
+def category_diversity(
+    df: DataFrame,
+    category_col: str,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Categorical diversity battery per group — the corpus-mixing
+    dashboard number ("how concentrated is this source's language /
+    domain / label distribution?") beside :func:`hhi_concentration`'s
+    economic framing:
+
+    ``shannon_entropy`` in NATS (−Σ p·ln p), ``simpson`` (Σ p², the
+    collision probability), ``inv_simpson`` (1/Σp², the effective
+    number of equally-common classes), and ``evenness`` (Pielou's
+    J = H/ln k, NULL when k = 1 — a single class has no evenness).
+
+    Scale shape: one aggregation to the (group, category) cell frame,
+    one roll-up — probabilities from exact integer counts, every
+    statistic a plain sum over the bounded per-group class domain.
+    NULL categories are excluded (they are missing, not a class).
+    Output per group: ``(groups..., n, k_classes, shannon_entropy,
+    simpson, inv_simpson, evenness)``, 6dp.
+
+    Beyond the reference; standard per Shannon 1948 / Simpson 1949 /
+    Pielou 1966.
+    """
+    group_cols = group_cols or []
+    c = F.col(category_col)
+    cells = (
+        df.where(c.isNotNull())
+        .groupBy(*group_cols, c.alias("_cat"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("_c"))
+    )
+    tot = cells.groupBy(*group_cols).agg(
+        F.sum("_c").cast("bigint").alias("_n"),
+        F.count(F.lit(1)).cast("bigint").alias("_k"),
+    )
+    joined = (
+        cells.join(F.broadcast(tot), on=group_cols)
+        if group_cols
+        else cells.crossJoin(F.broadcast(tot))
+    )
+    p = F.col("_c").cast("double") / F.col("_n").cast("double")
+    agg = joined.groupBy(*group_cols).agg(
+        F.max("_n").alias("_n"),
+        F.max("_k").alias("_k"),
+        F.sum(-p * F.log(p)).alias("_h"),
+        F.sum(p * p).alias("_simp"),
+    )
+    h = F.col("_h")
+    kd = F.col("_k").cast("double")
+    return agg.select(
+        *group_cols,
+        F.col("_n").alias("n"),
+        F.col("_k").alias("k_classes"),
+        F.round(h, 6).alias("shannon_entropy"),
+        F.round("_simp", 6).alias("simpson"),
+        F.round(1.0 / F.col("_simp"), 6).alias("inv_simpson"),
+        F.round(
+            F.when(F.col("_k") >= 2, h / F.log(kd)), 6
+        ).alias("evenness"),
+    )

@@ -2233,3 +2233,153 @@ def code_prose_profile(
             F.round(F.when(n > 0, score), 6),
         )
     )
+
+
+def good_turing(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_r: int = 10,
+) -> DataFrame:
+    """Good–Turing frequency-of-frequencies table — the classic
+    smoothing/coverage estimate for a token corpus ("how much
+    probability mass belongs to types we have NOT seen yet?", the
+    question behind vocabulary-cutoff and corpus-growth decisions):
+
+    For each observed count ``r``: ``N_r`` = number of types seen
+    exactly r times, the Turing-discounted count
+    ``r* = (r+1)·N_{r+1}/N_r`` and the smoothed per-type probability
+    ``p_r = r*/N`` (NULL when ``N_{r+1} = 0`` — plain GT, no SGT
+    regression fit, documented), plus the corpus-level unseen mass
+    ``p₀ = N₁/N`` repeated per row.
+
+    Scale shape: one token aggregation (data-sized shuffle), one
+    count-of-counts aggregation to the COUNT-DOMAIN frame (≤ O(√N)
+    distinct frequencies), a broadcast self-join for the r+1 lookup
+    and a broadcast 1-row totals join. Output rows for
+    ``r = 1..max_r``: ``(r, n_types, r_star, p_smoothed,
+    total_tokens, total_types, p_unseen)``, 6dp (p's 9dp — they are
+    tiny).
+
+    Beyond the reference; standard per Good 1953 / Gale & Sampson
+    1995 (simple Good-Turing, minus the log-linear tail fit).
+    """
+    from padua_spark.io_utils import track_cached
+
+    t = F.col(text_col)
+    toks = (
+        df.where(t.isNotNull())
+        .select(F.explode(tokens(F.lower(t))).alias("_tok"))
+        .where(F.col("_tok") != "")
+        .groupBy("_tok")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("_r"))
+    )
+    fof = toks.groupBy(F.col("_r").alias("r")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_types")
+    ).persist()
+    nxt = fof.select(
+        (F.col("r") - 1).alias("r"),
+        F.col("n_types").alias("_n_next"),
+    )
+    tot = fof.agg(
+        F.sum(F.col("r") * F.col("n_types")).cast("bigint")
+        .alias("_n_tok"),
+        F.sum("n_types").cast("bigint").alias("_n_typ"),
+        F.sum(F.when(F.col("r") == 1, F.col("n_types")))
+        .cast("bigint").alias("_n1"),
+    )
+    r_star = (
+        (F.col("r") + 1).cast("double")
+        * F.col("_n_next").cast("double")
+        / F.col("n_types").cast("double")
+    )
+    out = (
+        fof.where(F.col("r") <= int(max_r))
+        .join(F.broadcast(nxt), on="r", how="left")
+        .join(F.broadcast(tot))
+        .select(
+            F.col("r").cast("bigint").alias("r"),
+            "n_types",
+            F.round(r_star, 6).alias("r_star"),
+            F.round(
+                r_star / F.col("_n_tok").cast("double"), 9
+            ).alias("p_smoothed"),
+            F.col("_n_tok").alias("total_tokens"),
+            F.col("_n_typ").alias("total_types"),
+            F.round(
+                F.coalesce(F.col("_n1"), F.lit(0)).cast("double")
+                / F.col("_n_tok").cast("double"),
+                9,
+            ).alias("p_unseen"),
+        )
+    )
+    return track_cached(out, fof)
+
+
+def dictionary_coverage(
+    df: DataFrame,
+    text_col: str,
+    vocab: DataFrame,
+    vocab_token_col: str = "token",
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Out-of-vocabulary profile of a corpus against a reference
+    vocabulary — the pre-tokenizer sanity check for a training mix
+    ("what fraction of this source's tokens will the tokenizer/
+    embedding table even recognize?"), per optional group:
+
+    ``(groups..., n_tokens, n_oov, oov_rate, n_types, n_oov_types,
+    oov_type_rate)`` — token-level OOV rate (occurrence-weighted) AND
+    type-level (each distinct token once): a source can have a low
+    token OOV but a long exotic tail, and the pair separates them.
+
+    Scale shape: NO distinct aggregate (the multi-distinct Expand the
+    committed survey warns about): one aggregation to the
+    (group, token) count frame, one broadcast join against the
+    vocabulary (reference vocabularies are tokenizer-sized, ≤ a few
+    hundred k rows), one roll-up where ``n_types = count(*)`` and
+    ``n_oov_types = Σ oov_flag`` fall out as plain sums. Tokens are
+    lowercased whitespace tokens (the shared :func:`tokens`
+    contract).
+
+    Beyond the reference; the standard corpus-coverage audit.
+    """
+    group_cols = group_cols or []
+    t = F.col(text_col)
+    per_tok = (
+        df.where(t.isNotNull())
+        .select(
+            *group_cols,
+            F.explode(tokens(F.lower(t))).alias("_tok"),
+        )
+        .where(F.col("_tok") != "")
+        .groupBy(*group_cols, "_tok")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("_c"))
+    )
+    vb = vocab.select(
+        F.lower(F.col(vocab_token_col)).alias("_tok")
+    ).distinct().withColumn("_inv", F.lit(True))
+    joined = per_tok.join(F.broadcast(vb), on="_tok", how="left")
+    oov = F.col("_inv").isNull()
+    agg = joined.groupBy(*group_cols).agg(
+        F.sum("_c").cast("bigint").alias("n_tokens"),
+        F.sum(F.when(oov, F.col("_c")).otherwise(0))
+        .cast("bigint").alias("n_oov"),
+        F.count(F.lit(1)).cast("bigint").alias("n_types"),
+        F.sum(oov.cast("int")).cast("bigint").alias("n_oov_types"),
+    )
+    return agg.select(
+        *group_cols,
+        "n_tokens", "n_oov",
+        F.round(
+            F.col("n_oov").cast("double")
+            / F.col("n_tokens").cast("double"),
+            6,
+        ).alias("oov_rate"),
+        "n_types", "n_oov_types",
+        F.round(
+            F.col("n_oov_types").cast("double")
+            / F.col("n_types").cast("double"),
+            6,
+        ).alias("oov_type_rate"),
+    )

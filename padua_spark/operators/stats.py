@@ -11045,6 +11045,90 @@ def roc_points(
     return track_cached(out, *getattr(stepped, "_padua_cached", ()))
 
 
+def youden_threshold(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    small_domain_threshold: int | None = None,
+) -> DataFrame:
+    """The optimal operating point of a classifier score — the
+    threshold maximizing Youden's ``J = tpr − fpr`` (equivalently
+    sensitivity + specificity − 1), the standard cut-point choice
+    when false positives and false negatives cost the same: the
+    single-row companion to :func:`roc_points` (which plots the whole
+    curve this picks from).
+
+    Engine-exact selection: J's SIGN STRUCTURE is decided on the
+    exact integer numerator ``p_gt·N − g_gt·P`` (J times the positive
+    constant P·N) in decimal(38,0) — count-based per the committed
+    decimal audit — so the argmax never hinges on float rounding;
+    ties take the LOWEST threshold (the most sensitive of the
+    equally-informed cut points, documented). Classify positive when
+    ``score > threshold`` (the :func:`roc_points` convention).
+
+    One per-distinct-score aggregation through the shared stepped
+    cumsum, a 1-row max broadcast back, and an ``arg-min-threshold``
+    roll-up over the tied rows. Output 1 row: ``(n_pos, n_neg,
+    threshold, n_pos_gt, n_neg_gt, tpr, fpr, youden_j)``, 6dp; empty
+    when either class is absent.
+
+    Beyond the reference; standard per Youden 1950.
+    """
+    from padua_spark.io_utils import track_cached
+
+    s = F.col(score_col).cast("double")
+    y = F.col(label_col).cast("int")
+    base = df.where(s.isNotNull() & y.isNotNull())
+    per = base.groupBy(s.alias("_v")).agg(
+        F.sum(y).cast("bigint").alias("_p"),
+        F.sum(F.lit(1) - y).cast("bigint").alias("_g"),
+    )
+    stepped = _stepped_running_counts(
+        per, "_v", ["_p", "_g"], small_domain_threshold
+    )
+    dec = "decimal(38,0)"
+    npos = F.col("_p_tot")
+    nneg = F.col("_g_tot")
+    p_gt = npos - F.col("_p_run")
+    g_gt = nneg - F.col("_g_run")
+    jnum = p_gt.cast(dec) * nneg.cast(dec) - g_gt.cast(dec) * npos.cast(
+        dec
+    )
+    staged = stepped.where((npos > 0) & (nneg > 0)).select(
+        F.col("_v").alias("_thr"),
+        p_gt.alias("_pgt"),
+        g_gt.alias("_ggt"),
+        jnum.alias("_jn"),
+        npos.alias("_np"),
+        nneg.alias("_ng"),
+    )
+    jmax = staged.agg(F.max("_jn").alias("_jmax"))
+    best = (
+        staged.join(F.broadcast(jmax))
+        .where(F.col("_jn") == F.col("_jmax"))
+        .agg(
+            F.max("_np").alias("_np"),
+            F.max("_ng").alias("_ng"),
+            F.min("_thr").alias("_bthr"),
+            F.min_by("_pgt", "_thr").alias("_bp"),
+            F.min_by("_ggt", "_thr").alias("_bg"),
+        )
+    )
+    tpr = F.col("_bp").cast("double") / F.col("_np").cast("double")
+    fpr = F.col("_bg").cast("double") / F.col("_ng").cast("double")
+    out = best.select(
+        F.col("_np").cast("bigint").alias("n_pos"),
+        F.col("_ng").cast("bigint").alias("n_neg"),
+        F.col("_bthr").alias("threshold"),
+        F.col("_bp").cast("bigint").alias("n_pos_gt"),
+        F.col("_bg").cast("bigint").alias("n_neg_gt"),
+        F.round(tpr, 6).alias("tpr"),
+        F.round(fpr, 6).alias("fpr"),
+        F.round(tpr - fpr, 6).alias("youden_j"),
+    )
+    return track_cached(out, *getattr(stepped, "_padua_cached", ()))
+
+
 def value_at_risk(
     df: DataFrame,
     value_col: str,

@@ -1443,6 +1443,85 @@ def granger_causality(
     )
 
 
+def kpss_level(
+    df: DataFrame,
+    group_cols: list[str],
+    order_cols: list[str],
+    value_col: str,
+) -> DataFrame:
+    """KPSS level-stationarity test per group (Kwiatkowski, Phillips,
+    Schmidt & Shin 1992) — the null-reversed companion to unit-root
+    checks the ordered-window family already runs (ADF-style tests
+    take non-stationarity as the null; KPSS takes STATIONARITY as the
+    null, so "reject" here means the series drifts — the pair
+    disambiguates):
+
+    ``η = Σ_t S_t² / (n²·σ̂²)`` with ``S_t = Σ_{i≤t}(x_i − x̄)`` and
+    the lag-0 (short-run) variance ``σ̂² = Σ(x_i − x̄)²/n`` — the
+    textbook statistic without HAC bandwidth (documented: an
+    autocorrelation-robust long-run variance would need a kernel
+    bandwidth choice; the lag-0 form is the engine-exact base case,
+    conservative under positive autocorrelation).
+
+    Scale shape (the :func:`acf_pacf` algebra trick): S_t needs the
+    mean BEFORE the cumsum, but ``S_t = C_t − t·x̄`` with ``C_t`` the
+    plain running sum and ``t`` the row index, so
+    ``Σ S_t² = Σ C_t² − 2x̄·Σ t·C_t + x̄²·Σ t²`` — ONE ordered window
+    pass (running sum + row_number, window PARTITIONED BY the group
+    key per the family contract) and ONE aggregation; no demeaned
+    column materialized, no second pass. Asymptotic level critical
+    values 0.347 / 0.463 / 0.739 (10/5/1%). Output per group:
+    ``(groups..., n, kpss_stat, crit_10pct, crit_5pct, crit_1pct,
+    reject_5pct)``, 6dp; NULL stat when n < 2 or σ̂² = 0.
+    """
+    v = F.col(value_col).cast("double")
+    base = df.where(v.isNotNull()).select(
+        *group_cols, *order_cols, v.alias("_v")
+    )
+    w = (
+        Window.partitionBy(*group_cols)
+        .orderBy(*[F.col(c).asc() for c in order_cols])
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wo = Window.partitionBy(*group_cols).orderBy(
+        *[F.col(c).asc() for c in order_cols]
+    )
+    stepped = base.select(
+        *group_cols,
+        F.col("_v"),
+        F.sum("_v").over(w).alias("_c"),
+        F.row_number().over(wo).cast("double").alias("_t"),
+    )
+    agg = stepped.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("bigint").alias("_n"),
+        F.sum("_v").alias("_sx"),
+        F.sum(F.col("_v") * F.col("_v")).alias("_sxx"),
+        F.sum(F.col("_c") * F.col("_c")).alias("_scc"),
+        F.sum(F.col("_t") * F.col("_c")).alias("_stc"),
+        F.sum(F.col("_t") * F.col("_t")).alias("_stt"),
+    )
+    nd = F.col("_n").cast("double")
+    mean = F.col("_sx") / nd
+    var0 = (F.col("_sxx") - nd * mean * mean) / nd
+    ss = (
+        F.col("_scc")
+        - 2.0 * mean * F.col("_stc")
+        + mean * mean * F.col("_stt")
+    )
+    stat = F.when(
+        (F.col("_n") >= 2) & (var0 > 0),
+        ss / (nd * nd * var0),
+    )
+    return agg.select(
+        *group_cols,
+        F.col("_n").alias("n"),
+        F.round(stat, 6).alias("kpss_stat"),
+        F.lit(0.347).alias("crit_10pct"),
+        F.lit(0.463).alias("crit_5pct"),
+        F.lit(0.739).alias("crit_1pct"),
+        F.when(stat.isNotNull(), stat > 0.463).alias("reject_5pct"),
+    )
+
 
 def croston_forecast(
     df: DataFrame,

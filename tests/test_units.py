@@ -10218,3 +10218,156 @@ def test_value_at_risk_and_burstiness(spark):
         burstiness(
             frac, ["k"], ["i"], "ts", exact_integer_gaps=True
         ).collect()
+
+
+def test_youden_threshold_replica(spark):
+    """Youden J argmax against a numpy sweep over all distinct
+    thresholds (classify positive when score > t), including the
+    lowest-threshold tiebreak."""
+    import numpy as np
+
+    from padua_spark.operators.stats import youden_threshold
+
+    rng = np.random.RandomState(11)
+    n = 400
+    y = (rng.uniform(size=n) < 0.4).astype(int)
+    s = np.round(
+        np.clip(0.3 * y + rng.uniform(0, 0.8, n), 0, 1), 2
+    )
+    df = spark.createDataFrame(
+        [(float(a), int(b)) for a, b in zip(s, y)], ["s", "y"]
+    )
+    r = youden_threshold(df, "s", "y").collect()[0]
+    P, N = y.sum(), (1 - y).sum()
+    best_j, best_t = -2.0, None
+    for t in sorted(np.unique(s)):
+        tpr = ((s > t) & (y == 1)).sum() / P
+        fpr = ((s > t) & (y == 0)).sum() / N
+        if tpr - fpr > best_j + 1e-15:
+            best_j, best_t = tpr - fpr, t
+    assert r["threshold"] == pytest.approx(best_t)
+    assert r["youden_j"] == pytest.approx(best_j, abs=1e-6)
+    assert r["n_pos"] == P and r["n_neg"] == N
+    # ties take the LOWEST threshold: duplicate the whole score
+    # column shifted so two thresholds achieve identical (tpr, fpr)
+    df2 = spark.createDataFrame(
+        [(0.1, 0), (0.2, 0), (0.5, 1), (0.6, 1)], ["s", "y"]
+    )
+    r2 = youden_threshold(df2, "s", "y").collect()[0]
+    # J = 1 at thresholds 0.2, 0.3, 0.4 region -> lowest distinct
+    # observed threshold achieving max is 0.2
+    assert r2["threshold"] == pytest.approx(0.2)
+    assert r2["youden_j"] == pytest.approx(1.0)
+
+
+def test_kpss_level_replica(spark):
+    """KPSS level statistic matches a direct numpy implementation of
+    eta = sum(S_t^2)/(n^2 var0); a mean-reverting series stays under
+    the 5% critical value while a random walk rejects."""
+    import numpy as np
+
+    from padua_spark.operators.temporal import kpss_level
+
+    rng = np.random.RandomState(3)
+    n = 500
+    noise = rng.normal(0, 1, n)
+    walk = np.cumsum(rng.normal(0, 1, n))
+    rows = [
+        ("noise", i, float(v)) for i, v in enumerate(noise)
+    ] + [("walk", i, float(v)) for i, v in enumerate(walk)]
+    df = spark.createDataFrame(rows, ["g", "t", "v"])
+    got = {
+        r["g"]: r
+        for r in kpss_level(df, ["g"], ["t"], "v").collect()
+    }
+    for name, x in (("noise", noise), ("walk", walk)):
+        s_t = np.cumsum(x - x.mean())
+        eta = (s_t**2).sum() / (n**2 * x.var())
+        assert got[name]["kpss_stat"] == pytest.approx(
+            eta, abs=1e-6
+        ), name
+    assert not got["noise"]["reject_5pct"]
+    assert got["walk"]["reject_5pct"]
+
+
+def test_good_turing_and_dictionary_coverage(spark):
+    """Good-Turing r* and unseen mass against a hand count; OOV
+    token/type rates against a python replica on a tiny corpus."""
+    import collections
+
+    from padua_spark.extensions.text import (
+        dictionary_coverage,
+        good_turing,
+    )
+
+    docs = [
+        (1, "a a a b b c d d e"),
+        (2, "a b c c f g"),
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    cnt = collections.Counter(
+        w for _, t in docs for w in t.lower().split()
+    )
+    fof = collections.Counter(cnt.values())
+    n_tok = sum(cnt.values())
+    got = {r["r"]: r for r in good_turing(df, "doc_id", "text").collect()}
+    assert set(got) == set(fof)
+    for r, n_types in fof.items():
+        assert got[r]["n_types"] == n_types
+        nxt = fof.get(r + 1)
+        if nxt is None:
+            assert got[r]["r_star"] is None
+        else:
+            assert got[r]["r_star"] == pytest.approx(
+                (r + 1) * nxt / n_types, abs=1e-6
+            )
+        assert got[r]["total_tokens"] == n_tok
+        assert got[r]["p_unseen"] == pytest.approx(
+            fof.get(1, 0) * 1 / n_tok, abs=1e-9
+        )
+    vocab = spark.createDataFrame(
+        [("a",), ("b",), ("c",)], ["token"]
+    )
+    cov = dictionary_coverage(df, "text", vocab).collect()[0]
+    oov_occ = sum(c for w, c in cnt.items() if w not in {"a", "b", "c"})
+    oov_typ = sum(1 for w in cnt if w not in {"a", "b", "c"})
+    assert cov["n_tokens"] == n_tok
+    assert cov["n_oov"] == oov_occ
+    assert cov["oov_rate"] == pytest.approx(oov_occ / n_tok, abs=1e-6)
+    assert cov["n_types"] == len(cnt)
+    assert cov["n_oov_types"] == oov_typ
+
+
+def test_category_diversity_replica(spark):
+    """Shannon/Simpson/evenness against direct numpy formulas,
+    including the single-class NULL-evenness convention."""
+    import math
+
+    from padua_spark.extensions.quality import category_diversity
+
+    rows = (
+        [("g1", "en")] * 50 + [("g1", "fr")] * 30
+        + [("g1", "de")] * 20 + [("g2", "en")] * 10
+    )
+    df = spark.createDataFrame(rows, ["g", "lang"])
+    got = {
+        r["g"]: r
+        for r in category_diversity(
+            df, "lang", group_cols=["g"]
+        ).collect()
+    }
+    ps = [0.5, 0.3, 0.2]
+    h = -sum(p * math.log(p) for p in ps)
+    simp = sum(p * p for p in ps)
+    assert got["g1"]["n"] == 100 and got["g1"]["k_classes"] == 3
+    assert got["g1"]["shannon_entropy"] == pytest.approx(h, abs=1e-6)
+    assert got["g1"]["simpson"] == pytest.approx(simp, abs=1e-6)
+    assert got["g1"]["inv_simpson"] == pytest.approx(
+        1 / simp, abs=1e-6
+    )
+    assert got["g1"]["evenness"] == pytest.approx(
+        h / math.log(3), abs=1e-6
+    )
+    assert got["g2"]["k_classes"] == 1
+    assert got["g2"]["shannon_entropy"] == pytest.approx(0.0, abs=1e-9)
+    assert got["g2"]["evenness"] is None
