@@ -24065,6 +24065,185 @@ def q_category_diversity(spark, sf):
     return category_diversity(d, "lang", group_cols=["source"])
 
 
+_PETTITT_ORACLE = """
+WITH base AS (
+  SELECT l_returnflag AS grp, CAST(l_quantity AS DOUBLE) AS v,
+    l_shipdate, l_orderkey, l_linenumber
+  FROM lineitem WHERE l_quantity IS NOT NULL
+),
+per AS (
+  SELECT grp, v, CAST(count(*) AS BIGINT) AS c
+  FROM base GROUP BY 1, 2
+),
+rk AS (
+  SELECT grp, v,
+    2 * (sum(c) OVER (PARTITION BY grp ORDER BY v
+      ROWS UNBOUNDED PRECEDING) - c) + c + 1 AS r2,
+    sum(c) OVER (PARTITION BY grp) AS n
+  FROM per
+),
+st AS (
+  SELECT b.grp, r.n,
+    CAST(row_number() OVER w AS BIGINT) AS t,
+    sum(CAST(r.r2 - (r.n + 1) AS HUGEINT)) OVER (
+      PARTITION BY b.grp
+      ORDER BY b.l_shipdate, b.l_orderkey, b.l_linenumber, b.v
+      ROWS UNBOUNDED PRECEDING) AS u
+  FROM base b JOIN rk r ON r.grp = b.grp AND r.v = b.v
+  WINDOW w AS (PARTITION BY b.grp
+    ORDER BY b.l_shipdate, b.l_orderkey, b.l_linenumber, b.v)
+),
+mx AS (
+  SELECT grp, max(abs(u)) AS k FROM st GROUP BY 1
+),
+best AS (
+  SELECT s.grp, CAST(max(s.n) AS BIGINT) AS n,
+    CAST(m.k AS BIGINT) AS k_stat,
+    min(s.t) AS change_index,
+    CAST(arg_min(s.u, s.t) AS BIGINT) AS u_at_change
+  FROM st s JOIN mx m ON m.grp = s.grp AND abs(s.u) = m.k
+  GROUP BY 1, 3
+)
+SELECT grp AS l_returnflag, n, k_stat, change_index, u_at_change,
+  round(least(1.0, 2.0 * exp(-6.0 * CAST(k_stat AS DOUBLE)
+    * CAST(k_stat AS DOUBLE)
+    / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+       + CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))), 6) AS p_value
+FROM best
+"""
+
+
+@_q("pettitt_test", _PETTITT_ORACLE)
+def q_pettitt_test(spark, sf):
+    """Pettitt rank changepoint of quantities per return flag in
+    shipdate order (temporal.pettitt_test): midranks off the
+    aggregated value-domain frame, exact-integer U_t cumsum,
+    earliest-index max-|U| roll-up."""
+    from padua_spark.operators.temporal import pettitt_test
+
+    li = _t(spark, sf, "lineitem")
+    return pettitt_test(
+        li, ["l_returnflag"],
+        ["l_shipdate", "l_orderkey", "l_linenumber", "l_quantity"],
+        "l_quantity",
+    )
+
+
+_LORENZ_ORACLE = """
+WITH per AS (
+  SELECT CAST(l_extendedprice AS DOUBLE) AS v,
+    CAST(count(*) AS BIGINT) AS c,
+    sum(CAST(l_extendedprice AS DOUBLE)) AS m
+  FROM lineitem
+  WHERE l_extendedprice IS NOT NULL AND l_extendedprice >= 0
+  GROUP BY 1
+),
+st AS (
+  SELECT v, c, m,
+    sum(c) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS crun,
+    sum(m) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS mrun,
+    sum(c) OVER () AS ctot, sum(m) OVER () AS mtot
+  FROM per
+),
+staged AS (
+  SELECT v AS value, CAST(crun AS BIGINT) AS n_le,
+    CAST(crun AS DOUBLE) / CAST(ctot AS DOUBLE) AS p,
+    mrun / mtot AS l,
+    (CAST(crun AS DOUBLE) / CAST(ctot AS DOUBLE)
+     - CAST(crun - c AS DOUBLE) / CAST(ctot AS DOUBLE))
+    * (mrun / mtot + (mrun - m) / mtot) AS trap
+  FROM st
+),
+g AS (SELECT sum(trap) AS ts FROM staged)
+SELECT value, n_le, round(p, 9) AS pop_share,
+  round(l, 9) AS value_share_cum,
+  round(1.0 - g.ts, 6) AS gini
+FROM staged, g
+"""
+
+
+@_q("lorenz_curve", _LORENZ_ORACLE)
+def q_lorenz_curve(spark, sf):
+    """Lorenz curve table of lineitem extended prices with the
+    trapezoid Gini repeated per row (quality.lorenz_curve): counts
+    and value mass through one stepped pass, 1-row Gini broadcast
+    back."""
+    from padua_spark.extensions.quality import lorenz_curve
+
+    li = _t(spark, sf, "lineitem")
+    return lorenz_curve(li, "l_extendedprice")
+
+
+_PINBALL_ORACLE = """
+WITH base AS (
+  SELECT event_type, CAST(value AS DOUBLE) AS a,
+    lag(CAST(value AS DOUBLE)) OVER (
+      PARTITION BY user_id
+      ORDER BY epoch_us(ts), event_id) AS l1
+  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+    AND event_type IS NOT NULL
+),
+f AS (
+  SELECT event_type, a, l1 * 0.5 AS f10, l1 AS f50, l1 * 2.0 AS f90
+  FROM base
+),
+u AS (
+  SELECT event_type, CAST(0.1 AS DOUBLE) AS quantile, a, f10 AS fc
+  FROM f
+  UNION ALL
+  SELECT event_type, CAST(0.5 AS DOUBLE), a, f50 FROM f
+  UNION ALL
+  SELECT event_type, CAST(0.9 AS DOUBLE), a, f90 FROM f
+)
+SELECT event_type, quantile,
+  CAST(count(CASE WHEN a IS NOT NULL AND fc IS NOT NULL THEN 1 END)
+    AS BIGINT) AS n,
+  round(sum(CASE WHEN a IS NOT NULL AND fc IS NOT NULL THEN
+      CASE WHEN a >= fc THEN quantile * (a - fc)
+           ELSE (1.0 - quantile) * (fc - a) END END)
+    / CAST(count(CASE WHEN a IS NOT NULL AND fc IS NOT NULL
+      THEN 1 END) AS DOUBLE), 6) AS pinball,
+  round(CAST(sum(CASE WHEN a IS NOT NULL AND fc IS NOT NULL
+      AND a <= fc THEN 1 ELSE 0 END) AS DOUBLE)
+    / CAST(count(CASE WHEN a IS NOT NULL AND fc IS NOT NULL
+      THEN 1 END) AS DOUBLE), 6) AS coverage
+FROM u GROUP BY 1, 2
+"""
+
+
+@_q("pinball_loss", _PINBALL_ORACLE)
+def q_pinball_loss(spark, sf):
+    """Pinball loss + coverage of a lag-based quantile forecast trio
+    per event type (temporal.pinball_loss): one lag window per user,
+    ONE aggregation for all three levels, k-branch pivot union over
+    the persisted per-group row."""
+    from pyspark.sql import Window
+
+    from padua_spark.operators.temporal import pinball_loss
+    from padua_spark.streaming.windows import epoch_us_col
+
+    e = _t(spark, sf, "events").where(
+        F.col("ts").isNotNull()
+        & F.col("value").isNotNull()
+        & F.col("event_type").isNotNull()
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        epoch_us_col(e, "ts"), F.col("event_id")
+    )
+    l1 = F.lag(F.col("value").cast("double")).over(w)
+    base = e.select(
+        "event_type",
+        F.col("value").cast("double").alias("actual"),
+        (l1 * 0.5).alias("f10"),
+        l1.alias("f50"),
+        (l1 * 2.0).alias("f90"),
+    )
+    return pinball_loss(
+        base, ["event_type"], "actual",
+        {0.1: "f10", 0.5: "f50", 0.9: "f90"},
+    )
+
+
 # ---------------------------------------------------------------------------
 
 

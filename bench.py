@@ -283,6 +283,9 @@ HEADLINE = [
     "good_turing",
     "dictionary_coverage",
     "category_diversity",
+    "pettitt_test",
+    "lorenz_curve",
+    "pinball_loss",
     "longest_dup_substring",
     "nelson_aalen",
     "harrells_c",

@@ -2000,3 +2000,177 @@ def burstiness(
         F.round(b, 6).alias("burstiness"),
         F.round(cv, 6).alias("cv"),
     )
+
+
+def pettitt_test(
+    df: DataFrame,
+    group_cols: list[str],
+    order_cols: list[str],
+    value_col: str,
+) -> DataFrame:
+    """Pettitt rank-based changepoint test per group (Pettitt 1979) —
+    the distribution-free complement to :func:`cusum_changepoint` /
+    :func:`two_segment_changepoint` (those react to MEAN shifts in
+    the observed scale; Pettitt is a Mann-Whitney sweep over every
+    split point, so monotone transformations and heavy tails don't
+    fool it):
+
+    ``U_t = Σ_{i≤t} Σ_{j>t} sgn(x_i − x_j)``, ``K = max_t |U_t|``,
+    approximate ``p ≈ 2·exp(−6K²/(n³+n²))`` (Pettitt's closed form,
+    good for p < 0.5).
+
+    Engine-exact computation via the midrank identity: by
+    antisymmetry ``Σ_{i≤t}Σ_{j≤t} sgn = 0``, so
+    ``U_t = Σ_{i≤t} D_i`` with ``D_i = 2·midrank_i − (n+1)`` — an
+    exact INTEGER per row (``2·midrank = 2·count_less + count_eq +
+    1``). Plan: one aggregation to the per-(group, value) count
+    frame, midranks off a window over that AGGREGATED value-domain
+    frame (partitioned by group — never the raw rows), one value
+    join back, one group-partitioned ordered cumsum (the
+    :func:`acf_pacf` family contract), one roll-up taking the
+    max-|U| row with the EARLIEST index on ties (documented).
+    Output per group: ``(groups..., n, k_stat, change_index,
+    u_at_change, p_value)``, p 6dp; change_index is the 1-based
+    position t (prefix = rows 1..t).
+    """
+    from pyspark import StorageLevel
+
+    from padua_spark.io_utils import track_cached
+
+    v = F.col(value_col).cast("double")
+    base = df.where(v.isNotNull()).select(
+        *group_cols, *order_cols, v.alias("_v")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    per = base.groupBy(*group_cols, F.col("_v")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("_c")
+    )
+    wv = (
+        Window.partitionBy(*group_cols)
+        .orderBy(F.col("_v").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wg = Window.partitionBy(*group_cols)
+    # 2*midrank = 2*count_less + count_eq + 1 = 2*(run - c) + c + 1
+    ranked = per.select(
+        *group_cols,
+        "_v",
+        (
+            2 * (F.sum("_c").over(wv) - F.col("_c"))
+            + F.col("_c") + 1
+        ).alias("_2r"),
+        F.sum("_c").over(wg).cast("bigint").alias("_n"),
+    )
+    joined = base.join(ranked, on=[*group_cols, "_v"])
+    wo = Window.partitionBy(*group_cols).orderBy(
+        *[F.col(c).asc() for c in order_cols]
+    )
+    wrun = wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    d_i = (F.col("_2r") - (F.col("_n") + 1)).cast("decimal(38,0)")
+    stepped = joined.select(
+        *group_cols,
+        F.col("_n"),
+        F.row_number().over(wo).cast("bigint").alias("_t"),
+        F.sum(d_i).over(wrun).alias("_u"),
+    )
+    absu = F.abs(F.col("_u"))
+    agg = stepped.groupBy(*group_cols).agg(
+        F.max("_n").alias("_nn"),
+        F.max(absu).alias("_k"),
+        F.min_by(F.struct("_t", "_u"), F.struct(-absu, F.col("_t")))
+        .alias("_best"),
+    )
+    nd = F.col("_nn").cast("double")
+    kd = F.col("_k").cast("double")
+    p = F.least(
+        F.lit(1.0),
+        2.0 * F.exp(-6.0 * kd * kd / (nd * nd * nd + nd * nd)),
+    )
+    out = agg.select(
+        *group_cols,
+        F.col("_nn").alias("n"),
+        F.col("_k").cast("bigint").alias("k_stat"),
+        F.col("_best._t").alias("change_index"),
+        F.col("_best._u").cast("bigint").alias("u_at_change"),
+        F.round(p, 6).alias("p_value"),
+    )
+    return track_cached(out, base)
+
+
+def pinball_loss(
+    df: DataFrame,
+    group_cols: list[str],
+    actual_col: str,
+    forecast_cols: dict[float, str],
+) -> DataFrame:
+    """Quantile-forecast evaluation battery — pinball (quantile)
+    loss plus empirical coverage per declared quantile, the metric
+    pair every probabilistic forecaster (and conformal interval)
+    is judged on (:func:`forecast_accuracy` grades the POINT
+    forecast; this grades the DISTRIBUTION):
+
+    for quantile q with forecast f: ``loss = mean(q·(a−f)⁺ +
+    (1−q)·(f−a)⁺)``; ``coverage = P(a ≤ f)`` — calibrated means
+    coverage ≈ q.
+
+    ``forecast_cols`` maps quantile level → column name (compile-time
+    bounded, one output row per level). ONE aggregation computes
+    every level's sums; the per-level rows come from the k-branch
+    pivot union over the persisted 1-row aggregate (the
+    :func:`~padua_spark.extensions.quality.data_profile` pattern).
+    Rows where the actual or that level's forecast is NULL are
+    excluded per level. Output per (group, level): ``(groups...,
+    quantile, n, pinball, coverage)``, 6dp.
+
+    Beyond the reference; standard per Koenker & Bassett 1978 /
+    Gneiting 2011.
+    """
+    from functools import reduce
+
+    from pyspark import StorageLevel
+
+    from padua_spark.io_utils import track_cached
+
+    a = F.col(actual_col).cast("double")
+    levels = sorted(forecast_cols.items())
+    aggs = []
+    for i, (q, col) in enumerate(levels):
+        fc = F.col(col).cast("double")
+        ok = a.isNotNull() & fc.isNotNull()
+        loss = F.when(
+            ok,
+            F.when(a >= fc, float(q) * (a - fc)).otherwise(
+                (1.0 - float(q)) * (fc - a)
+            ),
+        )
+        aggs += [
+            F.count(F.when(ok, 1)).cast("bigint").alias(f"_n{i}"),
+            F.sum(loss).alias(f"_s{i}"),
+            F.sum(F.when(ok & (a <= fc), 1).otherwise(0))
+            .cast("bigint").alias(f"_c{i}"),
+        ]
+    agg = df.groupBy(*group_cols).agg(*aggs).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    branches = []
+    for i, (q, _col) in enumerate(levels):
+        nd = F.col(f"_n{i}").cast("double")
+        branches.append(
+            agg.select(
+                *group_cols,
+                F.lit(float(q)).alias("quantile"),
+                F.col(f"_n{i}").alias("n"),
+                F.round(
+                    F.when(F.col(f"_n{i}") > 0, F.col(f"_s{i}") / nd),
+                    6,
+                ).alias("pinball"),
+                F.round(
+                    F.when(
+                        F.col(f"_n{i}") > 0,
+                        F.col(f"_c{i}").cast("double") / nd,
+                    ),
+                    6,
+                ).alias("coverage"),
+            )
+        )
+    out = reduce(lambda x, y: x.unionAll(y), branches)
+    return track_cached(out, agg)

@@ -10371,3 +10371,108 @@ def test_category_diversity_replica(spark):
     assert got["g2"]["k_classes"] == 1
     assert got["g2"]["shannon_entropy"] == pytest.approx(0.0, abs=1e-9)
     assert got["g2"]["evenness"] is None
+
+
+def test_pettitt_test_replica(spark):
+    """Pettitt U_t and K against the brute-force double-sum replica
+    on a planted level shift (ties included); p-value formula and
+    earliest-index tiebreak verified."""
+    import numpy as np
+
+    from padua_spark.operators.temporal import pettitt_test
+
+    rng = np.random.RandomState(21)
+    n = 120
+    x = np.round(rng.normal(10, 1, n), 1)
+    x[60:] += 2.0  # planted shift at t=60
+    rows = [("a", i, float(v)) for i, v in enumerate(x)]
+    df = spark.createDataFrame(rows, ["g", "t", "v"])
+    r = pettitt_test(df, ["g"], ["t"], "v").collect()[0]
+    u = np.array([
+        np.sign(x[: t + 1][:, None] - x[t + 1:][None, :]).sum()
+        for t in range(n)
+    ])
+    k = int(np.abs(u).max())
+    t_best = int(np.argmax(np.abs(u))) + 1  # 1-based
+    assert r["k_stat"] == k
+    assert r["change_index"] == t_best
+    assert r["u_at_change"] == int(u[t_best - 1])
+    assert abs(r["change_index"] - 60) <= 3  # finds the shift
+    p = min(1.0, 2.0 * np.exp(-6.0 * k * k / (n**3 + n**2)))
+    assert r["p_value"] == pytest.approx(p, abs=1e-6)
+    assert r["p_value"] < 0.01
+
+
+def test_lorenz_curve_replica(spark):
+    """Lorenz table and trapezoid Gini against numpy sorted cumsums;
+    Gini equals the mean-absolute-difference definition."""
+    import numpy as np
+
+    from padua_spark.extensions.quality import lorenz_curve
+
+    rng = np.random.RandomState(4)
+    x = np.round(rng.exponential(100, 300), 2)
+    df = spark.createDataFrame([(float(v),) for v in x], ["v"])
+    rows = sorted(
+        lorenz_curve(df, "v").collect(), key=lambda r: r["value"]
+    )
+    xs = np.sort(x)
+    n, tot = len(xs), xs.sum()
+    # spot-check the last and a middle point
+    assert rows[-1]["pop_share"] == pytest.approx(1.0, abs=1e-9)
+    assert rows[-1]["value_share_cum"] == pytest.approx(1.0, abs=1e-9)
+    mid = rows[len(rows) // 2]
+    mask = xs <= mid["value"]
+    assert mid["n_le"] == mask.sum()
+    assert mid["value_share_cum"] == pytest.approx(
+        xs[mask].sum() / tot, abs=1e-6
+    )
+    gini_mad = np.abs(xs[:, None] - xs[None, :]).mean() / (
+        2 * xs.mean()
+    )
+    assert rows[0]["gini"] == pytest.approx(gini_mad, abs=1e-6)
+
+
+def test_pinball_loss_replica(spark):
+    """Pinball loss and coverage per quantile against the direct
+    numpy formulas, NULL-forecast rows excluded per level."""
+    import numpy as np
+
+    from padua_spark.operators.temporal import pinball_loss
+
+    rng = np.random.RandomState(9)
+    n = 200
+    a = rng.normal(50, 10, n)
+    f50 = a + rng.normal(0, 5, n)
+    f90 = f50 + 12
+    rows = [
+        (float(a[i]), float(f50[i]), float(f90[i])) for i in range(n)
+    ]
+    rows.append((1.0, None, 2.0))  # NULL f50 excluded at q=0.5 only
+    df = spark.createDataFrame(rows, ["a", "f50", "f90"])
+    got = {
+        r["quantile"]: r
+        for r in pinball_loss(
+            df, [], "a", {0.5: "f50", 0.9: "f90"}
+        ).collect()
+    }
+    loss50 = np.where(a >= f50, 0.5 * (a - f50), 0.5 * (f50 - a))
+    assert got[0.5]["n"] == n
+    assert got[0.5]["pinball"] == pytest.approx(
+        loss50.mean(), abs=1e-6
+    )
+    assert got[0.5]["coverage"] == pytest.approx(
+        (a <= f50).mean(), abs=1e-6
+    )
+    a2 = np.append(a, 1.0)
+    f902 = np.append(f90, 2.0)
+    loss90 = np.where(
+        a2 >= f902, 0.9 * (a2 - f902), 0.1 * (f902 - a2)
+    )
+    assert got[0.9]["n"] == n + 1
+    assert got[0.9]["pinball"] == pytest.approx(
+        loss90.mean(), abs=1e-6
+    )
+    assert got[0.9]["coverage"] == pytest.approx(
+        (a2 <= f902).mean(), abs=1e-6
+    )
