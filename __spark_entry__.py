@@ -24244,6 +24244,285 @@ def q_pinball_loss(spark, sf):
     )
 
 
+_META_ORACLE = """
+WITH RECURSIVE studies AS (
+  SELECT event_type, user_id % 17 AS sid,
+    avg(CAST(value AS DOUBLE)) AS eff,
+    stddev_samp(CAST(value AS DOUBLE))
+      / sqrt(CAST(count(*) AS DOUBLE)) AS se
+  FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL
+  GROUP BY 1, 2
+  HAVING count(*) >= 2 AND stddev_samp(CAST(value AS DOUBLE)) > 0
+),
+first AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS k,
+    sum(1.0 / (se * se)) AS sw,
+    sum(eff / (se * se)) AS swt,
+    sum(eff * eff / (se * se)) AS swt2,
+    sum(1.0 / (se * se * se * se)) AS sw2,
+    sum(1.0 / se) AS sx, sum(eff / se) AS sy,
+    sum(1.0 / (se * se)) AS sxx2,
+    sum(eff / (se * se)) AS sxy2,
+    sum(eff * eff / (se * se)) AS syy2
+  FROM studies GROUP BY 1
+),
+derived AS (
+  SELECT *, CAST(k AS DOUBLE) AS kd,
+    swt / sw AS tf,
+    swt2 - swt * swt / sw AS q,
+    sw - sw2 / sw AS c
+  FROM first
+),
+tau AS (
+  SELECT *, CASE WHEN k >= 2 AND c > 0
+    THEN greatest(0.0, (q - (kd - 1.0)) / c) END AS tau2
+  FROM derived
+),
+second AS (
+  SELECT s.event_type,
+    sum(1.0 / (s.se * s.se + coalesce(t.tau2, 0.0))) AS sws,
+    sum(s.eff / (s.se * s.se + coalesce(t.tau2, 0.0))) AS swst
+  FROM studies s JOIN tau t USING (event_type) GROUP BY 1
+),
+egger AS (
+  SELECT t.*,
+    (t.kd * t.sxy2 - t.sx * t.sy)
+      / (t.kd * t.sxx2 - t.sx * t.sx) AS b1
+  FROM tau t
+),
+egger2 AS (
+  SELECT *, (sy - b1 * sx) / kd AS b0,
+    kd * sxx2 - sx * sx AS den
+  FROM egger
+),
+egger3 AS (
+  SELECT *,
+    CASE WHEN k >= 3 THEN greatest(0.0,
+      (syy2 - b0 * sy - b1 * sxy2) / (kd - 2.0)) END AS sig2
+  FROM egger2
+),
+egger4 AS (
+  SELECT *, sqrt(sig2 * sxx2 / den) AS seb0,
+    CASE WHEN k >= 3 AND den > 0
+      AND sqrt(sig2 * sxx2 / den) > 0
+      THEN b0 / sqrt(sig2 * sxx2 / den) END AS et
+  FROM egger3
+),
+inp AS (
+  SELECT event_type AS key,
+    CAST((kd - 2.0) / ((kd - 2.0) + et * et) AS DOUBLE) AS x,
+    CAST((kd - 2.0) / 2.0 AS DOUBLE) AS a,
+    CAST(0.5 AS DOUBLE) AS b
+  FROM egger4 WHERE et IS NOT NULL
+),
+{BETAINC}
+SELECT e.event_type, e.k,
+  round(e.tf, 6) AS theta_fixed,
+  round(1.0 / sqrt(e.sw), 6) AS se_fixed,
+  round(CASE WHEN e.k >= 2 THEN e.q END, 6) AS q,
+  round(CASE WHEN e.k >= 2 AND e.q > 0
+    THEN greatest(0.0, (e.q - (e.kd - 1.0)) / e.q) END, 6) AS i2,
+  round(e.tau2, 6) AS tau2,
+  round(CASE WHEN e.k >= 2 THEN s.swst / s.sws END, 6)
+    AS theta_random,
+  round(CASE WHEN e.k >= 2 THEN 1.0 / sqrt(s.sws) END, 6)
+    AS se_random,
+  round(CASE WHEN e.k >= 3 THEN e.b0 END, 6) AS egger_intercept,
+  round(e.et, 6) AS egger_t,
+  round(CASE WHEN e.et IS NOT NULL THEN pv.p END, 6) AS egger_p
+FROM egger4 e
+JOIN second s USING (event_type)
+LEFT JOIN pv ON pv.key = e.event_type
+"""
+
+
+@_q("meta_analysis", _META_ORACLE.replace("{BETAINC}", _betainc_chain_sql()))
+def q_meta_analysis(spark, sf):
+    """Fixed/DerSimonian-Laird random-effects meta-analysis of
+    17 user-bucket 'studies' per event type (stats.meta_analysis):
+    inverse-variance pooling, Q/I-squared/tau-squared, Egger
+    small-study regression with the shared t SF."""
+    from padua_spark.operators.stats import meta_analysis
+
+    e = _t(spark, sf, "events").where(
+        F.col("value").isNotNull() & F.col("event_type").isNotNull()
+    )
+    studies = (
+        e.groupBy("event_type", (F.col("user_id") % 17).alias("sid"))
+        .agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.avg(F.col("value").cast("double")).alias("eff"),
+            (
+                F.stddev_samp(F.col("value").cast("double"))
+                / F.sqrt(F.count(F.lit(1)).cast("double"))
+            ).alias("se"),
+            F.stddev_samp(F.col("value").cast("double")).alias("_sd"),
+        )
+        .where((F.col("_n") >= 2) & (F.col("_sd") > 0))
+    )
+    return meta_analysis(
+        studies, "eff", "se", group_cols=["event_type"]
+    )
+
+
+_ANCOVA_ORACLE = """
+WITH RECURSIVE per AS (
+  SELECT l_returnflag AS g, CAST(count(*) AS BIGINT) AS n,
+    sum(CAST(l_quantity AS DOUBLE)) AS sx,
+    sum(CAST(l_extendedprice AS DOUBLE) / 100.0) AS sy,
+    sum(CAST(l_quantity AS DOUBLE) * CAST(l_quantity AS DOUBLE))
+      AS sxx,
+    sum((CAST(l_extendedprice AS DOUBLE) / 100.0)
+      * (CAST(l_extendedprice AS DOUBLE) / 100.0)) AS syy,
+    sum(CAST(l_quantity AS DOUBLE)
+      * (CAST(l_extendedprice AS DOUBLE) / 100.0)) AS sxy
+  FROM lineitem
+  WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+    AND l_returnflag IS NOT NULL
+  GROUP BY 1
+),
+agg AS (
+  SELECT CAST(sum(n) AS BIGINT) AS nt,
+    CAST(count(*) AS BIGINT) AS k,
+    sum(sxx - sx * sx / CAST(n AS DOUBLE)) AS sxxw,
+    sum(syy - sy * sy / CAST(n AS DOUBLE)) AS syyw,
+    sum(sxy - sx * sy / CAST(n AS DOUBLE)) AS sxyw,
+    sum(sx) AS sxt, sum(sy) AS syt,
+    sum(sxx) AS sxxt, sum(syy) AS syyt, sum(sxy) AS sxyt
+  FROM per
+),
+d AS (
+  SELECT *, CAST(nt AS DOUBLE) AS ntd, CAST(k AS DOUBLE) AS kd,
+    sxxt - sxt * sxt / CAST(nt AS DOUBLE) AS sxx_t,
+    syyt - syt * syt / CAST(nt AS DOUBLE) AS syy_t,
+    sxyt - sxt * syt / CAST(nt AS DOUBLE) AS sxy_t
+  FROM agg
+),
+f AS (
+  SELECT *,
+    CASE WHEN sxxw > 0 THEN syyw - sxyw * sxyw / sxxw END AS ssef,
+    CASE WHEN sxx_t > 0 THEN syy_t - sxy_t * sxy_t / sxx_t
+      END AS sser,
+    kd - 1.0 AS df1, ntd - kd - 1.0 AS df2
+  FROM d
+),
+fs AS (
+  SELECT *,
+    CASE WHEN k >= 2 AND df2 > 0 AND ssef > 0
+      THEN ((sser - ssef) / df1) / (ssef / df2) END AS fstat
+  FROM f
+),
+inp AS (
+  SELECT 'k' AS key,
+    CAST(df2 / (df2 + df1 * fstat) AS DOUBLE) AS x,
+    CAST(df2 / 2.0 AS DOUBLE) AS a,
+    CAST(df1 / 2.0 AS DOUBLE) AS b
+  FROM fs WHERE fstat IS NOT NULL
+),
+{BETAINC}
+SELECT fs.nt AS n, fs.k AS k_groups,
+  round(CASE WHEN fs.sxxw > 0 THEN fs.sxyw / fs.sxxw END, 6)
+    AS slope_common,
+  round(fs.ssef, 6) AS sse_full,
+  round(fs.sser, 6) AS sse_reduced,
+  round(fs.fstat, 6) AS f_stat,
+  CAST(fs.df1 AS INT) AS df1,
+  CAST(fs.df2 AS BIGINT) AS df2,
+  round(pv.p, 6) AS p_value
+FROM fs LEFT JOIN pv ON pv.key = 'k'
+"""
+
+
+@_q("ancova_1cov", _ANCOVA_ORACLE.replace("{BETAINC}", _betainc_chain_sql()))
+def q_ancova_1cov(spark, sf):
+    """One-way ANCOVA of price (in hundreds) on return flag adjusting
+    for quantity (stats.ancova_1cov): per-group raw sums, algebraic
+    within/total centered cross sums, F p via the shared incomplete
+    beta."""
+    from padua_spark.operators.stats import ancova_1cov
+
+    li = _t(spark, sf, "lineitem").where(
+        F.col("l_returnflag").isNotNull()
+    ).select(
+        "l_returnflag",
+        F.col("l_quantity").cast("double").alias("x"),
+        (F.col("l_extendedprice").cast("double") / 100.0).alias("y"),
+    )
+    return ancova_1cov(li, "l_returnflag", "x", "y")
+
+
+_DF_ORACLE = """
+WITH base AS (
+  SELECT l_returnflag AS grp, CAST(l_quantity AS DOUBLE) AS v,
+    lag(CAST(l_quantity AS DOUBLE)) OVER (
+      PARTITION BY l_returnflag
+      ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity
+    ) AS l
+  FROM lineitem WHERE l_quantity IS NOT NULL
+),
+pairs AS (
+  SELECT grp, l, v - l AS d FROM base WHERE l IS NOT NULL
+),
+a AS (
+  SELECT grp, CAST(count(*) AS BIGINT) AS m,
+    sum(l) AS sl, sum(d) AS sd,
+    sum(l * l) AS sll, sum(l * d) AS sld, sum(d * d) AS sdd
+  FROM pairs GROUP BY 1
+),
+s AS (
+  SELECT grp, m, CAST(m AS DOUBLE) AS md,
+    CAST(m AS DOUBLE) * sll - sl * sl AS den,
+    (CAST(m AS DOUBLE) * sld - sl * sd)
+      / (CAST(m AS DOUBLE) * sll - sl * sl) AS beta,
+    sl, sd, sld, sdd
+  FROM a
+),
+t AS (
+  SELECT grp, m, md, den, beta,
+    (sd - beta * sl) / md AS alpha, sd, sld, sdd
+  FROM s
+),
+u AS (
+  SELECT grp, m, md, den, beta,
+    greatest(0.0, (sdd - alpha * sd - beta * sld) / (md - 2.0))
+      AS sig2
+  FROM t
+),
+w AS (
+  SELECT grp, m, md, den, beta,
+    sqrt(sig2 * md / den) AS seb
+  FROM u
+)
+SELECT grp AS l_returnflag,
+  CAST(m + 1 AS BIGINT) AS n, m AS n_pairs,
+  round(CASE WHEN m >= 3 AND den > 0 THEN beta END, 6) AS beta,
+  round(CASE WHEN m >= 3 AND den > 0 AND seb > 0
+    THEN beta / seb END, 6) AS df_stat,
+  CAST(-3.43 AS DOUBLE) AS crit_1pct,
+  CAST(-2.86 AS DOUBLE) AS crit_5pct,
+  CAST(-2.57 AS DOUBLE) AS crit_10pct,
+  CASE WHEN m >= 3 AND den > 0 AND seb > 0
+    THEN beta / seb < -2.86 END AS reject_5pct
+FROM w
+"""
+
+
+@_q("dickey_fuller", _DF_ORACLE)
+def q_dickey_fuller(spark, sf):
+    """Lag-0 Dickey-Fuller unit-root t per return flag in shipdate
+    order (temporal.dickey_fuller): one group-partitioned lag window,
+    one OLS-sum aggregation, closed-form slope/SE - the null-reversed
+    partner to kpss_level."""
+    from padua_spark.operators.temporal import dickey_fuller
+
+    li = _t(spark, sf, "lineitem")
+    return dickey_fuller(
+        li, ["l_returnflag"],
+        ["l_shipdate", "l_orderkey", "l_linenumber", "l_quantity"],
+        "l_quantity",
+    )
+
+
 # ---------------------------------------------------------------------------
 
 

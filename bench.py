@@ -286,6 +286,9 @@ HEADLINE = [
     "pettitt_test",
     "lorenz_curve",
     "pinball_loss",
+    "meta_analysis",
+    "ancova_1cov",
+    "dickey_fuller",
     "longest_dup_substring",
     "nelson_aalen",
     "harrells_c",

@@ -11206,3 +11206,266 @@ def value_at_risk(
         ).alias("expected_shortfall"),
     )
     return track_cached(out, *getattr(stepped, "_padua_cached", ()))
+
+
+def meta_analysis(
+    df: DataFrame,
+    effect_col: str,
+    se_col: str,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Fixed- and random-effects meta-analysis per group — the
+    standard many-experiments roll-up (per-segment A/B effects,
+    per-site lift estimates, replicated studies): inverse-variance
+    pooling, DerSimonian–Laird heterogeneity, and Egger's
+    small-study/publication-bias regression, in the textbook forms:
+
+    fixed ``θ_F = Σwθ/Σw`` with ``w = 1/se²``, ``se_F = 1/√Σw``;
+    ``Q = Σw(θ − θ_F)²``, ``I² = max(0, (Q−(k−1))/Q)``,
+    ``τ² = max(0, (Q−(k−1)) / (Σw − Σw²/Σw))`` (DL); random
+    ``θ_R = Σw*θ/Σw*`` with ``w* = 1/(se²+τ²)``, ``se_R = 1/√Σw*``;
+    Egger: OLS of ``θ/se`` on ``1/se`` — the intercept estimates
+    asymmetry, ``t = b₀/se(b₀)`` with k−2 df (p two-sided via the
+    shared Arrow-batched student-t SF on the bounded per-group row).
+
+    Scale shape: ONE aggregation computes every fixed-effect and
+    Egger ingredient; τ² is broadcast back for ONE more aggregation
+    (the random weights need it per study) — two passes total, no
+    window, no driver loop. Studies with NULL or non-positive se are
+    excluded. Output per group: ``(groups..., k, theta_fixed,
+    se_fixed, q, i2, tau2, theta_random, se_random,
+    egger_intercept, egger_t, egger_p)``, 6dp; random/Egger NULL
+    when k < 2 / k < 3.
+
+    Beyond the reference; standard per DerSimonian & Laird 1986 /
+    Egger et al. 1997.
+    """
+    from pyspark import StorageLevel
+
+    from padua_spark.functions.distributions import t_sf_udf
+    from padua_spark.io_utils import track_cached
+
+    group_cols = group_cols or []
+    th = F.col(effect_col).cast("double")
+    se = F.col(se_col).cast("double")
+    base = df.where(
+        th.isNotNull() & se.isNotNull() & (se > 0)
+    ).select(*group_cols, th.alias("_th"), se.alias("_se")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    w = 1.0 / (F.col("_se") * F.col("_se"))
+    x = 1.0 / F.col("_se")
+    y = F.col("_th") / F.col("_se")
+    first = base.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("bigint").alias("_k"),
+        F.sum(w).alias("_sw"),
+        F.sum(w * F.col("_th")).alias("_swt"),
+        F.sum(w * F.col("_th") * F.col("_th")).alias("_swt2"),
+        F.sum(w * w).alias("_sw2"),
+        F.sum(x).alias("_sx"),
+        F.sum(y).alias("_sy"),
+        F.sum(x * x).alias("_sxx"),
+        F.sum(x * y).alias("_sxy"),
+        F.sum(y * y).alias("_syy"),
+    )
+    kd = F.col("_k").cast("double")
+    tf = F.col("_swt") / F.col("_sw")
+    q = F.col("_swt2") - F.col("_swt") * F.col("_swt") / F.col("_sw")
+    c = F.col("_sw") - F.col("_sw2") / F.col("_sw")
+    tau2 = F.when(
+        (F.col("_k") >= 2) & (c > 0),
+        F.greatest(F.lit(0.0), (q - (kd - 1.0)) / c),
+    )
+    # Egger OLS of y on x: slope denominator and intercept
+    den = kd * F.col("_sxx") - F.col("_sx") * F.col("_sx")
+    b1 = (kd * F.col("_sxy") - F.col("_sx") * F.col("_sy")) / den
+    b0 = (F.col("_sy") - b1 * F.col("_sx")) / kd
+    sse = (
+        F.col("_syy") - b0 * F.col("_sy") - b1 * F.col("_sxy")
+    )
+    sig2 = F.when(F.col("_k") >= 3, F.greatest(
+        F.lit(0.0), sse / (kd - 2.0)
+    ))
+    se_b0 = F.sqrt(sig2 * F.col("_sxx") / den)
+    egger_t = F.when((F.col("_k") >= 3) & (den > 0) & (se_b0 > 0),
+                     b0 / se_b0)
+    stats1 = first.select(
+        *group_cols, "_k", "_sw", tf.alias("_tf"), q.alias("_q"),
+        tau2.alias("_tau2"), b0.alias("_b0"),
+        egger_t.alias("_et"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    joined = (
+        base.join(
+            F.broadcast(stats1.select(*group_cols, "_tau2")),
+            on=group_cols,
+        )
+        if group_cols
+        else base.crossJoin(
+            F.broadcast(stats1.select("_tau2"))
+        )
+    )
+    ws = 1.0 / (
+        F.col("_se") * F.col("_se") + F.coalesce(F.col("_tau2"),
+                                                 F.lit(0.0))
+    )
+    second = joined.groupBy(*group_cols).agg(
+        F.sum(ws).alias("_sws"),
+        F.sum(ws * F.col("_th")).alias("_swst"),
+    )
+    both = (
+        stats1.join(second, on=group_cols)
+        if group_cols
+        else stats1.crossJoin(F.broadcast(second))
+    )
+    kd2 = F.col("_k").cast("double")
+    i2 = F.when(
+        (F.col("_k") >= 2) & (F.col("_q") > 0),
+        F.greatest(
+            F.lit(0.0), (F.col("_q") - (kd2 - 1.0)) / F.col("_q")
+        ),
+    )
+    out = both.select(
+        *group_cols,
+        F.col("_k").alias("k"),
+        F.round("_tf", 6).alias("theta_fixed"),
+        F.round(1.0 / F.sqrt(F.col("_sw")), 6).alias("se_fixed"),
+        F.round(F.when(F.col("_k") >= 2, F.col("_q")), 6).alias("q"),
+        F.round(i2, 6).alias("i2"),
+        F.round("_tau2", 6).alias("tau2"),
+        F.round(
+            F.when(
+                F.col("_k") >= 2, F.col("_swst") / F.col("_sws")
+            ),
+            6,
+        ).alias("theta_random"),
+        F.round(
+            F.when(F.col("_k") >= 2, 1.0 / F.sqrt(F.col("_sws"))),
+            6,
+        ).alias("se_random"),
+        F.round(F.when(F.col("_k") >= 3, F.col("_b0")), 6)
+        .alias("egger_intercept"),
+        F.round("_et", 6).alias("egger_t"),
+        F.round(
+            F.when(
+                F.col("_et").isNotNull(),
+                # t_sf_udf is ALREADY the two-sided P(|T| >= |t|)
+                t_sf_udf(F.abs(F.col("_et")), kd2 - 2.0),
+            ),
+            6,
+        ).alias("egger_p"),
+    )
+    return track_cached(out, base, stats1)
+
+
+def ancova_1cov(
+    df: DataFrame,
+    group_col: str,
+    covariate_col: str,
+    value_col: str,
+) -> DataFrame:
+    """One-way ANCOVA with a single covariate — "does the group
+    effect survive adjusting for x?", the missing step between
+    :func:`anova_1way` (no adjustment) and a full regression: the
+    F test compares the common-slope model ``y ~ group + x``
+    against the reduced ``y ~ x``:
+
+    ``SSE_full = Syy_w − Sxy_w²/Sxx_w`` (pooled WITHIN-group
+    centered cross sums), ``SSE_red = Syy_t − Sxy_t²/Sxx_t``
+    (total), ``F = ((SSE_red − SSE_full)/(k−1)) /
+    (SSE_full/(N−k−1))``; also reports the pooled common slope
+    ``β_w = Sxy_w/Sxx_w``. p via the shared Arrow-batched F SF on
+    the 1-row result.
+
+    Scale shape: ONE aggregation to per-group raw sums (k bounded
+    rows), one roll-up assembling within/total sums algebraically —
+    no centered column materialized, no window. Output 1 row:
+    ``(n, k_groups, slope_common, sse_full, sse_reduced, f_stat,
+    df1, df2, p_value)``, 6dp; NULL F when degenerate (Sxx ≤ 0 or
+    df ≤ 0).
+
+    Beyond the reference; standard per Fisher / Huitema (The
+    Analysis of Covariance and Alternatives).
+    """
+    from padua_spark.functions.distributions import f_sf_udf
+    from padua_spark.io_utils import track_cached
+
+    x = F.col(covariate_col).cast("double")
+    y = F.col(value_col).cast("double")
+    per = (
+        df.where(
+            x.isNotNull() & y.isNotNull()
+            & F.col(group_col).isNotNull()
+        )
+        .groupBy(F.col(group_col).alias("_g"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("_n"),
+            F.sum(x).alias("_sx"),
+            F.sum(y).alias("_sy"),
+            F.sum(x * x).alias("_sxx"),
+            F.sum(y * y).alias("_syy"),
+            F.sum(x * y).alias("_sxy"),
+        )
+    )
+    nd = F.col("_n").cast("double")
+    agg = per.agg(
+        F.sum("_n").cast("bigint").alias("_nt"),
+        F.count(F.lit(1)).cast("bigint").alias("_k"),
+        F.sum(F.col("_sxx") - F.col("_sx") * F.col("_sx") / nd)
+        .alias("_sxxw"),
+        F.sum(F.col("_syy") - F.col("_sy") * F.col("_sy") / nd)
+        .alias("_syyw"),
+        F.sum(F.col("_sxy") - F.col("_sx") * F.col("_sy") / nd)
+        .alias("_sxyw"),
+        F.sum("_sx").alias("_sxt"),
+        F.sum("_sy").alias("_syt"),
+        F.sum("_sxx").alias("_sxxt"),
+        F.sum("_syy").alias("_syyt"),
+        F.sum("_sxy").alias("_sxyt"),
+    )
+    ntd = F.col("_nt").cast("double")
+    kd = F.col("_k").cast("double")
+    sxx_t = F.col("_sxxt") - F.col("_sxt") * F.col("_sxt") / ntd
+    syy_t = F.col("_syyt") - F.col("_syt") * F.col("_syt") / ntd
+    sxy_t = F.col("_sxyt") - F.col("_sxt") * F.col("_syt") / ntd
+    sse_full = F.when(
+        F.col("_sxxw") > 0,
+        F.col("_syyw")
+        - F.col("_sxyw") * F.col("_sxyw") / F.col("_sxxw"),
+    )
+    sse_red = F.when(sxx_t > 0, syy_t - sxy_t * sxy_t / sxx_t)
+    df1 = kd - 1.0
+    df2 = ntd - kd - 1.0
+    fstat = F.when(
+        (F.col("_k") >= 2) & (df2 > 0) & (sse_full > 0),
+        ((sse_red - sse_full) / df1) / (sse_full / df2),
+    )
+    staged = agg.select(
+        F.col("_nt").alias("n"),
+        F.col("_k").alias("k_groups"),
+        F.round(
+            F.when(
+                F.col("_sxxw") > 0,
+                F.col("_sxyw") / F.col("_sxxw"),
+            ),
+            6,
+        ).alias("slope_common"),
+        F.round(sse_full, 6).alias("sse_full"),
+        F.round(sse_red, 6).alias("sse_reduced"),
+        fstat.alias("_f"),
+        df1.alias("_df1"),
+        df2.alias("_df2"),
+    )
+    out = staged.select(
+        "n", "k_groups", "slope_common", "sse_full", "sse_reduced",
+        F.round("_f", 6).alias("f_stat"),
+        F.col("_df1").cast("int").alias("df1"),
+        F.col("_df2").cast("bigint").alias("df2"),
+        F.round(
+            F.when(
+                F.col("_f").isNotNull(),
+                f_sf_udf(F.col("_f"), F.col("_df1"), F.col("_df2")),
+            ),
+            6,
+        ).alias("p_value"),
+    )
+    return track_cached(out)

@@ -2174,3 +2174,78 @@ def pinball_loss(
         )
     out = reduce(lambda x, y: x.unionAll(y), branches)
     return track_cached(out, agg)
+
+
+def dickey_fuller(
+    df: DataFrame,
+    group_cols: list[str],
+    order_cols: list[str],
+    value_col: str,
+) -> DataFrame:
+    """Dickey–Fuller unit-root test per group (constant, lag 0 — the
+    plain DF regression; the augmented lags are a bandwidth choice
+    this engine-exact base case deliberately omits, documented): the
+    null-reversed partner to :func:`kpss_level` — DF's null IS the
+    unit root, so "reject" means the series mean-reverts; running
+    both disambiguates trend vs noise:
+
+    ``Δx_t = α + β·x_{t−1} + e_t``, ``DF = β̂/se(β̂)`` compared to
+    the constant-only asymptotic critical values −3.43 / −2.86 /
+    −2.57 (1/5/10%; Fuller 1976 / MacKinnon).
+
+    Scale shape: one group-partitioned lag window (the
+    :func:`acf_pacf` family contract), ONE aggregation to the OLS
+    sums, closed-form slope/SE — no matrix, no second pass. Output
+    per group: ``(groups..., n, n_pairs, beta, df_stat, crit_1pct,
+    crit_5pct, crit_10pct, reject_5pct)``, 6dp; NULL stat when
+    n_pairs < 3 or the regressor is constant.
+    """
+    v = F.col(value_col).cast("double")
+    base = df.where(v.isNotNull()).select(
+        *group_cols, *order_cols, v.alias("_v")
+    )
+    wo = Window.partitionBy(*group_cols).orderBy(
+        *[F.col(c).asc() for c in order_cols]
+    )
+    lagged = base.select(
+        *group_cols,
+        F.col("_v"),
+        F.lag("_v").over(wo).alias("_l"),
+    )
+    pairs = lagged.where(F.col("_l").isNotNull()).select(
+        *group_cols,
+        F.col("_l"),
+        (F.col("_v") - F.col("_l")).alias("_d"),
+    )
+    agg = pairs.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("bigint").alias("_m"),
+        F.sum("_l").alias("_sl"),
+        F.sum("_d").alias("_sd"),
+        F.sum(F.col("_l") * F.col("_l")).alias("_sll"),
+        F.sum(F.col("_l") * F.col("_d")).alias("_sld"),
+        F.sum(F.col("_d") * F.col("_d")).alias("_sdd"),
+    )
+    md = F.col("_m").cast("double")
+    den = md * F.col("_sll") - F.col("_sl") * F.col("_sl")
+    beta = (md * F.col("_sld") - F.col("_sl") * F.col("_sd")) / den
+    alpha = (F.col("_sd") - beta * F.col("_sl")) / md
+    sse = (
+        F.col("_sdd") - alpha * F.col("_sd") - beta * F.col("_sld")
+    )
+    sig2 = F.greatest(F.lit(0.0), sse / (md - 2.0))
+    se_b = F.sqrt(sig2 * md / den)
+    stat = F.when(
+        (F.col("_m") >= 3) & (den > 0) & (se_b > 0), beta / se_b
+    )
+    betac = F.when((F.col("_m") >= 3) & (den > 0), beta)
+    return agg.select(
+        *group_cols,
+        (F.col("_m") + 1).alias("n"),
+        F.col("_m").alias("n_pairs"),
+        F.round(betac, 6).alias("beta"),
+        F.round(stat, 6).alias("df_stat"),
+        F.lit(-3.43).alias("crit_1pct"),
+        F.lit(-2.86).alias("crit_5pct"),
+        F.lit(-2.57).alias("crit_10pct"),
+        F.when(stat.isNotNull(), stat < -2.86).alias("reject_5pct"),
+    )

@@ -10476,3 +10476,120 @@ def test_pinball_loss_replica(spark):
     assert got[0.9]["coverage"] == pytest.approx(
         (a2 <= f902).mean(), abs=1e-6
     )
+
+
+def test_meta_analysis_replica(spark):
+    """Fixed/DL-random pooling, Q/I2/tau2 and Egger regression
+    against a direct numpy replica on synthetic studies with planted
+    heterogeneity."""
+    import numpy as np
+
+    from padua_spark.operators.stats import meta_analysis
+
+    rng = np.random.RandomState(7)
+    k = 12
+    se = rng.uniform(0.5, 2.0, k)
+    eff = 3.0 + rng.normal(0, 1.2, k)  # real tau > 0
+    df = spark.createDataFrame(
+        [(float(e), float(s)) for e, s in zip(eff, se)],
+        ["eff", "se"],
+    )
+    r = meta_analysis(df, "eff", "se").collect()[0]
+    w = 1 / se**2
+    tf = (w * eff).sum() / w.sum()
+    q = (w * (eff - tf) ** 2).sum()
+    c = w.sum() - (w**2).sum() / w.sum()
+    tau2 = max(0.0, (q - (k - 1)) / c)
+    ws = 1 / (se**2 + tau2)
+    tr = (ws * eff).sum() / ws.sum()
+    assert r["k"] == k
+    assert r["theta_fixed"] == pytest.approx(tf, abs=1e-6)
+    assert r["se_fixed"] == pytest.approx(
+        1 / np.sqrt(w.sum()), abs=1e-6
+    )
+    assert r["q"] == pytest.approx(q, abs=1e-5)
+    assert r["i2"] == pytest.approx(
+        max(0.0, (q - (k - 1)) / q), abs=1e-6
+    )
+    assert r["tau2"] == pytest.approx(tau2, abs=1e-6)
+    assert r["theta_random"] == pytest.approx(tr, abs=1e-6)
+    # Egger OLS of eff/se on 1/se
+    x, y = 1 / se, eff / se
+    b1 = (k * (x * y).sum() - x.sum() * y.sum()) / (
+        k * (x * x).sum() - x.sum() ** 2
+    )
+    b0 = (y.sum() - b1 * x.sum()) / k
+    sse = (y * y).sum() - b0 * y.sum() - b1 * (x * y).sum()
+    seb0 = np.sqrt(
+        (sse / (k - 2)) * (x * x).sum()
+        / (k * (x * x).sum() - x.sum() ** 2)
+    )
+    assert r["egger_intercept"] == pytest.approx(b0, abs=1e-6)
+    assert r["egger_t"] == pytest.approx(b0 / seb0, abs=1e-5)
+    assert 0 <= r["egger_p"] <= 1
+
+
+def test_ancova_and_dickey_fuller_replicas(spark):
+    """ANCOVA F against the two-model numpy OLS residual comparison
+    (recovers a planted adjusted group effect); Dickey-Fuller t
+    against numpy OLS on (lag, diff) pairs — a random walk fails to
+    reject, an AR(0.3) rejects."""
+    import numpy as np
+
+    from padua_spark.operators.stats import ancova_1cov
+    from padua_spark.operators.temporal import dickey_fuller
+
+    rng = np.random.RandomState(15)
+    n = 300
+    g = rng.randint(0, 3, n)
+    x = rng.normal(10, 2, n)
+    y = 2.0 * x + np.array([0.0, 1.0, 2.0])[g] + rng.normal(0, 1, n)
+    df = spark.createDataFrame(
+        [(int(a), float(b), float(c)) for a, b, c in zip(g, x, y)],
+        ["g", "x", "y"],
+    )
+    r = ancova_1cov(df, "g", "x", "y").collect()[0]
+    # numpy: full model y ~ C(g) + x via within-group centering
+    sxxw = syyw = sxyw = 0.0
+    for gg in range(3):
+        m = g == gg
+        sxxw += ((x[m] - x[m].mean()) ** 2).sum()
+        syyw += ((y[m] - y[m].mean()) ** 2).sum()
+        sxyw += ((x[m] - x[m].mean()) * (y[m] - y[m].mean())).sum()
+    sse_full = syyw - sxyw**2 / sxxw
+    sxx_t = ((x - x.mean()) ** 2).sum()
+    syy_t = ((y - y.mean()) ** 2).sum()
+    sxy_t = ((x - x.mean()) * (y - y.mean())).sum()
+    sse_red = syy_t - sxy_t**2 / sxx_t
+    fstat = ((sse_red - sse_full) / 2) / (sse_full / (n - 4))
+    assert r["f_stat"] == pytest.approx(fstat, rel=1e-5)
+    assert r["slope_common"] == pytest.approx(
+        sxyw / sxxw, abs=1e-6
+    )
+    assert r["p_value"] < 1e-6  # planted group effect found
+    # Dickey-Fuller
+    walk = np.cumsum(rng.normal(0, 1, 400))
+    ar = np.zeros(400)
+    for i in range(1, 400):
+        ar[i] = 0.3 * ar[i - 1] + rng.normal()
+    rows = [("walk", i, float(v)) for i, v in enumerate(walk)]
+    rows += [("ar", i, float(v)) for i, v in enumerate(ar)]
+    sdf = spark.createDataFrame(rows, ["g", "t", "v"])
+    got = {
+        r2["g"]: r2
+        for r2 in dickey_fuller(sdf, ["g"], ["t"], "v").collect()
+    }
+    for name, series in (("walk", walk), ("ar", ar)):
+        lagv, d = series[:-1], np.diff(series)
+        m = len(lagv)
+        den = m * (lagv**2).sum() - lagv.sum() ** 2
+        beta = (m * (lagv * d).sum() - lagv.sum() * d.sum()) / den
+        alpha = (d.sum() - beta * lagv.sum()) / m
+        sse = (d * d).sum() - alpha * d.sum() - beta * (lagv * d).sum()
+        seb = np.sqrt((sse / (m - 2)) * m / den)
+        assert got[name]["beta"] == pytest.approx(beta, abs=1e-6)
+        assert got[name]["df_stat"] == pytest.approx(
+            beta / seb, abs=1e-5
+        ), name
+    assert not got["walk"]["reject_5pct"]
+    assert got["ar"]["reject_5pct"]
