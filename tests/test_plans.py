@@ -516,6 +516,12 @@ def test_no_cartesian_products_anywhere(spark):
         # 1-row grand-median + 1-row totals frames broadcast onto the
         # data scan / k-row group counts
         "mood_median_test",
+        # 1-row totals frame broadcast onto the count-domain
+        # frequency-of-frequencies table (constant-key join folds)
+        "good_turing",
+        # 1-row trapezoid-Gini total broadcast onto the value-domain
+        # curve table (the roc_points shape)
+        "lorenz_curve",
     }
     bad = {}
     for name, fn in em.queries().items():
