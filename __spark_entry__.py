@@ -24523,6 +24523,215 @@ def q_dickey_fuller(spark, sf):
     )
 
 
+_SMK_ORACLE = """
+WITH base AS (
+  SELECT l_returnflag AS grp,
+    CAST(month(l_shipdate) AS INT) AS season,
+    (epoch_us(l_shipdate) // 86400000000) * 100000000
+      + l_orderkey * 10 + l_linenumber AS xk,
+    CAST(l_quantity AS DOUBLE) AS y
+  FROM lineitem
+  WHERE l_shipdate IS NOT NULL AND l_quantity IS NOT NULL
+    AND l_orderkey % 97 = 0
+),
+pairs AS (
+  SELECT a.grp, a.season,
+    CAST(sum(CASE WHEN b.y > a.y THEN 1
+             WHEN b.y < a.y THEN -1 ELSE 0 END) AS BIGINT) AS s
+  FROM base a JOIN base b
+    ON b.grp = a.grp AND b.season = a.season AND a.xk < b.xk
+  GROUP BY 1, 2
+),
+counts AS (
+  SELECT grp, season, CAST(count(*) AS BIGINT) AS n
+  FROM base GROUP BY 1, 2
+),
+ties AS (
+  SELECT grp, season,
+    CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie
+  FROM (
+    SELECT grp, season, y, CAST(count(*) AS BIGINT) AS t
+    FROM base GROUP BY 1, 2, 3
+  ) GROUP BY 1, 2
+),
+per AS (
+  SELECT c.grp, c.season, c.n,
+    coalesce(p.s, 0) AS s,
+    (CAST(c.n AS DOUBLE) * (c.n - 1) * (2 * c.n + 5)
+      - CAST(t.tie AS DOUBLE)) / 18.0 AS var_s
+  FROM counts c
+  LEFT JOIN pairs p ON p.grp = c.grp AND p.season = c.season
+  JOIN ties t ON t.grp = c.grp AND t.season = c.season
+),
+agg AS (
+  SELECT grp, CAST(sum(n) AS BIGINT) AS n_obs,
+    CAST(count(*) AS BIGINT) AS n_seasons,
+    CAST(sum(s) AS BIGINT) AS s_stat,
+    sum(var_s) AS var_s
+  FROM per GROUP BY 1
+),
+z AS (
+  SELECT grp, n_obs, n_seasons, s_stat, var_s,
+    CASE WHEN var_s > 0 THEN
+      CASE WHEN s_stat > 0
+        THEN (CAST(s_stat AS DOUBLE) - 1.0) / sqrt(var_s)
+      WHEN s_stat < 0
+        THEN (CAST(s_stat AS DOUBLE) + 1.0) / sqrt(var_s)
+      ELSE 0.0 END END AS zv
+  FROM agg
+)
+SELECT grp AS l_returnflag, n_obs, n_seasons, s_stat,
+  round(var_s, 6) AS var_s, round(zv, 6) AS z,
+  round(CASE WHEN zv IS NOT NULL THEN
+    CASE WHEN abs(zv) / sqrt(2.0) > 26.0 THEN 0.0 ELSE
+      exp(-(abs(zv) / sqrt(2.0)) * (abs(zv) / sqrt(2.0)))
+      * (0.254829592 * (1.0 / (1.0 + 0.3275911 * abs(zv) / sqrt(2.0)))
+       - 0.284496736 * pow(1.0 / (1.0 + 0.3275911 * abs(zv) / sqrt(2.0)), 2)
+       + 1.421413741 * pow(1.0 / (1.0 + 0.3275911 * abs(zv) / sqrt(2.0)), 3)
+       - 1.453152027 * pow(1.0 / (1.0 + 0.3275911 * abs(zv) / sqrt(2.0)), 4)
+       + 1.061405429 * pow(1.0 / (1.0 + 0.3275911 * abs(zv) / sqrt(2.0)), 5))
+    END END, 6) AS p_normal
+FROM z
+"""
+
+
+@_q("seasonal_mann_kendall", _SMK_ORACLE)
+def q_seasonal_mann_kendall(spark, sf):
+    """Seasonal Mann-Kendall trend of a 1-in-97 lineitem sample per
+    return flag, seasons = ship months (stats.seasonal_mann_kendall):
+    per-season bounded pair joins, independent-seasons combination,
+    continuity-corrected z."""
+    from padua_spark.operators.stats import seasonal_mann_kendall
+    from padua_spark.streaming.windows import epoch_us_col
+
+    li = _t(spark, sf, "lineitem").where(
+        (F.col("l_orderkey") % 97 == 0)
+        & F.col("l_shipdate").isNotNull()
+        & F.col("l_quantity").isNotNull()
+    )
+    base = li.select(
+        "l_returnflag",
+        F.month("l_shipdate").alias("season"),
+        (
+            F.floor(
+                epoch_us_col(li, "l_shipdate") / F.lit(86400000000)
+            ).cast("bigint") * 100000000
+            + F.col("l_orderkey") * 10
+            + F.col("l_linenumber")
+        ).alias("xk"),
+        F.col("l_quantity").cast("double").alias("y"),
+    )
+    return seasonal_mann_kendall(
+        base, ["l_returnflag"], "season", "xk", "y"
+    )
+
+
+_COX_STUART_ORACLE = """
+WITH base AS (
+  SELECT l_returnflag AS grp, CAST(l_quantity AS DOUBLE) AS v,
+    CAST(row_number() OVER (PARTITION BY l_returnflag
+      ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity)
+      AS BIGINT) AS t,
+    CAST(count(*) OVER (PARTITION BY l_returnflag) AS BIGINT) AS n
+  FROM lineitem WHERE l_quantity IS NOT NULL
+),
+pairs AS (
+  SELECT a.grp, a.n,
+    CAST(sum(CASE WHEN b.v > a.v THEN 1 ELSE 0 END) AS BIGINT)
+      AS n_pos,
+    CAST(sum(CASE WHEN b.v < a.v THEN 1 ELSE 0 END) AS BIGINT)
+      AS n_neg
+  FROM base a
+  JOIN base b ON b.grp = a.grp
+    AND b.t = a.t + CAST(ceil(CAST(a.n AS DOUBLE) / 2.0) AS BIGINT)
+  WHERE a.t <= CAST(floor(CAST(a.n AS DOUBLE) / 2.0) AS BIGINT)
+  GROUP BY 1, 2
+),
+folded AS (
+  SELECT grp, n, n_pos, n_neg, n_pos + n_neg AS m,
+    (SELECT sum(CASE WHEN lgamma(CAST(p.n_pos + p.n_neg + 1 AS DOUBLE))
+        - lgamma(CAST(i + 1 AS DOUBLE))
+        - lgamma(CAST(p.n_pos + p.n_neg - i + 1 AS DOUBLE))
+        + CAST(p.n_pos + p.n_neg AS DOUBLE) * ln(0.5)
+        <= lgamma(CAST(p.n_pos + p.n_neg + 1 AS DOUBLE))
+         - lgamma(CAST(p.n_pos + 1 AS DOUBLE))
+         - lgamma(CAST(p.n_neg + 1 AS DOUBLE))
+         + CAST(p.n_pos + p.n_neg AS DOUBLE) * ln(0.5)
+         + 9.999999505838704e-08
+      THEN exp(lgamma(CAST(p.n_pos + p.n_neg + 1 AS DOUBLE))
+        - lgamma(CAST(i + 1 AS DOUBLE))
+        - lgamma(CAST(p.n_pos + p.n_neg - i + 1 AS DOUBLE))
+        + CAST(p.n_pos + p.n_neg AS DOUBLE) * ln(0.5))
+      ELSE 0.0 END)
+     FROM unnest(range(0, p.n_pos + p.n_neg + 1)) AS u(i)) AS ptwo
+  FROM pairs p
+)
+SELECT grp AS l_returnflag, n, m AS n_pairs, n_pos, n_neg,
+  round(CASE WHEN m > 0 THEN least(1.0, ptwo) END, 6) AS p_value
+FROM folded
+"""
+
+
+@_q("cox_stuart_trend", _COX_STUART_ORACLE)
+def q_cox_stuart_trend(spark, sf):
+    """Cox-Stuart paired-halves trend test of quantities per return
+    flag in shipdate order (temporal.cox_stuart_trend): one row_number
+    window, one index self-join (n/2 pairs, no quadratic), exact
+    binomial fold."""
+    from padua_spark.operators.temporal import cox_stuart_trend
+
+    li = _t(spark, sf, "lineitem")
+    return cox_stuart_trend(
+        li, ["l_returnflag"],
+        ["l_shipdate", "l_orderkey", "l_linenumber", "l_quantity"],
+        "l_quantity",
+    )
+
+
+_PACKING_ORACLE = """
+WITH t AS (
+  SELECT source, len(string_split_regex(trim(text), '\\s+'))
+    AS tok
+  FROM documents
+  WHERE text IS NOT NULL AND trim(text) <> ''
+    AND source IS NOT NULL
+)
+SELECT source,
+  CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum(tok) AS BIGINT) AS total_tokens,
+  CAST(sum(CASE WHEN tok > 512 THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_truncated,
+  CAST(sum(greatest(tok - 512, 0)) AS BIGINT) AS tokens_truncated,
+  CAST(sum(least(tok, 512)) AS BIGINT) AS tokens_kept,
+  CAST(ceil(CAST(sum(least(tok, 512)) AS DOUBLE) / 512.0) AS BIGINT)
+    AS seq_lower_bound,
+  CAST(sum(512 - least(tok, 512)) AS BIGINT) AS padding_waste,
+  round(CAST(sum(512 - least(tok, 512)) AS DOUBLE)
+    / (CAST(count(*) AS DOUBLE) * 512.0), 6) AS padding_frac
+FROM t GROUP BY 1
+"""
+
+
+@_q("packing_efficiency", _PACKING_ORACLE)
+def q_packing_efficiency(spark, sf):
+    """Sequence-packing budget profile of whitespace token counts per
+    source at a 512-token context (sampling.packing_efficiency):
+    exact integer one-pass aggregation - truncation loss, packing
+    lower bound, one-doc-per-sequence padding waste."""
+    from padua_spark.extensions.sampling import packing_efficiency
+    from padua_spark.extensions.text import token_count
+
+    d = _t(spark, sf, "documents").where(
+        F.col("text").isNotNull() & (F.trim(F.col("text")) != "")
+        & F.col("source").isNotNull()
+    ).select(
+        "source", token_count(F.col("text")).alias("tok")
+    )
+    return packing_efficiency(
+        d, "tok", 512, group_cols=["source"]
+    )
+
+
 # ---------------------------------------------------------------------------
 
 

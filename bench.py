@@ -289,6 +289,9 @@ HEADLINE = [
     "meta_analysis",
     "ancova_1cov",
     "dickey_fuller",
+    "seasonal_mann_kendall",
+    "cox_stuart_trend",
+    "packing_efficiency",
     "longest_dup_substring",
     "nelson_aalen",
     "harrells_c",

@@ -607,3 +607,68 @@ def kfold_assign_sql(
     return (
         f"CAST(least({k - 1}, CAST(floor({u} * {k}) AS INT)) AS INT)"
     )
+
+
+def packing_efficiency(
+    df: DataFrame,
+    token_count_col: str,
+    context_len: int,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Sequence-packing budget profile per optional group — the
+    training-data planning numbers for a context window of
+    ``context_len`` tokens ("how many sequences does this corpus
+    fill, how much is lost to truncation, how much padding would
+    one-doc-per-sequence waste?"):
+
+    ``n_docs, total_tokens``; TRUNCATION view (each doc clipped to
+    the window): ``n_truncated`` docs over the limit,
+    ``tokens_truncated = Σ max(0, tok − L)``, ``tokens_kept``;
+    PACKING lower bound ``seq_lower_bound = ⌈tokens_kept / L⌉``
+    (greedy concat-packing cannot beat it, first-fit-decreasing is
+    within one doc of it per bin); one-doc-per-sequence padding view:
+    ``padding_waste = Σ (L − min(tok, L))`` and ``padding_frac``.
+
+    Exact integer aggregation — ONE pass, no sort, no windows (a
+    true sequential packer is an inherently serial fold; the bound
+    plus the padding extreme bracket every real packer, documented).
+    Output per group: ``(groups..., n_docs, total_tokens,
+    n_truncated, tokens_truncated, tokens_kept, seq_lower_bound,
+    padding_waste, padding_frac)``, frac 6dp.
+
+    Beyond the reference; the standard pre-training batch-planning
+    audit.
+    """
+    group_cols = group_cols or []
+    L = int(context_len)
+    if L <= 0:
+        raise ValueError("packing_efficiency: context_len must be > 0")
+    t = F.col(token_count_col).cast("bigint")
+    base = df.where(t.isNotNull() & (t >= 0)).select(
+        *group_cols, t.alias("_t")
+    )
+    kept = F.least(F.col("_t"), F.lit(L))
+    agg = base.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("_t").cast("bigint").alias("total_tokens"),
+        F.sum((F.col("_t") > L).cast("int")).cast("bigint")
+        .alias("n_truncated"),
+        F.sum(F.greatest(F.col("_t") - L, F.lit(0)))
+        .cast("bigint").alias("tokens_truncated"),
+        F.sum(kept).cast("bigint").alias("tokens_kept"),
+        F.sum(F.lit(L) - kept).cast("bigint").alias("padding_waste"),
+    )
+    return agg.select(
+        *group_cols,
+        "n_docs", "total_tokens", "n_truncated", "tokens_truncated",
+        "tokens_kept",
+        F.ceil(
+            F.col("tokens_kept").cast("double") / F.lit(float(L))
+        ).cast("bigint").alias("seq_lower_bound"),
+        "padding_waste",
+        F.round(
+            F.col("padding_waste").cast("double")
+            / (F.col("n_docs").cast("double") * F.lit(float(L))),
+            6,
+        ).alias("padding_frac"),
+    )

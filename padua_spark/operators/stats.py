@@ -11469,3 +11469,57 @@ def ancova_1cov(
         ).alias("p_value"),
     )
     return track_cached(out)
+
+
+def seasonal_mann_kendall(
+    df: DataFrame,
+    group_cols: list[str],
+    season_col: str,
+    order_col: str,
+    value_col: str,
+    max_group_size: int | None = 10_000,
+) -> DataFrame:
+    """Seasonal Mann–Kendall trend test per group (Hirsch & Slack
+    1984) — :func:`mann_kendall` applied WITHIN each season and
+    combined, so a strong annual cycle can't masquerade as (or mask)
+    a monotone trend: the standard form for monthly/weekly series
+    ("is this metric trending, season-adjusted?"):
+
+    ``S = Σ_seasons S_s``, ``Var(S) = Σ_seasons Var(S_s)`` (the
+    independent-seasons form — the serial-correlation covariance
+    correction is a modeling choice this base case omits,
+    documented), continuity-corrected ``z = (S ∓ 1)/√Var``,
+    two-sided A&S normal p.
+
+    Scale shape: exactly :func:`mann_kendall`'s bounded-group pair
+    join with the season added to the key (the enforcement bound
+    applies PER (group, season) — seasons shrink the quadratic
+    blocks), then one ≤ n_seasons-row roll-up per group. Output per
+    group: ``(groups..., n_obs, n_seasons, s_stat, var_s, z,
+    p_normal)``, 6dp; z/p NULL when the combined variance
+    degenerates.
+    """
+    per = mann_kendall(
+        df, [*group_cols, season_col], order_col, value_col,
+        max_group_size,
+    )
+    agg = per.groupBy(*group_cols).agg(
+        F.sum("n_obs").cast("bigint").alias("n_obs"),
+        F.count(F.lit(1)).cast("bigint").alias("n_seasons"),
+        F.sum("s_stat").cast("bigint").alias("s_stat"),
+        F.sum("var_s").alias("_var"),
+    )
+    sS = F.coalesce(F.col("s_stat"), F.lit(0)).cast("double")
+    z = F.when(
+        F.col("_var") > 0,
+        F.when(sS > 0, (sS - 1.0) / F.sqrt(F.col("_var")))
+        .when(sS < 0, (sS + 1.0) / F.sqrt(F.col("_var")))
+        .otherwise(F.lit(0.0)),
+    )
+    return agg.select(
+        *group_cols,
+        "n_obs", "n_seasons", "s_stat",
+        F.round("_var", 6).alias("var_s"),
+        F.round(z, 6).alias("z"),
+        F.round(_normal_sf_2sided(z), 6).alias("p_normal"),
+    )

@@ -2249,3 +2249,91 @@ def dickey_fuller(
         F.lit(-2.57).alias("crit_10pct"),
         F.when(stat.isNotNull(), stat < -2.86).alias("reject_5pct"),
     )
+
+
+def cox_stuart_trend(
+    df: DataFrame,
+    group_cols: list[str],
+    order_cols: list[str],
+    value_col: str,
+    max_support: int = 200_000,
+) -> DataFrame:
+    """Cox–Stuart trend test per group — the sign test folded onto a
+    series: pair observation t with observation t + ⌈n/2⌉ (the middle
+    element dropped when n is odd), count the sign of each pair's
+    difference, and test the positive count against Bin(m, ½). The
+    cheapest distribution-free trend check there is — one self-join
+    on the row index, no pair quadratic (n/2 pairs, vs
+    :func:`~padua_spark.operators.stats.mann_kendall`'s n²/2), so it
+    scales where MK's bounded-group enforcement would refuse.
+
+    Ties (zero differences) are dropped (the standard convention);
+    exact two-sided binomial p via the shared point-probability fold
+    (raises above ``max_support`` pairs — the sign-test rule).
+
+    Scale shape: one group-partitioned row_number window (family
+    contract), one count broadcast back, one equi-self-join on
+    ``(group, t + c)``, one roll-up, the exact fold on the ≤ k-row
+    result. Output per group: ``(groups..., n, n_pairs, n_pos,
+    n_neg, p_value)``, 6dp; p NULL when no untied pairs.
+
+    Beyond the reference; standard per Cox & Stuart 1955.
+    """
+    from pyspark import StorageLevel
+
+    from padua_spark.io_utils import track_cached
+    from padua_spark.operators.stats import _binom_exact_pvalues
+
+    v = F.col(value_col).cast("double")
+    wo = Window.partitionBy(*group_cols).orderBy(
+        *[F.col(c).asc() for c in order_cols]
+    )
+    wg = Window.partitionBy(*group_cols)
+    base = (
+        df.where(v.isNotNull())
+        .select(*group_cols, *order_cols, v.alias("_v"))
+        .select(
+            *group_cols,
+            F.col("_v"),
+            F.row_number().over(wo).cast("bigint").alias("_t"),
+            F.count(F.lit(1)).over(wg).cast("bigint").alias("_n"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    c = F.ceil(F.col("_n").cast("double") / 2.0).cast("bigint")
+    early = base.where(F.col("_t") <= F.floor(
+        F.col("_n").cast("double") / 2.0
+    ).cast("bigint")).select(
+        *group_cols,
+        F.col("_v").alias("_va"),
+        (F.col("_t") + c).alias("_tl"),
+        F.col("_n"),
+    )
+    late = base.select(
+        *group_cols, F.col("_v").alias("_vb"),
+        F.col("_t").alias("_tl"),
+    )
+    pairs = early.join(late, on=[*group_cols, "_tl"])
+    agg = pairs.groupBy(*group_cols).agg(
+        F.max("_n").alias("n"),
+        F.sum((F.col("_vb") > F.col("_va")).cast("int"))
+        .cast("bigint").alias("n_pos"),
+        F.sum((F.col("_vb") < F.col("_va")).cast("int"))
+        .cast("bigint").alias("n_neg"),
+    )
+    staged = agg.withColumn(
+        "_m", (F.col("n_pos") + F.col("n_neg")).cast("bigint")
+    ).withColumn("_p0", F.lit(0.5))
+    staged, _pl, _pr, ptwo = _binom_exact_pvalues(
+        staged, "_m", "n_pos", "_p0", max_support
+    )
+    out = staged.select(
+        *group_cols,
+        "n",
+        F.col("_m").alias("n_pairs"),
+        "n_pos", "n_neg",
+        F.round(
+            F.when(F.col("_m") > 0, F.least(F.lit(1.0), ptwo)), 6
+        ).alias("p_value"),
+    )
+    return track_cached(out, base)

@@ -10593,3 +10593,104 @@ def test_ancova_and_dickey_fuller_replicas(spark):
         ), name
     assert not got["walk"]["reject_5pct"]
     assert got["ar"]["reject_5pct"]
+
+
+def test_seasonal_mann_kendall_replica(spark):
+    """Seasonal MK: per-season S/Var combined matches the brute-force
+    within-season pair count; a seasonal-but-trendless series does
+    not reject while a planted trend does."""
+    import numpy as np
+
+    from padua_spark.operators.stats import seasonal_mann_kendall
+
+    rng = np.random.RandomState(31)
+    n_years, k_seasons = 12, 4
+    rows = []
+    # trendless with strong seasonality; trending series
+    for yr in range(n_years):
+        for s in range(k_seasons):
+            base_v = 10 * s + rng.normal(0, 1)
+            rows.append(("flat", s, yr, float(base_v)))
+            rows.append(("up", s, yr, float(base_v + 0.8 * yr)))
+    df = spark.createDataFrame(rows, ["g", "season", "t", "v"])
+    got = {
+        r["g"]: r
+        for r in seasonal_mann_kendall(
+            df, ["g"], "season", "t", "v"
+        ).collect()
+    }
+    vals = {"flat": {}, "up": {}}
+    for g, s, t, v in rows:
+        vals[g].setdefault(s, []).append(v)
+    for g in ("flat", "up"):
+        S = 0
+        var = 0.0
+        for s, xs in vals[g].items():
+            xs = np.array(xs)
+            m = len(xs)
+            S += int(
+                np.sign(xs[None, :] - xs[:, None])[
+                    np.triu_indices(m, 1)
+                ].sum()
+            )
+            var += m * (m - 1) * (2 * m + 5) / 18.0
+        assert got[g]["s_stat"] == S, g
+        assert got[g]["var_s"] == pytest.approx(var, abs=1e-6)
+    assert got["up"]["p_normal"] < 0.001
+    assert got["flat"]["p_normal"] > 0.1
+
+
+def test_cox_stuart_and_packing(spark):
+    """Cox-Stuart: pair counts and exact binomial p against a python
+    replica (odd n drops the middle element); packing_efficiency
+    matches hand-computed truncation/padding numbers."""
+    import math
+
+    import numpy as np
+
+    from padua_spark.extensions.sampling import packing_efficiency
+    from padua_spark.operators.temporal import cox_stuart_trend
+
+    rng = np.random.RandomState(6)
+    n = 101  # odd: middle dropped
+    x = np.cumsum(rng.normal(0.2, 1, n))  # upward drift
+    df = spark.createDataFrame(
+        [("a", i, float(v)) for i, v in enumerate(x)],
+        ["g", "t", "v"],
+    )
+    r = cox_stuart_trend(df, ["g"], ["t"], "v").collect()[0]
+    c = math.ceil(n / 2)
+    diffs = [
+        x[i + c] - x[i] for i in range(n - c)
+    ]
+    npos = sum(1 for d in diffs if d > 0)
+    nneg = sum(1 for d in diffs if d < 0)
+    m = npos + nneg
+    assert r["n"] == n and r["n_pairs"] == m
+    assert r["n_pos"] == npos and r["n_neg"] == nneg
+    pk = math.comb(m, npos) * 0.5**m
+    ptwo = min(
+        1.0,
+        sum(
+            math.comb(m, i) * 0.5**m
+            for i in range(m + 1)
+            if math.comb(m, i) * 0.5**m <= pk * (1 + 1e-7)
+        ),
+    )
+    assert r["p_value"] == pytest.approx(ptwo, abs=1e-6)
+    assert r["p_value"] < 0.05  # drift found
+    toks = [100, 600, 512, 0, 1000]
+    pdf = spark.createDataFrame([(t,) for t in toks], ["tok"])
+    pr = packing_efficiency(pdf, "tok", 512).collect()[0]
+    assert pr["n_docs"] == 5
+    assert pr["total_tokens"] == sum(toks)
+    assert pr["n_truncated"] == 2
+    assert pr["tokens_truncated"] == (600 - 512) + (1000 - 512)
+    kept = sum(min(t, 512) for t in toks)
+    assert pr["tokens_kept"] == kept
+    assert pr["seq_lower_bound"] == math.ceil(kept / 512)
+    waste = sum(512 - min(t, 512) for t in toks)
+    assert pr["padding_waste"] == waste
+    assert pr["padding_frac"] == pytest.approx(
+        waste / (5 * 512), abs=1e-6
+    )
