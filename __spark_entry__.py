@@ -24176,37 +24176,37 @@ def q_lorenz_curve(spark, sf):
 
 _PINBALL_ORACLE = """
 WITH base AS (
-  SELECT event_type, CAST(value AS DOUBLE) AS a,
-    lag(CAST(value AS DOUBLE)) OVER (
+  SELECT event_type, CAST(round(value * 100) AS DOUBLE) AS a,
+    lag(CAST(round(value * 100) AS DOUBLE)) OVER (
       PARTITION BY user_id
       ORDER BY epoch_us(ts), event_id) AS l1
   FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
     AND event_type IS NOT NULL
 ),
 f AS (
-  SELECT event_type, a, l1 * 0.5 AS f10, l1 AS f50, l1 * 2.0 AS f90
+  SELECT event_type, a, l1 * 0.5 AS f25, l1 AS f50, l1 * 2.0 AS f75
   FROM base
 ),
 u AS (
-  SELECT event_type, CAST(0.1 AS DOUBLE) AS quantile, a, f10 AS fc
+  SELECT event_type, CAST(0.25 AS DOUBLE) AS quantile, a, f25 AS fc
   FROM f
   UNION ALL
   SELECT event_type, CAST(0.5 AS DOUBLE), a, f50 FROM f
   UNION ALL
-  SELECT event_type, CAST(0.9 AS DOUBLE), a, f90 FROM f
+  SELECT event_type, CAST(0.75 AS DOUBLE), a, f75 FROM f
 )
 SELECT event_type, quantile,
   CAST(count(CASE WHEN a IS NOT NULL AND fc IS NOT NULL THEN 1 END)
     AS BIGINT) AS n,
-  round(sum(CASE WHEN a IS NOT NULL AND fc IS NOT NULL THEN
+  floor(sum(CASE WHEN a IS NOT NULL AND fc IS NOT NULL THEN
       CASE WHEN a >= fc THEN quantile * (a - fc)
            ELSE (1.0 - quantile) * (fc - a) END END)
     / CAST(count(CASE WHEN a IS NOT NULL AND fc IS NOT NULL
-      THEN 1 END) AS DOUBLE), 6) AS pinball,
-  round(CAST(sum(CASE WHEN a IS NOT NULL AND fc IS NOT NULL
+      THEN 1 END) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS pinball,
+  floor(CAST(sum(CASE WHEN a IS NOT NULL AND fc IS NOT NULL
       AND a <= fc THEN 1 ELSE 0 END) AS DOUBLE)
     / CAST(count(CASE WHEN a IS NOT NULL AND fc IS NOT NULL
-      THEN 1 END) AS DOUBLE), 6) AS coverage
+      THEN 1 END) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS coverage
 FROM u GROUP BY 1, 2
 """
 
@@ -24230,17 +24230,21 @@ def q_pinball_loss(spark, sf):
     w = Window.partitionBy("user_id").orderBy(
         epoch_us_col(e, "ts"), F.col("event_id")
     )
-    l1 = F.lag(F.col("value").cast("double")).over(w)
+    # exact integer cents + dyadic quantiles/forecast factors: every
+    # pinball term is an exact dyadic double, so the per-group sums
+    # are order-independent across engines (the micro-unit rule)
+    cents = F.round(F.col("value") * 100).cast("double")
+    l1 = F.lag(cents).over(w)
     base = e.select(
         "event_type",
-        F.col("value").cast("double").alias("actual"),
-        (l1 * 0.5).alias("f10"),
+        cents.alias("actual"),
+        (l1 * 0.5).alias("f25"),
         l1.alias("f50"),
-        (l1 * 2.0).alias("f90"),
+        (l1 * 2.0).alias("f75"),
     )
     return pinball_loss(
         base, ["event_type"], "actual",
-        {0.1: "f10", 0.5: "f50", 0.9: "f90"},
+        {0.25: "f25", 0.5: "f50", 0.75: "f75"},
     )
 
 
@@ -24423,8 +24427,8 @@ inp AS (
 SELECT fs.nt AS n, fs.k AS k_groups,
   round(CASE WHEN fs.sxxw > 0 THEN fs.sxyw / fs.sxxw END, 6)
     AS slope_common,
-  round(fs.ssef, 6) AS sse_full,
-  round(fs.sser, 6) AS sse_reduced,
+  round(fs.ssef, 2) AS sse_full,
+  round(fs.sser, 2) AS sse_reduced,
   round(fs.fstat, 6) AS f_stat,
   CAST(fs.df1 AS INT) AS df1,
   CAST(fs.df2 AS BIGINT) AS df2,
@@ -24729,6 +24733,248 @@ def q_packing_efficiency(spark, sf):
     )
     return packing_efficiency(
         d, "tok", 512, group_cols=["source"]
+    )
+
+
+_MSPRT_ORACLE = """
+WITH base AS (
+  SELECT CASE WHEN user_id % 2 = 0 THEN 'a' ELSE 'b' END AS g,
+    CAST(value AS DOUBLE) AS v
+  FROM events WHERE value IS NOT NULL AND user_id IS NOT NULL
+),
+agg AS (
+  SELECT
+    CAST(sum(CASE WHEN g = 'a' THEN 1 ELSE 0 END) AS BIGINT) AS na,
+    CAST(sum(CASE WHEN g = 'b' THEN 1 ELSE 0 END) AS BIGINT) AS nb,
+    sum(CASE WHEN g = 'a' THEN v ELSE 0.0 END) AS sa,
+    sum(CASE WHEN g = 'b' THEN v ELSE 0.0 END) AS sb,
+    sum(CASE WHEN g = 'a' THEN v * v ELSE 0.0 END) AS qa,
+    sum(CASE WHEN g = 'b' THEN v * v ELSE 0.0 END) AS qb
+  FROM base
+),
+d AS (
+  SELECT na, nb, CAST(na AS DOUBLE) AS nad, CAST(nb AS DOUBLE) AS nbd,
+    sa / CAST(na AS DOUBLE) AS ma, sb / CAST(nb AS DOUBLE) AS mb,
+    qa - CAST(na AS DOUBLE) * (sa / CAST(na AS DOUBLE))
+      * (sa / CAST(na AS DOUBLE)) AS ssa,
+    qb - CAST(nb AS DOUBLE) * (sb / CAST(nb AS DOUBLE))
+      * (sb / CAST(nb AS DOUBLE)) AS ssb
+  FROM agg
+),
+s AS (
+  SELECT na, nb, ma - mb AS diff,
+    greatest(0.0, (ssa + ssb) / (nad + nbd - 2.0))
+      * (1.0 / nad + 1.0 / nbd) AS vhat
+  FROM d
+),
+l AS (
+  SELECT na, nb, diff, vhat,
+    CASE WHEN na >= 2 AND nb >= 2 AND vhat > 0 THEN
+      sqrt(vhat / (vhat + 4.0))
+      * exp(least(700.0, diff * diff * 4.0
+        / (2.0 * vhat * (vhat + 4.0)))) END AS lam
+  FROM s
+)
+SELECT na AS n_a, nb AS n_b, round(diff, 6) AS diff,
+  round(vhat, 6) AS v_hat,
+  round(least(lam, 1e12), 6) AS "lambda",
+  round(least(1.0, 1.0 / lam), 6) AS p_always_valid
+FROM l
+"""
+
+
+@_q("msprt_normal", _MSPRT_ORACLE)
+def q_msprt_normal(spark, sf):
+    """Always-valid mSPRT p for the user-parity value split with a
+    N(0, 4) effect prior (stats.msprt_normal): one closed-form
+    aggregation, plug-in pooled variance."""
+    from padua_spark.operators.stats import msprt_normal
+
+    e = _t(spark, sf, "events").where(
+        F.col("value").isNotNull() & F.col("user_id").isNotNull()
+    ).select(
+        F.when(F.col("user_id") % 2 == 0, F.lit("a"))
+        .otherwise(F.lit("b")).alias("g"),
+        F.col("value").cast("double").alias("v"),
+    )
+    return msprt_normal(e, "g", "v", "a", "b", tau=2.0)
+
+
+def _gsea_oracle(n_perms: int = 19) -> str:
+    M = 2_147_483_647
+    A = 48_271
+    h0 = f"(((id % {M}) + b * 1000003) % {M})"
+    h1 = f"(({h0} * {h0}) % {M})"
+    h2 = f"((({h1} * {A}) + {h0}) % {M})"
+    h3 = f"(({h2} * {h2}) % {M})"
+    return f"""
+WITH base AS (
+  SELECT p_partkey AS id, CAST(p_retailprice AS DOUBLE) AS s,
+    abs(CAST(p_retailprice AS DOUBLE)) AS w,
+    CASE WHEN p_type LIKE '%BRASS%' THEN 1 ELSE 0 END AS h
+  FROM part WHERE p_retailprice IS NOT NULL
+),
+tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(h) AS BIGINT) AS nh
+  FROM base
+),
+obs_tot AS (SELECT sum(w * h) AS sw FROM base),
+stepped AS (
+  SELECT row_number() OVER wo AS r,
+    sum(w * h) OVER worun AS cw,
+    CAST(sum(1 - h) OVER worun AS DOUBLE) AS cm
+  FROM base
+  WINDOW wo AS (ORDER BY s DESC, id ASC),
+    worun AS (ORDER BY s DESC, id ASC ROWS UNBOUNDED PRECEDING)
+),
+dev AS (
+  SELECT r,
+    cw / (SELECT sw FROM obs_tot)
+      - cm / CAST((SELECT n - nh FROM tot) AS DOUBLE) AS d
+  FROM stepped
+),
+obs AS (
+  SELECT max(abs(d)) AS k FROM dev
+),
+best AS (
+  SELECT min(r) AS rank FROM dev, obs WHERE abs(dev.d) = obs.k
+),
+esv AS (
+  SELECT dev.d AS es FROM dev, best WHERE dev.r = best.rank
+),
+perm AS (
+  SELECT t.b, base.id, base.s, base.w,
+    CASE WHEN {h3} <
+      (2147483647 * (SELECT nh FROM tot)) // (SELECT n FROM tot)
+      THEN 1 ELSE 0 END AS h
+  FROM base, range(1, {n_perms + 1}) t(b)
+),
+ptot AS (
+  SELECT b, sum(w * h) AS sw,
+    CAST(sum(1 - h) AS DOUBLE) AS nm
+  FROM perm GROUP BY 1
+),
+pstep AS (
+  SELECT p.b, row_number() OVER wo AS r,
+    sum(p.w * p.h) OVER worun AS cw,
+    CAST(sum(1 - p.h) OVER worun AS DOUBLE) AS cm
+  FROM perm p
+  WINDOW wo AS (PARTITION BY p.b ORDER BY p.s DESC, p.id ASC),
+    worun AS (PARTITION BY p.b ORDER BY p.s DESC, p.id ASC
+              ROWS UNBOUNDED PRECEDING)
+),
+pes AS (
+  SELECT ps.b,
+    max(abs(CASE WHEN pt.sw > 0 AND pt.nm > 0
+      THEN ps.cw / pt.sw - ps.cm / pt.nm END)) AS kb
+  FROM pstep ps JOIN ptot pt ON pt.b = ps.b
+  GROUP BY 1
+),
+summary AS (
+  SELECT CAST(sum(CASE WHEN pes.kb >= o.k THEN 1 ELSE 0 END)
+      AS BIGINT) AS ext,
+    avg(pes.kb) AS mab
+  FROM pes, obs o
+)
+SELECT (SELECT n FROM tot) AS n, (SELECT nh FROM tot) AS n_hit,
+  round(e.es, 6) AS es,
+  CAST(b.rank AS BIGINT) AS es_rank,
+  round(CASE WHEN s.mab > 0 THEN e.es / s.mab END, 6) AS nes,
+  round(CAST(s.ext + 1 AS DOUBLE) / {n_perms + 1}.0, 6) AS p_value,
+  {n_perms} AS n_perms
+FROM esv e, best b, summary s
+"""
+
+
+@_q("gsea_prerank", _gsea_oracle())
+def q_gsea_prerank(spark, sf):
+    """GSEA pre-ranked running-sum enrichment of BRASS parts in the
+    retail-price ranking (stats.gsea_prerank): weighted P_hit vs
+    P_miss deviation, earliest-rank max, 19 deterministic Lehmer-hash
+    label re-randomizations for p/NES — the engine-native face of the
+    reference's GO-enrichment domain (analysis.py:336-384)."""
+    from padua_spark.operators.stats import gsea_prerank
+
+    p = _t(spark, sf, "part").where(
+        F.col("p_retailprice").isNotNull()
+    ).select(
+        F.col("p_partkey").alias("id"),
+        F.col("p_retailprice").cast("double").alias("s"),
+        F.col("p_type").contains("BRASS").cast("int").alias("h"),
+    )
+    return gsea_prerank(p, "id", "s", "h", n_perms=19)
+
+
+_WINDOWED_PINBALL_ORACLE = """
+WITH base AS (
+  SELECT (epoch_us(ts) // 3600000000) * 3600 AS ws,
+    CAST(round(value * 100) AS DOUBLE) AS a,
+    lag(CAST(round(value * 100) AS DOUBLE)) OVER (
+      PARTITION BY user_id
+      ORDER BY epoch_us(ts), event_id) AS l1
+  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+),
+u AS (
+  SELECT ws, CAST(0.5 AS DOUBLE) AS quantile, a, l1 AS fc FROM base
+  UNION ALL
+  SELECT ws, CAST(0.75 AS DOUBLE), a, l1 * 2.0 FROM base
+)
+SELECT ws AS window_start_epoch, quantile,
+  CAST(count(CASE WHEN a IS NOT NULL AND fc IS NOT NULL THEN 1 END)
+    AS BIGINT) AS n,
+  floor(sum(CASE WHEN a IS NOT NULL AND fc IS NOT NULL THEN
+      CASE WHEN a >= fc THEN quantile * (a - fc)
+           ELSE (1.0 - quantile) * (fc - a) END END)
+    / CAST(count(CASE WHEN a IS NOT NULL AND fc IS NOT NULL
+      THEN 1 END) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS pinball,
+  floor(CAST(sum(CASE WHEN a IS NOT NULL AND fc IS NOT NULL
+      AND a <= fc THEN 1 ELSE 0 END) AS DOUBLE)
+    / CAST(count(CASE WHEN a IS NOT NULL AND fc IS NOT NULL
+      THEN 1 END) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS coverage
+FROM u GROUP BY 1, 2
+"""
+
+
+@_q("windowed_pinball_loss", _WINDOWED_PINBALL_ORACLE)
+def q_windowed_pinball_loss(spark, sf):
+    """Per-hour pinball loss + coverage of a lag-based quantile
+    forecast pair (streaming.windowed_pinball_loss): ONE stateful
+    aggregation carrying both levels' bounded partials, compile-time
+    union to per-level rows."""
+    from pyspark.sql import Window
+
+    from padua_spark.streaming import windowed_pinball_loss
+    from padua_spark.streaming.windows import (
+        epoch_us_col,
+        event_time_col,
+    )
+
+    e = _t(spark, sf, "events").where(
+        F.col("ts").isNotNull() & F.col("value").isNotNull()
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        epoch_us_col(e, "ts"), F.col("event_id")
+    )
+    # exact integer CENTS + dyadic quantiles: every pinball term is
+    # an exact dyadic double, so the per-window sums are
+    # order-independent across engines (the committed micro-unit
+    # rule; raw 2dp money summed as doubles flips value hashes)
+    cents = F.round(F.col("value") * 100).cast("double")
+    l1 = F.lag(cents).over(w)
+    base = e.select(
+        event_time_col(e, "ts").alias("_ts"),
+        cents.alias("actual"),
+        l1.alias("f50"),
+        (l1 * 2.0).alias("f75"),
+    )
+    out = windowed_pinball_loss(
+        base, F.col("_ts"), F.col("actual"),
+        {0.5: F.col("f50"), 0.75: F.col("f75")},
+        window_duration="1 hour",
+    )
+    return out.select(
+        F.col("window_start").cast("long").alias("window_start_epoch"),
+        "quantile", "n", "pinball", "coverage",
     )
 
 

@@ -292,6 +292,9 @@ HEADLINE = [
     "seasonal_mann_kendall",
     "cox_stuart_trend",
     "packing_efficiency",
+    "msprt_normal",
+    "gsea_prerank",
+    "windowed_pinball_loss",
     "longest_dup_substring",
     "nelson_aalen",
     "harrells_c",

@@ -11449,8 +11449,11 @@ def ancova_1cov(
             ),
             6,
         ).alias("slope_common"),
-        F.round(sse_full, 6).alias("sse_full"),
-        F.round(sse_red, 6).alias("sse_reduced"),
+        # 2dp, not 6: SSEs are O(sum-of-squares) huge - at ~5e9 the
+        # double ulp is ~1e-6, so 6dp would sit on the ulp boundary
+        # and flip between engines (bit the r11 parity run)
+        F.round(sse_full, 2).alias("sse_full"),
+        F.round(sse_red, 2).alias("sse_reduced"),
         fstat.alias("_f"),
         df1.alias("_df1"),
         df2.alias("_df2"),
@@ -11523,3 +11526,244 @@ def seasonal_mann_kendall(
         F.round(z, 6).alias("z"),
         F.round(_normal_sf_2sided(z), 6).alias("p_normal"),
     )
+
+
+def msprt_normal(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    group_a,
+    group_b,
+    tau: float = 1.0,
+) -> DataFrame:
+    """Mixture Sequential Probability Ratio Test (mSPRT) for a
+    difference in means — the always-valid p-value behind modern
+    continuous-monitoring experimentation (Johari, Koomen, Pekelis &
+    Walsh 2017): peek whenever you like, the type-I guarantee holds,
+    unlike the fixed-horizon t-test :func:`ttest_ind` (the companion
+    to :func:`sprt_bernoulli`, which needs a point alternative —
+    mSPRT mixes over effect sizes with a ``N(0, τ²)`` prior):
+
+    ``Λ = √(V/(V+τ²)) · exp(δ̂²·τ²/(2V(V+τ²)))`` with
+    ``δ̂ = x̄_a − x̄_b`` and the plug-in variance
+    ``V = s²_pooled·(1/n_a + 1/n_b)`` (documented plug-in — the
+    theory assumes known σ; pooled-s² is the standard practical
+    substitution), always-valid ``p = min(1, 1/Λ)``.
+
+    ONE aggregation, closed form. Output 1 row: ``(n_a, n_b, diff,
+    v_hat, lambda, p_always_valid)``, 6dp (lambda capped at 1e12 for
+    display); NULL when either arm has n < 2 or V = 0.
+    """
+    g = F.col(group_col)
+    v = F.col(value_col).cast("double")
+    base = df.where(g.isin([group_a, group_b]) & v.isNotNull())
+    a = (g == group_a).cast("int")
+    agg = base.agg(
+        F.sum(a).cast("bigint").alias("_na"),
+        F.sum(1 - a).cast("bigint").alias("_nb"),
+        F.sum(F.when(g == group_a, v).otherwise(0.0)).alias("_sa"),
+        F.sum(F.when(g == group_b, v).otherwise(0.0)).alias("_sb"),
+        F.sum(F.when(g == group_a, v * v).otherwise(0.0))
+        .alias("_qa"),
+        F.sum(F.when(g == group_b, v * v).otherwise(0.0))
+        .alias("_qb"),
+    )
+    nad = F.col("_na").cast("double")
+    nbd = F.col("_nb").cast("double")
+    ma = F.col("_sa") / nad
+    mb = F.col("_sb") / nbd
+    ssa = F.col("_qa") - nad * ma * ma
+    ssb = F.col("_qb") - nbd * mb * mb
+    s2p = F.greatest(
+        F.lit(0.0), (ssa + ssb) / (nad + nbd - 2.0)
+    )
+    vhat = s2p * (1.0 / nad + 1.0 / nbd)
+    t2 = float(tau) * float(tau)
+    diff = ma - mb
+    lam = F.when(
+        (F.col("_na") >= 2) & (F.col("_nb") >= 2) & (vhat > 0),
+        F.sqrt(vhat / (vhat + t2))
+        * F.exp(
+            F.least(
+                F.lit(700.0),
+                diff * diff * t2 / (2.0 * vhat * (vhat + t2)),
+            )
+        ),
+    )
+    return agg.select(
+        F.col("_na").alias("n_a"),
+        F.col("_nb").alias("n_b"),
+        F.round(diff, 6).alias("diff"),
+        F.round(vhat, 6).alias("v_hat"),
+        F.round(F.least(lam, F.lit(1e12)), 6).alias("lambda"),
+        F.round(
+            F.least(F.lit(1.0), 1.0 / lam), 6
+        ).alias("p_always_valid"),
+    )
+
+
+def gsea_prerank(
+    df: DataFrame,
+    id_col: str,
+    score_col: str,
+    in_set_col: str,
+    weight_exponent: float = 1.0,
+    n_perms: int = 99,
+    max_list_size: int | None = 2_000_000,
+) -> DataFrame:
+    """GSEA pre-ranked enrichment score (Subramanian et al. 2005) —
+    "does the flagged set concentrate at the top (or bottom) of this
+    ranking?", the running-sum statistic behind gene-set / feature-set
+    / retrieval-slice enrichment (the reference's GO-enrichment
+    domain, analysis.py:336-384, re-expressed as an engine-native
+    statistic instead of an HTTP call):
+
+    rank all items by score DESCENDING (ties broken by id — pinned
+    total order); walking down the list,
+    ``P_hit(i) = Σ_{j≤i, hit} |s_j|^p / Σ_hit |s|^p`` and
+    ``P_miss(i) = #{j≤i, miss}/N_miss``; ``ES`` = the signed maximum
+    deviation ``P_hit − P_miss`` (largest |·|, EARLIEST rank on
+    ties). Significance by ``n_perms`` deterministic label
+    re-randomizations — each permutation reassigns membership by the
+    shared Park–Miller Lehmer hash with probability ``n_hit/N`` (the
+    binomial approximation of the permutation null, the documented
+    :func:`randomization_test_mean` trade), ``p = (1 + #{|ES_b| ≥
+    |ES|})/(1 + B)`` and ``NES = ES / mean|ES_b|``.
+
+    Scale contract: a RANKED-LIST operator — the cumsum is a
+    partitionless ordered window over the list, bounded by
+    ``max_list_size`` with an explicit raise (gene/feature lists are
+    ≤ 10⁵–10⁶; this is not a fact-table operator); the permutation
+    pass is the same window PARTITIONED BY perm (B parallel tasks).
+    Output 1 row: ``(n, n_hit, es, es_rank, nes, p_value,
+    n_perms)``, 6dp.
+    """
+    from pyspark import StorageLevel
+    from pyspark.sql import Window
+
+    from padua_spark.io_utils import track_cached
+
+    s = F.col(score_col).cast("double")
+    hit = F.col(in_set_col).cast("int")
+    base = df.where(s.isNotNull() & hit.isNotNull()).select(
+        F.col(id_col).alias("_id"),
+        s.alias("_s"),
+        F.pow(F.abs(s), float(weight_exponent)).alias("_w"),
+        hit.alias("_h"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    tot = base.agg(
+        F.count(F.lit(1)).cast("bigint").alias("_n"),
+        F.sum("_h").cast("bigint").alias("_nh"),
+    ).collect()[0]
+    n, nh = tot["_n"], tot["_nh"] or 0
+    if max_list_size is not None and n > max_list_size:
+        raise ValueError(
+            f"gsea_prerank: list size {n} exceeds "
+            f"max_list_size={max_list_size}; this is a ranked-list "
+            "operator (partitionless ordered cumsum) — pre-filter "
+            "to the feature domain or raise the bound deliberately"
+        )
+    if n == 0 or nh == 0 or nh == n:
+        out = base.limit(0).select(
+            F.lit(n).alias("n"), F.lit(nh).alias("n_hit"),
+            F.lit(None).cast("double").alias("es"),
+            F.lit(None).cast("bigint").alias("es_rank"),
+            F.lit(None).cast("double").alias("nes"),
+            F.lit(None).cast("double").alias("p_value"),
+            F.lit(int(n_perms)).alias("n_perms"),
+        )
+        return track_cached(out, base)
+    nmiss = n - nh
+
+    def _es_frame(frame, part_cols):
+        wo = (
+            Window.partitionBy(*part_cols)
+            .orderBy(F.col("_s").desc(), F.col("_id").asc())
+            if part_cols
+            else Window.orderBy(F.col("_s").desc(), F.col("_id").asc())
+        )
+        run = wo.rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        return frame.select(
+            *part_cols,
+            F.row_number().over(wo).cast("bigint").alias("_r"),
+            F.sum(F.col("_w") * F.col("_h")).over(run).alias("_cw"),
+            F.sum(1 - F.col("_h")).over(run).cast("double")
+            .alias("_cm"),
+        )
+
+    # observed pass: per-rank deviation, totals joined back
+    obs_tot = base.agg(
+        F.sum(F.col("_w") * F.col("_h")).alias("_sw")
+    )
+    stepped = _es_frame(base, []).join(F.broadcast(obs_tot))
+    dev = F.col("_cw") / F.col("_sw") - F.col("_cm") / float(nmiss)
+    obs = stepped.select(
+        F.col("_r"), dev.alias("_dev")
+    ).agg(
+        F.max(F.abs(F.col("_dev"))).alias("_k"),
+        F.min_by(
+            F.struct("_r", "_dev"),
+            F.struct(-F.abs(F.col("_dev")), F.col("_r")),
+        ).alias("_best"),
+    )
+    # permutation pass: hash membership with prob nh/n
+    B = int(n_perms)
+    thresh = int(_LEHMER_M * nh // n)
+    st = base.select(
+        "_id", "_s", "_w",
+        F.explode(F.sequence(F.lit(1), F.lit(B))).alias("_b"),
+    )
+    h0 = (
+        (F.col("_id").cast("long") % F.lit(_LEHMER_M))
+        + F.col("_b").cast("long") * F.lit(1_000_003)
+    ) % F.lit(_LEHMER_M)
+    h1 = (h0 * h0) % F.lit(_LEHMER_M)
+    h2 = (h1 * F.lit(_LEHMER_A) + h0) % F.lit(_LEHMER_M)
+    h3 = (h2 * h2) % F.lit(_LEHMER_M)
+    perm = st.select(
+        "_b", "_id", "_s", "_w",
+        (h3 < F.lit(thresh)).cast("int").alias("_h"),
+    )
+    ptot = perm.groupBy("_b").agg(
+        F.sum(F.col("_w") * F.col("_h")).alias("_sw"),
+        F.sum(1 - F.col("_h")).cast("double").alias("_nm"),
+    )
+    pstep = _es_frame(perm, ["_b"]).join(
+        F.broadcast(ptot), on="_b"
+    )
+    pdev = F.when(
+        (F.col("_sw") > 0) & (F.col("_nm") > 0),
+        F.col("_cw") / F.col("_sw") - F.col("_cm") / F.col("_nm"),
+    )
+    pes = pstep.select("_b", pdev.alias("_dev")).groupBy("_b").agg(
+        F.max(F.abs(F.col("_dev"))).alias("_kb")
+    )
+    obs_b = obs.withColumn("_one", F.lit(1))
+    summary = pes.withColumn("_one", F.lit(1)).join(
+        F.broadcast(obs_b), on="_one"
+    ).agg(
+        F.max("_k").alias("_k"),
+        F.max("_best._dev").alias("_es"),
+        F.max("_best._r").alias("_rank"),
+        F.sum(
+            (F.col("_kb") >= F.col("_k")).cast("int")
+        ).cast("bigint").alias("_ext"),
+        F.avg("_kb").alias("_mab"),
+    )
+    out = summary.select(
+        F.lit(n).cast("bigint").alias("n"),
+        F.lit(nh).cast("bigint").alias("n_hit"),
+        F.round("_es", 6).alias("es"),
+        F.col("_rank").alias("es_rank"),
+        F.round(
+            F.when(F.col("_mab") > 0, F.col("_es") / F.col("_mab")),
+            6,
+        ).alias("nes"),
+        F.round(
+            (F.col("_ext") + 1).cast("double") / float(B + 1), 6
+        ).alias("p_value"),
+        F.lit(B).alias("n_perms"),
+    )
+    return track_cached(out, base)

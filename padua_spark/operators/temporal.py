@@ -2159,16 +2159,22 @@ def pinball_loss(
                 *group_cols,
                 F.lit(float(q)).alias("quantile"),
                 F.col(f"_n{i}").alias("n"),
-                F.round(
-                    F.when(F.col(f"_n{i}") > 0, F.col(f"_s{i}") / nd),
-                    6,
+                # portable HALF_UP (dyadic group sizes make exact
+                # 6dp midpoints structural with decimal-valued data)
+                (
+                    F.floor(
+                        F.when(
+                            F.col(f"_n{i}") > 0, F.col(f"_s{i}") / nd
+                        ) * 1e6 + F.lit(0.5)
+                    ).cast("double") / 1e6
                 ).alias("pinball"),
-                F.round(
-                    F.when(
-                        F.col(f"_n{i}") > 0,
-                        F.col(f"_c{i}").cast("double") / nd,
-                    ),
-                    6,
+                (
+                    F.floor(
+                        F.when(
+                            F.col(f"_n{i}") > 0,
+                            F.col(f"_c{i}").cast("double") / nd,
+                        ) * 1e6 + F.lit(0.5)
+                    ).cast("double") / 1e6
                 ).alias("coverage"),
             )
         )

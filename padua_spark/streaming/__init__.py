@@ -21,6 +21,7 @@ from padua_spark.streaming.windows import (  # noqa: F401
     tumbling_window_agg,
     js_hellinger_vs_reference,
     windowed_average_precision,
+    windowed_pinball_loss,
     windowed_binned_auc,
     windowed_circular_stats,
     windowed_cms_sketch,

@@ -1201,3 +1201,95 @@ def windowed_circular_stats(
             6,
         ).alias("p_value"),
     )
+
+
+def windowed_pinball_loss(
+    df: DataFrame,
+    ts_col: Column,
+    actual_col: Column,
+    forecast_cols: dict[float, Column],
+    group_cols: list[str] | None = None,
+    window_duration: str = "1 hour",
+    watermark: str | None = None,
+) -> DataFrame:
+    """Per-tumbling-window pinball loss + coverage per declared
+    quantile — streaming quantile-forecast monitoring (the bounded-
+    state face of :func:`~padua_spark.operators.temporal.
+    pinball_loss`: "is the P90 forecast still covering 90%, per
+    hour?"). ``forecast_cols`` maps level → forecast Column
+    (compile-time bounded).
+
+    ONE stateful aggregation computes every level's loss sums,
+    coverage counts and per-level row counts per (window, group) key
+    — 3·k bounded partials, late shards merge by adding. The
+    per-level output rows come from a compile-time k-branch union
+    over the aggregated frame (bounded: windows × groups rows).
+    Rows where the actual or that level's forecast is NULL are
+    excluded per level. Output per (window, group, level):
+    ``(window_start, window_end, groups..., quantile, n, pinball,
+    coverage)``, 6dp.
+    """
+    from functools import reduce
+
+    group_cols = group_cols or []
+    a = actual_col.cast("double")
+    levels = sorted(forecast_cols.items())
+    sel = [ts_col.alias("_event_time"), *group_cols, a.alias("_a")]
+    for i, (_q, col) in enumerate(levels):
+        sel.append(col.cast("double").alias(f"_f{i}"))
+    withts = df.select(*sel)
+    if watermark and withts.isStreaming:
+        withts = withts.withWatermark("_event_time", watermark)
+    aggs = []
+    for i, (q, _col) in enumerate(levels):
+        fc = F.col(f"_f{i}")
+        av = F.col("_a")
+        ok = av.isNotNull() & fc.isNotNull()
+        loss = F.when(
+            ok,
+            F.when(av >= fc, float(q) * (av - fc)).otherwise(
+                (1.0 - float(q)) * (fc - av)
+            ),
+        )
+        aggs += [
+            F.count(F.when(ok, 1)).cast("bigint").alias(f"_n{i}"),
+            F.sum(loss).alias(f"_s{i}"),
+            F.sum(F.when(ok & (av <= fc), 1).otherwise(0))
+            .cast("bigint").alias(f"_c{i}"),
+        ]
+    agg = withts.groupBy(
+        F.window("_event_time", window_duration).alias("_w"),
+        *group_cols,
+    ).agg(*aggs)
+    branches = []
+    for i, (q, _col) in enumerate(levels):
+        nd = F.col(f"_n{i}").cast("double")
+        branches.append(
+            agg.select(
+                F.col("_w.start").alias("window_start"),
+                F.col("_w.end").alias("window_end"),
+                *group_cols,
+                F.lit(float(q)).alias("quantile"),
+                F.col(f"_n{i}").alias("n"),
+                # portable HALF_UP: hourly windows have dyadic row
+                # counts, so the loss mean lands EXACTLY on 6dp
+                # midpoints where engine round() modes disagree
+                (
+                    F.floor(
+                        F.when(
+                            F.col(f"_n{i}") > 0,
+                            F.col(f"_s{i}") / nd,
+                        ) * 1e6 + F.lit(0.5)
+                    ).cast("double") / 1e6
+                ).alias("pinball"),
+                (
+                    F.floor(
+                        F.when(
+                            F.col(f"_n{i}") > 0,
+                            F.col(f"_c{i}").cast("double") / nd,
+                        ) * 1e6 + F.lit(0.5)
+                    ).cast("double") / 1e6
+                ).alias("coverage"),
+            )
+        )
+    return reduce(lambda x, y: x.unionAll(y), branches)

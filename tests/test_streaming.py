@@ -1166,3 +1166,67 @@ def test_stream_equals_batch_windowed_average_precision(
             num += pk * tp / (tp + fp)
     assert got[ws][0] == y.sum()
     assert got[ws][2] == pytest.approx(num / y.sum(), abs=1e-6)
+
+
+def test_stream_equals_batch_windowed_pinball(spark, events_dir):
+    """Windowed pinball loss + coverage: stream == batch, and the
+    per-window values match a pandas replica (cents + dyadic
+    quantiles so sums are exact)."""
+    import numpy as np
+
+    from padua_spark.streaming import windowed_pinball_loss
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    batch = spark.read.parquet(events_dir)
+    stream = read_event_stream(spark, events_dir, schema=batch.schema)
+
+    def build(df):
+        cents = F.round(F.col("value") * 100).cast("double")
+        return windowed_pinball_loss(
+            df.where(F.col("value").isNotNull()),
+            event_time_col(df),
+            cents,
+            {0.5: cents * 0.5, 0.75: cents * 1.5},
+            window_duration="1 hour", watermark="2 hours",
+        )
+
+    q = (
+        build(stream)
+        .writeStream.format("memory")
+        .queryName("t_winpin")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(180)
+    got = {
+        (r["window_start"], r["quantile"]): (
+            r["n"], r["pinball"], r["coverage"]
+        )
+        for r in spark.sql("SELECT * FROM t_winpin").collect()
+    }
+    exp = {
+        (r["window_start"], r["quantile"]): (
+            r["n"], r["pinball"], r["coverage"]
+        )
+        for r in build(batch).collect()
+    }
+    assert got == exp and len(got) > 0
+    # replica on one non-empty window at q=0.75 (forecast = 1.5a:
+    # always covering, loss = 0.25*0.5a per row)
+    ws = sorted(w for (w, qq), (n, _, _) in got.items() if n > 0)[0]
+    rows = (
+        batch.withColumn("_t", event_time_col(batch))
+        .where(
+            (F.date_trunc("hour", F.col("_t")) == F.lit(ws))
+            & F.col("value").isNotNull()
+        )
+        .select("value")
+        .collect()
+    )
+    a = np.round(np.array([r["value"] for r in rows]) * 100)
+    loss75 = 0.25 * (1.5 * a - a)
+    n, p, c = got[(ws, 0.75)]
+    assert n == len(a)
+    assert p == pytest.approx(loss75.mean(), abs=2e-6)
+    assert c == pytest.approx(1.0, abs=1e-9)

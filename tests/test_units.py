@@ -10694,3 +10694,93 @@ def test_cox_stuart_and_packing(spark):
     assert pr["padding_frac"] == pytest.approx(
         waste / (5 * 512), abs=1e-6
     )
+
+
+def test_msprt_normal_replica(spark):
+    """mSPRT lambda/always-valid p against the closed-form numpy
+    formula; a real effect drives p below alpha while a null split
+    stays high."""
+    import numpy as np
+
+    from padua_spark.operators.stats import msprt_normal
+
+    rng = np.random.RandomState(12)
+    n = 2000
+    a = rng.normal(10.5, 2, n)  # lifted arm
+    b = rng.normal(10.0, 2, n)
+    rows = [("a", float(v)) for v in a] + [("b", float(v)) for v in b]
+    df = spark.createDataFrame(rows, ["g", "v"])
+    r = msprt_normal(df, "g", "v", "a", "b", tau=1.0).collect()[0]
+    s2p = (
+        ((a - a.mean()) ** 2).sum() + ((b - b.mean()) ** 2).sum()
+    ) / (2 * n - 2)
+    vhat = s2p * (2 / n)
+    diff = a.mean() - b.mean()
+    lam = np.sqrt(vhat / (vhat + 1.0)) * np.exp(
+        diff**2 * 1.0 / (2 * vhat * (vhat + 1.0))
+    )
+    assert r["diff"] == pytest.approx(diff, abs=1e-6)
+    assert r["v_hat"] == pytest.approx(vhat, abs=1e-6)
+    assert r["p_always_valid"] == pytest.approx(
+        min(1.0, 1 / lam), abs=1e-4
+    )
+    assert r["p_always_valid"] < 0.05
+    # null: same distribution -> p near 1
+    null_rows = [("a", float(v)) for v in b[:1000]] + [
+        ("b", float(v)) for v in b[1000:]
+    ]
+    ndf = spark.createDataFrame(null_rows, ["g", "v"])
+    rn = msprt_normal(ndf, "g", "v", "a", "b").collect()[0]
+    assert rn["p_always_valid"] > 0.5
+
+
+def test_gsea_prerank_replica(spark):
+    """GSEA ES/rank against a numpy running-sum replica; a
+    top-concentrated set gets a large positive ES with small p, a
+    random set does not; the list-size bound raises."""
+    import numpy as np
+
+    from padua_spark.operators.stats import gsea_prerank
+
+    rng = np.random.RandomState(8)
+    n = 400
+    scores = np.round(rng.normal(0, 1, n), 4)
+    order = np.argsort(-scores)  # descending
+    hit = np.zeros(n, dtype=int)
+    hit[order[:40]] = 1  # plant the set at the TOP of the ranking
+    rows = [
+        (i, float(scores[i]), int(hit[i])) for i in range(n)
+    ]
+    df = spark.createDataFrame(rows, ["id", "s", "h"])
+    r = gsea_prerank(df, "id", "s", "h", n_perms=49).collect()[0]
+    # replica ES (ties broken by id — scores rounded, ties possible)
+    idx = sorted(range(n), key=lambda i: (-scores[i], i))
+    w = np.abs(scores)
+    sw = w[hit == 1].sum()
+    nmiss = n - hit.sum()
+    cw = cm = 0.0
+    best, best_r = 0.0, None
+    for rank, i in enumerate(idx, start=1):
+        if hit[i]:
+            cw += w[i]
+        else:
+            cm += 1
+        dev = cw / sw - cm / nmiss
+        if abs(dev) > abs(best) + 1e-15:
+            best, best_r = dev, rank
+    assert r["es"] == pytest.approx(best, abs=1e-6)
+    assert r["es_rank"] == best_r
+    assert r["es"] > 0.5
+    assert r["p_value"] == pytest.approx(1 / 50, abs=1e-6)
+    assert r["nes"] > 1.5
+    # random set: not significant
+    hit2 = np.zeros(n, dtype=int)
+    hit2[rng.choice(n, 40, replace=False)] = 1
+    df2 = spark.createDataFrame(
+        [(i, float(scores[i]), int(hit2[i])) for i in range(n)],
+        ["id", "s", "h"],
+    )
+    r2 = gsea_prerank(df2, "id", "s", "h", n_perms=49).collect()[0]
+    assert r2["p_value"] > 0.1
+    with pytest.raises(ValueError, match="max_list_size"):
+        gsea_prerank(df, "id", "s", "h", max_list_size=10)
