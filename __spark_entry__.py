@@ -24978,6 +24978,117 @@ def q_windowed_pinball_loss(spark, sf):
     )
 
 
+def _trunc_recall_oracle(dims=(8, 16, 32), k: int = 10) -> str:
+    def topk(d):
+        return f"""
+  SELECT e.vec_id,
+    list_dot_product(list_slice(CAST(e.embedding AS DOUBLE[]), 1, {d}),
+                     list_slice(q.qv, 1, {d}))
+    / (sqrt(list_dot_product(
+         list_slice(CAST(e.embedding AS DOUBLE[]), 1, {d}),
+         list_slice(CAST(e.embedding AS DOUBLE[]), 1, {d})))
+       * sqrt(list_dot_product(list_slice(q.qv, 1, {d}),
+                               list_slice(q.qv, 1, {d})))) AS cs
+  FROM embeddings e, q
+  ORDER BY cs DESC, e.vec_id LIMIT {k}"""
+
+    full = f"""
+  SELECT e.vec_id,
+    list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qv)
+    / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                             CAST(e.embedding AS DOUBLE[])))
+       * sqrt(list_dot_product(q.qv, q.qv))) AS cs
+  FROM embeddings e, q
+  ORDER BY cs DESC, e.vec_id LIMIT {k}"""
+    branches = "\nUNION ALL\n".join(
+        f"""SELECT {d} AS dim, {k} AS k,
+  CAST(count(*) AS BIGINT) AS n_overlap,
+  round(CAST(count(*) AS DOUBLE) / {k}.0, 6) AS recall
+FROM (SELECT vec_id FROM ({topk(d)})) t{d}
+JOIN full_tk USING (vec_id)"""
+        for d in dims
+    )
+    return f"""
+WITH q AS (
+  SELECT CAST(embedding AS DOUBLE[]) AS qv
+  FROM embeddings WHERE vec_id = 0
+),
+full_tk AS (SELECT vec_id FROM ({full}))
+{branches}
+"""
+
+
+@_q("dimension_truncation_recall", _trunc_recall_oracle())
+def q_dimension_truncation_recall(spark, sf):
+    """Matryoshka truncation audit: recall@10 of prefix-truncated
+    cosine search (dims 8/16/32) vs the full 64-dim exact top-k
+    (similarity.dimension_truncation_recall): one
+    TakeOrderedAndProject per dim, persisted k-row full ranking."""
+    from padua_spark.extensions.similarity import (
+        dimension_truncation_recall,
+    )
+
+    emb = _t(spark, sf, "embeddings")
+    qrow = emb.filter(F.col("vec_id") == 0).select(
+        "embedding"
+    ).collect()
+    query = [float(x) for x in qrow[0][0]]
+    return dimension_truncation_recall(
+        emb, "embedding", "vec_id", query, k=10, dims=(8, 16, 32)
+    )
+
+
+_WINDOWED_CONTROL_ORACLE = """
+WITH base AS (
+  SELECT (epoch_us(ts) // 3600000000) * 3600 AS ws,
+    CAST(round(value * 100) AS DOUBLE) AS v
+  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+)
+SELECT ws AS window_start_epoch,
+  CAST(count(*) AS BIGINT) AS n,
+  round(sum(v) / CAST(count(*) AS DOUBLE), 6) AS mean,
+  round(min(v), 6) AS min_value,
+  round(max(v), 6) AS max_value,
+  CAST(sum(CASE WHEN v > 18000.0 THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_above_ucl,
+  CAST(sum(CASE WHEN v < 1000.0 THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_below_lcl,
+  round(CAST(sum(CASE WHEN v > 18000.0 OR v < 1000.0
+    THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+    AS frac_out,
+  (sum(v) / CAST(count(*) AS DOUBLE) > 18000.0
+   OR sum(v) / CAST(count(*) AS DOUBLE) < 1000.0) AS mean_out
+FROM base GROUP BY 1
+"""
+
+
+@_q("windowed_control_check", _WINDOWED_CONTROL_ORACLE)
+def q_windowed_control_check(spark, sf):
+    """Per-hour SPC monitor of cent-valued events against fixed
+    pre-trained limits (streaming.windowed_control_check): one
+    stateful aggregation with out-of-limit counts and the
+    window-mean breach flag. Cents keep the window sums exact
+    integers (order-independent across engines)."""
+    from padua_spark.streaming import windowed_control_check
+    from padua_spark.streaming.windows import event_time_col
+
+    e = _t(spark, sf, "events").where(
+        F.col("ts").isNotNull() & F.col("value").isNotNull()
+    )
+    out = windowed_control_check(
+        e,
+        event_time_col(e, "ts"),
+        F.round(F.col("value") * 100).cast("double"),
+        center=10000.0, ucl=18000.0, lcl=1000.0,
+        window_duration="1 hour",
+    )
+    return out.select(
+        F.col("window_start").cast("long").alias("window_start_epoch"),
+        "n", "mean", "min_value", "max_value",
+        "n_above_ucl", "n_below_lcl", "frac_out", "mean_out",
+    )
+
+
 # ---------------------------------------------------------------------------
 
 

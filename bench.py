@@ -295,6 +295,8 @@ HEADLINE = [
     "msprt_normal",
     "gsea_prerank",
     "windowed_pinball_loss",
+    "dimension_truncation_recall",
+    "windowed_control_check",
     "longest_dup_substring",
     "nelson_aalen",
     "harrells_c",

@@ -2023,3 +2023,70 @@ def hard_negative_mining(
     from padua_spark.io_utils import track_cached
 
     return track_cached(out, an)
+
+
+def dimension_truncation_recall(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    query: list[float],
+    k: int = 10,
+    dims: tuple[int, ...] = (8, 16, 32),
+) -> DataFrame:
+    """Matryoshka-style truncation audit — recall@k of cosine search
+    over PREFIX-truncated embeddings against the full-dimension
+    ranking, per candidate dimension ("how many dims can we store/
+    index before retrieval quality drops?" — the storage-vs-recall
+    dial for MRL-trained embedding columns):
+
+    for each ``d`` in ``dims``: run the exact top-k on vectors
+    truncated to their first d coordinates (query truncated the same
+    way, cosine renormalized over the prefix) and report the overlap
+    with the full-dimension exact top-k.
+
+    Scale shape: each dimension's pass is :func:`brute_force_topk`'s
+    plan — one projection + TakeOrderedAndProject (per-partition
+    heap, no shuffle, no sort); the full-dim top-k is computed once
+    and persisted (k rows), each d-branch joins its k rows against
+    it. Output per dim: ``(dim, k, n_overlap, recall)``, 6dp.
+
+    Beyond the reference; standard per Kusupati et al. 2022
+    (Matryoshka Representation Learning) evaluation practice.
+    """
+    from functools import reduce
+
+    from pyspark import StorageLevel
+
+    from padua_spark.io_utils import track_cached
+
+    full = brute_force_topk(df, vec_col, id_col, query, k=k).select(
+        F.col(id_col)
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    branches = []
+    for d in dims:
+        d = int(d)
+        if d <= 0 or d > len(query):
+            raise ValueError(
+                f"dimension_truncation_recall: dim {d} outside "
+                f"1..{len(query)}"
+            )
+        trunc = df.select(
+            F.col(id_col),
+            F.slice(F.col(vec_col), 1, d).alias("_tv"),
+        )
+        topd = brute_force_topk(
+            trunc, "_tv", id_col, list(query[:d]), k=k
+        ).select(F.col(id_col))
+        hit = topd.join(full, on=id_col)
+        branches.append(
+            hit.agg(
+                F.lit(d).alias("dim"),
+                F.lit(int(k)).alias("k"),
+                F.count(F.lit(1)).cast("bigint").alias("n_overlap"),
+                F.round(
+                    F.count(F.lit(1)).cast("double") / float(k), 6
+                ).alias("recall"),
+            )
+        )
+    out = reduce(lambda a, b: a.unionAll(b), branches)
+    return track_cached(out, full)

@@ -1293,3 +1293,72 @@ def windowed_pinball_loss(
             )
         )
     return reduce(lambda x, y: x.unionAll(y), branches)
+
+
+def windowed_control_check(
+    df: DataFrame,
+    ts_col: Column,
+    value_col: Column,
+    center: float,
+    ucl: float,
+    lcl: float,
+    group_cols: list[str] | None = None,
+    window_duration: str = "1 hour",
+    watermark: str | None = None,
+) -> DataFrame:
+    """Per-tumbling-window SPC monitor against PRE-TRAINED control
+    limits — the streaming face of :func:`~padua_spark.operators.
+    stats.control_chart_limits` (train the center/UCL/LCL on a
+    stable batch period there, then watch production windows here;
+    limits must be parameters because cross-window re-centering is a
+    second aggregation level no stream can do):
+
+    per window: n, mean, min/max, the out-of-limit counts (values
+    above UCL / below LCL), and two standard Shewhart signals —
+    ``mean_out`` (the window mean itself breaches a limit) and
+    ``frac_out`` (share of individual values outside).
+
+    ONE stateful aggregation, bounded per-key state, late shards
+    merge by adding. Output per (window, group):
+    ``(window_start, window_end, groups..., n, mean, min_value,
+    max_value, n_above_ucl, n_below_lcl, frac_out, mean_out)``,
+    6dp.
+    """
+    group_cols = group_cols or []
+    v = value_col.cast("double")
+    withts = df.where(v.isNotNull()).select(
+        ts_col.alias("_event_time"), *group_cols, v.alias("_v")
+    )
+    if watermark and withts.isStreaming:
+        withts = withts.withWatermark("_event_time", watermark)
+    agg = withts.groupBy(
+        F.window("_event_time", window_duration).alias("_w"),
+        *group_cols,
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("_v").alias("_s"),
+        F.min("_v").alias("min_value"),
+        F.max("_v").alias("max_value"),
+        F.sum((F.col("_v") > float(ucl)).cast("int"))
+        .cast("bigint").alias("n_above_ucl"),
+        F.sum((F.col("_v") < float(lcl)).cast("int"))
+        .cast("bigint").alias("n_below_lcl"),
+    )
+    mean = F.col("_s") / F.col("n").cast("double")
+    return agg.select(
+        F.col("_w.start").alias("window_start"),
+        F.col("_w.end").alias("window_end"),
+        *group_cols,
+        "n",
+        F.round(mean, 6).alias("mean"),
+        F.round("min_value", 6).alias("min_value"),
+        F.round("max_value", 6).alias("max_value"),
+        "n_above_ucl", "n_below_lcl",
+        F.round(
+            (F.col("n_above_ucl") + F.col("n_below_lcl"))
+            .cast("double") / F.col("n").cast("double"),
+            6,
+        ).alias("frac_out"),
+        ((mean > float(ucl)) | (mean < float(lcl)))
+        .alias("mean_out"),
+    )

@@ -1230,3 +1230,71 @@ def test_stream_equals_batch_windowed_pinball(spark, events_dir):
     assert n == len(a)
     assert p == pytest.approx(loss75.mean(), abs=2e-6)
     assert c == pytest.approx(1.0, abs=1e-9)
+
+
+def test_stream_equals_batch_windowed_control_check(
+    spark, events_dir
+):
+    """Windowed SPC check: stream == batch; flags match a pandas
+    replica on a window with known breaches."""
+    import numpy as np
+
+    from padua_spark.streaming import windowed_control_check
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    batch = spark.read.parquet(events_dir)
+    stream = read_event_stream(spark, events_dir, schema=batch.schema)
+
+    def build(df):
+        cents = F.round(F.col("value") * 100).cast("double")
+        return windowed_control_check(
+            df.where(F.col("value").isNotNull()),
+            event_time_col(df), cents,
+            center=10000.0, ucl=15000.0, lcl=2000.0,
+            window_duration="1 hour", watermark="2 hours",
+        )
+
+    q = (
+        build(stream)
+        .writeStream.format("memory")
+        .queryName("t_winctl")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(180)
+    got = {
+        r["window_start"]: (
+            r["n"], r["mean"], r["n_above_ucl"], r["n_below_lcl"],
+            r["frac_out"], r["mean_out"],
+        )
+        for r in spark.sql("SELECT * FROM t_winctl").collect()
+    }
+    exp = {
+        r["window_start"]: (
+            r["n"], r["mean"], r["n_above_ucl"], r["n_below_lcl"],
+            r["frac_out"], r["mean_out"],
+        )
+        for r in build(batch).collect()
+    }
+    assert got == exp and len(got) > 0
+    ws = sorted(got)[0]
+    rows = (
+        batch.withColumn("_t", event_time_col(batch))
+        .where(
+            (F.date_trunc("hour", F.col("_t")) == F.lit(ws))
+            & F.col("value").isNotNull()
+        )
+        .select("value")
+        .collect()
+    )
+    v = np.round(np.array([r["value"] for r in rows]) * 100)
+    n, mean, above, below, frac, mo = got[ws]
+    assert n == len(v)
+    assert mean == pytest.approx(v.mean(), abs=1e-6)
+    assert above == (v > 15000).sum()
+    assert below == (v < 2000).sum()
+    assert frac == pytest.approx(
+        ((v > 15000) | (v < 2000)).mean(), abs=1e-6
+    )
+    assert mo == bool(v.mean() > 15000 or v.mean() < 2000)

@@ -10784,3 +10784,47 @@ def test_gsea_prerank_replica(spark):
     assert r2["p_value"] > 0.1
     with pytest.raises(ValueError, match="max_list_size"):
         gsea_prerank(df, "id", "s", "h", max_list_size=10)
+
+
+def test_dimension_truncation_recall_replica(spark):
+    """Truncation recall against a numpy cosine top-k replica per
+    dimension; full dim recovers recall 1.0."""
+    import numpy as np
+
+    from padua_spark.extensions.similarity import (
+        dimension_truncation_recall,
+    )
+
+    rng = np.random.RandomState(2)
+    n, dim = 200, 16
+    V = rng.normal(0, 1, (n, dim))
+    q = rng.normal(0, 1, dim)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in V[i]]) for i in range(n)],
+        ["vec_id", "embedding"],
+    )
+    got = {
+        r["dim"]: r
+        for r in dimension_truncation_recall(
+            df, "embedding", "vec_id", [float(x) for x in q],
+            k=10, dims=(4, 8, 16),
+        ).collect()
+    }
+
+    def topk(d):
+        s = (V[:, :d] @ q[:d]) / (
+            np.linalg.norm(V[:, :d], axis=1) * np.linalg.norm(q[:d])
+        )
+        return set(np.lexsort((np.arange(n), -s))[:10])
+
+    full = topk(dim)
+    for d in (4, 8, 16):
+        exp = len(topk(d) & full)
+        assert got[d]["n_overlap"] == exp, d
+        assert got[d]["recall"] == pytest.approx(exp / 10, abs=1e-9)
+    assert got[16]["recall"] == 1.0
+    with pytest.raises(ValueError, match="outside"):
+        dimension_truncation_recall(
+            df, "embedding", "vec_id", [float(x) for x in q],
+            dims=(99,),
+        )
