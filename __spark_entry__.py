@@ -25089,6 +25089,153 @@ def q_windowed_control_check(spark, sf):
     )
 
 
+def _hilbert_oracle() -> str:
+    from padua_spark.io_utils import hilbert_cte_sql
+
+    # b carries pristine copies (xb0, yb0) so the passthrough columns
+    # exist at every ladder level while hx/hy evolve
+    chain = hilbert_cte_sql(
+        "b", "xb", "yb", bits=16, out="hkey",
+        passthrough="o_orderkey, xb0, yb0",
+    )
+    return f"""
+WITH b AS (
+  SELECT o_orderkey,
+    CAST(date_diff('day', DATE '1992-01-01',
+      CAST(o_orderdate AS DATE)) AS BIGINT) AS xb,
+    CAST(date_diff('day', DATE '1992-01-01',
+      CAST(o_orderdate AS DATE)) AS BIGINT) AS xb0,
+    CAST(floor(o_totalprice / 100.0) AS BIGINT) AS yb,
+    CAST(floor(o_totalprice / 100.0) AS BIGINT) AS yb0
+  FROM orders
+  WHERE o_orderdate IS NOT NULL AND o_totalprice IS NOT NULL
+),
+{chain}
+SELECT o_orderkey, xb0 AS xb, yb0 AS yb, hkey AS hval
+FROM hlvl0
+"""
+
+
+@_q("hilbert_key", _hilbert_oracle())
+def q_hilbert_key(spark, sf):
+    """Hilbert-curve clustering key over (order-date days, price
+    bucket) (io_utils.with_hilbert_key): the continuous-curve
+    alternative to zorder_key — consecutive key ranges are tighter
+    2-D bounding boxes, so footer-stats skipping prunes harder on
+    both dimensions (write_hilbert lays files out on it). Sixteen
+    staged integer levels, engine-exact, mirrored as a chained-CTE
+    ladder in the oracle."""
+    from padua_spark.io_utils import with_hilbert_key
+
+    o = _t(spark, sf, "orders").where(
+        F.col("o_orderdate").isNotNull()
+        & F.col("o_totalprice").isNotNull()
+    )
+    b = o.select(
+        "o_orderkey",
+        F.datediff(
+            F.col("o_orderdate").cast("date"),
+            F.lit("1992-01-01").cast("date"),
+        ).cast("bigint").alias("xb"),
+        F.floor(F.col("o_totalprice") / 100.0)
+        .cast("bigint").alias("yb"),
+    )
+    return with_hilbert_key(b, "xb", "yb", bits=16, out_col="hval")
+
+
+_YUEN_ORACLE = """
+WITH RECURSIVE base AS (
+  SELECT CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END AS a,
+    CAST(l_quantity AS DOUBLE) AS v
+  FROM lineitem
+  WHERE l_returnflag IN ('A', 'R') AND l_quantity IS NOT NULL
+),
+bounds AS (
+  SELECT a, quantile_cont(v, 0.2) AS lo, quantile_cont(v, 0.8) AS hi
+  FROM base GROUP BY 1
+),
+per AS (
+  SELECT b.a, CAST(count(*) AS BIGINT) AS n,
+    CAST(count(CASE WHEN b.v >= bo.lo AND b.v <= bo.hi THEN 1 END)
+      AS BIGINT) AS h,
+    avg(CASE WHEN b.v >= bo.lo AND b.v <= bo.hi THEN b.v END) AS tm,
+    sum(least(greatest(b.v, bo.lo), bo.hi)) AS sw,
+    sum(least(greatest(b.v, bo.lo), bo.hi)
+      * least(greatest(b.v, bo.lo), bo.hi)) AS qw
+  FROM base b JOIN bounds bo USING (a)
+  GROUP BY 1
+),
+row_ AS (
+  SELECT
+    max(CASE WHEN a = 1 THEN n END) AS na,
+    max(CASE WHEN a = 0 THEN n END) AS nb,
+    max(CASE WHEN a = 1 THEN h END) AS ha,
+    max(CASE WHEN a = 0 THEN h END) AS hb,
+    max(CASE WHEN a = 1 THEN tm END) AS tma,
+    max(CASE WHEN a = 0 THEN tm END) AS tmb,
+    max(CASE WHEN a = 1 THEN sw END) AS swa,
+    max(CASE WHEN a = 0 THEN sw END) AS swb,
+    max(CASE WHEN a = 1 THEN qw END) AS qwa,
+    max(CASE WHEN a = 0 THEN qw END) AS qwb
+  FROM per
+),
+d AS (
+  SELECT *,
+    CASE WHEN ha >= 2 AND na >= 2 THEN
+      (CAST(na AS DOUBLE) - 1.0)
+      * greatest(0.0, (qwa - CAST(na AS DOUBLE)
+          * (swa / CAST(na AS DOUBLE)) * (swa / CAST(na AS DOUBLE)))
+        / (CAST(na AS DOUBLE) - 1.0))
+      / (CAST(ha AS DOUBLE) * (CAST(ha AS DOUBLE) - 1.0)) END AS da,
+    CASE WHEN hb >= 2 AND nb >= 2 THEN
+      (CAST(nb AS DOUBLE) - 1.0)
+      * greatest(0.0, (qwb - CAST(nb AS DOUBLE)
+          * (swb / CAST(nb AS DOUBLE)) * (swb / CAST(nb AS DOUBLE)))
+        / (CAST(nb AS DOUBLE) - 1.0))
+      / (CAST(hb AS DOUBLE) * (CAST(hb AS DOUBLE) - 1.0)) END AS db
+  FROM row_
+),
+s AS (
+  SELECT *, tma - tmb AS diff,
+    CASE WHEN da + db > 0 THEN (tma - tmb) / sqrt(da + db) END AS t,
+    CASE WHEN da IS NOT NULL AND db IS NOT NULL AND da + db > 0 THEN
+      (da + db) * (da + db)
+      / (da * da / (CAST(ha AS DOUBLE) - 1.0)
+         + db * db / (CAST(hb AS DOUBLE) - 1.0)) END AS dfree
+  FROM d
+),
+inp AS (
+  SELECT 'k' AS key,
+    CAST(dfree / (dfree + t * t) AS DOUBLE) AS x,
+    CAST(dfree / 2.0 AS DOUBLE) AS a, CAST(0.5 AS DOUBLE) AS b
+  FROM s WHERE t IS NOT NULL
+),
+{BETAINC}
+SELECT s.na AS n_a, s.nb AS n_b, s.ha AS h_a, s.hb AS h_b,
+  round(s.tma, 6) AS trimmed_mean_a,
+  round(s.tmb, 6) AS trimmed_mean_b,
+  round(s.diff, 6) AS diff,
+  round(s.t, 6) AS t_stat,
+  round(s.dfree, 6) AS df,
+  round(pv.p, 6) AS p_value
+FROM s LEFT JOIN pv ON pv.key = 'k'
+"""
+
+
+@_q("yuen_trimmed_ttest", _YUEN_ORACLE.replace("{BETAINC}", _betainc_chain_sql()))
+def q_yuen_trimmed_ttest(spark, sf):
+    """Yuen robust trimmed-means t (20% trim) for quantities of
+    returnflag A vs R (stats.yuen_trimmed_ttest): percentile bounds,
+    boundary-inclusive trimmed means, winsorized variance, Welch-style
+    df, shared t SF."""
+    from padua_spark.operators.stats import yuen_trimmed_ttest
+
+    li = _t(spark, sf, "lineitem")
+    return yuen_trimmed_ttest(
+        li, "l_returnflag", "l_quantity", "A", "R", trim=0.2
+    )
+
+
 # ---------------------------------------------------------------------------
 
 

@@ -297,6 +297,8 @@ HEADLINE = [
     "windowed_pinball_loss",
     "dimension_truncation_recall",
     "windowed_control_check",
+    "hilbert_key",
+    "yuen_trimmed_ttest",
     "longest_dup_substring",
     "nelson_aalen",
     "harrells_c",

@@ -245,3 +245,141 @@ def write_zordered(
         .parquet(path)
     )
     return path
+
+
+def with_hilbert_key(
+    df,
+    x,
+    y,
+    bits: int = 16,
+    out_col: str = "hilbert_key",
+):
+    """Add a Hilbert-curve clustering key over two non-negative
+    integer bucket columns — the locality-better alternative to
+    :func:`zorder_key` (Z-order's bit interleave has long diagonal
+    jumps; the Hilbert curve is continuous, so consecutive key ranges
+    are ~2× tighter bounding boxes — the layout Delta/Iceberg expose
+    as OPTIMIZE ... HILBERT).
+
+    Standard xy→d transform (Hamilton's algorithm), one level per
+    bit from the top: at scale ``s = 2^b`` the quadrant
+    ``(3·rx) XOR ry`` contributes ``s²·quadrant`` to the key and the
+    remaining coordinates are rotated/reflected into the quadrant's
+    frame. The rotation is SEQUENTIAL state, so each level is staged
+    as its own projection (x, y, d referenced multiple times per
+    level — inlining across levels would grow the expression tree
+    exponentially; Catalyst's CollapseProject keeps multiply-
+    referenced non-trivial aliases staged). Pure integer arithmetic
+    — engine-exact, whole-stage codegen, expressible 1:1 in SQL via
+    :func:`hilbert_cte_sql`.
+
+    Returns ``df`` with ``out_col`` added; inputs masked to ``bits``
+    bits (callers bucket raw values first, the zorder_key contract).
+    """
+    from pyspark.sql import functions as F
+
+    xm = F.col(x) if isinstance(x, str) else x
+    ym = F.col(y) if isinstance(y, str) else y
+    mask = (1 << bits) - 1
+    cur = df.withColumn(
+        "_hx", xm.cast("bigint").bitwiseAND(F.lit(mask))
+    ).withColumn(
+        "_hy", ym.cast("bigint").bitwiseAND(F.lit(mask))
+    ).withColumn("_hd", F.lit(0).cast("bigint"))
+    others = [c for c in df.columns]
+    for b in range(bits - 1, -1, -1):
+        s = 1 << b
+        hx, hy, hd = F.col("_hx"), F.col("_hy"), F.col("_hd")
+        rx = F.when(hx.bitwiseAND(F.lit(s)) > 0, F.lit(1)).otherwise(
+            F.lit(0)
+        )
+        ry = F.when(hy.bitwiseAND(F.lit(s)) > 0, F.lit(1)).otherwise(
+            F.lit(0)
+        )
+        quad = (3 * rx).bitwiseXOR(ry).cast("bigint")
+        nd = hd + F.lit(s).cast("bigint") * F.lit(s) * quad
+        # rotate/reflect into the quadrant frame (ry == 0 branch)
+        refl_x = F.when(rx == 1, F.lit(s - 1) - hx).otherwise(hx)
+        refl_y = F.when(rx == 1, F.lit(s - 1) - hy).otherwise(hy)
+        nx = F.when(ry == 0, refl_y).otherwise(hx)
+        ny = F.when(ry == 0, refl_x).otherwise(hy)
+        cur = cur.select(
+            *others,
+            nx.alias("_hx"),
+            ny.alias("_hy"),
+            nd.alias("_hd"),
+        )
+    return cur.select(*others, F.col("_hd").alias(out_col))
+
+
+def hilbert_cte_sql(
+    input_cte: str,
+    x: str,
+    y: str,
+    bits: int = 16,
+    out: str = "hilbert_key",
+    passthrough: str = "",
+) -> str:
+    """The DuckDB/ANSI twin of :func:`with_hilbert_key`: a chained-CTE
+    ladder (one level per bit — the sequential rotation state cannot
+    be a single expression without exponential duplication). Returns
+    the CTE chain text; the final CTE is ``hlvl0`` with columns
+    ``{passthrough,} hx, hy, {out}``."""
+    mask = (1 << bits) - 1
+    pt = f"{passthrough}, " if passthrough else ""
+    parts = [
+        f"hlvl{bits} AS (\n"
+        f"  SELECT {pt}CAST(({x} & {mask}) AS BIGINT) AS hx,\n"
+        f"    CAST(({y} & {mask}) AS BIGINT) AS hy,\n"
+        f"    CAST(0 AS BIGINT) AS {out}\n"
+        f"  FROM {input_cte}\n)"
+    ]
+    for b in range(bits - 1, -1, -1):
+        s = 1 << b
+        prev = f"hlvl{b + 1}"
+        parts.append(
+            f"hlvl{b} AS (\n"
+            f"  SELECT {pt}\n"
+            f"    CASE WHEN (hy & {s}) = 0 THEN\n"
+            f"      CASE WHEN (hx & {s}) > 0 THEN {s - 1} - hy"
+            f" ELSE hy END\n"
+            f"    ELSE hx END AS hx,\n"
+            f"    CASE WHEN (hy & {s}) = 0 THEN\n"
+            f"      CASE WHEN (hx & {s}) > 0 THEN {s - 1} - hx"
+            f" ELSE hx END\n"
+            f"    ELSE hy END AS hy,\n"
+            f"    {out} + CAST({s} AS BIGINT) * {s} *\n"
+            f"      CAST(xor(3 * (CASE WHEN (hx & {s}) > 0"
+            f" THEN 1 ELSE 0 END),\n"
+            f"        (CASE WHEN (hy & {s}) > 0 THEN 1 ELSE 0 END))"
+            f" AS BIGINT) AS {out}\n"
+            f"  FROM {prev}\n)"
+        )
+    return ",\n".join(parts)
+
+
+def write_hilbert(
+    df,
+    path: str,
+    x,
+    y,
+    bits: int = 16,
+    n_files: int = 16,
+):
+    """Write ``df`` as parquet clustered on the Hilbert key of two
+    bucket columns — :func:`write_zordered` with the
+    continuous-curve key: repartitionByRange + intra-partition sort,
+    ONE data shuffle; every output file covers a compact Hilbert
+    range, i.e. a tight 2-D bounding box for footer-stats skipping
+    on either dimension."""
+    from pyspark.sql import functions as F
+
+    staged = with_hilbert_key(df, x, y, bits, out_col="_h")
+    (
+        staged.repartitionByRange(n_files, F.col("_h"))
+        .sortWithinPartitions("_h")
+        .drop("_h")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    return path

@@ -11767,3 +11767,113 @@ def gsea_prerank(
         F.lit(B).alias("n_perms"),
     )
     return track_cached(out, base)
+
+
+def yuen_trimmed_ttest(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    group_a,
+    group_b,
+    trim: float = 0.2,
+) -> DataFrame:
+    """Yuen's trimmed-means t-test — the robust two-sample location
+    test (Yuen 1974): heavy tails and outliers wreck
+    :func:`ttest_ind`'s power; Yuen compares TRIMMED means with a
+    WINSORIZED variance and Welch-style df, keeping nominal error
+    rates under gross non-normality (the standard robust-statistics
+    recommendation, Wilcox *Modern Statistics*).
+
+    Semantics (pinned for engine parity — the
+    :func:`~padua_spark.operators.normalization.trimmed_mean`
+    boundary rule, not rank-trimming whose tie-breaks differ by
+    engine): per group the exact interpolated ``[trim, 1−trim]``
+    percentile bounds; the trimmed mean averages values INSIDE the
+    bounds (boundary-equal values kept, h_j = kept count); the
+    winsorized variance is the sample variance of values CLAMPED to
+    the bounds (all n_j values).
+
+    ``d_j = (n_j−1)·s²_wj / (h_j·(h_j−1))``,
+    ``t = (x̄_ta − x̄_tb)/√(d_a+d_b)``,
+    ``df = (d_a+d_b)² / (d_a²/(h_a−1) + d_b²/(h_b−1))``, p two-sided
+    via the shared Arrow-batched t SF.
+
+    Scale shape: one percentile shuffle-sort (two-column projection),
+    broadcast bounds back, ONE conditional aggregation per group,
+    2-row pivot to one row. Output 1 row: ``(n_a, n_b, h_a, h_b,
+    trimmed_mean_a, trimmed_mean_b, diff, t_stat, df, p_value)``,
+    6dp; NULL t when either h_j < 2 or the variance degenerates.
+    """
+    from pyspark import StorageLevel
+
+    from padua_spark.functions.distributions import t_sf_udf
+    from padua_spark.io_utils import track_cached
+    from padua_spark.operators.normalization import group_percentiles
+
+    g = F.col(group_col)
+    v = F.col(value_col).cast("double")
+    base = df.where(
+        g.isin([group_a, group_b]) & v.isNotNull()
+    ).select(
+        (g == group_a).cast("int").alias("_a"), v.alias("_v")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    bounds = group_percentiles(
+        base, ["_a"], F.col("_v"),
+        {"_lo": float(trim), "_hi": 1.0 - float(trim)},
+    )
+    joined = base.join(F.broadcast(bounds), on="_a")
+    w = F.least(F.greatest(F.col("_v"), F.col("_lo")), F.col("_hi"))
+    inside = (F.col("_v") >= F.col("_lo")) & (
+        F.col("_v") <= F.col("_hi")
+    )
+    per = joined.groupBy("_a").agg(
+        F.count(F.lit(1)).cast("bigint").alias("_n"),
+        F.count(F.when(inside, 1)).cast("bigint").alias("_h"),
+        F.avg(F.when(inside, F.col("_v"))).alias("_tm"),
+        F.sum(w).alias("_sw"),
+        F.sum(w * w).alias("_qw"),
+    )
+    row = per.groupBy().pivot("_a", [1, 0]).agg(
+        F.first("_n").alias("n"),
+        F.first("_h").alias("h"),
+        F.first("_tm").alias("tm"),
+        F.first("_sw").alias("sw"),
+        F.first("_qw").alias("qw"),
+    )
+
+    def _d(side):
+        n = F.col(f"{side}_n").cast("double")
+        h = F.col(f"{side}_h").cast("double")
+        mw = F.col(f"{side}_sw") / n
+        ssw = F.col(f"{side}_qw") - n * mw * mw
+        s2w = F.greatest(F.lit(0.0), ssw / (n - 1.0))
+        return F.when(
+            (F.col(f"{side}_h") >= 2) & (n >= 2),
+            (n - 1.0) * s2w / (h * (h - 1.0)),
+        )
+
+    da, db = _d("1"), _d("0")
+    diff = F.col("1_tm") - F.col("0_tm")
+    t = F.when((da + db) > 0, diff / F.sqrt(da + db))
+    ha = F.col("1_h").cast("double")
+    hb = F.col("0_h").cast("double")
+    dfree = F.when(
+        (da.isNotNull()) & (db.isNotNull()) & ((da + db) > 0),
+        (da + db) * (da + db)
+        / (da * da / (ha - 1.0) + db * db / (hb - 1.0)),
+    )
+    out = row.select(
+        F.col("1_n").alias("n_a"),
+        F.col("0_n").alias("n_b"),
+        F.col("1_h").alias("h_a"),
+        F.col("0_h").alias("h_b"),
+        F.round("1_tm", 6).alias("trimmed_mean_a"),
+        F.round("0_tm", 6).alias("trimmed_mean_b"),
+        F.round(diff, 6).alias("diff"),
+        F.round(t, 6).alias("t_stat"),
+        F.round(dfree, 6).alias("df"),
+        F.round(
+            F.when(t.isNotNull(), t_sf_udf(F.abs(t), dfree)), 6
+        ).alias("p_value"),
+    )
+    return track_cached(out, base)

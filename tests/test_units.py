@@ -10828,3 +10828,96 @@ def test_dimension_truncation_recall_replica(spark):
             df, "embedding", "vec_id", [float(x) for x in q],
             dims=(99,),
         )
+
+
+def test_hilbert_key_reference_and_locality(spark):
+    """with_hilbert_key matches the textbook xy2d algorithm on the
+    full 8x8 grid (a bijection onto 0..63), and the curve takes UNIT
+    steps: consecutive keys are always grid neighbors (|dx|+|dy| = 1)
+    - the locality property Z-order lacks (its max jump is large)."""
+    import itertools
+
+    from padua_spark.io_utils import with_hilbert_key, zorder_key
+
+    def xy2d(n_bits, x, y):
+        d = 0
+        s = 1 << (n_bits - 1)
+        while s > 0:
+            rx = 1 if (x & s) > 0 else 0
+            ry = 1 if (y & s) > 0 else 0
+            d += s * s * ((3 * rx) ^ ry)
+            if ry == 0:
+                if rx == 1:
+                    x = s - 1 - x
+                    y = s - 1 - y
+                x, y = y, x
+            s >>= 1
+        return d
+
+    pts = list(itertools.product(range(8), range(8)))
+    df = spark.createDataFrame(pts, ["x", "y"])
+    got = {
+        (r["x"], r["y"]): r["hilbert_key"]
+        for r in with_hilbert_key(df, "x", "y", bits=3).collect()
+    }
+    assert got == {(x, y): xy2d(3, x, y) for x, y in pts}
+    assert sorted(got.values()) == list(range(64))
+    by_key = {d: xy for xy, d in got.items()}
+    steps = [
+        abs(by_key[d + 1][0] - by_key[d][0])
+        + abs(by_key[d + 1][1] - by_key[d][1])
+        for d in range(63)
+    ]
+    assert all(s == 1 for s in steps)  # Hilbert: every step is unit
+    z = {
+        (r["x"], r["y"]): r["z"]
+        for r in df.select(
+            "x", "y", zorder_key("x", "y", bits=3).alias("z")
+        ).collect()
+    }
+    zby = {d: xy for xy, d in z.items()}
+    zsteps = [
+        abs(zby[d + 1][0] - zby[d][0]) + abs(zby[d + 1][1] - zby[d][1])
+        for d in range(63)
+    ]
+    assert max(zsteps) > 1  # Z-order jumps; Hilbert never does
+
+
+def test_yuen_trimmed_ttest_replica(spark):
+    """Yuen t/df against a numpy replica with the pinned
+    percentile-bound trimming semantics; detects a planted location
+    shift under heavy contamination where the shift is real."""
+    import numpy as np
+
+    from padua_spark.operators.stats import yuen_trimmed_ttest
+
+    rng = np.random.RandomState(14)
+    n = 500
+    a = rng.normal(10.6, 1, n)
+    b = rng.normal(10.0, 1, n)
+    # heavy symmetric contamination in both arms
+    a[:25] += rng.choice([-40, 40], 25)
+    b[:25] += rng.choice([-40, 40], 25)
+    rows = [("a", float(v)) for v in a] + [("b", float(v)) for v in b]
+    df = spark.createDataFrame(rows, ["g", "v"])
+    r = yuen_trimmed_ttest(df, "g", "v", "a", "b", trim=0.2).collect()[0]
+
+    def side(x):
+        lo, hi = np.percentile(x, [20, 80], method="linear")
+        inside = (x >= lo) & (x <= hi)
+        tm = x[inside].mean()
+        h = inside.sum()
+        w = np.clip(x, lo, hi)
+        s2w = w.var(ddof=1)
+        d = (len(x) - 1) * s2w / (h * (h - 1))
+        return tm, h, d
+
+    tma, ha, da = side(a)
+    tmb, hb, db = side(b)
+    t = (tma - tmb) / np.sqrt(da + db)
+    dfree = (da + db) ** 2 / (da**2 / (ha - 1) + db**2 / (hb - 1))
+    assert r["h_a"] == ha and r["h_b"] == hb
+    assert r["trimmed_mean_a"] == pytest.approx(tma, abs=1e-6)
+    assert r["t_stat"] == pytest.approx(t, abs=1e-5)
+    assert r["df"] == pytest.approx(dfree, rel=1e-5)
+    assert r["p_value"] < 1e-6  # robust to the planted outliers
