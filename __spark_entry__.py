@@ -25236,6 +25236,99 @@ def q_yuen_trimmed_ttest(spark, sf):
     )
 
 
+_PB_ORACLE = """
+WITH pts AS (
+  SELECT CAST(l_extendedprice AS DOUBLE) / 100.0 AS x,
+    CAST(l_extendedprice AS DOUBLE) * (1.0 + CAST(l_tax AS DOUBLE))
+      / 100.0 AS y
+  FROM lineitem
+  WHERE l_orderkey % 1999 = 0 AND l_extendedprice IS NOT NULL
+    AND l_tax IS NOT NULL
+),
+pairs AS (
+  SELECT a.x AS xa, a.y AS ya, b.x AS xb, b.y AS yb
+  FROM pts a JOIN pts b
+    ON (a.x < b.x) OR (a.x = b.x AND a.y < b.y)
+  WHERE a.x <> b.x
+),
+slopes AS (
+  SELECT (yb - ya) / (xb - xa) AS s FROM pairs
+  WHERE (yb - ya) / (xb - xa) <> -1.0
+),
+npts AS (SELECT CAST(count(*) AS BIGINT) AS np FROM pts),
+ranked AS (
+  SELECT s, row_number() OVER (ORDER BY s) AS rn FROM slopes
+),
+tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+    CAST(sum(CASE WHEN s < -1.0 THEN 1 ELSE 0 END) AS BIGINT) AS k
+  FROM slopes
+),
+bands AS (
+  SELECT t.n, t.k,
+    CASE WHEN t.n % 2 = 1
+      THEN CAST(floor((t.n + 1) / 2.0) AS BIGINT) + t.k
+      ELSE t.n // 2 + t.k END AS r1,
+    CASE WHEN t.n % 2 = 1
+      THEN CAST(floor((t.n + 1) / 2.0) AS BIGINT) + t.k
+      ELSE t.n // 2 + 1 + t.k END AS r2,
+    greatest(CAST(1 AS BIGINT),
+      CAST(ceil((CAST(t.n AS DOUBLE)
+        - 1.959963984540054 * sqrt(CAST(p.np AS DOUBLE)
+          * (p.np - 1) * (2 * p.np + 5) / 18.0)) / 2.0) AS BIGINT)
+      + t.k) AS rlo,
+    least(t.n,
+      t.n - CAST(ceil((CAST(t.n AS DOUBLE)
+        - 1.959963984540054 * sqrt(CAST(p.np AS DOUBLE)
+          * (p.np - 1) * (2 * p.np + 5) / 18.0)) / 2.0) AS BIGINT)
+      + 1 + t.k) AS rhi
+  FROM tot t, npts p
+),
+sel AS (
+  SELECT b.n, b.k,
+    (SELECT r.s FROM ranked r WHERE r.rn = b.r1) AS s1,
+    (SELECT r.s FROM ranked r WHERE r.rn = b.r2) AS s2,
+    (SELECT r.s FROM ranked r WHERE r.rn = b.rlo) AS slo,
+    (SELECT r.s FROM ranked r WHERE r.rn = b.rhi) AS shi
+  FROM bands b
+),
+withb AS (SELECT *, (s1 + s2) / 2.0 AS b FROM sel),
+icept AS (
+  SELECT quantile_cont(p.y - w.b * p.x, 0.5) AS a
+  FROM pts p, withb w
+)
+SELECT (SELECT np FROM npts) AS n_points,
+  w.n AS n_slopes, w.k AS k_neg,
+  round(w.b, 6) AS slope,
+  round(w.slo, 6) AS slope_lo,
+  round(w.shi, 6) AS slope_hi,
+  round(i.a, 6) AS intercept
+FROM withb w, icept i
+"""
+
+
+@_q("passing_bablok", _PB_ORACLE)
+def q_passing_bablok(spark, sf):
+    """Passing-Bablok nonparametric method-comparison line between
+    price and taxed price on a 1-in-1999 order sample
+    (stats.passing_bablok): shifted-median slope off the stepped
+    slope-domain cumsum, paper rank CI, exact median intercept."""
+    from padua_spark.operators.stats import passing_bablok
+
+    li = _t(spark, sf, "lineitem").where(
+        (F.col("l_orderkey") % 1999 == 0)
+        & F.col("l_extendedprice").isNotNull()
+        & F.col("l_tax").isNotNull()
+    ).select(
+        (F.col("l_extendedprice").cast("double") / 100.0).alias("x"),
+        (
+            F.col("l_extendedprice").cast("double")
+            * (1.0 + F.col("l_tax").cast("double")) / 100.0
+        ).alias("y"),
+    )
+    return passing_bablok(li, "x", "y", max_points=100_000)
+
+
 # ---------------------------------------------------------------------------
 
 

@@ -299,6 +299,7 @@ HEADLINE = [
     "windowed_control_check",
     "hilbert_key",
     "yuen_trimmed_ttest",
+    "passing_bablok",
     "longest_dup_substring",
     "nelson_aalen",
     "harrells_c",

@@ -11877,3 +11877,145 @@ def yuen_trimmed_ttest(
         ).alias("p_value"),
     )
     return track_cached(out, base)
+
+
+def passing_bablok(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    max_points: int | None = 20_000,
+    z: float = 1.959963984540054,
+    small_domain_threshold: int | None = None,
+) -> DataFrame:
+    """Passing–Bablok regression — the nonparametric method-comparison
+    line beside :func:`deming_regression` (Deming needs the error-
+    variance ratio and normality; PB needs neither and is invariant
+    to swapping the two assays): the slope is the SHIFTED median of
+    all pairwise slopes (Passing & Bablok 1983):
+
+    over all point pairs, ``S_ij = (y_j−y_i)/(x_j−x_i)``; pairs with
+    tied x are excluded (undefined slope — the Theil–Sen convention)
+    and slopes exactly −1 are discarded (the paper's rule; they carry
+    no orientation information); with ``K = #{S < −1}`` and N valid
+    slopes, ``b = S_{((N+1)/2+K)}`` for odd N, else the mean of the
+    two middle shifted order statistics; ``a = median(y − b·x)``
+    (exact two-middle interpolation). The slope CI uses the paper's
+    rank bounds ``C = z·√(n(n−1)(2n+5)/18)``,
+    ``M1 = ⌈(N−C)/2⌉, M2 = N−M1+1`` shifted by K.
+
+    **Scale contract**: pairs come from a self-join — O(n²) — so the
+    point count is ENFORCED ≤ ``max_points`` (method-comparison
+    datasets are small; pass ``None`` to opt out deliberately). The
+    order statistics come from the shared distributed stepped cumsum
+    over the SLOPE VALUE DOMAIN (never a single-task sort of the
+    pair frame). Output 1 row: ``(n_points, n_slopes, k_neg, slope,
+    slope_lo, slope_hi, intercept)``, 6dp.
+    """
+    from pyspark import StorageLevel
+
+    from padua_spark.io_utils import track_cached
+    from padua_spark.operators.normalization import group_medians
+
+    x = F.col(x_col).cast("double")
+    y = F.col(y_col).cast("double")
+    pts = df.where(x.isNotNull() & y.isNotNull()).select(
+        x.alias("_x"), y.alias("_y")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    n_pts = pts.count()
+    if max_points is not None and n_pts > max_points:
+        raise ValueError(
+            f"passing_bablok: {n_pts} points exceed "
+            f"max_points={max_points}; the pair join is O(n²) — "
+            "sample the comparison set or opt out deliberately"
+        )
+    a_side = pts.select(
+        F.col("_x").alias("_xa"), F.col("_y").alias("_ya")
+    )
+    b_side = pts.select(
+        F.col("_x").alias("_xb"), F.col("_y").alias("_yb")
+    )
+    pairs = a_side.join(
+        b_side,
+        (F.col("_xa") < F.col("_xb"))
+        | (
+            (F.col("_xa") == F.col("_xb"))
+            & (F.col("_ya") < F.col("_yb"))
+        ),
+    ).where(F.col("_xa") != F.col("_xb"))
+    slope = (F.col("_yb") - F.col("_ya")) / (
+        F.col("_xb") - F.col("_xa")
+    )
+    slopes = pairs.select(slope.alias("_s")).where(
+        F.col("_s") != -1.0
+    )
+    per = slopes.groupBy(F.col("_s").alias("_v")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("_c")
+    )
+    stepped = _stepped_running_counts(
+        per, "_v", ["_c"], small_domain_threshold
+    )
+    ktab = stepped.agg(
+        F.max("_c_tot").alias("_n"),
+        F.sum(
+            F.when(F.col("_v") < -1.0, F.col("_c")).otherwise(0)
+        ).cast("bigint").alias("_k"),
+    )
+    st2 = stepped.crossJoin(F.broadcast(ktab))
+    nN = F.col("_n")
+    kK = F.col("_k")
+    half = (nN + 1) / F.lit(2)
+    odd = nN % 2 == 1
+    # target ranks (1-based within the ordered slope list)
+    r_mid1 = F.when(odd, F.floor(half) + kK).otherwise(
+        nN / F.lit(2) + kK
+    ).cast("bigint")
+    r_mid2 = F.when(odd, F.floor(half) + kK).otherwise(
+        nN / F.lit(2) + 1 + kK
+    ).cast("bigint")
+    # C uses the POINT count (the Kendall S variance), not the
+    # slope count - mixing them explodes the rank band
+    npd = float(n_pts)
+    c_band = F.lit(
+        float(z) * (npd * (npd - 1.0) * (2.0 * npd + 5.0) / 18.0)
+        ** 0.5
+    )
+    m1 = F.ceil((nN.cast("double") - c_band) / 2.0).cast("bigint")
+    r_lo = F.greatest(F.lit(1).cast("bigint"), m1 + kK)
+    r_hi = F.least(nN, nN - m1 + 1 + kK)
+
+    def _pick(rank, name):
+        return F.min(
+            F.when(F.col("_c_run") >= rank, F.col("_v"))
+        ).alias(name)
+
+    sel = st2.agg(
+        F.max("_n").alias("_ns"),
+        F.max("_k").alias("_kn"),
+        _pick(r_mid1, "_s1"),
+        _pick(r_mid2, "_s2"),
+        _pick(r_lo, "_slo"),
+        _pick(r_hi, "_shi"),
+    )
+    b_val = (F.col("_s1") + F.col("_s2")) / 2.0
+    brow = sel.select(
+        "_ns", "_kn", b_val.alias("_b"), "_slo", "_shi"
+    )
+    resid = pts.crossJoin(F.broadcast(brow)).select(
+        F.lit(1).alias("_g"),
+        (F.col("_y") - F.col("_b") * F.col("_x")).alias("_r"),
+    )
+    med = group_medians(
+        resid, ["_g"], F.col("_r"), out_col="_a"
+    ).select("_a")
+    out = brow.crossJoin(F.broadcast(med)).select(
+        F.lit(n_pts).cast("bigint").alias("n_points"),
+        F.col("_ns").cast("bigint").alias("n_slopes"),
+        F.col("_kn").alias("k_neg"),
+        F.round("_b", 6).alias("slope"),
+        F.round("_slo", 6).alias("slope_lo"),
+        F.round("_shi", 6).alias("slope_hi"),
+        F.round("_a", 6).alias("intercept"),
+    )
+    return track_cached(
+        out, pts, *getattr(stepped, "_padua_cached", ())
+    )

@@ -10921,3 +10921,59 @@ def test_yuen_trimmed_ttest_replica(spark):
     assert r["t_stat"] == pytest.approx(t, abs=1e-5)
     assert r["df"] == pytest.approx(dfree, rel=1e-5)
     assert r["p_value"] < 1e-6  # robust to the planted outliers
+
+
+def test_passing_bablok_replica(spark):
+    """PB shifted-median slope/CI/intercept against a brute-force
+    python replica (lex pair rule, -1 exclusion, paper rank bands);
+    recovers a planted calibration line under outliers; the O(n^2)
+    bound raises."""
+    import math
+
+    import numpy as np
+
+    from padua_spark.operators.stats import passing_bablok
+
+    rng = np.random.RandomState(5)
+    n = 120
+    x = np.round(rng.uniform(1, 100, n), 2)
+    y = np.round(1.08 * x + 3 + rng.normal(0, 2, n), 2)
+    y[:6] += 60  # outliers PB shrugs off
+    df = spark.createDataFrame(
+        [(float(a), float(b)) for a, b in zip(x, y)], ["x", "y"]
+    )
+    r = passing_bablok(df, "x", "y").collect()[0]
+    S = []
+    for i in range(n):
+        for j in range(i + 1, n):
+            (xa, ya), (xb, yb) = sorted(
+                [(x[i], y[i]), (x[j], y[j])]
+            )
+            if xa == xb:
+                continue
+            s = (yb - ya) / (xb - xa)
+            if s == -1.0:
+                continue
+            S.append(s)
+    S.sort()
+    N, K = len(S), sum(1 for s in S if s < -1)
+    if N % 2 == 1:
+        b = S[(N + 1) // 2 + K - 1]
+    else:
+        b = 0.5 * (S[N // 2 + K - 1] + S[N // 2 + 1 + K - 1])
+    C = 1.959963984540054 * math.sqrt(n * (n - 1) * (2 * n + 5) / 18)
+    M1 = math.ceil((N - C) / 2)
+    assert r["n_slopes"] == N and r["k_neg"] == K
+    assert r["slope"] == pytest.approx(b, abs=1e-6)
+    assert r["slope_lo"] == pytest.approx(
+        S[max(0, M1 + K - 1)], abs=1e-6
+    )
+    assert r["slope_hi"] == pytest.approx(
+        S[min(N - 1, N - M1 + K)], abs=1e-6
+    )
+    assert r["intercept"] == pytest.approx(
+        float(np.median(y - b * x)), abs=1e-6
+    )
+    assert 1.0 < r["slope"] < 1.2  # outlier-robust calibration
+    with pytest.raises(ValueError, match="max_points"):
+        passing_bablok(df, "x", "y", max_points=10)
