@@ -25329,6 +25329,114 @@ def q_passing_bablok(spark, sf):
     return passing_bablok(li, "x", "y", max_points=100_000)
 
 
+def _lsh_eval_oracle() -> str:
+    truth_sql = _ORACLES["ngram_jaccard"].strip()
+    cand_sql = _minhash_oracle().strip()
+    return f"""
+WITH truth AS (
+  SELECT least(id_a, id_b) AS i, greatest(id_a, id_b) AS j
+  FROM ({truth_sql}) WHERE jaccard >= 0.5
+),
+cand0 AS (
+  SELECT DISTINCT least(id_a, id_b) AS i, greatest(id_a, id_b) AS j
+  FROM ({cand_sql})
+),
+blocks AS (
+  SELECT doc_id, lang,
+    CAST(floor(n_chars / 50.0) AS INTEGER) AS lb
+  FROM documents WHERE len(string_split(text, ' ')) >= 3
+),
+cand AS (
+  SELECT c.i, c.j FROM cand0 c
+  JOIN blocks a ON a.doc_id = c.i
+  JOIN blocks b ON b.doc_id = c.j
+  WHERE a.lang = b.lang AND a.lb = b.lb
+),
+counts AS (
+  SELECT (SELECT CAST(count(*) AS BIGINT) FROM truth) AS n_truth,
+    (SELECT CAST(count(*) AS BIGINT) FROM cand) AS n_cand,
+    (SELECT CAST(count(*) AS BIGINT)
+     FROM truth t JOIN cand c ON c.i = t.i AND c.j = t.j) AS n_hit
+)
+SELECT CAST(0.5 AS DOUBLE) AS threshold, n_truth,
+  n_cand AS n_candidates, n_hit,
+  round(CASE WHEN n_truth > 0
+    THEN CAST(n_hit AS DOUBLE) / n_truth END, 6) AS recall,
+  round(CASE WHEN n_cand > 0
+    THEN CAST(n_hit AS DOUBLE) / n_cand END, 6) AS precision
+FROM counts
+"""
+
+
+@_q("lsh_candidate_eval", _lsh_eval_oracle())
+def q_lsh_candidate_eval(spark, sf):
+    """Recall/precision of the MinHash LSH banding against the exact
+    within-block n-gram Jaccard truth at tau=0.5
+    (dedup.lsh_candidate_eval): composes the two green machines, one
+    canonical-pair join, one count roll-up."""
+    from padua_spark.extensions.dedup import lsh_candidate_eval
+
+    d = (
+        _t(spark, sf, "documents")
+        .filter(F.size(F.split(F.col("text"), " ")) >= 3)
+        .withColumn(
+            "len_bucket",
+            F.floor(F.col("n_chars") / F.lit(50.0)).cast("int"),
+        )
+    )
+    return lsh_candidate_eval(
+        d, "doc_id", "text", ["lang", "len_bucket"], threshold=0.5
+    )
+
+
+_VOCAB_CURVE_ORACLE = """
+WITH toks AS (
+  SELECT t AS tok, CAST(count(*) AS BIGINT) AS c
+  FROM (
+    SELECT unnest(list_filter(
+      string_split_regex(lower(trim(text)), '\\s+'),
+      x -> x <> '')) AS t
+    FROM documents WHERE text IS NOT NULL
+  ) GROUP BY 1
+),
+ranked AS (
+  SELECT c, row_number() OVER (ORDER BY c DESC, tok ASC) AS rn
+  FROM toks
+),
+tot AS (
+  SELECT CAST(sum(c) AS BIGINT) AS total,
+    CAST(count(*) AS BIGINT) AS vtypes
+  FROM toks
+),
+ks AS (
+  SELECT unnest([100, 1000, 10000]) AS k
+)
+SELECT CAST(ks.k AS BIGINT) AS k,
+  least(CAST(ks.k AS BIGINT), t.vtypes) AS n_types_used,
+  CAST((SELECT sum(r.c) FROM ranked r WHERE r.rn <= ks.k)
+    AS BIGINT) AS covered_tokens,
+  t.total AS total_tokens,
+  round(CAST((SELECT sum(r.c) FROM ranked r WHERE r.rn <= ks.k)
+    AS DOUBLE) / CAST(t.total AS DOUBLE), 6) AS coverage
+FROM ks, tot t
+"""
+
+
+@_q("vocabulary_coverage_curve", _VOCAB_CURVE_ORACLE)
+def q_vocabulary_coverage_curve(spark, sf):
+    """Top-k vocabulary coverage curve over the documents corpus
+    (text.vocabulary_coverage_curve): one token aggregation, then
+    everything on the count-domain stepped frame — the k-th boundary
+    resolved by exact arithmetic on the boundary row, never a sort
+    of the type table."""
+    from padua_spark.extensions.text import vocabulary_coverage_curve
+
+    d = _t(spark, sf, "documents")
+    return vocabulary_coverage_curve(
+        d, "text", ks=(100, 1000, 10000)
+    )
+
+
 # ---------------------------------------------------------------------------
 
 

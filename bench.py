@@ -300,6 +300,8 @@ HEADLINE = [
     "hilbert_key",
     "yuen_trimmed_ttest",
     "passing_bablok",
+    "lsh_candidate_eval",
+    "vocabulary_coverage_curve",
     "longest_dup_substring",
     "nelson_aalen",
     "harrells_c",

@@ -1759,3 +1759,107 @@ def ngram_novelty(
             6,
         ).alias("novelty_rate"),
     )
+
+
+def lsh_candidate_eval(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    block_cols: list[str],
+    threshold: float = 0.5,
+    k_shingle: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    seed: int = 7,
+) -> DataFrame:
+    """Candidate-quality audit of MinHash LSH against the exact
+    within-block n-gram Jaccard ground truth -- THE number to check
+    before trusting a banding configuration at corpus scale ("at my
+    (bands, rows-per-band) S-curve, what fraction of true >= tau
+    duplicate pairs does LSH actually surface, and how much junk
+    rides along?"):
+
+    ``truth`` = exact pairs with Jaccard >= ``threshold`` (within the
+    blocking key -- the evaluable region; LSH candidates OUTSIDE the
+    blocks can't be labeled and are excluded, documented);
+    ``recall = |cand INTERSECT truth| / |truth|``;
+    ``precision = |cand INTERSECT truth| / |cand within blocks|``.
+
+    Scale shape: composes the two independently-green machines --
+    banded-bucket candidate generation (never quadratic) and the
+    blocked exact Jaccard (bounded by the block sizes) -- plus one
+    join on the canonical (id_lo, id_hi) pair key and ONE count
+    aggregation. Output 1 row: ``(threshold, n_truth, n_candidates,
+    n_hit, recall, precision)``, 6dp; NULL rates where the
+    denominator is 0.
+    """
+    from padua_spark.io_utils import track_cached
+
+    la, lb = "id_a", "id_b"
+    exact = ngram_jaccard_pairs(
+        df, id_col, text_col, block_cols, k_shingle=k_shingle
+    )
+    truth = exact.where(
+        F.col("jaccard") >= float(threshold)
+    ).select(
+        F.least(F.col(la), F.col(lb)).alias("_i"),
+        F.greatest(F.col(la), F.col(lb)).alias("_j"),
+    ).persist()
+    cand_raw = minhash_lsh_candidates(
+        df, id_col, text_col, k_shingle=k_shingle,
+        num_hashes=num_hashes, bands=bands, seed=seed,
+    )
+    # restrict candidates to the evaluable region: same block key
+    blocks = df.select(
+        F.col(id_col).alias("_bid"), *block_cols
+    ).distinct()
+    ba = blocks.select(
+        F.col("_bid").alias("_i"),
+        *[F.col(c).alias(f"_ka_{c}") for c in block_cols],
+    )
+    bb = blocks.select(
+        F.col("_bid").alias("_j"),
+        *[F.col(c).alias(f"_kb_{c}") for c in block_cols],
+    )
+    same_block = None
+    for c in block_cols:
+        cond = F.col(f"_ka_{c}") == F.col(f"_kb_{c}")
+        same_block = cond if same_block is None else (same_block & cond)
+    cand = (
+        cand_raw.select(
+            F.least(F.col(la), F.col(lb)).alias("_i"),
+            F.greatest(F.col(la), F.col(lb)).alias("_j"),
+        )
+        .distinct()
+        .join(ba, on="_i")
+        .join(bb, on="_j")
+        .where(same_block)
+        .select("_i", "_j")
+        .persist()
+    )
+    n_truth = truth.count()
+    n_cand = cand.count()
+    hit = truth.join(cand, on=["_i", "_j"]).agg(
+        F.count(F.lit(1)).cast("bigint").alias("_h")
+    )
+    out = hit.select(
+        F.lit(float(threshold)).alias("threshold"),
+        F.lit(n_truth).cast("bigint").alias("n_truth"),
+        F.lit(n_cand).cast("bigint").alias("n_candidates"),
+        F.col("_h").alias("n_hit"),
+        F.round(
+            F.when(
+                F.lit(n_truth) > 0,
+                F.col("_h").cast("double") / float(max(n_truth, 1)),
+            ),
+            6,
+        ).alias("recall"),
+        F.round(
+            F.when(
+                F.lit(n_cand) > 0,
+                F.col("_h").cast("double") / float(max(n_cand, 1)),
+            ),
+            6,
+        ).alias("precision"),
+    )
+    return track_cached(out, truth, cand)

@@ -2383,3 +2383,91 @@ def dictionary_coverage(
             6,
         ).alias("oov_type_rate"),
     )
+
+
+def vocabulary_coverage_curve(
+    df: DataFrame,
+    text_col: str,
+    ks: tuple[int, ...] = (100, 1000, 10000, 100000),
+) -> DataFrame:
+    """Vocabulary coverage curve — what fraction of the corpus's
+    token OCCURRENCES the top-k most frequent types cover, for each
+    k ("how big must the vocab be before OOV is negligible?", the
+    sizing companion to :func:`good_turing`'s unseen-mass and
+    :func:`dictionary_coverage`'s fixed-vocab audit):
+
+    types ranked by (count DESC, token ASC — pinned total order so
+    the k-th boundary is deterministic under count ties);
+    ``coverage(k) = Σ_{top k} count / Σ count``.
+
+    Scale shape: one token aggregation, then everything lives on the
+    COUNT-DOMAIN frame: per distinct count the number of types and
+    their mass, a distributed stepped cumsum ordered by count
+    descending, and ONE pass picking each k's boundary — the
+    boundary count's ties are resolved by adding the exact number of
+    boundary-type tokens taken in token order (plain arithmetic on
+    the boundary row; no sort of the type table). Output per k:
+    ``(k, n_types_used, covered_tokens, total_tokens, coverage)``,
+    6dp.
+    """
+    from functools import reduce
+
+    from padua_spark.io_utils import track_cached
+    from padua_spark.operators.stats import _stepped_running_counts
+
+    t = F.col(text_col)
+    toks = (
+        df.where(t.isNotNull())
+        .select(F.explode(tokens(F.lower(t))).alias("_tok"))
+        .where(F.col("_tok") != "")
+        .groupBy("_tok")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("_c"))
+    )
+    # count-domain frame: per distinct count, #types and token mass;
+    # per-type mass at the boundary count is the count itself
+    per = toks.groupBy((-F.col("_c")).alias("_negc")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("_ntypes"),
+        F.sum("_c").cast("bigint").alias("_mass"),
+    )
+    stepped = _stepped_running_counts(
+        per, "_negc", ["_ntypes", "_mass"], None
+    ).persist()
+    branches = []
+    for k in ks:
+        k = int(k)
+        # boundary row: the distinct count where the cumulative type
+        # count first reaches k (or the last row when vocab < k)
+        take_types = F.least(
+            F.lit(k) - (F.col("_ntypes_run") - F.col("_ntypes")),
+            F.col("_ntypes"),
+        )
+        # exactly ONE boundary row satisfies run >= k > run - ntypes
+        covered = F.when(
+            (F.col("_ntypes_run") >= k)
+            & (F.col("_ntypes_run") - F.col("_ntypes") < k),
+            (F.col("_mass_run") - F.col("_mass"))
+            + take_types * (-F.col("_negc")),
+        )
+        agg = stepped.agg(
+            F.max(covered).alias("_cov"),
+            F.max("_mass_tot").alias("_tot"),
+            F.max("_ntypes_tot").alias("_vtypes"),
+        )
+        branches.append(
+            agg.select(
+                F.lit(k).cast("bigint").alias("k"),
+                F.least(F.lit(k).cast("bigint"), F.col("_vtypes"))
+                .alias("n_types_used"),
+                F.coalesce(F.col("_cov"), F.col("_tot"))
+                .cast("bigint").alias("covered_tokens"),
+                F.col("_tot").alias("total_tokens"),
+                F.round(
+                    F.coalesce(F.col("_cov"), F.col("_tot"))
+                    .cast("double")
+                    / F.col("_tot").cast("double"),
+                    6,
+                ).alias("coverage"),
+            )
+        )
+    out = reduce(lambda a, b: a.unionAll(b), branches)
+    return track_cached(out, stepped)

@@ -10977,3 +10977,56 @@ def test_passing_bablok_replica(spark):
     assert 1.0 < r["slope"] < 1.2  # outlier-robust calibration
     with pytest.raises(ValueError, match="max_points"):
         passing_bablok(df, "x", "y", max_points=10)
+
+
+def test_lsh_eval_and_vocab_curve(spark):
+    """lsh_candidate_eval on a tiny planted corpus: near-dup pairs in
+    the truth are recovered with high recall (the banding S-curve at
+    32/8 catches >= 0.5 Jaccard); vocabulary_coverage_curve matches a
+    Counter replica including the boundary-tie arithmetic."""
+    import collections
+
+    from padua_spark.extensions.dedup import lsh_candidate_eval
+    from padua_spark.extensions.text import vocabulary_coverage_curve
+
+    base = "the quick brown fox jumps over a lazy dog near the river"
+    docs = []
+    for i in range(12):
+        docs.append((2 * i, "g", base + f" tail{i}"))
+        docs.append((2 * i + 1, "g", base + f" tail{i} extra"))
+    for i in range(24, 40):
+        docs.append((i, "g", f"document {i} about topic {i * 7} "
+                             f"entirely different words {i * 13}"))
+    df = spark.createDataFrame(docs, ["doc_id", "text_col", "text"]) \
+        .select("doc_id", F.col("text_col").alias("blk"), "text")
+    # threshold 0.8: truth = the near-identical (2i, 2i+1) pairs
+    # (one-word edits, jaccard ~0.9) where the 32/8 S-curve is ~1;
+    # the ~0.5-0.7 cross-tail pairs sit on the S-curve's 50% zone
+    # and would make a recall assertion flaky
+    r = lsh_candidate_eval(
+        df, "doc_id", "text", ["blk"], threshold=0.8
+    ).collect()[0]
+    assert r["n_truth"] > 0
+    assert r["recall"] is not None and r["recall"] >= 0.9
+    assert r["n_hit"] <= r["n_candidates"]
+    # vocab curve replica
+    cnt = collections.Counter(
+        w for _, _, t in docs for w in t.lower().split()
+    )
+    total = sum(cnt.values())
+    got = {
+        row["k"]: row
+        for row in vocabulary_coverage_curve(
+            df, "text", ks=(3, 10, 10000)
+        ).collect()
+    }
+    ordered = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))
+    for k in (3, 10):
+        cov = sum(c for _, c in ordered[:k])
+        assert got[k]["covered_tokens"] == cov, k
+        assert got[k]["coverage"] == pytest.approx(
+            cov / total, abs=1e-6
+        )
+    assert got[10000]["covered_tokens"] == total
+    assert got[10000]["n_types_used"] == len(cnt)
+    assert got[10000]["coverage"] == pytest.approx(1.0)
