@@ -25437,6 +25437,149 @@ def q_vocabulary_coverage_curve(spark, sf):
     )
 
 
+_FAIRNESS_ORACLE = """
+WITH base AS (
+  SELECT CAST(user_id % 3 AS BIGINT) AS grp,
+    CASE WHEN event_type IN ('click', 'view') THEN 1 ELSE 0 END AS y,
+    CASE WHEN value > 100 THEN 1 ELSE 0 END AS p
+  FROM events
+  WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+    AND value IS NOT NULL
+),
+per AS (
+  SELECT grp, CAST(count(*) AS BIGINT) AS n,
+    CAST(sum(y) AS BIGINT) AS pos,
+    CAST(sum(p) AS BIGINT) AS pp,
+    CAST(sum(y * p) AS BIGINT) AS tp,
+    CAST(sum((1 - y) * p) AS BIGINT) AS fp
+  FROM base GROUP BY 1
+),
+rates AS (
+  SELECT grp, n,
+    CAST(pos AS DOUBLE) / n AS br,
+    CAST(pp AS DOUBLE) / n AS ppr,
+    CASE WHEN pos > 0 THEN CAST(tp AS DOUBLE) / pos END AS tpr,
+    CASE WHEN n - pos > 0 THEN CAST(fp AS DOUBLE) / (n - pos)
+      END AS fpr
+  FROM per
+),
+ref AS (
+  SELECT ppr AS rppr, tpr AS rtpr, fpr AS rfpr
+  FROM rates WHERE grp = 0
+)
+SELECT r.grp AS "group", r.n,
+  round(r.br, 6) AS base_rate,
+  round(r.ppr, 6) AS ppr,
+  round(r.tpr, 6) AS tpr,
+  round(r.fpr, 6) AS fpr,
+  round(r.ppr - f.rppr, 6) AS dp_gap,
+  round(r.tpr - f.rtpr, 6) AS tpr_gap,
+  round(r.fpr - f.rfpr, 6) AS fpr_gap
+FROM rates r, ref f
+"""
+
+
+@_q("fairness_report", _FAIRNESS_ORACLE)
+def q_fairness_report(spark, sf):
+    """Group-fairness disparity audit of a threshold classifier over
+    user-parity pseudo-groups (features.fairness_report): per-group
+    confusion counts, demographic-parity / equal-opportunity /
+    equalized-odds gaps vs group 0."""
+    from padua_spark.extensions.features import fairness_report
+
+    e = _t(spark, sf, "events").where(
+        F.col("user_id").isNotNull()
+        & F.col("event_type").isNotNull()
+        & F.col("value").isNotNull()
+    ).select(
+        (F.col("user_id") % 3).cast("bigint").alias("grp"),
+        F.col("event_type").isin("click", "view")
+        .cast("int").alias("y"),
+        (F.col("value") > 100).cast("int").alias("p"),
+    )
+    return fairness_report(e, "grp", "y", "p", 0)
+
+
+def _mmd_oracle(n_perms: int = 49) -> str:
+    M = 2_147_483_647
+    A = 48_271
+    h0 = f"(((vec_id % {M}) + b * 1000003) % {M})"
+    h1 = f"(({h0} * {h0}) % {M})"
+    h2 = f"((({h1} * {A}) + {h0}) % {M})"
+    h3 = f"(({h2} * {h2}) % {M})"
+    return f"""
+WITH base AS (
+  SELECT vec_id, CAST(label % 2 AS INTEGER) AS a,
+    CAST(embedding AS DOUBLE[]) AS v
+  FROM embeddings WHERE embedding IS NOT NULL
+),
+ex AS (
+  SELECT b.vec_id, b.a, t.d, b.v[t.d] AS x
+  FROM base b, unnest(generate_series(1, len(b.v))) t(d)
+),
+per AS (
+  SELECT d,
+    sum(CASE WHEN a = 1 THEN x ELSE 0.0 END) AS sa,
+    sum(CASE WHEN a = 0 THEN x ELSE 0.0 END) AS sb,
+    CAST(sum(a) AS BIGINT) AS na,
+    CAST(sum(1 - a) AS BIGINT) AS nb
+  FROM ex GROUP BY 1
+),
+obs AS (
+  SELECT max(na) AS na, max(nb) AS nb,
+    CAST(count(*) AS BIGINT) AS dim,
+    sum(pow(sa / na - sb / nb, 2)) AS mmd2
+  FROM per
+),
+pex AS (
+  SELECT t.b,
+    CASE WHEN {h3} < {M // 2} THEN 1 ELSE 0 END AS pa,
+    u.d, base.v[u.d] AS x
+  FROM base, range(1, {n_perms + 1}) t(b),
+    unnest(generate_series(1, len(base.v))) u(d)
+),
+pper AS (
+  SELECT b, d,
+    sum(CASE WHEN pa = 1 THEN x ELSE 0.0 END) AS sa,
+    sum(CASE WHEN pa = 0 THEN x ELSE 0.0 END) AS sb,
+    CAST(sum(pa) AS BIGINT) AS na,
+    CAST(sum(1 - pa) AS BIGINT) AS nb
+  FROM pex GROUP BY 1, 2
+),
+pmmd AS (
+  SELECT b, sum(pow(sa / na - sb / nb, 2)) AS m2b
+  FROM pper WHERE na > 0 AND nb > 0 GROUP BY 1
+)
+SELECT o.na AS n_a, o.nb AS n_b, o.dim,
+  round(o.mmd2, 9) AS mmd2,
+  round(CAST((SELECT sum(CASE WHEN p.m2b >= o.mmd2 THEN 1 ELSE 0
+    END) FROM pmmd p) + 1 AS DOUBLE) / {n_perms + 1}.0, 6)
+    AS p_value,
+  {n_perms} AS n_perms
+FROM obs o
+"""
+
+
+@_q("embedding_mmd", _mmd_oracle())
+def q_embedding_mmd(spark, sf):
+    """Linear-kernel MMD two-sample test between even/odd-label
+    embedding sub-corpora (similarity.embedding_mmd): mean embeddings
+    as kernel mean maps, 49 deterministic Lehmer-hash label
+    re-randomizations for p."""
+    from padua_spark.extensions.similarity import embedding_mmd
+
+    emb = _t(spark, sf, "embeddings").where(
+        F.col("embedding").isNotNull()
+    ).select(
+        "vec_id",
+        (F.col("label") % 2).cast("int").alias("grp"),
+        "embedding",
+    )
+    return embedding_mmd(
+        emb, "embedding", "grp", 1, 0, id_col="vec_id", n_perms=49
+    )
+
+
 # ---------------------------------------------------------------------------
 
 

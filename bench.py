@@ -302,6 +302,8 @@ HEADLINE = [
     "passing_bablok",
     "lsh_candidate_eval",
     "vocabulary_coverage_curve",
+    "fairness_report",
+    "embedding_mmd",
     "longest_dup_substring",
     "nelson_aalen",
     "harrells_c",

@@ -816,3 +816,77 @@ def coec_position_bias(
             6,
         ).alias("coec"),
     )
+
+
+def fairness_report(
+    df: DataFrame,
+    group_col: str,
+    label_col: str,
+    pred_col: str,
+    reference_group,
+) -> DataFrame:
+    """Group-fairness audit of a binary classifier — the standard
+    disparity dashboard (demographic parity, equal opportunity,
+    equalized odds) per protected-attribute group against a declared
+    reference group:
+
+    per group: ``n``, ``base_rate`` (P(y=1)), ``ppr`` (predicted
+    positive rate — demographic parity's quantity), ``tpr`` / ``fpr``
+    (equal opportunity / equalized odds), and the three gaps vs the
+    reference group (``group − reference``; the reference row shows
+    0 gaps). Rates NULL where their denominator is 0 (no positives /
+    negatives in the group), and that group's gap is NULL too —
+    never silently 0.
+
+    ONE aggregation to the per-group confusion counts (bounded:
+    protected attributes have small domains), one broadcast of the
+    reference row. Output per group: ``(group, n, base_rate, ppr,
+    tpr, fpr, dp_gap, tpr_gap, fpr_gap)``, 6dp.
+
+    Beyond the reference; standard per Hardt, Price & Srebro 2016 /
+    Barocas, Hardt & Narayanan (Fairness and Machine Learning).
+    """
+    from padua_spark.io_utils import track_cached
+
+    g = F.col(group_col)
+    y = F.col(label_col).cast("int")
+    p = F.col(pred_col).cast("int")
+    per = (
+        df.where(g.isNotNull() & y.isNotNull() & p.isNotNull())
+        .groupBy(g.alias("group"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(y).cast("bigint").alias("_pos"),
+            F.sum(p).cast("bigint").alias("_pp"),
+            F.sum(y * p).cast("bigint").alias("_tp"),
+            F.sum((1 - y) * p).cast("bigint").alias("_fp"),
+        )
+    )
+    nd = F.col("n").cast("double")
+    posd = F.col("_pos").cast("double")
+    negd = (F.col("n") - F.col("_pos")).cast("double")
+    rates = per.select(
+        "group", "n",
+        (posd / nd).alias("_br"),
+        (F.col("_pp").cast("double") / nd).alias("_ppr"),
+        F.when(posd > 0, F.col("_tp").cast("double") / posd)
+        .alias("_tpr"),
+        F.when(negd > 0, F.col("_fp").cast("double") / negd)
+        .alias("_fpr"),
+    )
+    ref = rates.where(F.col("group") == reference_group).select(
+        F.col("_ppr").alias("_rppr"),
+        F.col("_tpr").alias("_rtpr"),
+        F.col("_fpr").alias("_rfpr"),
+    )
+    out = rates.crossJoin(F.broadcast(ref)).select(
+        "group", "n",
+        F.round("_br", 6).alias("base_rate"),
+        F.round("_ppr", 6).alias("ppr"),
+        F.round("_tpr", 6).alias("tpr"),
+        F.round("_fpr", 6).alias("fpr"),
+        F.round(F.col("_ppr") - F.col("_rppr"), 6).alias("dp_gap"),
+        F.round(F.col("_tpr") - F.col("_rtpr"), 6).alias("tpr_gap"),
+        F.round(F.col("_fpr") - F.col("_rfpr"), 6).alias("fpr_gap"),
+    )
+    return track_cached(out)

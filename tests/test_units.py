@@ -11030,3 +11030,67 @@ def test_lsh_eval_and_vocab_curve(spark):
     assert got[10000]["covered_tokens"] == total
     assert got[10000]["n_types_used"] == len(cnt)
     assert got[10000]["coverage"] == pytest.approx(1.0)
+
+
+def test_fairness_and_mmd_replicas(spark):
+    """fairness_report gaps against direct numpy rates on planted
+    disparate groups; embedding_mmd detects a planted mean shift
+    (small p) and accepts identical distributions (large p), mmd2
+    matching the numpy mean-difference norm."""
+    import numpy as np
+
+    from padua_spark.extensions.features import fairness_report
+    from padua_spark.extensions.similarity import embedding_mmd
+
+    rng = np.random.RandomState(23)
+    n = 3000
+    g = rng.randint(0, 2, n)
+    y = (rng.uniform(size=n) < 0.5).astype(int)
+    # group 1 gets systematically more positive predictions
+    p = ((rng.uniform(size=n) + 0.2 * g) > 0.6).astype(int)
+    df = spark.createDataFrame(
+        [(int(a), int(b), int(c)) for a, b, c in zip(g, y, p)],
+        ["g", "y", "p"],
+    )
+    got = {
+        r["group"]: r
+        for r in fairness_report(df, "g", "y", "p", 0).collect()
+    }
+    for gg in (0, 1):
+        m = g == gg
+        assert got[gg]["ppr"] == pytest.approx(
+            p[m].mean(), abs=1e-6
+        )
+        assert got[gg]["tpr"] == pytest.approx(
+            p[m & (y == 1)].mean(), abs=1e-6
+        )
+    assert got[0]["dp_gap"] == pytest.approx(0.0, abs=1e-9)
+    assert got[1]["dp_gap"] == pytest.approx(
+        p[g == 1].mean() - p[g == 0].mean(), abs=1e-6
+    )
+    assert got[1]["dp_gap"] > 0.1  # planted disparity surfaced
+    # MMD
+    na, nb, d = 300, 300, 8
+    A = rng.normal(0, 1, (na, d))
+    Bv = rng.normal(0.4, 1, (nb, d))  # planted shift
+    rows = [
+        (i, 1, [float(x) for x in A[i]]) for i in range(na)
+    ] + [
+        (na + i, 0, [float(x) for x in Bv[i]]) for i in range(nb)
+    ]
+    edf = spark.createDataFrame(rows, ["id", "grp", "v"])
+    r = embedding_mmd(
+        edf, "v", "grp", 1, 0, id_col="id", n_perms=49
+    ).collect()[0]
+    mmd2 = float(((A.mean(0) - Bv.mean(0)) ** 2).sum())
+    assert r["mmd2"] == pytest.approx(mmd2, abs=1e-9)
+    assert r["p_value"] == pytest.approx(1 / 50, abs=1e-9)
+    # null: both halves from the same distribution
+    rows0 = [
+        (i, int(i % 2), [float(x) for x in A[i]]) for i in range(na)
+    ]
+    edf0 = spark.createDataFrame(rows0, ["id", "grp", "v"])
+    r0 = embedding_mmd(
+        edf0, "v", "grp", 1, 0, id_col="id", n_perms=49
+    ).collect()[0]
+    assert r0["p_value"] > 0.1
