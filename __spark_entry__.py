@@ -24811,7 +24811,7 @@ def _gsea_oracle(n_perms: int = 19) -> str:
 WITH base AS (
   SELECT p_partkey AS id, CAST(p_retailprice AS DOUBLE) AS s,
     abs(CAST(p_retailprice AS DOUBLE)) AS w,
-    CASE WHEN p_type LIKE '%BRASS%' THEN 1 ELSE 0 END AS h
+    CASE WHEN p_type = 'PROMO' THEN 1 ELSE 0 END AS h
   FROM part WHERE p_retailprice IS NOT NULL
 ),
 tot AS (
@@ -24888,7 +24888,7 @@ FROM esv e, best b, summary s
 
 @_q("gsea_prerank", _gsea_oracle())
 def q_gsea_prerank(spark, sf):
-    """GSEA pre-ranked running-sum enrichment of BRASS parts in the
+    """GSEA pre-ranked running-sum enrichment of PROMO parts in the
     retail-price ranking (stats.gsea_prerank): weighted P_hit vs
     P_miss deviation, earliest-rank max, 19 deterministic Lehmer-hash
     label re-randomizations for p/NES — the engine-native face of the
@@ -24900,7 +24900,7 @@ def q_gsea_prerank(spark, sf):
     ).select(
         F.col("p_partkey").alias("id"),
         F.col("p_retailprice").cast("double").alias("s"),
-        F.col("p_type").contains("BRASS").cast("int").alias("h"),
+        (F.col("p_type") == "PROMO").cast("int").alias("h"),
     )
     return gsea_prerank(p, "id", "s", "h", n_perms=19)
 

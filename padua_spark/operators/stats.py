@@ -11664,8 +11664,9 @@ def gsea_prerank(
             "to the feature domain or raise the bound deliberately"
         )
     if n == 0 or nh == 0 or nh == n:
-        out = base.limit(0).select(
-            F.lit(n).alias("n"), F.lit(nh).alias("n_hit"),
+        out = base.sparkSession.range(1).select(
+            F.lit(n).cast("bigint").alias("n"),
+            F.lit(nh).cast("bigint").alias("n_hit"),
             F.lit(None).cast("double").alias("es"),
             F.lit(None).cast("bigint").alias("es_rank"),
             F.lit(None).cast("double").alias("nes"),

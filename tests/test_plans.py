@@ -522,6 +522,13 @@ def test_no_cartesian_products_anywhere(spark):
         # 1-row trapezoid-Gini total broadcast onto the value-domain
         # curve table (the roc_points shape)
         "lorenz_curve",
+        # 1-row totals/max frames broadcast onto bounded stepped /
+        # observed frames (constant-key joins fold to BNLJ)
+        "passing_bablok", "gsea_prerank",
+        # 1-row observed-MMD frame crossed into the B-row perm frame
+        "embedding_mmd",
+        # 1-row reference-group rates broadcast onto the k-group frame
+        "fairness_report",
     }
     bad = {}
     for name, fn in em.queries().items():
