@@ -24630,7 +24630,10 @@ def q_seasonal_mann_kendall(spark, sf):
     )
 
 
-_COX_STUART_ORACLE = """
+def _cox_stuart_oracle(max_support: int = 200_000) -> str:
+    lp_i = _log_choose_sql("mc", "i") + " + mc * ln(0.5)"
+    lp_k = _log_choose_sql("mc", "kc") + " + mc * ln(0.5)"
+    return f"""
 WITH base AS (
   SELECT l_returnflag AS grp, CAST(l_quantity AS DOUBLE) AS v,
     CAST(row_number() OVER (PARTITION BY l_returnflag
@@ -24651,32 +24654,57 @@ pairs AS (
   WHERE a.t <= CAST(floor(CAST(a.n AS DOUBLE) / 2.0) AS BIGINT)
   GROUP BY 1, 2
 ),
-folded AS (
-  SELECT grp, n, n_pos, n_neg, n_pos + n_neg AS m,
-    (SELECT sum(CASE WHEN lgamma(CAST(p.n_pos + p.n_neg + 1 AS DOUBLE))
-        - lgamma(CAST(i + 1 AS DOUBLE))
-        - lgamma(CAST(p.n_pos + p.n_neg - i + 1 AS DOUBLE))
-        + CAST(p.n_pos + p.n_neg AS DOUBLE) * ln(0.5)
-        <= lgamma(CAST(p.n_pos + p.n_neg + 1 AS DOUBLE))
-         - lgamma(CAST(p.n_pos + 1 AS DOUBLE))
-         - lgamma(CAST(p.n_neg + 1 AS DOUBLE))
-         + CAST(p.n_pos + p.n_neg AS DOUBLE) * ln(0.5)
-         + 9.999999505838704e-08
-      THEN exp(lgamma(CAST(p.n_pos + p.n_neg + 1 AS DOUBLE))
-        - lgamma(CAST(i + 1 AS DOUBLE))
-        - lgamma(CAST(p.n_pos + p.n_neg - i + 1 AS DOUBLE))
-        + CAST(p.n_pos + p.n_neg AS DOUBLE) * ln(0.5))
-      ELSE 0.0 END)
-     FROM unnest(range(0, p.n_pos + p.n_neg + 1)) AS u(i)) AS ptwo
-  FROM pairs p
+st AS (
+  SELECT *, n_pos + n_neg AS m,
+    n_pos + n_neg <= {int(max_support)} AS is_exact,
+    CASE WHEN n_pos + n_neg <= {int(max_support)}
+      THEN n_pos + n_neg ELSE CAST(0 AS BIGINT) END AS mc,
+    CASE WHEN n_pos + n_neg <= {int(max_support)}
+      THEN n_pos ELSE CAST(0 AS BIGINT) END AS kc
+  FROM pairs
+),
+rows_i AS (
+  SELECT st.*, unnest(generate_series(CAST(0 AS BIGINT), mc)) AS i
+  FROM st
+),
+terms AS (
+  SELECT grp, n, n_pos, n_neg, m, is_exact, mc, kc, i,
+    ({lp_i}) AS lp, ({lp_k}) AS lpk
+  FROM rows_i
+),
+pfold AS (
+  SELECT grp, n, n_pos, n_neg, max(m) AS m,
+    bool_and(is_exact) AS is_exact,
+    sum(CASE WHEN lp <= lpk + 9.999999505838704e-08
+        THEN exp(lp) ELSE 0.0 END ORDER BY i) AS pt
+  FROM terms GROUP BY 1, 2, 3, 4
+),
+zt AS (
+  SELECT *,
+    greatest(0.0,
+      abs(2.0 * CAST(n_pos AS DOUBLE) - CAST(m AS DOUBLE)) - 1.0)
+      / sqrt(CAST(m AS DOUBLE)) AS z
+  FROM pfold
+),
+e AS (
+  SELECT *, z / sqrt(2.0) AS xx,
+    1.0 / (1.0 + 0.3275911 * (z / sqrt(2.0))) AS t
+  FROM zt
 )
 SELECT grp AS l_returnflag, n, m AS n_pairs, n_pos, n_neg,
-  round(CASE WHEN m > 0 THEN least(1.0, ptwo) END, 6) AS p_value
-FROM folded
+  CASE WHEN is_exact THEN 'exact' ELSE 'normal' END AS method,
+  round(CASE WHEN m <= 0 THEN NULL
+             WHEN is_exact THEN least(pt, 1.0)
+             ELSE least(
+    (0.254829592 * t + -0.284496736 * t * t
+     + 1.421413741 * t * t * t + -1.453152027 * t * t * t * t
+     + 1.061405429 * t * t * t * t * t) * exp(-xx * xx), 1.0) END, 6)
+    AS p_value
+FROM e
 """
 
 
-@_q("cox_stuart_trend", _COX_STUART_ORACLE)
+@_q("cox_stuart_trend", _cox_stuart_oracle())
 def q_cox_stuart_trend(spark, sf):
     """Cox-Stuart paired-halves trend test of quantities per return
     flag in shipdate order (temporal.cox_stuart_trend): one row_number
@@ -24689,6 +24717,22 @@ def q_cox_stuart_trend(spark, sf):
         li, ["l_returnflag"],
         ["l_shipdate", "l_orderkey", "l_linenumber", "l_quantity"],
         "l_quantity",
+    )
+
+
+@_q("cox_stuart_normal", _cox_stuart_oracle(max_support=1_000))
+def q_cox_stuart_normal(spark, sf):
+    """The same Cox-Stuart test FORCED onto the continuity-corrected
+    normal branch (max_support=1000 < the pair counts at every sf) -
+    the gate that keeps the big-m regime oracle-checked, mirroring
+    sign_test_normal."""
+    from padua_spark.operators.temporal import cox_stuart_trend
+
+    li = _t(spark, sf, "lineitem")
+    return cox_stuart_trend(
+        li, ["l_returnflag"],
+        ["l_shipdate", "l_orderkey", "l_linenumber", "l_quantity"],
+        "l_quantity", max_support=1_000,
     )
 
 
@@ -25577,6 +25621,84 @@ def q_embedding_mmd(spark, sf):
     )
     return embedding_mmd(
         emb, "embedding", "grp", 1, 0, id_col="vec_id", n_perms=49
+    )
+
+
+def _binseg_oracle(rounds: int = 2, min_seg: int = 100) -> str:
+    parts = []
+    for r in range(rounds):
+        parts.append(f"""
+st{r} AS (
+  SELECT grp, seg, pos, v,
+    sum(v) OVER w AS s1, sum(v * v) OVER w AS s2,
+    CAST(row_number() OVER wo AS BIGINT) AS i,
+    sum(v) OVER wf AS g1, sum(v * v) OVER wf AS g2,
+    CAST(count(*) OVER wf AS BIGINT) AS m
+  FROM c{r}
+  WINDOW wo AS (PARTITION BY grp, seg ORDER BY pos),
+    w AS (PARTITION BY grp, seg ORDER BY pos
+          ROWS UNBOUNDED PRECEDING),
+    wf AS (PARTITION BY grp, seg)
+),
+cand{r} AS (
+  SELECT grp, seg, pos,
+    (g2 - g1 * g1 / CAST(m AS DOUBLE))
+    - ((s2 - s1 * s1 / CAST(i AS DOUBLE))
+       + ((g2 - s2) - (g1 - s1) * (g1 - s1)
+          / (CAST(m AS DOUBLE) - CAST(i AS DOUBLE)))) AS gain
+  FROM st{r}
+  WHERE i >= {min_seg} AND m - i >= {min_seg}
+),
+best{r} AS (
+  SELECT grp, seg AS bseg, pos AS bpos FROM (
+    SELECT grp, seg, pos, gain,
+      row_number() OVER (PARTITION BY grp
+        ORDER BY gain DESC, seg ASC, pos ASC) AS rn
+    FROM cand{r}
+  ) WHERE rn = 1 AND gain >= 0.0
+),
+c{r + 1} AS MATERIALIZED (
+  SELECT c.grp, c.pos, c.v,
+    CASE WHEN b.bseg IS NOT NULL AND c.seg = b.bseg
+      AND c.pos > b.bpos THEN b.bpos + 1 ELSE c.seg END AS seg
+  FROM c{r} c LEFT JOIN best{r} b ON b.grp = c.grp
+)""")
+        chain = ",\n".join(parts)
+    return f"""
+WITH c0 AS MATERIALIZED (
+  SELECT l_returnflag AS grp,
+    CAST(row_number() OVER (PARTITION BY l_returnflag
+      ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity)
+      AS BIGINT) AS pos,
+    CAST(l_quantity AS DOUBLE) AS v,
+    CAST(1 AS BIGINT) AS seg
+  FROM lineitem WHERE l_quantity IS NOT NULL
+),
+{chain}
+SELECT grp AS l_returnflag,
+  CAST(min(pos) AS BIGINT) AS seg_start,
+  CAST(max(pos) AS BIGINT) AS seg_end,
+  CAST(count(*) AS BIGINT) AS n,
+  round(avg(v), 6) AS mean
+FROM c{rounds} GROUP BY grp, seg
+"""
+
+
+@_q("binary_segmentation", _binseg_oracle())
+def q_binary_segmentation(spark, sf):
+    """Two rounds of binary segmentation on quantities per return
+    flag in shipdate order (temporal.binary_segmentation): per-round
+    prefix-sum window + argmax-gain roll-up + broadcast relabel,
+    localCheckpoint plan truncation between rounds; pure-ranking
+    gain rule (min_gain_frac=0) so both engines accept identically."""
+    from padua_spark.operators.temporal import binary_segmentation
+
+    li = _t(spark, sf, "lineitem")
+    return binary_segmentation(
+        li, ["l_returnflag"],
+        ["l_shipdate", "l_orderkey", "l_linenumber", "l_quantity"],
+        "l_quantity",
+        max_changepoints=2, min_segment=100, min_gain_frac=0.0,
     )
 
 

@@ -291,6 +291,7 @@ HEADLINE = [
     "dickey_fuller",
     "seasonal_mann_kendall",
     "cox_stuart_trend",
+    "cox_stuart_normal",
     "packing_efficiency",
     "msprt_normal",
     "gsea_prerank",
@@ -304,6 +305,7 @@ HEADLINE = [
     "vocabulary_coverage_curve",
     "fairness_report",
     "embedding_mmd",
+    "binary_segmentation",
     "longest_dup_substring",
     "nelson_aalen",
     "harrells_c",

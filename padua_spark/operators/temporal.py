@@ -2275,13 +2275,17 @@ def cox_stuart_trend(
 
     Ties (zero differences) are dropped (the standard convention);
     exact two-sided binomial p via the shared point-probability fold
-    (raises above ``max_support`` pairs — the sign-test rule).
+    up to ``max_support`` untied pairs, and the continuity-corrected
+    normal approximation above it (the :func:`~padua_spark.operators.
+    stats.sign_test` in-plan switch — a ``method`` column reports
+    which branch fired; the fold's support is clamped to 0 in the
+    normal regime so no data-sized sequence ever materializes).
 
     Scale shape: one group-partitioned row_number window (family
     contract), one count broadcast back, one equi-self-join on
     ``(group, t + c)``, one roll-up, the exact fold on the ≤ k-row
     result. Output per group: ``(groups..., n, n_pairs, n_pos,
-    n_neg, p_value)``, 6dp; p NULL when no untied pairs.
+    n_neg, method, p_value)``, 6dp; p NULL when no untied pairs.
 
     Beyond the reference; standard per Cox & Stuart 1955.
     """
@@ -2327,19 +2331,180 @@ def cox_stuart_trend(
         F.sum((F.col("_vb") < F.col("_va")).cast("int"))
         .cast("bigint").alias("n_neg"),
     )
-    staged = agg.withColumn(
-        "_m", (F.col("n_pos") + F.col("n_neg")).cast("bigint")
+    from padua_spark.operators.stats import _normal_sf_2sided
+
+    m_real = (F.col("n_pos") + F.col("n_neg")).cast("bigint")
+    is_exact = (
+        F.lit(True)
+        if max_support is None
+        else m_real <= F.lit(int(max_support))
+    )
+    # clamp the fold's support to 0 in the normal regime so the
+    # big-m branch never materializes a data-sized sequence(0, m)
+    staged = agg.withColumn("_mr", m_real).withColumn(
+        "_exact", is_exact
+    ).withColumn(
+        "_m", F.when(F.col("_exact"), m_real).otherwise(F.lit(0))
+    ).withColumn(
+        "_k",
+        F.when(F.col("_exact"), F.col("n_pos")).otherwise(F.lit(0)),
     ).withColumn("_p0", F.lit(0.5))
     staged, _pl, _pr, ptwo = _binom_exact_pvalues(
-        staged, "_m", "n_pos", "_p0", max_support
+        staged, "_m", "_k", "_p0", None
     )
+    md = F.col("_mr").cast("double")
+    z = F.greatest(
+        F.lit(0.0),
+        F.abs(2.0 * F.col("n_pos").cast("double") - md) - F.lit(1.0),
+    ) / F.sqrt(md)
+    p = F.when(F.col("_mr") <= 0, F.lit(None).cast("double")).when(
+        F.col("_exact"), F.least(F.lit(1.0), ptwo)
+    ).otherwise(F.least(F.lit(1.0), _normal_sf_2sided(z)))
     out = staged.select(
         *group_cols,
         "n",
-        F.col("_m").alias("n_pairs"),
+        F.col("_mr").alias("n_pairs"),
         "n_pos", "n_neg",
-        F.round(
-            F.when(F.col("_m") > 0, F.least(F.lit(1.0), ptwo)), 6
-        ).alias("p_value"),
+        F.when(F.col("_exact"), F.lit("exact"))
+        .otherwise(F.lit("normal")).alias("method"),
+        F.round(p, 6).alias("p_value"),
     )
     return track_cached(out, base)
+
+
+def binary_segmentation(
+    df: DataFrame,
+    key_cols: list[str],
+    order_cols: list[str],
+    value_col: str,
+    max_changepoints: int = 3,
+    min_segment: int = 5,
+    min_gain_frac: float = 0.0,
+) -> DataFrame:
+    """Multi-changepoint detection by binary segmentation — the
+    classic recursion on top of :func:`two_segment_changepoint`
+    (Scott & Knott 1974 / the binseg baseline every changepoint
+    package ships): repeatedly split the segment whose best split
+    removes the most within-segment SSE, up to ``max_changepoints``
+    rounds, subject to ``min_segment`` points per side and a
+    pragmatic gain rule (accept while ``ΔSSE ≥ min_gain_frac ·
+    SSE_total`` of the key — 0 accepts every round, the pure-ranking
+    form; a BIC-style penalty is a σ̂ estimate away and deliberately
+    NOT baked in, documented).
+
+    Per round: ONE ordered window pass per (key, segment) for the
+    prefix sums (the :func:`two_segment_changepoint` algebra), one
+    argmax-ΔSSE roll-up per key (earliest-(segment, position)
+    tiebreak), a broadcast of the ≤ |keys| accepted splits, and a
+    relabel — the frame is consumed twice per round, so each round
+    ``localCheckpoint``s (eager=False, the connected_components
+    plan-truncation rule). Rounds are DRIVER-BOUNDED by
+    ``max_changepoints`` (no data-dependent stopping beyond the gain
+    rule — engine-reproducible). Prefix sums accumulate in series
+    order, so SSE values and argmins are bit-identical across
+    engines.
+
+    Output one row per final segment: ``(keys..., seg_start,
+    seg_end, n, mean)``, mean 6dp; seg positions are 1-based global
+    row numbers per key.
+    """
+    from pyspark.sql import Window
+
+    from padua_spark.io_utils import track_cached
+
+    v = F.col(value_col).cast("double")
+    wo = Window.partitionBy(*key_cols).orderBy(
+        *[F.col(c).asc() for c in order_cols]
+    )
+    base = df.where(v.isNotNull()).select(
+        *key_cols,
+        F.row_number().over(wo).cast("bigint").alias("_pos"),
+        v.alias("_v"),
+    ).withColumn("_seg", F.lit(1).cast("bigint"))
+    tot = base.groupBy(*key_cols).agg(
+        F.count(F.lit(1)).cast("bigint").alias("_n"),
+        F.sum("_v").alias("_t1"),
+        F.sum(F.col("_v") * F.col("_v")).alias("_t2"),
+    )
+    sse_tot = (
+        F.col("_t2")
+        - F.col("_t1") * F.col("_t1") / F.col("_n").cast("double")
+    )
+    key_tot = tot.select(
+        *key_cols, sse_tot.alias("_sse0")
+    ).persist()
+    cur = base.localCheckpoint(eager=False)
+    ms = int(min_segment)
+    for _ in range(int(max_changepoints)):
+        ws = Window.partitionBy(*key_cols, "_seg").orderBy(
+            F.col("_pos").asc()
+        )
+        run = ws.rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        full = ws.rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing
+        )
+        staged = cur.select(
+            *key_cols, "_seg", "_pos",
+            F.sum("_v").over(run).alias("_s1"),
+            F.sum(F.col("_v") * F.col("_v")).over(run).alias("_s2"),
+            F.row_number().over(ws).cast("bigint").alias("_i"),
+            F.sum("_v").over(full).alias("_g1"),
+            F.sum(F.col("_v") * F.col("_v")).over(full).alias("_g2"),
+            F.count(F.lit(1)).over(full).cast("bigint").alias("_m"),
+        )
+        i = F.col("_i").cast("double")
+        m = F.col("_m").cast("double")
+        sse_seg = F.col("_g2") - F.col("_g1") * F.col("_g1") / m
+        sse_split = (
+            F.col("_s2") - F.col("_s1") * F.col("_s1") / i
+        ) + (
+            (F.col("_g2") - F.col("_s2"))
+            - (F.col("_g1") - F.col("_s1"))
+            * (F.col("_g1") - F.col("_s1"))
+            / (m - i)
+        )
+        cand = staged.where(
+            (F.col("_i") >= ms) & (F.col("_m") - F.col("_i") >= ms)
+        ).select(
+            *key_cols, "_seg", "_pos",
+            (sse_seg - sse_split).alias("_gain"),
+        )
+        best = cand.groupBy(*key_cols).agg(
+            F.max_by(
+                F.struct("_seg", "_pos", "_gain"),
+                F.struct(
+                    F.col("_gain"), -F.col("_seg"), -F.col("_pos")
+                ),
+            ).alias("_b")
+        ).join(key_tot, on=key_cols).where(
+            F.col("_b._gain")
+            >= F.lit(float(min_gain_frac)) * F.col("_sse0")
+        ).select(
+            *key_cols,
+            F.col("_b._seg").alias("_bseg"),
+            F.col("_b._pos").alias("_bpos"),
+        )
+        cur = (
+            cur.join(F.broadcast(best), on=key_cols, how="left")
+            .select(
+                *key_cols, "_pos", "_v",
+                F.when(
+                    F.col("_bseg").isNotNull()
+                    & (F.col("_seg") == F.col("_bseg"))
+                    & (F.col("_pos") > F.col("_bpos")),
+                    F.col("_bpos") + 1,
+                ).otherwise(F.col("_seg")).alias("_seg"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    out = cur.groupBy(*key_cols, "_seg").agg(
+        F.min("_pos").alias("seg_start"),
+        F.max("_pos").alias("seg_end"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.round(F.avg("_v"), 6).alias("mean"),
+    ).select(
+        *key_cols, "seg_start", "seg_end", "n", "mean"
+    )
+    return track_cached(out, key_tot)

