@@ -25702,6 +25702,54 @@ def q_binary_segmentation(spark, sf):
     )
 
 
+_MEDIAN_CI_ORACLE = """
+WITH per AS (
+  SELECT l_returnflag AS grp, CAST(l_quantity AS DOUBLE) AS v,
+    CAST(count(*) AS BIGINT) AS c
+  FROM lineitem WHERE l_quantity IS NOT NULL
+  GROUP BY 1, 2
+),
+st AS (
+  SELECT grp, v, c,
+    sum(c) OVER (PARTITION BY grp ORDER BY v
+      ROWS UNBOUNDED PRECEDING) AS run,
+    sum(c) OVER (PARTITION BY grp) AS n
+  FROM per
+),
+r AS (
+  SELECT *, CAST(n AS DOUBLE) AS nd,
+    greatest(CAST(1 AS BIGINT),
+      CAST(floor((CAST(n AS DOUBLE)
+        - 1.959963984540054 * sqrt(CAST(n AS DOUBLE))) / 2.0)
+        AS BIGINT)) AS rlo,
+    least(n, CAST(ceil((CAST(n AS DOUBLE)
+        + 1.959963984540054 * sqrt(CAST(n AS DOUBLE))) / 2.0)
+        AS BIGINT) + 1) AS rhi,
+    CAST(floor((CAST(n AS DOUBLE) + 1.0) / 2.0) AS BIGINT) AS m1,
+    CAST(ceil((CAST(n AS DOUBLE) + 1.0) / 2.0) AS BIGINT) AS m2
+  FROM st
+)
+SELECT grp AS l_returnflag, CAST(max(n) AS BIGINT) AS n,
+  round((min(CASE WHEN run >= m1 THEN v END)
+    + min(CASE WHEN run >= m2 THEN v END)) / 2.0, 6) AS median,
+  round(min(CASE WHEN run >= rlo THEN v END), 6) AS ci_lo,
+  round(min(CASE WHEN run >= rhi THEN v END), 6) AS ci_hi
+FROM r GROUP BY 1
+"""
+
+
+@_q("median_ci", _MEDIAN_CI_ORACLE)
+def q_median_ci(spark, sf):
+    """Distribution-free order-statistic CI for the median quantity
+    per return flag (stats.median_ci): sign-test-inversion ranks off
+    the aggregated value-domain frame, exact two-middle point
+    median."""
+    from padua_spark.operators.stats import median_ci
+
+    li = _t(spark, sf, "lineitem")
+    return median_ci(li, "l_quantity", group_cols=["l_returnflag"])
+
+
 # ---------------------------------------------------------------------------
 
 

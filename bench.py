@@ -306,6 +306,7 @@ HEADLINE = [
     "fairness_report",
     "embedding_mmd",
     "binary_segmentation",
+    "median_ci",
     "longest_dup_substring",
     "nelson_aalen",
     "harrells_c",

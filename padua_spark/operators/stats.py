@@ -12020,3 +12020,86 @@ def passing_bablok(
     return track_cached(
         out, pts, *getattr(stepped, "_padua_cached", ())
     )
+
+
+def median_ci(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str] | None = None,
+    z: float = 1.959963984540054,
+) -> DataFrame:
+    """Distribution-free confidence interval for the median per group
+    — the order-statistic (sign-test inversion) interval every robust
+    report should quote beside the point median (no normality, no
+    bootstrap):
+
+    the interval is ``(x_(l), x_(u))`` with the large-sample ranks
+    ``l = ⌊(n − z√n)/2⌋`` and ``u = ⌈(n + z√n)/2⌉ + 1`` clamped to
+    [1, n] (the standard normal approximation of the binomial rank
+    bounds — pinned as THE rule, exact-binomial ranks differ by ≤ 1
+    at small n and would make the rank data-dependent in a way two
+    engines can disagree on); the point median is the exact
+    two-middle interpolation.
+
+    Scale shape: one per-(group, value) count aggregation, rank
+    selection off a window over that AGGREGATED value-domain frame
+    (partitioned by group — never the raw rows), one roll-up. Output
+    per group: ``(groups..., n, median, ci_lo, ci_hi)``, 6dp.
+
+    Beyond the reference; standard per Hahn & Meeker (Statistical
+    Intervals) / the sign-test inversion.
+    """
+    from pyspark.sql import Window
+
+    group_cols = group_cols or []
+    v = F.col(value_col).cast("double")
+    per = (
+        df.where(v.isNotNull())
+        .groupBy(*group_cols, v.alias("_v"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("_c"))
+    )
+    wv = (
+        Window.partitionBy(*group_cols)
+        .orderBy(F.col("_v").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wg = Window.partitionBy(*group_cols)
+    stepped = per.select(
+        *group_cols, "_v", "_c",
+        F.sum("_c").over(wv).alias("_run"),
+        F.sum("_c").over(wg).alias("_n"),
+    )
+    nd = F.col("_n").cast("double")
+    zl = F.lit(float(z))
+    r_lo = F.greatest(
+        F.lit(1).cast("bigint"),
+        F.floor((nd - zl * F.sqrt(nd)) / 2.0).cast("bigint"),
+    )
+    r_hi = F.least(
+        F.col("_n"),
+        (F.ceil((nd + zl * F.sqrt(nd)) / 2.0) + 1).cast("bigint"),
+    )
+    # exact two-middle median ranks
+    m1 = F.floor((nd + 1.0) / 2.0).cast("bigint")
+    m2 = F.ceil((nd + 1.0) / 2.0).cast("bigint")
+
+    def _pick(rank, name):
+        return F.min(
+            F.when(F.col("_run") >= rank, F.col("_v"))
+        ).alias(name)
+
+    agg = stepped.groupBy(*group_cols).agg(
+        F.max("_n").alias("n"),
+        _pick(r_lo, "_lo"),
+        _pick(r_hi, "_hi"),
+        _pick(m1, "_m1"),
+        _pick(m2, "_m2"),
+    )
+    return agg.select(
+        *group_cols,
+        "n",
+        F.round((F.col("_m1") + F.col("_m2")) / 2.0, 6)
+        .alias("median"),
+        F.round("_lo", 6).alias("ci_lo"),
+        F.round("_hi", 6).alias("ci_hi"),
+    )

@@ -11150,3 +11150,29 @@ def test_binary_segmentation_replica(spark):
         assert s["mean"] == pytest.approx(m, abs=1e-6)
     # the planted breakpoints (60, 110) recovered within tolerance
     assert abs(cps[0] - 60) <= 3 and abs(cps[1] - 110) <= 3
+
+
+def test_median_ci_replica(spark):
+    """Order-statistic median CI against numpy sorted ranks with the
+    pinned normal-approximation rank rule; the interval contains the
+    true median of a skewed sample."""
+    import math
+
+    import numpy as np
+
+    from padua_spark.operators.stats import median_ci
+
+    rng = np.random.RandomState(27)
+    x = np.round(rng.lognormal(3, 0.8, 501), 3)
+    df = spark.createDataFrame([("a", float(v)) for v in x], ["g", "v"])
+    r = median_ci(df, "v", group_cols=["g"]).collect()[0]
+    xs = np.sort(x)
+    n = len(xs)
+    z = 1.959963984540054
+    rlo = max(1, math.floor((n - z * math.sqrt(n)) / 2))
+    rhi = min(n, math.ceil((n + z * math.sqrt(n)) / 2) + 1)
+    assert r["n"] == n
+    assert r["median"] == pytest.approx(float(np.median(xs)), abs=1e-6)
+    assert r["ci_lo"] == pytest.approx(xs[rlo - 1], abs=1e-6)
+    assert r["ci_hi"] == pytest.approx(xs[rhi - 1], abs=1e-6)
+    assert r["ci_lo"] <= r["median"] <= r["ci_hi"]
