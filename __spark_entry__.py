@@ -25750,6 +25750,98 @@ def q_median_ci(spark, sf):
     return median_ci(li, "l_quantity", group_cols=["l_returnflag"])
 
 
+_RM_ANOVA_ORACLE = """
+WITH RECURSIVE cells AS (
+  SELECT user_id AS b, event_type AS t,
+    CAST(count(*) AS DOUBLE) AS v
+  FROM events WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+  GROUP BY 1, 2
+),
+ktot AS (SELECT CAST(count(DISTINCT t) AS BIGINT) AS k FROM cells),
+complete AS (
+  SELECT b FROM cells, ktot
+  GROUP BY b, ktot.k
+  HAVING count(DISTINCT t) = ktot.k AND count(*) = ktot.k
+),
+kept AS (
+  SELECT c.* FROM cells c JOIN complete USING (b)
+),
+per_t AS (SELECT t, sum(v) AS st FROM kept GROUP BY 1),
+per_b AS (SELECT b, sum(v) AS sb FROM kept GROUP BY 1),
+grand AS (
+  SELECT CAST(count(*) AS BIGINT) AS nk, sum(v) AS g1,
+    sum(v * v) AS g2
+  FROM kept
+),
+tsum AS (
+  SELECT CAST(count(*) AS BIGINT) AS k, sum(st * st) AS sst2
+  FROM per_t
+),
+bsum AS (
+  SELECT CAST(count(*) AS BIGINT) AS n, sum(sb * sb) AS ssb2
+  FROM per_b
+),
+s AS (
+  SELECT b.n, t.k, g.nk,
+    g.g2 - g.g1 * g.g1 / CAST(g.nk AS DOUBLE) AS ss_total,
+    t.sst2 / CAST(b.n AS DOUBLE)
+      - g.g1 * g.g1 / CAST(g.nk AS DOUBLE) AS ss_treat,
+    b.ssb2 / CAST(t.k AS DOUBLE)
+      - g.g1 * g.g1 / CAST(g.nk AS DOUBLE) AS ss_block
+  FROM grand g, tsum t, bsum b
+),
+f AS (
+  SELECT *, ss_total - ss_treat - ss_block AS ss_err,
+    CAST(k AS DOUBLE) - 1.0 AS df1,
+    (CAST(k AS DOUBLE) - 1.0) * (CAST(n AS DOUBLE) - 1.0) AS df2
+  FROM s
+),
+fs AS (
+  SELECT *,
+    CASE WHEN k >= 2 AND n >= 2 AND ss_err > 0
+      THEN (ss_treat / df1) / (ss_err / df2) END AS fstat
+  FROM f
+),
+inp AS (
+  SELECT 'k' AS key,
+    CAST(df2 / (df2 + df1 * fstat) AS DOUBLE) AS x,
+    CAST(df2 / 2.0 AS DOUBLE) AS a,
+    CAST(df1 / 2.0 AS DOUBLE) AS b
+  FROM fs WHERE fstat IS NOT NULL
+),
+{BETAINC}
+SELECT fs.n AS n_blocks, fs.k AS k_treatments,
+  round(fs.ss_treat, 2) AS ss_treat,
+  round(fs.ss_block, 2) AS ss_block,
+  round(fs.ss_err, 2) AS ss_error,
+  round(fs.fstat, 6) AS f_stat,
+  CAST(fs.df1 AS INT) AS df1,
+  CAST(fs.df2 AS BIGINT) AS df2,
+  round(pv.p, 6) AS p_value
+FROM fs LEFT JOIN pv ON pv.key = 'k'
+"""
+
+
+@_q(
+    "rm_anova_1way",
+    _RM_ANOVA_ORACLE.replace("{BETAINC}", _betainc_chain_sql()),
+)
+def q_rm_anova_1way(spark, sf):
+    """One-way repeated-measures ANOVA of per-user event-type
+    activity (stats.rm_anova_1way): the friedman completeness rule,
+    algebraic SS decomposition from exact integer count sums, shared
+    F SF."""
+    from padua_spark.operators.stats import rm_anova_1way
+
+    e = _t(spark, sf, "events").where(
+        F.col("user_id").isNotNull() & F.col("event_type").isNotNull()
+    )
+    counts = e.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).cast("double").alias("v")
+    )
+    return rm_anova_1way(counts, "user_id", "event_type", "v")
+
+
 # ---------------------------------------------------------------------------
 
 

@@ -307,6 +307,7 @@ HEADLINE = [
     "embedding_mmd",
     "binary_segmentation",
     "median_ci",
+    "rm_anova_1way",
     "longest_dup_substring",
     "nelson_aalen",
     "harrells_c",

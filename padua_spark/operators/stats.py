@@ -12103,3 +12103,108 @@ def median_ci(
         F.round("_lo", 6).alias("ci_lo"),
         F.round("_hi", 6).alias("ci_hi"),
     )
+
+
+def rm_anova_1way(
+    df: DataFrame,
+    block_col: str,
+    treatment_col: str,
+    value_col: str,
+) -> DataFrame:
+    """One-way repeated-measures ANOVA — the PARAMETRIC
+    within-subjects test beside :func:`friedman_test` (Friedman ranks
+    away the scale; this keeps it, with the block effect removed from
+    the error term — the reason paired designs beat
+    :func:`anova_1way` on the same data):
+
+    over COMPLETE blocks only (every block must carry all k
+    treatments exactly once — the :func:`friedman_test` completeness
+    rule; incomplete blocks are dropped and counted):
+    ``SS_treat = n·Σ_t (x̄_t − x̄)²``, ``SS_block = k·Σ_b (x̄_b −
+    x̄)²``, ``SS_err = SS_total − SS_treat − SS_block``,
+    ``F = (SS_treat/(k−1)) / (SS_err/((k−1)(n−1)))``, p via the
+    shared Arrow-batched F SF.
+
+    Scale shape: one completeness semi-join (the friedman plan), one
+    aggregation to per-treatment sums (k rows), one to per-block sums
+    (n rows — block-domain sized), one to the grand sums; the SSs
+    assemble algebraically (no centered columns). Output 1 row:
+    ``(n_blocks, k_treatments, ss_treat, ss_block, ss_error,
+    f_stat, df1, df2, p_value)``, SS 2dp (sum-of-squares magnitude —
+    the documented ANCOVA ulp rule), F/p 6dp.
+    """
+    from pyspark import StorageLevel
+
+    from padua_spark.functions.distributions import f_sf_udf
+    from padua_spark.io_utils import track_cached
+
+    b = F.col(block_col)
+    t = F.col(treatment_col)
+    v = F.col(value_col).cast("double")
+    base = df.where(
+        b.isNotNull() & t.isNotNull() & v.isNotNull()
+    ).select(b.alias("_b"), t.alias("_t"), v.alias("_v"))
+    k_total = base.select("_t").distinct().count()
+    complete = (
+        base.groupBy("_b")
+        .agg(
+            F.count_distinct("_t").alias("_kt"),
+            F.count(F.lit(1)).alias("_ct"),
+        )
+        .where((F.col("_kt") == k_total) & (F.col("_ct") == k_total))
+        .select("_b")
+    )
+    kept = base.join(complete, on="_b", how="left_semi").persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    per_t = kept.groupBy("_t").agg(F.sum("_v").alias("_st"))
+    per_b = kept.groupBy("_b").agg(F.sum("_v").alias("_sb"))
+    grand = kept.agg(
+        F.count(F.lit(1)).cast("bigint").alias("_nk"),
+        F.sum("_v").alias("_g1"),
+        F.sum(F.col("_v") * F.col("_v")).alias("_g2"),
+    )
+    tt = per_t.crossJoin(F.broadcast(grand)).agg(
+        F.max("_nk").alias("_nk"),
+        F.max("_g1").alias("_g1"),
+        F.max("_g2").alias("_g2"),
+        F.count(F.lit(1)).cast("bigint").alias("_k"),
+        F.sum(F.col("_st") * F.col("_st")).alias("_sst2"),
+    )
+    bb = per_b.agg(
+        F.count(F.lit(1)).cast("bigint").alias("_n"),
+        F.sum(F.col("_sb") * F.col("_sb")).alias("_ssb2"),
+    )
+    j = tt.crossJoin(F.broadcast(bb))
+    nk = F.col("_nk").cast("double")
+    kd = F.col("_k").cast("double")
+    ndd = F.col("_n").cast("double")
+    cm = F.col("_g1") * F.col("_g1") / nk
+    ss_total = F.col("_g2") - cm
+    ss_treat = F.col("_sst2") / ndd - cm
+    ss_block = F.col("_ssb2") / kd - cm
+    ss_err = ss_total - ss_treat - ss_block
+    df1 = kd - 1.0
+    df2 = (kd - 1.0) * (ndd - 1.0)
+    fstat = F.when(
+        (F.col("_k") >= 2) & (F.col("_n") >= 2) & (ss_err > 0),
+        (ss_treat / df1) / (ss_err / df2),
+    )
+    out = j.select(
+        F.col("_n").alias("n_blocks"),
+        F.col("_k").alias("k_treatments"),
+        F.round(ss_treat, 2).alias("ss_treat"),
+        F.round(ss_block, 2).alias("ss_block"),
+        F.round(ss_err, 2).alias("ss_error"),
+        F.round(fstat, 6).alias("f_stat"),
+        df1.cast("int").alias("df1"),
+        df2.cast("bigint").alias("df2"),
+        F.round(
+            F.when(
+                fstat.isNotNull(),
+                f_sf_udf(fstat, df1, df2),
+            ),
+            6,
+        ).alias("p_value"),
+    )
+    return track_cached(out, kept)

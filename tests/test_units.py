@@ -11176,3 +11176,38 @@ def test_median_ci_replica(spark):
     assert r["ci_lo"] == pytest.approx(xs[rlo - 1], abs=1e-6)
     assert r["ci_hi"] == pytest.approx(xs[rhi - 1], abs=1e-6)
     assert r["ci_lo"] <= r["median"] <= r["ci_hi"]
+
+
+def test_rm_anova_replica(spark):
+    """Repeated-measures ANOVA against the numpy SS decomposition on
+    complete blocks (a planted within-subject treatment effect is
+    found; the block effect absorbs the subject baseline); incomplete
+    blocks are dropped."""
+    import numpy as np
+
+    from padua_spark.operators.stats import rm_anova_1way
+
+    rng = np.random.RandomState(33)
+    n, k = 40, 4
+    subj = rng.normal(0, 5, n)  # big subject baselines
+    eff = np.array([0.0, 0.5, 1.0, 1.5])
+    rows = []
+    X = np.zeros((n, k))
+    for b in range(n):
+        for t in range(k):
+            X[b, t] = subj[b] + eff[t] + rng.normal(0, 0.7)
+            rows.append((b, f"t{t}", float(X[b, t])))
+    rows.append((999, "t0", 1.0))  # incomplete block -> dropped
+    df = spark.createDataFrame(rows, ["b", "t", "v"])
+    r = rm_anova_1way(df, "b", "t", "v").collect()[0]
+    g = X.mean()
+    ss_treat = n * ((X.mean(0) - g) ** 2).sum()
+    ss_block = k * ((X.mean(1) - g) ** 2).sum()
+    ss_total = ((X - g) ** 2).sum()
+    ss_err = ss_total - ss_treat - ss_block
+    fstat = (ss_treat / (k - 1)) / (ss_err / ((k - 1) * (n - 1)))
+    assert r["n_blocks"] == n and r["k_treatments"] == k
+    assert r["ss_treat"] == pytest.approx(ss_treat, abs=0.02)
+    assert r["ss_block"] == pytest.approx(ss_block, abs=0.02)
+    assert r["f_stat"] == pytest.approx(fstat, rel=1e-5)
+    assert r["p_value"] < 1e-6
