@@ -25842,6 +25842,92 @@ def q_rm_anova_1way(spark, sf):
     return rm_anova_1way(counts, "user_id", "event_type", "v")
 
 
+_WINDOWED_FAIRNESS_ORACLE = """
+WITH base AS (
+  SELECT (epoch_us(ts) // 3600000000) * 3600 AS ws,
+    CAST(user_id % 2 AS BIGINT) AS g,
+    CASE WHEN event_type IN ('click', 'view') THEN 1 ELSE 0 END AS y,
+    CASE WHEN value > 100 THEN 1 ELSE 0 END AS p
+  FROM events
+  WHERE ts IS NOT NULL AND user_id IS NOT NULL
+    AND event_type IS NOT NULL AND value IS NOT NULL
+),
+per AS (
+  SELECT ws,
+    CAST(sum(CASE WHEN g = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+    CAST(sum(CASE WHEN g = 0 THEN y ELSE 0 END) AS BIGINT) AS pos0,
+    CAST(sum(CASE WHEN g = 0 THEN p ELSE 0 END) AS BIGINT) AS pp0,
+    CAST(sum(CASE WHEN g = 0 THEN y * p ELSE 0 END) AS BIGINT)
+      AS tp0,
+    CAST(sum(CASE WHEN g = 0 THEN (1 - y) * p ELSE 0 END) AS BIGINT)
+      AS fp0,
+    CAST(sum(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+    CAST(sum(CASE WHEN g = 1 THEN y ELSE 0 END) AS BIGINT) AS pos1,
+    CAST(sum(CASE WHEN g = 1 THEN p ELSE 0 END) AS BIGINT) AS pp1,
+    CAST(sum(CASE WHEN g = 1 THEN y * p ELSE 0 END) AS BIGINT)
+      AS tp1,
+    CAST(sum(CASE WHEN g = 1 THEN (1 - y) * p ELSE 0 END) AS BIGINT)
+      AS fp1
+  FROM base GROUP BY 1
+),
+rates AS (
+  SELECT ws, n0, n1,
+    CASE WHEN n0 > 0 THEN CAST(pp0 AS DOUBLE) / n0 END AS ppr0,
+    CASE WHEN pos0 > 0 THEN CAST(tp0 AS DOUBLE) / pos0 END AS tpr0,
+    CASE WHEN n0 - pos0 > 0 THEN CAST(fp0 AS DOUBLE) / (n0 - pos0)
+      END AS fpr0,
+    CASE WHEN n1 > 0 THEN CAST(pp1 AS DOUBLE) / n1 END AS ppr1,
+    CASE WHEN pos1 > 0 THEN CAST(tp1 AS DOUBLE) / pos1 END AS tpr1,
+    CASE WHEN n1 - pos1 > 0 THEN CAST(fp1 AS DOUBLE) / (n1 - pos1)
+      END AS fpr1
+  FROM per
+)
+SELECT ws AS window_start_epoch, CAST(0 AS BIGINT) AS "group",
+  n0 AS n, round(ppr0, 6) AS ppr, round(tpr0, 6) AS tpr,
+  round(fpr0, 6) AS fpr,
+  round(ppr0 - ppr0, 6) AS dp_gap,
+  round(tpr0 - tpr0, 6) AS tpr_gap,
+  round(fpr0 - fpr0, 6) AS fpr_gap
+FROM rates
+UNION ALL
+SELECT ws, CAST(1 AS BIGINT), n1, round(ppr1, 6), round(tpr1, 6),
+  round(fpr1, 6), round(ppr1 - ppr0, 6), round(tpr1 - tpr0, 6),
+  round(fpr1 - fpr0, 6)
+FROM rates
+"""
+
+
+@_q("windowed_fairness_check", _WINDOWED_FAIRNESS_ORACLE)
+def q_windowed_fairness_check(spark, sf):
+    """Per-hour fairness monitor for the user-parity groups
+    (streaming.windowed_fairness_check): declared groups become
+    conditional-sum columns in ONE stateful aggregation, gaps vs
+    group 0 computed on the same window row."""
+    from padua_spark.streaming import windowed_fairness_check
+    from padua_spark.streaming.windows import event_time_col
+
+    e = _t(spark, sf, "events").where(
+        F.col("ts").isNotNull() & F.col("user_id").isNotNull()
+        & F.col("event_type").isNotNull()
+        & F.col("value").isNotNull()
+    )
+    out = windowed_fairness_check(
+        e,
+        event_time_col(e, "ts"),
+        (F.col("user_id") % 2).cast("bigint"),
+        [0, 1],
+        F.col("event_type").isin("click", "view").cast("int"),
+        (F.col("value") > 100).cast("int"),
+        0,
+        window_duration="1 hour",
+    )
+    return out.select(
+        F.col("window_start").cast("long").alias("window_start_epoch"),
+        "group", "n", "ppr", "tpr", "fpr",
+        "dp_gap", "tpr_gap", "fpr_gap",
+    )
+
+
 # ---------------------------------------------------------------------------
 
 

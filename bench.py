@@ -308,6 +308,7 @@ HEADLINE = [
     "binary_segmentation",
     "median_ci",
     "rm_anova_1way",
+    "windowed_fairness_check",
     "longest_dup_substring",
     "nelson_aalen",
     "harrells_c",

@@ -1362,3 +1362,102 @@ def windowed_control_check(
         ((mean > float(ucl)) | (mean < float(lcl)))
         .alias("mean_out"),
     )
+
+
+def windowed_fairness_check(
+    df: DataFrame,
+    ts_col: Column,
+    group_col: Column,
+    groups: list,
+    label_col: Column,
+    pred_col: Column,
+    reference_group,
+    window_duration: str = "1 hour",
+    watermark: str | None = None,
+) -> DataFrame:
+    """Per-tumbling-window group-fairness monitor — the streaming
+    face of :func:`~padua_spark.extensions.features.fairness_report`
+    ("is the disparity stable in production, per hour?"). The
+    protected ``groups`` are DECLARED (compile-time bounded), so each
+    group's confusion counts become conditional-sum columns in ONE
+    stateful aggregation per window — no second aggregation level,
+    no join, streamable with bounded state; late shards merge by
+    adding counts.
+
+    Output one row per (window, group): ``(window_start, window_end,
+    group, n, ppr, tpr, fpr, dp_gap, tpr_gap, fpr_gap)`` — gaps vs
+    ``reference_group`` computed per ROW from the same aggregated
+    record (every group's counts live on the one window row before
+    the k-branch pivot union). Rates NULL where a denominator is 0,
+    and gaps NULL when either side is NULL.
+    """
+    from functools import reduce
+
+    if reference_group not in groups:
+        raise ValueError(
+            "windowed_fairness_check: reference_group must be in "
+            "groups"
+        )
+    g = group_col
+    y = label_col.cast("int")
+    p = pred_col.cast("int")
+    withts = df.where(
+        g.isNotNull() & y.isNotNull() & p.isNotNull()
+        & g.isin(list(groups))
+    ).select(
+        ts_col.alias("_event_time"),
+        g.alias("_g"),
+        y.alias("_y"),
+        p.alias("_p"),
+    )
+    if watermark and withts.isStreaming:
+        withts = withts.withWatermark("_event_time", watermark)
+    aggs = []
+    for i, gv in enumerate(groups):
+        hit = F.col("_g") == F.lit(gv)
+        aggs += [
+            F.sum(hit.cast("int")).cast("bigint").alias(f"_n{i}"),
+            F.sum(F.when(hit, F.col("_y")).otherwise(0))
+            .cast("bigint").alias(f"_pos{i}"),
+            F.sum(F.when(hit, F.col("_p")).otherwise(0))
+            .cast("bigint").alias(f"_pp{i}"),
+            F.sum(F.when(hit, F.col("_y") * F.col("_p")).otherwise(0))
+            .cast("bigint").alias(f"_tp{i}"),
+            F.sum(
+                F.when(hit, (1 - F.col("_y")) * F.col("_p"))
+                .otherwise(0)
+            ).cast("bigint").alias(f"_fp{i}"),
+        ]
+    agg = withts.groupBy(
+        F.window("_event_time", window_duration).alias("_w")
+    ).agg(*aggs)
+    ri = list(groups).index(reference_group)
+
+    def _rates(i):
+        n = F.col(f"_n{i}").cast("double")
+        pos = F.col(f"_pos{i}").cast("double")
+        neg = n - pos
+        ppr = F.when(n > 0, F.col(f"_pp{i}").cast("double") / n)
+        tpr = F.when(pos > 0, F.col(f"_tp{i}").cast("double") / pos)
+        fpr = F.when(neg > 0, F.col(f"_fp{i}").cast("double") / neg)
+        return ppr, tpr, fpr
+
+    rppr, rtpr, rfpr = _rates(ri)
+    branches = []
+    for i, gv in enumerate(groups):
+        ppr, tpr, fpr = _rates(i)
+        branches.append(
+            agg.select(
+                F.col("_w.start").alias("window_start"),
+                F.col("_w.end").alias("window_end"),
+                F.lit(gv).alias("group"),
+                F.col(f"_n{i}").alias("n"),
+                F.round(ppr, 6).alias("ppr"),
+                F.round(tpr, 6).alias("tpr"),
+                F.round(fpr, 6).alias("fpr"),
+                F.round(ppr - rppr, 6).alias("dp_gap"),
+                F.round(tpr - rtpr, 6).alias("tpr_gap"),
+                F.round(fpr - rfpr, 6).alias("fpr_gap"),
+            )
+        )
+    return reduce(lambda a, b: a.unionAll(b), branches)
