@@ -945,3 +945,38 @@ def test_var_roc_stepped_windows_bounded(spark):
                     f"frame\n" + plan[:2000]
                 )
         assert hits >= 1, f"{name}: expected a stepped pass\n{plan[:800]}"
+
+
+def test_round11_window_families_partition_by_group(spark):
+    """Round-11 ordered-window operators (kpss_level, dickey_fuller,
+    cox_stuart_trend, pettitt_test, binary_segmentation): every lag /
+    running-sum / row_number windowspec over the DATA-sized frame must
+    carry the group key in its partition clause (the acf-family
+    contract); median_ci's windows ride the AGGREGATED value-domain
+    frame, asserted via the window-above-HashAggregate rule."""
+    import __spark_entry__ as em
+
+    q = em.queries()
+    for name in ("kpss_level", "dickey_fuller", "cox_stuart_trend",
+                 "pettitt_test", "binary_segmentation"):
+        plan = explain_str(q[name](spark, SF_ORACLE), "simple")
+        for line in plan.splitlines():
+            if "windowspecdefinition" in line and (
+                "lag(" in line or "row_number" in line
+                or "sum(" in line
+            ):
+                spec = line.split("windowspecdefinition", 1)[1]
+                head = spec.split("ASC")[0]
+                assert (
+                    "l_returnflag" in head or "_seg" in head
+                    or "_b#" in head
+                ), f"{name}: partitionless window: {line[:200]}"
+    plan = explain_str(q["median_ci"](spark, SF_ORACLE), "simple")
+    lines = plan.splitlines()
+    for i, l in enumerate(lines):
+        if "Window [" in l:
+            below = "\n".join(lines[i:])
+            assert "HashAggregate" in below, (
+                "median_ci: window over an unaggregated frame\n"
+                + plan[:1500]
+            )
