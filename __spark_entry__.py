@@ -25923,7 +25923,8 @@ def q_windowed_fairness_check(spark, sf):
     )
     return out.select(
         F.col("window_start").cast("long").alias("window_start_epoch"),
-        "group", "n", "ppr", "tpr", "fpr",
+        F.col("group").cast("bigint").alias("group"),
+        "n", "ppr", "tpr", "fpr",
         "dp_gap", "tpr_gap", "fpr_gap",
     )
 

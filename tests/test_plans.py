@@ -529,6 +529,9 @@ def test_no_cartesian_products_anywhere(spark):
         "embedding_mmd",
         # 1-row reference-group rates broadcast onto the k-group frame
         "fairness_report",
+        # 1-row grand/treatment/block scalar frames crossed into one
+        # row (all bounded aggregates; constant-key joins fold)
+        "rm_anova_1way",
     }
     bad = {}
     for name, fn in em.queries().items():
