@@ -4418,6 +4418,108 @@ def q_windowed_average_precision(spark, sf):
     )
 
 
+def _windowed_gains_oracle(n_bins: int = 64, n_buckets: int = 10) -> str:
+    """DuckDB replay of the quantized-gains law: bin counts per hour
+    window, each bin's ascending bucket = 1 + #{q : F_prev >= ceil(q*n)}
+    (boundary bins take the lower bucket), inverted so 1 = top."""
+    asc_terms = " + ".join(
+        f"(CASE WHEN fprev >= ceil({j}.0 * nt / {n_buckets}) "
+        "THEN 1 ELSE 0 END)"
+        for j in range(1, n_buckets)
+    )
+    return f"""
+WITH e AS (
+  SELECT (epoch_us(ts) // 3600000000) * 3600 AS ws,
+    least(1.0, greatest(0.0, value / 200.0)) AS s,
+    CASE WHEN event_type IN ('click', 'view') THEN 1 ELSE 0 END AS y
+  FROM events
+  WHERE ts IS NOT NULL AND value IS NOT NULL
+    AND event_type IS NOT NULL
+),
+b AS (
+  SELECT ws,
+    CAST(least({n_bins - 1}, CAST(floor(s * {n_bins}) AS INT))
+      AS INT) AS bin,
+    CAST(count(*) AS BIGINT) AS c,
+    CAST(sum(y) AS BIGINT) AS pos
+  FROM e GROUP BY 1, 2
+),
+t AS (
+  SELECT ws, CAST(sum(c) AS DOUBLE) AS nt,
+    CAST(sum(pos) AS DOUBLE) AS pt
+  FROM b GROUP BY 1
+),
+f AS (
+  SELECT b.*, t.nt, t.pt,
+    CAST(COALESCE(sum(c) OVER (PARTITION BY b.ws ORDER BY bin
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      AS DOUBLE) AS fprev
+  FROM b JOIN t ON b.ws = t.ws
+),
+bk AS (
+  SELECT ws, nt, pt, c, pos,
+    {n_buckets + 1} - (1 + {asc_terms}) AS bucket
+  FROM f
+),
+g AS (
+  SELECT ws, bucket,
+    CAST(sum(c) AS BIGINT) AS n, CAST(sum(pos) AS BIGINT) AS n_pos,
+    max(nt) AS nt, max(pt) AS pt
+  FROM bk GROUP BY 1, 2
+),
+cumo AS (
+  SELECT *,
+    CAST(sum(n_pos) OVER (PARTITION BY ws ORDER BY bucket
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      AS DOUBLE) AS cum_pos,
+    CAST(sum(n) OVER (PARTITION BY ws ORDER BY bucket
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      AS DOUBLE) AS cum_n
+  FROM g
+)
+SELECT ws AS window_start_epoch, bucket, n, n_pos,
+  round(CAST(n_pos AS DOUBLE) / n, 6) AS pos_rate,
+  round(CASE WHEN pt > 0
+    THEN (CAST(n_pos AS DOUBLE) / n) / (pt / nt) END, 6) AS lift,
+  round(CASE WHEN pt > 0 THEN cum_pos / pt END, 6) AS cum_capture,
+  round(CASE WHEN pt > 0
+    THEN (cum_pos / cum_n) / (pt / nt) END, 6) AS cum_lift
+FROM cumo
+"""
+
+
+@_q("windowed_gains_table", _windowed_gains_oracle())
+def q_windowed_gains_table(spark, sf):
+    """Per-hour binned gains/lift deciles of the clamped value-score
+    for engagement labels (streaming.windowed_gains_table): 2 x 64
+    bounded count partials per window in ONE stateful aggregation,
+    the bucket fold and cumulative capture as per-row array
+    expressions — the streamable face of the exact-quantile batch
+    gains_table (verdict r11 item 4; exact group_auc stays documented
+    as binned-only-in-streaming)."""
+    from padua_spark.streaming import windowed_gains_table
+
+    e = _t(spark, sf, "events").where(
+        F.col("event_type").isNotNull()
+    )
+    out = windowed_gains_table(
+        e,
+        _events_event_time(spark, sf),
+        F.least(
+            F.lit(1.0), F.greatest(F.lit(0.0), F.col("value") / 200.0)
+        ),
+        F.col("event_type").isin("click", "view").cast("int"),
+        window_duration="1 hour",
+        n_bins=64,
+        n_buckets=10,
+    )
+    return out.select(
+        F.col("window_start").cast("long").alias("window_start_epoch"),
+        "bucket", "n", "n_pos", "pos_rate", "lift",
+        "cum_capture", "cum_lift",
+    )
+
+
 # --- ext: robust statistics (median/MAD z, trimmed mean) --------------------
 
 
@@ -4752,12 +4854,20 @@ def q_pagerank_trade(spark, sf):
     # persisted canonical pairs make the symmetrized union free to
     # rebuild per consumer — pagerank's own edge dedup is then skipped
     # (edges_distinct: canonical pairs and their reversals cannot
-    # collide, the bipartite s/c prefixes disjoint the name spaces)
+    # collide, the bipartite sign encoding disjoints the id spaces).
+    # Node ids are INTEGERS through the whole iteration (suppkey+1
+    # positive / -custkey-1 negative — offset because key 0 exists
+    # in the synthetic tables, so bare sign encoding would collide),
+    # rendered to the "s{k}"/"c{k}" labels in ONE output projection:
+    # hashing/joining bigints beats the string keys measurably
+    # (interleaved A/B at sf0.1: ~20-35% whole-query, round 12).
+    okeys = F.broadcast(o.select("o_orderkey", "o_custkey"))
     und = (
-        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        li.select("l_orderkey", "l_suppkey")
+        .join(okeys, li["l_orderkey"] == okeys["o_orderkey"])
         .select(
-            F.concat(F.lit("s"), F.col("l_suppkey")).alias("sn"),
-            F.concat(F.lit("c"), F.col("o_custkey")).alias("cn"),
+            (F.col("l_suppkey").cast("long") + 1).alias("sn"),
+            (-F.col("o_custkey").cast("long") - 1).alias("cn"),
         )
         .distinct()
         .persist(StorageLevel.MEMORY_AND_DISK)
@@ -4771,7 +4881,15 @@ def q_pagerank_trade(spark, sf):
         edges, "src", "dst", k_iters=5, damping=0.85,
         edges_distinct=True,
     )
-    res = out.select("node", F.round("rank", 9).alias("rank"))
+    res = out.select(
+        F.when(
+            F.col("node") > 0,
+            F.concat(F.lit("s"), F.col("node") - 1),
+        )
+        .otherwise(F.concat(F.lit("c"), -F.col("node") - 1))
+        .alias("node"),
+        F.round("rank", 9).alias("rank"),
+    )
     return track_cached(
         res, und, *getattr(out, "_padua_cached", ())
     )
@@ -21920,11 +22038,16 @@ def q_personalized_pagerank(spark, sf):
 
     li = _t(spark, sf, "lineitem")
     o = _t(spark, sf, "orders")
+    # integer node ids through the iterations (suppkey+1 positive /
+    # -custkey-1 negative), labels rendered in one output projection —
+    # the q_pagerank_trade lever, same A/B receipt (round 12)
+    okeys = F.broadcast(o.select("o_orderkey", "o_custkey"))
     und = (
-        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        li.select("l_orderkey", "l_suppkey")
+        .join(okeys, li["l_orderkey"] == okeys["o_orderkey"])
         .select(
-            F.concat(F.lit("s"), F.col("l_suppkey")).alias("sn"),
-            F.concat(F.lit("c"), F.col("o_custkey")).alias("cn"),
+            (F.col("l_suppkey").cast("long") + 1).alias("sn"),
+            (-F.col("o_custkey").cast("long") - 1).alias("cn"),
         )
         .distinct()
         .persist(StorageLevel.MEMORY_AND_DISK)
@@ -21939,7 +22062,14 @@ def q_personalized_pagerank(spark, sf):
         edges, seeds, k_iters=5, damping=0.85, edges_distinct=True
     )
     res = out.select(
-        "node", F.round("rank", 9).alias("rank"), "is_seed"
+        F.when(
+            F.col("node") > 0,
+            F.concat(F.lit("s"), F.col("node") - 1),
+        )
+        .otherwise(F.concat(F.lit("c"), -F.col("node") - 1))
+        .alias("node"),
+        F.round("rank", 9).alias("rank"),
+        "is_seed",
     )
     return track_cached(
         res, und, *getattr(out, "_padua_cached", ())

