@@ -1210,7 +1210,11 @@ def personalized_pagerank(
         .union(e.select(F.col("_d").alias("node")))
         .union(sd.select("node"))
         .distinct()
-        .join(sd.withColumn("_seed", F.lit(True)), "node", "left")
+        .join(
+            F.broadcast(sd.withColumn("_seed", F.lit(True))),
+            "node",
+            "left",
+        )
         .select(
             "node",
             F.coalesce(F.col("_seed"), F.lit(False)).alias("is_seed"),

@@ -2508,3 +2508,453 @@ def binary_segmentation(
         *key_cols, "seg_start", "seg_end", "n", "mean"
     )
     return track_cached(out, key_tot)
+
+
+def snht_test(
+    df: DataFrame,
+    group_cols: list[str],
+    order_cols: list[str],
+    value_col: str,
+) -> DataFrame:
+    """Standard Normal Homogeneity Test per group (Alexandersson
+    1986) — the parametric changepoint companion to
+    :func:`pettitt_test` (Pettitt is rank-based; SNHT compares
+    standardized segment means, so it is the more powerful choice
+    when the data are near-normal and the break is in the MEAN):
+
+    with ``z̄₁(k)`` / ``z̄₂(k)`` the standardized means of rows
+    ``1..k`` / ``k+1..n``, ``T(k) = k·z̄₁² + (n−k)·z̄₂²`` for
+    ``k = 1..n−1``; ``T0 = max_k T(k)``, break at the argmax
+    (EARLIEST index on ties, documented). Standardization uses the
+    population (MLE) σ̂ = √(Σ(x−x̄)²/n) — the SNHT convention.
+
+    Engine-exact via the prefix-deviation identity: the total
+    deviation sum is 0, so with ``S_k = C_k − k·x̄`` (``C_k`` the
+    plain running sum), ``z̄₁ = S_k/(k·σ̂)``, ``z̄₂ = −S_k/((n−k)·σ̂)``
+    and ``T(k) = (S_k²/σ̂²)·(1/k + 1/(n−k))`` — ONE group-partitioned
+    ordered window pass (running sum + row index, the
+    :func:`kpss_level` family contract), one per-group moment
+    aggregation joined back, one argmax roll-up. Output per group:
+    ``(groups..., n, t0_stat, change_index)``, 6dp; NULL stat when
+    n < 2 or σ̂ = 0. Asymptotic critical values are tabulated
+    (Khaliq & Ouarda 2007) and n-dependent; reported raw.
+    """
+    v = F.col(value_col).cast("double")
+    base = df.where(v.isNotNull()).select(
+        *group_cols, *order_cols, v.alias("_v")
+    )
+    w = (
+        Window.partitionBy(*group_cols)
+        .orderBy(*[F.col(c).asc() for c in order_cols])
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wo = Window.partitionBy(*group_cols).orderBy(
+        *[F.col(c).asc() for c in order_cols]
+    )
+    stepped = base.select(
+        *group_cols,
+        F.sum("_v").over(w).alias("_c"),
+        F.row_number().over(wo).cast("double").alias("_t"),
+    )
+    mom = base.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("bigint").alias("_n"),
+        F.sum("_v").alias("_sx"),
+        F.sum(F.col("_v") * F.col("_v")).alias("_sxx"),
+    )
+    nd = F.col("_n").cast("double")
+    mean = F.col("_sx") / nd
+    var0 = (F.col("_sxx") - nd * mean * mean) / nd
+    joined = stepped.join(mom, on=group_cols)
+    k = F.col("_t")
+    s_k = F.col("_c") - k * mean
+    t_k = F.when(
+        (k < nd) & (var0 > 0),
+        (s_k * s_k / var0) * (1.0 / k + 1.0 / (nd - k)),
+    )
+    staged = joined.select(
+        *group_cols, F.col("_n"), k.alias("_k"),
+        t_k.alias("_tk"),
+    ).where(F.col("_tk").isNotNull())
+    agg = staged.groupBy(*group_cols).agg(
+        F.max("_n").alias("n"),
+        F.max("_tk").alias("_t0"),
+        F.min_by(
+            F.col("_k"), F.struct(-F.col("_tk"), F.col("_k"))
+        ).cast("bigint").alias("change_index"),
+    )
+    return agg.select(
+        *group_cols, "n",
+        F.round("_t0", 6).alias("t0_stat"),
+        "change_index",
+    )
+
+
+def buishand_range(
+    df: DataFrame,
+    group_cols: list[str],
+    order_cols: list[str],
+    value_col: str,
+) -> DataFrame:
+    """Buishand range test per group (Buishand 1982) — cumulative-
+    deviation homogeneity: under a stable mean the partial sums
+    ``S_k = Σ_{i≤k}(x_i − x̄)`` wander near 0; a mean break bends
+    them into a tent whose peak marks the break.
+
+    ``R = (max_k S_k − min_k S_k)/σ̂`` (population σ̂, k = 0..n with
+    S_0 = S_n = 0, so max ≥ 0 ≥ min), rescaled ``R/√n`` for the
+    tabulated critical values (1.55 at 5% asymptotic); break index =
+    argmax |S_k| (earliest on ties). Same one-window-pass + moment
+    join shape as :func:`snht_test` (``S_k = C_k − k·x̄``). Output
+    per group: ``(groups..., n, range_stat, rescaled_range,
+    change_index)``, 6dp; NULLs when n < 2 or σ̂ = 0.
+    """
+    v = F.col(value_col).cast("double")
+    base = df.where(v.isNotNull()).select(
+        *group_cols, *order_cols, v.alias("_v")
+    )
+    w = (
+        Window.partitionBy(*group_cols)
+        .orderBy(*[F.col(c).asc() for c in order_cols])
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wo = Window.partitionBy(*group_cols).orderBy(
+        *[F.col(c).asc() for c in order_cols]
+    )
+    stepped = base.select(
+        *group_cols,
+        F.sum("_v").over(w).alias("_c"),
+        F.row_number().over(wo).cast("double").alias("_t"),
+    )
+    mom = base.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("bigint").alias("_n"),
+        F.sum("_v").alias("_sx"),
+        F.sum(F.col("_v") * F.col("_v")).alias("_sxx"),
+    )
+    nd = F.col("_n").cast("double")
+    mean = F.col("_sx") / nd
+    var0 = (F.col("_sxx") - nd * mean * mean) / nd
+    joined = stepped.join(mom, on=group_cols)
+    s_k = F.col("_c") - F.col("_t") * mean
+    staged = joined.select(
+        *group_cols, F.col("_n"),
+        F.col("_t").alias("_k"),
+        s_k.alias("_sk"),
+        F.when(var0 > 0, F.sqrt(var0)).alias("_sd"),
+    )
+    agg = staged.groupBy(*group_cols).agg(
+        F.max("_n").alias("n"),
+        # S_0 = 0 participates in the range bounds by definition
+        F.greatest(F.max("_sk"), F.lit(0.0)).alias("_smax"),
+        F.least(F.min("_sk"), F.lit(0.0)).alias("_smin"),
+        F.min_by(
+            F.col("_k"), F.struct(-F.abs(F.col("_sk")), F.col("_k"))
+        ).cast("bigint").alias("change_index"),
+        F.max("_sd").alias("_sd"),
+    )
+    nd2 = F.col("n").cast("double")
+    rng = F.when(
+        (F.col("n") >= 2) & F.col("_sd").isNotNull(),
+        (F.col("_smax") - F.col("_smin")) / F.col("_sd"),
+    )
+    return agg.select(
+        *group_cols, "n",
+        F.round(rng, 6).alias("range_stat"),
+        F.round(rng / F.sqrt(nd2), 6).alias("rescaled_range"),
+        "change_index",
+    )
+
+
+def turning_points_test(
+    df: DataFrame,
+    group_cols: list[str],
+    order_cols: list[str],
+    value_col: str,
+) -> DataFrame:
+    """Turning-points randomness test per group (Kendall) — counts
+    interior STRICT local extrema (``x_{t−1} < x_t > x_{t+1}`` or
+    ``x_{t−1} > x_t < x_{t+1}``; tied neighbors never form a turning
+    point, the pinned tie rule): an i.i.d. series has
+    ``E[T] = 2(n−2)/3``, ``Var[T] = (16n − 29)/90``; too few turns ⇒
+    trend/persistence, too many ⇒ negative autocorrelation. The
+    fast, assumption-light screen beside :func:`runs_test` (runs
+    binarizes around the median; turning points see local shape).
+
+    One group-partitioned ordered window pass (lag + lead — no
+    join, no rank), one aggregation. z has no continuity correction
+    (pinned); p two-sided normal via the shared A&S erfc. Output per
+    group: ``(groups..., n, n_turning_points, expected, variance,
+    z, p_value)``, 6dp; NULL z when n < 4.
+    """
+    from padua_spark.operators.stats import _normal_sf_2sided
+
+    v = F.col(value_col).cast("double")
+    base = df.where(v.isNotNull()).select(
+        *group_cols, *order_cols, v.alias("_v")
+    )
+    wo = Window.partitionBy(*group_cols).orderBy(
+        *[F.col(c).asc() for c in order_cols]
+    )
+    stepped = base.select(
+        *group_cols,
+        F.col("_v"),
+        F.lag("_v", 1).over(wo).alias("_p"),
+        F.lead("_v", 1).over(wo).alias("_x"),
+    )
+    is_tp = (
+        F.col("_p").isNotNull()
+        & F.col("_x").isNotNull()
+        & (
+            ((F.col("_p") < F.col("_v")) & (F.col("_x") < F.col("_v")))
+            | ((F.col("_p") > F.col("_v")) & (F.col("_x") > F.col("_v")))
+        )
+    )
+    agg = stepped.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(is_tp.cast("int")).cast("bigint")
+        .alias("n_turning_points"),
+    )
+    nd = F.col("n").cast("double")
+    e = 2.0 * (nd - 2.0) / 3.0
+    var = (16.0 * nd - 29.0) / 90.0
+    z = F.when(
+        (F.col("n") >= 4) & (var > 0),
+        (F.col("n_turning_points").cast("double") - e) / F.sqrt(var),
+    )
+    return agg.select(
+        *group_cols, "n", "n_turning_points",
+        F.round(e, 6).alias("expected"),
+        F.round(var, 6).alias("variance"),
+        F.round(z, 6).alias("z"),
+        F.round(_normal_sf_2sided(z), 6).alias("p_value"),
+    )
+
+
+def bartels_rank_test(
+    df: DataFrame,
+    group_cols: list[str],
+    order_cols: list[str],
+    value_col: str,
+) -> DataFrame:
+    """Bartels rank test of randomness per group (Bartels 1982) —
+    the rank version of von Neumann's successive-difference ratio:
+    ``RVN = Σ_{t<n}(r_t − r_{t+1})² / Σ(r_t − r̄)²`` over MIDRANKS
+    (ties averaged, r̄ = (n+1)/2 exactly under midranks). E[RVN] = 2;
+    small values ⇒ positive serial dependence (neighboring ranks
+    close), large ⇒ alternation. More powerful than runs against
+    trend alternatives, robust to any monotone marginal.
+
+    z uses the no-tie exact variance
+    ``Var = 4(n−2)(5n²−2n−9) / (5n(n+1)(n−1)²)`` (Bartels 1982,
+    pinned also under midranks — documented approximation), p
+    two-sided normal. Plan: midranks off the AGGREGATED value-domain
+    frame (the :func:`pettitt_test` contract — never a raw-row
+    rank), one value join back, one lead window pass, one
+    aggregation. Output per group: ``(groups..., n, rvn_stat, z,
+    p_value)``, 6dp; NULLs when n < 3 or the denominator is 0
+    (constant series).
+    """
+    from padua_spark.operators.stats import _normal_sf_2sided
+
+    v = F.col(value_col).cast("double")
+    base = df.where(v.isNotNull()).select(
+        *group_cols, *order_cols, v.alias("_v")
+    )
+    per = base.groupBy(*group_cols, F.col("_v")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("_c")
+    )
+    wv = (
+        Window.partitionBy(*group_cols)
+        .orderBy(F.col("_v").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ranked = per.select(
+        *group_cols, "_v",
+        (
+            (
+                2 * (F.sum("_c").over(wv) - F.col("_c"))
+                + F.col("_c") + 1
+            ).cast("double") / 2.0
+        ).alias("_r"),
+    )
+    joined = base.join(ranked, on=[*group_cols, "_v"])
+    wo = Window.partitionBy(*group_cols).orderBy(
+        *[F.col(c).asc() for c in order_cols]
+    )
+    stepped = joined.select(
+        *group_cols,
+        F.col("_r"),
+        F.lead("_r", 1).over(wo).alias("_rn"),
+    )
+    agg = stepped.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(
+            F.when(
+                F.col("_rn").isNotNull(),
+                (F.col("_r") - F.col("_rn"))
+                * (F.col("_r") - F.col("_rn")),
+            )
+        ).alias("_nm"),
+        F.sum(F.col("_r")).alias("_sr"),
+        F.sum(F.col("_r") * F.col("_r")).alias("_srr"),
+    )
+    nd = F.col("n").cast("double")
+    rbar = (nd + 1.0) / 2.0
+    denom = F.col("_srr") - 2.0 * rbar * F.col("_sr") + nd * rbar * rbar
+    rvn = F.when((F.col("n") >= 3) & (denom > 0), F.col("_nm") / denom)
+    var = (
+        4.0 * (nd - 2.0) * (5.0 * nd * nd - 2.0 * nd - 9.0)
+        / (5.0 * nd * (nd + 1.0) * (nd - 1.0) * (nd - 1.0))
+    )
+    z = F.when(var > 0, (rvn - 2.0) / F.sqrt(var))
+    return agg.select(
+        *group_cols, "n",
+        F.round(rvn, 6).alias("rvn_stat"),
+        F.round(z, 6).alias("z"),
+        F.round(_normal_sf_2sided(z), 6).alias("p_value"),
+    )
+
+
+def variance_ratio_test(
+    df: DataFrame,
+    group_cols: list[str],
+    order_cols: list[str],
+    value_col: str,
+    q: int = 4,
+) -> DataFrame:
+    """Lo–MacKinlay variance-ratio test per group (Lo & MacKinlay
+    1988, simple overlapping estimator — pinned): under a random
+    walk the variance of q-period differences is q× the one-period
+    variance, so ``VR(q) ≈ 1``; VR < 1 ⇒ mean reversion, VR > 1 ⇒
+    momentum/trending. The market-efficiency workhorse, useful on
+    any cumulative metric series.
+
+    Pinned estimator: ``μ = Σd_t/(n−1)`` over 1-diffs,
+    ``σ²₁ = Σ(d_t−μ)²/(n−1)``,
+    ``σ²_q = Σ_{t>q}(x_t−x_{t−q}−qμ)²/(q·(n−q))``,
+    ``VR = σ²_q/σ²₁`` (no small-sample bias correction —
+    documented), homoskedastic
+    ``z = (VR−1)/√φ, φ = 2(2q−1)(q−1)/(3q·n)``, p two-sided
+    normal. Expanded moments (``Σ(d−μ)² = Σd² − (n−1)μ²`` etc.)
+    make this ONE ordered window pass (lag-1 + lag-q) and ONE
+    aggregation — no join back, no demeaned column. Output per
+    group: ``(groups..., n, vr_stat, z, p_value)``, 6dp; NULLs when
+    n ≤ q+1 or σ²₁ = 0.
+    """
+    from padua_spark.operators.stats import _normal_sf_2sided
+
+    if q < 2:
+        raise ValueError("variance_ratio_test: q must be >= 2")
+    v = F.col(value_col).cast("double")
+    base = df.where(v.isNotNull()).select(
+        *group_cols, *order_cols, v.alias("_v")
+    )
+    wo = Window.partitionBy(*group_cols).orderBy(
+        *[F.col(c).asc() for c in order_cols]
+    )
+    stepped = base.select(
+        *group_cols,
+        (F.col("_v") - F.lag("_v", 1).over(wo)).alias("_d1"),
+        (F.col("_v") - F.lag("_v", int(q)).over(wo)).alias("_dq"),
+    )
+    agg = stepped.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("_d1").alias("_sd"),
+        F.sum(F.col("_d1") * F.col("_d1")).alias("_sdd"),
+        F.sum(F.col("_dq") * F.col("_dq")).alias("_sqq"),
+        F.sum("_dq").alias("_sq"),
+    )
+    nd = F.col("n").cast("double")
+    qd = float(q)
+    mu = F.col("_sd") / (nd - 1.0)
+    var1 = (F.col("_sdd") - (nd - 1.0) * mu * mu) / (nd - 1.0)
+    # Σ(e − qμ)² = Σe² − 2qμΣe + (n−q)·q²μ² over the n−q overlapping
+    # q-differences
+    ssq = (
+        F.col("_sqq")
+        - 2.0 * qd * mu * F.col("_sq")
+        + (nd - qd) * qd * qd * mu * mu
+    )
+    varq = ssq / (qd * (nd - qd))
+    vr = F.when((F.col("n") > q + 1) & (var1 > 0), varq / var1)
+    phi = 2.0 * (2.0 * qd - 1.0) * (qd - 1.0) / (3.0 * qd * nd)
+    z = F.when(phi > 0, (vr - 1.0) / F.sqrt(phi))
+    return agg.select(
+        *group_cols, "n",
+        F.round(vr, 6).alias("vr_stat"),
+        F.round(z, 6).alias("z"),
+        F.round(_normal_sf_2sided(z), 6).alias("p_value"),
+    )
+
+
+def records_test(
+    df: DataFrame,
+    group_cols: list[str],
+    order_cols: list[str],
+    value_col: str,
+) -> DataFrame:
+    """Record-counts randomness/trend test per group — counts STRICT
+    upper records (``x_t > max_{i<t} x_i``) and lower records in
+    time order. For an i.i.d. continuous series the t-th observation
+    is a record with probability 1/t independently, so
+    ``E[U] = Σ_{t=2..n} 1/t``, ``Var[U] = Σ_{t=2..n} (1/t − 1/t²)``
+    (the first row is not counted as a record — pinned); an upward
+    trend inflates upper records and starves lower ones — the
+    classic distribution-free trend screen (Foster & Stuart 1954
+    family) beside :func:`~padua_spark.operators.stats.mann_kendall`
+    (records react to NEW extremes specifically, e.g. data drifting
+    past its historical envelope).
+
+    One group-partitioned ordered window pass (running max/min over
+    rows 1..t−1 + the per-row 1/t terms off row_number), one
+    aggregation. z per direction, p two-sided normal. Ties: a repeat
+    of the current extreme is NOT a record (strict inequality,
+    pinned). Output per group: ``(groups..., n, n_upper_records,
+    n_lower_records, expected, variance, z_upper, z_lower, p_upper,
+    p_lower)``, 6dp; NULL z when n < 2 or Var = 0.
+    """
+    from padua_spark.operators.stats import _normal_sf_2sided
+
+    v = F.col(value_col).cast("double")
+    base = df.where(v.isNotNull()).select(
+        *group_cols, *order_cols, v.alias("_v")
+    )
+    wo = Window.partitionBy(*group_cols).orderBy(
+        *[F.col(c).asc() for c in order_cols]
+    )
+    wprev = wo.rowsBetween(Window.unboundedPreceding, -1)
+    stepped = base.select(
+        *group_cols,
+        F.col("_v"),
+        F.max("_v").over(wprev).alias("_pmax"),
+        F.min("_v").over(wprev).alias("_pmin"),
+        F.row_number().over(wo).cast("double").alias("_t"),
+    )
+    up = F.col("_pmax").isNotNull() & (F.col("_v") > F.col("_pmax"))
+    lo = F.col("_pmin").isNotNull() & (F.col("_v") < F.col("_pmin"))
+    t = F.col("_t")
+    agg = stepped.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(up.cast("int")).cast("bigint").alias("n_upper_records"),
+        F.sum(lo.cast("int")).cast("bigint").alias("n_lower_records"),
+        F.sum(F.when(t >= 2, 1.0 / t)).alias("_e"),
+        F.sum(F.when(t >= 2, 1.0 / t - 1.0 / (t * t))).alias("_var"),
+    )
+    z_up = F.when(
+        (F.col("n") >= 2) & (F.col("_var") > 0),
+        (F.col("n_upper_records").cast("double") - F.col("_e"))
+        / F.sqrt(F.col("_var")),
+    )
+    z_lo = F.when(
+        (F.col("n") >= 2) & (F.col("_var") > 0),
+        (F.col("n_lower_records").cast("double") - F.col("_e"))
+        / F.sqrt(F.col("_var")),
+    )
+    return agg.select(
+        *group_cols, "n", "n_upper_records", "n_lower_records",
+        F.round("_e", 6).alias("expected"),
+        F.round("_var", 6).alias("variance"),
+        F.round(z_up, 6).alias("z_upper"),
+        F.round(z_lo, 6).alias("z_lower"),
+        F.round(_normal_sf_2sided(z_up), 6).alias("p_upper"),
+        F.round(_normal_sf_2sided(z_lo), 6).alias("p_lower"),
+    )
