@@ -26059,6 +26059,818 @@ def q_windowed_fairness_check(spark, sf):
     )
 
 
+
+# --- E321-E326 round-12 battery 1: homogeneity / randomness screens ---------
+#     (SNHT, Buishand, turning points, Bartels RVN, variance ratio,
+#     records) on the kpss ordered-series fixture -----------------------------
+
+_SERIES_BASE_SQL = """
+  SELECT l_returnflag AS grp, CAST(l_quantity AS DOUBLE) AS v,
+    sum(CAST(l_quantity AS DOUBLE)) OVER w AS c,
+    CAST(row_number() OVER w AS DOUBLE) AS t
+  FROM lineitem WHERE l_quantity IS NOT NULL
+  WINDOW w AS (PARTITION BY l_returnflag
+               ORDER BY l_shipdate, l_orderkey, l_linenumber,
+                        l_quantity
+               ROWS UNBOUNDED PRECEDING)
+"""
+
+_ERFC2_SQL = """(0.254829592 * tt + -0.284496736 * tt * tt
+     + 1.421413741 * tt * tt * tt + -1.453152027 * tt * tt * tt * tt
+     + 1.061405429 * tt * tt * tt * tt * tt) * exp(-x2 * x2)"""
+
+_SNHT_ORACLE = f"""
+WITH base AS ({_SERIES_BASE_SQL}),
+mom AS (
+  SELECT grp, CAST(count(*) AS BIGINT) AS n, sum(v) AS sx,
+    sum(v * v) AS sxx
+  FROM base GROUP BY 1
+),
+s AS (
+  SELECT grp, n, CAST(n AS DOUBLE) AS nd,
+    sx / CAST(n AS DOUBLE) AS mu,
+    (sxx - CAST(n AS DOUBLE) * (sx / CAST(n AS DOUBLE))
+      * (sx / CAST(n AS DOUBLE))) / CAST(n AS DOUBLE) AS var0
+  FROM mom
+),
+tk AS (
+  SELECT b.grp, s.n, b.t AS k,
+    CASE WHEN b.t < s.nd AND s.var0 > 0 THEN
+      ((b.c - b.t * s.mu) * (b.c - b.t * s.mu) / s.var0)
+      * (1.0 / b.t + 1.0 / (s.nd - b.t)) END AS tkv
+  FROM base b JOIN s ON b.grp = s.grp
+)
+SELECT grp AS l_returnflag, n, round(tkv, 6) AS t0_stat,
+  CAST(k AS BIGINT) AS change_index
+FROM tk WHERE tkv IS NOT NULL
+QUALIFY row_number() OVER (PARTITION BY grp
+                           ORDER BY tkv DESC, k ASC) = 1
+"""
+
+
+@_q("snht_test", _SNHT_ORACLE)
+def q_snht_test(spark, sf):
+    """SNHT mean-homogeneity statistic of quantities per return flag
+    in shipdate order (temporal.snht_test): one ordered window pass
+    via the S_k = C_k - k*mean identity, per-group moments joined
+    back, earliest-argmax roll-up."""
+    from padua_spark.operators.temporal import snht_test
+
+    li = _t(spark, sf, "lineitem")
+    return snht_test(
+        li, ["l_returnflag"],
+        ["l_shipdate", "l_orderkey", "l_linenumber", "l_quantity"],
+        "l_quantity",
+    )
+
+
+_BUISHAND_ORACLE = f"""
+WITH base AS ({_SERIES_BASE_SQL}),
+mom AS (
+  SELECT grp, CAST(count(*) AS BIGINT) AS n, sum(v) AS sx,
+    sum(v * v) AS sxx
+  FROM base GROUP BY 1
+),
+s AS (
+  SELECT grp, n, CAST(n AS DOUBLE) AS nd,
+    sx / CAST(n AS DOUBLE) AS mu,
+    (sxx - CAST(n AS DOUBLE) * (sx / CAST(n AS DOUBLE))
+      * (sx / CAST(n AS DOUBLE))) / CAST(n AS DOUBLE) AS var0
+  FROM mom
+),
+sk AS (
+  SELECT b.grp, s.n, b.t AS k, b.c - b.t * s.mu AS skv,
+    CASE WHEN s.var0 > 0 THEN sqrt(s.var0) END AS sd
+  FROM base b JOIN s ON b.grp = s.grp
+),
+agg AS (
+  SELECT grp, max(n) AS n, greatest(max(skv), 0.0) AS smax,
+    least(min(skv), 0.0) AS smin, max(sd) AS sd
+  FROM sk GROUP BY 1
+),
+ci AS (
+  SELECT grp, CAST(k AS BIGINT) AS change_index
+  FROM sk
+  QUALIFY row_number() OVER (PARTITION BY grp
+                             ORDER BY abs(skv) DESC, k ASC) = 1
+)
+SELECT a.grp AS l_returnflag, a.n,
+  round(CASE WHEN a.n >= 2 AND a.sd IS NOT NULL
+    THEN (a.smax - a.smin) / a.sd END, 6) AS range_stat,
+  round(CASE WHEN a.n >= 2 AND a.sd IS NOT NULL
+    THEN ((a.smax - a.smin) / a.sd)
+      / sqrt(CAST(a.n AS DOUBLE)) END, 6) AS rescaled_range,
+  ci.change_index
+FROM agg a JOIN ci ON a.grp = ci.grp
+"""
+
+
+@_q("buishand_range", _BUISHAND_ORACLE)
+def q_buishand_range(spark, sf):
+    """Buishand cumulative-deviation range of quantities per return
+    flag (temporal.buishand_range): same one-window-pass + moment
+    join shape as snht_test, range over the partial sums with S_0
+    included."""
+    from padua_spark.operators.temporal import buishand_range
+
+    li = _t(spark, sf, "lineitem")
+    return buishand_range(
+        li, ["l_returnflag"],
+        ["l_shipdate", "l_orderkey", "l_linenumber", "l_quantity"],
+        "l_quantity",
+    )
+
+
+_TURNING_ORACLE = f"""
+WITH base AS ({_SERIES_BASE_SQL}),
+tp AS (
+  SELECT grp, v,
+    lag(v) OVER w2 AS p, lead(v) OVER w2 AS x
+  FROM base
+  WINDOW w2 AS (PARTITION BY grp ORDER BY t)
+),
+agg AS (
+  SELECT grp, CAST(count(*) AS BIGINT) AS n,
+    CAST(sum(CASE WHEN p IS NOT NULL AND x IS NOT NULL
+      AND ((p < v AND x < v) OR (p > v AND x > v))
+      THEN 1 ELSE 0 END) AS BIGINT) AS ntp
+  FROM tp GROUP BY 1
+),
+zc AS (
+  SELECT grp, n, ntp, CAST(n AS DOUBLE) AS nd,
+    CASE WHEN n >= 4 AND (16.0 * CAST(n AS DOUBLE) - 29.0) / 90.0 > 0
+      THEN (CAST(ntp AS DOUBLE)
+            - 2.0 * (CAST(n AS DOUBLE) - 2.0) / 3.0)
+        / sqrt((16.0 * CAST(n AS DOUBLE) - 29.0) / 90.0) END AS z
+  FROM agg
+),
+ec AS (
+  SELECT *, abs(z) / sqrt(2.0) AS x2,
+    1.0 / (1.0 + 0.3275911 * (abs(z) / sqrt(2.0))) AS tt
+  FROM zc
+)
+SELECT grp AS l_returnflag, n, ntp AS n_turning_points,
+  round(2.0 * (nd - 2.0) / 3.0, 6) AS expected,
+  round((16.0 * nd - 29.0) / 90.0, 6) AS variance,
+  round(z, 6) AS z,
+  round(CASE WHEN z IS NOT NULL THEN {_ERFC2_SQL} END, 6) AS p_value
+FROM ec
+"""
+
+
+@_q("turning_points_test", _TURNING_ORACLE)
+def q_turning_points_test(spark, sf):
+    """Turning-points randomness screen of quantities per return flag
+    (temporal.turning_points_test): one lag+lead window pass, strict
+    interior extrema, Kendall normal approximation."""
+    from padua_spark.operators.temporal import turning_points_test
+
+    li = _t(spark, sf, "lineitem")
+    return turning_points_test(
+        li, ["l_returnflag"],
+        ["l_shipdate", "l_orderkey", "l_linenumber", "l_quantity"],
+        "l_quantity",
+    )
+
+
+_BARTELS_ORACLE = f"""
+WITH base AS ({_SERIES_BASE_SQL}),
+per AS (
+  SELECT grp, v, CAST(count(*) AS BIGINT) AS cnt
+  FROM base GROUP BY 1, 2
+),
+rk AS (
+  SELECT grp, v,
+    CAST(2 * (sum(cnt) OVER (PARTITION BY grp ORDER BY v
+        ROWS UNBOUNDED PRECEDING) - cnt) + cnt + 1 AS DOUBLE)
+      / 2.0 AS r
+  FROM per
+),
+j AS (
+  SELECT b.grp, b.t, rk.r
+  FROM base b JOIN rk ON b.grp = rk.grp AND b.v = rk.v
+),
+st AS (
+  SELECT grp, r,
+    lead(r) OVER (PARTITION BY grp ORDER BY t) AS rn
+  FROM j
+),
+agg AS (
+  SELECT grp, CAST(count(*) AS BIGINT) AS n,
+    sum(CASE WHEN rn IS NOT NULL
+      THEN (r - rn) * (r - rn) END) AS nm,
+    sum(r) AS sr, sum(r * r) AS srr
+  FROM st GROUP BY 1
+),
+zc AS (
+  SELECT grp, n, CAST(n AS DOUBLE) AS nd,
+    CASE WHEN n >= 3
+      AND srr - 2.0 * ((CAST(n AS DOUBLE) + 1.0) / 2.0) * sr
+        + CAST(n AS DOUBLE) * ((CAST(n AS DOUBLE) + 1.0) / 2.0)
+          * ((CAST(n AS DOUBLE) + 1.0) / 2.0) > 0
+      THEN nm / (srr
+        - 2.0 * ((CAST(n AS DOUBLE) + 1.0) / 2.0) * sr
+        + CAST(n AS DOUBLE) * ((CAST(n AS DOUBLE) + 1.0) / 2.0)
+          * ((CAST(n AS DOUBLE) + 1.0) / 2.0)) END AS rvn
+  FROM agg
+),
+zf AS (
+  SELECT grp, n, rvn,
+    CASE WHEN 4.0 * (nd - 2.0) * (5.0 * nd * nd - 2.0 * nd - 9.0)
+      / (5.0 * nd * (nd + 1.0) * (nd - 1.0) * (nd - 1.0)) > 0
+      THEN (rvn - 2.0)
+        / sqrt(4.0 * (nd - 2.0) * (5.0 * nd * nd - 2.0 * nd - 9.0)
+          / (5.0 * nd * (nd + 1.0) * (nd - 1.0) * (nd - 1.0)))
+      END AS z
+  FROM zc
+),
+ec AS (
+  SELECT *, abs(z) / sqrt(2.0) AS x2,
+    1.0 / (1.0 + 0.3275911 * (abs(z) / sqrt(2.0))) AS tt
+  FROM zf
+)
+SELECT grp AS l_returnflag, n, round(rvn, 6) AS rvn_stat,
+  round(z, 6) AS z,
+  round(CASE WHEN z IS NOT NULL THEN {_ERFC2_SQL} END, 6) AS p_value
+FROM ec
+"""
+
+
+@_q("bartels_rank_test", _BARTELS_ORACLE)
+def q_bartels_rank_test(spark, sf):
+    """Bartels rank von Neumann randomness test of quantities per
+    return flag (temporal.bartels_rank_test): midranks off the
+    aggregated value-domain frame (the pettitt contract), one lead
+    window pass, one aggregation."""
+    from padua_spark.operators.temporal import bartels_rank_test
+
+    li = _t(spark, sf, "lineitem")
+    return bartels_rank_test(
+        li, ["l_returnflag"],
+        ["l_shipdate", "l_orderkey", "l_linenumber", "l_quantity"],
+        "l_quantity",
+    )
+
+
+_VR_ORACLE = f"""
+WITH base AS ({_SERIES_BASE_SQL}),
+st AS (
+  SELECT grp,
+    v - lag(v, 1) OVER w2 AS d1,
+    v - lag(v, 4) OVER w2 AS dq
+  FROM base
+  WINDOW w2 AS (PARTITION BY grp ORDER BY t)
+),
+agg AS (
+  SELECT grp, CAST(count(*) AS BIGINT) AS n,
+    sum(d1) AS sd, sum(d1 * d1) AS sdd,
+    sum(dq * dq) AS sqq, sum(dq) AS sq
+  FROM st GROUP BY 1
+),
+vc AS (
+  SELECT grp, n, CAST(n AS DOUBLE) AS nd,
+    sd / (CAST(n AS DOUBLE) - 1.0) AS mu,
+    (sdd - (CAST(n AS DOUBLE) - 1.0)
+      * (sd / (CAST(n AS DOUBLE) - 1.0))
+      * (sd / (CAST(n AS DOUBLE) - 1.0)))
+      / (CAST(n AS DOUBLE) - 1.0) AS var1,
+    sqq, sq
+  FROM agg
+),
+vr AS (
+  SELECT grp, n, nd,
+    CASE WHEN n > 5 AND var1 > 0 THEN
+      ((sqq - 2.0 * 4.0 * mu * sq
+        + (nd - 4.0) * 4.0 * 4.0 * mu * mu)
+       / (4.0 * (nd - 4.0))) / var1 END AS vrv
+  FROM vc
+),
+zf AS (
+  SELECT grp, n, vrv,
+    CASE WHEN 2.0 * (2.0 * 4.0 - 1.0) * (4.0 - 1.0)
+        / (3.0 * 4.0 * nd) > 0
+      THEN (vrv - 1.0)
+        / sqrt(2.0 * (2.0 * 4.0 - 1.0) * (4.0 - 1.0)
+          / (3.0 * 4.0 * nd)) END AS z
+  FROM vr
+),
+ec AS (
+  SELECT *, abs(z) / sqrt(2.0) AS x2,
+    1.0 / (1.0 + 0.3275911 * (abs(z) / sqrt(2.0))) AS tt
+  FROM zf
+)
+SELECT grp AS l_returnflag, n, round(vrv, 6) AS vr_stat,
+  round(z, 6) AS z,
+  round(CASE WHEN z IS NOT NULL THEN {_ERFC2_SQL} END, 6) AS p_value
+FROM ec
+"""
+
+
+@_q("variance_ratio_test", _VR_ORACLE)
+def q_variance_ratio_test(spark, sf):
+    """Lo-MacKinlay variance ratio (q=4) of quantities per return
+    flag (temporal.variance_ratio_test): one lag-1 + lag-4 window
+    pass and one aggregation via expanded moments — no join back."""
+    from padua_spark.operators.temporal import variance_ratio_test
+
+    li = _t(spark, sf, "lineitem")
+    return variance_ratio_test(
+        li, ["l_returnflag"],
+        ["l_shipdate", "l_orderkey", "l_linenumber", "l_quantity"],
+        "l_quantity", q=4,
+    )
+
+
+_RECORDS_ORACLE = f"""
+WITH base AS ({_SERIES_BASE_SQL}),
+st AS (
+  SELECT grp, v, t,
+    max(v) OVER (PARTITION BY grp ORDER BY t
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax,
+    min(v) OVER (PARTITION BY grp ORDER BY t
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmin
+  FROM base
+),
+agg AS (
+  SELECT grp, CAST(count(*) AS BIGINT) AS n,
+    CAST(sum(CASE WHEN pmax IS NOT NULL AND v > pmax
+      THEN 1 ELSE 0 END) AS BIGINT) AS nu,
+    CAST(sum(CASE WHEN pmin IS NOT NULL AND v < pmin
+      THEN 1 ELSE 0 END) AS BIGINT) AS nl,
+    sum(CASE WHEN t >= 2 THEN 1.0 / t END) AS e,
+    sum(CASE WHEN t >= 2
+      THEN 1.0 / t - 1.0 / (t * t) END) AS var
+  FROM st GROUP BY 1
+),
+zf AS (
+  SELECT grp, n, nu, nl, e, var,
+    CASE WHEN n >= 2 AND var > 0
+      THEN (CAST(nu AS DOUBLE) - e) / sqrt(var) END AS zu,
+    CASE WHEN n >= 2 AND var > 0
+      THEN (CAST(nl AS DOUBLE) - e) / sqrt(var) END AS zl
+  FROM agg
+),
+eu AS (
+  SELECT *, abs(zu) / sqrt(2.0) AS x2,
+    1.0 / (1.0 + 0.3275911 * (abs(zu) / sqrt(2.0))) AS tt,
+    abs(zl) / sqrt(2.0) AS x2l,
+    1.0 / (1.0 + 0.3275911 * (abs(zl) / sqrt(2.0))) AS ttl
+  FROM zf
+)
+SELECT grp AS l_returnflag, n, nu AS n_upper_records,
+  nl AS n_lower_records,
+  round(e, 6) AS expected, round(var, 6) AS variance,
+  round(zu, 6) AS z_upper, round(zl, 6) AS z_lower,
+  round(CASE WHEN zu IS NOT NULL THEN {_ERFC2_SQL} END, 6)
+    AS p_upper,
+  round(CASE WHEN zl IS NOT NULL THEN
+    (0.254829592 * ttl + -0.284496736 * ttl * ttl
+     + 1.421413741 * ttl * ttl * ttl
+     + -1.453152027 * ttl * ttl * ttl * ttl
+     + 1.061405429 * ttl * ttl * ttl * ttl * ttl)
+    * exp(-x2l * x2l) END, 6) AS p_lower
+FROM eu
+"""
+
+
+@_q("records_test", _RECORDS_ORACLE)
+def q_records_test(spark, sf):
+    """Record-counts trend screen of quantities per return flag
+    (temporal.records_test): running max/min over the preceding rows
+    plus the exact E/Var harmonic terms off the row index, one
+    window pass and one aggregation."""
+    from padua_spark.operators.temporal import records_test
+
+    li = _t(spark, sf, "lineitem")
+    return records_test(
+        li, ["l_returnflag"],
+        ["l_shipdate", "l_orderkey", "l_linenumber", "l_quantity"],
+        "l_quantity",
+    )
+
+
+
+# --- E327-E330 round-12 battery 2: causal / regression closed forms ---------
+
+
+_IV_WALD_ORACLE = f"""
+WITH base AS (
+  SELECT l_returnflag AS grp,
+    CASE WHEN l_quantity > 25 THEN 1.0 ELSE 0.0 END AS z,
+    CAST(l_quantity AS DOUBLE) AS x,
+    CAST(l_extendedprice AS DOUBLE) AS y
+  FROM lineitem
+  WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+),
+agg AS (
+  SELECT grp, CAST(count(*) AS BIGINT) AS n,
+    sum(z) AS sz, sum(x) AS sx, sum(y) AS sy,
+    sum(z * z) AS szz0, sum(x * x) AS sxx0, sum(y * y) AS syy0,
+    sum(z * x) AS szx0, sum(z * y) AS szy0, sum(x * y) AS sxy0
+  FROM base GROUP BY 1
+),
+m AS (
+  SELECT grp, n, CAST(n AS DOUBLE) AS nd,
+    szz0 - CAST(n AS DOUBLE) * (sz / CAST(n AS DOUBLE))
+      * (sz / CAST(n AS DOUBLE)) AS szz,
+    sxx0 - CAST(n AS DOUBLE) * (sx / CAST(n AS DOUBLE))
+      * (sx / CAST(n AS DOUBLE)) AS sxx,
+    syy0 - CAST(n AS DOUBLE) * (sy / CAST(n AS DOUBLE))
+      * (sy / CAST(n AS DOUBLE)) AS syy,
+    szx0 - CAST(n AS DOUBLE) * (sz / CAST(n AS DOUBLE))
+      * (sx / CAST(n AS DOUBLE)) AS szx,
+    szy0 - CAST(n AS DOUBLE) * (sz / CAST(n AS DOUBLE))
+      * (sy / CAST(n AS DOUBLE)) AS szy,
+    sxy0 - CAST(n AS DOUBLE) * (sx / CAST(n AS DOUBLE))
+      * (sy / CAST(n AS DOUBLE)) AS sxy
+  FROM agg
+),
+s AS (
+  SELECT grp, n, nd, szz, sxx,
+    CASE WHEN n >= 3 AND abs(szx) > 0 THEN szy / szx END AS beta,
+    szx, sxy, syy
+  FROM m
+),
+s2 AS (
+  SELECT grp, n, nd, szz, sxx, szx, beta,
+    (syy - 2.0 * beta * sxy + beta * beta * sxx) / (nd - 2.0)
+      AS sig2,
+    CASE WHEN szz > 0 THEN szx / szz END AS b1,
+    sxx - szx * szx / szz AS rss1
+  FROM s
+),
+s3 AS (
+  SELECT grp, n, beta,
+    CASE WHEN beta IS NOT NULL AND sig2 >= 0
+      THEN sqrt(sig2 * szz / (szx * szx)) END AS se,
+    CASE WHEN beta IS NOT NULL AND szz > 0 AND rss1 > 0
+      THEN b1 * b1 * szz / (rss1 / (nd - 2.0)) END AS fstat
+  FROM s2
+),
+zf AS (
+  SELECT grp, n, beta, se, fstat,
+    CASE WHEN se > 0 THEN beta / se END AS z
+  FROM s3
+),
+ec AS (
+  SELECT *, abs(z) / sqrt(2.0) AS x2,
+    1.0 / (1.0 + 0.3275911 * (abs(z) / sqrt(2.0))) AS tt
+  FROM zf
+)
+SELECT grp AS l_returnflag, n, round(beta, 6) AS beta_iv,
+  round(se, 6) AS se, round(z, 6) AS z,
+  round(CASE WHEN z IS NOT NULL THEN {_ERFC2_SQL} END, 6)
+    AS p_value,
+  round(fstat, 6) AS first_stage_f
+FROM ec
+"""
+
+
+@_q("iv_wald", _IV_WALD_ORACLE)
+def q_iv_wald(spark, sf):
+    """One-instrument IV (Wald) slope of price on quantity per return
+    flag (stats.iv_wald): one centered-moment aggregation, scalar
+    2SLS algebra on the per-group row, first-stage F reported as the
+    weak-instrument screen."""
+    from padua_spark.operators.stats import iv_wald
+
+    li = _t(spark, sf, "lineitem").where(
+        F.col("l_quantity").isNotNull()
+        & F.col("l_extendedprice").isNotNull()
+    )
+    li = li.withColumn(
+        "_iv", (F.col("l_quantity") > 25).cast("double")
+    )
+    return iv_wald(
+        li, ["l_returnflag"], "_iv", "l_quantity", "l_extendedprice"
+    )
+
+
+_SOBEL_ORACLE = f"""
+WITH base AS (
+  SELECT l_returnflag AS grp,
+    CAST(l_quantity AS DOUBLE) AS x,
+    CAST(l_extendedprice AS DOUBLE) AS m,
+    CAST(l_extendedprice AS DOUBLE)
+      * (1.0 - CAST(l_discount AS DOUBLE)) AS y
+  FROM lineitem
+  WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+    AND l_discount IS NOT NULL
+),
+agg AS (
+  SELECT grp, CAST(count(*) AS BIGINT) AS n,
+    sum(x) AS sx, sum(m) AS sm, sum(y) AS sy,
+    sum(x * x) AS sxx0, sum(m * m) AS smm0, sum(y * y) AS syy0,
+    sum(x * m) AS sxm0, sum(x * y) AS sxy0, sum(m * y) AS smy0
+  FROM base GROUP BY 1
+),
+c AS (
+  SELECT grp, n, CAST(n AS DOUBLE) AS nd,
+    sxx0 - CAST(n AS DOUBLE) * (sx / CAST(n AS DOUBLE))
+      * (sx / CAST(n AS DOUBLE)) AS sxx,
+    smm0 - CAST(n AS DOUBLE) * (sm / CAST(n AS DOUBLE))
+      * (sm / CAST(n AS DOUBLE)) AS smm,
+    syy0 - CAST(n AS DOUBLE) * (sy / CAST(n AS DOUBLE))
+      * (sy / CAST(n AS DOUBLE)) AS syy,
+    sxm0 - CAST(n AS DOUBLE) * (sx / CAST(n AS DOUBLE))
+      * (sm / CAST(n AS DOUBLE)) AS sxm,
+    sxy0 - CAST(n AS DOUBLE) * (sx / CAST(n AS DOUBLE))
+      * (sy / CAST(n AS DOUBLE)) AS sxy,
+    smy0 - CAST(n AS DOUBLE) * (sm / CAST(n AS DOUBLE))
+      * (sy / CAST(n AS DOUBLE)) AS smy
+  FROM agg
+),
+s AS (
+  SELECT grp, n, nd, sxx, smm, syy, sxm, sxy, smy,
+    sxx * smm - sxm * sxm AS det,
+    n >= 4 AND sxx > 0 AND sxx * smm - sxm * sxm > 0 AS ok
+  FROM c
+),
+paths AS (
+  SELECT grp, n, nd, sxx, det, ok, sxy,
+    CASE WHEN ok THEN sxm / sxx END AS a,
+    CASE WHEN ok
+      THEN ((smm - sxm * sxm / sxx) / (nd - 2.0)) / sxx END AS s2a,
+    CASE WHEN ok THEN (sxx * smy - sxm * sxy) / det END AS b,
+    CASE WHEN ok THEN (smm * sxy - sxm * smy) / det END AS bx,
+    smy, syy
+  FROM s
+),
+fit AS (
+  SELECT grp, n, a, b, s2a,
+    CASE WHEN ok
+      THEN ((syy - bx * sxy - b * smy) / (nd - 3.0)) * sxx / det
+      END AS s2b,
+    CASE WHEN ok THEN sxy / sxx END AS c_tot, ok
+  FROM paths
+),
+zf AS (
+  SELECT grp, n, a, b, a * b AS indirect, c_tot,
+    CASE WHEN ok AND b * b * s2a + a * a * s2b > 0
+      THEN a * b / sqrt(b * b * s2a + a * a * s2b) END AS z
+  FROM fit
+),
+ec AS (
+  SELECT *, abs(z) / sqrt(2.0) AS x2,
+    1.0 / (1.0 + 0.3275911 * (abs(z) / sqrt(2.0))) AS tt
+  FROM zf
+)
+SELECT grp AS l_returnflag, n, round(a, 6) AS a_path,
+  round(b, 6) AS b_path, round(indirect, 6) AS indirect,
+  round(c_tot - indirect, 6) AS direct, round(c_tot, 6) AS total,
+  round(z, 6) AS sobel_z,
+  round(CASE WHEN z IS NOT NULL THEN {_ERFC2_SQL} END, 6) AS p_value
+FROM ec
+"""
+
+
+@_q("sobel_mediation", _SOBEL_ORACLE)
+def q_sobel_mediation(spark, sf):
+    """Mediation of quantity -> list price -> net revenue per return
+    flag (stats.sobel_mediation): closed-form a/b paths off one
+    centered-moment aggregation, exact OLS effect decomposition,
+    Sobel z."""
+    from padua_spark.operators.stats import sobel_mediation
+
+    li = _t(spark, sf, "lineitem").where(
+        F.col("l_quantity").isNotNull()
+        & F.col("l_extendedprice").isNotNull()
+        & F.col("l_discount").isNotNull()
+    )
+    li = li.withColumn(
+        "_rev",
+        F.col("l_extendedprice").cast("double")
+        * (F.lit(1.0) - F.col("l_discount").cast("double")),
+    )
+    return sobel_mediation(
+        li, ["l_returnflag"], "l_quantity", "l_extendedprice", "_rev"
+    )
+
+
+_RDD_ORACLE = f"""
+WITH base AS (
+  SELECT l_returnflag AS grp,
+    CAST(l_quantity AS DOUBLE) - 25.0 AS x,
+    CAST(l_extendedprice AS DOUBLE) AS y,
+    CASE WHEN CAST(l_quantity AS DOUBLE) >= 25.0
+      THEN 1 ELSE 0 END AS s
+  FROM lineitem
+  WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+    AND CAST(l_quantity AS DOUBLE) >= 15.0
+    AND CAST(l_quantity AS DOUBLE) <= 35.0
+),
+agg AS (
+  SELECT grp,
+    CAST(sum(CASE WHEN s = 0 THEN 1 ELSE 0 END) AS BIGINT) AS nl,
+    sum(CASE WHEN s = 0 THEN x END) AS sxl,
+    sum(CASE WHEN s = 0 THEN y END) AS syl,
+    sum(CASE WHEN s = 0 THEN x * x END) AS sxxl,
+    sum(CASE WHEN s = 0 THEN x * y END) AS sxyl,
+    sum(CASE WHEN s = 0 THEN y * y END) AS syyl,
+    CAST(sum(CASE WHEN s = 1 THEN 1 ELSE 0 END) AS BIGINT) AS nr,
+    sum(CASE WHEN s = 1 THEN x END) AS sxr,
+    sum(CASE WHEN s = 1 THEN y END) AS syr,
+    sum(CASE WHEN s = 1 THEN x * x END) AS sxxr,
+    sum(CASE WHEN s = 1 THEN x * y END) AS sxyr,
+    sum(CASE WHEN s = 1 THEN y * y END) AS syyr
+  FROM base GROUP BY 1
+),
+sidel AS (
+  SELECT grp, nl, nr, sxr, syr, sxxr, sxyr, syyr,
+    CAST(nl AS DOUBLE) AS n, sxl / CAST(nl AS DOUBLE) AS mx,
+    syl / CAST(nl AS DOUBLE) AS my,
+    sxxl - CAST(nl AS DOUBLE) * (sxl / CAST(nl AS DOUBLE))
+      * (sxl / CAST(nl AS DOUBLE)) AS sxx,
+    sxyl - CAST(nl AS DOUBLE) * (sxl / CAST(nl AS DOUBLE))
+      * (syl / CAST(nl AS DOUBLE)) AS sxy,
+    syyl - CAST(nl AS DOUBLE) * (syl / CAST(nl AS DOUBLE))
+      * (syl / CAST(nl AS DOUBLE)) AS syy
+  FROM agg
+),
+fl AS (
+  SELECT grp, nl, nr, sxr, syr, sxxr, sxyr, syyr,
+    CASE WHEN nl >= 3 AND sxx > 0
+      THEN my - (sxy / sxx) * mx END AS al,
+    CASE WHEN nl >= 3 AND sxx > 0
+      THEN ((syy - sxy * sxy / sxx) / (n - 2.0))
+        * (1.0 / n + mx * mx / sxx) END AS vl
+  FROM sidel
+),
+sider AS (
+  SELECT grp, nl, nr, al, vl,
+    CAST(nr AS DOUBLE) AS n, sxr / CAST(nr AS DOUBLE) AS mx,
+    syr / CAST(nr AS DOUBLE) AS my,
+    sxxr - CAST(nr AS DOUBLE) * (sxr / CAST(nr AS DOUBLE))
+      * (sxr / CAST(nr AS DOUBLE)) AS sxx,
+    sxyr - CAST(nr AS DOUBLE) * (sxr / CAST(nr AS DOUBLE))
+      * (syr / CAST(nr AS DOUBLE)) AS sxy,
+    syyr - CAST(nr AS DOUBLE) * (syr / CAST(nr AS DOUBLE))
+      * (syr / CAST(nr AS DOUBLE)) AS syy
+  FROM fl
+),
+fr AS (
+  SELECT grp, nl, nr, al, vl,
+    CASE WHEN nr >= 3 AND sxx > 0
+      THEN my - (sxy / sxx) * mx END AS ar,
+    CASE WHEN nr >= 3 AND sxx > 0
+      THEN ((syy - sxy * sxy / sxx) / (n - 2.0))
+        * (1.0 / n + mx * mx / sxx) END AS vr
+  FROM sider
+),
+zf AS (
+  SELECT grp, nl, nr, al, ar, ar - al AS tau,
+    CASE WHEN vl >= 0 AND vr >= 0 THEN sqrt(vl + vr) END AS se
+  FROM fr
+),
+zg AS (
+  SELECT *, CASE WHEN se > 0 THEN tau / se END AS z FROM zf
+),
+ec AS (
+  SELECT *, abs(z) / sqrt(2.0) AS x2,
+    1.0 / (1.0 + 0.3275911 * (abs(z) / sqrt(2.0))) AS tt
+  FROM zg
+)
+SELECT grp AS l_returnflag, nl AS n_left, nr AS n_right,
+  round(al, 6) AS alpha_left, round(ar, 6) AS alpha_right,
+  round(tau, 6) AS tau, round(se, 6) AS se, round(z, 6) AS z,
+  round(CASE WHEN z IS NOT NULL THEN {_ERFC2_SQL} END, 6) AS p_value
+FROM ec
+"""
+
+
+@_q("rdd_sharp", _RDD_ORACLE)
+def q_rdd_sharp(spark, sf):
+    """Sharp regression-discontinuity jump in price at the quantity-25
+    cutoff per return flag (stats.rdd_sharp): local linear on each
+    side within bandwidth 10, one conditional-moment aggregation, no
+    join."""
+    from padua_spark.operators.stats import rdd_sharp
+
+    li = _t(spark, sf, "lineitem")
+    return rdd_sharp(
+        li, ["l_returnflag"], "l_quantity", "l_extendedprice",
+        cutoff=25.0, bandwidth=10.0,
+    )
+
+
+def _gq_oracle() -> str:
+    return f"""
+WITH RECURSIVE base AS (
+  SELECT l_returnflag AS grp,
+    CAST(l_quantity AS DOUBLE) AS x,
+    CAST(l_extendedprice AS DOUBLE) AS y,
+    CAST(row_number() OVER (PARTITION BY l_returnflag
+      ORDER BY l_quantity, l_orderkey, l_linenumber) AS BIGINT)
+      AS rn,
+    CAST(count(*) OVER (PARTITION BY l_returnflag) AS BIGINT) AS cnt
+  FROM lineitem
+  WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+),
+seg AS (
+  SELECT *,
+    CAST(floor(CAST(cnt AS DOUBLE) * (1.0 - 0.2) / 2.0) AS BIGINT)
+      AS nseg
+  FROM base
+),
+agg AS (
+  SELECT grp, max(cnt) AS n, max(nseg) AS n_segment,
+    CAST(sum(CASE WHEN rn <= nseg THEN 1 ELSE 0 END) AS BIGINT)
+      AS nl,
+    sum(CASE WHEN rn <= nseg THEN x END) AS sxl,
+    sum(CASE WHEN rn <= nseg THEN y END) AS syl,
+    sum(CASE WHEN rn <= nseg THEN x * x END) AS sxxl,
+    sum(CASE WHEN rn <= nseg THEN x * y END) AS sxyl,
+    sum(CASE WHEN rn <= nseg THEN y * y END) AS syyl,
+    CAST(sum(CASE WHEN rn > cnt - nseg THEN 1 ELSE 0 END) AS BIGINT)
+      AS nh,
+    sum(CASE WHEN rn > cnt - nseg THEN x END) AS sxh,
+    sum(CASE WHEN rn > cnt - nseg THEN y END) AS syh,
+    sum(CASE WHEN rn > cnt - nseg THEN x * x END) AS sxxh,
+    sum(CASE WHEN rn > cnt - nseg THEN x * y END) AS sxyh,
+    sum(CASE WHEN rn > cnt - nseg THEN y * y END) AS syyh
+  FROM seg GROUP BY 1
+),
+rl AS (
+  SELECT grp, n, n_segment, nh, sxh, syh, sxxh, sxyh, syyh,
+    CASE WHEN nl >= 3
+        AND sxxl - CAST(nl AS DOUBLE) * (sxl / CAST(nl AS DOUBLE))
+          * (sxl / CAST(nl AS DOUBLE)) > 0
+      THEN (syyl - CAST(nl AS DOUBLE) * (syl / CAST(nl AS DOUBLE))
+          * (syl / CAST(nl AS DOUBLE)))
+        - (sxyl - CAST(nl AS DOUBLE) * (sxl / CAST(nl AS DOUBLE))
+          * (syl / CAST(nl AS DOUBLE)))
+          * (sxyl - CAST(nl AS DOUBLE) * (sxl / CAST(nl AS DOUBLE))
+          * (syl / CAST(nl AS DOUBLE)))
+        / (sxxl - CAST(nl AS DOUBLE) * (sxl / CAST(nl AS DOUBLE))
+          * (sxl / CAST(nl AS DOUBLE)))
+      END AS rss_lo
+  FROM agg
+),
+rh AS (
+  SELECT grp, n, n_segment, rss_lo,
+    CASE WHEN nh >= 3
+        AND sxxh - CAST(nh AS DOUBLE) * (sxh / CAST(nh AS DOUBLE))
+          * (sxh / CAST(nh AS DOUBLE)) > 0
+      THEN (syyh - CAST(nh AS DOUBLE) * (syh / CAST(nh AS DOUBLE))
+          * (syh / CAST(nh AS DOUBLE)))
+        - (sxyh - CAST(nh AS DOUBLE) * (sxh / CAST(nh AS DOUBLE))
+          * (syh / CAST(nh AS DOUBLE)))
+          * (sxyh - CAST(nh AS DOUBLE) * (sxh / CAST(nh AS DOUBLE))
+          * (syh / CAST(nh AS DOUBLE)))
+        / (sxxh - CAST(nh AS DOUBLE) * (sxh / CAST(nh AS DOUBLE))
+          * (sxh / CAST(nh AS DOUBLE)))
+      END AS rss_hi
+  FROM rl
+),
+ff AS (
+  SELECT grp, n, n_segment, rss_lo, rss_hi,
+    CAST(n_segment - 2 AS DOUBLE) AS dfree,
+    CASE WHEN rss_lo > 0 AND rss_hi IS NOT NULL
+        AND n_segment - 2 > 0
+      THEN (rss_hi / CAST(n_segment - 2 AS DOUBLE))
+        / (rss_lo / CAST(n_segment - 2 AS DOUBLE)) END AS f
+  FROM rh
+),
+inp AS (
+  SELECT grp AS key,
+    CAST(dfree / (dfree + dfree * f) AS DOUBLE) AS x,
+    CAST(dfree / 2.0 AS DOUBLE) AS a,
+    CAST(dfree / 2.0 AS DOUBLE) AS b
+  FROM ff
+  WHERE f IS NOT NULL AND dfree > 0 AND f >= 0
+),
+{_betainc_chain_sql()}
+SELECT ff.grp AS l_returnflag, ff.n, ff.n_segment,
+  round(ff.f, 6) AS f_stat,
+  ff.dfree AS dfn, ff.dfree AS dfd,
+  round(pv.p, 6) AS p_value
+FROM ff LEFT JOIN pv ON ff.grp = pv.key
+"""
+
+
+@_q("goldfeld_quandt", _gq_oracle())
+def q_goldfeld_quandt(spark, sf):
+    """Goldfeld-Quandt heteroscedasticity F of price ordered by
+    quantity per return flag (stats.goldfeld_quandt): one ordered
+    window pass for the segment flags, one conditional-moment
+    aggregation, shared Arrow F SF vs the recursive betainc oracle."""
+    from padua_spark.operators.stats import goldfeld_quandt
+
+    li = _t(spark, sf, "lineitem")
+    out = goldfeld_quandt(
+        li, ["l_returnflag"],
+        ["l_quantity", "l_orderkey", "l_linenumber"],
+        "l_quantity", "l_extendedprice", drop_frac=0.2,
+    )
+    # raw RSS columns are 1e13-scale price-product sums whose float
+    # summation order differs across engines (the money-sum rule) —
+    # the gate rides on n / n_segment / F / df / p
+    return out.select(
+        "l_returnflag", "n", "n_segment", "f_stat", "dfn", "dfd",
+        "p_value",
+    )
+
+
 # ---------------------------------------------------------------------------
 
 

@@ -161,6 +161,16 @@ HEADLINE = [
     "windowed_binned_auc",
     "windowed_average_precision",
     "windowed_gains_table",
+    "snht_test",
+    "buishand_range",
+    "turning_points_test",
+    "bartels_rank_test",
+    "variance_ratio_test",
+    "records_test",
+    "iv_wald",
+    "sobel_mediation",
+    "rdd_sharp",
+    "goldfeld_quandt",
     "breusch_pagan",
     "chow_test",
     "cooks_distance",

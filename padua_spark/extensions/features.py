@@ -890,3 +890,86 @@ def fairness_report(
         F.round(F.col("_fpr") - F.col("_rfpr"), 6).alias("fpr_gap"),
     )
     return track_cached(out)
+
+
+def srm_check(
+    df: DataFrame,
+    group_cols: list[str],
+    arm_col: str,
+    arms: list,
+    expected_ratios: list[float] | None = None,
+) -> DataFrame:
+    """Sample-ratio-mismatch (SRM) check per group — the first gate
+    of every A/B readout ("did the traffic split actually land
+    50/50?"): a chi-square goodness-of-fit of the DECLARED arm
+    counts against the declared allocation ratios. A significant SRM
+    means the assignment or logging is broken and every downstream
+    metric comparison is invalid — run this before
+    :func:`~padua_spark.operators.stats.two_proportion_effects`-style
+    readouts, not after.
+
+    ``arms`` are declared (compile-time bounded, the
+    :func:`fairness_report` contract), so each arm's count is a
+    conditional-sum column in ONE aggregation; rows with an arm
+    value outside ``arms`` are ignored (documented).
+    ``expected_ratios`` defaults to equal allocation; they are
+    normalized to sum 1. χ² = Σ (O_k − E_k)²/E_k with
+    ``E_k = ratio_k·n``; p via the shared closed-form chi-square SF
+    (df = k−1, compile-time). Output per group: ``(groups..., n,
+    n_arm_0.., chi2, df, p_value, srm_flag_1pct)``, 6dp.
+    """
+    from padua_spark.operators.stats import _chi2_sf_closed
+
+    k = len(arms)
+    if k < 2:
+        raise ValueError("srm_check: need at least 2 arms")
+    if expected_ratios is None:
+        ratios = [1.0 / k] * k
+    else:
+        if len(expected_ratios) != k or any(
+            r <= 0 for r in expected_ratios
+        ):
+            raise ValueError(
+                "srm_check: expected_ratios must be positive and "
+                "match arms"
+            )
+        tot = float(sum(expected_ratios))
+        ratios = [float(r) / tot for r in expected_ratios]
+    a = F.col(arm_col)
+    base = df.where(a.isin(list(arms))).select(
+        *group_cols, a.alias("_a")
+    )
+    aggs = [
+        F.sum(F.when(F.col("_a") == arm, 1).otherwise(0))
+        .cast("bigint").alias(f"n_arm_{i}")
+        for i, arm in enumerate(arms)
+    ]
+    agg = base.groupBy(*group_cols).agg(*aggs)
+    n = None
+    for i in range(k):
+        c = F.col(f"n_arm_{i}")
+        n = c if n is None else n + c
+    staged = agg.withColumn("_n", n)
+    nd = F.col("_n").cast("double")
+    chi2 = None
+    for i in range(k):
+        e = F.lit(ratios[i]) * nd
+        o = F.col(f"n_arm_{i}").cast("double")
+        term = (o - e) * (o - e) / e
+        chi2 = term if chi2 is None else chi2 + term
+    staged = staged.withColumn(
+        "_chi2", F.when(F.col("_n") > 0, chi2)
+    )
+    p = _chi2_sf_closed(
+        F.col("_chi2"), F.lit(k - 1), max_df=max(k - 1, 1)
+    )
+    return staged.select(
+        *group_cols,
+        F.col("_n").alias("n"),
+        *[F.col(f"n_arm_{i}") for i in range(k)],
+        F.round("_chi2", 6).alias("chi2"),
+        F.lit(k - 1).cast("bigint").alias("df"),
+        F.round(p, 6).alias("p_value"),
+        F.when(F.col("_chi2").isNotNull(), p < 0.01)
+        .alias("srm_flag_1pct"),
+    )

@@ -2471,3 +2471,172 @@ def vocabulary_coverage_curve(
         )
     out = reduce(lambda a, b: a.unionAll(b), branches)
     return track_cached(out, stepped)
+
+
+def lexical_constants(
+    df: DataFrame,
+    group_cols: list[str],
+    text_col: str,
+    lowercase: bool = True,
+) -> DataFrame:
+    """Classical lexical-richness constants per group — the
+    length-robust companions to :func:`hapax_stats`'s raw TTR (TTR
+    falls mechanically with corpus size; these were designed to
+    cancel that, so they compare shards of DIFFERENT sizes —
+    machine-generated text shows depressed K-adjusted diversity,
+    template spam shows inflated repeat mass):
+
+    with ``N`` tokens, ``V`` types, ``V_m`` types seen exactly m
+    times and ``S₂ = Σ m²·V_m``: Yule's
+    ``K = 10⁴·(S₂ − N)/N²`` (repeat-rate, size-invariant under the
+    Poisson model), Yule's ``I = V²/(S₂ − V)`` (inverse of K up to
+    scale), Herdan's ``C = ln V / ln N``, Guiraud's ``R = V/√N``,
+    Honoré's ``H = 100·ln N / (1 − V₁/V)`` (hapax-sensitive; NULL
+    when every type is a hapax — documented). Natural logs (pinned).
+
+    Scale shape: one (group, token) aggregation with map-side
+    combine, one count-of-counts roll-up to the COUNT-DOMAIN frame
+    (≤ O(√N) rows per group), one aggregation — integers end to end
+    until the final divisions. Output per group: ``(groups..., n_tokens,
+    n_types, n_hapax, yules_k, yules_i, herdan_c, guiraud_r,
+    honore_h)``, 6dp.
+
+    Beyond the reference; standard per Yule 1944 / Herdan 1960 /
+    Guiraud 1954 / Honoré 1979.
+    """
+    t = F.col(text_col)
+    toks = tokens(F.lower(t) if lowercase else t)
+    per_token = (
+        df.where(t.isNotNull())
+        .select(*group_cols, F.explode(toks).alias("_tok"))
+        .where(F.col("_tok") != "")
+        .groupBy(*group_cols, "_tok")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("_m"))
+    )
+    fof = per_token.groupBy(*group_cols, F.col("_m")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("_vm")
+    )
+    agg = fof.groupBy(*group_cols).agg(
+        F.sum(F.col("_m") * F.col("_vm")).cast("bigint")
+        .alias("n_tokens"),
+        F.sum("_vm").cast("bigint").alias("n_types"),
+        F.sum(F.when(F.col("_m") == 1, F.col("_vm")))
+        .cast("bigint").alias("_v1"),
+        F.sum(F.col("_m") * F.col("_m") * F.col("_vm"))
+        .cast("decimal(38,0)").alias("_s2"),
+    )
+    nd = F.col("n_tokens").cast("double")
+    vd = F.col("n_types").cast("double")
+    v1 = F.coalesce(F.col("_v1"), F.lit(0)).cast("double")
+    s2 = F.col("_s2").cast("double")
+    k = F.when(nd > 0, 1e4 * (s2 - nd) / (nd * nd))
+    i = F.when(s2 - vd > 0, vd * vd / (s2 - vd))
+    c = F.when((nd > 1) & (vd > 0), F.log(vd) / F.log(nd))
+    r = F.when(nd > 0, vd / F.sqrt(nd))
+    h = F.when(
+        (nd > 1) & (vd > 0) & (v1 < vd),
+        100.0 * F.log(nd) / (1.0 - v1 / vd),
+    )
+    return agg.select(
+        *group_cols, "n_tokens", "n_types",
+        F.coalesce(F.col("_v1"), F.lit(0)).cast("bigint")
+        .alias("n_hapax"),
+        F.round(k, 6).alias("yules_k"),
+        F.round(i, 6).alias("yules_i"),
+        F.round(c, 6).alias("herdan_c"),
+        F.round(r, 6).alias("guiraud_r"),
+        F.round(h, 6).alias("honore_h"),
+    )
+
+
+def richness_estimators(
+    df: DataFrame,
+    group_cols: list[str],
+    text_col: str,
+    lowercase: bool = True,
+    rare_cutoff: int = 10,
+) -> DataFrame:
+    """Nonparametric species-richness estimators per group — "how
+    many DISTINCT types does the underlying population hold, given
+    what this sample shows?" (vocabulary-size forecasting for corpus
+    growth planning; the abundance-based cousins of
+    :func:`good_turing`'s unseen-mass estimate):
+
+    with ``V`` observed types, ``f_m`` types seen exactly m times:
+    bias-corrected Chao1 ``= V + f₁(f₁−1)/(2(f₂+1))`` (defined even
+    when f₂ = 0 — the pinned variant), first-order jackknife
+    ``= V + f₁·(n−1)/n`` over n tokens, and ACE with rare cutoff 10:
+    ``S_rare = Σ_{m≤10} f_m``, ``N_rare = Σ_{m≤10} m·f_m``,
+    ``C = 1 − f₁/N_rare``,
+    ``γ² = max(0, S_rare·Σ_{m≤10} m(m−1)f_m /(C·N_rare·(N_rare−1)) − 1)``,
+    ``ACE = S_abund + S_rare/C + (f₁/C)·γ²`` (NULL when C = 0 — all
+    rare types are hapaxes, documented).
+
+    Same COUNT-DOMAIN plan as :func:`lexical_constants` (one token
+    aggregation, one count-of-counts roll-up, one aggregation).
+    Output per group: ``(groups..., n_tokens, n_types, f1, f2,
+    chao1, jackknife1, ace)``, 6dp.
+
+    Beyond the reference; standard per Chao 1984 / Chao & Lee 1992 /
+    Burnham & Overton 1978.
+    """
+    rc = int(rare_cutoff)
+    t = F.col(text_col)
+    toks = tokens(F.lower(t) if lowercase else t)
+    per_token = (
+        df.where(t.isNotNull())
+        .select(*group_cols, F.explode(toks).alias("_tok"))
+        .where(F.col("_tok") != "")
+        .groupBy(*group_cols, "_tok")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("_m"))
+    )
+    fof = per_token.groupBy(*group_cols, F.col("_m")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("_vm")
+    )
+    m = F.col("_m")
+    vm = F.col("_vm")
+    rare = m <= rc
+    agg = fof.groupBy(*group_cols).agg(
+        F.sum(m * vm).cast("bigint").alias("n_tokens"),
+        F.sum(vm).cast("bigint").alias("n_types"),
+        F.coalesce(
+            F.sum(F.when(m == 1, vm)), F.lit(0)
+        ).cast("bigint").alias("f1"),
+        F.coalesce(
+            F.sum(F.when(m == 2, vm)), F.lit(0)
+        ).cast("bigint").alias("f2"),
+        F.coalesce(
+            F.sum(F.when(rare, vm)), F.lit(0)
+        ).cast("bigint").alias("_srare"),
+        F.coalesce(
+            F.sum(F.when(rare, m * vm)), F.lit(0)
+        ).cast("bigint").alias("_nrare"),
+        F.coalesce(
+            F.sum(F.when(rare, m * (m - 1) * vm)), F.lit(0)
+        ).cast("bigint").alias("_mm1"),
+    )
+    nd = F.col("n_tokens").cast("double")
+    vd = F.col("n_types").cast("double")
+    f1 = F.col("f1").cast("double")
+    f2 = F.col("f2").cast("double")
+    chao1 = vd + f1 * (f1 - 1.0) / (2.0 * (f2 + 1.0))
+    jack1 = vd + f1 * (nd - 1.0) / nd
+    srare = F.col("_srare").cast("double")
+    nrare = F.col("_nrare").cast("double")
+    mm1 = F.col("_mm1").cast("double")
+    cace = 1.0 - f1 / nrare
+    gamma2 = F.greatest(
+        F.lit(0.0),
+        srare * mm1 / (cace * nrare * (nrare - 1.0)) - 1.0,
+    )
+    sabund = vd - srare
+    ace = F.when(
+        (nrare > 1) & (cace > 0),
+        sabund + srare / cace + (f1 / cace) * gamma2,
+    )
+    return agg.select(
+        *group_cols, "n_tokens", "n_types", "f1", "f2",
+        F.round(chao1, 6).alias("chao1"),
+        F.round(jack1, 6).alias("jackknife1"),
+        F.round(ace, 6).alias("ace"),
+    )

@@ -12208,3 +12208,449 @@ def rm_anova_1way(
         ).alias("p_value"),
     )
     return track_cached(out, kept)
+
+
+def iv_wald(
+    df: DataFrame,
+    group_cols: list[str],
+    instrument_col: str,
+    treatment_col: str,
+    outcome_col: str,
+) -> DataFrame:
+    """Instrumental-variable (Wald/2SLS, one instrument) causal slope
+    per group — the missing member of the causal panel beside
+    :func:`ipw_ate` / :func:`diff_in_diff` / propensity
+    stratification: when treatment is endogenous but an instrument z
+    shifts treatment without touching the outcome directly,
+    ``β_IV = Cov(z,y) / Cov(z,x)`` (equals 2SLS with one instrument;
+    for binary z this is the classic Wald ratio of group-mean
+    differences).
+
+    Pinned inference: homoskedastic IV standard error
+    ``SE² = σ̂²_u·S_zz / S_zx²`` with ``σ̂²_u = Σû²/(n−2)``,
+    ``Σû² = S_yy − 2β·S_xy + β²·S_xx`` (centered cross-moment
+    algebra, no residual column); first-stage strength as the
+    F statistic of x ~ z (``F = β₁²·S_zz / (RSS₁/(n−2))``, the weak-
+    instrument screen — report, don't gate). z two-sided normal.
+
+    ONE moment aggregation per group (9 centered sums via the
+    Σab − n·ā·b̄ identity), everything else scalar algebra on the
+    per-group row. Output: ``(groups..., n, beta_iv, se, z, p_value,
+    first_stage_f)``, 6dp; NULLs when n < 3 or S_zx ≈ 0 (irrelevant
+    instrument, pinned guard |S_zx| > 0).
+    """
+    zc = F.col(instrument_col).cast("double")
+    xc = F.col(treatment_col).cast("double")
+    yc = F.col(outcome_col).cast("double")
+    base = df.where(
+        zc.isNotNull() & xc.isNotNull() & yc.isNotNull()
+    ).select(*group_cols, zc.alias("_z"), xc.alias("_x"),
+             yc.alias("_y"))
+    agg = base.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("_z").alias("_sz"),
+        F.sum("_x").alias("_sx"),
+        F.sum("_y").alias("_sy"),
+        F.sum(F.col("_z") * F.col("_z")).alias("_szz"),
+        F.sum(F.col("_x") * F.col("_x")).alias("_sxx"),
+        F.sum(F.col("_y") * F.col("_y")).alias("_syy"),
+        F.sum(F.col("_z") * F.col("_x")).alias("_szx"),
+        F.sum(F.col("_z") * F.col("_y")).alias("_szy"),
+        F.sum(F.col("_x") * F.col("_y")).alias("_sxy"),
+    )
+    nd = F.col("n").cast("double")
+    mz = F.col("_sz") / nd
+    mx = F.col("_sx") / nd
+    my = F.col("_sy") / nd
+    szz = F.col("_szz") - nd * mz * mz
+    sxx = F.col("_sxx") - nd * mx * mx
+    syy = F.col("_syy") - nd * my * my
+    szx = F.col("_szx") - nd * mz * mx
+    szy = F.col("_szy") - nd * mz * my
+    sxy = F.col("_sxy") - nd * mx * my
+    ok = (F.col("n") >= 3) & (F.abs(szx) > 0)
+    beta = F.when(ok, szy / szx)
+    ssu = syy - 2.0 * beta * sxy + beta * beta * sxx
+    sig2 = ssu / (nd - 2.0)
+    se = F.when(
+        ok & (sig2 >= 0), F.sqrt(sig2 * szz / (szx * szx))
+    )
+    z = F.when(se > 0, beta / se)
+    b1 = F.when(szz > 0, szx / szz)
+    rss1 = sxx - szx * szx / szz
+    fstat = F.when(
+        ok & (szz > 0) & (rss1 > 0),
+        b1 * b1 * szz / (rss1 / (nd - 2.0)),
+    )
+    return agg.select(
+        *group_cols, "n",
+        F.round(beta, 6).alias("beta_iv"),
+        F.round(se, 6).alias("se"),
+        F.round(z, 6).alias("z"),
+        F.round(_normal_sf_2sided(z), 6).alias("p_value"),
+        F.round(fstat, 6).alias("first_stage_f"),
+    )
+
+
+def sobel_mediation(
+    df: DataFrame,
+    group_cols: list[str],
+    x_col: str,
+    mediator_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Baron–Kenny mediation with the Sobel test per group: how much
+    of x's effect on y flows THROUGH the mediator m? Paths:
+    ``a`` = slope of m ~ x; ``b`` = partial slope of m in
+    y ~ x + m (closed-form two-regressor OLS); indirect effect
+    ``a·b``, total ``c`` = slope of y ~ x, direct ``c′ = c − a·b``
+    (the exact OLS decomposition identity). Sobel
+    ``z = a·b / √(b²·s_a² + a²·s_b²)`` with the classical OLS
+    standard errors (``s_a²`` from m ~ x with df = n−2; ``s_b²``
+    from the two-regressor fit with df = n−3), p two-sided normal.
+
+    ONE moment aggregation per group (centered sums via the
+    Σab − n·ā·b̄ identity); the 2×2 normal-equation solve is scalar
+    algebra on the per-group row. Output: ``(groups..., n, a_path,
+    b_path, indirect, direct, total, sobel_z, p_value)``, 6dp; NULLs
+    when n < 4 or a design moment degenerates.
+    """
+    xc = F.col(x_col).cast("double")
+    mc = F.col(mediator_col).cast("double")
+    yc = F.col(y_col).cast("double")
+    base = df.where(
+        xc.isNotNull() & mc.isNotNull() & yc.isNotNull()
+    ).select(*group_cols, xc.alias("_x"), mc.alias("_m"),
+             yc.alias("_y"))
+    agg = base.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("_x").alias("_sx"),
+        F.sum("_m").alias("_sm"),
+        F.sum("_y").alias("_sy"),
+        F.sum(F.col("_x") * F.col("_x")).alias("_sxx"),
+        F.sum(F.col("_m") * F.col("_m")).alias("_smm"),
+        F.sum(F.col("_y") * F.col("_y")).alias("_syy"),
+        F.sum(F.col("_x") * F.col("_m")).alias("_sxm"),
+        F.sum(F.col("_x") * F.col("_y")).alias("_sxy"),
+        F.sum(F.col("_m") * F.col("_y")).alias("_smy"),
+    )
+    nd = F.col("n").cast("double")
+    mx = F.col("_sx") / nd
+    mm = F.col("_sm") / nd
+    my = F.col("_sy") / nd
+    sxx = F.col("_sxx") - nd * mx * mx
+    smm = F.col("_smm") - nd * mm * mm
+    syy = F.col("_syy") - nd * my * my
+    sxm = F.col("_sxm") - nd * mx * mm
+    sxy = F.col("_sxy") - nd * mx * my
+    smy = F.col("_smy") - nd * mm * my
+    det = sxx * smm - sxm * sxm
+    ok = (F.col("n") >= 4) & (sxx > 0) & (det > 0)
+    a = F.when(ok, sxm / sxx)
+    rss_a = smm - sxm * sxm / sxx
+    s2_a = F.when(ok, (rss_a / (nd - 2.0)) / sxx)
+    b = F.when(ok, (sxx * smy - sxm * sxy) / det)
+    bx = F.when(ok, (smm * sxy - sxm * smy) / det)
+    rss_y = syy - bx * sxy - b * smy
+    s2_b = F.when(ok, (rss_y / (nd - 3.0)) * sxx / det)
+    c_tot = F.when(ok, sxy / sxx)
+    indirect = a * b
+    denom = b * b * s2_a + a * a * s2_b
+    z = F.when(ok & (denom > 0), indirect / F.sqrt(denom))
+    return agg.select(
+        *group_cols, "n",
+        F.round(a, 6).alias("a_path"),
+        F.round(b, 6).alias("b_path"),
+        F.round(indirect, 6).alias("indirect"),
+        F.round(c_tot - indirect, 6).alias("direct"),
+        F.round(c_tot, 6).alias("total"),
+        F.round(z, 6).alias("sobel_z"),
+        F.round(_normal_sf_2sided(z), 6).alias("p_value"),
+    )
+
+
+def rdd_sharp(
+    df: DataFrame,
+    group_cols: list[str],
+    running_col: str,
+    outcome_col: str,
+    cutoff: float,
+    bandwidth: float,
+) -> DataFrame:
+    """Sharp regression-discontinuity estimate per group: the jump in
+    the outcome at a treatment cutoff, identified from units JUST
+    around it — local LINEAR fit on each side within ``bandwidth``
+    (rectangular kernel, pinned — triangular kernels need a
+    bandwidth-selection story; the uniform-kernel local linear is
+    the transparent engine-exact base case):
+
+    left side ``c−h ≤ r < c``, right side ``c ≤ r ≤ c+h`` (the
+    boundary sits with the treated side, pinned); per side OLS
+    ``y ~ (r−c)`` gives the intercept AT the cutoff; effect
+    ``τ = α_R − α_L``; homoskedastic per-side intercept variance
+    ``Var(α̂) = σ̂²·(1/n + x̄²/S_xx)``, ``SE_τ = √(V_L + V_R)``, z
+    two-sided normal.
+
+    ONE conditional-moment aggregation (both sides as CASE sums in
+    the same per-group row — no second scan, no join). Output:
+    ``(groups..., n_left, n_right, alpha_left, alpha_right, tau, se,
+    z, p_value)``, 6dp; NULLs when either side has n < 3 or a
+    degenerate design.
+    """
+    r = F.col(running_col).cast("double")
+    yc = F.col(outcome_col).cast("double")
+    c0 = float(cutoff)
+    h = float(bandwidth)
+    base = df.where(
+        r.isNotNull() & yc.isNotNull()
+        & (r >= c0 - h) & (r <= c0 + h)
+    ).select(
+        *group_cols,
+        (r - F.lit(c0)).alias("_x"),
+        yc.alias("_y"),
+        (r >= c0).cast("int").alias("_s"),
+    )
+    sides = {}
+    for tag, flag in (("l", 0), ("r", 1)):
+        hit = F.col("_s") == flag
+        sides[tag] = [
+            F.sum(F.when(hit, 1).otherwise(0)).cast("bigint")
+            .alias(f"_n{tag}"),
+            F.sum(F.when(hit, F.col("_x"))).alias(f"_sx{tag}"),
+            F.sum(F.when(hit, F.col("_y"))).alias(f"_sy{tag}"),
+            F.sum(F.when(hit, F.col("_x") * F.col("_x")))
+            .alias(f"_sxx{tag}"),
+            F.sum(F.when(hit, F.col("_x") * F.col("_y")))
+            .alias(f"_sxy{tag}"),
+            F.sum(F.when(hit, F.col("_y") * F.col("_y")))
+            .alias(f"_syy{tag}"),
+        ]
+    agg = base.groupBy(*group_cols).agg(*sides["l"], *sides["r"])
+
+    def side(tag):
+        n = F.col(f"_n{tag}").cast("double")
+        mx = F.col(f"_sx{tag}") / n
+        my = F.col(f"_sy{tag}") / n
+        sxx = F.col(f"_sxx{tag}") - n * mx * mx
+        sxy = F.col(f"_sxy{tag}") - n * mx * my
+        syy = F.col(f"_syy{tag}") - n * my * my
+        ok = (F.col(f"_n{tag}") >= 3) & (sxx > 0)
+        slope = F.when(ok, sxy / sxx)
+        alpha = F.when(ok, my - slope * mx)
+        rss = syy - sxy * sxy / sxx
+        var_a = F.when(
+            ok, (rss / (n - 2.0)) * (1.0 / n + mx * mx / sxx)
+        )
+        return alpha, var_a
+
+    al, vl = side("l")
+    ar, vr = side("r")
+    tau = ar - al
+    se = F.when((vl >= 0) & (vr >= 0), F.sqrt(vl + vr))
+    z = F.when(se > 0, tau / se)
+    return agg.select(
+        *group_cols,
+        F.col("_nl").alias("n_left"),
+        F.col("_nr").alias("n_right"),
+        F.round(al, 6).alias("alpha_left"),
+        F.round(ar, 6).alias("alpha_right"),
+        F.round(tau, 6).alias("tau"),
+        F.round(se, 6).alias("se"),
+        F.round(z, 6).alias("z"),
+        F.round(_normal_sf_2sided(z), 6).alias("p_value"),
+    )
+
+
+def goldfeld_quandt(
+    df: DataFrame,
+    group_cols: list[str],
+    order_cols: list[str],
+    x_col: str,
+    y_col: str,
+    drop_frac: float = 0.2,
+) -> DataFrame:
+    """Goldfeld–Quandt heteroscedasticity test per group — the
+    split-sample companion to :func:`breusch_pagan` (BP needs the
+    variance to be a LINEAR function of x; GQ only asks "is the
+    noise bigger at one end?"): rows are ordered by the suspected
+    variance driver, the middle ``drop_frac`` is dropped, OLS
+    ``y ~ x`` is fit on each outer segment, and
+    ``F = (RSS_hi/df_hi) / (RSS_lo/df_lo)`` with
+    ``df = n_seg − 2`` is F-distributed under homoscedasticity
+    (upper-tail test: variance INCREASING with the order — pinned;
+    invert the order columns for the decreasing alternative).
+
+    Segment size ``n_seg = ⌊n·(1−drop_frac)/2⌋`` per side (pinned).
+    Plan: one group-partitioned ordered window pass (row_number +
+    per-group count), segment flags as row expressions, ONE
+    conditional-moment aggregation, p via the shared Arrow F SF.
+    Output: ``(groups..., n, n_segment, rss_lo, rss_hi, f_stat, dfn,
+    dfd, p_value)``, 6dp; NULLs when n_seg < 3 or a segment design
+    degenerates.
+    """
+    from padua_spark.functions.distributions import f_sf_udf
+
+    if not 0.0 <= drop_frac < 1.0:
+        raise ValueError("goldfeld_quandt: drop_frac must be in [0,1)")
+    xc = F.col(x_col).cast("double")
+    yc = F.col(y_col).cast("double")
+    base = df.where(xc.isNotNull() & yc.isNotNull()).select(
+        *group_cols, *order_cols, xc.alias("_x"), yc.alias("_y")
+    )
+    wo = Window.partitionBy(*group_cols).orderBy(
+        *[F.col(c).asc() for c in order_cols]
+    )
+    wg = Window.partitionBy(*group_cols)
+    stepped = base.select(
+        *group_cols, "_x", "_y",
+        F.row_number().over(wo).cast("bigint").alias("_rn"),
+        F.count(F.lit(1)).over(wg).cast("bigint").alias("_cnt"),
+    )
+    nseg = F.floor(
+        F.col("_cnt").cast("double") * (1.0 - float(drop_frac)) / 2.0
+    ).cast("bigint")
+    lo = F.col("_rn") <= nseg
+    hi = F.col("_rn") > F.col("_cnt") - nseg
+    aggs = []
+    for tag, hit in (("l", lo), ("h", hi)):
+        aggs += [
+            F.sum(F.when(hit, 1).otherwise(0)).cast("bigint")
+            .alias(f"_n{tag}"),
+            F.sum(F.when(hit, F.col("_x"))).alias(f"_sx{tag}"),
+            F.sum(F.when(hit, F.col("_y"))).alias(f"_sy{tag}"),
+            F.sum(F.when(hit, F.col("_x") * F.col("_x")))
+            .alias(f"_sxx{tag}"),
+            F.sum(F.when(hit, F.col("_x") * F.col("_y")))
+            .alias(f"_sxy{tag}"),
+            F.sum(F.when(hit, F.col("_y") * F.col("_y")))
+            .alias(f"_syy{tag}"),
+        ]
+    agg = stepped.groupBy(*group_cols).agg(
+        F.max("_cnt").alias("n"), F.max(nseg).alias("n_segment"),
+        *aggs,
+    )
+
+    def rss(tag):
+        n = F.col(f"_n{tag}").cast("double")
+        mx = F.col(f"_sx{tag}") / n
+        my = F.col(f"_sy{tag}") / n
+        sxx = F.col(f"_sxx{tag}") - n * mx * mx
+        sxy = F.col(f"_sxy{tag}") - n * mx * my
+        syy = F.col(f"_syy{tag}") - n * my * my
+        ok = (F.col(f"_n{tag}") >= 3) & (sxx > 0)
+        return F.when(ok, syy - sxy * sxy / sxx)
+
+    rss_lo = rss("l")
+    rss_hi = rss("h")
+    dfree = (F.col("n_segment") - 2).cast("double")
+    fstat = F.when(
+        (rss_lo > 0) & rss_hi.isNotNull() & (dfree > 0),
+        (rss_hi / dfree) / (rss_lo / dfree),
+    )
+    staged = agg.withColumn("_f", fstat).withColumn(
+        "_df", dfree
+    )
+    return staged.select(
+        *group_cols, "n", "n_segment",
+        F.round(rss_lo, 6).alias("rss_lo"),
+        F.round(rss_hi, 6).alias("rss_hi"),
+        F.round("_f", 6).alias("f_stat"),
+        F.col("_df").alias("dfn"),
+        F.col("_df").alias("dfd"),
+        F.round(
+            f_sf_udf(F.col("_f"), F.col("_df"), F.col("_df")), 6
+        ).alias("p_value"),
+    )
+
+
+def winsorized_correlation(
+    df: DataFrame,
+    group_cols: list[str],
+    x_col: str,
+    y_col: str,
+    trim: float = 0.1,
+) -> DataFrame:
+    """Winsorized Pearson correlation per group (Wilcox) — the
+    robust-correlation companion to :func:`spearman_rho` that stays
+    in the VALUE domain: both variables are clamped to their exact
+    interpolated ``[trim, 1−trim]`` percentile bounds (marginal
+    winsorization, each variable at its own bounds — pinned) and
+    Pearson's r is computed on the clamped pairs. Outlier pairs stop
+    dominating the covariance but the metric keeps interval-scale
+    information rank methods discard.
+
+    Inference (pinned, Wilcox's convention): the t statistic uses
+    the EFFECTIVE df of the trimmed sample,
+    ``t = r_w·√(h−2) / √(1−r_w²)`` with ``h = n − 2·⌊trim·n⌋``,
+    two-sided p via the shared Arrow t SF.
+
+    Plan: one percentile pass per group (two-column projection),
+    broadcast bounds back, ONE moment aggregation on the clamped
+    columns. Output per group: ``(groups..., n, h_eff, r_winsorized,
+    t_stat, p_value)``, 6dp; NULLs when h < 3 or a clamped variance
+    degenerates.
+    """
+    from pyspark import StorageLevel
+
+    from padua_spark.functions.distributions import t_sf_udf
+    from padua_spark.io_utils import track_cached
+    from padua_spark.operators.normalization import group_percentiles
+
+    xc = F.col(x_col).cast("double")
+    yc = F.col(y_col).cast("double")
+    base = df.where(xc.isNotNull() & yc.isNotNull()).select(
+        *group_cols, xc.alias("_x"), yc.alias("_y")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    bx = group_percentiles(
+        base, group_cols, F.col("_x"),
+        {"_xlo": float(trim), "_xhi": 1.0 - float(trim)},
+    )
+    by = group_percentiles(
+        base, group_cols, F.col("_y"),
+        {"_ylo": float(trim), "_yhi": 1.0 - float(trim)},
+    )
+    joined = base.join(F.broadcast(bx), on=group_cols).join(
+        F.broadcast(by), on=group_cols
+    )
+    wx = F.least(F.greatest(F.col("_x"), F.col("_xlo")), F.col("_xhi"))
+    wy = F.least(F.greatest(F.col("_y"), F.col("_ylo")), F.col("_yhi"))
+    agg = joined.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(wx).alias("_sx"),
+        F.sum(wy).alias("_sy"),
+        F.sum(wx * wx).alias("_sxx"),
+        F.sum(wy * wy).alias("_syy"),
+        F.sum(wx * wy).alias("_sxy"),
+    )
+    nd = F.col("n").cast("double")
+    mx = F.col("_sx") / nd
+    my = F.col("_sy") / nd
+    sxx = F.col("_sxx") - nd * mx * mx
+    syy = F.col("_syy") - nd * my * my
+    sxy = F.col("_sxy") - nd * mx * my
+    h = (
+        F.col("n")
+        - 2 * F.floor(F.lit(float(trim)) * nd).cast("bigint")
+    )
+    hd = h.cast("double")
+    r = F.when((sxx > 0) & (syy > 0), sxy / F.sqrt(sxx * syy))
+    t = F.when(
+        (h >= 3) & (r.isNotNull()) & (F.abs(r) < 1.0),
+        r * F.sqrt(hd - 2.0) / F.sqrt(1.0 - r * r),
+    )
+    staged = agg.withColumn("_r", r).withColumn(
+        "_t", t
+    ).withColumn("_h", h)
+    out = staged.select(
+        *group_cols, "n",
+        F.col("_h").alias("h_eff"),
+        F.round("_r", 6).alias("r_winsorized"),
+        F.round("_t", 6).alias("t_stat"),
+        F.round(
+            t_sf_udf(
+                F.col("_t"), (F.col("_h") - 2).cast("double")
+            ),
+            6,
+        ).alias("p_value"),
+    )
+    return track_cached(out, base)

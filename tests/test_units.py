@@ -11295,3 +11295,215 @@ def test_yuen_percentile_bound_trim_on_integer_ties(spark):
     d_b = (len(b) - 1) * wb.var(ddof=1) / (6 * 5)
     t = (16.0 / 7.0 - 3.0) / np.sqrt(d_a + d_b)
     assert r["t_stat"] == pytest.approx(t, abs=1e-5)
+
+
+def test_round12_homogeneity_randomness_battery_vs_numpy(spark):
+    """SNHT / Buishand / turning points / Bartels / variance ratio /
+    records vs dense numpy replicas on one planted series: a level
+    shift at index 120 of 200 is located by SNHT and Buishand
+    exactly; the randomness screens agree with the replicas to 6dp;
+    the trend series inflates upper records."""
+    import numpy as np
+
+    from padua_spark.operators.temporal import (
+        bartels_rank_test,
+        buishand_range,
+        records_test,
+        snht_test,
+        turning_points_test,
+        variance_ratio_test,
+    )
+
+    rng = np.random.RandomState(7)
+    n = 200
+    x = rng.normal(10, 1, n)
+    x[120:] += 2.5  # planted mean break
+    rows = [("g", i, float(v)) for i, v in enumerate(x)]
+    df = spark.createDataFrame(rows, ["g", "i", "v"])
+
+    mu, sd = x.mean(), x.std()  # population sd (pinned)
+    S = np.cumsum(x - mu)
+    k = np.arange(1, n)
+    T = (S[:-1] ** 2 / sd**2) * (1.0 / k + 1.0 / (n - k))
+    r = snht_test(df, ["g"], ["i"], "v").collect()[0]
+    assert r["n"] == n
+    assert r["t0_stat"] == pytest.approx(T.max(), abs=1e-5)
+    assert r["change_index"] == int(T.argmax()) + 1
+    assert abs(r["change_index"] - 120) <= 3  # at the planted break
+
+    r = buishand_range(df, ["g"], ["i"], "v").collect()[0]
+    rng_exp = (max(S.max(), 0) - min(S.min(), 0)) / sd
+    assert r["range_stat"] == pytest.approx(rng_exp, abs=1e-5)
+    assert r["rescaled_range"] == pytest.approx(
+        rng_exp / np.sqrt(n), abs=1e-6
+    )
+    assert r["change_index"] == int(np.abs(S).argmax()) + 1
+
+    r = turning_points_test(df, ["g"], ["i"], "v").collect()[0]
+    tp = sum(
+        1
+        for t in range(1, n - 1)
+        if (x[t - 1] < x[t] > x[t + 1]) or (x[t - 1] > x[t] < x[t + 1])
+    )
+    assert r["n_turning_points"] == tp
+    e, var = 2 * (n - 2) / 3.0, (16 * n - 29) / 90.0
+    assert r["z"] == pytest.approx((tp - e) / np.sqrt(var), abs=1e-5)
+
+    r = bartels_rank_test(df, ["g"], ["i"], "v").collect()[0]
+    order = np.argsort(x, kind="mergesort")
+    ranks = np.empty(n)
+    sx = x[order]
+    i = 0
+    while i < n:
+        j = i
+        while j < n and sx[j] == sx[i]:
+            j += 1
+        ranks[order[i:j]] = (i + j + 1) / 2.0
+        i = j
+    nm = np.sum(np.diff(ranks) ** 2)
+    den = np.sum((ranks - (n + 1) / 2.0) ** 2)
+    rvn = nm / den
+    var_rvn = (
+        4.0 * (n - 2) * (5 * n * n - 2 * n - 9)
+        / (5.0 * n * (n + 1) * (n - 1) ** 2)
+    )
+    assert r["rvn_stat"] == pytest.approx(rvn, abs=1e-6)
+    assert r["z"] == pytest.approx(
+        (rvn - 2) / np.sqrt(var_rvn), abs=1e-5
+    )
+
+    q = 4
+    r = variance_ratio_test(df, ["g"], ["i"], "v", q=q).collect()[0]
+    d1 = np.diff(x)
+    mu1 = d1.mean()
+    var1 = np.sum((d1 - mu1) ** 2) / (n - 1)
+    eq = x[q:] - x[:-q]
+    varq = np.sum((eq - q * mu1) ** 2) / (q * (n - q))
+    vr = varq / var1
+    phi = 2.0 * (2 * q - 1) * (q - 1) / (3.0 * q * n)
+    assert r["vr_stat"] == pytest.approx(vr, abs=1e-6)
+    assert r["z"] == pytest.approx((vr - 1) / np.sqrt(phi), abs=1e-5)
+
+    # records on an upward-trending series: upper records inflate
+    y = np.arange(n) * 0.05 + rng.normal(0, 1, n)
+    dft = spark.createDataFrame(
+        [("g", i, float(v)) for i, v in enumerate(y)], ["g", "i", "v"]
+    )
+    r = records_test(dft, ["g"], ["i"], "v").collect()[0]
+    up = sum(
+        1 for t in range(1, n) if y[t] > y[:t].max()
+    )
+    lo = sum(
+        1 for t in range(1, n) if y[t] < y[:t].min()
+    )
+    assert r["n_upper_records"] == up
+    assert r["n_lower_records"] == lo
+    e_rec = np.sum(1.0 / np.arange(2, n + 1))
+    v_rec = np.sum(
+        1.0 / np.arange(2, n + 1) - 1.0 / np.arange(2, n + 1) ** 2
+    )
+    assert r["expected"] == pytest.approx(e_rec, abs=1e-5)
+    assert r["z_upper"] == pytest.approx(
+        (up - e_rec) / np.sqrt(v_rec), abs=1e-5
+    )
+    assert r["p_upper"] < 0.01  # the trend is detected
+
+
+def test_round12_causal_regression_battery_vs_numpy(spark):
+    """iv_wald / sobel_mediation / rdd_sharp / goldfeld_quandt vs
+    dense numpy replicas on planted data: IV recovers the structural
+    slope under confounding the OLS slope misses; Sobel decomposes a
+    planted full mediation; RDD finds the planted jump; GQ flags
+    planted variance growth."""
+    import numpy as np
+
+    from padua_spark.operators.stats import (
+        goldfeld_quandt,
+        iv_wald,
+        rdd_sharp,
+        sobel_mediation,
+    )
+
+    rng = np.random.RandomState(11)
+    n = 2000
+
+    # IV: x endogenous via shared confounder u; z shifts x only
+    u = rng.normal(0, 1, n)
+    z = (rng.uniform(0, 1, n) > 0.5).astype(float)
+    x = 1.0 * z + u + rng.normal(0, 0.5, n)
+    y = 2.0 * x + 3.0 * u + rng.normal(0, 0.5, n)
+    df = spark.createDataFrame(
+        [(float(a), float(b), float(c)) for a, b, c in zip(z, x, y)],
+        ["z", "x", "y"],
+    ).withColumn("g", F.lit("g"))
+    r = iv_wald(df, ["g"], "z", "x", "y").collect()[0]
+    szy = np.cov(z, y, ddof=0)[0, 1]
+    szx = np.cov(z, x, ddof=0)[0, 1]
+    beta = szy / szx
+    assert r["beta_iv"] == pytest.approx(beta, abs=1e-5)
+    assert abs(r["beta_iv"] - 2.0) < 0.3  # structural slope
+    ols = np.cov(x, y, ddof=0)[0, 1] / np.var(x)
+    assert abs(ols - 2.0) > 0.5  # OLS is confounded away from 2
+    assert r["first_stage_f"] > 100  # strong instrument
+
+    # Sobel: full mediation x -> m -> y
+    xs = rng.normal(0, 1, n)
+    m = 1.5 * xs + rng.normal(0, 1, n)
+    ys = 2.0 * m + rng.normal(0, 1, n)
+    dfm = spark.createDataFrame(
+        [(float(a), float(b), float(c)) for a, b, c in zip(xs, m, ys)],
+        ["x", "m", "y"],
+    ).withColumn("g", F.lit("g"))
+    r = sobel_mediation(dfm, ["g"], "x", "m", "y").collect()[0]
+    X = np.column_stack([np.ones(n), xs, m])
+    bhat = np.linalg.lstsq(X, ys, rcond=None)[0]
+    a_hat = np.cov(xs, m, ddof=0)[0, 1] / np.var(xs)
+    assert r["a_path"] == pytest.approx(a_hat, abs=1e-5)
+    assert r["b_path"] == pytest.approx(bhat[2], abs=1e-5)
+    c_tot = np.cov(xs, ys, ddof=0)[0, 1] / np.var(xs)
+    assert r["total"] == pytest.approx(c_tot, abs=1e-5)
+    # exact OLS decomposition: direct == coefficient of x in y~x+m
+    assert r["direct"] == pytest.approx(bhat[1], abs=1e-4)
+    assert r["p_value"] < 1e-6  # mediation detected
+
+    # RDD: jump of +5 at cutoff 0, slope 1 both sides, bandwidth 2
+    rr = rng.uniform(-3, 3, n)
+    yr = 1.0 * rr + 5.0 * (rr >= 0) + rng.normal(0, 0.8, n)
+    dfr = spark.createDataFrame(
+        [(float(a), float(b)) for a, b in zip(rr, yr)], ["r", "y"]
+    ).withColumn("g", F.lit("g"))
+    r = rdd_sharp(dfr, ["g"], "r", "y", cutoff=0.0,
+                  bandwidth=2.0).collect()[0]
+    assert abs(r["tau"] - 5.0) < 0.4
+    assert r["p_value"] < 1e-6
+    # replica of the left intercept
+    mask = (rr >= -2.0) & (rr < 0.0)
+    xl, yl = rr[mask], yr[mask]
+    bl = np.cov(xl, yl, ddof=0)[0, 1] / np.var(xl)
+    al = yl.mean() - bl * xl.mean()
+    assert r["alpha_left"] == pytest.approx(al, abs=1e-5)
+
+    # GQ: noise sd grows with x
+    xg = np.sort(rng.uniform(0, 10, n))
+    yg = 2.0 * xg + rng.normal(0, 0.2 + 0.4 * xg, n)
+    dfg = spark.createDataFrame(
+        [(int(i), float(a), float(b))
+         for i, (a, b) in enumerate(zip(xg, yg))],
+        ["i", "x", "y"],
+    ).withColumn("g", F.lit("g"))
+    r = goldfeld_quandt(
+        dfg, ["g"], ["i"], "x", "y", drop_frac=0.2
+    ).collect()[0]
+    n1 = int(np.floor(n * 0.8 / 2))
+    assert r["n_segment"] == n1
+
+    def rss(xa, ya):
+        b = np.cov(xa, ya, ddof=0)[0, 1] / np.var(xa)
+        a = ya.mean() - b * xa.mean()
+        return np.sum((ya - a - b * xa) ** 2)
+
+    f_exp = (rss(xg[-n1:], yg[-n1:]) / (n1 - 2)) / (
+        rss(xg[:n1], yg[:n1]) / (n1 - 2)
+    )
+    assert r["f_stat"] == pytest.approx(f_exp, rel=1e-5)
+    assert r["f_stat"] > 2 and r["p_value"] < 1e-6
