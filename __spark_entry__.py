@@ -26871,6 +26871,697 @@ def q_goldfeld_quandt(spark, sf):
     )
 
 
+
+# --- E339-E343 round-12 battery 5: retrieval MRR, cluster validity, ---------
+#     frequency / scaling structure ------------------------------------------
+
+
+def _mrr_oracle(k: int = 10) -> str:
+    return f"""
+WITH q AS (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv,
+    label AS qlab
+  FROM embeddings WHERE vec_id < 5
+),
+c AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv, label AS clab
+  FROM embeddings WHERE vec_id >= 5
+),
+s AS (
+  SELECT q.query_id, q.qlab, c.vec_id, c.clab,
+    list_dot_product(c.cv, q.qv)
+    / (sqrt(list_dot_product(c.cv, c.cv))
+       * sqrt(list_dot_product(q.qv, q.qv))) AS cs
+  FROM c, q
+),
+topk AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY query_id ORDER BY cs DESC, vec_id
+    ) AS rn FROM s
+  ) WHERE rn <= {k}
+),
+rk AS (
+  SELECT query_id, qlab AS label,
+    CASE WHEN clab = qlab THEN 1 ELSE 0 END AS rel,
+    row_number() OVER (
+      PARTITION BY query_id ORDER BY round(cs, 6) DESC, vec_id
+    ) AS r
+  FROM topk
+)
+SELECT query_id, label,
+  CAST(min(CASE WHEN rel = 1 THEN r END) AS BIGINT)
+    AS first_rel_rank,
+  round(CASE WHEN min(CASE WHEN rel = 1 THEN r END) IS NOT NULL
+    THEN 1.0 / CAST(min(CASE WHEN rel = 1 THEN r END) AS DOUBLE)
+    END, 6) AS reciprocal_rank
+FROM rk GROUP BY 1, 2
+"""
+
+
+@_q("retrieval_mrr", _mrr_oracle())
+def q_retrieval_mrr(spark, sf):
+    """Reciprocal rank @10 of the exact kNN ranking against label
+    relevance (similarity.retrieval_mrr_at_k): first-relevant-hit
+    depth per query — the navigational-retrieval metric beside
+    precision@k and NDCG@k; knn_join keeps the corpus unshuffled."""
+    from padua_spark.extensions.similarity import retrieval_mrr_at_k
+
+    emb = _t(spark, sf, "embeddings")
+    return retrieval_mrr_at_k(
+        emb.filter(F.col("vec_id") >= 5),
+        "vec_id",
+        "embedding",
+        "label",
+        emb.filter(F.col("vec_id") < 5),
+        k=10,
+    )
+
+
+_DB_INDEX_ORACLE = '\nWITH e AS (\n  SELECT label AS cl,\n    list_transform(CAST(embedding AS DOUBLE[]),\n      x -> CAST(round(x * 1000000) AS BIGINT)) AS mv\n  FROM embeddings\n  WHERE embedding IS NOT NULL AND label IS NOT NULL\n),\ndims AS (SELECT unnest(generate_series(1, 64)) AS i),\ncen AS (\n  SELECT cl, d.i, CAST(sum(mv[d.i]) AS BIGINT) AS s,\n    CAST(count(*) AS BIGINT) AS n\n  FROM e CROSS JOIN dims d GROUP BY 1, 2\n),\nsq AS (\n  SELECT cl, sum(list_reduce(list_prepend(CAST(0 AS HUGEINT),\n    list_transform(mv, x -> CAST(x AS HUGEINT) * x)),\n    (a, b) -> a + b)) AS sq\n  FROM e GROUP BY 1\n),\nclf AS (\n  SELECT cen.cl, max(cen.n) AS n,\n    list(CAST(cen.s AS DOUBLE) / CAST(cen.n AS DOUBLE)\n         ORDER BY cen.i) AS mu,\n    sum(CAST(cen.s AS HUGEINT) * cen.s) AS s2\n  FROM cen GROUP BY 1\n),\ndisp AS (\n  SELECT c.cl, c.n, c.mu,\n    sqrt(greatest((CAST(sq.sq AS DOUBLE)\n      - CAST(c.s2 AS DOUBLE) / CAST(c.n AS DOUBLE))\n      / CAST(c.n AS DOUBLE), 0.0)) / 1000000.0 AS s\n  FROM clf c JOIN sq ON c.cl = sq.cl\n),\npairs AS (\n  SELECT a.cl AS ci, a.n AS ni, a.s AS si, b.s AS sj,\n    sqrt(list_reduce(list_prepend(0.0,\n      list_transform(generate_series(1, 64),\n        i -> (a.mu[i] - b.mu[i]) * (a.mu[i] - b.mu[i]))),\n      (x, y) -> x + y)) / 1000000.0 AS mij\n  FROM disp a JOIN disp b ON a.cl <> b.cl\n),\nperi AS (\n  SELECT ci, max(ni) AS ni,\n    max(CASE WHEN mij > 0 THEN (si + sj) / mij END) AS r\n  FROM pairs GROUP BY 1\n)\nSELECT CAST(sum(ni) AS BIGINT) AS n,\n  CAST(count(*) AS BIGINT) AS k_clusters,\n  round(CASE WHEN count(*) >= 2 THEN avg(r) END, 6) AS db_index\nFROM peri\n'
+
+
+@_q("davies_bouldin", _DB_INDEX_ORACLE)
+def q_davies_bouldin(spark, sf):
+    """Davies-Bouldin index of the label clustering over the
+    embeddings corpus (similarity.davies_bouldin): micro-unit exact
+    centroid sums, q=2 dispersions from pure sums, k^2 pair
+    arithmetic on the cluster-count-sized frame only."""
+    from padua_spark.extensions.similarity import davies_bouldin
+
+    emb = _t(spark, sf, "embeddings")
+    return davies_bouldin(emb, "embedding", "label")
+
+
+_PERIODOGRAM_ORACLE = '\nWITH base AS (\n  SELECT l_returnflag AS grp, CAST(l_quantity AS DOUBLE) AS v,\n    CAST(row_number() OVER (PARTITION BY l_returnflag\n      ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity)\n      AS DOUBLE) AS t\n  FROM lineitem WHERE l_quantity IS NOT NULL\n),\nks AS (SELECT unnest(generate_series(1, 32)) AS k),\nnn AS (\n  SELECT grp, CAST(count(*) AS DOUBLE) AS n FROM base GROUP BY 1\n),\nfan AS (\n  SELECT b.grp, b.v, b.t - 1.0 AS t0, k.k\n  FROM base b CROSS JOIN ks k\n),\nper_k AS (\n  SELECT f.grp, f.k, max(nn.n) AS nd,\n    sum(f.v * cos(2.0 * pi() * CAST(f.k AS DOUBLE) * f.t0 / nn.n))\n      AS c,\n    sum(f.v * sin(2.0 * pi() * CAST(f.k AS DOUBLE) * f.t0 / nn.n))\n      AS s\n  FROM fan f JOIN nn ON f.grp = nn.grp\n  GROUP BY 1, 2\n),\nik AS (\n  SELECT grp, k, nd, (c * c + s * s) / nd AS i FROM per_k\n),\nagg AS (\n  SELECT grp, CAST(max(nd) AS BIGINT) AS n,\n    arg_min(k, ROW(-i, k)) AS bestk,\n    max(i) AS imax, sum(i) AS itot,\n    sum(CASE WHEN i > 0 THEN i * ln(i) ELSE 0.0 END) AS silog\n  FROM ik GROUP BY 1\n)\nSELECT grp AS l_returnflag, n,\n  CASE WHEN n >= 64 AND itot > 0\n    THEN CAST(bestk AS BIGINT) END AS dominant_freq_k,\n  round(CASE WHEN n >= 64 AND itot > 0\n    THEN CAST(n AS DOUBLE) / CAST(bestk AS DOUBLE) END, 6)\n    AS dominant_period,\n  round(CASE WHEN n >= 64 AND itot > 0\n    THEN imax / itot END, 6) AS dominant_share,\n  round(CASE WHEN n >= 64 AND itot > 0\n    THEN ln(itot) - silog / itot END, 6) AS spectral_entropy\nFROM agg\n'
+
+
+@_q("periodogram", _PERIODOGRAM_ORACLE)
+def q_periodogram(spark, sf):
+    """Dominant Fourier cycle + spectral entropy of quantities per
+    return flag (temporal.periodogram): one ordered window pass, one
+    compile-time 32-frequency explode with map-side combine, one
+    argmax roll-up — reported spectra are power RATIOS so engine
+    libm jitter cancels."""
+    from padua_spark.operators.temporal import periodogram
+
+    li = _t(spark, sf, "lineitem")
+    return periodogram(
+        li, ["l_returnflag"],
+        ["l_shipdate", "l_orderkey", "l_linenumber", "l_quantity"],
+        "l_quantity", max_freq=32,
+    )
+
+
+_HURST_ORACLE = '\nWITH base AS (\n  SELECT l_returnflag AS grp, CAST(l_quantity AS DOUBLE) AS v,\n    CAST(row_number() OVER (PARTITION BY l_returnflag\n      ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity)\n      AS DOUBLE) AS t\n  FROM lineitem WHERE l_quantity IS NOT NULL\n),\nblk16 AS (\n  SELECT grp, CAST(floor((t - 1.0) / 16) AS BIGINT) AS b,\n    CAST(CAST(t - 1 AS BIGINT) % 16 + 1 AS DOUBLE) AS j, v\n  FROM base\n),\nmk16 AS (\n  SELECT grp, b, j, v,\n    sum(v) OVER (PARTITION BY grp, b ORDER BY j\n      ROWS UNBOUNDED PRECEDING) AS c,\n    avg(v) OVER (PARTITION BY grp, b) AS mu,\n    avg(v * v) OVER (PARTITION BY grp, b) AS m2,\n    count(*) OVER (PARTITION BY grp, b) AS bn\n  FROM blk16\n),\npb16 AS (\n  SELECT grp, b,\n    max(c - j * mu) - min(c - j * mu) AS r,\n    max(m2 - mu * mu) AS var\n  FROM mk16 WHERE bn = 16 GROUP BY 1, 2\n),\nps16 AS (\n  SELECT grp, CAST(16 AS DOUBLE) AS m,\n    avg(r / sqrt(var)) AS rs,\n    CAST(count(*) AS BIGINT) AS nb\n  FROM pb16 WHERE var > 0 GROUP BY 1\n),blk32 AS (\n  SELECT grp, CAST(floor((t - 1.0) / 32) AS BIGINT) AS b,\n    CAST(CAST(t - 1 AS BIGINT) % 32 + 1 AS DOUBLE) AS j, v\n  FROM base\n),\nmk32 AS (\n  SELECT grp, b, j, v,\n    sum(v) OVER (PARTITION BY grp, b ORDER BY j\n      ROWS UNBOUNDED PRECEDING) AS c,\n    avg(v) OVER (PARTITION BY grp, b) AS mu,\n    avg(v * v) OVER (PARTITION BY grp, b) AS m2,\n    count(*) OVER (PARTITION BY grp, b) AS bn\n  FROM blk32\n),\npb32 AS (\n  SELECT grp, b,\n    max(c - j * mu) - min(c - j * mu) AS r,\n    max(m2 - mu * mu) AS var\n  FROM mk32 WHERE bn = 32 GROUP BY 1, 2\n),\nps32 AS (\n  SELECT grp, CAST(32 AS DOUBLE) AS m,\n    avg(r / sqrt(var)) AS rs,\n    CAST(count(*) AS BIGINT) AS nb\n  FROM pb32 WHERE var > 0 GROUP BY 1\n),blk64 AS (\n  SELECT grp, CAST(floor((t - 1.0) / 64) AS BIGINT) AS b,\n    CAST(CAST(t - 1 AS BIGINT) % 64 + 1 AS DOUBLE) AS j, v\n  FROM base\n),\nmk64 AS (\n  SELECT grp, b, j, v,\n    sum(v) OVER (PARTITION BY grp, b ORDER BY j\n      ROWS UNBOUNDED PRECEDING) AS c,\n    avg(v) OVER (PARTITION BY grp, b) AS mu,\n    avg(v * v) OVER (PARTITION BY grp, b) AS m2,\n    count(*) OVER (PARTITION BY grp, b) AS bn\n  FROM blk64\n),\npb64 AS (\n  SELECT grp, b,\n    max(c - j * mu) - min(c - j * mu) AS r,\n    max(m2 - mu * mu) AS var\n  FROM mk64 WHERE bn = 64 GROUP BY 1, 2\n),\nps64 AS (\n  SELECT grp, CAST(64 AS DOUBLE) AS m,\n    avg(r / sqrt(var)) AS rs,\n    CAST(count(*) AS BIGINT) AS nb\n  FROM pb64 WHERE var > 0 GROUP BY 1\n),blk128 AS (\n  SELECT grp, CAST(floor((t - 1.0) / 128) AS BIGINT) AS b,\n    CAST(CAST(t - 1 AS BIGINT) % 128 + 1 AS DOUBLE) AS j, v\n  FROM base\n),\nmk128 AS (\n  SELECT grp, b, j, v,\n    sum(v) OVER (PARTITION BY grp, b ORDER BY j\n      ROWS UNBOUNDED PRECEDING) AS c,\n    avg(v) OVER (PARTITION BY grp, b) AS mu,\n    avg(v * v) OVER (PARTITION BY grp, b) AS m2,\n    count(*) OVER (PARTITION BY grp, b) AS bn\n  FROM blk128\n),\npb128 AS (\n  SELECT grp, b,\n    max(c - j * mu) - min(c - j * mu) AS r,\n    max(m2 - mu * mu) AS var\n  FROM mk128 WHERE bn = 128 GROUP BY 1, 2\n),\nps128 AS (\n  SELECT grp, CAST(128 AS DOUBLE) AS m,\n    avg(r / sqrt(var)) AS rs,\n    CAST(count(*) AS BIGINT) AS nb\n  FROM pb128 WHERE var > 0 GROUP BY 1\n),blk256 AS (\n  SELECT grp, CAST(floor((t - 1.0) / 256) AS BIGINT) AS b,\n    CAST(CAST(t - 1 AS BIGINT) % 256 + 1 AS DOUBLE) AS j, v\n  FROM base\n),\nmk256 AS (\n  SELECT grp, b, j, v,\n    sum(v) OVER (PARTITION BY grp, b ORDER BY j\n      ROWS UNBOUNDED PRECEDING) AS c,\n    avg(v) OVER (PARTITION BY grp, b) AS mu,\n    avg(v * v) OVER (PARTITION BY grp, b) AS m2,\n    count(*) OVER (PARTITION BY grp, b) AS bn\n  FROM blk256\n),\npb256 AS (\n  SELECT grp, b,\n    max(c - j * mu) - min(c - j * mu) AS r,\n    max(m2 - mu * mu) AS var\n  FROM mk256 WHERE bn = 256 GROUP BY 1, 2\n),\nps256 AS (\n  SELECT grp, CAST(256 AS DOUBLE) AS m,\n    avg(r / sqrt(var)) AS rs,\n    CAST(count(*) AS BIGINT) AS nb\n  FROM pb256 WHERE var > 0 GROUP BY 1\n),\nscales AS (SELECT * FROM ps16 UNION ALL SELECT * FROM ps32 UNION ALL SELECT * FROM ps64 UNION ALL SELECT * FROM ps128 UNION ALL SELECT * FROM ps256),\npts AS (\n  SELECT grp, ln(m) AS lx, ln(rs) AS ly\n  FROM scales WHERE rs > 0 AND nb >= 1\n),\nfit AS (\n  SELECT grp, CAST(count(*) AS BIGINT) AS n_scales,\n    sum(lx) AS sx, sum(ly) AS sy,\n    sum(lx * lx) AS sxx0, sum(lx * ly) AS sxy0\n  FROM pts GROUP BY 1\n),\nnr AS (\n  SELECT grp, CAST(count(*) AS BIGINT) AS n FROM base GROUP BY 1\n)\nSELECT nr.grp AS l_returnflag, nr.n,\n  COALESCE(fit.n_scales, 0) AS n_scales,\n  round(CASE WHEN fit.n_scales >= 2\n      AND sxx0 - sx * sx / CAST(fit.n_scales AS DOUBLE) > 0\n    THEN (sxy0 - sx * sy / CAST(fit.n_scales AS DOUBLE))\n      / (sxx0 - sx * sx / CAST(fit.n_scales AS DOUBLE)) END, 6)\n    AS hurst\nFROM nr LEFT JOIN fit ON nr.grp = fit.grp\n'
+
+
+@_q("hurst_rs", _HURST_ORACLE)
+def q_hurst_rs(spark, sf):
+    """Rescaled-range Hurst exponent of quantities per return flag
+    (temporal.hurst_rs): per dyadic scale one (group, block)-
+    partitioned window pass with the S_j = C_j - j*mean identity (no
+    join), compile-time scale union, log-log OLS on the
+    scales-count-sized frame."""
+    from padua_spark.operators.temporal import hurst_rs
+
+    li = _t(spark, sf, "lineitem")
+    return hurst_rs(
+        li, ["l_returnflag"],
+        ["l_shipdate", "l_orderkey", "l_linenumber", "l_quantity"],
+        "l_quantity",
+    )
+
+
+_HAAR_ORACLE = '\nWITH base AS (\n  SELECT l_returnflag AS grp, CAST(l_quantity AS DOUBLE) AS v,\n    CAST(row_number() OVER (PARTITION BY l_returnflag\n      ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity)\n      AS DOUBLE) AS t\n  FROM lineitem WHERE l_quantity IS NOT NULL\n),\nlv AS (SELECT unnest(generate_series(1, 6)) AS l),\nfan AS (\n  SELECT b.grp, b.v, CAST(b.t - 1 AS BIGINT) AS t0, lv.l,\n    CAST(power(2, lv.l) AS BIGINT) AS bs, nn.n\n  FROM base b CROSS JOIN lv\n  JOIN (SELECT grp, CAST(count(*) AS BIGINT) AS n\n        FROM base GROUP BY 1) nn ON b.grp = nn.grp\n),\nmarked AS (\n  SELECT grp, l, bs, v,\n    CAST(floor(CAST(t0 AS DOUBLE) / bs) AS BIGINT) AS b,\n    CAST(1 - 2 * CAST(floor(CAST(t0 % bs AS DOUBLE)\n      / (CAST(bs AS DOUBLE) / 2.0)) AS BIGINT) AS DOUBLE) AS sgn,\n    CAST(floor(CAST(n AS DOUBLE) / bs) AS BIGINT) AS nfull\n  FROM fan\n),\nper_block AS (\n  SELECT grp, l, b, max(bs) AS bs,\n    sum(sgn * v) AS dsum\n  FROM marked WHERE b < nfull GROUP BY 1, 2, 3\n),\nper_level AS (\n  SELECT grp, l, CAST(max(bs) AS BIGINT) AS block_size,\n    CAST(count(*) AS BIGINT) AS n_blocks,\n    sum((dsum / CAST(max(bs) AS DOUBLE))\n      * (dsum / CAST(max(bs) AS DOUBLE))) AS e\n  FROM per_block GROUP BY 1, 2\n)\nSELECT grp AS l_returnflag, CAST(l AS BIGINT) AS level, block_size,\n  n_blocks, round(e, 6) AS energy,\n  round(CASE WHEN sum(e) OVER (PARTITION BY grp) > 0\n    THEN e / sum(e) OVER (PARTITION BY grp) END, 6)\n    AS energy_share\nFROM per_level\n'
+
+
+@_q("haar_energy", _HAAR_ORACLE)
+def q_haar_energy(spark, sf):
+    """Haar detail energy by dyadic level of quantities per return
+    flag (temporal.haar_energy): one compile-time 6-level explode
+    with map-side combine to (group, level, block), one block
+    aggregation, one level roll-up."""
+    from padua_spark.operators.temporal import haar_energy
+
+    li = _t(spark, sf, "lineitem")
+    return haar_energy(
+        li, ["l_returnflag"],
+        ["l_shipdate", "l_orderkey", "l_linenumber", "l_quantity"],
+        "l_quantity", max_level=6,
+    )
+
+
+
+# --- E331-E334 round-12 battery 3: lexical richness, SRM, robust corr -------
+
+
+_LEXICAL_ORACLE = """
+WITH toks AS (
+  SELECT grp, tok, CAST(count(*) AS BIGINT) AS m
+  FROM (
+    SELECT lang AS grp, unnest(list_filter(
+      string_split_regex(lower(trim(text)), '\\s+'),
+      x -> x <> '')) AS tok
+    FROM documents WHERE text IS NOT NULL
+  ) GROUP BY 1, 2
+),
+fof AS (
+  SELECT grp, m, CAST(count(*) AS BIGINT) AS vm
+  FROM toks GROUP BY 1, 2
+),
+agg AS (
+  SELECT grp, CAST(sum(m * vm) AS BIGINT) AS n_tokens,
+    CAST(sum(vm) AS BIGINT) AS n_types,
+    CAST(COALESCE(sum(CASE WHEN m = 1 THEN vm END), 0) AS BIGINT)
+      AS v1,
+    sum(CAST(m AS HUGEINT) * m * vm) AS s2
+  FROM fof GROUP BY 1
+),
+s AS (
+  SELECT grp, n_tokens, n_types, v1,
+    CAST(n_tokens AS DOUBLE) AS nd, CAST(n_types AS DOUBLE) AS vd,
+    CAST(v1 AS DOUBLE) AS v1d, CAST(s2 AS DOUBLE) AS s2d
+  FROM agg
+)
+SELECT grp AS lang, n_tokens, n_types, v1 AS n_hapax,
+  round(CASE WHEN nd > 0
+    THEN 1e4 * (s2d - nd) / (nd * nd) END, 6) AS yules_k,
+  round(CASE WHEN s2d - vd > 0
+    THEN vd * vd / (s2d - vd) END, 6) AS yules_i,
+  round(CASE WHEN nd > 1 AND vd > 0
+    THEN ln(vd) / ln(nd) END, 6) AS herdan_c,
+  round(CASE WHEN nd > 0 THEN vd / sqrt(nd) END, 6) AS guiraud_r,
+  round(CASE WHEN nd > 1 AND vd > 0 AND v1d < vd
+    THEN 1e2 * ln(nd) / (1.0 - v1d / vd) END, 6) AS honore_h
+FROM s
+"""
+
+
+@_q("lexical_constants", _LEXICAL_ORACLE)
+def q_lexical_constants(spark, sf):
+    """Yule's K/I, Herdan's C, Guiraud's R and Honore's H per
+    language (text.lexical_constants): one token aggregation, one
+    count-of-counts roll-up to the count-domain frame, one
+    aggregation — integers until the final divisions."""
+    from padua_spark.extensions.text import lexical_constants
+
+    d = _t(spark, sf, "documents")
+    return lexical_constants(d, ["lang"], "text")
+
+
+_RICHNESS_ORACLE = """
+WITH toks AS (
+  SELECT grp, tok, CAST(count(*) AS BIGINT) AS m
+  FROM (
+    SELECT lang AS grp, unnest(list_filter(
+      string_split_regex(lower(trim(text)), '\\s+'),
+      x -> x <> '')) AS tok
+    FROM documents WHERE text IS NOT NULL
+  ) GROUP BY 1, 2
+),
+fof AS (
+  SELECT grp, m, CAST(count(*) AS BIGINT) AS vm
+  FROM toks GROUP BY 1, 2
+),
+agg AS (
+  SELECT grp, CAST(sum(m * vm) AS BIGINT) AS n_tokens,
+    CAST(sum(vm) AS BIGINT) AS n_types,
+    CAST(COALESCE(sum(CASE WHEN m = 1 THEN vm END), 0) AS BIGINT)
+      AS f1,
+    CAST(COALESCE(sum(CASE WHEN m = 2 THEN vm END), 0) AS BIGINT)
+      AS f2,
+    CAST(COALESCE(sum(CASE WHEN m <= 10 THEN vm END), 0) AS BIGINT)
+      AS srare,
+    CAST(COALESCE(sum(CASE WHEN m <= 10 THEN m * vm END), 0)
+      AS BIGINT) AS nrare,
+    CAST(COALESCE(sum(CASE WHEN m <= 10 THEN m * (m - 1) * vm END),
+      0) AS BIGINT) AS mm1
+  FROM fof GROUP BY 1
+),
+s AS (
+  SELECT grp, n_tokens, n_types, f1, f2,
+    CAST(n_tokens AS DOUBLE) AS nd, CAST(n_types AS DOUBLE) AS vd,
+    CAST(f1 AS DOUBLE) AS f1d, CAST(f2 AS DOUBLE) AS f2d,
+    CAST(srare AS DOUBLE) AS srared,
+    CAST(nrare AS DOUBLE) AS nrared, CAST(mm1 AS DOUBLE) AS mm1d,
+    nrare AS nrare_i
+  FROM agg
+),
+calc AS (
+  SELECT grp, n_tokens, n_types, f1, f2,
+    vd + f1d * (f1d - 1.0) / (2.0 * (f2d + 1.0)) AS chao1,
+    vd + f1d * (nd - 1.0) / nd AS jack1,
+    1.0 - f1d / nrared AS cace,
+    vd - srared AS sabund, srared, nrared, mm1d, f1d, nrare_i
+  FROM s
+)
+SELECT grp AS lang, n_tokens, n_types, f1, f2,
+  round(chao1, 6) AS chao1,
+  round(jack1, 6) AS jackknife1,
+  round(CASE WHEN nrare_i > 1 AND cace > 0
+    THEN sabund + srared / cace + (f1d / cace)
+      * greatest(0.0,
+          srared * mm1d / (cace * nrared * (nrared - 1.0)) - 1.0)
+    END, 6) AS ace
+FROM calc
+"""
+
+
+@_q("richness_estimators", _RICHNESS_ORACLE)
+def q_richness_estimators(spark, sf):
+    """Chao1 / first-order jackknife / ACE vocabulary-richness
+    estimators per language (text.richness_estimators): the same
+    count-domain plan as lexical_constants with the rare-type
+    (m <= 10) conditional sums."""
+    from padua_spark.extensions.text import richness_estimators
+
+    d = _t(spark, sf, "documents")
+    return richness_estimators(d, ["lang"], "text")
+
+
+def _srm_oracle() -> str:
+    import math
+
+    g32 = math.factorial(2) * math.sqrt(math.pi) / 4.0
+    return f"""
+WITH base AS (
+  SELECT event_type AS grp, user_id % 4 AS a
+  FROM events
+  WHERE event_type IS NOT NULL AND user_id IS NOT NULL
+    AND user_id % 4 IN (0, 1, 2, 3)
+),
+agg AS (
+  SELECT grp,
+    CAST(sum(CASE WHEN a = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+    CAST(sum(CASE WHEN a = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+    CAST(sum(CASE WHEN a = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+    CAST(sum(CASE WHEN a = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n3
+  FROM base GROUP BY 1
+),
+s AS (
+  SELECT grp, n0, n1, n2, n3, n0 + n1 + n2 + n3 AS n,
+    CAST(n0 + n1 + n2 + n3 AS DOUBLE) AS nd
+  FROM agg
+),
+c AS (
+  SELECT grp, n, n0, n1, n2, n3,
+    CASE WHEN n > 0 THEN
+      (CAST(n0 AS DOUBLE) - 0.25 * nd) * (CAST(n0 AS DOUBLE)
+        - 0.25 * nd) / (0.25 * nd)
+      + (CAST(n1 AS DOUBLE) - 0.25 * nd) * (CAST(n1 AS DOUBLE)
+        - 0.25 * nd) / (0.25 * nd)
+      + (CAST(n2 AS DOUBLE) - 0.25 * nd) * (CAST(n2 AS DOUBLE)
+        - 0.25 * nd) / (0.25 * nd)
+      + (CAST(n3 AS DOUBLE) - 0.25 * nd) * (CAST(n3 AS DOUBLE)
+        - 0.25 * nd) / (0.25 * nd)
+    END AS chi2
+  FROM s
+),
+pc AS (
+  SELECT *, sqrt(chi2) / sqrt(2.0) AS x2,
+    1.0 / (1.0 + 0.3275911 * (sqrt(chi2) / sqrt(2.0))) AS tt
+  FROM c
+)
+SELECT grp AS event_type, n, n0 AS n_arm_0, n1 AS n_arm_1,
+  n2 AS n_arm_2, n3 AS n_arm_3,
+  round(chi2, 6) AS chi2, CAST(3 AS BIGINT) AS df,
+  round(CASE WHEN chi2 IS NOT NULL THEN least(1.0,
+    {_ERFC2_SQL}
+    + exp(-chi2 / 2.0) * power(chi2 / 2.0, 0.5)
+      / CAST({g32!r} AS DOUBLE)) END, 6) AS p_value,
+  CASE WHEN chi2 IS NOT NULL THEN
+    least(1.0, {_ERFC2_SQL}
+      + exp(-chi2 / 2.0) * power(chi2 / 2.0, 0.5)
+        / CAST({g32!r} AS DOUBLE)) < 0.01 END AS srm_flag_1pct
+FROM pc
+"""
+
+
+@_q("srm_check", _srm_oracle())
+def q_srm_check(spark, sf):
+    """Sample-ratio-mismatch chi-square of the user_id%4 arm split
+    per event type (features.srm_check): declared arms as
+    conditional-sum columns in ONE aggregation, closed-form df=3
+    chi-square SF shared verbatim with the oracle."""
+    from padua_spark.extensions.features import srm_check
+
+    e = _t(spark, sf, "events").where(
+        F.col("event_type").isNotNull() & F.col("user_id").isNotNull()
+    )
+    e = e.withColumn("_arm", F.col("user_id") % 4)
+    return srm_check(
+        e, ["event_type"], "_arm", [0, 1, 2, 3]
+    )
+
+
+def _winsor_corr_oracle() -> str:
+    return f"""
+WITH RECURSIVE b AS (
+  SELECT l_returnflag AS grp,
+    quantile_cont(CAST(l_quantity AS DOUBLE), 0.1) AS xlo,
+    quantile_cont(CAST(l_quantity AS DOUBLE), 0.9) AS xhi,
+    quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.1) AS ylo,
+    quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.9) AS yhi
+  FROM lineitem
+  WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+  GROUP BY 1
+),
+w AS (
+  SELECT l.l_returnflag AS grp,
+    least(greatest(CAST(l.l_quantity AS DOUBLE), b.xlo), b.xhi)
+      AS wx,
+    least(greatest(CAST(l.l_extendedprice AS DOUBLE), b.ylo), b.yhi)
+      AS wy
+  FROM lineitem l JOIN b ON l.l_returnflag = b.grp
+  WHERE l.l_quantity IS NOT NULL AND l.l_extendedprice IS NOT NULL
+),
+agg AS (
+  SELECT grp, CAST(count(*) AS BIGINT) AS n,
+    sum(wx) AS sx, sum(wy) AS sy, sum(wx * wx) AS sxx0,
+    sum(wy * wy) AS syy0, sum(wx * wy) AS sxy0
+  FROM w GROUP BY 1
+),
+m AS (
+  SELECT grp, n, CAST(n AS DOUBLE) AS nd,
+    sxx0 - CAST(n AS DOUBLE) * (sx / CAST(n AS DOUBLE))
+      * (sx / CAST(n AS DOUBLE)) AS sxx,
+    syy0 - CAST(n AS DOUBLE) * (sy / CAST(n AS DOUBLE))
+      * (sy / CAST(n AS DOUBLE)) AS syy,
+    sxy0 - CAST(n AS DOUBLE) * (sx / CAST(n AS DOUBLE))
+      * (sy / CAST(n AS DOUBLE)) AS sxy,
+    n - 2 * CAST(floor(0.1 * CAST(n AS DOUBLE)) AS BIGINT) AS h
+  FROM agg
+),
+rr AS (
+  SELECT grp, n, h, CAST(h AS DOUBLE) AS hd,
+    CASE WHEN sxx > 0 AND syy > 0
+      THEN sxy / sqrt(sxx * syy) END AS r
+  FROM m
+),
+tt0 AS (
+  SELECT grp, n, h, r,
+    CASE WHEN h >= 3 AND r IS NOT NULL AND abs(r) < 1.0
+      THEN r * sqrt(hd - 2.0) / sqrt(1.0 - r * r) END AS t,
+    hd
+  FROM rr
+),
+inp AS (
+  SELECT grp AS key,
+    CAST((hd - 2.0) / ((hd - 2.0) + t * t) AS DOUBLE) AS x,
+    CAST((hd - 2.0) / 2.0 AS DOUBLE) AS a,
+    CAST(0.5 AS DOUBLE) AS b
+  FROM tt0 WHERE t IS NOT NULL AND hd - 2.0 > 0
+),
+{_betainc_chain_sql()}
+SELECT t0.grp AS l_returnflag, t0.n, t0.h AS h_eff,
+  round(t0.r, 6) AS r_winsorized, round(t0.t, 6) AS t_stat,
+  round(pv.p, 6) AS p_value
+FROM tt0 t0 LEFT JOIN pv ON t0.grp = pv.key
+"""
+
+
+@_q("winsorized_correlation", _winsor_corr_oracle())
+def q_winsorized_correlation(spark, sf):
+    """Winsorized Pearson correlation of quantity vs price per return
+    flag (stats.winsorized_correlation): exact percentile bounds
+    broadcast back, one moment aggregation on the clamped pairs,
+    effective-df t vs the recursive-betainc oracle."""
+    from padua_spark.operators.stats import winsorized_correlation
+
+    li = _t(spark, sf, "lineitem")
+    return winsorized_correlation(
+        li, ["l_returnflag"], "l_quantity", "l_extendedprice",
+        trim=0.1,
+    )
+
+
+
+# --- E335-E338 round-12 battery 4: graph shape, AMS sketch, windowed SRM ----
+
+
+_RECIPROCITY_ORACLE = """
+WITH seq AS (
+  SELECT user_id, event_type,
+    lead(event_type) OVER (PARTITION BY user_id
+      ORDER BY ts, event_id) AS nxt
+  FROM events
+  WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+    AND ts IS NOT NULL
+),
+e AS (
+  SELECT DISTINCT event_type AS s, nxt AS d
+  FROM seq WHERE nxt IS NOT NULL AND event_type <> nxt
+),
+r AS (
+  SELECT count(*) AS n_recip FROM e
+  WHERE EXISTS (SELECT 1 FROM e e2 WHERE e2.s = e.d AND e2.d = e.s)
+)
+SELECT CAST((SELECT count(*) FROM e) AS BIGINT) AS n_edges,
+  CAST(r.n_recip AS BIGINT) AS n_reciprocal,
+  round(CASE WHEN (SELECT count(*) FROM e) > 0
+    THEN CAST(r.n_recip AS DOUBLE)
+      / CAST((SELECT count(*) FROM e) AS DOUBLE) END, 6)
+    AS reciprocity
+FROM r
+"""
+
+
+@_q("edge_reciprocity", _RECIPROCITY_ORACLE)
+def q_edge_reciprocity(spark, sf):
+    """Reciprocity of the event-type transition graph
+    (graph.edge_reciprocity): consecutive per-user event types form
+    directed edges; one distinct, one reversed LEFT SEMI self-join,
+    one count — separates UI oscillation loops from one-way
+    funnels."""
+    from pyspark.sql import Window as W
+
+    from padua_spark.extensions.graph import edge_reciprocity
+
+    e = _t(spark, sf, "events").where(
+        F.col("user_id").isNotNull()
+        & F.col("event_type").isNotNull()
+        & F.col("ts").isNotNull()
+    )
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    trans = e.select(
+        F.col("event_type").alias("src"),
+        F.lead("event_type", 1).over(w).alias("dst"),
+    ).where(F.col("dst").isNotNull())
+    return edge_reciprocity(trans, "src", "dst")
+
+
+_POWERLAW_ORACLE = """
+WITH pairs AS (
+  SELECT DISTINCT 's' || CAST(l_suppkey AS VARCHAR) AS sn,
+    'c' || CAST(o_custkey AS VARCHAR) AS cn
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+),
+e AS (
+  SELECT sn AS s, cn AS d FROM pairs
+  UNION ALL
+  SELECT cn AS s, sn AS d FROM pairs
+),
+deg AS (
+  SELECT s, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY 1
+),
+agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+    CAST(sum(CASE WHEN deg >= 5 THEN 1 ELSE 0 END) AS BIGINT)
+      AS n_tail,
+    avg(CAST(deg AS DOUBLE)) AS mean_deg,
+    max(deg) AS max_degree,
+    sum(CASE WHEN deg >= 5
+      THEN ln(CAST(deg AS DOUBLE) / 5.0) END) AS slog
+  FROM deg
+)
+SELECT n_nodes, n_tail, CAST(5 AS BIGINT) AS d_min,
+  round(mean_deg, 6) AS mean_degree, max_degree,
+  round(CASE WHEN n_tail > 0 AND slog > 0
+    THEN 1.0 + CAST(n_tail AS DOUBLE) / slog END, 6) AS alpha_hill,
+  round(CASE WHEN n_tail > 0 AND slog > 0
+    THEN (1.0 + CAST(n_tail AS DOUBLE) / slog - 1.0)
+      / sqrt(CAST(n_tail AS DOUBLE)) END, 6) AS alpha_se
+FROM agg
+"""
+
+
+@_q("degree_powerlaw", _POWERLAW_ORACLE)
+def q_degree_powerlaw(spark, sf):
+    """Hill power-law exponent of the symmetrized trade-graph degree
+    distribution (graph.degree_powerlaw): one degree aggregation and
+    one moment aggregation over the node-sized frame."""
+    from padua_spark.extensions.graph import degree_powerlaw
+
+    li = _t(spark, sf, "lineitem")
+    o = _t(spark, sf, "orders")
+    okeys = F.broadcast(o.select("o_orderkey", "o_custkey"))
+    und = (
+        li.select("l_orderkey", "l_suppkey")
+        .join(okeys, li["l_orderkey"] == okeys["o_orderkey"])
+        .select(
+            F.concat(F.lit("s"), F.col("l_suppkey")).alias("sn"),
+            F.concat(F.lit("c"), F.col("o_custkey")).alias("cn"),
+        )
+        .distinct()
+    )
+    edges = und.select(
+        F.col("sn").alias("src"), F.col("cn").alias("dst")
+    ).unionAll(
+        und.select(F.col("cn").alias("src"), F.col("sn").alias("dst"))
+    )
+    return degree_powerlaw(edges, "src", "dst", d_min=5)
+
+
+def _ams_oracle(n_estimators: int = 16) -> str:
+    from padua_spark.extensions.dedup import _affine_constants
+
+    lines = ", ".join(
+        f"({j}, CAST({a} AS BIGINT), CAST({b} AS BIGINT))"
+        for j, (a, b) in enumerate(_affine_constants(n_estimators))
+    )
+    return f"""
+WITH toks AS (
+  SELECT unnest(list_filter(string_split(lower(text), ' '),
+                            t -> t <> '')) AS token
+  FROM documents WHERE text IS NOT NULL
+),
+tc AS (
+  SELECT token, CAST(count(*) AS BIGINT) AS c FROM toks GROUP BY 1
+),
+th AS (
+  SELECT c, list_reduce(
+    list_prepend(CAST(7 AS BIGINT),
+      list_transform(list_filter(string_split(token, ''),
+                                 ch -> ch <> ''),
+                     ch -> CAST(ord(ch) AS BIGINT))),
+    (acc, ch) -> (acc * 131 + ch) % 2147483647) AS h
+  FROM tc
+),
+lines(j, a, b) AS (VALUES {lines}),
+z AS (
+  SELECT l.j,
+    CAST(sum((1 - 2 * ((th.h * l.a + l.b) % 2147483647 % 2)) * th.c)
+      AS BIGINT) AS zj
+  FROM th, lines l GROUP BY 1
+),
+base AS (
+  SELECT CAST(sum(c) AS BIGINT) AS n_tokens,
+    CAST(count(*) AS BIGINT) AS n_types,
+    CAST(sum(CAST(c AS HUGEINT) * c) AS HUGEINT) AS f2
+  FROM tc
+),
+est AS (
+  SELECT CAST(sum(CAST(zj AS HUGEINT) * zj) AS DOUBLE)
+    / {float(n_estimators)} AS f2_est
+  FROM z
+)
+SELECT b.n_tokens, b.n_types,
+  CAST(b.f2 AS DOUBLE) AS f2_exact,
+  round(e.f2_est, 6) AS f2_estimate,
+  round(CASE WHEN CAST(b.f2 AS DOUBLE) > 0
+    THEN abs(e.f2_est - CAST(b.f2 AS DOUBLE))
+      / CAST(b.f2 AS DOUBLE) END, 6) AS rel_error
+FROM base b, est e
+"""
+
+
+@_q("ams_f2_sketch", _ams_oracle())
+def q_ams_f2_sketch(spark, sf):
+    """AMS F2 sketch of the corpus token-frequency vector vs the
+    exact second moment (sketches.ams_f2_sketch): 16 deterministic
+    sign-hash counters in ONE aggregation over the (token, count)
+    frame — the self-join-size estimator, hash-checkable because
+    both engines build the same sketch."""
+    from padua_spark.extensions.sketches import ams_f2_sketch
+
+    d = _t(spark, sf, "documents")
+    return ams_f2_sketch(d, "text", n_estimators=16)
+
+
+def _windowed_srm_oracle() -> str:
+    import math
+
+    g32 = math.factorial(2) * math.sqrt(math.pi) / 4.0
+    return f"""
+WITH base AS (
+  SELECT (epoch_us(ts) // 3600000000) * 3600 AS ws, user_id % 4 AS a
+  FROM events
+  WHERE ts IS NOT NULL AND user_id IS NOT NULL
+    AND user_id % 4 IN (0, 1, 2, 3)
+),
+agg AS (
+  SELECT ws,
+    CAST(sum(CASE WHEN a = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+    CAST(sum(CASE WHEN a = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+    CAST(sum(CASE WHEN a = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+    CAST(sum(CASE WHEN a = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n3
+  FROM base GROUP BY 1
+),
+s AS (
+  SELECT ws, n0, n1, n2, n3, n0 + n1 + n2 + n3 AS n,
+    CAST(n0 + n1 + n2 + n3 AS DOUBLE) AS nd
+  FROM agg
+),
+c AS (
+  SELECT ws, n, n0, n1, n2, n3,
+    CASE WHEN n > 0 THEN
+      (CAST(n0 AS DOUBLE) - 0.25 * nd) * (CAST(n0 AS DOUBLE)
+        - 0.25 * nd) / (0.25 * nd)
+      + (CAST(n1 AS DOUBLE) - 0.25 * nd) * (CAST(n1 AS DOUBLE)
+        - 0.25 * nd) / (0.25 * nd)
+      + (CAST(n2 AS DOUBLE) - 0.25 * nd) * (CAST(n2 AS DOUBLE)
+        - 0.25 * nd) / (0.25 * nd)
+      + (CAST(n3 AS DOUBLE) - 0.25 * nd) * (CAST(n3 AS DOUBLE)
+        - 0.25 * nd) / (0.25 * nd)
+    END AS chi2
+  FROM s
+),
+pc AS (
+  SELECT *, sqrt(chi2) / sqrt(2.0) AS x2,
+    1.0 / (1.0 + 0.3275911 * (sqrt(chi2) / sqrt(2.0))) AS tt
+  FROM c
+)
+SELECT ws AS window_start_epoch, n, n0 AS n_arm_0, n1 AS n_arm_1,
+  n2 AS n_arm_2, n3 AS n_arm_3,
+  round(chi2, 6) AS chi2, CAST(3 AS BIGINT) AS df,
+  round(CASE WHEN chi2 IS NOT NULL THEN least(1.0,
+    {_ERFC2_SQL}
+    + exp(-chi2 / 2.0) * power(chi2 / 2.0, 0.5)
+      / CAST({g32!r} AS DOUBLE)) END, 6) AS p_value,
+  CASE WHEN chi2 IS NOT NULL THEN
+    least(1.0, {_ERFC2_SQL}
+      + exp(-chi2 / 2.0) * power(chi2 / 2.0, 0.5)
+        / CAST({g32!r} AS DOUBLE)) < 0.01 END AS srm_flag_1pct
+FROM pc
+"""
+
+
+@_q("windowed_srm", _windowed_srm_oracle())
+def q_windowed_srm(spark, sf):
+    """Per-hour sample-ratio-mismatch monitor on the user_id%4 arms
+    (streaming.windowed_srm): declared arms as conditional-sum
+    columns in ONE stateful aggregation, chi-square + closed-form
+    df=3 SF as per-row expressions on the window row."""
+    from padua_spark.streaming import windowed_srm
+
+    e = _t(spark, sf, "events").where(
+        F.col("ts").isNotNull() & F.col("user_id").isNotNull()
+    )
+    out = windowed_srm(
+        e,
+        _events_event_time(spark, sf),
+        F.col("user_id") % 4,
+        [0, 1, 2, 3],
+        window_duration="1 hour",
+    )
+    return out.select(
+        F.col("window_start").cast("long").alias("window_start_epoch"),
+        "n", "n_arm_0", "n_arm_1", "n_arm_2", "n_arm_3",
+        "chi2", "df", "p_value", "srm_flag_1pct",
+    )
+
+
 # ---------------------------------------------------------------------------
 
 

@@ -171,6 +171,14 @@ HEADLINE = [
     "sobel_mediation",
     "rdd_sharp",
     "goldfeld_quandt",
+    "lexical_constants",
+    "richness_estimators",
+    "srm_check",
+    "winsorized_correlation",
+    "edge_reciprocity",
+    "degree_powerlaw",
+    "ams_f2_sketch",
+    "windowed_srm",
     "breusch_pagan",
     "chow_test",
     "cooks_distance",

@@ -1335,3 +1335,122 @@ def personalized_pagerank(
         )
     out = ranks.select("node", "rank", "is_seed")
     return track_cached(out, contrib, nodes, sd, *cached)
+
+
+def edge_reciprocity(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Reciprocity of a directed graph — the fraction of directed
+    edges whose reverse edge also exists (self-loops excluded,
+    pinned): near 1 on mutual-interaction graphs (conversation,
+    citation-exchange), near 0 on hierarchies/broadcasts. On the
+    event-transition graph this separates oscillating UI loops
+    (view↔click) from one-way funnels.
+
+    Plan: one distinct over the projected edge pair, one
+    LEFT SEMI self-join on the reversed key (never a full join — the
+    probe side only checks existence), one count aggregation.
+    Output 1 row: ``(n_edges, n_reciprocal, reciprocity)``, 6dp;
+    reciprocity NULL on an empty graph.
+    """
+    from pyspark import StorageLevel
+
+    from padua_spark.io_utils import track_cached
+
+    e = (
+        edges.select(
+            F.col(src_col).alias("_s"), F.col(dst_col).alias("_d")
+        )
+        .where(
+            F.col("_s").isNotNull()
+            & F.col("_d").isNotNull()
+            & (F.col("_s") != F.col("_d"))
+        )
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    rev = e.select(
+        F.col("_d").alias("_s"), F.col("_s").alias("_d")
+    )
+    recip = e.join(rev, on=["_s", "_d"], how="left_semi")
+    counts = e.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_edges")
+    ).crossJoin(
+        F.broadcast(
+            recip.agg(
+                F.count(F.lit(1)).cast("bigint")
+                .alias("n_reciprocal")
+            )
+        )
+    )
+    out = counts.select(
+        "n_edges", "n_reciprocal",
+        F.round(
+            F.when(
+                F.col("n_edges") > 0,
+                F.col("n_reciprocal").cast("double")
+                / F.col("n_edges").cast("double"),
+            ),
+            6,
+        ).alias("reciprocity"),
+    )
+    return track_cached(out, e)
+
+
+def degree_powerlaw(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    d_min: int = 5,
+) -> DataFrame:
+    """Hill maximum-likelihood power-law exponent of the degree
+    distribution — the scale-free-ness check for link/interaction
+    graphs (α ≈ 2–3 on web/citation graphs; an α far outside, or a
+    tiny tail, says the hub structure assumption behind
+    degree-oriented algorithms is off):
+
+    node degree = out-degree over the DISTINCT symmetrized-as-given
+    edge list (callers pass both directions for undirected graphs —
+    the :func:`pagerank` convention); the Hill estimator over the
+    tail ``d ≥ d_min``: ``α = 1 + n_tail / Σ ln(d/d_min)`` with its
+    asymptotic standard error ``(α−1)/√n_tail``.
+
+    Plan: one degree aggregation (map-side combined), one moment
+    aggregation over the NODE-sized degree frame. Output 1 row:
+    ``(n_nodes, n_tail, d_min, mean_degree, max_degree, alpha_hill,
+    alpha_se)``, 6dp; NULL α when the tail is empty or degenerate
+    (all tail degrees = d_min).
+    """
+    dm = float(d_min)
+    e = edges.select(
+        F.col(src_col).alias("_s"), F.col(dst_col).alias("_d")
+    ).where(
+        F.col("_s").isNotNull() & F.col("_d").isNotNull()
+    ).distinct()
+    deg = e.groupBy("_s").agg(
+        F.count(F.lit(1)).cast("bigint").alias("_deg")
+    )
+    d = F.col("_deg").cast("double")
+    tail = d >= dm
+    agg = deg.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
+        F.sum(tail.cast("int")).cast("bigint").alias("n_tail"),
+        F.avg(d).alias("_mean"),
+        F.max("_deg").alias("max_degree"),
+        F.sum(F.when(tail, F.log(d / F.lit(dm)))).alias("_slog"),
+    )
+    nt = F.col("n_tail").cast("double")
+    alpha = F.when(
+        (F.col("n_tail") > 0) & (F.col("_slog") > 0),
+        1.0 + nt / F.col("_slog"),
+    )
+    return agg.select(
+        "n_nodes", "n_tail",
+        F.lit(int(d_min)).cast("bigint").alias("d_min"),
+        F.round("_mean", 6).alias("mean_degree"),
+        "max_degree",
+        F.round(alpha, 6).alias("alpha_hill"),
+        F.round((alpha - 1.0) / F.sqrt(nt), 6).alias("alpha_se"),
+    )

@@ -2223,3 +2223,173 @@ def embedding_mmd(
         F.lit(B).alias("n_perms"),
     )
     return track_cached(out, base)
+
+
+def retrieval_mrr_at_k(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    label_col: str,
+    queries: DataFrame,
+    k: int = 10,
+) -> DataFrame:
+    """Binary-relevance reciprocal rank @k per query — the
+    "how deep must a user scroll?" companion to
+    :func:`retrieval_ndcg_at_k` (NDCG rewards ALL relevant hits;
+    RR only the FIRST, which is what navigational search and
+    RAG-context selection care about). MRR is the mean of this
+    column.
+
+    ``rr = 1/rank`` of the first neighbor sharing the query's label
+    within the top-k (rank by rounded cosine desc, id — the ndcg
+    determinism rule); NULL when no relevant neighbor is in range.
+
+    Plan shape: :func:`knn_join` (broadcast query block, map-side
+    WindowGroupLimit) + two label joins + one per-query MIN over k
+    rows — no second ranking pass. Output: ``(query_id, label,
+    first_rel_rank, reciprocal_rank)``, rr 6dp.
+    """
+    from pyspark.sql import Window
+
+    nn = knn_join(
+        corpus, id_col, vec_col, queries, id_col, vec_col, k=k
+    )
+    q_lab = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(label_col).alias("label"),
+    )
+    c_lab = corpus.select(
+        F.col(id_col), F.col(label_col).alias("_nlabel")
+    )
+    joined = nn.join(F.broadcast(q_lab), on="query_id").join(
+        c_lab, on=id_col
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.round("cosine_sim", 6).desc(), F.col(id_col).asc()
+    )
+    ranked = joined.withColumn("_rk", F.row_number().over(wq))
+    agg = ranked.groupBy("query_id", "label").agg(
+        F.min(
+            F.when(F.col("_nlabel") == F.col("label"), F.col("_rk"))
+        ).cast("bigint").alias("first_rel_rank")
+    )
+    return agg.select(
+        "query_id", "label", "first_rel_rank",
+        F.round(
+            F.when(
+                F.col("first_rel_rank").isNotNull(),
+                1.0 / F.col("first_rel_rank").cast("double"),
+            ),
+            6,
+        ).alias("reciprocal_rank"),
+    )
+
+
+def davies_bouldin(
+    df: DataFrame,
+    vec_col: str,
+    cluster_col: str,
+    exact_scale: int = 1_000_000,
+) -> DataFrame:
+    """Davies–Bouldin index of a cluster assignment — the
+    worst-neighbor validity score beside :func:`calinski_harabasz`
+    (CH is a global variance ratio; DB asks each cluster "how
+    confusable are you with your MOST confusable neighbor?", so one
+    bad merge shows up even when the global ratio looks fine). Lower
+    is better.
+
+    ``DB = (1/k)·Σ_i max_{j≠i} (S_i + S_j)/M_ij`` with the q=2
+    dispersions ``S_i = √(W_i/n_i)`` (root-mean-squared distance to
+    the centroid — pure sums: ``W_i = Σ‖x‖² − ‖s_i‖²/n_i``) and
+    centroid distances ``M_ij = ‖μ_i − μ_j‖`` (pinned; the original
+    Davies & Bouldin 1979 with p=q=2).
+
+    Engine-exactness: the :func:`calinski_harabasz` micro-unit
+    contract — integer position sums and squared norms in
+    decimal(38,0), divisions once in double. Plan: ONE posexplode
+    pass to (cluster, n, sums) + one per-cluster squared-norm fold,
+    then all pair arithmetic on the K-ROW cluster frame (a broadcast
+    self-join over k² pairs — k is the cluster count, never data).
+    Output 1 row: ``(n, k_clusters, db_index)``, 6dp; NULL when
+    k < 2 or any dispersion/distance degenerates.
+    """
+    sc = int(exact_scale)
+    cen = _cluster_centroid_sums(df, vec_col, cluster_col, sc)
+    micro = F.transform(
+        F.col(vec_col),
+        lambda x: F.round(x.cast("double") * sc).cast("bigint"),
+    )
+    sq = (
+        df.where(
+            F.col(vec_col).isNotNull()
+            & F.col(cluster_col).isNotNull()
+        )
+        .select(
+            F.col(cluster_col).alias("_c"),
+            F.aggregate(
+                micro,
+                F.lit(0).cast("decimal(38,0)"),
+                lambda acc, e: acc
+                + (e.cast("decimal(38,0)") * e.cast("decimal(38,0)")),
+            ).alias("_sq"),
+        )
+        .groupBy("_c")
+        .agg(F.sum("_sq").alias("_sq"))
+    )
+    clusters = cen.join(sq, on="_c")
+    s2 = F.aggregate(
+        F.col("sums"),
+        F.lit(0).cast("decimal(38,0)"),
+        lambda acc, s: acc
+        + (s.cast("decimal(38,0)") * s.cast("decimal(38,0)")),
+    )
+    nd = F.col("n").cast("double")
+    w_i = F.col("_sq").cast("double") - s2.cast("double") / nd
+    disp = F.sqrt(F.greatest(w_i / nd, F.lit(0.0))) / float(sc)
+    base = clusters.select(
+        F.col("_c"), F.col("n"),
+        F.transform(
+            F.col("sums"), lambda s: s.cast("double") / nd
+        ).alias("_mu"),
+        disp.alias("_s"),
+    )
+    left = base.select(
+        F.col("_c").alias("_ci"), F.col("n").alias("_ni"),
+        F.col("_mu").alias("_mi"), F.col("_s").alias("_si"),
+    )
+    right = base.select(
+        F.col("_c").alias("_cj"),
+        F.col("_mu").alias("_mj"), F.col("_s").alias("_sj"),
+    )
+    pairs = left.crossJoin(F.broadcast(right)).where(
+        F.col("_ci") != F.col("_cj")
+    )
+    m_ij = (
+        F.sqrt(
+            F.aggregate(
+                F.zip_with(
+                    "_mi", "_mj", lambda a, b: (a - b) * (a - b)
+                ),
+                F.lit(0.0),
+                lambda acc, e: acc + e,
+            )
+        )
+        / float(sc)
+    )
+    r_ij = F.when(
+        m_ij > 0, (F.col("_si") + F.col("_sj")) / m_ij
+    )
+    per_i = pairs.groupBy("_ci", "_ni").agg(
+        F.max(r_ij).alias("_r")
+    )
+    out = per_i.agg(
+        F.sum("_ni").cast("bigint").alias("n"),
+        F.count(F.lit(1)).cast("bigint").alias("k_clusters"),
+        F.avg("_r").alias("_db"),
+    )
+    return out.select(
+        "n", "k_clusters",
+        F.round(
+            F.when(F.col("k_clusters") >= 2, F.col("_db")), 6
+        ).alias("db_index"),
+    )

@@ -2522,8 +2522,12 @@ def lexical_constants(
         F.sum("_vm").cast("bigint").alias("n_types"),
         F.sum(F.when(F.col("_m") == 1, F.col("_vm")))
         .cast("bigint").alias("_v1"),
-        F.sum(F.col("_m") * F.col("_m") * F.col("_vm"))
-        .cast("decimal(38,0)").alias("_s2"),
+        # decimal BEFORE the product: m can reach the corpus token
+        # count, so m^2 overflows bigint at scale (the AD-statistic rule)
+        F.sum(
+            F.col("_m").cast("decimal(38,0)")
+            * F.col("_m") * F.col("_vm")
+        ).alias("_s2"),
     )
     nd = F.col("n_tokens").cast("double")
     vd = F.col("n_types").cast("double")

@@ -2958,3 +2958,297 @@ def records_test(
         F.round(_normal_sf_2sided(z_up), 6).alias("p_upper"),
         F.round(_normal_sf_2sided(z_lo), 6).alias("p_lower"),
     )
+
+
+def periodogram(
+    df: DataFrame,
+    group_cols: list[str],
+    order_cols: list[str],
+    value_col: str,
+    max_freq: int = 32,
+) -> DataFrame:
+    """Periodogram-based seasonality detector per group — dominant
+    cycle + spectral entropy from the first ``max_freq`` Fourier
+    frequencies ("does this metric have a rhythm, and how clean is
+    it?" — the frequency-domain companion to
+    :func:`seasonal_decompose`'s fixed-period strength, useful when
+    the period is UNKNOWN):
+
+    ``I(k) = (C_k² + S_k²)/n`` with ``C_k = Σ_t x_t·cos(2πkt/n)``,
+    ``S_k = Σ_t x_t·sin(2πkt/n)`` (t 0-based, pinned) for
+    ``k = 1..max_freq`` (bounded, documented — full FFT resolution
+    needs a different machine); dominant k = argmax I(k) (smallest k
+    on ties), period = n/k rows; spectral entropy = Shannon entropy
+    of the normalized ``p_k = I_k/ΣI`` in nats, and
+    ``dominant_share = max I/ΣI`` (≈1 = one clean cycle).
+
+    Scale shape: one ordered window pass (row index + per-group n),
+    ONE compile-time explode of the k-list (n·max_freq rows,
+    map-side combined to (group, k) immediately), one argmax
+    roll-up. Trig sums are engine-float; all reported spectra are
+    RATIOS of sums (share/entropy), so cross-engine libm jitter
+    stays ~1e-13 relative. Output per group: ``(groups..., n,
+    dominant_freq_k, dominant_period, dominant_share,
+    spectral_entropy)``, 6dp; NULLs when n < 2·max_freq (period
+    under-resolved) or total power is 0.
+    """
+    import math
+
+    kmax = int(max_freq)
+    v = F.col(value_col).cast("double")
+    base = df.where(v.isNotNull()).select(
+        *group_cols, *order_cols, v.alias("_v")
+    )
+    wo = Window.partitionBy(*group_cols).orderBy(
+        *[F.col(c).asc() for c in order_cols]
+    )
+    wg = Window.partitionBy(*group_cols)
+    stepped = base.select(
+        *group_cols,
+        "_v",
+        (F.row_number().over(wo) - 1).cast("double").alias("_t"),
+        F.count(F.lit(1)).over(wg).cast("double").alias("_n"),
+    )
+    two_pi = 2.0 * math.pi
+    ks = F.explode(
+        F.array(*[F.lit(k) for k in range(1, kmax + 1)])
+    ).alias("_k")
+    fanned = stepped.select(*group_cols, "_v", "_t", "_n", ks)
+    ang = (
+        F.lit(two_pi)
+        * F.col("_k").cast("double")
+        * F.col("_t")
+        / F.col("_n")
+    )
+    per_k = fanned.groupBy(*group_cols, "_k").agg(
+        F.max("_n").alias("_nn"),
+        F.sum(F.col("_v") * F.cos(ang)).alias("_c"),
+        F.sum(F.col("_v") * F.sin(ang)).alias("_s"),
+    )
+    i_k = (
+        F.col("_c") * F.col("_c") + F.col("_s") * F.col("_s")
+    ) / F.col("_nn")
+    staged = per_k.select(
+        *group_cols, "_k", "_nn", i_k.alias("_i")
+    )
+    agg = staged.groupBy(*group_cols).agg(
+        F.max("_nn").cast("bigint").alias("n"),
+        F.min_by(
+            F.col("_k"), F.struct(-F.col("_i"), F.col("_k"))
+        ).alias("_bestk"),
+        F.max("_i").alias("_imax"),
+        F.sum("_i").alias("_itot"),
+        F.sum(
+            F.when(
+                F.col("_i") > 0, F.col("_i") * F.log(F.col("_i"))
+            ).otherwise(F.lit(0.0))
+        ).alias("_silog"),
+    )
+    nd = F.col("n").cast("double")
+    ok = (F.col("n") >= 2 * kmax) & (F.col("_itot") > 0)
+    share = F.when(ok, F.col("_imax") / F.col("_itot"))
+    # H = −Σ p·ln p = ln(ΣI) − (Σ I·ln I)/ΣI
+    entropy = F.when(
+        ok,
+        F.log(F.col("_itot")) - F.col("_silog") / F.col("_itot"),
+    )
+    return agg.select(
+        *group_cols, "n",
+        F.when(ok, F.col("_bestk")).cast("bigint")
+        .alias("dominant_freq_k"),
+        F.round(
+            F.when(ok, nd / F.col("_bestk").cast("double")), 6
+        ).alias("dominant_period"),
+        F.round(share, 6).alias("dominant_share"),
+        F.round(entropy, 6).alias("spectral_entropy"),
+    )
+
+
+def hurst_rs(
+    df: DataFrame,
+    group_cols: list[str],
+    order_cols: list[str],
+    value_col: str,
+    block_sizes: list[int] | None = None,
+) -> DataFrame:
+    """Hurst exponent via rescaled-range (R/S) analysis per group —
+    long-range-dependence detector (H ≈ 0.5 random walk /
+    independence, H > 0.5 persistent trends, H < 0.5 mean-reverting;
+    the memory-structure companion to
+    :func:`variance_ratio_test`'s fixed-q ratio):
+
+    for each block size m in ``block_sizes`` (default dyadic
+    16..256, bounded): split the ordered series into COMPLETE blocks
+    of m rows; per block, ``R = max_j S_j − min_j S_j`` over the
+    within-block prefix deviations ``S_j = Σ_{i≤j}(x_i − x̄_block)``
+    and ``S = population std``; the scale's statistic is the mean
+    R/S over blocks (σ>0 blocks only, pinned); H = OLS slope of
+    ``ln(mean R/S)`` on ``ln m`` over the scales with ≥1 valid
+    block.
+
+    Scale shape: per scale, ONE window pass partitioned by
+    (group, block) using two frames of the same window — running sum
+    and whole-block mean — so ``S_j = C_j − j·x̄`` needs NO join; the
+    per-scale passes are a compile-time-bounded union; the log-log
+    OLS runs on the ≤|scales|-row frame. Output per group:
+    ``(groups..., n, n_scales, hurst)``, 6dp; NULL when < 2 valid
+    scales.
+    """
+    sizes = sorted(set(block_sizes or [16, 32, 64, 128, 256]))
+    if any(m < 4 for m in sizes):
+        raise ValueError("hurst_rs: block sizes must be >= 4")
+    v = F.col(value_col).cast("double")
+    base = df.where(v.isNotNull()).select(
+        *group_cols, *order_cols, v.alias("_v")
+    )
+    wo = Window.partitionBy(*group_cols).orderBy(
+        *[F.col(c).asc() for c in order_cols]
+    )
+    stepped = base.select(
+        *group_cols, "_v",
+        (F.row_number().over(wo) - 1).cast("bigint").alias("_t0"),
+    )
+    scale_frames = []
+    for m in sizes:
+        blk = (F.col("_t0") / m).cast("bigint")
+        wb = Window.partitionBy(*group_cols, "_blk").orderBy("_j")
+        wrun = wb.rowsBetween(Window.unboundedPreceding,
+                              Window.currentRow)
+        wall = wb.rowsBetween(Window.unboundedPreceding,
+                              Window.unboundedFollowing)
+        framed = stepped.select(
+            *group_cols,
+            blk.alias("_blk"),
+            (F.col("_t0") % m + 1).cast("double").alias("_j"),
+            "_v",
+        )
+        marked = framed.select(
+            *group_cols, "_blk", "_j", "_v",
+            F.sum("_v").over(wrun).alias("_c"),
+            F.avg("_v").over(wall).alias("_mu"),
+            F.avg(F.col("_v") * F.col("_v")).over(wall).alias("_m2"),
+            F.count(F.lit(1)).over(wall).alias("_bn"),
+        ).where(F.col("_bn") == m)
+        s_j = F.col("_c") - F.col("_j") * F.col("_mu")
+        per_block = marked.groupBy(*group_cols, "_blk").agg(
+            (F.max(s_j) - F.min(s_j)).alias("_r"),
+            F.max(
+                F.col("_m2") - F.col("_mu") * F.col("_mu")
+            ).alias("_var"),
+        )
+        per_scale = per_block.where(F.col("_var") > 0).groupBy(
+            *group_cols
+        ).agg(
+            F.avg(
+                F.col("_r") / F.sqrt(F.col("_var"))
+            ).alias("_rs"),
+            F.count(F.lit(1)).cast("bigint").alias("_nblocks"),
+        ).select(
+            *group_cols, F.lit(float(m)).alias("_m"), "_rs",
+            "_nblocks",
+        )
+        scale_frames.append(per_scale)
+    from functools import reduce
+
+    scales = reduce(lambda a, b: a.unionAll(b), scale_frames)
+    pts = scales.where(
+        (F.col("_rs") > 0) & (F.col("_nblocks") >= 1)
+    ).select(
+        *group_cols,
+        F.log("_m").alias("_lx"),
+        F.log("_rs").alias("_ly"),
+    )
+    fit = pts.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_scales"),
+        F.sum("_lx").alias("_sx"),
+        F.sum("_ly").alias("_sy"),
+        F.sum(F.col("_lx") * F.col("_lx")).alias("_sxx"),
+        F.sum(F.col("_lx") * F.col("_ly")).alias("_sxy"),
+    )
+    kd = F.col("n_scales").cast("double")
+    sxx = F.col("_sxx") - F.col("_sx") * F.col("_sx") / kd
+    sxy = F.col("_sxy") - F.col("_sx") * F.col("_sy") / kd
+    hurst = F.when((F.col("n_scales") >= 2) & (sxx > 0), sxy / sxx)
+    n_rows = base.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    return n_rows.join(fit, on=group_cols, how="left").select(
+        *group_cols, "n",
+        F.coalesce(F.col("n_scales"), F.lit(0)).alias("n_scales"),
+        F.round(hurst, 6).alias("hurst"),
+    )
+
+
+def haar_energy(
+    df: DataFrame,
+    group_cols: list[str],
+    order_cols: list[str],
+    value_col: str,
+    max_level: int = 6,
+) -> DataFrame:
+    """Haar-wavelet detail energy by dyadic level per group — the
+    multi-resolution variance decomposition ("is the volatility in
+    2-row wiggles or 64-row swells?"; the scale-localized companion
+    to :func:`periodogram`, robust to non-stationarity because each
+    coefficient is local):
+
+    at level l (block size 2^l, COMPLETE blocks only), the detail
+    coefficient of block b is
+    ``d = (Σ first half − Σ second half)/2^l`` (the normalized Haar
+    inner product up to a constant — pinned exactly as written);
+    ``energy_l = Σ_b d²``, reported with its share of the total
+    across levels.
+
+    Scale shape: one ordered window pass for the row index, ONE
+    compile-time explode of the level list (each row → max_level
+    signed copies, map-side combined to (group, level, block)
+    immediately), one block aggregation, one level roll-up — no
+    per-level scans. Output per (group, level): ``(groups..., level,
+    block_size, n_blocks, energy, energy_share)``, 6dp.
+    """
+    lmax = int(max_level)
+    v = F.col(value_col).cast("double")
+    base = df.where(v.isNotNull()).select(
+        *group_cols, *order_cols, v.alias("_v")
+    )
+    wo = Window.partitionBy(*group_cols).orderBy(
+        *[F.col(c).asc() for c in order_cols]
+    )
+    wg = Window.partitionBy(*group_cols)
+    stepped = base.select(
+        *group_cols, "_v",
+        (F.row_number().over(wo) - 1).cast("bigint").alias("_t0"),
+        F.count(F.lit(1)).over(wg).cast("bigint").alias("_n"),
+    )
+    lv = F.explode(
+        F.array(*[F.lit(lx) for lx in range(1, lmax + 1)])
+    ).alias("_l")
+    fanned = stepped.select(*group_cols, "_v", "_t0", "_n", lv)
+    bsize = F.pow(F.lit(2.0), F.col("_l")).cast("bigint")
+    blk = (F.col("_t0") / bsize).cast("bigint")
+    half = ((F.col("_t0") % bsize) / (bsize / 2)).cast("bigint")
+    sign = (1 - 2 * half).cast("double")
+    complete = blk < (F.col("_n") / bsize).cast("bigint")
+    per_block = fanned.where(complete).groupBy(
+        *group_cols, "_l", blk.alias("_b")
+    ).agg(
+        F.sum(sign * F.col("_v")).alias("_dsum"),
+        F.max(bsize).alias("_bs"),
+    )
+    d = F.col("_dsum") / F.col("_bs").cast("double")
+    per_level = per_block.groupBy(*group_cols, "_l").agg(
+        F.max("_bs").cast("bigint").alias("block_size"),
+        F.count(F.lit(1)).cast("bigint").alias("n_blocks"),
+        F.sum(d * d).alias("_e"),
+    )
+    wtot = Window.partitionBy(*group_cols)
+    tot = F.sum("_e").over(wtot)
+    return per_level.select(
+        *group_cols,
+        F.col("_l").cast("bigint").alias("level"),
+        "block_size", "n_blocks",
+        F.round("_e", 6).alias("energy"),
+        F.round(
+            F.when(tot > 0, F.col("_e") / tot), 6
+        ).alias("energy_share"),
+    )

@@ -1656,3 +1656,92 @@ def windowed_gains_table(
             6,
         ).alias("cum_lift"),
     )
+
+
+def windowed_srm(
+    df: DataFrame,
+    ts_col: Column,
+    arm_col: Column,
+    arms: list,
+    expected_ratios: list[float] | None = None,
+    group_cols: list[str] | None = None,
+    window_duration: str = "1 hour",
+    watermark: str | None = None,
+) -> DataFrame:
+    """Per-tumbling-window sample-ratio-mismatch monitor — the
+    streaming face of :func:`~padua_spark.extensions.features.
+    srm_check` ("did the allocation drift THIS hour?" — assignment
+    bugs usually start at a deploy, so the per-window view localizes
+    them where the all-time chi-square dilutes). Declared ``arms``
+    become conditional-sum columns in ONE stateful aggregation per
+    (window, group) key (the :func:`windowed_fairness_check`
+    contract); χ² against the declared ratios and the closed-form
+    bounded-df chi-square SF are per-ROW expressions on the window
+    row. Late shards merge by adding counts.
+
+    Output one row per (window, group): ``(window_start, window_end,
+    *group_cols, n, n_arm_0.., chi2, df, p_value, srm_flag_1pct)``,
+    6dp.
+    """
+    from padua_spark.operators.stats import _chi2_sf_closed
+
+    group_cols = group_cols or []
+    k = len(arms)
+    if k < 2:
+        raise ValueError("windowed_srm: need at least 2 arms")
+    if expected_ratios is None:
+        ratios = [1.0 / k] * k
+    else:
+        if len(expected_ratios) != k or any(
+            r <= 0 for r in expected_ratios
+        ):
+            raise ValueError(
+                "windowed_srm: expected_ratios must be positive and "
+                "match arms"
+            )
+        tot = float(sum(expected_ratios))
+        ratios = [float(r) / tot for r in expected_ratios]
+    withts = df.where(arm_col.isin(list(arms))).select(
+        ts_col.alias("_event_time"), *group_cols, arm_col.alias("_a")
+    )
+    if watermark and withts.isStreaming:
+        withts = withts.withWatermark("_event_time", watermark)
+    aggs = [
+        F.sum(F.when(F.col("_a") == arm, 1).otherwise(0))
+        .cast("bigint").alias(f"n_arm_{i}")
+        for i, arm in enumerate(arms)
+    ]
+    agg = withts.groupBy(
+        F.window("_event_time", window_duration).alias("_w"),
+        *group_cols,
+    ).agg(*aggs)
+    n = None
+    for i in range(k):
+        c = F.col(f"n_arm_{i}")
+        n = c if n is None else n + c
+    staged = agg.withColumn("_n", n)
+    nd = F.col("_n").cast("double")
+    chi2 = None
+    for i in range(k):
+        e = F.lit(ratios[i]) * nd
+        o = F.col(f"n_arm_{i}").cast("double")
+        term = (o - e) * (o - e) / e
+        chi2 = term if chi2 is None else chi2 + term
+    staged = staged.withColumn(
+        "_chi2", F.when(F.col("_n") > 0, chi2)
+    )
+    p = _chi2_sf_closed(
+        F.col("_chi2"), F.lit(k - 1), max_df=max(k - 1, 1)
+    )
+    return staged.select(
+        F.col("_w.start").alias("window_start"),
+        F.col("_w.end").alias("window_end"),
+        *group_cols,
+        F.col("_n").alias("n"),
+        *[F.col(f"n_arm_{i}") for i in range(k)],
+        F.round("_chi2", 6).alias("chi2"),
+        F.lit(k - 1).cast("bigint").alias("df"),
+        F.round(p, 6).alias("p_value"),
+        F.when(F.col("_chi2").isNotNull(), p < 0.01)
+        .alias("srm_flag_1pct"),
+    )

@@ -1469,3 +1469,63 @@ def test_windowed_gains_table_matches_batch_gains_on_lattice(spark):
         for r in streamed
     }
     assert got == exact
+
+
+def test_stream_equals_batch_windowed_srm(spark, events_dir):
+    """Windowed SRM monitor: stream == batch on every window row; a
+    deliberately skewed declared ratio flags, the true even split
+    doesn't flag anywhere near as hard."""
+    from padua_spark.streaming import windowed_srm
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    batch = spark.read.parquet(events_dir)
+    stream = read_event_stream(spark, events_dir, schema=batch.schema)
+
+    def build(df, ratios=None):
+        base = df.where(F.col("user_id").isNotNull())
+        return windowed_srm(
+            base,
+            event_time_col(base),
+            F.col("user_id") % 2,
+            [0, 1],
+            expected_ratios=ratios,
+            window_duration="1 hour", watermark="2 hours",
+        )
+
+    q = (
+        build(stream)
+        .writeStream.format("memory")
+        .queryName("t_winsrm")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(180)
+    got = {
+        r["window_start"]: (
+            r["n"], r["n_arm_0"], r["n_arm_1"], r["chi2"],
+            r["p_value"], r["srm_flag_1pct"],
+        )
+        for r in spark.sql("SELECT * FROM t_winsrm").collect()
+    }
+    exp = {
+        r["window_start"]: (
+            r["n"], r["n_arm_0"], r["n_arm_1"], r["chi2"],
+            r["p_value"], r["srm_flag_1pct"],
+        )
+        for r in build(batch).collect()
+    }
+    assert got == exp and len(got) > 0
+    # chi2 replica on one window
+    w0 = sorted(got)[0]
+    n, n0, n1, chi2, p, flag = got[w0]
+    e = 0.5 * n
+    assert chi2 == pytest.approx(
+        (n0 - e) ** 2 / e + (n1 - e) ** 2 / e, abs=1e-6
+    )
+    # grossly skewed declared ratios must flag harder than the truth
+    skewed = {
+        r["window_start"]: r["chi2"]
+        for r in build(batch, ratios=[0.9, 0.1]).collect()
+    }
+    assert sum(skewed.values()) > sum(v[3] for v in got.values())

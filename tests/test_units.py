@@ -11507,3 +11507,189 @@ def test_round12_causal_regression_battery_vs_numpy(spark):
     )
     assert r["f_stat"] == pytest.approx(f_exp, rel=1e-5)
     assert r["f_stat"] > 2 and r["p_value"] < 1e-6
+
+
+def test_round12_lexical_srm_winsor_battery(spark):
+    """lexical_constants / richness_estimators vs Counter replicas on
+    a tiny corpus; srm_check flags a planted 60/40 split against the
+    declared 50/50 and passes a true split; winsorized_correlation
+    shrugs off planted outlier pairs that wreck plain Pearson."""
+    import collections
+    import math
+
+    import numpy as np
+
+    from padua_spark.extensions.features import srm_check
+    from padua_spark.extensions.text import (
+        lexical_constants,
+        richness_estimators,
+    )
+    from padua_spark.operators.stats import winsorized_correlation
+
+    docs = [
+        ("a b b c c c d d d d e", "en"),
+        ("a a f g h h  i", "en"),
+        ("x y x y z", "fr"),
+    ]
+    df = spark.createDataFrame(docs, ["text", "lang"])
+    r = {
+        row["lang"]: row
+        for row in lexical_constants(df, ["lang"], "text").collect()
+    }
+    cnt = collections.Counter(
+        t for txt, lg in docs if lg == "en" for t in txt.split()
+    )
+    N = sum(cnt.values())
+    V = len(cnt)
+    s2 = sum(m * m for m in cnt.values())
+    v1 = sum(1 for m in cnt.values() if m == 1)
+    en = r["en"]
+    assert en["n_tokens"] == N and en["n_types"] == V
+    assert en["n_hapax"] == v1
+    assert en["yules_k"] == pytest.approx(
+        1e4 * (s2 - N) / N**2, abs=1e-6
+    )
+    assert en["yules_i"] == pytest.approx(
+        V * V / (s2 - V), abs=1e-6
+    )
+    assert en["herdan_c"] == pytest.approx(
+        math.log(V) / math.log(N), abs=1e-6
+    )
+    assert en["guiraud_r"] == pytest.approx(V / math.sqrt(N), abs=1e-6)
+    assert en["honore_h"] == pytest.approx(
+        100.0 * math.log(N) / (1.0 - v1 / V), abs=1e-5
+    )
+
+    r = {
+        row["lang"]: row
+        for row in richness_estimators(df, ["lang"], "text").collect()
+    }
+    f1 = v1
+    f2 = sum(1 for m in cnt.values() if m == 2)
+    en = r["en"]
+    assert en["f1"] == f1 and en["f2"] == f2
+    assert en["chao1"] == pytest.approx(
+        V + f1 * (f1 - 1) / (2.0 * (f2 + 1)), abs=1e-6
+    )
+    assert en["jackknife1"] == pytest.approx(
+        V + f1 * (N - 1) / N, abs=1e-6
+    )
+    srare = sum(1 for m in cnt.values() if m <= 10)
+    nrare = sum(m for m in cnt.values() if m <= 10)
+    mm1 = sum(m * (m - 1) for m in cnt.values() if m <= 10)
+    cace = 1.0 - f1 / nrare
+    g2 = max(0.0, srare * mm1 / (cace * nrare * (nrare - 1)) - 1.0)
+    ace = (V - srare) + srare / cace + (f1 / cace) * g2
+    assert en["ace"] == pytest.approx(ace, abs=1e-5)
+
+    # SRM: planted 60/40 vs declared 50/50 on 2000 users
+    rows = [("m", i % 5) for i in range(2000)]  # arms 0..4: skew via %5
+    arm = [0 if a <= 2 else 1 for _, a in rows]  # 60/40
+    dfa = spark.createDataFrame(
+        [("m", a) for a in arm], ["g", "arm"]
+    )
+    r = srm_check(dfa, ["g"], "arm", [0, 1]).collect()[0]
+    assert r["n_arm_0"] == 1200 and r["n_arm_1"] == 800
+    chi2 = (1200 - 1000) ** 2 / 1000 + (800 - 1000) ** 2 / 1000
+    assert r["chi2"] == pytest.approx(chi2, abs=1e-6)
+    assert r["srm_flag_1pct"] is True
+    even = spark.createDataFrame(
+        [("m", i % 2) for i in range(2000)], ["g", "arm"]
+    )
+    r = srm_check(even, ["g"], "arm", [0, 1]).collect()[0]
+    assert r["chi2"] == 0.0 and r["srm_flag_1pct"] is False
+    with pytest.raises(ValueError, match="arms"):
+        srm_check(even, ["g"], "arm", [0])
+
+    # winsorized correlation: outlier pairs kill Pearson, not r_w
+    rng = np.random.RandomState(3)
+    n = 500
+    x = rng.normal(0, 1, n)
+    y = 0.9 * x + rng.normal(0, 0.3, n)
+    x[:5] = 40.0
+    y[:5] = -40.0  # adversarial corner
+    dfw = spark.createDataFrame(
+        [("g", float(a), float(b)) for a, b in zip(x, y)],
+        ["g", "x", "y"],
+    )
+    r = winsorized_correlation(dfw, ["g"], "x", "y",
+                               trim=0.1).collect()[0]
+    plain = np.corrcoef(x, y)[0, 1]
+    assert plain < 0.5  # wrecked
+    assert r["r_winsorized"] > 0.8  # robust
+    assert r["h_eff"] == n - 2 * int(np.floor(0.1 * n))
+    # replica with numpy percentile bounds
+    xlo, xhi = np.percentile(x, [10, 90], method="linear")
+    ylo, yhi = np.percentile(y, [10, 90], method="linear")
+    wx = np.clip(x, xlo, xhi)
+    wy = np.clip(y, ylo, yhi)
+    assert r["r_winsorized"] == pytest.approx(
+        np.corrcoef(wx, wy)[0, 1], abs=1e-5
+    )
+    assert r["p_value"] < 1e-6
+
+
+def test_round12_graph_sketch_battery(spark):
+    """edge_reciprocity on a planted graph with known mutual pairs;
+    degree_powerlaw recovers a planted Pareto tail exponent;
+    ams_f2_sketch's estimate is unbiased-ish on a Zipf corpus (within
+    the documented 16-estimator error) and exact F2 matches a Counter
+    replica."""
+    import collections
+
+    import numpy as np
+
+    from padua_spark.extensions.graph import (
+        degree_powerlaw,
+        edge_reciprocity,
+    )
+    from padua_spark.extensions.sketches import ams_f2_sketch
+
+    edges = [
+        ("a", "b"), ("b", "a"),        # mutual
+        ("a", "c"), ("c", "d"), ("d", "c"),  # one mutual pair
+        ("e", "e"),                    # self-loop: excluded
+        ("a", "b"),                    # duplicate: deduped
+    ]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    r = edge_reciprocity(df, "src", "dst").collect()[0]
+    assert r["n_edges"] == 5
+    assert r["n_reciprocal"] == 4  # a<->b and c<->d
+    assert r["reciprocity"] == pytest.approx(0.8)
+
+    rng = np.random.RandomState(5)
+    alpha_true = 2.5
+    degs = np.floor(
+        5.0 * (1.0 - rng.uniform(0, 1, 3000)) ** (-1.0 / (alpha_true - 1))
+    ).astype(int)
+    rows = []
+    nid = 0
+    for d in degs:
+        for j in range(int(d)):
+            rows.append((f"n{nid}", f"m{nid}_{j}"))
+        nid += 1
+    dfe = spark.createDataFrame(rows, ["src", "dst"])
+    r = degree_powerlaw(dfe, "src", "dst", d_min=5).collect()[0]
+    tail = degs[degs >= 5]
+    alpha_hat = 1.0 + len(tail) / np.sum(np.log(tail / 5.0))
+    assert r["alpha_hill"] == pytest.approx(alpha_hat, abs=1e-5)
+    assert abs(r["alpha_hill"] - alpha_true) < 0.25
+
+    texts = [
+        (" ".join(rng.choice(
+            [f"w{k}" for k in range(50)],
+            p=(lambda w: w / w.sum())(1.0 / np.arange(1, 51)),
+            size=60,
+        )),)
+        for _ in range(50)
+    ]
+    dft = spark.createDataFrame(texts, ["text"])
+    r = ams_f2_sketch(dft, "text", n_estimators=16).collect()[0]
+    cnt = collections.Counter(
+        t for (txt,) in texts for t in txt.lower().split() if t
+    )
+    f2 = sum(c * c for c in cnt.values())
+    assert r["f2_exact"] == pytest.approx(f2)
+    assert r["n_types"] == len(cnt)
+    # 16-mean AMS on a skewed corpus: within ~3 std errors
+    assert r["rel_error"] < 1.5
