@@ -26953,7 +26953,7 @@ def q_davies_bouldin(spark, sf):
     return davies_bouldin(emb, "embedding", "label")
 
 
-_PERIODOGRAM_ORACLE = '\nWITH base AS (\n  SELECT l_returnflag AS grp, CAST(l_quantity AS DOUBLE) AS v,\n    CAST(row_number() OVER (PARTITION BY l_returnflag\n      ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity)\n      AS DOUBLE) AS t\n  FROM lineitem WHERE l_quantity IS NOT NULL\n),\nks AS (SELECT unnest(generate_series(1, 32)) AS k),\nnn AS (\n  SELECT grp, CAST(count(*) AS DOUBLE) AS n FROM base GROUP BY 1\n),\nfan AS (\n  SELECT b.grp, b.v, b.t - 1.0 AS t0, k.k\n  FROM base b CROSS JOIN ks k\n),\nper_k AS (\n  SELECT f.grp, f.k, max(nn.n) AS nd,\n    sum(f.v * cos(2.0 * pi() * CAST(f.k AS DOUBLE) * f.t0 / nn.n))\n      AS c,\n    sum(f.v * sin(2.0 * pi() * CAST(f.k AS DOUBLE) * f.t0 / nn.n))\n      AS s\n  FROM fan f JOIN nn ON f.grp = nn.grp\n  GROUP BY 1, 2\n),\nik AS (\n  SELECT grp, k, nd, (c * c + s * s) / nd AS i FROM per_k\n),\nagg AS (\n  SELECT grp, CAST(max(nd) AS BIGINT) AS n,\n    arg_min(k, ROW(-i, k)) AS bestk,\n    max(i) AS imax, sum(i) AS itot,\n    sum(CASE WHEN i > 0 THEN i * ln(i) ELSE 0.0 END) AS silog\n  FROM ik GROUP BY 1\n)\nSELECT grp AS l_returnflag, n,\n  CASE WHEN n >= 64 AND itot > 0\n    THEN CAST(bestk AS BIGINT) END AS dominant_freq_k,\n  round(CASE WHEN n >= 64 AND itot > 0\n    THEN CAST(n AS DOUBLE) / CAST(bestk AS DOUBLE) END, 6)\n    AS dominant_period,\n  round(CASE WHEN n >= 64 AND itot > 0\n    THEN imax / itot END, 6) AS dominant_share,\n  round(CASE WHEN n >= 64 AND itot > 0\n    THEN ln(itot) - silog / itot END, 6) AS spectral_entropy\nFROM agg\n'
+_PERIODOGRAM_ORACLE = '\nWITH base AS (\n  SELECT l_returnflag AS grp, CAST(l_quantity AS DOUBLE) AS v,\n    CAST(row_number() OVER (PARTITION BY l_returnflag\n      ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity)\n      AS DOUBLE) AS t\n  FROM lineitem WHERE l_quantity IS NOT NULL\n),\nks AS (SELECT unnest(generate_series(1, 32)) AS k),\nnn AS (\n  SELECT grp, CAST(count(*) AS DOUBLE) AS n FROM base GROUP BY 1\n),\nfan AS (\n  SELECT b.grp, b.v, b.t - 1.0 AS t0, k.k\n  FROM base b CROSS JOIN ks k\n),\nper_k AS (\n  SELECT f.grp, f.k, max(nn.n) AS nd,\n    sum(f.v * cos(2.0 * pi() * CAST(f.k AS DOUBLE) * f.t0 / nn.n))\n      AS c,\n    sum(f.v * sin(2.0 * pi() * CAST(f.k AS DOUBLE) * f.t0 / nn.n))\n      AS s\n  FROM fan f JOIN nn ON f.grp = nn.grp\n  GROUP BY 1, 2\n),\nik AS (\n  SELECT grp, k, nd, (c * c + s * s) / nd AS i FROM per_k\n),\nbest AS (\n  SELECT grp, k AS bestk FROM ik\n  QUALIFY row_number() OVER (PARTITION BY grp\n                             ORDER BY i DESC, k ASC) = 1\n),\nagg0 AS (\n  SELECT grp, CAST(max(nd) AS BIGINT) AS n,\n    max(i) AS imax, sum(i) AS itot,\n    sum(CASE WHEN i > 0 THEN i * ln(i) ELSE 0.0 END) AS silog\n  FROM ik GROUP BY 1\n),\nagg AS (\n  SELECT agg0.*, best.bestk FROM agg0 JOIN best ON agg0.grp = best.grp\n)\nSELECT grp AS l_returnflag, n,\n  CASE WHEN n >= 64 AND itot > 0\n    THEN CAST(bestk AS BIGINT) END AS dominant_freq_k,\n  round(CASE WHEN n >= 64 AND itot > 0\n    THEN CAST(n AS DOUBLE) / CAST(bestk AS DOUBLE) END, 6)\n    AS dominant_period,\n  round(CASE WHEN n >= 64 AND itot > 0\n    THEN imax / itot END, 6) AS dominant_share,\n  round(CASE WHEN n >= 64 AND itot > 0\n    THEN ln(itot) - silog / itot END, 6) AS spectral_entropy\nFROM agg\n'
 
 
 @_q("periodogram", _PERIODOGRAM_ORACLE)
@@ -26993,7 +26993,7 @@ def q_hurst_rs(spark, sf):
     )
 
 
-_HAAR_ORACLE = '\nWITH base AS (\n  SELECT l_returnflag AS grp, CAST(l_quantity AS DOUBLE) AS v,\n    CAST(row_number() OVER (PARTITION BY l_returnflag\n      ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity)\n      AS DOUBLE) AS t\n  FROM lineitem WHERE l_quantity IS NOT NULL\n),\nlv AS (SELECT unnest(generate_series(1, 6)) AS l),\nfan AS (\n  SELECT b.grp, b.v, CAST(b.t - 1 AS BIGINT) AS t0, lv.l,\n    CAST(power(2, lv.l) AS BIGINT) AS bs, nn.n\n  FROM base b CROSS JOIN lv\n  JOIN (SELECT grp, CAST(count(*) AS BIGINT) AS n\n        FROM base GROUP BY 1) nn ON b.grp = nn.grp\n),\nmarked AS (\n  SELECT grp, l, bs, v,\n    CAST(floor(CAST(t0 AS DOUBLE) / bs) AS BIGINT) AS b,\n    CAST(1 - 2 * CAST(floor(CAST(t0 % bs AS DOUBLE)\n      / (CAST(bs AS DOUBLE) / 2.0)) AS BIGINT) AS DOUBLE) AS sgn,\n    CAST(floor(CAST(n AS DOUBLE) / bs) AS BIGINT) AS nfull\n  FROM fan\n),\nper_block AS (\n  SELECT grp, l, b, max(bs) AS bs,\n    sum(sgn * v) AS dsum\n  FROM marked WHERE b < nfull GROUP BY 1, 2, 3\n),\nper_level AS (\n  SELECT grp, l, CAST(max(bs) AS BIGINT) AS block_size,\n    CAST(count(*) AS BIGINT) AS n_blocks,\n    sum((dsum / CAST(max(bs) AS DOUBLE))\n      * (dsum / CAST(max(bs) AS DOUBLE))) AS e\n  FROM per_block GROUP BY 1, 2\n)\nSELECT grp AS l_returnflag, CAST(l AS BIGINT) AS level, block_size,\n  n_blocks, round(e, 6) AS energy,\n  round(CASE WHEN sum(e) OVER (PARTITION BY grp) > 0\n    THEN e / sum(e) OVER (PARTITION BY grp) END, 6)\n    AS energy_share\nFROM per_level\n'
+_HAAR_ORACLE = '\nWITH base AS (\n  SELECT l_returnflag AS grp, CAST(l_quantity AS DOUBLE) AS v,\n    CAST(row_number() OVER (PARTITION BY l_returnflag\n      ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity)\n      AS DOUBLE) AS t\n  FROM lineitem WHERE l_quantity IS NOT NULL\n),\nlv AS (SELECT unnest(generate_series(1, 6)) AS l),\nfan AS (\n  SELECT b.grp, b.v, CAST(b.t - 1 AS BIGINT) AS t0, lv.l,\n    CAST(power(2, lv.l) AS BIGINT) AS bs, nn.n\n  FROM base b CROSS JOIN lv\n  JOIN (SELECT grp, CAST(count(*) AS BIGINT) AS n\n        FROM base GROUP BY 1) nn ON b.grp = nn.grp\n),\nmarked AS (\n  SELECT grp, l, bs, v,\n    CAST(floor(CAST(t0 AS DOUBLE) / bs) AS BIGINT) AS b,\n    CAST(1 - 2 * CAST(floor(CAST(t0 % bs AS DOUBLE)\n      / (CAST(bs AS DOUBLE) / 2.0)) AS BIGINT) AS DOUBLE) AS sgn,\n    CAST(floor(CAST(n AS DOUBLE) / bs) AS BIGINT) AS nfull\n  FROM fan\n),\nper_block AS (\n  SELECT grp, l, b, max(bs) AS bs,\n    sum(sgn * v) AS dsum\n  FROM marked WHERE b < nfull GROUP BY 1, 2, 3\n),\nper_level AS (\n  SELECT grp, l, CAST(max(bs) AS BIGINT) AS block_size,\n    CAST(count(*) AS BIGINT) AS n_blocks,\n    sum((dsum / CAST(bs AS DOUBLE))\n      * (dsum / CAST(bs AS DOUBLE))) AS e\n  FROM per_block GROUP BY 1, 2\n)\nSELECT grp AS l_returnflag, CAST(l AS BIGINT) AS level, block_size,\n  n_blocks, round(e, 6) AS energy,\n  round(CASE WHEN sum(e) OVER (PARTITION BY grp) > 0\n    THEN e / sum(e) OVER (PARTITION BY grp) END, 6)\n    AS energy_share\nFROM per_level\n'
 
 
 @_q("haar_energy", _HAAR_ORACLE)
@@ -27559,6 +27559,93 @@ def q_windowed_srm(spark, sf):
         F.col("window_start").cast("long").alias("window_start_epoch"),
         "n", "n_arm_0", "n_arm_1", "n_arm_2", "n_arm_3",
         "chi2", "df", "p_value", "srm_flag_1pct",
+    )
+
+
+
+# --- E344-E347 round-12 battery 6: Kuiper, MDE-mean, Bloom audit, -----------
+#     windowed binned Gini ----------------------------------------------------
+
+
+_KUIPER_ORACLE = "\nWITH per AS (\n  SELECT l_quantity AS v,\n    CAST(count(CASE WHEN l_returnflag = 'A' THEN 1 END) AS BIGINT)\n      AS ca,\n    CAST(count(CASE WHEN l_returnflag = 'R' THEN 1 END) AS BIGINT)\n      AS cb\n  FROM lineitem\n  WHERE l_returnflag IN ('A', 'R') AND l_quantity IS NOT NULL\n  GROUP BY 1\n),\nstepped AS (\n  SELECT v, ca, cb,\n    sum(ca) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS fa,\n    sum(cb) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS fb,\n    sum(ca) OVER () AS na, sum(cb) OVER () AS nb\n  FROM per\n),\nagg AS (\n  SELECT CAST(max(na) AS BIGINT) AS n_a,\n    CAST(max(nb) AS BIGINT) AS n_b,\n    max(CAST(fa AS DOUBLE) / CAST(na AS DOUBLE)\n        - CAST(fb AS DOUBLE) / CAST(nb AS DOUBLE)) AS dp,\n    max(CAST(fb AS DOUBLE) / CAST(nb AS DOUBLE)\n        - CAST(fa AS DOUBLE) / CAST(na AS DOUBLE)) AS dm\n  FROM stepped\n),\nlamc AS (\n  SELECT *, dp + dm AS v_stat,\n    (sqrt(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)\n      / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE))) + 0.155\n     + 0.24 / sqrt(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)\n      / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE))))\n    * (dp + dm) AS lam\n  FROM agg\n)\nSELECT n_a, n_b, round(dp, 6) AS d_plus, round(dm, 6) AS d_minus,\n  round(v_stat, 6) AS v_stat,\n  round(CASE WHEN n_a > 0 AND n_b > 0 THEN\n    CASE WHEN lam < 0.4 THEN 1.0\n    ELSE least(1.0, greatest(0.0, 2.0 * ((4.0 * 1.0 * lam * lam - 1.0) * exp(-2.0 * 1.0 * lam * lam) + (4.0 * 4.0 * lam * lam - 1.0) * exp(-2.0 * 4.0 * lam * lam) + (4.0 * 9.0 * lam * lam - 1.0) * exp(-2.0 * 9.0 * lam * lam) + (4.0 * 16.0 * lam * lam - 1.0) * exp(-2.0 * 16.0 * lam * lam) + (4.0 * 25.0 * lam * lam - 1.0) * exp(-2.0 * 25.0 * lam * lam) + (4.0 * 36.0 * lam * lam - 1.0) * exp(-2.0 * 36.0 * lam * lam) + (4.0 * 49.0 * lam * lam - 1.0) * exp(-2.0 * 49.0 * lam * lam) + (4.0 * 64.0 * lam * lam - 1.0) * exp(-2.0 * 64.0 * lam * lam) + (4.0 * 81.0 * lam * lam - 1.0) * exp(-2.0 * 81.0 * lam * lam) + (4.0 * 100.0 * lam * lam - 1.0) * exp(-2.0 * 100.0 * lam * lam) + (4.0 * 121.0 * lam * lam - 1.0) * exp(-2.0 * 121.0 * lam * lam) + (4.0 * 144.0 * lam * lam - 1.0) * exp(-2.0 * 144.0 * lam * lam) + (4.0 * 169.0 * lam * lam - 1.0) * exp(-2.0 * 169.0 * lam * lam) + (4.0 * 196.0 * lam * lam - 1.0) * exp(-2.0 * 196.0 * lam * lam) + (4.0 * 225.0 * lam * lam - 1.0) * exp(-2.0 * 225.0 * lam * lam) + (4.0 * 256.0 * lam * lam - 1.0) * exp(-2.0 * 256.0 * lam * lam) + (4.0 * 289.0 * lam * lam - 1.0) * exp(-2.0 * 289.0 * lam * lam) + (4.0 * 324.0 * lam * lam - 1.0) * exp(-2.0 * 324.0 * lam * lam) + (4.0 * 361.0 * lam * lam - 1.0) * exp(-2.0 * 361.0 * lam * lam) + (4.0 * 400.0 * lam * lam - 1.0) * exp(-2.0 * 400.0 * lam * lam) + (4.0 * 441.0 * lam * lam - 1.0) * exp(-2.0 * 441.0 * lam * lam) + (4.0 * 484.0 * lam * lam - 1.0) * exp(-2.0 * 484.0 * lam * lam) + (4.0 * 529.0 * lam * lam - 1.0) * exp(-2.0 * 529.0 * lam * lam) + (4.0 * 576.0 * lam * lam - 1.0) * exp(-2.0 * 576.0 * lam * lam) + (4.0 * 625.0 * lam * lam - 1.0) * exp(-2.0 * 625.0 * lam * lam) + (4.0 * 676.0 * lam * lam - 1.0) * exp(-2.0 * 676.0 * lam * lam) + (4.0 * 729.0 * lam * lam - 1.0) * exp(-2.0 * 729.0 * lam * lam) + (4.0 * 784.0 * lam * lam - 1.0) * exp(-2.0 * 784.0 * lam * lam) + (4.0 * 841.0 * lam * lam - 1.0) * exp(-2.0 * 841.0 * lam * lam) + (4.0 * 900.0 * lam * lam - 1.0) * exp(-2.0 * 900.0 * lam * lam) + (4.0 * 961.0 * lam * lam - 1.0) * exp(-2.0 * 961.0 * lam * lam) + (4.0 * 1024.0 * lam * lam - 1.0) * exp(-2.0 * 1024.0 * lam * lam) + (4.0 * 1089.0 * lam * lam - 1.0) * exp(-2.0 * 1089.0 * lam * lam) + (4.0 * 1156.0 * lam * lam - 1.0) * exp(-2.0 * 1156.0 * lam * lam) + (4.0 * 1225.0 * lam * lam - 1.0) * exp(-2.0 * 1225.0 * lam * lam) + (4.0 * 1296.0 * lam * lam - 1.0) * exp(-2.0 * 1296.0 * lam * lam) + (4.0 * 1369.0 * lam * lam - 1.0) * exp(-2.0 * 1369.0 * lam * lam) + (4.0 * 1444.0 * lam * lam - 1.0) * exp(-2.0 * 1444.0 * lam * lam) + (4.0 * 1521.0 * lam * lam - 1.0) * exp(-2.0 * 1521.0 * lam * lam) + (4.0 * 1600.0 * lam * lam - 1.0) * exp(-2.0 * 1600.0 * lam * lam) + (4.0 * 1681.0 * lam * lam - 1.0) * exp(-2.0 * 1681.0 * lam * lam) + (4.0 * 1764.0 * lam * lam - 1.0) * exp(-2.0 * 1764.0 * lam * lam) + (4.0 * 1849.0 * lam * lam - 1.0) * exp(-2.0 * 1849.0 * lam * lam) + (4.0 * 1936.0 * lam * lam - 1.0) * exp(-2.0 * 1936.0 * lam * lam) + (4.0 * 2025.0 * lam * lam - 1.0) * exp(-2.0 * 2025.0 * lam * lam) + (4.0 * 2116.0 * lam * lam - 1.0) * exp(-2.0 * 2116.0 * lam * lam) + (4.0 * 2209.0 * lam * lam - 1.0) * exp(-2.0 * 2209.0 * lam * lam) + (4.0 * 2304.0 * lam * lam - 1.0) * exp(-2.0 * 2304.0 * lam * lam) + (4.0 * 2401.0 * lam * lam - 1.0) * exp(-2.0 * 2401.0 * lam * lam) + (4.0 * 2500.0 * lam * lam - 1.0) * exp(-2.0 * 2500.0 * lam * lam)))) END END, 6)\n    AS p_value\nFROM lamc\n"
+
+
+@_q("kuiper_2samp", _KUIPER_ORACLE)
+def q_kuiper_2samp(spark, sf):
+    """Two-sample Kuiper V of quantities, return flags A vs R
+    (stats.kuiper_2samp): D+ + D- off the shared distributed stepped
+    ECDF, Stephens-corrected 50-term asymptotic p shared verbatim
+    with the oracle."""
+    from padua_spark.operators.stats import kuiper_2samp
+
+    li = _t(spark, sf, "lineitem")
+    return kuiper_2samp(li, "l_returnflag", "l_quantity", "A", "R")
+
+
+_MDE_MEAN_ORACLE = '\nWITH base AS (\n  SELECT user_id % 2 AS arm, CAST(value AS DOUBLE) AS v\n  FROM events\n  WHERE user_id IS NOT NULL AND value IS NOT NULL\n    AND user_id % 2 IN (0, 1)\n),\nagg AS (\n  SELECT\n    CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,\n    CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,\n    sum(CASE WHEN arm = 0 THEN v END) AS sa,\n    sum(CASE WHEN arm = 1 THEN v END) AS sb,\n    sum(CASE WHEN arm = 0 THEN v * v END) AS qa,\n    sum(CASE WHEN arm = 1 THEN v * v END) AS qb\n  FROM base\n),\nm AS (\n  SELECT n_a, n_b,\n    sa / CAST(n_a AS DOUBLE) AS ma, sb / CAST(n_b AS DOUBLE) AS mb,\n    (qa - CAST(n_a AS DOUBLE) * (sa / CAST(n_a AS DOUBLE))\n      * (sa / CAST(n_a AS DOUBLE))) / (CAST(n_a AS DOUBLE) - 1.0)\n      AS va,\n    (qb - CAST(n_b AS DOUBLE) * (sb / CAST(n_b AS DOUBLE))\n      * (sb / CAST(n_b AS DOUBLE))) / (CAST(n_b AS DOUBLE) - 1.0)\n      AS vb,\n    n_a >= 2 AND n_b >= 2 AS ok\n  FROM agg\n),\nf AS (\n  SELECT n_a, n_b, ok, ma, mb, va, vb,\n    CASE WHEN ok THEN mb - ma END AS diff,\n    CASE WHEN ok AND va >= 0 AND vb >= 0 THEN\n      CAST(2.801585218113254 AS DOUBLE)\n      * sqrt(va / CAST(n_a AS DOUBLE) + vb / CAST(n_b AS DOUBLE))\n      END AS mde\n  FROM m\n)\nSELECT n_a, n_b,\n  round(CASE WHEN ok THEN ma END, 6) AS mean_a,\n  round(CASE WHEN ok THEN mb END, 6) AS mean_b,\n  round(CASE WHEN ok AND va >= 0 THEN sqrt(va) END, 6) AS sd_a,\n  round(CASE WHEN ok AND vb >= 0 THEN sqrt(vb) END, 6) AS sd_b,\n  round(diff, 6) AS observed_diff,\n  round(mde, 6) AS mde_absolute,\n  CASE WHEN mde IS NOT NULL THEN abs(diff) >= mde END AS powered\nFROM f\n'
+
+
+@_q("mde_two_mean", _MDE_MEAN_ORACLE)
+def q_mde_two_mean(spark, sf):
+    """Post-hoc minimum detectable effect of the event-value mean A/B
+    on the user parity arms (stats.mde_two_mean): Welch-style
+    planning identity on the realized per-arm variances, fixed z
+    lookup."""
+    from padua_spark.operators.stats import mde_two_mean
+
+    e = _t(spark, sf, "events").where(
+        F.col("user_id").isNotNull() & F.col("value").isNotNull()
+    )
+    e = e.withColumn("_arm", F.col("user_id") % 2)
+    return mde_two_mean(e, "_arm", "value", 0, 1)
+
+
+_BLOOM_ORACLE = "\nWITH rt AS (\n  SELECT DISTINCT unnest(list_filter(string_split(lower(text), ' '),\n                         t -> t <> '')) AS tok\n  FROM documents WHERE text IS NOT NULL AND lang = 'en'\n),\npt AS (\n  SELECT DISTINCT unnest(list_filter(string_split(lower(text), ' '),\n                         t -> t <> '')) AS tok\n  FROM documents WHERE text IS NOT NULL AND lang <> 'en'\n),\nrh AS (\n  SELECT tok, list_reduce(\n    list_prepend(CAST(7 AS BIGINT),\n      list_transform(list_filter(string_split(tok, ''), c -> c <> ''),\n                     c -> CAST(ord(c) AS BIGINT))),\n    (acc, c) -> (acc * 131 + c) % 2147483647) AS h\n  FROM rt\n),\nph AS (\n  SELECT tok, list_reduce(\n    list_prepend(CAST(7 AS BIGINT),\n      list_transform(list_filter(string_split(tok, ''), c -> c <> ''),\n                     c -> CAST(ord(c) AS BIGINT))),\n    (acc, c) -> (acc * 131 + c) % 2147483647) AS h\n  FROM pt\n),\nlines(j, a, b) AS (VALUES (0, CAST(84996101 AS BIGINT), CAST(2029282193 AS BIGINT)), (1, CAST(1039580715 AS BIGINT), CAST(199834225 AS BIGINT)), (2, CAST(1472947415 AS BIGINT), CAST(290222948 AS BIGINT)), (3, CAST(440900915 AS BIGINT), CAST(1798566625 AS BIGINT))),\nbits AS (\n  SELECT DISTINCT (rh.h * l.a + l.b) % 2147483647 % 8192 AS pos\n  FROM rh, lines l\n),\nfan AS (\n  SELECT ph.tok, (ph.h * l.a + l.b) % 2147483647 % 8192 AS pos\n  FROM ph, lines l\n),\nmatched AS (\n  SELECT f.tok,\n    sum(CASE WHEN b.pos IS NOT NULL THEN 1 ELSE 0 END) AS nhit\n  FROM fan f LEFT JOIN bits b ON f.pos = b.pos\n  GROUP BY 1\n),\nflagged AS (\n  SELECT m.nhit = 4 AS pred, rt.tok IS NOT NULL AS tru\n  FROM matched m LEFT JOIN rt ON m.tok = rt.tok\n),\nstats AS (\n  SELECT CAST(count(*) AS BIGINT) AS n_probe_types,\n    CAST(sum(CASE WHEN tru THEN 1 ELSE 0 END) AS BIGINT)\n      AS n_true_member,\n    CAST(sum(CASE WHEN pred THEN 1 ELSE 0 END) AS BIGINT)\n      AS n_predicted_member,\n    CAST(sum(CASE WHEN pred AND NOT tru THEN 1 ELSE 0 END)\n      AS BIGINT) AS n_false_positive\n  FROM flagged\n),\nscal AS (\n  SELECT CAST((SELECT count(*) FROM rt) AS BIGINT) AS n_ref_types,\n    CAST((SELECT count(*) FROM bits) AS BIGINT) AS bits_set\n)\nSELECT s2.n_ref_types, s.n_probe_types, s2.bits_set,\n  CAST(8192 AS BIGINT) AS m_bits, CAST(4 AS BIGINT) AS k_hashes,\n  s.n_true_member, s.n_predicted_member, s.n_false_positive,\n  round(CASE WHEN s.n_probe_types - s.n_true_member > 0\n    THEN CAST(s.n_false_positive AS DOUBLE)\n      / CAST(s.n_probe_types - s.n_true_member AS DOUBLE) END, 6)\n    AS fp_rate,\n  round(power(CAST(s2.bits_set AS DOUBLE) / 8192.0, 4.0), 6)\n    AS theoretical_fp_rate\nFROM stats s, scal s2\n"
+
+
+@_q("bloom_membership", _BLOOM_ORACLE)
+def q_bloom_membership(spark, sf):
+    """Bloom-filter membership audit: an 8192-bit / 4-hash filter
+    over the English vocabulary probed with the non-English
+    vocabulary (sketches.bloom_membership): deterministic affine
+    positions, broadcast distinct-positions frame, exact-membership
+    twin and realized-vs-theoretical FP rate."""
+    from padua_spark.extensions.sketches import bloom_membership
+
+    d = _t(spark, sf, "documents")
+    return bloom_membership(
+        d.where(F.col("lang") == "en"),
+        d.where(F.col("lang") != "en"),
+        "text",
+        m_bits=8192,
+        k_hashes=4,
+    )
+
+
+_WINDOWED_GINI_ORACLE = '\nWITH e AS (\n  SELECT (epoch_us(ts) // 3600000000) * 3600 AS ws,\n    least(1.0, greatest(0.0, value / 200.0)) AS v\n  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL\n),\nb AS (\n  SELECT ws,\n    CAST(least(63, CAST(floor(v * 64) AS INT)) AS INT) AS bin,\n    CAST(count(*) AS BIGINT) AS c, sum(v) AS s\n  FROM e GROUP BY 1, 2\n),\nt AS (\n  SELECT ws, CAST(sum(c) AS DOUBLE) AS nd, sum(s) AS st\n  FROM b GROUP BY 1\n),\ncum AS (\n  SELECT b.ws, b.bin, b.c, b.s, t.nd, t.st,\n    sum(b.s) OVER (PARTITION BY b.ws ORDER BY b.bin\n      ROWS UNBOUNDED PRECEDING) AS cum_s\n  FROM b JOIN t ON b.ws = t.ws\n),\ng AS (\n  SELECT ws, max(nd) AS nd, max(st) AS st,\n    sum((CAST(c AS DOUBLE) / nd)\n      * ((cum_s - s) / st + cum_s / st)) AS acc\n  FROM cum GROUP BY 1\n)\nSELECT ws AS window_start_epoch, CAST(nd AS BIGINT) AS n,\n  round(st, 6) AS total,\n  round(CASE WHEN nd > 0 AND st > 0 THEN 1.0 - acc END, 6)\n    AS gini_binned\nFROM g\n'
+
+
+@_q("windowed_binned_gini", _WINDOWED_GINI_ORACLE)
+def q_windowed_binned_gini(spark, sf):
+    """Per-hour binned Gini concentration of the clamped value score
+    (streaming.windowed_binned_gini): 2 x 64 count+sum partials per
+    window in ONE stateful aggregation, grouped-data Lorenz trapezoid
+    as a per-row fold."""
+    from padua_spark.streaming import windowed_binned_gini
+
+    e = _t(spark, sf, "events")
+    out = windowed_binned_gini(
+        e,
+        _events_event_time(spark, sf),
+        F.least(
+            F.lit(1.0), F.greatest(F.lit(0.0), F.col("value") / 200.0)
+        ),
+        window_duration="1 hour",
+        n_bins=64,
+    )
+    return out.select(
+        F.col("window_start").cast("long").alias("window_start_epoch"),
+        "n", "total", "gini_binned",
     )
 
 

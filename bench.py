@@ -179,6 +179,15 @@ HEADLINE = [
     "degree_powerlaw",
     "ams_f2_sketch",
     "windowed_srm",
+    "retrieval_mrr",
+    "davies_bouldin",
+    "periodogram",
+    "hurst_rs",
+    "haar_energy",
+    "kuiper_2samp",
+    "bloom_membership",
+    "mde_two_mean",
+    "windowed_binned_gini",
     "breusch_pagan",
     "chow_test",
     "cooks_distance",

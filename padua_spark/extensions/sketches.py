@@ -593,3 +593,147 @@ def ams_f2_sketch(
             F.when(f2d > 0, F.abs(estd - f2d) / f2d), 6
         ).alias("rel_error"),
     )
+
+
+def bloom_membership(
+    ref: DataFrame,
+    probe: DataFrame,
+    text_col: str,
+    m_bits: int = 8192,
+    k_hashes: int = 4,
+    lowercase: bool = True,
+) -> DataFrame:
+    """Bloom-filter membership audit — build an ``m_bits``/``k``
+    Bloom filter over the REFERENCE corpus's token types, probe it
+    with another corpus's types, and report the realized
+    false-positive rate against exact membership ("can a 1 KB filter
+    stand in for the 100 GB reference vocabulary in a streaming
+    decontamination pre-screen, and at what FP cost?").
+
+    Set-bit positions come from the package's deterministic affine
+    permutations of the char-polynomial token hash
+    (``(h·a_j + b_j) mod p mod m``), so both engines build the SAME
+    filter — the audit is hash-checkable end to end.
+
+    Scale shape: the filter is a DISTINCT-positions frame (≤ m_bits
+    rows, broadcast into the probe join — the bit array never
+    materializes driver-side); probe tokens fan out to k positions,
+    map-side combined back to per-token matched counts; exact
+    membership is one vocab-sized LEFT join. Predicted member =
+    all k positions set. Output 1 row: ``(n_ref_types,
+    n_probe_types, bits_set, m_bits, k_hashes, n_true_member,
+    n_predicted_member, n_false_positive, fp_rate,
+    theoretical_fp_rate)``, 6dp; fp_rate over the true NON-members
+    (NULL when none), theoretical = (bits_set/m)^k.
+    """
+    from padua_spark.extensions.dedup import _affine_constants
+
+    m = int(m_bits)
+    k = int(k_hashes)
+
+    def types_of(d):
+        t = F.lower(F.col(text_col)) if lowercase else F.col(text_col)
+        return (
+            d.where(F.col(text_col).isNotNull())
+            .select(
+                F.explode(
+                    F.filter(F.split(t, " "), lambda x: x != "")
+                ).alias("_tok")
+            )
+            .distinct()
+        )
+
+    consts = _affine_constants(k)
+
+    def positions(hashed):
+        return F.array(
+            *[
+                (
+                    (F.col("_th") * F.lit(a) + F.lit(b)) % F.lit(MOD)
+                    % F.lit(m)
+                ).cast("int")
+                for a, b in consts
+            ]
+        )
+
+    ref_types = types_of(ref)
+    probe_types = types_of(probe)
+    ref_hashed = ref_types.select(
+        "_tok", _char_poly(F.col("_tok")).alias("_th")
+    )
+    bits = (
+        ref_hashed.select(
+            F.explode(positions(ref_hashed)).alias("_pos")
+        )
+        .distinct()
+    )
+    probe_hashed = probe_types.select(
+        "_tok", _char_poly(F.col("_tok")).alias("_th")
+    )
+    fanned = probe_hashed.select(
+        "_tok", F.explode(positions(probe_hashed)).alias("_pos")
+    )
+    matched = (
+        fanned.join(
+            F.broadcast(bits.withColumn("_hit", F.lit(1))),
+            on="_pos",
+            how="left",
+        )
+        .groupBy("_tok")
+        .agg(
+            F.sum(F.coalesce(F.col("_hit"), F.lit(0)))
+            .alias("_nhit")
+        )
+    )
+    flagged = matched.join(
+        ref_types.withColumn("_member", F.lit(True)),
+        on="_tok",
+        how="left",
+    ).select(
+        (F.col("_nhit") == k).alias("_pred"),
+        F.coalesce(F.col("_member"), F.lit(False)).alias("_true"),
+    )
+    stats = flagged.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_probe_types"),
+        F.sum(F.col("_true").cast("int")).cast("bigint")
+        .alias("n_true_member"),
+        F.sum(F.col("_pred").cast("int")).cast("bigint")
+        .alias("n_predicted_member"),
+        F.sum(
+            (F.col("_pred") & ~F.col("_true")).cast("int")
+        ).cast("bigint").alias("n_false_positive"),
+    )
+    scalars = (
+        ref_types.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_ref_types")
+        )
+        .crossJoin(
+            F.broadcast(
+                bits.agg(
+                    F.count(F.lit(1)).cast("bigint").alias("bits_set")
+                )
+            )
+        )
+    )
+    out = stats.crossJoin(F.broadcast(scalars))
+    nonmember = (
+        F.col("n_probe_types") - F.col("n_true_member")
+    ).cast("double")
+    fill = (
+        F.col("bits_set").cast("double") / float(m)
+    )
+    return out.select(
+        "n_ref_types", "n_probe_types", "bits_set",
+        F.lit(m).cast("bigint").alias("m_bits"),
+        F.lit(k).cast("bigint").alias("k_hashes"),
+        "n_true_member", "n_predicted_member", "n_false_positive",
+        F.round(
+            F.when(
+                nonmember > 0,
+                F.col("n_false_positive").cast("double") / nonmember,
+            ),
+            6,
+        ).alias("fp_rate"),
+        F.round(F.pow(fill, F.lit(float(k))), 6)
+        .alias("theoretical_fp_rate"),
+    )

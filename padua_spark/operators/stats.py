@@ -12654,3 +12654,147 @@ def winsorized_correlation(
         ).alias("p_value"),
     )
     return track_cached(out, base)
+
+
+def kuiper_2samp(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    group_a,
+    group_b,
+    small_domain_threshold: int | None = None,
+) -> DataFrame:
+    """Two-sample Kuiper test — the rotation-invariant KS variant
+    (``V = D⁺ + D⁻`` instead of max|D|): equally sensitive at the
+    distribution's tails and center, and the standard choice when a
+    shift can occur anywhere in a cyclic or bounded score range
+    (KS's single supremum under-weights tails).
+
+    ``D⁺ = max_v (F_a − F_b)``, ``D⁻ = max_v (F_b − F_a)`` over the
+    pooled distinct values (both ≥ 0: the ECDFs meet at the last
+    value); asymptotic p with Stephens' effective-size correction:
+    ``λ = (√N_e + 0.155 + 0.24/√N_e)·V``, ``N_e = n_a·n_b/(n_a+n_b)``,
+    ``p = 2·Σ_{j=1..50} (4j²λ² − 1)·e^{−2j²λ²}`` clamped to [0, 1],
+    and p = 1 when λ < 0.4 (the series' validity floor — pinned;
+    both engines share the identical unrolled expression).
+
+    Scale shape: the shared distributed stepped ECDF
+    (:func:`_ecdf_stepped_counts` — never a single-task sort), one
+    max aggregation, scalar series on the 1-row frame. Output 1 row:
+    ``(n_a, n_b, d_plus, d_minus, v_stat, p_value)``, 6dp.
+    """
+    from padua_spark.io_utils import track_cached
+
+    ecdf = _ecdf_stepped_counts(
+        df, group_col, value_col, group_a, group_b,
+        small_domain_threshold=small_domain_threshold,
+    )
+    dfa = F.col("_fa").cast("double") / F.col("_na").cast("double")
+    dfb = F.col("_fb").cast("double") / F.col("_nb").cast("double")
+    agg = ecdf.agg(
+        F.max("_na").alias("n_a"),
+        F.max("_nb").alias("n_b"),
+        F.max(dfa - dfb).alias("_dp"),
+        F.max(dfb - dfa).alias("_dm"),
+    )
+    na = F.col("n_a").cast("double")
+    nb = F.col("n_b").cast("double")
+    v = F.col("_dp") + F.col("_dm")
+    ne = na * nb / (na + nb)
+    lam = (
+        F.sqrt(ne) + F.lit(0.155) + F.lit(0.24) / F.sqrt(ne)
+    ) * v
+    series = F.lit(0.0)
+    for j in range(1, 51):
+        j2 = float(j * j)
+        series = series + (
+            F.lit(4.0 * j2) * lam * lam - F.lit(1.0)
+        ) * F.exp(F.lit(-2.0 * j2) * lam * lam)
+    p = F.when(lam < 0.4, F.lit(1.0)).otherwise(
+        F.least(F.lit(1.0), F.greatest(F.lit(0.0), 2.0 * series))
+    )
+    out = agg.select(
+        "n_a", "n_b",
+        F.round("_dp", 6).alias("d_plus"),
+        F.round("_dm", 6).alias("d_minus"),
+        F.round(v, 6).alias("v_stat"),
+        F.round(
+            F.when((F.col("n_a") > 0) & (F.col("n_b") > 0), p), 6
+        ).alias("p_value"),
+    )
+    return track_cached(out, *getattr(ecdf, "_padua_cached", ()))
+
+
+def mde_two_mean(
+    df: DataFrame,
+    variant_col: str,
+    value_col: str,
+    variant_a,
+    variant_b,
+    alpha: float = 0.05,
+    power: float = 0.8,
+) -> DataFrame:
+    """Post-hoc minimum detectable effect for a two-MEAN A/B — the
+    continuous-metric sibling of :func:`mde_two_proportion` ("could
+    this experiment have seen the revenue lift we care about?"):
+
+    ``MDE = (z_{1−α/2} + z_{power})·√(s²_a/n_a + s²_b/n_b)`` on the
+    REALIZED per-arm sample variances (Welch-style planning
+    identity). The z quantiles come from the same fixed (α, power)
+    lookup as the proportion twin, so no inverse-normal code path
+    exists to disagree across engines.
+
+    ONE conditional-moment aggregation. Output 1 row: ``(n_a, n_b,
+    mean_a, mean_b, sd_a, sd_b, observed_diff, mde_absolute,
+    powered)``, 6dp; NULLs when either arm has n < 2.
+    """
+    _Z_ALPHA = {0.10: 1.6448536269514722, 0.05: 1.959963984540054,
+                0.01: 2.5758293035489004}
+    _Z_POWER = {0.8: 0.8416212335729143, 0.9: 1.2815515655446004,
+                0.95: 1.6448536269514722}
+    if alpha not in _Z_ALPHA or power not in _Z_POWER:
+        raise ValueError(
+            "mde_two_mean: supported alpha in "
+            f"{sorted(_Z_ALPHA)} and power in {sorted(_Z_POWER)} "
+            "(fixed z lookup keeps both engines identical)"
+        )
+    zsum = _Z_ALPHA[alpha] + _Z_POWER[power]
+    g = F.col(variant_col)
+    v = F.col(value_col).cast("double")
+    base = df.where(g.isin([variant_a, variant_b]) & v.isNotNull())
+    aggs = []
+    for tag, arm in (("a", variant_a), ("b", variant_b)):
+        hit = g == arm
+        aggs += [
+            F.sum(hit.cast("int")).cast("bigint").alias(f"n_{tag}"),
+            F.sum(F.when(hit, v)).alias(f"_s{tag}"),
+            F.sum(F.when(hit, v * v)).alias(f"_q{tag}"),
+        ]
+    agg = base.agg(*aggs)
+
+    def arm(tag):
+        n = F.col(f"n_{tag}").cast("double")
+        m = F.col(f"_s{tag}") / n
+        var = (F.col(f"_q{tag}") - n * m * m) / (n - 1.0)
+        return n, m, var
+
+    na, ma, va = arm("a")
+    nb, mb, vb = arm("b")
+    ok = (F.col("n_a") >= 2) & (F.col("n_b") >= 2)
+    mde = F.when(
+        ok & (va >= 0) & (vb >= 0),
+        F.lit(float(zsum)) * F.sqrt(va / na + vb / nb),
+    )
+    diff = F.when(ok, mb - ma)
+    return agg.select(
+        "n_a", "n_b",
+        F.round(F.when(ok, ma), 6).alias("mean_a"),
+        F.round(F.when(ok, mb), 6).alias("mean_b"),
+        F.round(F.when(ok & (va >= 0), F.sqrt(va)), 6).alias("sd_a"),
+        F.round(F.when(ok & (vb >= 0), F.sqrt(vb)), 6).alias("sd_b"),
+        F.round(diff, 6).alias("observed_diff"),
+        F.round(mde, 6).alias("mde_absolute"),
+        F.when(
+            mde.isNotNull(), F.abs(diff) >= mde
+        ).alias("powered"),
+    )

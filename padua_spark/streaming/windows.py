@@ -1745,3 +1745,104 @@ def windowed_srm(
         F.when(F.col("_chi2").isNotNull(), p < 0.01)
         .alias("srm_flag_1pct"),
     )
+
+
+def windowed_binned_gini(
+    df: DataFrame,
+    ts_col: Column,
+    value_col: Column,
+    group_cols: list[str] | None = None,
+    window_duration: str = "1 hour",
+    watermark: str | None = None,
+    n_bins: int = 64,
+) -> DataFrame:
+    """Per-tumbling-window BINNED Gini concentration — streaming
+    inequality monitoring ("did this hour's spend concentrate into a
+    few whales?"), the bounded-state face of the exact batch Gini
+    (exact Gini needs a per-window value sort — unstreamable):
+
+    non-negative values scaled into [0, 1] by the CALLER (the
+    :func:`windowed_binned_auc` contract) quantize into ``n_bins``
+    equal-width bins whose per-bin counts AND sums are the 2·n_bins
+    state per (window, group) key; the statistic is the exact
+    grouped-data (Lorenz-trapezoid) Gini of the quantized
+    distribution:
+
+    ``G = 1 − Σ_i p_i·(L_{i−1} + L_i)`` with ``p_i = c_i/n`` and
+    ``L_i`` the cumulative value share — a LOWER bound of the exact
+    Gini, within one bin's within-spread. The low→high fold over the
+    n_bins array is a per-ROW expression; late shards merge by
+    adding counts/sums. Output: ``(window_start, window_end,
+    *group_cols, n, total, gini_binned)``, 6dp; NULL when the
+    window total is 0.
+    """
+    group_cols = group_cols or []
+    k = int(n_bins)
+    v = value_col.cast("double")
+    withts = df.where(v.isNotNull() & (v >= 0) & (v <= 1)).select(
+        ts_col.alias("_event_time"), *group_cols, v.alias("_v")
+    )
+    if watermark and withts.isStreaming:
+        withts = withts.withWatermark("_event_time", watermark)
+    bin_idx = F.least(F.lit(k - 1), F.floor(F.col("_v") * k)).cast(
+        "int"
+    )
+    aggs = []
+    for i in range(k):
+        hit = bin_idx == i
+        aggs += [
+            F.sum(F.when(hit, 1).otherwise(0)).cast("bigint")
+            .alias(f"_c{i}"),
+            F.sum(F.when(hit, F.col("_v")).otherwise(0.0))
+            .alias(f"_s{i}"),
+        ]
+    agg = withts.groupBy(
+        F.window("_event_time", window_duration).alias("_w"),
+        *group_cols,
+    ).agg(*aggs)
+    n_tot = None
+    s_tot = None
+    for i in range(k):
+        c = F.col(f"_c{i}")
+        s = F.col(f"_s{i}")
+        n_tot = c if n_tot is None else n_tot + c
+        s_tot = s if s_tot is None else s_tot + s
+    staged = agg.withColumn("_n", n_tot).withColumn("_st", s_tot)
+    cells = F.array(*[
+        F.struct(
+            F.col(f"_c{i}").cast("double").alias("c"),
+            F.col(f"_s{i}").alias("s"),
+        )
+        for i in range(k)
+    ])
+    nd = F.col("_n").cast("double")
+    st = F.col("_st")
+    acc0 = F.struct(
+        F.lit(0.0).alias("cum_s"), F.lit(0.0).alias("acc")
+    )
+    folded = F.aggregate(
+        cells,
+        acc0,
+        lambda a, c: F.struct(
+            (a["cum_s"] + c["s"]).alias("cum_s"),
+            (
+                a["acc"]
+                + (c["c"] / nd)
+                * (
+                    a["cum_s"] / st
+                    + (a["cum_s"] + c["s"]) / st
+                )
+            ).alias("acc"),
+        ),
+    )
+    gini = F.when(
+        (F.col("_n") > 0) & (st > 0), 1.0 - folded["acc"]
+    )
+    return staged.select(
+        F.col("_w.start").alias("window_start"),
+        F.col("_w.end").alias("window_end"),
+        *group_cols,
+        F.col("_n").alias("n"),
+        F.round(st, 6).alias("total"),
+        F.round(gini, 6).alias("gini_binned"),
+    )

@@ -408,6 +408,13 @@ def test_no_cartesian_products_anywhere(spark):
         # 1-row scalar frames joined on a constant key (CH) and the
         # bounded broadcast centroid cross (enforced max_clusters)
         "calinski_harabasz", "silhouette_simplified",
+        # k-row cluster frame self-cross with the right side broadcast
+        # (k = cluster count, never data) and the 1-row edge/recip
+        # scalar stitch
+        "davies_bouldin", "edge_reciprocity",
+        # 1-row ref-types/bits-set scalar frames broadcast onto the
+        # 1-row probe stats
+        "bloom_membership",
         # 1-row totals/limits frames broadcast onto bounded frames
         "gains_table", "brier_decomposition", "bland_altman",
         "icc_2_1", "assortativity", "morans_i",
@@ -469,7 +476,7 @@ def test_no_cartesian_products_anywhere(spark):
         # keyness count table
         "keyness_llr",
         # composes knn_join — inherits its one-row broadcast query block
-        "retrieval_ndcg",
+        "retrieval_ndcg", "retrieval_mrr",
         # composes bm25_topk — inherits its 1-row corpus-stats broadcast
         "rrf_fusion",
         # two 1-row global-count frames broadcast onto the 1-row stats

@@ -1529,3 +1529,76 @@ def test_stream_equals_batch_windowed_srm(spark, events_dir):
         for r in build(batch, ratios=[0.9, 0.1]).collect()
     }
     assert sum(skewed.values()) > sum(v[3] for v in got.values())
+
+
+def test_stream_equals_batch_windowed_binned_gini(spark, events_dir):
+    """Windowed binned Gini: stream == batch on every window row;
+    values in [0, 1/3] of the bins give the same statistic as a
+    dense grouped-Gini replica."""
+    import numpy as np
+
+    from padua_spark.streaming import windowed_binned_gini
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    batch = spark.read.parquet(events_dir)
+    stream = read_event_stream(spark, events_dir, schema=batch.schema)
+
+    def build(df):
+        base = df.where(F.col("value").isNotNull())
+        return windowed_binned_gini(
+            base,
+            event_time_col(base),
+            F.least(
+                F.lit(1.0),
+                F.greatest(F.lit(0.0), F.col("value") / 200.0),
+            ),
+            window_duration="1 hour", watermark="2 hours",
+            n_bins=64,
+        )
+
+    q = (
+        build(stream)
+        .writeStream.format("memory")
+        .queryName("t_wingini")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(180)
+    got = {
+        r["window_start"]: (r["n"], r["total"], r["gini_binned"])
+        for r in spark.sql("SELECT * FROM t_wingini").collect()
+    }
+    exp = {
+        r["window_start"]: (r["n"], r["total"], r["gini_binned"])
+        for r in build(batch).collect()
+    }
+    assert got == exp and len(got) > 0
+    # dense grouped replica on a synthetic single-window frame
+    import datetime
+
+    t0 = datetime.datetime(2024, 1, 1)
+    vals = np.array([0.1] * 50 + [0.9] * 5)  # concentrated mass
+    dfv = spark.createDataFrame(
+        [(t0, float(v)) for v in vals], ["ts", "v"]
+    )
+    r = windowed_binned_gini(
+        dfv, F.col("ts"), F.col("v"), window_duration="1 hour",
+        n_bins=64,
+    ).collect()[0]
+    # grouped replica over the quantized bins
+    bins = np.minimum(63, np.floor(vals * 64)).astype(int)
+    order = np.argsort(bins, kind="mergesort")
+    import collections
+
+    agg = collections.OrderedDict()
+    for b in sorted(set(bins)):
+        sel = vals[bins == b]
+        agg[b] = (len(sel), sel.sum())
+    n, st = len(vals), vals.sum()
+    cum, acc = 0.0, 0.0
+    for b, (c, s) in agg.items():
+        acc += (c / n) * (cum / st + (cum + s) / st)
+        cum += s
+    assert r["gini_binned"] == pytest.approx(1.0 - acc, abs=1e-6)
+    assert r["gini_binned"] > 0.2  # concentration detected

@@ -11693,3 +11693,250 @@ def test_round12_graph_sketch_battery(spark):
     assert r["n_types"] == len(cnt)
     # 16-mean AMS on a skewed corpus: within ~3 std errors
     assert r["rel_error"] < 1.5
+
+
+def test_round12_spectral_scaling_battery(spark):
+    """periodogram finds a planted 16-row cycle; hurst_rs separates a
+    persistent trend series from white noise (both vs numpy
+    replicas); haar_energy matches a dense Haar replica and
+    concentrates energy at the planted wiggle scale;
+    davies_bouldin matches a numpy replica and prefers the tighter
+    clustering; retrieval_mrr_at_k matches a brute-force replica."""
+    import numpy as np
+
+    from padua_spark.extensions.similarity import (
+        davies_bouldin,
+        retrieval_mrr_at_k,
+    )
+    from padua_spark.operators.temporal import (
+        haar_energy,
+        hurst_rs,
+        periodogram,
+    )
+
+    rng = np.random.RandomState(9)
+    n = 512
+    t = np.arange(n)
+    x = 5.0 * np.sin(2 * np.pi * 32 * t / n) + rng.normal(0, 1, n)
+    df = spark.createDataFrame(
+        [("g", int(i), float(v)) for i, v in zip(t, x)],
+        ["g", "i", "v"],
+    )
+    r = periodogram(df, ["g"], ["i"], "v", max_freq=64).collect()[0]
+    # replica
+    ks = np.arange(1, 65)
+    C = np.array([np.sum(x * np.cos(2 * np.pi * k * t / n)) for k in ks])
+    S = np.array([np.sum(x * np.sin(2 * np.pi * k * t / n)) for k in ks])
+    I = (C**2 + S**2) / n
+    assert r["dominant_freq_k"] == 32
+    assert r["dominant_period"] == pytest.approx(n / 32.0, abs=1e-6)
+    assert r["dominant_share"] == pytest.approx(
+        I.max() / I.sum(), abs=1e-6
+    )
+    p = I / I.sum()
+    assert r["spectral_entropy"] == pytest.approx(
+        -(p * np.log(p)).sum(), abs=1e-5
+    )
+
+    # hurst: cumulative sum of white noise ~ 0.5+, noise itself < 0.5
+    walk = np.cumsum(rng.normal(0, 1, 4096))
+    noise = rng.normal(0, 1, 4096)
+    dfh = spark.createDataFrame(
+        [("walk", int(i), float(v)) for i, v in enumerate(walk)]
+        + [("noise", int(i), float(v)) for i, v in enumerate(noise)],
+        ["g", "i", "v"],
+    )
+    got = {
+        r["g"]: r for r in hurst_rs(dfh, ["g"], ["i"], "v").collect()
+    }
+    assert got["walk"]["n_scales"] == 5
+
+    def rs_replica(series, m):
+        k = len(series) // m
+        vals = []
+        for b in range(k):
+            blk = series[b * m:(b + 1) * m]
+            dev = np.cumsum(blk - blk.mean())
+            var = blk.var()
+            if var > 0:
+                vals.append((dev.max() - dev.min()) / np.sqrt(var))
+        return np.mean(vals)
+
+    ms = [16, 32, 64, 128, 256]
+    ys = np.log([rs_replica(walk, m) for m in ms])
+    xs = np.log(ms)
+    slope = np.polyfit(xs, ys, 1)[0]
+    assert got["walk"]["hurst"] == pytest.approx(slope, abs=1e-5)
+    assert got["walk"]["hurst"] > 0.8  # integrated series is persistent
+    assert got["noise"]["hurst"] < 0.65
+
+    # haar on the sine-plus-noise series: replica per level
+    rh = {
+        r["level"]: r
+        for r in haar_energy(df, ["g"], ["i"], "v",
+                             max_level=5).collect()
+    }
+    for lv in range(1, 6):
+        bs = 2**lv
+        nb = n // bs
+        d = np.array([
+            x[b * bs:b * bs + bs // 2].sum()
+            - x[b * bs + bs // 2:(b + 1) * bs].sum()
+            for b in range(nb)
+        ]) / bs
+        assert rh[lv]["n_blocks"] == nb
+        assert rh[lv]["energy"] == pytest.approx(
+            float((d**2).sum()), abs=1e-5
+        )
+
+    # davies_bouldin: tight planted clusters beat a shuffled labeling
+    k, d = 4, 8
+    cents = rng.normal(0, 10, (k, d))
+    pts = []
+    for c in range(k):
+        for _ in range(60):
+            pts.append((c, (cents[c] + rng.normal(0, 0.5, d))))
+    dfc = spark.createDataFrame(
+        [(int(c), [float(x) for x in v]) for c, v in pts],
+        ["label", "embedding"],
+    )
+    r = davies_bouldin(dfc, "embedding", "label").collect()[0]
+    assert r["k_clusters"] == k and r["n"] == k * 60
+
+    def db_replica(labels, X):
+        mus = np.array([X[labels == c].mean(0) for c in range(k)])
+        Ss = np.array([
+            np.sqrt(((X[labels == c] - mus[c]) ** 2).sum(1).mean())
+            for c in range(k)
+        ])
+        rr = []
+        for i in range(k):
+            best = max(
+                (Ss[i] + Ss[j])
+                / np.linalg.norm(mus[i] - mus[j])
+                for j in range(k)
+                if j != i
+            )
+            rr.append(best)
+        return float(np.mean(rr))
+
+    X = np.array([v for _, v in pts])
+    labels = np.array([c for c, _ in pts])
+    # micro-unit quantization: compare against the quantized replica
+    Xq = np.round(X * 1e6) / 1e6
+    assert r["db_index"] == pytest.approx(
+        db_replica(labels, Xq), abs=1e-4
+    )
+    assert r["db_index"] < 0.5  # well-separated planted clusters
+    shuffled = labels.copy()
+    rng.shuffle(shuffled)
+    dfs = spark.createDataFrame(
+        [(int(c), [float(x) for x in v])
+         for c, v in zip(shuffled, X)],
+        ["label", "embedding"],
+    )
+    r2 = davies_bouldin(dfs, "embedding", "label").collect()[0]
+    assert r2["db_index"] > 5 * r["db_index"]
+
+    # MRR replica on a tiny labeled corpus
+    emb = []
+    for i in range(30):
+        lab = i % 3
+        v = np.zeros(4)
+        v[lab] = 1.0
+        v += rng.normal(0, 0.1, 4)
+        emb.append((i, [float(x) for x in v], int(lab)))
+    dfe = spark.createDataFrame(emb, ["vec_id", "embedding", "label"])
+    out = retrieval_mrr_at_k(
+        dfe.filter(F.col("vec_id") >= 3), "vec_id", "embedding",
+        "label", dfe.filter(F.col("vec_id") < 3), k=5,
+    ).collect()
+    assert len(out) == 3
+    for row in out:
+        # same-label planted geometry: the nearest neighbor is
+        # relevant, so rr = 1
+        assert row["reciprocal_rank"] == pytest.approx(1.0)
+
+
+def test_round12_kuiper_mde_bloom_battery(spark):
+    """kuiper_2samp vs a numpy ECDF replica on a planted shift (and
+    V >= D_ks by construction); mde_two_mean against the closed
+    formula with a planted underpowered arm; bloom_membership on a
+    tiny corpus: zero false negatives ever, FP rate sane, exact
+    membership counts match set algebra."""
+    import numpy as np
+
+    from padua_spark.extensions.sketches import bloom_membership
+    from padua_spark.operators.stats import kuiper_2samp, mde_two_mean
+
+    rng = np.random.RandomState(21)
+    a = rng.normal(0, 1, 400)
+    b = rng.normal(0.5, 1, 400)
+    rows = [("a", float(v)) for v in a] + [("b", float(v)) for v in b]
+    df = spark.createDataFrame(rows, ["g", "v"])
+    r = kuiper_2samp(df, "g", "v", "a", "b").collect()[0]
+    pool = np.sort(np.unique(np.concatenate([a, b])))
+    fa = np.searchsorted(np.sort(a), pool, side="right") / len(a)
+    fb = np.searchsorted(np.sort(b), pool, side="right") / len(b)
+    dp, dm = (fa - fb).max(), (fb - fa).max()
+    assert r["d_plus"] == pytest.approx(dp, abs=1e-6)
+    assert r["d_minus"] == pytest.approx(dm, abs=1e-6)
+    assert r["v_stat"] == pytest.approx(dp + dm, abs=1e-6)
+    assert r["v_stat"] >= max(dp, dm)  # V >= KS D
+    assert r["p_value"] < 1e-3  # the shift is detected
+    ne = len(a) * len(b) / (len(a) + len(b))
+    lam = (np.sqrt(ne) + 0.155 + 0.24 / np.sqrt(ne)) * (dp + dm)
+    series = sum(
+        (4 * j * j * lam * lam - 1) * np.exp(-2 * j * j * lam * lam)
+        for j in range(1, 51)
+    )
+    assert r["p_value"] == pytest.approx(
+        min(1.0, max(0.0, 2 * series)), abs=1e-6
+    )
+
+    # MDE: tiny noisy arms -> underpowered for a small true diff
+    xa = rng.normal(100, 20, 50)
+    xb = rng.normal(101, 20, 50)
+    dfm = spark.createDataFrame(
+        [("a", float(v)) for v in xa] + [("b", float(v)) for v in xb],
+        ["g", "v"],
+    )
+    r = mde_two_mean(dfm, "g", "v", "a", "b").collect()[0]
+    zsum = 1.959963984540054 + 0.8416212335729143
+    mde = zsum * np.sqrt(
+        xa.var(ddof=1) / 50 + xb.var(ddof=1) / 50
+    )
+    assert r["mde_absolute"] == pytest.approx(mde, abs=1e-5)
+    assert r["observed_diff"] == pytest.approx(
+        xb.mean() - xa.mean(), abs=1e-5
+    )
+    assert r["powered"] is False  # ~1 unit diff vs ~11 unit MDE
+    with pytest.raises(ValueError, match="supported alpha"):
+        mde_two_mean(dfm, "g", "v", "a", "b", alpha=0.2)
+
+    # Bloom: no false negatives, exact membership accounting
+    ref_words = [f"tok{i}" for i in range(300)]
+    probe_words = [f"tok{i}" for i in range(200, 500)]  # 100 overlap
+    ref = spark.createDataFrame(
+        [(" ".join(ref_words[i:i + 10]),) for i in range(0, 300, 10)],
+        ["text"],
+    )
+    probe = spark.createDataFrame(
+        [(" ".join(probe_words[i:i + 10]),)
+         for i in range(0, 300, 10)],
+        ["text"],
+    )
+    r = bloom_membership(
+        ref, probe, "text", m_bits=4096, k_hashes=4
+    ).collect()[0]
+    assert r["n_ref_types"] == 300
+    assert r["n_probe_types"] == 300
+    assert r["n_true_member"] == 100
+    # Bloom filters NEVER miss a true member
+    assert r["n_predicted_member"] >= r["n_true_member"]
+    assert (
+        r["n_predicted_member"] - r["n_true_member"]
+        == r["n_false_positive"]
+    )
+    assert r["fp_rate"] is None or r["fp_rate"] < 0.2
+    assert 0 < r["bits_set"] <= min(4096, 300 * 4)
