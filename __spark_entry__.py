@@ -27649,6 +27649,82 @@ def q_windowed_binned_gini(spark, sf):
     )
 
 
+
+# --- E348-E349 round-12 battery 7: windowed embedding drift, ----------------
+#     Poisson overdispersion --------------------------------------------------
+
+
+_WINDOWED_EMB_DRIFT_ORACLE = '\nWITH ref AS (\n  SELECT d.i, avg(CAST(embedding AS DOUBLE[])[d.i]) AS r\n  FROM embeddings\n  CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i) d\n  WHERE vec_id < 100 AND embedding IS NOT NULL\n    AND len(embedding) = 64\n  GROUP BY 1\n),\ne AS (\n  SELECT (epoch_us(ts) // 3600000000) * 3600 AS ws,\n    CAST(em.embedding AS DOUBLE[]) AS v\n  FROM events ev\n  JOIN embeddings em ON ev.user_id % 1000 = em.vec_id\n  WHERE ev.ts IS NOT NULL AND em.embedding IS NOT NULL\n    AND len(em.embedding) = 64\n),\nsums AS (\n  SELECT ws, d.i, CAST(count(*) AS BIGINT) AS n, sum(v[d.i]) AS s\n  FROM e CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i) d\n  GROUP BY 1, 2\n),\nj AS (\n  SELECT sums.ws, sums.n, sums.i,\n    sums.s / CAST(sums.n AS DOUBLE) AS mu, ref.r\n  FROM sums JOIN ref ON sums.i = ref.i\n),\nagg AS (\n  SELECT ws, max(n) AS n,\n    sum((mu - r) * (mu - r)) AS l2s,\n    sum(mu * r) AS dot,\n    sum(mu * mu) AS norm2,\n    sum(r * r) AS refnorm2\n  FROM j GROUP BY 1\n)\nSELECT ws AS window_start_epoch, n,\n  round(sqrt(l2s), 6) AS l2_distance,\n  round(CASE WHEN norm2 > 0 AND refnorm2 > 0\n    THEN dot / (sqrt(norm2) * sqrt(refnorm2)) END, 6) AS cosine_sim,\n  round(sqrt(norm2), 6) AS mean_norm\nFROM agg\n'
+
+
+@_q("windowed_embedding_drift", _WINDOWED_EMB_DRIFT_ORACLE)
+def q_windowed_embedding_drift(spark, sf):
+    """Per-hour embedding-centroid drift of event-attached vectors vs
+    the vec_id<100 reference mean (streaming.windowed_embedding_drift):
+    the window mean is d bounded sums in ONE stateful aggregation —
+    the mean-map MMD idea's streamable core. Events borrow vectors by
+    user_id%1000 = vec_id (deterministic attach, both engines)."""
+    from padua_spark.streaming import windowed_embedding_drift
+
+    emb = _t(spark, sf, "embeddings")
+    ref_row = (
+        emb.where(
+            (F.col("vec_id") < 100)
+            & F.col("embedding").isNotNull()
+            & (F.size("embedding") == 64)
+        )
+        .select(
+            *[
+                F.avg(F.col("embedding")[i].cast("double"))
+                .alias(f"m{i}")
+                for i in range(64)
+            ]
+        )
+        .collect()[0]
+    )
+    ref = [float(ref_row[f"m{i}"]) for i in range(64)]
+    e = _t(spark, sf, "events").where(F.col("ts").isNotNull())
+    attached = e.join(
+        emb.where(
+            F.col("embedding").isNotNull()
+            & (F.size("embedding") == 64)
+        ).select("vec_id", "embedding"),
+        e["user_id"] % 1000 == F.col("vec_id"),
+    )
+    out = windowed_embedding_drift(
+        attached,
+        _events_event_time(spark, sf),
+        F.col("embedding"),
+        ref,
+        window_duration="1 hour",
+    )
+    return out.select(
+        F.col("window_start").cast("long").alias("window_start_epoch"),
+        "n", "l2_distance", "cosine_sim", "mean_norm",
+    )
+
+
+_OVERDISPERSION_ORACLE = '\nWITH ec AS (\n  SELECT event_type, user_id, CAST(count(*) AS DOUBLE) AS y\n  FROM events\n  WHERE event_type IS NOT NULL AND user_id IS NOT NULL\n  GROUP BY 1, 2\n),\nagg AS (\n  SELECT event_type, CAST(count(*) AS BIGINT) AS n,\n    sum(y) AS s, sum(y * y) AS q\n  FROM ec GROUP BY 1\n),\nm AS (\n  SELECT event_type, n, CAST(n AS DOUBLE) AS nd,\n    s / CAST(n AS DOUBLE) AS mean, s,\n    q - CAST(n AS DOUBLE) * (s / CAST(n AS DOUBLE))\n      * (s / CAST(n AS DOUBLE)) AS ss\n  FROM agg\n),\nz AS (\n  SELECT event_type, n, nd, mean, ss, s,\n    ss / (nd - 1.0) AS var,\n    n >= 2 AND mean > 0 AS ok\n  FROM m\n),\nzz AS (\n  SELECT event_type, n, mean, var, ok,\n    CASE WHEN ok THEN (nd - 1.0) * var / mean END AS disp,\n    CASE WHEN ok THEN sqrt(2.0 * ((nd - 1.0) * var / mean))\n      - sqrt(2.0 * (nd - 1.0) - 1.0) END AS z_wh,\n    CASE WHEN ok THEN (ss - s)\n      / sqrt(2.0 * nd * mean * mean) END AS z_ct\n  FROM z\n),\ne1 AS (\n  SELECT *, abs(z_wh) / sqrt(2.0) AS x2,\n    1.0 / (1.0 + 0.3275911 * (abs(z_wh) / sqrt(2.0))) AS tt,\n    abs(z_ct) / sqrt(2.0) AS x2c,\n    1.0 / (1.0 + 0.3275911 * (abs(z_ct) / sqrt(2.0))) AS ttc\n  FROM zz\n)\nSELECT event_type, n, round(mean, 6) AS mean,\n  round(CASE WHEN n >= 2 THEN var END, 6) AS variance,\n  round(disp, 6) AS dispersion_index,\n  round(z_wh, 6) AS z_wh,\n  round(CASE WHEN z_wh IS NOT NULL THEN\n    (0.254829592 * tt + -0.284496736 * tt * tt\n     + 1.421413741 * tt * tt * tt + -1.453152027 * tt * tt * tt * tt\n     + 1.061405429 * tt * tt * tt * tt * tt) * exp(-x2 * x2)\n    END, 6) AS p_wh,\n  round(z_ct, 6) AS z_ct,\n  round(CASE WHEN z_ct IS NOT NULL THEN\n    (0.254829592 * ttc + -0.284496736 * ttc * ttc\n     + 1.421413741 * ttc * ttc * ttc\n     + -1.453152027 * ttc * ttc * ttc * ttc\n     + 1.061405429 * ttc * ttc * ttc * ttc * ttc) * exp(-x2c * x2c)\n    END, 6) AS p_ct\nFROM e1\n'
+
+
+@_q("overdispersion_test", _OVERDISPERSION_ORACLE)
+def q_overdispersion_test(spark, sf):
+    """Poisson overdispersion of per-user event counts by event type
+    (stats.overdispersion_test): dispersion index with the
+    Wilson-Hilferty normal approximation plus the Cameron-Trivedi
+    regression-form z, one moment aggregation over the per-user
+    count frame."""
+    from padua_spark.operators.stats import overdispersion_test
+
+    e = _t(spark, sf, "events").where(
+        F.col("event_type").isNotNull() & F.col("user_id").isNotNull()
+    )
+    counts = e.groupBy("event_type", "user_id").agg(
+        F.count(F.lit(1)).alias("y")
+    )
+    return overdispersion_test(counts, ["event_type"], "y")
+
+
 # ---------------------------------------------------------------------------
 
 

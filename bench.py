@@ -188,6 +188,8 @@ HEADLINE = [
     "bloom_membership",
     "mde_two_mean",
     "windowed_binned_gini",
+    "windowed_embedding_drift",
+    "overdispersion_test",
     "breusch_pagan",
     "chow_test",
     "cooks_distance",

@@ -12798,3 +12798,59 @@ def mde_two_mean(
             mde.isNotNull(), F.abs(diff) >= mde
         ).alias("powered"),
     )
+
+
+def overdispersion_test(
+    df: DataFrame,
+    group_cols: list[str],
+    count_col: str,
+) -> DataFrame:
+    """Poisson overdispersion tests per group — "is a Poisson model
+    even admissible for these event counts?" (the gate before
+    :func:`poisson_rate_test`-style inference and the
+    negative-binomial escalation check beside :func:`negbin_fit`):
+
+    against the constant-rate Poisson null (μ̂ = ȳ, pinned):
+    dispersion index ``D = (n−1)s²/ȳ`` (χ²_{n−1} under the null)
+    with the Wilson–Hilferty normal approximation
+    ``z_D = √(2D) − √(2(n−1)−1)``, and the Cameron–Trivedi
+    regression-form statistic
+    ``z_CT = Σ[(y−ȳ)² − y] / √(2·n·ȳ²)`` (asymptotically N(0,1);
+    positive = overdispersed). Both from ONE moment aggregation —
+    counts stay integer until the final divisions. Two-sided normal
+    p for each. Output per group: ``(groups..., n, mean, variance,
+    dispersion_index, z_wh, p_wh, z_ct, p_ct)``, 6dp; NULLs when
+    n < 2 or ȳ = 0.
+    """
+    y = F.col(count_col).cast("double")
+    base = df.where(y.isNotNull()).select(
+        *group_cols, y.alias("_y")
+    )
+    agg = base.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("_y").alias("_s"),
+        F.sum(F.col("_y") * F.col("_y")).alias("_q"),
+    )
+    nd = F.col("n").cast("double")
+    mean = F.col("_s") / nd
+    ss = F.col("_q") - nd * mean * mean
+    var = ss / (nd - 1.0)
+    ok = (F.col("n") >= 2) & (mean > 0)
+    disp = F.when(ok, (nd - 1.0) * var / mean)
+    z_wh = F.when(
+        ok, F.sqrt(2.0 * disp) - F.sqrt(2.0 * (nd - 1.0) - 1.0)
+    )
+    z_ct = F.when(
+        ok,
+        (ss - F.col("_s")) / F.sqrt(2.0 * nd * mean * mean),
+    )
+    return agg.select(
+        *group_cols, "n",
+        F.round(mean, 6).alias("mean"),
+        F.round(F.when(F.col("n") >= 2, var), 6).alias("variance"),
+        F.round(disp, 6).alias("dispersion_index"),
+        F.round(z_wh, 6).alias("z_wh"),
+        F.round(_normal_sf_2sided(z_wh), 6).alias("p_wh"),
+        F.round(z_ct, 6).alias("z_ct"),
+        F.round(_normal_sf_2sided(z_ct), 6).alias("p_ct"),
+    )

@@ -29,6 +29,7 @@ from padua_spark.streaming.windows import (  # noqa: F401
     windowed_gains_table,
     windowed_srm,
     windowed_binned_gini,
+    windowed_embedding_drift,
     windowed_cms_sketch,
     windowed_confusion,
     windowed_ddsketch,

@@ -1549,10 +1549,11 @@ def windowed_gains_table(
             if p_tot is None
             else p_tot + F.col(f"_p{i}")
         )
-    staged = agg.withColumn("_nt", n_tot).withColumn("_pt", p_tot)
     # low→high fold: carry (F_prev, bucket partials); each bin's
     # ascending bucket is 1 + #{q : F_prev ≥ ⌈q·n⌉}, inverted so the
-    # 0-based partial index is n_buckets − asc
+    # 0-based partial index is n_buckets − asc. ONE narrow projection
+    # off the 2k-column agg (withColumn chains on wide frames dominate
+    # the BUILD time — the windowed_binned_gini lesson).
     cells = F.array(*[
         F.struct(
             (F.col(f"_p{i}") + F.col(f"_g{i}"))
@@ -1561,6 +1562,11 @@ def windowed_gains_table(
         )
         for i in range(k)
     ])
+    staged = agg.select(
+        "_w", *group_cols,
+        n_tot.alias("_nt"), p_tot.alias("_pt"),
+        cells.alias("_cells"),
+    )
     nt_d = F.col("_nt").cast("double")
     acc0 = F.struct(
         F.lit(0.0).alias("fp"),
@@ -1591,8 +1597,9 @@ def windowed_gains_table(
             (a["fp"] + c["c"]).alias("fp"), bs2.alias("bs")
         )
 
-    staged = staged.withColumn(
-        "_bs", F.aggregate(cells, acc0, _step)["bs"]
+    staged = staged.select(
+        "_w", *group_cols, "_nt", "_pt",
+        F.aggregate(F.col("_cells"), acc0, _step)["bs"].alias("_bs"),
     )
     # enrich each bucket with its running (cum_n, cum_pos) in a second
     # O(n_buckets) fold, then ONE posexplode — a stateless generate
@@ -1807,7 +1814,6 @@ def windowed_binned_gini(
         s = F.col(f"_s{i}")
         n_tot = c if n_tot is None else n_tot + c
         s_tot = s if s_tot is None else s_tot + s
-    staged = agg.withColumn("_n", n_tot).withColumn("_st", s_tot)
     cells = F.array(*[
         F.struct(
             F.col(f"_c{i}").cast("double").alias("c"),
@@ -1815,13 +1821,20 @@ def windowed_binned_gini(
         )
         for i in range(k)
     ])
+    # ONE narrow projection off the 2k-column agg: withColumn chains
+    # on wide frames re-analyze all columns per call and dominated the
+    # BUILD time (measured ~3 s/build at k=64)
+    staged = agg.select(
+        "_w", *group_cols,
+        n_tot.alias("_n"), s_tot.alias("_st"), cells.alias("_cells"),
+    )
     nd = F.col("_n").cast("double")
     st = F.col("_st")
     acc0 = F.struct(
         F.lit(0.0).alias("cum_s"), F.lit(0.0).alias("acc")
     )
     folded = F.aggregate(
-        cells,
+        F.col("_cells"),
         acc0,
         lambda a, c: F.struct(
             (a["cum_s"] + c["s"]).alias("cum_s"),
@@ -1845,4 +1858,82 @@ def windowed_binned_gini(
         F.col("_n").alias("n"),
         F.round(st, 6).alias("total"),
         F.round(gini, 6).alias("gini_binned"),
+    )
+
+
+def windowed_embedding_drift(
+    df: DataFrame,
+    ts_col: Column,
+    vec_col: Column,
+    reference_mean: list[float],
+    group_cols: list[str] | None = None,
+    window_duration: str = "1 hour",
+    watermark: str | None = None,
+) -> DataFrame:
+    """Per-tumbling-window embedding-centroid drift vs a declared
+    reference mean vector — streaming semantic drift monitoring
+    ("did this hour's traffic move in embedding space?"): the
+    mean-map idea behind :func:`~padua_spark.extensions.similarity.
+    embedding_mmd` reduced to its streamable core — the window's
+    MEAN VECTOR is d bounded sums, so the state per (window, group)
+    key is d+1 numbers regardless of traffic (d is the compile-time
+    length of ``reference_mean``; vectors of any other length are
+    filtered out, documented).
+
+    Reported per window: L2 distance ‖μ_w − μ_ref‖, cosine
+    similarity of the two means, and the window mean's L2 norm. Late
+    shards merge by adding sums. Output: ``(window_start,
+    window_end, *group_cols, n, l2_distance, cosine_sim,
+    mean_norm)``, 6dp; NULLs when a norm degenerates.
+    """
+    group_cols = group_cols or []
+    ref = [float(x) for x in reference_mean]
+    d = len(ref)
+    if d == 0:
+        raise ValueError(
+            "windowed_embedding_drift: reference_mean is empty"
+        )
+    withts = df.where(
+        vec_col.isNotNull() & (F.size(vec_col) == d)
+    ).select(
+        ts_col.alias("_event_time"), *group_cols, vec_col.alias("_v")
+    )
+    if watermark and withts.isStreaming:
+        withts = withts.withWatermark("_event_time", watermark)
+    aggs = [F.count(F.lit(1)).cast("bigint").alias("_n")]
+    for i in range(d):
+        aggs.append(
+            F.sum(F.col("_v")[i].cast("double")).alias(f"_s{i}")
+        )
+    agg = withts.groupBy(
+        F.window("_event_time", window_duration).alias("_w"),
+        *group_cols,
+    ).agg(*aggs)
+    nd = F.col("_n").cast("double")
+    l2 = None
+    dot = None
+    norm2 = None
+    refnorm2 = sum(x * x for x in ref)
+    for i in range(d):
+        mu_i = F.col(f"_s{i}") / nd
+        diff = mu_i - F.lit(ref[i])
+        l2 = diff * diff if l2 is None else l2 + diff * diff
+        dot = (
+            mu_i * F.lit(ref[i])
+            if dot is None
+            else dot + mu_i * F.lit(ref[i])
+        )
+        norm2 = mu_i * mu_i if norm2 is None else norm2 + mu_i * mu_i
+    cos = F.when(
+        (norm2 > 0) & (F.lit(refnorm2) > 0),
+        dot / (F.sqrt(norm2) * F.lit(refnorm2 ** 0.5)),
+    )
+    return agg.select(
+        F.col("_w.start").alias("window_start"),
+        F.col("_w.end").alias("window_end"),
+        *group_cols,
+        F.col("_n").alias("n"),
+        F.round(F.sqrt(l2), 6).alias("l2_distance"),
+        F.round(cos, 6).alias("cosine_sim"),
+        F.round(F.sqrt(norm2), 6).alias("mean_norm"),
     )

@@ -1602,3 +1602,68 @@ def test_stream_equals_batch_windowed_binned_gini(spark, events_dir):
         cum += s
     assert r["gini_binned"] == pytest.approx(1.0 - acc, abs=1e-6)
     assert r["gini_binned"] > 0.2  # concentration detected
+
+
+def test_stream_equals_batch_windowed_embedding_drift(spark, events_dir):
+    """Windowed embedding drift: stream == batch; a synthetic frame
+    whose vectors equal the reference has zero L2 and cosine 1; a
+    shifted window reports the planted distance."""
+    import datetime
+
+    from padua_spark.streaming import windowed_embedding_drift
+
+    ref = [1.0, 0.0, 2.0]
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = [(t0, [1.0, 0.0, 2.0])] * 10 + [
+        (t0 + datetime.timedelta(hours=2), [2.0, 0.0, 2.0])
+    ] * 4
+    df = spark.createDataFrame(rows, ["ts", "vec"])
+    out = {
+        r["window_start"].hour: r
+        for r in windowed_embedding_drift(
+            df, F.col("ts"), F.col("vec"), ref,
+            window_duration="1 hour",
+        ).collect()
+    }
+    assert out[0]["l2_distance"] == pytest.approx(0.0)
+    assert out[0]["cosine_sim"] == pytest.approx(1.0)
+    assert out[2]["l2_distance"] == pytest.approx(1.0)  # +1 in dim 0
+    assert out[2]["n"] == 4
+    # stream == batch over the real events fixture with a 3-dim
+    # deterministic synthetic vector derived from value
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    batch = spark.read.parquet(events_dir)
+    stream = read_event_stream(spark, events_dir, schema=batch.schema)
+
+    def build(d):
+        base = d.where(F.col("value").isNotNull())
+        vec = F.array(
+            F.col("value") / 200.0,
+            (F.col("user_id") % 7).cast("double"),
+            F.lit(1.0),
+        )
+        return windowed_embedding_drift(
+            base.withColumn("_vec", vec),
+            event_time_col(base), F.col("_vec"),
+            [0.5, 3.0, 1.0],
+            window_duration="1 hour", watermark="2 hours",
+        )
+
+    q = (
+        build(stream)
+        .writeStream.format("memory")
+        .queryName("t_windrift")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(180)
+    got = {
+        r["window_start"]: (r["n"], r["l2_distance"], r["cosine_sim"])
+        for r in spark.sql("SELECT * FROM t_windrift").collect()
+    }
+    exp = {
+        r["window_start"]: (r["n"], r["l2_distance"], r["cosine_sim"])
+        for r in build(batch).collect()
+    }
+    assert got == exp and len(got) > 0

@@ -11940,3 +11940,37 @@ def test_round12_kuiper_mde_bloom_battery(spark):
     )
     assert r["fp_rate"] is None or r["fp_rate"] < 0.2
     assert 0 < r["bits_set"] <= min(4096, 300 * 4)
+
+
+def test_overdispersion_test_vs_numpy(spark):
+    """overdispersion_test vs numpy on planted Poisson (not flagged)
+    and negative-binomial (flagged) count columns."""
+    import numpy as np
+
+    from padua_spark.operators.stats import overdispersion_test
+
+    rng = np.random.RandomState(13)
+    pois = rng.poisson(5.0, 800)
+    nb = rng.negative_binomial(2, 2.0 / 7.0, 800)  # mean 5, var 17.5
+    rows = [("pois", int(v)) for v in pois] + [
+        ("nb", int(v)) for v in nb
+    ]
+    df = spark.createDataFrame(rows, ["g", "y"])
+    got = {
+        r["g"]: r
+        for r in overdispersion_test(df, ["g"], "y").collect()
+    }
+    for name, arr in (("pois", pois), ("nb", nb)):
+        n = len(arr)
+        mean, var = arr.mean(), arr.var(ddof=1)
+        d = (n - 1) * var / mean
+        z_wh = np.sqrt(2 * d) - np.sqrt(2 * (n - 1) - 1)
+        ss = ((arr - mean) ** 2).sum()
+        z_ct = (ss - arr.sum()) / np.sqrt(2 * n * mean * mean)
+        r = got[name]
+        assert r["dispersion_index"] == pytest.approx(d, rel=1e-6)
+        assert r["z_wh"] == pytest.approx(z_wh, abs=1e-5)
+        assert r["z_ct"] == pytest.approx(z_ct, abs=1e-5)
+    assert got["pois"]["p_ct"] > 0.01  # Poisson not flagged
+    assert got["nb"]["p_ct"] < 1e-6  # NB overdispersion flagged
+    assert got["nb"]["z_ct"] > 0
