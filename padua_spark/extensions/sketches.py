@@ -656,7 +656,11 @@ def bloom_membership(
             ]
         )
 
-    ref_types = types_of(ref)
+    from pyspark import StorageLevel
+
+    # ref_types feeds TWO consumers (the bit-position build and the
+    # exact-membership join) — persist or the distinct re-runs
+    ref_types = types_of(ref).persist(StorageLevel.MEMORY_AND_DISK)
     probe_types = types_of(probe)
     ref_hashed = ref_types.select(
         "_tok", _char_poly(F.col("_tok")).alias("_th")
@@ -715,6 +719,8 @@ def bloom_membership(
             )
         )
     )
+    from padua_spark.io_utils import track_cached
+
     out = stats.crossJoin(F.broadcast(scalars))
     nonmember = (
         F.col("n_probe_types") - F.col("n_true_member")
@@ -722,7 +728,7 @@ def bloom_membership(
     fill = (
         F.col("bits_set").cast("double") / float(m)
     )
-    return out.select(
+    final = out.select(
         "n_ref_types", "n_probe_types", "bits_set",
         F.lit(m).cast("bigint").alias("m_bits"),
         F.lit(k).cast("bigint").alias("k_hashes"),
@@ -737,3 +743,4 @@ def bloom_membership(
         F.round(F.pow(fill, F.lit(float(k))), 6)
         .alias("theoretical_fp_rate"),
     )
+    return track_cached(final, ref_types)

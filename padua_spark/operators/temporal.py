@@ -2540,9 +2540,15 @@ def snht_test(
     (Khaliq & Ouarda 2007) and n-dependent; reported raw.
     """
     v = F.col(value_col).cast("double")
+    from pyspark import StorageLevel
+
+    from padua_spark.io_utils import track_cached
+
+    # base feeds TWO consumers (the ordered window pass and the moment
+    # aggregation) — persist or the upstream scan runs twice
     base = df.where(v.isNotNull()).select(
         *group_cols, *order_cols, v.alias("_v")
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     w = (
         Window.partitionBy(*group_cols)
         .orderBy(*[F.col(c).asc() for c in order_cols])
@@ -2582,11 +2588,12 @@ def snht_test(
             F.col("_k"), F.struct(-F.col("_tk"), F.col("_k"))
         ).cast("bigint").alias("change_index"),
     )
-    return agg.select(
+    out = agg.select(
         *group_cols, "n",
         F.round("_t0", 6).alias("t0_stat"),
         "change_index",
     )
+    return track_cached(out, base)
 
 
 def buishand_range(
@@ -2609,9 +2616,15 @@ def buishand_range(
     change_index)``, 6dp; NULLs when n < 2 or σ̂ = 0.
     """
     v = F.col(value_col).cast("double")
+    from pyspark import StorageLevel
+
+    from padua_spark.io_utils import track_cached
+
+    # base feeds TWO consumers (the ordered window pass and the moment
+    # aggregation) — persist or the upstream scan runs twice
     base = df.where(v.isNotNull()).select(
         *group_cols, *order_cols, v.alias("_v")
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     w = (
         Window.partitionBy(*group_cols)
         .orderBy(*[F.col(c).asc() for c in order_cols])
@@ -2656,12 +2669,13 @@ def buishand_range(
         (F.col("n") >= 2) & F.col("_sd").isNotNull(),
         (F.col("_smax") - F.col("_smin")) / F.col("_sd"),
     )
-    return agg.select(
+    out = agg.select(
         *group_cols, "n",
         F.round(rng, 6).alias("range_stat"),
         F.round(rng / F.sqrt(nd2), 6).alias("rescaled_range"),
         "change_index",
     )
+    return track_cached(out, base)
 
 
 def turning_points_test(
@@ -2756,9 +2770,15 @@ def bartels_rank_test(
     from padua_spark.operators.stats import _normal_sf_2sided
 
     v = F.col(value_col).cast("double")
+    from pyspark import StorageLevel
+
+    from padua_spark.io_utils import track_cached
+
+    # base feeds TWO consumers (the value-domain count frame and the
+    # rank join-back) — persist or the upstream scan runs twice
     base = df.where(v.isNotNull()).select(
         *group_cols, *order_cols, v.alias("_v")
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     per = base.groupBy(*group_cols, F.col("_v")).agg(
         F.count(F.lit(1)).cast("bigint").alias("_c")
     )
@@ -2806,12 +2826,13 @@ def bartels_rank_test(
         / (5.0 * nd * (nd + 1.0) * (nd - 1.0) * (nd - 1.0))
     )
     z = F.when(var > 0, (rvn - 2.0) / F.sqrt(var))
-    return agg.select(
+    out = agg.select(
         *group_cols, "n",
         F.round(rvn, 6).alias("rvn_stat"),
         F.round(z, 6).alias("z"),
         F.round(_normal_sf_2sided(z), 6).alias("p_value"),
     )
+    return track_cached(out, base)
 
 
 def variance_ratio_test(
@@ -3104,10 +3125,17 @@ def hurst_rs(
     wo = Window.partitionBy(*group_cols).orderBy(
         *[F.col(c).asc() for c in order_cols]
     )
+    from pyspark import StorageLevel
+
+    from padua_spark.io_utils import track_cached
+
+    # the indexed frame feeds |scales|+1 consumers (each scale's
+    # block-window pass plus the row-count frame) — without a persist
+    # the parquet scan + row_number sort re-run per consumer
     stepped = base.select(
         *group_cols, "_v",
         (F.row_number().over(wo) - 1).cast("bigint").alias("_t0"),
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     scale_frames = []
     for m in sizes:
         blk = (F.col("_t0") / m).cast("bigint")
@@ -3169,14 +3197,15 @@ def hurst_rs(
     sxx = F.col("_sxx") - F.col("_sx") * F.col("_sx") / kd
     sxy = F.col("_sxy") - F.col("_sx") * F.col("_sy") / kd
     hurst = F.when((F.col("n_scales") >= 2) & (sxx > 0), sxy / sxx)
-    n_rows = base.groupBy(*group_cols).agg(
+    n_rows = stepped.groupBy(*group_cols).agg(
         F.count(F.lit(1)).cast("bigint").alias("n")
     )
-    return n_rows.join(fit, on=group_cols, how="left").select(
+    out = n_rows.join(fit, on=group_cols, how="left").select(
         *group_cols, "n",
         F.coalesce(F.col("n_scales"), F.lit(0)).alias("n_scales"),
         F.round(hurst, 6).alias("hurst"),
     )
+    return track_cached(out, stepped)
 
 
 def haar_energy(
