@@ -27725,6 +27725,48 @@ def q_overdispersion_test(spark, sf):
     return overdispersion_test(counts, ["event_type"], "y")
 
 
+
+# --- E350-E351 round-12 battery 8: cross-correlation, cointegration ---------
+
+
+_CCF_ORACLE = '\nWITH base AS (\n  SELECT l_returnflag AS grp,\n    CAST(l_quantity AS DOUBLE) AS x,\n    CAST(l_extendedprice AS DOUBLE) AS y,\n    CAST(row_number() OVER (PARTITION BY l_returnflag\n      ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity)\n      AS BIGINT) AS t\n  FROM lineitem\n  WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL\n),\nstepped AS (\n  SELECT grp, x, y,\n    lag(x, 1) OVER wl AS xl1,\n    lag(y, 1) OVER wl AS yl1,\n    lag(x, 2) OVER wl AS xl2,\n    lag(y, 2) OVER wl AS yl2,\n    lag(x, 3) OVER wl AS xl3,\n    lag(y, 3) OVER wl AS yl3,\n    lag(x, 4) OVER wl AS xl4,\n    lag(y, 4) OVER wl AS yl4,\n    lag(x, 5) OVER wl AS xl5,\n    lag(y, 5) OVER wl AS yl5,\n    lag(x, 6) OVER wl AS xl6,\n    lag(y, 6) OVER wl AS yl6,\n    lag(x, 7) OVER wl AS xl7,\n    lag(y, 7) OVER wl AS yl7,\n    lag(x, 8) OVER wl AS xl8,\n    lag(y, 8) OVER wl AS yl8\n  FROM base\n  WINDOW wl AS (PARTITION BY grp ORDER BY t)\n),\nagg AS (\n  SELECT grp,\n    CAST(sum(CASE WHEN x IS NOT NULL AND yl8 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS nm8,\n    sum(CASE WHEN x IS NOT NULL AND yl8 IS NOT NULL THEN x END) AS sam8,\n    sum(CASE WHEN x IS NOT NULL AND yl8 IS NOT NULL THEN yl8 END) AS sbm8,\n    sum(CASE WHEN x IS NOT NULL AND yl8 IS NOT NULL THEN x * x END) AS qam8,\n    sum(CASE WHEN x IS NOT NULL AND yl8 IS NOT NULL THEN yl8 * yl8 END) AS qbm8,\n    sum(CASE WHEN x IS NOT NULL AND yl8 IS NOT NULL THEN x * yl8 END) AS abm8,\n    CAST(sum(CASE WHEN x IS NOT NULL AND yl7 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS nm7,\n    sum(CASE WHEN x IS NOT NULL AND yl7 IS NOT NULL THEN x END) AS sam7,\n    sum(CASE WHEN x IS NOT NULL AND yl7 IS NOT NULL THEN yl7 END) AS sbm7,\n    sum(CASE WHEN x IS NOT NULL AND yl7 IS NOT NULL THEN x * x END) AS qam7,\n    sum(CASE WHEN x IS NOT NULL AND yl7 IS NOT NULL THEN yl7 * yl7 END) AS qbm7,\n    sum(CASE WHEN x IS NOT NULL AND yl7 IS NOT NULL THEN x * yl7 END) AS abm7,\n    CAST(sum(CASE WHEN x IS NOT NULL AND yl6 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS nm6,\n    sum(CASE WHEN x IS NOT NULL AND yl6 IS NOT NULL THEN x END) AS sam6,\n    sum(CASE WHEN x IS NOT NULL AND yl6 IS NOT NULL THEN yl6 END) AS sbm6,\n    sum(CASE WHEN x IS NOT NULL AND yl6 IS NOT NULL THEN x * x END) AS qam6,\n    sum(CASE WHEN x IS NOT NULL AND yl6 IS NOT NULL THEN yl6 * yl6 END) AS qbm6,\n    sum(CASE WHEN x IS NOT NULL AND yl6 IS NOT NULL THEN x * yl6 END) AS abm6,\n    CAST(sum(CASE WHEN x IS NOT NULL AND yl5 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS nm5,\n    sum(CASE WHEN x IS NOT NULL AND yl5 IS NOT NULL THEN x END) AS sam5,\n    sum(CASE WHEN x IS NOT NULL AND yl5 IS NOT NULL THEN yl5 END) AS sbm5,\n    sum(CASE WHEN x IS NOT NULL AND yl5 IS NOT NULL THEN x * x END) AS qam5,\n    sum(CASE WHEN x IS NOT NULL AND yl5 IS NOT NULL THEN yl5 * yl5 END) AS qbm5,\n    sum(CASE WHEN x IS NOT NULL AND yl5 IS NOT NULL THEN x * yl5 END) AS abm5,\n    CAST(sum(CASE WHEN x IS NOT NULL AND yl4 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS nm4,\n    sum(CASE WHEN x IS NOT NULL AND yl4 IS NOT NULL THEN x END) AS sam4,\n    sum(CASE WHEN x IS NOT NULL AND yl4 IS NOT NULL THEN yl4 END) AS sbm4,\n    sum(CASE WHEN x IS NOT NULL AND yl4 IS NOT NULL THEN x * x END) AS qam4,\n    sum(CASE WHEN x IS NOT NULL AND yl4 IS NOT NULL THEN yl4 * yl4 END) AS qbm4,\n    sum(CASE WHEN x IS NOT NULL AND yl4 IS NOT NULL THEN x * yl4 END) AS abm4,\n    CAST(sum(CASE WHEN x IS NOT NULL AND yl3 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS nm3,\n    sum(CASE WHEN x IS NOT NULL AND yl3 IS NOT NULL THEN x END) AS sam3,\n    sum(CASE WHEN x IS NOT NULL AND yl3 IS NOT NULL THEN yl3 END) AS sbm3,\n    sum(CASE WHEN x IS NOT NULL AND yl3 IS NOT NULL THEN x * x END) AS qam3,\n    sum(CASE WHEN x IS NOT NULL AND yl3 IS NOT NULL THEN yl3 * yl3 END) AS qbm3,\n    sum(CASE WHEN x IS NOT NULL AND yl3 IS NOT NULL THEN x * yl3 END) AS abm3,\n    CAST(sum(CASE WHEN x IS NOT NULL AND yl2 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS nm2,\n    sum(CASE WHEN x IS NOT NULL AND yl2 IS NOT NULL THEN x END) AS sam2,\n    sum(CASE WHEN x IS NOT NULL AND yl2 IS NOT NULL THEN yl2 END) AS sbm2,\n    sum(CASE WHEN x IS NOT NULL AND yl2 IS NOT NULL THEN x * x END) AS qam2,\n    sum(CASE WHEN x IS NOT NULL AND yl2 IS NOT NULL THEN yl2 * yl2 END) AS qbm2,\n    sum(CASE WHEN x IS NOT NULL AND yl2 IS NOT NULL THEN x * yl2 END) AS abm2,\n    CAST(sum(CASE WHEN x IS NOT NULL AND yl1 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS nm1,\n    sum(CASE WHEN x IS NOT NULL AND yl1 IS NOT NULL THEN x END) AS sam1,\n    sum(CASE WHEN x IS NOT NULL AND yl1 IS NOT NULL THEN yl1 END) AS sbm1,\n    sum(CASE WHEN x IS NOT NULL AND yl1 IS NOT NULL THEN x * x END) AS qam1,\n    sum(CASE WHEN x IS NOT NULL AND yl1 IS NOT NULL THEN yl1 * yl1 END) AS qbm1,\n    sum(CASE WHEN x IS NOT NULL AND yl1 IS NOT NULL THEN x * yl1 END) AS abm1,\n    CAST(sum(CASE WHEN x IS NOT NULL AND y IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS np0,\n    sum(CASE WHEN x IS NOT NULL AND y IS NOT NULL THEN x END) AS sap0,\n    sum(CASE WHEN x IS NOT NULL AND y IS NOT NULL THEN y END) AS sbp0,\n    sum(CASE WHEN x IS NOT NULL AND y IS NOT NULL THEN x * x END) AS qap0,\n    sum(CASE WHEN x IS NOT NULL AND y IS NOT NULL THEN y * y END) AS qbp0,\n    sum(CASE WHEN x IS NOT NULL AND y IS NOT NULL THEN x * y END) AS abp0,\n    CAST(sum(CASE WHEN xl1 IS NOT NULL AND y IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS np1,\n    sum(CASE WHEN xl1 IS NOT NULL AND y IS NOT NULL THEN xl1 END) AS sap1,\n    sum(CASE WHEN xl1 IS NOT NULL AND y IS NOT NULL THEN y END) AS sbp1,\n    sum(CASE WHEN xl1 IS NOT NULL AND y IS NOT NULL THEN xl1 * xl1 END) AS qap1,\n    sum(CASE WHEN xl1 IS NOT NULL AND y IS NOT NULL THEN y * y END) AS qbp1,\n    sum(CASE WHEN xl1 IS NOT NULL AND y IS NOT NULL THEN xl1 * y END) AS abp1,\n    CAST(sum(CASE WHEN xl2 IS NOT NULL AND y IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS np2,\n    sum(CASE WHEN xl2 IS NOT NULL AND y IS NOT NULL THEN xl2 END) AS sap2,\n    sum(CASE WHEN xl2 IS NOT NULL AND y IS NOT NULL THEN y END) AS sbp2,\n    sum(CASE WHEN xl2 IS NOT NULL AND y IS NOT NULL THEN xl2 * xl2 END) AS qap2,\n    sum(CASE WHEN xl2 IS NOT NULL AND y IS NOT NULL THEN y * y END) AS qbp2,\n    sum(CASE WHEN xl2 IS NOT NULL AND y IS NOT NULL THEN xl2 * y END) AS abp2,\n    CAST(sum(CASE WHEN xl3 IS NOT NULL AND y IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS np3,\n    sum(CASE WHEN xl3 IS NOT NULL AND y IS NOT NULL THEN xl3 END) AS sap3,\n    sum(CASE WHEN xl3 IS NOT NULL AND y IS NOT NULL THEN y END) AS sbp3,\n    sum(CASE WHEN xl3 IS NOT NULL AND y IS NOT NULL THEN xl3 * xl3 END) AS qap3,\n    sum(CASE WHEN xl3 IS NOT NULL AND y IS NOT NULL THEN y * y END) AS qbp3,\n    sum(CASE WHEN xl3 IS NOT NULL AND y IS NOT NULL THEN xl3 * y END) AS abp3,\n    CAST(sum(CASE WHEN xl4 IS NOT NULL AND y IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS np4,\n    sum(CASE WHEN xl4 IS NOT NULL AND y IS NOT NULL THEN xl4 END) AS sap4,\n    sum(CASE WHEN xl4 IS NOT NULL AND y IS NOT NULL THEN y END) AS sbp4,\n    sum(CASE WHEN xl4 IS NOT NULL AND y IS NOT NULL THEN xl4 * xl4 END) AS qap4,\n    sum(CASE WHEN xl4 IS NOT NULL AND y IS NOT NULL THEN y * y END) AS qbp4,\n    sum(CASE WHEN xl4 IS NOT NULL AND y IS NOT NULL THEN xl4 * y END) AS abp4,\n    CAST(sum(CASE WHEN xl5 IS NOT NULL AND y IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS np5,\n    sum(CASE WHEN xl5 IS NOT NULL AND y IS NOT NULL THEN xl5 END) AS sap5,\n    sum(CASE WHEN xl5 IS NOT NULL AND y IS NOT NULL THEN y END) AS sbp5,\n    sum(CASE WHEN xl5 IS NOT NULL AND y IS NOT NULL THEN xl5 * xl5 END) AS qap5,\n    sum(CASE WHEN xl5 IS NOT NULL AND y IS NOT NULL THEN y * y END) AS qbp5,\n    sum(CASE WHEN xl5 IS NOT NULL AND y IS NOT NULL THEN xl5 * y END) AS abp5,\n    CAST(sum(CASE WHEN xl6 IS NOT NULL AND y IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS np6,\n    sum(CASE WHEN xl6 IS NOT NULL AND y IS NOT NULL THEN xl6 END) AS sap6,\n    sum(CASE WHEN xl6 IS NOT NULL AND y IS NOT NULL THEN y END) AS sbp6,\n    sum(CASE WHEN xl6 IS NOT NULL AND y IS NOT NULL THEN xl6 * xl6 END) AS qap6,\n    sum(CASE WHEN xl6 IS NOT NULL AND y IS NOT NULL THEN y * y END) AS qbp6,\n    sum(CASE WHEN xl6 IS NOT NULL AND y IS NOT NULL THEN xl6 * y END) AS abp6,\n    CAST(sum(CASE WHEN xl7 IS NOT NULL AND y IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS np7,\n    sum(CASE WHEN xl7 IS NOT NULL AND y IS NOT NULL THEN xl7 END) AS sap7,\n    sum(CASE WHEN xl7 IS NOT NULL AND y IS NOT NULL THEN y END) AS sbp7,\n    sum(CASE WHEN xl7 IS NOT NULL AND y IS NOT NULL THEN xl7 * xl7 END) AS qap7,\n    sum(CASE WHEN xl7 IS NOT NULL AND y IS NOT NULL THEN y * y END) AS qbp7,\n    sum(CASE WHEN xl7 IS NOT NULL AND y IS NOT NULL THEN xl7 * y END) AS abp7,\n    CAST(sum(CASE WHEN xl8 IS NOT NULL AND y IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS np8,\n    sum(CASE WHEN xl8 IS NOT NULL AND y IS NOT NULL THEN xl8 END) AS sap8,\n    sum(CASE WHEN xl8 IS NOT NULL AND y IS NOT NULL THEN y END) AS sbp8,\n    sum(CASE WHEN xl8 IS NOT NULL AND y IS NOT NULL THEN xl8 * xl8 END) AS qap8,\n    sum(CASE WHEN xl8 IS NOT NULL AND y IS NOT NULL THEN y * y END) AS qbp8,\n    sum(CASE WHEN xl8 IS NOT NULL AND y IS NOT NULL THEN xl8 * y END) AS abp8\n  FROM stepped GROUP BY 1\n)\nSELECT grp AS l_returnflag, CAST(-8 AS BIGINT) AS lag, nm8 AS n_pairs,\n  round(CASE WHEN nm8 >= 3\n      AND qam8 - CAST(nm8 AS DOUBLE) * (sam8 / CAST(nm8 AS DOUBLE)) * (sam8 / CAST(nm8 AS DOUBLE)) > 0\n      AND qbm8 - CAST(nm8 AS DOUBLE) * (sbm8 / CAST(nm8 AS DOUBLE)) * (sbm8 / CAST(nm8 AS DOUBLE)) > 0\n    THEN (abm8 - CAST(nm8 AS DOUBLE) * (sam8 / CAST(nm8 AS DOUBLE)) * (sbm8 / CAST(nm8 AS DOUBLE)))\n      / sqrt((qam8 - CAST(nm8 AS DOUBLE) * (sam8 / CAST(nm8 AS DOUBLE)) * (sam8 / CAST(nm8 AS DOUBLE)))\n        * (qbm8 - CAST(nm8 AS DOUBLE) * (sbm8 / CAST(nm8 AS DOUBLE)) * (sbm8 / CAST(nm8 AS DOUBLE)))) END, 6) AS ccf FROM agg UNION ALL SELECT grp AS l_returnflag, CAST(-7 AS BIGINT) AS lag, nm7 AS n_pairs,\n  round(CASE WHEN nm7 >= 3\n      AND qam7 - CAST(nm7 AS DOUBLE) * (sam7 / CAST(nm7 AS DOUBLE)) * (sam7 / CAST(nm7 AS DOUBLE)) > 0\n      AND qbm7 - CAST(nm7 AS DOUBLE) * (sbm7 / CAST(nm7 AS DOUBLE)) * (sbm7 / CAST(nm7 AS DOUBLE)) > 0\n    THEN (abm7 - CAST(nm7 AS DOUBLE) * (sam7 / CAST(nm7 AS DOUBLE)) * (sbm7 / CAST(nm7 AS DOUBLE)))\n      / sqrt((qam7 - CAST(nm7 AS DOUBLE) * (sam7 / CAST(nm7 AS DOUBLE)) * (sam7 / CAST(nm7 AS DOUBLE)))\n        * (qbm7 - CAST(nm7 AS DOUBLE) * (sbm7 / CAST(nm7 AS DOUBLE)) * (sbm7 / CAST(nm7 AS DOUBLE)))) END, 6) AS ccf FROM agg UNION ALL SELECT grp AS l_returnflag, CAST(-6 AS BIGINT) AS lag, nm6 AS n_pairs,\n  round(CASE WHEN nm6 >= 3\n      AND qam6 - CAST(nm6 AS DOUBLE) * (sam6 / CAST(nm6 AS DOUBLE)) * (sam6 / CAST(nm6 AS DOUBLE)) > 0\n      AND qbm6 - CAST(nm6 AS DOUBLE) * (sbm6 / CAST(nm6 AS DOUBLE)) * (sbm6 / CAST(nm6 AS DOUBLE)) > 0\n    THEN (abm6 - CAST(nm6 AS DOUBLE) * (sam6 / CAST(nm6 AS DOUBLE)) * (sbm6 / CAST(nm6 AS DOUBLE)))\n      / sqrt((qam6 - CAST(nm6 AS DOUBLE) * (sam6 / CAST(nm6 AS DOUBLE)) * (sam6 / CAST(nm6 AS DOUBLE)))\n        * (qbm6 - CAST(nm6 AS DOUBLE) * (sbm6 / CAST(nm6 AS DOUBLE)) * (sbm6 / CAST(nm6 AS DOUBLE)))) END, 6) AS ccf FROM agg UNION ALL SELECT grp AS l_returnflag, CAST(-5 AS BIGINT) AS lag, nm5 AS n_pairs,\n  round(CASE WHEN nm5 >= 3\n      AND qam5 - CAST(nm5 AS DOUBLE) * (sam5 / CAST(nm5 AS DOUBLE)) * (sam5 / CAST(nm5 AS DOUBLE)) > 0\n      AND qbm5 - CAST(nm5 AS DOUBLE) * (sbm5 / CAST(nm5 AS DOUBLE)) * (sbm5 / CAST(nm5 AS DOUBLE)) > 0\n    THEN (abm5 - CAST(nm5 AS DOUBLE) * (sam5 / CAST(nm5 AS DOUBLE)) * (sbm5 / CAST(nm5 AS DOUBLE)))\n      / sqrt((qam5 - CAST(nm5 AS DOUBLE) * (sam5 / CAST(nm5 AS DOUBLE)) * (sam5 / CAST(nm5 AS DOUBLE)))\n        * (qbm5 - CAST(nm5 AS DOUBLE) * (sbm5 / CAST(nm5 AS DOUBLE)) * (sbm5 / CAST(nm5 AS DOUBLE)))) END, 6) AS ccf FROM agg UNION ALL SELECT grp AS l_returnflag, CAST(-4 AS BIGINT) AS lag, nm4 AS n_pairs,\n  round(CASE WHEN nm4 >= 3\n      AND qam4 - CAST(nm4 AS DOUBLE) * (sam4 / CAST(nm4 AS DOUBLE)) * (sam4 / CAST(nm4 AS DOUBLE)) > 0\n      AND qbm4 - CAST(nm4 AS DOUBLE) * (sbm4 / CAST(nm4 AS DOUBLE)) * (sbm4 / CAST(nm4 AS DOUBLE)) > 0\n    THEN (abm4 - CAST(nm4 AS DOUBLE) * (sam4 / CAST(nm4 AS DOUBLE)) * (sbm4 / CAST(nm4 AS DOUBLE)))\n      / sqrt((qam4 - CAST(nm4 AS DOUBLE) * (sam4 / CAST(nm4 AS DOUBLE)) * (sam4 / CAST(nm4 AS DOUBLE)))\n        * (qbm4 - CAST(nm4 AS DOUBLE) * (sbm4 / CAST(nm4 AS DOUBLE)) * (sbm4 / CAST(nm4 AS DOUBLE)))) END, 6) AS ccf FROM agg UNION ALL SELECT grp AS l_returnflag, CAST(-3 AS BIGINT) AS lag, nm3 AS n_pairs,\n  round(CASE WHEN nm3 >= 3\n      AND qam3 - CAST(nm3 AS DOUBLE) * (sam3 / CAST(nm3 AS DOUBLE)) * (sam3 / CAST(nm3 AS DOUBLE)) > 0\n      AND qbm3 - CAST(nm3 AS DOUBLE) * (sbm3 / CAST(nm3 AS DOUBLE)) * (sbm3 / CAST(nm3 AS DOUBLE)) > 0\n    THEN (abm3 - CAST(nm3 AS DOUBLE) * (sam3 / CAST(nm3 AS DOUBLE)) * (sbm3 / CAST(nm3 AS DOUBLE)))\n      / sqrt((qam3 - CAST(nm3 AS DOUBLE) * (sam3 / CAST(nm3 AS DOUBLE)) * (sam3 / CAST(nm3 AS DOUBLE)))\n        * (qbm3 - CAST(nm3 AS DOUBLE) * (sbm3 / CAST(nm3 AS DOUBLE)) * (sbm3 / CAST(nm3 AS DOUBLE)))) END, 6) AS ccf FROM agg UNION ALL SELECT grp AS l_returnflag, CAST(-2 AS BIGINT) AS lag, nm2 AS n_pairs,\n  round(CASE WHEN nm2 >= 3\n      AND qam2 - CAST(nm2 AS DOUBLE) * (sam2 / CAST(nm2 AS DOUBLE)) * (sam2 / CAST(nm2 AS DOUBLE)) > 0\n      AND qbm2 - CAST(nm2 AS DOUBLE) * (sbm2 / CAST(nm2 AS DOUBLE)) * (sbm2 / CAST(nm2 AS DOUBLE)) > 0\n    THEN (abm2 - CAST(nm2 AS DOUBLE) * (sam2 / CAST(nm2 AS DOUBLE)) * (sbm2 / CAST(nm2 AS DOUBLE)))\n      / sqrt((qam2 - CAST(nm2 AS DOUBLE) * (sam2 / CAST(nm2 AS DOUBLE)) * (sam2 / CAST(nm2 AS DOUBLE)))\n        * (qbm2 - CAST(nm2 AS DOUBLE) * (sbm2 / CAST(nm2 AS DOUBLE)) * (sbm2 / CAST(nm2 AS DOUBLE)))) END, 6) AS ccf FROM agg UNION ALL SELECT grp AS l_returnflag, CAST(-1 AS BIGINT) AS lag, nm1 AS n_pairs,\n  round(CASE WHEN nm1 >= 3\n      AND qam1 - CAST(nm1 AS DOUBLE) * (sam1 / CAST(nm1 AS DOUBLE)) * (sam1 / CAST(nm1 AS DOUBLE)) > 0\n      AND qbm1 - CAST(nm1 AS DOUBLE) * (sbm1 / CAST(nm1 AS DOUBLE)) * (sbm1 / CAST(nm1 AS DOUBLE)) > 0\n    THEN (abm1 - CAST(nm1 AS DOUBLE) * (sam1 / CAST(nm1 AS DOUBLE)) * (sbm1 / CAST(nm1 AS DOUBLE)))\n      / sqrt((qam1 - CAST(nm1 AS DOUBLE) * (sam1 / CAST(nm1 AS DOUBLE)) * (sam1 / CAST(nm1 AS DOUBLE)))\n        * (qbm1 - CAST(nm1 AS DOUBLE) * (sbm1 / CAST(nm1 AS DOUBLE)) * (sbm1 / CAST(nm1 AS DOUBLE)))) END, 6) AS ccf FROM agg UNION ALL SELECT grp AS l_returnflag, CAST(0 AS BIGINT) AS lag, np0 AS n_pairs,\n  round(CASE WHEN np0 >= 3\n      AND qap0 - CAST(np0 AS DOUBLE) * (sap0 / CAST(np0 AS DOUBLE)) * (sap0 / CAST(np0 AS DOUBLE)) > 0\n      AND qbp0 - CAST(np0 AS DOUBLE) * (sbp0 / CAST(np0 AS DOUBLE)) * (sbp0 / CAST(np0 AS DOUBLE)) > 0\n    THEN (abp0 - CAST(np0 AS DOUBLE) * (sap0 / CAST(np0 AS DOUBLE)) * (sbp0 / CAST(np0 AS DOUBLE)))\n      / sqrt((qap0 - CAST(np0 AS DOUBLE) * (sap0 / CAST(np0 AS DOUBLE)) * (sap0 / CAST(np0 AS DOUBLE)))\n        * (qbp0 - CAST(np0 AS DOUBLE) * (sbp0 / CAST(np0 AS DOUBLE)) * (sbp0 / CAST(np0 AS DOUBLE)))) END, 6) AS ccf FROM agg UNION ALL SELECT grp AS l_returnflag, CAST(1 AS BIGINT) AS lag, np1 AS n_pairs,\n  round(CASE WHEN np1 >= 3\n      AND qap1 - CAST(np1 AS DOUBLE) * (sap1 / CAST(np1 AS DOUBLE)) * (sap1 / CAST(np1 AS DOUBLE)) > 0\n      AND qbp1 - CAST(np1 AS DOUBLE) * (sbp1 / CAST(np1 AS DOUBLE)) * (sbp1 / CAST(np1 AS DOUBLE)) > 0\n    THEN (abp1 - CAST(np1 AS DOUBLE) * (sap1 / CAST(np1 AS DOUBLE)) * (sbp1 / CAST(np1 AS DOUBLE)))\n      / sqrt((qap1 - CAST(np1 AS DOUBLE) * (sap1 / CAST(np1 AS DOUBLE)) * (sap1 / CAST(np1 AS DOUBLE)))\n        * (qbp1 - CAST(np1 AS DOUBLE) * (sbp1 / CAST(np1 AS DOUBLE)) * (sbp1 / CAST(np1 AS DOUBLE)))) END, 6) AS ccf FROM agg UNION ALL SELECT grp AS l_returnflag, CAST(2 AS BIGINT) AS lag, np2 AS n_pairs,\n  round(CASE WHEN np2 >= 3\n      AND qap2 - CAST(np2 AS DOUBLE) * (sap2 / CAST(np2 AS DOUBLE)) * (sap2 / CAST(np2 AS DOUBLE)) > 0\n      AND qbp2 - CAST(np2 AS DOUBLE) * (sbp2 / CAST(np2 AS DOUBLE)) * (sbp2 / CAST(np2 AS DOUBLE)) > 0\n    THEN (abp2 - CAST(np2 AS DOUBLE) * (sap2 / CAST(np2 AS DOUBLE)) * (sbp2 / CAST(np2 AS DOUBLE)))\n      / sqrt((qap2 - CAST(np2 AS DOUBLE) * (sap2 / CAST(np2 AS DOUBLE)) * (sap2 / CAST(np2 AS DOUBLE)))\n        * (qbp2 - CAST(np2 AS DOUBLE) * (sbp2 / CAST(np2 AS DOUBLE)) * (sbp2 / CAST(np2 AS DOUBLE)))) END, 6) AS ccf FROM agg UNION ALL SELECT grp AS l_returnflag, CAST(3 AS BIGINT) AS lag, np3 AS n_pairs,\n  round(CASE WHEN np3 >= 3\n      AND qap3 - CAST(np3 AS DOUBLE) * (sap3 / CAST(np3 AS DOUBLE)) * (sap3 / CAST(np3 AS DOUBLE)) > 0\n      AND qbp3 - CAST(np3 AS DOUBLE) * (sbp3 / CAST(np3 AS DOUBLE)) * (sbp3 / CAST(np3 AS DOUBLE)) > 0\n    THEN (abp3 - CAST(np3 AS DOUBLE) * (sap3 / CAST(np3 AS DOUBLE)) * (sbp3 / CAST(np3 AS DOUBLE)))\n      / sqrt((qap3 - CAST(np3 AS DOUBLE) * (sap3 / CAST(np3 AS DOUBLE)) * (sap3 / CAST(np3 AS DOUBLE)))\n        * (qbp3 - CAST(np3 AS DOUBLE) * (sbp3 / CAST(np3 AS DOUBLE)) * (sbp3 / CAST(np3 AS DOUBLE)))) END, 6) AS ccf FROM agg UNION ALL SELECT grp AS l_returnflag, CAST(4 AS BIGINT) AS lag, np4 AS n_pairs,\n  round(CASE WHEN np4 >= 3\n      AND qap4 - CAST(np4 AS DOUBLE) * (sap4 / CAST(np4 AS DOUBLE)) * (sap4 / CAST(np4 AS DOUBLE)) > 0\n      AND qbp4 - CAST(np4 AS DOUBLE) * (sbp4 / CAST(np4 AS DOUBLE)) * (sbp4 / CAST(np4 AS DOUBLE)) > 0\n    THEN (abp4 - CAST(np4 AS DOUBLE) * (sap4 / CAST(np4 AS DOUBLE)) * (sbp4 / CAST(np4 AS DOUBLE)))\n      / sqrt((qap4 - CAST(np4 AS DOUBLE) * (sap4 / CAST(np4 AS DOUBLE)) * (sap4 / CAST(np4 AS DOUBLE)))\n        * (qbp4 - CAST(np4 AS DOUBLE) * (sbp4 / CAST(np4 AS DOUBLE)) * (sbp4 / CAST(np4 AS DOUBLE)))) END, 6) AS ccf FROM agg UNION ALL SELECT grp AS l_returnflag, CAST(5 AS BIGINT) AS lag, np5 AS n_pairs,\n  round(CASE WHEN np5 >= 3\n      AND qap5 - CAST(np5 AS DOUBLE) * (sap5 / CAST(np5 AS DOUBLE)) * (sap5 / CAST(np5 AS DOUBLE)) > 0\n      AND qbp5 - CAST(np5 AS DOUBLE) * (sbp5 / CAST(np5 AS DOUBLE)) * (sbp5 / CAST(np5 AS DOUBLE)) > 0\n    THEN (abp5 - CAST(np5 AS DOUBLE) * (sap5 / CAST(np5 AS DOUBLE)) * (sbp5 / CAST(np5 AS DOUBLE)))\n      / sqrt((qap5 - CAST(np5 AS DOUBLE) * (sap5 / CAST(np5 AS DOUBLE)) * (sap5 / CAST(np5 AS DOUBLE)))\n        * (qbp5 - CAST(np5 AS DOUBLE) * (sbp5 / CAST(np5 AS DOUBLE)) * (sbp5 / CAST(np5 AS DOUBLE)))) END, 6) AS ccf FROM agg UNION ALL SELECT grp AS l_returnflag, CAST(6 AS BIGINT) AS lag, np6 AS n_pairs,\n  round(CASE WHEN np6 >= 3\n      AND qap6 - CAST(np6 AS DOUBLE) * (sap6 / CAST(np6 AS DOUBLE)) * (sap6 / CAST(np6 AS DOUBLE)) > 0\n      AND qbp6 - CAST(np6 AS DOUBLE) * (sbp6 / CAST(np6 AS DOUBLE)) * (sbp6 / CAST(np6 AS DOUBLE)) > 0\n    THEN (abp6 - CAST(np6 AS DOUBLE) * (sap6 / CAST(np6 AS DOUBLE)) * (sbp6 / CAST(np6 AS DOUBLE)))\n      / sqrt((qap6 - CAST(np6 AS DOUBLE) * (sap6 / CAST(np6 AS DOUBLE)) * (sap6 / CAST(np6 AS DOUBLE)))\n        * (qbp6 - CAST(np6 AS DOUBLE) * (sbp6 / CAST(np6 AS DOUBLE)) * (sbp6 / CAST(np6 AS DOUBLE)))) END, 6) AS ccf FROM agg UNION ALL SELECT grp AS l_returnflag, CAST(7 AS BIGINT) AS lag, np7 AS n_pairs,\n  round(CASE WHEN np7 >= 3\n      AND qap7 - CAST(np7 AS DOUBLE) * (sap7 / CAST(np7 AS DOUBLE)) * (sap7 / CAST(np7 AS DOUBLE)) > 0\n      AND qbp7 - CAST(np7 AS DOUBLE) * (sbp7 / CAST(np7 AS DOUBLE)) * (sbp7 / CAST(np7 AS DOUBLE)) > 0\n    THEN (abp7 - CAST(np7 AS DOUBLE) * (sap7 / CAST(np7 AS DOUBLE)) * (sbp7 / CAST(np7 AS DOUBLE)))\n      / sqrt((qap7 - CAST(np7 AS DOUBLE) * (sap7 / CAST(np7 AS DOUBLE)) * (sap7 / CAST(np7 AS DOUBLE)))\n        * (qbp7 - CAST(np7 AS DOUBLE) * (sbp7 / CAST(np7 AS DOUBLE)) * (sbp7 / CAST(np7 AS DOUBLE)))) END, 6) AS ccf FROM agg UNION ALL SELECT grp AS l_returnflag, CAST(8 AS BIGINT) AS lag, np8 AS n_pairs,\n  round(CASE WHEN np8 >= 3\n      AND qap8 - CAST(np8 AS DOUBLE) * (sap8 / CAST(np8 AS DOUBLE)) * (sap8 / CAST(np8 AS DOUBLE)) > 0\n      AND qbp8 - CAST(np8 AS DOUBLE) * (sbp8 / CAST(np8 AS DOUBLE)) * (sbp8 / CAST(np8 AS DOUBLE)) > 0\n    THEN (abp8 - CAST(np8 AS DOUBLE) * (sap8 / CAST(np8 AS DOUBLE)) * (sbp8 / CAST(np8 AS DOUBLE)))\n      / sqrt((qap8 - CAST(np8 AS DOUBLE) * (sap8 / CAST(np8 AS DOUBLE)) * (sap8 / CAST(np8 AS DOUBLE)))\n        * (qbp8 - CAST(np8 AS DOUBLE) * (sbp8 / CAST(np8 AS DOUBLE)) * (sbp8 / CAST(np8 AS DOUBLE)))) END, 6) AS ccf FROM agg\n'
+
+
+@_q("ccf_lags", _CCF_ORACLE)
+def q_ccf_lags(spark, sf):
+    """Cross-correlation of quantity vs price at lags -8..8 per
+    return flag (temporal.ccf_lags): one lag window pass, per-lag
+    conditional moment sums in ONE aggregation, compile-time
+    posexplode of the lag results."""
+    from padua_spark.operators.temporal import ccf_lags
+
+    li = _t(spark, sf, "lineitem")
+    return ccf_lags(
+        li, ["l_returnflag"],
+        ["l_shipdate", "l_orderkey", "l_linenumber", "l_quantity"],
+        "l_quantity", "l_extendedprice", max_lag=8,
+    )
+
+
+_EG_ORACLE = '\nWITH base AS (\n  SELECT l_returnflag AS grp,\n    CAST(l_quantity AS DOUBLE) AS x,\n    CAST(l_extendedprice AS DOUBLE) AS y,\n    CAST(row_number() OVER (PARTITION BY l_returnflag\n      ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity)\n      AS BIGINT) AS t\n  FROM lineitem\n  WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL\n),\nmom AS (\n  SELECT grp, CAST(count(*) AS BIGINT) AS n,\n    sum(x) AS sx, sum(y) AS sy,\n    sum(x * x) AS sxx0, sum(x * y) AS sxy0\n  FROM base GROUP BY 1\n),\nfit AS (\n  SELECT grp, n,\n    CASE WHEN n >= 4 AND sxx0 - CAST(n AS DOUBLE)\n        * (sx / CAST(n AS DOUBLE)) * (sx / CAST(n AS DOUBLE)) > 0\n      THEN (sxy0 - CAST(n AS DOUBLE) * (sx / CAST(n AS DOUBLE))\n        * (sy / CAST(n AS DOUBLE)))\n        / (sxx0 - CAST(n AS DOUBLE) * (sx / CAST(n AS DOUBLE))\n        * (sx / CAST(n AS DOUBLE))) END AS beta,\n    sx / CAST(n AS DOUBLE) AS mx, sy / CAST(n AS DOUBLE) AS my\n  FROM mom\n),\nfit2 AS (\n  SELECT grp, n, beta, my - beta * mx AS alpha FROM fit\n),\nresid AS (\n  SELECT b.grp, f.n, f.beta, f.alpha, b.t,\n    b.y - f.alpha - f.beta * b.x AS e\n  FROM base b JOIN fit2 f ON b.grp = f.grp\n),\nlagged AS (\n  SELECT grp, n, beta, alpha, e,\n    lag(e) OVER (PARTITION BY grp ORDER BY t) AS el\n  FROM resid\n),\nagg AS (\n  SELECT grp, max(n) AS n, max(beta) AS beta, max(alpha) AS alpha,\n    CAST(count(*) AS BIGINT) AS np,\n    sum(el * (e - el)) AS sld,\n    sum(el * el) AS sll,\n    sum((e - el) * (e - el)) AS sdd\n  FROM lagged WHERE el IS NOT NULL GROUP BY 1\n),\ng AS (\n  SELECT grp, n, beta, alpha, np,\n    CASE WHEN np >= 3 AND sll > 0 THEN sld / sll END AS gamma,\n    sll, sdd\n  FROM agg\n),\ntv AS (\n  SELECT grp, n, beta, alpha, gamma,\n    CASE WHEN ((sdd - gamma * gamma * sll)\n        / (CAST(np AS DOUBLE) - 1.0)) / sll > 0\n      THEN gamma / sqrt(((sdd - gamma * gamma * sll)\n        / (CAST(np AS DOUBLE) - 1.0)) / sll) END AS t\n  FROM g\n)\nSELECT grp AS l_returnflag, n,\n  round(alpha, 6) AS alpha, round(beta, 6) AS beta,\n  round(gamma, 6) AS gamma, round(t, 6) AS t_stat,\n  CAST(-3.34 AS DOUBLE) AS crit_5pct,\n  CASE WHEN t IS NOT NULL THEN t < -3.34 END AS cointegrated_5pct\nFROM tv\n'
+
+
+@_q("engle_granger", _EG_ORACLE)
+def q_engle_granger(spark, sf):
+    """Engle-Granger cointegration of price on quantity per return
+    flag (temporal.engle_granger): closed-form step-1 OLS joined
+    back, no-constant lag-0 DF on the residuals, MacKinnon 2-variable
+    critical value."""
+    from padua_spark.operators.temporal import engle_granger
+
+    li = _t(spark, sf, "lineitem")
+    return engle_granger(
+        li, ["l_returnflag"],
+        ["l_shipdate", "l_orderkey", "l_linenumber", "l_quantity"],
+        "l_extendedprice", "l_quantity",
+    )
+
+
 # ---------------------------------------------------------------------------
 
 

@@ -190,6 +190,8 @@ HEADLINE = [
     "windowed_binned_gini",
     "windowed_embedding_drift",
     "overdispersion_test",
+    "ccf_lags",
+    "engle_granger",
     "breusch_pagan",
     "chow_test",
     "cooks_distance",

@@ -3281,3 +3281,197 @@ def haar_energy(
             F.when(tot > 0, F.col("_e") / tot), 6
         ).alias("energy_share"),
     )
+
+
+def ccf_lags(
+    df: DataFrame,
+    group_cols: list[str],
+    order_cols: list[str],
+    x_col: str,
+    y_col: str,
+    max_lag: int = 8,
+) -> DataFrame:
+    """Cross-correlation function between two aligned series per
+    group, lags −max_lag..+max_lag — the lead/lag detector ("does
+    spend move BEFORE engagement?"; the two-series companion to
+    :func:`acf_pacf`): positive lag ℓ correlates ``x_{t−ℓ}`` with
+    ``y_t`` (x LEADS y), negative the reverse; lag 0 is plain
+    Pearson. Each lag's correlation is over its complete pairs with
+    the pair-set's own moments (the ``statsmodels ccf``-adjacent
+    per-lag convention, pinned — no global-mean shortcut).
+
+    Scale shape: one group-partitioned ordered window pass emitting
+    the 2·max_lag lagged copies (compile-time bounded), ONE
+    aggregation with per-lag conditional moment sums, one
+    compile-time posexplode of the per-lag result structs — never a
+    self-join of the series. Output per (group, lag):
+    ``(groups..., lag, n_pairs, ccf)``, 6dp; NULL where a lag's
+    pair variance degenerates or n_pairs < 3.
+    """
+    lmax = int(max_lag)
+    x = F.col(x_col).cast("double")
+    y = F.col(y_col).cast("double")
+    base = df.where(x.isNotNull() & y.isNotNull()).select(
+        *group_cols, *order_cols, x.alias("_x"), y.alias("_y")
+    )
+    wo = Window.partitionBy(*group_cols).orderBy(
+        *[F.col(c).asc() for c in order_cols]
+    )
+    cols = [F.col("_x"), F.col("_y")]
+    for lag in range(1, lmax + 1):
+        cols.append(F.lag("_x", lag).over(wo).alias(f"_xl{lag}"))
+        cols.append(F.lag("_y", lag).over(wo).alias(f"_yl{lag}"))
+    stepped = base.select(*group_cols, *cols)
+    aggs = []
+    lags = list(range(-lmax, lmax + 1))
+    for lag in lags:
+        tag = f"m{abs(lag)}" if lag < 0 else f"p{lag}"
+        if lag >= 0:
+            a = (
+                F.col(f"_xl{lag}") if lag > 0 else F.col("_x")
+            )
+            b = F.col("_y")
+        else:
+            a = F.col("_x")
+            b = F.col(f"_yl{-lag}")
+        ok = a.isNotNull() & b.isNotNull()
+        aggs += [
+            F.sum(ok.cast("int")).cast("bigint").alias(f"_n{tag}"),
+            F.sum(F.when(ok, a)).alias(f"_sa{tag}"),
+            F.sum(F.when(ok, b)).alias(f"_sb{tag}"),
+            F.sum(F.when(ok, a * a)).alias(f"_qa{tag}"),
+            F.sum(F.when(ok, b * b)).alias(f"_qb{tag}"),
+            F.sum(F.when(ok, a * b)).alias(f"_ab{tag}"),
+        ]
+    agg = stepped.groupBy(*group_cols).agg(*aggs)
+    cells = []
+    for lag in lags:
+        tag = f"m{abs(lag)}" if lag < 0 else f"p{lag}"
+        n = F.col(f"_n{tag}").cast("double")
+        ma = F.col(f"_sa{tag}") / n
+        mb = F.col(f"_sb{tag}") / n
+        saa = F.col(f"_qa{tag}") - n * ma * ma
+        sbb = F.col(f"_qb{tag}") - n * mb * mb
+        sab = F.col(f"_ab{tag}") - n * ma * mb
+        r = F.when(
+            (F.col(f"_n{tag}") >= 3) & (saa > 0) & (sbb > 0),
+            sab / F.sqrt(saa * sbb),
+        )
+        cells.append(
+            F.struct(
+                F.lit(lag).cast("bigint").alias("lag"),
+                F.col(f"_n{tag}").alias("n_pairs"),
+                F.round(r, 6).alias("ccf"),
+            )
+        )
+    return agg.select(
+        *group_cols, F.explode(F.array(*cells)).alias("_c")
+    ).select(
+        *group_cols,
+        F.col("_c.lag").alias("lag"),
+        F.col("_c.n_pairs").alias("n_pairs"),
+        F.col("_c.ccf").alias("ccf"),
+    )
+
+
+def engle_granger(
+    df: DataFrame,
+    group_cols: list[str],
+    order_cols: list[str],
+    y_col: str,
+    x_col: str,
+) -> DataFrame:
+    """Engle–Granger two-step cointegration test per group — "do
+    these two trending series share a common stochastic trend?"
+    (regressing one non-stationary metric on another is spurious
+    UNLESS they cointegrate; this is the admissibility gate for any
+    long-run elasticity read off level series):
+
+    step 1: OLS ``y = α + β·x`` per group (closed form from one
+    moment aggregation); step 2: the lag-0 Dickey–Fuller regression
+    WITHOUT constant on the residuals ``ê_t``:
+    ``Δê_t = γ·ê_{t−1} + u_t``, ``t = γ̂/se(γ̂)`` with
+    ``γ̂ = Σê_{t−1}Δê_t/Σê²_{t−1}``,
+    ``se² = σ̂²/Σê²_{t−1}``, ``σ̂² = RSS/(n_pairs−1)`` (no-constant
+    df, pinned) — compared to the 2-variable no-trend asymptotic
+    5% critical value −3.34 (MacKinnon 1991; the DF table does NOT
+    apply because ê is estimated).
+
+    Scale shape: one moment aggregation, the (α, β) frame joined
+    back (per-group 1-row — AQE broadcasts), one lag window pass on
+    the residual column, one OLS-sum aggregation. Output per group:
+    ``(groups..., n, alpha, beta, gamma, t_stat, crit_5pct,
+    cointegrated_5pct)``, 6dp; NULLs when n < 4 or a design moment
+    degenerates.
+    """
+    y = F.col(y_col).cast("double")
+    x = F.col(x_col).cast("double")
+    base = df.where(y.isNotNull() & x.isNotNull()).select(
+        *group_cols, *order_cols, x.alias("_x"), y.alias("_y")
+    )
+    from pyspark import StorageLevel
+
+    from padua_spark.io_utils import track_cached
+
+    # base feeds the moment aggregation AND the residual join-back
+    base = base.persist(StorageLevel.MEMORY_AND_DISK)
+    mom = base.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("bigint").alias("_n"),
+        F.sum("_x").alias("_sx"),
+        F.sum("_y").alias("_sy"),
+        F.sum(F.col("_x") * F.col("_x")).alias("_sxx"),
+        F.sum(F.col("_x") * F.col("_y")).alias("_sxy"),
+    )
+    nd = F.col("_n").cast("double")
+    sxx = F.col("_sxx") - nd * (F.col("_sx") / nd) * (F.col("_sx") / nd)
+    sxy = F.col("_sxy") - nd * (F.col("_sx") / nd) * (F.col("_sy") / nd)
+    beta = F.when((F.col("_n") >= 4) & (sxx > 0), sxy / sxx)
+    alpha = F.col("_sy") / nd - beta * (F.col("_sx") / nd)
+    fit = mom.select(
+        *group_cols, F.col("_n"),
+        beta.alias("_beta"), alpha.alias("_alpha"),
+    )
+    joined = base.join(fit, on=group_cols)
+    resid = joined.select(
+        *group_cols, *order_cols, "_n", "_beta", "_alpha",
+        (
+            F.col("_y") - F.col("_alpha") - F.col("_beta") * F.col("_x")
+        ).alias("_e"),
+    )
+    wo = Window.partitionBy(*group_cols).orderBy(
+        *[F.col(c).asc() for c in order_cols]
+    )
+    lagged = resid.select(
+        *group_cols, "_n", "_beta", "_alpha",
+        F.col("_e"),
+        F.lag("_e").over(wo).alias("_el"),
+    ).where(F.col("_el").isNotNull())
+    agg = lagged.groupBy(*group_cols).agg(
+        F.max("_n").alias("n"),
+        F.max("_beta").alias("beta_raw"),
+        F.max("_alpha").alias("alpha_raw"),
+        F.count(F.lit(1)).cast("bigint").alias("_np"),
+        F.sum(F.col("_el") * (F.col("_e") - F.col("_el")))
+        .alias("_sld"),
+        F.sum(F.col("_el") * F.col("_el")).alias("_sll"),
+        F.sum(
+            (F.col("_e") - F.col("_el")) * (F.col("_e") - F.col("_el"))
+        ).alias("_sdd"),
+    )
+    npd = F.col("_np").cast("double")
+    gamma = F.when(
+        (F.col("_np") >= 3) & (F.col("_sll") > 0),
+        F.col("_sld") / F.col("_sll"),
+    )
+    rss = F.col("_sdd") - gamma * gamma * F.col("_sll")
+    se2 = (rss / (npd - 1.0)) / F.col("_sll")
+    t = F.when(se2 > 0, gamma / F.sqrt(se2))
+    return agg.select(
+        *group_cols, "n",
+        F.round("alpha_raw", 6).alias("alpha"),
+        F.round("beta_raw", 6).alias("beta"),
+        F.round(gamma, 6).alias("gamma"),
+        F.round(t, 6).alias("t_stat"),
+        F.lit(-3.34).alias("crit_5pct"),
+        F.when(t.isNotNull(), t < -3.34).alias("cointegrated_5pct"),
+    ).transform(lambda d: track_cached(d, base))

@@ -11974,3 +11974,73 @@ def test_overdispersion_test_vs_numpy(spark):
     assert got["pois"]["p_ct"] > 0.01  # Poisson not flagged
     assert got["nb"]["p_ct"] < 1e-6  # NB overdispersion flagged
     assert got["nb"]["z_ct"] > 0
+
+
+def test_ccf_and_engle_granger_vs_numpy(spark):
+    """ccf_lags recovers a planted lead-lag structure (x leads y by 3)
+    with per-lag values matching a numpy replica; engle_granger
+    accepts a planted cointegrated pair and rejects an independent
+    random-walk pair."""
+    import numpy as np
+
+    from padua_spark.operators.temporal import ccf_lags, engle_granger
+
+    rng = np.random.RandomState(17)
+    n = 600
+    x = rng.normal(0, 1, n)
+    y = np.roll(x, 3) * 0.9 + rng.normal(0, 0.3, n)
+    y[:3] = rng.normal(0, 1, 3)
+    df = spark.createDataFrame(
+        [("g", i, float(a), float(b))
+         for i, (a, b) in enumerate(zip(x, y))],
+        ["g", "i", "x", "y"],
+    )
+    out = {
+        r["lag"]: r
+        for r in ccf_lags(df, ["g"], ["i"], "x", "y",
+                          max_lag=5).collect()
+    }
+    assert len(out) == 11
+
+    def rep(lag):
+        if lag >= 0:
+            a, b = x[: n - lag], y[lag:]
+        else:
+            a, b = x[-lag:], y[: n + lag]
+        return np.corrcoef(a, b)[0, 1], len(a)
+
+    for lag in range(-5, 6):
+        r_np, n_pairs = rep(lag)
+        assert out[lag]["n_pairs"] == n_pairs
+        assert out[lag]["ccf"] == pytest.approx(r_np, abs=1e-5)
+    best = max(out.values(), key=lambda r: abs(r["ccf"] or 0))
+    assert best["lag"] == 3  # the planted lead
+
+    # cointegrated pair: common random walk + stationary spread
+    w = np.cumsum(rng.normal(0, 1, 800))
+    xc = w + rng.normal(0, 0.5, 800)
+    yc = 2.0 * w + 5 + rng.normal(0, 0.5, 800)
+    ind_x = np.cumsum(rng.normal(0, 1, 800))
+    ind_y = np.cumsum(rng.normal(0, 1, 800))
+    rows = [("coint", i, float(a), float(b))
+            for i, (a, b) in enumerate(zip(xc, yc))]
+    rows += [("indep", i, float(a), float(b))
+             for i, (a, b) in enumerate(zip(ind_x, ind_y))]
+    dfe = spark.createDataFrame(rows, ["g", "i", "x", "y"])
+    got = {
+        r["g"]: r
+        for r in engle_granger(dfe, ["g"], ["i"], "y", "x").collect()
+    }
+    assert got["coint"]["cointegrated_5pct"] is True
+    assert abs(got["coint"]["beta"] - 2.0) < 0.1
+    assert got["indep"]["cointegrated_5pct"] is False
+    # gamma replica for the cointegrated pair
+    b_hat = np.cov(xc, yc, ddof=0)[0, 1] / np.var(xc)
+    a_hat = yc.mean() - b_hat * xc.mean()
+    e = yc - a_hat - b_hat * xc
+    el, d = e[:-1], np.diff(e)
+    gam = (el * d).sum() / (el * el).sum()
+    rss = (d * d).sum() - gam * gam * (el * el).sum()
+    se = np.sqrt((rss / (len(el) - 1)) / (el * el).sum())
+    assert got["coint"]["gamma"] == pytest.approx(gam, abs=1e-5)
+    assert got["coint"]["t_stat"] == pytest.approx(gam / se, abs=1e-4)
