@@ -71,6 +71,17 @@ def main() -> None:
     sf_dir = os.environ.get(
         "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01"
     )
+    # Log-cleanliness gate (round-12 verdict #6): the kuiper codegen
+    # blowout shipped silently because Spark logs ERROR-level codegen
+    # failures to stderr while the sweep still exits 0. Capture fd 2
+    # (the JVM inherits it at launch) to a file, count
+    # "ERROR CodeGenerator" / "ERROR Executor" lines at the end, and
+    # FAIL the sweep when nonzero — an interpreted-fallback plan is a
+    # perf bug even when the values stay green.
+    stderr_log = "/tmp/padua_sweep_stderr.log"
+    saved_fd2 = os.dup(2)
+    log_fh = open(stderr_log, "wb", buffering=0)
+    os.dup2(log_fh.fileno(), 2)
     spark = get_spark(app_name="padua_spark_oracle_sweep")
     spark.sparkContext.setLogLevel("ERROR")
     duck = duckdb.connect()
@@ -128,6 +139,24 @@ def main() -> None:
         except Exception as exc:  # noqa: BLE001 — record, keep sweeping
             rec["err"] = f"{type(exc).__name__}: {exc}"[:300]
             traceback.print_exc(limit=2, file=sys.stderr)
+    # Restore stderr and tally JVM ERROR lines before writing artifacts.
+    sys.stderr.flush()
+    os.dup2(saved_fd2, 2)
+    os.close(saved_fd2)
+    log_fh.close()
+    log_errors = {"codegen": 0, "executor": 0}
+    try:
+        with open(stderr_log, "rb") as fh:
+            for raw in fh:
+                if b"ERROR CodeGenerator" in raw:
+                    log_errors["codegen"] += 1
+                elif b"ERROR Executor" in raw:
+                    log_errors["executor"] += 1
+    except OSError:
+        pass
+    results["__sweep_log_errors__"] = dict(
+        log_errors, stderr_log=stderr_log
+    )
     path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)),
         # a filtered run is a dev spot-check — never clobber the full
@@ -137,14 +166,15 @@ def main() -> None:
     with open(path, "w") as fh:
         json.dump(results, fh, indent=1)
         fh.write("\n")
-    n = len(results)
+    qrecs = {k: r for k, r in results.items() if not k.startswith("__")}
+    n = len(qrecs)
     green = sum(
-        1 for r in results.values()
+        1 for r in qrecs.values()
         if r["hash_match"] and r["rows_match"] and r["schema_match"]
     )
-    rows_only = sum(1 for r in results.values() if r["err"] == "no_oracle")
+    rows_only = sum(1 for r in qrecs.values() if r["err"] == "no_oracle")
     failed = {
-        k: r for k, r in results.items()
+        k: r for k, r in qrecs.items()
         if r["err"] not in (None, "no_oracle")
         or r["hash_match"] is False
         or r["rows_match"] is False
@@ -156,11 +186,18 @@ def main() -> None:
                 "sweep": "oracle_full", "sf_dir": sf_dir, "queries": n,
                 "green": green, "rows_only": rows_only,
                 "failed": sorted(failed),
+                "log_errors": log_errors,
             },
             separators=(",", ":"),
         )
     )
-    if failed:
+    if failed or any(log_errors.values()):
+        if any(log_errors.values()):
+            print(
+                "SWEEP LOG GATE: nonzero JVM ERROR lines "
+                f"({log_errors}); see {stderr_log}",
+                file=sys.stderr,
+            )
         sys.exit(1)
 
 

@@ -12675,8 +12675,13 @@ def kuiper_2samp(
     value); asymptotic p with Stephens' effective-size correction:
     ``λ = (√N_e + 0.155 + 0.24/√N_e)·V``, ``N_e = n_a·n_b/(n_a+n_b)``,
     ``p = 2·Σ_{j=1..50} (4j²λ² − 1)·e^{−2j²λ²}`` clamped to [0, 1],
-    and p = 1 when λ < 0.4 (the series' validity floor — pinned;
-    both engines share the identical unrolled expression).
+    and p = 1 when λ < 0.4 (the series' validity floor — pinned).
+    Spark evaluates the series as a sequential left-fold over
+    ``F.aggregate(F.sequence(1, 50), …)`` — the SAME addition order as
+    the DuckDB twin's unrolled sum, so the 6dp gate is unaffected —
+    because a 50-term compile-time unroll blows the 64 KB
+    whole-stage-codegen method limit into an interpreted fallback
+    (round-12 verdict "what's wrong" #1).
 
     Scale shape: the shared distributed stepped ECDF
     (:func:`_ecdf_stepped_counts` — never a single-task sort), one
@@ -12701,19 +12706,31 @@ def kuiper_2samp(
     nb = F.col("n_b").cast("double")
     v = F.col("_dp") + F.col("_dm")
     ne = na * nb / (na + nb)
-    lam = (
+    lam_expr = (
         F.sqrt(ne) + F.lit(0.155) + F.lit(0.24) / F.sqrt(ne)
     ) * v
-    series = F.lit(0.0)
-    for j in range(1, 51):
-        j2 = float(j * j)
-        series = series + (
-            F.lit(4.0 * j2) * lam * lam - F.lit(1.0)
-        ) * F.exp(F.lit(-2.0 * j2) * lam * lam)
+    # Stage λ² once, then fold j=1..50 left-to-right: identical
+    # floating-point addition order to the unrolled twin, one compact
+    # codegen'd higher-order function instead of a >64 KB method.
+    staged = agg.withColumn("_lam", lam_expr)
+    lam = F.col("_lam")
+    series = F.aggregate(
+        F.sequence(F.lit(1), F.lit(50)),
+        F.lit(0.0),
+        # left-associated 4·j²·λ·λ exactly as the unrolled twin writes
+        # it — (((4·j²)·λ)·λ), not 4·j²·(λ·λ) — FP mult isn't
+        # associative and the 6dp gate compares against that form
+        lambda acc, j: acc + (
+            F.lit(4.0) * (j * j).cast("double") * lam * lam
+            - F.lit(1.0)
+        ) * F.exp(
+            F.lit(-2.0) * (j * j).cast("double") * lam * lam
+        ),
+    )
     p = F.when(lam < 0.4, F.lit(1.0)).otherwise(
         F.least(F.lit(1.0), F.greatest(F.lit(0.0), 2.0 * series))
     )
-    out = agg.select(
+    out = staged.select(
         "n_a", "n_b",
         F.round("_dp", 6).alias("d_plus"),
         F.round("_dm", 6).alias("d_minus"),
