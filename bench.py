@@ -765,6 +765,31 @@ def _update_local_artifact(
             k: _median([pp[k] for pp in probe_passes if k in pp])
             for k in sorted({k for pp in probe_passes for k in pp})
         }
+    # Probe-normalized ledger (round-12 verdict #1): per query, the
+    # ratio wall / (scan+shuffle+window probe sum) OF THE SAME PASS —
+    # machine drift cancels because the probes ran seconds away from
+    # the query. Medians over passes; the raw-second medians above
+    # stay as the absolute record.
+    norm_passes = [
+        p for p in doc["passes"]
+        if p.get("calibration_probes")
+        and sum(p["calibration_probes"].values()) > 0
+    ]
+    if norm_passes:
+        def _psum(p):
+            return sum(p["calibration_probes"].values())
+
+        doc["median_queries_normalized"] = {
+            n: _median([
+                p["queries"][n] / _psum(p)
+                for p in norm_passes if n in p["queries"]
+            ])
+            for n in names
+            if any(n in p["queries"] for p in norm_passes)
+        }
+        doc["median_total_normalized"] = _median(
+            [p["total"] / _psum(p) for p in norm_passes]
+        )
     doc["n_passes"] = len(doc["passes"])
     doc["n_queries"] = len(names)
     if errors:
