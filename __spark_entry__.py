@@ -27767,6 +27767,81 @@ def q_engle_granger(spark, sf):
     )
 
 
+# --- E352 round-13: self-contained multimodal header parse ------------------
+
+
+_IMAGE_HEADER_ORACLE = """
+WITH img AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 97 = 0 THEN 'unknown'
+         WHEN doc_id % 3 = 0 THEN 'png'
+         WHEN doc_id % 3 = 1 THEN 'gif'
+         ELSE 'jpeg' END AS format,
+    CASE WHEN doc_id % 97 = 0 THEN NULL
+         ELSE 16 + doc_id % 1000 END AS width,
+    CASE WHEN doc_id % 97 = 0 THEN NULL
+         ELSE 16 + (doc_id * 7) % 700 END AS height,
+    CASE WHEN doc_id % 97 = 0 THEN NULL
+         WHEN doc_id % 3 = 0 THEN
+           CASE WHEN doc_id % 2 = 0 THEN 8 ELSE 16 END
+         WHEN doc_id % 3 = 1 THEN
+           CASE WHEN doc_id % 2 = 0 THEN 8 ELSE 4 END
+         ELSE CASE WHEN doc_id % 2 = 0 THEN 8 ELSE 12 END
+         END AS bit_depth,
+    CASE WHEN doc_id % 97 = 0 THEN 4
+         WHEN doc_id % 3 = 0 THEN 33
+         WHEN doc_id % 3 = 1 THEN 13
+         ELSE 45 + 2 * (doc_id % 4) + (doc_id % 5) END AS n_bytes
+  FROM documents
+)
+SELECT format,
+  CAST(count(*) AS BIGINT) AS n_images,
+  CAST(min(width) AS BIGINT) AS min_width,
+  CAST(max(width) AS BIGINT) AS max_width,
+  CAST(sum(width) AS BIGINT) AS sum_width,
+  CAST(min(height) AS BIGINT) AS min_height,
+  CAST(max(height) AS BIGINT) AS max_height,
+  CAST(sum(height) AS BIGINT) AS sum_height,
+  CAST(sum(bit_depth) AS BIGINT) AS sum_bit_depth,
+  CAST(sum(n_bytes) AS BIGINT) AS sum_bytes
+FROM img GROUP BY format
+"""
+
+
+@_q("image_header_profile", _IMAGE_HEADER_ORACLE)
+def q_image_header_profile(spark, sf):
+    """Self-contained multimodal gate (round-13 VERDICT item 3): build
+    spec-correct PNG/GIF/JPEG header bytes from doc_id arithmetic
+    (multimodal.synthesize_image_bytes — includes a variable-length
+    JPEG APP0+COM chain so the SOF offset moves per row), parse them
+    back with scan-level binary expressions only
+    (multimodal.image_header_profile — hex/substr/conv, bounded JPEG
+    marker walk, no UDF, no injected decoder), and profile per
+    format. The oracle recomputes the ground truth purely from
+    doc_id arithmetic, so the parse must recover every dimension /
+    bit depth / byte size from the bytes alone."""
+    from padua_spark.extensions.multimodal import (
+        image_header_profile,
+        synthesize_image_bytes,
+    )
+
+    d = _t(spark, sf, "documents").select("doc_id")
+    prof = image_header_profile(
+        synthesize_image_bytes(d, "doc_id"), "content"
+    )
+    return prof.groupBy("format").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_images"),
+        F.min("width").alias("min_width"),
+        F.max("width").alias("max_width"),
+        F.sum("width").alias("sum_width"),
+        F.min("height").alias("min_height"),
+        F.max("height").alias("max_height"),
+        F.sum("height").alias("sum_height"),
+        F.sum("bit_depth").alias("sum_bit_depth"),
+        F.sum("n_bytes").alias("sum_bytes"),
+    )
+
+
 # ---------------------------------------------------------------------------
 
 

@@ -478,6 +478,7 @@ HEADLINE = [
     "topk_orders",
     "train_test_split",
     "ttest_1samp_stats",
+    "image_header_profile",
     "union_all_counts",
     "user_event_type_sets",
     "value_anomaly_counts",

@@ -168,3 +168,86 @@ def test_multimodal_pipeline_end_to_end(spark):
     )
     joined = chunks.join(feats, on="media_id")
     assert joined.count() == chunks.count()
+
+
+def test_image_header_profile_on_real_header_bytes(spark):
+    """Parse REAL spec headers (hand-assembled per the PNG/GIF/JPEG
+    specs, independent of synthesize_image_bytes) so the parser is
+    checked against the formats, not just against its own fixture."""
+    from padua_spark.extensions.multimodal import image_header_profile
+
+    png_100x50 = bytes.fromhex(
+        "89504E470D0A1A0A" "0000000D" "49484452"
+        "00000064" "00000032" "08" "02" "000000" "907753DE"
+    )
+    # real-world 1x1 GIF89a prefix: flags 0x80 -> color resolution 1
+    gif_1x1 = bytes.fromhex("474946383961" "0100" "0100" "80" "0000")
+    gif_3x5 = bytes.fromhex("474946383961" "0300" "0500" "F7" "0000")
+    # SOI + APP0(16) + DQT(4) + SOF0: 240x320 precision 8
+    jpeg_320x240 = bytes.fromhex(
+        "FFD8"
+        "FFE0" "0010" "4A46494600010100000100010000"
+        "FFDB" "0004" "AAAA"
+        "FFC0" "0011" "08" "00F0" "0140" "03" "000000000000000000"
+    )
+    truncated_png = bytes.fromhex("89504E47")
+    garbage = b"\x00\x01\x02\x03"
+    df = spark.createDataFrame(
+        [
+            (1, png_100x50), (2, gif_1x1), (3, gif_3x5),
+            (4, jpeg_320x240), (5, truncated_png), (6, garbage),
+        ],
+        "id long, content binary",
+    )
+    rows = {
+        r["id"]: r
+        for r in image_header_profile(df, "content").collect()
+    }
+    assert (rows[1]["format"], rows[1]["width"], rows[1]["height"],
+            rows[1]["bit_depth"]) == ("png", 100, 50, 8)
+    assert (rows[2]["format"], rows[2]["width"], rows[2]["height"],
+            rows[2]["bit_depth"]) == ("gif", 1, 1, 1)
+    assert (rows[3]["format"], rows[3]["width"], rows[3]["height"],
+            rows[3]["bit_depth"]) == ("gif", 3, 5, 8)
+    assert (rows[4]["format"], rows[4]["width"], rows[4]["height"],
+            rows[4]["bit_depth"]) == ("jpeg", 320, 240, 8)
+    # truncated: magic recognized, fields NULL (no crash, no garbage)
+    assert rows[5]["format"] == "png" and rows[5]["width"] is None
+    assert rows[6]["format"] == "unknown"
+    assert rows[6]["width"] is None and rows[6]["bit_depth"] is None
+    assert rows[6]["n_bytes"] == 4
+
+
+def test_synthesize_image_bytes_round_trip_python_replica(spark):
+    """Fixture -> parser round trip vs a pure-Python replica of the
+    id arithmetic, across ids covering every format arm, both parity
+    branches, all four JPEG APP0 lengths, all five COM lengths, and
+    the %97 garbage rows."""
+    from padua_spark.extensions.multimodal import (
+        image_header_profile,
+        synthesize_image_bytes,
+    )
+
+    ids = list(range(0, 300)) + [970, 1940, 123456, 999999]
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    out = image_header_profile(
+        synthesize_image_bytes(df, "doc_id"), "content"
+    )
+    got = {r["doc_id"]: r for r in out.collect()}
+    for i in ids:
+        r = got[i]
+        if i % 97 == 0:
+            exp = ("unknown", None, None, None, 4)
+        else:
+            w, h = 16 + i % 1000, 16 + (i * 7) % 700
+            if i % 3 == 0:
+                exp = ("png", w, h, 8 if i % 2 == 0 else 16, 33)
+            elif i % 3 == 1:
+                exp = ("gif", w, h, 8 if i % 2 == 0 else 4, 13)
+            else:
+                exp = ("jpeg", w, h, 8 if i % 2 == 0 else 12,
+                       45 + 2 * (i % 4) + (i % 5))
+        assert (
+            r["format"], r["width"], r["height"], r["bit_depth"],
+            r["n_bytes"],
+        ) == exp, f"id {i}"
