@@ -990,3 +990,48 @@ def test_round11_window_families_partition_by_group(spark):
                 "median_ci: window over an unaggregated frame\n"
                 + plan[:1500]
             )
+
+
+def test_windowed_monitor_build_shape_lint(spark):
+    """Round-13 lint (VERDICT r12 item 7): the streaming window
+    monitors must keep the one-stateful-aggregation shape. Two
+    regressions shipped (and were fixed) in round 12 — a k-branch
+    union of projections over one stateful agg re-plans the agg k
+    times (windowed_gains_table 27.5->6.5 s after switching to ONE
+    posexplode of a computed struct array), and a withColumn chain on
+    a wide agg re-analyzes per call (windowed_binned_gini 28.6->6.2 s
+    after one narrow select). This pins every windowed_* entry's
+    optimized-plan Aggregate/Union node counts so the next monitor
+    can't silently reintroduce either shape: a k-way union of
+    re-planned aggregations shows up as agg≈k."""
+    import re
+
+    import __spark_entry__ as em
+
+    # measured at the round-13 pin; a monitor may come in UNDER these
+    PINNED = {
+        "windowed_ddsketch": (2, 1),
+        "windowed_fairness_check": (2, 1),
+        "windowed_heavy_hitters": (3, 0),
+        "windowed_novelty": (2, 0),
+        "windowed_pinball_loss": (2, 1),
+        "windowed_psi": (3, 0),
+        "windowed_token_divergence": (3, 0),
+    }
+    DEFAULT = (1, 0)  # one stateful agg, no union — the target shape
+    q = em.queries()
+    monitors = sorted(n for n in q if n.startswith("windowed_"))
+    assert len(monitors) >= 18
+    for name in monitors:
+        df = q[name](spark, SF_ORACLE)
+        opt = df._jdf.queryExecution().optimizedPlan().toString()
+        nagg = len(re.findall(r"\bAggregate \[", opt))
+        nunion = len(re.findall(r"\bUnion\b", opt))
+        max_agg, max_union = PINNED.get(name, DEFAULT)
+        assert nagg <= max_agg and nunion <= max_union, (
+            f"{name}: optimized plan has {nagg} Aggregate / "
+            f"{nunion} Union nodes (pinned max {max_agg}/{max_union})"
+            " — use one posexplode of a computed struct array instead"
+            " of a k-branch union, and one narrow select off the wide"
+            f" agg instead of a withColumn chain\n{opt[:1200]}"
+        )
