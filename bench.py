@@ -479,6 +479,33 @@ HEADLINE = [
     "train_test_split",
     "ttest_1samp_stats",
     "image_header_profile",
+    "lepage_test",
+    "cucconi_test",
+    "conover_squared_ranks",
+    "variance_outlier_screen",
+    "edf_normality_battery",
+    "f_variance_ratio_test",
+    "poisson_two_rate_test",
+    "wallis_moore_test",
+    "katz_centrality",
+    "rich_club_coefficient",
+    "geary_c",
+    "getis_ord_g",
+    "readability_battery2",
+    "burrows_delta",
+    "winnowing_fingerprints",
+    "embedding_isotropy",
+    "return_risk_profile",
+    "quantile_shares",
+    "retrieval_err",
+    "agreement_battery",
+    "dfa_hurst",
+    "oaxaca_blinder",
+    "event_study_did",
+    "post_stratified_mean",
+    "windowed_benford",
+    "windowed_concentration",
+    "windowed_binned_ks",
     "union_all_counts",
     "user_event_type_sets",
     "value_anomaly_counts",

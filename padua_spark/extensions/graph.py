@@ -1472,3 +1472,243 @@ def degree_powerlaw(
         F.round(alpha, 6).alias("alpha_hill"),
         F.round((alpha - 1.0) / F.sqrt(nt), 6).alias("alpha_se"),
     )
+
+
+def katz_centrality(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    k_iters: int = 5,
+    alpha: float = 0.01,
+    beta: float = 1.0,
+    edges_distinct: bool = False,
+    broadcast_ranks_threshold: int = 2_000_000,
+) -> DataFrame:
+    """Fixed-iteration Katz centrality — attenuated path counting:
+    ``x_{t+1}(v) = β + α·Σ_{u→v} x_t(u)`` from ``x₀ = β`` for exactly
+    ``k_iters`` iterations, i.e. ``x_k(v) = β·Σ_{j≤k} α^j·(#paths of
+    length j into v)``. The walk-based influence measure that, unlike
+    :func:`pagerank`, does NOT normalize by out-degree — a hub's
+    influence passes whole to every neighbor, which is the right
+    semantics for citation/endorsement graphs. Converges for
+    ``α < 1/λ_max``; the fixed-k truncation is the engine contract
+    (documented, same convention as :func:`pagerank`'s fixed k).
+
+    Scale shape: identical to :func:`pagerank`'s — below
+    ``broadcast_ranks_threshold`` nodes the recurrence is inlined as
+    one broadcast join + one map-side-combined aggregation per
+    iteration over the persisted (cores/4-coalesced) edge list;
+    above it the canonical shuffle join with per-iteration
+    ``localCheckpoint``. Iteration 1 needs no join at all:
+    ``x₀ = β`` is constant, so ``in₁ = β·indeg``. Output:
+    ``(node, katz)``.
+
+    Beyond the reference; standard per Katz 1953.
+    """
+    from pyspark import StorageLevel
+
+    from padua_spark.io_utils import track_cached
+
+    e = edges.select(
+        F.col(src).alias("_s"), F.col(dst).alias("_d")
+    )
+    cached = []
+    if not edges_distinct:
+        e = e.distinct()
+    nodes = (
+        e.select(F.col("_s").alias("node"))
+        .union(e.select(F.col("_d").alias("node")))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    n_nodes = nodes.count()
+    small = n_nodes <= broadcast_ranks_threshold
+    eprobe = e
+    if small:
+        # same task-count lever as pagerank (round 13)
+        eprobe = e.coalesce(
+            max(1, e.sparkSession.sparkContext.defaultParallelism // 4)
+        )
+    contrib = eprobe.persist(StorageLevel.MEMORY_AND_DISK)
+    cached.append(contrib)
+    if n_nodes == 0 or k_iters <= 0:
+        empty = nodes.withColumn("katz", F.lit(float(beta)))
+        return track_cached(empty, nodes, *cached)
+
+    # Iteration state lives in exact INTEGER nano-units (x·1e9 as
+    # BIGINT; α, β quantized to 9dp once): float in-sums are
+    # summation-order-dependent across engines/partitionings, and
+    # five iterations amplify the last ulp past the 9dp output grid.
+    # The attenuated message b + floor(a·x/S) is computed with the
+    # overflow-free split a·(x DIV S) + (a·(x MOD S)) DIV S — every
+    # op integer, so any engine (and any partitioning) produces
+    # bit-identical centralities. Truncation bias ≤1e-9 per
+    # iteration (documented micro-unit convention, as davies_bouldin).
+    scale = 1_000_000_000
+    a_num = int(round(float(alpha) * scale))
+    b_units = int(round(float(beta) * scale))
+
+    def _x_units(in_col: str):
+        c = f"COALESCE({in_col}, CAST(0 AS BIGINT))"
+        return F.expr(
+            f"CAST({b_units} + {a_num} * ({c} DIV {scale})"
+            f" + ({a_num} * ({c} % {scale})) DIV {scale} AS BIGINT)"
+        )
+
+    if small:
+        # iteration 1: x0 = β constant → in₁(v) = β·indeg(v)
+        inc = contrib.groupBy(F.col("_d").alias("node")).agg(
+            (F.count(F.lit(1)) * F.lit(b_units))
+            .cast("bigint").alias("_in")
+        )
+        for _ in range(k_iters - 1):
+            inc = (
+                contrib.join(
+                    F.broadcast(inc),
+                    contrib["_s"] == inc["node"],
+                    "left",
+                )
+                .select(
+                    F.col("_d").alias("node"),
+                    _x_units("_in").alias("_m"),
+                )
+                .groupBy("node")
+                .agg(F.sum("_m").cast("bigint").alias("_in"))
+            )
+        out = nodes.join(
+            F.broadcast(inc), on="node", how="left"
+        ).select(
+            "node",
+            (
+                _x_units("_in").cast("double") / F.lit(float(scale))
+            ).alias("katz"),
+        )
+        return track_cached(out, nodes, *cached)
+
+    ranks = nodes.withColumn(
+        "_xu", F.lit(b_units).cast("bigint")
+    )
+    for _ in range(k_iters):
+        incoming = (
+            contrib.join(ranks, contrib["_s"] == ranks["node"])
+            .select(F.col("_d").alias("node"), F.col("_xu").alias("_m"))
+            .groupBy("node")
+            .agg(F.sum("_m").cast("bigint").alias("_in"))
+        )
+        ranks = (
+            nodes.join(incoming, on="node", how="left")
+            .select("node", _x_units("_in").alias("_xu"))
+            .localCheckpoint(eager=False)
+        )
+    out = ranks.select(
+        "node",
+        (F.col("_xu").cast("double") / F.lit(float(scale))).alias("katz"),
+    )
+    return track_cached(out, nodes, *cached)
+
+
+def rich_club_coefficient(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    degree_thresholds: list[int] | None = None,
+) -> DataFrame:
+    """Rich-club coefficient per degree threshold: among the nodes
+    with degree > k, what fraction of the possible edges exist?
+    ``φ(k) = 2·E_k / (N_k·(N_k−1))`` on the undirected deduped graph
+    — the standard "do the hubs talk to each other" structure probe
+    (φ rising with k = elite core; the topology signal behind
+    spam-ring and citation-cartel screens).
+
+    Plan: one symmetrized-distinct edge frame (persisted — it feeds
+    the degree aggregation AND the annotated-edge count), one degree
+    frame joined onto both endpoints, then ONE conditional aggregation
+    producing every threshold's (N_k, E_k) in a single pass
+    (compile-time threshold list → one posexplode of a computed
+    struct array, never a k-branch union). Output one row per
+    threshold: ``(degree_threshold, n_nodes, n_edges, phi)``, 6dp;
+    NULL φ when N_k < 2.
+
+    Beyond the reference; standard per Zhou & Mondragón 2004 /
+    Colizza et al. 2006 (unnormalized φ — the null-model
+    normalization needs rewiring simulations, out of engine scope and
+    documented).
+    """
+    from pyspark import StorageLevel
+
+    from padua_spark.io_utils import track_cached
+
+    ks = degree_thresholds or [1, 2, 4, 8, 16, 32, 64]
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("_u"),
+            F.greatest(F.col(src), F.col(dst)).alias("_v"),
+        )
+        .where(
+            F.col("_u").isNotNull() & F.col("_v").isNotNull()
+            & (F.col("_u") != F.col("_v"))
+        )
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    deg = (
+        e.select(F.col("_u").alias("_x"))
+        .unionAll(e.select(F.col("_v").alias("_x")))
+        .groupBy("_x")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("_deg"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    nk = deg.agg(
+        *[
+            F.sum((F.col("_deg") > k).cast("bigint")).alias(f"_n{k}")
+            for k in ks
+        ]
+    ).withColumn("_one", F.lit(1))
+    du = deg.select(
+        F.col("_x").alias("_u"), F.col("_deg").alias("_du")
+    )
+    dv = deg.select(
+        F.col("_x").alias("_v"), F.col("_deg").alias("_dv")
+    )
+    ek = (
+        e.join(du, on="_u")
+        .join(dv, on="_v")
+        .agg(
+            *[
+                F.sum(
+                    (
+                        F.least(F.col("_du"), F.col("_dv")) > k
+                    ).cast("bigint")
+                ).alias(f"_e{k}")
+                for k in ks
+            ]
+        )
+        .withColumn("_one", F.lit(1))
+    )
+    j = nk.join(F.broadcast(ek), on="_one")
+    arr = F.array(
+        *[
+            F.struct(
+                F.lit(k).cast("bigint").alias("degree_threshold"),
+                F.col(f"_n{k}").alias("n_nodes"),
+                F.col(f"_e{k}").alias("n_edges"),
+            )
+            for k in ks
+        ]
+    )
+    rows = j.select(F.posexplode(arr).alias("_i", "_r")).select(
+        "_r.degree_threshold", "_r.n_nodes", "_r.n_edges"
+    )
+    nd = F.col("n_nodes").cast("double")
+    out = rows.select(
+        "degree_threshold", "n_nodes", "n_edges",
+        F.round(
+            F.when(
+                F.col("n_nodes") >= 2,
+                2.0 * F.col("n_edges").cast("double")
+                / (nd * (nd - 1.0)),
+            ),
+            6,
+        ).alias("phi"),
+    )
+    return track_cached(out, e, deg)

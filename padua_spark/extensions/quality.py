@@ -1950,3 +1950,63 @@ def lorenz_curve(
         F.round(1.0 - F.col("_ts"), 6).alias("gini"),
     )
     return track_cached(out, *getattr(stepped, "_padua_cached", ()))
+
+
+def agreement_battery(
+    df: DataFrame,
+    rater_a_col: str,
+    rater_b_col: str,
+) -> DataFrame:
+    """Chance-corrected agreement battery for two binary raters —
+    Scott's π, Gwet's AC1, and PABAK beside the Cohen's κ already in
+    :func:`cohens_kappa`. The four statistics differ ONLY in the
+    chance model, which is exactly what breaks κ in practice (the
+    prevalence paradox: κ collapses when one class dominates even at
+    99% raw agreement; AC1 and PABAK are its standard counterweights,
+    and any real rater-audit reports them together):
+
+    with pooled prevalence ``π = (p_a + p_b)/2`` of the positive
+    class and observed agreement ``p_o``:
+    Scott ``π_s = (p_o − p_e)/(1 − p_e)``, ``p_e = π² + (1−π)²``;
+    Gwet ``AC1 = (p_o − p_γ)/(1 − p_γ)``, ``p_γ = 2π(1−π)``;
+    ``PABAK = 2p_o − 1``.
+
+    ONE aggregation to the exact integer confusion cells; every
+    statistic is a closed-form rational of those four integers.
+    Output 1 row: ``(n, n00, n01, n10, n11, p_observed, scott_pi,
+    gwet_ac1, pabak)``, 6dp; NULLs where a chance denominator is 0.
+
+    Beyond the reference; standard per Scott 1955 / Gwet 2008 /
+    Byrt, Bishop & Carlin 1993.
+    """
+    a = F.col(rater_a_col).cast("int")
+    b = F.col(rater_b_col).cast("int")
+    agg = df.where(a.isNotNull() & b.isNotNull()).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(((a == 0) & (b == 0)).cast("int"))
+        .cast("bigint").alias("n00"),
+        F.sum(((a == 0) & (b == 1)).cast("int"))
+        .cast("bigint").alias("n01"),
+        F.sum(((a == 1) & (b == 0)).cast("int"))
+        .cast("bigint").alias("n10"),
+        F.sum(((a == 1) & (b == 1)).cast("int"))
+        .cast("bigint").alias("n11"),
+    )
+    n = F.col("n").cast("double")
+    po = (F.col("n00") + F.col("n11")).cast("double") / n
+    pa = (F.col("n10") + F.col("n11")).cast("double") / n
+    pb = (F.col("n01") + F.col("n11")).cast("double") / n
+    pi = (pa + pb) / 2.0
+    pe_s = pi * pi + (1.0 - pi) * (1.0 - pi)
+    pe_g = 2.0 * pi * (1.0 - pi)
+    return agg.select(
+        "n", "n00", "n01", "n10", "n11",
+        F.round(po, 6).alias("p_observed"),
+        F.round(
+            F.when(pe_s < 1.0, (po - pe_s) / (1.0 - pe_s)), 6
+        ).alias("scott_pi"),
+        F.round(
+            F.when(pe_g < 1.0, (po - pe_g) / (1.0 - pe_g)), 6
+        ).alias("gwet_ac1"),
+        F.round(2.0 * po - 1.0, 6).alias("pabak"),
+    )

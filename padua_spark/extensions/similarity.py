@@ -2393,3 +2393,162 @@ def davies_bouldin(
             F.when(F.col("k_clusters") >= 2, F.col("_db")), 6
         ).alias("db_index"),
     )
+
+
+def embedding_isotropy(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Embedding-space isotropy audit — the collapse detector run
+    before trusting any cosine-based dedup/retrieval stage: if the
+    average pairwise cosine of the (unit-normalized) vectors is far
+    above 0, the space is anisotropic (a dominant common direction)
+    and cosine thresholds tuned on an isotropic assumption silently
+    over-merge.
+
+    Closed forms from ONE vector sum — nothing pairwise: with
+    ``u_i = v_i/‖v_i‖`` and ``s = Σu_i``,
+
+    ``avg pairwise cosine = (‖s‖² − n) / (n(n−1))`` and
+    ``mean cosine to the centroid direction = ‖s‖ / n`` (both exact
+    identities, not approximations). Norm statistics ride the same
+    pass. Zero-norm vectors are dropped (documented).
+
+    Plan: one staged-norm projection (the HOF-no-CSE rule), one
+    posexplode to (dim, value/norm), one d-row dimension-sum
+    aggregation, one scalar stitch. Output 1 row: ``(n_vectors, dim,
+    mean_norm, sd_norm, avg_pairwise_cosine,
+    mean_cosine_to_centroid)``, 6dp.
+
+    Beyond the reference; standard diagnosis per Ethayarajh 2019 /
+    Mu & Viswanath 2018.
+    """
+    from padua_spark.io_utils import track_cached
+
+    vec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    staged = (
+        df.where(F.col(vec_col).isNotNull())
+        .select(
+            F.col(id_col).alias("_id"), vec.alias("_v"),
+        )
+        .withColumn(
+            "_nrm",
+            F.sqrt(
+                F.aggregate(
+                    "_v", F.lit(0.0), lambda a, x: a + x * x
+                )
+            ),
+        )
+        .where(F.col("_nrm") > 0)
+    )
+    from pyspark import StorageLevel
+
+    staged = staged.persist(StorageLevel.MEMORY_AND_DISK)
+    nstats = staged.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vectors"),
+        F.max(F.size("_v")).cast("bigint").alias("dim"),
+        F.avg("_nrm").alias("_mn"),
+        F.stddev_samp("_nrm").alias("_sdn"),
+    ).withColumn("_one", F.lit(1))
+    dims = (
+        staged.select(
+            F.posexplode("_v").alias("_d", "_x"), F.col("_nrm")
+        )
+        .groupBy("_d")
+        .agg(F.sum(F.col("_x") / F.col("_nrm")).alias("_s"))
+    )
+    ssq = dims.agg(
+        F.sum(F.col("_s") * F.col("_s")).alias("_ss2")
+    ).withColumn("_one", F.lit(1))
+    j = nstats.join(F.broadcast(ssq), on="_one")
+    n = F.col("n_vectors").cast("double")
+    apc = F.when(
+        F.col("n_vectors") >= 2,
+        (F.col("_ss2") - n) / (n * (n - 1.0)),
+    )
+    out = j.select(
+        "n_vectors", "dim",
+        F.round("_mn", 6).alias("mean_norm"),
+        F.round("_sdn", 6).alias("sd_norm"),
+        F.round(apc, 6).alias("avg_pairwise_cosine"),
+        F.round(F.sqrt(F.col("_ss2")) / n, 6).alias(
+            "mean_cosine_to_centroid"
+        ),
+    )
+    return track_cached(out, staged)
+
+
+def retrieval_err_at_k(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    label_col: str,
+    queries: DataFrame,
+    k: int = 10,
+) -> DataFrame:
+    """Expected Reciprocal Rank @k per query (binary relevance) —
+    the CASCADE retrieval metric beside P@k / NDCG / MRR: models a
+    user scanning top-down who STOPS at each relevant hit with
+    probability R, so later hits are discounted by how satisfying
+    the earlier ones were (NDCG discounts by position only; ERR is
+    the standard metric when one good hit mostly ends the session).
+
+    Binary gains with the Chapelle 2009 mapping ``R = (2^r − 1)/2``
+    → relevant hits have stop probability ½:
+    ``ERR = Σ_i (1/rank_i)·R_i·Π_{j<i}(1 − R_j)
+          = Σ_{rel i} (1/rank_i)·½·(½)^{#relevant above i}``
+    — the cascade product collapses to a power of ½, computed with
+    one per-query ordered window (running relevant-count), no logs.
+
+    Plan shape: :func:`knn_join` (broadcast query block, map-side
+    WindowGroupLimit) + label joins + ONE window + one aggregation.
+    Output: ``(query_id, label, n_relevant_at_k, err_at_k)``, 6dp.
+
+    Beyond the reference; standard per Chapelle et al. 2009 (CIKM).
+    """
+    from pyspark.sql import Window
+
+    nn = knn_join(
+        corpus, id_col, vec_col, queries, id_col, vec_col, k=k
+    )
+    q_lab = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(label_col).alias("label"),
+    )
+    c_lab = corpus.select(
+        F.col(id_col), F.col(label_col).alias("_nlabel")
+    )
+    joined = nn.join(F.broadcast(q_lab), on="query_id").join(
+        c_lab, on=id_col
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.round("cosine_sim", 6).desc(), F.col(id_col).asc()
+    )
+    rel = (F.col("_nlabel") == F.col("label")).cast("int")
+    ranked = (
+        joined.withColumn("_rk", F.row_number().over(wq))
+        .withColumn("_rel", rel)
+        .withColumn(
+            "_nprev",
+            F.sum("_rel").over(
+                wq.rowsBetween(Window.unboundedPreceding, -1)
+            ),
+        )
+    )
+    term = (
+        F.col("_rel").cast("double")
+        * F.lit(0.5)
+        * F.pow(F.lit(0.5), F.coalesce(F.col("_nprev"), F.lit(0)))
+        / F.col("_rk").cast("double")
+    )
+    agg = ranked.groupBy("query_id", "label").agg(
+        F.sum("_rel").cast("bigint").alias("n_relevant_at_k"),
+        F.sum(term).alias("_err"),
+    )
+    return agg.select(
+        "query_id", "label", "n_relevant_at_k",
+        F.round(F.coalesce(F.col("_err"), F.lit(0.0)), 6).alias(
+            "err_at_k"
+        ),
+    )

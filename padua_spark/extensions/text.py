@@ -2644,3 +2644,310 @@ def richness_estimators(
         F.round(jack1, 6).alias("jackknife1"),
         F.round(ace, 6).alias("ace"),
     )
+
+
+def readability_battery2(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+) -> DataFrame:
+    """Second readability battery — the five character/length-based
+    indices that need NO syllable model (Coleman–Liau, ARI, LIX, RIX)
+    plus Gunning Fog (which reuses the documented vowel-group
+    syllable heuristic of :func:`readability_scores`); together with
+    Flesch/FK this covers every index a corpus-quality slicer
+    routinely reports:
+
+    ``CLI  = 0.0588·L − 0.296·S − 15.8``  (L = letters per 100 words,
+    S = sentences per 100 words);
+    ``ARI  = 4.71·(alnum/W) + 0.5·(W/sent) − 21.43``;
+    ``LIX  = W/sent + 100·(long words ≥ 7 chars)/W``;
+    ``RIX  = long words / sentences``;
+    ``FOG  = 0.4·(W/sent + 100·complex/W)`` (complex = tokens with
+    ≥ 3 vowel-group syllables, lowercased).
+
+    Shared conventions: whitespace tokens (:func:`tokens`), sentence
+    count = runs of ``[.!?]`` floored at 1, letters = ``[A-Za-z]``,
+    alnum = ``[A-Za-z0-9]`` — all scan-side regexp counts, zero UDFs,
+    zero shuffles. Output: ``(id_col, n_words, n_sentences,
+    n_letters, n_long_words, n_complex_words, coleman_liau, ari, lix,
+    rix, gunning_fog)``, 6dp, NULL scores for token-less documents.
+
+    Beyond the reference; standard formulas per Coleman & Liau 1975,
+    Senter & Smith 1967 (ARI), Björnsson 1968 (LIX/RIX), Gunning
+    1952.
+    """
+    t = F.col(text_col)
+    toks = F.filter(tokens(t), lambda x: x != "")
+    n_words = F.size(toks).cast("bigint")
+    n_sent = F.greatest(
+        F.regexp_count(t, F.lit(r"[.!?]+")), F.lit(1)
+    ).cast("bigint")
+    n_letters = F.regexp_count(t, F.lit("[A-Za-z]")).cast("bigint")
+    n_alnum = F.regexp_count(t, F.lit("[A-Za-z0-9]")).cast("bigint")
+    n_long = F.size(
+        F.filter(toks, lambda x: F.length(x) >= 7)
+    ).cast("bigint")
+    n_complex = F.size(
+        F.filter(
+            toks,
+            lambda x: F.regexp_count(
+                F.lower(x), F.lit("[aeiouy]+")
+            ) >= 3,
+        )
+    ).cast("bigint")
+    staged = df.where(t.isNotNull()).select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        n_sent.alias("n_sentences"),
+        n_letters.alias("n_letters"),
+        n_alnum.alias("_n_alnum"),
+        n_long.alias("n_long_words"),
+        n_complex.alias("n_complex_words"),
+    )
+    w = F.col("n_words").cast("double")
+    s = F.col("n_sentences").cast("double")
+    le = F.col("n_letters").cast("double")
+    al = F.col("_n_alnum").cast("double")
+    lg = F.col("n_long_words").cast("double")
+    cx = F.col("n_complex_words").cast("double")
+    ok = F.col("n_words") > 0
+    # scores carry a +1e-9 nudge before the 6dp round: the small-
+    # integer ratios land EXACTLY on 6dp midpoints (e.g. ari
+    # 17.3840625), where Spark's decimal HALF_UP and DuckDB's
+    # float-multiply round disagree; the nudge (identical double in
+    # both engines, far below the 5e-7 half-grid) moves every
+    # midpoint off the boundary the same way in both.
+    eps = F.lit(1e-9)
+    return staged.select(
+        id_col, "n_words", "n_sentences", "n_letters",
+        "n_long_words", "n_complex_words",
+        F.round(
+            F.when(
+                ok,
+                0.0588 * (100.0 * le / w)
+                - 0.296 * (100.0 * s / w) - 15.8,
+            ) + eps,
+            6,
+        ).alias("coleman_liau"),
+        F.round(
+            F.when(ok, 4.71 * (al / w) + 0.5 * (w / s) - 21.43)
+            + eps,
+            6,
+        ).alias("ari"),
+        F.round(
+            F.when(ok, w / s + 100.0 * lg / w) + eps, 6
+        ).alias("lix"),
+        F.round(F.when(ok, lg / s) + eps, 6).alias("rix"),
+        F.round(
+            F.when(ok, 0.4 * (w / s + 100.0 * cx / w)) + eps, 6
+        ).alias("gunning_fog"),
+    )
+
+
+def burrows_delta(
+    df: DataFrame,
+    group_col: str,
+    text_col: str,
+    top_m: int = 50,
+) -> DataFrame:
+    """Burrows' Delta stylometric distance between group profiles —
+    the standard authorship-attribution measure ("which sources write
+    alike?") applied to corpus slices: z-score the per-group RELATIVE
+    frequencies of the corpus's ``top_m`` most frequent tokens, then
+    ``Δ(a,b) = mean_t |z_a(t) − z_b(t)|`` over those marker tokens.
+
+    Plan: one (group, token) count aggregation off the lowercased
+    whitespace tokens; the top-m marker list by corpus frequency
+    (ties broken by token — deterministic) is a ≤m-row broadcast;
+    per-token mean/sd across the k group profiles ride the m×k frame
+    (missing group-token cells count as frequency 0 via the k-row
+    group-total broadcast cross); pairs come from a bounded m×k²
+    self-join. sd uses ddof=1 across groups; tokens with sd = 0 are
+    dropped from the mean (documented). Output one row per unordered
+    group pair: ``(group_a, group_b, n_markers, delta)``, 6dp.
+
+    Beyond the reference; standard per Burrows 2002 / Argamon 2008.
+    """
+    t = F.col(text_col)
+    toks = F.filter(tokens(F.lower(t)), lambda x: x != "")
+    base = (
+        df.where(t.isNotNull() & F.col(group_col).isNotNull())
+        .select(F.col(group_col).alias("_g"), toks.alias("_toks"))
+        .select("_g", F.explode("_toks").alias("_tok"))
+    )
+    counts = base.groupBy("_g", "_tok").agg(
+        F.count(F.lit(1)).cast("bigint").alias("_c")
+    )
+    from pyspark import StorageLevel
+
+    from padua_spark.io_utils import track_cached
+
+    counts = counts.persist(StorageLevel.MEMORY_AND_DISK)
+    top = (
+        counts.groupBy("_tok")
+        .agg(F.sum("_c").alias("_tot"))
+        .orderBy(F.desc("_tot"), F.asc("_tok"))
+        .limit(top_m)
+        .select("_tok")
+    )
+    gtot = counts.groupBy("_g").agg(
+        F.sum("_c").cast("double").alias("_gt")
+    )
+    # dense m×k grid (missing cells = 0) via bounded cross of the two
+    # small frames, then left join of the observed counts
+    grid = F.broadcast(top).crossJoin(F.broadcast(gtot))
+    freq = grid.join(counts, on=["_tok", "_g"], how="left").select(
+        "_tok", "_g",
+        (
+            F.coalesce(F.col("_c"), F.lit(0)).cast("double")
+            / F.col("_gt")
+        ).alias("_f"),
+    )
+    stats = freq.groupBy("_tok").agg(
+        F.avg("_f").alias("_mu"),
+        F.stddev_samp("_f").alias("_sd"),
+    )
+    z = freq.join(F.broadcast(stats), on="_tok").where(
+        F.col("_sd") > 0
+    ).select(
+        "_tok", "_g",
+        ((F.col("_f") - F.col("_mu")) / F.col("_sd")).alias("_z"),
+    )
+    za = z.select(
+        F.col("_tok"), F.col("_g").alias("group_a"),
+        F.col("_z").alias("_za"),
+    )
+    zb = z.select(
+        F.col("_tok"), F.col("_g").alias("group_b"),
+        F.col("_z").alias("_zb"),
+    )
+    pairs = (
+        za.join(zb, on="_tok")
+        .where(F.col("group_a") < F.col("group_b"))
+        .groupBy("group_a", "group_b")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_markers"),
+            F.avg(F.abs(F.col("_za") - F.col("_zb"))).alias("_d"),
+        )
+    )
+    out = pairs.select(
+        "group_a", "group_b", "n_markers",
+        F.round("_d", 6).alias("delta"),
+    )
+    return track_cached(out, counts)
+
+
+def winnowing_fingerprints(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k_gram: int = 5,
+    window: int = 4,
+    min_shared: int = 2,
+    max_doc_chars: int = 4096,
+    max_docs_per_fp: int = 50,
+) -> DataFrame:
+    """MOSS-style winnowing fingerprint candidates: per document,
+    hash every ``k_gram``-char shingle of the lowercased text, slide
+    a ``window`` of consecutive hashes, keep each window's minimum
+    (rightmost on ties — the MOSS guarantee rule), dedupe the
+    selected (hash, position) fingerprints, then emit document pairs
+    sharing ≥ ``min_shared`` fingerprint hashes. Guarantees any
+    shared substring of length ≥ ``k_gram + window − 1`` is caught —
+    the positional, contiguous-match complement to MinHash (which
+    models bag-of-shingles Jaccard, not contiguity).
+
+    Portable hash: the repo's shared polynomial char-code fold
+    ``h = fold(7, c → (131·h + ord(c)) mod 2³¹−1)`` over each
+    k-gram's code points (the :mod:`dedup` MinHash convention — both
+    engines evaluate the identical integer recurrence), packed with
+    the position into one integer key ``h·2²¹ + (2²¹−1−pos)``
+    (≤ 2⁵² — exact in BIGINT) so ONE ``min`` over the rolling window
+    — and a HUB GUARD: fingerprint hashes carried by more than
+    ``max_docs_per_fp`` documents are dropped before the self-join
+    (boilerplate phrases shared corpus-wide would otherwise square
+    the join; the same bucket-cap discipline as the LSH candidates)
+    implements min-hash-then-rightmost-pos; documents are truncated
+    to ``max_doc_chars`` (documented bound — makes pos < 2²¹ safe and
+    the per-doc shingle count bounded). Plan: posexplode of the
+    shingle positions, one per-doc ordered rolling-window ``min``
+    (bounded partitions — a document's shingles, never the corpus),
+    distinct, then a bucket self-join on the fingerprint hash (the
+    LSH-candidates shape — never all pairs). Output:
+    ``(id_a, id_b, n_shared)``.
+
+    Beyond the reference; standard per Schleimer, Wilkerson & Aiken
+    2003 (SIGMOD).
+    """
+    from pyspark.sql import Window as W
+
+    from padua_spark.extensions.dedup import MOD
+
+    t = F.substring(F.lower(F.col(text_col)), 1, max_doc_chars)
+    codes = F.transform(
+        F.filter(F.split(F.col("_t"), ""), lambda c: c != ""),
+        lambda c: F.ascii(c).cast("long"),
+    )
+    # stage the code array ONCE (HOF lambdas do no CSE), then one
+    # independent k-char fold per position — O(k) each, k tiny
+    hashes = F.transform(
+        F.sequence(F.lit(1), F.size("_codes") - F.lit(k_gram - 1)),
+        lambda p: F.aggregate(
+            F.slice("_codes", p, k_gram),
+            F.lit(7).cast("long"),
+            lambda a, c: (a * 131 + c) % F.lit(MOD),
+        ),
+    )
+    base = (
+        df.where(
+            F.col(text_col).isNotNull()
+            & (F.length(F.col(text_col)) >= k_gram)
+        )
+        .select(F.col(id_col).alias("_id"), t.alias("_t"))
+        .select("_id", codes.alias("_codes"))
+        .where(F.size("_codes") >= k_gram)
+        .select("_id", hashes.alias("_hs"))
+        .select(
+            "_id", F.posexplode("_hs").alias("_i", "_h")
+        )
+        .select(
+            "_id", (F.col("_i") + 1).alias("_pos"), F.col("_h")
+        )
+    )
+    key = (
+        F.col("_h") * F.lit(2 ** 21)
+        + (F.lit(2 ** 21 - 1) - F.col("_pos"))
+    )
+    win = (
+        W.partitionBy("_id").orderBy("_pos")
+        .rowsBetween(0, window - 1)
+    )
+    fps = (
+        base.select("_id", "_pos", key.alias("_key"))
+        .select("_id", F.min("_key").over(win).alias("_sel"))
+        .distinct()
+        .select(
+            "_id", F.shiftright("_sel", 21).alias("_fh")
+        )
+        .distinct()
+    )
+    from pyspark import StorageLevel
+
+    from padua_spark.io_utils import track_cached
+
+    fps_c = fps.persist(StorageLevel.MEMORY_AND_DISK)
+    rare = fps_c.groupBy("_fh").agg(
+        F.count(F.lit(1)).alias("_nd")
+    ).where(F.col("_nd") <= max_docs_per_fp).select("_fh")
+    kept = fps_c.join(rare, on="_fh")
+    a = kept.select(F.col("_id").alias("id_a"), "_fh")
+    b = kept.select(F.col("_id").alias("id_b"), "_fh")
+    pairs = (
+        a.join(b, on="_fh")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
+        .where(F.col("n_shared") >= min_shared)
+    )
+    return track_cached(pairs, fps_c)

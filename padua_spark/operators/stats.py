@@ -12871,3 +12871,1750 @@ def overdispersion_test(
         F.round(z_ct, 6).alias("z_ct"),
         F.round(_normal_sf_2sided(z_ct), 6).alias("p_ct"),
     )
+
+
+def lepage_test(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    group_a,
+    group_b,
+    small_domain_threshold: int | None = None,
+) -> DataFrame:
+    """Lepage two-sample LOCATION-AND-SCALE omnibus test: the sum of
+    the squared standardized Wilcoxon rank-sum (location) and
+    Ansari–Bradley (scale) statistics, ``L = z_W² + z_AB² ~ χ²₂`` —
+    the classic rank-based answer to "did this metric move in center
+    OR spread?" when either alone would be underpowered (A/B guard
+    rails, drift screens).
+
+    Both components ride ONE pass over the shared distributed stepped
+    ECDF (:func:`_ecdf_stepped_counts`): integer doubled midranks
+    ``d = 2F − h + 1`` give the doubled rank sum ``W₂ = Σ c_a·d`` with
+    tie-corrected null moments ``E[W₂] = n_a(N+1)``,
+    ``Var[W₂] = n_a·n_b/3·((N+1) − Σ(t³−t)/(N(N−1)))`` (the
+    :func:`mannwhitney_z_stats` convention), and doubled
+    min-from-both-ends scores give AB₂ with the exact conditional
+    moments (the :func:`ansari_bradley` convention). df=2 makes the
+    chi-square survival EXACT and closed form: ``p = e^{−L/2}``.
+    Output 1 row: ``(n_a, n_b, w_stat, ab_stat, z_location, z_scale,
+    lepage_l, p_value)``, 6dp.
+
+    Beyond the reference; standard per Lepage 1971.
+    """
+    from padua_spark.io_utils import track_cached
+
+    ecdf = _ecdf_stepped_counts(
+        df, group_col, value_col, group_a, group_b,
+        small_domain_threshold=small_domain_threshold,
+    )
+    h = F.col("_ca") + F.col("_cb")
+    f_pool = F.col("_fa") + F.col("_fb")
+    n2 = F.col("_na") + F.col("_nb")
+    d = 2 * f_pool - h + 1
+    s2 = F.least(d, 2 * n2 + 2 - d)
+    dec = "decimal(38,0)"
+    agg = ecdf.select(
+        "_ca", "_cb", h.alias("_h"), d.alias("_d"), s2.alias("_s2")
+    ).agg(
+        F.sum(F.col("_ca").cast(dec) * F.col("_d").cast(dec)).alias(
+            "_w2"
+        ),
+        F.sum(F.col("_ca").cast(dec) * F.col("_s2").cast(dec)).alias(
+            "_ab2"
+        ),
+        F.sum(F.col("_h").cast(dec) * F.col("_s2").cast(dec)).alias(
+            "_hs"
+        ),
+        F.sum(
+            F.col("_h").cast(dec)
+            * F.col("_s2").cast(dec)
+            * F.col("_s2").cast(dec)
+        ).alias("_hss"),
+        F.sum(
+            F.col("_h").cast(dec) * F.col("_h").cast(dec)
+            * F.col("_h").cast(dec)
+            - F.col("_h").cast(dec)
+        ).alias("_tie"),
+        F.sum("_ca").alias("n_a"),
+        F.sum("_cb").alias("n_b"),
+    )
+    na = F.col("n_a").cast("double")
+    nb = F.col("n_b").cast("double")
+    nt = na + nb
+    w2 = F.col("_w2").cast("double")
+    ab2 = F.col("_ab2").cast("double")
+    hs = F.col("_hs").cast("double")
+    hss = F.col("_hss").cast("double")
+    tie = F.col("_tie").cast("double")
+    var_w2 = (
+        na * nb / 3.0 * ((nt + 1.0) - tie / (nt * (nt - 1.0)))
+    )
+    e_ab2 = na * hs / nt
+    var_ab2 = na * nb * (hss - hs * hs / nt) / (nt * (nt - 1.0))
+    z_w = F.when(var_w2 > 0, (w2 - na * (nt + 1.0)) / F.sqrt(var_w2))
+    z_ab = F.when(var_ab2 > 0, (ab2 - e_ab2) / F.sqrt(var_ab2))
+    staged = agg.withColumn("_zw", z_w).withColumn("_zab", z_ab)
+    lep = F.col("_zw") * F.col("_zw") + F.col("_zab") * F.col("_zab")
+    out = staged.select(
+        "n_a", "n_b",
+        F.round(w2 / 2.0, 6).alias("w_stat"),
+        F.round(ab2 / 2.0, 6).alias("ab_stat"),
+        F.round("_zw", 6).alias("z_location"),
+        F.round("_zab", 6).alias("z_scale"),
+        F.round(lep, 6).alias("lepage_l"),
+        F.round(F.exp(-lep / 2.0), 6).alias("p_value"),
+    )
+    return track_cached(out, *getattr(ecdf, "_padua_cached", ()))
+
+
+def cucconi_test(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    group_a,
+    group_b,
+    small_domain_threshold: int | None = None,
+) -> DataFrame:
+    """Cucconi two-sample location-scale test — older than Lepage and
+    based on SQUARED ranks and squared contrary ranks of the second
+    sample instead of a Wilcoxon+Ansari sum; the standard reference
+    alternative when the change may hit center and spread together.
+
+    ``U = (6ΣR_b² − n_b(N+1)(2N+1)) / √(n_a n_b (N+1)(2N+1)(8N+11)/5)``
+    ``V`` the same on contrary ranks ``N+1−R``;
+    ``ρ = 2(N²−4)/((2N+1)(8N+11)) − 1``;
+    ``C = (U² + V² − 2ρUV) / (2(1−ρ²))``, asymptotic null
+    ``P(C ≥ c) = e^{−c}`` (Cucconi 1968; Marozzi 2009). Ties take
+    MIDRANKS (documented convention — scipy has no Cucconi;
+    integer-exact via doubled midranks: ``ΣR² = Σ c_b·d²/4``,
+    ``Σ(N+1−R)² = Σ c_b·(2N+2−d)²/4``). One pass over the shared
+    distributed stepped ECDF. Output 1 row: ``(n_a, n_b, u_stat,
+    v_stat, rho, c_stat, p_value)``, 6dp.
+
+    Beyond the reference; standard per Marozzi 2009.
+    """
+    from padua_spark.io_utils import track_cached
+
+    ecdf = _ecdf_stepped_counts(
+        df, group_col, value_col, group_a, group_b,
+        small_domain_threshold=small_domain_threshold,
+    )
+    h = F.col("_ca") + F.col("_cb")
+    f_pool = F.col("_fa") + F.col("_fb")
+    n2 = F.col("_na") + F.col("_nb")
+    d = 2 * f_pool - h + 1
+    dc = 2 * n2 + 2 - d  # doubled contrary midrank
+    dec = "decimal(38,0)"
+    agg = ecdf.select(
+        "_ca", "_cb", d.alias("_d"), dc.alias("_dc")
+    ).agg(
+        F.sum(
+            F.col("_cb").cast(dec)
+            * F.col("_d").cast(dec) * F.col("_d").cast(dec)
+        ).alias("_r2"),
+        F.sum(
+            F.col("_cb").cast(dec)
+            * F.col("_dc").cast(dec) * F.col("_dc").cast(dec)
+        ).alias("_cr2"),
+        F.sum("_ca").alias("n_a"),
+        F.sum("_cb").alias("n_b"),
+    )
+    na = F.col("n_a").cast("double")
+    nb = F.col("n_b").cast("double")
+    nt = na + nb
+    sum_r2 = F.col("_r2").cast("double") / 4.0
+    sum_cr2 = F.col("_cr2").cast("double") / 4.0
+    denom = F.sqrt(
+        na * nb * (nt + 1.0) * (2.0 * nt + 1.0)
+        * (8.0 * nt + 11.0) / 5.0
+    )
+    u = (6.0 * sum_r2 - nb * (nt + 1.0) * (2.0 * nt + 1.0)) / denom
+    v = (6.0 * sum_cr2 - nb * (nt + 1.0) * (2.0 * nt + 1.0)) / denom
+    rho = (
+        2.0 * (nt * nt - 4.0)
+        / ((2.0 * nt + 1.0) * (8.0 * nt + 11.0))
+        - 1.0
+    )
+    staged = (
+        agg.withColumn("_u", u).withColumn("_v", v)
+        .withColumn("_rho", rho)
+    )
+    uc, vc, rc = F.col("_u"), F.col("_v"), F.col("_rho")
+    c_stat = (
+        (uc * uc + vc * vc - 2.0 * rc * uc * vc)
+        / (2.0 * (1.0 - rc * rc))
+    )
+    ok = (F.col("n_a") > 0) & (F.col("n_b") > 0)
+    out = staged.select(
+        "n_a", "n_b",
+        F.round(F.when(ok, uc), 6).alias("u_stat"),
+        F.round(F.when(ok, vc), 6).alias("v_stat"),
+        F.round(F.when(ok, rc), 6).alias("rho"),
+        F.round(F.when(ok, c_stat), 6).alias("c_stat"),
+        F.round(F.when(ok, F.exp(-c_stat)), 6).alias("p_value"),
+    )
+    return track_cached(out, *getattr(ecdf, "_padua_cached", ()))
+
+
+def conover_squared_ranks(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    groups: list,
+    small_domain_threshold: int | None = None,
+) -> DataFrame:
+    """Conover squared-ranks k-group SCALE test: rank the absolute
+    deviations from each group's own mean over the POOLED sample,
+    then compare per-group sums of SQUARED ranks —
+    ``T = (Σ_g S_g²/n_g − N·S̄²) / D² ~ χ²_{k−1}`` with
+    ``S_g = Σ_{i∈g} R_i²``, ``S̄ = (1/N)ΣR_i²``,
+    ``D² = (ΣR_i⁴ − N·S̄²)/(N−1)`` (Conover & Iman; the tie-robust
+    form via midranks — D² computed from the realized ranks absorbs
+    ties exactly). The rank-based k-group companion to
+    :func:`levene_stats` that needs no variance-of-variance
+    assumptions.
+
+    Plan: one aggregation for the k group means (broadcast back — k
+    bounded), one pooled distinct-value frame over ``|x − x̄_g|``
+    with per-group counts, the distributed stepped running sum, then
+    ONE exact integer aggregation (doubled midranks: ``R² = d²/4``,
+    ``R⁴ = d⁴/16`` — decimal(38,0) holds Σd⁴ ≲ N·(2N)⁴). Closed-form
+    chi-square survival (:func:`_chi2_sf_closed`, df = k−1 bounded by
+    ``len(groups)``). Output 1 row: ``(k_groups, n_total, t_stat,
+    p_value)``, 6dp.
+
+    Beyond the reference; standard per Conover, Practical
+    Nonparametric Statistics §5.3.
+    """
+    from padua_spark.io_utils import track_cached
+
+    k = len(groups)
+    if k < 2:
+        raise ValueError("conover_squared_ranks: need >= 2 groups")
+    g = F.col(group_col)
+    v = F.col(value_col).cast("double")
+    base = df.where(g.isin(list(groups)) & v.isNotNull())
+    means = base.groupBy(g.alias("_g")).agg(
+        F.avg(v).alias("_mean")
+    )
+    z = base.join(
+        F.broadcast(means), g == F.col("_g")
+    ).select(g.alias("_grp"), F.abs(v - F.col("_mean")).alias("_z"))
+    cols = [f"_c{i}" for i in range(k)]
+    per = z.groupBy(F.col("_z").alias("_v")).agg(
+        *[
+            F.count(F.when(F.col("_grp") == grp, 1)).alias(c)
+            for grp, c in zip(groups, cols)
+        ]
+    )
+    pooled = per.select(
+        "_v", *cols,
+        sum([F.col(c) for c in cols[1:]], F.col(cols[0])).alias("_ct"),
+    )
+    stepped = _stepped_running_counts(
+        pooled, "_v", ["_ct"], small_domain_threshold
+    )
+    dmid = (
+        2 * (F.col("_ct_run") - F.col("_ct")) + F.col("_ct") + 1
+    )
+    dec = "decimal(38,0)"
+    d2 = dmid.cast(dec) * dmid.cast(dec)
+    agg = stepped.agg(
+        *[
+            F.sum(F.col(c).cast(dec) * d2).alias(f"_s{i}")
+            for i, c in enumerate(cols)
+        ],
+        *[F.sum(c).alias(f"_n{i}") for i, c in enumerate(cols)],
+        F.sum(F.col("_ct").cast(dec) * d2).alias("_hd2"),
+        F.sum(F.col("_ct").cast(dec) * d2 * d2).alias("_hd4"),
+    )
+    n_total = sum(
+        [F.col(f"_n{i}") for i in range(1, k)], F.col("_n0")
+    )
+    nd = n_total.cast("double")
+    sum_r2 = F.col("_hd2").cast("double") / 4.0
+    sum_r4 = F.col("_hd4").cast("double") / 16.0
+    sbar = sum_r2 / nd
+    dsq = (sum_r4 - nd * sbar * sbar) / (nd - 1.0)
+    ssq = None
+    for i in range(k):
+        term = (
+            F.col(f"_s{i}").cast("double")
+            * F.col(f"_s{i}").cast("double") / 16.0
+            / F.col(f"_n{i}").cast("double")
+        )
+        term = F.when(F.col(f"_n{i}") > 0, term).otherwise(F.lit(0.0))
+        ssq = term if ssq is None else ssq + term
+    t_stat = F.when(dsq > 0, (ssq - nd * sbar * sbar) / dsq)
+    staged = agg.withColumn("_t", t_stat).withColumn(
+        "_ntot", n_total.cast("bigint")
+    )
+    out = staged.select(
+        F.lit(k).cast("bigint").alias("k_groups"),
+        F.col("_ntot").alias("n_total"),
+        F.round("_t", 6).alias("t_stat"),
+        F.round(
+            _chi2_sf_closed(F.col("_t"), F.lit(k - 1), k - 1), 6
+        ).alias("p_value"),
+    )
+    return track_cached(out, *getattr(stepped, "_padua_cached", ()))
+
+
+def variance_outlier_screen(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    groups: list,
+) -> DataFrame:
+    """Cochran's C + Hartley's F_max variance-outlier screen: is ONE
+    group's variance out of line with the rest? ``C = s²_max / Σs²``
+    and ``F_max = s²_max / s²_min`` — the classic pre-ANOVA
+    homogeneity screens that localize WHICH group misbehaves (Levene
+    and Bartlett only say "not all equal").
+
+    The p-value uses the exact identity
+    ``s²_max / mean(others) = (k−1)·C/(1−C) ~ F(ν_max, Σν−ν_max)``
+    for a PRE-CHOSEN group, Bonferroni-multiplied by k for the
+    realized maximum: ``p ≤ min(1, k·SF_F)`` — conservative, and
+    exact-conditional in the balanced case (documented; Cochran's
+    table-based critical values assume balance too). F survival via
+    the shared vectorized betainc (``f_sf_udf``).
+
+    ONE moment aggregation (k bounded rows), then max_by/min stitches
+    on that k-row frame — no second data pass. Output 1 row:
+    ``(k_groups, n_total, max_group, cochran_c, hartley_fmax, f_stat,
+    df1, df2, p_bonferroni)``, 6dp; NULL p when any group has n < 2
+    or all variances are zero.
+
+    Beyond the reference; standard per Cochran 1941 / Hartley 1950.
+    """
+    from padua_spark.functions.distributions import f_sf_udf
+
+    k = len(groups)
+    if k < 2:
+        raise ValueError("variance_outlier_screen: need >= 2 groups")
+    g = F.col(group_col)
+    v = F.col(value_col).cast("double")
+    base = df.where(g.isin(list(groups)) & v.isNotNull())
+    per = base.groupBy(g.alias("_g")).agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(v).alias("_s"),
+        F.sum(v * v).alias("_q"),
+    )
+    nd = F.col("_n").cast("double")
+    var = F.when(
+        F.col("_n") >= 2,
+        (F.col("_q") - F.col("_s") * F.col("_s") / nd) / (nd - 1.0),
+    )
+    pv = per.select(
+        "_g", "_n", var.alias("_var"), (nd - 1.0).alias("_nu")
+    )
+    agg = pv.agg(
+        F.count(F.lit(1)).alias("_k"),
+        F.sum("_n").cast("bigint").alias("n_total"),
+        F.max_by("_g", "_var").alias("max_group"),
+        F.max("_var").alias("_vmax"),
+        F.min("_var").alias("_vmin"),
+        F.sum("_var").alias("_vsum"),
+        F.max_by("_nu", "_var").alias("_numax"),
+        F.sum("_nu").alias("_nusum"),
+        F.min("_n").alias("_nmin"),
+    )
+    c = F.col("_vmax") / F.col("_vsum")
+    fmax = F.when(
+        F.col("_vmin") > 0, F.col("_vmax") / F.col("_vmin")
+    )
+    fstat = F.when(
+        (F.col("_vsum") > F.col("_vmax")),
+        F.lit(float(k - 1)) * c / (1.0 - c),
+    )
+    ok = (F.col("_nmin") >= 2) & (F.col("_vsum") > 0)
+    staged = agg.select(
+        "*",
+        F.when(ok, c).alias("_c"),
+        F.when(ok, fmax).alias("_fmax"),
+        F.when(ok, fstat).alias("_f"),
+        F.when(ok, F.col("_numax")).alias("_df1"),
+        F.when(ok, F.col("_nusum") - F.col("_numax")).alias("_df2"),
+    )
+    return staged.select(
+        F.lit(k).cast("bigint").alias("k_groups"),
+        "n_total", "max_group",
+        F.round("_c", 6).alias("cochran_c"),
+        F.round("_fmax", 6).alias("hartley_fmax"),
+        F.round("_f", 6).alias("f_stat"),
+        F.col("_df1").cast("bigint").alias("df1"),
+        F.col("_df2").cast("bigint").alias("df2"),
+        F.round(
+            F.least(
+                F.lit(1.0),
+                F.lit(float(k)) * f_sf_udf(
+                    F.col("_f"), F.col("_df1"), F.col("_df2")
+                ),
+            ),
+            6,
+        ).alias("p_bonferroni"),
+    )
+
+
+# Stephens / D'Agostino (1986) Table 4.9 upper percentage points for
+# the CASE-3 (mean and sd estimated) MODIFIED EDF statistics vs a
+# fitted normal — pinned so both engines and the tests share one
+# source of truth. Keys: alpha -> critical value of the modified stat.
+EDF_CASE3_CRIT = {
+    "w2": {0.10: 0.104, 0.05: 0.126, 0.01: 0.179},
+    "u2": {0.10: 0.096, 0.05: 0.117, 0.01: 0.164},
+}
+
+
+def edf_normality_battery(
+    df: DataFrame,
+    value_col: str,
+    small_domain_threshold: int | None = None,
+) -> DataFrame:
+    """EDF goodness-of-fit battery vs a FITTED normal — the
+    Anderson–Darling A², Cramér–von Mises W², and Watson U²
+    statistics with Stephens' case-3 modifications (mean and sd
+    estimated from the same sample), completing the EDF corner that
+    :func:`lilliefors_normal` (sup-norm) opened: A² weights the
+    tails, W² integrates the whole gap, U² is rotation-invariant.
+
+    Tie-exact closed forms on the shared distributed stepped ECDF
+    (value v with count c ending at cumulative rank F):
+
+    ``A² = −n − (1/n)·Σ_v [c(2F−c)·lnΦ(z_v) +
+    c(2(n−F)+c)·ln(1−Φ(z_v))]`` (the order-statistic sum collapsed
+    per distinct value);
+    ``W² = Σ_v [c·Φ² − (Φ/n)·c(2F−c) + (g(F)−g(F−c))/(4n²)]
+    + 1/(12n)`` with ``g(m) = m(2m−1)(2m+1)/3 = Σ_{j≤m}(2j−1)²``;
+    ``U² = W² − n(Φ̄ − ½)²``. Φ via the shared A&S erfc polynomial,
+    clamped to [1e−300, 1−1e−16] before logs.
+
+    Modified stats: ``A*² = A²(1 + 0.75/n + 2.25/n²)`` with the
+    R-nortest closed-form p (4-range exponential-polynomial);
+    ``W*² = W²(1 + 0.5/n)``, ``U*² = U²(1 + 0.5/n)`` reported with
+    reject flags against the pinned Table-4.9 criticals
+    (``EDF_CASE3_CRIT``) — no defensible closed-form p exists for
+    case-3 W²/U², so the battery reports the decision, not a made-up
+    p. Output 1 row: ``(n, mean, sd, a2_stat, a2_mod, p_ad, w2_stat,
+    w2_mod, w2_reject_10pct, w2_reject_5pct, w2_reject_1pct,
+    u2_stat, u2_mod, u2_reject_5pct)``, 6dp.
+
+    Beyond the reference; standard per D'Agostino & Stephens 1986
+    ch. 4.
+    """
+    from padua_spark.io_utils import track_cached
+
+    v = F.col(value_col).cast("double")
+    per = (
+        df.where(v.isNotNull())
+        .groupBy(v.alias("_v"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("_c"))
+    )
+    stepped = _stepped_running_counts(
+        per, "_v", ["_c"], small_domain_threshold
+    )
+    mom = (
+        stepped.agg(
+            F.sum("_c").cast("bigint").alias("n"),
+            F.sum(F.col("_v") * F.col("_c")).alias("_s1"),
+            F.sum(F.col("_v") * F.col("_v") * F.col("_c")).alias(
+                "_s2"
+            ),
+        )
+        .withColumn("_one", F.lit(1))
+    )
+    nd0 = F.col("n").cast("double")
+    mu = F.col("_s1") / nd0
+    sd = F.sqrt((F.col("_s2") - nd0 * mu * mu) / (nd0 - 1.0))
+    mom = mom.select("_one", "n", mu.alias("_mu"), sd.alias("_sd"))
+    joined = stepped.withColumn("_one", F.lit(1)).join(
+        F.broadcast(mom), on="_one"
+    )
+    z = (F.col("_v") - F.col("_mu")) / F.col("_sd")
+    phi_raw = 1.0 - _normal_sf_1sided(z)
+    phi = F.least(
+        F.greatest(phi_raw, F.lit(1e-300)), F.lit(1.0 - 1e-16)
+    )
+    c = F.col("_c").cast("double")
+    fcum = F.col("_c_run").cast("double")
+    n = F.col("_c_tot").cast("double")
+    # Σ(2i−1) over the tie span = c(2F−c); Σ(2(n−i)+1) = c(2(n−F)+c)
+    w_lo = c * (2.0 * fcum - c)
+    w_hi = c * (2.0 * (n - fcum) + c)
+
+    def gsum(m):
+        return m * (2.0 * m - 1.0) * (2.0 * m + 1.0) / 3.0
+
+    agg = joined.groupBy("n", "_mu", "_sd").agg(
+        F.sum(
+            w_lo * F.log(phi) + w_hi * F.log(1.0 - phi)
+        ).alias("_ad"),
+        F.sum(
+            c * phi * phi
+            - phi / n * w_lo
+            + (gsum(fcum) - gsum(fcum - c)) / (4.0 * n * n)
+        ).alias("_w2"),
+        F.sum(c * phi).alias("_sphi"),
+    )
+    nd = F.col("n").cast("double")
+    a2 = -nd - F.col("_ad") / nd
+    w2 = F.col("_w2") + 1.0 / (12.0 * nd)
+    phibar = F.col("_sphi") / nd
+    u2 = w2 - nd * (phibar - 0.5) * (phibar - 0.5)
+    staged = (
+        agg.withColumn("_a2", a2)
+        .withColumn("_w2s", w2)
+        .withColumn("_u2", u2)
+    )
+    a2m = F.col("_a2") * (
+        1.0 + 0.75 / nd + 2.25 / (nd * nd)
+    )
+    w2m = F.col("_w2s") * (1.0 + 0.5 / nd)
+    u2m = F.col("_u2") * (1.0 + 0.5 / nd)
+    staged = (
+        staged.withColumn("_a2m", a2m)
+        .withColumn("_w2m", w2m)
+        .withColumn("_u2m", u2m)
+    )
+    zz = F.col("_a2m")
+    p_ad = (
+        F.when(
+            zz < 0.2,
+            1.0 - F.exp(-13.436 + 101.14 * zz - 223.73 * zz * zz),
+        )
+        .when(
+            zz < 0.34,
+            1.0 - F.exp(-8.318 + 42.796 * zz - 59.938 * zz * zz),
+        )
+        .when(zz < 0.6, F.exp(0.9177 - 4.279 * zz - 1.38 * zz * zz))
+        .when(zz < 10.0, F.exp(1.2937 - 5.709 * zz + 0.0186 * zz * zz))
+        .otherwise(F.lit(3.7e-24))
+    )
+    ok = (F.col("n") >= 8) & (F.col("_sd") > 0)
+    cw = EDF_CASE3_CRIT["w2"]
+    cu = EDF_CASE3_CRIT["u2"]
+    out = staged.select(
+        "n",
+        F.round("_mu", 6).alias("mean"),
+        F.round(F.when(ok, F.col("_sd")), 6).alias("sd"),
+        F.round(F.when(ok, F.col("_a2")), 6).alias("a2_stat"),
+        F.round(F.when(ok, F.col("_a2m")), 6).alias("a2_mod"),
+        F.round(
+            F.when(
+                ok,
+                F.least(F.lit(1.0), F.greatest(F.lit(0.0), p_ad)),
+            ),
+            6,
+        ).alias("p_ad"),
+        F.round(F.when(ok, F.col("_w2s")), 6).alias("w2_stat"),
+        F.round(F.when(ok, F.col("_w2m")), 6).alias("w2_mod"),
+        F.when(ok, F.col("_w2m") > cw[0.10]).alias("w2_reject_10pct"),
+        F.when(ok, F.col("_w2m") > cw[0.05]).alias("w2_reject_5pct"),
+        F.when(ok, F.col("_w2m") > cw[0.01]).alias("w2_reject_1pct"),
+        F.round(F.when(ok, F.col("_u2")), 6).alias("u2_stat"),
+        F.round(F.when(ok, F.col("_u2m")), 6).alias("u2_mod"),
+        F.when(ok, F.col("_u2m") > cu[0.05]).alias("u2_reject_5pct"),
+    )
+    return track_cached(out, *getattr(stepped, "_padua_cached", ()))
+
+
+def f_variance_ratio_test(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    group_a,
+    group_b,
+) -> DataFrame:
+    """Classical two-sample F test of equal variances —
+    ``F = s²_a / s²_b ~ F(n_a−1, n_b−1)`` under normality, two-sided
+    ``p = 2·min(SF, 1−SF)`` clamped to [0, 1]. The textbook
+    parametric companion to :func:`levene_stats` (robust) and
+    :func:`ansari_bradley` (rank): exact under normality, famously
+    fragile otherwise — reported with both group variances so the
+    caller can see what drove it.
+
+    ONE conditional-moment aggregation; F survival via the shared
+    vectorized betainc (``f_sf_udf``). Output 1 row: ``(n_a, n_b,
+    var_a, var_b, f_stat, df1, df2, p_two_sided)``, 6dp; NULLs when
+    either group has n < 2 or s²_b = 0.
+
+    Beyond the reference; the classic Snedecor F.
+    """
+    from padua_spark.functions.distributions import f_sf_udf
+
+    g = F.col(group_col)
+    v = F.col(value_col).cast("double")
+    base = df.where(g.isin([group_a, group_b]) & v.isNotNull())
+    aggs = []
+    for tag, arm in (("a", group_a), ("b", group_b)):
+        hit = g == arm
+        aggs += [
+            F.sum(hit.cast("int")).cast("bigint").alias(f"n_{tag}"),
+            F.sum(F.when(hit, v)).alias(f"_s{tag}"),
+            F.sum(F.when(hit, v * v)).alias(f"_q{tag}"),
+        ]
+    agg = base.agg(*aggs)
+
+    def var(tag):
+        nd = F.col(f"n_{tag}").cast("double")
+        m = F.col(f"_s{tag}") / nd
+        return (F.col(f"_q{tag}") - nd * m * m) / (nd - 1.0)
+
+    ok = (F.col("n_a") >= 2) & (F.col("n_b") >= 2)
+    staged = agg.select(
+        "n_a", "n_b",
+        F.when(ok, var("a")).alias("_va"),
+        F.when(ok, var("b")).alias("_vb"),
+    ).withColumn(
+        "_f",
+        F.when(
+            F.col("_vb") > 0, F.col("_va") / F.col("_vb")
+        ),
+    )
+    sf = f_sf_udf(
+        F.col("_f"),
+        (F.col("n_a") - 1).cast("double"),
+        (F.col("n_b") - 1).cast("double"),
+    )
+    staged = staged.withColumn("_sf", sf)
+    p2 = F.least(
+        F.lit(1.0),
+        2.0 * F.least(F.col("_sf"), 1.0 - F.col("_sf")),
+    )
+    return staged.select(
+        "n_a", "n_b",
+        F.round("_va", 6).alias("var_a"),
+        F.round("_vb", 6).alias("var_b"),
+        F.round("_f", 6).alias("f_stat"),
+        F.when(F.col("_f").isNotNull(), F.col("n_a") - 1)
+        .cast("bigint").alias("df1"),
+        F.when(F.col("_f").isNotNull(), F.col("n_b") - 1)
+        .cast("bigint").alias("df2"),
+        F.round(
+            F.when(F.col("_f").isNotNull(), p2), 6
+        ).alias("p_two_sided"),
+    )
+
+
+def poisson_two_rate_test(
+    df: DataFrame,
+    arm_col: str,
+    arm_a,
+    arm_b,
+    event_flag: Column,
+    exposure_flag: Column,
+    max_support: int = 500_000,
+) -> DataFrame:
+    """Exact conditional comparison of two Poisson RATES (the C-test,
+    Przyborowski & Wilenski 1940): with counts ``k_a, k_b`` over
+    exposures ``t_a, t_b``, condition on ``K = k_a + k_b`` — under
+    ``H₀: λ_a = λ_b``, ``k_a | K ~ Binomial(K, t_a/(t_a+t_b))`` — and
+    report the exact point-probability two-sided p plus the realized
+    rate ratio. The exact answer to "is the error rate per click
+    higher in arm A?" at counts where the z approximation lies.
+
+    ONE conditional-count aggregation to the four integers, then the
+    shared bounded JVM binomial tail fold
+    (:func:`_binom_exact_pvalues`, raises above ``max_support``).
+    Output 1 row: ``(k_a, k_b, t_a, t_b, rate_a, rate_b, rate_ratio,
+    p_left, p_right, p_two)``, 6dp; NULL rates when an exposure is 0.
+
+    Beyond the reference; standard per Przyborowski & Wilenski 1940 /
+    Lehmann TSH §4.5.
+    """
+    a = F.col(arm_col)
+    base = df.where(a.isin([arm_a, arm_b]))
+    agg = base.agg(
+        F.sum(
+            F.when((a == arm_a) & event_flag, 1).otherwise(0)
+        ).cast("bigint").alias("k_a"),
+        F.sum(
+            F.when((a == arm_b) & event_flag, 1).otherwise(0)
+        ).cast("bigint").alias("k_b"),
+        F.sum(
+            F.when((a == arm_a) & exposure_flag, 1).otherwise(0)
+        ).cast("bigint").alias("t_a"),
+        F.sum(
+            F.when((a == arm_b) & exposure_flag, 1).otherwise(0)
+        ).cast("bigint").alias("t_b"),
+    )
+    staged = agg.withColumn(
+        "_K", (F.col("k_a") + F.col("k_b")).cast("bigint")
+    ).withColumn(
+        "_p0",
+        F.col("t_a").cast("double")
+        / (F.col("t_a") + F.col("t_b")).cast("double"),
+    )
+    staged, pl, pr, pt = _binom_exact_pvalues(
+        staged, "_K", "k_a", "_p0", max_support
+    )
+    ra = F.when(
+        F.col("t_a") > 0,
+        F.col("k_a").cast("double") / F.col("t_a").cast("double"),
+    )
+    rb = F.when(
+        F.col("t_b") > 0,
+        F.col("k_b").cast("double") / F.col("t_b").cast("double"),
+    )
+    staged = staged.withColumn("_ra", ra).withColumn("_rb", rb)
+    ok = (F.col("_K") > 0) & (F.col("t_a") > 0) & (F.col("t_b") > 0)
+    return staged.select(
+        "k_a", "k_b", "t_a", "t_b",
+        F.round("_ra", 6).alias("rate_a"),
+        F.round("_rb", 6).alias("rate_b"),
+        F.round(
+            F.when(
+                F.col("_rb") > 0, F.col("_ra") / F.col("_rb")
+            ),
+            6,
+        ).alias("rate_ratio"),
+        F.round(F.when(ok, F.least(pl, F.lit(1.0))), 6).alias(
+            "p_left"
+        ),
+        F.round(F.when(ok, F.least(pr, F.lit(1.0))), 6).alias(
+            "p_right"
+        ),
+        F.round(F.when(ok, F.least(pt, F.lit(1.0))), 6).alias(
+            "p_two"
+        ),
+    )
+
+
+def wallis_moore_test(
+    df: DataFrame,
+    group_cols: list[str],
+    order_cols: list[str],
+    value_col: str,
+) -> DataFrame:
+    """Wallis–Moore phase-frequency test of randomness per group: are
+    rises and falls of the ordered series grouped into fewer (trend/
+    cycles) or more (oscillation) PHASES than chance? A phase is a
+    maximal run of same-signed successive differences; with the first
+    and last phase excluded, ``h ~ N((2n−7)/3, (16n−29)/90)`` under
+    randomness (n = series length). The sign-based sibling of
+    :func:`turning_points_test` — phases count runs, turning points
+    count extrema; they disagree exactly when oscillation is bursty.
+
+    Convention under ties (documented; the classic test assumes a
+    continuous series): ZERO differences are dropped before phase
+    counting, and n is the retained difference count + 1. Two ordered
+    window passes per group (diff sign, then sign change), one
+    aggregation. Two-sided p via the shared A&S erfc polynomial.
+    Output per group: ``(group_cols..., n, h_phases, z, p_value)``,
+    6dp; NULL z when n < 10.
+
+    Beyond the reference; standard per Wallis & Moore 1941.
+    """
+    v = F.col(value_col).cast("double")
+    w = Window.partitionBy(*group_cols).orderBy(*order_cols)
+    diffed = (
+        df.where(v.isNotNull())
+        .withColumn("_d", v - F.lag(v).over(w))
+        .where(F.col("_d").isNotNull() & (F.col("_d") != 0))
+        .withColumn("_sgn", F.signum("_d"))
+    )
+    w2 = Window.partitionBy(*group_cols).orderBy(*order_cols)
+    flagged = diffed.withColumn(
+        "_chg",
+        F.when(
+            F.lag("_sgn").over(w2).isNull(), F.lit(0)
+        ).when(
+            F.col("_sgn") != F.lag("_sgn").over(w2), F.lit(1)
+        ).otherwise(F.lit(0)),
+    )
+    agg = flagged.groupBy(*group_cols).agg(
+        (F.count(F.lit(1)) + 1).cast("bigint").alias("n"),
+        F.sum("_chg").cast("bigint").alias("_nchg"),
+    )
+    # total phases = changes + 1; interior phases exclude first+last
+    h = F.greatest(
+        F.col("_nchg") + 1 - 2, F.lit(0)
+    ).cast("bigint")
+    nd = F.col("n").cast("double")
+    mean_h = (2.0 * nd - 7.0) / 3.0
+    var_h = (16.0 * nd - 29.0) / 90.0
+    staged = agg.withColumn("_h", h).withColumn(
+        "_z",
+        F.when(
+            (F.col("n") >= 10) & (var_h > 0),
+            (h.cast("double") - mean_h) / F.sqrt(var_h),
+        ),
+    )
+    return staged.select(
+        *group_cols, "n",
+        F.col("_h").alias("h_phases"),
+        F.round("_z", 6).alias("z"),
+        F.round(_normal_sf_2sided(F.col("_z")), 6).alias("p_value"),
+    )
+
+
+def geary_c(
+    values: DataFrame,
+    edges: DataFrame,
+    id_col: str = "node",
+    value_col: str = "value",
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+) -> DataFrame:
+    """Geary's C autocorrelation of a node attribute over a graph —
+    the LOCAL-difference companion to :func:`morans_i` (Moran is a
+    cross-product global measure; Geary squares the per-edge
+    difference, so it reacts to neighborhood-level dissimilarity
+    Moran can average away; C < 1 = neighbors alike, E[C] = 1):
+
+    symmetric binary weights on the deduped, symmetrized edge list,
+    ``C = (n−1)·Σ_{(u,v)} (x_u − x_v)² / (2S₀·Σ(x−x̄)²)`` summed over
+    both directions (S₀ = 2m), with the normality-assumption variance
+    ``Var(C) = [(2S₁ + S₂)(n−1) − 4S₀²] / (2(n+1)S₀²)``
+    (S₁ = 4m, S₂ = 4·Σ deg²) and a two-sided z/p.
+
+    Same one-pass plan as :func:`morans_i` (edge joins + one degree
+    aggregation; nothing pairwise beyond the given edges). Output 1
+    row: ``(n_nodes, n_edges, geary_c, z, p_value)``, 6dp; NULL when
+    the value variance or edge count degenerates. Nodes absent from
+    ``values`` are dropped with their edges.
+
+    Beyond the reference; standard per Geary 1954 / Cliff & Ord 1981.
+    """
+    from pyspark import StorageLevel
+
+    from padua_spark.io_utils import track_cached
+
+    v = F.col(value_col).cast("double")
+    vals = values.where(
+        F.col(id_col).isNotNull() & v.isNotNull()
+    ).select(F.col(id_col).alias("_x"), v.alias("_v"))
+    e = (
+        edges.select(
+            F.least(F.col(src_col), F.col(dst_col)).alias("_u"),
+            F.greatest(F.col(src_col), F.col(dst_col)).alias("_v2"),
+        )
+        .where(F.col("_u") != F.col("_v2"))
+        .distinct()
+    )
+    known = vals.select(F.col("_x"))
+    e = (
+        e.join(known.withColumnRenamed("_x", "_u"), on="_u")
+        .join(known.withColumnRenamed("_x", "_v2"), on="_v2")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    vstats = vals.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
+        F.sum("_v").alias("_s1"),
+        F.sum(F.col("_v") * F.col("_v")).alias("_s2"),
+    ).withColumn("_one", F.lit(1))
+    va = vals.select(F.col("_x").alias("_u"), F.col("_v").alias("_va"))
+    vb = vals.select(
+        F.col("_x").alias("_v2"), F.col("_v").alias("_vb")
+    )
+    cross = (
+        e.join(va, on="_u")
+        .join(vb, on="_v2")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_edges"),
+            F.sum(
+                (F.col("_va") - F.col("_vb"))
+                * (F.col("_va") - F.col("_vb"))
+            ).alias("_sdd"),
+        )
+        .withColumn("_one", F.lit(1))
+    )
+    deg = (
+        e.select(F.col("_u").alias("_x"))
+        .unionAll(e.select(F.col("_v2").alias("_x")))
+        .groupBy("_x")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("_deg"))
+        .agg(
+            F.sum(
+                F.col("_deg") * F.col("_deg")
+            ).cast("bigint").alias("_sdeg2")
+        )
+        .withColumn("_one", F.lit(1))
+    )
+    j = vstats.join(F.broadcast(cross), on="_one").join(
+        F.broadcast(deg), on="_one"
+    )
+    n = F.col("n_nodes").cast("double")
+    m = F.col("n_edges").cast("double")
+    mean = F.col("_s1") / n
+    den = F.col("_s2") - n * mean * mean
+    s0 = 2.0 * m
+    # Σ over both directions of (x_u − x_v)² = 2·Σ_edges (va − vb)²
+    c_stat = F.when(
+        (den > 0) & (m > 0),
+        (n - 1.0) * (2.0 * F.col("_sdd")) / (2.0 * s0 * den),
+    )
+    s1 = 4.0 * m
+    s2 = 4.0 * F.col("_sdeg2").cast("double")
+    var = (
+        ((2.0 * s1 + s2) * (n - 1.0) - 4.0 * s0 * s0)
+        / (2.0 * (n + 1.0) * s0 * s0)
+    )
+    staged = j.withColumn("_c", c_stat).withColumn(
+        "_z",
+        F.when(
+            c_stat.isNotNull() & (var > 0),
+            (c_stat - 1.0) / F.sqrt(var),
+        ),
+    )
+    out = staged.select(
+        "n_nodes", "n_edges",
+        F.round("_c", 6).alias("geary_c"),
+        F.round("_z", 6).alias("z"),
+        F.round(
+            F.when(
+                F.col("_z").isNotNull(),
+                _normal_sf_2sided(F.col("_z")),
+            ),
+            6,
+        ).alias("p_value"),
+    )
+    return track_cached(out, e)
+
+
+def getis_ord_g(
+    values: DataFrame,
+    edges: DataFrame,
+    id_col: str = "node",
+    value_col: str = "value",
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+) -> DataFrame:
+    """Global Getis–Ord G — CONCENTRATION autocorrelation of a
+    POSITIVE node attribute: are the large values clustered on
+    connected nodes? Distinct from Moran/Geary (which center the
+    attribute): G compares the weighted cross product to all pairs,
+    so it detects hot spots specifically (high-high clustering) —
+    "are the long documents near-duplicates of each other?".
+
+    ``G = Σ_{(u,v)} x_u x_v / Σ_{i≠j} x_i x_j`` over both directions
+    of the deduped symmetrized edge list (binary weights, W = S₀ =
+    2m); ``E[G] = W/(n(n−1))``; the randomization variance from
+    Getis & Ord 1992 with the B-coefficients on S₁ = 4m,
+    S₂ = 4·Σ deg² and value moments ``m_j = Σ x^j``:
+
+    ``B₀=(n²−3n+3)S₁−nS₂+3W²``, ``B₁=−[(n²−n)S₁−2nS₂+6W²]``,
+    ``B₂=−[2nS₁−(n+3)S₂+6W²]``, ``B₃=4(n−1)S₁−2(n+1)S₂+8W²``,
+    ``B₄=S₁−S₂+W²``;
+    ``E[G²] = (B₀m₂²+B₁m₄+B₂m₁²m₂+B₃m₁m₃+B₄m₁⁴) /
+    [(m₁²−m₂)²·n(n−1)(n−2)(n−3)]``.
+
+    Rows with ``x ≤ 0`` are DROPPED (documented — G is defined for
+    positive attributes), along with their edges. Same one-pass plan
+    as :func:`morans_i`. Output 1 row: ``(n_nodes, n_edges, g_stat,
+    expected_g, z, p_value)``, 6dp.
+
+    Beyond the reference; standard per Getis & Ord 1992.
+    """
+    from pyspark import StorageLevel
+
+    from padua_spark.io_utils import track_cached
+
+    v = F.col(value_col).cast("double")
+    vals = values.where(
+        F.col(id_col).isNotNull() & v.isNotNull() & (v > 0)
+    ).select(F.col(id_col).alias("_x"), v.alias("_v"))
+    e = (
+        edges.select(
+            F.least(F.col(src_col), F.col(dst_col)).alias("_u"),
+            F.greatest(F.col(src_col), F.col(dst_col)).alias("_v2"),
+        )
+        .where(F.col("_u") != F.col("_v2"))
+        .distinct()
+    )
+    known = vals.select(F.col("_x"))
+    e = (
+        e.join(known.withColumnRenamed("_x", "_u"), on="_u")
+        .join(known.withColumnRenamed("_x", "_v2"), on="_v2")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    vstats = vals.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
+        F.sum("_v").alias("_m1"),
+        F.sum(F.col("_v") * F.col("_v")).alias("_m2"),
+        F.sum(
+            F.col("_v") * F.col("_v") * F.col("_v")
+        ).alias("_m3"),
+        F.sum(
+            F.col("_v") * F.col("_v") * F.col("_v") * F.col("_v")
+        ).alias("_m4"),
+    ).withColumn("_one", F.lit(1))
+    va = vals.select(F.col("_x").alias("_u"), F.col("_v").alias("_va"))
+    vb = vals.select(
+        F.col("_x").alias("_v2"), F.col("_v").alias("_vb")
+    )
+    cross = (
+        e.join(va, on="_u")
+        .join(vb, on="_v2")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_edges"),
+            F.sum(F.col("_va") * F.col("_vb")).alias("_svv"),
+        )
+        .withColumn("_one", F.lit(1))
+    )
+    deg = (
+        e.select(F.col("_u").alias("_x"))
+        .unionAll(e.select(F.col("_v2").alias("_x")))
+        .groupBy("_x")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("_deg"))
+        .agg(
+            F.sum(
+                F.col("_deg") * F.col("_deg")
+            ).cast("bigint").alias("_sdeg2")
+        )
+        .withColumn("_one", F.lit(1))
+    )
+    j = vstats.join(F.broadcast(cross), on="_one").join(
+        F.broadcast(deg), on="_one"
+    )
+    n = F.col("n_nodes").cast("double")
+    m = F.col("n_edges").cast("double")
+    m1, m2 = F.col("_m1"), F.col("_m2")
+    m3, m4 = F.col("_m3"), F.col("_m4")
+    w = 2.0 * m
+    s1 = 4.0 * m
+    s2 = 4.0 * F.col("_sdeg2").cast("double")
+    den = m1 * m1 - m2
+    g_stat = F.when(
+        (den > 0) & (m > 0), 2.0 * F.col("_svv") / den
+    )
+    e_g = w / (n * (n - 1.0))
+    b0 = (n * n - 3.0 * n + 3.0) * s1 - n * s2 + 3.0 * w * w
+    b1 = -((n * n - n) * s1 - 2.0 * n * s2 + 6.0 * w * w)
+    b2 = -(2.0 * n * s1 - (n + 3.0) * s2 + 6.0 * w * w)
+    b3 = 4.0 * (n - 1.0) * s1 - 2.0 * (n + 1.0) * s2 + 8.0 * w * w
+    b4 = s1 - s2 + w * w
+    eg2 = (
+        b0 * m2 * m2 + b1 * m4 + b2 * m1 * m1 * m2
+        + b3 * m1 * m3 + b4 * m1 * m1 * m1 * m1
+    ) / (
+        den * den * n * (n - 1.0) * (n - 2.0) * (n - 3.0)
+    )
+    var = eg2 - e_g * e_g
+    staged = j.withColumn("_g", g_stat).withColumn(
+        "_var", F.when(g_stat.isNotNull() & (n > 3), var)
+    ).withColumn(
+        "_z",
+        F.when(
+            F.col("_var") > 0,
+            (g_stat - e_g) / F.sqrt(F.col("_var")),
+        ),
+    )
+    out = staged.select(
+        "n_nodes", "n_edges",
+        F.round("_g", 6).alias("g_stat"),
+        F.round(e_g, 6).alias("expected_g"),
+        F.round("_z", 6).alias("z"),
+        F.round(
+            F.when(
+                F.col("_z").isNotNull(),
+                _normal_sf_2sided(F.col("_z")),
+            ),
+            6,
+        ).alias("p_value"),
+    )
+    return track_cached(out, e)
+
+
+def quantile_shares(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    order_cols: list[str] | None = None,
+) -> DataFrame:
+    """Decile value shares + the Palma ratio per group — the
+    "who holds the value" table behind every inequality dashboard
+    (quintile/decile shares and Palma = top-10% share / bottom-40%
+    share are the reporting standard next to the Gini the repo
+    already computes):
+
+    units are assigned to exact deciles by ``ntile(10)`` over
+    ``(value, order_cols...)`` — a deterministic total order
+    (documented; ntile's floor-based bucket sizing is identical on
+    both engines) — then each decile's value sum over the group
+    total gives the share. Output per group: ``(group, n,
+    total_value, bottom40_share, top10_share, top20_share,
+    palma_ratio)``, 6dp; NULLs when the group total is ≤ 0.
+
+    One window pass (per-group ntile) + one aggregation — no
+    per-group sort beyond the windowed partition. Negative values
+    are kept (documented — shares can exceed [0,1] with negatives,
+    exactly as in the income-accounting convention).
+
+    Beyond the reference; standard per Palma 2011 / Cobham-Sumner
+    2013.
+    """
+    v = F.col(value_col).cast("double")
+    order = [v.asc()] + [
+        F.col(c).asc() for c in (order_cols or [])
+    ]
+    w = Window.partitionBy(group_col).orderBy(*order)
+    staged = (
+        df.where(v.isNotNull())
+        .withColumn("_dec", F.ntile(10).over(w))
+    )
+    agg = staged.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(v).alias("_tot"),
+        F.sum(F.when(F.col("_dec") <= 4, v)).alias("_b40"),
+        F.sum(F.when(F.col("_dec") == 10, v)).alias("_t10"),
+        F.sum(F.when(F.col("_dec") >= 9, v)).alias("_t20"),
+    )
+    ok = F.col("_tot") > 0
+    b40 = F.coalesce(F.col("_b40"), F.lit(0.0)) / F.col("_tot")
+    t10 = F.coalesce(F.col("_t10"), F.lit(0.0)) / F.col("_tot")
+    t20 = F.coalesce(F.col("_t20"), F.lit(0.0)) / F.col("_tot")
+    return agg.select(
+        group_col, "n",
+        F.round("_tot", 6).alias("total_value"),
+        F.round(F.when(ok, b40), 6).alias("bottom40_share"),
+        F.round(F.when(ok, t10), 6).alias("top10_share"),
+        F.round(F.when(ok, t20), 6).alias("top20_share"),
+        F.round(
+            F.when(ok & (b40 > 0), t10 / b40), 6
+        ).alias("palma_ratio"),
+    )
+
+
+def oaxaca_blinder(
+    df: DataFrame,
+    group_col: str,
+    x_col: str,
+    y_col: str,
+    group_a,
+    group_b,
+) -> DataFrame:
+    """Twofold Oaxaca–Blinder decomposition of a group gap with one
+    covariate — "how much of the outcome gap between A and B is
+    composition (different x) vs structure (different returns to
+    x)?" The standard audit before reading a raw group difference as
+    disparity (pay gaps, conversion gaps across segments, model
+    score gaps across slices).
+
+    Per-group simple OLS ``y = α_g + β_g x`` from closed-form
+    moments; with B as the reference structure:
+
+    ``gap = ȳ_a − ȳ_b``;
+    ``explained  = β_b·(x̄_a − x̄_b)`` (composition at B's returns);
+    ``unexplained = gap − explained
+                  = (α_a − α_b) + x̄_a·(β_a − β_b)``.
+
+    ONE conditional-moment aggregation (documented reference-group
+    convention; swap a/b to flip it). Output 1 row: ``(n_a, n_b,
+    mean_y_a, mean_y_b, mean_x_a, mean_x_b, beta_a, beta_b, gap,
+    explained, unexplained, explained_share)``, 6dp; NULLs when a
+    group has n < 3 or zero x variance.
+
+    Beyond the reference; standard per Oaxaca 1973 / Blinder 1973.
+    """
+    g = F.col(group_col)
+    x = F.col(x_col).cast("double")
+    y = F.col(y_col).cast("double")
+    base = df.where(
+        g.isin([group_a, group_b]) & x.isNotNull() & y.isNotNull()
+    )
+    aggs = []
+    for tag, arm in (("a", group_a), ("b", group_b)):
+        hit = g == arm
+        aggs += [
+            F.sum(hit.cast("int")).cast("bigint").alias(f"n_{tag}"),
+            F.sum(F.when(hit, x)).alias(f"_sx{tag}"),
+            F.sum(F.when(hit, y)).alias(f"_sy{tag}"),
+            F.sum(F.when(hit, x * x)).alias(f"_sxx{tag}"),
+            F.sum(F.when(hit, x * y)).alias(f"_sxy{tag}"),
+        ]
+    agg = base.agg(*aggs)
+
+    def fit(tag):
+        n = F.col(f"n_{tag}").cast("double")
+        mx = F.col(f"_sx{tag}") / n
+        my = F.col(f"_sy{tag}") / n
+        sxx = F.col(f"_sxx{tag}") - n * mx * mx
+        sxy = F.col(f"_sxy{tag}") - n * mx * my
+        beta = F.when((F.col(f"n_{tag}") >= 3) & (sxx > 0), sxy / sxx)
+        return mx, my, beta
+
+    mxa, mya, ba = fit("a")
+    mxb, myb, bb = fit("b")
+    staged = agg.select(
+        "n_a", "n_b",
+        mya.alias("_mya"), myb.alias("_myb"),
+        mxa.alias("_mxa"), mxb.alias("_mxb"),
+        ba.alias("_ba"), bb.alias("_bb"),
+    )
+    gap = F.col("_mya") - F.col("_myb")
+    explained = F.col("_bb") * (F.col("_mxa") - F.col("_mxb"))
+    return staged.select(
+        "n_a", "n_b",
+        F.round("_mya", 6).alias("mean_y_a"),
+        F.round("_myb", 6).alias("mean_y_b"),
+        F.round("_mxa", 6).alias("mean_x_a"),
+        F.round("_mxb", 6).alias("mean_x_b"),
+        F.round("_ba", 6).alias("beta_a"),
+        F.round("_bb", 6).alias("beta_b"),
+        F.round(gap, 6).alias("gap"),
+        F.round(explained, 6).alias("explained"),
+        F.round(gap - explained, 6).alias("unexplained"),
+        F.round(
+            F.when(F.abs(gap) > 0, explained / gap), 6
+        ).alias("explained_share"),
+    )
+
+
+def event_study_did(
+    df: DataFrame,
+    treat_flag: Column,
+    period_col: str,
+    value_col: str,
+    treat_period: int,
+    n_leads: int = 3,
+    n_lags: int = 3,
+) -> DataFrame:
+    """Event-study difference-in-differences with leads and lags —
+    the dynamic DiD plot behind every launch read-out: per relative
+    period τ ∈ [−n_leads, n_lags] (τ = period − treat_period),
+
+    ``effect(τ) = (ȳ_treat,τ − ȳ_ctrl,τ)
+                − (ȳ_treat,−1 − ȳ_ctrl,−1)``
+
+    (τ = −1 is the baseline, its effect is 0 by construction; the
+    pre-period effects are the parallel-trends CHECK, the
+    post-period ones the estimate). SEs by the four-cell Welch form
+    ``√(Σ s²/n)`` over the two τ cells and the two baseline cells.
+
+    ONE conditional-moment aggregation over all (arm, τ) cells, one
+    posexplode of the computed struct array (never a τ-branch
+    union). Output one row per τ: ``(rel_period, n_treat, n_ctrl,
+    mean_treat, mean_ctrl, effect, se)``, 6dp; effect NULL when a
+    cell is empty.
+
+    Beyond the reference; standard per the modern DiD event-study
+    design (e.g. Angrist & Pischke MHE §5).
+    """
+    taus = list(range(-int(n_leads), int(n_lags) + 1))
+    v = F.col(value_col).cast("double")
+    rel = F.col(period_col).cast("bigint") - F.lit(int(treat_period))
+    base = df.where(v.isNotNull()).select(
+        treat_flag.cast("boolean").alias("_tr"),
+        rel.alias("_tau"),
+        v.alias("_v"),
+    ).where(F.col("_tau").between(min(taus), max(taus)))
+    aggs = []
+    for t in taus:
+        for arm, flag in (("t", True), ("c", False)):
+            hit = (F.col("_tau") == t) & (F.col("_tr") == flag)
+            tag = f"{arm}{t}".replace("-", "m")
+            aggs += [
+                F.sum(hit.cast("int")).cast("bigint").alias(
+                    f"_n{tag}"
+                ),
+                F.sum(F.when(hit, F.col("_v"))).alias(f"_s{tag}"),
+                F.sum(
+                    F.when(hit, F.col("_v") * F.col("_v"))
+                ).alias(f"_q{tag}"),
+            ]
+    agg = base.agg(*aggs)
+
+    def cell(tag):
+        n = F.col(f"_n{tag}").cast("double")
+        mean = F.when(F.col(f"_n{tag}") > 0, F.col(f"_s{tag}") / n)
+        var = F.when(
+            F.col(f"_n{tag}") >= 2,
+            (F.col(f"_q{tag}") - n * mean * mean) / (n - 1.0),
+        )
+        return n, mean, var
+
+    nb_t, mb_t, vb_t = cell("tm1")
+    nb_c, mb_c, vb_c = cell("cm1")
+    structs = []
+    for t in taus:
+        tag_t = f"t{t}".replace("-", "m")
+        tag_c = f"c{t}".replace("-", "m")
+        nt, mt, vt = cell(tag_t)
+        nc, mc, vc = cell(tag_c)
+        eff = (mt - mc) - (mb_t - mb_c)
+        se = F.sqrt(
+            vt / nt + vc / nc + vb_t / nb_t + vb_c / nb_c
+        )
+        structs.append(
+            F.struct(
+                F.lit(t).cast("bigint").alias("rel_period"),
+                F.col(f"_n{tag_t}").alias("n_treat"),
+                F.col(f"_n{tag_c}").alias("n_ctrl"),
+                F.round(mt, 6).alias("mean_treat"),
+                F.round(mc, 6).alias("mean_ctrl"),
+                F.round(eff, 6).alias("effect"),
+                F.round(se, 6).alias("se"),
+            )
+        )
+    rows = agg.select(
+        F.posexplode(F.array(*structs)).alias("_i", "_r")
+    )
+    return rows.select(
+        "_r.rel_period", "_r.n_treat", "_r.n_ctrl",
+        "_r.mean_treat", "_r.mean_ctrl", "_r.effect", "_r.se",
+    )
+
+
+def post_stratified_mean(
+    df: DataFrame,
+    strata_col: str,
+    value_col: str,
+    population_shares: dict,
+) -> DataFrame:
+    """Post-stratified mean estimator — reweight a biased sample to
+    KNOWN population strata shares ("our survey over-sampled mobile
+    users; what's the population mean?"): ``μ̂ = Σ_h W_h·ȳ_h`` with
+    declared weights ``W_h`` (renormalized over the strata actually
+    present — documented), and the standard post-stratification
+    variance ``SE² = Σ_h W_h²·s_h²/n_h``. Reported beside the raw
+    mean so the design effect of the reweighting is visible.
+
+    ONE aggregation to the per-stratum moments (strata bounded by
+    the declared dict — compile-time weight CASE, no join), one
+    stitch. Output 1 row: ``(n, n_strata, raw_mean,
+    post_stratified_mean, se, design_ratio)``, 6dp (design_ratio =
+    SE² of the estimator over the SRS variance s²/n).
+
+    Beyond the reference; standard per Holt & Smith 1979 / any
+    sampling text (Cochran §5A).
+    """
+    if not population_shares:
+        raise ValueError("post_stratified_mean: empty shares")
+    keys = sorted(population_shares)
+    v = F.col(value_col).cast("double")
+    s = F.col(strata_col)
+    base = df.where(v.isNotNull() & s.isin(list(keys)))
+    aggs = [
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(v).alias("_st"),
+        F.sum(v * v).alias("_qt"),
+    ]
+    for i, k in enumerate(keys):
+        hit = s == k
+        aggs += [
+            F.sum(hit.cast("int")).cast("bigint").alias(f"_n{i}"),
+            F.sum(F.when(hit, v)).alias(f"_s{i}"),
+            F.sum(F.when(hit, v * v)).alias(f"_q{i}"),
+        ]
+    agg = base.agg(*aggs)
+    wtot = None
+    for i, k in enumerate(keys):
+        wk = F.when(
+            F.col(f"_n{i}") > 0, F.lit(float(population_shares[k]))
+        ).otherwise(F.lit(0.0))
+        wtot = wk if wtot is None else wtot + wk
+    mu_ps = None
+    var_ps = None
+    n_strata = None
+    for i, k in enumerate(keys):
+        nd = F.col(f"_n{i}").cast("double")
+        mean = F.col(f"_s{i}") / nd
+        var = F.when(
+            F.col(f"_n{i}") >= 2,
+            (F.col(f"_q{i}") - nd * mean * mean) / (nd - 1.0),
+        )
+        w = F.lit(float(population_shares[k])) / wtot
+        term_mu = F.when(F.col(f"_n{i}") > 0, w * mean).otherwise(
+            F.lit(0.0)
+        )
+        term_v = F.when(
+            F.col(f"_n{i}") >= 2, w * w * var / nd
+        ).otherwise(F.lit(0.0))
+        pres = (F.col(f"_n{i}") > 0).cast("int")
+        mu_ps = term_mu if mu_ps is None else mu_ps + term_mu
+        var_ps = term_v if var_ps is None else var_ps + term_v
+        n_strata = pres if n_strata is None else n_strata + pres
+    nd_all = F.col("n").cast("double")
+    raw_mean = F.col("_st") / nd_all
+    raw_var = (
+        F.col("_qt") - nd_all * raw_mean * raw_mean
+    ) / (nd_all - 1.0)
+    staged = agg.select(
+        "n",
+        n_strata.cast("bigint").alias("n_strata"),
+        raw_mean.alias("_raw"),
+        mu_ps.alias("_mu"),
+        var_ps.alias("_var"),
+        (raw_var / nd_all).alias("_srs"),
+    )
+    return staged.select(
+        "n", "n_strata",
+        F.round("_raw", 6).alias("raw_mean"),
+        F.round("_mu", 6).alias("post_stratified_mean"),
+        F.round(
+            F.when(F.col("_var") > 0, F.sqrt(F.col("_var"))), 6
+        ).alias("se"),
+        F.round(
+            F.when(
+                F.col("_srs") > 0, F.col("_var") / F.col("_srs")
+            ),
+            6,
+        ).alias("design_ratio"),
+    )
+
+
+def cliffs_delta(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    group_a,
+    group_b,
+    small_domain_threshold: int | None = None,
+) -> DataFrame:
+    """Cliff's delta ordinal effect size for two groups — the
+    dominance measure every "the test is significant, but is the
+    difference MEANINGFUL?" report needs next to a Mann–Whitney p:
+    ``δ = (#(a>b) − #(a<b)) / (n_a·n_b)`` in [−1, 1], plus the
+    common-language effect size ``CLES = (#(a>b) + ½·#ties)/(n_a n_b)``
+    (probability a random a exceeds a random b, ties half-credited)
+    and the standard Romano magnitude label (|δ| < 0.147 negligible,
+    < 0.33 small, < 0.474 medium, else large).
+
+    All three pair counts are EXACT INTEGERS off one pass over the
+    shared distributed stepped ECDF (:func:`_ecdf_stepped_counts`) —
+    never the O(n_a·n_b) pair join: ``#(a>b) = Σ_v c_a(v)·B_<(v)``
+    with ``B_<(v) = F_b(v) − c_b(v)`` the b-count strictly below each
+    distinct value. Output 1 row: ``(n_a, n_b, n_gt, n_lt, n_ties,
+    cliffs_delta, cles, magnitude)``, 6dp.
+
+    Beyond the reference; standard per Cliff 1993 / Romano et al.
+    2006.
+    """
+    from padua_spark.io_utils import track_cached
+
+    ecdf = _ecdf_stepped_counts(
+        df, group_col, value_col, group_a, group_b,
+        small_domain_threshold=small_domain_threshold,
+    )
+    dec = "decimal(38,0)"
+    b_lt = (F.col("_fb") - F.col("_cb")).cast(dec)
+    b_gt = (F.col("_nb") - F.col("_fb")).cast(dec)
+    agg = ecdf.agg(
+        F.sum(F.col("_ca").cast(dec) * b_lt).alias("_gt"),
+        F.sum(F.col("_ca").cast(dec) * b_gt).alias("_lt"),
+        F.sum(
+            F.col("_ca").cast(dec) * F.col("_cb").cast(dec)
+        ).alias("_tie"),
+        F.sum("_ca").alias("n_a"),
+        F.sum("_cb").alias("n_b"),
+    )
+    na = F.col("n_a").cast("double")
+    nb = F.col("n_b").cast("double")
+    gt = F.col("_gt").cast("double")
+    lt = F.col("_lt").cast("double")
+    tie = F.col("_tie").cast("double")
+    ok = (F.col("n_a") > 0) & (F.col("n_b") > 0)
+    staged = agg.withColumn(
+        "_delta", F.when(ok, (gt - lt) / (na * nb))
+    )
+    ad = F.abs(F.col("_delta"))
+    out = staged.select(
+        "n_a", "n_b",
+        F.col("_gt").cast("bigint").alias("n_gt"),
+        F.col("_lt").cast("bigint").alias("n_lt"),
+        F.col("_tie").cast("bigint").alias("n_ties"),
+        F.round("_delta", 6).alias("cliffs_delta"),
+        F.round(
+            F.when(ok, (gt + 0.5 * tie) / (na * nb)), 6
+        ).alias("cles"),
+        F.when(F.col("_delta").isNull(), F.lit(None).cast("string"))
+        .when(ad < 0.147, F.lit("negligible"))
+        .when(ad < 0.33, F.lit("small"))
+        .when(ad < 0.474, F.lit("medium"))
+        .otherwise(F.lit("large"))
+        .alias("magnitude"),
+    )
+    return track_cached(out, *getattr(ecdf, "_padua_cached", ()))
+
+
+def mood_scale_test(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    group_a,
+    group_b,
+    small_domain_threshold: int | None = None,
+) -> DataFrame:
+    """Mood's two-sample SCALE test (distinct from
+    :func:`mood_median_test`, which is a k-group LOCATION test):
+    ``T = Σ_{i∈a} (R_i − (N+1)/2)²`` — squared deviations of group
+    a's pooled ranks from the central rank; sensitive to spread
+    differences when centers agree (scipy.stats.mood's statistic
+    under the midrank tie convention, documented).
+
+    Integer-exact on the shared stepped ECDF: with doubled midranks
+    ``d = 2F − h + 1`` the quadrupled score ``q = (d − N − 1)²`` is
+    an integer, so ``4T = Σ c_a·q`` is exact; the tie-robust null
+    moments are the PERMUTATION-conditional moments of the realized
+    scores (the :func:`ansari_bradley` convention):
+    ``E[4T] = n_a·Σh·q/N``,
+    ``Var[4T] = n_a·n_b/(N(N−1))·(Σh·q² − (Σh·q)²/N)`` — z is
+    invariant to the 4× scaling. A&S-erfc two-sided p. Output 1 row:
+    ``(n_a, n_b, t_stat, z, p_value)``, 6dp.
+
+    Beyond the reference; standard per Mood 1954.
+    """
+    from padua_spark.io_utils import track_cached
+
+    ecdf = _ecdf_stepped_counts(
+        df, group_col, value_col, group_a, group_b,
+        small_domain_threshold=small_domain_threshold,
+    )
+    h = F.col("_ca") + F.col("_cb")
+    f_pool = F.col("_fa") + F.col("_fb")
+    n2 = F.col("_na") + F.col("_nb")
+    d = 2 * f_pool - h + 1
+    qv = (d - n2 - 1) * (d - n2 - 1)
+    dec = "decimal(38,0)"
+    agg = ecdf.select(
+        "_ca", "_cb", h.alias("_h"), qv.alias("_q")
+    ).agg(
+        F.sum(F.col("_ca").cast(dec) * F.col("_q").cast(dec)).alias(
+            "_t4"
+        ),
+        F.sum(F.col("_h").cast(dec) * F.col("_q").cast(dec)).alias(
+            "_hq"
+        ),
+        F.sum(
+            F.col("_h").cast(dec)
+            * F.col("_q").cast(dec) * F.col("_q").cast(dec)
+        ).alias("_hqq"),
+        F.sum("_ca").alias("n_a"),
+        F.sum("_cb").alias("n_b"),
+    )
+    na = F.col("n_a").cast("double")
+    nb = F.col("n_b").cast("double")
+    nt = na + nb
+    t4 = F.col("_t4").cast("double")
+    hq = F.col("_hq").cast("double")
+    hqq = F.col("_hqq").cast("double")
+    e4 = na * hq / nt
+    var4 = na * nb / (nt * (nt - 1.0)) * (hqq - hq * hq / nt)
+    z = F.when(var4 > 0, (t4 - e4) / F.sqrt(var4))
+    staged = agg.withColumn("_z", z)
+    out = staged.select(
+        "n_a", "n_b",
+        F.round(t4 / 4.0, 6).alias("t_stat"),
+        F.round("_z", 6).alias("z"),
+        F.round(_normal_sf_2sided(F.col("_z")), 6).alias("p_value"),
+    )
+    return track_cached(out, *getattr(ecdf, "_padua_cached", ()))
+
+
+def white_test(
+    df: DataFrame,
+    group_cols: list[str],
+    x_col: str,
+    y_col: str,
+    y_scale: float = 1.0,
+) -> DataFrame:
+    """White's heteroskedasticity test per group — the
+    no-cross-terms single-regressor form: OLS ``y = α + βx``, then
+    the auxiliary regression ``e² ~ 1 + x + x²`` whose
+    ``LM = n·R²_aux ~ χ²₂`` (df = 2 makes the chi-square survival
+    EXACT: ``p = e^{−LM/2}``). The general-form companion to
+    :func:`breusch_pagan` (which tests only the linear-in-x
+    variance) and :func:`goldfeld_quandt` (which needs a declared
+    split point).
+
+    Plan: the :func:`engle_granger` two-stage shape — one closed-form
+    OLS aggregation per group, coefficients joined back (broadcast —
+    k-row frame), then ONE auxiliary aggregation of the centered
+    second-stage moments; the 2-regressor R² is a closed 2×2 normal-
+    equations solve (determinant form). ``y_scale`` rescales y before
+    anything (LM and R² are scale-invariant; callers pass e.g. 1e-4
+    for currency columns so the e⁴-order sums stay well-conditioned —
+    documented). Output per group: ``(group_cols..., n, r2_aux,
+    lm_stat, p_value, het_flag_5pct)``, 6dp.
+
+    Beyond the reference; standard per White 1980.
+    """
+    g = [F.col(c) for c in group_cols]
+    x = F.col(x_col).cast("double")
+    y = F.col(y_col).cast("double") * F.lit(float(y_scale))
+    base = df.where(x.isNotNull() & y.isNotNull()).select(
+        *group_cols, x.alias("_x"), y.alias("_y")
+    )
+    mom = base.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("bigint").alias("_n"),
+        F.sum("_x").alias("_sx"),
+        F.sum("_y").alias("_sy"),
+        F.sum(F.col("_x") * F.col("_x")).alias("_sxx"),
+        F.sum(F.col("_x") * F.col("_y")).alias("_sxy"),
+    )
+    nd = F.col("_n").cast("double")
+    sxx_c = F.col("_sxx") - F.col("_sx") * F.col("_sx") / nd
+    sxy_c = F.col("_sxy") - F.col("_sx") * F.col("_sy") / nd
+    beta = F.when((F.col("_n") >= 4) & (sxx_c > 0), sxy_c / sxx_c)
+    fit = mom.select(
+        *group_cols, "_n",
+        beta.alias("_beta"),
+        (F.col("_sy") / nd).alias("_my"),
+        (F.col("_sx") / nd).alias("_mx"),
+    )
+    joined = base.join(F.broadcast(fit), on=group_cols, how="inner")
+    e = (
+        F.col("_y") - F.col("_my")
+        - F.col("_beta") * (F.col("_x") - F.col("_mx"))
+    )
+    aux = joined.where(F.col("_beta").isNotNull()).select(
+        *group_cols, "_x", (e * e).alias("_w")
+    )
+    a2 = aux.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("_x").alias("_ax"),
+        F.sum(F.col("_x") * F.col("_x")).alias("_ax2"),
+        F.sum(F.col("_x") * F.col("_x") * F.col("_x")).alias("_ax3"),
+        F.sum(
+            F.col("_x") * F.col("_x") * F.col("_x") * F.col("_x")
+        ).alias("_ax4"),
+        F.sum("_w").alias("_aw"),
+        F.sum(F.col("_x") * F.col("_w")).alias("_axw"),
+        F.sum(F.col("_x") * F.col("_x") * F.col("_w")).alias("_ax2w"),
+        F.sum(F.col("_w") * F.col("_w")).alias("_aww"),
+    )
+    m = F.col("n").cast("double")
+    s11 = F.col("_ax2") - F.col("_ax") * F.col("_ax") / m
+    s12 = F.col("_ax3") - F.col("_ax") * F.col("_ax2") / m
+    s22 = F.col("_ax4") - F.col("_ax2") * F.col("_ax2") / m
+    s1w = F.col("_axw") - F.col("_ax") * F.col("_aw") / m
+    s2w = F.col("_ax2w") - F.col("_ax2") * F.col("_aw") / m
+    sww = F.col("_aww") - F.col("_aw") * F.col("_aw") / m
+    det = s11 * s22 - s12 * s12
+    # explained SS via the Gram-Schmidt decomposition — a SUM OF TWO
+    # SQUARES (x-projection + z-residual projection), never the
+    # b₁S1w + b₂S2w mixed form whose opposite-sign terms cancel when
+    # the aux signal is weak (the ramsey_reset instability, bisected
+    # in round 13).
+    zres = s22 - s12 * s12 / s11
+    expl = (
+        s1w * s1w / s11
+        + (s2w - s12 * s1w / s11) * (s2w - s12 * s1w / s11) / zres
+    )
+    r2 = expl / sww
+    ok = (
+        (F.col("n") >= 5) & (det > 0) & (sww > 0)
+        & (s11 > 0) & (zres > 0)
+    )
+    staged = a2.withColumn("_r2", F.when(ok, r2))
+    lm = m * F.col("_r2")
+    return staged.select(
+        *group_cols, "n",
+        F.round("_r2", 6).alias("r2_aux"),
+        F.round(lm, 6).alias("lm_stat"),
+        F.round(F.exp(-lm / 2.0), 6).alias("p_value"),
+        F.when(
+            F.col("_r2").isNotNull(), F.exp(-lm / 2.0) < 0.05
+        ).alias("het_flag_5pct"),
+    )
+
+
+def ramsey_reset(
+    df: DataFrame,
+    group_cols: list[str],
+    x_col: str,
+    y_col: str,
+    y_scale: float = 1.0,
+) -> DataFrame:
+    """Ramsey RESET functional-form test per group (power-2 variant):
+    fit ``y = α + βx``, then test whether adding ``ŷ²`` explains
+    residual structure — ``F = (RSS₁ − RSS₂) / (RSS₂/(n−3)) ~
+    F(1, n−3)``. The "is a straight line even the right model?"
+    companion to the heteroskedasticity screens.
+
+    Plan: the same two-stage closed-form shape as :func:`white_test`
+    — stage-1 OLS joined back (broadcast), ŷ² built per row, ONE
+    auxiliary aggregation, and the two-regressor RSS from the closed
+    2×2 solve: ``RSS₂ = Syy − (b₁S1y + b₂S2y)``. p via the exact
+    F survival (:mod:`padua_spark.functions.distributions`
+    ``f_sf_udf``, regularized incomplete beta). ``y_scale`` as in
+    :func:`white_test` (F is scale-invariant). Output per group:
+    ``(group_cols..., n, f_stat, p_value, misspec_flag_5pct)``, 6dp.
+
+    Beyond the reference; standard per Ramsey 1969.
+    """
+    from padua_spark.functions.distributions import f_sf_udf
+
+    x = F.col(x_col).cast("double")
+    y = F.col(y_col).cast("double") * F.lit(float(y_scale))
+    base = df.where(x.isNotNull() & y.isNotNull()).select(
+        *group_cols, x.alias("_x"), y.alias("_y")
+    )
+    mom = base.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("bigint").alias("_n"),
+        F.sum("_x").alias("_sx"),
+        F.sum("_y").alias("_sy"),
+        F.sum(F.col("_x") * F.col("_x")).alias("_sxx"),
+        F.sum(F.col("_x") * F.col("_y")).alias("_sxy"),
+    )
+    nd = F.col("_n").cast("double")
+    sxx_c = F.col("_sxx") - F.col("_sx") * F.col("_sx") / nd
+    sxy_c = F.col("_sxy") - F.col("_sx") * F.col("_sy") / nd
+    beta = F.when((F.col("_n") >= 5) & (sxx_c > 0), sxy_c / sxx_c)
+    fit = mom.select(
+        *group_cols, "_n",
+        beta.alias("_beta"),
+        (F.col("_sy") / nd).alias("_my"),
+        (F.col("_sx") / nd).alias("_mx"),
+    )
+    joined = base.join(F.broadcast(fit), on=group_cols, how="inner")
+    yhat = (
+        F.col("_my")
+        + F.col("_beta") * (F.col("_x") - F.col("_mx"))
+    )
+    aux = joined.where(F.col("_beta").isNotNull()).select(
+        *group_cols, "_x", "_y", (yhat * yhat).alias("_z")
+    )
+    a2 = aux.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("_x").alias("_ax"),
+        F.sum("_z").alias("_az"),
+        F.sum("_y").alias("_ay"),
+        F.sum(F.col("_x") * F.col("_x")).alias("_axx"),
+        F.sum(F.col("_x") * F.col("_z")).alias("_axz"),
+        F.sum(F.col("_z") * F.col("_z")).alias("_azz"),
+        F.sum(F.col("_x") * F.col("_y")).alias("_axy"),
+        F.sum(F.col("_z") * F.col("_y")).alias("_azy"),
+        F.sum(F.col("_y") * F.col("_y")).alias("_ayy"),
+    )
+    m = F.col("n").cast("double")
+    s11 = F.col("_axx") - F.col("_ax") * F.col("_ax") / m
+    s12 = F.col("_axz") - F.col("_ax") * F.col("_az") / m
+    s22 = F.col("_azz") - F.col("_az") * F.col("_az") / m
+    s1y = F.col("_axy") - F.col("_ax") * F.col("_ay") / m
+    s2y = F.col("_azy") - F.col("_az") * F.col("_ay") / m
+    syy = F.col("_ayy") - F.col("_ay") * F.col("_ay") / m
+    det = s11 * s22 - s12 * s12
+    # Added-variable identity: the SSR gain from z given x is
+    # (S2y − S12·S1y/S11)² / (S22 − S12²/S11) — computed DIRECTLY
+    # as a square. The naive RSS₁ − RSS₂ subtracts two near-equal
+    # ~Syy-scale numbers whose difference is ~F/n of the operands:
+    # parallel-aggregation float jitter then swings F by double-digit
+    # percentages per evaluation (caught by the DuckDB twin, whose F
+    # changed 26% between two runs of the identical query).
+    zres = s22 - s12 * s12 / s11
+    gain = (
+        (s2y - s12 * s1y / s11) * (s2y - s12 * s1y / s11) / zres
+    )
+    rss1 = syy - s1y * s1y / s11
+    rss2 = rss1 - gain
+    ok = (F.col("n") >= 5) & (det > 0) & (s11 > 0) & (zres > 0)
+    fstat = F.when(
+        ok & (rss2 > 0),
+        gain / (rss2 / (m - 3.0)),
+    )
+    staged = a2.withColumn("_f", F.greatest(fstat, F.lit(0.0)))
+    staged = staged.withColumn(
+        "_p", f_sf_udf(F.col("_f"), F.lit(1.0), m - 3.0)
+    )
+    return staged.select(
+        *group_cols, "n",
+        F.round("_f", 6).alias("f_stat"),
+        F.round("_p", 6).alias("p_value"),
+        F.when(
+            F.col("_f").isNotNull(), F.col("_p") < 0.05
+        ).alias("misspec_flag_5pct"),
+    )

@@ -3475,3 +3475,307 @@ def engle_granger(
         F.lit(-3.34).alias("crit_5pct"),
         F.when(t.isNotNull(), t < -3.34).alias("cointegrated_5pct"),
     ).transform(lambda d: track_cached(d, base))
+
+
+def return_risk_profile(
+    df: DataFrame,
+    group_cols: list[str],
+    order_cols: list[str],
+    value_col: str,
+) -> DataFrame:
+    """Return/risk profile of a per-key P&L or return series — the
+    portfolio-grade battery beside the VaR/ES the repo already has:
+    Sharpe, Sortino (downside deviation at target 0), maximum
+    drawdown of the CUMULATIVE sum, Calmar (total return over max
+    drawdown), and Omega(0) (gain mass over loss mass). Raw
+    per-period ratios — no annualization factor is applied
+    (documented; multiply by √T outside if desired).
+
+    ``sharpe = mean/sd``;
+    ``sortino = mean / √(Σ min(x,0)² / n)``;
+    ``max_dd = max_t (peak_t − cum_t)`` with ``peak`` the running
+    max of the cumulative sum (so max_dd ≥ 0, in value units);
+    ``calmar = Σx / max_dd``; ``omega = Σ max(x,0) / Σ max(−x,0)``.
+
+    One ordered window pass per group (cumsum + running peak), one
+    aggregation. Output per group: ``(groups..., n, total_return,
+    mean_return, sd_return, sharpe, sortino, max_drawdown, calmar,
+    omega)``, 6dp; ratio NULLs where a denominator degenerates.
+
+    Beyond the reference; standard per Sharpe 1966 / Sortino 1994 /
+    Young 1991 (Calmar) / Keating & Shadwick 2002 (Omega).
+    """
+    v = F.col(value_col).cast("double")
+    w = Window.partitionBy(*group_cols).orderBy(*order_cols)
+    cum = F.sum(v).over(
+        w.rowsBetween(Window.unboundedPreceding, 0)
+    )
+    staged = (
+        df.where(v.isNotNull())
+        .withColumn("_cum", cum)
+        .withColumn(
+            "_peak",
+            F.max("_cum").over(
+                w.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+        .withColumn("_dd", F.col("_peak") - F.col("_cum"))
+    )
+    agg = staged.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(v).alias("_tot"),
+        F.sum(v * v).alias("_sq"),
+        F.sum(F.when(v < 0, v * v).otherwise(F.lit(0.0))).alias(
+            "_dsq"
+        ),
+        F.sum(F.when(v > 0, v).otherwise(F.lit(0.0))).alias("_gain"),
+        F.sum(F.when(v < 0, -v).otherwise(F.lit(0.0))).alias(
+            "_loss"
+        ),
+        F.max("_dd").alias("_mdd"),
+    )
+    nd = F.col("n").cast("double")
+    mean = F.col("_tot") / nd
+    var = (F.col("_sq") - nd * mean * mean) / (nd - 1.0)
+    sd = F.when((F.col("n") >= 2) & (var > 0), F.sqrt(var))
+    ddev = F.when(
+        F.col("_dsq") > 0, F.sqrt(F.col("_dsq") / nd)
+    )
+    return agg.select(
+        *group_cols, "n",
+        F.round("_tot", 6).alias("total_return"),
+        F.round(mean, 6).alias("mean_return"),
+        F.round(sd, 6).alias("sd_return"),
+        F.round(F.when(sd > 0, mean / sd), 6).alias("sharpe"),
+        F.round(
+            F.when(ddev > 0, mean / ddev), 6
+        ).alias("sortino"),
+        F.round("_mdd", 6).alias("max_drawdown"),
+        F.round(
+            F.when(F.col("_mdd") > 0, F.col("_tot") / F.col("_mdd")),
+            6,
+        ).alias("calmar"),
+        F.round(
+            F.when(F.col("_loss") > 0, F.col("_gain") / F.col("_loss")),
+            6,
+        ).alias("omega"),
+    )
+
+
+def dfa_hurst(
+    df: DataFrame,
+    group_cols: list[str],
+    order_cols: list[str],
+    value_col: str,
+    block_sizes: list[int] | None = None,
+) -> DataFrame:
+    """Detrended fluctuation analysis (DFA-1) exponent per group —
+    the trend-robust sibling of :func:`hurst_rs`: R/S is biased by
+    slow drifts, DFA removes a per-block LINEAR trend from the
+    integrated profile before measuring fluctuation, so α estimates
+    long-range dependence even on non-stationary series (α ≈ 0.5
+    uncorrelated, > 0.5 persistent, 1.0 ≈ 1/f, > 1 non-stationary).
+
+    Per scale m: the PROFILE ``Y_i = Σ_{k≤i}(x_k − x̄_group)``
+    (running sum minus i·mean — the :func:`hurst_rs` window identity,
+    no join), complete blocks of m rows, per-block least-squares
+    residual sum via the closed form
+    ``RSS = Syy_c − Sjy_c²/Sjj_c`` on within-block centered moments,
+    ``F(m) = √(ΣRSS / (n_blocks·m))``; α = OLS slope of ``ln F(m)``
+    on ``ln m``. Per-scale passes are a compile-time-bounded union
+    over ONE persisted indexed profile frame; the log-log fit runs
+    on the ≤|scales|-row frame. Output per group: ``(groups..., n,
+    n_scales, dfa_alpha)``, 6dp; NULL when < 2 valid scales.
+
+    Beyond the reference; standard per Peng et al. 1994.
+    """
+    sizes = sorted(set(block_sizes or [8, 16, 32, 64, 128]))
+    if any(m < 4 for m in sizes):
+        raise ValueError("dfa_hurst: block sizes must be >= 4")
+    v = F.col(value_col).cast("double")
+    base = df.where(v.isNotNull()).select(
+        *group_cols, *order_cols, v.alias("_v")
+    )
+    wo = Window.partitionBy(*group_cols).orderBy(
+        *[F.col(c).asc() for c in order_cols]
+    )
+    wrun = wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wall = wo.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    from pyspark import StorageLevel
+
+    from padua_spark.io_utils import track_cached
+
+    stepped = base.select(
+        *group_cols,
+        (F.row_number().over(wo) - 1).cast("bigint").alias("_t0"),
+        (
+            F.sum("_v").over(wrun)
+            - F.row_number().over(wo).cast("double")
+            * F.avg("_v").over(wall)
+        ).alias("_y"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    scale_frames = []
+    for m in sizes:
+        blk = (F.col("_t0") / m).cast("bigint")
+        j = (F.col("_t0") % m + 1).cast("double")
+        framed = stepped.select(
+            *group_cols, blk.alias("_blk"), j.alias("_j"), "_y"
+        )
+        # Numerically STABLE centered moments (the naive
+        # Syy − Sy²/n closed form cancels catastrophically on the
+        # large-magnitude profile and the lost digits amplify
+        # through ln F(m) into the slope): center y on the block
+        # mean via a block window, center j on the EXACT complete-
+        # block mean (m+1)/2 so Σ j_c = 0 and Σ j_c·y needs no y
+        # centering, and use the exact Σ j_c² = m(m²−1)/12.
+        wblk = Window.partitionBy(*group_cols, "_blk")
+        yc = F.col("_y") - F.avg("_y").over(wblk)
+        jc = F.col("_j") - F.lit((m + 1) / 2.0)
+        cent = framed.select(
+            *group_cols, "_blk",
+            yc.alias("_yc"), (jc * F.col("_y")).alias("_jy"),
+        )
+        per_block = cent.groupBy(*group_cols, "_blk").agg(
+            F.count(F.lit(1)).alias("_bn"),
+            F.sum(F.col("_yc") * F.col("_yc")).alias("_syy_c"),
+            F.sum("_jy").alias("_sjy_c"),
+        ).where(F.col("_bn") == m)
+        sjj_c = F.lit(m * (m * m - 1) / 12.0)
+        rss = F.greatest(
+            F.col("_syy_c")
+            - F.col("_sjy_c") * F.col("_sjy_c") / sjj_c,
+            F.lit(0.0),
+        )
+        per_scale = per_block.groupBy(*group_cols).agg(
+            F.sum(rss).alias("_rss"),
+            F.count(F.lit(1)).cast("bigint").alias("_nblocks"),
+        ).select(
+            *group_cols,
+            F.lit(float(m)).alias("_m"),
+            F.sqrt(
+                F.col("_rss")
+                / (F.col("_nblocks").cast("double") * float(m))
+            ).alias("_f"),
+            "_nblocks",
+        )
+        scale_frames.append(per_scale)
+    from functools import reduce
+
+    scales = reduce(lambda a, b: a.unionAll(b), scale_frames)
+    pts = scales.where(
+        (F.col("_f") > 0) & (F.col("_nblocks") >= 1)
+    ).select(
+        *group_cols,
+        F.log("_m").alias("_lx"),
+        F.log("_f").alias("_ly"),
+    )
+    fit = pts.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_scales"),
+        F.sum("_lx").alias("_sx"),
+        F.sum("_ly").alias("_sy"),
+        F.sum(F.col("_lx") * F.col("_lx")).alias("_sxx"),
+        F.sum(F.col("_lx") * F.col("_ly")).alias("_sxy"),
+    )
+    kd = F.col("n_scales").cast("double")
+    sxx = F.col("_sxx") - F.col("_sx") * F.col("_sx") / kd
+    sxy = F.col("_sxy") - F.col("_sx") * F.col("_sy") / kd
+    alpha = F.when((F.col("n_scales") >= 2) & (sxx > 0), sxy / sxx)
+    n_rows = stepped.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    out = n_rows.join(fit, on=group_cols, how="left").select(
+        *group_cols, "n",
+        F.coalesce(F.col("n_scales"), F.lit(0)).alias("n_scales"),
+        F.round(alpha, 6).alias("dfa_alpha"),
+    )
+    return track_cached(out, stepped)
+
+
+def arch_lm(
+    df: DataFrame,
+    group_cols: list[str],
+    order_cols: list[str],
+    value_col: str,
+) -> DataFrame:
+    """Engle's ARCH LM test (order 1) per group — volatility
+    clustering: do big shocks follow big shocks? Demean the ordered
+    series (``e_t = x_t − x̄_g``), square, and regress ``e_t²`` on
+    ``e_{t−1}²``; ``LM = m·R²_aux ~ χ²₁`` over the m lag pairs
+    (df = 1 makes the survival exact and closed form:
+    ``p = erfc(√LM/√2)``, the shared A&S polynomial). The
+    conditional-heteroskedasticity companion to
+    :func:`variance_ratio_test` — a series can pass a random-walk
+    screen and still have strongly ARCH-y volatility.
+
+    Plan: one unbounded-window group mean (no join), the squared
+    demeaned series, one ``lag(1)`` per group over the declared total
+    order (callers append a value tie-break — the
+    :func:`dfa_hurst` ordering lesson), then ONE closed-form
+    aggregation of the five pair moments. Output per group:
+    ``(group_cols..., n, n_pairs, r2_aux, lm_stat, p_value,
+    arch_flag_5pct)``, 6dp.
+
+    Beyond the reference; standard per Engle 1982.
+    """
+    from padua_spark.operators.stats import _normal_sf_2sided
+
+    v = F.col(value_col).cast("double")
+    base = df.where(v.isNotNull()).select(
+        *group_cols, *order_cols, v.alias("_v")
+    )
+    wo = Window.partitionBy(*group_cols).orderBy(
+        *[F.col(c).asc() for c in order_cols]
+    )
+    wall = wo.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    e = F.col("_v") - F.avg("_v").over(wall)
+    staged = base.select(
+        *group_cols, (e * e).alias("_w"),
+        F.count(F.lit(1)).over(wall).alias("_n"),
+        F.lag((e * e), 1).over(wo).alias("_wl"),
+    )
+    agg = staged.groupBy(*group_cols).agg(
+        F.max("_n").cast("bigint").alias("n"),
+        F.count(F.when(F.col("_wl").isNotNull(), 1))
+        .cast("bigint").alias("n_pairs"),
+        F.sum(F.when(F.col("_wl").isNotNull(), F.col("_w")))
+        .alias("_sy"),
+        F.sum(F.when(F.col("_wl").isNotNull(), F.col("_wl")))
+        .alias("_sx"),
+        F.sum(
+            F.when(F.col("_wl").isNotNull(), F.col("_w") * F.col("_w"))
+        ).alias("_syy"),
+        F.sum(
+            F.when(
+                F.col("_wl").isNotNull(), F.col("_wl") * F.col("_wl")
+            )
+        ).alias("_sxx"),
+        F.sum(
+            F.when(
+                F.col("_wl").isNotNull(), F.col("_wl") * F.col("_w")
+            )
+        ).alias("_sxy"),
+    )
+    m = F.col("n_pairs").cast("double")
+    sxx_c = F.col("_sxx") - F.col("_sx") * F.col("_sx") / m
+    syy_c = F.col("_syy") - F.col("_sy") * F.col("_sy") / m
+    sxy_c = F.col("_sxy") - F.col("_sx") * F.col("_sy") / m
+    r2 = F.when(
+        (F.col("n_pairs") >= 3) & (sxx_c > 0) & (syy_c > 0),
+        sxy_c * sxy_c / (sxx_c * syy_c),
+    )
+    staged2 = agg.withColumn("_r2", r2)
+    lm = m * F.col("_r2")
+    return staged2.select(
+        *group_cols, "n", "n_pairs",
+        F.round("_r2", 6).alias("r2_aux"),
+        F.round(lm, 6).alias("lm_stat"),
+        F.round(_normal_sf_2sided(F.sqrt(lm)), 6).alias("p_value"),
+        F.when(
+            F.col("_r2").isNotNull(),
+            _normal_sf_2sided(F.sqrt(lm)) < 0.05,
+        ).alias("arch_flag_5pct"),
+    )

@@ -1937,3 +1937,250 @@ def windowed_embedding_drift(
         F.round(cos, 6).alias("cosine_sim"),
         F.round(F.sqrt(norm2), 6).alias("mean_norm"),
     )
+
+
+# Benford first-digit probabilities log10(1 + 1/d), pinned so both
+# engines and the tests share one source of truth.
+_BENFORD_P = [
+    0.30102999566398114, 0.17609125905568124, 0.12493873660829985,
+    0.09691001300805639, 0.07918124604762478, 0.06694678963061318,
+    0.05799194697768673, 0.05115252244738127, 0.04575749056067514,
+]
+
+
+def windowed_benford(
+    df: DataFrame,
+    ts_col: Column,
+    int_value_col: Column,
+    group_cols: list[str] | None = None,
+    window_duration: str = "1 hour",
+    watermark: str | None = None,
+) -> DataFrame:
+    """Per-tumbling-window Benford first-digit audit — the streaming
+    face of the batch Benford screens (E47/E210): "did THIS hour's
+    amounts stop looking organic?" (fraud bursts and instrumentation
+    bugs hit a deploy window first; the all-time audit dilutes
+    them).
+
+    The input column must be an INTEGER magnitude (callers scale —
+    e.g. exact cents; documented): the first significant digit is
+    taken from the integer's decimal string head, which is exact and
+    engine-portable (``log10``+``floor`` misclassifies exact powers
+    of ten on platforms whose libm returns 2.9999999999999996).
+    Nine conditional sums in ONE stateful aggregation per (window,
+    group); χ² vs the pinned Benford probabilities with the
+    closed-form df=8 survival, plus Nigrini's mean absolute
+    deviation with the 0.015 nonconformity threshold. Late shards
+    merge by adding counts.
+
+    Output one row per (window, group): ``(window_start, window_end,
+    *group_cols, n, n_d1..n_d9, chi2, p_value, mad,
+    nonconforming_mad)``, 6dp.
+    """
+    from padua_spark.operators.stats import _chi2_sf_closed
+
+    group_cols = group_cols or []
+    v = int_value_col.cast("bigint")
+    first = F.substring(F.abs(v).cast("string"), 1, 1).cast("int")
+    withts = df.where(
+        v.isNotNull() & (v != 0)
+    ).select(
+        ts_col.alias("_event_time"), *group_cols,
+        first.alias("_d"),
+    )
+    if watermark and withts.isStreaming:
+        withts = withts.withWatermark("_event_time", watermark)
+    aggs = [
+        F.sum(F.when(F.col("_d") == d, 1).otherwise(0))
+        .cast("bigint").alias(f"n_d{d}")
+        for d in range(1, 10)
+    ]
+    agg = withts.groupBy(
+        F.window("_event_time", window_duration).alias("_w"),
+        *group_cols,
+    ).agg(*aggs)
+    n = None
+    for d in range(1, 10):
+        c = F.col(f"n_d{d}")
+        n = c if n is None else n + c
+    staged = agg.withColumn("_n", n)
+    nd = F.col("_n").cast("double")
+    chi2, mad = None, None
+    for d in range(1, 10):
+        e = F.lit(_BENFORD_P[d - 1]) * nd
+        o = F.col(f"n_d{d}").cast("double")
+        term = (o - e) * (o - e) / e
+        dev = F.abs(o / nd - F.lit(_BENFORD_P[d - 1]))
+        chi2 = term if chi2 is None else chi2 + term
+        mad = dev if mad is None else mad + dev
+    staged = staged.withColumn(
+        "_chi2", F.when(F.col("_n") > 0, chi2)
+    ).withColumn(
+        "_mad", F.when(F.col("_n") > 0, mad / 9.0)
+    )
+    p = _chi2_sf_closed(F.col("_chi2"), F.lit(8), max_df=8)
+    return staged.select(
+        F.col("_w.start").alias("window_start"),
+        F.col("_w.end").alias("window_end"),
+        *group_cols,
+        F.col("_n").alias("n"),
+        *[F.col(f"n_d{d}") for d in range(1, 10)],
+        F.round("_chi2", 6).alias("chi2"),
+        F.round(p, 6).alias("p_value"),
+        F.round("_mad", 6).alias("mad"),
+        F.when(
+            F.col("_mad").isNotNull(), F.col("_mad") > 0.015
+        ).alias("nonconforming_mad"),
+    )
+
+
+def windowed_concentration(
+    df: DataFrame,
+    ts_col: Column,
+    key_col: Column,
+    keys: list,
+    group_cols: list[str] | None = None,
+    window_duration: str = "1 hour",
+    watermark: str | None = None,
+) -> DataFrame:
+    """Per-tumbling-window concentration monitor over a DECLARED key
+    set — Herfindahl–Hirschman index, effective member count and top
+    share per window (the streaming face of E211): "did one source /
+    supplier / shard take over THIS hour?" — mix collapses are
+    deploy-localized, and the all-time HHI hides them.
+
+    Declared ``keys`` become conditional sums in ONE stateful
+    aggregation per (window, group) (the :func:`windowed_srm`
+    contract — a data-dependent key set would need a second stateful
+    aggregation, which append-mode streaming forbids; undeclared
+    keys fall into an ``n_other`` column EXCLUDED from the shares,
+    documented). ``HHI = Σ s_i²``, ``effective_n = 1/HHI``,
+    ``top_share = max s_i``. Late shards merge by adding counts.
+
+    Output one row per (window, group): ``(window_start, window_end,
+    *group_cols, n, n_other, hhi, effective_n, top_share)``, 6dp.
+    """
+    group_cols = group_cols or []
+    if len(keys) < 2:
+        raise ValueError("windowed_concentration: need >= 2 keys")
+    withts = df.select(
+        ts_col.alias("_event_time"), *group_cols,
+        key_col.alias("_k"),
+    )
+    if watermark and withts.isStreaming:
+        withts = withts.withWatermark("_event_time", watermark)
+    aggs = [
+        F.sum(F.when(F.col("_k") == k, 1).otherwise(0))
+        .cast("bigint").alias(f"n_key_{i}")
+        for i, k in enumerate(keys)
+    ] + [
+        F.sum(
+            F.when(~F.col("_k").isin(list(keys)), 1).otherwise(0)
+        ).cast("bigint").alias("n_other")
+    ]
+    agg = withts.groupBy(
+        F.window("_event_time", window_duration).alias("_w"),
+        *group_cols,
+    ).agg(*aggs)
+    n = None
+    for i in range(len(keys)):
+        c = F.col(f"n_key_{i}")
+        n = c if n is None else n + c
+    staged = agg.withColumn("_n", n)
+    nd = F.col("_n").cast("double")
+    hhi, top = None, None
+    for i in range(len(keys)):
+        s = F.col(f"n_key_{i}").cast("double") / nd
+        hhi = s * s if hhi is None else hhi + s * s
+        top = s if top is None else F.greatest(top, s)
+    staged = staged.withColumn(
+        "_hhi", F.when(F.col("_n") > 0, hhi)
+    ).withColumn("_top", F.when(F.col("_n") > 0, top))
+    return staged.select(
+        F.col("_w.start").alias("window_start"),
+        F.col("_w.end").alias("window_end"),
+        *group_cols,
+        F.col("_n").alias("n"),
+        "n_other",
+        F.round("_hhi", 6).alias("hhi"),
+        F.round(
+            F.when(F.col("_hhi") > 0, 1.0 / F.col("_hhi")), 6
+        ).alias("effective_n"),
+        F.round("_top", 6).alias("top_share"),
+    )
+
+
+def windowed_binned_ks(
+    df: DataFrame,
+    ts_col: Column,
+    value_col: Column,
+    bin_edges: list[float],
+    reference_cdf: list[float],
+    group_cols: list[str] | None = None,
+    window_duration: str = "1 hour",
+    watermark: str | None = None,
+) -> DataFrame:
+    """Per-tumbling-window BINNED Kolmogorov–Smirnov drift monitor
+    against a declared reference CDF — the sup-norm companion to
+    :func:`windowed_psi` (PSI is a likelihood-ratio mass measure and
+    saturates on empty bins; the KS gap at the declared edges reads
+    directly as "worst CDF displacement", with the classic
+    1.36/√n 5% band). Binned KS is CONSERVATIVE vs exact KS
+    (documented — the sup is only probed at the edges).
+
+    ``reference_cdf[i]`` = reference P(X ≤ bin_edges[i]); realized
+    CDF at each edge comes from compile-time conditional sums in ONE
+    stateful aggregation per (window, group); the max gap is a
+    per-row expression over the bounded edge list. Late shards merge
+    by adding counts.
+
+    Output one row per (window, group): ``(window_start, window_end,
+    *group_cols, n, ks_stat, critical_5pct, drift_flag_5pct)``, 6dp.
+    """
+    group_cols = group_cols or []
+    if len(bin_edges) != len(reference_cdf) or len(bin_edges) < 2:
+        raise ValueError(
+            "windowed_binned_ks: bin_edges and reference_cdf must "
+            "match and have >= 2 entries"
+        )
+    if sorted(bin_edges) != list(bin_edges):
+        raise ValueError("windowed_binned_ks: edges must ascend")
+    v = value_col.cast("double")
+    withts = df.where(v.isNotNull()).select(
+        ts_col.alias("_event_time"), *group_cols, v.alias("_v")
+    )
+    if watermark and withts.isStreaming:
+        withts = withts.withWatermark("_event_time", watermark)
+    aggs = [
+        F.sum((F.col("_v") <= e).cast("int"))
+        .cast("bigint").alias(f"n_le_{i}")
+        for i, e in enumerate(bin_edges)
+    ] + [F.count(F.lit(1)).cast("bigint").alias("_n")]
+    agg = withts.groupBy(
+        F.window("_event_time", window_duration).alias("_w"),
+        *group_cols,
+    ).agg(*aggs)
+    nd = F.col("_n").cast("double")
+    gap = None
+    for i, ref in enumerate(reference_cdf):
+        g = F.abs(
+            F.col(f"n_le_{i}").cast("double") / nd - F.lit(float(ref))
+        )
+        gap = g if gap is None else F.greatest(gap, g)
+    staged = agg.withColumn(
+        "_ks", F.when(F.col("_n") > 0, gap)
+    ).withColumn(
+        "_crit",
+        F.when(F.col("_n") > 0, F.lit(1.36) / F.sqrt(nd)),
+    )
+    return staged.select(
+        F.col("_w.start").alias("window_start"),
+        F.col("_w.end").alias("window_end"),
+        *group_cols,
+        F.col("_n").alias("n"),
+        F.round("_ks", 6).alias("ks_stat"),
+        F.round("_crit", 6).alias("critical_5pct"),
+        F.when(
+            F.col("_ks").isNotNull(), F.col("_ks") > F.col("_crit")
+        ).alias("drift_flag_5pct"),
+    )

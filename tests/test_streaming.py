@@ -1667,3 +1667,201 @@ def test_stream_equals_batch_windowed_embedding_drift(spark, events_dir):
         for r in build(batch).collect()
     }
     assert got == exp and len(got) > 0
+
+
+def test_stream_equals_batch_windowed_benford(spark, events_dir):
+    """Windowed Benford audit: stream == batch on every window row;
+    digit counts sum to n, chi2 replicated from the pinned Benford
+    probabilities on one window."""
+    from padua_spark.streaming.windows import _BENFORD_P, windowed_benford
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    batch = spark.read.parquet(events_dir)
+    stream = read_event_stream(spark, events_dir, schema=batch.schema)
+
+    def build(df):
+        return windowed_benford(
+            df,
+            event_time_col(df),
+            F.round(F.col("value").cast("double") * 100).cast("bigint"),
+            window_duration="1 hour",
+            watermark="2 hours",
+        )
+
+    q = (
+        build(stream)
+        .writeStream.format("memory")
+        .queryName("t_winbenford")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(180)
+    cols = (
+        ["n"] + [f"n_d{d}" for d in range(1, 10)]
+        + ["chi2", "p_value", "mad", "nonconforming_mad"]
+    )
+    got = {
+        r["window_start"]: tuple(r[c] for c in cols)
+        for r in spark.sql("SELECT * FROM t_winbenford").collect()
+    }
+    exp = {
+        r["window_start"]: tuple(r[c] for c in cols)
+        for r in build(batch).collect()
+    }
+    assert got == exp and len(got) > 0
+    # replica on one window
+    w0 = sorted(got)[0]
+    vals = dict(zip(cols, got[w0]))
+    assert sum(vals[f"n_d{d}"] for d in range(1, 10)) == vals["n"]
+    chi2 = sum(
+        (vals[f"n_d{d}"] - _BENFORD_P[d - 1] * vals["n"]) ** 2
+        / (_BENFORD_P[d - 1] * vals["n"])
+        for d in range(1, 10)
+    )
+    assert vals["chi2"] == pytest.approx(chi2, abs=1e-5)
+    mad = sum(
+        abs(vals[f"n_d{d}"] / vals["n"] - _BENFORD_P[d - 1])
+        for d in range(1, 10)
+    ) / 9.0
+    assert vals["mad"] == pytest.approx(mad, abs=1e-6)
+    assert vals["nonconforming_mad"] == (mad > 0.015)
+
+
+def test_stream_equals_batch_windowed_concentration(spark, events_dir):
+    """Windowed HHI concentration: stream == batch on every window
+    row; HHI / effective_n / top_share replicated from the per-key
+    counts on one window."""
+    from padua_spark.streaming.windows import windowed_concentration
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    batch = spark.read.parquet(events_dir)
+    stream = read_event_stream(spark, events_dir, schema=batch.schema)
+    keys = ["click", "error", "purchase", "signup", "view"]
+
+    def build(df):
+        return windowed_concentration(
+            df,
+            event_time_col(df),
+            F.col("event_type"),
+            keys,
+            window_duration="1 hour",
+            watermark="2 hours",
+        )
+
+    q = (
+        build(stream)
+        .writeStream.format("memory")
+        .queryName("t_winconc")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(180)
+    cols = ["n", "n_other", "hhi", "effective_n", "top_share"]
+    got = {
+        r["window_start"]: tuple(r[c] for c in cols)
+        for r in spark.sql("SELECT * FROM t_winconc").collect()
+    }
+    exp = {
+        r["window_start"]: tuple(r[c] for c in cols)
+        for r in build(batch).collect()
+    }
+    assert got == exp and len(got) > 0
+    # replica on one window from raw batch counts
+    import datetime
+
+    w0 = sorted(got)[0]
+    w1 = w0 + datetime.timedelta(hours=1)
+    sub = (
+        batch.where(F.col("value").isNotNull() | F.lit(True))
+        .select(event_time_col(batch).alias("_t"), "event_type")
+        .where((F.col("_t") >= w0) & (F.col("_t") < w1))
+        .groupBy("event_type").count().collect()
+    )
+    counts = {r["event_type"]: r["count"] for r in sub}
+    n = sum(counts.get(k, 0) for k in keys)
+    shares = [counts.get(k, 0) / n for k in keys]
+    hhi = sum(s * s for s in shares)
+    vals = dict(zip(cols, got[w0]))
+    assert vals["n"] == n
+    assert vals["hhi"] == pytest.approx(hhi, abs=1e-6)
+    assert vals["effective_n"] == pytest.approx(1.0 / hhi, abs=1e-5)
+    assert vals["top_share"] == pytest.approx(max(shares), abs=1e-6)
+
+
+def test_stream_equals_batch_windowed_binned_ks(spark, events_dir):
+    """Windowed binned KS: stream == batch on every window row; the
+    max CDF gap replicated from raw edge counts on one window, and a
+    deliberately wrong reference CDF flags harder than a fitted one."""
+    from padua_spark.streaming.windows import windowed_binned_ks
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    batch = spark.read.parquet(events_dir)
+    stream = read_event_stream(spark, events_dir, schema=batch.schema)
+    edges = [15.0, 35.0, 70.0, 150.0]
+    ref = [0.25, 0.5, 0.75, 0.95]
+
+    def build(df, cdf=None):
+        return windowed_binned_ks(
+            df,
+            event_time_col(df),
+            F.col("value"),
+            bin_edges=edges,
+            reference_cdf=cdf or ref,
+            window_duration="1 hour",
+            watermark="2 hours",
+        )
+
+    q = (
+        build(stream)
+        .writeStream.format("memory")
+        .queryName("t_winbks")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(180)
+    cols = ["n", "ks_stat", "critical_5pct", "drift_flag_5pct"]
+    got = {
+        r["window_start"]: tuple(r[c] for c in cols)
+        for r in spark.sql("SELECT * FROM t_winbks").collect()
+    }
+    exp = {
+        r["window_start"]: tuple(r[c] for c in cols)
+        for r in build(batch).collect()
+    }
+    assert got == exp and len(got) > 0
+    # replica on one window
+    import datetime
+
+    w0 = sorted(got)[0]
+    w1 = w0 + datetime.timedelta(hours=1)
+    sub = (
+        batch.where(F.col("value").isNotNull())
+        .select(
+            event_time_col(batch).alias("_t"),
+            F.col("value").cast("double").alias("_v"),
+        )
+        .where((F.col("_t") >= w0) & (F.col("_t") < w1))
+        .collect()
+    )
+    vs = [r["_v"] for r in sub]
+    n = len(vs)
+    ks = max(
+        abs(sum(1 for v in vs if v <= e) / n - r0)
+        for e, r0 in zip(edges, ref)
+    )
+    vals = dict(zip(cols, got[w0]))
+    assert vals["n"] == n
+    assert vals["ks_stat"] == pytest.approx(ks, abs=1e-6)
+    assert vals["critical_5pct"] == pytest.approx(
+        1.36 / n ** 0.5, abs=1e-6
+    )
+    assert vals["drift_flag_5pct"] == (ks > 1.36 / n ** 0.5)
+    # an absurd reference CDF must produce a larger total KS
+    absurd = {
+        r["window_start"]: r["ks_stat"]
+        for r in build(batch, cdf=[0.01, 0.02, 0.03, 0.04]).collect()
+    }
+    assert sum(absurd.values()) > sum(v[1] for v in got.values())

@@ -12044,3 +12044,793 @@ def test_ccf_and_engle_granger_vs_numpy(spark):
     se = np.sqrt((rss / (len(el) - 1)) / (el * el).sum())
     assert got["coint"]["gamma"] == pytest.approx(gam, abs=1e-5)
     assert got["coint"]["t_stat"] == pytest.approx(gam / se, abs=1e-4)
+
+
+def test_round13_location_scale_battery_vs_numpy(spark):
+    """lepage_test / cucconi_test / conover_squared_ranks /
+    variance_outlier_screen vs independent numpy replicas on tied
+    integer data (midranks exercised), plus behavioral checks: a
+    planted scale change drives z_scale / the scale tests, a planted
+    shift drives z_location."""
+    import numpy as np
+
+    from padua_spark.operators.stats import (
+        conover_squared_ranks,
+        cucconi_test,
+        lepage_test,
+        variance_outlier_screen,
+    )
+
+    rng = np.random.RandomState(13)
+    # integer-valued, tied, b shifted AND widened
+    a = rng.randint(10, 40, 300)
+    b = rng.randint(5, 55, 260) + 4
+    rows = [("a", int(x)) for x in a] + [("b", int(x)) for x in b]
+    df = spark.createDataFrame(rows, ["g", "v"])
+
+    pooled = np.concatenate([a, b]).astype(float)
+    order = np.argsort(pooled, kind="mergesort")
+    ranks = np.empty(len(pooled))
+    sorted_v = pooled[order]
+    i = 0
+    rk = np.empty(len(pooled))
+    while i < len(sorted_v):
+        j = i
+        while j < len(sorted_v) and sorted_v[j] == sorted_v[i]:
+            j += 1
+        rk[i:j] = (i + 1 + j) / 2.0
+        i = j
+    ranks[order] = rk
+    na, nb = len(a), len(b)
+    nt = na + nb
+    ra = ranks[:na]
+    rb = ranks[na:]
+    w = ra.sum()
+    # tie term from pooled counts
+    _, cnts = np.unique(pooled, return_counts=True)
+    tie = float((cnts.astype(np.int64) ** 3 - cnts).sum())
+    var_w = na * nb / 12.0 * ((nt + 1) - tie / (nt * (nt - 1.0)))
+    z_w = (w - na * (nt + 1) / 2.0) / np.sqrt(var_w)
+    s = np.minimum(ranks, nt + 1 - ranks)
+    ab = s[:na].sum()
+    e_ab = na * s.sum() / nt
+    var_ab = (
+        na * nb * ((s * s).sum() - s.sum() ** 2 / nt)
+        / (nt * (nt - 1.0))
+    )
+    z_ab = (ab - e_ab) / np.sqrt(var_ab)
+    lep = z_w ** 2 + z_ab ** 2
+    row = lepage_test(df, "g", "v", "a", "b").collect()[0]
+    assert row["n_a"] == na and row["n_b"] == nb
+    assert row["w_stat"] == pytest.approx(w, abs=1e-6)
+    assert row["ab_stat"] == pytest.approx(ab, abs=1e-6)
+    assert row["z_location"] == pytest.approx(z_w, abs=1e-5)
+    assert row["z_scale"] == pytest.approx(z_ab, abs=1e-5)
+    assert row["lepage_l"] == pytest.approx(lep, abs=1e-4)
+    assert row["p_value"] == pytest.approx(
+        np.exp(-lep / 2.0), abs=1e-5
+    )
+    # shift+scale planted -> omnibus should fire
+    assert row["p_value"] < 0.01
+
+    sr2 = (rb ** 2).sum()
+    scr2 = ((nt + 1 - rb) ** 2).sum()
+    den = np.sqrt(
+        na * nb * (nt + 1.0) * (2 * nt + 1.0) * (8 * nt + 11.0) / 5.0
+    )
+    u = (6.0 * sr2 - nb * (nt + 1.0) * (2 * nt + 1.0)) / den
+    vv = (6.0 * scr2 - nb * (nt + 1.0) * (2 * nt + 1.0)) / den
+    rho = 2.0 * (nt * nt - 4.0) / (
+        (2 * nt + 1.0) * (8 * nt + 11.0)
+    ) - 1.0
+    c = (u * u + vv * vv - 2 * rho * u * vv) / (2 * (1 - rho * rho))
+    rowc = cucconi_test(df, "g", "v", "a", "b").collect()[0]
+    assert rowc["u_stat"] == pytest.approx(u, abs=1e-5)
+    assert rowc["v_stat"] == pytest.approx(vv, abs=1e-5)
+    assert rowc["rho"] == pytest.approx(rho, abs=1e-6)
+    assert rowc["c_stat"] == pytest.approx(c, abs=1e-4)
+    assert rowc["p_value"] == pytest.approx(np.exp(-c), abs=1e-5)
+
+    # Conover squared ranks, 3 groups with one wide group
+    g3 = rng.randint(20, 31, 250)
+    groups = {"a": a, "b": b, "c": g3}
+    zs, labels = [], []
+    for gname, arr in groups.items():
+        mu = arr.astype(float).mean()
+        zs.append(np.abs(arr - mu))
+        labels += [gname] * len(arr)
+    zpool = np.concatenate(zs)
+    order = np.argsort(zpool, kind="mergesort")
+    rk2 = np.empty(len(zpool))
+    sv = zpool[order]
+    i = 0
+    tmp = np.empty(len(zpool))
+    while i < len(sv):
+        j = i
+        while j < len(sv) and sv[j] == sv[i]:
+            j += 1
+        tmp[i:j] = (i + 1 + j) / 2.0
+        i = j
+    rk2[order] = tmp
+    labels = np.array(labels)
+    nn = float(len(zpool))
+    r2 = rk2 ** 2
+    sbar = r2.mean()
+    d2 = ((rk2 ** 4).sum() - nn * sbar * sbar) / (nn - 1.0)
+    ssum = 0.0
+    for gname in groups:
+        sg = r2[labels == gname].sum()
+        ssum += sg * sg / (labels == gname).sum()
+    t_np = (ssum - nn * sbar * sbar) / d2
+    rows3 = (
+        [("a", int(x)) for x in a]
+        + [("b", int(x)) for x in b]
+        + [("c", int(x)) for x in g3]
+    )
+    df3 = spark.createDataFrame(rows3, ["g", "v"])
+    rowt = conover_squared_ranks(
+        df3, "g", "v", ["a", "b", "c"]
+    ).collect()[0]
+    assert rowt["n_total"] == len(zpool)
+    assert rowt["t_stat"] == pytest.approx(t_np, abs=1e-4)
+    assert rowt["p_value"] == pytest.approx(
+        np.exp(-t_np / 2.0), abs=1e-5
+    )
+    assert rowt["p_value"] < 0.01  # b is genuinely wider
+
+    rowv = variance_outlier_screen(
+        df3, "g", "v", ["a", "b", "c"]
+    ).collect()[0]
+    vars_np = {g: arr.astype(float).var(ddof=1)
+               for g, arr in groups.items()}
+    vmax = max(vars_np.values())
+    vsum = sum(vars_np.values())
+    assert rowv["max_group"] == "b"
+    assert rowv["cochran_c"] == pytest.approx(vmax / vsum, abs=1e-6)
+    assert rowv["hartley_fmax"] == pytest.approx(
+        vmax / min(vars_np.values()), abs=1e-4
+    )
+    f_np = 2.0 * (vmax / vsum) / (1.0 - vmax / vsum)
+    assert rowv["f_stat"] == pytest.approx(f_np, abs=1e-4)
+    assert rowv["df1"] == len(b) - 1
+    assert rowv["df2"] == (len(a) - 1) + (len(g3) - 1)
+    assert rowv["p_bonferroni"] < 0.01
+
+
+def test_round13_edf_and_rates_battery_vs_numpy(spark):
+    """edf_normality_battery / f_variance_ratio_test /
+    poisson_two_rate_test / wallis_moore_test vs independent
+    replicas (math.erf / math.lgamma based — no scipy)."""
+    import math
+
+    import numpy as np
+
+    from padua_spark.operators.stats import (
+        edf_normality_battery,
+        f_variance_ratio_test,
+        poisson_two_rate_test,
+        wallis_moore_test,
+    )
+
+    rng = np.random.RandomState(7)
+    x = np.round(rng.normal(50, 10, 500), 1)  # ties via rounding
+    df = spark.createDataFrame([(float(v),) for v in x], ["v"])
+    row = edf_normality_battery(df, "v").collect()[0]
+    xs = np.sort(x)
+    n = len(xs)
+    mu, sd = xs.mean(), xs.std(ddof=1)
+    phi = np.array([
+        0.5 * (1.0 + math.erf((v - mu) / sd / math.sqrt(2.0)))
+        for v in xs
+    ])
+    phi = np.clip(phi, 1e-300, 1 - 1e-16)
+    i = np.arange(1, n + 1)
+    a2 = -n - (1.0 / n) * np.sum(
+        (2 * i - 1) * (np.log(phi) + np.log(1 - phi[::-1]))
+    )
+    w2 = np.sum((phi - (2 * i - 1) / (2.0 * n)) ** 2) + 1.0 / (12 * n)
+    u2 = w2 - n * (phi.mean() - 0.5) ** 2
+    # true-erf replica: loose tolerance (engine shares the A&S
+    # polynomial, |erf err| ~1.5e-7 amplified through the logs)
+    assert row["n"] == n
+    assert row["mean"] == pytest.approx(mu, abs=1e-6)
+    assert row["sd"] == pytest.approx(sd, abs=1e-6)
+    assert row["a2_stat"] == pytest.approx(a2, abs=2e-2)
+    assert row["w2_stat"] == pytest.approx(w2, abs=5e-3)
+    assert row["u2_stat"] == pytest.approx(u2, abs=5e-3)
+    # normal data: battery should NOT reject
+    assert row["p_ad"] > 0.05
+    assert row["w2_reject_5pct"] is False
+    assert row["u2_reject_5pct"] is False
+    # non-normal (uniform) data: battery should reject hard
+    u = rng.uniform(0, 1, 500)
+    dfu = spark.createDataFrame([(float(v),) for v in u], ["v"])
+    rowu = edf_normality_battery(dfu, "v").collect()[0]
+    assert rowu["p_ad"] < 0.01
+    assert rowu["w2_reject_1pct"] is True
+
+    # F ratio: planted variance ratio ~4
+    a = rng.normal(0, 2, 400)
+    b = rng.normal(0, 1, 350)
+    dfab = spark.createDataFrame(
+        [("a", float(v)) for v in a] + [("b", float(v)) for v in b],
+        ["g", "v"],
+    )
+    rf = f_variance_ratio_test(dfab, "g", "v", "a", "b").collect()[0]
+    va, vb = a.var(ddof=1), b.var(ddof=1)
+    assert rf["var_a"] == pytest.approx(va, abs=1e-5)
+    assert rf["var_b"] == pytest.approx(vb, abs=1e-5)
+    assert rf["f_stat"] == pytest.approx(va / vb, abs=1e-5)
+    assert rf["df1"] == 399 and rf["df2"] == 349
+    assert rf["p_two_sided"] < 0.001
+
+    # exact two-rate: independent lgamma replica
+    evs = (
+        [("a", "hit")] * 30 + [("a", "exp")] * 400
+        + [("b", "hit")] * 12 + [("b", "exp")] * 380
+    )
+    dfe = spark.createDataFrame(evs, ["arm", "kind"])
+    rr = poisson_two_rate_test(
+        dfe, "arm", "a", "b",
+        event_flag=F.col("kind") == "hit",
+        exposure_flag=F.col("kind") == "exp",
+    ).collect()[0]
+    k1, k2, t1, t2 = 30, 12, 400, 380
+    kk = k1 + k2
+    p0 = t1 / (t1 + t2)
+
+    def lpmf(j):
+        return (
+            math.lgamma(kk + 1) - math.lgamma(j + 1)
+            - math.lgamma(kk - j + 1)
+            + j * math.log(p0) + (kk - j) * math.log(1 - p0)
+        )
+
+    lk = lpmf(k1)
+    pt = sum(
+        math.exp(lpmf(j))
+        for j in range(kk + 1)
+        if lpmf(j) <= lk + 9.999999505838704e-08
+    )
+    assert rr["k_a"] == k1 and rr["t_b"] == t2
+    assert rr["rate_ratio"] == pytest.approx(
+        (k1 / t1) / (k2 / t2), abs=1e-6
+    )
+    assert rr["p_two"] == pytest.approx(min(pt, 1.0), abs=1e-6)
+
+    # Wallis-Moore: hand-counted phases with a tie
+    series = [1, 2, 3, 2, 2, 4, 1, 5, 2, 6, 3, 7, 4, 8, 5, 9]
+    dfw = spark.createDataFrame(
+        [("g", i, float(v)) for i, v in enumerate(series)],
+        ["g", "i", "v"],
+    )
+    rw = wallis_moore_test(dfw, ["g"], ["i"], "v").collect()[0]
+    diffs = [
+        series[j + 1] - series[j]
+        for j in range(len(series) - 1)
+        if series[j + 1] != series[j]
+    ]
+    signs = [1 if d > 0 else -1 for d in diffs]
+    changes = sum(
+        1 for j in range(1, len(signs)) if signs[j] != signs[j - 1]
+    )
+    n_eff = len(signs) + 1
+    h = changes + 1 - 2
+    z = (h - (2 * n_eff - 7) / 3.0) / math.sqrt(
+        (16 * n_eff - 29) / 90.0
+    )
+    assert rw["n"] == n_eff
+    assert rw["h_phases"] == h
+    assert rw["z"] == pytest.approx(z, abs=1e-5)
+
+
+def test_round13_graph_battery_vs_numpy(spark):
+    """katz_centrality / rich_club_coefficient / geary_c /
+    getis_ord_g vs dense numpy replicas on a seeded random graph."""
+    import numpy as np
+
+    from padua_spark.extensions.graph import (
+        katz_centrality,
+        rich_club_coefficient,
+    )
+    from padua_spark.operators.stats import geary_c, getis_ord_g
+
+    rng = np.random.RandomState(5)
+    n = 60
+    adj = np.zeros((n, n), dtype=int)
+    edges = []
+    for _ in range(300):
+        u, v = rng.randint(0, n, 2)
+        if u != v:
+            edges.append((int(u), int(v)))
+            adj[u, v] = 1
+    dfe = spark.createDataFrame(edges, ["src", "dst"])
+    # dedup directed edges like the op
+    adj_d = adj.copy()
+    alpha, beta, k = 0.01, 1.0, 5
+    xv = np.full(n, beta)
+    active = np.zeros(n, dtype=bool)
+    for u, v in edges:
+        active[u] = active[v] = True
+    for _ in range(k):
+        xv = beta + alpha * (adj_d.T @ xv)
+    got = {
+        r["node"]: r["katz"]
+        for r in katz_centrality(
+            dfe, k_iters=k, alpha=alpha, beta=beta
+        ).collect()
+    }
+    assert len(got) == int(active.sum())
+    for node, val in got.items():
+        assert val == pytest.approx(xv[node], abs=1e-9), node
+
+    # rich club on the symmetrized undirected graph
+    und = {
+        (min(u, v), max(u, v)) for u, v in edges if u != v
+    }
+    deg = {}
+    for u, v in und:
+        deg[u] = deg.get(u, 0) + 1
+        deg[v] = deg.get(v, 0) + 1
+    rows = {
+        r["degree_threshold"]: r
+        for r in rich_club_coefficient(
+            dfe, degree_thresholds=[2, 4, 8]
+        ).collect()
+    }
+    for kk in (2, 4, 8):
+        nodes_k = [x for x, d in deg.items() if d > kk]
+        ek = sum(
+            1 for u, v in und
+            if deg[u] > kk and deg[v] > kk
+        )
+        nk = len(nodes_k)
+        assert rows[kk]["n_nodes"] == nk
+        assert rows[kk]["n_edges"] == ek
+        if nk >= 2:
+            assert rows[kk]["phi"] == pytest.approx(
+                2.0 * ek / (nk * (nk - 1.0)), abs=1e-6
+            )
+
+    # Geary / Getis on the undirected graph with positive values
+    vals = rng.uniform(1, 10, n)
+    dfv = spark.createDataFrame(
+        [(int(i), float(vals[i])) for i in range(n)],
+        ["node", "value"],
+    )
+    dfe2 = spark.createDataFrame(
+        [(u, v) for u, v in und], ["id_a", "id_b"]
+    )
+    m = len(und)
+    nd = float(n)
+    mean = vals.mean()
+    den = ((vals - mean) ** 2).sum()
+    sdd = sum((vals[u] - vals[v]) ** 2 for u, v in und)
+    c_np = (nd - 1.0) * (2.0 * sdd) / (2.0 * (2.0 * m) * den)
+    s1, s2 = 4.0 * m, 4.0 * sum(d * d for d in deg.values())
+    var_c = (
+        (2.0 * s1 + s2) * (nd - 1.0) - 4.0 * (2.0 * m) ** 2
+    ) / (2.0 * (nd + 1.0) * (2.0 * m) ** 2)
+    rg = geary_c(dfv, dfe2).collect()[0]
+    assert rg["n_nodes"] == n and rg["n_edges"] == m
+    assert rg["geary_c"] == pytest.approx(c_np, abs=1e-5)
+    assert rg["z"] == pytest.approx(
+        (c_np - 1.0) / np.sqrt(var_c), abs=1e-4
+    )
+
+    m1, m2 = vals.sum(), (vals ** 2).sum()
+    m3, m4 = (vals ** 3).sum(), (vals ** 4).sum()
+    svv = sum(vals[u] * vals[v] for u, v in und)
+    g_np = 2.0 * svv / (m1 * m1 - m2)
+    w = 2.0 * m
+    e_g = w / (nd * (nd - 1.0))
+    b0 = (nd * nd - 3 * nd + 3) * s1 - nd * s2 + 3 * w * w
+    b1 = -((nd * nd - nd) * s1 - 2 * nd * s2 + 6 * w * w)
+    b2 = -(2 * nd * s1 - (nd + 3) * s2 + 6 * w * w)
+    b3 = 4 * (nd - 1) * s1 - 2 * (nd + 1) * s2 + 8 * w * w
+    b4 = s1 - s2 + w * w
+    eg2 = (
+        b0 * m2 * m2 + b1 * m4 + b2 * m1 * m1 * m2
+        + b3 * m1 * m3 + b4 * m1 ** 4
+    ) / (
+        (m1 * m1 - m2) ** 2 * nd * (nd - 1) * (nd - 2) * (nd - 3)
+    )
+    var_g = eg2 - e_g * e_g
+    rgo = getis_ord_g(dfv, dfe2).collect()[0]
+    assert rgo["g_stat"] == pytest.approx(g_np, abs=1e-6)
+    assert rgo["expected_g"] == pytest.approx(e_g, abs=1e-6)
+    assert rgo["z"] == pytest.approx(
+        (g_np - e_g) / np.sqrt(var_g), abs=1e-4
+    )
+
+
+def test_round13_text_battery_vs_python(spark):
+    """readability_battery2 / burrows_delta / winnowing_fingerprints
+    vs pure-Python replicas, including the winnowing contiguous-match
+    guarantee."""
+    import math
+    import re
+
+    from padua_spark.extensions.text import (
+        burrows_delta,
+        readability_battery2,
+        winnowing_fingerprints,
+    )
+
+    docs = [
+        (1, "The quick brown fox jumps over the lazy dog. Amazing!"),
+        (2, "Short one."),
+        (3, "Complicated considerations materialize; extraordinary "
+            "community collaboration? Yes. Infrastructure matters."),
+        (4, "no caps no stops just tokens here"),
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    got = {
+        r["doc_id"]: r
+        for r in readability_battery2(df, "doc_id", "text").collect()
+    }
+    for doc_id, text in docs:
+        toks = [t for t in re.split(r"\s+", text.strip()) if t]
+        w = len(toks)
+        s = max(len(re.findall(r"[.!?]+", text)), 1)
+        le = len(re.findall(r"[A-Za-z]", text))
+        al = len(re.findall(r"[A-Za-z0-9]", text))
+        lg = sum(1 for t in toks if len(t) >= 7)
+        cx = sum(
+            1 for t in toks
+            if len(re.findall(r"[aeiouy]+", t.lower())) >= 3
+        )
+        r = got[doc_id]
+        assert (r["n_words"], r["n_sentences"], r["n_letters"],
+                r["n_long_words"], r["n_complex_words"]) == (
+            w, s, le, lg, cx), doc_id
+        assert r["coleman_liau"] == pytest.approx(
+            0.0588 * (100.0 * le / w) - 0.296 * (100.0 * s / w)
+            - 15.8, abs=1e-5)
+        assert r["ari"] == pytest.approx(
+            4.71 * (al / w) + 0.5 * (w / s) - 21.43, abs=1e-5)
+        assert r["lix"] == pytest.approx(
+            w / s + 100.0 * lg / w, abs=1e-5)
+        assert r["gunning_fog"] == pytest.approx(
+            0.4 * (w / s + 100.0 * cx / w), abs=1e-5)
+
+    # Burrows' Delta on a 3-group corpus with known counts
+    corpus = [
+        ("g1", "alpha beta beta gamma"),
+        ("g1", "alpha alpha beta"),
+        ("g2", "gamma gamma gamma beta"),
+        ("g3", "alpha gamma beta beta beta"),
+    ]
+    dfb = spark.createDataFrame(corpus, ["lang", "text"])
+    rows = {
+        (r["group_a"], r["group_b"]): r
+        for r in burrows_delta(dfb, "lang", "text", top_m=3).collect()
+    }
+    import numpy as np
+
+    cnt = {}
+    for g, t in corpus:
+        for tok in t.split():
+            cnt[(g, tok)] = cnt.get((g, tok), 0) + 1
+    toks3 = ["beta", "gamma", "alpha"]  # by corpus count desc, tok asc
+    gts = {g: sum(c for (gg, _), c in cnt.items() if gg == g)
+           for g in ("g1", "g2", "g3")}
+    zmat = {}
+    for tok in toks3:
+        fs = {g: cnt.get((g, tok), 0) / gts[g] for g in gts}
+        mu = np.mean(list(fs.values()))
+        sd = np.std(list(fs.values()), ddof=1)
+        if sd > 0:
+            for g in gts:
+                zmat[(g, tok)] = (fs[g] - mu) / sd
+    for ga, gb in (("g1", "g2"), ("g1", "g3"), ("g2", "g3")):
+        ts = [t for t in toks3 if (ga, t) in zmat]
+        exp = np.mean([abs(zmat[(ga, t)] - zmat[(gb, t)])
+                       for t in ts])
+        assert rows[(ga, gb)]["n_markers"] == len(ts)
+        assert rows[(ga, gb)]["delta"] == pytest.approx(
+            exp, abs=1e-5), (ga, gb)
+
+    # winnowing: two docs sharing a long substring must pair; a
+    # disjoint doc must not; fingerprints match the exact replica
+    shared = "abcdefghijklmnopqrstuvwxyz0123456789"
+    dw = [
+        (1, "xx " + shared + " yy"),
+        (2, "zz " + shared + " qq"),
+        (3, "totally different content with no overlap at all ###"),
+    ]
+    dfw = spark.createDataFrame(dw, ["doc_id", "text"])
+    k, w_win = 20, 8
+    pairs = {
+        (r["id_a"], r["id_b"]): r["n_shared"]
+        for r in winnowing_fingerprints(
+            dfw, "doc_id", "text", k_gram=k, window=w_win,
+            min_shared=1,
+        ).collect()
+    }
+
+    def fp_py(text):
+        s = text.lower()[:4096]
+        codes = [ord(c) for c in s]
+        hs = []
+        for p in range(len(codes) - k + 1):
+            h = 7
+            for c in codes[p:p + k]:
+                h = (h * 131 + c) % 2147483647
+            hs.append(h)
+        keys = [
+            h * 2097152 + (2097151 - (i + 1))
+            for i, h in enumerate(hs)
+        ]
+        sels = {
+            min(keys[i:i + w_win]) for i in range(len(keys))
+        }
+        return {kk >> 21 for kk in sels}
+
+    f1, f2, f3 = (fp_py(t) for _, t in dw)
+    assert pairs.get((1, 2)) == len(f1 & f2) and len(f1 & f2) >= 1
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_round13_isotropy_risk_shares_battery(spark):
+    """embedding_isotropy closed forms vs brute-force pairwise;
+    return_risk_profile / quantile_shares / agreement_battery /
+    retrieval_err_at_k vs replicas."""
+    import numpy as np
+
+    from padua_spark.extensions.quality import agreement_battery
+    from padua_spark.extensions.similarity import (
+        embedding_isotropy,
+        retrieval_err_at_k,
+    )
+    from padua_spark.operators.stats import quantile_shares
+    from padua_spark.operators.temporal import return_risk_profile
+
+    rng = np.random.RandomState(11)
+    vecs = rng.normal(0.3, 1.0, (80, 8))  # slight common direction
+    dfv = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(80)],
+        "vec_id long, embedding array<double>",
+    )
+    row = embedding_isotropy(dfv, "vec_id", "embedding").collect()[0]
+    u = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    cos = u @ u.T
+    n = len(u)
+    apc = (cos.sum() - n) / (n * (n - 1))
+    assert row["n_vectors"] == n and row["dim"] == 8
+    assert row["avg_pairwise_cosine"] == pytest.approx(apc, abs=1e-6)
+    s = u.sum(axis=0)
+    assert row["mean_cosine_to_centroid"] == pytest.approx(
+        np.linalg.norm(s) / n, abs=1e-6
+    )
+    assert row["mean_norm"] == pytest.approx(
+        np.linalg.norm(vecs, axis=1).mean(), abs=1e-6
+    )
+
+    # risk profile on a hand-made series
+    series = [1.0, -2.0, 3.0, -1.0, -1.5, 2.5, 0.5, -3.0, 1.0]
+    dfr = spark.createDataFrame(
+        [("k", i, v) for i, v in enumerate(series)],
+        ["g", "i", "v"],
+    )
+    rr = return_risk_profile(dfr, ["g"], ["i"], "v").collect()[0]
+    arr = np.array(series)
+    cum = arr.cumsum()
+    peak = np.maximum.accumulate(cum)
+    mdd = (peak - cum).max()
+    mean, sd = arr.mean(), arr.std(ddof=1)
+    ddev = np.sqrt((arr[arr < 0] ** 2).sum() / len(arr))
+    assert rr["total_return"] == pytest.approx(arr.sum(), abs=1e-6)
+    assert rr["sharpe"] == pytest.approx(mean / sd, abs=1e-5)
+    assert rr["sortino"] == pytest.approx(mean / ddev, abs=1e-5)
+    assert rr["max_drawdown"] == pytest.approx(mdd, abs=1e-6)
+    assert rr["calmar"] == pytest.approx(arr.sum() / mdd, abs=1e-5)
+    assert rr["omega"] == pytest.approx(
+        arr[arr > 0].sum() / -arr[arr < 0].sum(), abs=1e-5
+    )
+
+    # quantile shares vs an ntile replica
+    vals = [float(v) for v in rng.randint(1, 1000, 97)]
+    dfq = spark.createDataFrame(
+        [("g", i, v) for i, v in enumerate(vals)], ["g", "i", "v"]
+    )
+    qs = quantile_shares(dfq, "g", "v", order_cols=["i"]).collect()[0]
+    order = sorted(range(len(vals)), key=lambda j: (vals[j], j))
+    nq = len(vals)
+    sizes = [nq // 10 + (1 if b < nq % 10 else 0) for b in range(10)]
+    shares, pos = [], 0
+    for sz in sizes:
+        shares.append(sum(vals[j] for j in order[pos:pos + sz]))
+        pos += sz
+    tot = sum(vals)
+    assert qs["n"] == nq
+    assert qs["bottom40_share"] == pytest.approx(
+        sum(shares[:4]) / tot, abs=1e-6
+    )
+    assert qs["top10_share"] == pytest.approx(
+        shares[9] / tot, abs=1e-6
+    )
+    assert qs["palma_ratio"] == pytest.approx(
+        (shares[9] / tot) / (sum(shares[:4]) / tot), abs=1e-4
+    )
+
+    # agreement battery on planted confusion cells
+    cells = [(0, 0)] * 50 + [(0, 1)] * 5 + [(1, 0)] * 8 + [(1, 1)] * 37
+    dfa = spark.createDataFrame(cells, ["a", "b"])
+    ag = agreement_battery(dfa, "a", "b").collect()[0]
+    nn = 100.0
+    po = 87 / nn
+    pa, pb = 45 / nn, 42 / nn
+    pi = (pa + pb) / 2
+    pe_s = pi * pi + (1 - pi) ** 2
+    pe_g = 2 * pi * (1 - pi)
+    assert ag["p_observed"] == pytest.approx(po, abs=1e-6)
+    assert ag["scott_pi"] == pytest.approx(
+        (po - pe_s) / (1 - pe_s), abs=1e-6
+    )
+    assert ag["gwet_ac1"] == pytest.approx(
+        (po - pe_g) / (1 - pe_g), abs=1e-6
+    )
+    assert ag["pabak"] == pytest.approx(2 * po - 1, abs=1e-6)
+
+    # ERR@k vs a brute-force cascade replica
+    emb = rng.normal(0, 1, (30, 6))
+    labels = [int(x) for x in rng.randint(0, 3, 30)]
+    rows = [
+        (i, [float(x) for x in emb[i]], labels[i]) for i in range(30)
+    ]
+    dfe = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int"
+    )
+    out = {
+        r["query_id"]: r
+        for r in retrieval_err_at_k(
+            dfe.filter(F.col("vec_id") >= 3), "vec_id", "embedding",
+            "label", dfe.filter(F.col("vec_id") < 3), k=5,
+        ).collect()
+    }
+    un = emb / np.linalg.norm(emb, axis=1, keepdims=True)
+    for qid in range(3):
+        sims = [
+            (float(un[qid] @ un[j]), j) for j in range(3, 30)
+        ]
+        # knn_join selects top-k by raw cosine, then the metric
+        # re-ranks by 6dp-rounded cosine (the ndcg determinism rule)
+        sims.sort(key=lambda t: (-t[0], t[1]))
+        top = sorted(
+            sims[:5], key=lambda t: (-round(t[0], 6), t[1])
+        )
+        err, seen = 0.0, 0
+        for rank, (_, j) in enumerate(top, start=1):
+            if labels[j] == labels[qid]:
+                err += 0.5 * (0.5 ** seen) / rank
+                seen += 1
+        assert out[qid]["n_relevant_at_k"] == seen
+        assert out[qid]["err_at_k"] == pytest.approx(err, abs=1e-5)
+
+
+def test_round13_causal_scaling_battery_vs_numpy(spark):
+    """dfa_hurst / oaxaca_blinder / event_study_did /
+    post_stratified_mean vs independent numpy replicas."""
+    import numpy as np
+
+    from padua_spark.operators.stats import (
+        event_study_did,
+        oaxaca_blinder,
+        post_stratified_mean,
+    )
+    from padua_spark.operators.temporal import dfa_hurst
+
+    rng = np.random.RandomState(29)
+    # DFA on white noise (alpha ~ 0.5) vs replica
+    x = rng.normal(0, 1, 700)
+    df = spark.createDataFrame(
+        [("g", i, float(v)) for i, v in enumerate(x)],
+        ["g", "i", "v"],
+    )
+    sizes = [8, 16, 32, 64]
+    row = dfa_hurst(df, ["g"], ["i"], "v",
+                    block_sizes=sizes).collect()[0]
+    y = np.cumsum(x - x.mean())
+    pts = []
+    for m in sizes:
+        nb = len(y) // m
+        rss = 0.0
+        for b in range(nb):
+            seg = y[b * m:(b + 1) * m]
+            j = np.arange(1, m + 1, dtype=float)
+            jc = j - j.mean()
+            beta = (jc * seg).sum() / (jc * jc).sum()
+            resid = seg - seg.mean() - beta * jc
+            rss += (resid ** 2).sum()
+        f = np.sqrt(rss / (nb * m))
+        pts.append((np.log(m), np.log(f)))
+    lx, ly = np.array(pts).T
+    slope = np.polyfit(lx, ly, 1)[0]
+    assert row["n_scales"] == len(sizes)
+    assert row["dfa_alpha"] == pytest.approx(slope, abs=1e-4)
+    assert 0.3 < row["dfa_alpha"] < 0.7  # white noise
+
+    # Oaxaca-Blinder with planted structure: same beta, shifted x
+    xa = rng.normal(10, 2, 400)
+    ya = 3.0 + 2.0 * xa + rng.normal(0, 0.5, 400)
+    xb = rng.normal(8, 2, 350)
+    yb = 3.0 + 2.0 * xb + rng.normal(0, 0.5, 350)
+    rows = (
+        [("a", float(u), float(w)) for u, w in zip(xa, ya)]
+        + [("b", float(u), float(w)) for u, w in zip(xb, yb)]
+    )
+    dfo = spark.createDataFrame(rows, ["g", "x", "y"])
+    ro = oaxaca_blinder(dfo, "g", "x", "y", "a", "b").collect()[0]
+    bb = np.polyfit(xb, yb, 1)[0]
+    gap = ya.mean() - yb.mean()
+    expl = bb * (xa.mean() - xb.mean())
+    assert ro["beta_b"] == pytest.approx(bb, abs=1e-4)
+    assert ro["gap"] == pytest.approx(gap, abs=1e-5)
+    assert ro["explained"] == pytest.approx(expl, abs=1e-4)
+    # same true beta -> the gap is mostly composition
+    assert ro["explained_share"] > 0.8
+
+    # event-study DiD with a planted post-treatment lift of +5
+    recs = []
+    for unit in range(200):
+        treat = unit % 2 == 0
+        for day in range(95, 106):
+            v = 10.0 + (2.0 if treat else 0.0) + rng.normal(0, 1)
+            if treat and day >= 100:
+                v += 5.0
+            recs.append((unit, treat, day, float(v)))
+    dfd = spark.createDataFrame(
+        recs, ["unit", "treat", "day", "v"]
+    )
+    out = {
+        r["rel_period"]: r
+        for r in event_study_did(
+            dfd, F.col("treat"), "day", "v",
+            treat_period=100, n_leads=3, n_lags=3,
+        ).collect()
+    }
+    assert out[-1]["effect"] == pytest.approx(0.0, abs=1e-9)
+    for t in (-3, -2):
+        assert abs(out[t]["effect"]) < 0.8  # parallel pre-trends
+    for t in (0, 1, 2, 3):
+        assert out[t]["effect"] == pytest.approx(5.0, abs=0.8)
+        assert out[t]["se"] < 0.5
+    # replica of one cell
+    arr = np.array(
+        [(tr, d, v) for _, tr, d, v in recs],
+        dtype=[("tr", bool), ("d", int), ("v", float)],
+    )
+
+    def cmean(tr, d):
+        sel = arr[(arr["tr"] == tr) & (arr["d"] == d)]["v"]
+        return sel.mean()
+
+    exp2 = (cmean(True, 102) - cmean(False, 102)) - (
+        cmean(True, 99) - cmean(False, 99)
+    )
+    assert out[2]["effect"] == pytest.approx(exp2, abs=1e-5)
+
+    # post-stratified mean vs replica (biased sample: stratum b
+    # over-sampled)
+    strata = {"a": (100, 50.0), "b": (300, 10.0), "c": (50, 30.0)}
+    vals = []
+    for s, (n, mu) in strata.items():
+        vals += [(s, float(mu + rng.normal(0, 2))) for _ in range(n)]
+    dfp = spark.createDataFrame(vals, ["h", "v"])
+    shares = {"a": 0.5, "b": 0.3, "c": 0.2}
+    rp = post_stratified_mean(dfp, "h", "v", shares).collect()[0]
+    arrs = {s: np.array([v for h, v in vals if h == s])
+            for s in strata}
+    mu_ps = sum(shares[s] * arrs[s].mean() for s in strata)
+    var_ps = sum(
+        shares[s] ** 2 * arrs[s].var(ddof=1) / len(arrs[s])
+        for s in strata
+    )
+    assert rp["n_strata"] == 3
+    assert rp["post_stratified_mean"] == pytest.approx(
+        mu_ps, abs=1e-5
+    )
+    assert rp["se"] == pytest.approx(np.sqrt(var_ps), abs=1e-5)
+    # the raw mean is pulled toward the over-sampled low stratum
+    assert rp["raw_mean"] < rp["post_stratified_mean"]

@@ -16,7 +16,11 @@ don't see 10 exact duplicates of everything (which would be a
 pathological, not a scaled, workload). region/nation stay fixed
 (TPC-H-style fixed dims). Deterministic — no RNG at all.
 
-Run: python tools/gen_sf1.py [out_dir]   (default benchdata/sf1)
+Run: python tools/gen_sf1.py [out_dir] [src_dir] [copies]
+(defaults: benchdata/sf1, /root/testdata/sf0.1, 10). The sf10 decade
+input chains it: ``python tools/gen_sf1.py benchdata/sf10
+benchdata/sf1 10`` — strides are recomputed from the source tables,
+so copy-of-copies keeps keys collision-free.
 """
 
 from __future__ import annotations
@@ -47,10 +51,10 @@ def _ts_shift(col: pa.ChunkedArray, i: int) -> pa.ChunkedArray:
     return pc.add(as_i, pa.scalar(i, type=pa.int64())).cast(col.type)
 
 
-def main(out_dir: str) -> None:
+def main(out_dir: str, src: str = SRC, copies: int = COPIES) -> None:
     os.makedirs(out_dir, exist_ok=True)
     tabs = {
-        t: pq.read_table(f"{SRC}/{t}.parquet")
+        t: pq.read_table(f"{src}/{t}.parquet")
         for t in [
             "region", "nation", "customer", "supplier", "part",
             "orders", "lineitem", "events", "documents", "embeddings",
@@ -131,7 +135,7 @@ def main(out_dir: str) -> None:
             out = tabs[name]
         else:
             out = pa.concat_tables(
-                [copy_table(name, i) for i in range(COPIES)]
+                [copy_table(name, i) for i in range(copies)]
             )
         pq.write_table(
             out, f"{out_dir}/{name}.parquet", row_group_size=ROW_GROUP
@@ -140,4 +144,8 @@ def main(out_dir: str) -> None:
 
 
 if __name__ == "__main__":
-    main(sys.argv[1] if len(sys.argv) > 1 else "benchdata/sf1")
+    main(
+        sys.argv[1] if len(sys.argv) > 1 else "benchdata/sf1",
+        sys.argv[2] if len(sys.argv) > 2 else SRC,
+        int(sys.argv[3]) if len(sys.argv) > 3 else COPIES,
+    )

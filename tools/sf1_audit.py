@@ -24,10 +24,13 @@ sys.path.insert(
 import __spark_entry__ as entrymod
 from padua_spark.session import get_spark
 
-SF01 = "/root/testdata/sf0.1"
-SF1 = os.path.join(
-    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-    "benchdata", "sf1",
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+# override either side for other decades, e.g. the sf1->sf10 audit:
+#   SF_AUDIT_A=benchdata/sf1 SF_AUDIT_B=benchdata/sf10 \
+#     python tools/sf1_audit.py q1,q2
+SF01 = os.environ.get("SF_AUDIT_A", "/root/testdata/sf0.1")
+SF1 = os.environ.get(
+    "SF_AUDIT_B", os.path.join(_REPO, "benchdata", "sf1")
 )
 
 ROUND10 = [
@@ -70,7 +73,9 @@ def main() -> None:
     spark = get_spark(app_name="padua_spark_sf1_audit")
     spark.sparkContext.setLogLevel("ERROR")
     queries = entrymod.queries()
-    print("| query | t sf0.1 (s) | t sf1 (s) | ratio | exp | rows_out |")
+    la = os.path.basename(SF01.rstrip("/")) or "A"
+    lb = os.path.basename(SF1.rstrip("/")) or "B"
+    print(f"| query | t {la} (s) | t {lb} (s) | ratio | exp | rows_out |")
     print("|---|---|---|---|---|---|")
     for name in names:
         fn = queries[name]
