@@ -503,6 +503,17 @@ HEADLINE = [
     "oaxaca_blinder",
     "event_study_did",
     "post_stratified_mean",
+    "cliffs_delta",
+    "mood_scale_test",
+    "white_test",
+    "ramsey_reset",
+    "arch_lm",
+    "pot_gpd_fit",
+    "windowed_extremes",
+    "windowed_entropy",
+    "avg_neighbor_degree",
+    "dunning_keywords",
+    "rank_list_distance",
     "windowed_benford",
     "windowed_concentration",
     "windowed_binned_ks",

@@ -1712,3 +1712,81 @@ def rich_club_coefficient(
         ).alias("phi"),
     )
     return track_cached(out, e, deg)
+
+
+def avg_neighbor_degree(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Average-neighbor-degree curve ``k_nn(k)`` on the undirected
+    deduped graph — the standard assortative-mixing PROFILE behind
+    the single :func:`assortativity` scalar: for each degree class k,
+    the mean over k-degree nodes of their neighbors' mean degree.
+    Rising curve = assortative (hubs talk to hubs), falling =
+    disassortative (hub-and-spoke) — the shape distinguishes
+    topologies the scalar coefficient averages away.
+
+    Plan: one symmetrized-distinct edge frame (persisted — feeds the
+    degree aggregation AND the neighbor join), the |V|-row degree
+    frame joined onto both endpoints, a per-node mean of neighbor
+    degrees, then ONE aggregation onto the bounded degree-class
+    frame. Output one row per realized degree: ``(degree, n_nodes,
+    avg_neighbor_degree)``, 6dp.
+
+    Beyond the reference; standard per Pastor-Satorras et al. 2001.
+    """
+    from pyspark import StorageLevel
+
+    from padua_spark.io_utils import track_cached
+
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("_u"),
+            F.greatest(F.col(src), F.col(dst)).alias("_v"),
+        )
+        .where(F.col("_u") != F.col("_v"))
+        .distinct()
+    )
+    und = (
+        e.select(F.col("_u").alias("_a"), F.col("_v").alias("_b"))
+        .union(e.select(F.col("_v").alias("_a"), F.col("_u").alias("_b")))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    deg = und.groupBy(F.col("_a").alias("_node")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("_deg")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    # neighbor degrees: join degree onto the b endpoint. Within a
+    # degree class every node divides by the SAME k, so the class
+    # mean collapses to Σ(neighbor degrees) / (k·n_nodes) — exact
+    # integers until ONE final division (engine-parity by
+    # construction, no float averaging of averages).
+    nbr = (
+        und.join(
+            deg.select(
+                F.col("_node").alias("_b"),
+                F.col("_deg").alias("_bdeg"),
+            ),
+            on="_b",
+        )
+        .groupBy("_a")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("_adeg"),
+            F.sum("_bdeg").cast("bigint").alias("_sbdeg"),
+        )
+    )
+    out = nbr.groupBy(F.col("_adeg").alias("degree")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
+        F.sum("_sbdeg").cast("bigint").alias("_tot"),
+    ).select(
+        "degree", "n_nodes",
+        F.round(
+            F.col("_tot").cast("double")
+            / (
+                F.col("degree").cast("double")
+                * F.col("n_nodes").cast("double")
+            ),
+            6,
+        ).alias("avg_neighbor_degree"),
+    )
+    return track_cached(out, und, deg)

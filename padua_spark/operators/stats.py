@@ -14618,3 +14618,191 @@ def ramsey_reset(
             F.col("_f").isNotNull(), F.col("_p") < 0.05
         ).alias("misspec_flag_5pct"),
     )
+
+
+def pot_gpd_fit(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    threshold: float,
+    return_period_obs: int = 10_000,
+) -> DataFrame:
+    """Peaks-over-threshold with a method-of-moments Generalized
+    Pareto fit per group — the extreme-value summary a tail-risk
+    report needs beyond :func:`quantile_shares`: how heavy is the
+    tail ABOVE a declared operating threshold, and what magnitude
+    should we expect once every ``return_period_obs`` observations?
+
+    Excesses ``e = v − u`` for ``v > u``; MoM estimators
+    ``ξ̂ = ½(1 − ē²/s²)``, ``σ̂ = ½ē(ē²/s² + 1)`` (Hosking &
+    Wallis 1987 — closed form, ONE aggregation, no iteration; MoM
+    needs ξ < ½, flagged via ``xi_hat``); return level
+    ``x_m = u + σ̂/ξ̂·((m·λ)^ξ̂ − 1)`` at exceedance rate
+    ``λ = n_exc/n`` (ξ→0 limit ``u + σ̂·ln(m·λ)`` taken when
+    |ξ̂| < 1e-9). Output per group: ``(group_cols..., n, n_exceed,
+    exceed_rate, mean_excess, xi_hat, sigma_hat, return_level)``,
+    6dp; NULLs when < 3 exceedances.
+
+    Beyond the reference; standard per Pickands 1975 / Hosking &
+    Wallis 1987.
+    """
+    v = F.col(value_col).cast("double")
+    u = float(threshold)
+    e = F.when(v > u, v - u)
+    agg = df.where(v.isNotNull()).groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.count(e).cast("bigint").alias("n_exceed"),
+        F.sum(e).alias("_se"),
+        F.sum(e * e).alias("_see"),
+    )
+    nd = F.col("n").cast("double")
+    k = F.col("n_exceed").cast("double")
+    mbar = F.col("_se") / k
+    s2 = (F.col("_see") - k * mbar * mbar) / (k - 1.0)
+    ok = (F.col("n_exceed") >= 3) & (s2 > 0)
+    r2 = mbar * mbar / s2
+    xi = F.lit(0.5) * (F.lit(1.0) - r2)
+    sigma = F.lit(0.5) * mbar * (r2 + F.lit(1.0))
+    staged = (
+        agg.withColumn("_xi", F.when(ok, xi))
+        .withColumn("_sigma", F.when(ok, sigma))
+        .withColumn("_lam", k / nd)
+    )
+    m_obs = F.lit(float(return_period_obs))
+    xiC = F.col("_xi")
+    rl = F.when(
+        F.abs(xiC) < 1e-9,
+        F.lit(u)
+        + F.col("_sigma") * F.log(m_obs * F.col("_lam")),
+    ).otherwise(
+        F.lit(u)
+        + F.col("_sigma") / xiC
+        * (F.pow(m_obs * F.col("_lam"), xiC) - F.lit(1.0))
+    )
+    return staged.select(
+        *group_cols, "n", "n_exceed",
+        F.round("_lam", 6).alias("exceed_rate"),
+        F.round(F.when(ok, mbar), 6).alias("mean_excess"),
+        F.round("_xi", 6).alias("xi_hat"),
+        F.round("_sigma", 6).alias("sigma_hat"),
+        F.round(
+            F.when(
+                F.col("_xi").isNotNull()
+                & (m_obs * F.col("_lam") > 1.0),
+                rl,
+            ),
+            6,
+        ).alias("return_level"),
+    )
+
+
+def rank_list_distance(
+    df: DataFrame,
+    item_col: str,
+    metric_a_col: str,
+    metric_b_col: str,
+    top_k: int = 100,
+) -> DataFrame:
+    """Leaderboard-agreement battery: take the ``top_k`` items by
+    metric A, rank the SAME items among themselves by metric B, and
+    measure how far the two orderings disagree — Spearman's footrule
+    ``Σ|r_A − r_B|`` (raw + normalized by its permutation maximum
+    ``⌊k²/2⌋``), Spearman's ρ (exact permutation closed form
+    ``1 − 6Σd²/(k(k²−1))``), and Kendall's τ-a over the C(k, 2)
+    bounded pair frame. The "did the leaderboard actually change?"
+    question behind ranking-drift review (complementing
+    :func:`rbo_overlap`-style top-k SET measures with full
+    ORDER-sensitivity).
+
+    ``df`` is one row per item with the two metric columns (callers
+    aggregate first — exact integer cents for money, the engine
+    convention). Ranks are ``row_number`` with the item id as the
+    deterministic tie-break. The k-row ranked frame is tiny by
+    construction, so the pair self-join is bounded (k² ≤ 10⁴ for the
+    default k=100) and the rank windows ride a ≤k-row frame.
+    Output 1 row: ``(k, footrule, footrule_norm, spearman_rho,
+    n_concordant, n_discordant, kendall_tau)``, 6dp.
+
+    Beyond the reference; standard per Diaconis & Graham 1977.
+    """
+    ia = F.col(item_col)
+    wa = Window.orderBy(F.col("_ma").desc(), F.col("_item").asc())
+    ranked_a = (
+        df.select(
+            ia.alias("_item"),
+            F.col(metric_a_col).alias("_ma"),
+            F.col(metric_b_col).alias("_mb"),
+        )
+        .withColumn("_ra", F.row_number().over(wa))
+        .where(F.col("_ra") <= top_k)
+    )
+    wb = Window.orderBy(F.col("_mb").desc(), F.col("_item").asc())
+    ranked = ranked_a.withColumn(
+        "_rb", F.row_number().over(wb)
+    ).select("_item", "_ra", "_rb")
+    d = (F.col("_ra") - F.col("_rb")).cast("bigint")
+    base = ranked.select(
+        "_item", "_ra", "_rb",
+        F.abs(d).alias("_ad"), (d * d).alias("_dd"),
+    )
+    lhs = base.select(
+        F.col("_item").alias("_i1"),
+        F.col("_ra").alias("_ra1"), F.col("_rb").alias("_rb1"),
+    )
+    rhs = base.select(
+        F.col("_item").alias("_i2"),
+        F.col("_ra").alias("_ra2"), F.col("_rb").alias("_rb2"),
+    )
+    pairs = lhs.join(rhs, F.col("_i1") < F.col("_i2"))
+    conc = (
+        (F.col("_ra1") - F.col("_ra2"))
+        * (F.col("_rb1") - F.col("_rb2"))
+    )
+    pair_agg = pairs.agg(
+        F.sum(F.when(conc > 0, 1).otherwise(0))
+        .cast("bigint").alias("n_concordant"),
+        F.sum(F.when(conc < 0, 1).otherwise(0))
+        .cast("bigint").alias("n_discordant"),
+    )
+    marg = base.agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum("_ad").cast("bigint").alias("footrule"),
+        F.sum("_dd").cast("bigint").alias("_sumd2"),
+    )
+    out = marg.crossJoin(F.broadcast(pair_agg))
+    kd = F.col("k").cast("double")
+    maxfoot = F.floor(
+        F.col("k") * F.col("k") / 2
+    ).cast("bigint")
+    npairs = kd * (kd - 1.0) / 2.0
+    return out.select(
+        "k", "footrule",
+        F.round(
+            F.when(
+                maxfoot > 0,
+                F.col("footrule").cast("double")
+                / maxfoot.cast("double"),
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("footrule_norm"),
+        F.round(
+            F.when(
+                F.col("k") >= 2,
+                1.0
+                - 6.0 * F.col("_sumd2").cast("double")
+                / (kd * (kd * kd - 1.0)),
+            ),
+            6,
+        ).alias("spearman_rho"),
+        "n_concordant", "n_discordant",
+        F.round(
+            F.when(
+                F.col("k") >= 2,
+                (
+                    F.col("n_concordant") - F.col("n_discordant")
+                ).cast("double")
+                / npairs,
+            ),
+            6,
+        ).alias("kendall_tau"),
+    )

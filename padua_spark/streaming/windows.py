@@ -2184,3 +2184,142 @@ def windowed_binned_ks(
             F.col("_ks").isNotNull(), F.col("_ks") > F.col("_crit")
         ).alias("drift_flag_5pct"),
     )
+
+
+def windowed_extremes(
+    df: DataFrame,
+    ts_col: Column,
+    value_col: Column,
+    threshold: float,
+    group_cols: list[str] | None = None,
+    window_duration: str = "1 hour",
+    watermark: str | None = None,
+) -> DataFrame:
+    """Per-tumbling-window extremes + peaks-over-threshold monitor —
+    the streaming face of :func:`padua_spark.operators.stats.
+    pot_gpd_fit`: per window the max/min, the count of exceedances
+    over a DECLARED threshold, their mean excess, and the largest
+    excess — "did THIS hour's tail fatten?", which the all-time fit
+    dilutes exactly like every other windowed monitor here.
+
+    All six outputs are plain conditional aggregates in ONE stateful
+    aggregation per (window, group); late shards merge by max/min/
+    sum. Output one row per (window, group): ``(window_start,
+    window_end, *group_cols, n, v_max, v_min, n_exceed, mean_excess,
+    max_excess)``, 6dp; NULL excess columns when no exceedance.
+    """
+    group_cols = group_cols or []
+    v = value_col.cast("double")
+    u = float(threshold)
+    withts = df.where(v.isNotNull()).select(
+        ts_col.alias("_event_time"), *group_cols, v.alias("_v")
+    )
+    if watermark and withts.isStreaming:
+        withts = withts.withWatermark("_event_time", watermark)
+    exc = F.when(F.col("_v") > u, F.col("_v") - u)
+    agg = withts.groupBy(
+        F.window("_event_time", window_duration).alias("_w"),
+        *group_cols,
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("_n"),
+        F.max("_v").alias("_vmax"),
+        F.min("_v").alias("_vmin"),
+        F.count(exc).cast("bigint").alias("_nexc"),
+        F.sum(exc).alias("_sexc"),
+        F.max(exc).alias("_mexc"),
+    )
+    return agg.select(
+        F.col("_w.start").alias("window_start"),
+        F.col("_w.end").alias("window_end"),
+        *group_cols,
+        F.col("_n").alias("n"),
+        F.round("_vmax", 6).alias("v_max"),
+        F.round("_vmin", 6).alias("v_min"),
+        F.col("_nexc").alias("n_exceed"),
+        F.round(
+            F.when(
+                F.col("_nexc") > 0,
+                F.col("_sexc") / F.col("_nexc").cast("double"),
+            ),
+            6,
+        ).alias("mean_excess"),
+        F.round("_mexc", 6).alias("max_excess"),
+    )
+
+
+def windowed_entropy(
+    df: DataFrame,
+    ts_col: Column,
+    key_col: Column,
+    keys: list,
+    group_cols: list[str] | None = None,
+    window_duration: str = "1 hour",
+    watermark: str | None = None,
+) -> DataFrame:
+    """Per-tumbling-window Shannon entropy over a DECLARED key set —
+    the diversity companion to :func:`windowed_concentration` (HHI
+    reads "did one key take over"; entropy reads "did the mix narrow
+    ANYWHERE", which catches several keys fading at once):
+    ``H = −Σ s_i·ln s_i`` (nats), normalized ``H/ln(k)`` in [0, 1],
+    and the effective alphabet ``e^H``.
+
+    Declared keys become conditional sums in ONE stateful aggregation
+    per (window, group) (the :func:`windowed_srm` contract);
+    undeclared keys count into ``n_other``, EXCLUDED from the shares
+    (documented). Zero-count keys contribute 0 (the 0·ln 0 limit).
+    Late shards merge by adding counts. Output one row per (window,
+    group): ``(window_start, window_end, *group_cols, n, n_other,
+    entropy_nats, entropy_norm, effective_alphabet)``, 6dp.
+    """
+    group_cols = group_cols or []
+    if len(keys) < 2:
+        raise ValueError("windowed_entropy: need >= 2 keys")
+    import math
+
+    withts = df.select(
+        ts_col.alias("_event_time"), *group_cols,
+        key_col.alias("_k"),
+    )
+    if watermark and withts.isStreaming:
+        withts = withts.withWatermark("_event_time", watermark)
+    aggs = [
+        F.sum(F.when(F.col("_k") == k, 1).otherwise(0))
+        .cast("bigint").alias(f"n_key_{i}")
+        for i, k in enumerate(keys)
+    ] + [
+        F.sum(
+            F.when(~F.col("_k").isin(list(keys)), 1).otherwise(0)
+        ).cast("bigint").alias("n_other")
+    ]
+    agg = withts.groupBy(
+        F.window("_event_time", window_duration).alias("_w"),
+        *group_cols,
+    ).agg(*aggs)
+    n = None
+    for i in range(len(keys)):
+        c = F.col(f"n_key_{i}")
+        n = c if n is None else n + c
+    staged = agg.withColumn("_n", n)
+    nd = F.col("_n").cast("double")
+    ent = None
+    for i in range(len(keys)):
+        s = F.col(f"n_key_{i}").cast("double") / nd
+        term = F.when(F.col(f"n_key_{i}") > 0, -s * F.log(s)).otherwise(
+            F.lit(0.0)
+        )
+        ent = term if ent is None else ent + term
+    staged = staged.withColumn(
+        "_h", F.when(F.col("_n") > 0, ent)
+    )
+    return staged.select(
+        F.col("_w.start").alias("window_start"),
+        F.col("_w.end").alias("window_end"),
+        *group_cols,
+        F.col("_n").alias("n"),
+        "n_other",
+        F.round("_h", 6).alias("entropy_nats"),
+        F.round(
+            F.col("_h") / F.lit(math.log(len(keys))), 6
+        ).alias("entropy_norm"),
+        F.round(F.exp("_h"), 6).alias("effective_alphabet"),
+    )

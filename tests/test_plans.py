@@ -441,6 +441,25 @@ def test_no_cartesian_products_anywhere(spark):
         # windows × reference-bins cross join — both tiny by
         # construction (every reference bin must score in every window)
         "windowed_psi",
+        # round-13 battery 12: top-k ranked frame self-cross (k<=100
+        # by construction) + the 1-row marginal/pair scalar stitch
+        "rank_list_distance",
+        # round-13 wave E353-E376: 1-row fitted/scalar frames
+        # broadcast onto bounded frames (EDF mu/sigma onto the
+        # order-statistic domain; isotropy vector-sum scalar; Geary
+        # global moments onto the edge pass) and the bounded m x k
+        # marker grid self-cross of Burrows' Delta (m<=50 markers,
+        # k = group count)
+        "edf_normality_battery", "embedding_isotropy", "geary_c",
+        "burrows_delta",
+        # ... same wave: 1-row Getis-Ord B-coefficient scalars onto
+        # the positive-attribute cross; broadcast query block per the
+        # knn_join contract (ERR@k); 1-row degree/edge totals onto
+        # the bounded threshold frame (rich club)
+        "getis_ord_g", "retrieval_err", "rich_club_coefficient",
+        # 1-row vocab grand-total broadcast onto the (group, token)
+        # frame (Dunning 2x2 needs the corpus N on every row)
+        "dunning_keywords",
         # windows × reference-top-tokens cross join — same shape
         "windowed_token_divergence",
         # 1-row corpus stats (N, avgdl) broadcast onto the |q|-row

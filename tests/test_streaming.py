@@ -1865,3 +1865,143 @@ def test_stream_equals_batch_windowed_binned_ks(spark, events_dir):
         for r in build(batch, cdf=[0.01, 0.02, 0.03, 0.04]).collect()
     }
     assert sum(absurd.values()) > sum(v[1] for v in got.values())
+
+
+def test_stream_equals_batch_windowed_extremes(spark, events_dir):
+    """Windowed extremes/POT monitor: stream == batch on every window
+    row; exceedance stats replicated from raw values on one window."""
+    from padua_spark.streaming.windows import windowed_extremes
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    batch = spark.read.parquet(events_dir)
+    stream = read_event_stream(spark, events_dir, schema=batch.schema)
+
+    def build(df):
+        return windowed_extremes(
+            df, event_time_col(df), F.col("value"), threshold=150.0,
+            window_duration="1 hour", watermark="2 hours",
+        )
+
+    q = (
+        build(stream)
+        .writeStream.format("memory")
+        .queryName("t_winext")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(180)
+    cols = ["n", "v_max", "v_min", "n_exceed", "mean_excess",
+            "max_excess"]
+    got = {
+        r["window_start"]: tuple(r[c] for c in cols)
+        for r in spark.sql("SELECT * FROM t_winext").collect()
+    }
+    exp = {
+        r["window_start"]: tuple(r[c] for c in cols)
+        for r in build(batch).collect()
+    }
+    assert got == exp and len(got) > 0
+    import datetime
+
+    w0 = sorted(got)[0]
+    w1 = w0 + datetime.timedelta(hours=1)
+    vs = [
+        r["_v"]
+        for r in batch.where(F.col("value").isNotNull())
+        .select(
+            event_time_col(batch).alias("_t"),
+            F.col("value").cast("double").alias("_v"),
+        )
+        .where((F.col("_t") >= w0) & (F.col("_t") < w1))
+        .collect()
+    ]
+    vals = dict(zip(cols, got[w0]))
+    exc = [v - 150.0 for v in vs if v > 150.0]
+    assert vals["n"] == len(vs)
+    assert vals["v_max"] == pytest.approx(max(vs), abs=1e-6)
+    assert vals["v_min"] == pytest.approx(min(vs), abs=1e-6)
+    assert vals["n_exceed"] == len(exc)
+    if exc:
+        assert vals["mean_excess"] == pytest.approx(
+            sum(exc) / len(exc), abs=1e-6
+        )
+        assert vals["max_excess"] == pytest.approx(max(exc), abs=1e-6)
+
+
+def test_stream_equals_batch_windowed_entropy(spark, events_dir):
+    """Windowed entropy monitor: stream == batch on every window row;
+    entropy replicated from per-key counts on one window, and a
+    single-key-dominated synthetic window scores lower entropy."""
+    import math
+
+    from padua_spark.streaming.windows import windowed_entropy
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    batch = spark.read.parquet(events_dir)
+    stream = read_event_stream(spark, events_dir, schema=batch.schema)
+    keys = ["click", "error", "purchase", "signup", "view"]
+
+    def build(df):
+        return windowed_entropy(
+            df, event_time_col(df), F.col("event_type"), keys,
+            window_duration="1 hour", watermark="2 hours",
+        )
+
+    q = (
+        build(stream)
+        .writeStream.format("memory")
+        .queryName("t_winent")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(180)
+    cols = ["n", "n_other", "entropy_nats", "entropy_norm",
+            "effective_alphabet"]
+    got = {
+        r["window_start"]: tuple(r[c] for c in cols)
+        for r in spark.sql("SELECT * FROM t_winent").collect()
+    }
+    exp = {
+        r["window_start"]: tuple(r[c] for c in cols)
+        for r in build(batch).collect()
+    }
+    assert got == exp and len(got) > 0
+    import datetime
+
+    w0 = sorted(got)[0]
+    w1 = w0 + datetime.timedelta(hours=1)
+    counts = {
+        r["event_type"]: r["count"]
+        for r in batch.select(
+            event_time_col(batch).alias("_t"), "event_type"
+        )
+        .where((F.col("_t") >= w0) & (F.col("_t") < w1))
+        .groupBy("event_type").count().collect()
+    }
+    n = sum(counts.get(k, 0) for k in keys)
+    h = -sum(
+        (counts.get(k, 0) / n) * math.log(counts.get(k, 0) / n)
+        for k in keys if counts.get(k, 0) > 0
+    )
+    vals = dict(zip(cols, got[w0]))
+    assert vals["n"] == n
+    assert vals["entropy_nats"] == pytest.approx(h, abs=1e-6)
+    assert vals["entropy_norm"] == pytest.approx(
+        h / math.log(len(keys)), abs=1e-6
+    )
+    assert vals["effective_alphabet"] == pytest.approx(
+        math.exp(h), abs=1e-5
+    )
+    # dominated synthetic window scores lower than the observed mix
+    t0 = datetime.datetime(2030, 1, 1)
+    dom = spark.createDataFrame(
+        [(t0, "click")] * 96 + [(t0, k) for k in keys[1:]],
+        ["ts", "event_type"],
+    )
+    r = windowed_entropy(
+        dom, F.col("ts"), F.col("event_type"), keys,
+        window_duration="1 hour",
+    ).collect()[0]
+    assert r["entropy_nats"] < vals["entropy_nats"]

@@ -12834,3 +12834,207 @@ def test_round13_causal_scaling_battery_vs_numpy(spark):
     assert rp["se"] == pytest.approx(np.sqrt(var_ps), abs=1e-5)
     # the raw mean is pulled toward the over-sampled low stratum
     assert rp["raw_mean"] < rp["post_stratified_mean"]
+
+
+def test_round13_effect_scale_battery_vs_numpy(spark):
+    """cliffs_delta / mood_scale_test vs brute-force pair/rank
+    replicas on a planted two-group sample."""
+    import numpy as np
+
+    from padua_spark.operators.stats import cliffs_delta, mood_scale_test
+
+    rng = np.random.RandomState(7)
+    a = np.round(rng.normal(10, 2, 60), 1)
+    b = np.round(rng.normal(11, 4, 45), 1)
+    rows = [("a", float(v)) for v in a] + [("b", float(v)) for v in b]
+    df = spark.createDataFrame(rows, ["g", "v"])
+
+    r = cliffs_delta(df, "g", "v", "a", "b").collect()[0]
+    gt = sum((x > y) for x in a for y in b)
+    lt = sum((x < y) for x in a for y in b)
+    tie = sum((x == y) for x in a for y in b)
+    na, nb = len(a), len(b)
+    assert (r["n_gt"], r["n_lt"], r["n_ties"]) == (gt, lt, tie)
+    assert r["cliffs_delta"] == pytest.approx(
+        (gt - lt) / (na * nb), abs=1e-6
+    )
+    assert r["cles"] == pytest.approx(
+        (gt + 0.5 * tie) / (na * nb), abs=1e-6
+    )
+    d = abs((gt - lt) / (na * nb))
+    exp_mag = (
+        "negligible" if d < 0.147 else "small" if d < 0.33
+        else "medium" if d < 0.474 else "large"
+    )
+    assert r["magnitude"] == exp_mag
+
+    m = mood_scale_test(df, "g", "v", "a", "b").collect()[0]
+    pooled = np.concatenate([a, b])
+    order = np.sort(pooled)
+    # midranks
+    ranks = {}
+    i = 0
+    while i < len(order):
+        j = i
+        while j < len(order) and order[j] == order[i]:
+            j += 1
+        for _ in range(i, j):
+            ranks.setdefault(order[i], (i + j + 1) / 2.0)
+        i = j
+    ra = np.array([ranks[v] for v in a])
+    nt = len(pooled)
+    t_stat = float(((ra - (nt + 1) / 2.0) ** 2).sum())
+    assert m["t_stat"] == pytest.approx(t_stat, abs=1e-6)
+    # permutation-conditional moments on realized scores
+    scores = np.array([(ranks[v] - (nt + 1) / 2.0) ** 2 for v in pooled])
+    e_t = na * scores.mean()
+    var_t = (
+        na * nb / (nt * (nt - 1.0))
+        * (np.sum(scores**2) - np.sum(scores) ** 2 / nt)
+    )
+    z = (t_stat - e_t) / np.sqrt(var_t)
+    assert m["z"] == pytest.approx(z, abs=1e-5)
+
+
+def test_round13_regression_diag_battery_vs_numpy(spark):
+    """white_test / ramsey_reset / arch_lm vs closed-form numpy
+    replicas on a planted heteroskedastic quadratic series."""
+    import numpy as np
+
+    from padua_spark.operators.stats import ramsey_reset, white_test
+    from padua_spark.operators.temporal import arch_lm
+
+    rng = np.random.RandomState(3)
+    n = 400
+    x = rng.uniform(1, 10, n)
+    y = 2.0 + 0.5 * x + 0.08 * x * x + rng.normal(0, 0.3 * x, n)
+    df = spark.createDataFrame(
+        [("g", i, float(a), float(b)) for i, (a, b) in
+         enumerate(zip(x, y))],
+        ["g", "i", "x", "y"],
+    )
+
+    def ols(xv, yv):
+        xc = xv - xv.mean()
+        beta = (xc * (yv - yv.mean())).sum() / (xc * xc).sum()
+        return beta, yv.mean(), xv.mean()
+
+    beta, my, mx = ols(x, y)
+    e = y - my - beta * (x - mx)
+
+    # white: aux e^2 ~ 1 + x + x^2
+    w = e * e
+    X = np.column_stack([np.ones(n), x, x * x])
+    bh, *_ = np.linalg.lstsq(X, w, rcond=None)
+    r2 = 1.0 - ((w - X @ bh) ** 2).sum() / ((w - w.mean()) ** 2).sum()
+    wt = white_test(df, ["g"], "x", "y").collect()[0]
+    assert wt["r2_aux"] == pytest.approx(r2, abs=1e-5)
+    assert wt["lm_stat"] == pytest.approx(n * r2, abs=1e-2)
+    assert bool(wt["het_flag_5pct"]) is True  # planted het
+
+    # ramsey: add yhat^2
+    yhat = my + beta * (x - mx)
+    X1 = np.column_stack([np.ones(n), x])
+    X2 = np.column_stack([np.ones(n), x, yhat * yhat])
+    r1 = ((y - X1 @ np.linalg.lstsq(X1, y, rcond=None)[0]) ** 2).sum()
+    r2s = ((y - X2 @ np.linalg.lstsq(X2, y, rcond=None)[0]) ** 2).sum()
+    fstat = (r1 - r2s) / (r2s / (n - 3))
+    rr = ramsey_reset(df, ["g"], "x", "y").collect()[0]
+    assert rr["f_stat"] == pytest.approx(fstat, rel=1e-4)
+    assert bool(rr["misspec_flag_5pct"]) is True  # planted quadratic
+
+    # arch_lm on an ARCH-y series: e_t = z_t * sqrt(1 + 0.8 e_{t-1}^2)
+    m = 500
+    z = rng.normal(0, 1, m)
+    s = np.zeros(m)
+    for t in range(m):
+        s[t] = z[t] * np.sqrt(1.0 + (0.8 * s[t - 1] ** 2 if t else 0))
+    dfa = spark.createDataFrame(
+        [("g", i, float(v)) for i, v in enumerate(s)], ["g", "i", "v"]
+    )
+    al = arch_lm(dfa, ["g"], ["i"], "v").collect()[0]
+    e2 = (s - s.mean()) ** 2
+    w0, w1 = e2[1:], e2[:-1]
+    sxx = ((w1 - w1.mean()) ** 2).sum()
+    syy = ((w0 - w0.mean()) ** 2).sum()
+    sxy = ((w1 - w1.mean()) * (w0 - w0.mean())).sum()
+    r2a = sxy * sxy / (sxx * syy)
+    assert al["n_pairs"] == m - 1
+    assert al["r2_aux"] == pytest.approx(r2a, abs=1e-6)
+    assert bool(al["arch_flag_5pct"]) is True
+
+
+def test_round13_extremes_graph_text_battery(spark):
+    """pot_gpd_fit MoM closed forms, avg_neighbor_degree on a star
+    graph, dunning_keywords G2 replica, rank_list_distance on planted
+    permutations."""
+    import math
+
+    import numpy as np
+
+    from padua_spark.extensions.graph import avg_neighbor_degree
+    from padua_spark.extensions.text import dunning_keywords
+    from padua_spark.operators.stats import pot_gpd_fit, rank_list_distance
+
+    # POT on a planted exponential tail (xi -> 0)
+    rng = np.random.RandomState(5)
+    vals = rng.exponential(10.0, 5000)
+    df = spark.createDataFrame(
+        [("g", float(v)) for v in vals], ["g", "v"]
+    )
+    r = pot_gpd_fit(df, ["g"], "v", threshold=20.0).collect()[0]
+    exc = vals[vals > 20.0] - 20.0
+    mbar, s2 = exc.mean(), exc.var(ddof=1)
+    xi = 0.5 * (1 - mbar * mbar / s2)
+    sigma = 0.5 * mbar * (mbar * mbar / s2 + 1)
+    assert r["n_exceed"] == len(exc)
+    assert r["mean_excess"] == pytest.approx(mbar, abs=1e-5)
+    assert r["xi_hat"] == pytest.approx(xi, abs=1e-5)
+    assert r["sigma_hat"] == pytest.approx(sigma, abs=1e-5)
+    lam = len(exc) / len(vals)
+    rl = 20.0 + sigma / xi * ((10000 * lam) ** xi - 1)
+    assert r["return_level"] == pytest.approx(rl, abs=1e-3)
+
+    # star graph: hub degree k, leaves degree 1
+    k = 6
+    edges = spark.createDataFrame(
+        [(0, i) for i in range(1, k + 1)], ["src", "dst"]
+    )
+    rows = {
+        r["degree"]: r
+        for r in avg_neighbor_degree(edges, "src", "dst").collect()
+    }
+    assert rows[1]["n_nodes"] == k
+    assert rows[1]["avg_neighbor_degree"] == pytest.approx(k)
+    assert rows[k]["n_nodes"] == 1
+    assert rows[k]["avg_neighbor_degree"] == pytest.approx(1.0)
+
+    # dunning: token "zebra" planted only in group a
+    docs = (
+        [(i, "a", "zebra zebra common word") for i in range(20)]
+        + [(i + 100, "b", "common word other tokens") for i in range(20)]
+    )
+    dfd = spark.createDataFrame(docs, ["doc_id", "g", "text"])
+    kw = dunning_keywords(dfd, "g", "text", top_m=3, min_count=5)
+    top_a = [r for r in kw.collect() if r["group"] == "a"]
+    assert top_a and top_a[0]["token"] == "zebra"
+    # G2 replica for zebra: a=40, b=0, c=40, d=80, N=160
+    a_, b_, c_, n_ = 40.0, 0.0, 40.0, 160.0
+    d_ = n_ - a_ - b_ - c_
+    g2 = 2 * (
+        a_ * math.log(a_ / ((a_ + b_) * (a_ + c_) / n_))
+        + c_ * math.log(c_ / ((c_ + d_) * (a_ + c_) / n_))
+        + d_ * math.log(d_ / ((c_ + d_) * (b_ + d_) / n_))
+    )
+    assert top_a[0]["g2"] == pytest.approx(g2, abs=1e-5)
+
+    # rank_list_distance: reversed permutation -> tau = -1, rho = -1
+    items = spark.createDataFrame(
+        [(i, 100 - i, i) for i in range(10)], ["item", "ma", "mb"]
+    )
+    rd = rank_list_distance(items, "item", "ma", "mb", top_k=10)
+    row = rd.collect()[0]
+    assert row["k"] == 10
+    assert row["kendall_tau"] == pytest.approx(-1.0)
+    assert row["spearman_rho"] == pytest.approx(-1.0)
+    assert row["footrule_norm"] == pytest.approx(1.0)
