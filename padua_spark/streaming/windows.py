@@ -8,6 +8,29 @@ from pyspark.sql import functions as F
 NANOS_PER_SEC = 1_000_000_000
 
 
+def _expr_sum_chain(fmt: str, k: int) -> Column:
+    """Left-associated sum ``fmt.format(i=0) + fmt.format(i=1) + …``
+    parsed as ONE SQL expression. The AST is identical to the Python
+    ``+``-chain loop it replaces (SQL ``+`` is left-associative), so
+    values are bit-identical — but it costs one py4j round-trip
+    instead of k Column-object calls. Guide §7.3 ("planning time…
+    avoid generating gigantic expression trees in loops"): the k=64
+    binned monitors spent 4-6 s per BUILD in those loops (measured
+    round 13; the 128-aggregate chain alone was 4.26 s as Column
+    objects vs 0.07 s parsed)."""
+    return F.expr(" + ".join(fmt.format(i=i) for i in range(k)))
+
+
+def _expr_bin_col(src: str, k: int) -> Column:
+    """``least(k-1, floor(src·k))`` bin index as one parsed column —
+    projected ONCE before the aggregation so the 2·k conditional
+    aggregates test a plain int column instead of each re-deriving
+    the bin expression per aggregate."""
+    return F.expr(
+        f"CAST(least({k - 1}, floor({src} * {k})) AS INT) AS _b"
+    )
+
+
 def nanos_to_timestamp(ts_nanos: Column) -> Column:
     """int64 nanoseconds → TIMESTAMP (micros precision; Spark has no
     nanos type — see the nanosAsLong read conf)."""
@@ -695,42 +718,43 @@ def windowed_ece(
     )
     if watermark and withts.isStreaming:
         withts = withts.withWatermark("_event_time", watermark)
-    bin_idx = F.least(F.lit(k - 1), F.floor(F.col("_p") * k)).cast(
-        "int"
-    )
+    # parsed-SQL builders (one py4j call each, identical ASTs — see
+    # _expr_sum_chain): the former per-bin Column loops dominated the
+    # BUILD wall of every k-binned monitor
+    withb = withts.select("*", _expr_bin_col("_p", k))
     aggs = []
     for i in range(k):
-        hit = bin_idx == i
         aggs += [
-            F.sum(F.when(hit, 1).otherwise(0))
-            .cast("bigint").alias(f"_n{i}"),
-            F.sum(F.when(hit, F.col("_p")).otherwise(0.0))
-            .alias(f"_sp{i}"),
-            F.sum(F.when(hit, F.col("_y")).otherwise(0.0))
-            .alias(f"_sy{i}"),
+            F.expr(
+                f"CAST(sum(CASE WHEN _b = {i} THEN 1 ELSE 0 END) "
+                f"AS BIGINT) AS _n{i}"
+            ),
+            F.expr(
+                f"sum(CASE WHEN _b = {i} THEN _p ELSE 0.0D END) "
+                f"AS _sp{i}"
+            ),
+            F.expr(
+                f"sum(CASE WHEN _b = {i} THEN _y ELSE 0.0D END) "
+                f"AS _sy{i}"
+            ),
         ]
-    agg = withts.groupBy(
+    agg = withb.groupBy(
         F.window("_event_time", window_duration).alias("_w"),
         *group_cols,
     ).agg(*aggs)
-    n_tot = None
-    for i in range(k):
-        c = F.col(f"_n{i}")
-        n_tot = c if n_tot is None else n_tot + c
-    gaps = [
-        F.when(
-            F.col(f"_n{i}") > 0,
-            F.abs(F.col(f"_sp{i}") - F.col(f"_sy{i}"))
-            / F.col(f"_n{i}").cast("double"),
-        )
+    n_tot = _expr_sum_chain("_n{i}", k)
+    gap_sql = [
+        f"CASE WHEN _n{i} > 0 THEN abs(_sp{i} - _sy{i}) "
+        f"/ CAST(_n{i} AS DOUBLE) END"
         for i in range(k)
     ]
-    ece_num = None
-    for i in range(k):
-        term = F.abs(F.col(f"_sp{i}") - F.col(f"_sy{i}"))
-        ece_num = term if ece_num is None else ece_num + term
+    ece_num = _expr_sum_chain("abs(_sp{i} - _sy{i})", k)
     ece = F.when(n_tot > 0, ece_num / n_tot.cast("double"))
-    mce = F.greatest(*gaps) if k > 1 else gaps[0]
+    mce = (
+        F.expr("greatest(" + ",".join(gap_sql) + ")")
+        if k > 1
+        else F.expr(gap_sql[0])
+    )
 
     def _r6(c):
         return (
@@ -791,19 +815,22 @@ def windowed_binned_auc(
     )
     if watermark and withts.isStreaming:
         withts = withts.withWatermark("_event_time", watermark)
-    bin_idx = F.least(F.lit(k - 1), F.floor(F.col("_s") * k)).cast(
-        "int"
-    )
+    # parsed-SQL builders (identical ASTs, one py4j call per
+    # aggregate — _expr_sum_chain rationale)
+    withb = withts.select("*", _expr_bin_col("_s", k))
     aggs = []
     for i in range(k):
-        hit = bin_idx == i
         aggs += [
-            F.sum(F.when(hit & (F.col("_y") == 1), 1).otherwise(0))
-            .cast("bigint").alias(f"_p{i}"),
-            F.sum(F.when(hit & (F.col("_y") == 0), 1).otherwise(0))
-            .cast("bigint").alias(f"_g{i}"),
+            F.expr(
+                f"CAST(sum(CASE WHEN _b = {i} AND _y = 1 THEN 1 "
+                f"ELSE 0 END) AS BIGINT) AS _p{i}"
+            ),
+            F.expr(
+                f"CAST(sum(CASE WHEN _b = {i} AND _y = 0 THEN 1 "
+                f"ELSE 0 END) AS BIGINT) AS _g{i}"
+            ),
         ]
-    agg = withts.groupBy(
+    agg = withb.groupBy(
         F.window("_event_time", window_duration).alias("_w"),
         *group_cols,
     ).agg(*aggs)
@@ -811,12 +838,11 @@ def windowed_binned_auc(
     # num += pos_k·(neg_below + neg_k/2); neg_below += neg_k.
     # The array is n_bins structs per ROW — interpreted HOF cost is
     # O(n_bins) per (window, group), not per event.
-    cells = F.array(*[
-        F.struct(
-            F.col(f"_p{i}").alias("p"), F.col(f"_g{i}").alias("g")
-        )
-        for i in range(k)
-    ])
+    cells = F.expr(
+        "array("
+        + ",".join(f"struct(_p{i} AS p, _g{i} AS g)" for i in range(k))
+        + ")"
+    )
     acc0 = F.struct(
         F.lit(0.0).alias("nb"), F.lit(0.0).alias("num")
     )
@@ -832,12 +858,8 @@ def windowed_binned_auc(
             ).alias("num"),
         ),
     )
-    n_pos = None
-    n_neg = None
-    for i in range(k):
-        pc, gc = F.col(f"_p{i}"), F.col(f"_g{i}")
-        n_pos = pc if n_pos is None else n_pos + pc
-        n_neg = gc if n_neg is None else n_neg + gc
+    n_pos = _expr_sum_chain("_p{i}", k)
+    n_neg = _expr_sum_chain("_g{i}", k)
     staged = agg.withColumn("_acc", folded).withColumn(
         "_np", n_pos
     ).withColumn("_ng", n_neg)
@@ -906,30 +928,35 @@ def windowed_average_precision(
     )
     if watermark and withts.isStreaming:
         withts = withts.withWatermark("_event_time", watermark)
-    bin_idx = F.least(F.lit(k - 1), F.floor(F.col("_s") * k)).cast(
-        "int"
-    )
+    # parsed-SQL builders (identical ASTs, one py4j call per
+    # aggregate — _expr_sum_chain rationale)
+    withb = withts.select("*", _expr_bin_col("_s", k))
     aggs = []
     for i in range(k):
-        hit = bin_idx == i
         aggs += [
-            F.sum(F.when(hit & (F.col("_y") == 1), 1).otherwise(0))
-            .cast("bigint").alias(f"_p{i}"),
-            F.sum(F.when(hit & (F.col("_y") == 0), 1).otherwise(0))
-            .cast("bigint").alias(f"_g{i}"),
+            F.expr(
+                f"CAST(sum(CASE WHEN _b = {i} AND _y = 1 THEN 1 "
+                f"ELSE 0 END) AS BIGINT) AS _p{i}"
+            ),
+            F.expr(
+                f"CAST(sum(CASE WHEN _b = {i} AND _y = 0 THEN 1 "
+                f"ELSE 0 END) AS BIGINT) AS _g{i}"
+            ),
         ]
-    agg = withts.groupBy(
+    agg = withb.groupBy(
         F.window("_event_time", window_duration).alias("_w"),
         *group_cols,
     ).agg(*aggs)
     # fold the per-bin counts HIGH→LOW carrying (tp, fp, num):
     # tp += pos_k; fp += neg_k; num += pos_k·tp/(tp+fp)
-    cells = F.array(*[
-        F.struct(
-            F.col(f"_p{i}").alias("p"), F.col(f"_g{i}").alias("g")
+    cells = F.expr(
+        "array("
+        + ",".join(
+            f"struct(_p{i} AS p, _g{i} AS g)"
+            for i in range(k - 1, -1, -1)
         )
-        for i in range(k - 1, -1, -1)
-    ])
+        + ")"
+    )
     acc0 = F.struct(
         F.lit(0.0).alias("tp"),
         F.lit(0.0).alias("fp"),
@@ -955,12 +982,8 @@ def windowed_average_precision(
             ).alias("num"),
         ),
     )
-    n_pos = None
-    n_neg = None
-    for i in range(k):
-        pc, gc = F.col(f"_p{i}"), F.col(f"_g{i}")
-        n_pos = pc if n_pos is None else n_pos + pc
-        n_neg = gc if n_neg is None else n_neg + gc
+    n_pos = _expr_sum_chain("_p{i}", k)
+    n_neg = _expr_sum_chain("_g{i}", k)
     staged = agg.withColumn("_acc", folded).withColumn(
         "_np", n_pos
     ).withColumn("_ng", n_neg)
@@ -1523,45 +1546,41 @@ def windowed_gains_table(
     )
     if watermark and withts.isStreaming:
         withts = withts.withWatermark("_event_time", watermark)
-    bin_idx = F.least(F.lit(k - 1), F.floor(F.col("_s") * k)).cast(
-        "int"
-    )
+    # parsed-SQL builders (identical ASTs, one py4j call per
+    # aggregate — _expr_sum_chain rationale)
+    withb = withts.select("*", _expr_bin_col("_s", k))
     aggs = []
     for i in range(k):
-        hit = bin_idx == i
         aggs += [
-            F.sum(F.when(hit & (F.col("_y") == 1), 1).otherwise(0))
-            .cast("bigint").alias(f"_p{i}"),
-            F.sum(F.when(hit & (F.col("_y") == 0), 1).otherwise(0))
-            .cast("bigint").alias(f"_g{i}"),
+            F.expr(
+                f"CAST(sum(CASE WHEN _b = {i} AND _y = 1 THEN 1 "
+                f"ELSE 0 END) AS BIGINT) AS _p{i}"
+            ),
+            F.expr(
+                f"CAST(sum(CASE WHEN _b = {i} AND _y = 0 THEN 1 "
+                f"ELSE 0 END) AS BIGINT) AS _g{i}"
+            ),
         ]
-    agg = withts.groupBy(
+    agg = withb.groupBy(
         F.window("_event_time", window_duration).alias("_w"),
         *group_cols,
     ).agg(*aggs)
-    n_tot = None
-    p_tot = None
-    for i in range(k):
-        c = F.col(f"_p{i}") + F.col(f"_g{i}")
-        n_tot = c if n_tot is None else n_tot + c
-        p_tot = (
-            F.col(f"_p{i}")
-            if p_tot is None
-            else p_tot + F.col(f"_p{i}")
-        )
+    n_tot = _expr_sum_chain("(_p{i} + _g{i})", k)
+    p_tot = _expr_sum_chain("_p{i}", k)
     # low→high fold: carry (F_prev, bucket partials); each bin's
     # ascending bucket is 1 + #{q : F_prev ≥ ⌈q·n⌉}, inverted so the
     # 0-based partial index is n_buckets − asc. ONE narrow projection
     # off the 2k-column agg (withColumn chains on wide frames dominate
     # the BUILD time — the windowed_binned_gini lesson).
-    cells = F.array(*[
-        F.struct(
-            (F.col(f"_p{i}") + F.col(f"_g{i}"))
-            .cast("double").alias("c"),
-            F.col(f"_p{i}").cast("double").alias("p"),
+    cells = F.expr(
+        "array("
+        + ",".join(
+            f"struct(CAST(_p{i} + _g{i} AS DOUBLE) AS c, "
+            f"CAST(_p{i} AS DOUBLE) AS p)"
+            for i in range(k)
         )
-        for i in range(k)
-    ])
+        + ")"
+    )
     staged = agg.select(
         "_w", *group_cols,
         n_tot.alias("_nt"), p_tot.alias("_pt"),
@@ -1791,36 +1810,35 @@ def windowed_binned_gini(
     )
     if watermark and withts.isStreaming:
         withts = withts.withWatermark("_event_time", watermark)
-    bin_idx = F.least(F.lit(k - 1), F.floor(F.col("_v") * k)).cast(
-        "int"
-    )
+    # parsed-SQL builders (identical ASTs, one py4j call per
+    # aggregate — _expr_sum_chain rationale)
+    withb = withts.select("*", _expr_bin_col("_v", k))
     aggs = []
     for i in range(k):
-        hit = bin_idx == i
         aggs += [
-            F.sum(F.when(hit, 1).otherwise(0)).cast("bigint")
-            .alias(f"_c{i}"),
-            F.sum(F.when(hit, F.col("_v")).otherwise(0.0))
-            .alias(f"_s{i}"),
+            F.expr(
+                f"CAST(sum(CASE WHEN _b = {i} THEN 1 ELSE 0 END) "
+                f"AS BIGINT) AS _c{i}"
+            ),
+            F.expr(
+                f"sum(CASE WHEN _b = {i} THEN _v ELSE 0.0D END) "
+                f"AS _s{i}"
+            ),
         ]
-    agg = withts.groupBy(
+    agg = withb.groupBy(
         F.window("_event_time", window_duration).alias("_w"),
         *group_cols,
     ).agg(*aggs)
-    n_tot = None
-    s_tot = None
-    for i in range(k):
-        c = F.col(f"_c{i}")
-        s = F.col(f"_s{i}")
-        n_tot = c if n_tot is None else n_tot + c
-        s_tot = s if s_tot is None else s_tot + s
-    cells = F.array(*[
-        F.struct(
-            F.col(f"_c{i}").cast("double").alias("c"),
-            F.col(f"_s{i}").alias("s"),
+    n_tot = _expr_sum_chain("_c{i}", k)
+    s_tot = _expr_sum_chain("_s{i}", k)
+    cells = F.expr(
+        "array("
+        + ",".join(
+            f"struct(CAST(_c{i} AS DOUBLE) AS c, _s{i} AS s)"
+            for i in range(k)
         )
-        for i in range(k)
-    ])
+        + ")"
+    )
     # ONE narrow projection off the 2k-column agg: withColumn chains
     # on wide frames re-analyze all columns per call and dominated the
     # BUILD time (measured ~3 s/build at k=64)
@@ -1900,30 +1918,37 @@ def windowed_embedding_drift(
     )
     if watermark and withts.isStreaming:
         withts = withts.withWatermark("_event_time", watermark)
-    aggs = [F.count(F.lit(1)).cast("bigint").alias("_n")]
-    for i in range(d):
-        aggs.append(
-            F.sum(F.col("_v")[i].cast("double")).alias(f"_s{i}")
-        )
+    # parsed-SQL builders (identical ASTs, one py4j call per
+    # aggregate / per reduction — _expr_sum_chain rationale); the
+    # reference components are embedded as CAST(<repr> AS DOUBLE) —
+    # repr round-trips the exact double value
+    aggs = [F.count(F.lit(1)).cast("bigint").alias("_n")] + [
+        F.expr(f"sum(CAST(_v[{i}] AS DOUBLE)) AS _s{i}")
+        for i in range(d)
+    ]
     agg = withts.groupBy(
         F.window("_event_time", window_duration).alias("_w"),
         *group_cols,
     ).agg(*aggs)
     nd = F.col("_n").cast("double")
-    l2 = None
-    dot = None
-    norm2 = None
     refnorm2 = sum(x * x for x in ref)
-    for i in range(d):
-        mu_i = F.col(f"_s{i}") / nd
-        diff = mu_i - F.lit(ref[i])
-        l2 = diff * diff if l2 is None else l2 + diff * diff
-        dot = (
-            mu_i * F.lit(ref[i])
-            if dot is None
-            else dot + mu_i * F.lit(ref[i])
-        )
-        norm2 = mu_i * mu_i if norm2 is None else norm2 + mu_i * mu_i
+
+    def _mu(i):
+        return f"(_s{i} / CAST(_n AS DOUBLE))"
+
+    def _ref(i):
+        return f"CAST({ref[i]!r} AS DOUBLE)"
+
+    l2 = F.expr(" + ".join(
+        f"({_mu(i)} - {_ref(i)}) * ({_mu(i)} - {_ref(i)})"
+        for i in range(d)
+    ))
+    dot = F.expr(" + ".join(
+        f"{_mu(i)} * {_ref(i)}" for i in range(d)
+    ))
+    norm2 = F.expr(" + ".join(
+        f"{_mu(i)} * {_mu(i)}" for i in range(d)
+    ))
     cos = F.when(
         (norm2 > 0) & (F.lit(refnorm2) > 0),
         dot / (F.sqrt(norm2) * F.lit(refnorm2 ** 0.5)),

@@ -72,10 +72,15 @@ def main() -> None:
             n_bcast = len(re.findall(r"BroadcastExchange", plan))
             times = []
             for _ in range(reps):
+                # bench.py's timed region: construction (which for the
+                # iterative/persisting operators does real work via
+                # internal count()/collect() actions) PLUS the noop
+                # sink — timing only the sink would miss most of an
+                # iterative query's wall.
                 spark.catalog.clearCache()
-                df = queries[name](spark, sf_dir)
                 spark.sparkContext.setJobDescription(f"r13:{name}")
                 t0 = time.perf_counter()
+                df = queries[name](spark, sf_dir)
                 df.write.format("noop").mode("overwrite").save()
                 times.append(round(time.perf_counter() - t0, 3))
                 spark.sparkContext.setJobDescription(None)
