@@ -2854,6 +2854,14 @@ def cox_ph(
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     pairs = [(i, j) for i in range(p) for j in range(i, p)]
+    # The event-time DOMAIN is beta-independent: decide the suffix-sum
+    # strategy ONCE instead of letting every Newton step re-persist and
+    # re-count its per-time frame inside _stepped_running_counts
+    # (round-13: 3 jobs per step -> 1; the per-step stepped frame has
+    # exactly one consumer, so the small-domain path needs no persist
+    # at all). Values are identical — same running-sum windows.
+    n_domain = base.select("_t").distinct().count()
+    small_domain = n_domain <= SMALL_ECDF_DOMAIN
 
     def _grad_hess(beta: "np.ndarray"):
         lin = F.lit(float(beta[0])) * F.col("_x0")
@@ -2885,7 +2893,27 @@ def cox_ph(
             + [f"_sr{i}" for i in range(p)]
             + [f"_sr{i}{j}" for i, j in pairs]
         )
-        stepped = _stepped_running_counts(per, "_t", cols)
+        if small_domain:
+            w_loc = Window.orderBy("_t").rowsBetween(
+                Window.unboundedPreceding, Window.currentRow
+            )
+            w_all = Window.partitionBy().rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+            stepped = per.select(
+                "_t",
+                *[c for c in per.columns if c != "_t"],
+                *[
+                    F.sum(c).over(w_loc).alias(f"{c}_run")
+                    for c in cols
+                ],
+                *[
+                    F.sum(c).over(w_all).alias(f"{c}_tot")
+                    for c in cols
+                ],
+            )
+        else:
+            stepped = _stepped_running_counts(per, "_t", cols)
         suf = {
             c: (
                 F.col(f"{c}_tot") - F.col(f"{c}_run") + F.col(c)
