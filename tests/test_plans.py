@@ -558,6 +558,10 @@ def test_no_cartesian_products_anywhere(spark):
         # 1-row grand/treatment/block scalar frames crossed into one
         # row (all bounded aggregates; constant-key joins fold)
         "rm_anova_1way",
+        # round-13 opt: exact path stitches k 1-row distinct-count
+        # aggregates onto the 1-row moments frame via broadcast cross
+        # (replaces the k-way Expand of multi-count_distinct)
+        "data_profile",
     }
     bad = {}
     for name, fn in em.queries().items():
@@ -855,20 +859,28 @@ def test_pagerank_small_path_is_one_fused_plan(spark):
 
 
 def test_data_profile_expand_dial(spark):
-    """data_profile's exact/approx dial: the exact default compiles
-    the multi-count_distinct to exactly ONE Expand node (the k-way
-    row replication that makes the default 100 TB-hostile), and
-    exact=False (approx_count_distinct sketches) compiles to a plain
-    partial/final aggregation with NO Expand anywhere. The approx
-    estimates must agree with the exact counts within the documented
-    HLL++ relative sd."""
+    """data_profile's exact/approx dial (round-13 opt shape): the
+    exact default computes the k distinct counts as k separate
+    two-level aggregations broadcast-stitched onto the moments row —
+    NO Expand node anywhere (the old multi-count_distinct compile
+    replicated every input row k+1 times through both
+    HashAggregates), and exact=False (approx_count_distinct
+    sketches) stays a plain partial/final aggregation with no Expand
+    and no joins. The approx estimates must agree with the exact
+    counts within the documented HLL++ relative sd."""
     from padua_spark.extensions.quality import data_profile
 
     li = _li(spark).select(
         "l_orderkey", "l_partkey", "l_quantity", "l_returnflag"
     )
     exact_plan = explain_str(data_profile(li), "simple")
-    assert exact_plan.count("Expand") >= 1, exact_plan[:1500]
+    assert "Expand" not in exact_plan, exact_plan[:1500]
+    # the k 1-row distinct frames arrive as broadcast crosses; the
+    # cached agg subtree prints once per union branch, so normalize
+    # by the InMemoryRelation occurrence count
+    assert exact_plan.count("BroadcastNestedLoopJoin") == (
+        4 * exact_plan.count("InMemoryRelation")
+    ), exact_plan[:1500]
     approx = data_profile(li, exact=False)
     approx_plan = explain_str(approx, "simple")
     assert "Expand" not in approx_plan, approx_plan[:1500]
