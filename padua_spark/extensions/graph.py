@@ -656,10 +656,20 @@ def label_propagation(
     )
     nodes = sym.select(F.col("_s").alias("_n")).distinct()
     small = nodes.count() <= broadcast_labels_threshold
+    sprobe = sym
+    if small:
+        # Small-graph probe side: the symmetrized edge frame carries
+        # the upstream shuffle's partition count, so every broadcast-
+        # join round schedules that many tiny tasks. Coalesce to
+        # cores/4 (the pagerank lever) — scales with the cluster,
+        # no-op concern only below the broadcast threshold.
+        sprobe = sym.coalesce(
+            max(1, sym.sparkSession.sparkContext.defaultParallelism // 4)
+        )
     labels = nodes.select("_n", F.col("_n").alias("_lbl"))
     for _ in range(int(n_rounds)):
         lside = labels.select(F.col("_n").alias("_s"), "_lbl")
-        nb = sym.join(
+        nb = (sprobe if small else sym).join(
             F.broadcast(lside) if small else lside, on="_s"
         ).select(F.col("_d").alias("_n"), "_lbl")
         cnt = nb.groupBy("_n", "_lbl").agg(
@@ -833,10 +843,21 @@ def hits(
         ).collect()[0][:2]
     )
     small = n_side <= broadcast_scores_threshold
+    eprobe = e
+    if small:
+        # Small-graph probe side: coalesce the persisted edge frame to
+        # cores/4 so each broadcast half-step schedules a handful of
+        # cached tasks instead of one per upstream shuffle partition
+        # (the pagerank lever; cluster-scaled, gated on the broadcast
+        # threshold).
+        eprobe = e.coalesce(
+            max(1, e.sparkSession.sparkContext.defaultParallelism // 4)
+        )
     auths = None
     for _ in range(k_iters):
         a_raw = (
-            e.join(F.broadcast(hubs) if small else hubs, on="_s")
+            (eprobe if small else e)
+            .join(F.broadcast(hubs) if small else hubs, on="_s")
             .groupBy("_d")
             .agg(F.sum("_h").alias("_a"))
         )
@@ -854,7 +875,8 @@ def hits(
             .localCheckpoint(eager=False)
         )
         h_raw = (
-            e.join(F.broadcast(auths) if small else auths, on="_d")
+            (eprobe if small else e)
+            .join(F.broadcast(auths) if small else auths, on="_d")
             .groupBy("_s")
             .agg(F.sum("_a").alias("_h"))
         )
