@@ -1837,29 +1837,41 @@ def lsh_candidate_eval(
         .select("_i", "_j")
         .persist()
     )
-    n_truth = truth.count()
-    n_cand = cand.count()
+    # The truth/candidate cardinalities stay COLUMNS (1-row aggregates
+    # broadcast-crossed onto the 1-row hit count) instead of
+    # driver-side .count() scalars: the whole audit then runs as ONE
+    # job at the sink rather than two synchronous count barriers plus
+    # the final job (round-13 opt; values bit-identical — counts are
+    # exact integers either way).
+    nt = truth.agg(F.count(F.lit(1)).cast("bigint").alias("_nt"))
+    nc = cand.agg(F.count(F.lit(1)).cast("bigint").alias("_nc"))
     hit = truth.join(cand, on=["_i", "_j"]).agg(
         F.count(F.lit(1)).cast("bigint").alias("_h")
     )
-    out = hit.select(
-        F.lit(float(threshold)).alias("threshold"),
-        F.lit(n_truth).cast("bigint").alias("n_truth"),
-        F.lit(n_cand).cast("bigint").alias("n_candidates"),
-        F.col("_h").alias("n_hit"),
-        F.round(
-            F.when(
-                F.lit(n_truth) > 0,
-                F.col("_h").cast("double") / float(max(n_truth, 1)),
-            ),
-            6,
-        ).alias("recall"),
-        F.round(
-            F.when(
-                F.lit(n_cand) > 0,
-                F.col("_h").cast("double") / float(max(n_cand, 1)),
-            ),
-            6,
-        ).alias("precision"),
+    out = (
+        hit.crossJoin(F.broadcast(nt))
+        .crossJoin(F.broadcast(nc))
+        .select(
+            F.lit(float(threshold)).alias("threshold"),
+            F.col("_nt").alias("n_truth"),
+            F.col("_nc").alias("n_candidates"),
+            F.col("_h").alias("n_hit"),
+            F.round(
+                F.when(
+                    F.col("_nt") > 0,
+                    F.col("_h").cast("double")
+                    / F.col("_nt").cast("double"),
+                ),
+                6,
+            ).alias("recall"),
+            F.round(
+                F.when(
+                    F.col("_nc") > 0,
+                    F.col("_h").cast("double")
+                    / F.col("_nc").cast("double"),
+                ),
+                6,
+            ).alias("precision"),
+        )
     )
     return track_cached(out, truth, cand)

@@ -562,6 +562,10 @@ def test_no_cartesian_products_anywhere(spark):
         # aggregates onto the 1-row moments frame via broadcast cross
         # (replaces the k-way Expand of multi-count_distinct)
         "data_profile",
+        # round-13 opt: the truth/candidate cardinalities are 1-row
+        # aggregates broadcast-crossed onto the 1-row hit count
+        # (replaces two driver-side count() barriers)
+        "lsh_candidate_eval",
     }
     bad = {}
     for name, fn in em.queries().items():
