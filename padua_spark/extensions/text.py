@@ -2879,6 +2879,27 @@ def winnowing_fingerprints(
 
     Beyond the reference; standard per Schleimer, Wilkerson & Aiken
     2003 (SIGMOD).
+
+    The k-gram hashes are NOT computed as one O(k) fold per position
+    (an interpreted higher-order-function fold per position — ~n·k
+    lambda evaluations per document, the measured 60-70%% of the
+    operator's wall at k=20): the fold ``h ← (131·h + c) mod M`` is a
+    linear recurrence, so every position's hash is reconstructed
+    EXACTLY from one per-document prefix pass. With
+    ``G(i) = Σ_{j≤i} c_j·131^{i−j} mod M`` (the fold seeded at 0),
+
+    ``H(p) = (G(p+k−1) + (7 − G(p−1))·131^k) mod M``
+
+    — algebraically identical to the per-position fold (same residue,
+    same [0, M) representative, exact in int64: every factor is
+    < 2³¹, every product < 2⁶²). ``G`` itself comes from a windowed
+    running sum: ``G(i) = 131^i · Σ_{j≤i} (c_j·131^{−j} mod M) mod M``
+    using the modular inverse of 131 (M = 2³¹−1 is prime), with the
+    power tables ``131^j`` / ``131^{−j}`` (j ≤ max_doc_chars) as one
+    constant array literal each. Everything per-position is then O(1)
+    JVM-native window arithmetic in the SAME single per-document sort
+    as the winnowing rolling min — no interpreted fold, no per-position
+    array slice.
     """
     from pyspark.sql import Window as W
 
@@ -2889,17 +2910,17 @@ def winnowing_fingerprints(
         F.filter(F.split(F.col("_t"), ""), lambda c: c != ""),
         lambda c: F.ascii(c).cast("long"),
     )
-    # stage the code array ONCE (HOF lambdas do no CSE), then one
-    # independent k-char fold per position — O(k) each, k tiny
-    hashes = F.transform(
-        F.sequence(F.lit(1), F.size("_codes") - F.lit(k_gram - 1)),
-        lambda p: F.aggregate(
-            F.slice("_codes", p, k_gram),
-            F.lit(7).cast("long"),
-            lambda a, c: (a * 131 + c) % F.lit(MOD),
-        ),
+    pow131 = [1] * (max_doc_chars + 1)
+    for j in range(1, max_doc_chars + 1):
+        pow131[j] = (pow131[j - 1] * 131) % MOD
+    inv131 = pow(131, MOD - 2, MOD)
+    powinv = [1] * (max_doc_chars + 1)
+    for j in range(1, max_doc_chars + 1):
+        powinv[j] = (powinv[j - 1] * inv131) % MOD
+    b_k = pow131[k_gram] if k_gram <= max_doc_chars else pow(
+        131, k_gram, MOD
     )
-    base = (
+    rows = (
         df.where(
             F.col(text_col).isNotNull()
             & (F.length(F.col(text_col)) >= k_gram)
@@ -2907,25 +2928,35 @@ def winnowing_fingerprints(
         .select(F.col(id_col).alias("_id"), t.alias("_t"))
         .select("_id", codes.alias("_codes"))
         .where(F.size("_codes") >= k_gram)
-        .select("_id", hashes.alias("_hs"))
-        .select(
-            "_id", F.posexplode("_hs").alias("_i", "_h")
-        )
-        .select(
-            "_id", (F.col("_i") + 1).alias("_pos"), F.col("_h")
-        )
+        .select("_id", F.posexplode("_codes").alias("_i", "_c"))
+        .select("_id", (F.col("_i") + 1).alias("_pos"), F.col("_c"))
     )
-    key = (
-        F.col("_h") * F.lit(2 ** 21)
-        + (F.lit(2 ** 21 - 1) - F.col("_pos"))
+    w_ord = W.partitionBy("_id").orderBy("_pos")
+    w_run = w_ord.rowsBetween(W.unboundedPreceding, W.currentRow)
+    # c_j·131^{−j} mod M, running-summed exactly in int64 (≤ n·M <
+    # 2⁴³), reduced once, re-scaled by 131^i → the seed-0 prefix fold
+    wv = (
+        F.col("_c") * F.element_at(F.lit(powinv), F.col("_pos") + 1)
+    ) % F.lit(MOD)
+    g = (
+        F.element_at(F.lit(pow131), F.col("_pos") + 1)
+        * (F.sum(wv).over(w_run) % F.lit(MOD))
+    ) % F.lit(MOD)
+    staged = rows.select("_id", "_pos", g.alias("_g"))
+    h = F.pmod(
+        F.lead("_g", k_gram - 1).over(w_ord)
+        + (F.lit(7) - F.lag("_g", 1, 0).over(w_ord)) * F.lit(b_k),
+        F.lit(MOD),
     )
-    win = (
-        W.partitionBy("_id").orderBy("_pos")
-        .rowsBetween(0, window - 1)
+    key = F.when(
+        h.isNotNull(),
+        h * F.lit(2 ** 21) + (F.lit(2 ** 21 - 1) - F.col("_pos")),
     )
+    win = w_ord.rowsBetween(0, window - 1)
     fps = (
-        base.select("_id", "_pos", key.alias("_key"))
+        staged.select("_id", "_pos", key.alias("_key"))
         .select("_id", F.min("_key").over(win).alias("_sel"))
+        .where(F.col("_sel").isNotNull())
         .distinct()
         .select(
             "_id", F.shiftright("_sel", 21).alias("_fh")
