@@ -440,6 +440,7 @@ def triangle_count(
     src_col: str = "id_a",
     dst_col: str = "id_b",
     persist_oriented: bool = True,
+    broadcast_edges_threshold: int = 2_000_000,
 ) -> DataFrame:
     """Global triangle count and transitivity of an undirected graph
     via degree orientation (the MapReduce-era standard that makes the
@@ -459,6 +460,16 @@ def triangle_count(
     pairs are cleaned first). Returns one row:
     ``(n_nodes, n_edges, n_wedges, n_triangles, transitivity)`` with
     ``transitivity = 3·triangles / wedges`` (NULL when wedge-free).
+
+    Small-graph pivot (the pagerank/label_propagation lever): when the
+    cleaned edge frame has at most ``broadcast_edges_threshold`` rows
+    (one count on the already-persisted frame — the edge count the
+    output needs anyway), the degree/wedge/closing join sides are
+    broadcast and the probe side coalesced to cores/4: a
+    candidate-graph edge list is typically thousands of rows, and
+    without the pivot its five shuffle joins schedule full-width
+    exchanges of near-empty partitions. The at-scale path (above the
+    threshold) is byte-identical to before.
     """
     e = (
         edges.select(
@@ -468,6 +479,7 @@ def triangle_count(
         .where(F.col("_u") != F.col("_v"))
         .distinct()
     )
+    small = False
     if persist_oriented:
         # the cleaned edge frame feeds FOUR consumers (degree union x2,
         # the orientation join, the edge count); without a persist the
@@ -476,6 +488,7 @@ def triangle_count(
         from pyspark import StorageLevel
 
         e = e.persist(StorageLevel.MEMORY_AND_DISK)
+        small = e.count() <= broadcast_edges_threshold
     deg = (
         e.select(F.col("_u").alias("_x"))
         .unionAll(e.select(F.col("_v").alias("_x")))
@@ -488,7 +501,14 @@ def triangle_count(
     dv = deg.select(
         F.col("_x").alias("_v"), F.col("_deg").alias("_dv")
     )
-    ranked = e.join(du, on="_u").join(dv, on="_v")
+    eprobe = e
+    if small:
+        eprobe = e.coalesce(
+            max(1, e.sparkSession.sparkContext.defaultParallelism // 4)
+        )
+    ranked = eprobe.join(
+        F.broadcast(du) if small else du, on="_u"
+    ).join(F.broadcast(dv) if small else dv, on="_v")
     fwd = (F.col("_du") < F.col("_dv")) | (
         (F.col("_du") == F.col("_dv")) & (F.col("_u") < F.col("_v"))
     )
@@ -506,7 +526,9 @@ def triangle_count(
     w2 = oriented.select(
         F.col("_s").alias("_b"), F.col("_d").alias("_c")
     )
-    wedges = w1.join(w2, on="_b").select("_a", "_b", "_c")
+    wedges = w1.join(
+        F.broadcast(w2) if small else w2, on="_b"
+    ).select("_a", "_b", "_c")
     # the orientation is a TOTAL order ((deg, id) ascending), so in a
     # wedge a→b→c we have a < b < c, and the closing edge — if it
     # exists — is necessarily oriented a→c: a plain equi semi-join,
@@ -514,7 +536,10 @@ def triangle_count(
     closing = oriented.select(
         F.col("_s").alias("_a"), F.col("_d").alias("_c")
     )
-    tri = wedges.join(closing, on=["_a", "_c"], how="left_semi")
+    tri = wedges.join(
+        F.broadcast(closing) if small else closing,
+        on=["_a", "_c"], how="left_semi",
+    )
     # open-wedge count for transitivity uses the UNDIRECTED wedge
     # count Σ_x deg(x)·(deg(x)-1)/2 — a one-pass aggregate over the
     # degree table, not the oriented wedge frame
@@ -911,6 +936,7 @@ def local_clustering(
     edges: DataFrame,
     src_col: str = "id_a",
     dst_col: str = "id_b",
+    broadcast_edges_threshold: int = 2_000_000,
 ) -> DataFrame:
     """Per-node local clustering coefficient of an undirected graph —
     ``cc(v) = 2·T(v) / (deg(v)·(deg(v)−1))`` where ``T(v)`` is the
@@ -930,6 +956,11 @@ def local_clustering(
     coefficient for degree < 2.
 
     Beyond the reference; standard per Watts & Strogatz 1998.
+    Small-graph pivot as in :func:`triangle_count`: at most
+    ``broadcast_edges_threshold`` cleaned edges (one count on the
+    already-persisted frame) broadcasts the degree/wedge/closing join
+    sides and coalesces the probe side to cores/4; the at-scale path
+    is unchanged.
     """
     from pyspark import StorageLevel
 
@@ -944,6 +975,7 @@ def local_clustering(
         .distinct()
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    small = e.count() <= broadcast_edges_threshold
     deg = (
         e.select(F.col("_u").alias("_x"))
         .unionAll(e.select(F.col("_v").alias("_x")))
@@ -953,7 +985,14 @@ def local_clustering(
     )
     du = deg.select(F.col("_x").alias("_u"), F.col("_deg").alias("_du"))
     dv = deg.select(F.col("_x").alias("_v"), F.col("_deg").alias("_dv"))
-    ranked = e.join(du, on="_u").join(dv, on="_v")
+    eprobe = e
+    if small:
+        eprobe = e.coalesce(
+            max(1, e.sparkSession.sparkContext.defaultParallelism // 4)
+        )
+    ranked = eprobe.join(
+        F.broadcast(du) if small else du, on="_u"
+    ).join(F.broadcast(dv) if small else dv, on="_v")
     fwd = (F.col("_du") < F.col("_dv")) | (
         (F.col("_du") == F.col("_dv")) & (F.col("_u") < F.col("_v"))
     )
@@ -963,11 +1002,16 @@ def local_clustering(
     ).persist(StorageLevel.MEMORY_AND_DISK)
     w1 = oriented.select(F.col("_s").alias("_a"), F.col("_d").alias("_b"))
     w2 = oriented.select(F.col("_s").alias("_b"), F.col("_d").alias("_c"))
-    wedges = w1.join(w2, on="_b").select("_a", "_b", "_c")
+    wedges = w1.join(
+        F.broadcast(w2) if small else w2, on="_b"
+    ).select("_a", "_b", "_c")
     closing = oriented.select(
         F.col("_s").alias("_a"), F.col("_d").alias("_c")
     )
-    tri = wedges.join(closing, on=["_a", "_c"], how="left_semi")
+    tri = wedges.join(
+        F.broadcast(closing) if small else closing,
+        on=["_a", "_c"], how="left_semi",
+    )
     per_node = (
         tri.select(
             F.explode(
@@ -977,7 +1021,10 @@ def local_clustering(
         .groupBy("_x")
         .agg(F.count(F.lit(1)).cast("bigint").alias("_t"))
     )
-    joined = deg.join(per_node, on="_x", how="left")
+    joined = deg.join(
+        F.broadcast(per_node) if small else per_node,
+        on="_x", how="left",
+    )
     t = F.coalesce(F.col("_t"), F.lit(0)).cast("bigint")
     d = F.col("_deg").cast("double")
     cc = F.when(
