@@ -59,7 +59,24 @@ def get_spark(
         )
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
+        # PySpark 4 wraps every Column/function call with DataFrame
+        # debugging (call-site capture for error context). Each wrapped
+        # call costs ~4 extra py4j round trips (conf.get + origin
+        # set/clear), which multiplies DataFrame-construction time ~3-5x
+        # driver-side. Static conf, so it must be set here. Purely an
+        # error-message-metadata feature — no query result depends on it.
+        .config("spark.python.sql.dataFrameDebugging.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
-    return builder.getOrCreate()
+    spark = builder.getOrCreate()
+    # The wrapper memoizes the flag process-wide on first use; force the
+    # memo coherent with the conf even when an earlier session (or a
+    # foreign driver session in the same process) already populated it.
+    try:  # pragma: no cover - defensive against PySpark internals moving
+        import pyspark.errors.utils as _eu
+
+        _eu._enable_debugging_cache = False
+    except (ImportError, AttributeError):
+        pass
+    return spark
