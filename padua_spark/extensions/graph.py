@@ -1163,8 +1163,15 @@ def modularity(
     ).where(F.col("_n").isNotNull() & F.col("_l").isNotNull())
     lu = lab.select(F.col("_n").alias("_u"), F.col("_l").alias("_lu"))
     lv = lab.select(F.col("_n").alias("_v"), F.col("_l").alias("_lv"))
-    tagged = e.join(lu, on="_u", how="left").join(
-        lv, on="_v", how="left"
+    # the label-tagged edge frame feeds the within-community count AND
+    # both branches of the degree union — without a persist the two
+    # label joins re-run per consumer (3x). Only the two label columns
+    # survive downstream, so project before caching.
+    tagged = (
+        e.join(lu, on="_u", how="left")
+        .join(lv, on="_v", how="left")
+        .select("_lu", "_lv")
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     # within-community edge counts e_c (both endpoints labeled c)
     within = (
@@ -1226,7 +1233,7 @@ def modularity(
             ).alias("modularity"),
         )
     )
-    return track_cached(out, e)
+    return track_cached(out, e, tagged)
 
 
 def personalized_pagerank(

@@ -48,12 +48,23 @@ def association_rules(
     lift)``, floats 6dp, restricted to
     ``confidence ≥ min_confidence``.
     """
+    from pyspark import StorageLevel
+
+    # The deduped incidence frame has FOUR independent consumers in
+    # this lineage (item supports, basket-size filter, the pair
+    # self-join via kept, and the basket-universe count) and Spark
+    # reuses no exchanges across differently-projected branches — the
+    # scan + distinct shuffle would otherwise re-run per consumer
+    # (traced: ~7 evaluations per execution). Persist it once; same
+    # for the small per-item support frame, which is consumed by the
+    # pruning semi-join and twice by the output stitch.
     base = (
         df.select(
             F.col(basket_col).alias("_b"), F.col(item_col).alias("_i")
         )
         .where(F.col("_b").isNotNull() & F.col("_i").isNotNull())
         .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     n_baskets = base.select(
         F.countDistinct("_b").cast("bigint").alias("_n")
@@ -61,7 +72,9 @@ def association_rules(
     isup = base.groupBy("_i").agg(
         F.count(F.lit(1)).cast("bigint").alias("_ci")
     )
-    freq = isup.where(F.col("_ci") >= F.lit(int(min_support_count)))
+    freq = isup.where(
+        F.col("_ci") >= F.lit(int(min_support_count))
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     kept = base.join(freq.select("_i"), on="_i", how="left_semi")
     ok_baskets = (
         kept.groupBy("_b")
@@ -69,8 +82,6 @@ def association_rules(
         .where(F.col("_sz") <= F.lit(int(max_basket_items)))
         .select("_b")
     )
-    from pyspark import StorageLevel
-
     # the pruned basket frame feeds BOTH sides of the pair self-join
     # (plus its upstream was already consumed by the basket-size
     # filter): persist it once — Spark reuses no exchanges across
@@ -136,7 +147,7 @@ def association_rules(
     )
     from padua_spark.io_utils import track_cached
 
-    return track_cached(out, kept)
+    return track_cached(out, kept, base, freq)
 
 
 def item_similarity(
@@ -166,17 +177,25 @@ def item_similarity(
     frequent pair — ``(item_a, item_b, pair_count, count_a, count_b,
     cosine)``, cosine rounded to 6dp, ``item_a < item_b``.
     """
+    from pyspark import StorageLevel
+
+    # same multi-consumer persists as association_rules (see note
+    # there): base feeds supports + basket filter + pair join; freq
+    # feeds the pruning semi-join and the two output stitches.
     base = (
         df.select(
             F.col(basket_col).alias("_b"), F.col(item_col).alias("_i")
         )
         .where(F.col("_b").isNotNull() & F.col("_i").isNotNull())
         .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     isup = base.groupBy("_i").agg(
         F.count(F.lit(1)).cast("bigint").alias("_ci")
     )
-    freq = isup.where(F.col("_ci") >= F.lit(int(min_support_count)))
+    freq = isup.where(
+        F.col("_ci") >= F.lit(int(min_support_count))
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     kept = base.join(freq.select("_i"), on="_i", how="left_semi")
     ok_baskets = (
         kept.groupBy("_b")
@@ -184,9 +203,6 @@ def item_similarity(
         .where(F.col("_sz") <= F.lit(int(max_basket_items)))
         .select("_b")
     )
-    from pyspark import StorageLevel
-
-    # same multi-consumer persist as association_rules (see note there)
     kept = kept.join(ok_baskets, on="_b", how="left_semi").persist(
         StorageLevel.MEMORY_AND_DISK
     )
@@ -228,4 +244,4 @@ def item_similarity(
     )
     from padua_spark.io_utils import track_cached
 
-    return track_cached(out, kept)
+    return track_cached(out, kept, base, freq)

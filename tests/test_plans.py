@@ -605,7 +605,11 @@ def test_multi_consumer_frames_are_cached(spark):
                  # round-7 multi-consumer frames: shingle/token/edge
                  # intermediates feeding 3-4 branches each
                  "ppjoin_pairs", "containment_pairs", "token_pmi",
-                 "keyness_llr", "triangle_count", "hll_distinct"):
+                 "keyness_llr", "triangle_count", "hll_distinct",
+                 # round-13: mining base/freq + modularity tagged
+                 # persists (the 7x base-distinct recompute fix)
+                 "association_rules", "item_cosine",
+                 "graph_modularity"):
         plan = explain_str(em.queries()[name](spark, SF_ORACLE), "simple")
         assert "InMemoryTableScan" in plan, f"{name}: no cache in plan"
 
