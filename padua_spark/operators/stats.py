@@ -6740,11 +6740,19 @@ def runs_test(
 
     Beyond the reference; standard per Wald & Wolfowitz 1940.
     """
+    from pyspark import StorageLevel
+
+    from padua_spark.io_utils import track_cached
     from padua_spark.operators.normalization import group_medians
 
     v = F.col(value_col).cast("double")
-    base = df.where(v.isNotNull()).select(
-        *group_cols, *order_cols, v.alias("_v")
+    # three independent consumers (median pass, the sign join, the
+    # group-key universe) — persist so the filtered scan runs once
+    # instead of once per branch
+    base = (
+        df.where(v.isNotNull())
+        .select(*group_cols, *order_cols, v.alias("_v"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     med = group_medians(base, list(group_cols), F.col("_v"), "_med")
     signed = (
@@ -6796,7 +6804,7 @@ def runs_test(
         (F.col("n_runs").cast("double") - mu) / F.sqrt(var),
     )
     staged = agg.withColumn("_z", z)
-    return staged.select(
+    out = staged.select(
         *group_cols, "n1_above", "n2_below", "n_runs",
         F.round("_z", 6).alias("z"),
         F.round(
@@ -6807,6 +6815,7 @@ def runs_test(
             6,
         ).alias("p_value"),
     )
+    return track_cached(out, base)
 
 
 def sign_test(
