@@ -635,6 +635,7 @@ def main() -> None:
     doc = _update_local_artifact(
         sf, times, total, errors, subset=bool(only),
         calibration=calibration, calibration_probes=probes,
+        cpus=int(os.environ.get("SPARK_GRAFT_CPUS", "32")),
     )
     out = {
         "metric": "headline_query_wall_time",
@@ -745,6 +746,7 @@ def _update_local_artifact(
     subset: bool = False,
     calibration: float | None = None,
     calibration_probes: dict[str, float] | None = None,
+    cpus: int | None = None,
 ) -> dict:
     """Accumulate per-pass times into BENCH_LOCAL.json next to this
     file and keep per-query MEDIANS over the recorded passes — the
@@ -773,9 +775,26 @@ def _update_local_artifact(
     rec = {"total": total, "queries": times, "calibration": calibration}
     if calibration_probes:
         rec["calibration_probes"] = calibration_probes
+    if cpus is not None:
+        rec["cpus"] = cpus
     doc.setdefault("passes", []).append(rec)
     doc["passes"] = doc["passes"][-10:]
-    names = sorted({n for p in doc["passes"] for n in p["queries"]})
+    # Medians are computed over the HEADLINE core count only (VERDICT
+    # r13 #8): the driver also benches at a lower core count to measure
+    # scaling, and that pass must not pollute the 32-core medians. The
+    # headline is the modal recorded cpus (tie -> larger); passes
+    # without a cpus tag (pre-r14 ledgers) are included only when no
+    # tagged pass exists. Raw per-pass rows all stay in "passes".
+    tagged = [p.get("cpus") for p in doc["passes"] if p.get("cpus")]
+    if tagged:
+        head_cpus = max(set(tagged), key=lambda c: (tagged.count(c), c))
+        doc["headline_cpus"] = head_cpus
+        med_passes = [
+            p for p in doc["passes"] if p.get("cpus") == head_cpus
+        ]
+    else:
+        med_passes = doc["passes"]
+    names = sorted({n for p in med_passes for n in p["queries"]})
 
     def _median(vals: list[float]) -> float:
         s = sorted(vals)
@@ -786,17 +805,17 @@ def _update_local_artifact(
         return round(mid, 3)
 
     doc["median_queries"] = {
-        n: _median([p["queries"][n] for p in doc["passes"]
+        n: _median([p["queries"][n] for p in med_passes
                     if n in p["queries"]])
         for n in names
     }
-    doc["median_total"] = _median([p["total"] for p in doc["passes"]])
-    cals = [p.get("calibration") for p in doc["passes"]]
+    doc["median_total"] = _median([p["total"] for p in med_passes])
+    cals = [p.get("calibration") for p in med_passes]
     cals = [c for c in cals if c is not None]
     doc["median_calibration"] = _median(cals) if cals else None
     probe_passes = [
         p["calibration_probes"]
-        for p in doc["passes"]
+        for p in med_passes
         if p.get("calibration_probes")
     ]
     if probe_passes:
@@ -810,7 +829,7 @@ def _update_local_artifact(
     # the query. Medians over passes; the raw-second medians above
     # stay as the absolute record.
     norm_passes = [
-        p for p in doc["passes"]
+        p for p in med_passes
         if p.get("calibration_probes")
         and sum(p["calibration_probes"].values()) > 0
     ]
@@ -829,7 +848,10 @@ def _update_local_artifact(
         doc["median_total_normalized"] = _median(
             [p["total"] / _psum(p) for p in norm_passes]
         )
-    doc["n_passes"] = len(doc["passes"])
+    # n_passes keeps its historical meaning (passes in the medians);
+    # n_passes_total counts every retained pass including low-core ones.
+    doc["n_passes"] = len(med_passes)
+    doc["n_passes_total"] = len(doc["passes"])
     doc["n_queries"] = len(names)
     if errors:
         doc["last_errors"] = errors

@@ -470,6 +470,13 @@ def triangle_count(
     without the pivot its five shuffle joins schedule full-width
     exchanges of near-empty partitions. The at-scale path (above the
     threshold) is byte-identical to before.
+
+    The pivot requires ``persist_oriented=True`` (the default): the
+    gating count is only taken on the persisted frame — counting an
+    UNPERSISTED edge frame would re-run the caller's whole upstream
+    pipeline just to pick a join strategy, which costs more than the
+    pivot saves. With ``persist_oriented=False`` the threshold is
+    inert and the canonical shuffle-join plan always runs.
     """
     e = (
         edges.select(

@@ -73,10 +73,25 @@ def get_spark(
     # The wrapper memoizes the flag process-wide on first use; force the
     # memo coherent with the conf even when an earlier session (or a
     # foreign driver session in the same process) already populated it.
+    # Verify the private memo still EXISTS before poking it (ADVICE r13):
+    # if a future PySpark renames it, assigning blindly would create a
+    # dead attribute and silently re-enable the 3-5x construction tax —
+    # warn once instead so the regression is observable.
     try:  # pragma: no cover - defensive against PySpark internals moving
         import pyspark.errors.utils as _eu
 
-        _eu._enable_debugging_cache = False
-    except (ImportError, AttributeError):
+        if hasattr(_eu, "_enable_debugging_cache"):
+            _eu._enable_debugging_cache = False
+        else:
+            import warnings
+
+            warnings.warn(
+                "pyspark.errors.utils._enable_debugging_cache is gone; "
+                "the dataFrameDebugging fast path may no longer apply "
+                "to pre-built sessions (construction-perf regression)",
+                RuntimeWarning,
+                stacklevel=2,
+            )
+    except ImportError:
         pass
     return spark

@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -25,9 +27,11 @@ def _expr_bin_col(src: str, k: int) -> Column:
     """``least(k-1, floor(src·k))`` bin index as one parsed column —
     projected ONCE before the aggregation so the 2·k conditional
     aggregates test a plain int column instead of each re-deriving
-    the bin expression per aggregate."""
+    the bin expression per aggregate. Named ``__padua_bin`` so a user
+    group column can never collide with it (the monitors select
+    ``("*", _expr_bin_col(...))`` over the grouped frame)."""
     return F.expr(
-        f"CAST(least({k - 1}, floor({src} * {k})) AS INT) AS _b"
+        f"CAST(least({k - 1}, floor({src} * {k})) AS INT) AS __padua_bin"
     )
 
 
@@ -726,15 +730,15 @@ def windowed_ece(
     for i in range(k):
         aggs += [
             F.expr(
-                f"CAST(sum(CASE WHEN _b = {i} THEN 1 ELSE 0 END) "
+                f"CAST(sum(CASE WHEN __padua_bin = {i} THEN 1 ELSE 0 END) "
                 f"AS BIGINT) AS _n{i}"
             ),
             F.expr(
-                f"sum(CASE WHEN _b = {i} THEN _p ELSE 0.0D END) "
+                f"sum(CASE WHEN __padua_bin = {i} THEN _p ELSE 0.0D END) "
                 f"AS _sp{i}"
             ),
             F.expr(
-                f"sum(CASE WHEN _b = {i} THEN _y ELSE 0.0D END) "
+                f"sum(CASE WHEN __padua_bin = {i} THEN _y ELSE 0.0D END) "
                 f"AS _sy{i}"
             ),
         ]
@@ -822,11 +826,11 @@ def windowed_binned_auc(
     for i in range(k):
         aggs += [
             F.expr(
-                f"CAST(sum(CASE WHEN _b = {i} AND _y = 1 THEN 1 "
+                f"CAST(sum(CASE WHEN __padua_bin = {i} AND _y = 1 THEN 1 "
                 f"ELSE 0 END) AS BIGINT) AS _p{i}"
             ),
             F.expr(
-                f"CAST(sum(CASE WHEN _b = {i} AND _y = 0 THEN 1 "
+                f"CAST(sum(CASE WHEN __padua_bin = {i} AND _y = 0 THEN 1 "
                 f"ELSE 0 END) AS BIGINT) AS _g{i}"
             ),
         ]
@@ -935,11 +939,11 @@ def windowed_average_precision(
     for i in range(k):
         aggs += [
             F.expr(
-                f"CAST(sum(CASE WHEN _b = {i} AND _y = 1 THEN 1 "
+                f"CAST(sum(CASE WHEN __padua_bin = {i} AND _y = 1 THEN 1 "
                 f"ELSE 0 END) AS BIGINT) AS _p{i}"
             ),
             F.expr(
-                f"CAST(sum(CASE WHEN _b = {i} AND _y = 0 THEN 1 "
+                f"CAST(sum(CASE WHEN __padua_bin = {i} AND _y = 0 THEN 1 "
                 f"ELSE 0 END) AS BIGINT) AS _g{i}"
             ),
         ]
@@ -1553,11 +1557,11 @@ def windowed_gains_table(
     for i in range(k):
         aggs += [
             F.expr(
-                f"CAST(sum(CASE WHEN _b = {i} AND _y = 1 THEN 1 "
+                f"CAST(sum(CASE WHEN __padua_bin = {i} AND _y = 1 THEN 1 "
                 f"ELSE 0 END) AS BIGINT) AS _p{i}"
             ),
             F.expr(
-                f"CAST(sum(CASE WHEN _b = {i} AND _y = 0 THEN 1 "
+                f"CAST(sum(CASE WHEN __padua_bin = {i} AND _y = 0 THEN 1 "
                 f"ELSE 0 END) AS BIGINT) AS _g{i}"
             ),
         ]
@@ -1817,11 +1821,11 @@ def windowed_binned_gini(
     for i in range(k):
         aggs += [
             F.expr(
-                f"CAST(sum(CASE WHEN _b = {i} THEN 1 ELSE 0 END) "
+                f"CAST(sum(CASE WHEN __padua_bin = {i} THEN 1 ELSE 0 END) "
                 f"AS BIGINT) AS _c{i}"
             ),
             F.expr(
-                f"sum(CASE WHEN _b = {i} THEN _v ELSE 0.0D END) "
+                f"sum(CASE WHEN __padua_bin = {i} THEN _v ELSE 0.0D END) "
                 f"AS _s{i}"
             ),
         ]
@@ -1910,6 +1914,13 @@ def windowed_embedding_drift(
     if d == 0:
         raise ValueError(
             "windowed_embedding_drift: reference_mean is empty"
+        )
+    # the reference components are interpolated into parsed SQL via
+    # repr(); inf/nan would parse as unresolved identifiers and fail
+    # with an opaque AnalysisException — reject them up front
+    if not all(math.isfinite(x) for x in ref):
+        raise ValueError(
+            "windowed_embedding_drift: reference_mean must be finite"
         )
     withts = df.where(
         vec_col.isNotNull() & (F.size(vec_col) == d)

@@ -13038,3 +13038,53 @@ def test_round13_extremes_graph_text_battery(spark):
     assert row["kendall_tau"] == pytest.approx(-1.0)
     assert row["spearman_rho"] == pytest.approx(-1.0)
     assert row["footrule_norm"] == pytest.approx(1.0)
+
+
+def test_dataframe_debugging_lever_pinned(spark):
+    """The round-13 registry-wide construction lever (disable PySpark's
+    DataFrame-debugging call-site capture) rests on a session conf AND a
+    private process-wide memo in pyspark.errors.utils. If PySpark
+    renames the memo, the 3-5x py4j construction tax silently returns —
+    pin both so the rename turns red here instead (VERDICT r13 #6)."""
+    import pyspark.errors.utils as eu
+
+    assert spark.conf.get(
+        "spark.python.sql.dataFrameDebugging.enabled"
+    ) == "false"
+    assert hasattr(eu, "_enable_debugging_cache"), (
+        "pyspark.errors.utils._enable_debugging_cache renamed/removed - "
+        "the construction fast path no longer lands on pre-built "
+        "sessions; port the override in padua_spark/session.py and "
+        "__spark_entry__.py to the new internals"
+    )
+    assert eu._enable_debugging_cache is False
+
+
+def test_bench_ledger_filters_medians_to_headline_cpus(tmp_path):
+    """BENCH_LOCAL medians must be computed over the headline core
+    count only (VERDICT r13 #8): the driver's low-core scaling pass
+    appends to the same ledger and must not pollute the 32-core
+    medians. Raw passes all stay recorded."""
+    import bench
+
+    orig = bench.__file__
+    try:
+        bench.__file__ = str(tmp_path / "bench.py")
+        probes = {"scan": 0.5, "shuffle": 0.3, "window": 0.2}
+        bench._update_local_artifact(
+            0.1, {"a": 1.0}, 1.0, {}, calibration=1.0,
+            calibration_probes=probes, cpus=32)
+        bench._update_local_artifact(
+            0.1, {"a": 1.2}, 1.2, {}, calibration=1.0,
+            calibration_probes=probes, cpus=32)
+        doc = bench._update_local_artifact(
+            0.1, {"a": 9.0}, 9.0, {}, calibration=1.0,
+            calibration_probes=probes, cpus=8)
+    finally:
+        bench.__file__ = orig
+    assert doc["headline_cpus"] == 32
+    assert doc["passes"][-1]["cpus"] == 8          # raw pass retained
+    assert doc["n_passes"] == 2                    # medians: 32-core only
+    assert doc["n_passes_total"] == 3
+    assert doc["median_queries"]["a"] == 1.1       # 8-core 9.0 excluded
+    assert doc["median_total"] == 1.1
