@@ -777,16 +777,27 @@ def kmeans_quantized(
         )
 
     def _assign_literal(state):
-        arr = F.array(
-            *[
-                F.struct(
-                    F.lit(cl).alias("cl"),
-                    F.array(
-                        *[F.lit(float(s) / float(n)) for s in sums]
-                    ).alias("m"),
+        # The centroid constant is k·dims double literals; built as
+        # F.lit Column objects that is k·dims py4j round trips PER
+        # assignment stage (k=8, dims=64, 3 stages ≈ 1,500 trips —
+        # the winnowing power-table lesson, round 13 §3.10). Parse the
+        # identical array(named_struct(...)) literal as ONE SQL
+        # expression instead: `{v!r}D` is the exact double literal
+        # (repr round-trips, and Spark parses it with the same
+        # correctly-rounded semantics), `cl` is a plain int literal —
+        # same values, one py4j trip. Guide §4/§7.3.
+        arr = F.expr(
+            "array("
+            + ",".join(
+                "named_struct('cl', {cl}, 'm', array({m}))".format(
+                    cl=int(cl),
+                    m=",".join(
+                        f"{float(s) / float(n)!r}D" for s in sums
+                    ),
                 )
                 for cl, sums, n in state
-            ]
+            )
+            + ")"
         )
         scored = q.withColumn("_cents", arr)
         best = F.array_min(

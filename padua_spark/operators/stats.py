@@ -12371,17 +12371,43 @@ def sobel_mediation(
         F.sum(F.col("_x") * F.col("_y")).alias("_sxy"),
         F.sum(F.col("_m") * F.col("_y")).alias("_smy"),
     )
+    # Staged projections (guide §7.3): the closed-form solve references
+    # each moment/path expression many times, and inlining them
+    # textually blows the single-Project expression tree up
+    # combinatorially — measured round 14: the one-select form spent
+    # ~1.1 s of DRIVER time analyzing two selects (py4j itself was
+    # ~0.15 s) and re-evaluated the z subtree ~15x inside the erfc
+    # polynomial. Aliasing each reused subtree ONCE per stage keeps
+    # analysis linear and lets the optimizer keep the stages separate
+    # (CollapseProject does not inline non-cheap aliases consumed more
+    # than once). Each output evaluates the exact same arithmetic DAG
+    # as before — values are bit-identical, only the tree sharing
+    # changes.
     nd = F.col("n").cast("double")
     mx = F.col("_sx") / nd
     mm = F.col("_sm") / nd
     my = F.col("_sy") / nd
-    sxx = F.col("_sxx") - nd * mx * mx
-    smm = F.col("_smm") - nd * mm * mm
-    syy = F.col("_syy") - nd * my * my
-    sxm = F.col("_sxm") - nd * mx * mm
-    sxy = F.col("_sxy") - nd * mx * my
-    smy = F.col("_smy") - nd * mm * my
-    det = sxx * smm - sxm * sxm
+    m1 = agg.select(
+        *group_cols, "n",
+        (F.col("_sxx") - nd * mx * mx).alias("_cxx"),
+        (F.col("_smm") - nd * mm * mm).alias("_cmm"),
+        (F.col("_syy") - nd * my * my).alias("_cyy"),
+        (F.col("_sxm") - nd * mx * mm).alias("_cxm"),
+        (F.col("_sxy") - nd * mx * my).alias("_cxy"),
+        (F.col("_smy") - nd * mm * my).alias("_cmy"),
+    )
+    sxx = F.col("_cxx")
+    smm = F.col("_cmm")
+    syy = F.col("_cyy")
+    sxm = F.col("_cxm")
+    sxy = F.col("_cxy")
+    smy = F.col("_cmy")
+    m2 = m1.select(
+        *group_cols, "n",
+        "_cxx", "_cmm", "_cyy", "_cxm", "_cxy", "_cmy",
+        (sxx * smm - sxm * sxm).alias("_det"),
+    )
+    det = F.col("_det")
     ok = (F.col("n") >= 4) & (sxx > 0) & (det > 0)
     a = F.when(ok, sxm / sxx)
     rss_a = smm - sxm * sxm / sxx
@@ -12391,18 +12417,34 @@ def sobel_mediation(
     rss_y = syy - bx * sxy - b * smy
     s2_b = F.when(ok, (rss_y / (nd - 3.0)) * sxx / det)
     c_tot = F.when(ok, sxy / sxx)
-    indirect = a * b
-    denom = b * b * s2_a + a * a * s2_b
-    z = F.when(ok & (denom > 0), indirect / F.sqrt(denom))
-    return agg.select(
+    m3 = m2.select(
         *group_cols, "n",
-        F.round(a, 6).alias("a_path"),
-        F.round(b, 6).alias("b_path"),
-        F.round(indirect, 6).alias("indirect"),
-        F.round(c_tot - indirect, 6).alias("direct"),
-        F.round(c_tot, 6).alias("total"),
-        F.round(z, 6).alias("sobel_z"),
-        F.round(_normal_sf_2sided(z), 6).alias("p_value"),
+        ok.alias("_ok"),
+        a.alias("_a"),
+        b.alias("_b"),
+        s2_a.alias("_s2a"),
+        s2_b.alias("_s2b"),
+        c_tot.alias("_c"),
+    )
+    ac = F.col("_a")
+    bc = F.col("_b")
+    indirect = ac * bc
+    denom = bc * bc * F.col("_s2a") + ac * ac * F.col("_s2b")
+    z = F.when(F.col("_ok") & (denom > 0), indirect / F.sqrt(denom))
+    m4 = m3.select(
+        *group_cols, "n", "_a", "_b", "_c",
+        indirect.alias("_ind"),
+        z.alias("_z"),
+    )
+    return m4.select(
+        *group_cols, "n",
+        F.round(F.col("_a"), 6).alias("a_path"),
+        F.round(F.col("_b"), 6).alias("b_path"),
+        F.round(F.col("_ind"), 6).alias("indirect"),
+        F.round(F.col("_c") - F.col("_ind"), 6).alias("direct"),
+        F.round(F.col("_c"), 6).alias("total"),
+        F.round(F.col("_z"), 6).alias("sobel_z"),
+        F.round(_normal_sf_2sided(F.col("_z")), 6).alias("p_value"),
     )
 
 

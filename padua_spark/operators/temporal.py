@@ -3136,6 +3136,17 @@ def hurst_rs(
         *group_cols, "_v",
         (F.row_number().over(wo) - 1).cast("bigint").alias("_t0"),
     ).persist(StorageLevel.MEMORY_AND_DISK)
+    # ONE group-keyed exchange feeds all per-scale passes (guide
+    # §2.4): the cached plan hides its window partitioning (AQE-
+    # cached plans expose no output partitioning), so without this
+    # every scale's (group, block) window AND block aggregation
+    # re-shuffled the frame — 2 exchanges x |scales|. A single
+    # hash-partitioning on the group key satisfies every downstream
+    # ClusteredDistribution over (group, _blk) (partitioning keys are
+    # a subset of the clustering keys), so the 5 window sorts run
+    # exchange-free. Parallelism is unchanged — the row_number window
+    # upstream already serializes each group into one partition.
+    rep = stepped.repartition(*group_cols) if group_cols else stepped
     scale_frames = []
     for m in sizes:
         blk = (F.col("_t0") / m).cast("bigint")
@@ -3144,7 +3155,7 @@ def hurst_rs(
                               Window.currentRow)
         wall = wb.rowsBetween(Window.unboundedPreceding,
                               Window.unboundedFollowing)
-        framed = stepped.select(
+        framed = rep.select(
             *group_cols,
             blk.alias("_blk"),
             (F.col("_t0") % m + 1).cast("double").alias("_j"),
@@ -3197,7 +3208,7 @@ def hurst_rs(
     sxx = F.col("_sxx") - F.col("_sx") * F.col("_sx") / kd
     sxy = F.col("_sxy") - F.col("_sx") * F.col("_sy") / kd
     hurst = F.when((F.col("n_scales") >= 2) & (sxx > 0), sxy / sxx)
-    n_rows = stepped.groupBy(*group_cols).agg(
+    n_rows = rep.groupBy(*group_cols).agg(
         F.count(F.lit(1)).cast("bigint").alias("n")
     )
     out = n_rows.join(fit, on=group_cols, how="left").select(
@@ -3616,11 +3627,15 @@ def dfa_hurst(
             * F.avg("_v").over(wall)
         ).alias("_y"),
     ).persist(StorageLevel.MEMORY_AND_DISK)
+    # one group-keyed exchange for all scale passes — see hurst_rs
+    # (the cached AQE plan hides partitioning; group ⊆ (group, _blk)
+    # satisfies every per-scale window/aggregation distribution)
+    rep = stepped.repartition(*group_cols) if group_cols else stepped
     scale_frames = []
     for m in sizes:
         blk = (F.col("_t0") / m).cast("bigint")
         j = (F.col("_t0") % m + 1).cast("double")
-        framed = stepped.select(
+        framed = rep.select(
             *group_cols, blk.alias("_blk"), j.alias("_j"), "_y"
         )
         # Numerically STABLE centered moments (the naive
@@ -3682,7 +3697,7 @@ def dfa_hurst(
     sxx = F.col("_sxx") - F.col("_sx") * F.col("_sx") / kd
     sxy = F.col("_sxy") - F.col("_sx") * F.col("_sy") / kd
     alpha = F.when((F.col("n_scales") >= 2) & (sxx > 0), sxy / sxx)
-    n_rows = stepped.groupBy(*group_cols).agg(
+    n_rows = rep.groupBy(*group_cols).agg(
         F.count(F.lit(1)).cast("bigint").alias("n")
     )
     out = n_rows.join(fit, on=group_cols, how="left").select(

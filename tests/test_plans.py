@@ -567,13 +567,28 @@ def test_no_cartesian_products_anywhere(spark):
         # (replaces two driver-side count() barriers)
         "lsh_candidate_eval",
     }
-    bad = {}
-    for name, fn in em.queries().items():
+    # Identical checks on identical plans — but built on a small
+    # driver thread pool: each entry's build + physical planning is
+    # independent JVM work (py4j opens one connection per thread), and
+    # serial construction of all 499 plans was the single slowest test
+    # in the suite (88 s of the round-14 idle run). Thread count stays
+    # small so the shared session's analyzer lock contention does not
+    # dominate.
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _lint(item):
+        name, fn = item
         plan = explain_str(fn(spark, SF_ORACLE), "simple")
         if "CartesianProduct" in plan:
-            bad[name] = "CartesianProduct"
-        elif "BroadcastNestedLoopJoin" in plan and name not in BNLJ_OK:
-            bad[name] = "unexpected BroadcastNestedLoopJoin"
+            return name, "CartesianProduct"
+        if "BroadcastNestedLoopJoin" in plan and name not in BNLJ_OK:
+            return name, "unexpected BroadcastNestedLoopJoin"
+        return None
+
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        bad = dict(
+            r for r in pool.map(_lint, em.queries().items()) if r
+        )
     assert not bad, bad
 
 
@@ -1073,4 +1088,31 @@ def test_windowed_monitor_build_shape_lint(spark):
             " — use one posexplode of a computed struct array instead"
             " of a k-branch union, and one narrow select off the wide"
             f" agg instead of a withColumn chain\n{opt[:1200]}"
+        )
+
+
+def test_scale_union_single_group_exchange(spark):
+    """hurst_rs/dfa_hurst per-scale passes share ONE group-keyed
+    exchange (round-14 reshape): the cached indexed frame hides its
+    window partitioning (AQE-cached plan), so without the explicit
+    group repartition every scale re-shuffled by (group, block) — 2
+    exchanges per scale. Pin: no hashpartitioning on (group, _blk)
+    anywhere; exactly one REPARTITION_BY_COL exchange feeding the
+    scale windows."""
+    import re
+
+    import __spark_entry__ as em
+
+    for name in ("hurst_rs", "dfa_hurst"):
+        plan = explain_str(em.queries()[name](spark, SF_ORACLE),
+                           "formatted")
+        blk_exch = re.findall(
+            r"hashpartitioning\([^)]*_blk[^)]*\)", plan
+        )
+        assert not blk_exch, (
+            f"{name}: per-scale (group, _blk) exchange reappeared "
+            f"({len(blk_exch)} found)"
+        )
+        assert "REPARTITION_BY_COL" in plan, (
+            f"{name}: shared group repartition missing"
         )
