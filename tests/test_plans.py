@@ -1113,6 +1113,12 @@ def test_scale_union_single_group_exchange(spark):
             f"{name}: per-scale (group, _blk) exchange reappeared "
             f"({len(blk_exch)} found)"
         )
-        assert "REPARTITION_BY_COL" in plan, (
-            f"{name}: shared group repartition missing"
-        )
+        # No positive REPARTITION_BY_COL assertion: cold (cache
+        # unmaterialized) plans show the explicit group repartition,
+        # but when a previous run left the indexed frame materialized
+        # in the CacheManager the cache exposes
+        # hashpartitioning(group) and the optimizer elides the
+        # now-redundant repartition entirely — zero exchanges,
+        # strictly better. The invariant in both states is the
+        # absence of per-scale (group, _blk) exchanges, asserted
+        # above.
